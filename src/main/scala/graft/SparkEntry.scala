@@ -1,13 +1,364 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => sf}
+
+import graft.operators._
+import graft.dq.QualityChecks
+import graft.sources.Tables
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB oracle in `oracleSql` where the
+  * semantics are ANSI-SQL-expressible (rows-only check otherwise).
+  * Column names/aliases are matched pairwise with the SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    StarSchema.revenueByRegion(spark, "/root/testdata/sf0.001")
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_star_revenue" -> ((s, dir) => StarSchema.revenueByRegion(s, dir)),
+
+    "q02_fact_etl" -> ((s, dir) => StarSchema.factSales(s, dir)),
+
+    "q03_dim_date" -> ((s, dir) => DateOps.dateDimension(Seq(
+      Tables.load(s, dir, "orders") -> sf.to_date(sf.col("o_orderdate")),
+      Tables.load(s, dir, "lineitem") -> sf.to_date(sf.col("l_shipdate"))))
+      .orderBy("d")),
+
+    "q04_pivot" -> ((s, dir) => {
+      val joined = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          sf.col("o_custkey") === sf.col("c_custkey"))
+        .select(sf.col("c_mktsegment"),
+          sf.col("o_orderstatus"),
+          sf.col("o_totalprice").cast("decimal(18,2)").as("price"))
+      PivotOps.pivotSum(joined, Seq("c_mktsegment"), "o_orderstatus",
+          Seq("F", "O", "P"), "price", fill = None)
+        .select(sf.col("c_mktsegment"),
+          sf.col("o_orderstatus_f").cast("decimal(18,2)").as("o_orderstatus_f"),
+          sf.col("o_orderstatus_o").cast("decimal(18,2)").as("o_orderstatus_o"),
+          sf.col("o_orderstatus_p").cast("decimal(18,2)").as("o_orderstatus_p"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q05_surrogate" -> ((s, dir) =>
+      StarSchema.withSurrogateKey(Tables.load(s, dir, "customer"),
+          Seq("c_nationkey"), Seq("c_custkey"))
+        .select("c_custkey", "c_nationkey", "sk")
+        .orderBy("c_custkey")),
+
+    "q06_dim_customer" -> ((s, dir) =>
+      StarSchema.dimCustomer(s, dir).orderBy("c_custkey")),
+
+    "q07_agg_stats" -> ((s, dir) => StarSchema.aggStats(s, dir)),
+
+    "q08_inmem_dim" -> ((s, dir) => {
+      val prio = sf.broadcast(Tables.fromPairs(s,
+        Seq(1 -> "URGENT", 2 -> "HIGH", 3 -> "MEDIUM", 4 -> "NOT SPECIFIED", 5 -> "LOW"),
+        "id", "priority_name"))
+      Tables.load(s, dir, "orders")
+        .withColumn("prio_id",
+          sf.split(sf.col("o_orderpriority"), "-").getItem(0).cast("int"))
+        .join(prio, sf.col("prio_id") === sf.col("id"))
+        .groupBy("priority_name")
+        .agg(sf.count(sf.lit(1)).as("n_orders"))
+        .orderBy("priority_name")
+    }),
+
+    "q09_dq_rowcount" -> ((s, dir) => QualityChecks.rowCounts(s, dir)),
+
+    "q10_dq_unique" -> ((s, dir) => QualityChecks.uniqueKey(s, dir, Seq(
+      "customer" -> Seq("c_custkey"), "orders" -> Seq("o_orderkey"),
+      "part" -> Seq("p_partkey"), "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id")))),
+
+    "q11_sasdate" -> ((s, dir) => {
+      val d = sf.to_date(sf.col("o_orderdate"))
+      Tables.load(s, dir, "orders").select(
+        sf.col("o_orderkey"),
+        functions.dateToSasDays(d).as("sas_days"),
+        functions.sasDaysToDate(functions.dateToSasDays(d)).as("roundtrip_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q12_filter_clean" -> ((s, dir) =>
+      Cleaning.dedupRows(
+        Cleaning.excludePatterns(
+          Cleaning.dropNullsAny(docs(s, dir), "text", "lang"),
+          "text", Seq("slow")),
+        Seq("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "q13_port_parse" -> ((s, dir) => Tables.load(s, dir, "part").select(
+      sf.col("p_partkey"),
+      sf.split(sf.col("p_brand"), "#").getItem(1).cast("int").as("brand_num"),
+      sf.upper(sf.col("p_type")).as("type_upper"),
+      sf.trim(sf.split(sf.col("p_name"), " ").getItem(0)).as("name_first"))
+      .orderBy("p_partkey")),
+
+    "q14_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")),
+
+    "q15_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")),
+
+    "q16_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text", Some("lang"))),
+
+    "q17_fingerprint" -> ((s, dir) => docs(s, dir).select(
+      sf.col("doc_id"), functions.fingerprint(sf.col("text")).as("fp_md5"))
+      .orderBy("doc_id")),
+
+    "q18_rolling_fp" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")),
+
+    "q19_events_window" -> ((s, dir) =>
+      EventOps.windowedAgg(Tables.load(s, dir, "events"))),
+
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", Seq("text"))),
+
+    "q21_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(sf.col("doc_id") < 40), "doc_id", "text")),
+
+    "q22_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLsh(docs(s, dir), "doc_id", "text", threshold = 0.9)),
+
+    "q23_simhash" -> ((s, dir) =>
+      Dedup.simHashSignatures(docs(s, dir), "doc_id", "text")),
+
+    "q24_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.3)),
+
+    "q25_embed_topk" -> ((s, dir) =>
+      Similarity.aggTopK(s, emb(s, dir), "vec_id", "embedding",
+        sf.col("vec_id") < 10, k = 5)),
+
+    "q26_embed_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), "vec_id", "embedding",
+        sf.col("vec_id") < 10, k = 5)),
+
+    "q27_multimodal" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        Multimodal.asBinary(docs(s, dir), "doc_id", "text"), "doc_id")),
+
+    "q28_dq_predicate" -> ((s, dir) =>
+      QualityChecks.predicateViolations(docs(s, dir), "n_chars_matches_len",
+        sf.col("n_chars") === sf.length(sf.col("text")))),
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Omitted (rows-only): q16_langid, q18_rolling_fp,
+  // q23_simhash, q26_embed_lsh — hash-family semantics not expressible in
+  // portable SQL.
+  // ---------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q01_star_revenue" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        | SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey=o.o_orderkey
+        |JOIN customer c ON o.o_custkey=c.c_custkey
+        |JOIN nation n ON c.c_nationkey=n.n_nationkey
+        |JOIN region r ON n.n_regionkey=r.r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_fact_etl" ->
+      """SELECT l.l_orderkey, CAST(l.l_linenumber AS INT) AS l_linenumber, o.o_custkey,
+        | CAST(l.l_quantity AS INT) AS quantity,
+        | CAST(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS INT) AS ship_delay,
+        | CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS revenue,
+        | l.l_returnflag
+        |FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+        |WHERE l.l_quantity > 0 AND l.l_returnflag IS NOT NULL AND l.l_linestatus IS NOT NULL""".stripMargin,
+
+    "q03_dim_date" ->
+      """WITH dates AS (
+        |  SELECT DISTINCT d FROM (
+        |    SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        |    UNION SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem)
+        |  WHERE d IS NOT NULL)
+        |SELECT d,
+        | CAST(datediff('day', DATE '1960-01-01', d) AS INT) AS date_key,
+        | CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month,
+        | CAST(dayofmonth(d) AS INT) AS day, CAST(weekofyear(d) AS INT) AS week,
+        | CAST(dayofweek(d)+1 AS INT) AS dow,
+        | CASE WHEN dayofweek(d) IN (0,6) THEN 1 ELSE 0 END AS is_weekend,
+        | CASE WHEN month(d) IN (12,1,2) THEN 'Winter'
+        |      WHEN month(d) IN (3,4,5) THEN 'Spring'
+        |      WHEN month(d) IN (6,7,8) THEN 'Summer' ELSE 'Autumn' END AS season
+        |FROM dates ORDER BY d""".stripMargin,
+
+    "q04_pivot" ->
+      """SELECT c.c_mktsegment,
+        | CAST(SUM(CASE WHEN o.o_orderstatus='F' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS o_orderstatus_f,
+        | CAST(SUM(CASE WHEN o.o_orderstatus='O' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS o_orderstatus_o,
+        | CAST(SUM(CASE WHEN o.o_orderstatus='P' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS o_orderstatus_p
+        |FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_surrogate" ->
+      """SELECT c_custkey, c_nationkey,
+        | CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS INT) AS sk
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q06_dim_customer" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        | CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        | n.n_name AS nation, r.r_name AS region
+        |FROM customer c
+        |LEFT JOIN nation n ON c.c_nationkey=n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey=r.r_regionkey
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q07_agg_stats" ->
+      """SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+        | round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 2) AS avg_bal,
+        | CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal,
+        | CAST(MIN(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_bal,
+        | CAST(MAX(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_inmem_dim" ->
+      """SELECT d.priority_name, COUNT(*) AS n_orders
+        |FROM orders o
+        |JOIN (VALUES (1,'URGENT'),(2,'HIGH'),(3,'MEDIUM'),(4,'NOT SPECIFIED'),(5,'LOW'))
+        |  d(id, priority_name)
+        |ON CAST(str_split(o.o_orderpriority,'-')[1] AS INT)=d.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_dq_rowcount" ->
+      Tables.names.map(t => s"SELECT '$t' AS table_name, COUNT(*) AS row_count FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY table_name"),
+
+    "q10_dq_unique" ->
+      Seq("customer" -> "c_custkey", "orders" -> "o_orderkey", "part" -> "p_partkey",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+        .map { case (t, k) =>
+          s"""SELECT '$t' AS table_name, COUNT(*) AS total_rows,
+             | COUNT(DISTINCT $k) AS distinct_keys,
+             | CAST(COUNT(*)=COUNT(DISTINCT $k) AS INT) AS is_unique FROM $t""".stripMargin
+        }.mkString("", " UNION ALL ", " ORDER BY table_name"),
+
+    "q11_sasdate" ->
+      """SELECT o_orderkey,
+        | CAST(datediff('day', DATE '1960-01-01', CAST(o_orderdate AS DATE)) AS INT) AS sas_days,
+        | DATE '1960-01-01' + CAST(datediff('day', DATE '1960-01-01', CAST(o_orderdate AS DATE)) AS INT) AS roundtrip_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q12_filter_clean" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE text IS NOT NULL AND lang IS NOT NULL
+        |  AND NOT contains(lower(text), 'slow')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q13_port_parse" ->
+      """SELECT p_partkey,
+        | CAST(str_split(p_brand,'#')[2] AS INT) AS brand_num,
+        | upper(p_type) AS type_upper,
+        | trim(str_split(p_name,' ')[1]) AS name_first
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q14_token_stats" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        | CAST(length(text) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_text_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS n_nonws
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  n_punct/greatest(len, 1.0) AS punct,
+        |  n_digit/greatest(len, 1.0) AS digits,
+        |  CASE WHEN n_tok=0 THEN 0.0 ELSE n_nonws/n_tok END AS avgtok,
+        |  len FROM b)
+        |SELECT doc_id, round(punct,4) AS punct_ratio, round(digits,4) AS digit_ratio,
+        | round(avgtok,4) AS avg_token_len,
+        | round(CASE WHEN len BETWEEN 100 AND 10000 THEN 0.4 ELSE 0.0 END
+        |  + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END
+        |  + CASE WHEN digits < 0.2 THEN 0.2 ELSE 0.0 END
+        |  + CASE WHEN avgtok BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END, 4)::DOUBLE AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q17_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, COUNT(*) AS n_events, round(SUM(value),2) AS sum_value,
+        | COUNT(user_id) AS n_user_rows
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY rep_id""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | round(CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |   ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |        / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id ORDER BY 1,2""".stripMargin,
+
+    "q22_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY 1,2""".stripMargin,
+
+    "q24_embed_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),4) AS cosine
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.3 ORDER BY 1,2""".stripMargin,
+
+    "q25_embed_topk" ->
+      """WITH s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS c
+        | FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, c,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s)
+        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, round(c,4) AS cosine
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "q27_multimodal" ->
+      """SELECT doc_id,
+        | (['image','audio','video'])[CAST(doc_id%3+1 AS INT)] AS modality,
+        | CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | CAST(octet_length(encode(text))%640+1 AS INT) AS width,
+        | CAST(octet_length(encode(text))*7%480+1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_dq_predicate" ->
+      """SELECT 'n_chars_matches_len' AS check_name, COUNT(*) AS violations
+        |FROM documents WHERE NOT (n_chars = length(text))""".stripMargin,
+  )
 }

@@ -1,0 +1,44 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => sf}
+import graft.sources.Tables
+
+/** Data-quality checks (reference etl.py:490-594) as *queries* returning
+  * DataFrames rather than driver-side booleans — composable, and the
+  * counts are distributed aggregations (no collect of data rows).
+  */
+object QualityChecks {
+
+  /** (table_name, row_count) for each table — reference
+    * validate_model_row_count. */
+  def rowCounts(spark: SparkSession, dir: String,
+                tables: Seq[String] = Tables.names): DataFrame =
+    tables.map { t =>
+      Tables.load(spark, dir, t)
+        .agg(sf.count(sf.lit(1)).as("row_count"))
+        .select(sf.lit(t).as("table_name"), sf.col("row_count"))
+    }.reduce(_ union _).orderBy("table_name")
+
+  /** Unique-key audit: total vs distinct key count per table — reference
+    * validate_model_unique_keys. */
+  def uniqueKey(spark: SparkSession, dir: String,
+                specs: Seq[(String, Seq[String])]): DataFrame =
+    specs.map { case (t, keys) =>
+      Tables.load(spark, dir, t)
+        .agg(
+          sf.count(sf.lit(1)).as("total_rows"),
+          sf.count_distinct(sf.col(keys.head), keys.tail.map(sf.col): _*)
+            .as("distinct_keys"))
+        .select(
+          sf.lit(t).as("table_name"), sf.col("total_rows"), sf.col("distinct_keys"),
+          (sf.col("total_rows") === sf.col("distinct_keys")).cast("int").as("is_unique"))
+    }.reduce(_ union _).orderBy("table_name")
+
+  /** Count of rows violating an invariant — reference
+    * validate_country_data (expects 0). */
+  def predicateViolations(df: DataFrame, checkName: String, invariant: Column): DataFrame =
+    df.filter(!invariant)
+      .agg(sf.count(sf.lit(1)).as("violations"))
+      .select(sf.lit(checkName).as("check_name"), sf.col("violations"))
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => sf}
+
+/** Column-level building blocks. Everything here is pure Catalyst
+  * expressions (no UDFs) so the whole surface stays inside whole-stage
+  * codegen and survives predicate pushdown / constant folding at 100 TB.
+  *
+  * Reference semantics re-expressed (not copied) from
+  * /root/reference/etl.py: convert_date (line 42), get_season (63-81),
+  * date expansion (447-487), string parsing (i94port, 618-646).
+  */
+object functions {
+
+  // --------------------------------------------------------------------
+  // Dates (reference: SAS epoch days since 1960-01-01)
+  // --------------------------------------------------------------------
+  private val SasEpoch = "1960-01-01"
+
+  /** Days-since-1960-01-01 integer -> DATE (reference etl.py:42). */
+  def sasDaysToDate(days: Column): Column =
+    sf.date_add(sf.lit(SasEpoch).cast("date"), days.cast("int"))
+
+  /** DATE -> days since 1960-01-01 (inverse, used for date surrogate keys). */
+  def dateToSasDays(d: Column): Column =
+    sf.datediff(d.cast("date"), sf.lit(SasEpoch).cast("date"))
+
+  /** Meteorological season from a month number (reference etl.py:63-81,
+    * a Python UDF there; a codegen'd CASE expression here). */
+  def season(month: Column): Column =
+    sf.when(month.isin(12, 1, 2), "Winter")
+      .when(month.isin(3, 4, 5), "Spring")
+      .when(month.isin(6, 7, 8), "Summer")
+      .otherwise("Autumn")
+
+  /** 1 when the date falls on Sat/Sun (reference etl.py:464). */
+  def isWeekend(d: Column): Column = sf.dayofweek(d).isin(1, 7).cast("int")
+
+  // --------------------------------------------------------------------
+  // Text primitives
+  // --------------------------------------------------------------------
+  /** lowercase, collapse whitespace runs, trim. */
+  def normalizeText(t: Column): Column =
+    sf.trim(sf.regexp_replace(sf.lower(t), "\\s+", " "))
+
+  /** Whitespace tokens; empty text -> empty array (not [""]). */
+  def wsTokens(t: Column): Column = {
+    val tt = sf.trim(t)
+    sf.when(sf.length(tt) === 0, sf.array().cast("array<string>"))
+      .otherwise(sf.split(tt, "\\s+"))
+  }
+
+  def tokenCount(t: Column): Column = sf.size(wsTokens(t))
+
+  /** BPE-ish tokens: alnum runs or single punctuation marks. */
+  def bpeTokens(t: Column): Column =
+    sf.regexp_extract_all(sf.lower(t), sf.lit("[a-z0-9]+|[^a-z0-9\\s]"), sf.lit(0))
+
+  def bpeTokenCount(t: Column): Column = sf.size(bpeTokens(t))
+
+  /** Character n-grams of the normalized text; short text -> [text]. */
+  def charNgrams(t: Column, n: Int): Column = {
+    val s = normalizeText(t)
+    sf.when(sf.length(s) < n, sf.array(s))
+      .otherwise(
+        sf.transform(sf.sequence(sf.lit(1), sf.length(s) - (n - 1)),
+          i => s.substr(i, sf.lit(n))))
+  }
+
+  /** Distinct word n-gram shingles (n=1 -> word set). */
+  def wordShingles(t: Column, n: Int = 1): Column =
+    if (n == 1) sf.array_distinct(wsTokens(t))
+    else {
+      val toks = wsTokens(t)
+      sf.when(sf.size(toks) < n, sf.array(sf.concat_ws(" ", toks)))
+        .otherwise(sf.array_distinct(
+          sf.transform(sf.sequence(sf.lit(0), sf.size(toks) - n),
+            i => sf.concat_ws(" ", sf.slice(toks, i + 1, sf.lit(n))))))
+    }
+
+  /** Exact Jaccard similarity of two (multi)sets, as arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = sf.array_distinct(a)
+    val bd = sf.array_distinct(b)
+    val inter = sf.size(sf.array_intersect(ad, bd)).cast("double")
+    val uni = sf.size(ad).cast("double") + sf.size(bd).cast("double") - inter
+    sf.when(uni === 0, sf.lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Canonical content fingerprint: md5 of normalized text. */
+  def fingerprint(t: Column): Column = sf.md5(normalizeText(t))
+
+  /** Order-sensitive rolling hash over a token array: rotate-left 5 and
+    * XOR (bit ops wrap, so it is ANSI-mode safe — no overflow). */
+  def rollingHash(tokens: Column): Column =
+    sf.aggregate(tokens, sf.lit(0L), (acc, t) =>
+      sf.shiftleft(acc, 5).bitwiseOR(sf.shiftrightunsigned(acc, 59)).bitwiseXOR(sf.xxhash64(t)))
+
+  // --------------------------------------------------------------------
+  // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
+  // --------------------------------------------------------------------
+  /** k-wide MinHash signature over a shingle array. Hash family is
+    * murmur3(shingle, i) for i in [0, k). Empty input hashes as [""]. */
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    val safe = sf.when(sf.size(shingles) === 0, sf.array(sf.lit(""))).otherwise(shingles)
+    sf.transform(sf.sequence(sf.lit(0), sf.lit(k - 1)),
+      i => sf.array_min(sf.transform(safe, g => sf.hash(g, i))))
+  }
+
+  /** LSH band hashes from a MinHash signature: bands of `rowsPerBand`
+    * consecutive signature slots, hashed. -> array of band hashes. */
+  def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    sf.transform(sf.sequence(sf.lit(0), sf.lit(bands - 1)),
+      b => sf.hash(sf.slice(signature, b * rowsPerBand + 1, sf.lit(rowsPerBand))))
+
+  /** 64-bit SimHash over a token array (xxhash64 token bits, +/-1 vote
+    * per bit, sign -> bit). */
+  def simHash(tokens: Column): Column =
+    sf.aggregate(
+      sf.sequence(sf.lit(0), sf.lit(63)), sf.lit(0L),
+      (acc, b) => {
+        val bitSum = sf.aggregate(tokens, sf.lit(0L), (a, t) =>
+          a + sf.when(sf.call_function("getbit", sf.xxhash64(t), b) === 1, sf.lit(1L))
+            .otherwise(sf.lit(-1L)))
+        acc + sf.when(bitSum > 0, sf.call_function("shiftleft", sf.lit(1L), b))
+          .otherwise(sf.lit(0L))
+      })
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = sf.bit_count(a.bitwiseXOR(b))
+
+  // --------------------------------------------------------------------
+  // Vector math over array<float|double> embedding columns
+  // --------------------------------------------------------------------
+  def dot(a: Column, b: Column): Column =
+    sf.aggregate(sf.zip_with(a, b, (x, y) => x * y), sf.lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
+
+  /** Cosine similarity; inputs cast to array<double> so Spark and any
+    * double-precision oracle agree bit-for-bit on the products. */
+  def cosineSim(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+  }
+
+  // --------------------------------------------------------------------
+  // Language ID (stopword-hit heuristic, pure expressions)
+  // --------------------------------------------------------------------
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pas", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "uno", "una", "por", "no", "como"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Predicted language = argmax over per-language distinct stopword hits.
+    * Ties break toward the lexicographically larger code (struct max). */
+  def langId(t: Column): Column = {
+    val toks = sf.array_distinct(wsTokens(sf.lower(t)))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      sf.struct(
+        sf.size(sf.array_intersect(toks, sf.array(sw.map(sf.lit): _*))).as("score"),
+        sf.lit(lang).as("lang"))
+    }
+    sf.array_max(sf.array(scored: _*)).getField("lang")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => sf}
+
+/** Row/column cleaning operators (reference fact_I94 + dims prep:
+  * etl.py:139-186, 188-256, 565-585). All operate on the logical plan —
+  * drops prune at the scan, filters push down.
+  */
+object Cleaning {
+
+  def dropCols(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+
+  /** Drop rows with a null in any of `subset` (all columns if empty). */
+  def dropNullsAny(df: DataFrame, subset: String*): DataFrame =
+    if (subset.isEmpty) df.na.drop("any") else df.na.drop(subset)
+
+  /** Drop rows that are entirely null (reference dropna(how="all")). */
+  def dropNullsAll(df: DataFrame): DataFrame = df.na.drop("all")
+
+  def fillNulls(df: DataFrame, value: Any, cols: Seq[String] = Nil): DataFrame = {
+    val target = if (cols.isEmpty) df.columns.toSeq else cols
+    value match {
+      case v: Long   => df.na.fill(v, target)
+      case v: Int    => df.na.fill(v.toLong, target)
+      case v: Double => df.na.fill(v, target)
+      case v: String => df.na.fill(v, target)
+      case other => throw new IllegalArgumentException(s"unsupported fill: $other")
+    }
+  }
+
+  def dedupRows(df: DataFrame, subset: Seq[String] = Nil): DataFrame =
+    if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset)
+
+  /** Keep rows whose lowercased `col` contains none of `patterns`
+    * (reference i94cit_res cleanup, etl.py:324-327). */
+  def excludePatterns(df: DataFrame, colName: String, patterns: Seq[String]): DataFrame =
+    patterns.foldLeft(df)((d, p) => d.filter(!sf.lower(sf.col(colName)).contains(p)))
+
+  /** Bulk-cast columns: name -> target type DDL string. */
+  def castCols(df: DataFrame, casts: (String, String)*): DataFrame =
+    df.select(df.columns.map { c =>
+      casts.collectFirst { case (`c`, t) => sf.col(c).cast(t).as(c) }
+        .getOrElse(sf.col(c))
+    }.toIndexedSeq: _*)
+
+  def filterRows(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
+}

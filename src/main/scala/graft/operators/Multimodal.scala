@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{functions => sf}
+
+/** Multimodal column plumbing: media payloads travel as opaque `binary`
+  * columns beside typed metadata. Decode/feature steps that would call
+  * an image/audio codec are STUBBED with deterministic byte-level fakes
+  * (no codec libraries in this environment) — the Spark-side contract
+  * (schema, batch iteration, partition-local decode) is real.
+  *
+  * Scale notes: payload bytes stay columnar in parquet; metadata
+  * extraction is map-only expressions; the typed decode path iterates
+  * partition-local batches (the shape a JNI/FFI codec would plug into)
+  * without any shuffle.
+  */
+object Multimodal {
+
+  /** Attach a synthetic binary payload + modality tag to a text corpus
+    * (the corpus stands in for a media table; payload = utf8 bytes). */
+  def asBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      sf.col(idCol),
+      sf.element_at(sf.array(sf.lit("image"), sf.lit("audio"), sf.lit("video")),
+        (sf.col(idCol) % 3 + 1).cast("int")).as("modality"),
+      sf.col(textCol).cast("binary").as("payload"))
+
+  /** STUB decode: deterministic pseudo-metadata from the payload bytes
+    * (a real build would branch per modality into a codec here). */
+  def decodeMeta(media: DataFrame, idCol: String): DataFrame =
+    media.select(
+      sf.col(idCol),
+      sf.col("modality"),
+      sf.octet_length(sf.col("payload")).as("byte_len"),
+      (sf.octet_length(sf.col("payload")) % 640 + 1).as("width"),
+      (sf.octet_length(sf.col("payload")) * 7 % 480 + 1).as("height"))
+      .orderBy(idCol)
+
+  /** Frame sampling stub: n evenly-spaced "frames", each fingerprinted
+    * by hashing its byte slice — the partitioning/batch shape of real
+    * frame extraction. */
+  def frameSample(media: DataFrame, idCol: String, nFrames: Int): DataFrame = {
+    val len = sf.octet_length(sf.col("payload"))
+    val chunk = sf.greatest(len / nFrames, sf.lit(1))
+    media.select(
+      sf.col(idCol), sf.col("modality"),
+      sf.transform(sf.sequence(sf.lit(0), sf.lit(nFrames - 1)),
+        i => sf.xxhash64(sf.col("payload").substr(i * chunk + 1, chunk)))
+        .as("frame_hashes"))
+      .orderBy(idCol)
+  }
+
+  case class MediaRow(id: Long, modality: String, payload: Array[Byte])
+  case class DecodedFeature(id: Long, modality: String, byteLen: Int, meanByte: Double)
+
+  /** Typed partition-local decode path — the mapPartitions shape a real
+    * codec (per-partition init, batched decode) would use. The "decode"
+    * itself is a deterministic fake (mean byte value). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame, idCol: String): Dataset[DecodedFeature] = {
+    import spark.implicits._
+    media.select(sf.col(idCol).cast("long").as("id"), sf.col("modality"), sf.col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // real impl: initialize codec once per partition here
+        rows.map { r =>
+          val bytes = r.payload
+          val mean = if (bytes.isEmpty) 0.0
+            else bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / bytes.length
+          DecodedFeature(r.id, r.modality, bytes.length, mean)
+        }
+      }
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.{functions => sf}
+import graft.{functions => gf}
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Scale notes: the query side is tiny and explicitly `broadcast()` —
+  * scoring is a map-only broadcast nested loop over the corpus, no
+  * shuffle of corpus vectors. Top-k reduction uses a typed Aggregator
+  * whose partial buffers are k-bounded, so the only shuffle is
+  * (#partitions × #queries × k) score rows — independent of corpus
+  * size. The window-rank variant exists as the SQL-oracle-shaped
+  * reference path.
+  */
+object Similarity {
+
+  /** Near-duplicate vector pairs: cosine >= threshold among ids < idMax
+    * (idMax bounds the pair space for the exact variant; the LSH path
+    * below is the unbounded-scale route). */
+  def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, idMax: Long = Long.MaxValue): DataFrame = {
+    val base = emb.filter(sf.col(idCol) < idMax)
+      .select(sf.col(idCol).cast("long").as("id"),
+        sf.col(vecCol).cast("array<double>").as("v"))
+    val a = base.select(sf.col("id").as("a_id"), sf.col("v").as("va"))
+    val b = base.select(sf.col("id").as("b_id"), sf.col("v").as("vb"))
+    a.join(b, sf.col("a_id") < sf.col("b_id"))
+      .withColumn("cosine", sf.round(gf.cosineSim(sf.col("va"), sf.col("vb")), 4))
+      .filter(sf.col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Brute-force top-k: every query vector against the whole corpus,
+    * rank by (cosine desc, neighbor id asc). Window-rank shape — the
+    * shape a SQL oracle can replicate exactly. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val corpus = emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv"))
+    val queries = sf.broadcast(
+      emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
+        sf.col(vecCol).cast("array<double>").as("qv")))
+    val scored = queries.join(corpus, sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id"), sf.col("n_id"),
+        gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(sf.col("cosine").desc, sf.col("n_id").asc)
+    scored.withColumn("rank", sf.row_number().over(w))
+      .filter(sf.col("rank") <= k)
+      .select(sf.col("q_id"), sf.col("rank"), sf.col("n_id"),
+        sf.round(sf.col("cosine"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Scored-pair record for the typed top-k path. */
+  case class Scored(qId: Long, nId: Long, cosine: Double)
+
+  /** k-bounded typed Aggregator: partial buffers never exceed k entries,
+    * giving map-side top-k reduction before the shuffle. */
+  class TopKAgg(k: Int) extends Aggregator[Scored, Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (c, id) => (-c, id) }.take(k)
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(b: Seq[(Double, Long)], a: Scored): Seq[(Double, Long)] =
+      trim(b :+ ((a.cosine, a.nId)))
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Same contract as bruteForceTopK but reduced with the k-bounded
+    * Aggregator: shuffle volume is O(partitions × queries × k), not
+    * O(corpus × queries). This is the 100 TB path. */
+  def aggTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    import spark.implicits._
+    val corpus = emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv"))
+    val queries = sf.broadcast(
+      emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
+        sf.col(vecCol).cast("array<double>").as("qv")))
+    val scored = queries.join(corpus, sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id").as("qId"), sf.col("n_id").as("nId"),
+        gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+      .as[Scored]
+    val agg = new TopKAgg(k).toColumn
+    scored.groupByKey(_.qId).agg(agg.name("topk"))
+      .toDF("q_id", "topk")
+      .select(sf.col("q_id"), sf.posexplode(sf.col("topk")).as(Seq("i", "sn")))
+      .select(sf.col("q_id"), (sf.col("i") + 1).as("rank"),
+        sf.col("sn._2").as("n_id"), sf.round(sf.col("sn._1"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: sign-random-projection bucketing
+    * (deterministic hash-derived hyperplanes), candidates restricted to
+    * the query's bucket. Trades recall for a corpus-partition-local
+    * candidate set ~n/2^bits the size. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column, k: Int,
+              bits: Int = 8, seed: Int = 42): DataFrame = {
+    val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+    // Deterministic pseudo-random hyperplanes: component (j,i) from
+    // murmur3(seed, j, i) mapped to [-1, 1).
+    def plane(j: Int) = sf.transform(sf.sequence(sf.lit(0), sf.lit(dim - 1)),
+      i => sf.pmod(sf.hash(sf.lit(seed), sf.lit(j), i), sf.lit(2000)).cast("double") / 1000.0 - 1.0)
+    def bucket(v: org.apache.spark.sql.Column) =
+      (0 until bits).map(j => sf.when(gf.dot(v, plane(j)) > 0, 1L << j).otherwise(0L))
+        .reduce(_ + _)
+    val base = emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv"))
+      .withColumn("bucket", bucket(sf.col("nv")))
+    val queries = sf.broadcast(base.filter(queryPred)
+      .select(sf.col("n_id").as("q_id"), sf.col("nv").as("qv"), sf.col("bucket").as("qb")))
+    val scored = queries.join(base,
+        sf.col("bucket") === sf.col("qb") && sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id"), sf.col("n_id"),
+        gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(sf.col("cosine").desc, sf.col("n_id").asc)
+    scored.withColumn("rank", sf.row_number().over(w))
+      .filter(sf.col("rank") <= k)
+      .select(sf.col("q_id"), sf.col("rank"), sf.col("n_id"),
+        sf.round(sf.col("cosine"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+}

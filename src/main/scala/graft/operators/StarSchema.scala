@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => sf}
+import graft.sources.Tables
+
+/** The reference's star-schema ETL re-expressed on the TPC-H-ish corpus:
+  * fact = lineitem⋈orders with derived measures (reference fact_I94 +
+  * stay, etl.py:139-186); dims = customer⋈nation⋈region denormalized
+  * (reference dim_Country/dim_Demographics joins).
+  *
+  * Scale notes: region(5)/nation(25)/supplier/part are broadcast — the
+  * 100 TB fact never shuffles for dim joins. lineitem⋈orders shuffles
+  * on orderkey (both sides huge); AQE picks the join flavor and handles
+  * skew. All money math is done in DECIMAL(18,2) per-row then summed,
+  * so results are associativity-independent (exact under any partition
+  * merge order).
+  */
+object StarSchema {
+
+  import Tables.load
+
+  /** Exact-decimal revenue: price and discount are 2-decimal money
+    * values; casting each alone is unambiguous, and the product is kept
+    * at full scale (no narrowing rounding — engines disagree on decimal
+    * scale-down rounding modes, so we never do one). */
+  private def revenueExpr =
+    sf.col("l_extendedprice").cast("decimal(18,2)") *
+      (sf.lit(1).cast("decimal(3,2)") - sf.col("l_discount").cast("decimal(4,2)"))
+
+  /** revenue per region/nation: the flagship multi-way star join. */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val ord = load(spark, dir, "orders")
+    val cust = load(spark, dir, "customer")
+    val nat = sf.broadcast(load(spark, dir, "nation"))
+    val reg = sf.broadcast(load(spark, dir, "region"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(sf.col("r_name").as("region"), sf.col("n_name").as("nation"))
+      .agg(
+        sf.sum(revenueExpr).as("revenue"),
+        sf.count(sf.lit(1)).as("n_lines"))
+      .orderBy("region", "nation")
+  }
+
+  /** Fact build: cleaning + casts + derived ship_delay / revenue
+    * (reference fact_I94: drop, na.drop(subset), SAS datediff stay). */
+  def factSales(spark: SparkSession, dir: String): DataFrame = {
+    val li = Cleaning.dropNullsAny(
+      Cleaning.dropNullsAll(load(spark, dir, "lineitem")),
+      "l_returnflag", "l_linestatus")
+      .filter(sf.col("l_quantity") > 0)
+    val ord = load(spark, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(
+        sf.col("l_orderkey"),
+        sf.col("l_linenumber").cast("int").as("l_linenumber"),
+        sf.col("o_custkey"),
+        sf.col("l_quantity").cast("int").as("quantity"),
+        sf.datediff(sf.to_date(sf.col("l_shipdate")), sf.to_date(sf.col("o_orderdate")))
+          .as("ship_delay"),
+        revenueExpr.as("revenue"),
+        sf.col("l_returnflag"))
+  }
+
+  /** Denormalized customer dim: customer ⟕ nation ⟕ region, redundant
+    * key columns dropped (reference dim_Country/dim_Demographics). */
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val nat = sf.broadcast(load(spark, dir, "nation"))
+    val reg = sf.broadcast(load(spark, dir, "region"))
+    cust.join(nat, cust("c_nationkey") === nat("n_nationkey"), "left")
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"), "left")
+      .select(
+        sf.col("c_custkey"), sf.col("c_name"), sf.col("c_mktsegment"),
+        sf.col("c_acctbal").cast("decimal(18,2)").as("acctbal"),
+        sf.col("n_name").as("nation"), sf.col("r_name").as("region"))
+  }
+
+  /** Per-group summary stats (reference dim_Country temperature agg,
+    * etl.py:411-414 — mean/first; `first` replaced with deterministic
+    * min/max so results are partition-order independent). */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val nat = sf.broadcast(load(spark, dir, "nation"))
+    cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(sf.col("n_name").as("nation"))
+      .agg(
+        sf.count(sf.lit(1)).as("n_customers"),
+        sf.round(sf.avg("c_acctbal"), 2).as("avg_bal"),
+        sf.sum(sf.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_bal"),
+        sf.min(sf.col("c_acctbal").cast("decimal(18,2)")).as("min_bal"),
+        sf.max(sf.col("c_acctbal").cast("decimal(18,2)")).as("max_bal"))
+      .orderBy("nation")
+  }
+
+  /** Deterministic surrogate key via row_number window (reference used
+    * monotonically_increasing_id, etl.py:243 — non-deterministic across
+    * runs; row_number over an explicit order is reproducible). */
+  def withSurrogateKey(df: DataFrame, partitionCols: Seq[String],
+                       orderCols: Seq[String], keyName: String = "sk"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(sf.col): _*)
+      .orderBy(orderCols.map(sf.col): _*)
+    df.withColumn(keyName, sf.row_number().over(w))
+  }
+
+  /** Partitioned parquet sink (reference partitionBy writes, etl.py:251). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => sf}
+import graft.{functions => gf}
+
+/** Text-analysis operators for training-data curation. All pure
+  * expressions — per-row, map-only, fully codegen'd; at 100 TB these
+  * run at scan speed with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Token statistics per document. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = sf.col(textCol)
+    docs.select(
+      sf.col(idCol),
+      gf.tokenCount(t).as("n_ws_tokens"),
+      gf.bpeTokenCount(t).as("n_bpe_tokens"),
+      sf.length(t).as("n_chars"))
+      .orderBy(idCol)
+  }
+
+  /** Heuristic quality score from surface statistics: length band,
+    * punctuation density, digit density, mean token length. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = sf.col(textCol)
+    val len = sf.length(t).cast("double")
+    val punct = (len - sf.length(sf.regexp_replace(t, "[.,!?;:]", "")).cast("double")) /
+      sf.greatest(len, sf.lit(1.0))
+    val digits = (len - sf.length(sf.regexp_replace(t, "[0-9]", "")).cast("double")) /
+      sf.greatest(len, sf.lit(1.0))
+    val nTok = gf.tokenCount(t).cast("double")
+    val avgTok = sf.when(nTok === 0, 0.0).otherwise(
+      sf.length(sf.regexp_replace(sf.trim(t), "\\s+", "")).cast("double") / nTok)
+    val lengthOk = (len >= 100 && len <= 10000).cast("int").cast("double")
+    val score = lengthOk * 0.4 +
+      sf.when(punct < 0.1, 0.2).otherwise(0.0) +
+      sf.when(digits < 0.2, 0.2).otherwise(0.0) +
+      sf.when(avgTok >= 3 && avgTok <= 10, 0.2).otherwise(0.0)
+    docs.select(
+      sf.col(idCol),
+      sf.round(punct, 4).as("punct_ratio"),
+      sf.round(digits, 4).as("digit_ratio"),
+      sf.round(avgTok, 4).as("avg_token_len"),
+      sf.round(score, 4).as("quality"))
+      .orderBy(idCol)
+  }
+
+  /** Stopword-heuristic language prediction vs. the labeled column. */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             labelCol: Option[String] = None): DataFrame = {
+    val base = docs.select(
+      sf.col(idCol) +: (gf.langId(sf.col(textCol)).as("predicted_lang") +:
+        labelCol.map(c => sf.col(c).as("label_lang")).toSeq): _*)
+    labelCol.fold(base)(_ => base.withColumn("is_match",
+      (sf.col("predicted_lang") === sf.col("label_lang")).cast("int")))
+      .orderBy(idCol)
+  }
+
+  /** Content fingerprints: canonical md5 + order-sensitive rolling hash. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      sf.col(idCol),
+      gf.fingerprint(sf.col(textCol)).as("fp_md5"),
+      gf.rollingHash(gf.wsTokens(sf.col(textCol))).as("fp_rolling"))
+      .orderBy(idCol)
+}

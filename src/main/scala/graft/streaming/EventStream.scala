@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{functions => sf}
+
+/** Structured Streaming surface over the events table. The batch
+  * transform in operators.EventOps.windowedAgg and `windowedCounts`
+  * here share the same groupBy(window(...)) plan — write once, run
+  * batch or streaming.
+  *
+  * Scale notes: watermark bounds state; windowed aggregation state is
+  * per (window, event_type); sessionization state is per user and
+  * dropped on timeout — both safe under 1000-executor partitioned
+  * state stores.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, total_value: Double)
+
+  private case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Watermarked tumbling-window counts per event_type. Works on a
+    * streaming or batch events DataFrame. */
+  def windowedCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(sf.window(sf.col("ts"), width).as("w"), sf.col("event_type"))
+      .agg(sf.count(sf.lit(1)).as("n_events"), sf.round(sf.sum("value"), 2).as("sum_value"))
+      .select(sf.col("w.start").as("window_start"), sf.col("event_type"),
+        sf.col("n_events"), sf.col("sum_value"))
+
+  /** Event-time sessionization with a gap timeout via
+    * flatMapGroupsWithState — emits a session when the user goes quiet
+    * for `gapMs` (or the watermark passes). */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMs: Long,
+                 watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
