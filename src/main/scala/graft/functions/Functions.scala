@@ -100,13 +100,38 @@ object functions {
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------
-  /** k-wide MinHash signature over a shingle array. Hash family is
-    * murmur3(shingle, i) for i in [0, k). Empty input hashes as [""]. */
-  def minHashSignature(shingles: Column, k: Int): Column = {
+  /** Largest prime below 2^31. The modulus must sit just above the
+    * 31-bit hash range so a_i*h wraps it ~2^31 times — with a huge
+    * modulus the map stays monotonic in h and every slot's argmin
+    * correlates (loses near-dup recall). */
+  private val MinHashPrime = 2147483629L
+
+  /** Per-shingle base hash (31-bit non-negative) for MinHash: ONE murmur3
+    * evaluation per shingle; the k signature slots are then cheap
+    * multiply-mods over this array. Materialize as its own column before
+    * `minHashFromPairs` so it is computed once per row.
+    * Empty input hashes as [""]. */
+  def shingleHashPairs(shingles: Column): Column = {
     val safe = sf.when(sf.size(shingles) === 0, sf.array(sf.lit(""))).otherwise(shingles)
-    sf.transform(sf.sequence(sf.lit(0), sf.lit(k - 1)),
-      i => sf.array_min(sf.transform(safe, g => sf.hash(g, i))))
+    sf.transform(safe, g => sf.hash(g).cast("bigint").bitwiseAND(0x7FFFFFFFL))
   }
+
+  /** k-wide MinHash signature from a precomputed base-hash column, via
+    * the standard universal family h_i(x) = (a_i*x + b_i) mod p
+    * with odd 31-bit a_i and 31-bit b_i derived from murmur3(i).
+    * a_i*x <= 2^62 — ANSI-safe in a long. */
+  def minHashFromPairs(hashes: Column, k: Int): Column =
+    sf.transform(sf.sequence(sf.lit(0), sf.lit(k - 1)), i => {
+      val a = sf.hash(sf.lit("mh_a"), i).cast("bigint")
+        .bitwiseAND(0x3FFFFFFFL) * 2L + 1L
+      val b = sf.hash(sf.lit("mh_b"), i).cast("bigint").bitwiseAND(0x7FFFFFFFL)
+      sf.array_min(sf.transform(hashes, h => sf.pmod(a * h + b, sf.lit(MinHashPrime))))
+    })
+
+  /** k-wide MinHash signature over a shingle array (convenience;
+    * for hot paths project `shingleHashPairs` first). */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    minHashFromPairs(shingleHashPairs(shingles), k)
 
   /** LSH band hashes from a MinHash signature: bands of `rowsPerBand`
     * consecutive signature slots, hashed. -> array of band hashes. */
