@@ -16,15 +16,21 @@ import org.apache.spark.sql.{functions => sf}
   * dropped on timeout — both safe under 1000-executor partitioned
   * state stores.
   */
+/* Top-level (not object-nested) case classes: Catalyst's generated code
+ * resolves nested companions unreliably under Janino (codegen compile
+ * failure on the state encoder). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+case class SessionOut(user_id: Long, session_start: Timestamp,
+                      session_end: Timestamp, n_events: Long, total_value: Double)
+
+case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
 object EventStream {
-
-  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
-                   event_type: String, value: Double)
-
-  case class SessionOut(user_id: Long, session_start: Timestamp,
-                        session_end: Timestamp, n_events: Long, total_value: Double)
-
-  private case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  type Event = graft.streaming.Event
+  val Event = graft.streaming.Event
+  type SessionOut = graft.streaming.SessionOut
 
   /** Watermarked tumbling-window counts per event_type. Works on a
     * streaming or batch events DataFrame. */

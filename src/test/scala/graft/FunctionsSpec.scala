@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{functions => sf}
+import graft.{functions => gf}
+
+class FunctionsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("sas date roundtrip and epoch") {
+    val df = Seq(0, 1, 23376).toDF("days")
+      .select(gf.sasDaysToDate(sf.col("days")).as("d"))
+    val got = df.as[java.sql.Date].collect().map(_.toString)
+    assert(got.sameElements(Array("1960-01-01", "1960-01-02", "2024-01-01")))
+    val back = df.select(gf.dateToSasDays(sf.col("d"))).as[Int].collect()
+    assert(back.sameElements(Array(0, 1, 23376)))
+  }
+
+  test("season covers all months") {
+    val got = (1 to 12).toDF("m").select(gf.season(sf.col("m"))).as[String].collect()
+    assert(got.sameElements(Array("Winter", "Winter", "Spring", "Spring", "Spring",
+      "Summer", "Summer", "Summer", "Autumn", "Autumn", "Autumn", "Winter")))
+  }
+
+  test("isWeekend on known dates") {
+    // 2024-01-06 Sat, 2024-01-07 Sun, 2024-01-08 Mon
+    val got = Seq("2024-01-06", "2024-01-07", "2024-01-08").toDF("s")
+      .select(gf.isWeekend(sf.to_date(sf.col("s")))).as[Int].collect()
+    assert(got.sameElements(Array(1, 1, 0)))
+  }
+
+  test("tokens: empty text yields empty array, not ['']") {
+    val got = Seq("", "  ", "a  b\tc").toDF("t")
+      .select(gf.tokenCount(sf.col("t"))).as[Int].collect()
+    assert(got.sameElements(Array(0, 0, 3)))
+  }
+
+  test("bpe-ish tokens split alnum runs and punctuation") {
+    val got = Seq("Hi, there 42!").toDF("t")
+      .select(gf.bpeTokens(sf.col("t"))).as[Seq[String]].collect().head
+    assert(got == Seq("hi", ",", "there", "42", "!"))
+  }
+
+  test("charNgrams on short and normal text") {
+    val got = Seq("ab", "hello").toDF("t")
+      .select(gf.charNgrams(sf.col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("ab"))
+    assert(got(1) == Seq("hel", "ell", "llo"))
+  }
+
+  test("jaccard identical=1, disjoint=0, empty-vs-empty=1") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val got = df.select(gf.jaccard(sf.col("x"), sf.col("y"))).as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 0.0 && got(2) == 1.0 && got(3) == 0.5)
+  }
+
+  test("minhash: identical inputs -> identical signatures; signature similarity tracks jaccard") {
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),
+      ("a b c d e f g h", "a b c d e f x y")).toDF("x", "y")
+      .select(
+        gf.minHashSignature(gf.wordShingles(sf.col("x")), 64).as("sx"),
+        gf.minHashSignature(gf.wordShingles(sf.col("y")), 64).as("sy"))
+      .select(sf.size(sf.filter(sf.zip_with(sf.col("sx"), sf.col("sy"), (a, b) =>
+        sf.when(a === b, 1).otherwise(0)), v => v === 1)).as("eq"))
+    val eq = df.as[Int].collect()
+    assert(eq(0) == 64)                 // identical docs agree on every slot
+    assert(eq(1) > 25 && eq(1) < 60)    // j=0.6 pair agrees on ~38/64
+  }
+
+  test("simhash: identical texts equal; similar texts close in hamming") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy dog"),
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy cat"),
+      ("the quick brown fox jumps over the lazy dog", "completely different words entirely unrelated content here now"))
+      .toDF("x", "y")
+      .select(gf.hamming64(gf.simHash(gf.wsTokens(sf.col("x"))),
+        gf.simHash(gf.wsTokens(sf.col("y")))).as("h"))
+    val h = df.as[Int].collect()
+    assert(h(0) == 0)
+    assert(h(1) < h(2))
+  }
+
+  test("cosine on known vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0, 4.0))).toDF("x", "y")
+    val got = df.select(sf.round(gf.cosineSim(sf.col("x"), sf.col("y")), 4)).as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 0.0 && got(2) == 0.9926)
+  }
+
+  test("rollingHash is order-sensitive; fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("a b c", "c b a", "A  b   C")).toDF("x", "y", "z")
+    val r = df.select(
+      gf.rollingHash(gf.wsTokens(sf.col("x"))).as("rx"),
+      gf.rollingHash(gf.wsTokens(sf.col("y"))).as("ry"),
+      gf.fingerprint(sf.col("x")).as("fx"),
+      gf.fingerprint(sf.col("z")).as("fz")).collect().head
+    assert(r.getLong(0) != r.getLong(1))
+    assert(r.getString(2) == r.getString(3))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val got = Seq(
+      "the cat is on the mat and it was good",
+      "der hund ist nicht in das haus und zu mit",
+      "el gato es uno de los animales que no come").toDF("t")
+      .select(gf.langId(sf.col("t"))).as[String].collect()
+    assert(got.sameElements(Array("en", "de", "es")))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => sf}
+import graft.operators._
+
+class OperatorsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("Cleaning: dropNulls / fill / dedup / exclude / casts") {
+    val df = Seq(
+      (Some(1), Some("a"), Some("keep me")),
+      (None, Some("b"), Some("has SLOW word")),
+      (Some(3), None, None),
+      (Some(1), Some("a"), Some("keep me"))).toDF("id", "tag", "text")
+    assert(Cleaning.dropNullsAny(df, "id", "tag").count() == 2)
+    assert(Cleaning.dropNullsAll(df).count() == 4)
+    assert(Cleaning.fillNulls(df, 0, Seq("id")).filter($"id" === 0).count() == 1)
+    assert(Cleaning.dedupRows(df).count() == 3)
+    assert(Cleaning.dedupRows(df, Seq("tag")).count() == 3)
+    val kept = Cleaning.excludePatterns(df.na.drop(), "text", Seq("slow"))
+    assert(kept.count() == 2 && kept.filter($"text".contains("SLOW")).count() == 0)
+    val casted = Cleaning.castCols(df, "id" -> "double")
+    assert(casted.schema("id").dataType.typeName == "double")
+  }
+
+  test("DateOps: expansion attributes on a known date") {
+    val r = DateOps.expandDate(Seq("2024-01-06").toDF("s")
+      .select(sf.to_date($"s").as("d")), "d").collect().head
+    val m = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getInt(m("date_key")) == 23381)
+    assert(r.getInt(m("year")) == 2024 && r.getInt(m("month")) == 1 && r.getInt(m("day")) == 6)
+    assert(r.getInt(m("dow")) == 7 && r.getInt(m("is_weekend")) == 1)
+    assert(r.getString(m("season")) == "Winter")
+  }
+
+  test("DateOps: dateDimension unions distinct dates from multiple frames") {
+    val a = Seq("2024-01-01", "2024-01-02").toDF("x")
+    val b = Seq("2024-01-02", "2024-01-03").toDF("y")
+    val dim = DateOps.dateDimension(Seq(a -> sf.to_date($"x"), b -> sf.to_date($"y")))
+    assert(dim.count() == 3)
+  }
+
+  test("PivotOps: explicit values, stable aliases, fill") {
+    val df = Seq(("x", "A", 1.0), ("x", "B", 2.0), ("y", "A", 3.0)).toDF("g", "p", "v")
+    val wide = PivotOps.pivotSum(df, Seq("g"), "p", Seq("A", "B"), "v")
+    assert(wide.columns.toSeq == Seq("g", "p_a", "p_b"))
+    val y = wide.filter($"g" === "y").collect().head
+    assert(y.getDouble(1) == 3.0 && y.getDouble(2) == 0.0) // filled null
+  }
+
+  test("StarSchema: flagship revenue matches a manual recomputation") {
+    val got = StarSchema.revenueByRegion(spark, sf001)
+    val manual = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf001/orders.parquet"), $"l_orderkey" === $"o_orderkey")
+      .join(spark.read.parquet(s"$sf001/customer.parquet"), $"o_custkey" === $"c_custkey")
+      .agg(sf.sum($"l_extendedprice".cast("decimal(18,2)") *
+        (sf.lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)"))))
+      .head().getDecimal(0)
+    val summed = got.agg(sf.sum($"revenue")).head().getDecimal(0)
+    assert(summed.compareTo(manual) == 0)
+    assert(got.count() == 25)
+  }
+
+  test("StarSchema: surrogate keys dense per partition") {
+    val df = Seq((1, "n1"), (2, "n1"), (3, "n2")).toDF("id", "nk")
+    val got = StarSchema.withSurrogateKey(df, Seq("nk"), Seq("id"))
+    assert(got.filter($"nk" === "n1").select("sk").as[Int].collect().sorted.sameElements(Array(1, 2)))
+  }
+
+  test("StarSchema: partitioned parquet write round-trips") {
+    val out = Files.createTempDirectory("graft_w").toString + "/fact"
+    val df = Seq((1, "A", 2.0), (2, "B", 3.0)).toDF("id", "flag", "v")
+    StarSchema.writePartitioned(df, out, Seq("flag"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("flag="))
+    assert(dirs.toSet == Set("flag=A", "flag=B"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2 && back.columns.contains("flag"))
+  }
+
+  test("EventOps: windowed agg equals manual hour bucketing") {
+    val events = graft.sources.Tables.load(spark, sf001, "events")
+    val got = EventOps.windowedAgg(events)
+    val manual = events.groupBy(
+        sf.date_format(sf.date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        $"event_type")
+      .count()
+    assert(got.count() == manual.count())
+    assert(got.agg(sf.sum("n_events")).head().getLong(0) == events.count())
+  }
+
+  test("QualityChecks: predicate violations count") {
+    val df = Seq(1, 2, -3, 4).toDF("v")
+    val got = graft.dq.QualityChecks.predicateViolations(df, "positive", $"v" > 0)
+    assert(got.head().getLong(1) == 1)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{functions => sf}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import graft.operators.StarSchema
+import graft.sources.Tables
+
+/** Plan-shape assertions: these are the scale guarantees — filters reach
+  * the parquet scan, projections prune the read schema, dim joins
+  * broadcast rather than shuffle the fact.
+  */
+class PlanSpec extends SparkFunSuite {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    // AQE wraps materialized stages in QueryStageExec whose children are
+    // empty; unwrap to reach the join operators inside.
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    (p +: kids.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Tables.load(spark, sf001, "documents").filter(sf.col("doc_id") < 40)
+    val scanDesc = df.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,40)]"),
+      s"pushdown missing:\n$scanDesc")
+  }
+
+  test("column pruning reaches the read schema") {
+    val df = Tables.load(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+    val scanDesc = df.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"pruning missing:\n$scanDesc")
+  }
+
+  test("star join broadcasts every dimension (no fact shuffle for dims)") {
+    val df = StarSchema.revenueByRegion(spark, sf001)
+    df.collect() // finalize AQE
+    val plan = executed(df)
+    val broadcasts = collectAll(plan).count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$plan")
+  }
+
+  test("windowed event agg shuffles once (partial aggregation map-side)") {
+    val df = graft.operators.EventOps.windowedAgg(Tables.load(spark, sf001, "events"))
+    df.collect()
+    val plan = executed(df)
+    val shuffles = collectAll(plan).count(_.isInstanceOf[ShuffleExchangeExec])
+    // one shuffle for the agg + one for the final orderBy
+    assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles in:\n$plan")
+  }
+}

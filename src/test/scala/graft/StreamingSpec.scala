@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates a stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:45:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 11:10:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      input.addData(Event(4, ts("2024-01-01 14:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the gap and aggregates it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(spark, input.toDS(), gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 2.0))
+      q.processAllAvailable()
+      // next event for user 7 is beyond the 30-min gap -> first session closes
+      input.addData(Event(3, ts("2024-01-01 12:00:00"), 7, "click", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts("2024-01-01 15:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4)))
+      assert(rows.contains((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 3.0)))
+    } finally q.stop()
+  }
+}
