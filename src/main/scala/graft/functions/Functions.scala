@@ -1,7 +1,11 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.{functions => sf}
+
+import graft.plans.Kernels
 
 /** Column-level building blocks. Everything here is pure Catalyst
   * expressions (no UDFs) so the whole surface stays inside whole-stage
@@ -12,6 +16,15 @@ import org.apache.spark.sql.{functions => sf}
   * date expansion (447-487), string parsing (i94port, 618-646).
   */
 object functions {
+
+  /** Wrap a graft.plans.Kernels method as a codegen-capable expression:
+    * StaticInvoke emits a direct static call inside whole-stage codegen
+    * (interpreted higher-order functions pay per-element lambda
+    * dispatch; these kernels run as tight JVM loops). */
+  private def kernel(returnType: DataType, name: String, args: Column*): Column =
+    GraftBridge.column(StaticInvoke(
+      Kernels.getClass, returnType, name,
+      args.map(GraftBridge.expression).toIndexedSeq))
 
   // --------------------------------------------------------------------
   // Dates (reference: SAS epoch days since 1960-01-01)
@@ -79,14 +92,10 @@ object functions {
             i => sf.concat_ws(" ", sf.slice(toks, i + 1, sf.lit(n))))))
     }
 
-  /** Exact Jaccard similarity of two (multi)sets, as arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = sf.array_distinct(a)
-    val bd = sf.array_distinct(b)
-    val inter = sf.size(sf.array_intersect(ad, bd)).cast("double")
-    val uni = sf.size(ad).cast("double") + sf.size(bd).cast("double") - inter
-    sf.when(uni === 0, sf.lit(1.0)).otherwise(inter / uni)
-  }
+  /** Exact Jaccard similarity of two string arrays as distinct sets
+    * (both-empty -> 1.0). Kernel-backed. */
+  def jaccard(a: Column, b: Column): Column =
+    kernel(DoubleType, "jaccard", a, b)
 
   /** Canonical content fingerprint: md5 of normalized text. */
   def fingerprint(t: Column): Column = sf.md5(normalizeText(t))
@@ -100,57 +109,29 @@ object functions {
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------
-  /** Largest prime below 2^31. The modulus must sit just above the
-    * 31-bit hash range so a_i*h wraps it ~2^31 times — with a huge
-    * modulus the map stays monotonic in h and every slot's argmin
-    * correlates (loses near-dup recall). */
-  private val MinHashPrime = 2147483629L
-
-  /** Per-shingle base hash (31-bit non-negative) for MinHash: ONE murmur3
-    * evaluation per shingle; the k signature slots are then cheap
-    * multiply-mods over this array. Materialize as its own column before
-    * `minHashFromPairs` so it is computed once per row.
-    * Empty input hashes as [""]. */
-  def shingleHashPairs(shingles: Column): Column = {
-    val safe = sf.when(sf.size(shingles) === 0, sf.array(sf.lit(""))).otherwise(shingles)
-    sf.transform(safe, g => sf.hash(g).cast("bigint").bitwiseAND(0x7FFFFFFFL))
-  }
-
-  /** k-wide MinHash signature from a precomputed base-hash column, via
-    * the standard universal family h_i(x) = (a_i*x + b_i) mod p
-    * with odd 31-bit a_i and 31-bit b_i derived from murmur3(i).
-    * a_i*x <= 2^62 — ANSI-safe in a long. */
-  def minHashFromPairs(hashes: Column, k: Int): Column =
-    sf.transform(sf.sequence(sf.lit(0), sf.lit(k - 1)), i => {
-      val a = sf.hash(sf.lit("mh_a"), i).cast("bigint")
-        .bitwiseAND(0x3FFFFFFFL) * 2L + 1L
-      val b = sf.hash(sf.lit("mh_b"), i).cast("bigint").bitwiseAND(0x7FFFFFFFL)
-      sf.array_min(sf.transform(hashes, h => sf.pmod(a * h + b, sf.lit(MinHashPrime))))
-    })
-
-  /** k-wide MinHash signature over a shingle array (convenience;
-    * for hot paths project `shingleHashPairs` first). */
+  /** k-wide MinHash signature via the universal family
+    * h_i(x) = (a_i*x + b_i) mod p over 31-bit murmur3 base hashes,
+    * p the largest prime below 2^31. The modulus must sit just above
+    * the hash range so a_i*x wraps it many times — with a huge modulus
+    * the map stays monotonic in x and every slot's argmin correlates
+    * (loses near-dup recall). Kernel-backed; empty input hashes as [""]. */
   def minHashSignature(shingles: Column, k: Int): Column =
-    minHashFromPairs(shingleHashPairs(shingles), k)
+    kernel(ArrayType(LongType, containsNull = false), "minHashSignature",
+      shingles, sf.lit(k))
 
-  /** LSH band hashes from a MinHash signature: bands of `rowsPerBand`
-    * consecutive signature slots, hashed. -> array of band hashes. */
-  def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    sf.transform(sf.sequence(sf.lit(0), sf.lit(bands - 1)),
-      b => sf.hash(sf.slice(signature, b * rowsPerBand + 1, sf.lit(rowsPerBand))))
+  /** LSH band hashes straight from the shingles: k-slot signature folded
+    * in bands of `rowsPerBand` consecutive slots. Kernel-backed. */
+  def minHashBands(shingles: Column, numHashes: Int, rowsPerBand: Int): Column =
+    kernel(ArrayType(LongType, containsNull = false), "minHashBands",
+      shingles, sf.lit(numHashes), sf.lit(rowsPerBand))
 
   /** 64-bit SimHash over a token array (xxhash64 token bits, +/-1 vote
-    * per bit, sign -> bit). */
-  def simHash(tokens: Column): Column =
-    sf.aggregate(
-      sf.sequence(sf.lit(0), sf.lit(63)), sf.lit(0L),
-      (acc, b) => {
-        val bitSum = sf.aggregate(tokens, sf.lit(0L), (a, t) =>
-          a + sf.when(sf.call_function("getbit", sf.xxhash64(t), b) === 1, sf.lit(1L))
-            .otherwise(sf.lit(-1L)))
-        acc + sf.when(bitSum > 0, sf.call_function("shiftleft", sf.lit(1L), b))
-          .otherwise(sf.lit(0L))
-      })
+    * per bit, sign -> bit). Kernel-backed. */
+  def simHash(tokens: Column): Column = kernel(LongType, "simHash", tokens)
+
+  /** True iff `a(i) != b(i)` for every i < n (LSH first-witness test). */
+  def prefixAllDiffer(a: Column, b: Column, n: Column): Column =
+    kernel(org.apache.spark.sql.types.BooleanType, "prefixAllDiffer", a, b, n)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = sf.bit_count(a.bitwiseXOR(b))
@@ -164,12 +145,10 @@ object functions {
   def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
 
   /** Cosine similarity; inputs cast to array<double> so Spark and any
-    * double-precision oracle agree bit-for-bit on the products. */
-  def cosineSim(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
-  }
+    * double-precision oracle agree bit-for-bit on the products.
+    * Kernel-backed (sequential accumulation, oracle-parity order). */
+  def cosineSim(a: Column, b: Column): Column =
+    kernel(DoubleType, "cosine", a.cast("array<double>"), b.cast("array<double>"))
 
   // --------------------------------------------------------------------
   // Language ID (stopword-hit heuristic, pure expressions)

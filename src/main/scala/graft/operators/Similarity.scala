@@ -22,9 +22,9 @@ object Similarity {
     * below is the unbounded-scale route). */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, idMax: Long = Long.MaxValue): DataFrame = {
-    val base = emb.filter(sf.col(idCol) < idMax)
+    val base = Par.spread(emb.filter(sf.col(idCol) < idMax)
       .select(sf.col(idCol).cast("long").as("id"),
-        sf.col(vecCol).cast("array<double>").as("v"))
+        sf.col(vecCol).cast("array<double>").as("v")))
     val a = base.select(sf.col("id").as("a_id"), sf.col("v").as("va"))
     val b = base.select(sf.col("id").as("b_id"), sf.col("v").as("vb"))
     a.join(b, sf.col("a_id") < sf.col("b_id"))
@@ -39,8 +39,8 @@ object Similarity {
     * shape a SQL oracle can replicate exactly. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    val corpus = emb.select(sf.col(idCol).cast("long").as("n_id"),
-      sf.col(vecCol).cast("array<double>").as("nv"))
+    val corpus = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv")))
     val queries = sf.broadcast(
       emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
         sf.col(vecCol).cast("array<double>").as("qv")))
@@ -80,8 +80,8 @@ object Similarity {
   def aggTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
               queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     import spark.implicits._
-    val corpus = emb.select(sf.col(idCol).cast("long").as("n_id"),
-      sf.col(vecCol).cast("array<double>").as("nv"))
+    val corpus = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv")))
     val queries = sf.broadcast(
       emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
         sf.col(vecCol).cast("array<double>").as("qv")))
@@ -113,8 +113,8 @@ object Similarity {
     def bucket(v: org.apache.spark.sql.Column) =
       (0 until bits).map(j => sf.when(gf.dot(v, plane(j)) > 0, 1L << j).otherwise(0L))
         .reduce(_ + _)
-    val base = emb.select(sf.col(idCol).cast("long").as("n_id"),
-      sf.col(vecCol).cast("array<double>").as("nv"))
+    val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv")))
       .withColumn("bucket", bucket(sf.col("nv")))
     val queries = sf.broadcast(base.filter(queryPred)
       .select(sf.col("n_id").as("q_id"), sf.col("nv").as("qv"), sf.col("bucket").as("qb")))

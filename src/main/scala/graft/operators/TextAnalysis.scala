@@ -10,8 +10,14 @@ import graft.{functions => gf}
   */
 object TextAnalysis {
 
+  /** Project the needed columns, then fan the CPU-bound per-row work
+    * across cores (single-split local files otherwise serialize it). */
+  private def prepared(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.spread(docs.select(sf.col(idCol), sf.col(textCol)))
+
   /** Token statistics per document. */
-  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tokenStats(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = prepared(docs0, idCol, textCol)
     val t = sf.col(textCol)
     docs.select(
       sf.col(idCol),
@@ -23,7 +29,8 @@ object TextAnalysis {
 
   /** Heuristic quality score from surface statistics: length band,
     * punctuation density, digit density, mean token length. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = prepared(docs0, idCol, textCol)
     val t = sf.col(textCol)
     val len = sf.length(t).cast("double")
     val punct = (len - sf.length(sf.regexp_replace(t, "[.,!?;:]", "")).cast("double")) /
@@ -48,8 +55,10 @@ object TextAnalysis {
   }
 
   /** Stopword-heuristic language prediction vs. the labeled column. */
-  def langId(docs: DataFrame, idCol: String, textCol: String,
+  def langId(docs0: DataFrame, idCol: String, textCol: String,
              labelCol: Option[String] = None): DataFrame = {
+    val docs = Par.spread(docs0.select(
+      (Seq(sf.col(idCol), sf.col(textCol)) ++ labelCol.map(sf.col)): _*))
     val base = docs.select(
       sf.col(idCol) +: (gf.langId(sf.col(textCol)).as("predicted_lang") +:
         labelCol.map(c => sf.col(c).as("label_lang")).toSeq): _*)
@@ -59,8 +68,8 @@ object TextAnalysis {
   }
 
   /** Content fingerprints: canonical md5 + order-sensitive rolling hash. */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+  def fingerprints(docs0: DataFrame, idCol: String, textCol: String): DataFrame =
+    prepared(docs0, idCol, textCol).select(
       sf.col(idCol),
       gf.fingerprint(sf.col(textCol)).as("fp_md5"),
       gf.rollingHash(gf.wsTokens(sf.col(textCol))).as("fp_rolling"))

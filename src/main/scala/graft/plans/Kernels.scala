@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Murmur3HashFunction, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop JVM kernels for the numeric hot paths, invoked from
+  * Catalyst codegen via StaticInvoke (see graft.functions). Spark's
+  * higher-order functions (transform/aggregate/zip_with) evaluate
+  * interpreted — per-element lambda dispatch and boxing made these
+  * kernels 10-100x slower as expression trees; as static JVM methods
+  * inside whole-stage codegen they run at array-scan speed.
+  *
+  * Every kernel is a pure function of its arguments (registered
+  * deterministic), so Catalyst remains free to push, reorder, and
+  * common-subexpression them.
+  */
+object Kernels {
+
+  /** Largest prime below 2^31 (see functions.minHashSignature notes). */
+  private val Prime = 2147483629L
+  private val Seed = 42L
+
+  /** Cosine similarity over two double arrays (same accumulation order
+    * as a sequential fold — keeps parity with double-precision oracles). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Jaccard similarity of two string arrays as distinct sets
+    * (array_distinct + intersect/union semantics; both-empty -> 1.0). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { sa.add(a.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[UTF8String]()
+    var inter = 0
+    var bDistinct = 0
+    i = 0
+    val m = b.numElements()
+    while (i < m) {
+      val s = b.getUTF8String(i)
+      if (seenB.add(s)) {
+        bDistinct += 1
+        if (sa.contains(s)) inter += 1
+      }
+      i += 1
+    }
+    val union = sa.size + bDistinct - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  // Universal-family coefficients a_i (odd, 31-bit) and b_i (31-bit),
+  // derived from chained murmur3 like the SQL hash() function; cached
+  // per k so they are computed once per executor, not per row.
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coefs(k: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(k, (kk: Int) => {
+      val seedA = Murmur3HashFunction.hash(UTF8String.fromString("mh_a"), StringType, Seed)
+      val seedB = Murmur3HashFunction.hash(UTF8String.fromString("mh_b"), StringType, Seed)
+      val as = new Array[Long](kk)
+      val bs = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        as(i) = (Murmur3HashFunction.hash(i, IntegerType, seedA) & 0x3FFFFFFFL) * 2 + 1
+        bs(i) = Murmur3HashFunction.hash(i, IntegerType, seedB) & 0x7FFFFFFFL
+        i += 1
+      }
+      (as, bs)
+    })
+
+  /** 31-bit non-negative murmur3 base hash per shingle; [""] if empty. */
+  private def baseHashes(shingles: ArrayData): Array[Long] = {
+    val n = shingles.numElements()
+    if (n == 0)
+      Array(Murmur3HashFunction.hash(UTF8String.fromString(""), StringType, Seed) & 0x7FFFFFFFL)
+    else {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = Murmur3HashFunction.hash(shingles.getUTF8String(i), StringType, Seed) & 0x7FFFFFFFL
+        i += 1
+      }
+      out
+    }
+  }
+
+  private def signature(shingles: ArrayData, k: Int): Array[Long] = {
+    val hs = baseHashes(shingles)
+    val (as, bs) = coefs(k)
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = as(i)
+      val b = bs(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (a * hs(j) + b) % Prime
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  /** k-wide MinHash signature via h_i(x) = (a_i*x + b_i) mod p. */
+  def minHashSignature(shingles: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(signature(shingles, k))
+
+  /** LSH band hashes: signature folded in bands of rowsPerBand slots. */
+  def minHashBands(shingles: ArrayData, k: Int, rowsPerBand: Int): ArrayData = {
+    val sig = signature(shingles, k)
+    val nBands = k / rowsPerBand
+    val out = new Array[Long](nBands)
+    var bi = 0
+    while (bi < nBands) {
+      var h = 1125899906842597L
+      var j = bi * rowsPerBand
+      val end = j + rowsPerBand
+      while (j < end) { h = h * 31 + sig(j); j += 1 }
+      out(bi) = h
+      bi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First-witness test for LSH pair emission: true iff the two band
+    * arrays differ at every index below n — i.e. band n is the FIRST
+    * band where the pair collides, so the pair is emitted exactly once
+    * across all its matching bands (no pair-dedup shuffle needed). */
+  def prefixAllDiffer(a: ArrayData, b: ArrayData, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** 64-bit SimHash: xxhash64 per token, +/-1 vote per bit, sign bit. */
+  def simHash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
