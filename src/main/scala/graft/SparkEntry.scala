@@ -153,6 +153,22 @@ object SparkEntry {
     "q28_dq_predicate" -> ((s, dir) =>
       QualityChecks.predicateViolations(docs(s, dir), "n_chars_matches_len",
         sf.col("n_chars") === sf.length(sf.col("text")))),
+
+    "q29_char_ngram" -> ((s, dir) =>
+      Dedup.charNgramJaccardPairs(
+        docs(s, dir).filter(sf.col("doc_id") < 30), "doc_id", "text", n = 3)),
+
+    "q30_dq_profile" -> ((s, dir) =>
+      QualityChecks.profile(Tables.load(s, dir, "customer"),
+        Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))),
+
+    "q31_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", saltFactor = 8)
+        .groupBy(sf.col("o_orderstatus"))
+        .agg(sf.count(sf.lit(1)).as("n_lines"),
+          sf.sum(sf.col("l_quantity").cast("long")).as("total_qty"))
+        .orderBy("o_orderstatus")),
   )
 
   // ---------------------------------------------------------------------
@@ -360,5 +376,30 @@ object SparkEntry {
     "q28_dq_predicate" ->
       """SELECT 'n_chars_matches_len' AS check_name, COUNT(*) AS violations
         |FROM documents WHERE NOT (n_chars = length(text))""".stripMargin,
+
+    "q29_char_ngram" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id < 30),
+        |g AS (SELECT doc_id, list_distinct(
+        |  CASE WHEN length(s) < 3 THEN [s]
+        |       ELSE [substr(s, i, 3) FOR i IN range(1, length(s)-1)] END) AS gr FROM t)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | round(CASE WHEN len(a.gr)+len(b.gr)-len(list_intersect(a.gr,b.gr)) = 0 THEN 1.0
+        |   ELSE CAST(len(list_intersect(a.gr,b.gr)) AS DOUBLE)
+        |        / (len(a.gr)+len(b.gr)-len(list_intersect(a.gr,b.gr))) END, 4) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id ORDER BY 1,2""".stripMargin,
+
+    "q30_dq_profile" ->
+      Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey").map { c =>
+        s"""SELECT '$c' AS column_name,
+           | SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           | COUNT(DISTINCT $c) AS n_distinct FROM customer""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+
+    "q31_salted_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+        | SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

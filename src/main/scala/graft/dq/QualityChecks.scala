@@ -35,6 +35,23 @@ object QualityChecks {
           (sf.col("total_rows") === sf.col("distinct_keys")).cast("int").as("is_unique"))
     }.reduce(_ union _).orderBy("table_name")
 
+  /** Single-pass column profile: null count and distinct count per
+    * column. One scan regardless of column count (all aggregates in one
+    * HashAggregate), then the wide row is exploded to one row per
+    * column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sf.sum(sf.col(c).isNull.cast("long")).as(s"__n_$c"),
+      sf.count_distinct(sf.col(c)).as(s"__d_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(sf.explode(sf.array(cols.map(c => sf.struct(
+        sf.lit(c).as("column_name"),
+        sf.col(s"__n_$c").as("n_nulls"),
+        sf.col(s"__d_$c").as("n_distinct"))): _*)).as("s"))
+      .select("s.*")
+      .orderBy("column_name")
+  }
+
   /** Count of rows violating an invariant — reference
     * validate_country_data (expects 0). */
   def predicateViolations(df: DataFrame, checkName: String, invariant: Column): DataFrame =

@@ -133,6 +133,15 @@ object functions {
   def prefixAllDiffer(a: Column, b: Column, n: Column): Column =
     kernel(org.apache.spark.sql.types.BooleanType, "prefixAllDiffer", a, b, n)
 
+  /** Exact revenue price*(1-discount) in fixed-point 1e-4 units (long). */
+  def revenueE4(price: Column, discount: Column): Column =
+    kernel(LongType, "revenueE4", price, discount)
+
+  /** Reinterpret a long of 1e-4 units as DECIMAL(precision, 4). */
+  def e4ToDecimal(c: Column, precision: Int = 38): Column =
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+      GraftBridge.expression(c), precision, 4))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = sf.bit_count(a.bitwiseXOR(b))
 

@@ -21,13 +21,14 @@ object StarSchema {
 
   import Tables.load
 
-  /** Exact-decimal revenue: price and discount are 2-decimal money
-    * values; casting each alone is unambiguous, and the product is kept
-    * at full scale (no narrowing rounding — engines disagree on decimal
+  /** Exact revenue at scale 4: computed in fixed-point cents (long
+    * kernel — decimal-exact values at long-arithmetic speed) and
+    * reinterpreted as a decimal at the end. Equivalent to
+    * decimal(18,2) * (1 - decimal(4,2)) with the product kept at full
+    * scale (no narrowing rounding — engines disagree on decimal
     * scale-down rounding modes, so we never do one). */
-  private def revenueExpr =
-    sf.col("l_extendedprice").cast("decimal(18,2)") *
-      (sf.lit(1).cast("decimal(3,2)") - sf.col("l_discount").cast("decimal(4,2)"))
+  private def revenueE4 =
+    graft.functions.revenueE4(sf.col("l_extendedprice"), sf.col("l_discount"))
 
   /** revenue per region/nation: the flagship multi-way star join. */
   def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
@@ -42,7 +43,7 @@ object StarSchema {
       .join(reg, nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(sf.col("r_name").as("region"), sf.col("n_name").as("nation"))
       .agg(
-        sf.sum(revenueExpr).as("revenue"),
+        graft.functions.e4ToDecimal(sf.sum(revenueE4)).as("revenue"),
         sf.count(sf.lit(1)).as("n_lines"))
       .orderBy("region", "nation")
   }
@@ -63,7 +64,7 @@ object StarSchema {
         sf.col("l_quantity").cast("int").as("quantity"),
         sf.datediff(sf.to_date(sf.col("l_shipdate")), sf.to_date(sf.col("o_orderdate")))
           .as("ship_delay"),
-        revenueExpr.as("revenue"),
+        graft.functions.e4ToDecimal(revenueE4, precision = 22).as("revenue"),
         sf.col("l_returnflag"))
   }
 

@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
+
+/** SparkSessionExtensions entry point: registers the graft kernels as
+  * SQL functions so `spark.sql("SELECT graft_cosine(a, b) ...")` works
+  * anywhere DataFrame code does. Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `withExtensions` on the session builder.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def staticFn(returnType: org.apache.spark.sql.types.DataType,
+                       method: String)(args: Seq[Expression]): Expression =
+    StaticInvoke(Kernels.getClass, returnType, method, args.toIndexedSeq)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(Kernels.getClass.getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+
+    register("graft_cosine", staticFn(DoubleType, "cosine"))
+    register("graft_jaccard", staticFn(DoubleType, "jaccard"))
+    register("graft_simhash", staticFn(LongType, "simHash"))
+    register("graft_minhash", staticFn(
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+      "minHashSignature"))
+    register("graft_revenue_e4", staticFn(LongType, "revenueE4"))
+    register("graft_prefix_all_differ", staticFn(BooleanType, "prefixAllDiffer"))
+  }
+}

@@ -144,6 +144,15 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Exact fixed-point revenue in 1e-4 units: price and discount are
+    * 2-decimal money values stored as doubles; Math.round recovers the
+    * exact cent values, and cents*(100-disc100) is the exact scale-4
+    * product as a long — decimal-exact math at long-arithmetic speed
+    * (a decimal(18,2)x(4,2) multiply leaves Spark's compact-long path
+    * and costs a BigDecimal per row). */
+  def revenueE4(price: Double, discount: Double): Long =
+    Math.round(price * 100) * (100L - Math.round(discount * 100))
+
   /** First-witness test for LSH pair emission: true iff the two band
     * arrays differ at every index below n — i.e. band n is the FIRST
     * band where the pair collides, so the pair is emitted exactly once
