@@ -162,6 +162,10 @@ object SparkEntry {
       QualityChecks.profile(Tables.load(s, dir, "customer"),
         Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))),
 
+    "q32_embed_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        sf.col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 4)),
+
     "q31_salted_join" -> ((s, dir) =>
       Skew.saltedJoin(Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"),
           "l_orderkey", "o_orderkey", saltFactor = 8)
@@ -392,13 +396,13 @@ object SparkEntry {
     "q30_dq_profile" ->
       Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey").map { c =>
         s"""SELECT '$c' AS column_name,
-           | SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            | COUNT(DISTINCT $c) AS n_distinct FROM customer""".stripMargin
       }.mkString("", " UNION ALL ", " ORDER BY column_name"),
 
     "q31_salted_join" ->
       """SELECT o.o_orderstatus, COUNT(*) AS n_lines,
-        | SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+        | CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )

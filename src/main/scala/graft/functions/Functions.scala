@@ -133,6 +133,12 @@ object functions {
   def prefixAllDiffer(a: Column, b: Column, n: Column): Column =
     kernel(org.apache.spark.sql.types.BooleanType, "prefixAllDiffer", a, b, n)
 
+  /** Indices of the nProbe nearest centroids for an embedding, against
+    * a flattened centroid codebook literal. Kernel-backed. */
+  def nearestCentroids(v: Column, centroidsFlat: Column, dim: Column, nProbe: Column): Column =
+    kernel(ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      "nearestCentroids", v, centroidsFlat, dim, nProbe)
+
   /** Exact revenue price*(1-discount) in fixed-point 1e-4 units (long). */
   def revenueE4(price: Column, discount: Column): Column =
     kernel(LongType, "revenueE4", price, discount)

@@ -98,6 +98,46 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k. Coarse quantizer: the
+    * nCentroids corpus vectors with the smallest murmur3(id) — a
+    * deterministic pseudo-random codebook sample (a k-means refinement
+    * would slot in here; sampling is the zero-extra-pass variant).
+    * Corpus vectors are assigned to their nearest centroid's list;
+    * each query probes only its nProbe nearest lists. With
+    * nProbe == nCentroids this degenerates to exact brute force (the
+    * property the spec pins). The codebook is a driver-side literal:
+    * nCentroids*dim doubles, broadcast with the plan — the corpus is
+    * never collected. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv")))
+    val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+    val codebook: Array[Double] = base
+      .orderBy(sf.hash(sf.col("n_id")), sf.col("n_id"))
+      .limit(nCentroids)
+      .select("nv").collect()
+      .flatMap(_.getSeq[Double](0))
+    val codebookCol = sf.lit(codebook)
+    val assigned = base.withColumn("cluster",
+      gf.nearestCentroids(sf.col("nv"), codebookCol, sf.lit(dim), sf.lit(1)).getItem(0))
+    val queries = sf.broadcast(base.filter(queryPred)
+      .select(sf.col("n_id").as("q_id"), sf.col("nv").as("qv"),
+        sf.explode(gf.nearestCentroids(sf.col("nv"), codebookCol, sf.lit(dim),
+          sf.lit(nProbe))).as("probe")))
+    val scored = queries.join(assigned,
+        sf.col("probe") === sf.col("cluster") && sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id"), sf.col("n_id"),
+        gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(sf.col("cosine").desc, sf.col("n_id").asc)
+    scored.withColumn("rank", sf.row_number().over(w))
+      .filter(sf.col("rank") <= k)
+      .select(sf.col("q_id"), sf.col("rank"), sf.col("n_id"),
+        sf.round(sf.col("cosine"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: sign-random-projection bucketing
     * (deterministic hash-derived hyperplanes), candidates restricted to
     * the query's bucket. Trades recall for a corpus-partition-local

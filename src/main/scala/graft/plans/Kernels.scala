@@ -166,6 +166,50 @@ object Kernels {
     true
   }
 
+  /** Indices of the nProbe centroids nearest (by cosine) to v.
+    * centroidsFlat is nC concatenated dim-wide double vectors (a
+    * foldable literal — the coarse quantizer codebook). Selection sort
+    * over nC scores: nC is small by construction. */
+  def nearestCentroids(v: ArrayData, centroidsFlat: ArrayData, dim: Int, nProbe: Int): ArrayData = {
+    val nC = centroidsFlat.numElements() / dim
+    val scores = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val x = v.getDouble(i)
+        val y = centroidsFlat.getDouble(off + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      scores(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    val n = math.min(nProbe, nC)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](nC)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      c = 0
+      while (c < nC) {
+        if (!taken(c) && (scores(c) > bestScore || (scores(c) == bestScore && (best < 0 || c < best)))) {
+          best = c; bestScore = scores(c)
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash: xxhash64 per token, +/-1 vote per bit, sign bit. */
   def simHash(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)

@@ -43,6 +43,14 @@ object EventStream {
       .select(sf.col("w.start").as("window_start"), sf.col("event_type"),
         sf.col("n_events"), sf.col("sum_value"))
 
+  /** Streaming deduplication: drop events whose id was already seen
+    * within the watermark horizon (state expires with the watermark —
+    * bounded even on an unbounded stream). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Event-time sessionization with a gap timeout via
     * flatMapGroupsWithState — emits a session when the user goes quiet
     * for `gapMs` (or the watermark passes). */

@@ -60,6 +60,28 @@ class DedupSimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("ivfTopK with nProbe == nCentroids equals exact brute force") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        sf.col("vec_id") < 5, k = 5, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        sf.col("vec_id") < 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.sameElements(brute))
+  }
+
+  test("ivfTopK with partial probing returns dense ranks per query") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 5, nCentroids = 8, nProbe = 2)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+    }
+  }
+
   test("cosineNearDup is symmetric-free (a<b) and thresholded") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val got = Similarity.cosineNearDup(emb, "vec_id", "embedding", 0.3, idMax = 200)

@@ -33,6 +33,24 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:00:02"), 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts("2024-01-01 10:30:00"), 1, "click", 9.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap and aggregates it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
