@@ -97,6 +97,11 @@ object functions {
   def jaccard(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccard", a, b)
 
+  /** Jaccard over distinct SORTED arrays: allocation-free merge scan —
+    * use on hot pair-verification paths with `array_sort`ed shingles. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    kernel(DoubleType, "jaccardSorted", a, b)
+
   /** Canonical content fingerprint: md5 of normalized text. */
   def fingerprint(t: Column): Column = sf.md5(normalizeText(t))
 

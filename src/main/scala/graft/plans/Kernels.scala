@@ -65,6 +65,26 @@ object Kernels {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Jaccard over DISTINCT, SORTED string arrays: allocation-free merge
+    * scan (the generic `jaccard` builds two hash sets per pair — at
+    * millions of candidate pairs that allocation dominates). Inputs must
+    * be array_sort(array_distinct(...)); same value as `jaccard`. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
+  }
+
   // Universal-family coefficients a_i (odd, 31-bit) and b_i (31-bit),
   // derived from chained murmur3 like the SQL hash() function; cached
   // per k so they are computed once per executor, not per row.
