@@ -194,7 +194,7 @@ object SparkEntry {
 
     "q02_fact_etl" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS INT) AS l_linenumber, o.o_custkey,
-        | CAST(l.l_quantity AS INT) AS quantity,
+        | CAST(floor(l.l_quantity) AS INT) AS quantity,
         | CAST(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS INT) AS ship_delay,
         | CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS revenue,
         | l.l_returnflag

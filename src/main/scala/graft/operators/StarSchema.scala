@@ -61,7 +61,9 @@ object StarSchema {
         sf.col("l_orderkey"),
         sf.col("l_linenumber").cast("int").as("l_linenumber"),
         sf.col("o_custkey"),
-        sf.col("l_quantity").cast("int").as("quantity"),
+        // floor, not a bare cast: Spark truncates double->int while
+        // other engines round-to-nearest; floor is unambiguous.
+        sf.floor(sf.col("l_quantity")).cast("int").as("quantity"),
         sf.datediff(sf.to_date(sf.col("l_shipdate")), sf.to_date(sf.col("o_orderdate")))
           .as("ship_delay"),
         graft.functions.e4ToDecimal(revenueE4, precision = 22).as("revenue"),
