@@ -162,6 +162,9 @@ object SparkEntry {
       QualityChecks.profile(Tables.load(s, dir, "customer"),
         Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))),
 
+    "q33_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(docs(s, dir), "doc_id", "text", threshold = 0.9)),
+
     "q32_embed_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
         sf.col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 4)),
@@ -399,6 +402,22 @@ object SparkEntry {
            | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            | COUNT(DISTINCT $c) AS n_distinct FROM customer""".stripMargin
       }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+
+    "q33_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.9),
+        |e AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
+        |reach AS (SELECT s, d FROM e
+        |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
+        |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY 1""".stripMargin,
 
     "q31_salted_join" ->
       """SELECT o.o_orderstatus, COUNT(*) AS n_lines,

@@ -114,4 +114,18 @@ object StarSchema {
   /** Partitioned parquet sink (reference partitionBy writes, etl.py:251). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
+  /** Bucketed table sink: pre-shuffles once at write time so that every
+    * later equi-join/aggregation on `bucketCol` between tables with the
+    * same bucketing is co-located — zero shuffle at read time. This is
+    * the 100 TB answer for fact⋈fact joins (lineitem⋈orders) that are
+    * repeated across a workload. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
 }

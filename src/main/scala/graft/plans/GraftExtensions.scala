@@ -2,9 +2,26 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
+
+/** Optimizer rule: evaluate graft kernel calls whose arguments are all
+  * literals at plan time (Catalyst's ConstantFolding skips StaticInvoke,
+  * which is non-foldable by contract). A `graft_jaccard(array('a'),
+  * array('a'))` in a filter becomes a literal before execution. */
+object FoldGraftKernels extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case si: StaticInvoke
+          if si.staticObject == Kernels.getClass && si.deterministic &&
+            si.arguments.nonEmpty && si.arguments.forall(_.foldable) =>
+        Literal.create(si.eval(InternalRow.empty), si.dataType)
+    }
+}
 
 /** SparkSessionExtensions entry point: registers the graft kernels as
   * SQL functions so `spark.sql("SELECT graft_cosine(a, b) ...")` works
@@ -33,5 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "minHashSignature"))
     register("graft_revenue_e4", staticFn(LongType, "revenueE4"))
     register("graft_prefix_all_differ", staticFn(BooleanType, "prefixAllDiffer"))
+
+    ext.injectOptimizerRule(_ => FoldGraftKernels)
   }
 }

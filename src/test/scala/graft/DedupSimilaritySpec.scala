@@ -60,6 +60,15 @@ class DedupSimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("connectedComponents labels every node with its component's min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ivfTopK with nProbe == nCentroids equals exact brute force") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",

@@ -6,7 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions registers kernels as SQL functions") {
-    // Needs its own session: extensions bind at session construction.
+    // Extensions bind at session construction; getOrCreate would reuse a
+    // prior suite's default session and silently skip them, so clear the
+    // default first and restore it after. (Do NOT stop the new session —
+    // all sessions in the JVM share one SparkContext.)
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -22,9 +28,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(0) == 1.0)
       assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12)
       assert(r.getLong(2) != 0L)
+      // FoldGraftKernels: all-literal kernel calls fold at plan time
+      val folded = spark.sql("SELECT graft_jaccard(array('a','b'), array('a','b')) AS j")
+        .queryExecution.optimizedPlan
+      val invokes = folded.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke => s })
+      assert(invokes.isEmpty, s"kernel call not constant-folded:\n$folded")
     } finally {
-      // leave the shared SparkSpec session (if any) intact
-      spark.sql("SELECT 1").collect()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
     }
   }
 

@@ -52,6 +52,29 @@ class PlanSpec extends SparkFunSuite {
     assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$plan")
   }
 
+  test("bucketed tables join without a shuffle") {
+    val spark = this.spark
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_bucket").toString
+    val li = Tables.load(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, sf001, "orders").select("o_orderkey", "o_totalprice")
+    StarSchema.writeBucketed(li, "li_b", s"$wh/li", "l_orderkey", 8)
+    StarSchema.writeBucketed(ord, "ord_b", s"$wh/ord", "o_orderkey", 8)
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), sf.col("l_orderkey") === sf.col("o_orderkey"))
+        .groupBy("o_orderkey").count()
+      joined.collect()
+      val shuffles = collectAll(executed(joined))
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles == 0,
+        s"bucketed join should be shuffle-free, got $shuffles shuffles")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("windowed event agg shuffles once (partial aggregation map-side)") {
     val df = graft.operators.EventOps.windowedAgg(Tables.load(spark, sf001, "events"))
     df.collect()
