@@ -162,6 +162,9 @@ object SparkEntry {
       QualityChecks.profile(Tables.load(s, dir, "customer"),
         Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))),
 
+    "q34_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")),
+
     "q33_dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(docs(s, dir), "doc_id", "text", threshold = 0.9)),
 
@@ -402,6 +405,23 @@ object SparkEntry {
            | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            | COUNT(DISTINCT $c) AS n_distinct FROM customer""".stripMargin
       }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+
+    "q34_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |bi AS (SELECT doc_id,
+        |  unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS tbf FROM
+        |  (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2) GROUP BY doc_id)
+        |SELECT k.doc_id,
+        | round(COALESCE(cnt.tbf, 0.0), 4) AS top_bigram_frac,
+        | round(CASE WHEN len(k.t)=0 THEN 0.0
+        |   ELSE 1.0 - CAST(len(list_distinct(k.t)) AS DOUBLE)/len(k.t) END, 4) AS dup_token_frac
+        |FROM toks k LEFT JOIN cnt ON k.doc_id = cnt.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
 
     "q33_dedup_clusters" ->
       """WITH RECURSIVE t AS (

@@ -102,6 +102,18 @@ object functions {
   def jaccardSorted(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccardSorted", a, b)
 
+  /** Word bigrams ("a b") of the whitespace tokens; <2 tokens -> []. */
+  def wordBigrams(t: Column): Column = {
+    val toks = wsTokens(t)
+    sf.when(sf.size(toks) < 2, sf.array().cast("array<string>"))
+      .otherwise(sf.transform(sf.sequence(sf.lit(1), sf.size(toks) - 1),
+        i => sf.concat_ws(" ", sf.element_at(toks, i), sf.element_at(toks, i + 1))))
+  }
+
+  /** Fraction of an array taken by its most frequent element. */
+  def maxFreqFraction(arr: Column): Column =
+    kernel(DoubleType, "maxFreqFraction", arr)
+
   /** Canonical content fingerprint: md5 of normalized text. */
   def fingerprint(t: Column): Column = sf.md5(normalizeText(t))
 

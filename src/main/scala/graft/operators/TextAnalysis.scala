@@ -54,6 +54,23 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Repetition signals (Gopher/C4-style quality rules): fraction of
+    * the document taken by its most frequent bigram, and fraction of
+    * duplicated tokens. Per-row kernels — map-only at any scale. */
+  def repetitionStats(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = prepared(docs0, idCol, textCol)
+    val toks = gf.wsTokens(sf.col(textCol))
+    docs.select(
+      sf.col(idCol),
+      sf.round(gf.maxFreqFraction(gf.wordBigrams(sf.col(textCol))), 4)
+        .as("top_bigram_frac"),
+      sf.round(sf.when(sf.size(toks) === 0, 0.0)
+        .otherwise(sf.lit(1.0) -
+          sf.size(sf.array_distinct(toks)).cast("double") / sf.size(toks).cast("double")), 4)
+        .as("dup_token_frac"))
+      .orderBy(idCol)
+  }
+
   /** Stopword-heuristic language prediction vs. the labeled column. */
   def langId(docs0: DataFrame, idCol: String, textCol: String,
              labelCol: Option[String] = None): DataFrame = {

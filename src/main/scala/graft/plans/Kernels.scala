@@ -186,6 +186,25 @@ object Kernels {
     true
   }
 
+  /** Fraction of the array taken by its most frequent element
+    * (repetition signal, e.g. top-bigram fraction); 0.0 for empty. */
+  def maxFreqFraction(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    var mx = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val prev = counts.get(s)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(s, c)
+      if (c > mx) mx = c
+      i += 1
+    }
+    mx.toDouble / n
+  }
+
   /** Indices of the nProbe centroids nearest (by cosine) to v.
     * centroidsFlat is nC concatenated dim-wide double vectors (a
     * foldable literal — the coarse quantizer codebook). Selection sort
