@@ -28,6 +28,10 @@ def table_multiset(con, query):
     return sorted(cols), sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 def main(sf_dir, out_dir):
+    import time
+    age = time.time() - os.path.getmtime(os.path.join(out_dir, "oracle_sql.json"))
+    print(f"[check] oracle_sql.json written {age:.0f}s ago"
+          + (" — STALE? confirm Verify actually reran" if age > 900 else ""))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
