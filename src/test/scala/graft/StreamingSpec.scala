@@ -51,6 +51,30 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup detects a duplicate arriving in a later batch") {
+    import graft.streaming.{StreamingDedup, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val pairs = StreamingDedup.nearDupPairs(spark, input.toDS(), threshold = 0.8)
+    val q = pairs.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamDoc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        StreamDoc(2, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() == 0) // nothing similar yet
+      // near-copy of doc 1 arrives later (9/11 token overlap, j = 0.818)
+      input.addData(
+        StreamDoc(3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 3L)), s"expected (1,3) in $got")
+      assert(!got.exists(p => p._1 == 2L || p._2 == 2L))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap and aggregates it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
