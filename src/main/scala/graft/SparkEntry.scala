@@ -162,6 +162,10 @@ object SparkEntry {
       QualityChecks.profile(Tables.load(s, dir, "customer"),
         Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))),
 
+    "q35_dq_quantiles" -> ((s, dir) =>
+      QualityChecks.quantileProfile(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice")),
+
     "q34_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")),
 
@@ -405,6 +409,16 @@ object SparkEntry {
            | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            | COUNT(DISTINCT $c) AS n_distinct FROM customer""".stripMargin
       }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+
+    "q35_dq_quantiles" ->
+      """SELECT l_returnflag,
+        | round(MIN(l_extendedprice), 4) AS v_min,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | round(MAX(l_extendedprice), 4) AS v_max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_repetition" ->
       """WITH toks AS (SELECT doc_id,

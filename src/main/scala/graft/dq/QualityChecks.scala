@@ -52,6 +52,32 @@ object QualityChecks {
       .orderBy("column_name")
   }
 
+  /** Exact quantile profile of a numeric column per group: min, p25,
+    * median, p75, p95, max. Exact percentiles sort within groups — for
+    * 100 TB profiling prefer `approxDistinct`-style sketches; this is
+    * the audit-grade variant. */
+  def quantileProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def pct(p: Double) = sf.round(sf.percentile(sf.col(valueCol), sf.lit(p)), 4)
+    df.groupBy(sf.col(groupCol))
+      .agg(
+        sf.round(sf.min(valueCol), 4).as("v_min"),
+        pct(0.25).as("p25"), pct(0.5).as("p50"),
+        pct(0.75).as("p75"), pct(0.95).as("p95"),
+        sf.round(sf.max(valueCol), 4).as("v_max"))
+      .orderBy(groupCol)
+  }
+
+  /** Sketch-based distinct counts (HyperLogLog++): the 100 TB-scale
+    * variant of the unique-key audit — constant memory per column. */
+  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame = {
+    val aggs = cols.map(c => sf.approx_count_distinct(sf.col(c), rsd).as(s"__$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(sf.explode(sf.array(cols.map(c => sf.struct(
+        sf.lit(c).as("column_name"), sf.col(s"__$c").as("approx_distinct"))): _*)).as("s"))
+      .select("s.*")
+      .orderBy("column_name")
+  }
+
   /** Count of rows violating an invariant — reference
     * validate_country_data (expects 0). */
   def predicateViolations(df: DataFrame, checkName: String, invariant: Column): DataFrame =

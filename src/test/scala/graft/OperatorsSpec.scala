@@ -90,6 +90,17 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got.agg(sf.sum("n_events")).head().getLong(0) == events.count())
   }
 
+  test("QualityChecks: approx distinct within tolerance of exact") {
+    val cust = graft.sources.Tables.load(spark, sf001, "customer")
+    val approx = graft.dq.QualityChecks.approxDistinct(cust,
+      Seq("c_custkey", "c_mktsegment")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactKeys = cust.select("c_custkey").distinct().count()
+    val exactSeg = cust.select("c_mktsegment").distinct().count()
+    assert(math.abs(approx("c_custkey") - exactKeys).toDouble / exactKeys < 0.05)
+    assert(approx("c_mktsegment") == exactSeg) // tiny cardinality: exact
+  }
+
   test("QualityChecks: predicate violations count") {
     val df = Seq(1, 2, -3, 4).toDF("v")
     val got = graft.dq.QualityChecks.predicateViolations(df, "positive", $"v" > 0)
