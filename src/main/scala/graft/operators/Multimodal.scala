@@ -36,6 +36,25 @@ object Multimodal {
       (sf.octet_length(sf.col("payload")) * 7 % 480 + 1).as("height"))
       .orderBy(idCol)
 
+  /** STUB resize: deterministic pseudo-resize to target dimensions — a
+    * real build would decode, scale, re-encode here. Emits the target
+    * dims, the pretend output byte size (target pixels x 3 channels,
+    * capped by the source), and a deterministic content fingerprint of
+    * (payload, dims) standing in for the resized bytes. */
+  def resizeMeta(media: DataFrame, idCol: String,
+                 targetW: Int, targetH: Int): DataFrame = {
+    val srcLen = sf.octet_length(sf.col("payload"))
+    media.select(
+      sf.col(idCol),
+      sf.col("modality"),
+      sf.lit(targetW).as("width"),
+      sf.lit(targetH).as("height"),
+      sf.least(srcLen, sf.lit(targetW * targetH * 3)).as("byte_len_out"),
+      sf.xxhash64(sf.col("payload"), sf.lit(targetW), sf.lit(targetH))
+        .as("resized_fingerprint"))
+      .orderBy(idCol)
+  }
+
   /** Frame sampling stub: n evenly-spaced "frames", each fingerprinted
     * by hashing its byte slice — the partitioning/batch shape of real
     * frame extraction. */

@@ -28,6 +28,21 @@ class MultimodalSpec extends SparkFunSuite {
     frames.foreach(r => assert(r.getSeq[Long](2).length == 4))
   }
 
+  test("resize stub: deterministic dims, capped size, stable fingerprint") {
+    val docs = Tables.load(spark, sf001, "documents").filter($"doc_id" < 5)
+    val media = Multimodal.asBinary(docs, "doc_id", "text")
+    val r1 = Multimodal.resizeMeta(media, "doc_id", 64, 48).collect()
+    val r2 = Multimodal.resizeMeta(media, "doc_id", 64, 48).collect()
+    assert(r1.map(_.toSeq).sameElements(r2.map(_.toSeq))) // deterministic
+    r1.foreach { r =>
+      assert(r.getInt(2) == 64 && r.getInt(3) == 48)
+      assert(r.getInt(4) <= 64 * 48 * 3)
+    }
+    // different target dims -> different fingerprints
+    val other = Multimodal.resizeMeta(media, "doc_id", 32, 32).collect()
+    assert(r1.map(_.getLong(5)).toSet.intersect(other.map(_.getLong(5)).toSet).isEmpty)
+  }
+
   test("typed decodeFeatures path computes partition-local features") {
     val docs = Tables.load(spark, sf001, "documents").filter($"doc_id" < 5)
     val feats = Multimodal.decodeFeatures(spark,
