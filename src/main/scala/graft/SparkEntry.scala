@@ -41,9 +41,9 @@ object SparkEntry {
       PivotOps.pivotSum(joined, Seq("c_mktsegment"), "o_orderstatus",
           Seq("F", "O", "P"), "price", fill = None)
         .select(sf.col("c_mktsegment"),
-          sf.col("o_orderstatus_f").cast("decimal(18,2)").as("o_orderstatus_f"),
-          sf.col("o_orderstatus_o").cast("decimal(18,2)").as("o_orderstatus_o"),
-          sf.col("o_orderstatus_p").cast("decimal(18,2)").as("o_orderstatus_p"))
+          sf.col("o_orderstatus_f").cast("double").as("o_orderstatus_f"),
+          sf.col("o_orderstatus_o").cast("double").as("o_orderstatus_o"),
+          sf.col("o_orderstatus_p").cast("double").as("o_orderstatus_p"))
         .orderBy("c_mktsegment")
     }),
 
@@ -193,7 +193,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_star_revenue" ->
       """SELECT r.r_name AS region, n.n_name AS nation,
-        | SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS revenue,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_lines
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey=o.o_orderkey
@@ -206,7 +206,7 @@ object SparkEntry {
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS INT) AS l_linenumber, o.o_custkey,
         | CAST(floor(l.l_quantity) AS INT) AS quantity,
         | CAST(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS INT) AS ship_delay,
-        | CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS revenue,
+        | CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
         | l.l_returnflag
         |FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
         |WHERE l.l_quantity > 0 AND l.l_returnflag IS NOT NULL AND l.l_linestatus IS NOT NULL""".stripMargin,
@@ -230,9 +230,9 @@ object SparkEntry {
 
     "q04_pivot" ->
       """SELECT c.c_mktsegment,
-        | CAST(SUM(CASE WHEN o.o_orderstatus='F' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS o_orderstatus_f,
-        | CAST(SUM(CASE WHEN o.o_orderstatus='O' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS o_orderstatus_o,
-        | CAST(SUM(CASE WHEN o.o_orderstatus='P' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS o_orderstatus_p
+        | CAST(SUM(CASE WHEN o.o_orderstatus='F' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_orderstatus_f,
+        | CAST(SUM(CASE WHEN o.o_orderstatus='O' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_orderstatus_o,
+        | CAST(SUM(CASE WHEN o.o_orderstatus='P' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_orderstatus_p
         |FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -243,7 +243,7 @@ object SparkEntry {
 
     "q06_dim_customer" ->
       """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-        | CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        | c.c_acctbal AS acctbal,
         | n.n_name AS nation, r.r_name AS region
         |FROM customer c
         |LEFT JOIN nation n ON c.c_nationkey=n.n_nationkey
@@ -253,9 +253,9 @@ object SparkEntry {
     "q07_agg_stats" ->
       """SELECT n.n_name AS nation, COUNT(*) AS n_customers,
         | round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 2) AS avg_bal,
-        | CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal,
-        | CAST(MIN(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_bal,
-        | CAST(MAX(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_bal
+        | CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        | MIN(c.c_acctbal) AS min_bal,
+        | MAX(c.c_acctbal) AS max_bal
         |FROM customer c JOIN nation n ON c.c_nationkey=n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -336,7 +336,8 @@ object SparkEntry {
 
     "q19_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
-        | event_type, COUNT(*) AS n_events, round(SUM(value),2) AS sum_value,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | COUNT(user_id) AS n_user_rows
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 

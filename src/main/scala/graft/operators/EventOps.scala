@@ -17,7 +17,9 @@ object EventOps {
       .groupBy(sf.window(sf.col("ts"), width).as("w"), sf.col("event_type"))
       .agg(
         sf.count(sf.lit(1)).as("n_events"),
-        sf.round(sf.sum("value"), 2).as("sum_value"),
+        // Exact decimal sum -> double: a plain double sum depends on
+        // partition merge order and drifts in the last ulp at scale.
+        sf.sum(sf.col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
         sf.count(sf.col("user_id")).as("n_user_rows"))
       .select(
         sf.date_format(sf.col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),

@@ -43,7 +43,12 @@ object StarSchema {
       .join(reg, nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(sf.col("r_name").as("region"), sf.col("n_name").as("nation"))
       .agg(
-        graft.functions.e4ToDecimal(sf.sum(revenueE4)).as("revenue"),
+        // Exact e4-cents sum, surfaced as DOUBLE: the sum is a long well
+        // under 2^53, so the decimal->double conversion is the correctly
+        // rounded value in every engine — DECIMAL output columns trip
+        // scale-representation mismatches ("2547.40" vs "2547.4") in
+        // downstream consumers that mix decimal and float readers.
+        graft.functions.e4ToDecimal(sf.sum(revenueE4)).cast("double").as("revenue"),
         sf.count(sf.lit(1)).as("n_lines"))
       .orderBy("region", "nation")
   }
@@ -66,7 +71,7 @@ object StarSchema {
         sf.floor(sf.col("l_quantity")).cast("int").as("quantity"),
         sf.datediff(sf.to_date(sf.col("l_shipdate")), sf.to_date(sf.col("o_orderdate")))
           .as("ship_delay"),
-        graft.functions.e4ToDecimal(revenueE4, precision = 22).as("revenue"),
+        graft.functions.e4ToDecimal(revenueE4, precision = 22).cast("double").as("revenue"),
         sf.col("l_returnflag"))
   }
 
@@ -80,7 +85,7 @@ object StarSchema {
       .join(reg, nat("n_regionkey") === reg("r_regionkey"), "left")
       .select(
         sf.col("c_custkey"), sf.col("c_name"), sf.col("c_mktsegment"),
-        sf.col("c_acctbal").cast("decimal(18,2)").as("acctbal"),
+        sf.col("c_acctbal").as("acctbal"),
         sf.col("n_name").as("nation"), sf.col("r_name").as("region"))
   }
 
@@ -94,10 +99,15 @@ object StarSchema {
       .groupBy(sf.col("n_name").as("nation"))
       .agg(
         sf.count(sf.lit(1)).as("n_customers"),
-        sf.round(sf.avg("c_acctbal"), 2).as("avg_bal"),
-        sf.sum(sf.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_bal"),
-        sf.min(sf.col("c_acctbal").cast("decimal(18,2)")).as("min_bal"),
-        sf.max(sf.col("c_acctbal").cast("decimal(18,2)")).as("max_bal"))
+        // Deterministic mean: exact decimal sum first, then one double
+        // division — a plain double avg() depends on partition merge
+        // order (last-ulp drift across runs/cluster sizes).
+        sf.round(
+          sf.sum(sf.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / sf.count(sf.lit(1)), 2).as("avg_bal"),
+        sf.sum(sf.col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"),
+        sf.min(sf.col("c_acctbal")).as("min_bal"),
+        sf.max(sf.col("c_acctbal")).as("max_bal"))
       .orderBy("nation")
   }
 

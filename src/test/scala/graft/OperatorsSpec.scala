@@ -58,8 +58,10 @@ class OperatorsSpec extends SparkFunSuite {
       .agg(sf.sum($"l_extendedprice".cast("decimal(18,2)") *
         (sf.lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)"))))
       .head().getDecimal(0)
-    val summed = got.agg(sf.sum($"revenue")).head().getDecimal(0)
-    assert(summed.compareTo(manual) == 0)
+    // revenue is DOUBLE (each group value exact in e4 cents); summing the
+    // 25 group doubles reintroduces <=25 ulp of error vs the exact total.
+    val summed = got.agg(sf.sum($"revenue")).head().getDouble(0)
+    assert(math.abs(summed - manual.doubleValue()) / manual.doubleValue() < 1e-12)
     assert(got.count() == 25)
   }
 
