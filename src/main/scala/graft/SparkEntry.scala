@@ -186,9 +186,9 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
-  // DuckDB oracles. Omitted (rows-only): q16_langid, q18_rolling_fp,
-  // q23_simhash, q26_embed_lsh — hash-family semantics not expressible in
-  // portable SQL.
+  // DuckDB oracles. Omitted (rows-only): q26_embed_lsh, q32_embed_ivf —
+  // approximate-index internals (hyperplane/codebook literals) not yet
+  // mirrored in portable SQL.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
     "q01_star_revenue" ->
@@ -329,10 +329,50 @@ object SparkEntry {
         |  + CASE WHEN avgtok BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END, 4)::DOUBLE AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "q16_langid" -> {
+      // Candidate lists generated from the SAME stopword map the Spark
+      // side uses (graft.functions.stopwords) so they cannot drift.
+      val cands = functions.stopwords.toSeq.sortBy(_._1).map { case (l, sw) =>
+        s"('$l', [${sw.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang AS label_lang,
+         |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+         |  FROM documents),
+         |sc AS (
+         |  SELECT b.doc_id, b.label_lang, u.l AS cand,
+         |    len(list_intersect(b.toks, u.sw)) AS score
+         |  FROM base b, (VALUES $cands) u(l, sw)),
+         |r AS (SELECT doc_id, label_lang, cand,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+         |  FROM sc)
+         |SELECT doc_id, cand AS predicted_lang, label_lang,
+         | CAST(cand = label_lang AS INT) AS is_match
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
     "q17_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // md5-60-bit token hash (first 15 hex nibbles of md5 as a big-endian
+    // integer) — the same engine-portable hash Kernels.md5Hash60 computes.
+    "q18_rolling_fp" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, text,
+        |  list_transform(t, tok ->
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+        |      (a, b) -> a*16 + b) % 2147483629) AS hs
+        |  FROM toks)
+        |SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+        | CAST(CASE WHEN len(hs)=0 THEN 0
+        |   ELSE list_reduce(hs, (a, h) -> (a*31 + h) % 2147483629) END AS BIGINT) AS fp_rolling
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q19_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -363,6 +403,25 @@ object SparkEntry {
         |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY 1,2""".stripMargin,
+
+    // 60-bit SimHash from the same md5-60-bit token hash: per bit,
+    // +/-1 vote per token occurrence, strictly-positive total -> bit set.
+    "q23_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(t, tok ->
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+        |      (a, b) -> a*16 + b)) AS hs
+        |  FROM toks)
+        |SELECT doc_id AS id,
+        | CAST(CASE WHEN len(hs)=0 THEN 0 ELSE
+        |   list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+        |             THEN 1::BIGINT << b ELSE 0::BIGINT END FOR b IN range(0, 60)])
+        | END AS BIGINT) AS simhash
+        |FROM h ORDER BY id""".stripMargin,
 
     "q24_embed_neardup" ->
       """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

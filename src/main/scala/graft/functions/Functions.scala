@@ -117,11 +117,12 @@ object functions {
   /** Canonical content fingerprint: md5 of normalized text. */
   def fingerprint(t: Column): Column = sf.md5(normalizeText(t))
 
-  /** Order-sensitive rolling hash over a token array: rotate-left 5 and
-    * XOR (bit ops wrap, so it is ANSI-mode safe — no overflow). */
+  /** Order-sensitive Rabin-Karp rolling fingerprint: polynomial fold
+    * (acc*31 + h) mod p over md5-60-bit token hashes (see
+    * Kernels.rollingHashMd5). md5-based so the identical fingerprint is
+    * reproducible in any engine with an md5() function. Kernel-backed. */
   def rollingHash(tokens: Column): Column =
-    sf.aggregate(tokens, sf.lit(0L), (acc, t) =>
-      sf.shiftleft(acc, 5).bitwiseOR(sf.shiftrightunsigned(acc, 59)).bitwiseXOR(sf.xxhash64(t)))
+    kernel(LongType, "rollingHashMd5", tokens)
 
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
@@ -142,8 +143,8 @@ object functions {
     kernel(ArrayType(LongType, containsNull = false), "minHashBands",
       shingles, sf.lit(numHashes), sf.lit(rowsPerBand))
 
-  /** 64-bit SimHash over a token array (xxhash64 token bits, +/-1 vote
-    * per bit, sign -> bit). Kernel-backed. */
+  /** 60-bit SimHash over a token array (md5-60-bit token hash, +/-1 vote
+    * per bit, sign -> bit; engine-portable). Kernel-backed. */
   def simHash(tokens: Column): Column = kernel(LongType, "simHash", tokens)
 
   /** True iff `a(i) != b(i)` for every i < n (LSH first-witness test). */

@@ -173,6 +173,43 @@ object Kernels {
   def revenueE4(price: Double, discount: Double): Long =
     Math.round(price * 100) * (100L - Math.round(discount * 100))
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex nibbles of md5(token) as a 60-bit non-negative long.
+    * This is the engine-portable token hash: any system with an md5()
+    * function (DuckDB, Trino, Postgres, Python) derives the identical
+    * value from the hex string — unlike xxhash64/murmur3, whose seeds
+    * and variants differ across engines. */
+  private def md5Hash60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Order-sensitive Rabin-Karp rolling fingerprint: polynomial fold
+    * acc' = (acc*31 + h) mod p over md5-60-bit token hashes reduced
+    * mod p (largest prime below 2^31). Seeded with the first token's
+    * hash; empty input -> 0. Every intermediate fits comfortably in a
+    * signed 64-bit int, so the identical fold runs in any SQL engine. */
+  def rollingHashMd5(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n == 0) return 0L
+    var acc = md5Hash60(tokens.getUTF8String(0)) % Prime
+    var i = 1
+    while (i < n) {
+      acc = (acc * 31 + md5Hash60(tokens.getUTF8String(i)) % Prime) % Prime
+      i += 1
+    }
+    acc
+  }
+
   /** First-witness test for LSH pair emission: true iff the two band
     * arrays differ at every index below n — i.e. band n is the FIRST
     * band where the pair collides, so the pair is emitted exactly once
@@ -249,15 +286,18 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  /** 64-bit SimHash: xxhash64 per token, +/-1 vote per bit, sign bit. */
+  /** 60-bit SimHash: md5-60-bit hash per token, +/-1 vote per bit,
+    * strictly-positive vote -> bit set. 60 bits (not 64) so the per-token
+    * hash is the engine-portable md5 prefix — any md5-capable engine
+    * reproduces the signature bit-for-bit. */
   def simHash(tokens: ArrayData): Long = {
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, Seed)
+      val h = md5Hash60(tokens.getUTF8String(i))
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -265,7 +305,7 @@ object Kernels {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
