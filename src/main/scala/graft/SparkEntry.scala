@@ -186,9 +186,9 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
-  // DuckDB oracles. Omitted (rows-only): q26_embed_lsh, q32_embed_ivf —
-  // approximate-index internals (hyperplane/codebook literals) not yet
-  // mirrored in portable SQL.
+  // DuckDB oracles — one per query; every operator is hash-checked.
+  // Approximate-index internals (LSH hyperplanes, IVF codebook) are
+  // deterministic literals mirrored verbatim into the SQL.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
     "q01_star_revenue" ->
@@ -437,6 +437,55 @@ object SparkEntry {
         |r AS (SELECT q_id, n_id, c,
         |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s)
         |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, round(c,4) AS cosine
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // Sign-random-projection LSH ANN: the hyperplanes are dyadic-valued
+    // Scala literals (Similarity.lshPlanes) embedded verbatim here, so
+    // both engines compute identical buckets. Dots fold sequentially on
+    // both sides (Kernels.dot ≡ list_reduce left fold).
+    "q26_embed_lsh" -> {
+      val planes = Similarity.lshPlanes(dim = 64, bits = 8, seed = 42)
+      val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+        val lit = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_reduce([v[i]*($lit)[i] FOR i IN range(1,65)], (a, b) -> a+b) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n  + ")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |  $bucketExpr AS bucket FROM base),
+         |s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |  list_cosine_similarity(q.v, n.v) AS c
+         | FROM b q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+         | WHERE q.vec_id < 10),
+         |r AS (SELECT q_id, n_id, c,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s)
+         |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, round(c,4) AS cosine
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
+
+    // IVF ANN: codebook = the 16 vectors with the smallest Knuth
+    // multiplicative hash of the id (Similarity.sampleHash — exact
+    // integer arithmetic, reproduced verbatim below); assignment and
+    // probing = nearest centroids by cosine, ties to the lower index.
+    "q32_embed_ivf" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (vec_id * 2654435761) % 4294967296 AS h FROM embeddings),
+        |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+        |         FROM c ORDER BY h, vec_id LIMIT 16),
+        |sc AS (SELECT a.vec_id, a.v, cent.cid, list_cosine_similarity(a.v, cent.cv) AS s
+        |       FROM c a CROSS JOIN cent),
+        |assign AS (SELECT vec_id, v, cid AS cluster FROM
+        |  (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS probe FROM
+        |  (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |   FROM sc WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, p.qv, a.vec_id AS n_id, a.v AS nv
+        |         FROM probes p JOIN assign a ON a.cluster = p.probe AND a.vec_id <> p.q_id),
+        |r AS (SELECT q_id, n_id, c2,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c2 DESC, n_id) AS rn FROM
+        |  (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS c2 FROM cand))
+        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, round(c2, 4) AS cosine
         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "q27_multimodal" ->

@@ -172,8 +172,11 @@ object functions {
   // --------------------------------------------------------------------
   // Vector math over array<float|double> embedding columns
   // --------------------------------------------------------------------
+  /** Sequential-fold dot product. Kernel-backed (tight JVM loop inside
+    * codegen; the HOF spelling `aggregate(zip_with(...))` evaluates
+    * interpreted with per-element lambda dispatch). */
   def dot(a: Column, b: Column): Column =
-    sf.aggregate(sf.zip_with(a, b, (x, y) => x * y), sf.lit(0.0), (acc, v) => acc + v)
+    kernel(DoubleType, "dot", a.cast("array<double>"), b.cast("array<double>"))
 
   def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
 

@@ -98,8 +98,15 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Deterministic codebook-sample ordering: Knuth multiplicative hash
+    * of the id, pure 64-bit integer arithmetic — reproducible verbatim
+    * in any SQL engine (used by the q32 oracle), unlike engine-specific
+    * murmur3 variants. */
+  def sampleHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (id * sf.lit(2654435761L)) % sf.lit(4294967296L)
+
   /** IVF (inverted-file) approximate top-k. Coarse quantizer: the
-    * nCentroids corpus vectors with the smallest murmur3(id) — a
+    * nCentroids corpus vectors with the smallest sampleHash(id) — a
     * deterministic pseudo-random codebook sample (a k-means refinement
     * would slot in here; sampling is the zero-extra-pass variant).
     * Corpus vectors are assigned to their nearest centroid's list;
@@ -115,7 +122,7 @@ object Similarity {
       sf.col(vecCol).cast("array<double>").as("nv")))
     val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
     val codebook: Array[Double] = base
-      .orderBy(sf.hash(sf.col("n_id")), sf.col("n_id"))
+      .orderBy(sampleHash(sf.col("n_id")), sf.col("n_id"))
       .limit(nCentroids)
       .select("nv").collect()
       .flatMap(_.getSeq[Double](0))
@@ -138,6 +145,30 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-random-projection
+    * LSH: component (j, i) from splitmix64(seed, j, i), quantized to
+    * multiples of 2^-10 in [-1, 1). Dyadic values print as short exact
+    * decimals, so the same planes can be embedded verbatim as literals
+    * in an oracle SQL text and parse back bit-identical. */
+  def lshPlanes(dim: Int, bits: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim)((j, i) =>
+      ((mix64(seed.toLong * 0x100000001L + j.toLong * 65537L + i) >>> 11) % 2048L)
+        .toDouble / 1024.0 - 1.0)
+
+  /** Sign-random-projection bucket id: bit j set iff dot(v, plane_j) > 0. */
+  def lshBucket(v: org.apache.spark.sql.Column,
+                planes: Array[Array[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      sf.when(gf.dot(v, sf.lit(p)) > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+
   /** LSH-bucketed approximate top-k: sign-random-projection bucketing
     * (deterministic hash-derived hyperplanes), candidates restricted to
     * the query's bucket. Trades recall for a corpus-partition-local
@@ -146,13 +177,8 @@ object Similarity {
               queryPred: org.apache.spark.sql.Column, k: Int,
               bits: Int = 8, seed: Int = 42): DataFrame = {
     val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
-    // Deterministic pseudo-random hyperplanes: component (j,i) from
-    // murmur3(seed, j, i) mapped to [-1, 1).
-    def plane(j: Int) = sf.transform(sf.sequence(sf.lit(0), sf.lit(dim - 1)),
-      i => sf.pmod(sf.hash(sf.lit(seed), sf.lit(j), i), sf.lit(2000)).cast("double") / 1000.0 - 1.0)
-    def bucket(v: org.apache.spark.sql.Column) =
-      (0 until bits).map(j => sf.when(gf.dot(v, plane(j)) > 0, 1L << j).otherwise(0L))
-        .reduce(_ + _)
+    val planes = lshPlanes(dim, bits, seed)
+    def bucket(v: org.apache.spark.sql.Column) = lshBucket(v, planes)
     val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
       sf.col(vecCol).cast("array<double>").as("nv")))
       .withColumn("bucket", bucket(sf.col("nv")))

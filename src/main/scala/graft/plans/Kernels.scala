@@ -41,6 +41,16 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Dot product of two double arrays, sequential accumulation order
+    * (parity with a left-fold in any double-precision oracle). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** Jaccard similarity of two string arrays as distinct sets
     * (array_distinct + intersect/union semantics; both-empty -> 1.0). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
