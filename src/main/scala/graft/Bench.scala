@@ -17,6 +17,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed steady-state warmup: the first query otherwise pays the
+    // whole stack's one-time costs (classloading, whole-stage-codegen
+    // compilation, JIT) — several seconds billed to whichever query
+    // sorts first rather than to the engine. One representative query
+    // per execution family: scan+broadcast-join+agg, text kernels,
+    // vector kernels, window.
+    for (w <- Seq("q01_star_revenue", "q23_simhash", "q25_embed_topk", "q05_surrogate"))
+      try SparkEntry.queries(w)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
