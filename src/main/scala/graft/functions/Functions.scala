@@ -102,6 +102,15 @@ object functions {
   def jaccardSorted(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccardSorted", a, b)
 
+  /** Sorted distinct xxhash64 form of a shingle set (see
+    * Kernels.hashSetSorted): the compact verification representation. */
+  def hashShingles(shingles: Column): Column =
+    kernel(ArrayType(LongType, containsNull = false), "hashSetSorted", shingles)
+
+  /** Jaccard over two hashShingles arrays (primitive merge scan). */
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    kernel(DoubleType, "jaccardSortedLong", a, b)
+
   /** Word bigrams ("a b") of the whitespace tokens; <2 tokens -> []. */
   def wordBigrams(t: Column): Column = {
     val toks = wsTokens(t)

@@ -75,6 +75,48 @@ object Kernels {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Sorted distinct xxhash64 values of a string array: the compact
+    * verification form of a shingle set. Jaccard over these longs equals
+    * Jaccard over the strings up to 64-bit hash collisions (~1e-16 per
+    * pair) while the pair merge scan compares primitive longs instead of
+    * chasing UTF8String bytes. */
+  def hashSetSorted(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = XxHash64Function.hash(a.getUTF8String(i), StringType, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || out(w - 1) != out(r)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Jaccard over sorted distinct long arrays (see hashSetSorted);
+    * both-empty -> 1.0. */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
+  }
+
   /** Jaccard over DISTINCT, SORTED string arrays: allocation-free merge
     * scan (the generic `jaccard` builds two hash sets per pair — at
     * millions of candidate pairs that allocation dominates). Inputs must
