@@ -33,36 +33,41 @@ object Prof {
 
     val base = Par.spread(docs.select(
       sf.col("doc_id").cast("long").as("id"),
-      sf.array_sort(gf.wordShingles(sf.col("text"))).as("sh"))).persist()
+      gf.wordShingles(sf.col("text")).as("sh0")))
+      .select(sf.col("id"),
+        gf.minHashBands(sf.col("sh0"), 144, 6).as("bands"),
+        gf.hashShingles(sf.col("sh0")).as("shh"))
+      .withColumn("sz", sf.size(sf.col("shh")))
+      .persist()
     time("base materialize")(base.count())
 
-    val sigs = base.select(sf.col("id"),
-      gf.minHashBands(sf.col("sh"), 48, 3).as("bands"))
-    time("signatures")(sigs.write.format("noop").mode("overwrite").save())
-
-    val buckets = sigs.select(sf.col("id"), sf.col("bands"),
+    val buckets = base.select(sf.col("id"), sf.col("bands"), sf.col("sz"),
       sf.posexplode(sf.col("bands")).as(Seq("band", "bh"))).persist()
     time("buckets materialize")(buckets.count())
 
     val ba = buckets.select(sf.col("band"), sf.col("bh"),
-      sf.col("id").as("a_id"), sf.col("bands").as("bands_a"))
+      sf.col("id").as("a_id"), sf.col("bands").as("bands_a"), sf.col("sz").as("sz_a"))
     val bb = buckets.select(sf.col("band").as("band_b"), sf.col("bh").as("bh_b"),
-      sf.col("id").as("b_id"), sf.col("bands").as("bands_b"))
+      sf.col("id").as("b_id"), sf.col("bands").as("bands_b"), sf.col("sz").as("sz_b"))
     val joined = ba.join(bb,
       sf.col("band") === sf.col("band_b") && sf.col("bh") === sf.col("bh_b") &&
         sf.col("a_id") < sf.col("b_id"))
     println("[prof] raw collisions: " + time("raw collision count")(joined.count()))
 
-    val candidates = joined
+    val sized = joined.filter(sf.least(sf.col("sz_a"), sf.col("sz_b")).cast("double") >=
+      sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * 0.9)
+    println("[prof] size-filtered: " + time("size filter count")(sized.count()))
+
+    val candidates = sized
       .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band")))
       .select("a_id", "b_id")
     println("[prof] candidates: " + time("first-witness candidates")(candidates.count()))
 
-    val shA = base.select(sf.col("id").as("a_id"), sf.col("sh").as("sh_a"))
-    val shB = base.select(sf.col("id").as("b_id"), sf.col("sh").as("sh_b"))
+    val shA = base.select(sf.col("id").as("a_id"), sf.col("shh").as("sh_a"))
+    val shB = base.select(sf.col("id").as("b_id"), sf.col("shh").as("sh_b"))
     val verified = candidates.join(shA, "a_id").join(shB, "b_id")
       .select(sf.col("a_id"), sf.col("b_id"),
-        sf.round(gf.jaccardSorted(sf.col("sh_a"), sf.col("sh_b")), 4).as("jaccard"))
+        sf.round(gf.jaccardSortedLong(sf.col("sh_a"), sf.col("sh_b")), 4).as("jaccard"))
       .filter(sf.col("jaccard") >= 0.9)
     println("[prof] verified: " + time("verify")(verified.count()))
 

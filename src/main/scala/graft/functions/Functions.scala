@@ -147,10 +147,11 @@ object functions {
       shingles, sf.lit(k))
 
   /** LSH band hashes straight from the shingles: k-slot signature folded
-    * in bands of `rowsPerBand` consecutive slots. Kernel-backed. */
+    * in bands of `rowsPerBand` consecutive slots, 32-bit values (see
+    * Kernels.minHashBands). Kernel-backed. */
   def minHashBands(shingles: Column, numHashes: Int, rowsPerBand: Int): Column =
-    kernel(ArrayType(LongType, containsNull = false), "minHashBands",
-      shingles, sf.lit(numHashes), sf.lit(rowsPerBand))
+    kernel(ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      "minHashBands", shingles, sf.lit(numHashes), sf.lit(rowsPerBand))
 
   /** 60-bit SimHash over a token array (md5-60-bit token hash, +/-1 vote
     * per bit, sign -> bit; engine-portable). Kernel-backed. */

@@ -199,18 +199,22 @@ object Kernels {
   def minHashSignature(shingles: ArrayData, k: Int): ArrayData =
     new GenericArrayData(signature(shingles, k))
 
-  /** LSH band hashes: signature folded in bands of rowsPerBand slots. */
+  /** LSH band hashes: signature folded in bands of rowsPerBand slots.
+    * 32-bit values: the bucket join key and the first-witness array both
+    * ride every collision row, so width is the dominant byte cost; a
+    * chance 32-bit bucket collision only adds a candidate that exact
+    * verification discards (never drops a pair). */
   def minHashBands(shingles: ArrayData, k: Int, rowsPerBand: Int): ArrayData = {
     val sig = signature(shingles, k)
     val nBands = k / rowsPerBand
-    val out = new Array[Long](nBands)
+    val out = new Array[Int](nBands)
     var bi = 0
     while (bi < nBands) {
       var h = 1125899906842597L
       var j = bi * rowsPerBand
       val end = j + rowsPerBand
       while (j < end) { h = h * 31 + sig(j); j += 1 }
-      out(bi) = h
+      out(bi) = (h ^ (h >>> 32)).toInt
       bi += 1
     }
     new GenericArrayData(out)
@@ -269,7 +273,7 @@ object Kernels {
   def prefixAllDiffer(a: ArrayData, b: ArrayData, n: Int): Boolean = {
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) return false
+      if (a.getInt(i) == b.getInt(i)) return false
       i += 1
     }
     true

@@ -54,13 +54,13 @@ object StreamingDedup {
         new GenericArrayData(safe.map(UTF8String.fromString).toArray[Any]),
         numHashes, rowsPerBand)
       (0 until bands.numElements()).map(b =>
-        (b, bands.getLong(b), d.doc_id, sh))
+        (b, bands.getInt(b), d.doc_id, sh))
     }
     banded
       .groupByKey { case (band, bh, _, _) => (band, bh) }
       .flatMapGroupsWithState[BucketState, DupPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[String])],
+        (_: (Int, Int), rows: Iterator[(Int, Int, Long, Array[String])],
          state: GroupState[BucketState]) =>
           var members = state.getOption.map(_.members).getOrElse(Nil)
           val out = List.newBuilder[DupPair]

@@ -79,8 +79,8 @@ class KernelPropertiesSpec extends AnyFunSuite {
 
   test("prefixAllDiffer model (200 cases)") {
     for (_ <- 1 to 200) {
-      val a = Seq.fill(6)(rnd.nextInt(4).toLong)
-      val b = Seq.fill(6)(rnd.nextInt(4).toLong)
+      val a = Seq.fill(6)(rnd.nextInt(4))
+      val b = Seq.fill(6)(rnd.nextInt(4))
       val n = rnd.nextInt(7).min(6)
       val expected = (0 until n).forall(i => a(i) != b(i))
       assert(Kernels.prefixAllDiffer(
