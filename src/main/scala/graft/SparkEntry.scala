@@ -183,6 +183,27 @@ object SparkEntry {
         .agg(sf.count(sf.lit(1)).as("n_lines"),
           sf.sum(sf.col("l_quantity").cast("long")).as("total_qty"))
         .orderBy("o_orderstatus")),
+
+    "q36_asof" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(sf.col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(sf.col("event_type") === "view")
+        .select(sf.col("event_id").as("view_event_id"), sf.col("user_id"),
+          sf.col("ts"), sf.col("value").as("view_value"))
+      EventOps.asOfJoin(clicks, views, "user_id", "ts",
+          Seq("view_event_id", "view_value"), tieBreak = Some("view_event_id"))
+        .select(sf.col("event_id"), sf.col("user_id"),
+          sf.date_format(sf.col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          sf.col("view_event_id"), sf.col("view_value"))
+        .orderBy("event_id")
+    }),
+
+    "q37_sessions" -> ((s, dir) =>
+      EventOps.sessionize(Tables.load(s, dir, "events"))),
+
+    "q38_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 5)),
   )
 
   // ---------------------------------------------------------------------
@@ -567,5 +588,56 @@ object SparkEntry {
         | CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the window-composed
+    // as-of; (user_id, ts) is unique in the corpus so the match is
+    // well-defined on both sides.
+    "q36_asof" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type='click'),
+        |v AS (SELECT * FROM events WHERE event_type='view')
+        |SELECT c.event_id, c.user_id,
+        | strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | v.event_id AS view_event_id, v.value AS view_value
+        |FROM c ASOF JOIN v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // Gap test in integer microseconds on both sides (epoch_us) — a
+    // seconds-granularity comparison would disagree on sub-second gaps.
+    "q37_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sess FROM o)
+        |SELECT user_id, CAST(sess AS INT) AS session_id,
+        | strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | CAST(epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000000
+        |     - epoch_us(MIN(CAST(ts AS TIMESTAMP))) // 1000000 AS BIGINT) AS duration_sec
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin,
+
+    // Rational idf (N+1)/(df+1): integer-derived one-multiply-one-divide
+    // double, bit-identical across engines — a log idf would hang the
+    // ranking on each engine's ln() ULP behavior.
+    "q38_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |  tf.tf * (n.n + 1.0) / (dfx.df + 1.0) AS score,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf * (n.n + 1.0) / (dfx.df + 1.0) DESC, tf.term) AS rn
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rn AS INT) AS "rank", term,
+        | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        | round(score, 4) AS score
+        |FROM sc WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
   )
 }

@@ -191,10 +191,14 @@ object functions {
   def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
 
   /** Cosine similarity; inputs cast to array<double> so Spark and any
-    * double-precision oracle agree bit-for-bit on the products.
-    * Kernel-backed (sequential accumulation, oracle-parity order). */
+    * double-precision oracle agree bit-for-bit on the products. A native
+    * Catalyst expression (graft.plans.CosineSimilarity): doGenCode
+    * inlines the loop into whole-stage codegen; interpreted eval is the
+    * same kernel (sequential accumulation, oracle-parity order). */
   def cosineSim(a: Column, b: Column): Column =
-    kernel(DoubleType, "cosine", a.cast("array<double>"), b.cast("array<double>"))
+    GraftBridge.column(graft.plans.CosineSimilarity(
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
 
   // --------------------------------------------------------------------
   // Language ID (stopword-hit heuristic, pure expressions)

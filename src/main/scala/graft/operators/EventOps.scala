@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => sf}
 
 /** Event-table analytics. `windowedAgg` is written so the identical
@@ -25,4 +26,73 @@ object EventOps {
         sf.date_format(sf.col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         sf.col("event_type"), sf.col("n_events"), sf.col("sum_value"), sf.col("n_user_rows"))
       .orderBy("window_start", "event_type")
+
+  /** As-of join: for each left row, the LATEST right row with the same
+    * key and right.ts <= left.ts (inner semantics — unmatched left rows
+    * drop). Spark has no asof operator; the scalable composition is a
+    * single sort-based window over the UNIONED sides, never a
+    * range-banded cross product: one shuffle on the key, then
+    * `last(right_payload, ignoreNulls)` over (ts, side) picks each left
+    * row's predecessor in O(n log n) sort time. Equal timestamps join
+    * inclusively (right sorts before left); ties among right rows break
+    * toward the largest `tieBreak` value deterministically.
+    *
+    * `rightPayload` columns are carried through as a struct; left keeps
+    * its full schema. At 100 TB both sides shuffle once on the key —
+    * the same cost as any co-partitioned join of the two tables.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, tsCol: String,
+               rightPayload: Seq[String],
+               tieBreak: Option[String] = None): DataFrame = {
+    val rStruct = sf.struct(rightPayload.map(sf.col): _*)
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+    val lStruct = sf.struct(left.columns.map(sf.col).toIndexedSeq: _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val lRows = left.select(
+      sf.col(keyCol).as("__k"), sf.col(tsCol).cast("timestamp").as("__ts"),
+      sf.lit(1).as("__side"), sf.lit(null).cast("long").as("__tie"),
+      lStruct.as("__l"), sf.lit(null).cast(rType).as("__r"))
+    val rRows = right.select(
+      sf.col(keyCol).as("__k"), sf.col(tsCol).cast("timestamp").as("__ts"),
+      sf.lit(0).as("__side"),
+      tieBreak.map(c => sf.col(c).cast("long")).getOrElse(sf.lit(0L)).as("__tie"),
+      sf.lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    val w = Window.partitionBy("__k")
+      .orderBy(sf.col("__ts"), sf.col("__side"), sf.col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lRows.union(rRows)
+      .withColumn("__match", sf.last(sf.col("__r"), ignoreNulls = true).over(w))
+      .filter(sf.col("__side") === 1 && sf.col("__match").isNotNull)
+      .select(sf.col("__l.*") +: rightPayload.map(c => sf.col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Gap-based sessionization (batch twin of streaming sessionize):
+    * a session is a maximal run of a user's events with inter-event
+    * gaps <= gapSec. Both windows share one (key, ts, id) sort — a
+    * single shuffle — and the session aggregate reuses the same
+    * partitioning. Gap comparison is in integer microseconds, exactly
+    * reproducible in any engine. */
+  def sessionize(events: DataFrame, keyCol: String = "user_id",
+                 tsCol: String = "ts", idCol: String = "event_id",
+                 valueCol: String = "value", gapSec: Long = 1800): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val lagTs = sf.lag(sf.col(tsCol), 1).over(byKey)
+    val isNew = sf.when(lagTs.isNull, 1).otherwise(
+      (sf.unix_micros(sf.col(tsCol)) - sf.unix_micros(lagTs) >
+        gapSec * 1000000L).cast("int"))
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_id",
+        sf.sum("__new").over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("int"))
+      .groupBy(sf.col(keyCol), sf.col("session_id"))
+      .agg(
+        sf.date_format(sf.min(tsCol), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        sf.count(sf.lit(1)).as("n_events"),
+        sf.sum(sf.col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"),
+        (sf.unix_timestamp(sf.max(tsCol)) - sf.unix_timestamp(sf.min(tsCol)))
+          .as("duration_sec"))
+      .orderBy(keyCol, "session_id")
+  }
 }

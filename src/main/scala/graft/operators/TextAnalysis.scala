@@ -84,6 +84,39 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Top-k corpus-weighted terms per document. Score = tf * (N+1)/(df+1)
+    * — the rational idf form: one multiply and one divide from exact
+    * integers, so any double-precision engine reproduces the score (and
+    * therefore the ranking) bit-for-bit; a log-based idf would hang the
+    * ranking on the ULP behavior of each engine's `ln`.
+    *
+    * Scale shape: tf = one groupBy (map-side combine collapses repeated
+    * terms per doc before the shuffle); df = one groupBy over the
+    * already-1-row-per-(doc,term) tf table; N rides as a broadcast
+    * 1-row cross join (no driver action); the vocabulary join is left
+    * to AQE (broadcast when the vocab is small, shuffle otherwise);
+    * final per-doc top-k is one window rank. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Par.spread(docs.select(sf.col(idCol), sf.col(textCol)))
+      .select(sf.col(idCol),
+        sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("term"))
+    val tf = toks.groupBy(sf.col(idCol), sf.col("term"))
+      .agg(sf.count(sf.lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(sf.count(sf.lit(1)).as("df"))
+    val n = docs.agg(sf.count(sf.lit(1)).as("n"))
+    val score = sf.col("tf") * (sf.col("n") + 1.0) / (sf.col("df") + 1.0)
+    val w = Window.partitionBy(idCol).orderBy(score.desc, sf.col("term"))
+    tf.join(dfT, "term")
+      .crossJoin(sf.broadcast(n))
+      .withColumn("rank", sf.row_number().over(w))
+      .filter(sf.col("rank") <= k)
+      .select(sf.col(idCol), sf.col("rank"), sf.col("term"),
+        sf.col("tf"), sf.col("df"), sf.round(score, 4).as("score"))
+      .orderBy(idCol, "rank")
+  }
+
   /** Content fingerprints: canonical md5 + order-sensitive rolling hash. */
   def fingerprints(docs0: DataFrame, idCol: String, textCol: String): DataFrame =
     prepared(docs0, idCol, textCol).select(

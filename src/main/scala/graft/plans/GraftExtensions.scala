@@ -42,7 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(Kernels.getClass.getName, name),
         (exprs: Seq[Expression]) => builder(exprs)))
 
-    register("graft_cosine", staticFn(DoubleType, "cosine"))
+    // Native expression (doGenCode inlines the loop); array<float>
+    // inputs are cast to array<double> here.
+    register("graft_cosine", exprs => CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
+        org.apache.spark.sql.types.ArrayType(DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+        org.apache.spark.sql.types.ArrayType(DoubleType))))
     register("graft_jaccard", staticFn(DoubleType, "jaccard"))
     register("graft_simhash", staticFn(LongType, "simHash"))
     register("graft_minhash", staticFn(

@@ -41,6 +41,33 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineSimilarity native expression: codegen path, kernel parity") {
+    import SparkSpec.spark
+    import spark.implicits._
+    // non-literal inputs, or constant folding collapses the whole plan
+    // (which is itself the `foldable` contract working)
+    val sfn = org.apache.spark.sql.functions
+    val df = spark.range(1)
+      .select(
+        sfn.array(sfn.col("id") + 1.0, sfn.col("id") + 2.0, sfn.col("id") + 3.0).as("a"),
+        sfn.array(sfn.col("id") + 3.0, sfn.col("id") + 2.0, sfn.col("id") + 1.0).as("b"))
+      .select(graft.functions.cosineSim($"a", $"b").as("c"))
+    // value parity with the interpreted kernel
+    val expected = graft.plans.Kernels.cosine(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(3.0, 2.0, 1.0)))
+    assert(df.head().getDouble(0) == expected)
+    // the expression stays inside whole-stage codegen
+    val hasWsc = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+    // null-safe: null input -> null output
+    val withNull = Seq((Option.empty[Array[Double]], Option(Array(1.0))))
+      .toDF("a", "b")
+      .select(graft.functions.cosineSim($"a", $"b").as("c"))
+    assert(withNull.head().isNullAt(0))
+  }
+
   test("salted join equals the plain join") {
     import SparkSpec.spark
     import spark.implicits._

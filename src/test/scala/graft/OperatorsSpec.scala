@@ -108,4 +108,56 @@ class OperatorsSpec extends SparkFunSuite {
     val got = graft.dq.QualityChecks.predicateViolations(df, "positive", $"v" > 0)
     assert(got.head().getLong(1) == 1)
   }
+
+  test("EventOps: asOfJoin picks the latest right row at or before ts") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")),   // matches right id 101 (09:59)
+      (2L, 10L, t("2024-01-01 11:00:00")),   // matches right id 103 (11:00, inclusive)
+      (3L, 20L, t("2024-01-01 08:00:00")),   // no earlier right row -> dropped
+      (4L, 30L, t("2024-01-01 09:00:00")))   // key absent on right -> dropped
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, t("2024-01-01 09:59:00"), 1.0),
+      (102L, 10L, t("2024-01-01 10:30:00"), 2.0),
+      (103L, 10L, t("2024-01-01 11:00:00"), 3.0),
+      (104L, 20L, t("2024-01-01 09:00:00"), 4.0))
+      .toDF("rid", "user_id", "ts", "rv")
+    val got = EventOps.asOfJoin(left, right, "user_id", "ts",
+        Seq("rid", "rv"), tieBreak = Some("rid"))
+      .orderBy("event_id")
+      .select("event_id", "rid").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 101L), (2L, 103L)))
+  }
+
+  test("EventOps: sessionize splits on gaps > gap and aggregates") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 7L, t("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, t("2024-01-01 10:10:00"), 2.0),  // same session (10 min gap)
+      (3L, 7L, t("2024-01-01 11:10:01"), 3.0),  // gap 3601s > 3600 -> new session
+      (4L, 8L, t("2024-01-01 00:00:00"), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = EventOps.sessionize(ev, gapSec = 3600).collect()
+    assert(got.length == 3)
+    val first = got.head
+    assert(first.getLong(0) == 7L && first.getInt(1) == 1)
+    assert(first.getLong(3) == 2)                       // n_events
+    assert(first.getDouble(4) == 3.0)                   // sum_value
+    assert(first.getLong(5) == 600)                     // duration_sec
+  }
+
+  test("TextAnalysis: tfIdfTopTerms ranks rare terms above common ones") {
+    val docs = Seq(
+      (1L, "apple apple zebra common common"),
+      (2L, "common zebra"),
+      (3L, "common common banana"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: apple (tf=2, df=1) must outrank common (tf=2, df=3)
+    assert(got.contains((1L, 1, "apple")))
+    // every doc emits at most k rows
+    assert(got.groupBy(_._1).values.forall(_.length <= 2))
+  }
 }
