@@ -204,6 +204,28 @@ object SparkEntry {
 
     "q38_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 5)),
+
+    "q39_json_props" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(sf.col("event_id"),
+          sf.from_json(sf.col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("prop_k"))
+        .groupBy("prop_k")
+        .agg(sf.count(sf.lit(1)).as("n_events"),
+          sf.min(sf.col("event_id")).as("first_event"))
+        .orderBy("prop_k")),
+
+    "q40_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(docs(s, dir), "doc_id", 0.05)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    "q41_dq_orphans" -> ((s, dir) =>
+      QualityChecks.fkOrphans(s, dir, Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey")))),
   )
 
   // ---------------------------------------------------------------------
@@ -639,5 +661,25 @@ object SparkEntry {
         | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         | round(score, 4) AS score
         |FROM sc WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
+    "q39_json_props" ->
+      """SELECT CAST(props->>'$.k' AS INT) AS prop_k, COUNT(*) AS n_events,
+        | MIN(event_id) AS first_event
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q40_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 < 500
+        |ORDER BY doc_id""".stripMargin,
+
+    "q41_dq_orphans" ->
+      Seq(("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"))
+        .map { case (child, fk, parent, pk) =>
+          s"""SELECT '$child.$fk -> $parent.$pk' AS relationship,
+             | COUNT(*) AS orphans
+             |FROM $child WHERE $fk NOT IN (SELECT $pk FROM $parent)""".stripMargin
+        }.mkString("", " UNION ALL ", " ORDER BY relationship"),
   )
 }

@@ -90,6 +90,21 @@ object QualityChecks {
       .orderBy("column_name")
   }
 
+  /** Referential-integrity audit: rows of the child table whose foreign
+    * key has no match in the parent (left_anti join — at scale this is
+    * the same shuffle as the equi-join itself; a broadcast parent makes
+    * it map-only). One row per declared relationship. */
+  def fkOrphans(spark: SparkSession, dir: String,
+                specs: Seq[(String, String, String, String)]): DataFrame =
+    specs.map { case (child, fk, parent, pk) =>
+      Tables.load(spark, dir, child)
+        .join(Tables.load(spark, dir, parent),
+          sf.col(fk) === sf.col(pk), "left_anti")
+        .agg(sf.count(sf.lit(1)).as("orphans"))
+        .select(sf.lit(s"$child.$fk -> $parent.$pk").as("relationship"),
+          sf.col("orphans"))
+    }.reduce(_ union _).orderBy("relationship")
+
   /** Count of rows violating an invariant — reference
     * validate_country_data (expects 0). */
   def predicateViolations(df: DataFrame, checkName: String, invariant: Column): DataFrame =

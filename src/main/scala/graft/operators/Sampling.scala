@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => sf}
+
+/** Deterministic sampling for corpus curation. `sample(fraction)` on a
+  * DataFrame is seed-stable only per partitioning; these samplers hash
+  * the ROW KEY, so membership is a pure function of the data — stable
+  * across runs, partitionings, cluster sizes, and engines (the Knuth
+  * multiplicative hash is plain 64-bit integer arithmetic, reproducible
+  * verbatim in a SQL oracle).
+  */
+object Sampling {
+
+  /** Hash of the key scaled to [0, 10000): permille-of-ten-thousand
+    * buckets give 0.01% granularity. */
+  def hashBucket(key: Column): Column =
+    ((key.cast("long") * sf.lit(2654435761L)) % sf.lit(4294967296L)) % 10000
+
+  /** Keep rows whose key hashes into the first `fraction` of buckets.
+    * Map-only: runs at scan speed, no shuffle, and the same rows are
+    * kept at any scale or parallelism. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    df.filter(hashBucket(sf.col(keyCol)) < math.round(fraction * 10000).toInt)
+  }
+
+  /** Stratified deterministic sample: a per-stratum keep fraction
+    * (e.g. downsample 'en' to 1%, keep low-resource languages whole).
+    * Still map-only — the threshold is a CASE over the stratum column. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      sf.lit(math.round(defaultFraction * 10000).toInt)) { case (acc, (k, f)) =>
+      sf.when(sf.col(stratumCol) === k, math.round(f * 10000).toInt).otherwise(acc)
+    }
+    df.filter(hashBucket(sf.col(keyCol)) < threshold)
+  }
+}

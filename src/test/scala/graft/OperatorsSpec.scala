@@ -147,6 +147,28 @@ class OperatorsSpec extends SparkFunSuite {
     assert(first.getLong(5) == 600)                     // duration_sec
   }
 
+  test("Sampling: hash sample is deterministic and stratified respects fractions") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.05).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(7), "id", 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must not depend on partitioning")
+    assert(math.abs(a.size - 500) < 150, s"~5% of 10k expected, got ${a.size}")
+    val strat = df.withColumn("lang", sf.when($"id" % 2 === 0, "en").otherwise("fr"))
+    val kept = Sampling.stratifiedHashSample(strat, "id", "lang",
+      Map("en" -> 0.0, "fr" -> 1.0))
+    assert(kept.filter($"lang" === "en").count() == 0)
+    assert(kept.filter($"lang" === "fr").count() == 5000)
+  }
+
+  test("QualityChecks: fkOrphans counts unmatched foreign keys") {
+    val got = graft.dq.QualityChecks.fkOrphans(spark, sf001, Seq(
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0), s"TPC-H FKs must hold: $got")
+  }
+
   test("TextAnalysis: tfIdfTopTerms ranks rare terms above common ones") {
     val docs = Seq(
       (1L, "apple apple zebra common common"),
