@@ -28,7 +28,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only filter: `runMain graft.Bench q22 q33` times just those
+    // queries (prefix match). The driver passes no args -> full run.
+    val wanted = args.toSet
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.filter { case (n, _) => wanted.exists(n.startsWith) }.toSeq
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -178,7 +178,11 @@ object SparkEntry {
 
     "q31_salted_join" -> ((s, dir) =>
       Skew.saltedJoin(Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"),
-          "l_orderkey", "o_orderkey", saltFactor = 8)
+          "l_orderkey", "o_orderkey", saltFactor = 8,
+          // spread on the 2-column row identity — hashing all 16 fact
+          // columns per row buys no extra uniformity, just CPU
+          spreadCol = Some(sf.pmod(
+            sf.xxhash64(sf.col("l_orderkey"), sf.col("l_linenumber")), sf.lit(8))))
         .groupBy(sf.col("o_orderstatus"))
         .agg(sf.count(sf.lit(1)).as("n_lines"),
           sf.sum(sf.col("l_quantity").cast("long")).as("total_qty"))

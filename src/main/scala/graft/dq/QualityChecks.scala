@@ -53,29 +53,67 @@ object QualityChecks {
   }
 
   /** Exact quantile profile of a numeric column per group: min, p25,
-    * median, p75, p95, max. Exact percentiles sort within groups — for
-    * 100 TB profiling prefer `approxDistinct`-style sketches; this is
-    * the audit-grade variant. */
-  def quantileProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    // One percentile aggregate with an array of requested points: a
-    // single value buffer per group, not one per percentile (4x less
-    // buffer merging); the scan is spread so partial aggregation isn't
-    // serialized on few-split local inputs.
-    val ps = sf.percentile(sf.col(valueCol),
-      sf.lit(Array(0.25, 0.5, 0.75, 0.95)))
-    graft.operators.Par.spread(df.select(groupCol, valueCol))
+    * median, p75, p95, max (linear interpolation at rank (n-1)*p, the
+    * quantile_cont convention).
+    *
+    * Scale design: Spark's `percentile` aggregate buffers EVERY value of
+    * a group in executor memory — a 100 TB group is an OOM, not a
+    * profile. This implementation is a distributed sort instead: range
+    * partition on (group, value) — parallel at any scale, external-sort
+    * spill-safe — then a global running index via zipWithIndex (the one
+    * genuinely per-partition-imperative step, so RDD is the right
+    * level), and per-group offsets subtracted to get in-group ranks.
+    * Only the ~2 rows straddling each requested rank survive the filter;
+    * the interpolation is a tiny broadcast-side aggregation. */
+  def quantileProfile(df: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[(String, Double)] = Seq(
+                        "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v"))
+      .filter(sf.col("__v").isNotNull)
+      .orderBy(sf.col(groupCol), sf.col("__v"))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      sorted.schema.add("__gi", LongType))
+    // Per-group rank = global index - group offset; offsets/counts are a
+    // one-row-per-group aggregate, broadcast back onto the sorted rows.
+    val extents = indexed.groupBy(groupCol)
+      .agg(sf.min("__gi").as("__off"), sf.count(sf.lit(1)).as("__n"))
+    val ranked = indexed.join(sf.broadcast(extents), Seq(groupCol))
+      .withColumn("__rk", sf.col("__gi") - sf.col("__off"))
+    val rk = sf.col("__rk")
+    val n = sf.col("__n")
+    def pos(p: Double) = (n - 1).cast("double") * sf.lit(p)
+    // Keep only rank 0, rank n-1, and the two ranks straddling each
+    // requested quantile position.
+    val wanted = ps.map { case (_, p) =>
+      rk === sf.floor(pos(p)) || rk === sf.ceil(pos(p))
+    }.reduce(_ || _) || rk === 0 || rk === n - 1
+    val aggs =
+      Seq(sf.round(sf.min(sf.when(rk === 0, sf.col("__v"))), 4).as("v_min")) ++
+      ps.flatMap { case (name, p) => Seq(
+        sf.min(sf.when(rk === sf.floor(pos(p)), sf.col("__v"))).as(s"__lo_$name"),
+        sf.min(sf.when(rk === sf.ceil(pos(p)), sf.col("__v"))).as(s"__hi_$name"))
+      } ++
+      Seq(sf.round(sf.max(sf.when(rk === n - 1, sf.col("__v"))), 4).as("v_max"),
+        sf.max(n).as("__nn"))
+    val agged = ranked.filter(wanted)
       .groupBy(sf.col(groupCol))
-      .agg(
-        sf.round(sf.min(valueCol), 4).as("v_min"),
-        ps.as("__ps"),
-        sf.round(sf.max(valueCol), 4).as("v_max"))
-      .select(sf.col(groupCol),
-        sf.col("v_min"),
-        sf.round(sf.col("__ps").getItem(0), 4).as("p25"),
-        sf.round(sf.col("__ps").getItem(1), 4).as("p50"),
-        sf.round(sf.col("__ps").getItem(2), 4).as("p75"),
-        sf.round(sf.col("__ps").getItem(3), 4).as("p95"),
-        sf.col("v_max"))
+      .agg(aggs.head, aggs.tail: _*)
+    val nOut = sf.col("__nn")
+    def posOut(p: Double) = (nOut - 1).cast("double") * sf.lit(p)
+    agged.select(
+      Seq(sf.col(groupCol), sf.col("v_min")) ++
+      ps.map { case (name, p) =>
+        // lower + (upper-lower) * fractional-rank: the quantile_cont
+        // interpolation, evaluated in the same double operation order
+        sf.round(sf.col(s"__lo_$name") +
+          (sf.col(s"__hi_$name") - sf.col(s"__lo_$name")) *
+            (posOut(p) - sf.floor(posOut(p))), 4).as(name)
+      } ++
+      Seq(sf.col("v_max")): _*)
       .orderBy(groupCol)
   }
 

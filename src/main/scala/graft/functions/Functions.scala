@@ -111,6 +111,12 @@ object functions {
   def jaccardSortedLong(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccardSortedLong", a, b)
 
+  /** Early-abandoning Jaccard for >=t verification: exact value for
+    * pairs that can still reach t, -1.0 once the running upper bound
+    * rules them out (see Kernels.jaccardSortedLongGeq). */
+  def jaccardSortedLongGeq(a: Column, b: Column, t: Double): Column =
+    kernel(DoubleType, "jaccardSortedLongGeq", a, b, sf.lit(t))
+
   /** Word bigrams ("a b") of the whitespace tokens; <2 tokens -> []. */
   def wordBigrams(t: Column): Column = {
     val toks = wsTokens(t)

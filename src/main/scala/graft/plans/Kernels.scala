@@ -117,6 +117,36 @@ object Kernels {
     inter.toDouble / (n + m - inter)
   }
 
+  /** Threshold-aware variant of `jaccardSortedLong` for verification
+    * paths that only keep pairs with J >= t: maintains the upper bound
+    * J_max = (inter + min(remaining_a, remaining_b)) / (union so far)
+    * and abandons the merge scan (returning -1.0) the moment the bound
+    * drops below t. The bound only decreases on mismatch steps, so the
+    * check costs nothing on the match path. For surviving pairs the
+    * returned value is the exact Jaccard. */
+  def jaccardSortedLongGeq(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 && m == 0) return 1.0
+    // best*(1+t) < t*(n+m)  <=>  best/(n+m-best) < t, all in exact doubles
+    val tnm = t * (n + m)
+    val t1 = 1.0 + t
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else {
+        if (x < y) i += 1 else j += 1
+        val best = inter + math.min(n - i, m - j)
+        if (best * t1 < tnm) return -1.0
+      }
+    }
+    inter.toDouble / (n + m - inter)
+  }
+
   /** Jaccard over DISTINCT, SORTED string arrays: allocation-free merge
     * scan (the generic `jaccard` builds two hash sets per pair — at
     * millions of candidate pairs that allocation dominates). Inputs must
