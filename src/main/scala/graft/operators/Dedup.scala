@@ -122,7 +122,11 @@ object Dedup {
       sf.col("id").as("a_id"), sf.col("bands").as("bands_a"), sf.col("sz").as("sz_a"))
     val bb = buckets.select(sf.col("band").as("band_b"), sf.col("bh").as("bh_b"),
       sf.col("id").as("b_id"), sf.col("bands").as("bands_b"), sf.col("sz").as("sz_b"))
-    val candidates = ba.join(bb,
+    // shuffle_hash, not sort-merge: the join keys are massively
+    // duplicated (that's the point — buckets), so sorting both sides
+    // buys nothing and the hashed build side streams collisions out
+    // of whole-stage codegen directly.
+    val candidates = ba.join(bb.hint("shuffle_hash"),
         sf.col("band") === sf.col("band_b") && sf.col("bh") === sf.col("bh_b") &&
           sf.col("a_id") < sf.col("b_id"))
       // multiply, don't divide: zero-size (empty-doc) pairs stay valid
@@ -151,54 +155,59 @@ object Dedup {
     * (all shuffles on the id key); nothing is collected to the driver.
     * Output: (id, cluster) where cluster = min id of the component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Iterative star-contraction. Each round labels every node with
+    // min(self, neighbors), then CONTRACTS: the next round's edge set is
+    // the distinct (label(a), label(b)) pairs with label(a) != label(b).
+    // Near-dup graphs are clique-like, so round 1 collapses almost
+    // everything and the contracted edge set is orders of magnitude
+    // smaller than the input — unlike plain label propagation, which
+    // re-joins the FULL edge list every iteration. Worst case (a path)
+    // still halves components per round: O(log n) rounds, each a
+    // shuffle of the current (shrinking) edge set.
+    //
     // Eager localCheckpoints cut the logical-plan lineage at every loop
-    // boundary: without them each iteration re-embeds the full upstream
-    // plan (e.g. the whole LSH pipeline) and the driver drowns in plan
+    // boundary: without them each round re-embeds the full upstream plan
+    // (e.g. the whole LSH pipeline) and the driver drowns in plan
     // analysis long before the data is big.
-    val edges = pairs.select(sf.col("a_id").as("src"), sf.col("b_id").as("dst"))
+    val spark = pairs.sparkSession
+    var edges = pairs.select(sf.col("a_id").as("src"), sf.col("b_id").as("dst"))
       .localCheckpoint(true)
-    // sym is a cheap map over checkpointed edges — recomputing it per
-    // iteration beats materializing a second copy.
-    val sym = edges.union(edges.select(sf.col("dst").as("src"), sf.col("src").as("dst")))
-    // Seed with one free propagation round: cluster0 = min(id, neighbors).
-    // Near-dup components are dense (clique-like), so this alone is close
-    // to the fixed point and the loop usually runs a single confirming pass.
-    var labels = sym.groupBy("src")
-      .agg(sf.least(sf.col("src"), sf.min("dst")).as("cluster"))
-      .select(sf.col("src").as("id"), sf.col("cluster"))
-      .localCheckpoint(true)
-    // Labels only ever decrease, so sum(cluster) is strictly monotone
-    // until the fixed point: an exact-decimal sum (overflow-safe at any
-    // node count) is a one-row convergence probe — no join against the
-    // previous labels, no second pass. Piggy-back the node count on the
-    // same one-row action to size the broadcast decision.
-    def probe(df: DataFrame): (java.math.BigDecimal, Long) = {
-      val r = df.agg(sf.sum(sf.col("cluster").cast("decimal(38,0)")),
-        sf.count(sf.lit(1))).head()
-      (r.getDecimal(0), r.getLong(1))
-    }
-    // The label table is one row per clustered node. When it is small
-    // (it usually is — near-dup nodes, not the corpus), broadcasting it
-    // makes the propagation join map-side: the edge table is never
-    // shuffled, only the per-dst partial mins cross the wire.
-    var (prev, nodes) = probe(labels)
-    val broadcastable = nodes < 5000000L
-    def hinted(df: DataFrame) = if (broadcastable) sf.broadcast(df) else df
+    // mapping: original id -> current component label (only ever shrinks
+    // in label value; row count fixed at the clustered-node count).
+    var mapping: DataFrame = null
     var i = 0
-    var converged = false
-    while (!converged && i < maxIter) {
-      val prop = sym.join(hinted(labels.withColumnRenamed("id", "src")), "src")
-        .select(sf.col("dst").as("id"), sf.col("cluster"))
-      val next = labels.select("id", "cluster").union(prop)
-        .groupBy("id").agg(sf.min("cluster").as("cluster"))
+    var done = false
+    while (!done && i < maxIter) {
+      val sym = edges.union(edges.select(sf.col("dst").as("src"), sf.col("src").as("dst")))
+      val labels = sym.groupBy("src")
+        .agg(sf.least(sf.col("src"), sf.min("dst")).as("lbl"))
         .localCheckpoint(true)
-      val cur = probe(next)._1
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      labels = next
+      // One count() action sizes the broadcast decision AND materializes
+      // the checkpoint. One row per node of the CURRENT (contracted)
+      // graph — after round 1 this is one row per component-so-far.
+      val n = labels.count()
+      def hinted(df: DataFrame) = if (n < 5000000L) sf.broadcast(df) else df
+      mapping =
+        if (mapping == null) labels.select(sf.col("src").as("id"), sf.col("lbl").as("cluster"))
+        else mapping.join(hinted(labels), mapping("cluster") === labels("src"), "left")
+          .select(mapping("id"), sf.coalesce(sf.col("lbl"), mapping("cluster")).as("cluster"))
+          .localCheckpoint(true)
+      // Contract: rewrite each edge to its endpoints' labels; drop
+      // intra-component edges; dedup. (min,max) normalization halves the
+      // distinct space. The joins are map-side while labels broadcast.
+      val la = labels.select(sf.col("src"), sf.col("lbl").as("la"))
+      val lb = labels.select(sf.col("src").as("dst"), sf.col("lbl").as("lb"))
+      val contracted = sym.join(hinted(la), "src").join(hinted(lb), "dst")
+        .filter(sf.col("la") =!= sf.col("lb"))
+        .select(sf.least(sf.col("la"), sf.col("lb")).as("src"),
+          sf.greatest(sf.col("la"), sf.col("lb")).as("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      done = contracted.isEmpty
+      edges = contracted
       i += 1
     }
-    labels.select(sf.col("id").as("doc_id"), sf.col("cluster").as("cluster_id"))
+    mapping.select(sf.col("id").as("doc_id"), sf.col("cluster").as("cluster_id"))
       .orderBy("doc_id")
   }
 
