@@ -58,46 +58,46 @@ object QualityChecks {
     *
     * Scale design: Spark's `percentile` aggregate buffers EVERY value of
     * a group in executor memory — a 100 TB group is an OOM, not a
-    * profile. This implementation is a distributed sort instead: range
-    * partition on (group, value) — parallel at any scale, external-sort
-    * spill-safe — then a global running index via zipWithIndex (the one
-    * genuinely per-partition-imperative step, so RDD is the right
-    * level), and per-group offsets subtracted to get in-group ranks.
-    * Only the ~2 rows straddling each requested rank survive the filter;
-    * the interpolation is a tiny broadcast-side aggregation. */
+    * profile. This implementation compresses to distinct (group, value)
+    * pairs first (map-side partial counts make that shuffle proportional
+    * to the value DOMAIN, not the row count), then ranks value runs with
+    * one cumulative-sum window per group. Each distinct value covers the
+    * in-group rank interval [hi-c, hi-1]; only the ~2 runs straddling
+    * each requested rank survive the filter, and the interpolation is a
+    * tiny per-group aggregation. For groups whose value domain is itself
+    * too large for a per-group sort, use `approx_percentile` sketches —
+    * this is the audit-grade exact variant. */
   def quantileProfile(df: DataFrame, groupCol: String, valueCol: String,
                       ps: Seq[(String, Double)] = Seq(
                         "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
-    val spark = df.sparkSession
-    val sorted = df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v"))
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v"))
       .filter(sf.col("__v").isNotNull)
-      .orderBy(sf.col(groupCol), sf.col("__v"))
-    val indexed = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      sorted.schema.add("__gi", LongType))
-    // Per-group rank = global index - group offset; offsets/counts are a
-    // one-row-per-group aggregate, broadcast back onto the sorted rows.
-    val extents = indexed.groupBy(groupCol)
-      .agg(sf.min("__gi").as("__off"), sf.count(sf.lit(1)).as("__n"))
-    val ranked = indexed.join(sf.broadcast(extents), Seq(groupCol))
-      .withColumn("__rk", sf.col("__gi") - sf.col("__off"))
-    val rk = sf.col("__rk")
+      .groupBy(groupCol, "__v")
+      .agg(sf.count(sf.lit(1)).as("__c"))
+    val byGroup = Window.partitionBy(groupCol)
+    val cumW = byGroup.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("__hi", sf.sum("__c").over(cumW))
+      .withColumn("__n", sf.sum("__c").over(byGroup))
+    val lo = sf.col("__hi") - sf.col("__c") // first in-group rank of this value run
+    val hi = sf.col("__hi") - 1             // last in-group rank of this value run
     val n = sf.col("__n")
     def pos(p: Double) = (n - 1).cast("double") * sf.lit(p)
-    // Keep only rank 0, rank n-1, and the two ranks straddling each
-    // requested quantile position.
+    def covers(r: Column) = lo <= r && r <= hi
+    // Keep only the runs covering rank 0, rank n-1, and the two ranks
+    // straddling each requested quantile position.
     val wanted = ps.map { case (_, p) =>
-      rk === sf.floor(pos(p)) || rk === sf.ceil(pos(p))
-    }.reduce(_ || _) || rk === 0 || rk === n - 1
+      covers(sf.floor(pos(p))) || covers(sf.ceil(pos(p)))
+    }.reduce(_ || _) || covers(sf.lit(0L)) || covers(n - 1)
     val aggs =
-      Seq(sf.round(sf.min(sf.when(rk === 0, sf.col("__v"))), 4).as("v_min")) ++
+      Seq(sf.round(sf.min(sf.when(covers(sf.lit(0L)), sf.col("__v"))), 4).as("v_min")) ++
       ps.flatMap { case (name, p) => Seq(
-        sf.min(sf.when(rk === sf.floor(pos(p)), sf.col("__v"))).as(s"__lo_$name"),
-        sf.min(sf.when(rk === sf.ceil(pos(p)), sf.col("__v"))).as(s"__hi_$name"))
+        sf.min(sf.when(covers(sf.floor(pos(p))), sf.col("__v"))).as(s"__lo_$name"),
+        sf.min(sf.when(covers(sf.ceil(pos(p))), sf.col("__v"))).as(s"__hi_$name"))
       } ++
-      Seq(sf.round(sf.max(sf.when(rk === n - 1, sf.col("__v"))), 4).as("v_max"),
+      Seq(sf.round(sf.max(sf.when(covers(n - 1), sf.col("__v"))), 4).as("v_max"),
         sf.max(n).as("__nn"))
     val agged = ranked.filter(wanted)
       .groupBy(sf.col(groupCol))

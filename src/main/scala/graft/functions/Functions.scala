@@ -111,6 +111,12 @@ object functions {
   def jaccardSortedLong(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccardSortedLong", a, b)
 
+  /** MinHash LSH band hashes from an already-hashed shingle set (see
+    * Kernels.minHashBandsFromHashes — the post-exact-collapse path). */
+  def minHashBandsFromHashes(shh: Column, k: Int, rowsPerBand: Int): Column =
+    kernel(ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      "minHashBandsFromHashes", shh, sf.lit(k), sf.lit(rowsPerBand))
+
   /** Early-abandoning Jaccard for >=t verification: exact value for
     * pairs that can still reach t, -1.0 once the running upper bound
     * rules them out (see Kernels.jaccardSortedLongGeq). */
@@ -128,6 +134,11 @@ object functions {
   /** Fraction of an array taken by its most frequent element. */
   def maxFreqFraction(arr: Column): Column =
     kernel(DoubleType, "maxFreqFraction", arr)
+
+  /** Fraction of a token array's bigrams taken by the most frequent
+    * bigram (fused — see Kernels.maxBigramFraction). */
+  def maxBigramFraction(tokens: Column): Column =
+    kernel(DoubleType, "maxBigramFraction", tokens)
 
   /** Canonical content fingerprint: md5 of normalized text. */
   def fingerprint(t: Column): Column = sf.md5(normalizeText(t))

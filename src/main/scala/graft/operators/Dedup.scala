@@ -86,24 +86,46 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.9, numHashes: Int = 144,
                  rowsPerBand: Int = 6, maxBucketSize: Int = 0): DataFrame =
+    // Checkpoint before the global sort: orderBy's range partitioner
+    // runs a sampling job over its child first, which would otherwise
+    // recompute the whole verification pipeline once per pass.
     minHashLshPairs(docs, idCol, textCol, threshold, numHashes,
-      rowsPerBand, maxBucketSize).orderBy("a_id", "b_id")
+      rowsPerBand, maxBucketSize).localCheckpoint(true).orderBy("a_id", "b_id")
 
-  /** `minHashLsh` without the final global sort — for consumers that
-    * aggregate the pairs anyway (connected components, dedup filters)
-    * the sort is pure waste. */
-  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                 threshold: Double = 0.9, numHashes: Int = 144,
-                 rowsPerBand: Int = 6, maxBucketSize: Int = 0): DataFrame = {
-    // Signature computation is CPU-bound, not IO-bound: spread it across
-    // all cores even when the input is a handful of parquet splits.
-    val base = Par.spread(docs.select(
+  /** Internal product of the collapsed LSH pipeline:
+    *  - repPairs: verified (a_id, b_id, sk_a, sk_b, jaccard) over group
+    *    REPRESENTATIVES (a_id/b_id are the min doc ids of two distinct
+    *    shingle-set groups; sk_* their set keys)
+    *  - groups:  (setkey, rep, cnt) — one row per distinct shingle set
+    *  - members: (setkey, id) — every doc tagged with its set key */
+  private[operators] case class LshCore(repPairs: DataFrame, groups: DataFrame,
+                                        members: DataFrame)
+
+  /** Exact-collapse + MinHash/LSH over distinct shingle sets. Docs with
+    * IDENTICAL shingle sets are collapsed to one representative before
+    * any signature work — production corpora are duplicate-heavy, and
+    * every copy would otherwise pay signature hashing, bucket explode,
+    * candidate enumeration (quadratically!), and verification for an
+    * answer the group representative already provides. */
+  private def lshCore(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int,
+                      rowsPerBand: Int, maxBucketSize: Int): LshCore = {
+    // Shingle + hash computation is CPU-bound, not IO-bound: spread it
+    // across all cores even when the input is a handful of parquet
+    // splits. Strings are hashed ONCE here; minhash runs on the hashes.
+    val hashed = Par.spread(docs.select(
       sf.col(idCol).cast("long").as("id"),
       gf.wordShingles(sf.col(textCol)).as("sh0")))
-      .select(sf.col("id"),
-        gf.minHashBands(sf.col("sh0"), numHashes, rowsPerBand).as("bands"),
-        gf.hashShingles(sf.col("sh0")).as("shh"))
-      .withColumn("sz", sf.size(sf.col("shh")))
+      .select(sf.col("id"), gf.hashShingles(sf.col("sh0")).as("shh"))
+      .withColumn("setkey", sf.xxhash64(sf.col("shh")))
+      .persist()
+    val groups = hashed.groupBy("setkey")
+      .agg(sf.min("id").as("rep"), sf.count(sf.lit(1)).as("cnt"),
+        sf.first("shh").as("shh"))
+      .persist()
+    val base = groups.select(sf.col("setkey"), sf.col("rep").as("id"), sf.col("shh"),
+        gf.minHashBandsFromHashes(sf.col("shh"), numHashes, rowsPerBand).as("bands"),
+        sf.size(sf.col("shh")).as("sz"))
       .persist()
     // (id, bands, sz, band, bandHash) per band. The full band array
     // (32-bit values) rides along for the first-witness test; sz for
@@ -134,17 +156,48 @@ object Dedup {
         sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * threshold)
       .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band")))
       .select("a_id", "b_id")
-    val shA = base.select(sf.col("id").as("a_id"), sf.col("shh").as("sh_a"))
-    val shB = base.select(sf.col("id").as("b_id"), sf.col("shh").as("sh_b"))
+    val shA = base.select(sf.col("id").as("a_id"),
+      sf.col("setkey").as("sk_a"), sf.col("shh").as("sh_a"))
+    val shB = base.select(sf.col("id").as("b_id"),
+      sf.col("setkey").as("sk_b"), sf.col("shh").as("sh_b"))
     // Early-abandoning verification at threshold minus the 4-decimal
     // rounding margin: any pair whose exact J could still round up to
     // the threshold survives the scan; the -1.0 aborts fail the final
     // rounded filter naturally.
-    candidates.join(shA, "a_id").join(shB, "b_id")
-      .select(sf.col("a_id"), sf.col("b_id"),
+    val repPairs = candidates.join(shA, "a_id").join(shB, "b_id")
+      .select(sf.col("a_id"), sf.col("b_id"), sf.col("sk_a"), sf.col("sk_b"),
         sf.round(gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"),
           threshold - 0.00005), 4).as("jaccard"))
       .filter(sf.col("jaccard") >= threshold)
+    LshCore(repPairs, groups.select("setkey", "rep", "cnt"),
+      hashed.select("setkey", "id"))
+  }
+
+  /** `minHashLsh` without the final global sort — for consumers that
+    * aggregate the pairs anyway (connected components, dedup filters)
+    * the sort is pure waste. Pairs between distinct groups are the
+    * verified representative pairs expanded to every member combination
+    * (identical sets ⇒ identical Jaccard); pairs within a multi-member
+    * group are exact duplicates (J = 1.0 by construction). Both
+    * expansions are output-proportional. */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                 threshold: Double = 0.9, numHashes: Int = 144,
+                 rowsPerBand: Int = 6, maxBucketSize: Int = 0): DataFrame = {
+    val core = lshCore(docs, idCol, textCol, threshold, numHashes,
+      rowsPerBand, maxBucketSize)
+    val membA = core.members.select(sf.col("setkey").as("sk_a"), sf.col("id").as("ia"))
+    val membB = core.members.select(sf.col("setkey").as("sk_b"), sf.col("id").as("ib"))
+    val cross = core.repPairs.join(membA, "sk_a").join(membB, "sk_b")
+      .select(sf.least(sf.col("ia"), sf.col("ib")).as("a_id"),
+        sf.greatest(sf.col("ia"), sf.col("ib")).as("b_id"),
+        sf.col("jaccard"))
+    val dupSets = core.groups.filter(sf.col("cnt") > 1).select("setkey")
+    val m2 = core.members.join(dupSets, Seq("setkey"), "left_semi")
+    val intra = m2.alias("x").join(m2.alias("y"),
+        sf.col("x.setkey") === sf.col("y.setkey") && sf.col("x.id") < sf.col("y.id"))
+      .select(sf.col("x.id").as("a_id"), sf.col("y.id").as("b_id"),
+        sf.lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Connected components over an undirected pair list (a_id, b_id):
@@ -212,10 +265,29 @@ object Dedup {
   }
 
   /** Near-dup clustering end-to-end: LSH pairs at `threshold` ->
-    * connected components -> cluster id per clustered document. */
+    * connected components -> cluster id per clustered document.
+    *
+    * CC runs on the exact-collapsed REPRESENTATIVE graph (orders of
+    * magnitude fewer edges than the expanded pair list); members then
+    * inherit their group's component. A multi-member group is a
+    * component even without cross-group edges (its docs are mutual
+    * exact duplicates, J = 1). Component label = min member id: every
+    * member id ≥ its group rep, so the min over reps IS the min over
+    * members. */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.9): DataFrame =
-    connectedComponents(minHashLshPairs(docs, idCol, textCol, threshold))
+                      threshold: Double = 0.9): DataFrame = {
+    val core = lshCore(docs, idCol, textCol, threshold,
+      numHashes = 144, rowsPerBand = 6, maxBucketSize = 0)
+    val repComp = connectedComponents(core.repPairs.select("a_id", "b_id"))
+      .select(sf.col("doc_id").as("rep"), sf.col("cluster_id"))
+    val groupLabel = core.groups.join(repComp, Seq("rep"), "left")
+      .filter(sf.col("cluster_id").isNotNull || sf.col("cnt") > 1)
+      .select(sf.col("setkey"),
+        sf.coalesce(sf.col("cluster_id"), sf.col("rep")).as("cluster_id"))
+    core.members.join(groupLabel, "setkey")
+      .select(sf.col("id").as("doc_id"), sf.col("cluster_id"))
+      .orderBy("doc_id")
+  }
 
   /** Per-document 64-bit SimHash signatures. */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =

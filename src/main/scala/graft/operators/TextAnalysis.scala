@@ -62,7 +62,7 @@ object TextAnalysis {
     val toks = gf.wsTokens(sf.col(textCol))
     docs.select(
       sf.col(idCol),
-      sf.round(gf.maxFreqFraction(gf.wordBigrams(sf.col(textCol))), 4)
+      sf.round(gf.maxBigramFraction(toks), 4)
         .as("top_bigram_frac"),
       sf.round(sf.when(sf.size(toks) === 0, 0.0)
         .otherwise(sf.lit(1.0) -

@@ -204,8 +204,10 @@ object Kernels {
     }
   }
 
-  private def signature(shingles: ArrayData, k: Int): Array[Long] = {
-    val hs = baseHashes(shingles)
+  private def signature(shingles: ArrayData, k: Int): Array[Long] =
+    signatureFromBase(baseHashes(shingles), k)
+
+  private def signatureFromBase(hs: Array[Long], k: Int): Array[Long] = {
     val (as, bs) = coefs(k)
     val sig = new Array[Long](k)
     var i = 0
@@ -236,6 +238,38 @@ object Kernels {
     * verification discards (never drops a pair). */
   def minHashBands(shingles: ArrayData, k: Int, rowsPerBand: Int): ArrayData = {
     val sig = signature(shingles, k)
+    val nBands = k / rowsPerBand
+    val out = new Array[Int](nBands)
+    var bi = 0
+    while (bi < nBands) {
+      var h = 1125899906842597L
+      var j = bi * rowsPerBand
+      val end = j + rowsPerBand
+      while (j < end) { h = h * 31 + sig(j); j += 1 }
+      out(bi) = (h ^ (h >>> 32)).toInt
+      bi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `minHashBands` over an ALREADY-HASHED shingle set (the sorted
+    * xxhash64 longs of `hashSetSorted`): skips re-hashing the strings —
+    * used after exact-duplicate collapse, where one signature serves
+    * every doc sharing the set. Base hashes are the low 31 bits of the
+    * xxhash64 values (the permutation family needs non-negative
+    * < 2^31 inputs); a low-bit collision can only ADD a candidate,
+    * which exact verification discards. */
+  def minHashBandsFromHashes(shh: ArrayData, k: Int, rowsPerBand: Int): ArrayData = {
+    val n = shh.numElements()
+    val hs =
+      if (n == 0) Array(XxHash64Function.hash(UTF8String.fromString(""), StringType, Seed) & 0x7FFFFFFFL)
+      else {
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) { out(i) = shh.getLong(i) & 0x7FFFFFFFL; i += 1 }
+        out
+      }
+    val sig = signatureFromBase(hs, k)
     val nBands = k / rowsPerBand
     val out = new Array[Int](nBands)
     var bi = 0
@@ -311,6 +345,30 @@ object Kernels {
 
   /** Fraction of the array taken by its most frequent element
     * (repetition signal, e.g. top-bigram fraction); 0.0 for empty. */
+  /** Fraction of a token array's bigram multiset taken by the most
+    * frequent bigram; <2 tokens -> 0.0. Fused kernel: building the
+    * bigram strings with Spark's `transform` would route the whole
+    * projection through the interpreted HigherOrderFunction path —
+    * here the pairs are counted directly off the token array inside
+    * whole-stage codegen. */
+  def maxBigramFraction(tokens: ArrayData): Double = {
+    val n = tokens.numElements()
+    if (n < 2) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    var mx = 0
+    while (i < n - 1) {
+      val bg = UTF8String.concat(tokens.getUTF8String(i), space, tokens.getUTF8String(i + 1))
+      val prev = counts.get(bg)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(bg, c)
+      if (c > mx) mx = c
+      i += 1
+    }
+    mx.toDouble / (n - 1)
+  }
+
   def maxFreqFraction(arr: ArrayData): Double = {
     val n = arr.numElements()
     if (n == 0) return 0.0
