@@ -230,6 +230,29 @@ object SparkEntry {
         ("orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("customer", "c_nationkey", "nation", "n_nationkey")))),
+
+    "q42_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedupKeepFirst(docs(s, dir), "doc_id", "text")),
+
+    "q43_pii_scrub" -> ((s, dir) =>
+      Cleaning.scrubPii(docs(s, dir), "text")
+        .select(sf.col("doc_id"), sf.md5(sf.col("text")).as("scrubbed_md5"),
+          sf.col("n_email"), sf.col("n_phone"), sf.col("n_ip"))
+        .orderBy("doc_id")),
+
+    "q44_stopword_ratio" -> ((s, dir) =>
+      TextAnalysis.stopwordRatio(docs(s, dir), "doc_id", "text", "lang")),
+
+    "q45_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(docs(s, dir), "doc_id", "text", threshold = 0.9)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "q46_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(emb(s, dir), "label", "embedding")),
+
+    "q47_scd2" -> ((s, dir) =>
+      EventOps.scdType2(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -685,5 +708,96 @@ object SparkEntry {
              | COUNT(*) AS orphans
              |FROM $child WHERE $fk NOT IN (SELECT $pk FROM $parent)""".stripMargin
         }.mkString("", " UNION ALL ", " ORDER BY relationship"),
+
+    "q42_line_dedup" ->
+      """WITH parts AS (SELECT doc_id, str_split(text, chr(10)) AS p FROM documents),
+        |lx AS (SELECT doc_id,
+        |  unnest([{'idx': i, 'line': p[i+1]} FOR i IN range(0, len(p))]) AS u
+        |  FROM parts),
+        |lines AS (SELECT doc_id, u.line AS line, u.idx AS idx FROM lx),
+        |kept AS (SELECT doc_id, idx, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |  FROM lines),
+        |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY idx) AS kept_text
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_lines,
+        | COALESCE(ka.n_kept, 0) AS n_kept,
+        | COALESCE(ka.kept_text, '') AS kept_text
+        |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    "q43_pii_scrub" -> {
+      val Seq(em, ph, ip) = Cleaning.piiPatterns.map(_._2).map(_.replace("'", "''"))
+      s"""SELECT doc_id,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS scrubbed_md5,
+         | CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_email,
+         | CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phone,
+         | CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ip
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q44_stopword_ratio" -> {
+      val cands = functions.stopwords.toSeq.sortBy(_._1).map { case (l, sw) =>
+        s"('$l', [${sw.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+         |  FROM documents)
+         |SELECT k.doc_id, k.lang,
+         | round(CAST(len(list_filter(k.t, x -> list_contains(u.sw, x))) AS DOUBLE)
+         |   / greatest(len(k.t), 1), 4) AS stopword_ratio
+         |FROM toks k JOIN (VALUES $cands) u(l, sw) ON k.lang = u.l
+         |ORDER BY k.doc_id""".stripMargin
+    },
+
+    "q45_dedup_corpus" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.9),
+        |e AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
+        |reach AS (SELECT s, d FROM e
+        |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+        |losers AS (SELECT s AS doc_id FROM reach GROUP BY s
+        |           HAVING LEAST(s, MIN(d)) <> s)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q46_label_centroids" ->
+      """WITH x AS (SELECT label,
+        |  unnest([{'dim': i, 'x': embedding[i+1]} FOR i IN range(0, len(embedding))]) AS u
+        |  FROM embeddings)
+        |SELECT label, CAST(u.dim AS INT) AS dim,
+        | round(AVG(CAST(u.x AS DOUBLE)), 4) AS centroid,
+        | COUNT(*) AS n_vectors
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q47_scd2" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |       OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS run FROM o),
+        |iv AS (SELECT user_id, run, MIN(event_type) AS event_type,
+        |  MIN(CAST(ts AS TIMESTAMP)) AS f, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run)
+        |SELECT user_id, CAST(run AS INT) AS version, event_type,
+        | strftime(f, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        | strftime(lead(f) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        | CAST(lead(f) OVER w2 IS NULL AS INT) AS is_current,
+        | n_events
+        |FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+        |ORDER BY user_id, version""".stripMargin,
   )
 }

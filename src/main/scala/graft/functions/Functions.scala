@@ -220,12 +220,11 @@ object functions {
   // --------------------------------------------------------------------
   // Language ID (stopword-hit heuristic, pure expressions)
   // --------------------------------------------------------------------
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pas", "dans"),
-    "es" -> Seq("el", "los", "las", "y", "es", "uno", "una", "por", "no", "como"),
-    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+  val stopwords: Map[String, Seq[String]] = Kernels.stopwords
+
+  /** Count of tokens (with multiplicity) in `lang`'s stopword list. */
+  def stopwordCount(tokens: Column, lang: Column): Column =
+    kernel(org.apache.spark.sql.types.IntegerType, "stopwordCount", tokens, lang)
 
   /** Predicted language = argmax over per-language distinct stopword hits.
     * Ties break toward the lexicographically larger code (struct max). */

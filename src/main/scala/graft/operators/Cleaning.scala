@@ -45,4 +45,28 @@ object Cleaning {
     }.toIndexedSeq: _*)
 
   def filterRows(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
+
+  /** PII patterns for `scrubPii` — RE2-compatible (no backreferences),
+    * so the same literals run in Java regex and in SQL engines. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Scrub emails / phone numbers / IPv4 addresses from a text column:
+    * replaces each match with a typed placeholder and reports per-kind
+    * match counts. Map-only — runs at scan speed at any scale. Order
+    * matters (emails first: a phone regex must not fire inside an
+    * already-replaced span); counts are measured on the ORIGINAL text. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(sf.col(textCol)) {
+      case (c, (_, pat, repl)) => sf.regexp_replace(c, pat, repl)
+    }
+    val withCounts = piiPatterns.foldLeft(df.withColumn("__scrubbed", scrubbed)) {
+      case (d, (kind, pat, _)) =>
+        d.withColumn(s"n_$kind",
+          sf.size(sf.regexp_extract_all(sf.col(textCol), sf.lit(pat), sf.lit(0))))
+    }
+    withCounts.withColumn(textCol, sf.col("__scrubbed")).drop("__scrubbed")
+  }
 }

@@ -289,6 +289,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C4-style exact LINE deduplication across the corpus: every line
+    * keeps its first occurrence (ordered by (doc id, line index)) and
+    * later copies are dropped; documents are rebuilt from their kept
+    * lines. One shuffle on the line hash (row_number window picks the
+    * winner — same sort the dedup needs anyway); the rebuild groupBy
+    * is output-proportional. Returns (doc_id, n_lines, n_kept,
+    * kept_text). */
+  def lineDedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(sf.col(idCol).cast("long").as("id"),
+      sf.posexplode(sf.split(sf.col(textCol), "\n", -1)).as(Seq("idx", "line")))
+    // md5 key: the shuffle carries a fixed-width hash, not line bodies.
+    val keyed = lines.withColumn("lk", sf.md5(sf.col("line")))
+    val w = Window.partitionBy("lk").orderBy("id", "idx")
+    val kept = keyed.withColumn("__rn", sf.row_number().over(w))
+      .filter(sf.col("__rn") === 1)
+    val totals = lines.groupBy("id").agg(sf.count(sf.lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy("id").agg(
+      sf.count(sf.lit(1)).as("n_kept"),
+      sf.array_join(
+        sf.transform(sf.array_sort(sf.collect_list(sf.struct(sf.col("idx"), sf.col("line")))),
+          x => x.getField("line")), "\n").as("kept_text"))
+    totals.join(keptAgg, Seq("id"), "left")
+      .select(sf.col("id").as("doc_id"), sf.col("n_lines"),
+        sf.coalesce(sf.col("n_kept"), sf.lit(0L)).as("n_kept"),
+        sf.coalesce(sf.col("kept_text"), sf.lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The end-use of near-dup detection: the deduplicated corpus.
+    * Keeps every unclustered document plus one representative (the
+    * min id) per near-dup cluster. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.9): DataFrame = {
+    val losers = nearDupClusters(docs, idCol, textCol, threshold)
+      .filter(sf.col("doc_id") =!= sf.col("cluster_id"))
+      .select("doc_id")
+    docs.join(losers, docs(idCol) === losers("doc_id"), "left_anti")
+  }
+
   /** Per-document 64-bit SimHash signatures. */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     Par.spread(docs.select(sf.col(idCol).cast("long").as("id"), sf.col(textCol).as("t")))

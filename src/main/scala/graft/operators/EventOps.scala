@@ -95,4 +95,38 @@ object EventOps {
           .as("duration_sec"))
       .orderBy(keyCol, "session_id")
   }
+
+  /** Slowly-changing-dimension (type 2) history from an event log:
+    * collapse each key's consecutive runs of one attribute value into
+    * validity intervals [valid_from, valid_to), with `is_current` on
+    * the open last interval. One shuffle on the key: both windows and
+    * the interval aggregate reuse a single (key, ts, id) sort.
+    * Change detection via lag; run ids via running sum of change
+    * flags — the standard gaps-and-islands plan, fully parallel
+    * across keys. */
+  def scdType2(events: DataFrame, keyCol: String = "user_id",
+               attrCol: String = "event_type", tsCol: String = "ts",
+               idCol: String = "event_id"): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val changed = sf.when(sf.lag(sf.col(attrCol), 1).over(byKey).isNull ||
+      sf.lag(sf.col(attrCol), 1).over(byKey) =!= sf.col(attrCol), 1).otherwise(0)
+    val runs = events
+      .withColumn("__chg", changed)
+      .withColumn("__run", sf.sum("__chg").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = runs.groupBy(sf.col(keyCol), sf.col("__run"))
+      .agg(sf.first(sf.col(attrCol)).as(attrCol),
+        sf.min(sf.col(tsCol)).as("__from"),
+        sf.count(sf.lit(1)).as("n_events"))
+    val byKeyRun = Window.partitionBy(keyCol).orderBy("__run")
+    intervals
+      .withColumn("__to", sf.lead(sf.col("__from"), 1).over(byKeyRun))
+      .select(sf.col(keyCol), sf.col("__run").cast("int").as("version"),
+        sf.col(attrCol),
+        sf.date_format(sf.col("__from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        sf.date_format(sf.col("__to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        sf.col("__to").isNull.cast("int").as("is_current"),
+        sf.col("n_events"))
+      .orderBy(keyCol, "version")
+  }
 }

@@ -34,6 +34,20 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Per-label centroid of an embedding column, one output row per
+    * (label, dimension). posexplode -> groupBy(label, dim) keeps every
+    * partial sum map-side combinable: the shuffle carries one row per
+    * (label, dim) per map task — independent of corpus size — and no
+    * executor ever materializes a whole label's vectors (the pitfall of
+    * collect_list-style centroid builds at 100 TB). */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb.select(sf.col(labelCol).as("label"),
+        sf.posexplode(sf.col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sf.round(sf.avg("x"), 4).as("centroid"),
+        sf.count(sf.lit(1)).as("n_vectors"))
+      .orderBy("label", "dim")
+
   /** Brute-force top-k: every query vector against the whole corpus,
     * rank by (cosine desc, neighbor id asc). Window-rank shape — the
     * shape a SQL oracle can replicate exactly. */

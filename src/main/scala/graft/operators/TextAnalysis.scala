@@ -71,6 +71,21 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Stopword fraction per document against the stopword list of the
+    * document's own `langCol` (a core quality signal: natural prose in
+    * language L has a stable stopword rate; keyboard-mash and boilerplate
+    * don't). Map-only kernel — runs at scan speed. */
+  def stopwordRatio(docs0: DataFrame, idCol: String, textCol: String,
+                    langCol: String): DataFrame = {
+    val docs = Par.spread(docs0.select(sf.col(idCol), sf.col(textCol), sf.col(langCol)))
+    val toks = gf.wsTokens(sf.lower(sf.col(textCol)))
+    docs.select(
+      sf.col(idCol), sf.col(langCol),
+      sf.round(gf.stopwordCount(toks, sf.col(langCol)).cast("double") /
+        sf.greatest(sf.size(toks), sf.lit(1)).cast("double"), 4).as("stopword_ratio"))
+      .orderBy(idCol)
+  }
+
   /** Stopword-heuristic language prediction vs. the labeled column. */
   def langId(docs0: DataFrame, idCol: String, textCol: String,
              labelCol: Option[String] = None): DataFrame = {

@@ -22,6 +22,41 @@ object Kernels {
   private val Prime = 2147483629L
   private val Seed = 42L
 
+  /** Canonical stopword lists (also the language-ID candidate lists —
+    * graft.functions.stopwords aliases this map, keeping the Spark
+    * expressions and this kernel on one source of truth). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pas", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "uno", "una", "por", "no", "como"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  private val stopwordSets: java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]]()
+    stopwords.foreach { case (lang, ws) =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      m.put(UTF8String.fromString(lang), s)
+    }
+    m
+  }
+
+  /** Number of tokens (with multiplicity) that are stopwords of `lang`;
+    * unknown language -> 0. */
+  def stopwordCount(tokens: ArrayData, lang: UTF8String): Int = {
+    val set = stopwordSets.get(lang)
+    if (set == null) return 0
+    val n = tokens.numElements()
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (set.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Cosine similarity over two double arrays (same accumulation order
     * as a sequential fold — keeps parity with double-precision oracles). */
   def cosine(a: ArrayData, b: ArrayData): Double = {

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{functions => sf}
+import graft.operators._
+
+/** Specs for the curation operators added on top of the dedup/similarity
+  * families: PII scrubbing, line-level dedup, stopword ratio, SCD2
+  * history, label centroids, dedup-survivor corpus. */
+class CurationSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("Cleaning.scrubPii replaces emails/phones/ips and counts matches") {
+    val df = Seq(
+      (1L, "contact bob@example.com or 555-123-4567 now"),
+      (2L, "server at 10.1.2.3 and mirror at 192.168.0.1"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = Cleaning.scrubPii(df, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text") == "contact <EMAIL> or <PHONE> now")
+    assert(out(0).getAs[Int]("n_email") == 1 && out(0).getAs[Int]("n_phone") == 1)
+    assert(out(1).getAs[String]("text") == "server at <IP> and mirror at <IP>")
+    assert(out(1).getAs[Int]("n_ip") == 2)
+    assert(out(2).getAs[String]("text") == "nothing sensitive here")
+    assert(out(2).getAs[Int]("n_email") + out(2).getAs[Int]("n_phone") +
+      out(2).getAs[Int]("n_ip") == 0)
+  }
+
+  test("Dedup.lineDedupKeepFirst keeps first occurrence of each line") {
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),
+      (3L, "alpha\ndelta\nbeta")).toDF("doc_id", "text")
+    val out = Dedup.lineDedupKeepFirst(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 3 && out(1L).getAs[Long]("n_kept") == 3)
+    assert(out(1L).getAs[String]("kept_text") == "alpha\nbeta\ngamma")
+    assert(out(2L).getAs[Long]("n_kept") == 1 &&
+      out(2L).getAs[String]("kept_text") == "delta")
+    assert(out(3L).getAs[Long]("n_kept") == 0 &&
+      out(3L).getAs[String]("kept_text") == "")
+  }
+
+  test("TextAnalysis.stopwordRatio counts lang-specific stopwords with multiplicity") {
+    val df = Seq(
+      (1L, "the cat and the dog", "en"),   // the, and, the -> 3/5
+      (2L, "der hund ist gut", "de"),      // der, ist -> 2/4
+      (3L, "", "en"),
+      (4L, "xyz", "xx")).toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.stopwordRatio(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("stopword_ratio")).toMap
+    assert(m(1L) == 0.6 && m(2L) == 0.5 && m(3L) == 0.0 && m(4L) == 0.0)
+  }
+
+  test("EventOps.scdType2 builds validity intervals over attribute runs") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "bronze", 1.0),
+      (2L, "2024-01-02 00:00:00", 10L, "bronze", 1.0),
+      (3L, "2024-01-03 00:00:00", 10L, "gold", 1.0),
+      (4L, "2024-01-04 00:00:00", 10L, "bronze", 1.0),
+      (5L, "2024-01-01 00:00:00", 20L, "silver", 1.0))
+      .toDF("event_id", "s", "user_id", "event_type", "value")
+      .withColumn("ts", sf.to_timestamp($"s")).drop("s")
+    val rows = EventOps.scdType2(df).collect()
+    val u10 = rows.filter(_.getLong(0) == 10L)
+    assert(u10.map(_.getAs[String]("event_type")).toSeq == Seq("bronze", "gold", "bronze"))
+    assert(u10.head.getAs[String]("valid_from") == "2024-01-01 00:00:00")
+    assert(u10.head.getAs[String]("valid_to") == "2024-01-03 00:00:00")
+    assert(u10.head.getAs[Int]("is_current") == 0 && u10.head.getAs[Long]("n_events") == 2)
+    assert(u10.last.getAs[Int]("is_current") == 1 && u10.last.getAs[String]("valid_to") == null)
+    val u20 = rows.filter(_.getLong(0) == 20L)
+    assert(u20.length == 1 && u20.head.getAs[Int]("is_current") == 1)
+  }
+
+  test("Similarity.labelCentroids averages per (label, dim)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(3.0f, 2.0f), 0),
+      (3L, Array(5.0f, 5.0f), 1)).toDF("vec_id", "embedding", "label")
+    val m = Similarity.labelCentroids(df, "label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Double]("centroid")).toMap
+    assert(m((0, 0)) == 2.0 && m((0, 1)) == 1.0 && m((1, 0)) == 5.0)
+  }
+
+  test("Dedup.dedupCorpus keeps unclustered docs plus one rep per cluster") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),        // dup of 1 -> dropped
+      (3L, "totally different words here x y z q w")).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+}
