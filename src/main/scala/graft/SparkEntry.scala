@@ -253,6 +253,13 @@ object SparkEntry {
 
     "q47_scd2" -> ((s, dir) =>
       EventOps.scdType2(Tables.load(s, dir, "events"))),
+
+    "q48_rollup" -> ((s, dir) => StarSchema.revenueRollup(s, dir)),
+
+    "q49_running" -> ((s, dir) => StarSchema.customerRunningSpend(s, dir)),
+
+    "q50_edit_distance" -> ((s, dir) =>
+      TextAnalysis.editDistancePairs(docs(s, dir), "doc_id", "text", idMax = 20)),
   )
 
   // ---------------------------------------------------------------------
@@ -799,5 +806,36 @@ object SparkEntry {
         | n_events
         |FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
         |ORDER BY user_id, version""".stripMargin,
+
+    "q48_rollup" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines,
+        | CAST(GROUPING(r.r_name, n.n_name) AS INT) AS lvl
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey=o.o_orderkey
+        |JOIN customer c ON o.o_custkey=c.c_custkey
+        |JOIN nation n ON c.c_nationkey=n.n_nationkey
+        |JOIN region r ON n.n_regionkey=r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)
+        |ORDER BY lvl, region NULLS FIRST, nation NULLS FIRST""".stripMargin,
+
+    "q49_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(row_number() OVER w AS INT) AS order_seq,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+        | round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |     (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q50_edit_distance" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 20 AND b.doc_id < 20
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

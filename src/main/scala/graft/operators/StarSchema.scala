@@ -53,6 +53,53 @@ object StarSchema {
       .orderBy("region", "nation")
   }
 
+  /** Hierarchy subtotals: revenue by (region, nation) with ROLLUP —
+    * nation subtotals, region subtotals, and the grand total in one
+    * pass. Spark expands grouping sets inside a single aggregation
+    * (one shuffle, map-side partial aggs for every set); dims broadcast
+    * as in `revenueByRegion`, the fact never shuffles. `lvl` is the
+    * grouping-set id (0=detail, 1=region subtotal, 3=grand total) —
+    * it doubles as the NULL-disambiguator for sort stability. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val ord = load(spark, dir, "orders")
+    val cust = load(spark, dir, "customer")
+    val nat = sf.broadcast(load(spark, dir, "nation"))
+    val reg = sf.broadcast(load(spark, dir, "region"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .rollup(sf.col("r_name").as("region"), sf.col("n_name").as("nation"))
+      .agg(
+        graft.functions.e4ToDecimal(sf.sum(revenueE4)).cast("double").as("revenue"),
+        sf.count(sf.lit(1)).as("n_lines"),
+        sf.grouping_id().cast("int").as("lvl"))
+      .orderBy(sf.col("lvl"), sf.col("region").asc_nulls_first,
+        sf.col("nation").asc_nulls_first)
+  }
+
+  /** Window analytics over the order history: per-customer order
+    * sequence number, running spend, and 3-order moving average. One
+    * shuffle on the customer key; all three windows share the single
+    * (custkey, orderdate, orderkey) sort. Money accumulates in
+    * DECIMAL(18,2) (exact at any prefix length) and surfaces as DOUBLE. */
+  def customerRunningSpend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(sf.col("o_orderdate"), sf.col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = w.rowsBetween(-2, Window.currentRow)
+    val price = sf.col("o_totalprice").cast("decimal(18,2)")
+    load(spark, dir, "orders")
+      .select(sf.col("o_custkey"), sf.col("o_orderkey"),
+        sf.row_number().over(w).as("order_seq"),
+        sf.sum(price).over(wRun).cast("double").as("running_spend"),
+        sf.round(sf.sum(price).over(wMov).cast("double") /
+          sf.count(sf.lit(1)).over(wMov), 4).as("moving_avg3"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
   /** Fact build: cleaning + casts + derived ship_delay / revenue
     * (reference fact_I94: drop, na.drop(subset), SAS datediff stay). */
   def factSales(spark: SparkSession, dir: String): DataFrame = {

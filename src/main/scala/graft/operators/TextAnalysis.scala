@@ -86,6 +86,21 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Pairwise Levenshtein edit distance over a bounded id range (the
+    * exact string-similarity baseline; O(len²) per pair — bound the
+    * pair space, or use the LSH/fingerprint families at corpus scale). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        idMax: Long): DataFrame = {
+    val base = docs.filter(sf.col(idCol) < idMax)
+      .select(sf.col(idCol).cast("long").as("id"), sf.col(textCol).as("t"))
+    val a = base.select(sf.col("id").as("a_id"), sf.col("t").as("ta"))
+    val b = base.select(sf.col("id").as("b_id"), sf.col("t").as("tb"))
+    a.join(b, sf.col("a_id") < sf.col("b_id"))
+      .select(sf.col("a_id"), sf.col("b_id"),
+        sf.levenshtein(sf.col("ta"), sf.col("tb")).as("edit_dist"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Stopword-heuristic language prediction vs. the labeled column. */
   def langId(docs0: DataFrame, idCol: String, textCol: String,
              labelCol: Option[String] = None): DataFrame = {
