@@ -75,12 +75,16 @@ object QualityChecks {
       .filter(sf.col("__v").isNotNull)
       .groupBy(groupCol, "__v")
       .agg(sf.count(sf.lit(1)).as("__c"))
-    val byGroup = Window.partitionBy(groupCol)
-    val cumW = byGroup.orderBy("__v")
+    val cumW = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Group totals via a one-row-per-group aggregate + broadcast join,
+    // NOT an unordered whole-partition window — that frame buffers the
+    // entire partition per row batch; the running-frame window below
+    // streams. The join is map-side (group cardinality rows).
+    val totals = counts.groupBy(groupCol).agg(sf.sum("__c").as("__n"))
     val ranked = counts
       .withColumn("__hi", sf.sum("__c").over(cumW))
-      .withColumn("__n", sf.sum("__c").over(byGroup))
+      .join(sf.broadcast(totals), groupCol)
     val lo = sf.col("__hi") - sf.col("__c") // first in-group rank of this value run
     val hi = sf.col("__hi") - 1             // last in-group rank of this value run
     val n = sf.col("__n")

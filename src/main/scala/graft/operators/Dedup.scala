@@ -256,12 +256,51 @@ object Dedup {
           sf.greatest(sf.col("la"), sf.col("lb")).as("dst"))
         .distinct()
         .localCheckpoint(true)
-      done = contracted.isEmpty
-      edges = contracted
+      val m = contracted.count()
+      if (m == 0) done = true
+      else if (m <= localFinishEdges) {
+        // The contracted graph fits the driver comfortably (bounded by
+        // localFinishEdges × 16 bytes): finish with in-memory union-find
+        // instead of paying several more rounds of per-job scheduling
+        // latency. At any input scale contraction shrinks geometrically,
+        // so this is the common exit after round 1-2; the distributed
+        // loop above remains the path for genuinely huge label graphs.
+        val remap = unionFindLabels(contracted.collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+        val remapDf = sf.broadcast(
+          spark.createDataFrame(remap.toSeq).toDF("__from", "__to"))
+        mapping = mapping.join(remapDf, mapping("cluster") === sf.col("__from"), "left")
+          .select(mapping("id"),
+            sf.coalesce(sf.col("__to"), mapping("cluster")).as("cluster"))
+        done = true
+      } else edges = contracted
       i += 1
     }
     mapping.select(sf.col("id").as("doc_id"), sf.col("cluster").as("cluster_id"))
       .orderBy("doc_id")
+  }
+
+  /** Driver-side edge budget below which `connectedComponents` finishes
+    * with local union-find (16 bytes/edge -> ~32 MB at the default). */
+  private val localFinishEdges = 2000000L
+
+  /** Path-compressing union-find; returns node -> component-min for
+    * every node whose final label differs from itself. */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val keys = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    keys.iterator.map(k => k -> find(k)).filter { case (k, v) => k != v }.toMap
   }
 
   /** Near-dup clustering end-to-end: LSH pairs at `threshold` ->

@@ -18,47 +18,43 @@ object Scratch {
       println(f"[t] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = Tables.load(spark, dir, "documents")
-    for (round <- 1 to 3) {
-      t(s"r$round q22 full")(
-        Dedup.minHashLsh(docs, "doc_id", "text", 0.9)
-          .write.format("noop").mode("overwrite").save())
-      spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
-    }
-    // stage profile (round 4, warm)
-    val threshold = 0.9
-    val base = Par.spread(docs.select(
+    val hashed = Par.spread(docs.select(
       sf.col("doc_id").cast("long").as("id"),
       gf.wordShingles(sf.col("text")).as("sh0")))
-      .select(sf.col("id"),
-        gf.minHashBands(sf.col("sh0"), 144, 6).as("bands"),
-        gf.hashShingles(sf.col("sh0")).as("shh"))
-      .withColumn("sz", sf.size(sf.col("shh")))
+      .select(sf.col("id"), gf.hashShingles(sf.col("sh0")).as("shh"))
+      .withColumn("setkey", sf.xxhash64(sf.col("shh")))
       .persist()
-    t("signatures")(base.count())
+    val groups = hashed.groupBy("setkey")
+      .agg(sf.min("id").as("rep"), sf.count(sf.lit(1)).as("cnt"), sf.first("shh").as("shh"))
+      .persist()
+    val base = groups.select(sf.col("setkey"), sf.col("rep").as("id"), sf.col("shh"),
+        gf.minHashBandsFromHashes(sf.col("shh"), 144, 6).as("bands"),
+        sf.size(sf.col("shh")).as("sz"))
+      .persist()
     val buckets = base.select(sf.col("id"), sf.col("bands"), sf.col("sz"),
       sf.posexplode(sf.col("bands")).as(Seq("band", "bh"))).persist()
-    t("buckets")(buckets.count())
+    t("materialize")(buckets.count())
     val ba = buckets.select(sf.col("band"), sf.col("bh"),
       sf.col("id").as("a_id"), sf.col("bands").as("bands_a"), sf.col("sz").as("sz_a"))
     val bb = buckets.select(sf.col("band").as("band_b"), sf.col("bh").as("bh_b"),
       sf.col("id").as("b_id"), sf.col("bands").as("bands_b"), sf.col("sz").as("sz_b"))
-    val candidates = ba.join(bb.hint("shuffle_hash"),
+    def candidates = ba.join(bb.hint("shuffle_hash"),
         sf.col("band") === sf.col("band_b") && sf.col("bh") === sf.col("bh_b") &&
           sf.col("a_id") < sf.col("b_id"))
       .filter(sf.least(sf.col("sz_a"), sf.col("sz_b")).cast("double") >=
-        sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * threshold)
+        sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * 0.9)
       .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band")))
-      .select("a_id", "b_id").persist()
-    t("candidates")(candidates.count())
+      .select("a_id", "b_id")
     val shA = base.select(sf.col("id").as("a_id"), sf.col("shh").as("sh_a"))
     val shB = base.select(sf.col("id").as("b_id"), sf.col("shh").as("sh_b"))
-    val ver = candidates.join(shA, "a_id").join(shB, "b_id")
-      .select(sf.col("a_id"), sf.col("b_id"),
-        sf.round(gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"),
-          threshold - 0.00005), 4).as("jaccard"))
-      .filter(sf.col("jaccard") >= threshold)
-    t("verify")(ver.count())
-    t("sort+emit")(ver.orderBy("a_id", "b_id").write.format("noop").mode("overwrite").save())
+    for (r <- 1 to 2) {
+      t(s"r$r verify plain")(println(candidates.join(shA, "a_id").join(shB, "b_id")
+        .select(sf.round(gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"), 0.89995), 4).as("j"))
+        .filter(sf.col("j") >= 0.9).count()))
+      t(s"r$r verify bcast")(println(candidates.join(sf.broadcast(shA), "a_id").join(sf.broadcast(shB), "b_id")
+        .select(sf.round(gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"), 0.89995), 4).as("j"))
+        .filter(sf.col("j") >= 0.9).count()))
+    }
     spark.stop()
   }
 }
