@@ -121,6 +121,30 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Sketch-based quantile profile (Greenwald-Khanna via Spark's
+    * `approx_percentile`): the routine-monitoring variant of
+    * `quantileProfile` — one pass, bounded memory per group regardless
+    * of the value domain, rank error <= 1/accuracy. Same output shape
+    * as the exact profile so dashboards can swap them. */
+  def approxQuantileProfile(df: DataFrame, groupCol: String, valueCol: String,
+                            accuracy: Int = 10000): DataFrame = {
+    val v = sf.col(valueCol).cast("double")
+    val ps = sf.percentile_approx(v,
+      sf.array(sf.lit(0.25), sf.lit(0.5), sf.lit(0.75), sf.lit(0.95)),
+      sf.lit(accuracy))
+    df.filter(v.isNotNull)
+      .groupBy(groupCol)
+      .agg(sf.round(sf.min(v), 4).as("v_min"), ps.as("__ps"),
+        sf.round(sf.max(v), 4).as("v_max"))
+      .select(sf.col(groupCol), sf.col("v_min"),
+        sf.round(sf.col("__ps").getItem(0), 4).as("p25"),
+        sf.round(sf.col("__ps").getItem(1), 4).as("p50"),
+        sf.round(sf.col("__ps").getItem(2), 4).as("p75"),
+        sf.round(sf.col("__ps").getItem(3), 4).as("p95"),
+        sf.col("v_max"))
+      .orderBy(groupCol)
+  }
+
   /** Sketch-based distinct counts (HyperLogLog++): the 100 TB-scale
     * variant of the unique-key audit — constant memory per column. */
   def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame = {

@@ -103,6 +103,23 @@ class OperatorsSpec extends SparkFunSuite {
     assert(approx("c_mktsegment") == exactSeg) // tiny cardinality: exact
   }
 
+  test("QualityChecks: approx quantile profile tracks the exact one") {
+    val li = graft.sources.Tables.load(spark, sf001, "lineitem")
+    val exact = graft.dq.QualityChecks.quantileProfile(li, "l_returnflag", "l_extendedprice")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.dq.QualityChecks.approxQuantileProfile(li, "l_returnflag", "l_extendedprice")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    for (k <- exact.keys; c <- Seq("v_min", "v_max")) // extremes are exact in both
+      assert(exact(k).getAs[Double](c) == approx(k).getAs[Double](c))
+    for (k <- exact.keys; c <- Seq("p25", "p50", "p75", "p95")) {
+      val e = exact(k).getAs[Double](c)
+      val a = approx(k).getAs[Double](c)
+      assert(math.abs(a - e) / math.max(math.abs(e), 1.0) < 0.05,
+        s"$k/$c: approx $a vs exact $e")
+    }
+  }
+
   test("QualityChecks: predicate violations count") {
     val df = Seq(1, 2, -3, 4).toDF("v")
     val got = graft.dq.QualityChecks.predicateViolations(df, "positive", $"v" > 0)
