@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // WindowExec moves a partition-key group to a spillable buffer
+      // after 4096 rows by default; the window-heavy profiles (quantile
+      // ranks, sessionization, SCD2) have 10^5-row groups that fit
+      // memory fine — raise the in-memory threshold so they don't pay
+      // spill-format conversion under the benchmark's memory churn.
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", 1048576)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed steady-state warmup: run EVERY query once at the smallest

@@ -71,10 +71,13 @@ object QualityChecks {
                       ps: Seq[(String, Double)] = Seq(
                         "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Persisted: both the rank window and the group totals read it —
+    // without this the distinct-value aggregation runs twice.
     val counts = df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v"))
       .filter(sf.col("__v").isNotNull)
       .groupBy(groupCol, "__v")
       .agg(sf.count(sf.lit(1)).as("__c"))
+      .persist()
     val cumW = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Group totals via a one-row-per-group aggregate + broadcast join,
