@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Murmur3HashFunction, XxHash64Function}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -130,7 +131,7 @@ object Kernels {
       if (w == 0 || out(w - 1) != out(r)) { out(w) = out(r); w += 1 }
       r += 1
     }
-    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
+    UnsafeArrayData.fromPrimitiveArray(if (w == n) out else java.util.Arrays.copyOf(out, w))
   }
 
   /** Jaccard over sorted distinct long arrays (see hashSetSorted);
@@ -202,9 +203,12 @@ object Kernels {
     inter.toDouble / (n + m - inter)
   }
 
-  // Universal-family coefficients a_i (odd, 31-bit) and b_i (31-bit),
-  // derived from chained murmur3 like the SQL hash() function; cached
-  // per k so they are computed once per executor, not per row.
+  // Multiply-shift family coefficients: a_i a full-width ODD 64-bit
+  // multiplier (the product then wraps mod 2^64 — a narrow multiplier
+  // would leave a_i*h+b monotone in h, i.e. no permutation at all) and
+  // b_i a 64-bit offset; derived from chained murmur3/xxhash like the
+  // SQL hash() functions; cached per k so they are computed once per
+  // executor, not per row.
   private val coefCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
@@ -216,8 +220,8 @@ object Kernels {
       val bs = new Array[Long](kk)
       var i = 0
       while (i < kk) {
-        as(i) = (Murmur3HashFunction.hash(i, IntegerType, seedA) & 0x3FFFFFFFL) * 2 + 1
-        bs(i) = Murmur3HashFunction.hash(i, IntegerType, seedB) & 0x7FFFFFFFL
+        as(i) = XxHash64Function.hash(i, IntegerType, seedA) | 1L
+        bs(i) = XxHash64Function.hash(i, IntegerType, seedB)
         i += 1
       }
       (as, bs)
@@ -252,7 +256,14 @@ object Kernels {
       var m = Long.MaxValue
       var j = 0
       while (j < hs.length) {
-        val v = (a * hs(j) + b) % Prime
+        // Multiply-xorshift permutation slot (odd multiplier + finalizer
+        // xorshift): the standard multiply-shift universal family — a
+        // single IMUL+XOR+SHR instead of the 20-cycle 64-bit modulo of
+        // the classic (a*x+b) mod p form. The hash family only shapes
+        // CANDIDATE generation; any family change is absorbed by exact
+        // verification, so this is a free constant-factor choice.
+        val u = a * hs(j) + b
+        val v = u ^ (u >>> 29)
         if (v < m) m = v
         j += 1
       }
@@ -264,7 +275,7 @@ object Kernels {
 
   /** k-wide MinHash signature via h_i(x) = (a_i*x + b_i) mod p. */
   def minHashSignature(shingles: ArrayData, k: Int): ArrayData =
-    new GenericArrayData(signature(shingles, k))
+    UnsafeArrayData.fromPrimitiveArray(signature(shingles, k))
 
   /** LSH band hashes: signature folded in bands of rowsPerBand slots.
     * 32-bit values: the bucket join key and the first-witness array both
@@ -284,7 +295,7 @@ object Kernels {
       out(bi) = (h ^ (h >>> 32)).toInt
       bi += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** `minHashBands` over an ALREADY-HASHED shingle set (the sorted
@@ -316,7 +327,7 @@ object Kernels {
       out(bi) = (h ^ (h >>> 32)).toInt
       bi += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Exact fixed-point revenue in 1e-4 units: price and discount are
@@ -462,7 +473,7 @@ object Kernels {
       out(r) = best
       r += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** 60-bit SimHash: md5-60-bit hash per token, +/-1 vote per bit,
