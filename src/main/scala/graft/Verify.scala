@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 50 queries × several codegen stages each overflow the 100-entry
+      // generated-class cache default (see Bench).
+      .config("spark.sql.codegen.cache.maxEntries", 4000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
