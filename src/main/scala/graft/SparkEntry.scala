@@ -329,7 +329,7 @@ object SparkEntry {
 
     "q07_agg_stats" ->
       """SELECT n.n_name AS nation, COUNT(*) AS n_customers,
-        | round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 2) AS avg_bal,
+        | floor((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*))*100.0 + 0.5)/100.0 AS avg_bal,
         | CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
         | MIN(c.c_acctbal) AS min_bal,
         | MAX(c.c_acctbal) AS max_bal
@@ -398,12 +398,12 @@ object SparkEntry {
         |  n_digit/greatest(len, 1.0) AS digits,
         |  CASE WHEN n_tok=0 THEN 0.0 ELSE n_nonws/n_tok END AS avgtok,
         |  len FROM b)
-        |SELECT doc_id, round(punct,4) AS punct_ratio, round(digits,4) AS digit_ratio,
-        | round(avgtok,4) AS avg_token_len,
-        | round(CASE WHEN len BETWEEN 100 AND 10000 THEN 0.4 ELSE 0.0 END
+        |SELECT doc_id, floor((punct)*10000.0 + 0.5)/10000.0 AS punct_ratio, floor((digits)*10000.0 + 0.5)/10000.0 AS digit_ratio,
+        | floor((avgtok)*10000.0 + 0.5)/10000.0 AS avg_token_len,
+        | floor((CASE WHEN len BETWEEN 100 AND 10000 THEN 0.4 ELSE 0.0 END
         |  + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END
         |  + CASE WHEN digits < 0.2 THEN 0.2 ELSE 0.0 END
-        |  + CASE WHEN avgtok BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END, 4)::DOUBLE AS quality
+        |  + CASE WHEN avgtok BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)*10000.0 + 0.5)/10000.0::DOUBLE AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q16_langid" -> {
@@ -466,18 +466,18 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
         |  FROM documents WHERE doc_id < 40)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        | round(CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        | floor((CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
         |   ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
-        |        / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
+        |        / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END)*10000.0 + 0.5)/10000.0 AS jaccard
         |FROM t a JOIN t b ON a.doc_id < b.doc_id ORDER BY 1,2""".stripMargin,
 
     "q22_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
         |  FROM documents),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |  floor((CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
         |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
-        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END)*10000.0 + 0.5)/10000.0 AS jaccard
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY 1,2""".stripMargin,
 
@@ -502,7 +502,7 @@ object SparkEntry {
 
     "q24_embed_neardup" ->
       """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),4) AS cosine
+        |  floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))*10000.0 + 0.5)/10000.0 AS cosine
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.3 ORDER BY 1,2""".stripMargin,
 
@@ -513,7 +513,7 @@ object SparkEntry {
         | WHERE q.vec_id < 10),
         |r AS (SELECT q_id, n_id, c,
         |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s)
-        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, round(c,4) AS cosine
+        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, floor((c)*10000.0 + 0.5)/10000.0 AS cosine
         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     // Sign-random-projection LSH ANN: the hyperplanes are dyadic-valued
@@ -535,7 +535,7 @@ object SparkEntry {
          | WHERE q.vec_id < 10),
          |r AS (SELECT q_id, n_id, c,
          |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s)
-         |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, round(c,4) AS cosine
+         |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, floor((c)*10000.0 + 0.5)/10000.0 AS cosine
          |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
     },
 
@@ -562,7 +562,7 @@ object SparkEntry {
         |r AS (SELECT q_id, n_id, c2,
         |      row_number() OVER (PARTITION BY q_id ORDER BY c2 DESC, n_id) AS rn FROM
         |  (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS c2 FROM cand))
-        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, round(c2, 4) AS cosine
+        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, floor((c2)*10000.0 + 0.5)/10000.0 AS cosine
         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "q27_multimodal" ->
@@ -584,9 +584,9 @@ object SparkEntry {
         |  CASE WHEN length(s) < 3 THEN [s]
         |       ELSE [substr(s, i, 3) FOR i IN range(1, length(s)-1)] END) AS gr FROM t)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        | round(CASE WHEN len(a.gr)+len(b.gr)-len(list_intersect(a.gr,b.gr)) = 0 THEN 1.0
+        | floor((CASE WHEN len(a.gr)+len(b.gr)-len(list_intersect(a.gr,b.gr)) = 0 THEN 1.0
         |   ELSE CAST(len(list_intersect(a.gr,b.gr)) AS DOUBLE)
-        |        / (len(a.gr)+len(b.gr)-len(list_intersect(a.gr,b.gr))) END, 4) AS jaccard
+        |        / (len(a.gr)+len(b.gr)-len(list_intersect(a.gr,b.gr))) END)*10000.0 + 0.5)/10000.0 AS jaccard
         |FROM g a JOIN g b ON a.doc_id < b.doc_id ORDER BY 1,2""".stripMargin,
 
     "q30_dq_profile" ->
@@ -598,12 +598,12 @@ object SparkEntry {
 
     "q35_dq_quantiles" ->
       """SELECT l_returnflag,
-        | round(MIN(l_extendedprice), 4) AS v_min,
-        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
-        | round(MAX(l_extendedprice), 4) AS v_max
+        | floor((MIN(l_extendedprice))*10000.0 + 0.5)/10000.0 AS v_min,
+        | floor((quantile_cont(l_extendedprice, 0.25))*10000.0 + 0.5)/10000.0 AS p25,
+        | floor((quantile_cont(l_extendedprice, 0.5))*10000.0 + 0.5)/10000.0 AS p50,
+        | floor((quantile_cont(l_extendedprice, 0.75))*10000.0 + 0.5)/10000.0 AS p75,
+        | floor((quantile_cont(l_extendedprice, 0.95))*10000.0 + 0.5)/10000.0 AS p95,
+        | floor((MAX(l_extendedprice))*10000.0 + 0.5)/10000.0 AS v_max
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_repetition" ->
@@ -617,9 +617,9 @@ object SparkEntry {
         |cnt AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS tbf FROM
         |  (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2) GROUP BY doc_id)
         |SELECT k.doc_id,
-        | round(COALESCE(cnt.tbf, 0.0), 4) AS top_bigram_frac,
-        | round(CASE WHEN len(k.t)=0 THEN 0.0
-        |   ELSE 1.0 - CAST(len(list_distinct(k.t)) AS DOUBLE)/len(k.t) END, 4) AS dup_token_frac
+        | floor((COALESCE(cnt.tbf, 0.0))*10000.0 + 0.5)/10000.0 AS top_bigram_frac,
+        | floor((CASE WHEN len(k.t)=0 THEN 0.0
+        |   ELSE 1.0 - CAST(len(list_distinct(k.t)) AS DOUBLE)/len(k.t) END)*10000.0 + 0.5)/10000.0 AS dup_token_frac
         |FROM toks k LEFT JOIN cnt ON k.doc_id = cnt.doc_id
         |ORDER BY k.doc_id""".stripMargin,
 
@@ -628,9 +628,9 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
         |  FROM documents),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |  floor((CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
         |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
-        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END)*10000.0 + 0.5)/10000.0 AS jaccard
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
         |pr AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.9),
         |e AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
@@ -693,7 +693,7 @@ object SparkEntry {
         |  FROM tf JOIN dfx USING (term) CROSS JOIN n)
         |SELECT doc_id, CAST(rn AS INT) AS "rank", term,
         | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-        | round(score, 4) AS score
+        | floor((score)*10000.0 + 0.5)/10000.0 AS score
         |FROM sc WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
 
     "q39_json_props" ->
@@ -755,8 +755,8 @@ object SparkEntry {
          |       ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
          |  FROM documents)
          |SELECT k.doc_id, k.lang,
-         | round(CAST(len(list_filter(k.t, x -> list_contains(u.sw, x))) AS DOUBLE)
-         |   / greatest(len(k.t), 1), 4) AS stopword_ratio
+         | floor((CAST(len(list_filter(k.t, x -> list_contains(u.sw, x))) AS DOUBLE)
+         |   / greatest(len(k.t), 1))*10000.0 + 0.5)/10000.0 AS stopword_ratio
          |FROM toks k JOIN (VALUES $cands) u(l, sw) ON k.lang = u.l
          |ORDER BY k.doc_id""".stripMargin
     },
@@ -766,9 +766,9 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
         |  FROM documents),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |  floor((CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
         |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
-        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END, 4) AS jaccard
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END)*10000.0 + 0.5)/10000.0 AS jaccard
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
         |pr AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.9),
         |e AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
@@ -785,7 +785,7 @@ object SparkEntry {
         |  unnest([{'dim': i, 'x': embedding[i+1]} FOR i IN range(0, len(embedding))]) AS u
         |  FROM embeddings)
         |SELECT label, CAST(u.dim AS INT) AS dim,
-        | round(AVG(CAST(u.x AS DOUBLE)), 4) AS centroid,
+        | floor((AVG(CAST(u.x AS DOUBLE)))*10000.0 + 0.5)/10000.0 AS centroid,
         | COUNT(*) AS n_vectors
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -825,9 +825,9 @@ object SparkEntry {
         | CAST(row_number() OVER w AS INT) AS order_seq,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |   (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
-        | round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        | floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |     (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |   / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+        |   / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))*10000.0 + 0.5)/10000.0 AS moving_avg3
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, order_seq""".stripMargin,
 

@@ -3,6 +3,7 @@ package graft.dq
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => sf}
 import graft.sources.Tables
+import graft.{functions => gf}
 
 /** Data-quality checks (reference etl.py:490-594) as *queries* returning
   * DataFrames rather than driver-side booleans — composable, and the
@@ -99,12 +100,12 @@ object QualityChecks {
       covers(sf.floor(pos(p))) || covers(sf.ceil(pos(p)))
     }.reduce(_ || _) || covers(sf.lit(0L)) || covers(n - 1)
     val aggs =
-      Seq(sf.round(sf.min(sf.when(covers(sf.lit(0L)), sf.col("__v"))), 4).as("v_min")) ++
+      Seq(gf.roundAt(sf.min(sf.when(covers(sf.lit(0L)), sf.col("__v"))), 4).as("v_min")) ++
       ps.flatMap { case (name, p) => Seq(
         sf.min(sf.when(covers(sf.floor(pos(p))), sf.col("__v"))).as(s"__lo_$name"),
         sf.min(sf.when(covers(sf.ceil(pos(p))), sf.col("__v"))).as(s"__hi_$name"))
       } ++
-      Seq(sf.round(sf.max(sf.when(covers(n - 1), sf.col("__v"))), 4).as("v_max"),
+      Seq(gf.roundAt(sf.max(sf.when(covers(n - 1), sf.col("__v"))), 4).as("v_max"),
         sf.max(n).as("__nn"))
     val agged = ranked.filter(wanted)
       .groupBy(sf.col(groupCol))
@@ -116,7 +117,7 @@ object QualityChecks {
       ps.map { case (name, p) =>
         // lower + (upper-lower) * fractional-rank: the quantile_cont
         // interpolation, evaluated in the same double operation order
-        sf.round(sf.col(s"__lo_$name") +
+        gf.roundAt(sf.col(s"__lo_$name") +
           (sf.col(s"__hi_$name") - sf.col(s"__lo_$name")) *
             (posOut(p) - sf.floor(posOut(p))), 4).as(name)
       } ++
@@ -137,13 +138,13 @@ object QualityChecks {
       sf.lit(accuracy))
     df.filter(v.isNotNull)
       .groupBy(groupCol)
-      .agg(sf.round(sf.min(v), 4).as("v_min"), ps.as("__ps"),
-        sf.round(sf.max(v), 4).as("v_max"))
+      .agg(gf.roundAt(sf.min(v), 4).as("v_min"), ps.as("__ps"),
+        gf.roundAt(sf.max(v), 4).as("v_max"))
       .select(sf.col(groupCol), sf.col("v_min"),
-        sf.round(sf.col("__ps").getItem(0), 4).as("p25"),
-        sf.round(sf.col("__ps").getItem(1), 4).as("p50"),
-        sf.round(sf.col("__ps").getItem(2), 4).as("p75"),
-        sf.round(sf.col("__ps").getItem(3), 4).as("p95"),
+        gf.roundAt(sf.col("__ps").getItem(0), 4).as("p25"),
+        gf.roundAt(sf.col("__ps").getItem(1), 4).as("p50"),
+        gf.roundAt(sf.col("__ps").getItem(2), 4).as("p75"),
+        gf.roundAt(sf.col("__ps").getItem(3), 4).as("p95"),
         sf.col("v_max"))
       .orderBy(groupCol)
   }

@@ -53,6 +53,20 @@ object functions {
   // --------------------------------------------------------------------
   // Text primitives
   // --------------------------------------------------------------------
+  /** Engine-portable half-up rounding of a DOUBLE: floor(x*10^s + 0.5)
+    * / 10^s, evaluated entirely in binary double arithmetic. Spark's
+    * `round` rounds the value's SHORTEST DECIMAL STRING (HALF_UP on
+    * Double.toString), while SQL engines round the binary value — a
+    * double whose shortest repr ends in "...5" (e.g. 4201.315 =
+    * 4201.31499999999978 in binary) rounds UP in Spark and DOWN in the
+    * oracle. This form does the identical float ops on both engines, so
+    * results are bit-identical; as a bonus floor(±0.0...+0.5)=0 -> never
+    * emits -0.0. Mirror in SQL as floor(x*10^s + 0.5)/10^s. */
+  def roundAt(c: Column, scale: Int): Column = {
+    val f = sf.lit(math.pow(10, scale))
+    sf.floor(c * f + sf.lit(0.5)).cast("double") / f
+  }
+
   /** lowercase, collapse whitespace runs, trim. */
   def normalizeText(t: Column): Column =
     sf.trim(sf.regexp_replace(sf.lower(t), "\\s+", " "))

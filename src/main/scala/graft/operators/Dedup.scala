@@ -41,7 +41,7 @@ object Dedup {
     val b = base.select(sf.col("id").as("b_id"), sf.col("sh").as("sh_b"))
     a.join(b, sf.col("a_id") < sf.col("b_id"))
       .select(sf.col("a_id"), sf.col("b_id"),
-        sf.round(gf.jaccard(sf.col("sh_a"), sf.col("sh_b")), 4).as("jaccard"))
+        gf.roundAt(gf.jaccard(sf.col("sh_a"), sf.col("sh_b")), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -56,7 +56,7 @@ object Dedup {
     val b = base.select(sf.col("id").as("b_id"), sf.col("sh").as("sh_b"))
     a.join(b, sf.col("a_id") < sf.col("b_id"))
       .select(sf.col("a_id"), sf.col("b_id"),
-        sf.round(gf.jaccard(sf.col("sh_a"), sf.col("sh_b")), 4).as("jaccard"))
+        gf.roundAt(gf.jaccard(sf.col("sh_a"), sf.col("sh_b")), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -166,7 +166,7 @@ object Dedup {
     // rounded filter naturally.
     val repPairs = candidates.join(shA, "a_id").join(shB, "b_id")
       .select(sf.col("a_id"), sf.col("b_id"), sf.col("sk_a"), sf.col("sk_b"),
-        sf.round(gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"),
+        gf.roundAt(gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"),
           threshold - 0.00005), 4).as("jaccard"))
       .filter(sf.col("jaccard") >= threshold)
     LshCore(repPairs, groups.select("setkey", "rep", "cnt"),

@@ -28,7 +28,7 @@ object Similarity {
     val a = base.select(sf.col("id").as("a_id"), sf.col("v").as("va"))
     val b = base.select(sf.col("id").as("b_id"), sf.col("v").as("vb"))
     a.join(b, sf.col("a_id") < sf.col("b_id"))
-      .withColumn("cosine", sf.round(gf.cosineSim(sf.col("va"), sf.col("vb")), 4))
+      .withColumn("cosine", gf.roundAt(gf.cosineSim(sf.col("va"), sf.col("vb")), 4))
       .filter(sf.col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
       .orderBy("a_id", "b_id")
@@ -44,7 +44,7 @@ object Similarity {
     emb.select(sf.col(labelCol).as("label"),
         sf.posexplode(sf.col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
-      .agg(sf.round(sf.avg("x"), 4).as("centroid"),
+      .agg(gf.roundAt(sf.avg("x"), 4).as("centroid"),
         sf.count(sf.lit(1)).as("n_vectors"))
       .orderBy("label", "dim")
 
@@ -65,7 +65,7 @@ object Similarity {
     scored.withColumn("rank", sf.row_number().over(w))
       .filter(sf.col("rank") <= k)
       .select(sf.col("q_id"), sf.col("rank"), sf.col("n_id"),
-        sf.round(sf.col("cosine"), 4).as("cosine"))
+        gf.roundAt(sf.col("cosine"), 4).as("cosine"))
       .orderBy("q_id", "rank")
   }
 
@@ -108,7 +108,7 @@ object Similarity {
       .toDF("q_id", "topk")
       .select(sf.col("q_id"), sf.posexplode(sf.col("topk")).as(Seq("i", "sn")))
       .select(sf.col("q_id"), (sf.col("i") + 1).as("rank"),
-        sf.col("sn._2").as("n_id"), sf.round(sf.col("sn._1"), 4).as("cosine"))
+        sf.col("sn._2").as("n_id"), gf.roundAt(sf.col("sn._1"), 4).as("cosine"))
       .orderBy("q_id", "rank")
   }
 
@@ -155,7 +155,7 @@ object Similarity {
     scored.withColumn("rank", sf.row_number().over(w))
       .filter(sf.col("rank") <= k)
       .select(sf.col("q_id"), sf.col("rank"), sf.col("n_id"),
-        sf.round(sf.col("cosine"), 4).as("cosine"))
+        gf.roundAt(sf.col("cosine"), 4).as("cosine"))
       .orderBy("q_id", "rank")
   }
 
@@ -206,7 +206,7 @@ object Similarity {
     scored.withColumn("rank", sf.row_number().over(w))
       .filter(sf.col("rank") <= k)
       .select(sf.col("q_id"), sf.col("rank"), sf.col("n_id"),
-        sf.round(sf.col("cosine"), 4).as("cosine"))
+        gf.roundAt(sf.col("cosine"), 4).as("cosine"))
       .orderBy("q_id", "rank")
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => sf}
 import graft.sources.Tables
+import graft.{functions => gf}
 
 /** The reference's star-schema ETL re-expressed on the TPC-H-ish corpus:
   * fact = lineitem⋈orders with derived measures (reference fact_I94 +
@@ -95,7 +96,7 @@ object StarSchema {
       .select(sf.col("o_custkey"), sf.col("o_orderkey"),
         sf.row_number().over(w).as("order_seq"),
         sf.sum(price).over(wRun).cast("double").as("running_spend"),
-        sf.round(sf.sum(price).over(wMov).cast("double") /
+        gf.roundAt(sf.sum(price).over(wMov).cast("double") /
           sf.count(sf.lit(1)).over(wMov), 4).as("moving_avg3"))
       .orderBy("o_custkey", "order_seq")
   }
@@ -149,7 +150,7 @@ object StarSchema {
         // Deterministic mean: exact decimal sum first, then one double
         // division — a plain double avg() depends on partition merge
         // order (last-ulp drift across runs/cluster sizes).
-        sf.round(
+        gf.roundAt(
           sf.sum(sf.col("c_acctbal").cast("decimal(18,2)")).cast("double")
             / sf.count(sf.lit(1)), 2).as("avg_bal"),
         sf.sum(sf.col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"),

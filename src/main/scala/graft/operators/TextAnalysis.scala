@@ -47,10 +47,10 @@ object TextAnalysis {
       sf.when(avgTok >= 3 && avgTok <= 10, 0.2).otherwise(0.0)
     docs.select(
       sf.col(idCol),
-      sf.round(punct, 4).as("punct_ratio"),
-      sf.round(digits, 4).as("digit_ratio"),
-      sf.round(avgTok, 4).as("avg_token_len"),
-      sf.round(score, 4).as("quality"))
+      gf.roundAt(punct, 4).as("punct_ratio"),
+      gf.roundAt(digits, 4).as("digit_ratio"),
+      gf.roundAt(avgTok, 4).as("avg_token_len"),
+      gf.roundAt(score, 4).as("quality"))
       .orderBy(idCol)
   }
 
@@ -62,9 +62,9 @@ object TextAnalysis {
     val toks = gf.wsTokens(sf.col(textCol))
     docs.select(
       sf.col(idCol),
-      sf.round(gf.maxBigramFraction(toks), 4)
+      gf.roundAt(gf.maxBigramFraction(toks), 4)
         .as("top_bigram_frac"),
-      sf.round(sf.when(sf.size(toks) === 0, 0.0)
+      gf.roundAt(sf.when(sf.size(toks) === 0, 0.0)
         .otherwise(sf.lit(1.0) -
           sf.size(sf.array_distinct(toks)).cast("double") / sf.size(toks).cast("double")), 4)
         .as("dup_token_frac"))
@@ -81,7 +81,7 @@ object TextAnalysis {
     val toks = gf.wsTokens(sf.lower(sf.col(textCol)))
     docs.select(
       sf.col(idCol), sf.col(langCol),
-      sf.round(gf.stopwordCount(toks, sf.col(langCol)).cast("double") /
+      gf.roundAt(gf.stopwordCount(toks, sf.col(langCol)).cast("double") /
         sf.greatest(sf.size(toks), sf.lit(1)).cast("double"), 4).as("stopword_ratio"))
       .orderBy(idCol)
   }
@@ -143,7 +143,7 @@ object TextAnalysis {
       .withColumn("rank", sf.row_number().over(w))
       .filter(sf.col("rank") <= k)
       .select(sf.col(idCol), sf.col("rank"), sf.col("term"),
-        sf.col("tf"), sf.col("df"), sf.round(score, 4).as("score"))
+        sf.col("tf"), sf.col("df"), gf.roundAt(score, 4).as("score"))
       .orderBy(idCol, "rank")
   }
 
