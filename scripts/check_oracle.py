@@ -20,12 +20,13 @@ def norm_cell(v):
         return v.isoformat()
     return str(v)
 
-def table_multiset(con, query):
+def table_rows(con, query):
+    """(sorted col names, rows in ARRIVAL order with cells in col-name order)."""
     cur = con.sql(query)
     cols = cur.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = cur.fetchall()
-    return sorted(cols), sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return sorted(cols), [tuple(norm_cell(r[i]) for i in order) for r in rows]
 
 def main(sf_dir, out_dir):
     import time
@@ -45,12 +46,13 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         try:
-            got_cols, got = table_multiset(con, f"SELECT * FROM read_parquet('{pq}/*.parquet')")
-            want_cols, want = table_multiset(con, sql)
+            got_cols, got_seq = table_rows(con, f"SELECT * FROM read_parquet('{pq}/*.parquet')")
+            want_cols, want_seq = table_rows(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
             continue
+        got, want = sorted(got_seq), sorted(want_seq)
         if got_cols != want_cols:
             print(f"FAIL {name}: columns {got_cols} != {want_cols}")
             failures += 1
@@ -59,6 +61,13 @@ def main(sf_dir, out_dir):
             only_got = [r for r in got if r not in ws][:3]
             only_want = [r for r in want if r not in gs][:3]
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}; spark-only={only_got} oracle-only={only_want}")
+            failures += 1
+        elif got_seq != want_seq:
+            # Same multiset, different row ORDER: a driver that hashes rows
+            # in arrival order would flag this — surface it as a failure.
+            idx = next(i for i, (a, b) in enumerate(zip(got_seq, want_seq)) if a != b)
+            print(f"FAIL {name}: row-order mismatch at row {idx}: "
+                  f"spark={got_seq[idx]} oracle={want_seq[idx]}")
             failures += 1
         else:
             print(f"OK   {name}: {len(got)} rows")

@@ -24,7 +24,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_star_revenue" -> ((s, dir) => StarSchema.revenueByRegion(s, dir)),
 
-    "q02_fact_etl" -> ((s, dir) => StarSchema.factSales(s, dir)),
+    "q02_fact_etl" -> ((s, dir) => StarSchema.factSales(s, dir)
+      // (orderkey, linenumber) is NOT unique in this corpus — order by
+      // every output column so any residual ties are full-row dups
+      // (order-insensitive by construction)
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "o_custkey",
+        "quantity", "ship_delay", "revenue")),
 
     "q03_dim_date" -> ((s, dir) => DateOps.dateDimension(Seq(
       Tables.load(s, dir, "orders") -> sf.to_date(sf.col("o_orderdate")),
@@ -218,7 +223,7 @@ object SparkEntry {
         .groupBy("prop_k")
         .agg(sf.count(sf.lit(1)).as("n_events"),
           sf.min(sf.col("event_id")).as("first_event"))
-        .orderBy("prop_k")),
+        .orderBy(sf.col("prop_k").asc_nulls_first)),
 
     "q40_hash_sample" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), "doc_id", 0.05)
@@ -286,7 +291,11 @@ object SparkEntry {
         | CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
         | l.l_returnflag
         |FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
-        |WHERE l.l_quantity > 0 AND l.l_returnflag IS NOT NULL AND l.l_linestatus IS NOT NULL""".stripMargin,
+        |WHERE l.l_quantity > 0 AND l.l_returnflag IS NOT NULL AND l.l_linestatus IS NOT NULL
+        |ORDER BY l.l_orderkey, CAST(l.l_linenumber AS INT), l.l_returnflag, o.o_custkey,
+        | CAST(floor(l.l_quantity) AS INT),
+        | CAST(datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS INT),
+        | CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE)""".stripMargin,
 
     "q03_dim_date" ->
       """WITH dates AS (
@@ -699,7 +708,7 @@ object SparkEntry {
     "q39_json_props" ->
       """SELECT CAST(props->>'$.k' AS INT) AS prop_k, COUNT(*) AS n_events,
         | MIN(event_id) AS first_event
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "q40_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
