@@ -69,6 +69,60 @@ class DedupSimilaritySpec extends SparkFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents equals a union-find model on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference union-find
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x; while (parent.getOrElse(c, c) != c) { val t = parent(c); parent(c) = r; c = t }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // component label = min node id of the component
+      val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      val want = nodes.map(x => x -> minOf(find(x))).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("quantileProfile equals a sorted-list interpolation model") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(500)(i =>
+      (s"g${i % 3}", math.floor(rnd.nextDouble() * 1000) / 10))
+    val df = rows.toDF("g", "v")
+    val got = graft.dq.QualityChecks.quantileProfile(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    for ((g, vsAll) <- rows.groupBy(_._1)) {
+      val vs = vsAll.map(_._2).sorted
+      val n = vs.length
+      def q(p: Double): Double = {
+        val pos = (n - 1) * p
+        val lo = vs(pos.toInt)
+        val hi = vs(math.ceil(pos).toInt)
+        r4(lo + (hi - lo) * (pos - math.floor(pos)))
+      }
+      val row = got(g)
+      assert(row.getAs[Double]("v_min") == r4(vs.head) &&
+        row.getAs[Double]("v_max") == r4(vs.last), g)
+      for ((c, p) <- Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+        assert(row.getAs[Double](c) == q(p), s"$g/$c")
+    }
+  }
+
   test("ivfTopK with nProbe == nCentroids equals exact brute force") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
