@@ -186,4 +186,27 @@ object StarSchema {
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a dataset into `numFiles` output
+    * files (bounded above by maxRecordsPerFile when given). The
+    * many-small-files problem is THE silent killer of 100 TB table
+    * scans — driver-side file listing, footer reads, and task-per-file
+    * scheduling all scale with file count, not byte count. */
+  def compact(df: DataFrame, path: String, numFiles: Int,
+              maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.repartition(numFiles).write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
+  /** Range-clustered parquet sink: repartitionByRange + in-partition
+    * sort on the cluster columns before writing, so every file covers a
+    * narrow value range and parquet min/max statistics prune most files
+    * for selective scans — the poor-engine's Z-ORDER, exactly right for
+    * 1-2 dominant filter columns. */
+  def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+                     numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, clusterCols.map(sf.col): _*)
+      .sortWithinPartitions(clusterCols.map(sf.col): _*)
+      .write.mode("overwrite").parquet(path)
 }

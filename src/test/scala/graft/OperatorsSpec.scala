@@ -81,6 +81,31 @@ class OperatorsSpec extends SparkFunSuite {
     assert(back.count() == 2 && back.columns.contains("flag"))
   }
 
+  test("StarSchema: compact bounds output file count; clustered write narrows file ranges") {
+    val base = Files.createTempDirectory("graft_c").toString
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("v", sf.col("id") % 97)
+      .repartition(37) // simulate the small-files problem
+    StarSchema.compact(df, s"$base/compact", numFiles = 4)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/compact").length == 4)
+    assert(spark.read.parquet(s"$base/compact").count() == 10000)
+    StarSchema.writeClustered(df, s"$base/clustered", Seq("id"), numFiles = 4)
+    val files = parquetFiles(s"$base/clustered")
+    assert(files.length == 4)
+    // each clustered file must cover a narrow, non-overlapping id range
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(sf.min("id"), sf.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.toSeq.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    }, ranges.mkString(","))
+  }
+
   test("EventOps: windowed agg equals manual hour bucketing") {
     val events = graft.sources.Tables.load(spark, sf001, "events")
     val got = EventOps.windowedAgg(events)
