@@ -80,6 +80,35 @@ class CurationSpec extends SparkFunSuite {
     assert(m((0, 0)) == 2.0 && m((0, 1)) == 1.0 && m((1, 0)) == 5.0)
   }
 
+  test("minHashLshPairs exact-collapse edge cases") {
+    // all-identical corpus: every pair, J = 1.0
+    val same = (1L to 5L).map(i => (i, "a b c d e f g h")).toDF("doc_id", "text")
+    val p1 = Dedup.minHashLshPairs(same, "doc_id", "text", 0.9).collect()
+    assert(p1.length == 10 && p1.forall(_.getAs[Double]("jaccard") == 1.0))
+    // same word SET through different word ORDER/multiplicity: still J=1
+    val sameSet = Seq((1L, "x y z"), (2L, "z y x x"), (3L, "y z x")).toDF("doc_id", "text")
+    val p2 = Dedup.minHashLshPairs(sameSet, "doc_id", "text", 0.9).collect()
+    assert(p2.length == 3 && p2.forall(_.getAs[Double]("jaccard") == 1.0))
+    // empty-text docs are mutual exact duplicates (empty set vs empty set)
+    val empties = Seq((1L, ""), (2L, "   "), (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val p3 = Dedup.minHashLshPairs(empties, "doc_id", "text", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    assert(p3 == Set((1L, 2L, 1.0)))
+    // clusters over the same corpora inherit group connectivity
+    val c1 = Dedup.nearDupClusters(same, "doc_id", "text", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c1 == (1L to 5L).map(_ -> 1L).toMap)
+    val c3 = Dedup.nearDupClusters(empties, "doc_id", "text", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c3 == Map(1L -> 1L, 2L -> 1L))
+    // single doc / no pairs: empty outputs, no crashes
+    val solo = Seq((7L, "only doc here")).toDF("doc_id", "text")
+    assert(Dedup.minHashLshPairs(solo, "doc_id", "text", 0.9).count() == 0)
+    assert(Dedup.nearDupClusters(solo, "doc_id", "text", 0.9).count() == 0)
+    assert(Dedup.dedupCorpus(solo, "doc_id", "text", 0.9).count() == 1)
+  }
+
   test("Dedup.dedupCorpus keeps unclustered docs plus one rep per cluster") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),
