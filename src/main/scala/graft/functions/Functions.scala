@@ -121,6 +121,11 @@ object functions {
   def hashShingles(shingles: Column): Column =
     kernel(ArrayType(LongType, containsNull = false), "hashSetSorted", shingles)
 
+  /** hashShingles(wordShingles(t)) in one fused allocation-free pass
+    * (see Kernels.hashedWsShingles). */
+  def hashedWsShingles(t: Column): Column =
+    kernel(ArrayType(LongType, containsNull = false), "hashedWsShingles", t)
+
   /** Jaccard over two hashShingles arrays (primitive merge scan). */
   def jaccardSortedLong(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccardSortedLong", a, b)

@@ -112,11 +112,11 @@ object Dedup {
                       rowsPerBand: Int, maxBucketSize: Int): LshCore = {
     // Shingle + hash computation is CPU-bound, not IO-bound: spread it
     // across all cores even when the input is a handful of parquet
-    // splits. Strings are hashed ONCE here; minhash runs on the hashes.
+    // splits. The fused kernel tokenizes + hashes + sorts + dedups in
+    // one allocation-free pass over the text bytes.
     val hashed = Par.spread(docs.select(
-      sf.col(idCol).cast("long").as("id"),
-      gf.wordShingles(sf.col(textCol)).as("sh0")))
-      .select(sf.col("id"), gf.hashShingles(sf.col("sh0")).as("shh"))
+      sf.col(idCol).cast("long").as("id"), sf.col(textCol).as("__t")))
+      .select(sf.col("id"), gf.hashedWsShingles(sf.col("__t")).as("shh"))
       .withColumn("setkey", sf.xxhash64(sf.col("shh")))
       .persist()
     val groups = hashed.groupBy("setkey")

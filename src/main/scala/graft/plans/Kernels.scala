@@ -134,6 +134,44 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(if (w == n) out else java.util.Arrays.copyOf(out, w))
   }
 
+  /** Fused whitespace-tokenize + hash + sort + dedup: the sorted
+    * distinct xxhash64 values of a text's whitespace tokens, hashing
+    * each token's byte range IN PLACE (no substring or array
+    * allocation; equals hashSetSorted∘split exactly, because a token's
+    * bytes are contiguous in the UTF8String). Whitespace = the ASCII
+    * class [ \t\n\x0B\f\r] — identical to Java regex \s and RE2 \s
+    * (both ASCII-only by default), so the token set matches a
+    * regexp_split on '\s+' in either engine. */
+  def hashedWsShingles(t: UTF8String): ArrayData = {
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val n = t.numBytes()
+    var out = new Array[Long](8)
+    var w = 0
+    var i = 0
+    def isWs(b: Byte): Boolean =
+      b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    while (i < n) {
+      while (i < n && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < n && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        if (w == out.length) out = java.util.Arrays.copyOf(out, w * 2)
+        out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          base, off + start, i - start, Seed)
+        w += 1
+      }
+    }
+    java.util.Arrays.sort(out, 0, w)
+    var d = 0
+    var r = 0
+    while (r < w) {
+      if (d == 0 || out(d - 1) != out(r)) { out(d) = out(r); d += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, d))
+  }
+
   /** Jaccard over sorted distinct long arrays (see hashSetSorted);
     * both-empty -> 1.0. */
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {

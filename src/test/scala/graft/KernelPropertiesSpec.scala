@@ -35,6 +35,23 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hashedWsShingles equals hashSetSorted over regex-split tokens (200 cases)") {
+    val wsChars = Seq(' ', '\t', '\n', '', '\f', '\r')
+    for (_ <- 1 to 200) {
+      val parts = randWords(10)
+      val text = parts.map(w =>
+        (" " * rnd.nextInt(2)) + w + wsChars(rnd.nextInt(wsChars.size))).mkString +
+        (if (rnd.nextBoolean()) "  " else "")
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val expected = Kernels.hashSetSorted(strArray(toks.distinct))
+      val got = Kernels.hashedWsShingles(UTF8String.fromString(text))
+      assert(got.toLongArray.toSeq == expected.toLongArray.toSeq, s"text=${text.map(_.toInt)}")
+    }
+    // empty / all-whitespace inputs -> empty set
+    assert(Kernels.hashedWsShingles(UTF8String.fromString("")).numElements() == 0)
+    assert(Kernels.hashedWsShingles(UTF8String.fromString(" \t\n ")).numElements() == 0)
+  }
+
   test("jaccardSorted equals jaccard on sorted distinct input (200 cases)") {
     for (_ <- 1 to 200) {
       val dx = randWords(12).distinct.sorted
