@@ -265,6 +265,27 @@ object SparkEntry {
 
     "q50_edit_distance" -> ((s, dir) =>
       TextAnalysis.editDistancePairs(docs(s, dir), "doc_id", "text", idMax = 20)),
+
+    "q51_full_outer" -> ((s, dir) => {
+      // Full outer join of two aggregates with disjoint key coverage:
+      // per-nation customer counts vs per-nation supplier counts — the
+      // outer flavors (left/right/full) all exercise the same
+      // null-materializing path Spark uses at any scale.
+      val custByNation = Tables.load(s, dir, "customer")
+        .groupBy(sf.col("c_nationkey").cast("int").as("ck"))
+        .agg(sf.count(sf.lit(1)).as("n_customers"))
+      val suppByNation = Tables.load(s, dir, "supplier")
+        .filter(sf.col("s_nationkey") < 20)
+        .groupBy(sf.col("s_nationkey").cast("int").as("sk"))
+        .agg(sf.count(sf.lit(1)).as("n_suppliers"))
+      custByNation.join(suppByNation,
+          sf.col("ck") === sf.col("sk"), "full_outer")
+        .select(
+          sf.coalesce(sf.col("ck"), sf.col("sk")).as("nationkey"),
+          sf.coalesce(sf.col("n_customers"), sf.lit(0L)).as("n_customers"),
+          sf.coalesce(sf.col("n_suppliers"), sf.lit(0L)).as("n_suppliers"))
+        .orderBy("nationkey")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -846,5 +867,16 @@ object SparkEntry {
         |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
         |WHERE a.doc_id < 20 AND b.doc_id < 20
         |ORDER BY 1, 2""".stripMargin,
+
+    "q51_full_outer" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS INT) ck, COUNT(*) n_customers
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT CAST(s_nationkey AS INT) sk, COUNT(*) n_suppliers
+        |      FROM supplier WHERE s_nationkey < 20 GROUP BY 1)
+        |SELECT COALESCE(ck, sk) AS nationkey,
+        | COALESCE(n_customers, 0) AS n_customers,
+        | COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.ck = s.sk
+        |ORDER BY nationkey""".stripMargin,
   )
 }
