@@ -10,15 +10,28 @@ import graft.{functions => gf}
   *  - `exact` is a single hash-groupBy shuffle keyed by content hash —
   *    partial aggregation collapses duplicates map-side, so the shuffle
   *    carries ~one row per *distinct* document.
-  *  - `minHashLsh` never materializes the O(n²) pair space: signatures
-  *    are per-row expressions (no shuffle), the only shuffle is the band
-  *    bucket join keyed by (band, bandHash), and exact verification runs
-  *    only on bucket-cohabiting candidates. Shingle arrays are NOT
-  *    carried through the band explode — candidates are id pairs, and
-  *    shingles are re-joined afterwards (keeps the bucket shuffle rows
-  *    at 3 longs each). Degenerate buckets can be capped via
+  *  - `minHashLsh` runs in three stages, each duplicate-proof:
+  *    (1) EXACT COLLAPSE — shingle sets are hashed once per doc
+  *    (fused zero-allocation kernel) and identical sets grouped, so
+  *    every signature/bucket/verification cost is paid once per
+  *    DISTINCT set, not per document; (2) banded LSH over group
+  *    representatives — the only shuffle is the bucket self-join keyed
+  *    by (band, bandHash), candidates are emitted exactly once via the
+  *    first-witness test, thinned by a size-ratio prefilter, and
+  *    exact-verified with an early-abandoning merge scan; shingle
+  *    arrays are NOT carried through the band explode; (3) OUTPUT
+  *    EXPANSION back to member pairs (identical sets share their
+  *    Jaccard; intra-group pairs are J=1.0 by construction) — strictly
+  *    output-proportional. Degenerate buckets can be capped via
   *    `maxBucketSize` (0 = unlimited; capped buckets trade recall for
   *    bounded skew, log-noted for audit).
+  *  - `nearDupClusters` runs connected components on the contracted
+  *    REPRESENTATIVE graph (star contraction + driver-side union-find
+  *    finish once the contracted edge set is tiny) and lets members
+  *    inherit their group's component.
+  *  - Operators persist their shared intermediates; callers running
+  *    many dedup jobs in one session should `spark.catalog.clearCache()`
+  *    between unrelated corpora.
   */
 object Dedup {
 
