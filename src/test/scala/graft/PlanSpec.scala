@@ -75,6 +75,38 @@ class PlanSpec extends SparkFunSuite {
     }
   }
 
+  test("rollup broadcasts dims and aggregates grouping sets in one pass") {
+    val df = StarSchema.revenueRollup(spark, sf001)
+    df.collect()
+    val plan = executed(df)
+    val all = collectAll(plan)
+    assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3,
+      s"expected broadcast dims in:\n$plan")
+    // one shuffle for the (expanded) aggregation + one for the sort —
+    // grouping sets must NOT multiply exchanges
+    assert(all.count(_.isInstanceOf[ShuffleExchangeExec]) <= 2,
+      s"too many shuffles in:\n$plan")
+  }
+
+  test("label centroids shuffle once (partial avg per (label, dim) map-side)") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val df = graft.operators.Similarity.labelCentroids(emb, "label", "embedding")
+    df.collect()
+    val shuffles = collectAll(executed(df)).count(_.isInstanceOf[ShuffleExchangeExec])
+    // agg + orderBy
+    assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles")
+  }
+
+  test("scd2 reuses one sort for both windows and the interval aggregate") {
+    val ev = Tables.load(spark, sf001, "events")
+    val df = graft.operators.EventOps.scdType2(ev)
+    df.collect()
+    val shuffles = collectAll(executed(df)).count(_.isInstanceOf[ShuffleExchangeExec])
+    // key shuffle (+agg reuses it via same partitioning) + final orderBy;
+    // allow one more for the run-window repartitioning
+    assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles")
+  }
+
   test("windowed event agg shuffles once (partial aggregation map-side)") {
     val df = graft.operators.EventOps.windowedAgg(Tables.load(spark, sf001, "events"))
     df.collect()
