@@ -327,7 +327,13 @@ object Dedup {
     * member id ≥ its group rep, so the min over reps IS the min over
     * members. */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.9): DataFrame = {
+                      threshold: Double = 0.9): DataFrame =
+    nearDupClusterLabels(docs, idCol, textCol, threshold).orderBy("doc_id")
+
+  /** `nearDupClusters` without the final sort — for consumers that only
+    * filter or join on the labels (e.g. `dedupCorpus`). */
+  private def nearDupClusterLabels(docs: DataFrame, idCol: String, textCol: String,
+                                   threshold: Double): DataFrame = {
     val core = lshCore(docs, idCol, textCol, threshold,
       numHashes = 144, rowsPerBand = 6, maxBucketSize = 0)
     val repComp = connectedComponents(core.repPairs.select("a_id", "b_id"))
@@ -338,7 +344,6 @@ object Dedup {
         sf.coalesce(sf.col("cluster_id"), sf.col("rep")).as("cluster_id"))
     core.members.join(groupLabel, "setkey")
       .select(sf.col("id").as("doc_id"), sf.col("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** C4-style exact LINE deduplication across the corpus: every line
@@ -375,7 +380,7 @@ object Dedup {
     * min id) per near-dup cluster. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.9): DataFrame = {
-    val losers = nearDupClusters(docs, idCol, textCol, threshold)
+    val losers = nearDupClusterLabels(docs, idCol, textCol, threshold)
       .filter(sf.col("doc_id") =!= sf.col("cluster_id"))
       .select("doc_id")
     docs.join(losers, docs(idCol) === losers("doc_id"), "left_anti")
