@@ -132,21 +132,24 @@ object Dedup {
       .select(sf.col("id"), gf.hashedWsShingles(sf.col("__t")).as("shh"))
       .withColumn("setkey", sf.xxhash64(sf.col("shh")))
       .persist()
-    val groups = hashed.groupBy("setkey")
+    // One persisted frame per distinct set carrying EVERYTHING derived
+    // from it (rep, count, shingles, bands, size): signatures are
+    // computed inside the post-agg projection, so the whole per-set
+    // state materializes in a single pass.
+    val base = hashed.groupBy("setkey")
       .agg(sf.min("id").as("rep"), sf.count(sf.lit(1)).as("cnt"),
         sf.first("shh").as("shh"))
-      .persist()
-    val base = groups.select(sf.col("setkey"), sf.col("rep").as("id"), sf.col("shh"),
+      .select(sf.col("setkey"), sf.col("rep"), sf.col("cnt"), sf.col("shh"),
         gf.minHashBandsFromHashes(sf.col("shh"), numHashes, rowsPerBand).as("bands"),
         sf.size(sf.col("shh")).as("sz"))
       .persist()
     // (id, bands, sz, band, bandHash) per band. The full band array
     // (32-bit values) rides along for the first-witness test; sz for
-    // the size-ratio prefilter. Persisted: both sides of the bucket
-    // self-join read it.
-    var buckets = base.select(sf.col("id"), sf.col("bands"), sf.col("sz"),
+    // the size-ratio prefilter. Not persisted: the explode is a trivial
+    // map over the cached per-set frame, cheaper to recompute per join
+    // side than to materialize a third copy.
+    var buckets = base.select(sf.col("rep").as("id"), sf.col("bands"), sf.col("sz"),
       sf.posexplode(sf.col("bands")).as(Seq("band", "bh")))
-      .persist()
     if (maxBucketSize > 0) {
       val sizes = buckets.groupBy("band", "bh")
         .agg(sf.count(sf.lit(1)).as("bucket_n"))
@@ -169,9 +172,9 @@ object Dedup {
         sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * threshold)
       .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band")))
       .select("a_id", "b_id")
-    val shA = base.select(sf.col("id").as("a_id"),
+    val shA = base.select(sf.col("rep").as("a_id"),
       sf.col("setkey").as("sk_a"), sf.col("shh").as("sh_a"))
-    val shB = base.select(sf.col("id").as("b_id"),
+    val shB = base.select(sf.col("rep").as("b_id"),
       sf.col("setkey").as("sk_b"), sf.col("shh").as("sh_b"))
     // Early-abandoning verification at threshold minus the 4-decimal
     // rounding margin: any pair whose exact J could still round up to
@@ -182,7 +185,7 @@ object Dedup {
         gf.roundAt(gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"),
           threshold - 0.00005), 4).as("jaccard"))
       .filter(sf.col("jaccard") >= threshold)
-    LshCore(repPairs, groups.select("setkey", "rep", "cnt"),
+    LshCore(repPairs, base.select("setkey", "rep", "cnt"),
       hashed.select("setkey", "id"))
   }
 
