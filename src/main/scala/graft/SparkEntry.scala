@@ -25,6 +25,9 @@ object SparkEntry {
     "q01_star_revenue" -> ((s, dir) => StarSchema.revenueByRegion(s, dir)),
 
     "q02_fact_etl" -> ((s, dir) => StarSchema.factSales(s, dir)
+      // Checkpoint: the range sort below would otherwise recompute the
+      // whole join once more for the partitioner's sampling pass.
+      .localCheckpoint(true)
       // (orderkey, linenumber) is NOT unique in this corpus — order by
       // every output column so any residual ties are full-row dups
       // (order-insensitive by construction)
