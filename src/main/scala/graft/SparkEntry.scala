@@ -289,6 +289,9 @@ object SparkEntry {
           sf.coalesce(sf.col("n_suppliers"), sf.lit(0L)).as("n_suppliers"))
         .orderBy("nationkey")
     }),
+
+    "q52_simhash_neardup" -> ((s, dir) =>
+      Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
   )
 
   // ---------------------------------------------------------------------
@@ -881,5 +884,29 @@ object SparkEntry {
         | COALESCE(n_suppliers, 0) AS n_suppliers
         |FROM c FULL OUTER JOIN s ON c.ck = s.sk
         |ORDER BY nationkey""".stripMargin,
+
+    // Brute-force hamming join over the same md5-60-bit SimHash the q23
+    // oracle computes; the Spark side's pigeonhole blocking is exact
+    // (any pair within the budget shares a block), so the sets match.
+    "q52_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(t, tok ->
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+        |      (a, b) -> a*16 + b)) AS hs
+        |  FROM toks),
+        |sg AS (SELECT doc_id AS id,
+        | CAST(CASE WHEN len(hs)=0 THEN 0 ELSE
+        |   list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+        |             THEN 1::BIGINT << b ELSE 0::BIGINT END FOR b IN range(0, 60)])
+        | END AS BIGINT) AS sh FROM h)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sg a JOIN sg b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
   )
 }
