@@ -581,7 +581,7 @@ object SparkEntry {
     // probing = nearest centroids by cosine, ties to the lower index.
     "q32_embed_ivf" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    (vec_id * 2654435761) % 4294967296 AS h FROM embeddings),
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings),
         |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
         |         FROM c ORDER BY h, vec_id LIMIT 16),
         |sc AS (SELECT a.vec_id, a.v, cent.cid, list_cosine_similarity(a.v, cent.cv) AS s
@@ -739,7 +739,7 @@ object SparkEntry {
 
     "q40_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 < 500
+        |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 500
         |ORDER BY doc_id""".stripMargin,
 
     "q41_dq_orphans" ->
@@ -747,9 +747,13 @@ object SparkEntry {
         ("lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("customer", "c_nationkey", "nation", "n_nationkey"))
         .map { case (child, fk, parent, pk) =>
+          // NOT EXISTS + IS NOT NULL mirrors the operator's pinned NULL
+          // semantics (NULL fk = no reference; NULL parent keys inert) —
+          // NOT IN's three-valued logic would diverge on NULLs.
           s"""SELECT '$child.$fk -> $parent.$pk' AS relationship,
              | COUNT(*) AS orphans
-             |FROM $child WHERE $fk NOT IN (SELECT $pk FROM $parent)""".stripMargin
+             |FROM $child c WHERE c.$fk IS NOT NULL
+             |  AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)""".stripMargin
         }.mkString("", " UNION ALL ", " ORDER BY relationship"),
 
     "q42_line_dedup" ->

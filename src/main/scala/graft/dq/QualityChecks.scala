@@ -72,23 +72,32 @@ object QualityChecks {
                       ps: Seq[(String, Double)] = Seq(
                         "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Persisted: both the rank window and the group totals read it —
-    // without this the distinct-value aggregation runs twice.
+    // Eager localCheckpoint: both the rank window and the group totals
+    // read the distinct-value aggregation — without materialization it
+    // would run twice. (An explicit persist() here leaked: nothing ever
+    // unpersisted it; checkpoint blocks are dropped when the RDD is
+    // GC'd, so the lifetime is managed.)
     val counts = df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v"))
       .filter(sf.col("__v").isNotNull)
       .groupBy(groupCol, "__v")
       .agg(sf.count(sf.lit(1)).as("__c"))
-      .persist()
+      .localCheckpoint(true)
     val cumW = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Group totals via a one-row-per-group aggregate + broadcast join,
-    // NOT an unordered whole-partition window — that frame buffers the
-    // entire partition per row batch; the running-frame window below
-    // streams. The join is map-side (group cardinality rows).
+    // Group totals via a one-row-per-group aggregate + equi-join, NOT an
+    // unordered whole-partition window — that frame buffers the entire
+    // partition per row batch; the running-frame window below streams.
+    // The join is left to AQE: it broadcasts when the group cardinality
+    // is small and falls back to a shuffle join when this function's
+    // high-cardinality use would make a forced broadcast a driver OOM.
+    // Null-safe equality (<=>): a NULL group is a legitimate group and
+    // keeps its profile row.
     val totals = counts.groupBy(groupCol).agg(sf.sum("__c").as("__n"))
+      .withColumnRenamed(groupCol, "__g")
     val ranked = counts
       .withColumn("__hi", sf.sum("__c").over(cumW))
-      .join(sf.broadcast(totals), groupCol)
+      .join(totals, sf.col(groupCol) <=> sf.col("__g"))
+      .drop("__g")
     val lo = sf.col("__hi") - sf.col("__c") // first in-group rank of this value run
     val hi = sf.col("__hi") - 1             // last in-group rank of this value run
     val n = sf.col("__n")
@@ -163,11 +172,18 @@ object QualityChecks {
   /** Referential-integrity audit: rows of the child table whose foreign
     * key has no match in the parent (left_anti join — at scale this is
     * the same shuffle as the equi-join itself; a broadcast parent makes
-    * it map-only). One row per declared relationship. */
+    * it map-only). One row per declared relationship.
+    *
+    * NULL semantics pinned explicitly: a NULL foreign key means "no
+    * reference", not an orphan, so NULL fks are filtered before the
+    * anti join. (Unfiltered, left_anti counts NULL fks as orphans while
+    * a NOT IN oracle's three-valued logic excludes them — the two sides
+    * would diverge on any corpus with NULL fks.) */
   def fkOrphans(spark: SparkSession, dir: String,
                 specs: Seq[(String, String, String, String)]): DataFrame =
     specs.map { case (child, fk, parent, pk) =>
       Tables.load(spark, dir, child)
+        .filter(sf.col(fk).isNotNull)
         .join(Tables.load(spark, dir, parent),
           sf.col(fk) === sf.col(pk), "left_anti")
         .agg(sf.count(sf.lit(1)).as("orphans"))

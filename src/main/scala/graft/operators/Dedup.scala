@@ -352,19 +352,30 @@ object Dedup {
   /** C4-style exact LINE deduplication across the corpus: every line
     * keeps its first occurrence (ordered by (doc id, line index)) and
     * later copies are dropped; documents are rebuilt from their kept
-    * lines. One shuffle on the line hash (row_number window picks the
-    * winner — same sort the dedup needs anyway); the rebuild groupBy
-    * is output-proportional. Returns (doc_id, n_lines, n_kept,
-    * kept_text). */
+    * lines. Returns (doc_id, n_lines, n_kept, kept_text).
+    *
+    * Winner selection is a COMBINABLE aggregation — `min(struct(id,
+    * idx))` per line hash — not a `row_number` window. Real corpora
+    * have hyper-frequent lines (the empty line, boilerplate headers):
+    * a window partitioned by line hash ships every occurrence of such
+    * a line to a single reducer, while the partial min collapses each
+    * mapper's copies to ONE row before the shuffle, so the exchange
+    * carries ~one row per distinct line per map task regardless of
+    * skew. The winners (one (id, idx) position per distinct line) then
+    * semi-join back to the lines on (id, idx) — a near-unique,
+    * uniformly distributed key — to rebuild the kept text. */
   def lineDedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = docs.select(sf.col(idCol).cast("long").as("id"),
       sf.posexplode(sf.split(sf.col(textCol), "\n", -1)).as(Seq("idx", "line")))
-    // md5 key: the shuffle carries a fixed-width hash, not line bodies.
-    val keyed = lines.withColumn("lk", sf.md5(sf.col("line")))
-    val w = Window.partitionBy("lk").orderBy("id", "idx")
-    val kept = keyed.withColumn("__rn", sf.row_number().over(w))
-      .filter(sf.col("__rn") === 1)
+    // md5 key: the winner shuffle carries a fixed-width hash, not line
+    // bodies (128 bits — a 64-bit hash could silently fuse two distinct
+    // lines at corpus scale).
+    val keyed = lines.select(sf.md5(sf.col("line")).as("lk"),
+      sf.col("id"), sf.col("idx"))
+    val winners = keyed.groupBy("lk")
+      .agg(sf.min(sf.struct(sf.col("id"), sf.col("idx"))).as("__w"))
+      .select(sf.col("__w.id").as("id"), sf.col("__w.idx").as("idx"))
+    val kept = lines.join(winners, Seq("id", "idx"), "left_semi")
     val totals = lines.groupBy("id").agg(sf.count(sf.lit(1)).as("n_lines"))
     val keptAgg = kept.groupBy("id").agg(
       sf.count(sf.lit(1)).as("n_kept"),

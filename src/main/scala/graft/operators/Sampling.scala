@@ -13,9 +13,17 @@ import org.apache.spark.sql.{functions => sf}
 object Sampling {
 
   /** Hash of the key scaled to [0, 10000): permille-of-ten-thousand
-    * buckets give 0.01% granularity. */
+    * buckets give 0.01% granularity.
+    *
+    * The key is folded to 31 bits (pmod 2^31) BEFORE the Knuth multiply:
+    * (2^31-1) * 2654435761 ≈ 5.7e18 stays inside a signed 64-bit long,
+    * so the hash never overflows — neither here (Spark ANSI mode throws
+    * on long overflow; legacy mode wraps negative and defeats every
+    * `< threshold` filter) nor in a BIGINT SQL oracle (DuckDB raises).
+    * pmod keeps the folded key non-negative for negative inputs too. */
   def hashBucket(key: Column): Column =
-    ((key.cast("long") * sf.lit(2654435761L)) % sf.lit(4294967296L)) % 10000
+    ((sf.pmod(key.cast("long"), sf.lit(2147483648L)) * sf.lit(2654435761L))
+      % sf.lit(4294967296L)) % 10000
 
   /** Keep rows whose key hashes into the first `fraction` of buckets.
     * Map-only: runs at scan speed, no shuffle, and the same rows are

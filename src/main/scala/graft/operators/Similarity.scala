@@ -115,9 +115,12 @@ object Similarity {
   /** Deterministic codebook-sample ordering: Knuth multiplicative hash
     * of the id, pure 64-bit integer arithmetic — reproducible verbatim
     * in any SQL engine (used by the q32 oracle), unlike engine-specific
-    * murmur3 variants. */
+    * murmur3 variants. The id folds to 31 bits before the multiply so
+    * the product never overflows a signed long at any id range (same
+    * overflow-safe form as `Sampling.hashBucket`). */
   def sampleHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (id * sf.lit(2654435761L)) % sf.lit(4294967296L)
+    (sf.pmod(id.cast("long"), sf.lit(2147483648L)) * sf.lit(2654435761L)) %
+      sf.lit(4294967296L)
 
   /** IVF (inverted-file) approximate top-k. Coarse quantizer: the
     * nCentroids corpus vectors with the smallest sampleHash(id) — a

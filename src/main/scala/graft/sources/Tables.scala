@@ -20,14 +20,40 @@ object Tables {
   // EVERY query — pure driver-side fixed cost, multiplied by the
   // benchmark's 40+ queries. The cached DataFrame is immutable; reusing
   // it shares the resolved FileIndex + schema across queries.
+  //
+  // Lifetime: entries are evicted when their owning session stops (the
+  // listener below), so neither the DataFrames nor the SparkSession
+  // references outlive the session. Staleness: the cached FileIndex
+  // snapshots the file listing at first load — a path REWRITTEN within
+  // the same session (compact / writeClustered / writePartitioned over
+  // a previously-loaded dir) must be `invalidate`d before reloading.
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val cleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (cleanupHooked.add(spark)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            relationCache.keySet.removeIf(_._1 eq spark)
+            cleanupHooked.remove(spark)
+          }
+        })
+    }
     relationCache.computeIfAbsent((spark, dir, name), { _ =>
       if (name == "events") loadEvents(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
     })
+  }
+
+  /** Drop cached relations under `dir` (all sessions; optionally one
+    * table). Call after rewriting a path in-session so the next `load`
+    * re-lists files instead of serving the stale FileIndex. */
+  def invalidate(dir: String, name: String = null): Unit =
+    relationCache.keySet.removeIf(k => k._2 == dir && (name == null || k._3 == name))
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as a long (legacy conf) and convert to a

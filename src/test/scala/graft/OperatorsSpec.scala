@@ -203,6 +203,43 @@ class OperatorsSpec extends SparkFunSuite {
     assert(kept.filter($"lang" === "fr").count() == 5000)
   }
 
+  test("Sampling: hashBucket is overflow-free and portable past 2^32 ids") {
+    // ids straddling every overflow hazard: 32-bit, the ~3.47e9 signed-
+    // multiply wrap of the unmasked form, and Long.MaxValue itself.
+    val big = Seq(0L, 1L, (1L << 31) - 1, 1L << 31, 1L << 32, 3_470_000_000L,
+      5_000_000_000L, (1L << 62) + 12345L, Long.MaxValue)
+    val got = big.toDF("id")
+      .select(Sampling.hashBucket($"id").as("b")).collect().map(_.getLong(0))
+    // BigInt reference model of the same pipeline — the Scala side must
+    // agree exactly (no wrap, no negative buckets).
+    val want = big.map { k =>
+      ((BigInt(k).mod(BigInt(1L << 31)) * BigInt(2654435761L))
+        .mod(BigInt(1L << 32)).mod(BigInt(10000))).toLong
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    assert(got.forall(b => b >= 0 && b < 10000))
+  }
+
+  test("QualityChecks: quantileProfile keeps a NULL group as its own row") {
+    val df = Seq(("a", 1.0), ("a", 3.0), (null, 5.0), (null, 7.0), (null, 9.0))
+      .toDF("g", "v")
+    val got = graft.dq.QualityChecks.quantileProfile(df, "g", "v")
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(3)).toMap // p50
+    assert(got(Some("a")) == 2.0 && got(None) == 7.0, s"got $got")
+  }
+
+  test("QualityChecks: fkOrphans treats NULL foreign keys as absent, not orphans") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_fk").toString
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(99L)))
+      .toDF("id", "fk").write.parquet(s"$dir/child.parquet")
+    Seq(Tuple1(10L)).toDF("pk").write.parquet(s"$dir/parent.parquet")
+    val got = graft.dq.QualityChecks.fkOrphans(spark, dir,
+      Seq(("child", "fk", "parent", "pk"))).collect()
+    assert(got.head.getLong(1) == 1, // only fk=99 is an orphan; NULL is not
+      s"got ${got.mkString(",")}")
+  }
+
   test("QualityChecks: fkOrphans counts unmatched foreign keys") {
     val got = graft.dq.QualityChecks.fkOrphans(spark, sf001, Seq(
       ("orders", "o_custkey", "customer", "c_custkey"),

@@ -107,6 +107,21 @@ class PlanSpec extends SparkFunSuite {
     assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles")
   }
 
+  test("line dedup picks winners with a combinable partial min, not a window") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val df = graft.operators.Dedup.lineDedupKeepFirst(docs, "doc_id", "text")
+    df.collect()
+    val all = collectAll(executed(df))
+    // A row_number window on the line hash would ship every copy of a
+    // hyper-frequent line (empty line, boilerplate) to one reducer; the
+    // min(struct(id, idx)) aggregation must combine map-side instead.
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"winner selection must not be a window:\n${all.head}")
+    val planStr = all.map(_.toString).mkString("\n")
+    assert(planStr.contains("partial_min"),
+      s"expected partial_min on the line-hash exchange in:\n$planStr")
+  }
+
   test("windowed event agg shuffles once (partial aggregation map-side)") {
     val df = graft.operators.EventOps.windowedAgg(Tables.load(spark, sf001, "events"))
     df.collect()
