@@ -143,8 +143,10 @@ object SparkEntry {
     "q23_simhash" -> ((s, dir) =>
       Dedup.simHashSignatures(docs(s, dir), "doc_id", "text")),
 
+    // Bounded exact baseline (idMax required — all-pairs by design,
+    // like q21/q29/q50); q53/q54 are the unbounded bucketed scale paths.
     "q24_embed_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.3)),
+      Similarity.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.3, idMax = 150)),
 
     "q25_embed_topk" -> ((s, dir) =>
       Similarity.aggTopK(s, emb(s, dir), "vec_id", "embedding",
@@ -292,6 +294,20 @@ object SparkEntry {
 
     "q52_simhash_neardup" -> ((s, dir) =>
       Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // Unbounded-corpus near-dup pair enumeration, banded SRP buckets.
+    // 24 bands x 5 bits: the corpus's pair-cosine ceiling is ~0.51, so
+    // the demo threshold is 0.4 and banding is widened for recall there
+    // (~0.92 at c=0.4); the near-dup-regime defaults are 16x8.
+    "q53_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupBucketed(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4, bands = 24, bitsPerBand = 5)),
+
+    // Unbounded-corpus near-dup pairs via IVF cell co-membership — the
+    // moderate-threshold scale path.
+    "q54_embed_neardup_ivf" -> ((s, dir) =>
+      Similarity.ivfNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.35, nCentroids = 16, nProbe = 4)),
   )
 
   // ---------------------------------------------------------------------
@@ -539,7 +555,8 @@ object SparkEntry {
     "q24_embed_neardup" ->
       """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))*10000.0 + 0.5)/10000.0 AS cosine
-        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        | FROM embeddings a JOIN embeddings b
+        | ON a.vec_id < b.vec_id AND a.vec_id < 150 AND b.vec_id < 150)
         |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.3 ORDER BY 1,2""".stripMargin,
 
     "q25_embed_topk" ->
@@ -888,6 +905,49 @@ object SparkEntry {
         | COALESCE(n_suppliers, 0) AS n_suppliers
         |FROM c FULL OUTER JOIN s ON c.ck = s.sk
         |ORDER BY nationkey""".stripMargin,
+
+    // Banded SRP near-dup pairs: the 120 hyperplanes (24 bands x 5
+    // bits) are the same dyadic literals the Spark plan carries
+    // (Similarity.lshPlanes), and the candidate rule — agree on at
+    // least one band, then exact cosine >= t — is mirrored exactly.
+    "q53_embed_neardup_lsh" -> {
+      val bands = 24
+      val bits = 5
+      val planes = Similarity.lshPlanes(dim = 64, bits = bands * bits, seed = 42)
+      def bandExpr(b: Int): String = (0 until bits).map { j =>
+        val lit = planes(b * bits + j).mkString("[", ",", "]")
+        s"(CASE WHEN list_reduce([v[i]*($lit)[i] FOR i IN range(1,65)], (a, b) -> a+b) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val bvExpr = (0 until bands).map(bandExpr).mkString("[\n", ",\n", "\n]")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bvExpr AS bv FROM base),
+         |cand AS (SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+         |  floor((list_cosine_similarity(a.v, b2.v))*10000.0 + 0.5)/10000.0 AS cosine
+         | FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+         |  AND len(list_filter([i FOR i IN range(1,${bands + 1})], i -> a.bv[i] = b2.bv[i])) > 0)
+         |SELECT a_id, b_id, cosine FROM cand WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin
+    },
+
+    // IVF-cell near-dup pairs: same deterministic codebook rule as the
+    // q32 oracle (overflow-safe Knuth hash sample, cosine assignment,
+    // ties to the lower centroid index), candidates = pairs sharing a
+    // probed cell, then exact cosine >= t.
+    "q54_embed_neardup_ivf" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings),
+        |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+        |         FROM c ORDER BY h, vec_id LIMIT 16),
+        |sc AS (SELECT a.vec_id, a.v, cent.cid, list_cosine_similarity(a.v, cent.cv) AS s
+        |       FROM c a CROSS JOIN cent),
+        |probes AS (SELECT vec_id, cid FROM
+        |  (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc)
+        |  WHERE rn <= 4),
+        |cand AS (SELECT DISTINCT p1.vec_id AS a_id, p2.vec_id AS b_id
+        |         FROM probes p1 JOIN probes p2 ON p1.cid = p2.cid AND p1.vec_id < p2.vec_id),
+        |p AS (SELECT cand.a_id, cand.b_id,
+        |  floor((list_cosine_similarity(x.v, y.v))*10000.0 + 0.5)/10000.0 AS cosine
+        |  FROM cand JOIN c x ON x.vec_id = cand.a_id JOIN c y ON y.vec_id = cand.b_id)
+        |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35 ORDER BY 1, 2""".stripMargin,
 
     // Brute-force hamming join over the same md5-60-bit SimHash the q23
     // oracle computes; the Spark side's pigeonhole blocking is exact

@@ -17,11 +17,14 @@ import graft.{functions => gf}
   */
 object Similarity {
 
-  /** Near-duplicate vector pairs: cosine >= threshold among ids < idMax
-    * (idMax bounds the pair space for the exact variant; the LSH path
-    * below is the unbounded-scale route). */
+  /** Exact near-duplicate vector pairs: cosine >= threshold among ids
+    * < idMax. All-pairs by construction — this is the ORACLE BASELINE
+    * for the bucketed scale paths (`cosineNearDupBucketed`,
+    * `ivfNearDupPairs`), so idMax is REQUIRED: the pair space is
+    * quadratic and must be explicitly bounded, exactly like the
+    * `ngramJaccardPairs`/`editDistancePairs` baselines. */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, idMax: Long = Long.MaxValue): DataFrame = {
+                    threshold: Double, idMax: Long): DataFrame = {
     val base = Par.spread(emb.filter(sf.col(idCol) < idMax)
       .select(sf.col(idCol).cast("long").as("id"),
         sf.col(vecCol).cast("array<double>").as("v")))
@@ -185,6 +188,130 @@ object Similarity {
     planes.zipWithIndex.map { case (p, j) =>
       sf.when(gf.dot(v, sf.lit(p)) > 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Banded sign-random-projection near-duplicate PAIR enumeration —
+    * the unbounded-corpus scale path replacing the all-pairs cross join
+    * of `cosineNearDup`. Each vector gets `bands` bucket values (one
+    * per band of `bitsPerBand` hyperplane signs); candidate pairs are
+    * those agreeing on at least one band, enumerated by a bucket-keyed
+    * equi self-join — never a cartesian product — and exact-verified
+    * by cosine within the bucket. The MinHash LSH pipeline
+    * (Dedup.lshCore) is the template: first-witness single emission
+    * (no pair-dedup shuffle), vectors joined back only for surviving
+    * candidates (the band explode carries ids + band arrays, never the
+    * vectors).
+    *
+    * Recall/selectivity contract (mirrored verbatim into the SQL
+    * oracle as plane literals, like `lshTopK`/q26): a pair at cosine c
+    * agrees on one bit with probability p = 1 - arccos(c)/pi, on a
+    * band with p^bitsPerBand, and is a candidate with
+    * 1-(1-p^bitsPerBand)^bands. The defaults (16 bands of 8 bits)
+    * target the near-duplicate regime (threshold >= ~0.8: recall
+    * >= 0.94 at c = 0.8, ~1 - 1e-4 at c = 0.95) with random-pair
+    * selectivity bands/2^bits = 1/16. For moderate thresholds use
+    * wider bands (fewer bits) or the IVF-cell variant below.
+    *
+    * Scale notes: shuffles are (band, bucket)-keyed; skewed buckets are
+    * bounded by the band hash width; the only quadratic term is WITHIN
+    * a bucket, controlled by bitsPerBand. Planes are plan literals —
+    * nothing is collected. */
+  def cosineNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
+                            seed: Int = 42): DataFrame =
+    cosineNearDupBucketedPlan(emb, idCol, vecCol, threshold, bands, bitsPerBand, seed)
+      .localCheckpoint(true) // the range sort below samples its child
+      .orderBy("a_id", "b_id")
+
+  /** `cosineNearDupBucketed` before the determinism checkpoint + sort —
+    * the plan the PlanSpec audits (the eager checkpoint collapses the
+    * executed plan to an RDD scan) and the shape consumers that
+    * aggregate pairs anyway should reuse. */
+  private[graft] def cosineNearDupBucketedPlan(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int, bitsPerBand: Int, seed: Int): DataFrame = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 31, "bitsPerBand must fit an int")
+    val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+    val planes = lshPlanes(dim, bands * bitsPerBand, seed)
+    val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("id"),
+        sf.col(vecCol).cast("array<double>").as("v")))
+      .withColumn("bv", sf.array((0 until bands).map { b =>
+        lshBucket(sf.col("v"),
+          planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)).cast("int")
+      }: _*))
+      .persist() // read by both explode sides and the vector join-back
+    val buckets = base.select(sf.col("id"), sf.col("bv"),
+      sf.posexplode(sf.col("bv")).as(Seq("band", "bh")))
+    val l = buckets.select(sf.col("band"), sf.col("bh"),
+      sf.col("id").as("a_id"), sf.col("bv").as("bv_a"))
+    val r = buckets.select(sf.col("band").as("band_b"), sf.col("bh").as("bh_b"),
+      sf.col("id").as("b_id"), sf.col("bv").as("bv_b"))
+    // shuffle_hash: bucket keys are massively duplicated by design;
+    // sorting both sides buys nothing (see Dedup.lshCore).
+    val candidates = l.join(r.hint("shuffle_hash"),
+        sf.col("band") === sf.col("band_b") && sf.col("bh") === sf.col("bh_b") &&
+          sf.col("a_id") < sf.col("b_id"))
+      .filter(gf.prefixAllDiffer(sf.col("bv_a"), sf.col("bv_b"), sf.col("band")))
+      .select("a_id", "b_id")
+    val va = base.select(sf.col("id").as("a_id"), sf.col("v").as("va"))
+    val vb = base.select(sf.col("id").as("b_id"), sf.col("v").as("vb"))
+    candidates.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cosine", gf.roundAt(gf.cosineSim(sf.col("va"), sf.col("vb")), 4))
+      .filter(sf.col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** IVF-cell near-duplicate pair enumeration: the moderate-threshold
+    * scale path. Every vector probes its `nProbe` nearest cells of a
+    * deterministic codebook (same coarse quantizer as `ivfTopK`);
+    * candidate pairs are those sharing a probed cell — a cell-keyed
+    * equi self-join, never a cartesian — then exact cosine verification.
+    * A pair sharing several cells is emitted once, at the shared cell
+    * with the smallest id (array_intersect over two nProbe-length int
+    * arrays — no pair-dedup shuffle).
+    *
+    * Scale notes: candidate volume is sum over cells of C(cell_size *
+    * nProbe-fraction, 2) — size nCentroids with the corpus so cells
+    * stay ~constant (FAISS practice: nCentroids ~ sqrt(n)); the
+    * codebook collect is nCentroids x dim doubles, never the corpus. */
+  def ivfNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nCentroids: Int = 16,
+                      nProbe: Int = 4): DataFrame =
+    ivfNearDupPairsPlan(emb, idCol, vecCol, threshold, nCentroids, nProbe)
+      .localCheckpoint(true)
+      .orderBy("a_id", "b_id")
+
+  /** `ivfNearDupPairs` before the determinism checkpoint + sort. */
+  private[graft] def ivfNearDupPairsPlan(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("id"),
+      sf.col(vecCol).cast("array<double>").as("v"))).persist()
+    val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+    val codebook: Array[Double] = base
+      .orderBy(sampleHash(sf.col("id")), sf.col("id"))
+      .limit(nCentroids)
+      .select("v").collect()
+      .flatMap(_.getSeq[Double](0))
+    val codebookCol = sf.lit(codebook)
+    val probed = base.select(sf.col("id"),
+      gf.nearestCentroids(sf.col("v"), codebookCol, sf.lit(dim), sf.lit(nProbe)).as("cells"))
+    val buckets = probed.select(sf.col("id"), sf.col("cells"),
+      sf.explode(sf.col("cells")).as("cell"))
+    val l = buckets.select(sf.col("cell"), sf.col("id").as("a_id"), sf.col("cells").as("cells_a"))
+    val r = buckets.select(sf.col("cell").as("cell_b"), sf.col("id").as("b_id"), sf.col("cells").as("cells_b"))
+    val candidates = l.join(r.hint("shuffle_hash"),
+        sf.col("cell") === sf.col("cell_b") && sf.col("a_id") < sf.col("b_id"))
+      // single emission: only the smallest shared cell emits the pair
+      .filter(sf.array_min(sf.array_intersect(sf.col("cells_a"), sf.col("cells_b"))) ===
+        sf.col("cell"))
+      .select("a_id", "b_id")
+    val va = base.select(sf.col("id").as("a_id"), sf.col("v").as("va"))
+    val vb = base.select(sf.col("id").as("b_id"), sf.col("v").as("vb"))
+    candidates.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cosine", gf.roundAt(gf.cosineSim(sf.col("va"), sf.col("vb")), 4))
+      .filter(sf.col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
 
   /** LSH-bucketed approximate top-k: sign-random-projection bucketing
     * (deterministic hash-derived hyperplanes), candidates restricted to

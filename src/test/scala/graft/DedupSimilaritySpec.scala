@@ -152,4 +152,23 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.3))
   }
+
+  test("bucketed near-dup pairs are an exact-verified subset of the brute answer") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(
+      Similarity.cosineNearDup(emb, "vec_id", "embedding", 0.4, idMax = Long.MaxValue))
+    val srp = pairSet(Similarity.cosineNearDupBucketed(
+      emb, "vec_id", "embedding", 0.4, bands = 24, bitsPerBand = 5))
+    val ivf = pairSet(Similarity.ivfNearDupPairs(
+      emb, "vec_id", "embedding", 0.4, nCentroids = 16, nProbe = 4))
+    // every emitted pair is a true pair with the exact verified cosine
+    assert(srp.subsetOf(exact), s"SRP emitted non-pairs: ${srp.diff(exact).take(3)}")
+    assert(ivf.subsetOf(exact), s"IVF emitted non-pairs: ${ivf.diff(exact).take(3)}")
+    // and recall is substantial at the tuned parameters (not vacuous)
+    assert(exact.nonEmpty)
+    assert(srp.size >= exact.size * 3 / 4, s"SRP recall ${srp.size}/${exact.size}")
+    assert(ivf.size >= exact.size * 3 / 4, s"IVF recall ${ivf.size}/${exact.size}")
+  }
 }

@@ -107,6 +107,23 @@ class PlanSpec extends SparkFunSuite {
     assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles")
   }
 
+  test("bucketed cosine near-dup pair plans contain no cartesian/nested-loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val plans = Seq(
+      graft.operators.Similarity.cosineNearDupBucketedPlan(
+        emb, "vec_id", "embedding", 0.4, bands = 8, bitsPerBand = 5, seed = 42),
+      graft.operators.Similarity.ivfNearDupPairsPlan(
+        emb, "vec_id", "embedding", 0.35, nCentroids = 8, nProbe = 2))
+    for (df <- plans) {
+      df.collect()
+      val all = collectAll(executed(df))
+      assert(!all.exists(p => p.isInstanceOf[CartesianProductExec] ||
+          p.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"quadratic join in pair-enumeration plan:\n${all.head}")
+    }
+  }
+
   test("line dedup picks winners with a combinable partial min, not a window") {
     val docs = Tables.load(spark, sf001, "documents")
     val df = graft.operators.Dedup.lineDedupKeepFirst(docs, "doc_id", "text")
