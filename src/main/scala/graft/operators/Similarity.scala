@@ -76,16 +76,52 @@ object Similarity {
   case class Scored(qId: Long, nId: Long, cosine: Double)
 
   /** k-bounded typed Aggregator: partial buffers never exceed k entries,
-    * giving map-side top-k reduction before the shuffle. */
+    * giving map-side top-k reduction before the shuffle.
+    *
+    * The buffer is kept SORTED best-first, so the per-corpus-row
+    * `reduce` — the designated 100 TB inner loop — is one comparison
+    * against the current k-th entry (the overwhelmingly common case:
+    * reject, buffer unchanged, zero allocation) and otherwise a
+    * single-pass sorted insertion; the earlier `(b :+ x).sortBy.take(k)`
+    * paid an O(k log k) sort + allocation on EVERY row. `merge` is a
+    * linear merge of two sorted buffers. */
   class TopKAgg(k: Int) extends Aggregator[Scored, Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortBy { case (c, id) => (-c, id) }.take(k)
+    // (cosine desc, id asc) — true iff x outranks y
+    private def beats(x: (Double, Long), y: (Double, Long)): Boolean =
+      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
     def zero: Seq[(Double, Long)] = Nil
-    def reduce(b: Seq[(Double, Long)], a: Scored): Seq[(Double, Long)] =
-      trim(b :+ ((a.cosine, a.nId)))
-    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      trim(x ++ y)
-    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    def reduce(b: Seq[(Double, Long)], a: Scored): Seq[(Double, Long)] = {
+      val x = (a.cosine, a.nId)
+      if (b.length >= k && !beats(x, b.last)) b // early reject below the k-th
+      else {
+        val out = Vector.newBuilder[(Double, Long)]
+        var inserted = false
+        var kept = 0
+        val it = b.iterator
+        while (it.hasNext && kept < k) {
+          val e = it.next()
+          if (!inserted && beats(x, e)) { out += x; kept += 1; inserted = true }
+          if (kept < k) { out += e; kept += 1 }
+        }
+        if (!inserted && kept < k) out += x
+        out.result()
+      }
+    }
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val out = Vector.newBuilder[(Double, Long)]
+      val ix = x.iterator.buffered
+      val iy = y.iterator.buffered
+      var n = 0
+      while (n < k && (ix.hasNext || iy.hasNext)) {
+        out += (if (!iy.hasNext) ix.next()
+                else if (!ix.hasNext) iy.next()
+                else if (beats(iy.head, ix.head)) iy.next()
+                else ix.next())
+        n += 1
+      }
+      out.result()
+    }
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
     def bufferEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder

@@ -153,6 +153,22 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.3))
   }
 
+  test("TopKAgg sorted-insertion reduce/merge equals the sort-take model (100 cases)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 100) {
+      val k = 1 + rnd.nextInt(6)
+      val agg = new Similarity.TopKAgg(k)
+      val xs = Seq.fill(1 + rnd.nextInt(50))(
+        Similarity.Scored(0, rnd.nextInt(1000), rnd.nextInt(10) / 10.0))
+      val (l, r) = xs.splitAt(rnd.nextInt(xs.length + 1))
+      val got = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      val want = xs.map(s => (s.cosine, s.nId))
+        .sortBy { case (c, id) => (-c, id) }.take(k)
+      assert(got == want, s"k=$k got $got want $want")
+    }
+  }
+
   test("bucketed near-dup pairs are an exact-verified subset of the brute answer") {
     val emb = Tables.load(spark, sf001, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame) =
