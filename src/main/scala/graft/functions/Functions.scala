@@ -136,6 +136,17 @@ object functions {
     kernel(ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
       "minHashBandsFromHashes", shh, sf.lit(k), sf.lit(rowsPerBand))
 
+  /** b-bit minwise sketch of an already-hashed shingle set: nBits
+    * parity bits of independent minhash permutations packed into
+    * nBits/64 longs (see Kernels.minHashBitSketchFromHashes). */
+  def minHashBitSketch(shh: Column, nBits: Int): Column =
+    kernel(ArrayType(LongType, containsNull = false),
+      "minHashBitSketchFromHashes", shh, sf.lit(nBits))
+
+  /** Agreeing-bit count between two packed bit sketches (xor+popcount). */
+  def sketchMatchBits(a: Column, b: Column): Column =
+    kernel(org.apache.spark.sql.types.IntegerType, "sketchMatchBits", a, b)
+
   /** Early-abandoning Jaccard for >=t verification: exact value for
     * pairs that can still reach t, -1.0 once the running upper bound
     * rules them out (see Kernels.jaccardSortedLongGeq). */

@@ -86,24 +86,31 @@ object Dedup {
     *  1. size-ratio prefilter — J(A,B) <= min/max of the set sizes, so
     *     min >= t*max is necessary; one long rides each bucket row and
     *     the test is one multiply — no shingles touched.
-    *  2. first-witness test — a pair colliding in several bands is
+    *  2. b-bit sketch prefilter — `sketchBits` packed minhash parity
+    *     bits per set (Li & König b-bit minwise hashing); the xor+
+    *     popcount match count is Binomial(sketchBits, (1+j)/2), and the
+    *     cutoff admits a true pair at j=t with P(miss) < 1e-7 while
+    *     rejecting the far-below-threshold bulk of band collisions
+    *     before they reach verification. sketchBits=0 disables.
+    *  3. first-witness test — a pair colliding in several bands is
     *     emitted exactly once, at its first colliding band, with no
     *     dedup shuffle. Measured against pair-dedup (shuffle 16-byte id
     *     pairs, distinct): the witness arrays riding the collision rows
     *     cost less than the distinct's hash aggregation over tens of
     *     millions of id pairs — especially with 32-bit band values
     *     halving the array bytes.
-    *  3. exact verification — merge scan over the sorted-xxhash64
+    *  4. exact verification — merge scan over the sorted-xxhash64
     *     shingle sets (primitive longs, not strings), joined from the
     *     (small, usually broadcast) per-doc table. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.9, numHashes: Int = 144,
-                 rowsPerBand: Int = 6, maxBucketSize: Int = 0): DataFrame =
+                 rowsPerBand: Int = 6, maxBucketSize: Int = 0,
+                 sketchBits: Int = 256): DataFrame =
     // Checkpoint before the global sort: orderBy's range partitioner
     // runs a sampling job over its child first, which would otherwise
     // recompute the whole verification pipeline once per pass.
     minHashLshPairs(docs, idCol, textCol, threshold, numHashes,
-      rowsPerBand, maxBucketSize).localCheckpoint(true).orderBy("a_id", "b_id")
+      rowsPerBand, maxBucketSize, sketchBits).localCheckpoint(true).orderBy("a_id", "b_id")
 
   /** Internal product of the collapsed LSH pipeline:
     *  - repPairs: verified (a_id, b_id, sk_a, sk_b, jaccard) over group
@@ -120,9 +127,35 @@ object Dedup {
     * every copy would otherwise pay signature hashing, bucket explode,
     * candidate enumeration (quadratically!), and verification for an
     * answer the group representative already provides. */
+  /** Largest cutoff m0 such that a TRUE pair at exactly j = t is
+    * rejected by `matchBits < m0` with probability below eps: the
+    * match count is Binomial(nBits, (1+t)/2), so m0 is the largest
+    * value whose lower tail P(X < m0) stays under eps. eps = 1e-7
+    * keeps the prefilter's miss rate at the same order as the banding
+    * scheme's own 1.3e-8 — recall remains 1-ε end to end. */
+  private[operators] def sketchCutoff(nBits: Int, t: Double, eps: Double = 1e-7): Int = {
+    val p = (1.0 + math.min(t, 0.9999)) / 2.0
+    def logComb(n: Int, k: Int): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < k) { s += math.log(n - i) - math.log(i + 1); i += 1 }
+      s
+    }
+    var cdf = 0.0
+    var k = 0
+    while (k <= nBits) {
+      val pmf = math.exp(logComb(nBits, k) + k * math.log(p) + (nBits - k) * math.log1p(-p))
+      if (cdf + pmf >= eps) return k
+      cdf += pmf
+      k += 1
+    }
+    nBits
+  }
+
   private def lshCore(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int,
-                      rowsPerBand: Int, maxBucketSize: Int): LshCore = {
+                      rowsPerBand: Int, maxBucketSize: Int,
+                      sketchBits: Int = 256): LshCore = {
     // Shingle + hash computation is CPU-bound, not IO-bound: spread it
     // across all cores even when the input is a handful of parquet
     // splits. The fused kernel tokenizes + hashes + sorts + dedups in
@@ -136,20 +169,24 @@ object Dedup {
     // from it (rep, count, shingles, bands, size): signatures are
     // computed inside the post-agg projection, so the whole per-set
     // state materializes in a single pass.
+    val sketchCol =
+      if (sketchBits > 0) gf.minHashBitSketch(sf.col("shh"), sketchBits)
+      else sf.lit(null).cast("array<bigint>")
     val base = hashed.groupBy("setkey")
       .agg(sf.min("id").as("rep"), sf.count(sf.lit(1)).as("cnt"),
         sf.first("shh").as("shh"))
       .select(sf.col("setkey"), sf.col("rep"), sf.col("cnt"), sf.col("shh"),
         gf.minHashBandsFromHashes(sf.col("shh"), numHashes, rowsPerBand).as("bands"),
-        sf.size(sf.col("shh")).as("sz"))
+        sf.size(sf.col("shh")).as("sz"), sketchCol.as("skb"))
       .persist()
-    // (id, bands, sz, band, bandHash) per band. The full band array
-    // (32-bit values) rides along for the first-witness test; sz for
-    // the size-ratio prefilter. Not persisted: the explode is a trivial
+    // (id, bands, sz, skb, band, bandHash) per band. The full band
+    // array (32-bit values) rides along for the first-witness test; sz
+    // for the size-ratio prefilter; skb (sketchBits/8 bytes) for the
+    // b-bit estimate prefilter. Not persisted: the explode is a trivial
     // map over the cached per-set frame, cheaper to recompute per join
     // side than to materialize a third copy.
     var buckets = base.select(sf.col("rep").as("id"), sf.col("bands"), sf.col("sz"),
-      sf.posexplode(sf.col("bands")).as(Seq("band", "bh")))
+      sf.col("skb"), sf.posexplode(sf.col("bands")).as(Seq("band", "bh")))
     if (maxBucketSize > 0) {
       val sizes = buckets.groupBy("band", "bh")
         .agg(sf.count(sf.lit(1)).as("bucket_n"))
@@ -157,19 +194,36 @@ object Dedup {
       buckets = buckets.join(sizes, Seq("band", "bh"), "left_semi")
     }
     val ba = buckets.select(sf.col("band"), sf.col("bh"),
-      sf.col("id").as("a_id"), sf.col("bands").as("bands_a"), sf.col("sz").as("sz_a"))
+      sf.col("id").as("a_id"), sf.col("bands").as("bands_a"), sf.col("sz").as("sz_a"),
+      sf.col("skb").as("skb_a"))
     val bb = buckets.select(sf.col("band").as("band_b"), sf.col("bh").as("bh_b"),
-      sf.col("id").as("b_id"), sf.col("bands").as("bands_b"), sf.col("sz").as("sz_b"))
+      sf.col("id").as("b_id"), sf.col("bands").as("bands_b"), sf.col("sz").as("sz_b"),
+      sf.col("skb").as("skb_b"))
     // shuffle_hash, not sort-merge: the join keys are massively
     // duplicated (that's the point — buckets), so sorting both sides
     // buys nothing and the hashed build side streams collisions out
     // of whole-stage codegen directly.
-    val candidates = ba.join(bb.hint("shuffle_hash"),
+    var candidateRows = ba.join(bb.hint("shuffle_hash"),
         sf.col("band") === sf.col("band_b") && sf.col("bh") === sf.col("bh_b") &&
           sf.col("a_id") < sf.col("b_id"))
       // multiply, don't divide: zero-size (empty-doc) pairs stay valid
       .filter(sf.least(sf.col("sz_a"), sf.col("sz_b")).cast("double") >=
         sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * threshold)
+    // Second-stage precision filter: xor+popcount over the packed
+    // sketches estimates J without touching shingle arrays; banding at
+    // r=6 is unselective on corpora whose noise-J distribution sits
+    // high (this corpus's median is ~0.63 — ~80% of noise pairs
+    // collide in >=1 band), and every surviving candidate pays the
+    // merge-scan verify. The cutoff is computed from the threshold so
+    // a true pair at j=t fails with P < 1e-7 (see sketchCutoff);
+    // far-below-threshold noise — the bulk — drops here at ~8 machine
+    // ops per pair. Cheap filter first, witness test after: the
+    // witness scan then runs on the thinned stream.
+    if (sketchBits > 0)
+      candidateRows = candidateRows.filter(
+        gf.sketchMatchBits(sf.col("skb_a"), sf.col("skb_b")) >=
+          sf.lit(sketchCutoff(sketchBits, threshold)))
+    val candidates = candidateRows
       .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band")))
       .select("a_id", "b_id")
     val shA = base.select(sf.col("rep").as("a_id"),
@@ -198,9 +252,10 @@ object Dedup {
     * expansions are output-proportional. */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.9, numHashes: Int = 144,
-                 rowsPerBand: Int = 6, maxBucketSize: Int = 0): DataFrame = {
+                 rowsPerBand: Int = 6, maxBucketSize: Int = 0,
+                 sketchBits: Int = 256): DataFrame = {
     val core = lshCore(docs, idCol, textCol, threshold, numHashes,
-      rowsPerBand, maxBucketSize)
+      rowsPerBand, maxBucketSize, sketchBits)
     val membA = core.members.select(sf.col("setkey").as("sk_a"), sf.col("id").as("ia"))
     val membB = core.members.select(sf.col("setkey").as("sk_b"), sf.col("id").as("ib"))
     val cross = core.repPairs.join(membA, "sk_a").join(membB, "sk_b")

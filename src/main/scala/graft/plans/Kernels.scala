@@ -368,6 +368,82 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  // Independent multiply-xorshift coefficients for the b-bit sketch
+  // permutations — seeded differently from the band family (`coefs`) so
+  // sketch bits stay independent of band collisions: the candidate set
+  // is CONDITIONED on "all rowsPerBand minhashes of some band agree",
+  // and reusing those permutations would hand every candidate ~r free
+  // agreeing bits, biasing the estimate exactly where it must
+  // discriminate.
+  private val sketchCoefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def sketchCoefs(k: Int): (Array[Long], Array[Long]) =
+    sketchCoefCache.computeIfAbsent(k, (kk: Int) => {
+      val seedA = Murmur3HashFunction.hash(UTF8String.fromString("sk_a"), StringType, Seed)
+      val seedB = Murmur3HashFunction.hash(UTF8String.fromString("sk_b"), StringType, Seed)
+      val as = new Array[Long](kk)
+      val bs = new Array[Long](kk)
+      var i = 0
+      while (i < kk) {
+        as(i) = XxHash64Function.hash(i, IntegerType, seedA) | 1L
+        bs(i) = XxHash64Function.hash(i, IntegerType, seedB)
+        i += 1
+      }
+      (as, bs)
+    })
+
+  /** b-bit minwise sketch (Li & König): parity bit of each of nBits
+    * extra minhash permutations, packed into nBits/64 longs. Two sets
+    * with Jaccard j agree on each bit with probability (1+j)/2 — the
+    * minimizer is shared with probability j, else parities are
+    * independent fair coins — so the match count over nBits bits is
+    * Binomial(nBits, (1+j)/2): a compact J estimator for candidate
+    * prefiltering that never touches the shingle arrays. Same
+    * empty-set pseudo-hash convention as minHashBandsFromHashes. */
+  def minHashBitSketchFromHashes(shh: ArrayData, nBits: Int): ArrayData = {
+    val n = shh.numElements()
+    val hs =
+      if (n == 0) Array(XxHash64Function.hash(UTF8String.fromString(""), StringType, Seed) & 0x7FFFFFFFL)
+      else {
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) { out(i) = shh.getLong(i) & 0x7FFFFFFFL; i += 1 }
+        out
+      }
+    val (as, bs) = sketchCoefs(nBits)
+    val out = new Array[Long](nBits >> 6)
+    var i = 0
+    while (i < nBits) {
+      val a = as(i)
+      val b = bs(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val u = a * hs(j) + b
+        val v = u ^ (u >>> 29)
+        if (v < m) m = v
+        j += 1
+      }
+      if ((m & 1L) == 1L) out(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Number of agreeing bits between two equal-length packed bit
+    * sketches: sum of 64 - popcount(xor) per word. */
+  def sketchMatchBits(a: ArrayData, b: ArrayData): Int = {
+    val w = a.numElements()
+    var matches = 0
+    var i = 0
+    while (i < w) {
+      matches += 64 - java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    matches
+  }
+
   /** Exact fixed-point revenue in 1e-4 units: price and discount are
     * 2-decimal money values stored as doubles; Math.round recovers the
     * exact cent values, and cents*(100-disc100) is the exact scale-4
