@@ -308,6 +308,14 @@ object SparkEntry {
     "q54_embed_neardup_ivf" -> ((s, dir) =>
       Similarity.ivfNearDupPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.35, nCentroids = 16, nProbe = 4)),
+
+    // IVF with a Lloyd-refined (2-round k-means) codebook: the trained-
+    // quantizer variant of q32. Fixed-point centroid updates make the
+    // refined codebook bit-reproducible in the SQL oracle.
+    "q55_embed_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
+        sf.col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 4,
+        lloydIters = 2)),
   )
 
   // ---------------------------------------------------------------------
@@ -948,6 +956,52 @@ object SparkEntry {
         |  floor((list_cosine_similarity(x.v, y.v))*10000.0 + 0.5)/10000.0 AS cosine
         |  FROM cand JOIN c x ON x.vec_id = cand.a_id JOIN c y ON y.vec_id = cand.b_id)
         |SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35 ORDER BY 1, 2""".stripMargin,
+
+    // IVF with a 2-round Lloyd-refined codebook. Each round is the
+    // exact arithmetic of Similarity.refineCodebook: assign by cosine
+    // argmax (ties to the lower centroid index), rebuild centroids from
+    // FIXED-POINT e6 integer sums — order-independent, so both engines
+    // derive the bit-identical codebook; empty clusters keep their
+    // previous centroid (the LEFT JOIN + COALESCE).
+    "q55_embed_ivf_kmeans" -> {
+      def lloyd(centIn: String, centOut: String): String =
+        s"""asg_$centOut AS (SELECT vec_id, v, cid AS cluster FROM
+           |  (SELECT a.vec_id, a.v, t.cid,
+           |     row_number() OVER (PARTITION BY a.vec_id
+           |       ORDER BY list_cosine_similarity(a.v, t.cv) DESC, t.cid) AS rn
+           |   FROM c a CROSS JOIN $centIn t) WHERE rn = 1),
+           |upd_$centOut AS (SELECT cluster AS cid, u.dim AS dim,
+           |    SUM(CAST(floor(u.x*1000000.0 + 0.5) AS BIGINT)) AS s, COUNT(*) AS cnt FROM
+           |  (SELECT cluster, unnest([{'dim': i, 'x': v[i+1]} FOR i IN range(0, len(v))]) AS u
+           |   FROM asg_$centOut) GROUP BY 1, 2),
+           |new_$centOut AS (SELECT cid, list(CAST(s AS DOUBLE)/(1000000.0*cnt) ORDER BY dim) AS cv
+           |  FROM upd_$centOut GROUP BY cid),
+           |$centOut AS (SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+           |  FROM $centIn c0 LEFT JOIN new_$centOut n USING (cid))"""
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings),
+         |cent0 AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+         |          FROM c ORDER BY h, vec_id LIMIT 16),
+         |${lloyd("cent0", "cent1")},
+         |${lloyd("cent1", "cent2")},
+         |assign AS (SELECT vec_id, v, cid AS cluster FROM
+         |  (SELECT a.vec_id, a.v, t.cid,
+         |     row_number() OVER (PARTITION BY a.vec_id
+         |       ORDER BY list_cosine_similarity(a.v, t.cv) DESC, t.cid) AS rn
+         |   FROM c a CROSS JOIN cent2 t) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS probe FROM
+         |  (SELECT a.vec_id, a.v, t.cid,
+         |     row_number() OVER (PARTITION BY a.vec_id
+         |       ORDER BY list_cosine_similarity(a.v, t.cv) DESC, t.cid) AS rn
+         |   FROM c a CROSS JOIN cent2 t WHERE a.vec_id < 10) WHERE rn <= 4),
+         |cand AS (SELECT p.q_id, p.qv, a.vec_id AS n_id, a.v AS nv
+         |         FROM probes p JOIN assign a ON a.cluster = p.probe AND a.vec_id <> p.q_id),
+         |r AS (SELECT q_id, n_id, c2,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY c2 DESC, n_id) AS rn FROM
+         |  (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS c2 FROM cand))
+         |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, floor((c2)*10000.0 + 0.5)/10000.0 AS cosine
+         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+    },
 
     // Brute-force hamming join over the same md5-60-bit SimHash the q23
     // oracle computes; the Spark side's pigeonhole blocking is exact

@@ -161,10 +161,55 @@ object Similarity {
     (sf.pmod(id.cast("long"), sf.lit(2147483648L)) * sf.lit(2654435761L)) %
       sf.lit(4294967296L)
 
+  /** Lloyd (k-means) refinement of a coarse-quantizer codebook: `iters`
+    * rounds of assign (nearest centroid by cosine, ties to the lower
+    * index) + update (per-cluster mean). Each round is ONE corpus pass:
+    * a map-side-combinable groupBy(cluster, dim) whose shuffle carries
+    * <= nCentroids x dim rows per map task, and only the nCentroids x
+    * dim sum table is ever collected — never vectors.
+    *
+    * The update sums FIXED-POINT values — floor(x*1e6 + 0.5) as a
+    * long — so the new centroid (intSum / (1e6 * count)) is a
+    * deterministic function of the SET of assigned vectors,
+    * independent of accumulation order. Floating-point sums would
+    * differ in final ulps between engines (and between runs, with
+    * Spark's partition-order-dependent reduction), and a centroid
+    * perturbed by one ulp can flip an assignment argmax — this is what
+    * lets a SQL oracle replay the identical iteration. Components are
+    * |x| <= ~1 and clusters <= ~2^31 rows, so the scaled sums sit far
+    * inside both long and exact-double range. Empty clusters keep
+    * their previous centroid. */
+  private def refineCodebook(base: DataFrame, dim: Int, nCentroids: Int,
+                             iters: Int, init: Array[Double]): Array[Double] = {
+    var codebook = init
+    var it = 0
+    while (it < iters) {
+      val cbCol = sf.lit(codebook)
+      val sums = base.select(
+          gf.nearestCentroids(sf.col("nv"), cbCol, sf.lit(dim), sf.lit(1))
+            .getItem(0).as("cluster"),
+          sf.posexplode(sf.col("nv")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sf.sum(sf.floor(sf.col("x") * 1e6 + 0.5).cast("long")).as("s"),
+          sf.count(sf.lit(1)).as("cnt"))
+        .collect()
+      val next = codebook.clone()
+      sums.foreach { r =>
+        next(r.getInt(0) * dim + r.getInt(1)) =
+          r.getLong(2).toDouble / (1e6 * r.getLong(3))
+      }
+      codebook = next
+      it += 1
+    }
+    codebook
+  }
+
   /** IVF (inverted-file) approximate top-k. Coarse quantizer: the
     * nCentroids corpus vectors with the smallest sampleHash(id) — a
-    * deterministic pseudo-random codebook sample (a k-means refinement
-    * would slot in here; sampling is the zero-extra-pass variant).
+    * deterministic pseudo-random codebook sample — optionally refined
+    * by `lloydIters` k-means rounds (see refineCodebook; sampling-only
+    * is the zero-extra-pass variant, each Lloyd round costs one corpus
+    * pass and buys recall at fixed nProbe on clustered corpora).
     * Corpus vectors are assigned to their nearest centroid's list;
     * each query probes only its nProbe nearest lists. With
     * nProbe == nCentroids this degenerates to exact brute force (the
@@ -173,15 +218,20 @@ object Similarity {
     * never collected. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: org.apache.spark.sql.Column, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+              nCentroids: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 0): DataFrame = {
+    val base0 = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
       sf.col(vecCol).cast("array<double>").as("nv")))
+    val base = if (lloydIters > 0) base0.persist() else base0
     val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
-    val codebook: Array[Double] = base
+    val sampled: Array[Double] = base
       .orderBy(sampleHash(sf.col("n_id")), sf.col("n_id"))
       .limit(nCentroids)
       .select("nv").collect()
       .flatMap(_.getSeq[Double](0))
+    val codebook =
+      if (lloydIters > 0) refineCodebook(base, dim, nCentroids, lloydIters, sampled)
+      else sampled
     val codebookCol = sf.lit(codebook)
     val assigned = base.withColumn("cluster",
       gf.nearestCentroids(sf.col("nv"), codebookCol, sf.lit(dim), sf.lit(1)).getItem(0))

@@ -169,6 +169,41 @@ class DedupSimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("ivfTopK Lloyd-refined codebook: recall >= sampling codebook on planted clusters") {
+    val dim = 8
+    val nClusters = 4
+    val perCluster = 100
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // center c points along dims (2c, 2c+1); vectors = center + noise
+    val rows = for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val id = (c * perCluster + i).toLong
+      val v = Seq.tabulate(dim) { d =>
+        val base = if (d == 2 * c || d == 2 * c + 1) 1.0 else 0.0
+        base + ((mix(id * 31 + d) >>> 40).toDouble / (1L << 24).toDouble - 0.5) * 0.2
+      }
+      (id, v)
+    }
+    val embDf = rows.toDF("vec_id", "embedding")
+    val pred = sf.col("vec_id") % 37 === 0
+    val truth = Similarity.bruteForceTopK(embDf, "vec_id", "embedding", pred, k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(lloyd: Int): Double = {
+      val got = Similarity.ivfTopK(embDf, "vec_id", "embedding", pred, k = 10,
+          nCentroids = nClusters, nProbe = 1, lloydIters = lloyd)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 >= r0, s"refined recall $r2 < sampling recall $r0")
+    assert(r2 > 0.9, s"refined recall $r2 too low on planted clusters")
+  }
+
   test("bucketed near-dup pairs are an exact-verified subset of the brute answer") {
     val emb = Tables.load(spark, sf001, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame) =
