@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_prefix_all_differ", staticFn(BooleanType, "prefixAllDiffer"))
 
     ext.injectOptimizerRule(_ => FoldGraftKernels)
+    // Similarity-join planning: inner joins on a cross-side
+    // `graft_jaccard(a, b) >= t` compile to the banded-LSH pipeline
+    // (see SimilarityJoinRule) instead of a cartesian product.
+    ext.injectOptimizerRule(_ => SimilarityJoinRule)
   }
 }

@@ -68,6 +68,59 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(withNull.head().isNullAt(0))
   }
 
+  test("SQL join on graft_jaccard >= t compiles to the banded-LSH plan, answer exact") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-simjoin-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      spark.read.parquet(SparkSpec.sf001 + "/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 150)
+        .createOrReplaceTempView("simdocs")
+      val q = spark.sql(
+        """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |FROM simdocs a JOIN simdocs b
+          |  ON graft_jaccard(split(trim(a.text), '\\s+'),
+          |                   split(trim(b.text), '\\s+')) >= 0.9d
+          | AND a.doc_id < b.doc_id
+          |ORDER BY a_id, b_id""".stripMargin)
+      // plan shape: the banded equi-join, not a quadratic join
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoop"),
+        s"similarity join planned quadratic:\n$phys")
+      assert(phys.contains("Generate") || phys.contains("posexplode"),
+        s"banded explode missing from plan:\n$phys")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ground truth: all-pairs with the same tokenization, compared
+      // through jaccardSorted (a different kernel entry point, so this
+      // join is NOT rewritten and stays brute-force)
+      val sfn = org.apache.spark.sql.functions
+      val toks = spark.read.parquet(SparkSpec.sf001 + "/documents.parquet")
+        .filter(sfn.col("doc_id") < 150)
+        .select(sfn.col("doc_id"),
+          sfn.array_sort(sfn.array_distinct(
+            sfn.split(sfn.trim(sfn.col("text")), "\\s+"))).as("t"))
+      val brute = toks.select(sfn.col("doc_id").as("a_id"), sfn.col("t").as("ta"))
+        .join(toks.select(sfn.col("doc_id").as("b_id"), sfn.col("t").as("tb")),
+          sfn.col("a_id") < sfn.col("b_id"))
+        .filter(graft.functions.jaccardSorted(sfn.col("ta"), sfn.col("tb")) >= 0.9)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+      assert(got.nonEmpty, "corpus slice produced no near-dup pairs — test is vacuous")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("salted join equals the plain join") {
     import SparkSpec.spark
     import spark.implicits._
