@@ -10,7 +10,7 @@ import graft.plans.Kernels
 /* Top-level case classes (Catalyst encoder + Janino constraint). */
 case class StreamDoc(doc_id: Long, text: String)
 case class DupPair(a_id: Long, b_id: Long, jaccard: Double)
-case class BucketMember(id: Long, sh: Array[String])
+case class BucketMember(id: Long, sh: Array[String], bands: Array[Int])
 case class BucketState(members: List[BucketMember])
 
 /** Streaming near-duplicate detection: the MinHash+LSH dedup operator
@@ -21,12 +21,23 @@ case class BucketState(members: List[BucketMember])
   * emitting (a_id, b_id, jaccard) pairs the moment the duplicate
   * arrives.
   *
+  * Exactly-once pair output WITHOUT a downstream dedup: a pair
+  * colliding in several buckets is emitted only at its minimal
+  * agreeing band — the batch pipeline's first-witness test
+  * (Dedup.lshCore), applied in-state. Each member's full band array
+  * rides its bucket entry; before verifying against a member in band
+  * i, the operator checks the two band arrays differ at every index
+  * below i. Both arrays are pure functions of document content, so
+  * exactly one bucket — the first — wins, deterministically, with no
+  * watermark-bounded `dropDuplicates` state downstream. (A stateful
+  * dedup would either hold every emitted pair forever or silently
+  * re-admit duplicates past its watermark; the witness test needs
+  * neither.)
+  *
   * Scale notes: state is per (band, bandHash) bucket and bounded by
   * `maxBucketSize` (degenerate buckets stop absorbing members rather
-  * than growing without bound); a pair colliding in several buckets can
-  * be emitted more than once — in-bucket emission cannot see other
-  * buckets, so exactly-once pair output requires a downstream
-  * `dropDuplicates` (bounded by a watermark in production).
+  * than growing without bound; as in batch, capping trades recall for
+  * bounded skew).
   */
 object StreamingDedup {
 
@@ -50,31 +61,41 @@ object StreamingDedup {
     val banded = docs.flatMap { d =>
       val sh = shingle(d.text)
       val safe = if (sh.isEmpty) Array("") else sh
-      val bands = Kernels.minHashBands(
+      val bandsData = Kernels.minHashBands(
         new GenericArrayData(safe.map(UTF8String.fromString).toArray[Any]),
         numHashes, rowsPerBand)
-      (0 until bands.numElements()).map(b =>
-        (b, bands.getInt(b), d.doc_id, sh))
+      val bands = Array.tabulate(bandsData.numElements())(bandsData.getInt)
+      bands.indices.map(b => (b, bands(b), d.doc_id, sh, bands))
     }
     banded
-      .groupByKey { case (band, bh, _, _) => (band, bh) }
+      .groupByKey { case (band, bh, _, _, _) => (band, bh) }
       .flatMapGroupsWithState[BucketState, DupPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Int, Int), rows: Iterator[(Int, Int, Long, Array[String])],
+        (key: (Int, Int), rows: Iterator[(Int, Int, Long, Array[String], Array[Int])],
          state: GroupState[BucketState]) =>
+          val band = key._1
           var members = state.getOption.map(_.members).getOrElse(Nil)
           val out = List.newBuilder[DupPair]
-          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sh) =>
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sh, bands) =>
             if (!members.exists(_.id == id)) {
               members.foreach { m =>
-                val j = jaccardSorted(m.sh, sh)
-                if (j >= threshold) {
-                  val (a, b) = if (m.id < id) (m.id, id) else (id, m.id)
-                  out += DupPair(a, b, math.rint(j * 10000) / 10000)
+                // first-witness: only the minimal agreeing band emits
+                var first = true
+                var k = 0
+                while (first && k < band) {
+                  if (m.bands(k) == bands(k)) first = false
+                  k += 1
+                }
+                if (first) {
+                  val j = jaccardSorted(m.sh, sh)
+                  if (j >= threshold) {
+                    val (a, b) = if (m.id < id) (m.id, id) else (id, m.id)
+                    out += DupPair(a, b, math.rint(j * 10000) / 10000)
+                  }
                 }
               }
               if (members.size < maxBucketSize)
-                members = BucketMember(id, sh) :: members
+                members = BucketMember(id, sh, bands) :: members
             }
           }
           state.update(BucketState(members))

@@ -75,6 +75,33 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup emits each pair exactly once across multi-band collisions") {
+    import graft.streaming.{StreamingDedup, StreamDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val pairs = StreamingDedup.nearDupPairs(spark, input.toDS(), threshold = 0.8)
+    val q = pairs.writeStream.format("memory").queryName("sdedup_once")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // identical texts share every band (16 bands at 48/3): without
+      // the first-witness test each of the 16 buckets emits the pair
+      input.addData(
+        StreamDoc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        StreamDoc(2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      q.processAllAvailable()
+      // near-copy in a later batch: collides in several (not all) bands
+      input.addData(
+        StreamDoc(3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_once").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.distinct.length,
+        s"duplicate pair emissions: ${rows.groupBy(identity).filter(_._2.length > 1).keys}")
+      val got = rows.toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap and aggregates it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
