@@ -316,6 +316,25 @@ object SparkEntry {
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
         sf.col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 4,
         lloydIters = 2)),
+
+    // Benchmark decontamination: docs sharing an 8-gram with the
+    // held-out set (doc_id % 10 == 0 plays the benchmark).
+    "q56_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.decontaminate(
+        d.filter(sf.col("doc_id") % 10 =!= 0),
+        d.filter(sf.col("doc_id") % 10 === 0), "doc_id", "text", n = 8)
+    }),
+
+    // Cross-corpus near-dup scan: odd-id docs (the "training corpus")
+    // within J >= 0.9 of any even-id doc (the "held-out corpus").
+    "q57_cross_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusNearDup(
+        d.filter(sf.col("doc_id") % 2 === 1),
+        d.filter(sf.col("doc_id") % 2 === 0), "doc_id", "text",
+        threshold = 0.9)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -1002,6 +1021,38 @@ object SparkEntry {
          |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, floor((c2)*10000.0 + 0.5)/10000.0 AS cosine
          |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
     },
+
+    // Decontamination: exact string 8-gram overlap (the Spark side
+    // joins on xxhash64 of the same grams — a collision can only add
+    // an overlapping gram, P ~ grams²/2⁶⁴). wordShingles contract
+    // mirrored: < 8 tokens -> the whole text as one shingle.
+    "q56_decontaminate" ->
+      """WITH ws AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]) END AS gr
+        |  FROM ws),
+        |bench AS (SELECT DISTINCT unnest(gr) AS bg FROM g WHERE doc_id % 10 = 0),
+        |dg AS (SELECT doc_id, unnest(gr) AS dgr FROM g WHERE doc_id % 10 <> 0)
+        |SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+        |FROM dg JOIN bench ON dgr = bg
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Cross-corpus brute force: word-set Jaccard across the odd/even
+    // split at the q22 threshold — the LSH path's recall makes the
+    // sets equal (see q22).
+    "q57_cross_corpus" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  floor((CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END)*10000.0 + 0.5)/10000.0 AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+        |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9 ORDER BY 1, 2""".stripMargin,
 
     // Brute-force hamming join over the same md5-60-bit SimHash the q23
     // oracle computes; the Spark side's pigeonhole blocking is exact

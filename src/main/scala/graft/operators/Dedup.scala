@@ -455,6 +455,62 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("doc_id"), "left_anti")
   }
 
+  /** Cross-corpus near-duplicate pairs: documents of corpus A within
+    * `threshold` Jaccard of any document of corpus B — the training-
+    * corpus-vs-heldout overlap scan (drop A-side matches before
+    * training, or audit leakage). Same banded-LSH machinery as the
+    * self-join path — per-side signatures, (band, bandHash) equi join
+    * (shuffle_hash, never cartesian), size-ratio + b-bit-sketch
+    * prefilters, first-witness single emission, early-abandoning exact
+    * verification — but across two tables and without the a<b
+    * self-pair constraint. Duplicate-heavy corpora should be collapsed
+    * with `exact` first (the self-join path does this internally; here
+    * each side is assumed mostly-distinct, the common shape for
+    * corpus-vs-benchmark scans where B is small).
+    * Output: (a_id, b_id, jaccard), one row per cross pair. */
+  def crossCorpusNearDup(corpusA: DataFrame, corpusB: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.9, numHashes: Int = 144,
+                         rowsPerBand: Int = 6, sketchBits: Int = 256): DataFrame = {
+    def prep(df: DataFrame, tag: String): DataFrame = {
+      val sketchCol =
+        if (sketchBits > 0) gf.minHashBitSketch(sf.col("sh"), sketchBits)
+        else sf.lit(null).cast("array<bigint>")
+      Par.spread(df.select(sf.col(idCol).cast("long").as(s"${tag}_id"),
+          sf.col(textCol).as("__t")))
+        .select(sf.col(s"${tag}_id"), gf.hashedWsShingles(sf.col("__t")).as("sh"))
+        .select(sf.col(s"${tag}_id"), sf.col("sh"),
+          gf.minHashBandsFromHashes(sf.col("sh"), numHashes, rowsPerBand).as("bands"),
+          sf.size(sf.col("sh")).as("sz"), sketchCol.as("skb"))
+        .persist()
+    }
+    val a = prep(corpusA, "a")
+    val b = prep(corpusB, "b")
+    def explodeSide(df: DataFrame, tag: String): DataFrame =
+      df.select(sf.col(s"${tag}_id"), sf.col("bands").as(s"bands_$tag"),
+        sf.col("sz").as(s"sz_$tag"), sf.col("skb").as(s"skb_$tag"),
+        sf.posexplode(sf.col("bands")).as(Seq(s"band_$tag", s"bh_$tag")))
+    var cand = explodeSide(a, "a").join(explodeSide(b, "b").hint("shuffle_hash"),
+        sf.col("band_a") === sf.col("band_b") && sf.col("bh_a") === sf.col("bh_b"))
+      .filter(sf.least(sf.col("sz_a"), sf.col("sz_b")).cast("double") >=
+        sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * threshold)
+    if (sketchBits > 0)
+      cand = cand.filter(gf.sketchMatchBits(sf.col("skb_a"), sf.col("skb_b")) >=
+        sf.lit(sketchCutoff(sketchBits, threshold)))
+    val pairs = cand
+      .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band_a")))
+      .select("a_id", "b_id")
+    val shA = a.select(sf.col("a_id"), sf.col("sh").as("sh_a"))
+    val shB = b.select(sf.col("b_id"), sf.col("sh").as("sh_b"))
+    pairs.join(shA, "a_id").join(shB, "b_id")
+      .select(sf.col("a_id"), sf.col("b_id"),
+        gf.roundAt(gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"),
+          threshold - 0.00005), 4).as("jaccard"))
+      .filter(sf.col("jaccard") >= threshold)
+      .localCheckpoint(true) // the range sort below samples its child
+      .orderBy("a_id", "b_id")
+  }
+
   /** Per-document 64-bit SimHash signatures. */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     Par.spread(docs.select(sf.col(idCol).cast("long").as("id"), sf.col(textCol).as("t")))

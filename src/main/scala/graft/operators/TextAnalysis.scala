@@ -154,4 +154,36 @@ object TextAnalysis {
       gf.fingerprint(sf.col(textCol)).as("fp_md5"),
       gf.rollingHash(gf.wsTokens(sf.col(textCol))).as("fp_rolling"))
       .orderBy(idCol)
+
+  /** Benchmark decontamination (GPT-3/C4-style): documents sharing any
+    * word n-gram with a held-out benchmark set, with the count of
+    * distinct contaminated n-grams per document. The corpus then drops
+    * (or flags) these before training.
+    *
+    * Scale shape: the benchmark side is distinct n-gram HASHES — a few
+    * million longs for any real eval suite — explicitly `broadcast()`;
+    * the corpus side streams map-only through explode + broadcast
+    * left-semi (no corpus shuffle, no n-gram strings past the hash).
+    * The only shuffle is the final combinable groupBy(doc) count. A
+    * 64-bit hash collision can only ADD a false contaminated n-gram
+    * (P ~ grams²/2⁶⁴); decontamination is conservative by nature.
+    * Documents shorter than n words contribute their whole text as one
+    * shingle (wordShingles contract), so short benchmark strings still
+    * match verbatim copies. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val bGrams = benchmark
+      .select(sf.explode(gf.wordShingles(sf.col(textCol), n)).as("g"))
+      .select(sf.xxhash64(sf.col("g")).as("gh"))
+      .distinct()
+    val dGrams = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"),
+        sf.explode(gf.wordShingles(sf.col("__t"), n)).as("g"))
+      .select(sf.col("doc_id"), sf.xxhash64(sf.col("g")).as("gh"))
+    dGrams.join(sf.broadcast(bGrams), Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sf.count(sf.lit(1)).as("n_contaminated_ngrams"))
+      .orderBy("doc_id")
+  }
 }

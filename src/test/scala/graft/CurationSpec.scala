@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => sf}
 import graft.operators._
+import graft.sources.Tables
 
 /** Specs for the curation operators added on top of the dedup/similarity
   * families: PII scrubbing, line-level dedup, stopword ratio, SCD2
@@ -22,6 +23,36 @@ class CurationSpec extends SparkFunSuite {
     assert(out(2).getAs[String]("text") == "nothing sensitive here")
     assert(out(2).getAs[Int]("n_email") + out(2).getAs[Int]("n_phone") +
       out(2).getAs[Int]("n_ip") == 0)
+  }
+
+  test("TextAnalysis.decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"), // 3 shared 8-grams
+      (2L, "totally unrelated text with completely different words here now"),
+      (3L, "short overlap")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "short overlap")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 3L -> 1L), s"got $got") // doc 2 clean
+  }
+
+  test("Dedup.crossCorpusNearDup equals the brute cross join at the threshold") {
+    val d = Tables.load(spark, sf001, "documents").filter($"doc_id" < 150)
+    val a = d.filter($"doc_id" % 2 === 1)
+    val b = d.filter($"doc_id" % 2 === 0)
+    val lsh = Dedup.crossCorpusNearDup(a, b, "doc_id", "text", threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sh = (df: org.apache.spark.sql.DataFrame, t: String) => df.select(
+      sf.col("doc_id").as(t + "_id"),
+      graft.functions.hashedWsShingles(sf.col("text")).as("sh_" + t))
+    val brute = sh(a, "a").join(sh(b, "b"))
+      .filter(graft.functions.roundAt(
+        graft.functions.jaccardSortedLong($"sh_a", $"sh_b"), 4) >= 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"missing=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+    assert(lsh.nonEmpty, "corpus slice produced no cross pairs — test is vacuous")
   }
 
   test("Dedup.lineDedupKeepFirst keeps first occurrence of each line") {

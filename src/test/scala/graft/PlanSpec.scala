@@ -139,6 +139,35 @@ class PlanSpec extends SparkFunSuite {
       s"expected partial_min on the line-hash exchange in:\n$planStr")
   }
 
+  test("decontaminate broadcasts the benchmark grams; corpus side never shuffles pre-agg") {
+    val d = Tables.load(spark, sf001, "documents")
+    val df = graft.operators.TextAnalysis.decontaminate(
+      d.filter(sf.col("doc_id") % 10 =!= 0), d.filter(sf.col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 8)
+    df.collect()
+    val all = collectAll(executed(df))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"benchmark gram set must broadcast:\n${all.head}")
+    // shuffles: Par.spread's deliberate input repartition, benchmark
+    // distinct, the combinable per-doc count, the final orderBy — the
+    // exploded corpus grams themselves never shuffle
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 4, s"expected <=4 shuffles, got $shuffles in:\n${all.head}")
+  }
+
+  test("cross-corpus near-dup plan contains no cartesian/nested-loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val d = Tables.load(spark, sf001, "documents").filter(sf.col("doc_id") < 100)
+    val df = graft.operators.Dedup.crossCorpusNearDup(
+      d.filter(sf.col("doc_id") % 2 === 1), d.filter(sf.col("doc_id") % 2 === 0),
+      "doc_id", "text", threshold = 0.9)
+    df.collect()
+    val all = collectAll(executed(df))
+    assert(!all.exists(p => p.isInstanceOf[CartesianProductExec] ||
+        p.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"quadratic join in cross-corpus plan:\n${all.head}")
+  }
+
   test("windowed event agg shuffles once (partial aggregation map-side)") {
     val df = graft.operators.EventOps.windowedAgg(Tables.load(spark, sf001, "events"))
     df.collect()
