@@ -304,10 +304,12 @@ object SparkEntry {
         threshold = 0.4, bands = 24, bitsPerBand = 5)),
 
     // Unbounded-corpus near-dup pairs via IVF cell co-membership — the
-    // moderate-threshold scale path.
+    // moderate-threshold scale path. nCentroids tracks FAISS practice
+    // (~sqrt(n)): candidate volume is ~n²·nProbe²/nCentroids, so the
+    // coarser 16-cell codebook cost 4x the verification work.
     "q54_embed_neardup_ivf" -> ((s, dir) =>
       Similarity.ivfNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.35, nCentroids = 16, nProbe = 4)),
+        threshold = 0.35, nCentroids = 64, nProbe = 4)),
 
     // IVF with a Lloyd-refined (2-round k-means) codebook: the trained-
     // quantizer variant of q32. Fixed-point centroid updates make the
@@ -335,6 +337,12 @@ object SparkEntry {
         d.filter(sf.col("doc_id") % 2 === 0), "doc_id", "text",
         threshold = 0.9)
     }),
+
+    // Training-sequence packing: concatenate-and-chunk at 512 tokens
+    // via the two-level distributed prefix scan.
+    "q58_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(docs(s, dir), "doc_id", "text",
+        capacity = 512, bucketSize = 64)),
   )
 
   // ---------------------------------------------------------------------
@@ -963,7 +971,7 @@ object SparkEntry {
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings),
         |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
-        |         FROM c ORDER BY h, vec_id LIMIT 16),
+        |         FROM c ORDER BY h, vec_id LIMIT 64),
         |sc AS (SELECT a.vec_id, a.v, cent.cid, list_cosine_similarity(a.v, cent.cv) AS s
         |       FROM c a CROSS JOIN cent),
         |probes AS (SELECT vec_id, cid FROM
@@ -1040,6 +1048,23 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
         |FROM dg JOIN bench ON dgr = bg
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Sequence packing: the oracle computes the SAME prefix sum with a
+    // plain global-order window (fine in a single-node engine; the
+    // Spark side's two-level scan exists exactly because this window
+    // doesn't distribute). SUM casts: DuckDB SUM(BIGINT) -> HUGEINT.
+    "q58_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER
+        |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  pre // 512 AS seq_id, pre % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus brute force: word-set Jaccard across the odd/even
     // split at the q22 threshold — the LSH path's recall makes the

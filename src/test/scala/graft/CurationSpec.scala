@@ -55,6 +55,25 @@ class CurationSpec extends SparkFunSuite {
     assert(lsh.nonEmpty, "corpus slice produced no cross pairs — test is vacuous")
   }
 
+  test("Packing.packSequences two-level scan equals the global-window model") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val got = Packing.packSequences(docs, "doc_id", "text",
+      capacity = 512, bucketSize = 16).collect().map(_.toSeq)
+    // model: plain global-order cumsum (the thing that doesn't scale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val model = docs.select(sf.col("doc_id"),
+        graft.functions.tokenCount(sf.col("text")).cast("long").as("n_tokens"))
+      .withColumn("pre", sf.coalesce(sf.sum("n_tokens").over(w), sf.lit(0L)))
+      .select(sf.col("doc_id"), sf.col("n_tokens"),
+        sf.expr("pre DIV 512").as("seq_id"),
+        sf.pmod(sf.col("pre"), sf.lit(512L)).as("seq_offset"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.sameElements(model))
+    // a doc never starts past its sequence's capacity
+    assert(got.forall(r => r(3).asInstanceOf[Long] < 512))
+  }
+
   test("Dedup.lineDedupKeepFirst keeps first occurrence of each line") {
     val df = Seq(
       (1L, "alpha\nbeta\ngamma"),

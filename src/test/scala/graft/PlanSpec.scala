@@ -168,6 +168,24 @@ class PlanSpec extends SparkFunSuite {
       s"quadratic join in cross-corpus plan:\n${all.head}")
   }
 
+  test("sequence packing: no unpartitioned window over the corpus rows") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val df = graft.operators.Packing.packSequences(docs, "doc_id", "text",
+      capacity = 512, bucketSize = 64)
+    df.collect()
+    val all = collectAll(executed(df))
+    val windows = all.collect {
+      case wx: org.apache.spark.sql.execution.window.WindowExec => wx }
+    // the only global-order (partition-less) window must be the one on
+    // the tiny per-bucket totals table — every corpus-row window is
+    // partitioned by bucket
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size == 1,
+      s"expected exactly one global window (bucket offsets), got ${unpartitioned.size}")
+    val corpusWindows = windows.filter(_.partitionSpec.nonEmpty)
+    assert(corpusWindows.nonEmpty, "within-bucket running sum missing")
+  }
+
   test("windowed event agg shuffles once (partial aggregation map-side)") {
     val df = graft.operators.EventOps.windowedAgg(Tables.load(spark, sf001, "events"))
     df.collect()
