@@ -343,6 +343,14 @@ object SparkEntry {
     "q58_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(docs(s, dir), "doc_id", "text",
         capacity = 512, bucketSize = 64)),
+
+    // Group-limit at scale: top-2 orders by total price per customer,
+    // reduced with the k-bounded combinable aggregator (no per-group
+    // sort shuffle); the oracle is the window-rank twin.
+    "q59_topk_per_key" -> ((s, dir) =>
+      TopK.perKey(s, Tables.load(s, dir, "orders"),
+          "o_custkey", "o_orderkey", "o_totalprice", k = 2)
+        .toDF("o_custkey", "rank", "o_orderkey", "score")),
   )
 
   // ---------------------------------------------------------------------
@@ -1048,6 +1056,16 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
         |FROM dg JOIN bench ON dgr = bg
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Group-limit: the window-rank twin of the k-bounded aggregator.
+    "q59_topk_per_key" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rn AS INT) AS "rank", o_orderkey,
+        |  floor((o_totalprice)*10000.0 + 0.5)/10000.0 AS score
+        |FROM r WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
 
     // Sequence packing: the oracle computes the SAME prefix sum with a
     // plain global-order window (fine in a single-node engine; the

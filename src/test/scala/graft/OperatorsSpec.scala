@@ -8,6 +8,21 @@ import graft.operators._
 class OperatorsSpec extends SparkFunSuite {
   import spark.implicits._
 
+  test("TopK.perKey equals the window-rank model and plans without a window") {
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 7.0), (1L, 12L, 7.0), (1L, 13L, 1.0),
+      (2L, 20L, 3.0), (3L, 30L, 9.0)).toDF("k", "id", "s")
+    val got = TopK.perKey(spark, df, "k", "id", "s", k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // ties on score break by id asc: (1, 11) before (1, 12)
+    assert(got.toSeq == Seq(
+      (1L, 1, 11L, 7.0), (1L, 2, 12L, 7.0),
+      (2L, 1, 20L, 3.0), (3L, 1, 30L, 9.0)))
+    val plan = TopK.perKey(spark, df, "k", "id", "s", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"group-limit must not sort per group:\n$plan")
+  }
+
   test("Cleaning: dropNulls / fill / dedup / exclude / casts") {
     val df = Seq(
       (Some(1), Some("a"), Some("keep me")),
@@ -104,6 +119,33 @@ class OperatorsSpec extends SparkFunSuite {
       case Seq((_, hi), (lo2, _)) => hi < lo2
       case _ => true
     }, ranges.mkString(","))
+  }
+
+  test("writeZOrdered shrinks per-file ranges on BOTH dimensions; range clustering cannot") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    // two independent uniform dimensions (deterministic hash spread)
+    val df = spark.range(10000).select(
+      (sf.pmod(sf.xxhash64($"id"), sf.lit(10000L))).as("x"),
+      (sf.pmod(sf.xxhash64($"id" + 7), sf.lit(10000L))).as("y"))
+    def meanRange(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(sf.min(c), sf.max(c)).head()
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    StarSchema.writeZOrdered(df, s"$base/z", Seq("x", "y"), numFiles = 16)
+    StarSchema.writeClustered(df, s"$base/r", Seq("x", "y"), numFiles = 16)
+    // 16 z-files over 2 dims = a 4x4 grid: each file should cover a
+    // fraction of BOTH ranges (boundary files may straddle two cells)
+    assert(meanRange(s"$base/z", "x") < 0.6 * 10000, meanRange(s"$base/z", "x"))
+    assert(meanRange(s"$base/z", "y") < 0.6 * 10000, meanRange(s"$base/z", "y"))
+    // range clustering nails x but leaves y at ~the global range
+    assert(meanRange(s"$base/r", "x") < 0.2 * 10000)
+    assert(meanRange(s"$base/r", "y") > 0.8 * 10000, meanRange(s"$base/r", "y"))
   }
 
   test("EventOps: windowed agg equals manual hour bucketing") {
