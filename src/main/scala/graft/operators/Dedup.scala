@@ -133,7 +133,7 @@ object Dedup {
     * value whose lower tail P(X < m0) stays under eps. eps = 1e-7
     * keeps the prefilter's miss rate at the same order as the banding
     * scheme's own 1.3e-8 — recall remains 1-ε end to end. */
-  private[operators] def sketchCutoff(nBits: Int, t: Double, eps: Double = 1e-7): Int = {
+  private[graft] def sketchCutoff(nBits: Int, t: Double, eps: Double = 1e-7): Int = {
     val p = (1.0 + math.min(t, 0.9999)) / 2.0
     def logComb(n: Int, k: Int): Double = {
       var s = 0.0

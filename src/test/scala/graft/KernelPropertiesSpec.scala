@@ -114,4 +114,48 @@ class KernelPropertiesSpec extends AnyFunSuite {
         s"cents=$c disc=$d")
     }
   }
+
+  test("sketchMatchBits equals the per-bit popcount model (200 cases)") {
+    for (_ <- 1 to 200) {
+      val w = 1 + rnd.nextInt(4)
+      val a = Seq.fill(w)(rnd.nextLong())
+      val b = Seq.fill(w)(rnd.nextLong())
+      val expected = a.zip(b).map { case (x, y) =>
+        64 - java.lang.Long.bitCount(x ^ y) }.sum
+      assert(Kernels.sketchMatchBits(
+        new GenericArrayData(a.toArray[Any]),
+        new GenericArrayData(b.toArray[Any])) == expected)
+    }
+  }
+
+  test("minHashBitSketch: identical sets agree on every bit; match rate tracks (1+j)/2") {
+    def sketch(xs: Seq[Long]) = Kernels.minHashBitSketchFromHashes(
+      new GenericArrayData(xs.toArray[Any]), 256)
+    def matches(a: Seq[Long], b: Seq[Long]): Int =
+      Kernels.sketchMatchBits(sketch(a), sketch(b))
+    val base = Seq.tabulate(200)(i => (i * 2654435761L) & 0x7FFFFFFFL)
+    // identical sets -> all 256 bits agree (the J=1 diagonal)
+    assert(matches(base, base) == 256)
+    // disjoint sets (J=0): expected match rate 1/2; 4+ sigma bounds
+    val other = Seq.tabulate(200)(i => ((i + 1000) * 40503L) & 0x7FFFFFFFL)
+    val m0 = matches(base, other)
+    assert(m0 > 96 && m0 < 160, s"J=0 match count $m0 far from 128")
+    // ~90% overlap (J~0.82): expected ~(1+0.82)/2*256 ~ 233
+    val near = base.take(180) ++ Seq.tabulate(20)(i => ((i + 5000) * 97L) & 0x7FFFFFFFL)
+    val j = 180.0 / 220.0
+    val m1 = matches(base, near)
+    val mean = 256 * (1 + j) / 2
+    assert(math.abs(m1 - mean) < 30, s"match count $m1 far from binomial mean $mean")
+  }
+
+  test("sketchCutoff: monotone in threshold, bounded, admits the j=t binomial mean") {
+    import graft.operators.Dedup
+    val cuts = Seq(0.5, 0.7, 0.8, 0.9, 0.95).map(t => t -> Dedup.sketchCutoff(256, t))
+    assert(cuts.sliding(2).forall { case Seq((_, a), (_, b)) => a <= b })
+    cuts.foreach { case (t, m0) =>
+      assert(m0 >= 0 && m0 <= 256)
+      // the binomial mean at j=t must clear the cutoff comfortably
+      assert(256 * (1 + t) / 2 > m0, s"t=$t m0=$m0 rejects the mean")
+    }
+  }
 }
