@@ -209,23 +209,28 @@ object Dedup {
       // multiply, don't divide: zero-size (empty-doc) pairs stay valid
       .filter(sf.least(sf.col("sz_a"), sf.col("sz_b")).cast("double") >=
         sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * threshold)
+    // Witness first, sketch second — ordered by measured per-row cost.
+    // The first-witness test fails in 1-2 int compares for the ~7x
+    // multi-band duplicate emissions (sf0.1 funnel: 9.0M size-passed
+    // collision rows -> 1.28M first-witness rows), so the costlier
+    // xor+popcount sketch runs on the deduplicated pair stream.
+    candidateRows = candidateRows
+      .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band")))
     // Second-stage precision filter: xor+popcount over the packed
     // sketches estimates J without touching shingle arrays; banding at
     // r=6 is unselective on corpora whose noise-J distribution sits
-    // high (this corpus's median is ~0.63 — ~80% of noise pairs
-    // collide in >=1 band), and every surviving candidate pays the
-    // merge-scan verify. The cutoff is computed from the threshold so
-    // a true pair at j=t fails with P < 1e-7 (see sketchCutoff);
-    // far-below-threshold noise — the bulk — drops here at ~8 machine
-    // ops per pair. Cheap filter first, witness test after: the
-    // witness scan then runs on the thinned stream.
+    // high, and every surviving candidate pays the merge-scan verify.
+    // The cutoff is computed from the threshold so a true pair at j=t
+    // fails with P < 1e-7 (see sketchCutoff); the below-threshold tail
+    // drops here at ~8 machine ops per pair. (The near-threshold mass
+    // — j within ~0.05 of t — passes any estimate-based filter by
+    // construction and is exactly what the early-abandoning merge scan
+    // is for.)
     if (sketchBits > 0)
       candidateRows = candidateRows.filter(
         gf.sketchMatchBits(sf.col("skb_a"), sf.col("skb_b")) >=
           sf.lit(sketchCutoff(sketchBits, threshold)))
-    val candidates = candidateRows
-      .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band")))
-      .select("a_id", "b_id")
+    val candidates = candidateRows.select("a_id", "b_id")
     val shA = base.select(sf.col("rep").as("a_id"),
       sf.col("setkey").as("sk_a"), sf.col("shh").as("sh_a"))
     val shB = base.select(sf.col("rep").as("b_id"),
@@ -494,12 +499,12 @@ object Dedup {
         sf.col("band_a") === sf.col("band_b") && sf.col("bh_a") === sf.col("bh_b"))
       .filter(sf.least(sf.col("sz_a"), sf.col("sz_b")).cast("double") >=
         sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("double") * threshold)
+    cand = cand
+      .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band_a")))
     if (sketchBits > 0)
       cand = cand.filter(gf.sketchMatchBits(sf.col("skb_a"), sf.col("skb_b")) >=
         sf.lit(sketchCutoff(sketchBits, threshold)))
-    val pairs = cand
-      .filter(gf.prefixAllDiffer(sf.col("bands_a"), sf.col("bands_b"), sf.col("band_a")))
-      .select("a_id", "b_id")
+    val pairs = cand.select("a_id", "b_id")
     val shA = a.select(sf.col("a_id"), sf.col("sh").as("sh_a"))
     val shB = b.select(sf.col("b_id"), sf.col("sh").as("sh_b"))
     pairs.join(shA, "a_id").join(shB, "b_id")
