@@ -339,10 +339,11 @@ object SparkEntry {
     }),
 
     // Training-sequence packing: concatenate-and-chunk at 512 tokens
-    // via the two-level distributed prefix scan.
+    // via the multi-level distributed prefix scan (auto bucket sizing:
+    // bucketSize = ceil(sqrt(maxId+1)) balances both scan levels).
     "q58_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(docs(s, dir), "doc_id", "text",
-        capacity = 512, bucketSize = 64)),
+        capacity = 512)),
 
     // Group-limit at scale: top-2 orders by total price per customer,
     // reduced with the k-bounded combinable aggregator (no per-group

@@ -14,39 +14,127 @@ import graft.{functions => gf}
   * The core is a DISTRIBUTED PREFIX SUM, which a naive
   * `sum over (order by id)` window would compute on a single reducer
   * (a global-order window is one partition — the canonical scale
-  * anti-pattern). Two-level scan instead:
+  * anti-pattern). Multi-level scan instead:
   *   1. coarse buckets of `bucketSize` ids; per-bucket token totals
   *      via a combinable groupBy (shuffle carries one row per bucket
   *      per map task);
-  *   2. exclusive cumsum of the totals — a window over the SMALL
-  *      per-bucket table (rows = ids/bucketSize; size the bucket so
-  *      this table is driver-trivial, and nest another level if a
-  *      corpus ever outgrows it), broadcast back;
+  *   2. exclusive cumsum of the totals via [[exclusivePrefix]] — a
+  *      global-order window ONLY when the table is at most `scanBound`
+  *      rows; larger tables recurse over sqrt-span super-buckets, so
+  *      no single window task ever orders more than `scanBound` rows
+  *      at any level, whatever the corpus size;
   *   3. per-row prefix = bucket offset + within-bucket running sum —
   *      a window PARTITIONED by bucket, so no partition exceeds
   *      `bucketSize` rows.
-  * Every stage is bounded; nothing orders the full corpus on one task.
+  *
+  * With the default auto bucket sizing (`bucketSize <= 0`) the bucket
+  * width is ceil(sqrt(maxId+1)), which balances levels 1 and 3 at
+  * ~sqrt(n) rows each: at n = 10^12 ids that is ~10^6 rows per window
+  * task (a few MB) and a single level-2 scan — nothing is unbounded.
+  * [[planLevels]] is the pure-arithmetic mirror of the level sizing so
+  * the scale behavior is testable without materializing 10^12 rows.
   */
 object Packing {
 
+  /** Cap on rows a single global-order window task may scan (level 2+).
+    * ~1M (key,total) pairs is a few tens of MB in one sort task. */
+  val DefaultScanBound: Long = 1L << 20
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  /** bucketSize = ceil(sqrt(maxId+1)) balances the per-bucket-totals
+    * table (level 2 input) and the within-bucket window partitions
+    * (level 3) at ~sqrt(n) rows each. */
+  private[operators] def autoBucketSize(maxId: Long): Long =
+    math.max(1L, math.ceil(math.sqrt((maxId + 1).toDouble)).toLong)
+
+  /** Row counts of every prefix-scan level for ids in [0, maxId]: the
+    * head entry is the per-bucket totals table, each further entry one
+    * recursion level of [[exclusivePrefix]]. Pure arithmetic mirror of
+    * what [[packSequences]] executes — specs assert the 10^12-id case
+    * stays bounded without creating any data. */
+  def planLevels(maxId: Long, bucketSize: Long = -1,
+                 scanBound: Long = DefaultScanBound): Seq[Long] = {
+    val bs = if (bucketSize > 0) bucketSize else autoBucketSize(maxId)
+    def levels(keys: Long): List[Long] =
+      if (keys <= scanBound) List(keys)
+      else keys :: levels(ceilDiv(keys, prefixSpan(keys, scanBound)))
+    levels(ceilDiv(maxId + 1, bs))
+  }
+
+  /** Super-bucket width for one recursion level: sqrt of the key range
+    * balances this level's partitions against the next level's table,
+    * capped at scanBound so partitions stay bounded too. */
+  private def prefixSpan(keyRange: Long, scanBound: Long): Long =
+    math.max(2L, math.min(scanBound,
+      math.ceil(math.sqrt(keyRange.toDouble)).toLong))
+
+  /** Exclusive running sum of `valCol` in `keyCol` order (keys are
+    * non-negative longs, one row per key). Output: (keyCol, `offName`).
+    *
+    * Scale-safe: when the key RANGE exceeds `scanBound` the scan
+    * recurses — keys fold into sqrt-span super-buckets, the per-super
+    * totals are prefix-scanned one level up, and the within-super
+    * running sum is a window PARTITIONED by super-bucket (≤ span rows
+    * per partition). A global-order window only ever runs over a table
+    * whose key range — hence row count — is ≤ scanBound. */
+  private[operators] def exclusivePrefix(totals: DataFrame, keyCol: String,
+                                         valCol: String, offName: String,
+                                         scanBound: Long): DataFrame = {
+    val m = totals.agg(sf.max(sf.col(keyCol))).head()
+    val maxKey = if (m.isNullAt(0)) -1L else m.getLong(0)
+    if (maxKey + 1 <= scanBound) {
+      val w = Window.orderBy(keyCol).rowsBetween(Window.unboundedPreceding, -1)
+      totals
+        .withColumn(offName, sf.coalesce(sf.sum(valCol).over(w), sf.lit(0L)))
+        .select(keyCol, offName)
+    } else {
+      val span = prefixSpan(maxKey + 1, scanBound)
+      val withSuper = totals.withColumn("__sb",
+        sf.floor(sf.col(keyCol) / span))
+      val superTotals = withSuper.groupBy("__sb")
+        .agg(sf.sum(valCol).as(valCol))
+        .withColumnRenamed("__sb", keyCol)
+      val superOff = exclusivePrefix(superTotals, keyCol, valCol, "__sboff", scanBound)
+        .withColumnRenamed(keyCol, "__sb")
+      val wIn = Window.partitionBy("__sb").orderBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withSuper.join(superOff, "__sb")
+        .withColumn(offName,
+          sf.col("__sboff") + sf.coalesce(sf.sum(valCol).over(wIn), sf.lit(0L)))
+        .select(keyCol, offName)
+    }
+  }
+
   /** Output: (doc_id, n_tokens, seq_id, seq_offset), ordered by id.
     * seq_id = floor(prefix / capacity), seq_offset = prefix %
-    * capacity, where prefix counts all tokens of lower-id docs. */
+    * capacity, where prefix counts all tokens of lower-id docs.
+    * `bucketSize <= 0` (the default) derives ceil(sqrt(maxId+1)) from
+    * a cheap column-pruned max over the id column. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    capacity: Long = 2048, bucketSize: Long = 4096): DataFrame = {
-    require(capacity > 0 && bucketSize > 0, "capacity and bucketSize must be positive")
+                    capacity: Long = 2048, bucketSize: Long = -1,
+                    scanBound: Long = DefaultScanBound): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(scanBound > 0, "scanBound must be positive")
+    val maxRow = docs.agg(sf.max(sf.col(idCol).cast("long"))).head()
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val bs = if (bucketSize > 0) bucketSize else autoBucketSize(maxId)
     val base = docs.select(sf.col(idCol).cast("long").as("doc_id"),
         gf.tokenCount(sf.col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("bucket", sf.floor(sf.col("doc_id") / bucketSize))
+      .withColumn("bucket", sf.floor(sf.col("doc_id") / bs))
     val bucketTotals = base.groupBy("bucket").agg(sf.sum("n_tokens").as("btot"))
-    val wBuckets = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketTotals
-      .withColumn("boff", sf.coalesce(sf.sum("btot").over(wBuckets), sf.lit(0L)))
-      .select("bucket", "boff")
+    val offsets = exclusivePrefix(bucketTotals, "bucket", "btot", "boff", scanBound)
+    // Broadcast the per-bucket offsets only when provably small; at auto
+    // sizing that is ~sqrt(n) rows. Otherwise a plain equi join — AQE
+    // picks the strategy, and the shuffle it may need is the same
+    // bucket-keyed one the within-bucket window needs anyway.
+    val numBuckets = ceilDiv(maxId + 1, bs)
+    val joined =
+      if (numBuckets <= scanBound) base.join(sf.broadcast(offsets), "bucket")
+      else base.join(offsets, "bucket")
     val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(sf.broadcast(offsets), "bucket")
+    joined
       .withColumn("pre",
         sf.col("boff") + sf.coalesce(sf.sum("n_tokens").over(wInBucket), sf.lit(0L)))
       .select(sf.col("doc_id"), sf.col("n_tokens"),

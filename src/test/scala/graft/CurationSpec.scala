@@ -72,6 +72,35 @@ class CurationSpec extends SparkFunSuite {
     assert(got.sameElements(model))
     // a doc never starts past its sequence's capacity
     assert(got.forall(r => r(3).asInstanceOf[Long] < 512))
+    // auto bucket sizing and a scanBound small enough to force the
+    // recursive prefix levels must give the identical packing
+    val rec = Packing.packSequences(docs, "doc_id", "text",
+      capacity = 512, bucketSize = 2, scanBound = 16).collect().map(_.toSeq)
+    assert(rec.sameElements(model), "recursive exclusivePrefix diverged")
+    val auto = Packing.packSequences(docs, "doc_id", "text",
+      capacity = 512).collect().map(_.toSeq)
+    assert(auto.sameElements(model), "auto bucket sizing diverged")
+  }
+
+  test("Packing.planLevels bounds every scan level at 10^12 ids") {
+    // pure arithmetic mirror of packSequences' level sizing: at a
+    // trillion ids with auto bucketing, every table a global-order
+    // window might scan stays within the scan bound, and auto
+    // bucketing needs no recursion at all (one ~sqrt(n) level)
+    val n = 1000L * 1000L * 1000L * 1000L
+    val auto = Packing.planLevels(n - 1)
+    assert(auto.forall(_ <= Packing.DefaultScanBound),
+      s"auto levels exceed bound: $auto")
+    assert(auto.size == 1, s"auto sizing should scan one level, got $auto")
+    // a pathologically small explicit bucket recurses instead of
+    // putting n/bucketSize rows on one task — every level bounded by
+    // scanBound (global windows) or the sqrt span (partitioned windows)
+    val forced = Packing.planLevels(n - 1, bucketSize = 64, scanBound = 1L << 20)
+    assert(forced.size > 1, "expected recursion for tiny explicit buckets")
+    assert(forced.last <= (1L << 20), s"final level unbounded: $forced")
+    forced.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"levels must shrink: $forced")
+    case _ => () }
   }
 
   test("Dedup.lineDedupKeepFirst keeps first occurrence of each line") {
