@@ -546,12 +546,28 @@ object Dedup {
       sf.col("id").as("a_id"), sf.col("simhash").as("sh_a"))
     val r = blocks.select(sf.col("q").as("q_b"), sf.col("qv").as("qv_b"),
       sf.col("id").as("b_id"), sf.col("simhash").as("sh_b"))
+    // A pair colliding on several slices would emit once per agreeing
+    // slice; instead of a dropDuplicates shuffle over the full pair
+    // stream, the FIRST-WITNESS test keeps only the row whose slice is
+    // the smallest agreeing one — for all k < q the slices must differ,
+    // checkable from the xor of the two signatures the row already
+    // carries (mirrors the banded-LSH prefixAllDiffer at Dedup.scala
+    // minHashLsh and the streaming in-state variant): zero shuffle,
+    // ~nBlocks mask-compares per pair. Hamming runs first — one
+    // xor+popcount, and it is the more selective of the two filters.
+    val x = sf.col("sh_a").bitwiseXOR(sf.col("sh_b"))
+    val sliceDiffers = (k: Int) =>
+      sf.call_function("shiftright", x, sf.lit(offsets(k)))
+        .bitwiseAND((1L << widths(k)) - 1) =!= 0
+    val firstWitness = (0 until nBlocks - 1)
+      .map(k => (sf.col("q") <= k) || sliceDiffers(k))
+      .reduceOption(_ && _).getOrElse(sf.lit(true))
     l.join(r, sf.col("q") === sf.col("q_b") && sf.col("qv") === sf.col("qv_b") &&
         sf.col("a_id") < sf.col("b_id"))
+      .filter(gf.hamming64(sf.col("sh_a"), sf.col("sh_b")) <= maxHamming)
+      .filter(firstWitness)
       .select(sf.col("a_id"), sf.col("b_id"),
         gf.hamming64(sf.col("sh_a"), sf.col("sh_b")).as("hamming"))
-      .dropDuplicates("a_id", "b_id")
-      .filter(sf.col("hamming") <= maxHamming)
       .orderBy("a_id", "b_id")
   }
 }

@@ -186,6 +186,21 @@ class PlanSpec extends SparkFunSuite {
     assert(corpusWindows.nonEmpty, "within-bucket running sum missing")
   }
 
+  test("simhash near-dup dedups pairs with the first-witness test, not an aggregate") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val df = graft.operators.Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 6)
+    df.collect()
+    val all = collectAll(executed(df))
+    // multi-slice collisions are suppressed by the smallest-agreeing-
+    // slice filter on the joined rows — the pair stream must reach the
+    // output with no aggregate (the old dropDuplicates) and no exchange
+    // beyond the slice join's own and the final orderBy's range sort
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      s"aggregate in simhash pair plan:\n${all.head}")
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 3, s"expected <=3 shuffles (join sides + orderBy), got $shuffles")
+  }
+
   test("windowed event agg shuffles once (partial aggregation map-side)") {
     val df = graft.operators.EventOps.windowedAgg(Tables.load(spark, sf001, "events"))
     df.collect()
