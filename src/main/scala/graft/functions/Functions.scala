@@ -139,9 +139,14 @@ object functions {
   /** b-bit minwise sketch of an already-hashed shingle set: nBits
     * parity bits of independent minhash permutations packed into
     * nBits/64 longs (see Kernels.minHashBitSketchFromHashes). */
-  def minHashBitSketch(shh: Column, nBits: Int): Column =
+  def minHashBitSketch(shh: Column, nBits: Int): Column = {
+    // the kernel packs parity bits into exactly nBits/64 longs; a
+    // non-multiple would mis-size the array and overflow inside codegen
+    require(nBits > 0 && nBits % 64 == 0,
+      s"nBits must be a positive multiple of 64, got $nBits")
     kernel(ArrayType(LongType, containsNull = false),
       "minHashBitSketchFromHashes", shh, sf.lit(nBits))
+  }
 
   /** Agreeing-bit count between two packed bit sketches (xor+popcount). */
   def sketchMatchBits(a: Column, b: Column): Column =

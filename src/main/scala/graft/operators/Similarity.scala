@@ -86,6 +86,10 @@ object Similarity {
     * paid an O(k log k) sort + allocation on EVERY row. `merge` is a
     * linear merge of two sorted buffers. */
   class TopKAgg(k: Int) extends Aggregator[Scored, Seq[(Double, Long)], Seq[(Double, Long)]] {
+    // reduce's early-reject reads b.last once the buffer is "full";
+    // k <= 0 would make the empty buffer count as full and crash an
+    // executor task with NoSuchElementException — fail at construction
+    require(k >= 1, s"k must be >= 1, got $k")
     // (cosine desc, id asc) — true iff x outranks y
     private def beats(x: (Double, Long), y: (Double, Long)): Boolean =
       x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)

@@ -18,6 +18,7 @@ object TopK {
     * Output: (key, rank, id, score), ordered. */
   def perKey(spark: SparkSession, df: DataFrame, keyCol: String, idCol: String,
              scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     import spark.implicits._
     val scored = df.select(sf.col(keyCol).cast("long").as("qId"),
         sf.col(idCol).cast("long").as("nId"),

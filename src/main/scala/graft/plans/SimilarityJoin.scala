@@ -44,12 +44,19 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val NumHashes = 144
 
+  /** Below this threshold even 144 bands of one row miss a true pair
+    * at j = t too often ((1-t)^144 > ~2e-7 under t = 0.1) — the join
+    * is left exact (quadratic) rather than silently lossy. */
+  private[plans] val MinRewriteThreshold = 0.1
+
   /** Rows per band by threshold: selectivity wants long bands, recall
     * at the threshold wants short ones. 24 bands of 6 give miss
     * ~1.3e-8 at j=0.9 but are useless at j=0.5 (miss ~0.68); 72 bands
-    * of 2 give miss 5e-9 at j=0.5. */
+    * of 2 give miss 5e-9 at j=0.5 but collapse below t ~0.42
+    * ((1-t²)^72 > 1e-6); 144 bands of 1 hold miss < 1e-6 down to
+    * t ~0.1 ((1-t)^144 = 2.6e-7 at t=0.1). */
   private def rowsPerBand(t: Double): Int =
-    if (t >= 0.8) 6 else if (t >= 0.65) 3 else 2
+    if (t >= 0.8) 6 else if (t >= 0.65) 3 else if (t >= 0.45) 2 else 1
 
   private def isKernel(e: Expression, name: String): Boolean = e match {
     case si: StaticInvoke =>
@@ -110,7 +117,8 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val Seq(fa, fb) = si.arguments
           // orient token expressions to their sides; skip conjuncts
           // whose arguments don't split cleanly across the join
-          if (fa.references.subsetOf(left.outputSet) &&
+          if (t < MinRewriteThreshold) None // stay exact below the recall floor
+          else if (fa.references.subsetOf(left.outputSet) &&
               fb.references.subsetOf(right.outputSet)) Some((fa, fb, t))
           else if (fb.references.subsetOf(left.outputSet) &&
                    fa.references.subsetOf(right.outputSet)) Some((fb, fa, t))

@@ -21,9 +21,12 @@ object Tables {
   // benchmark's 40+ queries. The cached DataFrame is immutable; reusing
   // it shares the resolved FileIndex + schema across queries.
   //
-  // Lifetime: entries are evicted when their owning session stops (the
-  // listener below), so neither the DataFrames nor the SparkSession
-  // references outlive the session. Staleness: the cached FileIndex
+  // Lifetime: entries are evicted when their owning CONTEXT stops (the
+  // onApplicationEnd listener below — Spark has no per-session stop
+  // event), plus a sweep on every load that drops entries whose
+  // context has since stopped, so dead sessions can't accumulate
+  // cached relations across a long-lived process that cycles
+  // sessions/contexts. Staleness: the cached FileIndex
   // snapshots the file listing at first load — a path REWRITTEN within
   // the same session (compact / writeClustered / writePartitioned over
   // a previously-loaded dir) must be `invalidate`d before reloading.
@@ -33,6 +36,8 @@ object Tables {
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    relationCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    cleanupHooked.removeIf((s: SparkSession) => s.sparkContext.isStopped)
     if (cleanupHooked.add(spark)) {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {

@@ -35,9 +35,23 @@ case class BucketState(members: List[BucketMember])
   * neither.)
   *
   * Scale notes: state is per (band, bandHash) bucket and bounded by
-  * `maxBucketSize` (degenerate buckets stop absorbing members rather
-  * than growing without bound; as in batch, capping trades recall for
-  * bounded skew).
+  * `maxBucketSize` — degenerate buckets stop ADMITTING members rather
+  * than growing without bound (an arrival is still verified against
+  * the capped bucket's members, it just isn't stored).
+  *
+  * Recall under capping — explicit contract: with the first-witness
+  * test, a capped bucket LOSES pairs rather than duplicating them.
+  * If doc A was refused admission at band k (bucket full) and doc B
+  * later agrees with A at both k and a higher band j, band k never
+  * tests the pair (A isn't among its members) while band j defers to
+  * k and stays silent — the pair is dropped entirely, where the
+  * pre-witness pipeline would have emitted it at j as a duplicate.
+  * The witness would have to defer only to bands where BOTH docs were
+  * actually admitted, but admission is decided independently per
+  * bucket key within a micro-batch, so no single-pass stateful
+  * operator can see it. Uncapped buckets (maxBucketSize = MaxValue)
+  * keep exactly-once emission with full recall; under a cap, treat
+  * emission as exactly-once with recall bounded by bucket occupancy.
   */
 object StreamingDedup {
 

@@ -121,6 +121,63 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("low-threshold graft_jaccard joins: rpb=1 tier keeps recall, sub-floor stays exact") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-simjoin-lowt-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val sfn = org.apache.spark.sql.functions
+      spark.read.parquet(SparkSpec.sf001 + "/documents.parquet")
+        .filter(sfn.col("doc_id") < 80)
+        .createOrReplaceTempView("lowdocs")
+      def join(t: Double) = spark.sql(
+        s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |FROM lowdocs a JOIN lowdocs b
+           |  ON graft_jaccard(split(trim(a.text), '\\\\s+'),
+           |                   split(trim(b.text), '\\\\s+')) >= ${t}d
+           | AND a.doc_id < b.doc_id
+           |ORDER BY a_id, b_id""".stripMargin)
+      // ground truth through a different kernel entry point (not rewritten)
+      val toks = spark.read.parquet(SparkSpec.sf001 + "/documents.parquet")
+        .filter(sfn.col("doc_id") < 80)
+        .select(sfn.col("doc_id"),
+          sfn.array_sort(sfn.array_distinct(
+            sfn.split(sfn.trim(sfn.col("text")), "\\s+"))).as("t"))
+      def brute(t: Double) = toks.select(sfn.col("doc_id").as("a_id"), sfn.col("t").as("ta"))
+        .join(toks.select(sfn.col("doc_id").as("b_id"), sfn.col("t").as("tb")),
+          sfn.col("a_id") < sfn.col("b_id"))
+        .filter(graft.functions.jaccardSorted(sfn.col("ta"), sfn.col("tb")) >= t)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // t=0.2: rewritten (rpb=1 tier, miss (1-0.2)^144 ~ 1e-14) and exact
+      val q2 = join(0.2)
+      val phys2 = q2.queryExecution.executedPlan.toString
+      assert(!phys2.contains("CartesianProduct") && !phys2.contains("BroadcastNestedLoop"),
+        s"t=0.2 join planned quadratic:\n$phys2")
+      val got2 = q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want2 = brute(0.2)
+      assert(got2 == want2,
+        s"missing=${(want2 -- got2).take(5)} extra=${(got2 -- want2).take(5)}")
+      assert(got2.nonEmpty, "t=0.2 slice produced no pairs — test is vacuous")
+      // t=0.05 (below the rewrite floor): NOT rewritten — stays exact/quadratic
+      val q05 = join(0.05)
+      val phys05 = q05.queryExecution.executedPlan.toString
+      assert(phys05.contains("CartesianProduct") || phys05.contains("BroadcastNestedLoop"),
+        s"sub-floor join unexpectedly rewritten:\n$phys05")
+      assert(q05.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == brute(0.05))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("salted join equals the plain join") {
     import SparkSpec.spark
     import spark.implicits._

@@ -112,4 +112,19 @@ class FunctionsSpec extends SparkFunSuite {
       .select(gf.langId(sf.col("t"))).as[String].collect()
     assert(got.sameElements(Array("en", "de", "es")))
   }
+
+  test("minHashBitSketch rejects bit widths that are not multiples of 64") {
+    // the kernel packs into nBits/64 longs; 32 would size a zero-length
+    // array and 100 would overflow word 1 inside codegen
+    for (bad <- Seq(0, -64, 32, 100))
+      intercept[IllegalArgumentException](gf.minHashBitSketch(sf.col("x"), bad))
+    gf.minHashBitSketch(sf.col("x"), 256) // multiples construct fine
+  }
+
+  test("TopKAgg and TopK.perKey reject k < 1 at construction") {
+    intercept[IllegalArgumentException](new graft.operators.Similarity.TopKAgg(0))
+    intercept[IllegalArgumentException](
+      graft.operators.TopK.perKey(spark, Seq((1L, 2L, 0.5)).toDF("k", "i", "s"),
+        "k", "i", "s", k = 0))
+  }
 }
