@@ -165,6 +165,84 @@ object Similarity {
     (sf.pmod(id.cast("long"), sf.lit(2147483648L)) * sf.lit(2654435761L)) %
       sf.lit(4294967296L)
 
+  /** Literal-codebook ceiling: up to this many centroids the codebook
+    * is collected and embedded as a plan literal (nCentroids x dim
+    * doubles, broadcast with the plan — at the default, 4096 x 128 is
+    * ~4 MB). Above it the codebook stays a DATAFRAME end to end
+    * (sample, Lloyd refinement, assignment all distributed; see
+    * sampleCodebookDF/assignCellsDF), so a sqrt(n)-sized codebook —
+    * ~10^6 centroids at n = 10^12 — never materializes on the driver.
+    * The broadcast-join assignment holds to roughly broadcast-sized
+    * codebooks (~hundreds of MB); past that the next rung is a
+    * two-level quantizer (assign to sqrt(nCentroids) super-cells
+    * first), which composes from the same pieces. */
+  val MaxLiteralCentroids: Int = 4096
+
+  /** The codebook sample as a DataFrame — (cluster, cv), identical
+    * rows, order, and indices to the literal path's collect (the
+    * nCentroids corpus vectors of smallest sampleHash(id)) but never
+    * on the driver. The row_number window sorts the already-LIMITed
+    * nCentroids rows on one task — bounded by the codebook, not the
+    * corpus. */
+  private def sampleCodebookDF(base: DataFrame, idc: String, vc: String,
+                               nCentroids: Int): DataFrame = {
+    val w = Window.orderBy(sampleHash(sf.col(idc)), sf.col(idc))
+    base.orderBy(sampleHash(sf.col(idc)), sf.col(idc)).limit(nCentroids)
+      .select((sf.row_number().over(w) - 1).as("cluster"), sf.col(vc).as("cv"))
+  }
+
+  /** nProbe nearest centroids per vector with the codebook as a
+    * broadcast DataFrame: every (vector, centroid) pair is scored in a
+    * broadcast cross join and reduced with the k-bounded TopKAgg —
+    * the same (cosine desc, index asc) ranking as
+    * Kernels.nearestCentroids, so both paths assign identically.
+    * Output: (idc, cells array<int>, nearest first). Shuffle volume is
+    * O(partitions x vectors x nProbe), never the scored cross. */
+  private def assignCellsDF(spark: SparkSession, base: DataFrame, idc: String,
+                            vc: String, cb: DataFrame, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val scored = base.crossJoin(sf.broadcast(cb))
+      .select(sf.col(idc).cast("long").as("qId"),
+        sf.col("cluster").cast("long").as("nId"),
+        gf.cosineSim(sf.col(vc), sf.col("cv")).as("cosine"))
+      .as[Scored]
+    scored.groupByKey(_.qId).agg(new TopKAgg(nProbe).toColumn.name("topk"))
+      .toDF(idc, "topk")
+      .select(sf.col(idc), sf.expr("transform(topk, x -> cast(x._2 AS int))").as("cells"))
+  }
+
+  /** Lloyd refinement with the codebook kept as a DataFrame: the same
+    * fixed-point update rule as refineCodebook (sums of
+    * floor(x*1e6+0.5) longs, empty clusters keep their centroid), with
+    * the per-(cluster, dim) mean table joined back into the codebook
+    * instead of collected. Each round checkpoints the nCentroids-row
+    * codebook so lineage stays flat across iterations. */
+  private def refineCodebookDF(spark: SparkSession, base: DataFrame, idc: String,
+                               vc: String, cb0: DataFrame, iters: Int): DataFrame = {
+    var cb = cb0.localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val clusters = assignCellsDF(spark, base, idc, vc, cb, 1)
+        .select(sf.col(idc), sf.col("cells").getItem(0).as("cluster"))
+      val means = base.join(clusters, idc)
+        .select(sf.col("cluster"), sf.posexplode(sf.col(vc)).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sf.sum(sf.floor(sf.col("x") * 1e6 + 0.5).cast("long")).as("s"),
+          sf.count(sf.lit(1)).as("cnt"))
+        .select(sf.col("cluster"), sf.col("dim"),
+          (sf.col("s").cast("double") / (sf.lit(1e6) * sf.col("cnt"))).as("m"))
+      val newCv = means.groupBy("cluster")
+        .agg(sf.transform(
+          sf.array_sort(sf.collect_list(sf.struct(sf.col("dim"), sf.col("m")))),
+          x => x.getField("m")).as("cv_new"))
+      cb = cb.join(newCv, Seq("cluster"), "left")
+        .select(sf.col("cluster"), sf.coalesce(sf.col("cv_new"), sf.col("cv")).as("cv"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    cb
+  }
+
   /** Lloyd (k-means) refinement of a coarse-quantizer codebook: `iters`
     * rounds of assign (nearest centroid by cosine, ties to the lower
     * index) + update (per-cluster mean). Each round is ONE corpus pass:
@@ -223,26 +301,44 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: org.apache.spark.sql.Column, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 0): DataFrame = {
+              lloydIters: Int = 0,
+              maxLiteralCentroids: Int = MaxLiteralCentroids): DataFrame = {
     val base0 = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
       sf.col(vecCol).cast("array<double>").as("nv")))
-    val base = if (lloydIters > 0) base0.persist() else base0
-    val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
-    val sampled: Array[Double] = base
-      .orderBy(sampleHash(sf.col("n_id")), sf.col("n_id"))
-      .limit(nCentroids)
-      .select("nv").collect()
-      .flatMap(_.getSeq[Double](0))
-    val codebook =
-      if (lloydIters > 0) refineCodebook(base, dim, nCentroids, lloydIters, sampled)
-      else sampled
-    val codebookCol = sf.lit(codebook)
-    val assigned = base.withColumn("cluster",
-      gf.nearestCentroids(sf.col("nv"), codebookCol, sf.lit(dim), sf.lit(1)).getItem(0))
-    val queries = sf.broadcast(base.filter(queryPred)
-      .select(sf.col("n_id").as("q_id"), sf.col("nv").as("qv"),
-        sf.explode(gf.nearestCentroids(sf.col("nv"), codebookCol, sf.lit(dim),
-          sf.lit(nProbe))).as("probe")))
+    val distributedCb = nCentroids > maxLiteralCentroids
+    val base = if (lloydIters > 0 || distributedCb) base0.persist() else base0
+    val (assigned, queries) = if (!distributedCb) {
+      val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+      val sampled: Array[Double] = base
+        .orderBy(sampleHash(sf.col("n_id")), sf.col("n_id"))
+        .limit(nCentroids)
+        .select("nv").collect()
+        .flatMap(_.getSeq[Double](0))
+      val codebook =
+        if (lloydIters > 0) refineCodebook(base, dim, nCentroids, lloydIters, sampled)
+        else sampled
+      val codebookCol = sf.lit(codebook)
+      (base.withColumn("cluster",
+        gf.nearestCentroids(sf.col("nv"), codebookCol, sf.lit(dim), sf.lit(1)).getItem(0)),
+       sf.broadcast(base.filter(queryPred)
+        .select(sf.col("n_id").as("q_id"), sf.col("nv").as("qv"),
+          sf.explode(gf.nearestCentroids(sf.col("nv"), codebookCol, sf.lit(dim),
+            sf.lit(nProbe))).as("probe"))))
+    } else {
+      // codebook past the literal ceiling: DataFrame end to end —
+      // nothing codebook-sized ever touches the driver
+      val spark = emb.sparkSession
+      val cb0 = sampleCodebookDF(base, "n_id", "nv", nCentroids)
+      val cb = if (lloydIters > 0) refineCodebookDF(spark, base, "n_id", "nv", cb0, lloydIters)
+               else cb0
+      val corpusCells = assignCellsDF(spark, base, "n_id", "nv", cb, 1)
+        .select(sf.col("n_id"), sf.col("cells").getItem(0).as("cluster"))
+      val qbase = base.filter(queryPred)
+      (base.join(corpusCells, "n_id"),
+       sf.broadcast(qbase.join(assignCellsDF(spark, qbase, "n_id", "nv", cb, nProbe), "n_id")
+        .select(sf.col("n_id").as("q_id"), sf.col("nv").as("qv"),
+          sf.explode(sf.col("cells")).as("probe"))))
+    }
     val scored = queries.join(assigned,
         sf.col("probe") === sf.col("cluster") && sf.col("q_id") =!= sf.col("n_id"))
       .select(sf.col("q_id"), sf.col("n_id"),
@@ -365,26 +461,36 @@ object Similarity {
     * codebook collect is nCentroids x dim doubles, never the corpus. */
   def ivfNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nCentroids: Int = 16,
-                      nProbe: Int = 4): DataFrame =
-    ivfNearDupPairsPlan(emb, idCol, vecCol, threshold, nCentroids, nProbe)
+                      nProbe: Int = 4,
+                      maxLiteralCentroids: Int = MaxLiteralCentroids): DataFrame =
+    ivfNearDupPairsPlan(emb, idCol, vecCol, threshold, nCentroids, nProbe,
+        maxLiteralCentroids)
       .localCheckpoint(true)
       .orderBy("a_id", "b_id")
 
   /** `ivfNearDupPairs` before the determinism checkpoint + sort. */
   private[graft] def ivfNearDupPairsPlan(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      nCentroids: Int, nProbe: Int): DataFrame = {
+      nCentroids: Int, nProbe: Int,
+      maxLiteralCentroids: Int = MaxLiteralCentroids): DataFrame = {
     val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("id"),
       sf.col(vecCol).cast("array<double>").as("v"))).persist()
-    val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
-    val codebook: Array[Double] = base
-      .orderBy(sampleHash(sf.col("id")), sf.col("id"))
-      .limit(nCentroids)
-      .select("v").collect()
-      .flatMap(_.getSeq[Double](0))
-    val codebookCol = sf.lit(codebook)
-    val probed = base.select(sf.col("id"),
-      gf.nearestCentroids(sf.col("v"), codebookCol, sf.lit(dim), sf.lit(nProbe)).as("cells"))
+    val probed = if (nCentroids <= maxLiteralCentroids) {
+      val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+      val codebook: Array[Double] = base
+        .orderBy(sampleHash(sf.col("id")), sf.col("id"))
+        .limit(nCentroids)
+        .select("v").collect()
+        .flatMap(_.getSeq[Double](0))
+      val codebookCol = sf.lit(codebook)
+      base.select(sf.col("id"),
+        gf.nearestCentroids(sf.col("v"), codebookCol, sf.lit(dim), sf.lit(nProbe)).as("cells"))
+    } else {
+      // codebook past the literal ceiling: sampled, (optionally)
+      // refined, and assigned as a DataFrame — never driver-collected
+      assignCellsDF(emb.sparkSession, base, "id", "v",
+        sampleCodebookDF(base, "id", "v", nCentroids), nProbe)
+    }
     val buckets = probed.select(sf.col("id"), sf.col("cells"),
       sf.explode(sf.col("cells")).as("cell"))
     val l = buckets.select(sf.col("cell"), sf.col("id").as("a_id"), sf.col("cells").as("cells_a"))

@@ -169,6 +169,38 @@ class DedupSimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("distributed codebook path equals the literal path and keeps it off the driver") {
+    val emb = Tables.load(spark, sf001, "embeddings").filter($"vec_id" < 300)
+    // same parameters, both sides of the literal ceiling — the
+    // DataFrame codebook (sample -> broadcast-join assignment ->
+    // TopKAgg ranking) must reproduce the plan-literal kernel exactly
+    val litTopK = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 4, nCentroids = 12, nProbe = 3)
+      .collect().map(_.toSeq)
+    val dfTopK = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 4, nCentroids = 12, nProbe = 3,
+      maxLiteralCentroids = 4)
+    assert(!dfTopK.queryExecution.executedPlan.toString.contains("nearestCentroids"),
+      "distributed path still embeds a literal codebook")
+    assert(dfTopK.collect().map(_.toSeq).sameElements(litTopK))
+    // Lloyd refinement, both paths
+    val litLloyd = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 4, nCentroids = 8, nProbe = 2, lloydIters = 2)
+      .collect().map(_.toSeq)
+    val dfLloyd = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 4, nCentroids = 8, nProbe = 2, lloydIters = 2,
+      maxLiteralCentroids = 4).collect().map(_.toSeq)
+    assert(dfLloyd.sameElements(litLloyd), "Lloyd-refined codebooks diverged")
+    // pair enumeration
+    val litPairs = Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, nCentroids = 12, nProbe = 3).collect().map(_.toSeq)
+    val dfPairs = Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, nCentroids = 12, nProbe = 3, maxLiteralCentroids = 4)
+      .collect().map(_.toSeq)
+    assert(dfPairs.sameElements(litPairs))
+    assert(litTopK.nonEmpty && litPairs.nonEmpty, "vacuous parity test")
+  }
+
   test("ivfTopK Lloyd-refined codebook: recall >= sampling codebook on planted clusters") {
     val dim = 8
     val nClusters = 4
