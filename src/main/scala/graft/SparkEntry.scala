@@ -186,9 +186,13 @@ object SparkEntry {
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding",
         sf.col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 4)),
 
+    // Hot-key-only salting: orders with > 4 lineitems (a real slice of
+    // this corpus) are salted 8 ways, the rest take the plain join — at
+    // production scale the threshold is "millions" and the explode is
+    // bounded by |hot| x saltFactor, never |small| x saltFactor.
     "q31_salted_join" -> ((s, dir) =>
-      Skew.saltedJoin(Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"),
-          "l_orderkey", "o_orderkey", saltFactor = 8,
+      Skew.saltedJoinHotKeys(Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", saltFactor = 8, hotKeyThreshold = 4L,
           // spread on the 2-column row identity — hashing all 16 fact
           // columns per row buys no extra uniformity, just CPU
           spreadCol = Some(sf.pmod(
@@ -352,6 +356,20 @@ object SparkEntry {
       TopK.perKey(s, Tables.load(s, dir, "orders"),
           "o_custkey", "o_orderkey", "o_totalprice", k = 2)
         .toDF("o_custkey", "rank", "o_orderkey", "score")),
+
+    // Token-budget mixture sampling: src0 downsampled to ~400 tokens,
+    // src1 kept whole (budget >> total), src2 dropped (zero budget),
+    // every other source capped at ~600 tokens via the default.
+    "q60_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.mixtureSample(d, "doc_id", "source",
+          functions.tokenCount(sf.col("text")),
+          budgets = Map("src0" -> 400L, "src1" -> 10000000L, "src2" -> 0L),
+          defaultBudget = 600L)
+        .select(sf.col("doc_id"), sf.col("source"),
+          functions.tokenCount(sf.col("text")).cast("int").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -1121,5 +1139,25 @@ object SparkEntry {
         |FROM sg a JOIN sg b ON a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // Mixture sampling: per-source keep threshold = budget*10000 div
+    // total tokens (int64 floor division both engines), row membership
+    // by the q40 Knuth hash. Totals cast to BIGINT (DuckDB SUM ->
+    // HUGEINT otherwise).
+    "q60_mixture" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total FROM w GROUP BY 1),
+        |b AS (SELECT w.doc_id, w.source, w.n_tokens,
+        |  CAST(CASE w.source WHEN 'src0' THEN 400 WHEN 'src1' THEN 10000000
+        |       WHEN 'src2' THEN 0 ELSE 600 END AS BIGINT) AS budget,
+        |  t.total FROM w JOIN t USING (source))
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+        |FROM b
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000
+        |      < LEAST(10000, (budget * 10000) // total)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -451,10 +451,18 @@ object Dedup {
 
   /** The end-use of near-dup detection: the deduplicated corpus.
     * Keeps every unclustered document plus one representative (the
-    * min id) per near-dup cluster. */
+    * min id) per near-dup cluster.
+    *
+    * A pipeline that also needs the cluster labels (audit tables,
+    * per-cluster stats) should compute `nearDupClusters` ONCE and pass
+    * it via `clusterLabels` — the LSH funnel and connected components
+    * are the expensive part, and this reuses them instead of running
+    * the funnel a second time. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-                  threshold: Double = 0.9): DataFrame = {
-    val losers = nearDupClusterLabels(docs, idCol, textCol, threshold)
+                  threshold: Double = 0.9,
+                  clusterLabels: Option[DataFrame] = None): DataFrame = {
+    val losers = clusterLabels
+      .getOrElse(nearDupClusterLabels(docs, idCol, textCol, threshold))
       .filter(sf.col("doc_id") =!= sf.col("cluster_id"))
       .select("doc_id")
     docs.join(losers, docs(idCol) === losers("doc_id"), "left_anti")

@@ -45,4 +45,48 @@ object Sampling {
     }
     df.filter(hashBucket(sf.col(keyCol)) < threshold)
   }
+
+  /** Token-budget mixture sampling: build a training mix by giving each
+    * source a WEIGHT BUDGET (e.g. tokens) instead of a row fraction.
+    * Each source's keep fraction is budget / total_weight(source),
+    * capped at 1 — sources under budget are kept whole, oversized
+    * sources are downsampled so their expected kept weight ≈ budget.
+    * Rows are selected by the same partition-invariant key hash as
+    * `hashSample`, so membership is deterministic and engines agree.
+    *
+    * Scale shape: one partial-aggregated groupBy over the corpus for
+    * per-source totals (output = #sources rows), broadcast-joined back —
+    * no driver collect, and the corpus itself never shuffles. The
+    * threshold uses pure integer arithmetic (`budget * 10000 div
+    * total`), replayable verbatim in a SQL oracle — no double rounding
+    * to diverge on. Budgets are capped at ~9.2e14 so budget*10000 stays
+    * inside int64.
+    *
+    * @param weight   per-row weight expression (e.g.
+    *                 `functions.tokenCount(col("text"))`)
+    * @param budgets  per-source weight budget; sources absent from the
+    *                 map get `defaultBudget` (0 = drop unlisted sources)
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+                    weight: Column, budgets: Map[String, Long],
+                    defaultBudget: Long = 0L): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(b => b >= 0 && b <= 922337203685477L),
+      "budgets must be in [0, 9.22e14] (budget * 10000 must fit int64)")
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(
+      sf.lit(defaultBudget)) { case (acc, (k, b)) =>
+      sf.when(sf.col(sourceCol) === k, sf.lit(b)).otherwise(acc)
+    }
+    val totals = df.groupBy(sf.col(sourceCol).as("__src"))
+      .agg(sf.sum(weight.cast("long")).as("__total"))
+    // threshold in tenth-permille buckets; `div` = int64 floor division
+    // (budget and total are non-negative), `least` caps keep-all
+    // sources. A zero-weight source trivially fits any positive budget.
+    val threshold = sf.when(sf.col("__total") <= 0,
+        sf.when(sf.col("__budget") > 0, sf.lit(10000L)).otherwise(sf.lit(0L)))
+      .otherwise(sf.least(sf.lit(10000L), sf.expr("__budget * 10000 div __total")))
+    df.withColumn("__budget", budgetCol)
+      .join(sf.broadcast(totals), sf.col(sourceCol) === sf.col("__src"))
+      .filter(hashBucket(sf.col(keyCol)) < threshold)
+      .drop("__src", "__total", "__budget")
+  }
 }

@@ -188,6 +188,26 @@ class CurationSpec extends SparkFunSuite {
     assert(Dedup.dedupCorpus(solo, "doc_id", "text", 0.9).count() == 1)
   }
 
+  test("Sampling.mixtureSample applies exact per-source budget thresholds") {
+    // 'a': 20 rows x 5 = 100 weight, budget 1000 -> kept whole
+    // 'b': zero budget -> dropped
+    // 'c': 160 rows x 5 = 800 weight, default budget 200 -> 1/4 of buckets
+    val df = (1L to 200L).map { i =>
+      val src = if (i <= 20) "a" else if (i <= 40) "b" else "c"
+      (i, src, 5L)
+    }.toDF("id", "source", "w")
+    val kept = Sampling.mixtureSample(df, "id", "source", $"w",
+        Map("a" -> 1000L, "b" -> 0L), defaultBudget = 200L)
+      .select("id").as[Long].collect().toSet
+    assert((1L to 20L).forall(kept), "under-budget source must be kept whole")
+    assert((21L to 40L).forall(i => !kept(i)), "zero-budget source must be dropped")
+    // 'c' membership is the pure hash rule at threshold 200*10000 div 800
+    def bucket(id: Long) = (((id % 2147483648L) * 2654435761L) % 4294967296L) % 10000
+    val expectC = (41L to 200L).filter(i => bucket(i) < 2500).toSet
+    assert(kept.filter(_ >= 41L) == expectC, "downsampled source must follow the hash rule")
+    assert(expectC.nonEmpty && expectC.size < 160, "threshold must actually partition 'c'")
+  }
+
   test("Dedup.dedupCorpus keeps unclustered docs plus one rep per cluster") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),
@@ -196,5 +216,10 @@ class CurationSpec extends SparkFunSuite {
     val kept = Dedup.dedupCorpus(df, "doc_id", "text", 0.9)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L))
+    // precomputed labels reuse: one funnel pass serves clusters AND corpus
+    val labels = Dedup.nearDupClusters(df, "doc_id", "text", 0.9)
+    val kept2 = Dedup.dedupCorpus(df, "doc_id", "text", 0.9, Some(labels))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == kept, "clusterLabels reuse diverged from the direct path")
   }
 }

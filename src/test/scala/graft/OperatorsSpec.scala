@@ -121,6 +121,23 @@ class OperatorsSpec extends SparkFunSuite {
     }, ranges.mkString(","))
   }
 
+  test("Tables.load caches the relation; invalidate picks up an in-session rewrite") {
+    val base = Files.createTempDirectory("graft_stale").toString
+    spark.range(0, 100).toDF("id").repartition(8)
+      .write.parquet(s"$base/t.parquet")
+    val first = graft.sources.Tables.load(spark, base, "t")
+    assert(first.count() == 100 && first.inputFiles.length == 8)
+    // the cache serves the SAME analyzed relation on a repeat load
+    assert(graft.sources.Tables.load(spark, base, "t") eq first)
+    // rewrite the path in-session (the compact-after-load shape)
+    StarSchema.compact(spark.range(0, 50).toDF("id"), s"$base/t.parquet", numFiles = 2)
+    graft.sources.Tables.invalidate(base, "t")
+    val fresh = graft.sources.Tables.load(spark, base, "t")
+    assert(!(fresh eq first), "invalidate must evict the cached relation")
+    assert(fresh.count() == 50 && fresh.inputFiles.length == 2,
+      s"stale file listing survived invalidate: ${fresh.inputFiles.toSeq}")
+  }
+
   test("writeZOrdered shrinks per-file ranges on BOTH dimensions; range clustering cannot") {
     val base = Files.createTempDirectory("graft_zorder").toString
     // two independent uniform dimensions (deterministic hash spread)

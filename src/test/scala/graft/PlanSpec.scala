@@ -201,6 +201,29 @@ class PlanSpec extends SparkFunSuite {
     assert(shuffles <= 3, s"expected <=3 shuffles (join sides + orderBy), got $shuffles")
   }
 
+  test("hot-key salted join explodes only the hot-key slice of the small side") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val spark = this.spark
+    import spark.implicits._
+    val big = ((1 to 400).map(_ => (1L, "hot")) ++ (2L to 50L).map(k => (k, "cold")))
+      .toDF("k", "tag")
+    val small = (1L to 50L).map(k => (k, s"dim$k")).toDF("sk", "name")
+    val joined = graft.operators.Skew.saltedJoinHotKeys(big, small, "k", "sk",
+      saltFactor = 4, hotKeyThreshold = 100L)
+    // output identical to the plain join: 400 rows for the hot key + 49 cold
+    assert(joined.count() == 449)
+    val all = collectAll(executed(joined))
+    // exactly one explode, and it sits above the left-semi hot-key
+    // filter of the small side — the cold branch never replicates
+    val gens = all.filter(_.isInstanceOf[GenerateExec])
+    assert(gens.size == 1, s"expected 1 explode, got ${gens.size} in:\n${all.head}")
+    val sub = collectAll(gens.head)
+    assert(sub.exists {
+      case b: BroadcastHashJoinExec => b.joinType.toString == "LeftSemi"
+      case _ => false
+    }, s"explode input must be the hot-key semi join:\n${gens.head}")
+  }
+
   test("windowed event agg shuffles once (partial aggregation map-side)") {
     val df = graft.operators.EventOps.windowedAgg(Tables.load(spark, sf001, "events"))
     df.collect()

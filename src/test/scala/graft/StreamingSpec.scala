@@ -33,6 +33,54 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("windowedCounts: stream output equals the batch plan and q19's oracle-checked aggregates") {
+    import org.apache.spark.sql.{functions => sf}
+    import graft.sources.Tables
+    implicit val sqlCtx = spark.sqlContext
+    // the real events table, in event-time order so the second batch
+    // never falls behind the first batch's watermark
+    val ev = Tables.load(spark, sf001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val rows = ev.collect().sortBy(_.ts.getTime)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    // closes every real window once the watermark passes; its own
+    // window stays open and is never emitted
+    val sentinel = Event(-1L,
+      new Timestamp(rows.iterator.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000),
+      0L, "sentinel", 0.0)
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Double)] =
+        df.select(sf.date_format(sf.col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            sf.col("event_type"), sf.col("n_events"), sf.col("sum_value"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val stream = keyed(spark.table("wc_eq"))
+      // 1) the SAME transform run as a batch plan produces the same rows
+      val batch = keyed(EventStream.windowedCounts(ev.toDF()))
+      assert(stream == batch,
+        s"stream/batch diverged: ${(stream.toSet diff batch.toSet).take(3)} vs ${(batch.toSet diff stream.toSet).take(3)}")
+      // 2) and both agree with q19's windowedAgg — the query the driver
+      // hash-verifies against DuckDB — on keys, counts, and (up to the
+      // double-vs-decimal rounding) sums
+      val q19 = graft.operators.EventOps.windowedAgg(ev.toDF()).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(stream.keySet == q19.keySet,
+        s"window keys diverge from q19: ${(stream.keySet diff q19.keySet).take(3)} / ${(q19.keySet diff stream.keySet).take(3)}")
+      stream.foreach { case (k, (n, s)) =>
+        assert(q19(k)._1 == n, s"count mismatch at $k: stream=$n q19=${q19(k)._1}")
+        assert(math.abs(q19(k)._2 - s) <= 0.011,
+          s"sum mismatch at $k: stream=$s q19=${q19(k)._2}")
+      }
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
