@@ -370,6 +370,29 @@ object SparkEntry {
           functions.tokenCount(sf.col("text")).cast("int").as("n_tokens"))
         .orderBy("doc_id")
     }),
+
+    // Corpus heavy-hitter terms (boilerplate detection): Misra-Gries
+    // sketch nominates <= 2/phi candidates, a broadcast semi-join
+    // recounts them exactly — the long tail of singleton terms never
+    // shuffles.
+    "q61_heavy_hitters" -> ((s, dir) =>
+      CorpusStats.heavyHitterTerms(docs(s, dir), "text", phi = 0.002)),
+
+    // Unigram-LM document quality: mean token NLL under the corpus's
+    // own add-one-smoothed unigram model (CCNet-style signal).
+    "q62_lm_quality" -> ((s, dir) =>
+      CorpusStats.unigramLmScore(docs(s, dir), "doc_id", "text")),
+
+    // Per-source KL divergence from the corpus token distribution —
+    // the mixture-monitoring signal.
+    "q63_source_kl" -> ((s, dir) =>
+      CorpusStats.sourceKlDivergence(docs(s, dir), "source", "text")),
+
+    // Embedding-space outliers: distance to own-label centroid with a
+    // flag at the empirical p90 (~1.01 on this corpus).
+    "q64_centroid_outliers" -> ((s, dir) =>
+      Similarity.centroidDistances(emb(s, dir), "vec_id", "embedding",
+        "label", outlierThreshold = 1.01)),
   )
 
   // ---------------------------------------------------------------------
@@ -1159,5 +1182,69 @@ object SparkEntry {
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000
         |      < LEAST(10000, (budget * 10000) // total)
         |ORDER BY doc_id""".stripMargin,
+
+    // Heavy hitters: the sketch only nominates candidates; the output
+    // is the exact groupBy-count over the threshold, which is what the
+    // oracle states directly.
+    "q61_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT term, COUNT(*) AS cnt, (SELECT n_total FROM n) AS n_total
+        |FROM toks GROUP BY term
+        |HAVING COUNT(*) >= ceil(0.002 * (SELECT n_total FROM n))
+        |ORDER BY cnt DESC, term""".stripMargin,
+
+    "q62_lm_quality" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dt AS (SELECT doc_id, term, COUNT(*) AS c_dt FROM toks GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(SUM(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total, COUNT(*) AS vocab FROM c)
+        |SELECT dt.doc_id,
+        | floor((-SUM(dt.c_dt * ln((c.c_t + 1.0) / CAST(t.n_total + t.vocab AS DOUBLE)))
+        |        / SUM(dt.c_dt)) * 10000.0 + 0.5) / 10000.0 AS lm_nll,
+        | CAST(SUM(dt.c_dt) AS BIGINT) AS n_tokens
+        |FROM dt JOIN c USING (term) CROSS JOIN t
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
+
+    "q63_source_kl" ->
+      """WITH toks AS (SELECT source,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |st AS (SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total, COUNT(*) AS vocab FROM c)
+        |SELECT st.source,
+        | floor(SUM((CAST(st.c_st AS DOUBLE) / CAST(s.n_s AS DOUBLE)) *
+        |   ln((CAST(st.c_st AS DOUBLE) / CAST(s.n_s AS DOUBLE)) /
+        |      ((c.c_t + 1.0) / CAST(t.n_total + t.vocab AS DOUBLE)))) * 10000.0 + 0.5)
+        |   / 10000.0 AS kl_nats,
+        | MAX(s.n_s) AS n_tokens, COUNT(*) AS n_terms
+        |FROM st JOIN c USING (term) JOIN s USING (source) CROSS JOIN t
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
+
+    // Centroid distance: the oracle recomputes sum((x - avg)^2) by
+    // unnest-join; the engine side is zip_with over a broadcast
+    // centroid array — same arithmetic, different (equally
+    // order-nondeterministic) summation trees, reconciled by the
+    // shared 4-decimal rounding. The outlier flag thresholds the
+    // ROUNDED distance in both engines.
+    "q64_centroid_outliers" ->
+      """WITH x AS (SELECT vec_id, label,
+        |  unnest([{'dim': i, 'x': embedding[i+1]} FOR i IN range(0, len(embedding))]) AS u
+        |  FROM embeddings),
+        |c AS (SELECT label, u.dim AS dim, AVG(CAST(u.x AS DOUBLE)) AS c
+        |  FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.label,
+        |  SUM((CAST(x.u.x AS DOUBLE) - c.c) * (CAST(x.u.x AS DOUBLE) - c.c)) AS ss
+        |  FROM x JOIN c ON x.label = c.label AND x.u.dim = c.dim
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        | floor(sqrt(ss) * 10000.0 + 0.5) / 10000.0 AS centroid_dist,
+        | CAST(floor(sqrt(ss) * 10000.0 + 0.5) / 10000.0 > 1.01 AS INT) AS is_outlier
+        |FROM d ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{functions => sf}
+import graft.{functions => gf}
+
+/** Corpus-level statistics for training-data curation: heavy-hitter
+  * n-grams (boilerplate detection), unigram-LM document scoring
+  * (CCNet-style quality), and per-source distribution divergence
+  * (mixture monitoring).
+  */
+object CorpusStats {
+
+  /** Mergeable Misra–Gries frequency summary over a token stream.
+    *
+    * The buffer holds at most `capacity` (term, count) entries; when a
+    * new term arrives at a full buffer every count is decremented and
+    * zeros are dropped (amortized O(1) per token: each decrement sweep
+    * retires `capacity` count-units and at most n units ever enter).
+    * `merge` sums two summaries and, if over capacity, subtracts the
+    * (capacity+1)-th largest count from every entry — the Agarwal et
+    * al. mergeable-summaries rule, which keeps the total undercount
+    * bounded by n/(capacity+1) across any merge tree, so partial
+    * aggregation (map-side combine) is safe.
+    *
+    * Guarantee used by [[heavyHitterTerms]]: any term with true count
+    * > n/(capacity+1) survives in the summary. The sketch only
+    * nominates CANDIDATES — counts are re-derived exactly in a second
+    * pass, so sketch error can never reach the output.
+    */
+  class MisraGriesAgg(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], term: String): Map[String, Long] =
+      m.get(term) match {
+        case Some(c) => m.updated(term, c + 1L)
+        case None if m.size < capacity => m.updated(term, 1L)
+        case None =>
+          // decrement-all: the incoming token's single unit is consumed
+          // by the sweep, so it does not enter the summary
+          m.iterator.collect { case (k, v) if v > 1L => (k, v - 1L) }.toMap
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+      if (sum.size <= capacity) sum
+      else {
+        // subtract the (capacity+1)-th largest count from every entry;
+        // at most `capacity` survive and the undercount bounds add
+        val cut = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)
+          .apply(capacity)
+        sum.iterator.collect { case (k, v) if v > cut => (k, v - cut) }.toMap
+      }
+    }
+    def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Exact corpus heavy-hitter terms above frequency `phi` via the
+    * standard two-pass sketch-then-recount plan:
+    *
+    * pass 1 — Misra–Gries at capacity ceil(2/phi) nominates candidates
+    * (undercount ≤ n·phi/2 < ceil(n·phi), so every true heavy hitter
+    * is nominated; the summary is ≤ 2/phi entries regardless of corpus
+    * size, and partial aggregation keeps the shuffle at one summary
+    * per map task);
+    * pass 2 — a broadcast left-semi join on the ≤ 2/phi candidate terms
+    * recounts them exactly (map-side combinable groupBy), and the final
+    * filter applies the exact threshold ceil(phi·n).
+    *
+    * Output is therefore EXACT — identical to a full groupBy-count with
+    * HAVING — but the shuffle never carries the long tail: at 100 TB a
+    * naive groupBy(term) shuffles billions of distinct singleton terms;
+    * this shuffles ≤ 2/phi rows per map task in each pass.
+    */
+  def heavyHitterTerms(docs: DataFrame, textCol: String,
+                       phi: Double = 0.001): DataFrame = {
+    require(phi > 0 && phi <= 1, s"phi must be in (0, 1], got $phi")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val capacity = math.ceil(2.0 / phi).toInt
+    val toks = Par.spread(docs.select(sf.col(textCol).as("__t")))
+      .select(sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("term"))
+    val candidates = toks.as[String]
+      .select(new MisraGriesAgg(capacity).toColumn)
+      .toDF("cands")
+      .select(sf.explode(sf.col("cands")).as("term"))
+    val total = toks.agg(sf.count(sf.lit(1)).as("n_total"))
+    toks.join(sf.broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(sf.count(sf.lit(1)).as("cnt"))
+      .crossJoin(sf.broadcast(total))
+      .filter(sf.col("cnt") >= sf.ceil(sf.lit(phi) * sf.col("n_total")))
+      .select(sf.col("term"), sf.col("cnt"), sf.col("n_total"))
+      .orderBy(sf.col("cnt").desc, sf.col("term"))
+  }
+
+  /** Per-document unigram language-model score (CCNet-style quality
+    * signal): mean negative log-likelihood of the document's tokens
+    * under the corpus's own add-one-smoothed unigram LM,
+    * p(w) = (c(w)+1)/(N+V). Low = stereotypical corpus prose; high =
+    * rare-token soup (mojibake, keyboard mash, exotic boilerplate).
+    *
+    * Scale shape: one explode → groupBy(doc, term) with map-side
+    * combine (repeats collapse before the shuffle) → groupBy(term) over
+    * the already-collapsed table for corpus counts → join back on term
+    * (left to AQE: broadcast for small vocabularies, shuffle otherwise)
+    * → combinable per-doc weighted sum. (N, V) ride as a broadcast
+    * 1-row cross join — no driver action. Nothing holds a vocabulary
+    * or a document in memory whole.
+    */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Par.spread(docs.select(sf.col(idCol), sf.col(textCol)))
+      .select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("term"))
+    val docTerm = toks.groupBy("doc_id", "term")
+      .agg(sf.count(sf.lit(1)).as("c_dt"))
+    val corpus = docTerm.groupBy("term").agg(sf.sum("c_dt").as("c_t"))
+    val totals = corpus.agg(sf.sum("c_t").as("n_total"),
+      sf.count(sf.lit(1)).as("vocab"))
+    val logP = sf.log((sf.col("c_t") + 1.0) /
+      (sf.col("n_total") + sf.col("vocab")).cast("double"))
+    docTerm.join(corpus, "term")
+      .crossJoin(sf.broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        gf.roundAt(-sf.sum(sf.col("c_dt") * logP) / sf.sum("c_dt"), 4).as("lm_nll"),
+        sf.sum("c_dt").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source KL divergence of the source's unigram distribution from
+    * the whole-corpus distribution — the mixture-monitoring signal: a
+    * source whose KL drifts up is diverging from the corpus it is
+    * supposed to blend into (or was contaminated). q is add-one
+    * smoothed so terms unique to a source stay finite.
+    *
+    * KL(p_s ‖ q) = Σ_w p_s(w) · ln(p_s(w) / q(w)),
+    * p_s(w) = c_s(w)/N_s (unsmoothed: only w with c_s(w) > 0
+    * contribute), q(w) = (c(w)+1)/(N+V).
+    *
+    * Scale shape: one explode → groupBy(source, term) map-side combined
+    * → term-level corpus counts from the collapsed table → joins on
+    * term/source (AQE-planned) → one combinable groupBy(source). Output
+    * is one row per source.
+    */
+  def sourceKlDivergence(docs: DataFrame, sourceCol: String,
+                         textCol: String): DataFrame = {
+    val toks = Par.spread(docs.select(sf.col(sourceCol), sf.col(textCol)))
+      .select(sf.col(sourceCol).as("source"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("term"))
+    val st = toks.groupBy("source", "term")
+      .agg(sf.count(sf.lit(1)).as("c_st"))
+    val corpus = st.groupBy("term").agg(sf.sum("c_st").as("c_t"))
+    val srcTotals = st.groupBy("source").agg(sf.sum("c_st").as("n_s"))
+    val totals = corpus.agg(sf.sum("c_t").as("n_total"),
+      sf.count(sf.lit(1)).as("vocab"))
+    val p = sf.col("c_st").cast("double") / sf.col("n_s").cast("double")
+    val q = (sf.col("c_t") + 1.0) /
+      (sf.col("n_total") + sf.col("vocab")).cast("double")
+    st.join(corpus, "term")
+      .join(sf.broadcast(srcTotals), "source")
+      .crossJoin(sf.broadcast(totals))
+      .groupBy("source")
+      .agg(
+        gf.roundAt(sf.sum(p * sf.log(p / q)), 4).as("kl_nats"),
+        sf.max("n_s").as("n_tokens"),
+        sf.count(sf.lit(1)).as("n_terms"))
+      .orderBy("source")
+  }
+}

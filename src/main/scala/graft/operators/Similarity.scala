@@ -51,6 +51,44 @@ object Similarity {
         sf.count(sf.lit(1)).as("n_vectors"))
       .orderBy("label", "dim")
 
+  /** Per-vector L2 distance to its own label's centroid, with an
+    * outlier flag — the embedding-space curation signal: vectors far
+    * from their class centroid are mislabeled, noisy, or genuinely
+    * hard examples, and a training pipeline routes them to audit or
+    * downweighting.
+    *
+    * Scale shape: centroids come from the same posexplode →
+    * groupBy(label, dim) combinable aggregation as [[labelCentroids]]
+    * (shuffle rows ≤ labels × dim per map task), then fold to one
+    * array row per label — |labels| × dim doubles, explicitly
+    * `broadcast()`. The corpus side never explodes and never shuffles:
+    * one broadcast-hash join on label plus a map-only zip_with/
+    * aggregate distance kernel per row. The outlier test compares the
+    * ROUNDED distance so row membership is reproducible across
+    * engines. */
+  def centroidDistances(emb: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, outlierThreshold: Double): DataFrame = {
+    val vecs = Par.spread(emb.select(sf.col(idCol).cast("long").as("vec_id"),
+      sf.col(labelCol).as("label"),
+      sf.col(vecCol).cast("array<double>").as("v")))
+    val centroids = vecs
+      .select(sf.col("label"), sf.posexplode(sf.col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(sf.avg("x").as("c"))
+      .groupBy("label")
+      .agg(sf.array_sort(sf.collect_list(sf.struct(sf.col("dim"), sf.col("c"))))
+        .as("dc"))
+      .select(sf.col("label"), sf.expr("transform(dc, e -> e.c)").as("cv"))
+    val dist = sf.sqrt(sf.aggregate(
+      sf.zip_with(sf.col("v"), sf.col("cv"), (a, b) => (a - b) * (a - b)),
+      sf.lit(0.0), (acc, e) => acc + e))
+    vecs.join(sf.broadcast(centroids), "label")
+      .select(sf.col("vec_id"), sf.col("label"),
+        gf.roundAt(dist, 4).as("centroid_dist"))
+      .withColumn("is_outlier",
+        (sf.col("centroid_dist") > outlierThreshold).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force top-k: every query vector against the whole corpus,
     * rank by (cosine desc, neighbor id asc). Window-rank shape — the
     * shape a SQL oracle can replicate exactly. */

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{functions => sf}
+import graft.operators._
+import graft.sources.Tables
+
+/** Corpus-statistics operators: Misra–Gries heavy hitters (sketch
+  * guarantees + exactness of the two-pass plan), unigram-LM scoring,
+  * per-source KL divergence, centroid-distance outliers. */
+class CorpusStatsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("MisraGriesAgg never exceeds capacity and keeps every guaranteed heavy hitter") {
+    val rnd = new scala.util.Random(42)
+    // heavy items h0..h4 at ~8% each, noise over 2000 rare terms
+    val stream = rnd.shuffle(
+      (0 until 5).flatMap(h => Seq.fill(800)(s"h$h")) ++
+      (0 until 6000).map(_ => s"noise${rnd.nextInt(2000)}"))
+    val n = stream.size
+    val capacity = 24
+    val agg = new CorpusStats.MisraGriesAgg(capacity)
+    // sequential reduce
+    val seqSummary = stream.foldLeft(agg.zero)(agg.reduce)
+    // chunked reduce + pairwise merge (the partial-aggregation shape)
+    val merged = stream.grouped(977).toSeq
+      .map(chunk => chunk.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge)
+    for (summary <- Seq(seqSummary, merged)) {
+      assert(summary.size <= capacity)
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val mustSurvive = exact.filter(_._2 > n / (capacity + 1)).keySet
+      assert(mustSurvive.subsetOf(agg.finish(summary).toSet),
+        s"lost ${mustSurvive -- agg.finish(summary).toSet}")
+    }
+  }
+
+  test("heavyHitterTerms equals the exact groupBy-count at the threshold") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val phi = 0.005
+    val got = CorpusStats.heavyHitterTerms(docs, "text", phi)
+      .select("term", "cnt").as[(String, Long)].collect().toSeq
+    val toks = docs.select(
+      sf.explode(functions.wsTokens(sf.lower($"text"))).as("term"))
+    val n = toks.count()
+    val exact = toks.groupBy("term").agg(sf.count(sf.lit(1)).as("cnt"))
+      .filter($"cnt" >= math.ceil(phi * n))
+      .orderBy($"cnt".desc, $"term")
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact)
+    assert(got.nonEmpty)
+  }
+
+  test("heavyHitterTerms recount joins the candidate set as a broadcast semi join") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val plan = CorpusStats.heavyHitterTerms(docs, "text", 0.005)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi recount, got:\n$plan")
+  }
+
+  test("unigramLmScore matches the hand-computed add-one-smoothed NLL") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = CorpusStats.unigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().toSeq
+    // counts a=2 b=2 c=1, N=5, V=3; p(a)=p(b)=3/8, p(c)=2/8
+    // doc1 = -ln(3/8) = 0.9808 over 3 tokens; doc2 = mean(-ln 3/8, -ln 2/8)
+    assert(got == Seq((1L, 0.9808, 3L), (2L, 1.1836, 2L)))
+  }
+
+  test("sourceKlDivergence matches the hand-computed divergences") {
+    val docs = Seq(("s1", "a a b"), ("s2", "b c")).toDF("source", "text")
+    val got = CorpusStats.sourceKlDivergence(docs, "source", "text")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    // q(a)=q(b)=3/8, q(c)=2/8; s1: 2/3·ln(16/9)+1/3·ln(8/9)=0.3443
+    // s2: ½·ln(4/3)+½·ln(2)=0.4904
+    assert(got == Seq(("s1", 0.3443, 3L, 2L), ("s2", 0.4904, 2L, 2L)))
+  }
+
+  test("centroidDistances computes own-label distance and flags outliers") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "A"),
+      (2L, Array(0.0f, 1.0f), "A"),
+      (3L, Array(2.0f, 2.0f), "B")).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDistances(emb, "vec_id", "embedding",
+        "label", outlierThreshold = 0.5)
+      .select("vec_id", "centroid_dist", "is_outlier")
+      .as[(Long, Double, Int)].collect().toSeq
+    // A centroid (0.5, 0.5): dist = sqrt(0.5) = 0.7071; B centroid = itself
+    assert(got == Seq((1L, 0.7071, 1), (2L, 0.7071, 1), (3L, 0.0, 0)))
+  }
+
+  test("centroidDistances corpus side joins the centroids by broadcast, no explode") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val df = Similarity.centroidDistances(emb, "vec_id", "embedding", "label", 1.01)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    // exactly one generator (the centroid build); the scored corpus rows
+    // themselves never explode
+    assert(plan.split("Generate\\b").length - 1 <= 1,
+      s"corpus side must not explode:\n$plan")
+  }
+}
