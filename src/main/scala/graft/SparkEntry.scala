@@ -393,6 +393,53 @@ object SparkEntry {
     "q64_centroid_outliers" -> ((s, dir) =>
       Similarity.centroidDistances(emb(s, dir), "vec_id", "embedding",
         "label", outlierThreshold = 1.01)),
+
+    // SemDeDup: k-means cells (1 Lloyd round, fixed-point) + within-cell
+    // keep-lowest-id cosine dedup. tau tuned to this corpus's cosine
+    // range (max pairwise ~0.47).
+    "q65_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding",
+        nCentroids = 16, lloydIters = 1, tau = 0.35)),
+
+    // Bloom-prefiltered exact semi join: lineitem rows whose order is
+    // URGENT — negatives drop at scan speed, the join sees survivors.
+    "q66_bloom_semijoin" -> ((s, dir) => {
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(sf.col("o_orderpriority") === "1-URGENT")
+        .select(sf.col("o_orderkey"))
+      Bloom.semiJoin(Tables.load(s, dir, "lineitem"), urgent,
+          "l_orderkey", "o_orderkey", numBits = 1 << 17)
+        .groupBy("l_returnflag")
+        .agg(sf.count(sf.lit(1)).as("n_rows"),
+          sf.sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Per-source quantile cut: the top quarter of each source by a
+    // quality signal (rank-defined threshold, boundary ties kept — the
+    // 4-decimal avg-token-length signal is fine-grained enough that the
+    // tie slop stays small; the coarse 5-bucket q15 composite would
+    // keep ~90% through its boundary tie).
+    "q67_quantile_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = d.join(
+        TextAnalysis.qualityScore(d, "doc_id", "text")
+          .select(sf.col("doc_id"), sf.col("avg_token_len").as("score")), "doc_id")
+      Sampling.topFractionByScore(scored, "source", "score", frac = 0.25)
+        .select("doc_id", "source", "score")
+        .orderBy("doc_id")
+    }),
+
+    // Duplicated-8-gram fraction per document (RefinedWeb-style
+    // boilerplate signal).
+    "q68_dup_ngram_frac" -> ((s, dir) =>
+      TextAnalysis.dupNgramFraction(docs(s, dir), "doc_id", "text", n = 8)),
+
+    // Blocklist tagging: occurrence + distinct-term counts for a
+    // curation blocklist over the token stream.
+    "q69_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistTag(docs(s, dir), "doc_id", "text",
+        terms = Seq("spam", "click", "buy", "free", "winner"))),
   )
 
   // ---------------------------------------------------------------------
@@ -1232,6 +1279,107 @@ object SparkEntry {
     // order-nondeterministic) summation trees, reconciled by the
     // shared 4-decimal rounding. The outlier flag thresholds the
     // ROUNDED distance in both engines.
+    // SemDeDup: the q55 fixed-point k-means scaffolding (1 Lloyd round
+    // here), then a within-cluster keep-lowest-id witness join. The
+    // cosine threshold compares the shared 4-decimal rounding.
+    "q65_semantic_dedup" -> {
+      def lloyd(centIn: String, centOut: String): String =
+        s"""asg_$centOut AS (SELECT vec_id, v, cid AS cluster FROM
+           |  (SELECT a.vec_id, a.v, t.cid,
+           |     row_number() OVER (PARTITION BY a.vec_id
+           |       ORDER BY list_cosine_similarity(a.v, t.cv) DESC, t.cid) AS rn
+           |   FROM c a CROSS JOIN $centIn t) WHERE rn = 1),
+           |upd_$centOut AS (SELECT cluster AS cid, u.dim AS dim,
+           |    SUM(CAST(floor(u.x*1000000.0 + 0.5) AS BIGINT)) AS s, COUNT(*) AS cnt FROM
+           |  (SELECT cluster, unnest([{'dim': i, 'x': v[i+1]} FOR i IN range(0, len(v))]) AS u
+           |   FROM asg_$centOut) GROUP BY 1, 2),
+           |new_$centOut AS (SELECT cid, list(CAST(s AS DOUBLE)/(1000000.0*cnt) ORDER BY dim) AS cv
+           |  FROM upd_$centOut GROUP BY cid),
+           |$centOut AS (SELECT c0.cid, COALESCE(n.cv, c0.cv) AS cv
+           |  FROM $centIn c0 LEFT JOIN new_$centOut n USING (cid))"""
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings),
+         |cent0 AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+         |          FROM c ORDER BY h, vec_id LIMIT 16),
+         |${lloyd("cent0", "cent1")},
+         |assign AS (SELECT vec_id, v, cid AS cluster FROM
+         |  (SELECT a.vec_id, a.v, t.cid,
+         |     row_number() OVER (PARTITION BY a.vec_id
+         |       ORDER BY list_cosine_similarity(a.v, t.cv) DESC, t.cid) AS rn
+         |   FROM c a CROSS JOIN cent1 t) WHERE rn = 1),
+         |d AS (SELECT DISTINCT a.vec_id FROM assign a JOIN assign b
+         |      ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |      WHERE floor(list_cosine_similarity(a.v, b.v)*10000.0 + 0.5)/10000.0 >= 0.35)
+         |SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+         |       CAST(d.vec_id IS NOT NULL AS INT) AS is_dup
+         |FROM assign a LEFT JOIN d USING (vec_id) ORDER BY vec_id""".stripMargin
+    },
+
+    // Bloom prefilter is exact-verified engine-side, so the oracle is
+    // the plain semi join.
+    "q66_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Per-source quantile cut on q15's avg-token-length signal:
+    // threshold = the largest score whose descending cumulative count
+    // reaches ceil(0.25 * n_source); all boundary ties kept (both
+    // engines).
+    "q67_quantile_filter" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tok,
+        |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS n_nonws
+        | FROM documents),
+        |q AS (SELECT doc_id, source,
+        |  floor((CASE WHEN n_tok=0 THEN 0.0 ELSE n_nonws/n_tok END)*10000.0 + 0.5)/10000.0 AS score
+        | FROM b),
+        |dist AS (SELECT source, score, COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+        |cum AS (SELECT source, score,
+        |  SUM(cnt) OVER (PARTITION BY source ORDER BY score DESC) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM dist),
+        |thr AS (SELECT source, MAX(score) AS t FROM cum
+        |        WHERE cum >= ceil(n * 0.25) GROUP BY source)
+        |SELECT q.doc_id, q.source, q.score
+        |FROM q JOIN thr ON q.source = thr.source AND q.score >= thr.t
+        |ORDER BY q.doc_id""".stripMargin,
+
+    // Duplicated-8-gram fraction: q56's shingle contract (short docs ->
+    // whole text as one gram), carrier counts over doc-distinct grams.
+    "q68_dup_ngram_frac" ->
+      """WITH ws AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]) END AS gr
+        |  FROM ws),
+        |dg AS (SELECT doc_id, unnest(gr) AS gram FROM g),
+        |cnt AS (SELECT gram, COUNT(*) AS n_docs FROM dg GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        | CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        | floor((CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*))*10000.0 + 0.5)/10000.0 AS dup_frac
+        |FROM dg JOIN cnt USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Blocklist tagging over lowercased whitespace tokens.
+    "q69_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))
+        |  END AS toks FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_filter(toks, x -> list_contains(['buy','click','free','spam','winner'], x))) AS INT) AS n_hits,
+        | CAST(len(list_intersect(list_distinct(toks), ['buy','click','free','spam','winner'])) AS INT) AS n_terms_matched,
+        | CAST(len(list_filter(toks, x -> list_contains(['buy','click','free','spam','winner'], x))) > 0 AS INT) AS flagged
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q64_centroid_outliers" ->
       """WITH x AS (SELECT vec_id, label,
         |  unnest([{'dim': i, 'x': embedding[i+1]} FOR i IN range(0, len(embedding))]) AS u

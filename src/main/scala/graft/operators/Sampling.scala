@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => sf}
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling for corpus curation. `sample(fraction)` on a
   * DataFrame is seed-stable only per partitioning; these samplers hash
@@ -88,5 +89,39 @@ object Sampling {
       .join(sf.broadcast(totals), sf.col(sourceCol) === sf.col("__src"))
       .filter(hashBucket(sf.col(keyCol)) < threshold)
       .drop("__src", "__total", "__budget")
+  }
+
+  /** Per-group quantile cut: keep each group's top `frac` of rows by
+    * score (e.g. "the best 25% of documents per source by quality").
+    * The threshold is rank-defined — the LARGEST score t such that at
+    * least ceil(frac · n_group) rows score >= t — and ALL boundary ties
+    * are kept, so the cut is an exact deterministic function of the
+    * data (no interpolated percentile to disagree on, no arbitrary
+    * pick among tied rows) and the kept count is the smallest superset
+    * of the target fraction.
+    *
+    * Scale shape (the q35 distinct-value-compression trick): one
+    * combinable groupBy compresses the corpus to (group, score, count)
+    * — sized by DISTINCT scores per group, tiny for quantized quality
+    * scores (quantize continuous scores first, e.g. `roundAt(s, 4)`).
+    * The cumulative window runs over THAT table, partitioned by group,
+    * then per-group thresholds broadcast back for a map-only filter.
+    * The corpus itself never shuffles and never sorts. */
+  def topFractionByScore(df: DataFrame, groupCol: String, scoreCol: String,
+                         frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val w = Window.partitionBy("__grp").orderBy(sf.col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dist = df.groupBy(sf.col(groupCol).as("__grp"),
+        sf.col(scoreCol).cast("double").as("__score"))
+      .agg(sf.count(sf.lit(1)).as("__cnt"))
+    val thresholds = dist
+      .withColumn("__cum", sf.sum("__cnt").over(w))
+      .withColumn("__n", sf.sum("__cnt").over(Window.partitionBy("__grp")))
+      .filter(sf.col("__cum") >= sf.ceil(sf.col("__n") * frac))
+      .groupBy("__grp").agg(sf.max("__score").as("__thr"))
+    df.join(sf.broadcast(thresholds), sf.col(groupCol) === sf.col("__grp"))
+      .filter(sf.col(scoreCol).cast("double") >= sf.col("__thr"))
+      .drop("__grp", "__thr")
   }
 }

@@ -389,6 +389,69 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then within each
+    * cluster flag every vector that has a LOWER-ID cluster-mate with
+    * cosine >= tau (keep-lowest-id, the same first-witness convention as
+    * the text near-dup family). Exact near-dups, paraphrases, and
+    * templated spam land in the same cell, so the quadratic comparison
+    * is confined to one cluster at a time.
+    *
+    * Output: (vec_id, cluster, is_dup) for every vector — survivors are
+    * `is_dup = 0`.
+    *
+    * Scale shape: the codebook is the ivfTopK machinery (literal up to
+    * `maxLiteralCentroids`, DataFrame + broadcast join past it; Lloyd
+    * rounds are one corpus pass each, fixed-point so oracles replay
+    * them). The pair scan is a cluster-keyed equi self-join — never a
+    * cartesian — and each pair occurs in exactly ONE cell (nProbe = 1
+    * assignment), so no pair-dedup pass exists to shuffle. At the
+    * SemDeDup paper's sizing (nCentroids ≈ n/expected-cluster-size,
+    * e.g. 100k cells for 100M docs) cluster sizes stay in the
+    * thousands and the per-cell quadratic term is bounded; the cosine
+    * is compared on the shared 4-decimal rounding so engines agree at
+    * the threshold boundary. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int = 16, lloydIters: Int = 1,
+                    tau: Double = 0.35,
+                    maxLiteralCentroids: Int = MaxLiteralCentroids): DataFrame = {
+    val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv"))).persist()
+    val assigned = (if (nCentroids <= maxLiteralCentroids) {
+      val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+      val sampled: Array[Double] = base
+        .orderBy(sampleHash(sf.col("n_id")), sf.col("n_id"))
+        .limit(nCentroids)
+        .select("nv").collect()
+        .flatMap(_.getSeq[Double](0))
+      val codebook =
+        if (lloydIters > 0) refineCodebook(base, dim, nCentroids, lloydIters, sampled)
+        else sampled
+      base.withColumn("cluster",
+        gf.nearestCentroids(sf.col("nv"), sf.lit(codebook), sf.lit(dim), sf.lit(1))
+          .getItem(0))
+    } else {
+      val spark = emb.sparkSession
+      val cb0 = sampleCodebookDF(base, "n_id", "nv", nCentroids)
+      val cb = if (lloydIters > 0) refineCodebookDF(spark, base, "n_id", "nv", cb0, lloydIters)
+               else cb0
+      base.join(assignCellsDF(spark, base, "n_id", "nv", cb, 1)
+        .select(sf.col("n_id"), sf.col("cells").getItem(0).as("cluster")), "n_id")
+    }).persist()
+    val lower = assigned.select(sf.col("cluster").as("b_cluster"),
+      sf.col("n_id").as("b_id"), sf.col("nv").as("bv"))
+    val dups = assigned.join(lower,
+        sf.col("cluster") === sf.col("b_cluster") &&
+          sf.col("b_id") < sf.col("n_id") &&
+          gf.roundAt(gf.cosineSim(sf.col("nv"), sf.col("bv")), 4) >= tau,
+        "left_semi")
+      .select(sf.col("n_id"), sf.lit(1).as("__d"))
+    assigned.join(dups, Seq("n_id"), "left")
+      .select(sf.col("n_id").as("vec_id"), sf.col("cluster"),
+        sf.coalesce(sf.col("__d"), sf.lit(0)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -186,4 +186,64 @@ object TextAnalysis {
       .agg(sf.count(sf.lit(1)).as("n_contaminated_ngrams"))
       .orderBy("doc_id")
   }
+
+  /** Duplicated-n-gram fraction (RefinedWeb/Gopher "dup n-gram" filter):
+    * for each document, the share of its DISTINCT word n-grams that also
+    * occur in at least one other document. High values flag boilerplate
+    * (headers, license blocks, templated spam) that exact- and near-dup
+    * passes miss because the surrounding text differs.
+    *
+    * Scale shape: documents explode to distinct (doc, gramHash) pairs —
+    * hashes, never gram strings, ride the shuffles. One combinable
+    * groupBy(gramHash) counts carrier docs; a hash-partitioned equi join
+    * puts the count back on each pair (both sides already partitioned by
+    * gramHash from the aggregate — AQE reuses the exchange); the final
+    * combinable groupBy(doc) reduces to one row per document. No driver
+    * materialization, no n² term anywhere. A 64-bit collision can only
+    * ADD a duplicated gram (P ~ grams²/2⁶⁴) — conservative, like
+    * `decontaminate`. */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8): DataFrame = {
+    val pairs = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"),
+        sf.explode(gf.wordShingles(sf.col("__t"), n)).as("g"))
+      .select(sf.col("doc_id"), sf.xxhash64(sf.col("g")).as("gh"))
+    val carriers = pairs.groupBy("gh")
+      .agg(sf.count(sf.lit(1)).as("n_docs")) // pairs are doc-distinct
+    pairs.join(carriers, "gh")
+      .groupBy("doc_id")
+      .agg(sf.count(sf.lit(1)).as("n_grams"),
+        sf.sum((sf.col("n_docs") >= 2).cast("long")).as("n_dup_grams"))
+      .select(sf.col("doc_id"), sf.col("n_grams"), sf.col("n_dup_grams"),
+        gf.roundAt(sf.col("n_dup_grams").cast("double") /
+          sf.col("n_grams").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Blocklist tagging (word-boundary term filter): per-document count
+    * of tokens (with multiplicity) in a curation blocklist, plus the
+    * distinct terms matched. Tokenizes like every other text operator
+    * (lowercased whitespace tokens) so "Spam." != "spam" — pair with a
+    * normalizer upstream when punctuation matters. Map-only: the
+    * blocklist is a plan literal (curation lists are thousands of
+    * terms, not millions — past that, switch to a broadcast join on
+    * token), so the operator runs at scan speed at any corpus size. */
+  def blocklistTag(docs0: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    require(terms.size <= 100000, "literal blocklist capped at 100k terms; " +
+      "use a broadcast join on token for larger lists")
+    val docs = prepared(docs0, idCol, textCol)
+    val toks = sf.transform(gf.wsTokens(sf.col(textCol)), t => sf.lower(t))
+    val blocked = sf.lit(terms.map(_.toLowerCase).distinct.sorted.toArray)
+    val hits = sf.size(sf.filter(toks, t => sf.array_contains(blocked, t)))
+    docs.select(
+      sf.col(idCol),
+      hits.as("n_hits"),
+      sf.size(sf.array_intersect(sf.array_distinct(toks), blocked))
+        .as("n_terms_matched"),
+      (hits > 0).cast("int").as("flagged"))
+      .orderBy(idCol)
+  }
 }

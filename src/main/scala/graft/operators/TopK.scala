@@ -32,4 +32,5 @@ object TopK {
         sf.col("sn._2").as("id"), gf.roundAt(sf.col("sn._1"), 4).as("score"))
       .orderBy("key", "rank")
   }
+
 }

@@ -222,4 +222,49 @@ class CurationSpec extends SparkFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept2 == kept, "clusterLabels reuse diverged from the direct path")
   }
+
+  test("Sampling.topFractionByScore keeps the rank-defined top slice, ties included") {
+    val df = Seq(
+      // group a: 8 distinct scores; ceil(8 * .25) = 2 -> top 2 rows
+      ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.3), ("a", 4L, 0.4),
+      ("a", 5L, 0.5), ("a", 6L, 0.6), ("a", 7L, 0.7), ("a", 8L, 0.8),
+      // group b: boundary tie at 0.5 — threshold lands on it, ALL ties kept
+      ("b", 11L, 0.9), ("b", 12L, 0.5), ("b", 13L, 0.5), ("b", 14L, 0.5),
+      ("b", 15L, 0.1), ("b", 16L, 0.1), ("b", 17L, 0.1), ("b", 18L, 0.1))
+      .toDF("grp", "id", "score")
+    val kept = Sampling.topFractionByScore(df, "grp", "score", 0.25)
+      .select("id").as[Long].collect().toSet
+    // a: ceil(2) -> scores {0.8, 0.7}; b: ceil(2) -> cum reaches 2 at 0.5,
+    // every 0.5 tie kept
+    assert(kept == Set(7L, 8L, 11L, 12L, 13L, 14L), s"got $kept")
+  }
+
+  test("TextAnalysis.dupNgramFraction measures corpus-shared n-grams per doc") {
+    val ten = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10" // 3 distinct 8-grams
+    val df = Seq(
+      (1L, ten),                              // all 3 grams shared with doc 2
+      (2L, ten),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // 3 grams, none shared
+      (4L, "hello world"),                    // short -> whole text, shared w/ 5
+      (5L, "hello world")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramFraction(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)) && got(2L) == ((3L, 3L, 1.0)), s"got $got")
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    assert(got(4L) == ((1L, 1L, 1.0)) && got(5L) == ((1L, 1L, 1.0)))
+  }
+
+  test("TextAnalysis.blocklistTag counts token hits case-insensitively") {
+    val df = Seq(
+      (1L, "Buy now buy FREE stuff"),   // buy x2, free x1
+      (2L, "clean document text"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistTag(df, "doc_id", "text",
+        Seq("buy", "free", "winner"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == ((3, 2, 1)), s"got $got") // 3 hits, 2 distinct terms
+    assert(got(2L) == ((0, 0, 0)) && got(3L) == ((0, 0, 0)))
+  }
 }

@@ -254,4 +254,35 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(srp.size >= exact.size * 3 / 4, s"SRP recall ${srp.size}/${exact.size}")
     assert(ivf.size >= exact.size * 3 / 4, s"IVF recall ${ivf.size}/${exact.size}")
   }
+
+  test("semanticDedup flags exactly the vectors with a lower-id cluster-mate above tau") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val tau = 0.35
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nCentroids = 8, lloydIters = 1, tau = tau)
+    // no cartesian anywhere: the pair scan must be the cluster-keyed join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      "semanticDedup pair scan degenerated to a cartesian")
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // independently recompute the within-cluster witness from raw vectors
+    val vecs = emb.select(sf.col("vec_id").cast("long"), sf.col("embedding")
+        .cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val byCluster = rows.groupBy(_._2)
+    rows.foreach { case (id, cl, isDup) =>
+      val witness = byCluster(cl).exists { case (o, _, _) =>
+        o < id && r4(cos(vecs(o), vecs(id))) >= tau
+      }
+      assert(witness == (isDup == 1), s"vec $id cluster $cl: flag $isDup, witness $witness")
+    }
+    // the run must actually exercise both outcomes
+    assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0))
+  }
 }
