@@ -440,6 +440,27 @@ object SparkEntry {
     "q69_blocklist" -> ((s, dir) =>
       TextAnalysis.blocklistTag(docs(s, dir), "doc_id", "text",
         terms = Seq("spam", "click", "buy", "free", "winner"))),
+
+    // Product-quantization ANN: 4 subspaces x 16 centroids; corpus rows
+    // become 4 codes, scored by asymmetric dot against reconstructions.
+    "q70_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir), "vec_id", "embedding",
+        sf.col("vec_id") < 10, k = 5, nSubspaces = 4, centroidsPerSub = 16)),
+
+    // Winsorized per-group stats: nearest-rank p05/p95 clamp on
+    // quantity, outlier-resistant mean.
+    "q71_winsorize" -> ((s, dir) =>
+      QualityChecks.winsorizedStats(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", pLo = 0.05, pHi = 0.95)),
+
+    // CDC latest-snapshot compaction: one current row per user from the
+    // event log (combinable max(struct), no per-key sort).
+    "q72_latest_snapshot" -> ((s, dir) =>
+      EventOps.latestSnapshot(Tables.load(s, dir, "events"))
+        .select(sf.col("user_id"),
+          sf.date_format(sf.col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          sf.col("event_id"), sf.col("event_type"), sf.col("value"))
+        .orderBy("user_id")),
   )
 
   // ---------------------------------------------------------------------
@@ -1379,6 +1400,58 @@ object SparkEntry {
         | CAST(len(list_intersect(list_distinct(toks), ['buy','click','free','spam','winner'])) AS INT) AS n_terms_matched,
         | CAST(len(list_filter(toks, x -> list_contains(['buy','click','free','spam','winner'], x))) > 0 AS INT) AS flagged
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // PQ ANN: codes = per-subspace argmin L2 over the sliced sampleHash-
+    // prefix codebook; ADC = dot(query, concatenated sub-centroids).
+    // list_distance ranks like the kernel's squared-L2 (sqrt monotone).
+    "q70_pq_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings),
+        |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+        |         FROM c ORDER BY h, vec_id LIMIT 16),
+        |codes AS (SELECT vec_id, m, cid FROM (
+        |  SELECT a.vec_id, mm.m, t.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id, mm.m
+        |      ORDER BY list_distance(a.v[mm.m*16+1:(mm.m+1)*16], t.cv[mm.m*16+1:(mm.m+1)*16]) ASC, t.cid) AS rn
+        |  FROM c a CROSS JOIN (SELECT CAST(range AS INT) AS m FROM range(0,4)) mm CROSS JOIN cent t) WHERE rn = 1),
+        |recon AS (SELECT codes.vec_id, flatten(list(cent.cv[codes.m*16+1:(codes.m+1)*16] ORDER BY codes.m)) AS rv
+        |          FROM codes JOIN cent USING (cid) GROUP BY codes.vec_id),
+        |scored AS (SELECT q.vec_id AS q_id, r.vec_id AS n_id, list_dot_product(q.v, r.rv) AS adc
+        |           FROM c q JOIN recon r ON r.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |rr AS (SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rn FROM scored)
+        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id, floor(adc*10000.0 + 0.5)/10000.0 AS adc
+        |FROM rr WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // Winsorized stats: nearest-rank thresholds over the distinct-value
+    // cumulative counts; quantity is integral so the clipped sum is
+    // order-exact.
+    "q71_winsorize" ->
+      """WITH d AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |cnt AS (SELECT g, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |r AS (SELECT g, v,
+        |  SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |  SUM(c) OVER (PARTITION BY g) AS n FROM cnt),
+        |thr AS (SELECT g,
+        |  MIN(CASE WHEN cum >= greatest(ceil(n*0.05), 1) THEN v END) AS lo,
+        |  MIN(CASE WHEN cum >= greatest(ceil(n*0.95), 1) THEN v END) AS hi
+        |  FROM r GROUP BY g)
+        |SELECT d.g AS l_returnflag, COUNT(*) AS n_rows,
+        | floor(MIN(lo)*10000.0 + 0.5)/10000.0 AS p_lo,
+        | floor(MIN(hi)*10000.0 + 0.5)/10000.0 AS p_hi,
+        | CAST(SUM(CASE WHEN d.v < lo THEN 1 ELSE 0 END
+        |        + CASE WHEN d.v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        | floor((SUM(LEAST(GREATEST(d.v, lo), hi)) / COUNT(*))*10000.0 + 0.5)/10000.0 AS winsorized_mean
+        |FROM d JOIN thr USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Latest snapshot: the window-rank twin of the max(struct) reduce.
+    "q72_latest_snapshot" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       event_id, event_type, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q64_centroid_outliers" ->
       """WITH x AS (SELECT vec_id, label,

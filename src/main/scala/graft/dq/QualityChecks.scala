@@ -197,4 +197,53 @@ object QualityChecks {
     df.filter(!invariant)
       .agg(sf.count(sf.lit(1)).as("violations"))
       .select(sf.lit(checkName).as("check_name"), sf.col("violations"))
+
+  /** Winsorized (clipped) per-group stats: nearest-rank pLo/pHi
+    * thresholds, values clamped into [lo, hi], then robust aggregates —
+    * the outlier-resistant profile for numeric feature columns (a fat-
+    * finger price or a parse-glitch token count no longer drags the
+    * mean). Nearest-rank (lo = smallest v with ascending cumulative
+    * count >= ceil(pLo·n)) rather than interpolation: the thresholds
+    * are actual data values, deterministic and engine-portable with no
+    * arithmetic to disagree on.
+    *
+    * Scale shape: the same distinct-value compression as
+    * `quantileProfile` — the corpus reduces map-side to (group, value,
+    * count); the cumulative window runs over that compressed table;
+    * thresholds broadcast back for a map-only clamp + one combinable
+    * aggregate. The raw rows never sort and never shuffle by value. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v"))
+      .filter(sf.col("__v").isNotNull)
+      .groupBy(groupCol, "__v")
+      .agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true) // both the window and the totals read it
+    val cumW = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.groupBy(groupCol).agg(sf.sum("__c").as("__n"))
+      .withColumnRenamed(groupCol, "__g")
+    val ranked = counts
+      .withColumn("__cum", sf.sum("__c").over(cumW))
+      .join(totals, sf.col(groupCol) <=> sf.col("__g"))
+    def rankThr(p: Double) = sf.greatest(sf.ceil(sf.col("__n") * p), sf.lit(1L))
+    val thresholds = ranked.groupBy(sf.col(groupCol).as("__tg"))
+      .agg(sf.min(sf.when(sf.col("__cum") >= rankThr(pLo), sf.col("__v"))).as("__lo"),
+        sf.min(sf.when(sf.col("__cum") >= rankThr(pHi), sf.col("__v"))).as("__hi"))
+    val clipped = sf.least(sf.greatest(sf.col(valueCol).cast("double"),
+      sf.col("__lo")), sf.col("__hi"))
+    df.filter(sf.col(valueCol).isNotNull)
+      .join(sf.broadcast(thresholds), sf.col(groupCol) <=> sf.col("__tg"))
+      .groupBy(sf.col(groupCol))
+      .agg(sf.count(sf.lit(1)).as("n_rows"),
+        gf.roundAt(sf.min("__lo"), 4).as("p_lo"),
+        gf.roundAt(sf.min("__hi"), 4).as("p_hi"),
+        sf.sum((sf.col(valueCol).cast("double") < sf.col("__lo")).cast("long")
+          + (sf.col(valueCol).cast("double") > sf.col("__hi")).cast("long"))
+          .as("n_clipped"),
+        gf.roundAt(sf.sum(clipped) / sf.count(sf.lit(1)), 4).as("winsorized_mean"))
+      .orderBy(groupCol)
+  }
 }

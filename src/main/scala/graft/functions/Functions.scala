@@ -219,6 +219,12 @@ object functions {
     kernel(ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
       "nearestCentroids", v, centroidsFlat, dim, nProbe)
 
+  /** Euclidean variant (asc, ties to the lower index) — the PQ
+    * sub-codebook metric. */
+  def nearestCentroidsL2(v: Column, centroidsFlat: Column, dim: Column, nProbe: Column): Column =
+    kernel(ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      "nearestCentroidsL2", v, centroidsFlat, dim, nProbe)
+
   /** Exact revenue price*(1-discount) in fixed-point 1e-4 units (long). */
   def revenueE4(price: Column, discount: Column): Column =
     kernel(LongType, "revenueE4", price, discount)

@@ -129,4 +129,27 @@ object EventOps {
         sf.col("n_events"))
       .orderBy(keyCol, "version")
   }
+
+  /** CDC latest-snapshot compaction: reduce a change/event log to one
+    * current row per key — the upsert-merge that keeps a mutable-table
+    * mirror (or a "latest doc version wins" corpus) fresh. The winner
+    * is the lexicographic max of (tsCol, idCol, payload), so ties on
+    * the timestamp resolve by the unique id and the result is a pure
+    * function of the data.
+    *
+    * Scale shape: a single combinable max(struct) aggregation — partial
+    * winners reduce map-side, the shuffle carries one candidate row per
+    * (map task, key). The window-rank formulation
+    * (`row_number() ... WHERE rn = 1`) shuffles and sorts EVERY change
+    * record per key and is kept only as the SQL-oracle twin. */
+  def latestSnapshot(events: DataFrame, keyCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     payloadCols: Seq[String] = Seq("event_type", "value")): DataFrame = {
+    val winner = sf.max(sf.struct((Seq(tsCol, idCol) ++ payloadCols).map(sf.col): _*))
+    events.groupBy(sf.col(keyCol))
+      .agg(winner.as("__w"))
+      .select(sf.col(keyCol) +:
+        (Seq(tsCol, idCol) ++ payloadCols).map(c => sf.col(s"__w.$c").as(c)): _*)
+      .orderBy(keyCol)
+  }
 }

@@ -452,6 +452,80 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization (PQ) approximate top-k (Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search"): the vector is
+    * split into `nSubspaces` contiguous sub-vectors, each quantized to
+    * its nearest sub-codebook centroid, so a corpus row is represented
+    * by nSubspaces SMALL CODES — 4 ints instead of 64 doubles here, and
+    * 16–64× less state at production dims. Queries score candidates by
+    * asymmetric distance (ADC): the exact query vector against the
+    * candidate's RECONSTRUCTION (concatenated sub-centroids), computed
+    * on the fly from the plan-literal codebooks inside codegen.
+    *
+    * Scale shape: the corpus is ENCODED ONCE (map-only pass against
+    * literal codebooks) and thereafter only codes move — the bucketed /
+    * persisted / shuffled form of the corpus is nSubspaces ints per
+    * row, which is what makes billion-scale ANN state fit executor
+    * memory. Queries broadcast; scoring is one dot per (query,
+    * candidate) with no corpus-side vector column; top-k reduces with
+    * the k-bounded TopKAgg. Sub-codebooks sample the same
+    * deterministic sampleHash prefix as the IVF path, so a SQL oracle
+    * replays the exact codes and reconstructions.
+    *
+    * Recall/compression trade: with no coarse quantizer this scans all
+    * codes (like IVF with nProbe = nCentroids); compose with ivfTopK
+    * cells for the scan-pruned variant. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: org.apache.spark.sql.Column, k: Int,
+             nSubspaces: Int = 4, centroidsPerSub: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv")))
+    val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+    require(dim % nSubspaces == 0,
+      s"dim $dim must divide evenly into $nSubspaces subspaces")
+    val subDim = dim / nSubspaces
+    // the sub-codebooks: per subspace, the matching slice of the SAME
+    // centroidsPerSub sampleHash-prefix vectors (one collect of
+    // centroidsPerSub × dim doubles — codebook-sized, never corpus-sized)
+    val sampled: Array[Array[Double]] = base
+      .orderBy(sampleHash(sf.col("n_id")), sf.col("n_id"))
+      .limit(centroidsPerSub)
+      .select("nv").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val subCodebooks: Array[Array[Array[Double]]] =       // (m)(c)(i)
+      Array.tabulate(nSubspaces, centroidsPerSub)((m, c) =>
+        sampled(c).slice(m * subDim, (m + 1) * subDim))
+    // encode: nSubspaces argmin-L2 kernels over plan-literal flat
+    // codebooks (L2, not cosine: near-zero noise sub-vectors must map
+    // to near-zero centroids, which a scale-invariant angle cannot)
+    val codeCols = (0 until nSubspaces).map { m =>
+      gf.nearestCentroidsL2(sf.slice(sf.col("nv"), m * subDim + 1, subDim),
+        sf.lit(subCodebooks(m).flatten), sf.lit(subDim), sf.lit(1))
+        .getItem(0).as(s"code_$m")
+    }
+    val codes = base.select(sf.col("n_id") +: codeCols: _*)
+    // reconstruction from codes: element_at into array-of-array literals
+    val recon = sf.concat((0 until nSubspaces).map { m =>
+      val cbArr = sf.array(subCodebooks(m).map(sf.lit(_)): _*)
+      sf.element_at(cbArr, sf.col(s"code_$m") + 1)
+    }: _*)
+    val queries = sf.broadcast(
+      emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
+        sf.col(vecCol).cast("array<double>").as("qv")))
+    val scored = queries.join(codes, sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id").as("qId"), sf.col("n_id").as("nId"),
+        gf.dot(sf.col("qv"), recon).as("cosine"))
+      .as[Scored]
+    scored.groupByKey(_.qId).agg(new TopKAgg(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(sf.col("q_id"), sf.posexplode(sf.col("topk")).as(Seq("i", "sn")))
+      .select(sf.col("q_id"), (sf.col("i") + 1).as("rank"),
+        sf.col("sn._2").as("n_id"), gf.roundAt(sf.col("sn._1"), 4).as("adc"))
+      .orderBy("q_id", "rank")
+  }
+
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

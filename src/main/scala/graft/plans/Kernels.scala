@@ -550,6 +550,53 @@ object Kernels {
     * centroidsFlat is nC concatenated dim-wide double vectors (a
     * foldable literal — the coarse quantizer codebook). Selection sort
     * over nC scores: nC is small by construction. */
+  /** As nearestCentroids but ranked by EUCLIDEAN distance (asc, ties to
+    * the lower index) — the metric product-quantization sub-codebooks
+    * need: near-zero sub-vectors must map to near-zero centroids, which
+    * scale-invariant cosine cannot express. */
+  def nearestCentroidsL2(v: ArrayData, centroidsFlat: ArrayData, dim: Int, nProbe: Int): ArrayData = {
+    val nC = centroidsFlat.numElements() / dim
+    val scores = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      var ss = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val d = v.getDouble(i) - centroidsFlat.getDouble(off + i)
+        ss += d * d
+        i += 1
+      }
+      scores(c) = -ss // negate: shared best-first selection below
+      c += 1
+    }
+    pickTop(scores, math.min(nProbe, nC))
+  }
+
+  /** Indices of the nProbe best scores, best-first, ties to the lower
+    * index (shared by the cosine and L2 centroid rankers). */
+  private def pickTop(scores: Array[Double], n: Int): ArrayData = {
+    val nC = scores.length
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](nC)
+    var r = 0
+    while (r < n) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < nC) {
+        if (!taken(c) && (scores(c) > bestScore || (scores(c) == bestScore && (best < 0 || c < best)))) {
+          best = c; bestScore = scores(c)
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def nearestCentroids(v: ArrayData, centroidsFlat: ArrayData, dim: Int, nProbe: Int): ArrayData = {
     val nC = centroidsFlat.numElements() / dim
     val scores = new Array[Double](nC)
@@ -569,25 +616,7 @@ object Kernels {
       scores(c) = dot / (math.sqrt(na) * math.sqrt(nb))
       c += 1
     }
-    val n = math.min(nProbe, nC)
-    val out = new Array[Int](n)
-    val taken = new Array[Boolean](nC)
-    var r = 0
-    while (r < n) {
-      var best = -1
-      var bestScore = Double.NegativeInfinity
-      c = 0
-      while (c < nC) {
-        if (!taken(c) && (scores(c) > bestScore || (scores(c) == bestScore && (best < 0 || c < best)))) {
-          best = c; bestScore = scores(c)
-        }
-        c += 1
-      }
-      taken(best) = true
-      out(r) = best
-      r += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    pickTop(scores, math.min(nProbe, nC))
   }
 
   /** 60-bit SimHash: md5-60-bit hash per token, +/-1 vote per bit,

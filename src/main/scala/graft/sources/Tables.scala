@@ -86,4 +86,21 @@ object Tables {
     import spark.implicits._
     pairs.toDF(keyCol, valCol)
   }
+
+  /** JSON-lines corpus source — the interchange format most raw text
+    * dumps arrive in. An explicit schema skips Spark's whole-file
+    * inference pass (a full extra scan at 100 TB) and pins types the
+    * way a production pipeline must; pass null only for ad-hoc
+    * exploration. Line-delimited JSON splits like any text file, so
+    * parallelism is byte-range-based exactly as for CSV. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).json(path)
+  }
+
+  /** JSON-lines sink (one object per line, gzip-splittable upstream
+    * tooling reads it anywhere). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

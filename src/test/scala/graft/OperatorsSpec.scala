@@ -4,6 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{functions => sf}
 import graft.operators._
+import graft.dq.QualityChecks
+import graft.sources.Tables
 
 class OperatorsSpec extends SparkFunSuite {
   import spark.implicits._
@@ -319,5 +321,72 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got.contains((1L, 1, "apple")))
     // every doc emits at most k rows
     assert(got.groupBy(_._1).values.forall(_.length <= 2))
+  }
+
+  test("QualityChecks: winsorizedStats clips at nearest-rank thresholds") {
+    import spark.implicits._
+    // 1..20 in one group: p05 -> rank ceil(1)=1 -> 1.0; p95 -> rank 19 -> 19.0
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = QualityChecks.winsorizedStats(df, "grp", "v", 0.05, 0.95).head()
+    assert(r.getAs[Double]("p_lo") == 1.0 && r.getAs[Double]("p_hi") == 19.0)
+    assert(r.getAs[Long]("n_clipped") == 1L) // only 20 > 19
+    // clipped values: 1..19 plus 19 -> mean = (190 + 19) / 20
+    assert(r.getAs[Double]("winsorized_mean") == 10.45)
+    // outlier resistance: a wild value moves the clipped mean only to the cap
+    val df2 = df.union(Seq(("g", 1e9)).toDF("grp", "v"))
+    val r2 = QualityChecks.winsorizedStats(df2, "grp", "v", 0.05, 0.95).head()
+    assert(r2.getAs[Double]("p_hi") == 20.0) // rank ceil(21*.95)=20 -> value 20
+    assert(r2.getAs[Double]("winsorized_mean") < 12.0,
+      s"mean ${r2.getAs[Double]("winsorized_mean")} dragged by the outlier")
+  }
+
+  test("EventOps: latestSnapshot equals the window-rank model, ties by id") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val events = Seq(
+      (1L, t0, 10L, "a", 1.0), (1L, t1, 11L, "b", 2.0), // latest by ts
+      (2L, t1, 20L, "c", 3.0), (2L, t1, 21L, "d", 4.0), // ts tie -> max id
+      (3L, t0, 30L, "e", 5.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = EventOps.latestSnapshot(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq((1L, 11L, "b"), (2L, 21L, "d"), (3L, 30L, "e")))
+  }
+
+  test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
+    import spark.implicits._
+    // planted clusters (the workload PQ exists for — random vectors have
+    // no codable structure): center c along dims (2c, 2c+1) + noise
+    val dim = 8
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rows = for (c <- 0 until 4; i <- 0 until 100) yield {
+      val id = (c * 100 + i).toLong
+      val v = Seq.tabulate(dim) { d =>
+        val base = if (d == 2 * c || d == 2 * c + 1) 1.0 else 0.0
+        base + ((mix(id * 31 + d) >>> 40).toDouble / (1L << 24).toDouble - 0.5) * 0.2
+      }
+      (id, v)
+    }
+    val embDf = rows.toDF("vec_id", "embedding")
+    val pred = sf.col("vec_id") % 37 === 0
+    val got = Similarity.pqTopK(embDf, "vec_id", "embedding", pred, k = 10,
+        nSubspaces = 4, centroidsPerSub = 16)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    // same-code reconstructions tie, so PQ cannot rank WITHIN a cluster
+    // (inherent at this compression); the contract is neighborhood
+    // purity — retrieved neighbors come from the query's cluster
+    // (random retrieval would score ~0.25 here)
+    val purity = got.count { case (q, n) => n / 100 == q / 100 }.toDouble / got.length
+    assert(purity > 0.9, s"PQ neighborhood purity $purity on planted clusters")
+    // dims must divide into subspaces
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(embDf, "vec_id", "embedding", pred, k = 2, nSubspaces = 7)
+    }
   }
 }

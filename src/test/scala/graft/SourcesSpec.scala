@@ -21,6 +21,23 @@ class SourcesSpec extends SparkFunSuite {
     assert(df.count() == 2)
   }
 
+  test("jsonl roundtrip preserves rows and explicit schema skips inference") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl").toFile.getAbsolutePath + "/docs"
+    val src = Seq((1L, "alpha text", "en"), (2L, "beta text", "de"))
+      .toDF("doc_id", "text", "lang")
+    Tables.writeJsonl(src, dir)
+    val back = Tables.jsonl(spark, dir, src.schema)
+    // JSON sources force nullable; names and types must carry verbatim
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "explicit schema names/types must be used verbatim")
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      src.orderBy("doc_id").collect().toSeq)
+    // inference path still reads the same rows (types may widen)
+    assert(Tables.jsonl(spark, dir).count() == 2)
+  }
+
   test("label-file section parse (SAS-labels style)") {
     val content =
       """value i94cntyl
