@@ -461,6 +461,22 @@ object SparkEntry {
           sf.date_format(sf.col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           sf.col("event_id"), sf.col("event_type"), sf.col("value"))
         .orderBy("user_id")),
+
+    // Hashing-trick linear classifier scoring (fastText-style quality
+    // filter inference); deterministic dyadic demo weights stand in
+    // for offline-trained ones.
+    "q73_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)),
+
+    // PMI collocations over adjacent token pairs (support floor 5).
+    "q74_pmi" -> ((s, dir) =>
+      CorpusStats.pmiCollocations(docs(s, dir), "text", minCount = 5)),
+
+    // Embedding dimension profile: order-exact moments via fixed-point
+    // decimal sums.
+    "q75_dim_profile" -> ((s, dir) =>
+      Similarity.dimensionProfile(emb(s, dir), "embedding")),
   )
 
   // ---------------------------------------------------------------------
@@ -1452,6 +1468,71 @@ object SparkEntry {
         |SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
         |       event_id, event_type, value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Classifier scoring: the weight table and per-token MD5-fold index
+    // are replayed verbatim; dyadic weights make the token sums exact.
+    "q73_classifier_score" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         | floor((raw + -0.05)*10000.0 + 0.5)/10000.0 AS score,
+         | CAST(floor((raw + -0.05)*10000.0 + 0.5)/10000.0 > 0 AS INT) AS flagged
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // PMI: bigram stream vs unigram stream, ln-ratio; rounded PMI is
+    // the primary sort key with (w1, w2) completing determinism.
+    "q74_pmi" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))
+        |  END AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+        |bi AS (SELECT unnest([{'w1': toks[i+1], 'w2': toks[i+2]} FOR i IN range(0, len(toks)-1)]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c_bg FROM bi GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(c_bg) AS BIGINT) AS n_bg FROM bc),
+        |nu AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_uni FROM uc)
+        |SELECT b.w1, b.w2, b.c_bg,
+        | floor(ln((CAST(b.c_bg AS DOUBLE) / CAST(nb.n_bg AS DOUBLE)) /
+        |   ((CAST(u1.c_w AS DOUBLE) / CAST(nu.n_uni AS DOUBLE)) *
+        |    (CAST(u2.c_w AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))))*10000.0 + 0.5)/10000.0 AS pmi
+        |FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w
+        |CROSS JOIN nb CROSS JOIN nu
+        |WHERE b.c_bg >= 5
+        |ORDER BY pmi DESC, b.w1, b.w2""".stripMargin,
+
+    // Dimension profile: DECIMAL(38,0) sums of fixed-point values are
+    // exact under any accumulation order; both engines divide the same
+    // exact sums in the same double expression.
+    "q75_dim_profile" ->
+      """WITH x AS (SELECT unnest([{'dim': i, 'x': CAST(embedding[i+1] AS DOUBLE)}
+        |    FOR i IN range(0, len(embedding))]) AS u FROM embeddings),
+        |f AS (SELECT u.dim AS dim, u.x AS x,
+        |  CAST(floor(u.x*1000000.0 + 0.5) AS BIGINT) AS fx FROM x),
+        |a AS (SELECT dim, COUNT(*) AS n,
+        |  SUM(CAST(fx AS DECIMAL(38,0))) AS s1,
+        |  SUM(CAST(fx*fx AS DECIMAL(38,0))) AS s2,
+        |  MIN(x) AS mn, MAX(x) AS mx FROM f GROUP BY dim)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        | floor((CAST(s1 AS DOUBLE)/1000000.0 / CAST(n AS DOUBLE))*10000.0 + 0.5)/10000.0 AS mean,
+        | floor(sqrt(greatest((CAST(s2 AS DOUBLE)/1000000000000.0
+        |   - (CAST(s1 AS DOUBLE)/1000000.0)*(CAST(s1 AS DOUBLE)/1000000.0)/CAST(n AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) - 1), 0.0))*10000.0 + 0.5)/10000.0 AS std,
+        | floor(mn*10000.0 + 0.5)/10000.0 AS v_min,
+        | floor(mx*10000.0 + 0.5)/10000.0 AS v_max
+        |FROM a ORDER BY dim""".stripMargin,
 
     "q64_centroid_outliers" ->
       """WITH x AS (SELECT vec_id, label,

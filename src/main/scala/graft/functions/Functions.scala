@@ -246,6 +246,11 @@ object functions {
   def dot(a: Column, b: Column): Column =
     kernel(DoubleType, "dot", a.cast("array<double>"), b.cast("array<double>"))
 
+  /** Hashing-trick linear score over a token array (see
+    * Kernels.linearScore); `d` must equal the weight array's length. */
+  def linearScore(tokens: Column, weightsFlat: Column, d: Column): Column =
+    kernel(DoubleType, "linearScore", tokens, weightsFlat, d)
+
   def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
 
   /** Cosine similarity; inputs cast to array<double> so Spark and any

@@ -175,4 +175,48 @@ object CorpusStats {
         sf.count(sf.lit(1)).as("n_terms"))
       .orderBy("source")
   }
+
+  /** PMI collocations: adjacent token pairs whose co-occurrence beats
+    * the independence assumption — pmi = ln(p(w1,w2) / (p(w1)·p(w2))),
+    * with p(w1,w2) over the bigram stream and p(w) over the unigram
+    * stream. High-PMI pairs are multi-word expressions ("new york",
+    * "machine learning"); in curation they expose templated boilerplate
+    * the unigram heavy-hitter pass misses. `minCount` floors the bigram
+    * support so rare-pair PMI noise (which maxes PMI at count 1) never
+    * surfaces.
+    *
+    * Scale shape: two explodes into map-side-combined counts (bigram
+    * and unigram tables — domain-sized, not corpus-sized), the bigram
+    * table joined twice against the unigram table on its two term keys
+    * (AQE picks broadcast when the vocabulary is small), and the
+    * support filter lands BEFORE the joins, so only bigrams that can
+    * surface pay the join. One row per surviving bigram. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long = 5): DataFrame = {
+    val toks = Par.spread(docs.select(sf.col(textCol)))
+      .select(gf.wsTokens(sf.lower(sf.col(textCol))).as("t"))
+    val uni = toks.select(sf.explode(sf.col("t")).as("w"))
+      .groupBy("w").agg(sf.count(sf.lit(1)).as("c_w"))
+    val bi = toks.filter(sf.size(sf.col("t")) >= 2)
+      .select(sf.explode(sf.expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("bg"))
+      .select(sf.col("bg.w1").as("w1"), sf.col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(sf.count(sf.lit(1)).as("c_bg"))
+    val nBi = bi.agg(sf.sum("c_bg").as("n_bg"))
+    val nUni = uni.agg(sf.sum("c_w").as("n_uni"))
+    val supported = bi.filter(sf.col("c_bg") >= minCount)
+    val pmi = sf.log(
+      (sf.col("c_bg").cast("double") / sf.col("n_bg").cast("double")) /
+        ((sf.col("c_w1").cast("double") / sf.col("n_uni").cast("double")) *
+          (sf.col("c_w2").cast("double") / sf.col("n_uni").cast("double"))))
+    supported
+      .join(uni.select(sf.col("w").as("w1"), sf.col("c_w").as("c_w1")), "w1")
+      .join(uni.select(sf.col("w").as("w2"), sf.col("c_w").as("c_w2")), "w2")
+      .crossJoin(sf.broadcast(nBi))
+      .crossJoin(sf.broadcast(nUni))
+      .select(sf.col("w1"), sf.col("w2"), sf.col("c_bg"),
+        gf.roundAt(pmi, 4).as("pmi"))
+      .orderBy(sf.col("pmi").desc, sf.col("w1"), sf.col("w2"))
+  }
 }

@@ -526,6 +526,43 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding dimension profile: per-dimension n/mean/std/min/max —
+    * the DQ pass that catches dead dimensions (std ≈ 0), scale drift
+    * between embedding-model versions, and NaN/Inf pollution before a
+    * corpus is indexed.
+    *
+    * Determinism at scale: float sums are partition-order-dependent, so
+    * mean/std would differ run to run (and engine to engine). Values
+    * are fixed-pointed first — floor(x·1e6 + 0.5) as a long — and the
+    * moments accumulate as DECIMAL(38,0) integer sums, which are EXACT
+    * under any accumulation order; only the final mean/std division
+    * happens in doubles, identically on both engines. The squared
+    * fixed-point term is ≤ ~4.4e12 per element, so the decimal
+    * accumulator holds ~10^25 elements — no overflow at any real corpus
+    * size (the all-long variant dies at ~2e6 rows). One explode, one
+    * map-side-combined groupBy(dim): the shuffle carries dim ×
+    * partitions rows. */
+  def dimensionProfile(emb: DataFrame, vecCol: String): DataFrame = {
+    val fx = sf.floor(sf.col("x") * 1e6 + 0.5).cast("long")
+    val n = sf.col("n").cast("double")
+    val s1 = sf.col("s1").cast("double") / 1e6
+    val s2 = sf.col("s2").cast("double") / 1e12
+    val variance = (s2 - s1 * s1 / n) / (n - 1)
+    Par.spread(emb.select(sf.col(vecCol).cast("array<double>").as("v")))
+      .select(sf.posexplode(sf.col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(fx.cast("decimal(38,0)")).as("s1"),
+        sf.sum((fx * fx).cast("decimal(38,0)")).as("s2"),
+        sf.min("x").as("mn"), sf.max("x").as("mx"))
+      .select(sf.col("dim"), sf.col("n"),
+        gf.roundAt(s1 / n, 4).as("mean"),
+        gf.roundAt(sf.sqrt(sf.greatest(variance, sf.lit(0.0))), 4).as("std"),
+        gf.roundAt(sf.col("mn"), 4).as("v_min"),
+        gf.roundAt(sf.col("mx"), 4).as("v_max"))
+      .orderBy("dim")
+  }
+
   private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

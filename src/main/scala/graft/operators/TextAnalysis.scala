@@ -221,6 +221,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Linear text-classifier scoring via the hashing trick (the fastText
+    * / Vowpal-Wabbit inference shape, and the scoring half of the
+    * quality classifiers used for corpus filtering — GPT-3's WebText
+    * LR filter, CCNet's fastText stage): each lowercased token hashes
+    * into a fixed-size weight table, the document's score is the sum
+    * of its tokens' weights plus a bias, and `flagged` thresholds the
+    * (4-decimal-rounded) score at zero. Weights come from offline
+    * training and arrive here as a plain array.
+    *
+    * Scale shape: map-only — the weight table is a plan literal (2^18
+    * doubles = 2 MB rides the plan like the IVF codebook; broadcast a
+    * DataFrame join on index past ~10^7 weights), the per-token work is
+    * one MD5 + one array read inside codegen, and no shuffle exists at
+    * any corpus size. The token hash is the same MD5 fold as
+    * `fingerprints`' rolling hash, so a SQL oracle replays the exact
+    * indices; left-to-right summation matches SQL `list_reduce`. */
+  def classifierScore(docs0: DataFrame, idCol: String, textCol: String,
+                      weights: Array[Double], bias: Double): DataFrame = {
+    require(weights.nonEmpty && weights.length <= (1 << 22),
+      s"literal weight table capped at 4M entries, got ${weights.length}")
+    val docs = prepared(docs0, idCol, textCol)
+    val toks = sf.transform(gf.wsTokens(sf.col(textCol)), t => sf.lower(t))
+    val raw = gf.linearScore(toks, sf.lit(weights), sf.lit(weights.length))
+    val score = gf.roundAt(raw + sf.lit(bias), 4)
+    docs.select(
+      sf.col(idCol),
+      sf.size(toks).as("n_tokens"),
+      score.as("score"),
+      (score > 0).cast("int").as("flagged"))
+      .orderBy(idCol)
+  }
+
   /** Blocklist tagging (word-boundary term filter): per-document count
     * of tokens (with multiplicity) in a curation blocklist, plus the
     * distinct terms matched. Tokenizes like every other text operator

@@ -478,6 +478,22 @@ object Kernels {
     * mod p (largest prime below 2^31). Seeded with the first token's
     * hash; empty input -> 0. Every intermediate fits comfortably in a
     * signed 64-bit int, so the identical fold runs in any SQL engine. */
+  /** Hashing-trick linear model score: Σ weights[(md5Hash60(tok) %
+    * Prime) % d] over the tokens in order. The per-token MD5 fold is
+    * the same one rollingHashMd5 uses, so a SQL oracle replays indices
+    * verbatim; left-to-right summation matches a SQL list_reduce. */
+  def linearScore(tokens: ArrayData, weightsFlat: ArrayData, d: Int): Double = {
+    val n = tokens.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val idx = ((md5Hash60(tokens.getUTF8String(i)) % Prime) % d).toInt
+      s += weightsFlat.getDouble(idx)
+      i += 1
+    }
+    s
+  }
+
   def rollingHashMd5(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     if (n == 0) return 0L

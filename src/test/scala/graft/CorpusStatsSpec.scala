@@ -100,4 +100,47 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(plan.split("Generate\\b").length - 1 <= 1,
       s"corpus side must not explode:\n$plan")
   }
+
+  test("classifierScore is additive in token weights, bias-anchored at empty") {
+    val w = Similarity.lshPlanes(64, 1, seed = 3)(0)
+    val docs = Seq((1L, ""), (2L, "alpha"), (3L, "alpha alpha"),
+      (4L, "ALPHA")).toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(docs, "doc_id", "text", w, bias = 0.25)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got(1L)._1 == 0.25, "empty doc scores the bias")
+    // two copies of a token add its weight twice; weights are dyadic
+    // multiples of 2^-10, so snap the rounded single-token score back
+    // to the exact weight before doubling
+    val wAlpha = math.round((got(2L)._1 - 0.25) * 1024.0) / 1024.0
+    assert(got(3L)._1 == r4(0.25 + 2 * wAlpha), s"got $got")
+    // tokenization lowercases: ALPHA == alpha
+    assert(got(4L)._1 == got(2L)._1)
+    // flag thresholds the rounded score at zero
+    got.values.foreach { case (s, f) => assert(f == (if (s > 0) 1 else 0)) }
+  }
+
+  test("pmiCollocations computes ln-ratio PMI over adjacent pairs with support floor") {
+    val docs = (1 to 6).map(i => (i.toLong, "a b")) ++
+      (7 to 9).map(i => (i.toLong, "z")) ++
+      Seq((10L, "q r")) // support 1 < minCount -> filtered
+    val got = CorpusStats.pmiCollocations(docs.toDF("doc_id", "text"), "text",
+      minCount = 5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // p(a,b) = 6/7 bigrams; p(a) = p(b) = 6/17 unigrams
+    val want = math.floor(math.log((6.0 / 7.0) / ((6.0 / 17.0) * (6.0 / 17.0))) * 10000.0 + 0.5) / 10000.0
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)) ==
+      (("a", "b", 6L, want)), s"got ${got.toSeq}")
+  }
+
+  test("dimensionProfile: exact fixed-point moments per dimension") {
+    val emb = Seq((1L, Seq(0.0, 2.0)), (2L, Seq(1.0, 3.0)), (3L, Seq(2.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimensionProfile(emb, "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq((0, 3L, 1.0, 1.0, 0.0, 2.0), (1, 3L, 3.0, 1.0, 2.0, 4.0)),
+      s"got $got")
+  }
 }
