@@ -195,14 +195,19 @@ object CorpusStats {
                       minCount: Long = 5): DataFrame = {
     val toks = Par.spread(docs.select(sf.col(textCol)))
       .select(gf.wsTokens(sf.lower(sf.col(textCol))).as("t"))
+    // localCheckpoint the two DOMAIN-sized count tables: the totals
+    // aggregates and the two term joins below all read them — without
+    // materialization each consumer re-runs its full corpus explode
     val uni = toks.select(sf.explode(sf.col("t")).as("w"))
       .groupBy("w").agg(sf.count(sf.lit(1)).as("c_w"))
+      .localCheckpoint(true)
     val bi = toks.filter(sf.size(sf.col("t")) >= 2)
       .select(sf.explode(sf.expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
         .as("bg"))
       .select(sf.col("bg.w1").as("w1"), sf.col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(sf.count(sf.lit(1)).as("c_bg"))
+      .localCheckpoint(true)
     val nBi = bi.agg(sf.sum("c_bg").as("n_bg"))
     val nUni = uni.agg(sf.sum("c_w").as("n_uni"))
     val supported = bi.filter(sf.col("c_bg") >= minCount)

@@ -193,15 +193,20 @@ object TextAnalysis {
     * (headers, license blocks, templated spam) that exact- and near-dup
     * passes miss because the surrounding text differs.
     *
-    * Scale shape: documents explode to distinct (doc, gramHash) pairs —
-    * hashes, never gram strings, ride the shuffles. One combinable
-    * groupBy(gramHash) counts carrier docs; a hash-partitioned equi join
-    * puts the count back on each pair (both sides already partitioned by
-    * gramHash from the aggregate — AQE reuses the exchange); the final
-    * combinable groupBy(doc) reduces to one row per document. No driver
-    * materialization, no n² term anywhere. A 64-bit collision can only
-    * ADD a duplicated gram (P ~ grams²/2⁶⁴) — conservative, like
-    * `decontaminate`. */
+    * Scale shape: documents explode ONCE to distinct (doc, gramHash)
+    * pairs — hashes, never gram strings, ride the shuffles — and the
+    * pair stream is checkpointed: both its consumers (the carrier-count
+    * aggregate and the count-back join probe) read the materialized
+    * blocks instead of re-running the shingle explode over the corpus.
+    * (Exchange reuse cannot save this plan: column pruning strips
+    * doc_id from the aggregate's subtree, so the two exchanges never
+    * match; without the checkpoint the explode runs twice.) The
+    * checkpoint write is the same order of bytes as the join's shuffle
+    * of the pair stream — storage traded for a full second corpus
+    * pass. The final combinable groupBy(doc) reduces to one row per
+    * document. No driver materialization, no n² term anywhere. A
+    * 64-bit collision can only ADD a duplicated gram (P ~ grams²/2⁶⁴)
+    * — conservative, like `decontaminate`. */
   def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 8): DataFrame = {
     val pairs = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
@@ -209,6 +214,7 @@ object TextAnalysis {
       .select(sf.col("doc_id"),
         sf.explode(gf.wordShingles(sf.col("__t"), n)).as("g"))
       .select(sf.col("doc_id"), sf.xxhash64(sf.col("g")).as("gh"))
+      .localCheckpoint(true)
     val carriers = pairs.groupBy("gh")
       .agg(sf.count(sf.lit(1)).as("n_docs")) // pairs are doc-distinct
     pairs.join(carriers, "gh")
