@@ -477,6 +477,15 @@ object SparkEntry {
     // decimal sums.
     "q75_dim_profile" -> ((s, dir) =>
       Similarity.dimensionProfile(emb(s, dir), "embedding")),
+
+    // k-anonymity audit over customer quasi-identifiers.
+    "q76_k_anonymity" -> ((s, dir) =>
+      QualityChecks.kAnonymity(Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)),
+
+    // Join-key skew profile (the saltedJoin sizing input).
+    "q77_skew_profile" -> ((s, dir) =>
+      QualityChecks.skewProfile(Tables.load(s, dir, "events"), "user_id")),
   )
 
   // ---------------------------------------------------------------------
@@ -1519,13 +1528,16 @@ object SparkEntry {
     "q75_dim_profile" ->
       """WITH x AS (SELECT unnest([{'dim': i, 'x': CAST(embedding[i+1] AS DOUBLE)}
         |    FOR i IN range(0, len(embedding))]) AS u FROM embeddings),
-        |f AS (SELECT u.dim AS dim, u.x AS x,
-        |  CAST(floor(u.x*1000000.0 + 0.5) AS BIGINT) AS fx FROM x),
-        |a AS (SELECT dim, COUNT(*) AS n,
+        |f AS (SELECT u.dim AS dim,
+        |  CASE WHEN isnan(u.x) OR isinf(u.x) THEN NULL ELSE u.x END AS x,
+        |  CASE WHEN isnan(u.x) OR isinf(u.x) THEN NULL
+        |       ELSE CAST(floor(u.x*1000000.0 + 0.5) AS BIGINT) END AS fx FROM x),
+        |a AS (SELECT dim, COUNT(x) AS n,
+        |  CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
         |  SUM(CAST(fx AS DECIMAL(38,0))) AS s1,
         |  SUM(CAST(fx*fx AS DECIMAL(38,0))) AS s2,
         |  MIN(x) AS mn, MAX(x) AS mx FROM f GROUP BY dim)
-        |SELECT CAST(dim AS INT) AS dim, n,
+        |SELECT CAST(dim AS INT) AS dim, n, n_nonfinite,
         | floor((CAST(s1 AS DOUBLE)/1000000.0 / CAST(n AS DOUBLE))*10000.0 + 0.5)/10000.0 AS mean,
         | floor(sqrt(greatest((CAST(s2 AS DOUBLE)/1000000000000.0
         |   - (CAST(s1 AS DOUBLE)/1000000.0)*(CAST(s1 AS DOUBLE)/1000000.0)/CAST(n AS DOUBLE))
@@ -1533,6 +1545,25 @@ object SparkEntry {
         | floor(mn*10000.0 + 0.5)/10000.0 AS v_min,
         | floor(mx*10000.0 + 0.5)/10000.0 AS v_max
         |FROM a ORDER BY dim""".stripMargin,
+
+    "q76_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT 'c_nationkey,c_mktsegment' AS quasi_cols, CAST(10 AS BIGINT) AS k,
+        | COUNT(*) AS n_groups,
+        | CAST(SUM(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        | CAST(SUM(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        | MIN(cnt) AS min_group_size
+        |FROM g""".stripMargin,
+
+    "q77_skew_profile" ->
+      """WITH g AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+        |SELECT 'user_id' AS key_col,
+        | CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+        | CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+        | floor((CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS top_share,
+        | floor((CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))*10000.0 + 0.5)/10000.0 AS skew_ratio
+        |FROM g""".stripMargin,
 
     "q64_centroid_outliers" ->
       """WITH x AS (SELECT vec_id, label,

@@ -198,6 +198,55 @@ object QualityChecks {
       .agg(sf.count(sf.lit(1)).as("violations"))
       .select(sf.lit(checkName).as("check_name"), sf.col("violations"))
 
+  /** k-anonymity audit: how exposed are rows whose quasi-identifier
+    * combination (zip+age+gender-style) is shared by fewer than k rows?
+    * Returns one summary row — group counts, the under-k group count,
+    * the rows at re-identification risk, and the smallest group — the
+    * release gate a privacy review reads before a dataset ships.
+    *
+    * Scale shape: one map-side-combined groupBy over the quasi columns
+    * (intermediate sized by the quasi-combination DOMAIN), then a tiny
+    * second aggregate over the group-size table. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    df.groupBy(quasiCols.map(sf.col): _*)
+      .agg(sf.count(sf.lit(1)).as("__cnt"))
+      .agg(sf.count(sf.lit(1)).as("n_groups"),
+        sf.sum((sf.col("__cnt") < k).cast("long")).as("n_small_groups"),
+        sf.sum(sf.when(sf.col("__cnt") < k, sf.col("__cnt")).otherwise(0L))
+          .as("rows_at_risk"),
+        sf.min("__cnt").as("min_group_size"))
+      .select(sf.lit(quasiCols.mkString(",")).as("quasi_cols"),
+        sf.lit(k).as("k"), sf.col("n_groups"), sf.col("n_small_groups"),
+        sf.col("rows_at_risk"), sf.col("min_group_size"))
+  }
+
+  /** Join-key skew profile: the numbers that decide whether a join
+    * needs `Skew.saltedJoin` (and at what hot-key threshold) — total
+    * rows, exact distinct keys, the heaviest key's count and share,
+    * and the skew ratio (max over mean). Run it on the build/probe key
+    * before sizing a big join; a ratio near 1 means plain hash
+    * partitioning balances, a ratio in the thousands means the top key
+    * serializes one task.
+    *
+    * Scale shape: one map-side-combined groupBy(key) (domain-sized),
+    * then a single-row aggregate over the count table. NULL keys count
+    * as one key (they hash to one partition — exactly the skew that
+    * matters). */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(sf.col(keyCol)).agg(sf.count(sf.lit(1)).as("__cnt"))
+    counts.agg(sf.sum("__cnt").as("n_rows"),
+        sf.count(sf.lit(1)).as("n_keys"),
+        sf.max("__cnt").as("max_key_rows"))
+      .select(sf.lit(keyCol).as("key_col"), sf.col("n_rows"), sf.col("n_keys"),
+        sf.col("max_key_rows"),
+        gf.roundAt(sf.col("max_key_rows").cast("double") /
+          sf.col("n_rows").cast("double"), 4).as("top_share"),
+        gf.roundAt(sf.col("max_key_rows").cast("double") /
+          (sf.col("n_rows").cast("double") / sf.col("n_keys").cast("double")), 4)
+          .as("skew_ratio"))
+  }
+
   /** Winsorized (clipped) per-group stats: nearest-rank pLo/pHi
     * thresholds, values clamped into [lo, hi], then robust aggregates —
     * the outlier-resistant profile for numeric feature columns (a fat-

@@ -543,7 +543,13 @@ object Similarity {
     * map-side-combined groupBy(dim): the shuffle carries dim ×
     * partitions rows. */
   def dimensionProfile(emb: DataFrame, vecCol: String): DataFrame = {
-    val fx = sf.floor(sf.col("x") * 1e6 + 0.5).cast("long")
+    // non-finite values are COUNTED, never aggregated: ANSI mode throws
+    // on cast(NaN as long), and one Inf would poison every moment —
+    // the profile must survive exactly the pollution it exists to find
+    val finite = !sf.isnan(sf.col("x")) &&
+      sf.abs(sf.col("x")) <= sf.lit(Double.MaxValue)
+    val xf = sf.when(finite, sf.col("x"))
+    val fx = sf.floor(xf * 1e6 + 0.5).cast("long")
     val n = sf.col("n").cast("double")
     val s1 = sf.col("s1").cast("double") / 1e6
     val s2 = sf.col("s2").cast("double") / 1e12
@@ -551,11 +557,12 @@ object Similarity {
     Par.spread(emb.select(sf.col(vecCol).cast("array<double>").as("v")))
       .select(sf.posexplode(sf.col("v")).as(Seq("dim", "x")))
       .groupBy("dim")
-      .agg(sf.count(sf.lit(1)).as("n"),
+      .agg(sf.count(xf).as("n"),
+        (sf.count(sf.lit(1)) - sf.count(xf)).as("n_nonfinite"),
         sf.sum(fx.cast("decimal(38,0)")).as("s1"),
         sf.sum((fx * fx).cast("decimal(38,0)")).as("s2"),
-        sf.min("x").as("mn"), sf.max("x").as("mx"))
-      .select(sf.col("dim"), sf.col("n"),
+        sf.min(xf).as("mn"), sf.max(xf).as("mx"))
+      .select(sf.col("dim"), sf.col("n"), sf.col("n_nonfinite"),
         gf.roundAt(s1 / n, 4).as("mean"),
         gf.roundAt(sf.sqrt(sf.greatest(variance, sf.lit(0.0))), 4).as("std"),
         gf.roundAt(sf.col("mn"), 4).as("v_min"),

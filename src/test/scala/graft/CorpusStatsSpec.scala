@@ -134,13 +134,15 @@ class CorpusStatsSpec extends SparkFunSuite {
       (("a", "b", 6L, want)), s"got ${got.toSeq}")
   }
 
-  test("dimensionProfile: exact fixed-point moments per dimension") {
-    val emb = Seq((1L, Seq(0.0, 2.0)), (2L, Seq(1.0, 3.0)), (3L, Seq(2.0, 4.0)))
+  test("dimensionProfile: exact fixed-point moments; non-finite counted, not aggregated") {
+    val emb = Seq((1L, Seq(0.0, 2.0)), (2L, Seq(1.0, 3.0)), (3L, Seq(2.0, 4.0)),
+      (4L, Seq(Double.NaN, Double.PositiveInfinity))) // polluted row
       .toDF("vec_id", "embedding")
     val got = Similarity.dimensionProfile(emb, "embedding").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5))).toSeq
-    assert(got == Seq((0, 3L, 1.0, 1.0, 0.0, 2.0), (1, 3L, 3.0, 1.0, 2.0, 4.0)),
-      s"got $got")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // moments over the 3 finite values only; the bad row is counted
+    assert(got == Seq((0, 3L, 1L, 1.0, 1.0, 0.0, 2.0),
+      (1, 3L, 1L, 3.0, 1.0, 2.0, 4.0)), s"got $got")
   }
 }

@@ -340,6 +340,25 @@ class OperatorsSpec extends SparkFunSuite {
       s"mean ${r2.getAs[Double]("winsorized_mean")} dragged by the outlier")
   }
 
+  test("QualityChecks: kAnonymity counts under-k groups and rows at risk") {
+    import spark.implicits._
+    val df = (Seq.fill(12)(("94103", "F")) ++ Seq.fill(3)(("94103", "M")) ++
+      Seq.fill(1)(("02139", "F"))).toDF("zip", "gender")
+    val r = QualityChecks.kAnonymity(df, Seq("zip", "gender"), k = 5).head()
+    assert(r.getAs[Long]("n_groups") == 3 && r.getAs[Long]("n_small_groups") == 2)
+    assert(r.getAs[Long]("rows_at_risk") == 4 && r.getAs[Long]("min_group_size") == 1)
+  }
+
+  test("QualityChecks: skewProfile reports the heaviest key's dominance") {
+    import spark.implicits._
+    val df = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
+    val r = QualityChecks.skewProfile(df, "k").head()
+    assert(r.getAs[Long]("n_rows") == 100 && r.getAs[Long]("n_keys") == 11)
+    assert(r.getAs[Long]("max_key_rows") == 90 && r.getAs[Double]("top_share") == 0.9)
+    // mean count = 100/11; ratio = 90 / (100/11) = 9.9
+    assert(r.getAs[Double]("skew_ratio") == 9.9)
+  }
+
   test("EventOps: latestSnapshot equals the window-rank model, ties by id") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
