@@ -486,6 +486,27 @@ object SparkEntry {
     // Join-key skew profile (the saltedJoin sizing input).
     "q77_skew_profile" -> ((s, dir) =>
       QualityChecks.skewProfile(Tables.load(s, dir, "events"), "user_id")),
+
+    // Deterministic 80/10/10 split: per-(split, source) counts.
+    "q78_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "source")
+        .agg(sf.count(sf.lit(1)).as("n_docs"))
+        .orderBy("split", "source")),
+
+    // Corpus snapshot diff: v2 derives deterministically from the same
+    // table (drop %13, edit %7, add shifted ids %17) so both engines
+    // diff identical snapshots.
+    "q79_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.filter(sf.col("doc_id") % 13 =!= 0)
+        .withColumn("text", sf.when(sf.col("doc_id") % 7 === 0,
+          sf.concat(sf.col("text"), sf.lit(" v2"))).otherwise(sf.col("text")))
+        .unionByName(d.filter(sf.col("doc_id") % 17 === 0)
+          .withColumn("doc_id", sf.col("doc_id") + 100000))
+      Cleaning.corpusDiffSummary(d, v2, "doc_id", "text")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -1564,6 +1585,33 @@ object SparkEntry {
         | floor((CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS top_share,
         | floor((CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))*10000.0 + 0.5)/10000.0 AS skew_ratio
         |FROM g""".stripMargin,
+
+    // Hash split: the same Knuth-hash bucket CASE, edges 8000/9000.
+    "q78_hash_split" ->
+      """WITH s AS (SELECT source,
+        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 8000 THEN 'train'
+        |       WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, source, COUNT(*) AS n_docs
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Corpus diff: md5 digests compared across a full outer join on id.
+    "q79_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |v2 AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.fp IS NULL THEN 'added'
+        |       WHEN b.fp IS NULL THEN 'removed'
+        |       WHEN a.fp <> b.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, COUNT(*) AS n_docs FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q64_centroid_outliers" ->
       """WITH x AS (SELECT vec_id, label,

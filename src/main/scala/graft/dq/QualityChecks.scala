@@ -259,8 +259,9 @@ object QualityChecks {
     * Scale shape: the same distinct-value compression as
     * `quantileProfile` — the corpus reduces map-side to (group, value,
     * count); the cumulative window runs over that compressed table;
-    * thresholds broadcast back for a map-only clamp + one combinable
-    * aggregate. The raw rows never sort and never shuffle by value. */
+    * the thresholds join back (AQE broadcasts the few-groups case) for
+    * what is effectively a map-only clamp + one combinable aggregate.
+    * The raw rows never sort and never shuffle by value. */
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
                       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1")
@@ -283,8 +284,11 @@ object QualityChecks {
         sf.min(sf.when(sf.col("__cum") >= rankThr(pHi), sf.col("__v"))).as("__hi"))
     val clipped = sf.least(sf.greatest(sf.col(valueCol).cast("double"),
       sf.col("__lo")), sf.col("__hi"))
+    // AQE-decided join (not a forced broadcast): the threshold table is
+    // group-domain-sized and a high-cardinality group column must not
+    // OOM the driver — same rationale as quantileProfile's totals join
     df.filter(sf.col(valueCol).isNotNull)
-      .join(sf.broadcast(thresholds), sf.col(groupCol) <=> sf.col("__tg"))
+      .join(thresholds, sf.col(groupCol) <=> sf.col("__tg"))
       .groupBy(sf.col(groupCol))
       .agg(sf.count(sf.lit(1)).as("n_rows"),
         gf.roundAt(sf.min("__lo"), 4).as("p_lo"),

@@ -69,4 +69,35 @@ object Cleaning {
     }
     withCounts.withColumn(textCol, sf.col("__scrubbed")).drop("__scrubbed")
   }
+
+  /** Corpus snapshot diff: classify every document across two corpus
+    * versions as added / removed / changed / unchanged by key and
+    * content digest — the audit between ingest runs (how much churned?)
+    * and the input to incremental reprocessing (only `added`+`changed`
+    * re-enter the pipeline).
+    *
+    * Scale shape: both sides reduce to (key, md5) BEFORE the full outer
+    * join, so the join carries two digests per document, never text;
+    * the join is key-partitioned hash — no skew beyond the key's own.
+    * Row-level output composes (filter status != 'unchanged');
+    * `corpusDiffSummary` reduces it to four counts. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def digest(df: DataFrame, fp: String) =
+      df.select(sf.col(idCol).cast("long").as(idCol),
+        sf.md5(sf.col(textCol).cast("binary")).as(fp))
+    digest(oldDf, "__old").join(digest(newDf, "__new"), Seq(idCol), "full_outer")
+      .select(sf.col(idCol),
+        sf.when(sf.col("__old").isNull, "added")
+          .when(sf.col("__new").isNull, "removed")
+          .when(sf.col("__old") =!= sf.col("__new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Four-row churn summary of [[corpusDiff]]. */
+  def corpusDiffSummary(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    corpusDiff(oldDf, newDf, idCol, textCol)
+      .groupBy("status").agg(sf.count(sf.lit(1)).as("n_docs"))
+      .orderBy("status")
 }

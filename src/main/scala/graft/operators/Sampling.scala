@@ -91,6 +91,29 @@ object Sampling {
       .drop("__src", "__total", "__budget")
   }
 
+  /** Deterministic multi-way split (train/val/test): each row's split
+    * is a pure function of its key hash, so splits are DISJOINT and
+    * EXHAUSTIVE by construction, stable across runs/partitionings/
+    * engines, and new rows join a split without reshuffling old ones —
+    * the property that keeps eval sets uncontaminated as the corpus
+    * grows. Fractions are quantized to 0.01% bucket edges; the last
+    * split absorbs the rounding remainder. Map-only at any scale. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2 && splits.map(_._1).distinct.size == splits.size,
+      "need >= 2 uniquely named splits")
+    require(splits.forall(_._2 > 0) && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1, got $splits")
+    val edges = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * 10000).toInt)
+    val bucket = hashBucket(sf.col(keyCol))
+    val label = splits.init.zip(edges.init).reverse.foldLeft(
+      sf.lit(splits.last._1)) { case (acc, ((name, _), edge)) =>
+      sf.when(bucket < edge, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Per-group quantile cut: keep each group's top `frac` of rows by
     * score (e.g. "the best 25% of documents per source by quality").
     * The threshold is rank-defined — the LARGEST score t such that at
@@ -105,8 +128,9 @@ object Sampling {
     * — sized by DISTINCT scores per group, tiny for quantized quality
     * scores (quantize continuous scores first, e.g. `roundAt(s, 4)`).
     * The cumulative window runs over THAT table, partitioned by group,
-    * then per-group thresholds broadcast back for a map-only filter.
-    * The corpus itself never shuffles and never sorts. */
+    * then the per-group thresholds join back (AQE broadcasts the
+    * few-groups case) for what is effectively a map-only filter. The
+    * corpus itself never shuffles and never sorts. */
   def topFractionByScore(df: DataFrame, groupCol: String, scoreCol: String,
                          frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
@@ -120,7 +144,10 @@ object Sampling {
       .withColumn("__n", sf.sum("__cnt").over(Window.partitionBy("__grp")))
       .filter(sf.col("__cum") >= sf.ceil(sf.col("__n") * frac))
       .groupBy("__grp").agg(sf.max("__score").as("__thr"))
-    df.join(sf.broadcast(thresholds), sf.col(groupCol) === sf.col("__grp"))
+    // AQE picks the join: broadcast for the common few-groups case, a
+    // shuffle join when the group domain itself is too big for the
+    // driver (the same reasoning as quantileProfile's totals join)
+    df.join(thresholds, sf.col(groupCol) === sf.col("__grp"))
       .filter(sf.col(scoreCol).cast("double") >= sf.col("__thr"))
       .drop("__grp", "__thr")
   }

@@ -255,6 +255,37 @@ class CurationSpec extends SparkFunSuite {
     assert(got(4L) == ((1L, 1L, 1.0)) && got(5L) == ((1L, 1L, 1.0)))
   }
 
+  test("Sampling.hashSplit is disjoint, exhaustive, and growth-stable") {
+    val df = (1L to 2000L).toDF("id")
+    val got = Sampling.hashSplit(df, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 2000, "every row gets exactly one split")
+    val bySplit = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 1400 && bySplit("train") < 1800, s"$bySplit")
+    // growth stability: rows keep their split when the corpus doubles
+    val grown = Sampling.hashSplit((1L to 4000L).toDF("id"), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert((1L to 2000L).forall(i => grown(i) == got(i)),
+      "existing rows must not migrate between splits")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4)) // sums to 0.9
+    }
+  }
+
+  test("Cleaning.corpusDiff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Cleaning.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $got")
+  }
+
   test("TextAnalysis.blocklistTag counts token hits case-insensitively") {
     val df = Seq(
       (1L, "Buy now buy FREE stuff"),   // buy x2, free x1
