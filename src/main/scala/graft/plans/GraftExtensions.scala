@@ -56,6 +56,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "minHashSignature"))
     register("graft_revenue_e4", staticFn(LongType, "revenueE4"))
     register("graft_prefix_all_differ", staticFn(BooleanType, "prefixAllDiffer"))
+    // hashing-trick classifier inference from plain SQL:
+    // graft_linear_score(tokens, weights, size(weights))
+    register("graft_linear_score", staticFn(DoubleType, "linearScore"))
 
     ext.injectOptimizerRule(_ => FoldGraftKernels)
     // Similarity-join planning: inner joins on a cross-side

@@ -27,6 +27,9 @@ case class SessionOut(user_id: Long, session_start: Timestamp,
 
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+case class SnapshotRow(user_id: Long, ts: Timestamp, event_id: Long,
+                       event_type: String, value: Double)
+
 object EventStream {
   type Event = graft.streaming.Event
   val Event = graft.streaming.Event
@@ -90,6 +93,39 @@ object EventStream {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming CDC snapshot maintenance: the streaming twin of
+    * `EventOps.latestSnapshot` — per-key state holds the current winner
+    * (lexicographic max of (ts, event_id)), and a batch emits a key's
+    * row only when its winner CHANGED, so a downstream upsert sink
+    * writes churn, not the whole table, every trigger. State is one row
+    * per key — the snapshot itself, the minimum any CDC mirror needs —
+    * with no watermark required (a later event can always win).
+    * Update-mode output. */
+  def latestSnapshotStream(spark: SparkSession, events: Dataset[Event]): Dataset[SnapshotRow] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SnapshotRow, SnapshotRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SnapshotRow]) =>
+          def beats(a: Event, b: SnapshotRow): Boolean = {
+            val (at, bt) = (a.ts.getTime, b.ts.getTime)
+            at > bt || (at == bt && a.event_id > b.event_id)
+          }
+          var cur = state.getOption
+          var changed = false
+          rows.foreach { e =>
+            if (cur.forall(beats(e, _))) {
+              cur = Some(SnapshotRow(userId, e.ts, e.event_id, e.event_type, e.value))
+              changed = true
+            }
+          }
+          if (changed) {
+            state.update(cur.get)
+            Iterator.single(cur.get)
+          } else Iterator.empty
       }
   }
 }

@@ -28,6 +28,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(0) == 1.0)
       assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12)
       assert(r.getLong(2) != 0L)
+      // hashing-trick scorer from SQL: both tokens hash somewhere in the
+      // 4-entry table; equal tokens hit the same weight twice
+      val ls = spark.sql(
+        """SELECT graft_linear_score(array('a','a'), array(0.5d, 0.25d, 0.125d, -1.0d), 4) AS s1,
+          |       graft_linear_score(array('a'), array(0.5d, 0.25d, 0.125d, -1.0d), 4) AS s2""".stripMargin)
+        .head()
+      assert(ls.getDouble(0) == 2 * ls.getDouble(1))
       // FoldGraftKernels: all-literal kernel calls fold at plan time
       val folded = spark.sql("SELECT graft_jaccard(array('a','b'), array('a','b')) AS j")
         .queryExecution.optimizedPlan

@@ -232,4 +232,68 @@ class PlanSpec extends SparkFunSuite {
     // one shuffle for the agg + one for the final orderBy
     assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles in:\n$plan")
   }
+
+  test("bloom semi join probes the filter below the join on the big side") {
+    val urgent = Tables.load(spark, sf001, "orders")
+      .filter(sf.col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val df = graft.operators.Bloom.semiJoin(Tables.load(spark, sf001, "lineitem"),
+      urgent, "l_orderkey", "o_orderkey", numBits = 1 << 14)
+    df.collect()
+    val nodes = collectAll(executed(df))
+    // the membership probe (getbit over the literal bit array) must sit
+    // below the exact semi join, dropping rows before any join movement
+    val joinIdx = nodes.indexWhere(_.nodeName.toLowerCase.contains("join"))
+    val hasProbeBelowJoin = nodes.drop(joinIdx + 1)
+      .exists(n => n.isInstanceOf[org.apache.spark.sql.execution.FilterExec] &&
+        n.toString.contains("getbit"))
+    assert(joinIdx >= 0 && hasProbeBelowJoin,
+      s"bloom probe not below the join:\n${executed(df)}")
+  }
+
+  test("pq scoring joins codes, not vectors, on the corpus side") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val df = graft.operators.Similarity.pqTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 3)
+    df.collect()
+    val joins = collectAll(executed(df)).filter(n =>
+      n.nodeName.toLowerCase.contains("join"))
+    assert(joins.nonEmpty)
+    // every join input that carries corpus rows exposes only codes
+    // (ints/longs) — the 64-double vectors must not ride the join
+    val scoringJoin = joins.head
+    val corpusSide = scoringJoin.children.filterNot(
+      _.toString.contains("BroadcastExchange")) ++
+      scoringJoin.children.filter(_.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.QueryStageExec])
+    corpusSide.foreach { side =>
+      side.output.foreach { attr =>
+        assert(!attr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"corpus side of the PQ join carries an array column ${attr.name}:\n$scoringJoin")
+      }
+    }
+  }
+
+  test("hashSplit is map-only: no shuffle, no sort") {
+    val df = graft.operators.Sampling.hashSplit(
+      Tables.load(spark, sf001, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    df.collect()
+    val nodes = collectAll(executed(df))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"hashSplit must not shuffle:\n${executed(df)}")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"hashSplit must not sort:\n${executed(df)}")
+  }
+
+  test("dupNgramFraction explodes the corpus once (checkpointed pair stream)") {
+    val df = graft.operators.TextAnalysis.dupNgramFraction(
+      Tables.load(spark, sf001, "documents"), "doc_id", "text")
+    df.collect()
+    val generates = collectAll(executed(df)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    // the shingle explode happens once, at checkpoint build; the query
+    // plan over the checkpoint must not re-run it (2 = regression to
+    // the double-scan shape)
+    assert(generates == 0, s"expected 0 Generates, got $generates")
+  }
 }

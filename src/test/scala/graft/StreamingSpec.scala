@@ -99,6 +99,44 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("latestSnapshotStream emits only changed winners; final state equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.latestSnapshotStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("snap")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(10, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(11, ts("2024-01-01 11:00:00"), 1, "b", 2.0), // wins key 1
+        Event(20, ts("2024-01-01 10:30:00"), 2, "c", 3.0))
+      q.processAllAvailable()
+      val b1 = spark.table("snap").collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(b1.toSet == Set((1L, 11L), (2L, 20L)), s"batch1 emitted ${b1.toSeq}")
+      // batch 2: a LATE event for key 1 (loses — no emission), a ts-tie
+      // for key 2 with higher id (wins), a new key 3
+      input.addData(
+        Event(9, ts("2024-01-01 09:00:00"), 1, "x", 0.0),
+        Event(21, ts("2024-01-01 10:30:00"), 2, "d", 4.0),
+        Event(30, ts("2024-01-01 12:00:00"), 3, "e", 5.0))
+      q.processAllAvailable()
+      val all = spark.table("snap").collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(all.length == 4, s"late loser must not emit: ${all.toSeq}")
+      // per-key last emission == the batch operator on the union of all events
+      val batch = graft.operators.EventOps.latestSnapshot(
+        spark.createDataset(Seq(
+          Event(10, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+          Event(11, ts("2024-01-01 11:00:00"), 1, "b", 2.0),
+          Event(20, ts("2024-01-01 10:30:00"), 2, "c", 3.0),
+          Event(9, ts("2024-01-01 09:00:00"), 1, "x", 0.0),
+          Event(21, ts("2024-01-01 10:30:00"), 2, "d", 4.0),
+          Event(30, ts("2024-01-01 12:00:00"), 3, "e", 5.0))).toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val finalByKey = all.groupBy(_._1).map { case (k, v) => v.last }.toSet
+      assert(finalByKey == batch, s"stream $finalByKey != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming near-dup detects a duplicate arriving in a later batch") {
     import graft.streaming.{StreamingDedup, StreamDoc}
     implicit val sqlCtx = spark.sqlContext
