@@ -83,14 +83,17 @@ object Cleaning {
     * `corpusDiffSummary` reduces it to four counts. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    def digest(df: DataFrame, fp: String) =
+    // presence markers, not digest nullity, decide added/removed: a NULL
+    // text digests to NULL and must not masquerade as an absent row
+    def digest(df: DataFrame, fp: String, m: String) =
       df.select(sf.col(idCol).cast("long").as(idCol),
-        sf.md5(sf.col(textCol).cast("binary")).as(fp))
-    digest(oldDf, "__old").join(digest(newDf, "__new"), Seq(idCol), "full_outer")
+        sf.md5(sf.col(textCol).cast("binary")).as(fp), sf.lit(1).as(m))
+    digest(oldDf, "__old", "__mo")
+      .join(digest(newDf, "__new", "__mn"), Seq(idCol), "full_outer")
       .select(sf.col(idCol),
-        sf.when(sf.col("__old").isNull, "added")
-          .when(sf.col("__new").isNull, "removed")
-          .when(sf.col("__old") =!= sf.col("__new"), "changed")
+        sf.when(sf.col("__mo").isNull, "added")
+          .when(sf.col("__mn").isNull, "removed")
+          .when(!(sf.col("__old") <=> sf.col("__new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

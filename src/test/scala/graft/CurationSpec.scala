@@ -276,14 +276,16 @@ class CurationSpec extends SparkFunSuite {
   }
 
   test("Cleaning.corpusDiff classifies added/removed/changed/unchanged") {
-    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
-      .toDF("doc_id", "text")
-    val v2 = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
-      .toDF("doc_id", "text")
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"),
+      (5L, "text appeared")).toDF("doc_id", "text")
     val got = Cleaning.corpusDiff(v1, v2, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 5: PRESENT in both with null -> non-null text — changed, not
+    // added (digest nullity must not masquerade as row absence)
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
-      3L -> "removed", 4L -> "added"), s"got $got")
+      3L -> "removed", 4L -> "added", 5L -> "changed"), s"got $got")
   }
 
   test("TextAnalysis.blocklistTag counts token hits case-insensitively") {
