@@ -507,6 +507,16 @@ object SparkEntry {
           .withColumn("doc_id", sf.col("doc_id") + 100000))
       Cleaning.corpusDiffSummary(d, v2, "doc_id", "text")
     }),
+
+    // Hard-negative mining: nearest different-label neighbors.
+    "q80_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(s, emb(s, dir), "vec_id", "embedding",
+        "label", sf.col("vec_id") < 10, k = 5)),
+
+    // Token-window chunking (32-token windows, 8-token overlap).
+    "q81_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, overlap = 8)),
   )
 
   // ---------------------------------------------------------------------
@@ -1612,6 +1622,31 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
         |SELECT status, COUNT(*) AS n_docs FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q80_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |  list_cosine_similarity(q.v, n.v) AS cos
+        |  FROM c q JOIN c n ON q.vec_id <> n.vec_id AND q.label <> n.label
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM p)
+        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id,
+        | floor(cos*10000.0 + 0.5)/10000.0 AS cosine
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // Chunking: stride 24, windows [id*24+1, id*24+32]; empty docs
+    // produce no chunks.
+    "q81_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks,
+        |  1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) AS nc FROM t),
+        |c AS (SELECT doc_id, toks, unnest([i FOR i IN range(0, nc)]) AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        | CAST(len(toks[chunk_id*24+1 : least(chunk_id*24+32, len(toks))]) AS INT) AS n_tokens,
+        | array_to_string(toks[chunk_id*24+1 : least(chunk_id*24+32, len(toks))], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q64_centroid_outliers" ->
       """WITH x AS (SELECT vec_id, label,

@@ -193,6 +193,39 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining for embedding/retrieval training: for each
+    * query vector, the top-k most similar corpus vectors with a
+    * DIFFERENT label — close enough to confuse the model, labeled
+    * differently, exactly the negatives contrastive training wants
+    * (the in-batch-negatives upgrade every dense-retriever recipe
+    * ships). Same scale shape as aggTopK: queries broadcast, the
+    * corpus never shuffles, the label filter rides the broadcast join
+    * condition (corpus rows drop before scoring), and the k-bounded
+    * TopKAgg keeps partial buffers at k entries. */
+  def hardNegatives(spark: SparkSession, emb: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String,
+                    queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    import spark.implicits._
+    val corpus = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv"),
+      sf.col(labelCol).cast("long").as("n_label")))
+    val queries = sf.broadcast(
+      emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
+        sf.col(vecCol).cast("array<double>").as("qv"),
+        sf.col(labelCol).cast("long").as("q_label")))
+    val scored = queries.join(corpus,
+        sf.col("q_id") =!= sf.col("n_id") && sf.col("q_label") =!= sf.col("n_label"))
+      .select(sf.col("q_id").as("qId"), sf.col("n_id").as("nId"),
+        gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+      .as[Scored]
+    scored.groupByKey(_.qId).agg(new TopKAgg(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(sf.col("q_id"), sf.posexplode(sf.col("topk")).as(Seq("i", "sn")))
+      .select(sf.col("q_id"), (sf.col("i") + 1).as("rank"),
+        sf.col("sn._2").as("n_id"), gf.roundAt(sf.col("sn._1"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Deterministic codebook-sample ordering: Knuth multiplicative hash
     * of the id, pure 64-bit integer arithmetic — reproducible verbatim
     * in any SQL engine (used by the q32 oracle), unlike engine-specific

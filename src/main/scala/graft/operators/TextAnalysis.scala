@@ -259,6 +259,40 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Token-window chunking: split each document into fixed-size token
+    * windows with overlap (stride = chunkSize − overlap) — the
+    * context-window preprocessing step for embedding corpora and RAG
+    * indexes. Every token is covered; the final window may be short;
+    * empty documents yield no chunks. Deterministic: chunk boundaries
+    * are pure arithmetic on the token index.
+    *
+    * Scale shape: map-only — one explode whose fan-out is
+    * ceil(n/stride) per document; tokens never shuffle and no state
+    * crosses documents. (The empty-doc filter must precede the
+    * sequence: Spark's `sequence(0, -1)` infers a NEGATIVE step and
+    * yields [0, -1], not an empty array.) */
+  def chunkDocuments(docs0: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val docs = prepared(docs0, idCol, textCol)
+    val nChunks = sf.lit(1) +
+      sf.ceil(sf.greatest(sf.size(sf.col("__toks")) - chunkSize, sf.lit(0))
+        .cast("double") / stride).cast("int")
+    docs.select(sf.col(idCol), gf.wsTokens(sf.col(textCol)).as("__toks"))
+      .filter(sf.size(sf.col("__toks")) > 0)
+      .select(sf.col(idCol),
+        sf.explode(sf.sequence(sf.lit(0), nChunks - 1)).as("chunk_id"),
+        sf.col("__toks"))
+      .select(sf.col(idCol), sf.col("chunk_id"),
+        sf.size(sf.slice(sf.col("__toks"), sf.col("chunk_id") * stride + 1,
+          sf.lit(chunkSize))).as("n_tokens"),
+        sf.concat_ws(" ", sf.slice(sf.col("__toks"), sf.col("chunk_id") * stride + 1,
+          sf.lit(chunkSize))).as("chunk_text"))
+      .orderBy(idCol, "chunk_id")
+  }
+
   /** Blocklist tagging (word-boundary term filter): per-document count
     * of tokens (with multiplicity) in a curation blocklist, plus the
     * distinct terms matched. Tokenizes like every other text operator

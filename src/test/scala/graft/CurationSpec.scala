@@ -288,6 +288,25 @@ class CurationSpec extends SparkFunSuite {
       3L -> "removed", 4L -> "added", 5L -> "changed"), s"got $got")
   }
 
+  test("TextAnalysis.chunkDocuments covers every token with the configured overlap") {
+    val doc10 = (1 to 10).map("t" + _).mkString(" ")
+    val df = Seq((1L, doc10), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkSize = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: stride 3 -> chunks at 0,3,6 then tail at 9 -> nc = 1+ceil(6/3)=3
+    val d1 = got.filter(_._1 == 1L).map(c => (c._2, c._4))
+    assert(d1.toSeq == Seq((0, "t1 t2 t3 t4"), (1, "t4 t5 t6 t7"),
+      (2, "t7 t8 t9 t10")), s"got ${d1.toSeq}")
+    // doc 2 fits one window; the empty doc yields no chunks
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b c"))
+    assert(!got.exists(_._1 == 3L))
+    // consecutive chunks share exactly `overlap` tokens
+    d1.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a.split(" ").takeRight(1).sameElements(b.split(" ").take(1)))
+    }
+  }
+
   test("TextAnalysis.blocklistTag counts token hits case-insensitively") {
     val df = Seq(
       (1L, "Buy now buy FREE stuff"),   // buy x2, free x1

@@ -255,6 +255,26 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(ivf.size >= exact.size * 3 / 4, s"IVF recall ${ivf.size}/${exact.size}")
   }
 
+  test("hardNegatives returns nearest neighbors excluding the query's own label") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val labels = emb.select(sf.col("vec_id").cast("long"), sf.col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.hardNegatives(spark, emb, "vec_id", "embedding",
+      "label", sf.col("vec_id") < 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // no returned neighbor shares the query's label
+    got.foreach { case (q, n, _) =>
+      assert(labels(q) != labels(n), s"neighbor $n shares label with query $q")
+    }
+    // and each is the filtered slice of the unrestricted ranking: every
+    // hard negative's cosine <= the same query's best unrestricted cosine
+    val best = Similarity.aggTopK(spark, emb, "vec_id", "embedding",
+      sf.col("vec_id") < 10, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    got.foreach { case (q, _, c) => assert(c <= best(q) + 1e-9) }
+  }
+
   test("semanticDedup flags exactly the vectors with a lower-id cluster-mate above tau") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val tau = 0.35
