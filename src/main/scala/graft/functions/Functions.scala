@@ -251,6 +251,12 @@ object functions {
   def linearScore(tokens: Column, weightsFlat: Column, d: Column): Column =
     kernel(DoubleType, "linearScore", tokens, weightsFlat, d)
 
+  /** [format, width, height] from an image container header (PNG/JPEG/
+    * GIF/BMP; see Kernels.imageMeta) — real byte parsing, no codec. */
+  def imageMeta(payload: Column): Column =
+    kernel(ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      "imageMeta", payload)
+
   def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
 
   /** Cosine similarity; inputs cast to array<double> so Spark and any

@@ -25,6 +25,24 @@ object Multimodal {
         (sf.col(idCol) % 3 + 1).cast("int")).as("modality"),
       sf.col(textCol).cast("binary").as("payload"))
 
+  /** REAL container-header metadata: format + pixel dimensions parsed
+    * straight from PNG/JPEG/GIF/BMP header bytes (functions.imageMeta —
+    * no codec, no library). This is the pre-decode curation pass at
+    * scale: drop tiny/extreme-aspect images and bucket by resolution at
+    * scan speed, before any expensive pixel decode runs. Map-only. */
+  def imageDimensions(media: DataFrame, idCol: String,
+                      payloadCol: String = "payload"): DataFrame = {
+    val meta = graft.functions.imageMeta(sf.col(payloadCol))
+    media
+      .withColumn("__m", meta)
+      .select(sf.col(idCol),
+        sf.element_at(sf.array(sf.lit("unknown"), sf.lit("png"), sf.lit("jpeg"),
+          sf.lit("gif"), sf.lit("bmp")), sf.col("__m").getItem(0) + 1).as("format"),
+        sf.col("__m").getItem(1).as("width"),
+        sf.col("__m").getItem(2).as("height"))
+      .orderBy(idCol)
+  }
+
   /** STUB decode: deterministic pseudo-metadata from the payload bytes
     * (a real build would branch per modality into a codec here). */
   def decodeMeta(media: DataFrame, idCol: String): DataFrame =

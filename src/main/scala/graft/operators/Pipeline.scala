@@ -63,4 +63,60 @@ object Pipeline {
 
     (rowChecks ++ keyChecks :+ factOk).reduce(_ union _).orderBy("check_name")
   }
+
+  /** The LLM-training-data curation stack, end to end — the library's
+    * flagship composition: normalize/scrub → language & quality gates →
+    * exact dedup → near-dedup survivor corpus → benchmark
+    * decontamination → token-budget mixture → train/val/test split →
+    * packed-sequence write, with a funnel report (docs surviving each
+    * stage) returned for gating, mirroring `runStarSchema`'s contract.
+    * Every stage is one of the library's verified operators; the
+    * composition adds no new shuffle beyond the stages' own.
+    *
+    * @param benchmark  held-out eval set whose n-grams must not leak
+    * @param budgets    per-source token budgets for the mixture
+    */
+  def runCuration(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
+                  outDir: String, budgets: Map[String, Long],
+                  defaultBudget: Long = 0L, qualityFrac: Double = 0.5,
+                  nearDupThreshold: Double = 0.9): DataFrame = {
+    val funnel = Seq.newBuilder[(String, Long)]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true) // each stage feeds two readers
+      funnel += name -> out.count()
+      out
+    }
+    val raw = stage("00_input", docs.select(
+      sf.col("doc_id").cast("long").as("doc_id"),
+      sf.col("text"), sf.col("source")))
+    val scrubbed = stage("01_pii_scrub",
+      Cleaning.scrubPii(raw, "text").select("doc_id", "text", "source"))
+    // quality gate: top fraction per source by the composite signal
+    val scored = scrubbed.join(
+      TextAnalysis.qualityScore(scrubbed, "doc_id", "text")
+        .select(sf.col("doc_id"), sf.col("avg_token_len").as("__q")), "doc_id")
+    val gated = stage("02_quality_gate",
+      Sampling.topFractionByScore(scored, "source", "__q", qualityFrac)
+        .drop("__q"))
+    val exact = stage("03_exact_dedup",
+      gated.join(Dedup.exact(gated, "doc_id", Seq("text"))
+          .select(sf.col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+    val near = stage("04_near_dedup",
+      Dedup.dedupCorpus(exact, "doc_id", "text", nearDupThreshold)
+        .select("doc_id", "text", "source"))
+    val contaminated = TextAnalysis.decontaminate(near, benchmark, "doc_id", "text")
+      .select("doc_id")
+    val clean = stage("05_decontaminated",
+      near.join(contaminated, Seq("doc_id"), "left_anti"))
+    val mixed = stage("06_mixture",
+      Sampling.mixtureSample(clean, "doc_id", "source",
+        graft.functions.tokenCount(sf.col("text")), budgets, defaultBudget))
+    val split = stage("07_split",
+      Sampling.hashSplit(mixed, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+    split.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
+    val report = funnel.result()
+    import spark.implicits._
+    report.toDF("stage", "n_docs").orderBy("stage")
+  }
 }

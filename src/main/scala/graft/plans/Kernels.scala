@@ -478,6 +478,48 @@ object Kernels {
     * mod p (largest prime below 2^31). Seeded with the first token's
     * hash; empty input -> 0. Every intermediate fits comfortably in a
     * signed 64-bit int, so the identical fold runs in any SQL engine. */
+  /** REAL image-container header parse (no codec): detect PNG / JPEG /
+    * GIF / BMP from magic bytes and read the pixel dimensions straight
+    * out of the container header — the metadata pass a media-curation
+    * pipeline runs before any expensive decode (drop tiny images,
+    * bucket by aspect ratio) at scan speed. Returns [format, width,
+    * height] with format 1=PNG 2=JPEG 3=GIF 4=BMP 0=unknown
+    * (width/height -1 when unknown or truncated). */
+  def imageMeta(bytes: Array[Byte]): ArrayData = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    val n = bytes.length
+    var fmt = 0; var w = -1; var h = -1
+    if (n >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G') {
+      fmt = 1; w = be32(16); h = be32(20)
+    } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      fmt = 2
+      // walk the marker chain to the first frame header (SOFn)
+      var p = 2
+      var done = false
+      while (!done && p + 3 < n && u8(p) == 0xff) {
+        val marker = u8(p + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) p += 2
+        else if (marker >= 0xc0 && marker <= 0xcf &&
+                 marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (p + 8 < n) { h = be16(p + 5); w = be16(p + 7) }
+          done = true
+        } else {
+          if (p + 3 >= n) done = true
+          else p += 2 + be16(p + 2)
+        }
+      }
+    } else if (n >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8') {
+      fmt = 3; w = le16(6); h = le16(8)
+    } else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      fmt = 4; w = le32(18); h = math.abs(le32(22)) // height may be top-down negative
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(fmt, w, h))
+  }
+
   /** Hashing-trick linear model score: Σ weights[(md5Hash60(tok) %
     * Prime) % d] over the tokens in order. The per-token MD5 fold is
     * the same one rollingHashMd5 uses, so a SQL oracle replays indices

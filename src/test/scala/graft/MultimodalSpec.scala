@@ -55,4 +55,32 @@ class MultimodalSpec extends SparkFunSuite {
       assert(f.byteLen == bytes.length)
     }
   }
+
+  test("imageDimensions parses real PNG/JPEG/GIF/BMP container headers") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR length/type, then width=640 height=480 BE
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    // JPEG: SOI, APP0 (16 bytes), SOF0 with height=333 width=222 BE
+    val jpeg = b(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10) ++ new Array[Byte](14) ++
+      b(0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0x4d, 0x00, 0xde) ++ new Array[Byte](10)
+    // GIF89a: width=320 height=200 LE
+    val gif = b('G', 'I', 'F', '8', '9', 'a', 0x40, 0x01, 0xc8, 0x00)
+    // BMP: 'BM' header, width=100 at 18, height=-50 (top-down) at 22 LE
+    val bmp = b('B', 'M') ++ new Array[Byte](16) ++
+      b(100, 0, 0, 0, 0xce, 0xff, 0xff, 0xff) ++ new Array[Byte](4)
+    val junk = "not an image at all".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, bmp), (5L, junk))
+      .toDF("id", "payload")
+    val got = Multimodal.imageDimensions(df, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, "png", 640, 480),
+      (2L, "jpeg", 222, 333),
+      (3L, "gif", 320, 200),
+      (4L, "bmp", 100, 50), // top-down height reported as magnitude
+      (5L, "unknown", -1, -1)), s"got $got")
+  }
 }

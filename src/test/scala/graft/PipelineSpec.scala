@@ -2,7 +2,9 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.{functions => sf}
 import graft.operators.Pipeline
+import graft.sources.Tables
 
 class PipelineSpec extends SparkFunSuite {
 
@@ -16,5 +18,36 @@ class PipelineSpec extends SparkFunSuite {
     val factDirs = new java.io.File(s"$out/fact_sales").listFiles()
       .map(_.getName).filter(_.startsWith("l_returnflag="))
     assert(factDirs.nonEmpty)
+  }
+
+  test("end-to-end curation: funnel report, stage effects, split-partitioned write") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    // benchmark = a slice of the corpus itself -> guaranteed contamination
+    val benchmark = docs.filter(sf.col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val report = Pipeline.runCuration(spark, docs, benchmark, out,
+      budgets = Map("src0" -> 1000L), defaultBudget = 2000L,
+      qualityFrac = 0.5, nearDupThreshold = 0.9)
+    val funnel = report.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(funnel.map(_._1) == Seq("00_input", "01_pii_scrub", "02_quality_gate",
+      "03_exact_dedup", "04_near_dedup", "05_decontaminated", "06_mixture",
+      "07_split"), s"stages ${funnel.map(_._1)}")
+    val counts = funnel.map(_._2)
+    // scrub preserves rows; every later stage only removes
+    assert(counts(1) == counts(0))
+    assert(counts.sliding(2).forall { case Seq(a, b) => b <= a })
+    // the gates actually fire on this corpus: quality cut, dedup, and
+    // decontamination each drop something; everything stays non-empty
+    assert(counts(2) < counts(1) && counts(4) < counts(2) && counts(5) < counts(4))
+    assert(counts.last > 0)
+    // the written corpus is split-partitioned and matches the final count
+    val written = spark.read.parquet(s"$out/corpus")
+    assert(written.count() == counts.last)
+    val splitDirs = new java.io.File(s"$out/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("split="))
+    assert(splitDirs.nonEmpty && splitDirs.forall(
+      Seq("split=train", "split=val", "split=test").contains(_)))
   }
 }
