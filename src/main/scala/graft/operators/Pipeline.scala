@@ -73,6 +73,14 @@ object Pipeline {
     * Every stage is one of the library's verified operators; the
     * composition adds no new shuffle beyond the stages' own.
     *
+    * Each stage boundary is a checkpoint: the stage output materializes
+    * once and feeds both the funnel count and the next stage, keeping
+    * lineage flat across eight stages (a recompute tree would re-run
+    * the LSH funnel inside the decontamination pass). At production
+    * scale these boundaries are where a pipeline writes durable
+    * intermediates anyway — swap `localCheckpoint` for a parquet
+    * write-and-reload to make stages restartable.
+    *
     * @param benchmark  held-out eval set whose n-grams must not leak
     * @param budgets    per-source token budgets for the mixture
     */

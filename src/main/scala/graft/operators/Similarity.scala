@@ -443,11 +443,20 @@ object Similarity {
     * e.g. 100k cells for 100M docs) cluster sizes stay in the
     * thousands and the per-cell quadratic term is bounded; the cosine
     * is compared on the shared 4-decimal rounding so engines agree at
-    * the threshold boundary. */
+    * the threshold boundary.
+    *
+    * `maxCellSize` additionally bounds the quadratic term against
+    * DEGENERATE clusterings (a near-uniform corpus can land one cell):
+    * cells above the cap are salt-split deterministically by id hash,
+    * so no sub-cell exceeds ~the cap. Pairs across sub-cells are lost —
+    * the same documented recall-for-boundedness trade as the LSH
+    * bucket cap — and every emitted flag remains an exact witness. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCentroids: Int = 16, lloydIters: Int = 1,
                     tau: Double = 0.35,
-                    maxLiteralCentroids: Int = MaxLiteralCentroids): DataFrame = {
+                    maxLiteralCentroids: Int = MaxLiteralCentroids,
+                    maxCellSize: Int = Int.MaxValue): DataFrame = {
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
     val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
       sf.col(vecCol).cast("array<double>").as("nv"))).persist()
     val assigned = (if (nCentroids <= maxLiteralCentroids) {
@@ -471,10 +480,23 @@ object Similarity {
       base.join(assignCellsDF(spark, base, "n_id", "nv", cb, 1)
         .select(sf.col("n_id"), sf.col("cells").getItem(0).as("cluster")), "n_id")
     }).persist()
-    val lower = assigned.select(sf.col("cluster").as("b_cluster"),
-      sf.col("n_id").as("b_id"), sf.col("nv").as("bv"))
-    val dups = assigned.join(lower,
+    // degenerate-cell guard: salt-split any cell above maxCellSize so
+    // the per-(cell, sub) quadratic term stays bounded
+    val capped = if (maxCellSize == Int.MaxValue)
+      assigned.withColumn("__sub", sf.lit(0L))
+    else {
+      val sizes = assigned.groupBy(sf.col("cluster").as("__c"))
+        .agg(sf.count(sf.lit(1)).as("__cs"))
+      assigned.join(sizes, sf.col("cluster") === sf.col("__c"))
+        .withColumn("__sub", sf.pmod(sampleHash(sf.col("n_id")),
+          sf.ceil(sf.col("__cs").cast("double") / maxCellSize).cast("long")))
+        .drop("__c", "__cs")
+    }
+    val lower = capped.select(sf.col("cluster").as("b_cluster"),
+      sf.col("__sub").as("b_sub"), sf.col("n_id").as("b_id"), sf.col("nv").as("bv"))
+    val dups = capped.join(lower,
         sf.col("cluster") === sf.col("b_cluster") &&
+          sf.col("__sub") === sf.col("b_sub") &&
           sf.col("b_id") < sf.col("n_id") &&
           gf.roundAt(gf.cosineSim(sf.col("nv"), sf.col("bv")), 4) >= tau,
         "left_semi")

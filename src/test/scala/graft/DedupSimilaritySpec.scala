@@ -305,4 +305,18 @@ class DedupSimilaritySpec extends SparkFunSuite {
     // the run must actually exercise both outcomes
     assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0))
   }
+
+  test("semanticDedup maxCellSize cap: bounded sub-cells, flags a subset of uncapped") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    def flags(cap: Int) = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCentroids = 2, lloydIters = 0, tau = 0.3, maxCellSize = cap)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val uncapped = flags(Int.MaxValue)
+    val capped = flags(20) // 500 docs in ~2 cells -> heavy splitting
+    // capping only LOSES witnesses (cross-sub-cell pairs), never invents
+    assert(capped.count(_._2 == 1) < uncapped.count(_._2 == 1))
+    capped.foreach { case (id, f) =>
+      if (f == 1) assert(uncapped(id) == 1, s"vec $id flagged only under the cap")
+    }
+  }
 }
