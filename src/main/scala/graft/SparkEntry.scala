@@ -517,6 +517,11 @@ object SparkEntry {
     "q81_chunk" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
         chunkSize = 32, overlap = 8)),
+
+    // Within-document repeated-line collapse (map-only boilerplate
+    // removal; first occurrence of each distinct line wins).
+    "q82_doc_line_dedup" -> ((s, dir) =>
+      Cleaning.dedupDocLines(docs(s, dir), "doc_id", "text")),
   )
 
   // ---------------------------------------------------------------------
@@ -1647,6 +1652,18 @@ object SparkEntry {
         | CAST(len(toks[chunk_id*24+1 : least(chunk_id*24+32, len(toks))]) AS INT) AS n_tokens,
         | array_to_string(toks[chunk_id*24+1 : least(chunk_id*24+32, len(toks))], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Within-doc line dedup: DuckDB lambda indexes are 1-based, Spark's
+    // 0-based — both keep x at i iff list_position/array_position
+    // (first occurrence, 1-based in both) lands on i.
+    "q82_doc_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+        |k AS (SELECT doc_id, l,
+        |  list_filter(l, (x, i) -> list_position(l, x) = i) AS kept FROM t)
+        |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | array_to_string(kept, chr(10)) AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q64_centroid_outliers" ->
       """WITH x AS (SELECT vec_id, label,

@@ -103,4 +103,32 @@ object Cleaning {
     corpusDiff(oldDf, newDf, idCol, textCol)
       .groupBy("status").agg(sf.count(sf.lit(1)).as("n_docs"))
       .orderBy("status")
+
+  /** WITHIN-document repeated-line collapse (the CCNet/RefinedWeb
+    * boilerplate step: navbars, cookie banners, and signatures repeat
+    * inside a page; keep the FIRST occurrence of each distinct line,
+    * preserving order). Complements [[graft.operators.Dedup
+    * .lineDedupKeepFirst]], which dedups lines ACROSS the corpus:
+    * this one never leaves the row, so it is map-only — no shuffle,
+    * no state, embarrassingly parallel at any corpus size. Per-doc
+    * cost is O(lines²) string compares via `array_position` (first
+    * index of each line); documents are short enough that this beats
+    * paying a per-doc hash-set UDF's codegen break.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_text), ordered by id.
+    * Null text propagates as null (absent content, not an empty doc).
+    */
+  def dedupDocLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.split(sf.col(textCol), "\n", -1).as("__l"))
+      .select(sf.col("doc_id"),
+        sf.size(sf.col("__l")).cast("long").as("n_lines"),
+        // keep line x at 0-based index i iff i is x's first occurrence
+        sf.filter(sf.col("__l"),
+          (x, i) => sf.array_position(sf.col("__l"), x) === i + 1).as("__k"))
+      .select(sf.col("doc_id"), sf.col("n_lines"),
+        sf.size(sf.col("__k")).cast("long").as("n_kept"),
+        sf.array_join(sf.col("__k"), "\n").as("clean_text"))
+      .orderBy("doc_id")
 }

@@ -288,6 +288,24 @@ class CurationSpec extends SparkFunSuite {
       3L -> "removed", 4L -> "added", 5L -> "changed"), s"got $got")
   }
 
+  test("Cleaning.dedupDocLines keeps the first occurrence of each line, in order") {
+    val df = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),
+      (2L, "a\n\nb\n\na"),   // repeated empty lines collapse too
+      (3L, "unique"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Cleaning.dedupDocLines(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.getAs[String]("clean_text"))).toMap
+    assert(got(1L) == ((5L, 3L, "nav\nbody one\nbody two")), s"got ${got(1L)}")
+    assert(got(2L) == ((5L, 3L, "a\n\nb")), s"got ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, "unique")))
+    // empty text is one (empty) line, kept; null text stays null
+    assert(got(4L) == ((1L, 1L, "")))
+    assert(got(5L) == ((null, null, null)), s"got ${got(5L)}")
+  }
+
   test("TextAnalysis.chunkDocuments covers every token with the configured overlap") {
     val doc10 = (1 to 10).map("t" + _).mkString(" ")
     val df = Seq((1L, doc10), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")

@@ -287,6 +287,20 @@ class PlanSpec extends SparkFunSuite {
       s"hashSplit must not sort:\n${executed(df)}")
   }
 
+  test("dedupDocLines is map-only up to the final order") {
+    val df = graft.operators.Cleaning.dedupDocLines(
+      Tables.load(spark, sf001, "documents"), "doc_id", "text")
+    df.collect()
+    val nodes = collectAll(executed(df))
+    // every line comparison stays inside its own row: the only
+    // exchange is the output orderBy's range repartition
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1, s"dedupDocLines must not shuffle data:\n${executed(df)}")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      s"dedupDocLines must not aggregate:\n${executed(df)}")
+  }
+
   test("dupNgramFraction explodes the corpus once (checkpointed pair stream)") {
     val df = graft.operators.TextAnalysis.dupNgramFraction(
       Tables.load(spark, sf001, "documents"), "doc_id", "text")
