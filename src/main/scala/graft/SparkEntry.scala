@@ -522,6 +522,10 @@ object SparkEntry {
     // removal; first occurrence of each distinct line wins).
     "q82_doc_line_dedup" -> ((s, dir) =>
       Cleaning.dedupDocLines(docs(s, dir), "doc_id", "text")),
+
+    // Inter-source 3-gram overlap matrix (mixture redundancy map).
+    "q83_source_overlap" -> ((s, dir) =>
+      CorpusStats.sourceOverlap(docs(s, dir), "source", "text", n = 3)),
   )
 
   // ---------------------------------------------------------------------
@@ -1664,6 +1668,32 @@ object SparkEntry {
         | CAST(len(kept) AS BIGINT) AS n_kept,
         | array_to_string(kept, chr(10)) AS clean_text
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Source overlap: same short-doc convention as q56 (fewer than n
+    // tokens -> the whole doc is one gram); distinct at (source, md5).
+    "q83_source_overlap" ->
+      """WITH ws AS (SELECT source,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |g0 AS (SELECT source, unnest(
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END) AS g
+        |  FROM ws),
+        |g AS (SELECT DISTINCT source, md5(g) AS gh FROM g0),
+        |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source GROUP BY 1,2),
+        |p AS (SELECT sa.source AS source_a, sa.n_grams AS n_grams_a,
+        |  sb.source AS source_b, sb.n_grams AS n_grams_b
+        |  FROM s sa JOIN s sb ON sa.source < sb.source)
+        |SELECT source_a, source_b, n_grams_a, n_grams_b,
+        | CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+        | floor(CAST(COALESCE(n_common, 0) AS DOUBLE)
+        |   / (n_grams_a + n_grams_b - COALESCE(n_common, 0)) * 10000.0 + 0.5)/10000.0 AS jaccard
+        |FROM p LEFT JOIN i USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "q64_centroid_outliers" ->
       """WITH x AS (SELECT vec_id, label,

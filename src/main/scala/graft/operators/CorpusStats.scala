@@ -224,4 +224,54 @@ object CorpusStats {
         gf.roundAt(pmi, 4).as("pmi"))
       .orderBy(sf.col("pmi").desc, sf.col("w1"), sf.col("w2"))
   }
+
+  /** Inter-source n-gram overlap matrix: exact Jaccard between every
+    * pair of sources' distinct word-n-gram sets — the redundancy map a
+    * mixture designer reads before setting per-source weights (two
+    * near-identical crawls should not both get full weight), and the
+    * corpus-level companion of the per-document cross-corpus scan.
+    *
+    * Scale shape: the corpus collapses to one row per DISTINCT
+    * (source, gram) — a combinable distinct whose shuffle carries
+    * md5 keys, not gram text. The pair counts come from a self-join
+    * keyed by gram hash: fan-out per gram is bounded by the number of
+    * sources sharing it (sources are few; the join never goes
+    * quadratic in documents). Source sizes are one row per source, so
+    * the final assembly is a broadcast cross of two tiny tables —
+    * zero-overlap pairs are emitted too (absence of evidence is a
+    * result in a redundancy audit).
+    *
+    * Output: (source_a, source_b, n_grams_a, n_grams_b, n_common,
+    * jaccard), one row per unordered pair, ordered lexicographically.
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(sf.col(srcCol).as("source"),
+        sf.explode(gf.wordShingles(sf.col(textCol), n)).as("g"))
+      .select(sf.col("source"), sf.md5(sf.col("g")).as("gh"))
+      .distinct()
+    val sizes = grams.groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_grams"))
+    val inter = grams.as("a")
+      .join(grams.as("b"), sf.col("a.gh") === sf.col("b.gh") &&
+        sf.col("a.source") < sf.col("b.source"))
+      .groupBy(sf.col("a.source").as("source_a"),
+        sf.col("b.source").as("source_b"))
+      .agg(sf.count(sf.lit(1)).as("n_common"))
+    val pairs = sizes
+      .select(sf.col("source").as("source_a"), sf.col("n_grams").as("n_grams_a"))
+      .crossJoin(sf.broadcast(sizes
+        .select(sf.col("source").as("source_b"), sf.col("n_grams").as("n_grams_b"))))
+      .filter(sf.col("source_a") < sf.col("source_b"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(sf.col("source_a"), sf.col("source_b"),
+        sf.col("n_grams_a"), sf.col("n_grams_b"),
+        sf.coalesce(sf.col("n_common"), sf.lit(0L)).as("n_common"))
+      .withColumn("jaccard", gf.roundAt(
+        sf.col("n_common").cast("double") /
+          (sf.col("n_grams_a") + sf.col("n_grams_b") - sf.col("n_common"))
+            .cast("double"), 4))
+      .orderBy("source_a", "source_b")
+  }
 }

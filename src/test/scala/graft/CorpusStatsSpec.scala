@@ -134,6 +134,25 @@ class CorpusStatsSpec extends SparkFunSuite {
       (("a", "b", 6L, want)), s"got ${got.toSeq}")
   }
 
+  test("sourceOverlap matches hand-computed pairwise gram Jaccard, zero pairs included") {
+    // 3-grams — A: {"a b c","b c d"}; B: {"a b c","b c x"}; C (short
+    // doc): {"z z"}; D duplicates A exactly across two docs
+    val docs = Seq(
+      ("A", "a b c d"), ("B", "a b c x"), ("C", "z z"),
+      ("D", "a b c d"), ("D", "a b c")).toDF("source", "text")
+    val got = CorpusStats.sourceOverlap(docs, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // D's grams: {"a b c d" docs give "a b c","b c d"} ∪ {"a b c"} = same 2
+    assert(got == Seq(
+      ("A", "B", 2L, 2L, 1L, 0.3333),  // {abc,bcd} vs {abc,bcx}
+      ("A", "C", 2L, 1L, 0L, 0.0),
+      ("A", "D", 2L, 2L, 2L, 1.0),
+      ("B", "C", 2L, 1L, 0L, 0.0),
+      ("B", "D", 2L, 2L, 1L, 0.3333),
+      ("C", "D", 1L, 2L, 0L, 0.0)), s"got $got")
+  }
+
   test("dimensionProfile: exact fixed-point moments; non-finite counted, not aggregated") {
     val emb = Seq((1L, Seq(0.0, 2.0)), (2L, Seq(1.0, 3.0)), (3L, Seq(2.0, 4.0)),
       (4L, Seq(Double.NaN, Double.PositiveInfinity))) // polluted row
