@@ -1670,7 +1670,9 @@ object SparkEntry {
         |FROM k ORDER BY doc_id""".stripMargin,
 
     // Source overlap: same short-doc convention as q56 (fewer than n
-    // tokens -> the whole doc is one gram); distinct at (source, md5).
+    // tokens -> the whole doc is one gram). Spark counts distinct
+    // 64-bit gram hashes; the oracle counts distinct gram STRINGS —
+    // identical up to xxhash64 collisions (odds ~1e-9 at gate SFs).
     "q83_source_overlap" ->
       """WITH ws AS (SELECT source,
         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
@@ -1680,7 +1682,7 @@ object SparkEntry {
         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
         |       ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)] END) AS g
         |  FROM ws),
-        |g AS (SELECT DISTINCT source, md5(g) AS gh FROM g0),
+        |g AS (SELECT DISTINCT source, g AS gh FROM g0),
         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
         |i AS (SELECT a.source AS source_a, b.source AS source_b,
         |  CAST(COUNT(*) AS BIGINT) AS n_common

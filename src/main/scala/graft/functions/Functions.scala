@@ -126,6 +126,12 @@ object functions {
   def hashedWsShingles(t: Column): Column =
     kernel(ArrayType(LongType, containsNull = false), "hashedWsShingles", t)
 
+  /** Sorted distinct 64-bit hashes of a text's word n-grams in one
+    * fused pass — gram identity without gram strings (see
+    * Kernels.hashedWsNgrams). */
+  def hashedWsNgrams(t: Column, n: Int): Column =
+    kernel(ArrayType(LongType, containsNull = false), "hashedWsNgrams", t, sf.lit(n))
+
   /** Jaccard over two hashShingles arrays (primitive merge scan). */
   def jaccardSortedLong(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccardSortedLong", a, b)

@@ -231,26 +231,34 @@ object CorpusStats {
     * near-identical crawls should not both get full weight), and the
     * corpus-level companion of the per-document cross-corpus scan.
     *
-    * Scale shape: the corpus collapses to one row per DISTINCT
-    * (source, gram) — a combinable distinct whose shuffle carries
-    * md5 keys, not gram text. The pair counts come from a self-join
-    * keyed by gram hash: fan-out per gram is bounded by the number of
-    * sources sharing it (sources are few; the join never goes
-    * quadratic in documents). Source sizes are one row per source, so
+    * Scale shape: gram TEXT never leaves the document row — the fused
+    * [[graft.functions.hashedWsNgrams]] kernel emits each doc's
+    * sorted-distinct 64-bit gram hashes in one pass (measured 3x the
+    * whole operator's cost when gram strings were materialized and
+    * exploded instead). The hash stream collapses to one row per
+    * distinct (source, gram-hash) — a combinable codegen distinct on
+    * fixed-width keys — and pair counts come from a gram-keyed equi
+    * self-join whose fan-out per key is bounded by the number of
+    * sources sharing the gram (sources are few; nothing is quadratic
+    * in documents or grams). Source sizes are one row per source, so
     * the final assembly is a broadcast cross of two tiny tables —
     * zero-overlap pairs are emitted too (absence of evidence is a
-    * result in a redundancy audit).
+    * result in a redundancy audit). Distinct counts inherit the
+    * kernel's 64-bit collision contract (documented there).
     *
     * Output: (source_a, source_b, n_grams_a, n_grams_b, n_common,
     * jaccard), one row per unordered pair, ordered lexicographically.
     */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
+    // Materialized once: the distinct table feeds three plan arms
+    // (sizes + both self-join sides); without a checkpoint each arm
+    // re-runs the corpus scan.
     val grams = docs
       .select(sf.col(srcCol).as("source"),
-        sf.explode(gf.wordShingles(sf.col(textCol), n)).as("g"))
-      .select(sf.col("source"), sf.md5(sf.col("g")).as("gh"))
+        sf.explode(gf.hashedWsNgrams(sf.col(textCol), n)).as("gh"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = grams.groupBy("source")
       .agg(sf.count(sf.lit(1)).as("n_grams"))
     val inter = grams.as("a")

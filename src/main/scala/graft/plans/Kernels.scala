@@ -172,6 +172,71 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, d))
   }
 
+  /** Fused whitespace-tokenize + word-n-gram hash: sorted distinct
+    * 64-bit hashes of a text's word n-grams under the wordShingles
+    * convention (n-token windows; fewer than n tokens — including the
+    * empty text — make the whole text the ONE gram). A gram's hash
+    * chains xxhash64 over its tokens' hashes, so gram identity is
+    * exactly token-SEQUENCE identity — the same equivalence as
+    * building the single-space-joined gram string — but no gram
+    * string is ever allocated: at corpus scale gram text must not
+    * ride an explode, only fixed-width hashes. Distinct-count users
+    * inherit 64-bit collision odds ~G²/2^65 over G distinct grams:
+    * zero in practice at verification SFs and a count shift of a few
+    * units in 10^10 at 100 TB — fine for redundancy audits. */
+  def hashedWsNgrams(t: UTF8String, n: Int): ArrayData = {
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val len = t.numBytes()
+    var toks = new Array[Long](8)
+    var w = 0
+    var i = 0
+    def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    while (i < len) {
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        if (w == toks.length) toks = java.util.Arrays.copyOf(toks, w * 2)
+        toks(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          base, off + start, i - start, Seed)
+        w += 1
+      }
+    }
+    val out =
+      if (w < n) { // short doc: the whole token sequence is one gram
+        var h = Seed
+        var j = 0
+        while (j < w) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(toks(j), h)
+          j += 1
+        }
+        Array(h)
+      } else {
+        val g = new Array[Long](w - n + 1)
+        var s = 0
+        while (s <= w - n) {
+          var h = Seed
+          var j = s
+          while (j < s + n) {
+            h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(toks(j), h)
+            j += 1
+          }
+          g(s) = h
+          s += 1
+        }
+        java.util.Arrays.sort(g)
+        var d = 0
+        var r = 0
+        while (r < g.length) {
+          if (d == 0 || g(d - 1) != g(r)) { g(d) = g(r); d += 1 }
+          r += 1
+        }
+        if (d == g.length) g else java.util.Arrays.copyOf(g, d)
+      }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Jaccard over sorted distinct long arrays (see hashSetSorted);
     * both-empty -> 1.0. */
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {

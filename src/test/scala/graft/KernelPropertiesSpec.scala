@@ -52,6 +52,35 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(Kernels.hashedWsShingles(UTF8String.fromString(" \t\n ")).numElements() == 0)
   }
 
+  test("hashedWsNgrams: gram-set size and identity match the string model (200 cases)") {
+    def stringGrams(toks: Seq[String], n: Int): Set[Seq[String]] =
+      if (toks.size < n) Set(toks)
+      else toks.sliding(n).map(_.toSeq).toSet
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(4)
+      val toksA = randWords(10)
+      val text = toksA.mkString(if (rnd.nextBoolean()) " " else "  ")
+      val got = Kernels.hashedWsNgrams(UTF8String.fromString(text), n)
+      // distinct-count parity with the string-built gram set
+      assert(got.numElements() == stringGrams(toksA, n).size,
+        s"toks=$toksA n=$n")
+      // identity: same token sequence under different whitespace -> same hashes
+      val got2 = Kernels.hashedWsNgrams(
+        UTF8String.fromString(toksA.mkString("\t") + "\n"), n)
+      assert(got.toLongArray.toSeq == got2.toLongArray.toSeq, s"toks=$toksA n=$n")
+    }
+    // cross-text identity: shared grams hash equal, so set intersection
+    // sizes match the string model too
+    val a = Kernels.hashedWsNgrams(UTF8String.fromString("a b c d"), 3).toLongArray.toSet
+    val b = Kernels.hashedWsNgrams(UTF8String.fromString("a b c x"), 3).toLongArray.toSet
+    assert((a & b).size == 1) // "a b c"
+    // short/empty docs collapse to one whole-text gram
+    assert(Kernels.hashedWsNgrams(UTF8String.fromString("z z"), 3).numElements() == 1)
+    assert(Kernels.hashedWsNgrams(UTF8String.fromString(""), 3).numElements() == 1)
+    assert(Kernels.hashedWsNgrams(UTF8String.fromString(""), 3).toLongArray.toSeq ==
+      Kernels.hashedWsNgrams(UTF8String.fromString(" \t "), 3).toLongArray.toSeq)
+  }
+
   test("jaccardSorted equals jaccard on sorted distinct input (200 cases)") {
     for (_ <- 1 to 200) {
       val dx = randWords(12).distinct.sorted
