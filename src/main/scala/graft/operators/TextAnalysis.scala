@@ -172,15 +172,15 @@ object TextAnalysis {
     * match verbatim copies. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
+    // fused kernel: gram hashes straight from the text — the n-token
+    // gram strings are never materialized on either side
     val bGrams = benchmark
-      .select(sf.explode(gf.wordShingles(sf.col(textCol), n)).as("g"))
-      .select(sf.xxhash64(sf.col("g")).as("gh"))
+      .select(sf.explode(gf.hashedWsNgrams(sf.col(textCol), n)).as("gh"))
       .distinct()
     val dGrams = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
         sf.col(textCol).as("__t")))
       .select(sf.col("doc_id"),
-        sf.explode(gf.wordShingles(sf.col("__t"), n)).as("g"))
-      .select(sf.col("doc_id"), sf.xxhash64(sf.col("g")).as("gh"))
+        sf.explode(gf.hashedWsNgrams(sf.col("__t"), n)).as("gh"))
     dGrams.join(sf.broadcast(bGrams), Seq("gh"), "left_semi")
       .groupBy("doc_id")
       .agg(sf.count(sf.lit(1)).as("n_contaminated_ngrams"))
@@ -212,8 +212,7 @@ object TextAnalysis {
     val pairs = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
         sf.col(textCol).as("__t")))
       .select(sf.col("doc_id"),
-        sf.explode(gf.wordShingles(sf.col("__t"), n)).as("g"))
-      .select(sf.col("doc_id"), sf.xxhash64(sf.col("g")).as("gh"))
+        sf.explode(gf.hashedWsNgrams(sf.col("__t"), n)).as("gh"))
       .localCheckpoint(true)
     val carriers = pairs.groupBy("gh")
       .agg(sf.count(sf.lit(1)).as("n_docs")) // pairs are doc-distinct
