@@ -526,6 +526,75 @@ object SparkEntry {
     // Inter-source 3-gram overlap matrix (mixture redundancy map).
     "q83_source_overlap" -> ((s, dir) =>
       CorpusStats.sourceOverlap(docs(s, dir), "source", "text", n = 3)),
+
+    // Ordered conversion funnel over the event log: view -> click ->
+    // purchase, each step strictly after the user's previous step.
+    "q84_funnel" -> ((s, dir) =>
+      EventOps.funnel(Tables.load(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
+    // Weekly cohort retention matrix (first-activity week x offset).
+    "q85_retention" -> ((s, dir) =>
+      EventOps.retentionCohorts(Tables.load(s, dir, "events"))),
+
+    // Fixed-width price histogram (20 bins, clamped range).
+    "q86_histogram" -> ((s, dir) =>
+      QualityChecks.histogram(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", nBins = 20, lo = 0.0, hi = 120000.0)),
+
+    // Exact Pearson correlations across lineitem numerics in one scan
+    // (order-exact fixed-point moment sums).
+    "q87_correlation" -> ((s, dir) =>
+      QualityChecks.correlationMatrix(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Map-only text normalization (control chars, space runs, blank-line
+    // runs, trim).
+    "q88_normalize" -> ((s, dir) =>
+      Cleaning.normalizeText(docs(s, dir), "doc_id", "text")),
+
+    // PSI distribution drift between two deterministic halves of the
+    // order-price distribution (drift monitoring between snapshots).
+    "q89_psi_drift" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      QualityChecks.psiDrift(
+        o.filter(sf.col("o_orderkey") % 2 === 0),
+        o.filter(sf.col("o_orderkey") % 2 =!= 0),
+        "o_totalprice", nBins = 10, lo = 0.0, hi = 500000.0)
+    }),
+
+    // Deterministic per-source document cap (hash order, cap-bounded
+    // combinable aggregator — no per-key sort).
+    "q90_cap_per_key" -> ((s, dir) =>
+      Sampling.capPerKey(s, docs(s, dir), "source", "doc_id", cap = 25)),
+
+    // Semantic decontamination: corpus vectors (vec_id % 10 != 0)
+    // within cosine 0.4 of any eval vector (vec_id % 10 == 0) — the
+    // paraphrase-catching twin of q56's n-gram decontaminate. Same SRP
+    // banding as q53; the eval side broadcasts, corpus stays map-only.
+    "q91_semantic_decontam" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.crossCorpusEmbedNearDup(
+        e.filter(sf.col("vec_id") % 10 =!= 0),
+        e.filter(sf.col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.4, bands = 24, bitsPerBand = 5)
+    }),
+
+    // Canonical selection policy: simhash-identical docs form clusters;
+    // keep the longest member (ties to the larger id) — combinable
+    // max(struct), no per-cluster sort.
+    "q92_canonical" -> ((s, dir) => {
+      val sigs = Dedup.simHashSignatures(docs(s, dir), "doc_id", "text")
+      val withLen = sigs.join(
+        docs(s, dir).select(sf.col("doc_id").as("id"), sf.col("n_chars")), "id")
+      Dedup.selectCanonical(withLen, "simhash", "id", "n_chars")
+    }),
+
+    // Inverted index, df >= 5, postings capped at 20 ids (id-ascending,
+    // cap-bounded aggregator — no per-term sort, no unbounded list).
+    "q93_inverted_index" -> ((s, dir) =>
+      CorpusStats.invertedIndex(s, docs(s, dir), "doc_id", "text",
+        minDf = 5, maxPostings = 20)),
   )
 
   // ---------------------------------------------------------------------
@@ -1711,5 +1780,237 @@ object SparkEntry {
         | floor(sqrt(ss) * 10000.0 + 0.5) / 10000.0 AS centroid_dist,
         | CAST(floor(sqrt(ss) * 10000.0 + 0.5) / 10000.0 > 1.01 AS INT) AS is_outlier
         |FROM d ORDER BY vec_id""".stripMargin,
+
+    // Funnel: staged min-joins, lag in exact integer microseconds
+    // (q37's epoch_us convention).
+    "q84_funnel" ->
+      """WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t, MIN(ts) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS u, MIN(e.ts) AS t, MIN(s0.t0) AS t0
+        |  FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t, MIN(s1.t0) AS t0
+        |  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 0 AS step_idx, 'view' AS step_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COALESCE(SUM(epoch_us(CAST(t AS TIMESTAMP))
+        |    - epoch_us(CAST(t0 AS TIMESTAMP))), 0) AS BIGINT) AS sum_lag_us FROM s0
+        |UNION ALL
+        |SELECT 1, 'click', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(epoch_us(CAST(t AS TIMESTAMP))
+        |    - epoch_us(CAST(t0 AS TIMESTAMP))), 0) AS BIGINT) FROM s1
+        |UNION ALL
+        |SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(epoch_us(CAST(t AS TIMESTAMP))
+        |    - epoch_us(CAST(t0 AS TIMESTAMP))), 0) AS BIGINT) FROM s2
+        |ORDER BY step_idx""".stripMargin,
+
+    // Retention: Monday-truncated weeks in both engines; the day
+    // difference of two week-truncations is an exact multiple of 7.
+    "q85_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id AS u,
+        |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w FROM events),
+        |c AS (SELECT u, MIN(w) AS cw FROM wk GROUP BY 1)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        | CAST(date_diff('day', cw, w) // 7 AS INT) AS week_offset,
+        | CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM wk JOIN c USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Histogram: the bin expression replays Spark's exact double-op
+    // order ((x - lo) / (hi - lo) * nBins) — IEEE-deterministic.
+    "q86_histogram" ->
+      """WITH b AS (SELECT
+        |  CAST(least(greatest(floor((l_extendedprice - 0.0) / 120000.0 * 20), 0), 19) AS INT) AS bin_idx,
+        |  l_extendedprice AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin_idx,
+        | floor((0.0 + bin_idx * 6000.0) * 1000000.0 + 0.5) / 1000000.0 AS bin_lo,
+        | floor((0.0 + (bin_idx + 1) * 6000.0) * 1000000.0 + 0.5) / 1000000.0 AS bin_hi,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | floor(MIN(x) * 1000000.0 + 0.5) / 1000000.0 AS v_min,
+        | floor(MAX(x) * 1000000.0 + 0.5) / 1000000.0 AS v_max
+        |FROM b GROUP BY bin_idx ORDER BY bin_idx""".stripMargin,
+
+    // Correlation: the 1e-4 fixed-point + DECIMAL(38,0) moment sums
+    // replayed; r assembled in the same double-op order. The corpus has
+    // no NULLs in these columns, so one shared moment row serves all
+    // six pairs (Spark computes per-pair ns for the general case).
+    "q87_correlation" ->
+      """WITH f AS (SELECT
+        |  CAST(floor(CAST(l_quantity AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vq,
+        |  CAST(floor(CAST(l_extendedprice AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vp,
+        |  CAST(floor(CAST(l_discount AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vd,
+        |  CAST(floor(CAST(l_tax AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vt
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(vq AS DECIMAL(19,0))) AS sq, SUM(CAST(vp AS DECIMAL(19,0))) AS sp,
+        |  SUM(CAST(vd AS DECIMAL(19,0))) AS sd, SUM(CAST(vt AS DECIMAL(19,0))) AS st,
+        |  SUM(CAST(vq AS DECIMAL(19,0)) * CAST(vq AS DECIMAL(19,0))) AS sqq,
+        |  SUM(CAST(vp AS DECIMAL(19,0)) * CAST(vp AS DECIMAL(19,0))) AS spp,
+        |  SUM(CAST(vd AS DECIMAL(19,0)) * CAST(vd AS DECIMAL(19,0))) AS sdd,
+        |  SUM(CAST(vt AS DECIMAL(19,0)) * CAST(vt AS DECIMAL(19,0))) AS stt,
+        |  SUM(CAST(vq AS DECIMAL(19,0)) * CAST(vp AS DECIMAL(19,0))) AS sqp,
+        |  SUM(CAST(vq AS DECIMAL(19,0)) * CAST(vd AS DECIMAL(19,0))) AS sqd,
+        |  SUM(CAST(vq AS DECIMAL(19,0)) * CAST(vt AS DECIMAL(19,0))) AS sqt,
+        |  SUM(CAST(vp AS DECIMAL(19,0)) * CAST(vd AS DECIMAL(19,0))) AS spd,
+        |  SUM(CAST(vp AS DECIMAL(19,0)) * CAST(vt AS DECIMAL(19,0))) AS spt,
+        |  SUM(CAST(vd AS DECIMAL(19,0)) * CAST(vt AS DECIMAL(19,0))) AS sdt
+        |  FROM f),
+        |p AS (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+        |    CAST(sq AS DOUBLE)/10000.0 AS sx, CAST(sp AS DOUBLE)/10000.0 AS sy,
+        |    CAST(sqq AS DOUBLE)/100000000.0 AS sxx, CAST(spp AS DOUBLE)/100000000.0 AS syy,
+        |    CAST(sqp AS DOUBLE)/100000000.0 AS sxy FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', n,
+        |    CAST(sq AS DOUBLE)/10000.0, CAST(sd AS DOUBLE)/10000.0,
+        |    CAST(sqq AS DOUBLE)/100000000.0, CAST(sdd AS DOUBLE)/100000000.0,
+        |    CAST(sqd AS DOUBLE)/100000000.0 FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', n,
+        |    CAST(sq AS DOUBLE)/10000.0, CAST(st AS DOUBLE)/10000.0,
+        |    CAST(sqq AS DOUBLE)/100000000.0, CAST(stt AS DOUBLE)/100000000.0,
+        |    CAST(sqt AS DOUBLE)/100000000.0 FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+        |    CAST(sp AS DOUBLE)/10000.0, CAST(sd AS DOUBLE)/10000.0,
+        |    CAST(spp AS DOUBLE)/100000000.0, CAST(sdd AS DOUBLE)/100000000.0,
+        |    CAST(spd AS DOUBLE)/100000000.0 FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+        |    CAST(sp AS DOUBLE)/10000.0, CAST(st AS DOUBLE)/10000.0,
+        |    CAST(spp AS DOUBLE)/100000000.0, CAST(stt AS DOUBLE)/100000000.0,
+        |    CAST(spt AS DOUBLE)/100000000.0 FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax', n,
+        |    CAST(sd AS DOUBLE)/10000.0, CAST(st AS DOUBLE)/10000.0,
+        |    CAST(sdd AS DOUBLE)/100000000.0, CAST(stt AS DOUBLE)/100000000.0,
+        |    CAST(sdt AS DOUBLE)/100000000.0 FROM m)
+        |SELECT col_x, col_y, n,
+        | CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |               * (CAST(n AS DOUBLE) * syy - sy * sy)) > 0
+        |   THEN floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |     / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |          * (CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000.0 + 0.5) / 1000000.0
+        |   END AS r
+        |FROM p ORDER BY col_x, col_y""".stripMargin,
+
+    // Normalize: the same five regexes, RE2 and Java agree on these
+    // classes/quantifiers; 'g' replays Spark's replace-all default.
+    "q88_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |        '\t', ' ', 'g'),
+        |      '  +', ' ', 'g'),
+        |    ' *\n *', chr(10), 'g'),
+        |  '\n\n\n+', chr(10) || chr(10), 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        | CAST(length(text) AS BIGINT) AS n_chars_raw,
+        | CAST(length(clean_text) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // PSI: q86's bin rule on both halves, Laplace-smoothed shares,
+    // (p-q)*ln(p/q) in the same double-op order; rounding reconciles ln.
+    "q89_psi_drift" ->
+      """WITH a AS (SELECT
+        |  CAST(least(greatest(floor((o_totalprice - 0.0) / 500000.0 * 10), 0), 9) AS INT) AS ba,
+        |  COUNT(*) AS n_a FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL GROUP BY 1),
+        |b AS (SELECT
+        |  CAST(least(greatest(floor((o_totalprice - 0.0) / 500000.0 * 10), 0), 9) AS INT) AS bb,
+        |  COUNT(*) AS n_b FROM orders
+        |  WHERE o_orderkey % 2 <> 0 AND o_totalprice IS NOT NULL GROUP BY 1),
+        |j AS (SELECT COALESCE(ba, bb) AS bin_idx,
+        |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON ba = bb),
+        |t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j),
+        |s AS (SELECT bin_idx, n_a, n_b,
+        |  (CAST(n_a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0) AS p,
+        |  (CAST(n_b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0) AS q
+        |  FROM j CROSS JOIN t)
+        |SELECT bin_idx, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | floor(p * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+        | floor(q * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+        | floor((p - q) * ln(p / q) * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+        |FROM s ORDER BY bin_idx""".stripMargin,
+
+    // Per-key cap: the window-rank twin of the cap-bounded aggregator,
+    // over the q40 portable hash, ties by id.
+    "q90_cap_per_key" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 10000 AS hb
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY hb, doc_id) AS rn FROM h)
+        |SELECT source, CAST(rn AS INT) AS "rank", doc_id
+        |FROM r WHERE rn <= 25 ORDER BY source, "rank"""".stripMargin,
+
+    // Semantic decontamination: q53's plane-literal banding, corpus side
+    // vs eval side, any-band agreement then exact cosine.
+    "q91_semantic_decontam" -> {
+      val bands = 24
+      val bits = 5
+      val planes = Similarity.lshPlanes(dim = 64, bits = bands * bits, seed = 42)
+      def bandExpr(b: Int): String = (0 until bits).map { j =>
+        val lit = planes(b * bits + j).mkString("[", ",", "]")
+        s"(CASE WHEN list_reduce([v[i]*($lit)[i] FOR i IN range(1,65)], (a, b) -> a+b) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val bvExpr = (0 until bands).map(bandExpr).mkString("[\n", ",\n", "\n]")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bvExpr AS bv FROM base),
+         |cand AS (SELECT c.vec_id AS corpus_id, e.vec_id AS eval_id,
+         |  floor((list_cosine_similarity(c.v, e.v))*10000.0 + 0.5)/10000.0 AS cosine
+         | FROM b c JOIN b e ON c.vec_id % 10 <> 0 AND e.vec_id % 10 = 0
+         |  AND len(list_filter([i FOR i IN range(1,${bands + 1})], i -> c.bv[i] = e.bv[i])) > 0)
+         |SELECT corpus_id, eval_id, cosine FROM cand WHERE cosine >= 0.4 ORDER BY 1, 2""".stripMargin
+    },
+
+    // Canonical selection: q23's simhash replay defines the clusters;
+    // the window-rank twin picks max (n_chars, id) per cluster.
+    "q92_canonical" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(t, tok ->
+        |    list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+        |      (a, b) -> a*16 + b)) AS hs
+        |  FROM toks),
+        |s AS (SELECT doc_id AS id,
+        |  CAST(CASE WHEN len(hs)=0 THEN 0 ELSE
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+        |              THEN 1::BIGINT << b ELSE 0::BIGINT END FOR b IN range(0, 60)])
+        |  END AS BIGINT) AS simhash
+        |  FROM h),
+        |j AS (SELECT s.simhash, s.id, d.n_chars
+        |  FROM s JOIN documents d ON d.doc_id = s.id),
+        |r AS (SELECT simhash, id, n_chars,
+        |  COUNT(*) OVER (PARTITION BY simhash) AS n_members,
+        |  row_number() OVER (PARTITION BY simhash ORDER BY n_chars DESC, id DESC) AS rn
+        |  FROM j)
+        |SELECT simhash, CAST(n_members AS BIGINT) AS n_members,
+        | id AS canonical_id, n_chars AS canonical_score
+        |FROM r WHERE rn = 1 ORDER BY simhash""".stripMargin,
+
+    // Inverted index: distinct (doc, term), df floor, window-rank twin
+    // of the id-ascending posting cap, ordered list_agg.
+    "q93_inverted_index" ->
+      """WITH t0 AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |t AS (SELECT DISTINCT doc_id, term FROM t0),
+        |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY 1),
+        |p AS (SELECT term, doc_id,
+        |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM t)
+        |SELECT d.term, d.df,
+        | CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | array_to_string(list(p.doc_id ORDER BY p.doc_id), ',') AS postings,
+        | CAST(d.df > 20 AS INT) AS truncated
+        |FROM p JOIN d USING (term)
+        |WHERE p.rn <= 20 AND d.df >= 5
+        |GROUP BY d.term, d.df ORDER BY d.term""".stripMargin,
   )
 }

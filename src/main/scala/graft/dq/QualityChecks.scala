@@ -247,6 +247,122 @@ object QualityChecks {
           .as("skew_ratio"))
   }
 
+  /** Fixed-width histogram over a numeric column: values clamped into
+    * [lo, hi), nBins equal bins, per-bin count + observed min/max.
+    * The bin index is `floor((x-lo)/(hi-lo)*nBins)` evaluated in that
+    * exact double-operation order — IEEE arithmetic is deterministic, so
+    * any engine replaying the same expression produces the same bins.
+    * Empty bins are absent (no densification pass).
+    *
+    * Scale shape: one map-side-combined groupBy over at most nBins keys
+    * — the shuffle carries <= nBins rows per map task regardless of
+    * input size. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1 && lo < hi, "need nBins >= 1 and lo < hi")
+    val x = sf.col(valueCol).cast("double")
+    val bin = sf.least(sf.greatest(
+      sf.floor((x - lo) / (hi - lo) * nBins), sf.lit(0L)), sf.lit(nBins - 1L))
+    val width = (hi - lo) / nBins
+    df.filter(x.isNotNull)
+      .groupBy(bin.cast("int").as("bin_idx"))
+      .agg(sf.count(sf.lit(1)).as("n"),
+        gf.roundAt(sf.min(x), 6).as("v_min"),
+        gf.roundAt(sf.max(x), 6).as("v_max"))
+      .select(sf.col("bin_idx"),
+        gf.roundAt(sf.lit(lo) + sf.col("bin_idx") * width, 6).as("bin_lo"),
+        gf.roundAt(sf.lit(lo) + (sf.col("bin_idx") + 1) * width, 6).as("bin_hi"),
+        sf.col("n"), sf.col("v_min"), sf.col("v_max"))
+      .orderBy("bin_idx")
+  }
+
+  /** Population-stability-index (PSI) drift between two snapshots of a
+    * numeric column — the monitoring number that says whether tomorrow's
+    * corpus still looks like today's. Both sides bin with [[histogram]]'s
+    * clamped fixed-width rule; shares are Laplace-smoothed
+    * ((n + 0.5) / (N + 0.5·nBins)) so a bin present on one side only
+    * contributes a finite term. Emits one row per OCCUPIED bin (absent
+    * from both sides = absent here) with each side's count, smoothed
+    * share, and the PSI term (p−q)·ln(p/q); the index is their sum.
+    * Rule of thumb: < 0.1 stable, > 0.25 population shift.
+    *
+    * Scale shape: two independent map-side-combined bin aggregations
+    * (<= nBins rows each), a broadcast-sized full outer join on bin,
+    * and two single-row totals — cost is two scans, nothing else grows
+    * with the data. */
+  def psiDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+               nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1 && lo < hi, "need nBins >= 1 and lo < hi")
+    def bins(df: DataFrame, out: String) = {
+      val x = sf.col(valueCol).cast("double")
+      val bin = sf.least(sf.greatest(
+        sf.floor((x - lo) / (hi - lo) * nBins), sf.lit(0L)), sf.lit(nBins - 1L))
+      df.filter(x.isNotNull).groupBy(bin.cast("int").as(s"__b$out"))
+        .agg(sf.count(sf.lit(1)).as(out))
+    }
+    val a = bins(dfA, "n_a")
+    val b = bins(dfB, "n_b")
+    val joined = a.join(b, sf.col("__bn_a") === sf.col("__bn_b"), "full_outer")
+      .select(sf.coalesce(sf.col("__bn_a"), sf.col("__bn_b")).as("bin_idx"),
+        sf.coalesce(sf.col("n_a"), sf.lit(0L)).as("n_a"),
+        sf.coalesce(sf.col("n_b"), sf.lit(0L)).as("n_b"))
+    val totals = joined.agg(sf.sum("n_a").as("__ta"), sf.sum("n_b").as("__tb"))
+    val p = (sf.col("n_a") + 0.5) / (sf.col("__ta") + 0.5 * nBins)
+    val q = (sf.col("n_b") + 0.5) / (sf.col("__tb") + 0.5 * nBins)
+    joined.crossJoin(sf.broadcast(totals))
+      .select(sf.col("bin_idx"), sf.col("n_a"), sf.col("n_b"),
+        gf.roundAt(p, 6).as("p_a"), gf.roundAt(q, 6).as("p_b"),
+        gf.roundAt((p - q) * sf.log(p / q), 6).as("psi_term"))
+      .orderBy("bin_idx")
+  }
+
+  /** Exact Pearson correlation for every pair of the given numeric
+    * columns, in ONE scan. Values are quantized to 10^-4 fixed-point
+    * longs (the dimensionProfile convention) and all five moment sums
+    * accumulate in DECIMAL(38,0) — order-exact at any parallelism, so
+    * the result is a pure function of the data, not of the partition
+    * merge order (double sums drift in the last ulps; long sums of
+    * products overflow around 2e6 rows). r is assembled in double from
+    * the exact sums. Pairs where either side is constant return NULL r.
+    *
+    * Scale shape: a single-row combinable aggregate — one scan of the
+    * fact, 6*nPairs partial cells per map task, then a map-only explode
+    * of the one result row into (col_x, col_y) rows. Rows with a NULL
+    * in either column of a pair drop from THAT pair only. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    def fx(c: String) = sf.floor(sf.col(c).cast("double") * 1e4 + 0.5).cast("long")
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val both = sf.col(a).isNotNull && sf.col(b).isNotNull
+      val xa = sf.when(both, fx(a))
+      val xb = sf.when(both, fx(b))
+      Seq(sf.count(xa).as(s"n_$i"),
+        sf.sum(dec(xa)).as(s"sx_$i"), sf.sum(dec(xb)).as(s"sy_$i"),
+        sf.sum(dec(xa) * dec(xa)).as(s"sxx_$i"),
+        sf.sum(dec(xb) * dec(xb)).as(s"syy_$i"),
+        sf.sum(dec(xa) * dec(xb)).as(s"sxy_$i"))
+    }
+    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = sf.col(s"n_$i").cast("double")
+      val sx = sf.col(s"sx_$i").cast("double") / 1e4
+      val sy = sf.col(s"sy_$i").cast("double") / 1e4
+      val sxx = sf.col(s"sxx_$i").cast("double") / 1e8
+      val syy = sf.col(s"syy_$i").cast("double") / 1e8
+      val sxy = sf.col(s"sxy_$i").cast("double") / 1e8
+      val den = sf.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val r = sf.when(den > 0, gf.roundAt((n * sxy - sx * sy) / den, 6))
+      sf.struct(sf.lit(a).as("col_x"), sf.lit(b).as("col_y"),
+        sf.col(s"n_$i").as("n"), r.as("r"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(sf.explode(sf.array(entries: _*)).as("e"))
+      .select(sf.col("e.col_x"), sf.col("e.col_y"), sf.col("e.n"), sf.col("e.r"))
+      .orderBy("col_x", "col_y")
+  }
+
   /** Winsorized (clipped) per-group stats: nearest-rank pLo/pHi
     * thresholds, values clamped into [lo, hi], then robust aggregates —
     * the outlier-resistant profile for numeric feature columns (a fat-

@@ -131,4 +131,29 @@ object Cleaning {
         sf.size(sf.col("__k")).cast("long").as("n_kept"),
         sf.array_join(sf.col("__k"), "\n").as("clean_text"))
       .orderBy("doc_id")
+
+  /** Text normalization (the first pass of every curation pipeline):
+    * strip non-printing control characters (keeping newline and tab),
+    * turn tabs into spaces, collapse space runs, strip spaces hugging
+    * newlines, collapse 3+ blank-line runs to one blank line, and trim.
+    * Idempotent (normalize(normalize(x)) == normalize(x)) and map-only
+    * — runs at scan speed, no shuffle, the same regexes replay in any
+    * RE2/Java-regex engine.
+    *
+    * Output: (doc_id, clean_text, n_chars_raw, n_chars_norm). Null text
+    * propagates as null with null counts (absent content, not empty).
+    */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = sf.col(textCol)
+    val noCtl = sf.regexp_replace(t0, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val tabs = sf.regexp_replace(noCtl, "\\t", " ")
+    val spaces = sf.regexp_replace(tabs, "  +", " ")
+    val hug = sf.regexp_replace(spaces, " *\\n *", "\n")
+    val blanks = sf.regexp_replace(hug, "\\n\\n\\n+", "\n\n")
+    docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.trim(blanks).as("clean_text"),
+        sf.length(t0).cast("long").as("n_chars_raw"))
+      .withColumn("n_chars_norm", sf.length(sf.col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
 }

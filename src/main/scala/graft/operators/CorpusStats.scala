@@ -249,6 +249,48 @@ object CorpusStats {
     * Output: (source_a, source_b, n_grams_a, n_grams_b, n_common,
     * jaccard), one row per unordered pair, ordered lexicographically.
     */
+  /** Inverted index with BOUNDED postings: term -> document frequency +
+    * the first `maxPostings` doc ids (ascending), with a truncation
+    * flag. `minDf` floors indexable terms; a stop-word's million-doc
+    * posting list arrives as maxPostings ids + truncated=1 instead of
+    * an OOM. Postings are emitted as a comma-joined string — the
+    * portable scalar form for the oracle diff.
+    *
+    * Scale shape: (doc, term) pairs collapse map-side to distinct, df
+    * is a combinable count, and the posting lists reduce through the
+    * SAME cap-bounded aggregator as `Sampling.capPerKey` (constant
+    * order-key = id-ascending caps): partial buffers never exceed
+    * maxPostings entries, so no term — however common — ever
+    * materializes its full posting list anywhere. No per-term sort;
+    * the window-rank formulation survives only as the oracle twin. */
+  def invertedIndex(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                    idCol: String, textCol: String,
+                    minDf: Long = 2, maxPostings: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("term"))
+      .distinct()
+      .localCheckpoint(true) // read by both the df count and the cap agg
+    val dfCounts = pairs.groupBy("term").agg(sf.count(sf.lit(1)).as("df"))
+      .filter(sf.col("df") >= minDf)
+    val capped = pairs
+      .select(sf.col("term").as("key"), sf.col("doc_id").as("id"),
+        sf.lit(0L).as("h")) // constant hash => CapAgg orders by id asc
+      .as[Sampling.CapRow]
+      .groupByKey(_.key)
+      .agg(new Sampling.CapAgg(maxPostings).toColumn.name("kept"))
+      .toDF("term", "kept")
+    dfCounts.join(capped, "term")
+      .select(sf.col("term"), sf.col("df"),
+        sf.size(sf.col("kept")).cast("long").as("n_kept"),
+        sf.array_join(sf.transform(sf.col("kept"), e => e.getField("_2")), ",")
+          .as("postings"),
+        (sf.col("df") > maxPostings).cast("int").as("truncated"))
+      .orderBy("term")
+  }
+
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
     // Materialized once: the distinct table feeds three plan arms

@@ -578,4 +578,24 @@ object Dedup {
         gf.hamming64(sf.col("sh_a"), sf.col("sh_b")).as("hamming"))
       .orderBy("a_id", "b_id")
   }
+
+  /** Canonical-member selection over ANY cluster labeling: per cluster,
+    * keep the member with the greatest (score, id) — "keep the longest
+    * copy", "keep the highest-quality copy" — instead of `dedupCorpus`'s
+    * keep-lowest-id default. Policy, not mechanism: compose it with
+    * exact-dup groups, simhash signatures, or `nearDupClusters` labels.
+    *
+    * Scale shape: a single combinable max(struct) aggregation (the
+    * `latestSnapshot` design) — partial winners reduce map-side, the
+    * shuffle carries one candidate per (map task, cluster), no per-
+    * cluster sort. The window-rank formulation is the oracle twin. */
+  def selectCanonical(df: DataFrame, clusterCol: String, idCol: String,
+                      scoreCol: String): DataFrame =
+    df.groupBy(sf.col(clusterCol))
+      .agg(sf.count(sf.lit(1)).as("n_members"),
+        sf.max(sf.struct(sf.col(scoreCol), sf.col(idCol))).as("__w"))
+      .select(sf.col(clusterCol), sf.col("n_members"),
+        sf.col(s"__w.$idCol").as("canonical_id"),
+        sf.col(s"__w.$scoreCol").as("canonical_score"))
+      .orderBy(clusterCol)
 }

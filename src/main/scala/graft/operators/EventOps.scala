@@ -130,6 +130,81 @@ object EventOps {
       .orderBy(keyCol, "version")
   }
 
+  /** Ordered funnel analysis: for a step sequence (e.g. view -> click ->
+    * purchase), per step the number of users who completed it IN ORDER
+    * (each step strictly after the user's previous-step completion) and
+    * the total lag from the user's funnel start, in exact integer
+    * microseconds. Completion time per step is the EARLIEST qualifying
+    * event — the standard "first conversion" reading, and a pure
+    * function of the data.
+    *
+    * Scale shape: step 0 is a map-side-combined min per user; each later
+    * step is one keyed join (events of that type x the shrinking
+    * qualified-user set — AQE broadcasts it when small) followed by a
+    * combinable min. No windows, no per-user event sorting: k steps cost
+    * k key-partitioned passes over ONLY that step's events (the type
+    * filter pushes to the scan). Each stage is checkpointed because two
+    * consumers read it (its own aggregate row + the next stage's join).
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             keyCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    def stageAgg(stage: DataFrame, i: Int): DataFrame =
+      stage.agg(sf.count(sf.lit(1)).as("n_users"),
+          sf.sum(sf.unix_micros(sf.col("__t")) - sf.unix_micros(sf.col("__t0")))
+            .as("sum_lag_us"))
+        .select(sf.lit(i).as("step_idx"), sf.lit(steps(i)).as("step_name"),
+          sf.col("n_users"),
+          sf.coalesce(sf.col("sum_lag_us"), sf.lit(0L)).as("sum_lag_us"))
+    var stage = events.filter(sf.col(typeCol) === steps.head)
+      .groupBy(sf.col(keyCol).as("__u"))
+      .agg(sf.min(sf.col(tsCol)).as("__t"))
+      .withColumn("__t0", sf.col("__t"))
+      .localCheckpoint(true)
+    var out = stageAgg(stage, 0)
+    for (i <- 1 until steps.size) {
+      stage = events.filter(sf.col(typeCol) === steps(i))
+        .join(stage, sf.col(keyCol) === sf.col("__u") &&
+          sf.col(tsCol) > sf.col("__t"))
+        .groupBy(sf.col("__u"))
+        .agg(sf.min(sf.col(tsCol)).as("__t"), sf.min(sf.col("__t0")).as("__t0"))
+        .localCheckpoint(true)
+      out = out.union(stageAgg(stage, i))
+    }
+    out.orderBy("step_idx")
+  }
+
+  /** Cohort retention matrix: users grouped by first-activity week
+    * (Monday-truncated — ISO weeks in every engine), counted in each
+    * later week they were active, keyed by the week offset from their
+    * cohort. The offset-0 column is each cohort's size; reading across a
+    * row gives the retention curve.
+    *
+    * Scale shape: the event log collapses map-side to distinct
+    * (user, week) — everything after runs on that compressed table: a
+    * combinable min for the cohort, one keyed join (AQE-sized), one
+    * combinable count. Raw events shuffle once, as (user, week) pairs.
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val weeks = events
+      .select(sf.col(keyCol).as("__u"),
+        sf.to_date(sf.date_trunc("week", sf.col(tsCol))).as("__wk"))
+      .distinct()
+      .localCheckpoint(true) // read twice: cohort min + activity join
+    val cohorts = weeks.groupBy(sf.col("__u").as("__cu"))
+      .agg(sf.min("__wk").as("__cohort"))
+    weeks.join(cohorts, sf.col("__u") === sf.col("__cu"))
+      .groupBy(sf.col("__cohort"),
+        (sf.datediff(sf.col("__wk"), sf.col("__cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(sf.count(sf.lit(1)).as("n_users"))
+      .select(sf.date_format(sf.col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+        sf.col("week_offset"), sf.col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** CDC latest-snapshot compaction: reduce a change/event log to one
     * current row per key — the upsert-merge that keeps a mutable-table
     * mirror (or a "latest doc version wins" corpus) fresh. The winner

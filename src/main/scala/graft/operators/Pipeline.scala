@@ -97,29 +97,36 @@ object Pipeline {
     val raw = stage("00_input", docs.select(
       sf.col("doc_id").cast("long").as("doc_id"),
       sf.col("text"), sf.col("source")))
-    val scrubbed = stage("01_pii_scrub",
-      Cleaning.scrubPii(raw, "text").select("doc_id", "text", "source"))
+    // map-only hygiene first: downstream hashes (exact dedup, shingles,
+    // decontamination grams) see canonical whitespace, so trivially-
+    // reformatted copies collapse as exact duplicates
+    val normalized = stage("01_normalize",
+      raw.select(sf.col("doc_id"), sf.col("source"))
+        .join(Cleaning.normalizeText(raw, "doc_id", "text")
+          .select(sf.col("doc_id"), sf.col("clean_text").as("text")), "doc_id"))
+    val scrubbed = stage("02_pii_scrub",
+      Cleaning.scrubPii(normalized, "text").select("doc_id", "text", "source"))
     // quality gate: top fraction per source by the composite signal
     val scored = scrubbed.join(
       TextAnalysis.qualityScore(scrubbed, "doc_id", "text")
         .select(sf.col("doc_id"), sf.col("avg_token_len").as("__q")), "doc_id")
-    val gated = stage("02_quality_gate",
+    val gated = stage("03_quality_gate",
       Sampling.topFractionByScore(scored, "source", "__q", qualityFrac)
         .drop("__q"))
-    val exact = stage("03_exact_dedup",
+    val exact = stage("04_exact_dedup",
       gated.join(Dedup.exact(gated, "doc_id", Seq("text"))
           .select(sf.col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi"))
-    val near = stage("04_near_dedup",
+    val near = stage("05_near_dedup",
       Dedup.dedupCorpus(exact, "doc_id", "text", nearDupThreshold)
         .select("doc_id", "text", "source"))
     val contaminated = TextAnalysis.decontaminate(near, benchmark, "doc_id", "text")
       .select("doc_id")
-    val clean = stage("05_decontaminated",
+    val clean = stage("06_decontaminated",
       near.join(contaminated, Seq("doc_id"), "left_anti"))
-    val mixed = stage("06_mixture",
+    val mixed = stage("07_mixture",
       Sampling.mixtureSample(clean, "doc_id", "source",
         graft.functions.tokenCount(sf.col("text")), budgets, defaultBudget))
-    val split = stage("07_split",
+    val split = stage("08_split",
       Sampling.hashSplit(mixed, "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
     split.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")

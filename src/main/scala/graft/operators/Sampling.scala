@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.{functions => sf}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 
 /** Deterministic sampling for corpus curation. `sample(fraction)` on a
   * DataFrame is seed-stable only per partitioning; these samplers hash
@@ -150,5 +151,85 @@ object Sampling {
     df.join(thresholds, sf.col(groupCol) === sf.col("__grp"))
       .filter(sf.col(scoreCol).cast("double") >= sf.col("__thr"))
       .drop("__grp", "__thr")
+  }
+
+  /** Row record for the per-key cap aggregator. */
+  case class CapRow(key: String, id: Long, h: Long)
+
+  /** cap-bounded typed Aggregator keeping the `cap` smallest (h, id)
+    * pairs per key — the same sorted-buffer design as
+    * [[graft.operators.Similarity.TopKAgg]] (O(1) reject once full,
+    * map-side partial reduction), ordered ascending because the
+    * "score" here is a hash: smallest-hash-first IS the deterministic
+    * random order. */
+  class CapAgg(cap: Int) extends Aggregator[CapRow, Seq[(Long, Long)], Seq[(Long, Long)]] {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    private def beats(x: (Long, Long), y: (Long, Long)): Boolean =
+      x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+    def zero: Seq[(Long, Long)] = Nil
+    def reduce(b: Seq[(Long, Long)], a: CapRow): Seq[(Long, Long)] = {
+      val x = (a.h, a.id)
+      if (b.length >= cap && !beats(x, b.last)) b
+      else {
+        val out = Vector.newBuilder[(Long, Long)]
+        var inserted = false
+        var kept = 0
+        val it = b.iterator
+        while (it.hasNext && kept < cap) {
+          val e = it.next()
+          if (!inserted && beats(x, e)) { out += x; kept += 1; inserted = true }
+          if (kept < cap) { out += e; kept += 1 }
+        }
+        if (!inserted && kept < cap) out += x
+        out.result()
+      }
+    }
+    def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val out = Vector.newBuilder[(Long, Long)]
+      val ix = x.iterator.buffered
+      val iy = y.iterator.buffered
+      var n = 0
+      while (n < cap && (ix.hasNext || iy.hasNext)) {
+        out += (if (!iy.hasNext) ix.next()
+                else if (!ix.hasNext) iy.next()
+                else if (beats(iy.head, ix.head)) iy.next()
+                else ix.next())
+        n += 1
+      }
+      out.result()
+    }
+    def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+    def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+  }
+
+  /** Deterministic per-key row cap: keep at most `cap` rows per key,
+    * chosen in portable-hash order ([[hashBucket]], ties by id) — the
+    * "no single domain may exceed N documents" rule, with membership a
+    * pure function of the data (stable across runs, partitionings, and
+    * engines; replayable as a SQL window twin).
+    *
+    * Scale shape: the cap-bounded combinable aggregator — partial
+    * buffers never exceed `cap` entries, so the shuffle carries at most
+    * cap rows per (map task, key) and no per-key sort ever runs (the
+    * window-rank formulation shuffles and sorts EVERY row per key and
+    * survives only as the oracle twin). Returns (key, rank, id); the
+    * caller semi-joins on id to materialize full surviving rows —
+    * output-proportional. */
+  def capPerKey(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                keyCol: String, idCol: String, cap: Int): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(sf.col(keyCol).cast("string").as("key"),
+        sf.col(idCol).cast("long").as("id"),
+        hashBucket(sf.col(idCol)).cast("long").as("h"))
+      .as[CapRow]
+    val agg = new CapAgg(cap).toColumn
+    ds.groupByKey(_.key).agg(agg.name("kept"))
+      .toDF("key", "kept")
+      .select(sf.col("key").as(keyCol), sf.posexplode(sf.col("kept")).as(Seq("i", "e")))
+      .select(sf.col(keyCol), (sf.col("i") + 1).cast("int").as("rank"),
+        sf.col("e._2").as(idCol))
+      .orderBy(keyCol, "rank")
   }
 }

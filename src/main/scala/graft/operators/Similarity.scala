@@ -726,6 +726,52 @@ object Similarity {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** Cross-corpus SEMANTIC decontamination: corpus rows whose embedding
+    * is within `threshold` cosine of any held-out/eval vector — the
+    * embedding-space twin of `TextAnalysis.decontaminate` (which
+    * catches verbatim n-gram overlap; this catches paraphrases that
+    * share no 8-gram). Same SRP banding as [[cosineNearDupBucketed]]:
+    * a pair is a candidate iff it agrees on at least one band, emitted
+    * once at the smallest agreeing band (first-witness, no pair-dedup
+    * shuffle), then exact-verified by cosine.
+    *
+    * Scale shape: the eval set is small by definition, so its exploded
+    * (band, bucket) table — vectors and band arrays riding along —
+    * BROADCASTS, and the whole operator is map-only over the corpus:
+    * the corpus explodes its bands, probes the broadcast buckets, and
+    * verifies inline. The corpus never shuffles, nothing is collected,
+    * and the scan prunes to (id, vector). */
+  def crossCorpusEmbedNearDup(corpus: DataFrame, evalSet: DataFrame,
+                              idCol: String, vecCol: String, threshold: Double,
+                              bands: Int = 16, bitsPerBand: Int = 8,
+                              seed: Int = 42): DataFrame = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 31, "bitsPerBand must fit an int")
+    val dim = evalSet.select(sf.size(sf.col(vecCol))).head().getInt(0)
+    val planes = lshPlanes(dim, bands * bitsPerBand, seed)
+    def banded(df: DataFrame) = Par.spread(
+      df.select(sf.col(idCol).cast("long").as("id"),
+        sf.col(vecCol).cast("array<double>").as("v")))
+      .withColumn("bv", sf.array((0 until bands).map { b =>
+        lshBucket(sf.col("v"),
+          planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)).cast("int")
+      }: _*))
+    val ev = banded(evalSet)
+      .select(sf.col("id").as("eval_id"), sf.col("v").as("ev"),
+        sf.col("bv").as("bv_e"))
+      .select(sf.col("eval_id"), sf.col("ev"), sf.col("bv_e"),
+        sf.posexplode(sf.col("bv_e")).as(Seq("band_e", "bh_e")))
+    val co = banded(corpus)
+      .select(sf.col("id").as("corpus_id"), sf.col("v"), sf.col("bv"),
+        sf.posexplode(sf.col("bv")).as(Seq("band", "bh")))
+    co.join(sf.broadcast(ev),
+        sf.col("band") === sf.col("band_e") && sf.col("bh") === sf.col("bh_e"))
+      .filter(gf.prefixAllDiffer(sf.col("bv"), sf.col("bv_e"), sf.col("band")))
+      .withColumn("cosine", gf.roundAt(gf.cosineSim(sf.col("v"), sf.col("ev")), 4))
+      .filter(sf.col("cosine") >= threshold)
+      .select("corpus_id", "eval_id", "cosine")
+      .orderBy("corpus_id", "eval_id")
+  }
+
   /** IVF-cell near-duplicate pair enumeration: the moderate-threshold
     * scale path. Every vector probes its `nProbe` nearest cells of a
     * deterministic codebook (same coarse quantizer as `ivfTopK`);

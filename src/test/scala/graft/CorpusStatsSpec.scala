@@ -164,4 +164,23 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got == Seq((0, 3L, 1L, 1.0, 1.0, 0.0, 2.0),
       (1, 3L, 1L, 3.0, 1.0, 2.0, 4.0)), s"got $got")
   }
+
+  test("invertedIndex: df floor, ascending id-capped postings, truncation flag") {
+    // "the" in all 30 docs (truncates at cap 5), "rare" in docs 3,7
+    // (passes minDf 2), "once" in one doc (filtered), duplicate tokens
+    // within a doc count once
+    val docs = (1L to 30L).map { i =>
+      val extra = (if (i == 3 || i == 7) " rare rare" else "") +
+        (if (i == 9) " once" else "")
+      (i, s"the the quick$extra")
+    }.toDF("doc_id", "text")
+    val got = CorpusStats.invertedIndex(spark, docs, "doc_id", "text",
+        minDf = 2, maxPostings = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getInt(4))).toSeq
+    assert(got == Seq(
+      ("quick", 30L, 5L, "1,2,3,4,5", 1),
+      ("rare", 2L, 2L, "3,7", 0),
+      ("the", 30L, 5L, "1,2,3,4,5", 1)), s"got $got")
+  }
 }

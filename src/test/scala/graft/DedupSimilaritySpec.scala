@@ -319,4 +319,38 @@ class DedupSimilaritySpec extends SparkFunSuite {
       if (f == 1) assert(uncapped(id) == 1, s"vec $id flagged only under the cap")
     }
   }
+
+  test("crossCorpusEmbedNearDup finds planted paraphrases, broadcast-only plan") {
+    import spark.implicits._
+    val dim = 16
+    def basis(k: Int): Seq[Double] = Seq.tabulate(dim)(i => if (i == k) 1.0 else 0.0)
+    val e0 = basis(0)
+    // corpus 100 = near-copy of eval 10 (tiny perturbation, cosine ~1);
+    // corpus 101..115 = orthogonal basis vectors (cosine 0 to eval)
+    val near = e0.zipWithIndex.map { case (x, i) => x + (if (i == 1) 0.01 else 0.0) }
+    val corpus = ((100L, near) +: (101L to 115L).map(i =>
+      (i, basis((i % 15 + 1).toInt))).toSeq).toDF("vec_id", "embedding")
+    val eval = Seq((10L, e0)).toDF("vec_id", "embedding")
+    val got = Similarity.crossCorpusEmbedNearDup(corpus, eval, "vec_id", "embedding",
+      threshold = 0.95, bands = 16, bitsPerBand = 4)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.contains((100L, 10L)), s"planted near-copy missed: ${rows.toSeq}")
+    assert(rows.forall(_._1 == 100L), s"false positives above 0.95: ${rows.toSeq}")
+    // scale contract: the probe join must broadcast the eval side — no
+    // shuffle of the corpus, no cartesian
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle or cross:\n$plan")
+  }
+
+  test("selectCanonical keeps the max (score, id) member per cluster") {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", 1L, 100L), ("c1", 2L, 300L), ("c1", 3L, 300L), // tie -> id 3
+      ("c2", 7L, 50L)).toDF("cluster", "id", "len")
+    val got = Dedup.selectCanonical(df, "cluster", "id", "len").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("c1", 3L, 3L, 300L), ("c2", 1L, 7L, 50L)))
+  }
 }

@@ -408,4 +408,130 @@ class OperatorsSpec extends SparkFunSuite {
       Similarity.pqTopK(embDf, "vec_id", "embedding", pred, k = 2, nSubspaces = 7)
     }
   }
+
+  test("EventOps: funnel requires strict in-order step completion") {
+    val ev = Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:00:10"),
+      (3L, 1L, "purchase", "2024-01-01 10:01:10"),
+      // user 2: click BEFORE view — converts on view only
+      (4L, 2L, "click", "2024-01-01 09:00:00"),
+      (5L, 2L, "view", "2024-01-01 09:30:00"),
+      // user 3: click at the SAME instant as view — not strictly after
+      (6L, 3L, "view", "2024-01-01 08:00:00"),
+      (7L, 3L, "click", "2024-01-01 08:00:00"),
+      // user 4: two clicks; only the one after the view qualifies, and
+      // the EARLIEST qualifying one is the completion time
+      (8L, 4L, "click", "2024-01-01 11:00:00"),
+      (9L, 4L, "view", "2024-01-01 12:00:00"),
+      (10L, 4L, "click", "2024-01-01 12:00:30"),
+      (11L, 4L, "click", "2024-01-01 12:01:00")).toDF(
+        "event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", sf.to_timestamp(sf.col("ts_s")))
+    val got = EventOps.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0, "view", 4L, 0L),
+      (1, "click", 2L, 40000000L),   // user 1: 10s, user 4: 30s
+      (2, "purchase", 1L, 70000000L))) // user 1: 70s from funnel start
+  }
+
+  test("EventOps: retentionCohorts keys users by first-activity week") {
+    // 2024-01-01 is a Monday; weeks truncate to it
+    val ev = Seq(
+      (1L, 1L, "2024-01-02 10:00:00"), (2L, 1L, "2024-01-16 10:00:00"),
+      (3L, 2L, "2024-01-03 10:00:00"),
+      (4L, 3L, "2024-01-09 10:00:00"), (5L, 3L, "2024-01-17 10:00:00"),
+      (6L, 3L, "2024-01-18 10:00:00")) // same user+week twice: one row
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", sf.to_timestamp(sf.col("ts_s")))
+    val got = EventOps.retentionCohorts(ev)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
+  test("QualityChecks: histogram clamps out-of-range, skips empty bins and nulls") {
+    val df = Seq(Some(-5.0), Some(0.5), Some(1.5), Some(25.0), None).toDF("x")
+    val got = QualityChecks.histogram(df, "x", nBins = 2, lo = 0.0, hi = 2.0)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // -5 clamps into bin 0, 25 into the top bin; v_min/v_max are the
+    // OBSERVED values, so the clamp is visible in the bin stats
+    assert(got.toSeq == Seq(
+      (0, 0.0, 1.0, 2L, -5.0, 0.5),
+      (1, 1.0, 2.0, 2L, 1.5, 25.0)))
+    // a bin with no values is absent, not zero-filled
+    val sparse = QualityChecks.histogram(df.filter(sf.col("x") < 1.0), "x", 2, 0.0, 2.0)
+    assert(sparse.collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
+  test("QualityChecks: correlationMatrix exact r, constant column -> NULL") {
+    val df = Seq(
+      (1.0, 2.0, 7.0, -1.0), (2.0, 4.0, 7.0, -2.0),
+      (3.0, 6.0, 7.0, -3.0), (4.0, 8.0, 7.0, -4.0)).toDF("x", "y", "c", "w")
+    val got = QualityChecks.correlationMatrix(df, Seq("x", "y", "c", "w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(("x", "y")) == (4L, Some(1.0)))
+    assert(got(("x", "w")) == (4L, Some(-1.0)))
+    assert(got(("x", "c")) == (4L, None)) // zero variance
+    // per-pair null handling: a null x drops the row from x-pairs only
+    val withNull = df.union(Seq((Double.NaN, 0.0, 0.0, 0.0)).toDF)
+      .withColumn("x", sf.when(!sf.isnan(sf.col("x")), sf.col("x")))
+    val n2 = QualityChecks.correlationMatrix(withNull, Seq("x", "y", "w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(n2(("x", "y")) == 4L && n2(("y", "w")) == 5L)
+  }
+
+  test("Cleaning: normalizeText strips controls, collapses runs, is idempotent") {
+    val raw = "  a\u0000b\tc   d \n\n\n\n e\u0007 \nf  "
+    val df = Seq((1L, raw), (2L, null: String)).toDF("doc_id", "text")
+    val got = Cleaning.normalizeText(df, "doc_id", "text").collect()
+    val clean = got(0).getString(1)
+    assert(clean == "ab c d\n\ne\nf")
+    assert(got(0).getLong(2) == raw.length && got(0).getLong(3) == clean.length)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2) && got(1).isNullAt(3))
+    val again = Cleaning.normalizeText(
+      Seq((1L, clean)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0).getString(1)
+    assert(again == clean, "normalizeText must be idempotent")
+  }
+
+  test("QualityChecks: psiDrift is ~0 for identical sides, positive under shift") {
+    val a = (1 to 100).map(i => i % 10.0).toDF("x")
+    val same = QualityChecks.psiDrift(a, a, "x", nBins = 5, lo = 0.0, hi = 10.0)
+      .agg(sf.sum("psi_term")).collect()(0).getDouble(0)
+    assert(math.abs(same) < 1e-9)
+    // push all of side B into the top bins: a real shift, psi > 0.25
+    val b = (1 to 100).map(i => 8.0 + (i % 2)).toDF("x")
+    val drift = QualityChecks.psiDrift(a, b, "x", nBins = 5, lo = 0.0, hi = 10.0)
+    val psi = drift.agg(sf.sum("psi_term")).collect()(0).getDouble(0)
+    assert(psi > 0.25, s"expected drift, psi=$psi")
+    // counts line up per occupied bin
+    val row0 = drift.filter(sf.col("bin_idx") === 0).collect()(0)
+    assert(row0.getLong(1) == 20L && row0.getLong(2) == 0L)
+  }
+
+  test("Sampling: capPerKey equals the window-rank twin and bounds per key") {
+    val df = (1L to 200L).map(i => (s"src${i % 3}", i)).toDF("source", "doc_id")
+    val got = Sampling.capPerKey(spark, df, "source", "doc_id", cap = 10)
+    val counts = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10L) && counts.size == 3)
+    // window-rank twin on the same portable hash
+    import org.apache.spark.sql.expressions.Window
+    val twin = df.withColumn("__h", Sampling.hashBucket(sf.col("doc_id")))
+      .withColumn("rank", sf.row_number().over(
+        Window.partitionBy("source").orderBy(sf.col("__h"), sf.col("doc_id"))))
+      .filter(sf.col("rank") <= 10)
+      .select("source", "rank", "doc_id")
+    assert(got.collect().map(_.toSeq).toSet == twin.collect().map(_.toSeq).toSet)
+    // a key with fewer rows than cap keeps them all
+    val small = Sampling.capPerKey(spark,
+      Seq(("a", 1L), ("a", 2L)).toDF("source", "doc_id"), "source", "doc_id", 10)
+    assert(small.count() == 2)
+  }
 }

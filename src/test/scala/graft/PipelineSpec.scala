@@ -31,16 +31,16 @@ class PipelineSpec extends SparkFunSuite {
       budgets = Map("src0" -> 1000L), defaultBudget = 2000L,
       qualityFrac = 0.5, nearDupThreshold = 0.9)
     val funnel = report.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    assert(funnel.map(_._1) == Seq("00_input", "01_pii_scrub", "02_quality_gate",
-      "03_exact_dedup", "04_near_dedup", "05_decontaminated", "06_mixture",
-      "07_split"), s"stages ${funnel.map(_._1)}")
+    assert(funnel.map(_._1) == Seq("00_input", "01_normalize", "02_pii_scrub",
+      "03_quality_gate", "04_exact_dedup", "05_near_dedup", "06_decontaminated",
+      "07_mixture", "08_split"), s"stages ${funnel.map(_._1)}")
     val counts = funnel.map(_._2)
-    // scrub preserves rows; every later stage only removes
-    assert(counts(1) == counts(0))
+    // normalize and scrub preserve rows; every later stage only removes
+    assert(counts(1) == counts(0) && counts(2) == counts(1))
     assert(counts.sliding(2).forall { case Seq(a, b) => b <= a })
     // the gates actually fire on this corpus: quality cut, dedup, and
     // decontamination each drop something; everything stays non-empty
-    assert(counts(2) < counts(1) && counts(4) < counts(2) && counts(5) < counts(4))
+    assert(counts(3) < counts(2) && counts(5) < counts(3) && counts(6) < counts(5))
     assert(counts.last > 0)
     // the written corpus is split-partitioned and matches the final count
     val written = spark.read.parquet(s"$out/corpus")
