@@ -595,6 +595,40 @@ object SparkEntry {
     "q93_inverted_index" -> ((s, dir) =>
       CorpusStats.invertedIndex(s, docs(s, dir), "doc_id", "text",
         minDf = 5, maxPostings = 20)),
+
+    // Binned interval join: every distinct ship date against the
+    // synthetic order validity windows [o_orderdate, o_orderdate +
+    // o_orderkey%30 days] — "orders open on that date". The naive
+    // BETWEEN-only join is a BroadcastNestedLoopJoin; the bin-key
+    // rewrite makes it an equi join (spec asserts no BNLJ).
+    "q94_interval_join" -> ((s, dir) => {
+      val epoch = sf.lit("1970-01-01").cast("date")
+      val pts = Tables.load(s, dir, "lineitem")
+        .select(sf.to_date(sf.col("l_shipdate")).as("ship_date")).distinct()
+        .withColumn("__p", sf.datediff(sf.col("ship_date"), epoch).cast("long"))
+      val iv = Tables.load(s, dir, "orders")
+        .select(sf.col("o_orderkey"), sf.col("o_totalprice"),
+          sf.datediff(sf.to_date(sf.col("o_orderdate")), epoch)
+            .cast("long").as("__lo"))
+        .withColumn("__hi",
+          sf.col("__lo") + sf.pmod(sf.col("o_orderkey"), sf.lit(30L)))
+      EventOps.intervalJoin(pts, iv, "__p", "__lo", "__hi", binWidth = 32)
+        .groupBy("ship_date")
+        .agg(sf.count(sf.lit(1)).as("n_open_orders"),
+          sf.sum(sf.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_open_price"))
+        .select(
+          sf.date_format(sf.col("ship_date"), "yyyy-MM-dd").as("point_date"),
+          sf.col("n_open_orders"), sf.col("sum_open_price"))
+        .orderBy("point_date")
+    }),
+
+    "q95_trailing_window" -> ((s, dir) =>
+      EventOps.trailingWindow(Tables.load(s, dir, "events"))),
+
+    "q96_mad_outliers" -> ((s, dir) =>
+      QualityChecks.robustOutliers(
+        Tables.load(s, dir, "events"), "event_id", "value", k = 3.0)),
   )
 
   // ---------------------------------------------------------------------
@@ -2012,5 +2046,40 @@ object SparkEntry {
         |FROM p JOIN d USING (term)
         |WHERE p.rn <= 20 AND d.df >= 5
         |GROUP BY d.term, d.df ORDER BY d.term""".stripMargin,
+
+    "q94_interval_join" ->
+      """WITH pts AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem),
+        |iv AS (SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS lo,
+        |  CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS hi
+        |  FROM orders)
+        |SELECT strftime(d, '%Y-%m-%d') AS point_date,
+        | COUNT(*) AS n_open_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_open_price
+        |FROM pts JOIN iv ON d >= lo AND d <= hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q95_trailing_window" ->
+      """SELECT user_id, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | COUNT(*) OVER w AS trailing_n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q96_mad_outliers" ->
+      """WITH m AS (SELECT floor((quantile_cont(CAST(value AS DOUBLE), 0.5))*10000.0 + 0.5)/10000.0 AS med
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+        |  abs(CAST(value AS DOUBLE) - med) AS dev FROM events, m),
+        |md AS (SELECT floor((quantile_cont(dev, 0.5))*10000.0 + 0.5)/10000.0 AS mad FROM d)
+        |SELECT event_id,
+        | floor(v*10000.0 + 0.5)/10000.0 AS value,
+        | CASE WHEN mad > 0 THEN floor((dev/mad)*10000.0 + 0.5)/10000.0 END AS mad_score
+        |FROM d, md
+        |WHERE CASE WHEN mad > 0 THEN dev > mad*3.0 ELSE dev > 0 END
+        |ORDER BY event_id""".stripMargin,
   )
 }

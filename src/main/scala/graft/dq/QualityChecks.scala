@@ -363,6 +363,50 @@ object QualityChecks {
       .orderBy("col_x", "col_y")
   }
 
+  /** Robust outlier detection via median/MAD — the audit that survives
+    * the outliers it hunts (mean/stddev z-scores are dragged by the
+    * very tail they're meant to flag; the median absolute deviation
+    * has a 50% breakdown point). Flags rows where
+    * |x - median| > k * MAD and emits (id, value, mad_score); the
+    * conventional k for "definite outlier" is 3-3.5 on roughly
+    * symmetric data. When MAD = 0 (a majority-constant column) any
+    * deviating row is flagged with NULL score — the k·MAD test would
+    * flag them at any k, and a finite score is undefined.
+    *
+    * Both medians run through [[quantileProfile]]'s distinct-value
+    * compression (shuffle proportional to the value DOMAIN, not the
+    * row count — `percentile` buffers every row of a group and is an
+    * OOM at 100 TB), each rounded at 4 decimals so any engine replays
+    * the arithmetic exactly. The two scalar cuts then broadcast into
+    * map-only filters: two compressed aggregation passes + two scans,
+    * nothing else grows with the data. The grouping key is a
+    * non-foldable constant (pmod of the id) because Spark's
+    * EliminateWindowPartitions would strip a literal key and leave an
+    * unbounded single-partition window WARNING for a frame that is
+    * here genuinely bounded by the value domain. */
+  def robustOutliers(df: DataFrame, idCol: String, valueCol: String,
+                     k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val one = sf.pmod(sf.col(idCol).cast("long"), sf.lit(1L)) // non-foldable 0
+    val med = quantileProfile(df.withColumn("__rg", one), "__rg", valueCol,
+        Seq("p50" -> 0.5))
+      .select(sf.col("p50").as("__med"))
+    val withMed = df.crossJoin(sf.broadcast(med))
+    val dev = sf.abs(sf.col(valueCol).cast("double") - sf.col("__med"))
+    val mad = quantileProfile(
+        withMed.withColumn("__rg", one).withColumn("__dev", dev), "__rg", "__dev",
+        Seq("p50" -> 0.5))
+      .select(sf.col("p50").as("__mad"))
+    withMed.crossJoin(sf.broadcast(mad))
+      .filter(sf.when(sf.col("__mad") > 0, dev > sf.col("__mad") * k)
+        .otherwise(dev > 0))
+      .select(sf.col(idCol),
+        gf.roundAt(sf.col(valueCol).cast("double"), 4).as("value"),
+        sf.when(sf.col("__mad") > 0, gf.roundAt(dev / sf.col("__mad"), 4))
+          .as("mad_score"))
+      .orderBy(idCol)
+  }
+
   /** Winsorized (clipped) per-group stats: nearest-rank pLo/pHi
     * thresholds, values clamped into [lo, hi], then robust aggregates —
     * the outlier-resistant profile for numeric feature columns (a fat-

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => sf}
 
@@ -203,6 +203,74 @@ object EventOps {
       .select(sf.date_format(sf.col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
         sf.col("week_offset"), sf.col("n_users"))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Binned interval (range) join: each `points` row paired with every
+    * `intervals` row whose [lo, hi] contains it (inclusive ends;
+    * intervals with hi < lo drop). All three operands are LONG columns
+    * — callers map dates/timestamps to epoch days/micros first.
+    *
+    * Spark has no range-join operator, and the naive formulation (a
+    * join whose only condition is `p BETWEEN lo AND hi`) plans as a
+    * BroadcastNestedLoopJoin — quadratic, the classic 100 TB killer.
+    * The scalable composition bins the domain: intervals explode into
+    * every `binWidth`-wide bin they overlap (ceil(span/width)+1 rows),
+    * points map to exactly ONE bin, and the join becomes an EQUI join
+    * on the bin key with the containment predicate as a post-filter.
+    * Because a point lives in a single bin, each qualifying pair meets
+    * exactly once — no dedup pass. Both sides shuffle once, on the bin
+    * key; AQE handles a small exploded side via broadcast.
+    *
+    * Pick `binWidth` near the typical interval span: wider bins cut
+    * the interval blow-up, narrower bins cut false candidates per bin.
+    * Dense bins (many intervals overlapping one region) are data skew
+    * — AQE's skew-join split handles the imbalance at runtime. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointCol: String, loCol: String, hiCol: String,
+                   binWidth: Long = 32): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    def bin(c: Column) = sf.floor(c / binWidth.toDouble).cast("long")
+    val p = points.withColumn("__pbin", bin(sf.col(pointCol)))
+    val iv = intervals
+      .filter(sf.col(loCol) <= sf.col(hiCol))
+      .withColumn("__ibin",
+        sf.explode(sf.sequence(bin(sf.col(loCol)), bin(sf.col(hiCol)))))
+    p.join(iv, sf.col("__pbin") === sf.col("__ibin") &&
+        sf.col(pointCol) >= sf.col(loCol) && sf.col(pointCol) <= sf.col(hiCol))
+      .drop("__pbin", "__ibin")
+  }
+
+  /** Per-event trailing time-range aggregate: for every event, the
+    * count and exact decimal sum of the SAME key's events in the
+    * trailing `windowSec` seconds (inclusive interval [t-window, t]).
+    * The feature every behavioral model wants — "activity in the last
+    * 24 h as of each event" — and the value-based RANGE twin of the
+    * row-frame running aggregates (q49).
+    *
+    * The frame is value-based (RANGE, not ROWS), so the result is a
+    * pure function of the data even when timestamps tie: all rows at
+    * the boundary value are in-frame regardless of their sort order.
+    * Comparisons run in exact integer microseconds; the sum
+    * accumulates in DECIMAL so partial-merge order can't drift ulps.
+    *
+    * Scale shape: one shuffle on the key, one sort per partition —
+    * Spark's streaming RANGE frame keeps a sliding two-pointer buffer
+    * bounded by the window's row population, never the whole
+    * partition. Same plan at any scale; skewed keys are the caller's
+    * salting decision. */
+  def trailingWindow(events: DataFrame, keyCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     valueCol: String = "value",
+                     windowSec: Long = 86400): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(sf.unix_micros(sf.col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0)
+    events.select(sf.col(keyCol), sf.col(idCol),
+        sf.date_format(sf.col(tsCol), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        sf.count(sf.lit(1)).over(w).as("trailing_n"),
+        sf.sum(sf.col(valueCol).cast("decimal(18,2)")).over(w)
+          .cast("double").as("trailing_sum"))
+      .orderBy(keyCol, idCol)
   }
 
   /** CDC latest-snapshot compaction: reduce a change/event log to one

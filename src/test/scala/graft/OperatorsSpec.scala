@@ -534,4 +534,53 @@ class OperatorsSpec extends SparkFunSuite {
       Seq(("a", 1L), ("a", 2L)).toDF("source", "doc_id"), "source", "doc_id", 10)
     assert(small.count() == 2)
   }
+
+  test("EventOps: intervalJoin pairs each point once, plans as an equi join") {
+    val pts = Seq(0L, 5L, 33L, 40L, 100L).toDF("p")
+    val iv = Seq(
+      (1L, 0L, 4L),   // contains 0
+      (2L, 3L, 36L),  // spans two 32-wide bins: contains 5 and 33
+      (3L, 40L, 40L), // single-point interval: contains 40
+      (4L, 50L, 45L)  // inverted (hi < lo): drops entirely
+    ).toDF("iv_id", "lo", "hi")
+    val got = EventOps.intervalJoin(pts, iv, "p", "lo", "hi", binWidth = 32)
+    val pairs = got.select("p", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: interval 2 overlaps two bins but each pair
+    // emits exactly once (the point lives in a single bin)
+    assert(pairs.sorted.toSeq == Seq((0L, 1L), (5L, 2L), (33L, 2L), (40L, 3L)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "interval join must plan as a bin-keyed equi join")
+  }
+
+  test("EventOps: trailingWindow inclusive 24h boundary, value-based frame") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 1.0),
+      (2L, 1L, "2024-01-01 12:00:00", 2.0),
+      (3L, 1L, "2024-01-02 00:00:00", 4.0),  // exactly 24h after e1: in
+      (4L, 1L, "2024-01-02 12:00:01", 8.0),  // 24h1s after e2: e2 out, e3 in
+      (5L, 2L, "2024-01-01 00:00:00", 16.0)) // other key unaffected
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", sf.to_timestamp(sf.col("ts_s")))
+    val got = EventOps.trailingWindow(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 3L, 7.0), (4L, 2L, 12.0),
+      (5L, 1L, 16.0)))
+  }
+
+  test("QualityChecks: robustOutliers flags k*MAD deviants; MAD=0 degrades") {
+    // 1..9 plus a 1000 spike: median 5.5, MAD 2.5, k=3 cut 7.5 —
+    // only the spike (dev 994.5, score 397.8) survives
+    val df = ((1L to 9L).map(i => (i, i.toDouble)) :+ (10L, 1000.0)).toDF("id", "v")
+    val got = QualityChecks.robustOutliers(df, "id", "v", k = 3.0).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(got(0).getDouble(1) == 1000.0 && got(0).getDouble(2) == 397.8)
+    // majority-constant column: MAD = 0, any deviating row flags with
+    // NULL score (a finite k*MAD test is undefined)
+    val const = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 7.0)).toDF("id", "v")
+    val g2 = QualityChecks.robustOutliers(const, "id", "v").collect()
+    assert(g2.map(_.getLong(0)).toSeq == Seq(4L) && g2(0).isNullAt(2))
+  }
 }
