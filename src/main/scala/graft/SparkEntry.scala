@@ -629,6 +629,14 @@ object SparkEntry {
     "q96_mad_outliers" -> ((s, dir) =>
       QualityChecks.robustOutliers(
         Tables.load(s, dir, "events"), "event_id", "value", k = 3.0)),
+
+    // EXACT threshold Jaccard self-join (prefix filtering) — the
+    // zero-miss twin of q22's LSH path; the oracle is the full
+    // quadratic join, so any recall gap in the prefix filter fails
+    // the gate.
+    "q97_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.9)),
   )
 
   // ---------------------------------------------------------------------
@@ -2081,5 +2089,16 @@ object SparkEntry {
         |FROM d, md
         |WHERE CASE WHEN mad > 0 THEN dev > mad*3.0 ELSE dev > 0 END
         |ORDER BY event_id""".stripMargin,
+
+    "q97_prefix_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | floor((CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |   / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))))*10000.0 + 0.5)/10000.0 AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |   / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -73,6 +73,149 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** EXACT Jaccard >= t self-join via rarity-ordered prefix filtering
+    * (the AllPairs/PPJoin family: Bayardo et al. WWW'07; Vernica,
+    * Carey & Li SIGMOD'10 for the distributed formulation) — the
+    * zero-miss twin of [[minHashLsh]]: no banding probability, every
+    * qualifying pair is guaranteed out, no signature tuning.
+    *
+    * The filter: order the token universe rarest-first (ascending
+    * document frequency, ties by token hash). A doc of size s only
+    * emits its first s - ceil(t*s) + 1 ordered tokens ("prefix") into
+    * the join: two sets with J >= t MUST share a prefix token under a
+    * common total order — if all shared tokens sat in A's suffix,
+    * |A ∩ B| <= ceil(t*|A|) - 1 < t*|A| <= |A ∩ B|. So the candidate
+    * join is an EQUI join on the prefix token, never all-pairs, and
+    * rarest-first makes those join keys precisely the low-df tokens
+    * (a stop word never lands in a prefix unless t is tiny).
+    *
+    * Funnel: size-ratio filter (exact integer arithmetic) ->
+    * first-witness emission (a pair sharing several prefix tokens
+    * emits only at the earliest one — array_intersect on the
+    * rarity-ordered prefix arrays, no dedup shuffle) ->
+    * early-abandoning merge-scan verification joined back from the
+    * per-doc sorted-hash table. Empty token sets never pair (callers
+    * wanting the J(∅,∅)=1 convention handle empties separately).
+    *
+    * Scale shape: every shuffle is keyed (token df, per-doc regroup,
+    * prefix-token join, id-keyed verify joins); prefix arrays are the
+    * only payload riding the candidate join, ~(1-t)*s + 1 longs each.
+    * At 100 TB the df table is vocabulary-sized (Zipf: far smaller
+    * than the corpus) and candidate volume is governed by the rarity
+    * ordering — the same reason AllPairs beats quadratic at web scale.
+    *
+    * Caveat measured on the synthetic corpus: with a DEGENERATE
+    * vocabulary (31 distinct words, dense ~22-token sets) no token is
+    * rare, so prefix buckets are huge and the filter keeps ~22% of all
+    * set pairs — exactness costs real verification work there. That
+    * regime belongs to [[minHashLsh]] (signatures summarize the whole
+    * set) or a <=64-universe bitmask specialization; on natural text
+    * the prefix join is the standard exact-join scale design. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t10k = math.round(threshold * 10000).toInt
+    // Exact-duplicate collapse first (the lshCore design): docs with
+    // identical token sets reduce to one representative before any
+    // prefix work — production corpora are duplicate-heavy, and every
+    // copy would otherwise re-pay df lookups, prefix explosion,
+    // candidate enumeration (quadratically!) and verification. Empty
+    // sets are excluded by contract before grouping.
+    val hashed = Par.spread(docs.select(
+        sf.col(idCol).cast("long").as("id"), sf.col(textCol).as("__t")))
+      .select(sf.col("id"), gf.hashedWsShingles(sf.col("__t")).as("sh"))
+      .filter(sf.size(sf.col("sh")) >= 1)
+      .withColumn("setkey", sf.xxhash64(sf.col("sh")))
+      .persist()
+    val base = hashed.groupBy("setkey")
+      .agg(sf.min("id").as("id"), sf.count(sf.lit(1)).as("cnt"),
+        sf.first("sh").as("sh"))
+      .persist()
+    val docTok = base.select(sf.col("id"), sf.size(sf.col("sh")).as("sz"),
+      sf.explode(sf.col("sh")).as("tok"))
+    val dfc = docTok.groupBy("tok").agg(sf.count(sf.lit(1)).as("df"))
+    // ceil(t*sz) in exact integer arithmetic — double mult rounds
+    // unpredictably at the boundary (sz*t10k <= ~1e10: exact in double)
+    val need = sf.floor((sf.col("sz") * t10k + 9999L) / 10000.0)
+    val pfx = docTok.join(dfc, "tok")
+      .groupBy("id", "sz")
+      .agg(sf.sort_array(
+        sf.collect_list(sf.struct(sf.col("df"), sf.col("tok")))).as("ord"))
+      .select(sf.col("id"), sf.col("sz"),
+        sf.transform(
+          sf.slice(sf.col("ord"), sf.lit(1), (sf.col("sz") - need + 1).cast("int")),
+          x => x.getField("tok")).as("pfx"))
+    val ex = pfx.select(sf.col("id"), sf.col("sz"), sf.col("pfx"),
+      sf.posexplode(sf.col("pfx")).as(Seq("pos", "tok")))
+    // J >= t  <=>  inter*(1+t) >= t*(sz_a+sz_b): the required overlap,
+    // all in exact integer arithmetic (PPJoin's positional filters)
+    val interReq10k = sf.lit(t10k.toLong) *
+      (sf.col("sz_a") + sf.col("sz_b"))
+    val afterA = sf.col("sz_a") - sf.col("pos_a") - 1
+    val afterB = sf.col("sz_b") - sf.col("pos_b") - 1
+    val cands = ex.select(sf.col("tok"), sf.col("id").as("a_id"),
+        sf.col("sz").as("sz_a"), sf.col("pos").as("pos_a"), sf.col("pfx").as("pfx_a"))
+      .join(ex.select(sf.col("tok"), sf.col("id").as("b_id"),
+        sf.col("sz").as("sz_b"), sf.col("pos").as("pos_b"), sf.col("pfx").as("pfx_b")),
+        Seq("tok"))
+      .filter(sf.col("a_id") < sf.col("b_id"))
+      // J <= min/max of the sizes, so min*10^4 >= max*t10k is necessary
+      .filter(sf.least(sf.col("sz_a"), sf.col("sz_b")) * 10000L >=
+        sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("long") * t10k)
+      // loose positional bound, valid for ANY shared token at 0-based
+      // (pos_a, pos_b): common tokens before it <= min(pos_a, pos_b),
+      // after it <= min(remaining suffix lengths). A few int ops per
+      // collision row, BEFORE the allocating intersect test.
+      .filter((sf.least(sf.col("pos_a"), sf.col("pos_b")) + 1L +
+        sf.least(afterA, afterB)) * (10000L + t10k) >= interReq10k)
+      // first-witness: emit only at the earliest shared prefix token
+      // (array_intersect preserves the first argument's rarity order)
+      .filter(sf.col("tok") === sf.element_at(
+        sf.array_intersect(sf.col("pfx_a"), sf.col("pfx_b")), 1))
+      // tight positional bound: at the FIRST shared token no common
+      // token precedes it in either order, so inter <= 1 + the
+      // smaller remaining suffix
+      .filter((sf.lit(1L) + sf.least(afterA, afterB)) * (10000L + t10k) >=
+        interReq10k)
+      .select("a_id", "b_id")
+    // Guard band below the kernel threshold (house convention, see
+    // lshCore): the abandon test's two double products round
+    // independently, and a pair at EXACTLY j = t can land on opposite
+    // sides of the grid (27*(1+0.9) rounds below 57*0.9) — the final
+    // raw-value filter is the authoritative >= t test.
+    val repPairs = cands
+      .join(base.select(sf.col("id").as("a_id"), sf.col("setkey").as("sk_a"),
+        sf.col("sh").as("sh_a")), "a_id")
+      .join(base.select(sf.col("id").as("b_id"), sf.col("setkey").as("sk_b"),
+        sf.col("sh").as("sh_b")), "b_id")
+      .withColumn("jaccard",
+        gf.jaccardSortedLongGeq(sf.col("sh_a"), sf.col("sh_b"),
+          threshold - 0.00005))
+      .filter(sf.col("jaccard") >= threshold)
+      .select("sk_a", "sk_b", "jaccard")
+    // Output-proportional expansion back to member pairs (identical
+    // sets ⇒ identical Jaccard); within-group pairs are exact
+    // duplicates, J = 1.0 by construction.
+    val members = hashed.select("setkey", "id")
+    val cross = repPairs
+      .join(members.select(sf.col("setkey").as("sk_a"), sf.col("id").as("ia")), "sk_a")
+      .join(members.select(sf.col("setkey").as("sk_b"), sf.col("id").as("ib")), "sk_b")
+      .select(sf.least(sf.col("ia"), sf.col("ib")).as("a_id"),
+        sf.greatest(sf.col("ia"), sf.col("ib")).as("b_id"), sf.col("jaccard"))
+    val dupSets = base.filter(sf.col("cnt") > 1).select("setkey")
+    val m2 = members.join(dupSets, Seq("setkey"), "left_semi")
+    val intra = m2.alias("x").join(m2.alias("y"),
+        sf.col("x.setkey") === sf.col("y.setkey") && sf.col("x.id") < sf.col("y.id"))
+      .select(sf.col("x.id").as("a_id"), sf.col("y.id").as("b_id"),
+        sf.lit(1.0).as("jaccard"))
+    cross.union(intra)
+      .select(sf.col("a_id"), sf.col("b_id"),
+        gf.roundAt(sf.col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(true) // the range sort below samples its child
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
     * Output: (a_id, b_id, jaccard) for verified jaccard >= threshold.
     *

@@ -353,4 +353,24 @@ class DedupSimilaritySpec extends SparkFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(("c1", 3L, 3L, 300L), ("c2", 1L, 7L, 50L)))
   }
+
+  test("prefixJaccardPairs is EXACT: equals the brute-force join, equi-join plan") {
+    val docs = Tables.load(spark, sf001, "documents").filter($"doc_id" < 120)
+    // a threshold low enough that candidate pruning has real work to do
+    val t = 0.6
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", threshold = t)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "prefix filtering must plan as token-keyed equi joins")
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force reference over the same corpus slice (string sets;
+    // xxhash64 collisions are impossible at this corpus size)
+    val want = Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= t).toSet
+    assert(gotRows == want,
+      s"missing=${(want -- gotRows).take(5)} extra=${(gotRows -- want).take(5)}")
+    assert(gotRows.nonEmpty, "slice should contain near-dup pairs")
+  }
 }
