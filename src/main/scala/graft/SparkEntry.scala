@@ -637,6 +637,12 @@ object SparkEntry {
     "q97_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
         threshold = 0.9)),
+
+    "q98_active_users" -> ((s, dir) =>
+      EventOps.activeUsers(Tables.load(s, dir, "events"), windowDays = 7)),
+
+    "q99_ab_lift" -> ((s, dir) =>
+      EventOps.abLift(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -2100,5 +2106,42 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
         |   / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
+
+    "q98_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM ud)
+        |SELECT strftime(days.d, '%Y-%m-%d') AS day,
+        | COUNT(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END) AS dau,
+        | COUNT(DISTINCT ud.user_id) AS window_users
+        |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q99_ab_lift" ->
+      """WITH s AS (SELECT
+        |  CASE WHEN (((user_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 5000
+        |       THEN 'A' ELSE 'B' END AS variant,
+        |  CAST(floor(CAST(value AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS x4
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT
+        |  COUNT(CASE WHEN variant='A' THEN 1 END) AS n_a,
+        |  COUNT(CASE WHEN variant='B' THEN 1 END) AS n_b,
+        |  CAST(SUM(CASE WHEN variant='A' THEN CAST(x4 AS DECIMAL(38,0)) END) AS DOUBLE) AS s_a,
+        |  CAST(SUM(CASE WHEN variant='B' THEN CAST(x4 AS DECIMAL(38,0)) END) AS DOUBLE) AS s_b,
+        |  CAST(SUM(CASE WHEN variant='A' THEN CAST(x4 AS DECIMAL(38,0))*CAST(x4 AS DECIMAL(38,0)) END) AS DOUBLE) AS ss_a,
+        |  CAST(SUM(CASE WHEN variant='B' THEN CAST(x4 AS DECIMAL(38,0))*CAST(x4 AS DECIMAL(38,0)) END) AS DOUBLE) AS ss_b
+        |  FROM s),
+        |d AS (SELECT n_a, n_b,
+        |  (s_a/10000.0)/CAST(n_a AS DOUBLE) AS ma, (s_b/10000.0)/CAST(n_b AS DOUBLE) AS mb,
+        |  (ss_a/100000000.0 - CAST(n_a AS DOUBLE)*((s_a/10000.0)/CAST(n_a AS DOUBLE))*((s_a/10000.0)/CAST(n_a AS DOUBLE)))/(CAST(n_a AS DOUBLE)-1) AS va,
+        |  (ss_b/100000000.0 - CAST(n_b AS DOUBLE)*((s_b/10000.0)/CAST(n_b AS DOUBLE))*((s_b/10000.0)/CAST(n_b AS DOUBLE)))/(CAST(n_b AS DOUBLE)-1) AS vb
+        |  FROM m)
+        |SELECT n_a, n_b,
+        | floor(ma*10000.0 + 0.5)/10000.0 AS mean_a,
+        | floor(mb*10000.0 + 0.5)/10000.0 AS mean_b,
+        | CASE WHEN ma <> 0 THEN floor(((mb-ma)/ma*100)*10000.0 + 0.5)/10000.0 END AS lift_pct,
+        | CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |   floor(((mb-ma)/sqrt(va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE)))*10000.0 + 0.5)/10000.0 END AS t_stat
+        |FROM d""".stripMargin,
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => sf}
+import graft.{functions => gf}
 
 /** Event-table analytics. `windowedAgg` is written so the identical
   * transform runs in batch here and under Structured Streaming in
@@ -271,6 +272,92 @@ object EventOps {
         sf.sum(sf.col(valueCol).cast("decimal(18,2)")).over(w)
           .cast("double").as("trailing_sum"))
       .orderBy(keyCol, idCol)
+  }
+
+  /** Rolling active-user counts (DAU / trailing-window WAU-style): for
+    * every OBSERVED activity day, the distinct users active that day
+    * and within the trailing `windowDays` window ending that day.
+    *
+    * A distinct count cannot ride a window frame, and the naive
+    * per-day self-join over the window is quadratic in days. The
+    * linear composition: collapse the log to distinct (user, day)
+    * map-side, then each activity day CONTRIBUTES to the next
+    * `windowDays` target days (a bounded explode), and each target day
+    * distinct-counts its contributors. Shuffle volume is
+    * |distinct (user, day)| x windowDays rows — linear in activity,
+    * constant in window width per row, no quadratic anything.
+    * Target days with no activity of their own are not reported
+    * (semi-join with the observed-day set). */
+  def activeUsers(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events.select(sf.col(keyCol).as("__u"),
+        sf.to_date(sf.date_trunc("day", sf.col(tsCol))).as("__d"))
+      .distinct()
+      .localCheckpoint(true) // read twice: contributions + day universe
+    val days = ud.select(sf.col("__d").as("__td")).distinct()
+    ud.select(sf.col("__u"),
+        sf.posexplode(sf.array_repeat(sf.col("__d"), windowDays))
+          .as(Seq("__off", "__d0")))
+      .select(sf.col("__u"), sf.col("__off"),
+        sf.date_add(sf.col("__d0"), sf.col("__off")).as("__td"))
+      .join(days, "__td")
+      .groupBy("__td")
+      .agg(
+        sf.count_distinct(sf.when(sf.col("__off") === 0, sf.col("__u"))).as("dau"),
+        sf.count_distinct(sf.col("__u")).as("window_users"))
+      .select(sf.date_format(sf.col("__td"), "yyyy-MM-dd").as("day"),
+        sf.col("dau"), sf.col("window_users"))
+      .orderBy("day")
+  }
+
+  /** Deterministic A/B experiment readout: users split into variants by
+    * the portable multiplicative hash (same assignment in any engine,
+    * any run), per-variant mean of `valueCol`, percent lift, and the
+    * Welch t statistic. Moment sums accumulate in fixed-point
+    * DECIMAL(38,0) (the correlationMatrix convention) so the result is
+    * a pure function of the data — double sums would drift ulps with
+    * partition merge order and break cross-engine replay. The t
+    * assembly runs in a fixed double-operation order on the exact sums.
+    *
+    * Scale shape: ONE single-row combinable aggregate over the event
+    * scan — six partial cells per variant per map task, no shuffle of
+    * data rows at all. */
+  def abLift(events: DataFrame, keyCol: String = "user_id",
+             valueCol: String = "value"): DataFrame = {
+    val variant = sf.when(Sampling.hashBucket(sf.col(keyCol)) < 5000, "A")
+      .otherwise("B")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val a4 = sf.when(variant === "A", x4)
+    val b4 = sf.when(variant === "B", x4)
+    def stats(pfx: String, c: Column) = Seq(
+      sf.count(c).as(s"n_$pfx"),
+      sf.sum(dec(c)).as(s"s_$pfx"),
+      sf.sum(dec(c) * dec(c)).as(s"ss_$pfx"))
+    val aggs = stats("a", a4) ++ stats("b", b4)
+    def mean(p: String) =
+      (sf.col(s"s_$p").cast("double") / 1e4) / sf.col(s"n_$p").cast("double")
+    def variance(p: String, m: Column) =
+      (sf.col(s"ss_$p").cast("double") / 1e8 -
+        sf.col(s"n_$p").cast("double") * m * m) /
+        (sf.col(s"n_$p").cast("double") - 1)
+    events.filter(sf.col(valueCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(sf.col("n_a"), sf.col("n_b"),
+        mean("a").as("__ma"), mean("b").as("__mb"),
+        variance("a", mean("a")).as("__va"), variance("b", mean("b")).as("__vb"))
+      .select(sf.col("n_a"), sf.col("n_b"),
+        gf.roundAt(sf.col("__ma"), 4).as("mean_a"),
+        gf.roundAt(sf.col("__mb"), 4).as("mean_b"),
+        sf.when(sf.col("__ma") =!= 0, gf.roundAt(
+          (sf.col("__mb") - sf.col("__ma")) / sf.col("__ma") * 100, 4))
+          .as("lift_pct"),
+        sf.when(sf.col("n_a") >= 2 && sf.col("n_b") >= 2, gf.roundAt(
+          (sf.col("__mb") - sf.col("__ma")) /
+            sf.sqrt(sf.col("__va") / sf.col("n_a").cast("double") +
+              sf.col("__vb") / sf.col("n_b").cast("double")), 4))
+          .as("t_stat"))
   }
 
   /** CDC latest-snapshot compaction: reduce a change/event log to one

@@ -570,6 +570,46 @@ class OperatorsSpec extends SparkFunSuite {
       (5L, 1L, 16.0)))
   }
 
+  test("EventOps: activeUsers trailing window includes day+6, excludes day+7") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 1L, "2024-01-01 15:00:00"), // same user+day: one contribution
+      (3L, 2L, "2024-01-07 09:00:00"), // user 1's Jan 1 still in 7d window
+      (4L, 3L, "2024-01-08 09:00:00")) // Jan 1 now out (day+7)
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", sf.to_timestamp(sf.col("ts_s")))
+    val got = EventOps.activeUsers(ev, windowDays = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // only observed days are reported (no empty Jan 2-6 rows)
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 1L, 1L),
+      ("2024-01-07", 1L, 2L),   // user 2 active, user 1 in window
+      ("2024-01-08", 1L, 2L)))  // users 2 & 3 in window, user 1 aged out
+  }
+
+  test("EventOps: abLift exact moments match a direct computation") {
+    val ev = (1L to 400L).map(u => (u, u % 7 + 0.25)).toDF("user_id", "value")
+    val got = EventOps.abLift(ev).collect()(0)
+    // reference computation with the same variant hash + fixed-point sums
+    def bucket(u: Long) = ((u % 2147483648L) * 2654435761L % 4294967296L) % 10000
+    val (a, b) = (1L to 400L).map(u => (u, u % 7 + 0.25))
+      .partition { case (u, _) => bucket(u) < 5000 }
+    def m(xs: Seq[Double]) = {
+      val x4 = xs.map(v => math.floor(v * 1e4 + 0.5).toLong)
+      val n = x4.length.toDouble
+      val mean = (x4.map(BigDecimal(_)).sum.toDouble / 1e4) / n
+      val ss = x4.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble / 1e8
+      (n.toLong, mean, (ss - n * mean * mean) / (n - 1))
+    }
+    val (na, ma, va) = m(a.map(_._2)); val (nb, mb, vb) = m(b.map(_._2))
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(got.getDouble(2) == r4(ma) && got.getDouble(3) == r4(mb))
+    assert(got.getDouble(4) == r4((mb - ma) / ma * 100))
+    assert(got.getDouble(5) == r4((mb - ma) / math.sqrt(va / na + vb / nb)))
+    assert(na + nb == 400L && na > 100 && nb > 100, "split should be near-even")
+  }
+
   test("QualityChecks: robustOutliers flags k*MAD deviants; MAD=0 degrades") {
     // 1..9 plus a 1000 spike: median 5.5, MAD 2.5, k=3 cut 7.5 —
     // only the spike (dev 994.5, score 397.8) survives
