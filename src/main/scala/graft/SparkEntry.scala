@@ -643,6 +643,8 @@ object SparkEntry {
 
     "q99_ab_lift" -> ((s, dir) =>
       EventOps.abLift(Tables.load(s, dir, "events"))),
+
+    "q100_cube" -> ((s, dir) => StarSchema.revenueCube(s, dir)),
   )
 
   // ---------------------------------------------------------------------
@@ -2143,5 +2145,18 @@ object SparkEntry {
         | CASE WHEN n_a >= 2 AND n_b >= 2 THEN
         |   floor(((mb-ma)/sqrt(va/CAST(n_a AS DOUBLE) + vb/CAST(n_b AS DOUBLE)))*10000.0 + 0.5)/10000.0 END AS t_stat
         |FROM d""".stripMargin,
+
+    "q100_cube" ->
+      """SELECT r.r_name AS region, o.o_orderpriority AS priority,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines,
+        | CAST(GROUPING(r.r_name, o.o_orderpriority) AS INT) AS lvl
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey=o.o_orderkey
+        |JOIN customer c ON o.o_custkey=c.c_custkey
+        |JOIN nation n ON c.c_nationkey=n.n_nationkey
+        |JOIN region r ON n.n_regionkey=r.r_regionkey
+        |GROUP BY CUBE(r.r_name, o.o_orderpriority)
+        |ORDER BY lvl, region NULLS FIRST, priority NULLS FIRST""".stripMargin,
   )
 }

@@ -80,6 +80,32 @@ object StarSchema {
         sf.col("nation").asc_nulls_first)
   }
 
+  /** CUBE over two INDEPENDENT dimensions (region x order priority):
+    * all four grouping sets — the full matrix, both one-way margins,
+    * and the grand total — in one pass. Spark expands grouping sets
+    * with a single Expand node feeding one hash aggregate, so the cost
+    * is (#grouping sets) map-side replications, never extra scans or
+    * joins; money accumulates in exact e4 fixed-point (the rollup
+    * convention). */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val ord = load(spark, dir, "orders")
+    val cust = load(spark, dir, "customer")
+    val nat = sf.broadcast(load(spark, dir, "nation"))
+    val reg = sf.broadcast(load(spark, dir, "region"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .cube(sf.col("r_name").as("region"), sf.col("o_orderpriority").as("priority"))
+      .agg(
+        graft.functions.e4ToDecimal(sf.sum(revenueE4)).cast("double").as("revenue"),
+        sf.count(sf.lit(1)).as("n_lines"),
+        sf.grouping_id().cast("int").as("lvl"))
+      .orderBy(sf.col("lvl"), sf.col("region").asc_nulls_first,
+        sf.col("priority").asc_nulls_first)
+  }
+
   /** Window analytics over the order history: per-customer order
     * sequence number, running spend, and 3-order moving average. One
     * shuffle on the customer key; all three windows share the single
