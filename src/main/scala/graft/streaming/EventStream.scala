@@ -96,6 +96,41 @@ object EventStream {
       }
   }
 
+  /** Watermarked stream-stream interval join (the attribution /
+    * enrichment shape: each LEFT event paired with the same key's
+    * RIGHT events at most `maxLagSec` seconds EARLIER — click joined
+    * to the views that preceded it). Inner semantics; equal
+    * timestamps join.
+    *
+    * Spark's stream-stream join buffers both sides in state; the
+    * watermarks plus the two-sided event-time range condition are
+    * what let it EVICT: a buffered right row can only match left rows
+    * with l_ts <= r_ts + maxLag, so once the left watermark passes
+    * that bound the row is dropped from the store. Without the range
+    * condition state grows forever — the condition is load-bearing,
+    * not an optimization. Both sides shuffle once on the key, state
+    * is per-key and horizon-bounded: safe on 1000 partitioned state
+    * stores. The same call works on batch frames (the condition
+    * becomes an ordinary range join). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         keyCol: String = "user_id",
+                         maxLagSec: Long = 1800,
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(sf.col(keyCol).as("l_key"), sf.col("ts").as("l_ts"),
+        sf.col("event_id").as("l_id"), sf.col("event_type").as("l_type"),
+        sf.col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(sf.col(keyCol).as("r_key"), sf.col("ts").as("r_ts"),
+        sf.col("event_id").as("r_id"), sf.col("event_type").as("r_type"))
+    l.join(r,
+      sf.col("l_key") === sf.col("r_key") &&
+        sf.col("l_ts") >= sf.col("r_ts") &&
+        sf.col("l_ts") <= sf.col("r_ts") + sf.expr(s"INTERVAL $maxLagSec SECONDS"))
+      .select(sf.col("l_key").as(keyCol), sf.col("l_id"), sf.col("l_ts"),
+        sf.col("l_value"), sf.col("r_id"), sf.col("r_ts"))
+  }
+
   /** Streaming CDC snapshot maintenance: the streaming twin of
     * `EventOps.latestSnapshot` — per-key state holds the current winner
     * (lexicographic max of (ts, event_id)), and a batch emits a key's

@@ -210,4 +210,36 @@ class StreamingSpec extends SparkFunSuite {
       assert(rows.contains((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("intervalJoinStream pairs within the lag window; equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.intervalJoinStream(clicks.toDF(), views.toDF(),
+        maxLagSec = 1800)
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append()).start()
+    val clickRows = Seq(
+      Event(10, ts("2024-01-01 10:20:00"), 1, "click", 1.0), // 20m after view: in
+      Event(11, ts("2024-01-01 11:00:00"), 1, "click", 2.0), // 60m after: out
+      Event(12, ts("2024-01-01 10:00:00"), 2, "click", 3.0), // equal ts: in
+      Event(13, ts("2024-01-01 10:10:00"), 3, "click", 4.0), // no view: out
+      Event(14, ts("2024-01-01 09:50:00"), 2, "click", 5.0)) // BEFORE view: out
+    val viewRows = Seq(
+      Event(20, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Event(21, ts("2024-01-01 10:00:00"), 2, "view", 0.0))
+    try {
+      clicks.addData(clickRows)
+      views.addData(viewRows)
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(r => (r.getLong(1), r.getLong(4))).sorted
+      assert(got.toSeq == Seq((10L, 20L), (12L, 21L)))
+      // the same call on static frames produces the same pairs
+      val batch = EventStream.intervalJoinStream(
+        clickRows.toDF(), viewRows.toDF(), maxLagSec = 1800)
+        .collect().map(r => (r.getLong(1), r.getLong(4))).sorted
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
 }
