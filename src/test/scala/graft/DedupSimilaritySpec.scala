@@ -354,6 +354,32 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(got.toSeq == Seq(("c1", 3L, 3L, 300L), ("c2", 1L, 7L, 50L)))
   }
 
+  test("prefixJaccardPairs completeness property: equals brute force on random corpora x thresholds") {
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+    for (trial <- 1 to 3) {
+      // duplicate-heavy: ~1/3 of docs copy an earlier doc's text exactly
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      for (i <- 0 until 30) {
+        if (i > 0 && rnd.nextInt(3) == 0) texts += texts(rnd.nextInt(i))
+        else texts += Seq.fill(3 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toSeq.toDF("doc_id", "text")
+      val all = Dedup.ngramJaccardPairs(df, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      for (t <- Seq(0.3, 0.5, 0.7, 0.85, 1.0)) {
+        val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", threshold = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val want = all.filter(_._3 >= t).toSet
+        assert(got == want, s"trial=$trial t=$t missing=${(want -- got).take(4)} " +
+          s"extra=${(got -- want).take(4)}")
+      }
+    }
+  }
+
   test("prefixJaccardPairs is EXACT: equals the brute-force join, equi-join plan") {
     val docs = Tables.load(spark, sf001, "documents").filter($"doc_id" < 120)
     // a threshold low enough that candidate pruning has real work to do
