@@ -645,6 +645,11 @@ object SparkEntry {
       EventOps.abLift(Tables.load(s, dir, "events"))),
 
     "q100_cube" -> ((s, dir) => StarSchema.revenueCube(s, dir)),
+
+    "q101_price_ranks" -> ((s, dir) => StarSchema.priceRanks(s, dir)),
+
+    "q102_event_deltas" -> ((s, dir) =>
+      EventOps.eventDeltas(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -2158,5 +2163,25 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey=r.r_regionkey
         |GROUP BY CUBE(r.r_name, o.o_orderpriority)
         |ORDER BY lvl, region NULLS FIRST, priority NULLS FIRST""".stripMargin,
+
+    "q101_price_ranks" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, o_totalprice,
+        | floor((percent_rank() OVER w)*1000000.0 + 0.5)/1000000.0 AS pct_rank,
+        | floor((cume_dist() OVER w)*1000000.0 + 0.5)/1000000.0 AS cume,
+        | CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY priority, o_totalprice, o_orderkey""".stripMargin,
+
+    "q102_event_deltas" ->
+      """SELECT user_id, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | floor((CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE)) OVER w)*10000.0 + 0.5)/10000.0 AS value_delta,
+        | epoch_us(CAST(ts AS TIMESTAMP))//1000000
+        |   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))//1000000 AS secs_since_prev,
+        | lead(event_type) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

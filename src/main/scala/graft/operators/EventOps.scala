@@ -274,6 +274,28 @@ object EventOps {
       .orderBy(keyCol, idCol)
   }
 
+  /** Per-event delta features (the lag/lead surface): each event's
+    * value change and elapsed seconds since the same key's previous
+    * event, and the next event's type — the standard feature-
+    * engineering columns for behavioral models. The window orders by
+    * (ts, id): a total order, so every lag/lead is a pure function of
+    * the data. Time deltas run in exact integer seconds; the value
+    * delta is one double subtraction, replayable in any engine. One
+    * shuffle on the key; lag and lead share the single sort. */
+  def eventDeltas(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "ts", idCol: String = "event_id",
+                  valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    events.select(sf.col(keyCol), sf.col(idCol),
+        sf.date_format(sf.col(tsCol), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        gf.roundAt(sf.col(valueCol).cast("double") -
+          sf.lag(sf.col(valueCol).cast("double"), 1).over(w), 4).as("value_delta"),
+        (sf.unix_timestamp(sf.col(tsCol)) -
+          sf.unix_timestamp(sf.lag(sf.col(tsCol), 1).over(w))).as("secs_since_prev"),
+        sf.lead(sf.col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(keyCol, idCol)
+  }
+
   /** Rolling active-user counts (DAU / trailing-window WAU-style): for
     * every OBSERVED activity day, the distinct users active that day
     * and within the trailing `windowDays` window ending that day.

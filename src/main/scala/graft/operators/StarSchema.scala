@@ -106,6 +106,25 @@ object StarSchema {
         sf.col("priority").asc_nulls_first)
   }
 
+  /** Rank-statistics window surface: percent_rank, cume_dist, and
+    * quartile (ntile) of each order's price WITHIN its priority class.
+    * ntile is order-dependent on ties, so the window orders by
+    * (price, orderkey) — a total order, making every rank column a
+    * pure function of the data in any engine. One shuffle on the
+    * priority key; all three functions share the single sort. */
+  def priceRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(sf.col("o_totalprice"), sf.col("o_orderkey"))
+    load(spark, dir, "orders")
+      .select(sf.col("o_orderkey"), sf.col("o_orderpriority").as("priority"),
+        sf.col("o_totalprice"),
+        graft.functions.roundAt(sf.percent_rank().over(w), 6).as("pct_rank"),
+        graft.functions.roundAt(sf.cume_dist().over(w), 6).as("cume"),
+        sf.ntile(4).over(w).as("quartile"))
+      .orderBy("priority", "o_totalprice", "o_orderkey")
+  }
+
   /** Window analytics over the order history: per-customer order
     * sequence number, running spend, and 3-order moving average. One
     * shuffle on the customer key; all three windows share the single

@@ -610,6 +610,26 @@ class OperatorsSpec extends SparkFunSuite {
     assert(na + nb == 400L && na > 100 && nb > 100, "split should be near-even")
   }
 
+  test("EventOps: eventDeltas lag/lead features with total tie order") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 5.0),
+      (2L, 1L, "2024-01-01 10:00:30", 7.5),  // +2.5, 30s
+      (3L, 1L, "2024-01-01 10:00:30", 6.0),  // same ts: id breaks tie, -1.5, 0s
+      (4L, 2L, "2024-01-01 09:00:00", 1.0))  // other key: no prev
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", sf.to_timestamp(sf.col("ts_s")))
+      .withColumn("event_type", sf.concat(sf.lit("t"), sf.col("event_id")))
+    val got = EventOps.eventDeltas(ev).collect()
+    def row(i: Int) = (got(i).getLong(1),
+      if (got(i).isNullAt(3)) None else Some(got(i).getDouble(3)),
+      if (got(i).isNullAt(4)) None else Some(got(i).getLong(4)),
+      if (got(i).isNullAt(5)) None else Some(got(i).getString(5)))
+    assert(row(0) == (1L, None, None, Some("t2")))
+    assert(row(1) == (2L, Some(2.5), Some(30L), Some("t3")))
+    assert(row(2) == (3L, Some(-1.5), Some(0L), None))
+    assert(row(3) == (4L, None, None, None))
+  }
+
   test("QualityChecks: robustOutliers flags k*MAD deviants; MAD=0 degrades") {
     // 1..9 plus a 1000 spike: median 5.5, MAD 2.5, k=3 cut 7.5 —
     // only the spike (dev 994.5, score 397.8) survives
