@@ -650,6 +650,20 @@ object SparkEntry {
 
     "q102_event_deltas" -> ((s, dir) =>
       EventOps.eventDeltas(Tables.load(s, dir, "events"))),
+
+    // Unicode NFC differential: decompose ASCII 'a' into 'a'+U+0301 in
+    // BOTH engines, then normalize — NFC must recompose to precomposed
+    // U+00E1, so the char counts shrink and the md5s agree iff the
+    // normalizer is Unicode-conformant.
+    "q103_unicode_nfc" -> ((s, dir) => {
+      val dec = sf.replace(sf.col("text"), sf.lit("a"), sf.lit("a\u0301"))
+      val nfc = functions.unicodeNormalize(dec, "NFC")
+      docs(s, dir).select(sf.col("doc_id"),
+          sf.length(dec).as("n_decomposed"),
+          sf.length(nfc).as("n_nfc"),
+          sf.md5(sf.encode(nfc, "UTF-8")).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -2183,5 +2197,13 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q103_unicode_nfc" ->
+      """WITH d AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dec
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(dec) AS INT) AS n_decomposed,
+        | CAST(length(nfc_normalize(dec)) AS INT) AS n_nfc,
+        | md5(nfc_normalize(dec)) AS nfc_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

@@ -275,6 +275,13 @@ object functions {
       GraftBridge.expression(a.cast("array<double>")),
       GraftBridge.expression(b.cast("array<double>"))))
 
+  /** Unicode normalization (NFC/NFKC/NFD/NFKD) — native expression
+    * (graft.plans.UnicodeNormalize); the standard algorithm, so any
+    * conformant engine (DuckDB nfc_normalize, ICU) replays it. */
+  def unicodeNormalize(c: Column, form: String = "NFKC"): Column =
+    GraftBridge.column(graft.plans.UnicodeNormalize(
+      GraftBridge.expression(c), form))
+
   // --------------------------------------------------------------------
   // Language ID (stopword-hit heuristic, pure expressions)
   // --------------------------------------------------------------------

@@ -59,6 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // hashing-trick classifier inference from plain SQL:
     // graft_linear_score(tokens, weights, size(weights))
     register("graft_linear_score", staticFn(DoubleType, "linearScore"))
+    // graft_unicode_normalize(text, 'NFC') — the form must be a string
+    // literal (it selects the algorithm at plan time)
+    register("graft_unicode_normalize", exprs => UnicodeNormalize(exprs(0),
+      exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_unicode_normalize form must be a string literal, got $other")
+      }))
 
     ext.injectOptimizerRule(_ => FoldGraftKernels)
     // Similarity-join planning: inner joins on a cross-side

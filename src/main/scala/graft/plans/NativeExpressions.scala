@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Cosine similarity as a first-class Catalyst expression with
   * `doGenCode`: whole-stage codegen inlines the accumulation loop
@@ -68,4 +69,54 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Unicode normalization (NFC / NFKC / NFD / NFKD) as a native Catalyst
+  * expression — the canonicalization pass every multilingual corpus
+  * needs before hashing or dedup (combining sequences vs precomposed
+  * characters, full-width forms, ligatures all hash differently until
+  * normalized). Backed by `java.text.Normalizer`, which implements the
+  * Unicode standard algorithm — results match any conformant engine
+  * (DuckDB's `nfc_normalize`, ICU, Python's unicodedata), so SQL
+  * oracles replay it exactly.
+  *
+  * The form is a constructor parameter (not a child expression): it
+  * selects the algorithm at plan time, and `doGenCode` emits a direct
+  * `Normalizer.normalize(..., Form.NFC)` call inside whole-stage
+  * codegen — no per-row form dispatch. Map-only, no shuffle, already-
+  * normalized text passes through with one scan (the normalizer's
+  * quick-check path). */
+case class UnicodeNormalize(child: Expression, form: String)
+  extends UnaryExpression {
+
+  require(Set("NFC", "NFKC", "NFD", "NFKD")(form),
+    s"form must be one of NFC/NFKC/NFD/NFKD, got $form")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_unicode_normalize"
+
+  override def foldable: Boolean = child.foldable
+
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.$form));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -75,6 +75,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(withNull.head().isNullAt(0))
   }
 
+  test("UnicodeNormalize: NFC recomposes, NFKC folds compatibility forms, codegen path") {
+    import SparkSpec.spark
+    import spark.implicits._
+    val sfn = org.apache.spark.sql.functions
+    // decomposed a + combining acute, the fi ligature, a fullwidth A --
+    // explicit escapes so no editor can silently renormalize the source
+    val raw = "a\u0301 \ufb01 \uff21"
+    // non-literal input so the expression runs in the generated stage
+    val df = spark.range(1).select(
+      sfn.concat(sfn.lit(raw), sfn.col("id").cast("string")).as("t"))
+    val out = df.select(
+      graft.functions.unicodeNormalize($"t", "NFC").as("nfc"),
+      graft.functions.unicodeNormalize($"t", "NFKC").as("nfkc")).head()
+    assert(out.getString(0) == "\u00e1 \ufb01 \uff210") // NFC: recompose only
+    assert(out.getString(1) == "\u00e1 fi A0")            // NFKC: + compatibility folds
+    // idempotent; null-safe
+    val again = Seq(Option(out.getString(1)), None).toDF("t")
+      .select(graft.functions.unicodeNormalize($"t", "NFKC").as("n")).collect()
+    assert(again(0).getString(0) == out.getString(1) && again(1).isNullAt(0))
+    // invalid form fails fast at construction
+    intercept[IllegalArgumentException] {
+      graft.functions.unicodeNormalize($"t", "NFX")
+    }
+  }
+
   test("SQL join on graft_jaccard >= t compiles to the banded-LSH plan, answer exact") {
     val prior = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
