@@ -651,6 +651,18 @@ object SparkEntry {
     "q102_event_deltas" -> ((s, dir) =>
       EventOps.eventDeltas(Tables.load(s, dir, "events"))),
 
+    // Scale-safe global dense ids: rank in the total order
+    // (c_acctbal, c_custkey) assigned with parallel per-partition
+    // numbering + broadcast offsets — never a single-task window.
+    "q104_dense_ids" -> ((s, dir) =>
+      StarSchema.globalDenseIds(
+          Tables.load(s, dir, "customer")
+            .select("c_custkey", "c_acctbal"),
+          Seq("c_acctbal", "c_custkey"), keyName = "sk")
+        .select(sf.col("c_custkey"), sf.col("c_acctbal"),
+          sf.col("sk").cast("long").as("sk"))
+        .orderBy("sk")),
+
     // Unicode NFC differential: decompose ASCII 'a' into 'a'+U+0301 in
     // BOTH engines, then normalize — NFC must recompose to precomposed
     // U+00E1, so the char counts shrink and the md5s agree iff the
@@ -2197,6 +2209,11 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q104_dense_ids" ->
+      """SELECT c_custkey, c_acctbal,
+        | CAST(row_number() OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS sk
+        |FROM customer ORDER BY sk""".stripMargin,
 
     "q103_unicode_nfc" ->
       """WITH d AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dec

@@ -214,6 +214,39 @@ object StarSchema {
     df.withColumn(keyName, sf.row_number().over(w))
   }
 
+  /** Globally dense deterministic ids 1..n ordered by `orderCols`, at
+    * ANY parallelism — the scale-safe form of the global surrogate key.
+    * `row_number() OVER (ORDER BY ...)` with no partition key numbers
+    * 10^12 rows on ONE task; here a range repartition on the order
+    * columns gives ordered partitions, every partition numbers its own
+    * rows in parallel (the window is keyed on the partition id), and a
+    * numPartitions-row count table becomes broadcast exclusive
+    * offsets. Each row's id is exactly its rank in the TOTAL order, so
+    * the result is independent of where the (sampled) range boundaries
+    * fall — which is also why `orderCols` must be a total order: rows
+    * tied on a partial order could straddle a boundary and swap ids
+    * between runs. The offsets window runs over <= numPartitions rows
+    * keyed by a non-foldable constant (bounded by construction). */
+  def globalDenseIds(df: DataFrame, orderCols: Seq[String],
+                     keyName: String = "sk", numPartitions: Int = 0): DataFrame = {
+    val oc = orderCols.map(sf.col)
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, oc: _*)
+      .withColumn("__pid", sf.spark_partition_id())
+      .localCheckpoint(true) // counts + numbering both read it
+    val offW = Window.partitionBy(sf.pmod(sf.col("__pid"), sf.lit(1)))
+      .orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid").agg(sf.count(sf.lit(1)).as("__c"))
+      .withColumn("__off", sf.coalesce(sf.sum("__c").over(offW), sf.lit(0L)))
+      .select("__pid", "__off")
+    val local = Window.partitionBy("__pid").orderBy(oc: _*)
+    ranged.join(sf.broadcast(offsets), "__pid")
+      .withColumn(keyName, (sf.col("__off") + sf.row_number().over(local)))
+      .drop("__pid", "__off")
+  }
+
   /** Partitioned parquet sink (reference partitionBy writes, etl.py:251). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)

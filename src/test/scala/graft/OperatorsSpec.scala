@@ -610,6 +610,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(na + nb == 400L && na > 100 && nb > 100, "split should be near-even")
   }
 
+  test("StarSchema: globalDenseIds equals the one-window twin at forced parallelism") {
+    val df = (1L to 500L).map(i => (i, (i * 2654435761L) % 1000)).toDF("id", "v")
+    val got = StarSchema.globalDenseIds(df, Seq("v", "id"), numPartitions = 7)
+    // heavy ties on v: the id tiebreak makes the order total, so every
+    // partition boundary placement yields the same ids
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val twin = df.withColumn("sk", sf.row_number().over(
+        Window.partitionBy(sf.pmod(sf.col("id"), sf.lit(1))).orderBy("v", "id")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(gotMap == twin)
+    // dense: ids are exactly 1..n
+    assert(gotMap.values.toSeq.sorted == (1L to 500L))
+  }
+
   test("EventOps: eventDeltas lag/lead features with total tie order") {
     val ev = Seq(
       (1L, 1L, "2024-01-01 10:00:00", 5.0),
