@@ -663,6 +663,9 @@ object SparkEntry {
           sf.col("sk").cast("long").as("sk"))
         .orderBy("sk")),
 
+    "q105_corpus_card" -> ((s, dir) =>
+      CorpusStats.corpusCard(docs(s, dir), "doc_id", "text", "lang", "source")),
+
     // Unicode NFC differential: decompose ASCII 'a' into 'a'+U+0301 in
     // BOTH engines, then normalize — NFC must recompose to precomposed
     // U+00E1, so the char counts shrink and the md5s agree iff the
@@ -2209,6 +2212,34 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q105_corpus_card" ->
+      """WITH t AS (SELECT text, lang, source,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(nc AS DECIMAL(38,0))) AS DOUBLE) AS chars,
+        |  CAST(SUM(CAST(nt AS DECIMAL(38,0))) AS DOUBLE) AS toks,
+        |  CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) AS dst,
+        |  CAST(SUM(CASE WHEN length(trim(text))=0 THEN 1 ELSE 0 END) AS DOUBLE) AS emp,
+        |  CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END) AS DOUBLE) AS sht
+        |  FROM t)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n AS value FROM tot
+        |  UNION ALL SELECT 'chars_per_doc', floor(chars/n*10000.0 + 0.5)/10000.0 FROM tot
+        |  UNION ALL SELECT 'tokens_per_doc', floor(toks/n*10000.0 + 0.5)/10000.0 FROM tot
+        |  UNION ALL SELECT 'exact_dup_rate', floor((n-dst)/n*10000.0 + 0.5)/10000.0 FROM tot
+        |  UNION ALL SELECT 'empty_rate', floor(emp/n*10000.0 + 0.5)/10000.0 FROM tot
+        |  UNION ALL SELECT 'short_rate', floor(sht/n*10000.0 + 0.5)/10000.0 FROM tot
+        |  UNION ALL SELECT 'lang_share_' || COALESCE(lang, 'null'),
+        |    floor(CAST(COUNT(*) AS DOUBLE)/(SELECT n FROM tot)*10000.0 + 0.5)/10000.0
+        |    FROM documents GROUP BY lang
+        |  UNION ALL SELECT 'source_share_' || COALESCE(source, 'null'),
+        |    floor(CAST(COUNT(*) AS DOUBLE)/(SELECT n FROM tot)*10000.0 + 0.5)/10000.0
+        |    FROM documents GROUP BY source
+        |) ORDER BY metric""".stripMargin,
 
     "q104_dense_ids" ->
       """SELECT c_custkey, c_acctbal,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{functions => sf}
@@ -289,6 +289,61 @@ object CorpusStats {
           .as("postings"),
         (sf.col("df") > maxPostings).cast("int").as("truncated"))
       .orderBy("term")
+  }
+
+  /** Corpus datacard ("datasheets for datasets"): one tall
+    * (metric, value) frame with the numbers every dataset release
+    * documents — volume, token/char averages, language and source
+    * mixture shares, exact-duplicate rate, empty/short rates. Metric
+    * names for the mixture shares come from the data (`lang_share_en`,
+    * `source_share_web`, ...) so the card adapts to any corpus; rows
+    * sort by metric name, making the output a pure function of the
+    * data.
+    *
+    * Scale shape: one single-row aggregate over the scan (counts,
+    * exact decimal sums, distinct-hash count) plus two tiny mixture
+    * groupBys — three map-side-combined passes, shuffles carry a
+    * handful of rows, nothing collects. */
+  def corpusCard(docs: DataFrame, idCol: String, textCol: String,
+                 langCol: String, srcCol: String,
+                 shortChars: Int = 100): DataFrame = {
+    val txt = sf.col(textCol)
+    val nChars = sf.length(txt).cast("long")
+    val nToks = sf.size(gf.wsTokens(txt)).cast("long")
+    val totals = docs.agg(
+      sf.count(sf.lit(1)).as("__n"),
+      sf.sum(nChars.cast("decimal(38,0)")).as("__chars"),
+      sf.sum(nToks.cast("decimal(38,0)")).as("__toks"),
+      sf.count_distinct(sf.md5(txt)).as("__distinct"),
+      sf.sum((sf.length(sf.trim(txt)) === 0).cast("long")).as("__empty"),
+      sf.sum((nChars < shortChars).cast("long")).as("__short"))
+    val n = sf.col("__n").cast("double")
+    def share(c: Column) = gf.roundAt(c.cast("double") / n, 4)
+    val scalarRows = totals.select(sf.explode(sf.array(
+      sf.struct(sf.lit("n_docs").as("metric"), n.as("value")),
+      sf.struct(sf.lit("chars_per_doc").as("metric"),
+        gf.roundAt(sf.col("__chars").cast("double") / n, 4).as("value")),
+      sf.struct(sf.lit("tokens_per_doc").as("metric"),
+        gf.roundAt(sf.col("__toks").cast("double") / n, 4).as("value")),
+      sf.struct(sf.lit("exact_dup_rate").as("metric"),
+        gf.roundAt((n - sf.col("__distinct").cast("double")) / n, 4).as("value")),
+      sf.struct(sf.lit("empty_rate").as("metric"), share(sf.col("__empty")).as("value")),
+      sf.struct(sf.lit("short_rate").as("metric"), share(sf.col("__short")).as("value"))
+    )).as("e")).select("e.metric", "e.value")
+    val total = totals.select(sf.col("__n"))
+    def mix(col: String, prefix: String) = docs
+      .groupBy(sf.col(col).as("__k"))
+      .agg(sf.count(sf.lit(1)).as("__c"))
+      .crossJoin(sf.broadcast(total))
+      .select(
+        sf.concat(sf.lit(prefix), sf.coalesce(sf.col("__k"), sf.lit("null")))
+          .as("metric"),
+        gf.roundAt(sf.col("__c").cast("double") / sf.col("__n").cast("double"), 4)
+          .as("value"))
+    scalarRows
+      .union(mix(langCol, "lang_share_"))
+      .union(mix(srcCol, "source_share_"))
+      .orderBy("metric")
   }
 
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,

@@ -103,4 +103,34 @@ object Tables {
     * tooling reads it anywhere). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** JSONL ingestion with per-line fault capture: malformed lines land
+    * in a `_corrupt_record` column instead of failing the job (raw
+    * dumps ALWAYS contain a few broken lines, and at 100 TB a fail-on-
+    * first-error read is unusable). PERMISSIVE is Spark's scan-level
+    * behavior — no driver-side row handling anywhere. */
+  def jsonlPermissive(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** Schema-evolution read: parquet batches written over time gain
+    * columns; `mergeSchema` unions the file footers so old files
+    * surface the new columns as nulls. Footer merging costs a distrib-
+    * uted footer read — enable per-path like this, not globally. */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** ORC source/sink — second columnar format (bridges Hive-side
+    * producers); same predicate-pushdown + column-pruning contract as
+    * parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -38,6 +38,53 @@ class SourcesSpec extends SparkFunSuite {
     assert(Tables.jsonl(spark, dir).count() == 2)
   }
 
+  test("jsonlPermissive captures malformed lines, parses the rest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl_bad").toFile
+    val f = new java.io.File(dir, "part-0.json")
+    Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "ok one"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "ok two"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    val df = Tables.jsonlPermissive(spark, f.getAbsolutePath, schema).collect()
+    val good = df.filter(_.isNullAt(2))
+    val bad = df.filter(!_.isNullAt(2))
+    assert(good.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(bad.length == 1 && bad(0).getString(2).contains("missing comma"))
+  }
+
+  test("parquetMerged unions evolving schemas; old files surface nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toFile.getAbsolutePath + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.mode("append").parquet(dir)
+    val merged = Tables.parquetMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")), "old file must null new col")
+    assert(rows(1).getDouble(rows(1).fieldIndex("v2")) == 9.5)
+    // a plain read without mergeSchema keeps ONE footer's schema
+    assert(spark.read.parquet(dir).columns.length <= 3)
+  }
+
+  test("ORC round-trip preserves rows and schema") {
+    val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath + "/docs"
+    val src = Tables.load(spark, sf001, "documents").limit(50)
+    Tables.writeOrc(src, dir)
+    val back = Tables.orc(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 50)
+    // pushdown contract: a doc_id filter reaches the ORC scan
+    val plan = back.filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]") ||
+      plan.contains("LessThan(doc_id,10)"), s"filter not pushed:\n$plan")
+  }
+
   test("label-file section parse (SAS-labels style)") {
     val content =
       """value i94cntyl
