@@ -363,6 +363,24 @@ object QualityChecks {
       .orderBy("col_x", "col_y")
   }
 
+  /** Per-file column statistics of a parquet dataset — the data-
+    * skipping manifest (Delta/Iceberg keep exactly this): for every
+    * output file, each column's min/max and row count. A scan with a
+    * predicate can skip any file whose [min, max] excludes it, so the
+    * QUALITY of a layout (z-order, range clustering) is measurable as
+    * how narrow these per-file ranges are. One map-side-combined
+    * groupBy on the file name — cost is one scan of the footer-pruned
+    * columns. */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    val aggs = cols.flatMap(c => Seq(
+      sf.min(sf.col(c)).as(s"min_$c"), sf.max(sf.col(c)).as(s"max_$c"))) :+
+      sf.count(sf.lit(1)).as("n_rows")
+    df.groupBy(sf.input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("file")
+  }
+
   /** Robust outlier detection via median/MAD — the audit that survives
     * the outliers it hunts (mean/stddev z-scores are dragged by the
     * very tail they're meant to flag; the median absolute deviation

@@ -610,6 +610,44 @@ class OperatorsSpec extends SparkFunSuite {
     assert(na + nb == 400L && na > 100 && nb > 100, "split should be near-even")
   }
 
+  test("QualityChecks: fileStats proves clustered layouts tighten per-file ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstats").toFile.getAbsolutePath
+    val df = (1L to 4000L).map(i => (i, (i * 2654435761L) % 4000)).toDF("k", "v")
+    // unclustered baseline: round-robin shuffle spreads every file
+    // across the full k range
+    df.repartition(8).write.mode("overwrite").parquet(s"$dir/flat")
+    StarSchema.writeClustered(df, s"$dir/clust", Seq("k"), numFiles = 8)
+    def spanSum(path: String): Long =
+      QualityChecks.fileStats(spark, path, Seq("k")).collect()
+        .map(r => r.getLong(r.fieldIndex("max_k")) - r.getLong(r.fieldIndex("min_k")))
+        .sum
+    val (flat, clust) = (spanSum(s"$dir/flat"), spanSum(s"$dir/clust"))
+    // 8 range-clustered files cover ~1/8 of the range each; the flat
+    // layout's every file spans ~the whole range
+    assert(clust * 4 < flat, s"clustered=$clust flat=$flat")
+    // row counts in the manifest account for every row
+    val total = QualityChecks.fileStats(spark, s"$dir/clust", Seq("k"))
+      .agg(sf.sum("n_rows")).collect()(0).getLong(0)
+    assert(total == 4000L)
+  }
+
+  test("CorpusStats: corpusCard metrics on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "one two three four", "en", "web"),
+      (2L, "one two three four", "en", "web"),   // exact dup of doc 1
+      (3L, "eins zwei", "de", "book"),
+      (4L, "", "en", "web"))                     // empty (and short)
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusStats.corpusCard(docs, "doc_id", "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") == 4.0)
+    assert(got("exact_dup_rate") == 0.25)    // 4 docs, 3 distinct texts
+    assert(got("empty_rate") == 0.25 && got("short_rate") == 1.0)
+    assert(got("tokens_per_doc") == 2.5)     // (4+4+2+0)/4
+    assert(got("lang_share_en") == 0.75 && got("lang_share_de") == 0.25)
+    assert(got("source_share_web") == 0.75 && got("source_share_book") == 0.25)
+  }
+
   test("StarSchema: globalDenseIds equals the one-window twin at forced parallelism") {
     val df = (1L to 500L).map(i => (i, (i * 2654435761L) % 1000)).toDF("id", "v")
     val got = StarSchema.globalDenseIds(df, Seq("v", "id"), numPartitions = 7)
