@@ -131,6 +131,22 @@ object EventStream {
         sf.col("l_value"), sf.col("r_id"), sf.col("r_ts"))
   }
 
+  /** Idempotent micro-batch write: batch `id` lands in its own
+    * `batch_id=<id>` directory with overwrite semantics, so a batch
+    * REPLAYED after a failure (Structured Streaming's at-least-once
+    * foreachBatch contract) overwrites its own previous attempt
+    * instead of appending duplicates — the standard recipe that turns
+    * an at-least-once sink into an effectively-exactly-once one.
+    * Readers get partition discovery on `batch_id` for free. */
+  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** foreachBatch parquet sink built on [[writeBatchIdempotent]] —
+    * attach with `.start()` to any streaming DataFrame. */
+  def exactlyOnceParquetSink(df: DataFrame, path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch(
+      (batch: DataFrame, id: Long) => writeBatchIdempotent(batch, path, id))
+
   /** Streaming CDC snapshot maintenance: the streaming twin of
     * `EventOps.latestSnapshot` — per-key state holds the current winner
     * (lexicographic max of (ts, event_id)), and a batch emits a key's
