@@ -211,6 +211,37 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("windowedCounts recovers aggregation state from a checkpoint across restart") {
+    implicit val sqlCtx = spark.sqlContext
+    // memory sink can't recover; the parquet FILE sink is the
+    // recoverable one — same checkpoint + same path across restarts
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val input = MemoryStream[Event]
+    def start() = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("parquet")
+      .outputMode(OutputMode.Append())
+      .option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q1.processAllAvailable() // window open: nothing emitted yet
+    } finally q1.stop()
+    // restart: the 10:00 window's partial count lives ONLY in state
+    val q2 = start()
+    try {
+      input.addData(Event(2, ts("2024-01-01 10:40:00"), 2, "click", 2.0))
+      input.addData(Event(3, ts("2024-01-01 14:00:00"), 3, "view", 0.0)) // closes it
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      // both events in the closed window => pre-restart state survived
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)),
+        s"recovered window missing/incomplete: ${rows.toSeq}")
+    } finally q2.stop()
+  }
+
   test("exactlyOnceParquetSink: replayed batches overwrite, not duplicate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
