@@ -32,7 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs all executor threads in this one JVM: at 8g an
   // 80-query bench pass accumulates enough shuffle/broadcast churn
   // that GC pressure doubles individual query times (q22 measured
-  // 2.5s at 24g vs 5.4s at 8g on the same code). The host has 128
-  // GiB; one forked JVM at a time makes 24g safe.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 2.5s at 24g vs 5.4s at 8g on the same code; the 105-query r4
+  // suite showed a further ~15% mid-suite drag at 24g). The host has
+  // 128 GiB; one forked JVM at a time makes 32g safe.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

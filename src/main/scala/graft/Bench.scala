@@ -21,10 +21,11 @@ object Bench {
       // memory fine — raise the in-memory threshold so they don't pay
       // spill-format conversion under the benchmark's memory churn.
       .config("spark.sql.windowExec.buffer.in.memory.threshold", 1048576)
-      // The generated-class cache defaults to 100 entries; a 50-query
-      // suite compiles several codegen stages per query, so the default
-      // thrashes and queries pay Janino re-compiles mid-run.
-      .config("spark.sql.codegen.cache.maxEntries", 4000)
+      // The generated-class cache defaults to 100 entries; a 105-query
+      // suite compiles several codegen stages per query (and the warmup
+      // pass compiles them all up front), so an undersized cache evicts
+      // and queries pay Janino re-compiles mid-run.
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed steady-state warmup: run EVERY query once at the smallest

@@ -19,7 +19,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // 50 queries × several codegen stages each overflow the 100-entry
       // generated-class cache default (see Bench).
-      .config("spark.sql.codegen.cache.maxEntries", 4000)
+      .config("spark.sql.codegen.cache.maxEntries", 10000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
