@@ -603,8 +603,11 @@ object SparkEntry {
     // rewrite makes it an equi join (spec asserts no BNLJ).
     "q94_interval_join" -> ((s, dir) => {
       val epoch = sf.lit("1970-01-01").cast("date")
-      val pts = Tables.load(s, dir, "lineitem")
-        .select(sf.to_date(sf.col("l_shipdate")).as("ship_date")).distinct()
+      // spread the tiny distinct-dates side: AQE coalesces a 2500-row
+      // probe side to ONE partition, which would serialize the 9M-pair
+      // join expansion onto a single task
+      val pts = Par.spread(Tables.load(s, dir, "lineitem")
+        .select(sf.to_date(sf.col("l_shipdate")).as("ship_date")).distinct())
         .withColumn("__p", sf.datediff(sf.col("ship_date"), epoch).cast("long"))
       val iv = Tables.load(s, dir, "orders")
         .select(sf.col("o_orderkey"), sf.col("o_totalprice"),
