@@ -77,7 +77,11 @@ object QualityChecks {
     // would run twice. (An explicit persist() here leaked: nothing ever
     // unpersisted it; checkpoint blocks are dropped when the RDD is
     // GC'd, so the lifetime is managed.)
-    val counts = df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v"))
+    // spread before the partial aggregation: a single-file local scan
+    // is ONE task and the map-side distinct-value compression is the
+    // CPU-heavy step (no-op on real multi-split inputs)
+    val counts = graft.operators.Par.spread(
+        df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v")))
       .filter(sf.col("__v").isNotNull)
       .groupBy(groupCol, "__v")
       .agg(sf.count(sf.lit(1)).as("__c"))
@@ -345,6 +349,9 @@ object QualityChecks {
         sf.sum(dec(xb) * dec(xb)).as(s"syy_$i"),
         sf.sum(dec(xa) * dec(xb)).as(s"sxy_$i"))
     }
+    // 6*nPairs decimal accumulations per row: spread a single-split
+    // local scan so the partial aggregation parallelizes
+    val spread = graft.operators.Par.spread(df.select(cols.map(sf.col): _*))
     val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
       val n = sf.col(s"n_$i").cast("double")
       val sx = sf.col(s"sx_$i").cast("double") / 1e4
@@ -357,7 +364,7 @@ object QualityChecks {
       sf.struct(sf.lit(a).as("col_x"), sf.lit(b).as("col_y"),
         sf.col(s"n_$i").as("n"), r.as("r"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    spread.agg(aggs.head, aggs.tail: _*)
       .select(sf.explode(sf.array(entries: _*)).as("e"))
       .select(sf.col("e.col_x"), sf.col("e.col_y"), sf.col("e.n"), sf.col("e.r"))
       .orderBy("col_x", "col_y")
@@ -444,7 +451,11 @@ object QualityChecks {
                       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v"))
+    // spread before the partial aggregation: a single-file local scan
+    // is ONE task and the map-side distinct-value compression is the
+    // CPU-heavy step (no-op on real multi-split inputs)
+    val counts = graft.operators.Par.spread(
+        df.select(sf.col(groupCol), sf.col(valueCol).cast("double").as("__v")))
       .filter(sf.col("__v").isNotNull)
       .groupBy(groupCol, "__v")
       .agg(sf.count(sf.lit(1)).as("__c"))
