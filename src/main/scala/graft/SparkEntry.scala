@@ -669,6 +669,15 @@ object SparkEntry {
     "q105_corpus_card" -> ((s, dir) =>
       CorpusStats.corpusCard(docs(s, dir), "doc_id", "text", "lang", "source")),
 
+    // Exact two-sample KS: do click values and view values come from
+    // the same distribution? Integer-exact CDF gap, unbinned.
+    "q106_ks_test" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.ksTest(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
+
     // Unicode NFC differential: decompose ASCII 'a' into 'a'+U+0301 in
     // BOTH engines, then normalize — NFC must recompose to precomposed
     // U+00E1, so the char counts shrink and the md5s agree iff the
@@ -2243,6 +2252,26 @@ object SparkEntry {
         |    floor(CAST(COUNT(*) AS DOUBLE)/(SELECT n FROM tot)*10000.0 + 0.5)/10000.0
         |    FROM documents GROUP BY source
         |) ORDER BY metric""".stripMargin,
+
+    "q106_ks_test" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type='click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type='view' AND value IS NOT NULL),
+        |ca AS (SELECT v, COUNT(*) c FROM a GROUP BY 1),
+        |cb AS (SELECT v, COUNT(*) c FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS ca,
+        |  COALESCE(cb.c, 0) AS cb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v,
+        |  SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |  SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb FROM m),
+        |t AS (SELECT (SELECT SUM(ca) FROM m) AS na, (SELECT SUM(cb) FROM m) AS nb),
+        |g AS (SELECT c.v, abs(c.cuma*t.nb - c.cumb*t.na) AS gap, t.na, t.nb FROM c, t),
+        |best AS (SELECT * FROM g ORDER BY gap DESC, v ASC LIMIT 1)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | floor((CAST(gap AS DOUBLE)/CAST(na*nb AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS ks_stat,
+        | floor(v*10000.0 + 0.5)/10000.0 AS ks_at
+        |FROM best""".stripMargin,
 
     "q104_dense_ids" ->
       """SELECT c_custkey, c_acctbal,

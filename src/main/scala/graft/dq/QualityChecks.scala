@@ -320,6 +320,61 @@ object QualityChecks {
       .orderBy("bin_idx")
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic: the largest gap
+    * between the two samples' empirical CDFs — the UNBINNED
+    * distribution-drift test ([[psiDrift]] is its binned, smoothed
+    * sibling; KS has no bin-placement artifacts and detects shape
+    * changes PSI's bins can straddle). Rule of thumb at these sample
+    * sizes: ks >> c(α)·sqrt((n_a+n_b)/(n_a·n_b)) means different
+    * distributions (c(0.05) ≈ 1.36).
+    *
+    * Every comparison runs in exact integer arithmetic: at value v the
+    * CDF gap is |ca·n_b − cb·n_a| / (n_a·n_b) with ca/cb the
+    * cumulative counts, so the max is found over integers and divides
+    * ONCE at the end — no floating-point accumulation anywhere, and
+    * any engine replays it bit-for-bit. Ties across samples are
+    * handled correctly by evaluating the gap only at (sorted) distinct
+    * observed values. `ks_at` reports the smallest value attaining the
+    * max (the argmax tie-break), locating WHERE the distributions
+    * diverge.
+    *
+    * Scale shape: the quantileProfile convention — both samples
+    * compress map-side to distinct (value, side) counts, one
+    * running-frame cumulative window over the value DOMAIN ranks them
+    * (keyed by a non-foldable constant; bounded by the domain, not the
+    * row count), and a single-row max finishes. The integer gap
+    * ca·n_b − cb·n_a stays exact while n_a·n_b < 2^63 (~3·10^9 rows
+    * per side); beyond that, lift the gap into DECIMAL. */
+  def ksTest(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: String) =
+      graft.operators.Par.spread(
+        df.select(sf.col(valueCol).cast("double").as("__v")))
+        .filter(sf.col("__v").isNotNull)
+        .groupBy("__v")
+        .agg(sf.count(sf.lit(1)).as(s"__c$tag"))
+    val merged = side(dfA, "a").join(side(dfB, "b"), Seq("__v"), "full_outer")
+      .select(sf.col("__v"),
+        sf.coalesce(sf.col("__ca"), sf.lit(0L)).as("__ca"),
+        sf.coalesce(sf.col("__cb"), sf.lit(0L)).as("__cb"))
+      .localCheckpoint(true) // read by the window and the totals
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__v")), sf.lit(1)))
+      .orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = merged.agg(sf.sum("__ca").as("__na"), sf.sum("__cb").as("__nb"))
+    merged
+      .withColumn("__cuma", sf.sum("__ca").over(w))
+      .withColumn("__cumb", sf.sum("__cb").over(w))
+      .crossJoin(sf.broadcast(totals))
+      .withColumn("__gap",
+        sf.abs(sf.col("__cuma") * sf.col("__nb") - sf.col("__cumb") * sf.col("__na")))
+      .agg(sf.max(sf.struct(sf.col("__gap"), (-sf.col("__v")).as("__nv"),
+          sf.col("__na"), sf.col("__nb"))).as("__m"))
+      .select(sf.col("__m.__na").as("n_a"), sf.col("__m.__nb").as("n_b"),
+        gf.roundAt(sf.col("__m.__gap").cast("double") /
+          (sf.col("__m.__na") * sf.col("__m.__nb")).cast("double"), 6).as("ks_stat"),
+        gf.roundAt(-sf.col("__m.__nv"), 4).as("ks_at"))
+  }
+
   /** Exact Pearson correlation for every pair of the given numeric
     * columns, in ONE scan. Values are quantized to 10^-4 fixed-point
     * longs (the dimensionProfile convention) and all five moment sums

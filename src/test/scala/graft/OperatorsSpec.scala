@@ -683,6 +683,18 @@ class OperatorsSpec extends SparkFunSuite {
     assert(row(3) == (4L, None, None, None))
   }
 
+  test("QualityChecks: ksTest exact statistic, argmax tie-break, identical -> 0") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("x")
+    val r = QualityChecks.ksTest(a, b, "x").collect()(0)
+    // cum gaps (x4x4 scale): v=1:4, v=2:8, v=3:8, v=4:8, v=5:4, v=6:0
+    // -> ks = 8/16 = 0.5 at the SMALLEST attaining value, v=2
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      (4L, 4L, 0.5, 2.0))
+    val same = QualityChecks.ksTest(a, a, "x").collect()(0)
+    assert(same.getDouble(2) == 0.0)
+  }
+
   test("QualityChecks: robustOutliers flags k*MAD deviants; MAD=0 degrades") {
     // 1..9 plus a 1000 spike: median 5.5, MAD 2.5, k=3 cut 7.5 —
     // only the spike (dev 994.5, score 397.8) survives
