@@ -669,6 +669,9 @@ object SparkEntry {
     "q105_corpus_card" -> ((s, dir) =>
       CorpusStats.corpusCard(docs(s, dir), "doc_id", "text", "lang", "source")),
 
+    "q107_chi_squared" -> ((s, dir) =>
+      QualityChecks.chiSquared(docs(s, dir), "lang", "source")),
+
     // Exact two-sample KS: do click values and view values come from
     // the same distribution? Integer-exact CDF gap, unbinned.
     "q106_ks_test" -> ((s, dir) => {
@@ -2252,6 +2255,24 @@ object SparkEntry {
         |    floor(CAST(COUNT(*) AS DOUBLE)/(SELECT n FROM tot)*10000.0 + 0.5)/10000.0
         |    FROM documents GROUP BY source
         |) ORDER BY metric""".stripMargin,
+
+    "q107_chi_squared" ->
+      """WITH cells AS (SELECT CAST(lang AS VARCHAR) r, CAST(source AS VARCHAR) c, COUNT(*) o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT r, SUM(o) rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, SUM(o) ct FROM cells GROUP BY 1),
+        |t AS (SELECT SUM(o) n, COUNT(DISTINCT r) nr, COUNT(DISTINCT c) nc FROM cells),
+        |grid AS (SELECT rt.r, ct.c, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+        |terms AS (SELECT CAST(floor(
+        |    ((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE))
+        |     *(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE))
+        |     /(CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE)))*1000000.0 + 0.5)
+        |   /1000000.0 AS DECIMAL(28,6)) AS term
+        |  FROM grid, t)
+        |SELECT floor(CAST((SELECT SUM(term) FROM terms) AS DOUBLE)*10000.0 + 0.5)/10000.0 AS chi2,
+        | CAST((nr-1)*(nc-1) AS BIGINT) AS dof, CAST(n AS BIGINT) AS n
+        |FROM t""".stripMargin,
 
     "q106_ks_test" ->
       """WITH a AS (SELECT CAST(value AS DOUBLE) v FROM events

@@ -375,6 +375,63 @@ object QualityChecks {
         gf.roundAt(-sf.col("__m.__nv"), 4).as("ks_at"))
   }
 
+  /** Chi-squared test of independence between two categorical columns
+    * — "does source mix depend on language?" — completing the
+    * testing suite next to Pearson (numeric-numeric, q87), KS/PSI
+    * (numeric drift, q106/q89) and Welch (A/B means, q99).
+    * chi2 = Σ_cells (observed − expected)²/expected with
+    * expected = rowTotal·colTotal/n; NULL categories form their own
+    * row/column (a real category in dirty data).
+    *
+    * Determinism: each cell's term is computed in a fixed double
+    * order from exact integer counts, ROUNDED at 1e-6 with the
+    * floor(x·10⁶+0.5) rule (bit-identical in any engine — a raw
+    * double→decimal cast rounds ties differently across engines),
+    * and summed as exact DECIMAL — addition is associative, so the
+    * statistic cannot drift with partition merge order (a plain
+    * double sum would). Cells with expected = 0 cannot occur (both
+    * margins are > 0 by construction).
+    *
+    * Scale shape: one groupBy over observed (row, col) cells — at
+    * most |rows|·|cols| after map-side combine — two margin
+    * aggregations of that cell table, then the DENSIFIED margin grid
+    * (an explicitly |rows|·|cols|-bounded cross join of the two
+    * margin tables: empty cells contribute e and must not drop) left-
+    * joins the observed counts into one single-row decimal sum.
+    * Nothing scales with the data except the first compression
+    * pass. */
+  def chiSquared(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = graft.operators.Par.spread(
+        df.select(sf.col(rowCol).cast("string").as("__r"),
+          sf.col(colCol).cast("string").as("__c")))
+      .groupBy("__r", "__c")
+      .agg(sf.count(sf.lit(1)).as("__o"))
+      .localCheckpoint(true) // margins + the term pass both read it
+    val rowT = cells.groupBy("__r").agg(sf.sum("__o").as("__rt"))
+    val colT = cells.groupBy("__c").agg(sf.sum("__o").as("__ct"))
+    val n = cells.agg(sf.sum("__o").as("__n"),
+      sf.count_distinct(sf.col("__r")).as("__nr"),
+      sf.count_distinct(sf.col("__c")).as("__nc"))
+    val e = sf.col("__rt").cast("double") * sf.col("__ct").cast("double") /
+      sf.col("__n").cast("double")
+    val term = {
+      val d = sf.coalesce(sf.col("__o"), sf.lit(0L)).cast("double") - e
+      gf.roundAt(d * d / e, 6).cast("decimal(28,6)")
+    }
+    // densify: EMPTY cells (observed 0, expected > 0) contribute e to
+    // the statistic and must not be dropped — build the full margin
+    // grid and left-join the observed counts
+    rowT.crossJoin(colT)
+      .join(cells, Seq("__r", "__c"), "left")
+      .crossJoin(sf.broadcast(n))
+      .agg(sf.sum(term).as("__chi2"), sf.first(sf.col("__n")).as("__fn"),
+        sf.first(sf.col("__nr")).as("__fnr"), sf.first(sf.col("__nc")).as("__fnc"))
+      .select(
+        gf.roundAt(sf.col("__chi2").cast("double"), 4).as("chi2"),
+        ((sf.col("__fnr") - 1) * (sf.col("__fnc") - 1)).as("dof"),
+        sf.col("__fn").as("n"))
+  }
+
   /** Exact Pearson correlation for every pair of the given numeric
     * columns, in ONE scan. Values are quantized to 10^-4 fixed-point
     * longs (the dimensionProfile convention) and all five moment sums

@@ -695,6 +695,19 @@ class OperatorsSpec extends SparkFunSuite {
     assert(same.getDouble(2) == 0.0)
   }
 
+  test("QualityChecks: chiSquared exact on hand tables; empty cells contribute") {
+    // perfect independence -> 0
+    val indep = Seq(("a","x"),("a","x"),("a","y"),("a","y"),
+      ("b","x"),("b","x"),("b","y"),("b","y")).toDF("r", "c")
+    val r0 = QualityChecks.chiSquared(indep, "r", "c").collect()(0)
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 1L && r0.getLong(2) == 8L)
+    // fully concentrated 2x2: observed only (a,x) and (b,y); the two
+    // EMPTY cells have e=2 and contribute 2 each -> chi2 = 8
+    val dep = Seq.fill(4)(("a","x")).++(Seq.fill(4)(("b","y"))).toDF("r", "c")
+    val r1 = QualityChecks.chiSquared(dep, "r", "c").collect()(0)
+    assert(r1.getDouble(0) == 8.0 && r1.getLong(1) == 1L && r1.getLong(2) == 8L)
+  }
+
   test("QualityChecks: robustOutliers flags k*MAD deviants; MAD=0 degrades") {
     // 1..9 plus a 1000 spike: median 5.5, MAD 2.5, k=3 cut 7.5 —
     // only the spike (dev 994.5, score 397.8) survives
