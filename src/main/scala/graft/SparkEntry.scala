@@ -672,6 +672,9 @@ object SparkEntry {
     "q107_chi_squared" -> ((s, dir) =>
       QualityChecks.chiSquared(docs(s, dir), "lang", "source")),
 
+    "q108_transitions" -> ((s, dir) =>
+      EventOps.transitionMatrix(Tables.load(s, dir, "events"))),
+
     // Exact two-sample KS: do click values and view values come from
     // the same distribution? Integer-exact CDF gap, unbinned.
     "q106_ks_test" -> ((s, dir) => {
@@ -2255,6 +2258,18 @@ object SparkEntry {
         |    floor(CAST(COUNT(*) AS DOUBLE)/(SELECT n FROM tot)*10000.0 + 0.5)/10000.0
         |    FROM documents GROUP BY source
         |) ORDER BY metric""".stripMargin,
+
+    "q108_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cells AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type AS f, SUM(n) AS tot FROM cells GROUP BY 1)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        | floor((CAST(n AS DOUBLE)/CAST(tot AS DOUBLE))*10000.0 + 0.5)/10000.0 AS p
+        |FROM cells JOIN t ON cells.from_type = t.f
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q107_chi_squared" ->
       """WITH cells AS (SELECT CAST(lang AS VARCHAR) r, CAST(source AS VARCHAR) c, COUNT(*) o

@@ -296,6 +296,37 @@ object EventOps {
       .orderBy(keyCol, idCol)
   }
 
+  /** First-order Markov transition matrix over per-key event-type
+    * sequences: P(next_type | type), the behavioral model behind
+    * "what do users do after X" and the input to next-action
+    * prediction baselines. Each key's events order by (ts, id) — a
+    * total order, so every (from, to) transition is a pure function
+    * of the data; the last event of a key emits no transition.
+    * Probabilities are each row's count over the from-type total,
+    * computed as one double division from exact counts.
+    *
+    * Scale shape: one shuffle on the key for the lead window, then a
+    * map-side-combined groupBy over at most |types|² cells; the
+    * row-total join is |types|-sized and broadcasts. */
+  def transitionMatrix(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts", idCol: String = "event_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val pairs = events
+      .select(sf.col(typeCol).as("from_type"),
+        sf.lead(sf.col(typeCol), 1).over(w).as("to_type"))
+      .filter(sf.col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(sf.count(sf.lit(1)).as("n"))
+    val totals = pairs.groupBy(sf.col("from_type").as("__f"))
+      .agg(sf.sum("n").as("__t"))
+    pairs.join(sf.broadcast(totals), sf.col("from_type") === sf.col("__f"))
+      .select(sf.col("from_type"), sf.col("to_type"), sf.col("n"),
+        gf.roundAt(sf.col("n").cast("double") / sf.col("__t").cast("double"), 4)
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Rolling active-user counts (DAU / trailing-window WAU-style): for
     * every OBSERVED activity day, the distinct users active that day
     * and within the trailing `windowDays` window ending that day.

@@ -663,6 +663,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(gotMap.values.toSeq.sorted == (1L to 500L))
   }
 
+  test("EventOps: transitionMatrix per-key sequences, last event emits nothing") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (2L, 1L, "2024-01-01 10:01:00", "b"),
+      (3L, 1L, "2024-01-01 10:02:00", "a"),  // user 1: a->b->a
+      (4L, 2L, "2024-01-01 09:00:00", "a"),
+      (5L, 2L, "2024-01-01 09:30:00", "b"))  // user 2: a->b
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", sf.to_timestamp(sf.col("ts_s")))
+      .withColumn("value", sf.lit(0.0))
+    val got = EventOps.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
   test("EventOps: eventDeltas lag/lead features with total tie order") {
     val ev = Seq(
       (1L, 1L, "2024-01-01 10:00:00", 5.0),
