@@ -136,49 +136,74 @@ object Dedup {
       sf.explode(sf.col("sh")).as("tok"))
     val dfc = docTok.groupBy("tok").agg(sf.count(sf.lit(1)).as("df"))
     // ceil(t*sz) in exact integer arithmetic — double mult rounds
-    // unpredictably at the boundary (sz*t10k <= ~1e10: exact in double)
-    val need = sf.floor((sf.col("sz") * t10k + 9999L) / 10000.0)
+    // unpredictably at the boundary (sz*t10k <= ~1e10: exact in
+    // double; the floor-of-division trick is safe because the true
+    // quotient's fractional part is always >= 1/denominator away from
+    // the next integer, far beyond one ulp)
+    val den = 10000L + t10k
+    val needP = sf.floor((sf.col("sz") * t10k + 9999L) / 10000.0)
+    // the SHORTER index prefix (PPJoin): a qualifying pair's smaller
+    // side only needs sz - ceil(2t/(1+t)*sz) + 1 leading tokens —
+    // J >= t with sz_probe >= sz_idx gives inter >= 2t/(1+t)*sz_idx,
+    // so the smallest common token sits inside this prefix
+    val needI = sf.floor((sf.col("sz") * (2L * t10k) + (den - 1L)) / den.toDouble)
     val pfx = docTok.join(dfc, "tok")
       .groupBy("id", "sz")
       .agg(sf.sort_array(
         sf.collect_list(sf.struct(sf.col("df"), sf.col("tok")))).as("ord"))
       .select(sf.col("id"), sf.col("sz"),
         sf.transform(
-          sf.slice(sf.col("ord"), sf.lit(1), (sf.col("sz") - need + 1).cast("int")),
-          x => x.getField("tok")).as("pfx"))
-    val ex = pfx.select(sf.col("id"), sf.col("sz"), sf.col("pfx"),
-      sf.posexplode(sf.col("pfx")).as(Seq("pos", "tok")))
-    // J >= t  <=>  inter*(1+t) >= t*(sz_a+sz_b): the required overlap,
+          sf.slice(sf.col("ord"), sf.lit(1), (sf.col("sz") - needP + 1).cast("int")),
+          x => x.getField("tok")).as("pfx_p"))
+      // the index prefix is a PREFIX of the probe prefix (both are
+      // heads of the same rarity-ordered list)
+      .withColumn("pfx_i",
+        sf.slice(sf.col("pfx_p"), sf.lit(1), (sf.col("sz") - needI + 1).cast("int")))
+      // materialize: the probe and index explodes are DIFFERENT
+      // projections, so unlike the former symmetric self-join the
+      // planner cannot reuse one exchange — without this the df-join +
+      // per-doc sort would run twice
+      .localCheckpoint(true)
+    // Asymmetric candidate join: every distinct set is INDEXED under
+    // its short prefix and PROBES with its long prefix; the index role
+    // goes to the pair's smaller (sz, id) side — a unique assignment,
+    // so each pair meets in exactly one role and the id order is
+    // restored at the end with least/greatest. Both prefix lists share
+    // ONE global (df, tok) order, which is what makes the first-
+    // witness and positional bounds sound: any common token earlier
+    // than the witness would sit inside BOTH emitted prefixes and
+    // contradict witness-minimality.
+    val eProbe = pfx.select(sf.col("id").as("id_p"), sf.col("sz").as("sz_p"),
+      sf.col("pfx_p"), sf.posexplode(sf.col("pfx_p")).as(Seq("pos_p", "tok")))
+    val eIdx = pfx.select(sf.col("id").as("id_i"), sf.col("sz").as("sz_i"),
+      sf.col("pfx_i"), sf.posexplode(sf.col("pfx_i")).as(Seq("pos_i", "tok")))
+    // J >= t  <=>  inter*(1+t) >= t*(sz_p+sz_i): the required overlap,
     // all in exact integer arithmetic (PPJoin's positional filters)
-    val interReq10k = sf.lit(t10k.toLong) *
-      (sf.col("sz_a") + sf.col("sz_b"))
-    val afterA = sf.col("sz_a") - sf.col("pos_a") - 1
-    val afterB = sf.col("sz_b") - sf.col("pos_b") - 1
-    val cands = ex.select(sf.col("tok"), sf.col("id").as("a_id"),
-        sf.col("sz").as("sz_a"), sf.col("pos").as("pos_a"), sf.col("pfx").as("pfx_a"))
-      .join(ex.select(sf.col("tok"), sf.col("id").as("b_id"),
-        sf.col("sz").as("sz_b"), sf.col("pos").as("pos_b"), sf.col("pfx").as("pfx_b")),
-        Seq("tok"))
-      .filter(sf.col("a_id") < sf.col("b_id"))
-      // J <= min/max of the sizes, so min*10^4 >= max*t10k is necessary
-      .filter(sf.least(sf.col("sz_a"), sf.col("sz_b")) * 10000L >=
-        sf.greatest(sf.col("sz_a"), sf.col("sz_b")).cast("long") * t10k)
+    val interReq10k = sf.lit(t10k.toLong) * (sf.col("sz_p") + sf.col("sz_i"))
+    val afterP = sf.col("sz_p") - sf.col("pos_p") - 1
+    val afterI = sf.col("sz_i") - sf.col("pos_i") - 1
+    val cands = eProbe.join(eIdx, Seq("tok"))
+      // index = smaller (sz, id): unique role per pair
+      .filter(sf.col("sz_i") < sf.col("sz_p") ||
+        (sf.col("sz_i") === sf.col("sz_p") && sf.col("id_i") < sf.col("id_p")))
+      // J <= min/max of the sizes, so idx*10^4 >= probe*t10k is necessary
+      .filter(sf.col("sz_i") * 10000L >= sf.col("sz_p").cast("long") * t10k)
       // loose positional bound, valid for ANY shared token at 0-based
-      // (pos_a, pos_b): common tokens before it <= min(pos_a, pos_b),
+      // (pos_p, pos_i): common tokens before it <= min(pos_p, pos_i),
       // after it <= min(remaining suffix lengths). A few int ops per
       // collision row, BEFORE the allocating intersect test.
-      .filter((sf.least(sf.col("pos_a"), sf.col("pos_b")) + 1L +
-        sf.least(afterA, afterB)) * (10000L + t10k) >= interReq10k)
-      // first-witness: emit only at the earliest shared prefix token
+      .filter((sf.least(sf.col("pos_p"), sf.col("pos_i")) + 1L +
+        sf.least(afterP, afterI)) * den >= interReq10k)
+      // first-witness: emit only at the earliest shared emitted token
       // (array_intersect preserves the first argument's rarity order)
       .filter(sf.col("tok") === sf.element_at(
-        sf.array_intersect(sf.col("pfx_a"), sf.col("pfx_b")), 1))
+        sf.array_intersect(sf.col("pfx_i"), sf.col("pfx_p")), 1))
       // tight positional bound: at the FIRST shared token no common
       // token precedes it in either order, so inter <= 1 + the
       // smaller remaining suffix
-      .filter((sf.lit(1L) + sf.least(afterA, afterB)) * (10000L + t10k) >=
-        interReq10k)
-      .select("a_id", "b_id")
+      .filter((sf.lit(1L) + sf.least(afterP, afterI)) * den >= interReq10k)
+      .select(sf.least(sf.col("id_p"), sf.col("id_i")).as("a_id"),
+        sf.greatest(sf.col("id_p"), sf.col("id_i")).as("b_id"))
     // Guard band below the kernel threshold (house convention, see
     // lshCore): the abandon test's two double products round
     // independently, and a pair at EXACTLY j = t can land on opposite
