@@ -675,6 +675,16 @@ object SparkEntry {
     "q108_transitions" -> ((s, dir) =>
       EventOps.transitionMatrix(Tables.load(s, dir, "events"))),
 
+    // Rank-based A/B twin of q99: click vs view values compared
+    // distribution-free (outlier-robust), midranked ties, exact
+    // integer 2x rank sums.
+    "q109_mann_whitney" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.mannWhitneyU(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
+
     // Exact two-sample KS: do click values and view values come from
     // the same distribution? Integer-exact CDF gap, unbinned.
     "q106_ks_test" -> ((s, dir) => {
@@ -2258,6 +2268,36 @@ object SparkEntry {
         |    floor(CAST(COUNT(*) AS DOUBLE)/(SELECT n FROM tot)*10000.0 + 0.5)/10000.0
         |    FROM documents GROUP BY source
         |) ORDER BY metric""".stripMargin,
+
+    "q109_mann_whitney" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type='click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type='view' AND value IS NOT NULL),
+        |ca AS (SELECT v, COUNT(*) c FROM a GROUP BY 1),
+        |cb AS (SELECT v, COUNT(*) c FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS ca,
+        |  COALESCE(cb.c, 0) AS cb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v, ca, cb, ca + cb AS t,
+        |  COALESCE(SUM(ca + cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM m),
+        |s AS (SELECT
+        |  CAST(SUM(CAST(ca AS DECIMAL(38,0)) * CAST(cumb*2 + t + 1 AS DECIMAL(38,0))) AS DOUBLE) AS r2s,
+        |  CAST(SUM(CAST(t AS DECIMAL(38,0))*CAST(t AS DECIMAL(38,0))*CAST(t AS DECIMAL(38,0))
+        |    - CAST(t AS DECIMAL(38,0))) AS DOUBLE) AS ties,
+        |  CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+        |SELECT na AS n_a, nb AS n_b,
+        | floor((r2s/2 - CAST(na AS DOUBLE)*(CAST(na AS DOUBLE)+1)/2)*10000.0 + 0.5)/10000.0 AS u_stat,
+        | CASE WHEN sqrt(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/12 *
+        |     ((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE)+1)
+        |      - ties/((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))*(CAST(na AS DOUBLE)+CAST(nb AS DOUBLE)-1)))) > 0
+        |   THEN floor(((r2s/2 - CAST(na AS DOUBLE)*(CAST(na AS DOUBLE)+1)/2)
+        |      - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/2)
+        |     / sqrt(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/12 *
+        |       ((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE)+1)
+        |        - ties/((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))*(CAST(na AS DOUBLE)+CAST(nb AS DOUBLE)-1))))
+        |     *10000.0 + 0.5)/10000.0 END AS z
+        |FROM s""".stripMargin,
 
     "q108_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

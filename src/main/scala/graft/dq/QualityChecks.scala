@@ -432,6 +432,60 @@ object QualityChecks {
         sf.col("__fn").as("n"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * distribution-free companion to [[graft.operators.EventOps.abLift]]'s
+    * Welch t: compares whole distributions by rank, so outliers and
+    * skew can't dominate the way they do a mean test. Ties get the
+    * midrank, and the normal approximation's variance carries the
+    * standard tie correction.
+    *
+    * Exactness: with midranks, 2·rankSum is an integer —
+    * Σ_v ca·(2·cumBefore + ca + cb + 1) — so U accumulates in exact
+    * integer arithmetic (DECIMAL against overflow) and only the final
+    * z assembly runs in (pinned-order) doubles. Any engine replays it.
+    *
+    * Scale shape: the ksTest plan — per-side distinct-value
+    * compression, one domain-bounded cumulative window, a single-row
+    * finish. */
+  def mannWhitneyU(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: String) =
+      graft.operators.Par.spread(
+        df.select(sf.col(valueCol).cast("double").as("__v")))
+        .filter(sf.col("__v").isNotNull)
+        .groupBy("__v")
+        .agg(sf.count(sf.lit(1)).as(s"__c$tag"))
+    val merged = side(dfA, "a").join(side(dfB, "b"), Seq("__v"), "full_outer")
+      .select(sf.col("__v"),
+        sf.coalesce(sf.col("__ca"), sf.lit(0L)).as("__ca"),
+        sf.coalesce(sf.col("__cb"), sf.lit(0L)).as("__cb"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__v")), sf.lit(1)))
+      .orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val t = sf.col("__ca") + sf.col("__cb")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cumBefore = sf.coalesce(sf.sum(t).over(w), sf.lit(0L))
+    merged
+      .withColumn("__r2", dec(sf.col("__ca")) *
+        dec(cumBefore * 2 + t + 1)) // 2 * (rank sum contribution)
+      .withColumn("__tie", dec(t) * dec(t) * dec(t) - dec(t))
+      .agg(sf.sum("__r2").as("__r2s"), sf.sum("__tie").as("__ties"),
+        sf.sum("__ca").as("__na"), sf.sum("__cb").as("__nb"))
+      .select({
+        val na = sf.col("__na").cast("double")
+        val nb = sf.col("__nb").cast("double")
+        val n = na + nb
+        // U = R1 - n1(n1+1)/2, from the exact doubled rank sum
+        val u = sf.col("__r2s").cast("double") / 2 - na * (na + 1) / 2
+        val mu = na * nb / 2
+        val sigma = sf.sqrt(na * nb / 12 *
+          ((n + 1) - sf.col("__ties").cast("double") / (n * (n - 1))))
+        Seq(sf.col("__na").as("n_a"), sf.col("__nb").as("n_b"),
+          gf.roundAt(u, 4).as("u_stat"),
+          sf.when(sigma > 0, gf.roundAt((u - mu) / sigma, 4)).as("z"))
+      }: _*)
+  }
+
   /** Exact Pearson correlation for every pair of the given numeric
     * columns, in ONE scan. Values are quantized to 10^-4 fixed-point
     * longs (the dimensionProfile convention) and all five moment sums

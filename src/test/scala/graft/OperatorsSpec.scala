@@ -723,6 +723,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r1.getDouble(0) == 8.0 && r1.getLong(1) == 1L && r1.getLong(2) == 8L)
   }
 
+  test("QualityChecks: mannWhitneyU exact U with midranked ties; sigma=0 -> NULL z") {
+    // complete separation: every B above every A -> U = 0
+    val a = Seq(1.0, 2.0, 3.0).toDF("x")
+    val b = Seq(4.0, 5.0, 6.0).toDF("x")
+    val r = QualityChecks.mannWhitneyU(a, b, "x").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == (3L, 3L, 0.0))
+    assert(r.getDouble(3) < -1.9, s"z should be strongly negative: ${r.getDouble(3)}")
+    // all values tie: midranks make U = n1*n2/2 and the tie-corrected
+    // variance collapses to 0 -> z is NULL, not a division blowup
+    val t1 = Seq(1.0, 1.0).toDF("x")
+    val t2 = Seq(1.0).toDF("x")
+    val rt = QualityChecks.mannWhitneyU(t1, t2, "x").collect()(0)
+    assert(rt.getDouble(2) == 1.0 && rt.isNullAt(3))
+  }
+
   test("QualityChecks: robustOutliers flags k*MAD deviants; MAD=0 degrades") {
     // 1..9 plus a 1000 spike: median 5.5, MAD 2.5, k=3 cut 7.5 —
     // only the spike (dev 994.5, score 397.8) survives
