@@ -435,6 +435,11 @@ object SparkEntry {
     "q68_dup_ngram_frac" -> ((s, dir) =>
       TextAnalysis.dupNgramFraction(docs(s, dir), "doc_id", "text", n = 8)),
 
+    // ExactSubstr span removal: tokens covered by any corpus-repeated
+    // word 8-gram are cut; output is the surviving text per document.
+    "q110_dedup_spans" -> ((s, dir) =>
+      Dedup.removeDupSpans(docs(s, dir), "doc_id", "text", n = 8)),
+
     // Blocklist tagging: occurrence + distinct-term counts for a
     // curation blocklist over the token stream.
     "q69_blocklist" -> ((s, dir) =>
@@ -1634,6 +1639,33 @@ object SparkEntry {
         |        / COUNT(*))*10000.0 + 0.5)/10000.0 AS dup_frac
         |FROM dg JOIN cnt USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Span removal: gram starts with corpus count >= 2 (multiplicity,
+    // not doc-distinct) mark tokens within the following 8-token
+    // window as covered; the survivors rebuild the text in order.
+    "q110_dedup_spans" ->
+      """WITH ws AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT doc_id, unnest([{'gpos': i, 'gram': array_to_string(t[i:i+7], ' ')}
+        |       FOR i IN range(1, greatest(len(t)-7, 1)+1)]) AS u FROM ws),
+        |ge AS (SELECT doc_id, u.gpos AS gpos, u.gram AS gram FROM g),
+        |dupg AS (SELECT gram FROM ge GROUP BY gram HAVING COUNT(*) >= 2),
+        |ds AS (SELECT doc_id, gpos FROM ge JOIN dupg USING (gram)),
+        |tok AS (SELECT doc_id, unnest([{'pos': i, 'term': t[i]}
+        |        FOR i IN range(1, len(t)+1)]) AS u FROM ws),
+        |tk AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tok),
+        |fl AS (SELECT tk.doc_id, tk.pos, tk.term,
+        |       CASE WHEN ds.gpos IS NULL THEN 0 ELSE 1 END AS is_ds
+        |       FROM tk LEFT JOIN ds ON tk.doc_id = ds.doc_id AND tk.pos = ds.gpos),
+        |cv AS (SELECT doc_id, pos, term,
+        |       MAX(is_ds) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered FROM fl)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(covered) AS BIGINT) AS n_dup_tokens,
+        | floor((CAST(SUM(covered) AS DOUBLE) / COUNT(*))*10000.0 + 0.5)/10000.0 AS dup_frac,
+        | coalesce(string_agg(CASE WHEN covered = 0 THEN term END, ' ' ORDER BY pos), '')
+        |   AS clean_text
+        |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Blocklist tagging over lowercased whitespace tokens.
     "q69_blocklist" ->

@@ -132,6 +132,12 @@ object functions {
   def hashedWsNgrams(t: Column, n: Int): Column =
     kernel(ArrayType(LongType, containsNull = false), "hashedWsNgrams", t, sf.lit(n))
 
+  /** Positional word-n-gram hashes: text order, multiplicity kept —
+    * index i is the gram starting at token i (see
+    * Kernels.hashedWsNgramSeq). For span-level dedup. */
+  def hashedWsNgramSeq(t: Column, n: Int): Column =
+    kernel(ArrayType(LongType, containsNull = false), "hashedWsNgramSeq", t, sf.lit(n))
+
   /** Jaccard over two hashShingles arrays (primitive merge scan). */
   def jaccardSortedLong(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccardSortedLong", a, b)

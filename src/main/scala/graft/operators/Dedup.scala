@@ -766,4 +766,63 @@ object Dedup {
         sf.col(s"__w.$idCol").as("canonical_id"),
         sf.col(s"__w.$scoreCol").as("canonical_score"))
       .orderBy(clusterCol)
+
+  /** Exact duplicated-span REMOVAL (the ExactSubstr dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * at word-n-gram granularity): a token is duplicated when any
+    * word n-gram covering it occurs at least twice in the corpus
+    * (counting multiplicity — a within-document repeat is a duplicate
+    * too, unlike `TextAnalysis.dupNgramFraction`'s doc-distinct
+    * carrier counts). Output keeps every document with its surviving
+    * text — the spans themselves are cut, which removes boilerplate
+    * and templated repetition that document-level dedup cannot touch.
+    *
+    * Scale shape: the corpus explodes once to (doc, gramPos, gramHash)
+    * — hashes, never gram strings, ride every shuffle — and the
+    * exploded stream is checkpointed for its two consumers (the
+    * global gram-count aggregate and the duplicated-start probe).
+    * Duplicated start positions regroup to one array per document (a
+    * combinable collect shuffling only DUPLICATED positions), and one
+    * equi join keyed by doc_id brings them back to the token arrays;
+    * span marking, interval union, and text rebuild are then pure
+    * array expressions inside the document's own partition — no token
+    * explode, no per-token window sort. Shuffled bytes: gram hashes +
+    * duplicated positions + one corpus pass for the final join (which
+    * a doc_id-bucketed layout would co-locate away). A 64-bit gram-
+    * hash collision can only ADD a duplicated span — conservative,
+    * like `decontaminate`. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val base = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), gf.wsTokens(sf.col("__t")).as("toks"),
+        gf.hashedWsNgramSeq(sf.col("__t"), n).as("ghs"))
+      .filter(sf.size(sf.col("toks")) > 0)
+      .localCheckpoint(true)
+    val grams = base.select(sf.col("doc_id"),
+      sf.posexplode(sf.col("ghs")).as(Seq("gpos", "gh")))
+    val dup = grams.groupBy("gh").agg(sf.count(sf.lit(1)).as("c"))
+      .filter(sf.col("c") >= 2).select("gh")
+    val dstarts = grams.join(dup, Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sf.array_sort(sf.collect_set(sf.col("gpos"))).as("ds"))
+    val lenC = sf.size(sf.col("toks"))
+    base.join(dstarts, Seq("doc_id"), "left")
+      .withColumn("marked", sf.when(sf.col("ds").isNull,
+          sf.array().cast("array<int>"))
+        .otherwise(sf.array_distinct(sf.flatten(sf.transform(sf.col("ds"),
+          i => sf.sequence(i, sf.least(i + (n - 1), lenC - 1)))))))
+      .withColumn("kept",
+        sf.array_except(sf.sequence(sf.lit(0), lenC - 1), sf.col("marked")))
+      .select(sf.col("doc_id"),
+        lenC.cast("long").as("n_tokens"),
+        (lenC - sf.size(sf.col("kept"))).cast("long").as("n_dup_tokens"),
+        gf.roundAt((lenC - sf.size(sf.col("kept"))).cast("double") /
+          lenC.cast("double"), 4).as("dup_frac"),
+        sf.concat_ws(" ",
+          sf.transform(sf.col("kept"), p => sf.element_at(sf.col("toks"), p + 1)))
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -237,6 +237,59 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Positional variant of hashedWsNgrams: gram hashes IN TEXT ORDER,
+    * duplicates kept — index i is the hash of the n-gram starting at
+    * token i (one whole-sequence gram when the doc is shorter than n;
+    * empty array for an empty doc). Span-level operators need the
+    * start positions and within-doc multiplicity that the sorted-set
+    * variant deliberately discards. */
+  def hashedWsNgramSeq(t: UTF8String, n: Int): ArrayData = {
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val len = t.numBytes()
+    var toks = new Array[Long](8)
+    var w = 0
+    var i = 0
+    def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    while (i < len) {
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        if (w == toks.length) toks = java.util.Arrays.copyOf(toks, w * 2)
+        toks(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          base, off + start, i - start, Seed)
+        w += 1
+      }
+    }
+    val out =
+      if (w == 0) new Array[Long](0)
+      else if (w < n) {
+        var h = Seed
+        var j = 0
+        while (j < w) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(toks(j), h)
+          j += 1
+        }
+        Array(h)
+      } else {
+        val g = new Array[Long](w - n + 1)
+        var s = 0
+        while (s <= w - n) {
+          var h = Seed
+          var j = s
+          while (j < s + n) {
+            h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(toks(j), h)
+            j += 1
+          }
+          g(s) = h
+          s += 1
+        }
+        g
+      }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Jaccard over sorted distinct long arrays (see hashSetSorted);
     * both-empty -> 1.0. */
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {

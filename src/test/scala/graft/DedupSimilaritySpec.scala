@@ -399,4 +399,60 @@ class DedupSimilaritySpec extends SparkFunSuite {
       s"missing=${(want -- gotRows).take(5)} extra=${(gotRows -- want).take(5)}")
     assert(gotRows.nonEmpty, "slice should contain near-dup pairs")
   }
+
+  test("hashedWsNgramSeq keeps order and multiplicity; set variant sorts distinct") {
+    val df = Seq(
+      ("a b c a b c", 2),  // grams: ab bc ca ab bc — repeats kept, in order
+      ("x y", 3),          // short doc: one whole-sequence gram
+      ("   ", 2)           // empty after trim: no grams
+    ).toDF("t", "n")
+    val seqs = df.select(graft.functions.hashedWsNgramSeq($"t", 2).as("g"))
+      .as[Seq[Long]].collect()
+    assert(seqs(0).length == 5 && seqs(0)(0) == seqs(0)(3) && seqs(0)(1) == seqs(0)(4))
+    assert(seqs(0).distinct.length == 3)
+    val short = df.filter($"t" === "x y")
+      .select(graft.functions.hashedWsNgramSeq($"t", 3)).as[Seq[Long]].head()
+    assert(short.length == 1)
+    val empty = df.filter(sf.trim($"t") === "")
+      .select(graft.functions.hashedWsNgramSeq($"t", 2)).as[Seq[Long]].head()
+    assert(empty.isEmpty)
+    // the sorted-set variant of the same text: distinct and ascending
+    val set = df.filter($"t".startsWith("a"))
+      .select(graft.functions.hashedWsNgrams($"t", 2)).as[Seq[Long]].head()
+    assert(set == seqs(0).distinct.sorted)
+  }
+
+  test("removeDupSpans cuts exactly the tokens covered by corpus-repeated n-grams") {
+    // "p q r s" appears in docs 1 and 2 (cross-doc dup); doc 3 repeats
+    // "m n" within itself (multiplicity dup); doc 4 is clean.
+    val df = Seq(
+      (1L, "p q r s unique1 tail1"),
+      (2L, "head2 p q r s tail2"),
+      (3L, "m n filler m n closer"),
+      (4L, "completely novel text here")).toDF("id", "t")
+    val got = Dedup.removeDupSpans(df, "id", "t", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))).toList
+    // n=4 grams of doc1: [p q r s][q r s unique1][r s unique1 tail1] — only
+    // the first is repeated (doc2 has [p q r s]), covering tokens 0..3.
+    assert(got(0) == ((1L, 6L, 4L, "unique1 tail1")))
+    // doc2: dup gram starts at token 1, covers 1..4 -> head2 + tail2 survive
+    assert(got(1) == ((2L, 6L, 4L, "head2 tail2")))
+    // doc3: its 4-grams [m n filler m][n filler m n][filler m n closer] are
+    // all unique in the corpus -> nothing cut (span dedup is n-gram-scoped;
+    // the bigram repeat is below the gram width)
+    assert(got(2) == ((3L, 6L, 0L, "m n filler m n closer")))
+    assert(got(3) == ((4L, 4L, 0L, "completely novel text here")))
+  }
+
+  test("removeDupSpans within-doc multiplicity: a doc repeating its own n-gram is cut") {
+    val df = Seq(
+      (1L, "a b c d mid a b c d end"),
+      (2L, "other words entirely distinct")).toDF("id", "t")
+    val got = Dedup.removeDupSpans(df, "id", "t", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4))).toList
+    // gram [a b c d] occurs twice WITHIN doc 1: starts 0 and 5, covering
+    // 0..3 and 5..8 -> "mid" (pos 4) and "end" (pos 9) survive
+    assert(got(0) == ((1L, 8L, "mid end")))
+    assert(got(1) == ((2L, 0L, "other words entirely distinct")))
+  }
 }
