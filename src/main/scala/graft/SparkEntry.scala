@@ -440,6 +440,11 @@ object SparkEntry {
     "q110_dedup_spans" -> ((s, dir) =>
       Dedup.removeDupSpans(docs(s, dir), "doc_id", "text", n = 8)),
 
+    // Entropy band signals: token- and char-distribution Shannon
+    // entropy per document (map-only kernels).
+    "q111_entropy" -> ((s, dir) =>
+      TextAnalysis.entropyStats(docs(s, dir), "doc_id", "text")),
+
     // Blocklist tagging: occurrence + distinct-term counts for a
     // curation blocklist over the token stream.
     "q69_blocklist" -> ((s, dir) =>
@@ -1666,6 +1671,32 @@ object SparkEntry {
         | coalesce(string_agg(CASE WHEN covered = 0 THEN term END, ' ' ORDER BY pos), '')
         |   AS clean_text
         |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Entropy bands: H = ln(n) - sum(c*ln c)/n over token and char
+    // counts; summation order differs across engines, the 4-decimal
+    // floor-round reconciles ln (q62 convention).
+    "q111_entropy" ->
+      """WITH d AS (SELECT doc_id, trim(text) AS tx,
+        |  regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tc AS (SELECT doc_id, term, COUNT(*) AS c
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1, 2),
+        |te AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       ln(CAST(SUM(c) AS DOUBLE)) -
+        |         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)
+        |         AS h_tok
+        |       FROM tc GROUP BY doc_id),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS c
+        |       FROM (SELECT doc_id, unnest([tx[i] FOR i IN range(1, length(tx)+1)]) AS ch
+        |             FROM d) GROUP BY 1, 2),
+        |ce AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |       ln(CAST(SUM(c) AS DOUBLE)) -
+        |         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)
+        |         AS h_ch
+        |       FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, floor(h_tok*10000.0 + 0.5)/10000.0 AS token_entropy,
+        |       n_chars, floor(h_ch*10000.0 + 0.5)/10000.0 AS char_entropy
+        |FROM te JOIN ce USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Blocklist tagging over lowercased whitespace tokens.
     "q69_blocklist" ->

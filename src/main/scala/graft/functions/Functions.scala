@@ -138,6 +138,14 @@ object functions {
   def hashedWsNgramSeq(t: Column, n: Int): Column =
     kernel(ArrayType(LongType, containsNull = false), "hashedWsNgramSeq", t, sf.lit(n))
 
+  /** Shannon entropy (nats) of the whitespace-token distribution (see
+    * Kernels.tokenEntropy). */
+  def tokenEntropy(t: Column): Column = kernel(DoubleType, "tokenEntropy", t)
+
+  /** Shannon entropy (nats) of the space-trimmed code-point
+    * distribution (see Kernels.charEntropy). */
+  def charEntropy(t: Column): Column = kernel(DoubleType, "charEntropy", t)
+
   /** Jaccard over two hashShingles arrays (primitive merge scan). */
   def jaccardSortedLong(a: Column, b: Column): Column =
     kernel(DoubleType, "jaccardSortedLong", a, b)

@@ -71,6 +71,28 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Entropy quality signals (the Gopher/RefinedWeb information-density
+    * band filters): Shannon entropy in nats of the token distribution
+    * and of the character distribution, per document. Low token entropy
+    * flags keyword-stuffing and repeated boilerplate; low char entropy
+    * flags keyboard-mash and encoding junk; both are bands, not
+    * thresholds — natural prose sits in a stable range.
+    *
+    * Scale shape: two O(len) hash-map kernels per row, map-only — runs
+    * at scan speed with zero shuffle at any corpus size. */
+  def entropyStats(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = prepared(docs0, idCol, textCol)
+    val t = sf.col(textCol)
+    docs.filter(sf.length(sf.trim(t)) > 0)
+      .select(
+        sf.col(idCol),
+        gf.tokenCount(t).cast("long").as("n_tokens"),
+        gf.roundAt(gf.tokenEntropy(t), 4).as("token_entropy"),
+        sf.length(sf.trim(t)).cast("long").as("n_chars"),
+        gf.roundAt(gf.charEntropy(t), 4).as("char_entropy"))
+      .orderBy(idCol)
+  }
+
   /** Stopword fraction per document against the stopword list of the
     * document's own `langCol` (a core quality signal: natural prose in
     * language L has a stable stopword rate; keyboard-mash and boilerplate

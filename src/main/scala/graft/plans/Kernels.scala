@@ -290,6 +290,65 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Shannon entropy (nats) of the whitespace-token distribution:
+    * H = ln(n) − (Σ c·ln c)/n over per-token counts. One byte pass +
+    * one hash map — O(len); tokens are counted by 64-bit hash (a
+    * collision can only merge two counts, nudging H down — same
+    * conservative family as every other hashed-gram kernel). Summation
+    * order is the map's iteration order: deterministic for identical
+    * text, reconciled cross-engine by the caller's 4-decimal round
+    * (the q62 ln convention). Empty text -> 0.0. */
+  def tokenEntropy(t: UTF8String): Double = {
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val len = t.numBytes()
+    val m = new java.util.HashMap[Long, Int]()
+    var n = 0
+    var i = 0
+    def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    while (i < len) {
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          base, off + start, i - start, Seed)
+        m.merge(h, 1, Integer.sum _)
+        n += 1
+      }
+    }
+    if (n == 0) 0.0
+    else {
+      var s = 0.0
+      val it = m.values().iterator()
+      while (it.hasNext) { val c = it.next().toDouble; s += c * Math.log(c) }
+      Math.log(n.toDouble) - s / n
+    }
+  }
+
+  /** Shannon entropy (nats) of the code-point distribution of the
+    * space-trimmed text (SQL `trim` semantics — spaces only, so an
+    * oracle replays the same character multiset). Empty -> 0.0. */
+  def charEntropy(t: UTF8String): Double = {
+    val s = t.trim().toString
+    val m = new java.util.HashMap[Int, Int]()
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      m.merge(cp, 1, Integer.sum _)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    if (n == 0) 0.0
+    else {
+      var acc = 0.0
+      val it = m.values().iterator()
+      while (it.hasNext) { val c = it.next().toDouble; acc += c * Math.log(c) }
+      Math.log(n.toDouble) - acc / n
+    }
+  }
+
   /** Jaccard over sorted distinct long arrays (see hashSetSorted);
     * both-empty -> 1.0. */
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {

@@ -337,4 +337,24 @@ class CurationSpec extends SparkFunSuite {
     assert(got(1L) == ((3, 2, 1)), s"got $got") // 3 hits, 2 distinct terms
     assert(got(2L) == ((0, 0, 0)) && got(3L) == ((0, 0, 0)))
   }
+
+  test("TextAnalysis.entropyStats equals hand-computed Shannon entropy") {
+    val df = Seq(
+      (1L, "a a a a"),       // one token type -> H_tok = 0
+      (2L, "a b a b"),       // uniform over 2 -> H_tok = ln 2
+      (3L, "aa ab"),         // chars (trimmed): a:3 b:1 space:1 over n=5
+      (4L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.entropyStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "blank doc filtered")
+    assert(got(1L)._1 == 4L && got(1L)._2 == 0.0)
+    assert(got(2L)._2 == math.floor(math.log(2) * 10000 + 0.5) / 10000)
+    // doc 3 tokens: aa, ab -> uniform over 2 -> ln 2; chars of "aa ab":
+    // n=5, a:3, space:1, b:1 -> H = ln 5 - (3 ln 3)/5
+    assert(got(3L)._2 == math.floor(math.log(2) * 10000 + 0.5) / 10000)
+    val hch = math.log(5) - 3 * math.log(3) / 5
+    assert(got(3L)._3 == 5L &&
+      got(3L)._4 == math.floor(hch * 10000 + 0.5) / 10000)
+  }
 }
