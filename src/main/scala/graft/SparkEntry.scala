@@ -445,6 +445,10 @@ object SparkEntry {
     "q111_entropy" -> ((s, dir) =>
       TextAnalysis.entropyStats(docs(s, dir), "doc_id", "text")),
 
+    // BPE merge statistic: top-50 adjacent char pairs within tokens.
+    "q112_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), "text", k = 50)),
+
     // Blocklist tagging: occurrence + distinct-term counts for a
     // curation blocklist over the token stream.
     "q69_blocklist" -> ((s, dir) =>
@@ -1697,6 +1701,16 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, floor(h_tok*10000.0 + 0.5)/10000.0 AS token_entropy,
         |       n_chars, floor(h_ch*10000.0 + 0.5)/10000.0 AS char_entropy
         |FROM te JOIN ce USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // BPE pair statistic: within-token adjacent char pairs, top-50 by
+    // count with pair-text tie-break (deterministic cut).
+    "q112_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pr AS (SELECT unnest([tk[i:i+1] FOR i IN range(1, length(tk))]) AS pair
+        |  FROM tok WHERE length(tk) >= 2)
+        |SELECT pair, COUNT(*) AS cnt FROM pr GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
     // Blocklist tagging over lowercased whitespace tokens.
     "q69_blocklist" ->

@@ -93,6 +93,32 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Adjacent-character-pair counts over lowercased whitespace tokens
+    * — the argmax statistic of one BPE training iteration (Sennrich et
+    * al.: merge the most frequent adjacent symbol pair). `k` most
+    * frequent pairs, ties broken by pair text so the cut is
+    * deterministic. Token boundaries are respected: pairs never span
+    * whitespace.
+    *
+    * Scale shape: pairs fan out map-only from the token arrays (no
+    * token-level explode survives the plan — the pair stream feeds a
+    * combinable count whose map-side combine collapses to the pair
+    * DOMAIN, bounded by charset², per task). The final top-k sorts the
+    * tiny aggregated domain, not the corpus. */
+  def bpePairCounts(docs0: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docs = Par.spread(docs0.select(sf.col(textCol).as("__t")))
+    val toks = sf.filter(gf.wsTokens(sf.lower(sf.col("__t"))),
+      tok => sf.length(tok) >= 2)
+    val pairs = sf.flatten(sf.transform(toks, tok =>
+      sf.transform(sf.sequence(sf.lit(1), sf.length(tok) - 1),
+        i => tok.substr(i, sf.lit(2)))))
+    docs.select(sf.explode(pairs).as("pair"))
+      .groupBy("pair").agg(sf.count(sf.lit(1)).as("cnt"))
+      .orderBy(sf.col("cnt").desc, sf.col("pair"))
+      .limit(k)
+  }
+
   /** Stopword fraction per document against the stopword list of the
     * document's own `langCol` (a core quality signal: natural prose in
     * language L has a stable stopword rate; keyboard-mash and boilerplate

@@ -357,4 +357,19 @@ class CurationSpec extends SparkFunSuite {
     assert(got(3L)._3 == 5L &&
       got(3L)._4 == math.floor(hch * 10000 + 0.5) / 10000)
   }
+
+  test("TextAnalysis.bpePairCounts counts within-token adjacent pairs, deterministic cut") {
+    val df = Seq(
+      (1L, "ABC abc x"),   // lowercased: ab, bc twice; single-char token skipped
+      (2L, "abd")          // ab again, bd once
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(df, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // counts: ab=3, bc=2, bd=1 -> top-2 is ab, bc
+    assert(got == List(("ab", 3L), ("bc", 2L)))
+    // tie region: k=3 must cut deterministically by pair text
+    val got3 = TextAnalysis.bpePairCounts(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got3 == List(("ab", 3L), ("bc", 2L), ("bd", 1L)))
+  }
 }
