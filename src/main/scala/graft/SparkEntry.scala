@@ -449,6 +449,17 @@ object SparkEntry {
     "q112_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(docs(s, dir), "text", k = 50)),
 
+    // Importance sampling: keep probability proportional to token
+    // count, expected kept rows = 150; division-free integer keep test.
+    "q113_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.weightedHashSample(d, "doc_id",
+          functions.tokenCount(sf.col("text")), budget = 150L)
+        .select(sf.col("doc_id"), sf.col("source"),
+          functions.tokenCount(sf.col("text")).cast("int").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Blocklist tagging: occurrence + distinct-term counts for a
     // curation blocklist over the token stream.
     "q69_blocklist" -> ((s, dir) =>
@@ -1711,6 +1722,20 @@ object SparkEntry {
         |  FROM tok WHERE length(tk) >= 2)
         |SELECT pair, COUNT(*) AS cnt FROM pr GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // Weighted sampling: hash*W < 10000*budget*w in exact integers
+    // (HUGEINT on the oracle side, bounded decimals in the engine).
+    "q113_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS W FROM w)
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+        |FROM w, t
+        |WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 AS HUGEINT) * W
+        |      < CAST(1500000 AS HUGEINT) * n_tokens
+        |ORDER BY doc_id""".stripMargin,
 
     // Blocklist tagging over lowercased whitespace tokens.
     "q69_blocklist" ->

@@ -92,6 +92,42 @@ object Sampling {
       .drop("__src", "__total", "__budget")
   }
 
+  /** Weighted (importance) sampling: each row is kept with probability
+    * ∝ its weight — inclusion p_i = min(1, budget·w_i / W) with
+    * W = Σ weights, so the expected kept-row count ≈ `budget` and
+    * heavier rows (longer documents, higher quality scores) are
+    * favored. Membership is the same portable key hash as
+    * `hashSample`: a pure function of the data, reproducible in SQL.
+    *
+    * The keep test is DIVISION-FREE exact integer arithmetic —
+    * `hash·W < 10000·budget·w` — evaluated in bounded decimals
+    * (hash ≤ 10⁴ in decimal(5,0), W in decimal(20,0): the left product
+    * is exact in decimal(26,0); the right literal 10⁴·budget ≤ 9.2e18
+    * in decimal(20,0) times w in decimal(15,0) is exact in
+    * decimal(36,0)). No rounding step exists for engines to disagree
+    * on, and the p=1 cap is automatic (hash < 10⁴ ≤ the scaled
+    * threshold whenever budget·w ≥ W). Zero-weight rows are never
+    * kept.
+    *
+    * Scale shape: one combinable global-sum aggregate (one row),
+    * broadcast back; the corpus itself never shuffles — map-only
+    * membership at any size. Weights above 10¹⁵ would overflow the
+    * right product's 36-digit bound and are rejected row-wise by the
+    * cast (null → dropped); practical weights (token counts, byte
+    * sizes) sit orders of magnitude below. */
+  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column,
+                         budget: Long): DataFrame = {
+    require(budget >= 0 && budget <= 922337203685477L,
+      "budget must be in [0, 9.22e14] (10000 * budget must fit int64)")
+    val totals = df.agg(sf.sum(weight.cast("long")).as("__W"))
+    df.crossJoin(sf.broadcast(totals))
+      .filter(hashBucket(sf.col(keyCol)).cast("decimal(5,0)") *
+          sf.col("__W").cast("decimal(20,0)") <
+        sf.lit(budget * 10000L).cast("decimal(20,0)") *
+          weight.cast("decimal(15,0)"))
+      .drop("__W")
+  }
+
   /** Deterministic multi-way split (train/val/test): each row's split
     * is a pure function of its key hash, so splits are DISJOINT and
     * EXHAUSTIVE by construction, stable across runs/partitionings/

@@ -208,6 +208,30 @@ class CurationSpec extends SparkFunSuite {
     assert(expectC.nonEmpty && expectC.size < 160, "threshold must actually partition 'c'")
   }
 
+  test("Sampling.weightedHashSample follows the exact hash*W < 10000*budget*w rule") {
+    // weights 1..100, W = 5050; budget 10 -> p_i = 10*w_i/5050
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "w")
+    val kept = Sampling.weightedHashSample(df, "id", $"w", budget = 10L)
+      .select("id").as[Long].collect().toSet
+    def bucket(id: Long) = (((id % 2147483648L) * 2654435761L) % 4294967296L) % 10000
+    val expect = (1L to 100L).filter(i => BigInt(bucket(i)) * 5050 < BigInt(100000) * i).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < 100, "rule must actually partition the rows")
+    // p=1 cap is automatic: budget*w >= W keeps the row at every bucket
+    val heavy = Seq((1L, 1L), (2L, 10000L)).toDF("id", "w")
+    val keptHeavy = Sampling.weightedHashSample(heavy, "id", $"w", budget = 2L)
+      .select("id").as[Long].collect().toSet
+    assert(keptHeavy.contains(2L), "budget*w >= W must force inclusion")
+    // zero weight is never kept, any budget
+    val zw = Seq((1L, 0L), (2L, 5L)).toDF("id", "w")
+    assert(!Sampling.weightedHashSample(zw, "id", $"w", budget = 1000000L)
+      .select("id").as[Long].collect().contains(1L))
+    // membership is partition-invariant
+    val repart = Sampling.weightedHashSample(df.repartition(7), "id", $"w", budget = 10L)
+      .select("id").as[Long].collect().toSet
+    assert(repart == kept)
+  }
+
   test("Dedup.dedupCorpus keeps unclustered docs plus one rep per cluster") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),
