@@ -449,6 +449,10 @@ object SparkEntry {
     "q112_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(docs(s, dir), "text", k = 50)),
 
+    // Bigram LM: conditional add-one NLL per doc (the q62 upgrade).
+    "q114_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(docs(s, dir), "doc_id", "text")),
+
     // Importance sampling: keep probability proportional to token
     // count, expected kept rows = 150; division-free integer keep test.
     "q113_weighted_sample" -> ((s, dir) => {
@@ -1722,6 +1726,25 @@ object SparkEntry {
         |  FROM tok WHERE length(tk) >= 2)
         |SELECT pair, COUNT(*) AS cnt FROM pr GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // Bigram LM: -mean ln (c(p,c)+1)/(c(p)+V); ln reconciled by the
+    // 4-decimal floor-round (q62 convention).
+    "q114_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT doc_id, unnest([{'p': t[i], 'c': t[i+1]} FOR i IN range(1, len(t))]) AS u
+        |       FROM d WHERE len(t) >= 2),
+        |b AS (SELECT doc_id, u.p AS p, u.c AS c FROM bg),
+        |db AS (SELECT doc_id, p, c, COUNT(*) AS c_db FROM b GROUP BY 1, 2, 3),
+        |cb AS (SELECT p, c, CAST(SUM(c_db) AS BIGINT) AS c_b FROM db GROUP BY 1, 2),
+        |cu AS (SELECT term, COUNT(*) AS c_u
+        |       FROM (SELECT unnest(t) AS term FROM d) GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS vocab FROM cu)
+        |SELECT db.doc_id, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+        | floor((-SUM(c_db * ln((cb.c_b + 1.0) / CAST(cu.c_u + v.vocab AS DOUBLE)))
+        |        / SUM(c_db)) * 10000.0 + 0.5) / 10000.0 AS lm2_nll
+        |FROM db JOIN cb USING (p, c) JOIN cu ON db.p = cu.term CROSS JOIN v
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
 
     // Weighted sampling: hash*W < 10000*budget*w in exact integers
     // (HUGEINT on the oracle side, bounded decimals in the engine).

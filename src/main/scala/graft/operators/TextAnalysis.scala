@@ -93,6 +93,55 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Bigram language-model scoring (the conditional upgrade of the
+    * unigram NLL, and the shape of the KenLM/CCNet perplexity filter):
+    * per document, the mean over bigram positions of
+    * −ln P(wᵢ | wᵢ₋₁) with add-one smoothing,
+    * P = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V), counts corpus-wide, V = unigram
+    * vocabulary size. The corpus is its own training set — the
+    * self-scoring convention of q62. Documents need ≥ 2 tokens (one
+    * bigram position) to receive a score.
+    *
+    * Scale shape: the bigram stream compresses per document first
+    * (groupBy (doc, bigram) with map-side combine), so the count-table
+    * joins probe one row per DISTINCT (doc, bigram); all shuffles
+    * carry 64-bit hashes, never token text (a collision merges two
+    * counts — the q68 conservative family); the vocab scalar rides a
+    * broadcast 1-row cross join. Like q62, the summation order of the
+    * final per-doc double sum differs from a SQL replay and the
+    * 4-decimal floor-round reconciles ln. */
+  def bigramLmScore(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withT = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), gf.wsTokens(sf.lower(sf.col("__t"))).as("toks"))
+      .filter(sf.size(sf.col("toks")) >= 1)
+      .localCheckpoint(true)
+    val bigr = withT.filter(sf.size(sf.col("toks")) >= 2)
+      .select(sf.col("doc_id"), sf.explode(sf.transform(
+        sf.sequence(sf.lit(1), sf.size(sf.col("toks")) - 1),
+        i => sf.struct(sf.element_at(sf.col("toks"), i).as("p"),
+          sf.element_at(sf.col("toks"), i + 1).as("c")))).as("z"))
+    val db = bigr.select(sf.col("doc_id"),
+        sf.xxhash64(sf.col("z.p")).as("ph"),
+        sf.xxhash64(sf.col("z.p"), sf.col("z.c")).as("bh"))
+      .groupBy("doc_id", "bh", "ph").agg(sf.count(sf.lit(1)).as("c_db"))
+    val cb = db.groupBy("bh").agg(sf.sum("c_db").as("c_b"))
+    val cu = withT.select(sf.explode(sf.col("toks")).as("term"))
+      .select(sf.xxhash64(sf.col("term")).as("uh"))
+      .groupBy("uh").agg(sf.count(sf.lit(1)).as("c_u"))
+    val v = cu.agg(sf.count(sf.lit(1)).as("vocab"))
+    db.join(cb, "bh")
+      .join(cu, sf.col("ph") === sf.col("uh"))
+      .crossJoin(sf.broadcast(v))
+      .groupBy("doc_id")
+      .agg(sf.sum("c_db").cast("long").as("n_bigrams"),
+        gf.roundAt(-sf.sum(sf.col("c_db") *
+            sf.log((sf.col("c_b") + 1.0) /
+              (sf.col("c_u") + sf.col("vocab")).cast("double"))) /
+          sf.sum("c_db"), 4).as("lm2_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Adjacent-character-pair counts over lowercased whitespace tokens
     * — the argmax statistic of one BPE training iteration (Sennrich et
     * al.: merge the most frequent adjacent symbol pair). `k` most

@@ -208,6 +208,25 @@ class CurationSpec extends SparkFunSuite {
     assert(expectC.nonEmpty && expectC.size < 160, "threshold must actually partition 'c'")
   }
 
+  test("TextAnalysis.bigramLmScore equals the hand-computed add-one conditional NLL") {
+    // corpus unigrams: a:3 b:2 c:1 solo:1 -> V=4 (the 1-token doc has no
+    // bigram POSITION but its token still enters the vocabulary);
+    // bigrams: (a,b):2 (b,a):1 (a,c):1
+    val df = Seq(
+      (1L, "a b a b"),
+      (2L, "a c"),
+      (3L, "solo")).toDF("doc_id", "text") // 1 token -> no bigram -> absent
+    val got = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // doc1: -(2 ln((2+1)/(3+4)) + 1 ln((1+1)/(2+4))) / 3
+    val d1 = -(2 * math.log(3.0 / 7) + math.log(2.0 / 6)) / 3
+    assert(got(1L)._1 == 3L && got(1L)._2 == math.floor(d1 * 10000 + 0.5) / 10000)
+    // doc2: -ln((1+1)/(3+4)) = ln 3.5
+    assert(got(2L)._1 == 1L &&
+      got(2L)._2 == math.floor(math.log(3.5) * 10000 + 0.5) / 10000)
+  }
+
   test("Sampling.weightedHashSample follows the exact hash*W < 10000*budget*w rule") {
     // weights 1..100, W = 5050; budget 10 -> p_i = 10*w_i/5050
     val df = (1L to 100L).map(i => (i, i)).toDF("id", "w")
