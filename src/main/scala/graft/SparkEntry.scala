@@ -453,6 +453,11 @@ object SparkEntry {
     "q114_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(docs(s, dir), "doc_id", "text")),
 
+    // OOV rate vs the corpus's own top-10 frequency vocabulary (the
+    // synthetic corpus has 31 distinct terms; V=10 exercises the cut).
+    "q115_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(docs(s, dir), "doc_id", "text", vocabSize = 10)),
+
     // Importance sampling: keep probability proportional to token
     // count, expected kept rows = 150; division-free integer keep test.
     "q113_weighted_sample" -> ((s, dir) => {
@@ -1745,6 +1750,21 @@ object SparkEntry {
         |        / SUM(c_db)) * 10000.0 + 0.5) / 10000.0 AS lm2_nll
         |FROM db JOIN cb USING (p, c) JOIN cu ON db.p = cu.term CROSS JOIN v
         |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+
+    // OOV rate: vocabulary = top-10 terms (count desc, term), per-doc
+    // fraction of occurrences outside it.
+    "q115_oov_rate" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+        |v AS (SELECT term FROM tok GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT 10),
+        |o AS (SELECT doc_id, COUNT(*) AS n_oov FROM tok
+        |      WHERE term NOT IN (SELECT term FROM v) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+        |  floor((CAST(coalesce(o.n_oov, 0) AS DOUBLE) / len(t))*10000.0 + 0.5)/10000.0
+        |    AS oov_frac
+        |FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Weighted sampling: hash*W < 10000*budget*w in exact integers
     // (HUGEINT on the oracle side, bounded decimals in the engine).

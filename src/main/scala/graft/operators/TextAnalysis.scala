@@ -142,6 +142,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * term list (count-desc, term-text tie-break — a deterministic
+    * frequency vocabulary, the fixed-size-tokenizer view of the data):
+    * per document, the fraction of token OCCURRENCES outside the
+    * vocabulary. High OOV flags encoding junk, code, and off-domain
+    * text relative to the corpus's own distribution.
+    *
+    * Scale shape: term counts are one combinable groupBy (map-side
+    * combine collapses to the term domain per task); the top-V cut
+    * sorts the aggregated DOMAIN, not the corpus; membership is a
+    * broadcast anti join over the token stream (map-only); per-doc
+    * counts are one combinable groupBy(doc). The corpus never sorts
+    * and token text never shuffles. */
+  def oovRate(docs0: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val base = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), gf.wsTokens(sf.lower(sf.col("__t"))).as("toks"))
+      .filter(sf.size(sf.col("toks")) > 0)
+      .localCheckpoint(true)
+    val tokens = base.select(sf.col("doc_id"), sf.explode(sf.col("toks")).as("term"))
+    val vocab = tokens.groupBy("term").agg(sf.count(sf.lit(1)).as("__c"))
+      .orderBy(sf.col("__c").desc, sf.col("term")).limit(vocabSize)
+      .select("term")
+    val oov = tokens.join(sf.broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy("doc_id").agg(sf.count(sf.lit(1)).as("n_oov"))
+    base.select(sf.col("doc_id"), sf.size(sf.col("toks")).cast("long").as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .select(sf.col("doc_id"), sf.col("n_tokens"),
+        sf.coalesce(sf.col("n_oov"), sf.lit(0L)).as("n_oov"),
+        gf.roundAt(sf.coalesce(sf.col("n_oov"), sf.lit(0L)).cast("double") /
+          sf.col("n_tokens").cast("double"), 4).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Adjacent-character-pair counts over lowercased whitespace tokens
     * — the argmax statistic of one BPE training iteration (Sennrich et
     * al.: merge the most frequent adjacent symbol pair). `k` most

@@ -208,6 +208,25 @@ class CurationSpec extends SparkFunSuite {
     assert(expectC.nonEmpty && expectC.size < 160, "threshold must actually partition 'c'")
   }
 
+  test("TextAnalysis.oovRate counts occurrences outside the deterministic top-V vocab") {
+    // counts: x:4 y:3 a:1 b:1 -> V=2 vocab {x, y}; doc2's a b are OOV
+    val df = Seq(
+      (1L, "x x y y"),
+      (2L, "x y a b"),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 0L, 0.0)))
+    assert(got(2L) == ((4L, 2L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    // tie at the V boundary cuts by term text: with V=3, tie a/b at
+    // count 1 resolves to 'a' -> only 'b' is OOV
+    val got3 = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got3(2L) == 1L)
+  }
+
   test("TextAnalysis.bigramLmScore equals the hand-computed add-one conditional NLL") {
     // corpus unigrams: a:3 b:2 c:1 solo:1 -> V=4 (the 1-token doc has no
     // bigram POSITION but its token still enters the vocabulary);
