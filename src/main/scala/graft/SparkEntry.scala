@@ -458,6 +458,11 @@ object SparkEntry {
     "q115_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(docs(s, dir), "doc_id", "text", vocabSize = 10)),
 
+    // BM25 batch scoring of the corpus against a fixed 3-term query.
+    "q116_bm25" -> ((s, dir) =>
+      CorpusStats.bm25Score(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "vector"))),
+
     // Importance sampling: keep probability proportional to token
     // count, expected kept rows = 150; division-free integer keep test.
     "q113_weighted_sample" -> ((s, dir) => {
@@ -1765,6 +1770,26 @@ object SparkEntry {
         |  floor((CAST(coalesce(o.n_oov, 0) AS DOUBLE) / len(t))*10000.0 + 0.5)/10000.0
         |    AS oov_frac
         |FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // BM25: Lucene idf variant; per-(doc,term) score assembled in one
+    // pinned double expression, summed over <= 3 matched terms.
+    "q116_bm25" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |       WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d)
+        |SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |  floor(SUM(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+        |            * (tf.tf * (1.2 + 1.0))
+        |            / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl)))
+        |        * 10000.0 + 0.5) / 10000.0 AS bm25
+        |FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
 
     // Weighted sampling: hash*W < 10000*budget*w in exact integers
     // (HUGEINT on the oracle side, bounded decimals in the engine).

@@ -379,4 +379,55 @@ object CorpusStats {
             .cast("double"), 4))
       .orderBy("source_a", "source_b")
   }
+
+  /** Okapi BM25 relevance of every document for a fixed query term
+    * set (Robertson & Walker SIGIR'94; the Lucene `+1`-inside-the-log
+    * idf variant, which is non-negative even for df > N/2):
+    *
+    *   idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * The batch-scoring side of retrieval — rank a corpus against a
+    * query (mining near-query training data, building weak labels for
+    * a reranker) — next to q93's index-construction side.
+    *
+    * Scale shape: the token stream filters to the literal query-term
+    * set BEFORE any shuffle, so only matching occurrences (≪ corpus)
+    * reach the combinable (doc, term) count; df and avgdl/N are
+    * domain- and single-row aggregates riding as broadcasts; docs with
+    * no match never surface. Doubles are assembled in one pinned
+    * expression per (doc, term) and summed per doc (≤ |query| terms),
+    * so fp order is fixed; the oracle replays it exactly at 4 dp. */
+  def bm25Score(docs0: DataFrame, idCol: String, textCol: String,
+                queryTerms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), gf.wsTokens(sf.lower(sf.col("__t"))).as("toks"))
+      .filter(sf.size(sf.col("toks")) > 0)
+      .localCheckpoint(true) // read by stats, tf, and the dl join
+    val stats = base.agg(sf.count(sf.lit(1)).as("n_docs"),
+      (sf.sum(sf.size(sf.col("toks")).cast("long")).cast("double") /
+        sf.count(sf.lit(1))).as("avgdl"))
+    val tf = base
+      .select(sf.col("doc_id"), sf.explode(sf.col("toks")).as("term"))
+      .filter(sf.col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(sf.count(sf.lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(sf.count(sf.lit(1)).as("df"))
+    val dl = base.select(sf.col("doc_id"),
+      sf.size(sf.col("toks")).cast("long").as("dl"))
+    val idf = sf.log(sf.lit(1.0) +
+      (sf.col("n_docs") - sf.col("df") + 0.5) / (sf.col("df") + 0.5))
+    val perTerm = idf * (sf.col("tf") * sf.lit(k1 + 1.0)) /
+      (sf.col("tf") + sf.lit(k1) * (sf.lit(1.0 - b) +
+        sf.lit(b) * sf.col("dl") / sf.col("avgdl")))
+    tf.join(sf.broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(sf.broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sf.count(sf.lit(1)).cast("long").as("n_matched"),
+        gf.roundAt(sf.sum(perTerm), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
 }

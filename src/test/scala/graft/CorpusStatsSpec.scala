@@ -183,4 +183,27 @@ class CorpusStatsSpec extends SparkFunSuite {
       ("rare", 2L, 2L, "3,7", 0),
       ("the", 30L, 5L, "1,2,3,4,5", 1)), s"got $got")
   }
+
+  test("CorpusStats.bm25Score matches the hand-computed Okapi formula") {
+    val docs = Seq(
+      (1L, "a a b"),   // tf(a)=2, dl=3
+      (2L, "b c"),     // tf(c)=1, dl=2
+      (3L, "c c c"),   // tf(c)=3, dl=3
+      (4L, "b b")      // no query term -> absent from output
+    ).toDF("doc_id", "text")
+    val k1 = 1.2; val b = 0.75
+    val n = 4.0; val avgdl = (3 + 2 + 3 + 2).toDouble / 4
+    def idf(df: Long) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(df: Long, tf: Long, dl: Long) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val got = CorpusStats.bm25Score(docs, "doc_id", "text", Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, r4(s(df = 1, tf = 2, dl = 3)))))
+    assert(got(2L) == ((1L, r4(s(df = 2, tf = 1, dl = 2)))))
+    assert(got(3L) == ((1L, r4(s(df = 2, tf = 3, dl = 3)))))
+    // scores order the docs as retrieval would: rare 'a' beats common 'c'
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+  }
 }
