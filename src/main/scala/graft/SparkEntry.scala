@@ -474,6 +474,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Linear multi-touch attribution: purchases split value equally
+    // across same-user click/view touches in the trailing 3 days;
+    // integer credit at 1e6 sub-cent scale, (user, day-bin) equi join.
+    "q117_attribution" -> ((s, dir) =>
+      EventOps.attributionLinear(Tables.load(s, dir, "events"))),
+
+    // Basket co-occurrence lift over order line items (pair explode
+    // bounded by basket size, never cross-basket).
+    "q118_cooccur_lift" -> ((s, dir) =>
+      Graph.cooccurrenceLift(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3)),
+
+    // PageRank over the part co-occurrence graph: 3 damped rounds in
+    // exact 1e12 fixed-point integers (bit-replayable, nothing rounds).
+    "q119_pagerank" -> ((s, dir) =>
+      Graph.pageRank(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, iters = 3)),
+
+    // Calibration/ECE of the q73 quality classifier: sigmoid of the
+    // rounded score vs the lang=='en' outcome, 10 reliability bins.
+    "q120_calibration" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      val conf = sf.lit(1.0) / (sf.lit(1.0) + sf.exp(-sf.col("score")))
+      QualityChecks.calibration(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(conf.as("conf"), (sf.col("lang") === "en").cast("int").as("y")),
+        "conf", "y", nBins = 10)
+    }),
+
+    // Seasonal-baseline anomalies: per-(type, hour) mean/std profile
+    // (fixed-point moments), events beyond 2.5 sigma.
+    "q121_seasonal_anomaly" -> ((s, dir) =>
+      EventOps.seasonalAnomalies(Tables.load(s, dir, "events"), zThresh = 2.5)),
+
+    // Soft dedup: exact-dup groups down-weight to 1/|group| at 1e6
+    // scale; per-source raw vs duplication-corrected token mass.
+    "q122_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(docs(s, dir), "doc_id", "text")
+        .select(sf.col("source"),
+          functions.tokenCount(sf.col("text")).as("__tok"),
+          sf.col("weight_fx"))
+        .groupBy("source")
+        .agg(sf.count(sf.lit(1)).as("n_docs"),
+          sf.sum(sf.col("__tok")).as("n_tokens"),
+          functions.roundAt(
+            sf.sum(sf.col("__tok") * sf.col("weight_fx")).cast("double") / 1e6, 2)
+            .as("effective_tokens"))
+        .orderBy("source")),
+
     // Blocklist tagging: occurrence + distinct-term counts for a
     // curation blocklist over the token stream.
     "q69_blocklist" -> ((s, dir) =>
@@ -1804,6 +1854,148 @@ object SparkEntry {
         |WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 AS HUGEINT) * W
         |      < CAST(1500000 AS HUGEINT) * n_tokens
         |ORDER BY doc_id""".stripMargin,
+
+    // Multi-touch attribution: (user, day-bin) join replayed as a plain
+    // BETWEEN join; all credit arithmetic is integer (// = div on the
+    // positive values here), one final /1e8 division.
+    "q117_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t_ts, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_ts,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.conv_id, c.value_cents, t.channel FROM c JOIN t
+        |      ON c.user_id = t.user_id
+        |      AND t.t_ts >= c.c_ts - 259200000000 AND t.t_ts <= c.c_ts),
+        |n AS (SELECT conv_id, COUNT(*) AS n_touch FROM m GROUP BY 1),
+        |tc AS (SELECT m.channel, (m.value_cents * 1000000) // n.n_touch AS credit_fx
+        |       FROM m JOIN n USING (conv_id)),
+        |dc AS (SELECT 'direct' AS channel, value_cents * 1000000 AS credit_fx
+        |       FROM c WHERE conv_id NOT IN (SELECT conv_id FROM n)),
+        |u AS (SELECT * FROM tc UNION ALL SELECT * FROM dc)
+        |SELECT channel, COUNT(*) AS n_attributions,
+        |  floor((CAST(SUM(credit_fx) AS DOUBLE) / 1e8) * 100.0 + 0.5) / 100.0 AS credit
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // Basket co-occurrence lift; lift assembled in the same pinned
+    // double expression from exact integer counts.
+    "q118_cooccur_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |ca AS (SELECT item, COUNT(*) AS c_item FROM b GROUP BY 1),
+        |nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM b),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b, COUNT(*) AS c_ab FROM p GROUP BY 1, 2
+        |        HAVING COUNT(*) >= 3)
+        |SELECT item_a, item_b, c_ab, a.c_item AS c_a, bb.c_item AS c_b,
+        |  floor((CAST(n_baskets AS DOUBLE) * c_ab / (CAST(a.c_item AS DOUBLE) * bb.c_item))
+        |        * 10000.0 + 0.5) / 10000.0 AS lift
+        |FROM cab JOIN ca a ON cab.item_a = a.item
+        |JOIN ca bb ON cab.item_b = bb.item CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // PageRank: the identical integer fixed-point recurrence unrolled
+    // three times; ranks are exact BIGINTs, nothing rounds.
+    "q119_pagerank" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT item_a AS src, item_b AS dst FROM cab
+        |      UNION ALL SELECT item_b, item_a FROM cab),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS item FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT item, 1000000000000 // n AS rank_fx FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS dst, SUM(r0.rank_fx // od.outdeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r0 ON e.src = r0.item GROUP BY 1),
+        |r1 AS (SELECT item, (15000000000000 // (100 * n)) + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.item = c1.dst),
+        |c2 AS (SELECT e.dst AS dst, SUM(r1.rank_fx // od.outdeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r1 ON e.src = r1.item GROUP BY 1),
+        |r2 AS (SELECT item, (15000000000000 // (100 * n)) + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.item = c2.dst),
+        |c3 AS (SELECT e.dst AS dst, SUM(r2.rank_fx // od.outdeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r2 ON e.src = r2.item GROUP BY 1),
+        |r3 AS (SELECT item, (15000000000000 // (100 * n)) + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.item = c3.dst)
+        |SELECT item, rank_fx FROM r3 ORDER BY rank_fx DESC, item""".stripMargin,
+
+    // Calibration: q73's replayed linear score -> sigmoid confidence
+    // snapped to 1e-4 (absorbing libm exp ulps, the q62 ln convention),
+    // exact integer bin sums, one final division for ECE.
+    "q120_calibration" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |cy AS (SELECT s.doc_id,
+         |  1.0 / (1.0 + exp(-(floor((raw + -0.05)*10000.0 + 0.5)/10000.0))) AS conf,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |bb AS (SELECT least((CAST(floor(conf*10000.0 + 0.5) AS BIGINT) * 10) // 10000, 9) AS bin,
+         |       CAST(floor(conf*10000.0 + 0.5) AS BIGINT) AS c4, y FROM cy),
+         |g AS (SELECT bin, COUNT(*) AS n, SUM(c4) AS s_c4, SUM(y) AS n_pos FROM bb GROUP BY 1),
+         |w2 AS (SELECT bin, n, n_pos, conf_d, acc_d,
+         |       CAST(floor(abs(acc_d - conf_d) * 1e6 + 0.5) AS BIGINT) AS gap_fx
+         |       FROM (SELECT bin, n, n_pos,
+         |             CAST(s_c4 AS DOUBLE) / 1e4 / CAST(n AS DOUBLE) AS conf_d,
+         |             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc_d FROM g)),
+         |tt AS (SELECT SUM(n) AS n_total, SUM(n * gap_fx) AS gap_total FROM w2)
+         |SELECT bin, n, n_pos,
+         |  floor(conf_d*10000.0 + 0.5)/10000.0 AS avg_conf,
+         |  floor(acc_d*10000.0 + 0.5)/10000.0 AS accuracy,
+         |  floor(CAST(gap_fx AS DOUBLE)/1e6*10000.0 + 0.5)/10000.0 AS gap,
+         |  floor(CAST(gap_total AS DOUBLE)/(CAST(n_total AS DOUBLE)*1e6)*10000.0 + 0.5)/10000.0 AS ece
+         |FROM w2 CROSS JOIN tt ORDER BY bin""".stripMargin
+    },
+
+    // Seasonal anomalies: fixed-point moments per (type, hour), z in
+    // pinned IEEE doubles — the flag set is exact, not approximate.
+    "q121_seasonal_anomaly" ->
+      """WITH s AS (SELECT event_id, event_type, hour(ts) AS hr, value,
+        |       CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS x4
+        |       FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type AS bt, hr AS bh, COUNT(*) AS n,
+        |      SUM(CAST(x4 AS DECIMAL(38,0))) AS s1,
+        |      SUM(CAST(x4 AS DECIMAL(38,0)) * CAST(x4 AS DECIMAL(38,0))) AS ss
+        |      FROM s GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |mv AS (SELECT bt, bh,
+        |       CAST(s1 AS DOUBLE)/1e4/CAST(n AS DOUBLE) AS m,
+        |       (CAST(ss AS DOUBLE)/1e8 - CAST(n AS DOUBLE)
+        |          * (CAST(s1 AS DOUBLE)/1e4/CAST(n AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE)/1e4/CAST(n AS DOUBLE)))
+        |         / (CAST(n AS DOUBLE) - 1) AS v
+        |       FROM b),
+        |z AS (SELECT s.event_id, s.event_type, s.hr, s.value,
+        |      (CAST(s.x4 AS DOUBLE)/1e4 - mv.m) / sqrt(mv.v) AS zz, mv.v AS v
+        |      FROM s JOIN mv ON s.event_type = mv.bt AND s.hr = mv.bh)
+        |SELECT event_id, event_type, hr, value,
+        |  floor(zz*10000.0 + 0.5)/10000.0 AS z
+        |FROM z WHERE v > 0 AND abs(zz) > 2.5 ORDER BY event_id""".stripMargin,
+
+    // Soft dedup: integer 1e6-scale weights (1000000 // group_size),
+    // exact weighted token mass, one final division.
+    "q122_soft_dedup" ->
+      """WITH f AS (SELECT doc_id, source,
+        |      CASE WHEN length(trim(text))=0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok,
+        |      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |      FROM documents),
+        |g AS (SELECT fp, COUNT(*) AS gs FROM f GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  floor((CAST(SUM(tok * (1000000 // gs)) AS DOUBLE)/1e6)*100.0 + 0.5)/100.0
+        |    AS effective_tokens
+        |FROM f JOIN g USING (fp) GROUP BY source ORDER BY source""".stripMargin,
 
     // Blocklist tagging over lowercased whitespace tokens.
     "q69_blocklist" ->

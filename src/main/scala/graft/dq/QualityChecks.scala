@@ -654,4 +654,54 @@ object QualityChecks {
         gf.roundAt(sf.sum(clipped) / sf.count(sf.lit(1)), 4).as("winsorized_mean"))
       .orderBy(groupCol)
   }
+  /** Calibration reliability bins + expected calibration error (ECE)
+    * for a probabilistic classifier: rows carry a confidence in [0, 1]
+    * and a 0/1 outcome; each lands in one of `nBins` equal-width bins,
+    * and per bin we report size, mean confidence, empirical accuracy,
+    * and the |accuracy - confidence| gap; ECE is the size-weighted mean
+    * gap. The model-monitoring twin of the PSI drift check: PSI says
+    * the INPUT distribution moved, ECE says the model's probabilities
+    * stopped meaning what they claim.
+    *
+    * Determinism: confidence is snapped to 1e-4 resolution up front
+    * (absorbing cross-engine libm ulps, the q62 ln convention), so bin
+    * assignment and the per-bin confidence sums are exact integer
+    * arithmetic; accuracy/gap assemble from exact counts in pinned
+    * double expressions; ECE's cross-bin sum is an exact BIGINT sum of
+    * per-bin floor-scaled gaps with ONE final division.
+    *
+    * Scale shape: one combinable aggregation to nBins rows, then a
+    * <= nBins-row rollup cross-joined back — shuffle volume is nBins
+    * rows per map task regardless of input size. */
+  def calibration(df: DataFrame, confCol: String, outcomeCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2, 10000], got $nBins")
+    val conf4 = sf.floor(sf.col(confCol).cast("double") * 1e4 + 0.5).cast("long")
+    val binned = df
+      .filter(sf.col(confCol).isNotNull && sf.col(outcomeCol).isNotNull)
+      .select(conf4.as("__c4"), sf.col(outcomeCol).cast("long").as("__y"))
+      .withColumn("bin", sf.least(sf.expr(s"(__c4 * $nBins) div 10000"),
+        sf.lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(sf.col("__c4")).as("__s_c4"),
+        sf.sum(sf.col("__y")).as("n_pos"))
+    val withGap = binned.select(
+      sf.col("bin"), sf.col("n"), sf.col("n_pos"),
+      (sf.col("__s_c4").cast("double") / 1e4 / sf.col("n").cast("double")).as("__conf"),
+      (sf.col("n_pos").cast("double") / sf.col("n").cast("double")).as("__acc"))
+      .withColumn("__gap_fx",
+        sf.floor(sf.abs(sf.col("__acc") - sf.col("__conf")) * 1e6 + 0.5).cast("long"))
+    val ece = withGap.agg(
+      sf.sum(sf.col("n")).as("__n_total"),
+      sf.sum(sf.col("n") * sf.col("__gap_fx")).as("__gap_total"))
+    withGap.crossJoin(ece)
+      .select(sf.col("bin"), sf.col("n"), sf.col("n_pos"),
+        gf.roundAt(sf.col("__conf"), 4).as("avg_conf"),
+        gf.roundAt(sf.col("__acc"), 4).as("accuracy"),
+        gf.roundAt(sf.col("__gap_fx").cast("double") / 1e6, 4).as("gap"),
+        gf.roundAt(sf.col("__gap_total").cast("double") /
+          (sf.col("__n_total").cast("double") * 1e6), 4).as("ece"))
+      .orderBy("bin")
+  }
 }

@@ -825,4 +825,27 @@ object Dedup {
           .as("clean_text"))
       .orderBy("doc_id")
   }
+  /** Soft dedup: instead of DROPPING duplicates, down-weight them —
+    * every member of an exact-duplicate group (by normalized content
+    * fingerprint) gets weight 1/|group|, so each distinct content
+    * contributes one unit of training mass no matter how many copies
+    * crawled in. The gentler sibling of `dedupCorpus` (losing near-dup
+    * nuance is sometimes worse than over-counting; mixture tuning wants
+    * the mass, not the row count).
+    *
+    * Weights are exact integers at 1e6 scale (1000000 div group_size),
+    * so any downstream weighted aggregate stays bit-replayable.
+    *
+    * Scale shape: one fingerprint-keyed combinable count, then a
+    * fingerprint-keyed join back — two shuffles on a fixed-width
+    * digest, text bodies never shuffle (the fingerprint rides instead).
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.withColumn("__fp", gf.fingerprint(sf.col(textCol)))
+    val sizes = fp.groupBy(sf.col("__fp").as("__gfp"))
+      .agg(sf.count(sf.lit(1)).as("group_size"))
+    fp.join(sizes, sf.col("__fp") === sf.col("__gfp"))
+      .withColumn("weight_fx", sf.expr("1000000L div group_size"))
+      .drop("__fp", "__gfp")
+  }
 }

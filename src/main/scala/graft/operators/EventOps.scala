@@ -413,6 +413,51 @@ object EventOps {
           .as("t_stat"))
   }
 
+  /** Seasonal-baseline anomaly detection: fit a per-(event_type,
+    * hour-of-day) mean/std profile, then flag events whose value sits
+    * more than `zThresh` standard deviations from their own slot's
+    * baseline. The monitoring pass that catches "errors spiked at 3am"
+    * without a model: the baseline IS the seasonality.
+    *
+    * Exactness: moments accumulate as fixed-point DECIMAL sums of the
+    * 1e4-scaled value (order-exact at any parallelism, the q99
+    * pattern); mean/variance/z assemble in pinned IEEE double
+    * expressions (+ - * / sqrt are correctly rounded), so the z-scores
+    * and the flag set are bit-replayable in any engine.
+    *
+    * Scale shape: the baseline is one combinable aggregation to
+    * |types| x 24 rows — broadcast back over the events by
+    * construction (the profile table is bounded by the type domain,
+    * not the data), so the scoring pass is map-only. Slots need n >= 2
+    * and positive variance to score; degenerate slots flag nothing. */
+  def seasonalAnomalies(events: DataFrame, typeCol: String = "event_type",
+                        tsCol: String = "ts", valueCol: String = "value",
+                        idCol: String = "event_id",
+                        zThresh: Double = 2.5): DataFrame = {
+    require(zThresh > 0, s"zThresh must be > 0, got $zThresh")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val slotted = events.filter(sf.col(valueCol).isNotNull)
+      .withColumn("hr", sf.hour(sf.col(tsCol)))
+      .withColumn("__x4", x4)
+    val baseline = slotted.groupBy(sf.col(typeCol).as("__bt"), sf.col("hr").as("__bh"))
+      .agg(sf.count(sf.lit(1)).as("__n"),
+        sf.sum(dec(sf.col("__x4"))).as("__s"),
+        sf.sum(dec(sf.col("__x4")) * dec(sf.col("__x4"))).as("__ss"))
+      .filter(sf.col("__n") >= 2)
+    val m = sf.col("__s").cast("double") / 1e4 / sf.col("__n").cast("double")
+    val variance = (sf.col("__ss").cast("double") / 1e8 -
+      sf.col("__n").cast("double") * m * m) / (sf.col("__n").cast("double") - 1)
+    val z = (sf.col("__x4").cast("double") / 1e4 - m) / sf.sqrt(variance)
+    slotted
+      .join(sf.broadcast(baseline),
+        sf.col(typeCol) === sf.col("__bt") && sf.col("hr") === sf.col("__bh"))
+      .filter(variance > 0 && sf.abs(z) > zThresh)
+      .select(sf.col(idCol), sf.col(typeCol), sf.col("hr"),
+        sf.col(valueCol), gf.roundAt(z, 4).as("z"))
+      .orderBy(idCol)
+  }
+
   /** CDC latest-snapshot compaction: reduce a change/event log to one
     * current row per key — the upsert-merge that keeps a mutable-table
     * mirror (or a "latest doc version wins" corpus) fresh. The winner
@@ -425,6 +470,69 @@ object EventOps {
     * (map task, key). The window-rank formulation
     * (`row_number() ... WHERE rn = 1`) shuffles and sorts EVERY change
     * record per key and is kept only as the SQL-oracle twin. */
+  /** Linear multi-touch attribution: every conversion event splits its
+    * value EQUALLY across the same user's touch events inside the
+    * trailing `lookbackSec` window (inclusive [t_conv - lookback,
+    * t_conv]); conversions with no in-window touch credit the "direct"
+    * channel. Credit is exact integer arithmetic end-to-end — value in
+    * cents (DECIMAL(18,2) cast, both engines round identically), split
+    * via floor division at 1e6 sub-cent resolution — so per-channel
+    * totals are bit-replayable and conserve the conversion total up to
+    * the documented floor remainder (< n_touches sub-cent units per
+    * conversion).
+    *
+    * Scale shape: the touch-conversion match is the binned interval
+    * join on a COMPOSITE (user, time-bin) key — conversions explode
+    * into the <= lookback/binWidth + 1 bins their window covers,
+    * touches map to exactly ONE bin (each pair meets once, no dedup) —
+    * so the plan is an equi join + post-filter, never a per-user
+    * nested loop, and a hot user's events still spread across time
+    * bins. Two aggregations follow: per-conversion touch counts
+    * (combinable count), then the per-channel rollup (combinable sum
+    * of integer credits).
+    */
+  def attributionLinear(events: DataFrame,
+                        conversionType: String = "purchase",
+                        touchTypes: Seq[String] = Seq("click", "view"),
+                        lookbackSec: Long = 259200L,
+                        binSec: Long = 86400L): DataFrame = {
+    require(lookbackSec >= 1 && binSec >= 1,
+      s"need lookbackSec, binSec >= 1, got $lookbackSec, $binSec")
+    val micros = sf.unix_micros(sf.col("ts"))
+    val binW = binSec * 1000000L
+    val lookbackMicros = lookbackSec * 1000000L
+    val touches = events.filter(sf.col("event_type").isin(touchTypes: _*))
+      .select(sf.col("user_id").as("t_user"), micros.as("t_ts"),
+        sf.col("event_type").as("channel"),
+        sf.expr(s"unix_micros(ts) div ${binW}L").as("t_bin"))
+    val convs = events.filter(sf.col("event_type") === conversionType)
+      .select(sf.col("user_id").as("c_user"), sf.col("event_id").as("conv_id"),
+        micros.as("c_ts"),
+        (sf.col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"))
+    val convBins = convs.withColumn("c_bin",
+      sf.explode(sf.sequence(
+        sf.expr(s"(c_ts - ${lookbackMicros}L) div ${binW}L"),
+        sf.expr(s"c_ts div ${binW}L"))))
+    val matched = convBins.join(touches,
+      sf.col("c_user") === sf.col("t_user") && sf.col("c_bin") === sf.col("t_bin") &&
+        sf.col("t_ts") >= sf.col("c_ts") - lookbackMicros && sf.col("t_ts") <= sf.col("c_ts"))
+      .select(sf.col("conv_id"), sf.col("value_cents"), sf.col("channel"))
+    val counts = matched.groupBy("conv_id").agg(sf.count(sf.lit(1)).as("n_touch"))
+    val touchCredit = matched.join(counts, "conv_id")
+      .select(sf.col("channel"),
+        sf.expr("(value_cents * 1000000L) div n_touch").as("credit_fx"))
+    val directCredit = convs.join(counts, Seq("conv_id"), "left_anti")
+      .select(sf.lit("direct").as("channel"),
+        (sf.col("value_cents") * 1000000L).as("credit_fx"))
+    touchCredit.union(directCredit)
+      .groupBy("channel")
+      .agg(sf.count(sf.lit(1)).as("n_attributions"),
+        sf.sum(sf.col("credit_fx")).as("credit_fx"))
+      .select(sf.col("channel"), sf.col("n_attributions"),
+        gf.roundAt(sf.col("credit_fx").cast("double") / 1e8, 2).as("credit"))
+      .orderBy("channel")
+  }
+
   def latestSnapshot(events: DataFrame, keyCol: String = "user_id",
                      tsCol: String = "ts", idCol: String = "event_id",
                      payloadCols: Seq[String] = Seq("event_type", "value")): DataFrame = {

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => sf}
+import graft.{functions => gf}
+
+/** Graph analytics over relational co-occurrence data: basket-style
+  * pair mining (association lift) and fixed-point PageRank. The
+  * reference pipeline has no graph surface; these are the two graph
+  * shapes a training-data/analytics engine actually needs — "what
+  * co-occurs" (recommendation, collocation beyond adjacent terms) and
+  * "what is central" (link-graph quality priors a la Common Crawl
+  * curation).
+  *
+  * Everything is DataFrame-declarative: pair enumeration explodes
+  * WITHIN a basket (fan-out bounded by basket size, never all-pairs
+  * across baskets), and PageRank iterations are key-partitioned
+  * join+agg rounds whose shuffle volume is |edges| per round.
+  */
+object Graph {
+
+  /** Distinct (basket, item) pairs — the input normalization both
+    * operators share. One shuffle with map-side combine. */
+  private def baskets(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.select(sf.col(basketCol).as("basket"), sf.col(itemCol).as("item")).distinct()
+
+  /** Item co-occurrence with association lift.
+    *
+    * For every unordered item pair {a, b} appearing in at least
+    * `minPairCount` common baskets: the co-count, the per-item basket
+    * counts, and lift = n_baskets * c_ab / (c_a * c_b) (> 1 means the
+    * pair co-occurs more than independence predicts).
+    *
+    * Scale shape: baskets collapse to distinct (basket, item) once
+    * (map-side combine), then each basket's sorted item array expands
+    * to its own pairs with builtin HOFs — fan-out is bounded by the
+    * basket size (s*(s-1)/2), NEVER a cross-basket product. Pair
+    * counts shuffle as one row per distinct pair after partial
+    * aggregation; the two item-count joins are plain equi joins AQE
+    * broadcasts when the item dimension is small. Lift is assembled
+    * in one pinned double expression from exact integer counts.
+    */
+  def cooccurrenceLift(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val b = baskets(df, basketCol, itemCol)
+    val arrs = b.groupBy("basket")
+      .agg(sf.sort_array(sf.collect_set(sf.col("item"))).as("items"))
+      .filter(sf.size(sf.col("items")) >= 2)
+    // pairs via nested transform: for i < j emit (items[i], items[j]);
+    // sort_array makes item_a < item_b deterministic.
+    val pairs = arrs.select(sf.explode(sf.flatten(
+      sf.expr("""transform(items, (x, i) ->
+                   transform(slice(items, i + 2, size(items) - i - 1),
+                             y -> struct(x as item_a, y as item_b)))"""))).as("p"))
+      .select(sf.col("p.item_a"), sf.col("p.item_b"))
+    val cAb = pairs.groupBy("item_a", "item_b").agg(sf.count(sf.lit(1)).as("c_ab"))
+      .filter(sf.col("c_ab") >= minPairCount)
+    val cItem = b.groupBy("item").agg(sf.count(sf.lit(1)).as("c_item"))
+    val nB = b.select(sf.countDistinct(sf.col("basket")).as("n_baskets"))
+    cAb
+      .join(cItem.select(sf.col("item").as("item_a"), sf.col("c_item").as("c_a")), "item_a")
+      .join(cItem.select(sf.col("item").as("item_b"), sf.col("c_item").as("c_b")), "item_b")
+      .crossJoin(nB)
+      .select(
+        sf.col("item_a"), sf.col("item_b"), sf.col("c_ab"),
+        sf.col("c_a"), sf.col("c_b"),
+        gf.roundAt(sf.col("n_baskets").cast("double") * sf.col("c_ab") /
+          (sf.col("c_a").cast("double") * sf.col("c_b")), 4).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
+  /** PageRank over the undirected co-occurrence graph, `iters` rounds
+    * of the damped update in EXACT integer fixed-point — every rank is
+    * a BIGINT at scale 1e12, all updates are integer floor divisions,
+    * so the result is bit-identical at any parallelism and replayable
+    * verbatim in any engine (the oracle unrolls the same integer
+    * recurrence):
+    *
+    *   r0(v)   = SCALE div n
+    *   r_k+1(v) = (15 * SCALE) div (100 * n)
+    *            + (85 * sum_{u -> v} (r_k(u) div outdeg(u))) div 100
+    *
+    * Edges are item pairs sharing >= `minPairCount` baskets, emitted in
+    * both directions; an undirected co-occurrence graph has no dangling
+    * nodes (every node in the graph has >= 1 edge).
+    *
+    * Scale shape: each round is one equi join (ranks x edges on the
+    * source, outdeg pre-attached to the edge table) plus one
+    * destination-keyed sum — shuffle volume is |edges| rows per round,
+    * partially aggregated map-side. At cluster scale the edge table
+    * would be cached pre-partitioned on src so only ranks move between
+    * rounds; iteration count is a fixed small constant (PageRank on
+    * link graphs converges to curation-useful precision in O(10)
+    * rounds). Ranks stay scaled BIGINTs end-to-end — no doubles
+    * anywhere, nothing to round.
+    */
+  def pageRank(df: DataFrame, basketCol: String, itemCol: String,
+               minPairCount: Long = 2, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000000000L // 1e12
+    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a"), sf.col("item_b"))
+    val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
+      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
+    val outdeg = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, "src")
+    val nodes = edges.select(sf.col("src").as("item")).distinct()
+    // n is a plan-time scalar: the node count is the one driver-side
+    // value the integer recurrence needs (same role as a literal seed).
+    val n = nodes.count()
+    require(n > 0, "pageRank: graph is empty at this minPairCount")
+    val base = (15L * SCALE) / (100L * n)
+    var ranks = nodes.select(sf.col("item"), sf.lit(SCALE / n).as("rank_fx"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks, sf.col("src") === sf.col("item"))
+        .select(sf.col("dst"),
+          sf.expr("rank_fx div outdeg").as("c"))
+        .groupBy("dst").agg(sf.sum(sf.col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, sf.col("item") === sf.col("dst"), "left")
+        .select(sf.col("item"),
+          (sf.lit(base) +
+            sf.expr("(85 * coalesce(s, 0L)) div 100")).as("rank_fx"))
+    }
+    ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{functions => sf}
+import graft.operators._
+import graft.dq.QualityChecks
+
+/** Hand-computed cases for the round-5 analytics wave: basket
+  * co-occurrence lift, fixed-point PageRank, multi-touch attribution,
+  * seasonal-baseline anomalies, calibration/ECE, soft-dedup weights. */
+class GraphAnalyticsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("Graph.cooccurrenceLift: hand-computed pair counts and lift") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (3L, "y"), // dup (3, y) must collapse
+      (4L, "z")).toDF("basket", "item")
+    val out = Graph.cooccurrenceLift(df, "basket", "item", minPairCount = 2).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("item_a") == "x" && r.getAs[String]("item_b") == "y")
+    assert(r.getAs[Long]("c_ab") == 3 && r.getAs[Long]("c_a") == 3 &&
+      r.getAs[Long]("c_b") == 3)
+    // lift = 4 * 3 / (3 * 3) = 1.3333
+    assert(r.getAs[Double]("lift") == 1.3333)
+  }
+
+  test("Graph.pageRank: path graph matches the hand-run integer recurrence") {
+    // a - b - c (two baskets); SCALE = 1e12, 3 iterations, minPairCount=1.
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c")).toDF("basket", "item")
+    val got = Graph.pageRank(df, "basket", "item", minPairCount = 1, iters = 3)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("rank_fx")).toMap
+    assert(got == Map(
+      "a" -> 209729166666L, "b" -> 580541666666L, "c" -> 209729166666L), s"got $got")
+  }
+
+  test("EventOps.attributionLinear: equal split, lookback boundary, direct fallback") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-10 12:00:00")
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0.getTime + offsetSec * 1000)
+    val events = Seq(
+      // user 1: two in-window touches share a 10.00 purchase equally
+      (1L, ts(-3600), 1L, "click", 0.0),
+      (2L, ts(-7200), 1L, "view", 0.0),
+      (3L, ts(0), 1L, "purchase", 10.0),
+      // user 2: only touch is outside the 3-day lookback -> direct
+      (4L, ts(-259201), 2L, "click", 0.0),
+      (5L, ts(0), 2L, "purchase", 7.5),
+      // user 3: touch EXACTLY at the lookback boundary is included
+      (6L, ts(-259200), 3L, "click", 0.0),
+      (7L, ts(0), 3L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.attributionLinear(events).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_attributions"), r.getAs[Double]("credit")))).toMap
+    assert(got == Map(
+      "click" -> ((2L, 7.0)),   // 5.00 from user 1 + 2.00 from user 3
+      "view" -> ((1L, 5.0)),
+      "direct" -> ((1L, 7.5))), s"got $got")
+  }
+
+  test("EventOps.seasonalAnomalies: only the planted outlier in its slot flags") {
+    val base = java.sql.Timestamp.valueOf("2024-06-10 09:30:00")
+    def ts(day: Int) = new java.sql.Timestamp(base.getTime + day * 86400000L)
+    val rows = (0 until 9).map(d => (d.toLong, ts(d), 1L, "click", 10.0)) :+
+      (99L, ts(9), 1L, "click", 200.0) :+
+      (100L, java.sql.Timestamp.valueOf("2024-06-10 11:00:00"), 1L, "view", 500.0)
+    // the 11:00 view slot has n=1 -> never scores
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.seasonalAnomalies(events, zThresh = 2.5).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("event_id") == 99L)
+    // z = (200-29)/sqrt(3610) = 2.846
+    assert(got(0).getAs[Double]("z") == 2.846)
+  }
+
+  test("QualityChecks.calibration: hand bins and ECE") {
+    val df = Seq(
+      (0.95, 1), (0.95, 1), (0.05, 0), (0.05, 0), (0.55, 1), (0.45, 0))
+      .toDF("conf", "y")
+    val out = QualityChecks.calibration(df, "conf", "y", nBins = 10).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("avg_conf"),
+          r.getAs[Double]("accuracy"), r.getAs[Double]("gap")))).toMap
+    assert(out == Map(
+      0L -> ((2L, 0.05, 0.0, 0.05)),
+      4L -> ((1L, 0.45, 0.0, 0.45)),
+      5L -> ((1L, 0.55, 1.0, 0.45)),
+      9L -> ((2L, 0.95, 1.0, 0.05))), s"got $out")
+    // ECE = (2*0.05 + 1*0.45 + 1*0.45 + 2*0.05) / 6 = 0.1833
+    val ece = QualityChecks.calibration(df, "conf", "y", nBins = 10)
+      .select("ece").distinct().collect()
+    assert(ece.length == 1 && ece(0).getDouble(0) == 0.1833)
+  }
+
+  test("Dedup.softDedupWeights: 1e6 div group_size by normalized fingerprint") {
+    val docs = Seq(
+      (1L, "Hello  World", "s1"),  // normalizes to the same content as doc 2
+      (2L, "hello world", "s1"),
+      (3L, "unique text", "s2")).toDF("doc_id", "text", "source")
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("group_size"), r.getAs[Long]("weight_fx")))).toMap
+    assert(got == Map(
+      1L -> ((2L, 500000L)), 2L -> ((2L, 500000L)), 3L -> ((1L, 1000000L))), s"got $got")
+  }
+}
