@@ -524,6 +524,22 @@ object SparkEntry {
             .as("effective_tokens"))
         .orderBy("source")),
 
+    // Dominant embedding component (power iteration, 2 rounds, exact
+    // 1e4/1e6 fixed-point) + per-vector projection and cosine.
+    "q123_dominant_component" -> ((s, dir) =>
+      Similarity.dominantComponent(emb(s, dir), "vec_id", "embedding", iters = 2)),
+
+    // Native session windows (the streaming-capable definition —
+    // session end = last event + gap; same groupBy runs under
+    // Structured Streaming in EventStream.sessionWindowCounts).
+    "q124_session_window" -> ((s, dir) =>
+      EventOps.sessionWindowAgg(Tables.load(s, dir, "events"))),
+
+    // Tokenizer fertility per source: BPE-ish tokens per word / bytes
+    // per token — the training-cost budgeting numbers.
+    "q125_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(docs(s, dir), "source", "text")),
+
     // Blocklist tagging: occurrence + distinct-term counts for a
     // curation blocklist over the token stream.
     "q69_blocklist" -> ((s, dir) =>
@@ -1996,6 +2012,77 @@ object SparkEntry {
         |  floor((CAST(SUM(tok * (1000000 // gs)) AS DOUBLE)/1e6)*100.0 + 0.5)/100.0
         |    AS effective_tokens
         |FROM f JOIN g USING (fp) GROUP BY source ORDER BY source""".stripMargin,
+
+    // Dominant component: the identical integer power iteration
+    // unrolled twice — HUGEINT sums, sign-adjusted floor division
+    // emulating BigInt/div truncation, one pinned double cosine.
+    "q123_dominant_component" ->
+      """WITH x AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    e -> CAST(floor(e*1e4 + 0.5) AS BIGINT)) AS x4 FROM embeddings),
+        |dims AS (SELECT vec_id, u.d AS d, u.xv AS xv FROM
+        |  (SELECT vec_id, unnest([{'d': i-1, 'xv': x4[i]} FOR i IN range(1, len(x4)+1)]) AS u
+        |   FROM x)),
+        |t1 AS (SELECT vec_id, 1000000 * SUM(xv) AS t FROM dims GROUP BY 1),
+        |u1 AS (SELECT d, SUM(CAST(xv AS HUGEINT) * t) AS uu
+        |       FROM dims JOIN t1 USING (vec_id) GROUP BY 1),
+        |m1 AS (SELECT MAX(abs(uu)) AS ma FROM u1),
+        |v1 AS (SELECT d, CASE WHEN uu >= 0 THEN (uu * 1000000) // ma
+        |                      ELSE -((-(uu * 1000000)) // ma) END AS vd
+        |       FROM u1 CROSS JOIN m1),
+        |t2 AS (SELECT vec_id, SUM(CAST(xv AS HUGEINT) * vd) AS t
+        |       FROM dims JOIN v1 USING (d) GROUP BY 1),
+        |u2 AS (SELECT d, SUM(CAST(xv AS HUGEINT) * t) AS uu
+        |       FROM dims JOIN t2 USING (vec_id) GROUP BY 1),
+        |m2 AS (SELECT MAX(abs(uu)) AS ma FROM u2),
+        |v2 AS (SELECT d, CASE WHEN uu >= 0 THEN (uu * 1000000) // ma
+        |                      ELSE -((-(uu * 1000000)) // ma) END AS vd
+        |       FROM u2 CROSS JOIN m2),
+        |proj AS (SELECT vec_id, SUM(CAST(xv AS HUGEINT) * vd) AS proj_fx
+        |         FROM dims JOIN v2 USING (d) GROUP BY 1),
+        |nx AS (SELECT vec_id, SUM(xv * xv) AS nx2 FROM dims GROUP BY 1),
+        |nv AS (SELECT SUM(vd * vd) AS nv2 FROM v2)
+        |SELECT p.vec_id, CAST(p.proj_fx AS BIGINT) AS proj_fx,
+        |  floor(CAST(p.proj_fx AS DOUBLE) /
+        |        (sqrt(CAST(nx.nx2 AS DOUBLE)) * sqrt(CAST(nv.nv2 AS DOUBLE)))
+        |        * 10000.0 + 0.5) / 10000.0 AS cos_dom
+        |FROM proj p JOIN nx USING (vec_id) CROSS JOIN nv ORDER BY vec_id""".stripMargin,
+
+    // Native session windows: gaps-and-islands with the session_window
+    // boundary rule (diff >= gap breaks; end = last + gap).
+    "q124_session_window" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sess FROM o)
+        |SELECT user_id,
+        | strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(MAX(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |   AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+
+    // Fertility: strlen = UTF-8 bytes in DuckDB (Spark octet_length).
+    "q125_fertility" ->
+      """WITH t AS (SELECT source,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe,
+        |  CAST(strlen(text) AS BIGINT) AS b FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(ws) AS BIGINT) AS n_words,
+        | CAST(SUM(bpe) AS BIGINT) AS n_tokens,
+        | CAST(SUM(b) AS BIGINT) AS n_bytes,
+        | CASE WHEN SUM(ws) > 0 THEN
+        |   floor(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) * 10000.0 + 0.5)/10000.0
+        | END AS fertility,
+        | CASE WHEN SUM(bpe) > 0 THEN
+        |   floor(CAST(SUM(b) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) * 10000.0 + 0.5)/10000.0
+        | END AS bytes_per_token
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // Blocklist tagging over lowercased whitespace tokens.
     "q69_blocklist" ->

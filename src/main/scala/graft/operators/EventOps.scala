@@ -470,6 +470,31 @@ object EventOps {
     * (map task, key). The window-rank formulation
     * (`row_number() ... WHERE rn = 1`) shuffles and sorts EVERY change
     * record per key and is kept only as the SQL-oracle twin. */
+  /** Native session-window aggregation: Spark's `session_window`
+    * merges a user's events into maximal runs with inter-event gaps
+    * < `gap`; the session END is last_event + gap by definition (the
+    * watermark-eviction boundary), which is what lets the IDENTICAL
+    * groupBy run under Structured Streaming with bounded state
+    * (streaming.EventStream.sessionWindowCounts — one definition,
+    * batch and stream). The gaps-and-islands formulation (`sessionize`,
+    * q37) remains as the window-function twin that reports raw
+    * first/last event times.
+    *
+    * Scale shape: one shuffle on (user, session-window); Spark merges
+    * session windows inside the aggregation (state per OPEN session,
+    * not per event). Sum is exact decimal; timestamps format as
+    * strings so oracles are timezone-stable. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(sf.col("user_id"), sf.session_window(sf.col("ts"), gap).as("w"))
+      .agg(sf.count(sf.lit(1)).as("n_events"),
+        sf.sum(sf.col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(sf.col("user_id"),
+        sf.date_format(sf.col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        sf.date_format(sf.col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        sf.col("n_events"), sf.col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Linear multi-touch attribution: every conversion event splits its
     * value EQUALLY across the same user's touch events inside the
     * trailing `lookbackSec` window (inclusive [t_conv - lookback,

@@ -861,4 +861,60 @@ object Similarity {
         gf.roundAt(sf.col("cosine"), 4).as("cosine"))
       .orderBy("q_id", "rank")
   }
+  /** Dominant-component extraction: the top singular direction of the
+    * (uncentered) embedding matrix by power iteration, plus every
+    * vector's projection onto it. The "all-but-the-top" embedding
+    * post-processing step: frequent-token corpora share one dominant
+    * direction that swamps cosine similarity; measuring (and removing)
+    * it is what makes semantic dedup/ANN discriminative.
+    *
+    * EXACT integer arithmetic end-to-end, the refineCodebook contract
+    * taken further: vectors snap to 1e4 fixed-point once; each
+    * iteration computes t_i = <x_i, v> (integer dot), accumulates
+    * u_d = sum_i x_i[d] * t_i as DECIMAL(38,0) (overflow-free at any
+    * corpus size), and renormalizes v' = trunc(u * 1e6 / max|u|) in
+    * driver-side BigInt — so the direction, every projection, and the
+    * flag set replay bit-identically in any engine (the oracle unrolls
+    * the same recurrence with sign-adjusted floor division).
+    *
+    * Scale shape: each iteration is one corpus pass — a map-side
+    * combinable groupBy(dim) whose shuffle is `dim` rows per map task —
+    * and only the dim-length sum table is ever collected (the
+    * refineCodebook bound: driver state is O(dim), never O(n)). The
+    * final scoring pass is map-only against the literal direction.
+    */
+  def dominantComponent(emb: DataFrame, idCol: String, vecCol: String,
+                        iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val base = emb.select(sf.col(idCol).cast("long").as("id"),
+      sf.transform(sf.col(vecCol).cast("array<double>"),
+        e => sf.floor(e * 1e4 + 0.5).cast("long")).as("x4"))
+      .persist()
+    val dim = base.select(sf.size(sf.col("x4"))).first().getInt(0)
+    def dot(v: Array[Long]) = sf.aggregate(
+      sf.zip_with(sf.col("x4"), sf.lit(v), (a, b) => a * b),
+      sf.lit(0L), (acc, y) => acc + y)
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 1 to iters) {
+      val u = base.select(dot(v).as("t"), sf.posexplode(sf.col("x4")).as(Seq("d", "xv")))
+        .groupBy("d")
+        .agg(sf.sum(sf.col("xv").cast("decimal(38,0)") * sf.col("t").cast("decimal(38,0)"))
+          .as("u"))
+        .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+      val maxAbs = (0 until dim).map(d => u.getOrElse(d, BigInt(0)).abs).max
+      require(maxAbs > 0, "dominantComponent: degenerate (all-zero) corpus")
+      // BigInt / truncates toward zero — the oracle's sign-adjusted //
+      v = Array.tabulate(dim)(d => ((u.getOrElse(d, BigInt(0)) * 1000000) / maxAbs).toLong)
+    }
+    // |v|^2 as an exact long (v_d <= 1e6 so the sum is < 2^53): the
+    // sqrt argument is bit-identical to the oracle's integer sum
+    val vNorm = math.sqrt(v.map(x => x * x).sum.toDouble)
+    val xNorm = sf.sqrt(sf.aggregate(
+      sf.transform(sf.col("x4"), a => a * a), sf.lit(0L), (acc, y) => acc + y)
+      .cast("double"))
+    base.select(sf.col("id").as(idCol),
+      dot(v).as("proj_fx"),
+      gf.roundAt(dot(v).cast("double") / (xNorm * sf.lit(vNorm)), 4).as("cos_dom"))
+      .orderBy(idCol)
+  }
 }

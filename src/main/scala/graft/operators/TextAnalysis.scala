@@ -450,4 +450,35 @@ object TextAnalysis {
       (hits > 0).cast("int").as("flagged"))
       .orderBy(idCol)
   }
+  /** Tokenizer fertility profile per source: how many subword (BPE-ish)
+    * tokens a source costs per whitespace word and per UTF-8 byte —
+    * the budgeting number that says "this source is 40% more expensive
+    * to train on than its word count suggests" (fertility varies 2-4x
+    * across languages/scripts for real BPE vocabularies).
+    *
+    * Scale shape: map-only token counting (the q14 kernels) into one
+    * combinable aggregation — shuffle is one row per (map task,
+    * source). Ratios assemble from exact integer sums in pinned double
+    * expressions. */
+  def tokenizerFertility(docs: DataFrame, sourceCol: String,
+                         textCol: String): DataFrame =
+    docs
+      .select(sf.col(sourceCol).as("source"),
+        gf.tokenCount(sf.col(textCol)).cast("long").as("__ws"),
+        gf.bpeTokenCount(sf.col(textCol)).cast("long").as("__bpe"),
+        sf.octet_length(sf.col(textCol)).cast("long").as("__bytes"))
+      .groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum(sf.col("__ws")).as("n_words"),
+        sf.sum(sf.col("__bpe")).as("n_tokens"),
+        sf.sum(sf.col("__bytes")).as("n_bytes"))
+      .select(sf.col("source"), sf.col("n_docs"), sf.col("n_words"),
+        sf.col("n_tokens"), sf.col("n_bytes"),
+        sf.when(sf.col("n_words") > 0,
+          gf.roundAt(sf.col("n_tokens").cast("double") / sf.col("n_words").cast("double"), 4))
+          .as("fertility"),
+        sf.when(sf.col("n_tokens") > 0,
+          gf.roundAt(sf.col("n_bytes").cast("double") / sf.col("n_tokens").cast("double"), 4))
+          .as("bytes_per_token"))
+      .orderBy("source")
 }

@@ -46,6 +46,24 @@ object EventStream {
       .select(sf.col("w.start").as("window_start"), sf.col("event_type"),
         sf.col("n_events"), sf.col("sum_value"))
 
+  /** Native session windows on a stream: the SAME
+    * groupBy(session_window) as the batch operator
+    * (operators.EventOps.sessionWindowAgg) with a watermark bounding
+    * open-session state — sessions close and emit (append mode) once
+    * the watermark passes their end. One definition, batch and
+    * stream; the parity spec feeds identical events through both. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(sf.col("user_id"), sf.session_window(sf.col("ts"), gap).as("w"))
+      .agg(sf.count(sf.lit(1)).as("n_events"),
+        sf.sum(sf.col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(sf.col("user_id"),
+        sf.date_format(sf.col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        sf.date_format(sf.col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        sf.col("n_events"), sf.col("sum_value"))
+
   /** Streaming deduplication: drop events whose id was already seen
     * within the watermark horizon (state expires with the watermark —
     * bounded even on an unbounded stream). */

@@ -92,6 +92,62 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(ece.length == 1 && ece(0).getDouble(0) == 0.1833)
   }
 
+  test("Similarity.dominantComponent: planted direction found; partition-invariant") {
+    // all vectors ~ along (1,1,1,1): the power iteration must align
+    val rows = Seq(
+      (1L, Array(10.1f, 10.0f, 9.9f, 10.0f)),
+      (2L, Array(20.0f, 19.8f, 20.2f, 20.0f)),
+      (3L, Array(5.0f, 5.1f, 4.9f, 5.0f)),
+      (4L, Array(9.9f, 10.0f, 10.1f, 10.0f)),
+      (5L, Array(15.0f, 15.0f, 15.0f, 15.1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.dominantComponent(df, "vec_id", "embedding", iters = 2).collect()
+    assert(got.length == 5)
+    got.foreach(r => assert(math.abs(r.getAs[Double]("cos_dom")) > 0.999,
+      s"vec ${r.getAs[Long]("vec_id")} cos ${r.getAs[Double]("cos_dom")}"))
+    // all projections share a sign (one side of the component)
+    assert(got.map(r => r.getAs[Long]("proj_fx") > 0).distinct.length == 1)
+    // exact integer pipeline => identical output under any partitioning
+    spark.catalog.clearCache()
+    val got7 = Similarity.dominantComponent(df.repartition(7), "vec_id", "embedding",
+      iters = 2).collect()
+    assert(got.map(_.toString).toSeq == got7.map(_.toString).toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("EventOps.sessionWindowAgg: exact-gap event starts a new session; end = last + gap") {
+    val t0 = java.sql.Timestamp.valueOf("2024-06-10 12:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val events = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(900), 1L, "click", 2.0),    // 15 min later: same session
+      (3L, ts(900 + 1800), 1L, "click", 4.0), // EXACTLY 30 min later: new session
+      (4L, ts(10), 2L, "view", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.sessionWindowAgg(events, gap = "30 minutes").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+        r.getAs[String]("session_end"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value")))
+    assert(got.toSeq == Seq(
+      (1L, "2024-06-10 12:00:00", "2024-06-10 12:45:00", 2L, 3.0),
+      (1L, "2024-06-10 12:45:00", "2024-06-10 13:15:00", 1L, 4.0),
+      (2L, "2024-06-10 12:00:10", "2024-06-10 12:30:10", 1L, 8.0)), s"got ${got.toSeq}")
+  }
+
+  test("TextAnalysis.tokenizerFertility: hand counts, empty-source guard") {
+    val docs = Seq(
+      (1L, "hello world!", "a"),   // ws=2, bpe=3 (hello, world, !), bytes=12
+      (2L, "a b", "a"),            // ws=2, bpe=2, bytes=3
+      (3L, "", "b"))               // ws=0, bpe=0, bytes=0
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.tokenizerFertility(docs, "source", "text").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bytes"),
+          Option(r.getAs[java.lang.Double]("fertility")).map(_.toDouble)))).toMap
+    assert(got("a") == ((4L, 5L, 15L, Some(1.25))), s"got ${got("a")}")
+    assert(got("b") == ((0L, 0L, 0L, None)), s"got ${got("b")}")
+  }
+
   test("Dedup.softDedupWeights: 1e6 div group_size by normalized fingerprint") {
     val docs = Seq(
       (1L, "Hello  World", "s1"),  // normalizes to the same content as doc 2

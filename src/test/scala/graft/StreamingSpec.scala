@@ -33,6 +33,38 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("sessionWindowCounts: closed stream sessions equal the oracle-checked batch plan") {
+    import org.apache.spark.sql.{functions => sf}
+    import graft.sources.Tables
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, sf001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val rows = ev.collect().sortBy(_.ts.getTime)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val sentinel = Event(-1L,
+      new Timestamp(rows.iterator.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000),
+      0L, "sentinel", 0.0)
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("sw_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.filter(sf.col("user_id") =!= 0L).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start")) ->
+            ((r.getAs[String]("session_end"), r.getAs[Long]("n_events"),
+              r.getAs[Double]("sum_value")))).toMap
+      val stream = keyed(spark.table("sw_eq"))
+      // q124's oracle-checked batch plan on the same events
+      val batch = keyed(graft.operators.EventOps.sessionWindowAgg(ev.toDF()))
+      assert(stream == batch,
+        s"stream/batch diverged: ${(stream.toSet diff batch.toSet).take(3)} vs ${(batch.toSet diff stream.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("windowedCounts: stream output equals the batch plan and q19's oracle-checked aggregates") {
     import org.apache.spark.sql.{functions => sf}
     import graft.sources.Tables
