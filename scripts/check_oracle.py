@@ -20,10 +20,19 @@ def norm_cell(v):
         return v.isoformat()
     return str(v)
 
-def table_rows(con, query):
+def table_rows(con, query, name=None):
     """(sorted col names, rows in ARRIVAL order with cells in col-name order)."""
     cur = con.sql(query)
     cols = cur.columns
+    # The driver's compare renders DuckDB HUGEINT (e.g. SUM(BIGINT)) as a
+    # float ("123.0" vs Spark's "123") -> guaranteed hash mismatch even when
+    # values agree (bit us in round 5: q119/q120). Flag any oracle whose
+    # OUTPUT column is HUGEINT so we add a CAST(... AS BIGINT) in the SQL.
+    if name is not None:
+        huge = [f"{c}:{t}" for c, t in zip(cols, cur.types) if "HUGEINT" in str(t)]
+        if huge:
+            raise RuntimeError(f"oracle output has HUGEINT columns {huge}; "
+                               "CAST them to BIGINT in the SQL")
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = cur.fetchall()
     return sorted(cols), [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -47,7 +56,7 @@ def main(sf_dir, out_dir):
             continue
         try:
             got_cols, got_seq = table_rows(con, f"SELECT * FROM read_parquet('{pq}/*.parquet')")
-            want_cols, want_seq = table_rows(con, sql)
+            want_cols, want_seq = table_rows(con, sql, name=name)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1

@@ -1935,7 +1935,8 @@ object SparkEntry {
         |       FROM e JOIN od USING (src) JOIN r2 ON e.src = r2.item GROUP BY 1),
         |r3 AS (SELECT item, (15000000000000 // (100 * n)) + (85 * COALESCE(s, 0)) // 100 AS rank_fx
         |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.item = c3.dst)
-        |SELECT item, rank_fx FROM r3 ORDER BY rank_fx DESC, item""".stripMargin,
+        |SELECT item, CAST(rank_fx AS BIGINT) AS rank_fx
+        |FROM r3 ORDER BY rank_fx DESC, item""".stripMargin,
 
     // Calibration: q73's replayed linear score -> sigmoid confidence
     // snapped to 1e-4 (absorbing libm exp ulps, the q62 ln convention),
@@ -1960,7 +1961,8 @@ object SparkEntry {
          |  FROM s JOIN documents d USING (doc_id)),
          |bb AS (SELECT least((CAST(floor(conf*10000.0 + 0.5) AS BIGINT) * 10) // 10000, 9) AS bin,
          |       CAST(floor(conf*10000.0 + 0.5) AS BIGINT) AS c4, y FROM cy),
-         |g AS (SELECT bin, COUNT(*) AS n, SUM(c4) AS s_c4, SUM(y) AS n_pos FROM bb GROUP BY 1),
+         |g AS (SELECT bin, COUNT(*) AS n, SUM(c4) AS s_c4,
+         |      CAST(SUM(y) AS BIGINT) AS n_pos FROM bb GROUP BY 1),
          |w2 AS (SELECT bin, n, n_pos, conf_d, acc_d,
          |       CAST(floor(abs(acc_d - conf_d) * 1e6 + 0.5) AS BIGINT) AS gap_fx
          |       FROM (SELECT bin, n, n_pos,
