@@ -104,13 +104,15 @@ object Dedup {
     * than the corpus) and candidate volume is governed by the rarity
     * ordering — the same reason AllPairs beats quadratic at web scale.
     *
-    * Caveat measured on the synthetic corpus: with a DEGENERATE
-    * vocabulary (31 distinct words, dense ~22-token sets) no token is
-    * rare, so prefix buckets are huge and the filter keeps ~22% of all
-    * set pairs — exactness costs real verification work there. That
-    * regime belongs to [[minHashLsh]] (signatures summarize the whole
-    * set) or a <=64-universe bitmask specialization; on natural text
-    * the prefix join is the standard exact-join scale design. */
+    * Adaptive small-universe path: when the corpus vocabulary fits in
+    * 64 distinct tokens (measured by a vocabulary-sized probe on the
+    * df table), prefix filtering is hopeless — no token is rare, and
+    * on this synthetic corpus (31 words, dense ~22-token sets) the
+    * filter keeps ~22% of all set pairs. The operator then switches to
+    * [[bitmaskRepPairs]]: one 64-bit mask per distinct set, pigeonhole
+    * block-join candidates, popcount-exact verification. On natural
+    * text (unbounded vocabulary) the prefix join is the standard
+    * exact-join scale design and is used unchanged. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.9): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
@@ -135,6 +137,41 @@ object Dedup {
     val docTok = base.select(sf.col("id"), sf.size(sf.col("sh")).as("sz"),
       sf.explode(sf.col("sh")).as("tok"))
     val dfc = docTok.groupBy("tok").agg(sf.count(sf.lit(1)).as("df"))
+    // Universe probe: dfc is vocabulary-sized (needed by both paths
+    // anyway); limit(65) lets the count job stop as soon as a 65th
+    // distinct token exists, so the probe is O(vocab) not O(corpus).
+    val repPairs =
+      if (dfc.limit(65).count() <= 64L) bitmaskRepPairs(base, dfc, t10k)
+      else prefixRepPairs(base, docTok, dfc, t10k, threshold)
+    // Output-proportional expansion back to member pairs (identical
+    // sets ⇒ identical Jaccard); within-group pairs are exact
+    // duplicates, J = 1.0 by construction.
+    val members = hashed.select("setkey", "id")
+    val cross = repPairs
+      .join(members.select(sf.col("setkey").as("sk_a"), sf.col("id").as("ia")), "sk_a")
+      .join(members.select(sf.col("setkey").as("sk_b"), sf.col("id").as("ib")), "sk_b")
+      .select(sf.least(sf.col("ia"), sf.col("ib")).as("a_id"),
+        sf.greatest(sf.col("ia"), sf.col("ib")).as("b_id"), sf.col("jaccard"))
+    val dupSets = base.filter(sf.col("cnt") > 1).select("setkey")
+    val m2 = members.join(dupSets, Seq("setkey"), "left_semi")
+    val intra = m2.alias("x").join(m2.alias("y"),
+        sf.col("x.setkey") === sf.col("y.setkey") && sf.col("x.id") < sf.col("y.id"))
+      .select(sf.col("x.id").as("a_id"), sf.col("y.id").as("b_id"),
+        sf.lit(1.0).as("jaccard"))
+    cross.union(intra)
+      .select(sf.col("a_id"), sf.col("b_id"),
+        gf.roundAt(sf.col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint(true) // the range sort below samples its child
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The generic AllPairs/PPJoin funnel over representative sets (see
+    * [[prefixJaccardPairs]]): rarity-ordered prefixes, asymmetric
+    * index/probe roles, positional bounds, first-witness emission,
+    * early-abandoning merge-scan verification. Returns one
+    * (sk_a, sk_b, jaccard) row per qualifying distinct-set pair. */
+  private def prefixRepPairs(base: DataFrame, docTok: DataFrame, dfc: DataFrame,
+                             t10k: Int, threshold: Double): DataFrame = {
     // ceil(t*sz) in exact integer arithmetic — double mult rounds
     // unpredictably at the boundary (sz*t10k <= ~1e10: exact in
     // double; the floor-of-division trick is safe because the true
@@ -209,7 +246,7 @@ object Dedup {
     // independently, and a pair at EXACTLY j = t can land on opposite
     // sides of the grid (27*(1+0.9) rounds below 57*0.9) — the final
     // raw-value filter is the authoritative >= t test.
-    val repPairs = cands
+    cands
       .join(base.select(sf.col("id").as("a_id"), sf.col("setkey").as("sk_a"),
         sf.col("sh").as("sh_a")), "a_id")
       .join(base.select(sf.col("id").as("b_id"), sf.col("setkey").as("sk_b"),
@@ -219,26 +256,81 @@ object Dedup {
           threshold - 0.00005))
       .filter(sf.col("jaccard") >= threshold)
       .select("sk_a", "sk_b", "jaccard")
-    // Output-proportional expansion back to member pairs (identical
-    // sets ⇒ identical Jaccard); within-group pairs are exact
-    // duplicates, J = 1.0 by construction.
-    val members = hashed.select("setkey", "id")
-    val cross = repPairs
-      .join(members.select(sf.col("setkey").as("sk_a"), sf.col("id").as("ia")), "sk_a")
-      .join(members.select(sf.col("setkey").as("sk_b"), sf.col("id").as("ib")), "sk_b")
-      .select(sf.least(sf.col("ia"), sf.col("ib")).as("a_id"),
-        sf.greatest(sf.col("ia"), sf.col("ib")).as("b_id"), sf.col("jaccard"))
-    val dupSets = base.filter(sf.col("cnt") > 1).select("setkey")
-    val m2 = members.join(dupSets, Seq("setkey"), "left_semi")
-    val intra = m2.alias("x").join(m2.alias("y"),
-        sf.col("x.setkey") === sf.col("y.setkey") && sf.col("x.id") < sf.col("y.id"))
-      .select(sf.col("x.id").as("a_id"), sf.col("y.id").as("b_id"),
-        sf.lit(1.0).as("jaccard"))
-    cross.union(intra)
-      .select(sf.col("a_id"), sf.col("b_id"),
-        gf.roundAt(sf.col("jaccard"), 4).as("jaccard"))
-      .localCheckpoint(true) // the range sort below samples its child
-      .orderBy("a_id", "b_id")
+  }
+
+  /** Small-universe specialization of the exact Jaccard self-join: when
+    * the token vocabulary fits in 64 distinct values (label alphabets,
+    * tag sets, enum-coded features — and this synthetic corpus's
+    * 31-word vocabulary, where NO token is rare and prefix filtering
+    * degenerates to ~22% of all pairs), every distinct token set is ONE
+    * 64-bit mask and Jaccard is two popcounts:
+    * J = popcount(a&b) / popcount(a|b) — evaluated in exact integer
+    * arithmetic, no doubles, no guard band.
+    *
+    * Candidate generation is the pigeonhole block join (the PassJoin /
+    * partition-based family, Li et al. VLDB'12): a qualifying pair has
+    * hamming distance |AΔB| = (1-J)·|A∪B| <= (1-t)·V, so with
+    * k = floor((1-t)·V)+1 DISJOINT blocks covering the V used bits, at
+    * least one block is bit-identical. Each mask emits k (block,
+    * blockBits) keys; candidates meet in a keyed equi join — never a
+    * cartesian product — and the first-witness test (emit only at the
+    * EARLIEST agreeing block, checked directly on the carried masks)
+    * makes emission exactly-once without a dedup shuffle. Bits are
+    * assigned rarest-token-first ROUND-ROBIN across blocks so each
+    * block mixes rare and common tokens — block values spread instead
+    * of collapsing onto the all-common-words pattern, which is what
+    * keeps bucket sizes (and the per-bucket quadratic meet cost)
+    * bounded. The <= 64-row vocabulary collected to the driver is a
+    * bounded constant, same contract as a literal seed.
+    *
+    * Scale shape: two vocabulary-sized jobs (probe + collect), one map
+    * over distinct sets to build masks (an 8-byte payload replaces the
+    * shingle array), a k-fold explode, and one keyed self-join whose
+    * cost is sum of bucket^2 cheap long ops — at 100 TB the mask table
+    * is distinct-set-sized and every shuffle stays keyed. Degenerate
+    * buckets could recurse on the remaining bits; not needed at the
+    * bucket sizes round-robin assignment produces. */
+  private def bitmaskRepPairs(base: DataFrame, dfc: DataFrame, t10k: Int): DataFrame = {
+    // rarest-first bit assignment (ties by token hash): bit i = rank i
+    val vocab = dfc.orderBy("df", "tok").select("tok")
+      .collect().map(_.getLong(0))
+    val v = vocab.length
+    require(v >= 1 && v <= 64, s"bitmask path needs 1..64 tokens, got $v")
+    // ham(A,B) = (1-J)|A∪B| <= (1-t)·V for qualifying pairs (exact
+    // integer floor); dmax differing bits cannot hit all k > dmax blocks
+    val dmax = (v.toLong * (10000L - t10k) / 10000L).toInt
+    val k = math.min(dmax + 1, v)
+    val blockMasks = Array.tabulate(k) { j =>
+      (j until v by k).foldLeft(0L)((m, i) => m | (1L << i))
+    }
+    val bitMaskOf = sf.map(vocab.zipWithIndex.flatMap { case (tok, i) =>
+      Seq(sf.lit(tok), sf.lit(1L << i)) }: _*)
+    val masked = base.select(sf.col("setkey"),
+      sf.aggregate(sf.col("sh"), sf.lit(0L),
+        (acc, x) => acc.bitwiseOR(sf.element_at(bitMaskOf, x))).as("mask"))
+    val blocks = masked.select(sf.col("setkey"), sf.col("mask"),
+      sf.posexplode(sf.array(blockMasks.map(bm =>
+        sf.col("mask").bitwiseAND(sf.lit(bm))): _*)).as(Seq("blk", "bb")))
+    val lhs = blocks.select(sf.col("setkey").as("sk_a"), sf.col("mask").as("m_a"),
+      sf.col("blk"), sf.col("bb"))
+    val rhs = blocks.select(sf.col("setkey").as("sk_b"), sf.col("mask").as("m_b"),
+      sf.col("blk"), sf.col("bb"))
+    val xorM = sf.col("m_a").bitwiseXOR(sf.col("m_b"))
+    // first agreeing block, computed on the masks themselves — the
+    // witness carries no band arrays
+    val firstAgree = (k - 1 to 0 by -1).foldLeft(sf.lit(k): org.apache.spark.sql.Column) {
+      (acc, j) => sf.when(xorM.bitwiseAND(sf.lit(blockMasks(j))) === 0L, sf.lit(j))
+        .otherwise(acc)
+    }
+    val inter = sf.bit_count(sf.col("m_a").bitwiseAND(sf.col("m_b"))).cast("long")
+    val uni = sf.bit_count(sf.col("m_a").bitwiseOR(sf.col("m_b"))).cast("long")
+    lhs.join(rhs, Seq("blk", "bb"))
+      .filter(sf.col("sk_a") < sf.col("sk_b"))
+      .filter(sf.col("blk") === firstAgree)
+      // the authoritative >= t test, exact in integers
+      .filter(inter * 10000L >= uni * t10k)
+      .select(sf.col("sk_a"), sf.col("sk_b"),
+        gf.roundAt(inter.cast("double") / uni.cast("double"), 4).as("jaccard"))
   }
 
   /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified.

@@ -354,6 +354,33 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(got.toSeq == Seq(("c1", 3L, 3L, 300L), ("c2", 1L, 7L, 50L)))
   }
 
+  test("prefixJaccardPairs generic prefix path (vocab > 64): equals brute force") {
+    // 120 distinct words force the rarity-ordered prefix funnel (the
+    // small-vocab corpora below exercise the 64-bit bitmask path)
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Vector.tabulate(120)(i => s"w$i")
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    for (i <- 0 until 40) {
+      if (i > 0 && rnd.nextInt(4) == 0) texts += texts(rnd.nextInt(i))
+      else if (i > 0 && rnd.nextInt(3) == 0) // near-dup: mutate one word
+        texts += (texts(rnd.nextInt(i)).split(" ").toVector
+          .updated(0, vocab(rnd.nextInt(vocab.size)))).mkString(" ")
+      else texts += Seq.fill(6 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toSeq.toDF("doc_id", "text")
+    val all = Dedup.ngramJaccardPairs(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = all.filter(_._3 >= t).toSet
+      assert(got == want, s"t=$t missing=${(want -- got).take(4)} " +
+        s"extra=${(got -- want).take(4)}")
+    }
+  }
+
   test("prefixJaccardPairs completeness property: equals brute force on random corpora x thresholds") {
     val rnd = new scala.util.Random(20260813)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
