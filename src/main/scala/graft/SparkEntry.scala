@@ -812,6 +812,27 @@ object SparkEntry {
           sf.md5(sf.encode(nfc, "UTF-8")).as("nfc_md5"))
         .orderBy("doc_id")
     }),
+
+    // Triangle enumeration over the part co-occurrence graph
+    // (degree-ordered orientation: each triangle found exactly once).
+    "q126_triangles" -> ((s, dir) =>
+      Graph.triangles(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2)),
+
+    // Directed containment (subset) pairs at t=1.0: documents whose
+    // word set is fully contained in another's — the quote/excerpt
+    // detector Jaccard misses.
+    "q127_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", threshold = 1.0)),
+
+    // Exponential time-decay engagement score per user (half-life 24h,
+    // snapped-pow weights, exact fixed-point sum).
+    "q128_decayed_score" -> ((s, dir) =>
+      EventOps.decayedScore(Tables.load(s, dir, "events"), halfLifeHours = 24.0)),
+
+    // Per-label int8 symmetric-quantization reconstruction error.
+    "q129_quantize_error" -> ((s, dir) =>
+      Similarity.quantizationError(emb(s, dir))),
   )
 
   // ---------------------------------------------------------------------
@@ -2812,5 +2833,57 @@ object SparkEntry {
         | CAST(length(nfc_normalize(dec)) AS INT) AS n_nfc,
         | md5(nfc_normalize(dec)) AS nfc_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Triangles: the q119 edge CTE closed by a 3-way self-join over
+    // id-ordered edges — (x,y),(y,z),(x,z) with x<y<z, each once.
+    "q126_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT e1.item_a AS item_a, e1.item_b AS item_b, e2.item_b AS item_c
+        |FROM e e1 JOIN e e2 ON e2.item_a = e1.item_b
+        |JOIN e e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Containment at t=1.0: the quadratic subset twin — any recall gap
+    // in the inverted-index prefix path fails the gate.
+    "q127_containment" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | floor((CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / len(a.ws))*10000.0 + 0.5)/10000.0 AS containment
+        |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) = len(a.ws)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Decayed score: one pow() per event snapped to 1e-9 (the q62/q120
+    // ulp convention), then exact integer fixed-point assembly.
+    "q128_decayed_score" ->
+      """WITH r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+        |s AS (SELECT user_id,
+        |  CAST(floor(pow(2.0, -(CAST(r.ref_us - epoch_us(ts) AS DOUBLE) / 86400000000.0)) * 1e9 + 0.5) AS BIGINT) AS w_fx,
+        |  CAST(floor(CAST(value AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS v_fx
+        |  FROM events CROSS JOIN r
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  floor((CAST(SUM(CAST(v_fx AS DECIMAL(38,0)) * CAST(w_fx AS DECIMAL(38,0))) AS DOUBLE) / 1e13) * 10000.0 + 0.5)/10000.0 AS score
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Quantization error: identical double fold per vector (list_reduce
+    // left fold == Spark aggregate from 0.0), snapped once at 1e10.
+    "q129_quantize_error" ->
+      """WITH v AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |s AS (SELECT label, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v),
+        |q AS (SELECT label,
+        |  CASE WHEN ma = 0 THEN 0
+        |       ELSE CAST(floor(list_reduce(list_transform(e, x ->
+        |              (x - floor(x/(ma/127.0) + 0.5)*(ma/127.0)) * (x - floor(x/(ma/127.0) + 0.5)*(ma/127.0))),
+        |            (a, b) -> a + b) * 1e10 + 0.5) AS BIGINT) END AS err_fx
+        |  FROM s)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  floor((CAST(SUM(CAST(err_fx AS DECIMAL(38,0))) AS DOUBLE) / 1e10 / COUNT(*)) * 1e8 + 0.5)/1e8 AS avg_sq_err,
+        |  floor((CAST(MAX(err_fx) AS DOUBLE) / 1e10) * 1e8 + 0.5)/1e8 AS max_sq_err
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -333,6 +333,107 @@ object Dedup {
         gf.roundAt(inter.cast("double") / uni.cast("double"), 4).as("jaccard"))
   }
 
+  /** DIRECTED containment self-join: pairs (a, b) with
+    * C(A, B) = |A ∩ B| / |A| >= `threshold` over word token sets —
+    * the asymmetric twin of [[prefixJaccardPairs]]. Jaccard misses
+    * subset relations between documents of very different sizes (a
+    * quote inside a long article has tiny Jaccard but containment 1);
+    * this is the wire-reprint / quotation / excerpt detector. Default
+    * threshold 1.0 = exact subset-or-equal detection.
+    *
+    * Exact, via the inverted-index prefix filter (SSJoin family): order
+    * the token universe rarest-first; a probe set A with C >= t must
+    * share one of its first floor((1-t)|A|)+1 rarest tokens with B
+    * (if ALL of them missed, |A \ B| > (1-t)|A|). At t = 1.0 the probe
+    * prefix is a SINGLE token — A's rarest — so every qualifying pair
+    * meets exactly once and no witness dedup is needed at all; below
+    * 1.0 the first-witness test (earliest prefix token present in B)
+    * restores exactly-once emission. The index side posts ALL its
+    * tokens (containment has no size-ratio bound on B — a superset can
+    * be arbitrarily large), which is the published exact design: the
+    * index is the corpus inverted index, df-ordered.
+    *
+    * Verification is |A ∩ B| via `array_intersect` on the hashed sets,
+    * in exact integer arithmetic against t·|A|. Identical sets are
+    * exact-collapsed first (contained both ways, C = 1); expansion
+    * back to member docs emits DIRECTED pairs, a_id != b_id.
+    *
+    * Scale shape: every shuffle is keyed (df, per-doc regroup, token
+    * join, member expansion). The token join is df-bounded: at t = 1.0
+    * each probe posts ONE token, so candidate volume is
+    * sum_A df(rarest(A)) — rarity ordering sends probes to the
+    * LOW-df postings. Degenerate small vocabularies make even the
+    * rarest token common (this corpus: every posting list is ~70% of
+    * the corpus); there a <=64-bit mask path (candidates via
+    * block-subset enumeration) would apply, as in the Jaccard twin —
+    * the verification here already collapses to two popcount-cheap
+    * array ops at that vocabulary size. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 1.0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t10k = math.round(threshold * 10000).toInt
+    val hashed = Par.spread(docs.select(
+        sf.col(idCol).cast("long").as("id"), sf.col(textCol).as("__t")))
+      .select(sf.col("id"), gf.hashedWsShingles(sf.col("__t")).as("sh"))
+      .filter(sf.size(sf.col("sh")) >= 1)
+      .withColumn("setkey", sf.xxhash64(sf.col("sh")))
+      .persist()
+    val base = hashed.groupBy("setkey")
+      .agg(sf.min("id").as("id"), sf.count(sf.lit(1)).as("cnt"),
+        sf.first("sh").as("sh"))
+      .persist()
+    val docTok = base.select(sf.col("setkey"), sf.size(sf.col("sh")).as("sz"),
+      sf.explode(sf.col("sh")).as("tok"))
+    val dfc = docTok.groupBy("tok").agg(sf.count(sf.lit(1)).as("df"))
+    // probe prefix: first floor((1-t)|A|)+1 tokens, rarest-first
+    val plen = (sf.col("sz") * (10000L - t10k)).cast("long") / 10000L + 1L
+    val probe = docTok.join(dfc, "tok")
+      .groupBy("setkey", "sz")
+      .agg(sf.sort_array(
+        sf.collect_list(sf.struct(sf.col("df"), sf.col("tok")))).as("ord"))
+      .select(sf.col("setkey").as("sk_a"), sf.col("sz").as("sz_a"),
+        sf.transform(sf.slice(sf.col("ord"), sf.lit(1), plen.cast("int")),
+          x => x.getField("tok")).as("pfx_a"))
+    val probeTok = probe.select(sf.col("sk_a"), sf.col("sz_a"), sf.col("pfx_a"),
+      sf.explode(sf.col("pfx_a")).as("tok"))
+    val index = docTok.select(sf.col("setkey").as("sk_b"), sf.col("tok"))
+    val cands = probeTok.join(index, Seq("tok"))
+      .filter(sf.col("sk_a") =!= sf.col("sk_b"))
+    // at t = 1.0 the prefix is one token — emission is unique by
+    // construction and the allocating witness test is skipped
+    val witnessed =
+      if (t10k == 10000) cands
+      else cands
+        .join(base.select(sf.col("setkey").as("sk_b"), sf.col("sh").as("sh_w")), "sk_b")
+        .filter(sf.col("tok") === sf.element_at(
+          sf.array_intersect(sf.col("pfx_a"), sf.col("sh_w")), 1))
+        .drop("sh_w")
+    val verified = witnessed
+      .join(base.select(sf.col("setkey").as("sk_a"), sf.col("sh").as("sh_a")), "sk_a")
+      .join(base.select(sf.col("setkey").as("sk_b"), sf.col("sh").as("sh_b")), "sk_b")
+      .withColumn("__i", sf.size(sf.array_intersect(sf.col("sh_a"), sf.col("sh_b"))).cast("long"))
+      .filter(sf.col("__i") * 10000L >= sf.col("sz_a").cast("long") * t10k)
+      .select(sf.col("sk_a"), sf.col("sk_b"),
+        gf.roundAt(sf.col("__i").cast("double") / sf.col("sz_a").cast("double"), 4)
+          .as("containment"))
+    val members = hashed.select("setkey", "id")
+    val cross = verified
+      .join(members.select(sf.col("setkey").as("sk_a"), sf.col("id").as("a_id")), "sk_a")
+      .join(members.select(sf.col("setkey").as("sk_b"), sf.col("id").as("b_id")), "sk_b")
+      .select("a_id", "b_id", "containment")
+    // identical sets: contained both ways, every directed member pair
+    val dupSets = base.filter(sf.col("cnt") > 1).select("setkey")
+    val m2 = members.join(dupSets, Seq("setkey"), "left_semi")
+    val intra = m2.alias("x").join(m2.alias("y"),
+        sf.col("x.setkey") === sf.col("y.setkey") && sf.col("x.id") =!= sf.col("y.id"))
+      .select(sf.col("x.id").as("a_id"), sf.col("y.id").as("b_id"),
+        sf.lit(1.0).as("containment"))
+    cross.union(intra)
+      .localCheckpoint(true) // the range sort below samples its child
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
     * Output: (a_id, b_id, jaccard) for verified jaccard >= threshold.
     *

@@ -558,6 +558,44 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Exponential time-decay engagement score per key: each event
+    * contributes value · 2^(-age / halfLife), with age measured back
+    * from the corpus's max timestamp — the standard recency-weighted
+    * feature (user activity scores, freshness-weighted source quality)
+    * computed in one pass, no per-event state.
+    *
+    * Determinism: age is exact integer microseconds; the ONE libm call
+    * (pow) per event is snapped to a 1e-9 grid immediately
+    * (`floor(w·1e9 + 0.5)`, the q62/q120 ulp-absorption convention),
+    * and everything after is exact integer arithmetic — value at 1e4
+    * fixed point times weight at 1e9 sums as DECIMAL(38,0) with one
+    * final division, so the score is independent of partitioning and
+    * summation order.
+    *
+    * Scale shape: one global max(ts) aggregate broadcast back (a
+    * scalar), then a map-only weight computation and one key-grouped
+    * sum with map-side partials. */
+  def decayedScore(events: DataFrame, halfLifeHours: Double = 24.0,
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   valueCol: String = "value"): DataFrame = {
+    require(halfLifeHours > 0, s"halfLifeHours must be > 0, got $halfLifeHours")
+    val ref = events.agg(sf.max(sf.unix_micros(sf.col(tsCol))).as("__ref_us"))
+    val ageUs = sf.col("__ref_us") - sf.unix_micros(sf.col(tsCol))
+    val w = sf.pow(sf.lit(2.0),
+      -(ageUs.cast("double") / (halfLifeHours * 3600e6)))
+    val wFx = sf.floor(w * 1e9 + 0.5).cast("long")
+    val vFx = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    events.filter(sf.col(valueCol).isNotNull && sf.col(tsCol).isNotNull)
+      .crossJoin(sf.broadcast(ref))
+      .select(sf.col(keyCol),
+        (vFx.cast("decimal(38,0)") * wFx.cast("decimal(38,0)")).as("__term"))
+      .groupBy(keyCol)
+      .agg(sf.count(sf.lit(1)).as("n_events"), sf.sum(sf.col("__term")).as("__s"))
+      .select(sf.col(keyCol), sf.col("n_events"),
+        gf.roundAt(sf.col("__s").cast("double") / 1e13, 4).as("score"))
+      .orderBy(keyCol)
+  }
+
   def latestSnapshot(events: DataFrame, keyCol: String = "user_id",
                      tsCol: String = "ts", idCol: String = "event_id",
                      payloadCols: Seq[String] = Seq("event_type", "value")): DataFrame = {

@@ -104,8 +104,11 @@ object Graph {
     val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
       .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
     val outdeg = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outdeg, "src")
-    val nodes = edges.select(sf.col("src").as("item")).distinct()
+    // materialize the loop invariants ONCE: without this, every
+    // iteration's lineage re-derives the whole pair-mining funnel
+    // (and the final collect re-runs it `iters` more times)
+    val edgesDeg = edges.join(outdeg, "src").persist()
+    val nodes = edges.select(sf.col("src").as("item")).distinct().persist()
     // n is a plan-time scalar: the node count is the one driver-side
     // value the integer recurrence needs (same role as a literal seed).
     val n = nodes.count()
@@ -125,5 +128,65 @@ object Graph {
             sf.expr("(85 * coalesce(s, 0L)) div 100")).as("rank_fx"))
     }
     ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
+  }
+
+  /** Triangle enumeration over the undirected co-occurrence graph —
+    * the clustering/community-density primitive (graph-quality priors,
+    * spam-farm detection on link graphs).
+    *
+    * Output: one row per triangle, as the id-sorted triple
+    * (item_a < item_b < item_c).
+    *
+    * Algorithm: DEGREE-ORDERED ORIENTATION (the MapReduce-era standard,
+    * Suri & Vassilvitskii WWW'11's "node-iterator++"). Orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher one; each triangle then has exactly ONE node with two
+    * outgoing oriented edges, so enumerating wedges at the oriented
+    * source and closing them against the oriented edge set counts each
+    * triangle exactly once, no dedup shuffle.
+    *
+    * Scale shape: the wedge explosion is the quadratic step, and
+    * orientation is what bounds it — a node of (unoriented) degree d
+    * has out-degree <= max(d', sqrt(2|E|)) under degree ordering, so
+    * wedge volume is O(|E|^1.5) worst case (arboricity-bounded in
+    * practice) instead of sum(d^2), which a hub node would otherwise
+    * blow up: the skew guard is built into the algorithm rather than
+    * salted in. Both joins are keyed equi joins on node / edge
+    * endpoints; AQE broadcasts the closing edge list when small. */
+  def triangles(df: DataFrame, basketCol: String, itemCol: String,
+                minPairCount: Long = 2): DataFrame = {
+    val und = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
+    val deg = und.select(sf.col("u").as("n")).union(und.select(sf.col("v").as("n")))
+      .groupBy("n").agg(sf.count(sf.lit(1)).as("d"))
+    // orient low (d, id) -> high (d, id): a total order, so exactly one
+    // direction survives per edge
+    val oriented = und
+      .join(deg.select(sf.col("n").as("u"), sf.col("d").as("du")), "u")
+      .join(deg.select(sf.col("n").as("v"), sf.col("d").as("dv")), "v")
+      .select(
+        sf.when(sf.col("du") < sf.col("dv") ||
+            (sf.col("du") === sf.col("dv") && sf.col("u") < sf.col("v")),
+          sf.struct(sf.col("u").as("src"), sf.col("v").as("dst")))
+          .otherwise(sf.struct(sf.col("v").as("src"), sf.col("u").as("dst")))
+          .as("e"))
+      .select(sf.col("e.src").as("src"), sf.col("e.dst").as("dst"))
+    // wedges at the oriented source: (src -> x, src -> y), one per
+    // unordered {x, y} (dst order under the same total order)
+    val l = oriented.select(sf.col("src"), sf.col("dst").as("x"))
+    val r = oriented.select(sf.col("src"), sf.col("dst").as("y"))
+    val wedges = l.join(r, Seq("src")).filter(sf.col("x") < sf.col("y"))
+    // close the wedge: the third edge is oriented too, but {x, y}'s
+    // orientation depends on degrees — probe both directions via the
+    // canonical (min, max) form against a canonicalized edge list
+    val closing = oriented.select(
+      sf.least(sf.col("src"), sf.col("dst")).as("x"),
+      sf.greatest(sf.col("src"), sf.col("dst")).as("y"))
+    wedges.join(closing, Seq("x", "y"))
+      .select(sf.array_sort(sf.array(sf.col("src"), sf.col("x"), sf.col("y"))).as("t"))
+      .select(sf.element_at(sf.col("t"), 1).as("item_a"),
+        sf.element_at(sf.col("t"), 2).as("item_b"),
+        sf.element_at(sf.col("t"), 3).as("item_c"))
+      .orderBy("item_a", "item_b", "item_c")
   }
 }

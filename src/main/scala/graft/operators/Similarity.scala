@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.{functions => sf}
 import graft.{functions => gf}
@@ -916,5 +916,47 @@ object Similarity {
       dot(v).as("proj_fx"),
       gf.roundAt(dot(v).cast("double") / (xNorm * sf.lit(vNorm)), 4).as("cos_dom"))
       .orderBy(idCol)
+  }
+
+  /** Symmetric per-vector int8 quantization audit: quantize each
+    * embedding with its own scale (max|x| / 127, the standard
+    * symmetric scheme), reconstruct, and profile the squared
+    * reconstruction error per label — the "can we afford int8?"
+    * measurement run before shrinking an embedding store 4x.
+    *
+    * Codes are round-half-up (`floor(x/scale + 0.5)`, exact in both
+    * engines); x/scale ∈ [-127, 127] by construction so no clamp is
+    * needed. The per-vector squared error folds left over the array
+    * (deterministic element order) and snaps once to a 1e10 grid; the
+    * per-label average is then an exact integer sum with one final
+    * division. All-zero vectors (scale 0) count as error 0.
+    *
+    * Scale shape: map-only per vector, then one label-keyed agg with
+    * map-side partials — no shuffle carries an embedding. */
+  def quantizationError(emb: DataFrame, vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val e = sf.col("__v")
+    val maxAbs = sf.array_max(sf.transform(e, x => sf.abs(x)))
+    val scale = maxAbs / 127.0
+    def sqErr(s: Column) = sf.aggregate(e, sf.lit(0.0), (acc, x) => {
+      val d = x - sf.floor(x / s + 0.5) * s
+      acc + d * d
+    })
+    val errFx = sf.when(maxAbs === 0.0, sf.lit(0L))
+      .otherwise(sf.floor(sqErr(scale) * 1e10 + 0.5).cast("long"))
+    // spread BEFORE the per-vector fold so the CPU-bound error math
+    // runs at full parallelism even off a one-split local file
+    Par.spread(emb.select(sf.col(labelCol).as("label"),
+        sf.col(vecCol).cast("array<double>").as("__v")))
+      .select(sf.col("label"), errFx.as("__e"))
+      .groupBy("label")
+      .agg(sf.count(sf.lit(1)).as("n_vecs"),
+        sf.sum(sf.col("__e").cast("decimal(38,0)")).as("__s"),
+        sf.max(sf.col("__e")).as("__mx"))
+      .select(sf.col("label"), sf.col("n_vecs"),
+        gf.roundAt(sf.col("__s").cast("double") / 1e10 /
+          sf.col("n_vecs").cast("double"), 8).as("avg_sq_err"),
+        gf.roundAt(sf.col("__mx").cast("double") / 1e10, 8).as("max_sq_err"))
+      .orderBy("label")
   }
 }

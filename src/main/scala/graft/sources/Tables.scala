@@ -60,15 +60,25 @@ object Tables {
   def invalidate(dir: String, name: String = null): Unit =
     relationCache.keySet.removeIf(k => k._2 == dir && (name == null || k._3 == name))
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long (legacy conf) and convert to a
-    * microsecond timestamp with integer `div` (a double division would
-    * lose precision past 2^53 ns). */
+  /** events.ts layout varies by producer: TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects, so it's read as a long (legacy
+    * conf) and converted with integer `div` (a double division would
+    * lose precision past 2^53 ns) — or plain TIMESTAMP(MICROS),
+    * which lands as TIMESTAMP_NTZ and only needs the session-timezone
+    * cast to the TimestampType the operators expect. Dispatch on the
+    * LOADED schema, not an assumed one, so both vintages read. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.{functions => sf}
-    raw.withColumn("ts", sf.timestamp_micros(sf.expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long vintage
+        raw.withColumn("ts", sf.timestamp_micros(sf.expr("ts div 1000")))
+      case TimestampNTZType => // micros vintage: same wall time, LTZ type
+        raw.withColumn("ts", sf.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def csv(spark: SparkSession, path: String,

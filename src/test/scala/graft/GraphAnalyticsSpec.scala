@@ -115,13 +115,17 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("EventOps.sessionWindowAgg: exact-gap event starts a new session; end = last + gap") {
+  test("EventOps.sessionWindowAgg: exact-gap event EXTENDS; end = last + gap") {
     val t0 = java.sql.Timestamp.valueOf("2024-06-10 12:00:00")
     def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
     val events = Seq(
       (1L, ts(0), 1L, "click", 1.0),
       (2L, ts(900), 1L, "click", 2.0),    // 15 min later: same session
-      (3L, ts(900 + 1800), 1L, "click", 4.0), // EXACTLY 30 min later: new session
+      // EXACTLY 30 min after the previous event: session_window merges
+      // windows that touch (merge condition start <= prev end,
+      // INCLUSIVE), so the boundary event extends the session — the
+      // same closed-boundary convention as the gap sessionizer (q37)
+      (3L, ts(900 + 1800), 1L, "click", 4.0),
       (4L, ts(10), 2L, "view", 8.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     val got = EventOps.sessionWindowAgg(events, gap = "30 minutes").collect()
@@ -129,8 +133,7 @@ class GraphAnalyticsSpec extends SparkFunSuite {
         r.getAs[String]("session_end"), r.getAs[Long]("n_events"),
         r.getAs[Double]("sum_value")))
     assert(got.toSeq == Seq(
-      (1L, "2024-06-10 12:00:00", "2024-06-10 12:45:00", 2L, 3.0),
-      (1L, "2024-06-10 12:45:00", "2024-06-10 13:15:00", 1L, 4.0),
+      (1L, "2024-06-10 12:00:00", "2024-06-10 13:15:00", 3L, 7.0),
       (2L, "2024-06-10 12:00:10", "2024-06-10 12:30:10", 1L, 8.0)), s"got ${got.toSeq}")
   }
 
@@ -158,5 +161,79 @@ class GraphAnalyticsSpec extends SparkFunSuite {
         ((r.getAs[Long]("group_size"), r.getAs[Long]("weight_fx")))).toMap
     assert(got == Map(
       1L -> ((2L, 500000L)), 2L -> ((2L, 500000L)), 3L -> ((1L, 1000000L))), s"got $got")
+  }
+
+  test("Graph.triangles: K4 yields its four triangles, pendant edge none") {
+    // one basket with {a,b,c,d} -> K4 (4 triangles); {d,e} adds a
+    // pendant edge that closes nothing
+    val df = (Seq("a", "b", "c", "d").map((1L, _)) ++ Seq((2L, "d"), (2L, "e")))
+      .toDF("basket", "item")
+    val got = Graph.triangles(df, "basket", "item", minPairCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d")),
+      s"got $got")
+  }
+
+  test("Graph.triangles: open wedge does not emit") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c")).toDF("basket", "item")
+    assert(Graph.triangles(df, "basket", "item", minPairCount = 1).count() == 0)
+  }
+
+  test("EventOps.decayedScore: hand-computed half-life weights, null rows excluded") {
+    val ref = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    val old = java.sql.Timestamp.valueOf("2026-01-01 00:00:00") // exactly one half-life
+    val df = Seq(
+      (1L, ref, Some(2.0)),  // w = 1e9,  term 2.0
+      (1L, old, Some(4.0)),  // w = 5e8,  term 2.0
+      (2L, old, Some(3.0)),  // w = 5e8,  term 1.5
+      (2L, ref, None)        // null value: excluded entirely
+    ).toDF("user_id", "ts", "value")
+    val got = EventOps.decayedScore(df, halfLifeHours = 24.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((2L, 4.0)), 2L -> ((1L, 1.5))), s"got $got")
+  }
+
+  test("Similarity.quantizationError: exact-representable is 0, known error reproduced") {
+    val df = Seq(
+      (Array(127.0f, 0.0f, -127.0f), 0),  // codes land exactly -> err 0
+      (Array(0.0f, 0.0f), 1),             // zero vector: scale-0 guard -> err 0
+      (Array(1.0f, 0.5f), 2)              // 0.5/(1/127) = 63.5 rounds to 64
+    ).toDF("embedding", "label")
+    val got = Similarity.quantizationError(df).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0) == ((1L, 0.0, 0.0)) && got(1) == ((1L, 0.0, 0.0)), s"got $got")
+    // expected via the operator's own snapping rule
+    val s = 1.0 / 127.0
+    val d = 0.5 - math.floor(0.5 / s + 0.5) * s
+    val fx = math.floor(d * d * 1e10 + 0.5)
+    val want = math.floor(fx / 1e10 * 1e8 + 0.5) / 1e8
+    assert(got(2) == ((1L, want, want)), s"got ${got(2)} want $want")
+  }
+
+  test("Dedup.containmentPairs: subsets, duplicates, and thresholds") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c"), (3L, "x y"), (4L, "b a"), (5L, "a b q"))
+      .toDF("doc_id", "text")
+    // t = 1.0: {1,4} are the same set (mutual) and subset into both
+    // supersets 2 ({a,b,c}) and 5 ({a,b,q})
+    val t1 = Dedup.containmentPairs(docs, "doc_id", "text", 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(t1 == Seq((1L, 2L, 1.0), (1L, 4L, 1.0), (1L, 5L, 1.0),
+      (4L, 1L, 1.0), (4L, 2L, 1.0), (4L, 5L, 1.0)), s"got $t1")
+    // t = 0.6 adds the partial containments: 5 -> 2 (2/3), 2 -> 5 (2/3),
+    // 5 -> 1/4 (2/3), 1/4 -> 5 (2/2=1 ... no: |{a,b} ∩ {a,b,q}| / 2 = 1)
+    val t6 = Dedup.containmentPairs(docs, "doc_id", "text", 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = {
+      val sets = Map(1L -> Set("a", "b"), 2L -> Set("a", "b", "c"),
+        3L -> Set("x", "y"), 4L -> Set("a", "b"), 5L -> Set("a", "b", "q"))
+      (for {
+        (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+        if ia != ib
+        c = (sa & sb).size.toDouble / sa.size
+        if c >= 0.6
+      } yield (ia, ib, math.floor(c * 10000.0 + 0.5) / 10000.0)).toSet
+    }
+    assert(t6 == brute, s"missing=${brute -- t6} extra=${t6 -- brute}")
   }
 }
