@@ -833,6 +833,27 @@ object SparkEntry {
     // Per-label int8 symmetric-quantization reconstruction error.
     "q129_quantize_error" -> ((s, dir) =>
       Similarity.quantizationError(emb(s, dir))),
+
+    // Gap-filled hourly series per event type: every bin between the
+    // corpus min and max is present, zero rows materialized.
+    "q130_dense_series" -> ((s, dir) =>
+      EventOps.denseSeries(Tables.load(s, dir, "events"))),
+
+    // Distinctive terms per source: Monroe et al. weighted log-odds
+    // with an informative Dirichlet prior, z-scored.
+    "q131_distinctive_terms" -> ((s, dir) =>
+      CorpusStats.distinctiveTerms(docs(s, dir), "source", "text",
+        a0 = 100.0, minCount = 5)),
+
+    // Session path mining: frequency table of within-session
+    // event-type journeys (30-min gap sessions).
+    "q132_session_paths" -> ((s, dir) =>
+      EventOps.sessionPaths(Tables.load(s, dir, "events"), minCount = 3)),
+
+    // Zipf-law OLS fit over the term frequency distribution (snapped
+    // lns, exact moment sums, closed-form assembly).
+    "q133_zipf_slope" -> ((s, dir) =>
+      CorpusStats.zipfSlope(docs(s, dir), "text")),
   )
 
   // ---------------------------------------------------------------------
@@ -2885,5 +2906,88 @@ object SparkEntry {
         |  floor((CAST(SUM(CAST(err_fx AS DECIMAL(38,0))) AS DOUBLE) / 1e10 / COUNT(*)) * 1e8 + 0.5)/1e8 AS avg_sq_err,
         |  floor((CAST(MAX(err_fx) AS DOUBLE) / 1e10) * 1e8 + 0.5)/1e8 AS max_sq_err
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Dense series: generate_series fills the grid, left join fills
+    // zeros; value sums exact 1e4 fixed point.
+    "q130_dense_series" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin,
+        |  CASE WHEN value IS NOT NULL THEN CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) END AS v4
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, COUNT(*) AS n,
+        |      SUM(CAST(v4 AS DECIMAL(38,0))) AS s FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs)
+        |SELECT g.t AS event_type, g.bin AS bin,
+        |  strftime(make_timestamp(g.bin * 3600000000), '%Y-%m-%d %H:%M') AS bin_start,
+        |  COALESCE(c.n, 0) AS n_events,
+        |  floor((COALESCE(CAST(c.s AS DOUBLE), 0.0) / 1e4)*10000.0 + 0.5)/10000.0 AS sum_value
+        |FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Distinctive terms: exact integer counts, identical double
+    // assembly of the prior + two lns + z, rounded once at 1e-4.
+    "q131_distinctive_terms" ->
+      """WITH t AS (SELECT source, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents),
+        |u AS (SELECT source, unnest(toks) AS w FROM t),
+        |ysw AS (SELECT source, w, COUNT(*) AS y_sw FROM u GROUP BY 1, 2),
+        |yw AS (SELECT w, CAST(SUM(y_sw) AS BIGINT) AS y_w FROM ysw GROUP BY 1),
+        |ns AS (SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s FROM ysw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(y_w) AS BIGINT) AS n_total FROM yw),
+        |j AS (SELECT ysw.source AS source, ysw.w AS w, ysw.y_sw AS y_sw,
+        |      yw.y_w AS y_w, ns.n_s AS n_s, tot.n_total AS n_total,
+        |      100.0 * CAST(yw.y_w AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS aw
+        |      FROM ysw JOIN yw USING (w) JOIN ns ON ysw.source = ns.source CROSS JOIN tot
+        |      WHERE ysw.y_sw >= 5),
+        |d AS (SELECT source, w, y_sw, y_w - y_sw AS n_rest,
+        |  ln((CAST(y_sw AS DOUBLE) + aw) / (CAST(n_s AS DOUBLE) + 100.0 - CAST(y_sw AS DOUBLE) - aw))
+        |  - ln((CAST(y_w - y_sw AS DOUBLE) + aw) / (CAST(n_total - n_s AS DOUBLE) + 100.0 - CAST(y_w - y_sw AS DOUBLE) - aw)) AS delta,
+        |  1.0/(CAST(y_sw AS DOUBLE) + aw) + 1.0/(CAST(y_w - y_sw AS DOUBLE) + aw) AS v
+        |  FROM j)
+        |SELECT source, w AS term, y_sw AS n_in, n_rest,
+        |  floor(delta*10000.0 + 0.5)/10000.0 AS delta,
+        |  floor((delta/sqrt(v))*10000.0 + 0.5)/10000.0 AS z
+        |FROM d ORDER BY source, term""".stripMargin,
+
+    // Session paths: the q37 gaps-and-islands session assignment +
+    // ordered string_agg per session, then an exact path count.
+    "q132_session_paths" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT user_id, event_type, ts, event_id,
+        |  SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |p AS (SELECT user_id, sid, string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        |      FROM t GROUP BY 1, 2),
+        |c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1 HAVING COUNT(*) >= 3)
+        |SELECT path, n_sessions FROM c ORDER BY n_sessions DESC, path""".stripMargin,
+
+    // Zipf fit: snapped lns -> exact DECIMAL moments -> identical
+    // closed-form OLS assembly; intercept reuses the UNROUNDED slope.
+    "q133_zipf_slope" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents),
+        |uc AS (SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |r AS (SELECT c_w, row_number() OVER (ORDER BY c_w DESC, w) AS rnk FROM uc),
+        |f AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS lx,
+        |             CAST(floor(ln(CAST(c_w AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS ly FROM r),
+        |m AS (SELECT COUNT(*) AS n,
+        |      SUM(CAST(lx AS DECIMAL(38,0))) AS sx, SUM(CAST(ly AS DECIMAL(38,0))) AS sy,
+        |      SUM(CAST(lx AS DECIMAL(38,0))*CAST(lx AS DECIMAL(38,0))) AS sxx,
+        |      SUM(CAST(lx AS DECIMAL(38,0))*CAST(ly AS DECIMAL(38,0))) AS sxy FROM f),
+        |a AS (SELECT CAST(n AS BIGINT) AS n_terms, CAST(n AS DOUBLE) AS nd,
+        |      CAST(sx AS DOUBLE)/1e6 AS sxd, CAST(sy AS DOUBLE)/1e6 AS syd,
+        |      CAST(sxx AS DOUBLE)/1e12 AS sxxd, CAST(sxy AS DOUBLE)/1e12 AS sxyd FROM m),
+        |b AS (SELECT n_terms, nd, sxd, syd,
+        |      nd * sxxd - sxd * sxd AS den, nd * sxyd - sxd * syd AS num FROM a)
+        |SELECT n_terms,
+        |  CASE WHEN den > 0 THEN floor((num / den)*10000.0 + 0.5)/10000.0 END AS slope,
+        |  CASE WHEN den > 0 THEN floor(((syd - (num / den) * sxd) / nd)*10000.0 + 0.5)/10000.0 END AS intercept
+        |FROM b""".stripMargin,
   )
 }

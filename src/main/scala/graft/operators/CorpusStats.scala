@@ -430,4 +430,94 @@ object CorpusStats {
         gf.roundAt(sf.sum(perTerm), 4).as("bm25"))
       .orderBy("doc_id")
   }
+
+  /** Distinctive terms per source: the weighted log-odds ratio with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008 —
+    * "Fightin' Words"), the statistically honest version of "what
+    * words characterize source s". Raw frequency ratios explode on
+    * rare words; the corpus-frequency prior a_w = a0·y_w/N shrinks
+    * exactly the terms with too little evidence, and the z-score
+    * (delta / sqrt(1/(y_sw+a_w) + 1/(y_rest,w+a_w))) ranks by
+    * confidence, not just effect size.
+    *
+    * delta_sw = ln((y_sw + a_w) / (n_s + a0 − y_sw − a_w))
+    *          − ln((y_rest,w + a_w) / (N − n_s + a0 − y_rest,w − a_w))
+    *
+    * Determinism: all counts are exact integers from two keyed
+    * aggregations; the double assembly (two ln's, one sqrt) is the
+    * identical expression in both engines, rounded once at 1e-4 (the
+    * q74 PMI convention).
+    *
+    * Scale shape: one (source, term) aggregation + one term
+    * aggregation, both map-side combinable; the per-term corpus table
+    * broadcasts (vocabulary-sized), totals are scalars. */
+  def distinctiveTerms(docs: DataFrame, sourceCol: String, textCol: String,
+                       a0: Double = 100.0, minCount: Long = 5): DataFrame = {
+    require(a0 > 0, s"a0 must be > 0, got $a0")
+    val toks = Par.spread(docs.select(sf.col(sourceCol).as("source"), sf.col(textCol)))
+      .select(sf.col("source"), sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("w"))
+    val ysw = toks.groupBy("source", "w").agg(sf.count(sf.lit(1)).as("y_sw"))
+      .localCheckpoint(true)
+    val yw = ysw.groupBy("w").agg(sf.sum("y_sw").as("y_w"))
+    val ns = ysw.groupBy("source").agg(sf.sum("y_sw").as("n_s"))
+    val tot = yw.agg(sf.sum("y_w").as("n_total"))
+    val aw = sf.lit(a0) * sf.col("y_w").cast("double") / sf.col("n_total").cast("double")
+    val yRest = sf.col("y_w") - sf.col("y_sw")
+    val dIn = sf.log((sf.col("y_sw").cast("double") + aw) /
+      (sf.col("n_s").cast("double") + a0 - sf.col("y_sw").cast("double") - aw))
+    val dOut = sf.log((yRest.cast("double") + aw) /
+      ((sf.col("n_total") - sf.col("n_s")).cast("double") + a0 - yRest.cast("double") - aw))
+    val variance = sf.lit(1.0) / (sf.col("y_sw").cast("double") + aw) +
+      sf.lit(1.0) / (yRest.cast("double") + aw)
+    ysw.filter(sf.col("y_sw") >= minCount)
+      .join(sf.broadcast(yw), "w")
+      .join(sf.broadcast(ns), "source")
+      .crossJoin(sf.broadcast(tot))
+      .select(sf.col("source"), sf.col("w").as("term"),
+        sf.col("y_sw").as("n_in"), yRest.as("n_rest"),
+        gf.roundAt(dIn - dOut, 4).as("delta"),
+        gf.roundAt((dIn - dOut) / sf.sqrt(variance), 4).as("z"))
+      .orderBy("source", "term")
+  }
+
+  /** Zipf-law fit over the term frequency distribution: OLS slope and
+    * intercept of ln(freq) against ln(rank) — the one-number "does
+    * this corpus look like natural language" datasheet diagnostic
+    * (natural text sits near slope −1; machine-generated or template
+    * corpora flatten or step).
+    *
+    * Determinism: ranks are a total order (count desc, term asc); each
+    * ln snaps to a 1e-6 grid immediately, all moment sums are exact
+    * DECIMAL(38,0), and the closed-form OLS assembly divides the same
+    * exact sums in the same double expression in both engines.
+    * A vocabulary of one term has zero x-variance -> NULL slope.
+    *
+    * Scale shape: the term count table is vocabulary-sized (Zipf: far
+    * smaller than the corpus); ranking it is one window over that
+    * bounded table, and the moment reduction is a single-row agg. */
+  def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = Par.spread(docs.select(sf.col(textCol)))
+      .select(sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("w"))
+      .groupBy("w").agg(sf.count(sf.lit(1)).as("c_w"))
+    val rank = sf.row_number().over(
+      Window.orderBy(sf.col("c_w").desc, sf.col("w")))
+    def lnFx(c: Column) = sf.floor(sf.log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = uni.select(lnFx(rank).as("lx"), lnFx(sf.col("c_w")).as("ly"))
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("lx"))).as("sx"), sf.sum(dec(sf.col("ly"))).as("sy"),
+        sf.sum(dec(sf.col("lx")) * dec(sf.col("lx"))).as("sxx"),
+        sf.sum(dec(sf.col("lx")) * dec(sf.col("ly"))).as("sxy"))
+    val n = sf.col("n").cast("double")
+    val sx = sf.col("sx").cast("double") / 1e6
+    val sy = sf.col("sy").cast("double") / 1e6
+    val sxx = sf.col("sxx").cast("double") / 1e12
+    val sxy = sf.col("sxy").cast("double") / 1e12
+    val den = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / den
+    m.select(sf.col("n").as("n_terms"),
+      sf.when(den > 0.0, gf.roundAt(slope, 4)).as("slope"),
+      sf.when(den > 0.0, gf.roundAt((sy - slope * sx) / n, 4)).as("intercept"))
+  }
 }

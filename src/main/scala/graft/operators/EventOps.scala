@@ -558,6 +558,85 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Gap-filled dense time series: per-(type, time-bin) event counts
+    * and value sums with EVERY bin between the corpus min and max
+    * present — zero rows materialized for silent bins. Downstream
+    * consumers (anomaly baselines, trend fits, chart feeds) need the
+    * zeros; a plain groupBy silently omits them and "no data" becomes
+    * indistinguishable from "no traffic".
+    *
+    * Scale shape: the counts aggregation is map-side combinable; the
+    * dense grid is |types| x nBins rows generated from a broadcast
+    * scalar pair (min, max bin) — never a per-event explode — and the
+    * fill join is keyed on (type, bin). Value sums are exact 1e4
+    * fixed-point decimals, one final division. */
+  def denseSeries(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", valueCol: String = "value",
+                  binSec: Long = 3600): DataFrame = {
+    require(binSec > 0, s"binSec must be > 0, got $binSec")
+    val binUs = binSec * 1000000L
+    val withBin = events.filter(sf.col(tsCol).isNotNull)
+      .withColumn("__bin", sf.expr(s"unix_micros($tsCol) div ${binUs}L"))
+    val v4 = sf.when(sf.col(valueCol).isNotNull,
+      sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long"))
+    val counts = withBin
+      .groupBy(sf.col(typeCol).as("t"), sf.col("__bin"))
+      .agg(sf.count(sf.lit(1)).as("__n"),
+        sf.sum(v4.cast("decimal(38,0)")).as("__s"))
+    val bounds = withBin.agg(sf.min("__bin").as("lo"), sf.max("__bin").as("hi"))
+    val grid = withBin.select(sf.col(typeCol).as("t")).distinct()
+      .crossJoin(sf.broadcast(bounds))
+      .select(sf.col("t"),
+        sf.explode(sf.sequence(sf.col("lo"), sf.col("hi"))).as("__bin"))
+    grid.join(counts, Seq("t", "__bin"), "left")
+      .select(sf.col("t").as(typeCol), sf.col("__bin").as("bin"),
+        sf.date_format(sf.timestamp_micros(sf.col("__bin") * binUs),
+          "yyyy-MM-dd HH:mm").as("bin_start"),
+        sf.coalesce(sf.col("__n"), sf.lit(0L)).as("n_events"),
+        gf.roundAt(sf.coalesce(sf.col("__s").cast("double"), sf.lit(0.0)) / 1e4, 4)
+          .as("sum_value"))
+      .orderBy(typeCol, "bin")
+  }
+
+  /** Session path mining: the frequency table of within-session
+    * event-type journeys ("view->click->purchase") — the product-
+    * analytics primitive behind flow diagrams and drop-off maps.
+    * Sessions are the same gap definition as [[sessionize]]; each
+    * session contributes one path string (events in (ts, id) order),
+    * and paths seen >= `minCount` times are returned, most frequent
+    * first.
+    *
+    * Scale shape: one per-key sorted window assigns session ids (the
+    * gaps-and-islands plan, parallel across keys), one session-keyed
+    * aggregation builds each path from a sorted in-memory struct array
+    * (bounded by session length), and the path count is a map-side
+    * combinable aggregation on the path string. */
+  def sessionPaths(events: DataFrame, keyCol: String = "user_id",
+                   tsCol: String = "ts", idCol: String = "event_id",
+                   typeCol: String = "event_type",
+                   gapSec: Long = 1800, minCount: Long = 3): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val lagTs = sf.lag(sf.col(tsCol), 1).over(byKey)
+    val isNew = sf.when(lagTs.isNull, 1).otherwise(
+      (sf.unix_micros(sf.col(tsCol)) - sf.unix_micros(lagTs) >
+        gapSec * 1000000L).cast("int"))
+    events
+      .withColumn("__new", isNew)
+      .withColumn("__sid",
+        sf.sum("__new").over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(sf.col(keyCol), sf.col("__sid"))
+      .agg(sf.array_join(
+        sf.transform(
+          sf.array_sort(sf.collect_list(
+            sf.struct(sf.col(tsCol), sf.col(idCol), sf.col(typeCol)))),
+          x => x.getField(typeCol)), "->").as("path"))
+      .groupBy("path")
+      .agg(sf.count(sf.lit(1)).as("n_sessions"))
+      .filter(sf.col("n_sessions") >= minCount)
+      .orderBy(sf.col("n_sessions").desc, sf.col("path"))
+  }
+
   /** Exponential time-decay engagement score per key: each event
     * contributes value · 2^(-age / halfLife), with age measured back
     * from the corpus's max timestamp — the standard recency-weighted

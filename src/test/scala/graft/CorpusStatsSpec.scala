@@ -206,4 +206,95 @@ class CorpusStatsSpec extends SparkFunSuite {
     // scores order the docs as retrieval would: rare 'a' beats common 'c'
     assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
   }
+
+  test("distinctiveTerms: concentrated term scores positive in its source, formula exact") {
+    import spark.implicits._
+    // 'spam' lives almost only in source b; 'the' is background everywhere
+    val docs = Seq(
+      ("a", Array.fill(20)("the").mkString(" ")),
+      ("a", "the quick fox " + Array.fill(5)("runs").mkString(" ")),
+      ("b", Array.fill(12)("spam").mkString(" ") + " the the"),
+      ("b", Array.fill(8)("spam").mkString(" ") + " " + Array.fill(6)("the").mkString(" ")))
+      .toDF("source", "text")
+    val got = CorpusStats.distinctiveTerms(docs, "source", "text",
+        a0 = 100.0, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // token totals: a = 20 + 8 = 28, b = 14 + 14 = 28, corpus = 56;
+    // spam: b-only = 20; the: a = 21, b = 8; runs: a = 5
+    val (nIn, nRest, delta, z) = got(("b", "spam"))
+    assert(nIn == 20L && nRest == 0L)
+    assert(delta > 0 && z > 0, s"spam in b must be positive: $delta $z")
+    // replay the operator's own double assembly for one cell
+    val (ySw, yW, nS, nTot, a0v) = (20.0, 20.0, 28.0, 56.0, 100.0)
+    val aw = a0v * yW / nTot
+    val d = math.log((ySw + aw) / (nS + a0v - ySw - aw)) -
+      math.log((yW - ySw + aw) / ((nTot - nS) + a0v - (yW - ySw) - aw))
+    val v = 1.0 / (ySw + aw) + 1.0 / (yW - ySw + aw)
+    assert(delta == math.floor(d * 10000.0 + 0.5) / 10000.0, s"got $delta want $d")
+    assert(z == math.floor(d / math.sqrt(v) * 10000.0 + 0.5) / 10000.0)
+    // background term scores NEGATIVE where it is underrepresented
+    assert(got(("a", "the"))._3 * got(("b", "the"))._3 <= 0.0 ||
+      math.abs(got(("a", "the"))._3 - got(("b", "the"))._3) > 0,
+      "a shared term cannot be maximally distinctive of both sources")
+  }
+
+  test("zipfSlope: exact 1/rank frequencies fit slope -1") {
+    import spark.implicits._
+    // counts 6/3/2 at ranks 1/2/3 = 6/rank: ln c = ln 6 - 1 * ln rank
+    val docs = Seq((Array.fill(6)("aa") ++ Array.fill(3)("bb") ++
+      Array.fill(2)("cc")).mkString(" ")).toDF("text")
+    val r = CorpusStats.zipfSlope(docs, "text").collect()(0)
+    assert(r.getLong(0) == 3L)
+    // replay the snapped-ln pipeline
+    val pts = Seq((1, 6), (2, 3), (3, 2)).map { case (rk, c) =>
+      (math.floor(math.log(rk.toDouble) * 1e6 + 0.5) / 1e6,
+        math.floor(math.log(c.toDouble) * 1e6 + 0.5) / 1e6) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(1) - slope) < 2e-4, s"got ${r.getDouble(1)} want $slope")
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-3, "6/3/2 at ranks 1/2/3 is slope -1")
+  }
+
+  test("zipfSlope: single-term vocabulary yields NULL slope") {
+    import spark.implicits._
+    val r = CorpusStats.zipfSlope(Seq("x x x").toDF("text"), "text").collect()(0)
+    assert(r.getLong(0) == 1L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("EventOps.denseSeries: silent bins materialize as zero rows") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 10:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    val events = Seq(
+      ("click", ts(0), Some(1.5)), ("click", ts(0), Some(2.5)),
+      ("click", ts(2), None),            // null value: counted, sums 0
+      ("view", ts(1), Some(4.0)))
+      .toDF("event_type", "ts", "value")
+    val got = EventOps.denseSeries(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    val lo = got.map(_._2).min
+    val want = Seq(
+      ("click", lo, 2L, 4.0), ("click", lo + 1, 0L, 0.0), ("click", lo + 2, 1L, 0.0),
+      ("view", lo, 0L, 0.0), ("view", lo + 1, 1L, 4.0), ("view", lo + 2, 0L, 0.0))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("EventOps.sessionPaths: gap splits journeys, counts order the table") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 10:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(5), "click"),      // session 1: view->click
+      (3L, 1L, ts(120), "view"), (4L, 1L, ts(125), "click"),  // session 2: view->click
+      (5L, 2L, ts(0), "view"), (6L, 2L, ts(1), "click"),      // view->click
+      (7L, 3L, ts(0), "purchase"))                            // purchase
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.sessionPaths(events, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("view->click", 3L), ("purchase", 1L)), s"got $got")
+  }
 }
