@@ -854,6 +854,21 @@ object SparkEntry {
     // lns, exact moment sums, closed-form assembly).
     "q133_zipf_slope" -> ((s, dir) =>
       CorpusStats.zipfSlope(docs(s, dir), "text")),
+
+    // Graph datasheet: structural summary of the co-occurrence graph
+    // (degree stats, density, wedges, triangles, clustering coeff).
+    "q134_graph_profile" -> ((s, dir) =>
+      Graph.graphProfile(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2)),
+
+    // N-gram coverage curve: fraction of held-out distinct n-grams
+    // (n=1..3) covered by the training split — the q56 split.
+    "q135_ngram_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusStats.ngramCoverage(
+        d.filter(sf.col("doc_id") % 10 =!= 0),
+        d.filter(sf.col("doc_id") % 10 === 0), "text", maxN = 3)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -2989,5 +3004,66 @@ object SparkEntry {
         |  CASE WHEN den > 0 THEN floor((num / den)*10000.0 + 0.5)/10000.0 END AS slope,
         |  CASE WHEN den > 0 THEN floor(((syd - (num / den) * sxd) / nd)*10000.0 + 0.5)/10000.0 END AS intercept
         |FROM b""".stripMargin,
+
+    // Graph profile: the q126 edge CTE + exact degree/wedge/triangle
+    // counts, identical pinned ratio assembly at 1e-6.
+    "q134_graph_profile" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dg AS (SELECT n, COUNT(*) AS d FROM
+        |       (SELECT item_a AS n FROM e UNION ALL SELECT item_b FROM e) GROUP BY 1),
+        |ds AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS deg_sum,
+        |       CAST(MAX(d) AS BIGINT) AS max_degree,
+        |       CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS wedges FROM dg),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM e),
+        |tr AS (SELECT COUNT(*) AS n_triangles FROM e e1 JOIN e e2 ON e2.item_a = e1.item_b
+        |       JOIN e e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b),
+        |j AS (SELECT * FROM ds CROSS JOIN ne CROSS JOIN tr)
+        |SELECT metric, value FROM (
+        |SELECT 'avg_degree' AS metric,
+        |  floor((CAST(deg_sum AS DOUBLE)/CAST(n_nodes AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS value FROM j
+        |UNION ALL SELECT 'density', CASE WHEN n_nodes > 1
+        |  THEN floor((CAST(deg_sum AS DOUBLE)/(CAST(n_nodes AS DOUBLE)*(CAST(n_nodes AS DOUBLE)-1.0)))*1000000.0 + 0.5)/1000000.0
+        |  ELSE 0.0 END FROM j
+        |UNION ALL SELECT 'global_clustering', CASE WHEN wedges > 0
+        |  THEN floor((3.0*CAST(n_triangles AS DOUBLE)/CAST(wedges AS DOUBLE))*1000000.0 + 0.5)/1000000.0
+        |  ELSE 0.0 END FROM j
+        |UNION ALL SELECT 'max_degree', CAST(max_degree AS DOUBLE) FROM j
+        |UNION ALL SELECT 'n_edges', CAST(n_edges AS DOUBLE) FROM j
+        |UNION ALL SELECT 'n_nodes', CAST(n_nodes AS DOUBLE) FROM j
+        |UNION ALL SELECT 'n_triangles', CAST(n_triangles AS DOUBLE) FROM j
+        |UNION ALL SELECT 'wedges', CAST(wedges AS DOUBLE) FROM j)
+        |ORDER BY metric""".stripMargin,
+
+    // N-gram coverage: the q56 gram construction per n, exact distinct
+    // counts, one rounded ratio.
+    "q135_ngram_coverage" ->
+      """WITH ws AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g1 AS (SELECT doc_id, list_distinct([array_to_string(t[i:i], ' ') FOR i IN range(1, len(t)+1)]) AS gr FROM ws),
+        |e1 AS (SELECT DISTINCT unnest(gr) AS g FROM g1 WHERE doc_id % 10 = 0),
+        |c1 AS (SELECT DISTINCT unnest(gr) AS g FROM g1 WHERE doc_id % 10 <> 0),
+        |g2 AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) END AS gr FROM ws),
+        |e2 AS (SELECT DISTINCT unnest(gr) AS g FROM g2 WHERE doc_id % 10 = 0),
+        |c2 AS (SELECT DISTINCT unnest(gr) AS g FROM g2 WHERE doc_id % 10 <> 0),
+        |g3 AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) END AS gr FROM ws),
+        |e3 AS (SELECT DISTINCT unnest(gr) AS g FROM g3 WHERE doc_id % 10 = 0),
+        |c3 AS (SELECT DISTINCT unnest(gr) AS g FROM g3 WHERE doc_id % 10 <> 0),
+        |r AS (
+        |SELECT 1 AS n, (SELECT COUNT(*) FROM e1) AS eval_grams,
+        |       (SELECT COUNT(*) FROM e1 WHERE g IN (SELECT g FROM c1)) AS covered
+        |UNION ALL
+        |SELECT 2, (SELECT COUNT(*) FROM e2),
+        |       (SELECT COUNT(*) FROM e2 WHERE g IN (SELECT g FROM c2))
+        |UNION ALL
+        |SELECT 3, (SELECT COUNT(*) FROM e3),
+        |       (SELECT COUNT(*) FROM e3 WHERE g IN (SELECT g FROM c3)))
+        |SELECT n, eval_grams, covered,
+        |  floor((CAST(covered AS DOUBLE)/CAST(eval_grams AS DOUBLE))*10000.0 + 0.5)/10000.0 AS coverage
+        |FROM r ORDER BY n""".stripMargin,
   )
 }

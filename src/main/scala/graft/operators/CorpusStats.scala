@@ -431,6 +431,43 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** N-gram coverage curve: for each gram width n = 1..maxN, the
+    * fraction of the EVAL set's distinct word n-grams that occur
+    * anywhere in the corpus — the memorization/novelty axis of a
+    * train-vs-eval audit (decontaminate flags the contaminated docs;
+    * this measures how much of the eval surface the corpus covers at
+    * all, the number that says whether an eval is even out-of-
+    * distribution). Coverage falling off with n is healthy; flat-high
+    * curves mean the eval is effectively memorized.
+    *
+    * Gram identity is the fused hash kernel (never gram strings, the
+    * decontaminate design); short docs contribute their whole token
+    * sequence as one gram, empty docs nothing. Both sides collapse to
+    * DISTINCT gram tables before the probe, so the semi join is
+    * distinct-gram-sized and keyed; counts are exact.
+    *
+    * Scale shape: per n, two map-side-combinable distinct aggregations
+    * and one hash-keyed semi join; the output is maxN rows. */
+  def ngramCoverage(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                    maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    def grams(df: DataFrame, n: Int) =
+      Par.spread(df.select(sf.col(textCol).as("__t")))
+        .filter(sf.length(sf.trim(sf.col("__t"))) > 0)
+        .select(sf.explode(gf.hashedWsNgrams(sf.col("__t"), n)).as("gh"))
+        .distinct()
+    (1 to maxN).map { n =>
+      val e = grams(evalSet, n)
+      val covered = e.join(grams(corpus, n), Seq("gh"), "left_semi")
+        .agg(sf.count(sf.lit(1)).as("covered"))
+      e.agg(sf.count(sf.lit(1)).as("eval_grams"))
+        .crossJoin(covered)
+        .select(sf.lit(n).as("n"), sf.col("eval_grams"), sf.col("covered"),
+          gf.roundAt(sf.col("covered").cast("double") /
+            sf.col("eval_grams").cast("double"), 4).as("coverage"))
+    }.reduce(_.union(_)).orderBy("n")
+  }
+
   /** Distinctive terms per source: the weighted log-odds ratio with an
     * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008 —
     * "Fightin' Words"), the statistically honest version of "what

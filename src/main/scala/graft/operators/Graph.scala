@@ -154,9 +154,15 @@ object Graph {
     * salted in. Both joins are keyed equi joins on node / edge
     * endpoints; AQE broadcasts the closing edge list when small. */
   def triangles(df: DataFrame, basketCol: String, itemCol: String,
-                minPairCount: Long = 2): DataFrame = {
-    val und = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
-      .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
+                minPairCount: Long = 2): DataFrame =
+    triangleClosure(cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a").as("u"), sf.col("item_b").as("v")))
+      .orderBy("item_a", "item_b", "item_c")
+
+  /** The orientation + wedge-close pipeline over an undirected (u, v)
+    * edge list — unsorted triple stream, shared by [[triangles]] and
+    * [[graphProfile]]. */
+  private def triangleClosure(und: DataFrame): DataFrame = {
     val deg = und.select(sf.col("u").as("n")).union(und.select(sf.col("v").as("n")))
       .groupBy("n").agg(sf.count(sf.lit(1)).as("d"))
     // orient low (d, id) -> high (d, id): a total order, so exactly one
@@ -187,6 +193,58 @@ object Graph {
       .select(sf.element_at(sf.col("t"), 1).as("item_a"),
         sf.element_at(sf.col("t"), 2).as("item_b"),
         sf.element_at(sf.col("t"), 3).as("item_c"))
-      .orderBy("item_a", "item_b", "item_c")
+  }
+
+  /** Graph datasheet: the one-pass structural summary of the
+    * co-occurrence graph (node/edge counts, degree stats, density,
+    * wedge count, triangle count, global clustering coefficient) as a
+    * tall (metric, value) frame — the corpusCard twin for graphs.
+    * Clustering coefficient 3T / wedges is the standard "is this a
+    * community structure or a hairball" curation signal on link and
+    * co-occurrence graphs.
+    *
+    * Determinism: every metric is assembled from exact integer counts;
+    * the three ratios divide exact values in pinned double expressions
+    * rounded at 1e-6. Degenerate cases pin to 0 (density of a 1-node
+    * graph, clustering of a wedgeless graph).
+    *
+    * Scale shape: one degree aggregation (map-side combinable), scalar
+    * reductions over it, and the oriented triangle count — the
+    * O(|E|^1.5)-bounded pipeline shared with [[triangles]]. */
+  def graphProfile(df: DataFrame, basketCol: String, itemCol: String,
+                   minPairCount: Long = 2): DataFrame = {
+    val und = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
+      .persist()
+    val deg = und.select(sf.col("u").as("n")).union(und.select(sf.col("v").as("n")))
+      .groupBy("n").agg(sf.count(sf.lit(1)).as("d"))
+    val degStats = deg.agg(
+      sf.count(sf.lit(1)).as("n_nodes"),
+      sf.sum(sf.col("d")).as("deg_sum"), // = 2|E|
+      sf.max(sf.col("d")).as("max_degree"),
+      // wedges: sum d*(d-1)/2, exact integer arithmetic end-to-end
+      sf.sum(sf.expr("(d * (d - 1)) div 2")).as("wedges"))
+    val nEdges = und.agg(sf.count(sf.lit(1)).as("n_edges"))
+    val nTri = triangleClosure(und).agg(sf.count(sf.lit(1)).as("n_triangles"))
+    // materialize the ONE-ROW stats frame eagerly: the eight metric
+    // branches below each embed this subplan, and without the
+    // checkpoint every branch re-runs the funnel + triangle join
+    val j = degStats.crossJoin(nEdges).crossJoin(nTri).localCheckpoint(true)
+    def d(c: String) = sf.col(c).cast("double")
+    def m(name: String, v: org.apache.spark.sql.Column) =
+      j.select(sf.lit(name).as("metric"), v.cast("double").as("value"))
+    m("avg_degree", gf.roundAt(d("deg_sum") / d("n_nodes"), 6))
+      .union(m("density", sf.when(sf.col("n_nodes") > 1,
+        gf.roundAt(d("deg_sum") / (d("n_nodes") * (d("n_nodes") - 1.0)), 6))
+        .otherwise(0.0)))
+      .union(m("global_clustering", sf.when(sf.col("wedges") > 0,
+        gf.roundAt(sf.lit(3.0) * d("n_triangles") / d("wedges"), 6))
+        .otherwise(0.0)))
+      .union(m("max_degree", sf.col("max_degree")))
+      .union(m("n_edges", sf.col("n_edges")))
+      .union(m("n_nodes", sf.col("n_nodes")))
+      .union(m("n_triangles", sf.col("n_triangles")))
+      .union(m("wedges", sf.col("wedges")))
+      .orderBy("metric")
   }
 }

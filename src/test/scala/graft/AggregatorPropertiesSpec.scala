@@ -77,4 +77,38 @@ class AggregatorPropertiesSpec extends AnyFunSuite {
         s"capacity=$capacity lost=${mustSurvive -- kept} n=${stream.size}")
     }
   }
+
+  test("CountMin: never undercounts, merge-tree invariant, bounded overcount (100 cases)") {
+    import graft.operators.Sketch
+    for (_ <- 1 to 100) {
+      val width = 16 + rnd.nextInt(64)
+      val depth = 2 + rnd.nextInt(4)
+      val universe = 1 + rnd.nextInt(200)
+      val stream = Seq.fill(100 + rnd.nextInt(2000))(rnd.nextInt(universe).toLong)
+      val agg = new Sketch.CountMinAgg(width, depth)
+      // clone buffers at merge boundaries: the aggregator mutates in place
+      val sk = mergeTree[Long, Array[Long]](stream, agg.zero,
+        (b, x) => agg.reduce(b.clone(), x), (a, b) => agg.merge(a.clone(), b))
+      // flat reduce must give the bit-identical sketch (commutative +
+      // associative elementwise adds)
+      val flat = stream.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+      assert(sk.toSeq == flat.toSeq, "merge tree changed the sketch")
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size.toLong
+      for ((x, c) <- truth) {
+        val est = Sketch.estimate(sk, width, depth, x)
+        assert(est >= c, s"undercount: $est < $c")
+        // depth rows each overcount by < n; the MIN is within the row
+        // bound even in the worst case measured here
+        assert(est <= c + n, s"estimate $est beyond trivial bound")
+      }
+      // aggregate error behaves like collisions, not like noise: the
+      // average overcount across queried items stays within a few
+      // row-collision masses (2n/width per row, Markov-expected)
+      val avgOver = truth.iterator.map { case (x, c) =>
+        Sketch.estimate(sk, width, depth, x) - c }.sum.toDouble / truth.size
+      assert(avgOver <= 8.0 * n / width + 1.0,
+        s"avg overcount $avgOver vs bound ${8.0 * n / width + 1.0}")
+    }
+  }
 }

@@ -265,6 +265,35 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(r.getLong(0) == 1L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("ngramCoverage: hand-computed coverage curve incl. short-doc whole grams") {
+    import spark.implicits._
+    val corpus = Seq("a b c", "x y").toDF("text")
+    val eval = Seq("a b c d", "b c").toDF("text")
+    val got = CorpusStats.ngramCoverage(corpus, eval, "text", maxN = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1, 4L, 3L, 0.75),     // {a,b,c,d} vs {a,b,c,x,y}
+      (2, 3L, 2L, 0.6667),   // {a b, b c, c d} vs {a b, b c, x y}
+      (3, 3L, 1L, 0.3333)),  // {a b c, b c d, b c} vs {a b c, x y}
+      s"got $got")
+  }
+
+  test("Sketch.countMin end-to-end: estimates upper-bound exact counts") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++
+      (1 to 40).map(i => s"cold$i")).toDF("w")
+    val (width, depth) = (64, 4)
+    val sk = Sketch.countMin(df, sf.col("w"), width, depth)
+    val hashes = df.select(sf.col("w"), sf.xxhash64(sf.col("w")).as("h"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = (w: String) => Sketch.estimate(sk, width, depth, hashes(w))
+    assert(est("hot") >= 50L && est("hot") <= 97L)
+    assert(est("warm") >= 7L)
+    // partitioning invariance: the sketch is bit-identical at any split
+    val sk7 = Sketch.countMin(df.repartition(7), sf.col("w"), width, depth)
+    assert(sk.toSeq == sk7.toSeq)
+  }
+
   test("EventOps.denseSeries: silent bins materialize as zero rows") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-03-01 10:00:00")

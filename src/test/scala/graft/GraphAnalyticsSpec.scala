@@ -174,6 +174,18 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("Graph.graphProfile: hand-computed K4 + pendant metrics") {
+    val df = (Seq("a", "b", "c", "d").map((1L, _)) ++ Seq((2L, "d"), (2L, "e")))
+      .toDF("basket", "item")
+    val got = Graph.graphProfile(df, "basket", "item", minPairCount = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // degrees: a,b,c = 3, d = 4, e = 1 -> wedges 3*3 + 6 + 0 = 15
+    assert(got == Map(
+      "n_nodes" -> 5.0, "n_edges" -> 7.0, "max_degree" -> 4.0,
+      "avg_degree" -> 2.8, "density" -> 0.7, "wedges" -> 15.0,
+      "n_triangles" -> 4.0, "global_clustering" -> 0.8), s"got $got")
+  }
+
   test("Graph.triangles: open wedge does not emit") {
     val df = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c")).toDF("basket", "item")
     assert(Graph.triangles(df, "basket", "item", minPairCount = 1).count() == 0)
