@@ -869,6 +869,20 @@ object SparkEntry {
         d.filter(sf.col("doc_id") % 10 =!= 0),
         d.filter(sf.col("doc_id") % 10 === 0), "text", maxN = 3)
     }),
+
+    // Hybrid retrieval: BM25 (q116 terms) + dense cosine against a
+    // fixed query vector, reciprocal-rank fused at k=60. Both input
+    // scores are 1e-4-snapped before ranking.
+    "q136_rrf_fusion" -> ((s, dir) => {
+      val text = CorpusStats.bm25Score(docs(s, dir), "doc_id", "text",
+          queryTerms = Seq("hash", "join", "vector"))
+        .select(sf.col("doc_id").as("id"), sf.col("bm25").as("score"))
+      val qv = Similarity.lshPlanes(64, 1, seed = 11)(0)
+      val vec = emb(s, dir).select(sf.col("vec_id").as("id"),
+        functions.roundAt(functions.cosineSim(
+          sf.col("embedding").cast("array<double>"), sf.lit(qv)), 4).as("score"))
+      CorpusStats.rrfFuse(Seq(text, vec), "id", k = 60)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -3065,5 +3079,40 @@ object SparkEntry {
         |SELECT n, eval_grams, covered,
         |  floor((CAST(covered AS DOUBLE)/CAST(eval_grams AS DOUBLE))*10000.0 + 0.5)/10000.0 AS coverage
         |FROM r ORDER BY n""".stripMargin,
+
+    // RRF: the q116 BM25 ranking + snapped-cosine ranking against the
+    // mirrored query-vector literal; 1e-9-snapped reciprocal ranks,
+    // exact integer fusion, one final division.
+    "q136_rrf_fusion" -> {
+      val qv = Similarity.lshPlanes(64, 1, seed = 11)(0)
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         |bm AS (SELECT tf.doc_id AS id,
+         |  floor(SUM(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+         |            * (tf.tf * (1.2 + 1.0))
+         |            / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl)))
+         |        * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |v AS (SELECT vec_id AS id,
+         |  floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |    ${qv.mkString("[", ",", "]")}::DOUBLE[])*10000.0 + 0.5)/10000.0 AS score
+         |  FROM embeddings),
+         |rt AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk FROM bm),
+         |rv AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk FROM v),
+         |c AS (SELECT id, CAST(floor(1e9/(60.0 + CAST(rnk AS DOUBLE)) + 0.5) AS BIGINT) AS c FROM rt
+         |      UNION ALL
+         |      SELECT id, CAST(floor(1e9/(60.0 + CAST(rnk AS DOUBLE)) + 0.5) AS BIGINT) AS c FROM rv)
+         |SELECT id, COUNT(*) AS n_lists,
+         |  floor((CAST(SUM(c) AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 AS rrf
+         |FROM c GROUP BY 1 ORDER BY rrf DESC, id""".stripMargin
+    },
   )
 }

@@ -468,6 +468,48 @@ object CorpusStats {
     }.reduce(_.union(_)).orderBy("n")
   }
 
+  /** Reciprocal-rank fusion (RRF, Cormack et al. 2009) of retriever
+    * candidate lists — the standard score-free hybrid-search combiner
+    * (BM25 + dense cosine, or any mix): each list contributes
+    * 1/(k + rank) per item, summed across lists. Rank-based fusion
+    * needs no score calibration between retrievers, which is why it
+    * beats weighted-score averaging in practice.
+    *
+    * Inputs are (`idCol`, `scoreCol`) frames — candidate lists, by
+    * contract bounded (each retriever's top-N), which is what makes
+    * global ranking cheap at any corpus size. Ranks are dense global
+    * positions by (score desc, id) via the range-partitioned parallel
+    * numbering of `StarSchema.globalDenseIds` — never a one-task
+    * window even when a caller feeds an unbounded list. Callers should
+    * pass scores ALREADY snapped to a grid (the house 1e-4 round):
+    * ranking raw doubles would let one-ulp engine disagreements flip
+    * adjacent ranks.
+    *
+    * Determinism: each contribution 1/(k + rank) snaps to a 1e-9 grid
+    * and the per-item fusion is an exact integer sum — independent of
+    * list order, merge order, and partitioning — with one final
+    * division, rounded at 1e-6. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              k: Int = 60, scoreCol: String = "score"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val contribs = rankings.map { r =>
+      StarSchema.globalDenseIds(
+        r.select(sf.col(idCol).as("id"), sf.negate(sf.col(scoreCol)).as("__neg")),
+        Seq("__neg", "id"), keyName = "__rank")
+        .select(sf.col("id"),
+          sf.floor(sf.lit(1e9) / (sf.lit(k.toDouble) + sf.col("__rank").cast("double"))
+            + 0.5).cast("long").as("__c"))
+    }
+    contribs.reduce(_.union(_))
+      .groupBy("id")
+      .agg(sf.count(sf.lit(1)).as("n_lists"),
+        sf.sum(sf.col("__c")).as("__s"))
+      .select(sf.col("id").as(idCol), sf.col("n_lists"),
+        gf.roundAt(sf.col("__s").cast("double") / 1e9, 6).as("rrf"))
+      .orderBy(sf.col("rrf").desc, sf.col(idCol))
+  }
+
   /** Distinctive terms per source: the weighted log-odds ratio with an
     * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008 —
     * "Fightin' Words"), the statistically honest version of "what

@@ -278,6 +278,21 @@ class CorpusStatsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("rrfFuse: hand-computed reciprocal ranks, single-list items included") {
+    import spark.implicits._
+    // list A ranks: x(1), y(2), z(3); list B ranks: y(1), x(2) — z absent
+    val a = Seq(("x", 9.0), ("y", 5.0), ("z", 1.0)).toDF("id", "score")
+    val b = Seq(("y", 8.0), ("x", 2.0)).toDF("id", "score")
+    val got = CorpusStats.rrfFuse(Seq(a, b), "id", k = 60).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    def c(r: Int) = math.floor(1e9 / (60.0 + r) + 0.5)
+    def rrf(rs: Int*) = math.floor(rs.map(c).sum / 1e9 * 1e6 + 0.5) / 1e6
+    // x: 1/(61) + 1/(62); y: 1/(62) + 1/(61) — identical sums; tie
+    // breaks by id, z trails with one list
+    assert(got == Seq(("x", 2L, rrf(1, 2)), ("y", 2L, rrf(2, 1)),
+      ("z", 1L, rrf(3))), s"got $got")
+  }
+
   test("Sketch.countMin end-to-end: estimates upper-bound exact counts") {
     import spark.implicits._
     val df = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++
