@@ -883,6 +883,17 @@ object SparkEntry {
           sf.col("embedding").cast("array<double>"), sf.lit(qv)), 4).as("score"))
       CorpusStats.rrfFuse(Seq(text, vec), "id", k = 60)
     }),
+
+    // Burst detection on the gap-filled series: hourly bins beating
+    // 3x their trailing-24h average, integer-exact decision.
+    "q137_bursts" -> ((s, dir) =>
+      EventOps.bursts(Tables.load(s, dir, "events"),
+        binSec = 3600, window = 24, factor = 3.0)),
+
+    // Iterative BPE merge learning: 10 greedy merges over the word
+    // frequency table, the ordered tokenizer merge list.
+    "q138_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 10)),
   )
 
   // ---------------------------------------------------------------------
@@ -3113,6 +3124,57 @@ object SparkEntry {
          |SELECT id, COUNT(*) AS n_lists,
          |  floor((CAST(SUM(c) AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 AS rrf
          |FROM c GROUP BY 1 ORDER BY rrf DESC, id""".stripMargin
+    },
+
+    // Bursts: the q130 dense grid + a trailing-24 window; the flag is
+    // pure integer arithmetic, only the reported ratio divides.
+    "q137_bursts" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin,
+        |  CASE WHEN value IS NOT NULL THEN CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) END AS v4
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |d AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS n_events
+        |      FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |w AS (SELECT t, bin, n_events,
+        |      SUM(n_events) OVER (PARTITION BY t ORDER BY bin ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS tr,
+        |      COUNT(*) OVER (PARTITION BY t ORDER BY bin ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS nt
+        |      FROM d)
+        |SELECT t AS event_type, bin,
+        |  strftime(make_timestamp(bin * 3600000000), '%Y-%m-%d %H:%M') AS bin_start,
+        |  n_events, CAST(tr AS BIGINT) AS trailing_events,
+        |  CASE WHEN tr > 0 THEN floor((CAST(n_events AS DOUBLE)*24/CAST(tr AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS burst_ratio
+        |FROM w
+        |WHERE nt = 24 AND 10*n_events*24 > 30*tr AND n_events > 0
+        |ORDER BY event_type, bin""".stripMargin,
+
+    // BPE training: the identical greedy loop unrolled — per step, a
+    // pair count over the evolving word table, a (cnt desc, a, b)
+    // argmax, and a sentinel-delimited literal replace.
+    "q138_bpe_train" -> {
+      val n = 10
+      val head =
+        """WITH tk AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+          |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+          |  FROM documents),
+          |wf AS (SELECT w, COUNT(*) AS freq FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+          |w0 AS (SELECT array_to_string(list_transform(string_split(w, ''), x -> ' '||x||' '), '') AS s, freq FROM wf)""".stripMargin
+      val iters = (1 to n).map { i =>
+        s""",
+           |p$i AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |  SELECT freq, unnest([{'a': syms[j+1], 'b': syms[j+2]} FOR j IN range(0, len(syms)-1)]) AS pr
+           |  FROM (SELECT freq, string_split(trim(s, ' '), '  ') AS syms FROM w${i - 1}) WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$i AS (SELECT replace(s, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS s, freq
+           |        FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+      }.mkString
+      val sel = (1 to n)
+        .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, a||b AS merged, cnt AS freq FROM b$i")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+      head + iters + sel
     },
   )
 }

@@ -598,6 +598,50 @@ object EventOps {
       .orderBy(typeCol, "bin")
   }
 
+  /** Burst detection over the gap-filled series: bins whose event count
+    * exceeds `factor` x the trailing `window`-bin average (current bin
+    * excluded) — the spike detector that needs [[denseSeries]]'s zeros
+    * (a burst after a silent stretch is exactly where a sparse groupBy
+    * has no baseline rows to compare against). Bins with no full
+    * trailing history (the first `window` bins of each type) never
+    * flag; an all-zero baseline flags any nonzero bin.
+    *
+    * Determinism: counts are exact integers and the test multiplies
+    * exact integers (`count * window > factor10 * trailing_sum / 10`
+    * rearranged as `10 * count * window > factor10 * trailing_sum`) —
+    * no doubles in the decision. The reported ratio is one pinned
+    * double division, rounded.
+    *
+    * Scale shape: denseSeries' keyed shape, plus one per-type ordered
+    * window over the BIN-compressed series — |types| x nBins rows, far
+    * below event cardinality. */
+  def bursts(events: DataFrame, typeCol: String = "event_type",
+             tsCol: String = "ts", valueCol: String = "value",
+             binSec: Long = 3600, window: Int = 24,
+             factor: Double = 3.0): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(factor > 0, s"factor must be > 0, got $factor")
+    val factor10 = math.round(factor * 10)
+    val series = denseSeries(events, typeCol, tsCol, valueCol, binSec)
+    val w = Window.partitionBy(typeCol).orderBy("bin")
+      .rowsBetween(-window, -1)
+    val trailing = sf.sum(sf.col("n_events")).over(w)
+    val nTrail = sf.count(sf.lit(1)).over(w)
+    series
+      .withColumn("__ts", trailing)
+      .withColumn("__nt", nTrail)
+      .filter(sf.col("__nt") === window)
+      .filter(sf.lit(10L) * sf.col("n_events") * window >
+        sf.lit(factor10) * sf.col("__ts"))
+      .filter(sf.col("n_events") > 0)
+      .select(sf.col(typeCol), sf.col("bin"), sf.col("bin_start"),
+        sf.col("n_events"), sf.col("__ts").as("trailing_events"),
+        sf.when(sf.col("__ts") > 0,
+          gf.roundAt(sf.col("n_events").cast("double") * window /
+            sf.col("__ts").cast("double"), 4)).as("burst_ratio"))
+      .orderBy(typeCol, "bin")
+  }
+
   /** Session path mining: the frequency table of within-session
     * event-type journeys ("view->click->purchase") — the product-
     * analytics primitive behind flow diagrams and drop-off maps.

@@ -481,4 +481,72 @@ object TextAnalysis {
           gf.roundAt(sf.col("n_bytes").cast("double") / sf.col("n_tokens").cast("double"), 4))
           .as("bytes_per_token"))
       .orderBy("source")
+
+  /** Iterative BPE merge learning (Sennrich et al. 2016) — the actual
+    * tokenizer-training loop, not just the first pair count (q112):
+    * start from characters, repeatedly find the most frequent adjacent
+    * symbol pair over the WORD-FREQUENCY table and fuse it everywhere,
+    * emitting the ordered merge table a tokenizer is built from.
+    *
+    * Symbol streams are encoded as sentinel-wrapped strings
+    * ("\0h\0\0e\0…"), so one literal string `replace` per iteration
+    * applies a merge corpus-wide with exactly BPE's greedy
+    * left-to-right non-overlapping semantics, and full-symbol
+    * boundaries can never match inside a longer symbol. Ties on the
+    * pair count break by (left, right) — a total order, so the merge
+    * sequence is a pure function of the corpus.
+    *
+    * Scale shape: ONE corpus-sized pass builds the word-frequency
+    * table; all iterations run on that vocabulary-sized frame (Zipf:
+    * orders of magnitude below corpus size), checkpointed each round
+    * so lineage stays flat. The per-round argmax is a one-row collect
+    * — a bounded scalar, the same contract as pageRank's node count.
+    * Caveat: character splitting is UTF-16-unit-based on the Spark
+    * side; byte- or codepoint-level pretokenization is upstream's job
+    * for non-BMP corpora. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int = 10): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 200,
+      s"nMerges must be in [1, 200], got $nMerges")
+    val SEP = " "
+    val spark = docs.sparkSession
+    val wf = Par.spread(docs.select(sf.col(textCol).as("__t")))
+      .select(sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy("w").agg(sf.count(sf.lit(1)).as("freq"))
+    var vocab = wf.select(
+      sf.array_join(sf.transform(sf.split(sf.col("w"), ""),
+        c => sf.concat(sf.lit(SEP), c, sf.lit(SEP))), "").as("s"),
+      sf.col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val syms = sf.split(sf.expr(s"btrim(s, '$SEP')"), SEP + SEP)
+      val best = vocab
+        .select(sf.col("freq"), syms.as("syms"))
+        .filter(sf.size(sf.col("syms")) >= 2)
+        .select(sf.col("freq"), sf.explode(sf.expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i + 1] AS b))"))
+          .as("p"))
+        .groupBy("p.a", "p.b").agg(sf.sum("freq").as("cnt"))
+        .orderBy(sf.col("cnt").desc, sf.col("a"), sf.col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, a, b, cnt))
+        vocab = vocab.select(
+          sf.replace(sf.col("s"), sf.lit(SEP + a + SEP + SEP + b + SEP),
+            sf.lit(SEP + a + b + SEP)).as("s"), sf.col("freq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "freq")
+      .select(sf.col("step"), sf.col("left_sym"), sf.col("right_sym"),
+        sf.concat(sf.col("left_sym"), sf.col("right_sym")).as("merged"),
+        sf.col("freq"))
+      .orderBy("step")
+  }
 }

@@ -327,6 +327,40 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got.toSeq == want, s"got ${got.toSeq}")
   }
 
+  test("EventOps.bursts: spike after quiet baseline flags; warmup bins never flag") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // type x: 1 event/hour for hours 0..23 (baseline 24), then 9 at
+    // hour 24 (9 > 3 * 24/24 -> burst), 2 at hour 25 (not a burst:
+    // trailing sum 32, 10*2*24=480 <= 30*32=960)
+    val rows = (0 to 23).map(h => ("x", ts(h), 1.0)) ++
+      Seq.fill(9)(("x", ts(24), 1.0)) ++ Seq(("x", ts(25), 1.0), ("x", ts(25), 1.0))
+    val got = EventOps.bursts(rows.toDF("event_type", "ts", "value"),
+      window = 24, factor = 3.0).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("x", 9L, 24L, 9.0)), s"got ${got.toSeq}")
+  }
+
+  test("TextAnalysis.bpeTrain: the classic low/lower merge sequence") {
+    import spark.implicits._
+    // words: low x3, lower x1 -> merges: (l,o) 4, (lo,w) 4, then the
+    // cnt-1 ties break by left symbol: ("e","r") before ("low","er")
+    val docs = Seq("low low low lower").toDF("text")
+    val got = TextAnalysis.bpeTrain(docs, "text", nMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "l", "o", "lo", 4L), (2, "lo", "w", "low", 4L),
+      (3, "e", "r", "er", 1L), (4, "low", "er", "lower", 1L)), s"got ${got.toSeq}")
+  }
+
+  test("TextAnalysis.bpeTrain: merge exhaustion stops early") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeTrain(Seq("ab ab").toDF("text"), "text", nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(3)))
+    assert(got.toSeq == Seq((1, "ab")), s"got ${got.toSeq}")
+  }
+
   test("EventOps.sessionPaths: gap splits journeys, counts order the table") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-03-01 10:00:00")
