@@ -894,6 +894,17 @@ object SparkEntry {
     // frequency table, the ordered tokenizer merge list.
     "q138_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 10)),
+
+    // One-way ANOVA: does event value differ across event types
+    // (k-group generalization of the q99 A/B readout).
+    "q139_anova" -> ((s, dir) =>
+      QualityChecks.anovaF(Tables.load(s, dir, "events"), "event_type", "value")),
+
+    // Spearman rank correlation (exact midranks) between quantity and
+    // extended price.
+    "q140_spearman" -> ((s, dir) =>
+      QualityChecks.spearman(Tables.load(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")),
   )
 
   // ---------------------------------------------------------------------
@@ -3176,5 +3187,47 @@ object SparkEntry {
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
       head + iters + sel
     },
+
+    // ANOVA: exact fixed-point group moments; per-group terms snapped
+    // at 1e-6 BEFORE the unordered cross-group sum; one F assembly.
+    "q139_anova" ->
+      """WITH s AS (SELECT event_type AS g,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS x4
+        |  FROM events WHERE value IS NOT NULL),
+        |gr AS (SELECT g, COUNT(*) AS n, SUM(CAST(x4 AS DECIMAL(38,0))) AS s1,
+        |       SUM(CAST(x4 AS DECIMAL(38,0))*CAST(x4 AS DECIMAL(38,0))) AS ss FROM s GROUP BY 1),
+        |t AS (SELECT n, s1,
+        |  CAST(floor((CAST(s1 AS DOUBLE)/1e4)*(CAST(s1 AS DOUBLE)/1e4)/CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS bt,
+        |  CAST(floor((CAST(ss AS DOUBLE)/1e8 - (CAST(s1 AS DOUBLE)/1e4)*(CAST(s1 AS DOUBLE)/1e4)/CAST(n AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS wt
+        |  FROM gr),
+        |m AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |      SUM(CAST(s1 AS DECIMAL(38,0))) AS st,
+        |      SUM(CAST(bt AS DECIMAL(38,0))) AS b, SUM(CAST(wt AS DECIMAL(38,0))) AS w FROM t)
+        |SELECT k, n, CASE WHEN k > 1 AND n > k AND CAST(w AS DOUBLE)/1e6 > 0 THEN
+        |  floor((((CAST(b AS DOUBLE)/1e6 - (CAST(st AS DOUBLE)/1e4)*(CAST(st AS DOUBLE)/1e4)/CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+        |       / ((CAST(w AS DOUBLE)/1e6) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))*10000.0 + 0.5)/10000.0 END AS f_stat
+        |FROM m""".stripMargin,
+
+    // Spearman: domain-compressed exact doubled midranks, DECIMAL
+    // moment sums, one pinned rho assembly.
+    "q140_spearman" ->
+      """WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |dx AS (SELECT x, COUNT(*) AS c FROM r GROUP BY 1),
+        |rx AS (SELECT x, COALESCE(SUM(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)*2 + c + 1 AS ra FROM dx),
+        |dy AS (SELECT y, COUNT(*) AS c FROM r GROUP BY 1),
+        |ry AS (SELECT y, COALESCE(SUM(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)*2 + c + 1 AS rb FROM dy),
+        |j AS (SELECT ra, rb FROM r JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (SELECT COUNT(*) AS n,
+        |      SUM(CAST(ra AS DECIMAL(38,0))) AS sa, SUM(CAST(rb AS DECIMAL(38,0))) AS sb,
+        |      SUM(CAST(ra AS DECIMAL(38,0))*CAST(ra AS DECIMAL(38,0))) AS saa,
+        |      SUM(CAST(rb AS DECIMAL(38,0))*CAST(rb AS DECIMAL(38,0))) AS sbb,
+        |      SUM(CAST(ra AS DECIMAL(38,0))*CAST(rb AS DECIMAL(38,0))) AS sab FROM j)
+        |SELECT n, CASE WHEN (CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)) > 0
+        |               AND (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)) > 0 THEN
+        |  floor(((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+        |         * (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))))*10000.0 + 0.5)/10000.0 END AS rho
+        |FROM m""".stripMargin,
   )
 }

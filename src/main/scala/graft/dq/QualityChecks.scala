@@ -704,4 +704,102 @@ object QualityChecks {
           (sf.col("__n_total").cast("double") * 1e6), 4).as("ece"))
       .orderBy("bin")
   }
+
+  /** One-way ANOVA F statistic: does `valueCol`'s mean differ across
+    * `groupCol` levels — the k-group generalization of the q99 two-
+    * sample readout (source-quality drift across k corpus shards, A/B/n
+    * experiments).
+    *
+    * Determinism: per-group moments are exact 1e4 fixed-point DECIMAL
+    * sums; each group's between/within term is assembled in a pinned
+    * double expression and SNAPPED to a 1e-6 grid before the cross-
+    * group sum (group count is unordered — an unsnapped double sum
+    * would depend on which group merges first), then F divides exact
+    * integers' assembly once. Degenerate designs (k < 2, N <= k, zero
+    * within-variance) yield NULL F.
+    *
+    * Scale shape: one map-side-combinable group aggregation (k rows),
+    * then a single-row reduction. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val g = df.filter(sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).as("__g"), x4.as("__x4"))
+      .groupBy("__g")
+      .agg(sf.count(sf.lit(1)).as("__n"), sf.sum(dec(sf.col("__x4"))).as("__s"),
+        sf.sum(dec(sf.col("__x4")) * dec(sf.col("__x4"))).as("__ss"))
+    val sg = sf.col("__s").cast("double") / 1e4
+    val ng = sf.col("__n").cast("double")
+    // per-group terms, snapped before the unordered cross-group sum
+    val bTerm = sf.floor(sg * sg / ng * 1e6 + 0.5).cast("long")
+    val wTerm = sf.floor((sf.col("__ss").cast("double") / 1e8 - sg * sg / ng)
+      * 1e6 + 0.5).cast("long")
+    g.select(sf.col("__n"), sf.col("__s"), bTerm.as("__bt"), wTerm.as("__wt"))
+      .agg(sf.count(sf.lit(1)).as("k"), sf.sum("__n").as("n"),
+        sf.sum(dec(sf.col("__s"))).as("__st"),
+        sf.sum(dec(sf.col("__bt"))).as("__b"), sf.sum(dec(sf.col("__wt"))).as("__w"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val k = sf.col("k").cast("double")
+        val grand = sf.col("__st").cast("double") / 1e4
+        val ssb = sf.col("__b").cast("double") / 1e6 - grand * grand / n
+        val ssw = sf.col("__w").cast("double") / 1e6
+        val f = (ssb / (k - 1)) / (ssw / (n - k))
+        Seq(sf.col("k"), sf.col("n"),
+          sf.when(sf.col("k") > 1 && sf.col("n") > sf.col("k") && ssw > 0,
+            gf.roundAt(f, 4)).as("f_stat"))
+      }: _*)
+  }
+
+  /** Spearman rank correlation between two numeric columns — the
+    * monotonic-association twin of [[correlationMatrix]]'s Pearson r,
+    * robust to outliers and nonlinear-but-monotone relationships.
+    * Ties get exact midranks.
+    *
+    * Determinism: midranks are computed on the DISTINCT-VALUE table
+    * (the mannWhitneyU domain-compression design) as exact integer
+    * DOUBLED ranks (2·midrank = 2·cumBefore + count + 1 — no halves),
+    * all five moment sums accumulate in DECIMAL(38,0), and rho is one
+    * pinned double assembly of exact sums (the doubling cancels).
+    * Constant columns yield NULL rho.
+    *
+    * Scale shape: two distinct-value aggregations, a bounded-domain
+    * cumulative window over each (value-domain-sized, the
+    * mannWhitneyU shape), two keyed rank-attach joins, one single-row
+    * moment reduction. */
+  def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = graft.operators.Par.spread(
+      df.select(sf.col(colA).cast("double").as("__x"),
+        sf.col(colB).cast("double").as("__y")))
+      .filter(sf.col("__x").isNotNull && sf.col("__y").isNotNull)
+      .localCheckpoint(true)
+    def ranks(c: String) = {
+      val w = Window.partitionBy(sf.pmod(sf.hash(sf.col(c)), sf.lit(1)))
+        .orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(c).agg(sf.count(sf.lit(1)).as("__c"))
+        .select(sf.col(c),
+          (sf.coalesce(sf.sum("__c").over(w), sf.lit(0L)) * 2 +
+            sf.col("__c") + 1).as(s"__r$c"))
+    }
+    rows.join(ranks("__x"), "__x").join(ranks("__y"), "__y")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("__r__x"))).as("__sa"),
+        sf.sum(dec(sf.col("__r__y"))).as("__sb"),
+        sf.sum(dec(sf.col("__r__x")) * dec(sf.col("__r__x"))).as("__saa"),
+        sf.sum(dec(sf.col("__r__y")) * dec(sf.col("__r__y"))).as("__sbb"),
+        sf.sum(dec(sf.col("__r__x")) * dec(sf.col("__r__y"))).as("__sab"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val sa = sf.col("__sa").cast("double")
+        val sb = sf.col("__sb").cast("double")
+        val num = n * sf.col("__sab").cast("double") - sa * sb
+        val da = n * sf.col("__saa").cast("double") - sa * sa
+        val db = n * sf.col("__sbb").cast("double") - sb * sb
+        Seq(sf.col("n"),
+          sf.when(da > 0 && db > 0,
+            gf.roundAt(num / sf.sqrt(da * db), 4)).as("rho"))
+      }: _*)
+  }
 }

@@ -174,6 +174,39 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("QualityChecks.anovaF: separated groups score high, equal means near zero, k=1 NULL") {
+    val sep = (Seq.fill(20)(("a", 1.0)) ++ Seq.fill(20)(("b", 5.0)) ++
+      Seq.fill(20)(("b", 5.5)) ++ Seq.fill(20)(("a", 1.5)))
+      .toDF("g", "v")
+    val r1 = QualityChecks.anovaF(sep, "g", "v").collect()(0)
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 80L)
+    assert(r1.getDouble(2) > 100.0, s"separated means must give large F, got $r1")
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val r2 = QualityChecks.anovaF(same, "g", "v").collect()(0)
+    assert(r2.getDouble(2) == 0.0, s"identical group means -> F = 0, got $r2")
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(QualityChecks.anovaF(one, "g", "v").collect()(0).isNullAt(2))
+  }
+
+  test("QualityChecks.spearman: monotone -> 1, reversed -> -1, constant -> NULL") {
+    val up = Seq((1.0, 10.0), (2.0, 40.0), (3.0, 90.0), (4.0, 160.0)).toDF("x", "y")
+    assert(QualityChecks.spearman(up, "x", "y").collect()(0).getDouble(1) == 1.0)
+    val down = Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0)).toDF("x", "y")
+    assert(QualityChecks.spearman(down, "x", "y").collect()(0).getDouble(1) == -1.0)
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    assert(QualityChecks.spearman(const, "x", "y").collect()(0).isNullAt(1))
+    // ties: x = (1,1,2), y = (1,2,3): midranks x = (1.5,1.5,3), y = (1,2,3)
+    // -> rho = cov/sd = ((3*29.5-13.5*12)/sqrt((3*64.5-13.5^2)*(3*56-144)))... replay:
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val got = QualityChecks.spearman(tied, "x", "y").collect()(0).getDouble(1)
+    val (ra, rb) = (Seq(3.0, 3.0, 6.0), Seq(2.0, 4.0, 6.0)) // doubled midranks
+    val n = 3.0
+    val num = n * ra.lazyZip(rb).map(_ * _).sum - ra.sum * rb.sum
+    val den = math.sqrt((n * ra.map(r => r * r).sum - ra.sum * ra.sum) *
+      (n * rb.map(r => r * r).sum - rb.sum * rb.sum))
+    assert(got == math.floor(num / den * 10000.0 + 0.5) / 10000.0, s"got $got")
+  }
+
   test("Graph.graphProfile: hand-computed K4 + pendant metrics") {
     val df = (Seq("a", "b", "c", "d").map((1L, _)) ++ Seq((2L, "d"), (2L, "e")))
       .toDF("basket", "item")
