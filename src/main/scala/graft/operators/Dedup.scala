@@ -409,14 +409,37 @@ object Dedup {
         .filter(sf.col("tok") === sf.element_at(
           sf.array_intersect(sf.col("pfx_a"), sf.col("sh_w")), 1))
         .drop("sh_w")
-    val verified = witnessed
-      .join(base.select(sf.col("setkey").as("sk_a"), sf.col("sh").as("sh_a")), "sk_a")
-      .join(base.select(sf.col("setkey").as("sk_b"), sf.col("sh").as("sh_b")), "sk_b")
-      .withColumn("__i", sf.size(sf.array_intersect(sf.col("sh_a"), sf.col("sh_b"))).cast("long"))
-      .filter(sf.col("__i") * 10000L >= sf.col("sz_a").cast("long") * t10k)
-      .select(sf.col("sk_a"), sf.col("sk_b"),
-        gf.roundAt(sf.col("__i").cast("double") / sf.col("sz_a").cast("double"), 4)
-          .as("containment"))
+    // Verification: |A ∩ B| against t·|A|. On a <= 64-token universe
+    // (probed on the df table, the prefixJaccardPairs design) sets are
+    // 64-bit masks and the intersect is one popcount per pair — the
+    // degenerate-vocabulary corpus pushes millions of candidates
+    // through this filter, and the mask path removes both the carried
+    // shingle arrays and the allocating array_intersect.
+    val verified =
+      if (dfc.limit(65).count() <= 64L) {
+        val vocab = dfc.orderBy("df", "tok").select("tok")
+          .collect().map(_.getLong(0))
+        val bitMaskOf = sf.map(vocab.zipWithIndex.flatMap { case (tok, i) =>
+          Seq(sf.lit(tok), sf.lit(1L << i)) }: _*)
+        val masked = base.select(sf.col("setkey"),
+          sf.aggregate(sf.col("sh"), sf.lit(0L),
+            (acc, x) => acc.bitwiseOR(sf.element_at(bitMaskOf, x))).as("mask"))
+        val inter = sf.bit_count(sf.col("__ma").bitwiseAND(sf.col("__mb"))).cast("long")
+        witnessed
+          .join(masked.select(sf.col("setkey").as("sk_a"), sf.col("mask").as("__ma")), "sk_a")
+          .join(masked.select(sf.col("setkey").as("sk_b"), sf.col("mask").as("__mb")), "sk_b")
+          .filter(inter * 10000L >= sf.col("sz_a").cast("long") * t10k)
+          .select(sf.col("sk_a"), sf.col("sk_b"),
+            gf.roundAt(inter.cast("double") / sf.col("sz_a").cast("double"), 4)
+              .as("containment"))
+      } else witnessed
+        .join(base.select(sf.col("setkey").as("sk_a"), sf.col("sh").as("sh_a")), "sk_a")
+        .join(base.select(sf.col("setkey").as("sk_b"), sf.col("sh").as("sh_b")), "sk_b")
+        .withColumn("__i", sf.size(sf.array_intersect(sf.col("sh_a"), sf.col("sh_b"))).cast("long"))
+        .filter(sf.col("__i") * 10000L >= sf.col("sz_a").cast("long") * t10k)
+        .select(sf.col("sk_a"), sf.col("sk_b"),
+          gf.roundAt(sf.col("__i").cast("double") / sf.col("sz_a").cast("double"), 4)
+            .as("containment"))
     val members = hashed.select("setkey", "id")
     val cross = verified
       .join(members.select(sf.col("setkey").as("sk_a"), sf.col("id").as("a_id")), "sk_a")

@@ -255,6 +255,35 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(got(2) == ((1L, want, want)), s"got ${got(2)} want $want")
   }
 
+  test("Dedup.containmentPairs generic path (vocab > 64): equals brute force") {
+    val rnd = new scala.util.Random(20260815)
+    val vocab = Vector.tabulate(100)(i => s"w$i")
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    for (i <- 0 until 30) {
+      if (i > 0 && rnd.nextInt(3) == 0) {
+        // subset of an earlier doc: drop a couple of words
+        val w = texts(rnd.nextInt(i)).split(" ").distinct
+        texts += rnd.shuffle(w.toVector).drop(1 + rnd.nextInt(2)).mkString(" ")
+      } else texts += Seq.fill(4 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val nonEmpty = texts.zipWithIndex.collect {
+      case (t, i) if t.trim.nonEmpty => (i.toLong, t) }
+    val df = nonEmpty.toSeq.toDF("doc_id", "text")
+    for (t <- Seq(0.7, 1.0)) {
+      val got = Dedup.containmentPairs(df, "doc_id", "text", t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = nonEmpty.map { case (i, s) => i -> s.split("\\s+").toSet }.toMap
+      val want = (for {
+        (ia, sa) <- sets.toSeq; (ib, sb) <- sets.toSeq
+        if ia != ib
+        c = (sa & sb).size.toDouble / sa.size
+        if c >= t
+      } yield (ia, ib, math.floor(c * 10000.0 + 0.5) / 10000.0)).toSet
+      assert(got == want, s"t=$t missing=${(want -- got).take(4)} extra=${(got -- want).take(4)}")
+    }
+  }
+
   test("Dedup.containmentPairs: subsets, duplicates, and thresholds") {
     val docs = Seq(
       (1L, "a b"), (2L, "a b c"), (3L, "x y"), (4L, "b a"), (5L, "a b q"))
