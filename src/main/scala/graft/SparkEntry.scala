@@ -905,6 +905,16 @@ object SparkEntry {
     "q140_spearman" -> ((s, dir) =>
       QualityChecks.spearman(Tables.load(s, dir, "lineitem"),
         "l_quantity", "l_extendedprice")),
+
+    // Label-centroid cosine matrix: the class confusion/adjacency map
+    // in embedding space (exact fixed-point from snapped centroids).
+    "q141_centroid_sim" -> ((s, dir) =>
+      Similarity.centroidSimilarity(emb(s, dir))),
+
+    // Source-concentration datasheet: Gini, HHI, top source share of
+    // the corpus token mass.
+    "q142_concentration" -> ((s, dir) =>
+      CorpusStats.sourceConcentration(docs(s, dir), "source", "text")),
   )
 
   // ---------------------------------------------------------------------
@@ -3229,5 +3239,48 @@ object SparkEntry {
         |    / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
         |         * (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))))*10000.0 + 0.5)/10000.0 END AS rho
         |FROM m""".stripMargin,
+
+    // Centroid cosine matrix: q46's snapped centroids as exact 1e4
+    // integers; DECIMAL dots/norms, one pinned assembly per pair.
+    "q141_centroid_sim" ->
+      """WITH x AS (SELECT label,
+        |  unnest([{'dim': i, 'x': embedding[i+1]} FOR i IN range(0, len(embedding))]) AS u
+        |  FROM embeddings),
+        |c AS (SELECT label, u.dim AS dim,
+        |      CAST(floor((AVG(CAST(u.x AS DOUBLE)))*10000.0 + 0.5) AS BIGINT) AS c4
+        |      FROM x GROUP BY 1, 2),
+        |n AS (SELECT label, SUM(CAST(c4 AS DECIMAL(38,0))*CAST(c4 AS DECIMAL(38,0))) AS n2 FROM c GROUP BY 1),
+        |d AS (SELECT a.label AS label_a, b.label AS label_b,
+        |      SUM(CAST(a.c4 AS DECIMAL(38,0))*CAST(b.c4 AS DECIMAL(38,0))) AS dot
+        |      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  CASE WHEN CAST(na.n2 AS DOUBLE) > 0 AND CAST(nb.n2 AS DOUBLE) > 0 THEN
+        |    floor((CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)))*10000.0 + 0.5)/10000.0 END AS cosine
+        |FROM d JOIN n na ON d.label_a = na.label JOIN n nb ON d.label_b = nb.label
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Concentration: exact token masses; integer rank-weighted Gini
+    // sum, 1e-9-snapped HHI terms, pinned assemblies.
+    "q142_concentration" ->
+      """WITH tm AS (SELECT source,
+        |  CAST(SUM(CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(m) AS BIGINT) AS mt FROM tm),
+        |r AS (SELECT source, m, row_number() OVER (ORDER BY m, source) AS i FROM tm),
+        |g AS (SELECT r.m, r.i, t.mt,
+        |      CAST(floor((CAST(r.m AS DOUBLE)/CAST(t.mt AS DOUBLE))*(CAST(r.m AS DOUBLE)/CAST(t.mt AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS h
+        |      FROM r CROSS JOIN t),
+        |a AS (SELECT COUNT(*) AS n_sources, CAST(MAX(m) AS BIGINT) AS mx,
+        |      CAST(MAX(mt) AS BIGINT) AS mtf,
+        |      SUM(CAST(i AS DECIMAL(38,0))*CAST(m AS DECIMAL(38,0))) AS ims,
+        |      SUM(CAST(h AS DECIMAL(38,0))) AS hs FROM g)
+        |SELECT n_sources,
+        |  CASE WHEN n_sources > 1 AND CAST(mtf AS DOUBLE) > 0 THEN
+        |    floor((2.0*CAST(ims AS DOUBLE)/(CAST(n_sources AS DOUBLE)*CAST(mtf AS DOUBLE))
+        |           - (CAST(n_sources AS DOUBLE)+1.0)/CAST(n_sources AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS gini,
+        |  CASE WHEN CAST(mtf AS DOUBLE) > 0 THEN floor((CAST(hs AS DOUBLE)/1e9)*10000.0 + 0.5)/10000.0 END AS hhi,
+        |  CASE WHEN CAST(mtf AS DOUBLE) > 0 THEN floor((CAST(mx AS DOUBLE)/CAST(mtf AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS top_share
+        |FROM a""".stripMargin,
   )
 }

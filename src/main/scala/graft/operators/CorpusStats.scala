@@ -468,6 +468,54 @@ object CorpusStats {
     }.reduce(_.union(_)).orderBy("n")
   }
 
+  /** Source-concentration metrics over token mass: Gini coefficient,
+    * Herfindahl–Hirschman index, and the largest source's share — the
+    * "is this mixture actually diverse" datasheet numbers (a corpus
+    * that is 90% one crawl behaves like that crawl no matter how many
+    * source labels it carries).
+    *
+    * Determinism: per-source token masses are exact integer counts;
+    * Gini's rank-weighted sum Σ i·m_(i) is exact integer arithmetic
+    * over the (m asc, source) total order (ties commute), HHI's
+    * per-source share-squared terms snap to 1e-9 before the unordered
+    * cross-source sum, and each metric is one pinned double assembly.
+    *
+    * Scale shape: one corpus token aggregation (map-side combinable,
+    * |sources| rows out), then bounded-domain work: the rank window
+    * runs over the source table, not the corpus. */
+  def sourceConcentration(docs: DataFrame, sourceCol: String,
+                          textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val mass = Par.spread(docs.select(sf.col(sourceCol).as("source"), sf.col(textCol)))
+      .select(sf.col("source"), gf.tokenCount(sf.col(textCol)).cast("long").as("__t"))
+      .groupBy("source").agg(sf.sum("__t").as("__m"))
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("source")), sf.lit(1)))
+      .orderBy("__m", "source")
+    val ranked = mass.withColumn("__i", sf.row_number().over(w))
+    val total = ranked.agg(sf.sum("__m").as("__mt")).select(sf.col("__mt"))
+    val hhiTerm = sf.floor(
+      (sf.col("__m").cast("double") / sf.col("__mt").cast("double")) *
+        (sf.col("__m").cast("double") / sf.col("__mt").cast("double")) * 1e9 + 0.5)
+      .cast("long")
+    ranked.crossJoin(sf.broadcast(total))
+      .select(sf.col("__m"), sf.col("__i"), sf.col("__mt"),
+        hhiTerm.as("__h"), (dec(sf.col("__i")) * dec(sf.col("__m"))).as("__im"))
+      .agg(sf.count(sf.lit(1)).as("n_sources"),
+        sf.max("__m").as("__mx"), sf.first("__mt").as("__mtf"),
+        sf.sum("__im").as("__ims"), sf.sum(dec(sf.col("__h"))).as("__hs"))
+      .select({
+        val k = sf.col("n_sources").cast("double")
+        val mt = sf.col("__mtf").cast("double")
+        val gini = sf.lit(2.0) * sf.col("__ims").cast("double") / (k * mt) -
+          (k + 1.0) / k
+        Seq(sf.col("n_sources"),
+          sf.when(sf.col("n_sources") > 1 && mt > 0, gf.roundAt(gini, 4)).as("gini"),
+          sf.when(mt > 0, gf.roundAt(sf.col("__hs").cast("double") / 1e9, 4)).as("hhi"),
+          sf.when(mt > 0, gf.roundAt(sf.col("__mx").cast("double") / mt, 4)).as("top_share"))
+      }: _*)
+  }
+
   /** Reciprocal-rank fusion (RRF, Cormack et al. 2009) of retriever
     * candidate lists — the standard score-free hybrid-search combiner
     * (BM25 + dense cosine, or any mix): each list contributes

@@ -51,6 +51,44 @@ object Similarity {
         sf.count(sf.lit(1)).as("n_vectors"))
       .orderBy("label", "dim")
 
+  /** Pairwise cosine similarity between label centroids — the class
+    * confusion/adjacency map in embedding space: labels whose
+    * centroids sit close are candidates for merging, relabeling
+    * audits, or hard-negative mining between exactly those pairs.
+    *
+    * Determinism: centroids enter at their published 1e-4 snap
+    * ([[labelCentroids]]), become exact 1e4-scaled integers, and dot
+    * products / squared norms accumulate as DECIMAL(38,0) — the
+    * cosine is one pinned double assembly per pair. Zero-norm
+    * centroids yield NULL.
+    *
+    * Scale shape: everything downstream of the centroid aggregation
+    * is |labels| x dim sized — the dim-keyed pair join and the
+    * norm join are bounded-domain operations, no corpus data moves. */
+  def centroidSimilarity(emb: DataFrame, labelCol: String = "label",
+                         vecCol: String = "embedding"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cent = labelCentroids(emb, labelCol, vecCol)
+      .select(sf.col("label"), sf.col("dim"),
+        sf.floor(sf.col("centroid") * 1e4 + 0.5).cast("long").as("__c4"))
+    val norms = cent.groupBy("label")
+      .agg(sf.sum(dec(sf.col("__c4")) * dec(sf.col("__c4"))).as("__n2"))
+    val dots = cent.select(sf.col("label").as("label_a"), sf.col("dim"), sf.col("__c4").as("__ca"))
+      .join(cent.select(sf.col("label").as("label_b"), sf.col("dim"), sf.col("__c4").as("__cb")), "dim")
+      .filter(sf.col("label_a") < sf.col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sf.sum(dec(sf.col("__ca")) * dec(sf.col("__cb"))).as("__dot"))
+    dots
+      .join(norms.select(sf.col("label").as("label_a"), sf.col("__n2").as("__na")), "label_a")
+      .join(norms.select(sf.col("label").as("label_b"), sf.col("__n2").as("__nb")), "label_b")
+      .select(sf.col("label_a"), sf.col("label_b"),
+        sf.when(sf.col("__na").cast("double") > 0 && sf.col("__nb").cast("double") > 0,
+          gf.roundAt(sf.col("__dot").cast("double") /
+            sf.sqrt(sf.col("__na").cast("double") * sf.col("__nb").cast("double")), 4))
+          .as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Per-vector L2 distance to its own label's centroid, with an
     * outlier flag — the embedding-space curation signal: vectors far
     * from their class centroid are mislabeled, noisy, or genuinely

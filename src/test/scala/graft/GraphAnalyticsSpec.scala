@@ -174,6 +174,36 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("Similarity.centroidSimilarity: aligned 1, orthogonal 0, zero-norm NULL") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), 0), (Array(3.0f, 0.0f), 0),   // centroid (2, 0)
+      (Array(0.0f, 5.0f), 1),                            // centroid (0, 5)
+      (Array(4.0f, 0.0f), 2),                            // centroid (4, 0): aligned with 0
+      (Array(0.0f, 0.0f), 3)                             // zero centroid
+    ).toDF("embedding", "label")
+    val got = Similarity.centroidSimilarity(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((0, 1)) == Some(0.0) && got((0, 2)) == Some(1.0) &&
+      got((1, 2)) == Some(0.0) && got((0, 3)).isEmpty && got((1, 3)).isEmpty,
+      s"got $got")
+  }
+
+  test("CorpusStats.sourceConcentration: equal split vs dominant source, single-source NULL gini") {
+    // equal: 4 sources x 5 tokens -> gini 0, hhi 0.25, top 0.25
+    val eq = Seq.tabulate(4)(i => (s"s$i", "a b c d e")).toDF("source", "text")
+    val r1 = CorpusStats.sourceConcentration(eq, "source", "text").collect()(0)
+    assert(r1.getLong(0) == 4L && r1.getDouble(1) == 0.0 &&
+      r1.getDouble(2) == 0.25 && r1.getDouble(3) == 0.25, s"got $r1")
+    // dominant: masses 1 and 9 -> top 0.9, hhi 0.01+0.81, gini = 2*(1*1+2*9)/(2*10) - 3/2 = 0.4
+    val dom = Seq(("a", "x"), ("b", Seq.fill(9)("y").mkString(" "))).toDF("source", "text")
+    val r2 = CorpusStats.sourceConcentration(dom, "source", "text").collect()(0)
+    assert(r2.getDouble(1) == 0.4 && r2.getDouble(2) == 0.82 && r2.getDouble(3) == 0.9,
+      s"got $r2")
+    val one = Seq(("a", "x y z")).toDF("source", "text")
+    assert(CorpusStats.sourceConcentration(one, "source", "text").collect()(0).isNullAt(1))
+  }
+
   test("QualityChecks.anovaF: separated groups score high, equal means near zero, k=1 NULL") {
     val sep = (Seq.fill(20)(("a", 1.0)) ++ Seq.fill(20)(("b", 5.0)) ++
       Seq.fill(20)(("b", 5.5)) ++ Seq.fill(20)(("a", 1.5)))
