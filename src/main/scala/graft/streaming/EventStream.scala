@@ -46,6 +46,23 @@ object EventStream {
       .select(sf.col("w.start").as("window_start"), sf.col("event_type"),
         sf.col("n_events"), sf.col("sum_value"))
 
+  /** SLIDING-window counts per event_type: each event lands in
+    * width/slide overlapping windows (the smoothed rate monitor
+    * behind dashboards and alert thresholds — tumbling windows
+    * quantize a spike's timing; sliding windows see it at every
+    * offset). Same declaration batch or stream; on a stream the
+    * watermark closes windows `watermark` past their end, bounding
+    * state to (width/slide) x live key groups. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(sf.window(sf.col("ts"), width, slide).as("w"), sf.col("event_type"))
+      .agg(sf.count(sf.lit(1)).as("n_events"), sf.round(sf.sum("value"), 2).as("sum_value"))
+      .select(sf.col("w.start").as("window_start"), sf.col("event_type"),
+        sf.col("n_events"), sf.col("sum_value"))
+
   /** Native session windows on a stream: the SAME
     * groupBy(session_window) as the batch operator
     * (operators.EventOps.sessionWindowAgg) with a watermark bounding

@@ -332,4 +332,41 @@ class StreamingSpec extends SparkFunSuite {
       assert(batch.toSeq == got.toSeq)
     } finally q.stop()
   }
+
+  test("slidingCounts: overlapping windows, stream equals batch, width/slide coverage") {
+    import org.apache.spark.sql.{functions => sf}
+    import graft.sources.Tables
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, sf001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val rows = ev.collect().sortBy(_.ts.getTime)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val sentinel = Event(-1L,
+      new Timestamp(rows.iterator.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000),
+      0L, "sentinel", 0.0)
+    val input = MemoryStream[Event]
+    val q = EventStream.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sc_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Double)] =
+        df.select(sf.date_format(sf.col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            sf.col("event_type"), sf.col("n_events"), sf.col("sum_value"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val stream = keyed(spark.table("sc_eq"))
+      val batch = keyed(EventStream.slidingCounts(ev.toDF()))
+      assert(stream == batch,
+        s"stream/batch diverged: ${(stream.toSet diff batch.toSet).take(3)} vs ${(batch.toSet diff stream.toSet).take(3)}")
+      // 1h windows every 15 min: every event is counted exactly 4x
+      assert(stream.values.map(_._1).sum == 4L * rows.length,
+        "each event must land in width/slide = 4 overlapping windows")
+      // and strictly more window keys than the tumbling plan
+      assert(stream.keySet.size >
+        keyed(EventStream.windowedCounts(ev.toDF())).keySet.size)
+    } finally q.stop()
+  }
 }
