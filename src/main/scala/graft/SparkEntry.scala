@@ -915,6 +915,16 @@ object SparkEntry {
     // the corpus token mass.
     "q142_concentration" -> ((s, dir) =>
       CorpusStats.sourceConcentration(docs(s, dir), "source", "text")),
+
+    // Exact-k weighted sample (Efraimidis-Spirakis A-ES): top 100 docs
+    // by u^(1/tokens), snapped keys, fully replayable.
+    "q143_weighted_topk" -> ((s, dir) =>
+      Sampling.weightedTopK(docs(s, dir), "doc_id",
+        functions.tokenCount(sf.col("text")), k = 100)),
+
+    // Per-type value trend: OLS slope over re-based hourly bins.
+    "q144_trend_slopes" -> ((s, dir) =>
+      EventOps.trendSlopes(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -3282,5 +3292,44 @@ object SparkEntry {
         |  CASE WHEN CAST(mtf AS DOUBLE) > 0 THEN floor((CAST(hs AS DOUBLE)/1e9)*10000.0 + 0.5)/10000.0 END AS hhi,
         |  CASE WHEN CAST(mtf AS DOUBLE) > 0 THEN floor((CAST(mx AS DOUBLE)/CAST(mtf AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS top_share
         |FROM a""".stripMargin,
+
+    // A-ES: the identical portable hash -> (h+1)/2^32 uniform, one
+    // snapped pow per row, (key desc, id) top-k.
+    "q143_weighted_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, w FROM t WHERE w > 0),
+        |k AS (SELECT doc_id, CAST(w AS BIGINT) AS weight,
+        |  CAST(floor(pow(CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1 AS DOUBLE)/4294967296.0,
+        |       1.0/CAST(w AS DOUBLE))*1e12 + 0.5) AS BIGINT) AS key_fx
+        |  FROM f)
+        |SELECT doc_id, weight, key_fx FROM k
+        |ORDER BY key_fx DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Trend slopes: exact integer bins + fixed-point values, DECIMAL
+    // moments, pinned per-group OLS assembly.
+    "q144_trend_slopes" ->
+      """WITH b AS (SELECT event_type,
+        |  epoch_us(ts) // 3600000000 AS bin,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS y4
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |lo AS (SELECT min(bin) AS lo FROM b),
+        |x AS (SELECT event_type, b.bin - lo.lo AS x, y4 FROM b CROSS JOIN lo),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |      SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y4 AS DECIMAL(38,0))) AS sy,
+        |      SUM(CAST(x AS DECIMAL(38,0))*CAST(x AS DECIMAL(38,0))) AS sxx,
+        |      SUM(CAST(x AS DECIMAL(38,0))*CAST(y4 AS DECIMAL(38,0))) AS sxy
+        |      FROM x GROUP BY 1),
+        |a AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |      CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE)/1e4 AS syd,
+        |      CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE)/1e4 AS sxyd FROM m),
+        |c AS (SELECT event_type, n, nd, sxd, syd,
+        |      nd * sxxd - sxd * sxd AS den, nd * sxyd - sxd * syd AS num FROM a)
+        |SELECT event_type, n,
+        |  CASE WHEN den > 0 THEN floor((num / den)*1000000.0 + 0.5)/1000000.0 END AS slope_per_bin,
+        |  CASE WHEN den > 0 THEN floor(((syd - (num / den) * sxd) / nd)*10000.0 + 0.5)/10000.0 END AS intercept
+        |FROM c ORDER BY event_type""".stripMargin,
   )
 }

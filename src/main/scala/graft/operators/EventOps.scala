@@ -598,6 +598,55 @@ object EventOps {
       .orderBy(typeCol, "bin")
   }
 
+  /** Per-type metric trend: OLS slope of value against time (in
+    * `binSec` units, re-based to the corpus start) for every event
+    * type — the "is this metric drifting" monitoring readout that
+    * pairs with [[bursts]] (bursts find spikes; this finds slow
+    * creep).
+    *
+    * Determinism: x is an exact re-based integer bin, y an exact 1e4
+    * fixed-point value; all five moment sums accumulate as
+    * DECIMAL(38,0), and slope/intercept are one pinned double
+    * assembly per group from exact sums. Groups with zero x-variance
+    * (all events in one bin) yield NULLs.
+    *
+    * Scale shape: one map-side-combinable aggregation (five cells per
+    * (map task, type)), one broadcast scalar (the min bin), zero
+    * data-row shuffles beyond the group agg. */
+  def trendSlopes(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", valueCol: String = "value",
+                  binSec: Long = 3600): DataFrame = {
+    require(binSec > 0, s"binSec must be > 0, got $binSec")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val binUs = binSec * 1000000L
+    val base = events
+      .filter(sf.col(valueCol).isNotNull && sf.col(tsCol).isNotNull)
+      .withColumn("__bin", sf.expr(s"unix_micros($tsCol) div ${binUs}L"))
+    val lo = base.agg(sf.min("__bin").as("__lo"))
+    val x = sf.col("__bin") - sf.col("__lo")
+    val y4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    base.crossJoin(sf.broadcast(lo))
+      .select(sf.col(typeCol), x.as("__x"), y4.as("__y"))
+      .groupBy(typeCol)
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("__x"))).as("__sx"), sf.sum(dec(sf.col("__y"))).as("__sy"),
+        sf.sum(dec(sf.col("__x")) * dec(sf.col("__x"))).as("__sxx"),
+        sf.sum(dec(sf.col("__x")) * dec(sf.col("__y"))).as("__sxy"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val sx = sf.col("__sx").cast("double")
+        val sy = sf.col("__sy").cast("double") / 1e4
+        val sxx = sf.col("__sxx").cast("double")
+        val sxy = sf.col("__sxy").cast("double") / 1e4
+        val den = n * sxx - sx * sx
+        val slope = (n * sxy - sx * sy) / den
+        Seq(sf.col(typeCol), sf.col("n"),
+          sf.when(den > 0.0, gf.roundAt(slope, 6)).as("slope_per_bin"),
+          sf.when(den > 0.0, gf.roundAt((sy - slope * sx) / n, 4)).as("intercept"))
+      }: _*)
+      .orderBy(typeCol)
+  }
+
   /** Burst detection over the gap-filled series: bins whose event count
     * exceeds `factor` x the trailing `window`-bin average (current bin
     * excluded) — the spike detector that needs [[denseSeries]]'s zeros

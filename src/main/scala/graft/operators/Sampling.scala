@@ -128,6 +128,37 @@ object Sampling {
       .drop("__W")
   }
 
+  /** EXACT-k weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-ES): rank rows by u^(1/w) for a per-row uniform
+    * u and keep the top k — inclusion probability proportional to
+    * weight, sample size exactly k. The fixed-size twin of
+    * [[weightedHashSample]] (Bernoulli, expected-size): quota-bounded
+    * curation ("the best 100k docs by quality-weighted lottery")
+    * needs the exact count.
+    *
+    * Determinism: u derives from the portable integer key hash (the
+    * q99 convention) as (h+1)/2^32 — exact in double on any engine —
+    * and the ONE libm pow per row snaps to a 1e-12 grid; ranking is
+    * (key desc, id), a total order, so the sample is a pure function
+    * of the data and replayable in SQL.
+    *
+    * Scale shape: map-only scoring + a global top-k, which Spark
+    * executes as TakeOrderedAndProject — per-partition heaps of k,
+    * never a full sort. */
+  def weightedTopK(df: DataFrame, keyCol: String, weight: Column,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h32 = sf.pmod(sf.col(keyCol).cast("long"), sf.lit(2147483648L)) *
+      sf.lit(2654435761L) % sf.lit(4294967296L)
+    val u = (h32 + 1L).cast("double") / 4294967296.0
+    val keyFx = sf.floor(sf.pow(u, sf.lit(1.0) / weight.cast("double")) * 1e12 + 0.5)
+      .cast("long")
+    df.filter(weight.cast("double") > 0)
+      .select(sf.col(keyCol), weight.cast("long").as("weight"), keyFx.as("key_fx"))
+      .orderBy(sf.col("key_fx").desc, sf.col(keyCol))
+      .limit(k)
+  }
+
   /** Deterministic multi-way split (train/val/test): each row's split
     * is a pure function of its key hash, so splits are DISJOINT and
     * EXHAUSTIVE by construction, stable across runs/partitionings/

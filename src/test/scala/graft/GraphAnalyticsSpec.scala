@@ -174,6 +174,38 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("Sampling.weightedTopK: replayable A-ES keys, zero weights out, k bounds") {
+    val df = (1L to 50L).map(i => (i, (i % 7).toDouble)).toDF("id", "w")
+    val got = Sampling.weightedTopK(df, "id", sf.col("w"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 10)
+    // replay the operator's own key formula and take the same top 10
+    val want = (1L to 50L).filter(_ % 7 != 0).map { i =>
+      val h = ((i % 2147483648L) * 2654435761L) % 4294967296L
+      val u = (h + 1).toDouble / 4294967296.0
+      val k = math.floor(math.pow(u, 1.0 / (i % 7).toDouble) * 1e12 + 0.5).toLong
+      (i, i % 7, k)
+    }.sortBy { case (i, _, k) => (-k, i) }.take(10)
+    assert(got.toSeq == want, s"got ${got.toSeq.take(3)} want ${want.take(3)}")
+    // k larger than the population returns everyone with w > 0
+    assert(Sampling.weightedTopK(df, "id", sf.col("w"), k = 100).count() ==
+      (1L to 50L).count(_ % 7 != 0))
+  }
+
+  test("EventOps.trendSlopes: exact linear series recovers slope; one-bin group NULL") {
+    val t0 = java.sql.Timestamp.valueOf("2026-04-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // x: value = 2 + 3*bin for bins 0..5; y: all in one bin
+    val rows = (0 to 5).map(h => ("x", ts(h), 2.0 + 3.0 * h)) ++
+      Seq(("y", ts(0), 1.0), ("y", ts(0), 9.0))
+    val got = EventOps.trendSlopes(rows.toDF("event_type", "ts", "value")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("x") == ((6L, Some(3.0), Some(2.0))), s"got ${got("x")}")
+    assert(got("y") == ((2L, None, None)), s"got ${got("y")}")
+  }
+
   test("Similarity.centroidSimilarity: aligned 1, orthogonal 0, zero-norm NULL") {
     val df = Seq(
       (Array(1.0f, 0.0f), 0), (Array(3.0f, 0.0f), 0),   // centroid (2, 0)
