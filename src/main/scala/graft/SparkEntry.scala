@@ -925,6 +925,11 @@ object SparkEntry {
     // Per-type value trend: OLS slope over re-based hourly bins.
     "q144_trend_slopes" -> ((s, dir) =>
       EventOps.trendSlopes(Tables.load(s, dir, "events"))),
+
+    // Markov stationary occupancy: 3 exact fixed-point power rounds of
+    // the q108 transition chain from the uniform start.
+    "q145_stationary" -> ((s, dir) =>
+      EventOps.stationaryDistribution(Tables.load(s, dir, "events"), iters = 3)),
   )
 
   // ---------------------------------------------------------------------
@@ -3331,5 +3336,33 @@ object SparkEntry {
         |  CASE WHEN den > 0 THEN floor((num / den)*1000000.0 + 0.5)/1000000.0 END AS slope_per_bin,
         |  CASE WHEN den > 0 THEN floor(((syd - (num / den) * sxd) / nd)*10000.0 + 0.5)/10000.0 END AS intercept
         |FROM c ORDER BY event_type""".stripMargin,
+
+    // Stationary distribution: the identical integer recurrence
+    // unrolled (q119's convention) — all ops are BIGINT floor
+    // divisions on exact counts, nothing rounds until the readout.
+    "q145_stationary" -> {
+      val n = 3
+      val head =
+        """WITH pr AS (SELECT event_type AS f,
+          |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+          |  FROM events),
+          |c AS (SELECT f, t, COUNT(*) AS c FROM pr WHERE t IS NOT NULL GROUP BY 1, 2),
+          |ct AS (SELECT f, CAST(SUM(c) AS BIGINT) AS ctot FROM c GROUP BY 1),
+          |st AS (SELECT DISTINCT s FROM (SELECT f AS s FROM c UNION ALL SELECT t FROM c)),
+          |ns AS (SELECT COUNT(*) AS n FROM st),
+          |r0 AS (SELECT s, 1000000000000 // n AS pi FROM st CROSS JOIN ns)""".stripMargin
+      val iters = (1 to n).map { i =>
+        s""",
+           |r$i AS (SELECT st.s AS s, COALESCE(x.m, 0) AS pi FROM st LEFT JOIN (
+           |  SELECT c.t AS s, CAST(SUM((p.pi * c.c) // ct.ctot) AS BIGINT) AS m
+           |  FROM c JOIN ct USING (f) JOIN r${i - 1} p ON c.f = p.s GROUP BY 1) x
+           |  ON st.s = x.s)""".stripMargin
+      }.mkString
+      head + iters +
+        s"""
+           |SELECT s AS state, CAST(pi AS BIGINT) AS pi_fx,
+           |  floor((CAST(pi AS DOUBLE)/1e12)*1000000.0 + 0.5)/1000000.0 AS pi
+           |FROM r$n ORDER BY pi_fx DESC, state""".stripMargin
+    },
   )
 }

@@ -327,6 +327,66 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Where journeys settle: `iters` exact fixed-point power-iteration
+    * rounds of the [[transitionMatrix]] chain from the uniform start —
+    * the long-run occupancy of each event type ("users end up in
+    * checkout/abandon at these rates"), the chain-level summary the
+    * per-edge matrix can't give directly.
+    *
+    * The update is the q119 PageRank recurrence without damping, in
+    * exact 1e12 integers: pi'(j) = Σ_i (pi(i) · c_ij) div c_i — every
+    * round is integer floor division on exact counts, so the result is
+    * bit-replayable at any parallelism and the oracle unrolls the same
+    * recurrence. A fixed small iteration count is reported (ergodic
+    * chains converge geometrically; non-ergodic ones still get a
+    * well-defined deterministic readout). Terminal events (no
+    * successor) leak mass — pi sums to <= 1e12; the leak itself is a
+    * funnel signal.
+    *
+    * Scale shape: the chain is |types|² cells — everything after the
+    * one windowed pair extraction is bounded-domain joins. */
+  def stationaryDistribution(events: DataFrame, iters: Int = 3,
+                             keyCol: String = "user_id", tsCol: String = "ts",
+                             idCol: String = "event_id",
+                             typeCol: String = "event_type"): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000000000L
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val counts = events
+      .select(sf.col(typeCol).as("from_type"),
+        sf.lead(sf.col(typeCol), 1).over(w).as("to_type"))
+      .filter(sf.col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true)
+    val outTotals = counts.groupBy(sf.col("from_type").as("__f"))
+      .agg(sf.sum("c").as("__ct"))
+    val edges = counts.join(sf.broadcast(outTotals),
+      sf.col("from_type") === sf.col("__f")).drop("__f").localCheckpoint(true)
+    val states = counts.select(sf.col("from_type").as("state"))
+      .union(counts.select(sf.col("to_type")))
+      .distinct().localCheckpoint(true)
+    val nStates = states.count()
+    require(nStates > 0, "stationaryDistribution: no transitions")
+    var pi = states.select(sf.col("state"), sf.lit(SCALE / nStates).as("pi_fx"))
+    for (_ <- 1 to iters) {
+      val next = edges
+        .join(pi, sf.col("from_type") === sf.col("state"))
+        .select(sf.col("to_type"),
+          // exact: (pi * c) div c_total on decimals, back to long
+          (dec(sf.col("pi_fx")) * dec(sf.col("c"))).as("__num"), sf.col("__ct"))
+        .select(sf.col("to_type"),
+          sf.expr("CAST(__num div __ct AS BIGINT)").as("__m"))
+        .groupBy("to_type").agg(sf.sum("__m").as("__s"))
+      pi = states.join(next, sf.col("state") === sf.col("to_type"), "left")
+        .select(sf.col("state"), sf.coalesce(sf.col("__s"), sf.lit(0L)).as("pi_fx"))
+    }
+    pi.select(sf.col("state"), sf.col("pi_fx"),
+        gf.roundAt(sf.col("pi_fx").cast("double") / SCALE, 6).as("pi"))
+      .orderBy(sf.col("pi_fx").desc, sf.col("state"))
+  }
+
   /** Rolling active-user counts (DAU / trailing-window WAU-style): for
     * every OBSERVED activity day, the distinct users active that day
     * and within the trailing `windowDays` window ending that day.

@@ -174,6 +174,32 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("EventOps.stationaryDistribution: two-state chain settles; terminal leak shrinks mass") {
+    val t0 = java.sql.Timestamp.valueOf("2026-05-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // a -> b and b -> a alternating, both users: symmetric 2-state
+    // chain; uniform start is already stationary -> pi stays (1/2, 1/2)
+    val sym = Seq(
+      (1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "b"), (3L, 1L, ts(2), "a"),
+      (4L, 2L, ts(0), "b"), (5L, 2L, ts(1), "a"), (6L, 2L, ts(2), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.stationaryDistribution(sym, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a" -> 500000000000L, "b" -> 500000000000L), s"got $got")
+    // a -> end (terminal): all mass leaves a; end keeps receiving only
+    // from a's shrinking share
+    val term = Seq((1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "end"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got2 = EventOps.stationaryDistribution(term, iters = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // round 1: a -> 0, end <- a's 5e11; round 2: nothing moves (end is
+    // terminal) -> total mass drained to 0
+    assert(got2 == Map("a" -> 0L, "end" -> 0L), s"got $got2")
+    val got1 = EventOps.stationaryDistribution(term, iters = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got1 == Map("a" -> 0L, "end" -> 500000000000L), s"got $got1")
+  }
+
   test("Sampling.weightedTopK: replayable A-ES keys, zero weights out, k bounds") {
     val df = (1L to 50L).map(i => (i, (i % 7).toDouble)).toDF("id", "w")
     val got = Sampling.weightedTopK(df, "id", sf.col("w"), k = 10).collect()
