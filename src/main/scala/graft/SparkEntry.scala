@@ -930,6 +930,15 @@ object SparkEntry {
     // the q108 transition chain from the uniform start.
     "q145_stationary" -> ((s, dir) =>
       EventOps.stationaryDistribution(Tables.load(s, dir, "events"), iters = 3)),
+
+    // Leakage-safe split: near-dup clusters (q33's labeling) assign to
+    // ONE split; no cluster straddles train/test by construction.
+    "q146_cluster_split" -> ((s, dir) =>
+      Sampling.clusterAwareSplit(docs(s, dir), "doc_id",
+          Dedup.nearDupClusters(docs(s, dir), "doc_id", "text", threshold = 0.9),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(sf.col("doc_id"), sf.col("split_key"), sf.col("split"))
+        .orderBy("doc_id")),
   )
 
   // ---------------------------------------------------------------------
@@ -3364,5 +3373,30 @@ object SparkEntry {
            |  floor((CAST(pi AS DOUBLE)/1e12)*1000000.0 + 0.5)/1000000.0 AS pi
            |FROM r$n ORDER BY pi_fx DESC, state""".stripMargin
     },
+
+    // Cluster-aware split: q33's recursive-CTE cluster labels ->
+    // coalesce(cluster, own id) -> the q78 portable-hash bucketing.
+    "q146_cluster_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  floor((CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END)*10000.0 + 0.5)/10000.0 AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.9),
+        |e AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
+        |reach AS (SELECT s, d FROM e
+        |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+        |lbl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+        |        FROM reach GROUP BY s),
+        |k AS (SELECT t.doc_id, COALESCE(l.cluster_id, t.doc_id) AS split_key
+        |      FROM t LEFT JOIN lbl l USING (doc_id)),
+        |b AS (SELECT doc_id, split_key,
+        |      (((split_key % 2147483648) * 2654435761) % 4294967296) % 10000 AS bkt FROM k)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

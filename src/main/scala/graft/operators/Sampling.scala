@@ -128,6 +128,30 @@ object Sampling {
       .drop("__W")
   }
 
+  /** Leakage-safe train/val/test split: assign every NEAR-DUP CLUSTER
+    * to one split, not every document — the splitting mistake that
+    * silently inflates eval scores is a near-duplicate pair straddling
+    * train and test, and no per-document split can prevent it. The
+    * split key is the document's cluster label when it has one
+    * (`clusterLabels`: any (id, cluster_id) frame, e.g.
+    * `Dedup.nearDupClusters`) and its own id otherwise, then the
+    * standard deterministic [[hashSplit]] applies: disjoint,
+    * exhaustive, growth-stable — and by construction zero clusters
+    * span splits.
+    *
+    * Scale shape: one left equi join against the cluster table plus
+    * hashSplit's map-only bucketing. */
+  def clusterAwareSplit(df: DataFrame, idCol: String, clusterLabels: DataFrame,
+                        splits: Seq[(String, Double)]): DataFrame = {
+    val lbl = clusterLabels.select(sf.col("doc_id").as("__cl_id"),
+      sf.col("cluster_id").as("__cl"))
+    val keyed = df
+      .join(lbl, df(idCol) === sf.col("__cl_id"), "left")
+      .withColumn("split_key", sf.coalesce(sf.col("__cl"), df(idCol).cast("long")))
+      .drop("__cl_id", "__cl")
+    hashSplit(keyed, "split_key", splits)
+  }
+
   /** EXACT-k weighted sampling without replacement (Efraimidis &
     * Spirakis 2006, A-ES): rank rows by u^(1/w) for a per-row uniform
     * u and keep the top k — inclusion probability proportional to

@@ -174,6 +174,23 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("Sampling.clusterAwareSplit: near-dup pairs never straddle splits; exhaustive") {
+    // docs 1/2 identical (one cluster), 3..40 distinct
+    val docs = (Seq((1L, "same text here exactly"), (2L, "same text here exactly")) ++
+      (3L to 40L).map(i => (i, s"unique document number $i with words w$i x$i y$i z$i")))
+      .toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.9)
+    val got = Sampling.clusterAwareSplit(docs, "doc_id", labels,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 40 && got.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // the near-dup pair shares its cluster key and therefore its split
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._2 == got(2L)._2, s"got ${got(1L)} ${got(2L)}")
+    // singletons split on their own id
+    assert(got(3L)._1 == 3L)
+  }
+
   test("EventOps.stationaryDistribution: two-state chain settles; terminal leak shrinks mass") {
     val t0 = java.sql.Timestamp.valueOf("2026-05-01 00:00:00")
     def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
