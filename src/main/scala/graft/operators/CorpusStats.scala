@@ -576,8 +576,12 @@ object CorpusStats {
     * q74 PMI convention).
     *
     * Scale shape: one (source, term) aggregation + one term
-    * aggregation, both map-side combinable; the per-term corpus table
-    * broadcasts (vocabulary-sized), totals are scalars. */
+    * aggregation, both map-side combinable. The per-term corpus table
+    * is vocabulary-sized — 10^8-10^9 distinct tokens on a web-scale
+    * corpus — so its join is left to AQE (shuffle join at scale,
+    * auto-broadcast when it measures small), never a forced broadcast
+    * that would OOM the driver; per-source totals and the grand total
+    * are bounded (|sources| rows / one row) and do broadcast. */
   def distinctiveTerms(docs: DataFrame, sourceCol: String, textCol: String,
                        a0: Double = 100.0, minCount: Long = 5): DataFrame = {
     require(a0 > 0, s"a0 must be > 0, got $a0")
@@ -597,7 +601,7 @@ object CorpusStats {
     val variance = sf.lit(1.0) / (sf.col("y_sw").cast("double") + aw) +
       sf.lit(1.0) / (yRest.cast("double") + aw)
     ysw.filter(sf.col("y_sw") >= minCount)
-      .join(sf.broadcast(yw), "w")
+      .join(yw, "w")
       .join(sf.broadcast(ns), "source")
       .crossJoin(sf.broadcast(tot))
       .select(sf.col("source"), sf.col("w").as("term"),
@@ -619,19 +623,22 @@ object CorpusStats {
     * exact sums in the same double expression in both engines.
     * A vocabulary of one term has zero x-variance -> NULL slope.
     *
-    * Scale shape: the term count table is vocabulary-sized (Zipf: far
-    * smaller than the corpus); ranking it is one window over that
-    * bounded table, and the moment reduction is a single-row agg. */
+    * Scale shape: the term count table is vocabulary-sized, but a
+    * 100 TB web corpus's vocabulary is 10^8-10^9 distinct tokens
+    * (typos, URLs, hashes) — far too many for a one-task global
+    * window. Ranks therefore ride `StarSchema.globalDenseIds`
+    * (range-partitioned parallel numbering, exactly as `rrfFuse`
+    * does); the moment reduction is a single-row agg. */
   def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val uni = Par.spread(docs.select(sf.col(textCol)))
       .select(sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("w"))
       .groupBy("w").agg(sf.count(sf.lit(1)).as("c_w"))
-    val rank = sf.row_number().over(
-      Window.orderBy(sf.col("c_w").desc, sf.col("w")))
+    val ranked = StarSchema.globalDenseIds(
+      uni.withColumn("__negc", sf.negate(sf.col("c_w"))),
+      Seq("__negc", "w"), keyName = "__rank")
     def lnFx(c: Column) = sf.floor(sf.log(c.cast("double")) * 1e6 + 0.5).cast("long")
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val m = uni.select(lnFx(rank).as("lx"), lnFx(sf.col("c_w")).as("ly"))
+    val m = ranked.select(lnFx(sf.col("__rank")).as("lx"), lnFx(sf.col("c_w")).as("ly"))
       .agg(sf.count(sf.lit(1)).as("n"),
         sf.sum(dec(sf.col("lx"))).as("sx"), sf.sum(dec(sf.col("ly"))).as("sy"),
         sf.sum(dec(sf.col("lx")) * dec(sf.col("lx"))).as("sxx"),

@@ -188,6 +188,24 @@ class PlanSpec extends SparkFunSuite {
     assert(corpusWindows.nonEmpty, "within-bucket running sum missing")
   }
 
+  test("zipf slope: vocabulary ranking has no unpartitioned window") {
+    // The vocabulary of a web-scale corpus is 10^8-10^9 distinct tokens;
+    // a row_number() over an empty partition spec would rank it on ONE
+    // task. Ranks must ride globalDenseIds (range-partitioned parallel
+    // numbering), whose only windows are the per-partition numbering
+    // (partitioned by __pid) and the numPartitions-row offsets window
+    // (partitioned by a constant key — foldable-or-not, but bounded).
+    val docs = Tables.load(spark, sf001, "documents")
+    val df = graft.operators.CorpusStats.zipfSlope(docs, "text")
+    df.collect()
+    val all = collectAll(executed(df))
+    val unpartitioned = all.collect {
+      case wx: org.apache.spark.sql.execution.window.WindowExec
+        if wx.partitionSpec.isEmpty => wx }
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned window in zipfSlope plan: ${unpartitioned.size}")
+  }
+
   test("simhash near-dup dedups pairs with the first-witness test, not an aggregate") {
     val docs = Tables.load(spark, sf001, "documents")
     val df = graft.operators.Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 6)
