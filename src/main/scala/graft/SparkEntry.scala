@@ -939,6 +939,20 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(sf.col("doc_id"), sf.col("split_key"), sf.col("split"))
         .orderBy("doc_id")),
+
+    // BPE encode: apply q138's learned merge table to tokenize the
+    // corpus — true tokenizer token streams/counts (map-only chain of
+    // literal replaces; the merge table is a bounded plan literal).
+    "q147_bpe_apply" -> ((s, dir) => {
+      val m = TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 10)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.applyBpe(docs(s, dir), "doc_id", "text", m)
+        .select(sf.col("doc_id"),
+          sf.size(sf.col("bpe_tokens")).cast("long").as("n_tokens"),
+          sf.array_join(sf.col("bpe_tokens"), "|").as("toks_str"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -3398,5 +3412,40 @@ object SparkEntry {
         |SELECT doc_id, split_key,
         |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // BPE apply: replay q138's merge learning, then apply the ordered
+    // merge table to every document's sentinel-encoded token stream
+    // (word boundary = chr(10), unmatchable by any " a  b " pattern).
+    "q147_bpe_apply" -> {
+      val n = 10
+      val head =
+        """WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+          |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+          |  FROM documents),
+          |wf AS (SELECT w, COUNT(*) AS freq FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+          |w0 AS (SELECT array_to_string(list_transform(string_split(w, ''), x -> ' '||x||' '), '') AS s, freq FROM wf),
+          |d0 AS (SELECT doc_id, array_to_string(list_transform(toks, w ->
+          |  array_to_string(list_transform(string_split(w, ''), x -> ' '||x||' '), '')), chr(10)) AS s FROM tk)""".stripMargin
+      val iters = (1 to n).map { i =>
+        s""",
+           |p$i AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |  SELECT freq, unnest([{'a': syms[j+1], 'b': syms[j+2]} FOR j IN range(0, len(syms)-1)]) AS pr
+           |  FROM (SELECT freq, string_split(trim(s, ' '), '  ') AS syms FROM w${i - 1}) WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$i AS (SELECT replace(s, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS s, freq
+           |        FROM w${i - 1} CROSS JOIN b$i),
+           |d$i AS (SELECT doc_id, replace(d${i - 1}.s, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS s
+           |        FROM d${i - 1} CROSS JOIN b$i)""".stripMargin
+      }.mkString
+      val tail =
+        s""",
+           |f AS (SELECT doc_id, CASE WHEN s = '' THEN []::VARCHAR[]
+           |  ELSE flatten(list_transform(string_split(s, chr(10)), w -> string_split(trim(w, ' '), '  '))) END AS toks
+           |  FROM d$n)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, array_to_string(toks, '|') AS toks_str
+           |FROM f ORDER BY doc_id""".stripMargin
+      head + iters + tail
+    },
   )
 }

@@ -489,25 +489,32 @@ object TextAnalysis {
     * emitting the ordered merge table a tokenizer is built from.
     *
     * Symbol streams are encoded as sentinel-wrapped strings
-    * ("\0h\0\0e\0…"), so one literal string `replace` per iteration
-    * applies a merge corpus-wide with exactly BPE's greedy
-    * left-to-right non-overlapping semantics, and full-symbol
-    * boundaries can never match inside a longer symbol. Ties on the
-    * pair count break by (left, right) — a total order, so the merge
-    * sequence is a pure function of the corpus.
+    * (" h  e …" — the sentinel is a SPACE, which `wsTokens` guarantees
+    * can never appear inside a token, unlike any control character a
+    * dirty web corpus can and does contain), so one literal string
+    * `replace` per iteration applies a merge corpus-wide with exactly
+    * BPE's greedy left-to-right non-overlapping semantics, and
+    * full-symbol boundaries can never match inside a longer symbol.
+    * Ties on the pair count break by (left, right) — a total order, so
+    * the merge sequence is a pure function of the corpus.
     *
     * Scale shape: ONE corpus-sized pass builds the word-frequency
     * table; all iterations run on that vocabulary-sized frame (Zipf:
     * orders of magnitude below corpus size), checkpointed each round
     * so lineage stays flat. The per-round argmax is a one-row collect
     * — a bounded scalar, the same contract as pageRank's node count.
+    * Round ceiling: each merge is one Spark job over the vocab frame +
+    * a one-row collect, so nMerges is capped at 200 — right for
+    * merge-table analytics and spec-sized tokenizers; a production 32k
+    * tokenizer would train on the (tiny, Zipf-truncated) driver-local
+    * top-vocabulary instead, not on 32k sequential cluster jobs.
     * Caveat: character splitting is UTF-16-unit-based on the Spark
     * side; byte- or codepoint-level pretokenization is upstream's job
     * for non-BMP corpora. */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int = 10): DataFrame = {
     require(nMerges >= 1 && nMerges <= 200,
       s"nMerges must be in [1, 200], got $nMerges")
-    val SEP = " "
+    val SEP = " "
     val spark = docs.sparkSession
     val wf = Par.spread(docs.select(sf.col(textCol).as("__t")))
       .select(sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
@@ -548,5 +555,44 @@ object TextAnalysis {
         sf.concat(sf.col("left_sym"), sf.col("right_sym")).as("merged"),
         sf.col("freq"))
       .orderBy("step")
+  }
+
+  /** Apply a learned BPE merge table (the `bpeTrain` output) to
+    * tokenize the corpus — the encode half of the tokenizer, giving
+    * TRUE tokenizer token streams/counts where `tokenCount`'s regex is
+    * an approximation (token budgets, mixture weights, packing all
+    * consume these).
+    *
+    * Each document's words are sentinel-wrapped exactly as in
+    * training (" h  e …", space sentinel) and joined with a newline
+    * word boundary (a whitespace char, so it can never occur inside a
+    * `wsTokens` token and no merge pattern " a  b " can span it); the
+    * merge table then applies as an ORDERED chain of literal
+    * `replace`s — the same greedy left-to-right non-overlapping
+    * semantics as training, one codegen'd expression, no UDF.
+    *
+    * Scale shape: map-only — the merge table is a bounded tokenizer
+    * artifact (<= 200 merges, the `bpeTrain` contract) compiled into
+    * the plan as literals; the corpus never shuffles and the pass runs
+    * at scan speed. */
+  def applyBpe(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 200,
+      s"merge table must be bounded (<= 200), got ${merges.size}")
+    val SEP = " "
+    val WB = "\n"
+    val enc = sf.array_join(
+      sf.transform(gf.wsTokens(sf.lower(sf.col(textCol))),
+        w => sf.array_join(
+          sf.transform(sf.split(w, ""), c => sf.concat(sf.lit(SEP), c, sf.lit(SEP))), "")),
+      WB)
+    val mergedS = merges.foldLeft(enc) { case (c, (a, b)) =>
+      sf.replace(c, sf.lit(SEP + a + SEP + SEP + b + SEP), sf.lit(SEP + a + b + SEP))
+    }
+    val toks = sf.filter(
+      sf.flatten(sf.transform(sf.split(mergedS, WB),
+        w => sf.split(sf.btrim(w, sf.lit(SEP)), SEP + SEP))),
+      t => t =!= "")
+    docs.select(sf.col(idCol), toks.as("bpe_tokens"))
   }
 }

@@ -361,6 +361,34 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((1, "ab")), s"got ${got.toSeq}")
   }
 
+  test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // corpus pairs: (l,o) 5, (lo,w) 5, (low,e) 2 (lower+slowest), then
+    // the all-count-1 tie breaks by (left, right): (lowe, r)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")),
+      s"merges $merges")
+    val got = TextAnalysis.applyBpe(docs, "id", "text", merges).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(got(1L) == Seq("low", "low", "low", "lower"), s"got ${got(1L)}")
+    // "slowest": s|l|o|w|e|s|t -> s|lo|w|e|s|t -> s|low|e|s|t -> s|lowe|s|t
+    assert(got(2L) == Seq("s", "lowe", "s", "t"), s"got ${got(2L)}")
+    assert(got(3L) == Seq.empty, s"empty doc must give zero tokens: ${got(3L)}")
+  }
+
+  test("TextAnalysis.applyBpe: merges never cross a word boundary") {
+    import spark.implicits._
+    // train on a corpus where (a,b) merges; then a doc whose words END
+    // in a and START with b — "xa by" must stay 4 symbols, not fuse ab
+    // across the boundary.
+    val got = TextAnalysis.applyBpe(
+      Seq((1L, "xa by")).toDF("id", "text"), "id", "text", Seq(("a", "b")))
+      .collect().map(_.getSeq[String](1)).head
+    assert(got == Seq("x", "a", "b", "y"), s"got $got")
+  }
+
   test("EventOps.sessionPaths: gap splits journeys, counts order the table") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-03-01 10:00:00")
