@@ -277,6 +277,13 @@ object functions {
     kernel(ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
       "imageMeta", payload)
 
+  /** [format, duration_ms, sample_rate, channels, width, height] from an
+    * audio/video container header (WAV/RIFF chunk walk, MP4 box walk;
+    * see Kernels.mediaMeta) — real byte parsing, no codec. */
+  def mediaMeta(payload: Column): Column =
+    kernel(ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+      "mediaMeta", payload)
+
   def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
 
   /** Cosine similarity; inputs cast to array<double> so Spark and any

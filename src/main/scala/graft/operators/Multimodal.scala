@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.{functions => sf}
 
 /** Multimodal column plumbing: media payloads travel as opaque `binary`
-  * columns beside typed metadata. Decode/feature steps that would call
-  * an image/audio codec are STUBBED with deterministic byte-level fakes
+  * columns beside typed metadata. Container-HEADER metadata is parsed
+  * for real (image: `imageDimensions`; audio/video: `mediaMetadata` —
+  * byte arithmetic, no codec). Decode/feature steps that would call an
+  * image/audio codec are STUBBED with deterministic byte-level fakes
   * (no codec libraries in this environment) — the Spark-side contract
   * (schema, batch iteration, partition-local decode) is real.
   *
@@ -53,6 +55,30 @@ object Multimodal {
       (sf.octet_length(sf.col("payload")) % 640 + 1).as("width"),
       (sf.octet_length(sf.col("payload")) * 7 % 480 + 1).as("height"))
       .orderBy(idCol)
+
+  /** REAL audio/video container metadata: format, duration, sample
+    * rate, channels and visual-track dimensions parsed straight from
+    * WAV/RIFF and MP4 header bytes (functions.mediaMeta — no codec,
+    * no library), completing the pre-decode curation pass beside
+    * `imageDimensions`: drop sub-second clips, bucket by sample rate /
+    * resolution at scan speed, before any expensive decode. Map-only;
+    * -1 marks fields the container doesn't carry or a truncated header
+    * can't supply. */
+  def mediaMetadata(media: DataFrame, idCol: String,
+                    payloadCol: String = "payload"): DataFrame = {
+    val meta = graft.functions.mediaMeta(sf.col(payloadCol))
+    media
+      .withColumn("__m", meta)
+      .select(sf.col(idCol),
+        sf.element_at(sf.array(sf.lit("unknown"), sf.lit("wav"), sf.lit("mp4")),
+          (sf.col("__m").getItem(0) + 1).cast("int")).as("format"),
+        sf.col("__m").getItem(1).as("duration_ms"),
+        sf.col("__m").getItem(2).as("sample_rate"),
+        sf.col("__m").getItem(3).as("channels"),
+        sf.col("__m").getItem(4).as("width"),
+        sf.col("__m").getItem(5).as("height"))
+      .orderBy(idCol)
+  }
 
   /** STUB resize: deterministic pseudo-resize to target dimensions — a
     * real build would decode, scale, re-encode here. Emits the target

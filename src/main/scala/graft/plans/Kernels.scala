@@ -697,6 +697,101 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(Array(fmt, w, h))
   }
 
+  /** REAL audio/video container-header parse (no codec): WAV/RIFF
+    * fmt+data chunk walk and MP4/ISO-BMFF box walk (moov/mvhd for
+    * timescale+duration, moov/trak/tkhd for visual track dims) — the
+    * pre-decode curation metadata (drop sub-second clips, bucket by
+    * resolution/sample rate) at scan speed. Returns
+    * [format, duration_ms, sample_rate, channels, width, height]
+    * with format 0=unknown 1=wav 2=mp4 and -1 for fields the container
+    * doesn't carry or a truncated/corrupt header can't supply.
+    * Bounds-checked byte arithmetic only — corrupt sizes terminate the
+    * walk, they never throw. */
+  def mediaMeta(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (le16(i) | (le16(i + 2).toLong << 16)) & 0xffffffffL
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= n && (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    var fmt = 0L; var durMs = -1L; var rate = -1L; var ch = -1L
+    var w = -1L; var h = -1L
+    if (n >= 12 && tag(0, "RIFF") && tag(8, "WAVE")) {
+      fmt = 1
+      var p = 12
+      var byteRate = -1L; var dataLen = -1L
+      while (p + 8 <= n) {
+        val sz = le32(p + 4)
+        if (tag(p, "fmt ") && p + 24 <= n) {
+          ch = le16(p + 10); rate = le32(p + 12); byteRate = le32(p + 16)
+        } else if (tag(p, "data")) dataLen = sz
+        // chunks are word-aligned: odd sizes carry a pad byte
+        val step = 8L + sz + (sz & 1)
+        p = if (p + step > n) n else (p + step).toInt
+      }
+      if (dataLen >= 0 && byteRate > 0) durMs = dataLen * 1000L / byteRate
+    } else if (n >= 12 && tag(4, "ftyp")) {
+      fmt = 2
+      // top-level box walk to moov, then one recursion level at a time;
+      // box = size(4 BE) + type(4), size==1 -> 64-bit largesize
+      def walk(from: Long, to: Long, name: String): (Long, Long) = {
+        var p = from
+        while (p + 8 <= to) {
+          val sz0 = be32(p.toInt)
+          val (sz, hdr) =
+            if (sz0 == 1 && p + 16 <= to) (be64(p.toInt + 8), 16L)
+            else if (sz0 == 0) (to - p, 8L) // box extends to end
+            else (sz0, 8L)
+          if (sz < hdr) return (-1, -1)
+          if ((0 until 4).forall(j => u8(p.toInt + 4 + j) == name.charAt(j)))
+            return (p + hdr, math.min(p + sz, to))
+          p += sz
+        }
+        (-1, -1)
+      }
+      val (moovS, moovE) = walk(0, n, "moov")
+      if (moovS >= 0) {
+        val (mvhdS, mvhdE) = walk(moovS, moovE, "mvhd")
+        if (mvhdS >= 0 && mvhdS + 4 <= mvhdE) {
+          val v = u8(mvhdS.toInt)
+          if (v == 1 && mvhdS + 28 <= mvhdE) {
+            val timescale = be32(mvhdS.toInt + 20)
+            val duration = be64(mvhdS.toInt + 24)
+            if (timescale > 0) durMs = duration * 1000L / timescale
+          } else if (v == 0 && mvhdS + 20 <= mvhdE) {
+            val timescale = be32(mvhdS.toInt + 12)
+            val duration = be32(mvhdS.toInt + 16)
+            if (timescale > 0) durMs = duration * 1000L / timescale
+          }
+        }
+        // first trak with non-zero tkhd dims = the visual track
+        var tS = moovS
+        var found = false
+        while (!found && tS >= 0 && tS < moovE) {
+          val (trakS, trakE) = walk(tS, moovE, "trak")
+          if (trakS < 0) tS = -1
+          else {
+            val (tkhdS, tkhdE) = walk(trakS, trakE, "tkhd")
+            if (tkhdS >= 0 && tkhdS + 4 <= tkhdE) {
+              val v = u8(tkhdS.toInt)
+              val dimOff = if (v == 1) 4 + 8 + 8 + 4 + 4 + 8 + 52 else 4 + 4 + 4 + 4 + 4 + 4 + 52
+              if (tkhdS + dimOff + 8 <= tkhdE) {
+                val tw = be32((tkhdS + dimOff).toInt) >> 16    // 16.16 fixed
+                val th = be32((tkhdS + dimOff + 4).toInt) >> 16
+                if (tw > 0 && th > 0) { w = tw; h = th; found = true }
+              }
+            }
+            tS = trakE // continue past this trak
+          }
+        }
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(fmt, durMs, rate, ch, w, h))
+  }
+
   /** Hashing-trick linear model score: Σ weights[(md5Hash60(tok) %
     * Prime) % d] over the tokens in order. The per-token MD5 fold is
     * the same one rollingHashMd5 uses, so a SQL oracle replays indices

@@ -83,4 +83,47 @@ class MultimodalSpec extends SparkFunSuite {
       (4L, "bmp", 100, 50), // top-down height reported as magnitude
       (5L, "unknown", -1, -1)), s"got $got")
   }
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  test("mediaMetadata parses real WAV/RIFF and MP4 container headers") {
+    // WAV: 44.1kHz stereo 16-bit, 352800 data bytes = exactly 2000 ms
+    val wav = "RIFF".getBytes ++ le32(36 + 352800) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(352800) // sizes only; no payload bytes needed
+    // MP4: ftyp + moov(mvhd v0 timescale=600 duration=1800 -> 3000 ms,
+    //               trak(tkhd v0 width=1280 height=720 as 16.16 fixed))
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(1800) ++ new Array[Byte](108 - 8 - 20)
+    val tkhd = be32(92) ++ "tkhd".getBytes ++ new Array[Byte](76) ++
+      be32(1280L << 16) ++ be32(720L << 16)
+    val trak = be32(8 + tkhd.length) ++ "trak".getBytes ++ tkhd
+    val moov = be32(8 + mvhd.length + trak.length) ++ "moov".getBytes ++ mvhd ++ trak
+    val mp4 = ftyp ++ moov
+    // truncated/corrupt headers must degrade to -1 fields, never throw
+    val wavTrunc = "RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes
+    val mp4Corrupt = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++
+      be32(0xffffff) ++ "junk".getBytes
+    val junk = "definitely not media".getBytes
+    val df = Seq((1L, wav), (2L, mp4), (3L, wavTrunc), (4L, mp4Corrupt), (5L, junk))
+      .toDF("id", "payload")
+    val got = Multimodal.mediaMetadata(df, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, "wav", 2000L, 44100L, 2L, -1L, -1L),
+      (2L, "mp4", 3000L, -1L, -1L, 1280L, 720L),
+      (3L, "wav", -1L, -1L, -1L, -1L, -1L),
+      (4L, "mp4", -1L, -1L, -1L, -1L, -1L),
+      (5L, "unknown", -1L, -1L, -1L, -1L, -1L)), s"got $got")
+  }
 }
