@@ -3329,7 +3329,7 @@ object SparkEntry {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
         |  FROM documents),
         |f AS (SELECT doc_id, w FROM t WHERE w > 0),
-        |k AS (SELECT doc_id, CAST(w AS BIGINT) AS weight,
+        |k AS (SELECT doc_id, floor(CAST(w AS DOUBLE)*10000.0 + 0.5)/10000.0 AS weight,
         |  CAST(floor(pow(CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1 AS DOUBLE)/4294967296.0,
         |       1.0/CAST(w AS DOUBLE))*1e12 + 0.5) AS BIGINT) AS key_fx
         |  FROM f)

@@ -628,12 +628,20 @@ object EventOps {
     * Scale shape: the counts aggregation is map-side combinable; the
     * dense grid is |types| x nBins rows generated from a broadcast
     * scalar pair (min, max bin) — never a per-event explode — and the
-    * fill join is keyed on (type, bin). Value sums are exact 1e4
-    * fixed-point decimals, one final division. */
+    * fill join is keyed on (type, bin). Grid generation is CHUNKED
+    * (two-level explode, <= 8192 bins per materialized array) so no
+    * single sequence() array ever approaches Spark's array ceiling,
+    * and the bin span is guarded by `maxBins`: ONE corrupt/outlier
+    * timestamp (an epoch-0 row against a 2026 corpus at binSec=1 is a
+    * ~1.8e9-bin span) would otherwise silently explode the grid —
+    * that failure mode now raises with a diagnostic instead of
+    * OOMing. Value sums are exact 1e4 fixed-point decimals, one final
+    * division. */
   def denseSeries(events: DataFrame, typeCol: String = "event_type",
                   tsCol: String = "ts", valueCol: String = "value",
-                  binSec: Long = 3600): DataFrame = {
+                  binSec: Long = 3600, maxBins: Long = 10000000L): DataFrame = {
     require(binSec > 0, s"binSec must be > 0, got $binSec")
+    require(maxBins > 0, s"maxBins must be > 0, got $maxBins")
     val binUs = binSec * 1000000L
     val withBin = events.filter(sf.col(tsCol).isNotNull)
       .withColumn("__bin", sf.expr(s"unix_micros($tsCol) div ${binUs}L"))
@@ -643,11 +651,25 @@ object EventOps {
       .groupBy(sf.col(typeCol).as("t"), sf.col("__bin"))
       .agg(sf.count(sf.lit(1)).as("__n"),
         sf.sum(v4.cast("decimal(38,0)")).as("__s"))
+    // span guard folded into `lo` so it cannot be pruned from the plan
+    val span = sf.col("hi") - sf.col("lo") + 1
     val bounds = withBin.agg(sf.min("__bin").as("lo"), sf.max("__bin").as("hi"))
+      .select(
+        sf.when(span > maxBins, sf.raise_error(sf.concat(
+            sf.lit("denseSeries: bin span "), span.cast("string"),
+            sf.lit(s" exceeds maxBins=$maxBins (corrupt/outlier timestamp," +
+              s" or binSec=$binSec too small for the corpus time range)")))
+            .cast("long"))
+          .otherwise(sf.col("lo")).as("lo"),
+        sf.col("hi"))
+    val Chunk = 8192L
     val grid = withBin.select(sf.col(typeCol).as("t")).distinct()
       .crossJoin(sf.broadcast(bounds))
+      .select(sf.col("t"), sf.col("hi"),
+        sf.explode(sf.sequence(sf.col("lo"), sf.col("hi"), sf.lit(Chunk))).as("__cs"))
       .select(sf.col("t"),
-        sf.explode(sf.sequence(sf.col("lo"), sf.col("hi"))).as("__bin"))
+        sf.explode(sf.sequence(sf.col("__cs"),
+          sf.least(sf.col("__cs") + (Chunk - 1), sf.col("hi")))).as("__bin"))
     grid.join(counts, Seq("t", "__bin"), "left")
       .select(sf.col("t").as(typeCol), sf.col("__bin").as("bin"),
         sf.date_format(sf.timestamp_micros(sf.col("__bin") * binUs),

@@ -178,7 +178,11 @@ object Sampling {
     val keyFx = sf.floor(sf.pow(u, sf.lit(1.0) / weight.cast("double")) * 1e12 + 0.5)
       .cast("long")
     df.filter(weight.cast("double") > 0)
-      .select(sf.col(keyCol), weight.cast("long").as("weight"), keyFx.as("key_fx"))
+      // report the weight as a (rounded) double: ranking uses the exact
+      // double, so a long cast here would misreport fractional weights
+      .select(sf.col(keyCol),
+        graft.functions.roundAt(weight.cast("double"), 4).as("weight"),
+        keyFx.as("key_fx"))
       .orderBy(sf.col("key_fx").desc, sf.col(keyCol))
       .limit(k)
   }

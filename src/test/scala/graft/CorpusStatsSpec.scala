@@ -327,6 +327,22 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got.toSeq == want, s"got ${got.toSeq}")
   }
 
+  test("EventOps.denseSeries: outlier timestamp beyond maxBins raises, not OOMs") {
+    import spark.implicits._
+    // one epoch-1970 corrupt row against a 2026 corpus: ~491k hourly
+    // bins, far over maxBins=1000 — must fail fast with a diagnostic
+    val events = Seq(
+      ("click", java.sql.Timestamp.valueOf("2026-03-01 10:00:00"), Some(1.0)),
+      ("click", new java.sql.Timestamp(0L), Some(1.0)))
+      .toDF("event_type", "ts", "value")
+    val e = intercept[Exception] {
+      EventOps.denseSeries(events, maxBins = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds maxBins")), s"got $e")
+  }
+
   test("EventOps.bursts: spike after quiet baseline flags; warmup bins never flag") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-03-01 00:00:00")

@@ -220,19 +220,24 @@ class GraphAnalyticsSpec extends SparkFunSuite {
   test("Sampling.weightedTopK: replayable A-ES keys, zero weights out, k bounds") {
     val df = (1L to 50L).map(i => (i, (i % 7).toDouble)).toDF("id", "w")
     val got = Sampling.weightedTopK(df, "id", sf.col("w"), k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(got.length == 10)
     // replay the operator's own key formula and take the same top 10
     val want = (1L to 50L).filter(_ % 7 != 0).map { i =>
       val h = ((i % 2147483648L) * 2654435761L) % 4294967296L
       val u = (h + 1).toDouble / 4294967296.0
       val k = math.floor(math.pow(u, 1.0 / (i % 7).toDouble) * 1e12 + 0.5).toLong
-      (i, i % 7, k)
+      (i, (i % 7).toDouble, k)
     }.sortBy { case (i, _, k) => (-k, i) }.take(10)
     assert(got.toSeq == want, s"got ${got.toSeq.take(3)} want ${want.take(3)}")
     // k larger than the population returns everyone with w > 0
     assert(Sampling.weightedTopK(df, "id", sf.col("w"), k = 100).count() ==
       (1L to 50L).count(_ % 7 != 0))
+    // fractional weights are reported exactly, not truncated to long
+    val frac = Seq((1L, 0.5), (2L, 2.25)).toDF("id", "w")
+    val fgot = Sampling.weightedTopK(frac, "id", sf.col("w"), k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fgot == Map(1L -> 0.5, 2L -> 2.25), s"got $fgot")
   }
 
   test("EventOps.trendSlopes: exact linear series recovers slope; one-bin group NULL") {
