@@ -940,6 +940,11 @@ object SparkEntry {
         .select(sf.col("doc_id"), sf.col("split_key"), sf.col("split"))
         .orderBy("doc_id")),
 
+    // Stupid Backoff trigram LM: train on the 90% hash split, score
+    // the held-out 10% — the web-scale count-only quality filter.
+    "q148_backoff_lm" -> ((s, dir) =>
+      TextAnalysis.backoffLmScore(docs(s, dir), "doc_id", "text")),
+
     // BPE encode: apply q138's learned merge table to tokenize the
     // corpus — true tokenizer token streams/counts (map-only chain of
     // literal replaces; the merge table is a bounded plan literal).
@@ -3412,6 +3417,44 @@ object SparkEntry {
         |SELECT doc_id, split_key,
         |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Stupid Backoff: counts from the 90% train split, CASE backoff
+    // chain with double-cast alpha products (decimal literals would
+    // give exact 0.16 where IEEE gives 0.16000000000000003), per-
+    // position ln snapped at 1e-6 before the per-doc integer sum.
+    "q148_backoff_lm" ->
+      """WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks,
+        |  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 9000 AS is_train
+        |  FROM documents),
+        |n AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok FROM tk WHERE is_train),
+        |cu AS (SELECT w, COUNT(*) AS c_u FROM (SELECT unnest(toks) AS w FROM tk WHERE is_train) GROUP BY 1),
+        |cb AS (SELECT pr.a AS a, pr.b AS b, COUNT(*) AS c_b FROM (
+        |  SELECT unnest([{'a': toks[i+1], 'b': toks[i+2]} FOR i IN range(0, len(toks)-1)]) AS pr
+        |  FROM tk WHERE is_train AND len(toks) >= 2) GROUP BY 1, 2),
+        |ct AS (SELECT pr.a AS a, pr.b AS b, pr.c AS c, COUNT(*) AS c_t FROM (
+        |  SELECT unnest([{'a': toks[i+1], 'b': toks[i+2], 'c': toks[i+3]} FOR i IN range(0, len(toks)-2)]) AS pr
+        |  FROM tk WHERE is_train AND len(toks) >= 3) GROUP BY 1, 2, 3),
+        |ev AS (SELECT doc_id, pr.a AS w1, pr.b AS w2, pr.c AS w3, COUNT(*) AS n_occ FROM (
+        |  SELECT doc_id, unnest([{'a': toks[i+1], 'b': toks[i+2], 'c': toks[i+3]} FOR i IN range(0, len(toks)-2)]) AS pr
+        |  FROM tk WHERE NOT is_train AND len(toks) >= 3) GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT ev.doc_id, ev.n_occ,
+        |  CASE WHEN ct.c_t IS NOT NULL THEN CAST(ct.c_t AS DOUBLE) / CAST(cb12.c_b AS DOUBLE)
+        |       WHEN cb23.c_b IS NOT NULL THEN CAST(0.4 AS DOUBLE) * CAST(cb23.c_b AS DOUBLE) / CAST(cu2.c_u AS DOUBLE)
+        |       WHEN cu3.c_u IS NOT NULL THEN CAST(0.4 AS DOUBLE)*CAST(0.4 AS DOUBLE) * CAST(cu3.c_u AS DOUBLE) / CAST(n.n_tok AS DOUBLE)
+        |       ELSE CAST(0.4 AS DOUBLE)*CAST(0.4 AS DOUBLE) / CAST(n.n_tok AS DOUBLE) END AS s
+        |  FROM ev
+        |  LEFT JOIN ct ON ct.a = ev.w1 AND ct.b = ev.w2 AND ct.c = ev.w3
+        |  LEFT JOIN cb cb12 ON cb12.a = ev.w1 AND cb12.b = ev.w2
+        |  LEFT JOIN cb cb23 ON cb23.a = ev.w2 AND cb23.b = ev.w3
+        |  LEFT JOIN cu cu2 ON cu2.w = ev.w2
+        |  LEFT JOIN cu cu3 ON cu3.w = ev.w3
+        |  CROSS JOIN n),
+        |f AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_scored,
+        |  SUM(n_occ * CAST(floor(ln(s)*1e6 + 0.5) AS BIGINT)) AS fx FROM j GROUP BY 1)
+        |SELECT doc_id, n_scored,
+        |  floor(CAST(fx AS DOUBLE)/CAST(n_scored AS DOUBLE)/1e6*10000.0 + 0.5)/10000.0 AS sb_score
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // BPE apply: replay q138's merge learning, then apply the ordered
     // merge table to every document's sentinel-encoded token stream

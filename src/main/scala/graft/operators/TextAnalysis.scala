@@ -142,6 +142,105 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
+    * web-scale LM quality filter: no discounting to estimate, counts
+    * only, which is exactly what distributes). The LM trains on the
+    * deterministic 90% hash-split of the corpus (q78's portable-hash
+    * bucket formula on the doc key) and scores the HELD-OUT 10%, so
+    * backoff genuinely triggers on unseen n-grams — self-scoring would
+    * make every observed trigram its own evidence and the backoff
+    * chain dead code.
+    *
+    * Per eval-doc trigram position (w1,w2,w3):
+    *   S = c(w1w2w3)/c(w1w2)            if the trigram was seen
+    *     | α · c(w2w3)/c(w2)            else if the bigram was seen
+    *     | α² · c(w3)/N                 else if the unigram was seen
+    *     | α² · 1/N                     else (unseen-word floor)
+    * score = mean ln S over positions; docs with < 3 tokens get none.
+    *
+    * Determinism: counts are exact integers; each position's ln S
+    * snaps to a 1e-6 grid BEFORE the unordered per-doc sum (exact
+    * longs), one final division rounded at 1e-4.
+    *
+    * Scale shape: count tables are map-side-combinable aggregations
+    * over the train stream keyed by 64-bit hashes (token text never
+    * shuffles; a collision merges two counts — the q68 conservative
+    * family); the eval trigram stream compresses per (doc, trigram)
+    * before probing; all count joins are AQE-decided (n-gram domains
+    * are vocabulary-scale, not corpus-scale, but can still be too big
+    * to broadcast at 100 TB); N rides a broadcast 1-row cross join. */
+  def backoffLmScore(docs0: DataFrame, idCol: String, textCol: String,
+                     alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val withT = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), gf.wsTokens(sf.lower(sf.col("__t"))).as("toks"))
+      .withColumn("is_train",
+        sf.pmod(sf.col("doc_id"), sf.lit(2147483648L)) * 2654435761L % 4294967296L % 10000 < 9000)
+      .localCheckpoint(true)
+    val train = withT.filter(sf.col("is_train"))
+    val nTot = train.agg(sf.sum(sf.size(sf.col("toks"))).cast("long").as("n_tok"))
+    val cu = train.select(sf.explode(sf.col("toks")).as("w"))
+      .groupBy(sf.xxhash64(sf.col("w")).as("uh"))
+      .agg(sf.count(sf.lit(1)).as("c_u"))
+    val cb = train.filter(sf.size(sf.col("toks")) >= 2)
+      .select(sf.explode(sf.transform(
+        sf.sequence(sf.lit(1), sf.size(sf.col("toks")) - 1),
+        i => sf.xxhash64(sf.element_at(sf.col("toks"), i),
+          sf.element_at(sf.col("toks"), i + 1)))).as("bh"))
+      .groupBy("bh").agg(sf.count(sf.lit(1)).as("c_b"))
+    val ct = train.filter(sf.size(sf.col("toks")) >= 3)
+      .select(sf.explode(sf.transform(
+        sf.sequence(sf.lit(1), sf.size(sf.col("toks")) - 2),
+        i => sf.xxhash64(sf.element_at(sf.col("toks"), i),
+          sf.element_at(sf.col("toks"), i + 1),
+          sf.element_at(sf.col("toks"), i + 2)))).as("th"))
+      .groupBy("th").agg(sf.count(sf.lit(1)).as("c_t"))
+    // eval trigram stream, compressed per (doc, trigram) before probing
+    val ev = withT.filter(!sf.col("is_train") && sf.size(sf.col("toks")) >= 3)
+      .select(sf.col("doc_id"), sf.explode(sf.transform(
+        sf.sequence(sf.lit(1), sf.size(sf.col("toks")) - 2),
+        i => sf.struct(
+          sf.xxhash64(sf.element_at(sf.col("toks"), i),
+            sf.element_at(sf.col("toks"), i + 1),
+            sf.element_at(sf.col("toks"), i + 2)).as("th"),
+          sf.xxhash64(sf.element_at(sf.col("toks"), i),
+            sf.element_at(sf.col("toks"), i + 1)).as("bh12"),
+          sf.xxhash64(sf.element_at(sf.col("toks"), i + 1),
+            sf.element_at(sf.col("toks"), i + 2)).as("bh23"),
+          sf.xxhash64(sf.element_at(sf.col("toks"), i + 1)).as("uh2"),
+          sf.xxhash64(sf.element_at(sf.col("toks"), i + 2)).as("uh3")))).as("z"))
+      .groupBy(sf.col("doc_id"), sf.col("z.th").as("th"), sf.col("z.bh12").as("bh12"),
+        sf.col("z.bh23").as("bh23"), sf.col("z.uh2").as("uh2"), sf.col("z.uh3").as("uh3"))
+      .agg(sf.count(sf.lit(1)).as("n_occ"))
+    val joined = ev
+      .join(ct, Seq("th"), "left")
+      .join(cb.withColumnRenamed("bh", "bh12").withColumnRenamed("c_b", "c_b12"),
+        Seq("bh12"), "left")
+      .join(cb.withColumnRenamed("bh", "bh23").withColumnRenamed("c_b", "c_b23"),
+        Seq("bh23"), "left")
+      .join(cu.withColumnRenamed("uh", "uh2").withColumnRenamed("c_u", "c_u2"),
+        Seq("uh2"), "left")
+      .join(cu.withColumnRenamed("uh", "uh3").withColumnRenamed("c_u", "c_u3"),
+        Seq("uh3"), "left")
+      .crossJoin(sf.broadcast(nTot))
+    val nD = sf.col("n_tok").cast("double")
+    val s = sf.when(sf.col("c_t").isNotNull,
+        sf.col("c_t").cast("double") / sf.col("c_b12").cast("double"))
+      .when(sf.col("c_b23").isNotNull,
+        sf.lit(alpha) * sf.col("c_b23").cast("double") / sf.col("c_u2").cast("double"))
+      .when(sf.col("c_u3").isNotNull,
+        sf.lit(alpha * alpha) * sf.col("c_u3").cast("double") / nD)
+      .otherwise(sf.lit(alpha * alpha) / nD)
+    val lnFx = sf.floor(sf.log(s) * 1e6 + 0.5).cast("long")
+    joined
+      .groupBy("doc_id")
+      .agg(sf.sum("n_occ").cast("long").as("n_scored"),
+        gf.roundAt(sf.sum(sf.col("n_occ") * lnFx).cast("double") /
+          sf.sum("n_occ").cast("double") / 1e6, 4).as("sb_score"))
+      .orderBy("doc_id")
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * term list (count-desc, term-text tie-break — a deterministic
     * frequency vocabulary, the fixed-size-tokenizer view of the data):

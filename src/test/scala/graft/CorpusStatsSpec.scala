@@ -377,6 +377,35 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((1, "ab")), s"got ${got.toSeq}")
   }
 
+  test("TextAnalysis.backoffLmScore: every backoff branch scores its formula") {
+    import spark.implicits._
+    def bucket(id: Long) = (id % 2147483648L) * 2654435761L % 4294967296L % 10000
+    val evalIds = (1L to 500L).filter(bucket(_) >= 9000).take(5)
+    val trainIds = (1L to 500L).filter(bucket(_) < 9000).take(2)
+    assert(evalIds.size == 5 && trainIds.size == 2)
+    // train: 2 copies of "a b c a b d" -> N=12; c(a)=c(b)=4, c(c)=c(d)=2;
+    // bigrams ab=4 bc=2 ca=2 bd=2; trigrams abc=bca=cab=abd=2
+    val docs = (trainIds.map(id => (id, "a b c a b d")) ++ Seq(
+      (evalIds(0), "a b c"), // trigram seen:      2/4
+      (evalIds(1), "b a b"), // bigram backoff:    .4 * 4/4
+      (evalIds(2), "b b c"), // bigram backoff:    .4 * 2/4
+      (evalIds(3), "z z d"), // unigram backoff:   .16 * 2/12
+      (evalIds(4), "z z z")  // unseen-word floor: .16 * 1/12
+    )).toDF("doc_id", "text")
+    def expect(s: Double) = {
+      val snapped = math.floor(math.log(s) * 1e6 + 0.5) / 1e6
+      math.floor(snapped * 1e4 + 0.5) / 1e4
+    }
+    val got = TextAnalysis.backoffLmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == evalIds.toSet, s"scored ${got.keySet}, want $evalIds")
+    assert(got(evalIds(0)) == ((1L, expect(2.0 / 4))), s"got ${got(evalIds(0))}")
+    assert(got(evalIds(1)) == ((1L, expect(0.4 * 4 / 4))), s"got ${got(evalIds(1))}")
+    assert(got(evalIds(2)) == ((1L, expect(0.4 * 2 / 4))), s"got ${got(evalIds(2))}")
+    assert(got(evalIds(3)) == ((1L, expect(0.4 * 0.4 * 2 / 12))), s"got ${got(evalIds(3))}")
+    assert(got(evalIds(4)) == ((1L, expect(0.4 * 0.4 / 12))), s"got ${got(evalIds(4))}")
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")
