@@ -945,6 +945,13 @@ object SparkEntry {
     "q148_backoff_lm" -> ((s, dir) =>
       TextAnalysis.backoffLmScore(docs(s, dir), "doc_id", "text")),
 
+    // Edit-distance similarity join via FastSS deletion neighborhoods:
+    // typo-cluster pairs on the 16-char doc prefix — equi-join blocked,
+    // exact-verified, never a cross product (q70 is the quadratic twin).
+    "q149_edit_join" -> ((s, dir) =>
+      Dedup.editDistanceJoin(docs(s, dir), "doc_id",
+        sf.substring(sf.lower(sf.trim(sf.col("text"))), 1, 16), maxDist = 1)),
+
     // BPE encode: apply q138's learned merge table to tokenize the
     // corpus — true tokenizer token streams/counts (map-only chain of
     // literal replaces; the merge table is a bounded plan literal).
@@ -3417,6 +3424,16 @@ object SparkEntry {
         |SELECT doc_id, split_key,
         |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Edit-distance join: the quadratic twin over the same 16-char
+    // prefix key; DuckDB levenshtein = Spark levenshtein (unit costs).
+    "q149_edit_join" ->
+      """WITH t AS (SELECT doc_id, substr(lower(trim(text)), 1, 16) AS s FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Stupid Backoff: counts from the 90% train split, CASE backoff
     // chain with double-cast alpha products (decimal literals would

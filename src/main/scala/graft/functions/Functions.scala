@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.{functions => sf}
 
 import graft.plans.Kernels
@@ -283,6 +283,12 @@ object functions {
   def mediaMeta(payload: Column): Column =
     kernel(ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
       "mediaMeta", payload)
+
+  /** FastSS k-deletion neighborhood of a string (Kernels
+    * .deletionVariants) — the blocking key set for edit-distance
+    * similarity joins. */
+  def deletionVariants(s: Column, k: Column): Column =
+    kernel(ArrayType(StringType, containsNull = false), "deletionVariants", s, k)
 
   def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
 

@@ -1064,4 +1064,43 @@ object Dedup {
       .withColumn("weight_fx", sf.expr("1000000L div group_size"))
       .drop("__fp", "__gfp")
   }
+
+  /** Edit-distance similarity join, FastSS deletion-neighborhood
+    * blocking (Bocek et al. 2007): all pairs within Levenshtein
+    * distance `maxDist`, found by an EQUI-join — never a cross
+    * product. ed(a,b) <= k implies the k-deletion neighborhoods of a
+    * and b intersect (align the edit script; each side deletes its
+    * unmatched characters), so exploding each key's <= C(L,k)·k
+    * variants and equi-joining on the variant hash yields a complete
+    * candidate set, verified with the exact `levenshtein` before
+    * emission — collisions and neighborhood false positives cost work,
+    * never correctness. This is the entity-resolution / typo-cluster
+    * primitive (q70's pairwise baseline is its quadratic twin).
+    *
+    * Scale shape: variant fan-out is per-ROW bounded (L+1 at k=1, ~L²/2
+    * at k=2 — which is why `keyExpr` should be a SHORT key: title,
+    * name, fixed prefix), the join is bucketed by variant hash with
+    * per-bucket cost quadratic only in bucket occupancy (the FastSS
+    * analogue of an LSH bucket), candidate pairs dedup BEFORE the
+    * O(k·L) verify, and only ids + short keys shuffle. */
+  def editDistanceJoin(df: DataFrame, idCol: String, keyExpr: org.apache.spark.sql.Column,
+                       maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (neighborhood size explodes beyond), got $maxDist")
+    val t = Par.spread(df.select(sf.col(idCol).cast("long").as("id"), keyExpr.as("s")))
+      .filter(sf.col("s").isNotNull)
+    val v = t.select(sf.col("id"), sf.col("s"),
+        sf.explode(gf.deletionVariants(sf.col("s"), sf.lit(maxDist))).as("__v"))
+      .select(sf.col("id"), sf.col("s"), sf.xxhash64(sf.col("__v")).as("vh"))
+    val cand = v.as("a").join(v.as("b"),
+        sf.col("a.vh") === sf.col("b.vh") && sf.col("a.id") < sf.col("b.id"))
+      .select(sf.col("a.id").as("a_id"), sf.col("b.id").as("b_id"),
+        sf.col("a.s").as("__sa"), sf.col("b.s").as("__sb"))
+      .distinct()
+    cand
+      .select(sf.col("a_id"), sf.col("b_id"),
+        sf.levenshtein(sf.col("__sa"), sf.col("__sb")).cast("long").as("dist"))
+      .filter(sf.col("dist") <= maxDist)
+      .orderBy("a_id", "b_id")
+  }
 }

@@ -697,6 +697,33 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(Array(fmt, w, h))
   }
 
+  /** FastSS deletion neighborhood (Bocek et al. 2007): every DISTINCT
+    * string obtained by deleting up to `k` characters. Two strings are
+    * within Levenshtein distance k only if their k-deletion
+    * neighborhoods intersect, which turns an edit-distance similarity
+    * join into an equi-join on variants — candidates are verified with
+    * the exact distance afterwards, so hash/neighborhood collisions
+    * only cost work, never correctness. Neighborhood size is
+    * C(L, <=k) (L+1 variants at k=1), which is why callers join on
+    * SHORT keys (titles, prefixes), never document bodies. UTF-16-unit
+    * deletions: supplementary-plane text should be normalized
+    * upstream, same caveat as bpeTrain. */
+  def deletionVariants(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val all = new scala.collection.mutable.LinkedHashSet[String]
+    all += str
+    var frontier: Set[String] = Set(str)
+    var round = 0
+    while (round < k) {
+      frontier = frontier.flatMap(v =>
+        (0 until v.length).map(i => v.substring(0, i) + v.substring(i + 1)))
+      all ++= frontier
+      round += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      all.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
   /** REAL audio/video container-header parse (no codec): WAV/RIFF
     * fmt+data chunk walk and MP4/ISO-BMFF box walk (moov/mvhd for
     * timescale+duration, moov/trak/tkhd for visual track dims) — the

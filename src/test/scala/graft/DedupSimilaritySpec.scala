@@ -427,6 +427,39 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(gotRows.nonEmpty, "slice should contain near-dup pairs")
   }
 
+  test("editDistanceJoin: complete vs brute force at k=1 and k=2, equi-join plan") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"),  // ed 1 (substitution)
+      (3L, "sittin"),                  // ed(2,3)=1, ed(1,3)=2
+      (4L, "kitte"),                   // ed(1,4)=1 (deletion)
+      (5L, "kittens"),                 // ed(1,5)=1 (insertion), ed(4,5)=2
+      (6L, "banana"), (7L, "banana"),  // ed 0 duplicates still pair
+      (8L, "zzzzzz"))                  // isolated
+      .toDF("id", "s")
+    def brute(k: Int) = {
+      val local = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "kitte"),
+        (5L, "kittens"), (6L, "banana"), (7L, "banana"), (8L, "zzzzzz"))
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      (for { (i, si) <- local; (j, sj) <- local if i < j
+             d = lev(si, sj) if d <= k } yield (i, j, d.toLong)).toSet
+    }
+    for (k <- Seq(1, 2)) {
+      val df = Dedup.editDistanceJoin(rows, "id", sf.col("s"), maxDist = k)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"k=$k must plan as a variant-hash equi join")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute(k), s"k=$k missing=${brute(k) -- got} extra=${got -- brute(k)}")
+    }
+  }
+
   test("hashedWsNgramSeq keeps order and multiplicity; set variant sorts distinct") {
     val df = Seq(
       ("a b c a b c", 2),  // grams: ab bc ca ab bc — repeats kept, in order
