@@ -952,6 +952,15 @@ object SparkEntry {
       Dedup.editDistanceJoin(docs(s, dir), "doc_id",
         sf.substring(sf.lower(sf.trim(sf.col("text"))), 1, 16), maxDist = 1)),
 
+    // Weighted median doc length per source: the n_chars value at
+    // which half the TOKEN mass of the source sits below — exact
+    // integer threshold test, domain-compressed partitioned window.
+    "q150_weighted_median" -> ((s, dir) =>
+      QualityChecks.weightedQuantile(
+        docs(s, dir).withColumn("__w",
+          sf.size(graft.functions.wsTokens(sf.lower(sf.col("text")))).cast("long")),
+        "source", "n_chars", "__w")),
+
     // BPE encode: apply q138's learned merge table to tokenize the
     // corpus — true tokenizer token streams/counts (map-only chain of
     // literal replaces; the merge table is a bounded plan literal).
@@ -3424,6 +3433,21 @@ object SparkEntry {
         |SELECT doc_id, split_key,
         |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Weighted median: domain compression, cumulative window, integer
+    // threshold cum*2 >= tot — no division on either side.
+    "q150_weighted_median" ->
+      """WITH t AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+        |  FROM documents),
+        |f AS (SELECT source, v, CAST(SUM(w) AS BIGINT) AS w FROM t WHERE w > 0 GROUP BY 1, 2),
+        |c AS (SELECT source, v,
+        |  SUM(w) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |  SUM(w) OVER (PARTITION BY source) AS tot FROM f)
+        |SELECT source, CAST(MAX(tot) AS BIGINT) AS total_w, CAST(MIN(v) AS BIGINT) AS q_value
+        |FROM c WHERE cum * 2 >= tot * 1
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Edit-distance join: the quadratic twin over the same 16-char
     // prefix key; DuckDB levenshtein = Spark levenshtein (unit costs).

@@ -654,6 +654,44 @@ object QualityChecks {
         gf.roundAt(sf.sum(clipped) / sf.count(sf.lit(1)), 4).as("winsorized_mean"))
       .orderBy(groupCol)
   }
+  /** Exact weighted quantile per group: the smallest value v whose
+    * cumulative weight reaches `num`/`den` of the group's total weight
+    * (num=1, den=2 -> the lower weighted median). The curation form of
+    * the median — "the doc length at which half the TOKEN MASS sits
+    * below" answers budget questions row-median can't (a few huge docs
+    * carry most of the training mass).
+    *
+    * Determinism: weights and values aggregate as exact integers after
+    * (group, value) domain compression; the threshold test
+    * cum·den >= tot·num is integer arithmetic — no division anywhere.
+    *
+    * Scale shape: domain compression first (map-side combinable, the
+    * winsorizedStats pattern), ONE partitioned cumulative window over
+    * the compressed (group, value) domain — never an unpartitioned
+    * window — and a group-domain-sized rollup. Only (group, value,
+    * weight) triples shuffle. */
+  def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String, num: Int = 1, den: Int = 2): DataFrame = {
+    require(num >= 1 && num <= den && den >= 1,
+      s"need 1 <= num <= den, got $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val vw = graft.operators.Par.spread(
+        df.select(sf.col(groupCol), sf.col(valueCol).cast("long").as("__v"),
+          sf.col(weightCol).cast("long").as("__w")))
+      .filter(sf.col("__v").isNotNull && sf.col("__w").isNotNull && sf.col("__w") > 0)
+      .groupBy(groupCol, "__v")
+      .agg(sf.sum("__w").as("__w"))
+    val cumW = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(groupCol)
+    vw.withColumn("__cum", sf.sum("__w").over(cumW))
+      .withColumn("__tot", sf.sum("__w").over(totW))
+      .filter(sf.col("__cum") * den >= sf.col("__tot") * num)
+      .groupBy(groupCol)
+      .agg(sf.max("__tot").as("total_w"), sf.min("__v").as("q_value"))
+      .orderBy(groupCol)
+  }
+
   /** Calibration reliability bins + expected calibration error (ECE)
     * for a probabilistic classifier: rows carry a confidence in [0, 1]
     * and a 0/1 outcome; each lands in one of `nBins` equal-width bins,

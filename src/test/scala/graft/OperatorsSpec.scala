@@ -340,6 +340,24 @@ class OperatorsSpec extends SparkFunSuite {
       s"mean ${r2.getAs[Double]("winsorized_mean")} dragged by the outlier")
   }
 
+  test("QualityChecks: weightedQuantile picks the exact mass threshold value") {
+    import spark.implicits._
+    // group g: values 1(w=1), 2(w=1), 10(w=8). total=10, half=5 ->
+    // weighted median = 10 (row median would say 2); duplicates of the
+    // same value pool their weight
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 10L, 5L), ("g", 10L, 3L),
+      ("h", 7L, 2L), ("h", 9L, 2L),     // even split: cum(7)*2 = 4 = tot -> 7
+      ("z", 5L, 0L), ("z", 6L, 1L))     // zero weights drop
+      .toDF("grp", "v", "w")
+    val got = QualityChecks.weightedQuantile(df, "grp", "v", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("g", 10L, 10L), ("h", 4L, 7L), ("z", 1L, 6L)), s"got $got")
+    // p75 (num=3, den=4): g's cum at 10 is the first reaching 7.5
+    val p75 = QualityChecks.weightedQuantile(df, "grp", "v", "w", num = 3, den = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(p75 == Map("g" -> 10L, "h" -> 9L, "z" -> 6L), s"got $p75")
+  }
+
   test("QualityChecks: kAnonymity counts under-k groups and rows at risk") {
     import spark.implicits._
     val df = (Seq.fill(12)(("94103", "F")) ++ Seq.fill(3)(("94103", "M")) ++
