@@ -952,6 +952,12 @@ object SparkEntry {
       Dedup.editDistanceJoin(docs(s, dir), "doc_id",
         sf.substring(sf.lower(sf.trim(sf.col("text"))), 1, 16), maxDist = 1)),
 
+    // Quantile normalization: per-source doc lengths mapped onto the
+    // global length distribution — the cross-source score calibrator
+    // (exact integer ranks, partitioned + range-partitioned CDFs).
+    "q151_quantile_norm" -> ((s, dir) =>
+      Sampling.quantileNormalize(docs(s, dir), "source", "n_chars")),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3433,6 +3439,22 @@ object SparkEntry {
         |SELECT doc_id, split_key,
         |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Quantile normalization: max-tie CDFs, integer target rank
+    // k = ceil(cum_g*N/n_g) via // division, rank-interval containment.
+    "q151_quantile_norm" ->
+      """WITH t AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |gv AS (SELECT g, v, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |gc AS (SELECT g, v, c,
+        |  CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum_g,
+        |  CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n_g FROM gv),
+        |gl AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cn FROM gv GROUP BY 1),
+        |glc AS (SELECT v, cn, CAST(SUM(cn) OVER (ORDER BY v) AS BIGINT) AS cum FROM gl),
+        |n AS (SELECT CAST(SUM(cn) AS BIGINT) AS n_tot FROM gl),
+        |k AS (SELECT g, v, c, (cum_g * n_tot + n_g - 1) // n_g AS k FROM gc CROSS JOIN n)
+        |SELECT k.g AS source, k.v AS value, CAST(k.c AS BIGINT) AS n_rows, glc.v AS norm_value
+        |FROM k JOIN glc ON k.k BETWEEN glc.cum - glc.cn + 1 AND glc.cum
+        |ORDER BY source, value""".stripMargin,
 
     // Weighted median: domain compression, cumulative window, integer
     // threshold cum*2 >= tot — no division on either side.

@@ -327,4 +327,56 @@ object Sampling {
         sf.col("e._2").as(idCol))
       .orderBy(keyCol, "rank")
   }
+
+  /** Quantile normalization across groups: each (group, value) maps to
+    * the GLOBAL value at the same within-group quantile — out =
+    * Q_global(F_group(x)) with max-tie CDFs and nearest-rank inverse.
+    * The cross-source score calibrator: per-source quality scores
+    * become comparable before a global threshold or mixture cut, with
+    * no parametric assumption.
+    *
+    * Exact integer formulation: F_group(x) = cum_g/n_g (max-tie),
+    * Q_global(p) = min v with cum_N(v) >= p·N, so the target global
+    * rank is k = ceil(cum_g·N/n_g) (integer div) and the lookup is
+    * "which global value's rank interval [cum_N − c_N + 1, cum_N]
+    * contains k" — rank intervals partition [1, N], so each row maps
+    * to exactly one value. No division, no doubles. The product
+    * cum_g·N stays exact while N < ~3e9 rows (long headroom);
+    * larger corpora should pre-aggregate or sample before calibrating.
+    *
+    * Scale shape: (group, value) domain compression first (map-side
+    * combine); the group CDF is a PARTITIONED window over the
+    * compressed domain; the global CDF rides
+    * [[StarSchema.globalPrefixSums]] (range-partitioned parallel
+    * prefix sums — never a one-task window over a possibly huge value
+    * domain); the rank lookup is the binned interval EQUI join
+    * ([[EventOps.intervalJoin]]), never a BroadcastNestedLoop. Output
+    * is domain-sized (group, value, n_rows, norm_value); callers join
+    * back on (group, value) to map full rows. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        binWidth: Long = 64): DataFrame = {
+    val gv = graft.operators.Par.spread(
+        df.select(sf.col(groupCol).as("__g"), sf.col(valueCol).cast("long").as("__v")))
+      .filter(sf.col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true) // group CDF + global CDF both read it
+    val gw = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = gv
+      .withColumn("__cum_g", sf.sum("__c").over(gw))
+      .withColumn("__n_g", sf.sum("__c").over(Window.partitionBy("__g")))
+    val gl = gv.groupBy("__v").agg(sf.sum("__c").as("__cn"))
+    val glc = StarSchema.globalPrefixSums(gl, Seq("__v"), "__cn", "__cumN")
+      .select(sf.col("__v").as("__nv"),
+        (sf.col("__cumN") - sf.col("__cn") + 1).as("__lo"),
+        sf.col("__cumN").as("__hi"))
+    val nTot = gl.agg(sf.sum("__cn").cast("long").as("__n_tot"))
+    val probes = gcum.crossJoin(sf.broadcast(nTot))
+      .withColumn("__k", sf.expr("(__cum_g * __n_tot + __n_g - 1) div __n_g"))
+    EventOps.intervalJoin(probes, glc, "__k", "__lo", "__hi", binWidth)
+      .select(sf.col("__g").as(groupCol), sf.col("__v").as("value"),
+        sf.col("__c").cast("long").as("n_rows"),
+        sf.col("__nv").as("norm_value"))
+      .orderBy(groupCol, "value")
+  }
 }

@@ -247,6 +247,36 @@ object StarSchema {
       .drop("__pid", "__off")
   }
 
+  /** Globally-ordered exact prefix sums of `sumCol` at ANY parallelism —
+    * the weighted generalization of [[globalDenseIds]] (which is this
+    * with weight 1): each row gets the sum of `sumCol` over all rows at
+    * or before it in the TOTAL order given by `orderCols`. The scale
+    * shape is identical: range repartition on the order columns,
+    * partition-local running sums in parallel, and a numPartitions-row
+    * broadcast of exclusive per-partition totals — never a one-task
+    * global window. `orderCols` must be a total order (ties could
+    * straddle a range boundary and reorder between runs). */
+  def globalPrefixSums(df: DataFrame, orderCols: Seq[String], sumCol: String,
+                       cumName: String = "cum", numPartitions: Int = 0): DataFrame = {
+    val oc = orderCols.map(sf.col)
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, oc: _*)
+      .withColumn("__pid", sf.spark_partition_id())
+      .localCheckpoint(true) // totals + running sums both read it
+    val offW = Window.partitionBy(sf.pmod(sf.col("__pid"), sf.lit(1)))
+      .orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid").agg(sf.sum(sumCol).as("__c"))
+      .withColumn("__off", sf.coalesce(sf.sum("__c").over(offW), sf.lit(0L)))
+      .select("__pid", "__off")
+    val local = Window.partitionBy("__pid").orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(sf.broadcast(offsets), "__pid")
+      .withColumn(cumName, sf.col("__off") + sf.sum(sumCol).over(local))
+      .drop("__pid", "__off")
+  }
+
   /** Partitioned parquet sink (reference partitionBy writes, etl.py:251). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)

@@ -358,6 +358,46 @@ class OperatorsSpec extends SparkFunSuite {
     assert(p75 == Map("g" -> 10L, "h" -> 9L, "z" -> 6L), s"got $p75")
   }
 
+  test("StarSchema.globalPrefixSums equals a local cumulative sum at any parallelism") {
+    import spark.implicits._
+    val rows = (1L to 257L).map(i => (i, i % 13 + 1))
+    val df = rows.toDF("v", "w").repartition(7)
+    for (nPart <- Seq(1, 3, 16)) {
+      val got = StarSchema.globalPrefixSums(df, Seq("v"), "w", "cum", nPart)
+        .select("v", "cum").as[(Long, Long)].collect().toMap
+      var acc = 0L
+      rows.sortBy(_._1).foreach { case (v, w) =>
+        acc += w
+        assert(got(v) == acc, s"nPart=$nPart v=$v got ${got(v)} want $acc")
+      }
+    }
+  }
+
+  test("Sampling.quantileNormalize maps group quantiles onto the global distribution") {
+    import spark.implicits._
+    // A=[1,2,3,4], B=[10,20]; global sorted = 1,2,3,4,10,20 (N=6)
+    // A: k=ceil(cum*6/4) -> ranks 2,3,5,6 -> 2,3,10,20
+    // B: k=ceil(cum*6/2) -> ranks 3,6   -> 3,20
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L), ("B", 10L), ("B", 20L))
+      .toDF("g", "v")
+    val got = Sampling.quantileNormalize(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got == Seq(("A", 1L, 2L), ("A", 2L, 3L), ("A", 3L, 10L), ("A", 4L, 20L),
+      ("B", 10L, 3L), ("B", 20L, 20L)), s"got $got")
+    // one group: the map is the identity (every quantile maps to itself)
+    val one = Sampling.quantileNormalize(
+      Seq(("x", 5L), ("x", 5L), ("x", 9L), ("x", 11L)).toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(one.forall { case (v, nv) => v == nv }, s"got ${one.toSeq}")
+    // plan shape: the rank lookup is a binned EQUI join — the only
+    // nested-loop allowed is the bounded 1-row N-scalar broadcast
+    val qe = Sampling.quantileNormalize(df, "g", "v").queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian product allowed")
+    assert(plan.contains("__pbin") && plan.contains("__ibin"),
+      s"rank lookup must ride the binned interval equi join:\n$plan")
+  }
+
   test("QualityChecks: kAnonymity counts under-k groups and rows at risk") {
     import spark.implicits._
     val df = (Seq.fill(12)(("94103", "F")) ++ Seq.fill(3)(("94103", "M")) ++
