@@ -958,6 +958,12 @@ object SparkEntry {
     "q151_quantile_norm" -> ((s, dir) =>
       Sampling.quantileNormalize(docs(s, dir), "source", "n_chars")),
 
+    // Stratified A-ES: every source keeps its own exact-k weighted
+    // lottery (k-bounded combinable aggregator, never a window sort).
+    "q152_weighted_per_group" -> ((s, dir) =>
+      Sampling.weightedTopKPerGroup(s, docs(s, dir), "source", "doc_id",
+        sf.size(graft.functions.wsTokens(sf.lower(sf.col("text")))), k = 10)),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3439,6 +3445,23 @@ object SparkEntry {
         |SELECT doc_id, split_key,
         |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Stratified A-ES: the window-rank twin of the k-bounded
+    // aggregator — identical key formula, partitioned by source.
+    "q152_weighted_per_group" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+        |  FROM documents),
+        |k AS (SELECT source, doc_id,
+        |  CAST(floor(pow(CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1 AS DOUBLE)/4294967296.0,
+        |       1.0/CAST(w AS DOUBLE))*1e12 + 0.5) AS BIGINT) AS key_fx
+        |  FROM t WHERE w > 0),
+        |r AS (SELECT source, doc_id, key_fx,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY key_fx DESC, doc_id) AS INT) AS rank
+        |  FROM k)
+        |SELECT source, rank, doc_id, key_fx FROM r WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
 
     // Quantile normalization: max-tie CDFs, integer target rank
     // k = ceil(cum_g*N/n_g) via // division, rank-interval containment.

@@ -328,6 +328,45 @@ object Sampling {
       .orderBy(keyCol, "rank")
   }
 
+  /** Exact-k weighted sampling without replacement PER GROUP — the
+    * stratified form of [[weightedTopK]]: each group keeps its own
+    * Efraimidis-Spirakis top-k by the snapped u^(1/w) key ("the best
+    * 5k docs of EVERY source by quality-weighted lottery"), with
+    * membership a pure function of the data.
+    *
+    * Scale shape: the A-ES key is map-only; per-group selection rides
+    * the k-bounded combinable Aggregator (Similarity.TopKAgg — partial
+    * buffers never exceed k, map-side combine, shuffle carries at most
+    * tasks × groups × k rows), NEVER the window-rank formulation that
+    * shuffles and sorts every row per group — that shape survives only
+    * as the SQL oracle twin. Group keys stay strings end to end (no
+    * hash-the-group trick: a collision would silently merge two
+    * groups' lotteries). The exact key_fx longs convert losslessly to
+    * the aggregator's double slot (< 2^53). */
+  def weightedTopKPerGroup(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                           groupCol: String, keyCol: String, weight: Column,
+                           k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    val h32 = sf.pmod(sf.col(keyCol).cast("long"), sf.lit(2147483648L)) *
+      sf.lit(2654435761L) % sf.lit(4294967296L)
+    val u = (h32 + 1L).cast("double") / 4294967296.0
+    val keyFx = sf.floor(sf.pow(u, sf.lit(1.0) / weight.cast("double")) * 1e12 + 0.5)
+      .cast("long")
+    val ds = df.filter(weight.cast("double") > 0)
+      .select(sf.col(groupCol).cast("string").as("_1"),
+        sf.struct(sf.lit(0L).as("qId"), sf.col(keyCol).cast("long").as("nId"),
+          keyFx.cast("double").as("cosine")).as("_2"))
+      .as[(String, Similarity.Scored)]
+    val agg = new Similarity.TopKAgg(k).toColumn
+    ds.groupByKey(_._1).mapValues(_._2).agg(agg.name("topk"))
+      .toDF("g", "topk")
+      .select(sf.col("g"), sf.posexplode(sf.col("topk")).as(Seq("i", "sn")))
+      .select(sf.col("g").as(groupCol), (sf.col("i") + 1).cast("int").as("rank"),
+        sf.col("sn._2").as(keyCol), sf.col("sn._1").cast("long").as("key_fx"))
+      .orderBy(groupCol, "rank")
+  }
+
   /** Quantile normalization across groups: each (group, value) maps to
     * the GLOBAL value at the same within-group quantile — out =
     * Q_global(F_group(x)) with max-tie CDFs and nearest-rank inverse.

@@ -240,6 +240,30 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(fgot == Map(1L -> 0.5, 2L -> 2.25), s"got $fgot")
   }
 
+  test("Sampling.weightedTopKPerGroup: each group runs its own exact A-ES lottery") {
+    val df = (1L to 60L).map(i => (if (i % 3 == 0) "a" else "b", i, (i % 5).toDouble))
+      .toDF("g", "id", "w")
+    val got = Sampling.weightedTopKPerGroup(spark, df, "g", "id", sf.col("w"), k = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // replay: per group, rank by (key desc, id), zero weights out
+    def key(i: Long) = {
+      val h = ((i % 2147483648L) * 2654435761L) % 4294967296L
+      math.floor(math.pow((h + 1).toDouble / 4294967296.0, 1.0 / (i % 5).toDouble) * 1e12 + 0.5).toLong
+    }
+    val want = (1L to 60L).filter(_ % 5 != 0)
+      .map(i => (if (i % 3 == 0) "a" else "b", i, key(i)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy { case (_, i, k) => (-k, i) }.take(4).zipWithIndex
+          .map { case ((_, i, k), r) => (g, r + 1, i, k) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    // a group smaller than k returns all its members
+    val small = Seq(("x", 1L, 2.0), ("x", 2L, 3.0), ("y", 3L, 1.0)).toDF("g", "id", "w")
+    val counts = Sampling.weightedTopKPerGroup(spark, small, "g", "id", sf.col("w"), k = 5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("x" -> 2L, "y" -> 1L), s"got $counts")
+  }
+
   test("EventOps.trendSlopes: exact linear series recovers slope; one-bin group NULL") {
     val t0 = java.sql.Timestamp.valueOf("2026-04-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
