@@ -964,6 +964,11 @@ object SparkEntry {
       Sampling.weightedTopKPerGroup(s, docs(s, dir), "source", "doc_id",
         sf.size(graft.functions.wsTokens(sf.lower(sf.col("text")))), k = 10)),
 
+    // Character-class mix per source: exact alpha/digit/space/other
+    // fractions — the script datasheet row (map-only + one agg).
+    "q153_char_classes" -> ((s, dir) =>
+      TextAnalysis.charClassProfile(docs(s, dir), "source", "text")),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3445,6 +3450,23 @@ object SparkEntry {
         |SELECT doc_id, split_key,
         |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Char classes: identical length-difference counts; explicit ASCII
+    // classes so Java regex and RE2 agree by construction.
+    "q153_char_classes" ->
+      """WITH t AS (SELECT source, CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS BIGINT) AS a,
+        |  CAST(length(text) - length(regexp_replace(lower(text), '[0-9]', '', 'g')) AS BIGINT) AS d,
+        |  CAST(length(text) - length(regexp_replace(lower(text), '[ ]', '', 'g')) AS BIGINT) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_chars, CAST(SUM(a) AS BIGINT) AS sa,
+        |      CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(s) AS BIGINT) AS ss FROM t GROUP BY 1)
+        |SELECT source, n_chars,
+        |  CASE WHEN n_chars > 0 THEN floor(CAST(sa AS DOUBLE)/CAST(n_chars AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS frac_alpha,
+        |  CASE WHEN n_chars > 0 THEN floor(CAST(sd AS DOUBLE)/CAST(n_chars AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS frac_digit,
+        |  CASE WHEN n_chars > 0 THEN floor(CAST(ss AS DOUBLE)/CAST(n_chars AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS frac_space,
+        |  CASE WHEN n_chars > 0 THEN floor(CAST(n_chars - sa - sd - ss AS DOUBLE)/CAST(n_chars AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS frac_other
+        |FROM g ORDER BY source""".stripMargin,
 
     // Stratified A-ES: the window-rank twin of the k-bounded
     // aggregator — identical key formula, partitioned by source.

@@ -656,6 +656,43 @@ object TextAnalysis {
       .orderBy("step")
   }
 
+  /** Per-source character-class profile: exact counts and fractions of
+    * alphabetic / digit / space / other characters — the script-mix
+    * datasheet row that flags encoding junk, numeric dumps, and
+    * minified blobs at the source level before any per-doc scoring.
+    * Classes are explicit ASCII ranges ([a-z] on lowercased text,
+    * [0-9], the space character) so the Java and RE2 regex engines
+    * agree by construction; everything else (unicode letters, control
+    * bytes, punctuation) lands in `other`.
+    *
+    * Determinism: per-doc class counts are length differences after
+    * regexp_replace — exact integers; per-source sums are exact; each
+    * fraction is ONE division of exact longs rounded at 1e-4.
+    *
+    * Scale shape: map-only per-row counting (codegen'd regex on the
+    * scan), one map-side-combinable aggregation to the source domain. */
+  def charClassProfile(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = sf.lower(sf.col(textCol))
+    val len = sf.length(sf.col(textCol)).cast("long")
+    def cnt(cls: String) = len - sf.length(sf.regexp_replace(t, cls, "")).cast("long")
+    val agg = Par.spread(docs.select(sf.col(groupCol), sf.col(textCol)))
+      .filter(sf.col(textCol).isNotNull)
+      .select(sf.col(groupCol), len.as("__n"), cnt("[a-z]").as("__a"),
+        cnt("[0-9]").as("__d"), cnt("[ ]").as("__s"))
+      .groupBy(groupCol)
+      .agg(sf.sum("__n").as("n_chars"), sf.sum("__a").as("__sa"),
+        sf.sum("__d").as("__sd"), sf.sum("__s").as("__ss"))
+    def frac(c: org.apache.spark.sql.Column) = sf.when(sf.col("n_chars") > 0,
+      gf.roundAt(c.cast("double") / sf.col("n_chars").cast("double"), 4))
+    agg.select(sf.col(groupCol), sf.col("n_chars"),
+        frac(sf.col("__sa")).as("frac_alpha"),
+        frac(sf.col("__sd")).as("frac_digit"),
+        frac(sf.col("__ss")).as("frac_space"),
+        frac(sf.col("n_chars") - sf.col("__sa") - sf.col("__sd") - sf.col("__ss"))
+          .as("frac_other"))
+      .orderBy(groupCol)
+  }
+
   /** Apply a learned BPE merge table (the `bpeTrain` output) to
     * tokenize the corpus — the encode half of the tokenizer, giving
     * TRUE tokenizer token streams/counts where `tokenCount`'s regex is

@@ -377,6 +377,20 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((1, "ab")), s"got ${got.toSeq}")
   }
 
+  test("TextAnalysis.charClassProfile: exact class fractions, other as remainder") {
+    import spark.implicits._
+    // "ab 12!" -> n=6, alpha=2, digit=2, space=1, other=1
+    val got = TextAnalysis.charClassProfile(
+      Seq(("s1", "ab 12!"), ("s2", "ABC"), ("s3", "")).toDF("source", "text"),
+      "source", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got == Seq(
+      ("s1", 6L, Some(0.3333), Some(0.3333), Some(0.1667), Some(0.1667)),
+      ("s2", 3L, Some(1.0), Some(0.0), Some(0.0), Some(0.0)), // case-folded alpha
+      ("s3", 0L, None, None, None, None)), s"got $got")       // empty -> NULL fracs
+  }
+
   test("TextAnalysis.backoffLmScore: every backoff branch scores its formula") {
     import spark.implicits._
     def bucket(id: Long) = (id % 2147483648L) * 2654435761L % 4294967296L % 10000
