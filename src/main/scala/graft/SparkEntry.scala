@@ -969,6 +969,18 @@ object SparkEntry {
     "q153_char_classes" -> ((s, dir) =>
       TextAnalysis.charClassProfile(docs(s, dir), "source", "text")),
 
+    // Join-size forecast: exact per-key pair counts for the events
+    // user-activity self-join — the two-sided skew audit (top 20).
+    "q154_join_size" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.joinSizeProfile(ev, "user_id", ev, "user_id", topK = 20)
+    }),
+
+    // First-view-to-first-purchase latency per user: two conditional
+    // min cells in one combinable agg — no window, no self-join.
+    "q155_conversion_latency" -> ((s, dir) =>
+      EventOps.conversionLatency(Tables.load(s, dir, "events"))),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3450,6 +3462,26 @@ object SparkEntry {
         |SELECT doc_id, split_key,
         |  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Join-size forecast: count tables joined, pairs = c_l * c_r,
+    // deterministic (pairs desc, key) top-20.
+    "q154_join_size" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS n FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT a.key, a.n AS c_left, b.n AS c_right, CAST(a.n * b.n AS BIGINT) AS pairs
+        |FROM c a JOIN c b USING (key)
+        |ORDER BY pairs DESC, key LIMIT 20""".stripMargin,
+
+    // Conversion latency: conditional min endpoints, integer floor-div
+    // to seconds; pre-exposure conversions excluded.
+    "q155_conversion_latency" ->
+      """WITH g AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS f,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST((epoch_us(t) - epoch_us(f)) // 1000000 AS BIGINT) AS latency_sec
+        |FROM g WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f
+        |ORDER BY user_id""".stripMargin,
 
     // Char classes: identical length-difference counts; explicit ASCII
     // classes so Java regex and RE2 agree by construction.

@@ -654,6 +654,34 @@ object QualityChecks {
         gf.roundAt(sf.sum(clipped) / sf.count(sf.lit(1)), 4).as("winsorized_mean"))
       .orderBy(groupCol)
   }
+  /** Exact join-size forecast for a planned equi join: per key,
+    * c_left · c_right output rows, reported for the top contributing
+    * keys — the two-sided companion of the single-table
+    * [[joinKeySkew]] profile. Run it before sizing a fact⋈fact join:
+    * the top row IS the skew-join hot key, and the pair counts say
+    * whether the join explodes (both sides heavy) or merely fans out
+    * (one side heavy — broadcast/salt decides).
+    *
+    * Scale shape: each side collapses to its key-count domain first
+    * (map-side combinable), the count tables join on the key
+    * (AQE-decided — key domains can exceed broadcast size), and the
+    * top-k is a TakeOrdered, never a full sort. NULL keys drop, like
+    * in the real join. */
+  def joinSizeProfile(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String,
+                      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ca = left.select(sf.col(leftKey).as("key")).filter(sf.col("key").isNotNull)
+      .groupBy("key").agg(sf.count(sf.lit(1)).as("c_left"))
+    val cb = right.select(sf.col(rightKey).as("key")).filter(sf.col("key").isNotNull)
+      .groupBy("key").agg(sf.count(sf.lit(1)).as("c_right"))
+    ca.join(cb, "key")
+      .select(sf.col("key"), sf.col("c_left"), sf.col("c_right"),
+        (sf.col("c_left") * sf.col("c_right")).as("pairs"))
+      .orderBy(sf.col("pairs").desc, sf.col("key"))
+      .limit(topK)
+  }
+
   /** Exact weighted quantile per group: the smallest value v whose
     * cumulative weight reaches `num`/`den` of the group's total weight
     * (num=1, den=2 -> the lower weighted median). The curation form of

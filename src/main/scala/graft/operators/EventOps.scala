@@ -241,6 +241,34 @@ object EventOps {
       .drop("__pbin", "__ibin")
   }
 
+  /** First-exposure-to-conversion latency per user: seconds from the
+    * user's FIRST `fromType` event to their FIRST `toType` event, for
+    * users where the conversion follows the exposure — the
+    * time-to-convert distribution behind activation dashboards and the
+    * natural input to [[graft.dq.QualityChecks.quantileProfile]].
+    * Users converting before ever being exposed (attribution noise)
+    * are excluded, not clamped.
+    *
+    * Determinism: both endpoints are min() aggregates (order-free);
+    * latency is exact integer microseconds floor-divided to seconds.
+    *
+    * Scale shape: ONE map-side-combinable groupBy(user) with two
+    * conditional min cells — no window, no sort, no self-join. */
+  def conversionLatency(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts", typeCol: String = "event_type",
+                        fromType: String = "view", toType: String = "purchase"): DataFrame = {
+    events
+      .groupBy(sf.col(userCol))
+      .agg(sf.min(sf.when(sf.col(typeCol) === fromType, sf.col(tsCol))).as("first_from"),
+        sf.min(sf.when(sf.col(typeCol) === toType, sf.col(tsCol))).as("first_to"))
+      .filter(sf.col("first_from").isNotNull && sf.col("first_to").isNotNull &&
+        sf.col("first_to") >= sf.col("first_from"))
+      .select(sf.col(userCol),
+        sf.expr(s"(unix_micros(first_to) - unix_micros(first_from)) div 1000000L")
+          .as("latency_sec"))
+      .orderBy(userCol)
+  }
+
   /** Per-event trailing time-range aggregate: for every event, the
     * count and exact decimal sum of the SAME key's events in the
     * trailing `windowSec` seconds (inclusive interval [t-window, t]).

@@ -398,6 +398,33 @@ class OperatorsSpec extends SparkFunSuite {
       s"rank lookup must ride the binned interval equi join:\n$plan")
   }
 
+  test("QualityChecks.joinSizeProfile: exact pair counts, hot key first, nulls drop") {
+    import spark.implicits._
+    val left = (Seq.fill(5)("hot") ++ Seq("a", "a", "b") ++ Seq(null.asInstanceOf[String]))
+      .map(Tuple1(_)).toDF("k")
+    val right = (Seq.fill(4)("hot") ++ Seq("a", "c") ++ Seq(null.asInstanceOf[String]))
+      .map(Tuple1(_)).toDF("k")
+    val got = QualityChecks.joinSizeProfile(left, "k", right, "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // b and c have no partner; nulls never pair
+    assert(got == Seq(("hot", 5L, 4L, 20L), ("a", 2L, 1L, 2L)), s"got $got")
+  }
+
+  test("EventOps.conversionLatency: first-to-first seconds, pre-exposure excluded") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-05-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(5), "view"), (1L, ts(90), "purchase"),
+      (2L, ts(10), "purchase"), (2L, ts(20), "view"),   // converted pre-exposure
+      (3L, ts(0), "view"),                              // never converted
+      (4L, ts(7), "view"), (4L, ts(7), "purchase"))     // same instant -> 0
+      .toDF("user_id", "ts", "event_type")
+    val got = EventOps.conversionLatency(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 5400L), (4L, 0L)), s"got $got")
+  }
+
   test("QualityChecks: kAnonymity counts under-k groups and rows at risk") {
     import spark.implicits._
     val df = (Seq.fill(12)(("94103", "F")) ++ Seq.fill(3)(("94103", "M")) ++
