@@ -981,6 +981,11 @@ object SparkEntry {
     "q155_conversion_latency" -> ((s, dir) =>
       EventOps.conversionLatency(Tables.load(s, dir, "events"))),
 
+    // Frequent event trigrams across per-user sequences — sequence
+    // mining lite (support-counted contiguous n-grams).
+    "q156_seq_ngrams" -> ((s, dir) =>
+      EventOps.sequenceNgrams(Tables.load(s, dir, "events"))),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3482,6 +3487,17 @@ object SparkEntry {
         |SELECT user_id, CAST((epoch_us(t) - epoch_us(f)) // 1000000 AS BIGINT) AS latency_sec
         |FROM g WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f
         |ORDER BY user_id""".stripMargin,
+
+    // Sequence n-grams: per-user (ts, id)-ordered type list, 1-based
+    // inclusive slices, exact support counts.
+    "q156_seq_ngrams" ->
+      """WITH s AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT unnest([array_to_string(seq[i+1:i+3], '->') FOR i IN range(0, len(seq)-2)]) AS ngram
+        |      FROM s WHERE len(seq) >= 3)
+        |SELECT ngram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+        |HAVING COUNT(*) >= 3
+        |ORDER BY n_occurrences DESC, ngram""".stripMargin,
 
     // Char classes: identical length-difference counts; explicit ASCII
     // classes so Java regex and RE2 agree by construction.

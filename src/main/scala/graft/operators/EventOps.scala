@@ -840,6 +840,44 @@ object EventOps {
       .orderBy(sf.col("n_sessions").desc, sf.col("path"))
   }
 
+  /** Frequent contiguous event-type n-grams across per-user event
+    * sequences — sequence-mining lite (the n-gram specialization of
+    * [[sessionPaths]], which counts whole journeys): "view->click->
+    * purchase appears 412 times" is the support statistic behind
+    * next-event models and funnel hypotheses.
+    *
+    * Determinism: each user's sequence orders by (ts, id) — a total
+    * order — and n-gram counting is an exact combinable aggregation
+    * on the joined type string.
+    *
+    * Scale shape: one user-keyed aggregation builds each sequence as a
+    * sorted in-memory struct array (bounded by per-user activity — cap
+    * upstream with [[graft.operators.Sampling.capPerKey]] for
+    * pathological keys); the n-gram explode is per-row bounded
+    * (|seq|−n+1) and the support count is map-side combinable on the
+    * n-gram string. */
+  def sequenceNgrams(events: DataFrame, keyCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     typeCol: String = "event_type",
+                     n: Int = 3, minCount: Long = 3): DataFrame = {
+    require(n >= 2 && n <= 8, s"n must be in [2, 8], got $n")
+    val seqs = events
+      .groupBy(sf.col(keyCol))
+      .agg(sf.transform(
+        sf.array_sort(sf.collect_list(
+          sf.struct(sf.col(tsCol), sf.col(idCol), sf.col(typeCol)))),
+        x => x.getField(typeCol)).as("__seq"))
+      .filter(sf.size(sf.col("__seq")) >= n)
+    seqs
+      .select(sf.explode(sf.transform(
+        sf.sequence(sf.lit(1), sf.size(sf.col("__seq")) - (n - 1)),
+        i => sf.array_join(sf.slice(sf.col("__seq"), i, sf.lit(n)), "->"))).as("ngram"))
+      .groupBy("ngram")
+      .agg(sf.count(sf.lit(1)).as("n_occurrences"))
+      .filter(sf.col("n_occurrences") >= minCount)
+      .orderBy(sf.col("n_occurrences").desc, sf.col("ngram"))
+  }
+
   /** Exponential time-decay engagement score per key: each event
     * contributes value · 2^(-age / halfLife), with age measured back
     * from the corpus's max timestamp — the standard recency-weighted

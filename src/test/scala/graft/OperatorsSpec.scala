@@ -425,6 +425,31 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got == Seq((1L, 5400L), (4L, 0L)), s"got $got")
   }
 
+  test("EventOps.sequenceNgrams: ordered contiguous n-grams with support floor") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-05-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // three users with view->click->purchase; one with a different path;
+    // one too short to contribute any trigram
+    val ev = (for {
+      (u, off) <- Seq((1L, 0), (2L, 100), (3L, 200))
+      (i, t) <- Seq((0, "view"), (1, "click"), (2, "purchase"))
+    } yield (u * 10 + i, u, ts(off + i), t)) ++ Seq(
+      (91L, 9L, ts(500), "view"), (92L, 9L, ts(501), "view"), (93L, 9L, ts(502), "error"),
+      (41L, 4L, ts(300), "view"), (42L, 4L, ts(301), "click"))
+    val df = ev.toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventOps.sequenceNgrams(df, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("view->click->purchase", 3L)), s"got $got")
+    // ties in ts order by event_id: swap order within a tie and re-check
+    val tie = Seq((2L, 1L, ts(0), "b"), (1L, 1L, ts(0), "a"), (3L, 1L, ts(1), "c"),
+      (12L, 2L, ts(9), "a"), (11L, 2L, ts(9), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val tg = EventOps.sequenceNgrams(tie, n = 2, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tg == Seq(("a->b", 1L), ("b->a", 1L), ("b->c", 1L)), s"got $tg")
+  }
+
   test("QualityChecks: kAnonymity counts under-k groups and rows at risk") {
     import spark.implicits._
     val df = (Seq.fill(12)(("94103", "F")) ++ Seq.fill(3)(("94103", "M")) ++
