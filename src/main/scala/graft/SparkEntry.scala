@@ -986,6 +986,11 @@ object SparkEntry {
     "q156_seq_ngrams" -> ((s, dir) =>
       EventOps.sequenceNgrams(Tables.load(s, dir, "events"))),
 
+    // Windowed skip-gram PMI: directional pairs within a 4-token span
+    // — the word2vec-context generalization of q74's adjacency PMI.
+    "q157_windowed_pmi" -> ((s, dir) =>
+      CorpusStats.windowedPmi(docs(s, dir), "text", window = 4, minCount = 5)),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3487,6 +3492,26 @@ object SparkEntry {
         |SELECT user_id, CAST((epoch_us(t) - epoch_us(f)) // 1000000 AS BIGINT) AS latency_sec
         |FROM g WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f
         |ORDER BY user_id""".stripMargin,
+
+    // Windowed PMI: nested comprehension pair explode, pair-table
+    // margins (consistent with the pair universe), one snapped ln.
+    "q157_windowed_pmi" ->
+      """WITH tk AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS t
+        |  FROM documents),
+        |p AS (SELECT pr.a AS a, pr.b AS b, COUNT(*) AS c_ab FROM (
+        |  SELECT unnest(flatten([[{'a': t[i+1], 'b': t[j+1]}
+        |    FOR j IN range(i+1, least(i+4, len(t)-1)+1)] FOR i IN range(0, len(t)-1)])) AS pr
+        |  FROM tk WHERE len(t) >= 2) GROUP BY 1, 2),
+        |o AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_out FROM p GROUP BY 1),
+        |ii AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_in FROM p GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM p)
+        |SELECT p.a, p.b, p.c_ab,
+        |  floor(ln(CAST(p.c_ab AS DOUBLE)*CAST(n_pairs AS DOUBLE)
+        |        /(CAST(c_out AS DOUBLE)*CAST(c_in AS DOUBLE)))*10000.0 + 0.5)/10000.0 AS pmi
+        |FROM p JOIN o USING (a) JOIN ii USING (b) CROSS JOIN n
+        |WHERE p.c_ab >= 5
+        |ORDER BY pmi DESC, a, b""".stripMargin,
 
     // Sequence n-grams: per-user (ts, id)-ordered type list, 1-based
     // inclusive slices, exact support counts.

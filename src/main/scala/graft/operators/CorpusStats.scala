@@ -225,6 +225,52 @@ object CorpusStats {
       .orderBy(sf.col("pmi").desc, sf.col("w1"), sf.col("w2"))
   }
 
+  /** Windowed skip-gram PMI: pointwise mutual information over
+    * DIRECTIONAL (left, right) token pairs within a `window`-token
+    * span — the word2vec-context generalization of [[pmiCollocations]]
+    * (which is this with window = 1). Wider windows surface topical
+    * association ("doctor … hospital") where adjacency only finds
+    * fixed phrases.
+    *
+    * PMI = ln( (c_pair/N_pairs) / ((c_out(a)/N_pairs)·(c_in(b)/N_pairs)) )
+    * with c_out/c_in the pair-table margins — exact integers from one
+    * pair aggregation, so the margins and the total are consistent by
+    * construction (no separate unigram pass can drift from the pair
+    * universe at document edges).
+    *
+    * Scale shape: the pair explode fans out `window` rows per token
+    * position (map-only, per-row bounded); pairs aggregate map-side;
+    * margins reduce the pair DOMAIN, not the corpus; the two margin
+    * joins are AQE-decided; the grand total rides a broadcast 1-row
+    * cross join. One ln per surviving pair, rounded at 1e-4. */
+  def windowedPmi(docs: DataFrame, textCol: String, window: Int = 4,
+                  minCount: Long = 5): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1, 16], got $window")
+    val toks = Par.spread(docs.select(sf.col(textCol)))
+      .select(gf.wsTokens(sf.lower(sf.col(textCol))).as("t"))
+    val pairs = toks.filter(sf.size(sf.col("t")) >= 2)
+      .select(sf.explode(sf.flatten(sf.expr(
+        s"""transform(sequence(0, size(t) - 2),
+           |  i -> transform(sequence(i + 1, least(i + $window, size(t) - 1)),
+           |    j -> struct(t[i] AS a, t[j] AS b)))""".stripMargin))).as("p"))
+      .select(sf.col("p.a").as("a"), sf.col("p.b").as("b"))
+      .groupBy("a", "b").agg(sf.count(sf.lit(1)).as("c_ab"))
+      .localCheckpoint(true) // margins + total + support all read it
+    val outM = pairs.groupBy("a").agg(sf.sum("c_ab").as("c_out"))
+    val inM = pairs.groupBy("b").agg(sf.sum("c_ab").as("c_in"))
+    val tot = pairs.agg(sf.sum("c_ab").as("n_pairs"))
+    val pmi = sf.log(
+      sf.col("c_ab").cast("double") * sf.col("n_pairs").cast("double") /
+        (sf.col("c_out").cast("double") * sf.col("c_in").cast("double")))
+    pairs.filter(sf.col("c_ab") >= minCount)
+      .join(outM, "a")
+      .join(inM, "b")
+      .crossJoin(sf.broadcast(tot))
+      .select(sf.col("a"), sf.col("b"), sf.col("c_ab"),
+        gf.roundAt(pmi, 4).as("pmi"))
+      .orderBy(sf.col("pmi").desc, sf.col("a"), sf.col("b"))
+  }
+
   /** Inter-source n-gram overlap matrix: exact Jaccard between every
     * pair of sources' distinct word-n-gram sets — the redundancy map a
     * mixture designer reads before setting per-source weights (two

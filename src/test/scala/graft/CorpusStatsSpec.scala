@@ -377,6 +377,24 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((1, "ab")), s"got ${got.toSeq}")
   }
 
+  test("CorpusStats.windowedPmi: window pairs, margins, and window=1 ≡ adjacency") {
+    import spark.implicits._
+    // "a b c d": window=2 directional pairs: ab ac bc bd cd
+    val docs = Seq.fill(5)("a b c d").toDF("text")
+    val got = CorpusStats.windowedPmi(docs, "text", window = 2, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSet ==
+      Set(("a", "b", 5L), ("a", "c", 5L), ("b", "c", 5L), ("b", "d", 5L), ("c", "d", 5L)),
+      s"got ${got.toSeq}")
+    // replay one PMI: pair (a,b): c=5, out(a)=10, in(b)=5, N=25
+    val want = math.floor(math.log(5.0 * 25 / (10 * 5)) * 1e4 + 0.5) / 1e4
+    assert(got.find(t => t._1 == "a" && t._2 == "b").get._4 == want)
+    // window=1 reduces to adjacent bigram pairs only
+    val adj = CorpusStats.windowedPmi(docs, "text", window = 1, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(adj == Set(("a", "b"), ("b", "c"), ("c", "d")), s"got $adj")
+  }
+
   test("TextAnalysis.charClassProfile: exact class fractions, other as remainder") {
     import spark.implicits._
     // "ab 12!" -> n=6, alpha=2, digit=2, space=1, other=1
