@@ -991,6 +991,16 @@ object SparkEntry {
     "q157_windowed_pmi" -> ((s, dir) =>
       CorpusStats.windowedPmi(docs(s, dir), "text", window = 4, minCount = 5)),
 
+    // Per-dimension z-score standardization (whitening): fixed-point
+    // moments broadcast over the component stream, map-only.
+    "q158_standardize" -> ((s, dir) =>
+      Similarity.standardizeEmbeddings(emb(s, dir), "vec_id", "embedding")),
+
+    // Leave-one-out 5-NN label eval on the 1/10 hash sample — the
+    // "do neighborhoods respect labels" embedding-quality readout.
+    "q159_knn_eval" -> ((s, dir) =>
+      Similarity.knnLabelEval(s, emb(s, dir), "vec_id", "embedding", "label")),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3492,6 +3502,41 @@ object SparkEntry {
         |SELECT user_id, CAST((epoch_us(t) - epoch_us(f)) // 1000000 AS BIGINT) AS latency_sec
         |FROM g WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f
         |ORDER BY user_id""".stripMargin,
+
+    // kNN label eval: quadratic cosine twin on the hash sample; votes
+    // by (count desc, label), neighbors by (cosine desc, id).
+    "q159_knn_eval" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |  CAST(label AS BIGINT) AS q_label FROM embeddings
+        |  WHERE (((vec_id % 2147483648) * 2654435761) % 4294967296) % 10 = 0),
+        |s AS (SELECT q.q_id, q.q_label, n.vec_id AS n_id, CAST(n.label AS BIGINT) AS n_label,
+        |  list_cosine_similarity(q.qv, CAST(n.embedding AS DOUBLE[])) AS c
+        |  FROM q JOIN embeddings n ON n.vec_id <> q.q_id),
+        |r AS (SELECT q_id, q_label, n_label,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s),
+        |v AS (SELECT q_id, q_label, n_label, COUNT(*) AS c FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |p AS (SELECT q_id, q_label, n_label,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_label) AS rr FROM v)
+        |SELECT q_id AS vec_id, q_label AS label, n_label AS predicted,
+        |  CAST(CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS INT) AS is_correct
+        |FROM p WHERE rr = 1 ORDER BY vec_id""".stripMargin,
+
+    // Standardization: identical snapped moments and pinned z assembly;
+    // constant dims NULL.
+    "q158_standardize" ->
+      """WITH c AS (SELECT vec_id, pr.d AS dim,
+        |  CAST(floor(CAST(pr.x AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS x6 FROM (
+        |  SELECT vec_id, unnest([{'d': i, 'x': embedding[i+1]} FOR i IN range(0, len(embedding))]) AS pr
+        |  FROM embeddings)),
+        |st AS (SELECT dim, COUNT(*) AS n, SUM(CAST(x6 AS DECIMAL(38,0))) AS s1,
+        |       SUM(CAST(x6 AS DECIMAL(38,0))*CAST(x6 AS DECIMAL(38,0))) AS s2 FROM c GROUP BY 1),
+        |m AS (SELECT dim,
+        |  (CAST(s1 AS DOUBLE)/1e6)/CAST(n AS DOUBLE) AS mean,
+        |  sqrt(greatest((CAST(s2 AS DOUBLE)/1e12 - (CAST(s1 AS DOUBLE)/1e6)*(CAST(s1 AS DOUBLE)/1e6)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1), 0.0)) AS std
+        |  FROM st)
+        |SELECT c.vec_id, c.dim, CASE WHEN std > 0 THEN
+        |  floor((CAST(x6 AS DOUBLE)/1e6 - mean)/std*10000.0 + 0.5)/10000.0 END AS z
+        |FROM c JOIN m USING (dim) ORDER BY vec_id, dim""".stripMargin,
 
     // Windowed PMI: nested comprehension pair explode, pair-table
     // margins (consistent with the pair universe), one snapped ln.

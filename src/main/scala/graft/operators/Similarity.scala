@@ -264,6 +264,57 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Leave-one-out kNN label evaluation on a deterministic hash sample:
+    * each sampled vector is classified by the majority label of its k
+    * nearest OTHER vectors (cosine), reported against its own label —
+    * the embedding-quality eval ("do neighborhoods respect labels")
+    * behind encoder comparisons and label-noise audits. Vote ties
+    * break by (count desc, label asc); neighbor ties at the k boundary
+    * by (cosine desc, id asc) — both total orders.
+    *
+    * Scale shape: the eval set is a bounded deterministic hash sample
+    * (1/sampleMod of vectors) and BROADCASTS; the corpus never
+    * shuffles during scoring (map-only cosine against the broadcast
+    * queries, k-bounded TopKAgg). Only the eval×k neighbor rows join
+    * back for labels, and the vote rollups are eval-sized. */
+  def knnLabelEval(spark: SparkSession, emb: DataFrame, idCol: String,
+                   vecCol: String, labelCol: String,
+                   k: Int = 5, sampleMod: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    import spark.implicits._
+    val corpus = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv"),
+      sf.col(labelCol).cast("long").as("n_label")))
+    val queries = sf.broadcast(
+      emb.filter(sampleHash(sf.col(idCol)) % sampleMod === 0)
+        .select(sf.col(idCol).cast("long").as("q_id"),
+          sf.col(vecCol).cast("array<double>").as("qv"),
+          sf.col(labelCol).cast("long").as("q_label")))
+    val scored = queries.join(corpus, sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id").as("qId"), sf.col("n_id").as("nId"),
+        gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+      .as[Scored]
+    val neighbors = scored.groupByKey(_.qId)
+      .agg(new TopKAgg(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(sf.col("q_id"), sf.explode(sf.col("topk")).as("sn"))
+      .select(sf.col("q_id"), sf.col("sn._2").as("n_id"))
+    val votes = neighbors
+      .join(corpus.select(sf.col("n_id"), sf.col("n_label")), "n_id")
+      .groupBy("q_id", "n_label").agg(sf.count(sf.lit(1)).as("c"))
+    val predicted = votes.groupBy("q_id")
+      .agg(sf.min(sf.struct(sf.negate(sf.col("c")).as("nc"),
+        sf.col("n_label").as("l"))).as("w"))
+      .select(sf.col("q_id"), sf.col("w.l").as("predicted"))
+    predicted
+      .join(queries.select(sf.col("q_id"), sf.col("q_label")), "q_id")
+      .select(sf.col("q_id").as("vec_id"), sf.col("q_label").as("label"),
+        sf.col("predicted"),
+        (sf.col("q_label") === sf.col("predicted")).cast("int").as("is_correct"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic codebook-sample ordering: Knuth multiplicative hash
     * of the id, pure 64-bit integer arithmetic — reproducible verbatim
     * in any SQL engine (used by the q32 oracle), unlike engine-specific
@@ -667,6 +718,47 @@ object Similarity {
         gf.roundAt(sf.col("mn"), 4).as("v_min"),
         gf.roundAt(sf.col("mx"), 4).as("v_max"))
       .orderBy("dim")
+  }
+
+  /** Per-dimension z-score standardization of an embedding table — the
+    * whitening step before distance-based ops when dimensions carry
+    * wildly different scales (raw activations, concatenated feature
+    * blocks). Uses [[dimensionProfile]]'s exact fixed-point moments;
+    * emits one (vec_id, dim, z) row per component so the result is a
+    * plain scalar frame (callers re-assemble arrays with a
+    * collect_list/array_sort when needed). Constant dimensions
+    * (std = 0) yield NULL z rather than a division blow-up.
+    *
+    * Determinism: components snap to the 1e6 grid before any moment
+    * sum (DECIMAL-exact, order-free); mean/std/z assemble in one
+    * pinned double expression per row, rounded at 1e-4.
+    *
+    * Scale shape: one combinable moment aggregation to the dim domain
+    * (<= a few thousand rows), broadcast back over the exploded
+    * component stream — map-only standardization, one shuffle total. */
+  def standardizeEmbeddings(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val fx = sf.floor(sf.col("x") * 1e6 + 0.5).cast("long")
+    val comps = Par.spread(emb.select(sf.col(idCol).cast("long").as("vec_id"),
+        sf.col(vecCol).cast("array<double>").as("v")))
+      .select(sf.col("vec_id"), sf.posexplode(sf.col("v")).as(Seq("dim", "x")))
+      .select(sf.col("vec_id"), sf.col("dim"), fx.as("x6"))
+      .localCheckpoint(true) // stats + standardization both read it
+    val n = sf.col("n").cast("double")
+    val s1 = sf.col("s1").cast("double") / 1e6
+    val s2 = sf.col("s2").cast("double") / 1e12
+    val stats = comps.groupBy(sf.col("dim").as("__d"))
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(sf.col("x6").cast("decimal(38,0)")).as("s1"),
+        sf.sum((sf.col("x6") * sf.col("x6")).cast("decimal(38,0)")).as("s2"))
+      .select(sf.col("__d"), sf.col("n"),
+        (s1 / n).as("__mean"),
+        sf.sqrt(sf.greatest((s2 - s1 * s1 / n) / (n - 1), sf.lit(0.0))).as("__std"))
+    comps.join(sf.broadcast(stats), sf.col("dim") === sf.col("__d"))
+      .select(sf.col("vec_id"), sf.col("dim").cast("long").as("dim"),
+        sf.when(sf.col("__std") > 0,
+          gf.roundAt((sf.col("x6").cast("double") / 1e6 - sf.col("__mean")) / sf.col("__std"), 4))
+          .as("z"))
+      .orderBy("vec_id", "dim")
   }
 
   private def mix64(z0: Long): Long = {

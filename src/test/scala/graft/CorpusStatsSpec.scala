@@ -165,6 +165,37 @@ class CorpusStatsSpec extends SparkFunSuite {
       (1, 3L, 1L, 3.0, 1.0, 2.0, 4.0)), s"got $got")
   }
 
+  test("standardizeEmbeddings: exact z-scores, constant dimension NULLs") {
+    // dim 0: values 1,2,3 -> mean 2, std 1 -> z = -1, 0, 1
+    // dim 1: constant 5 -> std 0 -> NULL z
+    val emb = Seq((1L, Seq(1.0, 5.0)), (2L, Seq(2.0, 5.0)), (3L, Seq(3.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.standardizeEmbeddings(emb, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(got == Seq(
+      (1L, 0L, Some(-1.0)), (1L, 1L, None),
+      (2L, 0L, Some(0.0)), (2L, 1L, None),
+      (3L, 0L, Some(1.0)), (3L, 1L, None)), s"got $got")
+  }
+
+  test("knnLabelEval: planted clusters classify right, mislabel detected") {
+    // two tight clusters; vec 9 sits in cluster A but is labeled 1 —
+    // its 3-NN majority says 0, flagging the label as suspect
+    val a = Seq(1.0, 0.0); val b = Seq(0.0, 1.0)
+    def jig(v: Seq[Double], e: Double) = Seq(v(0) + e, v(1) + e / 2)
+    val emb = (Seq((1L, jig(a, 0.01), 0), (2L, jig(a, 0.02), 0), (3L, jig(a, 0.03), 0),
+      (5L, jig(b, 0.01), 1), (6L, jig(b, 0.02), 1), (7L, jig(b, 0.03), 1),
+      (9L, jig(a, 0.04), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelEval(spark, emb, "vec_id", "embedding", "label",
+      k = 3, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 1), (2L, 0L, 0L, 1), (3L, 0L, 0L, 1),
+      (5L, 1L, 1L, 1), (6L, 1L, 1L, 1), (7L, 1L, 1L, 1),
+      (9L, 1L, 0L, 0)), s"got $got")
+  }
+
   test("invertedIndex: df floor, ascending id-capped postings, truncation flag") {
     // "the" in all 30 docs (truncates at cap 5), "rare" in docs 3,7
     // (passes minDf 2), "once" in one doc (filtered), duplicate tokens
