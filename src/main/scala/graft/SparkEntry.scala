@@ -1001,6 +1001,17 @@ object SparkEntry {
     "q159_knn_eval" -> ((s, dir) =>
       Similarity.knnLabelEval(s, emb(s, dir), "vec_id", "embedding", "label")),
 
+    // FD audit: does an order determine its ship mode? violating
+    // orderkeys with distinct-dep and minority-row counts.
+    "q160_fd_check" -> ((s, dir) =>
+      QualityChecks.fdViolations(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_returnflag")),
+
+    // Benford first-digit audit of extended price: exact cents-string
+    // digits vs log10(1 + 1/d).
+    "q161_benford" -> ((s, dir) =>
+      QualityChecks.benfordAudit(Tables.load(s, dir, "lineitem"), "l_extendedprice")),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3502,6 +3513,30 @@ object SparkEntry {
         |SELECT user_id, CAST((epoch_us(t) - epoch_us(f)) // 1000000 AS BIGINT) AS latency_sec
         |FROM g WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f
         |ORDER BY user_id""".stripMargin,
+
+    // FD audit: (det, dep) pair aggregation then det rollup;
+    // violations only, ordered by minority mass.
+    "q160_fd_check" ->
+      """WITH p AS (SELECT l_orderkey AS det, l_returnflag AS dep, COUNT(*) AS c
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT det, COUNT(*) AS n_distinct_dep, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |      CAST(SUM(c) - MAX(c) AS BIGINT) AS n_minority_rows FROM p GROUP BY 1)
+        |SELECT det, n_distinct_dep, n_rows, n_minority_rows FROM g
+        |WHERE n_distinct_dep > 1
+        |ORDER BY n_minority_rows DESC, det""".stripMargin,
+
+    // Benford: exact integer-cents first character; identical ln-ratio
+    // expectation expression.
+    "q161_benford" ->
+      """WITH c AS (SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS d, COUNT(*) AS n
+        |      FROM c WHERE cents >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
+        |SELECT CAST(d AS INT) AS digit, n,
+        |  floor(CAST(n AS DOUBLE)/CAST(n_total AS DOUBLE)*10000.0 + 0.5)/10000.0 AS frac_observed,
+        |  floor(ln(1.0 + 1.0/CAST(d AS DOUBLE))/ln(10.0)*10000.0 + 0.5)/10000.0 AS frac_benford
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

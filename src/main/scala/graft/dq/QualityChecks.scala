@@ -654,6 +654,63 @@ object QualityChecks {
         gf.roundAt(sf.sum(clipped) / sf.count(sf.lit(1)), 4).as("winsorized_mean"))
       .orderBy(groupCol)
   }
+  /** Functional-dependency audit: does `detCol` determine `depCol`?
+    * Reports, per violating determinant value, how many DISTINCT
+    * dependent values it maps to and how many rows sit outside the
+    * majority mapping — the schema-inference / data-contract check
+    * ("order_id should determine customer_id") that catches silent
+    * denormalization drift.
+    *
+    * Scale shape: one (det, dep) distinct-pair aggregation (map-side
+    * combinable), one det-keyed rollup over the PAIR domain — row
+    * counts ride the same pass; the output is violations-only. */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame = {
+    val pairs = df.filter(sf.col(detCol).isNotNull)
+      .groupBy(sf.col(detCol).as("det"), sf.col(depCol).as("dep"))
+      .agg(sf.count(sf.lit(1)).as("__c"))
+    pairs.groupBy("det")
+      .agg(sf.count(sf.lit(1)).as("n_distinct_dep"),
+        sf.sum("__c").as("n_rows"),
+        (sf.sum("__c") - sf.max("__c")).as("n_minority_rows"))
+      .filter(sf.col("n_distinct_dep") > 1)
+      .orderBy(sf.col("n_minority_rows").desc, sf.col("det"))
+  }
+
+  /** Benford first-significant-digit audit: the observed first-digit
+    * distribution of a positive numeric column against Benford's law
+    * (P(d) = log10(1 + 1/d)) — the classic fabricated-data /
+    * unit-mixing detector for financial and measurement columns.
+    * The value snaps to exact integer cents first and the digit is
+    * the integer string's first character — integer rendering is
+    * identical in every engine (float-to-string is NOT), and no libm
+    * log10 runs at a power-of-ten boundary. Shifting by 100 never
+    * changes the leading significant digit; sub-cent values drop.
+    *
+    * Determinism: digit counts are exact; observed fractions are one
+    * exact-long division rounded 1e-4; expected fractions are the
+    * same ln-ratio double expression both engines.
+    *
+    * Scale shape: map-only digit extraction, one combinable
+    * aggregation to at most 9 rows. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = sf.floor(sf.col(valueCol).cast("double") * 100 + 0.5).cast("long")
+    val counts = df
+      .filter(sf.col(valueCol).isNotNull && sf.col(valueCol) > 0)
+      .select(cents.as("__cents"))
+      .filter(sf.col("__cents") >= 1)
+      .select(sf.substring(sf.col("__cents").cast("string"), 1, 1).as("d"))
+      .groupBy("d").agg(sf.count(sf.lit(1)).as("n"))
+    val tot = counts.agg(sf.sum("n").as("n_total"))
+    counts.crossJoin(sf.broadcast(tot))
+      .select(sf.col("d").cast("int").as("digit"), sf.col("n"),
+        gf.roundAt(sf.col("n").cast("double") / sf.col("n_total").cast("double"), 4)
+          .as("frac_observed"),
+        gf.roundAt(
+          sf.log(sf.lit(1.0) + sf.lit(1.0) / sf.col("d").cast("double")) /
+            sf.log(sf.lit(10.0)), 4).as("frac_benford"))
+      .orderBy("digit")
+  }
+
   /** Exact join-size forecast for a planned equi join: per key,
     * c_left · c_right output rows, reported for the top contributing
     * keys — the two-sided companion of the single-table

@@ -450,6 +450,29 @@ class OperatorsSpec extends SparkFunSuite {
     assert(tg == Seq(("a->b", 1L), ("b->a", 1L), ("b->c", 1L)), s"got $tg")
   }
 
+  test("QualityChecks.fdViolations: distinct-dep and minority-row accounting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"),            // det 1: 2 deps, 1 minority row
+      (2L, "A"), (2L, "B"), (2L, "B"), (2L, "C"), // det 2: 3 deps, 2 minority rows
+      (3L, "A"), (3L, "A"))                       // det 3: clean -> absent
+      .toDF("det", "dep")
+    val got = QualityChecks.fdViolations(df, "det", "dep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((2L, 3L, 4L, 2L), (1L, 2L, 3L, 1L)), s"got $got")
+  }
+
+  test("QualityChecks.benfordAudit: cents-string digits, Benford expectations") {
+    import spark.implicits._
+    val df = Seq(1.23, 1.99, 0.25, 9.0, 0.004, -5.0, 30.0).map(Tuple1(_)).toDF("v")
+    // cents: 123, 199, 25, 900, (0.4 -> 0 drops), (negative drops), 3000
+    val got = QualityChecks.benfordAudit(df, "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    def ben(d: Int) = math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e4 + 0.5) / 1e4
+    assert(got == Seq((1, 2L, 0.4, ben(1)), (2, 1L, 0.2, ben(2)),
+      (3, 1L, 0.2, ben(3)), (9, 1L, 0.2, ben(9))), s"got $got")
+  }
+
   test("QualityChecks: kAnonymity counts under-k groups and rows at risk") {
     import spark.implicits._
     val df = (Seq.fill(12)(("94103", "F")) ++ Seq.fill(3)(("94103", "M")) ++
