@@ -1012,6 +1012,25 @@ object SparkEntry {
     "q161_benford" -> ((s, dir) =>
       QualityChecks.benfordAudit(Tables.load(s, dir, "lineitem"), "l_extendedprice")),
 
+    // Exact ROC AUC of the q73/q120 hashing-trick classifier against
+    // the lang=='en' outcome — rank-sum identity, no threshold sweep.
+    // The score is the 1e4-snapped margin (q120's convention), so the
+    // rank domain is integer and midranks replay exactly.
+    "q162_roc_auc" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      QualityChecks.rocAuc(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(sf.floor(sf.col("score") * 10000.0 + 0.5).cast("long").as("s4"),
+            (sf.col("lang") === "en").cast("int").as("y")),
+        "s4", "y")
+    }),
+
+    // Mutual information source↔lang: nats of shared information plus
+    // marginal entropies and NMI — the metadata-redundancy audit.
+    "q163_mutual_info" -> ((s, dir) =>
+      QualityChecks.mutualInformation(docs(s, dir), "source", "lang")),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3537,6 +3556,70 @@ object SparkEntry {
         |  floor(CAST(n AS DOUBLE)/CAST(n_total AS DOUBLE)*10000.0 + 0.5)/10000.0 AS frac_observed,
         |  floor(ln(1.0 + 1.0/CAST(d AS DOUBLE))/ln(10.0)*10000.0 + 0.5)/10000.0 AS frac_benford
         |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // ROC AUC: q120's score replay feeding the q147 Mann-Whitney
+    // doubled-rank-sum machinery; AUC assembled in the same pinned
+    // double order (u = r2s/2 - na(na+1)/2, auc = u/(na·nb)).
+    "q162_roc_auc" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |sc AS (SELECT CAST(floor((floor((raw + -0.05)*10000.0 + 0.5)/10000.0) * 10000.0 + 0.5) AS BIGINT) AS v,
+         |  CAST(d.lang = 'en' AS BIGINT) AS p
+         |  FROM s JOIN documents d USING (doc_id)),
+         |g AS (SELECT v, CAST(SUM(p) AS BIGINT) AS ca, CAST(SUM(1-p) AS BIGINT) AS cb FROM sc GROUP BY 1),
+         |c AS (SELECT v, ca, cb, COALESCE(SUM(ca+cb) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g),
+         |t2 AS (SELECT SUM(CAST(ca AS DECIMAL(38,0)) * CAST(2*cum + ca + cb + 1 AS DECIMAL(38,0))) AS r2s,
+         |       CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+         |SELECT na AS n_pos, nb AS n_neg,
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    floor(((CAST(r2s AS DOUBLE)/2 - CAST(na AS DOUBLE)*(CAST(na AS DOUBLE)+1)/2)
+         |           / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS auc,
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    floor((((CAST(r2s AS DOUBLE)/2 - CAST(na AS DOUBLE)*(CAST(na AS DOUBLE)+1)/2)
+         |           / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)))*2 - 1)*1000000.0 + 0.5)/1000000.0 END AS gini
+         |FROM t2""".stripMargin
+    },
+
+    // MI: 1e-6-snapped ln terms times exact integer counts into
+    // DECIMAL sums (the q148 convention); ratios assembled in the
+    // same pinned double order as the Spark side.
+    "q163_mutual_info" ->
+      """WITH cells AS (SELECT CAST(source AS VARCHAR) AS x, CAST(lang AS VARCHAR) AS y, COUNT(*) AS c
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cxv FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cyv FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |mi AS (SELECT SUM(CAST(c AS DECIMAL(38,0)) *
+        |         CAST(CAST(floor(ln((CAST(c AS DOUBLE)*CAST(n AS DOUBLE)) /
+        |           (CAST(cxv AS DOUBLE)*CAST(cyv AS DOUBLE)))*1e6 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS mi_sum
+        |       FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+        |hx AS (SELECT SUM(CAST(cxv AS DECIMAL(38,0)) *
+        |         CAST(CAST(floor(ln(CAST(cxv AS DOUBLE)/CAST(n AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS hx_sum,
+        |       COUNT(*) AS n_x FROM mx CROSS JOIN tot),
+        |hy AS (SELECT SUM(CAST(cyv AS DECIMAL(38,0)) *
+        |         CAST(CAST(floor(ln(CAST(cyv AS DOUBLE)/CAST(n AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS hy_sum,
+        |       COUNT(*) AS n_y FROM my CROSS JOIN tot)
+        |SELECT n, CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+        |  floor((CAST(mi_sum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS mi_nats,
+        |  floor((-(CAST(hx_sum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 AS h_x,
+        |  floor((-(CAST(hy_sum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 AS h_y,
+        |  CASE WHEN hx_sum < 0 AND hy_sum < 0 THEN
+        |    floor(((CAST(mi_sum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE)) /
+        |      sqrt((-(CAST(hx_sum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE))) *
+        |           (-(CAST(hy_sum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE)))))*1000000.0 + 0.5)/1000000.0 END AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

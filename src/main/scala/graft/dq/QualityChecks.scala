@@ -486,6 +486,114 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Exact ROC AUC of a scalar score against a binary label, via the
+    * Mann-Whitney identity AUC = U / (n_pos · n_neg): the probability
+    * a random positive outranks a random negative, with ties counted
+    * half. No threshold sweep and no sorted-curve materialization —
+    * the rank-sum form IS the trapezoid-rule AUC, computed exactly.
+    *
+    * Exactness: the [[mannWhitneyU]] machinery — per-value counts on
+    * the DISTINCT-score domain, doubled rank sums as exact DECIMAL
+    * integers (2·rankSum = Σ_v ca·(2·cumBefore + ca + cb + 1), no
+    * halves), and only the final AUC ratio assembled in pinned-order
+    * doubles. Feed an already-snapped score (e.g. a 1e4 fixed-point
+    * classifier margin) and any engine replays the value bit-for-bit.
+    *
+    * Scale shape: one map-side-combined groupBy onto the distinct
+    * score domain, one domain-bounded cumulative window, a single-row
+    * finish. The corpus never sorts; only distinct scores do. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = graft.operators.Par.spread(
+      df.select(sf.col(scoreCol).cast("double").as("__v"),
+        (sf.col(labelCol).cast("bigint") > 0).as("__p")))
+      .filter(sf.col("__v").isNotNull && sf.col("__p").isNotNull)
+      .groupBy("__v")
+      .agg(sf.sum(sf.when(sf.col("__p"), 1L).otherwise(0L)).as("__ca"),
+        sf.sum(sf.when(sf.col("__p"), 0L).otherwise(1L)).as("__cb"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__v")), sf.lit(1)))
+      .orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val t = sf.col("__ca") + sf.col("__cb")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cumBefore = sf.coalesce(sf.sum(t).over(w), sf.lit(0L))
+    merged
+      .withColumn("__r2", dec(sf.col("__ca")) * dec(cumBefore * 2 + t + 1))
+      .agg(sf.sum("__r2").as("__r2s"),
+        sf.sum("__ca").as("__na"), sf.sum("__cb").as("__nb"))
+      .select({
+        val na = sf.col("__na").cast("double")
+        val nb = sf.col("__nb").cast("double")
+        // U = R_pos - n_pos(n_pos+1)/2, from the exact doubled rank sum
+        val u = sf.col("__r2s").cast("double") / 2 - na * (na + 1) / 2
+        val auc = u / (na * nb)
+        Seq(sf.col("__na").cast("long").as("n_pos"),
+          sf.col("__nb").cast("long").as("n_neg"),
+          sf.when(sf.col("__na") > 0 && sf.col("__nb") > 0,
+            gf.roundAt(auc, 6)).as("auc"),
+          sf.when(sf.col("__na") > 0 && sf.col("__nb") > 0,
+            gf.roundAt(auc * 2 - 1, 6)).as("gini"))
+      }: _*)
+  }
+
+  /** Mutual information between two categorical columns, in nats —
+    * the effect-size companion to [[chiSquared]]: how many nats of
+    * information one column carries about the other, plus both
+    * marginal entropies and the normalized MI
+    * (NMI = MI / sqrt(H(x)·H(y)), the symmetric-uncertainty form).
+    * In curation this quantifies redundancy between metadata columns
+    * (is `lang` just a renaming of `source`?) before one is dropped.
+    *
+    * Exactness: every ln term is snapped to 1e-6 fixed point
+    * (floor(ln·1e6 + 0.5), the q148 convention) and then multiplied
+    * by its exact integer cell count into DECIMAL(38,0) sums — the
+    * unordered cross-cell sum is integer-exact, so engines can't
+    * drift in the last ulps. Only the final MI/H/NMI ratios assemble
+    * in pinned-order doubles.
+    *
+    * Scale shape: one map-side-combined groupBy onto the (x, y) cell
+    * domain; margins re-aggregate the CELL table (domain-sized, not
+    * corpus-sized); the two margin joins are AQE-decided equi joins;
+    * single-row finish. NULL in either column drops the row. */
+  def mutualInformation(df: DataFrame, colX: String, colY: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def lnFx(c: Column) = sf.floor(sf.log(c) * 1e6 + 0.5).cast("long")
+    val cells = graft.operators.Par.spread(
+      df.select(sf.col(colX).cast("string").as("__x"),
+        sf.col(colY).cast("string").as("__y")))
+      .filter(sf.col("__x").isNotNull && sf.col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(sf.count(sf.lit(1)).as("__cxy"))
+      .localCheckpoint(true)
+    val cx = cells.groupBy("__x").agg(sf.sum("__cxy").as("__cx"))
+    val cy = cells.groupBy("__y").agg(sf.sum("__cxy").as("__cy"))
+    val tot = cells.agg(sf.sum("__cxy").as("__n")).localCheckpoint(true)
+    def entropy(margin: DataFrame, c: String) =
+      margin.crossJoin(sf.broadcast(tot))
+        .select((dec(sf.col(c)) * dec(lnFx(sf.col(c).cast("double") /
+          sf.col("__n").cast("double")))).as("__t"))
+        .agg(sf.sum("__t").as(s"${c}_sum"), sf.count(sf.lit(1)).as(s"${c}_n"))
+    val miSum = cells.join(cx, "__x").join(cy, "__y")
+      .crossJoin(sf.broadcast(tot))
+      .select((dec(sf.col("__cxy")) * dec(lnFx(
+        (sf.col("__cxy").cast("double") * sf.col("__n").cast("double")) /
+          (sf.col("__cx").cast("double") * sf.col("__cy").cast("double"))))).as("__t"))
+      .agg(sf.sum("__t").as("__mi_sum"))
+    miSum.crossJoin(entropy(cx, "__cx")).crossJoin(entropy(cy, "__cy"))
+      .crossJoin(sf.broadcast(tot))
+      .select({
+        val n = sf.col("__n").cast("double")
+        val mi = sf.col("__mi_sum").cast("double") / 1e6 / n
+        val hx = -(sf.col("__cx_sum").cast("double") / 1e6 / n)
+        val hy = -(sf.col("__cy_sum").cast("double") / 1e6 / n)
+        Seq(sf.col("__n").cast("long").as("n"),
+          sf.col("__cx_n").as("n_x"), sf.col("__cy_n").as("n_y"),
+          gf.roundAt(mi, 6).as("mi_nats"),
+          gf.roundAt(hx, 6).as("h_x"), gf.roundAt(hy, 6).as("h_y"),
+          sf.when(sf.col("__cx_sum") < 0 && sf.col("__cy_sum") < 0,
+            gf.roundAt(mi / sf.sqrt(hx * hy), 6)).as("nmi"))
+      }: _*)
+  }
+
   /** Exact Pearson correlation for every pair of the given numeric
     * columns, in ONE scan. Values are quantized to 10^-4 fixed-point
     * longs (the dimensionProfile convention) and all five moment sums

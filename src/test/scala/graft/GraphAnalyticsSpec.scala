@@ -444,4 +444,43 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     }
     assert(t6 == brute, s"missing=${brute -- t6} extra=${t6 -- brute}")
   }
+
+  test("QualityChecks.rocAuc: separators, ties, hand U, one-class NULL") {
+    // perfect separator: every positive outranks every negative
+    val perfect = Seq((3.0, 1), (4.0, 1), (1.0, 0), (2.0, 0)).toDF("s", "y")
+    val p = QualityChecks.rocAuc(perfect, "s", "y").collect()(0)
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L &&
+      p.getDouble(2) == 1.0 && p.getDouble(3) == 1.0, s"got $p")
+    // anti-separator -> 0
+    val anti = Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)).toDF("s", "y")
+    assert(QualityChecks.rocAuc(anti, "s", "y").collect()(0).getDouble(2) == 0.0)
+    // all scores tied -> 0.5 (ties count half)
+    val flat = Seq((7.0, 1), (7.0, 0), (7.0, 1), (7.0, 0)).toDF("s", "y")
+    assert(QualityChecks.rocAuc(flat, "s", "y").collect()(0).getDouble(2) == 0.5)
+    // hand case with a tie: pos {1,2}, neg {1,3}:
+    // U = (p=1 vs n=1: 0.5) + (1 vs 3: 0) + (2 vs 1: 1) + (2 vs 3: 0) = 1.5
+    val hand = Seq((1.0, 1), (2.0, 1), (1.0, 0), (3.0, 0)).toDF("s", "y")
+    val h = QualityChecks.rocAuc(hand, "s", "y").collect()(0)
+    assert(h.getDouble(2) == 0.375 && h.getDouble(3) == -0.25, s"got $h")
+    // one class only -> NULL auc
+    val one = Seq((1.0, 1), (2.0, 1)).toDF("s", "y")
+    assert(QualityChecks.rocAuc(one, "s", "y").collect()(0).isNullAt(2))
+  }
+
+  test("QualityChecks.mutualInformation: independent 0, identical ln2, NULL-entropy guard") {
+    // independent 2x2 (uniform): MI = 0, H(x) = H(y) = ln 2, NMI = 0
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
+    val i = QualityChecks.mutualInformation(ind, "x", "y").collect()(0)
+    assert(i.getLong(0) == 4L && i.getLong(1) == 2L && i.getLong(2) == 2L)
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.693147 &&
+      i.getDouble(5) == 0.693147 && i.getDouble(6) == 0.0, s"got $i")
+    // x == y: MI = H(x) = H(y) = ln 2, NMI = 1
+    val id = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val d = QualityChecks.mutualInformation(id, "x", "y").collect()(0)
+    assert(d.getDouble(3) == 0.693147 && d.getDouble(6) == 1.0, s"got $d")
+    // constant x: H(x) = 0 -> NMI NULL, MI 0
+    val cx = Seq(("a", "u"), ("a", "v")).toDF("x", "y")
+    val c = QualityChecks.mutualInformation(cx, "x", "y").collect()(0)
+    assert(c.getDouble(3) == 0.0 && c.isNullAt(6), s"got $c")
+  }
 }
