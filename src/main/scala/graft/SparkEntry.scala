@@ -1031,6 +1031,13 @@ object SparkEntry {
     "q163_mutual_info" -> ((s, dir) =>
       QualityChecks.mutualInformation(docs(s, dir), "source", "lang")),
 
+    // LPA communities over the part co-occurrence graph: 3 synchronous
+    // majority-vote rounds, ties to the smallest label — splits the
+    // connected graph q119 ranks into densely-linked regions.
+    "q164_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, rounds = 3)),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3620,6 +3627,26 @@ object SparkEntry {
         |      sqrt((-(CAST(hx_sum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE))) *
         |           (-(CAST(hy_sum AS DOUBLE)/1000000.0/CAST(n AS DOUBLE)))))*1000000.0 + 0.5)/1000000.0 END AS nmi
         |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
+
+    // LPA: three synchronous rounds unrolled; each round is the same
+    // neighbor-vote + (count desc, label) argmax the Spark loop runs.
+    "q164_label_prop" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS bb FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e0 AS (SELECT a, bb FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT a AS src, bb AS dst FROM e0 UNION ALL SELECT bb, a FROM e0),
+        |l0 AS (SELECT DISTINCT src AS item, src AS lbl FROM e),
+        |v1 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l0 l ON e.dst = l.item GROUP BY 1, 2),
+        |l1 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l1 l ON e.dst = l.item GROUP BY 1, 2),
+        |l2 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l2 l ON e.dst = l.item GROUP BY 1, 2),
+        |l3 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1)
+        |SELECT item, lbl AS community FROM l3 ORDER BY item""".stripMargin,
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

@@ -130,6 +130,48 @@ object Graph {
     ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
   }
 
+  /** Community detection by synchronous label propagation (LPA,
+    * Raghavan et al. 2007) over the undirected co-occurrence graph:
+    * every node starts labeled with its own id, and each round every
+    * node adopts the MAJORITY label among its neighbors — ties break
+    * to the smallest label, updates are synchronous (all nodes read
+    * round k, write round k+1), so the result is a pure function of
+    * the graph, not of visit order. A fixed small round count is the
+    * production regime: labels stabilize into communities in O(5)
+    * rounds on real graphs, and a deterministic bounded loop beats a
+    * convergence test whose final iteration count varies with data.
+    * Unlike [[graft.operators.Dedup]]'s connected components (which
+    * merges everything reachable), LPA splits a connected graph into
+    * densely-linked regions — the community structure.
+    *
+    * Scale shape: each round is one equi join (labels x edges on the
+    * destination) plus one (node, label)-keyed count and one
+    * node-keyed combinable argmax — max(struct(count, -label)) — so
+    * shuffle volume is |edges| rows per round and no window touches
+    * the node table. Edges persist across rounds; only labels move. */
+  def labelPropagation(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a"), sf.col("item_b"))
+    val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
+      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
+      .persist()
+    var labels = edges.select(sf.col("src").as("item")).distinct()
+      .select(sf.col("item"), sf.col("item").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.select(sf.col("item").as("dst"), sf.col("lbl")), "dst")
+        .groupBy("src", "lbl").agg(sf.count(sf.lit(1)).as("c"))
+      labels = votes
+        .groupBy("src")
+        .agg(sf.max(sf.struct(sf.col("c"), (-sf.col("lbl")).as("nl"))).as("m"))
+        .select(sf.col("src").as("item"), (-sf.col("m.nl")).as("lbl"))
+    }
+    labels.select(sf.col("item"), sf.col("lbl").as("community"))
+      .orderBy("item")
+  }
+
   /** Triangle enumeration over the undirected co-occurrence graph —
     * the clustering/community-density primitive (graph-quality priors,
     * spam-farm detection on link graphs).

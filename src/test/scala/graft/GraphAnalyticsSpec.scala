@@ -445,6 +445,28 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(t6 == brute, s"missing=${brute -- t6} extra=${t6 -- brute}")
   }
 
+  test("Graph.labelPropagation: two bridged cliques resolve to two communities") {
+    // triangles {1,2,3} and {10,11,12} plus a 3-10 bridge; one basket
+    // per edge, minPairCount = 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val df = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i.toLong, u), (i.toLong, v))
+    }.toDF("basket", "item")
+    // hand-propagated: r1 = (2,1,1,3,10,10), r2 = (1,1,1,10,3,3),
+    // r3: {1,2,3} -> 1, {10,11,12} -> 3
+    val got = Graph.labelPropagation(df, "basket", "item",
+      minPairCount = 1, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 3L), (11L, 3L), (12L, 3L)), s"got ${got.toList}")
+    // synchronous determinism: a second run is bit-identical
+    val again = Graph.labelPropagation(df, "basket", "item",
+      minPairCount = 1, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == got)
+  }
+
   test("QualityChecks.rocAuc: separators, ties, hand U, one-class NULL") {
     // perfect separator: every positive outranks every negative
     val perfect = Seq((3.0, 1), (4.0, 1), (1.0, 0), (2.0, 0)).toDF("s", "y")
