@@ -1038,6 +1038,11 @@ object SparkEntry {
       Graph.labelPropagation(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minPairCount = 3, rounds = 3)),
 
+    // Mergeable minhash source sketches -> pairwise Jaccard estimates:
+    // the constant-work-per-pair twin of q83's exact overlap matrix.
+    "q165_source_minhash" -> ((s, dir) =>
+      CorpusStats.minhashSourceSimilarity(docs(s, dir), "source", "text", k = 16)),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3647,6 +3652,30 @@ object SparkEntry {
         |l3 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
         |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1)
         |SELECT item, lbl AS community FROM l3 ORDER BY item""".stripMargin,
+
+    // Source minhash: identical md5-60 base, identical (a·h+b) mod p
+    // permutation literals, identical slot-agreement assembly.
+    "q165_source_minhash" -> {
+      val co = CorpusStats.minhashCoefs(16)
+      val av = co.map(_._1).mkString("[", ",", "]")
+      val bv = co.map(_._2).mkString("[", ",", "]")
+      s"""WITH st AS (SELECT DISTINCT source, tok FROM (
+         |  SELECT source, unnest(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))) AS tok
+         |  FROM documents WHERE length(trim(text)) > 0)),
+         |bs AS (SELECT source, list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |       (a,b) -> a*16 + b) % 2147483629 AS h FROM st),
+         |ab AS (SELECT $av::BIGINT[] AS av, $bv::BIGINT[] AS bv),
+         |co AS (SELECT CAST(i AS INT) AS seed, av[CAST(i AS INT)+1] AS a, bv[CAST(i AS INT)+1] AS b
+         |       FROM (SELECT unnest(range(16)) AS i) CROSS JOIN ab),
+         |hs AS (SELECT source, seed, (a * h + b) % 2147483629 AS hv FROM bs CROSS JOIN co),
+         |sig AS (SELECT source, seed, MIN(hv) AS minh FROM hs GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  16 AS k,
+         |  floor((CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS DOUBLE) / 16)*10000.0 + 0.5)/10000.0 AS est_jaccard
+         |FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

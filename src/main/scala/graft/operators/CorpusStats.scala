@@ -426,6 +426,85 @@ object CorpusStats {
       .orderBy("source_a", "source_b")
   }
 
+  /** Deterministic (a_i, b_i) coefficient pairs for the portable
+    * minhash permutation family h_i(x) = (a_i·x + b_i) mod p, p the
+    * largest prime below 2^31 that the repo's portable-hash kernels
+    * share. Generated by a fixed-seed 64-bit LCG so the SAME literals
+    * can be inlined into oracle SQL — everything about the signature
+    * is then replayable in any engine with md5() and 64-bit integers
+    * (a < 2^31 and x < 2^31, so a·x + b never overflows a BIGINT). */
+  def minhashCoefs(k: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    val P = 2147483629L
+    var s = seed
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % (P - 1)) + 1
+    }
+    Seq.fill(k)((next(), next()))
+  }
+
+  /** Per-source MERGEABLE minhash signatures: for each of k fixed
+    * permutations, the minimum permuted md5-token-hash over the
+    * source's distinct vocabulary. The signature of a UNION of
+    * corpora is the elementwise min of their signatures — so shards,
+    * daily increments, or whole sources re-aggregate without ever
+    * rescanning text (the sketch counterpart of [[sourceOverlap]]'s
+    * exact intersection). One row per (source, permutation slot).
+    *
+    * Scale shape: distinct (source, token) collapses the corpus to
+    * its vocabulary with map-side combine; the k-way expansion
+    * multiplies only the VOCABULARY (never raw text), and the
+    * per-(source, slot) min is a combinable aggregate whose shuffle
+    * is ≤ tasks·sources·k rows. Output is sources×k rows — broadcast
+    * scale for any downstream join. */
+  def minhashSourceSignatures(docs: DataFrame, srcCol: String,
+                              textCol: String, k: Int = 16): DataFrame = {
+    val P = 2147483629L
+    val base = sf.conv(sf.substring(sf.md5(sf.col("tok")), 1, 15), 16, 10)
+      .cast("long") % P
+    val slots = sf.array(minhashCoefs(k).zipWithIndex.map {
+      case ((a, b), i) =>
+        sf.struct(sf.lit(i).as("seed"),
+          ((sf.lit(a) * base + sf.lit(b)) % P).as("h"))
+    }: _*)
+    Par.spread(docs.select(sf.col(srcCol).as("source"), sf.col(textCol).as("__t")))
+      .select(sf.col("source"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("tok"))
+      .distinct()
+      .select(sf.col("source"), sf.explode(slots).as("sh"))
+      .groupBy(sf.col("source"), sf.col("sh.seed").as("seed"))
+      .agg(sf.min(sf.col("sh.h")).as("minh"))
+  }
+
+  /** Pairwise source Jaccard ESTIMATES from the minhash signatures:
+    * the fraction of the k permutation slots on which two sources
+    * agree is an unbiased estimate of |A∩B| / |A∪B| (±1/√k std err).
+    * This is the 100 TB-shape answer to "how much do my sources
+    * overlap": [[sourceOverlap]] intersects vocabularies exactly
+    * (a gram-keyed self-join over the full vocabulary), while this
+    * compares sources×k fixed-size sketches — constant work per pair
+    * regardless of corpus size, and the signatures re-aggregate
+    * across shards by elementwise min. All source pairs appear,
+    * including zero-overlap ones. */
+  def minhashSourceSimilarity(docs: DataFrame, srcCol: String,
+                              textCol: String, k: Int = 16): DataFrame = {
+    val sig = minhashSourceSignatures(docs, srcCol, textCol, k)
+      .localCheckpoint(true)
+    val a = sig.select(sf.col("source").as("src_a"), sf.col("seed"),
+      sf.col("minh").as("__ha"))
+    val b = sig.select(sf.col("source").as("src_b"), sf.col("seed"),
+      sf.col("minh").as("__hb"))
+    a.join(b, "seed").filter(sf.col("src_a") < sf.col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sf.sum(sf.when(sf.col("__ha") === sf.col("__hb"), 1L)
+        .otherwise(0L)).as("n_match"))
+      .select(sf.col("src_a"), sf.col("src_b"), sf.col("n_match"),
+        sf.lit(k).as("k"),
+        gf.roundAt(sf.col("n_match").cast("double") / k, 4).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Okapi BM25 relevance of every document for a fixed query term
     * set (Robertson & Walker SIGIR'94; the Lucene `+1`-inside-the-log
     * idf variant, which is non-negative even for df > N/2):

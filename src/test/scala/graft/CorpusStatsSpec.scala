@@ -511,4 +511,28 @@ class CorpusStatsSpec extends SparkFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("view->click", 3L), ("purchase", 1L)), s"got $got")
   }
+
+  test("CorpusStats.minhashSourceSignatures: mergeable by elementwise min; identical vocab -> estimate 1") {
+    import spark.implicits._
+    def sigMap(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.minhashSourceSignatures(df, "source", "text", k = 8)
+        .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    // the union sketch must equal the elementwise min of shard sketches
+    val shard1 = Seq(("s", "alpha beta gamma")).toDF("source", "text")
+    val shard2 = Seq(("s", "delta beta epsilon zeta")).toDF("source", "text")
+    val whole = Seq(("s", "alpha beta gamma"), ("s", "delta beta epsilon zeta"))
+      .toDF("source", "text")
+    val (m1, m2, mw) = (sigMap(shard1), sigMap(shard2), sigMap(whole))
+    (0 until 8).foreach { i =>
+      assert(mw(("s", i)) == math.min(m1(("s", i)), m2(("s", i))),
+        s"slot $i: union != min of shards")
+    }
+    // identical vocabularies (order/duplication-invariant) -> all slots
+    // agree, estimate 1.0; disjoint vocabularies -> 0 matches
+    val docs = Seq(("a", "x y z"), ("b", "z y x x"), ("c", "p q r")).toDF("source", "text")
+    val sim = CorpusStats.minhashSourceSimilarity(docs, "source", "text", k = 8)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(4)))).toMap
+    assert(sim(("a", "b")) == ((8L, 1.0)), s"got ${sim(("a", "b"))}")
+    assert(sim(("a", "c"))._1 == 0L && sim(("b", "c"))._1 == 0L)
+  }
 }
