@@ -1043,6 +1043,23 @@ object SparkEntry {
     "q165_source_minhash" -> ((s, dir) =>
       CorpusStats.minhashSourceSimilarity(docs(s, dir), "source", "text", k = 16)),
 
+    // Schema contract over orders: 5 row rules + a unique key in ONE
+    // scan; range_price is deliberately tight so the report shows a
+    // failing rule alongside passing ones.
+    "q166_contract" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      QualityChecks.contractValidate(o,
+        rowRules = Seq(
+          "custkey_not_null" -> sf.col("o_custkey").isNotNull,
+          "status_enum" -> sf.col("o_orderstatus").isin("O", "F", "P"),
+          "priority_regex" -> sf.col("o_orderpriority").rlike("^[1-5]-"),
+          "price_range" -> (sf.col("o_totalprice") > 0.0 &&
+            sf.col("o_totalprice") <= 400000.0),
+          "date_bounds" -> (sf.col("o_orderdate") >= sf.lit("1992-01-01").cast("timestamp") &&
+            sf.col("o_orderdate") < sf.lit("2002-01-01").cast("timestamp"))),
+        uniqueRules = Seq("orderkey_unique" -> Seq("o_orderkey")))
+    }),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3676,6 +3693,31 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    // Contract: one arm per rule, identical null-safe NOT semantics;
+    // unique violations = n_rows - count(distinct key).
+    "q166_contract" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+        |r AS (
+        |  SELECT 'custkey_not_null' AS rule_id, 'row' AS kind,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'status_enum', 'row',
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'priority_regex', 'row',
+        |    CAST(SUM(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'price_range', 'row',
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0.0 AND o_totalprice <= 400000.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'date_bounds', 'row',
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_orderdate >= TIMESTAMP '1992-01-01' AND o_orderdate < TIMESTAMP '2002-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orderkey_unique', 'unique',
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        |SELECT rule_id, kind, violations, n_rows, violations = 0 AS pass
+        |FROM r CROSS JOIN n ORDER BY rule_id""".stripMargin,
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

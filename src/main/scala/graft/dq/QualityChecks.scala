@@ -594,6 +594,53 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Declarative schema-contract validation: a rule set (not-null,
+    * range, enum, regex, date bounds — any row predicate — plus
+    * unique-key constraints) evaluated into ONE tall report frame of
+    * (rule_id, kind, violations, n_rows, pass). The
+    * Great-Expectations-style data contract as a query: the gate a
+    * pipeline runs on every ingest before promoting a snapshot,
+    * subsuming the single-purpose validators ([[predicateViolations]],
+    * [[uniqueKey]]) when a table carries many obligations.
+    *
+    * Scale shape: every ROW rule is a conditional sum cell in a
+    * single combinable aggregation — one scan of the fact for the
+    * whole rule set, |rules| cells per map task. Unique rules add
+    * exact count-distinct cells (Spark plans them via expand — still
+    * one pass over the scan, no per-rule jobs); the report explodes
+    * from the one aggregated row, map-only. Rules where the
+    * predicate is NULL count as violations (null-safe NOT). */
+  def contractValidate(df: DataFrame,
+                       rowRules: Seq[(String, Column)],
+                       uniqueRules: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueRules.nonEmpty, "empty contract")
+    val ids = rowRules.map(_._1) ++ uniqueRules.map(_._1)
+    require(ids.distinct.size == ids.size, s"duplicate rule ids in $ids")
+    val cells: Seq[Column] =
+      rowRules.map { case (id, pred) =>
+        sf.sum(sf.when(sf.coalesce(pred, sf.lit(false)), 0L).otherwise(1L))
+          .as(s"__v_$id")
+      } ++
+      uniqueRules.map { case (id, keys) =>
+        sf.count_distinct(sf.struct(keys.map(sf.col): _*)).as(s"__d_$id")
+      } :+ sf.count(sf.lit(1)).as("__n")
+    val agg = df.agg(cells.head, cells.tail: _*)
+    val report =
+      rowRules.map { case (id, _) =>
+        sf.struct(sf.lit(id).as("rule_id"), sf.lit("row").as("kind"),
+          sf.col(s"__v_$id").as("violations"))
+      } ++
+      uniqueRules.map { case (id, _) =>
+        sf.struct(sf.lit(id).as("rule_id"), sf.lit("unique").as("kind"),
+          (sf.col("__n") - sf.col(s"__d_$id")).as("violations"))
+      }
+    agg.select(sf.explode(sf.array(report: _*)).as("r"), sf.col("__n"))
+      .select(sf.col("r.rule_id").as("rule_id"), sf.col("r.kind").as("kind"),
+        sf.col("r.violations").as("violations"), sf.col("__n").as("n_rows"),
+        (sf.col("r.violations") === 0L).as("pass"))
+      .orderBy("rule_id")
+  }
+
   /** Exact Pearson correlation for every pair of the given numeric
     * columns, in ONE scan. Values are quantized to 10^-4 fixed-point
     * longs (the dimensionProfile convention) and all five moment sums

@@ -489,6 +489,32 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(QualityChecks.rocAuc(one, "s", "y").collect()(0).isNullAt(2))
   }
 
+  test("QualityChecks.contractValidate: hand violations, NULL predicate counts, unique surplus") {
+    val df = Seq(
+      (1L, Some(10.0), "A"), (2L, Some(-5.0), "A"),   // -5 violates range
+      (2L, Some(20.0), "B"),                          // duplicate key 2
+      (3L, None, "Z"))                                // NULL range pred -> violation; Z not in enum
+      .toDF("id", "price", "status")
+    val got = QualityChecks.contractValidate(df,
+      rowRules = Seq(
+        "price_range" -> (sf.col("price") > 0.0),
+        "status_enum" -> sf.col("status").isin("A", "B")),
+      uniqueRules = Seq("id_unique" -> Seq("id")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      ("id_unique", "unique", 1L, 4L, false),
+      ("price_range", "row", 2L, 4L, false),
+      ("status_enum", "row", 1L, 4L, false)), s"got $got")
+    // a clean table passes everything
+    val clean = Seq((1L, Some(1.0), "A"), (2L, Some(2.0), "B")).toDF("id", "price", "status")
+    val ok = QualityChecks.contractValidate(clean,
+      rowRules = Seq("price_range" -> (sf.col("price") > 0.0)),
+      uniqueRules = Seq("id_unique" -> Seq("id")))
+      .collect().map(_.getBoolean(4))
+    assert(ok.forall(identity))
+  }
+
   test("QualityChecks.mutualInformation: independent 0, identical ln2, NULL-entropy guard") {
     // independent 2x2 (uniform): MI = 0, H(x) = H(y) = ln 2, NMI = 0
     val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
