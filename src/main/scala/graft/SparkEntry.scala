@@ -1060,6 +1060,13 @@ object SparkEntry {
         uniqueRules = Seq("orderkey_unique" -> Seq("o_orderkey")))
     }),
 
+    // Poisson-bootstrap CI of the mean event value per type: 40
+    // hash-derived resamples as agg cells in one scan — the
+    // uncertainty a metrics readout should carry at any scale.
+    "q167_bootstrap_ci" -> ((s, dir) =>
+      QualityChecks.bootstrapMeanCI(Tables.load(s, dir, "events"),
+        "event_type", "event_id", "value", b = 40)),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3718,6 +3725,41 @@ object SparkEntry {
         |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
         |SELECT rule_id, kind, violations, n_rows, violations = 0 AS pass
         |FROM r CROSS JOIN n ORDER BY rule_id""".stripMargin,
+
+    // Bootstrap CI: identical hash-derived Poisson multiplicities
+    // (shared threshold literals), identical fixed-point resample
+    // means, identical sorted-left-fold rank/SE assembly.
+    "q167_bootstrap_ci" -> {
+      val ts = QualityChecks.poissonThresholds
+      val mcase = ts.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 6 END")
+      s"""WITH base AS (SELECT event_type AS k, event_id AS id,
+         |  CAST(floor(CAST(value AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS vfx
+         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         |rs AS (SELECT k, id, vfx, CAST(i AS BIGINT) AS b
+         |       FROM base CROSS JOIN (SELECT unnest(range(40)) AS i)),
+         |mt AS (SELECT k, b, vfx, $mcase AS m FROM
+         |       (SELECT k, b, vfx, (((id*41 + b) % 2147483648) * 2654435761) % 4294967296 AS u FROM rs)),
+         |g AS (SELECT k, b, SUM(CAST(m AS DECIMAL(38,0)) * CAST(vfx AS DECIMAL(38,0))) AS sb,
+         |      CAST(SUM(m) AS BIGINT) AS nb FROM mt GROUP BY 1, 2),
+         |mm AS (SELECT k, CAST(floor(CAST(sb AS DOUBLE)/10000.0/CAST(nb AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS mfx
+         |       FROM g WHERE nb > 0),
+         |lst AS (SELECT k, list_sort(list(mfx)) AS ms FROM mm GROUP BY 1),
+         |mo AS (SELECT k, ms, len(ms) AS nb,
+         |       list_reduce(list_transform(ms, x -> x/1000000.0), (a, c) -> a + c)
+         |         / CAST(len(ms) AS DOUBLE) AS mom FROM lst),
+         |tot AS (SELECT k, COUNT(*) AS n, SUM(CAST(vfx AS DECIMAL(38,0))) AS s FROM base GROUP BY 1)
+         |SELECT tot.k AS event_type, CAST(n AS BIGINT) AS n,
+         |  floor(CAST(s AS DOUBLE)/10000.0/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mean,
+         |  CAST(nb AS BIGINT) AS n_resamples,
+         |  floor((ms[GREATEST(CAST(floor(CAST(nb*5 + 99 AS DOUBLE)/100.0) AS INT), 1)]/1000000.0)*1000000.0 + 0.5)/1000000.0 AS p05_boot,
+         |  floor((ms[GREATEST(CAST(floor(CAST(nb*95 + 99 AS DOUBLE)/100.0) AS INT), 1)]/1000000.0)*1000000.0 + 0.5)/1000000.0 AS p95_boot,
+         |  CASE WHEN nb > 1 THEN
+         |    floor(sqrt(list_reduce(list_transform(ms, x -> (x/1000000.0 - mom)*(x/1000000.0 - mom)),
+         |      (a, c) -> a + c) / (CAST(nb AS DOUBLE) - 1.0))*1000000.0 + 0.5)/1000000.0 END AS se_boot
+         |FROM mo JOIN tot ON mo.k = tot.k ORDER BY event_type""".stripMargin
+    },
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

@@ -594,6 +594,94 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval for each
+    * group's mean (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): resample multiplicities are
+    * Poisson(1) draws derived from a PORTABLE HASH of the row id and
+    * the resample index — no RNG state, so the "random" resamples are
+    * a pure function of the data and replay in any engine — and every
+    * resample is a pair of conditional-sum cells in ONE combinable
+    * aggregation. B resamples over 100 TB cost one scan with 2B+2
+    * cells per map task; the corpus is never exploded B-fold and
+    * never sorted.
+    *
+    * Output per group: n, the point mean, and the bootstrap
+    * distribution's nearest-rank p05/p95 plus its standard error
+    * (the CI a metrics dashboard should print next to every mean).
+    *
+    * Exactness: values quantize to 1e-4 fixed point and sum in
+    * DECIMAL(38,0); each resample mean snaps to 1e-6 before the
+    * rank/SE assembly, which runs as LEFT FOLDS over the SORTED
+    * means array (B-bounded), so every double op has a pinned order.
+    * Resamples that draw an empty multiset drop from the rank list. */
+  def bootstrapMeanCI(df: DataFrame, keyCol: String, idCol: String,
+                      valueCol: String, b: Int = 40): DataFrame = {
+    require(b >= 4 && b <= 200, s"b must be in [4, 200], got $b")
+    // cumulative Poisson(1) CDF scaled to 2^32 — literals shared with
+    // the oracle builder via poissonThresholds
+    val ts = poissonThresholds
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(sf.col(keyCol).as("__k"),
+      sf.col(idCol).cast("long").as("__id"),
+      sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).as("__vfx"))
+      .filter(sf.col("__vfx").isNotNull && sf.col("__id").isNotNull)
+    def mult(i: Int): Column = {
+      val u = (sf.pmod(sf.col("__id") * 41 + sf.lit(i.toLong), sf.lit(2147483648L)) *
+        sf.lit(2654435761L)) % sf.lit(4294967296L)
+      ts.zipWithIndex.foldRight(sf.lit(6): Column) { case ((t, k), rest) =>
+        sf.when(u < t, k).otherwise(rest)
+      }.cast("long")
+    }
+    val cells: Seq[Column] =
+      (0 until b).flatMap { i =>
+        Seq(sf.sum(dec(mult(i)) * dec(sf.col("__vfx"))).as(s"__sb$i"),
+          sf.sum(mult(i)).as(s"__nb$i"))
+      } ++ Seq(sf.count(sf.lit(1)).as("__n"), sf.sum(dec(sf.col("__vfx"))).as("__s"))
+    val agg = base.groupBy("__k").agg(cells.head, cells.tail: _*)
+    val meanFx = (0 until b).map { i =>
+      sf.when(sf.col(s"__nb$i") > 0,
+        sf.floor(sf.col(s"__sb$i").cast("double") / 1e4 /
+          sf.col(s"__nb$i").cast("double") * 1e6 + 0.5))
+    }
+    val means = sf.sort_array(sf.filter(sf.array(meanFx: _*), x => x.isNotNull))
+    agg.select(sf.col("__k"), sf.col("__n"), sf.col("__s"), means.as("__m"))
+      .select({
+        val nb = sf.size(sf.col("__m"))
+        // nearest-rank ceil(p·nb/100) in exact small-integer arithmetic
+        def rank(p: Int) =
+          sf.floor((nb * p + 99).cast("double") / 100.0).cast("int")
+        def atRank(p: Int) =
+          sf.element_at(sf.col("__m"), sf.greatest(rank(p), sf.lit(1))) / 1e6
+        val sum1 = sf.aggregate(sf.col("__m"), sf.lit(0.0),
+          (a, x) => a + x / 1e6)
+        val mom = sum1 / nb.cast("double")
+        val sumsq = sf.aggregate(sf.col("__m"), sf.lit(0.0),
+          (a, x) => a + (x / 1e6 - mom) * (x / 1e6 - mom))
+        Seq(sf.col("__k").as(keyCol),
+          sf.col("__n").as("n"),
+          gf.roundAt(sf.col("__s").cast("double") / 1e4 /
+            sf.col("__n").cast("double"), 6).as("mean"),
+          nb.cast("long").as("n_resamples"),
+          sf.when(nb > 0, gf.roundAt(atRank(5), 6)).as("p05_boot"),
+          sf.when(nb > 0, gf.roundAt(atRank(95), 6)).as("p95_boot"),
+          sf.when(nb > 1, gf.roundAt(
+            sf.sqrt(sumsq / (nb.cast("double") - 1.0)), 6)).as("se_boot"))
+      }: _*)
+      .orderBy(keyCol)
+  }
+
+  /** Cumulative Poisson(1) CDF at k = 0..5, scaled to 2^32 and
+    * floored — the inverse-CDF thresholds the bootstrap multiplicity
+    * draw shares between the Spark side and the oracle SQL (draws
+    * beyond 5 collapse to multiplicity 6; P ≈ 1e-4). */
+  def poissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0)
+    val cdf = fact.indices.map(k =>
+      (0 to k).map(j => e1 / fact(j)).sum)
+    cdf.map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
   /** Declarative schema-contract validation: a rule set (not-null,
     * range, enum, regex, date bounds — any row predicate — plus
     * unique-key constraints) evaluated into ONE tall report frame of

@@ -515,6 +515,26 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(ok.forall(identity))
   }
 
+  test("QualityChecks.bootstrapMeanCI: constant collapses, CI brackets the mean, deterministic") {
+    // constant values: every resample mean is the constant -> p05 = p95
+    // = mean, se = 0
+    val const = (1L to 100L).map(i => ("a", i, 5.0)).toDF("k", "id", "v")
+    val c = QualityChecks.bootstrapMeanCI(const, "k", "id", "v", b = 40).collect()(0)
+    assert(c.getLong(1) == 100L && c.getDouble(2) == 5.0 &&
+      c.getLong(3) == 40L && c.getDouble(4) == 5.0 &&
+      c.getDouble(5) == 5.0 && c.getDouble(6) == 0.0, s"got $c")
+    // spread values: the bootstrap interval brackets the point mean and
+    // has positive width/se
+    val spread = (1L to 200L).map(i => ("a", i, (i % 10).toDouble)).toDF("k", "id", "v")
+    val s1 = QualityChecks.bootstrapMeanCI(spread, "k", "id", "v", b = 40).collect()(0)
+    assert(s1.getDouble(4) <= s1.getDouble(2) && s1.getDouble(2) <= s1.getDouble(5),
+      s"CI must bracket the mean: $s1")
+    assert(s1.getDouble(6) > 0.0)
+    // hash-derived resamples: a second run is bit-identical
+    val s2 = QualityChecks.bootstrapMeanCI(spread, "k", "id", "v", b = 40).collect()(0)
+    assert(s1 == s2)
+  }
+
   test("QualityChecks.mutualInformation: independent 0, identical ln2, NULL-entropy guard") {
     // independent 2x2 (uniform): MI = 0, H(x) = H(y) = ln 2, NMI = 0
     val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
