@@ -1067,6 +1067,11 @@ object SparkEntry {
       QualityChecks.bootstrapMeanCI(Tables.load(s, dir, "events"),
         "event_type", "event_id", "value", b = 40)),
 
+    // Per-source heavy hitters: per-group Misra-Gries nomination +
+    // exact recount — which terms dominate each source.
+    "q168_heavy_per_source" -> ((s, dir) =>
+      CorpusStats.heavyHittersPerGroup(docs(s, dir), "source", "text", phi = 0.01)),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3760,6 +3765,20 @@ object SparkEntry {
          |      (a, c) -> a + c) / (CAST(nb AS DOUBLE) - 1.0))*1000000.0 + 0.5)/1000000.0 END AS se_boot
          |FROM mo JOIN tot ON mo.k = tot.k ORDER BY event_type""".stripMargin
     },
+
+    // Per-source heavy hitters: the sketch only nominates — the exact
+    // recount + ceil(phi·n_g) threshold make the output sketch-free,
+    // so the oracle is a plain exact groupBy twin.
+    "q168_heavy_per_source" ->
+      """WITH toks AS (SELECT source AS grp,
+        |  unnest(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))) AS term
+        |  FROM documents WHERE source IS NOT NULL AND length(trim(text)) > 0),
+        |g AS (SELECT grp, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_grp FROM g GROUP BY 1)
+        |SELECT g.grp AS source, term, CAST(cnt AS BIGINT) AS cnt, n_grp
+        |FROM g JOIN t ON g.grp = t.grp
+        |WHERE cnt >= ceil(0.01 * n_grp)
+        |ORDER BY source, cnt DESC, term""".stripMargin,
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

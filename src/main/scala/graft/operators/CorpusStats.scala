@@ -102,6 +102,61 @@ object CorpusStats {
       .orderBy(sf.col("cnt").desc, sf.col("term"))
   }
 
+  /** [[MisraGriesAgg]] lifted to (group, term) pairs so it can run
+    * under `groupByKey(group)` — same summary, same bounds, input
+    * projected to the term. */
+  class MisraGriesPairAgg(capacity: Int)
+      extends Aggregator[(String, String), Map[String, Long], Seq[String]] {
+    private val inner = new MisraGriesAgg(capacity)
+    def zero: Map[String, Long] = inner.zero
+    def reduce(m: Map[String, Long], p: (String, String)): Map[String, Long] =
+      inner.reduce(m, p._2)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      inner.merge(a, b)
+    def finish(m: Map[String, Long]): Seq[String] = inner.finish(m)
+    def bufferEncoder: Encoder[Map[String, Long]] = inner.bufferEncoder
+    def outputEncoder: Encoder[Seq[String]] = inner.outputEncoder
+  }
+
+  /** EXACT heavy-hitter terms per group (above within-group frequency
+    * `phi`) — the per-source specialization of [[heavyHitterTerms]]'s
+    * two-pass sketch-then-recount plan: a per-group Misra–Gries
+    * summary nominates ≤ 2/phi candidates per group (undercount
+    * ≤ n_g·phi/2, so no true heavy hitter is missed), then a
+    * candidate-keyed semi join recounts them exactly and the exact
+    * per-group threshold ceil(phi·n_g) filters. The per-source
+    * boilerplate/templating fingerprint: which terms dominate THIS
+    * source, regardless of corpus-wide frequency.
+    *
+    * Scale shape: pass 1 shuffles one ≤ 2/phi summary per (map task,
+    * group); pass 2 is a (group, term) semi join against the
+    * groups×capacity candidate table and a map-side-combined recount.
+    * Both group-domain joins are AQE-decided (a high-cardinality
+    * group domain must never be a forced broadcast). */
+  def heavyHittersPerGroup(docs: DataFrame, groupCol: String,
+                           textCol: String, phi: Double = 0.01): DataFrame = {
+    require(phi > 0 && phi <= 1, s"phi must be in (0, 1], got $phi")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val capacity = math.ceil(2.0 / phi).toInt
+    val toks = Par.spread(docs.select(sf.col(groupCol).as("__g"), sf.col(textCol).as("__t")))
+      .filter(sf.col("__g").isNotNull)
+      .select(sf.col("__g").as("grp"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("term"))
+    val cands = toks.as[(String, String)].groupByKey(_._1)
+      .agg(new MisraGriesPairAgg(capacity).toColumn.name("cands"))
+      .toDF("grp", "cands")
+      .select(sf.col("grp"), sf.explode(sf.col("cands")).as("term"))
+    val totals = toks.groupBy("grp").agg(sf.count(sf.lit(1)).as("n_grp"))
+    toks.join(cands, Seq("grp", "term"), "left_semi")
+      .groupBy("grp", "term").agg(sf.count(sf.lit(1)).as("cnt"))
+      .join(totals, "grp")
+      .filter(sf.col("cnt") >= sf.ceil(sf.lit(phi) * sf.col("n_grp")))
+      .select(sf.col("grp").as(groupCol), sf.col("term"),
+        sf.col("cnt"), sf.col("n_grp"))
+      .orderBy(sf.col(groupCol), sf.col("cnt").desc, sf.col("term"))
+  }
+
   /** Per-document unigram language-model score (CCNet-style quality
     * signal): mean negative log-likelihood of the document's tokens
     * under the corpus's own add-one-smoothed unigram LM,

@@ -535,4 +535,31 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(sim(("a", "b")) == ((8L, 1.0)), s"got ${sim(("a", "b"))}")
     assert(sim(("a", "c"))._1 == 0L && sim(("b", "c"))._1 == 0L)
   }
+
+  test("CorpusStats.heavyHittersPerGroup: exact per-group thresholds, capacity-stressed") {
+    import spark.implicits._
+    // a: x is 5/10 (passes ceil(0.4*10)=4); fillers are 1 each.
+    // b: y is 3/5 (passes ceil(0.4*5)=2); x appears once (must NOT leak
+    // from a's dominance). capacity = ceil(2/0.4) = 5 < 7 distinct in a.
+    val docs = Seq(
+      ("a", "x x x x x f1 f2 f3 f4 f5"),
+      ("b", "y y y x f6")).toDF("source", "text")
+    val got = CorpusStats.heavyHittersPerGroup(docs, "source", "text", phi = 0.4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", "x", 5L, 10L), ("b", "y", 3L, 5L)), s"got $got")
+    // brute-force parity on a wider corpus: the recount makes the
+    // output independent of sketch internals
+    val wide = (1 to 50).map(i => ("g" + (i % 3), s"t${i % 7} t${i % 5} t${i % 11}"))
+      .toDF("source", "text")
+    val hh = CorpusStats.heavyHittersPerGroup(wide, "source", "text", phi = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val brute = wide.collect().flatMap(r => r.getString(1).split(" ").map((r.getString(0), _)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .groupBy(_._1._1)
+    val expected = brute.flatMap { case (g, terms) =>
+      val n = terms.map(_._2).sum
+      terms.collect { case ((_, t), c) if c >= math.ceil(0.1 * n) => (g, t, c) }
+    }.toSet
+    assert(hh == expected, s"missing=${expected -- hh} extra=${hh -- expected}")
+  }
 }
