@@ -1072,6 +1072,11 @@ object SparkEntry {
     "q168_heavy_per_source" -> ((s, dir) =>
       CorpusStats.heavyHittersPerGroup(docs(s, dir), "source", "text", phi = 0.01)),
 
+    // Heaps-law vocabulary growth: beta near 1 = id/hash soup, near 0
+    // = templated sources — the growth twin of q133's Zipf fit.
+    "q169_heaps_fit" -> ((s, dir) =>
+      CorpusStats.heapsLawFit(docs(s, dir), "source", "text")),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3779,6 +3784,29 @@ object SparkEntry {
         |FROM g JOIN t ON g.grp = t.grp
         |WHERE cnt >= ceil(0.01 * n_grp)
         |ORDER BY source, cnt DESC, term""".stripMargin,
+
+    // Heaps fit: identical 1e-6 ln snapping + DECIMAL moments + the
+    // zipfSlope closed-form assembly.
+    "q169_heaps_fit" ->
+      """WITH st AS (SELECT source AS grp, lower(tok) AS w, COUNT(*) AS c FROM (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE source IS NOT NULL AND length(trim(text)) > 0)
+        |  GROUP BY 1, 2),
+        |per AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS nt, COUNT(*) AS nv FROM st GROUP BY 1),
+        |lx AS (SELECT CAST(floor(ln(CAST(nt AS DOUBLE))*1000000.0 + 0.5) AS BIGINT) AS lx,
+        |       CAST(floor(ln(CAST(nv AS DOUBLE))*1000000.0 + 0.5) AS BIGINT) AS ly FROM per),
+        |m AS (SELECT COUNT(*) AS n,
+        |      SUM(CAST(lx AS DECIMAL(38,0))) AS sx, SUM(CAST(ly AS DECIMAL(38,0))) AS sy,
+        |      SUM(CAST(lx AS DECIMAL(38,0)) * CAST(lx AS DECIMAL(38,0))) AS sxx,
+        |      SUM(CAST(lx AS DECIMAL(38,0)) * CAST(ly AS DECIMAL(38,0))) AS sxy FROM lx)
+        |SELECT CAST(n AS BIGINT) AS n_sources,
+        |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e12) - (CAST(sx AS DOUBLE)/1e6)*(CAST(sx AS DOUBLE)/1e6) > 0.0 THEN
+        |    floor(((CAST(n AS DOUBLE)*(CAST(sxy AS DOUBLE)/1e12) - (CAST(sx AS DOUBLE)/1e6)*(CAST(sy AS DOUBLE)/1e6))
+        |      / (CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e12) - (CAST(sx AS DOUBLE)/1e6)*(CAST(sx AS DOUBLE)/1e6)))*10000.0 + 0.5)/10000.0 END AS beta,
+        |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e12) - (CAST(sx AS DOUBLE)/1e6)*(CAST(sx AS DOUBLE)/1e6) > 0.0 THEN
+        |    floor(((CAST(sy AS DOUBLE)/1e6 - ((CAST(n AS DOUBLE)*(CAST(sxy AS DOUBLE)/1e12) - (CAST(sx AS DOUBLE)/1e6)*(CAST(sy AS DOUBLE)/1e6))
+        |      / (CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e12) - (CAST(sx AS DOUBLE)/1e6)*(CAST(sx AS DOUBLE)/1e6))) * (CAST(sx AS DOUBLE)/1e6)) / CAST(n AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS ln_k
+        |FROM m""".stripMargin,
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

@@ -809,6 +809,47 @@ object CorpusStats {
     * window. Ranks therefore ride `StarSchema.globalDenseIds`
     * (range-partitioned parallel numbering, exactly as `rrfFuse`
     * does); the moment reduction is a single-row agg. */
+  /** Heaps'-law vocabulary-growth fit: V = k·N^β, estimated as the
+    * OLS of ln(V_s) on ln(N_s) across sources (each source one
+    * point: token mass N_s, distinct-type count V_s). β ≈ 0.4–0.6
+    * for natural text; β near 1 means vocabulary grows linearly with
+    * volume (ids/hashes/mojibake — a curation smell), β near 0 means
+    * templated/repetitive sources. The growth-side companion of
+    * [[zipfSlope]]'s rank-frequency fit.
+    *
+    * Exactness: the zipfSlope convention — 1e-6-snapped lns, DECIMAL
+    * moment sums, pinned closed-form assembly. Scale shape: one
+    * (source, term) map-side-combined collapse (the q63 domain
+    * table), a source-domain re-aggregation, and a single-row OLS
+    * finish; sources with an empty vocabulary drop. */
+  def heapsLawFit(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val st = Par.spread(docs.select(sf.col(srcCol).as("__src"), sf.col(textCol).as("__t")))
+      .filter(sf.col("__src").isNotNull)
+      .select(sf.col("__src"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy("__src", "w").agg(sf.count(sf.lit(1)).as("c"))
+    val per = st.groupBy("__src")
+      .agg(sf.sum("c").as("n_tokens"), sf.count(sf.lit(1)).as("n_types"))
+    def lnFx(c: Column) = sf.floor(sf.log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = per.select(lnFx(sf.col("n_tokens")).as("lx"), lnFx(sf.col("n_types")).as("ly"))
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("lx"))).as("sx"), sf.sum(dec(sf.col("ly"))).as("sy"),
+        sf.sum(dec(sf.col("lx")) * dec(sf.col("lx"))).as("sxx"),
+        sf.sum(dec(sf.col("lx")) * dec(sf.col("ly"))).as("sxy"))
+    val n = sf.col("n").cast("double")
+    val sx = sf.col("sx").cast("double") / 1e6
+    val sy = sf.col("sy").cast("double") / 1e6
+    val sxx = sf.col("sxx").cast("double") / 1e12
+    val sxy = sf.col("sxy").cast("double") / 1e12
+    val den = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / den
+    val ok = (sf.col("n") >= 2) && den > 0.0
+    m.select(sf.col("n").as("n_sources"),
+      sf.when(ok, gf.roundAt(slope, 4)).as("beta"),
+      sf.when(ok, gf.roundAt((sy - slope * sx) / n, 4)).as("ln_k"))
+  }
+
   def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
     val uni = Par.spread(docs.select(sf.col(textCol)))
       .select(sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("w"))

@@ -562,4 +562,19 @@ class CorpusStatsSpec extends SparkFunSuite {
     }.toSet
     assert(hh == expected, s"missing=${expected -- hh} extra=${hh -- expected}")
   }
+
+  test("CorpusStats.heapsLawFit: exact V = N^0.5 recovery, degenerate one-source NULL") {
+    import spark.implicits._
+    // three sources on the exact law V = N^0.5: (N,V) = (4,2), (16,4), (64,8)
+    def src(name: String, n: Int, v: Int) =
+      (name, ((0 until v).map(i => s"w$i") ++ Seq.fill(n - v)("w0")).mkString(" "))
+    val docs = Seq(src("a", 4, 2), src("b", 16, 4), src("c", 64, 8))
+      .toDF("source", "text")
+    val r = CorpusStats.heapsLawFit(docs, "source", "text").collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 0.5 && r.getDouble(2) == 0.0,
+      s"got $r")
+    // a single source cannot pin a slope -> NULL beta
+    val one = Seq(("a", "x y z")).toDF("source", "text")
+    assert(CorpusStats.heapsLawFit(one, "source", "text").collect()(0).isNullAt(1))
+  }
 }
