@@ -1077,6 +1077,18 @@ object SparkEntry {
     "q169_heaps_fit" -> ((s, dir) =>
       CorpusStats.heapsLawFit(docs(s, dir), "source", "text")),
 
+    // Isotonic calibration of the q120 classifier: the monotone
+    // (PAV-minimax) accuracy fit over the same 10 reliability bins.
+    "q170_isotonic" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      val conf = sf.lit(1.0) / (sf.lit(1.0) + sf.exp(-sf.col("score")))
+      QualityChecks.isotonicCalibration(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(conf.as("conf"), (sf.col("lang") === "en").cast("int").as("y")),
+        "conf", "y", nBins = 10)
+    }),
+
     // Weighted median doc length per source: the n_chars value at
     // which half the TOKEN mass of the source sits below — exact
     // integer threshold test, domain-compressed partitioned window.
@@ -3807,6 +3819,43 @@ object SparkEntry {
         |    floor(((CAST(sy AS DOUBLE)/1e6 - ((CAST(n AS DOUBLE)*(CAST(sxy AS DOUBLE)/1e12) - (CAST(sx AS DOUBLE)/1e6)*(CAST(sy AS DOUBLE)/1e6))
         |      / (CAST(n AS DOUBLE)*(CAST(sxx AS DOUBLE)/1e12) - (CAST(sx AS DOUBLE)/1e6)*(CAST(sx AS DOUBLE)/1e6))) * (CAST(sx AS DOUBLE)/1e6)) / CAST(n AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS ln_k
         |FROM m""".stripMargin,
+
+    // Isotonic: q120's binning, then the minimax identity
+    // iso(i) = max_{a<=i} min_{b>=i} intervalAccuracy([a,b]) as pure
+    // bounded-domain joins — identical interval ratios both engines.
+    "q170_isotonic" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |cy AS (SELECT s.doc_id,
+         |  1.0 / (1.0 + exp(-(floor((raw + -0.05)*10000.0 + 0.5)/10000.0))) AS conf,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |bb AS (SELECT least((CAST(floor(conf*10000.0 + 0.5) AS BIGINT) * 10) // 10000, 9) AS bin, y FROM cy),
+         |b AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM bb GROUP BY 1),
+         |ivs AS (SELECT x.bin AS a, y2.bin AS b2,
+         |        CAST(SUM(m.n_pos) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE) AS w
+         |        FROM b x JOIN b y2 ON x.bin <= y2.bin
+         |        JOIN b m ON m.bin >= x.bin AND m.bin <= y2.bin
+         |        GROUP BY 1, 2),
+         |gi AS (SELECT i.bin AS i, ivs.a, MIN(ivs.w) AS mn FROM b i
+         |       JOIN ivs ON ivs.a <= i.bin AND ivs.b2 >= i.bin GROUP BY 1, 2),
+         |iso AS (SELECT i, MAX(mn) AS iso FROM gi GROUP BY 1)
+         |SELECT b.bin, b.n, b.n_pos,
+         |  floor((CAST(b.n_pos AS DOUBLE)/CAST(b.n AS DOUBLE))*10000.0 + 0.5)/10000.0 AS accuracy,
+         |  floor(iso.iso*10000.0 + 0.5)/10000.0 AS iso_accuracy
+         |FROM b JOIN iso ON b.bin = iso.i ORDER BY b.bin""".stripMargin
+    },
 
     // kNN label eval: quadratic cosine twin on the hash sample; votes
     // by (count desc, label), neighbors by (cosine desc, id).

@@ -1071,6 +1071,58 @@ object QualityChecks {
       .orderBy("bin")
   }
 
+  /** Isotonic (monotone) calibration of a classifier's confidence —
+    * the pool-adjacent-violators fit over [[calibration]]'s bins,
+    * computed NOT by the sequential PAV sweep but by its closed-form
+    * minimax identity (Ayer et al. 1955):
+    *
+    *   iso(i) = max,,a≤i,, min,,b≥i,, weightedAccuracy([a, b])
+    *
+    * which is pure joins/aggregations over the BIN domain — no
+    * iteration, no driver loop, no order-dependent pooling. The
+    * output is the monotone step function a production scorer applies
+    * on top of raw confidences (the binned counterpart of sklearn's
+    * IsotonicRegression), next to the raw per-bin accuracy.
+    *
+    * Exactness: interval accuracies are single divisions of exact
+    * integer sums; min/max selection over identical IEEE doubles is
+    * engine-stable, and rounding happens once at the end (floor is
+    * monotone, so the fit stays monotone after rounding).
+    *
+    * Scale shape: the corpus collapses to ≤ nBins rows in one
+    * combinable pass; the interval/minimax grid is ≤ nBins³ rows of
+    * BIN-DOMAIN data (nBins ≤ 64 by contract — 260k grid rows at the
+    * cap, broadcast scale), never touching the corpus again. */
+  def isotonicCalibration(df: DataFrame, confCol: String, outcomeCol: String,
+                          nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"nBins must be in [2, 64], got $nBins")
+    val conf4 = sf.floor(sf.col(confCol).cast("double") * 1e4 + 0.5).cast("long")
+    val bins = df
+      .filter(sf.col(confCol).isNotNull && sf.col(outcomeCol).isNotNull)
+      .select(conf4.as("__c4"), sf.col(outcomeCol).cast("long").as("__y"))
+      .withColumn("bin", sf.least(sf.expr(s"(__c4 * $nBins) div 10000"),
+        sf.lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(sf.count(sf.lit(1)).as("n"), sf.sum(sf.col("__y")).as("n_pos"))
+      .localCheckpoint(true)
+    val ivSums = bins.select(sf.col("bin").as("__a"))
+      .join(bins.select(sf.col("bin").as("__b")), sf.col("__a") <= sf.col("__b"))
+      .join(bins.select(sf.col("bin").as("__m"), sf.col("n"), sf.col("n_pos")),
+        sf.col("__m") >= sf.col("__a") && sf.col("__m") <= sf.col("__b"))
+      .groupBy("__a", "__b")
+      .agg((sf.sum("n_pos").cast("double") / sf.sum("n").cast("double")).as("__w"))
+    val iso = bins.select(sf.col("bin").as("__i"))
+      .join(ivSums, sf.col("__a") <= sf.col("__i") && sf.col("__b") >= sf.col("__i"))
+      .groupBy("__i", "__a").agg(sf.min("__w").as("__mn"))
+      .groupBy("__i").agg(sf.max("__mn").as("__iso"))
+    bins.join(iso, sf.col("bin") === sf.col("__i"))
+      .select(sf.col("bin"), sf.col("n"), sf.col("n_pos"),
+        gf.roundAt(sf.col("n_pos").cast("double") / sf.col("n").cast("double"), 4)
+          .as("accuracy"),
+        gf.roundAt(sf.col("__iso"), 4).as("iso_accuracy"))
+      .orderBy("bin")
+  }
+
   /** One-way ANOVA F statistic: does `valueCol`'s mean differ across
     * `groupCol` levels — the k-group generalization of the q99 two-
     * sample readout (source-quality drift across k corpus shards, A/B/n

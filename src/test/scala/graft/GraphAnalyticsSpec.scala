@@ -515,6 +515,27 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(ok.forall(identity))
   }
 
+  test("QualityChecks.isotonicCalibration: weighted PAV pooling, monotone output, identity on monotone input") {
+    // bins (conf ~.1/.3/.6/.9 -> bins 0..3 at nBins=4) with raw
+    // accuracies .1, .5, .3, .8; bins 1,2 violate monotonicity and pool
+    // to (5+9)/(10+30) = .35 -> iso = [.1, .35, .35, .8]
+    def rows(conf: Double, n: Int, pos: Int) =
+      (0 until n).map(i => (conf, if (i < pos) 1 else 0))
+    val df = (rows(0.1, 10, 1) ++ rows(0.3, 10, 5) ++
+      rows(0.6, 30, 9) ++ rows(0.9, 10, 8)).toDF("conf", "y")
+    val got = QualityChecks.isotonicCalibration(df, "conf", "y", nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq((0L, 10L, 0.1, 0.1), (1L, 10L, 0.5, 0.35),
+      (2L, 30L, 0.3, 0.35), (3L, 10L, 0.8, 0.8)), s"got $got")
+    val isoVals = got.map(_._4)
+    assert(isoVals == isoVals.sorted, "isotonic fit must be monotone")
+    // already-monotone input is a fixed point
+    val mono = (rows(0.1, 10, 1) ++ rows(0.6, 10, 5) ++ rows(0.9, 10, 9)).toDF("conf", "y")
+    val fixed = QualityChecks.isotonicCalibration(mono, "conf", "y", nBins = 4)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(fixed.forall { case (acc, iso) => acc == iso }, s"got ${fixed.toList}")
+  }
+
   test("QualityChecks.bootstrapMeanCI: constant collapses, CI brackets the mean, deterministic") {
     // constant values: every resample mean is the constant -> p05 = p95
     // = mean, se = 0
