@@ -27,6 +27,7 @@ case class SessionOut(user_id: Long, session_start: Timestamp,
 
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+case class HeavyCand(shard: Int, term: String, est: Long)
 case class SnapshotRow(user_id: Long, ts: Timestamp, event_id: Long,
                        event_type: String, value: Double)
 
@@ -212,6 +213,41 @@ object EventStream {
             state.update(cur.get)
             Iterator.single(cur.get)
           } else Iterator.empty
+      }
+  }
+
+  /** Streaming heavy hitters: a SHARDED Misra–Gries summary under
+    * `flatMapGroupsWithState` — the stream twin of
+    * [[graft.operators.CorpusStats.heavyHitterTerms]]'s pass 1.
+    * Terms hash-partition across `nShards` state groups, each holding
+    * one bounded MG map, so no single state store sees the whole
+    * stream (the single-key formulation would). Because a term's
+    * ENTIRE count lands in exactly one shard, the classic guarantee
+    * survives sharding unchanged: any term with global frequency
+    * > n_shard/capacity ≥ its-share-threshold is present in its
+    * shard's summary — capacity ceil(2/phi) nominates every global
+    * phi-heavy hitter. Each trigger emits the updated shard summary
+    * (Update mode); a periodic batch recount (the q61/q168 pass 2)
+    * turns nominations into exact counts.
+    *
+    * State is ≤ nShards·capacity entries TOTAL regardless of stream
+    * length — heavy-hitter tracking with memory independent of
+    * cardinality, where an exact streaming groupBy-count would grow
+    * state with the distinct-term universe. */
+  def heavyHittersStream(spark: SparkSession, terms: Dataset[String],
+                         capacity: Int = 100,
+                         nShards: Int = 32): Dataset[HeavyCand] = {
+    import spark.implicits._
+    require(capacity >= 1 && nShards >= 1, "capacity and nShards must be >= 1")
+    val mg = new graft.operators.CorpusStats.MisraGriesAgg(capacity)
+    terms.groupByKey(t => math.floorMod(t.hashCode, nShards))
+      .flatMapGroupsWithState[Map[String, Long], HeavyCand](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[String], state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { t => m = mg.reduce(m, t) }
+          state.update(m)
+          m.iterator.map { case (t, c) => HeavyCand(shard, t, c) }
       }
   }
 }

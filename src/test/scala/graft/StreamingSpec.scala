@@ -369,4 +369,35 @@ class StreamingSpec extends SparkFunSuite {
         keyed(EventStream.windowedCounts(ev.toDF())).keySet.size)
     } finally q.stop()
   }
+
+  test("heavyHittersStream: sharded MG state persists across batches; hot term survives sweeps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = EventStream.heavyHittersStream(spark, input.toDS(),
+      capacity = 8, nShards = 4)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: hot x10 among 10 distinct noise terms
+      input.addData(Seq.fill(10)("hot") ++ (1 to 10).map(i => s"a$i"): _*)
+      q.processAllAvailable()
+      val e1 = spark.table("hh").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      assert(e1.exists(_._2 == "hot"), s"hot must be nominated: ${e1.toList}")
+      assert(e1.filter(_._2 == "hot").forall(_._3 <= 10))
+      // batch 2: hot x10 more + fresh noise — an estimate above 10 can
+      // only come from state carried across batches; MG undercount is
+      // bounded by n_shard/capacity <= 40/8, so est >= 20 - 5
+      input.addData(Seq.fill(10)("hot") ++ (1 to 10).map(i => s"b$i"): _*)
+      q.processAllAvailable()
+      val all = spark.table("hh").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val hotMax = all.filter(_._2 == "hot").map(_._3).max
+      assert(hotMax >= 15 && hotMax <= 20, s"hot estimate across batches: $hotMax")
+      // a singleton noise term can never surface with a large estimate
+      assert(all.filter(_._2.startsWith("a")).forall(_._3 <= 2))
+      // all hot emissions came from ONE shard (term-hash routing)
+      assert(all.filter(_._2 == "hot").map(_._1).distinct.length == 1)
+    } finally q.stop()
+  }
 }
