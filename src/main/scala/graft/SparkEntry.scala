@@ -1111,6 +1111,45 @@ object SparkEntry {
           sf.array_join(sf.col("bpe_tokens"), "|").as("toks_str"))
         .orderBy("doc_id")
     }),
+
+    // Winnowing (MOSS) span-level near-dup pairs: window minima of
+    // md5-60 4-gram hashes, df-capped posting lists, shared-count join.
+    "q171_winnowing" -> ((s, dir) =>
+      Dedup.winnowingPairs(docs(s, dir), "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxDf = 50)),
+
+    // PR curve of the q120 classifier: confusion counts + P/R/F1 at
+    // every distinct score threshold — the operating-point sweep the
+    // AUC integrates away (prefix sums, never a one-task window).
+    "q172_pr_curve" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      QualityChecks.prCurve(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(sf.col("score"), (sf.col("lang") === "en").cast("int").as("y")),
+        "score", "y")
+    }),
+
+    // Kaplan-Meier time-to-purchase curve: users who never purchase
+    // are right-censored at last activity — the honest retention
+    // estimator when observation windows differ per user.
+    "q173_kaplan_meier" -> ((s, dir) =>
+      QualityChecks.kaplanMeier(
+        EventOps.timeToEvent(Tables.load(s, dir, "events")),
+        "duration_s", "observed")),
+
+    // DSIR importance weights: hashed-unigram log p_en(x) - log p_rest(x)
+    // per doc — the importance-resampling score for target-like data
+    // selection (feed to weightedTopK for the exact-k draw).
+    "q174_dsir" -> ((s, dir) =>
+      CorpusStats.dsirWeights(docs(s, dir), "doc_id", "text",
+        isTarget = sf.col("lang") === "en", nBuckets = 256, alpha = 1.0)),
+
+    // Pairwise Jensen-Shannon divergence between source token
+    // distributions: bounded symmetric divergence, finite under
+    // partial vocabulary overlap (where KL is infinite).
+    "q175_jsd_pairs" -> ((s, dir) =>
+      CorpusStats.jsdSourcePairs(docs(s, dir), "source", "text")),
   )
 
   // ---------------------------------------------------------------------
@@ -4070,5 +4109,156 @@ object SparkEntry {
            |FROM f ORDER BY doc_id""".stripMargin
       head + iters + tail
     },
+
+    // Winnowing: identical md5-60 gram hashing + window minima; the
+    // df-cap and pair join replay exactly (k=4, w=4, df in [2,50],
+    // n_shared >= 2).
+    "q171_winnowing" ->
+      """WITH ws AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t)=0 THEN []::VARCHAR[]
+        |       WHEN len(t)<4 THEN [array_to_string(t, ' ')]
+        |       ELSE [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)] END AS gr
+        |  FROM ws),
+        |h AS (SELECT doc_id, list_transform(gr, s ->
+        |  list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1))-1 FOR i IN range(1,16)],
+        |    (a,b) -> a*16 + b)) AS gh FROM g),
+        |fp AS (SELECT doc_id,
+        |  CASE WHEN len(gh)=0 THEN []::BIGINT[]
+        |       WHEN len(gh)<4 THEN [list_min(gh)]
+        |       ELSE list_distinct([list_min(gh[j:j+3]) FOR j IN range(1, len(gh)-2)]) END AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+        |keep AS (SELECT f FROM e GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 50)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM e a JOIN keep k ON a.f = k.f JOIN e b ON a.f = b.f
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
+    // PR curve: q120's score replay, then exact integer cumulative
+    // TP/FP over distinct thresholds desc and the identical pinned
+    // double P/R/F1 assembly.
+    "q172_pr_curve" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |sc AS (SELECT floor((raw + -0.05)*10000.0 + 0.5)/10000.0 AS score,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |g AS (SELECT score, CAST(SUM(y) AS BIGINT) AS ca,
+         |      CAST(SUM(1 - y) AS BIGINT) AS cb FROM sc GROUP BY 1),
+         |c AS (SELECT score, CAST(SUM(ca) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         |      CAST(SUM(cb) OVER (ORDER BY score DESC) AS BIGINT) AS fp FROM g),
+         |tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS np, CAST(SUM(cb) AS BIGINT) AS nn FROM g)
+         |SELECT score AS threshold, tp, fp, np - tp AS fn, nn - fp AS tn,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    floor((CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS precision,
+         |  CASE WHEN np > 0 THEN
+         |    floor((CAST(tp AS DOUBLE)/CAST(np AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS recall,
+         |  CASE WHEN tp > 0 THEN
+         |    floor((2.0 * (CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)))
+         |               * (CAST(tp AS DOUBLE)/CAST(np AS DOUBLE))
+         |         / ((CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)))
+         |            + (CAST(tp AS DOUBLE)/CAST(np AS DOUBLE))))*1000000.0 + 0.5)/1000000.0
+         |  WHEN np > 0 THEN 0.0 END AS f1
+         |FROM c CROSS JOIN tt ORDER BY threshold DESC""".stripMargin
+    },
+
+    // Kaplan-Meier: exact integer risk-set prefix sums over distinct
+    // durations, 1e-9-snapped ln factors, cumulative log-sum, one exp.
+    "q173_kaplan_meier" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+        |  CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END))) AS BIGINT) AS te,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS tl
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT COALESCE(te, tl) - t0 AS duration, te IS NOT NULL AS e FROM u),
+        |g AS (SELECT duration,
+        |  CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+        |  CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS n_censor
+        |  FROM d WHERE duration >= 0 GROUP BY 1),
+        |n AS (SELECT CAST(SUM(n_event + n_censor) AS BIGINT) AS nn FROM g),
+        |r AS (SELECT duration, n_event, n_censor,
+        |  nn - (CAST(SUM(n_event + n_censor) OVER (ORDER BY duration) AS BIGINT)
+        |        - (n_event + n_censor)) AS n_risk
+        |  FROM g CROSS JOIN n),
+        |sj AS (SELECT duration, n_event, n_censor, n_risk,
+        |  CASE WHEN n_event > 0 AND n_event < n_risk THEN
+        |    CAST(floor(ln(1.0 - CAST(n_event AS DOUBLE)/CAST(n_risk AS DOUBLE))*1e9 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS term,
+        |  CASE WHEN n_event = n_risk THEN 1 ELSE 0 END AS z FROM r),
+        |f AS (SELECT duration, n_risk, n_event, n_censor,
+        |  CAST(SUM(term) OVER (ORDER BY duration) AS BIGINT) AS cl,
+        |  CAST(SUM(z) OVER (ORDER BY duration) AS BIGINT) AS cz FROM sj)
+        |SELECT duration, n_risk, n_event, n_censor,
+        |  CASE WHEN cz > 0 THEN 0.0
+        |       ELSE floor(exp(CAST(cl AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 END AS survival
+        |FROM f ORDER BY duration""".stripMargin,
+
+    // DSIR: identical md5-60 bucket hashing, Laplace-smoothed bucket
+    // log-ratios snapped at 1e-6, exact integer per-doc sums.
+    "q174_dsir" ->
+      """WITH tk AS (SELECT doc_id, (lang = 'en') AS is_target,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents),
+        |tb AS (SELECT doc_id, is_target,
+        |  CAST(((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+        |    (a,b) -> a*16 + b) % 2147483629) % 256) AS INT) AS b
+        |  FROM (SELECT doc_id, is_target, unnest(toks) AS tok FROM tk)),
+        |m AS (SELECT b, CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |      CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cs FROM tb GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns FROM m),
+        |r AS (SELECT b, CAST(floor(ln(((CAST(ct AS DOUBLE)+1.0)*(CAST(ns AS DOUBLE)+256.0))
+        |  /((CAST(cs AS DOUBLE)+1.0)*(CAST(nt AS DOUBLE)+256.0)))*1e6 + 0.5) AS BIGINT) AS lnr
+        |  FROM m CROSS JOIN t),
+        |db AS (SELECT doc_id, is_target, b, CAST(COUNT(*) AS BIGINT) AS n FROM tb GROUP BY 1,2,3),
+        |f AS (SELECT doc_id, is_target, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |      SUM(CAST(n AS DECIMAL(38,0)) * CAST(lnr AS DECIMAL(38,0))) AS s
+        |      FROM db JOIN r USING (b) GROUP BY 1, 2)
+        |SELECT doc_id, is_target, n_tokens,
+        |  floor(CAST(s AS DOUBLE)/1e6*10000.0 + 0.5)/10000.0 AS log_weight
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // JSD pairs: shared-term contributions snapped at 1e-12 + the
+    // closed-form unshared-mass term, identical double assembly.
+    "q175_jsd_pairs" ->
+      """WITH st AS (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |  SELECT source AS src,
+        |    unnest(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))) AS w
+        |  FROM documents WHERE source IS NOT NULL AND length(trim(text)) > 0) GROUP BY 1, 2),
+        |ns AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b, na.n AS na, nb.n AS nb, a.c AS ca, b.c AS cb
+        |  FROM st a JOIN st b ON a.w = b.w AND a.src < b.src
+        |  JOIN ns na ON na.src = a.src JOIN ns nb ON nb.src = b.src),
+        |tt AS (SELECT src_a, src_b, na, nb, COUNT(*) AS n_shared_terms,
+        |  CAST(SUM(ca) AS BIGINT) AS sca, CAST(SUM(cb) AS BIGINT) AS scb,
+        |  SUM(CAST(CAST(floor((0.5*(CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+        |      *ln(2.0*(CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+        |          /((CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))+(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))))
+        |    + 0.5*(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))
+        |      *ln(2.0*(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))
+        |          /((CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))+(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE)))))
+        |    *1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS ts
+        |  FROM p GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, n_shared_terms,
+        |  floor((CAST(ts AS DOUBLE)/1e12 + 0.5*ln(2.0)
+        |    *((CAST(na AS DOUBLE)-CAST(sca AS DOUBLE))/CAST(na AS DOUBLE)
+        |      + (CAST(nb AS DOUBLE)-CAST(scb AS DOUBLE))/CAST(nb AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 AS jsd
+        |FROM tt ORDER BY 1, 2""".stripMargin,
   )
 }

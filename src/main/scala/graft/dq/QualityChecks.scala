@@ -536,6 +536,112 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Precision–recall curve + F1 over every DISTINCT decision
+    * threshold of a scalar score — the threshold-sweep companion of
+    * [[rocAuc]] (which integrates the curve away): one output row per
+    * distinct score v with the confusion counts and P/R/F1 of the rule
+    * "predict positive when score >= v". The argmax row of `f1` is the
+    * operating point a filtering pipeline should ship.
+    *
+    * Exactness: per-value (pos, neg) counts on the distinct-score
+    * domain are exact integers; cumulative TP/FP are exact integer
+    * prefix sums in score-DESC order; P/R/F1 assemble per row in one
+    * pinned double expression, rounded at 1e-6. Feed an
+    * already-snapped score (the rocAuc advice) for bit-stable output.
+    *
+    * Scale shape: one map-side-combined groupBy onto the distinct
+    * score domain, then ONE range-partitioned prefix-sum pass
+    * (`StarSchema.globalPrefixSumsMulti` carries TP and FP together) —
+    * never a one-task global window; totals ride a single-row
+    * broadcast. The corpus never sorts; only distinct scores do. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val merged = graft.operators.Par.spread(
+      df.select(sf.col(scoreCol).cast("double").as("score"),
+        (sf.col(labelCol).cast("bigint") > 0).as("__p")))
+      .filter(sf.col("score").isNotNull && sf.col("__p").isNotNull)
+      .groupBy("score")
+      .agg(sf.sum(sf.when(sf.col("__p"), 1L).otherwise(0L)).as("__ca"),
+        sf.sum(sf.when(sf.col("__p"), 0L).otherwise(1L)).as("__cb"))
+      .withColumn("__neg", sf.negate(sf.col("score")))
+      .localCheckpoint(true) // totals broadcast + prefix pass read it
+    val totals = merged.agg(sf.sum("__ca").as("__np"), sf.sum("__cb").as("__nn"))
+    val cum = graft.operators.StarSchema.globalPrefixSumsMulti(
+      merged, Seq("__neg"), Seq("__ca" -> "tp", "__cb" -> "fp"))
+    val tp = sf.col("tp").cast("double")
+    val fp = sf.col("fp").cast("double")
+    val np = sf.col("__np").cast("double")
+    val prec = tp / (tp + fp)
+    val rec = tp / np
+    cum.crossJoin(sf.broadcast(totals))
+      .select(sf.col("score").as("threshold"),
+        sf.col("tp"), sf.col("fp"),
+        (sf.col("__np") - sf.col("tp")).as("fn"),
+        (sf.col("__nn") - sf.col("fp")).as("tn"),
+        sf.when(sf.col("tp") + sf.col("fp") > 0, gf.roundAt(prec, 6)).as("precision"),
+        sf.when(sf.col("__np") > 0, gf.roundAt(rec, 6)).as("recall"),
+        sf.when(sf.col("tp") > 0,
+          gf.roundAt(sf.lit(2.0) * prec * rec / (prec + rec), 6))
+          .otherwise(sf.when(sf.col("__np") > 0, 0.0)).as("f1"))
+      .orderBy(sf.col("threshold").desc)
+  }
+
+  /** Kaplan–Meier survival curve (product-limit estimator) over
+    * (duration, event-indicator) pairs with right censoring — the
+    * survival/retention readout behind "how long until a user
+    * converts/churns": one row per distinct duration t with the
+    * at-risk count, event/censor counts, and S(t) = Π_{tᵢ≤t, dᵢ>0}
+    * (1 − dᵢ/nᵢ). Censored subjects leave the risk set without
+    * forcing the curve down — the property that makes KM the honest
+    * estimator when observation windows differ per subject.
+    *
+    * Exactness: per-duration (event, censor) counts are exact
+    * integers, at-risk counts are exact integer prefix sums, each
+    * ln(1 − d/n) factor snaps to 1e-9 fixed point, the cumulative
+    * log-sum is an exact integer prefix sum, and one exp + 1e-6
+    * round finishes per row. A duration where d = n (risk set wiped
+    * out by events) sets S exactly 0.0 from there on via a prefix
+    * flag — no −∞ travels through the sums.
+    *
+    * Scale shape: one map-side-combined groupBy onto the distinct
+    * duration domain, then two range-partitioned prefix passes
+    * (`StarSchema.globalPrefixSumsMulti`: risk-set first — the ln
+    * factor needs nᵢ — then log-sum + zero-flag), never a one-task
+    * window; the grand total rides a single-row broadcast. */
+  def kaplanMeier(df: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    val g = graft.operators.Par.spread(
+      df.select(sf.col(durCol).cast("long").as("duration"),
+        (sf.col(eventCol).cast("boolean")).as("__e")))
+      .filter(sf.col("duration").isNotNull && sf.col("duration") >= 0 &&
+        sf.col("__e").isNotNull)
+      .groupBy("duration")
+      .agg(sf.sum(sf.when(sf.col("__e"), 1L).otherwise(0L)).as("n_event"),
+        sf.sum(sf.when(sf.col("__e"), 0L).otherwise(1L)).as("n_censor"))
+      .withColumn("__leave", sf.col("n_event") + sf.col("n_censor"))
+      .localCheckpoint(true) // total broadcast + prefix pass read it
+    val total = g.agg(sf.sum("__leave").as("__n"))
+    val risk = graft.operators.StarSchema.globalPrefixSumsMulti(
+        g, Seq("duration"), Seq("__leave" -> "__cumLeave"))
+      .crossJoin(sf.broadcast(total))
+      .withColumn("n_risk",
+        sf.col("__n") - (sf.col("__cumLeave") - sf.col("__leave")))
+      .withColumn("__lnTerm", sf.when(
+          sf.col("n_event") > 0 && sf.col("n_event") < sf.col("n_risk"),
+          sf.floor(sf.log(sf.lit(1.0) -
+            sf.col("n_event").cast("double") / sf.col("n_risk").cast("double"))
+            * 1e9 + 0.5).cast("long"))
+        .otherwise(0L))
+      .withColumn("__z",
+        sf.when(sf.col("n_event") === sf.col("n_risk"), 1L).otherwise(0L))
+    graft.operators.StarSchema.globalPrefixSumsMulti(
+        risk, Seq("duration"), Seq("__lnTerm" -> "__cumLn", "__z" -> "__cumZ"))
+      .select(sf.col("duration"), sf.col("n_risk"),
+        sf.col("n_event"), sf.col("n_censor"),
+        sf.when(sf.col("__cumZ") > 0, 0.0)
+          .otherwise(gf.roundAt(sf.exp(sf.col("__cumLn").cast("double") / 1e9), 6))
+          .as("survival"))
+      .orderBy("duration")
+  }
+
   /** Mutual information between two categorical columns, in nats —
     * the effect-size companion to [[chiSquared]]: how many nats of
     * information one column carries about the other, plus both

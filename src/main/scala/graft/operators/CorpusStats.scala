@@ -850,6 +850,120 @@ object CorpusStats {
       sf.when(ok, gf.roundAt((sy - slope * sx) / n, 4)).as("ln_k"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-importance of a hashed-unigram bag-of-words model of the
+    * TARGET distribution over the model of the rest of the corpus —
+    * the score behind "sample raw web data that looks like my
+    * high-quality target set". Documents scoring high under
+    * log p_target(x) − log p_source(x) are resampling candidates
+    * (feed the weights to `Sampling.weightedTopK` for the exact-k
+    * draw).
+    *
+    * Features are hashed unigrams: bucket(tok) = (md5-60(tok) mod p)
+    * mod `nBuckets` — the q73 classifier's portable hashing-trick
+    * kernel, so any engine replays bucket assignment exactly. Both
+    * bucket distributions are Laplace-smoothed (add `alpha`); the
+    * per-bucket log-ratio ln(((cT+α)·(NS+αB)) / ((cS+α)·(NT+αB)))
+    * snaps to 1e-6 fixed point once, and each document's weight is
+    * the exact integer sum of occurrence-count × snapped-ratio,
+    * divided once at the end (1e-4 round).
+    *
+    * Scale shape: one token-bucket aggregation onto a BOUNDED domain
+    * (nBuckets rows — this is the hashing trick's point: vocabulary
+    * size never matters), a single-row totals broadcast, and one
+    * (doc, bucket) map-side-combined count joined to the broadcast
+    * bucket table — the scoring pass is map-only per document. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, nBuckets: Int = 256,
+                  alpha: Double = 1.0): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val P = 2147483629L
+    val bucket = ((sf.conv(sf.substring(sf.md5(sf.col("tok")), 1, 15), 16, 10)
+      .cast("long") % P) % nBuckets).cast("int")
+    val toks = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        isTarget.as("is_target"), sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), sf.col("is_target"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("tok"))
+      .select(sf.col("doc_id"), sf.col("is_target"), bucket.as("__b"))
+      .localCheckpoint(true) // bucket model + scoring pass both read it
+    val model = toks.groupBy("__b")
+      .agg(sf.sum(sf.when(sf.col("is_target"), 1L).otherwise(0L)).as("__ct"),
+        sf.sum(sf.when(sf.col("is_target"), 0L).otherwise(1L)).as("__cs"))
+    val totals = model.agg(sf.sum("__ct").as("__nt"), sf.sum("__cs").as("__ns"))
+    val aB = alpha * nBuckets
+    val lnr = sf.floor(sf.log(
+      ((sf.col("__ct").cast("double") + alpha) * (sf.col("__ns").cast("double") + aB)) /
+        ((sf.col("__cs").cast("double") + alpha) * (sf.col("__nt").cast("double") + aB)))
+      * 1e6 + 0.5).cast("long")
+    val ratios = model.crossJoin(sf.broadcast(totals))
+      .select(sf.col("__b"), lnr.as("__lnr"))
+    toks.groupBy("doc_id", "is_target", "__b")
+      .agg(sf.count(sf.lit(1)).as("__n"))
+      .join(sf.broadcast(ratios), "__b")
+      .groupBy("doc_id", "is_target")
+      .agg(sf.sum("__n").as("n_tokens"),
+        sf.sum(sf.col("__n").cast("decimal(38,0)") *
+          sf.col("__lnr").cast("decimal(38,0)")).as("__s"))
+      .select(sf.col("doc_id"), sf.col("is_target"), sf.col("n_tokens"),
+        gf.roundAt(sf.col("__s").cast("double") / 1e6, 4).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions — the bounded (≤ ln 2), symmetric "how different
+    * are these two sources" datasheet number: [[klPerSource]]-style
+    * divergence but between every PAIR of sources, finite even when
+    * vocabularies only partially overlap (where KL is +∞).
+    *
+    * JSD(p,q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)); terms where
+    * one side is zero collapse to ½·ln2·(that side's unshared mass),
+    * so only SHARED terms need the pair join — per pair we sum the
+    * shared-term contributions (each snapped to 1e-12 fixed point,
+    * exact integer sum) plus exact integer shared-token counts, and
+    * assemble the unshared-mass closed form in the single finish.
+    *
+    * Scale shape: one (source, term) map-side-combined aggregation;
+    * the pair join is term-keyed (AQE-decided — the vocabulary-sized
+    * join rides a shuffle at scale, never a forced broadcast);
+    * per-source totals ride a |sources|-row broadcast; output is
+    * source-pair-bounded. Contract: a pair sharing NO term does not
+    * appear (its JSD is exactly ln 2 — emitting it would need a
+    * source cross join carrying nothing). */
+  def jsdSourcePairs(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val st = Par.spread(docs.select(sf.col(srcCol).as("src"), sf.col(textCol).as("__t")))
+      .filter(sf.col("src").isNotNull)
+      .select(sf.col("src"), sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy("src", "w").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + both pair-join sides read it
+    val ns = st.groupBy("src").agg(sf.sum("c").as("n"))
+    val a = st.select(sf.col("src").as("src_a"), sf.col("w"), sf.col("c").as("ca"))
+    val b = st.select(sf.col("src").as("src_b"), sf.col("w"), sf.col("c").as("cb"))
+    val na = sf.col("na").cast("double")
+    val nb = sf.col("nb").cast("double")
+    val pa = sf.col("ca").cast("double") / na
+    val pb = sf.col("cb").cast("double") / nb
+    val term = sf.lit(0.5) * pa * sf.log(sf.lit(2.0) * pa / (pa + pb)) +
+      sf.lit(0.5) * pb * sf.log(sf.lit(2.0) * pb / (pa + pb))
+    val shared = a.join(b, "w").filter(sf.col("src_a") < sf.col("src_b"))
+      .join(sf.broadcast(ns.select(sf.col("src").as("src_a"), sf.col("n").as("na"))), "src_a")
+      .join(sf.broadcast(ns.select(sf.col("src").as("src_b"), sf.col("n").as("nb"))), "src_b")
+      .select(sf.col("src_a"), sf.col("src_b"), sf.col("na"), sf.col("nb"),
+        sf.col("ca"), sf.col("cb"),
+        sf.floor(term * 1e12 + 0.5).cast("long").as("__t12"))
+      .groupBy("src_a", "src_b", "na", "nb")
+      .agg(sf.count(sf.lit(1)).as("n_shared_terms"),
+        sf.sum("ca").as("__sca"), sf.sum("cb").as("__scb"),
+        sf.sum(sf.col("__t12").cast("decimal(38,0)")).as("__ts"))
+    val ln2 = sf.log(sf.lit(2.0))
+    shared.select(sf.col("src_a"), sf.col("src_b"), sf.col("n_shared_terms"),
+        gf.roundAt(sf.col("__ts").cast("double") / 1e12 +
+          sf.lit(0.5) * ln2 * ((na - sf.col("__sca").cast("double")) / na +
+            (nb - sf.col("__scb").cast("double")) / nb), 6).as("jsd"))
+      .orderBy("src_a", "src_b")
+  }
+
   def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
     val uni = Par.spread(docs.select(sf.col(textCol)))
       .select(sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("w"))

@@ -1103,4 +1103,82 @@ object Dedup {
       .filter(sf.col("dist") <= maxDist)
       .orderBy("a_id", "b_id")
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): per document, hash every word k-gram in text
+    * order, then keep the MINIMUM hash of every window of `w`
+    * consecutive gram hashes. The selected set is position-robust —
+    * any shared substring of at least k+w-1 tokens is guaranteed to
+    * contribute at least one common fingerprint — which is what makes
+    * it the standard local-similarity / plagiarism detector, the
+    * span-level sibling of MinHash's whole-document sketch.
+    *
+    * Fingerprint identity is the value-based selection (distinct
+    * window minima per doc): window minima are hash VALUES, so the
+    * selection is engine-portable as long as the hash is — grams hash
+    * via the md5-60-bit portable base (the q165 minhash convention),
+    * NOT xxh64, precisely so a SQL oracle can replay the minima.
+    * Docs shorter than k tokens contribute their whole token sequence
+    * as one gram; docs with fewer than w grams contribute their single
+    * global minimum; empty docs contribute nothing.
+    *
+    * Scale shape: gram hashing and window-minima selection are one
+    * map-only pass per document (array kernels inside whole-stage
+    * codegen — no explode until the selected ~1/w fraction), and the
+    * only shuffles are the fingerprint df-count and the posting-list
+    * self-join keyed by fingerprint. Boilerplate control: fingerprints
+    * seen in more than `maxDf` documents are dropped BEFORE the pair
+    * join (the standard winnowing practice — a hot header line would
+    * otherwise produce a df² bucket), so per-bucket pair cost is
+    * bounded by maxDf². */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val md560 = (g: org.apache.spark.sql.Column) =>
+      sf.conv(sf.substring(sf.md5(g), 1, 15), 16, 10).cast("long")
+    Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .withColumn("__toks", gf.wsTokens(sf.lower(sf.col("__t"))))
+      .withColumn("__gh",
+        sf.when(sf.size(sf.col("__toks")) === 0,
+            sf.array().cast("array<long>"))
+          .when(sf.size(sf.col("__toks")) < k,
+            sf.array(md560(sf.array_join(sf.col("__toks"), " "))))
+          .otherwise(sf.transform(
+            sf.sequence(sf.lit(1), sf.size(sf.col("__toks")) - (k - 1)),
+            i => md560(sf.array_join(sf.slice(sf.col("__toks"), i, sf.lit(k)), " ")))))
+      .withColumn("__fps",
+        sf.when(sf.size(sf.col("__gh")) === 0, sf.array().cast("array<long>"))
+          .when(sf.size(sf.col("__gh")) < w,
+            sf.array(sf.array_min(sf.col("__gh"))))
+          .otherwise(sf.array_distinct(sf.transform(
+            sf.sequence(sf.lit(1), sf.size(sf.col("__gh")) - (w - 1)),
+            j => sf.array_min(sf.slice(sf.col("__gh"), j, sf.lit(w)))))))
+      .select(sf.col("doc_id"), sf.explode(sf.col("__fps")).as("fp"))
+  }
+
+  /** Shared-fingerprint document pairs from [[winnowingFingerprints]]:
+    * every pair of documents sharing at least `minShared` selected
+    * fingerprints, with the shared count — ranked input for span-level
+    * dedup review. Fingerprints with document frequency > `maxDf` (or
+    * < 2, which cannot pair) are dropped before the self-join. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 4, w: Int = 4, minShared: Int = 2,
+                     maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val fps = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint(true) // read by the df-count and both join sides
+    val keep = fps.groupBy("fp").agg(sf.count(sf.lit(1)).as("__df"))
+      .filter(sf.col("__df") >= 2 && sf.col("__df") <= maxDf)
+      .select("fp")
+    val posts = fps.join(keep, "fp")
+    posts.as("a").join(posts.as("b"),
+        sf.col("a.fp") === sf.col("b.fp") &&
+          sf.col("a.doc_id") < sf.col("b.doc_id"))
+      .groupBy(sf.col("a.doc_id").as("doc_a"), sf.col("b.doc_id").as("doc_b"))
+      .agg(sf.count(sf.lit(1)).as("n_shared"))
+      .filter(sf.col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -916,6 +916,31 @@ object EventOps {
       .orderBy(keyCol)
   }
 
+  /** Time-to-event durations for survival analysis: per subject, the
+    * seconds from first activity to the FIRST `targetType` event
+    * (observed = true), or to the last seen activity when the target
+    * never fires (right-censored, observed = false). The standard
+    * reduction of an event log to the (duration, event-indicator)
+    * pairs [[graft.dq.QualityChecks.kaplanMeier]] consumes.
+    *
+    * Scale shape: ONE map-side-combinable groupBy over subjects —
+    * min(ts), conditional min(ts), max(ts) are all partial-aggregable,
+    * so the shuffle carries one row per subject. */
+  def timeToEvent(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type",
+                  targetType: String = "purchase"): DataFrame = {
+    val t = sf.col(tsCol).cast("timestamp")
+    events.filter(sf.col(userCol).isNotNull && t.isNotNull)
+      .groupBy(sf.col(userCol))
+      .agg(sf.min(t).as("__t0"),
+        sf.min(sf.when(sf.col(typeCol) === targetType, t)).as("__te"),
+        sf.max(t).as("__tl"))
+      .select(sf.col(userCol),
+        (sf.unix_timestamp(sf.coalesce(sf.col("__te"), sf.col("__tl"))) -
+          sf.unix_timestamp(sf.col("__t0"))).as("duration_s"),
+        sf.col("__te").isNotNull.as("observed"))
+  }
+
   def latestSnapshot(events: DataFrame, keyCol: String = "user_id",
                      tsCol: String = "ts", idCol: String = "event_id",
                      payloadCols: Seq[String] = Seq("event_type", "value")): DataFrame = {

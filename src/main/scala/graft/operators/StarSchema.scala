@@ -257,7 +257,19 @@ object StarSchema {
     * global window. `orderCols` must be a total order (ties could
     * straddle a range boundary and reorder between runs). */
   def globalPrefixSums(df: DataFrame, orderCols: Seq[String], sumCol: String,
-                       cumName: String = "cum", numPartitions: Int = 0): DataFrame = {
+                       cumName: String = "cum", numPartitions: Int = 0): DataFrame =
+    globalPrefixSumsMulti(df, orderCols, Seq(sumCol -> cumName), numPartitions)
+
+  /** [[globalPrefixSums]] over SEVERAL sum columns in ONE range
+    * shuffle: each (sumCol, cumName) pair gets its running total, all
+    * riding the same range repartition, partition-local windows and a
+    * single numPartitions-row offsets broadcast — callers needing
+    * cumulative (tp, fp) or (events, censored, lnTerms) pay one
+    * shuffle, not one per measure. */
+  def globalPrefixSumsMulti(df: DataFrame, orderCols: Seq[String],
+                            sums: Seq[(String, String)],
+                            numPartitions: Int = 0): DataFrame = {
+    require(sums.nonEmpty, "at least one (sumCol, cumName) pair required")
     val oc = orderCols.map(sf.col)
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -267,14 +279,18 @@ object StarSchema {
     val offW = Window.partitionBy(sf.pmod(sf.col("__pid"), sf.lit(1)))
       .orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy("__pid").agg(sf.sum(sumCol).as("__c"))
-      .withColumn("__off", sf.coalesce(sf.sum("__c").over(offW), sf.lit(0L)))
-      .select("__pid", "__off")
+    val offsets = ranged.groupBy("__pid")
+      .agg(sums.map { case (s, c) => sf.sum(s).as(s"__c_$c") }.head,
+        sums.tail.map { case (s, c) => sf.sum(s).as(s"__c_$c") }: _*)
+      .select(sf.col("__pid") +: sums.map { case (_, c) =>
+        sf.coalesce(sf.sum(s"__c_$c").over(offW), sf.lit(0L)).as(s"__off_$c")
+      }: _*)
     val local = Window.partitionBy("__pid").orderBy(oc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(sf.broadcast(offsets), "__pid")
-      .withColumn(cumName, sf.col("__off") + sf.sum(sumCol).over(local))
-      .drop("__pid", "__off")
+    sums.foldLeft(ranged.join(sf.broadcast(offsets), "__pid")) {
+      case (acc, (s, c)) =>
+        acc.withColumn(c, sf.col(s"__off_$c") + sf.sum(s).over(local))
+    }.drop("__pid" +: sums.map { case (_, c) => s"__off_$c" }: _*)
   }
 
   /** Partitioned parquet sink (reference partitionBy writes, etl.py:251). */

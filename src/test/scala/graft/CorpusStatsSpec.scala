@@ -577,4 +577,41 @@ class CorpusStatsSpec extends SparkFunSuite {
     val one = Seq(("a", "x y z")).toDF("source", "text")
     assert(CorpusStats.heapsLawFit(one, "source", "text").collect()(0).isNullAt(1))
   }
+
+  test("CorpusStats.dsirWeights: target-like docs outscore source-like; weights add per token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good clean prose here", true),
+      (2L, "good clean prose here", true),
+      (3L, "spam junk noise mess", false),
+      (4L, "spam junk noise mess", false),
+      (5L, "good clean junk mess", false)) // mixed raw doc
+      .toDF("doc_id", "text", "is_en")
+    val got = CorpusStats.dsirWeights(docs, "doc_id", "text",
+      isTarget = sf.col("is_en"), nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // target vocabulary scores positive, source vocabulary negative,
+    // and the mixed doc sits strictly between
+    assert(got(1L) > 0 && got(3L) < 0)
+    assert(got(5L) > got(3L) && got(5L) < got(1L))
+    // identical docs get identical weights
+    assert(got(1L) == got(2L) && got(3L) == got(4L))
+  }
+
+  test("CorpusStats.jsdSourcePairs: hand value, identical -> 0, disjoint pair absent") {
+    import spark.implicits._
+    // A = {x}, B = {x, y}: JSD = H(m) - (H(p)+H(q))/2 = 0.215762
+    val ab = Seq(("A", "x"), ("B", "x y")).toDF("source", "text")
+    val r = CorpusStats.jsdSourcePairs(ab, "source", "text").collect()(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("A", "B", 1L)))
+    assert(r.getDouble(3) == 0.215762, s"got ${r.getDouble(3)}")
+    // identical distributions -> exactly 0
+    val same = Seq(("A", "x y x"), ("B", "x y x")).toDF("source", "text")
+    assert(CorpusStats.jsdSourcePairs(same, "source", "text")
+      .collect()(0).getDouble(3) == 0.0)
+    // disjoint vocabularies share no term -> pair absent by contract
+    // (its JSD is exactly ln 2)
+    val disj = Seq(("A", "x"), ("B", "y")).toDF("source", "text")
+    assert(CorpusStats.jsdSourcePairs(disj, "source", "text").count() == 0)
+  }
 }

@@ -515,4 +515,43 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(got(0) == ((1L, 8L, "mid end")))
     assert(got(1) == ((2L, 0L, "other words entirely distinct")))
   }
+
+  test("winnowingFingerprints: identical docs share ALL fingerprints; short/empty docs degrade") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "just two"), // shorter than k=4: whole-sequence gram
+      (4L, "   ")).toDF("id", "t") // empty after trim: nothing
+    val fps = Dedup.winnowingFingerprints(df, "id", "t", k = 4, w = 2)
+      .collect().groupBy(_.getLong(0)).map { case (k2, v) => (k2, v.map(_.getLong(1)).toSet) }
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    assert(fps(3L).size == 1) // single whole-sequence gram -> one fingerprint
+    assert(!fps.contains(4L))
+  }
+
+  test("winnowingPairs: planted shared span pairs; guarantee holds for spans >= k+w-1 tokens") {
+    // docs 1 and 2 share a 9-token span (k=4, w=2 -> guarantee at 5);
+    // doc 3 is disjoint vocabulary
+    val df = Seq(
+      (1L, "p q r s t u v w x one two three four five six"),
+      (2L, "nine eight seven p q r s t u v w x ten eleven"),
+      (3L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo")).toDF("id", "t")
+    val pairs = Dedup.winnowingPairs(df, "id", "t", k = 4, w = 2,
+      minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowingPairs: df cap drops a boilerplate fingerprint before pairing") {
+    // four identical boilerplate docs -> every fingerprint has df=4 >
+    // maxDf=3 and must produce NO pairs (with the cap lifted, all
+    // C(4,2) pairs appear)
+    val boiler = "this page is auto generated content for testing only"
+    val df = (1L to 4L).map(i => (i, boiler)).toDF("id", "t")
+    val capped = Dedup.winnowingPairs(df, "id", "t", k = 4, w = 2,
+      minShared = 1, maxDf = 3).count()
+    val uncapped = Dedup.winnowingPairs(df, "id", "t", k = 4, w = 2,
+      minShared = 1, maxDf = 50).count()
+    assert(capped == 0 && uncapped == 6) // all C(4,2) pairs without the cap
+  }
 }

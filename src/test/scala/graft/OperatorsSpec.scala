@@ -884,4 +884,66 @@ class OperatorsSpec extends SparkFunSuite {
     val g2 = QualityChecks.robustOutliers(const, "id", "v").collect()
     assert(g2.map(_.getLong(0)).toSeq == Seq(4L) && g2(0).isNullAt(2))
   }
+
+  test("QualityChecks.prCurve: hand confusion table at every threshold") {
+    // scores desc: 0.9(+) 0.8(-) 0.7(+) 0.6(+) 0.5(-)  => P=3, N=2
+    val df = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 1), (0.5, 0))
+      .toDF("score", "y")
+    val got = QualityChecks.prCurve(df, "score", "y")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.length == 5)
+    assert(got(0) == ((0.9, 1L, 0L, 1.0, 0.333333, 0.5)))
+    assert(got(1) == ((0.8, 1L, 1L, 0.5, 0.333333, 0.4)))
+    assert(got(2) == ((0.7, 2L, 1L, 0.666667, 0.666667, 0.666667)))
+    assert(got(3) == ((0.6, 3L, 1L, 0.75, 1.0, 0.857143)))
+    assert(got(4) == ((0.5, 3L, 2L, 0.6, 1.0, 0.75)))
+  }
+
+  test("QualityChecks.prCurve: perfect separator reaches P=R=F1=1 at its threshold") {
+    val df = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("score", "y")
+    val rows = QualityChecks.prCurve(df, "score", "y").collect()
+    val at08 = rows.find(_.getDouble(0) == 0.8).get
+    assert(at08.getDouble(5) == 1.0 && at08.getDouble(6) == 1.0 &&
+      at08.getDouble(7) == 1.0)
+  }
+
+  test("QualityChecks.kaplanMeier: hand product-limit table with censoring") {
+    // classic worked example: events at t=1 (1 of 5), t=3 (1 of 3);
+    // censored at t=2 and t=4; event+censor at nothing shared
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, false), (5L, true))
+      .toDF("d", "e")
+    // durations: 1 e, 2 c, 3 e, 4 c, 5 e
+    val got = QualityChecks.kaplanMeier(df, "d", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // t=1: n=5 d=1 -> S=0.8 ; t=2: censor only S stays 0.8
+    // t=3: n=3 d=1 -> S=0.8*(2/3)=0.533333 ; t=4 censor S same
+    // t=5: n=1 d=1 = wipe-out -> S=0.0
+    assert(got(0) == ((1L, 5L, 1L, 0L, 0.8)))
+    assert(got(1) == ((2L, 4L, 0L, 1L, 0.8)))
+    assert(got(2) == ((3L, 3L, 1L, 0L, 0.533333)))
+    assert(got(3) == ((4L, 2L, 0L, 1L, 0.533333)))
+    assert(got(4) == ((5L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("QualityChecks.kaplanMeier: censor-only data keeps survival flat at 1") {
+    val df = Seq((3L, false), (7L, false)).toDF("d", "e")
+    val got = QualityChecks.kaplanMeier(df, "d", "e").collect()
+    assert(got.forall(_.getDouble(4) == 1.0))
+  }
+
+  test("EventOps.timeToEvent: observed duration to first target; censored at last seen") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:00:30", "purchase"),
+      (1L, "2024-01-01 00:05:00", "purchase"), // later target ignored
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 00:02:00", "click"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("ts", sf.col("ts").cast("timestamp"))
+    val got = EventOps.timeToEvent(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 30L, true), (2L, 120L, false)))
+  }
 }
