@@ -1150,6 +1150,14 @@ object SparkEntry {
     // partial vocabulary overlap (where KL is infinite).
     "q175_jsd_pairs" -> ((s, dir) =>
       CorpusStats.jsdSourcePairs(docs(s, dir), "source", "text")),
+
+    // Blocked Jaro-Winkler record linkage: customers fuzzy-matched
+    // within nation blocks — the classic entity-resolution shape
+    // (structured attribute bounds the pair space, JW scores names).
+    "q176_jw_linkage" -> ((s, dir) =>
+      Dedup.jaroWinklerJoin(Tables.load(s, dir, "customer"), "c_custkey",
+        nameExpr = sf.lower(sf.trim(sf.col("c_name"))),
+        blockExpr = sf.col("c_nationkey"), threshold = 0.96)),
   )
 
   // ---------------------------------------------------------------------
@@ -4260,5 +4268,17 @@ object SparkEntry {
         |    *((CAST(na AS DOUBLE)-CAST(sca AS DOUBLE))/CAST(na AS DOUBLE)
         |      + (CAST(nb AS DOUBLE)-CAST(scb AS DOUBLE))/CAST(nb AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 AS jsd
         |FROM tt ORDER BY 1, 2""".stripMargin,
+
+    // JW linkage: DuckDB's jaro_winkler_similarity is bit-identical to
+    // the graft kernel (boost 0.7, prefix cap 4) on ASCII keys, so the
+    // raw-double threshold replays exactly.
+    "q176_jw_linkage" ->
+      """WITH t AS (SELECT c_custkey AS id, c_nationkey AS blk,
+        |  lower(trim(c_name)) AS s FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  floor(jaro_winkler_similarity(a.s, b.s)*10000.0 + 0.5)/10000.0 AS jw
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.96
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -138,6 +138,12 @@ object functions {
   def hashedWsNgramSeq(t: Column, n: Int): Column =
     kernel(ArrayType(LongType, containsNull = false), "hashedWsNgramSeq", t, sf.lit(n))
 
+  /** Jaro–Winkler similarity in [0, 1] — the record-linkage string
+    * comparator (see Kernels.jaroWinkler; DuckDB-parity semantics:
+    * boost threshold 0.7, prefix cap 4, empty → 0). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    kernel(DoubleType, "jaroWinkler", a, b)
+
   /** Shannon entropy (nats) of the whitespace-token distribution (see
     * Kernels.tokenEntropy). */
   def tokenEntropy(t: Column): Column = kernel(DoubleType, "tokenEntropy", t)

@@ -1001,4 +1001,60 @@ object Kernels {
     }
     out
   }
+
+  /** Jaro–Winkler similarity (Winkler 1990), the record-linkage
+    * standard: Jaro's match/transposition ratio plus the common-prefix
+    * boost l·0.1·(1 − jaro) (prefix capped at 4), applied only when
+    * jaro ≥ 0.7 (the canonical boost threshold). Matches DuckDB's
+    * `jaro_winkler_similarity` bit-for-bit on ASCII/BMP input (the
+    * empty-string and identical-string conventions included: empty →
+    * 0, identical → 1), which is what makes a SQL oracle replayable.
+    * Works on UTF-16 code units — identical to byte semantics for
+    * ASCII keys, the record-linkage use case. */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val s1 = ua.toString
+    val s2 = ub.toString
+    val n1 = s1.length
+    val n2 = s2.length
+    if (n1 == 0 || n2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val mw = math.max(n1, n2) / 2 - 1
+    val f1 = new Array[Boolean](n1)
+    val f2 = new Array[Boolean](n2)
+    var m = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - mw)
+      val hi = math.min(n2 - 1, i + mw)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!f2(j) && s2.charAt(j) == s1.charAt(i)) {
+          f1(i) = true; f2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < n1) {
+      if (f1(i)) {
+        while (!f2(j)) j += 1
+        if (s1.charAt(i) != s2.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = m.toDouble
+    val jaro = (md / n1 + md / n2 + (md - t) / md) / 3.0
+    if (jaro < 0.7) return jaro
+    var l = 0
+    val lMax = math.min(4, math.min(n1, n2))
+    while (l < lMax && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 }

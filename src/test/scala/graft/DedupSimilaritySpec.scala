@@ -516,6 +516,18 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(got(1) == ((2L, 0L, "other words entirely distinct")))
   }
 
+  test("jaroWinklerJoin: blocking bounds the pair space; threshold filters") {
+    val df = Seq(
+      (1L, "jonathan smith", "A"),
+      (2L, "jonathon smith", "A"),  // near-dup of 1, same block
+      (3L, "jonathan smith", "B"),  // identical to 1 but WRONG block: unseen
+      (4L, "zzz completely other", "A")).toDF("id", "name", "blk")
+    val got = Dedup.jaroWinklerJoin(df, "id", sf.col("name"), sf.col("blk"),
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("winnowingFingerprints: identical docs share ALL fingerprints; short/empty docs degrade") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

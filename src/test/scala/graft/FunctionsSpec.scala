@@ -121,6 +121,20 @@ class FunctionsSpec extends SparkFunSuite {
     gf.minHashBitSketch(sf.col("x"), 256) // multiples construct fine
   }
 
+  test("jaroWinkler: textbook values, boost threshold, empty/identical conventions") {
+    val df = Seq(
+      ("martha", "marhta"),   // jaro 0.944444, prefix 3 -> 0.961111
+      ("dixon", "dicksonx"),  // jaro 0.766667, prefix 2 -> 0.813333
+      ("abcd", "abzz"),       // jaro 0.666667 < 0.7 -> NO boost
+      ("abc", "abc"),         // identical -> 1
+      ("", "abc"),            // empty -> 0
+      ("ab", "ba")            // window 0, no positional match -> 0
+    ).toDF("a", "b")
+    val got = df.select(gf.roundAt(gf.jaroWinkler(sf.col("a"), sf.col("b")), 4))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.9611, 0.8133, 0.6667, 1.0, 0.0, 0.0))
+  }
+
   test("TopKAgg and TopK.perKey reject k < 1 at construction") {
     intercept[IllegalArgumentException](new graft.operators.Similarity.TopKAgg(0))
     intercept[IllegalArgumentException](
