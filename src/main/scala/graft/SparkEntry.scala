@@ -1158,6 +1158,11 @@ object SparkEntry {
       Dedup.jaroWinklerJoin(Tables.load(s, dir, "customer"), "c_custkey",
         nameExpr = sf.lower(sf.trim(sf.col("c_name"))),
         blockExpr = sf.col("c_nationkey"), threshold = 0.96)),
+
+    // Greedy k-center coreset: 8 maximally-diverse embeddings + the
+    // coverage-radius curve — diversity-first data selection.
+    "q177_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSelect(emb(s, dir), "vec_id", "embedding", k = 8)),
   )
 
   // ---------------------------------------------------------------------
@@ -4280,5 +4285,27 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
         |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.96
         |ORDER BY 1, 2""".stripMargin,
+
+    // k-center: the greedy farthest-point loop unrolled round by round
+    // (the Lloyd-unroll convention); identical left-fold squared-L2
+    // distances, MIN-over-centers, (d DESC, id) argmax tie-break.
+    "q177_kcenter" -> {
+      val k = 8
+      val dist = "list_reduce([(b.v[i]-c.v[i])*(b.v[i]-c.v[i]) FOR i IN range(1,65)], (a,x) -> a+x)"
+      val head =
+        """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cen0 AS (SELECT 0 AS round, id, v, NULL::DOUBLE AS d
+          |         FROM (SELECT id, v FROM base ORDER BY id LIMIT 1))""".stripMargin
+      val rounds = (1 until k).map { r =>
+        s""",
+           |d$r AS (SELECT b.id, MIN($dist) AS d FROM base b, cen${r - 1} c GROUP BY b.id),
+           |m$r AS (SELECT $r AS round, dd.id, base.v, dd.d FROM d$r dd JOIN base USING (id)
+           |        ORDER BY dd.d DESC, dd.id LIMIT 1),
+           |cen$r AS (SELECT * FROM cen${r - 1} UNION ALL SELECT * FROM m$r)""".stripMargin
+      }.mkString
+      head + rounds + s"""
+        |SELECT round, id AS vec_id, floor(d*1000000.0 + 0.5)/1000000.0 AS radius_sq
+        |FROM cen${k - 1} ORDER BY round""".stripMargin
+    },
   )
 }

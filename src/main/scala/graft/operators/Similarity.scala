@@ -1089,4 +1089,58 @@ object Similarity {
         gf.roundAt(sf.col("__mx").cast("double") / 1e10, 8).as("max_sq_err"))
       .orderBy("label")
   }
+
+  /** Greedy k-center (farthest-point) coreset selection (Gonzalez
+    * 1985, the 2-approximation to the k-center objective): seed with
+    * the smallest id, then k−1 times pick the point FARTHEST from the
+    * already-selected set — the classic diversity-maximizing subset
+    * for data selection / annotation budgeting (each new point is the
+    * corpus's worst-covered example; the emitted radius sequence is
+    * the coverage guarantee curve, non-increasing by construction).
+    *
+    * Determinism: distances are squared L2 in left-fold order over
+    * float→double-exact elements (engine-portable, the q26 dot
+    * convention); argmax ties break to the smaller id; selected
+    * vectors re-enter the plan as binary-exact double literals.
+    *
+    * Scale shape: each round is ONE map-only pass — distance to ≤ k
+    * literal centers (broadcast-free: they're plan constants) fused
+    * into least(), then a combinable TakeOrdered(1) — so the corpus
+    * never shuffles and the driver holds k vectors, never the corpus.
+    * k sequential Spark jobs by contract (require k ≤ 64): this is
+    * the Lloyd-rounds pattern, fine for coreset-scale k; huge-k
+    * selection belongs to IVF sampling, not greedy k-center. */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k must be in [1, 64] (k sequential driver rounds), got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Par.spread(df.select(sf.col(idCol).cast("long").as("id"),
+        sf.transform(sf.col(vecCol), x => x.cast("double")).as("v")))
+      .filter(sf.col("v").isNotNull && sf.size(sf.col("v")) > 0)
+      .localCheckpoint(true) // read once per selection round
+    val first = base.orderBy("id").limit(1).collect()(0)
+    var centers = Vector[(Long, Seq[Double], Option[Double])](
+      (first.getLong(0), first.getSeq[Double](1), None))
+    while (centers.size < k) {
+      val dists = centers.map { case (_, c, _) =>
+        sf.aggregate(
+          sf.zip_with(sf.col("v"), sf.array(c.map(sf.lit): _*),
+            (x, y) => (x - y) * (x - y)),
+          sf.lit(0.0), (a, x) => a + x)
+      }
+      val minD = dists.reduce(sf.least(_, _))
+      val picked = base.select(sf.col("id"), sf.col("v"), minD.as("d"))
+        .orderBy(sf.col("d").desc, sf.col("id")).limit(1).collect()(0)
+      centers = centers :+ ((picked.getLong(0), picked.getSeq[Double](1),
+        Some(picked.getDouble(2))))
+    }
+    centers.zipWithIndex.map { case ((id, _, d), r) =>
+      (r, id, d.map(x => math.floor(x * 1e6 + 0.5) / 1e6))
+    }.toDF("round", "vec_id", "radius_sq")
+      .select(sf.col("round"), sf.col("vec_id"),
+        sf.col("radius_sq").cast("double").as("radius_sq"))
+      .orderBy("round")
+  }
 }

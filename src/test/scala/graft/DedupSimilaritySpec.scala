@@ -528,6 +528,18 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("kCenterSelect: farthest-point order on planted geometry, ties to smaller id") {
+    val df = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 10f)), (3L, Seq(10f, 0f)),
+      (4L, Seq(0f, 10f)), (5L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(df, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    // seed = min id; then the far corner (d2=200); then the 100-tie
+    // breaks to id 3; the near-cluster point 5 is never picked
+    assert(got == Seq((0, 1L, -1.0), (1, 2L, 200.0), (2, 3L, 100.0), (3, 4L, 100.0)))
+  }
+
   test("winnowingFingerprints: identical docs share ALL fingerprints; short/empty docs degrade") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
