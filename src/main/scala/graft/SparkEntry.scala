@@ -1163,6 +1163,11 @@ object SparkEntry {
     // coverage-radius curve — diversity-first data selection.
     "q177_kcenter" -> ((s, dir) =>
       Similarity.kCenterSelect(emb(s, dir), "vec_id", "embedding", k = 8)),
+
+    // Gopher quality gate: the published rule set as one wide map-only
+    // pass — signals, per-rule booleans, and the conjunction.
+    "q178_gopher_gate" -> ((s, dir) =>
+      TextAnalysis.gopherGate(docs(s, dir), "doc_id", "text")),
   )
 
   // ---------------------------------------------------------------------
@@ -4307,5 +4312,54 @@ object SparkEntry {
         |SELECT round, id AS vec_id, floor(d*1000000.0 + 0.5)/1000000.0 AS radius_sq
         |FROM cen${k - 1} ORDER BY round""".stripMargin
     },
+
+    // Gopher gate: integer counting + exact divisions, so the rule
+    // booleans replay; fractions rounded 1e-4 for the report only.
+    "q178_gopher_gate" ->
+      """WITH d AS (SELECT doc_id, text AS t FROM documents),
+        |s AS (SELECT doc_id, t,
+        |  CASE WHEN length(trim(t))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(t), '\s+') END AS toks,
+        |  CASE WHEN length(trim(t))=0 THEN []::VARCHAR[]
+        |       ELSE list_transform(regexp_split_to_array(trim(t), '\s+'), x -> lower(x)) END AS lt,
+        |  string_split(t, chr(10)) AS lines FROM d),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ell,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*]'))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT) AS n_elline,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_filter(['the','a','of','and','to','in','is','that','it','was'],
+        |       w -> list_contains(lt, w))) AS BIGINT) AS stop_hits,
+        |  CAST(length(regexp_replace(trim(t), '\s+', '', 'g')) AS BIGINT) AS n_chars
+        |  FROM s),
+        |r AS (SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE)/CAST(n_words AS DOUBLE) END AS mw,
+        |  CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE)/CAST(n_words AS DOUBLE) END AS sr,
+        |  CAST(n_bullet AS DOUBLE)/CAST(n_lines AS DOUBLE) AS bf,
+        |  CAST(n_elline AS DOUBLE)/CAST(n_lines AS DOUBLE) AS ef,
+        |  CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE)/CAST(n_words AS DOUBLE) END AS af,
+        |  stop_hits FROM m)
+        |SELECT doc_id, n_words,
+        |  floor(mw*10000.0 + 0.5)/10000.0 AS mean_word_len,
+        |  floor(sr*10000.0 + 0.5)/10000.0 AS symbol_ratio,
+        |  floor(bf*10000.0 + 0.5)/10000.0 AS bullet_frac,
+        |  floor(ef*10000.0 + 0.5)/10000.0 AS ellipsis_frac,
+        |  floor(af*10000.0 + 0.5)/10000.0 AS alpha_word_frac,
+        |  stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  COALESCE(mw >= 3.0 AND mw <= 10.0, FALSE) AS r_mean_word_len,
+        |  COALESCE(sr <= 0.1, FALSE) AS r_symbol,
+        |  (bf <= 0.9) AS r_bullet,
+        |  (ef <= 0.3) AS r_ellipsis,
+        |  COALESCE(af >= 0.8, FALSE) AS r_alpha,
+        |  (stop_hits >= 2) AS r_stopwords,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |   AND COALESCE(mw >= 3.0 AND mw <= 10.0, FALSE)
+        |   AND COALESCE(sr <= 0.1, FALSE) AND bf <= 0.9 AND ef <= 0.3
+        |   AND COALESCE(af >= 0.8, FALSE) AND stop_hits >= 2) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -731,4 +731,78 @@ object TextAnalysis {
       t => t =!= "")
     docs.select(sf.col(idCol), toks.as("bpe_tokens"))
   }
+
+  /** Gopher document-quality gate (Rae et al. 2021, appendix A1.1 —
+    * the rule set most LLM curation pipelines start from), evaluated
+    * as ONE wide map-only pass: per document the raw signals, one
+    * boolean per rule, and the conjunction `pass`.
+    *
+    * Rules (published thresholds):
+    *   word count in [minWords, maxWords] (50..100k);
+    *   mean word length in [3, 10];
+    *   symbol-to-word ratio ('#' and '...') <= 0.1;
+    *   <= 90% of lines start with a bullet ('-' or '*');
+    *   <= 30% of lines end with an ellipsis;
+    *   >= 80% of words contain an alphabetic character;
+    *   >= 2 distinct English stopwords present (the Kernels.stopwords
+    *   "en" list — the ham-vs-gibberish check).
+    *
+    * Every signal is integer counting + one exact division, so rule
+    * booleans can't drift between engines; fractions are additionally
+    * emitted 1e-4-rounded for the report. Scale shape: map-only (no
+    * shuffle, no UDFs — regex/array kernels inside codegen); the gate
+    * composes with `Pipeline.curate` as a pre-dedup filter. */
+  def gopherGate(docs0: DataFrame, idCol: String, textCol: String,
+                 minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val docs = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+      sf.col(textCol).as("__t")))
+    val t = sf.col("__t")
+    val toks = gf.wsTokens(t)
+    val lowToks = gf.wsTokens(sf.lower(t))
+    val lines = sf.split(t, "\n")
+    val nWords = sf.size(toks).cast("long")
+    val nLines = sf.size(lines).cast("long")
+    val charLen = sf.length(t)
+    val nHash = (charLen - sf.length(sf.regexp_replace(t, "#", ""))).cast("long")
+    val nEll = ((charLen - sf.length(sf.regexp_replace(t, "\\.\\.\\.", "")))
+      .cast("double") / 3.0).cast("long")
+    val nBullet = sf.size(sf.filter(lines,
+      l => l.rlike("^\\s*[-*]"))).cast("long")
+    val nEllLine = sf.size(sf.filter(lines,
+      l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    val nAlpha = sf.size(sf.filter(toks,
+      x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopLits = sf.array(
+      graft.plans.Kernels.stopwords("en").map(sf.lit): _*)
+    val stopHits = sf.size(sf.filter(stopLits,
+      w => sf.array_contains(lowToks, w))).cast("long")
+    val nw = nWords.cast("double")
+    val meanW = sf.when(nWords > 0,
+      sf.length(sf.regexp_replace(sf.trim(t), "\\s+", "")).cast("double") / nw)
+    val symR = sf.when(nWords > 0, (nHash + nEll).cast("double") / nw)
+    val bulletF = nBullet.cast("double") / nLines.cast("double")
+    val ellF = nEllLine.cast("double") / nLines.cast("double")
+    val alphaF = sf.when(nWords > 0, nAlpha.cast("double") / nw)
+    def rule(c: org.apache.spark.sql.Column) =
+      sf.when(c, true).otherwise(false)
+    val rWc = rule(nWords >= minWords && nWords <= maxWords)
+    val rMwl = rule(sf.coalesce(meanW >= 3.0 && meanW <= 10.0, sf.lit(false)))
+    val rSym = rule(sf.coalesce(symR <= 0.1, sf.lit(false)))
+    val rBul = rule(bulletF <= 0.9)
+    val rEll = rule(ellF <= 0.3)
+    val rAlp = rule(sf.coalesce(alphaF >= 0.8, sf.lit(false)))
+    val rStp = rule(stopHits >= 2)
+    docs.select(sf.col("doc_id"), nWords.as("n_words"),
+        gf.roundAt(meanW, 4).as("mean_word_len"),
+        gf.roundAt(symR, 4).as("symbol_ratio"),
+        gf.roundAt(bulletF, 4).as("bullet_frac"),
+        gf.roundAt(ellF, 4).as("ellipsis_frac"),
+        gf.roundAt(alphaF, 4).as("alpha_word_frac"),
+        stopHits.as("stop_hits"),
+        rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
+        rSym.as("r_symbol"), rBul.as("r_bullet"), rEll.as("r_ellipsis"),
+        rAlp.as("r_alpha"), rStp.as("r_stopwords"),
+        (rWc && rMwl && rSym && rBul && rEll && rAlp && rStp).as("pass"))
+      .orderBy("doc_id")
+  }
 }

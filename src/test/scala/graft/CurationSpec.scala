@@ -434,4 +434,22 @@ class CurationSpec extends SparkFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toList
     assert(got3 == List(("ab", 3L), ("bc", 2L), ("bd", 1L)))
   }
+
+  test("TextAnalysis.gopherGate: each rule fires on its planted violation") {
+    val good = (Seq.fill(6)("the quick brown foxes jumped over lazy dogs and cats")
+      .mkString(" "))                       // 60 words, stopwords, all-alpha
+    val df = Seq(
+      (1L, good),
+      (2L, good + " " + Seq.fill(20)("###").mkString(" ")), // symbol soup
+      (3L, "- item one\n- item two\n- item three"),          // bullet lines
+      (4L, good.replace("the", "zzz").replace("and", "yyy")), // no stopwords
+      (5L, "too short")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGate(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(15), "good doc must pass") // pass col
+    assert(!got(2L).getBoolean(10) && !got(2L).getBoolean(15)) // r_symbol
+    assert(!got(3L).getBoolean(11) && !got(3L).getBoolean(15)) // r_bullet
+    assert(!got(4L).getBoolean(14) && !got(4L).getBoolean(15)) // r_stopwords
+    assert(!got(5L).getBoolean(8) && !got(5L).getBoolean(15))  // r_word_count
+  }
 }
