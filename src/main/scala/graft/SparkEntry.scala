@@ -1168,6 +1168,12 @@ object SparkEntry {
     // pass — signals, per-rule booleans, and the conjunction.
     "q178_gopher_gate" -> ((s, dir) =>
       TextAnalysis.gopherGate(docs(s, dir), "doc_id", "text")),
+
+    // Content-defined chunking: position-independent duplicate byte
+    // ranges across the corpus (the storage-dedup / rsync primitive).
+    "q179_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcDuplicateChunks(docs(s, dir), "doc_id", "text",
+        window = 8, avgChunk = 64, minOcc = 2)),
   )
 
   // ---------------------------------------------------------------------
@@ -4361,5 +4367,23 @@ object SparkEntry {
         |   AND COALESCE(sr <= 0.1, FALSE) AND bf <= 0.9 AND ef <= 0.3
         |   AND COALESCE(af >= 0.8, FALSE) AND stop_hits >= 2) AS pass
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // CDC: identical md5-60 boundary rule (window 8, mod 64, skip
+    // position 1), identical cut-list chunking, md5 chunk identity.
+    "q179_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text AS t FROM documents),
+        |b AS (SELECT doc_id, t,
+        |  [i FOR i IN range(2, length(t) - 7 + 1)
+        |     IF list_reduce([strpos('0123456789abcdef', substr(md5(substr(t, i, 8)), k, 1))-1 FOR k IN range(1,16)],
+        |          (a,x) -> a*16 + x) % 64 = 0] AS bnd FROM d),
+        |c AS (SELECT doc_id, t, [1] || bnd || [length(t) + 1] AS cuts FROM b),
+        |ch AS (SELECT doc_id, substr(t, cuts[j], cuts[j+1] - cuts[j]) AS chunk
+        |  FROM (SELECT doc_id, t, cuts, unnest(range(1, len(cuts))) AS j FROM c)),
+        |f AS (SELECT doc_id, md5(chunk) AS chunk_md5,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len FROM ch WHERE length(chunk) > 0)
+        |SELECT chunk_md5, chunk_len, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM f GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY n_occ DESC, chunk_md5""".stripMargin,
   )
 }

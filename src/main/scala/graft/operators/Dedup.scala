@@ -1104,6 +1104,63 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Content-defined chunking (CDC) duplicate-chunk analysis — the
+    * storage-dedup primitive (LBFS/rsync family): chunk boundaries
+    * fall where the hash of a `window`-char sliding context is ≡ 0
+    * mod `avgChunk`, so identical content produces identical chunks
+    * REGARDLESS of position — an insertion early in a document shifts
+    * every fixed-size block but only the one straddling CDC chunk.
+    * Output: every chunk occurring ≥ `minOcc` times across the corpus
+    * with its occurrence/document counts — the "how much of this
+    * corpus is re-used byte ranges" answer that line-level dedup
+    * (which needs newline alignment) can't give.
+    *
+    * Portability: the boundary hash is md5-60 of the window substring
+    * (the q165 convention) and chunk identity is the chunk's md5 —
+    * any engine replays boundaries and grouping exactly. Boundaries
+    * skip position 1 (no empty first chunk); docs shorter than the
+    * window are one whole-doc chunk.
+    *
+    * Scale shape: chunking is ONE map-only array-kernel pass per
+    * document (no explode until chunks exist, ~len/avgChunk each);
+    * the only shuffle is the map-side-combined (chunk-hash) count;
+    * chunk TEXT never shuffles — only 60-bit hashes and lengths. */
+  def cdcDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 8, avgChunk: Int = 64,
+                         minOcc: Int = 2): DataFrame = {
+    require(window >= 2 && window <= 64, s"window must be in [2, 64], got $window")
+    require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
+    require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
+    val t = sf.col("__t")
+    val md560 = (c: org.apache.spark.sql.Column) =>
+      sf.conv(sf.substring(sf.md5(c), 1, 15), 16, 10).cast("long")
+    val len = sf.length(t)
+    // last window start = len - window + 1; boundaries live in
+    // [2, that]. Guard: Spark sequence(2, x) with x < 2 would emit a
+    // DESCENDING range, not an empty one.
+    val hi = len - (window - 1)
+    val bnd = sf.when(hi >= 2,
+        sf.filter(sf.sequence(sf.lit(2), hi),
+          i => md560(t.substr(i, sf.lit(window))) % avgChunk === 0))
+      .otherwise(sf.array().cast("array<int>"))
+    val cuts = sf.concat(sf.array(sf.lit(1)), bnd, sf.array(len + 1))
+    val chunks = sf.transform(
+      sf.sequence(sf.lit(0), sf.size(cuts) - 2),
+      j => t.substr(sf.element_at(cuts, j + 1),
+        sf.element_at(cuts, j + 2) - sf.element_at(cuts, j + 1)))
+    Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), sf.explode(chunks).as("__c"))
+      .filter(sf.length(sf.col("__c")) > 0)
+      .select(sf.col("doc_id"), sf.md5(sf.col("__c")).as("chunk_md5"),
+        sf.length(sf.col("__c")).cast("long").as("chunk_len"))
+      .groupBy("chunk_md5", "chunk_len")
+      .agg(sf.count(sf.lit(1)).as("n_occ"),
+        sf.count_distinct(sf.col("doc_id")).as("n_docs"))
+      .filter(sf.col("n_occ") >= minOcc)
+      .orderBy(sf.col("n_occ").desc, sf.col("chunk_md5"))
+  }
+
   /** Blocked Jaro–Winkler record-linkage join: candidate pairs come
     * ONLY from equal `blockExpr` values (the classic blocking strategy
     * — a structured attribute bounds the comparison space), then each

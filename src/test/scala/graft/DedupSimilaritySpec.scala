@@ -528,6 +528,27 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("cdcDuplicateChunks: shared content found despite a shifting prefix insertion") {
+    // 600 varied chars shared; doc 2 inserts a prefix, shifting every
+    // byte offset — fixed-size blocks would all differ, CDC re-syncs
+    val shared = (1 to 120).map(i => s"tok${i * 7 % 97}").mkString(" ")
+    val df = Seq(
+      (1L, shared),
+      (2L, "completely different preamble text first " + shared),
+      (3L, "zz")) // shorter than the window: one whole-doc chunk
+    .toDF("id", "t")
+    val got = Dedup.cdcDuplicateChunks(df, "id", "t",
+      window = 8, avgChunk = 64, minOcc = 2).collect()
+    // at least one chunk of the shared region appears in BOTH docs
+    assert(got.exists(_.getLong(3) == 2L),
+      s"no cross-doc chunk found: ${got.mkString("; ")}")
+    // chunks-per-doc sanity: chunk text re-assembles to the doc (no
+    // gaps/overlaps) — checked via total lengths
+    val fps = Dedup.cdcDuplicateChunks(df, "id", "t", minOcc = 1)
+    val totalLen = fps.agg(sf.sum(sf.col("chunk_len") * sf.col("n_occ"))).collect()(0).getLong(0)
+    assert(totalLen == df.collect().map(_.getString(1).length.toLong).sum)
+  }
+
   test("kCenterSelect: farthest-point order on planted geometry, ties to smaller id") {
     val df = Seq(
       (1L, Seq(0f, 0f)), (2L, Seq(10f, 10f)), (3L, Seq(10f, 0f)),
