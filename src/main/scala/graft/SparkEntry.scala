@@ -1174,6 +1174,13 @@ object SparkEntry {
     "q179_cdc_chunks" -> ((s, dir) =>
       Dedup.cdcDuplicateChunks(docs(s, dir), "doc_id", "text",
         window = 8, avgChunk = 64, minOcc = 2)),
+
+    // Length-bucketing efficiency: pad/truncation waste per bucket —
+    // the dynamic-batching datasheet (multiple=32 so the word-soup
+    // corpus spreads across several buckets).
+    "q180_length_buckets" -> ((s, dir) =>
+      Packing.lengthBucketing(docs(s, dir), "doc_id", "text",
+        multiple = 32, maxLen = 128)),
   )
 
   // ---------------------------------------------------------------------
@@ -4385,5 +4392,23 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM f GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY n_occ DESC, chunk_md5""".stripMargin,
+
+    // Length buckets: integer round-up arithmetic, cap, exact sums.
+    "q180_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(n AS BIGINT) AS n,
+        |  CAST(least(n, 128) AS BIGINT) AS kept,
+        |  CAST(least(((n + 31) // 32) * 32, 128) AS BIGINT) AS bucket_len
+        |  FROM t WHERE n > 0)
+        |SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(bucket_len - kept) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(n - kept) AS BIGINT) AS truncated_tokens,
+        |  floor((CAST(SUM(bucket_len - kept) AS DOUBLE)
+        |    / CAST(COUNT(*) * bucket_len AS DOUBLE))*10000.0 + 0.5)/10000.0 AS pad_frac
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

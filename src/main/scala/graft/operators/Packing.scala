@@ -150,4 +150,47 @@ object Packing {
         sf.pmod(sf.col("pre"), sf.lit(capacity)).as("seq_offset"))
       .orderBy("doc_id")
   }
+
+  /** Sequence-length bucketing efficiency report — the dynamic-batching
+    * datasheet beside [[packSequences]]'s concatenate-and-chunk: each
+    * document rounds UP to the next multiple of `multiple` (capped at
+    * `maxLen`, the training context window), and the report says, per
+    * bucket, how many pad tokens that batching strategy wastes and how
+    * many real tokens the cap truncates. pad_frac per bucket is the
+    * number a pipeline tunes bucket boundaries against; truncated > 0
+    * rows say the cap is eating data.
+    *
+    * Exactness: token counts, bucket arithmetic, pad/truncation sums
+    * are all integers; pad_frac is one exact division rounded 1e-4.
+    * Scale shape: one map-only pass per doc (fused token-count
+    * kernel), then a map-side-combined groupBy onto the BOUNDED
+    * bucket domain (≤ maxLen/multiple rows). Empty docs drop. */
+  def lengthBucketing(docs: DataFrame, idCol: String, textCol: String,
+                      multiple: Int = 128, maxLen: Int = 2048): DataFrame = {
+    require(multiple >= 1, s"multiple must be >= 1, got $multiple")
+    require(maxLen >= multiple && maxLen % multiple == 0,
+      s"maxLen must be a positive multiple of multiple, got $maxLen/$multiple")
+    val n = gf.tokenCount(sf.col("__t")).cast("long")
+    val kept = sf.least(sf.col("__n"), sf.lit(maxLen.toLong))
+    val bucket = sf.least(
+      ((sf.col("__n") + (multiple - 1)) / multiple).cast("long") * multiple,
+      sf.lit(maxLen.toLong))
+    Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), n.as("__n"))
+      .filter(sf.col("__n") > 0)
+      .select(sf.col("doc_id"), sf.col("__n"), kept.as("__kept"),
+        bucket.as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum("__n").as("total_tokens"),
+        sf.sum(sf.col("bucket_len") - sf.col("__kept")).as("pad_tokens"),
+        sf.sum(sf.col("__n") - sf.col("__kept")).as("truncated_tokens"))
+      .select(sf.col("bucket_len"), sf.col("n_docs"), sf.col("total_tokens"),
+        sf.col("pad_tokens"), sf.col("truncated_tokens"),
+        gf.roundAt(sf.col("pad_tokens").cast("double") /
+          (sf.col("n_docs") * sf.col("bucket_len")).cast("double"), 4)
+          .as("pad_frac"))
+      .orderBy("bucket_len")
+  }
 }

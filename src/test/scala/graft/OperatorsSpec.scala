@@ -885,6 +885,20 @@ class OperatorsSpec extends SparkFunSuite {
     assert(g2.map(_.getLong(0)).toSeq == Seq(4L) && g2(0).isNullAt(2))
   }
 
+  test("Packing.lengthBucketing: round-up buckets, cap truncation, pad accounting") {
+    // multiple=4, maxLen=8: 3 toks -> bucket 4 pad 1; 5 -> 8 pad 3;
+    // 11 -> capped: bucket 8, pad 0, truncated 3; empty doc drops
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c d e"),
+      (3L, (1 to 11).map(_ => "w").mkString(" ")), (4L, "  ")).toDF("id", "t")
+    val got = Packing.lengthBucketing(df, "id", "t", multiple = 4, maxLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (4L, 1L, 3L, 1L, 0L, 0.25),
+      (8L, 2L, 16L, 3L, 3L, 0.1875)))
+  }
+
   test("QualityChecks.prCurve: hand confusion table at every threshold") {
     // scores desc: 0.9(+) 0.8(-) 0.7(+) 0.6(+) 0.5(-)  => P=3, N=2
     val df = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 1), (0.5, 0))
