@@ -28,6 +28,8 @@ case class SessionOut(user_id: Long, session_start: Timestamp,
 case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
 case class HeavyCand(shard: Int, term: String, est: Long)
+case class ResvRow(group: String, id: Long, weight: Double)
+case class ResvOut(group: String, id: Long, weight: Double, key_fx: Long)
 case class SnapshotRow(user_id: Long, ts: Timestamp, event_id: Long,
                        event_type: String, value: Double)
 
@@ -248,6 +250,49 @@ object EventStream {
           rows.foreach { t => m = mg.reduce(m, t) }
           state.update(m)
           m.iterator.map { case (t, c) => HeavyCand(shard, t, c) }
+      }
+  }
+
+  /** Streaming exact-k weighted reservoir per group — the streaming
+    * twin of `Sampling.weightedTopKPerGroup` (Efraimidis–Spirakis
+    * A-ES): each row's lottery key u^(1/w) is the IDENTICAL portable
+    * Knuth-hash fixed-point the batch operator computes, so after any
+    * prefix of the stream the reservoir equals the batch draw over
+    * the same rows (batch ≡ stream parity, pinned by spec). The A-ES
+    * property that makes a one-pass bounded-state reservoir correct:
+    * the top-k lottery keys ARE an exact weighted sample without
+    * replacement.
+    *
+    * State: ≤ k (key, id, weight) triples per group — independent of
+    * stream length. Update-mode emissions re-publish a group's
+    * current reservoir only when that group saw rows this batch.
+    * Ids are assumed unique per group (event/doc ids); re-delivery
+    * belongs upstream in `dedupStream`. */
+  def weightedReservoirStream(spark: SparkSession, rows: Dataset[ResvRow],
+                              k: Int): Dataset[ResvOut] = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    def keyFx(id: Long, w: Double): Long = {
+      // the weightedTopK expression, replayed in JVM scalars:
+      // h32 = pmod(id, 2^31)·2654435761 mod 2^32; u = (h32+1)/2^32
+      val h32 = math.floorMod(id, 2147483648L) * 2654435761L % 4294967296L
+      val u = (h32 + 1L).toDouble / 4294967296.0
+      math.floor(math.pow(u, 1.0 / w) * 1e12 + 0.5).toLong
+    }
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[List[(Long, Long, Double)], ResvOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[ResvRow],
+         state: GroupState[List[(Long, Long, Double)]]) =>
+          var res = state.getOption.getOrElse(Nil) // (key_fx, id, weight)
+          it.foreach { r =>
+            if (r.weight > 0) {
+              res = ((keyFx(r.id, r.weight), r.id, r.weight) :: res)
+                .sortBy { case (f, i, _) => (-f, i) }.take(k)
+            }
+          }
+          state.update(res)
+          res.iterator.map { case (f, i, w) => ResvOut(g, i, w, f) }
       }
   }
 }

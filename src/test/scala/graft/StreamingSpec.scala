@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
+import graft.streaming.ResvRow
 
 class StreamingSpec extends SparkFunSuite {
   import spark.implicits._
@@ -398,6 +399,43 @@ class StreamingSpec extends SparkFunSuite {
       assert(all.filter(_._2.startsWith("a")).forall(_._3 <= 2))
       // all hot emissions came from ONE shard (term-hash routing)
       assert(all.filter(_._2 == "hot").map(_._1).distinct.length == 1)
+    } finally q.stop()
+  }
+
+  test("weightedReservoirStream: batch-parity A-ES reservoir across batches, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ResvRow]
+    val q = EventStream.weightedReservoirStream(spark, input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("resv")
+      .outputMode(OutputMode.Update()).start()
+    val b1 = (1L to 10L).map(i => ResvRow("g", i, i.toDouble))
+    val b2 = (11L to 20L).map(i => ResvRow("g", i, 21.0 - i)) ++
+      Seq(ResvRow("h", 99L, 1.0))
+    import org.apache.spark.sql.{functions => sf}
+    def batchTwin(rows: Seq[ResvRow]) =
+      graft.operators.Sampling.weightedTopKPerGroup(spark,
+        rows.toDF("group", "id", "weight"), "group", "id",
+        sf.col("weight"), k = 3)
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    def emitted() = spark.table("resv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // after batch 1 the g-reservoir equals the batch A-ES over b1
+      val e1 = emitted().filter(_._1 == "g").map(t => (t._2, t._3))
+      assert(e1.toSet == batchTwin(b1) && e1.size == 3)
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // batch 2 re-publishes the UPDATED reservoir: sink now holds
+      // batch-1 emissions plus the batch-twin of the full union
+      val union = b1 ++ b2.filter(_.group == "g")
+      val gAll = emitted().filter(_._1 == "g").map(t => (t._2, t._3))
+      assert(gAll.size == 6 &&
+        (gAll.diff(e1)).toSet == batchTwin(union),
+        s"stream=${gAll.diff(e1)} batch=${batchTwin(union)}")
+      // the isolated group h emits its own single-row reservoir
+      assert(emitted().count(_._1 == "h") == 1)
     } finally q.stop()
   }
 }
