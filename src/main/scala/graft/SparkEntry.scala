@@ -1181,6 +1181,11 @@ object SparkEntry {
     "q180_length_buckets" -> ((s, dir) =>
       Packing.lengthBucketing(docs(s, dir), "doc_id", "text",
         multiple = 32, maxLen = 128)),
+
+    // Centroid silhouette: per-label separation score + misfit share —
+    // the labeling-quality audit over the embedding table.
+    "q181_silhouette" -> ((s, dir) =>
+      Similarity.centroidSilhouette(emb(s, dir), "label", "embedding")),
   )
 
   // ---------------------------------------------------------------------
@@ -4410,5 +4415,35 @@ object SparkEntry {
         |  floor((CAST(SUM(bucket_len - kept) AS DOUBLE)
         |    / CAST(COUNT(*) * bucket_len AS DOUBLE))*10000.0 + 0.5)/10000.0 AS pad_frac
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Silhouette: q46 centroid replay at the 1e-4 snap, per-dim
+    // squared diffs snapped 1e-12 -> exact integer dim sums, pinned
+    // sqrt/ratio per point, 1e-9-snapped label means.
+    "q181_silhouette" ->
+      """WITH x AS (SELECT vec_id, label,
+        |  unnest([{'dim': i, 'x': CAST(embedding[i+1] AS DOUBLE)} FOR i IN range(0, len(embedding))]) AS u
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |c AS (SELECT label AS cl, u.dim AS dim,
+        |  floor((AVG(u.x))*10000.0 + 0.5)/10000.0 AS cv
+        |  FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.label, c.cl,
+        |  CAST(SUM(CAST(floor((x.u.x - c.cv)*(x.u.x - c.cv)*1e12 + 0.5) AS BIGINT)) AS BIGINT) AS di
+        |  FROM x JOIN c ON x.u.dim = c.dim GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |  MAX(CASE WHEN cl = label THEN di END) AS a,
+        |  MIN(CASE WHEN cl <> label THEN di END) AS b FROM d GROUP BY 1, 2),
+        |sv AS (SELECT label,
+        |  CASE WHEN greatest(sqrt(CAST(a AS DOUBLE)/1e12), sqrt(CAST(b AS DOUBLE)/1e12)) > 0
+        |       THEN (sqrt(CAST(b AS DOUBLE)/1e12) - sqrt(CAST(a AS DOUBLE)/1e12))
+        |            / greatest(sqrt(CAST(a AS DOUBLE)/1e12), sqrt(CAST(b AS DOUBLE)/1e12))
+        |       ELSE 0.0 END AS s FROM ab),
+        |f AS (SELECT label, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(floor(s*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ss,
+        |  CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM sv GROUP BY 1)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(n_points AS BIGINT) AS n_points,
+        |  floor(CAST(ss AS DOUBLE)/1e9/CAST(n_points AS DOUBLE)*10000.0 + 0.5)/10000.0 AS mean_sil,
+        |  floor(CAST(nn AS DOUBLE)/CAST(n_points AS DOUBLE)*10000.0 + 0.5)/10000.0 AS neg_frac
+        |FROM f ORDER BY label""".stripMargin,
   )
 }

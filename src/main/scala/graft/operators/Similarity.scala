@@ -1090,6 +1090,78 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Centroid-approximation silhouette per label — the clustering /
+    * labeling quality score: for each point, a = distance to its OWN
+    * label centroid, b = distance to the NEAREST other centroid,
+    * s = (b − a)/max(a, b) ∈ [−1, 1]. Mean s per label says how
+    * separated that label is in embedding space; neg_frac (share of
+    * points closer to a foreign centroid) is the relabeling-audit
+    * number. Classic silhouette is O(n²); the centroid approximation
+    * is the standard corpus-scale substitute.
+    *
+    * Determinism: centroids enter at [[labelCentroids]]' published
+    * 1e-4 snap; each per-dimension squared difference snaps to 1e-12
+    * fixed point so the dim-sum is an exact integer (order-free —
+    * engines can't drift); the two sqrt's and the ratio are one
+    * pinned double assembly per point, snapped 1e-9 into exact
+    * per-label sums.
+    *
+    * Scale shape: the centroid matrix is |labels|×dim — BOUNDED — and
+    * re-enters the scoring pass as plan literals, so scoring is ONE
+    * map-only pass (distance to ≤ 32 literal centroids fused into a
+    * when-chain + least()); the only shuffle is the |labels|-domain
+    * final aggregation. */
+  def centroidSilhouette(emb: DataFrame, labelCol: String = "label",
+                         vecCol: String = "embedding"): DataFrame = {
+    val centRows = labelCentroids(emb, labelCol, vecCol)
+      .select(sf.col("label").cast("long"), sf.col("dim"), sf.col("centroid"))
+      .collect()
+    val byLabel: Seq[(Long, Array[Double])] = centRows
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (l, rs) =>
+        (l, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+    require(byLabel.size >= 2 && byLabel.size <= 32,
+      s"centroidSilhouette needs 2..32 labels, got ${byLabel.size}")
+    val base = Par.spread(emb.select(sf.col(labelCol).cast("long").as("lab"),
+        sf.col(vecCol).cast("array<double>").as("v")))
+      .filter(sf.col("lab").isNotNull && sf.col("v").isNotNull)
+    // exact integer squared distance (1e-12 grid) to each centroid
+    val dInt: Seq[Column] = byLabel.map { case (_, c) =>
+      sf.aggregate(
+        sf.zip_with(sf.col("v"), sf.array(c.map(sf.lit): _*),
+          (x, y) => sf.floor((x - y) * (x - y) * 1e12 + 0.5).cast("long")),
+        sf.lit(0L), (acc, t) => acc + t)
+    }
+    val a = byLabel.zip(dInt).foldLeft(sf.lit(null).cast("long")) {
+      case (acc, ((l, _), d)) => sf.when(sf.col("lab") === l, d).otherwise(acc)
+    }
+    val b = byLabel.zipWithIndex.foldLeft(sf.lit(null).cast("long")) {
+      case (acc, ((l, _), i)) =>
+        val others = dInt.indices.filter(_ != i).map(dInt)
+        sf.when(sf.col("lab") === l,
+          others.reduce(sf.least(_, _))).otherwise(acc)
+    }
+    val aD = sf.sqrt(sf.col("__a").cast("double") / 1e12)
+    val bD = sf.sqrt(sf.col("__b").cast("double") / 1e12)
+    val sil = sf.when(sf.greatest(aD, bD) > 0, (bD - aD) / sf.greatest(aD, bD))
+      .otherwise(0.0)
+    base.select(sf.col("lab"), a.as("__a"), b.as("__b"))
+      .select(sf.col("lab"),
+        sf.floor(sil * 1e9 + 0.5).cast("long").as("__s9"),
+        sf.when(sil < 0, 1L).otherwise(0L).as("__neg"))
+      .groupBy("lab")
+      .agg(sf.count(sf.lit(1)).as("n_points"),
+        sf.sum(sf.col("__s9").cast("decimal(38,0)")).as("__ss"),
+        sf.sum("__neg").as("__nn"))
+      .select(sf.col("lab").as("label"), sf.col("n_points"),
+        gf.roundAt(sf.col("__ss").cast("double") / 1e9 /
+          sf.col("n_points").cast("double"), 4).as("mean_sil"),
+        gf.roundAt(sf.col("__nn").cast("double") /
+          sf.col("n_points").cast("double"), 4).as("neg_frac"))
+      .orderBy("label")
+  }
+
   /** Greedy k-center (farthest-point) coreset selection (Gonzalez
     * 1985, the 2-approximation to the k-center objective): seed with
     * the smallest id, then k−1 times pick the point FARTHEST from the

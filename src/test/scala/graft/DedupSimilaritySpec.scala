@@ -528,6 +528,26 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("centroidSilhouette: separated clusters score high; a mislabeled point flags") {
+    val good = Seq(
+      (1L, 0, Seq(10f, 0f)), (2L, 0, Seq(10f, 1f)),
+      (3L, 1, Seq(0f, 10f)), (4L, 1, Seq(1f, 10f)))
+      .toDF("vec_id", "label", "embedding")
+    val g = Similarity.centroidSilhouette(good, "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(g.forall(t => t._2 > 0.8 && t._3 == 0.0), g.mkString(";"))
+    // swap one point's label: it is now far from its own centroid
+    val bad = Seq(
+      (1L, 0, Seq(10f, 0f)), (2L, 1, Seq(10f, 1f)), // 2 mislabeled
+      (3L, 1, Seq(0f, 10f)), (4L, 1, Seq(1f, 10f)),
+      (5L, 0, Seq(9f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val b = Similarity.centroidSilhouette(bad, "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // exactly the mislabeled point (1 of label 1's 3 points) flags
+    assert(b(0L) == 0.0 && b(1L) == 0.3333, s"neg_frac per label: $b")
+  }
+
   test("cdcDuplicateChunks: shared content found despite a shifting prefix insertion") {
     // 600 varied chars shared; doc 2 inserts a prefix, shifting every
     // byte offset — fixed-size blocks would all differ, CDC re-syncs
