@@ -1186,6 +1186,13 @@ object SparkEntry {
     // the labeling-quality audit over the embedding table.
     "q181_silhouette" -> ((s, dir) =>
       Similarity.centroidSilhouette(emb(s, dir), "label", "embedding")),
+
+    // Cohen's kappa between declared and detected language: the
+    // chance-corrected agreement a labeling pipeline gates on.
+    "q182_kappa" -> ((s, dir) =>
+      QualityChecks.cohensKappa(
+        TextAnalysis.langId(docs(s, dir), "doc_id", "text", Some("lang")),
+        "predicted_lang", "label_lang")),
   )
 
   // ---------------------------------------------------------------------
@@ -4445,5 +4452,43 @@ object SparkEntry {
         |  floor(CAST(ss AS DOUBLE)/1e9/CAST(n_points AS DOUBLE)*10000.0 + 0.5)/10000.0 AS mean_sil,
         |  floor(CAST(nn AS DOUBLE)/CAST(n_points AS DOUBLE)*10000.0 + 0.5)/10000.0 AS neg_frac
         |FROM f ORDER BY label""".stripMargin,
+
+    // Kappa: q16's prediction replay -> exact cells/margins/diagonal,
+    // DECIMAL pe numerator, pinned (po-pe)/(1-pe) assembly.
+    "q182_kappa" -> {
+      val cands = functions.stopwords.toSeq.sortBy(_._1).map { case (l, sw) =>
+        s"('$l', [${sw.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang AS label_lang,
+         |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+         |  FROM documents),
+         |sc AS (
+         |  SELECT b.doc_id, b.label_lang, u.l AS cand,
+         |    len(list_intersect(b.toks, u.sw)) AS score
+         |  FROM base b, (VALUES $cands) u(l, sw)),
+         |pred AS (SELECT doc_id, label_lang, cand AS predicted_lang FROM (
+         |  SELECT doc_id, label_lang, cand,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |cells AS (SELECT predicted_lang AS a, label_lang AS b,
+         |  CAST(COUNT(*) AS BIGINT) AS c FROM pred
+         |  WHERE predicted_lang IS NOT NULL AND label_lang IS NOT NULL GROUP BY 1, 2),
+         |ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS rc FROM cells GROUP BY 1),
+         |cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag FROM cells),
+         |pe AS (SELECT SUM(CAST(rc AS DECIMAL(38,0)) * CAST(cc AS DECIMAL(38,0))) AS s
+         |  FROM ra JOIN cb ON ra.a = cb.b)
+         |SELECT n AS n_rows,
+         |  floor((CAST(diag AS DOUBLE)/CAST(n AS DOUBLE))*10000.0 + 0.5)/10000.0 AS p_observed,
+         |  floor((CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))*10000.0 + 0.5)/10000.0 AS p_expected,
+         |  CASE WHEN CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) < 1.0 THEN
+         |    floor(((CAST(diag AS DOUBLE)/CAST(n AS DOUBLE)
+         |      - CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))
+         |     / (1.0 - CAST(s AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))))*10000.0 + 0.5)/10000.0
+         |  END AS kappa
+         |FROM tot CROSS JOIN pe""".stripMargin
+    },
   )
 }

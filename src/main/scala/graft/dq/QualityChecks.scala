@@ -642,6 +642,50 @@ object QualityChecks {
       .orderBy("duration")
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings of the same rows (annotator vs annotator,
+    * declared vs model-predicted label): kappa = (p_o − p_e)/(1 − p_e)
+    * where p_o is observed agreement and p_e the agreement two
+    * independent raters with these margins would reach by luck. The
+    * number labeling pipelines gate on — raw accuracy flatters any
+    * skewed label distribution; kappa doesn't.
+    *
+    * Exactness: cell counts, margins, and the diagonal are exact
+    * integers from ONE (a, b) cell aggregation; p_e's Σ rowMargin ×
+    * colMargin is an exact DECIMAL integer sum; the final
+    * (p_o − p_e)/(1 − p_e) is one pinned double assembly (margins
+    * divide by n as doubles, so n² never overflows), rounded 1e-4.
+    * Degenerate p_e = 1 (both sides constant) → NULL kappa.
+    *
+    * Scale shape: one map-side-combined groupBy onto the label-pair
+    * cell domain; margins re-aggregate the CELL table; everything
+    * after is cell-domain-sized with single-row broadcasts. */
+  def cohensKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.operators.Par.spread(
+      df.select(sf.col(colA).cast("string").as("__a"),
+        sf.col(colB).cast("string").as("__b")))
+      .filter(sf.col("__a").isNotNull && sf.col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true) // margins, diagonal, total all read it
+    val ra = cells.groupBy("__a").agg(sf.sum("__c").as("__ra"))
+    val cb = cells.groupBy("__b").agg(sf.sum("__c").as("__cb"))
+    val tot = cells.agg(sf.sum("__c").as("__n"),
+      sf.sum(sf.when(sf.col("__a") === sf.col("__b"), sf.col("__c"))
+        .otherwise(0L)).as("__diag"))
+    val peNum = ra.join(cb, sf.col("__a") === sf.col("__b"))
+      .agg(sf.sum(dec(sf.col("__ra")) * dec(sf.col("__cb"))).as("__pe"))
+    val n = sf.col("__n").cast("double")
+    val po = sf.col("__diag").cast("double") / n
+    val pe = sf.col("__pe").cast("double") / (n * n)
+    tot.crossJoin(sf.broadcast(peNum))
+      .select(sf.col("__n").as("n_rows"),
+        gf.roundAt(po, 4).as("p_observed"),
+        gf.roundAt(pe, 4).as("p_expected"),
+        sf.when(pe < 1.0, gf.roundAt((po - pe) / (sf.lit(1.0) - pe), 4))
+          .as("kappa"))
+  }
+
   /** Mutual information between two categorical columns, in nats —
     * the effect-size companion to [[chiSquared]]: how many nats of
     * information one column carries about the other, plus both

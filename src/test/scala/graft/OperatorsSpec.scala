@@ -899,6 +899,21 @@ class OperatorsSpec extends SparkFunSuite {
       (8L, 2L, 16L, 3L, 3L, 0.1875)))
   }
 
+  test("QualityChecks.cohensKappa: hand table, perfect agreement, degenerate NULL") {
+    // cells: yy=6, yn=2, ny=2, nn=10 -> po=0.8, pe=0.52, kappa=0.5833
+    val pairs = Seq.fill(6)(("y", "y")) ++ Seq.fill(2)(("y", "n")) ++
+      Seq.fill(2)(("n", "y")) ++ Seq.fill(10)(("n", "n"))
+    val r = QualityChecks.cohensKappa(pairs.toDF("a", "b"), "a", "b").collect()(0)
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((20L, 0.8, 0.52, 0.5833)))
+    // identical labelings -> kappa exactly 1
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(QualityChecks.cohensKappa(perfect, "a", "b").collect()(0).getDouble(3) == 1.0)
+    // both sides constant: pe = 1, kappa undefined -> NULL
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(QualityChecks.cohensKappa(const, "a", "b").collect()(0).isNullAt(3))
+  }
+
   test("QualityChecks.prCurve: hand confusion table at every threshold") {
     // scores desc: 0.9(+) 0.8(-) 0.7(+) 0.6(+) 0.5(-)  => P=3, N=2
     val df = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 1), (0.5, 0))
