@@ -1193,6 +1193,13 @@ object SparkEntry {
       QualityChecks.cohensKappa(
         TextAnalysis.langId(docs(s, dir), "doc_id", "text", Some("lang")),
         "predicted_lang", "label_lang")),
+
+    // Novelty-saturation curve: per id-range bucket, the share of
+    // 3-grams never seen in earlier buckets — "is more of this source
+    // still worth ingesting".
+    "q183_novelty_curve" -> ((s, dir) =>
+      CorpusStats.noveltyCurve(docs(s, dir), "doc_id", "text",
+        n = 3, bucketSize = 100)),
   )
 
   // ---------------------------------------------------------------------
@@ -4490,5 +4497,29 @@ object SparkEntry {
          |  END AS kappa
          |FROM tot CROSS JOIN pe""".stripMargin
     },
+
+    // Novelty curve: q56-style string grams (hash is equality-only on
+    // the Spark side), min-bucket first-occurrence, window cumsum.
+    "q183_novelty_curve" ->
+      """WITH ws AS (SELECT doc_id, doc_id // 100 AS bucket,
+        |  regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT bucket, unnest(
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) END) AS gr
+        |  FROM ws),
+        |fs AS (SELECT gr, MIN(bucket) AS fb FROM g GROUP BY 1),
+        |ng AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_grams FROM fs GROUP BY 1),
+        |occ AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gram_occ FROM g GROUP BY 1),
+        |nd AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ws GROUP BY 1),
+        |j AS (SELECT nd.bucket AS bucket, n_docs,
+        |  COALESCE(n_gram_occ, 0) AS n_gram_occ, COALESCE(new_grams, 0) AS new_grams
+        |  FROM nd LEFT JOIN occ USING (bucket) LEFT JOIN ng USING (bucket)),
+        |f AS (SELECT j.*, CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS cum_new FROM j)
+        |SELECT bucket, n_docs, n_gram_occ, new_grams, cum_new,
+        |  CASE WHEN n_gram_occ > 0 THEN
+        |    floor((CAST(new_grams AS DOUBLE)/CAST(n_gram_occ AS DOUBLE))*10000.0 + 0.5)/10000.0
+        |  END AS novelty_rate
+        |FROM f ORDER BY bucket""".stripMargin,
   )
 }

@@ -850,6 +850,54 @@ object CorpusStats {
       sf.when(ok, gf.roundAt((sy - slope * sx) / n, 4)).as("ln_k"))
   }
 
+  /** Corpus novelty-saturation curve: order documents into id-range
+    * buckets and report, per bucket, how many of its distinct word
+    * n-grams had NEVER appeared in an earlier bucket — the "is more
+    * of this source still worth ingesting" curve (novelty_rate decays
+    * toward 0 as a source exhausts itself; a flat-high curve means
+    * the corpus is still growing vocabulary/phrasing; a cliff means
+    * boilerplate). The growth-over-position companion of
+    * [[heapsLawFit]]'s growth-over-volume fit.
+    *
+    * Gram identity is the fused 64-bit hash kernel (never gram
+    * strings — the q56 decontaminate convention: equality-only use,
+    * so the oracle's string grams agree); "occurrence" means one
+    * per (doc, distinct gram).
+    *
+    * Scale shape: one map-only gram pass, a map-side-combined
+    * min(bucket) per gram (the only vocabulary-sized shuffle), two
+    * bucket-domain aggregations, and a range-partitioned prefix sum
+    * for the cumulative curve — never a one-task window. */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, bucketSize: Long = 100): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val base = Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .filter(sf.length(sf.trim(sf.col("__t"))) > 0)
+      .withColumn("bucket", (sf.col("doc_id") / bucketSize).cast("long"))
+    val g = base.select(sf.col("bucket"),
+        sf.explode(gf.hashedWsNgrams(sf.col("__t"), n)).as("gh"))
+      .localCheckpoint(true) // first-seen + per-bucket occ both read it
+    val firstSeen = g.groupBy("gh").agg(sf.min("bucket").as("fb"))
+      .groupBy("fb").agg(sf.count(sf.lit(1)).as("new_grams"))
+      .withColumnRenamed("fb", "bucket")
+    val occ = g.groupBy("bucket").agg(sf.count(sf.lit(1)).as("n_gram_occ"))
+    val nd = base.groupBy("bucket").agg(sf.count(sf.lit(1)).as("n_docs"))
+    val joined = nd.join(occ, Seq("bucket"), "left")
+      .join(firstSeen, Seq("bucket"), "left")
+      .select(sf.col("bucket"), sf.col("n_docs"),
+        sf.coalesce(sf.col("n_gram_occ"), sf.lit(0L)).as("n_gram_occ"),
+        sf.coalesce(sf.col("new_grams"), sf.lit(0L)).as("new_grams"))
+    StarSchema.globalPrefixSums(joined, Seq("bucket"), "new_grams", "cum_new")
+      .select(sf.col("bucket"), sf.col("n_docs"), sf.col("n_gram_occ"),
+        sf.col("new_grams"), sf.col("cum_new"),
+        sf.when(sf.col("n_gram_occ") > 0,
+          gf.roundAt(sf.col("new_grams").cast("double") /
+            sf.col("n_gram_occ").cast("double"), 4)).as("novelty_rate"))
+      .orderBy("bucket")
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document
     * log-importance of a hashed-unigram bag-of-words model of the

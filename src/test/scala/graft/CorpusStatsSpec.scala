@@ -578,6 +578,24 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(CorpusStats.heapsLawFit(one, "source", "text").collect()(0).isNullAt(1))
   }
 
+  test("CorpusStats.noveltyCurve: first-occurrence buckets, duplicate buckets add nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d"),   // grams: "a b c", "b c d"
+      (1L, "a b c d"),   // exact dup: occurrences yes, novelty no
+      (2L, "a b c d"),   // later bucket, all grams old
+      (3L, "x y z w"),   // 2 brand-new grams
+      (4L, "p q"),       // short doc: whole-sequence gram
+      (5L, "   ")).toDF("doc_id", "text") // empty: dropped
+    val got = CorpusStats.noveltyCurve(df, "doc_id", "text", n = 3, bucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (0L, 2L, 4L, 2L, 2L, 0.5),   // 2 docs, 4 gram-occurrences, 2 new
+      (1L, 2L, 4L, 2L, 4L, 0.5),   // doc2 adds nothing, doc3 adds 2
+      (2L, 1L, 1L, 1L, 5L, 1.0)))  // short doc's whole-seq gram is new
+  }
+
   test("CorpusStats.dsirWeights: target-like docs outscore source-like; weights add per token") {
     import spark.implicits._
     val docs = Seq(
