@@ -1200,6 +1200,25 @@ object SparkEntry {
     "q183_novelty_curve" -> ((s, dir) =>
       CorpusStats.noveltyCurve(docs(s, dir), "doc_id", "text",
         n = 3, bucketSize = 100)),
+
+    // MERGE-INTO semantics: week-1 snapshot + week-2 changeset where
+    // 'error' events are deletes; latest (ts, id) wins, deletes drop
+    // the key unless a later upsert resurrects it.
+    "q184_merge_apply" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val split = sf.lit("2024-01-08 00:00:00").cast("timestamp")
+      val base = EventOps.latestSnapshot(ev.filter(sf.col("ts") < split))
+      val changes = ev.filter(sf.col("ts") >= split)
+        .select(sf.col("user_id"), sf.col("ts"), sf.col("event_id"),
+          sf.when(sf.col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"),
+          sf.col("event_type"), sf.col("value"))
+      EventOps.applyChangeset(base, changes)
+        .select(sf.col("user_id"),
+          sf.date_format(sf.col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          sf.col("event_id"), sf.col("event_type"), sf.col("value"))
+        .orderBy("user_id")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -4521,5 +4540,23 @@ object SparkEntry {
         |    floor((CAST(new_grams AS DOUBLE)/CAST(n_gram_occ AS DOUBLE))*10000.0 + 0.5)/10000.0
         |  END AS novelty_rate
         |FROM f ORDER BY bucket""".stripMargin,
+
+    // MERGE apply: base snapshot rows re-enter as upserts at their own
+    // (ts, id); latest wins; trailing delete removes the key.
+    "q184_merge_apply" ->
+      """WITH base AS (SELECT user_id, ts, event_id, 'upsert' AS op, event_type, value FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00') WHERE rn = 1),
+        |chg AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  event_type, value
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM u)
+        |SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_id, event_type, value
+        |FROM w WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
   )
 }

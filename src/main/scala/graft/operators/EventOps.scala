@@ -941,6 +941,39 @@ object EventOps {
         sf.col("__te").isNotNull.as("observed"))
   }
 
+  /** Apply a CDC changeset to a base snapshot — MERGE-INTO semantics
+    * without a table format: base rows count as upserts at their own
+    * timestamps, change rows carry an op column (`delete` removes the
+    * key; anything else upserts), and per key the LATEST (ts, id)
+    * wins. A delete followed by a later upsert resurrects the key; a
+    * stale changeset row older than the base row is a no-op — exactly
+    * the semantics replaying the full log would give, at changeset
+    * cost instead of full-log cost.
+    *
+    * Scale shape: one union + ONE map-side-combinable
+    * max(struct(ts, id, op, payload)) per key (the q72 compaction
+    * shape — no per-key sort, no window); the op/payload fields sit
+    * AFTER the unique (ts, id) prefix so they never influence the
+    * ordering. Deletes filter after the argmax. */
+  def applyChangeset(base: DataFrame, changes: DataFrame,
+                     keyCol: String = "user_id", tsCol: String = "ts",
+                     idCol: String = "event_id", opCol: String = "op",
+                     payloadCols: Seq[String] = Seq("event_type", "value")): DataFrame = {
+    val b = base.select(sf.col(keyCol) +: sf.col(tsCol) +: sf.col(idCol) +:
+      sf.lit("upsert").as("__op") +: payloadCols.map(sf.col): _*)
+    val c = changes.select(sf.col(keyCol) +: sf.col(tsCol) +: sf.col(idCol) +:
+      sf.col(opCol).as("__op") +: payloadCols.map(sf.col): _*)
+    val winner = sf.max(sf.struct(
+      (Seq(tsCol, idCol, "__op") ++ payloadCols).map(sf.col): _*))
+    b.unionByName(c)
+      .groupBy(sf.col(keyCol))
+      .agg(winner.as("__w"))
+      .filter(sf.col("__w.__op") =!= "delete")
+      .select(sf.col(keyCol) +:
+        (Seq(tsCol, idCol) ++ payloadCols).map(f => sf.col(s"__w.$f").as(f)): _*)
+      .orderBy(keyCol)
+  }
+
   def latestSnapshot(events: DataFrame, keyCol: String = "user_id",
                      tsCol: String = "ts", idCol: String = "event_id",
                      payloadCols: Seq[String] = Seq("event_type", "value")): DataFrame = {

@@ -506,6 +506,31 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got == Seq((1L, 11L, "b"), (2L, 21L, "d"), (3L, 30L, "e")))
   }
 
+  test("EventOps: applyChangeset — delete drops, resurrect wins, stale change no-ops") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val base = Seq(
+      (1L, t1, 10L, "a", 1.0),  // key 1: deleted by changeset
+      (2L, t1, 20L, "b", 2.0),  // key 2: stale change arrives (t0 < t1) -> base wins
+      (3L, t1, 30L, "c", 3.0),  // key 3: deleted then resurrected at t2
+      (4L, t1, 40L, "d", 4.0))  // key 4: untouched
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val changes = Seq(
+      (1L, t2, 11L, "delete", "x", 0.0),
+      (2L, t0, 21L, "upsert", "stale", 9.0),
+      (3L, t1, 31L, "delete", "x", 0.0),   // same ts, higher id -> beats base
+      (3L, t2, 32L, "upsert", "c2", 6.0),  // later upsert resurrects
+      (5L, t2, 50L, "upsert", "new", 7.0)) // brand-new key
+      .toDF("user_id", "ts", "event_id", "op", "event_type", "value")
+    val got = EventOps.applyChangeset(base, changes).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (2L, 20L, "b", 2.0), (3L, 32L, "c2", 6.0),
+      (4L, 40L, "d", 4.0), (5L, 50L, "new", 7.0)))
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
