@@ -1219,6 +1219,12 @@ object SparkEntry {
           sf.col("event_id"), sf.col("event_type"), sf.col("value"))
         .orderBy("user_id")
     }),
+
+    // Bounded 3-round 2-core peel of the co-purchase graph: strips the
+    // low-degree fringe, keeps the dense kernel + residual degrees.
+    "q185_kcore" -> ((s, dir) =>
+      Graph.kCore(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", k = 2, minPairCount = 2, rounds = 3)),
   )
 
   // ---------------------------------------------------------------------
@@ -4558,5 +4564,26 @@ object SparkEntry {
         |SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  event_id, event_type, value
         |FROM w WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+
+    // k-core: the identical 3-round peel recurrence unrolled; each
+    // round keeps nodes of current degree >= 2 and the edges whose
+    // endpoints both survive.
+    "q185_kcore" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |c AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e0 AS (SELECT item_a AS src, item_b AS dst FROM c
+        |       UNION ALL SELECT item_b, item_a FROM c),
+        |n1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 2),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e JOIN n1 a ON e.src = a.src
+        |       JOIN n1 d ON e.dst = d.src),
+        |n2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 2),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e JOIN n2 a ON e.src = a.src
+        |       JOIN n2 d ON e.dst = d.src),
+        |n3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 2),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e JOIN n3 a ON e.src = a.src
+        |       JOIN n3 d ON e.dst = d.src)
+        |SELECT src AS item, COUNT(*) AS degree FROM e3 GROUP BY src ORDER BY item""".stripMargin,
   )
 }

@@ -572,4 +572,21 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     val c = QualityChecks.mutualInformation(cx, "x", "y").collect()(0)
     assert(c.getDouble(3) == 0.0 && c.isNullAt(6), s"got $c")
   }
+
+  test("Graph.kCore: tail peels off round by round, triangle survives") {
+    // triangle {a,b,c} + path tail c-d-e
+    val df = Seq(("t", "a"), ("t", "b"), ("t", "c"),
+      ("p1", "c"), ("p1", "d"), ("p2", "d"), ("p2", "e")).toDF("basket", "item")
+    // one peel: only e (deg 1) is gone; d survives on stale degree 2
+    val r1 = Graph.kCore(df, "basket", "item", k = 2, minPairCount = 1, rounds = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(r1 == Seq(("a", 2L), ("b", 2L), ("c", 3L), ("d", 1L)))
+    // two peels reach the fixpoint: the triangle, all residual degree 2
+    val r2 = Graph.kCore(df, "basket", "item", k = 2, minPairCount = 1, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(r2 == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+    // k above the max core -> empty
+    assert(Graph.kCore(df, "basket", "item", k = 3, minPairCount = 1,
+      rounds = 3).count() == 0)
+  }
 }
