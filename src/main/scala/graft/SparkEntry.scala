@@ -1225,6 +1225,12 @@ object SparkEntry {
     "q185_kcore" -> ((s, dir) =>
       Graph.kCore(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", k = 2, minPairCount = 2, rounds = 3)),
+
+    // Retrieval eval: recall@10 / MRR / nDCG@10 of exact cosine top-10
+    // under same-label relevance, per query vector.
+    "q186_retrieval_eval" -> ((s, dir) =>
+      Similarity.retrievalMetrics(s, emb(s, dir), "vec_id", "embedding",
+        "label", sf.col("vec_id") < 20, k = 10)),
   )
 
   // ---------------------------------------------------------------------
@@ -4585,5 +4591,34 @@ object SparkEntry {
         |e3 AS (SELECT e.src, e.dst FROM e2 e JOIN n3 a ON e.src = a.src
         |       JOIN n3 d ON e.dst = d.src)
         |SELECT src AS item, COUNT(*) AS degree FROM e3 GROUP BY src ORDER BY item""".stripMargin,
+
+    // Retrieval eval: identical rank order (cosine desc, id), identical
+    // 1e-9-snapped 1/log2 gains, IEEE divisions rounded once at 1e-4.
+    "q186_retrieval_eval" ->
+      """WITH s AS (SELECT q.vec_id AS q_id, q.label AS q_label, n.vec_id AS n_id, n.label AS n_label,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS c
+        | FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        | WHERE q.vec_id < 20),
+        |r AS (SELECT q_id, q_label, n_label,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s),
+        |t AS (SELECT q_id, q_label, rn, (n_label = q_label) AS rel FROM r WHERE rn <= 10),
+        |pq AS (SELECT q_id, q_label,
+        |  CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN rel THEN CAST(floor(1e9/log2(rn+1)+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg9,
+        |  MIN(CASE WHEN rel THEN rn END) AS minr
+        | FROM t GROUP BY 1, 2),
+        |lt AS (SELECT label, COUNT(*) AS cl FROM embeddings GROUP BY 1),
+        |j AS (SELECT pq.*, lt.cl - 1 AS rel_total FROM pq JOIN lt ON lt.label = pq.q_label)
+        |SELECT q_id, q_label AS label, CAST(rel_total AS BIGINT) AS rel_total, hits,
+        |  CASE WHEN minr IS NULL THEN 0.0
+        |       ELSE floor((1.0/minr)*10000.0 + 0.5)/10000.0 END AS mrr,
+        |  CASE WHEN rel_total > 0
+        |       THEN floor((CAST(hits AS DOUBLE)/rel_total)*10000.0 + 0.5)/10000.0 END AS recall_k,
+        |  CASE WHEN rel_total > 0
+        |       THEN floor((CAST(dcg9 AS DOUBLE) / CAST(list_sum(
+        |         [CAST(floor(1e9/log2(i+1)+0.5) AS BIGINT)
+        |          FOR i IN range(1, CAST(greatest(least(10, rel_total), 1) AS BIGINT) + 1)]) AS DOUBLE))*10000.0 + 0.5)/10000.0
+        |       END AS ndcg_k
+        |FROM j ORDER BY q_id""".stripMargin,
   )
 }

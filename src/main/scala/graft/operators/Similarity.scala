@@ -315,6 +315,78 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Retrieval ranking metrics against label-relevance ground truth:
+    * for each query vector, run exact cosine top-k over the corpus and
+    * score the ranked list with the standard IR triple — recall@k
+    * (relevant retrieved / relevant existing), MRR (1/rank of the
+    * first relevant hit), and binary-gain nDCG@k (DCG with 1/log2(r+1)
+    * gains against the ideal prefix) — the eval harness behind every
+    * embedding-model comparison; a row with nDCG implausibly low flags
+    * a label-noise or encoder regression before training consumes the
+    * data. Relevance = same label, the standard proxy when true qrels
+    * don't exist.
+    *
+    * Determinism: ranks are (cosine desc, id asc) — the [[aggTopK]]
+    * total order; each 1/log2(r+1) gain snaps to a 1e-9 integer grid
+    * (margin to the rounding boundary is ~0.07 at the nearest rank vs
+    * ~1e-8 cross-engine libm drift) so DCG and IDCG are exact integer
+    * sums; final ratios are IEEE divisions rounded once at 1e-4.
+    *
+    * Scale shape: queries broadcast (bounded query set), the corpus
+    * never shuffles — map-only cosine + k-bounded TopKAgg partials;
+    * per-label corpus totals are one map-side-combinable label-domain
+    * aggregation; everything after the top-k is eval-sized. */
+  def retrievalMetrics(spark: SparkSession, emb: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String,
+                       queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    val corpus = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv"),
+      sf.col(labelCol).cast("long").as("n_label")))
+    val queries = sf.broadcast(
+      emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
+        sf.col(vecCol).cast("array<double>").as("qv"),
+        sf.col(labelCol).cast("long").as("q_label")))
+    val scored = queries.join(corpus, sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id").as("qId"), sf.col("n_id").as("nId"),
+        gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+      .as[Scored]
+    val ranked = scored.groupByKey(_.qId)
+      .agg(new TopKAgg(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(sf.col("q_id"), sf.posexplode(sf.col("topk")).as(Seq("i", "sn")))
+      .select(sf.col("q_id"), (sf.col("i") + 1).as("rank"), sf.col("sn._2").as("n_id"))
+    val rel = sf.col("n_label") === sf.col("q_label")
+    val gain9 = sf.floor(sf.lit(1e9) / sf.log2(sf.col("rank") + 1) + 0.5).cast("long")
+    val perQuery = ranked
+      .join(corpus.select(sf.col("n_id"), sf.col("n_label")), "n_id")
+      .join(queries.select(sf.col("q_id"), sf.col("q_label")), "q_id")
+      .groupBy("q_id", "q_label")
+      .agg(sf.sum(rel.cast("long")).as("hits"),
+        sf.sum(sf.when(rel, gain9).otherwise(0L)).as("dcg9"),
+        sf.min(sf.when(rel, sf.col("rank"))).as("minr"))
+    val labelTotals = corpus.groupBy(sf.col("n_label").as("q_label"))
+      .agg(sf.count(sf.lit(1)).as("cl"))
+    val idcg9 = sf.expr(
+      s"""aggregate(sequence(1, int(greatest(least(bigint($k), rel_total), 1L))),
+         |0L, (acc, i) -> acc + bigint(floor(1e9 / log2(i + 1) + 0.5)))""".stripMargin)
+    perQuery
+      .join(sf.broadcast(labelTotals), "q_label")
+      .withColumn("rel_total", sf.col("cl") - 1)
+      .select(sf.col("q_id"), sf.col("q_label").as("label"),
+        sf.col("rel_total"), sf.col("hits"),
+        sf.when(sf.col("minr").isNull, 0.0)
+          .otherwise(gf.roundAt(sf.lit(1.0) / sf.col("minr"), 4)).as("mrr"),
+        sf.when(sf.col("rel_total") > 0,
+          gf.roundAt(sf.col("hits").cast("double") /
+            sf.col("rel_total").cast("double"), 4)).as("recall_k"),
+        sf.when(sf.col("rel_total") > 0,
+          gf.roundAt(sf.col("dcg9").cast("double") / idcg9.cast("double"), 4))
+          .as("ndcg_k"))
+      .orderBy("q_id")
+  }
+
   /** Deterministic codebook-sample ordering: Knuth multiplicative hash
     * of the id, pure 64-bit integer arithmetic — reproducible verbatim
     * in any SQL engine (used by the q32 oracle), unlike engine-specific

@@ -275,6 +275,34 @@ class DedupSimilaritySpec extends SparkFunSuite {
     got.foreach { case (q, _, c) => assert(c <= best(q) + 1e-9) }
   }
 
+  test("retrievalMetrics: planted geometry yields hand-computed MRR/recall/nDCG") {
+    import spark.implicits._
+    // query 0 (label 1); nearest = mislabeled X (label 2), then Y (label 1,
+    // the only relevant), then Z. top-2 pattern [miss, hit]:
+    // mrr = 1/2, recall = 1/1, nDCG = (1/log2(3)) / (1/log2(2)) = 0.6309
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f), 2), // X
+      (2L, Array(0.95f, 0.05f), 1), // Y
+      (3L, Array(0.0f, 1.0f), 2))   // Z
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.retrievalMetrics(spark, emb, "vec_id", "embedding",
+      "label", sf.col("vec_id") === 0, k = 2).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 0L && row.getLong(1) == 1L)
+    assert(row.getLong(2) == 1L && row.getLong(3) == 1L) // rel_total, hits
+    assert(row.getDouble(4) == 0.5 && row.getDouble(5) == 1.0)
+    assert(row.getDouble(6) == 0.6309, s"ndcg ${row.getDouble(6)}")
+    // query 1 (label 2, at (0.99, 0.01)): nearest is query-0's (1,0) — a
+    // miss — then Y (miss), relevant Z=(0,1) is OUTSIDE the top-2 window:
+    // hits 0, mrr 0, recall 0, nDCG 0
+    val p = Similarity.retrievalMetrics(spark, emb, "vec_id", "embedding",
+      "label", sf.col("vec_id") === 1, k = 2).collect()(0)
+    assert(p.getLong(2) == 1L && p.getLong(3) == 0L)
+    assert(p.getDouble(4) == 0.0 && p.getDouble(5) == 0.0 && p.getDouble(6) == 0.0)
+  }
+
   test("semanticDedup flags exactly the vectors with a lower-id cluster-mate above tau") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val tau = 0.35
