@@ -1231,6 +1231,11 @@ object SparkEntry {
     "q186_retrieval_eval" -> ((s, dir) =>
       Similarity.retrievalMetrics(s, emb(s, dir), "vec_id", "embedding",
         "label", sf.col("vec_id") < 20, k = 10)),
+
+    // Flesch-Kincaid grade + Reading Ease per doc (vowel-group syllable
+    // heuristic, sentence = [.!?]+ run; exact counts, pinned assembly).
+    "q187_readability" -> ((s, dir) =>
+      TextAnalysis.readability(docs(s, dir), "doc_id", "text")),
   )
 
   // ---------------------------------------------------------------------
@@ -4620,5 +4625,21 @@ object SparkEntry {
         |          FOR i IN range(1, CAST(greatest(least(10, rel_total), 1) AS BIGINT) + 1)]) AS DOUBLE))*10000.0 + 0.5)/10000.0
         |       END AS ndcg_k
         |FROM j ORDER BY q_id""".stripMargin,
+
+    // Readability: identical vowel-group/sentence-run counts, the two
+    // final assemblies pinned left-assoc, rounded once at 1e-4.
+    "q187_readability" ->
+      """WITH w AS (SELECT doc_id, lower(text) AS lt,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  greatest(1, CAST(len(regexp_extract_all(lt, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |  CAST(list_sum([greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))) FOR x IN ws]) AS BIGINT) AS n_syllables
+        | FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  floor((0.39 * (CAST(n_words AS DOUBLE)/n_sentences) + 11.8 * (CAST(n_syllables AS DOUBLE)/n_words) - 15.59)*10000.0 + 0.5)/10000.0 AS fk_grade,
+        |  floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE)/n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE)/n_words))*10000.0 + 0.5)/10000.0 AS reading_ease
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -805,4 +805,43 @@ object TextAnalysis {
         (rWc && rMwl && rSym && rBul && rEll && rAlp && rStp).as("pass"))
       .orderBy("doc_id")
   }
+
+  /** Flesch readability per document — FK grade level
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59 and
+    * Reading Ease 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words) (Kincaid et al. 1975) — the classic
+    * audience-difficulty signal quality-filter stacks report next to
+    * the Gopher gate (grade-2 text and grade-19 text are both
+    * suspicious in a web corpus). Syllables use the standard
+    * vowel-group heuristic: non-overlapping [aeiouy]+ runs per
+    * lowercased word, floored at 1 per word; sentences are [.!?]+
+    * runs, floored at 1 — exact integer counts, so the only doubles
+    * are the two final pinned assemblies, rounded once at 1e-4.
+    *
+    * Scale shape: pure per-row kernels (regexp_count + one bounded
+    * array fold) — map-only at any scale, zero shuffles, zero UDFs. */
+  def readability(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = prepared(docs0, idCol, textCol)
+      .filter(sf.length(sf.trim(sf.col(textCol))) > 0)
+    val lower = sf.lower(sf.col(textCol))
+    val words = gf.wsTokens(lower)
+    val nWords = sf.size(words).cast("long")
+    val syl = sf.aggregate(
+      sf.transform(words, w =>
+        sf.greatest(sf.lit(1L), sf.regexp_count(w, sf.lit("[aeiouy]+")).cast("long"))),
+      sf.lit(0L), (acc, x) => acc + x)
+    val nSent = sf.greatest(sf.lit(1L),
+      sf.regexp_count(lower, sf.lit("[.!?]+")).cast("long"))
+    val wps = sf.col("n_words").cast("double") / sf.col("n_sentences").cast("double")
+    val spw = sf.col("n_syllables").cast("double") / sf.col("n_words").cast("double")
+    docs.select(sf.col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+        syl.as("n_syllables"))
+      .select(sf.col(idCol), sf.col("n_words"), sf.col("n_sentences"),
+        sf.col("n_syllables"),
+        gf.roundAt(sf.lit(0.39) * wps + sf.lit(11.8) * spw - sf.lit(15.59), 4)
+          .as("fk_grade"),
+        gf.roundAt(sf.lit(206.835) - sf.lit(1.015) * wps - sf.lit(84.6) * spw, 4)
+          .as("reading_ease"))
+      .orderBy(idCol)
+  }
 }

@@ -452,4 +452,22 @@ class CurationSpec extends SparkFunSuite {
     assert(!got(4L).getBoolean(14) && !got(4L).getBoolean(15)) // r_stopwords
     assert(!got(5L).getBoolean(8) && !got(5L).getBoolean(15))  // r_word_count
   }
+
+  test("TextAnalysis.readability: hand-computed FK grade and Reading Ease") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat. it ran!"), // 5 words, 5 syllables, 2 sentences
+      (2L, "xyz zz."),              // vowel-less word floors at 1 syllable
+      (3L, "   ")).toDF("doc_id", "text") // blank drops
+    val got = TextAnalysis.readability(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    // doc1: wps=2.5 spw=1 -> fk = .39*2.5+11.8-15.59 = -2.815;
+    //       ease = 206.835-1.015*2.5-84.6 = 119.6975
+    // doc2: 2 words ("xyz" has y; "zz." floors), 1 sentence -> fk = -3.01,
+    //       ease = 120.205
+    assert(got == Seq(
+      (1L, 5L, 2L, 5L, -2.815, 119.6975),
+      (2L, 2L, 1L, 2L, -3.01, 120.205)))
+  }
 }
