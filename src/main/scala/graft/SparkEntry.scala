@@ -1236,6 +1236,16 @@ object SparkEntry {
     // heuristic, sentence = [.!?]+ run; exact counts, pinned assembly).
     "q187_readability" -> ((s, dir) =>
       TextAnalysis.readability(docs(s, dir), "doc_id", "text")),
+
+    // Incremental agg maintenance: week-1 state merged with the week-2
+    // delta's state must equal the full-history recompute (the oracle).
+    "q188_agg_state_merge" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val split = sf.lit("2024-01-08 00:00:00").cast("timestamp")
+      EventOps.readAggState(EventOps.mergeAggStates(Seq(
+        EventOps.aggState(ev.filter(sf.col("ts") < split)),
+        EventOps.aggState(ev.filter(sf.col("ts") >= split)))))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -4641,5 +4651,23 @@ object SparkEntry {
         |  floor((0.39 * (CAST(n_words AS DOUBLE)/n_sentences) + 11.8 * (CAST(n_syllables AS DOUBLE)/n_words) - 15.59)*10000.0 + 0.5)/10000.0 AS fk_grade,
         |  floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE)/n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE)/n_words))*10000.0 + 0.5)/10000.0 AS reading_ease
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Agg-state merge: the oracle is the FULL-history recompute — any
+    // non-algebraic leak in the split/merge path fails the gate.
+    "q188_agg_state_merge" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  CASE WHEN value IS NOT NULL THEN CAST(floor(value*1e4 + 0.5) AS BIGINT) END AS v4
+        |  FROM events),
+        |g AS (SELECT user_id, event_type, COUNT(*) AS n_rows, COUNT(v4) AS n_vals,
+        |  CAST(SUM(v4) AS BIGINT) AS sum4, MIN(v4) AS min4, MAX(v4) AS max4
+        | FROM s GROUP BY 1, 2)
+        |SELECT user_id, event_type, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_vals AS BIGINT) AS n_vals,
+        |  floor((CAST(sum4 AS DOUBLE)/1e4)*10000.0 + 0.5)/10000.0 AS sum_v,
+        |  floor((CAST(min4 AS DOUBLE)/1e4)*10000.0 + 0.5)/10000.0 AS min_v,
+        |  floor((CAST(max4 AS DOUBLE)/1e4)*10000.0 + 0.5)/10000.0 AS max_v,
+        |  CASE WHEN n_vals > 0
+        |    THEN floor(((CAST(sum4 AS DOUBLE)/1e4)/n_vals)*10000.0 + 0.5)/10000.0 END AS mean_v
+        |FROM g ORDER BY user_id, event_type""".stripMargin,
   )
 }

@@ -974,6 +974,56 @@ object EventOps {
       .orderBy(keyCol)
   }
 
+  /** Incremental aggregate-state maintenance — the materialized-view
+    * pattern that makes 100 TB metrics affordable: keep per-key
+    * ALGEBRAIC state (count, non-null count, fixed-point sum, min,
+    * max), and on new data merge yesterday's state with the
+    * delta's state instead of recomputing from the full history.
+    * [[aggState]] builds state from raw events (values on the 1e-4
+    * fixed-point grid, so sums are exact integers and merge order
+    * can't drift them); [[mergeAggStates]] merges any number of state
+    * frames (count/sum add, min/max combine — the semigroup);
+    * [[readAggState]] derives the presentation row (double sum/min/
+    * max/mean) at read time. merge(aggState(A), aggState(B)) equals
+    * aggState(A UNION B) by construction — the q184 changeset-apply
+    * identity, for aggregates.
+    *
+    * Scale shape: state building is ONE map-side-combinable groupBy
+    * (state rows = |keys|, not |events|); the merge shuffles only
+    * state rows — delta-sized work per refresh, the whole point. */
+  def aggState(events: DataFrame, keyCols: Seq[String] = Seq("user_id", "event_type"),
+               valueCol: String = "value"): DataFrame = {
+    val v4 = sf.when(sf.col(valueCol).isNotNull,
+      sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long"))
+    events.groupBy(keyCols.map(sf.col): _*)
+      .agg(sf.count(sf.lit(1)).as("n_rows"),
+        sf.count(sf.col(valueCol)).as("n_vals"),
+        sf.sum(v4).as("sum4"), sf.min(v4).as("min4"), sf.max(v4).as("max4"))
+  }
+
+  def mergeAggStates(states: Seq[DataFrame],
+                     keyCols: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates: need at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(sf.col): _*)
+      .agg(sf.sum("n_rows").as("n_rows"), sf.sum("n_vals").as("n_vals"),
+        sf.sum("sum4").as("sum4"), sf.min("min4").as("min4"),
+        sf.max("max4").as("max4"))
+  }
+
+  def readAggState(state: DataFrame,
+                   keyCols: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    val d = sf.col("sum4").cast("double") / 1e4
+    state.select(keyCols.map(sf.col) ++ Seq(
+        sf.col("n_rows"), sf.col("n_vals"),
+        gf.roundAt(d, 4).as("sum_v"),
+        gf.roundAt(sf.col("min4").cast("double") / 1e4, 4).as("min_v"),
+        gf.roundAt(sf.col("max4").cast("double") / 1e4, 4).as("max_v"),
+        sf.when(sf.col("n_vals") > 0,
+          gf.roundAt(d / sf.col("n_vals").cast("double"), 4)).as("mean_v")): _*)
+      .orderBy(keyCols.map(sf.col): _*)
+  }
+
   def latestSnapshot(events: DataFrame, keyCol: String = "user_id",
                      tsCol: String = "ts", idCol: String = "event_id",
                      payloadCols: Seq[String] = Seq("event_type", "value")): DataFrame = {

@@ -531,6 +531,28 @@ class OperatorsSpec extends SparkFunSuite {
       (4L, 40L, "d", 4.0), (5L, 50L, "new", 7.0)))
   }
 
+  test("EventOps: aggState merge of any split equals the full recompute") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t, 1L, "a", 1.5), (1L, t, 2L, "a", -2.25), (1L, t, 3L, "a", null),
+      (2L, t, 4L, "b", 7.0), (2L, t, 5L, "a", 0.0001), (1L, t, 6L, "b", null))
+      .map { case (u, ts, id, et, v) =>
+        (u, ts, id, et, Option(v).map(_.asInstanceOf[Double])) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def read(df: org.apache.spark.sql.DataFrame) =
+      EventOps.readAggState(df).collect().map(_.toSeq).toSeq
+    val full = read(EventOps.aggState(rows))
+    // 3-way uneven split, including an empty shard
+    val s1 = EventOps.aggState(rows.filter(sf.col("event_id") <= 2))
+    val s2 = EventOps.aggState(rows.filter(sf.col("event_id") > 2))
+    val s3 = EventOps.aggState(rows.filter(sf.lit(false)))
+    assert(read(EventOps.mergeAggStates(Seq(s1, s2, s3))) == full)
+    // all-null value group surfaces null sum/min/max/mean, exact counts
+    val g = full.find(r => r == Seq(1L, "b", 1L, 0L, null, null, null, null))
+    assert(g.isDefined, s"got $full")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
