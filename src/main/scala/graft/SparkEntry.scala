@@ -1246,6 +1246,12 @@ object SparkEntry {
         EventOps.aggState(ev.filter(sf.col("ts") < split)),
         EventOps.aggState(ev.filter(sf.col("ts") >= split)))))
     }),
+
+    // Matryoshka audit: top-5 overlap between d-prefix and full-dim
+    // cosine retrieval, d in {8, 16, 32} of 64.
+    "q189_truncation_fidelity" -> ((s, dir) =>
+      Similarity.truncationFidelity(s, emb(s, dir), "vec_id", "embedding",
+        sf.col("vec_id") < 10, k = 5, dims = Seq(8, 16, 32))),
   )
 
   // ---------------------------------------------------------------------
@@ -4669,5 +4675,30 @@ object SparkEntry {
         |  CASE WHEN n_vals > 0
         |    THEN floor(((CAST(sum4 AS DOUBLE)/1e4)/n_vals)*10000.0 + 0.5)/10000.0 END AS mean_v
         |FROM g ORDER BY user_id, event_type""".stripMargin,
+
+    // Truncation fidelity: identical (cosine desc, id) rankings per
+    // prefix via DuckDB list slicing; overlap is a set-intersect count.
+    "q189_truncation_fidelity" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+        |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |f AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.e, n.e) DESC, n.vec_id) AS rn
+        | FROM q JOIN n ON n.vec_id <> q.vec_id),
+        |fs AS (SELECT q_id, n_id FROM f WHERE rn <= 5),
+        |dd AS (SELECT * FROM (VALUES (8), (16), (32)) v(d)),
+        |t AS (SELECT dd.d, q.vec_id AS q_id, n.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY dd.d, q.vec_id
+        |    ORDER BY list_cosine_similarity(q.e[1:dd.d], n.e[1:dd.d]) DESC, n.vec_id) AS rn
+        | FROM dd CROSS JOIN q JOIN n ON n.vec_id <> q.vec_id),
+        |ts AS (SELECT d, q_id, n_id FROM t WHERE rn <= 5),
+        |o AS (SELECT ts.d, ts.q_id, COUNT(*) AS c FROM ts JOIN fs USING (q_id, n_id)
+        |      GROUP BY 1, 2),
+        |base AS (SELECT dd.d AS d, q.vec_id AS q_id FROM dd CROSS JOIN q)
+        |SELECT b.q_id, CAST(b.d AS INT) AS d,
+        |  CAST(coalesce(o.c, 0) AS BIGINT) AS n_overlap,
+        |  floor((CAST(coalesce(o.c, 0) AS DOUBLE)/5)*10000.0 + 0.5)/10000.0 AS recall_d
+        |FROM base b LEFT JOIN o ON o.q_id = b.q_id AND o.d = b.d
+        |ORDER BY b.q_id, b.d""".stripMargin,
   )
 }

@@ -387,6 +387,57 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Matryoshka truncation-fidelity audit: for each candidate prefix
+    * length d, how much of full-dimension retrieval survives serving
+    * vectors truncated to their first d dims — per query, the overlap
+    * between the cosine top-k under the d-prefix and under the full
+    * vector (the MRL deployment question: "can I store/serve 8 of 64
+    * dims and keep my neighbors"). Truncated cosine renormalizes over
+    * the prefix (both sides sliced), exactly what a truncated index
+    * would serve.
+    *
+    * Determinism: both rankings use the (cosine desc, id asc) total
+    * order; overlap is a set-intersection count — integers end to end,
+    * one IEEE division rounded 1e-4.
+    *
+    * Scale shape: one broadcast-query top-k pass per dim (corpus never
+    * shuffles, k-bounded TopKAgg partials, the [[aggTopK]] shape);
+    * everything after is query-set-sized. dims is a bounded audit
+    * list by contract. */
+  def truncationFidelity(spark: SparkSession, emb: DataFrame, idCol: String,
+                         vecCol: String, queryPred: org.apache.spark.sql.Column,
+                         k: Int, dims: Seq[Int]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dims.nonEmpty && dims.size <= 16, s"dims must be 1..16 entries, got ${dims.size}")
+    import spark.implicits._
+    def topkIds(prefix: Option[Int]): DataFrame = {
+      def pv(c: org.apache.spark.sql.Column) =
+        prefix.map(d => sf.slice(c, 1, d)).getOrElse(c)
+      val corpus = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+        pv(sf.col(vecCol).cast("array<double>")).as("nv")))
+      val queries = sf.broadcast(
+        emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
+          pv(sf.col(vecCol).cast("array<double>")).as("qv")))
+      queries.join(corpus, sf.col("q_id") =!= sf.col("n_id"))
+        .select(sf.col("q_id").as("qId"), sf.col("n_id").as("nId"),
+          gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+        .as[Scored]
+        .groupByKey(_.qId).agg(new TopKAgg(k).toColumn.name("topk"))
+        .toDF("q_id", "topk")
+        .select(sf.col("q_id"),
+          sf.transform(sf.col("topk"), sn => sn.getField("_2")).as("ids"))
+    }
+    val full = topkIds(None).withColumnRenamed("ids", "full_ids")
+    dims.map { d =>
+      topkIds(Some(d)).join(full, "q_id")
+        .select(sf.col("q_id"), sf.lit(d).as("d"),
+          sf.size(sf.array_intersect(sf.col("ids"), sf.col("full_ids")))
+            .cast("long").as("n_overlap"))
+        .select(sf.col("q_id"), sf.col("d"), sf.col("n_overlap"),
+          gf.roundAt(sf.col("n_overlap").cast("double") / k, 4).as("recall_d"))
+    }.reduce(_.unionByName(_)).orderBy("q_id", "d")
+  }
+
   /** Deterministic codebook-sample ordering: Knuth multiplicative hash
     * of the id, pure 64-bit integer arithmetic — reproducible verbatim
     * in any SQL engine (used by the q32 oracle), unlike engine-specific

@@ -303,6 +303,22 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(p.getDouble(4) == 0.0 && p.getDouble(5) == 0.0 && p.getDouble(6) == 0.0)
   }
 
+  test("truncationFidelity: planted tail flips the prefix ranking, full prefix is exact") {
+    import spark.implicits._
+    // query (1,0,0,0); E's tail mass demotes it in full-dim cosine but its
+    // 2-prefix outranks C, so the d=2 top-2 swaps C for E: overlap 1 of 2
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // A
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // C
+      (3L, Array(0.95f, 0.05f, 1.0f, 1.0f))) // E
+      .toDF("vec_id", "embedding")
+    val got = Similarity.truncationFidelity(spark, emb, "vec_id", "embedding",
+      sf.col("vec_id") === 0, k = 2, dims = Seq(2, 4)).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((2, 1L, 0.5), (4, 2L, 1.0)), s"got $got")
+  }
+
   test("semanticDedup flags exactly the vectors with a lower-id cluster-mate above tau") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val tau = 0.35
