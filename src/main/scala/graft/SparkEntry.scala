@@ -1252,6 +1252,11 @@ object SparkEntry {
     "q189_truncation_fidelity" -> ((s, dir) =>
       Similarity.truncationFidelity(s, emb(s, dir), "vec_id", "embedding",
         sf.col("vec_id") < 10, k = 5, dims = Seq(8, 16, 32))),
+
+    // Class-rebalancing weights per label: inverse frequency and the
+    // Cui 2019 effective-number weight (beta = 0.99), sum-to-K normed.
+    "q190_class_weights" -> ((s, dir) =>
+      Sampling.classWeights(emb(s, dir), "label", beta = 0.99)),
   )
 
   // ---------------------------------------------------------------------
@@ -4700,5 +4705,20 @@ object SparkEntry {
         |  floor((CAST(coalesce(o.c, 0) AS DOUBLE)/5)*10000.0 + 0.5)/10000.0 AS recall_d
         |FROM base b LEFT JOIN o ON o.q_id = b.q_id AND o.d = b.d
         |ORDER BY b.q_id, b.d""".stripMargin,
+
+    // Class weights: identical 1e-9 pow snap, 1e12 reciprocal grid,
+    // order-free integer normalizing sum, pinned final divisions.
+    "q190_class_weights" ->
+      """WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings
+        |  WHERE label IS NOT NULL GROUP BY 1),
+        |k AS (SELECT label, n,
+        |  CAST(floor(1e12 / (1000000000 - CAST(floor(pow(0.99, n)*1e9 + 0.5) AS BIGINT)) + 0.5) AS BIGINT) AS r12
+        |  FROM c),
+        |t AS (SELECT COUNT(*) AS k_classes, CAST(SUM(n) AS BIGINT) AS n_total,
+        |  CAST(SUM(r12) AS BIGINT) AS s12 FROM k)
+        |SELECT label, CAST(n AS BIGINT) AS n,
+        |  floor((CAST(n_total AS DOUBLE) / CAST(k_classes * n AS DOUBLE))*10000.0 + 0.5)/10000.0 AS inv_freq_w,
+        |  floor(((CAST(k_classes AS DOUBLE) * r12) / CAST(s12 AS DOUBLE))*10000.0 + 0.5)/10000.0 AS eff_num_w
+        |FROM k CROSS JOIN t ORDER BY label""".stripMargin,
   )
 }

@@ -418,4 +418,45 @@ object Sampling {
         sf.col("__nv").as("norm_value"))
       .orderBy(groupCol, "value")
   }
+
+  /** Class-rebalancing loss weights per label — the two standard
+    * recipes side by side: inverse frequency N/(K·n_c), and the
+    * class-balanced effective-number weight of Cui et al. 2019
+    * (CVPR), w_c ∝ (1−β)/(1−β^{n_c}), normalized to sum to K — the
+    * fix for "inverse frequency over-boosts tiny classes once samples
+    * start overlapping in information". This is the label-side twin
+    * of [[weightedHashSample]]'s row-side importance weighting: feed
+    * either column to a trainer's loss or to the sampler.
+    *
+    * Determinism: counts are exact; β^{n_c} snaps to a 1e-9 grid (the
+    * q128 pow convention), the reciprocal snaps to a 1e12-scaled
+    * integer so the normalizing sum is ORDER-FREE integer addition,
+    * and each output is one pinned IEEE division rounded at 1e-4.
+    *
+    * Scale shape: one map-side-combinable label-domain count + one
+    * single-row total; everything after lives on the bounded label
+    * domain. */
+  def classWeights(df: DataFrame, labelCol: String,
+                   beta: Double = 0.999): DataFrame = {
+    require(beta > 0 && beta < 1, s"beta must be in (0, 1), got $beta")
+    val counts = df.filter(sf.col(labelCol).isNotNull)
+      .groupBy(sf.col(labelCol).as("label"))
+      .agg(sf.count(sf.lit(1)).as("n"))
+      .localCheckpoint(true) // totals + output both read it
+    // (1 - beta^n) at 1e-9; reciprocal at 1e12 -> exact integer sums
+    val en9 = sf.lit(1000000000L) -
+      sf.floor(sf.pow(sf.lit(beta), sf.col("n")) * 1e9 + 0.5).cast("long")
+    val r12 = sf.floor(sf.lit(1e12) / sf.col("en9") + 0.5).cast("long")
+    val keyed = counts.select(sf.col("label"), sf.col("n"), en9.as("en9"))
+      .select(sf.col("label"), sf.col("n"), r12.as("r12"))
+    val totals = keyed.agg(sf.count(sf.lit(1)).as("k_classes"),
+      sf.sum("n").as("n_total"), sf.sum("r12").as("s12"))
+    keyed.crossJoin(sf.broadcast(totals))
+      .select(sf.col("label"), sf.col("n"),
+        graft.functions.roundAt(sf.col("n_total").cast("double") /
+          (sf.col("k_classes") * sf.col("n")).cast("double"), 4).as("inv_freq_w"),
+        graft.functions.roundAt(sf.col("k_classes").cast("double") * sf.col("r12") /
+          sf.col("s12").cast("double"), 4).as("eff_num_w"))
+      .orderBy("label")
+  }
 }

@@ -553,6 +553,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(g.isDefined, s"got $full")
   }
 
+  test("Sampling.classWeights: inverse-frequency vs effective-number on a 90/10 skew") {
+    import spark.implicits._
+    val df = (Seq.fill(90)(1) ++ Seq.fill(10)(2)).toDF("label")
+    val got = Sampling.classWeights(df, "label", beta = 0.9).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // inverse frequency boosts the tail 9x; effective-number (beta=0.9,
+    // saturating at 1/(1-beta)=10 effective samples) only ~1.5x
+    assert(got == Seq((1, 90L, 0.5556, 0.789), (2, 10L, 5.0, 1.211)), s"got $got")
+    // balanced classes: both weights are exactly 1
+    val bal = Sampling.classWeights(
+      (Seq.fill(5)(1) ++ Seq.fill(5)(2)).toDF("label"), "label", beta = 0.9)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3))).toSeq
+    assert(bal == Seq((1.0, 1.0), (1.0, 1.0)))
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
