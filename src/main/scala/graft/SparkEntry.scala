@@ -1257,6 +1257,13 @@ object SparkEntry {
     // Cui 2019 effective-number weight (beta = 0.99), sum-to-K normed.
     "q190_class_weights" -> ((s, dir) =>
       Sampling.classWeights(emb(s, dir), "label", beta = 0.99)),
+
+    // Personalized PageRank from the seed set {part % 5 == 0}: restart
+    // mass on seeds only; zero rows = unreachable in the damped walk.
+    "q191_ppr" -> ((s, dir) =>
+      Graph.personalizedPageRank(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", item => item % 5 === 0,
+        minPairCount = 2, iters = 3)),
   )
 
   // ---------------------------------------------------------------------
@@ -4720,5 +4727,40 @@ object SparkEntry {
         |  floor((CAST(n_total AS DOUBLE) / CAST(k_classes * n AS DOUBLE))*10000.0 + 0.5)/10000.0 AS inv_freq_w,
         |  floor(((CAST(k_classes AS DOUBLE) * r12) / CAST(s12 AS DOUBLE))*10000.0 + 0.5)/10000.0 AS eff_num_w
         |FROM k CROSS JOIN t ORDER BY label""".stripMargin,
+
+    // PPR: the q119 integer recurrence with seed-only restart mass.
+    "q191_ppr" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT item_a AS src, item_b AS dst FROM cab
+        |      UNION ALL SELECT item_b, item_a FROM cab),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS item, (src % 5 = 0) AS is_seed FROM e),
+        |nn AS (SELECT COUNT(*) AS ns FROM nodes WHERE is_seed),
+        |r0 AS (SELECT item, is_seed,
+        |       CASE WHEN is_seed THEN 1000000000000 // ns ELSE 0 END AS rank_fx
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS dst, SUM(r0.rank_fx // od.outdeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r0 ON e.src = r0.item GROUP BY 1),
+        |r1 AS (SELECT item, is_seed,
+        |       CASE WHEN is_seed THEN 15000000000000 // (100 * ns) ELSE 0 END
+        |         + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.item = c1.dst),
+        |c2 AS (SELECT e.dst AS dst, SUM(r1.rank_fx // od.outdeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r1 ON e.src = r1.item GROUP BY 1),
+        |r2 AS (SELECT item, is_seed,
+        |       CASE WHEN is_seed THEN 15000000000000 // (100 * ns) ELSE 0 END
+        |         + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.item = c2.dst),
+        |c3 AS (SELECT e.dst AS dst, SUM(r2.rank_fx // od.outdeg) AS s
+        |       FROM e JOIN od USING (src) JOIN r2 ON e.src = r2.item GROUP BY 1),
+        |r3 AS (SELECT item, is_seed,
+        |       CASE WHEN is_seed THEN 15000000000000 // (100 * ns) ELSE 0 END
+        |         + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.item = c3.dst)
+        |SELECT item, CAST(rank_fx AS BIGINT) AS rank_fx
+        |FROM r3 ORDER BY rank_fx DESC, item""".stripMargin,
   )
 }

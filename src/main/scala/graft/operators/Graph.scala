@@ -130,6 +130,58 @@ object Graph {
     ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
   }
 
+  /** Personalized PageRank: [[pageRank]] with the restart (teleport)
+    * mass concentrated on a SEED set instead of spread uniformly —
+    * rank becomes "centrality relative to the seeds", the
+    * related-item / similar-page primitive behind graph-based
+    * recommendation and seed-expansion curation ("give me everything
+    * that co-occurs tightly with this trusted set"). Identical exact
+    * integer fixed-point recurrence, only the base term changes:
+    *
+    *   r0(v)    = v in S ? SCALE div |S| : 0
+    *   r_k+1(v) = (v in S ? (15·SCALE) div (100·|S|) : 0)
+    *            + (85 · sum_{u -> v} (r_k(u) div outdeg(u))) div 100
+    *
+    * Non-seed nodes with no inbound rank stay at exactly 0 and are
+    * still emitted — the zero rows ARE the signal ("unreachable from
+    * the seeds within the damped walk").
+    *
+    * Scale shape: identical to [[pageRank]] — |edges| shuffle per
+    * round, seed membership rides the node table as a boolean, |S| is
+    * the one plan-time scalar. */
+  def personalizedPageRank(df: DataFrame, basketCol: String, itemCol: String,
+                           seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                           minPairCount: Long = 2, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000000000L // 1e12
+    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a"), sf.col("item_b"))
+    val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
+      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
+    val outdeg = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, "src").persist()
+    val nodes = edgesDeg.select(sf.col("src").as("item")).distinct()
+      .withColumn("is_seed", seedPred(sf.col("item"))).persist()
+    val nSeeds = nodes.filter(sf.col("is_seed")).count()
+    require(nSeeds > 0, "personalizedPageRank: seed set is empty on this graph")
+    val base = (15L * SCALE) / (100L * nSeeds)
+    var ranks = nodes.select(sf.col("item"),
+      sf.when(sf.col("is_seed"), sf.lit(SCALE / nSeeds)).otherwise(0L).as("rank_fx"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks, sf.col("src") === sf.col("item"))
+        .select(sf.col("dst"), sf.expr("rank_fx div outdeg").as("c"))
+        .groupBy("dst").agg(sf.sum(sf.col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, sf.col("item") === sf.col("dst"), "left")
+        .select(sf.col("item"), sf.col("is_seed"),
+          (sf.when(sf.col("is_seed"), base).otherwise(0L) +
+            sf.expr("(85 * coalesce(s, 0L)) div 100")).as("rank_fx"))
+    }
+    ranks.select(sf.col("item"), sf.col("rank_fx"))
+      .orderBy(sf.col("rank_fx").desc, sf.col("item"))
+  }
+
   /** Community detection by synchronous label propagation (LPA,
     * Raghavan et al. 2007) over the undirected co-occurrence graph:
     * every node starts labeled with its own id, and each round every

@@ -573,6 +573,19 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(c.getDouble(3) == 0.0 && c.isNullAt(6), s"got $c")
   }
 
+  test("Graph.personalizedPageRank: mass radiates from the seed; disconnected part stays 0") {
+    // triangle {a,b,c} + disconnected edge {d,e}; seed = {a}
+    val df = Seq(("t", "a"), ("t", "b"), ("t", "c"), ("p", "d"), ("p", "e"))
+      .toDF("basket", "item")
+    val got = Graph.personalizedPageRank(df, "basket", "item",
+      item => item === "a", minPairCount = 1, iters = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // r0: a = 1e12; one round: b, c each get 85% of (1e12 div 2);
+    // a keeps only its restart base; d, e exactly 0 (the signal)
+    assert(got == Map("a" -> 150000000000L,
+      "b" -> 425000000000L, "c" -> 425000000000L, "d" -> 0L, "e" -> 0L), s"got $got")
+  }
+
   test("Graph.kCore: tail peels off round by round, triangle survives") {
     // triangle {a,b,c} + path tail c-d-e
     val df = Seq(("t", "a"), ("t", "b"), ("t", "c"),
