@@ -1264,6 +1264,13 @@ object SparkEntry {
       Graph.personalizedPageRank(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", item => item % 5 === 0,
         minPairCount = 2, iters = 3)),
+
+    // Multi-source BFS: hop distance from the {part % 5 == 0} seed set,
+    // exact within 3 rounds, NULL = farther than 3 hops.
+    "q192_bfs_hops" -> ((s, dir) =>
+      Graph.bfsHops(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", item => item % 5 === 0,
+        minPairCount = 2, rounds = 3)),
   )
 
   // ---------------------------------------------------------------------
@@ -4762,5 +4769,33 @@ object SparkEntry {
         |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.item = c3.dst)
         |SELECT item, CAST(rank_fx AS BIGINT) AS rank_fx
         |FROM r3 ORDER BY rank_fx DESC, item""".stripMargin,
+
+    // BFS hops: identical synchronous relaxation, 3 rounds unrolled;
+    // NULL-aware min written as the same explicit CASE.
+    "q192_bfs_hops" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT item_a AS src, item_b AS dst FROM cab
+        |      UNION ALL SELECT item_b, item_a FROM cab),
+        |d0 AS (SELECT DISTINCT src AS item,
+        |       CASE WHEN src % 5 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM e),
+        |x1 AS (SELECT e.dst, MIN(d0.dist + 1) AS nd FROM e
+        |       JOIN d0 ON e.src = d0.item WHERE d0.dist IS NOT NULL GROUP BY 1),
+        |d1 AS (SELECT item, CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist
+        |       ELSE least(dist, nd) END AS dist
+        |       FROM d0 LEFT JOIN x1 ON d0.item = x1.dst),
+        |x2 AS (SELECT e.dst, MIN(d1.dist + 1) AS nd FROM e
+        |       JOIN d1 ON e.src = d1.item WHERE d1.dist IS NOT NULL GROUP BY 1),
+        |d2 AS (SELECT item, CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist
+        |       ELSE least(dist, nd) END AS dist
+        |       FROM d1 LEFT JOIN x2 ON d1.item = x2.dst),
+        |x3 AS (SELECT e.dst, MIN(d2.dist + 1) AS nd FROM e
+        |       JOIN d2 ON e.src = d2.item WHERE d2.dist IS NOT NULL GROUP BY 1),
+        |d3 AS (SELECT item, CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist
+        |       ELSE least(dist, nd) END AS dist
+        |       FROM d2 LEFT JOIN x3 ON d2.item = x3.dst)
+        |SELECT item, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY item""".stripMargin,
   )
 }

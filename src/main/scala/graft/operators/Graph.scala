@@ -182,6 +182,47 @@ object Graph {
       .orderBy(sf.col("rank_fx").desc, sf.col("item"))
   }
 
+  /** Multi-source BFS hop distance, bounded rounds: dist(v) = length
+    * of the shortest path from the seed SET (0 for seeds), NULL past
+    * `rounds` hops — "how far is everything from the trusted core",
+    * the expansion-frontier companion of [[personalizedPageRank]]
+    * (hops answer reachability-in-k, PPR answers affinity). Each
+    * round relaxes every edge once, synchronously: dist_k(v) =
+    * min(dist_{k-1}(v), min over u->v of dist_{k-1}(u) + 1) — after k
+    * rounds distances <= k are EXACT (BFS layer k is final by
+    * induction), so a fixed bound is a contract ("within 3 hops"),
+    * not an approximation error.
+    *
+    * Scale shape: per round ONE equi join of the frontier against the
+    * edge list + one destination-keyed combinable min — |edges|
+    * shuffle rows per round, no windows; at cluster scale the edge
+    * table sits cache-partitioned on src and only distances move. */
+  def bfsHops(df: DataFrame, basketCol: String, itemCol: String,
+              seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+              minPairCount: Long = 2, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a"), sf.col("item_b"))
+    val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
+      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
+      .persist()
+    var dist = edges.select(sf.col("src").as("item")).distinct()
+      .select(sf.col("item"),
+        sf.when(seedPred(sf.col("item")), 0L).cast("long").as("dist"))
+    for (_ <- 1 to rounds) {
+      val relax = edges.join(dist, sf.col("src") === sf.col("item"))
+        .filter(sf.col("dist").isNotNull)
+        .select(sf.col("dst"), (sf.col("dist") + 1L).as("nd"))
+        .groupBy("dst").agg(sf.min("nd").as("nd"))
+      dist = dist.join(relax, sf.col("item") === sf.col("dst"), "left")
+        .select(sf.col("item"),
+          sf.when(sf.col("dist").isNull, sf.col("nd"))
+            .when(sf.col("nd").isNull, sf.col("dist"))
+            .otherwise(sf.least(sf.col("dist"), sf.col("nd"))).as("dist"))
+    }
+    dist.orderBy("item")
+  }
+
   /** Community detection by synchronous label propagation (LPA,
     * Raghavan et al. 2007) over the undirected co-occurrence graph:
     * every node starts labeled with its own id, and each round every

@@ -586,6 +586,18 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       "b" -> 425000000000L, "c" -> 425000000000L, "d" -> 0L, "e" -> 0L), s"got $got")
   }
 
+  test("Graph.bfsHops: exact layers within the round budget, NULL beyond it") {
+    // path a-b-c-d-e, seed {a}: layers 0..4; rounds=2 resolves <= 2 hops
+    val df = Seq(("1", "a"), ("1", "b"), ("2", "b"), ("2", "c"),
+      ("3", "c"), ("3", "d"), ("4", "d"), ("4", "e")).toDF("basket", "item")
+    def run(r: Int) = Graph.bfsHops(df, "basket", "item",
+      item => item === "a", minPairCount = 1, rounds = r)
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(run(2) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> -1L, "e" -> -1L))
+    assert(run(4) == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+  }
+
   test("Graph.kCore: tail peels off round by round, triangle survives") {
     // triangle {a,b,c} + path tail c-d-e
     val df = Seq(("t", "a"), ("t", "b"), ("t", "c"),
