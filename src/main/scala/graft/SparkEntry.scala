@@ -1271,6 +1271,11 @@ object SparkEntry {
       Graph.bfsHops(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", item => item % 5 === 0,
         minPairCount = 2, rounds = 3)),
+
+    // CUSUM change point per event type over the gap-filled hourly
+    // series: where did the rate shift, with segment means.
+    "q193_change_point" -> ((s, dir) =>
+      EventOps.changePoint(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -4797,5 +4802,32 @@ object SparkEntry {
         |       ELSE least(dist, nd) END AS dist
         |       FROM d2 LEFT JOIN x3 ON d2.item = x3.dst)
         |SELECT item, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY item""".stripMargin,
+
+    // Change point: q130's dense grid, integer CUSUM statistic,
+    // earliest-bin tie-break, segment means rounded once.
+    "q193_change_point" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |w AS (SELECT t, bin, v,
+        |  CAST(row_number() OVER (PARTITION BY t ORDER BY bin) AS BIGINT) AS rn,
+        |  CAST(SUM(v) OVER (PARTITION BY t ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+        |  CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n,
+        |  CAST(SUM(v) OVER (PARTITION BY t) AS BIGINT) AS sn
+        | FROM sv),
+        |cand AS (SELECT *, abs(n*s - rn*sn) AS d FROM w WHERE rn < n)
+        |SELECT t AS event_type, n AS n_bins,
+        |  strftime(make_timestamp(bin * 3600000000), '%Y-%m-%d %H:%M') AS change_start,
+        |  CAST(d AS BIGINT) AS d_max,
+        |  floor((CAST(s AS DOUBLE)/rn)*10000.0 + 0.5)/10000.0 AS mean_before,
+        |  floor((CAST(sn - s AS DOUBLE)/(n - rn))*10000.0 + 0.5)/10000.0 AS mean_after
+        |FROM cand
+        |QUALIFY row_number() OVER (PARTITION BY t ORDER BY d DESC, bin) = 1
+        |ORDER BY event_type""".stripMargin,
   )
 }

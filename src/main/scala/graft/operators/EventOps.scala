@@ -974,6 +974,57 @@ object EventOps {
       .orderBy(keyCol)
   }
 
+  /** CUSUM change-point detection per event type over the gap-filled
+    * series: the split i maximizing |n·S_i − i·S_n| (the integer-exact
+    * scaling of the classic max-CUSUM deviation |S_i − (i/n)·S_n|) —
+    * "when did this event stream's rate shift", the monitoring
+    * follow-up to [[bursts]] (bursts find spikes, this finds the
+    * level shift). Gap bins count as zero activity via [[denseSeries]]
+    * — a stream that stops IS a change.
+    *
+    * Determinism: counts and prefix sums are exact integers, the
+    * statistic is integer arithmetic, argmax ties break to the
+    * earliest bin; the two segment means are the only doubles,
+    * rounded once at 1e-4. Candidate splits run i = 1..n−1 (a "split"
+    * at n is no split).
+    *
+    * Scale shape: rides denseSeries (chunked grid, maxBins-guarded);
+    * prefix sums are per-type ordered windows (the q137 bursts shape —
+    * partitioned, never global), then ONE combinable max(struct)
+    * argmax per type; output is type-domain-sized. */
+  def changePoint(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", valueCol: String = "value",
+                  binSec: Long = 3600): DataFrame = {
+    val series = denseSeries(events, typeCol, tsCol, valueCol, binSec)
+      .select(sf.col(typeCol), sf.col("bin"), sf.col("n_events").as("v"))
+    val ord = Window.partitionBy(typeCol).orderBy("bin")
+    val cum = Window.partitionBy(typeCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(typeCol)
+    val w = series
+      .withColumn("rn", sf.row_number().over(ord).cast("long"))
+      .withColumn("s", sf.sum("v").over(cum))
+      .withColumn("n", sf.count(sf.lit(1)).over(whole))
+      .withColumn("sn", sf.sum("v").over(whole))
+    val d = sf.abs(sf.col("n") * sf.col("s") - sf.col("rn") * sf.col("sn"))
+    val winner = w.filter(sf.col("rn") < sf.col("n"))
+      .select(sf.col(typeCol), d.as("d"), sf.negate(sf.col("bin")).as("nb"),
+        sf.col("rn"), sf.col("s"), sf.col("n"), sf.col("sn"))
+      .groupBy(typeCol)
+      .agg(sf.max(sf.struct(sf.col("d"), sf.col("nb"), sf.col("rn"),
+        sf.col("s"), sf.col("n"), sf.col("sn"))).as("m"))
+    winner.select(sf.col(typeCol),
+        sf.col("m.n").as("n_bins"),
+        sf.date_format(sf.timestamp_micros(sf.negate(sf.col("m.nb")) *
+          (binSec * 1000000L)), "yyyy-MM-dd HH:mm").as("change_start"),
+        sf.col("m.d").as("d_max"),
+        gf.roundAt(sf.col("m.s").cast("double") / sf.col("m.rn").cast("double"), 4)
+          .as("mean_before"),
+        gf.roundAt((sf.col("m.sn") - sf.col("m.s")).cast("double") /
+          (sf.col("m.n") - sf.col("m.rn")).cast("double"), 4).as("mean_after"))
+      .orderBy(typeCol)
+  }
+
   /** Incremental aggregate-state maintenance — the materialized-view
     * pattern that makes 100 TB metrics affordable: keep per-key
     * ALGEBRAIC state (count, non-null count, fixed-point sum, min,

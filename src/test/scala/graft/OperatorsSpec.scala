@@ -568,6 +568,24 @@ class OperatorsSpec extends SparkFunSuite {
     assert(bal == Seq((1.0, 1.0), (1.0, 1.0)))
   }
 
+  test("EventOps.changePoint: finds the planted level shift with exact segment means") {
+    import spark.implicits._
+    // type "a": 4 quiet hours (1 event) then 4 loud hours (5 events) —
+    // the split after hour 4 maximizes |n*S_i - i*S_n|
+    val rows = (for {
+      h <- 0 until 8
+      k <- 0 until (if (h < 4) 1 else 5)
+    } yield (1L, java.sql.Timestamp.valueOf(f"2024-01-01 0$h:00:00"),
+      (h * 10 + k).toLong, "a", 1.0)).toDF(
+      "user_id", "ts", "event_id", "event_type", "value")
+    val r = EventOps.changePoint(rows).collect()(0)
+    assert(r.getString(0) == "a" && r.getLong(1) == 8L)
+    assert(r.getString(2) == "2024-01-01 03:00") // last quiet bin
+    // S_4 = 4, S_8 = 24: d = |8*4 - 4*24| = 64; means 1.0 and 5.0
+    assert(r.getLong(3) == 64L)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 5.0)
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
