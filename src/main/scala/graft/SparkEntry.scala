@@ -1276,6 +1276,11 @@ object SparkEntry {
     // series: where did the rate shift, with segment means.
     "q193_change_point" -> ((s, dir) =>
       EventOps.changePoint(Tables.load(s, dir, "events"))),
+
+    // Bot-cadence audit: inter-event gap CV per user; metronomic
+    // cadence (cv < 0.1 over >= 5 gaps) flags scripted traffic.
+    "q194_bot_score" -> ((s, dir) =>
+      EventOps.botScore(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -4829,5 +4834,26 @@ object SparkEntry {
         |FROM cand
         |QUALIFY row_number() OVER (PARTITION BY t ORDER BY d DESC, bin) = 1
         |ORDER BY event_type""".stripMargin,
+
+    // Bot score: identical whole-second gaps, integer moment sums,
+    // IEEE sqrt (correctly rounded — engines agree), pinned cv.
+    "q194_bot_score" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT user_id, sec,
+        |  sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        | FROM s),
+        |a AS (SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(max(sec) - min(sec) AS BIGINT) AS span_s,
+        |  COUNT(gap) AS n_gaps, CAST(SUM(gap) AS BIGINT) AS gs,
+        |  CAST(SUM(gap*gap) AS BIGINT) AS gss
+        | FROM g GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, span_s,
+        |  CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  floor((CAST(gs AS DOUBLE)/n_gaps)*10000.0 + 0.5)/10000.0 AS mean_gap_s,
+        |  CASE WHEN gs > 0 THEN floor((sqrt((n_gaps*CAST(gss AS DOUBLE) - CAST(gs AS DOUBLE)*CAST(gs AS DOUBLE))/(CAST(n_gaps AS DOUBLE)*n_gaps)) / (CAST(gs AS DOUBLE)/n_gaps))*10000.0 + 0.5)/10000.0 END AS cv_gap,
+        |  (n_gaps >= 5 AND gs > 0 AND
+        |   sqrt((n_gaps*CAST(gss AS DOUBLE) - CAST(gs AS DOUBLE)*CAST(gs AS DOUBLE))/(CAST(n_gaps AS DOUBLE)*n_gaps)) / (CAST(gs AS DOUBLE)/n_gaps) < 0.1) AS bot_like
+        |FROM a WHERE n_gaps >= 1 ORDER BY user_id""".stripMargin,
   )
 }

@@ -974,6 +974,54 @@ object EventOps {
       .orderBy(keyCol)
   }
 
+  /** Bot-cadence scoring per user: the coefficient of variation of
+    * inter-event gaps — human activity is bursty (cv near or above 1,
+    * exponential-ish), scripted traffic is metronomic (cv near 0) —
+    * plus volume and span, and a conservative `bot_like` flag
+    * (enough gaps AND cv below `cvThreshold`). The standard first
+    * pass when cleaning engagement data a model would otherwise
+    * learn from.
+    *
+    * Determinism: timestamps floor to whole epoch seconds, gaps and
+    * their squares are exact integer sums (population variance via
+    * (g·Σx² − (Σx)²)/g²), sqrt is IEEE correctly-rounded (engines
+    * agree bit-for-bit, unlike log/pow), divisions pinned, rounded
+    * once at 1e-4. Gap order rides (second, event_id) — total.
+    *
+    * Scale shape: one per-user ordered lag window (bounded per-key
+    * cardinality, the q133 delta-features shape) + one combinable
+    * per-user aggregation; output is user-domain-sized. */
+  def botScore(events: DataFrame, userCol: String = "user_id",
+               tsCol: String = "ts", idCol: String = "event_id",
+               minGaps: Int = 5, cvThreshold: Double = 0.1): DataFrame = {
+    require(minGaps >= 1, s"minGaps must be >= 1, got $minGaps")
+    val sec = sf.expr(s"unix_micros($tsCol) div 1000000L")
+    val w = Window.partitionBy(userCol).orderBy("sec", idCol)
+    val gaps = events.filter(sf.col(tsCol).isNotNull)
+      .select(sf.col(userCol), sf.col(idCol), sec.as("sec"))
+      .withColumn("prev", sf.lag("sec", 1).over(w))
+      .withColumn("gap", sf.col("sec") - sf.col("prev"))
+    val agg = gaps.groupBy(userCol)
+      .agg(sf.count(sf.lit(1)).as("n_events"),
+        (sf.max("sec") - sf.min("sec")).as("span_s"),
+        sf.count("gap").as("n_gaps"),
+        sf.sum("gap").as("gs"),
+        sf.sum(sf.col("gap") * sf.col("gap")).as("gss"))
+    val ng = sf.col("n_gaps").cast("double")
+    val mean = sf.col("gs").cast("double") / ng
+    val varG = (ng * sf.col("gss").cast("double") -
+      sf.col("gs").cast("double") * sf.col("gs").cast("double")) / (ng * ng)
+    val cv = sf.sqrt(varG) / mean
+    agg.filter(sf.col("n_gaps") >= 1)
+      .select(sf.col(userCol), sf.col("n_events"), sf.col("span_s"),
+        sf.col("n_gaps"),
+        gf.roundAt(mean, 4).as("mean_gap_s"),
+        sf.when(sf.col("gs") > 0, gf.roundAt(cv, 4)).as("cv_gap"),
+        (sf.col("n_gaps") >= minGaps && sf.col("gs") > 0 &&
+          cv < cvThreshold).as("bot_like"))
+      .orderBy(userCol)
+  }
+
   /** CUSUM change-point detection per event type over the gap-filled
     * series: the split i maximizing |n·S_i − i·S_n| (the integer-exact
     * scaling of the classic max-CUSUM deviation |S_i − (i/n)·S_n|) —

@@ -586,6 +586,25 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 5.0)
   }
 
+  test("EventOps.botScore: metronomic cadence flags, bursty cadence doesn't") {
+    import spark.implicits._
+    def ev(u: Long, secs: Seq[Long]) = secs.zipWithIndex.map { case (s, i) =>
+      (u, new java.sql.Timestamp(1704067200000L + s * 1000), (u * 100 + i).toLong,
+        "click", 1.0)
+    }
+    // user 1: exact 60s metronome (cv = 0); user 2: bursty gaps
+    val rows = (ev(1L, (0L to 6L).map(_ * 60)) ++
+      ev(2L, Seq(0L, 1L, 2L, 300L, 301L, 900L, 903L)))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = EventOps.botScore(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6))).toSeq
+    assert(got.size == 2)
+    val (u1, u2) = (got(0), got(1))
+    assert(u1 == (1L, 6L, 60.0, 0.0, true), s"got $u1")
+    assert(u2._1 == 2L && u2._2 == 6L && !u2._5 && u2._4 > 1.0, s"got $u2")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
