@@ -1281,6 +1281,11 @@ object SparkEntry {
     // cadence (cv < 0.1 over >= 5 gaps) flags scripted traffic.
     "q194_bot_score" -> ((s, dir) =>
       EventOps.botScore(Tables.load(s, dir, "events"))),
+
+    // U-shaped (40/20/40 position-based) attribution: first and last
+    // touch carry discovery + closing credit, middles share 20%.
+    "q195_ushape_attribution" -> ((s, dir) =>
+      EventOps.attributionUShape(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -4855,5 +4860,32 @@ object SparkEntry {
         |  (n_gaps >= 5 AND gs > 0 AND
         |   sqrt((n_gaps*CAST(gss AS DOUBLE) - CAST(gs AS DOUBLE)*CAST(gs AS DOUBLE))/(CAST(n_gaps AS DOUBLE)*n_gaps)) / (CAST(gs AS DOUBLE)/n_gaps) < 0.1) AS bot_like
         |FROM a WHERE n_gaps >= 1 ORDER BY user_id""".stripMargin,
+
+    // U-shape: q117's match + (t_ts, t_id)-ordered first/last marks;
+    // identical integer CASE split (100 / 50-50 / 40-20-40).
+    "q195_ushape_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t_ts, event_id AS t_id,
+        |  event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_ts,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.conv_id, c.value_cents, t.channel, t.t_ts, t.t_id FROM c JOIN t
+        |      ON c.user_id = t.user_id
+        |      AND t.t_ts >= c.c_ts - 259200000000 AND t.t_ts <= c.c_ts),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY t_ts, t_id) AS rn,
+        |      COUNT(*) OVER (PARTITION BY conv_id) AS n_touch FROM m),
+        |tc AS (SELECT channel,
+        |  CASE WHEN n_touch = 1 THEN value_cents * 1000000
+        |       WHEN n_touch = 2 THEN (value_cents * 1000000 * 50) // 100
+        |       WHEN rn = 1 OR rn = n_touch THEN (value_cents * 1000000 * 40) // 100
+        |       ELSE (value_cents * 1000000 * 20) // (100 * (n_touch - 2)) END AS credit_fx
+        |  FROM r),
+        |dc AS (SELECT 'direct' AS channel, value_cents * 1000000 AS credit_fx
+        |       FROM c WHERE conv_id NOT IN (SELECT conv_id FROM m)),
+        |u AS (SELECT * FROM tc UNION ALL SELECT * FROM dc)
+        |SELECT channel, COUNT(*) AS n_attributions,
+        |  floor((CAST(SUM(credit_fx) AS DOUBLE) / 1e8) * 100.0 + 0.5) / 100.0 AS credit
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
   )
 }

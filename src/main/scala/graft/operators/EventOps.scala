@@ -646,6 +646,72 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Position-based (U-shaped, "40/20/40") multi-touch attribution —
+    * the [[attributionLinear]] variant that credits DISCOVERY and
+    * CLOSING: the first and last in-window touch get 40% of the
+    * conversion value each, the middle touches share the remaining
+    * 20%; 2 touches split 50/50, 1 touch takes 100%, no-touch
+    * conversions credit "direct". Same exact integer credit
+    * arithmetic (cents × 1e6 sub-units, floor divisions) and the same
+    * binned-interval-join match as the linear model — only the split
+    * rule differs.
+    *
+    * Position is the (touch-ts, touch-id) total order via min/max
+    * struct per conversion — two combinable aggregations, never a
+    * per-conversion sort; a conversion's single touch is classified
+    * `first` (checked before `last`), which the n=1 case pays 100%. */
+  def attributionUShape(events: DataFrame,
+                        conversionType: String = "purchase",
+                        touchTypes: Seq[String] = Seq("click", "view"),
+                        lookbackSec: Long = 259200L,
+                        binSec: Long = 86400L): DataFrame = {
+    require(lookbackSec >= 1 && binSec >= 1,
+      s"need lookbackSec, binSec >= 1, got $lookbackSec, $binSec")
+    val micros = sf.unix_micros(sf.col("ts"))
+    val binW = binSec * 1000000L
+    val lookbackMicros = lookbackSec * 1000000L
+    val touches = events.filter(sf.col("event_type").isin(touchTypes: _*))
+      .select(sf.col("user_id").as("t_user"), micros.as("t_ts"),
+        sf.col("event_id").as("t_id"), sf.col("event_type").as("channel"),
+        sf.expr(s"unix_micros(ts) div ${binW}L").as("t_bin"))
+    val convs = events.filter(sf.col("event_type") === conversionType)
+      .select(sf.col("user_id").as("c_user"), sf.col("event_id").as("conv_id"),
+        micros.as("c_ts"),
+        (sf.col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"))
+    val convBins = convs.withColumn("c_bin",
+      sf.explode(sf.sequence(
+        sf.expr(s"(c_ts - ${lookbackMicros}L) div ${binW}L"),
+        sf.expr(s"c_ts div ${binW}L"))))
+    val matched = convBins.join(touches,
+      sf.col("c_user") === sf.col("t_user") && sf.col("c_bin") === sf.col("t_bin") &&
+        sf.col("t_ts") >= sf.col("c_ts") - lookbackMicros && sf.col("t_ts") <= sf.col("c_ts"))
+      .select(sf.col("conv_id"), sf.col("value_cents"), sf.col("channel"),
+        sf.col("t_ts"), sf.col("t_id"))
+    val marks = matched.groupBy("conv_id")
+      .agg(sf.count(sf.lit(1)).as("n_touch"),
+        sf.min(sf.struct(sf.col("t_ts"), sf.col("t_id"))).as("f"),
+        sf.max(sf.struct(sf.col("t_ts"), sf.col("t_id"))).as("l"))
+    val v6 = sf.col("value_cents") * 1000000L
+    val pos = sf.struct(sf.col("t_ts"), sf.col("t_id"))
+    val credit = sf
+      .when(sf.col("n_touch") === 1, v6)
+      .when(sf.col("n_touch") === 2, sf.expr("(value_cents * 1000000L * 50) div 100"))
+      .when(pos === sf.col("f") || pos === sf.col("l"),
+        sf.expr("(value_cents * 1000000L * 40) div 100"))
+      .otherwise(sf.expr("(value_cents * 1000000L * 20) div (100 * (n_touch - 2))"))
+    val touchCredit = matched.join(marks, "conv_id")
+      .select(sf.col("channel"), credit.as("credit_fx"))
+    val directCredit = convs.join(marks, Seq("conv_id"), "left_anti")
+      .select(sf.lit("direct").as("channel"), (sf.col("value_cents") * 1000000L).as("credit_fx"))
+    touchCredit.union(directCredit)
+      .groupBy("channel")
+      .agg(sf.count(sf.lit(1)).as("n_attributions"),
+        sf.sum(sf.col("credit_fx")).as("credit_fx"))
+      .select(sf.col("channel"), sf.col("n_attributions"),
+        gf.roundAt(sf.col("credit_fx").cast("double") / 1e8, 2).as("credit"))
+      .orderBy("channel")
+  }
+
   /** Gap-filled dense time series: per-(type, time-bin) event counts
     * and value sums with EVERY bin between the corpus min and max
     * present — zero rows materialized for silent bins. Downstream

@@ -605,6 +605,29 @@ class OperatorsSpec extends SparkFunSuite {
     assert(u2._1 == 2L && u2._2 == 6L && !u2._5 && u2._4 > 1.0, s"got $u2")
   }
 
+  test("EventOps.attributionUShape: 40/20/40 split, 50/50 pair, 100% single, direct") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // conv 100 ($10): click,click,click,view in order -> click 4+1+1, view 4
+      (1L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0),
+      (1L, ts("2024-01-01 02:00:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-01 03:00:00"), 3L, "click", 0.0),
+      (1L, ts("2024-01-01 04:00:00"), 4L, "view", 0.0),
+      (1L, ts("2024-01-01 05:00:00"), 100L, "purchase", 10.0),
+      // conv 200 ($8): two views -> 50/50
+      (2L, ts("2024-01-01 01:00:00"), 5L, "view", 0.0),
+      (2L, ts("2024-01-01 02:00:00"), 6L, "view", 0.0),
+      (2L, ts("2024-01-01 03:00:00"), 200L, "purchase", 8.0),
+      // conv 300 ($5): no touches -> direct
+      (3L, ts("2024-01-01 03:00:00"), 300L, "purchase", 5.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = EventOps.attributionUShape(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("click", 3L, 6.0), ("direct", 1L, 5.0), ("view", 3L, 12.0)),
+      s"got $got")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
