@@ -1286,6 +1286,12 @@ object SparkEntry {
     // touch carry discovery + closing credit, middles share 20%.
     "q195_ushape_attribution" -> ((s, dir) =>
       EventOps.attributionUShape(Tables.load(s, dir, "events"))),
+
+    // Duplication spectrum of the (part, supplier) pairing across
+    // orders: multiplicity histogram + share + dedup savings.
+    "q196_dup_spectrum" -> ((s, dir) =>
+      QualityChecks.duplicationSpectrum(Tables.load(s, dir, "lineitem"),
+        sf.concat_ws("|", sf.col("l_partkey"), sf.col("l_suppkey")))),
   )
 
   // ---------------------------------------------------------------------
@@ -4887,5 +4893,18 @@ object SparkEntry {
         |SELECT channel, COUNT(*) AS n_attributions,
         |  floor((CAST(SUM(credit_fx) AS DOUBLE) / 1e8) * 100.0 + 0.5) / 100.0 AS credit
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // Dup spectrum: identical string key, two-level exact counts.
+    "q196_dup_spectrum" ->
+      """WITH k AS (SELECT concat(CAST(l_partkey AS VARCHAR), '|', CAST(l_suppkey AS VARCHAR)) AS fp
+        |  FROM lineitem),
+        |m AS (SELECT fp, COUNT(*) AS mult FROM k GROUP BY 1),
+        |s AS (SELECT mult, COUNT(*) AS n_contents FROM m GROUP BY 1),
+        |t AS (SELECT CAST(SUM(mult * n_contents) AS BIGINT) AS n_total FROM s)
+        |SELECT mult AS multiplicity, CAST(n_contents AS BIGINT) AS n_contents,
+        |  CAST(mult * n_contents AS BIGINT) AS n_rows,
+        |  floor((CAST(mult * n_contents AS DOUBLE)/n_total)*10000.0 + 0.5)/10000.0 AS row_share,
+        |  CAST((mult - 1) * n_contents AS BIGINT) AS dedup_savings
+        |FROM s CROSS JOIN t ORDER BY multiplicity""".stripMargin,
   )
 }

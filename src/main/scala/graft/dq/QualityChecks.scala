@@ -1370,4 +1370,33 @@ object QualityChecks {
             gf.roundAt(num / sf.sqrt(da * db), 4)).as("rho"))
       }: _*)
   }
+
+  /** Duplication spectrum: the multiplicity histogram of a content key
+    * — for each m, how many DISTINCT contents occur exactly m times,
+    * how many rows that is, their share of the table, and the rows
+    * exact dedup would delete ((m−1)·contents) — the one-page "how
+    * duplicated is this corpus, and in what shape" datasheet number
+    * (a heavy m=2 band means mirror copies; a long tail means
+    * boilerplate). Pass `functions.fingerprint(col)` for
+    * normalized-text identity or any key expression.
+    *
+    * Scale shape: one content-keyed count with map-side combine (the
+    * only content-cardinality shuffle — the key, never the text),
+    * then a histogram-domain re-agg and one broadcast single-row
+    * total. Exact integers; the share is the only double. */
+  def duplicationSpectrum(df: DataFrame, key: Column): DataFrame = {
+    val per = graft.operators.Par.spread(df.select(key.as("__k")))
+      .groupBy("__k").agg(sf.count(sf.lit(1)).as("multiplicity"))
+    val spec = per.groupBy("multiplicity")
+      .agg(sf.count(sf.lit(1)).as("n_contents"))
+    val tot = spec.agg(sf.sum(sf.col("multiplicity") * sf.col("n_contents"))
+      .cast("long").as("__n_total"))
+    spec.crossJoin(sf.broadcast(tot))
+      .select(sf.col("multiplicity"), sf.col("n_contents"),
+        (sf.col("multiplicity") * sf.col("n_contents")).as("n_rows"),
+        gf.roundAt((sf.col("multiplicity") * sf.col("n_contents")).cast("double") /
+          sf.col("__n_total").cast("double"), 4).as("row_share"),
+        ((sf.col("multiplicity") - 1) * sf.col("n_contents")).as("dedup_savings"))
+      .orderBy("multiplicity")
+  }
 }

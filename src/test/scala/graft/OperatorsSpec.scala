@@ -628,6 +628,18 @@ class OperatorsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("QualityChecks.duplicationSpectrum: hand histogram with shares and savings") {
+    import spark.implicits._
+    // contents: a x3, b x2, c x2, d x1, e x1, f x1 -> m=1:3, m=2:2, m=3:1
+    val df = Seq("a", "a", "a", "b", "b", "c", "c", "d", "e", "f").toDF("t")
+    val got = QualityChecks.duplicationSpectrum(df, sf.col("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 0.3, 0L), (2L, 2L, 4L, 0.4, 2L), (3L, 1L, 3L, 0.3, 2L)),
+      s"got $got")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
