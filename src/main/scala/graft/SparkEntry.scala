@@ -1292,6 +1292,11 @@ object SparkEntry {
     "q196_dup_spectrum" -> ((s, dir) =>
       QualityChecks.duplicationSpectrum(Tables.load(s, dir, "lineitem"),
         sf.concat_ws("|", sf.col("l_partkey"), sf.col("l_suppkey")))),
+
+    // Embedding pre-flight health: nulls / wrong dims / non-finite /
+    // zero norms + the norm spread, one map-only pass.
+    "q197_embedding_health" -> ((s, dir) =>
+      QualityChecks.embeddingHealth(emb(s, dir), "embedding", expectedDim = 64)),
   )
 
   // ---------------------------------------------------------------------
@@ -4906,5 +4911,27 @@ object SparkEntry {
         |  floor((CAST(mult * n_contents AS DOUBLE)/n_total)*10000.0 + 0.5)/10000.0 AS row_share,
         |  CAST((mult - 1) * n_contents AS BIGINT) AS dedup_savings
         |FROM s CROSS JOIN t ORDER BY multiplicity""".stripMargin,
+
+    // Embedding health: identical 1e-12 square snap, IEEE sqrt
+    // re-snapped 1e-9, integer min/max/mean sums.
+    "q197_embedding_health" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT e IS NULL AS nul,
+        |  e IS NOT NULL AND len(e) <> 64 AS bad,
+        |  e IS NOT NULL AND len(list_filter(e, x -> isnan(x) OR isinf(x))) > 0 AS nf,
+        |  CASE WHEN e IS NOT NULL AND len(list_filter(e, x -> isnan(x) OR isinf(x))) = 0
+        |    THEN CAST(floor(sqrt(CAST(CAST(list_sum([CAST(floor(x*x*1e12 + 0.5) AS BIGINT) FOR x IN e]) AS BIGINT) AS DOUBLE)/1e12)*1e9 + 0.5) AS BIGINT)
+        |  END AS n9
+        | FROM v)
+        |SELECT COUNT(*) AS n_vectors,
+        |  CAST(SUM(CASE WHEN nul THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+        |  CAST(SUM(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(SUM(CASE WHEN n9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  floor((CAST(MIN(n9) AS DOUBLE)/1e9)*10000.0 + 0.5)/10000.0 AS min_norm,
+        |  floor((CAST(MAX(n9) AS DOUBLE)/1e9)*10000.0 + 0.5)/10000.0 AS max_norm,
+        |  CASE WHEN COUNT(n9) > 0
+        |    THEN floor((CAST(SUM(n9) AS DOUBLE)/1e9/COUNT(n9))*10000.0 + 0.5)/10000.0 END AS mean_norm
+        |FROM p""".stripMargin,
   )
 }

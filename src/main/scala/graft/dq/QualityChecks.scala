@@ -1371,6 +1371,54 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Embedding-table health check, one row: the pre-flight audit every
+    * vector pipeline needs before ANN/dedup consumes the table —
+    * null vectors, wrong-dimension vectors, non-finite elements, and
+    * zero norms all silently corrupt cosine math downstream; the norm
+    * spread (min/mean/max) catches unnormalized mixtures (two
+    * encoders' outputs concatenated) at a glance.
+    *
+    * Determinism: squared norms are 1e-12-snapped per-element integer
+    * sums (order-free); each vector's norm is ONE IEEE
+    * correctly-rounded sqrt re-snapped to a 1e-9 integer, so min/max/
+    * mean are integer aggregations with one final division each.
+    * Health counts only rows that pass the previous screens (null →
+    * not dim-checked; wrong-dim → still norm-checked; non-finite →
+    * excluded from norm stats).
+    *
+    * Scale shape: ONE map-only pass + one combinable single-row
+    * aggregation. */
+  def embeddingHealth(emb: DataFrame, vecCol: String,
+                      expectedDim: Int): DataFrame = {
+    require(expectedDim >= 1, s"expectedDim must be >= 1, got $expectedDim")
+    val v = sf.col(vecCol).cast("array<double>")
+    val isNull = v.isNull
+    val badDim = !isNull && sf.size(v) =!= expectedDim
+    val nonFinite = !isNull &&
+      sf.exists(v, x => sf.isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity)
+    val norm2fx = sf.aggregate(v, sf.lit(0L),
+      (acc, x) => acc + sf.floor(x * x * 1e12 + 0.5).cast("long"))
+    val norm9 = sf.floor(sf.sqrt(norm2fx.cast("double") / 1e12) * 1e9 + 0.5)
+      .cast("long")
+    val ok = !isNull && !nonFinite
+    emb.select(isNull.as("__nul"), badDim.as("__bad"), nonFinite.as("__nf"),
+        sf.when(ok, norm9).as("__n9"))
+      .agg(sf.count(sf.lit(1)).as("n_vectors"),
+        sf.sum(sf.col("__nul").cast("long")).as("n_null"),
+        sf.sum(sf.col("__bad").cast("long")).as("n_wrong_dim"),
+        sf.sum(sf.col("__nf").cast("long")).as("n_nonfinite"),
+        sf.sum((sf.col("__n9") === 0L).cast("long")).as("n_zero_norm"),
+        sf.min("__n9").as("__mn"), sf.max("__n9").as("__mx"),
+        sf.sum("__n9").as("__s"), sf.count("__n9").as("__c"))
+      .select(sf.col("n_vectors"), sf.col("n_null"), sf.col("n_wrong_dim"),
+        sf.col("n_nonfinite"), sf.col("n_zero_norm"),
+        gf.roundAt(sf.col("__mn").cast("double") / 1e9, 4).as("min_norm"),
+        gf.roundAt(sf.col("__mx").cast("double") / 1e9, 4).as("max_norm"),
+        sf.when(sf.col("__c") > 0, gf.roundAt(sf.col("__s").cast("double") / 1e9 /
+          sf.col("__c").cast("double"), 4)).as("mean_norm"))
+  }
+
   /** Duplication spectrum: the multiplicity histogram of a content key
     * — for each m, how many DISTINCT contents occur exactly m times,
     * how many rows that is, their share of the table, and the rows

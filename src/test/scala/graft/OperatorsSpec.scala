@@ -640,6 +640,24 @@ class OperatorsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("QualityChecks.embeddingHealth: each pathology lands in its counter") {
+    import spark.implicits._
+    val emb = Seq(
+      Option(Array(3.0f, 4.0f)),           // norm 5
+      Option(Array(0.0f, 0.0f)),           // zero norm
+      Option(Array(1.0f, 2.0f, 2.0f)),     // wrong dim (norm 3, still counted)
+      Option(Array(Float.NaN, 1.0f)),      // non-finite -> excluded from norms
+      None)                                // null vector
+      .toDF("embedding")
+    val r = QualityChecks.embeddingHealth(emb, "embedding", expectedDim = 2)
+      .collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 5.0)
+    // mean over norms {5, 0, 3} = 2.6667
+    assert(r.getDouble(7) == 2.6667, s"mean ${r.getDouble(7)}")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
