@@ -1297,6 +1297,17 @@ object SparkEntry {
     // zero norms + the norm spread, one map-only pass.
     "q197_embedding_health" -> ((s, dir) =>
       QualityChecks.embeddingHealth(emb(s, dir), "embedding", expectedDim = 64)),
+
+    // F1-optimal threshold for the q172 classifier sweep: the one-row
+    // operating point (ties -> higher threshold).
+    "q198_best_threshold" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      QualityChecks.bestF1Threshold(QualityChecks.prCurve(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(sf.col("score"), (sf.col("lang") === "en").cast("int").as("y")),
+        "score", "y"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -4933,5 +4944,45 @@ object SparkEntry {
         |  CASE WHEN COUNT(n9) > 0
         |    THEN floor((CAST(SUM(n9) AS DOUBLE)/1e9/COUNT(n9))*10000.0 + 0.5)/10000.0 END AS mean_norm
         |FROM p""".stripMargin,
+
+    // Best threshold: the q172 sweep + (f1 desc, threshold desc) argmax.
+    "q198_best_threshold" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |sc AS (SELECT floor((raw + -0.05)*10000.0 + 0.5)/10000.0 AS score,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |g AS (SELECT score, CAST(SUM(y) AS BIGINT) AS ca,
+         |      CAST(SUM(1 - y) AS BIGINT) AS cb FROM sc GROUP BY 1),
+         |c AS (SELECT score, CAST(SUM(ca) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+         |      CAST(SUM(cb) OVER (ORDER BY score DESC) AS BIGINT) AS fp FROM g),
+         |tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS np, CAST(SUM(cb) AS BIGINT) AS nn FROM g),
+         |curve AS (SELECT score AS threshold, tp, fp, np - tp AS fn, nn - fp AS tn,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    floor((CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS precision,
+         |  CASE WHEN np > 0 THEN
+         |    floor((CAST(tp AS DOUBLE)/CAST(np AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS recall,
+         |  CASE WHEN tp > 0 THEN
+         |    floor((2.0 * (CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)))
+         |               * (CAST(tp AS DOUBLE)/CAST(np AS DOUBLE))
+         |         / ((CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)))
+         |            + (CAST(tp AS DOUBLE)/CAST(np AS DOUBLE))))*1000000.0 + 0.5)/1000000.0
+         |  WHEN np > 0 THEN 0.0 END AS f1
+         |FROM c CROSS JOIN tt)
+         |SELECT threshold, f1, precision, recall, tp, fp, fn, tn
+         |FROM curve WHERE f1 IS NOT NULL
+         |QUALIFY row_number() OVER (ORDER BY f1 DESC, threshold DESC) = 1""".stripMargin
+    },
   )
 }

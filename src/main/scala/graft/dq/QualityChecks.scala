@@ -1371,6 +1371,23 @@ object QualityChecks {
       }: _*)
   }
 
+  /** F1-optimal operating point over a [[prCurve]] output: the one-row
+    * "set the classifier threshold HERE" answer — the sweep finds
+    * every operating point, this picks the max-F1 one (ties break to
+    * the HIGHER threshold: same F1, fewer flagged rows). Pure
+    * composition: one combinable max(struct) argmax over the
+    * curve's threshold domain; f1 is already 1e-6-snapped upstream so
+    * the argmax is deterministic. */
+  def bestF1Threshold(curve: DataFrame): DataFrame =
+    curve.filter(sf.col("f1").isNotNull)
+      .agg(sf.max(sf.struct(sf.col("f1"), sf.col("threshold"),
+        sf.col("precision"), sf.col("recall"), sf.col("tp"), sf.col("fp"),
+        sf.col("fn"), sf.col("tn"))).as("m"))
+      .select(sf.col("m.threshold").as("threshold"), sf.col("m.f1").as("f1"),
+        sf.col("m.precision").as("precision"), sf.col("m.recall").as("recall"),
+        sf.col("m.tp").as("tp"), sf.col("m.fp").as("fp"),
+        sf.col("m.fn").as("fn"), sf.col("m.tn").as("tn"))
+
   /** Embedding-table health check, one row: the pre-flight audit every
     * vector pipeline needs before ANN/dedup consumes the table —
     * null vectors, wrong-dimension vectors, non-finite elements, and

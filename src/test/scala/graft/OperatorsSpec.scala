@@ -658,6 +658,25 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getDouble(7) == 2.6667, s"mean ${r.getDouble(7)}")
   }
 
+  test("QualityChecks.bestF1Threshold: picks the hand-computable operating point") {
+    import spark.implicits._
+    // scores: positives at {0.9, 0.8, 0.3}, negatives at {0.7, 0.2}
+    // t=0.8: P=1, R=2/3, F1=0.8 (the max); t=0.3: P=3/4, R=1, F1=6/7
+    val df = Seq((0.9, 1), (0.8, 1), (0.7, 0), (0.3, 1), (0.2, 0))
+      .toDF("score", "y")
+    val r = QualityChecks.bestF1Threshold(
+      QualityChecks.prCurve(df, "score", "y")).collect()(0)
+    // 6/7 = 0.857143 > 0.8 -> threshold 0.3 wins
+    assert(r.getDouble(0) == 0.3 && r.getDouble(1) == 0.857143, s"got $r")
+    assert(r.getLong(4) == 3L && r.getLong(5) == 1L && r.getLong(6) == 0L)
+    // tie-break: equal-F1 points resolve to the higher threshold
+    val tie = Seq((0.9, 1), (0.5, 0), (0.4, 1), (0.1, 0)).toDF("score", "y")
+    val t = QualityChecks.bestF1Threshold(
+      QualityChecks.prCurve(tie, "score", "y")).collect()(0)
+    // t=0.9: P=1 R=.5 F1=2/3; t=0.4: P=2/3 R=1 F1=0.8 -> 0.4 wins outright
+    assert(t.getDouble(0) == 0.4 && t.getDouble(1) == 0.8, s"got $t")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
