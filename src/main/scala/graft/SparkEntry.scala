@@ -1308,6 +1308,12 @@ object SparkEntry {
           .select(sf.col("score"), (sf.col("lang") === "en").cast("int").as("y")),
         "score", "y"))
     }),
+
+    // Blocking-quality report for q176's nation-blocked linkage:
+    // candidate pairs, reduction ratio, hot-block share, singletons.
+    "q199_blocking_quality" -> ((s, dir) =>
+      Dedup.blockingQuality(Tables.load(s, dir, "customer"),
+        sf.col("c_nationkey"))),
   )
 
   // ---------------------------------------------------------------------
@@ -4984,5 +4990,24 @@ object SparkEntry {
          |FROM curve WHERE f1 IS NOT NULL
          |QUALIFY row_number() OVER (ORDER BY f1 DESC, threshold DESC) = 1""".stripMargin
     },
+
+    // Blocking quality: identical integer pair counts ((s*(s-1))//2),
+    // pinned double ratios rounded 1e-6.
+    "q199_blocking_quality" ->
+      """WITH b AS (SELECT c_nationkey AS blk, COUNT(*) AS sz FROM customer GROUP BY 1),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN blk IS NOT NULL THEN sz ELSE 0 END) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN blk IS NULL THEN sz ELSE 0 END) AS BIGINT) AS n_unblocked,
+        |  CAST(SUM(CASE WHEN blk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN blk IS NOT NULL AND sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |  MAX(CASE WHEN blk IS NOT NULL THEN sz END) AS max_block,
+        |  CAST(SUM(CASE WHEN blk IS NOT NULL THEN (sz*(sz-1))//2 ELSE 0 END) AS BIGINT) AS cand_pairs
+        | FROM b)
+        |SELECT n_rows, n_unblocked, n_blocks, n_singletons, max_block, cand_pairs,
+        |  CASE WHEN n_rows > 1 THEN
+        |    floor((1.0 - CAST(cand_pairs AS DOUBLE)/CAST((n_rows*(n_rows-1))//2 AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS reduction_ratio,
+        |  CASE WHEN cand_pairs > 0 THEN
+        |    floor((CAST((max_block*(max_block-1))//2 AS DOUBLE)/CAST(cand_pairs AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS max_block_pair_share
+        |FROM a""".stripMargin,
   )
 }

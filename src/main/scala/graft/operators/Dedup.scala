@@ -1176,6 +1176,51 @@ object Dedup {
     * inside whole-stage codegen on the joined pairs. Blocking trades
     * recall for tractability BY DESIGN (a cross-block near-match is
     * unseen) — the standard record-linkage contract. */
+  /** Blocking-quality report for a record-linkage scheme, one row: the
+    * numbers that decide whether a blocking key is usable BEFORE
+    * running the quadratic-per-block join ([[jaroWinklerJoin]]) —
+    * candidate pairs Σ s·(s−1)/2, the reduction ratio vs the naive
+    * n·(n−1)/2 all-pairs scan, the biggest block's size and pair
+    * share (ONE hot block can dominate the whole join), and the
+    * singleton count (rows that can never match — blocking too fine).
+    * Null block keys are excluded (they match nothing), reported as
+    * n_unblocked.
+    *
+    * Exactness: pair counts in DECIMAL(38,0) (a 10^9-row block is
+    * ~5·10^17 pairs — summing several overflows int64); ratios are
+    * the only doubles, pinned, rounded 1e-6.
+    *
+    * Scale shape: one block-keyed map-side-combinable count, then a
+    * single-row aggregation over the block domain. */
+  def blockingQuality(df: DataFrame, blockExpr: org.apache.spark.sql.Column): DataFrame = {
+    val blocks = Par.spread(df.select(blockExpr.as("__b")))
+      .groupBy("__b").agg(sf.count(sf.lit(1)).as("sz"))
+    val dec = sf.col("sz").cast("decimal(38,0)")
+    val pairsCol = (dec * (dec - 1) / 2).cast("decimal(38,0)")
+    val nulls = sf.when(sf.col("__b").isNull, sf.col("sz")).otherwise(0L)
+    val live = sf.col("__b").isNotNull
+    val agg = blocks.agg(
+      sf.sum(sf.when(live, sf.col("sz")).otherwise(0L)).as("n_rows"),
+      sf.sum(nulls).as("n_unblocked"),
+      sf.sum(live.cast("long")).as("n_blocks"),
+      sf.sum(sf.when(live && sf.col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"),
+      sf.max(sf.when(live, sf.col("sz"))).as("max_block"),
+      sf.sum(sf.when(live, pairsCol).otherwise(sf.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("cand_pairs"))
+    val n = sf.col("n_rows").cast("decimal(38,0)")
+    val allPairs = (n * (n - 1) / 2).cast("decimal(38,0)")
+    val mb = sf.col("max_block").cast("decimal(38,0)")
+    agg.select(sf.col("n_rows"), sf.col("n_unblocked"), sf.col("n_blocks"),
+      sf.col("n_singletons"), sf.col("max_block"),
+      sf.col("cand_pairs").cast("long").as("cand_pairs"),
+      sf.when(allPairs > 0, gf.roundAt(sf.lit(1.0) -
+        sf.col("cand_pairs").cast("double") / allPairs.cast("double"), 6))
+        .as("reduction_ratio"),
+      sf.when(sf.col("cand_pairs") > 0, gf.roundAt(
+        (mb * (mb - 1) / 2).cast("double") /
+          sf.col("cand_pairs").cast("double"), 6)).as("max_block_pair_share"))
+  }
+
   def jaroWinklerJoin(df: DataFrame, idCol: String,
                       nameExpr: org.apache.spark.sql.Column,
                       blockExpr: org.apache.spark.sql.Column,

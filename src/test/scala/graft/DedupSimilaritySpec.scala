@@ -303,6 +303,18 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(p.getDouble(4) == 0.0 && p.getDouble(5) == 0.0 && p.getDouble(6) == 0.0)
   }
 
+  test("blockingQuality: hand-computed pairs, reduction, hot-block share") {
+    import spark.implicits._
+    // blocks: A x4 (6 pairs), B x2 (1 pair), C x1 (singleton), null x2
+    val df = Seq("A", "A", "A", "A", "B", "B", "C", null, null).toDF("blk")
+    val r = graft.operators.Dedup.blockingQuality(df, sf.col("blk")).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L) // n_rows, n_unblocked
+    assert(r.getLong(2) == 3L && r.getLong(3) == 1L) // n_blocks, n_singletons
+    assert(r.getLong(4) == 4L && r.getLong(5) == 7L) // max_block, cand_pairs
+    // all-pairs = 21; reduction = 1 - 7/21 = 0.666667; hot share = 6/7
+    assert(r.getDouble(6) == 0.666667 && r.getDouble(7) == 0.857143, s"got $r")
+  }
+
   test("truncationFidelity: planted tail flips the prefix ranking, full prefix is exact") {
     import spark.implicits._
     // query (1,0,0,0); E's tail mass demotes it in full-dim cosine but its
