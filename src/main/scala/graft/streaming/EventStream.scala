@@ -33,6 +33,9 @@ case class ResvOut(group: String, id: Long, weight: Double, key_fx: Long)
 case class SnapshotRow(user_id: Long, ts: Timestamp, event_id: Long,
                        event_type: String, value: Double)
 
+case class AggStateRow(user_id: Long, event_type: String, n_rows: Long,
+                       n_vals: Long, sum4: Long, min4: Long, max4: Long)
+
 object EventStream {
   type Event = graft.streaming.Event
   val Event = graft.streaming.Event
@@ -215,6 +218,39 @@ object EventStream {
             state.update(cur.get)
             Iterator.single(cur.get)
           } else Iterator.empty
+      }
+  }
+
+  /** Streaming materialized-view maintenance: the stream twin of
+    * [[graft.operators.EventOps.aggState]] — per (user, event_type),
+    * the same ALGEBRAIC state (count, non-null count, 1e-4
+    * fixed-point sum, min, max) folded under `flatMapGroupsWithState`
+    * so after any stream prefix the state EQUALS the batch
+    * `aggState` over the same rows (identical fixed-point floor, the
+    * semigroup q188 proves mergeable). Update mode re-publishes only
+    * groups that saw rows this trigger; downstream reads derive
+    * presentation values exactly like `readAggState`.
+    *
+    * State is one 5-long row per live (user, type) group — bounded by
+    * the key domain, independent of stream length. */
+  def aggStateStream(spark: SparkSession,
+                     events: Dataset[Event]): Dataset[AggStateRow] = {
+    import spark.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[AggStateRow, AggStateRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[Event], state: GroupState[AggStateRow]) =>
+          var s = state.getOption.getOrElse(
+            AggStateRow(key._1, key._2, 0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+          var changed = false
+          rows.foreach { e =>
+            val v4 = math.floor(e.value * 1e4 + 0.5).toLong
+            s = s.copy(n_rows = s.n_rows + 1, n_vals = s.n_vals + 1,
+              sum4 = s.sum4 + v4, min4 = math.min(s.min4, v4),
+              max4 = math.max(s.max4, v4))
+            changed = true
+          }
+          if (changed) { state.update(s); Iterator.single(s) } else Iterator.empty
       }
   }
 

@@ -132,6 +132,38 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("aggStateStream: state after each prefix equals batch aggState (parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.aggStateStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("aggstate")
+      .outputMode(OutputMode.Update()).start()
+    val b1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.5),
+      Event(2, ts("2024-01-01 11:00:00"), 1, "a", -2.25),
+      Event(3, ts("2024-01-01 10:30:00"), 2, "b", 7.0))
+    val b2 = Seq(
+      Event(4, ts("2024-01-01 12:00:00"), 1, "a", 10.0),
+      Event(5, ts("2024-01-01 12:30:00"), 2, "b", 0.0001))
+    def streamState() = spark.table("aggstate").collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+    def batchState(rows: Seq[Event]) = {
+      import spark.implicits._
+      graft.operators.EventOps.aggState(spark.createDataset(rows).toDF())
+        .collect().map(r => ((r.getLong(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+        .toMap
+    }
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      assert(streamState() == batchState(b1))
+      input.addData(b2: _*); q.processAllAvailable()
+      assert(streamState() == batchState(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("latestSnapshotStream emits only changed winners; final state equals batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
