@@ -1314,6 +1314,12 @@ object SparkEntry {
     "q199_blocking_quality" -> ((s, dir) =>
       Dedup.blockingQuality(Tables.load(s, dir, "customer"),
         sf.col("c_nationkey"))),
+
+    // Waterfill a 26k-token budget across sources: equal shares, caps
+    // bind, freed budget re-flows — max-min fair mixture budgets.
+    "q200_waterfill" -> ((s, dir) =>
+      Sampling.waterfillBudgets(docs(s, dir), "source",
+        graft.functions.tokenCount(sf.col("text")), budget = 26000L, rounds = 4)),
   )
 
   // ---------------------------------------------------------------------
@@ -5009,5 +5015,39 @@ object SparkEntry {
         |  CASE WHEN cand_pairs > 0 THEN
         |    floor((CAST((max_block*(max_block-1))//2 AS DOUBLE)/CAST(cand_pairs AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS max_block_pair_share
         |FROM a""".stripMargin,
+
+    // Waterfill: identical integer share/cap recurrence, 4 rounds.
+    "q200_waterfill" ->
+      """WITH t AS (SELECT source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |caps AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cap FROM t
+        |         GROUP BY 1 HAVING SUM(n) > 0),
+        |a0 AS (SELECT source, cap, CAST(0 AS BIGINT) AS alloc FROM caps),
+        |s1 AS (SELECT CAST(SUM(alloc) AS BIGINT) AS used,
+        |       CAST(SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS BIGINT) AS na FROM a0),
+        |a1 AS (SELECT source, cap, least(cap, alloc + greatest(
+        |       CASE WHEN na > 0 THEN (26000 - used) // na ELSE 0 END, 0)) AS alloc
+        |       FROM a0 CROSS JOIN s1),
+        |s2 AS (SELECT CAST(SUM(alloc) AS BIGINT) AS used,
+        |       CAST(SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS BIGINT) AS na FROM a1),
+        |a2 AS (SELECT source, cap, least(cap, alloc + greatest(
+        |       CASE WHEN na > 0 THEN (26000 - used) // na ELSE 0 END, 0)) AS alloc
+        |       FROM a1 CROSS JOIN s2),
+        |s3 AS (SELECT CAST(SUM(alloc) AS BIGINT) AS used,
+        |       CAST(SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS BIGINT) AS na FROM a2),
+        |a3 AS (SELECT source, cap, least(cap, alloc + greatest(
+        |       CASE WHEN na > 0 THEN (26000 - used) // na ELSE 0 END, 0)) AS alloc
+        |       FROM a2 CROSS JOIN s3),
+        |s4 AS (SELECT CAST(SUM(alloc) AS BIGINT) AS used,
+        |       CAST(SUM(CASE WHEN alloc < cap THEN 1 ELSE 0 END) AS BIGINT) AS na FROM a3),
+        |a4 AS (SELECT source, cap, least(cap, alloc + greatest(
+        |       CASE WHEN na > 0 THEN (26000 - used) // na ELSE 0 END, 0)) AS alloc
+        |       FROM a3 CROSS JOIN s4)
+        |SELECT source, cap AS capacity, alloc AS allocation,
+        |  alloc = cap AS saturated,
+        |  floor((CAST(alloc AS DOUBLE)/cap)*10000.0 + 0.5)/10000.0 AS fill_frac
+        |FROM a4 ORDER BY source""".stripMargin,
   )
 }

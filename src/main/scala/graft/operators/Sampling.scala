@@ -419,6 +419,54 @@ object Sampling {
       .orderBy(groupCol, "value")
   }
 
+  /** Waterfill token-budget allocation across sources: split a total
+    * training budget fairly — every source gets an equal share of the
+    * remaining budget each round, CAPPED at its capacity, and freed
+    * budget from small saturated sources re-flows to the big ones
+    * (progressive filling / max-min fairness) — the principled answer
+    * to "fill a 1B-token mix from 20 unequal sources" that a plain
+    * equal split (starves big sources) or proportional split
+    * (over-weights big sources) both get wrong. The allocation feeds
+    * [[mixtureSample]] as per-source budgets.
+    *
+    * Exactness: capacities and allocations are integers; each round's
+    * share is one floor division of the remaining budget by the
+    * active-source count. A fixed `rounds` bound (the Lloyd-rounds
+    * pattern) keeps the result a pure function of the inputs; R
+    * rounds saturate at least the R smallest capacity levels, and 4-6
+    * rounds allocate > 99% of any realistic budget.
+    *
+    * Scale shape: ONE corpus pass for per-source capacities (map-side
+    * combine, output = |sources| rows, checkpointed as the loop
+    * invariant); each round is a source-domain agg + broadcast —
+    * nothing corpus-sized moves after the first pass. */
+  def waterfillBudgets(df: DataFrame, sourceCol: String, weight: Column,
+                       budget: Long, rounds: Int = 4): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1, 16], got $rounds")
+    val caps = df.groupBy(sf.col(sourceCol).as("source"))
+      .agg(sf.sum(weight.cast("long")).as("cap"))
+      .filter(sf.col("cap").isNotNull && sf.col("cap") > 0)
+      .localCheckpoint(true) // loop invariant: rounds re-read it
+    var alloc = caps.withColumn("alloc", sf.lit(0L))
+    for (_ <- 1 to rounds) {
+      val stats = alloc.agg(sf.sum("alloc").as("used"),
+        sf.sum((sf.col("alloc") < sf.col("cap")).cast("long")).as("na"))
+      alloc = alloc.crossJoin(sf.broadcast(stats))
+        .withColumn("__share", sf.greatest(
+          sf.when(sf.col("na") > 0, sf.expr(s"(${budget}L - used) div na"))
+            .otherwise(0L), sf.lit(0L)))
+        .select(sf.col("source"), sf.col("cap"),
+          sf.least(sf.col("cap"), sf.col("alloc") + sf.col("__share")).as("alloc"))
+    }
+    alloc.select(sf.col("source"), sf.col("cap").as("capacity"),
+        sf.col("alloc").as("allocation"),
+        (sf.col("alloc") === sf.col("cap")).as("saturated"),
+        graft.functions.roundAt(sf.col("alloc").cast("double") /
+          sf.col("cap").cast("double"), 4).as("fill_frac"))
+      .orderBy("source")
+  }
+
   /** Class-rebalancing loss weights per label — the two standard
     * recipes side by side: inverse frequency N/(K·n_c), and the
     * class-balanced effective-number weight of Cui et al. 2019

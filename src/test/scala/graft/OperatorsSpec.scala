@@ -677,6 +677,25 @@ class OperatorsSpec extends SparkFunSuite {
     assert(t.getDouble(0) == 0.4 && t.getDouble(1) == 0.8, s"got $t")
   }
 
+  test("Sampling.waterfillBudgets: caps bind, freed budget re-flows, fixpoint holds") {
+    import spark.implicits._
+    // capacities a:10 b:20 c:100; budget 60: r1 share 20 -> a,b saturate,
+    // c=20; r2 share 10 -> c=30; r3 share 0 (budget exhausted)
+    val df = (Seq.fill(10)("a") ++ Seq.fill(20)("b") ++ Seq.fill(100)("c"))
+      .toDF("source")
+    val got = Sampling.waterfillBudgets(df, "source", sf.lit(1L),
+      budget = 60L, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("a", 10L, 10L, true, 1.0), ("b", 20L, 20L, true, 1.0),
+      ("c", 100L, 30L, false, 0.3)), s"got $got")
+    // budget above total capacity: everything saturates
+    val full = Sampling.waterfillBudgets(df, "source", sf.lit(1L),
+      budget = 1000L, rounds = 3).collect().map(_.getBoolean(3))
+    assert(full.forall(identity))
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
