@@ -1320,6 +1320,12 @@ object SparkEntry {
     "q200_waterfill" -> ((s, dir) =>
       Sampling.waterfillBudgets(docs(s, dir), "source",
         graft.functions.tokenCount(sf.col("text")), budget = 26000L, rounds = 4)),
+
+    // Code-switching detector: langId per 16-token chunk, languages
+    // spanned + dominant share per doc.
+    "q201_lang_mixture" -> ((s, dir) =>
+      TextAnalysis.langMixture(docs(s, dir), "doc_id", "text",
+        chunkTokens = 16)),
   )
 
   // ---------------------------------------------------------------------
@@ -5049,5 +5055,40 @@ object SparkEntry {
         |  alloc = cap AS saturated,
         |  floor((CAST(alloc AS DOUBLE)/cap)*10000.0 + 0.5)/10000.0 AS fill_frac
         |FROM a4 ORDER BY source""".stripMargin,
+
+    // Lang mixture: identical chunk slicing, q16 candidate scoring per
+    // chunk, (count, lang) dominant argmax.
+    "q201_lang_mixture" -> {
+      val cands = functions.stopwords.toSeq.sortBy(_._1).map { case (l, sw) =>
+        s"('$l', [${sw.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |ch0 AS (SELECT doc_id,
+         |  unnest([{'ci': i, 'ct': toks[i*16+1 : (i+1)*16]}
+         |          FOR i IN range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))]) AS u
+         |  FROM base WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, u.ci AS ci, u.ct AS ct FROM ch0),
+         |sc AS (SELECT ch.doc_id, ch.ci, u.l AS cand,
+         |  len(list_intersect(list_distinct(ch.ct), u.sw)) AS score
+         |  FROM ch, (VALUES $cands) u(l, sw)),
+         |pr AS (SELECT doc_id, cand AS lang,
+         |  row_number() OVER (PARTITION BY doc_id, ci ORDER BY score DESC, cand DESC) AS rn
+         |  FROM sc),
+         |pc AS (SELECT doc_id, lang, COUNT(*) AS c FROM pr WHERE rn = 1 GROUP BY 1, 2),
+         |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_langs FROM pc GROUP BY 1),
+         |dom AS (SELECT doc_id, lang, c,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang DESC) AS rn
+         |  FROM pc)
+         |SELECT d.doc_id, d.n_chunks, d.n_langs, dom.lang AS dominant_lang,
+         |  floor((CAST(dom.c AS DOUBLE)/d.n_chunks)*10000.0 + 0.5)/10000.0 AS dominant_frac,
+         |  d.n_langs > 1 AS is_mixed
+         |FROM d JOIN dom ON dom.doc_id = d.doc_id AND dom.rn = 1
+         |ORDER BY d.doc_id""".stripMargin
+    },
   )
 }

@@ -326,8 +326,12 @@ object functions {
 
   /** Predicted language = argmax over per-language distinct stopword hits.
     * Ties break toward the lexicographically larger code (struct max). */
-  def langId(t: Column): Column = {
-    val toks = sf.array_distinct(wsTokens(sf.lower(t)))
+  def langId(t: Column): Column = langIdTokens(wsTokens(sf.lower(t)))
+
+  /** [[langId]] over an already-tokenized array (e.g. one chunk of a
+    * document) — same distinct-hit scoring and tie-break. */
+  def langIdTokens(tokens: Column): Column = {
+    val toks = sf.array_distinct(tokens)
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
       sf.struct(
         sf.size(sf.array_intersect(toks, sf.array(sw.map(sf.lit): _*))).as("score"),

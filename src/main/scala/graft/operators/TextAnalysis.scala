@@ -806,6 +806,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document language-mixture profile: chunk the token stream
+    * into fixed windows, language-ID each chunk with the q16
+    * stopword-hit heuristic, and report how many languages the doc
+    * spans, the dominant one and its chunk share — the code-switching
+    * / concatenated-page detector a single whole-doc langId call
+    * structurally cannot be (it averages the mixture away), and the
+    * router for per-language quality gates (q44 stopword ratios are
+    * per-language).
+    *
+    * Determinism: chunk boundaries are exact token indices; each
+    * chunk's prediction is the q16 argmax (distinct stopword hits,
+    * ties to the lexicographically larger code); the dominant
+    * language maxes (chunk-count, lang) — all integers, one final
+    * division.
+    *
+    * Scale shape: map-only chunk explode (fan-out = tokens/W, the q81
+    * chunking shape), then two combinable aggregations on (doc, lang)
+    * and doc domains. */
+  def langMixture(docs0: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val docs = prepared(docs0, idCol, textCol)
+    val W = chunkTokens
+    val chunked = docs
+      .select(sf.col(idCol), gf.wsTokens(sf.lower(sf.col(textCol))).as("__toks"))
+      .filter(sf.size(sf.col("__toks")) > 0)
+      .select(sf.col(idCol), sf.explode(sf.expr(
+        s"""transform(sequence(0, int(ceil(size(__toks) / ${W}.0)) - 1),
+           |i -> slice(__toks, i * $W + 1, $W))""".stripMargin)).as("__ct"))
+    val perChunk = chunked.select(sf.col(idCol),
+      gf.langIdTokens(sf.col("__ct")).as("__lang"))
+    val counts = perChunk.groupBy(sf.col(idCol), sf.col("__lang"))
+      .agg(sf.count(sf.lit(1)).as("__c"))
+    counts.groupBy(sf.col(idCol))
+      .agg(sf.sum("__c").as("n_chunks"),
+        sf.count(sf.lit(1)).as("n_langs"),
+        sf.max(sf.struct(sf.col("__c"), sf.col("__lang"))).as("__dom"))
+      .select(sf.col(idCol), sf.col("n_chunks"), sf.col("n_langs"),
+        sf.col("__dom.__lang").as("dominant_lang"),
+        gf.roundAt(sf.col("__dom.__c").cast("double") /
+          sf.col("n_chunks").cast("double"), 4).as("dominant_frac"),
+        (sf.col("n_langs") > 1).as("is_mixed"))
+      .orderBy(idCol)
+  }
+
   /** Flesch readability per document — FK grade level
     * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59 and
     * Reading Ease 206.835 − 1.015·(words/sentences) −

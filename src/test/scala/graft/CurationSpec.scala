@@ -453,6 +453,23 @@ class CurationSpec extends SparkFunSuite {
     assert(!got(5L).getBoolean(8) && !got(5L).getBoolean(15))  // r_word_count
   }
 
+  test("TextAnalysis.langMixture: code-switched doc splits into its chunk languages") {
+    import spark.implicits._
+    // 16 en-stopword tokens then 16 es-stopword tokens -> exactly 2 chunks
+    val en = Seq.fill(8)("the is").mkString(" ")
+    val es = Seq.fill(8)("el no").mkString(" ")
+    val df = Seq(
+      (1L, en + " " + es),  // mixed: en chunk + es chunk
+      (2L, en),             // pure en, one chunk
+      (3L, "")).toDF("doc_id", "text") // empty drops
+    val got = TextAnalysis.langMixture(df, "doc_id", "text", chunkTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "es", 0.5, true), // tie 1-1 -> lexicographically larger code
+      (2L, 1L, 1L, "en", 1.0, false)), s"got $got")
+  }
+
   test("TextAnalysis.readability: hand-computed FK grade and Reading Ease") {
     import spark.implicits._
     val df = Seq(
