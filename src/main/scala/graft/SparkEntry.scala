@@ -1326,6 +1326,18 @@ object SparkEntry {
     "q201_lang_mixture" -> ((s, dir) =>
       TextAnalysis.langMixture(docs(s, dir), "doc_id", "text",
         chunkTokens = 16)),
+
+    // Split-conformal recall-guaranteed threshold for the q172
+    // classifier: flag >= 90% of real positives, distribution-free.
+    "q202_conformal" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      QualityChecks.conformalThreshold(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(sf.col("doc_id"), sf.col("score"),
+            (sf.col("lang") === "en").cast("int").as("y")),
+        "score", "y", "doc_id", alpha = 0.1)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -5089,6 +5101,47 @@ object SparkEntry {
          |  d.n_langs > 1 AS is_mixed
          |FROM d JOIN dom ON dom.doc_id = d.doc_id AND dom.rn = 1
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // Conformal: q172 scores + q78 hash split; threshold = exact
+    // floor(alpha*(n+1))-th smallest cal-positive score.
+    "q202_conformal" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |sc AS (SELECT s.doc_id, floor((raw + -0.05)*10000.0 + 0.5)/10000.0 AS score,
+         |  d.lang = 'en' AS y,
+         |  ((s.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000 AS b
+         |  FROM s JOIN documents d USING (doc_id)),
+         |cp AS (SELECT score FROM sc WHERE b < 5000 AND y),
+         |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal_pos,
+         |       CAST(floor(0.1 * (COUNT(*) + 1)) AS BIGINT) AS k FROM cp),
+         |cg AS (SELECT score, COUNT(*) AS c FROM cp GROUP BY 1),
+         |cum AS (SELECT score, SUM(c) OVER (ORDER BY score) AS cum FROM cg),
+         |thr AS (SELECT MIN(score) AS threshold FROM cum CROSS JOIN nk WHERE cum >= k)
+         |SELECT nk.n_cal_pos, nk.k, thr.threshold,
+         |  CAST(SUM(CASE WHEN b >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         |  CAST(SUM(CASE WHEN b >= 5000 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(SUM(CASE WHEN b >= 5000 AND y THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_pos,
+         |  CAST(SUM(CASE WHEN b >= 5000 AND y AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |  CASE WHEN SUM(CASE WHEN b >= 5000 AND y THEN 1 ELSE 0 END) > 0 THEN
+         |    floor((CAST(SUM(CASE WHEN b >= 5000 AND y AND score >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / SUM(CASE WHEN b >= 5000 AND y THEN 1 ELSE 0 END))*10000.0 + 0.5)/10000.0 END AS coverage,
+         |  CASE WHEN SUM(CASE WHEN b >= 5000 THEN 1 ELSE 0 END) > 0 THEN
+         |    floor((CAST(SUM(CASE WHEN b >= 5000 AND score >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / SUM(CASE WHEN b >= 5000 THEN 1 ELSE 0 END))*10000.0 + 0.5)/10000.0 END AS flagged_frac
+         |FROM sc CROSS JOIN nk CROSS JOIN thr
+         |GROUP BY nk.n_cal_pos, nk.k, thr.threshold""".stripMargin
     },
   )
 }

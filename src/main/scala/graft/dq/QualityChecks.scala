@@ -1371,6 +1371,65 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Split-conformal threshold calibration (one-class / recall-
+    * guaranteed): pick the score threshold as the ⌊α·(n+1)⌋-th
+    * SMALLEST calibration-positive score, so under exchangeability a
+    * fresh positive scores ≥ t with probability ≥ 1−α — the
+    * distribution-free "flag ≥ 90% of real positives, whatever the
+    * scores look like" guarantee (Vovk et al.), reported with the
+    * observed eval-side coverage and flag rate. Calibration membership
+    * is the portable deterministic key hash (q78), so the split —
+    * and therefore the threshold — is a pure function of the data.
+    *
+    * Exactness: the threshold is an order statistic picked by exact
+    * integer prefix counts over the (already 1e-4-snapped) score
+    * domain via `globalPrefixSums` — range-partitioned, never a
+    * one-task window; coverage/flag fractions are the only doubles.
+    *
+    * Scale shape: one score-domain count + prefix pass, one broadcast
+    * threshold row, one map-only eval pass. */
+  def conformalThreshold(df: DataFrame, scoreCol: String, labelCol: String,
+                         idCol: String, alpha: Double = 0.1,
+                         calBuckets: Int = 5000): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    require(calBuckets >= 1 && calBuckets <= 9999,
+      s"calBuckets must be in [1, 9999], got $calBuckets")
+    val base = graft.operators.Par.spread(df.select(
+        sf.col(scoreCol).cast("double").as("score"),
+        (sf.col(labelCol).cast("bigint") > 0).as("y"),
+        graft.operators.Sampling.hashBucket(sf.col(idCol)).as("__b")))
+      .filter(sf.col("score").isNotNull && sf.col("y").isNotNull)
+      .localCheckpoint(true) // cal + eval passes both read it
+    val calPos = base.filter(sf.col("__b") < calBuckets && sf.col("y"))
+    val counts = calPos.groupBy("score").agg(sf.count(sf.lit(1)).as("__c"))
+    val cum = graft.operators.StarSchema.globalPrefixSums(
+      counts, Seq("score"), "__c", "__cum")
+    val nk = calPos.agg(sf.count(sf.lit(1)).as("n_cal_pos"))
+      .select(sf.col("n_cal_pos"),
+        sf.floor(sf.lit(alpha) * (sf.col("n_cal_pos") + 1)).cast("long").as("k"))
+    val thr = cum.crossJoin(sf.broadcast(nk))
+      .filter(sf.col("__cum") >= sf.col("k"))
+      .agg(sf.min("score").as("threshold"))
+    val ev = sf.col("__b") >= calBuckets
+    base.crossJoin(sf.broadcast(nk)).crossJoin(sf.broadcast(thr))
+      .agg(sf.max("n_cal_pos").as("n_cal_pos"), sf.max("k").as("k"),
+        sf.max("threshold").as("threshold"),
+        sf.sum(ev.cast("long")).as("n_eval"),
+        sf.sum((ev && sf.col("score") >= sf.col("threshold")).cast("long")).as("n_flagged"),
+        sf.sum((ev && sf.col("y")).cast("long")).as("n_eval_pos"),
+        sf.sum((ev && sf.col("y") && sf.col("score") >= sf.col("threshold"))
+          .cast("long")).as("n_covered"))
+      .select(sf.col("n_cal_pos"), sf.col("k"), sf.col("threshold"),
+        sf.col("n_eval"), sf.col("n_flagged"), sf.col("n_eval_pos"),
+        sf.col("n_covered"),
+        sf.when(sf.col("n_eval_pos") > 0, gf.roundAt(
+          sf.col("n_covered").cast("double") / sf.col("n_eval_pos").cast("double"),
+          4)).as("coverage"),
+        sf.when(sf.col("n_eval") > 0, gf.roundAt(
+          sf.col("n_flagged").cast("double") / sf.col("n_eval").cast("double"),
+          4)).as("flagged_frac"))
+  }
+
   /** F1-optimal operating point over a [[prCurve]] output: the one-row
     * "set the classifier threshold HERE" answer — the sweep finds
     * every operating point, this picks the max-F1 one (ties break to

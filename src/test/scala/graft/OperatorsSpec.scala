@@ -696,6 +696,29 @@ class OperatorsSpec extends SparkFunSuite {
     assert(full.forall(identity))
   }
 
+  test("QualityChecks.conformalThreshold: matches the brute-force order statistic") {
+    import spark.implicits._
+    def bucket(id: Long): Long =
+      ((id % 2147483648L) * 2654435761L) % 4294967296L % 10000
+    val rows = (0L until 60L).map(i => (i, i * 0.1, (i % 2).toInt))
+    val df = rows.toDF("doc_id", "score", "y")
+    val alpha = 0.25
+    val got = QualityChecks.conformalThreshold(df, "score", "y", "doc_id",
+      alpha = alpha, calBuckets = 5000).collect()(0)
+    // brute-force replay of the contract
+    val calPos = rows.filter { case (id, _, y) => y == 1 && bucket(id) < 5000 }
+      .map(_._2).sorted
+    val k = math.floor(alpha * (calPos.size + 1)).toLong
+    val thr = calPos(k.toInt - 1)
+    val eval = rows.filter { case (id, _, _) => bucket(id) >= 5000 }
+    val evalPos = eval.filter(_._3 == 1)
+    assert(got.getLong(0) == calPos.size && got.getLong(1) == k)
+    assert(got.getDouble(2) == thr, s"thr ${got.getDouble(2)} != $thr")
+    assert(got.getLong(3) == eval.size &&
+      got.getLong(5) == evalPos.size)
+    assert(got.getLong(6) == evalPos.count(_._2 >= thr))
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
