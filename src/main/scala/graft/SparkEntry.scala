@@ -1338,6 +1338,11 @@ object SparkEntry {
             (sf.col("lang") === "en").cast("int").as("y")),
         "score", "y", "doc_id", alpha = 0.1)
     }),
+
+    // Theil-Sen robust daily trend per type: median pairwise slope
+    // over the gap-filled series (29% breakdown vs OLS's 0%).
+    "q203_theil_sen" -> ((s, dir) =>
+      EventOps.theilSenTrend(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -5143,5 +5148,28 @@ object SparkEntry {
          |FROM sc CROSS JOIN nk CROSS JOIN thr
          |GROUP BY nk.n_cal_pos, nk.k, thr.threshold""".stripMargin
     },
+
+    // Theil-Sen: q130 daily grid, identical 1e-6 slope snap,
+    // nearest-rank median by integer prefix counts.
+    "q203_theil_sen" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |p AS (SELECT a.t,
+        |  CAST(floor(CAST(b.v - a.v AS DOUBLE)/CAST(b.bin - a.bin AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS s6
+        | FROM sv a JOIN sv b ON a.t = b.t AND a.bin < b.bin),
+        |cg AS (SELECT t, s6, COUNT(*) AS c FROM p GROUP BY 1, 2),
+        |cum AS (SELECT t, s6,
+        |  CAST(SUM(c) OVER (PARTITION BY t ORDER BY s6 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(SUM(c) OVER (PARTITION BY t) AS BIGINT) AS n FROM cg)
+        |SELECT t AS event_type, n AS n_pairs,
+        |  floor((CAST(MIN(s6) AS DOUBLE)/1e6)*10000.0 + 0.5)/10000.0 AS ts_slope_per_day
+        |FROM cum WHERE cum >= (n + 1) // 2
+        |GROUP BY t, n ORDER BY event_type""".stripMargin,
   )
 }

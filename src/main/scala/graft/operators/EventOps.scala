@@ -1040,6 +1040,50 @@ object EventOps {
       .orderBy(keyCol)
   }
 
+  /** Theil–Sen robust trend per event type: the median of all pairwise
+    * slopes over the gap-filled daily activity series — the
+    * outlier-robust twin of the q144 OLS trend (one spike day drags an
+    * OLS slope; the slope median has a 29% breakdown point). Gap days
+    * count as zero activity, so "the stream died" trends down
+    * honestly.
+    *
+    * Determinism: pairwise slopes are IEEE divisions of exact integers
+    * snapped to a 1e-6 grid; the median is the nearest-rank
+    * ⌈n/2⌉-th smallest picked by integer prefix counts — no
+    * interpolation, engine-portable.
+    *
+    * Scale shape: the pair explode is per type over the BIN domain,
+    * bounded by span/binSec (a config contract — 3650 daily bins for
+    * a decade), never over events; rides denseSeries' guarded grid.
+    * The rank pass is a per-type ordered window over ≤ bins²/2 slope
+    * rows (the q137 partitioned shape). */
+  def theilSenTrend(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", valueCol: String = "value",
+                    binSec: Long = 86400): DataFrame = {
+    val series = denseSeries(events, typeCol, tsCol, valueCol, binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // both self-join sides read it
+    val a = series.select(sf.col("t"), sf.col("bin").as("ba"), sf.col("v").as("va"))
+    val b = series.select(sf.col("t").as("tb"), sf.col("bin").as("bb"), sf.col("v").as("vb"))
+    val slope6 = sf.floor(
+      (sf.col("vb") - sf.col("va")).cast("double") /
+        (sf.col("bb") - sf.col("ba")).cast("double") * 1e6 + 0.5).cast("long")
+    val slopes = a.join(b, sf.col("t") === sf.col("tb") && sf.col("ba") < sf.col("bb"))
+      .select(sf.col("t"), slope6.as("s6"))
+    val counts = slopes.groupBy("t", "s6").agg(sf.count(sf.lit(1)).as("c"))
+    val w = Window.partitionBy("t").orderBy("s6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sf.sum("c").over(w))
+      .withColumn("n", sf.sum("c").over(Window.partitionBy("t")))
+    cum.filter(sf.col("cum") >= sf.expr("(n + 1) div 2"))
+      .groupBy(sf.col("t"))
+      .agg(sf.max("n").as("n_pairs"), sf.min("s6").as("__m"))
+      .select(sf.col("t").as(typeCol), sf.col("n_pairs"),
+        gf.roundAt(sf.col("__m").cast("double") / 1e6, 4).as("ts_slope_per_day"))
+      .orderBy(typeCol)
+  }
+
   /** Bot-cadence scoring per user: the coefficient of variation of
     * inter-event gaps — human activity is bursty (cv near or above 1,
     * exponential-ish), scripted traffic is metronomic (cv near 0) —

@@ -719,6 +719,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got.getLong(6) == evalPos.count(_._2 >= thr))
   }
 
+  test("EventOps.theilSenTrend: spike-immune where OLS is not") {
+    import spark.implicits._
+    // type "a": 1,2,3,4,100,6 events across six days — the day-5 spike
+    // would wreck OLS; the pairwise-slope median stays at the true +1/day
+    val rows = (for {
+      (d, n) <- Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 100), (5, 6))
+      k <- 0 until n
+    } yield (1L, java.sql.Timestamp.valueOf(f"2024-01-0${d + 1} 12:00:00"),
+      (d * 1000 + k).toLong, "a", 1.0)).toDF(
+      "user_id", "ts", "event_id", "event_type", "value")
+    val r = EventOps.theilSenTrend(rows).collect()(0)
+    assert(r.getString(0) == "a" && r.getLong(1) == 15L) // C(6,2) pairs
+    assert(r.getDouble(2) == 1.0, s"slope ${r.getDouble(2)}")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
