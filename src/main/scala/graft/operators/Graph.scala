@@ -24,6 +24,21 @@ object Graph {
   private def baskets(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
     df.select(sf.col(basketCol).as("basket"), sf.col(itemCol).as("item")).distinct()
 
+  /** The mined co-occurrence graph as a directed (src, dst) edge list
+    * (both directions per undirected pair): the pair-mining funnel
+    * every graph operator here starts from, exposed so a PIPELINE can
+    * mine once, persist, and feed all of [[kCore]] /
+    * [[personalizedPageRank]] / [[bfsHops]] etc. via their `*FromEdges`
+    * variants instead of paying the funnel per operator (the bench
+    * times each operator standalone by design — see SURVEY §6). */
+  def minedEdges(df: DataFrame, basketCol: String, itemCol: String,
+                 minPairCount: Long = 2): DataFrame = {
+    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a"), sf.col("item_b"))
+    pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
+      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
+  }
+
   /** Item co-occurrence with association lift.
     *
     * For every unordered item pair {a, b} appearing in at least
@@ -151,13 +166,16 @@ object Graph {
     * the one plan-time scalar. */
   def personalizedPageRank(df: DataFrame, basketCol: String, itemCol: String,
                            seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                           minPairCount: Long = 2, iters: Int = 3): DataFrame = {
+                           minPairCount: Long = 2, iters: Int = 3): DataFrame =
+    personalizedPageRankFromEdges(
+      minedEdges(df, basketCol, itemCol, minPairCount), seedPred, iters)
+
+  /** [[personalizedPageRank]] over a pre-mined edge list. */
+  def personalizedPageRankFromEdges(edges: DataFrame,
+                                    seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                    iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     val SCALE = 1000000000000L // 1e12
-    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
-      .select(sf.col("item_a"), sf.col("item_b"))
-    val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
-      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
     val outdeg = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("outdeg"))
     val edgesDeg = edges.join(outdeg, "src").persist()
     val nodes = edgesDeg.select(sf.col("src").as("item")).distinct()
@@ -199,13 +217,16 @@ object Graph {
     * table sits cache-partitioned on src and only distances move. */
   def bfsHops(df: DataFrame, basketCol: String, itemCol: String,
               seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-              minPairCount: Long = 2, rounds: Int = 3): DataFrame = {
+              minPairCount: Long = 2, rounds: Int = 3): DataFrame =
+    bfsHopsFromEdges(minedEdges(df, basketCol, itemCol, minPairCount),
+      seedPred, rounds)
+
+  /** [[bfsHops]] over a pre-mined edge list. */
+  def bfsHopsFromEdges(edges0: DataFrame,
+                       seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                       rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
-      .select(sf.col("item_a"), sf.col("item_b"))
-    val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
-      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
-      .persist()
+    val edges = edges0.persist()
     var dist = edges.select(sf.col("src").as("item")).distinct()
       .select(sf.col("item"),
         sf.when(seedPred(sf.col("item")), 0L).cast("long").as("dist"))
@@ -286,14 +307,15 @@ object Graph {
     * windows, no driver materialization; the edge list persists per
     * round so lineage doesn't re-derive the pair-mining funnel. */
   def kCore(df: DataFrame, basketCol: String, itemCol: String,
-            k: Int, minPairCount: Long = 2, rounds: Int = 3): DataFrame = {
+            k: Int, minPairCount: Long = 2, rounds: Int = 3): DataFrame =
+    kCoreFromEdges(minedEdges(df, basketCol, itemCol, minPairCount), k, rounds)
+
+  /** [[kCore]] over a pre-mined directed edge list (both directions per
+    * undirected pair, e.g. a persisted [[minedEdges]]). */
+  def kCoreFromEdges(edges0: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
-      .select(sf.col("item_a"), sf.col("item_b"))
-    var edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
-      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
-      .persist()
+    var edges = edges0.persist()
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("deg"))
         .filter(sf.col("deg") >= k).select("src")

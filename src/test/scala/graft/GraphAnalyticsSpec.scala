@@ -586,6 +586,23 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       "b" -> 425000000000L, "c" -> 425000000000L, "d" -> 0L, "e" -> 0L), s"got $got")
   }
 
+  test("Graph *FromEdges variants: one mined edge list reproduces all standalone results") {
+    val df = Seq(("1", "a"), ("1", "b"), ("2", "b"), ("2", "c"),
+      ("3", "c"), ("3", "d"), ("t", "a"), ("t", "b"), ("t", "c"))
+      .toDF("basket", "item")
+    val edges = Graph.minedEdges(df, "basket", "item", minPairCount = 1).persist()
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    assert(rows(Graph.kCoreFromEdges(edges, k = 2, rounds = 3)) ==
+      rows(Graph.kCore(df, "basket", "item", k = 2, minPairCount = 1, rounds = 3)))
+    assert(rows(Graph.personalizedPageRankFromEdges(edges, _ === "a", iters = 2)) ==
+      rows(Graph.personalizedPageRank(df, "basket", "item", _ === "a",
+        minPairCount = 1, iters = 2)))
+    assert(rows(Graph.bfsHopsFromEdges(edges, _ === "a", rounds = 2)) ==
+      rows(Graph.bfsHops(df, "basket", "item", _ === "a",
+        minPairCount = 1, rounds = 2)))
+    edges.unpersist()
+  }
+
   test("Graph.bfsHops: exact layers within the round budget, NULL beyond it") {
     // path a-b-c-d-e, seed {a}: layers 0..4; rounds=2 resolves <= 2 hops
     val df = Seq(("1", "a"), ("1", "b"), ("2", "b"), ("2", "c"),
