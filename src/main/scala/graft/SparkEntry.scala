@@ -1343,6 +1343,11 @@ object SparkEntry {
     // over the gap-filled series (29% breakdown vs OLS's 0%).
     "q203_theil_sen" -> ((s, dir) =>
       EventOps.theilSenTrend(Tables.load(s, dir, "events"))),
+
+    // Dataloader-facing packing manifest: per 512-token sequence, the
+    // ordered doc spans (attention-reset boundaries), fill, pad tail.
+    "q204_pack_manifest" -> ((s, dir) =>
+      Packing.packManifest(docs(s, dir), "doc_id", "text", capacity = 512)),
   )
 
   // ---------------------------------------------------------------------
@@ -5171,5 +5176,30 @@ object SparkEntry {
         |  floor((CAST(MIN(s6) AS DOUBLE)/1e6)*10000.0 + 0.5)/10000.0 AS ts_slope_per_day
         |FROM cum WHERE cum >= (n + 1) // 2
         |GROUP BY t, n ORDER BY event_type""".stripMargin,
+
+    // Pack manifest: q58's global prefix + identical span interval
+    // arithmetic; span arrays ordered by in-sequence offset.
+    "q204_pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER
+        |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |  FROM t),
+        |sp0 AS (SELECT doc_id, n_tokens, pre,
+        |  unnest(generate_series(pre // 512, (pre + n_tokens - 1) // 512)) AS seq_id
+        |  FROM c WHERE n_tokens > 0),
+        |sp AS (SELECT seq_id, doc_id,
+        |  greatest(pre, seq_id*512) - seq_id*512 AS off,
+        |  least(pre + n_tokens, (seq_id+1)*512) - greatest(pre, seq_id*512) AS len
+        |  FROM sp0)
+        |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(len) AS BIGINT) AS fill_tokens,
+        |  512 - CAST(SUM(len) AS BIGINT) AS pad_tokens,
+        |  list(off ORDER BY off) AS boundaries,
+        |  list(doc_id ORDER BY off) AS doc_ids
+        |FROM sp GROUP BY 1 ORDER BY seq_id""".stripMargin,
   )
 }

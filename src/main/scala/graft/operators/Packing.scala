@@ -123,6 +123,18 @@ object Packing {
                     capacity: Long = 2048, bucketSize: Long = -1,
                     scanBound: Long = DefaultScanBound): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    globalTokenOffsets(docs, idCol, textCol, bucketSize, scanBound)
+      .select(sf.col("doc_id"), sf.col("n_tokens"),
+        sf.expr(s"pre DIV $capacity").as("seq_id"),
+        sf.pmod(sf.col("pre"), sf.lit(capacity)).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, n_tokens, pre) with `pre` = exclusive global token
+    * prefix in doc-id order — the two-level bucketed prefix pass
+    * [[packSequences]] and [[packManifest]] share. */
+  private def globalTokenOffsets(docs: DataFrame, idCol: String, textCol: String,
+                                 bucketSize: Long, scanBound: Long): DataFrame = {
     require(scanBound > 0, "scanBound must be positive")
     val maxRow = docs.agg(sf.max(sf.col(idCol).cast("long"))).head()
     val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
@@ -142,13 +154,48 @@ object Packing {
       else base.join(offsets, "bucket")
     val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    joined
-      .withColumn("pre",
-        sf.col("boff") + sf.coalesce(sf.sum("n_tokens").over(wInBucket), sf.lit(0L)))
-      .select(sf.col("doc_id"), sf.col("n_tokens"),
-        sf.expr(s"pre DIV $capacity").as("seq_id"),
-        sf.pmod(sf.col("pre"), sf.lit(capacity)).as("seq_offset"))
-      .orderBy("doc_id")
+    joined.withColumn("pre",
+      sf.col("boff") + sf.coalesce(sf.sum("n_tokens").over(wInBucket), sf.lit(0L)))
+  }
+
+  /** Per-sequence packing manifest — what a dataloader actually needs
+    * to serve [[packSequences]]' layout: for each packed sequence, the
+    * ordered document spans inside it (span-start offsets = the
+    * attention-reset / position-id-reset boundaries), the fill level,
+    * and the pad tail. Documents larger than `capacity` span several
+    * sequences and contribute one span to each — concatenate-and-chunk
+    * semantics, nothing truncated.
+    *
+    * Exactness: pure integer interval arithmetic on the shared global
+    * prefix; span arrays sort by in-sequence offset (unique within a
+    * sequence — a total order).
+    *
+    * Scale shape: the span explode fans out ceil(n_tokens/capacity)
+    * rows per doc (bounded by doc length), then ONE seq-keyed
+    * combinable aggregation; spans-per-sequence is bounded by
+    * capacity, so collected span arrays are small by construction. */
+  def packManifest(docs: DataFrame, idCol: String, textCol: String,
+                   capacity: Long = 2048, bucketSize: Long = -1,
+                   scanBound: Long = DefaultScanBound): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val c = capacity
+    val off = globalTokenOffsets(docs, idCol, textCol, bucketSize, scanBound)
+      .filter(sf.col("n_tokens") > 0)
+    val spans = off.select(sf.col("doc_id"), sf.col("n_tokens"), sf.col("pre"),
+        sf.explode(sf.sequence(sf.expr(s"pre DIV $c"),
+          sf.expr(s"(pre + n_tokens - 1) DIV $c"))).as("seq_id"))
+      .select(sf.col("seq_id"), sf.col("doc_id"),
+        (sf.greatest(sf.col("pre"), sf.col("seq_id") * c) - sf.col("seq_id") * c).as("off"),
+        (sf.least(sf.col("pre") + sf.col("n_tokens"), (sf.col("seq_id") + 1) * c) -
+          sf.greatest(sf.col("pre"), sf.col("seq_id") * c)).as("len"))
+    spans.groupBy("seq_id")
+      .agg(sf.count(sf.lit(1)).as("n_spans"), sf.sum("len").as("fill_tokens"),
+        sf.sort_array(sf.collect_list(sf.struct(sf.col("off"), sf.col("doc_id")))).as("__sp"))
+      .select(sf.col("seq_id"), sf.col("n_spans"), sf.col("fill_tokens"),
+        (sf.lit(c) - sf.col("fill_tokens")).as("pad_tokens"),
+        sf.expr("transform(__sp, x -> x.off)").as("boundaries"),
+        sf.expr("transform(__sp, x -> x.doc_id)").as("doc_ids"))
+      .orderBy("seq_id")
   }
 
   /** Sequence-length bucketing efficiency report — the dynamic-batching

@@ -734,6 +734,22 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getDouble(2) == 1.0, s"slope ${r.getDouble(2)}")
   }
 
+  test("Packing.packManifest: spans, boundaries, and pad tail at capacity 10") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    // token counts 4, 8, 6, 1 -> pre = 0, 4, 12, 18
+    val df = Seq((1L, words(4)), (2L, words(8)), (3L, words(6)), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = Packing.packManifest(df, "doc_id", "text", capacity = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4).toList, r.getSeq[Long](5).toList)).toSeq
+    assert(got == Seq(
+      // seq0: doc1 [0,4), doc2 [4,10) -- doc2 SPANS into seq1
+      (0L, 2L, 10L, 0L, List(0L, 4L), List(1L, 2L)),
+      // seq1: doc2 tail [0,2), doc3 [2,8), doc4 [8,9) -> pad 1
+      (1L, 3L, 9L, 1L, List(0L, 2L, 8L), List(2L, 3L, 4L))), s"got $got")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
