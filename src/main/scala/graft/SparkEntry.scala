@@ -1348,6 +1348,11 @@ object SparkEntry {
     // ordered doc spans (attention-reset boundaries), fill, pad tail.
     "q204_pack_manifest" -> ((s, dir) =>
       Packing.packManifest(docs(s, dir), "doc_id", "text", capacity = 512)),
+
+    // Randomization-health audit: per-covariate SMD between the q99
+    // hash arms; |SMD| > 0.1 = broken assignment.
+    "q205_ab_balance" -> ((s, dir) =>
+      EventOps.abBalance(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -5201,5 +5206,34 @@ object SparkEntry {
         |  list(off ORDER BY off) AS boundaries,
         |  list(doc_id ORDER BY off) AS doc_ids
         |FROM sp GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    // AB balance: the q99 moment pattern per event type, pinned SMD.
+    "q205_ab_balance" ->
+      """WITH s AS (SELECT event_type,
+        |  CASE WHEN (((user_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 5000
+        |       THEN 'A' ELSE 'B' END AS variant,
+        |  CAST(floor(CAST(value AS DOUBLE)*10000.0 + 0.5) AS BIGINT) AS x4
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type,
+        |  COUNT(CASE WHEN variant='A' THEN 1 END) AS n_a,
+        |  COUNT(CASE WHEN variant='B' THEN 1 END) AS n_b,
+        |  CAST(SUM(CASE WHEN variant='A' THEN CAST(x4 AS DECIMAL(38,0)) END) AS DOUBLE) AS s_a,
+        |  CAST(SUM(CASE WHEN variant='B' THEN CAST(x4 AS DECIMAL(38,0)) END) AS DOUBLE) AS s_b,
+        |  CAST(SUM(CASE WHEN variant='A' THEN CAST(x4 AS DECIMAL(38,0))*CAST(x4 AS DECIMAL(38,0)) END) AS DOUBLE) AS ss_a,
+        |  CAST(SUM(CASE WHEN variant='B' THEN CAST(x4 AS DECIMAL(38,0))*CAST(x4 AS DECIMAL(38,0)) END) AS DOUBLE) AS ss_b
+        |  FROM s GROUP BY 1),
+        |d AS (SELECT event_type, n_a, n_b,
+        |  (s_a/10000.0)/CAST(n_a AS DOUBLE) AS ma, (s_b/10000.0)/CAST(n_b AS DOUBLE) AS mb,
+        |  (ss_a/100000000.0 - CAST(n_a AS DOUBLE)*((s_a/10000.0)/CAST(n_a AS DOUBLE))*((s_a/10000.0)/CAST(n_a AS DOUBLE)))/(CAST(n_a AS DOUBLE)-1) AS va,
+        |  (ss_b/100000000.0 - CAST(n_b AS DOUBLE)*((s_b/10000.0)/CAST(n_b AS DOUBLE))*((s_b/10000.0)/CAST(n_b AS DOUBLE)))/(CAST(n_b AS DOUBLE)-1) AS vb
+        |  FROM m)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | floor(ma*10000.0 + 0.5)/10000.0 AS mean_a,
+        | floor(mb*10000.0 + 0.5)/10000.0 AS mean_b,
+        | CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |   floor(((ma-mb)/sqrt((va+vb)/2))*10000.0 + 0.5)/10000.0 END AS smd,
+        | CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |   abs((ma-mb)/sqrt((va+vb)/2)) <= 0.1 END AS balanced
+        |FROM d ORDER BY event_type""".stripMargin,
   )
 }

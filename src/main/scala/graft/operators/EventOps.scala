@@ -501,6 +501,56 @@ object EventOps {
           .as("t_stat"))
   }
 
+  /** A/B covariate-balance audit: per event type, the standardized
+    * mean difference of `value` between the two hash arms — SMD =
+    * (mean_A − mean_B)/√((var_A+var_B)/2), the randomization-health
+    * number (|SMD| > 0.1 on any covariate = broken assignment; a
+    * significant q99 lift on an imbalanced experiment is noise). Same
+    * portable 50/50 key-hash arms as [[abLift]], so the audit checks
+    * exactly the split the readout uses.
+    *
+    * Exactness: the q99 moment pattern — 1e-4 fixed-point values,
+    * DECIMAL(38,0) sum/sum-of-squares (order-free), sample variances
+    * and the SMD assembled in pinned IEEE expressions, rounded once.
+    *
+    * Scale shape: ONE combinable aggregation onto the event-type
+    * domain; map-only before it. */
+  def abBalance(events: DataFrame, keyCol: String = "user_id",
+                typeCol: String = "event_type", valueCol: String = "value",
+                smdThreshold: Double = 0.1): DataFrame = {
+    require(smdThreshold > 0, s"smdThreshold must be > 0, got $smdThreshold")
+    val variant = sf.when(Sampling.hashBucket(sf.col(keyCol)) < 5000, "A")
+      .otherwise("B")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val a4 = sf.when(variant === "A", x4)
+    val b4 = sf.when(variant === "B", x4)
+    def stats(pfx: String, c: Column) = Seq(
+      sf.count(c).as(s"n_$pfx"),
+      sf.sum(dec(c)).as(s"s_$pfx"),
+      sf.sum(dec(c) * dec(c)).as(s"ss_$pfx"))
+    def mean(p: String) =
+      (sf.col(s"s_$p").cast("double") / 1e4) / sf.col(s"n_$p").cast("double")
+    def variance(p: String, m: Column) =
+      (sf.col(s"ss_$p").cast("double") / 1e8 -
+        sf.col(s"n_$p").cast("double") * m * m) /
+        (sf.col(s"n_$p").cast("double") - 1)
+    val smd = (mean("a") - mean("b")) /
+      sf.sqrt((variance("a", mean("a")) + variance("b", mean("b"))) / 2)
+    val aggs = stats("a", a4) ++ stats("b", b4)
+    events.filter(sf.col(valueCol).isNotNull)
+      .groupBy(sf.col(typeCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(sf.col(typeCol), sf.col("n_a"), sf.col("n_b"),
+        gf.roundAt(mean("a"), 4).as("mean_a"),
+        gf.roundAt(mean("b"), 4).as("mean_b"),
+        sf.when(sf.col("n_a") >= 2 && sf.col("n_b") >= 2,
+          gf.roundAt(smd, 4)).as("smd"),
+        sf.when(sf.col("n_a") >= 2 && sf.col("n_b") >= 2,
+          sf.abs(smd) <= smdThreshold).as("balanced"))
+      .orderBy(typeCol)
+  }
+
   /** Seasonal-baseline anomaly detection: fit a per-(event_type,
     * hour-of-day) mean/std profile, then flag events whose value sits
     * more than `zThresh` standard deviations from their own slot's

@@ -750,6 +750,27 @@ class OperatorsSpec extends SparkFunSuite {
       (1L, 3L, 9L, 1L, List(0L, 2L, 8L), List(2L, 3L, 4L))), s"got $got")
   }
 
+  test("EventOps.abBalance: balanced covariate passes, shifted one flags") {
+    import spark.implicits._
+    def bucket(id: Long): Long =
+      ((id % 2147483648L) * 2654435761L) % 4294967296L % 10000
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ids = (1L to 40L)
+    val (armA, armB) = ids.partition(bucket(_) < 5000)
+    // "even": identical distribution in both arms -> SMD 0, balanced;
+    // "shift": arm B values shifted by +10 -> |SMD| >> 0.1
+    val rows =
+      armA.zipWithIndex.map { case (u, i) => (u, t, u * 10, "even", (i % 3).toDouble) } ++
+      armB.zipWithIndex.map { case (u, i) => (u, t, u * 10 + 1, "even", (i % 3).toDouble) } ++
+      armA.zipWithIndex.map { case (u, i) => (u, t, u * 10 + 2, "shift", (i % 3).toDouble) } ++
+      armB.zipWithIndex.map { case (u, i) => (u, t, u * 10 + 3, "shift", (i % 3).toDouble + 10.0) }
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = EventOps.abBalance(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(5), r.getBoolean(6))).toMap
+    assert(got("even")._2, s"even should balance: ${got("even")}")
+    assert(!got("shift")._2 && got("shift")._1 < -1.0, s"shift: ${got("shift")}")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
