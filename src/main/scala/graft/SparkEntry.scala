@@ -1353,6 +1353,11 @@ object SparkEntry {
     // hash arms; |SMD| > 0.1 = broken assignment.
     "q205_ab_balance" -> ((s, dir) =>
       EventOps.abBalance(Tables.load(s, dir, "events"))),
+
+    // Wald SPRT error-rate monitor: when did the stream first conclude
+    // p=0.05 vs p=0.15 at alpha=0.05 / beta=0.2.
+    "q206_sprt" -> ((s, dir) =>
+      EventOps.sprtReadout(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -5235,5 +5240,34 @@ object SparkEntry {
         | CASE WHEN n_a >= 2 AND n_b >= 2 THEN
         |   abs((ma-mb)/sqrt((va+vb)/2)) <= 0.1 END AS balanced
         |FROM d ORDER BY event_type""".stripMargin,
+
+    // SPRT: the same driver-snapped 1e-9 log constants embedded as
+    // integers; exact integer LLR prefix over the (ts, id) order.
+    "q206_sprt" -> {
+      def fx9(x: Double): Long = math.floor(math.log(x) * 1e9 + 0.5).toLong
+      val incFail = fx9(0.15 / 0.05)
+      val incOk = fx9(0.85 / 0.95)
+      val upper = fx9(0.8 / 0.05)
+      val lower = fx9(0.2 / 0.95)
+      s"""WITH b AS (SELECT epoch_us(ts) AS us, event_id AS id,
+         |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f
+         |  FROM events WHERE ts IS NOT NULL),
+         |c AS (SELECT us, id, f,
+         |  CAST(SUM(CASE WHEN f = 1 THEN $incFail ELSE $incOk END)
+         |    OVER (ORDER BY us, id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+         |  CAST(row_number() OVER (ORDER BY us, id) AS BIGINT) AS n,
+         |  CAST(SUM(f) OVER (ORDER BY us, id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fails
+         | FROM b),
+         |cr AS (SELECT n, us, llr FROM c WHERE llr >= $upper OR llr <= $lower
+         |       ORDER BY n LIMIT 1),
+         |tt AS (SELECT n, fails, llr FROM c ORDER BY n DESC LIMIT 1)
+         |SELECT tt.n AS n_events, tt.fails AS n_failures,
+         |  floor((CAST(tt.llr AS DOUBLE)/1e9)*10000.0 + 0.5)/10000.0 AS final_llr,
+         |  CASE WHEN cr.n IS NULL THEN 'continue'
+         |       WHEN cr.llr >= $upper THEN 'reject_h0' ELSE 'accept_h0' END AS decision,
+         |  cr.n AS first_cross_n,
+         |  strftime(make_timestamp(cr.us), '%Y-%m-%d %H:%M:%S') AS first_cross_ts
+         |FROM tt LEFT JOIN cr ON TRUE""".stripMargin
+    },
   )
 }

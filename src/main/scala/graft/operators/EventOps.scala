@@ -501,6 +501,59 @@ object EventOps {
           .as("t_stat"))
   }
 
+  /** Wald SPRT sequential-test readout over the event stream: monitor
+    * the failure rate (events matching `failType`) against H0: p=p0
+    * vs H1: p=p1 and report WHEN the log-likelihood ratio first
+    * crossed a decision boundary — the "stop the rollout NOW, don't
+    * wait for the week's batch" primitive (Wald 1945). Boundaries
+    * A = ln((1−β)/α), B = ln(β/(1−α)); per-event increments
+    * ln(p1/p0) on failure, ln((1−p1)/(1−p0)) on success.
+    *
+    * Determinism: the four log constants snap to a 1e-9 grid ON THE
+    * DRIVER (plan literals — the oracle embeds the same integers, so
+    * engine libm never runs); the LLR is then exact integer prefix
+    * arithmetic over the (ts, event_id) total order via ONE
+    * range-partitioned [[graft.operators.StarSchema.globalPrefixSums]]
+    * pass — never a one-task window.
+    *
+    * Output, one row: stream length, failures, final LLR, the
+    * decision ('reject_h0' / 'accept_h0' / 'continue'), and the first
+    * crossing's index + timestamp (NULL while in the continue band). */
+  def sprtReadout(events: DataFrame, failType: String = "error",
+                  p0: Double = 0.05, p1: Double = 0.15,
+                  alpha: Double = 0.05, beta: Double = 0.2,
+                  tsCol: String = "ts", idCol: String = "event_id",
+                  typeCol: String = "event_type"): DataFrame = {
+    require(p0 > 0 && p1 > p0 && p1 < 1, s"need 0 < p0 < p1 < 1, got $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "alpha, beta in (0,1)")
+    def fx9(x: Double): Long = math.floor(math.log(x) * 1e9 + 0.5).toLong
+    val incFail = fx9(p1 / p0)
+    val incOk = fx9((1 - p1) / (1 - p0))
+    val upper = fx9((1 - beta) / alpha)
+    val lower = fx9(beta / (1 - alpha))
+    val base = events.filter(sf.col(tsCol).isNotNull)
+      .select(sf.expr(s"unix_micros($tsCol)").as("__us"), sf.col(idCol).as("__id"),
+        (sf.col(typeCol) === failType).cast("long").as("__f"))
+      .withColumn("__llr_inc",
+        sf.when(sf.col("__f") === 1, incFail).otherwise(incOk))
+      .withColumn("__one", sf.lit(1L))
+    val cum = StarSchema.globalPrefixSumsMulti(base, Seq("__us", "__id"),
+      Seq("__llr_inc" -> "llr", "__one" -> "n", "__f" -> "fails"))
+    val crossed = cum.filter(sf.col("llr") >= upper || sf.col("llr") <= lower)
+      .select(sf.min(sf.struct(sf.col("n"), sf.col("__us"), sf.col("llr"))).as("c"))
+    val totals = cum.select(sf.max(sf.struct(sf.col("n"), sf.col("fails"),
+      sf.col("llr"))).as("t"))
+    totals.crossJoin(crossed)
+      .select(sf.col("t.n").as("n_events"), sf.col("t.fails").as("n_failures"),
+        gf.roundAt(sf.col("t.llr").cast("double") / 1e9, 4).as("final_llr"),
+        sf.when(sf.col("c").isNull, "continue")
+          .when(sf.col("c.llr") >= upper, "reject_h0")
+          .otherwise("accept_h0").as("decision"),
+        sf.col("c.n").as("first_cross_n"),
+        sf.date_format(sf.timestamp_micros(sf.col("c.__us")),
+          "yyyy-MM-dd HH:mm:ss").as("first_cross_ts"))
+  }
+
   /** A/B covariate-balance audit: per event type, the standardized
     * mean difference of `value` between the two hash arms — SMD =
     * (mean_A − mean_B)/√((var_A+var_B)/2), the randomization-health

@@ -771,6 +771,28 @@ class OperatorsSpec extends SparkFunSuite {
     assert(!got("shift")._2 && got("shift")._1 < -1.0, s"shift: ${got("shift")}")
   }
 
+  test("EventOps.sprtReadout: all-failure stream rejects fast, clean stream accepts") {
+    import spark.implicits._
+    def ev(n: Int, failEvery: Int) = (0 until n).map { i =>
+      (1L, new java.sql.Timestamp(1704067200000L + i * 1000L), i.toLong,
+        if (failEvery > 0 && i % failEvery == 0) "error" else "click", 1.0)
+    }
+    def run(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      EventOps.sprtReadout(rows.toDF("user_id", "ts", "event_id", "event_type",
+        "value")).collect()(0)
+    // every event fails -> LLR climbs ln(3)/event, upper bound
+    // ln(0.8/0.05)=2.77 crosses at event 3
+    val rej = run(ev(20, 1))
+    assert(rej.getString(3) == "reject_h0" && rej.getLong(4) == 3L, s"got $rej")
+    // no failures -> LLR falls ln(0.85/0.95) = -0.111/event; lower bound
+    // ln(0.2/0.95) = -1.558 crosses at event 15
+    val acc = run(ev(40, 0))
+    assert(acc.getString(3) == "accept_h0" && acc.getLong(4) == 15L, s"got $acc")
+    // short clean stream stays in the continue band
+    val cont = run(ev(5, 0))
+    assert(cont.getString(3) == "continue" && cont.isNullAt(4), s"got $cont")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
