@@ -143,4 +143,33 @@ object Tables {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  /** Fixed-width file parse — the mainframe/legacy-export format the
+    * reference's SAS-adjacent world ships (column positions, no
+    * delimiters). `colSpecs` gives (name, 1-based start, width, type);
+    * each column is one `substring` + `trim` + cast, all codegen'd
+    * scan-side expressions — the file splits by byte ranges like any
+    * text source, so parallelism and scale behavior match CSV.
+    * Non-castable and blank cells go NULL (`try_cast`, not ANSI
+    * fail-on-first-error — legacy exports ALWAYS contain a few
+    * mangled cells; validate with dq.QualityChecks). Short lines
+    * yield NULL for columns past the end. */
+  def fixedWidth(spark: SparkSession, path: String,
+                 colSpecs: Seq[(String, Int, Int, String)]): DataFrame = {
+    import org.apache.spark.sql.{functions => sf}
+    require(colSpecs.nonEmpty, "need at least one column spec")
+    require(colSpecs.forall { case (_, s, w, _) => s >= 1 && w >= 1 },
+      "column starts are 1-based, widths >= 1")
+    require(colSpecs.forall { case (n, _, _, _) => n.matches("[A-Za-z_][A-Za-z0-9_]*") },
+      "column names must be plain identifiers")
+    val raw = spark.read.text(path)
+    raw.select(colSpecs.map { case (name, start, width, _) =>
+      val cell = sf.trim(sf.substring(sf.col("value"), start, width))
+      sf.when(sf.length(cell) === 0, sf.lit(null))
+        .otherwise(cell).as(name)
+    }: _*)
+      .selectExpr(colSpecs.map { case (name, _, _, tpe) =>
+        s"try_cast($name AS $tpe) AS $name"
+      }: _*)
+  }
 }

@@ -108,4 +108,28 @@ class SourcesSpec extends SparkFunSuite {
     assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq(1 -> "Business", 2 -> "Pleasure"))
   }
+
+  test("fixedWidth parses positions, trims, casts, and NULLs short lines") {
+    val dir = java.nio.file.Files.createTempDirectory("fw").toFile
+    val f = new java.io.File(dir, "data.txt")
+    java.nio.file.Files.write(f.toPath, java.util.Arrays.asList(
+      "001ALICE     2024-01-15 42.5",
+      "002BOB       2024-02-20 -1.0",
+      "003          2024-03-01  7.25", // blank name -> NULL
+      "004CAROL",                      // short line -> NULLs past the end
+      "005DAVE      20XX-BAD-9   1.5")) // mangled date -> try_cast NULL
+    val df = Tables.fixedWidth(spark, f.getAbsolutePath, Seq(
+      ("id", 1, 3, "int"), ("name", 4, 10, "string"),
+      ("d", 14, 10, "date"), ("v", 24, 6, "double")))
+    val got = df.orderBy("id").collect().map { r =>
+      (r.getInt(0), Option(r.get(1)), Option(r.get(2)).map(_.toString),
+        Option(r.get(3)))
+    }.toSeq
+    assert(got == Seq(
+      (1, Some("ALICE"), Some("2024-01-15"), Some(42.5)),
+      (2, Some("BOB"), Some("2024-02-20"), Some(-1.0)),
+      (3, None, Some("2024-03-01"), Some(7.25)),
+      (4, Some("CAROL"), None, None),
+      (5, Some("DAVE"), None, Some(1.5))), s"got $got")
+  }
 }
