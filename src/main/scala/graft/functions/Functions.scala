@@ -211,6 +211,13 @@ object functions {
   def rollingHash(tokens: Column): Column =
     kernel(LongType, "rollingHashMd5", tokens)
 
+  /** Fused winnowing fingerprint selection (MOSS window minima of
+    * md5-60 k-gram hashes) — one JVM pass per document; see
+    * Kernels.winnowingFps. Pass already-lowercased text. */
+  def winnowingFps(t: Column, k: Int, w: Int): Column =
+    kernel(ArrayType(LongType, containsNull = false), "winnowingFps",
+      t, sf.lit(k), sf.lit(w))
+
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------

@@ -1269,27 +1269,15 @@ object Dedup {
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val md560 = (g: org.apache.spark.sql.Column) =>
-      sf.conv(sf.substring(sf.md5(g), 1, 15), 16, 10).cast("long")
+    // ONE fused JVM kernel per doc (tokenize -> md5-60 k-grams ->
+    // w-window minima -> distinct). The chained array-expression
+    // formulation re-evaluated the gram array per window under
+    // projection collapse — ~k·w× re-hash per doc, 334s at sf0.1 for
+    // a job this kernel finishes in seconds.
     Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
         sf.col(textCol).as("__t")))
-      .withColumn("__toks", gf.wsTokens(sf.lower(sf.col("__t"))))
-      .withColumn("__gh",
-        sf.when(sf.size(sf.col("__toks")) === 0,
-            sf.array().cast("array<long>"))
-          .when(sf.size(sf.col("__toks")) < k,
-            sf.array(md560(sf.array_join(sf.col("__toks"), " "))))
-          .otherwise(sf.transform(
-            sf.sequence(sf.lit(1), sf.size(sf.col("__toks")) - (k - 1)),
-            i => md560(sf.array_join(sf.slice(sf.col("__toks"), i, sf.lit(k)), " ")))))
-      .withColumn("__fps",
-        sf.when(sf.size(sf.col("__gh")) === 0, sf.array().cast("array<long>"))
-          .when(sf.size(sf.col("__gh")) < w,
-            sf.array(sf.array_min(sf.col("__gh"))))
-          .otherwise(sf.array_distinct(sf.transform(
-            sf.sequence(sf.lit(1), sf.size(sf.col("__gh")) - (w - 1)),
-            j => sf.array_min(sf.slice(sf.col("__gh"), j, sf.lit(w)))))))
-      .select(sf.col("doc_id"), sf.explode(sf.col("__fps")).as("fp"))
+      .select(sf.col("doc_id"),
+        sf.explode(gf.winnowingFps(sf.lower(sf.col("__t")), k, w)).as("fp"))
   }
 
   /** Shared-fingerprint document pairs from [[winnowingFingerprints]]:

@@ -650,6 +650,97 @@ object Kernels {
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  /** Fused winnowing fingerprint kernel (Schleimer/Wilkerson/Aiken
+    * MOSS): whitespace-tokenize the (already lowercased) text, md5-60
+    * each k-gram's space-joined string (the engine-portable gram hash
+    * — DuckDB replays it from md5's hex), take w-window minima, and
+    * return the distinct selected fingerprints — ONE JVM pass per
+    * document. The previous chained-array-expression formulation
+    * re-evaluated the gram array per window under projection collapse
+    * (~k·w× re-hash per doc: 334s at sf0.1 for what this kernel + the
+    * posting join do in seconds). Semantics identical: short docs one
+    * whole-sequence gram; fewer grams than w -> their single minimum;
+    * empty docs -> empty. */
+  def winnowingFps(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val len = t.numBytes()
+    def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    // token byte slices
+    var starts = new Array[Int](8)
+    var ends = new Array[Int](8)
+    var nt = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val s = i
+      while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > s) {
+        if (nt == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nt * 2)
+          ends = java.util.Arrays.copyOf(ends, nt * 2)
+        }
+        starts(nt) = s; ends(nt) = i; nt += 1
+      }
+    }
+    if (nt == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val md = md5Local.get()
+    def gramHash(from: Int, until: Int): Long = {
+      var size = until - from - 1 // separators
+      var j = from
+      while (j < until) { size += ends(j) - starts(j); j += 1 }
+      val buf = new Array[Byte](size)
+      var p = 0
+      j = from
+      while (j < until) {
+        if (j > from) { buf(p) = 0x20; p += 1 }
+        var b = starts(j)
+        while (b < ends(j)) {
+          buf(p) = org.apache.spark.unsafe.Platform.getByte(base, off + b)
+          p += 1; b += 1
+        }
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(buf)
+      var v = 0L
+      var x = 0
+      while (x < 7) { v = (v << 8) | (d(x) & 0xffL); x += 1 }
+      (v << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+    val grams =
+      if (nt < k) Array(gramHash(0, nt))
+      else {
+        val g = new Array[Long](nt - k + 1)
+        var s = 0
+        while (s <= nt - k) { g(s) = gramHash(s, s + k); s += 1 }
+        g
+      }
+    val mins =
+      if (grams.length < w) Array(grams.min)
+      else {
+        val m = new Array[Long](grams.length - w + 1)
+        var s = 0
+        while (s <= grams.length - w) {
+          var mn = grams(s)
+          var j = s + 1
+          while (j < s + w) { if (grams(j) < mn) mn = grams(j); j += 1 }
+          m(s) = mn; s += 1
+        }
+        m
+      }
+    // distinct, selection-order irrelevant downstream (set semantics)
+    java.util.Arrays.sort(mins)
+    var d = 0
+    var r = 0
+    while (r < mins.length) {
+      if (d == 0 || mins(d - 1) != mins(r)) { mins(d) = mins(r); d += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (d == mins.length) mins else java.util.Arrays.copyOf(mins, d))
+  }
+
   /** Order-sensitive Rabin-Karp rolling fingerprint: polynomial fold
     * acc' = (acc*31 + h) mod p over md5-60-bit token hashes reduced
     * mod p (largest prime below 2^31). Seeded with the first token's

@@ -330,4 +330,44 @@ class PlanSpec extends SparkFunSuite {
     // the double-scan shape)
     assert(generates == 0, s"expected 0 Generates, got $generates")
   }
+
+  test("r7 sequential/series operators: no unpartitioned windows anywhere") {
+    // changePoint/theilSen ride per-type windows; conformal and SPRT
+    // ride globalPrefixSums' range-partitioned numbering — a window
+    // with an empty partition spec would serialize the whole domain
+    // through one task at 100 TB.
+    val ev = Tables.load(spark, sf001, "events")
+    val docs = Tables.load(spark, sf001, "documents")
+    val plans = Seq(
+      "changePoint" -> graft.operators.EventOps.changePoint(ev),
+      "theilSen" -> graft.operators.EventOps.theilSenTrend(ev),
+      "sprt" -> graft.operators.EventOps.sprtReadout(ev),
+      "conformal" -> graft.dq.QualityChecks.conformalThreshold(
+        docs.select(sf.col("doc_id"), (sf.col("doc_id") % 100).cast("double").as("score"),
+          (sf.col("doc_id") % 2).cast("int").as("y")), "score", "y", "doc_id"))
+    plans.foreach { case (name, df) =>
+      df.collect()
+      val bad = collectAll(executed(df)).collect {
+        case wx: org.apache.spark.sql.execution.window.WindowExec
+          if wx.partitionSpec.isEmpty => wx }
+      assert(bad.isEmpty, s"$name has ${bad.size} unpartitioned window(s)")
+    }
+  }
+
+  test("r7 iterative graph operators: no cartesian/nested-loop joins") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val plans = Seq(
+      "kCore" -> graft.operators.Graph.kCore(li, "l_orderkey", "l_partkey",
+        k = 2, minPairCount = 2, rounds = 2),
+      "ppr" -> graft.operators.Graph.personalizedPageRank(li, "l_orderkey",
+        "l_partkey", _ % 5 === 0, minPairCount = 2, iters = 2),
+      "bfs" -> graft.operators.Graph.bfsHops(li, "l_orderkey", "l_partkey",
+        _ % 5 === 0, minPairCount = 2, rounds = 2))
+    plans.foreach { case (name, df) =>
+      df.collect()
+      val s = executed(df).toString
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+        s"$name plan has a product join:\n$s")
+    }
+  }
 }
