@@ -1358,6 +1358,11 @@ object SparkEntry {
     // p=0.05 vs p=0.15 at alpha=0.05 / beta=0.2.
     "q206_sprt" -> ((s, dir) =>
       EventOps.sprtReadout(Tables.load(s, dir, "events"))),
+
+    // Transition-model backtest: train next-event argmax on hash-train
+    // users, top-1 accuracy on the held-out half.
+    "q207_markov_backtest" -> ((s, dir) =>
+      EventOps.markovBacktest(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -5269,5 +5274,26 @@ object SparkEntry {
          |  strftime(make_timestamp(cr.us), '%Y-%m-%d %H:%M:%S') AS first_cross_ts
          |FROM tt LEFT JOIN cr ON TRUE""".stripMargin
     },
+
+    // Markov backtest: q78 user split, (count desc, next asc) argmax,
+    // held-out top-1 accuracy.
+    "q207_markov_backtest" ->
+      """WITH p0 AS (SELECT user_id, ts, event_id, event_type AS cur,
+        |  (((user_id % 2147483648) * 2654435761) % 4294967296) % 10000 AS b
+        | FROM events WHERE ts IS NOT NULL),
+        |p AS (SELECT *, lead(cur) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |      FROM p0),
+        |pp AS (SELECT * FROM p WHERE nxt IS NOT NULL),
+        |tr AS (SELECT cur, nxt, COUNT(*) AS c FROM pp WHERE b < 5000 GROUP BY 1, 2),
+        |model AS (SELECT cur, nxt AS predicted_next FROM tr
+        |  QUALIFY row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt) = 1),
+        |te AS (SELECT pp.cur, pp.nxt, model.predicted_next
+        |       FROM pp LEFT JOIN model USING (cur) WHERE pp.b >= 5000)
+        |SELECT cur AS event_type, MAX(predicted_next) AS predicted_next,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(COALESCE(SUM(CASE WHEN nxt = predicted_next THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+        |  floor((CAST(COALESCE(SUM(CASE WHEN nxt = predicted_next THEN 1 ELSE 0 END), 0) AS DOUBLE)
+        |    / COUNT(*))*10000.0 + 0.5)/10000.0 AS accuracy
+        |FROM te GROUP BY cur ORDER BY event_type""".stripMargin,
   )
 }

@@ -501,6 +501,55 @@ object EventOps {
           .as("t_stat"))
   }
 
+  /** Markov next-event backtest: train P(next | current) transition
+    * argmax on the HASH-TRAIN half of users, score top-1 next-event
+    * accuracy on the held-out half — the honest "is user behavior
+    * predictable, and did the model beat the base rate" eval that
+    * q108's raw transition matrix doesn't answer (in-sample counts
+    * always look predictive). Same portable user-hash split as q78,
+    * so train/test membership is a pure function of the data.
+    *
+    * Prediction ties break (count desc, next asc) — a total order.
+    * Output: per current event type, the model's prediction, held-out
+    * transition count, hits, and accuracy; types never seen in
+    * training predict NULL and score zero hits.
+    *
+    * Scale shape: per-user ordered lag windows (q133 shape) on both
+    * halves; training collapses to the |types|² transition domain
+    * (map-side combinable), the model broadcasts by construction. */
+  def markovBacktest(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     typeCol: String = "event_type",
+                     calBuckets: Int = 5000): DataFrame = {
+    require(calBuckets >= 1 && calBuckets <= 9999,
+      s"calBuckets must be in [1, 9999], got $calBuckets")
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val pairs = events.filter(sf.col(tsCol).isNotNull)
+      .select(sf.col(userCol), sf.col(tsCol), sf.col(idCol),
+        sf.col(typeCol).as("cur"),
+        Sampling.hashBucket(sf.col(userCol)).as("__b"))
+      .withColumn("nxt", sf.lead("cur", 1).over(w))
+      .filter(sf.col("nxt").isNotNull)
+      .localCheckpoint(true) // train + test read it
+    val model = pairs.filter(sf.col("__b") < calBuckets)
+      .groupBy("cur", "nxt").agg(sf.count(sf.lit(1)).as("c"))
+      .groupBy("cur")
+      .agg(sf.min(sf.struct(sf.negate(sf.col("c")).as("nc"),
+        sf.col("nxt").as("p"))).as("m"))
+      .select(sf.col("cur"), sf.col("m.p").as("predicted_next"))
+    pairs.filter(sf.col("__b") >= calBuckets)
+      .join(sf.broadcast(model), Seq("cur"), "left")
+      .groupBy(sf.col("cur").as(typeCol))
+      .agg(sf.max("predicted_next").as("predicted_next"),
+        sf.count(sf.lit(1)).as("n_test"),
+        sf.sum((sf.col("nxt") === sf.col("predicted_next")).cast("long")).as("n_hits"))
+      .select(sf.col(typeCol), sf.col("predicted_next"), sf.col("n_test"),
+        sf.coalesce(sf.col("n_hits"), sf.lit(0L)).as("n_hits"),
+        gf.roundAt(sf.coalesce(sf.col("n_hits"), sf.lit(0L)).cast("double") /
+          sf.col("n_test").cast("double"), 4).as("accuracy"))
+      .orderBy(typeCol)
+  }
+
   /** Wald SPRT sequential-test readout over the event stream: monitor
     * the failure rate (events matching `failType`) against H0: p=p0
     * vs H1: p=p1 and report WHEN the log-likelihood ratio first

@@ -793,6 +793,29 @@ class OperatorsSpec extends SparkFunSuite {
     assert(cont.getString(3) == "continue" && cont.isNullAt(4), s"got $cont")
   }
 
+  test("EventOps.markovBacktest: held-out accuracy against a planted transition rule") {
+    import spark.implicits._
+    def bucket(id: Long): Long =
+      ((id % 2147483648L) * 2654435761L) % 4294967296L % 10000
+    val trainU = (1L to 60L).filter(bucket(_) < 5000).take(3)
+    val testU = (1L to 60L).filter(bucket(_) >= 5000).take(1)
+    assert(trainU.size == 3 && testU.size == 1)
+    def seq(u: Long, types: Seq[String]) = types.zipWithIndex.map { case (t, i) =>
+      (u, new java.sql.Timestamp(1704067200000L + i * 1000L), u * 100 + i, t, 1.0)
+    }
+    // train users always follow a -> b; the test user goes a->b, a->b, a->c
+    val rows = trainU.flatMap(u => seq(u, Seq("a", "b", "a", "b"))) ++
+      seq(testU.head, Seq("a", "b", "a", "b", "a", "c"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = EventOps.markovBacktest(df).collect()
+      .map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 'a' predicts 'b': test transitions a->b,a->b,a->c -> 2/3
+    assert(got("a") == (Some("b"), 3L, 2L, 0.6667), s"got ${got("a")}")
+    // 'b' predicts 'a' (train b->a twice per user): test b->a twice -> 1.0
+    assert(got("b") == (Some("a"), 2L, 2L, 1.0), s"got ${got("b")}")
+  }
+
   test("Similarity: pqTopK recalls planted neighborhoods through 4-int codes") {
     import spark.implicits._
     // planted clusters (the workload PQ exists for — random vectors have
