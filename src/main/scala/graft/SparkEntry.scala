@@ -1363,6 +1363,27 @@ object SparkEntry {
     // users, top-1 accuracy on the held-out half.
     "q207_markov_backtest" -> ((s, dir) =>
       EventOps.markovBacktest(Tables.load(s, dir, "events"))),
+
+    // C4 cleaning gate: the published line + page heuristics, with the
+    // cleaned-page md5 so the transform itself is oracle-checked.
+    "q208_c4_gate" -> ((s, dir) =>
+      TextAnalysis.c4Gate(Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // Encoding-damage audit: replacement/control/mojibake/nbsp counts
+    // per document — the broken-bytes DQ gate before any hashing.
+    "q209_mojibake" -> ((s, dir) =>
+      Cleaning.encodingAudit(Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // Interval union per user: every event spans [ts, ts+300s];
+    // overlapping-or-touching spans coalesce into islands.
+    "q210_interval_merge" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(sf.col("user_id").isNotNull && sf.col("ts").isNotNull)
+        .select(sf.col("user_id"),
+          sf.unix_timestamp(sf.col("ts")).as("s"),
+          (sf.unix_timestamp(sf.col("ts")) + 300L).as("e"))
+      EventOps.mergeIntervals(ev, "user_id", "s", "e")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -5295,5 +5316,70 @@ object SparkEntry {
         |  floor((CAST(COALESCE(SUM(CASE WHEN nxt = predicted_next THEN 1 ELSE 0 END), 0) AS DOUBLE)
         |    / COUNT(*))*10000.0 + 0.5)/10000.0 AS accuracy
         |FROM te GROUP BY cur ORDER BY event_type""".stripMargin,
+
+    // C4 gate: identical line predicates (terminal punct / >=5 words /
+    // no javascript), identical '\n' re-join, md5 page identity.
+    "q208_c4_gate" ->
+      """WITH d AS (SELECT doc_id, text AS t, string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |k AS (SELECT doc_id, t, lines,
+        |  list_filter(lines, l -> length(trim(l)) > 0
+        |    AND regexp_matches(trim(l), '[.!?"'']$')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept,
+        |  len(list_filter(lines, l -> contains(lower(l), 'javascript'))) AS n_js
+        |  FROM d),
+        |j AS (SELECT doc_id, t, lines, kept, n_js,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS jt FROM k),
+        |m AS (SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(n_js AS BIGINT) AS n_js_lines,
+        |  CAST(CASE WHEN length(jt) > 0
+        |       THEN len(regexp_split_to_array(trim(jt), '\s+')) ELSE 0 END AS BIGINT) AS n_kept_words,
+        |  CAST(len(regexp_extract_all(jt, '[.!?]')) AS BIGINT) AS n_sentences,
+        |  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+        |  contains(t, '{') AS has_curly,
+        |  md5(jt) AS kept_md5
+        |  FROM j)
+        |SELECT doc_id, n_lines, n_kept_lines, n_js_lines, n_kept_words,
+        |  n_sentences, has_lorem_ipsum, has_curly, kept_md5,
+        |  (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Mojibake audit: identical char-class counts (RE2 \x{..} escapes
+    // name the same code points as the Java \uXXXX literals).
+    "q209_mojibake" ->
+      """WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
+        |  CAST(len(regexp_extract_all(text, '\x{C3}|\x{C2}|\x{E2}\x{20AC}')) AS BIGINT) AS n_mojibake,
+        |  CAST(len(regexp_extract_all(text, '\x{A0}')) AS BIGINT) AS n_nbsp
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake, n_nbsp,
+        |  CASE WHEN n_chars > 0 THEN
+        |    floor((CAST(n_replacement + n_control + n_mojibake AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS suspect_ratio,
+        |  (n_replacement + n_control + n_mojibake > 0) AS flag_encoding
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Interval merge: identical gaps-and-islands plan — running max of
+    // prior ends decides island starts; integer epoch seconds exact.
+    "q210_interval_merge" ->
+      """WITH iv AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, s, e,
+        |  MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |f AS (SELECT user_id, s, e,
+        |  CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+        |g AS (SELECT user_id, s, e,
+        |  CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f)
+        |SELECT user_id, island, MIN(s) AS island_start, MAX(e) AS island_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  MAX(e) - MIN(s) AS covered_sec
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -218,6 +218,13 @@ object functions {
     kernel(ArrayType(LongType, containsNull = false), "winnowingFps",
       t, sf.lit(k), sf.lit(w))
 
+  /** Fused content-defined chunking (LBFS boundary rule): every
+    * non-empty chunk of the text as "md5hex:charLen" — one JVM pass
+    * per document; see Kernels.cdcChunkIds. */
+  def cdcChunkIds(t: Column, window: Int, avgChunk: Int): Column =
+    kernel(ArrayType(StringType, containsNull = false), "cdcChunkIds",
+      t, sf.lit(window), sf.lit(avgChunk))
+
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => sf}
+import graft.{functions => gf}
 
 /** Row/column cleaning operators (reference fact_I94 + dims prep:
   * etl.py:139-186, 188-256, 565-585). All operate on the logical plan —
@@ -154,6 +155,42 @@ object Cleaning {
         sf.trim(blanks).as("clean_text"),
         sf.length(t0).cast("long").as("n_chars_raw"))
       .withColumn("n_chars_norm", sf.length(sf.col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Encoding-damage audit: the map-only DQ pass that catches text
+    * that survived ingestion with broken bytes — scraped corpora are
+    * full of it and every downstream hash/dedup/LM signal silently
+    * degrades on it. Counted per document:
+    *   n_replacement — U+FFFD replacement chars (decoder already gave up);
+    *   n_control     — C0/DEL control chars other than \t \n \r;
+    *   n_mojibake    — UTF-8-read-as-Latin-1 artifacts: 'Ã', 'Â',
+    *                   and the 'â€' sequence (curly quotes/dashes
+    *                   double-encoded — the classic signatures);
+    *   n_nbsp        — U+00A0 non-breaking spaces (HTML residue).
+    * `suspect_ratio` = damaged / n_chars (1e-6-rounded) and
+    * `flag_encoding` = any damage present — route to re-decode or drop.
+    *
+    * Determinism: integer regexp counts + one division, identical in
+    * any regex engine. Scale shape: map-only, zero shuffles. */
+  def encodingAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = sf.col(textCol)
+    def cnt(pattern: String) = sf.regexp_count(t, sf.lit(pattern)).cast("long")
+    val nRepl = cnt("\\uFFFD")
+    val nCtl = cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+    val nMoji = cnt("\\u00C3|\\u00C2|\\u00E2\\u20AC")
+    val nNbsp = cnt("\\u00A0")
+    val damaged = sf.col("n_replacement") + sf.col("n_control") + sf.col("n_mojibake")
+    docs.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.length(t).cast("long").as("n_chars"),
+        nRepl.as("n_replacement"), nCtl.as("n_control"),
+        nMoji.as("n_mojibake"), nNbsp.as("n_nbsp"))
+      .select(sf.col("doc_id"), sf.col("n_chars"), sf.col("n_replacement"),
+        sf.col("n_control"), sf.col("n_mojibake"), sf.col("n_nbsp"),
+        gf.roundAt(sf.when(sf.col("n_chars") > 0,
+          damaged.cast("double") / sf.col("n_chars").cast("double")), 6)
+          .as("suspect_ratio"),
+        (damaged > 0).as("flag_encoding"))
       .orderBy("doc_id")
   }
 }

@@ -1131,33 +1131,23 @@ object Dedup {
     require(window >= 2 && window <= 64, s"window must be in [2, 64], got $window")
     require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
     require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
-    val t = sf.col("__t")
-    val md560 = (c: org.apache.spark.sql.Column) =>
-      sf.conv(sf.substring(sf.md5(c), 1, 15), 16, 10).cast("long")
-    val len = sf.length(t)
-    // last window start = len - window + 1; boundaries live in
-    // [2, that]. Guard: Spark sequence(2, x) with x < 2 would emit a
-    // DESCENDING range, not an empty one.
-    val hi = len - (window - 1)
-    val bnd = sf.when(hi >= 2,
-        sf.filter(sf.sequence(sf.lit(2), hi),
-          i => md560(t.substr(i, sf.lit(window))) % avgChunk === 0))
-      .otherwise(sf.array().cast("array<int>"))
-    val cuts = sf.concat(sf.array(sf.lit(1)), bnd, sf.array(len + 1))
-    val chunks = sf.transform(
-      sf.sequence(sf.lit(0), sf.size(cuts) - 2),
-      j => t.substr(sf.element_at(cuts, j + 1),
-        sf.element_at(cuts, j + 2) - sf.element_at(cuts, j + 1)))
+    // Chunking is one fused JVM kernel pass per document
+    // (Kernels.cdcChunkIds): the previous array-expression form
+    // evaluated a substr→md5→conv tree per CHARACTER position under
+    // interpreted HOFs — the q171 winnowing pathology (6.3s -> ~1s at
+    // sf0.1). Only "md5hex:charLen" ids explode; chunk TEXT never
+    // leaves the kernel.
     Par.spread(docs.select(sf.col(idCol).cast("long").as("doc_id"),
         sf.col(textCol).as("__t")))
-      .select(sf.col("doc_id"), sf.explode(chunks).as("__c"))
-      .filter(sf.length(sf.col("__c")) > 0)
-      .select(sf.col("doc_id"), sf.md5(sf.col("__c")).as("chunk_md5"),
-        sf.length(sf.col("__c")).cast("long").as("chunk_len"))
-      .groupBy("chunk_md5", "chunk_len")
+      .select(sf.col("doc_id"),
+        sf.explode(gf.cdcChunkIds(sf.col("__t"), window, avgChunk)).as("__e"))
+      .groupBy("__e")
       .agg(sf.count(sf.lit(1)).as("n_occ"),
         sf.count_distinct(sf.col("doc_id")).as("n_docs"))
       .filter(sf.col("n_occ") >= minOcc)
+      .select(sf.substring(sf.col("__e"), 1, 32).as("chunk_md5"),
+        sf.substring(sf.col("__e"), 34, 18).cast("long").as("chunk_len"),
+        sf.col("n_occ"), sf.col("n_docs"))
       .orderBy(sf.col("n_occ").desc, sf.col("chunk_md5"))
   }
 

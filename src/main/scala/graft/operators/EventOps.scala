@@ -97,6 +97,42 @@ object EventOps {
       .orderBy(keyCol, "session_id")
   }
 
+  /** Interval coalescing (gaps-and-islands union): merge each key's
+    * overlapping-or-touching [start, end] intervals into maximal
+    * disjoint islands — the set-union view of time that point-gap
+    * sessionization ([[sessionize]]) can't express once rows carry
+    * real durations (a long call absorbs short ones inside it).
+    * Output per island: bounds, member count, covered span.
+    *
+    * Determinism: island membership is a pure function of the interval
+    * multiset — a row starts a new island iff its start exceeds the
+    * running max end of all earlier rows in (start, end) order, and
+    * rows tied on (start, end) are interchangeable, so any engine's
+    * tie order yields the identical islands.
+    *
+    * Scale shape: one shuffle on the key; both windows and the island
+    * aggregate reuse a single (key, start, end) sort, fully parallel
+    * across keys — the q37/q47 gaps-and-islands plan. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol)
+      .orderBy(sf.col(startCol), sf.col(endCol))
+    val prevMax = sf.max(endCol)
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = sf.when(prevMax.isNull || sf.col(startCol) > prevMax, 1)
+      .otherwise(0)
+    df.withColumn("__new", isNew)
+      .withColumn("island", sf.sum("__new")
+        .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .groupBy(sf.col(keyCol), sf.col("island"))
+      .agg(sf.min(startCol).as("island_start"),
+        sf.max(endCol).as("island_end"),
+        sf.count(sf.lit(1)).as("n_intervals"))
+      .withColumn("covered_sec", sf.col("island_end") - sf.col("island_start"))
+      .orderBy(keyCol, "island")
+  }
+
   /** Slowly-changing-dimension (type 2) history from an event log:
     * collapse each key's consecutive runs of one attribute value into
     * validity intervals [valid_from, valid_to), with `is_current` on

@@ -889,4 +889,56 @@ object TextAnalysis {
           .as("reading_ease"))
       .orderBy(idCol)
   }
+
+  /** C4 cleaning gate (Raffel et al. 2020, §2.2 — the published
+    * heuristics that produced the C4 corpus), line + page level in one
+    * map-only pass. Line rules (a line is RETAINED iff all hold):
+    *   ends in a terminal punctuation mark (. ! ? or closing quote);
+    *   contains >= 5 words;
+    *   does not contain the word "javascript" (case-insensitive).
+    * Page rules: >= 3 sentences in the retained text ([.!?] count),
+    * no "lorem ipsum" (case-insensitive), no curly brace '{'.
+    *
+    * Output per doc: line/word/sentence counts, the page-rule flags,
+    * `pass`, and `kept_md5` — the md5 of retained lines re-joined with
+    * '\n' (the cleaned-page identity, so the gate's TRANSFORM — not
+    * just its verdict — is oracle-checked).
+    *
+    * Determinism: every rule is integer counting or a regex boolean on
+    * the raw line; the only derived text is the '\n' re-join.
+    * Scale shape: map-only — per-line lambdas run over the doc's own
+    * bounded line array, no shuffle, no UDFs; composes with
+    * `Pipeline.curate` as a pre-dedup gate beside [[gopherGate]]. */
+  def c4Gate(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+      sf.col(textCol).as("__t")))
+    val t = sf.col("__t")
+    val lines = sf.split(t, "\n")
+    def words(l: org.apache.spark.sql.Column) =
+      sf.size(sf.split(sf.trim(l), "\\s+"))
+    def keptLine(l: org.apache.spark.sql.Column) =
+      (sf.length(sf.trim(l)) > 0) &&
+        sf.trim(l).rlike("[.!?\"']$") &&
+        (words(l) >= 5) &&
+        !sf.lower(l).contains("javascript")
+    val kept = sf.filter(lines, keptLine _)
+    val joined = sf.array_join(kept, "\n")
+    val nJs = sf.size(sf.filter(lines,
+      l => sf.lower(l).contains("javascript"))).cast("long")
+    val nSent = sf.regexp_count(joined, sf.lit("[.!?]")).cast("long")
+    val hasLorem = sf.lower(t).contains("lorem ipsum")
+    val hasCurly = t.contains("{")
+    docs.select(sf.col("doc_id"),
+        sf.size(lines).cast("long").as("n_lines"),
+        sf.size(kept).cast("long").as("n_kept_lines"),
+        nJs.as("n_js_lines"),
+        sf.when(sf.length(joined) > 0, sf.size(gf.wsTokens(joined)))
+          .otherwise(0).cast("long").as("n_kept_words"),
+        nSent.as("n_sentences"),
+        hasLorem.as("has_lorem_ipsum"),
+        hasCurly.as("has_curly"),
+        sf.md5(joined).as("kept_md5"),
+        (nSent >= 3 && !hasLorem && !hasCurly).as("pass"))
+      .orderBy("doc_id")
+  }
 }

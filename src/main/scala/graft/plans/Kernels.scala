@@ -741,6 +741,91 @@ object Kernels {
       if (d == mins.length) mins else java.util.Arrays.copyOf(mins, d))
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Fused content-defined chunking kernel (LBFS/rsync boundary rule):
+    * slide a `window`-char context over the text, cut where
+    * md5-60(context) ≡ 0 mod `avgChunk` (positions are 1-based CHARACTER
+    * positions, skipping position 1, so the oracle's substr() replays
+    * exactly), and return each non-empty chunk encoded as
+    * "md5hex:charLen" — ONE JVM pass per document. The previous
+    * array-expression formulation evaluated a full substr→md5→conv
+    * expression tree per character position under interpreted HOFs
+    * (the q171 pathology); here one reused MessageDigest walks the
+    * byte buffer directly. Empty text -> empty array. */
+  def cdcChunkIds(t: UTF8String, window: Int, avgChunk: Int): ArrayData = {
+    val bytes = t.getBytes
+    val nBytes = bytes.length
+    if (nBytes == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // char index -> starting byte offset (UTF-8 aware)
+    var nChars = 0
+    var b = 0
+    while (b < nBytes) {
+      b += UTF8String.numBytesForFirstByte(bytes(b)); nChars += 1
+    }
+    val charOff = new Array[Int](nChars + 1)
+    b = 0
+    var c = 0
+    while (b < nBytes) {
+      charOff(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b)); c += 1
+    }
+    charOff(nChars) = nBytes
+    val md = md5Local.get()
+    // boundaries: 1-based char positions i in [2, nChars - window + 1]
+    // where the 60-bit md5 of the window starting at i divides avgChunk
+    var cuts = new Array[Int](8)
+    var nCuts = 0
+    def pushCut(p: Int): Unit = {
+      if (nCuts == cuts.length) cuts = java.util.Arrays.copyOf(cuts, nCuts * 2)
+      cuts(nCuts) = p; nCuts += 1
+    }
+    pushCut(1)
+    val hi = nChars - (window - 1)
+    var i = 2
+    while (i <= hi) {
+      md.reset()
+      md.update(bytes, charOff(i - 1), charOff(i - 1 + window) - charOff(i - 1))
+      val d = md.digest()
+      var v = 0L
+      var x = 0
+      while (x < 7) { v = (v << 8) | (d(x) & 0xffL); x += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      if (v % avgChunk == 0) pushCut(i)
+      i += 1
+    }
+    pushCut(nChars + 1)
+    val out = new Array[Any](nCuts - 1)
+    var nOut = 0
+    var j = 0
+    while (j < nCuts - 1) {
+      val c1 = cuts(j)
+      val c2 = cuts(j + 1)
+      if (c2 > c1) {
+        md.reset()
+        md.update(bytes, charOff(c1 - 1), charOff(c2 - 1) - charOff(c1 - 1))
+        val d = md.digest()
+        val lenStr = java.lang.Integer.toString(c2 - c1)
+        val enc = new Array[Byte](33 + lenStr.length)
+        var x = 0
+        while (x < 16) {
+          enc(2 * x) = HexDigits((d(x) >> 4) & 0xf).toByte
+          enc(2 * x + 1) = HexDigits(d(x) & 0xf).toByte
+          x += 1
+        }
+        enc(32) = ':'
+        var p = 0
+        while (p < lenStr.length) { enc(33 + p) = lenStr.charAt(p).toByte; p += 1 }
+        out(nOut) = UTF8String.fromBytes(enc)
+        nOut += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (nOut == out.length) out else out.take(nOut))
+  }
+
   /** Order-sensitive Rabin-Karp rolling fingerprint: polynomial fold
     * acc' = (acc*31 + h) mod p over md5-60-bit token hashes reduced
     * mod p (largest prime below 2^31). Seeded with the first token's

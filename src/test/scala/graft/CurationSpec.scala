@@ -487,4 +487,56 @@ class CurationSpec extends SparkFunSuite {
       (1L, 5L, 2L, 5L, -2.815, 119.6975),
       (2L, 2L, 1L, 2L, -3.01, 120.205)))
   }
+
+  test("TextAnalysis.c4Gate: line rules drop, page rules fail") {
+    import spark.implicits._
+    val goodLine = "this line has at least five words."
+    val df = Seq(
+      // 3 good lines -> 3 sentences, passes
+      (1L, s"$goodLine\n$goodLine\n$goodLine"),
+      // js line + no-terminal line + short line all dropped -> 2 kept
+      (2L, s"$goodLine\nenable JavaScript to view this content.\n" +
+        s"no terminal punctuation on this line\nshort line.\n$goodLine"),
+      // page rules: lorem ipsum / curly brace fail despite good lines
+      (3L, s"$goodLine\n$goodLine\nlorem ipsum dolor sit amet goes here.\n$goodLine"),
+      (4L, s"$goodLine\n$goodLine\nfunction f() { return 1; }\n$goodLine"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Gate(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("pass") &&
+      got(1L).getAs[Long]("n_kept_lines") == 3L &&
+      got(1L).getAs[Long]("n_sentences") == 3L)
+    val d2 = got(2L)
+    assert(d2.getAs[Long]("n_kept_lines") == 2L &&
+      d2.getAs[Long]("n_js_lines") == 1L &&
+      !d2.getAs[Boolean]("pass")) // only 2 sentences survive
+    assert(got(3L).getAs[Boolean]("has_lorem_ipsum") && !got(3L).getAs[Boolean]("pass"))
+    assert(got(4L).getAs[Boolean]("has_curly") && !got(4L).getAs[Boolean]("pass"))
+    assert(got(5L).getAs[Long]("n_kept_lines") == 0L && !got(5L).getAs[Boolean]("pass"))
+    // transform identity: doc2's kept page is exactly the two good lines
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$goodLine\n$goodLine".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d2.getAs[String]("kept_md5") == expectMd5)
+  }
+
+  test("Cleaning.encodingAudit: planted damage flags, clean text doesn't") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "perfectly clean ascii text."),
+      (2L, "broken \uFFFD char and bell \u0007 here"),
+      (3L, "caf\u00C3\u00A9 and \u00E2\u20AC\u0153quoted\u00E2\u20AC\u009D"),
+      (4L, "nbsp\u00A0separated\u00A0words")).toDF("doc_id", "text")
+    val got = Cleaning.encodingAudit(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got(1L).getAs[Boolean]("flag_encoding") &&
+      got(1L).getAs[Double]("suspect_ratio") == 0.0)
+    assert(got(2L).getAs[Long]("n_replacement") == 1L &&
+      got(2L).getAs[Long]("n_control") == 1L &&
+      got(2L).getAs[Boolean]("flag_encoding"))
+    assert(got(3L).getAs[Long]("n_mojibake") == 3L &&
+      got(3L).getAs[Boolean]("flag_encoding"))
+    assert(got(4L).getAs[Long]("n_nbsp") == 2L &&
+      !got(4L).getAs[Boolean]("flag_encoding")) // nbsp alone is residue, not damage
+  }
 }

@@ -1285,4 +1285,21 @@ class OperatorsSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got == Set((1L, 30L, true), (2L, 120L, false)))
   }
+
+  test("EventOps.mergeIntervals: overlap and touch merge, gaps split, containment absorbs") {
+    val df = Seq(
+      (1L, 0L, 10L),   // island 1: [0,10] ∪ [5,20] ∪ [20,25] = [0,25]
+      (1L, 5L, 20L),
+      (1L, 20L, 25L),  // touching merges
+      (1L, 30L, 40L),  // island 2 after a gap
+      (2L, 0L, 100L),  // island 1: containment absorbs [10,20]
+      (2L, 10L, 20L)).toDF("k", "s", "e")
+    val got = EventOps.mergeIntervals(df, "k", "s", "e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 25L, 3L, 25L),
+      (1L, 2L, 30L, 40L, 1L, 10L),
+      (2L, 1L, 0L, 100L, 2L, 100L)), s"got $got")
+  }
 }
