@@ -1384,6 +1384,17 @@ object SparkEntry {
           (sf.unix_timestamp(sf.col("ts")) + 300L).as("e"))
       EventOps.mergeIntervals(ev, "user_id", "s", "e")
     }),
+
+    // Per-type two-proportion z tests + Benjamini-Hochberg step-up:
+    // the multiple-testing-honest metric sweep.
+    "q211_fdr" -> ((s, dir) =>
+      QualityChecks.fdrProportionTests(Tables.load(s, dir, "events"))),
+
+    // Two-predictor OLS: price explained by quantity + discount,
+    // closed-form normal equations over exact moment sums.
+    "q212_ols" -> ((s, dir) =>
+      QualityChecks.ols2(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_discount")),
   )
 
   // ---------------------------------------------------------------------
@@ -5381,5 +5392,96 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
         |  MAX(e) - MIN(s) AS covered_sec
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // FDR: identical arms/counts, pinned z assembly snapped 1e-6,
+    // identical A&S 7.1.26 erfc polynomial snapped 1e-9, BH step-up
+    // over the bounded test family with (p, group) tie order.
+    "q211_fdr" ->
+      """WITH e AS (SELECT event_type AS g,
+        |  (((user_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 5000 AS a,
+        |  CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS sc
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT g,
+        |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN a THEN sc ELSE 0 END) AS BIGINT) AS x_a,
+        |  CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN a THEN 0 ELSE sc END) AS BIGINT) AS x_b
+        | FROM e GROUP BY 1),
+        |z AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
+        |    AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+        |  floor(((CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE))
+        |    / sqrt(((CAST(x_a AS DOUBLE)+CAST(x_b AS DOUBLE))/(CAST(n_a AS DOUBLE)+CAST(n_b AS DOUBLE)))
+        |      * (1.0 - (CAST(x_a AS DOUBLE)+CAST(x_b AS DOUBLE))/(CAST(n_a AS DOUBLE)+CAST(n_b AS DOUBLE)))
+        |      * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))))*1000000.0 + 0.5)/1000000.0
+        |  END AS z FROM c),
+        |p AS (SELECT *, CASE WHEN z IS NOT NULL THEN
+        |  floor(((1.0/(1.0 + 0.3275911*(abs(z)/1.4142135623730951)))
+        |    * (0.254829592 + (1.0/(1.0 + 0.3275911*(abs(z)/1.4142135623730951)))
+        |      * (-0.284496736 + (1.0/(1.0 + 0.3275911*(abs(z)/1.4142135623730951)))
+        |        * (1.421413741 + (1.0/(1.0 + 0.3275911*(abs(z)/1.4142135623730951)))
+        |          * (-1.453152027 + (1.0/(1.0 + 0.3275911*(abs(z)/1.4142135623730951)))
+        |            * 1.061405429))))
+        |    * exp(-((abs(z)/1.4142135623730951)*(abs(z)/1.4142135623730951))))*1e9 + 0.5)/1e9
+        |  END AS p_value FROM z),
+        |r AS (SELECT *,
+        |  CASE WHEN p_value IS NOT NULL THEN
+        |    CAST(row_number() OVER (ORDER BY p_value ASC NULLS LAST, g) AS BIGINT) END AS bh_rank,
+        |  COUNT(p_value) OVER () AS m FROM p),
+        |b AS (SELECT *, CASE WHEN bh_rank IS NOT NULL THEN
+        |  floor((CAST(bh_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE))*1e9 + 0.5)/1e9
+        |  END AS bh_crit FROM r),
+        |k AS (SELECT *, MAX(CASE WHEN p_value <= bh_crit THEN bh_rank END) OVER () AS kmax FROM b)
+        |SELECT g AS "group", n_a, x_a, n_b, x_b, z, p_value, bh_rank, bh_crit,
+        |  (p_value IS NOT NULL AND bh_rank <= COALESCE(kmax, 0)) AS reject
+        |FROM k ORDER BY "group"""".stripMargin,
+
+    // OLS: identical fixed-point snaps, DECIMAL(38,0) moment sums,
+    // identical Cramer determinant assembly; betas snapped 1e-9 and
+    // SSE/R2/RMSE defined over the snapped betas.
+    "q212_ols" ->
+      """WITH r AS (SELECT
+        |  CAST(floor(CAST(l_extendedprice AS DOUBLE)*100.0 + 0.5) AS BIGINT) AS y,
+        |  CAST(floor(CAST(l_quantity AS DOUBLE)*1.0 + 0.5) AS BIGINT) AS x1,
+        |  CAST(floor(CAST(l_discount AS DOUBLE)*100.0 + 0.5) AS BIGINT) AS x2
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |   AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(x1 AS DECIMAL(38,0))) AS s1,
+        |  SUM(CAST(x2 AS DECIMAL(38,0))) AS s2,
+        |  SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |  SUM(CAST(x1 AS DECIMAL(38,0))*CAST(x1 AS DECIMAL(38,0))) AS s11,
+        |  SUM(CAST(x1 AS DECIMAL(38,0))*CAST(x2 AS DECIMAL(38,0))) AS s12,
+        |  SUM(CAST(x2 AS DECIMAL(38,0))*CAST(x2 AS DECIMAL(38,0))) AS s22,
+        |  SUM(CAST(x1 AS DECIMAL(38,0))*CAST(y AS DECIMAL(38,0))) AS s1y,
+        |  SUM(CAST(x2 AS DECIMAL(38,0))*CAST(y AS DECIMAL(38,0))) AS s2y,
+        |  SUM(CAST(y AS DECIMAL(38,0))*CAST(y AS DECIMAL(38,0))) AS syy
+        | FROM r),
+        |d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(s1 AS DOUBLE)/1.0 AS s1d, CAST(s2 AS DOUBLE)/100.0 AS s2d,
+        |  CAST(sy AS DOUBLE)/100.0 AS syd,
+        |  CAST(s11 AS DOUBLE)/1.0 AS s11d, CAST(s12 AS DOUBLE)/100.0 AS s12d,
+        |  CAST(s22 AS DOUBLE)/10000.0 AS s22d,
+        |  CAST(s1y AS DOUBLE)/100.0 AS s1yd, CAST(s2y AS DOUBLE)/10000.0 AS s2yd,
+        |  CAST(syy AS DOUBLE)/10000.0 AS syyd FROM a),
+        |dt AS (SELECT *,
+        |  nd*(s11d*s22d - s12d*s12d) - s1d*(s1d*s22d - s12d*s2d) + s2d*(s1d*s12d - s11d*s2d) AS det,
+        |  syd*(s11d*s22d - s12d*s12d) - s1d*(s1yd*s22d - s12d*s2yd) + s2d*(s1yd*s12d - s11d*s2yd) AS dd0,
+        |  nd*(s1yd*s22d - s12d*s2yd) - syd*(s1d*s22d - s12d*s2d) + s2d*(s1d*s2yd - s1yd*s2d) AS dd1,
+        |  nd*(s11d*s2yd - s1yd*s12d) - s1d*(s1d*s2yd - s1yd*s2d) + syd*(s1d*s12d - s11d*s2d) AS dd2
+        | FROM d),
+        |b AS (SELECT *,
+        |  CASE WHEN det <> 0.0 THEN floor(dd0/det*1000000000.0 + 0.5)/1000000000.0 END AS beta0,
+        |  CASE WHEN det <> 0.0 THEN floor(dd1/det*1000000000.0 + 0.5)/1000000000.0 END AS beta1,
+        |  CASE WHEN det <> 0.0 THEN floor(dd2/det*1000000000.0 + 0.5)/1000000000.0 END AS beta2
+        | FROM dt),
+        |f AS (SELECT n, beta0, beta1, beta2, nd,
+        |  syyd - beta0*syd - beta1*s1yd - beta2*s2yd AS sse,
+        |  syyd - syd*syd/nd AS sst FROM b)
+        |SELECT n, beta0, beta1, beta2,
+        |  CASE WHEN beta0 IS NOT NULL AND sst > 0 THEN
+        |    floor((1.0 - sse/sst)*1000000.0 + 0.5)/1000000.0 END AS r2,
+        |  CASE WHEN beta0 IS NOT NULL AND nd > 0 THEN
+        |    floor(sqrt(greatest(sse, 0.0)/nd)*1000000.0 + 0.5)/1000000.0 END AS rmse
+        |FROM f""".stripMargin,
   )
 }

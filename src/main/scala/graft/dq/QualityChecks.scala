@@ -486,6 +486,81 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Family-wise A/B readout with Benjamini–Hochberg FDR control
+    * (the Benjamini–Hochberg 1995 step-up procedure, the standard
+    * multiple-testing correction): one two-proportion z-test PER GROUP
+    * (success = value > threshold, arms = the q99 portable hash
+    * split), then the p-values are ranked and the largest k with
+    * p_(k) <= k/m·alpha defines the rejection set. Running m metric
+    * tests at per-test alpha inflates false positives ~m-fold — this
+    * is the operator that makes a metric-sweep dashboard honest.
+    *
+    * Determinism: counts are exact integers; z is assembled in pinned
+    * IEEE order and snapped 1e-6; the two-sided p-value is
+    * erfc(|z|/sqrt 2) via the Abramowitz–Stegun 7.1.26 polynomial —
+    * identical literals and operation order in both engines, snapped
+    * 1e-9 (the q173/q175 ln/exp-with-snap convention); BH ranks break
+    * p-ties by group name.
+    *
+    * Scale shape: ONE combinable agg onto the bounded group domain;
+    * the BH pass is windows over that domain (constant-partition — the
+    * family of tests is bounded by construction, never corpus-sized). */
+  def fdrProportionTests(events: DataFrame, groupCol: String = "event_type",
+                         keyCol: String = "user_id", valueCol: String = "value",
+                         successThreshold: Double = 50.0,
+                         alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val variantA = graft.operators.Sampling.hashBucket(sf.col(keyCol)) < 5000
+    val success = (sf.col(valueCol).cast("double") > successThreshold).cast("long")
+    val agg = events
+      .filter(sf.col(keyCol).isNotNull && sf.col(valueCol).isNotNull)
+      .groupBy(sf.col(groupCol).as("group"))
+      .agg(
+        sf.sum(sf.when(variantA, 1L).otherwise(0L)).as("n_a"),
+        sf.sum(sf.when(variantA, success).otherwise(0L)).as("x_a"),
+        sf.sum(sf.when(!variantA, 1L).otherwise(0L)).as("n_b"),
+        sf.sum(sf.when(!variantA, success).otherwise(0L)).as("x_b"))
+    val na = sf.col("n_a").cast("double")
+    val nb = sf.col("n_b").cast("double")
+    val xa = sf.col("x_a").cast("double")
+    val xb = sf.col("x_b").cast("double")
+    val pool = (xa + xb) / (na + nb)
+    val z0 = (xa / na - xb / nb) /
+      sf.sqrt(pool * (sf.lit(1.0) - pool) * (sf.lit(1.0) / na + sf.lit(1.0) / nb))
+    val zCol = sf.when(sf.col("n_a") > 0 && sf.col("n_b") > 0 &&
+      sf.col("x_a") + sf.col("x_b") > 0 &&
+      sf.col("x_a") + sf.col("x_b") < sf.col("n_a") + sf.col("n_b"),
+      gf.roundAt(z0, 6))
+    // two-sided p = erfc(|z|/sqrt2), Abramowitz-Stegun 7.1.26
+    val x = sf.abs(sf.col("z")) / sf.lit(1.4142135623730951)
+    val t = sf.lit(1.0) / (sf.lit(1.0) + sf.lit(0.3275911) * x)
+    val poly = t * (sf.lit(0.254829592) + t * (sf.lit(-0.284496736) +
+      t * (sf.lit(1.421413741) + t * (sf.lit(-1.453152027) +
+        t * sf.lit(1.061405429)))))
+    val pCol = gf.roundAt(poly * sf.exp(-(x * x)), 9)
+    val byConst = Window.partitionBy(sf.pmod(sf.hash(sf.col("group")), sf.lit(1)))
+    val ordered = byConst.orderBy(sf.col("p_value").asc_nulls_last, sf.col("group"))
+    val scored = agg
+      .withColumn("z", zCol)
+      .withColumn("p_value", sf.when(sf.col("z").isNotNull, pCol))
+      .withColumn("__m", sf.count(sf.col("p_value")).over(byConst))
+      .withColumn("bh_rank", sf.when(sf.col("p_value").isNotNull,
+        sf.row_number().over(ordered)).cast("long"))
+      .withColumn("bh_crit", sf.when(sf.col("bh_rank").isNotNull, gf.roundAt(
+        sf.col("bh_rank").cast("double") * sf.lit(alpha) /
+          sf.col("__m").cast("double"), 9)))
+    scored
+      .withColumn("__kmax", sf.max(sf.when(
+        sf.col("p_value") <= sf.col("bh_crit"), sf.col("bh_rank"))).over(byConst))
+      .select(sf.col("group"), sf.col("n_a"), sf.col("x_a"), sf.col("n_b"),
+        sf.col("x_b"), sf.col("z"), sf.col("p_value"), sf.col("bh_rank"),
+        sf.col("bh_crit"),
+        (sf.col("p_value").isNotNull &&
+          sf.col("bh_rank") <= sf.coalesce(sf.col("__kmax"), sf.lit(0L)))
+          .as("reject"))
+      .orderBy("group")
+  }
+
   /** Exact ROC AUC of a scalar score against a binary label, via the
     * Mann-Whitney identity AUC = U / (n_pos · n_neg): the probability
     * a random positive outranks a random negative, with ties counted
@@ -927,6 +1002,81 @@ object QualityChecks {
       .select(sf.explode(sf.array(entries: _*)).as("e"))
       .select(sf.col("e.col_x"), sf.col("e.col_y"), sf.col("e.n"), sf.col("e.r"))
       .orderBy("col_x", "col_y")
+  }
+
+  /** Two-predictor multiple linear regression (OLS with intercept) via
+    * the closed-form normal equations — the analytics-engine "explain
+    * y from x1, x2" answer [[correlationMatrix]]'s pairwise r can't
+    * give (it has no way to hold the other predictor fixed). The 3x3
+    * system is solved by Cramer's rule on the moment determinants.
+    *
+    * Exactness: inputs snap to fixed-point integers (per-column
+    * scales), all ten moment sums accumulate in DECIMAL(38,0) — exact
+    * at any row count and partition order — and only the final
+    * determinant assembly runs in pinned-order doubles: coefficients
+    * snapped 1e-9, then SSE/R²/RMSE are DEFINED over the snapped
+    * coefficients (both engines replay the identical formula).
+    * Degenerate design (det = 0, e.g. collinear or constant
+    * predictors) yields NULL coefficients, never a crash.
+    *
+    * Scale shape: ONE combinable single-row aggregate over the scan —
+    * zero shuffles of data rows at any corpus size (the q87/q99
+    * fixed-point moment pattern extended to the 10-sum design). */
+  def ols2(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+           yScale: Int = 2, x1Scale: Int = 0, x2Scale: Int = 2): DataFrame = {
+    def fx(c: String, s: Int) =
+      sf.floor(sf.col(c).cast("double") * sf.lit(math.pow(10, s)) + 0.5).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = graft.operators.Par.spread(df
+      .filter(sf.col(yCol).isNotNull && sf.col(x1Col).isNotNull &&
+        sf.col(x2Col).isNotNull)
+      .select(fx(yCol, yScale).as("__y"), fx(x1Col, x1Scale).as("__x1"),
+        fx(x2Col, x2Scale).as("__x2")))
+    val y = sf.col("__y"); val x1 = sf.col("__x1"); val x2 = sf.col("__x2")
+    val agg = rows.agg(
+      sf.count(sf.lit(1)).as("n"),
+      sf.sum(dec(x1)).as("__s1"), sf.sum(dec(x2)).as("__s2"),
+      sf.sum(dec(y)).as("__sy"),
+      sf.sum(dec(x1) * dec(x1)).as("__s11"),
+      sf.sum(dec(x1) * dec(x2)).as("__s12"),
+      sf.sum(dec(x2) * dec(x2)).as("__s22"),
+      sf.sum(dec(x1) * dec(y)).as("__s1y"),
+      sf.sum(dec(x2) * dec(y)).as("__s2y"),
+      sf.sum(dec(y) * dec(y)).as("__syy"))
+    def sc(name: String, pow10: Int) =
+      sf.col(name).cast("double") / sf.lit(math.pow(10, pow10))
+    val nd = sf.col("n").cast("double")
+    val s1 = sc("__s1", x1Scale); val s2 = sc("__s2", x2Scale)
+    val sy = sc("__sy", yScale)
+    val s11 = sc("__s11", 2 * x1Scale); val s12 = sc("__s12", x1Scale + x2Scale)
+    val s22 = sc("__s22", 2 * x2Scale)
+    val s1y = sc("__s1y", x1Scale + yScale); val s2y = sc("__s2y", x2Scale + yScale)
+    val syy = sc("__syy", 2 * yScale)
+    val det = nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val d1 = nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val ok = det =!= 0.0
+    val stage = agg.select(sf.col("n"),
+      sf.when(ok, gf.roundAt(d0 / det, 9)).as("beta0"),
+      sf.when(ok, gf.roundAt(d1 / det, 9)).as("beta1"),
+      sf.when(ok, gf.roundAt(d2 / det, 9)).as("beta2"),
+      sy.as("__syd"), s1y.as("__s1yd"), s2y.as("__s2yd"), syy.as("__syyd"),
+      nd.as("__nd"))
+    val sse = sf.col("__syyd") - sf.col("beta0") * sf.col("__syd") -
+      sf.col("beta1") * sf.col("__s1yd") - sf.col("beta2") * sf.col("__s2yd")
+    val sst = sf.col("__syyd") -
+      sf.col("__syd") * sf.col("__syd") / sf.col("__nd")
+    stage.select(sf.col("n"), sf.col("beta0"), sf.col("beta1"), sf.col("beta2"),
+      sf.when(sf.col("beta0").isNotNull && sst > 0,
+        gf.roundAt(sf.lit(1.0) - sse / sst, 6)).as("r2"),
+      sf.when(sf.col("beta0").isNotNull && sf.col("__nd") > 0,
+        gf.roundAt(sf.sqrt(sf.greatest(sse, sf.lit(0.0)) / sf.col("__nd")), 6))
+        .as("rmse"))
   }
 
   /** Per-file column statistics of a parquet dataset — the data-

@@ -631,4 +631,48 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(Graph.kCore(df, "basket", "item", k = 3, minPairCount = 1,
       rounds = 3).count() == 0)
   }
+
+  test("QualityChecks.fdrProportionTests: BH rejects only the planted effect") {
+    import org.apache.spark.sql.Row
+    // find user ids landing in each hash arm
+    val ids = (1L to 400L).toDF("user_id")
+      .withColumn("a", Sampling.hashBucket(sf.col("user_id")) < 5000)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val armA = ids.filter(_._2).map(_._1).take(40)
+    val armB = ids.filterNot(_._2).map(_._1).take(40)
+    assert(armA.length == 40 && armB.length == 40, "need 40 users per arm")
+    // type "strong": A always succeeds (value 100), B never (value 1);
+    // type "null": both arms half-and-half
+    val rows =
+      armA.map(u => (u, "strong", 100.0)) ++ armB.map(u => (u, "strong", 1.0)) ++
+      armA.zipWithIndex.map { case (u, i) => (u, "nulltype", if (i % 2 == 0) 100.0 else 1.0) } ++
+      armB.zipWithIndex.map { case (u, i) => (u, "nulltype", if (i % 2 == 0) 100.0 else 1.0) }
+    val df = rows.toSeq.toDF("user_id", "event_type", "value")
+    val got = QualityChecks.fdrProportionTests(df)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(got("strong").getAs[Boolean]("reject"),
+      s"strong effect must be rejected: ${got("strong")}")
+    assert(!got("nulltype").getAs[Boolean]("reject"))
+    assert(got("strong").getAs[Long]("bh_rank") == 1L)
+    assert(got("strong").getAs[Double]("p_value") <
+      got("nulltype").getAs[Double]("p_value"))
+  }
+
+  test("QualityChecks.ols2: exact plane recovered; collinear design yields NULLs") {
+    // y = 2 + 3*x1 - 0.5*x2 with 2-decimal-exact values
+    val rows = for (i <- 1 to 10; j <- 1 to 5)
+      yield (2.0 + 3.0 * i - 0.5 * (j * 0.1), i.toDouble, j * 0.1)
+    val df = rows.toDF("y", "x1", "x2")
+    val r = QualityChecks.ols2(df, "y", "x1", "x2").collect()(0)
+    assert(r.getAs[Long]("n") == 50L)
+    assert(math.abs(r.getAs[Double]("beta0") - 2.0) < 1e-6, r.toString)
+    assert(math.abs(r.getAs[Double]("beta1") - 3.0) < 1e-6, r.toString)
+    assert(math.abs(r.getAs[Double]("beta2") + 0.5) < 1e-6, r.toString)
+    assert(r.getAs[Double]("r2") == 1.0 && r.getAs[Double]("rmse") == 0.0)
+    // collinear: x2 = 2*x1 exactly -> singular, NULL betas
+    val col = Seq((1.0, 1.0, 2.0), (2.0, 2.0, 4.0), (3.0, 3.0, 6.0))
+      .toDF("y", "x1", "x2")
+    val rc = QualityChecks.ols2(col, "y", "x1", "x2", x2Scale = 0).collect()(0)
+    assert(rc.isNullAt(1) && rc.isNullAt(2) && rc.isNullAt(3))
+  }
 }
