@@ -6,6 +6,7 @@ import org.apache.spark.sql.{functions => sf}
 import graft.operators._
 import graft.dq.QualityChecks
 import graft.sources.Tables
+import graft.{functions => gf}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB oracle in `oracleSql` where the
@@ -1395,6 +1396,17 @@ object SparkEntry {
     "q212_ols" -> ((s, dir) =>
       QualityChecks.ols2(Tables.load(s, dir, "lineitem"),
         "l_extendedprice", "l_quantity", "l_discount")),
+
+    // Temperature mixture: source quotas proportional to n^0.3 over a
+    // 1M-token budget, capacity-capped.
+    "q213_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(docs(s, dir), "source",
+        gf.tokenCount(sf.col("text")), budget = 1000000L)),
+
+    // PCA top component: power iteration on the exact integer
+    // covariance; loadings + explained-variance share.
+    "q214_pca" -> ((s, dir) =>
+      Similarity.pcaTopComponent(emb(s, dir), "embedding", dims = 64)),
   )
 
   // ---------------------------------------------------------------------
@@ -5483,5 +5495,93 @@ object SparkEntry {
         |  CASE WHEN beta0 IS NOT NULL AND nd > 0 THEN
         |    floor(sqrt(greatest(sse, 0.0)/nd)*1000000.0 + 0.5)/1000000.0 END AS rmse
         |FROM f""".stripMargin,
+
+    // Temperature mix: identical pow snap at 1e-9, exact HUGEINT
+    // quota floor-division, pinned report ratios.
+    "q213_temperature_mix" ->
+      """WITH tk AS (SELECT source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        | FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |      FROM tk GROUP BY 1 HAVING SUM(n) > 0),
+        |k AS (SELECT source, n_tokens,
+        |  CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3)*1000000000.0 + 0.5) AS BIGINT) AS w9
+        | FROM c),
+        |t AS (SELECT CAST(SUM(w9) AS HUGEINT) AS sw9 FROM k),
+        |q AS (SELECT source, n_tokens, w9, sw9,
+        |  CAST((CAST(1000000 AS HUGEINT) * CAST(w9 AS HUGEINT)) // sw9 AS BIGINT) AS quota
+        | FROM k CROSS JOIN t)
+        |SELECT source, n_tokens, w9, quota,
+        |  least(n_tokens, quota) AS allocation,
+        |  (least(n_tokens, quota) = n_tokens) AS saturated,
+        |  floor((CAST(w9 AS DOUBLE)/CAST(sw9 AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS share,
+        |  floor((CAST(least(n_tokens, quota) AS DOUBLE)/CAST(n_tokens AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sampled_frac
+        |FROM q ORDER BY source""".stripMargin,
+
+    // PCA: identical 1e6 snaps, exact HUGEINT covariance
+    // M = n*Sij - Si*Sj, identical truncating quantization, the power
+    // iteration unrolled round by round (the Lloyd-unroll convention),
+    // left-fold Rayleigh/trace in index order.
+    "q214_pca" -> {
+      val iters = 8
+      val head =
+        """WITH base AS (SELECT embedding AS emb FROM embeddings
+          |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+          |e AS MATERIALIZED (SELECT CASE WHEN len(list_filter(emb,
+          |    x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 THEN NULL
+          |  ELSE [CAST(floor(CAST(emb[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
+          |        FOR i IN range(1, 65)] END AS e6 FROM base),
+          |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+          |        CAST(COUNT(e6) AS BIGINT) AS n FROM e),
+          |pp AS (SELECT unnest(flatten([[{'i': i, 'j': j, 'p': e6[i]*e6[j]}
+          |    FOR j IN range(i, 65)] FOR i IN range(1, 65)])) AS s
+          |  FROM e WHERE e6 IS NOT NULL),
+          |sij AS (SELECT s.i AS i, s.j AS j, CAST(SUM(s.p) AS HUGEINT) AS sp
+          |  FROM pp GROUP BY 1, 2),
+          |fm AS (SELECT unnest([{'i': i, 'x': e6[i]} FOR i IN range(1, 65)]) AS s
+          |  FROM e WHERE e6 IS NOT NULL),
+          |si AS (SELECT s.i AS i, CAST(SUM(s.x) AS HUGEINT) AS sv FROM fm GROUP BY 1),
+          |mu AS (SELECT sij.i, sij.j, n*sp - a.sv*b.sv AS mm
+          |  FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j CROSS JOIN cnt),
+          |mf AS (SELECT i, j, mm FROM mu
+          |  UNION ALL SELECT j AS i, i AS j, mm FROM mu WHERE i < j),
+          |sd AS (SELECT greatest(MAX(ABS(mm)) // 1000000, 1) AS sdv FROM mf),
+          |mq AS MATERIALIZED (SELECT i, j, CAST(mm // sdv AS BIGINT) AS m FROM mf CROSS JOIN sd),
+          |v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000000000 AS BIGINT) AS v
+          |  FROM range(1, 65) t(i))""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        s""",
+           |u$r AS MATERIALIZED (SELECT mq.j AS j, CAST(SUM(mq.m * p.v) AS BIGINT) AS u
+           |  FROM mq JOIN v${r - 1} p ON mq.i = p.j GROUP BY 1),
+           |x$r AS (SELECT MAX(ABS(CAST(u AS DOUBLE))) AS mx FROM u$r),
+           |v$r AS MATERIALIZED (SELECT j, CASE WHEN mx = 0 THEN 0
+           |  ELSE CAST(floor(CAST(u AS DOUBLE)/mx*1000000000.0 + 0.5) AS BIGINT)
+           |  END AS v FROM u$r CROSS JOIN x$r)""".stripMargin
+      }.mkString
+      val tail =
+        s""",
+           |uf AS (SELECT mq.j AS j, CAST(SUM(mq.m * p.v) AS BIGINT) AS u
+           |  FROM mq JOIN v$iters p ON mq.i = p.j GROUP BY 1),
+           |folds AS (SELECT
+           |  list_reduce(list(CAST(p.v AS DOUBLE)*CAST(uf.u AS DOUBLE) ORDER BY p.j),
+           |    (a, b) -> a + b) AS num,
+           |  list_reduce(list(CAST(p.v AS DOUBLE)*CAST(p.v AS DOUBLE) ORDER BY p.j),
+           |    (a, b) -> a + b) AS den
+           |  FROM v$iters p JOIN uf ON p.j = uf.j),
+           |tr AS (SELECT list_reduce(list(CAST(m AS DOUBLE) ORDER BY i),
+           |  (a, b) -> a + b) AS trace FROM mq WHERE i = j)
+           |SELECT p.j AS dim,
+           |  floor(CAST(p.v AS DOUBLE)/1000000000.0*1000000.0 + 0.5)/1000000.0 AS loading,
+           |  CASE WHEN trace > 0 AND den > 0 THEN
+           |    floor((num/den)/trace*1000000.0 + 0.5)/1000000.0 ELSE 0.0 END AS explained_share,
+           |  CASE WHEN den > 0 THEN
+           |    floor((num/den)*CAST(sdv AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))/1000000000000.0*1000000.0 + 0.5)/1000000.0
+           |  ELSE 0.0 END AS eigenvalue,
+           |  n AS n_rows, n_all - n AS n_excluded
+           |FROM v$iters p CROSS JOIN folds CROSS JOIN tr CROSS JOIN sd CROSS JOIN cnt
+           |ORDER BY dim""".stripMargin
+      head + rounds + tail
+    },
   )
 }

@@ -225,6 +225,13 @@ object functions {
     kernel(ArrayType(StringType, containsNull = false), "cdcChunkIds",
       t, sf.lit(window), sf.lit(avgChunk))
 
+  /** Per-row Gram-matrix moment terms for the PCA corpus pass (1e6
+    * fixed-point first moments + upper-triangle products, one long
+    * array); see Kernels.gramUpperE6. */
+  def gramUpperE6(v: Column): Column =
+    kernel(ArrayType(LongType, containsNull = false), "gramUpperE6",
+      v.cast("array<double>"))
+
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------

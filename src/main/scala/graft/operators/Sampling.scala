@@ -467,6 +467,57 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Temperature-scaled (alpha-sampling) source mixture — the
+    * multilingual-LM recipe (XLM-R / mT5 convention, alpha ≈ 0.3):
+    * source share ∝ n_s^alpha, so low-resource sources are up-weighted
+    * relative to proportional sampling without the equal-split
+    * starvation of the big ones. Sits between [[mixtureSample]]'s
+    * explicit weights and [[waterfillBudgets]]'s max-min fairness:
+    * temperature DERIVES the weights from the data. Quota = the exact
+    * integer floor of budget·w_s/Σw, capped at capacity (no
+    * redistribution — compose with waterfill when freed budget should
+    * re-flow).
+    *
+    * Determinism: n_s^alpha snaps to a 1e-9 grid (the q190 pow
+    * convention) making each weight an exact integer; quotas are exact
+    * integer floor-divisions in 128-bit/DECIMAL(38,0) arithmetic —
+    * order-free, engine-replayable; only the report ratios divide in
+    * pinned doubles.
+    *
+    * Scale shape: ONE map-side-combinable count onto the bounded
+    * source domain; everything after lives on that domain with a
+    * broadcast one-row total. */
+  def temperatureMix(docs: DataFrame, sourceCol: String, weight: Column,
+                     budget: Long, alpha: Double = 0.3): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val counts = docs.filter(sf.col(sourceCol).isNotNull)
+      .groupBy(sf.col(sourceCol).as("source"))
+      .agg(sf.sum(weight.cast("long")).as("n_tokens"))
+      .filter(sf.col("n_tokens") > 0)
+    val w9 = sf.floor(sf.pow(sf.col("n_tokens").cast("double"), sf.lit(alpha)) *
+      sf.lit(1e9) + 0.5).cast("long")
+    val keyed = counts.withColumn("w9", w9)
+    val totals = keyed.agg(sf.sum(dec(sf.col("w9"))).as("__sw9"))
+    val quota = (dec(sf.lit(budget)) * dec(sf.col("w9")) -
+      sf.pmod(dec(sf.lit(budget)) * dec(sf.col("w9")), sf.col("__sw9"))) /
+      sf.col("__sw9")
+    keyed.crossJoin(sf.broadcast(totals))
+      .withColumn("quota", quota.cast("long"))
+      .select(sf.col("source"), sf.col("n_tokens"), sf.col("w9"),
+        sf.col("quota"),
+        sf.least(sf.col("n_tokens"), sf.col("quota")).as("allocation"),
+        (sf.least(sf.col("n_tokens"), sf.col("quota")) === sf.col("n_tokens"))
+          .as("saturated"),
+        graft.functions.roundAt(sf.col("w9").cast("double") /
+          sf.col("__sw9").cast("double"), 6).as("share"),
+        graft.functions.roundAt(
+          sf.least(sf.col("n_tokens"), sf.col("quota")).cast("double") /
+            sf.col("n_tokens").cast("double"), 4).as("sampled_frac"))
+      .orderBy("source")
+  }
+
   /** Class-rebalancing loss weights per label — the two standard
     * recipes side by side: inverse frequency N/(K·n_c), and the
     * class-balanced effective-number weight of Cui et al. 2019

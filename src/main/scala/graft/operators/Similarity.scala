@@ -1338,4 +1338,102 @@ object Similarity {
         sf.col("radius_sq").cast("double").as("radius_sq"))
       .orderBy("round")
   }
+
+  /** Top principal component of an embedding corpus by power iteration
+    * on the EXACT integer covariance matrix — the embedding-collapse
+    * diagnostic (a dominant direction explaining most variance means
+    * the embedder has degenerated) and the first step of PCA whitening.
+    *
+    * Protocol (fixed-point, engine-replayable end to end):
+    * components snap to 1e6 ints; the scaled covariance
+    * M_ij = n·S_ij − S_i·S_j is an EXACT integer (n·Σxy − Σx·Σy — the
+    * q87 moment identity, so M shares the eigenvectors of the sample
+    * covariance); M quantizes to ≤ ~1e6 magnitudes by one exact
+    * integer division (scaleDiv = max|M| div 1e6, truncating — both
+    * engines truncate); `iters` rounds of v ← M·v with infinity-norm
+    * normalization snapped to a 1e9 integer grid after each round
+    * (matvecs are exact long arithmetic — products ≤ 1e15, sums
+    * ≤ 6.4e16); the Rayleigh quotient and explained-variance share are
+    * LEFT FOLDS over the dim axis in index order (the list_reduce
+    * convention), so even the final doubles replay bit-for-bit.
+    *
+    * Scale shape: ONE map-only kernel pass emits each row's moment
+    * terms ([[graft.functions.gramUpperE6]]); the only shuffle is a
+    * map-side-combined groupBy onto the d + d(d+1)/2 moment domain.
+    * The iteration runs on the collected d×d matrix — bounded by the
+    * MODEL's dimension (the codebook-literal convention), never by
+    * corpus size. Non-finite rows are excluded, counted, reported.
+    *
+    * Output: one row per dimension with the 1e-6-rounded loading,
+    * plus the explained-variance share, covariance-units eigenvalue,
+    * and row counts repeated on every row (datacard style).
+    *
+    * Convergence contract: fixed `iters` rounds (the q119 PageRank
+    * convention — bounded work, exact replay), geometric in λ2/λ1.
+    * On a COLLAPSED embedding table (the diagnostic's target: one
+    * direction dominating) a handful of rounds recover the direction
+    * to 1e-6; on a healthy near-isotropic table the iterate mixes the
+    * top subspace — where every member has share ≈ λ1/trace, which is
+    * exactly the low number the diagnostic exists to report. An
+    * all-ones start exactly orthogonal to the top eigenvector stalls
+    * only until the 1e9 snap breaks the symmetry. */
+  def pcaTopComponent(emb: DataFrame, vecCol: String, dims: Int,
+                      iters: Int = 8): DataFrame = {
+    require(dims >= 1 && dims <= 512, s"dims must be in [1, 512], got $dims")
+    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val terms = Par.spread(emb
+      .filter(sf.col(vecCol).isNotNull && sf.size(sf.col(vecCol)) === dims))
+      .select(gf.gramUpperE6(sf.col(vecCol)).as("__g"))
+      .localCheckpoint(true) // moment agg + row counts share the pass
+    val nAll = terms.count()
+    val sums = terms.filter(sf.size(sf.col("__g")) > 0)
+      .select(sf.posexplode(sf.col("__g")).as(Seq("__p", "__x")))
+      .groupBy("__p")
+      .agg(sf.sum(sf.col("__x").cast("decimal(38,0)")).as("__s"),
+        sf.count(sf.lit(1)).as("__n"))
+      .collect()
+    if (sums.isEmpty)
+      return Seq.empty[(Long, Double, Double, Double, Long, Long)]
+        .toDF("dim", "loading", "explained_share", "eigenvalue", "n_rows", "n_excluded")
+    val n = sums.head.getLong(2) // rows contributing (same for every pos)
+    val s = new Array[BigInt](dims + dims * (dims + 1) / 2)
+    sums.foreach(r => s(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+    def sij(i: Int, j: Int): BigInt = { // upper-triangle index, 0-based
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      s(dims + a * dims - a * (a - 1) / 2 + (b - a))
+    }
+    val nB = BigInt(n)
+    val m0 = Array.tabulate(dims, dims)((i, j) => nB * sij(i, j) - s(i) * s(j))
+    val maxAbs = m0.flatten.map(_.abs).max
+    val scaleDiv = (maxAbs / 1000000L).max(BigInt(1))
+    // BigInt / truncates toward zero, matching DuckDB's HUGEINT //
+    val m = m0.map(_.map(v => (v / scaleDiv).toLong))
+    var v = Array.fill(dims)(1000000000L)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(dims)(j =>
+        (0 until dims).foldLeft(0L)((acc, i) => acc + m(i)(j) * v(i)))
+      val mx = u.map(x => math.abs(x.toDouble)).max
+      v = if (mx == 0) Array.fill(dims)(0L)
+      else u.map(x => math.floor(x.toDouble / mx * 1e9 + 0.5).toLong)
+    }
+    val uFin = Array.tabulate(dims)(j =>
+      (0 until dims).foldLeft(0L)((acc, i) => acc + m(i)(j) * v(i)))
+    // left folds in index order — the list_reduce oracle convention
+    val num = (0 until dims).foldLeft(0.0)((a, j) => a + v(j).toDouble * uFin(j).toDouble)
+    val den = (0 until dims).foldLeft(0.0)((a, j) => a + v(j).toDouble * v(j).toDouble)
+    val trace = (0 until dims).foldLeft(0.0)((a, i) => a + m(i)(i).toDouble)
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val lam = if (den > 0) num / den else 0.0
+    val share = if (trace > 0 && den > 0) snap6(lam / trace) else 0.0
+    val eig = if (den > 0)
+      snap6(lam * scaleDiv.toDouble / (n.toDouble * n.toDouble) / 1e12)
+    else 0.0
+    (0 until dims).map { j =>
+      (j + 1L, math.floor(v(j).toDouble / 1e9 * 1e6 + 0.5) / 1e6, share, eig,
+        n, nAll - n)
+    }.toDF("dim", "loading", "explained_share", "eigenvalue", "n_rows", "n_excluded")
+      .orderBy("dim")
+  }
 }

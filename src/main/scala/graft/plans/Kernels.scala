@@ -826,6 +826,40 @@ object Kernels {
       if (nOut == out.length) out else out.take(nOut))
   }
 
+  /** Fused Gram-matrix row contribution for the PCA corpus pass:
+    * snap every component to a 1e6 fixed-point integer (the q75
+    * embedding convention) and emit [e_1..e_d, e_1e_1, e_1e_2, ...,
+    * e_de_d] — the d first-moment terms followed by the d(d+1)/2
+    * upper-triangle second-moment products — as ONE long array per
+    * row. Downstream a single posexplode + groupBy(pos) accumulates
+    * every moment sum exactly (DECIMAL), map-side combined; the
+    * alternative (a per-row nested transform over d² pair structs)
+    * evaluates interpreted. Any non-finite component returns an empty
+    * array (the row is excluded and countable, never a poisoned sum —
+    * ANSI cast(NaN as long) would kill the job, the q75 lesson). */
+  def gramUpperE6(v: ArrayData): ArrayData = {
+    val d = v.numElements()
+    val e = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      val x = v.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+      e(i) = Math.floor(x * 1e6 + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Long](d + d * (d + 1) / 2)
+    System.arraycopy(e, 0, out, 0, d)
+    var p = d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { out(p) = e(i) * e(j); p += 1; j += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Order-sensitive Rabin-Karp rolling fingerprint: polynomial fold
     * acc' = (acc*31 + h) mod p over md5-60-bit token hashes reduced
     * mod p (largest prime below 2^31). Seeded with the first token's

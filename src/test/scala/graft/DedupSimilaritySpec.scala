@@ -675,4 +675,34 @@ class DedupSimilaritySpec extends SparkFunSuite {
       minShared = 1, maxDf = 50).count()
     assert(capped == 0 && uncapped == 6) // all C(4,2) pairs without the cap
   }
+
+  test("Similarity.pcaTopComponent recovers a planted dominant direction") {
+    import spark.implicits._
+    // direction d ∝ (3, 1, 0, 2) planted with large spread; small
+    // deterministic noise on the other axes
+    val dir = Array(3.0, 1.0, 0.0, 2.0)
+    val rows = (0 until 40).map { i =>
+      val t = (i - 20) * 0.1 // spread along dir
+      val noise = Array(0.01 * (i % 3 - 1), 0.01 * (i % 5 - 2),
+        0.01 * (i % 7 - 3), 0.01 * (i % 2))
+      (i.toLong, (0 until 4).map(j => (t * dir(j) + noise(j)).toFloat).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(df, "embedding", dims = 4)
+      .collect()
+    val v = got.map(_.getAs[Double]("loading"))
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    val dNorm = math.sqrt(dir.map(x => x * x).sum)
+    val cos = math.abs(v.zip(dir).map { case (a, b) => a * b }.sum / (norm * dNorm))
+    assert(cos > 0.999, s"direction not recovered: cos=$cos v=${v.toSeq}")
+    assert(got.head.getAs[Double]("explained_share") > 0.99,
+      s"planted dominant direction must explain ~all variance: ${got.head}")
+    assert(got.head.getAs[Long]("n_rows") == 40L)
+    // a NaN row is excluded and counted, not propagated
+    val withNaN = (rows :+ ((99L,
+      Array(Float.NaN, 1f, 2f, 3f)))).toDF("vec_id", "embedding")
+    val g2 = Similarity.pcaTopComponent(withNaN, "embedding", dims = 4).collect()
+    assert(g2.head.getAs[Long]("n_rows") == 40L &&
+      g2.head.getAs[Long]("n_excluded") == 1L)
+  }
 }
