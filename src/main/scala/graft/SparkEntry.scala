@@ -1407,6 +1407,31 @@ object SparkEntry {
     // covariance; loadings + explained-variance share.
     "q214_pca" -> ((s, dir) =>
       Similarity.pcaTopComponent(emb(s, dir), "embedding", dims = 64)),
+
+    // Weighted shortest paths (Bellman-Ford, 3 rounds) from the
+    // {part % 5 == 0} seed set; cost = 1e6 div co-occurrence count.
+    "q215_sssp" -> ((s, dir) =>
+      Graph.sssp(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", item => item % 5 === 0,
+        minPairCount = 2, rounds = 3)),
+
+    // Fellegi-Sunter linkage: three-field m/u evidence over
+    // (nation, segment) blocks; positive-evidence pairs only.
+    "q216_fellegi_sunter" -> ((s, dir) =>
+      Dedup.fellegiSunter(Tables.load(s, dir, "customer"), "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"), Seq(
+          Dedup.LinkField("name_sfx", "c_name",
+            (a, b) => sf.substring(a, -3, 3) === sf.substring(b, -3, 3),
+            m = 0.9, u = 0.01),
+          Dedup.LinkField("acctbal", "c_acctbal",
+            (a, b) => sf.abs(
+              sf.floor(a.cast("double") * 100 + 0.5) -
+                sf.floor(b.cast("double") * 100 + 0.5)) <= 10000,
+            m = 0.9, u = 0.15),
+          Dedup.LinkField("cent", "c_acctbal",
+            (a, b) => sf.pmod(sf.floor(a.cast("double") * 100 + 0.5), sf.lit(10)) ===
+              sf.pmod(sf.floor(b.cast("double") * 100 + 0.5), sf.lit(10)),
+            m = 0.95, u = 0.1)))),
   )
 
   // ---------------------------------------------------------------------
@@ -5582,6 +5607,63 @@ object SparkEntry {
            |FROM v$iters p CROSS JOIN folds CROSS JOIN tr CROSS JOIN sd CROSS JOIN cnt
            |ORDER BY dim""".stripMargin
       head + rounds + tail
+    },
+
+    // SSSP: q192's synchronous relaxation with integer edge costs
+    // 1e6 // c_ab, 3 rounds unrolled, NULL-aware min CASE.
+    "q215_sssp" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT item_a AS src, item_b AS dst, CAST(1000000 // c AS BIGINT) AS w FROM cab
+        |      UNION ALL SELECT item_b, item_a, CAST(1000000 // c AS BIGINT) FROM cab),
+        |d0 AS (SELECT DISTINCT src AS item,
+        |       CASE WHEN src % 5 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM e),
+        |x1 AS (SELECT e.dst, MIN(d0.dist + e.w) AS nd FROM e
+        |       JOIN d0 ON e.src = d0.item WHERE d0.dist IS NOT NULL GROUP BY 1),
+        |d1 AS (SELECT item, CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist
+        |       ELSE least(dist, nd) END AS dist
+        |       FROM d0 LEFT JOIN x1 ON d0.item = x1.dst),
+        |x2 AS (SELECT e.dst, MIN(d1.dist + e.w) AS nd FROM e
+        |       JOIN d1 ON e.src = d1.item WHERE d1.dist IS NOT NULL GROUP BY 1),
+        |d2 AS (SELECT item, CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist
+        |       ELSE least(dist, nd) END AS dist
+        |       FROM d1 LEFT JOIN x2 ON d1.item = x2.dst),
+        |x3 AS (SELECT e.dst, MIN(d2.dist + e.w) AS nd FROM e
+        |       JOIN d2 ON e.src = d2.item WHERE d2.dist IS NOT NULL GROUP BY 1),
+        |d3 AS (SELECT item, CASE WHEN dist IS NULL THEN nd WHEN nd IS NULL THEN dist
+        |       ELSE least(dist, nd) END AS dist
+        |       FROM d2 LEFT JOIN x3 ON d2.item = x3.dst)
+        |SELECT item, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY item""".stripMargin,
+
+    // Fellegi-Sunter: identical driver-snapped 1e9 log-weight
+    // literals, identical agreement predicates, integer weight sums.
+    "q216_fellegi_sunter" -> {
+      def fx9(x: Double): Long = math.floor(math.log(x) * 1e9 + 0.5).toLong
+      val (waN, wdN) = (fx9(0.9 / 0.01), fx9(0.1 / 0.99))
+      val (waB, wdB) = (fx9(0.9 / 0.15), fx9(0.1 / 0.85))
+      val (waC, wdC) = (fx9(0.95 / 0.1), fx9(0.05 / 0.9))
+      val t9 = math.floor(4.0 * 1e9 + 0.5).toLong
+      s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS n, c_mktsegment AS s,
+         |  c_name, c_acctbal FROM customer
+         |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL),
+         |p AS (SELECT a.id AS a_id, b.id AS b_id,
+         |  COALESCE(substr(a.c_name, -3, 3) = substr(b.c_name, -3, 3), FALSE) AS agree_name_sfx,
+         |  COALESCE(abs(floor(CAST(a.c_acctbal AS DOUBLE)*100 + 0.5)
+         |    - floor(CAST(b.c_acctbal AS DOUBLE)*100 + 0.5)) <= 10000, FALSE) AS agree_acctbal,
+         |  COALESCE(((CAST(floor(CAST(a.c_acctbal AS DOUBLE)*100 + 0.5) AS BIGINT) % 10) + 10) % 10
+         |    = ((CAST(floor(CAST(b.c_acctbal AS DOUBLE)*100 + 0.5) AS BIGINT) % 10) + 10) % 10, FALSE) AS agree_cent
+         | FROM c a JOIN c b ON a.n = b.n AND a.s = b.s AND a.id < b.id),
+         |w AS (SELECT *,
+         |  (CASE WHEN agree_name_sfx THEN $waN ELSE $wdN END)
+         |  + (CASE WHEN agree_acctbal THEN $waB ELSE $wdB END)
+         |  + (CASE WHEN agree_cent THEN $waC ELSE $wdC END) AS w9 FROM p)
+         |SELECT a_id, b_id, agree_name_sfx, agree_acctbal, agree_cent,
+         |  floor(CAST(w9 AS DOUBLE)/1000000000.0*1000000.0 + 0.5)/1000000.0 AS weight,
+         |  CASE WHEN w9 >= $t9 THEN 'match' ELSE 'possible' END AS decision
+         |FROM w WHERE w9 >= 0 ORDER BY a_id, b_id""".stripMargin
     },
   )
 }

@@ -222,6 +222,63 @@ object Graph {
       seedPred, rounds)
 
   /** [[bfsHops]] over a pre-mined edge list. */
+  /** Co-occurrence edges with an integer traversal cost: weight =
+    * 1000000 div pairCount, so frequently co-occurring items are
+    * "close" and rare links are expensive — the standard
+    * strength-to-cost inversion. Exact integer division; the same
+    * mined funnel as [[minedEdges]], mirrored both directions. */
+  def minedWeightedEdges(df: DataFrame, basketCol: String, itemCol: String,
+                         minPairCount: Long = 2): DataFrame = {
+    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a"), sf.col("item_b"),
+        sf.expr("CAST(1000000 DIV c_ab AS BIGINT)").as("w"))
+    pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"), sf.col("w"))
+      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst"),
+        sf.col("w")))
+  }
+
+  /** Single-source-set WEIGHTED shortest paths (bounded-round
+    * Bellman–Ford) over the mined co-occurrence graph — the weighted
+    * twin of [[bfsHops]]: distance = cheapest total edge cost from any
+    * seed, exact for paths of <= `rounds` edges, NULL = unreached
+    * within the round budget (the bounded-rounds contract shared by
+    * BFS/k-core/PageRank). Costs are exact integers, so relaxation
+    * replays in any engine — no fp path-sum drift.
+    *
+    * Scale shape: each round is one |edges| equi join + a
+    * map-side-combined min per destination — the synchronous
+    * Bellman–Ford data-parallel shape; edges persist as the loop
+    * invariant. Rounds bound work at `rounds` × |E|. */
+  def sssp(df: DataFrame, basketCol: String, itemCol: String,
+           seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+           minPairCount: Long = 2, rounds: Int = 3): DataFrame =
+    ssspFromEdges(minedWeightedEdges(df, basketCol, itemCol, minPairCount),
+      seedPred, rounds)
+
+  /** [[sssp]] over pre-mined weighted edges (src, dst, w) — mine once,
+    * analyze many times (the `minedEdges`/`*FromEdges` contract). */
+  def ssspFromEdges(edges0: DataFrame,
+                    seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                    rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    val edges = edges0.persist()
+    var dist = edges.select(sf.col("src").as("item")).distinct()
+      .select(sf.col("item"),
+        sf.when(seedPred(sf.col("item")), 0L).cast("long").as("dist"))
+    for (_ <- 1 to rounds) {
+      val relax = edges.join(dist, sf.col("src") === sf.col("item"))
+        .filter(sf.col("dist").isNotNull)
+        .select(sf.col("dst"), (sf.col("dist") + sf.col("w")).as("nd"))
+        .groupBy("dst").agg(sf.min("nd").as("nd"))
+      dist = dist.join(relax, sf.col("item") === sf.col("dst"), "left")
+        .select(sf.col("item"),
+          sf.when(sf.col("dist").isNull, sf.col("nd"))
+            .when(sf.col("nd").isNull, sf.col("dist"))
+            .otherwise(sf.least(sf.col("dist"), sf.col("nd"))).as("dist"))
+    }
+    dist.orderBy("item")
+  }
+
   def bfsHopsFromEdges(edges0: DataFrame,
                        seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                        rounds: Int = 3): DataFrame = {

@@ -705,4 +705,33 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(g2.head.getAs[Long]("n_rows") == 40L &&
       g2.head.getAs[Long]("n_excluded") == 1L)
   }
+
+  test("Dedup.fellegiSunter: multi-field evidence combines; weak pairs drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => sf}
+    val df = Seq(
+      (1L, 7, "cust aaa111", 500.00),
+      (2L, 7, "cust bbb111", 500.40),  // vs 1: sfx+bal+cent all agree
+      (3L, 7, "cust ccc222", 100.00),  // vs 1: only cent agrees -> dropped
+      (4L, 8, "cust ddd111", 500.00))  // other block: never compared
+      .toDF("id", "blk", "name", "bal")
+    val fields = Seq(
+      Dedup.LinkField("sfx", "name",
+        (a, b) => sf.substring(a, -3, 3) === sf.substring(b, -3, 3), 0.9, 0.01),
+      Dedup.LinkField("bal", "bal",
+        (a, b) => sf.abs(sf.floor(a.cast("double") * 100 + 0.5) -
+          sf.floor(b.cast("double") * 100 + 0.5)) <= 10000, 0.9, 0.15),
+      Dedup.LinkField("cent", "bal",
+        (a, b) => sf.pmod(sf.floor(a.cast("double") * 100 + 0.5), sf.lit(10)) ===
+          sf.pmod(sf.floor(b.cast("double") * 100 + 0.5), sf.lit(10)), 0.95, 0.1))
+    val got = Dedup.fellegiSunter(df, "id", Seq("blk"), fields).collect()
+    assert(got.length == 1, s"only the full-evidence pair survives: ${got.toSeq}")
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getAs[Boolean]("agree_sfx") && r.getAs[Boolean]("agree_bal") &&
+      r.getAs[Boolean]("agree_cent"))
+    assert(r.getAs[String]("decision") == "match")
+    // ln(90)+ln(6)+ln(9.5) = 8.542861...
+    assert(math.abs(r.getAs[Double]("weight") - 8.542861) < 1e-4, r.toString)
+  }
 }
