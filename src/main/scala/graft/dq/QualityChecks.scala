@@ -850,13 +850,11 @@ object QualityChecks {
       sf.col(idCol).cast("long").as("__id"),
       sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).as("__vfx"))
       .filter(sf.col("__vfx").isNotNull && sf.col("__id").isNotNull)
-    def mult(i: Int): Column = {
-      val u = (sf.pmod(sf.col("__id") * 41 + sf.lit(i.toLong), sf.lit(2147483648L)) *
-        sf.lit(2654435761L)) % sf.lit(4294967296L)
-      ts.zipWithIndex.foldRight(sf.lit(6): Column) { case ((t, k), rest) =>
-        sf.when(u < t, k).otherwise(rest)
-      }.cast("long")
-    }
+      // all b multiplicities in one kernel pass — the 2b agg columns
+      // then read element_at instead of each re-hashing + re-walking
+      // the threshold chain per row (4.4s -> ~1s at sf0.1, b=40)
+      .withColumn("__mu", gf.poissonMults(sf.col("__id"), b, ts))
+    def mult(i: Int): Column = sf.element_at(sf.col("__mu"), i + 1)
     val cells: Seq[Column] =
       (0 until b).flatMap { i =>
         Seq(sf.sum(dec(mult(i)) * dec(sf.col("__vfx"))).as(s"__sb$i"),

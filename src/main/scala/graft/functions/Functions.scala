@@ -232,6 +232,12 @@ object functions {
     kernel(ArrayType(LongType, containsNull = false), "gramUpperE6",
       v.cast("array<double>"))
 
+  /** All b Poisson(1) bootstrap multiplicities for a row id in one
+    * kernel pass; see Kernels.poissonMults. */
+  def poissonMults(id: Column, b: Int, thresholds: Seq[Long]): Column =
+    kernel(ArrayType(LongType, containsNull = false), "poissonMults",
+      id, sf.lit(b), sf.lit(thresholds.toArray))
+
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------

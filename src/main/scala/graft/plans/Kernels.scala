@@ -826,6 +826,30 @@ object Kernels {
       if (nOut == out.length) out else out.take(nOut))
   }
 
+  /** Poisson(1) bootstrap multiplicities for all `b` resamples in ONE
+    * pass: per resample i, the multiplicative hash
+    * u = pmod(id·41 + i, 2^31)·2654435761 mod 2^32 walks the
+    * cumulative-CDF `thresholds` (first index with u < t, else
+    * len(thresholds)) — identical to the q167 CASE-chain semantics,
+    * but the 2·b independent agg expressions (each re-hashing and
+    * re-walking the chain per row) collapse to b cheap element_at
+    * reads of one precomputed array. */
+  def poissonMults(id: Long, b: Int, thresholds: ArrayData): ArrayData = {
+    val k = thresholds.numElements()
+    val out = new Array[Long](b)
+    var i = 0
+    while (i < b) {
+      var u = (id * 41 + i) % 2147483648L
+      if (u < 0) u += 2147483648L
+      u = (u * 2654435761L) % 4294967296L
+      var m = 0
+      while (m < k && u >= thresholds.getLong(m)) m += 1
+      out(i) = m
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Fused Gram-matrix row contribution for the PCA corpus pass:
     * snap every component to a 1e6 fixed-point integer (the q75
     * embedding convention) and emit [e_1..e_d, e_1e_1, e_1e_2, ...,
