@@ -266,15 +266,18 @@ object Graph {
       .select(sf.col("item"),
         sf.when(seedPred(sf.col("item")), 0L).cast("long").as("dist"))
     for (_ <- 1 to rounds) {
-      val relax = edges.join(dist, sf.col("src") === sf.col("item"))
+      val prev = dist
+      val relax = edges.join(prev, sf.col("src") === sf.col("item"))
         .filter(sf.col("dist").isNotNull)
         .select(sf.col("dst"), (sf.col("dist") + sf.col("w")).as("nd"))
         .groupBy("dst").agg(sf.min("nd").as("nd"))
-      dist = dist.join(relax, sf.col("item") === sf.col("dst"), "left")
+      // previous distances are read twice per round (relax + merge)
+      dist = prev.join(relax, sf.col("item") === sf.col("dst"), "left")
         .select(sf.col("item"),
           sf.when(sf.col("dist").isNull, sf.col("nd"))
             .when(sf.col("nd").isNull, sf.col("dist"))
             .otherwise(sf.least(sf.col("dist"), sf.col("nd"))).as("dist"))
+        .persist()
     }
     dist.orderBy("item")
   }
@@ -288,15 +291,19 @@ object Graph {
       .select(sf.col("item"),
         sf.when(seedPred(sf.col("item")), 0L).cast("long").as("dist"))
     for (_ <- 1 to rounds) {
-      val relax = edges.join(dist, sf.col("src") === sf.col("item"))
+      val prev = dist
+      val relax = edges.join(prev, sf.col("src") === sf.col("item"))
         .filter(sf.col("dist").isNotNull)
         .select(sf.col("dst"), (sf.col("dist") + 1L).as("nd"))
         .groupBy("dst").agg(sf.min("nd").as("nd"))
-      dist = dist.join(relax, sf.col("item") === sf.col("dst"), "left")
+      // each round reads the previous frontier TWICE (relax + merge):
+      // persist it or the lineage doubles every round
+      dist = prev.join(relax, sf.col("item") === sf.col("dst"), "left")
         .select(sf.col("item"),
           sf.when(sf.col("dist").isNull, sf.col("nd"))
             .when(sf.col("nd").isNull, sf.col("dist"))
             .otherwise(sf.least(sf.col("dist"), sf.col("nd"))).as("dist"))
+        .persist()
     }
     dist.orderBy("item")
   }
