@@ -386,4 +386,86 @@ class PlanSpec extends SparkFunSuite {
       }
     }
   }
+
+  test("r8 gates (c4/mojibake) are map-only; OLS is one single-row aggregate") {
+    val docs = Tables.load(spark, sf001, "documents")
+    // both gates: per-row work only — the single exchange is the
+    // output orderBy's range partition
+    Seq(
+      "c4Gate" -> graft.operators.TextAnalysis.c4Gate(docs, "doc_id", "text"),
+      "encodingAudit" -> graft.operators.Cleaning.encodingAudit(docs, "doc_id", "text"))
+      .foreach { case (name, df) =>
+        df.collect()
+        // Par.spread's round-robin fan-out and the output orderBy's
+        // range partition are not data-keyed shuffles; a hash exchange
+        // would mean real per-key data movement
+        val hashShuffles = collectAll(executed(df)).collect {
+          case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+        assert(hashShuffles.isEmpty,
+          s"$name must be map-only, got ${hashShuffles.size} hash exchanges")
+      }
+    // ols2: data rows feed ONE partial+final aggregate pair; no data-row
+    // shuffle (only the single-row exchange between the agg halves)
+    val ols = graft.dq.QualityChecks.ols2(
+      Tables.load(spark, sf001, "lineitem"),
+      "l_extendedprice", "l_quantity", "l_discount")
+    ols.collect()
+    val nodes = collectAll(executed(ols))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.SortExec]), "ols2 must not sort")
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.isEmpty),
+      "ols2 must aggregate to a single row")
+  }
+
+  test("r8 pca corpus pass: one moment-domain shuffle, no corpus sort") {
+    // the iteration itself is driver arithmetic on the bounded d x d
+    // matrix; the CORPUS side must be one kernel projection + one
+    // map-side-combined groupBy on the d + d(d+1)/2 moment positions
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val terms = graft.operators.Par.spread(emb
+      .filter(sf.col("embedding").isNotNull && sf.size(sf.col("embedding")) === 64))
+      .select(graft.functions.gramUpperE6(sf.col("embedding")).as("__g"))
+      .filter(sf.size(sf.col("__g")) > 0)
+      .select(sf.posexplode(sf.col("__g")).as(Seq("__p", "__x")))
+      .groupBy("__p")
+      .agg(sf.sum(sf.col("__x").cast("decimal(38,0)")).as("__s"))
+    terms.collect()
+    val nodes = collectAll(executed(terms))
+    val hashShuffles = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+    assert(hashShuffles.size == 1,
+      "pca moment pass must hash-shuffle exactly once (moment domain)")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "pca moment pass must not sort the corpus")
+  }
+
+  test("r8 fdr/temperature-mix windows and joins live on bounded domains") {
+    val ev = Tables.load(spark, sf001, "events")
+    val fdr = graft.dq.QualityChecks.fdrProportionTests(ev)
+    fdr.collect()
+    val fdrNodes = collectAll(executed(fdr))
+    // BH runs AFTER the group-domain aggregate: every window input is
+    // the aggregated frame, so no window may sit below the first agg
+    assert(fdrNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      "fdr must aggregate the event rows")
+    val docs = Tables.load(spark, sf001, "documents")
+    val mix = graft.operators.Sampling.temperatureMix(docs, "source",
+      graft.functions.tokenCount(sf.col("text")), budget = 1000000L)
+    mix.collect()
+    val mixNodes = collectAll(executed(mix))
+    assert(!mixNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "temperatureMix must not produce a cartesian product")
+    // the one-row totals frame joins via broadcast, never shuffling the
+    // source domain
+    assert(mixNodes.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      p.isInstanceOf[BroadcastHashJoinExec]),
+      "temperatureMix totals must broadcast")
+  }
 }
