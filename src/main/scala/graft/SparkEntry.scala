@@ -1417,6 +1417,11 @@ object SparkEntry {
 
     // Fellegi-Sunter linkage: three-field m/u evidence over
     // (nation, segment) blocks; positive-evidence pairs only.
+    // Contrastive negative sampling: 4 deterministic uniform draws per
+    // anchor over the dense index space, same-label flagged.
+    "q217_negative_samples" -> ((s, dir) =>
+      Sampling.negativeSamples(emb(s, dir), "vec_id", "label", k = 4)),
+
     "q216_fellegi_sunter" -> ((s, dir) =>
       Dedup.fellegiSunter(Tables.load(s, dir, "customer"), "c_custkey",
         Seq("c_nationkey", "c_mktsegment"), Seq(
@@ -5665,5 +5670,23 @@ object SparkEntry {
          |  CASE WHEN w9 >= $t9 THEN 'match' ELSE 'possible' END AS decision
          |FROM w WHERE w9 >= 0 ORDER BY a_id, b_id""".stripMargin
     },
+
+    // Negative sampling: identical dense indexing (row_number - 1 over
+    // the id order), identical multiplicative hash and self-remap.
+    "q217_negative_samples" ->
+      """WITH x AS (SELECT vec_id AS id, label AS lbl,
+        |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS idx
+        |  FROM embeddings),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+        |a AS (SELECT id AS anchor_id, lbl AS anchor_lbl, idx, CAST(j AS BIGINT) AS slot
+        |      FROM x CROSS JOIN (SELECT unnest(range(1, 5)) AS j)),
+        |c AS (SELECT anchor_id, anchor_lbl, slot, idx, n,
+        |  (((idx*41 + slot) % 2147483648) * 2654435761) % 4294967296 % n AS c0
+        |  FROM a CROSS JOIN nn),
+        |d AS (SELECT anchor_id, anchor_lbl, slot,
+        |  CASE WHEN c0 = idx THEN (c0 + 1) % n ELSE c0 END AS ni FROM c)
+        |SELECT anchor_id, slot, x.id AS neg_id,
+        |  (d.anchor_lbl IS NOT DISTINCT FROM x.lbl) AS same_label
+        |FROM d JOIN x ON x.idx = d.ni ORDER BY anchor_id, slot""".stripMargin,
   )
 }

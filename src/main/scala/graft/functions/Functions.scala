@@ -238,6 +238,10 @@ object functions {
     kernel(ArrayType(LongType, containsNull = false), "poissonMults",
       id, sf.lit(b), sf.lit(thresholds.toArray))
 
+  /** DEFLATE(level 6) compressed byte length of the text; see
+    * Kernels.deflateLen. */
+  def deflateLen(t: Column): Column = kernel(LongType, "deflateLen", t)
+
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------

@@ -467,6 +467,47 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Deterministic uniform negative sampling for contrastive training
+    * (the random-negatives side of the batch; [[graft.operators
+    * .Similarity.hardNegatives]] is the mined-hard side): each anchor
+    * draws `k` pseudo-random partners by hashing (anchor index, slot)
+    * into the dense index space — uniform over the corpus, stable
+    * under reruns and repartitioning, and engine-replayable (the q167
+    * multiplicative-hash convention). A self-collision remaps to the
+    * next index (deterministic, no resample loop); a same-label draw
+    * is emitted WITH its `same_label` flag — the standard in-batch
+    * false-negative contract, made visible so the loss can mask it.
+    *
+    * Scale shape: dense indices ride `globalDenseIds` (range-
+    * partitioned parallel numbering, never a one-task window); the
+    * k-slot explode is bounded fan-out; the negative lookup is one
+    * hash equi join on the dense index. The corpus row count enters as
+    * a plan-time scalar (the pageRank `n` convention). */
+  def negativeSamples(df: DataFrame, idCol: String, labelCol: String,
+                      k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val idx = StarSchema.globalDenseIds(
+      df.select(sf.col(idCol).cast("long").as("id"), sf.col(labelCol).as("lbl")),
+      Seq("id"), keyName = "__sk")
+      .select(sf.col("id"), sf.col("lbl"), (sf.col("__sk") - 1).as("__idx"))
+      .localCheckpoint(true) // anchors + negative lookup both read it
+    val n = idx.count()
+    require(n >= 2, s"need >= 2 rows to sample negatives, got $n")
+    val anchors = idx.select(sf.col("id").as("anchor_id"),
+        sf.col("lbl").as("anchor_lbl"), sf.col("__idx").as("__ai"))
+      .withColumn("slot", sf.explode(sf.sequence(sf.lit(1L), sf.lit(k.toLong))))
+    val u = (sf.pmod(sf.col("__ai") * 41 + sf.col("slot"), sf.lit(2147483648L)) *
+      sf.lit(2654435761L)) % sf.lit(4294967296L)
+    val cand0 = u % n
+    val cand = sf.when(cand0 === sf.col("__ai"), (cand0 + 1) % n).otherwise(cand0)
+    anchors.withColumn("__ni", cand)
+      .join(idx.select(sf.col("__idx").as("__ni"), sf.col("id").as("neg_id"),
+        sf.col("lbl").as("neg_lbl")), Seq("__ni"))
+      .select(sf.col("anchor_id"), sf.col("slot"), sf.col("neg_id"),
+        (sf.col("anchor_lbl") <=> sf.col("neg_lbl")).as("same_label"))
+      .orderBy("anchor_id", "slot")
+  }
+
   /** Temperature-scaled (alpha-sampling) source mixture — the
     * multilingual-LM recipe (XLM-R / mT5 convention, alpha ≈ 0.3):
     * source share ∝ n_s^alpha, so low-resource sources are up-weighted

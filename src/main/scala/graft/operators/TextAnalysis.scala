@@ -890,6 +890,32 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Compression-ratio quality signal (the DataComp-LM / Dolma family
+    * filter): DEFLATE(level 6) compressed bytes / raw UTF-8 bytes per
+    * document. Boilerplate, template spam, and keyword stuffing
+    * compress far below natural prose (ratio < ~0.3 at a few KB);
+    * random or already-compressed payloads approach (or exceed) 1.0 —
+    * both tails are curation signals the n-gram repetition stats
+    * ([[repetitionStats]], [[dupNgramFraction]]) only approximate,
+    * because DEFLATE sees ALL repeated substrings at once.
+    *
+    * Determinism: the kernel is a pure JVM function (same bytes ->
+    * same length); DEFLATE has no SQL twin, so this operator is
+    * spec-gated (planted repetitive/diverse docs), the
+    * streaming/sink-row convention. Scale shape: map-only — one
+    * kernel call per row, zero shuffles. */
+  def compressionRatio(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+      sf.col(textCol).as("__t")))
+    val nBytes = sf.octet_length(sf.col("__t")).cast("long")
+    docs.select(sf.col("doc_id"), nBytes.as("n_bytes"),
+        gf.deflateLen(sf.col("__t")).as("deflate_bytes"))
+      .withColumn("compression_ratio", gf.roundAt(
+        sf.when(sf.col("n_bytes") > 0,
+          sf.col("deflate_bytes").cast("double") / sf.col("n_bytes").cast("double")), 4))
+      .orderBy("doc_id")
+  }
+
   /** C4 cleaning gate (Raffel et al. 2020, §2.2 — the published
     * heuristics that produced the C4 corpus), line + page level in one
     * map-only pass. Line rules (a line is RETAINED iff all hold):

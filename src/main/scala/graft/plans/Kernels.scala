@@ -826,6 +826,27 @@ object Kernels {
       if (nOut == out.length) out else out.take(nOut))
   }
 
+  /** DEFLATE-compressed length of the text's UTF-8 bytes (zlib level
+    * 6, raw stream) — the compression-ratio quality signal
+    * (DataComp-LM / Dolma family): boilerplate and generated spam
+    * compress far below natural text, already-compressed or random
+    * payloads approach 1.0. JVM-deterministic (same input -> same
+    * length); no SQL oracle exists for DEFLATE, so the operator is
+    * spec-gated (the streaming/sink convention). */
+  def deflateLen(t: UTF8String): Long = {
+    val bytes = t.getBytes
+    if (bytes.isEmpty) return 0L
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** Poisson(1) bootstrap multiplicities for all `b` resamples in ONE
     * pass: per resample i, the multiplicative hash
     * u = pmod(id·41 + i, 2^31)·2654435761 mod 2^32 walks the

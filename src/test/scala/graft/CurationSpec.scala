@@ -520,6 +520,56 @@ class CurationSpec extends SparkFunSuite {
     assert(d2.getAs[String]("kept_md5") == expectMd5)
   }
 
+  test("TextAnalysis.compressionRatio: repetition compresses, diverse text doesn't") {
+    import spark.implicits._
+    val spam = Seq.fill(200)("buy cheap meds now").mkString(" ")
+    // high-entropy "prose": md5 hex blocks (deterministic, incompressible)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prose = (1 to 150).map(i =>
+      md.digest(s"block$i".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .mkString(" ")
+    val df = Seq((1L, spam), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val spamRatio = got(1L).getAs[Double]("compression_ratio")
+    val proseRatio = got(2L).getAs[Double]("compression_ratio")
+    assert(spamRatio < 0.1, s"pure repetition must compress hard: $spamRatio")
+    assert(proseRatio > 5 * spamRatio && proseRatio > 0.4,
+      s"high-entropy text must compress far less: $proseRatio vs $spamRatio")
+    assert(got(3L).getAs[Long]("n_bytes") == 0L && got(3L).isNullAt(3))
+    // determinism: same input, same length
+    val again = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again(1L) == got(1L).getLong(2))
+  }
+
+  test("QualityChecks.hllSketches: estimate near exact; merge == full-corpus sketch") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (s"s${i % 3}", i % 700)).toDF("src", "v")
+    val exact = df.groupBy("src").agg(sf.countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = graft.dq.QualityChecks.hllEstimates(
+      graft.dq.QualityChecks.hllSketches(df, "src", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.05,
+        s"estimate off >5% for $k: ${est(k)} vs $n")
+    }
+    // incremental maintenance: sketch(half1) merged with sketch(half2)
+    // stays within the sketch's error bounds of the exact count (the
+    // union operator is algebraic but not state-identical to a
+    // one-shot sketch, so estimate-level parity is the contract)
+    val h1 = graft.dq.QualityChecks.hllSketches(df.filter($"v" % 2 === 0), "src", "v")
+    val h2 = graft.dq.QualityChecks.hllSketches(df.filter($"v" % 2 =!= 0), "src", "v")
+    val merged = graft.dq.QualityChecks.hllEstimates(
+      graft.dq.QualityChecks.hllMerge(h1, h2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n).toDouble / n < 0.05,
+        s"merged estimate off >5% for $k: ${merged(k)} vs $n")
+    }
+  }
+
   test("Cleaning.encodingAudit: planted damage flags, clean text doesn't") {
     import spark.implicits._
     val df = Seq(
