@@ -156,7 +156,26 @@ object EventStream {
   def intervalJoinStream(left: DataFrame, right: DataFrame,
                          keyCol: String = "user_id",
                          maxLagSec: Long = 1800,
-                         watermark: String = "2 hours"): DataFrame = {
+                         watermark: String = "2 hours"): DataFrame =
+    intervalJoinImpl(left, right, keyCol, maxLagSec, watermark, "inner")
+
+  /** LEFT OUTER watermarked stream-stream interval join — the
+    * unattributed-conversion stream: matched pairs emit exactly like
+    * [[intervalJoinStream]]; a left event with NO qualifying right row
+    * emits once with null right columns, and only AFTER the watermark
+    * has passed its join window (a batch left join nulls immediately;
+    * a stream can only conclude "no match will ever arrive" at state
+    * expiry — the emission delay IS the semantics). Same state-eviction
+    * contract: the two-sided time-range condition bounds both buffers. */
+  def intervalJoinLeftOuterStream(left: DataFrame, right: DataFrame,
+                                  keyCol: String = "user_id",
+                                  maxLagSec: Long = 1800,
+                                  watermark: String = "2 hours"): DataFrame =
+    intervalJoinImpl(left, right, keyCol, maxLagSec, watermark, "left_outer")
+
+  private def intervalJoinImpl(left: DataFrame, right: DataFrame,
+                               keyCol: String, maxLagSec: Long,
+                               watermark: String, joinType: String): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(sf.col(keyCol).as("l_key"), sf.col("ts").as("l_ts"),
         sf.col("event_id").as("l_id"), sf.col("event_type").as("l_type"),
@@ -167,7 +186,8 @@ object EventStream {
     l.join(r,
       sf.col("l_key") === sf.col("r_key") &&
         sf.col("l_ts") >= sf.col("r_ts") &&
-        sf.col("l_ts") <= sf.col("r_ts") + sf.expr(s"INTERVAL $maxLagSec SECONDS"))
+        sf.col("l_ts") <= sf.col("r_ts") + sf.expr(s"INTERVAL $maxLagSec SECONDS"),
+      joinType)
       .select(sf.col("l_key").as(keyCol), sf.col("l_id"), sf.col("l_ts"),
         sf.col("l_value"), sf.col("r_id"), sf.col("r_ts"))
   }

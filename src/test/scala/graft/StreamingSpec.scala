@@ -366,6 +366,36 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftOuterStream emits unmatched lefts after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStream.intervalJoinLeftOuterStream(clicks.toDF(), views.toDF(),
+        maxLagSec = 1800, watermark = "1 hour")
+      .writeStream.format("memory").queryName("ijlo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(10, ts("2024-01-01 10:20:00"), 1, "click", 1.0), // matched
+        Event(13, ts("2024-01-01 10:10:00"), 3, "click", 4.0)) // no view ever
+      views.addData(Event(20, ts("2024-01-01 10:00:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched one must NOT yet
+      val before = spark.table("ijlo").collect()
+      assert(before.map(r => (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4)))
+        .toSet == Set((10L, 20L)), s"got ${before.toSeq}")
+      // advance BOTH watermarks past click 13's join window
+      clicks.addData(Event(90, ts("2024-01-01 15:00:00"), 9, "click", 0.0))
+      views.addData(Event(91, ts("2024-01-01 15:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val after = spark.table("ijlo").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      assert(after.contains((13L, -1L)),
+        s"unmatched click must emit with null right after expiry: $after")
+      assert(after.contains((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("slidingCounts: overlapping windows, stream equals batch, width/slide coverage") {
     import org.apache.spark.sql.{functions => sf}
     import graft.sources.Tables
