@@ -1417,6 +1417,17 @@ object SparkEntry {
 
     // Fellegi-Sunter linkage: three-field m/u evidence over
     // (nation, segment) blocks; positive-evidence pairs only.
+    // Autocorrelation of the hourly per-type count series, lags 1..6:
+    // exact integer mean-centered products over the gap-filled grid.
+    "q218_acf" -> ((s, dir) =>
+      EventOps.acf(Tables.load(s, dir, "events"))),
+
+    // Token-label MI: top-50 tokens most informative of lang=en, from
+    // exact presence/label 2x2 counts at df >= 5.
+    "q219_token_mi" -> ((s, dir) =>
+      CorpusStats.tokenLabelMI(docs(s, dir), "doc_id", "text",
+        sf.col("lang") === "en")),
+
     // Contrastive negative sampling: 4 deterministic uniform draws per
     // anchor over the dense index space, same-label flagged.
     "q217_negative_samples" -> ((s, dir) =>
@@ -5688,5 +5699,65 @@ object SparkEntry {
         |SELECT anchor_id, slot, x.id AS neg_id,
         |  (d.anchor_lbl IS NOT DISTINCT FROM x.lbl) AS same_label
         |FROM d JOIN x ON x.idx = d.ni ORDER BY anchor_id, slot""".stripMargin,
+
+    // ACF: q130's dense grid; exact integer centered products
+    // num = sum((n*v1 - s)(n*v2 - s)), den likewise; one division.
+    "q218_acf" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |       FROM sv GROUP BY 1),
+        |dn AS (SELECT sv.t,
+        |  SUM(CAST(st.n*sv.v - st.s AS DECIMAL(38,0)) * CAST(st.n*sv.v - st.s AS DECIMAL(38,0))) AS den
+        |  FROM sv JOIN st ON sv.t = st.t GROUP BY 1),
+        |pr AS (SELECT a.t, CAST(l.lag AS BIGINT) AS lag, a.v AS v1, bb.v AS v2
+        |  FROM sv a CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) l
+        |  JOIN sv bb ON bb.t = a.t AND bb.bin = a.bin + l.lag),
+        |nm AS (SELECT pr.t, pr.lag,
+        |  SUM(CAST(st.n*pr.v1 - st.s AS DECIMAL(38,0)) * CAST(st.n*pr.v2 - st.s AS DECIMAL(38,0))) AS num
+        |  FROM pr JOIN st ON pr.t = st.t GROUP BY 1, 2)
+        |SELECT nm.t AS event_type, nm.lag, st.n AS n_bins,
+        |  CASE WHEN den > 0 THEN
+        |    floor((CAST(num AS DOUBLE)/CAST(den AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS acf
+        |FROM nm JOIN dn ON nm.t = dn.t JOIN st ON nm.t = st.t
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Token-label MI: identical presence collapse, 2x2 cells, pinned
+    // (x/N)*ln(N*x/(rm*cm)) assembly snapped 1e-6, (mi desc, token) cut.
+    "q219_token_mi" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en') AS y,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE list_distinct(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |            x -> lower(x))) END AS toks
+        | FROM documents WHERE (lang = 'en') IS NOT NULL),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |      CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS e FROM d),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+        |      CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS a
+        |      FROM (SELECT y, unnest(toks) AS w FROM d) GROUP BY 1
+        |      HAVING COUNT(*) >= 5),
+        |m AS (SELECT w AS token, df, a AS n_label,
+        |  (CASE WHEN a > 0 AND df > 0 AND e > 0 THEN
+        |    (CAST(a AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      * ln((CAST(nn AS DOUBLE)*CAST(a AS DOUBLE))/(CAST(df AS DOUBLE)*CAST(e AS DOUBLE))) ELSE 0.0 END
+        |  + CASE WHEN df - a > 0 AND df > 0 AND nn - e > 0 THEN
+        |    (CAST(df - a AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      * ln((CAST(nn AS DOUBLE)*CAST(df - a AS DOUBLE))/(CAST(df AS DOUBLE)*CAST(nn - e AS DOUBLE))) ELSE 0.0 END
+        |  + CASE WHEN e - a > 0 AND nn - df > 0 AND e > 0 THEN
+        |    (CAST(e - a AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      * ln((CAST(nn AS DOUBLE)*CAST(e - a AS DOUBLE))/(CAST(nn - df AS DOUBLE)*CAST(e AS DOUBLE))) ELSE 0.0 END
+        |  + CASE WHEN nn - df - (e - a) > 0 AND nn - df > 0 AND nn - e > 0 THEN
+        |    (CAST(nn - df - (e - a) AS DOUBLE)/CAST(nn AS DOUBLE))
+        |      * ln((CAST(nn AS DOUBLE)*CAST(nn - df - (e - a) AS DOUBLE))/(CAST(nn - df AS DOUBLE)*CAST(nn - e AS DOUBLE))) ELSE 0.0 END) AS mi0
+        | FROM c CROSS JOIN t)
+        |SELECT token, df, n_label,
+        |  floor(mi0*1000000.0 + 0.5)/1000000.0 AS mi
+        |FROM m ORDER BY mi DESC, token LIMIT 50""".stripMargin,
   )
 }

@@ -1037,4 +1037,61 @@ object CorpusStats {
       sf.when(den > 0.0, gf.roundAt(slope, 4)).as("slope"),
       sf.when(den > 0.0, gf.roundAt((sy - slope * sx) / n, 4)).as("intercept"))
   }
+
+  /** Token↔label mutual information — feature selection for a quality
+    * / language / domain classifier (the fastText-pipeline step before
+    * [[graft.plans.Kernels.linearScore]]-style scoring): for every
+    * token above a document-frequency floor, the MI between "token
+    * present in doc" and a boolean label, from the exact 2×2
+    * presence/label contingency counts. The top of this list is what a
+    * linear quality classifier actually learns; the bottom is noise to
+    * hash away.
+    *
+    * Determinism: all four cell counts are exact integers (distinct
+    * (doc, token) collapse — presence, not frequency); MI is the
+    * standard Σ (n/N)·ln(N·n/(rowM·colM)) with zero cells contributing
+    * zero, assembled in pinned IEEE order and snapped 1e-6; the top-K
+    * cut orders by (mi desc, token).
+    *
+    * Scale shape: one distinct-collapse explode, one map-side-combined
+    * token-domain count, a broadcast one-row total, and a k-bounded
+    * TakeOrdered — the vocabulary never sorts on one task. */
+  def tokenLabelMI(docs: DataFrame, idCol: String, textCol: String,
+                   labelExpr: Column, minDf: Long = 5,
+                   topK: Int = 50): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = graft.operators.Par.spread(docs.select(
+        sf.col(idCol).cast("long").as("id"), labelExpr.as("y"),
+        gf.wsTokens(sf.lower(sf.col(textCol))).as("__toks")))
+      .filter(sf.col("y").isNotNull)
+    val totals = base.agg(sf.count(sf.lit(1)).as("__nn"),
+      sf.sum(sf.col("y").cast("long")).as("__e"))
+    val counts = base
+      .select(sf.col("y"), sf.explode(sf.array_distinct(sf.col("__toks"))).as("w"))
+      .groupBy("w")
+      .agg(sf.count(sf.lit(1)).as("df"), sf.sum(sf.col("y").cast("long")).as("a"))
+      .filter(sf.col("df") >= minDf)
+    val joined = counts.crossJoin(sf.broadcast(totals))
+    val nd = sf.col("__nn").cast("double")
+    def cell(x: Column, rowM: Column, colM: Column) = {
+      val xd = x.cast("double")
+      sf.when(x > 0 && rowM > 0 && colM > 0,
+        (xd / nd) * sf.log((nd * xd) / (rowM.cast("double") * colM.cast("double"))))
+        .otherwise(0.0)
+    }
+    val a = sf.col("a")
+    val b = sf.col("df") - a
+    val c = sf.col("__e") - a
+    val d = sf.col("__nn") - sf.col("df") - c
+    val mi = cell(a, sf.col("df"), sf.col("__e")) +
+      cell(b, sf.col("df"), sf.col("__nn") - sf.col("__e")) +
+      cell(c, sf.col("__nn") - sf.col("df"), sf.col("__e")) +
+      cell(d, sf.col("__nn") - sf.col("df"), sf.col("__nn") - sf.col("__e"))
+    joined
+      .select(sf.col("w").as("token"), sf.col("df"), a.as("n_label"),
+        gf.roundAt(mi, 6).as("mi"))
+      .orderBy(sf.col("mi").desc, sf.col("token"))
+      .limit(topK)
+  }
 }

@@ -962,6 +962,56 @@ object EventOps {
       .orderBy(typeCol, "bin")
   }
 
+  /** Autocorrelation function of the per-type event-count series at
+    * lags 1..maxLag over the [[denseSeries]] gap-filled grid — the
+    * periodicity detector (a daily-cycle stream shows a lag-24 peak at
+    * hourly bins; residual autocorrelation after de-seasoning means the
+    * q121 baseline is mis-specified) and the independence check the
+    * q193 CUSUM / q203 trend readouts silently assume.
+    *
+    * Exactness: with integer counts v_t and S = Σv, n = #bins, the
+    * mean-centered products scale to exact integers —
+    * num_k·n² = Σ (n·v_t − S)(n·v_{t+k} − S), den·n² = Σ (n·v_t − S)²
+    * — both accumulate as DECIMAL(38,0); acf_k is ONE final double
+    * division snapped 1e-6. A constant series (den = 0) yields NULL.
+    *
+    * Scale shape: the grid builds once (chunked explode, the q130
+    * machinery) and checkpoints; lag pairs come from a bounded
+    * maxLag-way explode + ONE (type, bin) equi join — never a window
+    * over the whole series and never a per-lag pass. */
+  def acf(events: DataFrame, maxLag: Int = 6, binSec: Long = 3600): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168, s"maxLag must be in [1, 168], got $maxLag")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // stats + both join sides read it
+    val stats = g.groupBy("t").agg(sf.count(sf.lit(1)).as("n"),
+      sf.sum("v").as("s"))
+    val den = g.join(stats, "t")
+      .select(sf.col("t"),
+        (dec(sf.col("n")) * dec(sf.col("v")) - dec(sf.col("s"))).as("__d"))
+      .groupBy("t").agg(sf.sum(sf.col("__d") * sf.col("__d")).as("den"))
+    val pairs = g
+      .withColumn("lag", sf.explode(sf.sequence(sf.lit(1L), sf.lit(maxLag.toLong))))
+      .select(sf.col("t"), (sf.col("bin") + sf.col("lag")).as("bin"),
+        sf.col("lag"), sf.col("v").as("v1"))
+      .join(g.select(sf.col("t"), sf.col("bin"), sf.col("v").as("v2")),
+        Seq("t", "bin"))
+    val num = pairs.join(stats, "t")
+      .select(sf.col("t"), sf.col("lag"),
+        ((dec(sf.col("n")) * dec(sf.col("v1")) - dec(sf.col("s"))) *
+          (dec(sf.col("n")) * dec(sf.col("v2")) - dec(sf.col("s")))).as("__p"))
+      .groupBy("t", "lag").agg(sf.sum("__p").as("num"))
+    num.join(den, "t").join(stats, "t")
+      .select(sf.col("t").as("event_type"), sf.col("lag"),
+        sf.col("n").as("n_bins"),
+        sf.when(sf.col("den") > 0, gf.roundAt(
+          sf.col("num").cast("double") / sf.col("den").cast("double"), 6))
+          .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
   /** Per-type metric trend: OLS slope of value against time (in
     * `binSec` units, re-based to the corpus start) for every event
     * type — the "is this metric drifting" monitoring readout that
