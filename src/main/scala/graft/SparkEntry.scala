@@ -1408,6 +1408,11 @@ object SparkEntry {
     "q214_pca" -> ((s, dir) =>
       Similarity.pcaTopComponent(emb(s, dir), "embedding", dims = 64)),
 
+    // All-but-the-top: project out q214's component, report per-vector
+    // energy before/after (map-only transform, dims-bounded literal).
+    "q220_pc_removal" -> ((s, dir) =>
+      Similarity.removeTopComponent(emb(s, dir), "vec_id", "embedding", dims = 64)),
+
     // Weighted shortest paths (Bellman-Ford, 3 rounds) from the
     // {part % 5 == 0} seed set; cost = 1e6 div co-occurrence count.
     "q215_sssp" -> ((s, dir) =>
@@ -1455,6 +1460,49 @@ object SparkEntry {
   // Approximate-index internals (LSH hyperplanes, IVF codebook) are
   // deterministic literals mirrored verbatim into the SQL.
   // ---------------------------------------------------------------------
+  /** Shared PCA oracle chain (q214/q220): the corpus moment pass, the
+    * exact HUGEINT covariance, the truncating quantization, and
+    * `iters` unrolled power-iteration rounds, ending at v{iters}.
+    * MATERIALIZED CTEs: plain CTEs inline the round chain
+    * exponentially in DuckDB. */
+  private def pcaOracleChain(iters: Int): String = {
+    val head =
+      """WITH base AS (SELECT embedding AS emb FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |e AS MATERIALIZED (SELECT CASE WHEN len(list_filter(emb,
+        |    x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 THEN NULL
+        |  ELSE [CAST(floor(CAST(emb[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
+        |        FOR i IN range(1, 65)] END AS e6 FROM base),
+        |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        |        CAST(COUNT(e6) AS BIGINT) AS n FROM e),
+        |pp AS (SELECT unnest(flatten([[{'i': i, 'j': j, 'p': e6[i]*e6[j]}
+        |    FOR j IN range(i, 65)] FOR i IN range(1, 65)])) AS s
+        |  FROM e WHERE e6 IS NOT NULL),
+        |sij AS (SELECT s.i AS i, s.j AS j, CAST(SUM(s.p) AS HUGEINT) AS sp
+        |  FROM pp GROUP BY 1, 2),
+        |fm AS (SELECT unnest([{'i': i, 'x': e6[i]} FOR i IN range(1, 65)]) AS s
+        |  FROM e WHERE e6 IS NOT NULL),
+        |si AS (SELECT s.i AS i, CAST(SUM(s.x) AS HUGEINT) AS sv FROM fm GROUP BY 1),
+        |mu AS (SELECT sij.i, sij.j, n*sp - a.sv*b.sv AS mm
+        |  FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j CROSS JOIN cnt),
+        |mf AS (SELECT i, j, mm FROM mu
+        |  UNION ALL SELECT j AS i, i AS j, mm FROM mu WHERE i < j),
+        |sd AS (SELECT greatest(MAX(ABS(mm)) // 1000000, 1) AS sdv FROM mf),
+        |mq AS MATERIALIZED (SELECT i, j, CAST(mm // sdv AS BIGINT) AS m FROM mf CROSS JOIN sd),
+        |v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000000000 AS BIGINT) AS v
+        |  FROM range(1, 65) t(i))""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s""",
+         |u$r AS MATERIALIZED (SELECT mq.j AS j, CAST(SUM(mq.m * p.v) AS BIGINT) AS u
+         |  FROM mq JOIN v${r - 1} p ON mq.i = p.j GROUP BY 1),
+         |x$r AS (SELECT MAX(ABS(CAST(u AS DOUBLE))) AS mx FROM u$r),
+         |v$r AS MATERIALIZED (SELECT j, CASE WHEN mx = 0 THEN 0
+         |  ELSE CAST(floor(CAST(u AS DOUBLE)/mx*1000000000.0 + 0.5) AS BIGINT)
+         |  END AS v FROM u$r CROSS JOIN x$r)""".stripMargin
+    }.mkString
+    head + rounds
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_star_revenue" ->
       """SELECT r.r_name AS region, n.n_name AS nation,
@@ -5566,41 +5614,7 @@ object SparkEntry {
     // left-fold Rayleigh/trace in index order.
     "q214_pca" -> {
       val iters = 8
-      val head =
-        """WITH base AS (SELECT embedding AS emb FROM embeddings
-          |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
-          |e AS MATERIALIZED (SELECT CASE WHEN len(list_filter(emb,
-          |    x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 THEN NULL
-          |  ELSE [CAST(floor(CAST(emb[i] AS DOUBLE)*1000000.0 + 0.5) AS BIGINT)
-          |        FOR i IN range(1, 65)] END AS e6 FROM base),
-          |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
-          |        CAST(COUNT(e6) AS BIGINT) AS n FROM e),
-          |pp AS (SELECT unnest(flatten([[{'i': i, 'j': j, 'p': e6[i]*e6[j]}
-          |    FOR j IN range(i, 65)] FOR i IN range(1, 65)])) AS s
-          |  FROM e WHERE e6 IS NOT NULL),
-          |sij AS (SELECT s.i AS i, s.j AS j, CAST(SUM(s.p) AS HUGEINT) AS sp
-          |  FROM pp GROUP BY 1, 2),
-          |fm AS (SELECT unnest([{'i': i, 'x': e6[i]} FOR i IN range(1, 65)]) AS s
-          |  FROM e WHERE e6 IS NOT NULL),
-          |si AS (SELECT s.i AS i, CAST(SUM(s.x) AS HUGEINT) AS sv FROM fm GROUP BY 1),
-          |mu AS (SELECT sij.i, sij.j, n*sp - a.sv*b.sv AS mm
-          |  FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j CROSS JOIN cnt),
-          |mf AS (SELECT i, j, mm FROM mu
-          |  UNION ALL SELECT j AS i, i AS j, mm FROM mu WHERE i < j),
-          |sd AS (SELECT greatest(MAX(ABS(mm)) // 1000000, 1) AS sdv FROM mf),
-          |mq AS MATERIALIZED (SELECT i, j, CAST(mm // sdv AS BIGINT) AS m FROM mf CROSS JOIN sd),
-          |v0 AS (SELECT CAST(i AS BIGINT) AS j, CAST(1000000000 AS BIGINT) AS v
-          |  FROM range(1, 65) t(i))""".stripMargin
-      val rounds = (1 to iters).map { r =>
-        s""",
-           |u$r AS MATERIALIZED (SELECT mq.j AS j, CAST(SUM(mq.m * p.v) AS BIGINT) AS u
-           |  FROM mq JOIN v${r - 1} p ON mq.i = p.j GROUP BY 1),
-           |x$r AS (SELECT MAX(ABS(CAST(u AS DOUBLE))) AS mx FROM u$r),
-           |v$r AS MATERIALIZED (SELECT j, CASE WHEN mx = 0 THEN 0
-           |  ELSE CAST(floor(CAST(u AS DOUBLE)/mx*1000000000.0 + 0.5) AS BIGINT)
-           |  END AS v FROM u$r CROSS JOIN x$r)""".stripMargin
-      }.mkString
-      val tail =
+      pcaOracleChain(iters) +
         s""",
            |uf AS (SELECT mq.j AS j, CAST(SUM(mq.m * p.v) AS BIGINT) AS u
            |  FROM mq JOIN v$iters p ON mq.i = p.j GROUP BY 1),
@@ -5622,7 +5636,35 @@ object SparkEntry {
            |  n AS n_rows, n_all - n AS n_excluded
            |FROM v$iters p CROSS JOIN folds CROSS JOIN tr CROSS JOIN sd CROSS JOIN cnt
            |ORDER BY dim""".stripMargin
-      head + rounds + tail
+    },
+
+    // Top-component removal: the q214 chain's v8 as a list literal,
+    // identical index-order folds, map-only projection per row.
+    "q220_pc_removal" -> {
+      val iters = 8
+      pcaOracleChain(iters) +
+        s""",
+           |lv AS (SELECT list(CAST(v AS DOUBLE)/1000000000.0 ORDER BY j) AS l FROM v$iters),
+           |rows0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+           |    AND len(list_filter(embedding,
+           |        ee -> isnan(CAST(ee AS DOUBLE)) OR isinf(CAST(ee AS DOUBLE)))) = 0),
+           |calc AS (SELECT vec_id, x, l,
+           |  list_reduce([x[i]*x[i] FOR i IN range(1, 65)], (a, b) -> a + b) AS n2b,
+           |  list_reduce([x[i]*l[i] FOR i IN range(1, 65)], (a, b) -> a + b) AS dotxl,
+           |  list_reduce([l[i]*l[i] FOR i IN range(1, 65)], (a, b) -> a + b) AS ll
+           | FROM rows0 CROSS JOIN lv),
+           |fin AS (SELECT vec_id, n2b,
+           |  list_reduce([(x[i] - c*l[i])*(x[i] - c*l[i]) FOR i IN range(1, 65)],
+           |    (a, b) -> a + b) AS n2a
+           | FROM (SELECT vec_id, x, l, n2b,
+           |   CASE WHEN ll > 0 THEN dotxl/ll ELSE 0.0 END AS c FROM calc))
+           |SELECT vec_id,
+           |  floor(n2b*1000000.0 + 0.5)/1000000.0 AS n2_before,
+           |  floor(n2a*1000000.0 + 0.5)/1000000.0 AS n2_after,
+           |  CASE WHEN n2b > 0 THEN
+           |    floor((1.0 - n2a/n2b)*1000000.0 + 0.5)/1000000.0 END AS removed_frac
+           |FROM fin ORDER BY vec_id""".stripMargin
     },
 
     // SSSP: q192's synchronous relaxation with integer edge costs

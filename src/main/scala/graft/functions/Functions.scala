@@ -242,6 +242,12 @@ object functions {
     * Kernels.deflateLen. */
   def deflateLen(t: Column): Column = kernel(LongType, "deflateLen", t)
 
+  /** [|x|², |x − proj_l(x)|²] in one pass (index-order folds); see
+    * Kernels.removeComponentStats. */
+  def removeComponentStats(x: Column, l: Column): Column =
+    kernel(ArrayType(DoubleType, containsNull = false), "removeComponentStats",
+      x.cast("array<double>"), l)
+
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------

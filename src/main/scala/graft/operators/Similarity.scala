@@ -1377,12 +1377,18 @@ object Similarity {
     * exactly the low number the diagnostic exists to report. An
     * all-ones start exactly orthogonal to the top eigenvector stalls
     * only until the 1e9 snap breaks the symmetry. */
-  def pcaTopComponent(emb: DataFrame, vecCol: String, dims: Int,
-                      iters: Int = 8): DataFrame = {
+  private final case class PcaState(v: Array[Long], m: Array[Array[Long]],
+    scaleDiv: BigInt, n: Long, nAll: Long)
+
+  /** Shared corpus pass + fixed-round power iteration for the PCA
+    * family ([[pcaTopComponent]], [[removeTopComponent]]): exact
+    * integer covariance, truncating quantization, 1e9-snapped
+    * infinity-norm rounds — see pcaTopComponent's protocol doc.
+    * None = no valid rows. */
+  private def pcaIterate(emb: DataFrame, vecCol: String, dims: Int,
+                         iters: Int): Option[PcaState] = {
     require(dims >= 1 && dims <= 512, s"dims must be in [1, 512], got $dims")
     require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val terms = Par.spread(emb
       .filter(sf.col(vecCol).isNotNull && sf.size(sf.col(vecCol)) === dims))
       .select(gf.gramUpperE6(sf.col(vecCol)).as("__g"))
@@ -1394,9 +1400,7 @@ object Similarity {
       .agg(sf.sum(sf.col("__x").cast("decimal(38,0)")).as("__s"),
         sf.count(sf.lit(1)).as("__n"))
       .collect()
-    if (sums.isEmpty)
-      return Seq.empty[(Long, Double, Double, Double, Long, Long)]
-        .toDF("dim", "loading", "explained_share", "eigenvalue", "n_rows", "n_excluded")
+    if (sums.isEmpty) return None
     val n = sums.head.getLong(2) // rows contributing (same for every pos)
     val s = new Array[BigInt](dims + dims * (dims + 1) / 2)
     sums.foreach(r => s(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
@@ -1418,6 +1422,23 @@ object Similarity {
       v = if (mx == 0) Array.fill(dims)(0L)
       else u.map(x => math.floor(x.toDouble / mx * 1e9 + 0.5).toLong)
     }
+    Some(PcaState(v, m, scaleDiv, n, nAll))
+  }
+
+  def pcaTopComponent(emb: DataFrame, vecCol: String, dims: Int,
+                      iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val st = pcaIterate(emb, vecCol, dims, iters) match {
+      case None => return Seq.empty[(Long, Double, Double, Double, Long, Long)]
+        .toDF("dim", "loading", "explained_share", "eigenvalue", "n_rows", "n_excluded")
+      case Some(x) => x
+    }
+    val v = st.v
+    val m = st.m
+    val n = st.n
+    val nAll = st.nAll
+    val scaleDiv = st.scaleDiv
     val uFin = Array.tabulate(dims)(j =>
       (0 until dims).foldLeft(0L)((acc, i) => acc + m(i)(j) * v(i)))
     // left folds in index order — the list_reduce oracle convention
@@ -1435,5 +1456,47 @@ object Similarity {
         n, nAll - n)
     }.toDF("dim", "loading", "explained_share", "eigenvalue", "n_rows", "n_excluded")
       .orderBy("dim")
+  }
+
+  /** Remove the top principal component from every embedding (the
+    * all-but-the-top post-processing of Arora et al. 2017 / Mu &
+    * Viswanath 2018: the dominant direction of an embedding table is
+    * mostly frequency/anisotropy signal, and projecting it out
+    * measurably improves similarity quality) — the ACTION on
+    * [[pcaTopComponent]]'s diagnosis. Reports per-vector squared norms
+    * before/after and the removed energy fraction; a collapsed table
+    * shows high `removed_frac` everywhere, a healthy one shows ~1/d.
+    *
+    * Determinism: the component comes from the same fixed-round
+    * iteration (identical 1e9-grid loadings); the projection is one
+    * kernel pass per row with index-order folds (the list_reduce
+    * convention), outputs snapped 1e-6. Non-finite rows are excluded
+    * (the gramUpperE6 contract).
+    *
+    * Scale shape: the component is a dims-bounded plan literal (the
+    * codebook convention); the transform is map-only — one kernel call
+    * per row, zero shuffles beyond the output order. */
+  def removeTopComponent(emb: DataFrame, idCol: String, vecCol: String,
+                         dims: Int, iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val st = pcaIterate(emb, vecCol, dims, iters) match {
+      case None => return Seq.empty[(Long, Double, Double, Double)]
+        .toDF("vec_id", "n2_before", "n2_after", "removed_frac")
+      case Some(x) => x
+    }
+    val l = sf.array(st.v.map(x => sf.lit(x.toDouble / 1e9)): _*)
+    val b = sf.element_at(sf.col("__st"), 1)
+    val a = sf.element_at(sf.col("__st"), 2)
+    Par.spread(emb.filter(sf.col(vecCol).isNotNull &&
+        sf.size(sf.col(vecCol)) === dims))
+      .select(sf.col(idCol).cast("long").as("vec_id"),
+        gf.removeComponentStats(sf.col(vecCol), l).as("__st"))
+      .filter(sf.size(sf.col("__st")) > 0)
+      .select(sf.col("vec_id"),
+        gf.roundAt(b, 6).as("n2_before"),
+        gf.roundAt(a, 6).as("n2_after"),
+        sf.when(b > 0, gf.roundAt(sf.lit(1.0) - a / b, 6)).as("removed_frac"))
+      .orderBy("vec_id")
   }
 }

@@ -847,6 +847,41 @@ object Kernels {
     } finally d.end()
   }
 
+  /** Norms before/after projecting out a component: one pass computes
+    * dot(x,l), dot(l,l), |x|² in index order (left folds — the
+    * list_reduce oracle convention), then |x − (dot/ll)·l|². Returns
+    * [n2_before, n2_after]; any non-finite component returns an empty
+    * array (row excluded + countable, the gramUpperE6 contract). */
+  def removeComponentStats(x: ArrayData, l: ArrayData): ArrayData = {
+    val d = x.numElements()
+    var i = 0
+    while (i < d) {
+      val xi = x.getDouble(i)
+      if (java.lang.Double.isNaN(xi) || java.lang.Double.isInfinite(xi))
+        return UnsafeArrayData.fromPrimitiveArray(Array.empty[Double])
+      i += 1
+    }
+    var dot = 0.0
+    var ll = 0.0
+    var n2b = 0.0
+    i = 0
+    while (i < d) {
+      val xi = x.getDouble(i)
+      val li = l.getDouble(i)
+      dot += xi * li; ll += li * li; n2b += xi * xi
+      i += 1
+    }
+    val c = if (ll > 0) dot / ll else 0.0
+    var n2a = 0.0
+    i = 0
+    while (i < d) {
+      val ai = x.getDouble(i) - c * l.getDouble(i)
+      n2a += ai * ai
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(n2b, n2a))
+  }
+
   /** Poisson(1) bootstrap multiplicities for all `b` resamples in ONE
     * pass: per resample i, the multiplicative hash
     * u = pmod(id·41 + i, 2^31)·2654435761 mod 2^32 walks the

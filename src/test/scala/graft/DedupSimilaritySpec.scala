@@ -706,6 +706,40 @@ class DedupSimilaritySpec extends SparkFunSuite {
       g2.head.getAs[Long]("n_excluded") == 1L)
   }
 
+  test("Similarity.removeTopComponent strips a planted dominant direction") {
+    import spark.implicits._
+    // same planted geometry as the pcaTopComponent spec: vectors lie on
+    // t·dir + tiny noise, so projecting out the recovered component
+    // must remove ~all energy from the well-spread rows
+    val dir = Array(3.0, 1.0, 0.0, 2.0)
+    val rows = (0 until 40).map { i =>
+      val t = (i - 20) * 0.1
+      val noise = Array(0.01 * (i % 3 - 1), 0.01 * (i % 5 - 2),
+        0.01 * (i % 7 - 3), 0.01 * (i % 2))
+      (i.toLong, (0 until 4).map(j => (t * dir(j) + noise(j)).toFloat).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.removeTopComponent(df, "vec_id", "embedding", dims = 4)
+      .collect()
+    assert(got.length == 40)
+    val byId = got.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // the farthest-out vector (t = -2.0) is essentially pure component
+    val far = byId(0L)
+    assert(far.getAs[Double]("removed_frac") > 0.999,
+      s"dominant direction not removed: $far")
+    assert(far.getAs[Double]("n2_after") < 0.01 * far.getAs[Double]("n2_before"))
+    // norms are non-negative, after <= before everywhere
+    got.foreach { r =>
+      assert(r.getAs[Double]("n2_after") >= 0.0 &&
+        r.getAs[Double]("n2_after") <= r.getAs[Double]("n2_before") + 1e-9, r.toString)
+    }
+    // a NaN row is excluded from BOTH the component fit and the output
+    val withNaN = (rows :+ ((99L,
+      Array(Float.NaN, 1f, 2f, 3f)))).toDF("vec_id", "embedding")
+    val g2 = Similarity.removeTopComponent(withNaN, "vec_id", "embedding", dims = 4)
+    assert(g2.count() == 40L && !g2.collect().exists(_.getLong(0) == 99L))
+  }
+
   test("Dedup.fellegiSunter: multi-field evidence combines; weak pairs drop") {
     import spark.implicits._
     import org.apache.spark.sql.{functions => sf}
