@@ -1433,6 +1433,11 @@ object SparkEntry {
       CorpusStats.tokenLabelMI(docs(s, dir), "doc_id", "text",
         sf.col("lang") === "en")),
 
+    // Interpolated Kneser-Ney bigram LM: train on the 90% hash split,
+    // score the held-out 10% — continuation-probability smoothing.
+    "q221_kn_lm" -> ((s, dir) =>
+      TextAnalysis.knLmScore(docs(s, dir), "doc_id", "text")),
+
     // Contrastive negative sampling: 4 deterministic uniform draws per
     // anchor over the dense index space, same-label flagged.
     "q217_negative_samples" -> ((s, dir) =>
@@ -5801,5 +5806,40 @@ object SparkEntry {
         |SELECT token, df, n_label,
         |  floor(mi0*1000000.0 + 0.5)/1000000.0 AS mi
         |FROM m ORDER BY mi DESC, token LIMIT 50""".stripMargin,
+
+    // Kneser-Ney: identical 90% split, distinct-bigram table feeding
+    // contexts/fan-outs/fan-ins/scalars, same D=0.75 interpolation and
+    // add-one continuation floor, 1e-6 ln snap before the per-doc sum.
+    "q221_kn_lm" ->
+      """WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks,
+        |  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 9000 AS is_train
+        |  FROM documents),
+        |db AS (SELECT pr.a AS a, pr.b AS b, COUNT(*) AS c_b FROM (
+        |  SELECT unnest([{'a': toks[i+1], 'b': toks[i+2]} FOR i IN range(0, len(toks)-1)]) AS pr
+        |  FROM tk WHERE is_train AND len(toks) >= 2) GROUP BY 1, 2),
+        |cctx AS (SELECT a, CAST(SUM(c_b) AS BIGINT) AS c_ctx, COUNT(*) AS n_fwd FROM db GROUP BY 1),
+        |rev AS (SELECT b, COUNT(*) AS n_rev FROM db GROUP BY 1),
+        |sc AS (SELECT (SELECT COUNT(*) FROM db) AS bt, (SELECT COUNT(*) FROM rev) AS rt),
+        |ev AS (SELECT doc_id, pr.a AS w1, pr.b AS w2, COUNT(*) AS n_occ FROM (
+        |  SELECT doc_id, unnest([{'a': toks[i+1], 'b': toks[i+2]} FOR i IN range(0, len(toks)-1)]) AS pr
+        |  FROM tk WHERE NOT is_train AND len(toks) >= 2) GROUP BY 1, 2, 3),
+        |j0 AS (SELECT ev.doc_id, ev.n_occ, db.c_b, cctx.c_ctx, cctx.n_fwd,
+        |  CAST(COALESCE(rev.n_rev, 0) + 1 AS DOUBLE) / CAST(sc.bt + sc.rt + 1 AS DOUBLE) AS pc
+        |  FROM ev
+        |  LEFT JOIN db ON db.a = ev.w1 AND db.b = ev.w2
+        |  LEFT JOIN cctx ON cctx.a = ev.w1
+        |  LEFT JOIN rev ON rev.b = ev.w2
+        |  CROSS JOIN sc),
+        |j AS (SELECT doc_id, n_occ,
+        |  CASE WHEN n_fwd IS NOT NULL THEN
+        |    (greatest(CAST(COALESCE(c_b, 0) AS DOUBLE) - 0.75, 0.0)
+        |      + 0.75 * CAST(n_fwd AS DOUBLE) * pc) / CAST(c_ctx AS DOUBLE)
+        |  ELSE pc END AS p FROM j0),
+        |f AS (SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_scored,
+        |  SUM(n_occ * CAST(floor(ln(p)*1e6 + 0.5) AS BIGINT)) AS fx FROM j GROUP BY 1)
+        |SELECT doc_id, n_scored,
+        |  floor(-CAST(fx AS DOUBLE)/CAST(n_scored AS DOUBLE)/1e6*10000.0 + 0.5)/10000.0 AS kn_nll
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -241,6 +241,84 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1998 eval) — the standard n-gram smoothing, and
+    * the piece the LM family was missing between q114's add-one and
+    * q148's count-only Stupid Backoff: the lower-order distribution is
+    * CONTINUATION probability (how many distinct contexts a word
+    * follows), not raw frequency, so "francisco" (frequent but only
+    * ever after "san") stops leaking probability into unseen contexts.
+    * Trains on the deterministic 90% hash split (q78's portable-hash
+    * bucket formula), scores the HELD-OUT 10% — unseen bigrams
+    * genuinely exercise the continuation term.
+    *
+    * Per eval bigram (w1, w2), with absolute discount D:
+    *   pc(w2)     = (N1+(·w2) + 1) / (B + R + 1)      — add-one-floored
+    *                continuation prob (B = distinct train bigram types,
+    *                R = distinct continuation words); the +1 floor keeps
+    *                eval-only words scoreable
+    *   P(w2|w1)   = (max(c(w1w2) − D, 0) + D·N1+(w1·)·pc(w2)) / c(w1·)
+    *                when w1 was ever a train context; pc(w2) otherwise
+    * kn_nll = −mean ln P over positions (1e-6 ln snap before the
+    * unordered sum — the q148 determinism protocol; 1e-4 final round).
+    *
+    * Scale shape: ONE distinct-bigram count table feeds everything —
+    * c(w1w2), the context totals/fan-outs (groupBy w1), the reverse
+    * fan-ins (groupBy w2), and the two scalars; all keyed by 64-bit
+    * hashes (token text never shuffles; a collision merges counts —
+    * the q68 conservative family). The eval stream compresses per
+    * (doc, bigram) before probing; count joins are AQE-decided
+    * (vocabulary-scale, maybe too big to broadcast at 100 TB); the
+    * scalars ride a broadcast 1-row cross join. */
+  def knLmScore(docs0: DataFrame, idCol: String, textCol: String,
+                discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val withT = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), gf.wsTokens(sf.lower(sf.col("__t"))).as("toks"))
+      .withColumn("is_train",
+        sf.pmod(sf.col("doc_id"), sf.lit(2147483648L)) * 2654435761L % 4294967296L % 10000 < 9000)
+      .localCheckpoint(true)
+    def bigrams(df: DataFrame) = df.filter(sf.size(sf.col("toks")) >= 2)
+      .select(sf.col("doc_id"), sf.explode(sf.transform(
+        sf.sequence(sf.lit(1), sf.size(sf.col("toks")) - 1),
+        i => sf.struct(
+          sf.xxhash64(sf.element_at(sf.col("toks"), i)).as("ph"),
+          sf.xxhash64(sf.element_at(sf.col("toks"), i + 1)).as("ch")))).as("z"))
+      .select(sf.col("doc_id"), sf.col("z.ph").as("ph"), sf.col("z.ch").as("ch"))
+    // the one count table everything derives from (reused 4x)
+    val dbc = bigrams(withT.filter(sf.col("is_train")))
+      .groupBy("ph", "ch").agg(sf.count(sf.lit(1)).as("c_b"))
+      .localCheckpoint(true)
+    val cctx = dbc.groupBy("ph")
+      .agg(sf.sum("c_b").cast("long").as("c_ctx"), sf.count(sf.lit(1)).as("n_fwd"))
+    val rev = dbc.groupBy("ch").agg(sf.count(sf.lit(1)).as("n_rev"))
+    val scal = dbc.agg(sf.count(sf.lit(1)).as("bt"))
+      .crossJoin(rev.agg(sf.count(sf.lit(1)).as("rt")))
+    val ev = bigrams(withT.filter(!sf.col("is_train")))
+      .groupBy("doc_id", "ph", "ch").agg(sf.count(sf.lit(1)).as("n_occ"))
+    val joined = ev
+      .join(dbc, Seq("ph", "ch"), "left")
+      .join(cctx, Seq("ph"), "left")
+      .join(rev, Seq("ch"), "left")
+      .crossJoin(sf.broadcast(scal))
+    val pc = (sf.coalesce(sf.col("n_rev"), sf.lit(0L)) + 1L).cast("double") /
+      (sf.col("bt") + sf.col("rt") + 1L).cast("double")
+    val p = sf.when(sf.col("n_fwd").isNotNull,
+        (sf.greatest(sf.coalesce(sf.col("c_b"), sf.lit(0L)).cast("double") -
+            sf.lit(discount), sf.lit(0.0)) +
+          sf.lit(discount) * sf.col("n_fwd").cast("double") * pc) /
+          sf.col("c_ctx").cast("double"))
+      .otherwise(pc)
+    val lnFx = sf.floor(sf.log(p) * 1e6 + 0.5).cast("long")
+    joined
+      .groupBy("doc_id")
+      .agg(sf.sum("n_occ").cast("long").as("n_scored"),
+        gf.roundAt(-sf.sum(sf.col("n_occ") * lnFx).cast("double") /
+          sf.sum("n_occ").cast("double") / 1e6, 4).as("kn_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * term list (count-desc, term-text tie-break — a deterministic
     * frequency vocabulary, the fixed-size-tokenizer view of the data):

@@ -469,6 +469,37 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got(evalIds(4)) == ((1L, expect(0.4 * 0.4 / 12))), s"got ${got(evalIds(4))}")
   }
 
+  test("TextAnalysis.knLmScore: discount, continuation, and floor branches") {
+    import spark.implicits._
+    def bucket(id: Long) = (id % 2147483648L) * 2654435761L % 4294967296L % 10000
+    val evalIds = (1L to 500L).filter(bucket(_) >= 9000).take(5)
+    val trainIds = (1L to 500L).filter(bucket(_) < 9000).take(2)
+    // train: 2 copies of "a b c a b" -> c(ab)=4, c(bc)=2, c(ca)=2;
+    // B=3 bigram types, R=3 continuation words -> pc denominator 7;
+    // pc(seen w)=2/7, pc(unseen)=1/7; c_ctx(a)=4, c_ctx(b)=c_ctx(c)=2,
+    // every context has fan-out 1
+    val docs = (trainIds.map(id => (id, "a b c a b")) ++ Seq(
+      (evalIds(0), "a b"), // seen bigram:     (4-.75 + .75*1*(2/7))/4
+      (evalIds(1), "a c"), // unseen, ctx a:   (.75*1*(2/7))/4
+      (evalIds(2), "z b"), // unseen context:  pc(b) = 2/7
+      (evalIds(3), "z z"), // both unseen:     pc floor = 1/7
+      (evalIds(4), "b a")  // unseen, ctx b:   (.75*1*(2/7))/2
+    )).toDF("doc_id", "text")
+    def expect(p: Double) = {
+      val snapped = math.floor(math.log(p) * 1e6 + 0.5) / 1e6
+      math.floor(-snapped * 1e4 + 0.5) / 1e4
+    }
+    val got = TextAnalysis.knLmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == evalIds.toSet, s"scored ${got.keySet}, want $evalIds")
+    val pcSeen = 2.0 / 7
+    assert(got(evalIds(0)) == ((1L, expect((4 - 0.75 + 0.75 * 1 * pcSeen) / 4))))
+    assert(got(evalIds(1)) == ((1L, expect(0.75 * 1 * pcSeen / 4))))
+    assert(got(evalIds(2)) == ((1L, expect(pcSeen))))
+    assert(got(evalIds(3)) == ((1L, expect(1.0 / 7))))
+    assert(got(evalIds(4)) == ((1L, expect(0.75 * 1 * pcSeen / 2))))
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")
