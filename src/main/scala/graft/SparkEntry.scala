@@ -1438,6 +1438,12 @@ object SparkEntry {
     "q221_kn_lm" -> ((s, dir) =>
       TextAnalysis.knLmScore(docs(s, dir), "doc_id", "text")),
 
+    // Community quality of the q164 LPA labeling: Newman modularity +
+    // degree assortativity from exact integer sums, mined once.
+    "q222_community_quality" -> ((s, dir) =>
+      Graph.communityQuality(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, rounds = 3)),
+
     // Contrastive negative sampling: 4 deterministic uniform draws per
     // anchor over the dense index space, same-label flagged.
     "q217_negative_samples" -> ((s, dir) =>
@@ -1470,6 +1476,27 @@ object SparkEntry {
     * `iters` unrolled power-iteration rounds, ending at v{iters}.
     * MATERIALIZED CTEs: plain CTEs inline the round chain
     * exponentially in DuckDB. */
+  /** Shared LPA oracle chain (q164/q222): the q164 co-occurrence
+    * mining (minPairCount=3 on lineitem) + 3 unrolled synchronous
+    * majority-vote rounds, ending at l3 (item, lbl) with the mined
+    * directed edge list still visible as `e`. */
+  private val lpaOracleChain: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      |p AS (SELECT x.item AS a, y.item AS bb FROM b x JOIN b y
+      |      ON x.basket = y.basket AND x.item < y.item),
+      |e0 AS (SELECT a, bb FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |e AS (SELECT a AS src, bb AS dst FROM e0 UNION ALL SELECT bb, a FROM e0),
+      |l0 AS (SELECT DISTINCT src AS item, src AS lbl FROM e),
+      |v1 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l0 l ON e.dst = l.item GROUP BY 1, 2),
+      |l1 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+      |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1),
+      |v2 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l1 l ON e.dst = l.item GROUP BY 1, 2),
+      |l2 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+      |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1),
+      |v3 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l2 l ON e.dst = l.item GROUP BY 1, 2),
+      |l3 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+      |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1)""".stripMargin
+
   private def pcaOracleChain(iters: Int): String = {
     val head =
       """WITH base AS (SELECT embedding AS emb FROM embeddings
@@ -4072,22 +4099,37 @@ object SparkEntry {
     // LPA: three synchronous rounds unrolled; each round is the same
     // neighbor-vote + (count desc, label) argmax the Spark loop runs.
     "q164_label_prop" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
-        |p AS (SELECT x.item AS a, y.item AS bb FROM b x JOIN b y
-        |      ON x.basket = y.basket AND x.item < y.item),
-        |e0 AS (SELECT a, bb FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-        |e AS (SELECT a AS src, bb AS dst FROM e0 UNION ALL SELECT bb, a FROM e0),
-        |l0 AS (SELECT DISTINCT src AS item, src AS lbl FROM e),
-        |v1 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l0 l ON e.dst = l.item GROUP BY 1, 2),
-        |l1 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
-        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1),
-        |v2 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l1 l ON e.dst = l.item GROUP BY 1, 2),
-        |l2 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
-        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1),
-        |v3 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l2 l ON e.dst = l.item GROUP BY 1, 2),
-        |l3 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
-        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1)
-        |SELECT item, lbl AS community FROM l3 ORDER BY item""".stripMargin,
+      (lpaOracleChain +
+        "\nSELECT item, lbl AS community FROM l3 ORDER BY item"),
+
+    // Community quality: q164's mined graph + LPA chain, then exact
+    // integer modularity/assortativity sums, one double division each.
+    "q222_community_quality" ->
+      (lpaOracleChain +
+        """,
+          |deg AS (SELECT src AS item, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+          |m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+          |nnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+          |dc AS (SELECT l3.lbl, CAST(SUM(dg) AS BIGINT) AS d_c
+          |       FROM deg JOIN l3 ON l3.item = deg.item GROUP BY 1),
+          |aggc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
+          |  CAST(SUM(CAST(d_c AS HUGEINT)*CAST(d_c AS HUGEINT)) AS HUGEINT) AS sum_dc2 FROM dc),
+          |ecs AS (SELECT CAST(COUNT(*) AS BIGINT) AS sum_ec FROM e
+          |  JOIN l3 ls ON ls.item = e.src JOIN l3 ld ON ld.item = e.dst
+          |  WHERE ls.lbl = ld.lbl),
+          |ast AS (SELECT
+          |  CAST(SUM(CAST(ds.dg AS HUGEINT)*CAST(dd.dg AS HUGEINT)) AS HUGEINT) AS sxy,
+          |  CAST(SUM(CAST(ds.dg AS HUGEINT)) AS HUGEINT) AS sx,
+          |  CAST(SUM(CAST(ds.dg AS HUGEINT)*CAST(ds.dg AS HUGEINT)) AS HUGEINT) AS sxx
+          |  FROM e JOIN deg ds ON ds.item = e.src JOIN deg dd ON dd.item = e.dst)
+          |SELECT n_nodes, m2 // 2 AS n_edges, n_comm AS n_communities,
+          |  floor(CAST(sum_ec AS DOUBLE)/CAST(m2 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS intra_edge_frac,
+          |  floor(CAST(CAST(m2 AS HUGEINT)*CAST(sum_ec AS HUGEINT) - sum_dc2 AS DOUBLE)
+          |    /CAST(CAST(m2 AS HUGEINT)*CAST(m2 AS HUGEINT) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS modularity,
+          |  CASE WHEN CAST(m2 AS HUGEINT)*sxx - sx*sx <> 0 THEN
+          |    floor(CAST(CAST(m2 AS HUGEINT)*sxy - sx*sx AS DOUBLE)
+          |      /CAST(CAST(m2 AS HUGEINT)*sxx - sx*sx AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS assortativity
+          |FROM nnt CROSS JOIN m2t CROSS JOIN aggc CROSS JOIN ecs CROSS JOIN ast""".stripMargin),
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

@@ -328,13 +328,15 @@ object Graph {
     * shuffle volume is |edges| rows per round and no window touches
     * the node table. Edges persist across rounds; only labels move. */
   def labelPropagation(df: DataFrame, basketCol: String, itemCol: String,
-                       minPairCount: Long = 2, rounds: Int = 3): DataFrame = {
+                       minPairCount: Long = 2, rounds: Int = 3): DataFrame =
+    labelPropagationFromEdges(minedEdges(df, basketCol, itemCol, minPairCount),
+      rounds)
+
+  /** [[labelPropagation]] over a pre-mined directed edge list (both
+    * directions per undirected pair, e.g. a persisted [[minedEdges]]). */
+  def labelPropagationFromEdges(edges0: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
-      .select(sf.col("item_a"), sf.col("item_b"))
-    val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
-      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
-      .persist()
+    val edges = edges0.persist()
     var labels = edges.select(sf.col("src").as("item")).distinct()
       .select(sf.col("item"), sf.col("item").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -348,6 +350,78 @@ object Graph {
     }
     labels.select(sf.col("item"), sf.col("lbl").as("community"))
       .orderBy("item")
+  }
+
+  /** Community-quality datasheet over a community labeling (by default
+    * [[labelPropagation]]'s): Newman MODULARITY
+    * Q = Σ_c [e_c/2m − (d_c/2m)²] — how much denser within-community
+    * linkage is than the degree-preserving random expectation (the
+    * number a "did the clustering find real structure?" review asks
+    * for first) — plus degree ASSORTATIVITY r (Newman 2002): the
+    * Pearson correlation of endpoint degrees over directed edges.
+    * Hub-attracts-hub graphs (r > 0) respond differently to curation
+    * than hub-and-spoke ones (r < 0), and r near −1 flags a
+    * star/boilerplate topology.
+    *
+    * Determinism: every statistic is an EXACT integer sum (decimal(38)
+    * so 100 TB degree sums can't overflow): Q's numerator 2m·Σe_c −
+    * Σd_c² and r's m2·Sxy − Sx² / m2·Sxx − Sx² (the both-directions
+    * edge list makes the x/y marginals symmetric, so r is a pure
+    * RATIONAL — no sqrt to disagree on); ONE double division per
+    * metric, snapped 1e-6. Regular graphs (zero degree variance) get
+    * NULL assortativity.
+    *
+    * Scale shape: degrees and per-community sums are map-side
+    * combinable aggregations; the labeling joins are |E|-row equi
+    * joins (AQE-decided); every assembled frame is ONE row riding
+    * broadcast cross joins. No windows, no cartesian products, no
+    * driver materialization. */
+  def communityQuality(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2, rounds: Int = 3): DataFrame = {
+    val edges = minedEdges(df, basketCol, itemCol, minPairCount).persist()
+    communityQualityFromEdges(edges, labelPropagationFromEdges(edges, rounds))
+  }
+
+  /** [[communityQuality]] over a pre-mined edge list and any (item,
+    * community) labeling (LPA, connected components, an external
+    * partition — the metric is labeling-agnostic). */
+  def communityQualityFromEdges(edges0: DataFrame, labels0: DataFrame): DataFrame = {
+    val edges = edges0.persist()
+    val labels = labels0.select(sf.col("item"), sf.col("community").as("lbl"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val deg = edges.groupBy(sf.col("src").as("item"))
+      .agg(sf.count(sf.lit(1)).as("dg"))
+    val m2t = edges.agg(sf.count(sf.lit(1)).as("m2"))
+    val nnt = deg.agg(sf.count(sf.lit(1)).as("n_nodes"))
+    val dc = deg.join(labels, "item")
+      .groupBy("lbl").agg(sf.sum("dg").as("d_c"))
+    val aggc = dc.agg(sf.count(sf.lit(1)).as("n_comm"),
+      sf.sum(dec(sf.col("d_c")) * dec(sf.col("d_c"))).as("sum_dc2"))
+    val ecs = edges
+      .join(labels.select(sf.col("item").as("src"), sf.col("lbl").as("sl")), "src")
+      .join(labels.select(sf.col("item").as("dst"), sf.col("lbl").as("dl")), "dst")
+      .filter(sf.col("sl") === sf.col("dl"))
+      .agg(sf.count(sf.lit(1)).as("sum_ec"))
+    val ast = edges
+      .join(deg.select(sf.col("item").as("src"), sf.col("dg").as("dgs")), "src")
+      .join(deg.select(sf.col("item").as("dst"), sf.col("dg").as("dgd")), "dst")
+      .agg(sf.sum(dec(sf.col("dgs")) * dec(sf.col("dgd"))).as("sxy"),
+        sf.sum(dec(sf.col("dgs"))).as("sx"),
+        sf.sum(dec(sf.col("dgs")) * dec(sf.col("dgs"))).as("sxx"))
+    val m2d = dec(sf.col("m2"))
+    val modNum = (m2d * dec(sf.col("sum_ec")) - sf.col("sum_dc2")).cast("double")
+    val modDen = (m2d * m2d).cast("double")
+    val astNum = (m2d * sf.col("sxy") - sf.col("sx") * sf.col("sx")).cast("double")
+    val astDen = (m2d * sf.col("sxx") - sf.col("sx") * sf.col("sx")).cast("double")
+    nnt.crossJoin(sf.broadcast(m2t)).crossJoin(sf.broadcast(aggc))
+      .crossJoin(sf.broadcast(ecs)).crossJoin(sf.broadcast(ast))
+      .select(sf.col("n_nodes"),
+        (sf.col("m2") / 2).cast("long").as("n_edges"),
+        sf.col("n_comm").as("n_communities"),
+        gf.roundAt(sf.col("sum_ec").cast("double") / sf.col("m2").cast("double"), 6)
+          .as("intra_edge_frac"),
+        gf.roundAt(modNum / modDen, 6).as("modularity"),
+        sf.when(astDen =!= 0.0, gf.roundAt(astNum / astDen, 6)).as("assortativity"))
   }
 
   /** Bounded-round k-core peel over the undirected co-occurrence

@@ -675,4 +675,29 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     val rc = QualityChecks.ols2(col, "y", "x1", "x2", x2Scale = 0).collect()(0)
     assert(rc.isNullAt(1) && rc.isNullAt(2) && rc.isNullAt(3))
   }
+
+  test("Graph.communityQualityFromEdges: two triangles + bridge, hand-computed") {
+    // the classic modularity example: triangles {1,2,3} and {4,5,6}
+    // bridged by 3-4; m=7, 2m=14, d_A=d_B=7, intra directed edges 12
+    // -> Q = (14*12 - 2*49)/196 = 70/196; assortativity = -8/48
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("item", "community")
+    val r = Graph.communityQualityFromEdges(edges, labels).collect().head
+    assert(r.getAs[Long]("n_nodes") == 6 && r.getAs[Long]("n_edges") == 7 &&
+      r.getAs[Long]("n_communities") == 2, r.toString)
+    assert(r.getAs[Double]("intra_edge_frac") == 0.857143, r.toString)
+    assert(r.getAs[Double]("modularity") == 0.357143, r.toString)
+    assert(r.getAs[Double]("assortativity") == -0.166667, r.toString)
+    // a regular graph has zero degree variance -> NULL assortativity
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val triE = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val triL = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("item", "community")
+    val rt = Graph.communityQualityFromEdges(triE, triL).collect().head
+    assert(rt.isNullAt(rt.fieldIndex("assortativity")), rt.toString)
+    // one community holding everything: Q = intra(1) - 1 = 0 exactly
+    assert(rt.getAs[Double]("modularity") == 0.0, rt.toString)
+  }
 }
