@@ -589,6 +589,13 @@ object SparkEntry {
       QualityChecks.kAnonymity(Tables.load(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 10)),
 
+    // l-diversity over the same quasi identifiers: distinct acctbal
+    // bands per group — the homogeneity-attack gap q76 leaves open.
+    "q223_l_diversity" -> ((s, dir) =>
+      QualityChecks.lDiversity(Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        sf.floor(sf.col("c_acctbal").cast("double") / 2000.0), l = 5)),
+
     // Join-key skew profile (the saltedJoin sizing input).
     "q77_skew_profile" -> ((s, dir) =>
       QualityChecks.skewProfile(Tables.load(s, dir, "events"), "user_id")),
@@ -1443,6 +1450,12 @@ object SparkEntry {
     "q222_community_quality" -> ((s, dir) =>
       Graph.communityQuality(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minPairCount = 3, rounds = 3)),
+
+    // JL random-projection distortion: realized 64->16 norm ratios per
+    // vector — is the cheap representation safe for the ANN passes?
+    "q224_jl_distortion" -> ((s, dir) =>
+      Similarity.jlDistortion(emb(s, dir), "vec_id", "embedding",
+        dims = 64, k = 16)),
 
     // Contrastive negative sampling: 4 deterministic uniform draws per
     // anchor over the dense index space, same-label flagged.
@@ -2944,6 +2957,21 @@ object SparkEntry {
         | MIN(cnt) AS min_group_size
         |FROM g""".stripMargin,
 
+    // l-diversity: identical quasi grid, distinct sensitive bands per
+    // group, same violation cut.
+    "q223_l_diversity" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+        |  floor(CAST(c_acctbal AS DOUBLE)/2000.0) AS s, COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS dv,
+        |  CAST(SUM(cnt) AS BIGINT) AS rws FROM cells GROUP BY 1, 2)
+        |SELECT 'c_nationkey,c_mktsegment' AS quasi_cols, CAST(5 AS BIGINT) AS l,
+        | COUNT(*) AS n_groups,
+        | CAST(SUM(CASE WHEN dv < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        | CAST(SUM(CASE WHEN dv < 5 THEN rws ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        | MIN(dv) AS min_diversity
+        |FROM g""".stripMargin,
+
     "q77_skew_profile" ->
       """WITH g AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
         |SELECT 'user_id' AS key_col,
@@ -4130,6 +4158,30 @@ object SparkEntry {
           |    floor(CAST(CAST(m2 AS HUGEINT)*sxy - sx*sx AS DOUBLE)
           |      /CAST(CAST(m2 AS HUGEINT)*sxx - sx*sx AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS assortativity
           |FROM nnt CROSS JOIN m2t CROSS JOIN aggc CROSS JOIN ecs CROSS JOIN ast""".stripMargin),
+
+    // JL distortion: identical seeded plane literals (the q26 mirror
+    // protocol), index-order folds, same 3/k scale and 1e-6 snaps.
+    "q224_jl_distortion" -> {
+      val planes = Similarity.lshPlanes(dim = 64, bits = 16, seed = 42)
+      val flat = planes.flatten.mkString("[", ",", "]")
+      val scale = (3.0 / 16).toString
+      s"""WITH pl AS (SELECT ${flat}::DOUBLE[] AS p),
+         |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+         |    AND len(list_filter(embedding,
+         |        e -> isnan(CAST(e AS DOUBLE)) OR isinf(CAST(e AS DOUBLE)))) = 0),
+         |c AS (SELECT vec_id,
+         |  list_reduce([v[i]*v[i] FOR i IN range(1, 65)], (a, b) -> a + b) AS n2x,
+         |  list_reduce([yy*yy FOR yy IN
+         |    [list_reduce([v[i]*p[(j-1)*64 + i] FOR i IN range(1, 65)], (a, b) -> a + b)
+         |     FOR j IN range(1, 17)]], (a, b) -> a + b) AS n2y
+         | FROM base CROSS JOIN pl)
+         |SELECT vec_id,
+         |  floor(n2x*1000000.0 + 0.5)/1000000.0 AS n2_x,
+         |  floor(n2y*$scale*1000000.0 + 0.5)/1000000.0 AS n2_proj,
+         |  CASE WHEN n2x > 0 THEN floor(n2y*$scale/n2x*1000000.0 + 0.5)/1000000.0 END AS distortion
+         |FROM c ORDER BY vec_id""".stripMargin
+    },
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

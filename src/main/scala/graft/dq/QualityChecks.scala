@@ -225,6 +225,34 @@ object QualityChecks {
         sf.col("rows_at_risk"), sf.col("min_group_size"))
   }
 
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2006) — the
+    * gap k-anonymity leaves open: a group can be large AND still leak
+    * when every member shares the same sensitive value (the homogeneity
+    * attack). For each quasi-identifier group, the number of DISTINCT
+    * sensitive values; groups below `l` violate. One release-gate row:
+    * group count, violating groups, rows in them, and the worst
+    * (minimum) diversity observed.
+    *
+    * Scale shape: one map-side-combined groupBy over (quasi, sensitive)
+    * — intermediate sized by that DOMAIN — then a domain-sized rollup
+    * to groups, then a one-row aggregate. Never sorts, never windows. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitive: org.apache.spark.sql.Column, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, "need quasi columns and l >= 2")
+    val cells = df.groupBy((quasiCols.map(sf.col) :+ sensitive.as("__s")): _*)
+      .agg(sf.count(sf.lit(1)).as("__cnt"))
+    cells.groupBy(quasiCols.map(sf.col): _*)
+      .agg(sf.count(sf.lit(1)).as("__div"), sf.sum("__cnt").as("__rows"))
+      .agg(sf.count(sf.lit(1)).as("n_groups"),
+        sf.sum((sf.col("__div") < l).cast("long")).as("n_violating"),
+        sf.sum(sf.when(sf.col("__div") < l, sf.col("__rows")).otherwise(0L))
+          .cast("long").as("rows_at_risk"),
+        sf.min("__div").as("min_diversity"))
+      .select(sf.lit(quasiCols.mkString(",")).as("quasi_cols"),
+        sf.lit(l).as("l"), sf.col("n_groups"), sf.col("n_violating"),
+        sf.col("rows_at_risk"), sf.col("min_diversity"))
+  }
+
   /** Join-key skew profile: the numbers that decide whether a join
     * needs `Skew.saltedJoin` (and at what hot-key threshold) — total
     * rows, exact distinct keys, the heaviest key's count and share,

@@ -248,6 +248,12 @@ object functions {
     kernel(ArrayType(DoubleType, containsNull = false), "removeComponentStats",
       x.cast("array<double>"), l)
 
+  /** [|x|², Σ_j dot(x, plane_j)²] in one pass over k row-major-flat
+    * hyperplanes (index-order folds); see Kernels.jlStats. */
+  def jlStats(x: Column, planesFlat: Column, k: Column): Column =
+    kernel(ArrayType(DoubleType, containsNull = false), "jlStats",
+      x.cast("array<double>"), planesFlat, k)
+
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------

@@ -1499,4 +1499,48 @@ object Similarity {
         sf.when(b > 0, gf.roundAt(sf.lit(1.0) - a / b, 6)).as("removed_frac"))
       .orderBy("vec_id")
   }
+
+  /** Johnson-Lindenstrauss random-projection distortion audit: project
+    * every embedding onto `k` deterministic [[lshPlanes]] directions
+    * (uniform ±, variance 1/3 per component, so 3/k·Σ_j dot(x,p_j)² is
+    * the unbiased |x|² estimate) and report the realized norm-ratio
+    * per vector. The JL lemma says k = O(ln n/ε²) preserves norms and
+    * pairwise distances within 1±ε — this audit measures the ACTUAL ε
+    * realized on this corpus at this k, the number that decides
+    * whether the cheap k-dim representation is safe for the ANN /
+    * dedup / clustering passes (q26/q53/q65) or k must grow.
+    * Distortion far from 1 on many vectors = lossy compression in the
+    * similarity pipeline's foundation.
+    *
+    * Determinism: the projection matrix is a seeded plan literal (k·d
+    * doubles — bounded, the codebook convention), folds are
+    * index-order inside ONE fused kernel pass per row
+    * ([[graft.plans.Kernels.jlStats]]), outputs snapped 1e-6; the
+    * identical plane literals are mirrored verbatim into the SQL
+    * oracle (the q26 protocol). Non-finite rows are excluded.
+    *
+    * Scale shape: map-only — one kernel call per row, zero shuffles
+    * beyond the output order; at 100 TB this runs at scan speed. */
+  def jlDistortion(emb: DataFrame, idCol: String, vecCol: String,
+                   dims: Int, k: Int, seed: Int = 42): DataFrame = {
+    require(dims >= 1 && dims <= 4096, s"dims must be in [1, 4096], got $dims")
+    require(k >= 1 && k <= dims, s"k must be in [1, dims], got $k")
+    val planes = lshPlanes(dims, k, seed)
+    val flat = sf.lit(planes.flatten)
+    val scale = 3.0 / k
+    val st = sf.col("__st")
+    val n2x = sf.element_at(st, 1)
+    val n2y = sf.element_at(st, 2)
+    Par.spread(emb.filter(sf.col(vecCol).isNotNull &&
+        sf.size(sf.col(vecCol)) === dims))
+      .select(sf.col(idCol).cast("long").as("vec_id"),
+        gf.jlStats(sf.col(vecCol), flat, sf.lit(k)).as("__st"))
+      .filter(sf.size(st) > 0)
+      .select(sf.col("vec_id"),
+        gf.roundAt(n2x, 6).as("n2_x"),
+        gf.roundAt(n2y * sf.lit(scale), 6).as("n2_proj"),
+        sf.when(n2x > 0, gf.roundAt(n2y * sf.lit(scale) / n2x, 6))
+          .as("distortion"))
+      .orderBy("vec_id")
+  }
 }

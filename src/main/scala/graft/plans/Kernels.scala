@@ -847,6 +847,37 @@ object Kernels {
     } finally d.end()
   }
 
+  /** Johnson-Lindenstrauss projection norms in one pass: with the k
+    * hyperplanes flattened row-major into `planes` (k·d doubles),
+    * y_j = Σ_i x_i·p_{j,i} (index order), and the result is
+    * [|x|², Σ_j y_j²] with BOTH sums left-folded in index order (the
+    * list_reduce oracle convention). Any non-finite component of x
+    * returns an empty array (row excluded + countable). */
+  def jlStats(x: ArrayData, planes: ArrayData, k: Int): ArrayData = {
+    val d = x.numElements()
+    var i = 0
+    while (i < d) {
+      val xi = x.getDouble(i)
+      if (java.lang.Double.isNaN(xi) || java.lang.Double.isInfinite(xi))
+        return UnsafeArrayData.fromPrimitiveArray(Array.empty[Double])
+      i += 1
+    }
+    var n2x = 0.0
+    i = 0
+    while (i < d) { val xi = x.getDouble(i); n2x += xi * xi; i += 1 }
+    var n2y = 0.0
+    var j = 0
+    while (j < k) {
+      var y = 0.0
+      val base = j * d
+      i = 0
+      while (i < d) { y += x.getDouble(i) * planes.getDouble(base + i); i += 1 }
+      n2y += y * y
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(n2x, n2y))
+  }
+
   /** Norms before/after projecting out a component: one pass computes
     * dot(x,l), dot(l,l), |x|² in index order (left folds — the
     * list_reduce oracle convention), then |x − (dot/ll)·l|². Returns

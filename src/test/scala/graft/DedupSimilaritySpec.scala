@@ -740,6 +740,37 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(g2.count() == 40L && !g2.collect().exists(_.getLong(0) == 99L))
   }
 
+  test("Similarity.jlDistortion: exact norms, near-1 estimates, NaN exclusion") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        (math.sin(i * 16 + j + 1.0) * 2.0).toFloat).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.jlDistortion(df, "vec_id", "embedding",
+      dims = 16, k = 8).collect()
+    assert(got.length == 30)
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val x = rows(id.toInt)._2
+      val n2 = x.map(v => v.toDouble * v.toDouble).sum
+      // n2_x is the exact squared norm (same fold order as the kernel)
+      assert(math.abs(r.getAs[Double]("n2_x") - n2) < 1e-4, r.toString)
+      // the 3/k-scaled estimate is a norm estimate, not garbage: the
+      // uniform-plane estimator at k=8 stays within a loose band
+      val d = r.getAs[Double]("distortion")
+      assert(d > 0.05 && d < 5.0, s"distortion off the rails: $r")
+    }
+    // a NaN row is excluded, not propagated
+    val withNaN = (rows :+ ((99L, Array.fill(16)(Float.NaN)))).toDF("vec_id", "embedding")
+    val g2 = Similarity.jlDistortion(withNaN, "vec_id", "embedding", dims = 16, k = 8)
+    assert(g2.count() == 30L)
+    // determinism: the seeded planes make the whole output a pure function
+    val again = Similarity.jlDistortion(df, "vec_id", "embedding", dims = 16, k = 8)
+      .collect().map(_.toString).toSeq
+    assert(again == got.map(_.toString).toSeq)
+  }
+
   test("Dedup.fellegiSunter: multi-field evidence combines; weak pairs drop") {
     import spark.implicits._
     import org.apache.spark.sql.{functions => sf}

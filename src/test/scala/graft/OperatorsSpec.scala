@@ -482,6 +482,20 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Long]("rows_at_risk") == 4 && r.getAs[Long]("min_group_size") == 1)
   }
 
+  test("QualityChecks: lDiversity flags homogeneous groups k-anonymity passes") {
+    import spark.implicits._
+    // group A: 6 rows but only 2 distinct diagnoses (k-anonymous at
+    // k=5, yet l=3-violating); group B: 3 rows, 3 distinct (passes)
+    val df = (Seq.fill(4)(("94103", "flu")) ++ Seq.fill(2)(("94103", "cold")) ++
+      Seq(("02139", "flu"), ("02139", "cold"), ("02139", "covid")))
+      .toDF("zip", "dx")
+    val r = QualityChecks.lDiversity(df, Seq("zip"), sf.col("dx"), l = 3).head()
+    assert(r.getAs[Long]("n_groups") == 2 && r.getAs[Long]("n_violating") == 1,
+      r.toString)
+    assert(r.getAs[Long]("rows_at_risk") == 6 &&
+      r.getAs[Long]("min_diversity") == 2, r.toString)
+  }
+
   test("QualityChecks: skewProfile reports the heaviest key's dominance") {
     import spark.implicits._
     val df = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
