@@ -1457,6 +1457,11 @@ object SparkEntry {
       Similarity.jlDistortion(emb(s, dir), "vec_id", "embedding",
         dims = 64, k = 16)),
 
+    // Naive Bayes lang-from-text: train 90%, confusion matrix on the
+    // held-out 10% — is the metadata label learnable from the text?
+    "q225_naive_bayes" -> ((s, dir) =>
+      CorpusStats.naiveBayesEval(docs(s, dir), "doc_id", "text", "lang")),
+
     // Contrastive negative sampling: 4 deterministic uniform draws per
     // anchor over the dense index space, same-label flagged.
     "q217_negative_samples" -> ((s, dir) =>
@@ -4182,6 +4187,43 @@ object SparkEntry {
          |  CASE WHEN n2x > 0 THEN floor(n2y*$scale/n2x*1000000.0 + 0.5)/1000000.0 END AS distortion
          |FROM c ORDER BY vec_id""".stripMargin
     },
+
+    // Naive Bayes: identical split/counts, same seen-pairs-only score
+    // decomposition in snapped-ln longs, same (score desc, label) argmax.
+    "q225_naive_bayes" ->
+      """WITH tk AS (SELECT doc_id, lang AS lbl,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks,
+        |  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 9000 AS is_train
+        |  FROM documents WHERE lang IS NOT NULL),
+        |twl AS (SELECT w, lbl, COUNT(*) AS c,
+        |  CAST(floor(ln(CAST(COUNT(*) + 1 AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS lnc_fx
+        |  FROM (SELECT lbl, unnest(toks) AS w FROM tk WHERE is_train) GROUP BY 1, 2),
+        |tl AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS tok_l FROM twl GROUP BY 1),
+        |vt AS (SELECT COUNT(DISTINCT w) AS v FROM twl),
+        |pr AS (SELECT lbl, COUNT(*) AS n_l FROM tk WHERE is_train GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM tk WHERE is_train),
+        |consts AS (SELECT pr.lbl AS cand,
+        |  CAST(floor(ln(CAST(n_l AS DOUBLE)/CAST(n_docs AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS prior_fx,
+        |  CAST(floor(ln(CAST(tok_l + v AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS den_fx
+        |  FROM pr CROSS JOIN nd JOIN tl ON tl.lbl = pr.lbl CROSS JOIN vt),
+        |et AS (SELECT doc_id, w, COUNT(*) AS n_w FROM
+        |  (SELECT doc_id, unnest(toks) AS w FROM tk WHERE NOT is_train) GROUP BY 1, 2),
+        |part AS (SELECT et.doc_id, twl.lbl AS cand,
+        |  CAST(SUM(et.n_w * twl.lnc_fx) AS BIGINT) AS s_fx
+        |  FROM et JOIN twl ON twl.w = et.w GROUP BY 1, 2),
+        |dt AS (SELECT doc_id, lbl AS label_true, CAST(len(toks) AS BIGINT) AS n_tok
+        |  FROM tk WHERE NOT is_train),
+        |scored AS (SELECT dt.doc_id, dt.label_true, consts.cand,
+        |  prior_fx + COALESCE(part.s_fx, 0) - dt.n_tok * den_fx AS score_fx
+        |  FROM dt CROSS JOIN consts
+        |  LEFT JOIN part ON part.doc_id = dt.doc_id AND part.cand = consts.cand),
+        |pred AS (SELECT doc_id, label_true, cand AS label_pred FROM (
+        |  SELECT doc_id, label_true, cand,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_fx DESC, cand) AS rn
+        |  FROM scored) WHERE rn = 1)
+        |SELECT label_true, label_pred, COUNT(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

@@ -1094,4 +1094,82 @@ object CorpusStats {
       .orderBy(sf.col("mi").desc, sf.col("token"))
       .limit(topK)
   }
+
+  /** Multinomial Naive Bayes trained IN-ENGINE and evaluated on a
+    * held-out split — the add-one-smoothed generative twin of the
+    * discriminative q73 scorer, and the classic strong baseline every
+    * text-classification eval starts from (McCallum & Nigam 1998).
+    * Trains label priors and per-(token, label) likelihoods on the
+    * deterministic 90% hash split, predicts argmax on the held-out
+    * 10%, and returns the CONFUSION MATRIX (true × predicted counts) —
+    * the readout that tells a curation pipeline whether a metadata
+    * label (language, source) is learnable from the text at all.
+    *
+    * Exact fixed-point protocol: with add-one smoothing, an UNSEEN
+    * (token, label) contributes ln(0+1) = 0, so the score decomposes
+    * as prior + Σ_w n_w·ln(c(w,l)+1) − N_doc·ln(tok_l + V) — only
+    * SEEN pairs join, the denominator factors out. Each ln snaps to a
+    * 1e-6 grid; scores assemble in exact longs; argmax breaks ties on
+    * (score desc, label asc).
+    *
+    * Scale shape: count tables are map-side-combined aggregations
+    * keyed by 64-bit token hashes (text never shuffles; collisions
+    * merge counts — the q68 conservative family); the eval stream
+    * compresses per (doc, token) before the ONE likelihood join
+    * (AQE-decided); the per-label constant table is label-domain-sized
+    * and broadcast; the per-doc argmax is a doc-partitioned window.
+    * Label domain must be bounded (it is a metadata enum). */
+  def naiveBayesEval(docs0: DataFrame, idCol: String, textCol: String,
+                     labelCol: String): DataFrame = {
+    val withT = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(labelCol).cast("string").as("lbl"), sf.col(textCol).as("__t")))
+      .filter(sf.col("lbl").isNotNull)
+      .select(sf.col("doc_id"), sf.col("lbl"),
+        gf.wsTokens(sf.lower(sf.col("__t"))).as("toks"))
+      .withColumn("is_train",
+        sf.pmod(sf.col("doc_id"), sf.lit(2147483648L)) * 2654435761L % 4294967296L % 10000 < 9000)
+      .localCheckpoint(true)
+    val train = withT.filter(sf.col("is_train"))
+    val evalD = withT.filter(!sf.col("is_train"))
+    val fx6 = (c: Column) => sf.floor(sf.log(c) * 1e6 + 0.5).cast("long")
+    // per-(token, label) counts with their snapped ln(c+1)
+    val twl = train.select(sf.col("lbl"), sf.explode(sf.col("toks")).as("w"))
+      .groupBy(sf.xxhash64(sf.col("w")).as("wh"), sf.col("lbl"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .withColumn("lnc_fx", fx6((sf.col("c") + 1L).cast("double")))
+      .localCheckpoint(true)
+    val tl = twl.groupBy("lbl").agg(sf.sum("c").cast("long").as("tok_l"))
+    val vt = twl.select("wh").distinct().agg(sf.count(sf.lit(1)).as("v"))
+    val pr = train.groupBy("lbl").agg(sf.count(sf.lit(1)).as("n_l"))
+    val nd = train.agg(sf.count(sf.lit(1)).as("n_docs"))
+    // per-label constants: snapped ln prior and ln denominator
+    val consts = pr.crossJoin(sf.broadcast(nd))
+      .join(tl, "lbl").crossJoin(sf.broadcast(vt))
+      .select(sf.col("lbl").as("cand"),
+        fx6(sf.col("n_l").cast("double") / sf.col("n_docs").cast("double"))
+          .as("prior_fx"),
+        fx6((sf.col("tok_l") + sf.col("v")).cast("double")).as("den_fx"))
+    // held-out doc-token counts (compressed) and doc totals
+    val et = evalD.select(sf.col("doc_id"), sf.explode(sf.col("toks")).as("w"))
+      .groupBy(sf.col("doc_id"), sf.xxhash64(sf.col("w")).as("wh"))
+      .agg(sf.count(sf.lit(1)).as("n_w"))
+    val part = et.join(twl.select(sf.col("wh"), sf.col("lbl").as("cand"),
+        sf.col("lnc_fx")), "wh")
+      .groupBy("doc_id", "cand")
+      .agg(sf.sum(sf.col("n_w") * sf.col("lnc_fx")).as("s_fx"))
+    val dt = evalD.select(sf.col("doc_id"), sf.col("lbl").as("label_true"),
+      sf.size(sf.col("toks")).cast("long").as("n_tok"))
+    val scored = dt.crossJoin(sf.broadcast(consts))
+      .join(part, Seq("doc_id", "cand"), "left")
+      .select(sf.col("doc_id"), sf.col("label_true"), sf.col("cand"),
+        (sf.col("prior_fx") + sf.coalesce(sf.col("s_fx"), sf.lit(0L)) -
+          sf.col("n_tok") * sf.col("den_fx")).as("score_fx"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(sf.col("score_fx").desc, sf.col("cand"))
+    scored.withColumn("__rn", sf.row_number().over(w))
+      .filter(sf.col("__rn") === 1)
+      .groupBy(sf.col("label_true"), sf.col("cand").as("label_pred"))
+      .agg(sf.count(sf.lit(1)).as("n_docs"))
+      .orderBy("label_true", "label_pred")
+  }
 }

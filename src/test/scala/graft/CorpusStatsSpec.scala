@@ -500,6 +500,25 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got(evalIds(4)) == ((1L, expect(0.75 * 1 * pcSeen / 2))))
   }
 
+  test("CorpusStats.naiveBayesEval: separable vocab classifies; unseen word falls to prior") {
+    import spark.implicits._
+    def bucket(id: Long) = (id % 2147483648L) * 2654435761L % 4294967296L % 10000
+    val evalIds = (1L to 500L).filter(bucket(_) >= 9000).take(3)
+    val trainIds = (1L to 500L).filter(bucket(_) < 9000).take(3)
+    // train: A = {"x x x", "x x x"}, B = {"y y y"}; priors 2/3 vs 1/3
+    val docs = Seq(
+      (trainIds(0), "A", "x x x"), (trainIds(1), "A", "x x x"),
+      (trainIds(2), "B", "y y y"),
+      (evalIds(0), "A", "x x"), // -> A (likelihood)
+      (evalIds(1), "B", "y"),   // -> B (likelihood beats prior)
+      (evalIds(2), "B", "z")    // unseen word -> prior argmax = A
+    ).toDF("doc_id", "lbl", "text")
+    val got = CorpusStats.naiveBayesEval(docs, "doc_id", "text", "lbl")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", "A", 1L), ("B", "A", 1L), ("B", "B", 1L)),
+      s"got $got")
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")
