@@ -1462,6 +1462,11 @@ object SparkEntry {
     "q225_naive_bayes" -> ((s, dir) =>
       CorpusStats.naiveBayesEval(docs(s, dir), "doc_id", "text", "lang")),
 
+    // TextRank keywords: per-doc adjacency graphs ranked by 3 damped
+    // integer PageRank rounds, every doc in parallel; top-3 tokens.
+    "q226_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(docs(s, dir), "doc_id", "text")),
+
     // Contrastive negative sampling: 4 deterministic uniform draws per
     // anchor over the dense index space, same-label flagged.
     "q217_negative_samples" -> ((s, dir) =>
@@ -4224,6 +4229,43 @@ object SparkEntry {
         |  FROM scored) WHERE rn = 1)
         |SELECT label_true, label_pred, COUNT(*) AS n_docs
         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // TextRank: identical per-doc adjacency graph + 3 unrolled rounds
+    // of q119's integer recurrence with the per-doc n as a column.
+    "q226_textrank" -> {
+      val head =
+        """WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+          |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+          |  FROM documents),
+          |t2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+          |sq AS (SELECT doc_id, pr.a AS src, pr.b AS dst FROM (
+          |  SELECT doc_id, unnest([{'a': toks[i+1], 'b': toks[i+2]} FOR i IN range(0, len(toks)-1)]) AS pr
+          |  FROM t2) WHERE pr.a <> pr.b),
+          |e AS (SELECT DISTINCT doc_id, src, dst FROM
+          |  (SELECT doc_id, src, dst FROM sq UNION ALL SELECT doc_id, dst, src FROM sq)),
+          |od AS (SELECT doc_id, src, COUNT(*) AS outdeg FROM e GROUP BY 1, 2),
+          |nodes AS (SELECT DISTINCT doc_id, src AS item FROM e),
+          |nn AS (SELECT doc_id, COUNT(*) AS n FROM nodes GROUP BY 1),
+          |r0 AS (SELECT nodes.doc_id, item, 1000000000000 // n AS rank_fx
+          |       FROM nodes JOIN nn ON nn.doc_id = nodes.doc_id)""".stripMargin
+      val rounds = (1 to 3).map { r =>
+        s""",
+           |c$r AS (SELECT e.doc_id, e.dst, SUM(p.rank_fx // od.outdeg) AS s
+           |  FROM e JOIN od ON od.doc_id = e.doc_id AND od.src = e.src
+           |  JOIN r${r - 1} p ON p.doc_id = e.doc_id AND p.item = e.src GROUP BY 1, 2),
+           |r$r AS (SELECT nodes.doc_id, nodes.item,
+           |  (15000000000000 // (100 * nn.n)) + (85 * COALESCE(c$r.s, 0)) // 100 AS rank_fx
+           |  FROM nodes JOIN nn ON nn.doc_id = nodes.doc_id
+           |  LEFT JOIN c$r ON c$r.doc_id = nodes.doc_id AND c$r.dst = nodes.item)""".stripMargin
+      }.mkString
+      val tail =
+        """
+          |SELECT doc_id, CAST(pos AS INT) AS pos, token, rank_fx FROM (
+          |  SELECT doc_id, item AS token, CAST(rank_fx AS BIGINT) AS rank_fx,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY rank_fx DESC, item) AS pos
+          |  FROM r3) WHERE pos <= 3 ORDER BY doc_id, pos""".stripMargin
+      head + rounds + tail
+    },
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

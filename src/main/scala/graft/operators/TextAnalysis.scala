@@ -319,6 +319,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004), every
+    * document IN PARALLEL: per doc, the word-adjacency graph (distinct
+    * undirected pairs of consecutive tokens, self-loops dropped) is
+    * ranked by `iters` damped PageRank rounds and the top-`topK`
+    * tokens are the document's keywords — the unsupervised
+    * summarization/tagging primitive, and the graph twin of q38's
+    * TF-IDF (which needs the corpus; TextRank ranks within the doc).
+    *
+    * Determinism: q119's exact 1e12 fixed-point integer recurrence,
+    * with the per-doc node count as a COLUMN (no driver scalar —
+    * every doc iterates simultaneously):
+    *   r0 = SCALE div n_doc
+    *   r_k+1 = (15·SCALE) div (100·n_doc) + (85·Σ_{u→v} r_k(u) div outdeg(u)) div 100
+    * Ties break (rank_fx desc, token asc). Docs with < 1 non-loop
+    * adjacency (0 or 1 distinct token) have no graph and no rows.
+    *
+    * Scale shape: all state is keyed (doc, token) — each round is ONE
+    * |adjacency|-row join + ONE map-side-combined groupBy, uniform
+    * across docs, zero driver-side per-doc work; loop invariants
+    * (edges+outdeg, nodes+n) persist once; the final cut is a
+    * doc-partitioned window over the node domain (never the corpus). */
+  def textRankKeywords(docs0: DataFrame, idCol: String, textCol: String,
+                       iters: Int = 3, topK: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val SCALE = 1000000000000L
+    val withT = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"), gf.wsTokens(sf.lower(sf.col("__t"))).as("toks"))
+      .filter(sf.size(sf.col("toks")) >= 2)
+    val seq0 = withT.select(sf.col("doc_id"), sf.explode(sf.transform(
+        sf.sequence(sf.lit(1), sf.size(sf.col("toks")) - 1),
+        i => sf.struct(sf.element_at(sf.col("toks"), i).as("a"),
+          sf.element_at(sf.col("toks"), i + 1).as("b")))).as("z"))
+      .filter(sf.col("z.a") =!= sf.col("z.b"))
+      .select(sf.col("doc_id"), sf.col("z.a").as("src"), sf.col("z.b").as("dst"))
+    val edges = seq0
+      .union(seq0.select(sf.col("doc_id"), sf.col("dst").as("src"),
+        sf.col("src").as("dst")))
+      .distinct()
+    val outdeg = edges.groupBy("doc_id", "src").agg(sf.count(sf.lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, Seq("doc_id", "src")).persist()
+    val nodes = edges.select(sf.col("doc_id"), sf.col("src").as("item")).distinct()
+    val nodesN = nodes
+      .join(nodes.groupBy("doc_id").agg(sf.count(sf.lit(1)).as("n")), "doc_id")
+      .persist()
+    var ranks = nodesN.select(sf.col("doc_id"), sf.col("item"),
+      sf.expr(s"${SCALE}L div n").as("rank_fx"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks.select(sf.col("doc_id"), sf.col("item").as("src"),
+          sf.col("rank_fx")), Seq("doc_id", "src"))
+        .select(sf.col("doc_id"), sf.col("dst"),
+          sf.expr("rank_fx div outdeg").as("c"))
+        .groupBy("doc_id", "dst").agg(sf.sum("c").as("s"))
+      ranks = nodesN
+        .join(contrib.select(sf.col("doc_id"), sf.col("dst").as("item"),
+          sf.col("s")), Seq("doc_id", "item"), "left")
+        .select(sf.col("doc_id"), sf.col("item"),
+          sf.expr(s"(${15 * SCALE}L div (100L * n)) + (85L * coalesce(s, 0L)) div 100L")
+            .as("rank_fx"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(sf.col("rank_fx").desc, sf.col("item"))
+    ranks.withColumn("pos", sf.row_number().over(w))
+      .filter(sf.col("pos") <= topK)
+      .select(sf.col("doc_id"), sf.col("pos"), sf.col("item").as("token"),
+        sf.col("rank_fx"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * term list (count-desc, term-text tie-break — a deterministic
     * frequency vocabulary, the fixed-size-tokenizer view of the data):

@@ -519,6 +519,22 @@ class CorpusStatsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("TextAnalysis.textRankKeywords: exact integer recurrence on a path graph") {
+    import spark.implicits._
+    // "a b a b c": undirected graph a-b, b-c; n=3; outdeg a=1 b=2 c=1.
+    // Hand-unrolled 3 rounds of the 1e12 fixed-point recurrence:
+    // r3(b)=580541666666, r3(a)=r3(c)=209729166666 (tie -> token asc)
+    val docs = Seq((1L, "a b a b c"), (2L, "solo"), (3L, "x x x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textRankKeywords(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    // doc 2 has one token (no edges), doc 3 only self-loops -> no rows
+    assert(got == Seq(
+      (1L, 1, "b", 580541666666L),
+      (1L, 2, "a", 209729166666L),
+      (1L, 3, "c", 209729166666L)), s"got $got")
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")
