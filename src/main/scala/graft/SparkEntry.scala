@@ -1467,6 +1467,18 @@ object SparkEntry {
     "q226_textrank" -> ((s, dir) =>
       TextAnalysis.textRankKeywords(docs(s, dir), "doc_id", "text")),
 
+    // Good-Turing frequency-of-frequencies: S(r), adjusted counts r*,
+    // per-count GT mass, and the r=0 missing mass S(1)/N.
+    "q227_good_turing" -> ((s, dir) =>
+      CorpusStats.goodTuring(docs(s, dir), "doc_id", "text")),
+
+    // CMH test: q99's A/B split vs value>=50 conversion, stratified by
+    // event type — the Simpson's-paradox-proof pooled readout.
+    "q228_cmh" -> ((s, dir) =>
+      QualityChecks.cmhTest(Tables.load(s, dir, "events"), "event_type",
+        Sampling.hashBucket(sf.col("user_id")) < 5000,
+        sf.col("value") >= 50.0)),
+
     // Contrastive negative sampling: 4 deterministic uniform draws per
     // anchor over the dense index space, same-label flagged.
     "q217_negative_samples" -> ((s, dir) =>
@@ -4266,6 +4278,55 @@ object SparkEntry {
           |  FROM r3) WHERE pos <= 3 ORDER BY doc_id, pos""".stripMargin
       head + rounds + tail
     },
+
+    // Good-Turing: identical count table, S(r) rollup, and the
+    // (r+1)·S(r+1) single-ratio identity for r* and the masses.
+    "q227_good_turing" ->
+      """WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM cnt),
+        |sr AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS s FROM cnt WHERE c <= 11 GROUP BY 1),
+        |grid AS (SELECT CAST(i AS BIGINT) AS r FROM range(0, 11) t(i))
+        |SELECT g.r,
+        |  CASE WHEN g.r > 0 THEN COALESCE(sr.s, 0) END AS s_r,
+        |  CASE WHEN g.r > 0 AND COALESCE(sr.s, 0) > 0 THEN
+        |    floor(CAST((g.r + 1) * COALESCE(s1.s, 0) AS DOUBLE)/CAST(sr.s AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS r_star,
+        |  floor(CAST((g.r + 1) * COALESCE(s1.s, 0) AS DOUBLE)/CAST(n.n_tok AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS p_mass
+        |FROM grid g LEFT JOIN sr ON sr.r = g.r LEFT JOIN sr s1 ON s1.r = g.r + 1
+        |CROSS JOIN n ORDER BY g.r""".stripMargin,
+
+    // CMH: identical cells, per-stratum pinned rationals snapped 1e-6
+    // before the cross-stratum long sums, same final assemblies.
+    "q228_cmh" ->
+      """WITH base AS (SELECT event_type AS k,
+        |  (((user_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 5000 AS ga,
+        |  value >= 50.0 AS sc
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT k,
+        |  CAST(SUM(CASE WHEN ga AND sc THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN ga AND NOT sc THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN NOT ga AND sc THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN NOT ga AND NOT sc THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM base GROUP BY 1),
+        |w AS (SELECT a, b, c, d, a+b+c+d AS n, a+b AS n1, c+d AS n0,
+        |  a+c AS m1, b+d AS m0 FROM cells WHERE a+b+c+d >= 2),
+        |fx AS (SELECT n,
+        |  CAST(floor((CAST(a AS DOUBLE) - CAST(n1*m1 AS DOUBLE)/CAST(n AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS dfx,
+        |  CAST(floor(CAST(CAST(n1 AS HUGEINT)*n0*m1*m0 AS DOUBLE)
+        |    /CAST(CAST(n AS HUGEINT)*n*(n-1) AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS vfx,
+        |  CAST(floor(CAST(a*d AS DOUBLE)/CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS onx,
+        |  CAST(floor(CAST(b*c AS DOUBLE)/CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS odx
+        |  FROM w),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(dfx) AS BIGINT) AS sd, CAST(SUM(vfx) AS BIGINT) AS sv,
+        |  CAST(SUM(onx) AS BIGINT) AS son, CAST(SUM(odx) AS BIGINT) AS sod FROM fx)
+        |SELECT n_strata, n_rows,
+        |  CASE WHEN sv > 0 THEN floor((CAST(sd AS DOUBLE)/1e6)*(CAST(sd AS DOUBLE)/1e6)
+        |    /(CAST(sv AS DOUBLE)/1e6)*1000000.0 + 0.5)/1000000.0 END AS cmh_stat,
+        |  CASE WHEN sod > 0 THEN floor(CAST(son AS DOUBLE)/CAST(sod AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mh_odds_ratio
+        |FROM s""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

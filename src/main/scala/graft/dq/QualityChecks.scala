@@ -1728,4 +1728,61 @@ object QualityChecks {
         ((sf.col("multiplicity") - 1) * sf.col("n_contents")).as("dedup_savings"))
       .orderBy("multiplicity")
   }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + the MH common odds
+    * ratio — the A/B readout that CONTROLS FOR a confounder the
+    * marginal q99/q211 tests can't: pooling strata with different
+    * base rates invites Simpson's paradox; CMH tests the association
+    * WITHIN each stratum and combines the evidence. Per stratum k:
+    * E_k = n1·m1/N, V_k = n1·n0·m1·m0/(N²(N−1)),
+    * CMH = (Σ(a_k−E_k))²/ΣV_k; MH OR = Σ(a·d/N)/Σ(b·c/N).
+    *
+    * Determinism: a/b/c/d are exact longs; every per-stratum rational
+    * is ONE pinned double division of decimal(38) integer products,
+    * snapped 1e-6 BEFORE the unordered cross-stratum sum (exact
+    * longs); final assemblies pinned. Strata with N < 2 are excluded
+    * (V undefined).
+    *
+    * Scale shape: one map-side-combined groupBy(stratum) over the
+    * event stream, then a one-row aggregate over the stratum domain.
+    * Never sorts, never windows. */
+  def cmhTest(df: DataFrame, stratumCol: String,
+              groupA: Column, success: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def cnt(p: Column) = sf.sum(p.cast("long"))
+    val cells = df.filter(groupA.isNotNull && success.isNotNull)
+      .select(sf.col(stratumCol).as("k"), groupA.as("ga"), success.as("sc"))
+      .groupBy("k")
+      .agg(cnt(sf.col("ga") && sf.col("sc")).as("a"),
+        cnt(sf.col("ga") && !sf.col("sc")).as("b"),
+        cnt(!sf.col("ga") && sf.col("sc")).as("c"),
+        cnt(!sf.col("ga") && !sf.col("sc")).as("d"))
+      .withColumn("n", sf.col("a") + sf.col("b") + sf.col("c") + sf.col("d"))
+      .filter(sf.col("n") >= 2)
+    val n1 = sf.col("a") + sf.col("b")
+    val n0 = sf.col("c") + sf.col("d")
+    val m1 = sf.col("a") + sf.col("c")
+    val m0 = sf.col("b") + sf.col("d")
+    def fx6(c: Column) = sf.floor(c * 1e6 + 0.5).cast("long")
+    val diff = sf.col("a").cast("double") -
+      (dec(n1) * dec(m1)).cast("double") / sf.col("n").cast("double")
+    val v = (dec(n1) * dec(n0) * dec(m1) * dec(m0)).cast("double") /
+      (dec(sf.col("n")) * dec(sf.col("n")) * dec(sf.col("n") - 1)).cast("double")
+    val orN = (dec(sf.col("a")) * dec(sf.col("d"))).cast("double") /
+      sf.col("n").cast("double")
+    val orD = (dec(sf.col("b")) * dec(sf.col("c"))).cast("double") /
+      sf.col("n").cast("double")
+    val t = sf.col("sd").cast("double") / 1e6
+    cells
+      .agg(sf.count(sf.lit(1)).as("n_strata"),
+        sf.sum("n").cast("long").as("n_rows"),
+        sf.sum(fx6(diff)).as("sd"), sf.sum(fx6(v)).as("sv"),
+        sf.sum(fx6(orN)).as("son"), sf.sum(fx6(orD)).as("sod"))
+      .select(sf.col("n_strata"), sf.col("n_rows"),
+        sf.when(sf.col("sv") > 0, gf.roundAt(
+          (t * t) / (sf.col("sv").cast("double") / 1e6), 6)).as("cmh_stat"),
+        sf.when(sf.col("sod") > 0, gf.roundAt(
+          sf.col("son").cast("double") / sf.col("sod").cast("double"), 6))
+          .as("mh_odds_ratio"))
+  }
 }

@@ -1095,6 +1095,51 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** Good-Turing frequency-of-frequencies datasheet (Good 1953; Gale &
+    * Sampson 1995): S(r) = how many distinct tokens occur exactly r
+    * times, the adjusted count r* = (r+1)·S(r+1)/S(r), and the total
+    * GT-smoothed probability mass at each count — including the r=0
+    * row, whose mass S(1)/N is the MISSING MASS: the probability the
+    * next token drawn is one never seen, i.e. how "open" this corpus's
+    * vocabulary still is (the number that says whether an LM's OOV
+    * handling matters and whether a vocab-size choice saturates). The
+    * identity S(r)·r* / N = (r+1)·S(r+1)/N makes every mass a single
+    * exact-integer ratio — no chained division.
+    *
+    * Scale shape: one hash-keyed map-side-combined token count, one
+    * count-domain rollup FILTERED to r <= maxR+1 before grouping (the
+    * S table never exceeds maxR+1 rows), N from the same count table;
+    * the output grid is a maxR-row literal joined against one-row /
+    * tiny broadcast frames. The corpus never sorts. */
+  def goodTuring(docs0: DataFrame, idCol: String, textCol: String,
+                 maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR must be in [1, 1000], got $maxR")
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val cnt = Par.spread(docs0.select(sf.col(textCol).as("__t")))
+      .select(sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy(sf.xxhash64(sf.col("w")).as("wh"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nTok = cnt.agg(sf.sum("c").cast("long").as("n_tok"))
+    val srTab = cnt.filter(sf.col("c") <= maxR + 1)
+      .groupBy(sf.col("c").as("r")).agg(sf.count(sf.lit(1)).as("s"))
+    val grid = (0L to maxR.toLong).toDF("r")
+    grid
+      .join(sf.broadcast(srTab), Seq("r"), "left")
+      .join(sf.broadcast(srTab.select((sf.col("r") - 1L).as("r"),
+        sf.col("s").as("s1"))), Seq("r"), "left")
+      .crossJoin(sf.broadcast(nTok))
+      .select(sf.col("r"),
+        sf.when(sf.col("r") > 0, sf.coalesce(sf.col("s"), sf.lit(0L))).as("s_r"),
+        sf.when(sf.col("r") > 0 && sf.coalesce(sf.col("s"), sf.lit(0L)) > 0,
+          gf.roundAt(((sf.col("r") + 1L) * sf.coalesce(sf.col("s1"), sf.lit(0L)))
+            .cast("double") / sf.col("s").cast("double"), 6)).as("r_star"),
+        gf.roundAt(((sf.col("r") + 1L) * sf.coalesce(sf.col("s1"), sf.lit(0L)))
+          .cast("double") / sf.col("n_tok").cast("double"), 6).as("p_mass"))
+      .orderBy("r")
+  }
+
   /** Multinomial Naive Bayes trained IN-ENGINE and evaluated on a
     * held-out split — the add-one-smoothed generative twin of the
     * discriminative q73 scorer, and the classic strong baseline every

@@ -535,6 +535,21 @@ class CorpusStatsSpec extends SparkFunSuite {
       (1L, 3, "c", 209729166666L)), s"got $got")
   }
 
+  test("CorpusStats.goodTuring: S(r), adjusted counts, and missing mass") {
+    import spark.implicits._
+    // counts: a=3 b=2 c=1 -> N=6, S(1)=S(2)=S(3)=1
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = CorpusStats.goodTuring(docs, "doc_id", "text", maxR = 3).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (0L, None, None, 0.166667),            // missing mass S(1)/N = 1/6
+      (1L, Some(1L), Some(2.0), 0.333333),   // r* = 2*S(2)/S(1)
+      (2L, Some(1L), Some(3.0), 0.5),
+      (3L, Some(1L), Some(0.0), 0.0)),       // S(4)=0 -> r* floor 0
+      s"got $got")
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")

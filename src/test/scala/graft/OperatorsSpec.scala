@@ -496,6 +496,29 @@ class OperatorsSpec extends SparkFunSuite {
       r.getAs[Long]("min_diversity") == 2, r.toString)
   }
 
+  test("QualityChecks: cmhTest pools two hand-computed strata") {
+    import spark.implicits._
+    // stratum X: a=4 b=1 c=2 d=3 -> diff=1.0, V=2/3, ad/N=1.2, bc/N=0.2
+    // stratum Y: a=3 b=3 c=1 d=3 -> diff=0.6, V=0.64, ad/N=0.9, bc/N=0.3
+    def rows(k: String, ga: Boolean, sc: Boolean, n: Int) =
+      Seq.fill(n)((k, ga, sc))
+    val df = (rows("X", true, true, 4) ++ rows("X", true, false, 1) ++
+      rows("X", false, true, 2) ++ rows("X", false, false, 3) ++
+      rows("Y", true, true, 3) ++ rows("Y", true, false, 3) ++
+      rows("Y", false, true, 1) ++ rows("Y", false, false, 3))
+      .toDF("k", "ga", "sc")
+    val r = QualityChecks.cmhTest(df, "k", sf.col("ga"), sf.col("sc")).head()
+    assert(r.getAs[Long]("n_strata") == 2 && r.getAs[Long]("n_rows") == 20)
+    // replay the snapped-fx assembly exactly
+    val sd = 1000000L + 600000L
+    val sv = 666667L + 640000L
+    val t = sd.toDouble / 1e6
+    val cmh = math.floor((t * t) / (sv.toDouble / 1e6) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("cmh_stat") == cmh, r.toString)
+    // MH OR = (1.2 + 0.9)/(0.2 + 0.3) = 4.2
+    assert(r.getAs[Double]("mh_odds_ratio") == 4.2, r.toString)
+  }
+
   test("QualityChecks: skewProfile reports the heaviest key's dominance") {
     import spark.implicits._
     val df = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
