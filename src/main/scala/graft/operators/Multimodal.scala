@@ -58,7 +58,7 @@ object Multimodal {
 
   /** REAL audio/video container metadata: format, duration, sample
     * rate, channels and visual-track dimensions parsed straight from
-    * WAV/RIFF and MP4 header bytes (functions.mediaMeta — no codec,
+    * WAV/RIFF, MP4, FLAC, and MP3 header bytes (functions.mediaMeta — no codec,
     * no library), completing the pre-decode curation pass beside
     * `imageDimensions`: drop sub-second clips, bucket by sample rate /
     * resolution at scan speed, before any expensive decode. Map-only;
@@ -70,7 +70,8 @@ object Multimodal {
     media
       .withColumn("__m", meta)
       .select(sf.col(idCol),
-        sf.element_at(sf.array(sf.lit("unknown"), sf.lit("wav"), sf.lit("mp4")),
+        sf.element_at(sf.array(sf.lit("unknown"), sf.lit("wav"), sf.lit("mp4"),
+            sf.lit("flac"), sf.lit("mp3")),
           (sf.col("__m").getItem(0) + 1).cast("int")).as("format"),
         sf.col("__m").getItem(1).as("duration_ms"),
         sf.col("__m").getItem(2).as("sample_rate"),

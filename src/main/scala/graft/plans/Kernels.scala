@@ -1046,15 +1046,18 @@ object Kernels {
   }
 
   /** REAL audio/video container-header parse (no codec): WAV/RIFF
-    * fmt+data chunk walk and MP4/ISO-BMFF box walk (moov/mvhd for
-    * timescale+duration, moov/trak/tkhd for visual track dims) — the
-    * pre-decode curation metadata (drop sub-second clips, bucket by
-    * resolution/sample rate) at scan speed. Returns
+    * fmt+data chunk walk, MP4/ISO-BMFF box walk (moov/mvhd for
+    * timescale+duration, moov/trak/tkhd for visual track dims), FLAC
+    * STREAMINFO bit unpack, and MP3 first-frame-header decode (with
+    * ID3v2 syncsafe skip) — the pre-decode curation metadata (drop
+    * sub-second clips, bucket by resolution/sample rate) at scan
+    * speed. Returns
     * [format, duration_ms, sample_rate, channels, width, height]
-    * with format 0=unknown 1=wav 2=mp4 and -1 for fields the container
-    * doesn't carry or a truncated/corrupt header can't supply.
-    * Bounds-checked byte arithmetic only — corrupt sizes terminate the
-    * walk, they never throw. */
+    * with format 0=unknown 1=wav 2=mp4 3=flac 4=mp3 and -1 for fields
+    * the container doesn't carry or a truncated/corrupt header can't
+    * supply (MP3 duration assumes CBR at the first frame's bitrate —
+    * the honest header-only estimate). Bounds-checked byte arithmetic
+    * only — corrupt sizes terminate the walk, they never throw. */
   def mediaMeta(bytes: Array[Byte]): ArrayData = {
     val n = bytes.length
     def u8(i: Int): Int = bytes(i) & 0xff
@@ -1134,6 +1137,49 @@ object Kernels {
             }
             tS = trakE // continue past this trak
           }
+        }
+      }
+    } else if (n >= 26 && tag(0, "fLaC") && (u8(4) & 0x7f) == 0) {
+      // FLAC STREAMINFO (block type 0): sample rate 20 bits, channels
+      // 3 bits, bps 5 bits, total samples 36 bits, packed at offset 18
+      fmt = 3
+      val sr = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      if (sr > 0) {
+        rate = sr
+        ch = ((u8(20) >> 1) & 0x7) + 1
+        val total = ((u8(21) & 0xf).toLong << 32) | be32(22)
+        if (total > 0) durMs = total * 1000L / sr
+      }
+    } else {
+      // MP3: optional ID3v2 tag (syncsafe 28-bit size), then a frame
+      // sync; decode version/layer/bitrate/samplerate/mode tables
+      var off = 0
+      if (n >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
+        val sz = (u8(6) & 0x7f) << 21 | (u8(7) & 0x7f) << 14 |
+          (u8(8) & 0x7f) << 7 | (u8(9) & 0x7f)
+        off = 10 + sz
+      }
+      if (off + 4 <= n && u8(off) == 0xff && (u8(off + 1) & 0xe0) == 0xe0) {
+        val ver = (u8(off + 1) >> 3) & 3   // 3=MPEG1 2=MPEG2 0=MPEG2.5
+        val layer = (u8(off + 1) >> 1) & 3 // 1=Layer III
+        val brIdx = (u8(off + 2) >> 4) & 0xf
+        val srIdx = (u8(off + 2) >> 2) & 3
+        val mode = (u8(off + 3) >> 6) & 3
+        val srBase = srIdx match {
+          case 0 => 44100L; case 1 => 48000L; case 2 => 32000L; case _ => -1L
+        }
+        val brL3M1 = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+          160, 192, 224, 256, 320, -1)
+        val brL3M2 = Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+          96, 112, 128, 144, 160, -1)
+        if (layer == 1 && srBase > 0 && ver != 1) {
+          fmt = 4
+          rate = ver match {
+            case 3 => srBase; case 2 => srBase / 2; case _ => srBase / 4
+          }
+          ch = if (mode == 3) 1 else 2
+          val kbps = if (ver == 3) brL3M1(brIdx) else brL3M2(brIdx)
+          if (kbps > 0) durMs = (n - off).toLong * 8L / kbps
         }
       }
     }

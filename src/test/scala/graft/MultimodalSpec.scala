@@ -114,7 +114,19 @@ class MultimodalSpec extends SparkFunSuite {
     val mp4Corrupt = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0) ++
       be32(0xffffff) ++ "junk".getBytes
     val junk = "definitely not media".getBytes
-    val df = Seq((1L, wav), (2L, mp4), (3L, wavTrunc), (4L, mp4Corrupt), (5L, junk))
+    // FLAC: fLaC + STREAMINFO (type 0, len 34): 44.1kHz stereo 16bps,
+    // 88200 total samples = exactly 2000 ms
+    val flac = "fLaC".getBytes ++ Array(0x80.toByte, 0, 0, 34).map(_.toByte) ++
+      new Array[Byte](10) ++
+      Array(0x0a, 0xc4, 0x42, 0xf0).map(_.toByte) ++ be32(88200)
+    // MP3: empty ID3v2 (10 bytes), MPEG1 Layer III 128kbps 44.1kHz
+    // stereo; 16000 payload bytes at 128 kbps = exactly 1000 ms
+    val mp3 = "ID3".getBytes ++ Array(3, 0, 0, 0, 0, 0, 0).map(_.toByte) ++
+      Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++ new Array[Byte](16000 - 4)
+    // reserved MPEG version bits -> not a valid frame, stays unknown
+    val mp3Bad = Array(0xff, 0xeb, 0x90, 0x00).map(_.toByte) ++ new Array[Byte](64)
+    val df = Seq((1L, wav), (2L, mp4), (3L, wavTrunc), (4L, mp4Corrupt), (5L, junk),
+      (6L, flac), (7L, mp3), (8L, mp3Bad))
       .toDF("id", "payload")
     val got = Multimodal.mediaMetadata(df, "id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
@@ -124,6 +136,9 @@ class MultimodalSpec extends SparkFunSuite {
       (2L, "mp4", 3000L, -1L, -1L, 1280L, 720L),
       (3L, "wav", -1L, -1L, -1L, -1L, -1L),
       (4L, "mp4", -1L, -1L, -1L, -1L, -1L),
-      (5L, "unknown", -1L, -1L, -1L, -1L, -1L)), s"got $got")
+      (5L, "unknown", -1L, -1L, -1L, -1L, -1L),
+      (6L, "flac", 2000L, 44100L, 2L, -1L, -1L),
+      (7L, "mp3", 1000L, 44100L, 2L, -1L, -1L),
+      (8L, "unknown", -1L, -1L, -1L, -1L, -1L)), s"got $got")
   }
 }
