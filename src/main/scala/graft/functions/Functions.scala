@@ -254,6 +254,12 @@ object functions {
     kernel(ArrayType(DoubleType, containsNull = false), "jlStats",
       x.cast("array<double>"), planesFlat, k)
 
+  /** Per-doc TextRank top-k as "token\trank_fx" strings (whole graph +
+    * integer iteration fused; see Kernels.textRankTopK). */
+  def textRankTopK(toks: Column, iters: Column, topK: Column): Column =
+    kernel(ArrayType(StringType, containsNull = false), "textRankTopK",
+      toks, iters, topK)
+
   // --------------------------------------------------------------------
   // MinHash / SimHash (pure expressions; codegen-friendly, shuffle-free)
   // --------------------------------------------------------------------

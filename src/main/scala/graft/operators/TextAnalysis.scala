@@ -335,58 +335,31 @@ object TextAnalysis {
     * Ties break (rank_fx desc, token asc). Docs with < 1 non-loop
     * adjacency (0 or 1 distinct token) have no graph and no rows.
     *
-    * Scale shape: all state is keyed (doc, token) — each round is ONE
-    * |adjacency|-row join + ONE map-side-combined groupBy, uniform
-    * across docs, zero driver-side per-doc work; loop invariants
-    * (edges+outdeg, nodes+n) persist once; the final cut is a
-    * doc-partitioned window over the node domain (never the corpus). */
+    * Scale shape: a per-doc graph is PARTITION-LOCAL by construction —
+    * building it with corpus-wide joins would pay 2·iters shuffles for
+    * work a tight loop finishes in microseconds (the first-draft join
+    * formulation measured 15s at sf0.1; this kernel form: ~0.5s). ONE
+    * fused kernel call per row ([[graft.plans.Kernels.textRankTopK]]:
+    * adjacency build + integer iteration + top-k), map-only, scan
+    * speed at any corpus size; graph size is bounded by doc length.
+    * Corpus-SCALE graphs (where one graph spans the cluster) are
+    * [[Graph.pageRank]]'s job — this operator is the many-small-graphs
+    * regime. */
   def textRankKeywords(docs0: DataFrame, idCol: String, textCol: String,
                        iters: Int = 3, topK: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val SCALE = 1000000000000L
-    val withT = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+    val kw = sf.col("__kw")
+    Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
         sf.col(textCol).as("__t")))
-      .select(sf.col("doc_id"), gf.wsTokens(sf.lower(sf.col("__t"))).as("toks"))
-      .filter(sf.size(sf.col("toks")) >= 2)
-    val seq0 = withT.select(sf.col("doc_id"), sf.explode(sf.transform(
-        sf.sequence(sf.lit(1), sf.size(sf.col("toks")) - 1),
-        i => sf.struct(sf.element_at(sf.col("toks"), i).as("a"),
-          sf.element_at(sf.col("toks"), i + 1).as("b")))).as("z"))
-      .filter(sf.col("z.a") =!= sf.col("z.b"))
-      .select(sf.col("doc_id"), sf.col("z.a").as("src"), sf.col("z.b").as("dst"))
-    val edges = seq0
-      .union(seq0.select(sf.col("doc_id"), sf.col("dst").as("src"),
-        sf.col("src").as("dst")))
-      .distinct()
-    val outdeg = edges.groupBy("doc_id", "src").agg(sf.count(sf.lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outdeg, Seq("doc_id", "src")).persist()
-    val nodes = edges.select(sf.col("doc_id"), sf.col("src").as("item")).distinct()
-    val nodesN = nodes
-      .join(nodes.groupBy("doc_id").agg(sf.count(sf.lit(1)).as("n")), "doc_id")
-      .persist()
-    var ranks = nodesN.select(sf.col("doc_id"), sf.col("item"),
-      sf.expr(s"${SCALE}L div n").as("rank_fx"))
-    for (_ <- 1 to iters) {
-      val contrib = edgesDeg
-        .join(ranks.select(sf.col("doc_id"), sf.col("item").as("src"),
-          sf.col("rank_fx")), Seq("doc_id", "src"))
-        .select(sf.col("doc_id"), sf.col("dst"),
-          sf.expr("rank_fx div outdeg").as("c"))
-        .groupBy("doc_id", "dst").agg(sf.sum("c").as("s"))
-      ranks = nodesN
-        .join(contrib.select(sf.col("doc_id"), sf.col("dst").as("item"),
-          sf.col("s")), Seq("doc_id", "item"), "left")
-        .select(sf.col("doc_id"), sf.col("item"),
-          sf.expr(s"(${15 * SCALE}L div (100L * n)) + (85L * coalesce(s, 0L)) div 100L")
-            .as("rank_fx"))
-    }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      .orderBy(sf.col("rank_fx").desc, sf.col("item"))
-    ranks.withColumn("pos", sf.row_number().over(w))
-      .filter(sf.col("pos") <= topK)
-      .select(sf.col("doc_id"), sf.col("pos"), sf.col("item").as("token"),
-        sf.col("rank_fx"))
+      .select(sf.col("doc_id"),
+        gf.textRankTopK(gf.wsTokens(sf.lower(sf.col("__t"))),
+          sf.lit(iters), sf.lit(topK)).as("__kw"))
+      .filter(sf.size(kw) > 0)
+      .select(sf.col("doc_id"), sf.posexplode(kw).as(Seq("__i", "__s")))
+      .select(sf.col("doc_id"), (sf.col("__i") + 1).as("pos"),
+        sf.split(sf.col("__s"), "\t").getItem(0).as("token"),
+        sf.split(sf.col("__s"), "\t").getItem(1).cast("long").as("rank_fx"))
       .orderBy("doc_id", "pos")
   }
 

@@ -847,6 +847,87 @@ object Kernels {
     } finally d.end()
   }
 
+  /** Per-document TextRank, entire graph + iteration in ONE kernel
+    * call (the q171/q179 fusion lesson: a per-doc graph is
+    * partition-local by construction — building it with corpus-wide
+    * joins pays 2·iters shuffles for work a tight loop finishes in
+    * microseconds). Adjacency = distinct undirected consecutive-token
+    * pairs, self-loops dropped; nodes = edge endpoints; then `iters`
+    * rounds of EXACTLY the q119 1e12 integer recurrence
+    * (r0 = S/n; r' = 15S/(100n) + 85·Σ(r_src/outdeg_src)/100, all
+    * integer divisions) — bit-identical to the unrolled SQL oracle.
+    * Returns the top `topK` nodes by (rank desc, token asc) encoded
+    * "token\trank" (tokens are whitespace-split upstream, so TAB can't
+    * occur); empty array when the doc has no non-loop adjacency. */
+  def textRankTopK(toks: ArrayData, iters: Int, topK: Int): ArrayData = {
+    val n = toks.numElements()
+    def empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    if (n < 2) return empty
+    val SCALE = 1000000000000L
+    val idx = new java.util.HashMap[UTF8String, Integer]
+    val words = new scala.collection.mutable.ArrayBuffer[UTF8String]
+    def wordId(w: UTF8String): Int = {
+      val got = idx.get(w)
+      if (got != null) got.intValue()
+      else { val v = words.length; idx.put(w, v); words += w; v }
+    }
+    val edgeSet = new java.util.HashSet[java.lang.Long]
+    var prev = wordId(toks.getUTF8String(0))
+    var i = 1
+    while (i < n) {
+      val cur = wordId(toks.getUTF8String(i))
+      if (cur != prev) {
+        edgeSet.add((prev.toLong << 32) | cur)
+        edgeSet.add((cur.toLong << 32) | prev)
+      }
+      prev = cur
+      i += 1
+    }
+    if (edgeSet.isEmpty) return empty
+    val edges = new Array[Long](edgeSet.size)
+    val it = edgeSet.iterator()
+    i = 0
+    while (it.hasNext) { edges(i) = it.next().longValue(); i += 1 }
+    val v = words.length
+    val outdeg = new Array[Int](v)
+    i = 0
+    while (i < edges.length) { outdeg((edges(i) >>> 32).toInt) += 1; i += 1 }
+    var nNodes = 0
+    i = 0
+    while (i < v) { if (outdeg(i) > 0) nNodes += 1; i += 1 }
+    val base = (15L * SCALE) / (100L * nNodes)
+    var rank = new Array[Long](v)
+    i = 0
+    while (i < v) { if (outdeg(i) > 0) rank(i) = SCALE / nNodes; i += 1 }
+    var round = 0
+    while (round < iters) {
+      val contrib = new Array[Long](v)
+      i = 0
+      while (i < edges.length) {
+        val s = (edges(i) >>> 32).toInt
+        contrib((edges(i) & 0xffffffffL).toInt) += rank(s) / outdeg(s)
+        i += 1
+      }
+      val next = new Array[Long](v)
+      i = 0
+      while (i < v) {
+        if (outdeg(i) > 0) next(i) = base + (85L * contrib(i)) / 100L
+        i += 1
+      }
+      rank = next
+      round += 1
+    }
+    val nodeIds = Array.range(0, v).filter(outdeg(_) > 0)
+    val top = nodeIds.sortWith { (a, b) =>
+      if (rank(a) != rank(b)) rank(a) > rank(b)
+      else words(a).compareTo(words(b)) < 0
+    }.take(topK)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      top.map(w => UTF8String.fromString(
+        words(w).toString + "\t" + rank(w)): Any))
+  }
+
   /** Johnson-Lindenstrauss projection norms in one pass: with the k
     * hyperplanes flattened row-major into `planes` (k·d doubles),
     * y_j = Σ_i x_i·p_{j,i} (index order), and the result is
