@@ -1479,6 +1479,18 @@ object SparkEntry {
         Sampling.hashBucket(sf.col("user_id")) < 5000,
         sf.col("value") >= 50.0)),
 
+    // Brier decomposition of the q120 classifier: miscalibrated or
+    // just non-discriminating? (reliability vs resolution vs base rate)
+    "q229_brier" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      val conf = sf.lit(1.0) / (sf.lit(1.0) + sf.exp(-sf.col("score")))
+      QualityChecks.brierDecomposition(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(conf.as("conf"), (sf.col("lang") === "en").cast("int").as("y")),
+        "conf", "y", nBins = 10)
+    }),
+
     // Contrastive negative sampling: 4 deterministic uniform draws per
     // anchor over the dense index space, same-label flagged.
     "q217_negative_samples" -> ((s, dir) =>
@@ -4327,6 +4339,55 @@ object SparkEntry {
         |    /(CAST(sv AS DOUBLE)/1e6)*1000000.0 + 0.5)/1000000.0 END AS cmh_stat,
         |  CASE WHEN sod > 0 THEN floor(CAST(son AS DOUBLE)/CAST(sod AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mh_odds_ratio
         |FROM s""".stripMargin,
+
+    // Brier decomposition: q120's conf chain + bins verbatim, exact
+    // integer Brier sum, per-bin 1e-9 snapped squared terms.
+    "q229_brier" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |cy AS (SELECT s.doc_id,
+         |  1.0 / (1.0 + exp(-(floor((raw + -0.05)*10000.0 + 0.5)/10000.0))) AS conf,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |bb AS (SELECT least((CAST(floor(conf*10000.0 + 0.5) AS BIGINT) * 10) // 10000, 9) AS bin,
+         |       CAST(floor(conf*10000.0 + 0.5) AS BIGINT) AS c4, y FROM cy),
+         |g AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         |      CAST(SUM(c4) AS HUGEINT) AS s_c4,
+         |      CAST(SUM((c4 - y*10000)*(c4 - y*10000)) AS HUGEINT) AS s_d2 FROM bb GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS npos,
+         |        CAST(SUM(s_d2) AS HUGEINT) AS sd2 FROM g),
+         |terms AS (SELECT nt, npos, sd2,
+         |  CAST(floor(CAST(n AS DOUBLE)
+         |    * ((CAST(s_c4 AS DOUBLE)/1e4/CAST(n AS DOUBLE) - CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))
+         |     * (CAST(s_c4 AS DOUBLE)/1e4/CAST(n AS DOUBLE) - CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)))
+         |    * 1e9 + 0.5) AS BIGINT) AS relfx,
+         |  CAST(floor(CAST(n AS DOUBLE)
+         |    * ((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE) - CAST(npos AS DOUBLE)/CAST(nt AS DOUBLE))
+         |     * (CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE) - CAST(npos AS DOUBLE)/CAST(nt AS DOUBLE)))
+         |    * 1e9 + 0.5) AS BIGINT) AS resfx
+         |  FROM g CROSS JOIN tot),
+         |f AS (SELECT CAST(MAX(nt) AS BIGINT) AS n_rows, CAST(MAX(npos) AS BIGINT) AS np,
+         |  CAST(MAX(sd2) AS HUGEINT) AS sd2,
+         |  CAST(SUM(relfx) AS BIGINT) AS rel, CAST(SUM(resfx) AS BIGINT) AS res FROM terms)
+         |SELECT n_rows,
+         |  floor(CAST(sd2 AS DOUBLE)/1e8/CAST(n_rows AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS brier,
+         |  floor(CAST(rel AS DOUBLE)/1e9/CAST(n_rows AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS reliability,
+         |  floor(CAST(res AS DOUBLE)/1e9/CAST(n_rows AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS resolution,
+         |  floor((CAST(np AS DOUBLE)/CAST(n_rows AS DOUBLE))
+         |    *(1.0 - CAST(np AS DOUBLE)/CAST(n_rows AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS uncertainty
+         |FROM f""".stripMargin
+    },
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

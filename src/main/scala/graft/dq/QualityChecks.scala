@@ -1729,6 +1729,62 @@ object QualityChecks {
       .orderBy("multiplicity")
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973) over the
+    * q120 confidence bins: BRIER (overall mean squared error of the
+    * probability forecast), RELIABILITY = Σn_k(f̄_k−ō_k)²/N (how far
+    * stated confidence sits from realized accuracy — what ECE measures
+    * in L1), RESOLUTION = Σn_k(ō_k−ō)²/N (how much the forecast
+    * separates outcomes — a calibrated-but-constant classifier scores
+    * zero here, which ECE can't see), and UNCERTAINTY = ō(1−ō) (the
+    * base-rate floor). Together they answer "is the classifier bad
+    * because it's miscalibrated or because it doesn't discriminate?"
+    *
+    * Determinism: confidences snap to the 1e-4 grid (the q120 bin
+    * protocol); the overall Brier is an EXACT decimal(38) integer sum
+    * of (c4−10⁴y)²; per-bin squared terms are pinned doubles snapped
+    * 1e-9 BEFORE the unordered bin-domain sum; every output one final
+    * pinned assembly rounded 1e-6.
+    *
+    * Scale shape: one map-side-combined groupBy(bin) (nBins rows),
+    * then a one-row reduction joined back by broadcast. */
+  def brierDecomposition(df: DataFrame, confCol: String, outcomeCol: String,
+                         nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"nBins must be in [2, 64], got $nBins")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val conf4 = sf.floor(sf.col(confCol).cast("double") * 1e4 + 0.5).cast("long")
+    val d = sf.col("__c4") - sf.col("__y") * 10000L
+    val g = df.filter(sf.col(confCol).isNotNull && sf.col(outcomeCol).isNotNull)
+      .select(conf4.as("__c4"), sf.col(outcomeCol).cast("long").as("__y"))
+      .withColumn("bin", sf.least(sf.expr(s"(__c4 * $nBins) div 10000"),
+        sf.lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(sf.count(sf.lit(1)).as("n"), sf.sum("__y").as("n_pos"),
+        sf.sum(dec(sf.col("__c4"))).as("s_c4"),
+        sf.sum(dec(d) * dec(d)).as("s_d2"))
+    val tot = g.agg(sf.sum("n").cast("long").as("nt"),
+      sf.sum("n_pos").cast("long").as("npos"), sf.sum("s_d2").as("sd2"))
+    val nD = sf.col("n").cast("double")
+    val fbar = sf.col("s_c4").cast("double") / 1e4 / nD
+    val obin = sf.col("n_pos").cast("double") / nD
+    val obar = sf.col("npos").cast("double") / sf.col("nt").cast("double")
+    def fx9(t: Column) = sf.floor(nD * (t * t) * 1e9 + 0.5).cast("long")
+    g.crossJoin(sf.broadcast(tot))
+      .agg(sf.max("nt").as("n_rows"), sf.max("npos").as("__np"),
+        sf.max("sd2").as("__sd2"),
+        sf.sum(fx9(fbar - obin)).as("__rel"),
+        sf.sum(fx9(obin - obar)).as("__res"))
+      .select(sf.col("n_rows"),
+        gf.roundAt(sf.col("__sd2").cast("double") / 1e8 /
+          sf.col("n_rows").cast("double"), 6).as("brier"),
+        gf.roundAt(sf.col("__rel").cast("double") / 1e9 /
+          sf.col("n_rows").cast("double"), 6).as("reliability"),
+        gf.roundAt(sf.col("__res").cast("double") / 1e9 /
+          sf.col("n_rows").cast("double"), 6).as("resolution"),
+        gf.roundAt((sf.col("__np").cast("double") / sf.col("n_rows").cast("double")) *
+          (sf.lit(1.0) - sf.col("__np").cast("double") / sf.col("n_rows").cast("double")), 6)
+          .as("uncertainty"))
+  }
+
   /** Cochran–Mantel–Haenszel stratified 2×2 test + the MH common odds
     * ratio — the A/B readout that CONTROLS FOR a confounder the
     * marginal q99/q211 tests can't: pooling strata with different

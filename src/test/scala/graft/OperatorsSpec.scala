@@ -519,6 +519,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("mh_odds_ratio") == 4.2, r.toString)
   }
 
+  test("QualityChecks: brierDecomposition satisfies the Murphy identity by hand") {
+    import spark.implicits._
+    // bin 0: conf .05 x4 (one positive); bin 9: conf .95 x4 (one negative)
+    val df = (Seq.fill(3)((0.05, 0)) ++ Seq((0.05, 1)) ++
+      Seq.fill(3)((0.95, 1)) ++ Seq((0.95, 0))).toDF("conf", "y")
+    val r = QualityChecks.brierDecomposition(df, "conf", "y").head()
+    assert(r.getAs[Long]("n_rows") == 8)
+    assert(r.getAs[Double]("brier") == 0.2275, r.toString)
+    assert(r.getAs[Double]("reliability") == 0.04, r.toString)
+    assert(r.getAs[Double]("resolution") == 0.0625, r.toString)
+    assert(r.getAs[Double]("uncertainty") == 0.25, r.toString)
+    // constant-per-bin forecasts -> Brier = REL - RES + UNC exactly
+    assert(math.abs(0.2275 - (0.04 - 0.0625 + 0.25)) < 1e-12)
+  }
+
   test("QualityChecks: skewProfile reports the heaviest key's dominance") {
     import spark.implicits._
     val df = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
