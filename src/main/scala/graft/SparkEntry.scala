@@ -1479,6 +1479,11 @@ object SparkEntry {
         Sampling.hashBucket(sf.col("user_id")) < 5000,
         sf.col("value") >= 50.0)),
 
+    // JSON key/type profile of event props: the schema the schemaless
+    // column actually has, with int->string drift visible per key.
+    "q230_json_profile" -> ((s, dir) =>
+      QualityChecks.jsonKeyProfile(Tables.load(s, dir, "events"), "props")),
+
     // Brier decomposition of the q120 classifier: miscalibrated or
     // just non-discriminating? (reliability vs resolution vs base rate)
     "q229_brier" -> ((s, dir) => {
@@ -4388,6 +4393,26 @@ object SparkEntry {
          |    *(1.0 - CAST(np AS DOUBLE)/CAST(n_rows AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS uncertainty
          |FROM f""".stripMargin
     },
+
+    // JSON profile: dynamic-path extraction, identical portable-regex
+    // kind classification over the same unquoted value text.
+    "q230_json_profile" ->
+      """WITH base AS (SELECT props FROM events
+        |  WHERE props IS NOT NULL AND json_valid(props)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM base),
+        |kv AS (SELECT k, json_extract_string(props, '$.' || k) AS v
+        |       FROM (SELECT props, unnest(json_keys(props)) AS k FROM base)),
+        |cls AS (SELECT k AS "key",
+        |  CASE WHEN v IS NULL THEN 'null'
+        |       WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
+        |       WHEN regexp_matches(v, '^-?[0-9]*\.[0-9]+$') THEN 'float'
+        |       WHEN v IN ('true', 'false') THEN 'bool'
+        |       WHEN v LIKE '{%' THEN 'object'
+        |       WHEN v LIKE '[%' THEN 'array'
+        |       ELSE 'string' END AS kind FROM kv)
+        |SELECT "key", kind, COUNT(*) AS n_values,
+        |  floor(CAST(COUNT(*) AS DOUBLE)/CAST(n_rows AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS row_share
+        |FROM cls CROSS JOIN tot GROUP BY 1, 2, n_rows ORDER BY 1, 2""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

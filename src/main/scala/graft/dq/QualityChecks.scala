@@ -1729,6 +1729,45 @@ object QualityChecks {
       .orderBy("multiplicity")
   }
 
+  /** Semi-structured JSON key/type profile — the schema a schemaless
+    * column actually has: for every top-level key, how many rows carry
+    * it and what VALUE KIND each occurrence is (int/float/bool/null/
+    * object/array/string). This is the drift detector for event
+    * `props`-style columns: a key flipping int→string or quietly
+    * disappearing is invisible to column-level profiling because the
+    * whole blob is one VARCHAR. Kinds are classified from the raw
+    * value text with engine-portable regexes (both engines see the
+    * identical unquoted scalar / raw-JSON-composite text).
+    *
+    * Scale shape: one map-only parse + explode per row (fan-out = keys
+    * per object, bounded by payload size), one map-side-combined
+    * groupBy over the (key, kind) DOMAIN, totals on a broadcast 1-row
+    * frame. Unparseable rows drop out of the parse (count them with
+    * q136's corrupt-record reader if that matters). */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val m = sf.from_json(sf.col(jsonCol), MapType(StringType, StringType))
+    val base = df.filter(sf.col(jsonCol).isNotNull)
+    val total = base.select(m.as("__m")).filter(sf.col("__m").isNotNull)
+      .agg(sf.count(sf.lit(1)).as("n_rows"))
+    val v = sf.col("__v")
+    val kind = sf.when(v.isNull, "null")
+      .when(v.rlike("^-?[0-9]+$"), "int")
+      .when(v.rlike("^-?[0-9]*\\.[0-9]+$"), "float")
+      .when(v.isin("true", "false"), "bool")
+      .when(v.startsWith("{"), "object")
+      .when(v.startsWith("["), "array")
+      .otherwise("string")
+    base.select(sf.explode(m).as(Seq("key", "__v")))
+      .groupBy(sf.col("key"), kind.as("kind"))
+      .agg(sf.count(sf.lit(1)).as("n_values"))
+      .crossJoin(sf.broadcast(total))
+      .select(sf.col("key"), sf.col("kind"), sf.col("n_values"),
+        gf.roundAt(sf.col("n_values").cast("double") /
+          sf.col("n_rows").cast("double"), 6).as("row_share"))
+      .orderBy("key", "kind")
+  }
+
   /** Murphy decomposition of the Brier score (Murphy 1973) over the
     * q120 confidence bins: BRIER (overall mean squared error of the
     * probability forecast), RELIABILITY = Σn_k(f̄_k−ō_k)²/N (how far

@@ -519,6 +519,27 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("mh_odds_ratio") == 4.2, r.toString)
   }
 
+  test("QualityChecks: jsonKeyProfile classifies every JSON value kind") {
+    import spark.implicits._
+    val df = Seq(
+      """{"k": 69, "s": "abc"}""",
+      """{"k": 7, "f": 1.5, "b": true}""",
+      """{"k": "oops", "n": null, "o": {"x":1}, "a": [1,2]}""",
+      "not json at all").toDF("j")
+    val got = QualityChecks.jsonKeyProfile(df, "j").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("a", "array", 1L, 0.333333),
+      ("b", "bool", 1L, 0.333333),
+      ("f", "float", 1L, 0.333333),
+      ("k", "int", 2L, 0.666667),
+      ("k", "string", 1L, 0.333333), // the int->string drift signal
+      ("n", "null", 1L, 0.333333),
+      ("o", "object", 1L, 0.333333),
+      ("s", "string", 1L, 0.333333)), s"got $got")
+  }
+
   test("QualityChecks: brierDecomposition satisfies the Murphy identity by hand") {
     import spark.implicits._
     // bin 0: conf .05 x4 (one positive); bin 9: conf .95 x4 (one negative)
