@@ -468,4 +468,49 @@ class PlanSpec extends SparkFunSuite {
       p.isInstanceOf[BroadcastHashJoinExec]),
       "temperatureMix totals must broadcast")
   }
+
+  test("r8 wave 2: map-only kernels stay map-only; bounded-domain shapes hold") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    // q224 JL distortion: one kernel pass per row — the ONLY exchange
+    // allowed is the output ordering's range repartition
+    val jl = graft.operators.Similarity.jlDistortion(
+      emb, "vec_id", "embedding", dims = 64, k = 16)
+    jl.collect()
+    val jlNodes = collectAll(executed(jl))
+    val jlHash = jlNodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+    assert(jlHash.isEmpty, "jlDistortion must not hash-shuffle the corpus")
+    // q226 TextRank: fused kernel — zero joins of any kind in the plan
+    val docs = Tables.load(spark, sf001, "documents")
+    val tr = graft.operators.TextAnalysis.textRankKeywords(docs, "doc_id", "text")
+    tr.collect()
+    val trNodes = collectAll(executed(tr))
+    assert(!trNodes.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "textRankKeywords must not join — the per-doc graph is kernel-local")
+    val trHash = trNodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+    assert(trHash.isEmpty, "textRankKeywords must not hash-shuffle the corpus")
+    // q225 Naive Bayes: no cartesian product anywhere; the label-domain
+    // constants frame joins via broadcast
+    val nb = graft.operators.CorpusStats.naiveBayesEval(docs, "doc_id", "text", "lang")
+    nb.collect()
+    val nbNodes = collectAll(executed(nb))
+    assert(!nbNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "naiveBayesEval must not produce a cartesian product")
+    // q228 CMH: event stream aggregates once; no windows, no sorts below
+    // the one-row reduction
+    val ev = Tables.load(spark, sf001, "events")
+    val cmh = graft.dq.QualityChecks.cmhTest(ev, "event_type",
+      graft.operators.Sampling.hashBucket(sf.col("user_id")) < 5000,
+      sf.col("value") >= 50.0)
+    cmh.collect()
+    val cmhNodes = collectAll(executed(cmh))
+    assert(!cmhNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "cmhTest must not window")
+  }
 }
