@@ -1484,6 +1484,12 @@ object SparkEntry {
     "q230_json_profile" -> ((s, dir) =>
       QualityChecks.jsonKeyProfile(Tables.load(s, dir, "events"), "props")),
 
+    // CUPED: pre-period covariate adjustment of the q99 A/B lift —
+    // adjusted lift + the rho^2 variance-reduction the covariate buys.
+    "q231_cuped" -> ((s, dir) =>
+      EventOps.cupedLift(Tables.load(s, dir, "events"),
+        cutoff = "2024-01-16 00:00:00")),
+
     // Brier decomposition of the q120 classifier: miscalibrated or
     // just non-discriminating? (reliability vs resolution vs base rate)
     "q229_brier" -> ((s, dir) => {
@@ -4413,6 +4419,48 @@ object SparkEntry {
         |SELECT "key", kind, COUNT(*) AS n_values,
         |  floor(CAST(COUNT(*) AS DOUBLE)/CAST(n_rows AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS row_share
         |FROM cls CROSS JOIN tot GROUP BY 1, 2, n_rows ORDER BY 1, 2""".stripMargin,
+
+    // CUPED: identical per-user 1e4 fx sums, pooled exact-integer
+    // moments, theta/rho2 pinned as (num/den1)(num/den2), same guards.
+    "q231_cuped" ->
+      """WITH per AS (SELECT user_id AS u,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |    THEN CAST(floor(CAST(value AS DOUBLE)*1e4+0.5) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x4,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |    THEN CAST(floor(CAST(value AS DOUBLE)*1e4+0.5) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y4
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |pg AS (SELECT u, x4, y4,
+        |  (((u % 2147483648) * 2654435761) % 4294967296) % 10000 < 5000 AS ga FROM per),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x4) AS HUGEINT) AS sx, CAST(SUM(y4) AS HUGEINT) AS sy,
+        |  CAST(SUM(x4*y4) AS HUGEINT) AS sxy, CAST(SUM(x4*x4) AS HUGEINT) AS sxx,
+        |  CAST(SUM(y4*y4) AS HUGEINT) AS syy FROM pg),
+        |v AS (SELECT CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(SUM(CASE WHEN ga THEN x4 END) AS HUGEINT) AS xa,
+        |  CAST(SUM(CASE WHEN ga THEN y4 END) AS HUGEINT) AS ya,
+        |  CAST(SUM(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |  CAST(SUM(CASE WHEN NOT ga THEN x4 END) AS HUGEINT) AS xb,
+        |  CAST(SUM(CASE WHEN NOT ga THEN y4 END) AS HUGEINT) AS yb FROM pg),
+        |c AS (SELECT n, na, nb,
+        |  CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE) AS num,
+        |  CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE) AS den1,
+        |  CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE) AS den2,
+        |  CAST(xa AS DOUBLE)/1e4/CAST(na AS DOUBLE) AS mxa,
+        |  CAST(ya AS DOUBLE)/1e4/CAST(na AS DOUBLE) AS mya,
+        |  CAST(xb AS DOUBLE)/1e4/CAST(nb AS DOUBLE) AS mxb,
+        |  CAST(yb AS DOUBLE)/1e4/CAST(nb AS DOUBLE) AS myb
+        |  FROM m CROSS JOIN v)
+        |SELECT n AS n_users, na AS n_a, nb AS n_b,
+        |  CASE WHEN den1 <> 0 THEN floor(num/den1*1000000.0 + 0.5)/1000000.0 END AS theta,
+        |  CASE WHEN na > 0 THEN floor(mya*1000000.0 + 0.5)/1000000.0 END AS mean_a,
+        |  CASE WHEN nb > 0 THEN floor(myb*1000000.0 + 0.5)/1000000.0 END AS mean_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN floor((myb - mya)*1000000.0 + 0.5)/1000000.0 END AS lift_raw,
+        |  CASE WHEN na > 0 AND nb > 0 AND den1 <> 0 THEN
+        |    floor(((myb - num/den1*mxb) - (mya - num/den1*mxa))*1000000.0 + 0.5)/1000000.0 END AS lift_adj,
+        |  CASE WHEN den1 <> 0 AND den2 <> 0 THEN
+        |    floor((num/den1)*(num/den2)*1000000.0 + 0.5)/1000000.0 END AS rho2
+        |FROM c""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

@@ -519,6 +519,32 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("mh_odds_ratio") == 4.2, r.toString)
   }
 
+  test("EventOps: cupedLift hand-computed theta, adjusted lift, rho2") {
+    import spark.implicits._
+    def bucket(id: Long) = (id % 2147483648L) * 2654435761L % 4294967296L % 10000
+    val aIds = (1L to 200L).filter(bucket(_) < 5000).take(2)
+    val bIds = (1L to 200L).filter(bucket(_) >= 5000).take(2)
+    // X: (10,20) per variant; Y = X+1 in A, X+3 in B -> theta=1,
+    // lift_raw=2, lift_adj=2, rho2=100^2/(100*104)=0.961538...
+    val pre = "2024-01-10 00:00:00"
+    val post = "2024-01-20 00:00:00"
+    val rows = Seq(
+      (aIds(0), pre, 10.0), (aIds(0), post, 11.0),
+      (aIds(1), pre, 20.0), (aIds(1), post, 21.0),
+      (bIds(0), pre, 10.0), (bIds(0), post, 13.0),
+      (bIds(1), pre, 20.0), (bIds(1), post, 23.0))
+    val df = rows.toDF("user_id", "ts_s", "value")
+      .select(sf.col("user_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("value"))
+    val r = EventOps.cupedLift(df, cutoff = "2024-01-16 00:00:00").head()
+    assert(r.getAs[Long]("n_users") == 4 &&
+      r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2, r.toString)
+    assert(r.getAs[Double]("theta") == 1.0, r.toString)
+    assert(r.getAs[Double]("mean_a") == 16.0 && r.getAs[Double]("mean_b") == 18.0)
+    assert(r.getAs[Double]("lift_raw") == 2.0 && r.getAs[Double]("lift_adj") == 2.0)
+    assert(r.getAs[Double]("rho2") == 0.961538, r.toString)
+  }
+
   test("QualityChecks: jsonKeyProfile classifies every JSON value kind") {
     import spark.implicits._
     val df = Seq(
