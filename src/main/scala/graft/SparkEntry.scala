@@ -1490,6 +1490,11 @@ object SparkEntry {
       EventOps.cupedLift(Tables.load(s, dir, "events"),
         cutoff = "2024-01-16 00:00:00")),
 
+    // Markov removal-effect attribution: counterfactual channel credit
+    // from the journey chain — what q117/q195's heuristics approximate.
+    "q232_markov_attribution" -> ((s, dir) =>
+      EventOps.markovAttribution(Tables.load(s, dir, "events"))),
+
     // Brier decomposition of the q120 classifier: miscalibrated or
     // just non-discriminating? (reliability vs resolution vs base rate)
     "q229_brier" -> ((s, dir) => {
@@ -4461,6 +4466,68 @@ object SparkEntry {
         |  CASE WHEN den1 <> 0 AND den2 <> 0 THEN
         |    floor((num/den1)*(num/den2)*1000000.0 + 0.5)/1000000.0 END AS rho2
         |FROM c""".stripMargin,
+
+    // Markov attribution: identical journey truncation + transition
+    // counts, then the 1e9 integer recurrence unrolled per run (base +
+    // one per removed channel), same pinned ratio assembly.
+    "q232_markov_attribution" -> {
+      val rounds = 12
+      val chans = Seq("click", "error", "signup", "view")
+      val runs = ("b", None: Option[String]) +:
+        chans.zipWithIndex.map { case (c, i) => (s"c$i", Some(c)) }
+      val head =
+        """WITH e AS (SELECT user_id AS u, ts, event_id AS eid, event_type AS t
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+          |r AS (SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY ts, eid) AS rn FROM e),
+          |f AS (SELECT u, MIN(CASE WHEN t = 'purchase' THEN rn END) AS fp, MAX(rn) AS mx
+          |      FROM r GROUP BY 1),
+          |k AS (SELECT r.u, r.rn, CASE WHEN r.t = 'purchase' THEN 'CONV' ELSE r.t END AS s,
+          |      f.fp, f.mx FROM r JOIN f ON f.u = r.u
+          |      WHERE r.rn <= COALESCE(f.fp, 2147483647)),
+          |tr AS (SELECT COALESCE(lag(s) OVER (PARTITION BY u ORDER BY rn), 'START') AS src, s AS dst FROM k
+          |       UNION ALL SELECT s, 'NULL' FROM k WHERE fp IS NULL AND rn = mx),
+          |t AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+          |tot AS MATERIALIZED (SELECT src, CAST(SUM(c) AS BIGINT) AS total FROM t GROUP BY 1),
+          |st AS MATERIALIZED (SELECT DISTINCT s FROM (SELECT src AS s FROM t UNION ALL SELECT dst FROM t))""".stripMargin
+      val runChains = runs.map { case (tag, removed) =>
+        val rmCond = removed.map(c => s" OR st.s = '$c'").getOrElse("")
+        val p0 =
+          s""",
+             |p_${tag}_0 AS (SELECT s, CASE WHEN s = 'CONV' THEN 1000000000 ELSE CAST(0 AS BIGINT) END AS v FROM st)""".stripMargin
+        val rds = (1 to rounds).map { kk =>
+          s""",
+             |p_${tag}_$kk AS MATERIALIZED (SELECT st.s AS s,
+             |  CASE WHEN st.s = 'CONV' THEN 1000000000
+             |       WHEN st.s = 'NULL'$rmCond THEN 0
+             |       ELSE COALESCE(a.v2, 0) END AS v
+             |  FROM st LEFT JOIN (
+             |    SELECT t.src AS s,
+             |      CAST(CAST(SUM(t.c * p.v) AS HUGEINT) // MAX(tot.total) AS BIGINT) AS v2
+             |    FROM t JOIN p_${tag}_${kk - 1} p ON p.s = t.dst
+             |    JOIN tot ON tot.src = t.src
+             |    GROUP BY t.src) a ON a.s = st.s)""".stripMargin
+        }.mkString
+        p0 + rds
+      }.mkString
+      val resRows = chans.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS channel,
+           |  (SELECT v FROM p_b_$rounds WHERE s = 'START') AS pb,
+           |  (SELECT v FROM p_c${i}_$rounds WHERE s = 'START') AS pc""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val tail =
+        s""",
+           |res AS (
+           |  $resRows),
+           |se AS (SELECT CAST(SUM(pb - pc) AS BIGINT) AS sev FROM res)
+           |SELECT channel,
+           |  floor(CAST(pb AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS p_base,
+           |  floor(CAST(pc AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS p_removed,
+           |  CASE WHEN pb > 0 THEN floor(CAST(pb - pc AS DOUBLE)/CAST(pb AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS removal_effect,
+           |  CASE WHEN sev > 0 THEN floor(CAST(pb - pc AS DOUBLE)/CAST(sev AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS share
+           |FROM res CROSS JOIN se ORDER BY channel""".stripMargin
+      head + runChains + tail
+    },
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

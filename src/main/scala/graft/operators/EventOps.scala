@@ -1482,6 +1482,97 @@ object EventOps {
       .orderBy(keyCol)
   }
 
+  /** Markov-chain attribution via REMOVAL EFFECTS (Anderl et al. 2016
+    * — the principled multi-touch model the heuristic splits
+    * approximate: q117 divides credit evenly, q195 by position; this
+    * one asks the counterfactual "how much conversion DISAPPEARS if
+    * channel c stops working?"). Journeys are per-user event-type
+    * sequences truncated at the first `convType` (absorbed to CONV;
+    * journeys without one absorb to NULL); first-order transition
+    * counts define the chain; conversion probability from START is
+    * computed by `rounds` bounded propagation steps, then re-computed
+    * with each channel's state pinned to 0 (paths through it fail —
+    * the removal semantics). Share_c ∝ p_base − p_removed(c).
+    *
+    * Determinism: the recurrence runs in exact 1e9 fixed-point longs —
+    * p'(s) = (Σ_d c(s,d)·p(d)) div total(s), floor division each
+    * round — replayed verbatim by the unrolled SQL oracle; final
+    * ratios are pinned double divisions of exact integers snapped
+    * 1e-6. A FIXED round count (the q119 convention) keeps the result
+    * a pure function of the data; 12 rounds bound journey depth far
+    * beyond real funnels.
+    *
+    * Scale shape: journey construction is two user-partitioned windows
+    * + one map-side-combined groupBy; the chain itself is a BOUNDED
+    * domain — (channels+3)² transition cells — so the 5 recurrence
+    * runs are driver arithmetic on a collected table (the PCA d×d
+    * codebook convention; the collect is channel-domain-sized, never
+    * event-sized). */
+  def markovAttribution(events: DataFrame, rounds: Int = 12,
+                        keyCol: String = "user_id", typeCol: String = "event_type",
+                        tsCol: String = "ts", idCol: String = "event_id",
+                        convType: String = "purchase"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val SCALE = 1000000000L
+    val w = Window.partitionBy("__u").orderBy(sf.col("__ts"), sf.col("__id"))
+    val uw = Window.partitionBy("__u")
+    val base = events
+      .filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull &&
+        sf.col(idCol).isNotNull && sf.col(typeCol).isNotNull)
+      .select(sf.col(keyCol).as("__u"), sf.col(tsCol).as("__ts"),
+        sf.col(idCol).as("__id"), sf.col(typeCol).as("__t"))
+      .withColumn("__rn", sf.row_number().over(w))
+      .withColumn("__fp",
+        sf.min(sf.when(sf.col("__t") === convType, sf.col("__rn"))).over(uw))
+      .withColumn("__mx", sf.max("__rn").over(uw))
+    val kept = base
+      .filter(sf.col("__rn") <= sf.coalesce(sf.col("__fp"), sf.lit(Int.MaxValue)))
+      .withColumn("__s",
+        sf.when(sf.col("__t") === convType, "CONV").otherwise(sf.col("__t")))
+    val kw = Window.partitionBy("__u").orderBy("__rn")
+    val trans = kept
+      .select(sf.coalesce(sf.lag("__s", 1).over(kw), sf.lit("START")).as("src"),
+        sf.col("__s").as("dst"))
+      .union(kept.filter(sf.col("__fp").isNull && sf.col("__rn") === sf.col("__mx"))
+        .select(sf.col("__s").as("src"), sf.lit("NULL").as("dst")))
+    val cells = trans.groupBy("src", "dst").agg(sf.count(sf.lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = cells.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val channels = states.filterNot(Set("START", "CONV", "NULL")).sorted
+    def converge(removed: Option[String]): Long = {
+      var p = states.map(s => s -> (if (s == "CONV") SCALE else 0L)).toMap
+      for (_ <- 1 to rounds) {
+        p = states.map { s =>
+          val v =
+            if (s == "CONV") SCALE
+            else if (s == "NULL" || removed.contains(s)) 0L
+            else {
+              val num = cells.iterator.filter(_._1 == s)
+                .map { case (_, d, c) => c * p(d) }.sum
+              val t = totals.getOrElse(s, 0L)
+              if (t == 0) 0L else num / t
+            }
+          s -> v
+        }.toMap
+      }
+      p.getOrElse("START", 0L)
+    }
+    val pb = converge(None)
+    val effects = channels.map(ch => ch -> (pb - converge(Some(ch))))
+    val se = effects.map(_._2).sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    effects.toSeq.map { case (ch, eff) =>
+      val pc = pb - eff
+      (ch, r6(pb.toDouble / 1e9), r6(pc.toDouble / 1e9),
+        if (pb > 0) Some(r6(eff.toDouble / pb.toDouble)) else None,
+        if (se > 0) Some(r6(eff.toDouble / se.toDouble)) else None)
+    }.toDF("channel", "p_base", "p_removed", "removal_effect", "share")
+      .orderBy("channel")
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al. 2013, WSDM — the
     * industry-standard experiment adjustment): use each user's
     * PRE-period metric X as a control covariate for the experiment

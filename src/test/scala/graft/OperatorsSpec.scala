@@ -519,6 +519,29 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("mh_odds_ratio") == 4.2, r.toString)
   }
 
+  test("EventOps: markovAttribution removal effects on a hand-solved chain") {
+    import spark.implicits._
+    // u1: view->CONV; u2: view->click->CONV; u3: click->NULL
+    // fixed point: p(click)=.5, p(view)=.75, p(START)=2/3
+    // remove click: p=1/3 -> effect 1/3; remove view: p=1/6 -> effect 1/2
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:01:00", 2L, "purchase"),
+      (2L, "2024-01-01 11:00:00", 3L, "view"),
+      (2L, "2024-01-01 11:01:00", 4L, "click"),
+      (2L, "2024-01-01 11:02:00", 5L, "purchase"),
+      (3L, "2024-01-01 12:00:00", 6L, "click"))
+    val df = rows.toDF("user_id", "ts_s", "event_id", "event_type")
+      .select(sf.col("user_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("event_id"), sf.col("event_type"))
+    val got = EventOps.markovAttribution(df).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("click", 0.666667, 0.333333, 0.5, 0.4),
+      ("view", 0.666667, 0.166667, 0.75, 0.6)), s"got $got")
+  }
+
   test("EventOps: cupedLift hand-computed theta, adjusted lift, rho2") {
     import spark.implicits._
     def bucket(id: Long) = (id % 2147483648L) * 2654435761L % 4294967296L % 10000
