@@ -1495,6 +1495,11 @@ object SparkEntry {
     "q232_markov_attribution" -> ((s, dir) =>
       EventOps.markovAttribution(Tables.load(s, dir, "events"))),
 
+    // In-engine word embeddings: PPMI rows (the matrix SGNS implicitly
+    // factorizes) compressed by md5-bit signed random projection.
+    "q233_item_embeddings" -> ((s, dir) =>
+      CorpusStats.itemEmbeddings(docs(s, dir), "text")),
+
     // Brier decomposition of the q120 classifier: miscalibrated or
     // just non-discriminating? (reliability vs resolution vs base rate)
     "q229_brier" -> ((s, dir) => {
@@ -4528,6 +4533,35 @@ object SparkEntry {
            |FROM res CROSS JOIN se ORDER BY channel""".stripMargin
       head + runChains + tail
     },
+
+    // Item embeddings: identical symmetrized window pairs, 1e-6 PPMI
+    // snap/clamp, md5-60 sign bits, exact long component sums.
+    "q233_item_embeddings" ->
+      """WITH tk AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents),
+        |t2 AS (SELECT toks FROM tk WHERE len(toks) >= 2),
+        |rawp AS (SELECT pr.a AS a, pr.b AS b FROM (
+        |  SELECT unnest(flatten([[{'a': toks[i+1], 'b': toks[j+1]}
+        |    FOR j IN range(i + 1, least(i + 2, len(toks) - 1) + 1)]
+        |    FOR i IN range(0, len(toks) - 1)])) AS pr FROM t2)),
+        |sym AS (SELECT a, b FROM rawp UNION ALL SELECT b, a FROM rawp),
+        |pairs AS (SELECT a, b, COUNT(*) AS c_ab FROM sym GROUP BY 1, 2),
+        |outm AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_out FROM pairs GROUP BY 1),
+        |inm AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_in FROM pairs GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM pairs),
+        |sup AS (SELECT pairs.a, pairs.b,
+        |  greatest(CAST(floor(ln(CAST(c_ab AS DOUBLE)*CAST(n_pairs AS DOUBLE)
+        |    /(CAST(c_out AS DOUBLE)*CAST(c_in AS DOUBLE)))*1e6 + 0.5) AS BIGINT), 0) AS pfx,
+        |  list_reduce([strpos('0123456789abcdef', substr(md5(pairs.b), i, 1))-1 FOR i IN range(1,16)],
+        |    (x, y) -> x*16 + y) AS h
+        |  FROM pairs JOIN outm ON outm.a = pairs.a JOIN inm ON inm.b = pairs.b
+        |  CROSS JOIN tot WHERE c_ab >= 5),
+        |contrib AS (SELECT a, pfx, h, d FROM sup CROSS JOIN range(0, 16) rd(d)
+        |  WHERE pfx > 0)
+        |SELECT a AS token, CAST(d AS INT) AS dim,
+        |  CAST(SUM(pfx * (((h // CAST(power(2, d) AS BIGINT)) % 2) * 2 - 1)) AS BIGINT) AS v_fx
+        |FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

@@ -254,6 +254,9 @@ object functions {
     kernel(ArrayType(DoubleType, containsNull = false), "jlStats",
       x.cast("array<double>"), planesFlat, k)
 
+  /** Engine-portable md5-60 token hash (see Kernels.tokenHash60). */
+  def tokenHash60(t: Column): Column = kernel(LongType, "tokenHash60", t)
+
   /** Per-doc TextRank top-k as "token\trank_fx" strings (whole graph +
     * integer iteration fused; see Kernels.textRankTopK). */
   def textRankTopK(toks: Column, iters: Column, topK: Column): Column =

@@ -1095,6 +1095,67 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** Item/word embeddings trained IN-ENGINE: the PPMI co-occurrence
+    * matrix compressed by a signed random projection. Levy & Goldberg
+    * 2014 showed skip-gram-with-negative-sampling implicitly
+    * factorizes the (shifted) PPMI matrix — so PPMI rows ARE honest
+    * embeddings; the projection (Achlioptas 2003 ±1 signs; QJL/hash-
+    * kernel family) maps each sparse vocab-dim row to `dims`
+    * dense components WITHOUT materializing the matrix:
+    * v(a)[d] = Σ_b ppmi(a,b)·sign(b,d), one aggregation. Signs come
+    * from md5-60 bits of the CONTEXT token, so the whole construction
+    * replays in any engine. The q157 window-pair universe, symmetrized.
+    *
+    * Determinism: pair/margin counts are exact integers; each pair's
+    * PPMI snaps to a 1e-6 grid (single ln, pinned arg) and clamps at
+    * 0; components are exact long sums of ppmi_fx·(±1) — NO float
+    * accumulation anywhere. Output is the raw 1e6-scaled component.
+    *
+    * Scale shape: the pair explode is map-only and window-bounded;
+    * pairs aggregate map-side to the pair DOMAIN; margins reduce that
+    * domain; the dims fan-out multiplies the SUPPORTED pair domain
+    * (minCount-floored) by a constant; the final component aggregation
+    * is map-side-combinable on (token, dim). The corpus never sorts;
+    * vocabulary text shuffles only as pair-domain keys. */
+  def itemEmbeddings(docs0: DataFrame, textCol: String, window: Int = 2,
+                     dims: Int = 16, minCount: Long = 5): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1, 16], got $window")
+    require(dims >= 1 && dims <= 60, s"dims must be in [1, 60], got $dims")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = Par.spread(docs0.select(sf.col(textCol)))
+      .select(gf.wsTokens(sf.lower(sf.col(textCol))).as("t"))
+    val raw = toks.filter(sf.size(sf.col("t")) >= 2)
+      .select(sf.explode(sf.flatten(sf.expr(
+        s"""transform(sequence(0, size(t) - 2),
+           |  i -> transform(sequence(i + 1, least(i + $window, size(t) - 1)),
+           |    j -> struct(t[i] AS a, t[j] AS b)))""".stripMargin))).as("p"))
+      .select(sf.col("p.a").as("a"), sf.col("p.b").as("b"))
+    val pairs = raw.union(raw.select(sf.col("b").as("a"), sf.col("a").as("b")))
+      .groupBy("a", "b").agg(sf.count(sf.lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    val outM = pairs.groupBy("a").agg(sf.sum("c_ab").as("c_out"))
+    val inM = pairs.groupBy("b").agg(sf.sum("c_ab").as("c_in"))
+    val tot = pairs.agg(sf.sum("c_ab").as("n_pairs"))
+    val lnArg = sf.col("c_ab").cast("double") * sf.col("n_pairs").cast("double") /
+      (sf.col("c_out").cast("double") * sf.col("c_in").cast("double"))
+    val pfx = sf.greatest(
+      sf.floor(sf.log(lnArg) * 1e6 + 0.5).cast("long"), sf.lit(0L))
+    pairs.filter(sf.col("c_ab") >= minCount)
+      .join(outM, "a")
+      .join(inM, "b")
+      .crossJoin(sf.broadcast(tot))
+      .select(sf.col("a"), pfx.as("pfx"), gf.tokenHash60(sf.col("b")).as("h"))
+      .filter(sf.col("pfx") > 0)
+      .select(sf.col("a"), sf.col("pfx"), sf.col("h"),
+        sf.explode(sf.sequence(sf.lit(0), sf.lit(dims - 1))).as("d"))
+      .groupBy(sf.col("a").as("token"), sf.col("d"))
+      .agg(sf.sum(sf.col("pfx") *
+        (sf.expr("(h div CAST(power(2, d) AS BIGINT)) % 2") * 2L - 1L))
+        .cast("long").as("v_fx"))
+      .select(sf.col("token"), sf.col("d").cast("int").as("dim"), sf.col("v_fx"))
+      .orderBy("token", "dim")
+  }
+
   /** Good-Turing frequency-of-frequencies datasheet (Good 1953; Gale &
     * Sampson 1995): S(r) = how many distinct tokens occur exactly r
     * times, the adjusted count r* = (r+1)·S(r+1)/S(r), and the total

@@ -1267,6 +1267,12 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(Array(fmt, durMs, rate, ch, w, h))
   }
 
+  /** Engine-portable 60-bit token hash (md5 first 15 hex nibbles —
+    * the fold every SQL engine derives from md5's hex string; see
+    * md5Hash60). Exposed for operators that need per-token sign bits
+    * replayable in an oracle (q233's projection). */
+  def tokenHash60(s: UTF8String): Long = md5Hash60(s)
+
   /** Hashing-trick linear model score: Σ weights[(md5Hash60(tok) %
     * Prime) % d] over the tokens in order. The per-token MD5 fold is
     * the same one rollingHashMd5 uses, so a SQL oracle replays indices

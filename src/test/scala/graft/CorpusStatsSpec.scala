@@ -550,6 +550,21 @@ class CorpusStatsSpec extends SparkFunSuite {
       s"got $got")
   }
 
+  test("CorpusStats.itemEmbeddings: distributionally identical tokens share a vector") {
+    import spark.implicits._
+    // x and y occur in IDENTICAL contexts (only ever beside c) with
+    // identical counts -> identical PPMI rows -> identical projections
+    val docs = (Seq.fill(5)("c x c") ++ Seq.fill(5)("c y c")).toDF("text")
+    val got = CorpusStats.itemEmbeddings(docs, "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got.keySet == Set("c", "x", "y"), s"tokens ${got.keySet}")
+    assert(got("x") == got("y"), s"x=${got("x")} y=${got("y")}")
+    assert(got("x").exists(_ != 0L), "embedding must be non-trivial")
+    assert(got("x") != got("c"), "different contexts must separate")
+    assert(got("x").size == 16)
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")
