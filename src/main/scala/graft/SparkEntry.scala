@@ -1500,6 +1500,16 @@ object SparkEntry {
     "q233_item_embeddings" -> ((s, dir) =>
       CorpusStats.itemEmbeddings(docs(s, dir), "text")),
 
+    // V-measure: do the q164 communities recover part brands? The
+    // external-label complement of q222's structure-only modularity.
+    "q234_v_measure" -> ((s, dir) => {
+      val labels = Graph.labelPropagation(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, rounds = 3)
+      val classes = Tables.load(s, dir, "part")
+        .select(sf.col("p_partkey").as("item"), sf.col("p_brand").as("cls"))
+      Graph.clusterLabelAgreement(labels, classes)
+    }),
+
     // Brier decomposition of the q120 classifier: miscalibrated or
     // just non-discriminating? (reliability vs resolution vs base rate)
     "q229_brier" -> ((s, dir) => {
@@ -4562,6 +4572,43 @@ object SparkEntry {
         |SELECT a AS token, CAST(d AS INT) AS dim,
         |  CAST(SUM(pfx * (((h // CAST(power(2, d) AS BIGINT)) % 2) * 2 - 1)) AS BIGINT) AS v_fx
         |FROM contrib GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // V-measure: q164's chain + brand join, per-cell 1e-9 snapped
+    // entropy terms, fx-ratio h/c, same degenerate conventions.
+    "q234_v_measure" ->
+      (lpaOracleChain +
+        """,
+          |cl AS (SELECT l3.item, l3.lbl AS community, p.p_brand AS cls
+          |  FROM l3 JOIN part p ON p.p_partkey = l3.item),
+          |cells AS MATERIALIZED (SELECT community, cls, CAST(COUNT(*) AS BIGINT) AS n_ck
+          |  FROM cl GROUP BY 1, 2),
+          |ck AS (SELECT community, CAST(SUM(n_ck) AS BIGINT) AS n_k FROM cells GROUP BY 1),
+          |cc AS (SELECT cls, CAST(SUM(n_ck) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+          |nt AS (SELECT CAST(SUM(n_ck) AS BIGINT) AS nn FROM cells),
+          |cnts AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) AS n_clusters,
+          |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS n_classes),
+          |hck AS (SELECT CAST(SUM(CAST(floor(CAST(n_ck AS DOUBLE)/CAST(nn AS DOUBLE)
+          |  * ln(CAST(n_ck AS DOUBLE)/CAST(n_k AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hck_fx
+          |  FROM cells JOIN ck USING (community) CROSS JOIN nt),
+          |hkc AS (SELECT CAST(SUM(CAST(floor(CAST(n_ck AS DOUBLE)/CAST(nn AS DOUBLE)
+          |  * ln(CAST(n_ck AS DOUBLE)/CAST(n_c AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hkc_fx
+          |  FROM cells JOIN cc USING (cls) CROSS JOIN nt),
+          |hc AS (SELECT CAST(SUM(CAST(floor(CAST(n_c AS DOUBLE)/CAST(nn AS DOUBLE)
+          |  * ln(CAST(n_c AS DOUBLE)/CAST(nn AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hc_fx
+          |  FROM cc CROSS JOIN nt),
+          |hk AS (SELECT CAST(SUM(CAST(floor(CAST(n_k AS DOUBLE)/CAST(nn AS DOUBLE)
+          |  * ln(CAST(n_k AS DOUBLE)/CAST(nn AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hk_fx
+          |  FROM ck CROSS JOIN nt),
+          |fin AS (SELECT nn AS n_items, n_clusters, n_classes,
+          |  CASE WHEN hc_fx = 0 THEN 1.0 ELSE 1.0 - CAST(hck_fx AS DOUBLE)/CAST(hc_fx AS DOUBLE) END AS h,
+          |  CASE WHEN hk_fx = 0 THEN 1.0 ELSE 1.0 - CAST(hkc_fx AS DOUBLE)/CAST(hk_fx AS DOUBLE) END AS c
+          |  FROM nt CROSS JOIN cnts CROSS JOIN hck CROSS JOIN hkc CROSS JOIN hc CROSS JOIN hk)
+          |SELECT n_items, n_clusters, n_classes,
+          |  floor(h*1000000.0 + 0.5)/1000000.0 AS homogeneity,
+          |  floor(c*1000000.0 + 0.5)/1000000.0 AS completeness,
+          |  CASE WHEN h + c <> 0 THEN floor(2.0*h*c/(h + c)*1000000.0 + 0.5)/1000000.0
+          |       ELSE 0.0 END AS v_measure
+          |FROM fin""".stripMargin),
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

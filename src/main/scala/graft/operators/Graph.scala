@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => sf}
 import graft.{functions => gf}
 
@@ -380,6 +380,67 @@ object Graph {
                        minPairCount: Long = 2, rounds: Int = 3): DataFrame = {
     val edges = minedEdges(df, basketCol, itemCol, minPairCount).persist()
     communityQualityFromEdges(edges, labelPropagationFromEdges(edges, rounds))
+  }
+
+  /** Cluster↔label agreement: homogeneity, completeness, V-measure
+    * (Rosenberg & Hirschberg 2007) between any (item, community)
+    * clustering and any (item, cls) external labeling — the
+    * "did the mined communities recover the catalog metadata?" readout
+    * that [[communityQuality]]'s structure-only modularity can't give:
+    * h = 1 − H(C|K)/H(C) (each cluster holds one class),
+    * c = 1 − H(K|C)/H(K) (each class stays in one cluster),
+    * V = 2hc/(h+c). Degenerate conventions follow sklearn: a single
+    * class ⇒ h = 1, a single cluster ⇒ c = 1, h + c = 0 ⇒ V = 0.
+    *
+    * Determinism: every entropy is a sum of per-cell pinned doubles
+    * (n/N)·ln(n/margin) snapped to a 1e-9 grid BEFORE the unordered
+    * cell-domain sum (exact longs); h and c are then pure fx RATIOS
+    * (1 − hck_fx/hc_fx — the 1e-9 scale cancels), V one pinned
+    * assembly, all rounded 1e-6.
+    *
+    * Scale shape: one item-keyed join + one map-side-combined groupBy
+    * to the (cluster, class) contingency DOMAIN; margins and entropy
+    * sums reduce that domain; one-row frames ride broadcast cross
+    * joins. Never sorts, never windows. */
+  def clusterLabelAgreement(labels: DataFrame, classes: DataFrame): DataFrame = {
+    val cells = labels.select(sf.col("item"), sf.col("community"))
+      .join(classes.select(sf.col("item"), sf.col("cls")), "item")
+      .groupBy("community", "cls").agg(sf.count(sf.lit(1)).as("n_ck"))
+      .localCheckpoint(true)
+    val ck = cells.groupBy("community").agg(sf.sum("n_ck").cast("long").as("n_k"))
+    val cc = cells.groupBy("cls").agg(sf.sum("n_ck").cast("long").as("n_c"))
+    val nT = cells.agg(sf.sum("n_ck").cast("long").as("nn"),
+      sf.count(sf.lit(1)).as("__dummy"))
+    val counts = ck.agg(sf.count(sf.lit(1)).as("n_clusters"))
+      .crossJoin(cc.agg(sf.count(sf.lit(1)).as("n_classes")))
+    def fx9(x: Column) = sf.floor(x * 1e9 + 0.5).cast("long")
+    def ent(nc: Column, nTot: Column, margin: Column) =
+      fx9(nc.cast("double") / nTot.cast("double") *
+        sf.log(nc.cast("double") / margin.cast("double")))
+    val withN = cells.crossJoin(sf.broadcast(nT))
+    val hck = withN.join(ck, "community")
+      .agg(sf.sum(ent(sf.col("n_ck"), sf.col("nn"), sf.col("n_k"))).as("hck_fx"))
+    val hkc = withN.join(cc, "cls")
+      .agg(sf.sum(ent(sf.col("n_ck"), sf.col("nn"), sf.col("n_c"))).as("hkc_fx"))
+    val hc = cc.crossJoin(sf.broadcast(nT))
+      .agg(sf.sum(ent(sf.col("n_c"), sf.col("nn"), sf.col("nn"))).as("hc_fx"))
+    val hk = ck.crossJoin(sf.broadcast(nT))
+      .agg(sf.sum(ent(sf.col("n_k"), sf.col("nn"), sf.col("nn"))).as("hk_fx"))
+    val h = sf.when(sf.col("hc_fx") === 0L, 1.0)
+      .otherwise(sf.lit(1.0) -
+        sf.col("hck_fx").cast("double") / sf.col("hc_fx").cast("double"))
+    val c = sf.when(sf.col("hk_fx") === 0L, 1.0)
+      .otherwise(sf.lit(1.0) -
+        sf.col("hkc_fx").cast("double") / sf.col("hk_fx").cast("double"))
+    nT.select(sf.col("nn").as("n_items"))
+      .crossJoin(sf.broadcast(counts))
+      .crossJoin(sf.broadcast(hck)).crossJoin(sf.broadcast(hkc))
+      .crossJoin(sf.broadcast(hc)).crossJoin(sf.broadcast(hk))
+      .select(sf.col("n_items"), sf.col("n_clusters"), sf.col("n_classes"),
+        gf.roundAt(h, 6).as("homogeneity"),
+        gf.roundAt(c, 6).as("completeness"),
+        sf.when(h + c =!= 0.0, gf.roundAt(sf.lit(2.0) * h * c / (h + c), 6))
+          .otherwise(0.0).as("v_measure"))
   }
 
   /** [[communityQuality]] over a pre-mined edge list and any (item,

@@ -676,6 +676,36 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(rc.isNullAt(1) && rc.isNullAt(2) && rc.isNullAt(3))
   }
 
+  test("Graph.clusterLabelAgreement: perfect match = 1; mixed cluster replays fx") {
+    // perfect: clusters == classes
+    val perfect = Seq((1L, 10L, "a"), (2L, 10L, "a"), (3L, 20L, "b"))
+    val pl = perfect.map(t => (t._1, t._2)).toDF("item", "community")
+    val pc = perfect.map(t => (t._1, t._3)).toDF("item", "cls")
+    val rp = Graph.clusterLabelAgreement(pl, pc).head()
+    assert(rp.getAs[Double]("homogeneity") == 1.0 &&
+      rp.getAs[Double]("completeness") == 1.0 &&
+      rp.getAs[Double]("v_measure") == 1.0, rp.toString)
+    // mixed: cluster 1 = {a,a,b}, cluster 2 = {b}
+    val ml = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)).toDF("item", "community")
+    val mc = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("item", "cls")
+    val r = Graph.clusterLabelAgreement(ml, mc).head()
+    def fx(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    def ent(n: Long, nn: Long, m: Long) =
+      fx(n.toDouble / nn.toDouble * math.log(n.toDouble / m.toDouble))
+    val hckFx = ent(2, 4, 3) + ent(1, 4, 3) + ent(1, 4, 1)
+    val hkcFx = ent(2, 4, 2) + ent(1, 4, 2) + ent(1, 4, 2)
+    val hcFx = ent(2, 4, 4) + ent(2, 4, 4)
+    val hkFx = ent(3, 4, 4) + ent(1, 4, 4)
+    val h = 1.0 - hckFx.toDouble / hcFx.toDouble
+    val c = 1.0 - hkcFx.toDouble / hkFx.toDouble
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n_items") == 4 && r.getAs[Long]("n_clusters") == 2 &&
+      r.getAs[Long]("n_classes") == 2, r.toString)
+    assert(r.getAs[Double]("homogeneity") == r6(h), r.toString)
+    assert(r.getAs[Double]("completeness") == r6(c), r.toString)
+    assert(r.getAs[Double]("v_measure") == r6(2.0 * h * c / (h + c)), r.toString)
+  }
+
   test("Graph.communityQualityFromEdges: two triangles + bridge, hand-computed") {
     // the classic modularity example: triangles {1,2,3} and {4,5,6}
     // bridged by 3-4; m=7, 2m=14, d_A=d_B=7, intra directed edges 12
