@@ -1500,6 +1500,11 @@ object SparkEntry {
     "q233_item_embeddings" -> ((s, dir) =>
       CorpusStats.itemEmbeddings(docs(s, dir), "text")),
 
+    // Per-source entropy/perplexity/TTR: the q111 signals lifted to
+    // where the mixture decision happens.
+    "q235_source_entropy" -> ((s, dir) =>
+      CorpusStats.sourceEntropy(docs(s, dir), "source", "text")),
+
     // V-measure: do the q164 communities recover part brands? The
     // external-label complement of q222's structure-only modularity.
     "q234_v_measure" -> ((s, dir) => {
@@ -4609,6 +4614,25 @@ object SparkEntry {
           |  CASE WHEN h + c <> 0 THEN floor(2.0*h*c/(h + c)*1000000.0 + 0.5)/1000000.0
           |       ELSE 0.0 END AS v_measure
           |FROM fin""".stripMargin),
+
+    // Source entropy: identical count table, 1e-9 snapped cells,
+    // exp(-fx/1e9) perplexity (the q120 exp-parity precedent).
+    "q235_source_entropy" ->
+      """WITH tk AS (SELECT source, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents WHERE source IS NOT NULL),
+        |cnt AS (SELECT source, w, COUNT(*) AS c FROM
+        |  (SELECT source, unnest(toks) AS w FROM tk) GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab FROM cnt GROUP BY 1),
+        |hf AS (SELECT cnt.source, CAST(SUM(CAST(floor(CAST(c AS DOUBLE)/CAST(n_tokens AS DOUBLE)
+        |  * ln(CAST(c AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hfx
+        |  FROM cnt JOIN ns ON ns.source = cnt.source GROUP BY 1)
+        |SELECT ns.source, n_tokens, vocab,
+        |  floor(CAST(vocab AS DOUBLE)/CAST(n_tokens AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS ttr,
+        |  floor(-CAST(hfx AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS entropy,
+        |  floor(exp(-CAST(hfx AS DOUBLE)/1e9)*10000.0 + 0.5)/10000.0 AS perplexity
+        |FROM ns JOIN hf ON hf.source = ns.source ORDER BY ns.source""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

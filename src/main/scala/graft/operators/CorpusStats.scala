@@ -1095,6 +1095,51 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** Per-source token-distribution datasheet: Shannon entropy (nats),
+    * unigram PERPLEXITY exp(H) — the "effective vocabulary size" a
+    * uniform distribution over that many tokens would have — and the
+    * type-token ratio. The cross-source comparison the mixture
+    * designer reads next to q63's KL and q142's concentration: a
+    * source whose perplexity is far below its vocabulary is templated
+    * boilerplate; one whose TTR approaches 1 is id/hash soup (the
+    * per-doc q111 signal lifted to the source level, where the
+    * mixture decision actually happens).
+    *
+    * Determinism: per-(source, token) counts are exact; each entropy
+    * cell (c/N)·ln(c/N) is a pinned double snapped 1e-9 BEFORE the
+    * unordered vocabulary-domain sum; entropy rounds 1e-6, perplexity
+    * exp(−fx/1e9) rounds 1e-4 (exp parity is the q120 sigmoid
+    * precedent). Scale shape: one hash-keyed map-side-combined count
+    * (token text never shuffles), two domain-sized rollups, one join
+    * on the source domain. */
+  def sourceEntropy(docs0: DataFrame, sourceCol: String,
+                    textCol: String): DataFrame = {
+    val cnt = Par.spread(docs0.select(sf.col(sourceCol).as("source"),
+        sf.col(textCol).as("__t")))
+      .filter(sf.col("source").isNotNull)
+      .select(sf.col("source"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy(sf.col("source"), sf.xxhash64(sf.col("w")).as("wh"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ns = cnt.groupBy("source")
+      .agg(sf.sum("c").cast("long").as("n_tokens"),
+        sf.count(sf.lit(1)).as("vocab"))
+    val cd = sf.col("c").cast("double")
+    val nd = sf.col("n_tokens").cast("double")
+    val hfx = cnt.join(ns, "source")
+      .groupBy("source")
+      .agg(sf.sum(sf.floor(cd / nd * sf.log(cd / nd) * 1e9 + 0.5).cast("long"))
+        .as("hfx"))
+    ns.join(hfx, "source")
+      .select(sf.col("source"), sf.col("n_tokens"), sf.col("vocab"),
+        gf.roundAt(sf.col("vocab").cast("double") / nd, 6).as("ttr"),
+        gf.roundAt(-sf.col("hfx").cast("double") / 1e9, 6).as("entropy"),
+        gf.roundAt(sf.exp(-sf.col("hfx").cast("double") / 1e9), 4)
+          .as("perplexity"))
+      .orderBy("source")
+  }
+
   /** Item/word embeddings trained IN-ENGINE: the PPMI co-occurrence
     * matrix compressed by a signed random projection. Levy & Goldberg
     * 2014 showed skip-gram-with-negative-sampling implicitly

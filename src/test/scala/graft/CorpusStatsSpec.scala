@@ -565,6 +565,24 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(got("x").size == 16)
   }
 
+  test("CorpusStats.sourceEntropy: uniform vs constant source datasheets") {
+    import spark.implicits._
+    // s1: 4 distinct tokens once each -> H = ln 4, ppl = 4, TTR = 1
+    // s2: one token x4 -> H = 0, ppl = 1, TTR = 0.25
+    val docs = Seq(("s1", "a b c d"), ("s2", "e e e e")).toDF("source", "text")
+    val got = CorpusStats.sourceEntropy(docs, "source", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    def fx(p: Double) = math.floor(p * math.log(p) * 1e9 + 0.5).toLong
+    val h1 = -(4 * fx(0.25)).toDouble / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got == Seq(
+      ("s1", 4L, 4L, 1.0, r6(h1), r4(math.exp(h1))),
+      ("s2", 4L, 1L, 0.25, 0.0, 1.0)), s"got $got")
+    assert(math.abs(got.head._5 - math.log(4)) < 1e-6)
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")
