@@ -1505,6 +1505,11 @@ object SparkEntry {
     "q235_source_entropy" -> ((s, dir) =>
       CorpusStats.sourceEntropy(docs(s, dir), "source", "text")),
 
+    // Davies-Bouldin over the q32 IVF cells: which cluster pairs
+    // overlap — is the cell structure real? (silhouette's cheap twin)
+    "q236_davies_bouldin" -> ((s, dir) =>
+      Similarity.daviesBouldin(emb(s, dir), "vec_id", "embedding", dims = 64)),
+
     // V-measure: do the q164 communities recover part brands? The
     // external-label complement of q222's structure-only modularity.
     "q234_v_measure" -> ((s, dir) => {
@@ -4633,6 +4638,45 @@ object SparkEntry {
         |  floor(-CAST(hfx AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS entropy,
         |  floor(exp(-CAST(hfx AS DOUBLE)/1e9)*10000.0 + 0.5)/10000.0 AS perplexity
         |FROM ns JOIN hf ON hf.source = ns.source ORDER BY ns.source""".stripMargin,
+
+    // Davies-Bouldin: q32's codebook/assignment verbatim, L2 via the
+    // pinned dot expansion, 1e-6 snaps before every unordered sum/max.
+    "q236_davies_bouldin" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings
+        |    WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+        |         FROM c ORDER BY h, vec_id LIMIT 16),
+        |sc AS (SELECT a.vec_id, a.v, cent.cid, list_cosine_similarity(a.v, cent.cv) AS s
+        |       FROM c a CROSS JOIN cent),
+        |assign AS (SELECT vec_id, v, cid AS cluster FROM
+        |  (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |wd AS (SELECT cluster, CAST(floor(sqrt(
+        |    list_reduce([v[i]*v[i] FOR i IN range(1,65)], (a,b) -> a+b)
+        |    - 2.0*list_reduce([v[i]*cv[i] FOR i IN range(1,65)], (a,b) -> a+b)
+        |    + list_reduce([cv[i]*cv[i] FOR i IN range(1,65)], (a,b) -> a+b))*1e6 + 0.5) AS BIGINT) AS sfx
+        |  FROM assign JOIN cent ON cent.cid = assign.cluster),
+        |pc AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(sfx) AS BIGINT) AS ssum
+        |  FROM wd GROUP BY 1),
+        |pd AS (SELECT a.cid AS i, b.cid AS j, CAST(floor(sqrt(
+        |    list_reduce([a.cv[k]*a.cv[k] FOR k IN range(1,65)], (x,y) -> x+y)
+        |    - 2.0*list_reduce([a.cv[k]*b.cv[k] FOR k IN range(1,65)], (x,y) -> x+y)
+        |    + list_reduce([b.cv[k]*b.cv[k] FOR k IN range(1,65)], (x,y) -> x+y))*1e6 + 0.5) AS BIGINT) AS dfx
+        |  FROM cent a JOIN cent b ON a.cid <> b.cid),
+        |rt AS (SELECT pd.i AS cluster, CAST(floor(MAX(
+        |    (CAST(pi.ssum AS DOUBLE)/1e6/CAST(pi.n AS DOUBLE)
+        |     + CAST(pj.ssum AS DOUBLE)/1e6/CAST(pj.n AS DOUBLE))
+        |    / (CAST(pd.dfx AS DOUBLE)/1e6))*1e6 + 0.5) AS BIGINT) AS rfx
+        |  FROM pd JOIN pc pi ON pi.cluster = pd.i JOIN pc pj ON pj.cluster = pd.j
+        |  WHERE pd.dfx > 0 GROUP BY 1),
+        |dbv AS (SELECT CAST(SUM(rfx) AS BIGINT) AS sr, CAST(COUNT(*) AS BIGINT) AS kk FROM rt)
+        |SELECT pc.cluster, pc.n AS n_members,
+        |  floor(CAST(ssum AS DOUBLE)/1e6/CAST(pc.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS s_mean,
+        |  floor(CAST(rfx AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS r,
+        |  floor(CAST(sr AS DOUBLE)/CAST(kk AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS db_index
+        |FROM pc JOIN rt ON rt.cluster = pc.cluster CROSS JOIN dbv
+        |ORDER BY pc.cluster""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

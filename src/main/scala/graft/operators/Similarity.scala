@@ -1500,6 +1500,75 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Davies-Bouldin index of the IVF clustering (Davies & Bouldin
+    * 1979) — the second opinion next to q181's silhouette, and the
+    * cheap one: silhouette needs pairwise member distances, DB only
+    * per-cluster scatter s_i (mean member→centroid L2) and centroid
+    * separations d_ij: DB = (1/k)Σ_i max_{j≠i}(s_i+s_j)/d_ij. Lower is
+    * better; a high r_i names exactly WHICH cluster pair overlaps —
+    * the readout that says whether the q32/q54/q65 cell structure is
+    * real before trusting cell-local similarity decisions.
+    *
+    * Clusters are the q32 convention verbatim: sampleHash codebook,
+    * nearest-centroid-by-cosine assignment, ties to the lower index;
+    * scatter uses L2 via the pinned |x|²−2x·c+|c|² expansion
+    * (index-order kernel dots), per-vector distances snapped 1e-6
+    * BEFORE the exact per-cluster sums, ratios from those snapped
+    * components, r_i snapped before the final mean. sqrt is
+    * IEEE-exact-rounded — portable.
+    *
+    * Scale shape: assignment is the broadcast-codebook TopKAgg pass
+    * (corpus never shuffles vectors beyond k-bounded rows); scatter is
+    * one map-side-combined groupBy(cluster); the pairwise stage lives
+    * entirely on the nCentroids² domain. Empty clusters drop out. */
+  def daviesBouldin(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+                    nCentroids: Int = 16): DataFrame = {
+    require(nCentroids >= 2 && nCentroids <= MaxLiteralCentroids,
+      s"nCentroids must be in [2, $MaxLiteralCentroids], got $nCentroids")
+    val spark = emb.sparkSession
+    val base = emb.filter(sf.col(vecCol).isNotNull &&
+      sf.size(sf.col(vecCol)) === dims)
+    val cb = sampleCodebookDF(base, idCol, vecCol, nCentroids).localCheckpoint(true)
+    val assign = assignCellsDF(spark, base, idCol, vecCol, cb, 1)
+      .select(sf.col(idCol), sf.col("cells").getItem(0).as("cluster"))
+    def l2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      sf.sqrt(gf.dot(x, x) - sf.lit(2.0) * gf.dot(x, c) + gf.dot(c, c))
+    def fx6(c: org.apache.spark.sql.Column) =
+      sf.floor(c * 1e6 + 0.5).cast("long")
+    val pc = base.join(assign, idCol).join(sf.broadcast(cb), "cluster")
+      .select(sf.col("cluster"),
+        fx6(l2(sf.col(vecCol), sf.col("cv"))).as("sfx"))
+      .groupBy("cluster")
+      .agg(sf.count(sf.lit(1)).as("n"), sf.sum("sfx").cast("long").as("ssum"))
+      .localCheckpoint(true)
+    def sMean(n: String, s: String) =
+      sf.col(s).cast("double") / 1e6 / sf.col(n).cast("double")
+    val pd = cb.select(sf.col("cluster").as("i"), sf.col("cv").as("cvi"))
+      .join(cb.select(sf.col("cluster").as("j"), sf.col("cv").as("cvj")),
+        sf.col("i") =!= sf.col("j"))
+      .select(sf.col("i"), sf.col("j"),
+        fx6(l2(sf.col("cvi"), sf.col("cvj"))).as("dfx"))
+    val rt = pd
+      .join(pc.select(sf.col("cluster").as("i"), sf.col("n").as("ni"),
+        sf.col("ssum").as("si")), "i")
+      .join(pc.select(sf.col("cluster").as("j"), sf.col("n").as("nj"),
+        sf.col("ssum").as("sj")), "j")
+      .filter(sf.col("dfx") > 0)
+      .groupBy(sf.col("i").as("cluster"))
+      .agg(sf.max((sMean("ni", "si") + sMean("nj", "sj")) /
+        (sf.col("dfx").cast("double") / 1e6)).as("r"))
+      .select(sf.col("cluster"), fx6(sf.col("r")).as("rfx"))
+    val dbv = rt.agg(sf.sum("rfx").cast("long").as("sr"),
+      sf.count(sf.lit(1)).as("k"))
+    pc.join(rt, "cluster").crossJoin(sf.broadcast(dbv))
+      .select(sf.col("cluster"), sf.col("n").as("n_members"),
+        gf.roundAt(sMean("n", "ssum"), 6).as("s_mean"),
+        gf.roundAt(sf.col("rfx").cast("double") / 1e6, 6).as("r"),
+        gf.roundAt(sf.col("sr").cast("double") / sf.col("k").cast("double") / 1e6, 6)
+          .as("db_index"))
+      .orderBy("cluster")
+  }
+
   /** Johnson-Lindenstrauss random-projection distortion audit: project
     * every embedding onto `k` deterministic [[lshPlanes]] directions
     * (uniform ±, variance 1/3 per component, so 3/k·Σ_j dot(x,p_j)² is

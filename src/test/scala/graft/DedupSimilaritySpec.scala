@@ -740,6 +740,36 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(g2.count() == 40L && !g2.collect().exists(_.getLong(0) == 99L))
   }
 
+  test("Similarity.daviesBouldin: invariants and consistency of the index") {
+    import spark.implicits._
+    // two tight blobs along e1 and e2 (cosine-separable)
+    val rows = (0 until 20).map { i =>
+      val blob = i % 2
+      val eps = 0.01f * (i / 2)
+      val v = Array.fill(4)(0.0f)
+      v(blob) = 1.0f
+      v(2 + blob) = eps
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.daviesBouldin(df, "vec_id", "embedding",
+      dims = 4, nCentroids = 2).collect()
+    assert(got.nonEmpty && got.length <= 2)
+    assert(got.map(_.getAs[Long]("n_members")).sum == 20)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rs = got.map(_.getAs[Double]("r"))
+    assert(rs.forall(_ > 0.0), got.mkString(","))
+    got.foreach { row =>
+      assert(row.getAs[Double]("s_mean") >= 0.0)
+      // db_index is the mean of the per-cluster r values, snapped
+      assert(row.getAs[Double]("db_index") == r6(rs.sum / rs.length), row.toString)
+    }
+    // pure function of the data
+    val again = Similarity.daviesBouldin(df, "vec_id", "embedding",
+      dims = 4, nCentroids = 2).collect().map(_.toString).toSeq
+    assert(again == got.map(_.toString).toSeq)
+  }
+
   test("Similarity.jlDistortion: exact norms, near-1 estimates, NaN exclusion") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
