@@ -1510,6 +1510,11 @@ object SparkEntry {
     "q236_davies_bouldin" -> ((s, dir) =>
       Similarity.daviesBouldin(emb(s, dir), "vec_id", "embedding", dims = 64)),
 
+    // word2vec frequent-token subsampling: deterministic keep rule,
+    // per-doc before/after token budget.
+    "q237_subsample" -> ((s, dir) =>
+      TextAnalysis.subsampleFrequent(docs(s, dir), "doc_id", "text")),
+
     // V-measure: do the q164 communities recover part brands? The
     // external-label complement of q222's structure-only modularity.
     "q234_v_measure" -> ((s, dir) => {
@@ -4677,6 +4682,26 @@ object SparkEntry {
         |  floor(CAST(sr AS DOUBLE)/CAST(kk AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS db_index
         |FROM pc JOIN rt ON rt.cluster = pc.cluster CROSS JOIN dbv
         |ORDER BY pc.cluster""".stripMargin,
+
+    // Subsampling: identical counts, keep rule, and uniform hash —
+    // both engines compare the same exact doubles, nothing snaps.
+    "q237_subsample" ->
+      """WITH tk AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents),
+        |pw AS (SELECT doc_id, pr.p AS pos, pr.w AS w FROM (
+        |  SELECT doc_id, unnest([{'p': i-1, 'w': toks[i]} FOR i IN range(1, len(toks)+1)]) AS pr
+        |  FROM tk)),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM pw GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cnt),
+        |sel AS (SELECT pw.doc_id,
+        |  (CAST((((pw.doc_id*1315423911 + pw.pos) % 2147483648) * 2654435761) % 4294967296 + 1 AS DOUBLE)/4294967296.0
+        |   <= least(1.0, sqrt(0.001*CAST(nn AS DOUBLE)/CAST(c AS DOUBLE)))) AS keep
+        |  FROM pw JOIN cnt ON cnt.w = pw.w CROSS JOIN nt)
+        |SELECT doc_id, COUNT(*) AS n_before,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        |  floor(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS kept_frac
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

@@ -363,6 +363,51 @@ object TextAnalysis {
       .orderBy("doc_id", "pos")
   }
 
+  /** Frequent-token subsampling (Mikolov et al. 2013's word2vec rule):
+    * drop occurrences of very frequent tokens with
+    * P(keep) = min(1, sqrt(t/f)) — stopword-heavy mass shrinks, rare
+    * informative tokens survive untouched, and downstream embedding /
+    * co-occurrence passes (q157, q233) stop spending their budget on
+    * "the". The keep decision is a PURE FUNCTION of (doc, position)
+    * via the portable hash, so the subsample is reproducible at any
+    * parallelism and replayable by the oracle — no RNG.
+    *
+    * Determinism: corpus frequencies are exact hash-keyed counts;
+    * keep_prob = sqrt(t·N/c) is one pinned expression (sqrt is
+    * IEEE-exact-rounded); the uniform u = (knuth(doc·1315423911 +
+    * pos) + 1)/2³² compares directly — no snapping needed because
+    * both sides compute identical doubles.
+    *
+    * Scale shape: one map-side-combined token count, then ONE
+    * AQE-decided frequency join over the position stream and a
+    * map-side-combined groupBy(doc). Token text never shuffles
+    * (counts are hash-keyed); the corpus never sorts. */
+  def subsampleFrequent(docs0: DataFrame, idCol: String, textCol: String,
+                        t: Double = 1e-3): DataFrame = {
+    require(t > 0 && t <= 1, s"t must be in (0, 1], got $t")
+    val withT = Par.spread(docs0.select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("doc_id"),
+        sf.posexplode(gf.wsTokens(sf.lower(sf.col("__t")))).as(Seq("pos", "w")))
+      .select(sf.col("doc_id"), sf.col("pos"), sf.xxhash64(sf.col("w")).as("wh"))
+      .localCheckpoint(true)
+    val cnt = withT.groupBy("wh").agg(sf.count(sf.lit(1)).as("c"))
+    val nT = cnt.agg(sf.sum("c").cast("long").as("nn"))
+    val keepProb = sf.least(sf.lit(1.0),
+      sf.sqrt(sf.lit(t) * sf.col("nn").cast("double") / sf.col("c").cast("double")))
+    val h = sf.pmod(sf.col("doc_id") * 1315423911L + sf.col("pos"),
+      sf.lit(2147483648L)) * 2654435761L % 4294967296L
+    val u = (h + 1L).cast("double") / 4294967296.0
+    withT.join(cnt, "wh").crossJoin(sf.broadcast(nT))
+      .groupBy("doc_id")
+      .agg(sf.count(sf.lit(1)).as("n_before"),
+        sf.sum((u <= keepProb).cast("long")).as("n_after"))
+      .select(sf.col("doc_id"), sf.col("n_before"), sf.col("n_after"),
+        gf.roundAt(sf.col("n_after").cast("double") /
+          sf.col("n_before").cast("double"), 6).as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * term list (count-desc, term-text tie-break — a deterministic
     * frequency vocabulary, the fixed-size-tokenizer view of the data):

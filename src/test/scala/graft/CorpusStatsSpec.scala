@@ -583,6 +583,26 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(math.abs(got.head._5 - math.log(4)) < 1e-6)
   }
 
+  test("TextAnalysis.subsampleFrequent: frequent tokens thin, rare survive") {
+    import spark.implicits._
+    val n = 1000
+    val df = Seq((1L, Seq.fill(n)("a").mkString(" ")), (2L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.subsampleFrequent(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // replay the exact keep rule: f(a) ~ 1 -> keep_prob ~ 3%; f(z) rare -> 1
+    val kp = math.min(1.0, math.sqrt(0.001 * (n + 1).toDouble / n))
+    val expect1 = (0 until n).count { pos =>
+      val h = (1L * 1315423911L + pos) % 2147483648L * 2654435761L % 4294967296L
+      (h + 1).toDouble / 4294967296.0 <= kp
+    }.toLong
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got == Seq(
+      (1L, n.toLong, expect1, r6(expect1.toDouble / n)),
+      (2L, 1L, 1L, 1.0)), s"got $got, expect1=$expect1")
+    assert(expect1 > 0 && expect1 < 200, s"subsampling off: $expect1")
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")

@@ -513,4 +513,36 @@ class PlanSpec extends SparkFunSuite {
       org.apache.spark.sql.execution.window.WindowExec]),
       "cmhTest must not window")
   }
+
+  test("r8 wave 3: embeddings/entropy/profile shapes hold") {
+    val docs = Tables.load(spark, sf001, "documents")
+    // q233: the vocab-dim PPMI matrix must never materialize as a
+    // cartesian product; margins/pairs are keyed joins only
+    val embs = graft.operators.CorpusStats.itemEmbeddings(docs, "text")
+    embs.collect()
+    val emNodes = collectAll(executed(embs))
+    assert(!emNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "itemEmbeddings must not produce a cartesian product")
+    // q235/q227: domain aggregations, zero windows anywhere
+    val se = graft.operators.CorpusStats.sourceEntropy(docs, "source", "text")
+    se.collect()
+    assert(!collectAll(executed(se)).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "sourceEntropy must not window")
+    val gt = graft.operators.CorpusStats.goodTuring(docs, "doc_id", "text")
+    gt.collect()
+    assert(!collectAll(executed(gt)).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "goodTuring must not window")
+    // q230: map-only parse + one hash aggregation — no joins beyond the
+    // broadcast totals, no sort below the output ordering
+    val jp = graft.dq.QualityChecks.jsonKeyProfile(
+      Tables.load(spark, sf001, "events"), "props")
+    jp.collect()
+    val jpNodes = collectAll(executed(jp))
+    assert(!jpNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "jsonKeyProfile must not produce a cartesian product")
+  }
 }
