@@ -1515,6 +1515,12 @@ object SparkEntry {
     "q237_subsample" -> ((s, dir) =>
       TextAnalysis.subsampleFrequent(docs(s, dir), "doc_id", "text")),
 
+    // Hopkins clusterability: is there structure AT ALL before
+    // trusting the IVF/SemDeDup cells? (uniform probes vs real sample)
+    "q238_hopkins" -> ((s, dir) =>
+      Similarity.hopkinsStatistic(emb(s, dir), "vec_id", "embedding",
+        dims = 64, m = 50)),
+
     // V-measure: do the q164 communities recover part brands? The
     // external-label complement of q222's structure-only modularity.
     "q234_v_measure" -> ((s, dir) => {
@@ -4702,6 +4708,38 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
         |  floor(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS kept_frac
         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Hopkins: identical bounds/probes (the pinned mn + u·(mx−mn)
+    // recomputed in SQL), sampleHash real sample, index-order
+    // distances, 1e-6 sqrt snaps, pinned final ratio.
+    "q238_hopkins" ->
+      """WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings
+        |    WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |      AND len(list_filter(embedding,
+        |          e -> isnan(CAST(e AS DOUBLE)) OR isinf(CAST(e AS DOUBLE)))) = 0),
+        |mm AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM c CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+        |ml AS (SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl FROM mm),
+        |pr AS (SELECT p, [mnl[i] +
+        |    (CAST((((p*64 + (i-1)) % 2147483648) * 2654435761) % 4294967296 + 1 AS DOUBLE)/4294967296.0)
+        |    * (mxl[i] - mnl[i]) FOR i IN range(1, 65)] AS pv
+        |  FROM range(0, 50) t(p) CROSS JOIN ml),
+        |sp AS (SELECT id, v FROM c ORDER BY h, id LIMIT 50),
+        |um AS (SELECT pr.p, MIN(list_reduce(
+        |    [(c.v[i]-pr.pv[i])*(c.v[i]-pr.pv[i]) FOR i IN range(1,65)], (a,b) -> a+b)) AS d2
+        |  FROM c CROSS JOIN pr GROUP BY 1),
+        |wm AS (SELECT sp.id, MIN(list_reduce(
+        |    [(c.v[i]-sp.v[i])*(c.v[i]-sp.v[i]) FOR i IN range(1,65)], (a,b) -> a+b)) AS d2
+        |  FROM c JOIN sp ON c.id <> sp.id GROUP BY 1),
+        |su AS (SELECT CAST(SUM(CAST(floor(sqrt(d2)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS su FROM um),
+        |sw AS (SELECT CAST(SUM(CAST(floor(sqrt(d2)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sw FROM wm)
+        |SELECT CAST(50 AS BIGINT) AS n_sample,
+        |  floor(CAST(su AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS sum_u,
+        |  floor(CAST(sw AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS sum_w,
+        |  CASE WHEN su + sw > 0 THEN
+        |    floor(CAST(su AS DOUBLE)/CAST(su + sw AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS hopkins
+        |FROM su CROSS JOIN sw""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

@@ -257,6 +257,12 @@ object functions {
   /** Engine-portable md5-60 token hash (see Kernels.tokenHash60). */
   def tokenHash60(t: Column): Column = kernel(LongType, "tokenHash60", t)
 
+  /** Squared L2 distances to m row-major-flat reference vectors in one
+    * pass (index-order sums; see Kernels.dist2ToSet). */
+  def dist2ToSet(x: Column, flat: Column, m: Column): Column =
+    kernel(ArrayType(DoubleType, containsNull = false), "dist2ToSet",
+      x.cast("array<double>"), flat, m)
+
   /** Per-doc TextRank top-k as "token\trank_fx" strings (whole graph +
     * integer iteration fused; see Kernels.textRankTopK). */
   def textRankTopK(toks: Column, iters: Column, topK: Column): Column =

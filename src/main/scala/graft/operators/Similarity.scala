@@ -1569,6 +1569,81 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Hopkins clusterability statistic (Hopkins & Skellam 1954; the
+    * "is there any cluster structure AT ALL?" pre-test Banerjee & Davé
+    * 2004 recommend before trusting k-means/IVF/SemDeDup outputs —
+    * every clustering algorithm happily partitions pure noise): H =
+    * Σu/(Σu+Σw), where u are nearest-neighbor distances of m SYNTHETIC
+    * points drawn uniformly in the data's per-dim bounding box and w
+    * are NN distances of m sampled REAL points to the rest. H ≈ 0.5 ⇒
+    * the data looks uniform (cells are arbitrary); H → 1 ⇒ real
+    * cluster structure.
+    *
+    * Determinism: the real sample is the q32 sampleHash convention;
+    * synthetic probes are a PURE FUNCTION of the per-dim min/max and
+    * the portable Knuth hash on (probe, dim) — no RNG; Spark computes
+    * them driver-side from the collected 2·d bounds (codebook-sized)
+    * and the oracle recomputes the SAME doubles in SQL (pinned
+    * mn + u·(mx−mn)); distances are index-order kernel sums, NN
+    * minima are selections (exact), per-point sqrt snaps 1e-6 before
+    * the exact sums, final ratio pinned.
+    *
+    * Scale shape: bounds are one posexplode agg (d rows); the corpus
+    * pass is ONE kernel call per row against the 2m plan-literal
+    * reference vectors (never an m-way join), minima map-side combine
+    * to m rows each. Corpus never shuffles vectors. */
+  def hopkinsStatistic(emb: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, m: Int = 50): DataFrame = {
+    require(dims >= 1 && dims <= 512, s"dims must be in [1, 512], got $dims")
+    require(m >= 2 && m <= MaxLiteralCentroids,
+      s"m must be in [2, $MaxLiteralCentroids], got $m")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val finite = sf.expr(
+      s"NOT exists(CAST($vecCol AS ARRAY<DOUBLE>), x -> isnan(x) OR abs(x) = double('Infinity'))")
+    val b = Par.spread(emb.filter(sf.col(vecCol).isNotNull &&
+        sf.size(sf.col(vecCol)) === dims && finite))
+      .select(sf.col(idCol).cast("long").as("id"),
+        sf.col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val mmRows = b.select(sf.posexplode(sf.col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(sf.min("x").as("mn"), sf.max("x").as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    require(mmRows.size == dims, s"expected $dims dims, got ${mmRows.size}")
+    val sample = b.orderBy(sampleHash(sf.col("id")), sf.col("id")).limit(m)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.length == m, s"corpus smaller than m=$m")
+    // synthetic probes: pure function of bounds + the portable hash
+    val probes = Array.tabulate(m, dims) { (p, i) =>
+      val h = (p.toLong * dims + i) % 2147483648L * 2654435761L % 4294967296L
+      val u = (h + 1).toDouble / 4294967296.0
+      val (mn, mx) = mmRows(i)
+      mn + u * (mx - mn)
+    }
+    val probesFlat = sf.lit(probes.flatten)
+    val sampleFlat = sf.lit(sample.flatMap(_._2))
+    val sampleIds = sf.lit(sample.map(_._1))
+    val dists = b.select(sf.col("id"),
+      gf.dist2ToSet(sf.col("v"), probesFlat, sf.lit(m)).as("du"),
+      gf.dist2ToSet(sf.col("v"), sampleFlat, sf.lit(m)).as("dw"))
+    def fx6(c: org.apache.spark.sql.Column) =
+      sf.floor(sf.sqrt(c) * 1e6 + 0.5).cast("long")
+    val su = dists.select(sf.posexplode(sf.col("du")).as(Seq("p", "d2")))
+      .groupBy("p").agg(sf.min("d2").as("d2"))
+      .agg(sf.sum(fx6(sf.col("d2"))).as("su"))
+    val sw = dists.select(sf.col("id"), sf.posexplode(sf.col("dw")).as(Seq("p", "d2")))
+      .filter(sf.col("id") =!= sf.element_at(sampleIds, sf.col("p") + 1))
+      .groupBy("p").agg(sf.min("d2").as("d2"))
+      .agg(sf.sum(fx6(sf.col("d2"))).as("sw"))
+    su.crossJoin(sf.broadcast(sw))
+      .select(sf.lit(m.toLong).as("n_sample"),
+        gf.roundAt(sf.col("su").cast("double") / 1e6, 6).as("sum_u"),
+        gf.roundAt(sf.col("sw").cast("double") / 1e6, 6).as("sum_w"),
+        sf.when(sf.col("su") + sf.col("sw") > 0, gf.roundAt(
+          sf.col("su").cast("double") /
+            (sf.col("su") + sf.col("sw")).cast("double"), 6)).as("hopkins"))
+  }
+
   /** Johnson-Lindenstrauss random-projection distortion audit: project
     * every embedding onto `k` deterministic [[lshPlanes]] directions
     * (uniform ±, variance 1/3 per component, so 3/k·Σ_j dot(x,p_j)² is

@@ -928,6 +928,37 @@ object Kernels {
         words(w).toString + "\t" + rank(w)): Any))
   }
 
+  /** Squared L2 distances from x to each of the m reference vectors
+    * flattened row-major into `flat` (index-order accumulation — the
+    * list_reduce oracle convention). Non-finite x returns an empty
+    * array (row excluded + countable). Powers the Hopkins pass: one
+    * kernel call per corpus row instead of an m-way explode join. */
+  def dist2ToSet(x: ArrayData, flat: ArrayData, m: Int): ArrayData = {
+    val d = x.numElements()
+    var i = 0
+    while (i < d) {
+      val xi = x.getDouble(i)
+      if (java.lang.Double.isNaN(xi) || java.lang.Double.isInfinite(xi))
+        return UnsafeArrayData.fromPrimitiveArray(Array.empty[Double])
+      i += 1
+    }
+    val out = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val base = j * d
+      var s = 0.0
+      i = 0
+      while (i < d) {
+        val diff = x.getDouble(i) - flat.getDouble(base + i)
+        s += diff * diff
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Johnson-Lindenstrauss projection norms in one pass: with the k
     * hyperplanes flattened row-major into `planes` (k·d doubles),
     * y_j = Σ_i x_i·p_{j,i} (index order), and the result is

@@ -770,6 +770,33 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(again == got.map(_.toString).toSeq)
   }
 
+  test("Similarity.hopkinsStatistic: clustered data scores high, grid data lower") {
+    import spark.implicits._
+    // two tight blobs far apart: real points have near-zero NN
+    // distances, uniform probes in the bounding box land in the void
+    val blobs = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(c + 0.001f * (i / 2), c, c, c))
+    }.toDF("vec_id", "embedding")
+    val hb = Similarity.hopkinsStatistic(blobs, "vec_id", "embedding",
+      dims = 4, m = 5).head()
+    assert(hb.getAs[Long]("n_sample") == 5)
+    val hStat = hb.getAs[Double]("hopkins")
+    assert(hStat > 0.8, s"clustered corpus must score high: $hb")
+    // an evenly spread grid has no structure: probes look like data
+    val grid = (0 until 40).map { i =>
+      (i.toLong, Array((i % 8).toFloat, (i / 8).toFloat,
+        (i % 5).toFloat, (i % 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val hg = Similarity.hopkinsStatistic(grid, "vec_id", "embedding",
+      dims = 4, m = 5).head().getAs[Double]("hopkins")
+    assert(hg < hStat, s"grid ($hg) must score below blobs ($hStat)")
+    // pure function of the data
+    val again = Similarity.hopkinsStatistic(blobs, "vec_id", "embedding",
+      dims = 4, m = 5).head().getAs[Double]("hopkins")
+    assert(again == hStat)
+  }
+
   test("Similarity.jlDistortion: exact norms, near-1 estimates, NaN exclusion") {
     import spark.implicits._
     val rows = (0 until 30).map { i =>
