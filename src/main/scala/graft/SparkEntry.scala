@@ -1521,6 +1521,11 @@ object SparkEntry {
       Similarity.hopkinsStatistic(emb(s, dir), "vec_id", "embedding",
         dims = 64, m = 50)),
 
+    // EWMA over the gap-filled hourly series: exact 1e9/2^l integer
+    // weights, availability-normalized at the window start.
+    "q239_ewma" -> ((s, dir) =>
+      EventOps.ewmaSeries(Tables.load(s, dir, "events"))),
+
     // V-measure: do the q164 communities recover part brands? The
     // external-label complement of q222's structure-only modularity.
     "q234_v_measure" -> ((s, dir) => {
@@ -4740,6 +4745,27 @@ object SparkEntry {
         |  CASE WHEN su + sw > 0 THEN
         |    floor(CAST(su AS DOUBLE)/CAST(su + sw AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS hopkins
         |FROM su CROSS JOIN sw""".stripMargin,
+
+    // EWMA: q218's zero-filled grid, integer 1e9/2^(l+1) weights, the
+    // dense-grid lag join providing start-of-window availability.
+    "q239_ewma" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |lw AS (SELECT CAST(l AS BIGINT) AS l, CAST(1000000000 // power(2, l + 1) AS BIGINT) AS w
+        |       FROM (SELECT unnest(range(0, 8)) AS l)),
+        |pr AS (SELECT a.t, a.bin, a.v, lw.l, lw.w, bb.v AS vl
+        |  FROM sv a CROSS JOIN lw
+        |  JOIN sv bb ON bb.t = a.t AND bb.bin = a.bin - lw.l)
+        |SELECT t AS event_type, bin,
+        |  CAST(SUM(CASE WHEN l = 0 THEN vl END) AS BIGINT) AS n_events,
+        |  floor(CAST(SUM(w * vl) AS DOUBLE)/CAST(SUM(w) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS ewma
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

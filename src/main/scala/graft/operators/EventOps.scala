@@ -962,6 +962,51 @@ object EventOps {
       .orderBy(typeCol, "bin")
   }
 
+  /** Exponentially-weighted moving average of the per-type count
+    * series over the [[denseSeries]] gap-filled grid — the smoother
+    * dashboards and the q121/q137 anomaly baselines read instead of
+    * raw counts (EWMA reacts to level shifts in ~1/α bins while
+    * absorbing single-bin noise; the zero-filled grid matters, since
+    * skipping silent bins would make the average blind to outages).
+    * Truncated at `lags` terms with α = 1/2, so every weight is the
+    * EXACT integer 1e9/2^(l+1) and the window start normalizes by the
+    * weights actually available — no warm-up bias, no RNG, no floats
+    * until the single output division.
+    *
+    * Determinism: ewma = Σ w_l·v_{t-l} / Σ w_l over available lags,
+    * both sums exact longs, ONE pinned double division rounded 1e-6.
+    *
+    * Scale shape: the grid builds once (chunked, the q130 machinery)
+    * and checkpoints; the trailing window is a bounded lags-way
+    * broadcast fan-out + ONE (type, bin) equi join on the dense grid
+    * (availability falls out of the join — no window function, no
+    * per-series sort). */
+  def ewmaSeries(events: DataFrame, lags: Int = 8,
+                 binSec: Long = 3600): DataFrame = {
+    require(lags >= 1 && lags <= 30, s"lags must be in [1, 30], got $lags")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sv = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true)
+    val lagW = (0 until lags).map(l => (l.toLong, 1000000000L >> (l + 1)))
+      .toDF("l", "w")
+    sv.crossJoin(sf.broadcast(lagW))
+      .withColumn("blk", sf.col("bin") - sf.col("l"))
+      .join(sv.select(sf.col("t"), sf.col("bin").as("blk"),
+        sf.col("v").as("vl")), Seq("t", "blk"))
+      .groupBy("t", "bin")
+      .agg(sf.sum(sf.when(sf.col("l") === 0L, sf.col("vl"))).cast("long").as("v"),
+        sf.sum(sf.col("w") * sf.col("vl")).cast("long").as("num"),
+        sf.sum("w").cast("long").as("den"))
+      .select(sf.col("t").as("event_type"), sf.col("bin"),
+        sf.col("v").as("n_events"),
+        gf.roundAt(sf.col("num").cast("double") / sf.col("den").cast("double"), 6)
+          .as("ewma"))
+      .orderBy("event_type", "bin")
+  }
+
   /** Autocorrelation function of the per-type event-count series at
     * lags 1..maxLag over the [[denseSeries]] gap-filled grid — the
     * periodicity detector (a daily-cycle stream shows a lag-24 peak at

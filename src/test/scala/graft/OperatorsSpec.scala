@@ -519,6 +519,22 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("mh_odds_ratio") == 4.2, r.toString)
   }
 
+  test("EventOps: ewmaSeries hand-computed over a gap-filled window") {
+    import spark.implicits._
+    // hourly counts [2, 0, 1]: ewma = 2.0, (0.5*0+0.25*2)/0.75 = 2/3,
+    // (0.5*1+0.25*0+0.125*2)/0.875 = 6/7
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", 7L, "view", 1.0),
+      (2L, "2024-01-01 00:20:00", 7L, "view", 1.0),
+      (3L, "2024-01-01 02:30:00", 7L, "view", 1.0))
+    val df = rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"), sf.col("value"))
+    val got = EventOps.ewmaSeries(df).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((2L, 2.0), (0L, 0.666667), (1L, 0.857143)), s"got $got")
+  }
+
   test("EventOps: markovAttribution removal effects on a hand-solved chain") {
     import spark.implicits._
     // u1: view->CONV; u2: view->click->CONV; u3: click->NULL
