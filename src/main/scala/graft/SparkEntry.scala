@@ -1526,6 +1526,15 @@ object SparkEntry {
     "q239_ewma" -> ((s, dir) =>
       EventOps.ewmaSeries(Tables.load(s, dir, "events"))),
 
+    // Cliff's delta + AUC on q109's click-vs-view values: at scale
+    // everything is "significant" — is the difference BIG?
+    "q240_cliffs_delta" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.cliffsDelta(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
+
     // V-measure: do the q164 communities recover part brands? The
     // external-label complement of q222's structure-only modularity.
     "q234_v_measure" -> ((s, dir) => {
@@ -4766,6 +4775,38 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l = 0 THEN vl END) AS BIGINT) AS n_events,
         |  floor(CAST(SUM(w * vl) AS DOUBLE)/CAST(SUM(w) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS ewma
         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Cliff's delta: q109's doubled midrank sum, exact-integer 2U,
+    // single pinned divisions, magnitude banded on the ROUNDED delta.
+    "q240_cliffs_delta" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type='click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type='view' AND value IS NOT NULL),
+        |ca AS (SELECT v, COUNT(*) c FROM a GROUP BY 1),
+        |cb AS (SELECT v, COUNT(*) c FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS ca,
+        |  COALESCE(cb.c, 0) AS cb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |c AS (SELECT v, ca, cb, ca + cb AS t,
+        |  COALESCE(SUM(ca + cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM m),
+        |s AS (SELECT
+        |  CAST(SUM(CAST(ca AS HUGEINT) * CAST(cumb*2 + t + 1 AS HUGEINT)) AS HUGEINT) AS r2s,
+        |  CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |f AS (SELECT na, nb,
+        |  r2s - CAST(na AS HUGEINT)*(CAST(na AS HUGEINT)+1) AS twou FROM s),
+        |g AS (SELECT na, nb,
+        |  floor(CAST(twou - CAST(na AS HUGEINT)*CAST(nb AS HUGEINT) AS DOUBLE)
+        |    /CAST(CAST(na AS HUGEINT)*CAST(nb AS HUGEINT) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS delta,
+        |  floor(CAST(twou AS DOUBLE)
+        |    /CAST(CAST(2 AS HUGEINT)*CAST(na AS HUGEINT)*CAST(nb AS HUGEINT) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS auc
+        |  FROM f)
+        |SELECT na AS n_a, nb AS n_b, delta, auc,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |       WHEN abs(delta) < 0.33 THEN 'small'
+        |       WHEN abs(delta) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM g""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

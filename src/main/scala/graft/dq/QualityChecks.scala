@@ -514,6 +514,63 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Cliff's delta ordinal effect size + the common-language effect
+    * size / AUC (Cliff 1993; Romano et al. 2006 magnitude bands) —
+    * the companion [[mannWhitneyU]] needs: at scale EVERY difference
+    * is "significant", and δ = P(a>b) − P(a<b) answers the question
+    * that matters — is it big? A = U/(n_a·n_b) is the probability a
+    * random a-row exceeds a random b-row (ties split), the most
+    * interpretable two-sample number there is.
+    *
+    * Exactness: from the same doubled midrank sum as [[mannWhitneyU]],
+    * 2U = R2 − n_a(n_a+1) is an exact integer, so
+    * δ = (2U − n_a·n_b)/(n_a·n_b) and A = 2U/(2·n_a·n_b) are single
+    * pinned double divisions of exact decimal(38) integers, rounded
+    * 1e-6; the magnitude band buckets the ROUNDED δ (so the label can
+    * never disagree with the printed number).
+    *
+    * Scale shape: identical to [[mannWhitneyU]] — per-side
+    * distinct-value compression, one domain-bounded cumulative
+    * window, a single-row finish. */
+  def cliffsDelta(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: String) =
+      graft.operators.Par.spread(
+        df.select(sf.col(valueCol).cast("double").as("__v")))
+        .filter(sf.col("__v").isNotNull)
+        .groupBy("__v")
+        .agg(sf.count(sf.lit(1)).as(s"__c$tag"))
+    val merged = side(dfA, "a").join(side(dfB, "b"), Seq("__v"), "full_outer")
+      .select(sf.col("__v"),
+        sf.coalesce(sf.col("__ca"), sf.lit(0L)).as("__ca"),
+        sf.coalesce(sf.col("__cb"), sf.lit(0L)).as("__cb"))
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__v")), sf.lit(1)))
+      .orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val t = sf.col("__ca") + sf.col("__cb")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cumBefore = sf.coalesce(sf.sum(t).over(w), sf.lit(0L))
+    merged
+      .withColumn("__r2", dec(sf.col("__ca")) * dec(cumBefore * 2 + t + 1))
+      .agg(sf.sum("__r2").as("__r2s"),
+        sf.sum("__ca").as("__na"), sf.sum("__cb").as("__nb"))
+      .select({
+        val na = dec(sf.col("__na"))
+        val nb = dec(sf.col("__nb"))
+        val twoU = sf.col("__r2s") - na * (na + 1)
+        val delta = (twoU - na * nb).cast("double") / (na * nb).cast("double")
+        val deltaR = gf.roundAt(delta, 6)
+        val auc = twoU.cast("double") / (dec(sf.lit(2L)) * na * nb).cast("double")
+        Seq(sf.col("__na").cast("long").as("n_a"),
+          sf.col("__nb").cast("long").as("n_b"),
+          deltaR.as("delta"),
+          gf.roundAt(auc, 6).as("auc"),
+          sf.when(sf.abs(deltaR) < 0.147, "negligible")
+            .when(sf.abs(deltaR) < 0.33, "small")
+            .when(sf.abs(deltaR) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+      }: _*)
+  }
+
   /** Family-wise A/B readout with Benjamini–Hochberg FDR control
     * (the Benjamini–Hochberg 1995 step-up procedure, the standard
     * multiple-testing correction): one two-proportion z-test PER GROUP

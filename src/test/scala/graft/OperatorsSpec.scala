@@ -519,6 +519,24 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("mh_odds_ratio") == 4.2, r.toString)
   }
 
+  test("QualityChecks: cliffsDelta hand-computed wins/ties/losses") {
+    import spark.implicits._
+    // A={3,3,4}, B={1,2,3}: wins 7, ties 2, losses 0 over 9 pairs
+    // -> delta = 7/9, U = 8 -> AUC = 8/9, magnitude large
+    val a = Seq(3.0, 3.0, 4.0).toDF("value")
+    val b = Seq(1.0, 2.0, 3.0).toDF("value")
+    val r = QualityChecks.cliffsDelta(a, b, "value").head()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("delta") == r6(7.0 / 9), r.toString)
+    assert(r.getAs[Double]("auc") == r6(8.0 / 9), r.toString)
+    assert(r.getAs[String]("magnitude") == "large", r.toString)
+    // identical samples -> delta 0, AUC 0.5, negligible
+    val r0 = QualityChecks.cliffsDelta(a, a, "value").head()
+    assert(r0.getAs[Double]("delta") == 0.0 && r0.getAs[Double]("auc") == 0.5 &&
+      r0.getAs[String]("magnitude") == "negligible", r0.toString)
+  }
+
   test("EventOps: ewmaSeries hand-computed over a gap-filled window") {
     import spark.implicits._
     // hourly counts [2, 0, 1]: ewma = 2.0, (0.5*0+0.25*2)/0.75 = 2/3,
