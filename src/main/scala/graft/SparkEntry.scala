@@ -1526,6 +1526,11 @@ object SparkEntry {
     "q239_ewma" -> ((s, dir) =>
       EventOps.ewmaSeries(Tables.load(s, dir, "events"))),
 
+    // Hill tail index of term frequencies: the MLE read of the heavy
+    // tail beside q133's whole-vocabulary OLS fit.
+    "q241_hill_tail" -> ((s, dir) =>
+      CorpusStats.hillTailIndex(docs(s, dir), "text")),
+
     // Cliff's delta + AUC on q109's click-vs-view values: at scale
     // everything is "significant" — is the difference BIG?
     "q240_cliffs_delta" -> ((s, dir) => {
@@ -4807,6 +4812,23 @@ object SparkEntry {
         |       WHEN abs(delta) < 0.474 THEN 'medium'
         |       ELSE 'large' END AS magnitude
         |FROM g""".stripMargin,
+
+    // Hill: identical counts, top-(k+1) count multiset (tie-safe by
+    // construction), 1e-9 ln snaps, one pinned division.
+    "q241_hill_tail" ->
+      """WITH tk AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+        |top AS (SELECT c FROM cnt ORDER BY c DESC LIMIT 51),
+        |th AS (SELECT MIN(c) AS ck1 FROM top),
+        |s AS (SELECT CAST(SUM(CAST(floor(ln(CAST(c AS DOUBLE)/CAST(ck1 AS DOUBLE))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sfx,
+        |  CAST(MIN(ck1) AS BIGINT) AS c_threshold FROM top CROSS JOIN th)
+        |SELECT CAST(50 AS BIGINT) AS k, c_threshold,
+        |  CASE WHEN sfx > 0 THEN
+        |    floor(50.0/(CAST(sfx AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 END AS hill_alpha
+        |FROM s""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
     // permutation literals, identical slot-agreement assembly.

@@ -1095,6 +1095,43 @@ object CorpusStats {
       .limit(topK)
   }
 
+  /** Hill tail-index estimator over term frequencies (Hill 1975) —
+    * the MAXIMUM-LIKELIHOOD companion to q133's Zipf OLS fit and
+    * q169's Heaps growth: α̂ = k / Σ_{i≤k} ln(c_(i)/c_(k+1)) over the
+    * k largest counts. The OLS fit weights the whole vocabulary
+    * (body + tail); Hill reads ONLY the heavy tail, which is the part
+    * that decides cache/heavy-hitter/skew behavior — disagreement
+    * between the two is itself the signal (a body that isn't the tail's
+    * power law = mixed regimes, e.g. natural text + id soup).
+    *
+    * Determinism: counts are exact; the top-(k+1) COUNT MULTISET is
+    * well-defined under ties (boundary-tied tokens carry the same
+    * count, so which ones the limit picks cannot change any ln term);
+    * including the (k+1)-th row adds ln(1) = 0, so the sum runs over
+    * all k+1 rows with no special-casing; each ln snaps 1e-9 before
+    * the exact sum, one pinned final division rounded 1e-6.
+    *
+    * Scale shape: one hash-keyed map-side-combined count, a k-bounded
+    * TakeOrdered (never a full vocabulary sort), and arithmetic on a
+    * (k+1)-row frame. */
+  def hillTailIndex(docs0: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
+    val cnt = Par.spread(docs0.select(sf.col(textCol).as("__t")))
+      .select(sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy(sf.xxhash64(sf.col("w")).as("wh"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+    val top = cnt.orderBy(sf.col("c").desc).limit(k + 1).localCheckpoint(true)
+    val th = top.agg(sf.min("c").as("ck1"))
+    top.crossJoin(sf.broadcast(th))
+      .agg(sf.sum(sf.floor(sf.log(sf.col("c").cast("double") /
+          sf.col("ck1").cast("double")) * 1e9 + 0.5).cast("long")).as("sfx"),
+        sf.min("ck1").as("c_threshold"), sf.count(sf.lit(1)).as("__rows"))
+      .select(sf.lit(k.toLong).as("k"), sf.col("c_threshold"),
+        sf.when(sf.col("sfx") > 0, gf.roundAt(
+          sf.lit(k.toDouble) / (sf.col("sfx").cast("double") / 1e9), 6))
+          .as("hill_alpha"))
+  }
+
   /** Per-source token-distribution datasheet: Shannon entropy (nats),
     * unigram PERPLEXITY exp(H) — the "effective vocabulary size" a
     * uniform distribution over that many tokens would have — and the

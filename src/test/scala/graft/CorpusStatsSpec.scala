@@ -603,6 +603,22 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(expect1 > 0 && expect1 < 200, s"subsampling off: $expect1")
   }
 
+  test("CorpusStats.hillTailIndex: exact MLE over a known count tail") {
+    import spark.implicits._
+    // counts a=8 b=4 c=2 d=1: top-3 = [8,4,2], threshold 2,
+    // alpha = 2 / (ln 4 + ln 2)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = CorpusStats.hillTailIndex(docs, "text", k = 2).head()
+    def fx(x: Double) = math.floor(math.log(x) * 1e9 + 0.5).toLong
+    val sfx = fx(4.0) + fx(2.0) + fx(1.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("c_threshold") == 2)
+    assert(r.getAs[Double]("hill_alpha") == r6(2.0 / (sfx.toDouble / 1e9)),
+      r.toString)
+  }
+
   test("TextAnalysis.applyBpe: learned merges tokenize exactly as training did") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "slowest"), (3L, "")).toDF("id", "text")
