@@ -1354,8 +1354,17 @@ object SparkEntry {
 
     // Dataloader-facing packing manifest: per 512-token sequence, the
     // ordered doc spans (attention-reset boundaries), fill, pad tail.
+    // The library API returns real ARRAY columns; the QUERY stringifies
+    // them (csv) because the driver's checker can't hash list cells.
     "q204_pack_manifest" -> ((s, dir) =>
-      Packing.packManifest(docs(s, dir), "doc_id", "text", capacity = 512)),
+      Packing.packManifest(docs(s, dir), "doc_id", "text", capacity = 512)
+        .select(sf.col("seq_id"), sf.col("n_spans"), sf.col("fill_tokens"),
+          sf.col("pad_tokens"),
+          sf.array_join(sf.expr("transform(boundaries, x -> cast(x as string))"), ",")
+            .as("boundaries"),
+          sf.array_join(sf.expr("transform(doc_ids, x -> cast(x as string))"), ",")
+            .as("doc_ids"))
+        .orderBy("seq_id")),
 
     // Randomization-health audit: per-covariate SMD between the q99
     // hash arms; |SMD| > 0.1 = broken assignment.
@@ -6092,8 +6101,8 @@ object SparkEntry {
         |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
         |  CAST(SUM(len) AS BIGINT) AS fill_tokens,
         |  512 - CAST(SUM(len) AS BIGINT) AS pad_tokens,
-        |  list(off ORDER BY off) AS boundaries,
-        |  list(doc_id ORDER BY off) AS doc_ids
+        |  array_to_string(list(CAST(off AS VARCHAR) ORDER BY off), ',') AS boundaries,
+        |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY off), ',') AS doc_ids
         |FROM sp GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     // AB balance: the q99 moment pattern per event type, pinned SMD.

@@ -24,16 +24,64 @@ object Graph {
   private def baskets(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
     df.select(sf.col(basketCol).as("basket"), sf.col(itemCol).as("item")).distinct()
 
+  /** The bare pair-mining funnel: every unordered item pair {a, b}
+    * (item_a < item_b) co-occurring in >= `minPairCount` baskets, with
+    * its co-count `c_ab`. This is the SHARED upstream of the whole
+    * graph family — [[minedEdges]] / [[minedWeightedEdges]] / the
+    * iterative operators consume it directly, and [[cooccurrenceLift]]
+    * layers the per-item margins + lift on top. Keeping the bare
+    * funnel join-free and SORT-FREE matters at scale: the pair domain
+    * is easily 1e9+ rows at 100 TB, and edge consumers (PageRank,
+    * k-core, BFS, ...) need neither the item-count joins nor any
+    * global order — only the lift report does.
+    *
+    * Scale shape: baskets collapse to distinct (basket, item) once
+    * (map-side combine), each basket's sorted item array expands to
+    * its own pairs with builtin HOFs (fan-out bounded by basket size,
+    * NEVER a cross-basket product), then ONE pair-keyed count with
+    * map-side partial aggregation. No joins, no sort. */
+  def minedPairs(df: DataFrame, basketCol: String, itemCol: String,
+                 minPairCount: Long = 2): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    // no pre-distinct: collect_set dedups within the basket, so the
+    // bare funnel is exactly TWO exchanges (basket agg, pair count)
+    pairCounts(df.select(sf.col(basketCol).as("basket"),
+      sf.col(itemCol).as("item")), minPairCount)
+  }
+
+  /** (item_a, item_b, c_ab) pair counts from a (basket, item) frame
+    * (duplicates tolerated — collect_set dedups) — the body
+    * [[minedPairs]] and [[cooccurrenceLift]] share; the lift path
+    * passes its already-distinct frame so one scan feeds pairs AND
+    * margins. */
+  private def pairCounts(b: DataFrame, minPairCount: Long): DataFrame = {
+    val arrs = b.groupBy("basket")
+      .agg(sf.sort_array(sf.collect_set(sf.col("item"))).as("items"))
+      .filter(sf.size(sf.col("items")) >= 2)
+    // pairs via nested transform: for i < j emit (items[i], items[j]);
+    // sort_array makes item_a < item_b deterministic.
+    val pairs = arrs.select(sf.explode(sf.flatten(
+      sf.expr("""transform(items, (x, i) ->
+                   transform(slice(items, i + 2, size(items) - i - 1),
+                             y -> struct(x as item_a, y as item_b)))"""))).as("p"))
+      .select(sf.col("p.item_a"), sf.col("p.item_b"))
+    pairs.groupBy("item_a", "item_b").agg(sf.count(sf.lit(1)).as("c_ab"))
+      .filter(sf.col("c_ab") >= minPairCount)
+  }
+
   /** The mined co-occurrence graph as a directed (src, dst) edge list
     * (both directions per undirected pair): the pair-mining funnel
     * every graph operator here starts from, exposed so a PIPELINE can
     * mine once, persist, and feed all of [[kCore]] /
     * [[personalizedPageRank]] / [[bfsHops]] etc. via their `*FromEdges`
     * variants instead of paying the funnel per operator (the bench
-    * times each operator standalone by design — see SURVEY §6). */
+    * times each operator standalone by design — see SURVEY §6).
+    * Rides the bare [[minedPairs]] funnel: no item-count joins, no
+    * global sort — the plan is scan → basket collapse → pair count →
+    * mirror. */
   def minedEdges(df: DataFrame, basketCol: String, itemCol: String,
                  minPairCount: Long = 2): DataFrame = {
-    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+    val pairs = minedPairs(df, basketCol, itemCol, minPairCount)
       .select(sf.col("item_a"), sf.col("item_b"))
     pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
       .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
@@ -59,18 +107,7 @@ object Graph {
                        minPairCount: Long = 2): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     val b = baskets(df, basketCol, itemCol)
-    val arrs = b.groupBy("basket")
-      .agg(sf.sort_array(sf.collect_set(sf.col("item"))).as("items"))
-      .filter(sf.size(sf.col("items")) >= 2)
-    // pairs via nested transform: for i < j emit (items[i], items[j]);
-    // sort_array makes item_a < item_b deterministic.
-    val pairs = arrs.select(sf.explode(sf.flatten(
-      sf.expr("""transform(items, (x, i) ->
-                   transform(slice(items, i + 2, size(items) - i - 1),
-                             y -> struct(x as item_a, y as item_b)))"""))).as("p"))
-      .select(sf.col("p.item_a"), sf.col("p.item_b"))
-    val cAb = pairs.groupBy("item_a", "item_b").agg(sf.count(sf.lit(1)).as("c_ab"))
-      .filter(sf.col("c_ab") >= minPairCount)
+    val cAb = pairCounts(b, minPairCount)
     val cItem = b.groupBy("item").agg(sf.count(sf.lit(1)).as("c_item"))
     val nB = b.select(sf.countDistinct(sf.col("basket")).as("n_baskets"))
     cAb
@@ -114,10 +151,7 @@ object Graph {
                minPairCount: Long = 2, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     val SCALE = 1000000000000L // 1e12
-    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
-      .select(sf.col("item_a"), sf.col("item_b"))
-    val edges = pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"))
-      .union(pairs.select(sf.col("item_b").as("src"), sf.col("item_a").as("dst")))
+    val edges = minedEdges(df, basketCol, itemCol, minPairCount)
     val outdeg = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("outdeg"))
     // materialize the loop invariants ONCE: without this, every
     // iteration's lineage re-derives the whole pair-mining funnel
@@ -229,7 +263,7 @@ object Graph {
     * mined funnel as [[minedEdges]], mirrored both directions. */
   def minedWeightedEdges(df: DataFrame, basketCol: String, itemCol: String,
                          minPairCount: Long = 2): DataFrame = {
-    val pairs = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+    val pairs = minedPairs(df, basketCol, itemCol, minPairCount)
       .select(sf.col("item_a"), sf.col("item_b"),
         sf.expr("CAST(1000000 DIV c_ab AS BIGINT)").as("w"))
     pairs.select(sf.col("item_a").as("src"), sf.col("item_b").as("dst"), sf.col("w"))
@@ -259,17 +293,38 @@ object Graph {
     * analyze many times (the `minedEdges`/`*FromEdges` contract). */
   def ssspFromEdges(edges0: DataFrame,
                     seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                    rounds: Int = 3): DataFrame = {
+                    rounds: Int = 3): DataFrame =
+    relaxRounds(edges0, seedPred, rounds, weighted = true)
+
+  def bfsHopsFromEdges(edges0: DataFrame,
+                       seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                       rounds: Int = 3): DataFrame =
+    relaxRounds(edges0, seedPred, rounds, weighted = false)
+
+  /** The shared synchronous relaxation loop behind [[bfsHopsFromEdges]]
+    * (step cost 1) and [[ssspFromEdges]] (step cost `w`). Memory
+    * discipline: each round's dist frame is persisted, EAGERLY
+    * materialized (count), and the superseded round's frame is
+    * unpersisted — so a long pipeline run holds at most two
+    * node-table-sized cached frames at any moment, not `rounds` of
+    * them. Nodes seed from union(src, dst), so dst-only nodes of an
+    * asymmetric pre-mined edge list still get an output row. */
+  private def relaxRounds(edges0: DataFrame,
+                          seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                          rounds: Int, weighted: Boolean): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     val edges = edges0.persist()
-    var dist = edges.select(sf.col("src").as("item")).distinct()
+    val step = if (weighted) sf.col("w") else sf.lit(1L)
+    var dist = edges.select(sf.col("src").as("item"))
+      .union(edges.select(sf.col("dst").as("item"))).distinct()
       .select(sf.col("item"),
         sf.when(seedPred(sf.col("item")), 0L).cast("long").as("dist"))
+    var prevPersisted: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val prev = dist
       val relax = edges.join(prev, sf.col("src") === sf.col("item"))
         .filter(sf.col("dist").isNotNull)
-        .select(sf.col("dst"), (sf.col("dist") + sf.col("w")).as("nd"))
+        .select(sf.col("dst"), (sf.col("dist") + step).as("nd"))
         .groupBy("dst").agg(sf.min("nd").as("nd"))
       // previous distances are read twice per round (relax + merge)
       dist = prev.join(relax, sf.col("item") === sf.col("dst"), "left")
@@ -278,32 +333,9 @@ object Graph {
             .when(sf.col("nd").isNull, sf.col("dist"))
             .otherwise(sf.least(sf.col("dist"), sf.col("nd"))).as("dist"))
         .persist()
-    }
-    dist.orderBy("item")
-  }
-
-  def bfsHopsFromEdges(edges0: DataFrame,
-                       seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                       rounds: Int = 3): DataFrame = {
-    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    val edges = edges0.persist()
-    var dist = edges.select(sf.col("src").as("item")).distinct()
-      .select(sf.col("item"),
-        sf.when(seedPred(sf.col("item")), 0L).cast("long").as("dist"))
-    for (_ <- 1 to rounds) {
-      val prev = dist
-      val relax = edges.join(prev, sf.col("src") === sf.col("item"))
-        .filter(sf.col("dist").isNotNull)
-        .select(sf.col("dst"), (sf.col("dist") + 1L).as("nd"))
-        .groupBy("dst").agg(sf.min("nd").as("nd"))
-      // each round reads the previous frontier TWICE (relax + merge):
-      // persist it or the lineage doubles every round
-      dist = prev.join(relax, sf.col("item") === sf.col("dst"), "left")
-        .select(sf.col("item"),
-          sf.when(sf.col("dist").isNull, sf.col("nd"))
-            .when(sf.col("nd").isNull, sf.col("dist"))
-            .otherwise(sf.least(sf.col("dist"), sf.col("nd"))).as("dist"))
-        .persist()
+      dist.count() // materialize BEFORE dropping the superseded frame
+      prevPersisted.foreach(_.unpersist())
+      prevPersisted = Some(dist)
     }
     dist.orderBy("item")
   }
@@ -515,6 +547,10 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     var edges = edges0.persist()
+    // unpersist each peel's superseded edge frame once the next one is
+    // materialized — never the CALLER's edges0 (it may be a shared
+    // mined-once invariant); holds <= 2 loop frames cached at a time.
+    var loopFrame: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("deg"))
         .filter(sf.col("deg") >= k).select("src")
@@ -522,6 +558,9 @@ object Graph {
         .join(keep, Seq("src"), "left_semi")
         .join(keep.select(sf.col("src").as("dst")), Seq("dst"), "left_semi")
         .persist()
+      edges.count()
+      loopFrame.foreach(_.unpersist())
+      loopFrame = Some(edges)
     }
     edges.groupBy("src").agg(sf.count(sf.lit(1)).as("degree"))
       .select(sf.col("src").as("item"), sf.col("degree"))
@@ -553,7 +592,7 @@ object Graph {
     * endpoints; AQE broadcasts the closing edge list when small. */
   def triangles(df: DataFrame, basketCol: String, itemCol: String,
                 minPairCount: Long = 2): DataFrame =
-    triangleClosure(cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+    triangleClosure(minedPairs(df, basketCol, itemCol, minPairCount)
       .select(sf.col("item_a").as("u"), sf.col("item_b").as("v")))
       .orderBy("item_a", "item_b", "item_c")
 
@@ -611,7 +650,7 @@ object Graph {
     * O(|E|^1.5)-bounded pipeline shared with [[triangles]]. */
   def graphProfile(df: DataFrame, basketCol: String, itemCol: String,
                    minPairCount: Long = 2): DataFrame = {
-    val und = cooccurrenceLift(df, basketCol, itemCol, minPairCount)
+    val und = minedPairs(df, basketCol, itemCol, minPairCount)
       .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
       .persist()
     val deg = und.select(sf.col("u").as("n")).union(und.select(sf.col("v").as("n")))

@@ -545,4 +545,25 @@ class PlanSpec extends SparkFunSuite {
       org.apache.spark.sql.execution.joins.CartesianProductExec]),
       "jsonKeyProfile must not produce a cartesian product")
   }
+
+  test("minedEdges is the bare funnel: no sort, no joins, two exchanges") {
+    // the graph family's shared upstream must NOT pay cooccurrenceLift's
+    // margins (item-count joins), n_baskets cross join, or global sort —
+    // only the lift REPORT needs those. Expected shape: scan -> basket
+    // collect_set agg -> pair count agg -> mirror union. At 100 TB the
+    // pair domain is 1e9+ rows; an unneeded sort of it per graph
+    // operator is the difference between minutes and hours.
+    val li = Tables.load(spark, sf001, "lineitem")
+    val edges = graft.operators.Graph.minedEdges(li, "l_orderkey", "l_partkey")
+    edges.collect()
+    val nodes = collectAll(executed(edges))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "minedEdges must not sort")
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "minedEdges must not join")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2,
+      s"minedEdges should shuffle at most twice (basket agg, pair count), got $shuffles")
+  }
 }
