@@ -4479,8 +4479,8 @@ object SparkEntry {
         |       FROM (SELECT props, unnest(json_keys(props)) AS k FROM base)),
         |cls AS (SELECT k AS "key",
         |  CASE WHEN v IS NULL THEN 'null'
-        |       WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'int'
-        |       WHEN regexp_matches(v, '^-?[0-9]*\.[0-9]+$') THEN 'float'
+        |       WHEN regexp_matches(v, '^[+-]?[0-9]+$') THEN 'int'
+        |       WHEN regexp_matches(v, '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$') THEN 'float'
         |       WHEN v IN ('true', 'false') THEN 'bool'
         |       WHEN v LIKE '{%' THEN 'object'
         |       WHEN v LIKE '[%' THEN 'array'
@@ -4603,7 +4603,7 @@ object SparkEntry {
         |rawp AS (SELECT pr.a AS a, pr.b AS b FROM (
         |  SELECT unnest(flatten([[{'a': toks[i+1], 'b': toks[j+1]}
         |    FOR j IN range(i + 1, least(i + 2, len(toks) - 1) + 1)]
-        |    FOR i IN range(0, len(toks) - 1)])) AS pr FROM t2)),
+        |    FOR i IN range(0, len(toks) - 1)])) AS pr FROM t2) WHERE pr.a <> pr.b),
         |sym AS (SELECT a, b FROM rawp UNION ALL SELECT b, a FROM rawp),
         |pairs AS (SELECT a, b, COUNT(*) AS c_ab FROM sym GROUP BY 1, 2),
         |outm AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_out FROM pairs GROUP BY 1),
@@ -4833,10 +4833,11 @@ object SparkEntry {
         |top AS (SELECT c FROM cnt ORDER BY c DESC LIMIT 51),
         |th AS (SELECT MIN(c) AS ck1 FROM top),
         |s AS (SELECT CAST(SUM(CAST(floor(ln(CAST(c AS DOUBLE)/CAST(ck1 AS DOUBLE))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sfx,
-        |  CAST(MIN(ck1) AS BIGINT) AS c_threshold FROM top CROSS JOIN th)
-        |SELECT CAST(50 AS BIGINT) AS k, c_threshold,
+        |  CAST(MIN(ck1) AS BIGINT) AS c_threshold,
+        |  CAST(COUNT(*) AS BIGINT) AS nr FROM top CROSS JOIN th)
+        |SELECT nr - 1 AS k, c_threshold,
         |  CASE WHEN sfx > 0 THEN
-        |    floor(50.0/(CAST(sfx AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 END AS hill_alpha
+        |    floor(CAST(nr - 1 AS DOUBLE)/(CAST(sfx AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 END AS hill_alpha
         |FROM s""".stripMargin,
 
     // Source minhash: identical md5-60 base, identical (a·h+b) mod p
@@ -6220,7 +6221,7 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
         |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
-        |  CAST(len(regexp_extract_all(text, '\x{C3}|\x{C2}|\x{E2}\x{20AC}')) AS BIGINT) AS n_mojibake,
+        |  CAST(len(regexp_extract_all(text, '[\x{C3}\x{C2}][\x{80}-\x{BF}]|\x{E2}\x{20AC}')) AS BIGINT) AS n_mojibake,
         |  CAST(len(regexp_extract_all(text, '\x{A0}')) AS BIGINT) AS n_nbsp
         |  FROM documents)
         |SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake, n_nbsp,

@@ -1808,9 +1808,12 @@ object QualityChecks {
     val total = base.select(m.as("__m")).filter(sf.col("__m").isNotNull)
       .agg(sf.count(sf.lit(1)).as("n_rows"))
     val v = sf.col("__v")
+    // numeric classes take optional sign, optional fraction (incl.
+    // trailing-dot '1.'), optional exponent ('1e5', '1.5E-3') — a
+    // float-FORMATTING change must not masquerade as num->string drift
     val kind = sf.when(v.isNull, "null")
-      .when(v.rlike("^-?[0-9]+$"), "int")
-      .when(v.rlike("^-?[0-9]*\\.[0-9]+$"), "float")
+      .when(v.rlike("^[+-]?[0-9]+$"), "int")
+      .when(v.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"), "float")
       .when(v.isin("true", "false"), "bool")
       .when(v.startsWith("{"), "object")
       .when(v.startsWith("["), "array")

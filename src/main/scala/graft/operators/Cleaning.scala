@@ -164,9 +164,14 @@ object Cleaning {
     * degrades on it. Counted per document:
     *   n_replacement — U+FFFD replacement chars (decoder already gave up);
     *   n_control     — C0/DEL control chars other than \t \n \r;
-    *   n_mojibake    — UTF-8-read-as-Latin-1 artifacts: 'Ã', 'Â',
-    *                   and the 'â€' sequence (curly quotes/dashes
-    *                   double-encoded — the classic signatures);
+    *   n_mojibake    — UTF-8-read-as-Latin-1 artifacts: 'Ã'/'Â'
+    *                   followed by a Latin-1 CONTINUATION char
+    *                   (U+0080–U+00BF — what a stray UTF-8 trail byte
+    *                   decodes to), and the 'â€' sequence (curly
+    *                   quotes/dashes double-encoded). The two-byte
+    *                   signature matters: bare 'Ã'/'Â' are legitimate
+    *                   in Portuguese/French text ('São', 'Âge') and
+    *                   counting them alone false-flags clean docs;
     *   n_nbsp        — U+00A0 non-breaking spaces (HTML residue).
     * `suspect_ratio` = damaged / n_chars (1e-6-rounded) and
     * `flag_encoding` = any damage present — route to re-decode or drop.
@@ -178,7 +183,7 @@ object Cleaning {
     def cnt(pattern: String) = sf.regexp_count(t, sf.lit(pattern)).cast("long")
     val nRepl = cnt("\\uFFFD")
     val nCtl = cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
-    val nMoji = cnt("\\u00C3|\\u00C2|\\u00E2\\u20AC")
+    val nMoji = cnt("[\\u00C3\\u00C2][\\u0080-\\u00BF]|\\u00E2\\u20AC")
     val nNbsp = cnt("\\u00A0")
     val damaged = sf.col("n_replacement") + sf.col("n_control") + sf.col("n_mojibake")
     docs.select(sf.col(idCol).cast("long").as("doc_id"),

@@ -1122,13 +1122,17 @@ object CorpusStats {
       .agg(sf.count(sf.lit(1)).as("c"))
     val top = cnt.orderBy(sf.col("c").desc).limit(k + 1).localCheckpoint(true)
     val th = top.agg(sf.min("c").as("ck1"))
+    // the effective k is (rows - 1) — the number of ln terms above the
+    // threshold row — NOT the requested k: a vocabulary smaller than
+    // k+1 distinct tokens must shrink the estimator, not dilute it
     top.crossJoin(sf.broadcast(th))
       .agg(sf.sum(sf.floor(sf.log(sf.col("c").cast("double") /
           sf.col("ck1").cast("double")) * 1e9 + 0.5).cast("long")).as("sfx"),
         sf.min("ck1").as("c_threshold"), sf.count(sf.lit(1)).as("__rows"))
-      .select(sf.lit(k.toLong).as("k"), sf.col("c_threshold"),
+      .select((sf.col("__rows") - 1L).as("k"), sf.col("c_threshold"),
         sf.when(sf.col("sfx") > 0, gf.roundAt(
-          sf.lit(k.toDouble) / (sf.col("sfx").cast("double") / 1e9), 6))
+          (sf.col("__rows") - 1L).cast("double") /
+            (sf.col("sfx").cast("double") / 1e9), 6))
           .as("hill_alpha"))
   }
 
@@ -1212,6 +1216,10 @@ object CorpusStats {
            |  i -> transform(sequence(i + 1, least(i + $window, size(t) - 1)),
            |    j -> struct(t[i] AS a, t[j] AS b)))""".stripMargin))).as("p"))
       .select(sf.col("p.a").as("a"), sf.col("p.b").as("b"))
+      // drop same-token pairs (e.g. 'x y x' at window 2): mirroring
+      // them would double-count the diagonal c_aa and inflate margins
+      // relative to standard PPMI construction
+      .filter(sf.col("a") =!= sf.col("b"))
     val pairs = raw.union(raw.select(sf.col("b").as("a"), sf.col("a").as("b")))
       .groupBy("a", "b").agg(sf.count(sf.lit(1)).as("c_ab"))
       .localCheckpoint(true)

@@ -576,7 +576,10 @@ class CurationSpec extends SparkFunSuite {
       (1L, "perfectly clean ascii text."),
       (2L, "broken \uFFFD char and bell \u0007 here"),
       (3L, "caf\u00C3\u00A9 and \u00E2\u20AC\u0153quoted\u00E2\u20AC\u009D"),
-      (4L, "nbsp\u00A0separated\u00A0words")).toDF("doc_id", "text")
+      (4L, "nbsp\u00A0separated\u00A0words"),
+      // legitimate Latin-1 letters followed by ASCII: NOT mojibake \u2014
+      // the two-byte signature (lead + continuation char) must gate
+      (5L, "S\u00C3o Paulo: \u00C2ge et libert\u00E9")).toDF("doc_id", "text")
     val got = Cleaning.encodingAudit(df, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(!got(1L).getAs[Boolean]("flag_encoding") &&
@@ -588,5 +591,8 @@ class CurationSpec extends SparkFunSuite {
       got(3L).getAs[Boolean]("flag_encoding"))
     assert(got(4L).getAs[Long]("n_nbsp") == 2L &&
       !got(4L).getAs[Boolean]("flag_encoding")) // nbsp alone is residue, not damage
+    assert(got(5L).getAs[Long]("n_mojibake") == 0L &&
+      !got(5L).getAs[Boolean]("flag_encoding"),
+      s"clean Portuguese/French must not flag: ${got(5L)}")
   }
 }
