@@ -36,4 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // suite showed a further ~15% mid-suite drag at 24g). The host has
   // 128 GiB; one forked JVM at a time makes 32g safe.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // A 246-query bench suite JIT-compiles tens of thousands of methods
+  // (several whole-stage-codegen classes per query, warmup + two timed
+  // passes): the JDK-17 default 240m ReservedCodeCacheSize saturates
+  // its profiled-nmethods segment mid-run (observed pinned at its
+  // ~116m ceiling with continuous sweeping), and sweep/deopt churn
+  // taxes every later query — the r8 "15% broad drift" mechanism.
+  // 512m keeps all three segments out of the flush regime.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

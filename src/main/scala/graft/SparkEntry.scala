@@ -22,6 +22,27 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Deterministic URL synthesis over the documents table (testdata has
+    * no URL column — the q242/q243 oracles rebuild the identical
+    * strings in SQL): mixed schemes, an upper-case www variant (host
+    * case-normalization), a co.uk eTLD+1 case, an explicit port that
+    * is default (:443) only off the http rows, shared /doc/N paths for
+    * dedup collisions, and a malformed residue every 97th doc. */
+  private def synthUrls(s: SparkSession, dir: String) =
+    docs(s, dir).select(sf.col("doc_id"), sf.expr(
+      """CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE concat(
+        |  CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END, '://',
+        |  CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END,
+        |  source,
+        |  CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |       WHEN doc_id % 3 = 1 THEN '.co.uk'
+        |       ELSE '.org' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END,
+        |  '/doc/', CAST(doc_id % 40 AS STRING),
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN concat('?v=', CAST(doc_id % 4 AS STRING)) ELSE '' END)
+        |END""".stripMargin).as("url"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_star_revenue" -> ((s, dir) => StarSchema.revenueByRegion(s, dir)),
 
@@ -1591,6 +1612,49 @@ object SparkEntry {
             (a, b) => sf.pmod(sf.floor(a.cast("double") * 100 + 0.5), sf.lit(10)) ===
               sf.pmod(sf.floor(b.cast("double") * 100 + 0.5), sf.lit(10)),
             m = 0.95, u = 0.1)))),
+
+    // Host-level curation datasheet over synthesized URLs: eTLD+1
+    // rollup with host counts + https share; malformed bucket = NULL
+    // domain (renamed for cross-engine null-order parity).
+    "q242_url_profile" -> ((s, dir) =>
+      Cleaning.hostProfile(synthUrls(s, dir), "url")
+        .select(sf.coalesce(sf.col("registered_domain"), sf.lit("__invalid__"))
+          .as("registered_domain"),
+          sf.col("n_urls"), sf.col("n_hosts"), sf.col("https_frac"))
+        .orderBy(sf.col("n_urls").desc, sf.col("registered_domain"))),
+
+    // URL-level exact dedup: normalization (case, default port, empty
+    // path, fragment) collapses equivalent URLs, min doc survives.
+    "q243_url_dedup" -> ((s, dir) =>
+      Cleaning.urlDedup(synthUrls(s, dir), "doc_id", "url")),
+
+    // McNemar paired test: did the seed-11 classifier actually beat
+    // the q120 seed-7 one on the SAME docs? Only discordant pairs
+    // carry evidence.
+    "q244_mcnemar" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val y = d.select(sf.col("doc_id"), (sf.col("lang") === "en").as("__y"))
+      def correct(seed: Int, as: String) =
+        TextAnalysis.classifierScore(d, "doc_id", "text",
+          weights = Similarity.lshPlanes(256, 1, seed = seed)(0), bias = -0.05)
+          .join(y, "doc_id")
+          .select(sf.col("doc_id"),
+            ((sf.col("score") > 0) === sf.col("__y")).as(as))
+      QualityChecks.mcnemarTest(
+        correct(7, "a_right").join(correct(11, "b_right"), "doc_id"),
+        "a_right", "b_right")
+    }),
+
+    // Brown-Forsythe: do event types differ in VALUE SPREAD (not just
+    // mean)? The variance-homogeneity check q139's ANOVA assumes.
+    "q245_brown_forsythe" -> ((s, dir) =>
+      QualityChecks.brownForsythe(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // Wald-Wolfowitz runs test on the daily series: do above-/below-
+    // median days clump (regime persistence) or alternate?
+    "q246_runs_test" -> ((s, dir) =>
+      EventOps.runsTest(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -6592,5 +6656,165 @@ object SparkEntry {
         |SELECT doc_id, n_scored,
         |  floor(-CAST(fx AS DOUBLE)/CAST(n_scored AS DOUBLE)/1e6*10000.0 + 0.5)/10000.0 AS kn_nll
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // URL host profile: the oracle derives scheme/host/registered
+    // domain INDEPENDENTLY from the synthesis arithmetic (graft parses
+    // the assembled string — agreement checks the parser).
+    "q242_url_profile" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END AS scheme,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END) || source ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |          WHEN doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END) END AS host,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE source ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |          WHEN doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END) END AS dom
+        |  FROM documents)
+        |SELECT COALESCE(dom, '__invalid__') AS registered_domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  floor(CAST(SUM(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5)/1000000.0 AS https_frac
+        |FROM p GROUP BY 1 ORDER BY n_urls DESC, registered_domain""".stripMargin,
+
+    // URL dedup: identical normalization (lower host, default-port
+    // drop — the :443 survives only on the http rows — query kept),
+    // min-id survivor per key; malformed rows key on the raw string.
+    "q243_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END) || source ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |          WHEN doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END) ||
+        |    '/doc/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?v=' || CAST(doc_id % 4 AS VARCHAR)
+        |     ELSE '' END) END AS url FROM documents),
+        |k AS (SELECT u.doc_id, u.url,
+        |  CASE WHEN u.doc_id % 97 = 0 THEN u.url ELSE
+        |    (CASE WHEN u.doc_id % 5 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN u.doc_id % 7 = 0 THEN 'www.' ELSE '' END) || d.source ||
+        |    (CASE WHEN u.doc_id % 3 = 0 THEN '.com'
+        |          WHEN u.doc_id % 3 = 1 THEN '.co.uk' ELSE '.org' END) ||
+        |    (CASE WHEN u.doc_id % 11 = 0 AND u.doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/doc/' || CAST(u.doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN u.doc_id % 2 = 0 THEN '?v=' || CAST(u.doc_id % 4 AS VARCHAR)
+        |     ELSE '' END) END AS kk
+        |  FROM u JOIN documents d ON d.doc_id = u.doc_id)
+        |SELECT doc_id, url, kk AS url_normalized FROM (
+        |  SELECT doc_id, url, kk,
+        |    row_number() OVER (PARTITION BY kk ORDER BY doc_id) AS rn FROM k)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // McNemar: two q229-style scoring chains (seed-7 / seed-11 weight
+    // literals), correctness vs lang='en', exact discordant cells.
+    "q244_mcnemar" -> {
+      val wa = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      val wb = Similarity.lshPlanes(256, 1, seed = 11)(0)
+      def chain(name: String, wt: String) =
+        s"""$name AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           |  list_reduce(list_transform(toks, tok ->
+           |    $wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+           |      (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+           |    (a,b) -> a + b) END AS raw
+           |  FROM t CROSS JOIN $wt)""".stripMargin
+      s"""WITH wta AS (SELECT ${wa.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |wtb AS (SELECT ${wb.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |${chain("sa", "wta")},
+         |${chain("sb", "wtb")},
+         |p AS (SELECT t.doc_id,
+         |  (floor((sa.raw + -0.05)*10000.0 + 0.5)/10000.0 > 0) = (d.lang = 'en') AS ar,
+         |  (floor((sb.raw + -0.05)*10000.0 + 0.5)/10000.0 > 0) = (d.lang = 'en') AS br
+         |  FROM t JOIN sa USING (doc_id) JOIN sb USING (doc_id)
+         |  JOIN documents d USING (doc_id)),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN ar AND br THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN NOT ar AND NOT br THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+         |  CAST(SUM(CASE WHEN ar AND NOT br THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         |  CAST(SUM(CASE WHEN NOT ar AND br THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+         |  FROM p)
+         |SELECT n_pairs, n_both, n_neither, n_only_a, n_only_b,
+         |  floor(CAST(n_both + n_only_a AS DOUBLE)/CAST(n_pairs AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS acc_a,
+         |  floor(CAST(n_both + n_only_b AS DOUBLE)/CAST(n_pairs AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS acc_b,
+         |  CASE WHEN n_only_a + n_only_b > 0 THEN
+         |    floor(CAST(n_only_a - n_only_b AS DOUBLE)*CAST(n_only_a - n_only_b AS DOUBLE)
+         |      /CAST(n_only_a + n_only_b AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mcnemar_stat,
+         |  CASE WHEN n_only_a + n_only_b > 0 THEN
+         |    floor(greatest(abs(CAST(n_only_a - n_only_b AS DOUBLE)) - 1.0, 0.0)
+         |      *greatest(abs(CAST(n_only_a - n_only_b AS DOUBLE)) - 1.0, 0.0)
+         |      /CAST(n_only_a + n_only_b AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mcnemar_cc
+         |FROM c""".stripMargin
+    },
+
+    // Brown-Forsythe: per-group 1e-4-rounded quantile_cont medians,
+    // |x - med| deviations, then q139's exact fx ANOVA chain verbatim.
+    "q245_brown_forsythe" ->
+      """WITH s0 AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |md AS (SELECT g, floor(quantile_cont(x, 0.5)*10000.0 + 0.5)/10000.0 AS med
+        |       FROM s0 GROUP BY 1),
+        |s AS (SELECT s0.g, CAST(floor(abs(s0.x - md.med)*1e4 + 0.5) AS BIGINT) AS x4
+        |      FROM s0 JOIN md USING (g)),
+        |gr AS (SELECT g, COUNT(*) AS n, SUM(CAST(x4 AS DECIMAL(38,0))) AS s1,
+        |       SUM(CAST(x4 AS DECIMAL(38,0))*CAST(x4 AS DECIMAL(38,0))) AS ss FROM s GROUP BY 1),
+        |t AS (SELECT n, s1,
+        |  CAST(floor((CAST(s1 AS DOUBLE)/1e4)*(CAST(s1 AS DOUBLE)/1e4)/CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS bt,
+        |  CAST(floor((CAST(ss AS DOUBLE)/1e8 - (CAST(s1 AS DOUBLE)/1e4)*(CAST(s1 AS DOUBLE)/1e4)/CAST(n AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS wt
+        |  FROM gr),
+        |m AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |      SUM(CAST(s1 AS DECIMAL(38,0))) AS st,
+        |      SUM(CAST(bt AS DECIMAL(38,0))) AS b, SUM(CAST(wt AS DECIMAL(38,0))) AS w FROM t)
+        |SELECT k, n, CASE WHEN k > 1 AND n > k AND CAST(w AS DOUBLE)/1e6 > 0 THEN
+        |  floor((((CAST(b AS DOUBLE)/1e6 - (CAST(st AS DOUBLE)/1e4)*(CAST(st AS DOUBLE)/1e4)/CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+        |       / ((CAST(w AS DOUBLE)/1e6) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))*10000.0 + 0.5)/10000.0 END AS f_stat
+        |FROM m""".stripMargin,
+
+    // Runs test: dense daily grid, nearest-rank lower median on the
+    // compressed (type, count) domain, lag-window run scan, pinned
+    // mu/sigma assembly mirrored term-for-term.
+    "q246_runs_test" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |dom AS (SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c FROM sv GROUP BY 1, 2),
+        |tot AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM dom GROUP BY 1),
+        |cum AS (SELECT t, v, CAST(SUM(c) OVER (PARTITION BY t ORDER BY v
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm FROM dom),
+        |md AS (SELECT cum.t, MIN(v) AS med FROM cum JOIN tot ON tot.t = cum.t
+        |       WHERE cm >= (n + 1) // 2 GROUP BY 1),
+        |sg AS (SELECT sv.t, sv.bin, CASE WHEN sv.v > md.med THEN 1 ELSE 0 END AS s
+        |       FROM sv JOIN md ON md.t = sv.t WHERE sv.v <> md.med),
+        |r AS (SELECT t, s, lag(s, 1) OVER (PARTITION BY t ORDER BY bin) AS p FROM sg),
+        |cc AS (SELECT t,
+        |  CAST(SUM(CASE WHEN p IS NULL OR p <> s THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |  CAST(SUM(s) AS BIGINT) AS n_above, CAST(SUM(1 - s) AS BIGINT) AS n_below
+        |  FROM r GROUP BY 1),
+        |zz AS (SELECT t, n_above, n_below, n_runs,
+        |  1.0 + 2.0*CAST(n_above AS DOUBLE)*CAST(n_below AS DOUBLE)
+        |    /(CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) AS mu,
+        |  (2.0*CAST(n_above AS DOUBLE)*CAST(n_below AS DOUBLE))
+        |    *(2.0*CAST(n_above AS DOUBLE)*CAST(n_below AS DOUBLE)
+        |      - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+        |    /((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |      *(CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |      *((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) - 1.0)) AS sig2
+        |  FROM cc)
+        |SELECT t AS event_type, n_above, n_below, n_runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1 AND sig2 > 0
+        |    THEN floor((CAST(n_runs AS DOUBLE) - mu)/sqrt(sig2)*1000000.0 + 0.5)/1000000.0
+        |  END AS z
+        |FROM zz ORDER BY event_type""".stripMargin,
   )
 }

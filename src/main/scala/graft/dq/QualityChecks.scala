@@ -1940,4 +1940,76 @@ object QualityChecks {
           sf.col("son").cast("double") / sf.col("sod").cast("double"), 6))
           .as("mh_odds_ratio"))
   }
+
+  /** McNemar's paired test (McNemar 1947) over two per-item
+    * correctness columns — the "did model B actually beat model A?"
+    * question asked the RIGHT way: on the SAME items, only the
+    * discordant pairs carry evidence (items both got right or both
+    * got wrong say nothing about the difference), so the statistic is
+    * (n_only_a − n_only_b)² / (n_only_a + n_only_b) — far more
+    * sensitive than comparing two independent accuracy intervals.
+    * The continuity-corrected variant ((|diff|−1)² / disc, floored at
+    * 0) is reported beside it — at corpus scale they agree; on small
+    * eval sets cc is the honest one.
+    *
+    * Determinism: all five cells are exact integer counts from ONE
+    * map-side-combined single-row aggregation; both statistics are
+    * single pinned double assemblies rounded 1e-6; zero discordant
+    * pairs → NULL statistics (no evidence either way), accuracies are
+    * exact ratios rounded 1e-6. Map-only + one-row reduce: zero
+    * data-row shuffles. */
+  def mcnemarTest(df: DataFrame, aCorrectCol: String,
+                  bCorrectCol: String): DataFrame = {
+    val a = sf.col(aCorrectCol).cast("boolean")
+    val b = sf.col(bCorrectCol).cast("boolean")
+    def cnt(p: Column) = sf.sum(p.cast("long")).cast("long")
+    val g = df.filter(a.isNotNull && b.isNotNull)
+      .agg(sf.count(sf.lit(1)).as("n_pairs"),
+        cnt(a && b).as("n_both"), cnt(!a && !b).as("n_neither"),
+        cnt(a && !b).as("n_only_a"), cnt(!a && b).as("n_only_b"))
+    val disc = (sf.col("n_only_a") + sf.col("n_only_b")).cast("double")
+    val diff = (sf.col("n_only_a") - sf.col("n_only_b")).cast("double")
+    val ccNum = sf.greatest(sf.abs(diff) - 1.0, sf.lit(0.0))
+    g.select(sf.col("n_pairs"), sf.col("n_both"), sf.col("n_neither"),
+      sf.col("n_only_a"), sf.col("n_only_b"),
+      gf.roundAt((sf.col("n_both") + sf.col("n_only_a")).cast("double") /
+        sf.col("n_pairs").cast("double"), 6).as("acc_a"),
+      gf.roundAt((sf.col("n_both") + sf.col("n_only_b")).cast("double") /
+        sf.col("n_pairs").cast("double"), 6).as("acc_b"),
+      sf.when(disc > 0, gf.roundAt(diff * diff / disc, 6)).as("mcnemar_stat"),
+      sf.when(disc > 0, gf.roundAt(ccNum * ccNum / disc, 6)).as("mcnemar_cc"))
+  }
+
+  /** Brown-Forsythe test (Brown & Forsythe 1974) — variance
+    * homogeneity across groups, the assumption [[anovaF]] silently
+    * makes: the one-way F statistic computed on absolute deviations
+    * from each group's MEDIAN (Levene's test with the median center —
+    * the robust variant that keeps its size under skew, which is why
+    * it's the one worth shipping). A significant F here says the
+    * groups differ in SPREAD, so a mean comparison needs Welch-style
+    * care; it's also a useful drift alarm in its own right (a source
+    * whose variance quietly doubles trips this before the mean
+    * moves).
+    *
+    * Determinism: group medians come from [[quantileProfile]]
+    * (distinct-value compression, quantile_cont interpolation,
+    * 1e-4-rounded — actual data arithmetic, engine-portable);
+    * deviations are IEEE doubles of raw value minus that rounded
+    * median, then [[anovaF]]'s exact 1e-4 fx machinery takes over
+    * unchanged.
+    *
+    * Scale shape: quantileProfile's compressed-domain median (the
+    * corpus reduces map-side to (group, value, count)), an AQE-decided
+    * median-attach join, then anovaF's map-side-combined one-row
+    * reduction. The raw rows never sort. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val base = df.filter(sf.col(valueCol).isNotNull)
+    val med = quantileProfile(base, groupCol, valueCol, Seq("p50" -> 0.5))
+      .select(sf.col(groupCol), sf.col("p50").as("__med"))
+    val dev = base.join(med, Seq(groupCol))
+      .select(sf.col(groupCol),
+        sf.abs(sf.col(valueCol).cast("double") - sf.col("__med")).as("__dev"))
+    anovaF(dev, groupCol, "__dev")
+  }
 }

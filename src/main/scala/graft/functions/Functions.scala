@@ -354,6 +354,27 @@ object functions {
   def deletionVariants(s: Column, k: Column): Column =
     kernel(ArrayType(StringType, containsNull = false), "deletionVariants", s, k)
 
+  /** URL decomposition as a 7-slot string array: [scheme, host, port,
+    * path, query, fragment, registered_domain] (Kernels.urlParts —
+    * pure char arithmetic inside whole-stage codegen, zero regex).
+    * Malformed / relative URLs decompose to all nulls: the nulls ARE
+    * the malformed flag. Use [[urlPart]] for named access. */
+  def urlParts(url: Column): Column =
+    kernel(ArrayType(StringType, containsNull = true), "urlParts", url)
+
+  private val UrlSlots = Seq("scheme", "host", "port", "path", "query",
+    "fragment", "registered_domain")
+
+  /** One named component of [[urlParts]] (`scheme`/`host`/`port`/
+    * `path`/`query`/`fragment`/`registered_domain`). Catalyst
+    * common-subexpression-eliminates repeated urlParts calls over the
+    * same input, so selecting several parts still parses once. */
+  def urlPart(url: Column, part: String): Column = {
+    val i = UrlSlots.indexOf(part)
+    require(i >= 0, s"unknown url part '$part' (one of ${UrlSlots.mkString(", ")})")
+    urlParts(url).getItem(i)
+  }
+
   def l2Norm(a: Column): Column = sf.sqrt(dot(a, a))
 
   /** Cosine similarity; inputs cast to array<double> so Spark and any

@@ -198,4 +198,89 @@ object Cleaning {
         (damaged > 0).as("flag_encoding"))
       .orderBy("doc_id")
   }
+
+  // --------------------------------------------------------------------
+  // URL / host-level curation (the DataComp/RefinedWeb first pass)
+  // --------------------------------------------------------------------
+
+  /** Registered-domain rollup over a URL column — the host-level
+    * datasheet web curation reads before any text signal: per eTLD+1,
+    * how many URLs, how many distinct hosts, the https share, and the
+    * malformed count bucketed under the NULL domain row. Rows order by
+    * volume (desc) then domain, so the head IS the "who dominates this
+    * crawl" readout.
+    *
+    * Scale shape: urlParts is a map-only codegen kernel; ONE
+    * map-side-combined groupBy on the registered-domain DOMAIN (far
+    * smaller than the URL stream); distinct hosts per domain via an
+    * exact count_distinct inside the same aggregation (hosts per
+    * domain is small; for adversarial domains swap
+    * approx_count_distinct — same plan shape). */
+  def hostProfile(df: DataFrame, urlCol: String): DataFrame = {
+    val p = gf.urlParts(sf.col(urlCol))
+    df.select(p.getItem(0).as("scheme"), p.getItem(1).as("host"),
+        p.getItem(6).as("registered_domain"))
+      .groupBy("registered_domain")
+      .agg(sf.count(sf.lit(1)).as("n_urls"),
+        sf.count_distinct(sf.col("host")).as("n_hosts"),
+        gf.roundAt(sf.sum(sf.when(sf.col("scheme") === "https", 1L)
+          .otherwise(0L)).cast("double") / sf.count(sf.lit(1)).cast("double"), 6)
+          .as("https_frac"))
+      .orderBy(sf.col("n_urls").desc, sf.col("registered_domain"))
+  }
+
+  /** Domain blocklist tagging: flags rows whose registered domain OR
+    * exact host appears in `blocked` (lowercased match — hosts are
+    * case-insensitive). The blocklist is a broadcast literal set
+    * (curation blocklists are ~1e4-1e6 entries: a plan literal up to
+    * ~1e4, a broadcast join table beyond — this is the literal path;
+    * the join path is `df.join(broadcast(blockedDf), ..., "left_anti")`
+    * with the same keys). Map-only, zero shuffles.
+    *
+    * Malformed URLs (null host) are NOT blocked — route them through
+    * [[hostProfile]]'s NULL-domain row / a null-host filter instead,
+    * so "broken" and "banned" stay separate decisions. */
+  def urlBlocklistFlag(df: DataFrame, urlCol: String,
+                       blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocklist is empty")
+    val bl = blocked.map(_.toLowerCase(java.util.Locale.ROOT))
+    val p = gf.urlParts(sf.col(urlCol))
+    val host = p.getItem(1)
+    val dom = p.getItem(6)
+    df.withColumn("flag_blocked",
+      sf.coalesce(host.isin(bl: _*) || dom.isin(bl: _*), sf.lit(false)))
+  }
+
+  /** URL-level exact dedup, keep-first: one row per NORMALIZED URL —
+    * scheme+host lowercased (kernel does that), default ports dropped
+    * (:80 http / :443 https), fragment dropped (never sent to the
+    * server), empty path → "/", query kept verbatim (it addresses
+    * content). Survivor = min `idCol` per key, the deterministic
+    * canonical-select shape shared with latestSnapshot.
+    *
+    * Scale shape: map-only normalization, then ONE key-keyed
+    * min-struct aggregation (map-side combinable) — the exact-dedup
+    * plan; no windows, no sort. Malformed URLs (null host) keep their
+    * raw string as the key so they dedup among themselves without
+    * colliding into one bucket. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val p = gf.urlParts(sf.col(urlCol))
+    val scheme = p.getItem(0); val host = p.getItem(1); val port = p.getItem(2)
+    val path = p.getItem(3); val query = p.getItem(4)
+    val keepPort = sf.when(port.isNull, sf.lit(null))
+      .when(scheme === "http" && port === "80", sf.lit(null))
+      .when(scheme === "https" && port === "443", sf.lit(null))
+      .otherwise(port)
+    val norm = sf.concat_ws("", scheme, sf.lit("://"), host,
+      sf.when(keepPort.isNotNull, sf.concat(sf.lit(":"), keepPort)).otherwise(sf.lit("")),
+      sf.coalesce(path, sf.lit("/")),
+      sf.when(query.isNotNull, sf.concat(sf.lit("?"), query)).otherwise(sf.lit("")))
+    val key = sf.when(host.isNull, sf.col(urlCol)).otherwise(norm)
+    df.withColumn("__k", key)
+      .groupBy("__k")
+      .agg(sf.min(sf.struct(sf.col(idCol), sf.col(urlCol))).as("__m"))
+      .select(sf.col("__m")(idCol).as(idCol), sf.col("__m")(urlCol).as(urlCol),
+        sf.col("__k").as("url_normalized"))
+      .orderBy(idCol)
+  }
 }

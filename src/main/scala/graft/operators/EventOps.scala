@@ -1692,4 +1692,70 @@ object EventOps {
         sf.when(den1 =!= 0.0 && den2 =!= 0.0,
           gf.roundAt((num / den1) * (num / den2), 6)).as("rho2"))
   }
+
+  /** Wald–Wolfowitz runs test (1940) per event type over the
+    * gap-filled daily count series: is the sequence of above-/
+    * below-median days RANDOM, or does it clump? Too FEW runs =
+    * positive serial dependence (regime persistence, ramp, outage
+    * streaks — the same clumping [[acf]] measures, but as a TEST with
+    * a null distribution); too MANY runs = alternation (load
+    * balancing flapping, day-parity artifacts). The companion the
+    * trend/ACF estimators need: z = (R − μ)/σ with
+    * μ = 1 + 2·n₁·n₂/(n₁+n₂) and
+    * σ² = 2n₁n₂(2n₁n₂ − n₁ − n₂) / ((n₁+n₂)²(n₁+n₂ − 1)).
+    *
+    * Determinism: the per-type median is the NEAREST-RANK lower
+    * median of the integer counts (cumulative-count threshold on the
+    * compressed (type, count) domain — an actual data value, nothing
+    * interpolated); bins equal to the median drop (the classical
+    * convention); run/above/below counts are exact integers on the
+    * (bin asc) total order; μ, σ², z are ONE pinned double assembly
+    * (sqrt is IEEE correctly-rounded — engines agree), z rounded
+    * 1e-6. Degenerate series (all-above, all-below, or n₁+n₂ < 2) →
+    * NULL z.
+    *
+    * Scale shape: the grid lives on the (type, bin) DOMAIN (span
+    * guard inherited from [[denseSeries]]); the median rides a
+    * compressed (type, count)-domain cumulative window; the run scan
+    * is one type-partitioned lag window over the grid. The raw event
+    * stream is touched once. */
+  def runsTest(events: DataFrame, typeCol: String = "event_type",
+               tsCol: String = "ts", binSec: Long = 86400): DataFrame = {
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // median domain + sign stream both read it
+    val dom = g.groupBy("t", "v").agg(sf.count(sf.lit(1)).as("c"))
+    val cumW = Window.partitionBy("t").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dom.groupBy("t").agg(sf.sum("c").cast("long").as("n"))
+    val med = dom.withColumn("cum", sf.sum("c").over(cumW))
+      .join(tot, "t")
+      .filter(sf.col("cum") >= sf.expr("(n + 1) div 2"))
+      .groupBy("t").agg(sf.min("v").as("med"))
+    val lw = Window.partitionBy("t").orderBy("bin")
+    val signed = g.join(med, "t").filter(sf.col("v") =!= sf.col("med"))
+      .select(sf.col("t"), sf.col("bin"),
+        (sf.col("v") > sf.col("med")).cast("long").as("s"))
+    val counts = signed
+      .select(sf.col("t"), sf.col("s"), sf.lag("s", 1).over(lw).as("p"))
+      .groupBy("t")
+      .agg(sf.sum(sf.when(sf.col("p").isNull || sf.col("p") =!= sf.col("s"), 1L)
+          .otherwise(0L)).cast("long").as("n_runs"),
+        sf.sum("s").cast("long").as("n_above"),
+        sf.sum(sf.lit(1L) - sf.col("s")).cast("long").as("n_below"))
+    val n1 = sf.col("n_above").cast("double")
+    val n2 = sf.col("n_below").cast("double")
+    val nn = n1 + n2
+    val two = sf.lit(2.0)
+    val mu = sf.lit(1.0) + two * n1 * n2 / nn
+    val sig2 = (two * n1 * n2) * (two * n1 * n2 - n1 - n2) /
+      (nn * nn * (nn - 1.0))
+    counts.select(sf.col("t").as(typeCol), sf.col("n_above"),
+        sf.col("n_below"), sf.col("n_runs"),
+        sf.when(sf.col("n_above") > 0 && sf.col("n_below") > 0 &&
+            sf.col("n_above") + sf.col("n_below") > 1 && sig2 > 0,
+          gf.roundAt((sf.col("n_runs").cast("double") - mu) / sf.sqrt(sig2), 6))
+          .as("z"))
+      .orderBy(typeCol)
+  }
 }

@@ -1542,4 +1542,114 @@ object Kernels {
     while (l < lMax && s1.charAt(l) == s2.charAt(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
+
+  /** Two-level public suffixes for registered-domain extraction — the
+    * common ccTLD second-level registries (the heuristic core of the
+    * public-suffix list; a production deployment would broadcast the
+    * full Mozilla PSL as a config table, same code path). */
+  private val twoLevelSuffixes: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
+      "com.au", "net.au", "org.au", "edu.au", "gov.au",
+      "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+      "com.br", "net.br", "org.br", "gov.br",
+      "com.cn", "net.cn", "org.cn", "gov.cn",
+      "com.mx", "org.mx", "com.ar", "com.tr", "com.sg", "com.hk",
+      "com.tw", "co.in", "net.in", "org.in", "co.kr", "or.kr",
+      "co.za", "org.za", "co.nz", "net.nz", "org.nz",
+      "com.ru", "com.pl", "com.ua", "co.il", "org.il",
+      "com.sa", "com.eg", "com.my", "com.ph", "com.vn", "co.th",
+      "com.id", "co.id").foreach(s.add)
+    s
+  }
+
+  /** URL decomposition: [scheme, host, port, path, query, fragment,
+    * registered_domain] — the host-level-curation primitive
+    * (DataComp/RefinedWeb-style first pass: host rollups, domain
+    * blocklists, URL dedup keys). RFC-3986-lite: requires an absolute
+    * URL (`scheme:`); a URL without an authority (`mailto:`) gets a
+    * null host; userinfo strips at the last '@' of the authority;
+    * IPv6 bracket literals keep their brackets as the host and split
+    * the port after ']'. scheme and host lowercase (they're
+    * case-insensitive; path/query are not). registered_domain is the
+    * eTLD+1 under the embedded two-level-suffix table, null for IP
+    * literals and single-label hosts. Malformed input → all-null
+    * array, never a throw — the nulls ARE the malformed-URL flag.
+    * Pure char arithmetic, zero regex, zero allocation beyond the
+    * output slices. */
+  def urlParts(u: UTF8String): ArrayData = {
+    val nulls = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](7))
+    if (u == null) return nulls
+    val s = u.toString
+    val n = s.length
+    // scheme: ALPHA *(ALPHA / DIGIT / + / - / .) ":"
+    var i = 0
+    if (n == 0 || !Character.isLetter(s.charAt(0))) return nulls
+    while (i < n && {
+      val c = s.charAt(i)
+      Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.'
+    }) i += 1
+    if (i >= n || s.charAt(i) != ':') return nulls
+    val scheme = s.substring(0, i).toLowerCase(java.util.Locale.ROOT)
+    i += 1
+    var host: String = null; var port: String = null
+    var regDomain: String = null
+    if (i + 1 < n && s.charAt(i) == '/' && s.charAt(i + 1) == '/') {
+      i += 2
+      var e = i
+      while (e < n && { val c = s.charAt(e); c != '/' && c != '?' && c != '#' }) e += 1
+      var auth = s.substring(i, e)
+      val at = auth.lastIndexOf('@')
+      if (at >= 0) auth = auth.substring(at + 1)
+      if (auth.nonEmpty && auth.charAt(0) == '[') {
+        val rb = auth.indexOf(']')
+        if (rb < 0) return nulls // unterminated IPv6 literal
+        host = auth.substring(0, rb + 1).toLowerCase(java.util.Locale.ROOT)
+        if (rb + 1 < auth.length) {
+          if (auth.charAt(rb + 1) != ':') return nulls
+          port = auth.substring(rb + 2)
+        }
+      } else {
+        val c = auth.lastIndexOf(':')
+        if (c >= 0) { host = auth.substring(0, c); port = auth.substring(c + 1) }
+        else host = auth
+        host = host.toLowerCase(java.util.Locale.ROOT)
+      }
+      if (host.isEmpty) host = null
+      if (port != null && (port.isEmpty || !port.forall(Character.isDigit)))
+        port = null
+      // registered domain: dns names only (not IPv6 brackets, not IPv4)
+      if (host != null && host.charAt(0) != '[') {
+        val lastDot = host.lastIndexOf('.')
+        val tld = if (lastDot < 0) host else host.substring(lastDot + 1)
+        val isV4 = tld.nonEmpty && tld.forall(Character.isDigit)
+        if (lastDot > 0 && !isV4) {
+          val prevDot = host.lastIndexOf('.', lastDot - 1)
+          val lastTwo = host.substring(prevDot + 1)
+          if (twoLevelSuffixes.contains(lastTwo)) {
+            if (prevDot > 0) {
+              val prev2 = host.lastIndexOf('.', prevDot - 1)
+              regDomain = host.substring(prev2 + 1)
+            } // bare two-level suffix as host: no registrable domain
+          } else regDomain = lastTwo
+        }
+      }
+      i = e
+    }
+    // path / query / fragment from the remainder
+    var path: String = null; var query: String = null; var frag: String = null
+    if (i < n) {
+      val q = s.indexOf('?', i)
+      val h = s.indexOf('#', i)
+      val pathEnd = if (q >= 0 && (h < 0 || q < h)) q else if (h >= 0) h else n
+      if (pathEnd > i) path = s.substring(i, pathEnd)
+      if (q >= 0 && (h < 0 || q < h)) query = s.substring(q + 1, if (h >= 0) h else n)
+      if (h >= 0) frag = s.substring(h + 1)
+    }
+    def u8(x: String): UTF8String = if (x == null) null else UTF8String.fromString(x)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      u8(scheme), u8(host), u8(port), u8(path), u8(query), u8(frag),
+      u8(regDomain)))
+  }
 }

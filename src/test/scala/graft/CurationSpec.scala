@@ -595,4 +595,54 @@ class CurationSpec extends SparkFunSuite {
       !got(5L).getAs[Boolean]("flag_encoding"),
       s"clean Portuguese/French must not flag: ${got(5L)}")
   }
+
+  test("Cleaning.hostProfile: registered-domain rollup with malformed bucket") {
+    import spark.implicits._
+    val df = Seq(
+      "https://a.example.com/1", "https://b.example.com/2",
+      "http://a.example.com/3", "https://shop.example.co.uk/x",
+      "https://192.168.0.1/ip", "garbage").toDF("url")
+    val got = Cleaning.hostProfile(df, "url").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("NULL"), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    // volume desc, then domain; IP + garbage both land in the NULL row
+    assert(got == Seq(
+      ("example.com", 3L, 2L, 0.666667),
+      ("NULL", 2L, 1L, 0.5),
+      ("example.co.uk", 1L, 1L, 1.0)), s"got $got")
+  }
+
+  test("Cleaning.urlBlocklistFlag: domain OR host match, malformed never blocked") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://spam.example.com/x"),   // domain blocked
+      (2L, "https://Bad-Host.evil.net/y"),  // exact host blocked (case-insens)
+      (3L, "https://fine.example.org/z"),
+      (4L, "not a url")).toDF("id", "url")
+    val got = Cleaning.urlBlocklistFlag(df, "url",
+        Seq("example.com", "bad-host.evil.net")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("flag_blocked")).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
+      got.toString)
+  }
+
+  test("Cleaning.urlDedup: normalization collapses equivalent URLs, keeps min id") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, "https://Example.com:443/a?q=1#frag1"),
+      (2L, "https://example.com/a?q=1#frag2"),   // same after norm -> survivor
+      (3L, "https://example.com/a?q=2"),          // different query survives
+      (4L, "http://example.com:80"),              // default port + empty path
+      (6L, "http://example.com/"),
+      (7L, "broken url"), (8L, "broken url"),     // malformed dedup among selves
+      (9L, "also broken")).toDF("id", "url")
+    val got = Cleaning.urlDedup(df, "id", "url").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq(
+      (2L, "https://example.com/a?q=1"),
+      (3L, "https://example.com/a?q=2"),
+      (4L, "http://example.com/"),
+      (7L, "broken url"),
+      (9L, "also broken")), s"got $got")
+  }
 }

@@ -141,4 +141,52 @@ class FunctionsSpec extends SparkFunSuite {
       graft.operators.TopK.perKey(spark, Seq((1L, 2L, 0.5)).toDF("k", "i", "s"),
         "k", "i", "s", k = 0))
   }
+
+  test("urlParts decomposes URLs; malformed input is all-null, never a throw") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://User:Pw@WWW.Example.CO.UK:8443/A/b%20c?q=1&r=2#Frag",
+      "http://example.com",
+      "https://sub.deep.example.com/path",
+      "http://192.168.0.1:8080/x",
+      "https://[2001:db8::1]:443/v6",
+      "mailto:someone@example.org",
+      "ftp://files.example.net/pub?x=1",
+      "https://localhost/only",
+      "https://co.uk/",          // bare public suffix as host
+      "not a url at all",
+      "://missing.scheme/x",
+      "https://",                 // empty authority
+      "")
+      .toDF("u")
+    val got = urls.select(gf.urlParts(sf.col("u"))).collect()
+      .map(_.getSeq[String](0))
+    // [scheme, host, port, path, query, fragment, registered_domain]
+    assert(got(0) == Seq("https", "www.example.co.uk", "8443", "/A/b%20c",
+      "q=1&r=2", "Frag", "example.co.uk"), got(0).toString)
+    assert(got(1) == Seq("http", "example.com", null, null, null, null,
+      "example.com"))
+    assert(got(2) == Seq("https", "sub.deep.example.com", null, "/path",
+      null, null, "example.com"))
+    assert(got(3) == Seq("http", "192.168.0.1", "8080", "/x", null, null,
+      null), "IPv4 has no registered domain")
+    assert(got(4) == Seq("https", "[2001:db8::1]", "443", "/v6", null,
+      null, null), "IPv6 literal keeps brackets, no registered domain")
+    assert(got(5) == Seq("mailto", null, null, "someone@example.org",
+      null, null, null), "no authority -> null host, rest is path")
+    assert(got(6) == Seq("ftp", "files.example.net", null, "/pub", "x=1",
+      null, "example.net"))
+    assert(got(7) == Seq("https", "localhost", null, "/only", null, null,
+      null), "single-label host has no registered domain")
+    assert(got(8) == Seq("https", "co.uk", null, "/", null, null, null),
+      "bare two-level suffix is not registrable")
+    assert(got(9) == null || got(9).forall(_ == null), s"malformed: ${got(9)}")
+    assert(got(10) == null || got(10).forall(_ == null))
+    assert(got(11).take(2) == Seq("https", null), "empty authority -> null host")
+    assert(got(12) == null || got(12).forall(_ == null))
+    // urlPart named accessor + unknown-part guard
+    val h = urls.limit(1).select(gf.urlPart(sf.col("u"), "host")).head.getString(0)
+    assert(h == "www.example.co.uk")
+    intercept[IllegalArgumentException](gf.urlPart(sf.col("u"), "tld"))
+  }
 }

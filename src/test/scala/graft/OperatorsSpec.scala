@@ -1458,4 +1458,89 @@ class OperatorsSpec extends SparkFunSuite {
       (1L, 2L, 30L, 40L, 1L, 10L),
       (2L, 1L, 0L, 100L, 2L, 100L)), s"got $got")
   }
+
+  test("QualityChecks.mcnemarTest: hand 2x2 cells, cc floor, zero-discordance NULL") {
+    import spark.implicits._
+    // 10 pairs: both right x4, both wrong x1, only-A x4, only-B x1
+    val df = (Seq.fill(4)((true, true)) ++ Seq((false, false)) ++
+      Seq.fill(4)((true, false)) ++ Seq((false, true))).toDF("a", "b")
+    val r = QualityChecks.mcnemarTest(df, "a", "b").head()
+    assert(r.getAs[Long]("n_pairs") == 10 && r.getAs[Long]("n_both") == 4 &&
+      r.getAs[Long]("n_neither") == 1 && r.getAs[Long]("n_only_a") == 4 &&
+      r.getAs[Long]("n_only_b") == 1)
+    assert(r.getAs[Double]("acc_a") == 0.8 && r.getAs[Double]("acc_b") == 0.5)
+    // stat = (4-1)^2/5 = 1.8; cc = (|3|-1)^2/5 = 0.8
+    assert(r.getAs[Double]("mcnemar_stat") == 1.8 &&
+      r.getAs[Double]("mcnemar_cc") == 0.8, r.toString)
+    // |diff| < 1 -> cc floors at 0, not negative
+    val tiny = Seq((true, false), (false, true)).toDF("a", "b")
+    val rt = QualityChecks.mcnemarTest(tiny, "a", "b").head()
+    assert(rt.getAs[Double]("mcnemar_stat") == 0.0 &&
+      rt.getAs[Double]("mcnemar_cc") == 0.0)
+    // no discordant pairs -> NULL statistics (no evidence either way)
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val ra = QualityChecks.mcnemarTest(agree, "a", "b").head()
+    assert(ra.isNullAt(ra.fieldIndex("mcnemar_stat")) &&
+      ra.isNullAt(ra.fieldIndex("mcnemar_cc")))
+  }
+
+  test("QualityChecks.brownForsythe: planted spread difference drives F up") {
+    import spark.implicits._
+    // group a: tight around 10; group b: same center, 10x the spread
+    val a = Seq(9.0, 9.5, 10.0, 10.5, 11.0).map(("a", _))
+    val b = Seq(5.0, 7.5, 10.0, 12.5, 15.0).map(("b", _))
+    val f1 = QualityChecks.brownForsythe((a ++ b).toDF("g", "v"), "g", "v")
+      .head().getAs[Double]("f_stat")
+    // equal spreads (b shifted but same shape): deviations identical -> F = 0
+    val b2 = Seq(99.0, 99.5, 100.0, 100.5, 101.0).map(("b", _))
+    val f2 = QualityChecks.brownForsythe((a ++ b2).toDF("g", "v"), "g", "v")
+      .head().getAs[Double]("f_stat")
+    assert(f1 > 5.0, s"spread difference should drive F up, got $f1")
+    assert(f2 == 0.0, s"identical shapes should give F = 0, got $f2")
+    // a MEAN shift alone must not trip the variance test (that's ANOVA's job)
+    val shifted = a ++ Seq(29.0, 29.5, 30.0, 30.5, 31.0).map(("b", _))
+    val f3 = QualityChecks.brownForsythe(shifted.toDF("g", "v"), "g", "v")
+      .head().getAs[Double]("f_stat")
+    assert(f3 == 0.0, s"pure location shift must not trigger, got $f3")
+  }
+
+  test("EventOps.runsTest: alternating maximizes runs, clumping minimizes, exact z") {
+    import spark.implicits._
+    def ev(tp: String, counts: Seq[Int]): Seq[(Long, java.sql.Timestamp, String)] = {
+      var id = 0L
+      counts.zipWithIndex.flatMap { case (c, day) =>
+        (1 to c).map { _ =>
+          id += 1
+          (id, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), tp)
+        }
+      }
+    }
+    // count multiset {1,1,1,3,3,5,5,5}: nearest-rank lower median = 3
+    // -> the two 3-count days DROP, leaving 3 below (1s) + 3 above (5s).
+    // alt: 1,5,1,5,1,5,[3,3] -> 6 runs; clump: 1,1,1,5,5,5,[3,3] -> 2.
+    // mu = 1 + 2*3*3/6 = 4; sig2 = 18*(18-6)/(36*5) = 1.2
+    // z_alt = (6-4)/sqrt(1.2) = 1.825742; z_clump = (2-4)/sqrt(1.2)
+    val df = (ev("alt", Seq(1, 5, 1, 5, 1, 5, 3, 3)) ++
+      ev("clump", Seq(1, 1, 1, 5, 5, 5, 3, 3)))
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("value", sf.lit(1.0)).withColumn("user_id", sf.lit(1L))
+    val got = EventOps.runsTest(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val alt = got("alt"); val cl = got("clump")
+    assert(alt.getAs[Long]("n_above") == 3 && alt.getAs[Long]("n_below") == 3 &&
+      alt.getAs[Long]("n_runs") == 6, alt.toString)
+    assert(cl.getAs[Long]("n_above") == 3 && cl.getAs[Long]("n_below") == 3 &&
+      cl.getAs[Long]("n_runs") == 2, cl.toString)
+    val zExp = math.floor(2.0 / math.sqrt(1.2) * 1e6 + 0.5) / 1e6
+    assert(alt.getAs[Double]("z") == zExp, s"${alt.getAs[Double]("z")} vs $zExp")
+    assert(cl.getAs[Double]("z") == math.floor(-2.0 / math.sqrt(1.2) * 1e6 + 0.5) / 1e6)
+    // one-sided series: median = 5 (nearest-rank), the seven 5-count
+    // days drop as median-equal, the lone 1 sits below -> NULL z
+    val oneSided = ev("one", Seq(1, 5, 5, 5, 5, 5, 5, 5))
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("value", sf.lit(1.0)).withColumn("user_id", sf.lit(1L))
+    val r1 = EventOps.runsTest(oneSided).collect().head
+    assert(r1.getAs[Long]("n_above") == 0 && r1.getAs[Long]("n_below") == 1 &&
+      r1.isNullAt(r1.fieldIndex("z")), r1.toString)
+  }
 }
