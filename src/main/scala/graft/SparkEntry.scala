@@ -1655,6 +1655,21 @@ object SparkEntry {
     // median days clump (regime persistence) or alternate?
     "q246_runs_test" -> ((s, dir) =>
       EventOps.runsTest(Tables.load(s, dir, "events"))),
+
+    // Chao1 richness + Good's coverage: how many vocabulary TYPES are
+    // still unseen (beside Heaps' growth curve and GT's missing mass).
+    "q247_chao1" -> ((s, dir) =>
+      CorpusStats.chao1(docs(s, dir), "text")),
+
+    // Burrows' Delta: style distance between sources over the top-50
+    // corpus terms — same-generator detection that survives paraphrase.
+    "q248_burrows_delta" -> ((s, dir) =>
+      CorpusStats.burrowsDelta(docs(s, dir), "source", "text")),
+
+    // Mann-Kendall: the monotone-trend TEST beside q203's Theil-Sen
+    // slope estimate, tie-corrected z on the daily grid.
+    "q249_mann_kendall" -> ((s, dir) =>
+      EventOps.mannKendall(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -6816,5 +6831,87 @@ object SparkEntry {
         |    THEN floor((CAST(n_runs AS DOUBLE) - mu)/sqrt(sig2)*1000000.0 + 0.5)/1000000.0
         |  END AS z
         |FROM zz ORDER BY event_type""".stripMargin,
+
+    // Chao1: identical token counts, exact D/S1/S2/N, one pinned
+    // bias-corrected division + Good's coverage.
+    "q247_chao1" ->
+      """WITH tk AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END AS toks
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+        |m AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS s2 FROM cnt)
+        |SELECT n_tokens, n_distinct, s1, s2,
+        |  floor((CAST(n_distinct AS DOUBLE) + CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)-1.0)
+        |    /(2.0*(CAST(s2 AS DOUBLE)+1.0)))*10000.0 + 0.5)/10000.0 AS chao1,
+        |  floor((1.0 - CAST(s1 AS DOUBLE)/CAST(n_tokens AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS coverage
+        |FROM m""".stripMargin,
+
+    // Burrows' Delta: identical (count desc, token asc) top-50 term
+    // set, 1e-9 share snaps, 1e-12-grid mu/sd, 1e-6 z snaps, pair mean.
+    "q248_burrows_delta" ->
+      """WITH cg AS (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c FROM
+        |  (SELECT source AS src, unnest(CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |    ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) END) AS w
+        |    FROM documents WHERE source IS NOT NULL) GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS nt FROM cg GROUP BY 1),
+        |topw AS (SELECT w FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS cgl
+        |  FROM cg GROUP BY 1) ORDER BY cgl DESC, w LIMIT 50),
+        |grid AS (SELECT tot.src, tot.nt, topw.w FROM tot CROSS JOIN topw),
+        |sh AS (SELECT grid.src, grid.w,
+        |  CAST(floor(CAST(COALESCE(cg.c, 0) AS DOUBLE)/CAST(grid.nt AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS f9
+        |  FROM grid LEFT JOIN cg ON cg.src = grid.src AND cg.w = grid.w),
+        |mo AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+        |  CAST(SUM(f9) AS HUGEINT) AS sfx, CAST(SUM(f9*f9) AS HUGEINT) AS sff
+        |  FROM sh GROUP BY 1),
+        |ms AS (SELECT w,
+        |  CAST(floor(CAST(sfx AS DOUBLE)/CAST(ns AS DOUBLE)*1e3 + 0.5) AS BIGINT) AS mu12,
+        |  CAST(floor(sqrt((CAST(sff AS DOUBLE)
+        |    - CAST(ns AS DOUBLE)*(CAST(sfx AS DOUBLE)/CAST(ns AS DOUBLE))*(CAST(sfx AS DOUBLE)/CAST(ns AS DOUBLE)))
+        |    /CAST(ns AS DOUBLE))*1e3 + 0.5) AS BIGINT) AS sd12
+        |  FROM mo),
+        |zt AS (SELECT sh.src, sh.w,
+        |  CAST(floor((CAST(sh.f9 AS DOUBLE)*1e3 - CAST(ms.mu12 AS DOUBLE))
+        |    /CAST(ms.sd12 AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS z6
+        |  FROM sh JOIN ms ON ms.w = sh.w WHERE ms.sd12 > 0)
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  floor(CAST(SUM(abs(a.z6 - b.z6)) AS DOUBLE)/1e6/CAST(COUNT(*) AS DOUBLE)*10000.0 + 0.5)/10000.0 AS delta
+        |FROM zt a JOIN zt b ON a.w = b.w AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    // Mann-Kendall: q203's dense grid, exact pair-sign sum, exact tie
+    // term, pinned tie-corrected variance + continuity-corrected z.
+    "q249_mann_kendall" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |sp AS (SELECT a.t,
+        |  CAST(SUM(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM sv a JOIN sv b ON a.t = b.t AND a.bin < b.bin GROUP BY 1),
+        |tie AS (SELECT t,
+        |  CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie,
+        |  CAST(SUM(tg) AS BIGINT) AS n
+        |  FROM (SELECT t, v, CAST(COUNT(*) AS BIGINT) AS tg FROM sv GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (SELECT sp.t, tie.n, sp.s_stat,
+        |  (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)*(CAST(n AS DOUBLE)*2.0 + 5.0)
+        |    - CAST(tie AS DOUBLE))/18.0 AS vs,
+        |  CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
+        |       WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0
+        |       ELSE 0.0 END AS zn
+        |  FROM sp JOIN tie ON tie.t = sp.t)
+        |SELECT t AS event_type, n AS n_bins, s_stat,
+        |  CASE WHEN n >= 2 AND vs > 0 THEN
+        |    floor(zn/sqrt(vs)*1000000.0 + 0.5)/1000000.0 END AS z
+        |FROM f ORDER BY event_type""".stripMargin,
   )
 }

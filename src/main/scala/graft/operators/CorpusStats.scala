@@ -1368,4 +1368,122 @@ object CorpusStats {
       .agg(sf.count(sf.lit(1)).as("n_docs"))
       .orderBy("label_true", "label_pred")
   }
+
+  /** Chao1 vocabulary-richness estimate (Chao 1984, bias-corrected
+    * form) + Good's sample coverage — "how big is the vocabulary we
+    * HAVEN'T seen yet": Chao1 = D + S₁(S₁−1)/(2(S₂+1)) lower-bounds
+    * the true type count from the singleton/doubleton ratio, and
+    * coverage 1 − S₁/N says what fraction of the next sample's token
+    * mass will be already-known types. The third leg of the
+    * vocabulary-saturation tripod beside [[heapsLawFit]] (the growth
+    * CURVE) and [[goodTuring]] (the missing MASS): Heaps says how fast
+    * vocab grows, GT says how much probability is unseen, Chao1 says
+    * how many TYPES are still out there — the number a tokenizer-vocab
+    * or dedup-capacity decision actually wants.
+    *
+    * Determinism: D/S₁/S₂/N are exact integers from one hash-keyed
+    * count; Chao1 is ONE pinned division rounded 1e-4 (the
+    * bias-corrected denominator S₂+1 keeps it defined when S₂ = 0);
+    * coverage one pinned division rounded 1e-6.
+    *
+    * Scale shape: one hash-keyed map-side-combined token count (token
+    * text never shuffles), one single-row reduction over the count
+    * table filtered to c <= 2 plus totals — the goodTuring plan with a
+    * 1-row finish. */
+  def chao1(docs0: DataFrame, textCol: String): DataFrame = {
+    val cnt = Par.spread(docs0.select(sf.col(textCol).as("__t")))
+      .select(sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy(sf.xxhash64(sf.col("w")).as("wh"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+    val s1 = sf.col("s1").cast("double")
+    val s2 = sf.col("s2").cast("double")
+    cnt.agg(sf.sum("c").cast("long").as("n_tokens"),
+        sf.count(sf.lit(1)).as("n_distinct"),
+        sf.sum(sf.when(sf.col("c") === 1, 1L).otherwise(0L)).cast("long").as("s1"),
+        sf.sum(sf.when(sf.col("c") === 2, 1L).otherwise(0L)).cast("long").as("s2"))
+      .select(sf.col("n_tokens"), sf.col("n_distinct"), sf.col("s1"), sf.col("s2"),
+        gf.roundAt(sf.col("n_distinct").cast("double") +
+          s1 * (s1 - 1.0) / ((s2 + 1.0) * 2.0), 4).as("chao1"),
+        gf.roundAt(sf.lit(1.0) -
+          s1 / sf.col("n_tokens").cast("double"), 6).as("coverage"))
+  }
+
+  /** Burrows' Delta stylometric distance between sources (Burrows
+    * 2002; the authorship-attribution workhorse): over the `topK` most
+    * frequent tokens corpus-wide, z-score each source's RELATIVE
+    * frequency against the cross-source mean/SD per token, then
+    * Delta(a,b) = mean |z_a − z_b|. Two "different" sources with a
+    * tiny Delta are the same generator wearing different labels (site
+    * mirrors, template farms, the same scraper twice) — the
+    * provenance-dedup signal that survives content paraphrase because
+    * it reads FUNCTION-word style, not topic. Complements
+    * [[minhashSourceSimilarity]] (content overlap) with style overlap.
+    *
+    * Determinism: the top-K term set is the (count desc, token asc)
+    * total order — deterministic under ties; relative frequencies
+    * snap 1e-9; per-token cross-source mean and POPULATION SD are
+    * pinned doubles over exact fx sums (sqrt is IEEE-exact); z snaps
+    * 1e-6 before the pair assembly; Delta is one pinned mean rounded
+    * 1e-4. Zero-variance tokens (identical share everywhere) drop from
+    * every pair symmetrically.
+    *
+    * Scale shape: one (source, token) map-side-combined count, a
+    * K-bounded TakeOrdered for the term set (never a vocabulary sort),
+    * a broadcast term-set join, and the z/Delta stages live on the
+    * (sources × K) and (sources² × K) DOMAINS — corpus-size-free after
+    * the first aggregation. Token text shuffles only as count-domain
+    * keys (the distinctiveTerms contract — function-word top-K needs
+    * the text for a portable tie-break anyway). */
+  def burrowsDelta(docs0: DataFrame, sourceCol: String, textCol: String,
+                   topK: Int = 50): DataFrame = {
+    require(topK >= 2 && topK <= 2000, s"topK must be in [2, 2000], got $topK")
+    val st = Par.spread(docs0.select(sf.col(sourceCol).as("src"),
+        sf.col(textCol).as("__t")))
+      .filter(sf.col("src").isNotNull)
+      .select(sf.col("src"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy(sf.col("src"), sf.col("w").as("wh"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + term set + share stream read it
+    val totals = st.groupBy("src").agg(sf.sum("c").cast("long").as("nt"))
+    val top = st.groupBy("wh").agg(sf.sum("c").as("cg"))
+      .orderBy(sf.col("cg").desc, sf.col("wh")).limit(topK)
+      .select("wh")
+    // relative frequency per (source, top term), zero-filled on the
+    // full sources x terms grid so absent terms count as share 0
+    val grid = totals.crossJoin(sf.broadcast(top))
+    val f9 = sf.floor(sf.coalesce(sf.col("c"), sf.lit(0L)).cast("double") /
+      sf.col("nt").cast("double") * 1e9 + 0.5).cast("long")
+    val shares = grid.join(st, Seq("src", "wh"), "left")
+      .select(sf.col("src"), sf.col("wh"), f9.as("f9"))
+      .localCheckpoint(true) // moments + both pair sides read it
+    val nSrc = sf.col("ns").cast("double")
+    val mu = sf.col("sf").cast("double") / nSrc
+    val sd = sf.sqrt((sf.col("sff").cast("double") -
+      nSrc * mu * mu) / nSrc)
+    val moments = shares.groupBy("wh")
+      .agg(sf.count(sf.lit(1)).as("ns"),
+        sf.sum(sf.col("f9").cast("decimal(38,0)")).as("sf"),
+        sf.sum((sf.col("f9") * sf.col("f9")).cast("decimal(38,0)")).as("sff"))
+      .select(sf.col("wh"), sf.floor(mu * 1e3 + 0.5).cast("long").as("mu12"),
+        sf.floor(sd * 1e3 + 0.5).cast("long").as("sd12"))
+      .filter(sf.col("sd12") > 0)
+    // z in 1e-6 grid: (f9*1e3 - mu12*1e9... keep it simple: pinned
+    // doubles from the snapped 1e-12-scale integers, snapped 1e-6
+    val z6 = sf.floor((sf.col("f9").cast("double") * 1e3 - sf.col("mu12").cast("double")) /
+      sf.col("sd12").cast("double") * 1e6 + 0.5).cast("long")
+    val zs = shares.join(sf.broadcast(moments), "wh")
+      .select(sf.col("src"), sf.col("wh"), z6.as("z6"))
+    val a = zs.select(sf.col("src").as("source_a"), sf.col("wh"), sf.col("z6").as("za"))
+    val b = zs.select(sf.col("src").as("source_b"), sf.col("wh"), sf.col("z6").as("zb"))
+    a.join(b, "wh")
+      .filter(sf.col("source_a") < sf.col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sf.count(sf.lit(1)).as("n_terms"),
+        sf.sum(sf.abs(sf.col("za") - sf.col("zb"))).as("__sabs"))
+      .select(sf.col("source_a"), sf.col("source_b"), sf.col("n_terms"),
+        gf.roundAt(sf.col("__sabs").cast("double") / 1e6 /
+          sf.col("n_terms").cast("double"), 4).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -1758,4 +1758,54 @@ object EventOps {
           .as("z"))
       .orderBy(typeCol)
   }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) per event type
+    * over the gap-filled daily series — the TEST that belongs next to
+    * [[theilSenTrend]]'s slope ESTIMATE (the classic pairing in every
+    * environmental/ops monitoring stack): S = Σ_{i<j} sign(x_j − x_i)
+    * counts concordant-minus-discordant day pairs, so it detects ANY
+    * monotone drift with no linearity or distribution assumption, and
+    * the tie-corrected normal approximation gives the significance the
+    * slope alone can't: Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18
+    * over tie groups, z = (S∓1)/√Var with the ±1 continuity
+    * correction, z = 0 at S = 0.
+    *
+    * Determinism: S and the tie term are exact integers (pairs on the
+    * dense grid's (bin asc) total order; missing days count 0 — same
+    * contract as [[theilSenTrend]]); Var and z are ONE pinned double
+    * assembly (sqrt IEEE-exact) rounded 1e-6; n < 2 or Var <= 0 →
+    * NULL z.
+    *
+    * Scale shape: the O(bins²) pair join lives on the (type, bin)
+    * DOMAIN (span-guarded by [[denseSeries]]), never the raw stream —
+    * the theilSen shape exactly; ties reduce on the compressed
+    * (type, count) domain; one-row-per-type finish. */
+  def mannKendall(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", binSec: Long = 86400): DataFrame = {
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // both pair sides + ties read it
+    val a = g.select(sf.col("t"), sf.col("bin").as("ba"), sf.col("v").as("va"))
+    val b = g.select(sf.col("t").as("tb"), sf.col("bin").as("bb"), sf.col("v").as("vb"))
+    val s = a.join(b, sf.col("t") === sf.col("tb") && sf.col("ba") < sf.col("bb"))
+      .groupBy("t")
+      .agg(sf.sum(sf.signum(sf.col("vb") - sf.col("va")).cast("long"))
+        .cast("long").as("s_stat"))
+    val ties = g.groupBy("t", "v").agg(sf.count(sf.lit(1)).as("tg"))
+      .groupBy("t")
+      .agg(sf.sum(sf.expr("tg * (tg - 1) * (2 * tg + 5)")).cast("long").as("tie"),
+        sf.sum("tg").cast("long").as("n"))
+    val nD = sf.col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (nD * 2.0 + 5.0) -
+      sf.col("tie").cast("double")) / 18.0
+    val sD = sf.col("s_stat").cast("double")
+    val zNum = sf.when(sf.col("s_stat") > 0, sD - 1.0)
+      .when(sf.col("s_stat") < 0, sD + 1.0).otherwise(0.0)
+    s.join(ties, "t")
+      .select(sf.col("t").as(typeCol), sf.col("n").as("n_bins"),
+        sf.col("s_stat"),
+        sf.when(sf.col("n") >= 2 && varS > 0,
+          gf.roundAt(zNum / sf.sqrt(varS), 6)).as("z"))
+      .orderBy(typeCol)
+  }
 }

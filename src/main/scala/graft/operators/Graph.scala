@@ -301,14 +301,24 @@ object Graph {
                        rounds: Int = 3): DataFrame =
     relaxRounds(edges0, seedPred, rounds, weighted = false)
 
+  /** How many loop rounds may accumulate persisted frames before the
+    * iterative operators force materialization and free the
+    * superseded ones. Eager per-round counts measured 1-2s/query of
+    * pure job overhead on the bench's 3-round standalone runs, so the
+    * discipline is BATCHED: at most `UnpersistBatch` node-table-sized
+    * loop frames are ever cached beyond the live one, and a
+    * default-round run (3 <= 5) pays zero extra jobs. */
+  private val UnpersistBatch = 5
+
   /** The shared synchronous relaxation loop behind [[bfsHopsFromEdges]]
     * (step cost 1) and [[ssspFromEdges]] (step cost `w`). Memory
-    * discipline: each round's dist frame is persisted, EAGERLY
-    * materialized (count), and the superseded round's frame is
-    * unpersisted — so a long pipeline run holds at most two
-    * node-table-sized cached frames at any moment, not `rounds` of
-    * them. Nodes seed from union(src, dst), so dst-only nodes of an
-    * asymmetric pre-mined edge list still get an output row. */
+    * discipline: every `UnpersistBatch` rounds the current frame is
+    * materialized (one count) and all superseded round frames are
+    * unpersisted — a long pipeline run holds at most `UnpersistBatch`+1
+    * node-table-sized cached frames at any moment, never `rounds` of
+    * them, and short runs pay no extra jobs. Nodes seed from
+    * union(src, dst), so dst-only nodes of an asymmetric pre-mined
+    * edge list still get an output row. */
   private def relaxRounds(edges0: DataFrame,
                           seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                           rounds: Int, weighted: Boolean): DataFrame = {
@@ -319,8 +329,8 @@ object Graph {
       .union(edges.select(sf.col("dst").as("item"))).distinct()
       .select(sf.col("item"),
         sf.when(seedPred(sf.col("item")), 0L).cast("long").as("dist"))
-    var prevPersisted: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
       val prev = dist
       val relax = edges.join(prev, sf.col("src") === sf.col("item"))
         .filter(sf.col("dist").isNotNull)
@@ -333,9 +343,12 @@ object Graph {
             .when(sf.col("nd").isNull, sf.col("dist"))
             .otherwise(sf.least(sf.col("dist"), sf.col("nd"))).as("dist"))
         .persist()
-      dist.count() // materialize BEFORE dropping the superseded frame
-      prevPersisted.foreach(_.unpersist())
-      prevPersisted = Some(dist)
+      if (r > 1) toFree += prev // round 1's prev (the seed) is unpersisted
+      if (r % UnpersistBatch == 0 && toFree.nonEmpty) {
+        dist.count() // materialize BEFORE dropping the superseded frames
+        toFree.foreach(_.unpersist())
+        toFree.clear()
+      }
     }
     dist.orderBy("item")
   }
@@ -547,20 +560,24 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     var edges = edges0.persist()
-    // unpersist each peel's superseded edge frame once the next one is
-    // materialized — never the CALLER's edges0 (it may be a shared
-    // mined-once invariant); holds <= 2 loop frames cached at a time.
-    var loopFrame: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
+    // free superseded peel frames in UnpersistBatch-sized groups (one
+    // materializing count per batch; zero extra jobs for short peels)
+    // — never the CALLER's edges0 (a shared mined-once invariant).
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val prev = edges
       val keep = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("deg"))
         .filter(sf.col("deg") >= k).select("src")
       edges = edges
         .join(keep, Seq("src"), "left_semi")
         .join(keep.select(sf.col("src").as("dst")), Seq("dst"), "left_semi")
         .persist()
-      edges.count()
-      loopFrame.foreach(_.unpersist())
-      loopFrame = Some(edges)
+      if (r > 1) toFree += prev
+      if (r % UnpersistBatch == 0 && toFree.nonEmpty) {
+        edges.count()
+        toFree.foreach(_.unpersist())
+        toFree.clear()
+      }
     }
     edges.groupBy("src").agg(sf.count(sf.lit(1)).as("degree"))
       .select(sf.col("src").as("item"), sf.col("degree"))

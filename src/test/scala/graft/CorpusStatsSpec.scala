@@ -782,4 +782,46 @@ class CorpusStatsSpec extends SparkFunSuite {
     val disj = Seq(("A", "x"), ("B", "y")).toDF("source", "text")
     assert(CorpusStats.jsdSourcePairs(disj, "source", "text").count() == 0)
   }
+
+  test("CorpusStats.chao1: hand multiset, S2=0 stays defined") {
+    import spark.implicits._
+    // tokens: a x3, b x2, c x1, d x1 -> N=7 D=4 S1=2 S2=1
+    // chao1 = 4 + 2*1/(2*2) = 4.5; coverage = 1 - 2/7
+    val docs = Seq((1L, "a a a b b c d")).toDF("doc_id", "text")
+    val r = CorpusStats.chao1(docs, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 7 && r.getAs[Long]("n_distinct") == 4 &&
+      r.getAs[Long]("s1") == 2 && r.getAs[Long]("s2") == 1)
+    assert(r.getAs[Double]("chao1") == 4.5, r.toString)
+    assert(r.getAs[Double]("coverage") ==
+      math.floor((1.0 - 2.0 / 7.0) * 1e6 + 0.5) / 1e6)
+    // no doubletons: denominator's +1 keeps the estimate finite
+    // tokens: a x3, b c d singletons -> chao1 = 4 + 3*2/2 = 7
+    val r2 = CorpusStats.chao1(Seq((1L, "a a a b c d")).toDF("doc_id", "text"),
+      "text").head()
+    assert(r2.getAs[Long]("s2") == 0 && r2.getAs[Double]("chao1") == 7.0,
+      r2.toString)
+  }
+
+  test("CorpusStats.burrowsDelta: clone sources at 0, styled source far") {
+    import spark.implicits._
+    // A and B are the same generator (identical token shares); C leans
+    // hard on 'the'. Delta(A,B) = 0 < Delta(A,C).
+    val docs = Seq(
+      ("A", "the of and the of the x"), ("B", "the of and the of the y"),
+      ("C", "the the the the the the z")).toDF("source", "text")
+    val got = CorpusStats.burrowsDelta(docs, "source", "text", topK = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("delta"))).toMap
+    assert(got(("A", "B")) == 0.0, s"clones must score 0: $got")
+    assert(got(("A", "C")) > 0.5 && got(("B", "C")) > 0.5, got.toString)
+    assert(got(("A", "C")) == got(("B", "C")),
+      "identical shares must give identical distances")
+    // a token with zero cross-source variance drops from every pair:
+    // 'same' has share 1/2 in all three sources -> only 'diff' varies
+    val zv = Seq(("A", "same diff"), ("B", "same diff"), ("C", "same blah"))
+      .toDF("source", "text")
+    val zr = CorpusStats.burrowsDelta(zv, "source", "text", topK = 2).collect()
+    assert(zr.nonEmpty && zr.forall(_.getAs[Long]("n_terms") == 1),
+      zr.mkString(";"))
+  }
 }

@@ -730,4 +730,23 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     // one community holding everything: Q = intra(1) - 1 = 0 exactly
     assert(rt.getAs[Double]("modularity") == 0.0, rt.toString)
   }
+
+  test("relaxation/peel loops free superseded frames: bounded persisted RDDs") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    // 12 rounds would cache 12 superseded dist frames without the
+    // batched unpersist; the contract is <= UnpersistBatch(5) pending
+    // + the live frame + the caller's edge frame
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Graph.bfsHopsFromEdges(edges, _ === sf.lit(1L), rounds = 12).collect()
+    val afterBfs = spark.sparkContext.getPersistentRDDs.size
+    assert(afterBfs - before <= 7,
+      s"bfs leaked persisted frames: ${afterBfs - before}")
+    Graph.kCoreFromEdges(edges, k = 1, rounds = 12).collect()
+    val afterKc = spark.sparkContext.getPersistentRDDs.size
+    assert(afterKc - afterBfs <= 7,
+      s"k-core leaked persisted frames: ${afterKc - afterBfs}")
+    spark.catalog.clearCache()
+  }
 }

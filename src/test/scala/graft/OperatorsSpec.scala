@@ -1543,4 +1543,34 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r1.getAs[Long]("n_above") == 0 && r1.getAs[Long]("n_below") == 1 &&
       r1.isNullAt(r1.fieldIndex("z")), r1.toString)
   }
+
+  test("EventOps.mannKendall: monotone ramp exact z, tied-flat series NULL") {
+    import spark.implicits._
+    def ev(tp: String, counts: Seq[Int]): Seq[(Long, java.sql.Timestamp, String)] = {
+      var id = 0L
+      counts.zipWithIndex.flatMap { case (c, day) =>
+        (1 to c).map { _ =>
+          id += 1
+          (id, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), tp)
+        }
+      }
+    }
+    // up: 1,2,3,4,5 -> S = C(5,2) = 10 concordant, no ties:
+    // Var = 5*4*15/18; z = (10-1)/sqrt(Var)
+    // flat: 2,2,2,2,2 -> S = 0, the 5-way tie cancels Var exactly -> NULL
+    val df = (ev("up", Seq(1, 2, 3, 4, 5)) ++ ev("flat", Seq(2, 2, 2, 2, 2)))
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("value", sf.lit(1.0)).withColumn("user_id", sf.lit(1L))
+    val got = EventOps.mannKendall(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val up = got("up"); val fl = got("flat")
+    assert(up.getAs[Long]("n_bins") == 5 && up.getAs[Long]("s_stat") == 10,
+      up.toString)
+    val zExp = math.floor(9.0 / math.sqrt((5.0 * 4.0 * 15.0 - 0.0) / 18.0)
+      * 1e6 + 0.5) / 1e6
+    assert(up.getAs[Double]("z") == zExp,
+      s"${up.getAs[Double]("z")} vs $zExp")
+    assert(fl.getAs[Long]("s_stat") == 0 && fl.isNullAt(fl.fieldIndex("z")),
+      fl.toString)
+  }
 }
