@@ -1670,6 +1670,26 @@ object SparkEntry {
     // slope estimate, tie-corrected z on the daily grid.
     "q249_mann_kendall" -> ((s, dir) =>
       EventOps.mannKendall(Tables.load(s, dir, "events"))),
+
+    // Wasserstein-1 between click and view value distributions: drift
+    // in value units — the area between CDFs (KS saturates, PSI bins).
+    "q250_wasserstein" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.wassersteinDistance(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
+
+    // Cumulative gains / decile lift of the q120 classifier: how many
+    // of the positives does the top-scored decile capture?
+    "q251_gains" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      QualityChecks.gainsChart(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(sf.col("score"), (sf.col("lang") === "en").cast("int").as("y")),
+        "score", "y", nBuckets = 10)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -6913,5 +6933,71 @@ object SparkEntry {
         |  CASE WHEN n >= 2 AND vs > 0 THEN
         |    floor(zn/sqrt(vs)*1000000.0 + 0.5)/1000000.0 END AS z
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // Wasserstein-1: merged distinct-value CDF steps, exact
+    // |ca*nb - cb*na|*gap integer sum, ONE pinned division.
+    "q250_wasserstein" ->
+      """WITH m AS (SELECT CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS t
+        |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |dom AS (SELECT v4,
+        |  CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM m GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM dom),
+        |st AS (SELECT v4,
+        |  CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+        |  CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+        |  lead(v4, 1) OVER (ORDER BY v4) - v4 AS gap4
+        |  FROM dom WINDOW w AS (ORDER BY v4 ROWS UNBOUNDED PRECEDING)),
+        |s AS (SELECT CAST(SUM(abs(CAST(cum_a AS HUGEINT)*nb - CAST(cum_b AS HUGEINT)*na)*gap4) AS HUGEINT) AS sm
+        |  FROM st CROSS JOIN tot WHERE gap4 IS NOT NULL)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    floor(CAST(sm AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)*1e4)*1000000.0 + 0.5)/1000000.0
+        |  END AS w1
+        |FROM tot CROSS JOIN s""".stripMargin,
+
+    // Gains chart: q229's scoring chain, distinct-score compression,
+    // strictly-better bucket rule, <=10-row cumulative finish.
+    "q251_gains" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |cy AS (SELECT s.doc_id,
+         |  CAST(floor((floor((raw + -0.05)*10000.0 + 0.5)/10000.0)*10000.0 + 0.5) AS BIGINT) AS s4,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |dom AS (SELECT s4, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS np
+         |  FROM cy GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(np) AS BIGINT) AS npt FROM dom),
+         |pre AS (SELECT s4, n, np,
+         |  CAST(COALESCE(SUM(n) OVER (ORDER BY s4 DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pr
+         |  FROM dom),
+         |bk AS (SELECT (pr * 10) // nt AS bucket,
+         |  CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(np) AS BIGINT) AS n_pos
+         |  FROM pre CROSS JOIN tot GROUP BY 1),
+         |fin AS (SELECT bucket, n, n_pos,
+         |  CAST(SUM(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumpos
+         |  FROM bk)
+         |SELECT CAST(bucket AS INT) AS bucket, n, n_pos,
+         |  floor(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS pos_rate,
+         |  CASE WHEN npt > 0 THEN
+         |    floor(CAST(cumpos AS DOUBLE)/CAST(npt AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS gain,
+         |  CASE WHEN npt > 0 THEN
+         |    floor((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS lift
+         |FROM fin CROSS JOIN tot ORDER BY bucket""".stripMargin
+    },
   )
 }

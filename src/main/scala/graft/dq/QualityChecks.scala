@@ -1980,6 +1980,123 @@ object QualityChecks {
       sf.when(disc > 0, gf.roundAt(ccNum * ccNum / disc, 6)).as("mcnemar_cc"))
   }
 
+  /** Wasserstein-1 distance (earth-mover, Monge 1781/Kantorovich
+    * 1942) between two numeric samples: W₁ = ∫\|F_a − F_b\| dv — the
+    * AREA between the empirical CDFs. The drift number that [[ksTest]]
+    * (max gap) and [[psiDrift]] (binned log-ratio) can't give: it's in
+    * the UNITS OF THE VALUE ("scores shifted 0.03 probability mass ×
+    * value"), weighs the whole distribution not just the worst point,
+    * and keeps responding after distributions stop overlapping (KS
+    * saturates at 1, KL/PSI blow up). The standard embedding/score
+    * drift metric between model versions.
+    *
+    * Determinism: values snap to the 1e-4 grid; on the merged DISTINCT
+    * value domain the CDF gap at each step is the exact rational
+    * \|c_a·n_b − c_b·n_a\| / (n_a·n_b), so W₁ accumulates as the exact
+    * DECIMAL(38,0) sum of \|c_a·n_b − c_b·n_a\|·gap₄ with ONE final
+    * pinned division by n_a·n_b·1e4, rounded 1e-6.
+    *
+    * Scale shape: both samples compress map-side to (value, count);
+    * the cumulative window and the lead-gap run over that bounded
+    * VALUE DOMAIN (the ksTest/mannWhitneyU shape); single-row finish.
+    * Raw rows never sort, never shuffle by value. */
+  def wassersteinDistance(dfA: DataFrame, dfB: DataFrame,
+                          valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def x4(df: DataFrame, tag: Int) = df.filter(sf.col(valueCol).isNotNull)
+      .select(sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5)
+        .cast("long").as("v4"), sf.lit(tag).as("__t"))
+    val dom = x4(dfA, 0).union(x4(dfB, 1))
+      .groupBy("v4")
+      .agg(sf.sum(sf.when(sf.col("__t") === 0, 1L).otherwise(0L)).as("ca"),
+        sf.sum(sf.when(sf.col("__t") === 1, 1L).otherwise(0L)).as("cb"))
+    // domain-bounded single-partition window (the ksTest convention:
+    // formally partitioned on a constant so no unpartitioned-window
+    // shape appears; the frame is the compressed VALUE domain)
+    val byConst = Window.partitionBy(sf.pmod(sf.hash(sf.col("v4")), sf.lit(1)))
+    val w = byConst.orderBy("v4")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = dom
+      .withColumn("cum_a", sf.sum("ca").over(w))
+      .withColumn("cum_b", sf.sum("cb").over(w))
+      .withColumn("gap4",
+        sf.lead("v4", 1).over(byConst.orderBy("v4")) - sf.col("v4"))
+    val tot = dom.agg(sf.sum("ca").cast("long").as("na"),
+      sf.sum("cb").cast("long").as("nb"))
+    stepped.filter(sf.col("gap4").isNotNull)
+      .crossJoin(sf.broadcast(tot))
+      .agg(sf.max("na").as("n_a"), sf.max("nb").as("n_b"),
+        sf.sum(sf.abs(dec(sf.col("cum_a")) * dec(sf.col("nb")) -
+          dec(sf.col("cum_b")) * dec(sf.col("na"))) * dec(sf.col("gap4")))
+          .as("__s"))
+      .select(sf.col("n_a"), sf.col("n_b"),
+        sf.when(sf.col("n_a") > 0 && sf.col("n_b") > 0, gf.roundAt(
+          sf.col("__s").cast("double") /
+            (sf.col("n_a").cast("double") * sf.col("n_b").cast("double") * 1e4),
+          6)).as("w1"))
+  }
+
+  /** Cumulative gains / decile-lift table — the TARGETING readout of a
+    * scored population (which [[prCurve]]'s threshold sweep and
+    * [[calibration]]'s reliability bins don't give): rank best-score-
+    * first, cut into `nBuckets` equal-population buckets, and report
+    * per bucket the positive rate, the CUMULATIVE share of all
+    * positives captured (the gains curve), and lift vs the base rate —
+    * "the top decile holds 3.4× its share of positives" is the number
+    * a selection/curation budget decision actually uses.
+    *
+    * Determinism: scores snap to the 1e-4 grid and compress to the
+    * DISTINCT-score domain; a score-run's bucket is
+    * (rows-strictly-better × nBuckets) div n — every tied row lands in
+    * ONE bucket, so the table is a pure function of the data (no
+    * ntile, whose tie placement is order-dependent); rates/gains/lifts
+    * are single pinned divisions of exact integers rounded 1e-6.
+    *
+    * Scale shape: one map-side-combined (score, n, n_pos) compression;
+    * the cumulative + bucket assignment run on that bounded domain
+    * (ksTest's constant-partition window convention); bucket rollup +
+    * a ≤ nBuckets-row cumulative finish. Raw rows never sort. */
+  def gainsChart(df: DataFrame, scoreCol: String, labelCol: String,
+                 nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must be in [2, 1000], got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val s4 = sf.floor(sf.col(scoreCol).cast("double") * 1e4 + 0.5).cast("long")
+    val dom = df.filter(sf.col(scoreCol).isNotNull && sf.col(labelCol).isNotNull)
+      .select(s4.as("s4"), sf.col(labelCol).cast("long").as("__y"))
+      .groupBy("s4")
+      .agg(sf.count(sf.lit(1)).as("n"), sf.sum("__y").cast("long").as("np"))
+    val byConst = Window.partitionBy(sf.pmod(sf.hash(sf.col("s4")), sf.lit(1)))
+    val better = byConst.orderBy(sf.col("s4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = dom.agg(sf.sum("n").cast("long").as("nt"),
+      sf.sum("np").cast("long").as("npt"))
+    val bucketed = dom
+      .withColumn("__pre", sf.coalesce(sf.sum("n").over(better), sf.lit(0L)))
+      .crossJoin(sf.broadcast(tot))
+      .withColumn("bucket", sf.expr(s"(__pre * $nBuckets) div nt"))
+      .groupBy("bucket")
+      .agg(sf.sum("n").cast("long").as("n"), sf.sum("np").cast("long").as("n_pos"),
+        sf.max("nt").as("nt"), sf.max("npt").as("npt"))
+    val cumB = Window.partitionBy(sf.pmod(sf.hash(sf.col("bucket")), sf.lit(1)))
+      .orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("__cumpos", sf.sum("n_pos").over(cumB))
+      .select(sf.col("bucket").cast("int").as("bucket"), sf.col("n"),
+        sf.col("n_pos"),
+        gf.roundAt(sf.col("n_pos").cast("double") / sf.col("n").cast("double"), 6)
+          .as("pos_rate"),
+        sf.when(sf.col("npt") > 0, gf.roundAt(
+          sf.col("__cumpos").cast("double") / sf.col("npt").cast("double"), 6))
+          .as("gain"),
+        sf.when(sf.col("npt") > 0, gf.roundAt(
+          (sf.col("n_pos").cast("double") / sf.col("n").cast("double")) /
+            (sf.col("npt").cast("double") / sf.col("nt").cast("double")), 6))
+          .as("lift"))
+      .orderBy("bucket")
+  }
+
   /** Brown-Forsythe test (Brown & Forsythe 1974) — variance
     * homogeneity across groups, the assumption [[anovaF]] silently
     * makes: the one-way F statistic computed on absolute deviations

@@ -1573,4 +1573,46 @@ class OperatorsSpec extends SparkFunSuite {
     assert(fl.getAs[Long]("s_stat") == 0 && fl.isNullAt(fl.fieldIndex("z")),
       fl.toString)
   }
+
+  test("QualityChecks.wassersteinDistance: hand CDF area, identical samples 0") {
+    import spark.implicits._
+    // a = {0, 1}, b = {1, 2}: merged domain 0,1,2; F_a = .5,1,1;
+    // F_b = 0,.5,1 -> |gap| = .5 at both unit steps -> W1 = 1.0
+    val a = Seq(0.0, 1.0).toDF("v")
+    val b = Seq(1.0, 2.0).toDF("v")
+    val r = QualityChecks.wassersteinDistance(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("w1") == 1.0, r.toString)
+    // identical samples -> exactly 0
+    val same = QualityChecks.wassersteinDistance(a, a, "v").head()
+    assert(same.getAs[Double]("w1") == 0.0)
+    // unequal sizes: a={0}, b={0,10}: gap |1*2-1*1|=1 over [0,10]
+    // -> 1*100000*1/(1*2*1e4) = 5.0
+    val r2 = QualityChecks.wassersteinDistance(
+      Seq(0.0).toDF("v"), Seq(0.0, 10.0).toDF("v"), "v").head()
+    assert(r2.getAs[Double]("w1") == 5.0, r2.toString)
+  }
+
+  test("QualityChecks.gainsChart: perfect separation, ties in one bucket") {
+    import spark.implicits._
+    // 10 rows, scores 10..1, positives = top 3 scorers
+    val df = (1 to 10).map(i => (i.toDouble, if (i >= 8) 1 else 0))
+      .toDF("score", "y")
+    val got = QualityChecks.gainsChart(df, "score", "y", nBuckets = 5)
+      .collect()
+    assert(got.length == 5)
+    val b0 = got.head
+    // bucket 0 = scores {10, 9}: both positive; base rate 0.3 -> lift 10/3
+    assert(b0.getAs[Long]("n") == 2 && b0.getAs[Long]("n_pos") == 2)
+    assert(b0.getAs[Double]("pos_rate") == 1.0 &&
+      b0.getAs[Double]("gain") == math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6 &&
+      b0.getAs[Double]("lift") == math.floor(1.0 / 0.3 * 1e6 + 0.5) / 1e6)
+    // full population captured by the last bucket
+    assert(got.last.getAs[Double]("gain") == 1.0)
+    // all-tied scores: every row lands in ONE bucket (no ntile split)
+    val tied = (1 to 10).map(_ => (1.0, 1)).toDF("score", "y")
+    val tg = QualityChecks.gainsChart(tied, "score", "y", nBuckets = 5).collect()
+    assert(tg.length == 1 && tg.head.getAs[Int]("bucket") == 0 &&
+      tg.head.getAs[Long]("n") == 10, tg.mkString(";"))
+  }
 }
