@@ -1690,6 +1690,32 @@ object SparkEntry {
           .select(sf.col("score"), (sf.col("lang") === "en").cast("int").as("y")),
         "score", "y", nBuckets = 10)
     }),
+
+    // Welch t + Cohen's d / Hedges' g between click and view values:
+    // the mean-scale companion of q250's whole-distribution distance.
+    "q252_welch_t" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.welchTTest(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
+
+    // Kruskal-Wallis: does value's distribution differ across ALL event
+    // types at once — the k-group rank ANOVA beside q109's two-sample U.
+    "q253_kruskal_wallis" -> ((s, dir) =>
+      QualityChecks.kruskalWallis(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // Jarque-Bera per event type: is value even roughly Gaussian —
+    // the gate in front of every mean±SD readout and z threshold.
+    "q254_jarque_bera" -> ((s, dir) =>
+      QualityChecks.jarqueBera(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // Cramér's V / phi / C / T over lang × source: the effect-size
+    // readout of q107's chi-squared — how STRONG is the association.
+    "q255_cramers_v" -> ((s, dir) =>
+      QualityChecks.cramersV(docs(s, dir), "lang", "source")),
   )
 
   // ---------------------------------------------------------------------
@@ -6999,5 +7025,126 @@ object SparkEntry {
          |    floor((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))/(CAST(npt AS DOUBLE)/CAST(nt AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS lift
          |FROM fin CROSS JOIN tot ORDER BY bucket""".stripMargin
     },
+
+    // Welch t / Cohen's d / Hedges' g: exact per-side fixed-point
+    // moments from one tagged pass, pinned double assemblies.
+    "q252_welch_t" ->
+      """WITH m AS (SELECT CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS HUGEINT) AS x,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS t
+        |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |g AS (SELECT
+        |  CAST(COUNT(CASE WHEN t = 0 THEN 1 END) AS BIGINT) AS na,
+        |  CAST(COUNT(CASE WHEN t = 1 THEN 1 END) AS BIGINT) AS nb,
+        |  SUM(CASE WHEN t = 0 THEN x END) AS sa,
+        |  SUM(CASE WHEN t = 1 THEN x END) AS sb,
+        |  SUM(CASE WHEN t = 0 THEN x*x END) AS ssa,
+        |  SUM(CASE WHEN t = 1 THEN x*x END) AS ssb FROM m),
+        |d AS (SELECT na, nb,
+        |  CAST(sa AS DOUBLE)/1e4/CAST(na AS DOUBLE) AS ma,
+        |  CAST(sb AS DOUBLE)/1e4/CAST(nb AS DOUBLE) AS mb,
+        |  (CAST(ssa AS DOUBLE)/1e8 - CAST(na AS DOUBLE)*(CAST(sa AS DOUBLE)/1e4/CAST(na AS DOUBLE))*(CAST(sa AS DOUBLE)/1e4/CAST(na AS DOUBLE)))/(CAST(na AS DOUBLE) - 1) AS va,
+        |  (CAST(ssb AS DOUBLE)/1e8 - CAST(nb AS DOUBLE)*(CAST(sb AS DOUBLE)/1e4/CAST(nb AS DOUBLE))*(CAST(sb AS DOUBLE)/1e4/CAST(nb AS DOUBLE)))/(CAST(nb AS DOUBLE) - 1) AS vb
+        |  FROM g),
+        |e AS (SELECT na, nb, ma, mb, va, vb,
+        |  va/CAST(na AS DOUBLE) + vb/CAST(nb AS DOUBLE) AS se2,
+        |  ((CAST(na AS DOUBLE) - 1)*va + (CAST(nb AS DOUBLE) - 1)*vb)/(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2) AS pooled
+        |  FROM d)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CASE WHEN na > 0 THEN floor(ma*1000000.0 + 0.5)/1000000.0 END AS mean_a,
+        |  CASE WHEN nb > 0 THEN floor(mb*1000000.0 + 0.5)/1000000.0 END AS mean_b,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+        |    floor((ma - mb)/sqrt(se2)*10000.0 + 0.5)/10000.0 END AS t_stat,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+        |    floor(se2*se2/((va/CAST(na AS DOUBLE))*(va/CAST(na AS DOUBLE))/(CAST(na AS DOUBLE) - 1)
+        |      + (vb/CAST(nb AS DOUBLE))*(vb/CAST(nb AS DOUBLE))/(CAST(nb AS DOUBLE) - 1))*10000.0 + 0.5)/10000.0 END AS dof,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0 THEN
+        |    floor((ma - mb)/sqrt(pooled)*1000000.0 + 0.5)/1000000.0 END AS cohens_d,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0 THEN
+        |    floor((ma - mb)/sqrt(pooled)*(1.0 - 3.0/(4.0*(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 9.0))*1000000.0 + 0.5)/1000000.0 END AS hedges_g
+        |FROM e""".stripMargin,
+
+    // Kruskal-Wallis: doubled midranks on the distinct-value domain,
+    // per-group snapped A_g terms, tie-corrected H, one-row finish.
+    "q253_kruskal_wallis" ->
+      """WITH cells AS (SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v,
+        |  CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |vt AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+        |rk AS (SELECT v,
+        |  CAST(COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)*2 + t + 1 AS BIGINT) AS r2,
+        |  CAST(t AS HUGEINT)*t*t - t AS tie FROM vt),
+        |ties AS (SELECT SUM(tie) AS ties FROM rk),
+        |perg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+        |  SUM(CAST(c AS HUGEINT)*r2) AS r2s
+        |  FROM cells JOIN rk USING (v) GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM perg),
+        |terms AS (SELECT CAST(floor(
+        |    (CAST(r2s AS DOUBLE)/2)*(CAST(r2s AS DOUBLE)/2)
+        |    /(CAST(perg.n AS DOUBLE)*CAST(nt.n AS DOUBLE)*(CAST(nt.n AS DOUBLE) + 1))*1e6 + 0.5) AS BIGINT) AS a6
+        |  FROM perg CROSS JOIN nt),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(CAST(a6 AS HUGEINT)) AS a6s FROM terms)
+        |SELECT k, nt.n AS n, CAST(k - 1 AS BIGINT) AS dof,
+        |  CASE WHEN k > 1 AND nt.n > k AND
+        |    (1.0 - CAST(ties AS DOUBLE)/CAST(CAST(nt.n AS HUGEINT)*nt.n*nt.n - nt.n AS DOUBLE)) > 0 THEN
+        |    floor((CAST(a6s AS DOUBLE)/1e6*12 - 3*(CAST(nt.n AS DOUBLE) + 1))
+        |      /(1.0 - CAST(ties AS DOUBLE)/CAST(CAST(nt.n AS HUGEINT)*nt.n*nt.n - nt.n AS DOUBLE))*10000.0 + 0.5)/10000.0
+        |  END AS h_stat
+        |FROM f CROSS JOIN nt CROSS JOIN ties""".stripMargin,
+
+    // Jarque-Bera per event type: exact power sums, pinned binomial
+    // central-moment expansions, per-group one-row assembly.
+    "q254_jarque_bera" ->
+      """WITH m AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s1,
+        |  SUM(x*x) AS s2, SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4
+        |  FROM m GROUP BY 1),
+        |b AS (SELECT g, n,
+        |  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1,
+        |  CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS r2,
+        |  CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS r3,
+        |  CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE) AS r4 FROM a),
+        |c AS (SELECT g, n,
+        |  r2 - m1*m1 AS m2,
+        |  r3 - 3*m1*r2 + 2*m1*m1*m1 AS m3,
+        |  r4 - 4*m1*r3 + 6*m1*m1*r2 - 3*m1*m1*m1*m1 AS m4 FROM b)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n >= 2 AND m2 > 0 THEN
+        |    floor(m3/(sqrt(m2)*m2)*1000000.0 + 0.5)/1000000.0 END AS skewness,
+        |  CASE WHEN n >= 2 AND m2 > 0 THEN
+        |    floor(m4/(m2*m2)*1000000.0 + 0.5)/1000000.0 END AS kurtosis,
+        |  CASE WHEN n >= 2 AND m2 > 0 THEN
+        |    floor(CAST(n AS DOUBLE)/6*(m3/(sqrt(m2)*m2)*(m3/(sqrt(m2)*m2))
+        |      + (m4/(m2*m2) - 3)*(m4/(m2*m2) - 3)/4)*10000.0 + 0.5)/10000.0 END AS jb_stat
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    // Cramér's V family: q107's densified chi2 chain verbatim, then
+    // four pinned single divisions of the ROUNDED chi2.
+    "q255_cramers_v" ->
+      """WITH cells AS (SELECT CAST(lang AS VARCHAR) r, CAST(source AS VARCHAR) c, COUNT(*) o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT r, SUM(o) rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, SUM(o) ct FROM cells GROUP BY 1),
+        |t AS (SELECT SUM(o) n, COUNT(DISTINCT r) nr, COUNT(DISTINCT c) nc FROM cells),
+        |grid AS (SELECT rt.r, ct.c, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+        |terms AS (SELECT CAST(floor(
+        |    ((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE))
+        |     *(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE))
+        |     /(CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE)))*1000000.0 + 0.5)
+        |   /1000000.0 AS DECIMAL(28,6)) AS term
+        |  FROM grid, t),
+        |c2 AS (SELECT floor(CAST((SELECT SUM(term) FROM terms) AS DOUBLE)*10000.0 + 0.5)/10000.0 AS chi2)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols, chi2,
+        |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
+        |    floor(sqrt(chi2/(CAST(n AS DOUBLE)*(CAST(least(nr, nc) AS DOUBLE) - 1)))*1000000.0 + 0.5)/1000000.0 END AS cramers_v,
+        |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
+        |    floor(sqrt(chi2/CAST(n AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS phi,
+        |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
+        |    floor(sqrt(chi2/(chi2 + CAST(n AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS contingency_c,
+        |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
+        |    floor(sqrt(chi2/(CAST(n AS DOUBLE)*sqrt((CAST(nr AS DOUBLE) - 1)*(CAST(nc AS DOUBLE) - 1))))*1000000.0 + 0.5)/1000000.0 END AS tschuprow_t
+        |FROM t CROSS JOIN c2""".stripMargin,
   )
 }

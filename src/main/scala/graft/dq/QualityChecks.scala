@@ -428,7 +428,17 @@ object QualityChecks {
     * joins the observed counts into one single-row decimal sum.
     * Nothing scales with the data except the first compression
     * pass. */
-  def chiSquared(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+  def chiSquared(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chiSquaredKernel(df, rowCol, colCol).select(
+      gf.roundAt(sf.col("__chi2").cast("double"), 4).as("chi2"),
+      ((sf.col("__fnr") - 1) * (sf.col("__fnc") - 1)).as("dof"),
+      sf.col("__fn").as("n"))
+
+  /** Shared χ² core ([[chiSquared]] / [[cramersV]]): the densified
+    * margin-grid term sum plus the n / distinct-margin counts, one
+    * row: (__chi2 decimal, __fn, __fnr, __fnc). */
+  private def chiSquaredKernel(df: DataFrame, rowCol: String,
+                               colCol: String): DataFrame = {
     val cells = graft.operators.Par.spread(
         df.select(sf.col(rowCol).cast("string").as("__r"),
           sf.col(colCol).cast("string").as("__c")))
@@ -454,10 +464,6 @@ object QualityChecks {
       .crossJoin(sf.broadcast(n))
       .agg(sf.sum(term).as("__chi2"), sf.first(sf.col("__n")).as("__fn"),
         sf.first(sf.col("__nr")).as("__fnr"), sf.first(sf.col("__nc")).as("__fnc"))
-      .select(
-        gf.roundAt(sf.col("__chi2").cast("double"), 4).as("chi2"),
-        ((sf.col("__fnr") - 1) * (sf.col("__fnc") - 1)).as("dof"),
-        sf.col("__fn").as("n"))
   }
 
   /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
@@ -2128,5 +2134,222 @@ object QualityChecks {
       .select(sf.col(groupCol),
         sf.abs(sf.col(valueCol).cast("double") - sf.col("__med")).as("__dev"))
     anovaF(dev, groupCol, "__dev")
+  }
+
+  /** Welch's unequal-variance t-test + Cohen's d / Hedges' g effect
+    * sizes (Welch 1947; Cohen 1988; Hedges 1981) — the general
+    * two-sample mean comparison [[graft.operators.EventOps.abLift]]
+    * specializes to its hash-split arms: arbitrary populations, the
+    * Welch–Satterthwaite degrees of freedom the t needs to be read
+    * against, and the STANDARDIZED effect sizes that say whether a
+    * "significant" difference is big (the mean-scale companion of
+    * [[cliffsDelta]]'s rank-scale answer). Hedges' g is d with the
+    * small-sample bias factor 1 − 3/(4(n_a+n_b)−9).
+    *
+    * Determinism: values snap to the 1e-4 grid; per-side (n, Σ, Σ²)
+    * are exact DECIMAL(38,0) sums from ONE pass over the tagged
+    * union; means/variances/t/df/d/g are single pinned double
+    * assemblies of those exact sums, rounded 1e-6 (1e-4 for t/df).
+    * Degenerate inputs (either side < 2 rows, zero pooled or standard
+    * error) yield NULL statistics, never a division blow-up.
+    *
+    * Scale shape: map-only tag + ONE map-side-combined single-row
+    * aggregation — zero data-row shuffles, the abLift/mcnemarTest
+    * shape. */
+  def welchTTest(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    def side(df: DataFrame, tag: Int) = df.filter(sf.col(valueCol).isNotNull)
+      .select(x4.as("__x4"), sf.lit(tag).as("__t"))
+    def cond(tag: Int, c: Column) = sf.when(sf.col("__t") === tag, c)
+    side(dfA, 0).union(side(dfB, 1))
+      .agg(
+        sf.count(cond(0, sf.col("__x4"))).as("n_a"),
+        sf.count(cond(1, sf.col("__x4"))).as("n_b"),
+        sf.sum(cond(0, dec(sf.col("__x4")))).as("__sa"),
+        sf.sum(cond(1, dec(sf.col("__x4")))).as("__sb"),
+        sf.sum(cond(0, dec(sf.col("__x4")) * dec(sf.col("__x4")))).as("__ssa"),
+        sf.sum(cond(1, dec(sf.col("__x4")) * dec(sf.col("__x4")))).as("__ssb"))
+      .select({
+        val na = sf.col("n_a").cast("double")
+        val nb = sf.col("n_b").cast("double")
+        def mean(s: String, n: Column) = sf.col(s).cast("double") / 1e4 / n
+        // ANSI double division throws on /0 — keep the n−1 divisions
+        // inside a lazy branch so a 1-row side degrades to NULL
+        def vr(cnt: String, ss: String, m: Column, n: Column) =
+          sf.when(sf.col(cnt) >= 2,
+            (sf.col(ss).cast("double") / 1e8 - n * m * m) / (n - 1))
+        val ma = mean("__sa", na); val mb = mean("__sb", nb)
+        val va = vr("n_a", "__ssa", ma, na); val vb = vr("n_b", "__ssb", mb, nb)
+        val se2 = va / na + vb / nb
+        val t = (ma - mb) / sf.sqrt(se2)
+        val dof = se2 * se2 /
+          ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+        val pooled = sf.when(sf.col("n_a") + sf.col("n_b") > 2,
+          ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+        val d = (ma - mb) / sf.sqrt(pooled)
+        val g = d * (sf.lit(1.0) - sf.lit(3.0) / ((na + nb) * 4.0 - 9.0))
+        val ok = sf.col("n_a") >= 2 && sf.col("n_b") >= 2
+        Seq(sf.col("n_a"), sf.col("n_b"),
+          sf.when(sf.col("n_a") > 0, gf.roundAt(ma, 6)).as("mean_a"),
+          sf.when(sf.col("n_b") > 0, gf.roundAt(mb, 6)).as("mean_b"),
+          sf.when(ok && se2 > 0, gf.roundAt(t, 4)).as("t_stat"),
+          sf.when(ok && se2 > 0, gf.roundAt(dof, 4)).as("dof"),
+          sf.when(ok && pooled > 0, gf.roundAt(d, 6)).as("cohens_d"),
+          sf.when(ok && pooled > 0, gf.roundAt(g, 6)).as("hedges_g"))
+      }: _*)
+  }
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-group
+    * rank-based analysis of variance: does `valueCol`'s DISTRIBUTION
+    * sit higher in some `groupCol` levels than others, asked without
+    * [[anovaF]]'s normality/equal-variance baggage (the k-group
+    * generalization of [[mannWhitneyU]], with the same midrank tie
+    * handling and the standard 1 − Σ(t³−t)/(N³−N) tie correction).
+    *
+    * Determinism: midranks on the DISTINCT-VALUE domain as exact
+    * integer DOUBLED ranks (2·cumBefore + t + 1); each group's doubled
+    * rank sum R2_g is an exact DECIMAL(38,0); the per-group term
+    * A_g = (R2_g/2)²/(n_g·N·(N+1)) — bounded by n_g, so it can't
+    * overflow — is assembled pinned and SNAPPED 1e-6 before the
+    * unordered cross-group sum (the anovaF convention), then
+    * H = 12·ΣA_g − 3(N+1) and the tie correction divide once. All
+    * values tied (correction → 0) or k < 2 yield NULL.
+    *
+    * Scale shape: one map-side-combined (group, value) compression,
+    * a value-domain cumulative window (the mannWhitneyU shape), one
+    * AQE-decided rank-attach join on the value domain, a k-row group
+    * reduction, a single-row finish. Raw rows never sort. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.operators.Par.spread(
+        df.select(sf.col(groupCol).cast("string").as("__g"),
+          sf.col(valueCol).cast("double").as("__v")))
+      .filter(sf.col("__v").isNotNull && sf.col("__g").isNotNull)
+      .groupBy("__g", "__v").agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true) // value totals + rank attach both read it
+    val vt = cells.groupBy("__v").agg(sf.sum("__c").as("__t"))
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__v")), sf.lit(1)))
+      .orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vt.select(sf.col("__v"),
+      (sf.coalesce(sf.sum("__t").over(w), sf.lit(0L)) * 2 + sf.col("__t") + 1)
+        .as("__r2"),
+      (dec(sf.col("__t")) * dec(sf.col("__t")) * dec(sf.col("__t")) -
+        dec(sf.col("__t"))).as("__tie"))
+    val tot = ranked.agg(sf.sum(sf.col("__tie")).as("__ties"))
+    val perG = cells.join(ranked.select("__v", "__r2"), Seq("__v"))
+      .groupBy("__g")
+      .agg(sf.sum("__c").as("__n"),
+        sf.sum(dec(sf.col("__c")) * dec(sf.col("__r2"))).as("__r2s"))
+    val n = perG.agg(sf.sum("__n").as("__nt"))
+    perG.crossJoin(sf.broadcast(n))
+      .select({
+        // A_g = (R2/2)^2 / (n_g N (N+1)), snapped 1e-6 pre-sum
+        val r = sf.col("__r2s").cast("double") / 2
+        val nt = sf.col("__nt").cast("double")
+        val a = r * r / (sf.col("__n").cast("double") * nt * (nt + 1))
+        Seq(sf.col("__n"), sf.col("__nt"),
+          sf.floor(a * 1e6 + 0.5).cast("long").as("__a6"))
+      }: _*)
+      .agg(sf.count(sf.lit(1)).as("k"), sf.max("__nt").as("n"),
+        sf.sum(dec(sf.col("__a6"))).as("__as"))
+      .crossJoin(sf.broadcast(tot))
+      .select({
+        val nt = sf.col("n").cast("double")
+        val h = sf.col("__as").cast("double") / 1e6 * 12 - (nt + 1) * 3
+        val corr = sf.lit(1.0) - sf.col("__ties").cast("double") /
+          ((dec(sf.col("n")) * dec(sf.col("n")) * dec(sf.col("n")) -
+            dec(sf.col("n"))).cast("double"))
+        Seq(sf.col("k"), sf.col("n"), (sf.col("k") - 1).as("dof"),
+          sf.when(sf.col("k") > 1 && sf.col("n") > sf.col("k") && corr > 0,
+            gf.roundAt(h / corr, 4)).as("h_stat"))
+      }: _*)
+  }
+
+  /** Jarque–Bera normality test per group (Jarque & Bera 1980):
+    * skewness, excess-free kurtosis, and JB = n/6·(S² + (K−3)²/4) —
+    * the "is this column even roughly Gaussian" gate in front of
+    * every mean±SD summary, z-score threshold, and [[anovaF]]-family
+    * readout this module produces. Skew/kurtosis are scale-invariant,
+    * so the 1e-4 value snap cancels and the moments work directly in
+    * grid units.
+    *
+    * Determinism: per-group (n, Σx, Σx², Σx³, Σx⁴) are exact
+    * DECIMAL(38,0) sums in one pass; central moments use the pinned
+    * binomial expansions of those sums; skew/kurt/JB are single
+    * pinned assemblies per group row (a bounded domain — no
+    * cross-group sum, so nothing needs snapping), rounded 1e-6 (JB
+    * 1e-4). Degenerate groups (n < 2 or zero variance) yield NULLs.
+    *
+    * Scale shape: ONE map-side-combined group aggregation (k rows) +
+    * a map-only per-row finish. Zero joins, zero windows. */
+  def jarqueBera(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val x = dec(sf.col("__x"))
+    df.filter(sf.col(valueCol).isNotNull && sf.col(groupCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as(groupCol), x4.as("__x"))
+      .groupBy(groupCol)
+      .agg(sf.count(sf.lit(1)).as("n"), sf.sum(x).as("__s1"),
+        sf.sum(x * x).as("__s2"), sf.sum(x * x * x).as("__s3"),
+        sf.sum(x * x * x * x).as("__s4"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val m1 = sf.col("__s1").cast("double") / n
+        val m2 = sf.col("__s2").cast("double") / n - m1 * m1
+        val m3 = sf.col("__s3").cast("double") / n -
+          m1 * 3 * (sf.col("__s2").cast("double") / n) + m1 * 2 * m1 * m1
+        val m4 = sf.col("__s4").cast("double") / n -
+          m1 * 4 * (sf.col("__s3").cast("double") / n) +
+          m1 * 6 * m1 * (sf.col("__s2").cast("double") / n) -
+          m1 * 3 * m1 * m1 * m1
+        val skew = m3 / (sf.sqrt(m2) * m2)
+        val kurt = m4 / (m2 * m2)
+        val jb = n / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+        val ok = sf.col("n") >= 2 && m2 > 0
+        Seq(sf.col(groupCol), sf.col("n"),
+          sf.when(ok, gf.roundAt(skew, 6)).as("skewness"),
+          sf.when(ok, gf.roundAt(kurt, 6)).as("kurtosis"),
+          sf.when(ok, gf.roundAt(jb, 4)).as("jb_stat"))
+      }: _*)
+      .orderBy(groupCol)
+  }
+
+  /** Cramér's V + φ + contingency/Tschuprow coefficients — the
+    * EFFECT-SIZE readout of [[chiSquared]]'s association test: at
+    * corpus scale every dependence is "significant", and
+    * V = sqrt(χ²/(n·min(r−1, c−1))) ∈ [0, 1] answers the question the
+    * χ² number can't — how STRONG is the association (the categorical
+    * twin of [[cliffsDelta]] / [[welchTTest]]'s effect sizes).
+    *
+    * Determinism: runs [[chiSquared]]'s exact densified-grid chain
+    * VERBATIM (composition, not re-implementation — the χ² printed
+    * here is bit-identical to q107's), then four pinned single
+    * divisions of the ROUNDED χ², each rounded 1e-6. Degenerate
+    * tables (min(r, c) < 2 or n = 0) yield NULL coefficients.
+    *
+    * Scale shape: [[chiSquared]]'s — one (r, c)-domain cell
+    * aggregation, margin grid, single-row finish — plus a map-only
+    * one-row coefficient select. */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val core = chiSquaredKernel(df, rowCol, colCol)
+    core.select({
+      val chi2 = gf.roundAt(sf.col("__chi2").cast("double"), 4)
+      val n = sf.col("__fn").cast("double")
+      val minDim = sf.least(sf.col("__fnr"), sf.col("__fnc")).cast("double") - 1
+      val geoDim = sf.sqrt((sf.col("__fnr").cast("double") - 1) *
+        (sf.col("__fnc").cast("double") - 1))
+      val ok = sf.col("__fn") > 0 &&
+        sf.least(sf.col("__fnr"), sf.col("__fnc")) > 1
+      Seq(sf.col("__fn").as("n"), sf.col("__fnr").as("n_rows"),
+        sf.col("__fnc").as("n_cols"), chi2.as("chi2"),
+        sf.when(ok, gf.roundAt(sf.sqrt(chi2 / (n * minDim)), 6)).as("cramers_v"),
+        sf.when(ok, gf.roundAt(sf.sqrt(chi2 / n), 6)).as("phi"),
+        sf.when(ok, gf.roundAt(sf.sqrt(chi2 / (chi2 + n)), 6)).as("contingency_c"),
+        sf.when(ok, gf.roundAt(sf.sqrt(chi2 / (n * geoDim)), 6)).as("tschuprow_t"))
+    }: _*)
   }
 }

@@ -1615,4 +1615,100 @@ class OperatorsSpec extends SparkFunSuite {
     assert(tg.length == 1 && tg.head.getAs[Int]("bucket") == 0 &&
       tg.head.getAs[Long]("n") == 10, tg.mkString(";"))
   }
+
+  test("QualityChecks.welchTTest: hand t/df/d/g, zero-variance and tiny-side NULLs") {
+    val a = Seq(1.0, 2.0, 3.0).map(("x", _)).toDF("t", "v")
+    val b = Seq(2.0, 4.0, 6.0).map(("x", _)).toDF("t", "v")
+    val r = QualityChecks.welchTTest(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 4.0)
+    // va=1 vb=4: t = -2/sqrt(5/3), df = (5/3)^2/((1/9)/2+(16/9)/2) = 450/153
+    assert(r.getAs[Double]("t_stat") ==
+      math.floor(-2.0 / math.sqrt(5.0 / 3.0) * 1e4 + 0.5) / 1e4)
+    assert(r.getAs[Double]("dof") == math.floor(450.0 / 153.0 * 1e4 + 0.5) / 1e4)
+    // pooled = (2*1+2*4)/4 = 2.5; d = -2/sqrt(2.5); g = d*(1 - 3/15)
+    val d = -2.0 / math.sqrt(2.5)
+    assert(r.getAs[Double]("cohens_d") == math.floor(d * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("hedges_g") ==
+      math.floor(d * (1.0 - 3.0 / 15.0) * 1e6 + 0.5) / 1e6)
+    // both sides constant -> zero pooled/se -> NULL stats, means intact
+    val c1 = Seq(5.0, 5.0).map(("x", _)).toDF("t", "v")
+    val c2 = Seq(7.0, 7.0).map(("x", _)).toDF("t", "v")
+    val rc = QualityChecks.welchTTest(c1, c2, "v").head()
+    assert(rc.isNullAt(rc.fieldIndex("t_stat")) &&
+      rc.isNullAt(rc.fieldIndex("cohens_d")) &&
+      rc.getAs[Double]("mean_a") == 5.0)
+    // a one-row side can't carry a variance -> NULL everything but means
+    val r1 = QualityChecks.welchTTest(
+      Seq(("x", 1.0)).toDF("t", "v"), b, "v").head()
+    assert(r1.isNullAt(r1.fieldIndex("t_stat")) &&
+      r1.isNullAt(r1.fieldIndex("dof")))
+  }
+
+  test("QualityChecks.kruskalWallis: hand H, tie-degenerate NULL") {
+    // a = {1,2}, b = {3,4}: R_a = 3, R_b = 7 -> H = 12/20*(9/2+49/2)-15 = 2.4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = QualityChecks.kruskalWallis(df, "g", "v").head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 4 &&
+      r.getAs[Long]("dof") == 1)
+    assert(r.getAs[Double]("h_stat") == 2.4, r.toString)
+    // all values tied: the correction hits 0 -> NULL H
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)).toDF("g", "v")
+    val rt = QualityChecks.kruskalWallis(tied, "g", "v").head()
+    assert(rt.isNullAt(rt.fieldIndex("h_stat")))
+    // one group -> NULL (k < 2)
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(QualityChecks.kruskalWallis(one, "g", "v").head()
+      .isNullAt(3))
+  }
+
+  test("QualityChecks.jarqueBera: symmetric skew 0, hand kurtosis, constant NULL") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("sym", _)) ++
+      Seq(0.0, 0.0, 0.0, 10.0).map(("skewed", _)) ++
+      Seq(4.0, 4.0).map(("flat", _))).toDF("g", "v")
+    val rows = QualityChecks.jarqueBera(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sym = rows("sym")
+    // m2 = 2/3, m4 = 2/3 -> kurt = 1.5, jb = 0.5*(0 + 2.25/4) = 0.28125;
+    // replay the PINNED double pipeline for jb (the exact 0.28125 sits on
+    // a snap boundary the IEEE assembly lands a few ulps under)
+    assert(sym.getAs[Double]("skewness") == 0.0)
+    assert(sym.getAs[Double]("kurtosis") == 1.5)
+    val jbExp = {
+      val n = 3.0; val m1 = 2e4
+      val r2 = (1e8 + 4e8 + 9e8) / n; val r3 = (1e12 + 8e12 + 27e12) / n
+      val r4 = (1e16 + 16e16 + 81e16) / n
+      val m2 = r2 - m1 * m1
+      val m3 = r3 - m1 * 3 * r2 + m1 * 2 * m1 * m1
+      val m4 = r4 - m1 * 4 * r3 + m1 * 6 * m1 * r2 - m1 * 3 * m1 * m1 * m1
+      val skew = m3 / (math.sqrt(m2) * m2); val kurt = m4 / (m2 * m2)
+      val jb = n / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+      math.floor(jb * 1e4 + 0.5) / 1e4
+    }
+    assert(sym.getAs[Double]("jb_stat") == jbExp &&
+      math.abs(jbExp - 0.28125) < 2e-4, sym.toString)
+    assert(rows("skewed").getAs[Double]("skewness") > 1.0)
+    assert(rows("flat").isNullAt(rows("flat").fieldIndex("jb_stat")))
+  }
+
+  test("QualityChecks.cramersV: perfect association 1, independence 0") {
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val rp = QualityChecks.cramersV(perfect, "r", "c").head()
+    assert(rp.getAs[Double]("chi2") == 4.0 &&
+      rp.getAs[Double]("cramers_v") == 1.0 &&
+      rp.getAs[Double]("phi") == 1.0 &&
+      rp.getAs[Double]("tschuprow_t") == 1.0)
+    assert(rp.getAs[Double]("contingency_c") ==
+      math.floor(math.sqrt(0.5) * 1e6 + 0.5) / 1e6)
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val ri = QualityChecks.cramersV(indep, "r", "c").head()
+    assert(ri.getAs[Double]("chi2") == 0.0 &&
+      ri.getAs[Double]("cramers_v") == 0.0)
+    // a single-level column carries no association to measure
+    val degen = Seq(("a", "x"), ("a", "y")).toDF("r", "c")
+    val rd = QualityChecks.cramersV(degen, "r", "c").head()
+    assert(rd.isNullAt(rd.fieldIndex("cramers_v")))
+  }
 }
