@@ -1716,6 +1716,24 @@ object SparkEntry {
     // readout of q107's chi-squared — how STRONG is the association.
     "q255_cramers_v" -> ((s, dir) =>
       QualityChecks.cramersV(docs(s, dir), "lang", "source")),
+
+    // Degree assortativity of the part co-occurrence graph: do hubs
+    // attach to hubs (r > 0) or to leaves (r < 0)?
+    "q256_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2)),
+
+    // Local clustering coefficient per node: the node-level
+    // decomposition of q134's global coefficient.
+    "q257_local_clustering" -> ((s, dir) =>
+      Graph.localClustering(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2)),
+
+    // Adamic-Adar link prediction: the non-edges the graph is most
+    // "missing", scored by rarity-weighted common neighbors.
+    "q258_adamic_adar" -> ((s, dir) =>
+      Graph.adamicAdar(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2, topK = 100)),
   )
 
   // ---------------------------------------------------------------------
@@ -7146,5 +7164,74 @@ object SparkEntry {
         |  CASE WHEN n > 0 AND least(nr, nc) > 1 THEN
         |    floor(sqrt(chi2/(CAST(n AS DOUBLE)*sqrt((CAST(nr AS DOUBLE) - 1)*(CAST(nc AS DOUBLE) - 1))))*1000000.0 + 0.5)/1000000.0 END AS tschuprow_t
         |FROM t CROSS JOIN c2""".stripMargin,
+
+    // Assortativity: q126's mining chain, directed both ways, exact
+    // degree moment sums, one pinned Pearson assembly.
+    "q256_assortativity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ed AS (SELECT item_a AS src, item_b AS dst FROM e
+        |       UNION ALL SELECT item_b, item_a FROM e),
+        |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+        |jk AS (SELECT dj.d AS j, dk.d AS k FROM ed
+        |       JOIN dg dj ON dj.src = ed.src JOIN dg dk ON dk.src = ed.dst),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |  SUM(CAST(j AS HUGEINT)) AS sj, SUM(CAST(k AS HUGEINT)) AS sk,
+        |  SUM(CAST(j AS HUGEINT)*k) AS sjk, SUM(CAST(j AS HUGEINT)*j) AS sjj,
+        |  SUM(CAST(k AS HUGEINT)*k) AS skk FROM jk)
+        |SELECT m AS n_directed_edges,
+        |  CASE WHEN (CAST(m AS DOUBLE)*CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sj AS DOUBLE)) > 0
+        |        AND (CAST(m AS DOUBLE)*CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)*CAST(sk AS DOUBLE)) > 0 THEN
+        |    floor((CAST(m AS DOUBLE)*CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sk AS DOUBLE))
+        |      /sqrt((CAST(m AS DOUBLE)*CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE)*CAST(sj AS DOUBLE))
+        |        *(CAST(m AS DOUBLE)*CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)*CAST(sk AS DOUBLE)))*1000000.0 + 0.5)/1000000.0
+        |  END AS assortativity
+        |FROM s""".stripMargin,
+
+    // Local clustering: q126's triangle closure credited to all three
+    // corners, degree-attached, one pinned division per node.
+    "q257_local_clustering" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (SELECT e1.item_a AS a, e1.item_b AS bb, e2.item_b AS c
+        |  FROM e e1 JOIN e e2 ON e2.item_a = e1.item_b
+        |  JOIN e e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b),
+        |corner AS (SELECT a AS item FROM tri UNION ALL SELECT bb FROM tri
+        |           UNION ALL SELECT c FROM tri),
+        |ta AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS nt FROM corner GROUP BY 1),
+        |dg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        |  (SELECT item_a AS item FROM e UNION ALL SELECT item_b FROM e) GROUP BY 1)
+        |SELECT dg.item, degree, COALESCE(nt, 0) AS n_triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    floor(CAST(COALESCE(nt, 0) AS DOUBLE)/(CAST(degree*(degree - 1) AS DOUBLE)/2)*1000000.0 + 0.5)/1000000.0
+        |  END AS local_cc
+        |FROM dg LEFT JOIN ta USING (item) ORDER BY item""".stripMargin,
+
+    // Adamic-Adar: wedge enumeration at bounded-degree centers,
+    // 1e-9-snapped 1/ln(d) weights, NOT EXISTS edge filter, top-100.
+    "q258_adamic_adar" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT item_a AS w, item_b AS x FROM e
+        |        UNION ALL SELECT item_b, item_a FROM e),
+        |dg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |cen AS (SELECT w, CAST(floor(1.0/ln(CAST(d AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS w9
+        |  FROM dg WHERE d >= 2 AND d <= 1000),
+        |wg AS (SELECT a1.x AS x, a2.x AS y, cen.w9 FROM adj a1
+        |  JOIN cen ON cen.w = a1.w JOIN adj a2 ON a2.w = a1.w WHERE a1.x < a2.x),
+        |sc AS (SELECT x AS item_a, y AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        |  CAST(SUM(w9) AS BIGINT) AS s9 FROM wg GROUP BY 1, 2),
+        |flt AS (SELECT * FROM sc WHERE NOT EXISTS
+        |  (SELECT 1 FROM e WHERE e.item_a = sc.item_a AND e.item_b = sc.item_b))
+        |SELECT item_a, item_b, common_neighbors,
+        |  floor(CAST(s9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS aa_score
+        |FROM flt ORDER BY aa_score DESC, item_a, item_b LIMIT 100""".stripMargin,
   )
 }

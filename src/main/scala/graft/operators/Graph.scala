@@ -701,4 +701,144 @@ object Graph {
       .union(m("wedges", sf.col("wedges")))
       .orderBy("metric")
   }
+
+  /** Degree assortativity (Newman 2002, Phys. Rev. Lett. 89): the
+    * Pearson correlation of endpoint degrees over the DIRECTED edge
+    * list (both directions of each undirected edge — the standard
+    * undirected formulation). r > 0 = hubs attach to hubs (social
+    * core-periphery), r < 0 = hubs attach to leaves (star/broadcast
+    * structure) — THE one-number "what kind of graph is this" reading
+    * next to [[graphProfile]]'s clustering coefficient, and a strong
+    * template-farm signal on link graphs (generated link lattices are
+    * sharply disassortative).
+    *
+    * Determinism: degrees are exact integers; all six moment sums
+    * accumulate in DECIMAL(38,0); r is one pinned double assembly
+    * (the [[graft.dq.QualityChecks.spearman]] convention), rounded
+    * 1e-6. Degree-regular graphs (zero degree variance) yield NULL.
+    *
+    * Scale shape: one map-side-combined degree aggregation + two
+    * AQE-decided degree-attach equi joins on the edge list + a
+    * single-row moment reduction. No sort, no window. */
+  def degreeAssortativity(df: DataFrame, basketCol: String, itemCol: String,
+                          minPairCount: Long = 2): DataFrame =
+    degreeAssortativityFromEdges(minedEdges(df, basketCol, itemCol, minPairCount))
+
+  /** [[degreeAssortativity]] over a pre-mined directed (src, dst)
+    * edge list — the mine-once `*FromEdges` family member. */
+  def degreeAssortativityFromEdges(edges: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val deg = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("d"))
+    val jk = edges
+      .join(deg.select(sf.col("src"), sf.col("d").as("j")), "src")
+      .join(deg.select(sf.col("src").as("dst"), sf.col("d").as("k")), "dst")
+    jk.agg(sf.count(sf.lit(1)).as("m"),
+        sf.sum(dec(sf.col("j"))).as("__sj"), sf.sum(dec(sf.col("k"))).as("__sk"),
+        sf.sum(dec(sf.col("j")) * dec(sf.col("k"))).as("__sjk"),
+        sf.sum(dec(sf.col("j")) * dec(sf.col("j"))).as("__sjj"),
+        sf.sum(dec(sf.col("k")) * dec(sf.col("k"))).as("__skk"))
+      .select({
+        val m = sf.col("m").cast("double")
+        val sj = sf.col("__sj").cast("double")
+        val sk = sf.col("__sk").cast("double")
+        val num = m * sf.col("__sjk").cast("double") - sj * sk
+        val dj = m * sf.col("__sjj").cast("double") - sj * sj
+        val dk = m * sf.col("__skk").cast("double") - sk * sk
+        Seq(sf.col("m").as("n_directed_edges"),
+          sf.when(dj > 0 && dk > 0,
+            gf.roundAt(num / sf.sqrt(dj * dk), 6)).as("assortativity"))
+      }: _*)
+  }
+
+  /** Local clustering coefficient per node (Watts & Strogatz 1998):
+    * cc(v) = triangles_at_v / (d_v(d_v−1)/2) — how much of each
+    * node's neighborhood is itself connected. The node-level
+    * decomposition of [[graphProfile]]'s global coefficient: a node
+    * with high degree and near-zero cc is a pure connector (spam hub,
+    * crawler artifact); cc ≈ 1 marks cliques (mirror farms,
+    * boilerplate co-occurrence).
+    *
+    * Determinism: triangle counts ride [[triangles]]' degree-ordered
+    * closure (each triangle found exactly once, then credited to all
+    * three corners); cc is one pinned division of exact integers
+    * rounded 1e-6; degree-1 nodes report cc = NULL (no wedge to
+    * close).
+    *
+    * Scale shape: the O(|E|^1.5)-bounded oriented closure + one
+    * corner explode + a map-side-combined per-node count + an
+    * AQE-decided degree join on the NODE domain. */
+  def localClustering(df: DataFrame, basketCol: String, itemCol: String,
+                      minPairCount: Long = 2): DataFrame = {
+    val und = minedPairs(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
+      .persist()
+    val deg = und.select(sf.col("u").as("item")).union(und.select(sf.col("v").as("item")))
+      .groupBy("item").agg(sf.count(sf.lit(1)).as("degree"))
+    val triAt = triangleClosure(und)
+      .select(sf.explode(sf.array(
+        sf.col("item_a"), sf.col("item_b"), sf.col("item_c"))).as("item"))
+      .groupBy("item").agg(sf.count(sf.lit(1)).as("n_triangles"))
+    deg.join(triAt, Seq("item"), "left")
+      .select(sf.col("item"), sf.col("degree"),
+        sf.coalesce(sf.col("n_triangles"), sf.lit(0L)).as("n_triangles"),
+        sf.when(sf.col("degree") >= 2, gf.roundAt(
+          sf.coalesce(sf.col("n_triangles"), sf.lit(0L)).cast("double") /
+            ((sf.col("degree") * (sf.col("degree") - 1)).cast("double") / 2), 6))
+          .as("local_cc"))
+      .orderBy("item")
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
+    * NON-adjacent pair {a, b} sharing ≥ 1 neighbor, score
+    * Σ_w 1/ln(d_w) over common neighbors w — rare shared neighbors
+    * count more than hub co-membership. The top of this list is
+    * "edges the graph is missing": substitute products, about-to-merge
+    * duplicate entities, recommended follows.
+    *
+    * Determinism: each center's weight 1/ln(d_w) snaps to a 1e-9
+    * integer grid (the q157/q168 ln-snap convention) so pair scores
+    * are exact integer sums; the top-k cut orders by
+    * (score desc, item_a, item_b) — fully tie-deterministic.
+    *
+    * Scale shape: wedge enumeration fans out at the CENTER node
+    * (Σd²); centers above `maxCenterDegree` are excluded by contract —
+    * a hub's per-pair contribution 1/ln(d) is the smallest in the
+    * graph while its fan-out is quadratic, so the cap bounds compute
+    * at a documented, negligible score cost (the standard
+    * link-prediction practice). Existing edges leave via one
+    * broadcast-capable anti join; the k-row finish is a TakeOrdered,
+    * never a global sort materialization. */
+  def adamicAdar(df: DataFrame, basketCol: String, itemCol: String,
+                 minPairCount: Long = 2, topK: Int = 100,
+                 maxCenterDegree: Long = 1000): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK must be in [1, 1e5], got $topK")
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    val und = minedPairs(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
+      .persist()
+    val adj = und.select(sf.col("u").as("w"), sf.col("v").as("x"))
+      .union(und.select(sf.col("v").as("w"), sf.col("u").as("x")))
+    val deg = adj.groupBy("w").agg(sf.count(sf.lit(1)).as("d"))
+    // per-center snapped weight: centers need d >= 2 to form a wedge,
+    // so ln(d) > 0 by construction
+    val centers = deg
+      .filter(sf.col("d") >= 2 && sf.col("d") <= maxCenterDegree)
+      .select(sf.col("w"),
+        sf.floor(sf.lit(1.0) / sf.log(sf.col("d").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("__w9"))
+    val wedges = adj.join(centers, "w")
+      .join(adj.select(sf.col("w"), sf.col("x").as("y")), Seq("w"))
+      .filter(sf.col("x") < sf.col("y"))
+    val scored = wedges.groupBy(sf.col("x").as("item_a"), sf.col("y").as("item_b"))
+      .agg(sf.count(sf.lit(1)).as("common_neighbors"),
+        sf.sum(sf.col("__w9")).as("__s9"))
+    scored
+      .join(und.select(sf.col("u").as("item_a"), sf.col("v").as("item_b")),
+        Seq("item_a", "item_b"), "left_anti")
+      .select(sf.col("item_a"), sf.col("item_b"), sf.col("common_neighbors"),
+        gf.roundAt(sf.col("__s9").cast("double") / 1e9, 6).as("aa_score"))
+      .orderBy(sf.col("aa_score").desc, sf.col("item_a"), sf.col("item_b"))
+      .limit(topK)
+  }
 }

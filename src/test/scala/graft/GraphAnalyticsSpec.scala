@@ -749,4 +749,68 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       s"k-core leaked persisted frames: ${afterKc - afterBfs}")
     spark.catalog.clearCache()
   }
+
+  test("Graph.degreeAssortativity: star is -1, regular cycle NULL") {
+    import spark.implicits._
+    // star: center c, leaves a/b/d -> perfectly disassortative
+    val star = Seq((1L, "c"), (1L, "a"), (2L, "c"), (2L, "b"),
+      (3L, "c"), (3L, "d")).toDF("basket", "item")
+    val rs = Graph.degreeAssortativity(star, "basket", "item",
+      minPairCount = 1).head()
+    assert(rs.getAs[Long]("n_directed_edges") == 6 &&
+      rs.getAs[Double]("assortativity") == -1.0, rs.toString)
+    // triangle: every degree 2 -> zero degree variance -> NULL
+    val tri = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"),
+      (3L, "c"), (3L, "a")).toDF("basket", "item")
+    val rt = Graph.degreeAssortativity(tri, "basket", "item",
+      minPairCount = 1).head()
+    assert(rt.isNullAt(rt.fieldIndex("assortativity")))
+  }
+
+  test("Graph.localClustering: triangle corners vs connector vs pendant") {
+    import spark.implicits._
+    // triangle a-b-c plus pendant edge c-d
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"),
+      (3L, "c"), (3L, "a"), (4L, "c"), (4L, "d")).toDF("basket", "item")
+    val got = Graph.localClustering(df, "basket", "item", minPairCount = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Long]("degree") == 2 &&
+      got("a").getAs[Long]("n_triangles") == 1 &&
+      got("a").getAs[Double]("local_cc") == 1.0)
+    assert(got("c").getAs[Long]("degree") == 3 &&
+      got("c").getAs[Long]("n_triangles") == 1 &&
+      got("c").getAs[Double]("local_cc") ==
+        math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    assert(got("d").getAs[Long]("degree") == 1 &&
+      got("d").getAs[Long]("n_triangles") == 0 &&
+      got("d").isNullAt(got("d").fieldIndex("local_cc")))
+  }
+
+  test("Graph.adamicAdar: path scores 1/ln2, adjacent pairs excluded, degree cap") {
+    import spark.implicits._
+    // path a-c-b: only candidate {a, b} through center c (degree 2)
+    val path = Seq((1L, "a"), (1L, "c"), (2L, "c"), (2L, "b"))
+      .toDF("basket", "item")
+    val rp = Graph.adamicAdar(path, "basket", "item", minPairCount = 1)
+      .collect()
+    assert(rp.length == 1)
+    assert(rp.head.getAs[String]("item_a") == "a" &&
+      rp.head.getAs[String]("item_b") == "b" &&
+      rp.head.getAs[Long]("common_neighbors") == 1)
+    val w9 = math.floor(1.0 / math.log(2.0) * 1e9 + 0.5)
+    assert(rp.head.getAs[Double]("aa_score") ==
+      math.floor(w9 / 1e9 * 1e6 + 0.5) / 1e6)
+    // triangle: every pair already adjacent -> nothing to predict
+    val tri = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"),
+      (3L, "c"), (3L, "a")).toDF("basket", "item")
+    assert(Graph.adamicAdar(tri, "basket", "item", minPairCount = 1)
+      .collect().isEmpty)
+    // star with degree-3 center capped at 2 -> all wedges excluded
+    val star = Seq((1L, "c"), (1L, "a"), (2L, "c"), (2L, "b"),
+      (3L, "c"), (3L, "d")).toDF("basket", "item")
+    assert(Graph.adamicAdar(star, "basket", "item", minPairCount = 1,
+      maxCenterDegree = 2).collect().isEmpty)
+    assert(Graph.adamicAdar(star, "basket", "item", minPairCount = 1)
+      .collect().length == 3)
+  }
 }
