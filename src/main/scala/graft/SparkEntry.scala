@@ -1734,6 +1734,16 @@ object SparkEntry {
     "q258_adamic_adar" -> ((s, dir) =>
       Graph.adamicAdar(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minPairCount = 2, topK = 100)),
+
+    // Lexical richness per source: Yule's K / Simpson's D / Herdan's C
+    // / TTR / hapax share — the size-robust diversity datasheet.
+    "q259_lexical_richness" -> ((s, dir) =>
+      TextAnalysis.lexicalRichness(docs(s, dir), "source", "text")),
+
+    // Coleman-Liau + ARI per doc: character-based readability beside
+    // q187's syllable-proxy Flesch-Kincaid; disagreement routes code.
+    "q260_coleman_liau" -> ((s, dir) =>
+      TextAnalysis.colemanLiau(docs(s, dir), "doc_id", "text")),
   )
 
   // ---------------------------------------------------------------------
@@ -7233,5 +7243,43 @@ object SparkEntry {
         |SELECT item_a, item_b, common_neighbors,
         |  floor(CAST(s9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS aa_score
         |FROM flt ORDER BY aa_score DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    // Lexical richness: exact (source, token) multiplicities, pinned
+    // K/D/TTR divisions, 1e-9 ln-snapped Herdan C.
+    "q259_lexical_richness" ->
+      """WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS m FROM tok GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v,
+        |  CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  SUM(CAST(m AS HUGEINT)*m) AS m2, SUM(CAST(m AS HUGEINT)*(m - 1)) AS mm1
+        |  FROM c GROUP BY 1)
+        |SELECT source, n AS n_tokens, v AS vocab, v1 AS hapax,
+        |  CASE WHEN n >= 2 THEN
+        |    floor(1e4*(CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS yule_k,
+        |  CASE WHEN n >= 2 THEN
+        |    floor(CAST(mm1 AS DOUBLE)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1))*1000000.0 + 0.5)/1000000.0 END AS simpson_d,
+        |  CASE WHEN n >= 2 THEN
+        |    floor(CAST(CAST(floor(ln(CAST(v AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS DOUBLE)
+        |      /CAST(CAST(floor(ln(CAST(n AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS herdan_c,
+        |  floor(CAST(v AS DOUBLE)/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS ttr,
+        |  floor(CAST(v1 AS DOUBLE)/CAST(v AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS hapax_ratio
+        |FROM g ORDER BY source""".stripMargin,
+
+    // Coleman-Liau + ARI: exact letter/char/word/sentence counts
+    // (q187's sentence convention), pinned published coefficients.
+    "q260_coleman_liau" ->
+      """WITH w AS (SELECT doc_id, lower(text) AS lt FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lt, '[a-z]')) AS BIGINT) AS n_letters,
+        |  CAST(len(regexp_extract_all(lt, '[a-z0-9]')) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(lt), '\s+')) AS BIGINT) AS n_words,
+        |  greatest(1, CAST(len(regexp_extract_all(lt, '[.!?]+')) AS BIGINT)) AS n_sentences
+        |  FROM w)
+        |SELECT doc_id, n_letters, n_chars, n_words, n_sentences,
+        |  floor((0.0588*(CAST(n_letters AS DOUBLE)*100/n_words) - 0.296*(CAST(n_sentences AS DOUBLE)*100/n_words) - 15.8)*10000.0 + 0.5)/10000.0 AS cli,
+        |  floor((4.71*(CAST(n_chars AS DOUBLE)/n_words) + 0.5*(CAST(n_words AS DOUBLE)/n_sentences) - 21.43)*10000.0 + 0.5)/10000.0 AS ari
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1134,4 +1134,100 @@ object TextAnalysis {
         (nSent >= 3 && !hasLorem && !hasCurly).as("pass"))
       .orderBy("doc_id")
   }
+
+  /** Lexical-richness datasheet per source (Yule 1944; Simpson 1949;
+    * Herdan 1960): Yule's K = 10⁴(Σm² − N)/N², Simpson's repeat-rate
+    * D = Σm(m−1)/(N(N−1)), Herdan's C = ln V/ln N, type-token ratio
+    * and hapax share — the SIZE-ROBUST vocabulary-diversity numbers
+    * (raw TTR collapses as N grows; K and C are the standard
+    * corpus-comparable alternatives). A generated/templated source
+    * shows K far above, and hapax share far below, its organic
+    * siblings — the row-per-source companion of row 297's Chao1
+    * "how much vocabulary is left" and row 298's style distance.
+    *
+    * Determinism: everything derives from exact integer (source,
+    * token) multiplicities: N, V, V1, Σm², Σm(m−1) are DECIMAL/long
+    * exact; K and D are single pinned divisions; Herdan's C divides
+    * the two lns AFTER each snaps to the 1e-9 grid (the q168/q210
+    * ln-snap convention). N < 2 guards D and C to NULL.
+    *
+    * Scale shape: one map-side-combined (source, token) count, one
+    * combinable per-source rollup — token text shuffles once,
+    * domain-compressed. No joins, no windows. */
+  def lexicalRichness(docs0: DataFrame, sourceCol: String,
+                      textCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val docs = Par.spread(docs0.select(sf.col(sourceCol), sf.col(textCol)))
+      .filter(sf.length(sf.trim(sf.col(textCol))) > 0)
+    val cells = docs
+      .select(sf.col(sourceCol),
+        sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("__t"))
+      .groupBy(sourceCol, "__t").agg(sf.count(sf.lit(1)).as("__m"))
+    val m = sf.col("__m")
+    cells.groupBy(sourceCol)
+      .agg(sf.sum(m).as("__n"), sf.count(sf.lit(1)).as("__v"),
+        sf.sum(sf.when(m === 1, 1L).otherwise(0L)).as("__v1"),
+        sf.sum(dec(m) * dec(m)).as("__m2"),
+        sf.sum(dec(m) * dec(m - 1)).as("__mm1"))
+      .select({
+        val n = sf.col("__n").cast("double")
+        val v = sf.col("__v").cast("double")
+        def ln9(c: org.apache.spark.sql.Column) =
+          sf.floor(sf.log(c) * 1e9 + 0.5).cast("long")
+        Seq(sf.col(sourceCol).as("source"), sf.col("__n").as("n_tokens"),
+          sf.col("__v").as("vocab"), sf.col("__v1").as("hapax"),
+          sf.when(sf.col("__n") >= 2, gf.roundAt(
+            sf.lit(1e4) * (sf.col("__m2").cast("double") - n) / (n * n), 4))
+            .as("yule_k"),
+          sf.when(sf.col("__n") >= 2, gf.roundAt(
+            sf.col("__mm1").cast("double") / (n * (n - 1)), 6)).as("simpson_d"),
+          sf.when(sf.col("__n") >= 2, gf.roundAt(
+            ln9(v).cast("double") / ln9(n).cast("double"), 6)).as("herdan_c"),
+          gf.roundAt(v / n, 6).as("ttr"),
+          gf.roundAt(sf.col("__v1").cast("double") / v, 6).as("hapax_ratio"))
+      }: _*)
+      .orderBy("source")
+  }
+
+  /** Coleman–Liau index + Automated Readability Index per document
+    * (Coleman & Liau 1975; Senter & Smith 1967) — the CHARACTER-based
+    * readability pair beside [[readability]]'s syllable-proxy
+    * Flesch–Kincaid: letter and letter+digit counting is deterministic
+    * where syllable counting is a heuristic, which is exactly why CLI
+    * was designed for machine scoring. Two grade estimates that
+    * disagree with FK flag text whose "syllables" are artifacts
+    * (code, URLs, tables) — a routing signal, not just a score.
+    *
+    * Determinism: letters/chars/words/sentences are exact integer
+    * counts ([[readability]]'s [.!?]+ sentence convention, ≥ 1
+    * floor); both indices are single pinned double assemblies of the
+    * published coefficients, rounded 1e-4. Empty docs are filtered;
+    * word count is ≥ 1 by construction.
+    *
+    * Scale shape: map-only — regexp counts + one arithmetic select
+    * per row, zero shuffles (the [[readability]] shape). */
+  def colemanLiau(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = prepared(docs0, idCol, textCol)
+      .filter(sf.length(sf.trim(sf.col(textCol))) > 0)
+    val lower = sf.lower(sf.col(textCol))
+    docs.select(sf.col(idCol),
+        sf.regexp_count(lower, sf.lit("[a-z]")).cast("long").as("n_letters"),
+        sf.regexp_count(lower, sf.lit("[a-z0-9]")).cast("long").as("n_chars"),
+        sf.size(gf.wsTokens(lower)).cast("long").as("n_words"),
+        sf.greatest(sf.lit(1L),
+          sf.regexp_count(lower, sf.lit("[.!?]+")).cast("long")).as("n_sentences"))
+      .select({
+        val nl = sf.col("n_letters").cast("double")
+        val nc = sf.col("n_chars").cast("double")
+        val nw = sf.col("n_words").cast("double")
+        val ns = sf.col("n_sentences").cast("double")
+        Seq(sf.col(idCol), sf.col("n_letters"), sf.col("n_chars"),
+          sf.col("n_words"), sf.col("n_sentences"),
+          gf.roundAt(sf.lit(0.0588) * (nl * 100 / nw) -
+            sf.lit(0.296) * (ns * 100 / nw) - 15.8, 4).as("cli"),
+          gf.roundAt(sf.lit(4.71) * (nc / nw) +
+            sf.lit(0.5) * (nw / ns) - 21.43, 4).as("ari"))
+      }: _*)
+      .orderBy(idCol)
+  }
 }

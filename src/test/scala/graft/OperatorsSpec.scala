@@ -1711,4 +1711,49 @@ class OperatorsSpec extends SparkFunSuite {
     val rd = QualityChecks.cramersV(degen, "r", "c").head()
     assert(rd.isNullAt(rd.fieldIndex("cramers_v")))
   }
+
+  test("TextAnalysis.lexicalRichness: hand K/D/C/TTR/hapax on a tiny source") {
+    // source s1: tokens {a:2, b:1} -> N=3 V=2 V1=1 sum m^2=5 sum m(m-1)=2
+    val df = Seq(("s1", "a a b"), ("s2", "")).toDF("source", "text")
+    val got = TextAnalysis.lexicalRichness(df, "source", "text").collect()
+    assert(got.length == 1) // the empty doc contributes no source row
+    val r = got.head
+    assert(r.getAs[String]("source") == "s1" &&
+      r.getAs[Long]("n_tokens") == 3 && r.getAs[Long]("vocab") == 2 &&
+      r.getAs[Long]("hapax") == 1)
+    assert(r.getAs[Double]("yule_k") ==
+      math.floor(1e4 * (5.0 - 3.0) / 9.0 * 1e4 + 0.5) / 1e4)
+    assert(r.getAs[Double]("simpson_d") ==
+      math.floor(2.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    val c = math.floor(math.log(2.0) * 1e9 + 0.5) /
+      math.floor(math.log(3.0) * 1e9 + 0.5)
+    assert(r.getAs[Double]("herdan_c") == math.floor(c * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("ttr") == math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("hapax_ratio") == 0.5)
+    // single-token source: N < 2 -> K/D/C NULL, TTR still defined
+    val one = Seq(("s1", "word")).toDF("source", "text")
+    val ro = TextAnalysis.lexicalRichness(one, "source", "text").head()
+    assert(ro.isNullAt(ro.fieldIndex("yule_k")) &&
+      ro.isNullAt(ro.fieldIndex("simpson_d")) &&
+      ro.getAs[Double]("ttr") == 1.0)
+  }
+
+  test("TextAnalysis.colemanLiau: hand letter/char/sentence counts, pinned CLI/ARI") {
+    val df = Seq((1L, "The cat. A dog!"), (2L, " ")).toDF("doc_id", "text")
+    val got = TextAnalysis.colemanLiau(df, "doc_id", "text").collect()
+    assert(got.length == 1) // blank doc filtered
+    val r = got.head
+    assert(r.getAs[Long]("n_letters") == 10 && r.getAs[Long]("n_chars") == 10 &&
+      r.getAs[Long]("n_words") == 4 && r.getAs[Long]("n_sentences") == 2)
+    val cli = math.floor((0.0588 * (10.0 * 100 / 4) -
+      0.296 * (2.0 * 100 / 4) - 15.8) * 1e4 + 0.5) / 1e4
+    val ari = math.floor((4.71 * (10.0 / 4) +
+      0.5 * (4.0 / 2) - 21.43) * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("cli") == cli, r.toString)
+    assert(r.getAs[Double]("ari") == ari, r.toString)
+    // digits count as chars (ARI) but not letters (CLI)
+    val dig = Seq((1L, "a1 b2")).toDF("doc_id", "text")
+    val rd = TextAnalysis.colemanLiau(dig, "doc_id", "text").head()
+    assert(rd.getAs[Long]("n_letters") == 2 && rd.getAs[Long]("n_chars") == 4)
+  }
 }
