@@ -1744,6 +1744,20 @@ object SparkEntry {
     // q187's syllable-proxy Flesch-Kincaid; disagreement routes code.
     "q260_coleman_liau" -> ((s, dir) =>
       TextAnalysis.colemanLiau(docs(s, dir), "doc_id", "text")),
+
+    // TV / Hellinger / Bhattacharyya between source token
+    // distributions: the metric companions of q175's JSD.
+    "q261_dist_distances" -> ((s, dir) =>
+      CorpusStats.distributionDistances(docs(s, dir), "source", "text")),
+
+    // Wilson 95% interval on the high-value share per event type: the
+    // honest small-n / extreme-rate version of every DQ rate row.
+    "q262_wilson" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.wilsonInterval(
+        ev.withColumn("success", sf.col("value") > 50),
+        "event_type", "success")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -7281,5 +7295,54 @@ object SparkEntry {
         |  floor((0.0588*(CAST(n_letters AS DOUBLE)*100/n_words) - 0.296*(CAST(n_sentences AS DOUBLE)*100/n_words) - 15.8)*10000.0 + 0.5)/10000.0 AS cli,
         |  floor((4.71*(CAST(n_chars AS DOUBLE)/n_words) + 0.5*(CAST(n_words AS DOUBLE)/n_sentences) - 21.43)*10000.0 + 0.5)/10000.0 AS ari
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // TV/Hellinger/Bhattacharyya: q175's pair chain with three
+    // 1e-12-snapped per-term contributions + unshared closed forms.
+    "q261_dist_distances" ->
+      """WITH st AS (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |  SELECT source AS src,
+        |    unnest(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))) AS w
+        |  FROM documents WHERE source IS NOT NULL AND length(trim(text)) > 0) GROUP BY 1, 2),
+        |ns AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b, na.n AS na, nb.n AS nb,
+        |  CAST(a.c AS DOUBLE)/CAST(na.n AS DOUBLE) AS pa,
+        |  CAST(b.c AS DOUBLE)/CAST(nb.n AS DOUBLE) AS pb, a.c AS ca, b.c AS cb
+        |  FROM st a JOIN st b ON a.w = b.w AND a.src < b.src
+        |  JOIN ns na ON na.src = a.src JOIN ns nb ON nb.src = b.src),
+        |tt AS (SELECT src_a, src_b, na, nb, COUNT(*) AS n_shared_terms,
+        |  CAST(SUM(ca) AS BIGINT) AS sca, CAST(SUM(cb) AS BIGINT) AS scb,
+        |  SUM(CAST(CAST(floor(0.5*abs(pa - pb)*1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS tvs,
+        |  SUM(CAST(CAST(floor(0.5*(sqrt(pa) - sqrt(pb))*(sqrt(pa) - sqrt(pb))*1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS hs,
+        |  SUM(CAST(CAST(floor(sqrt(pa*pb)*1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS bcs
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT src_a, src_b, n_shared_terms,
+        |  (CAST(na AS DOUBLE) - CAST(sca AS DOUBLE))/CAST(na AS DOUBLE) AS ua,
+        |  (CAST(nb AS DOUBLE) - CAST(scb AS DOUBLE))/CAST(nb AS DOUBLE) AS ub,
+        |  CAST(tvs AS DOUBLE)/1e12 AS tvd, CAST(hs AS DOUBLE)/1e12 AS hd,
+        |  CAST(bcs AS DOUBLE)/1e12 AS bc FROM tt)
+        |SELECT src_a, src_b, n_shared_terms,
+        |  floor((tvd + 0.5*(ua + ub))*1000000.0 + 0.5)/1000000.0 AS tv,
+        |  floor(sqrt(hd + 0.5*(ua + ub))*1000000.0 + 0.5)/1000000.0 AS hellinger,
+        |  CASE WHEN bc > 0 THEN floor(-ln(bc)*1000000.0 + 0.5)/1000000.0 END AS bhattacharyya
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
+    // Wilson interval: exact per-type n/k, one pinned center/half
+    // assembly with the 1.959964 two-sided-95% literal.
+    "q262_wilson" ->
+      """WITH s AS (SELECT event_type, CAST(value > 50 AS BOOLEAN) AS ok
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM s GROUP BY 1),
+        |f AS (SELECT event_type, n, k,
+        |  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) AS p,
+        |  1.959964*1.959964 AS z2, CAST(n AS DOUBLE) AS nd FROM g)
+        |SELECT event_type, n, k,
+        |  floor(p*1000000.0 + 0.5)/1000000.0 AS rate,
+        |  floor(((p + z2/(nd*2))/(1.0 + z2/nd)
+        |    - 1.959964*sqrt(p*(1.0 - p)/nd + z2/(nd*nd*4))/(1.0 + z2/nd))*1000000.0 + 0.5)/1000000.0 AS wilson_lo,
+        |  floor(((p + z2/(nd*2))/(1.0 + z2/nd)
+        |    + 1.959964*sqrt(p*(1.0 - p)/nd + z2/(nd*nd*4))/(1.0 + z2/nd))*1000000.0 + 0.5)/1000000.0 AS wilson_hi
+        |FROM f ORDER BY event_type""".stripMargin,
   )
 }

@@ -2318,6 +2318,46 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Wilson score confidence interval per group (Wilson 1927) — the
+    * interval every per-group RATE in this module should be read
+    * with: unlike the naive ±z√(p(1−p)/n) (which collapses to width
+    * zero at p = 0 or 1 and escapes [0, 1]), Wilson stays honest at
+    * the extremes and for small groups — exactly the regimes where a
+    * DQ dashboard's "0% failure rate" row is a 12-row group, not a
+    * guarantee. Two groups whose intervals don't overlap is the
+    * eyeball-safe version of the two-proportion z-test.
+    *
+    * Determinism: n and k are exact integers; the center/half-width
+    * assembly is one pinned double expression per group row (bounded
+    * domain — nothing to snap), rounded 1e-6; z defaults to the
+    * two-sided 95% literal 1.959964.
+    *
+    * Scale shape: ONE map-side-combined group aggregation + a
+    * map-only per-row finish. Zero joins, zero windows. */
+  def wilsonInterval(df: DataFrame, groupCol: String, successCol: String,
+                     z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val s = sf.col(successCol).cast("boolean")
+    df.filter(s.isNotNull && sf.col(groupCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(s.cast("long")).cast("long").as("k"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val p = sf.col("k").cast("double") / n
+        val z2 = sf.lit(z * z)
+        val denom = sf.lit(1.0) + z2 / n
+        val center = (p + z2 / (n * 2)) / denom
+        val half = sf.lit(z) *
+          sf.sqrt(p * (sf.lit(1.0) - p) / n + z2 / (n * n * 4)) / denom
+        Seq(sf.col(groupCol), sf.col("n"), sf.col("k"),
+          gf.roundAt(p, 6).as("rate"),
+          gf.roundAt(center - half, 6).as("wilson_lo"),
+          gf.roundAt(center + half, 6).as("wilson_hi"))
+      }: _*)
+      .orderBy(groupCol)
+  }
+
   /** Cramér's V + φ + contingency/Tschuprow coefficients — the
     * EFFECT-SIZE readout of [[chiSquared]]'s association test: at
     * corpus scale every dependence is "significant", and

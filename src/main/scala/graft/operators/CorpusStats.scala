@@ -1012,6 +1012,71 @@ object CorpusStats {
       .orderBy("src_a", "src_b")
   }
 
+  /** Pairwise total-variation / Hellinger / Bhattacharyya distances
+    * between source token distributions — the metric companions of
+    * [[jsdSourcePairs]], each answering a different question: TV =
+    * ½Σ|p−q| is the largest possible probability disagreement (the
+    * mixture-rebalancing number: moving TV mass makes the sources
+    * identical), Hellinger = sqrt(1−BC) is a PROPER METRIC (triangle
+    * inequality — safe to cluster sources on), and the Bhattacharyya
+    * distance −ln BC grows without bound as overlap dies (the
+    * classifier-separability reading). All three decompose over
+    * shared terms + closed-form unshared mass, so the plan is
+    * [[jsdSourcePairs]]' VERBATIM: TV adds ½(u_a+u_b), Hellinger's
+    * ½Σ(√p−√q)² adds ½(u_a+u_b), BC is shared-only.
+    *
+    * Determinism: per shared term the three contributions snap to the
+    * 1e-12 grid (exact integer sums); sqrt is IEEE-exact; the finish
+    * is one pinned assembly per pair, rounded 1e-6; BD's final ln
+    * runs on the snapped BC sum (the q217 convention). Zero-overlap
+    * pairs don't appear (TV = 1, H = 1, BD = ∞ — the [[jsdSourcePairs]]
+    * contract).
+    *
+    * Scale shape: identical to [[jsdSourcePairs]] — one (source,
+    * term) map-side-combined aggregation, a term-keyed AQE-decided
+    * pair join, broadcast totals, source-pair-bounded output. */
+  def distributionDistances(docs: DataFrame, srcCol: String,
+                            textCol: String): DataFrame = {
+    val st = Par.spread(docs.select(sf.col(srcCol).as("src"), sf.col(textCol).as("__t")))
+      .filter(sf.col("src").isNotNull)
+      .select(sf.col("src"), sf.explode(gf.wsTokens(sf.lower(sf.col("__t")))).as("w"))
+      .groupBy("src", "w").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + both pair-join sides read it
+    val ns = st.groupBy("src").agg(sf.sum("c").as("n"))
+    val a = st.select(sf.col("src").as("src_a"), sf.col("w"), sf.col("c").as("ca"))
+    val b = st.select(sf.col("src").as("src_b"), sf.col("w"), sf.col("c").as("cb"))
+    val na = sf.col("na").cast("double")
+    val nb = sf.col("nb").cast("double")
+    val pa = sf.col("ca").cast("double") / na
+    val pb = sf.col("cb").cast("double") / nb
+    def snap12(c: Column) = sf.floor(c * 1e12 + 0.5).cast("long")
+    val shared = a.join(b, "w").filter(sf.col("src_a") < sf.col("src_b"))
+      .join(sf.broadcast(ns.select(sf.col("src").as("src_a"), sf.col("n").as("na"))), "src_a")
+      .join(sf.broadcast(ns.select(sf.col("src").as("src_b"), sf.col("n").as("nb"))), "src_b")
+      .select(sf.col("src_a"), sf.col("src_b"), sf.col("na"), sf.col("nb"),
+        sf.col("ca"), sf.col("cb"),
+        snap12(sf.lit(0.5) * sf.abs(pa - pb)).as("__tv12"),
+        snap12(sf.lit(0.5) * (sf.sqrt(pa) - sf.sqrt(pb)) *
+          (sf.sqrt(pa) - sf.sqrt(pb))).as("__h12"),
+        snap12(sf.sqrt(pa * pb)).as("__bc12"))
+      .groupBy("src_a", "src_b", "na", "nb")
+      .agg(sf.count(sf.lit(1)).as("n_shared_terms"),
+        sf.sum("ca").as("__sca"), sf.sum("cb").as("__scb"),
+        sf.sum(sf.col("__tv12").cast("decimal(38,0)")).as("__tvs"),
+        sf.sum(sf.col("__h12").cast("decimal(38,0)")).as("__hs"),
+        sf.sum(sf.col("__bc12").cast("decimal(38,0)")).as("__bcs"))
+    val ua = (na - sf.col("__sca").cast("double")) / na
+    val ub = (nb - sf.col("__scb").cast("double")) / nb
+    val bc = sf.col("__bcs").cast("double") / 1e12
+    shared.select(sf.col("src_a"), sf.col("src_b"), sf.col("n_shared_terms"),
+        gf.roundAt(sf.col("__tvs").cast("double") / 1e12 +
+          sf.lit(0.5) * (ua + ub), 6).as("tv"),
+        gf.roundAt(sf.sqrt(sf.col("__hs").cast("double") / 1e12 +
+          sf.lit(0.5) * (ua + ub)), 6).as("hellinger"),
+        sf.when(bc > 0, gf.roundAt(-sf.log(bc), 6)).as("bhattacharyya"))
+      .orderBy("src_a", "src_b")
+  }
+
   def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
     val uni = Par.spread(docs.select(sf.col(textCol)))
       .select(sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("w"))

@@ -1756,4 +1756,59 @@ class OperatorsSpec extends SparkFunSuite {
     val rd = TextAnalysis.colemanLiau(dig, "doc_id", "text").head()
     assert(rd.getAs[Long]("n_letters") == 2 && rd.getAs[Long]("n_chars") == 4)
   }
+
+  test("CorpusStats.distributionDistances: hand TV/H/BD, identical-source zeros, disjoint absent") {
+    val df = Seq(("s1", "a a b"), ("s2", "a c"), ("s3", "zzz"))
+      .toDF("source", "text")
+    val got = CorpusStats.distributionDistances(df, "source", "text").collect()
+    // s3 shares nothing with anyone -> only the (s1, s2) pair appears
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("src_a") == "s1" && r.getAs[String]("src_b") == "s2" &&
+      r.getAs[Long]("n_shared_terms") == 1)
+    // p = {a: 2/3, b: 1/3}, q = {a: 1/2, c: 1/2}; replay the pinned chain
+    val pa = (2.0 / 3.0); val pb = 0.5
+    def s12(x: Double) = math.floor(x * 1e12 + 0.5)
+    val tv = s12(0.5 * math.abs(pa - pb)) / 1e12 + 0.5 * (1.0 / 3.0 + 0.5)
+    assert(r.getAs[Double]("tv") == math.floor(tv * 1e6 + 0.5) / 1e6)
+    val h2 = s12(0.5 * (math.sqrt(pa) - math.sqrt(pb)) *
+      (math.sqrt(pa) - math.sqrt(pb))) / 1e12 + 0.5 * (1.0 / 3.0 + 0.5)
+    assert(r.getAs[Double]("hellinger") ==
+      math.floor(math.sqrt(h2) * 1e6 + 0.5) / 1e6)
+    val bc = s12(math.sqrt(pa * pb)) / 1e12
+    assert(r.getAs[Double]("bhattacharyya") ==
+      math.floor(-math.log(bc) * 1e6 + 0.5) / 1e6)
+    // identical sources: every distance reads 0 after the 1e-6 round
+    val same = Seq(("x", "a b c"), ("y", "a b c")).toDF("source", "text")
+    val rs = CorpusStats.distributionDistances(same, "source", "text").head()
+    assert(rs.getAs[Double]("tv") == 0.0 &&
+      rs.getAs[Double]("hellinger") == 0.0 &&
+      rs.getAs[Double]("bhattacharyya") == 0.0, rs.toString)
+  }
+
+  test("QualityChecks.wilsonInterval: extremes stay in [0,1], hand middle case") {
+    val df = (Seq.fill(12)(("none", false)) ++ Seq.fill(12)(("all", true)) ++
+      (Seq.fill(1)(("mid", true)) ++ Seq.fill(3)(("mid", false))))
+      .toDF("g", "ok")
+    val got = QualityChecks.wilsonInterval(df, "g", "ok").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // p = 0: lower pins to exactly 0, upper stays well above 0
+    val z = got("none")
+    assert(z.getAs[Double]("rate") == 0.0 && z.getAs[Double]("wilson_lo") == 0.0)
+    assert(z.getAs[Double]("wilson_hi") > 0.1 && z.getAs[Double]("wilson_hi") < 0.3)
+    // p = 1: upper pins to exactly 1
+    val o = got("all")
+    assert(o.getAs[Double]("rate") == 1.0 && o.getAs[Double]("wilson_hi") == 1.0)
+    assert(o.getAs[Double]("wilson_lo") > 0.7 && o.getAs[Double]("wilson_lo") < 0.9)
+    // n = 4, k = 1: replay the pinned assembly
+    val m = got("mid")
+    val zz = 1.959964; val z2 = zz * zz; val n = 4.0; val p = 0.25
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (n * 2)) / denom
+    val half = zz * math.sqrt(p * (1.0 - p) / n + z2 / (n * n * 4)) / denom
+    assert(m.getAs[Double]("wilson_lo") ==
+      math.floor((center - half) * 1e6 + 0.5) / 1e6)
+    assert(m.getAs[Double]("wilson_hi") ==
+      math.floor((center + half) * 1e6 + 0.5) / 1e6)
+  }
 }
