@@ -1758,6 +1758,11 @@ object SparkEntry {
         ev.withColumn("success", sf.col("value") > 50),
         "event_type", "success")
     }),
+
+    // Candidate-period periodogram (2..14 days) per event type: is
+    // there a weekly cycle, and how much of the band energy owns it?
+    "q263_periodogram" -> ((s, dir) =>
+      EventOps.periodogram(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -7344,5 +7349,36 @@ object SparkEntry {
         |  floor(((p + z2/(nd*2))/(1.0 + z2/nd)
         |    + 1.959964*sqrt(p*(1.0 - p)/nd + z2/(nd*nd*4))/(1.0 + z2/nd))*1000000.0 + 0.5)/1000000.0 AS wilson_hi
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // Periodogram: q249's dense grid, exact B·x−S residuals,
+    // 1e-9-snapped cos/sin projections, integer-snapped power, share.
+    "q263_periodogram" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, min(bin) AS b0, CAST(COUNT(*) AS BIGINT) AS bb,
+        |  CAST(SUM(v) AS BIGINT) AS sx FROM sv GROUP BY 1),
+        |base AS (SELECT sv.t, sv.bin - st.b0 AS b, st.bb*sv.v - st.sx AS y, st.bb
+        |  FROM sv JOIN st ON st.t = sv.t),
+        |pr AS (SELECT t, b, y, bb, unnest(generate_series(2, 14)) AS period FROM base),
+        |pj AS (SELECT t, period, bb,
+        |  CAST(y AS DECIMAL(38,0)) * CAST(floor(cos(6.283185307179586*CAST(b % period AS DOUBLE)/CAST(period AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS cy,
+        |  CAST(y AS DECIMAL(38,0)) * CAST(floor(sin(6.283185307179586*CAST(b % period AS DOUBLE)/CAST(period AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS sy
+        |  FROM pr),
+        |ag AS (SELECT t, period, bb, SUM(cy) AS cc, SUM(sy) AS ss FROM pj GROUP BY 1, 2, 3),
+        |pw AS (SELECT t, period,
+        |  CAST(floor((CAST(cc AS DOUBLE)/1e9/CAST(bb AS DOUBLE))*(CAST(cc AS DOUBLE)/1e9/CAST(bb AS DOUBLE))
+        |    + (CAST(ss AS DOUBLE)/1e9/CAST(bb AS DOUBLE))*(CAST(ss AS DOUBLE)/1e9/CAST(bb AS DOUBLE)) + 0.5) AS BIGINT) AS power
+        |  FROM ag),
+        |tt AS (SELECT t, CAST(SUM(power) AS BIGINT) AS tot FROM pw GROUP BY 1)
+        |SELECT pw.t AS event_type, CAST(period AS INT) AS period, power,
+        |  CASE WHEN tot > 0 THEN
+        |    floor(CAST(power AS DOUBLE)/CAST(tot AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS share
+        |FROM pw JOIN tt ON tt.t = pw.t ORDER BY event_type, period""".stripMargin,
   )
 }

@@ -1808,4 +1808,71 @@ object EventOps {
           gf.roundAt(zNum / sf.sqrt(varS), 6)).as("z"))
       .orderBy(typeCol)
   }
+
+  /** Candidate-period periodogram per event type over the
+    * [[denseSeries]] gap-filled grid (Schuster 1898): for each period
+    * p in [minPeriod, maxPeriod] bins, the spectral power of the
+    * MEAN-CENTERED count series at frequency 1/p — C_p² + S_p² with
+    * C_p = Σ(x_b−μ)cos(2πb/p), S_p the sine twin — plus each
+    * period's SHARE of the candidate-band energy. The "is there a
+    * weekly cycle, and how dominant is it" reading that
+    * [[seasonalAnomalies]]' fixed (type, hour) baseline assumes
+    * rather than tests, and the period picker for its slot width;
+    * share concentrated at one p = strong cadence (also a bot/cron
+    * signature per type), spread flat = no cycle in the band.
+    *
+    * Determinism: the grid is zero-filled ([[denseSeries]]); centered
+    * residuals enter as the EXACT integers B·x_b − Σx (scaled by B,
+    * divided back out in the finish); cos/sin of 2π(b mod p)/p snap
+    * to the 1e-9 grid so the projections are exact DECIMAL(38,0)
+    * sums; power assembles pinned per (type, period) row and snaps to
+    * the INTEGER grid (counts² units — sub-integer precision is
+    * noise) before the cross-period share division. A flat series has
+    * zero power everywhere → NULL shares.
+    *
+    * Scale shape: the chunked grid build (q130 machinery) + one
+    * broadcast per-type stats row + a bounded (maxPeriod−minPeriod+1)-
+    * way projection fan-out + ONE map-side-combined (type, period)
+    * reduction; the share join rides the (types × periods) domain.
+    * No window functions, no per-series sort. */
+  def periodogram(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", binSec: Long = 86400,
+                  minPeriod: Int = 2, maxPeriod: Int = 14): DataFrame = {
+    require(minPeriod >= 2, s"minPeriod must be >= 2, got $minPeriod")
+    require(maxPeriod >= minPeriod && maxPeriod <= 1000,
+      s"maxPeriod must be in [minPeriod, 1000], got $maxPeriod")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("x"))
+      .localCheckpoint(true) // per-type stats + the projection read it
+    val st = g.groupBy("t").agg(sf.min("bin").as("__b0"),
+      sf.count(sf.lit(1)).as("__bb"), sf.sum("x").as("__sx"))
+    val based = g.join(sf.broadcast(st), "t")
+      .select(sf.col("t"), (sf.col("bin") - sf.col("__b0")).as("__b"),
+        (sf.col("__bb") * sf.col("x") - sf.col("__sx")).as("__y"),
+        sf.col("__bb"))
+    val ang = sf.lit(2 * math.Pi) *
+      sf.pmod(sf.col("__b"), sf.col("period").cast("long")).cast("double") /
+      sf.col("period").cast("double")
+    def snap9(c: Column) = sf.floor(c * 1e9 + 0.5).cast("long")
+    val agg = based
+      .select(sf.col("t"), sf.col("__b"), sf.col("__y"), sf.col("__bb"),
+        sf.explode(sf.lit((minPeriod to maxPeriod).toArray)).as("period"))
+      .select(sf.col("t"), sf.col("period"), sf.col("__bb"),
+        (dec(sf.col("__y")) * dec(snap9(sf.cos(ang)))).as("__cy"),
+        (dec(sf.col("__y")) * dec(snap9(sf.sin(ang)))).as("__sy"))
+      .groupBy("t", "period", "__bb")
+      .agg(sf.sum("__cy").as("__c"), sf.sum("__sy").as("__s"))
+    val cD = sf.col("__c").cast("double") / 1e9 / sf.col("__bb").cast("double")
+    val sD = sf.col("__s").cast("double") / 1e9 / sf.col("__bb").cast("double")
+    val withP = agg.select(sf.col("t"), sf.col("period"),
+      sf.floor(cD * cD + sD * sD + 0.5).cast("long").as("power"))
+    val tot = withP.groupBy("t").agg(sf.sum("power").as("__tot"))
+    withP.join(sf.broadcast(tot), "t")
+      .select(sf.col("t").as(typeCol), sf.col("period"), sf.col("power"),
+        sf.when(sf.col("__tot") > 0, gf.roundAt(
+          sf.col("power").cast("double") / sf.col("__tot").cast("double"), 6))
+          .as("share"))
+      .orderBy(typeCol, "period")
+  }
 }

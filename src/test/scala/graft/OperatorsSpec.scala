@@ -1811,4 +1811,30 @@ class OperatorsSpec extends SparkFunSuite {
     assert(m.getAs[Double]("wilson_hi") ==
       math.floor((center + half) * 1e6 + 0.5) / 1e6)
   }
+
+  test("EventOps.periodogram: planted 7-day cadence dominates; flat series NULL share") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(day: Int) = new java.sql.Timestamp(t0.getTime + day.toLong * 86400000L)
+    // burst: 8 events every 7th day, 1 otherwise, 28 days; flat: 1/day
+    val rows = (0 until 28).flatMap { d =>
+      val n = if (d % 7 == 0) 8 else 1
+      Seq.fill(n)((d.toLong, ts(d), 1L, "burst", 0.0))
+    } ++ (0 until 28).map(d => (100L + d, ts(d), 2L, "flat", 0.0))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.periodogram(ev).collect()
+    val burst = got.filter(_.getString(0) == "burst")
+    assert(burst.length == 13) // periods 2..14
+    val best = burst.maxBy(_.getAs[Long]("power"))
+    // centered signal: C_7 = 28, S_7 = 0 -> power 784; divisor
+    // periods 2/4/14 cancel exactly
+    assert(best.getAs[Int]("period") == 7, burst.mkString(";"))
+    assert(best.getAs[Long]("power") == 784)
+    assert(best.getAs[Double]("share") > 0.3)
+    assert(burst.filter(r => Set(2, 4, 14)(r.getAs[Int]("period")))
+      .forall(_.getAs[Long]("power") == 0))
+    // flat series: zero power everywhere, shares NULL
+    val flat = got.filter(_.getString(0) == "flat")
+    assert(flat.forall(r => r.getAs[Long]("power") == 0 &&
+      r.isNullAt(r.fieldIndex("share"))))
+  }
 }
