@@ -1763,6 +1763,12 @@ object SparkEntry {
     // there a weekly cycle, and how much of the band energy owns it?
     "q263_periodogram" -> ((s, dir) =>
       EventOps.periodogram(Tables.load(s, dir, "events"))),
+
+    // ANN recall@5 of the q32 IVF index vs the q25 brute-force ground
+    // truth on the same queries: the index-quality gate.
+    "q264_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(Tables.load(s, dir, "embeddings"), "vec_id",
+        "embedding", sf.col("vec_id") < 10, k = 5)),
   )
 
   // ---------------------------------------------------------------------
@@ -7380,5 +7386,41 @@ object SparkEntry {
         |  CASE WHEN tot > 0 THEN
         |    floor(CAST(power AS DOUBLE)/CAST(tot AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS share
         |FROM pw JOIN tt ON tt.t = pw.t ORDER BY event_type, period""".stripMargin,
+
+    // ANN recall: q25's brute chain + q32's IVF chain on the same
+    // queries, id-joined, one pinned recall division per query.
+    "q264_ann_recall" ->
+      """WITH s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS c
+        | FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s),
+        |bf AS (SELECT q_id, n_id FROM r WHERE rn <= 5),
+        |cc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings),
+        |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid
+        |         FROM cc ORDER BY h, vec_id LIMIT 16),
+        |sc AS (SELECT a.vec_id, a.v, cent.cid, list_cosine_similarity(a.v, cent.cv) AS s
+        |       FROM cc a CROSS JOIN cent),
+        |assign AS (SELECT vec_id, v, cid AS cluster FROM
+        |  (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS probe FROM
+        |  (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |   FROM sc WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, p.qv, a.vec_id AS n_id, a.v AS nv
+        |         FROM probes p JOIN assign a ON a.cluster = p.probe AND a.vec_id <> p.q_id),
+        |r2 AS (SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c2 DESC, n_id) AS rn FROM
+        |  (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS c2 FROM cand)),
+        |iv AS (SELECT q_id, n_id FROM r2 WHERE rn <= 5),
+        |tc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf GROUP BY 1),
+        |h AS (SELECT bf.q_id, CAST(COUNT(*) AS BIGINT) AS nh
+        |      FROM bf JOIN iv ON iv.q_id = bf.q_id AND iv.n_id = bf.n_id GROUP BY 1)
+        |SELECT tc.q_id, n_truth, COALESCE(nh, 0) AS n_hits,
+        |  floor(CAST(COALESCE(nh, 0) AS DOUBLE)/CAST(n_truth AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS recall
+        |FROM tc LEFT JOIN h ON h.q_id = tc.q_id ORDER BY tc.q_id""".stripMargin,
   )
 }

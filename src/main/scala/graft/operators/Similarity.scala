@@ -148,6 +148,42 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** ANN recall@k — the INDEX-QUALITY gate in front of every
+    * [[ivfTopK]] deployment: per query, what fraction of the
+    * [[bruteForceTopK]] ground-truth top-k the IVF path actually
+    * returns. Recall is THE number that prices the nProbe/nCentroids
+    * trade (more probes = more recall = more compute), and the drift
+    * alarm after re-training a codebook on new data: composition of
+    * the two existing paths (same query set, same k), never a third
+    * scoring implementation.
+    *
+    * Determinism: both rank tables are tie-deterministic ((cosine
+    * desc, id asc)); recall is one pinned division of exact integer
+    * counts per query, rounded 1e-6. n_truth < k happens only when
+    * the corpus itself has < k other rows — reported, not hidden.
+    *
+    * Scale shape: ground truth scans the corpus per query (the
+    * documented brute-force eval cost — run on a hash-sampled query
+    * set, the [[knnLabelEval]] convention); the IVF side probes
+    * cells; the join is on the (query × k)-bounded rank tables. */
+  def annRecall(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: org.apache.spark.sql.Column, k: Int = 5,
+                nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val truth = bruteForceTopK(emb, idCol, vecCol, queryPred, k)
+      .select(sf.col("q_id"), sf.col("n_id"))
+    val approx = ivfTopK(emb, idCol, vecCol, queryPred, k, nCentroids, nProbe)
+      .select(sf.col("q_id"), sf.col("n_id"))
+    val tc = truth.groupBy("q_id").agg(sf.count(sf.lit(1)).as("n_truth"))
+    val hits = truth.join(approx, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(sf.count(sf.lit(1)).as("__h"))
+    tc.join(hits, Seq("q_id"), "left")
+      .select(sf.col("q_id"), sf.col("n_truth"),
+        sf.coalesce(sf.col("__h"), sf.lit(0L)).as("n_hits"),
+        gf.roundAt(sf.coalesce(sf.col("__h"), sf.lit(0L)).cast("double") /
+          sf.col("n_truth").cast("double"), 6).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Scored-pair record for the typed top-k path. */
   case class Scored(qId: Long, nId: Long, cosine: Double)
 

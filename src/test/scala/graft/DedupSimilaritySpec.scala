@@ -134,6 +134,22 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(ivf.sameElements(brute))
   }
 
+  test("annRecall: full probing reads 1.0; partial probing stays in [0, 1]") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val full = Similarity.annRecall(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 5, nCentroids = 8, nProbe = 8).collect()
+    assert(full.length == 5)
+    assert(full.forall(r => r.getAs[Long]("n_truth") == 5 &&
+      r.getAs[Long]("n_hits") == 5 && r.getAs[Double]("recall") == 1.0),
+      full.mkString(";"))
+    val part = Similarity.annRecall(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 5, nCentroids = 8, nProbe = 1).collect()
+    assert(part.length == 5)
+    assert(part.forall(r => r.getAs[Double]("recall") >= 0.0 &&
+      r.getAs[Double]("recall") <= 1.0 &&
+      r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth")))
+  }
+
   test("ivfTopK with partial probing returns dense ranks per query") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
