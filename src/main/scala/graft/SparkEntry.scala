@@ -1769,6 +1769,17 @@ object SparkEntry {
     "q264_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(Tables.load(s, dir, "embeddings"), "vec_id",
         "embedding", sf.col("vec_id") < 10, k = 5)),
+
+    // Fleiss' kappa across three weak language raters (declared label,
+    // detector on the full text, detector on the 100-char prefix):
+    // trust-the-majority gate for multi-annotator labeling.
+    "q265_fleiss_kappa" -> ((s, dir) => {
+      val rated = docs(s, dir).select(sf.col("doc_id"),
+        sf.col("lang").as("r1"),
+        gf.langId(sf.col("text")).as("r2"),
+        gf.langId(sf.substring(sf.col("text"), 1, 100)).as("r3"))
+      QualityChecks.fleissKappa(rated, "doc_id", Seq("r1", "r2", "r3"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -7422,5 +7433,50 @@ object SparkEntry {
         |SELECT tc.q_id, n_truth, COALESCE(nh, 0) AS n_hits,
         |  floor(CAST(COALESCE(nh, 0) AS DOUBLE)/CAST(n_truth AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS recall
         |FROM tc LEFT JOIN h ON h.q_id = tc.q_id ORDER BY tc.q_id""".stripMargin,
+
+    // Fleiss' kappa: q182's langId chain on text and on the 100-char
+    // prefix + the declared label, exact integer cell sums, one-row
+    // pinned P-bar / P-e / kappa finish.
+    "q265_fleiss_kappa" -> {
+      val cands = functions.stopwords.toSeq.sortBy(_._1).map { case (l, sw) =>
+        s"('$l', [${sw.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH u(l, sw) AS (SELECT * FROM (VALUES $cands)),
+         |ids AS (SELECT doc_id FROM documents WHERE lang IS NOT NULL),
+         |fullp AS (SELECT doc_id, cand AS r FROM (
+         |  SELECT b.doc_id, u.l AS cand,
+         |    row_number() OVER (PARTITION BY b.doc_id
+         |      ORDER BY len(list_intersect(b.toks, u.sw)) DESC, u.l DESC) AS rn
+         |  FROM (SELECT doc_id,
+         |        list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+         |        FROM documents) b, u) WHERE rn = 1),
+         |prep AS (SELECT doc_id, cand AS r FROM (
+         |  SELECT b.doc_id, u.l AS cand,
+         |    row_number() OVER (PARTITION BY b.doc_id
+         |      ORDER BY len(list_intersect(b.toks, u.sw)) DESC, u.l DESC) AS rn
+         |  FROM (SELECT doc_id,
+         |        list_distinct(regexp_split_to_array(trim(lower(substr(text, 1, 100))), '\\s+')) AS toks
+         |        FROM documents) b, u) WHERE rn = 1),
+         |melted AS (
+         |  SELECT d.doc_id AS i, d.lang AS r FROM documents d JOIN ids USING (doc_id)
+         |  UNION ALL SELECT fullp.doc_id, fullp.r FROM fullp JOIN ids USING (doc_id)
+         |  UNION ALL SELECT prep.doc_id, prep.r FROM prep JOIN ids USING (doc_id)),
+         |cells AS (SELECT i, r, CAST(COUNT(*) AS BIGINT) AS nij FROM melted GROUP BY 1, 2),
+         |pi AS (SELECT i, SUM(CAST(nij AS HUGEINT)*nij) AS s2 FROM cells GROUP BY 1),
+         |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items, SUM(s2) AS s FROM pi),
+         |ct AS (SELECT r, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+         |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         |  SUM(CAST(cj AS HUGEINT)*cj) AS c2 FROM ct),
+         |f AS (SELECT n_items, n_categories,
+         |  (CAST(s AS DOUBLE) - CAST(n_items AS DOUBLE)*3)/(CAST(n_items AS DOUBLE)*3*2) AS pbar,
+         |  CAST(c2 AS DOUBLE)/((CAST(n_items AS DOUBLE)*3)*(CAST(n_items AS DOUBLE)*3)) AS pe
+         |  FROM a1 CROSS JOIN a2)
+         |SELECT n_items, CAST(3 AS INT) AS n_raters, n_categories,
+         |  CASE WHEN n_items > 0 THEN floor(pbar*1000000.0 + 0.5)/1000000.0 END AS p_observed,
+         |  CASE WHEN n_items > 0 THEN floor(pe*1000000.0 + 0.5)/1000000.0 END AS p_expected,
+         |  CASE WHEN n_items > 0 AND pe < 1.0 THEN
+         |    floor((pbar - pe)/(1.0 - pe)*10000.0 + 0.5)/10000.0 END AS kappa
+         |FROM f""".stripMargin
+    },
   )
 }

@@ -2318,6 +2318,56 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for m ≥ 2
+    * raters per item, the multi-rater generalization of [[cohensKappa]]:
+    * the number a labeling pipeline with SEVERAL weak annotators
+    * (declared metadata, a detector, a detector on a prefix, a second
+    * model) gates on before trusting majority vote. Items with any
+    * missing rating are excluded (complete-case, the classical
+    * formulation's equal-raters assumption).
+    *
+    * Determinism: everything reduces to exact integers — ΣΣn_ij² over
+    * the (item, category) cells and Σc_j² over category totals — so
+    * P̄ = (S − N·m)/(N·m·(m−1)) and P̄e = Σc_j²/(N·m)² are single
+    * pinned divisions, and kappa one more; no per-item rational ever
+    * needs snapping. All ratings in one category (P̄e = 1) → NULL.
+    *
+    * Scale shape: an m-way union melt (map-only) + one
+    * map-side-combined (item, category) count + two combinable
+    * rollups (item domain, category domain) + a one-row finish. */
+  def fleissKappa(df: DataFrame, idCol: String,
+                  raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2,
+      s"fleissKappa needs >= 2 rater columns, got ${raterCols.size}")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = raterCols.size
+    val base = df.filter(raterCols.map(c => sf.col(c).isNotNull).reduce(_ && _))
+    val melted = raterCols.map(c =>
+        base.select(sf.col(idCol).as("__i"), sf.col(c).cast("string").as("__r")))
+      .reduce(_ union _)
+    val cells = melted.groupBy("__i", "__r").agg(sf.count(sf.lit(1)).as("__nij"))
+      .localCheckpoint(true) // item rollup + category rollup read it
+    val items = cells.groupBy("__i")
+      .agg(sf.sum(dec(sf.col("__nij")) * dec(sf.col("__nij"))).as("__s2"))
+      .agg(sf.count(sf.lit(1)).as("n_items"), sf.sum("__s2").as("__s"))
+    val cats = cells.groupBy("__r").agg(sf.sum("__nij").as("__cj"))
+      .agg(sf.count(sf.lit(1)).as("n_categories"),
+        sf.sum(dec(sf.col("__cj")) * dec(sf.col("__cj"))).as("__c2"))
+    items.crossJoin(sf.broadcast(cats))
+      .select({
+        val nI = sf.col("n_items").cast("double")
+        val pbar = (sf.col("__s").cast("double") - nI * m) /
+          (nI * m * (m - 1))
+        val pe = sf.col("__c2").cast("double") / ((nI * m) * (nI * m))
+        val ok = sf.col("n_items") > 0 && pe < 1.0
+        Seq(sf.col("n_items"), sf.lit(m).as("n_raters"),
+          sf.col("n_categories"),
+          sf.when(sf.col("n_items") > 0, gf.roundAt(pbar, 6)).as("p_observed"),
+          sf.when(sf.col("n_items") > 0, gf.roundAt(pe, 6)).as("p_expected"),
+          sf.when(ok, gf.roundAt((pbar - pe) / (sf.lit(1.0) - pe), 4)).as("kappa"))
+      }: _*)
+  }
+
   /** Wilson score confidence interval per group (Wilson 1927) — the
     * interval every per-group RATE in this module should be read
     * with: unlike the naive ±z√(p(1−p)/n) (which collapses to width

@@ -1837,4 +1837,29 @@ class OperatorsSpec extends SparkFunSuite {
     assert(flat.forall(r => r.getAs[Long]("power") == 0 &&
       r.isNullAt(r.fieldIndex("share"))))
   }
+
+  test("QualityChecks.fleissKappa: hand kappa 1/3, perfect = 1, single-category NULL") {
+    // items: (x,x), (x,y), (y,y) with 2 raters -> P-bar = 2/3, Pe = 1/2
+    val df = Seq((1L, "x", "x"), (2L, "x", "y"), (3L, "y", "y"))
+      .toDF("id", "a", "b")
+    val r = QualityChecks.fleissKappa(df, "id", Seq("a", "b")).head()
+    assert(r.getAs[Long]("n_items") == 3 && r.getAs[Int]("n_raters") == 2 &&
+      r.getAs[Long]("n_categories") == 2)
+    assert(r.getAs[Double]("p_observed") == math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("p_expected") == 0.5)
+    assert(r.getAs[Double]("kappa") == math.floor(1.0 / 3.0 * 1e4 + 0.5) / 1e4)
+    // perfect agreement across TWO categories: kappa exactly 1
+    val perfect = Seq((1L, "x", "x"), (2L, "y", "y")).toDF("id", "a", "b")
+    assert(QualityChecks.fleissKappa(perfect, "id", Seq("a", "b")).head()
+      .getAs[Double]("kappa") == 1.0)
+    // all ratings one category: Pe = 1 -> undefined -> NULL
+    val mono = Seq((1L, "x", "x"), (2L, "x", "x")).toDF("id", "a", "b")
+    val rm = QualityChecks.fleissKappa(mono, "id", Seq("a", "b")).head()
+    assert(rm.isNullAt(rm.fieldIndex("kappa")))
+    // an item with a missing rating drops entirely (complete-case)
+    val gappy = Seq((1L, "x", "x"), (2L, null.asInstanceOf[String], "y"))
+      .toDF("id", "a", "b")
+    assert(QualityChecks.fleissKappa(gappy, "id", Seq("a", "b")).head()
+      .getAs[Long]("n_items") == 1)
+  }
 }
