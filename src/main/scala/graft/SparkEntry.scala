@@ -1780,6 +1780,59 @@ object SparkEntry {
         gf.langId(sf.substring(sf.col("text"), 1, 100)).as("r3"))
       QualityChecks.fleissKappa(rated, "doc_id", Seq("r1", "r2", "r3"))
     }),
+
+    // HITS over the directed supplier -> part ownership graph: which
+    // suppliers define the core catalog (hubs), which parts ARE the
+    // core (authorities) — 2 coupled max-normalized fixed-point rounds.
+    "q266_hits" -> ((s, dir) =>
+      Graph.hitsBipartite(Tables.load(s, dir, "lineitem"),
+        "l_suppkey", "l_partkey", iters = 2)),
+
+    // Eigenvector centrality on the part co-occurrence graph: 3 bare
+    // power-iteration rounds, max-normalized integer fixed point —
+    // the undamped companion of q119's PageRank.
+    "q267_eigencentrality" -> ((s, dir) =>
+      Graph.eigenvectorCentrality(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, iters = 3)),
+
+    // Ljung-Box portmanteau on the hourly per-type count series: is
+    // the ACF (q218) collectively white noise? Composition, not a
+    // second autocorrelation implementation.
+    "q268_ljung_box" -> ((s, dir) =>
+      EventOps.ljungBox(Tables.load(s, dir, "events"))),
+
+    // Durbin-Watson lag-1 residual autocorrelation of the hourly
+    // mean-value trend fit per event type.
+    "q269_durbin_watson" -> ((s, dir) =>
+      EventOps.durbinWatson(Tables.load(s, dir, "events"))),
+
+    // Kendall tau-b between quantity and the 10k-USD price bucket on
+    // lineitem — domain-compressed exact concordance counting.
+    "q270_kendall_tau" -> ((s, dir) =>
+      QualityChecks.kendallTau(
+        Tables.load(s, dir, "lineitem")
+          .select(sf.col("l_quantity").cast("long").as("qty"),
+            sf.expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) / 10000.0) AS BIGINT)")
+              .as("price_bkt")),
+        "qty", "price_bkt")),
+
+    // Cochran's Q across three binary doc gates (has-@, has-http,
+    // long-doc): are the k related detectors exchangeable?
+    "q271_cochran_q" -> ((s, dir) =>
+      QualityChecks.cochranQ(
+        docs(s, dir).select(
+          sf.col("text").contains("@").as("f_at"),
+          sf.col("text").contains("http").as("f_http"),
+          (sf.length(sf.col("text")) > 200).as("f_long")),
+        Seq("f_at", "f_http", "f_long"))),
+
+    // Friedman rank test: does order priority shift mean order value,
+    // blocking on order month? Complete blocks, within-block avg ranks.
+    "q272_friedman" -> ((s, dir) =>
+      QualityChecks.friedman(
+        Tables.load(s, dir, "orders")
+          .withColumn("o_month", sf.date_format(sf.col("o_orderdate"), "yyyy-MM")),
+        "o_month", "o_orderpriority", "o_totalprice")),
   )
 
   // ---------------------------------------------------------------------
@@ -7478,5 +7531,207 @@ object SparkEntry {
          |    floor((pbar - pe)/(1.0 - pe)*10000.0 + 0.5)/10000.0 END AS kappa
          |FROM f""".stripMargin
     },
+
+    // HITS: identical distinct edge list, 2 unrolled auth/hub rounds,
+    // exact (s * 1e6) // max integer normalization each half-round.
+    "q266_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS v FROM e),
+        |ar1 AS (SELECT dst, SUM(v) AS s FROM e JOIN h0 USING (src) GROUP BY 1),
+        |am1 AS (SELECT MAX(s) AS mx FROM ar1),
+        |a1 AS (SELECT dst, (s * 1000000) // mx AS v FROM ar1 CROSS JOIN am1),
+        |hr1 AS (SELECT src, SUM(v) AS s FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |hm1 AS (SELECT MAX(s) AS mx FROM hr1),
+        |h1 AS (SELECT src, (s * 1000000) // mx AS v FROM hr1 CROSS JOIN hm1),
+        |ar2 AS (SELECT dst, SUM(v) AS s FROM e JOIN h1 USING (src) GROUP BY 1),
+        |am2 AS (SELECT MAX(s) AS mx FROM ar2),
+        |a2 AS (SELECT dst, (s * 1000000) // mx AS v FROM ar2 CROSS JOIN am2),
+        |hr2 AS (SELECT src, SUM(v) AS s FROM e JOIN a2 USING (dst) GROUP BY 1),
+        |hm2 AS (SELECT MAX(s) AS mx FROM hr2),
+        |h2 AS (SELECT src, (s * 1000000) // mx AS v FROM hr2 CROSS JOIN hm2)
+        |SELECT side, item, CAST(score_fx AS BIGINT) AS score_fx FROM (
+        |  SELECT 'auth' AS side, dst AS item, v AS score_fx FROM a2
+        |  UNION ALL SELECT 'hub', src, v FROM h2)
+        |ORDER BY side, score_fx DESC, item""".stripMargin,
+
+    // Eigenvector centrality: the q119 mined-edge chain + 3 unrolled
+    // x' = A x rounds with the same exact integer max-normalization.
+    "q267_eigencentrality" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS bb FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e0 AS (SELECT a, bb FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT a AS src, bb AS dst FROM e0 UNION ALL SELECT bb, a FROM e0),
+        |nodes AS (SELECT DISTINCT src AS item FROM e),
+        |x0 AS (SELECT item, CAST(1000000 AS BIGINT) AS v FROM nodes),
+        |r1 AS (SELECT e.dst, SUM(x0.v) AS s FROM e JOIN x0 ON e.src = x0.item GROUP BY 1),
+        |m1 AS (SELECT MAX(s) AS mx FROM r1),
+        |x1 AS (SELECT nodes.item, COALESCE((r1.s * 1000000) // m1.mx, 0) AS v
+        |       FROM nodes CROSS JOIN m1 LEFT JOIN r1 ON nodes.item = r1.dst),
+        |r2 AS (SELECT e.dst, SUM(x1.v) AS s FROM e JOIN x1 ON e.src = x1.item GROUP BY 1),
+        |m2 AS (SELECT MAX(s) AS mx FROM r2),
+        |x2 AS (SELECT nodes.item, COALESCE((r2.s * 1000000) // m2.mx, 0) AS v
+        |       FROM nodes CROSS JOIN m2 LEFT JOIN r2 ON nodes.item = r2.dst),
+        |r3 AS (SELECT e.dst, SUM(x2.v) AS s FROM e JOIN x2 ON e.src = x2.item GROUP BY 1),
+        |m3 AS (SELECT MAX(s) AS mx FROM r3),
+        |x3 AS (SELECT nodes.item, COALESCE((r3.s * 1000000) // m3.mx, 0) AS v
+        |       FROM nodes CROSS JOIN m3 LEFT JOIN r3 ON nodes.item = r3.dst)
+        |SELECT item, CAST(v AS BIGINT) AS eig_fx FROM x3
+        |ORDER BY eig_fx DESC, item""".stripMargin,
+
+    // Ljung-Box: the q218 ACF chain verbatim, each summand r^2/(n-k)
+    // snapped to the 1e-12 integer grid before the per-type sum.
+    "q268_ljung_box" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |       FROM sv GROUP BY 1),
+        |dn AS (SELECT sv.t,
+        |  SUM(CAST(st.n*sv.v - st.s AS DECIMAL(38,0)) * CAST(st.n*sv.v - st.s AS DECIMAL(38,0))) AS den
+        |  FROM sv JOIN st ON sv.t = st.t GROUP BY 1),
+        |pr AS (SELECT a.t, CAST(l.lag AS BIGINT) AS lag, a.v AS v1, bb.v AS v2
+        |  FROM sv a CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) l
+        |  JOIN sv bb ON bb.t = a.t AND bb.bin = a.bin + l.lag),
+        |nm AS (SELECT pr.t, pr.lag,
+        |  SUM(CAST(st.n*pr.v1 - st.s AS DECIMAL(38,0)) * CAST(st.n*pr.v2 - st.s AS DECIMAL(38,0))) AS num
+        |  FROM pr JOIN st ON pr.t = st.t GROUP BY 1, 2),
+        |r AS (SELECT nm.t, nm.lag, st.n,
+        |  CASE WHEN den > 0 THEN
+        |    floor((CAST(num AS DOUBLE)/CAST(den AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS acf
+        |  FROM nm JOIN dn ON nm.t = dn.t JOIN st ON nm.t = st.t),
+        |lb AS (SELECT t, MAX(n) AS n_bins, CAST(COUNT(*) AS BIGINT) AS n_lags,
+        |  SUM(CAST(floor(acf*acf/CAST(n - lag AS DOUBLE)*1e12 + 0.5) AS BIGINT)) AS s12
+        |  FROM r WHERE acf IS NOT NULL AND lag < n GROUP BY 1)
+        |SELECT t AS event_type, n_bins, n_lags,
+        |  floor(CAST(n_bins AS DOUBLE)*(CAST(n_bins AS DOUBLE) + 2.0)
+        |    *(CAST(s12 AS DOUBLE)/1e12)*1000000.0 + 0.5)/1000000.0 AS q_stat
+        |FROM lb ORDER BY event_type""".stripMargin,
+
+    // Durbin-Watson: identical (type, bin) mean collapse, DECIMAL
+    // moment fit with 1e-9-snapped coefficients, 1e-9-snapped
+    // residuals, consecutive-bin differences, one 1e-6 division.
+    "q269_durbin_watson" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(ts) // 3600000000 AS bin,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT t, bin,
+        |  CAST(floor(CAST(SUM(v4) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS y4
+        |  FROM e GROUP BY 1, 2),
+        |mins AS (SELECT t, MIN(bin) AS b0 FROM cells GROUP BY 1),
+        |mom AS (SELECT c.t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(c.bin - m.b0 AS DECIMAL(38,0)) * CAST(c.bin - m.b0 AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(c.bin - m.b0 AS DECIMAL(38,0)) * CAST(c.y4 AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(c.bin - m.b0 AS DECIMAL(38,0))) AS sx,
+        |  SUM(CAST(c.y4 AS DECIMAL(38,0))) AS sy
+        |  FROM cells c JOIN mins m ON c.t = m.t GROUP BY 1 HAVING COUNT(*) >= 3),
+        |fit AS (SELECT t, n,
+        |  floor(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)/1e4
+        |          - CAST(sx AS DOUBLE)*(CAST(sy AS DOUBLE)/1e4))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+        |    *1e9 + 0.5)/1e9 AS beta,
+        |  floor(((CAST(sy AS DOUBLE)/1e4
+        |      - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)/1e4
+        |          - CAST(sx AS DOUBLE)*(CAST(sy AS DOUBLE)/1e4))
+        |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))*1e9 + 0.5)/1e9 AS alpha
+        |  FROM mom
+        |  WHERE CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0),
+        |resid AS (SELECT c.t, c.bin, f.n,
+        |  CAST(floor((CAST(c.y4 AS DOUBLE)/1e4
+        |    - (f.alpha + f.beta * CAST(c.bin - m.b0 AS DOUBLE)))*1e9 + 0.5) AS BIGINT) AS e9
+        |  FROM cells c JOIN mins m ON c.t = m.t JOIN fit f ON c.t = f.t),
+        |dnm AS (SELECT t, MAX(n) AS n_bins,
+        |  SUM(CAST(e9 AS DECIMAL(38,0)) * CAST(e9 AS DECIMAL(38,0))) AS ss FROM resid GROUP BY 1),
+        |nmr AS (SELECT a.t,
+        |  SUM(CAST(b2.e9 - a.e9 AS DECIMAL(38,0)) * CAST(b2.e9 - a.e9 AS DECIMAL(38,0))) AS sd,
+        |  CAST(COUNT(*) AS BIGINT) AS n_diffs
+        |  FROM resid a JOIN resid b2 ON a.t = b2.t AND b2.bin = a.bin + 1 GROUP BY 1)
+        |SELECT dnm.t AS event_type, n_bins, n_diffs,
+        |  CASE WHEN ss > 0 THEN
+        |    floor(CAST(sd AS DOUBLE)/CAST(ss AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS dw
+        |FROM dnm JOIN nmr ON dnm.t = nmr.t ORDER BY event_type""".stripMargin,
+
+    // Kendall tau-b: identical cell collapse, upper-triangle cell
+    // pairing, margin tie sums carried 2-scaled, one sqrt division.
+    "q270_kendall_tau" ->
+      """WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(floor(CAST(l_extendedprice AS DOUBLE)/10000.0) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |pr AS (SELECT a.x AS x1, a.y AS y1, a.c AS c1, b2.x AS x2, b2.y AS y2, b2.c AS c2
+        |  FROM cells a, cells b2
+        |  WHERE a.x < b2.x OR (a.x = b2.x AND a.y < b2.y)),
+        |cd AS (SELECT
+        |  SUM(CASE WHEN x1 < x2 AND y1 < y2 THEN CAST(c1 AS HUGEINT)*c2 ELSE 0 END) AS nc,
+        |  SUM(CASE WHEN x1 < x2 AND y1 > y2 THEN CAST(c1 AS HUGEINT)*c2 ELSE 0 END) AS nd
+        |  FROM pr),
+        |tx AS (SELECT SUM(CAST(t AS HUGEINT)*(t-1)) AS t2x FROM
+        |  (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT SUM(CAST(t AS HUGEINT)*(t-1)) AS t2y FROM
+        |  (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY y)),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+        |SELECT n, n_cells, CAST(nc AS BIGINT) AS concordant, CAST(nd AS BIGINT) AS discordant,
+        |  CASE WHEN (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)/2.0 - CAST(t2x AS DOUBLE)/2.0) > 0
+        |        AND (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)/2.0 - CAST(t2y AS DOUBLE)/2.0) > 0
+        |  THEN floor((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)/2.0 - CAST(t2x AS DOUBLE)/2.0)
+        |         * (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)/2.0 - CAST(t2y AS DOUBLE)/2.0))
+        |    *1000000.0 + 0.5)/1000000.0 END AS tau_b
+        |FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // Cochran's Q: identical complete-case flags, exact integer
+    // row/column sums, one pinned division.
+    "q271_cochran_q" ->
+      """WITH f AS (SELECT
+        |  CAST(text LIKE '%@%' AS INT) AS f1,
+        |  CAST(text LIKE '%http%' AS INT) AS f2,
+        |  CAST(length(text) > 200 AS INT) AS f3
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+        |  CAST(SUM(f1 + f2 + f3) AS BIGINT) AS nn,
+        |  CAST(SUM((f1 + f2 + f3)*(f1 + f2 + f3)) AS BIGINT) AS r2,
+        |  CAST(SUM(f1) AS HUGEINT)*CAST(SUM(f1) AS HUGEINT)
+        |    + CAST(SUM(f2) AS HUGEINT)*CAST(SUM(f2) AS HUGEINT)
+        |    + CAST(SUM(f3) AS HUGEINT)*CAST(SUM(f3) AS HUGEINT) AS c2
+        |  FROM f)
+        |SELECT n_subjects, CAST(3 AS INT) AS k, nn AS n_successes,
+        |  CASE WHEN 3.0*CAST(nn AS DOUBLE) - CAST(r2 AS DOUBLE) > 0 THEN
+        |    floor(2.0*(3.0*CAST(c2 AS DOUBLE) - CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE))
+        |      / (3.0*CAST(nn AS DOUBLE) - CAST(r2 AS DOUBLE))*1000000.0 + 0.5)/1000000.0
+        |  END AS q_stat
+        |FROM a""".stripMargin,
+
+    // Friedman: identical cell-mean snap, complete blocks, 2-scaled
+    // average ranks, exact rank-sum squares, one pinned assembly.
+    "q272_friedman" ->
+      """WITH v AS (SELECT strftime(o_orderdate, '%Y-%m') AS b, o_orderpriority AS tr,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cells AS (SELECT b, tr,
+        |  CAST(floor(CAST(SUM(v4) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m4
+        |  FROM v GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM cells),
+        |complete AS (SELECT b FROM cells GROUP BY b
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |ranked AS (SELECT tr,
+        |  2*rank() OVER (PARTITION BY c.b ORDER BY m4)
+        |    + COUNT(*) OVER (PARTITION BY c.b, m4) - 1 AS ar2
+        |  FROM cells c JOIN complete USING (b)),
+        |rj AS (SELECT tr, CAST(SUM(ar2) AS BIGINT) AS r2j FROM ranked GROUP BY 1),
+        |agg AS (SELECT SUM(CAST(r2j AS HUGEINT)*r2j) AS sr2 FROM rj),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks FROM complete)
+        |SELECT n_blocks, k,
+        |  CASE WHEN n_blocks > 0 AND k >= 2 THEN
+        |    floor((3.0*CAST(sr2 AS DOUBLE)/(CAST(n_blocks AS DOUBLE)*CAST(k AS DOUBLE)*(CAST(k AS DOUBLE)+1.0))
+        |      - 3.0*CAST(n_blocks AS DOUBLE)*(CAST(k AS DOUBLE)+1.0))*1000000.0 + 0.5)/1000000.0
+        |  END AS chi2_f
+        |FROM agg CROSS JOIN nb CROSS JOIN kk""".stripMargin,
   )
 }

@@ -2442,4 +2442,178 @@ object QualityChecks {
         sf.when(ok, gf.roundAt(sf.sqrt(chi2 / (n * geoDim)), 6)).as("tschuprow_t"))
     }: _*)
   }
+
+  /** Kendall's τ-b (Kendall 1938; tie correction Kendall 1945) between
+    * two DISCRETE/bucketed columns — the rank correlation that reads
+    * on concordance probability (τ = P(concordant) − P(discordant)),
+    * robust where [[spearman]]'s rank-ρ inflates under heavy ties and
+    * the natural choice for ordinal×ordinal association (quality tier
+    * vs review grade, bucket vs bucket). Caller buckets continuous
+    * inputs first — that is the CONTRACT that makes the exact O(n²)
+    * pair statistic computable at 100 TB: all pair counting happens on
+    * the (x, y) CELL DOMAIN (D_x·D_y cells, data-size-independent),
+    * never on rows.
+    *
+    * nc/nd = Σ n₁n₂ over concordant/discordant cell pairs; ties enter
+    * via the margin formulas n₁ = Σ tₓ(tₓ−1)/2, n₂ = Σ t_y(t_y−1)/2;
+    * τ-b = (nc − nd)/√((n₀−n₁)(n₀−n₂)). Every count accumulates as
+    * DECIMAL(38,0) (cell products square the corpus), the finish is
+    * ONE pinned sqrt division rounded 1e-6; a constant margin (all x
+    * equal) yields NULL.
+    *
+    * Scale shape: one map-side-combined (x, y) cell count, then the
+    * cell table self-pairs via a BROADCAST cross join filtered to the
+    * lexicographic upper triangle — domain², bounded by the bucketing
+    * contract, independent of row count; margins are two more
+    * domain-sized rollups. No sort, no window, no row-level shuffle
+    * beyond the cell collapse. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .groupBy(sf.col(xCol).as("x"), sf.col(yCol).as("y"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // pair join (both sides) + margins read it
+    val pairs = cells.crossJoin(sf.broadcast(
+        cells.select(sf.col("x").as("x2"), sf.col("y").as("y2"), sf.col("c").as("c2"))))
+      .filter(sf.col("x") < sf.col("x2") ||
+        (sf.col("x") === sf.col("x2") && sf.col("y") < sf.col("y2")))
+    val prod = dec(sf.col("c")) * dec(sf.col("c2"))
+    val zero = sf.lit(0).cast("decimal(38,0)")
+    val cd = pairs.agg(
+      sf.sum(sf.when(sf.col("x") < sf.col("x2") && sf.col("y") < sf.col("y2"), prod)
+        .otherwise(zero)).as("__nc"),
+      sf.sum(sf.when(sf.col("x") < sf.col("x2") && sf.col("y") > sf.col("y2"), prod)
+        .otherwise(zero)).as("__nd"))
+    def tiePairs(c: String) = cells.groupBy(c)
+      .agg(sf.sum("c").cast("long").as("__t"))
+      .agg(sf.sum(dec(sf.col("__t")) * dec(sf.col("__t") - 1)).as(s"__t2_$c"))
+    val tot = cells.agg(sf.sum("c").cast("long").as("n"),
+      sf.count(sf.lit(1)).as("n_cells"))
+    tot.crossJoin(sf.broadcast(cd))
+      .crossJoin(sf.broadcast(tiePairs("x"))).crossJoin(sf.broadcast(tiePairs("y")))
+      .select({
+        val nD = sf.col("n").cast("double")
+        val n0 = nD * (nD - 1.0) / 2.0
+        // tie sums carried 2-scaled (t(t-1), not t(t-1)/2) — halve here
+        val d1 = n0 - sf.col("__t2_x").cast("double") / 2.0
+        val d2 = n0 - sf.col("__t2_y").cast("double") / 2.0
+        Seq(sf.col("n"), sf.col("n_cells"),
+          sf.col("__nc").cast("long").as("concordant"),
+          sf.col("__nd").cast("long").as("discordant"),
+          sf.when(d1 > 0.0 && d2 > 0.0, gf.roundAt(
+            (sf.col("__nc").cast("double") - sf.col("__nd").cast("double")) /
+              sf.sqrt(d1 * d2), 6)).as("tau_b"))
+      }: _*)
+  }
+
+  /** Cochran's Q test (Cochran 1950) over k ≥ 2 BINARY flag columns
+    * per subject — "do these k related binary treatments have the
+    * same success rate on the same subjects": the k-treatment
+    * generalization of the paired two-detector McNemar reading and
+    * the gate to run before trusting that k filter variants (three
+    * PII detectors, three gate thresholds) are interchangeable.
+    * Subjects with any NULL flag drop (complete-case, the
+    * [[fleissKappa]] convention).
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    *
+    * with C_j the column totals, R_i the per-subject row sums, N the
+    * grand total — Q ~ χ²(k−1) under exchangeability. Every term is
+    * an EXACT integer (row sums ≤ k so ΣR_i² fits longs; column
+    * squares accumulate as DECIMAL(38,0)); Q is ONE pinned double
+    * division rounded 1e-6. A zero denominator (every subject all-0
+    * or all-1 across the k flags) yields NULL.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the
+    * subject stream (k + 3 cells per map task) + a one-row finish.
+    * Zero joins, zero windows, zero shuffled rows beyond the
+    * single-row agg. */
+  def cochranQ(df: DataFrame, flagCols: Seq[String]): DataFrame = {
+    require(flagCols.size >= 2,
+      s"cochranQ needs >= 2 flag columns, got ${flagCols.size}")
+    val k = flagCols.size
+    val flags = flagCols.map(c => sf.col(c).cast("boolean").cast("int"))
+    val base = df.filter(flagCols.map(c => sf.col(c).isNotNull).reduce(_ && _))
+    val r = flags.reduce(_ + _)
+    val agg = base.select(flags.zipWithIndex.map { case (f, i) =>
+        f.cast("long").as(s"__f$i")
+      } :+ r.cast("long").as("__r"): _*)
+      .agg(sf.count(sf.lit(1)).as("n_subjects"),
+        sf.sum("__r").cast("long").as("__nn"),
+        sf.sum(sf.col("__r") * sf.col("__r")).cast("long").as("__r2"),
+        sf.expr((0 until k).map(i => s"CAST(sum(__f$i) AS DECIMAL(38,0)) * " +
+          s"CAST(sum(__f$i) AS DECIMAL(38,0))").mkString("(", ") + (", ")"))
+          .as("__c2"))
+    agg.select({
+      val nn = sf.col("__nn").cast("double")
+      val numer = sf.lit((k - 1).toDouble) *
+        (sf.lit(k.toDouble) * sf.col("__c2").cast("double") - nn * nn)
+      val denom = sf.lit(k.toDouble) * nn - sf.col("__r2").cast("double")
+      Seq(sf.col("n_subjects"), sf.lit(k).as("k"),
+        sf.col("__nn").as("n_successes"),
+        sf.when(denom > 0.0, gf.roundAt(numer / denom, 6)).as("q_stat"))
+    }: _*)
+  }
+
+  /** Friedman rank test (Friedman 1937) — "does TREATMENT shift the
+    * measure, controlling for BLOCK": per complete block (all k
+    * treatments present), the per-(block, treatment) mean measure is
+    * ranked WITHIN the block (ties → average ranks), and
+    * χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) reads on whether the rank
+    * sums R_j differ — the nonparametric twin of the two-way layout
+    * that a one-way [[anova]] can't see: a treatment effect masked by
+    * block-to-block level shifts. Incomplete blocks drop (the
+    * classical requirement).
+    *
+    * Determinism: cell means snap to the 1e-4 grid from exact integer
+    * (Σv4, count) cells via floor(s4/c + 0.5) (IEEE division,
+    * identical everywhere); average ranks are exact HALF-integers
+    * carried 2-SCALED (ar2 = 2·rank + ties − 1, an integer), so rank
+    * sums are exact longs, ΣR2_j² accumulates as DECIMAL(38,0), and
+    * the statistic (2-scaled algebra: χ²_F = 3·ΣR2_j²/(nk(k+1)) −
+    * 3n(k+1)) is ONE pinned double assembly rounded 1e-6. Zero
+    * complete blocks or k < 2 yields NULL.
+    *
+    * Scale shape: one map-side-combined (block, treatment) collapse
+    * (domain-compressed — the 100 TB row stream reduces to the cell
+    * grid), a completeness semi join, one window over the BLOCK
+    * partition (bounded at k rows per block BY CONSTRUCTION — never a
+    * data-sized window), and a k-row rollup. */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(blockCol).isNotNull &&
+        sf.col(treatCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(blockCol).as("b"), sf.col(treatCol).as("tr"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long").as("v4"))
+      .groupBy("b", "tr").agg(sf.sum("v4").as("s4"), sf.count(sf.lit(1)).as("c"))
+      .select(sf.col("b"), sf.col("tr"),
+        sf.floor(sf.col("s4").cast("double") / sf.col("c").cast("double") + 0.5)
+          .cast("long").as("m4"))
+      .localCheckpoint(true) // k scalar + completeness + ranks read it
+    val kRow = cells.agg(sf.countDistinct("tr").as("k"))
+    val complete = cells.groupBy("b").agg(sf.count(sf.lit(1)).as("__nt"))
+      .crossJoin(sf.broadcast(kRow))
+      .filter(sf.col("__nt") === sf.col("k")).select("b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("b")
+    val ranked = cells.join(complete, Seq("b"), "left_semi")
+      .withColumn("__rk", sf.rank().over(w.orderBy("m4")))
+      .withColumn("__ties",
+        sf.count(sf.lit(1)).over(w.orderBy("m4").rangeBetween(0, 0)))
+      .select(sf.col("tr"),
+        (sf.lit(2L) * sf.col("__rk") + sf.col("__ties") - 1L).as("__ar2"))
+    val rj = ranked.groupBy("tr").agg(sf.sum("__ar2").cast("long").as("__r2j"))
+    val nB = complete.agg(sf.count(sf.lit(1)).as("n_blocks"))
+    rj.agg(sf.sum(dec(sf.col("__r2j")) * dec(sf.col("__r2j"))).as("__sr2"))
+      .crossJoin(sf.broadcast(nB)).crossJoin(sf.broadcast(kRow))
+      .select({
+        val n = sf.col("n_blocks").cast("double")
+        val kD = sf.col("k").cast("double")
+        val chi = sf.lit(3.0) * sf.col("__sr2").cast("double") /
+          (n * kD * (kD + 1.0)) - sf.lit(3.0) * n * (kD + 1.0)
+        Seq(sf.col("n_blocks"), sf.col("k"),
+          sf.when(sf.col("n_blocks") > 0 && sf.col("k") >= 2,
+            gf.roundAt(chi, 6)).as("chi2_f"))
+      }: _*)
+  }
 }

@@ -1875,4 +1875,122 @@ object EventOps {
           .as("share"))
       .orderBy(typeCol, "period")
   }
+
+  /** Ljung–Box portmanteau statistic (Ljung & Box 1978, Biometrika 65)
+    * per event type: Q = n(n+2)·Σ_{k=1..h} r_k²/(n−k) over the [[acf]]
+    * autocorrelations — the ONE-NUMBER "is this series white noise"
+    * test that reads the whole ACF at once, where eyeballing per-lag
+    * bars multiple-tests itself into false cycles: Q ~ χ²(h) under
+    * independence, so a small Q certifies the q121 seasonal baseline's
+    * residual-independence assumption and a huge one says the q263
+    * periodogram will find real structure. Built ON [[acf]]'s output
+    * by composition — never a second autocorrelation implementation.
+    *
+    * Determinism: each r_k is acf's 1e-6-snapped value; each summand
+    * r_k²/(n−k) snaps to the 1e-12 integer grid BEFORE the unordered
+    * per-type sum (exact longs — the q157/q168 snap-then-sum
+    * convention); the n(n+2) assembly is one pinned double, rounded
+    * 1e-6. Lags with NULL acf (constant series) contribute nothing;
+    * lags with n ≤ k are excluded (zero-information divisions).
+    *
+    * Scale shape: [[acf]]'s chunked-grid + bounded-fan-out shape, then
+    * ONE map-side-combinable per-type rollup over ≤ maxLag rows per
+    * type. */
+  def ljungBox(events: DataFrame, maxLag: Int = 6, binSec: Long = 3600): DataFrame = {
+    val a = acf(events, maxLag, binSec)
+    val term12 = sf.floor(sf.col("acf") * sf.col("acf") /
+      (sf.col("n_bins") - sf.col("lag")).cast("double") * 1e12 + 0.5).cast("long")
+    a.filter(sf.col("acf").isNotNull && sf.col("lag") < sf.col("n_bins"))
+      .groupBy("event_type")
+      .agg(sf.max("n_bins").as("n_bins"), sf.count(sf.lit(1)).as("n_lags"),
+        sf.sum(term12).as("__s12"))
+      .select(sf.col("event_type"), sf.col("n_bins"), sf.col("n_lags"),
+        gf.roundAt(sf.col("n_bins").cast("double") *
+          (sf.col("n_bins").cast("double") + 2.0) *
+          (sf.col("__s12").cast("double") / 1e12), 6).as("q_stat"))
+      .orderBy("event_type")
+  }
+
+  /** Durbin–Watson statistic (Durbin & Watson 1950) per event type:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² over the residuals of a per-type
+    * OLS trend fit on the HOURLY MEAN value series — the lag-1
+    * residual-autocorrelation readout (≈2 independent, →0 positively
+    * correlated, →4 alternating) that prices how much the q144 trend
+    * slopes can be trusted: serially correlated residuals make OLS
+    * standard errors lie, and DW is the canonical detector.
+    *
+    * Series construction: value events collapse to per-(type, bin)
+    * exact integer (Σv4, count) cells; the bin mean snaps to the 1e-4
+    * grid via floor(s4/c + 0.5) (IEEE division, identical everywhere);
+    * x is the bin re-based per type. The fit replays [[trendSlopes]]'
+    * DECIMAL(38,0) moment algebra; residuals are pinned doubles
+    * snapped to the 1e-9 integer grid, so BOTH quadratic sums are
+    * exact integers (DECIMAL(38,0) — squares overflow longs) and DW is
+    * ONE double division rounded 1e-6. Differences pair CONSECUTIVE
+    * observed bins only (bin+1 present) — gap edges contribute to the
+    * denominator but not the numerator, the standard missing-data
+    * convention; types with < 3 bins or a zero-variance fit yield no
+    * row.
+    *
+    * Scale shape: one map-side-combined (type, bin) collapse (the
+    * domain-compression that makes a 100 TB event stream a
+    * |types|×|bins| frame), broadcast per-type moments, ONE
+    * (type, bin+1) self equi join for the differences — no windows, no
+    * per-series sort. */
+  def durbinWatson(events: DataFrame, typeCol: String = "event_type",
+                   tsCol: String = "ts", valueCol: String = "value",
+                   binSec: Long = 3600): DataFrame = {
+    require(binSec > 0, s"binSec must be > 0, got $binSec")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val binUs = binSec * 1000000L
+    val cells = events
+      .filter(sf.col(valueCol).isNotNull && sf.col(tsCol).isNotNull)
+      .select(sf.col(typeCol).as("t"),
+        sf.expr(s"unix_micros($tsCol) div ${binUs}L").as("bin"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long").as("v4"))
+      .groupBy("t", "bin")
+      .agg(sf.sum("v4").as("s4"), sf.count(sf.lit(1)).as("c"))
+      .select(sf.col("t"), sf.col("bin"),
+        sf.floor(sf.col("s4").cast("double") / sf.col("c").cast("double") + 0.5)
+          .cast("long").as("y4"))
+      .localCheckpoint(true) // moments + residuals + both diff sides read it
+    val mins = cells.groupBy("t").agg(sf.min("bin").as("b0"))
+    val mom2 = cells.join(mins, "t")
+      .select(sf.col("t"), (sf.col("bin") - sf.col("b0")).as("x"), sf.col("y4"))
+      .groupBy("t").agg(
+        sf.sum(dec(sf.col("x")) * dec(sf.col("x"))).as("__sxx"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("y4"))).as("__sxy"),
+        sf.sum(dec(sf.col("x"))).as("__sx"), sf.sum(dec(sf.col("y4"))).as("__sy2"),
+        sf.count(sf.lit(1)).as("n"))
+      .filter(sf.col("n") >= 3)
+    val nD = sf.col("n").cast("double")
+    val sx = sf.col("__sx").cast("double")
+    val sy = sf.col("__sy2").cast("double") / 1e4
+    val den = nD * sf.col("__sxx").cast("double") - sx * sx
+    val slope = (nD * sf.col("__sxy").cast("double") / 1e4 - sx * sy) / den
+    val fit = mom2.filter(den > 0.0)
+      .select(sf.col("t"), sf.col("n"), gf.roundAt(slope, 9).as("beta"),
+        gf.roundAt((sy - slope * sx) / nD, 9).as("alpha"))
+    val resid = cells.join(mins, "t").join(fit, "t")
+      .select(sf.col("t"), sf.col("bin"), sf.col("n"),
+        sf.floor((sf.col("y4").cast("double") / 1e4 -
+          (sf.col("alpha") + sf.col("beta") *
+            (sf.col("bin") - sf.col("b0")).cast("double"))) * 1e9 + 0.5)
+          .cast("long").as("e9"))
+      .localCheckpoint(true) // denominator + both numerator sides
+    val denom = resid.groupBy("t").agg(sf.max("n").as("n_bins"),
+      sf.sum(dec(sf.col("e9")) * dec(sf.col("e9"))).as("__ss"))
+    val num = resid
+      .select(sf.col("t"), (sf.col("bin") + 1L).as("bin"), sf.col("e9").as("ep"))
+      .join(resid.select(sf.col("t"), sf.col("bin"), sf.col("e9")), Seq("t", "bin"))
+      .select(sf.col("t"),
+        (dec(sf.col("e9") - sf.col("ep")) * dec(sf.col("e9") - sf.col("ep"))).as("__d2"))
+      .groupBy("t").agg(sf.sum("__d2").as("__sd"), sf.count(sf.lit(1)).as("n_diffs"))
+    denom.join(num, "t")
+      .select(sf.col("t").as(typeCol), sf.col("n_bins"), sf.col("n_diffs"),
+        sf.when(sf.col("__ss") > 0, gf.roundAt(
+          sf.col("__sd").cast("double") / sf.col("__ss").cast("double"), 6))
+          .as("dw"))
+      .orderBy(typeCol)
+  }
 }

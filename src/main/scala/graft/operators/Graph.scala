@@ -311,14 +311,22 @@ object Graph {
   private val UnpersistBatch = 5
 
   /** The shared synchronous relaxation loop behind [[bfsHopsFromEdges]]
-    * (step cost 1) and [[ssspFromEdges]] (step cost `w`). Memory
-    * discipline: every `UnpersistBatch` rounds the current frame is
-    * materialized (one count) and all superseded round frames are
-    * unpersisted — a long pipeline run holds at most `UnpersistBatch`+1
-    * node-table-sized cached frames at any moment, never `rounds` of
-    * them, and short runs pay no extra jobs. Nodes seed from
-    * union(src, dst), so dst-only nodes of an asymmetric pre-mined
-    * edge list still get an output row. */
+    * (step cost 1) and [[ssspFromEdges]] (step cost `w`). Memory AND
+    * PLAN discipline: the previous frame is read TWICE per round
+    * (relax + merge), so the logical lineage DOUBLES every round —
+    * persist dedups execution but not the plan tree, and a 12-round
+    * plan is 2¹² subplan copies: the analyzer, canonicalization, and
+    * every AQE plan-description event walk it (observed minutes of
+    * driver CPU in `generateTreeString` alone). So every
+    * `UnpersistBatch` rounds the loop CUTS LINEAGE with an eager
+    * localCheckpoint (one materializing job — the same job the old
+    * batched count paid) and unpersists every superseded round frame,
+    * including the just-superseded live one: driver planning cost per
+    * round is bounded by the batch width (≤ 2⁵ subplans), cached
+    * frames by `UnpersistBatch` + checkpoints, regardless of the
+    * round budget, and short default-round runs pay ZERO extra jobs.
+    * Nodes seed from union(src, dst), so dst-only nodes of an
+    * asymmetric pre-mined edge list still get an output row. */
   private def relaxRounds(edges0: DataFrame,
                           seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                           rounds: Int, weighted: Boolean): DataFrame = {
@@ -344,10 +352,12 @@ object Graph {
             .otherwise(sf.least(sf.col("dist"), sf.col("nd"))).as("dist"))
         .persist()
       if (r > 1) toFree += prev // round 1's prev (the seed) is unpersisted
-      if (r % UnpersistBatch == 0 && toFree.nonEmpty) {
-        dist.count() // materialize BEFORE dropping the superseded frames
+      if (r % UnpersistBatch == 0 && r < rounds) {
+        val ck = dist.localCheckpoint(true) // materialize + CUT LINEAGE
+        toFree += dist
         toFree.foreach(_.unpersist())
         toFree.clear()
+        dist = ck
       }
     }
     dist.orderBy("item")
@@ -560,9 +570,12 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     var edges = edges0.persist()
-    // free superseded peel frames in UnpersistBatch-sized groups (one
-    // materializing count per batch; zero extra jobs for short peels)
-    // — never the CALLER's edges0 (a shared mined-once invariant).
+    // the edge frame is read THREE times per peel (degree count + two
+    // semi joins), so lineage TRIPLES per round — every UnpersistBatch
+    // peels the loop cuts lineage with an eager localCheckpoint (one
+    // materializing job, the relaxRounds discipline) and frees all
+    // superseded peel frames — never the CALLER's edges0 (a shared
+    // mined-once invariant).
     val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       val prev = edges
@@ -573,10 +586,12 @@ object Graph {
         .join(keep.select(sf.col("src").as("dst")), Seq("dst"), "left_semi")
         .persist()
       if (r > 1) toFree += prev
-      if (r % UnpersistBatch == 0 && toFree.nonEmpty) {
-        edges.count()
+      if (r % UnpersistBatch == 0 && r < rounds) {
+        val ck = edges.localCheckpoint(true)
+        toFree += edges
         toFree.foreach(_.unpersist())
         toFree.clear()
+        edges = ck
       }
     }
     edges.groupBy("src").agg(sf.count(sf.lit(1)).as("degree"))
@@ -786,6 +801,147 @@ object Graph {
             ((sf.col("degree") * (sf.col("degree") - 1)).cast("double") / 2), 6))
           .as("local_cc"))
       .orderBy("item")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) over a
+    * DIRECTED bipartite edge list — the centrality pair PageRank's
+    * single score can't give: on an ownership/containment graph
+    * (supplier → part, host → document, curator → list) a HUB is a
+    * source whose targets are authoritative, an AUTHORITY a target
+    * endorsed by strong hubs — the mutual-reinforcement readout used
+    * to rank both sides of a two-mode graph at once (catalog curation:
+    * "which suppliers define the core catalog, which parts ARE the
+    * core"). `iters` synchronous rounds of the standard coupled
+    * update, authorities first, each side max-normalized:
+    *
+    *   a_raw(v) = Σ_{u→v} h(u);  a(v) = (a_raw·SCALE) div max(a_raw)
+    *   h_raw(u) = Σ_{u→v} a(v);  h(u) = (h_raw·SCALE) div max(h_raw)
+    *
+    * with h0 = SCALE on every source. EXACT integer fixed-point at
+    * SCALE = 1e6: scores stay ≤ SCALE, raw sums ≤ degree·SCALE, and
+    * the normalize product raw·SCALE stays inside exact Long range for
+    * degrees up to ~9·10⁶ (documented bound; a two-mode graph whose
+    * one-side degree exceeds that needs a coarser scale, not doubles).
+    * Max-normalization (not L2/L1) keeps the recurrence
+    * division-exact and bit-replayable — the [[pageRank]] convention.
+    *
+    * Output: one row per node, `side` ∈ ('auth', 'hub'), ordered
+    * (side, score_fx desc, item) — tie-deterministic.
+    *
+    * Scale shape: each half-round is ONE equi join of the score frame
+    * against the edge list + one map-side-combined sum — |E| shuffle
+    * rows, the [[pageRank]] loop shape; the per-round max is a one-row
+    * broadcast cross join (never a driver collect). Edges persist as
+    * the loop invariant; `iters` is a fixed small contract (mutual
+    * reinforcement saturates in O(5) rounds on real graphs). */
+  def hitsBipartite(df: DataFrame, srcCol: String, dstCol: String,
+                    iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000L // 1e6
+    val edges = df.select(sf.col(srcCol).as("src"), sf.col(dstCol).as("dst"))
+      .distinct().persist()
+    // (score·SCALE) div max — one-row broadcast, integer-exact; raw
+    // is read twice (sum + max) so the caller hands it in persisted
+    def maxNorm(raw: DataFrame, node: String): DataFrame = {
+      val mx = raw.agg(sf.max("__s").as("__mx"))
+      raw.crossJoin(sf.broadcast(mx))
+        .select(sf.col(node), sf.expr(s"(__s * ${SCALE}L) div __mx").as("__v"))
+    }
+    // each half-round reads its input score frame TWICE (sum + max),
+    // so lineage quadruples per round: persist dedups execution, and
+    // every UnpersistBatch rounds an eager localCheckpoint cuts the
+    // plan tree (the relaxRounds discipline — bounded driver planning
+    // cost at any round budget)
+    var hub = edges.select(sf.col("src")).distinct()
+      .select(sf.col("src"), sf.lit(SCALE).as("__v"))
+    var auth: DataFrame = null
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to iters) {
+      val (ph, pa) = (hub, auth)
+      val rawA = edges.join(hub, "src")
+        .groupBy("dst").agg(sf.sum("__v").as("__s")).persist()
+      auth = maxNorm(rawA, "dst").persist()
+      val rawH = edges.join(auth, "dst")
+        .groupBy("src").agg(sf.sum("__v").as("__s")).persist()
+      hub = maxNorm(rawH, "src").persist()
+      toFree += rawA; toFree += rawH
+      if (r > 1) { toFree += ph; toFree += pa }
+      if (r % UnpersistBatch == 0 && r < iters) {
+        val (ckA, ckH) = (auth.localCheckpoint(true), hub.localCheckpoint(true))
+        toFree += auth; toFree += hub
+        toFree.foreach(_.unpersist()); toFree.clear()
+        auth = ckA; hub = ckH
+      }
+    }
+    auth.select(sf.lit("auth").as("side"), sf.col("dst").as("item"),
+        sf.col("__v").as("score_fx"))
+      .union(hub.select(sf.lit("hub").as("side"), sf.col("src").as("item"),
+        sf.col("__v").as("score_fx")))
+      .orderBy(sf.col("side"), sf.col("score_fx").desc, sf.col("item"))
+  }
+
+  /** Eigenvector centrality (Bonacich 1972) over the undirected
+    * co-occurrence graph: `iters` rounds of the bare power iteration
+    * x' = A·x, max-normalized each round — the "endorsed by important
+    * neighbors" score WITHOUT [[pageRank]]'s damping or out-degree
+    * division: PageRank splits a node's vote across its edges (a hub's
+    * endorsement is diluted), eigenvector centrality does not, so the
+    * two disagree exactly on hub-adjacent nodes — reading both is the
+    * standard centrality cross-check before curating on either.
+    * EXACT integer fixed-point at SCALE = 1e6 (the [[hitsBipartite]]
+    * arithmetic: scores ≤ SCALE, normalize product Long-exact to
+    * degree ~9·10⁶); fixed `iters` is the bounded-round contract the
+    * whole iterative family shares. Note the bare power iteration on
+    * a BIPARTITE component oscillates with period 2 — with a fixed
+    * round count that is a deterministic, documented readout (the
+    * classical fix, a self-loop/teleport term, is what [[pageRank]]
+    * already offers).
+    *
+    * Scale shape: per round one |E| equi join + one map-side-combined
+    * destination sum + a one-row broadcast max — the [[pageRank]] loop
+    * shape; edges persist as the loop invariant, only scores move. */
+  def eigenvectorCentrality(df: DataFrame, basketCol: String, itemCol: String,
+                            minPairCount: Long = 2, iters: Int = 3): DataFrame =
+    eigenvectorCentralityFromEdges(
+      minedEdges(df, basketCol, itemCol, minPairCount), iters)
+
+  /** [[eigenvectorCentrality]] over a pre-mined directed edge list
+    * (both directions per undirected pair — the mine-once
+    * `*FromEdges` family member). */
+  def eigenvectorCentralityFromEdges(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000L // 1e6
+    val edges = edges0.persist()
+    val nodes = edges.select(sf.col("src").as("item"))
+      .union(edges.select(sf.col("dst").as("item"))).distinct().persist()
+    // raw is read twice per round (sum + max) — persist + batched
+    // lineage cut, the relaxRounds/hitsBipartite loop discipline
+    var x = nodes.select(sf.col("item"), sf.lit(SCALE).as("__v"))
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to iters) {
+      val prev = x
+      val raw = edges.join(x.select(sf.col("item").as("src"), sf.col("__v")), "src")
+        .groupBy("dst").agg(sf.sum("__v").as("__s")).persist()
+      toFree += raw
+      val mx = raw.agg(sf.max("__s").as("__mx"))
+      // isolated nodes (none in a mined co-occurrence graph, possible
+      // in an arbitrary pre-mined list) pin to exactly 0
+      x = nodes.join(raw.crossJoin(sf.broadcast(mx))
+          .select(sf.col("dst").as("item"),
+            sf.expr(s"(__s * ${SCALE}L) div __mx").as("__n")),
+          Seq("item"), "left")
+        .select(sf.col("item"), sf.coalesce(sf.col("__n"), sf.lit(0L)).as("__v"))
+        .persist()
+      if (r > 1) toFree += prev
+      if (r % UnpersistBatch == 0 && r < iters) {
+        val ck = x.localCheckpoint(true)
+        toFree += x
+        toFree.foreach(_.unpersist()); toFree.clear()
+        x = ck
+      }
+    }
+    x.select(sf.col("item"), sf.col("__v").as("eig_fx"))
+      .orderBy(sf.col("eig_fx").desc, sf.col("item"))
   }
 
   /** Adamic–Adar link prediction (Adamic & Adar 2003): for every

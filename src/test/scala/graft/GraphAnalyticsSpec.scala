@@ -813,4 +813,39 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(Graph.adamicAdar(star, "basket", "item", minPairCount = 1)
       .collect().length == 3)
   }
+
+  test("Graph.hitsBipartite: hand-run coupled integer recurrence") {
+    import spark.implicits._
+    // s1 -> {p1, p2}, s2 -> {p1}; duplicate edge must collapse.
+    val df = Seq(("s1", "p1"), ("s1", "p2"), ("s2", "p1"), ("s2", "p1"))
+      .toDF("sup", "part")
+    val got = Graph.hitsBipartite(df, "sup", "part", iters = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("score_fx")).toMap
+    // r1: a_raw(p1)=2e6, a_raw(p2)=1e6 -> a=(1e6, 500000);
+    //     h_raw(s1)=1.5e6, h_raw(s2)=1e6 -> h=(1e6, 666666)
+    // r2: a_raw(p1)=1666666, a_raw(p2)=1e6 -> a=(1e6, 600000);
+    //     h_raw(s1)=1.6e6, h_raw(s2)=1e6 -> h=(1e6, 625000)
+    assert(got == Map(
+      ("auth", "p1") -> 1000000L, ("auth", "p2") -> 600000L,
+      ("hub", "s1") -> 1000000L, ("hub", "s2") -> 625000L), s"got $got")
+  }
+
+  test("Graph.eigenvectorCentrality: path graph replay; isolated dst pins 0") {
+    import spark.implicits._
+    // path a-b-c: bare power iteration oscillates with period 2 —
+    // deterministic under the fixed round count.
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c")).toDF("basket", "item")
+    val got = Graph.eigenvectorCentrality(df, "basket", "item",
+      minPairCount = 1, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("eig_fx")).toMap
+    // r1: raw=(1e6, 2e6, 1e6) -> x=(5e5, 1e6, 5e5)
+    // r2: raw=(1e6, 1e6, 1e6) -> x=(1e6, 1e6, 1e6)
+    // r3: raw=(1e6, 2e6, 1e6) -> x=(5e5, 1e6, 5e5)
+    assert(got == Map("a" -> 500000L, "b" -> 1000000L, "c" -> 500000L), s"got $got")
+    // pre-mined asymmetric list: dst-only node scores, src-only pins 0
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val g2 = Graph.eigenvectorCentralityFromEdges(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("eig_fx")).toMap
+    assert(g2 == Map("a" -> 0L, "b" -> 1000000L), s"got $g2")
+  }
 }

@@ -1862,4 +1862,98 @@ class OperatorsSpec extends SparkFunSuite {
     assert(QualityChecks.fleissKappa(gappy, "id", Seq("a", "b")).head()
       .getAs[Long]("n_items") == 1)
   }
+
+  test("QualityChecks.kendallTau: hand tau-b with ties, constant margin NULL") {
+    // (1,1) (1,2) (2,1) (2,3) (3,3): nc=5, nd=1, n1=n2=2 -> tau=4/8=0.5
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L)).toDF("x", "y")
+    val r = QualityChecks.kendallTau(df, "x", "y").head()
+    assert(r.getAs[Long]("n") == 5 && r.getAs[Long]("n_cells") == 5)
+    assert(r.getAs[Long]("concordant") == 5 && r.getAs[Long]("discordant") == 1)
+    assert(r.getAs[Double]("tau_b") == 0.5, r.toString)
+    // duplicated rows ride cell counts: doubling every row keeps tau
+    val dd = df.union(df)
+    val r2 = QualityChecks.kendallTau(dd, "x", "y").head()
+    // nc=4*5+... every cross-cell pair product is 2*2=4; within-cell
+    // pairs are double-ties and enter only the margins
+    assert(r2.getAs[Long]("concordant") == 20 && r2.getAs[Long]("discordant") == 4)
+    // constant x margin: every pair tied on x -> denominator 0 -> NULL
+    val const = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    val rc = QualityChecks.kendallTau(const, "x", "y").head()
+    assert(rc.isNullAt(rc.fieldIndex("tau_b")))
+  }
+
+  test("QualityChecks.cochranQ: hand Q = 3.0, NULL flag drops, degenerate NULL") {
+    val df = Seq(
+      (true, true, false), (true, false, false),
+      (true, true, true), (false, false, false)).toDF("a", "b", "c")
+    val r = QualityChecks.cochranQ(df, Seq("a", "b", "c")).head()
+    // C=(3,2,1) N=6 R2=14: Q = 2*(3*14-36)/(18-14) = 3.0
+    assert(r.getAs[Long]("n_subjects") == 4 && r.getAs[Int]("k") == 3 &&
+      r.getAs[Long]("n_successes") == 6)
+    assert(r.getAs[Double]("q_stat") == 3.0, r.toString)
+    // a NULL flag drops the subject (complete-case)
+    val gappy = df.union(Seq((null.asInstanceOf[java.lang.Boolean], true, true))
+      .toDF("a", "b", "c").select(sf.col("a").cast("boolean"),
+        sf.col("b").cast("boolean"), sf.col("c").cast("boolean")))
+    assert(QualityChecks.cochranQ(gappy, Seq("a", "b", "c")).head()
+      .getAs[Long]("n_subjects") == 4)
+    // every subject all-1: denominator 0 -> NULL
+    val allOn = Seq((true, true, true), (true, true, true)).toDF("a", "b", "c")
+    val rd = QualityChecks.cochranQ(allOn, Seq("a", "b", "c")).head()
+    assert(rd.isNullAt(rd.fieldIndex("q_stat")))
+  }
+
+  test("QualityChecks.friedman: clean ranks chi2=6, ties average, incomplete drops") {
+    // three blocks, identical ordering A < B < C -> chi2_F = 6.0
+    val df = Seq(
+      ("b1", "A", 1.0), ("b1", "B", 2.0), ("b1", "C", 3.0),
+      ("b2", "A", 1.0), ("b2", "B", 2.0), ("b2", "C", 3.0),
+      ("b3", "A", 1.0), ("b3", "B", 2.0), ("b3", "C", 3.0)).toDF("b", "tr", "v")
+    val r = QualityChecks.friedman(df, "b", "tr", "v").head()
+    assert(r.getAs[Long]("n_blocks") == 3 && r.getAs[Long]("k") == 3)
+    assert(r.getAs[Double]("chi2_f") == 6.0, r.toString)
+    // an incomplete block drops; result unchanged
+    val plus = df.union(Seq(("b4", "A", 9.0)).toDF("b", "tr", "v"))
+    assert(QualityChecks.friedman(plus, "b", "tr", "v").head()
+      .getAs[Double]("chi2_f") == 6.0)
+    // ties average: one block, A=B tie at rank 1.5, C rank 3
+    // R2 = (3, 3, 6): chi2 = 3*(9+9+36)/(1*3*4) - 3*1*4 = 13.5 - 12 = 1.5
+    val tied = Seq(("b1", "A", 1.0), ("b1", "B", 1.0), ("b1", "C", 2.0))
+      .toDF("b", "tr", "v")
+    assert(QualityChecks.friedman(tied, "b", "tr", "v").head()
+      .getAs[Double]("chi2_f") == 1.5)
+  }
+
+  test("EventOps.ljungBox: hand Q from the lag-1..3 ACF of a 4-bin series") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-10 $h%02d:00:00")
+    // hourly counts 1,2,1,2: r1=-0.75, r2=0.5, r3=-0.25
+    // Q = 4*6*(0.5625/3 + 0.25/2 + 0.0625/1) = 9.0
+    val ev = Seq(
+      ("x", ts(0), 1.0), ("x", ts(1), 1.0), ("x", ts(1), 1.0),
+      ("x", ts(2), 1.0), ("x", ts(3), 1.0), ("x", ts(3), 1.0))
+      .toDF("event_type", "ts", "value")
+    val r = EventOps.ljungBox(ev).head()
+    assert(r.getAs[Long]("n_bins") == 4 && r.getAs[Long]("n_lags") == 3)
+    assert(r.getAs[Double]("q_stat") == 9.0, r.toString)
+    // constant series: every acf NULL -> no output row for the type
+    val const = Seq(("c", ts(0), 1.0), ("c", ts(1), 1.0))
+      .toDF("event_type", "ts", "value")
+    assert(EventOps.ljungBox(const).collect().isEmpty)
+  }
+
+  test("EventOps.durbinWatson: alternating residuals DW=3.4, exact fit NULL") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-10 $h%02d:00:00")
+    // y = 1,2,1,2 over bins 0..3: fit y = 1.2 + 0.2x,
+    // e = (-0.2, 0.6, -0.6, 0.2) -> DW = 2.72/0.8 = 3.4
+    val ev = Seq(("x", ts(0), 1.0), ("x", ts(1), 2.0),
+      ("x", ts(2), 1.0), ("x", ts(3), 2.0)).toDF("event_type", "ts", "value")
+    val r = EventOps.durbinWatson(ev).head()
+    assert(r.getAs[Long]("n_bins") == 4 && r.getAs[Long]("n_diffs") == 3)
+    assert(r.getAs[Double]("dw") == 3.4, r.toString)
+    // exactly linear series: zero residual sum -> NULL dw
+    val lin = Seq(("x", ts(0), 1.0), ("x", ts(1), 2.0),
+      ("x", ts(2), 3.0), ("x", ts(3), 4.0)).toDF("event_type", "ts", "value")
+    val rl = EventOps.durbinWatson(lin).head()
+    assert(rl.isNullAt(rl.fieldIndex("dw")))
+  }
 }
