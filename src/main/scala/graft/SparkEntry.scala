@@ -1833,6 +1833,22 @@ object SparkEntry {
         Tables.load(s, dir, "orders")
           .withColumn("o_month", sf.date_format(sf.col("o_orderdate"), "yyyy-MM")),
         "o_month", "o_orderpriority", "o_totalprice")),
+
+    // Linear-time MMD^2 between label-0 and label-1 embedding
+    // distributions (RBF, gamma=1): embedding-level two-sample drift.
+    "q273_mmd" -> ((s, dir) =>
+      Similarity.mmdLinear(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", "0", "1", gamma = 1.0)),
+
+    // Seasonal-naive (lag-24) forecast backtest per event type:
+    // MASE vs the in-sample naive walk + sMAPE on the hourly grid.
+    "q274_forecast_backtest" -> ((s, dir) =>
+      EventOps.forecastBacktest(Tables.load(s, dir, "events"))),
+
+    // Strength of seasonality: 1 - Var(remainder)/Var(detrended) after
+    // linear trend + period-24 seasonal means — is q121's baseline real?
+    "q275_seasonal_strength" -> ((s, dir) =>
+      EventOps.seasonalStrength(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -7733,5 +7749,119 @@ object SparkEntry {
         |      - 3.0*CAST(n_blocks AS DOUBLE)*(CAST(k AS DOUBLE)+1.0))*1000000.0 + 0.5)/1000000.0
         |  END AS chi2_f
         |FROM agg CROSS JOIN nb CROSS JOIN kk""".stripMargin,
+
+    // Linear MMD: identical id-ordered pairing, sequential-fold dots,
+    // 1e-6 kernel snap (libm exp ulps absorbed), exact h sums.
+    "q273_mmd" -> {
+      def dot(u: String, w: String) =
+        s"list_reduce([$u[i]*$w[i] FOR i IN range(1,65)], (a,b) -> a+b)"
+      def k6(u: String, w: String) =
+        s"CAST(floor(exp(-1.0*(${dot(u, u)} - 2.0*${dot(u, w)} + ${dot(w, w)}))*1e6 + 0.5) AS BIGINT)"
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  CAST(label AS VARCHAR) AS g
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IN (0, 1)),
+         |idx AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY vec_id) AS sk
+         |  FROM base),
+         |odd AS (SELECT g, (sk + 1) // 2 AS j, v AS v1 FROM idx WHERE sk % 2 = 1),
+         |evn AS (SELECT g, sk // 2 AS j, v AS v2 FROM idx WHERE sk % 2 = 0),
+         |pr AS (SELECT odd.g, odd.j, v1, v2
+         |  FROM odd JOIN evn ON odd.g = evn.g AND odd.j = evn.j),
+         |pa AS (SELECT j, v1 AS x1, v2 AS x2 FROM pr WHERE g = '0'),
+         |pb AS (SELECT j, v1 AS y1, v2 AS y2 FROM pr WHERE g = '1'),
+         |hh AS (SELECT ${k6("x1", "x2")} + ${k6("y1", "y2")}
+         |    - ${k6("x1", "y2")} - ${k6("x2", "y1")} AS h6
+         |  FROM pa JOIN pb USING (j)),
+         |counts AS (SELECT
+         |  CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM base),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(h6) AS BIGINT) AS s6 FROM hh)
+         |SELECT n_a, n_b, n_pairs,
+         |  CASE WHEN n_pairs > 0 THEN
+         |    floor(CAST(s6 AS DOUBLE)/(CAST(n_pairs AS DOUBLE)*1e6)*1000000.0 + 0.5)/1000000.0
+         |  END AS mmd2_linear
+         |FROM s CROSS JOIN counts""".stripMargin
+    },
+
+    // Forecast backtest: the dense-grid chain, one join per lag,
+    // exact integer |e| sums, DECIMAL cross-product MASE, 1e-9 sMAPE
+    // term snap before the mean.
+    "q274_forecast_backtest" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |nv AS (SELECT a.t, CAST(SUM(abs(a.v - p.v)) AS BIGINT) AS sd,
+        |       CAST(COUNT(*) AS BIGINT) AS n_naive
+        |  FROM sv a JOIN sv p ON a.t = p.t AND p.bin = a.bin - 1 GROUP BY 1),
+        |fc AS (SELECT a.t, CAST(SUM(abs(a.v - p.v)) AS BIGINT) AS se,
+        |  CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+        |  CAST(SUM(CASE WHEN a.v + p.v = 0 THEN 0
+        |    ELSE CAST(floor(2.0*CAST(abs(a.v - p.v) AS DOUBLE)
+        |      /CAST(a.v + p.v AS DOUBLE)*1e9 + 0.5) AS BIGINT) END) AS BIGINT) AS st9
+        |  FROM sv a JOIN sv p ON a.t = p.t AND p.bin = a.bin - 24 GROUP BY 1)
+        |SELECT fc.t AS event_type, n_naive, n_forecasts,
+        |  floor(CAST(se AS DOUBLE)/CAST(n_forecasts AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mae,
+        |  CASE WHEN sd > 0 THEN
+        |    floor(CAST(CAST(se AS DECIMAL(38,0))*CAST(n_naive AS DECIMAL(38,0)) AS DOUBLE)
+        |      /CAST(CAST(sd AS DECIMAL(38,0))*CAST(n_forecasts AS DECIMAL(38,0)) AS DOUBLE)
+        |      *1000000.0 + 0.5)/1000000.0 END AS mase,
+        |  floor(CAST(st9 AS DOUBLE)/1e9/CAST(n_forecasts AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS smape
+        |FROM fc JOIN nv ON fc.t = nv.t ORDER BY event_type""".stripMargin,
+
+    // Seasonal strength: identical grid/trend-snap/phase-mean chain,
+    // exact integer remainders, DECIMAL population variances.
+    "q275_seasonal_strength" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |mins AS (SELECT t, MIN(bin) AS b0 FROM sv GROUP BY 1),
+        |mom AS (SELECT s.t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(s.bin - m.b0 AS DECIMAL(38,0)) * CAST(s.bin - m.b0 AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(s.bin - m.b0 AS DECIMAL(38,0)) * CAST(s.v AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(s.bin - m.b0 AS DECIMAL(38,0))) AS sx,
+        |  SUM(CAST(s.v AS DECIMAL(38,0))) AS sy
+        |  FROM sv s JOIN mins m ON s.t = m.t GROUP BY 1 HAVING COUNT(*) >= 3),
+        |fit AS (SELECT t, n,
+        |  floor(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+        |    *1e9 + 0.5)/1e9 AS beta,
+        |  floor(((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))*1e9 + 0.5)/1e9 AS alpha
+        |  FROM mom
+        |  WHERE CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0),
+        |detr AS (SELECT s.t, f.n, s.bin % 24 AS ph,
+        |  CAST(floor((CAST(s.v AS DOUBLE)
+        |    - (f.alpha + f.beta * CAST(s.bin - m.b0 AS DOUBLE)))*1e9 + 0.5) AS BIGINT) AS d9
+        |  FROM sv s JOIN mins m ON s.t = m.t JOIN fit f ON s.t = f.t),
+        |seas AS (SELECT t, ph,
+        |  CAST(floor(CAST(SUM(d9) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m9
+        |  FROM detr GROUP BY 1, 2),
+        |j AS (SELECT d.t, d.n, d.d9, d.d9 - s.m9 AS r9
+        |  FROM detr d JOIN seas s ON d.t = s.t AND d.ph = s.ph),
+        |agg AS (SELECT t, MAX(n) AS n_bins,
+        |  SUM(CAST(d9 AS DECIMAL(38,0)) * CAST(d9 AS DECIMAL(38,0))) AS dd,
+        |  SUM(CAST(d9 AS DECIMAL(38,0))) AS ds,
+        |  SUM(CAST(r9 AS DECIMAL(38,0)) * CAST(r9 AS DECIMAL(38,0))) AS rr,
+        |  SUM(CAST(r9 AS DECIMAL(38,0))) AS rs,
+        |  CAST(COUNT(*) AS BIGINT) AS m FROM j GROUP BY 1)
+        |SELECT t AS event_type, n_bins,
+        |  CASE WHEN CAST(m AS DOUBLE)*CAST(dd AS DOUBLE) - CAST(ds AS DOUBLE)*CAST(ds AS DOUBLE) > 0 THEN
+        |    floor(greatest(0.0, 1.0 -
+        |      (CAST(m AS DOUBLE)*CAST(rr AS DOUBLE) - CAST(rs AS DOUBLE)*CAST(rs AS DOUBLE))
+        |      /(CAST(m AS DOUBLE)*CAST(dd AS DOUBLE) - CAST(ds AS DOUBLE)*CAST(ds AS DOUBLE)))
+        |      *1000000.0 + 0.5)/1000000.0 END AS seasonal_strength
+        |FROM agg ORDER BY event_type""".stripMargin,
   )
 }

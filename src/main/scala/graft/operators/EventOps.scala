@@ -1876,6 +1876,149 @@ object EventOps {
       .orderBy(typeCol, "period")
   }
 
+  /** Seasonal-naive forecast backtest per event type: MASE (Hyndman &
+    * Koehler 2006) and sMAPE of the forecast f_t = v_{t−season} over
+    * the gap-filled hourly count grid — "would the obvious seasonal
+    * forecaster have worked on this stream", the capacity-planning /
+    * alerting-threshold readout that closes the loop the q121 seasonal
+    * baseline and q263 periodogram open: MASE < 1 means the seasonal
+    * pattern beats even the in-sample naive step forecast (real,
+    * exploitable seasonality); MASE ≳ 1 says the q121 baseline is
+    * decoration. MASE is THE scale-free forecast error (sMAPE's
+    * known zero-region pathology is why both are printed).
+    *
+    * Determinism: counts are exact integers, so Σ|v_t − f_t| and the
+    * naive-walk scale Σ|v_t − v_{t−1}| are exact longs and
+    * MASE = (Σ|e|·n_naive)/(Σ|d|·n_fore) is ONE pinned division of
+    * DECIMAL(38,0) cross-products rounded 1e-6 (all-flat series — zero
+    * naive denominator — yields NULL); each sMAPE term 2|v−f|/(v+f)
+    * snaps to the 1e-9 integer grid BEFORE the unordered mean (the
+    * snap-then-sum convention), both-zero terms are 0 by the standard
+    * convention.
+    *
+    * Scale shape: the grid builds once (chunked, the q130 machinery)
+    * and checkpoints; the season lag and the step lag are each ONE
+    * (type, bin) equi join on the dense grid — no window, no
+    * per-series sort; both reductions are map-side combinable. */
+  def forecastBacktest(events: DataFrame, season: Int = 24,
+                       binSec: Long = 3600): DataFrame = {
+    require(season >= 1 && season <= 10000, s"season must be in [1, 1e4], got $season")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // both lag joins + both sides read it
+    def lagJoin(lag: Int) = g
+      .join(g.select(sf.col("t"), (sf.col("bin") + lag).as("bin"),
+        sf.col("v").as("vl")), Seq("t", "bin"))
+    val naive = lagJoin(1)
+      .groupBy("t").agg(sf.sum(sf.abs(sf.col("v") - sf.col("vl"))).as("__sd"),
+        sf.count(sf.lit(1)).as("n_naive"))
+    val term9 = sf.when(sf.col("v") + sf.col("vl") === 0, 0L)
+      .otherwise(sf.floor(sf.lit(2.0) *
+        sf.abs(sf.col("v") - sf.col("vl")).cast("double") /
+        (sf.col("v") + sf.col("vl")).cast("double") * 1e9 + 0.5).cast("long"))
+    val fore = lagJoin(season)
+      .select(sf.col("t"), sf.abs(sf.col("v") - sf.col("vl")).as("__ae"),
+        term9.as("__t9"))
+      .groupBy("t").agg(sf.sum("__ae").as("__se"),
+        sf.count(sf.lit(1)).as("n_forecasts"), sf.sum("__t9").as("__st9"))
+    fore.join(naive, "t")
+      .select(sf.col("t").as("event_type"), sf.col("n_naive"),
+        sf.col("n_forecasts"),
+        gf.roundAt(sf.col("__se").cast("double") /
+          sf.col("n_forecasts").cast("double"), 6).as("mae"),
+        sf.when(sf.col("__sd") > 0, gf.roundAt(
+          (dec(sf.col("__se")) * dec(sf.col("n_naive"))).cast("double") /
+            (dec(sf.col("__sd")) * dec(sf.col("n_forecasts"))).cast("double"), 6))
+          .as("mase"),
+        gf.roundAt(sf.col("__st9").cast("double") / 1e9 /
+          sf.col("n_forecasts").cast("double"), 6).as("smape"))
+      .orderBy("event_type")
+  }
+
+  /** Strength of seasonality per event type (Hyndman's STL-strength
+    * reading, F_s = max(0, 1 − Var(remainder)/Var(detrended)), over a
+    * classical decomposition of the gap-filled count grid: linear
+    * trend (exact-moment OLS), seasonal component = per-(type,
+    * bin mod period) mean of the detrended series, remainder what's
+    * left — the NUMBER that says whether the q121 fixed seasonal
+    * baseline is justified (F_s near 1) or fitting noise (near 0),
+    * where the q263 periodogram says only that SOME period stands out.
+    *
+    * Determinism: the trend replays [[durbinWatson]]'s pinned
+    * 1e-9-snapped coefficients; detrended values snap to the 1e-9
+    * integer grid, seasonal means snap via floor(Σd9/n + 0.5) (IEEE
+    * division), so remainders are exact integers and both population
+    * variances are single-row DECIMAL(38,0) assemblies n·Σx² − (Σx)²;
+    * F_s is ONE pinned double assembly rounded 1e-6; a constant
+    * (zero-variance) detrended series yields NULL, a type with < 3
+    * grid bins emits no row (no trend to fit).
+    *
+    * Scale shape: the checkpointed grid + broadcast per-type moments +
+    * one (type, phase)-keyed mean (period-bounded domain) + one
+    * phase-attach equi join + combinable variance rollups. No windows,
+    * no per-series sort. */
+  def seasonalStrength(events: DataFrame, period: Int = 24,
+                       binSec: Long = 3600): DataFrame = {
+    require(period >= 2 && period <= 10000, s"period must be in [2, 1e4], got $period")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true)
+    val mins = g.groupBy("t").agg(sf.min("bin").as("b0"))
+    val mom = g.join(mins, "t")
+      .select(sf.col("t"), (sf.col("bin") - sf.col("b0")).as("x"), sf.col("v"))
+      .groupBy("t").agg(
+        sf.sum(dec(sf.col("x")) * dec(sf.col("x"))).as("__sxx"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("v"))).as("__sxy"),
+        sf.sum(dec(sf.col("x"))).as("__sx"), sf.sum(dec(sf.col("v"))).as("__sy"),
+        sf.count(sf.lit(1)).as("n"))
+      .filter(sf.col("n") >= 3)
+    val nD = sf.col("n").cast("double")
+    val sx = sf.col("__sx").cast("double")
+    val sy = sf.col("__sy").cast("double")
+    val den = nD * sf.col("__sxx").cast("double") - sx * sx
+    val slope = (nD * sf.col("__sxy").cast("double") - sx * sy) / den
+    val fit = mom.filter(den > 0.0)
+      .select(sf.col("t"), sf.col("n"), gf.roundAt(slope, 9).as("beta"),
+        gf.roundAt((sy - slope * sx) / nD, 9).as("alpha"))
+    val detr = g.join(mins, "t").join(fit, "t")
+      .select(sf.col("t"), sf.col("n"),
+        sf.pmod(sf.col("bin"), sf.lit(period.toLong)).as("ph"),
+        sf.floor((sf.col("v").cast("double") -
+          (sf.col("alpha") + sf.col("beta") *
+            (sf.col("bin") - sf.col("b0")).cast("double"))) * 1e9 + 0.5)
+          .cast("long").as("d9"))
+      .localCheckpoint(true) // seasonal means + remainder both read it
+    val seas = detr.groupBy("t", "ph")
+      .agg(sf.floor(sf.sum("d9").cast("double") /
+        sf.count(sf.lit(1)).cast("double") + 0.5).cast("long").as("m9"))
+    val joined = detr.join(seas, Seq("t", "ph"))
+      .select(sf.col("t"), sf.col("n"), sf.col("d9"),
+        (sf.col("d9") - sf.col("m9")).as("r9"))
+    joined.groupBy("t")
+      .agg(sf.max("n").as("n_bins"),
+        sf.sum(dec(sf.col("d9")) * dec(sf.col("d9"))).as("__dd"),
+        sf.sum(dec(sf.col("d9"))).as("__ds"),
+        sf.sum(dec(sf.col("r9")) * dec(sf.col("r9"))).as("__rr"),
+        sf.sum(dec(sf.col("r9"))).as("__rs"),
+        sf.count(sf.lit(1)).as("__m"))
+      .select({
+        val m = sf.col("__m").cast("double")
+        val vd = m * sf.col("__dd").cast("double") -
+          sf.col("__ds").cast("double") * sf.col("__ds").cast("double")
+        val vr = m * sf.col("__rr").cast("double") -
+          sf.col("__rs").cast("double") * sf.col("__rs").cast("double")
+        Seq(sf.col("t").as("event_type"), sf.col("n_bins"),
+          sf.when(vd > 0.0, gf.roundAt(
+            sf.greatest(sf.lit(0.0), sf.lit(1.0) - vr / vd), 6))
+            .as("seasonal_strength"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
   /** Ljung–Box portmanteau statistic (Ljung & Box 1978, Biometrika 65)
     * per event type: Q = n(n+2)·Σ_{k=1..h} r_k²/(n−k) over the [[acf]]
     * autocorrelations — the ONE-NUMBER "is this series white noise"

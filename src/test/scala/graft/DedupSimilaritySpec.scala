@@ -872,4 +872,28 @@ class DedupSimilaritySpec extends SparkFunSuite {
     // ln(90)+ln(6)+ln(9.5) = 8.542861...
     assert(math.abs(r.getAs[Double]("weight") - 8.542861) < 1e-4, r.toString)
   }
+
+  test("Similarity.mmdLinear: hand 1-d value, identical groups 0, odd sample drops") {
+    import spark.implicits._
+    // A = {0,0,1,1}, B = {2,2,3,3}, gamma=0.25: within-pair kernels 1,
+    // cross kernels exp(-1) -> h6 = 2e6 - 2*367879 per pair, mmd = 1.264242
+    val df = (Seq((1L, "a", 0.0), (2L, "a", 0.0), (3L, "a", 1.0), (4L, "a", 1.0),
+      (11L, "b", 2.0), (12L, "b", 2.0), (13L, "b", 3.0), (14L, "b", 3.0)))
+      .toDF("id", "g", "x").select(sf.col("id"), sf.col("g"),
+        sf.array(sf.col("x")).as("v"))
+    val r = Similarity.mmdLinear(df, "id", "v", "g", "a", "b", gamma = 0.25).head()
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4 &&
+      r.getAs[Long]("n_pairs") == 2)
+    assert(r.getAs[Double]("mmd2_linear") == 1.264242, r.toString)
+    // identical distributions: h = k(x1,x2)+k(y1,y2)-k(x1,y2)-k(x2,y1) = 0
+    val same = df.union(df.filter(sf.col("g") === "a")
+      .select(sf.col("id") + 100L, sf.lit("c"), sf.col("v")))
+    val r0 = Similarity.mmdLinear(same, "id", "v", "g", "a", "c", gamma = 0.25).head()
+    assert(r0.getAs[Double]("mmd2_linear") == 0.0, r0.toString)
+    // a trailing odd sample contributes to n_a but not to any pair
+    val odd = df.union(Seq((5L, "a", 9.0)).toDF("id", "g", "x")
+      .select(sf.col("id"), sf.col("g"), sf.array(sf.col("x")).as("v")))
+    val ro = Similarity.mmdLinear(odd, "id", "v", "g", "a", "b", gamma = 0.25).head()
+    assert(ro.getAs[Long]("n_a") == 5 && ro.getAs[Long]("n_pairs") == 2)
+  }
 }

@@ -1956,4 +1956,34 @@ class OperatorsSpec extends SparkFunSuite {
     val rl = EventOps.durbinWatson(lin).head()
     assert(rl.isNullAt(rl.fieldIndex("dw")))
   }
+
+  test("EventOps.forecastBacktest: perfect period-2 pattern has MASE 0; flat NULL") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-10 $h%02d:00:00")
+    def evts(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("x", ts(h), 1.0))
+    }.toDF("event_type", "ts", "value")
+    // counts 1,2,1,2,1,2: lag-2 forecast is exact; naive walk errs 1/bin
+    val r = EventOps.forecastBacktest(evts(Seq(1, 2, 1, 2, 1, 2)), season = 2).head()
+    assert(r.getAs[Long]("n_naive") == 5 && r.getAs[Long]("n_forecasts") == 4)
+    assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Double]("mase") == 0.0 &&
+      r.getAs[Double]("smape") == 0.0, r.toString)
+    // flat series: zero naive denominator -> NULL MASE, zero sMAPE
+    val rf = EventOps.forecastBacktest(evts(Seq(2, 2, 2, 2)), season = 2).head()
+    assert(rf.isNullAt(rf.fieldIndex("mase")) && rf.getAs[Double]("smape") == 0.0)
+  }
+
+  test("EventOps.seasonalStrength: planted period-2 pattern scores 0.8; flat NULL") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-10 $h%02d:00:00")
+    def evts(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("x", ts(h), 1.0))
+    }.toDF("event_type", "ts", "value")
+    // counts 1,3,1,3: trend y=1.4+0.4x, detrended +-(0.4,1.2) pattern,
+    // phase means +-0.8 -> Var(r)/Var(d) = 256/1280 -> F_s = 0.8
+    val r = EventOps.seasonalStrength(evts(Seq(1, 3, 1, 3)), period = 2).head()
+    assert(r.getAs[Long]("n_bins") == 4)
+    assert(r.getAs[Double]("seasonal_strength") == 0.8, r.toString)
+    // constant series: zero detrended variance -> NULL
+    val rf = EventOps.seasonalStrength(evts(Seq(2, 2, 2, 2)), period = 2).head()
+    assert(rf.isNullAt(rf.fieldIndex("seasonal_strength")))
+  }
 }
