@@ -1849,6 +1849,22 @@ object SparkEntry {
     // linear trend + period-24 seasonal means — is q121's baseline real?
     "q275_seasonal_strength" -> ((s, dir) =>
       EventOps.seasonalStrength(Tables.load(s, dir, "events"))),
+
+    // Per-source zlib compressibility profile (Gopher-style gate):
+    // mean deflate ratio + templated/noise tail shares. No SQL zlib
+    // twin -> rows-only at the gate; the property spec pins behavior.
+    "q276_compressibility" -> ((s, dir) =>
+      TextAnalysis.compressibility(docs(s, dir), "text", "source")),
+
+    // Capture-recapture corpus-size estimate from two overlapping
+    // hash-defined "crawls" of the document population.
+    "q277_capture_recapture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusStats.captureRecapture(
+        d.filter(sf.pmod(sf.col("doc_id"), sf.lit(10)) < 6),
+        d.filter(sf.pmod(sf.col("doc_id"), sf.lit(10)) >= 4),
+        "doc_id")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -7863,5 +7879,31 @@ object SparkEntry {
         |      /(CAST(m AS DOUBLE)*CAST(dd AS DOUBLE) - CAST(ds AS DOUBLE)*CAST(ds AS DOUBLE)))
         |      *1000000.0 + 0.5)/1000000.0 END AS seasonal_strength
         |FROM agg ORDER BY event_type""".stripMargin,
+
+    // q276_compressibility has NO oracle: zlib deflate has no DuckDB
+    // twin — the driver records the rows-only check; FunctionsSpec
+    // pins the kernel and OperatorsSpec the profile instead.
+
+    // Capture-recapture: identical hash-split captures, exact distinct
+    // counts, DECIMAL cross products, pinned 1e-4/1e-6 assemblies.
+    "q277_capture_recapture" ->
+      """WITH da AS (SELECT DISTINCT doc_id AS k FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 10 < 6),
+        |db AS (SELECT DISTINCT doc_id AS k FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 10 >= 4),
+        |c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM da),
+        |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM db),
+        |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM da JOIN db USING (k))
+        |SELECT n1, n2, m AS overlap,
+        |  CASE WHEN m > 0 THEN
+        |    floor(CAST(CAST(n1 AS DECIMAL(38,0))*CAST(n2 AS DECIMAL(38,0)) AS DOUBLE)
+        |      /CAST(m AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS lincoln_petersen,
+        |  floor((CAST(CAST(n1+1 AS DECIMAL(38,0))*CAST(n2+1 AS DECIMAL(38,0)) AS DOUBLE)
+        |    /CAST(m+1 AS DOUBLE) - 1.0)*10000.0 + 0.5)/10000.0 AS chapman,
+        |  CASE WHEN n1 > 0 THEN
+        |    floor(CAST(m AS DOUBLE)/CAST(n1 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS overlap_rate_a,
+        |  CASE WHEN n2 > 0 THEN
+        |    floor(CAST(m AS DOUBLE)/CAST(n2 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS overlap_rate_b
+        |FROM c1 CROSS JOIN c2 CROSS JOIN cm""".stripMargin,
   )
 }

@@ -348,6 +348,14 @@ object functions {
     kernel(ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
       "mediaMeta", payload)
 
+  /** zlib-deflate compressed-size ratio (Kernels.deflateRatio) — the
+    * Gopher/RefinedWeb compressibility quality signal: low = templated
+    * repetition, near 1 = high-entropy noise. No SQL-engine twin
+    * exists (zlib), so queries built on it are rows-only at the gate;
+    * the property spec pins the behavior instead. */
+  def deflateRatio(text: Column): Column =
+    kernel(DoubleType, "deflateRatio", text)
+
   /** FastSS k-deletion neighborhood of a string (Kernels
     * .deletionVariants) — the blocking key set for edit-distance
     * similarity joins. */

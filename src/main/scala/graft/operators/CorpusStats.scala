@@ -1551,4 +1551,54 @@ object CorpusStats {
           sf.col("n_terms").cast("double"), 4).as("delta"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Capture–recapture corpus-size estimate (Lincoln–Petersen, with
+    * the Chapman 1951 small-sample correction) from two overlapping
+    * "captures" of the same underlying population — the crawl-planning
+    * twin of [[chao1]]: Chao1 asks "how much vocabulary is left" from
+    * ONE sample's rare-item counts; this asks "how big is the true
+    * document population" from TWO crawls' overlap (two crawl
+    * snapshots, two feeds, crawl vs sitemap), THE standard readout for
+    * "is another crawl worth it" (N̂ close to n₁+n₂−m says the crawls
+    * already saw nearly everything). Estimators:
+    *
+    *   Lincoln–Petersen N̂ = n₁n₂/m (undefined at m = 0 → NULL)
+    *   Chapman N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (always defined, less biased)
+    *
+    * plus the overlap rates m/n₁, m/n₂ (each crawl's estimated
+    * coverage of the other). Independence of captures is the model's
+    * assumption — correlated crawls bias N̂ low; that caveat is the
+    * operator's documentation, not a determinism concern.
+    *
+    * Determinism: n₁, n₂, m are exact distinct-key counts; estimates
+    * are single pinned double assemblies of DECIMAL(38,0) products
+    * (n₁n₂ squares the corpus), rounded 1e-4.
+    *
+    * Scale shape: two map-side-combinable distinct collapses + ONE
+    * key equi join for the overlap + three one-row frames assembled
+    * by broadcast cross joins. No windows, no driver collects. */
+  def captureRecapture(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val da = a.filter(sf.col(keyCol).isNotNull)
+      .select(sf.col(keyCol).as("__k")).distinct().localCheckpoint(true)
+    val db = b.filter(sf.col(keyCol).isNotNull)
+      .select(sf.col(keyCol).as("__k")).distinct().localCheckpoint(true)
+    val c1 = da.agg(sf.count(sf.lit(1)).as("n1"))
+    val c2 = db.agg(sf.count(sf.lit(1)).as("n2"))
+    val cm = da.join(db, "__k").agg(sf.count(sf.lit(1)).as("m"))
+    c1.crossJoin(sf.broadcast(c2)).crossJoin(sf.broadcast(cm))
+      .select({
+        val n1 = sf.col("n1"); val n2 = sf.col("n2"); val m = sf.col("m")
+        Seq(n1, n2, m.as("overlap"),
+          sf.when(m > 0, gf.roundAt(
+            (dec(n1) * dec(n2)).cast("double") / m.cast("double"), 4))
+            .as("lincoln_petersen"),
+          gf.roundAt((dec(n1 + 1) * dec(n2 + 1)).cast("double") /
+            (m + 1).cast("double") - 1.0, 4).as("chapman"),
+          sf.when(n1 > 0, gf.roundAt(m.cast("double") / n1.cast("double"), 6))
+            .as("overlap_rate_a"),
+          sf.when(n2 > 0, gf.roundAt(m.cast("double") / n2.cast("double"), 6))
+            .as("overlap_rate_b"))
+      }: _*)
+  }
 }

@@ -856,19 +856,19 @@ object Graph {
       .select(sf.col("src"), sf.lit(SCALE).as("__v"))
     var auth: DataFrame = null
     val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    // only the raw sum frames persist (each is read twice: sum + max);
+    // the normalized score frames are read once per round — persisting
+    // them would just add node-table cache writes
     for (r <- 1 to iters) {
-      val (ph, pa) = (hub, auth)
       val rawA = edges.join(hub, "src")
         .groupBy("dst").agg(sf.sum("__v").as("__s")).persist()
-      auth = maxNorm(rawA, "dst").persist()
+      auth = maxNorm(rawA, "dst")
       val rawH = edges.join(auth, "dst")
         .groupBy("src").agg(sf.sum("__v").as("__s")).persist()
-      hub = maxNorm(rawH, "src").persist()
+      hub = maxNorm(rawH, "src")
       toFree += rawA; toFree += rawH
-      if (r > 1) { toFree += ph; toFree += pa }
       if (r % UnpersistBatch == 0 && r < iters) {
         val (ckA, ckH) = (auth.localCheckpoint(true), hub.localCheckpoint(true))
-        toFree += auth; toFree += hub
         toFree.foreach(_.unpersist()); toFree.clear()
         auth = ckA; hub = ckH
       }
@@ -914,12 +914,12 @@ object Graph {
     val edges = edges0.persist()
     val nodes = edges.select(sf.col("src").as("item"))
       .union(edges.select(sf.col("dst").as("item"))).distinct().persist()
-    // raw is read twice per round (sum + max) — persist + batched
-    // lineage cut, the relaxRounds/hitsBipartite loop discipline
+    // only raw persists (read twice per round: sum + max); x is read
+    // once per round, so lineage stays linear and the batched
+    // localCheckpoint (relaxRounds discipline) bounds the plan tree
     var x = nodes.select(sf.col("item"), sf.lit(SCALE).as("__v"))
     val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
     for (r <- 1 to iters) {
-      val prev = x
       val raw = edges.join(x.select(sf.col("item").as("src"), sf.col("__v")), "src")
         .groupBy("dst").agg(sf.sum("__v").as("__s")).persist()
       toFree += raw
@@ -931,11 +931,8 @@ object Graph {
             sf.expr(s"(__s * ${SCALE}L) div __mx").as("__n")),
           Seq("item"), "left")
         .select(sf.col("item"), sf.coalesce(sf.col("__n"), sf.lit(0L)).as("__v"))
-        .persist()
-      if (r > 1) toFree += prev
       if (r % UnpersistBatch == 0 && r < iters) {
         val ck = x.localCheckpoint(true)
-        toFree += x
         toFree.foreach(_.unpersist()); toFree.clear()
         x = ck
       }

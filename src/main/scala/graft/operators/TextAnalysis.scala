@@ -1230,4 +1230,50 @@ object TextAnalysis {
       }: _*)
       .orderBy(idCol)
   }
+
+  /** Per-group zlib compressibility profile — the Gopher/RefinedWeb
+    * quality gate the n-gram repetition signals (q34) approximate:
+    * deflate ratio = compressed/original bytes per document
+    * ([[graft.functions.deflateRatio]], level-6 raw deflate), then per
+    * group the mean ratio, the share BELOW `loThreshold` (templated /
+    * repeated boilerplate — the mass a dedup-aware mixture should
+    * down-weight), and the share ABOVE `hiThreshold` (high-entropy
+    * noise: base64, minified blobs, binary-in-text). Reading the two
+    * tails beats a single mean: a source can look average while being
+    * half boilerplate and half noise.
+    *
+    * Determinism: per-doc ratios snap to the 1e-6 integer grid before
+    * the unordered group sum (exact longs; zlib output is a pure
+    * function of the bytes for a fixed JDK). No SQL-engine zlib twin
+    * exists, so the gate check is rows-only — the property spec pins
+    * behavior instead (the documented exception class, like the
+    * multimodal decode stubs).
+    *
+    * Scale shape: map-only kernel per document inside whole-stage
+    * codegen + ONE map-side-combinable group rollup. Zero joins, zero
+    * windows — scan speed. */
+  def compressibility(df: DataFrame, textCol: String, groupCol: String,
+                      loThreshold: Double = 0.3,
+                      hiThreshold: Double = 0.95): DataFrame = {
+    require(loThreshold < hiThreshold,
+      s"need loThreshold < hiThreshold, got $loThreshold >= $hiThreshold")
+    val r6 = sf.floor(gf.deflateRatio(sf.col(textCol)) * 1e6 + 0.5).cast("long")
+    val lo6 = math.floor(loThreshold * 1e6 + 0.5).toLong
+    val hi6 = math.floor(hiThreshold * 1e6 + 0.5).toLong
+    df.filter(sf.col(textCol).isNotNull)
+      .select(sf.col(groupCol).as("grp"), r6.as("__r6"))
+      .groupBy("grp")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum("__r6").as("__s6"),
+        sf.sum((sf.col("__r6") < lo6).cast("long")).as("__nlo"),
+        sf.sum((sf.col("__r6") > hi6).cast("long")).as("__nhi"))
+      .select(sf.col("grp").as(groupCol), sf.col("n_docs"),
+        gf.roundAt(sf.col("__s6").cast("double") / 1e6 /
+          sf.col("n_docs").cast("double"), 6).as("mean_ratio"),
+        gf.roundAt(sf.col("__nlo").cast("double") /
+          sf.col("n_docs").cast("double"), 6).as("share_templated"),
+        gf.roundAt(sf.col("__nhi").cast("double") /
+          sf.col("n_docs").cast("double"), 6).as("share_noise"))
+      .orderBy(groupCol)
+  }
 }

@@ -77,6 +77,30 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** zlib-deflate compressed-size ratio of a string's UTF-8 bytes
+    * (compressed/original, Deflater level 6, raw deflate stream) — the
+    * classic Gopher/RefinedWeb compressibility quality signal: heavily
+    * templated or repeated text compresses far below organic prose
+    * (ratio < ~0.3 flags boilerplate/spam; near 1.0 flags high-entropy
+    * noise like base64 blobs). Deterministic for a fixed JDK zlib
+    * (pure function of the bytes: fixed level, fixed strategy, raw
+    * stream); there is no SQL-engine twin, so the gate check for this
+    * signal is rows-only + property spec — the documented exception
+    * alongside the multimodal decode stubs. Empty/blank input pins to
+    * 1.0 (nothing to compress ≠ compressible). */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    d.end()
+    compressed.toDouble / bytes.length.toDouble
+  }
+
   /** Dot product of two double arrays, sequential accumulation order
     * (parity with a left-fold in any double-precision oracle). */
   def dot(a: ArrayData, b: ArrayData): Double = {

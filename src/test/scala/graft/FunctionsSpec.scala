@@ -189,4 +189,31 @@ class FunctionsSpec extends SparkFunSuite {
     assert(h == "www.example.co.uk")
     intercept[IllegalArgumentException](gf.urlPart(sf.col("u"), "tld"))
   }
+
+  test("functions.deflateRatio: repetition compresses, noise doesn't, empty pins 1") {
+    import spark.implicits._
+    val rep = "the cat sat on the mat. " * 200
+    // a deterministic high-entropy string: md5 hex chunks
+    val noise = (0 until 200).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    val df = Seq(("rep", rep), ("noise", noise), ("empty", ""))
+      .toDF("k", "t")
+    val got = df.select(sf.col("k"), gf.deflateRatio(sf.col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("rep") < 0.1, s"repetitive ratio ${got("rep")}")
+    assert(got("noise") > 0.5, s"noise ratio ${got("noise")}")
+    assert(got("noise") > got("rep") * 5)
+    assert(got("empty") == 1.0)
+    // pure function: a second evaluation is bit-identical
+    val again = df.select(gf.deflateRatio(sf.col("t")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(again == df.select(gf.deflateRatio(sf.col("t")).as("r"))
+      .collect().map(_.getDouble(0)).toSeq)
+    // null text -> null ratio (StaticInvoke null propagation)
+    val rn = Seq(Option.empty[String]).toDF("t")
+      .select(gf.deflateRatio(sf.col("t"))).head()
+    assert(rn.isNullAt(0))
+  }
 }

@@ -1986,4 +1986,45 @@ class OperatorsSpec extends SparkFunSuite {
     val rf = EventOps.seasonalStrength(evts(Seq(2, 2, 2, 2)), period = 2).head()
     assert(rf.isNullAt(rf.fieldIndex("seasonal_strength")))
   }
+
+  test("TextAnalysis.compressibility: templated/noise tails split by group") {
+    val rep = "spam spam spam spam. " * 100
+    val noise = (0 until 100).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    val df = Seq(("tpl", rep), ("tpl", rep), ("mix", rep), ("mix", noise))
+      .toDF("source", "text")
+    val got = TextAnalysis.compressibility(df, "text", "source",
+      loThreshold = 0.3, hiThreshold = 0.95)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("tpl").getAs[Long]("n_docs") == 2 &&
+      got("tpl").getAs[Double]("share_templated") == 1.0 &&
+      got("tpl").getAs[Double]("share_noise") == 0.0)
+    assert(got("mix").getAs[Double]("share_templated") == 0.5)
+    assert(got("mix").getAs[Double]("mean_ratio") >
+      got("tpl").getAs[Double]("mean_ratio"))
+  }
+
+  test("CorpusStats.captureRecapture: hand counts, zero overlap NULL LP") {
+    // A = {1..6}, B = {4..9}: n1=6, n2=6, m=3 -> LP = 12, Chapman =
+    // 49/4 - 1 = 11.25, rates 0.5
+    val a = (1L to 6L).toDF("id")
+    val b = (4L to 9L).toDF("id")
+    val r = CorpusStats.captureRecapture(a, b, "id").head()
+    assert(r.getAs[Long]("n1") == 6 && r.getAs[Long]("n2") == 6 &&
+      r.getAs[Long]("overlap") == 3)
+    assert(r.getAs[Double]("lincoln_petersen") == 12.0)
+    assert(r.getAs[Double]("chapman") == 11.25)
+    assert(r.getAs[Double]("overlap_rate_a") == 0.5 &&
+      r.getAs[Double]("overlap_rate_b") == 0.5)
+    // disjoint captures: LP undefined, Chapman still defined
+    val r0 = CorpusStats.captureRecapture(a,
+      (10L to 12L).toDF("id"), "id").head()
+    assert(r0.isNullAt(r0.fieldIndex("lincoln_petersen")))
+    assert(r0.getAs[Double]("chapman") == 27.0)
+    // duplicate rows collapse: captures are SETS
+    assert(CorpusStats.captureRecapture(a.union(a), b, "id").head()
+      .getAs[Long]("n1") == 6)
+  }
 }

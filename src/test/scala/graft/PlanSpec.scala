@@ -566,4 +566,65 @@ class PlanSpec extends SparkFunSuite {
     assert(shuffles <= 2,
       s"minedEdges should shuffle at most twice (basket agg, pair count), got $shuffles")
   }
+
+  test("r9 additions: centrality loops clean; kendall pairing broadcast; series window-free") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val ev = Tables.load(spark, sf001, "events")
+    // HITS/eigenvector: no cartesian products; every BNLJ build side
+    // is the one-row max aggregate (the integer normalization scalar)
+    Seq(
+      "hits" -> graft.operators.Graph.hitsBipartite(li, "l_suppkey",
+        "l_partkey", iters = 2),
+      "eig" -> graft.operators.Graph.eigenvectorCentrality(li, "l_orderkey",
+        "l_partkey", minPairCount = 2, iters = 2))
+      .foreach { case (name, df) =>
+        df.collect()
+        val nodes = collectAll(executed(df))
+        assert(!nodes.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.joins.CartesianProductExec]),
+          s"$name plan has a cartesian product")
+        nodes.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }.foreach { j =>
+          val buildIsAgg = collectAll(j).exists {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+              a.groupingExpressions.isEmpty
+            case _ => false
+          }
+          assert(buildIsAgg, s"$name has a non-scalar BNLJ:\n$j")
+        }
+      }
+    // kendallTau: the pair enumeration must ride a BROADCAST of the
+    // bounded cell domain (the caller-bucketing contract) — never a
+    // CartesianProduct, never a shuffled sort-merge self join
+    val kt = graft.dq.QualityChecks.kendallTau(
+      li.select(sf.col("l_quantity").cast("long").as("x"),
+        sf.expr("CAST(floor(CAST(l_extendedprice AS DOUBLE)/10000.0) AS BIGINT)").as("y")),
+      "x", "y")
+    kt.collect()
+    val ktNodes = collectAll(executed(kt))
+    assert(!ktNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "kendallTau plan has a cartesian product")
+    assert(ktNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "kendallTau pairing should be a broadcast nested loop over the cell domain")
+    // the new series/stat operators: zero unpartitioned data windows
+    // (globalDenseIds' offset window is keyed on a bounded constant)
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val plans = Seq(
+      "forecastBacktest" -> graft.operators.EventOps.forecastBacktest(ev),
+      "seasonalStrength" -> graft.operators.EventOps.seasonalStrength(ev),
+      "durbinWatson" -> graft.operators.EventOps.durbinWatson(ev),
+      "ljungBox" -> graft.operators.EventOps.ljungBox(ev),
+      "mmdLinear" -> graft.operators.Similarity.mmdLinear(emb, "vec_id",
+        "embedding", "label", "0", "1"))
+    plans.foreach { case (name, df) =>
+      df.collect()
+      val bad = collectAll(executed(df)).collect {
+        case wx: org.apache.spark.sql.execution.window.WindowExec
+          if wx.partitionSpec.isEmpty => wx }
+      assert(bad.isEmpty, s"$name has ${bad.size} unpartitioned window(s)")
+    }
+  }
 }
