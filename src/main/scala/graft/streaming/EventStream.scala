@@ -69,6 +69,39 @@ object EventStream {
       .select(sf.col("w.start").as("window_start"), sf.col("event_type"),
         sf.col("n_events"), sf.col("sum_value"))
 
+  /** STREAM–STATIC anomaly flagging: every incoming event joins a
+    * batch-computed per-(type, hour-of-day) baseline (the
+    * q121 seasonal profile: mean/stddev per slot) and flags values
+    * beyond `z` sigmas — the standard deployment split where the
+    * BASELINE is retrained offline (a batch job over history) and the
+    * DETECTOR runs on the live stream. A stream–static equi join is
+    * stateless on the stream side: Spark broadcasts/rescans the static
+    * side per micro-batch, no watermark or state store involved, so
+    * throughput is map-speed and the baseline can be swapped by
+    * rewriting its path between restarts.
+    *
+    * Output: the event row + its slot baseline + `is_known` (slot
+    * present in the baseline) + `is_anomaly` (NULL-safe: unknown
+    * slots and zero-variance slots are NOT anomalies — they route to
+    * the `is_known`/`sd > 0` readouts instead, the q121 convention).
+    *
+    * The baseline frame must carry (event_type, hr, mu, sd). Works
+    * identically on a batch frame (the parity spec feeds both). */
+  def anomalyStream(events: DataFrame, baseline: DataFrame,
+                    z: Double = 2.5): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    events
+      .withColumn("hr", sf.hour(sf.col("ts")))
+      .join(sf.broadcast(baseline), Seq("event_type", "hr"), "left")
+      .select(sf.col("event_id"), sf.col("ts"), sf.col("event_type"),
+        sf.col("hr"), sf.col("value"), sf.col("mu"), sf.col("sd"),
+        sf.col("mu").isNotNull.as("is_known"),
+        sf.coalesce(
+          sf.col("sd") > 0 &&
+            sf.abs(sf.col("value") - sf.col("mu")) > sf.lit(z) * sf.col("sd"),
+          sf.lit(false)).as("is_anomaly"))
+  }
+
   /** Native session windows on a stream: the SAME
     * groupBy(session_window) as the batch operator
     * (operators.EventOps.sessionWindowAgg) with a watermark bounding

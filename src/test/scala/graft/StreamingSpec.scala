@@ -500,4 +500,37 @@ class StreamingSpec extends SparkFunSuite {
       assert(emitted().count(_._1 == "h") == 1)
     } finally q.stop()
   }
+
+  test("anomalyStream: stream-static baseline join flags beyond-z values") {
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: click@10h mu=2 sd=1; view@10h zero-variance slot
+    val baseline = Seq(("click", 10, 2.0, 1.0), ("view", 10, 5.0, 0.0))
+      .toDF("event_type", "hr", "mu", "sd")
+    val input = MemoryStream[Event]
+    val q = EventStream.anomalyStream(input.toDF(), baseline, z = 2.5)
+      .writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.5),  // within z
+        Event(2, ts("2024-01-01 10:06:00"), 1, "click", 9.0),  // |9-2| > 2.5
+        Event(3, ts("2024-01-01 10:07:00"), 1, "view", 99.0),  // sd=0 slot
+        Event(4, ts("2024-01-01 11:07:00"), 1, "click", 50.0)) // unknown slot
+      q.processAllAvailable()
+      val rows = spark.table("anom").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Boolean]("is_known"), r.getAs[Boolean]("is_anomaly"))).toMap
+      assert(rows(1L) == (true, false))
+      assert(rows(2L) == (true, true))
+      assert(rows(3L) == (true, false)) // zero-variance routes to sd readout
+      assert(rows(4L) == (false, false)) // unseen slot routes to is_known
+      // parity: the same declaration over a BATCH frame agrees
+      val batch = Seq(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.5),
+        Event(2, ts("2024-01-01 10:06:00"), 1, "click", 9.0)).toDF()
+      val b = EventStream.anomalyStream(batch, baseline, z = 2.5).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_anomaly")).toMap
+      assert(b == Map(1L -> false, 2L -> true))
+    } finally q.stop()
+  }
 }
