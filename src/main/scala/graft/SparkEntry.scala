@@ -1865,6 +1865,15 @@ object SparkEntry {
         d.filter(sf.pmod(sf.col("doc_id"), sf.lit(10)) >= 4),
         "doc_id")
     }),
+
+    // t-closeness over (lang, length-bucket) quasi classes with source
+    // as the sensitive attribute: does any class's source distribution
+    // drift more than TV 0.2 from the global one?
+    "q278_t_closeness" -> ((s, dir) =>
+      QualityChecks.tCloseness(
+        docs(s, dir).withColumn("len_bkt",
+          sf.expr("CAST(n_chars DIV 500 AS BIGINT)")),
+        Seq("lang", "len_bkt"), sf.col("source"), t = 0.2)),
   )
 
   // ---------------------------------------------------------------------
@@ -7905,5 +7914,30 @@ object SparkEntry {
         |  CASE WHEN n2 > 0 THEN
         |    floor(CAST(m AS DOUBLE)/CAST(n2 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS overlap_rate_b
         |FROM c1 CROSS JOIN c2 CROSS JOIN cm""".stripMargin,
+
+    // t-closeness: identical cell/margin chain, per-class TV as the
+    // exact rational (A + (N-B)*cc)/(2*cc*N), 1e-6 snap, summary agg.
+    "q278_t_closeness" ->
+      """WITH cells AS (SELECT lang, n_chars // 500 AS len_bkt, source AS s,
+        |  CAST(COUNT(*) AS BIGINT) AS cv FROM documents GROUP BY 1, 2, 3),
+        |ct AS (SELECT lang, len_bkt, CAST(SUM(cv) AS BIGINT) AS cc
+        |  FROM cells GROUP BY 1, 2),
+        |gl AS (SELECT s, CAST(SUM(cv) AS BIGINT) AS gv FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(gv) AS BIGINT) AS n FROM gl),
+        |pc AS (SELECT c.lang, c.len_bkt,
+        |  SUM(abs(CAST(c.cv AS DECIMAL(38,0))*nt.n - CAST(g.gv AS DECIMAL(38,0))*q.cc)) AS a,
+        |  CAST(SUM(g.gv) AS BIGINT) AS b, MAX(q.cc) AS cc, MAX(nt.n) AS n
+        |  FROM cells c JOIN ct q USING (lang, len_bkt) JOIN gl g ON c.s = g.s
+        |  CROSS JOIN nt GROUP BY 1, 2),
+        |tv AS (SELECT cc AS rws,
+        |  floor((CAST(a AS DOUBLE) + CAST(n - b AS DOUBLE)*CAST(cc AS DOUBLE))
+        |    /(2.0*CAST(cc AS DOUBLE)*CAST(n AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS tt
+        |  FROM pc)
+        |SELECT 'lang,len_bkt' AS quasi_cols, CAST(0.2 AS DOUBLE) AS t,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN tt > CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(SUM(CASE WHEN tt > CAST(0.2 AS DOUBLE) THEN rws ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  MAX(tt) AS max_t
+        |FROM tv""".stripMargin,
   )
 }

@@ -253,6 +253,71 @@ object QualityChecks {
         sf.col("rows_at_risk"), sf.col("min_diversity"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third rung of the privacy ladder after [[kAnonymity]] (group
+    * size) and [[lDiversity]] (distinct sensitive values): a group can
+    * be k-anonymous AND l-diverse while its sensitive DISTRIBUTION
+    * still leaks (90% one disease vs 10% globally). t-closeness bounds
+    * the distance between each quasi-identifier class's sensitive
+    * distribution and the global one; for a categorical sensitive
+    * attribute the standard ground distance is total variation:
+    *
+    *   t_class = ½ Σ_v |p_class(v) − p_global(v)|
+    *
+    * including the absent-value mass (a class missing a globally
+    * common value leaks too).
+    *
+    * Determinism: with c_cv, c_c, g_v, N exact integer counts, each
+    * class's TV reduces to the single exact rational
+    * (Σ_present |c_cv·N − g_v·c_c| + (N − Σ_present g_v)·c_c) /
+    * (2·c_c·N) — numerators accumulate as DECIMAL(38,0) (products
+    * square the corpus), ONE double division per class rounded 1e-6,
+    * then an exact summary rollup (violations compare the 1e-6-rounded
+    * t to the threshold — the documented grid).
+    *
+    * Scale shape: one (quasi, sensitive)-cell collapse (map-side
+    * combinable, domain-sized), two margin rollups, one cell-to-margin
+    * equi join + a broadcast one-row N — no windows, no row-level
+    * shuffle beyond the cell collapse. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitive: Column, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && t > 0 && t < 1,
+      "need quasi columns and t in (0, 1)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.groupBy((quasiCols.map(sf.col) :+ sensitive.as("__s")): _*)
+      .agg(sf.count(sf.lit(1)).as("__cv"))
+      .localCheckpoint(true) // class margin + global margin + join read it
+    val classTot = cells.groupBy(quasiCols.map(sf.col): _*)
+      .agg(sf.sum("__cv").cast("long").as("__cc"))
+    val glob = cells.groupBy("__s").agg(sf.sum("__cv").cast("long").as("__gv"))
+    val nTot = glob.agg(sf.sum("__gv").cast("long").as("__n"))
+    val perClass = cells
+      .join(classTot, quasiCols)
+      .join(glob, "__s")
+      .crossJoin(sf.broadcast(nTot))
+      .groupBy(quasiCols.map(sf.col): _*)
+      .agg(
+        sf.sum(sf.abs(dec(sf.col("__cv")) * dec(sf.col("__n")) -
+          dec(sf.col("__gv")) * dec(sf.col("__cc")))).as("__a"),
+        sf.sum("__gv").cast("long").as("__b"),
+        sf.max("__cc").as("__cc"), sf.max("__n").as("__n"))
+      .select(quasiCols.map(sf.col) :+
+        sf.col("__cc").as("__rows") :+
+        gf.roundAt((sf.col("__a").cast("double") +
+          (sf.col("__n") - sf.col("__b")).cast("double") *
+            sf.col("__cc").cast("double")) /
+          (sf.lit(2.0) * sf.col("__cc").cast("double") * sf.col("__n").cast("double")),
+          6).as("__t"): _*)
+    perClass.agg(sf.count(sf.lit(1)).as("n_groups"),
+        sf.sum((sf.col("__t") > t).cast("long")).as("n_violating"),
+        sf.sum(sf.when(sf.col("__t") > t, sf.col("__rows")).otherwise(0L))
+          .cast("long").as("rows_at_risk"),
+        sf.max("__t").as("max_t"))
+      .select(sf.lit(quasiCols.mkString(",")).as("quasi_cols"),
+        sf.lit(t).as("t"), sf.col("n_groups"), sf.col("n_violating"),
+        sf.col("rows_at_risk"), sf.col("max_t"))
+  }
+
   /** Join-key skew profile: the numbers that decide whether a join
     * needs `Skew.saltedJoin` (and at what hot-key threshold) — total
     * rows, exact distinct keys, the heaviest key's count and share,

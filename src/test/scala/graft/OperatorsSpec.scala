@@ -2027,4 +2027,23 @@ class OperatorsSpec extends SparkFunSuite {
     assert(CorpusStats.captureRecapture(a.union(a), b, "id").head()
       .getAs[Long]("n1") == 6)
   }
+
+  test("QualityChecks.tCloseness: skewed classes t=0.5, balanced class 0") {
+    // global {a:2, b:2}; class 1 all-a, class 2 all-b -> TV = 0.5 each
+    val skew = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("q", "s")
+    val r = QualityChecks.tCloseness(skew, Seq("q"), sf.col("s"), t = 0.4).head()
+    assert(r.getAs[Long]("n_groups") == 2 && r.getAs[Long]("n_violating") == 2 &&
+      r.getAs[Long]("rows_at_risk") == 4 && r.getAs[Double]("max_t") == 0.5,
+      r.toString)
+    // every class mirrors the global distribution -> t = 0 everywhere
+    val bal = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("q", "s")
+    val rb = QualityChecks.tCloseness(bal, Seq("q"), sf.col("s"), t = 0.4).head()
+    assert(rb.getAs[Long]("n_violating") == 0 && rb.getAs[Double]("max_t") == 0.0)
+    // absent-value mass counts: class {a:1} vs global {a:1, b:3}
+    // TV = max-style check: p_c = {a:1}, p_g = {a:.25, b:.75} -> 0.75
+    val gap = Seq((1L, "a"), (2L, "b"), (2L, "b"), (2L, "b")).toDF("q", "s")
+    val rg = QualityChecks.tCloseness(gap, Seq("q"), sf.col("s"), t = 0.9).head()
+    assert(rg.getAs[Double]("max_t") == 0.75 && rg.getAs[Long]("n_violating") == 0,
+      rg.toString)
+  }
 }
