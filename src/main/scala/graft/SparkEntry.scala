@@ -1874,6 +1874,13 @@ object SparkEntry {
         docs(s, dir).withColumn("len_bkt",
           sf.expr("CAST(n_chars DIV 500 AS BIGINT)")),
         Seq("lang", "len_bkt"), sf.col("source"), t = 0.2)),
+
+    // Phrase blocklist via one Aho-Corasick pass: multi-word phrases,
+    // all (overlapping) match positions counted.
+    "q279_phrase_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistPhrases(docs(s, dir), "doc_id", "text",
+        phrases = Seq("a a", "fast key", "slow fast", "spark",
+          "table table", "window data"))),
   )
 
   // ---------------------------------------------------------------------
@@ -7939,5 +7946,23 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN tt > CAST(0.2 AS DOUBLE) THEN rws ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |  MAX(tt) AS max_t
         |FROM tv""".stripMargin,
+
+    // Phrase blocklist: the naive per-position substring scan is the
+    // quadratic oracle twin of the Aho-Corasick pass (identical
+    // all-end-positions semantics, overlaps included).
+    "q279_phrase_blocklist" ->
+      """WITH p(ph) AS (SELECT unnest(['a a','fast key','slow fast','spark',
+        |  'table table','window data'])),
+        |d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, ph,
+        |  len([i FOR i IN range(1, len(t) - len(ph) + 2)
+        |       IF substr(t, i, len(ph)) = ph]) AS c
+        |  FROM d CROSS JOIN p),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phrases_matched
+        |  FROM m GROUP BY 1)
+        |SELECT doc_id, n_hits, n_phrases_matched,
+        |  CAST(n_hits > 0 AS INT) AS flagged
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

@@ -348,6 +348,17 @@ object functions {
     kernel(ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
       "mediaMeta", payload)
 
+  /** [n_match_occurrences, n_distinct_patterns] of every pattern over
+    * the text in ONE pass (Kernels.multiMatch — a per-plan-memoized
+    * Aho–Corasick automaton): O(chars + matches) regardless of list
+    * size, the property that makes a 100k-phrase blocklist a single
+    * scan instead of 100k contains() probes. All end positions count
+    * (overlapping/nested matches included); case-sensitive — callers
+    * normalize both sides. */
+  def multiMatch(text: Column, patterns: Column): Column =
+    kernel(ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+      "multiMatch", text, patterns)
+
   /** zlib-deflate compressed-size ratio (Kernels.deflateRatio) — the
     * Gopher/RefinedWeb compressibility quality signal: low = templated
     * repetition, near 1 = high-entropy noise. No SQL-engine twin

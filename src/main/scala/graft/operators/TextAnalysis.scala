@@ -716,6 +716,39 @@ object TextAnalysis {
       (hits > 0).cast("int").as("flagged"))
       .orderBy(idCol)
   }
+  /** PHRASE blocklist tagging via a single Aho–Corasick pass
+    * ([[graft.functions.multiMatch]]) — the SUBSTRING/multi-word
+    * companion of the token-level [[blocklistTag]]: real blocklists
+    * (policy phrase lists, boilerplate markers, SEO spam templates)
+    * are phrases, not tokens, and matching them by k contains() probes
+    * is O(chars·k) where the automaton is O(chars + matches)
+    * regardless of list size — at 100 TB the difference between a
+    * scan-speed gate and a quadratic one. Counts follow the automaton
+    * semantics: every match END POSITION counts (overlapping and
+    * nested matches included — "a a" hits twice inside "a a a"); the
+    * oracle twin is the naive per-position substring scan.
+    *
+    * Scale shape: map-only kernel inside whole-stage codegen (the
+    * automaton is built once per plan and memoized per JVM); one
+    * output row per document, ordered. Zero joins, zero shuffles
+    * beyond the output order. */
+  def blocklistPhrases(docs0: DataFrame, idCol: String, textCol: String,
+                       phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase blocklist must not be empty")
+    require(phrases.forall(_.nonEmpty), "phrase blocklist contains an empty phrase")
+    require(phrases.size <= 100000, "literal phrase blocklist capped at 100k")
+    val docs = prepared(docs0, idCol, textCol)
+      .filter(sf.col(textCol).isNotNull)
+    val pats = sf.lit(phrases.map(_.toLowerCase).distinct.sorted.toArray)
+    val mm = gf.multiMatch(sf.lower(sf.col(textCol)), pats)
+    docs.select(
+      sf.col(idCol),
+      mm.getItem(0).as("n_hits"),
+      mm.getItem(1).as("n_phrases_matched"),
+      (mm.getItem(0) > 0L).cast("int").as("flagged"))
+      .orderBy(idCol)
+  }
+
   /** Tokenizer fertility profile per source: how many subword (BPE-ish)
     * tokens a source costs per whitespace word and per UTF-8 byte —
     * the budgeting number that says "this source is 40% more expensive

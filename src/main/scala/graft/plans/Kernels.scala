@@ -77,6 +77,105 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Aho–Corasick multi-pattern automaton (Aho & Corasick 1975, CACM
+    * 18(6)): goto trie + BFS failure links + dictionary-suffix links,
+    * built once per distinct pattern-array literal and memoized per
+    * JVM (identity-keyed — a plan's literal array is one shared object
+    * across rows and tasks). Matching a document is then O(chars +
+    * matches) REGARDLESS of list size — the property that makes a
+    * 100k-phrase blocklist a single scan instead of 100k contains()
+    * probes. */
+  private final class AhoCorasick(patterns: Array[String]) {
+    private val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Char, Int]())
+    private val failB = scala.collection.mutable.ArrayBuffer(0)
+    private val endPatB = scala.collection.mutable.ArrayBuffer(-1) // pattern id ending here
+    // trie
+    patterns.zipWithIndex.foreach { case (p, id) =>
+      var s = 0
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        s = if (gotoMaps(s).containsKey(c)) gotoMaps(s).get(c) else {
+          gotoMaps += new java.util.HashMap[Char, Int]()
+          failB += 0; endPatB += -1
+          val ns = gotoMaps.size - 1
+          gotoMaps(s).put(c, ns); ns
+        }
+        i += 1
+      }
+      endPatB(s) = id
+    }
+    private val fail = failB.toArray
+    private val endPat = endPatB.toArray
+    private val dict = Array.fill(gotoMaps.size)(0) // nearest emitting suffix state
+    // BFS failure + dictionary links
+    locally {
+      val q = new java.util.ArrayDeque[Int]()
+      val rootIt = gotoMaps(0).values().iterator()
+      while (rootIt.hasNext) { val v = rootIt.next(); fail(v) = 0; q.add(v) }
+      while (!q.isEmpty) {
+        val u = q.poll()
+        dict(u) = if (endPat(fail(u)) >= 0) fail(u) else dict(fail(u))
+        val it = gotoMaps(u).entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          val c: Char = en.getKey
+          val v: Int = en.getValue
+          var f = fail(u)
+          while (f != 0 && !gotoMaps(f).containsKey(c)) f = fail(f)
+          fail(v) = if (gotoMaps(f).containsKey(c) && gotoMaps(f).get(c) != v)
+            gotoMaps(f).get(c) else 0
+          q.add(v)
+        }
+      }
+    }
+    /** [total match occurrences, distinct patterns matched]. */
+    def count(text: String): Array[Long] = {
+      var s = 0
+      var hits = 0L
+      val seen = new java.util.HashSet[Int]()
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (s != 0 && !gotoMaps(s).containsKey(c)) s = fail(s)
+        if (gotoMaps(s).containsKey(c)) s = gotoMaps(s).get(c)
+        var e = if (endPat(s) >= 0) s else dict(s)
+        while (e != 0) {
+          hits += 1
+          seen.add(endPat(e))
+          e = dict(e)
+        }
+        i += 1
+      }
+      Array(hits, seen.size.toLong)
+    }
+  }
+
+  /** Per-JVM automaton memo, identity-keyed on the pattern ArrayData
+    * literal (one object per plan). Bounded: cleared past 32 plans. */
+  private val acCache = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[AnyRef, AhoCorasick]())
+
+  /** [n_match_occurrences, n_distinct_patterns] of every pattern in
+    * `patterns` over `text`, ALL end positions counted (overlapping
+    * and nested matches included — the Aho–Corasick semantics; the
+    * oracle twin is the naive per-position substring scan). Matching
+    * is case-sensitive on the already-normalized inputs — callers
+    * lowercase both sides. */
+  def multiMatch(text: UTF8String, patterns: ArrayData): ArrayData = {
+    var ac = acCache.get(patterns)
+    if (ac == null) {
+      val arr = Array.tabulate(patterns.numElements())(i =>
+        patterns.getUTF8String(i).toString)
+      require(arr.forall(_.nonEmpty), "multiMatch: empty pattern")
+      ac = new AhoCorasick(arr)
+      if (acCache.size > 32) acCache.clear()
+      acCache.put(patterns, ac)
+    }
+    UnsafeArrayData.fromPrimitiveArray(ac.count(text.toString))
+  }
+
   /** zlib-deflate compressed-size ratio of a string's UTF-8 bytes
     * (compressed/original, Deflater level 6, raw deflate stream) — the
     * classic Gopher/RefinedWeb compressibility quality signal: heavily

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => sf}
 import graft.{functions => gf}
+import graft.operators.TextAnalysis
 
 class FunctionsSpec extends SparkFunSuite {
   import spark.implicits._
@@ -188,6 +189,30 @@ class FunctionsSpec extends SparkFunSuite {
     val h = urls.limit(1).select(gf.urlPart(sf.col("u"), "host")).head.getString(0)
     assert(h == "www.example.co.uk")
     intercept[IllegalArgumentException](gf.urlPart(sf.col("u"), "tld"))
+  }
+
+  test("functions.multiMatch: AC counts all end positions, overlaps included") {
+    import spark.implicits._
+    val pats = sf.lit(Array("a", "aa"))
+    def run(t: String) = Seq(t).toDF("t")
+      .select(gf.multiMatch(sf.col("t"), pats)).head().getSeq[Long](0)
+    // "aaa": 'a' x3 + 'aa' x2 (overlapping) = 5 hits, 2 distinct
+    assert(run("aaa") == Seq(5L, 2L))
+    assert(run("bbb") == Seq(0L, 0L))
+    assert(run("xax") == Seq(1L, 1L))
+    // self-overlapping multi-word phrase: "a a" twice inside "a a a"
+    val p2 = sf.lit(Array("a a"))
+    assert(Seq("a a a").toDF("t").select(gf.multiMatch(sf.col("t"), p2))
+      .head().getSeq[Long](0) == Seq(2L, 1L))
+    // operator wrapper: flag + counts on a hand corpus
+    val docs = Seq((1L, "fast key fast key"), (2L, "nothing here"),
+      (3L, "SLOW FAST")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistPhrases(docs, "doc_id", "text",
+      Seq("fast key", "slow fast")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got(1L) == (2L, 1L, 1))
+    assert(got(2L) == (0L, 0L, 0))
+    assert(got(3L) == (1L, 1L, 1)) // case-insensitive via lower()
   }
 
   test("functions.deflateRatio: repetition compresses, noise doesn't, empty pins 1") {
