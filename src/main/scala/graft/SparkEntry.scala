@@ -1881,6 +1881,15 @@ object SparkEntry {
       TextAnalysis.blocklistPhrases(docs(s, dir), "doc_id", "text",
         phrases = Seq("a a", "fast key", "slow fast", "spark",
           "table table", "window data"))),
+
+    // Log-rank test: do even- and odd-id user cohorts reach purchase
+    // at the same hazard? Censoring-correct survival inference (the
+    // q173 KM curves' significance companion).
+    "q280_log_rank" -> ((s, dir) =>
+      QualityChecks.logRank(
+        EventOps.timeToEvent(Tables.load(s, dir, "events"))
+          .withColumn("cohort", sf.pmod(sf.col("user_id"), sf.lit(2)).cast("string")),
+        "duration_s", "observed", "cohort", "0", "1")),
   )
 
   // ---------------------------------------------------------------------
@@ -7964,5 +7973,47 @@ object SparkEntry {
         |SELECT doc_id, n_hits, n_phrases_matched,
         |  CAST(n_hits > 0 AS INT) AS flagged
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Log-rank: the q173 duration chain + parity cohorts, exact risk
+    // sets via the same prefix sums, 1e-9-snapped E/V terms, one
+    // pinned chi2 assembly.
+    "q280_log_rank" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+        |  CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END))) AS BIGINT) AS te,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS tl
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT COALESCE(te, tl) - t0 AS duration, te IS NOT NULL AS e,
+        |  CAST(user_id % 2 AS VARCHAR) AS grp FROM u),
+        |g AS (SELECT duration,
+        |  CAST(SUM(CASE WHEN grp = '0' AND e THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(SUM(CASE WHEN grp = '0' AND NOT e THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(SUM(CASE WHEN grp = '1' AND e THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |  CAST(SUM(CASE WHEN grp = '1' AND NOT e THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM d WHERE duration >= 0 AND grp IN ('0', '1') GROUP BY 1),
+        |n AS (SELECT CAST(SUM(d1 + c1) AS BIGINT) AS n1,
+        |      CAST(SUM(d2 + c2) AS BIGINT) AS n2 FROM g),
+        |r AS (SELECT duration, d1, d2,
+        |  n1 - (CAST(SUM(d1 + c1) OVER (ORDER BY duration) AS BIGINT) - (d1 + c1)) AS n1t,
+        |  n2 - (CAST(SUM(d2 + c2) OVER (ORDER BY duration) AS BIGINT) - (d2 + c2)) AS n2t
+        |  FROM g CROSS JOIN n),
+        |t AS (SELECT duration, d1, d2, n1t, n2t,
+        |  CAST(d1 + d2 AS DOUBLE) AS dt,
+        |  CAST(n1t AS DOUBLE) AS nn1, CAST(n2t AS DOUBLE) AS nn2
+        |  FROM r WHERE d1 + d2 > 0),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+        |  CAST(SUM(d1) AS BIGINT) AS o1,
+        |  CAST(SUM(CAST(floor(dt*nn1/(nn1+nn2)*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS e9,
+        |  CAST(SUM(CASE WHEN n1t + n2t > 1 THEN
+        |    CAST(floor(dt*(nn1/(nn1+nn2))*(nn2/(nn1+nn2))*((nn1+nn2)-dt)
+        |      /((nn1+nn2)-1.0)*1e9 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS v9
+        |  FROM t)
+        |SELECT n_event_times, o1,
+        |  floor(CAST(e9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS e1,
+        |  CASE WHEN v9 > 0 THEN
+        |    floor((CAST(o1 AS DOUBLE) - CAST(e9 AS DOUBLE)/1e9)
+        |      *(CAST(o1 AS DOUBLE) - CAST(e9 AS DOUBLE)/1e9)
+        |      /(CAST(v9 AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 END AS chi2
+        |FROM s""".stripMargin,
   )
 }

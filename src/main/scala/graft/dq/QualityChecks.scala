@@ -873,6 +873,74 @@ object QualityChecks {
       .orderBy("duration")
   }
 
+  /** Log-rank test (Mantel 1966; Peto & Peto 1972) between two groups'
+    * survival curves — the inference companion of [[kaplanMeier]]: KM
+    * draws the curves, log-rank says whether they differ beyond
+    * chance ("does cohort B churn faster", "does the new pipeline's
+    * time-to-first-byte survive longer"), correctly using CENSORED
+    * rows that a naive mean-duration t-test throws away or biases on.
+    * At each event time t: O₁ₜ = d₁ₜ observed group-1 events,
+    * E₁ₜ = dₜ·n₁ₜ/nₜ expected under the pooled-hazard null, and the
+    * hypergeometric variance Vₜ = dₜ(n₁ₜ/nₜ)(n₂ₜ/nₜ)(nₜ−dₜ)/(nₜ−1);
+    * χ² = (ΣO₁ₜ − ΣE₁ₜ)²/ΣVₜ ~ χ²(1).
+    *
+    * Determinism: leave counts and risk sets are exact integers
+    * (risk-set construction rides the [[kaplanMeier]] prefix-sum
+    * machinery — n_gt = n_g − (cum_g − leave_gt)); each E₁ₜ and Vₜ is
+    * a pinned double from exact longs snapped to the 1e-9 integer
+    * grid BEFORE the unordered sums (the snap-then-sum convention);
+    * χ² is one pinned assembly rounded 1e-6; zero variance (no event
+    * time with both groups at risk) → NULL.
+    *
+    * Scale shape: one (duration)-keyed collapse with per-group
+    * conditional sums (map-side combinable, time-domain-sized), ONE
+    * range-partitioned prefix-sum pass over the time domain
+    * (`globalPrefixSumsMulti` — never a one-task window), a broadcast
+    * one-row totals frame, and a single-row rollup. */
+  def logRank(df: DataFrame, durCol: String, eventCol: String,
+              groupCol: String, groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "logRank needs two distinct groups")
+    val g = sf.col(groupCol).cast("string")
+    val base = graft.operators.Par.spread(
+      df.select(sf.col(durCol).cast("long").as("duration"),
+        sf.col(eventCol).cast("boolean").as("__e"), g.as("__g")))
+      .filter(sf.col("duration").isNotNull && sf.col("duration") >= 0 &&
+        sf.col("__e").isNotNull && sf.col("__g").isin(groupA, groupB))
+    def cnt(grp: String, ev: Boolean) = sf.sum(
+      sf.when(sf.col("__g") === grp && sf.col("__e") === ev, 1L).otherwise(0L))
+    val cells = base.groupBy("duration")
+      .agg(cnt(groupA, ev = true).as("d1"), cnt(groupA, ev = false).as("c1"),
+        cnt(groupB, ev = true).as("d2"), cnt(groupB, ev = false).as("c2"))
+      .withColumn("__l1", sf.col("d1") + sf.col("c1"))
+      .withColumn("__l2", sf.col("d2") + sf.col("c2"))
+      .localCheckpoint(true) // totals broadcast + prefix pass read it
+    val tot = cells.agg(sf.sum("__l1").as("__n1"), sf.sum("__l2").as("__n2"))
+    val risk = graft.operators.StarSchema.globalPrefixSumsMulti(
+        cells, Seq("duration"), Seq("__l1" -> "__cum1", "__l2" -> "__cum2"))
+      .crossJoin(sf.broadcast(tot))
+      .select(sf.col("duration"), sf.col("d1"), sf.col("d2"),
+        (sf.col("__n1") - (sf.col("__cum1") - sf.col("__l1"))).as("n1t"),
+        (sf.col("__n2") - (sf.col("__cum2") - sf.col("__l2"))).as("n2t"))
+      .filter(sf.col("d1") + sf.col("d2") > 0)
+    val dt = (sf.col("d1") + sf.col("d2")).cast("double")
+    val n1 = sf.col("n1t").cast("double")
+    val n2 = sf.col("n2t").cast("double")
+    val nt = n1 + n2
+    val e9 = sf.floor(dt * n1 / nt * 1e9 + 0.5).cast("long")
+    val v9 = sf.when(sf.col("n1t") + sf.col("n2t") > 1,
+      sf.floor(dt * (n1 / nt) * (n2 / nt) * (nt - dt) / (nt - sf.lit(1.0))
+        * 1e9 + 0.5).cast("long")).otherwise(0L)
+    risk.agg(sf.count(sf.lit(1)).as("n_event_times"),
+        sf.sum("d1").cast("long").as("o1"),
+        sf.sum(e9).as("__e9"), sf.sum(v9).as("__v9"))
+      .select(sf.col("n_event_times"), sf.col("o1"),
+        gf.roundAt(sf.col("__e9").cast("double") / 1e9, 6).as("e1"),
+        sf.when(sf.col("__v9") > 0, gf.roundAt(
+          (sf.col("o1").cast("double") - sf.col("__e9").cast("double") / 1e9) *
+            (sf.col("o1").cast("double") - sf.col("__e9").cast("double") / 1e9) /
+            (sf.col("__v9").cast("double") / 1e9), 6)).as("chi2"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical labelings of the same rows (annotator vs annotator,
     * declared vs model-predicted label): kappa = (p_o − p_e)/(1 − p_e)

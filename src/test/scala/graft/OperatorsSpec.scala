@@ -2028,6 +2028,28 @@ class OperatorsSpec extends SparkFunSuite {
       .getAs[Long]("n1") == 6)
   }
 
+  test("QualityChecks.logRank: hand O/E/V replay; single-cohort NULL") {
+    // A: events at t=1,3; B: event at t=2, censored at t=3
+    val df = Seq((1L, true, "a"), (3L, true, "a"), (2L, true, "b"),
+      (3L, false, "b")).toDF("dur", "ev", "g")
+    val r = QualityChecks.logRank(df, "dur", "ev", "g", "a", "b").head()
+    assert(r.getAs[Long]("n_event_times") == 3 && r.getAs[Long]("o1") == 2)
+    // E terms: 1*2/4, 1*1/3, 1*1/2 snapped 1e-9; V: 1/4, 2/9, 1/4
+    val e9 = math.floor(0.5 * 1e9 + 0.5) + math.floor(1.0 / 3 * 1e9 + 0.5) +
+      math.floor(0.5 * 1e9 + 0.5)
+    // t2: dt=1, n1t=1, n2t=2, n=3 -> (1/3)(2/3)(3-1)/(3-1) = 2/9
+    val v9 = math.floor(0.25 * 1e9 + 0.5) +
+      math.floor(1.0 / 3 * (2.0 / 3) * 2.0 / 2.0 * 1e9 + 0.5) +
+      math.floor(0.25 * 1e9 + 0.5)
+    assert(r.getAs[Double]("e1") == math.floor(e9 / 1e9 * 1e6 + 0.5) / 1e6)
+    val chi = (2.0 - e9 / 1e9) * (2.0 - e9 / 1e9) / (v9 / 1e9)
+    assert(r.getAs[Double]("chi2") == math.floor(chi * 1e6 + 0.5) / 1e6, r.toString)
+    // one empty cohort: zero variance -> NULL chi2
+    val solo = Seq((1L, true, "a"), (2L, false, "a")).toDF("dur", "ev", "g")
+    val rs = QualityChecks.logRank(solo, "dur", "ev", "g", "a", "b").head()
+    assert(rs.isNullAt(rs.fieldIndex("chi2")))
+  }
+
   test("QualityChecks.tCloseness: skewed classes t=0.5, balanced class 0") {
     // global {a:2, b:2}; class 1 all-a, class 2 all-b -> TV = 0.5 each
     val skew = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("q", "s")
