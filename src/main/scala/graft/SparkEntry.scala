@@ -1890,6 +1890,12 @@ object SparkEntry {
         EventOps.timeToEvent(Tables.load(s, dir, "events"))
           .withColumn("cohort", sf.pmod(sf.col("user_id"), sf.lit(2)).cast("string")),
         "duration_s", "observed", "cohort", "0", "1")),
+
+    // Difference-in-differences: odd-id users "treated" at the q231
+    // cutoff — the non-randomized lift estimator with unpooled SE.
+    "q281_diff_in_diff" -> ((s, dir) =>
+      EventOps.diffInDiff(Tables.load(s, dir, "events"),
+        cutoff = "2024-01-16 00:00:00", treatPred = _ % 2 === 1)),
   )
 
   // ---------------------------------------------------------------------
@@ -8015,5 +8021,47 @@ object SparkEntry {
         |      *(CAST(o1 AS DOUBLE) - CAST(e9 AS DOUBLE)/1e9)
         |      /(CAST(v9 AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 END AS chi2
         |FROM s""".stripMargin,
+
+    // DiD: identical four-cell exact moments, pinned mean/variance/t
+    // assemblies (means and variances replayed cell by cell).
+    "q281_diff_in_diff" -> {
+      val cells = Seq(
+        ("t_pre", "t AND NOT p"), ("t_post", "t AND p"),
+        ("c_pre", "NOT t AND NOT p"), ("c_post", "NOT t AND p"))
+      val sums = cells.map { case (s, c) =>
+        s"""CAST(SUM(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS n_$s,
+           |  CAST(SUM(CASE WHEN $c THEN v ELSE 0 END) AS BIGINT) AS s_$s,
+           |  SUM(CASE WHEN $c THEN CAST(v AS DECIMAL(38,0))*v
+           |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_$s""".stripMargin
+      }.mkString(",\n  ")
+      def m(s: String) = s"CAST(s_$s AS DOUBLE)/1e4/CAST(n_$s AS DOUBLE)"
+      def vn(s: String) =
+        s"""(CAST(CAST(n_$s AS DECIMAL(38,0))*q_$s
+           | - CAST(s_$s AS DECIMAL(38,0))*CAST(s_$s AS DECIMAL(38,0)) AS DOUBLE)/1e8
+           | /(CAST(n_$s AS DOUBLE)*(CAST(n_$s AS DOUBLE)-1.0))/CAST(n_$s AS DOUBLE))""".stripMargin
+      val did = s"((${m("t_post")}) - (${m("t_pre")})) - ((${m("c_post")}) - (${m("c_pre")}))"
+      val se2 = cells.map(c => vn(c._1)).mkString("(", " + ", ")")
+      val allN = cells.map(c => s"n_${c._1} > 0").mkString(" AND ")
+      val allV = cells.map(c => s"n_${c._1} >= 2").mkString(" AND ")
+      val means = cells.map { case (s, _) =>
+        s"CASE WHEN n_$s > 0 THEN floor((${m(s)})*1000000.0 + 0.5)/1000000.0 END AS mean_$s"
+      }.mkString(",\n  ")
+      s"""WITH b AS (SELECT (user_id % 2 = 1) AS t,
+         |  (ts >= TIMESTAMP '2024-01-16 00:00:00') AS p,
+         |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+         |a AS (SELECT
+         |  $sums
+         |  FROM b)
+         |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |  $means,
+         |  CASE WHEN $allN THEN floor(($did)*1000000.0 + 0.5)/1000000.0 END AS did,
+         |  CASE WHEN $allV AND $se2 > 0.0 THEN
+         |    floor(sqrt($se2)*1000000.0 + 0.5)/1000000.0 END AS se,
+         |  CASE WHEN $allN AND $allV AND $se2 > 0.0 THEN
+         |    floor(($did)/sqrt($se2)*1000000.0 + 0.5)/1000000.0 END AS t_stat
+         |FROM a""".stripMargin
+    },
   )
 }

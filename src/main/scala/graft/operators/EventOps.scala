@@ -1693,6 +1693,81 @@ object EventOps {
           gf.roundAt((num / den1) * (num / den2), 6)).as("rho2"))
   }
 
+  /** Difference-in-differences estimator (the two-period, two-group
+    * workhorse of quasi-experimental readouts): DiD =
+    * (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) — the
+    * causal-ish lift number when assignment wasn't randomized but a
+    * PRE period exists (a rollout hit half the fleet at `cutoff`: raw
+    * post-period comparison confounds with group level differences;
+    * DiD nets them out under the parallel-trends assumption, which is
+    * the documented model caveat). Completes the experimentation
+    * family: [[abLift]] is the randomized case, [[cupedLift]] the
+    * variance-reduced randomized case, DiD the non-randomized one.
+    *
+    * Inference: the standard unpooled SE over the four cell means,
+    * SE² = Σ_cells s²/n with s² the exact-moment sample variance —
+    * printed beside t = DiD/SE.
+    *
+    * Determinism: values snap to the 1e-4 grid; each cell carries
+    * exact (n, Σv4, Σv4²) with squares in DECIMAL(38,0); means,
+    * variances, DiD, SE, and t are single pinned double assemblies
+    * rounded 1e-6. An empty cell → NULL DiD; any cell with n < 2 or a
+    * zero SE → NULL t.
+    *
+    * Scale shape: ONE map-side-combinable aggregation producing the
+    * four (group, period) cells (12 sums per map task) + a one-row
+    * finish. Zero joins, zero windows, zero shuffled data rows. */
+  def diffInDiff(events: DataFrame, cutoff: String,
+                 treatPred: Column => Column,
+                 keyCol: String = "user_id", valueCol: String = "value",
+                 tsCol: String = "ts"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cut = sf.lit(cutoff).cast("timestamp")
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val base = events
+      .filter(sf.col(keyCol).isNotNull && sf.col(valueCol).isNotNull &&
+        sf.col(tsCol).isNotNull)
+      .select(treatPred(sf.col(keyCol)).as("__t"),
+        (sf.col(tsCol) >= cut).as("__p"), v4.as("__v"))
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sf.sum(sf.when(sf.col("__t") === t && sf.col("__p") === p, 1L)
+        .otherwise(0L)).as(s"n_$suffix"),
+      sf.sum(sf.when(sf.col("__t") === t && sf.col("__p") === p, sf.col("__v"))
+        .otherwise(0L)).cast("long").as(s"__s_$suffix"),
+      sf.sum(sf.when(sf.col("__t") === t && sf.col("__p") === p,
+        dec(sf.col("__v")) * dec(sf.col("__v")))
+        .otherwise(sf.lit(0).cast("decimal(38,0)"))).as(s"__q_$suffix"))
+    val cols = cell(t = true, p = false, "t_pre") ++
+      cell(t = true, p = true, "t_post") ++
+      cell(t = false, p = false, "c_pre") ++
+      cell(t = false, p = true, "c_post")
+    val agg2 = base.agg(cols.head, cols.tail: _*)
+    def m(s: String) = sf.col(s"__s_$s").cast("double") / 1e4 /
+      sf.col(s"n_$s").cast("double")
+    // guarded: the sum appears inside WHEN *predicates* (se2 > 0), so
+    // an unguarded division would hit ANSI divide-by-zero on an empty
+    // cell even though the output branch never fires
+    def varOverN(s: String) = {
+      val n = sf.col(s"n_$s").cast("double")
+      val num = (dec(sf.col(s"n_$s")) * sf.col(s"__q_$s") -
+        dec(sf.col(s"__s_$s")) * dec(sf.col(s"__s_$s"))).cast("double") / 1e8
+      sf.when(sf.col(s"n_$s") >= 2, num / (n * (n - 1.0)) / n).otherwise(0.0)
+    }
+    val cells = Seq("t_pre", "t_post", "c_pre", "c_post")
+    val allPresent = cells.map(s => sf.col(s"n_$s") > 0).reduce(_ && _)
+    val allVar = cells.map(s => sf.col(s"n_$s") >= 2).reduce(_ && _)
+    val did = (m("t_post") - m("t_pre")) - (m("c_post") - m("c_pre"))
+    val se2 = cells.map(varOverN).reduce(_ + _)
+    agg2.select(
+      (cells.map(s => sf.col(s"n_$s")) ++
+        cells.map(s => sf.when(sf.col(s"n_$s") > 0, gf.roundAt(m(s), 6))
+          .as(s"mean_$s")) ++ Seq(
+        sf.when(allPresent, gf.roundAt(did, 6)).as("did"),
+        sf.when(allVar && se2 > 0.0, gf.roundAt(sf.sqrt(se2), 6)).as("se"),
+        sf.when(allPresent && allVar && se2 > 0.0,
+          gf.roundAt(did / sf.sqrt(se2), 6)).as("t_stat"))): _*)
+  }
+
   /** Wald–Wolfowitz runs test (1940) per event type over the
     * gap-filled daily count series: is the sequence of above-/
     * below-median days RANDOM, or does it clump? Too FEW runs =

@@ -2028,6 +2028,28 @@ class OperatorsSpec extends SparkFunSuite {
       .getAs[Long]("n1") == 6)
   }
 
+  test("EventOps.diffInDiff: hand cells, did=2.5, unpooled se; empty cell NULL") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pre = ts("2024-01-10 00:00:00"); val post = ts("2024-01-20 00:00:00")
+    val df = Seq(
+      (1L, pre, 1.0), (1L, pre, 2.0), (1L, post, 4.0), (1L, post, 6.0),
+      (2L, pre, 1.0), (2L, pre, 1.0), (2L, post, 2.0), (2L, post, 2.0))
+      .toDF("user_id", "ts", "value")
+    val r = EventOps.diffInDiff(df, "2024-01-16 00:00:00", _ % 2 === 1).head()
+    assert(r.getAs[Long]("n_t_pre") == 2 && r.getAs[Long]("n_c_post") == 2)
+    assert(r.getAs[Double]("mean_t_post") == 5.0 &&
+      r.getAs[Double]("mean_c_pre") == 1.0)
+    // did = (5 - 1.5) - (2 - 1) = 2.5; se^2 = 0.5/2 + 2/2 = 1.25
+    assert(r.getAs[Double]("did") == 2.5, r.toString)
+    assert(r.getAs[Double]("se") == math.floor(math.sqrt(1.25) * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("t_stat") ==
+      math.floor(2.5 / math.sqrt(1.25) * 1e6 + 0.5) / 1e6)
+    // an empty cell (no control post rows) -> NULL did
+    val gap = df.filter(!(sf.col("user_id") === 2L && sf.col("ts") === post))
+    val rg = EventOps.diffInDiff(gap, "2024-01-16 00:00:00", _ % 2 === 1).head()
+    assert(rg.isNullAt(rg.fieldIndex("did")))
+  }
+
   test("QualityChecks.logRank: hand O/E/V replay; single-cohort NULL") {
     // A: events at t=1,3; B: event at t=2, censored at t=3
     val df = Seq((1L, true, "a"), (3L, true, "a"), (2L, true, "b"),
