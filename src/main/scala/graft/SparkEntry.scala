@@ -1896,6 +1896,16 @@ object SparkEntry {
     "q281_diff_in_diff" -> ((s, dir) =>
       EventOps.diffInDiff(Tables.load(s, dir, "events"),
         cutoff = "2024-01-16 00:00:00", treatPred = _ % 2 === 1)),
+
+    // Count dispersion (Fano) + zero-inflation vs Poisson per event
+    // type over the gap-filled hourly grid.
+    "q282_dispersion" -> ((s, dir) =>
+      EventOps.dispersionProfile(Tables.load(s, dir, "events"))),
+
+    // Dunning G^2 collocations: evidence-weighted bigram association
+    // (the sparse-count replacement for q74's raw PMI ranking).
+    "q283_collocations" -> ((s, dir) =>
+      CorpusStats.dunningCollocations(docs(s, dir), "text", minCount = 5)),
   )
 
   // ---------------------------------------------------------------------
@@ -8063,5 +8073,70 @@ object SparkEntry {
          |    floor(($did)/sqrt($se2)*1000000.0 + 0.5)/1000000.0 END AS t_stat
          |FROM a""".stripMargin
     },
+
+    // Dispersion: identical grid + exact moments; e^-mean snapped 1e-6.
+    "q282_dispersion" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |a AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(v) AS BIGINT) AS s,
+        |  SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS q,
+        |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+        |  FROM sv GROUP BY 1)
+        |SELECT t AS event_type, n_bins,
+        |  floor(CAST(s AS DOUBLE)/CAST(n_bins AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mean_per_bin,
+        |  CASE WHEN n_bins >= 2 AND s > 0 THEN floor(
+        |    CAST(CAST(n_bins AS DECIMAL(38,0))*q - CAST(s AS DECIMAL(38,0))*CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+        |    /(CAST(n_bins AS DOUBLE)*(CAST(n_bins AS DOUBLE)-1.0))
+        |    /(CAST(s AS DOUBLE)/CAST(n_bins AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS dispersion,
+        |  CASE WHEN n_bins >= 2 AND s > 0 THEN floor(
+        |    (CAST(n_bins AS DOUBLE)-1.0)
+        |    *(CAST(CAST(n_bins AS DECIMAL(38,0))*q - CAST(s AS DECIMAL(38,0))*CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+        |      /(CAST(n_bins AS DOUBLE)*(CAST(n_bins AS DOUBLE)-1.0))
+        |      /(CAST(s AS DOUBLE)/CAST(n_bins AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS chi2,
+        |  floor(CAST(z AS DOUBLE)/CAST(n_bins AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS zero_share,
+        |  floor(floor(exp(-(CAST(s AS DOUBLE)/CAST(n_bins AS DOUBLE)))*1e6 + 0.5)/1e6*1000000.0 + 0.5)/1000000.0 AS poisson_zero_share,
+        |  floor((CAST(z AS DOUBLE)/CAST(n_bins AS DOUBLE)
+        |    - floor(exp(-(CAST(s AS DOUBLE)/CAST(n_bins AS DOUBLE)))*1e6 + 0.5)/1e6)*1000000.0 + 0.5)/1000000.0 AS excess_zero_share
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Dunning G^2: identical bigram table margins, 8-term pinned
+    // log-likelihood with CASE-guarded 0*ln0 terms, 1e-4 snap, top-50.
+    "q283_collocations" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))
+        |  END AS toks FROM documents),
+        |bi AS (SELECT unnest([{'w1': toks[i+1], 'w2': toks[i+2]} FOR i IN range(0, len(toks)-1)]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bi GROUP BY 1, 2),
+        |f AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS n1 FROM bc GROUP BY 1),
+        |sc AS (SELECT w2, CAST(SUM(c_bg) AS BIGINT) AS c2 FROM bc GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c_bg) AS BIGINT) AS nn FROM bc),
+        |j AS (SELECT b.w1, b.w2, b.c_bg, f.n1, sc.c2, nt.nn,
+        |  b.c_bg AS k1, sc.c2 - b.c_bg AS k2, nt.nn - f.n1 AS n2,
+        |  CAST(sc.c2 AS DOUBLE)/CAST(nt.nn AS DOUBLE) AS p,
+        |  CAST(b.c_bg AS DOUBLE)/CAST(f.n1 AS DOUBLE) AS p1,
+        |  CASE WHEN nt.nn - f.n1 > 0 THEN
+        |    CAST(sc.c2 - b.c_bg AS DOUBLE)/CAST(nt.nn - f.n1 AS DOUBLE) ELSE 0.0 END AS p2
+        |  FROM bc b JOIN f USING (w1) JOIN sc USING (w2) CROSS JOIN nt
+        |  WHERE b.c_bg >= 5),
+        |s AS (SELECT w1, w2, c_bg, 2.0*(
+        |  (CASE WHEN k1 > 0 AND p1 > 0.0 THEN CAST(k1 AS DOUBLE)*ln(p1) ELSE 0.0 END
+        |   + CASE WHEN n1 - k1 > 0 AND p1 < 1.0 THEN CAST(n1 - k1 AS DOUBLE)*ln(1.0 - p1) ELSE 0.0 END)
+        |  + (CASE WHEN k2 > 0 AND p2 > 0.0 THEN CAST(k2 AS DOUBLE)*ln(p2) ELSE 0.0 END
+        |   + CASE WHEN n2 - k2 > 0 AND p2 < 1.0 THEN CAST(n2 - k2 AS DOUBLE)*ln(1.0 - p2) ELSE 0.0 END)
+        |  - (CASE WHEN k1 > 0 AND p > 0.0 THEN CAST(k1 AS DOUBLE)*ln(p) ELSE 0.0 END
+        |   + CASE WHEN n1 - k1 > 0 AND p < 1.0 THEN CAST(n1 - k1 AS DOUBLE)*ln(1.0 - p) ELSE 0.0 END)
+        |  - (CASE WHEN k2 > 0 AND p > 0.0 THEN CAST(k2 AS DOUBLE)*ln(p) ELSE 0.0 END
+        |   + CASE WHEN n2 - k2 > 0 AND p < 1.0 THEN CAST(n2 - k2 AS DOUBLE)*ln(1.0 - p) ELSE 0.0 END)
+        |  ) AS g2raw FROM j)
+        |SELECT w1, w2, c_bg, floor(g2raw*10000.0 + 0.5)/10000.0 AS g2
+        |FROM s ORDER BY g2 DESC, w1, w2 LIMIT 50""".stripMargin,
   )
 }

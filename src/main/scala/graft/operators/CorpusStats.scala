@@ -280,6 +280,68 @@ object CorpusStats {
       .orderBy(sf.col("pmi").desc, sf.col("w1"), sf.col("w2"))
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993, CL
+    * 19(1)) — the G² test over adjacent bigrams that REPLACES raw PMI
+    * for sparse counts: PMI rewards rarity (a hapax pair maxes it),
+    * G² weighs the evidence, so the top of this list is "phrases the
+    * corpus actually repeats" (MWE lexicon building, tokenizer-merge
+    * candidates, boilerplate phrase discovery). Margins come from the
+    * BIGRAM table itself (first-position/second-position counts — the
+    * [[windowedPmi]] consistency convention: no separate unigram pass
+    * to drift at document edges). For bigram (a, b):
+    * k₁ = c_ab, n₁ = c_a•, k₂ = c_•b − c_ab, n₂ = N − n₁,
+    * G² = 2[ℓ(k₁,n₁,p₁) + ℓ(k₂,n₂,p₂) − ℓ(k₁,n₁,p) − ℓ(k₂,n₂,p)]
+    * with ℓ(k,n,x) = k·ln x + (n−k)·ln(1−x), p = c_•b/N, and each
+    * term contributing only when its coefficient is positive and its
+    * argument in (0,1) — the standard 0·ln 0 = 0 convention, spelled
+    * as identical CASE guards in the oracle.
+    *
+    * Determinism: all counts exact integers from two map-side
+    * combinable aggregations; G² is one pinned 8-term double
+    * expression per bigram (fixed in-row evaluation order), rounded
+    * 1e-4; the top-k cut orders (g2 desc, w1, w2) — tie-deterministic.
+    *
+    * Scale shape: one corpus bigram explode (fan-out bounded by doc
+    * length) into a domain-sized count table, two margin rollups OF
+    * that table, two AQE-decided margin equi joins, broadcast one-row
+    * total, TakeOrdered finish. */
+  def dunningCollocations(docs: DataFrame, textCol: String,
+                          minCount: Long = 5, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "need minCount >= 1 and topK >= 1")
+    val toks = Par.spread(docs.select(sf.col(textCol)))
+      .select(gf.wsTokens(sf.lower(sf.col(textCol))).as("t"))
+    val bi = toks.filter(sf.size(sf.col("t")) >= 2)
+      .select(sf.explode(sf.expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("bg"))
+      .select(sf.col("bg.w1").as("w1"), sf.col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(sf.count(sf.lit(1)).as("c_bg"))
+      .localCheckpoint(true) // margins + total + supported all read it
+    val first = bi.groupBy("w1").agg(sf.sum("c_bg").cast("long").as("n1"))
+    val second = bi.groupBy("w2").agg(sf.sum("c_bg").cast("long").as("c2"))
+    val nT = bi.agg(sf.sum("c_bg").cast("long").as("nn"))
+    def ell(k: Column, n: Column, x: Column): Column =
+      sf.when(k > 0 && x > 0.0, k.cast("double") * sf.log(x)).otherwise(0.0) +
+        sf.when(n - k > 0 && x < 1.0,
+          (n - k).cast("double") * sf.log(sf.lit(1.0) - x)).otherwise(0.0)
+    val k1 = sf.col("c_bg")
+    val n1 = sf.col("n1")
+    val k2 = sf.col("c2") - sf.col("c_bg")
+    val n2 = sf.col("nn") - sf.col("n1")
+    val p = sf.col("c2").cast("double") / sf.col("nn").cast("double")
+    val p1 = k1.cast("double") / n1.cast("double")
+    val p2 = sf.when(n2 > 0, k2.cast("double") / n2.cast("double")).otherwise(0.0)
+    val g2 = sf.lit(2.0) * (ell(k1, n1, p1) + ell(k2, n2, p2) -
+      ell(k1, n1, p) - ell(k2, n2, p))
+    bi.filter(sf.col("c_bg") >= minCount)
+      .join(first, "w1").join(second, "w2")
+      .crossJoin(sf.broadcast(nT))
+      .select(sf.col("w1"), sf.col("w2"), sf.col("c_bg"),
+        gf.roundAt(g2, 4).as("g2"))
+      .orderBy(sf.col("g2").desc, sf.col("w1"), sf.col("w2"))
+      .limit(topK)
+  }
+
   /** Windowed skip-gram PMI: pointwise mutual information over
     * DIRECTIONAL (left, right) token pairs within a `window`-token
     * span — the word2vec-context generalization of [[pmiCollocations]]

@@ -2094,6 +2094,57 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Count-dispersion datasheet per event type over the gap-filled
+    * hourly grid: the variance-to-mean DISPERSION INDEX (Fano factor)
+    * with its χ² = (n−1)·D test statistic (D ≈ 1 under Poisson,
+    * ≫ 1 = clumping/bursts, ≪ 1 = regular/rate-limited), plus the
+    * ZERO-INFLATION readout — observed share of zero bins against the
+    * Poisson-expected e^(−mean) — that tells an anomaly baseline
+    * whether "silent hour" is signal or the distribution's normal
+    * tail. The distributional companion of [[bursts]] (which finds
+    * WHERE the clumps are) and the model check the q121/q274 Poisson-
+    * flavored baselines lean on.
+    *
+    * Determinism: counts are exact integers; mean and the sample
+    * variance assemble from exact (n, Σv, Σv²) DECIMAL(38,0) sums in
+    * single pinned double expressions; e^(−mean) snaps to the 1e-6
+    * grid (the libm-exp convention); everything rounds 1e-6. All-zero
+    * types yield NULL dispersion (zero mean).
+    *
+    * Scale shape: the chunked gap-filled grid + ONE map-side
+    * combinable per-type moment aggregation (5 cells per map task).
+    * No joins past the grid build, no windows. */
+  def dispersionProfile(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("n_events").as("v"))
+      .groupBy("t")
+      .agg(sf.count(sf.lit(1)).as("n_bins"),
+        sf.sum("v").cast("long").as("__s"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("__q"),
+        sf.sum((sf.col("v") === 0L).cast("long")).as("__z"))
+      .select({
+        val n = sf.col("n_bins").cast("double")
+        val mean = sf.col("__s").cast("double") / n
+        val varS = (dec(sf.col("n_bins")) * sf.col("__q") -
+          dec(sf.col("__s")) * dec(sf.col("__s"))).cast("double") /
+          (n * (n - 1.0))
+        val disp = varS / mean
+        val pz = sf.floor(sf.exp(-mean) * 1e6 + 0.5) / 1e6
+        val zshare = sf.col("__z").cast("double") / n
+        Seq(sf.col("t").as("event_type"), sf.col("n_bins"),
+          gf.roundAt(mean, 6).as("mean_per_bin"),
+          sf.when(sf.col("n_bins") >= 2 && sf.col("__s") > 0,
+            gf.roundAt(disp, 6)).as("dispersion"),
+          sf.when(sf.col("n_bins") >= 2 && sf.col("__s") > 0,
+            gf.roundAt((n - 1.0) * disp, 6)).as("chi2"),
+          gf.roundAt(zshare, 6).as("zero_share"),
+          gf.roundAt(pz, 6).as("poisson_zero_share"),
+          gf.roundAt(zshare - pz, 6).as("excess_zero_share"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
   /** Ljung–Box portmanteau statistic (Ljung & Box 1978, Biometrika 65)
     * per event type: Q = n(n+2)·Σ_{k=1..h} r_k²/(n−k) over the [[acf]]
     * autocorrelations — the ONE-NUMBER "is this series white noise"

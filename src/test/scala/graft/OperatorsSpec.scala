@@ -2028,6 +2028,46 @@ class OperatorsSpec extends SparkFunSuite {
       .getAs[Long]("n1") == 6)
   }
 
+  test("EventOps.dispersionProfile: hand Fano=1, zero shares vs Poisson") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-10 $h%02d:00:00")
+    val ev = (Seq.fill(1)(("x", ts(0), 1.0)) ++ Seq.fill(3)(("x", ts(1), 1.0)) ++
+      Seq(("y", ts(0), 1.0))).toDF("event_type", "ts", "value")
+    val got = EventOps.dispersionProfile(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // x: counts (1,3): mean 2, var 2 -> dispersion 1, chi2 1, no zeros
+    val x = got("x")
+    assert(x.getAs[Long]("n_bins") == 2 && x.getAs[Double]("mean_per_bin") == 2.0)
+    assert(x.getAs[Double]("dispersion") == 1.0 && x.getAs[Double]("chi2") == 1.0)
+    assert(x.getAs[Double]("zero_share") == 0.0)
+    assert(x.getAs[Double]("poisson_zero_share") ==
+      math.floor(math.exp(-2.0) * 1e6 + 0.5) / 1e6)
+    // y: counts (1,0) over the global grid: one zero bin; mean 0.5,
+    // sample var 0.5 -> Fano exactly 1 (a Bernoulli thin series)
+    val y = got("y")
+    assert(y.getAs[Double]("zero_share") == 0.5 &&
+      y.getAs[Double]("dispersion") == 1.0, y.toString)
+  }
+
+  test("CorpusStats.dunningCollocations: hand G2 replay, degenerate zero") {
+    val docs = Seq("a b", "a b", "c d", "c b").toDF("text")
+    val got = CorpusStats.dunningCollocations(docs, "text",
+      minCount = 1, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("g2")).toMap
+    // (a,b): k1=2 n1=2 k2=1 n2=2, p=3/4 p1=1 p2=1/2
+    def ell(k: Long, n: Long, x: Double) =
+      (if (k > 0 && x > 0) k * math.log(x) else 0.0) +
+        (if (n - k > 0 && x < 1) (n - k) * math.log(1 - x) else 0.0)
+    val g2ab = 2.0 * (ell(2, 2, 1.0) + ell(1, 2, 0.5) -
+      ell(2, 2, 0.75) - ell(1, 2, 0.75))
+    assert(got(("a", "b")) == math.floor(g2ab * 1e4 + 0.5) / 1e4, got.toString)
+    // a corpus where every bigram starts with the same token: p = p1
+    // exactly for its only pair -> evidence cancels to 0
+    val deg = Seq("x y", "x y").toDF("text")
+    val g0 = CorpusStats.dunningCollocations(deg, "text", minCount = 1, topK = 10)
+      .collect()
+    assert(g0.length == 1 && g0.head.getAs[Double]("g2") == 0.0, g0.toSeq.toString)
+  }
+
   test("EventOps.diffInDiff: hand cells, did=2.5, unpooled se; empty cell NULL") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val pre = ts("2024-01-10 00:00:00"); val post = ts("2024-01-20 00:00:00")
