@@ -1906,6 +1906,19 @@ object SparkEntry {
     // (the sparse-count replacement for q74's raw PMI ranking).
     "q283_collocations" -> ((s, dir) =>
       CorpusStats.dunningCollocations(docs(s, dir), "text", minCount = 5)),
+
+    // Nelson-Aalen cumulative hazard (+ Fleming-Harrington survival)
+    // over the q173 time-to-purchase durations.
+    "q284_nelson_aalen" -> ((s, dir) =>
+      QualityChecks.nelsonAalen(
+        EventOps.timeToEvent(Tables.load(s, dir, "events")),
+        "duration_s", "observed")),
+
+    // All-pairs Welch contrasts between order-priority mean values:
+    // the "which groups differ" follow-up to the q139 omnibus.
+    "q285_pairwise_contrasts" -> ((s, dir) =>
+      QualityChecks.pairwiseContrasts(Tables.load(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice")),
   )
 
   // ---------------------------------------------------------------------
@@ -8138,5 +8151,74 @@ object SparkEntry {
         |  ) AS g2raw FROM j)
         |SELECT w1, w2, c_bg, floor(g2raw*10000.0 + 0.5)/10000.0 AS g2
         |FROM s ORDER BY g2 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // Nelson-Aalen: the q173 duration/risk-set chain, 1e-9-snapped
+    // d/n and d/n^2 increments, window prefix sums, 1e-6 outputs.
+    "q284_nelson_aalen" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+        |  CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END))) AS BIGINT) AS te,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS tl
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT COALESCE(te, tl) - t0 AS duration, te IS NOT NULL AS e FROM u),
+        |g AS (SELECT duration,
+        |  CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+        |  CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS n_censor
+        |  FROM d WHERE duration >= 0 GROUP BY 1),
+        |n AS (SELECT CAST(SUM(n_event + n_censor) AS BIGINT) AS nn FROM g),
+        |r AS (SELECT duration, n_event, n_censor,
+        |  nn - (CAST(SUM(n_event + n_censor) OVER (ORDER BY duration) AS BIGINT)
+        |        - (n_event + n_censor)) AS n_risk
+        |  FROM g CROSS JOIN n),
+        |sj AS (SELECT duration, n_event, n_censor, n_risk,
+        |  CAST(floor(CAST(n_event AS DOUBLE)/CAST(n_risk AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS h9,
+        |  CAST(floor(CAST(n_event AS DOUBLE)
+        |    /(CAST(n_risk AS DOUBLE)*CAST(n_risk AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS v9
+        |  FROM r),
+        |f AS (SELECT duration, n_risk, n_event, n_censor,
+        |  CAST(SUM(h9) OVER (ORDER BY duration) AS BIGINT) AS ch,
+        |  CAST(SUM(v9) OVER (ORDER BY duration) AS BIGINT) AS cv FROM sj)
+        |SELECT duration, n_risk, n_event, n_censor,
+        |  floor(CAST(ch AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS cum_hazard,
+        |  floor(CAST(cv AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS hazard_var,
+        |  floor(exp(-(CAST(ch AS DOUBLE)/1e9))*1000000.0 + 0.5)/1000000.0 AS fh_survival
+        |FROM f ORDER BY duration""".stripMargin,
+
+    // Pairwise Welch contrasts: identical group moments, broadcast
+    // upper-triangle pairing, pinned mean/SE/t/df assemblies.
+    "q285_pairwise_contrasts" ->
+      """WITH v AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS x
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |gs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+        |  SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS q
+        |  FROM v GROUP BY 1),
+        |p AS (SELECT a.g AS group_a, b.g AS group_b,
+        |  a.n AS an, a.s AS as_, a.q AS aq, b.n AS bn, b.s AS bs, b.q AS bq
+        |  FROM gs a JOIN gs b ON a.g < b.g),
+        |c AS (SELECT group_a, group_b, an AS n_a, bn AS n_b,
+        |  CAST(as_ AS DOUBLE)/1e4/CAST(an AS DOUBLE) AS ma,
+        |  CAST(bs AS DOUBLE)/1e4/CAST(bn AS DOUBLE) AS mb,
+        |  CASE WHEN an >= 2 AND bn >= 2 THEN
+        |    CAST(CAST(an AS DECIMAL(38,0))*aq - CAST(as_ AS DECIMAL(38,0))*CAST(as_ AS DECIMAL(38,0)) AS DOUBLE)
+        |      /1e8/(CAST(an AS DOUBLE)*(CAST(an AS DOUBLE)-1.0))/CAST(an AS DOUBLE) ELSE 0.0 END AS va,
+        |  CASE WHEN an >= 2 AND bn >= 2 THEN
+        |    CAST(CAST(bn AS DECIMAL(38,0))*bq - CAST(bs AS DECIMAL(38,0))*CAST(bs AS DECIMAL(38,0)) AS DOUBLE)
+        |      /1e8/(CAST(bn AS DOUBLE)*(CAST(bn AS DOUBLE)-1.0))/CAST(bn AS DOUBLE) ELSE 0.0 END AS vb,
+        |  an >= 2 AND bn >= 2 AS bv
+        |  FROM p)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  floor(ma*1000000.0 + 0.5)/1000000.0 AS mean_a,
+        |  floor(mb*1000000.0 + 0.5)/1000000.0 AS mean_b,
+        |  floor((ma - mb)*1000000.0 + 0.5)/1000000.0 AS diff,
+        |  CASE WHEN bv AND va + vb > 0.0 THEN
+        |    floor(sqrt(va + vb)*1000000.0 + 0.5)/1000000.0 END AS se,
+        |  CASE WHEN bv AND va + vb > 0.0 THEN
+        |    floor((ma - mb)/sqrt(va + vb)*1000000.0 + 0.5)/1000000.0 END AS t_stat,
+        |  CASE WHEN bv AND va + vb > 0.0 THEN
+        |    floor((va + vb)*(va + vb)
+        |      /(va*va/(CAST(n_a AS DOUBLE)-1.0) + vb*vb/(CAST(n_b AS DOUBLE)-1.0))
+        |      *10000.0 + 0.5)/10000.0 END AS welch_df
+        |FROM c ORDER BY group_a, group_b""".stripMargin,
   )
 }

@@ -873,6 +873,122 @@ object QualityChecks {
       .orderBy("duration")
   }
 
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) — the
+    * hazard-scale twin of [[kaplanMeier]]: H(t) = Σ_{s≤t} d_s/n_s with
+    * variance estimate Σ d_s/n_s². KM answers "what fraction
+    * survives"; the NA curve answers "how much hazard has accumulated"
+    * — additive, so hazard between two times is a subtraction, and a
+    * straight NA curve IS the constant-rate (exponential) diagnostic:
+    * curvature up = aging/wear-out, curvature down = burn-in — read it
+    * before trusting the q121-style constant-rate assumptions. Also
+    * exp(−H) is the Fleming–Harrington survival estimate printed
+    * beside it (tighter than KM in small samples).
+    *
+    * Determinism: risk sets are exact integers via the [[kaplanMeier]]
+    * prefix-sum machinery; each increment d/n and d/n² snaps to the
+    * 1e-9 integer grid, so the cumulative sums are exact longs (a
+    * second range-partitioned prefix pass); outputs round 1e-6.
+    *
+    * Scale shape: one duration-keyed collapse + TWO range-partitioned
+    * prefix passes (`globalPrefixSumsMulti`) + a broadcast one-row
+    * total — never a one-task window. */
+  def nelsonAalen(df: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    val g = graft.operators.Par.spread(
+      df.select(sf.col(durCol).cast("long").as("duration"),
+        sf.col(eventCol).cast("boolean").as("__e")))
+      .filter(sf.col("duration").isNotNull && sf.col("duration") >= 0 &&
+        sf.col("__e").isNotNull)
+      .groupBy("duration")
+      .agg(sf.sum(sf.when(sf.col("__e"), 1L).otherwise(0L)).as("n_event"),
+        sf.sum(sf.when(sf.col("__e"), 0L).otherwise(1L)).as("n_censor"))
+      .withColumn("__leave", sf.col("n_event") + sf.col("n_censor"))
+      .localCheckpoint(true)
+    val total = g.agg(sf.sum("__leave").as("__n"))
+    val risk = graft.operators.StarSchema.globalPrefixSumsMulti(
+        g, Seq("duration"), Seq("__leave" -> "__cumLeave"))
+      .crossJoin(sf.broadcast(total))
+      .withColumn("n_risk",
+        sf.col("__n") - (sf.col("__cumLeave") - sf.col("__leave")))
+      .withColumn("__h9", sf.floor(sf.col("n_event").cast("double") /
+        sf.col("n_risk").cast("double") * 1e9 + 0.5).cast("long"))
+      .withColumn("__v9", sf.floor(sf.col("n_event").cast("double") /
+        (sf.col("n_risk").cast("double") * sf.col("n_risk").cast("double"))
+        * 1e9 + 0.5).cast("long"))
+    graft.operators.StarSchema.globalPrefixSumsMulti(
+        risk, Seq("duration"), Seq("__h9" -> "__cumH", "__v9" -> "__cumV"))
+      .select(sf.col("duration"), sf.col("n_risk"),
+        sf.col("n_event"), sf.col("n_censor"),
+        gf.roundAt(sf.col("__cumH").cast("double") / 1e9, 6).as("cum_hazard"),
+        gf.roundAt(sf.col("__cumV").cast("double") / 1e9, 6).as("hazard_var"),
+        gf.roundAt(sf.exp(-(sf.col("__cumH").cast("double") / 1e9)), 6)
+          .as("fh_survival"))
+      .orderBy("duration")
+  }
+
+  /** All-pairs Welch contrasts between group means — the "WHICH groups
+    * differ" readout a significant [[anova]]/[[kruskalWallis]] omnibus
+    * demands next: for every group pair, Δ = m_a − m_b, the unpooled
+    * SE = √(s²_a/n_a + s²_b/n_b), t = Δ/SE, and the Welch–
+    * Satterthwaite df — feed the t's to [[fdrProportionTests]]-style
+    * correction downstream (k(k−1)/2 simultaneous tests is exactly
+    * the multiplicity regime BH exists for; the pairing is the
+    * documented contract, not a hidden default).
+    *
+    * Determinism: per-group exact (n, Σv4, Σv4²) DECIMAL(38,0)
+    * moments; every derived number a single pinned double assembly
+    * rounded 1e-6; pairs with either side n < 2 or zero SE get NULL
+    * t/df; pair order (group_a < group_b), output sorted.
+    *
+    * Scale shape: ONE map-side-combinable group aggregation, then the
+    * GROUP-DOMAIN table self-pairs via a broadcast join — k(k−1)/2
+    * rows, data-size-independent. */
+  def pairwiseContrasts(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val gstats = df
+      .filter(sf.col(groupCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as("g"), v4.as("__v"))
+      .groupBy("g")
+      .agg(sf.count(sf.lit(1)).as("n"), sf.sum("__v").cast("long").as("s"),
+        sf.sum(dec(sf.col("__v")) * dec(sf.col("__v"))).as("q"))
+      .localCheckpoint(true) // both pairing sides read it
+    val pairs = gstats.select(sf.col("g").as("group_a"), sf.col("n").as("an"),
+        sf.col("s").as("as_"), sf.col("q").as("aq"))
+      .join(sf.broadcast(gstats.select(sf.col("g").as("group_b"),
+        sf.col("n").as("bn"), sf.col("s").as("bs"), sf.col("q").as("bq"))),
+        sf.col("group_a") < sf.col("group_b"))
+    def m(n: String, s: String) = sf.col(s).cast("double") / 1e4 /
+      sf.col(n).cast("double")
+    def va(n: String, s: String, q: String) = {
+      val nD = sf.col(n).cast("double")
+      (dec(sf.col(n)) * sf.col(q) - dec(sf.col(s)) * dec(sf.col(s)))
+        .cast("double") / 1e8 / (nD * (nD - 1.0))
+    }
+    val bothVar = sf.col("an") >= 2 && sf.col("bn") >= 2
+    val vOverNa = sf.when(bothVar, va("an", "as_", "aq") /
+      sf.col("an").cast("double")).otherwise(0.0)
+    val vOverNb = sf.when(bothVar, va("bn", "bs", "bq") /
+      sf.col("bn").cast("double")).otherwise(0.0)
+    val se2 = vOverNa + vOverNb
+    val diff = m("an", "as_") - m("bn", "bs")
+    val dfW = se2 * se2 / (
+      sf.when(bothVar, vOverNa * vOverNa / (sf.col("an").cast("double") - 1.0))
+        .otherwise(0.0) +
+      sf.when(bothVar, vOverNb * vOverNb / (sf.col("bn").cast("double") - 1.0))
+        .otherwise(0.0))
+    pairs.select(sf.col("group_a"), sf.col("group_b"),
+      sf.col("an").as("n_a"), sf.col("bn").as("n_b"),
+      gf.roundAt(m("an", "as_"), 6).as("mean_a"),
+      gf.roundAt(m("bn", "bs"), 6).as("mean_b"),
+      gf.roundAt(diff, 6).as("diff"),
+      sf.when(bothVar && se2 > 0.0, gf.roundAt(sf.sqrt(se2), 6)).as("se"),
+      sf.when(bothVar && se2 > 0.0, gf.roundAt(diff / sf.sqrt(se2), 6))
+        .as("t_stat"),
+      sf.when(bothVar && se2 > 0.0, gf.roundAt(dfW, 4)).as("welch_df"))
+      .orderBy("group_a", "group_b")
+  }
+
   /** Log-rank test (Mantel 1966; Peto & Peto 1972) between two groups'
     * survival curves — the inference companion of [[kaplanMeier]]: KM
     * draws the curves, log-rank says whether they differ beyond

@@ -2112,6 +2112,47 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rs.isNullAt(rs.fieldIndex("chi2")))
   }
 
+  test("QualityChecks.nelsonAalen: hand hazard increments accumulate") {
+    val df = Seq((1L, true), (2L, false), (3L, true)).toDF("dur", "ev")
+    val rows = QualityChecks.nelsonAalen(df, "dur", "ev").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // t=1: 1/3 of hazard; t=2 censor adds none; t=3: + 1/1
+    val h1 = math.floor(1.0 / 3 * 1e9 + 0.5)
+    assert(rows(1L).getAs[Double]("cum_hazard") ==
+      math.floor(h1 / 1e9 * 1e6 + 0.5) / 1e6)
+    assert(rows(2L).getAs[Double]("cum_hazard") ==
+      rows(1L).getAs[Double]("cum_hazard"))
+    assert(rows(3L).getAs[Long]("n_risk") == 1)
+    assert(rows(3L).getAs[Double]("cum_hazard") ==
+      math.floor((h1 + 1e9) / 1e9 * 1e6 + 0.5) / 1e6)
+    val v3 = math.floor(1.0 / 9 * 1e9 + 0.5) + 1e9
+    assert(rows(3L).getAs[Double]("hazard_var") ==
+      math.floor(v3 / 1e9 * 1e6 + 0.5) / 1e6)
+    assert(rows(3L).getAs[Double]("fh_survival") ==
+      math.floor(math.exp(-(h1 + 1e9) / 1e9) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("QualityChecks.pairwiseContrasts: hand Welch pair, singleton NULLs") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 5.0), ("c", 9.0))
+      .toDF("g", "v")
+    val got = QualityChecks.pairwiseContrasts(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 3)
+    val ab = got(("a", "b"))
+    // a: mean 1.5 var .5; b: mean 4 var 2 -> se2 = .25 + 1 = 1.25
+    assert(ab.getAs[Double]("diff") == -2.5)
+    assert(ab.getAs[Double]("se") == math.floor(math.sqrt(1.25) * 1e6 + 0.5) / 1e6)
+    assert(ab.getAs[Double]("t_stat") ==
+      math.floor(-2.5 / math.sqrt(1.25) * 1e6 + 0.5) / 1e6)
+    // Welch df = 1.25^2 / (.25^2/1 + 1/1) = 1.470588...
+    assert(ab.getAs[Double]("welch_df") ==
+      math.floor(1.5625 / 1.0625 * 1e4 + 0.5) / 1e4)
+    // singleton group c: means print, inference is NULL
+    val ac = got(("a", "c"))
+    assert(ac.getAs[Double]("mean_b") == 9.0 &&
+      ac.isNullAt(ac.fieldIndex("t_stat")) && ac.isNullAt(ac.fieldIndex("se")))
+  }
+
   test("QualityChecks.tCloseness: skewed classes t=0.5, balanced class 0") {
     // global {a:2, b:2}; class 1 all-a, class 2 all-b -> TV = 0.5 each
     val skew = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("q", "s")
