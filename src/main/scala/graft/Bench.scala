@@ -85,11 +85,14 @@ object Bench {
     // The driver's BENCH artifact keeps only the tail of stdout, which
     // truncates the per-query map around q100 — persist the full JSON
     // beside the sources so every query's number survives the round.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
-    }
+    // FULL runs only: a dev-filtered run must not clobber the suite
+    // numbers with its 2-query subset.
+    if (wanted.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

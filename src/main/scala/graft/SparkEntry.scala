@@ -1919,6 +1919,37 @@ object SparkEntry {
     "q285_pairwise_contrasts" -> ((s, dir) =>
       QualityChecks.pairwiseContrasts(Tables.load(s, dir, "orders"),
         "o_orderpriority", "o_totalprice")),
+
+    // Aalen-Johansen cumulative incidence: purchase vs error as
+    // competing first outcomes per user (ties break to 'error',
+    // alphabetical — deterministic).
+    "q286_competing_risks" -> ((s, dir) => {
+      val uts = sf.unix_timestamp(sf.col("ts"))
+      val per = Tables.load(s, dir, "events")
+        .filter(sf.col("user_id").isNotNull && sf.col("ts").isNotNull)
+        .groupBy("user_id")
+        .agg(sf.min(uts).as("t0"),
+          sf.min(sf.when(sf.col("event_type") === "purchase", uts)).as("tp"),
+          sf.min(sf.when(sf.col("event_type") === "error", uts)).as("te"),
+          sf.max(uts).as("tl"))
+        .select(
+          (sf.coalesce(sf.least(sf.col("tp"), sf.col("te")), sf.col("tl")) -
+            sf.col("t0")).as("duration"),
+          sf.when(sf.least(sf.col("tp"), sf.col("te")).isNull,
+              sf.lit(null).cast("string"))
+            .when(sf.col("te").isNotNull &&
+              (sf.col("tp").isNull || sf.col("te") <= sf.col("tp")), "error")
+            .otherwise("purchase").as("cause"))
+      QualityChecks.aalenJohansen(per, "duration", "cause",
+        Seq("error", "purchase"))
+    }),
+
+    // Restricted mean survival time to 7 days: the area under q173's
+    // KM curve — expected retained-seconds within the first week.
+    "q287_rmst" -> ((s, dir) =>
+      QualityChecks.rmst(
+        EventOps.timeToEvent(Tables.load(s, dir, "events")),
+        "duration_s", "observed", tau = 604800L)),
   )
 
   // ---------------------------------------------------------------------
@@ -8220,5 +8251,95 @@ object SparkEntry {
         |      /(va*va/(CAST(n_a AS DOUBLE)-1.0) + vb*vb/(CAST(n_b AS DOUBLE)-1.0))
         |      *10000.0 + 0.5)/10000.0 END AS welch_df
         |FROM c ORDER BY group_a, group_b""".stripMargin,
+
+    // Aalen-Johansen: per-user competing first outcomes, the q173
+    // risk-set chain on ALL-cause events, exclusive-prefix S(s-)
+    // snapped 1e-6, per-cause 1e-9 increments, window prefix CIFs.
+    "q286_competing_risks" ->
+      """WITH u AS (SELECT user_id,
+        |  MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tp,
+        |  MIN(CASE WHEN event_type = 'error' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS te,
+        |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS tl
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT COALESCE(least(tp, te), tl) - t0 AS duration,
+        |  CASE WHEN least(tp, te) IS NULL THEN NULL
+        |       WHEN te IS NOT NULL AND (tp IS NULL OR te <= tp) THEN 'error'
+        |       ELSE 'purchase' END AS cause
+        |  FROM u),
+        |g AS (SELECT duration,
+        |  CAST(SUM(CASE WHEN cause = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+        |  CAST(SUM(CASE WHEN cause IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cen
+        |  FROM d WHERE duration >= 0 GROUP BY 1),
+        |n AS (SELECT CAST(SUM(de + dp + cen) AS BIGINT) AS nn FROM g),
+        |r AS (SELECT duration, de, dp, de + dp AS dd,
+        |  nn - (CAST(SUM(de + dp + cen) OVER (ORDER BY duration) AS BIGINT)
+        |        - (de + dp + cen)) AS n_risk
+        |  FROM g CROSS JOIN n),
+        |sj AS (SELECT duration, de, dp, dd, n_risk,
+        |  CASE WHEN dd > 0 AND dd < n_risk THEN
+        |    CAST(floor(ln(1.0 - CAST(dd AS DOUBLE)/CAST(n_risk AS DOUBLE))*1e9 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS term,
+        |  CASE WHEN dd = n_risk THEN 1 ELSE 0 END AS z FROM r),
+        |p AS (SELECT duration, de, dp, n_risk,
+        |  CAST(SUM(term) OVER (ORDER BY duration) AS BIGINT) - term AS clx,
+        |  CAST(SUM(z) OVER (ORDER BY duration) AS BIGINT) - z AS czx FROM sj),
+        |s AS (SELECT duration, de, dp, n_risk,
+        |  CASE WHEN czx > 0 THEN 0
+        |       ELSE CAST(floor(exp(CAST(clx AS DOUBLE)/1e9)*1e6 + 0.5) AS BIGINT)
+        |  END AS sm6 FROM p),
+        |i AS (SELECT duration, de, dp, n_risk,
+        |  CAST(floor(CAST(sm6 AS DOUBLE)/1e6*CAST(de AS DOUBLE)/CAST(n_risk AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS ie,
+        |  CAST(floor(CAST(sm6 AS DOUBLE)/1e6*CAST(dp AS DOUBLE)/CAST(n_risk AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS ip
+        |  FROM s),
+        |f AS (SELECT duration, de, dp, n_risk,
+        |  CAST(SUM(ie) OVER (ORDER BY duration) AS BIGINT) AS ce,
+        |  CAST(SUM(ip) OVER (ORDER BY duration) AS BIGINT) AS cp FROM i)
+        |SELECT duration, cause, n_risk, n_event,
+        |  floor(CAST(c9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS cif
+        |FROM (
+        |  SELECT duration, 'error' AS cause, n_risk, de AS n_event, ce AS c9 FROM f
+        |  UNION ALL
+        |  SELECT duration, 'purchase', n_risk, dp, cp FROM f)
+        |ORDER BY duration, cause""".stripMargin,
+
+    // RMST: the q173 KM chain verbatim + successor gaps, exact
+    // k*gap segment contributions, one pinned division.
+    "q287_rmst" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+        |  CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts END))) AS BIGINT) AS te,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS tl
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |d AS (SELECT COALESCE(te, tl) - t0 AS duration, te IS NOT NULL AS e FROM u),
+        |g AS (SELECT duration,
+        |  CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+        |  CAST(SUM(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) AS n_censor
+        |  FROM d WHERE duration >= 0 GROUP BY 1),
+        |n AS (SELECT CAST(SUM(n_event + n_censor) AS BIGINT) AS nn FROM g),
+        |r AS (SELECT duration, n_event, n_censor,
+        |  nn - (CAST(SUM(n_event + n_censor) OVER (ORDER BY duration) AS BIGINT)
+        |        - (n_event + n_censor)) AS n_risk
+        |  FROM g CROSS JOIN n),
+        |sj AS (SELECT duration, n_event, n_risk,
+        |  CASE WHEN n_event > 0 AND n_event < n_risk THEN
+        |    CAST(floor(ln(1.0 - CAST(n_event AS DOUBLE)/CAST(n_risk AS DOUBLE))*1e9 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS term,
+        |  CASE WHEN n_event = n_risk THEN 1 ELSE 0 END AS z FROM r),
+        |f AS (SELECT duration,
+        |  CASE WHEN CAST(SUM(z) OVER (ORDER BY duration) AS BIGINT) > 0 THEN 0.0
+        |       ELSE floor(exp(CAST(CAST(SUM(term) OVER (ORDER BY duration) AS BIGINT) AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0
+        |  END AS survival FROM sj),
+        |w AS (SELECT duration, survival,
+        |  lead(duration) OVER (ORDER BY duration) AS nxt FROM f),
+        |seg AS (SELECT CASE WHEN duration < 604800 THEN
+        |  CAST(floor(survival * CAST(least(COALESCE(nxt, 604800), 604800) - duration AS DOUBLE)*1e6 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS c6 FROM w),
+        |h AS (SELECT MIN(duration) AS t1, CAST(COUNT(*) AS BIGINT) AS n_times FROM f),
+        |sc AS (SELECT CAST(SUM(c6) AS BIGINT) AS c6t FROM seg)
+        |SELECT CAST(604800 AS BIGINT) AS tau, n_times,
+        |  floor((CAST(least(t1, 604800) AS DOUBLE)*1e6 + CAST(c6t AS DOUBLE))/1e6*1000000.0 + 0.5)/1000000.0 AS rmst
+        |FROM h CROSS JOIN sc""".stripMargin,
   )
 }

@@ -925,6 +925,134 @@ object QualityChecks {
       .orderBy("duration")
   }
 
+  /** Restricted mean survival time (RMST; Royston & Parmar 2013 for
+    * the modern case): the area under the [[kaplanMeier]] curve up to
+    * a horizon τ — "expected time alive/retained within the first τ"
+    * — the estimand the methods literature now recommends OVER median
+    * survival (undefined until half the cohort converts) and hazard
+    * ratios (uninterpretable under non-proportional hazards): a
+    * single seconds-valued number a capacity/LTV model can consume,
+    * plus the same area for the step curve's complement. Pure
+    * COMPOSITION over [[kaplanMeier]]'s output — never a second
+    * survival implementation.
+    *
+    * Determinism: KM survival values are already 1e-6-snapped, so
+    * each segment contribution S·gap·1e6 = k·gap is an EXACT long
+    * (k ≤ 1e6, gap bounded by the horizon — no 2^53 overflow by
+    * construction at any realistic τ); the initial [0, t₁) segment
+    * contributes min(t₁, τ) at S = 1 exactly; RMST is one division
+    * rounded 1e-6. τ beyond the last event extends the final S flat
+    * to τ — the standard convention.
+    *
+    * Scale shape: the KM chain + a `globalDenseIds` successor join
+    * over the TIME DOMAIN (range-partitioned — never a one-task lead
+    * window) + one combinable sum. */
+  def rmst(df: DataFrame, durCol: String, eventCol: String,
+           tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    val km = kaplanMeier(df, durCol, eventCol)
+      .select(sf.col("duration"), sf.col("survival"))
+    val idx = graft.operators.StarSchema.globalDenseIds(
+      km, Seq("duration"), keyName = "__i").localCheckpoint(true)
+    val nxt = idx.select((sf.col("__i") - 1L).as("__i"),
+      sf.col("duration").as("__next"))
+    val segEnd = sf.least(sf.coalesce(sf.col("__next"), sf.lit(tau)), sf.lit(tau))
+    val contrib6 = sf.when(sf.col("duration") < tau,
+      sf.floor(sf.col("survival") * (segEnd - sf.col("duration")).cast("double")
+        * 1e6 + 0.5).cast("long")).otherwise(0L)
+    val head = idx.agg(sf.min("duration").as("__t1"),
+      sf.count(sf.lit(1)).as("n_times"))
+    idx.join(nxt, Seq("__i"), "left")
+      .agg(sf.sum(contrib6).as("__c6"))
+      .crossJoin(sf.broadcast(head))
+      .select(sf.lit(tau).as("tau"), sf.col("n_times"),
+        gf.roundAt((sf.least(sf.col("__t1"), sf.lit(tau)).cast("double") * 1e6 +
+          sf.col("__c6").cast("double")) / 1e6, 6).as("rmst"))
+  }
+
+  /** Aalen–Johansen cumulative incidence under COMPETING RISKS (Aalen
+    * & Johansen 1978): when a subject can exit by several causes
+    * (converted vs churned, deduped-away vs quality-dropped), the
+    * naive per-cause KM "1 − survival" OVERSTATES every cause (it
+    * treats competitors as censoring); the AJ estimator
+    * CIF_k(t) = Σ_{s≤t} Ŝ(s−)·d_{k,s}/n_s uses the ALL-CAUSE survival
+    * just before each event time, so the per-cause curves are proper
+    * sub-distributions that sum to 1 − Ŝ(t). The standard readout for
+    * "how much of the cohort will each outcome eventually claim".
+    *
+    * Determinism: risk sets and per-cause event counts are exact
+    * integers on the [[kaplanMeier]] prefix machinery; the all-cause
+    * KM ln-terms snap 1e-9 and the EXCLUSIVE prefix is the inclusive
+    * prefix minus the current row's own term (no second pass); Ŝ(s−)
+    * snaps to the 1e-6 grid (the q173 exp convention) before each
+    * increment Ŝ(s−)·d_k/n snaps to the 1e-9 integer grid; per-cause
+    * CIFs are then exact-long prefix sums, rounded 1e-6. A row-173
+    * zero-survival flag upstream pins Ŝ(s−) = 0 exactly.
+    *
+    * Scale shape: one duration-keyed collapse with per-cause
+    * conditional sums + TWO range-partitioned prefix passes (leave
+    * counts; ln/zero flags + all cause increments in ONE multi-column
+    * pass) + a bounded |causes|-way unpivot. Never a one-task
+    * window. */
+  def aalenJohansen(df: DataFrame, durCol: String, causeCol: String,
+                    causes: Seq[String]): DataFrame = {
+    require(causes.nonEmpty && causes.size <= 20,
+      s"need 1..20 causes, got ${causes.size}")
+    require(causes.distinct.size == causes.size, "duplicate cause names")
+    val cs = causes.sorted
+    val g0 = graft.operators.Par.spread(
+      df.select(sf.col(durCol).cast("long").as("duration"),
+        sf.col(causeCol).cast("string").as("__c")))
+      .filter(sf.col("duration").isNotNull && sf.col("duration") >= 0 &&
+        (sf.col("__c").isNull || sf.col("__c").isin(cs: _*)))
+    val aggCols = cs.map(c =>
+      sf.sum(sf.when(sf.col("__c") === c, 1L).otherwise(0L)).as(s"__d_$c")) :+
+      sf.sum(sf.when(sf.col("__c").isNull, 1L).otherwise(0L)).as("__cen")
+    val g = g0.groupBy("duration")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("__d", cs.map(c => sf.col(s"__d_$c")).reduce(_ + _))
+      .withColumn("__leave", sf.col("__d") + sf.col("__cen"))
+      .localCheckpoint(true)
+    val total = g.agg(sf.sum("__leave").as("__n"))
+    val risk = graft.operators.StarSchema.globalPrefixSumsMulti(
+        g, Seq("duration"), Seq("__leave" -> "__cumLeave"))
+      .crossJoin(sf.broadcast(total))
+      .withColumn("n_risk",
+        sf.col("__n") - (sf.col("__cumLeave") - sf.col("__leave")))
+      .withColumn("__lnTerm", sf.when(
+          sf.col("__d") > 0 && sf.col("__d") < sf.col("n_risk"),
+          sf.floor(sf.log(sf.lit(1.0) -
+            sf.col("__d").cast("double") / sf.col("n_risk").cast("double"))
+            * 1e9 + 0.5).cast("long"))
+        .otherwise(0L))
+      .withColumn("__z",
+        sf.when(sf.col("__d") === sf.col("n_risk"), 1L).otherwise(0L))
+    val withS = graft.operators.StarSchema.globalPrefixSumsMulti(
+        risk, Seq("duration"), Seq("__lnTerm" -> "__cumLn", "__z" -> "__cumZ"))
+      // S(s-): the prefix EXCLUSIVE of this row, snapped 1e-6
+      .withColumn("__sm6", sf.when(
+          sf.col("__cumZ") - sf.col("__z") > 0, 0L)
+        .otherwise(sf.floor(sf.exp(
+          (sf.col("__cumLn") - sf.col("__lnTerm")).cast("double") / 1e9)
+          * 1e6 + 0.5).cast("long")))
+    val withInc = cs.foldLeft(withS) { (acc, c) =>
+      acc.withColumn(s"__i_$c", sf.floor(
+        sf.col("__sm6").cast("double") / 1e6 *
+          sf.col(s"__d_$c").cast("double") / sf.col("n_risk").cast("double")
+          * 1e9 + 0.5).cast("long"))
+    }
+    val cum = graft.operators.StarSchema.globalPrefixSumsMulti(
+      withInc, Seq("duration"), cs.map(c => s"__i_$c" -> s"__cif_$c"))
+    val stackExpr = cs.map(c =>
+      s"'$c', __d_$c, __cif_$c").mkString(s"stack(${cs.size}, ", ", ",
+      ") AS (cause, n_event, __cif9)")
+    cum.select(sf.col("duration"), sf.col("n_risk"), sf.expr(stackExpr))
+      .select(sf.col("duration"), sf.col("cause"), sf.col("n_risk"),
+        sf.col("n_event"),
+        gf.roundAt(sf.col("__cif9").cast("double") / 1e9, 6).as("cif"))
+      .orderBy("duration", "cause")
+  }
+
   /** All-pairs Welch contrasts between group means — the "WHICH groups
     * differ" readout a significant [[anova]]/[[kruskalWallis]] omnibus
     * demands next: for every group pair, Δ = m_a − m_b, the unpooled

@@ -2132,6 +2132,42 @@ class OperatorsSpec extends SparkFunSuite {
       math.floor(math.exp(-(h1 + 1e9) / 1e9) * 1e6 + 0.5) / 1e6)
   }
 
+  test("QualityChecks.aalenJohansen: CIFs sum to 1 - S, censor adds nothing") {
+    val df = Seq((1L, Option("a")), (2L, Option("b")),
+      (3L, Option.empty[String]), (4L, Option("a"))).toDF("dur", "cause")
+    val got = QualityChecks.aalenJohansen(df, "dur", "cause", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(got.size == 8)
+    // t1: S(1-)=1, inc_a = 1/4
+    assert(got((1L, "a")).getAs[Double]("cif") == 0.25 &&
+      got((1L, "a")).getAs[Long]("n_risk") == 4)
+    assert(got((1L, "b")).getAs[Double]("cif") == 0.0)
+    // t2: S(2-)=3/4, inc_b = (3/4)(1/3) = 1/4
+    assert(got((2L, "b")).getAs[Double]("cif") == 0.25)
+    // t3 is a pure censor row: both CIFs unchanged
+    assert(got((3L, "a")).getAs[Double]("cif") == 0.25 &&
+      got((3L, "b")).getAs[Double]("cif") == 0.25 &&
+      got((3L, "a")).getAs[Long]("n_event") == 0)
+    // t4: S(4-)=1/2, last 'a' claims it all: cif_a = 3/4; sum = 1 - S(4) = 1
+    assert(got((4L, "a")).getAs[Double]("cif") == 0.75 &&
+      got((4L, "b")).getAs[Double]("cif") == 0.25, got.toString)
+  }
+
+  test("QualityChecks.rmst: step-curve areas by hand, horizon clamps") {
+    // KM from events at t=1,3 (n=2): S=[0.5 on [1,3), 0 after 3)
+    val df = Seq((1L, true), (3L, true)).toDF("dur", "ev")
+    // tau=5: 1*[0,1) + 0.5*[1,3) + 0*[3,5) = 2.0
+    val r5 = QualityChecks.rmst(df, "dur", "ev", tau = 5L).head()
+    assert(r5.getAs[Long]("tau") == 5 && r5.getAs[Long]("n_times") == 2)
+    assert(r5.getAs[Double]("rmst") == 2.0, r5.toString)
+    // tau=2 clamps the middle segment: 1 + 0.5*[1,2) = 1.5
+    assert(QualityChecks.rmst(df, "dur", "ev", tau = 2L).head()
+      .getAs[Double]("rmst") == 1.5)
+    // tau before the first event: the whole area is the S=1 head
+    assert(QualityChecks.rmst(df, "dur", "ev", tau = 1L).head()
+      .getAs[Double]("rmst") == 1.0)
+  }
+
   test("QualityChecks.pairwiseContrasts: hand Welch pair, singleton NULLs") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 5.0), ("c", 9.0))
       .toDF("g", "v")
