@@ -1950,6 +1950,11 @@ object SparkEntry {
       QualityChecks.rmst(
         EventOps.timeToEvent(Tables.load(s, dir, "events")),
         "duration_s", "observed", tau = 604800L)),
+
+    // Cross-correlation: does the error rate lead or trail the
+    // purchase rate, and by how many hours? Lags -6..6.
+    "q288_ccf" -> ((s, dir) =>
+      EventOps.ccf(Tables.load(s, dir, "events"), "error", "purchase")),
   )
 
   // ---------------------------------------------------------------------
@@ -8341,5 +8346,38 @@ object SparkEntry {
         |SELECT CAST(604800 AS BIGINT) AS tau, n_times,
         |  floor((CAST(least(t1, 604800) AS DOUBLE)*1e6 + CAST(c6t AS DOUBLE))/1e6*1000000.0 + 0.5)/1000000.0 AS rmst
         |FROM h CROSS JOIN sc""".stripMargin,
+
+    // CCF: the q218 grid chain for both series, lag fan-out, exact
+    // integer centered products, one sqrt division per lag.
+    "q288_ccf" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin
+        |       WHERE g.t IN ('error', 'purchase')),
+        |xs AS (SELECT bin, v FROM sv WHERE t = 'error'),
+        |ys AS (SELECT bin, v FROM sv WHERE t = 'purchase'),
+        |stx AS (SELECT CAST(COUNT(*) AS BIGINT) AS nx, CAST(SUM(v) AS BIGINT) AS sx FROM xs),
+        |sty AS (SELECT CAST(COUNT(*) AS BIGINT) AS ny, CAST(SUM(v) AS BIGINT) AS sy FROM ys),
+        |dnx AS (SELECT SUM(CAST(nx*v - sx AS DECIMAL(38,0)) * CAST(nx*v - sx AS DECIMAL(38,0))) AS dx
+        |  FROM xs CROSS JOIN stx),
+        |dny AS (SELECT SUM(CAST(ny*v - sy AS DECIMAL(38,0)) * CAST(ny*v - sy AS DECIMAL(38,0))) AS dy
+        |  FROM ys CROSS JOIN sty),
+        |pr AS (SELECT CAST(l.lag AS BIGINT) AS lag, a.v AS vx, bb.v AS vy
+        |  FROM xs a CROSS JOIN (SELECT unnest(range(-6, 7)) AS lag) l
+        |  JOIN ys bb ON bb.bin = a.bin + l.lag),
+        |nm AS (SELECT lag,
+        |  SUM(CAST(nx*vx - sx AS DECIMAL(38,0)) * CAST(ny*vy - sy AS DECIMAL(38,0))) AS num
+        |  FROM pr CROSS JOIN stx CROSS JOIN sty GROUP BY 1)
+        |SELECT lag, nx AS n_bins,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    floor(CAST(num AS DOUBLE)/sqrt(CAST(dx AS DOUBLE)*CAST(dy AS DOUBLE))*1000000.0 + 0.5)/1000000.0
+        |  END AS ccf
+        |FROM nm CROSS JOIN dnx CROSS JOIN dny CROSS JOIN stx
+        |ORDER BY lag""".stripMargin,
   )
 }

@@ -2094,6 +2094,66 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Cross-correlation function between TWO event types' count series
+    * over the shared gap-filled grid: ccf(k) = corr(x_t, y_{t+k}) for
+    * k ∈ [−maxLag, maxLag] — the LEAD–LAG readout the per-series
+    * [[acf]] can't give ("errors lead churn by two hours", "signups
+    * trail campaigns by a day"): the peak's lag is the delay, its sign
+    * says which series leads (positive k = x leads y). Standard
+    * estimator: full-series means and scale in the denominator, the
+    * lag-k product sum over the overlap.
+    *
+    * Determinism: both series share ONE global grid (identical n), so
+    * centered values are the EXACT integers n·v − S; per-lag product
+    * sums and both denominator sums accumulate as DECIMAL(38,0); each
+    * ccf is ONE pinned sqrt division rounded 1e-6; a constant series
+    * (zero variance) yields NULLs.
+    *
+    * Scale shape: the chunked grid + a bounded (2·maxLag+1)-way
+    * fan-out + ONE bin equi join between the two series — the [[acf]]
+    * shape with the self-join replaced by an x→y join. No windows, no
+    * per-series sort. */
+  def ccf(events: DataFrame, typeX: String, typeY: String,
+          maxLag: Int = 6, binSec: Long = 3600): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168, s"maxLag must be in [1, 168], got $maxLag")
+    require(typeX != typeY, "ccf needs two distinct event types (use acf for one)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .filter(sf.col("event_type").isin(typeX, typeY))
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // stats + both join sides read it
+    val xs = g.filter(sf.col("t") === typeX).drop("t")
+    val ys = g.filter(sf.col("t") === typeY).drop("t")
+    def stats(s: DataFrame, p: String) = s.agg(
+      sf.count(sf.lit(1)).as(s"n_$p"), sf.sum("v").cast("long").as(s"s_$p"))
+    def den(s: DataFrame, p: String) = s
+      .crossJoin(sf.broadcast(stats(s, p)))
+      .agg(sf.sum((dec(sf.col(s"n_$p")) * dec(sf.col("v")) - dec(sf.col(s"s_$p"))) *
+        (dec(sf.col(s"n_$p")) * dec(sf.col("v")) - dec(sf.col(s"s_$p"))))
+        .as(s"den_$p"))
+    val pairs = xs
+      .withColumn("lag",
+        sf.explode(sf.sequence(sf.lit(-maxLag.toLong), sf.lit(maxLag.toLong))))
+      .select(sf.col("lag"), (sf.col("bin") + sf.col("lag")).as("bin"),
+        sf.col("v").as("vx"))
+      .join(ys.select(sf.col("bin"), sf.col("v").as("vy")), Seq("bin"))
+    val num = pairs
+      .crossJoin(sf.broadcast(stats(xs, "x"))).crossJoin(sf.broadcast(stats(ys, "y")))
+      .select(sf.col("lag"),
+        ((dec(sf.col("n_x")) * dec(sf.col("vx")) - dec(sf.col("s_x"))) *
+          (dec(sf.col("n_y")) * dec(sf.col("vy")) - dec(sf.col("s_y")))).as("__p"))
+      .groupBy("lag").agg(sf.sum("__p").as("num"))
+    num.crossJoin(sf.broadcast(den(xs, "x"))).crossJoin(sf.broadcast(den(ys, "y")))
+      .crossJoin(sf.broadcast(stats(xs, "x")))
+      .select(sf.col("lag"), sf.col("n_x").as("n_bins"),
+        sf.when(sf.col("den_x") > 0 && sf.col("den_y") > 0, gf.roundAt(
+          sf.col("num").cast("double") /
+            sf.sqrt(sf.col("den_x").cast("double") * sf.col("den_y").cast("double")),
+          6)).as("ccf"))
+      .orderBy("lag")
+  }
+
   /** Count-dispersion datasheet per event type over the gap-filled
     * hourly grid: the variance-to-mean DISPERSION INDEX (Fano factor)
     * with its χ² = (n−1)·D test statistic (D ≈ 1 under Poisson,

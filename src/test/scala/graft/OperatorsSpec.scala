@@ -2068,6 +2068,30 @@ class OperatorsSpec extends SparkFunSuite {
     assert(g0.length == 1 && g0.head.getAs[Double]("g2") == 0.0, g0.toSeq.toString)
   }
 
+  test("EventOps.ccf: planted lag-1 lead detected; constant series NULL") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-10 $h%02d:00:00")
+    // x spikes at h1, y at h2: x = (0,1,0,0), y = (0,0,1,0)
+    val ev = (Seq(("x", ts(1), 1.0), ("y", ts(2), 1.0)) ++
+      // anchor the global grid to [0, 3] via a third type
+      Seq(("z", ts(0), 1.0), ("z", ts(3), 1.0)))
+      .toDF("event_type", "ts", "value")
+    val got = EventOps.ccf(ev, "x", "y", maxLag = 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 3 && got(0L).getAs[Long]("n_bins") == 4)
+    // centered x = (-1,3,-1,-1), y = (-1,-1,3,-1), den = 12
+    assert(got(1L).getAs[Double]("ccf") ==
+      math.floor(11.0 / 12 * 1e6 + 0.5) / 1e6, got.toString)
+    assert(got(0L).getAs[Double]("ccf") ==
+      math.floor(-4.0 / 12 * 1e6 + 0.5) / 1e6)
+    assert(got(-1L).getAs[Double]("ccf") ==
+      math.floor(-5.0 / 12 * 1e6 + 0.5) / 1e6)
+    // constant series on either side: zero variance -> NULL
+    val const = (Seq(("x", ts(0), 1.0), ("x", ts(1), 1.0)) ++
+      Seq(("y", ts(0), 1.0))).toDF("event_type", "ts", "value")
+    val rc = EventOps.ccf(const, "x", "y", maxLag = 1).collect()
+    assert(rc.forall(_.isNullAt(2)), rc.toSeq.toString)
+  }
+
   test("EventOps.diffInDiff: hand cells, did=2.5, unpooled se; empty cell NULL") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val pre = ts("2024-01-10 00:00:00"); val post = ts("2024-01-20 00:00:00")
