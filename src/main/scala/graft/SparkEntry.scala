@@ -1955,6 +1955,15 @@ object SparkEntry {
     // purchase rate, and by how many hours? Lags -6..6.
     "q288_ccf" -> ((s, dir) =>
       EventOps.ccf(Tables.load(s, dir, "events"), "error", "purchase")),
+
+    // Hodges-Lehmann shift: how many characters longer are src1's
+    // documents than src2's, typically? The SIZE beside q109's test.
+    "q289_hodges_lehmann" -> ((s, dir) => {
+      val d = docs(s, dir)
+      QualityChecks.hodgesLehmann(
+        d.filter(sf.col("source") === "src1"),
+        d.filter(sf.col("source") === "src2"), "n_chars")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -8379,5 +8388,23 @@ object SparkEntry {
         |  END AS ccf
         |FROM nm CROSS JOIN dnx CROSS JOIN dny CROSS JOIN stx
         |ORDER BY lag""".stripMargin,
+
+    // Hodges-Lehmann: identical domain collapse, DECIMAL pair weights,
+    // lower weighted median over the bounded difference domain.
+    "q289_hodges_lehmann" ->
+      """WITH da AS (SELECT n_chars AS va, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL GROUP BY 1),
+        |db AS (SELECT n_chars AS vb, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM documents WHERE source = 'src2' AND n_chars IS NOT NULL GROUP BY 1),
+        |d AS (SELECT va - vb AS d, SUM(CAST(ca AS DECIMAL(38,0))*cb) AS w
+        |  FROM da CROSS JOIN db GROUP BY 1),
+        |m AS (SELECT d, SUM(w) OVER (ORDER BY d) AS cum, SUM(w) OVER () AS tot FROM d),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM documents
+        |  WHERE source = 'src1' AND n_chars IS NOT NULL),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM documents
+        |  WHERE source = 'src2' AND n_chars IS NOT NULL)
+        |SELECT n_a, n_b,
+        |  CAST((SELECT MIN(d) FROM m WHERE cum*2 >= tot) AS BIGINT) AS hl_shift
+        |FROM na CROSS JOIN nb""".stripMargin,
   )
 }

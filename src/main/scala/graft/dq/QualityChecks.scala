@@ -925,6 +925,57 @@ object QualityChecks {
       .orderBy("duration")
   }
 
+  /** Hodges–Lehmann location shift (Hodges & Lehmann 1963): the median
+    * of all pairwise differences x − y between two samples — the SIZE
+    * companion of the Mann–Whitney TEST (MWU says the distributions
+    * differ; HL says BY HOW MUCH, in the value's own units), robust
+    * where a mean difference is dragged by the tails: "source B's
+    * documents are 240 characters longer, typically". Integer-valued
+    * (or pre-bucketed) inputs are the CONTRACT that makes the exact
+    * O(n²) pair statistic computable at 100 TB: pair mass lives on the
+    * VALUE-DOMAIN product (D_a·D_b cells), and the distinct DIFFERENCE
+    * domain is bounded by the value ranges (≤ range_a + range_b
+    * points), never by row counts.
+    *
+    * Determinism: cell weights c_a·c_b are exact DECIMAL(38,0)
+    * products (pair counts square the corpus); the lower weighted
+    * median (smallest d with 2·cumW ≥ totW — the [[weightedQuantile]]
+    * convention) is exact integer arithmetic end-to-end — nothing to
+    * round.
+    *
+    * Scale shape: two map-side-combinable value collapses, a
+    * domain×domain broadcast pairing, ONE difference-domain rollup
+    * (combinable), and a cumulative window over the BOUNDED difference
+    * domain keyed on a constant (the globalDenseIds offset-window
+    * idiom — bounded by construction, never data-sized). */
+  def hodgesLehmann(dfA: DataFrame, dfB: DataFrame,
+                    valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def dom(df: DataFrame, n: String, c: String) = df
+      .select(sf.col(valueCol).cast("long").as(n))
+      .filter(sf.col(n).isNotNull)
+      .groupBy(n).agg(sf.count(sf.lit(1)).as(c))
+    val da = dom(dfA, "__va", "__ca")
+    val db = dom(dfB, "__vb", "__cb")
+    val diffs = da.crossJoin(sf.broadcast(db))
+      .groupBy((sf.col("__va") - sf.col("__vb")).as("__d"))
+      .agg(sf.sum(dec(sf.col("__ca")) * dec(sf.col("__cb"))).as("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sf.pmod(sf.lit(0), sf.lit(1))).orderBy("__d")
+    val med = diffs
+      .withColumn("__cum", sf.sum("__w").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("__tot", sf.sum("__w").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(sf.pmod(sf.lit(0), sf.lit(1)))))
+      .filter(sf.col("__cum") * 2 >= sf.col("__tot"))
+      .agg(sf.min("__d").as("hl_shift"))
+    val na = dfA.filter(sf.col(valueCol).isNotNull).count()
+    val nb = dfB.filter(sf.col(valueCol).isNotNull).count()
+    med.select(sf.lit(na).as("n_a"), sf.lit(nb).as("n_b"), sf.col("hl_shift"))
+  }
+
   /** Restricted mean survival time (RMST; Royston & Parmar 2013 for
     * the modern case): the area under the [[kaplanMeier]] curve up to
     * a horizon τ — "expected time alive/retained within the first τ"

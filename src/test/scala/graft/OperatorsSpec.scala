@@ -2177,6 +2177,20 @@ class OperatorsSpec extends SparkFunSuite {
       got((4L, "b")).getAs[Double]("cif") == 0.25, got.toString)
   }
 
+  test("QualityChecks.hodgesLehmann: pairwise-difference medians by hand") {
+    def df(vs: Long*) = vs.toSeq.toDF("v")
+    // A={1,3}, B={2}: diffs {-1, 1} -> lower median -1
+    val r = QualityChecks.hodgesLehmann(df(1, 3), df(2), "v").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 1 &&
+      r.getAs[Long]("hl_shift") == -1, r.toString)
+    // A={1,2,3}, B={1}: diffs {0,1,2} -> true median 1
+    assert(QualityChecks.hodgesLehmann(df(1, 2, 3), df(1), "v").head()
+      .getAs[Long]("hl_shift") == 1)
+    // duplicates carry weight: A={5,5}, B={1} -> single diff 4
+    assert(QualityChecks.hodgesLehmann(df(5, 5), df(1), "v").head()
+      .getAs[Long]("hl_shift") == 4)
+  }
+
   test("QualityChecks.rmst: step-curve areas by hand, horizon clamps") {
     // KM from events at t=1,3 (n=2): S=[0.5 on [1,3), 0 after 3)
     val df = Seq((1L, true), (3L, true)).toDF("dur", "ev")
