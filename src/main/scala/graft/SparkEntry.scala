@@ -1964,6 +1964,17 @@ object SparkEntry {
         d.filter(sf.col("source") === "src1"),
         d.filter(sf.col("source") === "src2"), "n_chars")
     }),
+
+    // Spectral entropy of the q263 candidate band per type: one number
+    // for rhythm concentration, with the dominant period.
+    "q290_spectral_entropy" -> ((s, dir) =>
+      EventOps.spectralEntropy(Tables.load(s, dir, "events"))),
+
+    // Church-Gale term burstiness: which terms clump per document
+    // (topic anchors / template artifacts) vs spread evenly?
+    "q291_term_burstiness" -> ((s, dir) =>
+      CorpusStats.termBurstiness(docs(s, dir), "doc_id", "text",
+        minCount = 50)),
   )
 
   // ---------------------------------------------------------------------
@@ -8406,5 +8417,65 @@ object SparkEntry {
         |SELECT n_a, n_b,
         |  CAST((SELECT MIN(d) FROM m WHERE cum*2 >= tot) AS BIGINT) AS hl_shift
         |FROM na CROSS JOIN nb""".stripMargin,
+
+    // Spectral entropy: the q263 chain + 1e-9-snapped -p ln p terms,
+    // dominant by (share desc, period asc), ln(13) literal normalizer.
+    "q290_spectral_entropy" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, min(bin) AS b0, CAST(COUNT(*) AS BIGINT) AS bb,
+        |  CAST(SUM(v) AS BIGINT) AS sx FROM sv GROUP BY 1),
+        |base AS (SELECT sv.t, sv.bin - st.b0 AS b, st.bb*sv.v - st.sx AS y, st.bb
+        |  FROM sv JOIN st ON st.t = sv.t),
+        |pr AS (SELECT t, b, y, bb, unnest(generate_series(2, 14)) AS period FROM base),
+        |pj AS (SELECT t, period, bb,
+        |  CAST(y AS DECIMAL(38,0)) * CAST(floor(cos(6.283185307179586*CAST(b % period AS DOUBLE)/CAST(period AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS cy,
+        |  CAST(y AS DECIMAL(38,0)) * CAST(floor(sin(6.283185307179586*CAST(b % period AS DOUBLE)/CAST(period AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS sy
+        |  FROM pr),
+        |ag AS (SELECT t, period, bb, SUM(cy) AS cc, SUM(sy) AS ss FROM pj GROUP BY 1, 2, 3),
+        |pw AS (SELECT t, period,
+        |  CAST(floor((CAST(cc AS DOUBLE)/1e9/CAST(bb AS DOUBLE))*(CAST(cc AS DOUBLE)/1e9/CAST(bb AS DOUBLE))
+        |    + (CAST(ss AS DOUBLE)/1e9/CAST(bb AS DOUBLE))*(CAST(ss AS DOUBLE)/1e9/CAST(bb AS DOUBLE)) + 0.5) AS BIGINT) AS power
+        |  FROM ag),
+        |tt AS (SELECT t, CAST(SUM(power) AS BIGINT) AS tot FROM pw GROUP BY 1),
+        |sh AS (SELECT pw.t, period, CASE WHEN tot > 0 THEN
+        |    floor(CAST(power AS DOUBLE)/CAST(tot AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS share
+        |  FROM pw JOIN tt ON tt.t = pw.t),
+        |dom AS (SELECT t, period FROM (SELECT t, period,
+        |  row_number() OVER (PARTITION BY t ORDER BY share DESC, period) AS rn
+        |  FROM sh WHERE share IS NOT NULL) WHERE rn = 1),
+        |en AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_periods,
+        |  CAST(SUM(CASE WHEN share > 0.0 THEN
+        |    CAST(floor(-share*ln(share)*1e9 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s9
+        |  FROM sh GROUP BY 1)
+        |SELECT en.t AS event_type, n_periods,
+        |  CAST(dom.period AS INT) AS dominant_period,
+        |  CASE WHEN dom.period IS NOT NULL THEN
+        |    floor(CAST(s9 AS DOUBLE)/1e9/ln(13.0)*1000000.0 + 0.5)/1000000.0 END AS spectral_entropy
+        |FROM en LEFT JOIN dom ON en.t = dom.t ORDER BY event_type""".stripMargin,
+
+    // Burstiness: identical (term, doc) collapse, exact rational
+    // (N*sq - tf^2)/(N*tf), one division, top-50 tie-deterministic.
+    "q291_term_burstiness" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))
+        |  END AS toks FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM t),
+        |td AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |c AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM td GROUP BY 1, 2),
+        |pt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(cnt) AS BIGINT) AS tf,
+        |  SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS sq
+        |  FROM c GROUP BY 1 HAVING SUM(cnt) >= 50)
+        |SELECT w AS term, df, tf,
+        |  floor(CAST(CAST(nn AS DECIMAL(38,0))*sq - CAST(tf AS DECIMAL(38,0))*CAST(tf AS DECIMAL(38,0)) AS DOUBLE)
+        |    /CAST(CAST(nn AS DECIMAL(38,0))*CAST(tf AS DECIMAL(38,0)) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS burstiness
+        |FROM pt CROSS JOIN n
+        |ORDER BY burstiness DESC, term LIMIT 50""".stripMargin,
   )
 }

@@ -1614,6 +1614,53 @@ object CorpusStats {
       .orderBy("source_a", "source_b")
   }
 
+  /** Per-term burstiness (Church & Gale 1995): the variance-to-mean
+    * ratio of a term's PER-DOCUMENT count, zeros included — function
+    * words spread evenly (ratio near the Poisson 1), content/topical
+    * terms CLUMP (a doc that mentions them mentions them repeatedly),
+    * and boilerplate markers clump pathologically — the term-level
+    * routing signal beside the doc-level repetition gates: top-of-list
+    * terms are topic anchors (keep) or template artifacts (inspect),
+    * and a stopword list can be VALIDATED by its members' low
+    * burstiness rather than trusted.
+    *
+    * With N docs, tf = Σ_d c_d and sq = Σ_d c_d² (absent docs
+    * contribute exact zeros through N), the population
+    * variance-to-mean is the single exact rational
+    * (N·sq − tf²)/(N·tf) — DECIMAL(38,0) numerators, ONE double
+    * division rounded 1e-6, (burstiness desc, term) tie-deterministic
+    * top-k.
+    *
+    * Scale shape: one (term, doc) collapse (map-side combinable,
+    * fan-out bounded by doc length), one per-term rollup, a broadcast
+    * one-row N, TakeOrdered finish. */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                     minCount: Long = 50, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "need minCount >= 1 and topK >= 1")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = Par.spread(docs.select(sf.col(idCol), sf.col(textCol)))
+      .filter(sf.col(textCol).isNotNull)
+      .select(sf.col(idCol).as("__doc"),
+        gf.wsTokens(sf.lower(sf.col(textCol))).as("__t"))
+      .localCheckpoint(true) // N + the term collapse read it
+    val nT = base.agg(sf.count(sf.lit(1)).as("__n"))
+    val perTerm = base
+      .select(sf.col("__doc"), sf.explode(sf.col("__t")).as("__w"))
+      .groupBy("__w", "__doc").agg(sf.count(sf.lit(1)).as("__c"))
+      .groupBy("__w")
+      .agg(sf.count(sf.lit(1)).as("df"), sf.sum("__c").cast("long").as("tf"),
+        sf.sum(dec(sf.col("__c")) * dec(sf.col("__c"))).as("__sq"))
+      .filter(sf.col("tf") >= minCount)
+    perTerm.crossJoin(sf.broadcast(nT))
+      .select(sf.col("__w").as("term"), sf.col("df"), sf.col("tf"),
+        gf.roundAt((dec(sf.col("__n")) * sf.col("__sq") -
+          dec(sf.col("tf")) * dec(sf.col("tf"))).cast("double") /
+          (dec(sf.col("__n")) * dec(sf.col("tf"))).cast("double"), 6)
+          .as("burstiness"))
+      .orderBy(sf.col("burstiness").desc, sf.col("term"))
+      .limit(topK)
+  }
+
   /** Capture–recapture corpus-size estimate (Lincoln–Petersen, with
     * the Chapman 1951 small-sample correction) from two overlapping
     * "captures" of the same underlying population — the crawl-planning

@@ -2205,6 +2205,45 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Normalized spectral entropy of the [[periodogram]]'s candidate-
+    * band power distribution per event type: H = −Σ p·ln p / ln K over
+    * the per-period power shares — ONE number for "is the rhythm
+    * concentrated or smeared" (→0 = a single dominant cadence: cron,
+    * bot, daily cycle; →1 = white-noise-flat band), printed with the
+    * dominant period — the summary dashboards want where q263's full
+    * table is the drill-down. Pure COMPOSITION over [[periodogram]]'s
+    * 1e-6-snapped shares — never a second spectral implementation.
+    *
+    * Determinism: each −p·ln p term snaps to the 1e-9 integer grid
+    * before the unordered sum (the snap-then-sum convention); the
+    * ln K normalizer is a plan literal; dominant period breaks ties
+    * to the SMALLEST period (max(struct(share, −period))); a flat
+    * series (all shares NULL) yields NULL entropy and NULL dominant.
+    *
+    * Scale shape: the periodogram chain + ONE (type)-keyed rollup
+    * over ≤ (maxPeriod−minPeriod+1) rows per type. */
+  def spectralEntropy(events: DataFrame, typeCol: String = "event_type",
+                      tsCol: String = "ts", binSec: Long = 86400,
+                      minPeriod: Int = 2, maxPeriod: Int = 14): DataFrame = {
+    val k = maxPeriod - minPeriod + 1
+    require(k >= 2, s"need at least 2 candidate periods, got $k")
+    val pg = periodogram(events, typeCol, tsCol, binSec, minPeriod, maxPeriod)
+    val term9 = sf.when(sf.col("share") > 0.0,
+      sf.floor(-sf.col("share") * sf.log(sf.col("share")) * 1e9 + 0.5)
+        .cast("long")).otherwise(0L)
+    pg.groupBy(typeCol)
+      .agg(sf.count(sf.lit(1)).as("n_periods"),
+        sf.max(sf.when(sf.col("share").isNotNull,
+          sf.struct(sf.col("share"), (-sf.col("period")).as("np")))).as("__dom"),
+        sf.sum(term9).as("__s9"))
+      .select(sf.col(typeCol), sf.col("n_periods"),
+        (-sf.col("__dom.np")).as("dominant_period"),
+        sf.when(sf.col("__dom").isNotNull, gf.roundAt(
+          sf.col("__s9").cast("double") / 1e9 / math.log(k.toDouble), 6))
+          .as("spectral_entropy"))
+      .orderBy(typeCol)
+  }
+
   /** Ljung–Box portmanteau statistic (Ljung & Box 1978, Biometrika 65)
     * per event type: Q = n(n+2)·Σ_{k=1..h} r_k²/(n−k) over the [[acf]]
     * autocorrelations — the ONE-NUMBER "is this series white noise"

@@ -2092,6 +2092,43 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rc.forall(_.isNullAt(2)), rc.toSeq.toString)
   }
 
+  test("EventOps.spectralEntropy: replays its own periodogram; flat NULL") {
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-06-${10 + d}%02d $h%02d:00:00")
+    // 8 daily bins alternating 1 vs 7 events: a strong period-2 cadence
+    val ev = (0 until 8).flatMap { d =>
+      Seq.fill(if (d % 2 == 0) 1 else 7)(("x", ts(d, 0), 1.0))
+    }.toDF("event_type", "ts", "value")
+    val r = EventOps.spectralEntropy(ev).head()
+    assert(r.getAs[Int]("dominant_period") == 2 &&
+      r.getAs[Long]("n_periods") == 13, r.toString)
+    // composition: entropy must equal the replay over the operator's
+    // own periodogram shares, snap-then-sum at 1e-9, ln(13) normalizer
+    val shares = EventOps.periodogram(ev).collect()
+      .map(x => Option(x.getAs[java.lang.Double]("share")).map(_.doubleValue))
+    val s9 = shares.flatten.filter(_ > 0)
+      .map(p => math.floor(-p * math.log(p) * 1e9 + 0.5)).sum
+    assert(r.getAs[Double]("spectral_entropy") ==
+      math.floor(s9 / 1e9 / math.log(13.0) * 1e6 + 0.5) / 1e6)
+    // constant series: flat band -> NULL entropy and NULL dominant
+    val flat = (0 until 4).map(d => ("c", ts(d, 0), 1.0))
+      .toDF("event_type", "ts", "value")
+    val rf = EventOps.spectralEntropy(flat).head()
+    assert(rf.isNullAt(rf.fieldIndex("spectral_entropy")) &&
+      rf.isNullAt(rf.fieldIndex("dominant_period")))
+  }
+
+  test("CorpusStats.termBurstiness: clumped term outranks spread term") {
+    val docs = Seq((1L, "x x x"), (2L, "y"), (3L, "y")).toDF("doc_id", "text")
+    val got = CorpusStats.termBurstiness(docs, "doc_id", "text",
+      minCount = 1, topK = 10).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("x", "y"))
+    // x: N=3, tf=3, sq=9 -> (27-9)/9 = 2; y: tf=2, sq=2 -> 2/6
+    assert(got(0).getAs[Double]("burstiness") == 2.0)
+    assert(got(1).getAs[Double]("burstiness") ==
+      math.floor(2.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    assert(got(0).getAs[Long]("df") == 1 && got(1).getAs[Long]("df") == 2)
+  }
+
   test("EventOps.diffInDiff: hand cells, did=2.5, unpooled se; empty cell NULL") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val pre = ts("2024-01-10 00:00:00"); val post = ts("2024-01-20 00:00:00")
