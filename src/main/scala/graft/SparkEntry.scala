@@ -1975,6 +1975,11 @@ object SparkEntry {
     "q291_term_burstiness" -> ((s, dir) =>
       CorpusStats.termBurstiness(docs(s, dir), "doc_id", "text",
         minCount = 50)),
+
+    // Theil decomposition of token mass: is concentration between
+    // sources (mixture lever) or within them (length-cap lever)?
+    "q292_theil" -> ((s, dir) =>
+      CorpusStats.theilDecomposition(docs(s, dir), "text", "source")),
   )
 
   // ---------------------------------------------------------------------
@@ -8477,5 +8482,37 @@ object SparkEntry {
         |    /CAST(CAST(nn AS DECIMAL(38,0))*CAST(tf AS DECIMAL(38,0)) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS burstiness
         |FROM pt CROSS JOIN n
         |ORDER BY burstiness DESC, term LIMIT 50""".stripMargin,
+
+    // Theil: identical doc token counts, 1e-12-snapped entropy terms
+    // for total/between/weighted-within, pinned assemblies.
+    "q292_theil" ->
+      """WITH d AS (SELECT source AS s,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |bs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(x) AS BIGINT) AS xs
+        |  FROM d GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(ns) AS BIGINT) AS n, CAST(SUM(xs) AS BIGINT) AS xt FROM bs),
+        |dt AS (SELECT
+        |  CAST(SUM(CASE WHEN x > 0 THEN CAST(floor(
+        |    CAST(x AS DOUBLE)/CAST(xt AS DOUBLE)
+        |    * ln(CAST(n AS DOUBLE)*CAST(x AS DOUBLE)/CAST(xt AS DOUBLE))*1e12 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS t12,
+        |  CAST(SUM(CASE WHEN x > 0 THEN CAST(floor(
+        |    CAST(x AS DOUBLE)/CAST(xt AS DOUBLE)
+        |    * ln(CAST(ns AS DOUBLE)*CAST(x AS DOUBLE)/CAST(xs AS DOUBLE))*1e12 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS w12
+        |  FROM d JOIN bs USING (s) CROSS JOIN tt),
+        |bt AS (SELECT CAST(SUM(CASE WHEN xs > 0 THEN CAST(floor(
+        |    CAST(xs AS DOUBLE)/CAST(xt AS DOUBLE)
+        |    * ln((CAST(xs AS DOUBLE)/CAST(xt AS DOUBLE))/(CAST(ns AS DOUBLE)/CAST(n AS DOUBLE)))*1e12 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS b12,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sources FROM bs CROSS JOIN tt)
+        |SELECT n AS n_docs, n_sources,
+        |  floor(CAST(t12 AS DOUBLE)/1e12*1000000.0 + 0.5)/1000000.0 AS theil_total,
+        |  floor(CAST(b12 AS DOUBLE)/1e12*1000000.0 + 0.5)/1000000.0 AS theil_between,
+        |  floor(CAST(w12 AS DOUBLE)/1e12*1000000.0 + 0.5)/1000000.0 AS theil_within,
+        |  floor(CAST(t12 - b12 - w12 AS DOUBLE)/1e12*1000000.0 + 0.5)/1000000.0 AS residual
+        |FROM dt CROSS JOIN bt CROSS JOIN tt""".stripMargin,
   )
 }

@@ -1614,6 +1614,71 @@ object CorpusStats {
       .orderBy("source_a", "source_b")
   }
 
+  /** Theil inequality decomposition (Theil 1967) of per-document token
+    * mass across sources: T_total = T_between + Σ_s w_s·T_within_s —
+    * the DECOMPOSABLE inequality index the row-170 Gini can't give:
+    * "is token-mass concentration a few giant SOURCES (between) or a
+    * few giant documents inside each source (within)?" — the number
+    * that says whether mixture re-weighting (a between-source lever)
+    * can fix concentration at all, or whether per-source length caps
+    * (a within lever) are needed. Reported: T_total, T_between, the
+    * weighted within sum, and the decomposition residual (exact
+    * mathematically; ~1e-6 after snapping — printing it IS the audit).
+    *
+    * Determinism: token counts are exact integers; every entropy term
+    * — (x/X)·ln(nx/X) for total, (X_s/X)·ln((X_s/X)/(n_s/n)) for
+    * between, (x/X)·ln(n_s·x/X_s) for the weighted within — is a
+    * pinned double from exact integers snapped to the 1e-12 integer
+    * grid BEFORE its unordered sum; zero-token docs contribute 0 (the
+    * 0·ln 0 convention); outputs round 1e-6.
+    *
+    * Scale shape: one map-only token count per doc, one
+    * source-domain rollup, a broadcast source-stats join back onto
+    * the doc stream, ONE combinable two-term aggregation + a
+    * domain-sized between sum. No windows, no corpus sort. */
+  def theilDecomposition(docs: DataFrame, textCol: String,
+                         sourceCol: String): DataFrame = {
+    val x = sf.size(gf.wsTokens(sf.lower(sf.col(textCol)))).cast("long")
+    val base = Par.spread(docs.select(sf.col(sourceCol).as("__s"),
+        sf.col(textCol)))
+      .filter(sf.col(textCol).isNotNull && sf.col("__s").isNotNull)
+      .select(sf.col("__s"), x.as("__x"))
+    val bySrc = base.groupBy("__s")
+      .agg(sf.count(sf.lit(1)).as("__ns"), sf.sum("__x").cast("long").as("__xs"))
+      .localCheckpoint(true) // totals + the doc join + between read it
+    val tot = bySrc.agg(sf.sum("__ns").cast("long").as("__nTot"),
+      sf.sum("__xs").cast("long").as("__xTot"))
+    def snap12(c: Column) = sf.floor(c * 1e12 + 0.5).cast("long")
+    val withS = base.join(sf.broadcast(bySrc), "__s")
+      .crossJoin(sf.broadcast(tot))
+    val xD = sf.col("__x").cast("double")
+    val xTotD = sf.col("__xTot").cast("double")
+    val docTerms = withS.select(
+      sf.when(sf.col("__x") > 0, snap12(
+        xD / xTotD *
+          sf.log(sf.col("__nTot").cast("double") * xD / xTotD)))
+        .otherwise(0L).as("__tt"),
+      sf.when(sf.col("__x") > 0, snap12(
+        xD / xTotD *
+          sf.log(sf.col("__ns").cast("double") * xD /
+            sf.col("__xs").cast("double")))).otherwise(0L).as("__tw"))
+    val sums = docTerms.agg(sf.sum("__tt").as("__t12"), sf.sum("__tw").as("__w12"))
+    val between = bySrc.crossJoin(sf.broadcast(tot))
+      .select(sf.when(sf.col("__xs") > 0, snap12(
+        sf.col("__xs").cast("double") / sf.col("__xTot").cast("double") *
+          sf.log((sf.col("__xs").cast("double") / sf.col("__xTot").cast("double")) /
+            (sf.col("__ns").cast("double") / sf.col("__nTot").cast("double")))))
+        .otherwise(0L).as("__tb"))
+      .agg(sf.sum("__tb").as("__b12"), sf.count(sf.lit(1)).as("n_sources"))
+    sums.crossJoin(sf.broadcast(between)).crossJoin(sf.broadcast(tot))
+      .select(sf.col("__nTot").as("n_docs"), sf.col("n_sources"),
+        gf.roundAt(sf.col("__t12").cast("double") / 1e12, 6).as("theil_total"),
+        gf.roundAt(sf.col("__b12").cast("double") / 1e12, 6).as("theil_between"),
+        gf.roundAt(sf.col("__w12").cast("double") / 1e12, 6).as("theil_within"),
+        gf.roundAt((sf.col("__t12") - sf.col("__b12") - sf.col("__w12"))
+          .cast("double") / 1e12, 6).as("residual"))
+  }
+
   /** Per-term burstiness (Church & Gale 1995): the variance-to-mean
     * ratio of a term's PER-DOCUMENT count, zeros included — function
     * words spread evenly (ratio near the Poisson 1), content/topical

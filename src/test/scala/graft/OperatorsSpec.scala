@@ -2117,6 +2117,30 @@ class OperatorsSpec extends SparkFunSuite {
       rf.isNullAt(rf.fieldIndex("dominant_period")))
   }
 
+  test("CorpusStats.theilDecomposition: between-only corpus; decomposition holds") {
+    def snap12(v: Double) = math.floor(v * 1e12 + 0.5)
+    def r6(v: Double) = math.floor(v / 1e12 * 1e6 + 0.5) / 1e6
+    // equal docs inside each source: ALL inequality is between-source
+    val flat = Seq(("a", "w w"), ("a", "w w"), ("b", "w w w w"))
+      .toDF("source", "text")
+    val rf = CorpusStats.theilDecomposition(flat, "text", "source").head()
+    assert(rf.getAs[Long]("n_docs") == 3 && rf.getAs[Long]("n_sources") == 2)
+    val tTot = snap12(0.25 * math.log(0.75)) * 2 + snap12(0.5 * math.log(1.5))
+    assert(rf.getAs[Double]("theil_total") == r6(tTot), rf.toString)
+    assert(rf.getAs[Double]("theil_between") == rf.getAs[Double]("theil_total"))
+    assert(rf.getAs[Double]("theil_within") == 0.0 &&
+      rf.getAs[Double]("residual") == 0.0)
+    // unequal docs inside a: total = between + within up to snapping
+    val mix = Seq(("a", "w"), ("a", "w w w"), ("b", "w w w w"))
+      .toDF("source", "text")
+    val rm = CorpusStats.theilDecomposition(mix, "text", "source").head()
+    assert(rm.getAs[Double]("theil_within") > 0.0)
+    assert(math.abs(rm.getAs[Double]("theil_total") -
+      rm.getAs[Double]("theil_between") - rm.getAs[Double]("theil_within"))
+      <= 2e-6, rm.toString)
+    assert(math.abs(rm.getAs[Double]("residual")) <= 2e-6)
+  }
+
   test("CorpusStats.termBurstiness: clumped term outranks spread term") {
     val docs = Seq((1L, "x x x"), (2L, "y"), (3L, "y")).toDF("doc_id", "text")
     val got = CorpusStats.termBurstiness(docs, "doc_id", "text",
