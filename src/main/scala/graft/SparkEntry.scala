@@ -1980,6 +1980,60 @@ object SparkEntry {
     // sources (mixture lever) or within them (length-cap lever)?
     "q292_theil" -> ((s, dir) =>
       CorpusStats.theilDecomposition(docs(s, dir), "text", "source")),
+
+    // dim_Airport worked example (reference data source #4, the one
+    // artifact with no graft twin until r10): an airport-codes
+    // CSV-shaped frame staged deterministically from nation x region,
+    // then the notebook's split/cast transform, an airfield-type
+    // filter, and a scale-safe dense surrogate key.
+    "q293_dim_airport" -> ((s, dir) => {
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      val key = sf.col("n_nationkey")
+      val staged = nat.join(sf.broadcast(reg),
+          sf.col("n_regionkey") === sf.col("r_regionkey"))
+        .select(
+          sf.concat(sf.lit("AP"),
+            sf.lpad(key.cast("string"), 3, "0")).as("ident"),
+          sf.when(key % 4 === 0, "heliport")
+            .when(key % 4 === 1, "small_airport")
+            .when(key % 4 === 2, "medium_airport")
+            .otherwise("large_airport").as("type"),
+          sf.concat(sf.col("n_name"), sf.lit(" INTL")).as("name"),
+          (key * 37 % 900).cast("string").as("elevation_ft"),
+          sf.col("r_name").as("continent"),
+          sf.substring(sf.col("n_name"), 1, 2).as("iso_country"),
+          sf.concat(sf.substring(sf.col("n_name"), 1, 2), sf.lit("-"),
+            sf.lpad(sf.col("n_regionkey").cast("string"), 2, "0"))
+            .as("iso_region"),
+          sf.col("n_name").as("municipality"),
+          sf.concat(sf.lit("G"), key.cast("string")).as("gps_code"),
+          sf.lit(null).cast("string").as("iata_code"),
+          sf.concat(sf.lit("L"), key.cast("string")).as("local_code"),
+          sf.concat(key.cast("string"), sf.lit(".5, -"),
+            sf.col("n_regionkey").cast("string"), sf.lit(".25"))
+            .as("coordinates"))
+      StarSchema.dimAirport(staged,
+        keepTypes = Seq("small_airport", "medium_airport", "large_airport"))
+    }),
+
+    // Per-source Gini of per-doc token mass + a corpus '(all)' row:
+    // how skewed each source's own length distribution is — the
+    // within-source companion of q292's Theil decomposition.
+    "q294_lorenz_gini" -> ((s, dir) =>
+      CorpusStats.lorenzGini(docs(s, dir), "text", "source")),
+
+    // Spiegelhalter's Z on the q120 classifier confidences: a
+    // binning-free calibration verdict beside the descriptive ECE.
+    "q295_spiegelhalter" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      val conf = sf.lit(1.0) / (sf.lit(1.0) + sf.exp(-sf.col("score")))
+      QualityChecks.spiegelhalterZ(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(conf.as("conf"), (sf.col("lang") === "en").cast("int").as("y")),
+        "conf", "y")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -8025,7 +8079,8 @@ object SparkEntry {
     // exact rational (A + (N-B)*cc)/(2*cc*N), 1e-6 snap, summary agg.
     "q278_t_closeness" ->
       """WITH cells AS (SELECT lang, n_chars // 500 AS len_bkt, source AS s,
-        |  CAST(COUNT(*) AS BIGINT) AS cv FROM documents GROUP BY 1, 2, 3),
+        |  CAST(COUNT(*) AS BIGINT) AS cv FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1, 2, 3),
         |ct AS (SELECT lang, len_bkt, CAST(SUM(cv) AS BIGINT) AS cc
         |  FROM cells GROUP BY 1, 2),
         |gl AS (SELECT s, CAST(SUM(cv) AS BIGINT) AS gv FROM cells GROUP BY 1),
@@ -8514,5 +8569,103 @@ object SparkEntry {
         |  floor(CAST(w12 AS DOUBLE)/1e12*1000000.0 + 0.5)/1000000.0 AS theil_within,
         |  floor(CAST(t12 - b12 - w12 AS DOUBLE)/1e12*1000000.0 + 0.5)/1000000.0 AS residual
         |FROM dt CROSS JOIN bt CROSS JOIN tt""".stripMargin,
+
+    // dim_Airport: the same deterministic staging (nation x region),
+    // the notebook's split/cast transform, type filter, and a
+    // row_number surrogate ordered by ident (= globalDenseIds' rank).
+    "q293_dim_airport" ->
+      """WITH staged AS (SELECT
+        |  'AP' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS ident,
+        |  CASE CAST(n_nationkey % 4 AS INTEGER) WHEN 0 THEN 'heliport'
+        |    WHEN 1 THEN 'small_airport' WHEN 2 THEN 'medium_airport'
+        |    ELSE 'large_airport' END AS type,
+        |  n_name || ' INTL' AS name,
+        |  CAST(n_nationkey * 37 % 900 AS VARCHAR) AS elevation_ft,
+        |  r_name AS continent,
+        |  substr(n_name, 1, 2) || '-' ||
+        |    lpad(CAST(n_regionkey AS VARCHAR), 2, '0') AS iso_region,
+        |  n_name AS municipality,
+        |  'G' || CAST(n_nationkey AS VARCHAR) AS gps_code,
+        |  'L' || CAST(n_nationkey AS VARCHAR) AS local_code,
+        |  CAST(n_nationkey AS VARCHAR) || '.5, -' ||
+        |    CAST(n_regionkey AS VARCHAR) || '.25' AS coordinates
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |dim AS (SELECT ident, type, name,
+        |  CAST(elevation_ft AS INTEGER) AS elevation_ft, continent,
+        |  municipality, gps_code, local_code,
+        |  str_split(iso_region, '-')[1] AS country,
+        |  str_split(iso_region, '-')[2] AS state,
+        |  CAST(str_split(coordinates, ', ')[1] AS DOUBLE) AS latitude,
+        |  CAST(str_split(coordinates, ', ')[2] AS DOUBLE) AS longitude
+        |  FROM staged
+        |  WHERE type IN ('small_airport', 'medium_airport', 'large_airport'))
+        |SELECT ROW_NUMBER() OVER (ORDER BY ident) AS airport_key,
+        |  ident, type, name, elevation_ft, continent, municipality,
+        |  gps_code, local_code, country, state, latitude, longitude
+        |FROM dim ORDER BY airport_key""".stripMargin,
+
+    // Lorenz/Gini: identical (source, token-count) cells, per-source
+    // cumulative mass over the value domain, the grouped trapezoid
+    // G = (N*M - sum c*(2*cumM - m)) / (N*M), exact integer products.
+    "q294_lorenz_gini" ->
+      """WITH d AS (SELECT source AS s,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |sc AS (SELECT s, x, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |ac AS (SELECT '(all)' AS s, x, CAST(SUM(c) AS BIGINT) AS c FROM sc GROUP BY 2),
+        |cells AS (SELECT * FROM sc UNION ALL SELECT * FROM ac),
+        |cum AS (SELECT s, x, c, CAST(x AS DECIMAL(38,0)) * c AS m,
+        |  SUM(CAST(x AS DECIMAL(38,0)) * c) OVER
+        |    (PARTITION BY s ORDER BY x) AS cumm
+        |  FROM cells),
+        |g AS (SELECT s AS source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  CAST(SUM(m) AS BIGINT) AS total_tokens,
+        |  SUM(CAST(c AS DECIMAL(38,0)) * (2 * cumm - m)) AS trap
+        |  FROM cum GROUP BY 1)
+        |SELECT source, n_docs, total_tokens,
+        |  CASE WHEN total_tokens > 0 THEN
+        |    floor(CAST(CAST(n_docs AS DECIMAL(38,0)) * total_tokens - trap AS DOUBLE)
+        |      / CAST(CAST(n_docs AS DECIMAL(38,0)) * total_tokens AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS gini
+        |FROM g ORDER BY source""".stripMargin,
+
+    // Spiegelhalter Z: the q120 classifier/sigmoid chain, confidences
+    // snapped to the same 1e-4 grid, then exact integer num/den sums
+    // and one pinned double assembly.
+    "q295_spiegelhalter" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |cy AS (SELECT s.doc_id,
+         |  1.0 / (1.0 + exp(-(floor((raw + -0.05)*10000.0 + 0.5)/10000.0))) AS conf,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |pp AS (SELECT CAST(floor(conf*10000.0 + 0.5) AS BIGINT) AS p, y FROM cy),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  SUM(CAST(y*10000 - p AS DECIMAL(38,0)) *
+         |      CAST(10000 - 2*p AS DECIMAL(38,0))) AS num,
+         |  SUM(CAST(10000 - 2*p AS DECIMAL(38,0)) * CAST(10000 - 2*p AS DECIMAL(38,0)) *
+         |      CAST(p AS DECIMAL(38,0)) * CAST(10000 - p AS DECIMAL(38,0))) AS den
+         |  FROM pp)
+         |SELECT n, n_pos,
+         |  CASE WHEN den > 0 THEN
+         |    floor((CAST(num AS DOUBLE)/1e8) / sqrt(CAST(den AS DOUBLE)/1e16)
+         |      * 1000000.0 + 0.5) / 1000000.0
+         |  END AS z
+         |FROM agg""".stripMargin
+    },
   )
 }

@@ -284,7 +284,14 @@ object QualityChecks {
     require(quasiCols.nonEmpty && t > 0 && t < 1,
       "need quasi columns and t in (0, 1)")
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val cells = df.groupBy((quasiCols.map(sf.col) :+ sensitive.as("__s")): _*)
+    // COMPLETE-CASE semantics, made explicit (r9 ADVICE): a row whose
+    // sensitive value is NULL carries no distribution information, so
+    // it is excluded from classes AND margins up front — otherwise the
+    // equi join below would silently count NULL mass as "absent"
+    // (inflating t) and drop all-NULL classes from n_groups. A caller
+    // who wants NULL as a real category coalesces to a sentinel first.
+    val cells = df.filter(sensitive.isNotNull)
+      .groupBy((quasiCols.map(sf.col) :+ sensitive.as("__s")): _*)
       .agg(sf.count(sf.lit(1)).as("__cv"))
       .localCheckpoint(true) // class margin + global margin + join read it
     val classTot = cells.groupBy(quasiCols.map(sf.col): _*)
@@ -945,9 +952,13 @@ object QualityChecks {
     *
     * Scale shape: two map-side-combinable value collapses, a
     * domain×domain broadcast pairing, ONE difference-domain rollup
-    * (combinable), and a cumulative window over the BOUNDED difference
-    * domain keyed on a constant (the globalDenseIds offset-window
-    * idiom — bounded by construction, never data-sized). */
+    * (combinable), and a cumulative pass over the difference domain
+    * riding [[graft.operators.StarSchema.globalPrefixSums]] (range
+    * partition + broadcast offsets) — even a near-continuous value
+    * column whose difference domain approaches row counts sorts in
+    * parallel, never on one task. Sample sizes fold into the frame as
+    * weight sums over the already-collapsed domains (no driver-side
+    * count() actions). */
   def hodgesLehmann(dfA: DataFrame, dfB: DataFrame,
                     valueCol: String): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
@@ -955,25 +966,23 @@ object QualityChecks {
       .select(sf.col(valueCol).cast("long").as(n))
       .filter(sf.col(n).isNotNull)
       .groupBy(n).agg(sf.count(sf.lit(1)).as(c))
-    val da = dom(dfA, "__va", "__ca")
-    val db = dom(dfB, "__vb", "__cb")
+    // each domain feeds both the pairing and its sample-size sum
+    val da = dom(dfA, "__va", "__ca").localCheckpoint(true)
+    val db = dom(dfB, "__vb", "__cb").localCheckpoint(true)
     val diffs = da.crossJoin(sf.broadcast(db))
       .groupBy((sf.col("__va") - sf.col("__vb")).as("__d"))
       .agg(sf.sum(dec(sf.col("__ca")) * dec(sf.col("__cb"))).as("__w"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sf.pmod(sf.lit(0), sf.lit(1))).orderBy("__d")
-    val med = diffs
-      .withColumn("__cum", sf.sum("__w").over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-      .withColumn("__tot", sf.sum("__w").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(sf.pmod(sf.lit(0), sf.lit(1)))))
+      .localCheckpoint(true) // prefix pass + total both read it
+    val tot = diffs.agg(sf.sum("__w").as("__tot"))
+    val med = graft.operators.StarSchema
+      .globalPrefixSums(diffs, Seq("__d"), "__w", "__cum")
+      .crossJoin(sf.broadcast(tot))
       .filter(sf.col("__cum") * 2 >= sf.col("__tot"))
       .agg(sf.min("__d").as("hl_shift"))
-    val na = dfA.filter(sf.col(valueCol).isNotNull).count()
-    val nb = dfB.filter(sf.col(valueCol).isNotNull).count()
-    med.select(sf.lit(na).as("n_a"), sf.lit(nb).as("n_b"), sf.col("hl_shift"))
+    val na = da.agg(sf.sum("__ca").as("n_a"))
+    val nb = db.agg(sf.sum("__cb").as("n_b"))
+    med.crossJoin(sf.broadcast(na)).crossJoin(sf.broadcast(nb))
+      .select(sf.col("n_a"), sf.col("n_b"), sf.col("hl_shift"))
   }
 
   /** Restricted mean survival time (RMST; Royston & Parmar 2013 for
@@ -1915,6 +1924,50 @@ object QualityChecks {
         gf.roundAt(sf.col("__gap_total").cast("double") /
           (sf.col("__n_total").cast("double") * 1e6), 4).as("ece"))
       .orderBy("bin")
+  }
+
+  /** Spiegelhalter's Z test of calibration (Spiegelhalter 1986, Stat.
+    * Med. 5): the HYPOTHESIS TEST beside [[calibration]]'s descriptive
+    * ECE — under perfect calibration E[(y−p)(1−2p)] = 0, so
+    *
+    *   Z = Σ (y_i − p_i)(1 − 2p_i) / √(Σ (1 − 2p_i)² p_i (1 − p_i))
+    *
+    * is asymptotically N(0,1): |Z| > 1.96 says the probabilities are
+    * MISCALIBRATED at 5% (positive Z = overconfident scores), a
+    * binning-free verdict where ECE depends on the bin grid. The
+    * standard decomposition-companion readout on any scored corpus
+    * gate (quality classifier, toxicity model) before its threshold is
+    * trusted.
+    *
+    * Determinism: confidences snap to the 1e-4 grid ([[calibration]]'s
+    * convention — the integer p4), after which numerator terms
+    * (y·10⁴ − p4)·(10⁴ − 2·p4) and denominator terms
+    * (10⁴ − 2·p4)²·p4·(10⁴ − p4) are EXACT integers accumulating in
+    * DECIMAL(38,0); Z is ONE pinned double assembly rounded 1e-6. A
+    * degenerate denominator (every p exactly 0 or 1) yields NULL.
+    *
+    * Scale shape: one filter + ONE map-side-combinable single-row
+    * aggregation over the corpus. No joins, no windows, no shuffle
+    * beyond the scalar reduce. */
+  def spiegelhalterZ(df: DataFrame, confCol: String,
+                     outcomeCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val p4 = sf.floor(sf.col(confCol).cast("double") * 1e4 + 0.5).cast("long")
+    val base = df
+      .filter(sf.col(confCol).isNotNull && sf.col(outcomeCol).isNotNull)
+      .select(p4.as("__p"), sf.col(outcomeCol).cast("long").as("__y"))
+    val oneMinus2p = sf.lit(10000L) - sf.col("__p") * 2L
+    base.agg(
+        sf.count(sf.lit(1)).as("n"),
+        sf.sum("__y").cast("long").as("n_pos"),
+        sf.sum(dec(sf.col("__y") * 10000L - sf.col("__p")) * dec(oneMinus2p))
+          .as("__num"),
+        sf.sum(dec(oneMinus2p) * dec(oneMinus2p) * dec(sf.col("__p")) *
+          dec(sf.lit(10000L) - sf.col("__p"))).as("__den"))
+      .select(sf.col("n"), sf.col("n_pos"),
+        sf.when(sf.col("__den") > 0, gf.roundAt(
+          (sf.col("__num").cast("double") / 1e8) /
+            sf.sqrt(sf.col("__den").cast("double") / 1e16), 6)).as("z"))
   }
 
   /** Isotonic (monotone) calibration of a classifier's confidence —
@@ -2897,6 +2950,19 @@ object QualityChecks {
     * beyond the cell collapse. */
   def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // concordance compares cells with <, so the bucket types must carry
+    // the intended order: string-typed ordinals would compare
+    // lexicographically ('10' < '2') and silently corrupt nc/nd (r9
+    // ADVICE) — require numeric/date/timestamp and fail actionably
+    Seq(xCol, yCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType,
+        s"kendallTau: column '$c' has type ${dt.simpleString}; ordinal " +
+        "buckets must be numeric (or date/timestamp) so '<' is the " +
+        "intended order — map string buckets to integer codes first")
+    }
     val cells = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
       .groupBy(sf.col(xCol).as("x"), sf.col(yCol).as("y"))
       .agg(sf.count(sf.lit(1)).as("c"))

@@ -354,10 +354,19 @@ object functions {
     * size, the property that makes a 100k-phrase blocklist a single
     * scan instead of 100k contains() probes. All end positions count
     * (overlapping/nested matches included); case-sensitive — callers
-    * normalize both sides. */
-  def multiMatch(text: Column, patterns: Column): Column =
+    * normalize both sides. `patterns` must be FOLDABLE (a literal
+    * array): the automaton memo's identity fast path is only sound for
+    * a stable plan literal — a per-row patterns column would both
+    * rebuild the automaton per row and risk stale identity hits on
+    * re-pointed row buffers, so it is rejected at construction. */
+  def multiMatch(text: Column, patterns: Column): Column = {
+    require(GraftBridge.isConstant(patterns),
+      "multiMatch: patterns must be a literal/foldable array expression " +
+      "(e.g. lit(Array(...)), typedlit(Seq(...)), array(lit(...))); a " +
+      "per-row patterns column is not supported")
     kernel(ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
       "multiMatch", text, patterns)
+  }
 
   /** zlib-deflate compressed-size ratio (Kernels.deflateRatio) — the
     * Gopher/RefinedWeb compressibility quality signal: low = templated

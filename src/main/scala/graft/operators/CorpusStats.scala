@@ -1679,6 +1679,73 @@ object CorpusStats {
           .cast("double") / 1e12, 6).as("residual"))
   }
 
+  /** Per-source Gini concentration of per-document token mass (Gini
+    * 1912; grouped-data/Lorenz form): the WITHIN-source companion
+    * readout of [[theilDecomposition]] — Theil says between-vs-within,
+    * Gini says HOW SKEWED each source's own document-length
+    * distribution is on the scale every datasheet reader knows (0 =
+    * every doc the same length, →1 = one giant doc carries the
+    * source), plus a corpus-wide `(all)` row. The standard grouped
+    * (tie-exact) estimator over the ascending value domain:
+    *
+    *   G = (N·M − Σ_k c_k·(M_{k−1} + M_k)) / (N·M)
+    *
+    * with c_k docs at value v_k, mass m_k = v_k·c_k and M_k the
+    * inclusive cumulative mass — the trapezoid rule under the Lorenz
+    * curve, EXACT under ties because tied values form one flat
+    * segment.
+    *
+    * Determinism: counts/masses are exact integers; every product
+    * accumulates as DECIMAL(38,0) (N·M squares the corpus); ONE double
+    * division per source rounded 1e-6; an all-zero-mass source yields
+    * NULL.
+    *
+    * Scale shape: one map-only token count, one (source, value)-domain
+    * collapse (map-side combinable — pair mass lives on the VALUE
+    * domain, the hodgesLehmann contract), per-source cumulative sums
+    * over the COLLAPSED domain (each source's partition is bounded by
+    * its distinct doc lengths, never its doc count), and a domain-only
+    * re-aggregation for the corpus row — the doc stream is read
+    * once. */
+  def lorenzGini(docs: DataFrame, textCol: String,
+                 sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = sf.size(gf.wsTokens(sf.lower(sf.col(textCol)))).cast("long")
+    val base = Par.spread(docs.select(sf.col(sourceCol).as("__s"),
+        sf.col(textCol)))
+      .filter(sf.col(textCol).isNotNull && sf.col("__s").isNotNull)
+      .select(sf.col("__s"), x.as("__x"))
+    val srcCells = base.groupBy("__s", "__x")
+      .agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true) // per-source chain + corpus re-agg read it
+    val allCells = srcCells.groupBy("__x")
+      .agg(sf.sum("__c").cast("long").as("__c"))
+      .select(sf.lit("(all)").as("__s"), sf.col("__x"), sf.col("__c"))
+    def giniOf(cells: DataFrame) = {
+      // domain-sized per-source window: partitions are value domains
+      val w = Window.partitionBy("__s").orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = dec(sf.col("__x")) * dec(sf.col("__c"))
+      cells
+        .withColumn("__m", m)
+        .withColumn("__cumM", sf.sum("__m").over(w))
+        .groupBy("__s")
+        .agg(sf.sum("__c").cast("long").as("n_docs"),
+          sf.sum("__m").as("__M"),
+          sf.sum(dec(sf.col("__c")) *
+            (sf.lit(2) * sf.col("__cumM") - sf.col("__m"))).as("__trap"))
+        .select(sf.col("__s").as("source"), sf.col("n_docs"),
+          sf.col("__M").cast("long").as("total_tokens"),
+          sf.when(sf.col("__M") > 0, gf.roundAt(
+            (dec(sf.col("n_docs")) * sf.col("__M") - sf.col("__trap"))
+              .cast("double") /
+            (dec(sf.col("n_docs")) * sf.col("__M")).cast("double"), 6))
+            .as("gini"))
+    }
+    giniOf(srcCells).unionByName(giniOf(allCells)).orderBy("source")
+  }
+
   /** Per-term burstiness (Church & Gale 1995): the variance-to-mean
     * ratio of a term's PER-DOCUMENT count, zeros included — function
     * words spread evenly (ratio near the Poisson 1), content/topical

@@ -1560,6 +1560,18 @@ object EventOps {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
     val spark = events.sparkSession
     import spark.implicits._
+    // The transition table collected below is (|channels|+3)^2 cells —
+    // fine for marketing-channel domains, a silent driver OOM for a
+    // high-cardinality type column. Probe the cardinality with a
+    // limit(cap+1) count (map-side-combinable distinct, stops scanning
+    // once cap+1 values exist) and fail actionably instead.
+    val maxChannels = 2048
+    val nTypes = events.filter(sf.col(typeCol).isNotNull)
+      .select(typeCol).distinct().limit(maxChannels + 1).count()
+    require(nTypes <= maxChannels,
+      s"markovAttribution collects a (|channels|+3)^2 transition table on " +
+      s"the driver, but '$typeCol' has more than $maxChannels distinct " +
+      s"values; coarsen/bucket the channel column before attribution")
     val SCALE = 1000000000L
     val w = Window.partitionBy("__u").orderBy(sf.col("__ts"), sf.col("__id"))
     val uw = Window.partitionBy("__u")

@@ -327,11 +327,18 @@ object Graph {
     * round budget, and short default-round runs pay ZERO extra jobs.
     * Nodes seed from union(src, dst), so dst-only nodes of an
     * asymmetric pre-mined edge list still get an output row. */
+  /** True when the caller handed this loop an ALREADY-persisted frame
+    * (the mine-once `*FromEdges` pipeline idiom): its cache is the
+    * caller's to free — the loop must not unpersist it at cleanup. */
+  private def callerCached(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+
   private def relaxRounds(edges0: DataFrame,
                           seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                           rounds: Int, weighted: Boolean): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    val edges = edges0.persist()
+    val ownsEdges = !callerCached(edges0)
+    val edges = if (ownsEdges) edges0.persist() else edges0
     val step = if (weighted) sf.col("w") else sf.lit(1L)
     var dist = edges.select(sf.col("src").as("item"))
       .union(edges.select(sf.col("dst").as("item"))).distinct()
@@ -360,7 +367,16 @@ object Graph {
         dist = ck
       }
     }
-    dist.orderBy("item")
+    // end-of-loop release: the final batch's in-loop cut is skipped by
+    // design (r < rounds), so materialize the node-sized result with
+    // ONE eager checkpoint and free every loop-owned cached frame —
+    // library callers get a clean cache without a harness clearCache.
+    val out = dist.localCheckpoint(true)
+    toFree += dist
+    if (ownsEdges) toFree += edges
+    toFree.foreach(_.unpersist())
+    toFree.clear()
+    out.orderBy("item")
   }
 
   /** Community detection by synchronous label propagation (LPA,
@@ -569,7 +585,9 @@ object Graph {
   def kCoreFromEdges(edges0: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    var edges = edges0.persist()
+    val ownsEdges = !callerCached(edges0)
+    val edgesIn = if (ownsEdges) edges0.persist() else edges0
+    var edges = edgesIn
     // the edge frame is read THREE times per peel (degree count + two
     // semi joins), so lineage TRIPLES per round — every UnpersistBatch
     // peels the loop cuts lineage with an eager localCheckpoint (one
@@ -594,9 +612,18 @@ object Graph {
         edges = ck
       }
     }
-    edges.groupBy("src").agg(sf.count(sf.lit(1)).as("degree"))
+    // end-of-loop release: materialize the NODE-sized degree result
+    // (never the edge frame) with one eager checkpoint, then free the
+    // surviving peel frames and — if this loop persisted it — the
+    // initial edge invariant; a caller-persisted edges0 stays cached.
+    val result = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("degree"))
       .select(sf.col("src").as("item"), sf.col("degree"))
-      .orderBy("item")
+      .localCheckpoint(true)
+    toFree += edges
+    if (ownsEdges) toFree += edgesIn
+    toFree.foreach(_.unpersist())
+    toFree.clear()
+    result.orderBy("item")
   }
 
   /** Triangle enumeration over the undirected co-occurrence graph —
@@ -624,7 +651,15 @@ object Graph {
     * endpoints; AQE broadcasts the closing edge list when small. */
   def triangles(df: DataFrame, basketCol: String, itemCol: String,
                 minPairCount: Long = 2): DataFrame =
-    triangleClosure(minedPairs(df, basketCol, itemCol, minPairCount)
+    trianglesFromPairs(minedPairs(df, basketCol, itemCol, minPairCount))
+
+  /** [[triangles]] over a pre-mined undirected pair list (canonical
+    * item_a < item_b rows, e.g. a persisted [[minedPairs]]) — the
+    * mine-once family member: a pipeline that also needs
+    * [[localClusteringFromPairs]] pays the mining funnel once and can
+    * share the persisted pair frame across both. */
+  def trianglesFromPairs(pairs: DataFrame): DataFrame =
+    triangleClosure(pairs
       .select(sf.col("item_a").as("u"), sf.col("item_b").as("v")))
       .orderBy("item_a", "item_b", "item_c")
 
@@ -783,24 +818,42 @@ object Graph {
     * corner explode + a map-side-combined per-node count + an
     * AQE-decided degree join on the NODE domain. */
   def localClustering(df: DataFrame, basketCol: String, itemCol: String,
-                      minPairCount: Long = 2): DataFrame = {
-    val und = minedPairs(df, basketCol, itemCol, minPairCount)
+                      minPairCount: Long = 2): DataFrame =
+    localClusteringFromPairs(minedPairs(df, basketCol, itemCol, minPairCount))
+
+  /** [[localClustering]] over a pre-mined undirected pair list
+    * (canonical item_a < item_b rows — the [[trianglesFromPairs]]
+    * input): pipelines mine once, persist the pairs, and run both
+    * triangle readouts against the same frame. A caller-persisted
+    * input is left cached (the `*FromEdges` ownership convention); an
+    * unpersisted one is persisted here because the closure reads it
+    * three times (degrees, orientation, closing list). */
+  def localClusteringFromPairs(pairs0: DataFrame): DataFrame = {
+    val ownsPairs = !callerCached(pairs0)
+    val pairsIn = if (ownsPairs) pairs0.persist() else pairs0
+    val und = pairsIn
       .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
-      .persist()
     val deg = und.select(sf.col("u").as("item")).union(und.select(sf.col("v").as("item")))
       .groupBy("item").agg(sf.count(sf.lit(1)).as("degree"))
     val triAt = triangleClosure(und)
       .select(sf.explode(sf.array(
         sf.col("item_a"), sf.col("item_b"), sf.col("item_c"))).as("item"))
       .groupBy("item").agg(sf.count(sf.lit(1)).as("n_triangles"))
-    deg.join(triAt, Seq("item"), "left")
+    val result = deg.join(triAt, Seq("item"), "left")
       .select(sf.col("item"), sf.col("degree"),
         sf.coalesce(sf.col("n_triangles"), sf.lit(0L)).as("n_triangles"),
         sf.when(sf.col("degree") >= 2, gf.roundAt(
           sf.coalesce(sf.col("n_triangles"), sf.lit(0L)).cast("double") /
             ((sf.col("degree") * (sf.col("degree") - 1)).cast("double") / 2), 6))
           .as("local_cc"))
-      .orderBy("item")
+    if (ownsPairs) {
+      // release the pair invariant once the node-sized result is
+      // materialized (one eager checkpoint — the loop-family cleanup
+      // discipline); a caller-persisted input stays cached
+      val out = result.localCheckpoint(true)
+      pairsIn.unpersist()
+      out.orderBy("item")
+    } else result.orderBy("item")
   }
 
   /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) over a
@@ -873,9 +926,18 @@ object Graph {
         auth = ckA; hub = ckH
       }
     }
-    auth.select(sf.lit("auth").as("side"), sf.col("dst").as("item"),
+    // end-of-loop release: at the default iters <= UnpersistBatch the
+    // in-loop cut never fires, so ~2·iters raw-sum frames plus the edge
+    // invariant would linger in the cache for the library caller's
+    // whole session — materialize both node-sized sides once, then
+    // free everything the loop persisted.
+    val fa = auth.localCheckpoint(true)
+    val fh = hub.localCheckpoint(true)
+    toFree.foreach(_.unpersist()); toFree.clear()
+    edges.unpersist()
+    fa.select(sf.lit("auth").as("side"), sf.col("dst").as("item"),
         sf.col("__v").as("score_fx"))
-      .union(hub.select(sf.lit("hub").as("side"), sf.col("src").as("item"),
+      .union(fh.select(sf.lit("hub").as("side"), sf.col("src").as("item"),
         sf.col("__v").as("score_fx")))
       .orderBy(sf.col("side"), sf.col("score_fx").desc, sf.col("item"))
   }
@@ -911,7 +973,8 @@ object Graph {
   def eigenvectorCentralityFromEdges(edges0: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     val SCALE = 1000000L // 1e6
-    val edges = edges0.persist()
+    val ownsEdges = !callerCached(edges0)
+    val edges = if (ownsEdges) edges0.persist() else edges0
     val nodes = edges.select(sf.col("src").as("item"))
       .union(edges.select(sf.col("dst").as("item"))).distinct().persist()
     // only raw persists (read twice per round: sum + max); x is read
@@ -937,7 +1000,14 @@ object Graph {
         x = ck
       }
     }
-    x.select(sf.col("item"), sf.col("__v").as("eig_fx"))
+    // end-of-loop release (the hitsBipartite discipline): one eager
+    // node-sized checkpoint, then free the raw frames, the node
+    // invariant, and — only if this loop persisted it — the edge list.
+    val fx = x.localCheckpoint(true)
+    toFree.foreach(_.unpersist()); toFree.clear()
+    nodes.unpersist()
+    if (ownsEdges) edges.unpersist()
+    fx.select(sf.col("item"), sf.col("__v").as("eig_fx"))
       .orderBy(sf.col("eig_fx").desc, sf.col("item"))
   }
 

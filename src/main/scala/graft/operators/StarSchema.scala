@@ -182,6 +182,39 @@ object StarSchema {
         sf.col("n_name").as("nation"), sf.col("r_name").as("region"))
   }
 
+  /** dim_Airport from an airport-codes CSV-shaped frame (reference
+    * README data source #4, "Airport Code Table"; notebook Step 2,
+    * dim_Airport cell: drop the mostly-null iata_code, split
+    * iso_region into country/state, split coordinates into
+    * latitude/longitude, cast elevation_ft/lat/lon) — the worked twin
+    * of the one reference artifact that never reached etl.py's final
+    * model. Input is the raw all-strings CSV shape (ident, type, name,
+    * elevation_ft, continent, iso_country, iso_region, municipality,
+    * gps_code, iata_code, local_code, coordinates); output is the
+    * typed dim with a scale-safe dense surrogate key (1..n ordered by
+    * ident — [[globalDenseIds]], never a one-task row_number) in a
+    * fixed column order. `keepTypes` optionally filters to real
+    * airfields (e.g. small/medium/large_airport — the curation the
+    * notebook stops short of); Nil keeps every row like the
+    * reference. */
+  def dimAirport(raw: DataFrame, keepTypes: Seq[String] = Nil): DataFrame = {
+    val typed = raw
+      .withColumn("country", sf.split(sf.col("iso_region"), "-").getItem(0))
+      .withColumn("state", sf.split(sf.col("iso_region"), "-").getItem(1))
+      .withColumn("latitude",
+        sf.split(sf.col("coordinates"), ", ").getItem(0).cast("double"))
+      .withColumn("longitude",
+        sf.split(sf.col("coordinates"), ", ").getItem(1).cast("double"))
+      .withColumn("elevation_ft", sf.col("elevation_ft").cast("int"))
+    val kept = if (keepTypes.nonEmpty) typed.filter(sf.col("type").isin(keepTypes: _*))
+               else typed
+    globalDenseIds(kept, Seq("ident"), "airport_key")
+      .select("airport_key", "ident", "type", "name", "elevation_ft",
+        "continent", "municipality", "gps_code", "local_code",
+        "country", "state", "latitude", "longitude")
+      .orderBy("airport_key")
+  }
+
   /** Per-group summary stats (reference dim_Country temperature agg,
     * etl.py:411-414 — mean/first; `first` replaced with deterministic
     * min/max so results are partition-order independent). */

@@ -152,9 +152,22 @@ object Kernels {
     }
   }
 
-  /** Per-JVM automaton memo, identity-keyed on the pattern ArrayData
-    * literal (one object per plan). Bounded: cleared past 32 plans. */
-  private val acCache = java.util.Collections.synchronizedMap(
+  /** Two-level per-JVM automaton memo. Fast path: identity on the
+    * pattern ArrayData — sound because [[graft.functions.multiMatch]]
+    * REQUIRES a foldable patterns expression, so the object a task sees
+    * is a stable plan literal, never a row buffer re-pointed per row.
+    * Identity misses (one per deserialized plan copy / task) fall back
+    * to a CONTENT-keyed LRU (access-ordered, evicts eldest past 32), so
+    * a 100k-phrase automaton is built once per JVM per distinct pattern
+    * list — not once per task, and no clear-all thrash when many plans
+    * are live. The identity alias map holds no automaton not already in
+    * the content LRU, so its occasional clear-all costs only a re-probe. */
+  private val acByContent = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[List[String], AhoCorasick](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[List[String], AhoCorasick]): Boolean = size > 32
+    })
+  private val acIdentity = java.util.Collections.synchronizedMap(
     new java.util.IdentityHashMap[AnyRef, AhoCorasick]())
 
   /** [n_match_occurrences, n_distinct_patterns] of every pattern in
@@ -164,14 +177,19 @@ object Kernels {
     * is case-sensitive on the already-normalized inputs — callers
     * lowercase both sides. */
   def multiMatch(text: UTF8String, patterns: ArrayData): ArrayData = {
-    var ac = acCache.get(patterns)
+    var ac = acIdentity.get(patterns)
     if (ac == null) {
       val arr = Array.tabulate(patterns.numElements())(i =>
         patterns.getUTF8String(i).toString)
       require(arr.forall(_.nonEmpty), "multiMatch: empty pattern")
-      ac = new AhoCorasick(arr)
-      if (acCache.size > 32) acCache.clear()
-      acCache.put(patterns, ac)
+      val key = arr.toList
+      ac = acByContent.get(key)
+      if (ac == null) {
+        ac = new AhoCorasick(arr)
+        acByContent.put(key, ac)
+      }
+      if (acIdentity.size > 1024) acIdentity.clear()
+      acIdentity.put(patterns, ac)
     }
     UnsafeArrayData.fromPrimitiveArray(ac.count(text.toString))
   }

@@ -824,4 +824,23 @@ class CorpusStatsSpec extends SparkFunSuite {
     assert(zr.nonEmpty && zr.forall(_.getAs[Long]("n_terms") == 1),
       zr.mkString(";"))
   }
+
+  test("CorpusStats.lorenzGini: equal source 0, {0,2} source 0.5, (all) 0.375") {
+    import spark.implicits._
+    // A = {1, 1} tokens -> G 0; B = {0, 2} -> G 0.5;
+    // (all) = {0, 1, 1, 2} -> G = 12/(2*16*1) = 0.375 (hand MAD form)
+    val docs = Seq(("A", "x"), ("A", "y"), ("B", ""), ("B", "x y"))
+      .toDF("source", "text")
+    val got = CorpusStats.lorenzGini(docs, "text", "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got("A") == ((2L, 2L, 0.0)), got.toString)
+    assert(got("B") == ((2L, 2L, 0.5)), got.toString)
+    assert(got("(all)") == ((4L, 4L, 0.375)), got.toString)
+    // an all-empty source has zero mass -> NULL gini, rows still emitted
+    val z = CorpusStats.lorenzGini(
+      Seq(("Z", ""), ("Z", " ")).toDF("source", "text"), "text", "source")
+      .collect().map(r => r.getString(0) -> r.isNullAt(3)).toMap
+    assert(z == Map("Z" -> true, "(all)" -> true), z.toString)
+  }
 }

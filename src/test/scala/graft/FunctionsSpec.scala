@@ -200,6 +200,13 @@ class FunctionsSpec extends SparkFunSuite {
     assert(run("aaa") == Seq(5L, 2L))
     assert(run("bbb") == Seq(0L, 0L))
     assert(run("xax") == Seq(1L, 1L))
+    // non-foldable patterns are rejected at construction: a per-row
+    // patterns column would rebuild the automaton per row and risk
+    // stale identity-cache hits on re-pointed row buffers
+    val ee = intercept[IllegalArgumentException] {
+      gf.multiMatch(sf.col("t"), sf.array(sf.col("t")))
+    }
+    assert(ee.getMessage.contains("foldable"), ee.getMessage)
     // self-overlapping multi-word phrase: "a a" twice inside "a a a"
     val p2 = sf.lit(Array("a a"))
     assert(Seq("a a a").toDF("t").select(gf.multiMatch(sf.col("t"), p2))

@@ -600,7 +600,27 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(rows(Graph.bfsHopsFromEdges(edges, _ === "a", rounds = 2)) ==
       rows(Graph.bfsHops(df, "basket", "item", _ === "a",
         minPairCount = 1, rounds = 2)))
+    // caller-ownership contract: the shared persisted edge list must
+    // STAY cached after every *FromEdges call above released its own
+    // loop frames (the r10 end-of-loop cleanup must not free it)
+    assert(edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "caller-persisted edge list was unpersisted by a *FromEdges loop")
     edges.unpersist()
+  }
+
+  test("Graph *FromPairs variants: one mined pair list reproduces both triangle readouts") {
+    val df = Seq(("1", "a"), ("1", "b"), ("1", "c"), ("2", "b"), ("2", "c"),
+      ("2", "d"), ("3", "a"), ("3", "c"), ("t", "d"), ("t", "a"))
+      .toDF("basket", "item")
+    val pairs = Graph.minedPairs(df, "basket", "item", minPairCount = 1).persist()
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    assert(rows(Graph.trianglesFromPairs(pairs)) ==
+      rows(Graph.triangles(df, "basket", "item", minPairCount = 1)))
+    assert(rows(Graph.localClusteringFromPairs(pairs)) ==
+      rows(Graph.localClustering(df, "basket", "item", minPairCount = 1)))
+    assert(pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "caller-persisted pair list was unpersisted by a *FromPairs call")
+    pairs.unpersist()
   }
 
   test("Graph.bfsHops: exact layers within the round budget, NULL beyond it") {

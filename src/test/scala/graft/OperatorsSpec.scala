@@ -88,6 +88,34 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got.filter($"nk" === "n1").select("sk").as[Int].collect().sorted.sameElements(Array(1, 2)))
   }
 
+  test("StarSchema.dimAirport: splits, casts, type filter, dense keys by ident") {
+    // raw CSV shape (all strings), reference notebook dim_Airport cell
+    val raw = Seq(
+      ("KSFO", "large_airport", "San Francisco Intl", "13", "NA", "US",
+        "US-CA", "San Francisco", "KSFO", "SFO", "SFO", "37.618, -122.375"),
+      ("00AK", "small_airport", "Lowell Field", "450", "NA", "US",
+        "US-AK", "Anchor Point", "00AK", null, "00AK", "59.947, -151.692"),
+      ("EHAM", "heliport", "Pad", "-11", "EU", "NL",
+        "NL-NH", "Amsterdam", "EHAM", null, "EHAM", "52.308, 4.763"))
+      .toDF("ident", "type", "name", "elevation_ft", "continent",
+        "iso_country", "iso_region", "municipality", "gps_code",
+        "iata_code", "local_code", "coordinates")
+    val got = StarSchema.dimAirport(raw,
+      keepTypes = Seq("small_airport", "medium_airport", "large_airport"))
+      .collect()
+    assert(got.length == 2) // heliport filtered
+    val byIdent = got.map(r => r.getAs[String]("ident") -> r).toMap
+    val ak = byIdent("00AK")
+    assert(ak.getAs[Long]("airport_key") == 1L && // dense 1..n by ident
+      byIdent("KSFO").getAs[Long]("airport_key") == 2L)
+    assert(ak.getAs[String]("country") == "US" && ak.getAs[String]("state") == "AK")
+    assert(ak.getAs[Int]("elevation_ft") == 450)
+    assert(ak.getAs[Double]("latitude") == 59.947 &&
+      ak.getAs[Double]("longitude") == -151.692)
+    // iata_code (mostly-null in the source) is dropped from the dim
+    assert(!got.head.schema.fieldNames.contains("iata_code"))
+  }
+
   test("StarSchema: partitioned parquet write round-trips") {
     val out = Files.createTempDirectory("graft_w").toString + "/fact"
     val df = Seq((1, "A", 2.0), (2, "B", 3.0)).toDF("id", "flag", "v")
@@ -574,6 +602,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got == Seq(
       ("click", 0.666667, 0.333333, 0.5, 0.4),
       ("view", 0.666667, 0.166667, 0.75, 0.6)), s"got $got")
+  }
+
+  test("EventOps: markovAttribution refuses a high-cardinality channel column") {
+    import spark.implicits._
+    // 2049 distinct event types would mean a ~2052^2-cell driver collect;
+    // the guard must fail fast with an actionable message, not OOM.
+    val df = spark.range(2100)
+      .select(sf.col("id").as("event_id"),
+        sf.to_timestamp(sf.lit("2024-01-01 00:00:00")).as("ts"),
+        sf.lit(1L).as("user_id"),
+        sf.concat(sf.lit("t"), sf.col("id")).as("event_type"))
+    val e = intercept[IllegalArgumentException] {
+      EventOps.markovAttribution(df)
+    }
+    assert(e.getMessage.contains("distinct"), e.getMessage)
   }
 
   test("EventOps: cupedLift hand-computed theta, adjusted lift, rho2") {
@@ -1880,6 +1923,13 @@ class OperatorsSpec extends SparkFunSuite {
     val const = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
     val rc = QualityChecks.kendallTau(const, "x", "y").head()
     assert(rc.isNullAt(rc.fieldIndex("tau_b")))
+    // string-typed ordinals would order lexicographically ('10' < '2')
+    // and corrupt nc/nd — the type guard must reject them up front
+    val str = Seq(("2", 1L), ("10", 2L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      QualityChecks.kendallTau(str, "x", "y")
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
   }
 
   test("QualityChecks.cochranQ: hand Q = 3.0, NULL flag drops, degenerate NULL") {
@@ -2288,6 +2338,19 @@ class OperatorsSpec extends SparkFunSuite {
       ac.isNullAt(ac.fieldIndex("t_stat")) && ac.isNullAt(ac.fieldIndex("se")))
   }
 
+  test("QualityChecks.spiegelhalterZ: hand z, degenerate half-probs NULL") {
+    // (p=.25, y=0), (p=.75, y=1): num = -2.5e7/1e8 = -0.25,
+    // den = 9.375e14/1e16 -> z = -0.25/sqrt(0.09375) = -0.816497
+    val df = Seq((0.25, 0), (0.75, 1)).toDF("conf", "y")
+    val r = QualityChecks.spiegelhalterZ(df, "conf", "y").head()
+    assert(r.getAs[Long]("n") == 2 && r.getAs[Long]("n_pos") == 1)
+    assert(r.getAs[Double]("z") == -0.816497, r.toString)
+    // p = 0.5 everywhere: every (1-2p) term is 0 -> den 0 -> NULL
+    val half = Seq((0.5, 1), (0.5, 0)).toDF("conf", "y")
+    val rh = QualityChecks.spiegelhalterZ(half, "conf", "y").head()
+    assert(rh.isNullAt(rh.fieldIndex("z")), rh.toString)
+  }
+
   test("QualityChecks.tCloseness: skewed classes t=0.5, balanced class 0") {
     // global {a:2, b:2}; class 1 all-a, class 2 all-b -> TV = 0.5 each
     val skew = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("q", "s")
@@ -2305,5 +2368,14 @@ class OperatorsSpec extends SparkFunSuite {
     val rg = QualityChecks.tCloseness(gap, Seq("q"), sf.col("s"), t = 0.9).head()
     assert(rg.getAs[Double]("max_t") == 0.75 && rg.getAs[Long]("n_violating") == 0,
       rg.toString)
+    // COMPLETE-CASE semantics: NULL-sensitive rows leave classes AND
+    // margins (class 3 is all-NULL and must vanish from n_groups; the
+    // NULL row in class 1 must not count as "absent" mass)
+    val withNull = Seq((1L, Some("a")), (1L, Some("a")), (1L, None),
+      (2L, Some("b")), (2L, Some("b")), (3L, None)).toDF("q", "s")
+    val rn = QualityChecks.tCloseness(withNull, Seq("q"), sf.col("s"), t = 0.4)
+      .head()
+    assert(rn.getAs[Long]("n_groups") == 2 && rn.getAs[Double]("max_t") == 0.5,
+      rn.toString)
   }
 }

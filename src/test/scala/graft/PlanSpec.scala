@@ -188,6 +188,26 @@ class PlanSpec extends SparkFunSuite {
     assert(corpusWindows.nonEmpty, "within-bucket running sum missing")
   }
 
+  test("hodges-lehmann: cumulative pass has no one-partition window") {
+    // The difference domain is |distinct(A)|x|distinct(B)| points; with
+    // near-continuous values it approaches row counts, so the weighted-
+    // median prefix must ride globalPrefixSums (range partition +
+    // broadcast offsets), never a window keyed on a constant. A window
+    // whose partition spec is empty OR entirely foldable is a single
+    // task sorting the whole domain — the exact shape this pin forbids.
+    val docs = Tables.load(spark, sf001, "documents")
+    val df = graft.dq.QualityChecks.hodgesLehmann(
+      docs.filter(sf.col("source") === "src1"),
+      docs.filter(sf.col("source") === "src2"), "n_chars")
+    df.collect()
+    val all = collectAll(executed(df))
+    val oneTask = all.collect {
+      case wx: org.apache.spark.sql.execution.window.WindowExec
+        if wx.partitionSpec.isEmpty || wx.partitionSpec.forall(_.foldable) => wx }
+    assert(oneTask.isEmpty,
+      s"one-partition window in hodgesLehmann plan: ${oneTask.size}")
+  }
+
   test("zipf slope: vocabulary ranking has no unpartitioned window") {
     // The vocabulary of a web-scale corpus is 10^8-10^9 distinct tokens;
     // a row_number() over an empty partition spec would rank it on ONE
