@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{functions => sf}
 
 import graft.plans.Kernels
@@ -327,6 +327,27 @@ object functions {
   /** Sequential-fold dot product. Kernel-backed (tight JVM loop inside
     * codegen; the HOF spelling `aggregate(zip_with(...))` evaluates
     * interpreted with per-element lambda dispatch). */
+  /** SRP band array of a double vector (Kernels.srpBands — the
+    * memoized-plane twin of folding [[dot]] signs over
+    * `Similarity.lshPlanes`): bucket b's bit j is dot(v, plane_{b·bits+j}) > 0. */
+  def srpBands(v: Column, bands: Int, bitsPerBand: Int, seed: Int): Column =
+    kernel(ArrayType(IntegerType, containsNull = false), "srpBands",
+      v, sf.lit(bands), sf.lit(bitsPerBand), sf.lit(seed))
+
+  /** Fused SRP band-explode payload (Kernels.srpBandPayload): one
+    * struct (band, bh, pfx) per band, the whole banding ONE kernel
+    * call per row — explode THIS instead of carrying a computed band
+    * array past a Generate (which re-evaluates the banding per
+    * exploded row: `bands`× the dot products). `pfx` holds the earlier
+    * bands' buckets for the first-witness prefix test. */
+  def srpBandPayload(v: Column, bands: Int, bitsPerBand: Int, seed: Int): Column =
+    kernel(ArrayType(StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bh", IntegerType, nullable = false),
+      StructField("pfx", ArrayType(IntegerType, containsNull = false),
+        nullable = false))), containsNull = false),
+      "srpBandPayload", v, sf.lit(bands), sf.lit(bitsPerBand), sf.lit(seed))
+
   def dot(a: Column, b: Column): Column =
     kernel(DoubleType, "dot", a.cast("array<double>"), b.cast("array<double>"))
 

@@ -920,22 +920,16 @@ object Similarity {
       .orderBy("vec_id", "dim")
   }
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Deterministic pseudo-random hyperplanes for sign-random-projection
     * LSH: component (j, i) from splitmix64(seed, j, i), quantized to
     * multiples of 2^-10 in [-1, 1). Dyadic values print as short exact
     * decimals, so the same planes can be embedded verbatim as literals
-    * in an oracle SQL text and parse back bit-identical. */
+    * in an oracle SQL text and parse back bit-identical. One source of
+    * truth with the fused banding kernels: delegates to
+    * [[graft.plans.Kernels.srpPlanes]] (memoized per (dim, bits,
+    * seed)). */
   def lshPlanes(dim: Int, bits: Int, seed: Int): Array[Array[Double]] =
-    Array.tabulate(bits, dim)((j, i) =>
-      ((mix64(seed.toLong * 0x100000001L + j.toLong * 65537L + i) >>> 11) % 2048L)
-        .toDouble / 1024.0 - 1.0)
+    graft.plans.Kernels.srpPlanes(dim, bits, seed)
 
   /** Sign-random-projection bucket id: bit j set iff dot(v, plane_j) > 0. */
   def lshBucket(v: org.apache.spark.sql.Column,
@@ -972,18 +966,26 @@ object Similarity {
     * nothing is collected. */
   def cosineNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, bands: Int = 16, bitsPerBand: Int = 8,
-                            seed: Int = 42): DataFrame =
-    cosineNearDupBucketedPlan(emb, idCol, vecCol, threshold, bands, bitsPerBand, seed)
+                            seed: Int = 42): DataFrame = {
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = cosineNearDupBucketedPlan(emb, idCol, vecCol, threshold,
+        bands, bitsPerBand, seed, toFree)
       .localCheckpoint(true) // the range sort below samples its child
-      .orderBy("a_id", "b_id")
+    toFree.foreach(_.unpersist()) // banded-corpus invariant, now spent
+    out.orderBy("a_id", "b_id")
+  }
 
   /** `cosineNearDupBucketed` before the determinism checkpoint + sort —
     * the plan the PlanSpec audits (the eager checkpoint collapses the
     * executed plan to an RDD scan) and the shape consumers that
-    * aggregate pairs anyway should reuse. */
+    * aggregate pairs anyway should reuse. Frames persisted here are
+    * appended to `toFree` for the caller to release once the result is
+    * materialized (the r10 end-of-loop discipline). */
   private[graft] def cosineNearDupBucketedPlan(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bands: Int, bitsPerBand: Int, seed: Int): DataFrame = {
+      bands: Int, bitsPerBand: Int, seed: Int,
+      toFree: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.Buffer.empty): DataFrame = {
     require(bitsPerBand >= 1 && bitsPerBand <= 31, "bitsPerBand must fit an int")
     val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
     val planes = lshPlanes(dim, bands * bitsPerBand, seed)
@@ -994,6 +996,9 @@ object Similarity {
           planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)).cast("int")
       }: _*))
       .persist() // read by both explode sides and the vector join-back
+      // (the cache is also the materialization barrier that keeps the
+      // band array from re-evaluating per exploded row)
+    toFree += base
     val buckets = base.select(sf.col("id"), sf.col("bv"),
       sf.posexplode(sf.col("bv")).as(Seq("band", "bh")))
     val l = buckets.select(sf.col("band"), sf.col("bh"),
@@ -1035,26 +1040,35 @@ object Similarity {
                               bands: Int = 16, bitsPerBand: Int = 8,
                               seed: Int = 42): DataFrame = {
     require(bitsPerBand >= 1 && bitsPerBand <= 31, "bitsPerBand must fit an int")
-    val dim = evalSet.select(sf.size(sf.col(vecCol))).head().getInt(0)
-    val planes = lshPlanes(dim, bands * bitsPerBand, seed)
-    def banded(df: DataFrame) = Par.spread(
-      df.select(sf.col(idCol).cast("long").as("id"),
+    // Corpus side: the FUSED band-explode payload — the whole banding
+    // is ONE kernel call per corpus row, and nothing computed is
+    // carried past the Generate. (Carrying a computed band array
+    // through posexplode re-evaluates it per EXPLODED row — bands× the
+    // dot products, measured 2.7× on this operator's whole runtime —
+    // and a materialization barrier would checkpoint the corpus.)
+    // Each payload row carries its first-witness prefix (the earlier
+    // bands' buckets), so the smallest-agreeing-band test needs no
+    // full band array downstream.
+    val co = Par.spread(
+      corpus.select(sf.col(idCol).cast("long").as("corpus_id"),
         sf.col(vecCol).cast("array<double>").as("v")))
-      .withColumn("bv", sf.array((0 until bands).map { b =>
-        lshBucket(sf.col("v"),
-          planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand)).cast("int")
-      }: _*))
-    val ev = banded(evalSet)
-      .select(sf.col("id").as("eval_id"), sf.col("v").as("ev"),
-        sf.col("bv").as("bv_e"))
+      .select(sf.col("corpus_id"), sf.col("v"),
+        sf.explode(gf.srpBandPayload(sf.col("v"), bands, bitsPerBand, seed))
+          .as("e"))
+      .select(sf.col("corpus_id"), sf.col("v"),
+        sf.col("e.band").as("band"), sf.col("e.bh").as("bh"),
+        sf.col("e.pfx").as("pfx"))
+    // Eval side: small by definition — the full band array rides the
+    // broadcast (same kernel planes, bit-identical buckets).
+    val ev = Par.spread(
+      evalSet.select(sf.col(idCol).cast("long").as("eval_id"),
+        sf.col(vecCol).cast("array<double>").as("ev")))
+      .withColumn("bv_e", gf.srpBands(sf.col("ev"), bands, bitsPerBand, seed))
       .select(sf.col("eval_id"), sf.col("ev"), sf.col("bv_e"),
         sf.posexplode(sf.col("bv_e")).as(Seq("band_e", "bh_e")))
-    val co = banded(corpus)
-      .select(sf.col("id").as("corpus_id"), sf.col("v"), sf.col("bv"),
-        sf.posexplode(sf.col("bv")).as(Seq("band", "bh")))
     co.join(sf.broadcast(ev),
         sf.col("band") === sf.col("band_e") && sf.col("bh") === sf.col("bh_e"))
-      .filter(gf.prefixAllDiffer(sf.col("bv"), sf.col("bv_e"), sf.col("band")))
+      .filter(gf.prefixAllDiffer(sf.col("pfx"), sf.col("bv_e"), sf.col("band")))
       .withColumn("cosine", gf.roundAt(gf.cosineSim(sf.col("v"), sf.col("ev")), 4))
       .filter(sf.col("cosine") >= threshold)
       .select("corpus_id", "eval_id", "cosine")

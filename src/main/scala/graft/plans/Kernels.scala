@@ -228,6 +228,90 @@ object Kernels {
     acc
   }
 
+  // ------------------------------------------------------------------
+  // SRP (sign-random-projection) banding
+  // ------------------------------------------------------------------
+
+  /** splitmix64 finalizer — the deterministic pseudo-randomness behind
+    * the SRP hyperplanes (one source of truth;
+    * graft.operators.Similarity.lshPlanes delegates here). */
+  private def srpMix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val srpPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** Deterministic SRP hyperplanes: component (j, i) from
+    * splitmix64(seed, j, i), quantized to multiples of 2^-10 in
+    * [-1, 1) — dyadic values print as short exact decimals, so the
+    * same planes embed verbatim as literals in oracle SQL and parse
+    * back bit-identical. Memoized per (dim, bits, seed): the payload
+    * kernel below rebuilds nothing per row. */
+  def srpPlanes(dim: Int, bits: Int, seed: Int): Array[Array[Double]] =
+    srpPlaneCache.computeIfAbsent((dim, bits, seed), _ =>
+      Array.tabulate(bits, dim)((j, i) =>
+        ((srpMix64(seed.toLong * 0x100000001L + j.toLong * 65537L + i) >>> 11)
+          % 2048L).toDouble / 1024.0 - 1.0))
+
+  /** All `bands` SRP bucket values of `v` in ONE pass: bucket b has
+    * bit j set iff dot(v, plane_{b·bits+j}) > 0 — bit-identical to
+    * folding `functions.dot` over the same quantized planes
+    * (sequential ascending accumulation). */
+  private def srpBandValues(v: ArrayData, bands: Int, bits: Int,
+                            seed: Int): Array[Int] = {
+    val d = v.numElements()
+    val planes = srpPlanes(d, bands * bits, seed)
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0
+      var j = 0
+      while (j < bits) {
+        val p = planes(b * bits + j)
+        var dot = 0.0
+        var i = 0
+        while (i < d) { dot += v.getDouble(i) * p(i); i += 1 }
+        if (dot > 0) acc |= (1 << j)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
+  /** SRP band array [bucket_0 .. bucket_{bands-1}] of `v` — the
+    * broadcast-side signature (small frames where carrying the full
+    * array is free). */
+  def srpBands(v: ArrayData, bands: Int, bits: Int, seed: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(srpBandValues(v, bands, bits, seed))
+
+  /** Fused SRP band-explode payload: one struct (band, bh, pfx) per
+    * band, where pfx = the bucket values of all EARLIER bands — the
+    * first-witness prefix. The whole payload is ONE kernel call, so
+    * the banding runs exactly once per row; carrying a computed band
+    * array past a Generate instead re-evaluates it per EXPLODED row
+    * (24 bands = 24x the dot products — measured 2.7x on q91's whole
+    * runtime), and a materialization barrier would checkpoint the
+    * corpus. Explode this and carry nothing computed. */
+  def srpBandPayload(v: ArrayData, bands: Int, bits: Int,
+                     seed: Int): ArrayData = {
+    val bv = srpBandValues(v, bands, bits, seed)
+    val rows = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      rows(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, bv(b), UnsafeArrayData.fromPrimitiveArray(
+          java.util.Arrays.copyOfRange(bv, 0, b))))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** Jaccard similarity of two string arrays as distinct sets
     * (array_distinct + intersect/union semantics; both-empty -> 1.0). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
