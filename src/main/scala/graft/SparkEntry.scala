@@ -2034,6 +2034,27 @@ object SparkEntry {
           .select(conf.as("conf"), (sf.col("lang") === "en").cast("int").as("y")),
         "conf", "y")
     }),
+
+    // Geo radius self-join over the q293 airport dim: all airfield
+    // pairs within 6 planar degrees via grid-cell bucketing (pure IEEE
+    // arithmetic — engine-exact; haversine is the spec-pinned library
+    // expression for metric distances).
+    "q296_airport_near" -> ((s, dir) =>
+      Geo.withinRadiusPairs(
+        queries("q293_dim_airport")(s, dir),
+        "airport_key", "latitude", "longitude", radiusDeg = 6.0)),
+
+    // ABC / Pareto classification of parts by lineitem revenue: exact
+    // cent fixed-point, descending rank via globalPrefixSums, integer
+    // class boundaries at 80/95%.
+    "q297_abc_pareto" -> ((s, dir) =>
+      StarSchema.abcClassification(Tables.load(s, dir, "lineitem"),
+        "l_partkey", "l_extendedprice")),
+
+    // Hill diversity profile per source: richness, exp(Shannon),
+    // inverse Simpson — effective token-type counts on one scale.
+    "q298_hill_diversity" -> ((s, dir) =>
+      CorpusStats.hillDiversity(docs(s, dir), "text", "source")),
   )
 
   // ---------------------------------------------------------------------
@@ -8667,5 +8688,72 @@ object SparkEntry {
          |  END AS z
          |FROM agg""".stripMargin
     },
+
+    // Airport radius pairs: the q293 dim chain + the QUADRATIC planar
+    // self-join twin of the grid-bucketed path — pure IEEE arithmetic
+    // on both sides (no trig), so distances agree bit-for-bit.
+    "q296_airport_near" ->
+      """WITH staged AS (SELECT
+        |  'AP' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS ident,
+        |  CASE CAST(n_nationkey % 4 AS INTEGER) WHEN 0 THEN 'heliport'
+        |    WHEN 1 THEN 'small_airport' WHEN 2 THEN 'medium_airport'
+        |    ELSE 'large_airport' END AS type,
+        |  CAST(n_nationkey AS VARCHAR) || '.5, -' ||
+        |    CAST(n_regionkey AS VARCHAR) || '.25' AS coordinates
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |dim AS (SELECT ident,
+        |  CAST(str_split(coordinates, ', ')[1] AS DOUBLE) AS latitude,
+        |  CAST(str_split(coordinates, ', ')[2] AS DOUBLE) AS longitude
+        |  FROM staged
+        |  WHERE type IN ('small_airport', 'medium_airport', 'large_airport')),
+        |keyed AS (SELECT ROW_NUMBER() OVER (ORDER BY ident) AS k,
+        |  latitude, longitude FROM dim)
+        |SELECT a.k AS id_a, b.k AS id_b,
+        |  floor(sqrt((a.latitude - b.latitude) * (a.latitude - b.latitude) +
+        |    (a.longitude - b.longitude) * (a.longitude - b.longitude))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dist_deg
+        |FROM keyed a JOIN keyed b ON a.k < b.k
+        |WHERE (a.latitude - b.latitude) * (a.latitude - b.latitude) +
+        |  (a.longitude - b.longitude) * (a.longitude - b.longitude) <= 6.0 * 6.0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // ABC/Pareto: exact cent fixed-point revenue, descending-rank
+    // cumulative window, integer 80/95% class boundaries.
+    "q297_abc_pareto" ->
+      """WITH per AS (SELECT l_partkey AS k,
+        |  CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_partkey IS NOT NULL
+        |  GROUP BY 1),
+        |cum AS (SELECT k, rev,
+        |  CAST(SUM(rev) OVER (ORDER BY -rev, k) AS BIGINT) AS cumrev FROM per),
+        |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t FROM per)
+        |SELECT k AS l_partkey, CAST(rev AS DOUBLE) / 100 AS amount,
+        |  floor(CAST(rev AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share,
+        |  floor(CAST(cumrev AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cum_share,
+        |  CASE WHEN CAST(cumrev AS DECIMAL(38,0)) * 5 <= CAST(t AS DECIMAL(38,0)) * 4 THEN 'A'
+        |       WHEN CAST(cumrev AS DECIMAL(38,0)) * 20 <= CAST(t AS DECIMAL(38,0)) * 19 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM cum CROSS JOIN tot ORDER BY cum_share, l_partkey""".stripMargin,
+
+    // Hill numbers: identical (source, term) collapse, 1e-12-snapped
+    // Shannon terms, exact Simpson rational.
+    "q298_hill_diversity" ->
+      """WITH d AS (SELECT source,
+        |  unnest(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))) AS term
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL AND length(trim(text)) > 0),
+        |tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM tc GROUP BY 1),
+        |ag AS (SELECT source, CAST(MAX(t) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS richness,
+        |  CAST(SUM(CAST(floor(-(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)
+        |    * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS h12,
+        |  SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sq
+        |  FROM tc JOIN tt USING (source) GROUP BY 1)
+        |SELECT source, n_tokens, richness,
+        |  floor(exp(CAST(h12 AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS hill_shannon,
+        |  floor(CAST(CAST(n_tokens AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(sq AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS hill_simpson
+        |FROM ag ORDER BY source""".stripMargin,
   )
 }

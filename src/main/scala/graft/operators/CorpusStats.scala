@@ -1746,6 +1746,56 @@ object CorpusStats {
     giniOf(srcCells).unionByName(giniOf(allCells)).orderBy("source")
   }
 
+  /** Hill diversity numbers per source (Hill 1973; the "effective
+    * number of species" unification ecology standardized on): the
+    * diversity PROFILE of each source's token distribution on ONE
+    * interpretable scale — counts of equally-common token types:
+    * ⁰D = richness (distinct types), ¹D = exp(Shannon H) (types
+    * weighted by share), ²D = 1/Σp² (inverse Simpson — dominance-
+    * weighted). Reading the three together is the standard
+    * concentration diagnostic row 283's raw entropy can't give
+    * directly: ¹D/⁰D near 1 = even vocabulary use, ²D ≪ ¹D = a few
+    * dominant types carry the mass (template/boilerplate signature).
+    *
+    * Determinism: token counts exact; Σp² is the exact rational
+    * Σc²/T² (DECIMAL(38,0) numerator, one pinned division); Shannon
+    * terms −(c/T)·ln(c/T) snap to the 1e-12 integer grid BEFORE the
+    * unordered sum (the row-343 convention), ¹D = exp of the snapped
+    * sum (the q173 exp convention), outputs round 1e-6.
+    *
+    * Scale shape: one (source, term) collapse (map-side combinable) +
+    * one source-domain rollup with a broadcast per-source total. No
+    * windows, no corpus sort. */
+  def hillDiversity(docs: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val terms = Par.spread(docs.select(sf.col(sourceCol).as("source"),
+        sf.col(textCol)))
+      .filter(sf.col(textCol).isNotNull && sf.col("source").isNotNull)
+      .select(sf.col("source"),
+        sf.explode(gf.wsTokens(sf.lower(sf.col(textCol)))).as("term"))
+      .groupBy("source", "term").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + term terms read it
+    val totals = terms.groupBy("source")
+      .agg(sf.sum("c").cast("long").as("__t"))
+    val cD = sf.col("c").cast("double")
+    val tD = sf.col("__t").cast("double")
+    val h12 = sf.floor(-(cD / tD) * sf.log(cD / tD) * 1e12 + 0.5).cast("long")
+    terms.join(sf.broadcast(totals), "source")
+      .groupBy("source")
+      .agg(sf.max("__t").as("n_tokens"),
+        sf.count(sf.lit(1)).as("richness"),
+        sf.sum(h12).as("__h12"),
+        sf.sum(dec(sf.col("c")) * dec(sf.col("c"))).as("__sq"))
+      .select(sf.col("source"), sf.col("n_tokens"), sf.col("richness"),
+        gf.roundAt(sf.exp(sf.col("__h12").cast("double") / 1e12), 6)
+          .as("hill_shannon"),
+        gf.roundAt((dec(sf.col("n_tokens")) * dec(sf.col("n_tokens")))
+          .cast("double") / sf.col("__sq").cast("double"), 6)
+          .as("hill_simpson"))
+      .orderBy("source")
+  }
+
   /** Per-term burstiness (Church & Gale 1995): the variance-to-mean
     * ratio of a term's PER-DOCUMENT count, zeros included — function
     * words spread evenly (ratio near the Poisson 1), content/topical

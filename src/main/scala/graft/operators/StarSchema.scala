@@ -326,6 +326,46 @@ object StarSchema {
     }.drop("__pid" +: sums.map { case (_, c) => s"__off_$c" }: _*)
   }
 
+  /** ABC / Pareto classification of keys by amount share (the 80/15/5
+    * inventory-analysis standard): rank keys by descending amount,
+    * class A while the INCLUSIVE cumulative share ≤ 80%, B while
+    * ≤ 95%, C beyond — "which 20% of parts carry 80% of revenue", the
+    * first readout every assortment/capacity review asks for.
+    *
+    * Determinism: amounts snap to exact cents (⌊x·100 + 0.5⌋ longs —
+    * IEEE multiply + floor, engine-exact); the descending rank rides
+    * [[globalPrefixSums]] over the total order (−amount, key) — never
+    * a one-task window; class boundaries compare exact integers
+    * (cum·5 ≤ tot·4 ⇔ cum ≤ 0.8·tot, in DECIMAL(38,0) so corpus-scale
+    * totals can't overflow); shares are pinned double divisions
+    * rounded 1e-6.
+    *
+    * Scale shape: one map-side-combinable key rollup, the range-
+    * partitioned prefix pass, a domain-sized max for the total, one
+    * broadcast. */
+  def abcClassification(df: DataFrame, keyCol: String,
+                        amountCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val fx = sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long")
+    val per = df.filter(sf.col(amountCol).isNotNull && sf.col(keyCol).isNotNull)
+      .groupBy(sf.col(keyCol).as("key")).agg(sf.sum(fx).as("__rev"))
+      .withColumn("__neg", -sf.col("__rev"))
+    val cum = globalPrefixSums(per, Seq("__neg", "key"), "__rev", "__cum")
+      .localCheckpoint(true) // total + output both read it
+    val tot = cum.agg(sf.max("__cum").as("__tot"))
+    cum.crossJoin(sf.broadcast(tot))
+      .select(sf.col("key").as(keyCol),
+        (sf.col("__rev").cast("double") / 100).as("amount"),
+        gf.roundAt(sf.col("__rev").cast("double") /
+          sf.col("__tot").cast("double"), 6).as("share"),
+        gf.roundAt(sf.col("__cum").cast("double") /
+          sf.col("__tot").cast("double"), 6).as("cum_share"),
+        sf.when(dec(sf.col("__cum")) * 5 <= dec(sf.col("__tot")) * 4, "A")
+          .when(dec(sf.col("__cum")) * 20 <= dec(sf.col("__tot")) * 19, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(sf.col("cum_share"), sf.col(keyCol))
+  }
+
   /** Partitioned parquet sink (reference partitionBy writes, etl.py:251). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)

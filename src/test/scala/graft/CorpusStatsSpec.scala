@@ -825,6 +825,21 @@ class CorpusStatsSpec extends SparkFunSuite {
       zr.mkString(";"))
   }
 
+  test("CorpusStats.hillDiversity: uniform source 2/2/2, skewed 0.75/0.25") {
+    import spark.implicits._
+    val docs = Seq(("A", "a a b b"), ("B", "a a a b")).toDF("source", "text")
+    val got = CorpusStats.hillDiversity(docs, "text", "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // uniform 2-type source: all three Hill numbers = 2 exactly
+    assert(got("A") == ((4L, 2L, 2.0, 2.0)), got.toString)
+    // skewed 3:1 source: 1D = exp(snapped H), 2D = 16/10 exactly
+    val h = Seq(0.75, 0.25)
+      .map(p => math.floor(-p * math.log(p) * 1e12 + 0.5).toLong).sum
+    val d1 = math.floor(math.exp(h / 1e12) * 1e6 + 0.5) / 1e6
+    assert(got("B") == ((4L, 2L, d1, 1.6)), s"expected 1D=$d1: $got")
+  }
+
   test("CorpusStats.lorenzGini: equal source 0, {0,2} source 0.5, (all) 0.375") {
     import spark.implicits._
     // A = {1, 1} tokens -> G 0; B = {0, 2} -> G 0.5;

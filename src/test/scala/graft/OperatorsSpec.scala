@@ -116,6 +116,39 @@ class OperatorsSpec extends SparkFunSuite {
     assert(!got.head.schema.fieldNames.contains("iata_code"))
   }
 
+  test("Geo: haversine textbook distance; grid radius join = quadratic twin") {
+    import spark.implicits._
+    // Paris <-> London great-circle ~343.5 km
+    val pl = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("a", "b", "c", "d")
+      .select(Geo.haversineKm(sf.col("a"), sf.col("b"), sf.col("c"), sf.col("d")))
+      .head().getDouble(0)
+    assert(math.abs(pl - 343.5) < 1.5, s"got $pl km")
+    // radius join: boundary-inclusive, cross-cell neighbors found
+    val pts = Seq((1L, 0.0, 0.0), (2L, 0.0, 0.5), (3L, 3.0, 4.0),
+      (4L, 10.0, 10.0)).toDF("id", "lat", "lon")
+    val got = Geo.withinRadiusPairs(pts, "id", "lat", "lon", radiusDeg = 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), got.toString)
+    assert(got((1L, 2L)) == 0.5 && got((1L, 3L)) == 5.0, got.toString) // <= r inclusive
+    // adjacent-cell pair straddling a cell boundary must be found
+    val edge = Seq((1L, 0.99, 0.0), (2L, 1.01, 0.0)).toDF("id", "lat", "lon")
+    val ge = Geo.withinRadiusPairs(edge, "id", "lat", "lon", radiusDeg = 1.0)
+      .collect()
+    assert(ge.length == 1 && ge.head.getDouble(2) == 0.02, ge.mkString(";"))
+  }
+
+  test("StarSchema.abcClassification: hand 80/15/5 split, integer boundaries") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5), (1L, 0.3), (2L, 0.15), (3L, 0.05))
+      .toDF("k", "amt")
+    val got = StarSchema.abcClassification(df, "k", "amt").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getString(4))).toMap
+    assert(got(1L) == ((0.8, 0.8, 0.8, "A")), got.toString)   // cum = exactly 80%
+    assert(got(2L) == ((0.15, 0.15, 0.95, "B")), got.toString) // cum = exactly 95%
+    assert(got(3L) == ((0.05, 0.05, 1.0, "C")), got.toString)
+  }
+
   test("StarSchema: partitioned parquet write round-trips") {
     val out = Files.createTempDirectory("graft_w").toString + "/fact"
     val df = Seq((1, "A", 2.0), (2, "B", 3.0)).toDF("id", "flag", "v")
