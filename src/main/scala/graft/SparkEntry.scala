@@ -2055,6 +2055,37 @@ object SparkEntry {
     // inverse Simpson — effective token-type counts on one scale.
     "q298_hill_diversity" -> ((s, dir) =>
       CorpusStats.hillDiversity(docs(s, dir), "text", "source")),
+
+    // Time-bounded funnel: view -> click -> purchase within 24h of the
+    // user's first view (anchored-greedy, deterministic contract).
+    "q299_window_funnel" -> ((s, dir) =>
+      EventOps.windowFunnel(Tables.load(s, dir, "events"),
+        Seq("view", "click", "purchase"), windowS = 86400L)),
+
+    // Directed association rules over order baskets: confidence /
+    // lift / leverage / conviction per direction, top-100 by lift.
+    "q300_association_rules" -> ((s, dir) =>
+      Graph.associationRules(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, topK = 100)),
+
+    // Rank-biased overlap of the top-100 revenue parts before vs
+    // after mid-1998: top-weighted ranking agreement, p = 0.9.
+    "q301_rbo" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      def ranked(pred: org.apache.spark.sql.Column) = {
+        val fx = sf.floor(sf.col("l_extendedprice").cast("double") * 100 + 0.5)
+          .cast("long")
+        val per = li.filter(pred && sf.col("l_extendedprice").isNotNull &&
+            sf.col("l_partkey").isNotNull)
+          .groupBy(sf.col("l_partkey")).agg(sf.sum(fx).as("__rev"))
+          .withColumn("__neg", -sf.col("__rev"))
+        StarSchema.globalDenseIds(per, Seq("__neg", "l_partkey"), "rank")
+      }
+      CorpusStats.rankBiasedOverlap(
+        ranked(sf.col("l_shipdate") < "1998-06-01"),
+        ranked(sf.col("l_shipdate") >= "1998-06-01"),
+        "l_partkey", "rank", k = 100, p = 0.9)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -8755,5 +8786,82 @@ object SparkEntry {
         |  floor(CAST(CAST(n_tokens AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE)
         |    / CAST(sq AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS hill_simpson
         |FROM ag ORDER BY source""".stripMargin,
+
+    // Window funnel: the q84 min-ts chain with the 24h anchored bound
+    // as an extra join predicate (epoch_us = unix_micros parity).
+    "q299_window_funnel" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT u, t0, min(ts) AS t FROM events e JOIN s0 ON e.user_id = s0.u
+        |  WHERE event_type = 'click' AND ts > t0
+        |    AND epoch_us(ts) <= epoch_us(t0) + 86400000000 GROUP BY 1, 2),
+        |s2 AS (SELECT u, min(ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE event_type = 'purchase' AND ts > s1.t
+        |    AND epoch_us(ts) <= epoch_us(t0) + 86400000000 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step_name,
+        |    CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_reached
+        |  UNION ALL SELECT CAST(1 AS BIGINT), 'click',
+        |    CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |    CAST((SELECT COUNT(*) FROM s2) AS BIGINT))
+        |ORDER BY step_idx""".stripMargin,
+
+    // Association rules: quadratic within-basket self-join twin of the
+    // HOF pair expansion, identical margins and measure assemblies.
+    "q300_association_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |pc AS (SELECT a.item AS ia, b2.item AS ib, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM b a JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |ci AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM b),
+        |und AS (SELECT ia, ib, c_ab, ca.c AS c_a, cb.c AS c_b FROM pc
+        |  JOIN ci ca ON pc.ia = ca.item JOIN ci cb ON pc.ib = cb.item),
+        |dirr AS (SELECT ia AS ante, ib AS cons, c_ab, c_a AS c_ante, c_b AS c_cons FROM und
+        |  UNION ALL SELECT ib, ia, c_ab, c_b, c_a FROM und)
+        |SELECT ante, cons, c_ab, c_ante, c_cons,
+        |  floor(CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS support,
+        |  floor(CAST(c_ab AS DOUBLE) / CAST(c_ante AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+        |  floor(CAST(n AS DOUBLE) * c_ab / (CAST(c_ante AS DOUBLE) * c_cons) * 1000000.0 + 0.5) / 1000000.0 AS lift,
+        |  floor((CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(c_ante AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(c_cons AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS leverage,
+        |  CASE WHEN c_ab < c_ante THEN
+        |    floor((1.0 - CAST(c_cons AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (1.0 - CAST(c_ab AS DOUBLE) / CAST(c_ante AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS conviction
+        |FROM dirr CROSS JOIN nb
+        |ORDER BY lift DESC, ante, cons LIMIT 100""".stripMargin,
+
+    // RBO: identical 1e-12-snapped depth-weight suffix literals (the
+    // lshPlanes embed convention), ROW_NUMBER twin of globalDenseIds.
+    "q301_rbo" -> {
+      val k = 100
+      val p = 0.9
+      val w12 = Array.tabulate(k)(i =>
+        math.floor((1 - p) * math.pow(p, i) / (i + 1) * 1e12 + 0.5).toLong)
+      val suff = new Array[Long](k + 1)
+      for (i <- k - 1 to 0 by -1) suff(i) = suff(i + 1) + w12(i)
+      val lits = suff.take(k).mkString("[", ",", "]")
+      s"""WITH ha AS (SELECT l_partkey,
+         |  CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01'
+         |    AND l_extendedprice IS NOT NULL AND l_partkey IS NOT NULL GROUP BY 1),
+         |hb AS (SELECT l_partkey,
+         |  CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+         |    AND l_extendedprice IS NOT NULL AND l_partkey IS NOT NULL GROUP BY 1),
+         |ra AS (SELECT l_partkey AS id, ROW_NUMBER() OVER (ORDER BY -rev, l_partkey) AS r FROM ha),
+         |rb AS (SELECT l_partkey AS id, ROW_NUMBER() OVER (ORDER BY -rev, l_partkey) AS r FROM hb),
+         |sw AS (SELECT $lits::BIGINT[] AS s),
+         |j AS (SELECT greatest(ra.r, rb.r) AS m FROM ra JOIN rb USING (id)
+         |  WHERE ra.r <= $k AND rb.r <= $k)
+         |SELECT CAST($k AS BIGINT) AS k, CAST($p AS DOUBLE) AS p,
+         |  CAST(COUNT(*) AS BIGINT) AS n_common,
+         |  floor(CAST(COALESCE(SUM(sw.s[CAST(m AS INTEGER)]), 0) AS DOUBLE) / 1e12
+         |    * 1000000.0 + 0.5) / 1000000.0 AS rbo
+         |FROM j CROSS JOIN sw""".stripMargin
+    },
   )
 }

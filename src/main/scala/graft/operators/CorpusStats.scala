@@ -1746,6 +1746,56 @@ object CorpusStats {
     giniOf(srcCells).unionByName(giniOf(allCells)).orderBy("source")
   }
 
+  /** Rank-biased overlap of two top-k rankings (Webber, Moffat &
+    * Zobel 2010, TOIS — THE indefinite-ranking agreement measure):
+    * RBO = (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d over depths d ≤ k, the
+    * top-weighted alternative to row-176 Spearman/row-320 τ when only
+    * ranked PREFIXES exist (two retrievers' top-100, this week's vs
+    * last week's top sellers): disagreement at rank 3 matters more
+    * than at rank 97, p tunes how fast attention decays (p = 0.9 ≈
+    * the top 10 carry ~86% of the weight). Truncated (RBO_min)
+    * convention: depths beyond k contribute nothing — the
+    * conservative published lower bound.
+    *
+    * Determinism: depth weights (1−p)p^(d−1)/d are PLAN-TIME literals
+    * snapped to 1e-12 integer longs, and each shared item contributes
+    * the SUFFIX weight sum from its max rank — also a plan-time
+    * literal array — so the whole statistic is one exact integer sum,
+    * divided once, rounded 1e-6. The identical literal vectors embed
+    * in the SQL oracle (the lshPlanes convention), so engine `pow`
+    * differences cannot enter.
+    *
+    * Scale shape: two rank-filtered scans + ONE id-keyed equi join
+    * (AQE broadcasts k-bounded sides) + one combinable single-row
+    * sum; the k-length literal rides the plan. Callers produce ranks
+    * with `globalDenseIds` (range-partitioned), never a one-task
+    * window. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                        rankCol: String, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    val w12 = Array.tabulate(k)(i =>
+      math.floor((1 - p) * math.pow(p, i) / (i + 1) * 1e12 + 0.5).toLong)
+    val suff = new Array[Long](k + 1)
+    var i = k - 1
+    while (i >= 0) { suff(i) = suff(i + 1) + w12(i); i -= 1 }
+    val suffArr = suff.take(k) // suffArr(m-1) = weight of all depths >= m
+    val ra = a.filter(sf.col(rankCol) <= k)
+      .select(sf.col(idCol).as("__id"), sf.col(rankCol).cast("long").as("__ra"))
+    val rb = b.filter(sf.col(rankCol) <= k)
+      .select(sf.col(idCol).as("__id"), sf.col(rankCol).cast("long").as("__rb"))
+    ra.join(rb, "__id")
+      .select(sf.greatest(sf.col("__ra"), sf.col("__rb")).as("__m"))
+      .agg(sf.count(sf.lit(1)).as("__nc"),
+        sf.sum(sf.element_at(sf.lit(suffArr), sf.col("__m").cast("int")))
+          .as("__s12"))
+      .select(sf.lit(k.toLong).as("k"), sf.lit(p).as("p"),
+        sf.coalesce(sf.col("__nc"), sf.lit(0L)).as("n_common"),
+        gf.roundAt(sf.coalesce(sf.col("__s12"), sf.lit(0L)).cast("double")
+          / 1e12, 6).as("rbo"))
+  }
+
   /** Hill diversity numbers per source (Hill 1973; the "effective
     * number of species" unification ecology standardized on): the
     * diversity PROFILE of each source's token distribution on ONE

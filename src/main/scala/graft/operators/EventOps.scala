@@ -212,6 +212,57 @@ object EventOps {
     out.orderBy("step_idx")
   }
 
+  /** Time-bounded funnel ([[funnel]] with a conversion window — the
+    * windowFunnel readout every product-analytics store ships): how
+    * far each user's step chain gets WITHIN `windowS` seconds of their
+    * first step-1 event. Deterministic ANCHORED-GREEDY semantics
+    * (documented contract): t₁ = the user's earliest step-1 event;
+    * tᵢ = the earliest step-i event with tᵢ > tᵢ₋₁ and
+    * tᵢ ≤ t₁ + window; a user reaches step i iff the chain extends to
+    * i. Anchoring at the first entry makes the result a pure function
+    * of the data (the sliding-anchor variant maximizes depth over all
+    * anchors — quadratic in per-user events and rarely worth it);
+    * "signup → view → purchase within 24h" is the canonical call.
+    *
+    * Output: (step_idx, step_name, n_reached) — n_reached
+    * monotonically non-increasing; the drop between rows i−1 and i is
+    * the users whose chain died (or timed out) at step i.
+    *
+    * Scale shape: the [[funnel]] chain — per step one filtered
+    * event-stream join against the (user, t) frontier (AQE-sized) +
+    * one combinable min — with the window bound as an extra join
+    * predicate; the frontier checkpoints per step (bounded lineage),
+    * raw events never sort. */
+  def windowFunnel(events: DataFrame, steps: Seq[String], windowS: Long,
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(windowS > 0, s"windowS must be > 0, got $windowS")
+    def stageAgg(stage: DataFrame, i: Int): DataFrame =
+      stage.agg(sf.count(sf.lit(1)).as("n_reached"))
+        .select(sf.lit(i.toLong).as("step_idx"),
+          sf.lit(steps(i)).as("step_name"),
+          sf.coalesce(sf.col("n_reached"), sf.lit(0L)).as("n_reached"))
+    var stage = events.filter(sf.col(typeCol) === steps.head)
+      .groupBy(sf.col(keyCol).as("__u"))
+      .agg(sf.min(sf.col(tsCol)).as("__t"))
+      .withColumn("__t0", sf.col("__t"))
+      .localCheckpoint(true)
+    var out = stageAgg(stage, 0)
+    for (i <- 1 until steps.size) {
+      stage = events.filter(sf.col(typeCol) === steps(i))
+        .join(stage, sf.col(keyCol) === sf.col("__u") &&
+          sf.col(tsCol) > sf.col("__t") &&
+          sf.unix_micros(sf.col(tsCol)) <=
+            sf.unix_micros(sf.col("__t0")) + sf.lit(windowS * 1000000L))
+        .groupBy(sf.col("__u"))
+        .agg(sf.min(sf.col(tsCol)).as("__t"), sf.min(sf.col("__t0")).as("__t0"))
+        .localCheckpoint(true)
+      out = out.union(stageAgg(stage, i))
+    }
+    out.orderBy("step_idx")
+  }
+
   /** Cohort retention matrix: users grouped by first-activity week
     * (Monday-truncated — ISO weeks in every engine), counted in each
     * later week they were active, keyed by the week offset from their

@@ -122,6 +122,66 @@ object Graph {
       .orderBy("item_a", "item_b")
   }
 
+  /** DIRECTED association rules a → b over the mined co-occurrence
+    * pairs — the full Agrawal/Srikant rule readout [[cooccurrenceLift]]
+    * stops short of (lift is symmetric; rules are not): for each
+    * direction of every surviving pair,
+    *
+    *   support    = c_ab / n,   confidence = c_ab / c_a,
+    *   lift       = n·c_ab / (c_a·c_b),
+    *   leverage   = c_ab/n − (c_a/n)(c_b/n),
+    *   conviction = (1 − c_b/n) / (1 − c_ab/c_a)   (NULL when conf = 1)
+    *
+    * — confidence answers "given a, how often b", conviction grades
+    * the rule's directional strength where lift can't tell a→b from
+    * b→a. The standard basket-analysis follow-up once lift flags a
+    * pair.
+    *
+    * Determinism: all inputs are exact integer counts; every measure
+    * is ONE pinned double assembly rounded 1e-6; the k-row cut orders
+    * by (conviction's NULLS LAST would be engine-dependent, so) lift
+    * desc, item_a, item_b — fully tie-deterministic TakeOrdered,
+    * never a global sort materialization.
+    *
+    * Scale shape: the [[minedPairs]] funnel + two AQE-sized item-count
+    * equi joins + a broadcast one-row basket count + a 2× direction
+    * mirror + TakeOrdered(k). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2, topK: Int = 100): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    require(topK >= 1 && topK <= 100000, s"topK must be in [1, 1e5], got $topK")
+    val b = baskets(df, basketCol, itemCol)
+    val cAb = pairCounts(b, minPairCount)
+    val cItem = b.groupBy("item").agg(sf.count(sf.lit(1)).as("c_item"))
+    val nB = b.select(sf.countDistinct(sf.col("basket")).as("n"))
+    val undirected = cAb
+      .join(cItem.select(sf.col("item").as("item_a"), sf.col("c_item").as("c_a")), "item_a")
+      .join(cItem.select(sf.col("item").as("item_b"), sf.col("c_item").as("c_b")), "item_b")
+    val directed = undirected
+      .select(sf.col("item_a").as("ante"), sf.col("item_b").as("cons"),
+        sf.col("c_ab"), sf.col("c_a").as("c_ante"), sf.col("c_b").as("c_cons"))
+      .union(undirected
+        .select(sf.col("item_b").as("ante"), sf.col("item_a").as("cons"),
+          sf.col("c_ab"), sf.col("c_b").as("c_ante"), sf.col("c_a").as("c_cons")))
+    val n = sf.col("n").cast("double")
+    val conf = sf.col("c_ab").cast("double") / sf.col("c_ante").cast("double")
+    directed.crossJoin(sf.broadcast(nB))
+      .select(sf.col("ante"), sf.col("cons"), sf.col("c_ab"),
+        sf.col("c_ante"), sf.col("c_cons"),
+        gf.roundAt(sf.col("c_ab").cast("double") / n, 6).as("support"),
+        gf.roundAt(conf, 6).as("confidence"),
+        gf.roundAt(n * sf.col("c_ab") /
+          (sf.col("c_ante").cast("double") * sf.col("c_cons")), 6).as("lift"),
+        gf.roundAt(sf.col("c_ab").cast("double") / n -
+          (sf.col("c_ante").cast("double") / n) *
+          (sf.col("c_cons").cast("double") / n), 6).as("leverage"),
+        sf.when(sf.col("c_ab") < sf.col("c_ante"), gf.roundAt(
+          (sf.lit(1.0) - sf.col("c_cons").cast("double") / n) /
+            (sf.lit(1.0) - conf), 6)).as("conviction"))
+      .orderBy(sf.col("lift").desc, sf.col("ante"), sf.col("cons"))
+      .limit(topK)
+  }
+
   /** PageRank over the undirected co-occurrence graph, `iters` rounds
     * of the damped update in EXACT integer fixed-point — every rank is
     * a BIGINT at scale 1e12, all updates are integer floor divisions,

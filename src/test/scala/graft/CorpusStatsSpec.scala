@@ -825,6 +825,28 @@ class CorpusStatsSpec extends SparkFunSuite {
       zr.mkString(";"))
   }
 
+  test("CorpusStats.rankBiasedOverlap: identity, disjoint, hand swap 0.375") {
+    import spark.implicits._
+    def ranks(items: Seq[String]) =
+      items.zipWithIndex.map { case (s, i) => (s, (i + 1).toLong) }
+        .toDF("id", "rank")
+    val abc = ranks(Seq("x", "y", "z"))
+    // swap of the top two at p=0.5: (1-p)[0 + p*2/2 + p^2*3/3] = 0.375
+    val r = CorpusStats.rankBiasedOverlap(abc, ranks(Seq("y", "x", "z")),
+      "id", "rank", k = 3, p = 0.5).head()
+    assert(r.getAs[Long]("n_common") == 3 && r.getAs[Double]("rbo") == 0.375,
+      r.toString)
+    // identical lists: agree_d = d, so truncated RBO = 1 - p^k = 0.875
+    val ri = CorpusStats.rankBiasedOverlap(abc, abc, "id", "rank", k = 3, p = 0.5)
+      .head()
+    assert(ri.getAs[Double]("rbo") == 0.875, ri.toString)
+    // disjoint lists: zero overlap, zero rbo
+    val rd = CorpusStats.rankBiasedOverlap(abc, ranks(Seq("p", "q", "r")),
+      "id", "rank", k = 3, p = 0.5).head()
+    assert(rd.getAs[Long]("n_common") == 0 && rd.getAs[Double]("rbo") == 0.0,
+      rd.toString)
+  }
+
   test("CorpusStats.hillDiversity: uniform source 2/2/2, skewed 0.75/0.25") {
     import spark.implicits._
     val docs = Seq(("A", "a a b b"), ("B", "a a a b")).toDF("source", "text")

@@ -608,6 +608,28 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     edges.unpersist()
   }
 
+  test("Graph.associationRules: hand confidence/lift/leverage/conviction, conf=1 NULL") {
+    // baskets: {a,b} x2, {a,c}, {b,c} -> n=4, c_a=3, c_b=3, c_ab=2
+    val df = Seq(("1", "a"), ("1", "b"), ("2", "a"), ("2", "b"),
+      ("3", "a"), ("3", "c"), ("4", "b"), ("4", "c")).toDF("basket", "item")
+    val got = Graph.associationRules(df, "basket", "item", minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8),
+          if (r.isNullAt(9)) Double.NaN else r.getDouble(9))).toMap
+    // a->b: support 0.5, conf 2/3, lift 4*2/9, leverage .5-.5625,
+    // conviction (1-.75)/(1-2/3) = .75
+    val ab = got(("a", "b"))
+    assert(ab == ((0.5, 0.666667, 0.888889, -0.0625, 0.75)), ab.toString)
+    assert(got(("b", "a")) == ab, "symmetric counts give symmetric rules here")
+    // perfect rule: {x,y} x2 only -> conf = 1 -> conviction NULL
+    val perf = Seq(("1", "x"), ("1", "y"), ("2", "x"), ("2", "y"))
+      .toDF("basket", "item")
+    val gp = Graph.associationRules(perf, "basket", "item", minPairCount = 2)
+      .collect()
+    assert(gp.length == 2 && gp.forall(_.isNullAt(9)), gp.mkString(";"))
+    assert(gp.forall(_.getDouble(6) == 1.0)) // confidence exactly 1
+  }
+
   test("Graph *FromPairs variants: one mined pair list reproduces both triangle readouts") {
     val df = Seq(("1", "a"), ("1", "b"), ("1", "c"), ("2", "b"), ("2", "c"),
       ("2", "d"), ("3", "a"), ("3", "c"), ("t", "d"), ("t", "a"))

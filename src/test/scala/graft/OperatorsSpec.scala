@@ -614,6 +614,38 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got == Seq((2L, 2.0), (0L, 0.666667), (1L, 0.857143)), s"got $got")
   }
 
+  test("EventOps.windowFunnel: 24h anchored chain, timeout kills depth") {
+    import spark.implicits._
+    // u1 completes within 24h; u2's click lands outside the window;
+    // u3 clicks in time but purchases after the anchor + 24h
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 01:00:00", 1L, "click"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 00:00:00", 2L, "view"),
+      (5L, "2024-01-02 01:00:00", 2L, "click"),
+      (6L, "2024-01-01 00:00:00", 3L, "view"),
+      (7L, "2024-01-01 01:00:00", 3L, "click"),
+      (8L, "2024-01-02 02:00:00", 3L, "purchase"))
+    val df = rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"))
+    val got = EventOps.windowFunnel(df, Seq("view", "click", "purchase"),
+      windowS = 86400L).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L), got.toString)
+    // boundary: exactly at anchor + window is INSIDE (<=)
+    val edge = Seq(
+      (1L, "2024-01-01 00:00:00", 9L, "view"),
+      (2L, "2024-01-02 00:00:00", 9L, "click"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"))
+    val ge = EventOps.windowFunnel(edge, Seq("view", "click"), windowS = 86400L)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(ge == Map("view" -> 1L, "click" -> 1L), ge.toString)
+  }
+
   test("EventOps: markovAttribution removal effects on a hand-solved chain") {
     import spark.implicits._
     // u1: view->CONV; u2: view->click->CONV; u3: click->NULL
