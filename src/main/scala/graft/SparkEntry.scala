@@ -2086,6 +2086,23 @@ object SparkEntry {
         ranked(sf.col("l_shipdate") >= "1998-06-01"),
         "l_partkey", "rank", k = 100, p = 0.9)
     }),
+
+    // Jonckheere-Terpstra: does order value trend monotonically across
+    // the ordered priority tiers 1-URGENT .. 5-LOW? Domain-compressed
+    // exact pair counting on (tier, 1k-price-bucket) cells.
+    "q302_jonckheere" -> ((s, dir) =>
+      QualityChecks.jonckheereTerpstra(
+        Tables.load(s, dir, "orders").select(
+          sf.substring(sf.col("o_orderpriority"), 1, 1).cast("int").as("prio"),
+          sf.floor(sf.col("o_totalprice").cast("double") / 1000).cast("long")
+            .as("price_bkt")),
+        "prio", "price_bkt")),
+
+    // Lag-1 Granger: do errors Granger-cause purchases at the hourly
+    // grain? Restricted vs unrestricted OLS from exact moment sums.
+    "q303_granger" -> ((s, dir) =>
+      EventOps.grangerLag1(Tables.load(s, dir, "events"),
+        causeType = "error", effectType = "purchase")),
   )
 
   // ---------------------------------------------------------------------
@@ -8863,5 +8880,109 @@ object SparkEntry {
          |    * 1000000.0 + 0.5) / 1000000.0 AS rbo
          |FROM j CROSS JOIN sw""".stripMargin
     },
+
+    // Jonckheere-Terpstra: identical cells, ordered-group broadcast
+    // pairing, exact decimal margins, one pinned moment assembly.
+    "q302_jonckheere" ->
+      """WITH d AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS g,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE) / 1000) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cells AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |j2 AS (SELECT SUM(CASE WHEN a.v < b.v THEN CAST(a.c AS DECIMAL(38,0)) * b.c * 2
+        |    WHEN a.v = b.v THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS s
+        |  FROM cells a JOIN cells b ON a.g < b.g),
+        |gmr AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |vmr AS (SELECT v, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |gm AS (SELECT SUM(CAST(n AS DECIMAL(38,0))) AS s1g, CAST(COUNT(*) AS BIGINT) AS kg,
+        |  SUM(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS s2g,
+        |  SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)) * CAST(n * 2 + 5 AS DECIMAL(38,0))) AS t25g,
+        |  SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))) AS t2g,
+        |  SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)) * CAST(n - 2 AS DECIMAL(38,0))) AS t3g
+        |  FROM gmr),
+        |vm AS (SELECT
+        |  SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)) * CAST(n * 2 + 5 AS DECIMAL(38,0))) AS t25v,
+        |  SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0))) AS t2v,
+        |  SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)) * CAST(n - 2 AS DECIMAL(38,0))) AS t3v
+        |  FROM vmr)
+        |SELECT CAST(s1g AS BIGINT) AS n, kg AS n_groups,
+        |  floor(CAST(s AS DOUBLE) / 2 * 10000.0 + 0.5) / 10000.0 AS j_stat,
+        |  floor((CAST(s1g AS DOUBLE) * CAST(s1g AS DOUBLE) - CAST(s2g AS DOUBLE)) / 4
+        |    * 10000.0 + 0.5) / 10000.0 AS j_mean,
+        |  CASE WHEN kg > 1 AND
+        |    (CAST(s1g AS DOUBLE) * (CAST(s1g AS DOUBLE) - 1) * (2 * CAST(s1g AS DOUBLE) + 5)
+        |      - CAST(t25g AS DOUBLE) - CAST(t25v AS DOUBLE)) / 72
+        |    + CAST(t3g AS DOUBLE) * CAST(t3v AS DOUBLE)
+        |      / (36 * CAST(s1g AS DOUBLE) * (CAST(s1g AS DOUBLE) - 1) * (CAST(s1g AS DOUBLE) - 2))
+        |    + CAST(t2g AS DOUBLE) * CAST(t2v AS DOUBLE)
+        |      / (8 * CAST(s1g AS DOUBLE) * (CAST(s1g AS DOUBLE) - 1)) > 0
+        |  THEN floor((CAST(s AS DOUBLE) / 2
+        |      - (CAST(s1g AS DOUBLE) * CAST(s1g AS DOUBLE) - CAST(s2g AS DOUBLE)) / 4)
+        |    / sqrt(
+        |    (CAST(s1g AS DOUBLE) * (CAST(s1g AS DOUBLE) - 1) * (2 * CAST(s1g AS DOUBLE) + 5)
+        |      - CAST(t25g AS DOUBLE) - CAST(t25v AS DOUBLE)) / 72
+        |    + CAST(t3g AS DOUBLE) * CAST(t3v AS DOUBLE)
+        |      / (36 * CAST(s1g AS DOUBLE) * (CAST(s1g AS DOUBLE) - 1) * (CAST(s1g AS DOUBLE) - 2))
+        |    + CAST(t2g AS DOUBLE) * CAST(t2v AS DOUBLE)
+        |      / (8 * CAST(s1g AS DOUBLE) * (CAST(s1g AS DOUBLE) - 1)))
+        |    * 1000000.0 + 0.5) / 1000000.0
+        |  END AS z
+        |FROM j2 CROSS JOIN gm CROSS JOIN vm""".stripMargin,
+
+    // Granger lag-1: the q130 grid chain for both types, two shifted
+    // joins, nine decimal sums, identical Cramer/RSS/F assembly.
+    "q303_granger" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |gr AS (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b),
+        |ys AS (SELECT gr.bin, COALESCE(c.n, 0) AS v FROM gr
+        |  LEFT JOIN c ON c.t = 'purchase' AND c.bin = gr.bin),
+        |xs AS (SELECT gr.bin, COALESCE(c.n, 0) AS v FROM gr
+        |  LEFT JOIN c ON c.t = 'error' AND c.bin = gr.bin),
+        |r AS (SELECT y.v AS y, p.v AS p, q.v AS q FROM ys y
+        |  JOIN ys p ON p.bin + 1 = y.bin JOIN xs q ON q.bin + 1 = y.bin),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(y AS DECIMAL(38,0))) AS sy, SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+        |  SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+        |  SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+        |  SUM(CAST(p AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))) AS spp,
+        |  SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))) AS sqq,
+        |  SUM(CAST(p AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS spy,
+        |  SUM(CAST(q AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sqy,
+        |  SUM(CAST(p AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))) AS spq
+        |  FROM r),
+        |m AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * spp - sp * sp AS DOUBLE) AS mpp,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sqq - sq * sq AS DOUBLE) AS mqq,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * spq - sp * sq AS DOUBLE) AS mpq,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * spy - sp * sy AS DOUBLE) AS mpy,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sqy - sq * sy AS DOUBLE) AS mqy,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) AS myy
+        |  FROM s),
+        |f AS (SELECT n, nd, mpp, mpy, myy,
+        |  mpp * mqq - mpq * mpq AS d,
+        |  (mpy * mqq - mqy * mpq) / (mpp * mqq - mpq * mpq) AS bp,
+        |  (mqy * mpp - mpy * mpq) / (mpp * mqq - mpq * mpq) AS bq,
+        |  mqy
+        |  FROM m),
+        |g AS (SELECT n, nd, d, mpp, bp, bq,
+        |  (myy - bp * mpy - bq * mqy) / nd AS rss_u,
+        |  (myy - mpy * mpy / mpp) / nd AS rss_r
+        |  FROM f)
+        |SELECT n AS n_bins,
+        |  CASE WHEN n > 3 AND mpp > 0 AND d > 0 AND rss_u > 0
+        |    THEN floor(bp * 1000000.0 + 0.5) / 1000000.0 END AS beta_ylag,
+        |  CASE WHEN n > 3 AND mpp > 0 AND d > 0 AND rss_u > 0
+        |    THEN floor(bq * 1000000.0 + 0.5) / 1000000.0 END AS beta_xlag,
+        |  CASE WHEN n > 3 AND mpp > 0 AND d > 0 AND rss_u > 0
+        |    THEN floor(rss_r * 10000.0 + 0.5) / 10000.0 END AS rss_r,
+        |  CASE WHEN n > 3 AND mpp > 0 AND d > 0 AND rss_u > 0
+        |    THEN floor(rss_u * 10000.0 + 0.5) / 10000.0 END AS rss_u,
+        |  CASE WHEN n > 3 AND mpp > 0 AND d > 0 AND rss_u > 0
+        |    THEN floor((rss_r - rss_u) / (rss_u / (nd - 3)) * 10000.0 + 0.5) / 10000.0 END AS f_stat
+        |FROM g""".stripMargin,
   )
 }

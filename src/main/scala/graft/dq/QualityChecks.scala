@@ -1926,6 +1926,90 @@ object QualityChecks {
       .orderBy("bin")
   }
 
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954; Terpstra 1952):
+    * does the value distribution shift MONOTONICALLY across ORDERED
+    * groups (price across priority tiers, quality across vintages) —
+    * the a-priori-ordered alternative the omnibus [[kruskalWallis]]
+    * throws away (KW asks "any difference", J–T asks "an increasing
+    * trend", and pays for the sharper question with more power).
+    * J = Σ_{g<h} U_gh where U_gh counts pairs x_g < x_h (+½ per tie);
+    * z = (J − μ)/σ with the tie-corrected null moments
+    * (Lehmann 1975's formulas): μ = (N² − Σn_g²)/4 and
+    *
+    *   σ² = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1)),
+    *   A = N(N−1)(2N+5) − Σ_g n(n−1)(2n+5) − Σ_v t(t−1)(2t+5),
+    *   B = Σ_g n(n−1)(n−2) · Σ_v t(t−1)(t−2),
+    *   C = Σ_g n(n−1) · Σ_v t(t−1).
+    *
+    * Caller buckets continuous values first — the contract that keeps
+    * pair counting on the (group, value) CELL domain (the row-320
+    * kendallTau convention; both columns must be numeric so '<' is the
+    * intended order — guarded).
+    *
+    * Determinism: doubled statistic 2J = Σ(2·lt + eq) accumulates
+    * exact DECIMAL(38,0) cell products; moment components are exact
+    * decimals; z is ONE pinned double assembly rounded 1e-6; J and μ
+    * print rounded 1e-4. Degenerate (one group, or σ² ≤ 0) → NULL z.
+    *
+    * Scale shape: one combinable cell collapse, two domain-sized
+    * margin rollups, the cell table self-paired via BROADCAST on the
+    * ordered-group upper triangle (domain², bounded by the bucketing
+    * contract), one single-row finish. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    Seq(groupCol, valueCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"jonckheereTerpstra: column '$c' has type ${dt.simpleString}; " +
+        "ordered groups and bucketed values must be numeric so '<' is " +
+        "the intended order — map labels to integer codes first")
+    }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(groupCol).isNotNull && sf.col(valueCol).isNotNull)
+      .groupBy(sf.col(groupCol).as("g"), sf.col(valueCol).as("v"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // pairing (both sides) + margins read it
+    val pairs = cells.crossJoin(sf.broadcast(cells.select(
+        sf.col("g").as("g2"), sf.col("v").as("v2"), sf.col("c").as("c2"))))
+      .filter(sf.col("g") < sf.col("g2"))
+    val prod = dec(sf.col("c")) * dec(sf.col("c2"))
+    val zero = sf.lit(0).cast("decimal(38,0)")
+    val j2 = pairs.agg(sf.sum(
+      sf.when(sf.col("v") < sf.col("v2"), prod * 2)
+        .when(sf.col("v") === sf.col("v2"), prod)
+        .otherwise(zero)).as("__j2"))
+    def m3(margin: DataFrame, n: String, p: String) = margin.agg(
+      sf.sum(dec(sf.col(n))).as(s"__s1$p"),
+      sf.count(sf.lit(1)).as(s"__k$p"),
+      sf.sum(dec(sf.col(n)) * dec(sf.col(n))).as(s"__s2$p"),
+      sf.sum(dec(sf.col(n)) * dec(sf.col(n) - 1) * dec(sf.col(n) * 2 + 5))
+        .as(s"__t25$p"),
+      sf.sum(dec(sf.col(n)) * dec(sf.col(n) - 1)).as(s"__t2$p"),
+      sf.sum(dec(sf.col(n)) * dec(sf.col(n) - 1) * dec(sf.col(n) - 2))
+        .as(s"__t3$p"))
+    val gm = m3(cells.groupBy("g").agg(sf.sum("c").cast("long").as("n")), "n", "G")
+    val vm = m3(cells.groupBy("v").agg(sf.sum("c").cast("long").as("n")), "n", "V")
+    j2.crossJoin(sf.broadcast(gm)).crossJoin(sf.broadcast(vm))
+      .select({
+        val nD = sf.col("__s1G").cast("double")
+        val j = sf.col("__j2").cast("double") / 2
+        val mean = (nD * nD - sf.col("__s2G").cast("double")) / 4
+        val a = nD * (nD - 1) * (nD * 2 + 5) -
+          sf.col("__t25G").cast("double") - sf.col("__t25V").cast("double")
+        val b = sf.col("__t3G").cast("double") * sf.col("__t3V").cast("double")
+        val cc = sf.col("__t2G").cast("double") * sf.col("__t2V").cast("double")
+        val variance = a / 72 +
+          b / (nD * 36 * (nD - 1) * (nD - 2)) +
+          cc / (nD * 8 * (nD - 1))
+        val ok = sf.col("__kG") > 1 && variance > 0
+        Seq(sf.col("__s1G").cast("long").as("n"),
+          sf.col("__kG").as("n_groups"),
+          gf.roundAt(j, 4).as("j_stat"),
+          gf.roundAt(mean, 4).as("j_mean"),
+          sf.when(ok, gf.roundAt((j - mean) / sf.sqrt(variance), 6)).as("z"))
+      }: _*)
+  }
+
   /** Spiegelhalter's Z test of calibration (Spiegelhalter 1986, Stat.
     * Med. 5): the HYPOTHESIS TEST beside [[calibration]]'s descriptive
     * ECE — under perfect calibration E[(y−p)(1−2p)] = 0, so

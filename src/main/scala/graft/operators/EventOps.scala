@@ -2217,6 +2217,78 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Lag-1 Granger causality test (Granger 1969) between two event
+    * types' gap-filled count series: does knowing the CAUSE series'
+    * previous bin improve the one-step prediction of the EFFECT series
+    * beyond its own history — the DIRECTIONAL follow-up to [[ccf]]'s
+    * symmetric lead–lag readout ("errors lead churn" becomes "errors
+    * Granger-cause churn at the hour grain, F = …"). Restricted model
+    * y_t ~ 1 + y_{t−1} vs unrestricted y_t ~ 1 + y_{t−1} + x_{t−1};
+    * F = (RSS_r − RSS_u)/(RSS_u/(n−3)) with 1 and n−3 df. Lag 1 at a
+    * chosen bin size is the deterministic single-knob form (higher
+    * orders multiply regressors and df bookkeeping without changing
+    * the scale shape).
+    *
+    * Determinism: bin counts are exact integers; all nine raw sums
+    * accumulate DECIMAL(38,0); centered moments M_ab = n·Σab − Σa·Σb
+    * are exact decimals; betas/RSS/F are ONE pinned double assembly
+    * (Cramer's rule on the 2×2 normal equations), betas rounded 1e-6,
+    * RSS/F 1e-4. Degenerate inputs (n ≤ 3, constant y_{t−1}, singular
+    * design, zero residual) → NULL inference.
+    *
+    * Scale shape: the [[denseSeries]] chunked grid + two bin-shifted
+    * equi self-joins (dense ranges, AQE-sized) + ONE map-side
+    * combinable nine-sum single-row aggregation. No windows. */
+  def grangerLag1(events: DataFrame, causeType: String, effectType: String,
+                  binSec: Long = 3600): DataFrame = {
+    require(causeType != effectType,
+      "grangerLag1 needs two distinct event types")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .filter(sf.col("event_type").isin(causeType, effectType))
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // three series views read it
+    val y = g.filter(sf.col("t") === effectType)
+      .select(sf.col("bin"), sf.col("v").as("y"))
+    val p = g.filter(sf.col("t") === effectType)
+      .select((sf.col("bin") + 1).as("bin"), sf.col("v").as("p"))
+    val q = g.filter(sf.col("t") === causeType)
+      .select((sf.col("bin") + 1).as("bin"), sf.col("v").as("q"))
+    val s = y.join(p, "bin").join(q, "bin").agg(
+      sf.count(sf.lit(1)).as("n"),
+      sf.sum(dec(sf.col("y"))).as("sy"), sf.sum(dec(sf.col("p"))).as("sp"),
+      sf.sum(dec(sf.col("q"))).as("sq"),
+      sf.sum(dec(sf.col("y")) * dec(sf.col("y"))).as("syy"),
+      sf.sum(dec(sf.col("p")) * dec(sf.col("p"))).as("spp"),
+      sf.sum(dec(sf.col("q")) * dec(sf.col("q"))).as("sqq"),
+      sf.sum(dec(sf.col("p")) * dec(sf.col("y"))).as("spy"),
+      sf.sum(dec(sf.col("q")) * dec(sf.col("y"))).as("sqy"),
+      sf.sum(dec(sf.col("p")) * dec(sf.col("q"))).as("spq"))
+    s.select({
+      val n = dec(sf.col("n"))
+      def m(ab: String, a: String, b: String) =
+        (n * sf.col(ab) - sf.col(a) * sf.col(b)).cast("double")
+      val nD = sf.col("n").cast("double")
+      val mpp = m("spp", "sp", "sp"); val mqq = m("sqq", "sq", "sq")
+      val mpq = m("spq", "sp", "sq"); val mpy = m("spy", "sp", "sy")
+      val mqy = m("sqy", "sq", "sy"); val myy = m("syy", "sy", "sy")
+      val d = mpp * mqq - mpq * mpq
+      val bp = (mpy * mqq - mqy * mpq) / d
+      val bq = (mqy * mpp - mpy * mpq) / d
+      val rssU = (myy - bp * mpy - bq * mqy) / nD
+      val rssR = (myy - mpy * mpy / mpp) / nD
+      val f = (rssR - rssU) / (rssU / (nD - 3))
+      val ok = sf.col("n") > 3 && mpp > 0 && d > 0 && rssU > 0
+      Seq(sf.col("n").as("n_bins"),
+        sf.when(ok, gf.roundAt(bp, 6)).as("beta_ylag"),
+        sf.when(ok, gf.roundAt(bq, 6)).as("beta_xlag"),
+        sf.when(ok, gf.roundAt(rssR, 4)).as("rss_r"),
+        sf.when(ok, gf.roundAt(rssU, 4)).as("rss_u"),
+        sf.when(ok, gf.roundAt(f, 4)).as("f_stat"))
+    }: _*)
+  }
+
   /** Count-dispersion datasheet per event type over the gap-filled
     * hourly grid: the variance-to-mean DISPERSION INDEX (Fano factor)
     * with its χ² = (n−1)·D test statistic (D ≈ 1 under Poisson,

@@ -2416,6 +2416,74 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rh.isNullAt(rh.fieldIndex("z")), rh.toString)
   }
 
+  test("QualityChecks.jonckheereTerpstra: hand J=11, tie-corrected z; type guard") {
+    import spark.implicits._
+    // groups 1:{1,2} 2:{2,3} 3:{3,4}: U_12=3.5, U_13=4, U_23=3.5 -> J=11
+    // mean=(36-12)/4=6; A=510-54-36=420, B=0, C=6*4=24
+    val df = Seq((1, 1L), (1, 2L), (2, 2L), (2, 3L), (3, 3L), (3, 4L))
+      .toDF("g", "v")
+    val r = QualityChecks.jonckheereTerpstra(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_groups") == 3)
+    assert(r.getAs[Double]("j_stat") == 11.0 && r.getAs[Double]("j_mean") == 6.0,
+      r.toString)
+    val nD = 6.0
+    val variance = 420.0 / 72 + 0.0 / (nD * 36 * 5 * 4) + 24.0 / (nD * 8 * 5)
+    val zExp = math.floor((11.0 - 6.0) / math.sqrt(variance) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("z") == zExp, s"want $zExp: $r")
+    // one group -> NULL z
+    val one = Seq((1, 1L), (1, 2L)).toDF("g", "v")
+    val ro = QualityChecks.jonckheereTerpstra(one, "g", "v").head()
+    assert(ro.isNullAt(ro.fieldIndex("z")), ro.toString)
+    // string group labels rejected (lexicographic order trap)
+    val e = intercept[IllegalArgumentException] {
+      QualityChecks.jonckheereTerpstra(
+        Seq(("10", 1L), ("2", 2L)).toDF("g", "v"), "g", "v")
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
+  test("EventOps.grangerLag1: hand moments/F on a 5-bin series; constant-lag NULL") {
+    import spark.implicits._
+    // hourly counts x=[2,1,3,1,2], y=[1,3,2,5,4] -> 4 usable bins
+    def rows(t: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, h) => (1 to c).map(i =>
+        (t + h + "_" + i, f"2024-01-01 0$h%d:30:00", t))
+    }
+    val df = (rows("error", Seq(2, 1, 3, 1, 2)) ++
+        rows("purchase", Seq(1, 3, 2, 5, 4)))
+      .toDF("eid", "ts_s", "event_type")
+      .select(sf.hash(sf.col("eid")).cast("long").as("event_id"),
+        sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1L).as("user_id"), sf.col("event_type"),
+        sf.lit(1.0).as("value"))
+    val r = EventOps.grangerLag1(df, "error", "purchase").head()
+    assert(r.getAs[Long]("n_bins") == 4, r.toString)
+    // replay the moment algebra: M's from exact sums
+    val (mpp, mqq, mpq, mpy, mqy, myy) = (35.0, 11.0, -13.0, 2.0, 10.0, 20.0)
+    val d = mpp * mqq - mpq * mpq
+    val bp = (mpy * mqq - mqy * mpq) / d
+    val bq = (mqy * mpp - mpy * mpq) / d
+    val rssU = (myy - bp * mpy - bq * mqy) / 4.0
+    val rssR = (myy - mpy * mpy / mpp) / 4.0
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("beta_ylag") == r6(bp) &&
+      r.getAs[Double]("beta_xlag") == r6(bq), r.toString)
+    assert(r.getAs[Double]("rss_u") == r4(rssU) &&
+      r.getAs[Double]("rss_r") == r4(rssR), r.toString)
+    assert(r.getAs[Double]("f_stat") == r4((rssR - rssU) / (rssU / 1.0)),
+      r.toString)
+    // constant effect series -> mpp = 0 -> NULL inference
+    val const = (rows("error", Seq(2, 1, 3)) ++ rows("purchase", Seq(1, 1, 1)))
+      .toDF("eid", "ts_s", "event_type")
+      .select(sf.hash(sf.col("eid")).cast("long").as("event_id"),
+        sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1L).as("user_id"), sf.col("event_type"),
+        sf.lit(1.0).as("value"))
+    val rc = EventOps.grangerLag1(const, "error", "purchase").head()
+    assert(rc.isNullAt(rc.fieldIndex("f_stat")), rc.toString)
+  }
+
   test("QualityChecks.tCloseness: skewed classes t=0.5, balanced class 0") {
     // global {a:2, b:2}; class 1 all-a, class 2 all-b -> TV = 0.5 each
     val skew = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("q", "s")
