@@ -2103,6 +2103,25 @@ object SparkEntry {
     "q303_granger" -> ((s, dir) =>
       EventOps.grangerLag1(Tables.load(s, dir, "events"),
         causeType = "error", effectType = "purchase")),
+
+    // Self-BLEU bigram novelty per source: leave-one-out clipped
+    // bigram precision — the mode-collapse watchdog for synthetic
+    // corpora.
+    "q304_self_bleu" -> ((s, dir) =>
+      CorpusStats.selfBleuNovelty(docs(s, dir), "doc_id", "text", "source")),
+
+    // Mood's median test: do market segments share one account-balance
+    // median? Above/below the pooled exact median + G x 2 chi2.
+    "q305_moods_median" -> ((s, dir) =>
+      QualityChecks.moodsMedian(
+        Tables.load(s, dir, "customer").select(sf.col("c_mktsegment"),
+          sf.floor(sf.col("c_acctbal").cast("double")).cast("long").as("bal")),
+        "c_mktsegment", "bal")),
+
+    // Turning-point randomness screen per event type over the hourly
+    // count grid: strict local extrema vs the 2(n-2)/3 i.i.d. mean.
+    "q306_turning_points" -> ((s, dir) =>
+      EventOps.turningPoints(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -8984,5 +9003,90 @@ object SparkEntry {
         |  CASE WHEN n > 3 AND mpp > 0 AND d > 0 AND rss_u > 0
         |    THEN floor((rss_r - rss_u) / (rss_u / (nd - 3)) * 10000.0 + 0.5) / 10000.0 END AS f_stat
         |FROM g""".stripMargin,
+
+    // Self-BLEU: identical bigram cells, leave-one-out clip, 1e-6 doc
+    // snaps, pinned per-source averages.
+    "q304_self_bleu" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |bg AS (SELECT source, doc_id,
+        |  unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+        |  FROM d WHERE len(t) >= 2),
+        |pd AS (SELECT source, doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |pool AS (SELECT source, gram, CAST(SUM(c) AS BIGINT) AS cs
+        |  FROM pd GROUP BY 1, 2),
+        |p6 AS (SELECT pd.source, pd.doc_id,
+        |  CAST(floor(CAST(SUM(least(c, cs - c)) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+        |    * 1e6 + 0.5) AS BIGINT) AS p6
+        |  FROM pd JOIN pool USING (source, gram) GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(p6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_overlap,
+        |  floor((1.0 - CAST(SUM(p6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS avg_novelty
+        |FROM p6 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mood's median: exact pooled lower median over the value domain,
+    // then the q107 chi2 grid on (group, above) cells.
+    "q305_moods_median" ->
+      """WITH b AS (SELECT c_mktsegment AS g,
+        |  CAST(floor(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS v
+        |  FROM customer WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+        |vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS w FROM b GROUP BY 1),
+        |cum AS (SELECT v, w, SUM(w) OVER (ORDER BY v) AS cw,
+        |  (SELECT SUM(w) FROM vc) AS tw FROM vc),
+        |med AS (SELECT CAST(min(v) AS BIGINT) AS m FROM cum WHERE cw * 2 >= tw),
+        |lab AS (SELECT g, CAST(v > m AS INT) AS a FROM b CROSS JOIN med),
+        |cells AS (SELECT CAST(g AS VARCHAR) AS r, CAST(a AS VARCHAR) AS c, COUNT(*) AS o
+        |  FROM lab GROUP BY 1, 2),
+        |rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr FROM cells),
+        |grid AS (SELECT rt.r, ct.c, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+        |terms AS (SELECT CAST(floor(
+        |    ((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE))
+        |     *(CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE))
+        |     /(CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(t.n AS DOUBLE)))*1000000.0 + 0.5)
+        |   /1000000.0 AS DECIMAL(28,6)) AS term
+        |  FROM grid, t)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_groups,
+        |  med.m AS pooled_median,
+        |  floor(CAST((SELECT SUM(term) FROM terms) AS DOUBLE)*10000.0 + 0.5)/10000.0 AS chi2,
+        |  CAST(nr - 1 AS BIGINT) AS dof
+        |FROM t CROSS JOIN med""".stripMargin,
+
+    // Turning points: the q130 grid, two bin-shifted self-joins,
+    // strict-extrema counting, pinned normal moments.
+    "q306_turning_points" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |gr AS (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b),
+        |tt AS (SELECT DISTINCT event_type AS t FROM e),
+        |s AS (SELECT tt.t, gr.bin, COALESCE(c.n, 0) AS v FROM tt CROSS JOIN gr
+        |  LEFT JOIN c ON c.t = tt.t AND c.bin = gr.bin),
+        |i AS (SELECT m.t, CASE WHEN (p.v < m.v AND m.v > nx.v)
+        |    OR (p.v > m.v AND m.v < nx.v) THEN 1 ELSE 0 END AS tp
+        |  FROM s m JOIN s p ON p.t = m.t AND p.bin + 1 = m.bin
+        |  JOIN s nx ON nx.t = m.t AND nx.bin - 1 = m.bin),
+        |a AS (SELECT t, CAST(SUM(tp) AS BIGINT) AS n_turning FROM i GROUP BY 1),
+        |nb AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_bins FROM s GROUP BY 1)
+        |SELECT nb.t AS event_type, n_bins,
+        |  CAST(COALESCE(n_turning, 0) AS BIGINT) AS n_turning,
+        |  CASE WHEN n_bins >= 3 THEN
+        |    floor((CAST(n_bins AS DOUBLE) - 2) * 2 / 3 * 10000.0 + 0.5) / 10000.0
+        |  END AS expected,
+        |  CASE WHEN n_bins >= 3 THEN
+        |    floor((CAST(COALESCE(n_turning, 0) AS DOUBLE)
+        |      - (CAST(n_bins AS DOUBLE) - 2) * 2 / 3)
+        |      / sqrt((CAST(n_bins AS DOUBLE) * 16 - 29) / 90)
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS z
+        |FROM nb LEFT JOIN a USING (t) ORDER BY 1""".stripMargin,
   )
 }

@@ -1926,6 +1926,57 @@ object QualityChecks {
       .orderBy("bin")
   }
 
+  /** Mood's median test (Mood 1950): do several groups share the same
+    * MEDIAN — the nonparametric location screen that, unlike
+    * [[kruskalWallis]]'s rank sums, only asks which side of the POOLED
+    * median each observation falls on, so it is maximally robust to
+    * outliers and wildly unequal spreads (the trade: less power when
+    * distributions are well-behaved — the classic pairing is "KW for
+    * shape-alike groups, Mood's for contaminated ones"). Each row is
+    * labeled above/not-above the pooled lower-weighted median, and the
+    * G×2 contingency gets the standard χ² with G−1 df.
+    *
+    * Integer/bucketed values are the CONTRACT (the row-340 hodges
+    * convention, cast to long): the pooled median is then an exact
+    * integer — the smallest value v with 2·cumW ≥ totW — computed on
+    * the VALUE domain via [[graft.operators.StarSchema.globalPrefixSums]]
+    * (never a one-task sort), and every χ² cell is an exact count;
+    * per-cell terms round 1e-6 (the [[chiSquared]] convention), the
+    * statistic 1e-4.
+    *
+    * Scale shape: one value-domain collapse + the range-partitioned
+    * prefix pass + one broadcast one-row median + the χ² kernel's
+    * combinable cell collapse. The raw stream is read twice (domain
+    * collapse, labeling) — both map-side-combinable passes. */
+  def moodsMedian(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val dt = df.schema(valueCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"moodsMedian: column '$valueCol' has type ${dt.simpleString}; " +
+      "values must be numeric (pre-bucket continuous inputs)")
+    val base = df.filter(sf.col(groupCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).as("__g"),
+        sf.col(valueCol).cast("long").as("__v"))
+    val cells = base.groupBy("__v").agg(sf.count(sf.lit(1)).as("__w"))
+      .localCheckpoint(true) // prefix + total read it
+    val tot = cells.agg(sf.sum("__w").as("__tot"))
+    val med = graft.operators.StarSchema
+      .globalPrefixSums(cells, Seq("__v"), "__w", "__cum")
+      .crossJoin(sf.broadcast(tot))
+      .filter(sf.col("__cum") * 2 >= sf.col("__tot"))
+      .agg(sf.min("__v").as("__med"))
+    val labeled = base.crossJoin(sf.broadcast(med))
+      .select(sf.col("__g"),
+        (sf.col("__v") > sf.col("__med")).cast("int").as("__above"),
+        sf.col("__med"))
+    chiSquaredKernel(labeled, "__g", "__above")
+      .crossJoin(sf.broadcast(med))
+      .select(sf.col("__fn").as("n"), sf.col("__fnr").as("n_groups"),
+        sf.col("__med").as("pooled_median"),
+        gf.roundAt(sf.col("__chi2").cast("double"), 4).as("chi2"),
+        (sf.col("__fnr") - 1).as("dof"))
+  }
+
   /** Jonckheere–Terpstra trend test (Jonckheere 1954; Terpstra 1952):
     * does the value distribution shift MONOTONICALLY across ORDERED
     * groups (price across priority tiers, quality across vintages) —

@@ -1746,6 +1746,59 @@ object CorpusStats {
     giniOf(srcCells).unionByName(giniOf(allCells)).orderBy("source")
   }
 
+  /** Leave-one-out bigram self-overlap per source — the Self-BLEU
+    * corpus-diversity signal (Zhu et al. 2018's Texygen metric,
+    * reduced to its scalable modified-bigram-precision core): for each
+    * document, the CLIPPED bigram precision against the REST of its
+    * source's bigram pool,
+    *
+    *   P_d = Σ_g min(c_gd, C_gs − c_gd) / Σ_g c_gd,
+    *
+    * and novelty 1 − P_d — high average overlap = the source's
+    * documents re-use each other's phrasing (template farms, generator
+    * mode collapse), high novelty = diverse text. The corpus-level
+    * companion of the per-doc repetition gates: THIS is the number a
+    * synthetic-data pipeline watches for collapse. Docs with < 2
+    * tokens carry no bigrams and are excluded (documented).
+    *
+    * Determinism: all counts exact; each P_d snaps to the 1e-6 integer
+    * grid, per-source averages are exact integer sums with ONE pinned
+    * division each, rounded 1e-6.
+    *
+    * Scale shape: one (source, doc, gram) collapse (fan-out bounded by
+    * doc length), one gram-pool rollup, ONE gram-keyed equi join back
+    * (AQE-sized; the clip needs only c_gd and the pool count), one
+    * doc rollup, one source rollup. No windows, no self-join over
+    * documents. */
+  def selfBleuNovelty(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val base = Par.spread(docs.select(sf.col(sourceCol).as("source"),
+        sf.col(idCol).as("__id"), sf.col(textCol)))
+      .filter(sf.col(textCol).isNotNull && sf.col("source").isNotNull)
+      .select(sf.col("source"), sf.col("__id"),
+        sf.explode(gf.wordBigrams(sf.lower(sf.col(textCol)))).as("gram"))
+    val perDoc = base.groupBy("source", "__id", "gram")
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // pool + join read it
+    val pool = perDoc.groupBy("source", "gram")
+      .agg(sf.sum("c").cast("long").as("cs"))
+    val p6 = perDoc.join(pool, Seq("source", "gram"))
+      .groupBy("source", "__id")
+      .agg(sf.sum(sf.least(sf.col("c"), sf.col("cs") - sf.col("c"))).as("__m"),
+        sf.sum("c").as("__t"))
+      .select(sf.col("source"),
+        sf.floor(sf.col("__m").cast("double") / sf.col("__t").cast("double")
+          * 1e6 + 0.5).cast("long").as("__p6"))
+    p6.groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"), sf.sum("__p6").as("__sp"))
+      .select(sf.col("source"), sf.col("n_docs"),
+        gf.roundAt(sf.col("__sp").cast("double") /
+          sf.col("n_docs").cast("double") / 1e6, 6).as("avg_overlap"),
+        gf.roundAt(sf.lit(1.0) - sf.col("__sp").cast("double") /
+          sf.col("n_docs").cast("double") / 1e6, 6).as("avg_novelty"))
+      .orderBy("source")
+  }
+
   /** Rank-biased overlap of two top-k rankings (Webber, Moffat &
     * Zobel 2010, TOIS — THE indefinite-ranking agreement measure):
     * RBO = (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d over depths d ≤ k, the

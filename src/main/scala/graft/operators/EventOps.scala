@@ -2217,6 +2217,58 @@ object EventOps {
       .orderBy("lag")
   }
 
+  /** Turning-point randomness test per event type (Kendall's classic
+    * time-series screen): count interior bins of the gap-filled count
+    * series that are STRICT local extrema (v₋₁ < v > v₊₁ or
+    * v₋₁ > v < v₊₁); under i.i.d. randomness T ~ N(2(n−2)/3,
+    * (16n−29)/90), so z far below 0 means the series is SMOOTHER than
+    * random (trend/cycle/autocorrelation — the cheap confirmation
+    * before the heavier [[ljungBox]]), z above 0 means alternation
+    * (overdispersed switching). Integer count series tie freely; ties
+    * break the strict pattern and count as no turning point
+    * (documented — the test is exact under the no-ties null, a
+    * conservative screen with counts).
+    *
+    * Determinism: turning points are exact integer counts off exact
+    * grid values; mean/variance/z are ONE pinned double assembly
+    * rounded 1e-6 (z) / 1e-4 (expected). Series shorter than 3 bins
+    * yield NULL.
+    *
+    * Scale shape: the [[denseSeries]] chunked grid + two bin-shifted
+    * equi self-joins (the [[grangerLag1]] shape — never a window over
+    * the grid) + one combinable per-type rollup. */
+  def turningPoints(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // three shifted views read it
+    val mid = g.select(sf.col("t"), sf.col("bin"), sf.col("v"))
+    val prev = g.select(sf.col("t"), (sf.col("bin") + 1).as("bin"),
+      sf.col("v").as("vp"))
+    val next = g.select(sf.col("t"), (sf.col("bin") - 1).as("bin"),
+      sf.col("v").as("vn"))
+    val interior = mid.join(prev, Seq("t", "bin")).join(next, Seq("t", "bin"))
+      .groupBy("t")
+      .agg(sf.sum(((sf.col("vp") < sf.col("v") && sf.col("v") > sf.col("vn")) ||
+        (sf.col("vp") > sf.col("v") && sf.col("v") < sf.col("vn")))
+        .cast("long")).as("n_turning"))
+    val nBins = g.groupBy("t").agg(sf.count(sf.lit(1)).as("n_bins"))
+    nBins.join(interior, Seq("t"), "left")
+      .select({
+        val nD = sf.col("n_bins").cast("double")
+        val tp = sf.coalesce(sf.col("n_turning"), sf.lit(0L))
+        val mean = (nD - 2) * 2 / 3
+        val variance = (nD * 16 - 29) / 90
+        val ok = sf.col("n_bins") >= 3
+        Seq(sf.col("t").as("event_type"), sf.col("n_bins"),
+          tp.as("n_turning"),
+          sf.when(ok, gf.roundAt(mean, 4)).as("expected"),
+          sf.when(ok, gf.roundAt((tp.cast("double") - mean) /
+            sf.sqrt(variance), 6)).as("z"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
   /** Lag-1 Granger causality test (Granger 1969) between two event
     * types' gap-filled count series: does knowing the CAUSE series'
     * previous bin improve the one-step prediction of the EFFECT series

@@ -847,6 +847,24 @@ class CorpusStatsSpec extends SparkFunSuite {
       rd.toString)
   }
 
+  test("CorpusStats.selfBleuNovelty: hand clipped bigram precisions") {
+    import spark.implicits._
+    // A: doc1 "a b a b" (ab x2, ba x1), doc2 "a b c" (ab, bc)
+    // pool: ab 3, ba 1, bc 1 -> P1 = min(2,1)/3 = 1/3, P2 = min(1,2)/2 = 1/2
+    // B: single doc -> pool is itself -> clip 0 -> novelty 1
+    val docs = Seq(("A", 1L, "a b a b"), ("A", 2L, "a b c"),
+      ("B", 3L, "x y"), ("B", 4L, "z")).toDF("source", "doc_id", "text")
+    val got = CorpusStats.selfBleuNovelty(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sp = math.floor(1.0 / 3 * 1e6 + 0.5) + math.floor(0.5 * 1e6 + 0.5)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got("A") == ((2L, r6(sp / 2 / 1e6), r6(1.0 - sp / 2 / 1e6))),
+      got.toString)
+    // doc 4 has no bigram and is excluded; doc 3 is novel
+    assert(got("B") == ((1L, 0.0, 1.0)), got.toString)
+  }
+
   test("CorpusStats.hillDiversity: uniform source 2/2/2, skewed 0.75/0.25") {
     import spark.implicits._
     val docs = Seq(("A", "a a b b"), ("B", "a a a b")).toDF("source", "text")

@@ -2416,6 +2416,43 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rh.isNullAt(rh.fieldIndex("z")), rh.toString)
   }
 
+  test("QualityChecks.moodsMedian: perfect separation chi2 = 6, exact pooled median") {
+    import spark.implicits._
+    // pooled {1..6}: lower median 3; A all <=, B all > -> chi2 = 6
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L), ("B", 6L))
+      .toDF("g", "v")
+    val r = QualityChecks.moodsMedian(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_groups") == 2 &&
+      r.getAs[Long]("pooled_median") == 3 && r.getAs[Double]("chi2") == 6.0 &&
+      r.getAs[Long]("dof") == 1, r.toString)
+    // identical groups: every term 0
+    val same = Seq(("A", 1L), ("A", 9L), ("B", 1L), ("B", 9L)).toDF("g", "v")
+    val rs = QualityChecks.moodsMedian(same, "g", "v").head()
+    assert(rs.getAs[Double]("chi2") == 0.0 &&
+      rs.getAs[Long]("pooled_median") == 1, rs.toString)
+  }
+
+  test("EventOps.turningPoints: strict extrema only, ties break the pattern") {
+    import spark.implicits._
+    // one type, counts [1,3,2,2,4]: only bin 1 (1<3>2) turns; the
+    // plateau (2,2) and its edges are tie-broken
+    val rows = Seq(1, 3, 2, 2, 4).zipWithIndex.flatMap { case (c, h) =>
+      (1 to c).map(i => (s"e${h}_$i", f"2024-01-01 0$h%d:15:00")) }
+    val df = rows.toDF("eid", "ts_s")
+      .select(sf.hash(sf.col("eid")).cast("long").as("event_id"),
+        sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1L).as("user_id"), sf.lit("error").as("event_type"),
+        sf.lit(1.0).as("value"))
+    val r = EventOps.turningPoints(df).head()
+    assert(r.getAs[Long]("n_bins") == 5 && r.getAs[Long]("n_turning") == 1,
+      r.toString)
+    val mean = (5.0 - 2) * 2 / 3
+    val z = math.floor((1.0 - mean) / math.sqrt((5.0 * 16 - 29) / 90) * 1e6
+      + 0.5) / 1e6
+    assert(r.getAs[Double]("expected") == 2.0 && r.getAs[Double]("z") == z,
+      r.toString)
+  }
+
   test("QualityChecks.jonckheereTerpstra: hand J=11, tie-corrected z; type guard") {
     import spark.implicits._
     // groups 1:{1,2} 2:{2,3} 3:{3,4}: U_12=3.5, U_13=4, U_23=3.5 -> J=11
