@@ -2122,6 +2122,33 @@ object SparkEntry {
     // count grid: strict local extrema vs the 2(n-2)/3 i.i.d. mean.
     "q306_turning_points" -> ((s, dir) =>
       EventOps.turningPoints(Tables.load(s, dir, "events"))),
+
+    // Conditional entropy of the event chain: how many nats the
+    // current event type buys about the next one.
+    "q307_conditional_entropy" -> ((s, dir) =>
+      EventOps.conditionalEntropy(Tables.load(s, dir, "events"))),
+
+    // Typed-PII audit over deterministically staged contact text
+    // (emails / IPv4 / phone runs / Luhn-checked card numbers):
+    // structural detectors, no regex dialects.
+    "q308_pii_audit" -> ((s, dir) => {
+      val k = sf.col("c_custkey")
+      val staged = Tables.load(s, dir, "customer").select(
+        sf.col("c_mktsegment").as("source"),
+        sf.concat(
+          sf.lit("reach "), sf.col("c_name"),
+          sf.lit(" at user"), k.cast("string"),
+          sf.lit("@mail.example.com on 10."),
+          (k % 256).cast("string"), sf.lit("."),
+          (k * 7 % 256).cast("string"), sf.lit("."),
+          (k * 13 % 256).cast("string"),
+          sf.lit(" phone "),
+          sf.lpad((k * 7919 % 10000000000L).cast("string"), 10, "0"),
+          sf.lit(" card "),
+          sf.lpad((k * 1000003 % 10000000000000000L).cast("string"), 16, "0"))
+          .as("text"))
+      TextAnalysis.piiAudit(staged, "text", "source")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -9088,5 +9115,69 @@ object SparkEntry {
         |      * 1000000.0 + 0.5) / 1000000.0
         |  END AS z
         |FROM nb LEFT JOIN a USING (t) ORDER BY 1""".stripMargin,
+
+    // Conditional entropy: the q108 pair extraction, 1e-12-snapped
+    // terms, identical margin/total assembly.
+    "q307_conditional_entropy" ->
+      """WITH p AS (SELECT event_type AS f,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+        |  FROM events),
+        |cells AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n FROM p
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf FROM cells GROUP BY 1),
+        |tt2 AS (SELECT t, CAST(SUM(n) AS BIGINT) AS nt FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ntr,
+        |  CAST(COUNT(DISTINCT f) AS BIGINT) AS nft FROM cells),
+        |hc AS (SELECT CAST(SUM(CAST(floor(
+        |    -(CAST(n AS DOUBLE) / ntr) * ln(CAST(n AS DOUBLE) / CAST(nf AS DOUBLE))
+        |    * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS hc12
+        |  FROM cells JOIN ft USING (f) CROSS JOIN tot),
+        |hn AS (SELECT CAST(SUM(CAST(floor(
+        |    -(CAST(nt AS DOUBLE) / ntr) * ln(CAST(nt AS DOUBLE) / CAST(ntr AS DOUBLE))
+        |    * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS hn12
+        |  FROM tt2 CROSS JOIN tot)
+        |SELECT ntr AS n_transitions, nft AS n_from_types,
+        |  floor(CAST(hn12 AS DOUBLE) / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS h_next,
+        |  floor(CAST(hc12 AS DOUBLE) / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS h_next_given_cur,
+        |  floor(CAST(hn12 - hc12 AS DOUBLE) / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS info_gain
+        |FROM hc CROSS JOIN hn CROSS JOIN tot""".stripMargin,
+
+    // PII audit: identical staging, then the structural detectors as
+    // splits/list comprehensions (the kernel's portable definitions).
+    "q308_pii_audit" ->
+      """WITH staged AS (SELECT c_mktsegment AS source,
+        |  'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) ||
+        |  '@mail.example.com on 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |  CAST(c_custkey * 7 % 256 AS VARCHAR) || '.' ||
+        |  CAST(c_custkey * 13 % 256 AS VARCHAR) ||
+        |  ' phone ' || lpad(CAST(c_custkey * 7919 % 10000000000 AS VARCHAR), 10, '0') ||
+        |  ' card ' || lpad(CAST(c_custkey * 1000003 % 10000000000000000 AS VARCHAR), 16, '0')
+        |  AS text FROM customer),
+        |d AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |  regexp_extract_all(text, '[0-9]+') AS runs FROM staged),
+        |sig AS (SELECT source,
+        |  CAST(len([t FOR t IN toks IF len(str_split(t, '@')) = 2
+        |    AND len(str_split(t, '@')[1]) >= 1 AND len(str_split(t, '@')[2]) >= 3
+        |    AND contains(str_split(t, '@')[2], '.')]) AS BIGINT) AS e,
+        |  CAST(len([t FOR t IN toks IF len(str_split(t, '.')) = 4
+        |    AND len([p FOR p IN str_split(t, '.') IF len(p) >= 1 AND len(p) <= 3
+        |      AND len(regexp_extract_all(p, '[0-9]')) = len(p)
+        |      AND TRY_CAST(p AS BIGINT) <= 255]) = 4]) AS BIGINT) AS ip,
+        |  CAST(len([r FOR r IN runs IF len(r) = 10]) AS BIGINT) AS ph,
+        |  CAST(len([r FOR r IN runs IF len(r) >= 13 AND len(r) <= 16]) AS BIGINT) AS cd,
+        |  CAST(len([r FOR r IN runs IF len(r) >= 13 AND len(r) <= 16
+        |    AND list_sum([CASE WHEN (len(r) - i) % 2 = 1
+        |      THEN CASE WHEN CAST(r[i] AS INT) * 2 > 9 THEN CAST(r[i] AS INT) * 2 - 9
+        |        ELSE CAST(r[i] AS INT) * 2 END
+        |      ELSE CAST(r[i] AS INT) END FOR i IN range(1, len(r) + 1)]) % 10 = 0])
+        |    AS BIGINT) AS lv
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(e) AS BIGINT) AS n_email, CAST(SUM(ip) AS BIGINT) AS n_ipv4,
+        |  CAST(SUM(ph) AS BIGINT) AS n_phone,
+        |  CAST(SUM(cd) AS BIGINT) AS n_card_candidates,
+        |  CAST(SUM(lv) AS BIGINT) AS n_luhn_valid,
+        |  CAST(SUM(CASE WHEN e + ip + ph + cd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+        |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

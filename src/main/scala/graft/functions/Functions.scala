@@ -389,6 +389,12 @@ object functions {
       "multiMatch", text, patterns)
   }
 
+  /** Typed PII signals (Kernels.piiSignals — portable structural
+    * definitions, no regex dialects): [n_email_tokens, n_ipv4_tokens,
+    * n_phone_runs, n_card_candidates, n_luhn_valid]. */
+  def piiSignals(text: Column): Column =
+    kernel(ArrayType(LongType, containsNull = false), "piiSignals", text)
+
   /** zlib-deflate compressed-size ratio (Kernels.deflateRatio) — the
     * Gopher/RefinedWeb compressibility quality signal: low = templated
     * repetition, near 1 = high-entropy noise. No SQL-engine twin

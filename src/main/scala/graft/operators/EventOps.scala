@@ -442,6 +442,59 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Conditional entropy of the event chain (Shannon 1948; the
+    * ENTROPY-RATE readout of the [[transitionMatrix]]): how
+    * predictable is the NEXT event given the current one —
+    * H(next|cur) = −Σ_{f,t} (n_ft/N)·ln(n_ft/n_f) against the
+    * unconditional H(next) = −Σ_t (n_t/N)·ln(n_t/N), with the
+    * information gain H(next) − H(next|cur) — "how many nats the
+    * current state buys": gain ≈ 0 says behavior is memoryless (the
+    * row-252 Markov backtest will find nothing), gain near H(next)
+    * says journeys are near-deterministic (bot/script signature
+    * alongside row-237's cadence score).
+    *
+    * Determinism: transition counts exact; every entropy term snaps
+    * to the 1e-12 integer grid BEFORE its unordered sum (the row-343
+    * convention), outputs round 1e-6.
+    *
+    * Scale shape: one key-windowed pair extraction (the
+    * [[transitionMatrix]] shuffle), then bounded-domain work only —
+    * |types|² cells, two margin rollups, broadcast scalars. */
+  def conditionalEntropy(events: DataFrame, keyCol: String = "user_id",
+                         tsCol: String = "ts", idCol: String = "event_id",
+                         typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val cells = events
+      .select(sf.col(typeCol).as("f"),
+        sf.lead(sf.col(typeCol), 1).over(w).as("t"))
+      .filter(sf.col("t").isNotNull)
+      .groupBy("f", "t").agg(sf.count(sf.lit(1)).as("n"))
+      .localCheckpoint(true) // margins + term passes read it
+    val fromT = cells.groupBy("f").agg(sf.sum("n").cast("long").as("nf"))
+    val toT = cells.groupBy("t").agg(sf.sum("n").cast("long").as("nt"))
+    val tot = cells.agg(sf.sum("n").cast("long").as("__ntr"),
+      sf.count_distinct(sf.col("f")).as("n_from_types"))
+    def snap12(c: Column) = sf.floor(c * 1e12 + 0.5).cast("long")
+    val hCond = cells.join(sf.broadcast(fromT), "f")
+      .crossJoin(sf.broadcast(tot))
+      .select(snap12(-(sf.col("n").cast("double") / sf.col("__ntr").cast("double")) *
+        sf.log(sf.col("n").cast("double") / sf.col("nf").cast("double")))
+        .as("__h"))
+      .agg(sf.sum("__h").as("__hc12"))
+    val hNext = toT.crossJoin(sf.broadcast(tot))
+      .select(snap12(-(sf.col("nt").cast("double") / sf.col("__ntr").cast("double")) *
+        sf.log(sf.col("nt").cast("double") / sf.col("__ntr").cast("double")))
+        .as("__h"))
+      .agg(sf.sum("__h").as("__hn12"))
+    hCond.crossJoin(sf.broadcast(hNext)).crossJoin(sf.broadcast(tot))
+      .select(sf.col("__ntr").as("n_transitions"), sf.col("n_from_types"),
+        gf.roundAt(sf.col("__hn12").cast("double") / 1e12, 6).as("h_next"),
+        gf.roundAt(sf.col("__hc12").cast("double") / 1e12, 6)
+          .as("h_next_given_cur"),
+        gf.roundAt((sf.col("__hn12") - sf.col("__hc12")).cast("double") / 1e12,
+          6).as("info_gain"))
+  }
+
   /** Where journeys settle: `iters` exact fixed-point power-iteration
     * rounds of the [[transitionMatrix]] chain from the uniform start —
     * the long-run occupancy of each event type ("users end up in

@@ -732,6 +732,41 @@ object TextAnalysis {
     * automaton is built once per plan and memoized per JVM); one
     * output row per document, ordered. Zero joins, zero shuffles
     * beyond the output order. */
+  /** Typed-PII audit per source (the MEASUREMENT companion of the
+    * row-63 PII scrub: the scrub removes, this COUNTS what a corpus
+    * leaks, by type — the number a release review asks for before any
+    * redaction runs): email-shaped tokens, IPv4-shaped tokens, 10-digit
+    * phone-shaped runs, 13–16-digit card candidates, and the subset
+    * passing the Luhn checksum (ISO/IEC 7812 — the difference between
+    * "digits that look like a card" and "a checksummed card number").
+    * All detectors are PORTABLE STRUCTURAL definitions over whitespace
+    * tokens and raw ASCII digit runs (`functions.piiSignals`) — no
+    * regex dialect, so any SQL engine replays them with splits and
+    * list comprehensions.
+    *
+    * Scale shape: ONE map-only kernel pass per document inside
+    * whole-stage codegen + one source-keyed combinable rollup. No
+    * joins, no windows. */
+  def piiAudit(docs: DataFrame, textCol: String,
+               sourceCol: String): DataFrame = {
+    val sig = gf.piiSignals(sf.col(textCol))
+    val base = Par.spread(docs.select(sf.col(sourceCol).as("source"),
+        sf.col(textCol)))
+      .filter(sf.col(textCol).isNotNull && sf.col("source").isNotNull)
+      .select(sf.col("source"), sig.as("__s"))
+    base.groupBy("source").agg(
+        sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum(sf.col("__s").getItem(0)).as("n_email"),
+        sf.sum(sf.col("__s").getItem(1)).as("n_ipv4"),
+        sf.sum(sf.col("__s").getItem(2)).as("n_phone"),
+        sf.sum(sf.col("__s").getItem(3)).as("n_card_candidates"),
+        sf.sum(sf.col("__s").getItem(4)).as("n_luhn_valid"),
+        sf.sum((sf.col("__s").getItem(0) + sf.col("__s").getItem(1) +
+          sf.col("__s").getItem(2) + sf.col("__s").getItem(3) > 0)
+          .cast("long")).as("docs_flagged"))
+      .orderBy("source")
+  }
+
   def blocklistPhrases(docs0: DataFrame, idCol: String, textCol: String,
                        phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "phrase blocklist must not be empty")

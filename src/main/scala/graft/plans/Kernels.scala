@@ -194,6 +194,83 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(ac.count(text.toString))
   }
 
+  /** Typed PII signals of a text, by PORTABLE structural definitions
+    * (no regex dialects — whitespace tokens and ASCII digit runs, so a
+    * SQL oracle replays them with splits and list comprehensions):
+    * [n_email_tokens, n_ipv4_tokens, n_phone_runs(len 10),
+    * n_card_candidates(len 13–16), n_luhn_valid].
+    * email token = exactly one '@', nonempty local, domain ≥ 3 chars
+    * containing '.'; ipv4 token = exactly 4 dot-separated 1–3-digit
+    * parts each ≤ 255 (empty parts / other chars reject); digit runs
+    * are maximal [0-9]+ spans of the RAW text; Luhn doubles every
+    * second digit from the right (ISO/IEC 7812). */
+  def piiSignals(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var email = 0L; var ipv4 = 0L; var phone = 0L
+    var cand = 0L; var valid = 0L
+    def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) {
+        val tok = str.substring(start, i)
+        val at = tok.indexOf('@')
+        if (at > 0 && tok.indexOf('@', at + 1) < 0) {
+          val dom = tok.substring(at + 1)
+          if (dom.length >= 3 && dom.indexOf('.') >= 0) email += 1
+        }
+        // ipv4: single left-to-right scan, empty/long/large parts reject
+        var ok = true
+        var parts = 0
+        var partLen = 0
+        var partVal = 0
+        var j = 0
+        while (ok && j < tok.length) {
+          val c = tok.charAt(j)
+          if (c == '.') {
+            if (partLen < 1 || partVal > 255) ok = false
+            parts += 1; partLen = 0; partVal = 0
+          } else if (c >= '0' && c <= '9') {
+            partLen += 1
+            if (partLen > 3) ok = false
+            partVal = partVal * 10 + (c - '0')
+          } else ok = false
+          j += 1
+        }
+        if (ok && partLen >= 1 && partVal <= 255 && parts == 3) ipv4 += 1
+      }
+    }
+    i = 0
+    while (i < n) {
+      if (str.charAt(i) >= '0' && str.charAt(i) <= '9') {
+        val start = i
+        while (i < n && str.charAt(i) >= '0' && str.charAt(i) <= '9') i += 1
+        val len = i - start
+        if (len == 10) phone += 1
+        if (len >= 13 && len <= 16) {
+          cand += 1
+          var sum = 0
+          var j = start
+          while (j < i) {
+            val d = str.charAt(j) - '0'
+            // position from the right: odd positions double
+            val dd = if ((i - 1 - j) % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t }
+                     else d
+            sum += dd
+            j += 1
+          }
+          if (sum % 10 == 0) valid += 1
+        }
+      } else i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(email, ipv4, phone, cand, valid))
+  }
+
   /** zlib-deflate compressed-size ratio of a string's UTF-8 bytes
     * (compressed/original, Deflater level 6, raw deflate stream) — the
     * classic Gopher/RefinedWeb compressibility quality signal: heavily

@@ -2416,6 +2416,58 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rh.isNullAt(rh.fieldIndex("z")), rh.toString)
   }
 
+  test("EventOps.conditionalEntropy: hand chain nats, memoryless zero") {
+    import spark.implicits._
+    // u1: a->b, b->a, a->b; u2: a->c
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a"), (2L, "2024-01-01 10:01:00", 1L, "b"),
+      (3L, "2024-01-01 10:02:00", 1L, "a"), (4L, "2024-01-01 10:03:00", 1L, "b"),
+      (5L, "2024-01-01 11:00:00", 2L, "a"), (6L, "2024-01-01 11:01:00", 2L, "c"))
+    val df = rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"))
+    val r = EventOps.conditionalEntropy(df).head()
+    def s12(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    def r6(l: Long) = math.floor(l / 1e12 * 1e6 + 0.5) / 1e6
+    // H(next|cur): cells (a,b,2) (b,a,1) (a,c,1), nf a=3 b=1, N=4
+    val hc = s12(-(2.0 / 4) * math.log(2.0 / 3)) +
+      s12(-(1.0 / 4) * math.log(1.0)) + s12(-(1.0 / 4) * math.log(1.0 / 3))
+    // H(next): nt b=2 a=1 c=1
+    val hn = s12(-(2.0 / 4) * math.log(2.0 / 4)) +
+      s12(-(1.0 / 4) * math.log(1.0 / 4)) * 2
+    assert(r.getAs[Long]("n_transitions") == 4 &&
+      r.getAs[Long]("n_from_types") == 2, r.toString)
+    assert(r.getAs[Double]("h_next") == r6(hn) &&
+      r.getAs[Double]("h_next_given_cur") == r6(hc), r.toString)
+    assert(r.getAs[Double]("info_gain") ==
+      math.floor((hn - hc) / 1e12 * 1e6 + 0.5) / 1e6, r.toString)
+    // single-type chain: both entropies exactly 0
+    val mono = Seq((1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:01:00", 1L, "a"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"))
+    val rm = EventOps.conditionalEntropy(mono).head()
+    assert(rm.getAs[Double]("h_next") == 0.0 &&
+      rm.getAs[Double]("info_gain") == 0.0, rm.toString)
+  }
+
+  test("TextAnalysis.piiAudit: typed detectors and Luhn on hand text") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "mail bob@x.io ip 10.0.0.1 bad 1.2.3.256 ph 0123456789"),
+      ("s1", "card 4111111111111111 long 12345678901234567 fake 4111111111111112"),
+      ("s2", "nothing a@b a@b@c.com 1.2.3 here")).toDF("source", "text")
+    val got = TextAnalysis.piiAudit(docs, "text", "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // s1 doc1: 1 email, 1 ipv4 (256 rejects), 1 phone; doc2: 2 card
+    // candidates, 1 Luhn-valid (4111...1111), 17-digit run ignored
+    assert(got("s1") == ((2L, 1L, 1L, 1L, 2L, 1L, 2L)), got.toString)
+    // s2: a@b domain too short, a@b@c.com two @s, 1.2.3 only 3 parts
+    assert(got("s2") == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("QualityChecks.moodsMedian: perfect separation chi2 = 6, exact pooled median") {
     import spark.implicits._
     // pooled {1..6}: lower median 3; A all <=, B all > -> chi2 = 6
