@@ -2149,6 +2149,33 @@ object SparkEntry {
           .as("text"))
       TextAnalysis.piiAudit(staged, "text", "source")
     }),
+
+    // Ansari-Bradley: are click values more dispersed than view values
+    // around a common center? The scale companion of q109's MWU.
+    "q309_ansari_bradley" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.ansariBradley(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
+
+    // Hosmer-Lemeshow over the q120 reliability bins: the classical
+    // goodness-of-fit verdict beside ECE (descriptive) and q295 (grid-
+    // free).
+    "q310_hosmer_lemeshow" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      val conf = sf.lit(1.0) / (sf.lit(1.0) + sf.exp(-sf.col("score")))
+      QualityChecks.hosmerLemeshow(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(conf.as("conf"), (sf.col("lang") === "en").cast("int").as("y")),
+        "conf", "y", nBins = 10)
+    }),
+
+    // Language-ID confusion matrix vs the labeled lang column: where
+    // is the q16 classifier wrong, per language, plus global accuracy.
+    "q311_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(docs(s, dir), "doc_id", "text", "lang")),
   )
 
   // ---------------------------------------------------------------------
@@ -9179,5 +9206,113 @@ object SparkEntry {
         |  CAST(SUM(lv) AS BIGINT) AS n_luhn_valid,
         |  CAST(SUM(CASE WHEN e + ip + ph + cd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
         |FROM sig GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Ansari-Bradley: identical value cells, midrank scores at 2-scale
+    // via the cumulative pass, conditional-permutation moments.
+    "q309_ansari_bradley" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM a GROUP BY 1),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS cca,
+        |  COALESCE(cb.c, 0) AS ccb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(cca) AS BIGINT) AS mm, CAST(SUM(ccb) AS BIGINT) AS nn FROM m),
+        |sc AS (SELECT cca, cca + ccb AS tt,
+        |  least((SUM(cca + ccb) OVER (ORDER BY v) - (cca + ccb)) * 2 + (cca + ccb) + 1,
+        |        (mm + nn + 1) * 2
+        |          - ((SUM(cca + ccb) OVER (ORDER BY v) - (cca + ccb)) * 2 + (cca + ccb) + 1)) AS s2
+        |  FROM m CROSS JOIN t),
+        |ag AS (SELECT SUM(CAST(cca AS DECIMAL(38,0)) * s2) AS ab2,
+        |  SUM(CAST(tt AS DECIMAL(38,0)) * s2) AS ss2,
+        |  SUM(CAST(tt AS DECIMAL(38,0)) * s2 * s2) AS ss4 FROM sc)
+        |SELECT mm AS n_a, nn AS n_b,
+        |  floor(CAST(ab2 AS DOUBLE) / 2 * 10000.0 + 0.5) / 10000.0 AS ab_stat,
+        |  floor(CAST(mm AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |    / (CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE)) / 2 * 10000.0 + 0.5) / 10000.0 AS ab_mean,
+        |  CASE WHEN mm > 0 AND nn > 0 AND
+        |    CAST(mm AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      * CAST(CAST(mm + nn AS DECIMAL(38,0)) * ss4 - ss2 * ss2 AS DOUBLE)
+        |      / ((CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE)) * (CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE))
+        |         * (CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE) - 1)) > 0
+        |  THEN floor((CAST(ab2 AS DOUBLE)
+        |      - CAST(mm AS DOUBLE) * CAST(ss2 AS DOUBLE)
+        |        / (CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE)))
+        |    / sqrt(CAST(mm AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      * CAST(CAST(mm + nn AS DECIMAL(38,0)) * ss4 - ss2 * ss2 AS DOUBLE)
+        |      / ((CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE)) * (CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE))
+        |         * (CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE) - 1)))
+        |    * 1000000.0 + 0.5) / 1000000.0
+        |  END AS z
+        |FROM ag CROSS JOIN t""".stripMargin,
+
+    // Hosmer-Lemeshow: the q120 bin chain + (O-E)^2/(E(1-E/n)) terms
+    // snapped 1e-6, statistic 1e-4, bins-2 df.
+    "q310_hosmer_lemeshow" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |cy AS (SELECT s.doc_id,
+         |  1.0 / (1.0 + exp(-(floor((raw + -0.05)*10000.0 + 0.5)/10000.0))) AS conf,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |bb AS (SELECT least((CAST(floor(conf*10000.0 + 0.5) AS BIGINT) * 10) // 10000, 9) AS bin,
+         |       CAST(floor(conf*10000.0 + 0.5) AS BIGINT) AS c4, y FROM cy),
+         |g AS (SELECT bin, COUNT(*) AS n, SUM(c4) AS s_c4,
+         |      CAST(SUM(y) AS BIGINT) AS o FROM bb GROUP BY 1),
+         |terms AS (SELECT n,
+         |  CASE WHEN CAST(s_c4 AS DOUBLE)/1e4 > 0 AND CAST(s_c4 AS DOUBLE)/1e4 < CAST(n AS DOUBLE)
+         |  THEN CAST(floor(
+         |    (CAST(o AS DOUBLE) - CAST(s_c4 AS DOUBLE)/1e4)
+         |    * (CAST(o AS DOUBLE) - CAST(s_c4 AS DOUBLE)/1e4)
+         |    / ((CAST(s_c4 AS DOUBLE)/1e4) * (1.0 - CAST(s_c4 AS DOUBLE)/1e4/CAST(n AS DOUBLE)))
+         |    * 1000000.0 + 0.5) AS BIGINT)
+         |  ELSE 0 END AS t6 FROM g)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins, CAST(SUM(n) AS BIGINT) AS n,
+         |  floor(CAST(SUM(t6) AS DOUBLE)/1e6*10000.0 + 0.5)/10000.0 AS hl_chi2,
+         |  CAST(COUNT(*) - 2 AS BIGINT) AS dof
+         |FROM terms""".stripMargin
+    },
+
+    // Langid confusion: the q16 chain aggregated to (label, predicted)
+    // cells + label margins + one global accuracy.
+    "q311_langid_confusion" -> {
+      val cands = functions.stopwords.toSeq.sortBy(_._1).map { case (l, sw) =>
+        s"('$l', [${sw.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang AS label_lang,
+         |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+         |  FROM documents),
+         |sc AS (
+         |  SELECT b.doc_id, b.label_lang, u.l AS cand,
+         |    len(list_intersect(b.toks, u.sw)) AS score
+         |  FROM base b, (VALUES $cands) u(l, sw)),
+         |r AS (SELECT doc_id, label_lang, cand,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+         |  FROM sc),
+         |pred AS (SELECT label_lang, cand AS predicted_lang,
+         |  CAST(cand = label_lang AS INT) AS im FROM r WHERE rn = 1),
+         |cells AS (SELECT label_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |rt AS (SELECT label_lang, CAST(SUM(n) AS BIGINT) AS nl FROM cells GROUP BY 1),
+         |acc AS (SELECT CAST(SUM(im) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS a FROM pred)
+         |SELECT label_lang, predicted_lang, n,
+         |  floor(CAST(n AS DOUBLE) / CAST(nl AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share,
+         |  floor(a * 1000000.0 + 0.5) / 1000000.0 AS accuracy
+         |FROM cells JOIN rt USING (label_lang) CROSS JOIN acc
+         |ORDER BY label_lang, predicted_lang""".stripMargin
+    },
   )
 }

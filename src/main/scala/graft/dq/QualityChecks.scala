@@ -1926,6 +1926,127 @@ object QualityChecks {
       .orderBy("bin")
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit test (Hosmer & Lemeshow 1980):
+    * the χ²-style HYPOTHESIS TEST over [[calibration]]'s reliability
+    * bins — HL = Σ_bins (O_b − E_b)²/(E_b·(1 − E_b/n_b)) with
+    * bins−2 df, where E_b is the bin's expected positives (the sum of
+    * its confidences) — the classical decision companion to the
+    * descriptive ECE and the binned counterpart of the binning-free
+    * [[spiegelhalterZ]] (run both: HL localizes which probability
+    * region misfits, Z is grid-free). Bins whose expected rate is
+    * degenerate (E = 0 or E = n) contribute 0 (documented — with
+    * snapped sigmoid confidences this is the empty-tail convention).
+    *
+    * Determinism: confidences snap to the 1e-4 grid (the
+    * [[calibration]] binning, identical bin assignment); per-bin terms
+    * are pinned doubles snapped 1e-6 before the (≤ nBins-row) sum (the
+    * [[chiSquared]] convention), the statistic rounds 1e-4.
+    *
+    * Scale shape: ONE map-side-combinable bin collapse + a ≤ nBins-row
+    * finish. */
+  def hosmerLemeshow(df: DataFrame, confCol: String, outcomeCol: String,
+                     nBins: Int = 10): DataFrame = {
+    require(nBins >= 3 && nBins <= 10000, s"nBins must be in [3, 10000], got $nBins")
+    val conf4 = sf.floor(sf.col(confCol).cast("double") * 1e4 + 0.5).cast("long")
+    val binned = df
+      .filter(sf.col(confCol).isNotNull && sf.col(outcomeCol).isNotNull)
+      .select(conf4.as("__c4"), sf.col(outcomeCol).cast("long").as("__y"))
+      .withColumn("bin", sf.least(sf.expr(s"(__c4 * $nBins) div 10000"),
+        sf.lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(sf.col("__c4")).as("__s_c4"),
+        sf.sum(sf.col("__y")).as("__o"))
+    val e = sf.col("__s_c4").cast("double") / 1e4
+    val o = sf.col("__o").cast("double")
+    val nD = sf.col("n").cast("double")
+    val term = sf.when(e > 0 && e < nD,
+        sf.floor((o - e) * (o - e) / (e * (sf.lit(1.0) - e / nD)) * 1e6 + 0.5)
+          .cast("long"))
+      .otherwise(0L)
+    binned.agg(sf.count(sf.lit(1)).as("n_bins"),
+        sf.sum("n").cast("long").as("n"),
+        sf.sum(term).as("__hl6"))
+      .select(sf.col("n_bins"), sf.col("n"),
+        gf.roundAt(sf.col("__hl6").cast("double") / 1e6, 4).as("hl_chi2"),
+        (sf.col("n_bins") - 2).as("dof"))
+  }
+
+  /** Ansari–Bradley scale test (Ansari & Bradley 1960): do two samples
+    * share the same DISPERSION around a common median — the SCALE
+    * companion of [[mannWhitney]]'s location test (MWU asks "is B
+    * shifted", A–B asks "is B more spread out": a source whose doc
+    * lengths have the same median but twice the spread needs a
+    * different cap policy, not a different mixture weight). Scores run
+    * from both ends inward — s(r) = min(r, N+1−r) — so SMALL statistic
+    * = sample A sits in the tails (more spread).
+    *
+    * Tie convention (documented): each tied VALUE takes the score of
+    * its MIDRANK, held exact on the half-integer grid (2·midrank
+    * integers; scores at 2-scale, squares at 4-scale), and the null
+    * moments are the standard conditional-permutation moments of the
+    * realized score multiset — mean = m·Σs/N,
+    * var = m·n·(N·Σs² − (Σs)²)/(N²(N−1)) — which reduce to the
+    * textbook AB moments when ties are absent. Values compress on the
+    * raw double domain by equality (the [[mannWhitney]] convention).
+    *
+    * Determinism: score sums accumulate exact DECIMAL(38,0) at the
+    * fixed scales; z is ONE pinned double assembly rounded 1e-6; a
+    * degenerate score variance yields NULL.
+    *
+    * Scale shape: one combined value-domain collapse + ONE
+    * range-partitioned prefix pass ([[graft.operators.StarSchema
+    * .globalPrefixSums]] — the row-340 rule) + a single-row moment
+    * aggregation + broadcast scalars. */
+  def ansariBradley(dfA: DataFrame, dfB: DataFrame,
+                    valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def side(df: DataFrame, name: String) = graft.operators.Par.spread(
+        df.select(sf.col(valueCol).cast("double").as("__v")))
+      .filter(sf.col("__v").isNotNull)
+      .groupBy("__v").agg(sf.count(sf.lit(1)).as(name))
+    val cells = side(dfA, "__ca").join(side(dfB, "__cb"), Seq("__v"), "full_outer")
+      .select(sf.col("__v"),
+        sf.coalesce(sf.col("__ca"), sf.lit(0L)).as("__ca"),
+        sf.coalesce(sf.col("__cb"), sf.lit(0L)).as("__cb"))
+      .withColumn("__t", sf.col("__ca") + sf.col("__cb"))
+      .localCheckpoint(true) // prefix + totals read it
+    val tot = cells.agg(sf.sum("__ca").cast("long").as("__m"),
+      sf.sum("__cb").cast("long").as("__n"))
+    val scored = graft.operators.StarSchema
+      .globalPrefixSums(cells, Seq("__v"), "__t", "__cum")
+      .crossJoin(sf.broadcast(tot))
+      .select(sf.col("__ca"), sf.col("__t"), {
+        // midrank at 2-scale: 2*(cumBefore) + t + 1; score from the
+        // nearer end, still at 2-scale
+        val mr2 = (sf.col("__cum") - sf.col("__t")) * 2 + sf.col("__t") + 1
+        val n2 = (sf.col("__m") + sf.col("__n") + 1) * 2
+        sf.least(mr2, n2 - mr2).as("__s2")
+      })
+    val agg = scored.agg(
+      sf.sum(dec(sf.col("__ca")) * dec(sf.col("__s2"))).as("__ab2"),
+      sf.sum(dec(sf.col("__t")) * dec(sf.col("__s2"))).as("__ss2"),
+      sf.sum(dec(sf.col("__t")) * dec(sf.col("__s2")) * dec(sf.col("__s2")))
+        .as("__ss4"))
+    agg.crossJoin(sf.broadcast(tot))
+      .select({
+        val mD = sf.col("__m").cast("double")
+        val nD = sf.col("__n").cast("double")
+        val bigN = mD + nD
+        val ab2 = sf.col("__ab2").cast("double")
+        val mean2 = mD * sf.col("__ss2").cast("double") / bigN
+        val var4 = mD * nD *
+          ((dec(sf.col("__m") + sf.col("__n")) * sf.col("__ss4") -
+            sf.col("__ss2") * sf.col("__ss2")).cast("double")) /
+          (bigN * bigN * (bigN - 1))
+        val ok = sf.col("__m") > 0 && sf.col("__n") > 0 && var4 > 0
+        Seq(sf.col("__m").as("n_a"), sf.col("__n").as("n_b"),
+          gf.roundAt(ab2 / 2, 4).as("ab_stat"),
+          gf.roundAt(mean2 / 2, 4).as("ab_mean"),
+          sf.when(ok, gf.roundAt((ab2 - mean2) / sf.sqrt(var4), 6)).as("z"))
+      }: _*)
+  }
+
   /** Mood's median test (Mood 1950): do several groups share the same
     * MEDIAN — the nonparametric location screen that, unlike
     * [[kruskalWallis]]'s rank sums, only asks which side of the POOLED

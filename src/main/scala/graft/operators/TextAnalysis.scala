@@ -732,6 +732,41 @@ object TextAnalysis {
     * automaton is built once per plan and memoized per JVM); one
     * output row per document, ordered. Zero joins, zero shuffles
     * beyond the output order. */
+  /** Language-ID confusion matrix against a labeled corpus — the EVAL
+    * readout of the row-36 classifier (q16 scores documents; THIS says
+    * where the classifier is wrong, which is what decides whether the
+    * langid gate is trustworthy per language): one row per
+    * (label, predicted) cell with the count, the within-label share
+    * (row-normalized recall view), and the global accuracy repeated on
+    * every row (the q120 ECE convention for one-number summaries in a
+    * tall frame). Pure COMPOSITION over [[langId]] — never a second
+    * language-ID implementation.
+    *
+    * Determinism: counts exact; shares/accuracy are pinned double
+    * divisions rounded 1e-6; output ordered (label, predicted).
+    *
+    * Scale shape: the langId map-only pass + one |langs|²-domain
+    * combinable cell collapse + a broadcast label margin + a broadcast
+    * one-row accuracy. */
+  def langIdConfusion(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String): DataFrame = {
+    val pred = langId(docs, idCol, textCol, Some(labelCol))
+      .localCheckpoint(true) // cells + accuracy read it
+    val cells = pred.groupBy("label_lang", "predicted_lang")
+      .agg(sf.count(sf.lit(1)).as("n"))
+    val rowT = cells.groupBy(sf.col("label_lang").as("__l"))
+      .agg(sf.sum("n").cast("long").as("__nl"))
+    val acc = pred.agg((sf.sum(sf.col("is_match").cast("long")).cast("double") /
+      sf.count(sf.lit(1)).cast("double")).as("__acc"))
+    cells.join(sf.broadcast(rowT), sf.col("label_lang") === sf.col("__l"))
+      .crossJoin(sf.broadcast(acc))
+      .select(sf.col("label_lang"), sf.col("predicted_lang"), sf.col("n"),
+        gf.roundAt(sf.col("n").cast("double") /
+          sf.col("__nl").cast("double"), 6).as("share"),
+        gf.roundAt(sf.col("__acc"), 6).as("accuracy"))
+      .orderBy("label_lang", "predicted_lang")
+  }
+
   /** Typed-PII audit per source (the MEASUREMENT companion of the
     * row-63 PII scrub: the scrub removes, this COUNTS what a corpus
     * leaks, by type — the number a release review asks for before any

@@ -2468,6 +2468,51 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got("s2") == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("QualityChecks.ansariBradley: textbook no-tie z = -sqrt(3); midrank ties") {
+    import spark.implicits._
+    // A = {1,4} (the tails), B = {2,3}: scores 1,2,2,1 -> AB = 2,
+    // mean = 3, var = 1/3 -> z = -1.732051
+    val a = Seq(1.0, 4.0).toDF("v")
+    val b = Seq(2.0, 3.0).toDF("v")
+    val r = QualityChecks.ansariBradley(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("ab_stat") == 2.0 && r.getAs[Double]("ab_mean") == 3.0,
+      r.toString)
+    assert(r.getAs[Double]("z") == -1.732051, r.toString)
+    // tie at 2: midrank 2.5 scores 2.5 -> AB(A={1,2}) = 1 + 2.5 = 3.5
+    val rt = QualityChecks.ansariBradley(
+      Seq(1.0, 2.0).toDF("v"), Seq(2.0, 3.0).toDF("v"), "v").head()
+    assert(rt.getAs[Double]("ab_stat") == 3.5, rt.toString)
+  }
+
+  test("QualityChecks.hosmerLemeshow: hand two-bin HL = 1.0, degenerate bin 0") {
+    import spark.implicits._
+    // bin2: n=2 e=0.5 o=1 -> .25/.375 = 2/3; bin7: n=1 e=.75 o=1 -> 1/3
+    val df = Seq((0.25, 0), (0.25, 1), (0.75, 1)).toDF("conf", "y")
+    val r = QualityChecks.hosmerLemeshow(df, "conf", "y").head()
+    assert(r.getAs[Long]("n_bins") == 2 && r.getAs[Long]("n") == 3 &&
+      r.getAs[Long]("dof") == 0, r.toString)
+    assert(r.getAs[Double]("hl_chi2") == 1.0, r.toString)
+    // an all-zero-confidence bin has E = 0 and contributes 0
+    val z = Seq((0.0, 0), (0.25, 1)).toDF("conf", "y")
+    val rz = QualityChecks.hosmerLemeshow(z, "conf", "y").head()
+    assert(rz.getAs[Long]("n_bins") == 2, rz.toString)
+  }
+
+  test("TextAnalysis.langIdConfusion: cells, shares, global accuracy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the of and to", "en"), (2L, "der die und ist", "de"),
+      (3L, "the the the of", "de")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdConfusion(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(("en", "en")) == ((1L, 1.0, 0.666667)), got.toString)
+    assert(got(("de", "de")) == ((1L, 0.5, 0.666667)), got.toString)
+    assert(got(("de", "en")) == ((1L, 0.5, 0.666667)), got.toString)
+    assert(got.size == 3, got.toString)
+  }
+
   test("QualityChecks.moodsMedian: perfect separation chi2 = 6, exact pooled median") {
     import spark.implicits._
     // pooled {1..6}: lower median 3; A all <=, B all > -> chi2 = 6
