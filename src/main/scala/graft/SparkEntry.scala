@@ -2176,6 +2176,24 @@ object SparkEntry {
     // is the q16 classifier wrong, per language, plus global accuracy.
     "q311_langid_confusion" -> ((s, dir) =>
       TextAnalysis.langIdConfusion(docs(s, dir), "doc_id", "text", "lang")),
+
+    // Cramer-von Mises: the integral companion of q106's KS on the
+    // same click-vs-view values — every ECDF gap accumulates.
+    "q312_cvm" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.cramerVonMises(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
+
+    // Brunner-Munzel: the heteroscedastic-safe relative-effect test on
+    // the q109 pair - P(click < view) with a Welch-Satterthwaite df.
+    "q313_brunner_munzel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.brunnerMunzel(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -9314,5 +9332,89 @@ object SparkEntry {
          |FROM cells JOIN rt USING (label_lang) CROSS JOIN acc
          |ORDER BY label_lang, predicted_lang""".stripMargin
     },
+
+    // Cramer-von Mises: the q109 value cells, one cumulative pass,
+    // exact integer grid terms, one pinned division.
+    "q312_cvm" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM a GROUP BY 1),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS cca,
+        |  COALESCE(cb.c, 0) AS ccb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(cca) AS BIGINT) AS mm, CAST(SUM(ccb) AS BIGINT) AS nn,
+        |  CAST(COUNT(*) AS BIGINT) AS nv FROM m),
+        |pre AS (SELECT cca + ccb AS tt,
+        |  SUM(cca) OVER (ORDER BY v) AS cuma, SUM(ccb) OVER (ORDER BY v) AS cumb
+        |  FROM m),
+        |num AS (SELECT SUM(CAST(tt AS DECIMAL(38,0)) *
+        |  (CAST(cuma AS DECIMAL(38,0)) * nn - CAST(cumb AS DECIMAL(38,0)) * mm) *
+        |  (CAST(cuma AS DECIMAL(38,0)) * nn - CAST(cumb AS DECIMAL(38,0)) * mm)) AS s
+        |  FROM pre CROSS JOIN t)
+        |SELECT mm AS n_a, nn AS n_b, nv AS n_values,
+        |  CASE WHEN mm > 0 AND nn > 0 THEN
+        |    floor(CAST(s AS DOUBLE)
+        |      / (CAST(mm AS DOUBLE) * CAST(nn AS DOUBLE)
+        |         * (CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE))
+        |         * (CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS cvm_t
+        |FROM num CROSS JOIN t""".stripMargin,
+
+    // Brunner-Munzel: identical cells, three cumulative columns,
+    // 2-scale midranks, moment-form rank variances, pinned assembly.
+    "q313_brunner_munzel" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM a GROUP BY 1),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS cca,
+        |  COALESCE(cb.c, 0) AS ccb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(cca) AS BIGINT) AS mm, CAST(SUM(ccb) AS BIGINT) AS nn FROM m),
+        |pre AS (SELECT cca, ccb, cca + ccb AS tt,
+        |  SUM(cca) OVER (ORDER BY v) AS cuma, SUM(ccb) OVER (ORDER BY v) AS cumb,
+        |  SUM(cca + ccb) OVER (ORDER BY v) AS cumt FROM m),
+        |s2 AS (SELECT cca, ccb,
+        |  (cumt - tt) * 2 + tt + 1 AS p2,
+        |  (cuma - cca) * 2 + cca + 1 AS a2,
+        |  (cumb - ccb) * 2 + ccb + 1 AS b2 FROM pre),
+        |ag AS (SELECT
+        |  SUM(CAST(cca AS DECIMAL(38,0)) * CAST(p2 AS DECIMAL(38,0))) AS ra2,
+        |  SUM(CAST(ccb AS DECIMAL(38,0)) * CAST(p2 AS DECIMAL(38,0))) AS rb2,
+        |  SUM(CAST(cca AS DECIMAL(38,0)) * CAST(p2 - a2 AS DECIMAL(38,0))) AS sx1,
+        |  SUM(CAST(ccb AS DECIMAL(38,0)) * CAST(p2 - b2 AS DECIMAL(38,0))) AS sx2,
+        |  SUM(CAST(cca AS DECIMAL(38,0)) * CAST(p2 - a2 AS DECIMAL(38,0))
+        |      * CAST(p2 - a2 AS DECIMAL(38,0))) AS sxx1,
+        |  SUM(CAST(ccb AS DECIMAL(38,0)) * CAST(p2 - b2 AS DECIMAL(38,0))
+        |      * CAST(p2 - b2 AS DECIMAL(38,0))) AS sxx2
+        |  FROM s2),
+        |g AS (SELECT mm, nn,
+        |  CAST(ra2 AS DOUBLE) / 2 / CAST(mm AS DOUBLE) AS r1,
+        |  CAST(rb2 AS DOUBLE) / 2 / CAST(nn AS DOUBLE) AS r2,
+        |  (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(mm AS DOUBLE))
+        |    / (4 * (CAST(mm AS DOUBLE) - 1)) AS s1,
+        |  (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / (4 * (CAST(nn AS DOUBLE) - 1)) AS s2v
+        |  FROM ag CROSS JOIN t),
+        |h AS (SELECT mm, nn, r1, r2,
+        |  CAST(mm AS DOUBLE) * s1 AS v1, CAST(nn AS DOUBLE) * s2v AS v2 FROM g)
+        |SELECT mm AS n_a, nn AS n_b,
+        |  floor((r2 - (CAST(nn AS DOUBLE) + 1) / 2) / CAST(mm AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS p_hat,
+        |  CASE WHEN mm > 1 AND nn > 1 AND (v1 + v2) > 0 THEN
+        |    floor(CAST(mm AS DOUBLE) * CAST(nn AS DOUBLE) * (r2 - r1)
+        |      / ((CAST(mm AS DOUBLE) + CAST(nn AS DOUBLE)) * sqrt(v1 + v2))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS w_stat,
+        |  CASE WHEN mm > 1 AND nn > 1 AND (v1 + v2) > 0 THEN
+        |    floor((v1 + v2) * (v1 + v2)
+        |      / (v1 * v1 / (CAST(mm AS DOUBLE) - 1) + v2 * v2 / (CAST(nn AS DOUBLE) - 1))
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS df
+        |FROM h""".stripMargin,
   )
 }

@@ -1926,6 +1926,161 @@ object QualityChecks {
       .orderBy("bin")
   }
 
+  /** Cramér–von Mises two-sample statistic (Cramér 1928; the
+    * two-sample grid form of Anderson 1962): the INTEGRAL companion of
+    * [[ksTest]]'s supremum — KS sees only the single worst ECDF gap,
+    * CvM accumulates EVERY gap,
+    *
+    *   T = (m·n/N²) · Σ_v t_v · (F_A(v) − F_B(v))²
+    *
+    * over the pooled distinct values (inclusive ECDFs, t_v pooled
+    * multiplicity) — the standard tie-friendly grid estimator, more
+    * powerful against diffuse distributional drift than the one-point
+    * KS. Read T against its asymptotic table (0.461 ≈ 5%); the
+    * statistic itself is the drift SIZE a monitoring dashboard trends.
+    *
+    * Determinism: with cumA/cumB/t exact integers, each grid term is
+    * the exact integer (cumA·n − cumB·m)² · t_v accumulating in
+    * DECIMAL(38,0) and T is ONE pinned double division by m·n·N²,
+    * rounded 1e-6. Empty sides yield NULL.
+    *
+    * Scale shape: the [[mannWhitney]] value-domain collapse + ONE
+    * range-partitioned multi-column prefix pass
+    * ([[graft.operators.StarSchema.globalPrefixSumsMulti]] — the
+    * row-340 rule) + a single-row reduce. */
+  def cramerVonMises(dfA: DataFrame, dfB: DataFrame,
+                     valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def side(df: DataFrame, name: String) = graft.operators.Par.spread(
+        df.select(sf.col(valueCol).cast("double").as("__v")))
+      .filter(sf.col("__v").isNotNull)
+      .groupBy("__v").agg(sf.count(sf.lit(1)).as(name))
+    val cells = side(dfA, "__ca").join(side(dfB, "__cb"), Seq("__v"), "full_outer")
+      .select(sf.col("__v"),
+        sf.coalesce(sf.col("__ca"), sf.lit(0L)).as("__ca"),
+        sf.coalesce(sf.col("__cb"), sf.lit(0L)).as("__cb"))
+      .withColumn("__t", sf.col("__ca") + sf.col("__cb"))
+      .localCheckpoint(true) // prefix + totals read it
+    val tot = cells.agg(sf.sum("__ca").cast("long").as("__m"),
+      sf.sum("__cb").cast("long").as("__n"),
+      sf.count(sf.lit(1)).as("n_values"))
+    val num = graft.operators.StarSchema
+      .globalPrefixSumsMulti(cells, Seq("__v"),
+        Seq("__ca" -> "__cumA", "__cb" -> "__cumB"))
+      .crossJoin(sf.broadcast(tot))
+      .select({
+        val gap = dec(sf.col("__cumA")) * dec(sf.col("__n")) -
+          dec(sf.col("__cumB")) * dec(sf.col("__m"))
+        (dec(sf.col("__t")) * gap * gap).as("__term")
+      })
+      .agg(sf.sum("__term").as("__num"))
+    num.crossJoin(sf.broadcast(tot))
+      .select({
+        val mD = sf.col("__m").cast("double")
+        val nD = sf.col("__n").cast("double")
+        val bigN = mD + nD
+        Seq(sf.col("__m").as("n_a"), sf.col("__n").as("n_b"),
+          sf.col("n_values"),
+          sf.when(sf.col("__m") > 0 && sf.col("__n") > 0, gf.roundAt(
+            sf.col("__num").cast("double") / (mD * nD * bigN * bigN), 6))
+            .as("cvm_t"))
+      }: _*)
+  }
+
+  /** Brunner–Munzel test (Brunner & Munzel 2000, Biom. J. — the
+    * "generalized Wilcoxon" modern practice recommends OVER
+    * [[mannWhitney]] when spreads differ): tests the RELATIVE EFFECT
+    * p = P(X < Y) + ½P(X = Y) without MWU's equal-variance-under-null
+    * assumption, with a Welch–Satterthwaite df — the rank analogue of
+    * preferring Welch's t to Student's t. Reported: p̂ (the effect —
+    * ½ = stochastic equality), W, and the df.
+    *
+    *   p̂ = (R̄₂ − (n₂+1)/2)/n₁,
+    *   W = n₁n₂(R̄₂ − R̄₁)/(N·√(n₁S₁² + n₂S₂²)),
+    *   S_k² = Σ_i (R_i − R_i^(k) − R̄_k + (n_k+1)/2)²/(n_k−1),
+    *   df = (n₁S₁² + n₂S₂²)²/((n₁S₁²)²/(n₁−1) + (n₂S₂²)²/(n₂−1)),
+    *
+    * with pooled midranks R and within-sample midranks R^(k) (ties by
+    * midrank throughout — the standard formulation).
+    *
+    * Determinism: all midranks live EXACTLY on the half-integer grid
+    * (2-scale integers), and since the within-rank mean is exactly
+    * (n_k+1)/2, S_k² reduces to the MOMENT form over x = R − R^(k):
+    * S_k² = (Σcx² − (Σcx)²/n_k)/(4(n_k−1)) at 2-scale — the unordered
+    * sums Σcx, Σcx² are exact DECIMAL(38,0) (≲ 4N³, inside 38 digits
+    * to N ~ 10¹²) and p̂/W/df are ONE pinned double assembly rounded
+    * 1e-6/1e-6/1e-4. Degenerate variance (all ranks tied) yields NULL
+    * W/df.
+    *
+    * Scale shape: the [[mannWhitney]] value-domain collapse + ONE
+    * range-partitioned THREE-column prefix pass + a single-row moment
+    * reduce + broadcast scalars. */
+  def brunnerMunzel(dfA: DataFrame, dfB: DataFrame,
+                    valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def side(df: DataFrame, name: String) = graft.operators.Par.spread(
+        df.select(sf.col(valueCol).cast("double").as("__v")))
+      .filter(sf.col("__v").isNotNull)
+      .groupBy("__v").agg(sf.count(sf.lit(1)).as(name))
+    val cells = side(dfA, "__ca").join(side(dfB, "__cb"), Seq("__v"), "full_outer")
+      .select(sf.col("__v"),
+        sf.coalesce(sf.col("__ca"), sf.lit(0L)).as("__ca"),
+        sf.coalesce(sf.col("__cb"), sf.lit(0L)).as("__cb"))
+      .withColumn("__t", sf.col("__ca") + sf.col("__cb"))
+      .localCheckpoint(true) // prefix + totals read it
+    val tot = cells.agg(sf.sum("__ca").cast("long").as("__m"),
+      sf.sum("__cb").cast("long").as("__n"))
+    val pre = graft.operators.StarSchema
+      .globalPrefixSumsMulti(cells, Seq("__v"),
+        Seq("__ca" -> "__cumA", "__cb" -> "__cumB", "__t" -> "__cum"))
+      .crossJoin(sf.broadcast(tot))
+    // 2-scale midranks: pooled and within-sample
+    val pmid2 = (sf.col("__cum") - sf.col("__t")) * 2 + sf.col("__t") + 1
+    val amid2 = (sf.col("__cumA") - sf.col("__ca")) * 2 + sf.col("__ca") + 1
+    val bmid2 = (sf.col("__cumB") - sf.col("__cb")) * 2 + sf.col("__cb") + 1
+    val sums = pre.select({
+        val x2a = pmid2 - amid2
+        val x2b = pmid2 - bmid2
+        Seq((dec(sf.col("__ca")) * dec(pmid2)).as("__rp1"),
+          (dec(sf.col("__cb")) * dec(pmid2)).as("__rp2"),
+          (dec(sf.col("__ca")) * dec(x2a)).as("__x1"),
+          (dec(sf.col("__cb")) * dec(x2b)).as("__x2"),
+          (dec(sf.col("__ca")) * dec(x2a) * dec(x2a)).as("__xx1"),
+          (dec(sf.col("__cb")) * dec(x2b) * dec(x2b)).as("__xx2"))
+      }: _*)
+      .agg(sf.sum("__rp1").as("__ra2"), sf.sum("__rp2").as("__rb2"),
+        sf.sum("__x1").as("__sx1"), sf.sum("__x2").as("__sx2"),
+        sf.sum("__xx1").as("__sxx1"), sf.sum("__xx2").as("__sxx2"))
+    sums.crossJoin(sf.broadcast(tot))
+      .select({
+        val mD = sf.col("__m").cast("double")
+        val nD = sf.col("__n").cast("double")
+        val bigN = mD + nD
+        // rank means from the exact 2-scale sums
+        val r1 = sf.col("__ra2").cast("double") / 2 / mD
+        val r2 = sf.col("__rb2").cast("double") / 2 / nD
+        // S_k^2 via the moment identity over x = R - R^(k) at 2-scale
+        // (the within-midrank mean is exactly (n_k+1)/2)
+        val s1 = (sf.col("__sxx1").cast("double") -
+          sf.col("__sx1").cast("double") * sf.col("__sx1").cast("double") / mD) /
+          (4 * (mD - 1))
+        val s2 = (sf.col("__sxx2").cast("double") -
+          sf.col("__sx2").cast("double") * sf.col("__sx2").cast("double") / nD) /
+          (4 * (nD - 1))
+        val v1 = mD * s1
+        val v2 = nD * s2
+        val pHat = (r2 - (nD + 1) / 2) / mD
+        val w = mD * nD * (r2 - r1) / (bigN * sf.sqrt(v1 + v2))
+        val df = (v1 + v2) * (v1 + v2) /
+          (v1 * v1 / (mD - 1) + v2 * v2 / (nD - 1))
+        val ok = sf.col("__m") > 1 && sf.col("__n") > 1 && (v1 + v2) > 0
+        Seq(sf.col("__m").as("n_a"), sf.col("__n").as("n_b"),
+          gf.roundAt(pHat, 6).as("p_hat"),
+          sf.when(ok, gf.roundAt(w, 6)).as("w_stat"),
+          sf.when(ok, gf.roundAt(df, 4)).as("df"))
+      }: _*)
+  }
+
   /** Hosmer–Lemeshow goodness-of-fit test (Hosmer & Lemeshow 1980):
     * the χ²-style HYPOTHESIS TEST over [[calibration]]'s reliability
     * bins — HL = Σ_bins (O_b − E_b)²/(E_b·(1 − E_b/n_b)) with

@@ -2468,6 +2468,35 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got("s2") == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("QualityChecks.cramerVonMises: full separation T = 0.375 by hand") {
+    import spark.implicits._
+    val r = QualityChecks.cramerVonMises(
+      Seq(1.0, 2.0).toDF("v"), Seq(3.0, 4.0).toDF("v"), "v").head()
+    // grid terms t*(cumA*n - cumB*m)^2 = 4+16+4+0 -> 24/(2*2*16)
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2 &&
+      r.getAs[Long]("n_values") == 4, r.toString)
+    assert(r.getAs[Double]("cvm_t") == 0.375, r.toString)
+    // identical samples: every gap 0
+    val ri = QualityChecks.cramerVonMises(
+      Seq(1.0, 2.0).toDF("v"), Seq(1.0, 2.0).toDF("v"), "v").head()
+    assert(ri.getAs[Double]("cvm_t") == 0.0, ri.toString)
+  }
+
+  test("QualityChecks.brunnerMunzel: symmetric tails p=0.5 w=0 df=1") {
+    import spark.implicits._
+    // A = {1,4}, B = {2,3}: equal rank means -> w = 0; S1=2, S2=0 -> df=1
+    val r = QualityChecks.brunnerMunzel(
+      Seq(1.0, 4.0).toDF("v"), Seq(2.0, 3.0).toDF("v"), "v").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("p_hat") == 0.5 && r.getAs[Double]("w_stat") == 0.0 &&
+      r.getAs[Double]("df") == 1.0, r.toString)
+    // B stochastically above A: p_hat = 1, variance degenerate -> NULL w
+    val rs = QualityChecks.brunnerMunzel(
+      Seq(1.0, 2.0).toDF("v"), Seq(5.0, 6.0).toDF("v"), "v").head()
+    assert(rs.getAs[Double]("p_hat") == 1.0 &&
+      rs.isNullAt(rs.fieldIndex("w_stat")), rs.toString)
+  }
+
   test("QualityChecks.ansariBradley: textbook no-tie z = -sqrt(3); midrank ties") {
     import spark.implicits._
     // A = {1,4} (the tails), B = {2,3}: scores 1,2,2,1 -> AB = 2,
