@@ -2063,10 +2063,10 @@ object QualityChecks {
         // (the within-midrank mean is exactly (n_k+1)/2)
         val s1 = (sf.col("__sxx1").cast("double") -
           sf.col("__sx1").cast("double") * sf.col("__sx1").cast("double") / mD) /
-          (4 * (mD - 1))
+          ((mD - 1) * 4)
         val s2 = (sf.col("__sxx2").cast("double") -
           sf.col("__sx2").cast("double") * sf.col("__sx2").cast("double") / nD) /
-          (4 * (nD - 1))
+          ((nD - 1) * 4)
         val v1 = mD * s1
         val v2 = nD * s2
         val pHat = (r2 - (nD + 1) / 2) / mD
