@@ -2194,6 +2194,44 @@ object SparkEntry {
         ev.filter(sf.col("event_type") === "click"),
         ev.filter(sf.col("event_type") === "view"), "value")
     }),
+
+    // Ordinal-association datasheet on the q270 pair: gamma / Somers' D
+    // both ways / tau-c beside tau-b — tie-inflation and asymmetry
+    // readouts from the same concordance cells.
+    "q314_ordinal_assoc" -> ((s, dir) =>
+      QualityChecks.ordinalAssociation(
+        Tables.load(s, dir, "lineitem")
+          .select(sf.col("l_quantity").cast("long").as("qty"),
+            sf.expr("CAST(floor(CAST(l_extendedprice AS DOUBLE) / 10000.0) AS BIGINT)")
+              .as("price_bkt")),
+        "qty", "price_bkt")),
+
+    // D'Agostino-Pearson K2 per event type: the finite-sample normality
+    // verdict beside q254's asymptotic JB, on the same moment sums.
+    "q315_dagostino_k2" -> ((s, dir) =>
+      QualityChecks.dagostinoK2(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // Anderson-Darling A2akN on the q312 pair: the tail-weighted member
+    // of the KS / CvM ECDF-distance family.
+    "q316_anderson_darling" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.andersonDarling(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
+
+    // Krippendorff's alpha over the q265 rater trio WITH missingness:
+    // the prefix rater abstains on short docs, which Fleiss would drop
+    // entirely and alpha pairs correctly.
+    "q317_krippendorff" -> ((s, dir) => {
+      val rated = docs(s, dir).select(sf.col("doc_id"),
+        sf.col("lang").as("r1"),
+        gf.langId(sf.col("text")).as("r2"),
+        sf.when(sf.length(sf.col("text")) >= 100,
+          gf.langId(sf.substring(sf.col("text"), 1, 100))).as("r3"))
+      QualityChecks.krippendorffAlpha(rated, "doc_id", Seq("r1", "r2", "r3"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -9416,5 +9454,187 @@ object SparkEntry {
         |      * 10000.0 + 0.5) / 10000.0
         |  END AS df
         |FROM h""".stripMargin,
+
+    // Ordinal datasheet: the q270 cell chain + distinct-margin counts,
+    // then gamma / Somers' D both directions / tau-c as pinned
+    // assemblies of the same exact nc/nd/tie integers.
+    "q314_ordinal_assoc" ->
+      """WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(floor(CAST(l_extendedprice AS DOUBLE)/10000.0) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |pr AS (SELECT a.x AS x1, a.y AS y1, a.c AS c1, b2.x AS x2, b2.y AS y2, b2.c AS c2
+        |  FROM cells a, cells b2
+        |  WHERE a.x < b2.x OR (a.x = b2.x AND a.y < b2.y)),
+        |cd AS (SELECT
+        |  SUM(CASE WHEN x1 < x2 AND y1 < y2 THEN CAST(c1 AS HUGEINT)*c2 ELSE 0 END) AS nc,
+        |  SUM(CASE WHEN x1 < x2 AND y1 > y2 THEN CAST(c1 AS HUGEINT)*c2 ELSE 0 END) AS nd
+        |  FROM pr),
+        |tx AS (SELECT CAST(COUNT(*) AS BIGINT) AS dx,
+        |  SUM(CAST(t AS HUGEINT)*(t-1)) AS t2x FROM
+        |  (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY x)),
+        |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS dy,
+        |  SUM(CAST(t AS HUGEINT)*(t-1)) AS t2y FROM
+        |  (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY y)),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+        |f AS (SELECT n, n_cells, CAST(nc AS BIGINT) AS nci, CAST(nd AS BIGINT) AS ndi,
+        |  CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE) AS ncd,
+        |  CAST(nc AS DOUBLE) + CAST(nd AS DOUBLE) AS sumcd,
+        |  CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)/2.0 - CAST(t2x AS DOUBLE)/2.0 AS dxx,
+        |  CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)/2.0 - CAST(t2y AS DOUBLE)/2.0 AS dyy,
+        |  CAST(least(dx, dy) AS DOUBLE) AS m, CAST(n AS DOUBLE) AS nD
+        |  FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty)
+        |SELECT n, n_cells, nci AS concordant, ndi AS discordant,
+        |  CASE WHEN sumcd > 0 THEN floor(ncd/sumcd*1000000.0 + 0.5)/1000000.0 END AS gamma,
+        |  CASE WHEN dxx > 0 THEN floor(ncd/dxx*1000000.0 + 0.5)/1000000.0 END AS somers_d_yx,
+        |  CASE WHEN dyy > 0 THEN floor(ncd/dyy*1000000.0 + 0.5)/1000000.0 END AS somers_d_xy,
+        |  CASE WHEN m > 1 THEN
+        |    floor(ncd*2.0*m/(nD*nD*(m - 1.0))*1000000.0 + 0.5)/1000000.0 END AS tau_c
+        |FROM f""".stripMargin,
+
+    // D'Agostino-Pearson K2: the q254 exact moment chain, then the
+    // 1970/1983 skew/kurtosis transformations as one pinned assembly
+    // (asinh expanded to ln(y+sqrt(y*y+1)), IEEE cbrt).
+    "q315_dagostino_k2" ->
+      """WITH m AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s1,
+        |  SUM(x*x) AS s2, SUM(x*x*x) AS s3, SUM(x*x*x*x) AS s4
+        |  FROM m GROUP BY 1),
+        |b AS (SELECT g, n,
+        |  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1,
+        |  CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS r2,
+        |  CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE) AS r3,
+        |  CAST(s4 AS DOUBLE)/CAST(n AS DOUBLE) AS r4 FROM a),
+        |c AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |  r2 - m1*m1 AS m2,
+        |  r3 - m1*3*r2 + m1*2*m1*m1 AS m3,
+        |  r4 - m1*4*r3 + m1*6*m1*r2 - m1*3*m1*m1*m1 AS m4 FROM b),
+        |e AS (SELECT g, n, nd, m2,
+        |  m3/(sqrt(m2)*m2) AS g1, m4/(m2*m2) AS b2 FROM c),
+        |f AS (SELECT g, n, nd, m2, b2,
+        |  g1*sqrt((nd+1)*(nd+3)/((nd-2)*6)) AS y,
+        |  (nd*nd + nd*27 - 70)*3*(nd+1)*(nd+3)
+        |    /((nd-2)*(nd+5)*(nd+7)*(nd+9)) AS beta2 FROM e),
+        |h AS (SELECT g, n, nd, m2, b2, y,
+        |  sqrt((beta2 - 1)*2) - 1 AS w2 FROM f),
+        |i AS (SELECT g, n, nd, m2, b2,
+        |  y/sqrt(2.0/(w2 - 1)) AS ya, 1.0/sqrt(ln(w2)/2) AS delta FROM h),
+        |j AS (SELECT g, n, nd, m2, b2,
+        |  delta*ln(ya + sqrt(ya*ya + 1)) AS z1 FROM i),
+        |k AS (SELECT g, n, nd, m2, b2, z1,
+        |  (nd-1)*3/(nd+1) AS eb2,
+        |  nd*24*(nd-2)*(nd-3)/((nd+1)*(nd+1)*(nd+3)*(nd+5)) AS vb2,
+        |  (nd*nd - nd*5 + 2)*6/((nd+7)*(nd+9))
+        |    *sqrt((nd+3)*6*(nd+5)/(nd*(nd-2)*(nd-3))) AS sb1 FROM j),
+        |l AS (SELECT g, n, m2, z1,
+        |  (b2 - eb2)/sqrt(vb2) AS xk,
+        |  6.0 + 8.0/sb1*(2.0/sb1 + sqrt(1.0 + 4.0/(sb1*sb1))) AS aa FROM k),
+        |o AS (SELECT g, n, m2, z1, aa,
+        |  1.0 + xk*sqrt(2.0/(aa - 4)) AS denk FROM l),
+        |p AS (SELECT g, n, m2, z1, denk,
+        |  ((1.0 - 2.0/(aa*9)) - cbrt((1.0 - 2.0/aa)/denk))/sqrt(2.0/(aa*9)) AS z2
+        |  FROM o)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n >= 9 AND m2 > 0 THEN
+        |    floor(z1*1000000.0 + 0.5)/1000000.0 END AS z_skew,
+        |  CASE WHEN n >= 9 AND m2 > 0 AND denk <> 0 THEN
+        |    floor(z2*1000000.0 + 0.5)/1000000.0 END AS z_kurt,
+        |  CASE WHEN n >= 9 AND m2 > 0 AND denk <> 0 THEN
+        |    floor((z1*z1 + z2*z2)*10000.0 + 0.5)/10000.0 END AS k2_stat
+        |FROM p ORDER BY event_type""".stripMargin,
+
+    // Anderson-Darling A2akN: the q312 cells + a three-column prefix,
+    // 2-scaled midrank counts, exact integer gap/denominator cells,
+    // per-value rational snapped 1e-12 before the sum.
+    "q316_anderson_darling" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(value AS DOUBLE) v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM a GROUP BY 1),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS cca,
+        |  COALESCE(cb.c, 0) AS ccb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(cca) AS BIGINT) AS mm, CAST(SUM(ccb) AS BIGINT) AS nn,
+        |  CAST(COUNT(*) AS BIGINT) AS nv FROM m),
+        |pre AS (SELECT cca, ccb, cca + ccb AS tt,
+        |  SUM(cca) OVER (ORDER BY v) AS cuma, SUM(ccb) OVER (ORDER BY v) AS cumb,
+        |  SUM(cca + ccb) OVER (ORDER BY v) AS cumt FROM m),
+        |g AS (SELECT tt,
+        |  CAST(cumt AS DECIMAL(38,0))*2 - tt AS b2,
+        |  CAST(cuma AS DECIMAL(38,0))*2 - cca AS ma2,
+        |  CAST(cumb AS DECIMAL(38,0))*2 - ccb AS mb2,
+        |  CAST(mm + nn AS DECIMAL(38,0)) AS bn, mm, nn FROM pre CROSS JOIN t),
+        |h AS (SELECT tt, mm, nn, bn,
+        |  bn*ma2 - b2*CAST(mm AS DECIMAL(38,0)) AS gapa,
+        |  bn*mb2 - b2*CAST(nn AS DECIMAL(38,0)) AS gapb,
+        |  b2*(bn*2 - b2) - bn*tt AS den4 FROM g),
+        |terms AS (SELECT CASE WHEN den4 > 0 THEN CAST(floor(
+        |  (CAST(tt AS DOUBLE)*CAST(gapa AS DOUBLE)/CAST(den4 AS DOUBLE)
+        |     *CAST(gapa AS DOUBLE)/CAST(mm + nn AS DOUBLE)/CAST(mm AS DOUBLE)
+        |   + CAST(tt AS DOUBLE)*CAST(gapb AS DOUBLE)/CAST(den4 AS DOUBLE)
+        |     *CAST(gapb AS DOUBLE)/CAST(mm + nn AS DOUBLE)/CAST(nn AS DOUBLE))
+        |  *1000000000000.0 + 0.5) AS HUGEINT) END AS t12 FROM h),
+        |s AS (SELECT SUM(t12) AS s12 FROM terms)
+        |SELECT mm AS n_a, nn AS n_b, nv AS n_values,
+        |  CASE WHEN mm > 0 AND nn > 0 AND s12 IS NOT NULL THEN
+        |    floor(CAST(s12 AS DOUBLE)/1000000000000.0
+        |      *(CAST(mm + nn AS DOUBLE) - 1)/CAST(mm + nn AS DOUBLE)
+        |      *1000000.0 + 0.5)/1000000.0
+        |  END AS ad_stat
+        |FROM s CROSS JOIN t""".stripMargin,
+
+    // Krippendorff alpha: the q265 rater staging with the prefix rater
+    // abstaining below 100 chars; per-item pair-disagreement rationals
+    // snapped 1e-12, pairable-margin expected disagreement.
+    "q317_krippendorff" -> {
+      val cands = functions.stopwords.toSeq.sortBy(_._1).map { case (l, sw) =>
+        s"('$l', [${sw.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH u(l, sw) AS (SELECT * FROM (VALUES $cands)),
+         |fullp AS (SELECT doc_id, cand AS r FROM (
+         |  SELECT b.doc_id, u.l AS cand,
+         |    row_number() OVER (PARTITION BY b.doc_id
+         |      ORDER BY len(list_intersect(b.toks, u.sw)) DESC, u.l DESC) AS rn
+         |  FROM (SELECT doc_id,
+         |        list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+         |        FROM documents) b, u) WHERE rn = 1),
+         |prep AS (SELECT doc_id, cand AS r FROM (
+         |  SELECT b.doc_id, u.l AS cand,
+         |    row_number() OVER (PARTITION BY b.doc_id
+         |      ORDER BY len(list_intersect(b.toks, u.sw)) DESC, u.l DESC) AS rn
+         |  FROM (SELECT doc_id,
+         |        list_distinct(regexp_split_to_array(trim(lower(substr(text, 1, 100))), '\\s+')) AS toks
+         |        FROM documents WHERE length(text) >= 100) b, u) WHERE rn = 1),
+         |melted AS (
+         |  SELECT doc_id AS i, lang AS r FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL SELECT doc_id, r FROM fullp
+         |  UNION ALL SELECT doc_id, r FROM prep),
+         |cells AS (SELECT i, r, CAST(COUNT(*) AS BIGINT) AS nij FROM melted GROUP BY 1, 2),
+         |pi AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS mi,
+         |  SUM(CAST(nij AS HUGEINT)*nij) AS s2 FROM cells GROUP BY 1),
+         |items AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(mi) AS BIGINT) AS np,
+         |  SUM(CAST(floor(CAST(CAST(mi AS HUGEINT)*mi - s2 AS DOUBLE)
+         |    /(CAST(mi AS DOUBLE) - 1.0)*1000000000000.0 + 0.5) AS HUGEINT)) AS do12
+         |  FROM pi WHERE mi >= 2),
+         |cats AS (SELECT r, CAST(SUM(nij) AS BIGINT) AS tc FROM cells
+         |  JOIN (SELECT i FROM pi WHERE mi >= 2) p2 USING (i) GROUP BY r),
+         |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         |  SUM(CAST(tc AS HUGEINT)*tc) AS c2 FROM cats),
+         |f AS (SELECT n_items, np, n_categories,
+         |  CAST(do12 AS DOUBLE)/1000000000000.0/CAST(np AS DOUBLE) AS dobs,
+         |  (CAST(np AS DOUBLE)*CAST(np AS DOUBLE) - CAST(c2 AS DOUBLE))
+         |    /(CAST(np AS DOUBLE)*(CAST(np AS DOUBLE) - 1.0)) AS dexp
+         |  FROM items CROSS JOIN a2)
+         |SELECT n_items, np AS n_pairable, n_categories,
+         |  CASE WHEN np >= 2 THEN floor(dobs*1000000.0 + 0.5)/1000000.0 END AS d_observed,
+         |  CASE WHEN np >= 2 THEN floor(dexp*1000000.0 + 0.5)/1000000.0 END AS d_expected,
+         |  CASE WHEN np >= 2 AND dexp > 0 THEN
+         |    floor((1.0 - dobs/dexp)*10000.0 + 0.5)/10000.0 END AS alpha
+         |FROM f""".stripMargin
+    },
   )
 }

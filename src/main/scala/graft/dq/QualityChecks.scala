@@ -1987,6 +1987,89 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Anderson–Darling two-sample statistic, tie-adjusted midrank form
+    * A²_akN (Scholz & Stephens 1987, eq. 7 — scipy's
+    * `anderson_ksamp(midrank=True)` twin at k = 2): the
+    * TAIL-WEIGHTED member of the ECDF-distance family — [[ksTest]]
+    * sees the single worst gap, [[cramerVonMises]] integrates every
+    * gap uniformly, and A² divides each squared gap by B(N−B) so
+    * deviations in the DISTRIBUTION TAILS (where B ≈ 0 or N, exactly
+    * the heavy-tail regime every latency/length column lives in) count
+    * most. Under H₀, E[A²] = k − 1 = 1; the raw statistic is the
+    * trendable drift size (the [[cramerVonMises]] reporting
+    * convention — no variance standardization, whose harmonic-sum
+    * constants are O(N)-term series with no closed exact form).
+    *
+    *   A² = (N−1)/N · Σ_k (1/n_k) Σ_v (t_v/N)·(N·M_kv − B_v·n_k)²
+    *        / (B_v(N−B_v) − N·t_v/4)
+    *
+    * with midrank counts M_kv = F_k(v) − f_kv/2, B_v = F(v) − t_v/2.
+    *
+    * Determinism: midrank counts are exact half-integers carried
+    * 2-SCALED (the [[brunnerMunzel]] grid), so each grid term's
+    * numerator and denominator are exact integers; the per-value
+    * rational (denominators vary per value) snaps to the 1e-12 grid in
+    * DECIMAL(38,12)-space before the unordered sum (the entropy-family
+    * convention), and A² is one pinned assembly rounded 1e-6. The
+    * degenerate all-one-value grid cell (B(N−B) = N·t/4 ⟺ t = N)
+    * yields NULL. Empty sides yield NULL.
+    *
+    * Scale shape: identical to [[cramerVonMises]] — value-domain
+    * collapse, ONE range-partitioned multi-column prefix pass, a
+    * single-row reduce. */
+  def andersonDarling(dfA: DataFrame, dfB: DataFrame,
+                      valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def side(df: DataFrame, name: String) = graft.operators.Par.spread(
+        df.select(sf.col(valueCol).cast("double").as("__v")))
+      .filter(sf.col("__v").isNotNull)
+      .groupBy("__v").agg(sf.count(sf.lit(1)).as(name))
+    val cells = side(dfA, "__ca").join(side(dfB, "__cb"), Seq("__v"), "full_outer")
+      .select(sf.col("__v"),
+        sf.coalesce(sf.col("__ca"), sf.lit(0L)).as("__ca"),
+        sf.coalesce(sf.col("__cb"), sf.lit(0L)).as("__cb"))
+      .withColumn("__t", sf.col("__ca") + sf.col("__cb"))
+      .localCheckpoint(true) // prefix + totals read it
+    val tot = cells.agg(sf.sum("__ca").cast("long").as("__m"),
+      sf.sum("__cb").cast("long").as("__n"),
+      sf.count(sf.lit(1)).as("n_values"))
+    val terms = graft.operators.StarSchema
+      .globalPrefixSumsMulti(cells, Seq("__v"),
+        Seq("__ca" -> "__cumA", "__cb" -> "__cumB", "__t" -> "__cum"))
+      .crossJoin(sf.broadcast(tot))
+      .select({
+        val bigN = sf.col("__m") + sf.col("__n")
+        // 2-scaled midrank counts: B2 = 2F - t, M2_k = 2F_k - f_k
+        val b2 = dec(sf.col("__cum")) * 2 - dec(sf.col("__t"))
+        val ma2 = dec(sf.col("__cumA")) * 2 - dec(sf.col("__ca"))
+        val mb2 = dec(sf.col("__cumB")) * 2 - dec(sf.col("__cb"))
+        val gapA = dec(bigN) * ma2 - b2 * dec(sf.col("__m"))
+        val gapB = dec(bigN) * mb2 - b2 * dec(sf.col("__n"))
+        // 4x the real denominator; the /4s cancel against the 2-scale
+        // squared gaps. Zero only at t = N (single pooled value).
+        val den4 = b2 * (dec(bigN) * 2 - b2) - dec(bigN) * dec(sf.col("__t"))
+        def inner(gap: Column, size: Column) =
+          dec(sf.col("__t")).cast("double") * gap.cast("double") / den4.cast("double") *
+            gap.cast("double") / bigN.cast("double") / size.cast("double")
+        def snap12(c: Column) =
+          sf.floor(c * 1e12 + 0.5).cast("decimal(38,0)")
+        sf.when(den4 > 0,
+          snap12(inner(gapA, sf.col("__m")) + inner(gapB, sf.col("__n"))))
+          .as("__t12")
+      })
+      .agg(sf.sum("__t12").as("__s12"))
+    terms.crossJoin(sf.broadcast(tot))
+      .select({
+        val bigN = (sf.col("__m") + sf.col("__n")).cast("double")
+        val ok = sf.col("__m") > 0 && sf.col("__n") > 0 &&
+          sf.col("__s12").isNotNull
+        Seq(sf.col("__m").as("n_a"), sf.col("__n").as("n_b"),
+          sf.col("n_values"),
+          sf.when(ok, gf.roundAt(sf.col("__s12").cast("double") / 1e12 *
+            (bigN - 1) / bigN, 6)).as("ad_stat"))
+      }: _*)
+  }
+
   /** Brunner–Munzel test (Brunner & Munzel 2000, Biom. J. — the
     * "generalized Wilcoxon" modern practice recommends OVER
     * [[mannWhitney]] when spreads differ): tests the RELATIVE EFFECT
@@ -3210,6 +3293,81 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** D'Agostino–Pearson K² omnibus normality test per group
+    * (D'Agostino, Belanger & D'Agostino Jr. 1990): the FINITE-SAMPLE
+    * normality verdict beside [[jarqueBera]] — JB's χ²(2) reference is
+    * an asymptotic that is badly anti-conservative below n ≈ 2000,
+    * while K² = Z₁² + Z₂² transforms skewness (D'Agostino 1970,
+    * Johnson-SU) and kurtosis (Anscombe & Glynn 1983, Wilson–Hilferty
+    * cube root) to near-exact standard normals at the n a per-group
+    * split actually produces — and the two Z's localize WHICH moment
+    * breaks normality where JB's single number can't.
+    *
+    * Determinism: the same exact DECIMAL(38,0) power sums as
+    * [[jarqueBera]] (values snapped to the 1e-4 grid — skew/kurt are
+    * scale-invariant so the grid cancels); every constant in the two
+    * transformations is a pure function of n (exact double algebra),
+    * the asinh is the pinned ln(y + √(y²+1)) expansion, the cube root
+    * is the IEEE `cbrt`, and Z₁/Z₂ round 1e-6, K² 1e-4. Groups with
+    * n < 9 (the transformation's validity floor), zero variance, or a
+    * degenerate kurtosis denominator yield NULLs.
+    *
+    * Scale shape: ONE map-side-combined group aggregation (5 cells per
+    * group) + a map-only per-row finish. Zero joins, zero windows. */
+  def dagostinoK2(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val x = dec(sf.col("__x"))
+    df.filter(sf.col(valueCol).isNotNull && sf.col(groupCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as(groupCol), x4.as("__x"))
+      .groupBy(groupCol)
+      .agg(sf.count(sf.lit(1)).as("n"), sf.sum(x).as("__s1"),
+        sf.sum(x * x).as("__s2"), sf.sum(x * x * x).as("__s3"),
+        sf.sum(x * x * x * x).as("__s4"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val m1 = sf.col("__s1").cast("double") / n
+        val r2 = sf.col("__s2").cast("double") / n
+        val r3 = sf.col("__s3").cast("double") / n
+        val r4 = sf.col("__s4").cast("double") / n
+        val m2 = r2 - m1 * m1
+        val m3 = r3 - m1 * 3 * r2 + m1 * 2 * m1 * m1
+        val m4 = r4 - m1 * 4 * r3 + m1 * 6 * m1 * r2 - m1 * 3 * m1 * m1 * m1
+        val g1 = m3 / (sf.sqrt(m2) * m2)
+        val b2 = m4 / (m2 * m2)
+        // --- skewness Z (D'Agostino 1970) ---
+        val y = g1 * sf.sqrt((n + 1) * (n + 3) / ((n - 2) * 6))
+        val beta2 = (n * n + n * 27 - 70) * 3 * (n + 1) * (n + 3) /
+          ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+        val w2 = sf.sqrt((beta2 - 1) * 2) - 1
+        val delta = sf.lit(1.0) / sf.sqrt(sf.log(w2) / 2)
+        val alpha = sf.sqrt(sf.lit(2.0) / (w2 - 1))
+        val ya = y / alpha
+        val z1 = delta * sf.log(ya + sf.sqrt(ya * ya + 1))
+        // --- kurtosis Z (Anscombe & Glynn 1983) ---
+        val eb2 = (n - 1) * 3 / (n + 1)
+        val vb2 = n * 24 * (n - 2) * (n - 3) /
+          ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+        val xk = (b2 - eb2) / sf.sqrt(vb2)
+        val sb1 = (n * n - n * 5 + 2) * 6 / ((n + 7) * (n + 9)) *
+          sf.sqrt((n + 3) * 6 * (n + 5) / (n * (n - 2) * (n - 3)))
+        val a = sf.lit(6.0) + sf.lit(8.0) / sb1 *
+          (sf.lit(2.0) / sb1 + sf.sqrt(sf.lit(1.0) + sf.lit(4.0) / (sb1 * sb1)))
+        val denomK = sf.lit(1.0) + xk * sf.sqrt(sf.lit(2.0) / (a - 4))
+        val term = (sf.lit(1.0) - sf.lit(2.0) / a) / denomK
+        val z2 = ((sf.lit(1.0) - sf.lit(2.0) / (a * 9)) - sf.cbrt(term)) /
+          sf.sqrt(sf.lit(2.0) / (a * 9))
+        val ok = sf.col("n") >= 9 && m2 > 0
+        val okK = ok && denomK =!= 0.0
+        Seq(sf.col(groupCol), sf.col("n"),
+          sf.when(ok, gf.roundAt(z1, 6)).as("z_skew"),
+          sf.when(okK, gf.roundAt(z2, 6)).as("z_kurt"),
+          sf.when(okK, gf.roundAt(z1 * z1 + z2 * z2, 4)).as("k2_stat"))
+      }: _*)
+      .orderBy(groupCol)
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for m ≥ 2
     * raters per item, the multi-rater generalization of [[cohensKappa]]:
     * the number a labeling pipeline with SEVERAL weak annotators
@@ -3260,6 +3418,75 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Krippendorff's α, nominal metric (Krippendorff 1970/2004) — the
+    * agreement coefficient that survives MISSING ratings:
+    * [[fleissKappa]] demands the same m raters on every item
+    * (complete-case drops the rest), while α pairs whatever ratings
+    * each item actually has (any item with ≥ 2 ratings contributes),
+    * which is the real shape of a labeling pipeline where detectors
+    * abstain. α = 1 − D_o/D_e with observed disagreement from
+    * within-item pairs weighted 1/(m_i − 1) and expected disagreement
+    * from the pooled margin:
+    *
+    *   D_o = (1/n_p)·Σ_i (m_i² − Σ_c n_ic²)/(m_i − 1),
+    *   D_e = (n_p² − Σ_c t_c²)/(n_p·(n_p − 1)),   n_p = Σ_{m_i≥2} m_i.
+    *
+    * Determinism: cell counts are exact; each item's pair-disagreement
+    * rational (the ÷(m_i−1)) snaps to the 1e-12 grid in
+    * DECIMAL(38,0)-space before the unordered item sum (the
+    * [[andersonDarling]] convention; exact whenever rater counts are
+    * equal anyway since the divisor is then constant), margins are
+    * exact DECIMAL(38,0), and D_o/D_e/α are one pinned assembly
+    * rounded 1e-6 (α 1e-4). A degenerate margin (all pairable ratings
+    * one category, D_e = 0) or n_p < 2 yields NULL α.
+    *
+    * Scale shape: a rater-column melt (map-only) + one
+    * map-side-combined (item, category) cell count + an item-domain
+    * rollup and a category-domain rollup + a one-row finish — the
+    * [[fleissKappa]] shape, minus its completeness join. */
+  def krippendorffAlpha(df: DataFrame, idCol: String,
+                        raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2,
+      s"krippendorffAlpha needs >= 2 rater columns, got ${raterCols.size}")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val melted = raterCols.map(c =>
+        df.filter(sf.col(c).isNotNull)
+          .select(sf.col(idCol).as("__i"), sf.col(c).cast("string").as("__r")))
+      .reduce(_ union _)
+    val cells = melted.groupBy("__i", "__r").agg(sf.count(sf.lit(1)).as("__nij"))
+      .localCheckpoint(true) // item rollup + category rollup read it
+    val items = cells.groupBy("__i")
+      .agg(sf.sum("__nij").cast("long").as("__mi"),
+        sf.sum(dec(sf.col("__nij")) * dec(sf.col("__nij"))).as("__s2"))
+      .filter(sf.col("__mi") >= 2)
+      .select(sf.col("__mi"),
+        sf.floor((dec(sf.col("__mi")) * dec(sf.col("__mi")) - sf.col("__s2"))
+            .cast("double") / (sf.col("__mi").cast("double") - 1.0) * 1e12 + 0.5)
+          .cast("decimal(38,0)").as("__d12"))
+      .agg(sf.count(sf.lit(1)).as("n_items"),
+        sf.sum("__mi").cast("long").as("__np"), sf.sum("__d12").as("__do12"))
+    // margin over PAIRABLE items only (m_i >= 2) — the standard α
+    val pairable = cells.groupBy("__i")
+      .agg(sf.sum("__nij").cast("long").as("__mi"))
+      .filter(sf.col("__mi") >= 2).select("__i")
+    val cats = cells.join(pairable, Seq("__i"), "left_semi")
+      .groupBy("__r").agg(sf.sum("__nij").cast("long").as("__tc"))
+      .agg(sf.count(sf.lit(1)).as("n_categories"),
+        sf.sum(dec(sf.col("__tc")) * dec(sf.col("__tc"))).as("__c2"))
+    items.crossJoin(sf.broadcast(cats))
+      .select({
+        val np = sf.col("__np").cast("double")
+        val dObs = sf.col("__do12").cast("double") / 1e12 / np
+        val dExp = (np * np - sf.col("__c2").cast("double")) / (np * (np - 1.0))
+        val ok = sf.col("__np") >= 2 && dExp > 0.0
+        Seq(sf.col("n_items"), sf.col("__np").as("n_pairable"),
+          sf.col("n_categories"),
+          sf.when(sf.col("__np") >= 2, gf.roundAt(dObs, 6)).as("d_observed"),
+          sf.when(sf.col("__np") >= 2, gf.roundAt(dExp, 6)).as("d_expected"),
+          sf.when(ok, gf.roundAt(sf.lit(1.0) - dObs / dExp, 4)).as("alpha"))
+      }: _*)
+  }
+
   /** Wilson score confidence interval per group (Wilson 1927) — the
     * interval every per-group RATE in this module should be read
     * with: unlike the naive ±z√(p(1−p)/n) (which collapses to width
@@ -3298,6 +3525,85 @@ object QualityChecks {
           gf.roundAt(center + half, 6).as("wilson_hi"))
       }: _*)
       .orderBy(groupCol)
+  }
+
+  /** Two-proportion effect datasheet — pooled z (the textbook
+    * two-sample proportion test), risk difference, risk ratio with
+    * the Katz log CI (Katz et al. 1978), and odds ratio with the
+    * Woolf log CI (Woolf 1955): the COMPLETE epidemiology-style
+    * readout of an A/B conversion split. [[wilsonInterval]] grades
+    * each arm alone; this row says how the arms COMPARE, on the three
+    * scales that answer different questions (absolute lift for
+    * impact sizing, RR for "how many times likelier", OR for
+    * rare-event symmetry) — reporting only one of them is how A/B
+    * readouts mislead.
+    *
+    * The two groups are taken in LEXICOGRAPHIC order (a = min, b =
+    * max; effects read "a relative to b"). If the column does not
+    * have exactly two groups every effect is NULL (the arm counts
+    * still print — actionable). Zero cells NULL exactly the effects
+    * they break (RR needs k_b > 0, its CI also k_a > 0; OR/Woolf need
+    * all four cells > 0; z needs a non-degenerate pool).
+    *
+    * Determinism: arm counts are exact longs; z, the ratios, and the
+    * ln/exp CI assemblies are each ONE pinned double expression
+    * rounded 1e-6; the 95% z is the literal 1.959964 (the
+    * [[wilsonInterval]] convention).
+    *
+    * Scale shape: ONE map-side-combined group aggregation + two
+    * broadcast joins of one-row frames + a one-row finish. */
+  def twoProportionEffects(df: DataFrame, groupCol: String,
+                           successCol: String,
+                           z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val s = sf.col(successCol).cast("boolean")
+    val arms = df.filter(s.isNotNull && sf.col(groupCol).isNotNull)
+      .groupBy(sf.col(groupCol).cast("string").as("__g"))
+      .agg(sf.count(sf.lit(1)).as("__n"), sf.sum(s.cast("long")).cast("long").as("__k"))
+      .localCheckpoint(true) // min/max probe + two arm joins read it
+    val which = arms.agg(sf.min("__g").as("__ga"), sf.max("__g").as("__gb"),
+      sf.count(sf.lit(1)).as("__ng"))
+    val a = arms.select(sf.col("__g").as("__ga"), sf.col("__n").as("n_a"),
+      sf.col("__k").as("k_a"))
+    val b = arms.select(sf.col("__g").as("__gb"), sf.col("__n").as("n_b"),
+      sf.col("__k").as("k_b"))
+    which.join(sf.broadcast(a), Seq("__ga")).join(sf.broadcast(b), Seq("__gb"))
+      .select({
+        val na = sf.col("n_a").cast("double")
+        val nb = sf.col("n_b").cast("double")
+        val ka = sf.col("k_a").cast("double")
+        val kb = sf.col("k_b").cast("double")
+        val pa = ka / na
+        val pb = kb / nb
+        val pool = (ka + kb) / (na + nb)
+        val se0 = sf.sqrt(pool * (sf.lit(1.0) - pool) *
+          (sf.lit(1.0) / na + sf.lit(1.0) / nb))
+        val two = sf.col("__ng") === 2
+        val rr = pa / pb
+        val seRR = sf.sqrt(sf.lit(1.0) / ka - sf.lit(1.0) / na +
+          sf.lit(1.0) / kb - sf.lit(1.0) / nb)
+        val orr = (ka * (nb - kb)) / (kb * (na - ka))
+        val seOR = sf.sqrt(sf.lit(1.0) / ka + sf.lit(1.0) / (na - ka) +
+          sf.lit(1.0) / kb + sf.lit(1.0) / (nb - kb))
+        val allPos = sf.col("k_a") > 0 && sf.col("k_b") > 0 &&
+          sf.col("k_a") < sf.col("n_a") && sf.col("k_b") < sf.col("n_b")
+        Seq(sf.col("__ga").as("group_a"), sf.col("__gb").as("group_b"),
+          sf.col("n_a"), sf.col("k_a"), sf.col("n_b"), sf.col("k_b"),
+          sf.when(two, gf.roundAt(pa, 6)).as("p_a"),
+          sf.when(two, gf.roundAt(pb, 6)).as("p_b"),
+          sf.when(two, gf.roundAt(pa - pb, 6)).as("risk_diff"),
+          sf.when(two && se0 > 0.0, gf.roundAt((pa - pb) / se0, 6)).as("z_pooled"),
+          sf.when(two && sf.col("k_b") > 0, gf.roundAt(rr, 6)).as("risk_ratio"),
+          sf.when(two && sf.col("k_a") > 0 && sf.col("k_b") > 0, gf.roundAt(
+            sf.exp(sf.log(rr) - sf.lit(z) * seRR), 6)).as("rr_lo"),
+          sf.when(two && sf.col("k_a") > 0 && sf.col("k_b") > 0, gf.roundAt(
+            sf.exp(sf.log(rr) + sf.lit(z) * seRR), 6)).as("rr_hi"),
+          sf.when(two && allPos, gf.roundAt(orr, 6)).as("odds_ratio"),
+          sf.when(two && allPos, gf.roundAt(
+            sf.exp(sf.log(orr) - sf.lit(z) * seOR), 6)).as("or_lo"),
+          sf.when(two && allPos, gf.roundAt(
+            sf.exp(sf.log(orr) + sf.lit(z) * seOR), 6)).as("or_hi"))
+      }: _*)
   }
 
   /** Cramér's V + φ + contingency/Tschuprow coefficients — the
@@ -3408,6 +3714,84 @@ object QualityChecks {
           sf.when(d1 > 0.0 && d2 > 0.0, gf.roundAt(
             (sf.col("__nc").cast("double") - sf.col("__nd").cast("double")) /
               sf.sqrt(d1 * d2), 6)).as("tau_b"))
+      }: _*)
+  }
+
+  /** Ordinal-association datasheet — Goodman–Kruskal γ (1954), Somers'
+    * D in BOTH directions (Somers 1962), and Stuart's τ-c (1953) from
+    * ONE pass of [[kendallTau]]'s concordance cell machinery: the four
+    * measures answer four different questions about the same pair
+    * counts (γ ignores all ties — the optimist; D(y|x) penalizes only
+    * y-ties — the "does x PREDICT y" scorer, the binary-y special case
+    * being the Gini/AR every credit scorecard reports as 2·AUC−1; τ-c
+    * rescales for non-square grids), and a pipeline comparing ordinal
+    * gates (quality tier vs review grade) should read them together —
+    * γ ≫ τ-b flags tie-inflation, D(y|x) ≠ D(x|y) flags asymmetric
+    * dependence.
+    *
+    * Inherits [[kendallTau]]'s CONTRACT (caller buckets; numeric
+    * ordinals only — the '10' < '2' guard) and its exact arithmetic:
+    * nc/nd and the tie margins are DECIMAL(38,0) on the cell domain,
+    * each measure is ONE pinned double assembly rounded 1e-6 (γ NULL
+    * when nc+nd = 0, D NULL on a constant conditioning margin, τ-c
+    * NULL when either domain is a single bucket).
+    *
+    * Scale shape: [[kendallTau]]'s — one (x, y) cell collapse, a
+    * BROADCAST upper-triangle cell pairing (domain², bounded by the
+    * bucketing contract), two margin rollups. Zero row-level work past
+    * the collapse. */
+  def ordinalAssociation(df: DataFrame, xCol: String,
+                         yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    Seq(xCol, yCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType,
+        s"ordinalAssociation: column '$c' has type ${dt.simpleString}; " +
+        "ordinal buckets must be numeric (or date/timestamp) so '<' is " +
+        "the intended order — map string buckets to integer codes first")
+    }
+    val cells = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .groupBy(sf.col(xCol).as("x"), sf.col(yCol).as("y"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // pair join (both sides) + margins read it
+    val pairs = cells.crossJoin(sf.broadcast(
+        cells.select(sf.col("x").as("x2"), sf.col("y").as("y2"), sf.col("c").as("c2"))))
+      .filter(sf.col("x") < sf.col("x2") ||
+        (sf.col("x") === sf.col("x2") && sf.col("y") < sf.col("y2")))
+    val prod = dec(sf.col("c")) * dec(sf.col("c2"))
+    val zero = sf.lit(0).cast("decimal(38,0)")
+    val cd = pairs.agg(
+      sf.sum(sf.when(sf.col("x") < sf.col("x2") && sf.col("y") < sf.col("y2"), prod)
+        .otherwise(zero)).as("__nc"),
+      sf.sum(sf.when(sf.col("x") < sf.col("x2") && sf.col("y") > sf.col("y2"), prod)
+        .otherwise(zero)).as("__nd"))
+    def margin(c: String) = cells.groupBy(c)
+      .agg(sf.sum("c").cast("long").as("__t"))
+      .agg(sf.count(sf.lit(1)).as(s"__d_$c"),
+        sf.sum(dec(sf.col("__t")) * dec(sf.col("__t") - 1)).as(s"__t2_$c"))
+    val tot = cells.agg(sf.sum("c").cast("long").as("n"),
+      sf.count(sf.lit(1)).as("n_cells"))
+    tot.crossJoin(sf.broadcast(cd))
+      .crossJoin(sf.broadcast(margin("x"))).crossJoin(sf.broadcast(margin("y")))
+      .select({
+        val nD = sf.col("n").cast("double")
+        val n0 = nD * (nD - 1.0) / 2.0
+        val ncd = sf.col("__nc").cast("double") - sf.col("__nd").cast("double")
+        val sumcd = sf.col("__nc").cast("double") + sf.col("__nd").cast("double")
+        // tie sums carried 2-scaled (t(t-1), not t(t-1)/2) — halve here
+        val dX = n0 - sf.col("__t2_x").cast("double") / 2.0
+        val dY = n0 - sf.col("__t2_y").cast("double") / 2.0
+        val m = sf.least(sf.col("__d_x"), sf.col("__d_y")).cast("double")
+        Seq(sf.col("n"), sf.col("n_cells"),
+          sf.col("__nc").cast("long").as("concordant"),
+          sf.col("__nd").cast("long").as("discordant"),
+          sf.when(sumcd > 0.0, gf.roundAt(ncd / sumcd, 6)).as("gamma"),
+          sf.when(dX > 0.0, gf.roundAt(ncd / dX, 6)).as("somers_d_yx"),
+          sf.when(dY > 0.0, gf.roundAt(ncd / dY, 6)).as("somers_d_xy"),
+          sf.when(m > 1.0, gf.roundAt(
+            ncd * 2.0 * m / (nD * nD * (m - 1.0)), 6)).as("tau_c"))
       }: _*)
   }
 

@@ -2514,6 +2514,81 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rt.getAs[Double]("ab_stat") == 3.5, rt.toString)
   }
 
+  test("QualityChecks.ordinalAssociation: hand gamma/Somers/tau-c; string rejected") {
+    import spark.implicits._
+    // cells (1,1):1 (1,2):1 (2,1):1 (2,2):2 -> nc=2 nd=1; ties: both
+    // margins {2,3} -> d = 10-4 = 6; domains 2x2 -> m=2
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 2L)).toDF("x", "y")
+    val r = QualityChecks.ordinalAssociation(df, "x", "y").head()
+    assert(r.getAs[Long]("concordant") == 2 && r.getAs[Long]("discordant") == 1)
+    assert(r.getAs[Double]("gamma") == 0.333333, r.toString)
+    assert(r.getAs[Double]("somers_d_yx") == 0.166667 &&
+      r.getAs[Double]("somers_d_xy") == 0.166667, r.toString)
+    assert(r.getAs[Double]("tau_c") == 0.16, r.toString) // 2*2*1/(25*1)
+    // the kendallTau ordering guard carries over
+    val bad = Seq(("1", 1L)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      QualityChecks.ordinalAssociation(bad, "x", "y")
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
+  test("QualityChecks.dagostinoK2: skewed hand sample; degenerate NULLs") {
+    import spark.implicits._
+    // [1..8, 20]: the 1990 transformations replayed by hand (pinned
+    // IEEE order) give z1 = 2.80228, z2 = 2.53722, K2 = 14.2903
+    val df = (1 to 8).map(_.toDouble).toSeq :+ 20.0
+    val r = QualityChecks.dagostinoK2(
+      df.map(("g", _)).toDF("g", "v"), "g", "v").head()
+    assert(r.getAs[Long]("n") == 9, r.toString)
+    assert(r.getAs[Double]("z_skew") == 2.80228, r.toString)
+    assert(r.getAs[Double]("z_kurt") == 2.53722, r.toString)
+    assert(r.getAs[Double]("k2_stat") == 14.2903, r.toString)
+    // n = 8 below the validity floor -> NULLs; constant group -> NULLs
+    val rs = QualityChecks.dagostinoK2(
+      (1 to 8).map(i => ("s", i.toDouble)).toDF("g", "v"), "g", "v").head()
+    assert(rs.isNullAt(rs.fieldIndex("z_skew")), rs.toString)
+    val rc = QualityChecks.dagostinoK2(
+      (1 to 12).map(_ => ("c", 5.0)).toDF("g", "v"), "g", "v").head()
+    assert(rc.isNullAt(rc.fieldIndex("k2_stat")), rc.toString)
+  }
+
+  test("QualityChecks.andersonDarling: full separation 19/11 by hand; identical 0") {
+    import spark.implicits._
+    // A={1,2} B={3,4}: per-value inner terms 1/3, 9/11, 9/11, 1/3 ->
+    // sum 76/33, A2 = 3/4 * 76/33 = 19/11 = 1.727273
+    val r = QualityChecks.andersonDarling(
+      Seq(1.0, 2.0).toDF("v"), Seq(3.0, 4.0).toDF("v"), "v").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2 &&
+      r.getAs[Long]("n_values") == 4, r.toString)
+    assert(r.getAs[Double]("ad_stat") == 1.727273, r.toString)
+    // identical samples: every midrank gap 0
+    val ri = QualityChecks.andersonDarling(
+      Seq(1.0, 2.0).toDF("v"), Seq(1.0, 2.0).toDF("v"), "v").head()
+    assert(ri.getAs[Double]("ad_stat") == 0.0, ri.toString)
+  }
+
+  test("QualityChecks.krippendorffAlpha: hand alpha 0.5333; single-rating item excluded") {
+    import spark.implicits._
+    // items (a,a) (a,b) (b,b) (b,b): D_o = 2/8; margins a=3 b=5 ->
+    // D_e = (64-34)/56; alpha = 1 - 0.466667 = 0.5333. Item 5 has one
+    // rating -> not pairable, must change nothing.
+    val df = Seq(
+      (1L, "a", "a"), (2L, "a", "b"), (3L, "b", "b"), (4L, "b", "b"),
+      (5L, "a", null)).toDF("id", "r1", "r2")
+    val r = QualityChecks.krippendorffAlpha(df, "id", Seq("r1", "r2")).head()
+    assert(r.getAs[Long]("n_items") == 4 && r.getAs[Long]("n_pairable") == 8,
+      r.toString)
+    assert(r.getAs[Double]("d_observed") == 0.25 &&
+      r.getAs[Double]("d_expected") == 0.535714, r.toString)
+    assert(r.getAs[Double]("alpha") == 0.5333, r.toString)
+    // all one category: D_e = 0 -> NULL alpha
+    val ru = QualityChecks.krippendorffAlpha(
+      Seq((1L, "a", "a"), (2L, "a", "a")).toDF("id", "r1", "r2"),
+      "id", Seq("r1", "r2")).head()
+    assert(ru.isNullAt(ru.fieldIndex("alpha")), ru.toString)
+  }
+
   test("QualityChecks.hosmerLemeshow: hand two-bin HL = 1.0, degenerate bin 0") {
     import spark.implicits._
     // bin2: n=2 e=0.5 o=1 -> .25/.375 = 2/3; bin7: n=1 e=.75 o=1 -> 1/3
