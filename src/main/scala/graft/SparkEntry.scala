@@ -2232,6 +2232,28 @@ object SparkEntry {
           gf.langId(sf.substring(sf.col("text"), 1, 100))).as("r3"))
       QualityChecks.krippendorffAlpha(rated, "doc_id", Seq("r1", "r2", "r3"))
     }),
+
+    // Two-proportion effect datasheet: do click events clear the value-
+    // 50 bar more often than views — pooled z + RR (Katz CI) + OR
+    // (Woolf CI) in one epidemiology-style row.
+    "q318_two_proportion" -> ((s, dir) =>
+      QualityChecks.twoProportionEffects(
+        Tables.load(s, dir, "events")
+          .filter(sf.col("event_type").isin("click", "view"))
+          .select(sf.col("event_type").as("arm"),
+            (sf.col("value").cast("double") > 50.0).as("success")),
+        "arm", "success")),
+
+    // Rich-club curve of the part co-occurrence graph: does the high-
+    // degree core become a near-clique, and at which degree cut.
+    "q319_rich_club" -> ((s, dir) =>
+      Graph.richClub(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2)),
+
+    // Goh-Barabasi burstiness B and memory M per event type over exact
+    // micro gaps: the (B, M) bot-vs-human fingerprint plane.
+    "q320_burstiness" -> ((s, dir) =>
+      EventOps.interEventBurstiness(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -9636,5 +9658,118 @@ object SparkEntry {
          |    floor((1.0 - dobs/dexp)*10000.0 + 0.5)/10000.0 END AS alpha
          |FROM f""".stripMargin
     },
+
+    // Two-proportion effects: exact arm counts, pooled z, Katz/Woolf
+    // log CIs as the identical pinned ln/exp assemblies.
+    "q318_two_proportion" ->
+      """WITH s AS (SELECT event_type AS g, CAST(value AS DOUBLE) > 50.0 AS ok
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |arms AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ok AS BIGINT)) AS BIGINT) AS k FROM s GROUP BY 1),
+        |wch AS (SELECT MIN(g) AS ga, MAX(g) AS gb, CAST(COUNT(*) AS BIGINT) AS ng FROM arms),
+        |j AS (SELECT ga, gb, ng, a.n AS n_a, a.k AS k_a, b2.n AS n_b, b2.k AS k_b
+        |  FROM wch JOIN arms a ON a.g = wch.ga JOIN arms b2 ON b2.g = wch.gb),
+        |f AS (SELECT *,
+        |  CAST(k_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS pa,
+        |  CAST(k_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS pb,
+        |  (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+        |    /(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool,
+        |  sqrt(1.0/CAST(k_a AS DOUBLE) - 1.0/CAST(n_a AS DOUBLE)
+        |     + 1.0/CAST(k_b AS DOUBLE) - 1.0/CAST(n_b AS DOUBLE)) AS serr,
+        |  (CAST(k_a AS DOUBLE)*(CAST(n_b AS DOUBLE) - CAST(k_b AS DOUBLE)))
+        |    /(CAST(k_b AS DOUBLE)*(CAST(n_a AS DOUBLE) - CAST(k_a AS DOUBLE))) AS orr,
+        |  sqrt(1.0/CAST(k_a AS DOUBLE) + 1.0/(CAST(n_a AS DOUBLE) - CAST(k_a AS DOUBLE))
+        |     + 1.0/CAST(k_b AS DOUBLE) + 1.0/(CAST(n_b AS DOUBLE) - CAST(k_b AS DOUBLE))) AS seor
+        |  FROM j),
+        |h AS (SELECT *, sqrt(pool*(1.0 - pool)*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) AS se0,
+        |  pa/pb AS rr,
+        |  k_a > 0 AND k_b > 0 AND k_a < n_a AND k_b < n_b AS allpos FROM f)
+        |SELECT ga AS group_a, gb AS group_b, n_a, k_a, n_b, k_b,
+        |  CASE WHEN ng = 2 THEN floor(pa*1000000.0 + 0.5)/1000000.0 END AS p_a,
+        |  CASE WHEN ng = 2 THEN floor(pb*1000000.0 + 0.5)/1000000.0 END AS p_b,
+        |  CASE WHEN ng = 2 THEN floor((pa - pb)*1000000.0 + 0.5)/1000000.0 END AS risk_diff,
+        |  CASE WHEN ng = 2 AND se0 > 0 THEN
+        |    floor((pa - pb)/se0*1000000.0 + 0.5)/1000000.0 END AS z_pooled,
+        |  CASE WHEN ng = 2 AND k_b > 0 THEN
+        |    floor(rr*1000000.0 + 0.5)/1000000.0 END AS risk_ratio,
+        |  CASE WHEN ng = 2 AND k_a > 0 AND k_b > 0 THEN
+        |    floor(exp(ln(rr) - 1.959964*serr)*1000000.0 + 0.5)/1000000.0 END AS rr_lo,
+        |  CASE WHEN ng = 2 AND k_a > 0 AND k_b > 0 THEN
+        |    floor(exp(ln(rr) + 1.959964*serr)*1000000.0 + 0.5)/1000000.0 END AS rr_hi,
+        |  CASE WHEN ng = 2 AND allpos THEN
+        |    floor(orr*1000000.0 + 0.5)/1000000.0 END AS odds_ratio,
+        |  CASE WHEN ng = 2 AND allpos THEN
+        |    floor(exp(ln(orr) - 1.959964*seor)*1000000.0 + 0.5)/1000000.0 END AS or_lo,
+        |  CASE WHEN ng = 2 AND allpos THEN
+        |    floor(exp(ln(orr) + 1.959964*seor)*1000000.0 + 0.5)/1000000.0 END AS or_hi
+        |FROM h""".stripMargin,
+
+    // Rich club: the q256 funnel + degree attach, two degree-domain
+    // histograms, ascending prefix -> ">k" tails, one pinned phi per
+    // degree row.
+    "q319_rich_club" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT item_a AS item FROM e UNION ALL SELECT item_b FROM e) GROUP BY 1),
+        |nh AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS nn FROM dg GROUP BY 1),
+        |eh AS (SELECT least(da.deg, db.deg) AS deg, CAST(COUNT(*) AS BIGINT) AS ne
+        |  FROM e JOIN dg da ON da.item = e.item_a
+        |         JOIN dg db ON db.item = e.item_b GROUP BY 1),
+        |h AS (SELECT COALESCE(nh.deg, eh.deg) AS deg, COALESCE(nn, 0) AS nn,
+        |  COALESCE(ne, 0) AS ne FROM nh FULL OUTER JOIN eh ON nh.deg = eh.deg),
+        |t AS (SELECT CAST(SUM(nn) AS BIGINT) AS tn, CAST(SUM(ne) AS BIGINT) AS te FROM h),
+        |pre AS (SELECT deg, SUM(nn) OVER (ORDER BY deg) AS cn,
+        |  SUM(ne) OVER (ORDER BY deg) AS ce FROM h)
+        |SELECT deg AS k, CAST(tn - cn AS BIGINT) AS n_nodes_gt,
+        |  CAST(te - ce AS BIGINT) AS n_edges_gt,
+        |  CASE WHEN tn - cn >= 2 THEN
+        |    floor(CAST(te - ce AS DOUBLE)*2.0
+        |      /(CAST(tn - cn AS DOUBLE)*(CAST(tn - cn AS DOUBLE) - 1.0))
+        |      *1000000.0 + 0.5)/1000000.0 END AS phi
+        |FROM pre CROSS JOIN t ORDER BY k""".stripMargin,
+
+    // Burstiness: exact micro gaps from the (ts, id)-ordered per-
+    // (user, type) stream, lead-chained gap pairs, one 8-cell rollup,
+    // pinned B / M / mean assemblies.
+    "q320_burstiness" ->
+      """WITH g0 AS (SELECT event_type, user_id, ts, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS g
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+        |g1 AS (SELECT event_type, g, lead(g) OVER
+        |  (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gn FROM g0),
+        |a AS (SELECT event_type, CAST(COUNT(g) AS BIGINT) AS n_gaps,
+        |  SUM(CAST(g AS HUGEINT)) AS s1, SUM(CAST(g AS HUGEINT)*g) AS s2,
+        |  CAST(COUNT(CASE WHEN gn IS NOT NULL THEN 1 END) AS BIGINT) AS n_pairs,
+        |  SUM(CASE WHEN gn IS NOT NULL THEN CAST(g AS HUGEINT) END) AS p1,
+        |  SUM(CASE WHEN gn IS NOT NULL THEN CAST(gn AS HUGEINT) END) AS p2,
+        |  SUM(CASE WHEN gn IS NOT NULL THEN CAST(g AS HUGEINT)*gn END) AS p11,
+        |  SUM(CASE WHEN gn IS NOT NULL THEN CAST(g AS HUGEINT)*g END) AS pxx,
+        |  SUM(CASE WHEN gn IS NOT NULL THEN CAST(gn AS HUGEINT)*gn END) AS pyy
+        |  FROM g1 WHERE g IS NOT NULL GROUP BY 1),
+        |f AS (SELECT event_type, n_gaps, n_pairs,
+        |  CAST(s1 AS DOUBLE)/CAST(n_gaps AS DOUBLE) AS mu,
+        |  sqrt(CAST(s2 AS DOUBLE)/CAST(n_gaps AS DOUBLE)
+        |    - CAST(s1 AS DOUBLE)/CAST(n_gaps AS DOUBLE)
+        |      *(CAST(s1 AS DOUBLE)/CAST(n_gaps AS DOUBLE))) AS sd,
+        |  CAST(n_pairs AS DOUBLE)*CAST(p11 AS DOUBLE)
+        |    - CAST(p1 AS DOUBLE)*CAST(p2 AS DOUBLE) AS num,
+        |  CAST(n_pairs AS DOUBLE)*CAST(pxx AS DOUBLE)
+        |    - CAST(p1 AS DOUBLE)*CAST(p1 AS DOUBLE) AS dx,
+        |  CAST(n_pairs AS DOUBLE)*CAST(pyy AS DOUBLE)
+        |    - CAST(p2 AS DOUBLE)*CAST(p2 AS DOUBLE) AS dy
+        |  FROM a)
+        |SELECT event_type, n_gaps, n_pairs,
+        |  CASE WHEN n_gaps >= 1 THEN
+        |    floor(mu/1000000.0*10000.0 + 0.5)/10000.0 END AS mean_gap_s,
+        |  CASE WHEN n_gaps >= 2 AND (sd + mu) > 0 THEN
+        |    floor((sd - mu)/(sd + mu)*1000000.0 + 0.5)/1000000.0 END AS b_coef,
+        |  CASE WHEN n_pairs >= 2 AND dx > 0 AND dy > 0 THEN
+        |    floor(num/sqrt(dx*dy)*1000000.0 + 0.5)/1000000.0 END AS memory_coef
+        |FROM f ORDER BY event_type""".stripMargin,
   )
 }

@@ -411,6 +411,77 @@ object EventOps {
       .orderBy(keyCol, idCol)
   }
 
+  /** Inter-event burstiness B and memory M per event type (Goh &
+    * Barabási 2008, EPL 81): over each (key, type) stream's
+    * consecutive inter-event gaps, B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B → 1
+    * bursty (heavy-tailed gaps: human/organic), B ≈ 0 Poisson, B → −1
+    * pacemaker-regular — and M = the lag-1 Pearson correlation of
+    * consecutive gap pairs. The (B, M) plane is the classic
+    * bot-vs-human fingerprint BESIDE [[botScore]]'s per-user cadence
+    * score: a scraper with jittered sleeps fools a variance test but
+    * sits at M ≈ 0, B < 0 where humans occupy B > 0.
+    *
+    * Determinism: gaps are EXACT integer microseconds from the (ts,
+    * id)-total-ordered per-(key, type) stream ([[eventDeltas]]
+    * convention); both B and M are scale-invariant, so the micro grid
+    * is exact with no unit snapping; all moment sums accumulate in
+    * DECIMAL(38,0) (Σg² ≲ n·span² — inside 38 digits to 10¹² events
+    * over a 3-year span), and B/M/mean are each ONE pinned double
+    * assembly (population σ; B 1e-6, M 1e-6, mean seconds 1e-4).
+    * Types with < 2 gaps (B) or < 2 gap pairs / zero variance (M)
+    * yield NULL.
+    *
+    * Scale shape: ONE shuffle on (key, type) whose sort feeds both the
+    * lag and the chained lead, then one map-side-combined per-type
+    * rollup (8 cells). No joins. */
+  def interEventBurstiness(events: DataFrame, keyCol: String = "user_id",
+                           tsCol: String = "ts", idCol: String = "event_id",
+                           typeCol: String = "event_type"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(keyCol, typeCol)
+      .orderBy(sf.col(tsCol), sf.col(idCol))
+    val gaps = events
+      .select(sf.col(typeCol).as("event_type"), sf.col(keyCol), sf.col(tsCol),
+        sf.col(idCol),
+        (sf.unix_micros(sf.col(tsCol)) -
+          sf.lag(sf.unix_micros(sf.col(tsCol)), 1).over(w)).as("__g"))
+      .withColumn("__gn", sf.lead(sf.col("__g"), 1).over(
+        Window.partitionBy(sf.col(keyCol), sf.col("event_type"))
+          .orderBy(sf.col(tsCol), sf.col(idCol))))
+      .filter(sf.col("__g").isNotNull)
+    val pair = sf.col("__gn").isNotNull
+    gaps.groupBy("event_type")
+      .agg(sf.count(sf.col("__g")).as("n_gaps"),
+        sf.sum(dec(sf.col("__g"))).as("__s1"),
+        sf.sum(dec(sf.col("__g")) * dec(sf.col("__g"))).as("__s2"),
+        sf.count(sf.when(pair, sf.lit(1))).as("n_pairs"),
+        sf.sum(sf.when(pair, dec(sf.col("__g")))).as("__p1"),
+        sf.sum(sf.when(pair, dec(sf.col("__gn")))).as("__p2"),
+        sf.sum(sf.when(pair, dec(sf.col("__g")) * dec(sf.col("__gn")))).as("__p11"),
+        sf.sum(sf.when(pair, dec(sf.col("__g")) * dec(sf.col("__g")))).as("__pxx"),
+        sf.sum(sf.when(pair, dec(sf.col("__gn")) * dec(sf.col("__gn")))).as("__pyy"))
+      .select({
+        val n = sf.col("n_gaps").cast("double")
+        val mu = sf.col("__s1").cast("double") / n
+        val sd = sf.sqrt(sf.col("__s2").cast("double") / n - mu * mu)
+        val np = sf.col("n_pairs").cast("double")
+        val num = np * sf.col("__p11").cast("double") -
+          sf.col("__p1").cast("double") * sf.col("__p2").cast("double")
+        val dx = np * sf.col("__pxx").cast("double") -
+          sf.col("__p1").cast("double") * sf.col("__p1").cast("double")
+        val dy = np * sf.col("__pyy").cast("double") -
+          sf.col("__p2").cast("double") * sf.col("__p2").cast("double")
+        Seq(sf.col("event_type"), sf.col("n_gaps"), sf.col("n_pairs"),
+          sf.when(sf.col("n_gaps") >= 1,
+            gf.roundAt(mu / 1e6, 4)).as("mean_gap_s"),
+          sf.when(sf.col("n_gaps") >= 2 && (sd + mu) > 0.0,
+            gf.roundAt((sd - mu) / (sd + mu), 6)).as("b_coef"),
+          sf.when(sf.col("n_pairs") >= 2 && dx > 0.0 && dy > 0.0,
+            gf.roundAt(num / sf.sqrt(dx * dy), 6)).as("memory_coef"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
   /** First-order Markov transition matrix over per-key event-type
     * sequences: P(next_type | type), the behavioral model behind
     * "what do users do after X" and the input to next-action

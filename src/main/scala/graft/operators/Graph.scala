@@ -860,6 +860,71 @@ object Graph {
       }: _*)
   }
 
+  /** Rich-club coefficient over the degree grid (Zhou & Mondragón
+    * 2004): φ(k) = 2·E_{>k}/(N_{>k}(N_{>k}−1)) — among nodes of degree
+    * > k, what fraction of possible edges exist. The CORE-STRUCTURE
+    * readout beside [[degreeAssortativity]]'s single number: r > 0
+    * says hubs prefer hubs on average, the φ(k) CURVE says whether the
+    * high-degree core is an actual near-clique (φ→1: an oligarchy of
+    * boilerplate/spam templates all co-occurring) or stays sparse —
+    * and WHERE on the degree axis the club forms. Raw φ reported (the
+    * normalized variant divides by a rewired null model — a
+    * Monte-Carlo object with no deterministic closed form).
+    *
+    * Determinism: node and edge degree histograms are exact integers
+    * on the DEGREE domain; the two ">k" tail counts are (total −
+    * inclusive prefix) from ONE range-partitioned two-column prefix
+    * pass ([[graft.operators.StarSchema.globalPrefixSumsMulti]] — the
+    * row-340 rule, never a one-task window); φ is one pinned division
+    * per degree row rounded 1e-6, NULL when N_{>k} < 2.
+    *
+    * Scale shape: one map-side-combined degree count + two
+    * AQE-decided degree-attach equi joins on the pair list (the
+    * [[degreeAssortativity]] shape) + two domain-sized histograms +
+    * the prefix pass + one broadcast of a one-row total. Everything
+    * after the joins lives on the degree domain (data-size-bounded by
+    * max degree, not row count). */
+  def richClub(df: DataFrame, basketCol: String, itemCol: String,
+               minPairCount: Long = 2): DataFrame =
+    richClubFromPairs(minedPairs(df, basketCol, itemCol, minPairCount))
+
+  /** [[richClub]] over a pre-mined undirected pair list (canonical
+    * item_a < item_b rows) — the mine-once `*FromEdges` family
+    * member. */
+  def richClubFromPairs(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(sf.col("item_a").as("a"), sf.col("item_b").as("b"))
+      .localCheckpoint(true) // degree count + the d_min join read it
+    val deg = pairs.select(sf.col("a").as("node"))
+      .union(pairs.select(sf.col("b").as("node")))
+      .groupBy("node").agg(sf.count(sf.lit(1)).as("deg"))
+      .localCheckpoint(true) // node histogram + two edge joins read it
+    val nodeHist = deg.groupBy("deg").agg(sf.count(sf.lit(1)).as("__nn"))
+    val edgeHist = pairs
+      .join(deg.select(sf.col("node").as("a"), sf.col("deg").as("__da")), "a")
+      .join(deg.select(sf.col("node").as("b"), sf.col("deg").as("__db")), "b")
+      .select(sf.least(sf.col("__da"), sf.col("__db")).as("deg"))
+      .groupBy("deg").agg(sf.count(sf.lit(1)).as("__ne"))
+    val hist = nodeHist.join(edgeHist, Seq("deg"), "full_outer")
+      .select(sf.col("deg"),
+        sf.coalesce(sf.col("__nn"), sf.lit(0L)).as("__nn"),
+        sf.coalesce(sf.col("__ne"), sf.lit(0L)).as("__ne"))
+      .localCheckpoint(true) // totals + prefix read it
+    val tot = hist.agg(sf.sum("__nn").cast("long").as("__tn"),
+      sf.sum("__ne").cast("long").as("__te"))
+    graft.operators.StarSchema
+      .globalPrefixSumsMulti(hist, Seq("deg"),
+        Seq("__nn" -> "__cn", "__ne" -> "__ce"))
+      .crossJoin(sf.broadcast(tot))
+      .select({
+        val nk = sf.col("__tn") - sf.col("__cn")
+        val ek = sf.col("__te") - sf.col("__ce")
+        Seq(sf.col("deg").as("k"), nk.as("n_nodes_gt"), ek.as("n_edges_gt"),
+          sf.when(nk >= 2, gf.roundAt(ek.cast("double") * 2.0 /
+            (nk.cast("double") * (nk.cast("double") - 1.0)), 6)).as("phi"))
+      }: _*)
+      .orderBy("k")
+  }
+
   /** Local clustering coefficient per node (Watts & Strogatz 1998):
     * cc(v) = triangles_at_v / (d_v(d_v−1)/2) — how much of each
     * node's neighborhood is itself connected. The node-level

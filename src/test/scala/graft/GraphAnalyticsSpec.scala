@@ -809,6 +809,24 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(rt.isNullAt(rt.fieldIndex("assortativity")))
   }
 
+  test("Graph.richClubFromPairs: triangle-with-pendant curve by hand") {
+    import spark.implicits._
+    // edges 1-2, 1-3, 1-4, 2-3: degrees 1:3, 2:2, 3:2, 4:1;
+    // d_min hist {1:1, 2:3}. k=1: N=3, E=3 -> phi=1 (the core IS the
+    // triangle); k=2: N=1 -> NULL; k=3: N=0 -> NULL.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+      .toDF("item_a", "item_b")
+    val got = Graph.richClubFromPairs(pairs).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_nodes_gt"), r.getAs[Long]("n_edges_gt"),
+          if (r.isNullAt(r.fieldIndex("phi"))) null
+          else r.getAs[Double]("phi"))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)), got.toString)
+    assert(got(2L) == ((1L, 0L, null)), got.toString)
+    assert(got(3L) == ((0L, 0L, null)), got.toString)
+    assert(got.size == 3, got.toString)
+  }
+
   test("Graph.localClustering: triangle corners vs connector vs pendant") {
     import spark.implicits._
     // triangle a-b-c plus pendant edge c-d

@@ -2568,6 +2568,50 @@ class OperatorsSpec extends SparkFunSuite {
     assert(ri.getAs[Double]("ad_stat") == 0.0, ri.toString)
   }
 
+  test("QualityChecks.twoProportionEffects: hand z/RR/OR CIs; 3-arm NULLs") {
+    import spark.implicits._
+    // a: 4/10, b: 2/10 -> z = 0.9759, RR = 2 [0.467479, 8.556536],
+    // OR = 32/12 [0.360757, 19.711636] (hand Katz/Woolf replays)
+    val df = (Seq.fill(4)(("a", true)) ++ Seq.fill(6)(("a", false)) ++
+      Seq.fill(2)(("b", true)) ++ Seq.fill(8)(("b", false))).toDF("g", "s")
+    val r = QualityChecks.twoProportionEffects(df, "g", "s").head()
+    assert(r.getAs[String]("group_a") == "a" && r.getAs[Long]("k_a") == 4)
+    assert(r.getAs[Double]("risk_diff") == 0.2 &&
+      r.getAs[Double]("z_pooled") == 0.9759, r.toString)
+    assert(r.getAs[Double]("risk_ratio") == 2.0 &&
+      r.getAs[Double]("rr_lo") == 0.467479 &&
+      r.getAs[Double]("rr_hi") == 8.556536, r.toString)
+    assert(r.getAs[Double]("odds_ratio") == 2.666667 &&
+      r.getAs[Double]("or_lo") == 0.360757 &&
+      r.getAs[Double]("or_hi") == 19.711636, r.toString)
+    // three arms: counts still print, every effect NULL
+    val r3 = QualityChecks.twoProportionEffects(
+      Seq(("a", true), ("b", false), ("c", true)).toDF("g", "s"), "g", "s").head()
+    assert(r3.isNullAt(r3.fieldIndex("z_pooled")) &&
+      r3.isNullAt(r3.fieldIndex("risk_ratio")), r3.toString)
+  }
+
+  test("EventOps.interEventBurstiness: hand gaps 1..4s -> B and perfect memory") {
+    import spark.implicits._
+    // gaps 1,2,3,4 s: mu = 2.5, sigma = sqrt(1.25) -> B = -0.381966;
+    // consecutive pairs strictly increasing -> M = 1
+    val ev = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:00:01"),
+      (3L, "2024-01-01 00:00:03"), (4L, "2024-01-01 00:00:06"),
+      (5L, "2024-01-01 00:00:10"))
+      .toDF("event_id", "ts_s")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1L).as("user_id"), sf.lit("a").as("event_type"))
+    val r = EventOps.interEventBurstiness(ev).head()
+    assert(r.getAs[Long]("n_gaps") == 4 && r.getAs[Long]("n_pairs") == 3)
+    assert(r.getAs[Double]("mean_gap_s") == 2.5, r.toString)
+    assert(r.getAs[Double]("b_coef") == -0.381966, r.toString)
+    assert(r.getAs[Double]("memory_coef") == 1.0, r.toString)
+    // single gap: B needs >= 2 gaps -> NULL
+    val r1 = EventOps.interEventBurstiness(ev.limit(2)).head()
+    assert(r1.getAs[Long]("n_gaps") == 1 &&
+      r1.isNullAt(r1.fieldIndex("b_coef")), r1.toString)
+  }
+
   test("QualityChecks.krippendorffAlpha: hand alpha 0.5333; single-rating item excluded") {
     import spark.implicits._
     // items (a,a) (a,b) (b,b) (b,b): D_o = 2/8; margins a=3 b=5 ->
