@@ -2254,6 +2254,37 @@ object SparkEntry {
     // micro gaps: the (B, M) bot-vs-human fingerprint plane.
     "q320_burstiness" -> ((s, dir) =>
       EventOps.interEventBurstiness(Tables.load(s, dir, "events"))),
+
+    // PACF lags 1-3 per event type via Durbin-Levinson over q218's
+    // rounded ACF: which small AR order explains the count series.
+    "q321_pacf" -> ((s, dir) =>
+      EventOps.pacf(Tables.load(s, dir, "events"))),
+
+    // ICC(1) of order totals clustered by customer: how much of the
+    // price variance lives between customers (cluster-SE decision).
+    "q322_icc" -> ((s, dir) =>
+      QualityChecks.icc(Tables.load(s, dir, "orders"),
+        "o_custkey", "o_totalprice")),
+
+    // Lin's concordance between quantity and the 10k-price scale on
+    // the same line items: agreement through the 45-degree line, with
+    // the bias factor isolating the calibration gap Pearson ignores.
+    "q323_lins_ccc" -> ((s, dir) =>
+      QualityChecks.linsCcc(
+        Tables.load(s, dir, "lineitem")
+          .select(sf.col("l_quantity").cast("double").as("qty"),
+            (sf.col("l_extendedprice").cast("double") / 10000.0).as("price10k")),
+        "qty", "price10k")),
+
+    // Quadratic-weighted kappa between the quantity grade and the
+    // price grade: ordinal agreement where near-misses count less.
+    "q324_weighted_kappa" -> ((s, dir) =>
+      QualityChecks.weightedKappa(
+        Tables.load(s, dir, "lineitem").select(
+          sf.expr("least(CAST(l_quantity AS BIGINT) div 10, 4)").as("grade_a"),
+          sf.expr("least(CAST(floor(CAST(l_extendedprice AS DOUBLE) / 15000.0) AS BIGINT), 4)")
+            .as("grade_b")),
+        "grade_a", "grade_b")),
   )
 
   // ---------------------------------------------------------------------
@@ -9771,5 +9802,129 @@ object SparkEntry {
         |  CASE WHEN n_pairs >= 2 AND dx > 0 AND dy > 0 THEN
         |    floor(num/sqrt(dx*dy)*1000000.0 + 0.5)/1000000.0 END AS memory_coef
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // PACF: the q218 ACF chain at maxLag=3 (rounded r1..r3), then the
+    // Durbin-Levinson closed forms as identical pinned assemblies of
+    // the rounded literals.
+    "q321_pacf" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |       FROM sv GROUP BY 1),
+        |dn AS (SELECT sv.t,
+        |  SUM(CAST(st.n*sv.v - st.s AS DECIMAL(38,0)) * CAST(st.n*sv.v - st.s AS DECIMAL(38,0))) AS den
+        |  FROM sv JOIN st ON sv.t = st.t GROUP BY 1),
+        |pr AS (SELECT a.t, CAST(l.lag AS BIGINT) AS lag, a.v AS v1, bb.v AS v2
+        |  FROM sv a CROSS JOIN (SELECT unnest(range(1, 4)) AS lag) l
+        |  JOIN sv bb ON bb.t = a.t AND bb.bin = a.bin + l.lag),
+        |nm AS (SELECT pr.t, pr.lag,
+        |  SUM(CAST(st.n*pr.v1 - st.s AS DECIMAL(38,0)) * CAST(st.n*pr.v2 - st.s AS DECIMAL(38,0))) AS num
+        |  FROM pr JOIN st ON pr.t = st.t GROUP BY 1, 2),
+        |ac AS (SELECT nm.t, nm.lag, st.n AS n_bins,
+        |  CASE WHEN den > 0 THEN
+        |    floor((CAST(num AS DOUBLE)/CAST(den AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS acf
+        |  FROM nm JOIN dn ON nm.t = dn.t JOIN st ON nm.t = st.t),
+        |p AS (SELECT t AS event_type, MAX(n_bins) AS n_bins,
+        |  MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |  MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+        |  MAX(CASE WHEN lag = 3 THEN acf END) AS r3 FROM ac GROUP BY 1),
+        |q AS (SELECT event_type, n_bins, r1, r2, r3,
+        |  1.0 - r1*r1 AS d2, (r2 - r1*r1)/(1.0 - r1*r1) AS p2 FROM p),
+        |s AS (SELECT *, r1 - p2*r1 AS f21 FROM q),
+        |z AS (SELECT *, 1.0 - f21*r1 - p2*r2 AS d3 FROM s)
+        |SELECT event_type, n_bins, r1 AS pacf_1,
+        |  CASE WHEN d2 <> 0 THEN floor(p2*1000000.0 + 0.5)/1000000.0 END AS pacf_2,
+        |  CASE WHEN d2 <> 0 AND d3 <> 0 THEN
+        |    floor((r3 - f21*r2 - p2*r1)/d3*1000000.0 + 0.5)/1000000.0 END AS pacf_3
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    // ICC(1): the q139 snapped group terms + an exact sum(n^2); k0 /
+    // MSB / MSW / ICC as one identical pinned assembly.
+    "q322_icc" ->
+      """WITH g AS (SELECT o_custkey AS gg,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS HUGEINT) AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+        |a AS (SELECT gg, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s, SUM(x*x) AS ss
+        |  FROM g GROUP BY 1),
+        |b AS (SELECT n, s,
+        |  CAST(floor((CAST(s AS DOUBLE)/1e4)*(CAST(s AS DOUBLE)/1e4)/CAST(n AS DOUBLE)
+        |    *1000000.0 + 0.5) AS HUGEINT) AS bt,
+        |  CAST(floor((CAST(ss AS DOUBLE)/1e8
+        |      - (CAST(s AS DOUBLE)/1e4)*(CAST(s AS DOUBLE)/1e4)/CAST(n AS DOUBLE))
+        |    *1000000.0 + 0.5) AS HUGEINT) AS wt
+        |  FROM a),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(n*n) AS BIGINT) AS n2, SUM(CAST(s AS HUGEINT)) AS st,
+        |  SUM(bt) AS bb, SUM(wt) AS ww FROM b),
+        |f AS (SELECT k, n,
+        |  (CAST(bb AS DOUBLE)/1000000.0
+        |    - (CAST(st AS DOUBLE)/1e4)*(CAST(st AS DOUBLE)/1e4)/CAST(n AS DOUBLE))
+        |    /(CAST(k AS DOUBLE) - 1) AS msb,
+        |  CAST(ww AS DOUBLE)/1000000.0/(CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+        |  (CAST(n AS DOUBLE) - CAST(n2 AS DOUBLE)/CAST(n AS DOUBLE))
+        |    /(CAST(k AS DOUBLE) - 1) AS k0
+        |  FROM t)
+        |SELECT k AS n_groups, n,
+        |  CASE WHEN k > 1 AND n > k THEN floor(k0*10000.0 + 0.5)/10000.0 END AS k0,
+        |  CASE WHEN k > 1 AND n > k THEN floor(msb*10000.0 + 0.5)/10000.0 END AS ms_between,
+        |  CASE WHEN k > 1 AND n > k THEN floor(msw*10000.0 + 0.5)/10000.0 END AS ms_within,
+        |  CASE WHEN k > 1 AND n > k AND msb + (k0 - 1)*msw <> 0 THEN
+        |    floor((msb - msw)/(msb + (k0 - 1)*msw)*1000000.0 + 0.5)/1000000.0
+        |  END AS icc1
+        |FROM f""".stripMargin,
+
+    // Lin's CCC: exact 1e-4 grid moment sums, population moments, one
+    // pinned ccc / r / bias-factor assembly.
+    "q323_lins_ccc" ->
+      """WITH s AS (SELECT
+        |  CAST(floor(CAST(l_quantity AS DOUBLE)*1e4 + 0.5) AS HUGEINT) AS x,
+        |  CAST(floor(CAST(l_extendedprice AS DOUBLE)/10000.0*1e4 + 0.5) AS HUGEINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |  SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM s),
+        |f AS (SELECT n,
+        |  CAST(sxx AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)*(CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS vx,
+        |  CAST(syy AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)*(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS vy,
+        |  CAST(sxy AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)*(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS cxy,
+        |  CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) - CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS dm
+        |  FROM a),
+        |h AS (SELECT n, vx, vy, cxy, vx + vy + dm*dm AS den,
+        |  cxy/sqrt(vx*vy) AS r FROM f)
+        |SELECT n,
+        |  CASE WHEN n >= 2 AND den > 0 THEN
+        |    floor(cxy*2/den*1000000.0 + 0.5)/1000000.0 END AS ccc,
+        |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+        |    floor(r*1000000.0 + 0.5)/1000000.0 END AS pearson_r,
+        |  CASE WHEN n >= 2 AND den > 0 AND vx > 0 AND vy > 0 AND r <> 0 THEN
+        |    floor(cxy*2/den/r*1000000.0 + 0.5)/1000000.0 END AS bias_factor
+        |FROM h""".stripMargin,
+
+    // Weighted kappa: exact integer penalties on the cell domain,
+    // margin-grid expected penalty, one pinned division.
+    "q324_weighted_kappa" ->
+      """WITH s AS (SELECT least(CAST(l_quantity AS BIGINT)//10, 4) AS a,
+        |  least(CAST(floor(CAST(l_extendedprice AS DOUBLE)/15000.0) AS BIGINT), 4) AS b
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |o AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  SUM(CAST(c AS HUGEINT)*CAST((a - b)*(a - b) AS HUGEINT)) AS op FROM cells),
+        |ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY 1),
+        |e AS (SELECT SUM(CAST(ca AS HUGEINT)*CAST(cc AS HUGEINT)
+        |  *CAST((a - b)*(a - b) AS HUGEINT)) AS ep FROM ra CROSS JOIN cb)
+        |SELECT n, CAST(op AS BIGINT) AS obs_penalty,
+        |  CASE WHEN ep > 0 THEN
+        |    floor((1.0 - CAST(n AS DOUBLE)*CAST(op AS DOUBLE)/CAST(ep AS DOUBLE))
+        |      *1000000.0 + 0.5)/1000000.0 END AS kappa_w
+        |FROM o CROSS JOIN e""".stripMargin,
   )
 }

@@ -2562,6 +2562,169 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Intraclass correlation ICC(1) — one-way random effects (Shrout &
+    * Fleiss 1979 case 1; unequal group sizes via the k₀ of McGraw &
+    * Wong 1996): the fraction of total variance that lives BETWEEN
+    * groups, ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW) with
+    * k₀ = (N − Σn_i²/N)/(G−1) — the clustering-strength number behind
+    * every "should this analysis cluster standard errors / split by
+    * group" decision that [[anovaF]]'s F can't give (F says means
+    * differ; ICC says HOW MUCH of the variance that explains, and an
+    * ICC near 0 licenses treating rows as independent). Negative
+    * values (MSW > MSB) are reported as-is — the standard
+    * more-homogeneous-across-than-within reading.
+    *
+    * Determinism: [[anovaF]]'s exact 1e-4 fixed-point group moments
+    * and its 1e-6-snapped per-group between/within terms VERBATIM,
+    * plus one exact Σn_i² long sum; k₀/MSB/MSW/ICC are one pinned
+    * assembly (MS 1e-4, k₀ 1e-4, ICC 1e-6). Degenerate designs (G <
+    * 2, N ≤ G, zero within AND between variance) yield NULL.
+    *
+    * Scale shape: ONE map-side-combined group aggregation + a
+    * single-row reduce — the [[anovaF]] shape. */
+  def icc(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val g = df.filter(sf.col(valueCol).isNotNull && sf.col(groupCol).isNotNull)
+      .select(sf.col(groupCol).as("__g"), x4.as("__x4"))
+      .groupBy("__g")
+      .agg(sf.count(sf.lit(1)).as("__n"), sf.sum(dec(sf.col("__x4"))).as("__s"),
+        sf.sum(dec(sf.col("__x4")) * dec(sf.col("__x4"))).as("__ss"))
+    val sg = sf.col("__s").cast("double") / 1e4
+    val ng = sf.col("__n").cast("double")
+    val bTerm = sf.floor(sg * sg / ng * 1e6 + 0.5).cast("long")
+    val wTerm = sf.floor((sf.col("__ss").cast("double") / 1e8 - sg * sg / ng)
+      * 1e6 + 0.5).cast("long")
+    g.select(sf.col("__n"), sf.col("__s"), bTerm.as("__bt"), wTerm.as("__wt"))
+      .agg(sf.count(sf.lit(1)).as("k"), sf.sum("__n").as("n"),
+        sf.sum(sf.col("__n") * sf.col("__n")).cast("long").as("__n2"),
+        sf.sum(dec(sf.col("__s"))).as("__st"),
+        sf.sum(dec(sf.col("__bt"))).as("__b"), sf.sum(dec(sf.col("__wt"))).as("__w"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val k = sf.col("k").cast("double")
+        val grand = sf.col("__st").cast("double") / 1e4
+        val ssb = sf.col("__b").cast("double") / 1e6 - grand * grand / n
+        val ssw = sf.col("__w").cast("double") / 1e6
+        val msb = ssb / (k - 1)
+        val msw = ssw / (n - k)
+        val k0 = (n - sf.col("__n2").cast("double") / n) / (k - 1)
+        val den = msb + (k0 - 1) * msw
+        val ok = sf.col("k") > 1 && sf.col("n") > sf.col("k")
+        Seq(sf.col("k").as("n_groups"), sf.col("n"),
+          sf.when(ok, gf.roundAt(k0, 4)).as("k0"),
+          sf.when(ok, gf.roundAt(msb, 4)).as("ms_between"),
+          sf.when(ok, gf.roundAt(msw, 4)).as("ms_within"),
+          sf.when(ok && den =!= 0.0,
+            gf.roundAt((msb - msw) / den, 6)).as("icc1"))
+      }: _*)
+  }
+
+  /** Lin's concordance correlation coefficient (Lin 1989) between two
+    * numeric columns measuring the SAME quantity: ρ_c = 2s_xy/(s_x² +
+    * s_y² + (x̄−ȳ)²) — agreement through the 45° line, which Pearson's
+    * r ([[correlationMatrix]]) deliberately ignores (r = 1 for y =
+    * 2x + 3; ρ_c punishes both the scale and location shift). THE
+    * gate for "can scorer B replace scorer A" — a re-implemented
+    * quality score, a quantized embedding's similarity, a cheaper
+    * detector — where high r with low ρ_c means "same ranking,
+    * different calibration" (fixable by [[isotonicCalibration]]), and
+    * the reported bias factor C_b = ρ_c/r isolates exactly that
+    * calibration gap.
+    *
+    * Determinism: values snap to the 1e-4 grid (exact integer moment
+    * sums in DECIMAL(38,0) — ρ_c is scale-invariant so the grid
+    * cancels); ρ_c, r, and C_b are one pinned population-moment
+    * assembly rounded 1e-6. Degenerate variance (either column
+    * constant) NULLs r and C_b; a zero ρ_c denominator NULLs ρ_c.
+    *
+    * Scale shape: ONE map-side-combinable 6-cell aggregation + a
+    * one-row finish. Zero joins, zero windows. */
+  def linsCcc(df: DataFrame, colA: String, colB: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def x4(c: String) = sf.floor(sf.col(c).cast("double") * 1e4 + 0.5).cast("long")
+    val x = dec(sf.col("__x"))
+    val y = dec(sf.col("__y"))
+    df.filter(sf.col(colA).isNotNull && sf.col(colB).isNotNull)
+      .select(x4(colA).as("__x"), x4(colB).as("__y"))
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(x).as("__sx"), sf.sum(y).as("__sy"),
+        sf.sum(x * x).as("__sxx"), sf.sum(y * y).as("__syy"),
+        sf.sum(x * y).as("__sxy"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val mx = sf.col("__sx").cast("double") / n
+        val my = sf.col("__sy").cast("double") / n
+        val vx = sf.col("__sxx").cast("double") / n - mx * mx
+        val vy = sf.col("__syy").cast("double") / n - my * my
+        val cxy = sf.col("__sxy").cast("double") / n - mx * my
+        val den = vx + vy + (mx - my) * (mx - my)
+        val ccc = cxy * 2 / den
+        val r = cxy / sf.sqrt(vx * vy)
+        val ok = sf.col("n") >= 2
+        Seq(sf.col("n"),
+          sf.when(ok && den > 0.0, gf.roundAt(ccc, 6)).as("ccc"),
+          sf.when(ok && vx > 0.0 && vy > 0.0, gf.roundAt(r, 6)).as("pearson_r"),
+          sf.when(ok && den > 0.0 && vx > 0.0 && vy > 0.0 && r =!= 0.0,
+            gf.roundAt(ccc / r, 6)).as("bias_factor"))
+      }: _*)
+  }
+
+  /** Quadratic-weighted Cohen's kappa (Cohen 1968) between two
+    * INTEGER-CODED ordinal raters — the ordinal upgrade of
+    * [[cohensKappa]] (which scores "grade 1 vs grade 5" exactly as
+    * wrong as "grade 4 vs grade 5") and the standard metric for
+    * graded-label agreement (review scores, quality tiers, rubric
+    * grades). Contract: grades are equally-spaced integer codes (the
+    * [[kendallTau]] caller-buckets rule, numeric-guarded), so the
+    * quadratic penalty is the exact integer (a−b)² and its
+    * normalization cancels between numerator and denominator:
+    *
+    *   κ_w = 1 − N·Σ_cells o_ab(a−b)² / Σ_grid r_a·c_b(a−b)²
+    *
+    * Determinism: EVERY term is an exact integer — observed cells,
+    * margin products, squared differences — accumulating in
+    * DECIMAL(38,0); κ_w is ONE pinned double division rounded 1e-6.
+    * Both raters constant-and-equal (zero expected penalty) yields
+    * NULL.
+    *
+    * Scale shape: one map-side-combined (a, b) cell collapse + two
+    * margin rollups + a BROADCAST margin-grid cross join (domain²,
+    * bounded by the bucketing contract) + a one-row finish. */
+  def weightedKappa(df: DataFrame, raterACol: String,
+                    raterBCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    Seq(raterACol, raterBCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"weightedKappa: column '$c' has type ${dt.simpleString}; ordinal " +
+        "grades must be integer-coded (equally spaced) so (a-b)^2 is the " +
+        "intended penalty — map string grades to integer codes first")
+    }
+    val cells = df.filter(sf.col(raterACol).isNotNull && sf.col(raterBCol).isNotNull)
+      .groupBy(sf.col(raterACol).cast("long").as("a"),
+        sf.col(raterBCol).cast("long").as("b"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // observed sum + two margins read it
+    val obs = cells.agg(sf.sum("c").cast("long").as("n"),
+      sf.sum(dec(sf.col("c")) * dec((sf.col("a") - sf.col("b")) *
+        (sf.col("a") - sf.col("b")))).as("__o"))
+    val ra = cells.groupBy("a").agg(sf.sum("c").cast("long").as("__ra"))
+    val cb = cells.groupBy("b").agg(sf.sum("c").cast("long").as("__cb"))
+    val exp = ra.crossJoin(sf.broadcast(cb))
+      .agg(sf.sum(dec(sf.col("__ra")) * dec(sf.col("__cb")) *
+        dec((sf.col("a") - sf.col("b")) * (sf.col("a") - sf.col("b")))).as("__e"),
+        sf.count(sf.lit(1)).as("__grid"))
+    obs.crossJoin(sf.broadcast(exp))
+      .select({
+        val kw = sf.lit(1.0) - sf.col("n").cast("double") *
+          sf.col("__o").cast("double") / sf.col("__e").cast("double")
+        Seq(sf.col("n"),
+          sf.col("__o").cast("long").as("obs_penalty"),
+          sf.when(sf.col("__e") > 0, gf.roundAt(kw, 6)).as("kappa_w"))
+      }: _*)
+  }
+
   /** Spearman rank correlation between two numeric columns — the
     * monotonic-association twin of [[correlationMatrix]]'s Pearson r,
     * robust to outliers and nonlinear-but-monotone relationships.

@@ -1232,6 +1232,51 @@ object EventOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Partial autocorrelation at lags 1–3 per event type via the
+    * Durbin–Levinson closed forms over [[acf]]'s values — the AR-ORDER
+    * diagnostic the raw ACF can't give: an AR(1) process has ACF
+    * decaying at every lag (q218 shows "correlation everywhere") but
+    * PACF cutting to ≈ 0 past lag 1 — so pacf_2/pacf_3 ≈ 0 says one
+    * lag of history suffices (the [[grangerLag1]] and
+    * [[markovBacktest]] modeling assumption), while a surviving
+    * pacf_24 would say the q121 seasonal baseline is the right model.
+    * Three lags because the closed forms stay exact and readable
+    * (φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ by one more elimination
+    * step) — the standard "which small AR order" screen.
+    *
+    * Determinism: pure COMPOSITION over [[acf]] (never a second
+    * autocorrelation implementation): the 1e-6-rounded r₁..r₃ pivot to
+    * one row per type and each φ is ONE pinned double assembly of
+    * those rounded literals, outputs 1e-6; degenerate denominators
+    * (|r₁| = 1 exactly, or the lag-3 elimination singular) and
+    * constant series (NULL acf) yield NULL.
+    *
+    * Scale shape: [[acf]]'s (grid + bounded lag joins) + a 3-cell
+    * pivot on the |types| domain + a map-only finish. */
+  def pacf(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    val a = acf(events, maxLag = 3, binSec = binSec)
+    a.groupBy("event_type")
+      .agg(sf.max("n_bins").as("n_bins"),
+        sf.max(sf.when(sf.col("lag") === 1, sf.col("acf"))).as("__r1"),
+        sf.max(sf.when(sf.col("lag") === 2, sf.col("acf"))).as("__r2"),
+        sf.max(sf.when(sf.col("lag") === 3, sf.col("acf"))).as("__r3"))
+      .select({
+        val r1 = sf.col("__r1")
+        val r2 = sf.col("__r2")
+        val r3 = sf.col("__r3")
+        val d2 = sf.lit(1.0) - r1 * r1
+        val p2 = (r2 - r1 * r1) / d2
+        val f21 = r1 - p2 * r1
+        val d3 = sf.lit(1.0) - f21 * r1 - p2 * r2
+        val p3 = (r3 - f21 * r2 - p2 * r1) / d3
+        Seq(sf.col("event_type"), sf.col("n_bins"),
+          r1.as("pacf_1"),
+          sf.when(d2 =!= 0.0, gf.roundAt(p2, 6)).as("pacf_2"),
+          sf.when(d2 =!= 0.0 && d3 =!= 0.0, gf.roundAt(p3, 6)).as("pacf_3"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
   /** Per-type metric trend: OLS slope of value against time (in
     * `binSec` units, re-based to the corpus start) for every event
     * type — the "is this metric drifting" monitoring readout that

@@ -2568,6 +2568,72 @@ class OperatorsSpec extends SparkFunSuite {
     assert(ri.getAs[Double]("ad_stat") == 0.0, ri.toString)
   }
 
+  test("EventOps.pacf: hand [1,2,3,2,1] hourly series via Durbin-Levinson") {
+    import spark.implicits._
+    // counts [1,2,3,2,1]: r = [4/70, -47/70, -8/70] rounded 1e-6 ->
+    // pacf_1 = 0.057143, pacf_2 = -0.676905, pacf_3 = -0.020864
+    val rows = Seq.tabulate(5)(identity).flatMap { b =>
+      val cnt = Seq(1, 2, 3, 2, 1)(b)
+      (0 until cnt).map(i => (f"2024-01-01 $b%02d:0$i:00", "a", 1.0))
+    }
+    val ev = rows.toDF("ts_s", "event_type", "value")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("event_type"), sf.col("value"))
+    val r = EventOps.pacf(ev).head()
+    assert(r.getAs[Long]("n_bins") == 5, r.toString)
+    assert(r.getAs[Double]("pacf_1") == 0.057143, r.toString)
+    assert(r.getAs[Double]("pacf_2") == -0.676905, r.toString)
+    assert(r.getAs[Double]("pacf_3") == -0.020864, r.toString)
+  }
+
+  test("QualityChecks.icc: two-group hand case 53/56; k0 = 3") {
+    import spark.implicits._
+    // a: [1,2,3], b: [7,8,9] -> SSB = 54, SSW = 4, MSB = 54, MSW = 1,
+    // k0 = 3 -> ICC = 53/56 = 0.946429
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 7.0), ("b", 8.0), ("b", 9.0)).toDF("g", "v")
+    val r = QualityChecks.icc(df, "g", "v").head()
+    assert(r.getAs[Long]("n_groups") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Double]("k0") == 3.0 &&
+      r.getAs[Double]("ms_between") == 54.0 &&
+      r.getAs[Double]("ms_within") == 1.0, r.toString)
+    assert(r.getAs[Double]("icc1") == 0.946429, r.toString)
+    // one group: degenerate -> NULLs
+    val r1 = QualityChecks.icc(df.filter(sf.col("g") === "a"), "g", "v").head()
+    assert(r1.isNullAt(r1.fieldIndex("icc1")), r1.toString)
+  }
+
+  test("QualityChecks.linsCcc: identity 1; unit shift 4/7 with r = 1") {
+    import spark.implicits._
+    val id = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    val r = QualityChecks.linsCcc(id, "x", "y").head()
+    assert(r.getAs[Double]("ccc") == 1.0 && r.getAs[Double]("pearson_r") == 1.0 &&
+      r.getAs[Double]("bias_factor") == 1.0, r.toString)
+    // y = x + 1: perfect correlation, pure location bias -> ccc = 4/7
+    val sh = Seq((1.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val rs = QualityChecks.linsCcc(sh, "x", "y").head()
+    assert(rs.getAs[Double]("pearson_r") == 1.0 &&
+      rs.getAs[Double]("ccc") == 0.571429 &&
+      rs.getAs[Double]("bias_factor") == 0.571429, rs.toString)
+  }
+
+  test("QualityChecks.weightedKappa: hand 10/26; perfect 1; string rejected") {
+    import spark.implicits._
+    // cells (0,0) (1,1) (2,2) (0,2): obs penalty 4, expected 26 ->
+    // kappa_w = 1 - 4*4/26 = 10/26
+    val df = Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 2L)).toDF("a", "b")
+    val r = QualityChecks.weightedKappa(df, "a", "b").head()
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("obs_penalty") == 4)
+    assert(r.getAs[Double]("kappa_w") == 0.384615, r.toString)
+    val rp = QualityChecks.weightedKappa(
+      Seq((0L, 0L), (2L, 2L)).toDF("a", "b"), "a", "b").head()
+    assert(rp.getAs[Double]("kappa_w") == 1.0, rp.toString)
+    val e = intercept[IllegalArgumentException] {
+      QualityChecks.weightedKappa(Seq(("x", 1L)).toDF("a", "b"), "a", "b")
+    }
+    assert(e.getMessage.contains("integer-coded"), e.getMessage)
+  }
+
   test("QualityChecks.twoProportionEffects: hand z/RR/OR CIs; 3-arm NULLs") {
     import spark.implicits._
     // a: 4/10, b: 2/10 -> z = 0.9759, RR = 2 [0.467479, 8.556536],
