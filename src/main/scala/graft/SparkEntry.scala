@@ -2285,6 +2285,24 @@ object SparkEntry {
           sf.expr("least(CAST(floor(CAST(l_extendedprice AS DOUBLE) / 15000.0) AS BIGINT), 4)")
             .as("grade_b")),
         "grade_a", "grade_b")),
+
+    // Boilerplate-prefix detection: 2-token document prefixes covering
+    // >= 5% of a source — the template fingerprint feeding a
+    // prefix-strip / blocklist pass.
+    "q325_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplatePrefixes(docs(s, dir), "source", "text",
+        nTokens = 2, phi = 0.05)),
+
+    // Embedding anisotropy per label + pooled: EXACT mean pairwise
+    // cosine via the mean-vector identity — one linear pass, no pair
+    // join, the "run all-but-the-top first?" gate.
+    "q326_anisotropy" -> ((s, dir) =>
+      Similarity.anisotropy(emb(s, dir))),
+
+    // RFM segmentation over purchase events: exact-rank quintile codes
+    // via globalDenseIds (never a one-task NTILE), "555"-style segment.
+    "q327_rfm" -> ((s, dir) =>
+      EventOps.rfmSegments(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -9926,5 +9944,84 @@ object SparkEntry {
         |    floor((1.0 - CAST(n AS DOUBLE)*CAST(op AS DOUBLE)/CAST(ep AS DOUBLE))
         |      *1000000.0 + 0.5)/1000000.0 END AS kappa_w
         |FROM o CROSS JOIN e""".stripMargin,
+
+    // Boilerplate prefixes: one canonical 2-token prefix per doc,
+    // exact integer share-threshold (phi4 = 500), pinned share.
+    "q325_boilerplate" ->
+      """WITH base AS (SELECT source,
+        |  array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 2), ' ') AS prefix
+        |  FROM documents WHERE source IS NOT NULL AND length(trim(text)) > 0),
+        |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source_docs FROM base GROUP BY 1),
+        |c AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs FROM base GROUP BY 1, 2)
+        |SELECT c.source, prefix, n_docs, n_source_docs,
+        |  floor(CAST(n_docs AS DOUBLE)/CAST(n_source_docs AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share
+        |FROM c JOIN t ON c.source = t.source
+        |WHERE n_docs >= 2 AND n_docs*10000 >= 500*n_source_docs
+        |ORDER BY c.source, n_docs DESC, prefix""".stripMargin,
+
+    // Anisotropy: left-fold norms (the q26 dot convention), 1e-9
+    // component snap, exact per-dim sums, mean-vector identity.
+    "q326_anisotropy" ->
+      """WITH base AS (SELECT CAST(label AS VARCHAR) AS lbl, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |n0 AS (SELECT lbl, v, sqrt(list_reduce([x*x FOR x IN v], (a, b) -> a + b)) AS nrm
+        |  FROM base),
+        |u AS (SELECT lbl, CAST(floor(nrm*10000.0 + 0.5) AS BIGINT) AS n4,
+        |  [CAST(floor(x/nrm*1000000000.0 + 0.5) AS BIGINT) FOR x IN v] AS uv
+        |  FROM n0 WHERE nrm > 0),
+        |pl AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(n4) AS BIGINT) AS sn4 FROM u GROUP BY 1),
+        |ex AS (SELECT lbl, e.dim AS dim, e.ufx AS ufx FROM
+        |  (SELECT lbl, unnest([{'dim': i, 'ufx': uv[i+1]} FOR i IN range(0, len(uv))]) AS e
+        |   FROM u)),
+        |pd AS (SELECT lbl, dim, SUM(CAST(ufx AS HUGEINT)) AS sd,
+        |  SUM(CAST(ufx AS HUGEINT)*ufx) AS snd FROM ex GROUP BY 1, 2),
+        |bl AS (SELECT lbl, SUM(sd*sd) AS ssq, SUM(snd) AS sn FROM pd GROUP BY 1),
+        |al AS (SELECT SUM(d*d) AS ssq, SUM(nd2) AS sn FROM
+        |  (SELECT dim, SUM(sd) AS d, SUM(snd) AS nd2 FROM pd GROUP BY 1)),
+        |ap AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(sn4) AS BIGINT) AS sn4 FROM pl),
+        |unioned AS (
+        |  SELECT bl.lbl, pl.n_vectors, pl.sn4, bl.ssq, bl.sn FROM bl JOIN pl USING (lbl)
+        |  UNION ALL SELECT '(all)', ap.n_vectors, ap.sn4, al.ssq, al.sn
+        |  FROM al CROSS JOIN ap)
+        |SELECT lbl AS label, n_vectors,
+        |  floor(CAST(sn4 AS DOUBLE)/10000.0/CAST(n_vectors AS DOUBLE)*10000.0 + 0.5)/10000.0 AS mean_norm,
+        |  CASE WHEN n_vectors >= 2 THEN
+        |    floor(CAST(ssq - sn AS DOUBLE)/1e18
+        |      /(CAST(n_vectors AS DOUBLE)*(CAST(n_vectors AS DOUBLE) - 1.0))
+        |      *1000000.0 + 0.5)/1000000.0 END AS mean_cos
+        |FROM unioned ORDER BY label""".stripMargin,
+
+    // RFM: exact micro recency, 1e-4 monetary, ROW_NUMBER rank twins
+    // of the three globalDenseIds passes, identical code arithmetic.
+    "q327_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CASE WHEN value IS NOT NULL THEN
+        |    CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) END AS v4
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |mx AS (SELECT MAX(us) AS mxus FROM p),
+        |per AS (SELECT user_id AS u,
+        |  CAST((mxus - MAX(us)) // 86400000000 AS BIGINT) AS recency_days,
+        |  CAST(COUNT(*) AS BIGINT) AS frequency,
+        |  COALESCE(SUM(CAST(v4 AS HUGEINT)), 0) AS m4
+        |  FROM p CROSS JOIN mx GROUP BY user_id, mxus),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM per),
+        |rr AS (SELECT u, row_number() OVER (ORDER BY recency_days, u) AS rk FROM per),
+        |rf AS (SELECT u, row_number() OVER (ORDER BY frequency, u) AS rk FROM per),
+        |rm AS (SELECT u, row_number() OVER (ORDER BY m4, u) AS rk FROM per),
+        |f AS (SELECT per.u, recency_days, frequency, m4,
+        |  6 - ((rr.rk - 1)*5 // nn + 1) AS rc,
+        |  (rf.rk - 1)*5 // nn + 1 AS fc,
+        |  (rm.rk - 1)*5 // nn + 1 AS mc
+        |  FROM per JOIN rr ON rr.u = per.u JOIN rf ON rf.u = per.u
+        |       JOIN rm ON rm.u = per.u CROSS JOIN n)
+        |SELECT u AS user_id, recency_days, frequency,
+        |  floor(CAST(m4 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS monetary,
+        |  CAST(rc AS INT) AS r_code, CAST(fc AS INT) AS f_code,
+        |  CAST(mc AS INT) AS m_code,
+        |  CAST(rc AS VARCHAR) || CAST(fc AS VARCHAR) || CAST(mc AS VARCHAR) AS segment
+        |FROM f ORDER BY user_id""".stripMargin,
   )
 }

@@ -1232,6 +1232,79 @@ object EventOps {
       .orderBy("event_type", "lag")
   }
 
+  /** RFM segmentation (Hughes 1994 — the retention-marketing
+    * standard): per user over their `purchaseType` events, Recency
+    * (days since last purchase, vs the corpus max timestamp),
+    * Frequency (purchase count), Monetary (value sum), each coded
+    * into `nBins` quantile scores (5 = best: most recent / most
+    * frequent / highest spend) and concatenated into the familiar
+    * "555"-style segment — the behavioral cohort key every
+    * lifecycle-marketing and churn readout joins on.
+    *
+    * Determinism: recency is exact integer days from exact micros;
+    * monetary is an exact 1e-4 fixed-point sum; quantile codes come
+    * from each metric's EXACT rank in the total order (metric, user)
+    * via [[graft.operators.StarSchema.globalDenseIds]] (range
+    * partition + broadcast offsets — the row-340 rule, never a
+    * one-task NTILE window), code = ⌊(rank−1)·nBins/n⌋ + 1 with
+    * recency's code flipped so 5 = most recent; ties split by user id
+    * at quantile boundaries — the classical NTILE contract, here a
+    * pure function of the data.
+    *
+    * Scale shape: one map-side-combined per-user aggregation + one
+    * broadcast scalar (max ts) + three range-partitioned rank passes
+    * + three equi joins back on the user key. */
+  def rfmSegments(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type",
+                  valueCol: String = "value",
+                  purchaseType: String = "purchase",
+                  nBins: Int = 5): DataFrame = {
+    require(nBins >= 2 && nBins <= 10, s"nBins must be in [2, 10], got $nBins")
+    val p = events.filter(sf.col(typeCol) === purchaseType &&
+      sf.col(userCol).isNotNull && sf.col(tsCol).isNotNull)
+    val mx = p.agg(sf.max(sf.unix_micros(sf.col(tsCol))).as("__mx"))
+    val v4 = sf.when(sf.col(valueCol).isNotNull,
+      sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long"))
+    val per = p.groupBy(sf.col(userCol).as("user"))
+      .agg(sf.max(sf.unix_micros(sf.col(tsCol))).as("__last"),
+        sf.count(sf.lit(1)).as("frequency"),
+        sf.sum(v4.cast("decimal(38,0)")).as("__m4"))
+      .crossJoin(sf.broadcast(mx))
+      .select(sf.col("user"),
+        sf.expr("(__mx - __last) div 86400000000").as("recency_days"),
+        sf.col("frequency"),
+        sf.coalesce(sf.col("__m4"), sf.lit(0).cast("decimal(38,0)")).as("__m4"))
+      .localCheckpoint(true) // count + three rank passes read it
+    val n = per.agg(sf.count(sf.lit(1)).as("__n"))
+    def code(rankCol: String, flip: Boolean) = {
+      val q = sf.expr(s"(($rankCol - 1) * $nBins) div __n + 1")
+      if (flip) sf.lit(nBins + 1) - q else q
+    }
+    val ranked = Seq(("recency_days", "__rr"), ("frequency", "__rf"))
+      .foldLeft(per) { case (df, (m, rk)) =>
+        df.join(graft.operators.StarSchema
+          .globalDenseIds(per.select(sf.col("user"), sf.col(m)),
+            Seq(m, "user"), rk).select("user", rk), "user")
+      }
+      .join(graft.operators.StarSchema
+        .globalDenseIds(per.select(sf.col("user"), sf.col("__m4")),
+          Seq("__m4", "user"), "__rm").select("user", "__rm"), "user")
+    ranked.crossJoin(sf.broadcast(n))
+      .select({
+        val r = code("__rr", flip = true)
+        val f = code("__rf", flip = false)
+        val m = code("__rm", flip = false)
+        Seq(sf.col("user").as(userCol), sf.col("recency_days"),
+          sf.col("frequency"),
+          gf.roundAt(sf.col("__m4").cast("double") / 1e4, 4).as("monetary"),
+          r.cast("int").as("r_code"), f.cast("int").as("f_code"),
+          m.cast("int").as("m_code"),
+          sf.concat(r.cast("string"), f.cast("string"), m.cast("string"))
+            .as("segment"))
+      }: _*)
+      .orderBy(userCol)
+  }
+
   /** Partial autocorrelation at lags 1–3 per event type via the
     * Durbin–Levinson closed forms over [[acf]]'s values — the AR-ORDER
     * diagnostic the raw ACF can't give: an AR(1) process has ACF

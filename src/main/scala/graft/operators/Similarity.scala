@@ -1810,4 +1810,83 @@ object Similarity {
           sf.col("__s6").cast("double") /
             (sf.col("n_pairs").cast("double") * 1e6), 6)).as("mmd2_linear"))
   }
+
+  /** Embedding-space anisotropy per label + a pooled `(all)` row —
+    * the EXACT mean pairwise cosine over all distinct vector pairs via
+    * the mean-vector identity: with unit-normalized u_i,
+    * Σ_{i≠j} cos(u_i, u_j) = ‖Σu‖² − Σ‖u‖², so the average needs ONE
+    * linear pass, not a pair join or a sample. Anisotropy (Ethayarajh
+    * 2019) is THE embedding-table pathology [[dimProfile]] /
+    * [[truncationFidelity]] can't see: mean-cos near 1 means all
+    * vectors share a dominant direction, cosine similarity loses its
+    * dynamic range, and every downstream threshold (dedup, decontam,
+    * ANN) silently degrades — the number that tells you to run
+    * [[principalComponentRemoval]] ("all-but-the-top") first. The
+    * per-label rows localize which label's cone collapsed.
+    *
+    * Determinism: each vector normalizes in IEEE doubles (left-fold
+    * Σx² — the [[lshTopK]] dot-fold convention) and the normalized
+    * components SNAP to the 1e-9 grid, after which every sum
+    * (per-dim component sums, per-vector norm parts) is an exact
+    * DECIMAL(38,0); mean-cos is ONE pinned assembly rounded 1e-6;
+    * zero-norm vectors drop (documented), labels with n < 2 yield
+    * NULL. The `(all)` row re-aggregates the per-(label, dim) sums —
+    * domain-only work, the corpus is read once.
+    *
+    * Scale shape: one map-only normalize + posexplode, ONE
+    * map-side-combined (label, dim) aggregation (shuffle ≤ labels ×
+    * dim per map task), a labels-domain rollup, and a dim-domain
+    * re-agg for the pooled row. No joins on data rows, no pair
+    * enumeration anywhere. */
+  def anisotropy(emb: DataFrame, labelCol: String = "label",
+                 vecCol: String = "embedding"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = Par.spread(emb
+        .filter(sf.col(vecCol).isNotNull && sf.col(labelCol).isNotNull)
+        .select(sf.col(labelCol).cast("string").as("lbl"),
+          sf.col(vecCol).cast("array<double>").as("v")))
+    val nrm = sf.sqrt(sf.aggregate(
+      sf.transform(sf.col("v"), x => x * x), sf.lit(0.0), (a, e) => a + e))
+    val withU = base.withColumn("__nrm", nrm)
+      .filter(sf.col("__nrm") > 0.0)
+      .select(sf.col("lbl"),
+        sf.floor(sf.col("__nrm") * 1e4 + 0.5).cast("long").as("__n4"),
+        sf.transform(sf.col("v"),
+          x => sf.floor(x / sf.col("__nrm") * 1e9 + 0.5).cast("long")).as("u"))
+      .localCheckpoint(true) // label counts + the dim explode read it
+    val perLbl = withU.groupBy("lbl")
+      .agg(sf.count(sf.lit(1)).as("n_vectors"), sf.sum("__n4").as("__sn4"))
+    val perDim = withU
+      .select(sf.col("lbl"), sf.posexplode(sf.col("u")).as(Seq("dim", "ufx")))
+      .groupBy("lbl", "dim")
+      .agg(sf.sum(dec(sf.col("ufx"))).as("__sd"),
+        sf.sum(dec(sf.col("ufx")) * dec(sf.col("ufx"))).as("__snd"))
+      .localCheckpoint(true) // per-label rollup + (all) re-agg read it
+    def finish(grouped: DataFrame, counts: DataFrame) = grouped
+      .join(counts, "lbl")
+      .select({
+        val n = sf.col("n_vectors").cast("double")
+        val meanCos = (sf.col("__ssq") - sf.col("__sn")).cast("double") / 1e18 /
+          (n * (n - 1.0))
+        Seq(sf.col("lbl").as("label"), sf.col("n_vectors"),
+          gf.roundAt(sf.col("__sn4").cast("double") / 1e4 / n, 4).as("mean_norm"),
+          sf.when(sf.col("n_vectors") >= 2,
+            gf.roundAt(meanCos, 6)).as("mean_cos"))
+      }: _*)
+    val byLabel = finish(
+      perDim.groupBy("lbl").agg(
+        sf.sum(sf.col("__sd") * sf.col("__sd")).as("__ssq"),
+        sf.sum("__snd").as("__sn")),
+      perLbl)
+    val pooled = finish(
+      perDim.groupBy("dim").agg(sf.sum("__sd").as("__d"),
+          sf.sum("__snd").as("__nd"))
+        .agg(sf.sum(sf.col("__d") * sf.col("__d")).as("__ssq"),
+          sf.sum("__nd").as("__sn"))
+        .withColumn("lbl", sf.lit("(all)")),
+      perLbl.agg(sf.sum("n_vectors").cast("long").as("n_vectors"),
+          sf.sum("__sn4").as("__sn4"))
+        .withColumn("lbl", sf.lit("(all)")))
+    byLabel.union(pooled).orderBy("label")
+  }
 }

@@ -1379,4 +1379,53 @@ object TextAnalysis {
           sf.col("n_docs").cast("double"), 6).as("share_noise"))
       .orderBy(groupCol)
   }
+
+  /** Boilerplate-prefix detection per source: n-token document
+    * prefixes shared by ≥ max(2, ⌈phi·n_source⌉) of a source's docs —
+    * the TEMPLATE fingerprint (injected headers, scraper banners,
+    * license preambles, "subscribe to read" walls) that per-document
+    * gates can't see because each instance looks fine alone; the
+    * flagged prefixes feed a [[phraseBlocklist]] / prefix-strip pass,
+    * which is exactly how production curation removes crawler
+    * boilerplate. Share-THRESHOLD semantics, not top-k: "what covers
+    * ≥ phi of the source" is the curation question, and it needs no
+    * per-source ranking window — the output stays exact and
+    * data-independent in shape.
+    *
+    * Determinism: one canonical prefix per doc (lowercased whitespace
+    * tokens, first `nTokens`, space-joined — shorter docs contribute
+    * their whole token list; token-free docs drop); exact integer
+    * counts; phi snaps to the 1e-4 grid and the share-≥-phi test runs
+    * on exact integers (n_docs·10⁴ ≥ phi₄·n_source — no doubles in
+    * the decision); the reported share is one pinned division rounded
+    * 1e-6.
+    *
+    * Scale shape: a map-only prefix projection (ONE row per doc — no
+    * token fan-out), one map-side-combined (source, prefix) count, a
+    * |sources|-domain totals broadcast. No windows, no sketch
+    * needed. */
+  def boilerplatePrefixes(docs: DataFrame, sourceCol: String, textCol: String,
+                          nTokens: Int = 2, phi: Double = 0.05): DataFrame = {
+    require(nTokens >= 1 && nTokens <= 64,
+      s"nTokens must be in [1, 64], got $nTokens")
+    require(phi > 0 && phi <= 1, s"phi must be in (0, 1], got $phi")
+    val toks = gf.wsTokens(sf.lower(sf.col(textCol)))
+    val base = graft.operators.Par.spread(
+        docs.select(sf.col(sourceCol).as("source"), sf.col(textCol)))
+      .filter(sf.col("source").isNotNull && sf.size(toks) >= 1)
+      .select(sf.col("source"),
+        sf.array_join(sf.slice(toks, 1, nTokens), " ").as("prefix"))
+      .localCheckpoint(true) // totals + prefix counts read it
+    val totals = base.groupBy("source").agg(sf.count(sf.lit(1)).as("n_source_docs"))
+    base.groupBy("source", "prefix").agg(sf.count(sf.lit(1)).as("n_docs"))
+      .join(sf.broadcast(totals), "source")
+      .filter(sf.col("n_docs") >= 2 &&
+        sf.col("n_docs") * 10000L >=
+          sf.lit(math.floor(phi * 1e4 + 0.5).toLong) * sf.col("n_source_docs"))
+      .select(sf.col("source"), sf.col("prefix"), sf.col("n_docs"),
+        sf.col("n_source_docs"),
+        gf.roundAt(sf.col("n_docs").cast("double") /
+          sf.col("n_source_docs").cast("double"), 6).as("share"))
+      .orderBy(sf.col("source"), sf.col("n_docs").desc, sf.col("prefix"))
+  }
 }

@@ -645,4 +645,42 @@ class CurationSpec extends SparkFunSuite {
       (7L, "broken url"),
       (9L, "also broken")), s"got $got")
   }
+
+  test("TextAnalysis.boilerplatePrefixes: case/space-folded threshold; empty drops") {
+    val df = Seq(("s1", "Hello World foo"), ("s1", "hello   world bar"),
+      ("s1", "other text"), ("s1", "   ")).toDF("source", "text")
+    val out = TextAnalysis.boilerplatePrefixes(df, "source", "text",
+      nTokens = 2, phi = 0.5).collect()
+    // 3 counted docs (blank drops); only "hello world" clears 50%
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getAs[String]("prefix") == "hello world" &&
+      r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("n_source_docs") == 3 &&
+      r.getAs[Double]("share") == 0.666667, r.toString)
+    // exact-boundary share == phi must PASS (>= semantics)
+    val half = Seq(("s2", "a b c"), ("s2", "a b d")).toDF("source", "text")
+    val rh = TextAnalysis.boilerplatePrefixes(half, "source", "text",
+      nTokens = 2, phi = 1.0).head()
+    assert(rh.getAs[Long]("n_docs") == 2 && rh.getAs[Double]("share") == 1.0)
+  }
+
+  test("EventOps.rfmSegments: hand 3-user quintile codes and segments") {
+    val rows = Seq(
+      (1L, "2024-01-10 00:00:00", 1L, "purchase", 10.0),
+      (2L, "2024-01-10 01:00:00", 1L, "purchase", 20.0),
+      (3L, "2024-01-09 00:00:00", 2L, "purchase", 100.0),
+      (4L, "2024-01-10 00:00:00", 3L, "purchase", 5.0),
+      (5L, "2024-01-10 02:00:00", 3L, "view", 1.0)) // non-purchase ignored
+    val ev = rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"), sf.col("value"))
+    val got = EventOps.rfmSegments(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Double]("monetary"), r.getAs[String]("segment"))).toMap
+    // ranks (metric, user) asc; q = (rk-1)*5 div 3 + 1; R flipped
+    assert(got(1L) == ((0L, 2L, 30.0, "542")), got.toString)
+    assert(got(2L) == ((1L, 1L, 100.0, "214")), got.toString)
+    assert(got(3L) == ((0L, 1L, 5.0, "421")), got.toString)
+  }
 }

@@ -896,4 +896,24 @@ class DedupSimilaritySpec extends SparkFunSuite {
     val ro = Similarity.mmdLinear(odd, "id", "v", "g", "a", "b", gamma = 0.25).head()
     assert(ro.getAs[Long]("n_a") == 5 && ro.getAs[Long]("n_pairs") == 2)
   }
+
+  test("Similarity.anisotropy: orthogonal 0, parallel 1, pooled 0.5 by identity") {
+    import spark.implicits._
+    // label a: [[1,0],[0,1]] orthogonal; label b: [[2,0],[1,0]] parallel
+    val df = Seq(("a", Seq(1.0f, 0.0f)), ("a", Seq(0.0f, 1.0f)),
+      ("b", Seq(2.0f, 0.0f)), ("b", Seq(1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.anisotropy(df).collect()
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("mean_norm"),
+          r.getAs[Double]("mean_cos"))).toMap
+    assert(got("a") == ((2L, 1.0, 0.0)), got.toString)
+    assert(got("b") == ((2L, 1.5, 1.0)), got.toString)
+    // pooled: sum u = (3,1)e9 -> (10 - 4)/(4*3) = 0.5
+    assert(got("(all)") == ((4L, 1.25, 0.5)), got.toString)
+    // single-vector label: mean_cos NULL
+    val one = Similarity.anisotropy(
+      Seq(("c", Seq(1.0f, 1.0f))).toDF("label", "embedding")).head()
+    assert(one.isNullAt(one.fieldIndex("mean_cos")), one.toString)
+  }
 }
