@@ -2303,6 +2303,38 @@ object SparkEntry {
     // via globalDenseIds (never a one-task NTILE), "555"-style segment.
     "q327_rfm" -> ((s, dir) =>
       EventOps.rfmSegments(Tables.load(s, dir, "events"))),
+
+    // Katz centrality: truncated damped-path counting in exact integer
+    // fixed point (beta 1e6, alpha = 1/8 dyadic) — the hub-dilution-
+    // free, floor-massed sibling of q119/q267.
+    "q328_katz" -> ((s, dir) =>
+      Graph.katzCentrality(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, iters = 3)),
+
+    // Categorical mixing: do co-occurrence edges stay within part
+    // brands more than the margins predict (Newman's attribute
+    // assortativity on the q256 graph, labeled from the part dim).
+    "q329_brand_mixing" -> ((s, dir) =>
+      Graph.attributeAssortativity(
+        Graph.minedEdges(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minPairCount = 2),
+        Tables.load(s, dir, "part"), "p_partkey", "p_brand")),
+
+    // Bland-Altman limits on the q323 pair: the absolute-units
+    // agreement readout beside Lin's concordance.
+    "q330_bland_altman" -> ((s, dir) =>
+      QualityChecks.blandAltman(
+        Tables.load(s, dir, "lineitem")
+          .select(sf.col("l_quantity").cast("double").as("qty"),
+            (sf.col("l_extendedprice").cast("double") / 10000.0).as("price10k")),
+        "qty", "price10k")),
+
+    // Gwet's AC1 on the q182 rater pair: the prevalence-robust
+    // agreement beside kappa — kappa << AC1 flags the kappa paradox.
+    "q331_gwet_ac1" -> ((s, dir) =>
+      QualityChecks.gwetAC1(
+        TextAnalysis.langId(docs(s, dir), "doc_id", "text", Some("lang")),
+        "predicted_lang", "label_lang")),
   )
 
   // ---------------------------------------------------------------------
@@ -10023,5 +10055,129 @@ object SparkEntry {
         |  CAST(mc AS INT) AS m_code,
         |  CAST(rc AS VARCHAR) || CAST(fc AS VARCHAR) || CAST(mc AS VARCHAR) AS segment
         |FROM f ORDER BY user_id""".stripMargin,
+
+    // Katz: the q267 funnel at minPairCount=3, three unrolled
+    // x = (sum_in x) // 8 + 1e6 rounds, isolated-in-degree nodes at
+    // the beta floor each round.
+    "q328_katz" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |ed AS (SELECT item_a AS src, item_b AS dst FROM e
+        |       UNION ALL SELECT item_b, item_a FROM e),
+        |nodes AS (SELECT DISTINCT src AS item FROM ed),
+        |x0 AS (SELECT item, CAST(1000000 AS BIGINT) AS v FROM nodes),
+        |r1 AS (SELECT dst, SUM(v) AS s FROM ed JOIN x0 ON x0.item = ed.src GROUP BY 1),
+        |x1 AS (SELECT nodes.item, COALESCE(s // 8, 0) + 1000000 AS v
+        |       FROM nodes LEFT JOIN r1 ON r1.dst = nodes.item),
+        |r2 AS (SELECT dst, SUM(v) AS s FROM ed JOIN x1 ON x1.item = ed.src GROUP BY 1),
+        |x2 AS (SELECT nodes.item, COALESCE(s // 8, 0) + 1000000 AS v
+        |       FROM nodes LEFT JOIN r2 ON r2.dst = nodes.item),
+        |r3 AS (SELECT dst, SUM(v) AS s FROM ed JOIN x2 ON x2.item = ed.src GROUP BY 1),
+        |x3 AS (SELECT nodes.item, COALESCE(s // 8, 0) + 1000000 AS v
+        |       FROM nodes LEFT JOIN r3 ON r3.dst = nodes.item)
+        |SELECT item, CAST(v AS BIGINT) AS katz_fx FROM x3
+        |ORDER BY katz_fx DESC, item""".stripMargin,
+
+    // Brand mixing: the q256 funnel + part-brand attach on both
+    // endpoints, exact mixing cells/margins, one pinned division.
+    "q329_brand_mixing" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ed AS (SELECT item_a AS src, item_b AS dst FROM e
+        |       UNION ALL SELECT item_b, item_a FROM e),
+        |lab AS (SELECT DISTINCT p_partkey AS node, CAST(p_brand AS VARCHAR) AS lbl
+        |        FROM part WHERE p_brand IS NOT NULL),
+        |cells AS (SELECT la.lbl AS a, lb.lbl AS bb, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM ed JOIN lab la ON la.node = ed.src JOIN lab lb ON lb.node = ed.dst
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(m) AS BIGINT) AS me,
+        |  CAST(SUM(CASE WHEN a = bb THEN m ELSE 0 END) AS BIGINT) AS mii,
+        |  CAST(COUNT(DISTINCT a) AS BIGINT) AS nl FROM cells),
+        |rm AS (SELECT a, CAST(SUM(m) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cm AS (SELECT bb, CAST(SUM(m) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |ab AS (SELECT SUM(CAST(COALESCE(r, 0) AS DECIMAL(38,0))
+        |  * CAST(COALESCE(c, 0) AS DECIMAL(38,0))) AS s
+        |  FROM rm FULL OUTER JOIN cm ON rm.a = cm.bb)
+        |SELECT me AS n_directed_edges, nl AS n_labels,
+        |  CASE WHEN CAST(CAST(me AS DECIMAL(38,0))*me - s AS DOUBLE) <> 0 THEN
+        |    floor(CAST(CAST(me AS DECIMAL(38,0))*mii - s AS DOUBLE)
+        |      /CAST(CAST(me AS DECIMAL(38,0))*me - s AS DOUBLE)*1000000.0 + 0.5)/1000000.0
+        |  END AS assortativity
+        |FROM t CROSS JOIN ab""".stripMargin,
+
+    // Bland-Altman: exact d4 value-domain collapse, sample-SD limits,
+    // outside share against the pinned double bounds.
+    "q330_bland_altman" ->
+      """WITH s AS (SELECT
+        |  CAST(floor(CAST(l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(l_extendedprice AS DOUBLE)/10000.0*1e4 + 0.5) AS BIGINT) AS d4
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |dom AS (SELECT d4, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1),
+        |m AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  SUM(CAST(d4 AS HUGEINT)*c) AS s1,
+        |  SUM(CAST(d4 AS HUGEINT)*d4*c) AS s2 FROM dom),
+        |f AS (SELECT n,
+        |  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)/1e4 AS mean,
+        |  sqrt((CAST(s2 AS DOUBLE)/1e8
+        |    - (CAST(s1 AS DOUBLE)/1e4)*(CAST(s1 AS DOUBLE)/1e4)/CAST(n AS DOUBLE))
+        |    /(CAST(n AS DOUBLE) - 1.0)) AS sd FROM m),
+        |g AS (SELECT n, mean, sd, mean - 1.959964*sd AS lo,
+        |  mean + 1.959964*sd AS hi FROM f),
+        |o AS (SELECT CAST(SUM(CASE WHEN CAST(d4 AS DOUBLE)/1e4 < lo
+        |  OR CAST(d4 AS DOUBLE)/1e4 > hi THEN c ELSE 0 END) AS BIGINT) AS nout
+        |  FROM dom CROSS JOIN g)
+        |SELECT n, floor(mean*10000.0 + 0.5)/10000.0 AS mean_diff,
+        |  CASE WHEN n >= 2 AND sd > 0 THEN floor(sd*10000.0 + 0.5)/10000.0 END AS sd_diff,
+        |  CASE WHEN n >= 2 AND sd > 0 THEN floor(lo*10000.0 + 0.5)/10000.0 END AS loa_lo,
+        |  CASE WHEN n >= 2 AND sd > 0 THEN floor(hi*10000.0 + 0.5)/10000.0 END AS loa_hi,
+        |  floor(CAST(nout AS DOUBLE)/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share_outside
+        |FROM g CROSS JOIN o""".stripMargin,
+
+    // Gwet AC1: the q182 langid staging, union-margin pi's, 1e-12-
+    // snapped chance terms, pinned assembly.
+    "q331_gwet_ac1" -> {
+      val cands = functions.stopwords.toSeq.sortBy(_._1).map { case (l, sw) =>
+        s"('$l', [${sw.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang AS label_lang,
+         |    list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+         |  FROM documents),
+         |sc AS (
+         |  SELECT b.doc_id, b.label_lang, u.l AS cand,
+         |    len(list_intersect(b.toks, u.sw)) AS score
+         |  FROM base b, (VALUES $cands) u(l, sw)),
+         |pred AS (SELECT doc_id, label_lang, cand AS predicted_lang FROM (
+         |  SELECT doc_id, label_lang, cand,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |cells AS (SELECT predicted_lang AS a, label_lang AS bb,
+         |  CAST(COUNT(*) AS BIGINT) AS c FROM pred
+         |  WHERE predicted_lang IS NOT NULL AND label_lang IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN a = bb THEN c ELSE 0 END) AS BIGINT) AS agree FROM cells),
+         |cats AS (SELECT cat, CAST(SUM(c) AS BIGINT) AS m FROM (
+         |  SELECT a AS cat, c FROM cells UNION ALL SELECT bb, c FROM cells) GROUP BY 1),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories FROM cats),
+         |terms AS (SELECT SUM(CASE WHEN n_categories >= 2 THEN
+         |    CAST(floor(CAST(m AS DOUBLE)/(CAST(n AS DOUBLE)*2)
+         |      *(1.0 - CAST(m AS DOUBLE)/(CAST(n AS DOUBLE)*2))
+         |      /(CAST(n_categories AS DOUBLE) - 1)*1000000000000.0 + 0.5) AS BIGINT)
+         |  END) AS pe12 FROM cats CROSS JOIN tot CROSS JOIN nc)
+         |SELECT n, n_categories,
+         |  floor(CAST(agree AS DOUBLE)/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS p_observed,
+         |  CASE WHEN n_categories >= 2 THEN
+         |    floor(CAST(pe12 AS DOUBLE)/1000000000000.0*1000000.0 + 0.5)/1000000.0 END AS p_chance,
+         |  CASE WHEN n_categories >= 2 AND CAST(pe12 AS DOUBLE)/1000000000000.0 < 1.0 THEN
+         |    floor((CAST(agree AS DOUBLE)/CAST(n AS DOUBLE)
+         |        - CAST(pe12 AS DOUBLE)/1000000000000.0)
+         |      /(1.0 - CAST(pe12 AS DOUBLE)/1000000000000.0)*10000.0 + 0.5)/10000.0
+         |  END AS ac1
+         |FROM tot CROSS JOIN nc CROSS JOIN terms""".stripMargin
+    },
   )
 }

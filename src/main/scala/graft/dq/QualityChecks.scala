@@ -2670,6 +2670,123 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Bland–Altman agreement limits (Bland & Altman 1986) between two
+    * measurements of the same quantity: mean difference (the BIAS),
+    * the 95% limits of agreement mean ± z·SD(diff), and the share of
+    * rows outside them — the ABSOLUTE-UNITS companion of [[linsCcc]]
+    * (ρ_c says "agreement is 0.87"; Bland–Altman says "scorer B reads
+    * 0.03 high and 5% of rows disagree by more than ±0.12" — the
+    * number a replace-scorer-A decision actually needs).
+    *
+    * Determinism: per-row differences are EXACT integers on the 1e-4
+    * grid (d₄ = x₄ − y₄); moment sums DECIMAL(38,0); mean/SD (sample,
+    * n−1) and the limits are one pinned assembly rounded 1e-4, the
+    * outside share 1e-6. The outside test compares the exact integer
+    * d₄ against the pinned double bounds — reproducible row
+    * membership (the [[centroidDistances]] convention). n < 2 or zero
+    * variance NULLs the limits (share then counts d ≠ mean... zero-SD
+    * limits collapse to the mean — share reported against them).
+    *
+    * Scale shape: one map-side-combined collapse to the d₄ VALUE
+    * DOMAIN, a 3-cell moment rollup, one broadcast back to the domain
+    * for the outside count — two domain-sized passes, the raw rows
+    * read once. */
+  def blandAltman(df: DataFrame, colA: String, colB: String,
+                  z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def x4(c: String) = sf.floor(sf.col(c).cast("double") * 1e4 + 0.5).cast("long")
+    val dom = df.filter(sf.col(colA).isNotNull && sf.col(colB).isNotNull)
+      .select((x4(colA) - x4(colB)).as("__d4"))
+      .groupBy("__d4").agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true) // moments + outside count read it
+    val mom = dom.agg(sf.sum("__c").cast("long").as("n"),
+      sf.sum(dec(sf.col("__d4")) * dec(sf.col("__c"))).as("__s1"),
+      sf.sum(dec(sf.col("__d4")) * dec(sf.col("__d4")) * dec(sf.col("__c")))
+        .as("__s2"))
+    val withB = mom.select({
+      val n = sf.col("n").cast("double")
+      val mean = sf.col("__s1").cast("double") / n / 1e4
+      val sd = sf.sqrt((sf.col("__s2").cast("double") / 1e8 -
+        (sf.col("__s1").cast("double") / 1e4) *
+          (sf.col("__s1").cast("double") / 1e4) / n) / (n - 1.0))
+      Seq(sf.col("n"), mean.as("__mean"), sd.as("__sd"),
+        (mean - sf.lit(z) * sd).as("__lo"), (mean + sf.lit(z) * sd).as("__hi"))
+    }: _*)
+    val outside = dom.crossJoin(sf.broadcast(withB))
+      .agg(sf.sum(sf.when(
+        sf.col("__d4").cast("double") / 1e4 < sf.col("__lo") ||
+          sf.col("__d4").cast("double") / 1e4 > sf.col("__hi"),
+        sf.col("__c")).otherwise(sf.lit(0L))).cast("long").as("__nout"))
+    withB.crossJoin(sf.broadcast(outside))
+      .select({
+        val ok = sf.col("n") >= 2 && sf.col("__sd") > 0.0
+        Seq(sf.col("n"),
+          gf.roundAt(sf.col("__mean"), 4).as("mean_diff"),
+          sf.when(ok, gf.roundAt(sf.col("__sd"), 4)).as("sd_diff"),
+          sf.when(ok, gf.roundAt(sf.col("__lo"), 4)).as("loa_lo"),
+          sf.when(ok, gf.roundAt(sf.col("__hi"), 4)).as("loa_hi"),
+          gf.roundAt(sf.col("__nout").cast("double") /
+            sf.col("n").cast("double"), 6).as("share_outside"))
+      }: _*)
+  }
+
+  /** Gwet's AC1 chance-corrected agreement (Gwet 2008) between two
+    * categorical raters — the PREVALENCE-ROBUST sibling of
+    * [[cohensKappa]]: when one category dominates (a 95%-English
+    * corpus), kappa's chance term π_c² explodes and two raters
+    * agreeing on nearly every row can still score κ ≈ 0 (the "kappa
+    * paradox"); AC1's chance term Σ_c π_c(1−π_c)/(C−1) stays small
+    * exactly there, so it grades the raters, not the class balance.
+    * Read both: κ ≪ AC1 IS the prevalence-skew diagnosis.
+    *
+    * Determinism: exact (a, b) cells; π_c = (r1_c + r2_c)/2n; each
+    * category's chance term snaps to the 1e-12 grid before the
+    * unordered category sum (the [[chiSquared]]-family convention);
+    * p_o is exact integers, AC1 one pinned assembly rounded 1e-4
+    * (p_o/p_e 1e-6). C < 2 or p_e = 1 yields NULL.
+    *
+    * Scale shape: one map-side-combined cell collapse + two
+    * category-domain margins + a one-row finish — the [[cohensKappa]]
+    * shape. */
+  def gwetAC1(df: DataFrame, raterACol: String,
+              raterBCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(raterACol).isNotNull && sf.col(raterBCol).isNotNull)
+      .groupBy(sf.col(raterACol).cast("string").as("__a"),
+        sf.col(raterBCol).cast("string").as("__b"))
+      .agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true) // totals + both margins read it
+    val tot = cells.agg(sf.sum("__c").cast("long").as("n"),
+      sf.sum(sf.when(sf.col("__a") === sf.col("__b"), sf.col("__c"))
+        .otherwise(sf.lit(0L))).cast("long").as("__agree"))
+    val cats = cells.select(sf.col("__a").as("__cat"), sf.col("__c"))
+      .union(cells.select(sf.col("__b").as("__cat"), sf.col("__c")))
+      .groupBy("__cat").agg(sf.sum("__c").cast("long").as("__m"))
+      .localCheckpoint(true) // count + term sum read it
+    val nCats = cats.agg(sf.count(sf.lit(1)).as("n_categories"))
+    val terms = cats.crossJoin(sf.broadcast(tot)).crossJoin(sf.broadcast(nCats))
+      .select({
+        val pi = sf.col("__m").cast("double") / (sf.col("n").cast("double") * 2)
+        val c = sf.col("n_categories").cast("double")
+        sf.when(sf.col("n_categories") >= 2,
+          sf.floor(pi * (sf.lit(1.0) - pi) / (c - 1) * 1e12 + 0.5).cast("long"))
+          .as("__t12")
+      })
+      .agg(sf.sum("__t12").as("__pe12"))
+    tot.crossJoin(sf.broadcast(nCats)).crossJoin(sf.broadcast(terms))
+      .select({
+        val po = sf.col("__agree").cast("double") / sf.col("n").cast("double")
+        val pe = sf.col("__pe12").cast("double") / 1e12
+        val ok = sf.col("n_categories") >= 2 && pe < 1.0
+        Seq(sf.col("n"), sf.col("n_categories"),
+          gf.roundAt(po, 6).as("p_observed"),
+          sf.when(sf.col("n_categories") >= 2,
+            gf.roundAt(pe, 6)).as("p_chance"),
+          sf.when(ok, gf.roundAt((po - pe) / (sf.lit(1.0) - pe), 4)).as("ac1"))
+      }: _*)
+  }
+
   /** Quadratic-weighted Cohen's kappa (Cohen 1968) between two
     * INTEGER-CODED ordinal raters — the ordinal upgrade of
     * [[cohensKappa]] (which scores "grade 1 vs grade 5" exactly as

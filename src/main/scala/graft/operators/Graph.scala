@@ -1136,6 +1136,115 @@ object Graph {
       .orderBy(sf.col("eig_fx").desc, sf.col("item"))
   }
 
+  /** Katz centrality (Katz 1953), truncated damped-path form: x =
+    * Σ_{r≤iters} α^r A^r 1 via the fixed-point recurrence x_r = α·A·
+    * x_{r−1} + β — counts ALL walks ending at a node, geometrically
+    * damped by length. The centrality that distinguishes itself from
+    * its siblings exactly where they fail: [[pageRank]] divides
+    * influence by out-degree (a hub's endorsement is diluted),
+    * [[eigenvectorCentralityFromEdges]] assigns ~0 to nodes only
+    * reachable from low-score regions; Katz's β floor gives every
+    * node baseline mass so peripheral structure still differentiates
+    * — the standard choice for directed influence with near-isolated
+    * nodes.
+    *
+    * Determinism: EXACT integer fixed point — β = 10⁶, α = 1/8
+    * dyadic, each round x = (Σ_in x_prev) div 8 + β in floor integer
+    * division (no doubles anywhere, the [[pageRank]] 1e12 discipline
+    * at 1e6 scale); `iters` bounds the walk length explicitly (the
+    * truncated Katz series — documented, not a convergence claim).
+    * Long-sum bound: max x ≲ β·(d_max/8)^iters — inside int64 to
+    * d_max ~ 10⁴ at the default 3 rounds; beyond that lower `iters`
+    * or pre-contract hubs.
+    *
+    * Scale shape: per round ONE edge-keyed join + combinable
+    * in-neighbor sum (shuffle = |edges|), loop invariants persisted,
+    * the relaxRounds / UnpersistBatch lineage discipline. */
+  def katzCentrality(df: DataFrame, basketCol: String, itemCol: String,
+                     minPairCount: Long = 2, iters: Int = 3): DataFrame =
+    katzCentralityFromEdges(minedEdges(df, basketCol, itemCol, minPairCount), iters)
+
+  /** [[katzCentrality]] over a pre-mined directed edge list — the
+    * mine-once `*FromEdges` family member. */
+  def katzCentralityFromEdges(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000L
+    val ownsEdges = !callerCached(edges0)
+    val edges = if (ownsEdges) edges0.persist() else edges0
+    val nodes = edges.select(sf.col("src").as("item"))
+      .union(edges.select(sf.col("dst").as("item"))).distinct().persist()
+    var x = nodes.select(sf.col("item"), sf.lit(SCALE).as("__v"))
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to iters) {
+      val raw = edges.join(x.select(sf.col("item").as("src"), sf.col("__v")), "src")
+        .groupBy("dst").agg(sf.sum("__v").as("__s"))
+      x = nodes.join(raw.select(sf.col("dst").as("item"),
+          sf.expr("__s div 8").as("__n")), Seq("item"), "left")
+        .select(sf.col("item"),
+          (sf.coalesce(sf.col("__n"), sf.lit(0L)) + SCALE).as("__v"))
+      if (r % UnpersistBatch == 0 && r < iters) {
+        val ck = x.localCheckpoint(true)
+        toFree.foreach(_.unpersist()); toFree.clear()
+        x = ck
+      }
+    }
+    val fx = x.localCheckpoint(true)
+    toFree.foreach(_.unpersist()); toFree.clear()
+    nodes.unpersist()
+    if (ownsEdges) edges.unpersist()
+    fx.select(sf.col("item"), sf.col("__v").as("katz_fx"))
+      .orderBy(sf.col("katz_fx").desc, sf.col("item"))
+  }
+
+  /** Categorical attribute assortativity (Newman 2003, eq. 2): over
+    * the directed edge list with each endpoint labeled, r = (Σ_i e_ii
+    * − Σ_i a_i b_i)/(1 − Σ_i a_i b_i) — do edges stay WITHIN label
+    * classes more than the margins predict (r → 1 perfect homophily,
+    * 0 random mixing, < 0 disassortative)? The categorical sibling of
+    * [[degreeAssortativity]], and the one-number "is this graph
+    * label-segregated" gate in front of [[labelPropagation]] (near-0
+    * mixing means community detection will find noise) and of any
+    * train/test split by label over graph-linked data.
+    *
+    * Determinism: with integer mixing counts m_ij, M = Σm_ij, the
+    * coefficient is exactly (M·Σm_ii − Σ_i row_i·col_i)/(M² −
+    * Σ_i row_i·col_i) — every term DECIMAL(38,0), ONE pinned division
+    * rounded 1e-6. Unlabeled endpoints drop (complete-case,
+    * documented); a single-label graph (denominator 0) yields NULL.
+    *
+    * Scale shape: two label-attach equi joins on the edge list
+    * (node-domain sized, AQE-decided) + one (label, label) cell
+    * collapse + two label-domain margins + a one-row finish. */
+  def attributeAssortativity(edges: DataFrame, labels: DataFrame,
+                             nodeCol: String, labelCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val lab = labels.filter(sf.col(labelCol).isNotNull)
+      .select(sf.col(nodeCol).as("__node"),
+        sf.col(labelCol).cast("string").as("__lbl")).distinct()
+    val cells = edges
+      .join(lab.select(sf.col("__node").as("src"), sf.col("__lbl").as("__la")), "src")
+      .join(lab.select(sf.col("__node").as("dst"), sf.col("__lbl").as("__lb")), "dst")
+      .groupBy("__la", "__lb").agg(sf.count(sf.lit(1)).as("__m"))
+      .localCheckpoint(true) // diagonal + two margins read it
+    val diag = cells.agg(sf.sum("__m").cast("long").as("m_edges"),
+      sf.sum(sf.when(sf.col("__la") === sf.col("__lb"), sf.col("__m"))
+        .otherwise(sf.lit(0L))).cast("long").as("__mii"),
+      sf.count_distinct(sf.col("__la")).as("n_labels"))
+    val margins = cells.groupBy("__la").agg(sf.sum("__m").cast("long").as("__row"))
+      .join(cells.groupBy("__lb").agg(sf.sum("__m").cast("long").as("__col"))
+        .select(sf.col("__lb").as("__la"), sf.col("__col")), Seq("__la"), "full_outer")
+      .agg(sf.sum(dec(sf.coalesce(sf.col("__row"), sf.lit(0L))) *
+        dec(sf.coalesce(sf.col("__col"), sf.lit(0L)))).as("__ab"))
+    diag.crossJoin(sf.broadcast(margins))
+      .select({
+        val m = dec(sf.col("m_edges"))
+        val num = (m * dec(sf.col("__mii")) - sf.col("__ab")).cast("double")
+        val den = (m * m - sf.col("__ab")).cast("double")
+        Seq(sf.col("m_edges").as("n_directed_edges"), sf.col("n_labels"),
+          sf.when(den =!= 0.0, gf.roundAt(num / den, 6)).as("assortativity"))
+      }: _*)
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003): for every
     * NON-adjacent pair {a, b} sharing ≥ 1 neighbor, score
     * Σ_w 1/ln(d_w) over common neighbors w — rare shared neighbors

@@ -809,6 +809,32 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(rt.isNullAt(rt.fieldIndex("assortativity")))
   }
 
+  test("Graph.katzCentrality: path graph hand-run integer recurrence") {
+    import spark.implicits._
+    // a - b - c: three x = (sum_in x) div 8 + 1e6 rounds by hand
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c")).toDF("basket", "item")
+    val got = Graph.katzCentrality(df, "basket", "item", minPairCount = 1, iters = 3)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("katz_fx")).toMap
+    assert(got == Map("a" -> 1160156L, "b" -> 1289062L, "c" -> 1160156L),
+      got.toString)
+  }
+
+  test("Graph.attributeAssortativity: hand mixing 0.2; perfect homophily 1") {
+    import spark.implicits._
+    val labels = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Z"))
+      .toDF("node", "lbl")
+    // one within-X edge, one Y-Z edge (mirrored): r = (4*2-6)/(16-6)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val r = Graph.attributeAssortativity(edges, labels, "node", "lbl").head()
+    assert(r.getAs[Long]("n_directed_edges") == 4 &&
+      r.getAs[Long]("n_labels") == 3, r.toString)
+    assert(r.getAs[Double]("assortativity") == 0.2, r.toString)
+    // both edges within their label: perfect homophily
+    val lab2 = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y")).toDF("node", "lbl")
+    val rp = Graph.attributeAssortativity(edges, lab2, "node", "lbl").head()
+    assert(rp.getAs[Double]("assortativity") == 1.0, rp.toString)
+  }
+
   test("Graph.richClubFromPairs: triangle-with-pendant curve by hand") {
     import spark.implicits._
     // edges 1-2, 1-3, 1-4, 2-3: degrees 1:3, 2:2, 3:2, 4:1;

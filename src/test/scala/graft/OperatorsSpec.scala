@@ -2634,6 +2634,43 @@ class OperatorsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integer-coded"), e.getMessage)
   }
 
+  test("QualityChecks.blandAltman: hand limits; single outlier share 1/21") {
+    import spark.implicits._
+    // diffs 0 x20 and 100: mean 4.7619, sd 21.8218, limits by hand;
+    // the 100 sits outside -> share 1/21
+    val df = (Seq.fill(20)((1.0, 1.0)) :+ (101.0, 1.0)).toDF("x", "y")
+    val r = QualityChecks.blandAltman(df, "x", "y").head()
+    assert(r.getAs[Long]("n") == 21, r.toString)
+    assert(r.getAs[Double]("mean_diff") == 4.7619 &&
+      r.getAs[Double]("sd_diff") == 21.8218, r.toString)
+    assert(r.getAs[Double]("loa_lo") == -38.008 &&
+      r.getAs[Double]("loa_hi") == 47.5318, r.toString)
+    assert(r.getAs[Double]("share_outside") == 0.047619, r.toString)
+    // identical columns: zero variance -> NULL limits, share 0
+    val rz = QualityChecks.blandAltman(
+      Seq((1.0, 1.0), (2.0, 2.0)).toDF("x", "y"), "x", "y").head()
+    assert(rz.getAs[Double]("mean_diff") == 0.0 &&
+      rz.isNullAt(rz.fieldIndex("loa_lo")) &&
+      rz.getAs[Double]("share_outside") == 0.0, rz.toString)
+  }
+
+  test("QualityChecks.gwetAC1: skewed-prevalence hand case beats kappa") {
+    import spark.implicits._
+    // cells (a,a) x8, (b,b) x1, (a,b) x1: p_o = 0.9, pi = (0.85, 0.15),
+    // p_e = 0.255 -> AC1 = 0.645/0.745 = 0.8658 (kappa here is 0.6154)
+    val df = (Seq.fill(8)(("a", "a")) :+ ("b", "b") :+ ("a", "b"))
+      .toDF("r1", "r2")
+    val r = QualityChecks.gwetAC1(df, "r1", "r2").head()
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("n_categories") == 2)
+    assert(r.getAs[Double]("p_observed") == 0.9 &&
+      r.getAs[Double]("p_chance") == 0.255, r.toString)
+    assert(r.getAs[Double]("ac1") == 0.8658, r.toString)
+    // one category only: C < 2 -> NULL
+    val r1c = QualityChecks.gwetAC1(
+      Seq(("a", "a"), ("a", "a")).toDF("r1", "r2"), "r1", "r2").head()
+    assert(r1c.isNullAt(r1c.fieldIndex("ac1")), r1c.toString)
+  }
+
   test("QualityChecks.twoProportionEffects: hand z/RR/OR CIs; 3-arm NULLs") {
     import spark.implicits._
     // a: 4/10, b: 2/10 -> z = 0.9759, RR = 2 [0.467479, 8.556536],
