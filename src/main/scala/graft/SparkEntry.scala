@@ -2335,6 +2335,30 @@ object SparkEntry {
       QualityChecks.gwetAC1(
         TextAnalysis.langId(docs(s, dir), "doc_id", "text", Some("lang")),
         "predicted_lang", "label_lang")),
+
+    // Breslow-Day on the q228 strata: is the pooled MH odds ratio even
+    // a coherent object, or does the effect differ by stratum.
+    "q332_breslow_day" -> ((s, dir) =>
+      QualityChecks.breslowDay(Tables.load(s, dir, "events"), "event_type",
+        Sampling.hashBucket(sf.col("user_id")) < 5000,
+        sf.col("value") >= 50.0)),
+
+    // Welch's heteroscedastic ANOVA on the q139 layout: the k-group
+    // mean test that survives unequal variances.
+    "q333_welch_anova" -> ((s, dir) =>
+      QualityChecks.welchAnova(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // Cronbach's alpha over three document size signals: is the
+    // composite "document size" construct internally consistent.
+    "q334_cronbach" -> ((s, dir) =>
+      QualityChecks.cronbachAlpha(
+        docs(s, dir).select(
+          sf.length(sf.col("text")).cast("double").as("i_chars"),
+          (gf.tokenCount(sf.col("text")) * 6).cast("double").as("i_tokens6"),
+          sf.length(sf.regexp_replace(sf.col("text"), "\\s", ""))
+            .cast("double").as("i_nonws")),
+        Seq("i_chars", "i_tokens6", "i_nonws"))),
   )
 
   // ---------------------------------------------------------------------
@@ -10179,5 +10203,123 @@ object SparkEntry {
          |  END AS ac1
          |FROM tot CROSS JOIN nc CROSS JOIN terms""".stripMargin
     },
+
+    // Breslow-Day: q228 cells with the all-positive-margin filter,
+    // 1e-6-rounded MH psi, identical quadratic root + harmonic-variance
+    // terms snapped 1e-6.
+    "q332_breslow_day" ->
+      """WITH base AS (SELECT event_type AS k,
+        |  (((user_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 5000 AS ga,
+        |  value >= 50.0 AS sc
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT k,
+        |  CAST(SUM(CASE WHEN ga AND sc THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN ga AND NOT sc THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN NOT ga AND sc THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN NOT ga AND NOT sc THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM base GROUP BY 1),
+        |w AS (SELECT a, b, c, d, a+b+c+d AS n FROM cells
+        |  WHERE a+b > 0 AND c+d > 0 AND a+c > 0 AND b+d > 0),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(floor(CAST(a*d AS DOUBLE)/CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS son,
+        |  CAST(SUM(CAST(floor(CAST(b*c AS DOUBLE)/CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sod
+        |  FROM w),
+        |ps AS (SELECT n_strata, n_rows,
+        |  CASE WHEN sod > 0 THEN floor(CAST(son AS DOUBLE)/CAST(sod AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS psi
+        |  FROM s),
+        |tr AS (SELECT
+        |  CAST(floor((CAST(a AS DOUBLE) - atil)*(CAST(a AS DOUBLE) - atil)
+        |    *(1.0/atil + 1.0/(n1d - atil) + 1.0/(m1d - atil) + 1.0/(n0d - m1d + atil))
+        |    *1e6 + 0.5) AS BIGINT) AS t6
+        |  FROM (SELECT a,
+        |    CASE WHEN abs(qa) < 1e-12 THEN n1d*m1d/nd
+        |         WHEN (-qb + sqrt(qb*qb - qa*4*qc))/(qa*2) >= greatest(0.0, m1d - n0d)
+        |          AND (-qb + sqrt(qb*qb - qa*4*qc))/(qa*2) <= least(n1d, m1d)
+        |         THEN (-qb + sqrt(qb*qb - qa*4*qc))/(qa*2)
+        |         ELSE (-qb - sqrt(qb*qb - qa*4*qc))/(qa*2) END AS atil,
+        |    n1d, n0d, m1d, nd
+        |    FROM (SELECT a,
+        |      1.0 - psi AS qa,
+        |      (n0d - m1d) + psi*(n1d + m1d) AS qb,
+        |      -psi*n1d*m1d AS qc, n1d, n0d, m1d, nd
+        |      FROM (SELECT a,
+        |        CAST(a + b AS DOUBLE) AS n1d, CAST(c + d AS DOUBLE) AS n0d,
+        |        CAST(a + c AS DOUBLE) AS m1d, CAST(n AS DOUBLE) AS nd
+        |        FROM w) CROSS JOIN ps))),
+        |bd AS (SELECT CAST(SUM(t6) AS BIGINT) AS sbd FROM tr)
+        |SELECT n_strata, n_rows, psi AS mh_odds_ratio,
+        |  CASE WHEN psi IS NOT NULL AND n_strata > 1 THEN
+        |    floor(CAST(sbd AS DOUBLE)/1e6*10000.0 + 0.5)/10000.0 END AS bd_stat,
+        |  CAST(n_strata - 1 AS BIGINT) AS dof
+        |FROM ps CROSS JOIN bd""".stripMargin,
+
+    // Welch ANOVA: q254 exact group moments, 1e-9-snapped weights and
+    // A-terms, 1e-12-snapped B-terms, pinned F*/df2.
+    "q333_welch_anova" ->
+      """WITH m AS (SELECT event_type AS g,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS HUGEINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s, SUM(x*x) AS ss
+        |  FROM m GROUP BY 1),
+        |b AS (SELECT n, CAST(s AS DOUBLE)/1e4/CAST(n AS DOUBLE) AS mean,
+        |  (CAST(ss AS DOUBLE)/1e8
+        |    - (CAST(s AS DOUBLE)/1e4)*(CAST(s AS DOUBLE)/1e4)/CAST(n AS DOUBLE))
+        |    /(CAST(n AS DOUBLE) - 1.0) AS vari FROM a),
+        |g AS (SELECT n, mean,
+        |  CAST(floor(CAST(n AS DOUBLE)/vari*1000000000.0 + 0.5) AS BIGINT) AS w9
+        |  FROM b WHERE n >= 2 AND vari > 0),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+        |  CAST(SUM(w9) AS BIGINT) AS sw9,
+        |  CAST(SUM(CAST(floor(CAST(w9 AS DOUBLE)/1e9*mean*1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS swx9
+        |  FROM g),
+        |tr AS (SELECT
+        |  CAST(floor(CAST(w9 AS DOUBLE)/1e9
+        |    *(mean - CAST(swx9 AS DOUBLE)/CAST(sw9 AS DOUBLE))
+        |    *(mean - CAST(swx9 AS DOUBLE)/CAST(sw9 AS DOUBLE))*1000000000.0 + 0.5) AS BIGINT) AS ta9,
+        |  CAST(floor((1.0 - CAST(w9 AS DOUBLE)/CAST(sw9 AS DOUBLE))
+        |    *(1.0 - CAST(w9 AS DOUBLE)/CAST(sw9 AS DOUBLE))
+        |    /(CAST(n AS DOUBLE) - 1.0)*1000000000000.0 + 0.5) AS BIGINT) AS tb12
+        |  FROM g CROSS JOIN t),
+        |s2 AS (SELECT CAST(SUM(ta9) AS BIGINT) AS sa9, CAST(SUM(tb12) AS BIGINT) AS sb12 FROM tr)
+        |SELECT k, nn AS n,
+        |  CASE WHEN k >= 2 THEN floor(
+        |    (CAST(sa9 AS DOUBLE)/1e9/(CAST(k AS DOUBLE) - 1.0))
+        |    /(1.0 + CAST(sb12 AS DOUBLE)/1e12*2*(CAST(k AS DOUBLE) - 2)
+        |      /(CAST(k AS DOUBLE)*CAST(k AS DOUBLE) - 1.0))*10000.0 + 0.5)/10000.0
+        |  END AS f_welch,
+        |  CASE WHEN k >= 2 AND CAST(sb12 AS DOUBLE)/1e12 > 0 THEN
+        |    floor((CAST(k AS DOUBLE)*CAST(k AS DOUBLE) - 1.0)
+        |      /(CAST(sb12 AS DOUBLE)/1e12*3)*10000.0 + 0.5)/10000.0
+        |  END AS df2
+        |FROM t CROSS JOIN s2""".stripMargin,
+
+    // Cronbach: three integer size items on the exact 1e-4 grid, one
+    // moment pass incl. row-sum moments, fixed-fold variance sum.
+    "q334_cronbach" ->
+      """WITH it AS (SELECT
+        |  CAST(length(text) AS BIGINT)*10000 AS x0,
+        |  CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)*6 AS BIGINT)*10000 AS x1,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)*10000 AS x2
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(x0 AS HUGEINT)) AS s0, SUM(CAST(x0 AS HUGEINT)*x0) AS ss0,
+        |  SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x1 AS HUGEINT)*x1) AS ss1,
+        |  SUM(CAST(x2 AS HUGEINT)) AS s2, SUM(CAST(x2 AS HUGEINT)*x2) AS ss2,
+        |  SUM(CAST(x0 + x1 + x2 AS HUGEINT)) AS st,
+        |  SUM(CAST(x0 + x1 + x2 AS HUGEINT)*(x0 + x1 + x2)) AS sst
+        |  FROM it),
+        |f AS (SELECT n,
+        |  ((CAST(ss0 AS DOUBLE)/1e8 - (CAST(s0 AS DOUBLE)/1e4)*(CAST(s0 AS DOUBLE)/1e4)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
+        |  + ((CAST(ss1 AS DOUBLE)/1e8 - (CAST(s1 AS DOUBLE)/1e4)*(CAST(s1 AS DOUBLE)/1e4)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
+        |  + ((CAST(ss2 AS DOUBLE)/1e8 - (CAST(s2 AS DOUBLE)/1e4)*(CAST(s2 AS DOUBLE)/1e4)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0)) AS vs,
+        |  (CAST(sst AS DOUBLE)/1e8 - (CAST(st AS DOUBLE)/1e4)*(CAST(st AS DOUBLE)/1e4)/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0) AS vt
+        |  FROM a)
+        |SELECT n, CAST(3 AS INT) AS k_items,
+        |  CASE WHEN n >= 2 THEN floor(vs*10000.0 + 0.5)/10000.0 END AS var_items_sum,
+        |  CASE WHEN n >= 2 THEN floor(vt*10000.0 + 0.5)/10000.0 END AS var_total,
+        |  CASE WHEN n >= 2 AND vt > 0 THEN
+        |    floor(1.5*(1.0 - vs/vt)*10000.0 + 0.5)/10000.0 END AS alpha
+        |FROM f""".stripMargin,
   )
 }

@@ -2620,6 +2620,127 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951): the k-group
+    * mean comparison that does NOT assume equal variances — the
+    * k-group analogue of preferring [[welchTTest]] to Student's t, and
+    * the test to run INSTEAD of [[anovaF]] whenever
+    * [[brownForsythe]] rejects variance homogeneity (classic F under
+    * heteroscedasticity + unequal n's is anti-conservative exactly
+    * when the big-variance group is small). F* = Σw_i(x̄_i−x̃)²/(k−1)
+    * over 1 + 2(k−2)/(k²−1)·S with w_i = n_i/s_i², x̃ the
+    * weighted grand mean, S = Σ(1−w_i/W)²/(n_i−1), and the
+    * Welch–Satterthwaite df₂ = (k²−1)/(3S).
+    *
+    * Determinism: group moments are [[anovaF]]'s exact 1e-4
+    * fixed-point sums; each weight w_i snaps to the 1e-9 grid (exact
+    * long sums for W and, via 1e-9-snapped products, for Σw·x̄), the
+    * two per-group term families snap 1e-9/1e-12 before their
+    * unordered sums, the F and df₂ assemblies are pinned (1e-4 each).
+    * Groups with n < 2 or zero variance are EXCLUDED (w undefined —
+    * complete-case, documented); k < 2 after exclusion yields NULL.
+    *
+    * Scale shape: ONE map-side-combined group aggregation, a k-row
+    * broadcast scalar, one more k-row reduce. */
+  def welchAnova(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val g0 = df.filter(sf.col(valueCol).isNotNull && sf.col(groupCol).isNotNull)
+      .select(sf.col(groupCol).as("__g"), x4.as("__x4"))
+      .groupBy("__g")
+      .agg(sf.count(sf.lit(1)).as("__n"), sf.sum(dec(sf.col("__x4"))).as("__s"),
+        sf.sum(dec(sf.col("__x4")) * dec(sf.col("__x4"))).as("__ss"))
+    val nD = sf.col("__n").cast("double")
+    val mean = sf.col("__s").cast("double") / 1e4 / nD
+    val vari = (sf.col("__ss").cast("double") / 1e8 -
+      (sf.col("__s").cast("double") / 1e4) *
+        (sf.col("__s").cast("double") / 1e4) / nD) / (nD - 1.0)
+    val g = g0.filter(sf.col("__n") >= 2 && vari > 0.0)
+      .select(sf.col("__n"), mean.as("__mean"),
+        sf.floor(nD / vari * 1e9 + 0.5).cast("long").as("__w9"))
+      .localCheckpoint(true) // W reduce + term reduce read it
+    val w = sf.col("__w9").cast("double") / 1e9
+    val tots = g.agg(sf.count(sf.lit(1)).as("k"), sf.sum("__n").cast("long").as("n"),
+      sf.sum("__w9").as("__sw9"),
+      sf.sum(sf.floor(w * sf.col("__mean") * 1e9 + 0.5).cast("long")).as("__swx9"))
+    val terms = g.crossJoin(sf.broadcast(tots))
+      .select({
+        val xt = sf.col("__swx9").cast("double") / sf.col("__sw9").cast("double")
+        val dm = sf.col("__mean") - xt
+        val frac = sf.col("__w9").cast("double") / sf.col("__sw9").cast("double")
+        Seq(sf.floor(w * dm * dm * 1e9 + 0.5).cast("long").as("__ta9"),
+          sf.floor((sf.lit(1.0) - frac) * (sf.lit(1.0) - frac) /
+            (sf.col("__n").cast("double") - 1.0) * 1e12 + 0.5).cast("long")
+            .as("__tb12"))
+      }: _*)
+      .agg(sf.sum("__ta9").as("__sa9"), sf.sum("__tb12").as("__sb12"))
+    tots.crossJoin(sf.broadcast(terms))
+      .select({
+        val k = sf.col("k").cast("double")
+        val aT = sf.col("__sa9").cast("double") / 1e9 / (k - 1.0)
+        val s = sf.col("__sb12").cast("double") / 1e12
+        val f = aT / (sf.lit(1.0) + s * 2 * (k - 2) / (k * k - 1.0))
+        val df2 = (k * k - 1.0) / (s * 3)
+        val ok = sf.col("k") >= 2
+        Seq(sf.col("k"), sf.col("n"),
+          sf.when(ok, gf.roundAt(f, 4)).as("f_welch"),
+          sf.when(ok && s > 0.0, gf.roundAt(df2, 4)).as("df2"))
+      }: _*)
+  }
+
+  /** Cronbach's alpha (Cronbach 1951) over k numeric item columns —
+    * internal-consistency reliability: do the k signals move together
+    * enough to be read as ONE construct, α = k/(k−1)·(1 −
+    * Σvar_i/var_total) with var_total the variance of the per-row item
+    * sum. The gate in front of any composite score this library
+    * builds (a quality score summing length/stopword/repetition
+    * signals, a risk score summing detector outputs): α < 0.7 says
+    * the composite is mixing unrelated things and its threshold
+    * carries no meaning. Complete-case rows (the [[cochranQ]]
+    * convention).
+    *
+    * Determinism: items snap to the exact 1e-4 grid; all 2k+2 moment
+    * sums are DECIMAL(38,0) in ONE pass (the row-sum moments ride the
+    * same aggregation); per-item variances combine in a FIXED fold
+    * order (a plan literal, not data order), α is one pinned assembly
+    * rounded 1e-4 (variances 1e-4). n < 2 or zero total variance
+    * yields NULL.
+    *
+    * Scale shape: ONE map-side-combined single-row aggregation.
+    * Zero joins, zero windows, zero shuffled data rows. */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2,
+      s"cronbachAlpha needs >= 2 item columns, got ${itemCols.size}")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val k = itemCols.size
+    val base = df.filter(itemCols.map(c => sf.col(c).isNotNull).reduce(_ && _))
+      .select(itemCols.zipWithIndex.map { case (c, i) =>
+        sf.floor(sf.col(c).cast("double") * 1e4 + 0.5).cast("long").as(s"__x$i")
+      }: _*)
+      .withColumn("__t", (0 until k).map(i => sf.col(s"__x$i")).reduce(_ + _))
+    val aggs = Seq(sf.count(sf.lit(1)).as("n")) ++
+      (0 until k).flatMap(i => Seq(
+        sf.sum(dec(sf.col(s"__x$i"))).as(s"__s$i"),
+        sf.sum(dec(sf.col(s"__x$i")) * dec(sf.col(s"__x$i"))).as(s"__ss$i"))) ++
+      Seq(sf.sum(dec(sf.col("__t"))).as("__st"),
+        sf.sum(dec(sf.col("__t")) * dec(sf.col("__t"))).as("__sst"))
+    base.agg(aggs.head, aggs.tail: _*)
+      .select({
+        val n = sf.col("n").cast("double")
+        def vari(s: Column, ss: Column) = (ss.cast("double") / 1e8 -
+          (s.cast("double") / 1e4) * (s.cast("double") / 1e4) / n) / (n - 1.0)
+        val vSum = (0 until k).map(i =>
+          vari(sf.col(s"__s$i"), sf.col(s"__ss$i"))).reduce(_ + _)
+        val vTot = vari(sf.col("__st"), sf.col("__sst"))
+        val alpha = sf.lit(k.toDouble / (k - 1)) * (sf.lit(1.0) - vSum / vTot)
+        val ok = sf.col("n") >= 2 && vTot > 0.0
+        Seq(sf.col("n"), sf.lit(k).as("k_items"),
+          sf.when(sf.col("n") >= 2, gf.roundAt(vSum, 4)).as("var_items_sum"),
+          sf.when(sf.col("n") >= 2, gf.roundAt(vTot, 4)).as("var_total"),
+          sf.when(ok, gf.roundAt(alpha, 4)).as("alpha"))
+      }: _*)
+  }
+
   /** Lin's concordance correlation coefficient (Lin 1989) between two
     * numeric columns measuring the SAME quantity: ρ_c = 2s_xy/(s_x² +
     * s_y² + (x̄−ȳ)²) — agreement through the 45° line, which Pearson's
@@ -3200,6 +3321,89 @@ object QualityChecks {
         sf.when(sf.col("sod") > 0, gf.roundAt(
           sf.col("son").cast("double") / sf.col("sod").cast("double"), 6))
           .as("mh_odds_ratio"))
+  }
+
+  /** Breslow–Day homogeneity test (Breslow & Day 1980, §IV.4.2) for
+    * the stratified 2×2 family: [[cmhTest]] ASSUMES one common odds
+    * ratio across strata and tests whether it is 1 — but if the
+    * effect genuinely DIFFERS by stratum (the treatment helps mobile
+    * and hurts desktop), the MH pooled OR is a fiction. BD tests
+    * exactly that assumption: per stratum, the expected a-cell ã
+    * under the pooled ψ solves the quadratic
+    * ã(n₀−m₁+ã) = ψ(n₁−ã)(m₁−ã), and
+    * BD = Σ (a−ã)²·(1/ã + 1/(n₁−ã) + 1/(m₁−ã) + 1/(n₀−m₁+ã))
+    * ~ χ²(strata−1) under homogeneity. Run it BEFORE trusting q228's
+    * pooled row.
+    *
+    * Determinism: cells exact longs ([[cmhTest]]'s collapse); ψ is
+    * the 1e-6-ROUNDED MH odds ratio over the SAME included strata
+    * (documented — makes the pooled scalar a pinned literal for both
+    * engines); the quadratic root is one pinned assembly (IEEE sqrt;
+    * the in-range root selected by the margin bounds, the ψ = 1
+    * degenerate case taking the exact linear branch), each stratum's
+    * term snaps 1e-6 before the unordered sum, BD rounds 1e-4.
+    * Strata with ANY zero margin are excluded (every expected cell
+    * must be positive — the classical requirement, documented);
+    * ψ undefined (no discordant products) yields NULL.
+    *
+    * Scale shape: [[cmhTest]]'s — one map-side-combined
+    * groupBy(stratum) + two stratum-domain reduces with a broadcast
+    * scalar between them. */
+  def breslowDay(df: DataFrame, stratumCol: String,
+                 groupA: Column, success: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def cnt(p: Column) = sf.sum(p.cast("long"))
+    def fx6(c: Column) = sf.floor(c * 1e6 + 0.5).cast("long")
+    val cells = df.filter(groupA.isNotNull && success.isNotNull)
+      .select(sf.col(stratumCol).as("k"), groupA.as("ga"), success.as("sc"))
+      .groupBy("k")
+      .agg(cnt(sf.col("ga") && sf.col("sc")).as("a"),
+        cnt(sf.col("ga") && !sf.col("sc")).as("b"),
+        cnt(!sf.col("ga") && sf.col("sc")).as("c"),
+        cnt(!sf.col("ga") && !sf.col("sc")).as("d"))
+      .withColumn("n", sf.col("a") + sf.col("b") + sf.col("c") + sf.col("d"))
+      .filter(sf.col("a") + sf.col("b") > 0 && sf.col("c") + sf.col("d") > 0 &&
+        sf.col("a") + sf.col("c") > 0 && sf.col("b") + sf.col("d") > 0)
+      .localCheckpoint(true) // psi reduce + term reduce read it
+    val orN = (dec(sf.col("a")) * dec(sf.col("d"))).cast("double") /
+      sf.col("n").cast("double")
+    val orD = (dec(sf.col("b")) * dec(sf.col("c"))).cast("double") /
+      sf.col("n").cast("double")
+    val psiF = cells.agg(sf.count(sf.lit(1)).as("n_strata"),
+        sf.sum("n").cast("long").as("n_rows"),
+        sf.sum(fx6(orN)).as("__son"), sf.sum(fx6(orD)).as("__sod"))
+      .select(sf.col("n_strata"), sf.col("n_rows"),
+        sf.when(sf.col("__sod") > 0, gf.roundAt(
+          sf.col("__son").cast("double") / sf.col("__sod").cast("double"), 6))
+          .as("mh_odds_ratio"))
+    val terms = cells.crossJoin(sf.broadcast(psiF))
+      .select({
+        val psi = sf.col("mh_odds_ratio")
+        val aD = sf.col("a").cast("double")
+        val n1 = (sf.col("a") + sf.col("b")).cast("double")
+        val n0 = (sf.col("c") + sf.col("d")).cast("double")
+        val m1 = (sf.col("a") + sf.col("c")).cast("double")
+        val nD = sf.col("n").cast("double")
+        val qa = sf.lit(1.0) - psi
+        val qb = (n0 - m1) + psi * (n1 + m1)
+        val qc = -psi * n1 * m1
+        val sq = sf.sqrt(qb * qb - qa * 4 * qc)
+        val r1 = (-qb + sq) / (qa * 2)
+        val r2 = (-qb - sq) / (qa * 2)
+        val lo = sf.greatest(sf.lit(0.0), m1 - n0)
+        val hi = sf.least(n1, m1)
+        val atil = sf.when(sf.abs(qa) < 1e-12, n1 * m1 / nD)
+          .otherwise(sf.when(r1 >= lo && r1 <= hi, r1).otherwise(r2))
+        val recip = sf.lit(1.0) / atil + sf.lit(1.0) / (n1 - atil) +
+          sf.lit(1.0) / (m1 - atil) + sf.lit(1.0) / (n0 - m1 + atil)
+        fx6((aD - atil) * (aD - atil) * recip).as("__t6")
+      })
+      .agg(sf.sum("__t6").as("__sbd"))
+    psiF.crossJoin(sf.broadcast(terms))
+      .select(sf.col("n_strata"), sf.col("n_rows"), sf.col("mh_odds_ratio"),
+        sf.when(sf.col("mh_odds_ratio").isNotNull && sf.col("n_strata") > 1,
+          gf.roundAt(sf.col("__sbd").cast("double") / 1e6, 4)).as("bd_stat"),
+        (sf.col("n_strata") - 1).as("dof"))
   }
 
   /** McNemar's paired test (McNemar 1947) over two per-item

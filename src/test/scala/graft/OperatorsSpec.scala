@@ -2634,6 +2634,57 @@ class OperatorsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integer-coded"), e.getMessage)
   }
 
+  test("QualityChecks.breslowDay: heterogeneous strata 2.7747; homogeneous ~0") {
+    import spark.implicits._
+    // stratum s1 OR=1, s2 OR=4 -> pooled psi = 2.2, BD = 2.7747 (hand
+    // replay of the quadratic + harmonic variance)
+    def stratum(k: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((k, true, true)) ++ Seq.fill(b)((k, true, false)) ++
+        Seq.fill(c)((k, false, true)) ++ Seq.fill(d)((k, false, false))
+    val df = (stratum("s1", 10, 10, 10, 10) ++ stratum("s2", 20, 10, 10, 20))
+      .toDF("k", "ga", "sc")
+    val r = QualityChecks.breslowDay(df, "k", sf.col("ga"), sf.col("sc")).head()
+    assert(r.getAs[Long]("n_strata") == 2 && r.getAs[Long]("dof") == 1)
+    assert(r.getAs[Double]("mh_odds_ratio") == 2.2, r.toString)
+    assert(r.getAs[Double]("bd_stat") == 2.7747, r.toString)
+    // identical strata: psi matches every stratum -> BD = 0
+    val rh = QualityChecks.breslowDay(
+      (stratum("s1", 20, 10, 10, 20) ++ stratum("s2", 20, 10, 10, 20))
+        .toDF("k", "ga", "sc"), "k", sf.col("ga"), sf.col("sc")).head()
+    assert(rh.getAs[Double]("bd_stat") == 0.0, rh.toString)
+  }
+
+  test("QualityChecks.welchAnova: hand two-group F* and df2") {
+    import spark.implicits._
+    // a: [1,2,3] (w=3), b: [10,12,14,16] (w=0.6): F* = 60.5, df2 = 4.0755
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(10.0, 12.0, 14.0, 16.0).map(("b", _))).toDF("g", "v")
+    val r = QualityChecks.welchAnova(df, "g", "v").head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 7)
+    assert(r.getAs[Double]("f_welch") == 60.5, r.toString)
+    assert(r.getAs[Double]("df2") == 4.0755, r.toString)
+    // a constant group is excluded (zero variance) -> k drops to 2
+    val dfc = df.union(Seq(("c", 5.0), ("c", 5.0)).toDF("g", "v"))
+    val rc = QualityChecks.welchAnova(dfc, "g", "v").head()
+    assert(rc.getAs[Long]("k") == 2, rc.toString)
+  }
+
+  test("QualityChecks.cronbachAlpha: perfectly correlated 1; independent 0") {
+    import spark.implicits._
+    val perfect = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("i1", "i2")
+    val r = QualityChecks.cronbachAlpha(perfect, Seq("i1", "i2")).head()
+    assert(r.getAs[Double]("alpha") == 1.0, r.toString)
+    // var sums: items 1/3 each, total 2/3 -> alpha = 2(1 - 1) = 0
+    val indep = Seq((1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (2.0, 2.0)).toDF("i1", "i2")
+    val ri = QualityChecks.cronbachAlpha(indep, Seq("i1", "i2")).head()
+    assert(ri.getAs[Double]("alpha") == 0.0, ri.toString)
+    // fewer than 2 items rejected
+    val e = intercept[IllegalArgumentException] {
+      QualityChecks.cronbachAlpha(perfect, Seq("i1"))
+    }
+    assert(e.getMessage.contains(">= 2"), e.getMessage)
+  }
+
   test("QualityChecks.blandAltman: hand limits; single outlier share 1/21") {
     import spark.implicits._
     // diffs 0 x20 and 100: mean 4.7619, sd 21.8218, limits by hand;
