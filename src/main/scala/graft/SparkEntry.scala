@@ -2359,6 +2359,21 @@ object SparkEntry {
           sf.length(sf.regexp_replace(sf.col("text"), "\\s", ""))
             .cast("double").as("i_nonws")),
         Seq("i_chars", "i_tokens6", "i_nonws"))),
+
+    // GPD tail fit per event type: PWM shape/scale over the p95
+    // exceedances — HOW heavy is the value tail (xi >= 1 = no mean).
+    "q335_gpd_tail" -> ((s, dir) =>
+      QualityChecks.gpdTail(Tables.load(s, dir, "events"),
+        "event_type", "value", tailQ = 0.95)),
+
+    // Yuen trimmed-mean t on the q109 pair: the robust location test
+    // in the column's units — outliers can't manufacture the shift.
+    "q336_yuen_t" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.yuenTTest(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value", trim = 0.2)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -10320,6 +10335,93 @@ object SparkEntry {
         |  CASE WHEN n >= 2 THEN floor(vt*10000.0 + 0.5)/10000.0 END AS var_total,
         |  CASE WHEN n >= 2 AND vt > 0 THEN
         |    floor(1.5*(1.0 - vs/vt)*10000.0 + 0.5)/10000.0 END AS alpha
+        |FROM f""".stripMargin,
+
+    // GPD tail: exact type-1 p95 threshold on the (group, value)
+    // domain, 2-scaled rank-weighted PWM sums, pinned xi/sigma.
+    "q335_gpd_tail" ->
+      """WITH m AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |dom AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM dom GROUP BY 1),
+        |wc AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM dom),
+        |thr AS (SELECT wc.g, MIN(v) AS u FROM wc JOIN tot ON tot.g = wc.g
+        |  WHERE cum*10000 >= 9500*n GROUP BY 1),
+        |exc AS (SELECT dom.g, dom.v - u AS y, c FROM dom
+        |  JOIN thr ON thr.g = dom.g WHERE dom.v > u),
+        |ec AS (SELECT g, y, c, SUM(c) OVER (PARTITION BY g ORDER BY y) AS cume FROM exc),
+        |fits AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ne,
+        |  SUM(CAST(c AS HUGEINT)*y) AS s0,
+        |  SUM((CAST(c AS HUGEINT)*cume*2 - CAST(c AS HUGEINT)*(c - 1)
+        |       - CAST(c AS HUGEINT)*2)*y) AS s12
+        |  FROM ec GROUP BY 1),
+        |f AS (SELECT tot.g, n, u, ne,
+        |  CAST(s0 AS DOUBLE)/CAST(ne AS DOUBLE)/1e4 AS b0,
+        |  CAST(s12 AS DOUBLE)/2/1e4/(CAST(ne AS DOUBLE) - 1.0)/CAST(ne AS DOUBLE) AS b1
+        |  FROM tot JOIN thr ON thr.g = tot.g LEFT JOIN fits ON fits.g = tot.g)
+        |SELECT g AS event_type, n,
+        |  floor(CAST(u AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS threshold,
+        |  COALESCE(ne, 0) AS n_exceed,
+        |  CASE WHEN ne >= 1 THEN floor(b0*10000.0 + 0.5)/10000.0 END AS mean_excess,
+        |  CASE WHEN ne >= 2 AND (b0 - b1*2) <> 0 THEN
+        |    floor((2.0 - b0/(b0 - b1*2))*1000000.0 + 0.5)/1000000.0 END AS xi,
+        |  CASE WHEN ne >= 2 AND (b0 - b1*2) <> 0 THEN
+        |    floor(b0*2*b1/(b0 - b1*2)*10000.0 + 0.5)/10000.0 END AS sigma
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // Yuen: per-side exact domain trim/Winsorize via rank overlaps and
+    // order-statistic clamps, pinned t/df.
+    "q336_yuen_t" ->
+      """WITH a0 AS (SELECT CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+        |b0 AS (SELECT CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |da AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM a0 GROUP BY 1),
+        |db AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM b0 GROUP BY 1),
+        |ca AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM da),
+        |cb AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM db),
+        |ta AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  (2000*CAST(SUM(c) AS BIGINT)) // 10000 AS g FROM da),
+        |tb AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  (2000*CAST(SUM(c) AS BIGINT)) // 10000 AS g FROM db),
+        |la AS (SELECT MIN(v) AS lo FROM ca CROSS JOIN ta WHERE cum >= g + 1),
+        |ha AS (SELECT MIN(v) AS hi FROM ca CROSS JOIN ta WHERE cum >= n - g),
+        |lb AS (SELECT MIN(v) AS lo FROM cb CROSS JOIN tb WHERE cum >= g + 1),
+        |hb AS (SELECT MIN(v) AS hi FROM cb CROSS JOIN tb WHERE cum >= n - g),
+        |aa AS (SELECT ta.n AS n_a, ta.n - ta.g*2 AS h_a,
+        |  SUM(CAST(greatest(0, least(cum, ta.n - ta.g) - greatest(cum - c, ta.g)) AS HUGEINT)*v) AS tsa,
+        |  SUM(CAST(c AS HUGEINT)*least(greatest(v, la.lo), ha.hi)) AS wsa,
+        |  SUM(CAST(c AS HUGEINT)*least(greatest(v, la.lo), ha.hi)
+        |      *least(greatest(v, la.lo), ha.hi)) AS wssa
+        |  FROM ca CROSS JOIN ta CROSS JOIN la CROSS JOIN ha GROUP BY 1, 2),
+        |bb AS (SELECT tb.n AS n_b, tb.n - tb.g*2 AS h_b,
+        |  SUM(CAST(greatest(0, least(cum, tb.n - tb.g) - greatest(cum - c, tb.g)) AS HUGEINT)*v) AS tsb,
+        |  SUM(CAST(c AS HUGEINT)*least(greatest(v, lb.lo), hb.hi)) AS wsb,
+        |  SUM(CAST(c AS HUGEINT)*least(greatest(v, lb.lo), hb.hi)
+        |      *least(greatest(v, lb.lo), hb.hi)) AS wssb
+        |  FROM cb CROSS JOIN tb CROSS JOIN lb CROSS JOIN hb GROUP BY 1, 2),
+        |f AS (SELECT n_a, n_b, h_a, h_b,
+        |  CAST(tsa AS DOUBLE)/CAST(h_a AS DOUBLE)/1e4 AS tma,
+        |  CAST(tsb AS DOUBLE)/CAST(h_b AS DOUBLE)/1e4 AS tmb,
+        |  (CAST(wssa AS DOUBLE)/1e8
+        |   - (CAST(wsa AS DOUBLE)/1e4)*(CAST(wsa AS DOUBLE)/1e4)/CAST(n_a AS DOUBLE))
+        |   /(CAST(n_a AS DOUBLE) - 1.0)
+        |   *(CAST(n_a AS DOUBLE) - 1.0)/(CAST(h_a AS DOUBLE)*(CAST(h_a AS DOUBLE) - 1.0)) AS dda,
+        |  (CAST(wssb AS DOUBLE)/1e8
+        |   - (CAST(wsb AS DOUBLE)/1e4)*(CAST(wsb AS DOUBLE)/1e4)/CAST(n_b AS DOUBLE))
+        |   /(CAST(n_b AS DOUBLE) - 1.0)
+        |   *(CAST(n_b AS DOUBLE) - 1.0)/(CAST(h_b AS DOUBLE)*(CAST(h_b AS DOUBLE) - 1.0)) AS ddb
+        |  FROM aa CROSS JOIN bb)
+        |SELECT n_a, n_b, h_a, h_b,
+        |  CASE WHEN h_a >= 1 THEN floor(tma*10000.0 + 0.5)/10000.0 END AS tmean_a,
+        |  CASE WHEN h_b >= 1 THEN floor(tmb*10000.0 + 0.5)/10000.0 END AS tmean_b,
+        |  CASE WHEN h_a >= 2 AND h_b >= 2 AND (dda + ddb) > 0 THEN
+        |    floor((tma - tmb)/sqrt(dda + ddb)*1000000.0 + 0.5)/1000000.0 END AS t_yuen,
+        |  CASE WHEN h_a >= 2 AND h_b >= 2 AND (dda + ddb) > 0 THEN
+        |    floor((dda + ddb)*(dda + ddb)
+        |      /(dda*dda/(CAST(h_a AS DOUBLE) - 1.0) + ddb*ddb/(CAST(h_b AS DOUBLE) - 1.0))
+        |      *10000.0 + 0.5)/10000.0 END AS df
         |FROM f""".stripMargin,
   )
 }

@@ -475,6 +475,162 @@ object QualityChecks {
         gf.roundAt(-sf.col("__m.__nv"), 4).as("ks_at"))
   }
 
+  /** Peaks-over-threshold tail fit per group — generalized Pareto
+    * shape/scale via probability-weighted moments (Pickands 1975;
+    * Hosking & Wallis 1987 PWM): over each group's exceedances above
+    * its exact `tailQ` quantile, ξ̂ = 2 − b₀/(b₀−2b₁),
+    * σ̂ = 2b₀b₁/(b₀−2b₁) with b₀ the mean excess and b₁ the
+    * rank-weighted moment. THE tail-risk datasheet row 289's Hill
+    * index can't give (Hill assumes a pure power law and only reads
+    * α): ξ > 0 quantifies HOW heavy (ξ ≥ 1 = infinite mean — a p99
+    * latency/length budget is meaningless), ξ ≈ 0 exponential-tailed,
+    * ξ < 0 a finite endpoint — the number that decides truncation
+    * policies for length outliers and capacity planning for latency.
+    *
+    * Determinism: values on the exact 1e-4 grid, collapsed to the
+    * (group, value) DOMAIN; the threshold is the exact type-1
+    * quantile (min v with cum·10⁴ ≥ q₄·n — pure integers, tailQ
+    * snapped 1e-4); Σ(r−1)y over tied exceedance ranks is
+    * rank-assignment-invariant and computed exactly on the domain
+    * (c·cumE − c(c−1)/2 − c per cell) in DECIMAL(38,0); b₀/b₁/ξ/σ are
+    * one pinned assembly (ξ 1e-6, σ and b₀ 1e-4). Groups with < 2
+    * exceedances or a degenerate b₀−2b₁ yield NULL fits.
+    *
+    * Scale shape: one map-side-combined domain collapse + two
+    * per-group cumulative windows over the DOMAIN (bounded by
+    * distinct values per group, never row count — the [[ksTest]]
+    * convention) + group-domain rollups. */
+  def gpdTail(df: DataFrame, groupCol: String, valueCol: String,
+              tailQ: Double = 0.95): DataFrame = {
+    require(tailQ > 0.5 && tailQ < 1.0, s"tailQ must be in (0.5, 1), got $tailQ")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tq4 = math.floor(tailQ * 1e4 + 0.5).toLong
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val dom = df.filter(sf.col(valueCol).isNotNull && sf.col(groupCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as("g"), v4.as("v"))
+      .groupBy("g", "v").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + cum window + exceedances read it
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dom.groupBy("g").agg(sf.sum("c").cast("long").as("n"))
+    val withCum = dom.withColumn("__cum", sf.sum("c").over(w)).join(tot, "g")
+    val thr = withCum.filter(sf.col("__cum") * 10000L >= sf.lit(tq4) * sf.col("n"))
+      .groupBy("g").agg(sf.min("v").as("__u"))
+    val exc = dom.join(thr, "g").filter(sf.col("v") > sf.col("__u"))
+      .select(sf.col("g"), (sf.col("v") - sf.col("__u")).as("y"), sf.col("c"))
+      .withColumn("__cumE", sf.sum("c").over(
+        Window.partitionBy("g").orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val fits = exc.groupBy("g")
+      .agg(sf.sum("c").cast("long").as("n_exceed"),
+        sf.sum(dec(sf.col("c")) * dec(sf.col("y"))).as("__s0"),
+        // 2-scaled Σ(r-1)y: 2c·cum − c(c−1) − 2c stays in exact integers
+        sf.sum((dec(sf.col("c")) * dec(sf.col("__cumE")) * 2 -
+          dec(sf.col("c")) * dec(sf.col("c") - 1) - dec(sf.col("c")) * 2) *
+          dec(sf.col("y"))).as("__s12"))
+    tot.join(thr, "g").join(fits, Seq("g"), "left")
+      .select({
+        val ne = sf.col("n_exceed").cast("double")
+        val b0 = sf.col("__s0").cast("double") / ne / 1e4
+        val b1 = sf.col("__s12").cast("double") / 2 / 1e4 / (ne - 1.0) / ne
+        val den = b0 - b1 * 2
+        val ok = sf.col("n_exceed") >= 2 && den =!= 0.0
+        Seq(sf.col("g").as(groupCol), sf.col("n"),
+          gf.roundAt(sf.col("__u").cast("double") / 1e4, 4).as("threshold"),
+          sf.coalesce(sf.col("n_exceed"), sf.lit(0L)).as("n_exceed"),
+          sf.when(sf.col("n_exceed") >= 1, gf.roundAt(b0, 4)).as("mean_excess"),
+          sf.when(ok, gf.roundAt(sf.lit(2.0) - b0 / den, 6)).as("xi"),
+          sf.when(ok, gf.roundAt(b0 * 2 * b1 / den, 4)).as("sigma"))
+      }: _*)
+      .orderBy(groupCol)
+  }
+
+  /** Yuen's trimmed-mean t-test (Yuen 1974) — the ROBUST two-sample
+    * location test: [[welchTTest]] already drops the equal-variance
+    * assumption, but its means and variances are still wrecked by the
+    * heavy tails every latency/length/value column actually has; Yuen
+    * compares γ-trimmed means with Winsorized variances, so a handful
+    * of outliers can't manufacture or mask a shift. The standard
+    * robust A/B readout beside the rank tests (row 147 asks "does one
+    * distribution dominate"; Yuen still answers in the COLUMN'S UNITS).
+    *
+    *   t = (x̄_t1 − x̄_t2)/√(d₁+d₂),  d = s²_w(n−1)/(h(h−1)),
+    *   h = n − 2g,  g = ⌊γn⌋,  df Welch–Satterthwaite over d's.
+    *
+    * Determinism: values on the exact 1e-4 grid collapsed to the
+    * value DOMAIN; γ snaps 1e-4 and g = (γ₄·n) div 10⁴ is exact; the
+    * trim keeps exact per-cell rank overlaps (k = min(cum, n−g) −
+    * max(cum−c, g), never negative), and Winsorization clamps at the
+    * exact order statistics v₍g+1₎/v₍n−g₎ — value-level clamping
+    * equals rank-level Winsorization exactly because every rank of a
+    * sub-threshold value lies in the replaced block; all moments
+    * DECIMAL(38,0), t/df one pinned assembly (trimmed means 1e-4,
+    * t 1e-6, df 1e-4). h < 2 or zero pooled d yields NULL.
+    *
+    * Scale shape: per side one domain collapse + one cumulative
+    * window over the value DOMAIN ([[ksTest]] convention) + two
+    * order-statistic lookups + a one-row reduce. */
+  def yuenTTest(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                trim: Double = 0.2): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tr4 = math.floor(trim * 1e4 + 0.5).toLong
+    def side(df: DataFrame, tag: String) = {
+      val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+      val dom = graft.operators.Par.spread(
+          df.filter(sf.col(valueCol).isNotNull).select(v4.as("v")))
+        .groupBy("v").agg(sf.count(sf.lit(1)).as("c"))
+        .localCheckpoint(true) // cum window + totals + clamp bounds read it
+      val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("v")), sf.lit(1)))
+        .orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dom.withColumn("__cum", sf.sum("c").over(w))
+        .localCheckpoint(true)
+      val tot = dom.agg(sf.sum("c").cast("long").as("n"))
+        .select(sf.col("n"),
+          sf.expr(s"($tr4 * n) div 10000").as("g"))
+        .withColumn("h", sf.col("n") - sf.col("g") * 2)
+      val wc = cum.crossJoin(sf.broadcast(tot))
+      val lo = wc.filter(sf.col("__cum") >= sf.col("g") + 1)
+        .agg(sf.min("v").as("lo"))
+      val hi = wc.filter(sf.col("__cum") >= sf.col("n") - sf.col("g"))
+        .agg(sf.min("v").as("hi"))
+      val kept = sf.greatest(sf.lit(0L),
+        sf.least(sf.col("__cum"), sf.col("n") - sf.col("g")) -
+          sf.greatest(sf.col("__cum") - sf.col("c"), sf.col("g")))
+      val wv = sf.least(sf.greatest(sf.col("v"), sf.col("lo")), sf.col("hi"))
+      wc.crossJoin(sf.broadcast(lo)).crossJoin(sf.broadcast(hi))
+        .agg(sf.max("n").as(s"n_$tag"), sf.max("g").as(s"__g$tag"),
+          sf.max("h").as(s"h_$tag"),
+          sf.sum(dec(kept) * dec(sf.col("v"))).as(s"__ts$tag"),
+          sf.sum(dec(sf.col("c")) * dec(wv)).as(s"__ws$tag"),
+          sf.sum(dec(sf.col("c")) * dec(wv) * dec(wv)).as(s"__wss$tag"))
+    }
+    side(dfA, "a").crossJoin(sf.broadcast(side(dfB, "b")))
+      .select({
+        def stats(tag: String) = {
+          val n = sf.col(s"n_$tag").cast("double")
+          val h = sf.col(s"h_$tag").cast("double")
+          val tm = sf.col(s"__ts$tag").cast("double") / h / 1e4
+          val sw2 = (sf.col(s"__wss$tag").cast("double") / 1e8 -
+            (sf.col(s"__ws$tag").cast("double") / 1e4) *
+              (sf.col(s"__ws$tag").cast("double") / 1e4) / n) / (n - 1.0)
+          val d = sw2 * (n - 1.0) / (h * (h - 1.0))
+          (tm, d, h)
+        }
+        val (tma, da, ha) = stats("a")
+        val (tmb, db, hb) = stats("b")
+        val ok = sf.col("h_a") >= 2 && sf.col("h_b") >= 2 && (da + db) > 0.0
+        Seq(sf.col("n_a"), sf.col("n_b"), sf.col("h_a"), sf.col("h_b"),
+          sf.when(sf.col("h_a") >= 1, gf.roundAt(tma, 4)).as("tmean_a"),
+          sf.when(sf.col("h_b") >= 1, gf.roundAt(tmb, 4)).as("tmean_b"),
+          sf.when(ok, gf.roundAt((tma - tmb) / sf.sqrt(da + db), 6)).as("t_yuen"),
+          sf.when(ok, gf.roundAt((da + db) * (da + db) /
+            (da * da / (ha - 1.0) + db * db / (hb - 1.0)), 4)).as("df"))
+      }: _*)
+  }
+
   /** Chi-squared test of independence between two categorical columns
     * — "does source mix depend on language?" — completing the
     * testing suite next to Pearson (numeric-numeric, q87), KS/PSI

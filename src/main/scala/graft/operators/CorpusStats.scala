@@ -1722,10 +1722,8 @@ object CorpusStats {
     val allCells = srcCells.groupBy("__x")
       .agg(sf.sum("__c").cast("long").as("__c"))
       .select(sf.lit("(all)").as("__s"), sf.col("__x"), sf.col("__c"))
-    def giniOf(cells: DataFrame) = {
-      // domain-sized per-source window: partitions are value domains
-      val w = Window.partitionBy("__s").orderBy("__x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def giniOf(cells: DataFrame,
+               w: org.apache.spark.sql.expressions.WindowSpec) = {
       val m = dec(sf.col("__x")) * dec(sf.col("__c"))
       cells
         .withColumn("__m", m)
@@ -1743,7 +1741,19 @@ object CorpusStats {
             (dec(sf.col("n_docs")) * sf.col("__M")).cast("double"), 6))
             .as("gini"))
     }
-    giniOf(srcCells).unionByName(giniOf(allCells)).orderBy("source")
+    // domain-sized windows: partitions are value domains. The (all)
+    // pass must NOT partition by its "(all)" literal — Spark's
+    // EliminateWindowPartitions strips foldable keys, leaving a bare
+    // global window (the WindowExec one-task warning); the ksTest
+    // idiom (pmod(hash(domain), 1): constant-valued but non-foldable)
+    // keeps the bounded-by-the-domain intent explicit in the plan.
+    val wSrc = Window.partitionBy("__s").orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(sf.pmod(sf.hash(sf.col("__x")), sf.lit(1)))
+      .orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    giniOf(srcCells, wSrc).unionByName(giniOf(allCells, wAll))
+      .orderBy("source")
   }
 
   /** Leave-one-out bigram self-overlap per source — the Self-BLEU

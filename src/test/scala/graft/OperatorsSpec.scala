@@ -2634,6 +2634,38 @@ class OperatorsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integer-coded"), e.getMessage)
   }
 
+  test("QualityChecks.gpdTail: hand PWM fit over 1..20 at q90; constant NULLs") {
+    import spark.implicits._
+    // u = 18 (exact type-1 p90), exceedances y = {1, 2}: b0 = 1.5,
+    // b1 = 1 -> xi = 2 - 1.5/(-0.5) = 5, sigma = -6 (exact pins)
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = QualityChecks.gpdTail(df, "g", "v", tailQ = 0.9).head()
+    assert(r.getAs[Long]("n") == 20 && r.getAs[Double]("threshold") == 18.0)
+    assert(r.getAs[Long]("n_exceed") == 2 &&
+      r.getAs[Double]("mean_excess") == 1.5, r.toString)
+    assert(r.getAs[Double]("xi") == 5.0 && r.getAs[Double]("sigma") == -6.0,
+      r.toString)
+    // constant group: threshold = the single value, no exceedances
+    val rc = QualityChecks.gpdTail(
+      Seq.fill(10)(("c", 7.0)).toDF("g", "v"), "g", "v", tailQ = 0.9).head()
+    assert(rc.getAs[Long]("n_exceed") == 0 &&
+      rc.isNullAt(rc.fieldIndex("xi")), rc.toString)
+  }
+
+  test("QualityChecks.yuenTTest: outlier-contaminated hand case t = -5.940885") {
+    import spark.implicits._
+    // 20% trim discards the planted 0/100 and 30 outliers entirely:
+    // trimmed means 5.5 vs 15.5, Winsorized d's equal, df = 10
+    val a = Seq(0.0, 2, 3, 4, 5, 6, 7, 8, 9, 100).toDF("v")
+    val b = Seq(10.0, 12, 13, 14, 15, 16, 17, 18, 19, 30).toDF("v")
+    val r = QualityChecks.yuenTTest(a, b, "v", trim = 0.2).head()
+    assert(r.getAs[Long]("n_a") == 10 && r.getAs[Long]("h_a") == 6)
+    assert(r.getAs[Double]("tmean_a") == 5.5 &&
+      r.getAs[Double]("tmean_b") == 15.5, r.toString)
+    assert(r.getAs[Double]("t_yuen") == -5.940885, r.toString)
+    assert(r.getAs[Double]("df") == 10.0, r.toString)
+  }
+
   test("QualityChecks.breslowDay: heterogeneous strata 2.7747; homogeneous ~0") {
     import spark.implicits._
     // stratum s1 OR=1, s2 OR=4 -> pooled psi = 2.2, BD = 2.7747 (hand

@@ -226,6 +226,24 @@ class PlanSpec extends SparkFunSuite {
       s"unpartitioned window in zipfSlope plan: ${unpartitioned.size}")
   }
 
+  test("lorenz gini: the (all) pass has no one-partition window") {
+    // The pooled row's cumulative pass once partitioned by the literal
+    // "(all)" — EliminateWindowPartitions strips foldable keys, leaving
+    // a bare global WindowExec (the r10 finding). Both passes must key
+    // their windows on non-foldable expressions (source column /
+    // pmod(hash(domain), 1)) so the bounded-by-the-domain intent
+    // survives optimization.
+    val docs = Tables.load(spark, sf001, "documents")
+    val df = graft.operators.CorpusStats.lorenzGini(docs, "text", "source")
+    df.collect()
+    val all = collectAll(executed(df))
+    val oneTask = all.collect {
+      case wx: org.apache.spark.sql.execution.window.WindowExec
+        if wx.partitionSpec.isEmpty || wx.partitionSpec.forall(_.foldable) => wx }
+    assert(oneTask.isEmpty,
+      s"one-partition window in lorenzGini plan: ${oneTask.size}")
+  }
+
   test("simhash near-dup dedups pairs with the first-witness test, not an aggregate") {
     val docs = Tables.load(spark, sf001, "documents")
     val df = graft.operators.Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 6)
