@@ -2374,6 +2374,21 @@ object SparkEntry {
         ev.filter(sf.col("event_type") === "click"),
         ev.filter(sf.col("event_type") === "view"), "value", trim = 0.2)
     }),
+
+    // 3-truss of the part co-occurrence graph, 2 peel rounds: the
+    // triangle-mesh skeleton behind the association-rule readouts.
+    "q337_ktruss" -> ((s, dir) =>
+      Graph.kTruss(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", k = 3, minPairCount = 2, rounds = 2)),
+
+    // Exact two-sample energy distance on the q312 pair: the all-pairs
+    // E-statistic collapsed to one prefix pass — never a pair join.
+    "q338_energy_distance" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.energyDistance(
+        ev.filter(sf.col("event_type") === "click"),
+        ev.filter(sf.col("event_type") === "view"), "value")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -10422,6 +10437,74 @@ object SparkEntry {
         |    floor((dda + ddb)*(dda + ddb)
         |      /(dda*dda/(CAST(h_a AS DOUBLE) - 1.0) + ddb*ddb/(CAST(h_b AS DOUBLE) - 1.0))
         |      *10000.0 + 0.5)/10000.0 END AS df
+        |FROM f""".stripMargin,
+
+    // k-truss: the q126 canonical triangle join per peel round, 3-way
+    // edge credit, support >= k-2 filter, 2 rounds + final support.
+    "q337_ktruss" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e0 AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |t0 AS (SELECT e1.item_a AS a, e1.item_b AS bb, e2.item_b AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e2.item_a = e1.item_b
+        |  JOIN e0 e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b),
+        |s0 AS (SELECT x AS item_a, y AS item_b, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        |  SELECT a AS x, bb AS y FROM t0 UNION ALL SELECT a, c FROM t0
+        |  UNION ALL SELECT bb, c FROM t0) GROUP BY 1, 2),
+        |e1r AS (SELECT e0.item_a, e0.item_b FROM e0 LEFT JOIN s0 USING (item_a, item_b)
+        |  WHERE COALESCE(s, 0) >= 1),
+        |t1 AS (SELECT e1.item_a AS a, e1.item_b AS bb, e2.item_b AS c
+        |  FROM e1r e1 JOIN e1r e2 ON e2.item_a = e1.item_b
+        |  JOIN e1r e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b),
+        |s1 AS (SELECT x AS item_a, y AS item_b, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        |  SELECT a AS x, bb AS y FROM t1 UNION ALL SELECT a, c FROM t1
+        |  UNION ALL SELECT bb, c FROM t1) GROUP BY 1, 2),
+        |e2r AS (SELECT e1r.item_a, e1r.item_b FROM e1r LEFT JOIN s1 USING (item_a, item_b)
+        |  WHERE COALESCE(s, 0) >= 1),
+        |t2 AS (SELECT e1.item_a AS a, e1.item_b AS bb, e2.item_b AS c
+        |  FROM e2r e1 JOIN e2r e2 ON e2.item_a = e1.item_b
+        |  JOIN e2r e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b),
+        |s2 AS (SELECT x AS item_a, y AS item_b, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        |  SELECT a AS x, bb AS y FROM t2 UNION ALL SELECT a, c FROM t2
+        |  UNION ALL SELECT bb, c FROM t2) GROUP BY 1, 2)
+        |SELECT e2r.item_a, e2r.item_b, COALESCE(s, 0) AS support
+        |FROM e2r LEFT JOIN s2 USING (item_a, item_b)
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // Energy distance: identical grid cells, one window prefix pass
+    // over four columns, exact below-identities, pinned assembly.
+    "q338_energy_distance" ->
+      """WITH a AS (SELECT CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) v
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+        |b AS (SELECT CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) v
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM a GROUP BY 1),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) c FROM b GROUP BY 1),
+        |m AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca.c, 0) AS cca,
+        |  COALESCE(cb.c, 0) AS ccb FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(cca) AS BIGINT) AS mm, CAST(SUM(ccb) AS BIGINT) AS nn FROM m),
+        |pre AS (SELECT v, cca, ccb,
+        |  SUM(cca) OVER (ORDER BY v) AS pca, SUM(ccb) OVER (ORDER BY v) AS pcb,
+        |  SUM(CAST(v AS HUGEINT)*cca) OVER (ORDER BY v) AS psa,
+        |  SUM(CAST(v AS HUGEINT)*ccb) OVER (ORDER BY v) AS psb FROM m),
+        |s AS (SELECT
+        |  SUM(CAST(cca AS HUGEINT)*(CAST(v AS HUGEINT)*pcb - psb)
+        |    + CAST(ccb AS HUGEINT)*(CAST(v AS HUGEINT)*pca - psa)) AS sxy,
+        |  SUM(CAST(cca AS HUGEINT)*(CAST(v AS HUGEINT)*pca - psa)) AS sxx,
+        |  SUM(CAST(ccb AS HUGEINT)*(CAST(v AS HUGEINT)*pcb - psb)) AS syy
+        |  FROM pre),
+        |f AS (SELECT mm, nn,
+        |  CAST(sxy AS DOUBLE)/(CAST(mm AS DOUBLE)*CAST(nn AS DOUBLE))/1e4 AS exy,
+        |  CAST(sxx AS DOUBLE)*2/(CAST(mm AS DOUBLE)*CAST(mm AS DOUBLE))/1e4 AS exx,
+        |  CAST(syy AS DOUBLE)*2/(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE))/1e4 AS eyy
+        |  FROM s CROSS JOIN t)
+        |SELECT mm AS n_a, nn AS n_b,
+        |  CASE WHEN mm > 0 AND nn > 0 THEN floor(exy*10000.0 + 0.5)/10000.0 END AS e_xy,
+        |  CASE WHEN mm > 0 AND nn > 0 THEN floor(exx*10000.0 + 0.5)/10000.0 END AS e_xx,
+        |  CASE WHEN mm > 0 AND nn > 0 THEN floor(eyy*10000.0 + 0.5)/10000.0 END AS e_yy,
+        |  CASE WHEN mm > 0 AND nn > 0 THEN
+        |    floor((exy*2 - exx - eyy)*1000000.0 + 0.5)/1000000.0 END AS energy_dist
         |FROM f""".stripMargin,
   )
 }

@@ -759,6 +759,56 @@ object Graph {
         sf.element_at(sf.col("t"), 3).as("item_c"))
   }
 
+  /** Bounded-round k-truss peel (Cohen 2008): edges supported by
+    * ≥ k−2 triangles, iterated — the EDGE-cohesion refinement of
+    * [[kCore]] (a k-core can be a sparse hub star; a k-truss edge is
+    * embedded in actual triangle mesh), which makes it the stronger
+    * community-core extractor on co-occurrence graphs: 3-truss+ edges
+    * are the "these items really travel together" skeleton the
+    * association-rule readouts should be read against. `rounds` bounds
+    * the peel explicitly (the [[kCoreFromEdges]] truncation
+    * convention — each round is a full O(|E|^1.5) triangle pass, and
+    * bounded rounds are what a production pipeline schedules); edges
+    * whose support fell only in the LAST removal wave survive with
+    * their reported (possibly < k−2) support.
+    *
+    * Determinism: pure integer structure — the degree-ordered oriented
+    * closure finds each triangle once, support counts are exact, the
+    * peel keeps support ≥ k−2. Scale shape: per round one triangle
+    * closure + a 3-way edge explode + a combinable edge-keyed count +
+    * one semi-join filter; lineage cut per round (localCheckpoint). */
+  def kTruss(df: DataFrame, basketCol: String, itemCol: String, k: Int,
+             minPairCount: Long = 2, rounds: Int = 2): DataFrame =
+    kTrussFromPairs(minedPairs(df, basketCol, itemCol, minPairCount), k, rounds)
+
+  /** [[kTruss]] over a pre-mined undirected pair list — the mine-once
+    * family member. */
+  def kTrussFromPairs(pairs0: DataFrame, k: Int, rounds: Int = 2): DataFrame = {
+    require(k >= 3 && k <= 64, s"k must be in [3, 64], got $k")
+    require(rounds >= 1 && rounds <= 5, s"rounds must be in [1, 5], got $rounds")
+    val need = (k - 2).toLong
+    def support(e: DataFrame): DataFrame =
+      triangleClosure(e.select(sf.col("item_a").as("u"), sf.col("item_b").as("v")))
+        .select(sf.explode(sf.array(
+          sf.struct(sf.col("item_a").as("x"), sf.col("item_b").as("y")),
+          sf.struct(sf.col("item_a").as("x"), sf.col("item_c").as("y")),
+          sf.struct(sf.col("item_b").as("x"), sf.col("item_c").as("y")))).as("e"))
+        .select(sf.col("e.x").as("item_a"), sf.col("e.y").as("item_b"))
+        .groupBy("item_a", "item_b").agg(sf.count(sf.lit(1)).as("support"))
+    var edges = pairs0.select("item_a", "item_b").localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val sup = support(edges)
+      edges = edges.join(sup, Seq("item_a", "item_b"), "left")
+        .filter(sf.coalesce(sf.col("support"), sf.lit(0L)) >= need)
+        .select("item_a", "item_b")
+        .localCheckpoint(true) // next round's closure reads it twice
+    }
+    edges.join(support(edges), Seq("item_a", "item_b"), "left")
+      .select(sf.col("item_a"), sf.col("item_b"),
+        sf.coalesce(sf.col("support"), sf.lit(0L)).as("support"))
+      .orderBy("item_a", "item_b")
+  }
+
   /** Graph datasheet: the one-pass structural summary of the
     * co-occurrence graph (node/edge counts, degree stats, density,
     * wedge count, triangle count, global clustering coefficient) as a

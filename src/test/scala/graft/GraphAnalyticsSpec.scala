@@ -835,6 +835,23 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(rp.getAs[Double]("assortativity") == 1.0, rp.toString)
   }
 
+  test("Graph.kTrussFromPairs: pendant peeled at k=3; cascade empties k=4") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant (3,4): k=3 keeps the triangle edges
+    // (support 1 each), the pendant peels in round 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("item_a", "item_b")
+    val got = Graph.kTrussFromPairs(pairs, k = 3, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      got.mkString(";"))
+    // K4 minus an edge at k=4: round 1 keeps only the shared edge
+    // (support 2), round 2 finds no triangle -> empty truss (cascade)
+    val k4m = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("item_a", "item_b")
+    assert(Graph.kTrussFromPairs(k4m, k = 4, rounds = 2).count() == 0)
+  }
+
   test("Graph.richClubFromPairs: triangle-with-pendant curve by hand") {
     import spark.implicits._
     // edges 1-2, 1-3, 1-4, 2-3: degrees 1:3, 2:2, 3:2, 4:1;

@@ -2634,6 +2634,21 @@ class OperatorsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integer-coded"), e.getMessage)
   }
 
+  test("QualityChecks.energyDistance: hand all-pairs 3.0; identical 0") {
+    import spark.implicits._
+    // A={1,2} B={3,4}: sum|x-y| = 8 -> e_xy = 2; within sums 1 each ->
+    // e_xx = e_yy = 0.5; D^2 = 4 - 1 = 3
+    val r = QualityChecks.energyDistance(
+      Seq(1.0, 2.0).toDF("v"), Seq(3.0, 4.0).toDF("v"), "v").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("e_xy") == 2.0 && r.getAs[Double]("e_xx") == 0.5 &&
+      r.getAs[Double]("e_yy") == 0.5, r.toString)
+    assert(r.getAs[Double]("energy_dist") == 3.0, r.toString)
+    val ri = QualityChecks.energyDistance(
+      Seq(1.0, 2.0).toDF("v"), Seq(1.0, 2.0).toDF("v"), "v").head()
+    assert(ri.getAs[Double]("energy_dist") == 0.0, ri.toString)
+  }
+
   test("QualityChecks.gpdTail: hand PWM fit over 1..20 at q90; constant NULLs") {
     import spark.implicits._
     // u = 18 (exact type-1 p90), exceedances y = {1, 2}: b0 = 1.5,
