@@ -2389,6 +2389,17 @@ object SparkEntry {
         ev.filter(sf.col("event_type") === "click"),
         ev.filter(sf.col("event_type") === "view"), "value")
     }),
+
+    // Component-size spectrum of the tighter (minPairCount=3) part
+    // graph: hairball-or-families fragmentation datasheet.
+    "q339_component_sizes" -> ((s, dir) =>
+      Graph.componentSizes(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3)),
+
+    // Qini uplift-by-decile: does targeting by pre-treatment engagement
+    // buy INCREMENTAL purchases, decile by decile.
+    "q340_qini" -> ((s, dir) =>
+      EventOps.qiniDeciles(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -10506,5 +10517,60 @@ object SparkEntry {
         |  CASE WHEN mm > 0 AND nn > 0 THEN
         |    floor((exy*2 - exx - eyy)*1000000.0 + 0.5)/1000000.0 END AS energy_dist
         |FROM f""".stripMargin,
+
+    // Component sizes: the q33 recursive-closure min-label twin on the
+    // minPairCount=3 funnel, then the size histogram + share.
+    "q339_component_sizes" ->
+      """WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS bb FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |pr AS (SELECT a, bb FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT a AS s, bb AS d FROM pr UNION SELECT bb, a FROM pr),
+        |reach AS (SELECT s, d FROM e
+        |          UNION SELECT r.s, ee.d FROM reach r JOIN e ee ON r.d = ee.s),
+        |lbl AS (SELECT s AS id, LEAST(s, MIN(d)) AS cluster FROM reach GROUP BY s),
+        |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS szz FROM lbl GROUP BY 1),
+        |t AS (SELECT CAST(SUM(szz) AS BIGINT) AS tn FROM sz)
+        |SELECT szz AS component_size, CAST(COUNT(*) AS BIGINT) AS n_components,
+        |  CAST(szz*COUNT(*) AS BIGINT) AS n_nodes,
+        |  floor(CAST(szz*COUNT(*) AS DOUBLE)/CAST(tn AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS node_share
+        |FROM sz CROSS JOIN t GROUP BY szz, tn ORDER BY 1""".stripMargin,
+
+    // Qini: per-user score/conversion rollup, hash split, ROW_NUMBER
+    // rank twin, decile arithmetic, cumulative window, pinned Qini.
+    "q340_qini" ->
+      """WITH per AS (SELECT user_id AS u,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |  CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |pg AS (SELECT u, score, conv,
+        |  (((u % 2147483648) * 2654435761) % 4294967296) % 10000 < 5000 AS t FROM per),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM pg),
+        |rk AS (SELECT u, row_number() OVER (ORDER BY -score, u) AS r FROM pg),
+        |dc AS (SELECT pg.u, conv, t, CAST(((r - 1)*10) // nn + 1 AS INT) AS decile
+        |  FROM pg JOIN rk ON rk.u = pg.u CROSS JOIN n),
+        |g AS (SELECT decile,
+        |  CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+        |  CAST(SUM(CASE WHEN t THEN conv ELSE 0 END) AS BIGINT) AS ct,
+        |  CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |  CAST(SUM(CASE WHEN NOT t THEN conv ELSE 0 END) AS BIGINT) AS cc
+        |  FROM dc GROUP BY 1),
+        |c AS (SELECT decile, n_treated, ct, n_control, cc,
+        |  SUM(n_treated) OVER (ORDER BY decile) AS cnt,
+        |  SUM(ct) OVER (ORDER BY decile) AS cct,
+        |  SUM(n_control) OVER (ORDER BY decile) AS cnc,
+        |  SUM(cc) OVER (ORDER BY decile) AS ccc FROM g)
+        |SELECT decile, n_treated, n_control,
+        |  CASE WHEN n_treated > 0 THEN
+        |    floor(CAST(ct AS DOUBLE)/CAST(n_treated AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS rate_treated,
+        |  CASE WHEN n_control > 0 THEN
+        |    floor(CAST(cc AS DOUBLE)/CAST(n_control AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS rate_control,
+        |  CASE WHEN n_treated > 0 AND n_control > 0 THEN
+        |    floor((CAST(ct AS DOUBLE)/CAST(n_treated AS DOUBLE)
+        |         - CAST(cc AS DOUBLE)/CAST(n_control AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS uplift,
+        |  CASE WHEN cnc > 0 THEN
+        |    floor((CAST(cct AS DOUBLE)
+        |         - CAST(ccc AS DOUBLE)*CAST(cnt AS DOUBLE)/CAST(cnc AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS qini
+        |FROM c ORDER BY decile""".stripMargin,
   )
 }

@@ -1232,6 +1232,79 @@ object EventOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Qini / uplift-by-decile curve (Radcliffe 2007): users ranked by a
+    * targeting score and cut into deciles; per decile the
+    * treated-vs-control conversion rates, their difference (the
+    * UPLIFT), and the cumulative Qini value
+    * Q_k = cumConv_t − cumConv_c·cumN_t/cumN_c — the INCREMENTALITY
+    * readout the plain gains table (row 301's cumulative lift) cannot
+    * give: gains rank by who converts, Qini ranks by who converts
+    * BECAUSE OF the treatment, which is what a targeting budget
+    * actually buys. Score here = pre-treatment engagement (view
+    * count); treatment = the deterministic q99 hash split; outcome =
+    * any purchase.
+    *
+    * Determinism: per-user counts exact; ranks are the EXACT total
+    * order (score desc, user asc) via
+    * [[graft.operators.StarSchema.globalDenseIds]] (row-340 rule),
+    * decile = ⌊(rank−1)·10/n⌋+1; cumulatives ride a ≤10-row window
+    * keyed on a non-foldable constant (bounded by construction);
+    * rates/uplift/Qini are pinned assemblies (rates+uplift 1e-6, Qini
+    * 1e-4). Deciles with an empty control arm yield NULL uplift/Qini.
+    *
+    * Scale shape: one combinable per-user rollup + one
+    * range-partitioned rank pass + a 10-row decile rollup + the
+    * bounded cumulative window. */
+  def qiniDeciles(events: DataFrame, userCol: String = "user_id",
+                  typeCol: String = "event_type",
+                  scoreType: String = "view",
+                  convertType: String = "purchase"): DataFrame = {
+    val per = events.filter(sf.col(userCol).isNotNull)
+      .groupBy(sf.col(userCol).as("u"))
+      .agg(sf.sum((sf.col(typeCol) === scoreType).cast("long")).cast("long")
+          .as("__score"),
+        sf.max((sf.col(typeCol) === convertType).cast("long")).as("__conv"))
+      .withColumn("__t",
+        graft.operators.Sampling.hashBucket(sf.col("u")) < 5000)
+      .withColumn("__neg", -sf.col("__score"))
+      .localCheckpoint(true) // rank pass + count read it
+    val n = per.agg(sf.count(sf.lit(1)).as("__n"))
+    val ranked = graft.operators.StarSchema
+      .globalDenseIds(per, Seq("__neg", "u"), "__rk")
+      .crossJoin(sf.broadcast(n))
+      .withColumn("decile",
+        sf.expr("((__rk - 1) * 10) div __n + 1").cast("int"))
+    val byDecile = ranked.groupBy("decile")
+      .agg(sf.sum(sf.col("__t").cast("long")).cast("long").as("n_treated"),
+        sf.sum(sf.when(sf.col("__t"), sf.col("__conv")).otherwise(sf.lit(0L)))
+          .cast("long").as("__ct"),
+        sf.sum((!sf.col("__t")).cast("long")).cast("long").as("n_control"),
+        sf.sum(sf.when(!sf.col("__t"), sf.col("__conv")).otherwise(sf.lit(0L)))
+          .cast("long").as("__cc"))
+      .localCheckpoint(true) // bounded cumulative reads it
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("decile")), sf.lit(1)))
+      .orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("__cnt", sf.sum("n_treated").over(w))
+      .withColumn("__cct", sf.sum("__ct").over(w))
+      .withColumn("__cnc", sf.sum("n_control").over(w))
+      .withColumn("__ccc", sf.sum("__cc").over(w))
+      .select({
+        val rt = sf.col("__ct").cast("double") / sf.col("n_treated").cast("double")
+        val rc = sf.col("__cc").cast("double") / sf.col("n_control").cast("double")
+        val qini = sf.col("__cct").cast("double") -
+          sf.col("__ccc").cast("double") * sf.col("__cnt").cast("double") /
+            sf.col("__cnc").cast("double")
+        Seq(sf.col("decile"), sf.col("n_treated"), sf.col("n_control"),
+          sf.when(sf.col("n_treated") > 0, gf.roundAt(rt, 6)).as("rate_treated"),
+          sf.when(sf.col("n_control") > 0, gf.roundAt(rc, 6)).as("rate_control"),
+          sf.when(sf.col("n_treated") > 0 && sf.col("n_control") > 0,
+            gf.roundAt(rt - rc, 6)).as("uplift"),
+          sf.when(sf.col("__cnc") > 0, gf.roundAt(qini, 4)).as("qini"))
+      }: _*)
+      .orderBy("decile")
+  }
+
   /** RFM segmentation (Hughes 1994 — the retention-marketing
     * standard): per user over their `purchaseType` events, Recency
     * (days since last purchase, vs the corpus max timestamp),

@@ -759,6 +759,44 @@ object Graph {
         sf.element_at(sf.col("t"), 3).as("item_c"))
   }
 
+  /** Connected-component size distribution of the mined co-occurrence
+    * graph — size histogram + node share per size: the FRAGMENTATION
+    * datasheet behind every clustering readout (one giant component =
+    * the graph is a hairball and [[labelPropagation]] communities need
+    * reading with suspicion; many small components = natural product
+    * families — and for dedup graphs this histogram IS the duplicate
+    * cluster-size spectrum at graph scale). Non-isolated nodes only
+    * (the mined pair list defines the graph — documented).
+    *
+    * Determinism: components ride
+    * [[graft.operators.Dedup.connectedComponents]]' star-contraction
+    * (min-id labels, pure integer structure); sizes/counts exact, the
+    * share one pinned division 1e-6.
+    *
+    * Scale shape: the star-contraction rounds (each a shuffle of the
+    * SHRINKING edge set) + two combinable rollups + a broadcast
+    * one-row total. */
+  def componentSizes(df: DataFrame, basketCol: String, itemCol: String,
+                     minPairCount: Long = 2): DataFrame =
+    componentSizesFromPairs(minedPairs(df, basketCol, itemCol, minPairCount))
+
+  /** [[componentSizes]] over a pre-mined undirected pair list — the
+    * mine-once family member. */
+  def componentSizesFromPairs(pairs0: DataFrame): DataFrame = {
+    val cc = graft.operators.Dedup.connectedComponents(
+      pairs0.select(sf.col("item_a").as("a_id"), sf.col("item_b").as("b_id")))
+    val sizes = cc.groupBy("cluster_id").agg(sf.count(sf.lit(1)).as("__sz"))
+      .localCheckpoint(true) // histogram + total read it
+    val tot = sizes.agg(sf.sum("__sz").cast("long").as("__tn"))
+    sizes.groupBy("__sz").agg(sf.count(sf.lit(1)).as("n_components"))
+      .crossJoin(sf.broadcast(tot))
+      .select(sf.col("__sz").as("component_size"), sf.col("n_components"),
+        (sf.col("__sz") * sf.col("n_components")).as("n_nodes"),
+        gf.roundAt((sf.col("__sz") * sf.col("n_components")).cast("double") /
+          sf.col("__tn").cast("double"), 6).as("node_share"))
+      .orderBy("component_size")
+  }
+
   /** Bounded-round k-truss peel (Cohen 2008): edges supported by
     * ≥ k−2 triangles, iterated — the EDGE-cohesion refinement of
     * [[kCore]] (a k-core can be a sparse hub star; a k-truss edge is

@@ -835,6 +835,16 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(rp.getAs[Double]("assortativity") == 1.0, rp.toString)
   }
 
+  test("Graph.componentSizesFromPairs: triangle + lone edge histogram") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L))
+      .toDF("item_a", "item_b")
+    val got = Graph.componentSizesFromPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 1L, 2L, 0.4), (3L, 1L, 3L, 0.6)),
+      got.mkString(";"))
+  }
+
   test("Graph.kTrussFromPairs: pendant peeled at k=3; cascade empties k=4") {
     import spark.implicits._
     // triangle {1,2,3} + pendant (3,4): k=3 keeps the triangle edges

@@ -2634,6 +2634,38 @@ class OperatorsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integer-coded"), e.getMessage)
   }
 
+  test("EventOps.qiniDeciles: 10 one-user deciles replay the contract formulas") {
+    import spark.implicits._
+    // user u gets u views; even users purchase once. Ranks by view
+    // count desc -> user 11-u sits alone in decile u.
+    val rows = (1 to 10).flatMap { u =>
+      (1 to u).map(i => (u * 100L + i, "view", u.toLong)) ++
+        (if (u % 2 == 0) Seq((u * 100L + 99, "purchase", u.toLong)) else Nil)
+    }
+    val ev = rows.toDF("event_id", "event_type", "user_id")
+      .select(sf.col("event_id"),
+        sf.lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"), sf.lit(1.0).as("value"))
+    val out = EventOps.qiniDeciles(ev).collect()
+    assert(out.map(_.getAs[Int]("decile")).toSeq == (1 to 10), out.mkString(";"))
+    // derive each user's arm with the same portable hash, then replay
+    // the decile/uplift/qini contract in plain Scala
+    val treated = ev.select(sf.col("user_id"),
+        (Sampling.hashBucket(sf.col("user_id")) < 5000).as("t"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val byDecile = (1 to 10).map { d => val u = 11L - d; (treated(u), u % 2 == 0L) }
+    var (cnt, cct, cnc, ccc) = (0L, 0L, 0L, 0L)
+    out.zip(byDecile).foreach { case (r, (t, conv)) =>
+      if (t) { cnt += 1; if (conv) cct += 1 } else { cnc += 1; if (conv) ccc += 1 }
+      assert(r.getAs[Long]("n_treated") == (if (t) 1L else 0L), r.toString)
+      if (cnc > 0) {
+        val qini = cct.toDouble - ccc.toDouble * cnt.toDouble / cnc.toDouble
+        assert(r.getAs[Double]("qini") ==
+          math.floor(qini * 1e4 + 0.5) / 1e4, s"$r vs $qini")
+      } else assert(r.isNullAt(r.fieldIndex("qini")), r.toString)
+    }
+  }
+
   test("QualityChecks.energyDistance: hand all-pairs 3.0; identical 0") {
     import spark.implicits._
     // A={1,2} B={3,4}: sum|x-y| = 8 -> e_xy = 2; within sums 1 each ->
