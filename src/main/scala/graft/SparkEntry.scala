@@ -2400,6 +2400,19 @@ object SparkEntry {
     // buy INCREMENTAL purchases, decile by decile.
     "q340_qini" -> ((s, dir) =>
       EventOps.qiniDeciles(Tables.load(s, dir, "events"))),
+
+    // Platt scaling trained IN-ENGINE: 4 domain-compressed Newton
+    // steps calibrate the q73 classifier's raw scores; the NLL
+    // before/after pair is the calibration gain.
+    "q341_platt" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      QualityChecks.plattScaling(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(sf.col("score"),
+            (sf.col("lang") === "en").cast("int").as("y")),
+        "score", "y", iters = 4)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -10572,5 +10585,68 @@ object SparkEntry {
         |    floor((CAST(cct AS DOUBLE)
         |         - CAST(ccc AS DOUBLE)*CAST(cnt AS DOUBLE)/CAST(cnc AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS qini
         |FROM c ORDER BY decile""".stripMargin,
+
+    // Platt: the q229 raw-score staging collapsed to (f4, y) cells,
+    // then 4 unrolled Newton CTE rounds — identical z clamp, 1e-9
+    // per-cell snaps, integer Cramer, 1e-9 (a, b) trajectory pins.
+    "q341_platt" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      def p(ab: String) =
+        s"1.0/(1.0 + exp(-greatest(least((CAST($ab.a9 AS DOUBLE)/1e9)*(CAST(f4 AS DOUBLE)/1e4) + CAST($ab.b9 AS DOUBLE)/1e9, 30.0), -30.0)))"
+      val rounds = (1 to 4).map { i =>
+        val prev = s"ab${i - 1}"
+        val pp = p(prev)
+        s"""s$i AS (SELECT
+           |  SUM(CAST(floor(CAST(c AS DOUBLE)*(($pp*(1.0 - $pp))*(CAST(f4 AS DOUBLE)/1e4)*(CAST(f4 AS DOUBLE)/1e4))*1000000000.0 + 0.5) AS HUGEINT)) AS sxx,
+           |  SUM(CAST(floor(CAST(c AS DOUBLE)*(($pp*(1.0 - $pp))*(CAST(f4 AS DOUBLE)/1e4))*1000000000.0 + 0.5) AS HUGEINT)) AS sx,
+           |  SUM(CAST(floor(CAST(c AS DOUBLE)*($pp*(1.0 - $pp))*1000000000.0 + 0.5) AS HUGEINT)) AS s0,
+           |  SUM(CAST(floor(CAST(c AS DOUBLE)*(($pp - CAST(y AS DOUBLE))*(CAST(f4 AS DOUBLE)/1e4))*1000000000.0 + 0.5) AS HUGEINT)) AS gx,
+           |  SUM(CAST(floor(CAST(c AS DOUBLE)*($pp - CAST(y AS DOUBLE))*1000000000.0 + 0.5) AS HUGEINT)) AS g0,
+           |  MAX($prev.a9) AS a9, MAX($prev.b9) AS b9
+           |  FROM cells CROSS JOIN $prev),
+           |ab$i AS (SELECT
+           |  CASE WHEN sxx*s0 - sx*sx <> 0 THEN
+           |    a9 - CAST(floor(CAST(gx*s0 - g0*sx AS DOUBLE)/CAST(sxx*s0 - sx*sx AS DOUBLE)*1000000000.0 + 0.5) AS BIGINT) END AS a9,
+           |  CASE WHEN sxx*s0 - sx*sx <> 0 THEN
+           |    b9 - CAST(floor(CAST(sxx*g0 - sx*gx AS DOUBLE)/CAST(sxx*s0 - sx*sx AS DOUBLE)*1000000000.0 + 0.5) AS BIGINT) END AS b9
+           |  FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      def nllExpr(pe: String) =
+        s"SUM(CAST(floor(CAST(c AS DOUBLE)*(-(CAST(y AS DOUBLE)*ln($pe) + (1.0 - CAST(y AS DOUBLE))*ln(1.0 - $pe)))*1000000000.0 + 0.5) AS HUGEINT))"
+      val pid =
+        "1.0/(1.0 + exp(-greatest(least(1.0*(CAST(f4 AS DOUBLE)/1e4) + 0.0, 30.0), -30.0)))"
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |sraw AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |sc AS (SELECT s2.doc_id,
+         |  CAST(floor((floor((raw + -0.05)*10000.0 + 0.5)/10000.0)*10000.0 + 0.5) AS BIGINT) AS f4,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM sraw s2 JOIN documents d USING (doc_id)),
+         |cells AS (SELECT f4, y, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY 1, 2),
+         |ab0 AS (SELECT CAST(1000000000 AS BIGINT) AS a9, CAST(0 AS BIGINT) AS b9),
+         |$rounds,
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |  CAST(SUM(y*c) AS BIGINT) AS pos, ${nllExpr(pid)} AS nb9 FROM cells),
+         |aft AS (SELECT ${nllExpr(p("ab4"))} AS na9, MAX(ab4.a9) AS a9, MAX(ab4.b9) AS b9
+         |  FROM cells CROSS JOIN ab4)
+         |SELECT n,
+         |  CASE WHEN pos > 0 AND pos < n AND a9 IS NOT NULL THEN
+         |    floor(CAST(a9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 END AS a,
+         |  CASE WHEN pos > 0 AND pos < n AND a9 IS NOT NULL THEN
+         |    floor(CAST(b9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 END AS b,
+         |  floor(CAST(nb9 AS DOUBLE)/1e9/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS nll_before,
+         |  CASE WHEN pos > 0 AND pos < n AND a9 IS NOT NULL THEN
+         |    floor(CAST(na9 AS DOUBLE)/1e9/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS nll_after
+         |FROM tot CROSS JOIN aft""".stripMargin
+    },
   )
 }

@@ -3016,6 +3016,106 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Platt scaling fit IN-ENGINE (Platt 1999): the logistic
+    * calibration map σ(a·score + b) fit to binary outcomes by
+    * `iters` Newton–Raphson steps — the PARAMETRIC companion of
+    * [[isotonicCalibration]] (isotonic needs no shape but can
+    * overfit small bins and can't extrapolate; Platt is the two-
+    * parameter map production scorers actually ship) and the
+    * [[naive-bayes-style]] in-engine-training demonstration for the
+    * calibration family: the model is trained BY the engine, no
+    * driver-side optimizer. Reported: (a, b) after the Newton steps
+    * plus the mean NLL before (identity map) and after — the
+    * improvement IS the calibration gain.
+    *
+    * Determinism: scores snap to the 1e-4 grid and the stream
+    * collapses to (score, y) DOMAIN cells once — every Newton pass
+    * then aggregates the bounded domain, not the corpus (the scale
+    * win AND the determinism win: fewer summands near snap
+    * boundaries). Per cell and per pass, the gradient/Hessian terms
+    * (weighted by the exact cell count) snap to the 1e-9 grid before
+    * their unordered sums (DECIMAL(38,0)); the 2×2 Newton solve is
+    * exact integer Cramer products with ONE pinned division each,
+    * and (a, b) re-snap to 1e-9 after every step so the whole
+    * trajectory is grid-pinned; z clamps to ±30 before exp
+    * (documented — keeps ln/exp finite in any engine). Outputs 1e-6.
+    * Degenerate labels (all 0 or all 1) or a singular Hessian yield
+    * NULL fit.
+    *
+    * Scale shape: ONE domain collapse of the scored stream, then
+    * `iters`+2 aggregations over the (|distinct scores|·2)-bounded
+    * cell table. */
+  def plattScaling(df: DataFrame, scoreCol: String, labelCol: String,
+                   iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def snap9(c: Column) = sf.floor(c * 1e9 + 0.5).cast("decimal(38,0)")
+    val f4 = sf.floor(sf.col(scoreCol).cast("double") * 1e4 + 0.5).cast("long")
+    val cells = df.filter(sf.col(scoreCol).isNotNull && sf.col(labelCol).isNotNull)
+      .select(f4.as("__f4"), sf.col(labelCol).cast("long").as("__y"))
+      .groupBy("__f4", "__y").agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true) // every Newton pass reads it
+    val fD = sf.col("__f4").cast("double") / 1e4
+    val cD = sf.col("__c").cast("double")
+    val yD = sf.col("__y").cast("double")
+    def sigmoid(a: Column, b: Column) = {
+      val z = sf.greatest(sf.least(a * fD + b, sf.lit(30.0)), sf.lit(-30.0))
+      sf.lit(1.0) / (sf.lit(1.0) + sf.exp(-z))
+    }
+    def nll(a: Column, b: Column) = {
+      val p = sigmoid(a, b)
+      sf.sum(snap9(cD * -(yD * sf.log(p) +
+        (sf.lit(1.0) - yD) * sf.log(sf.lit(1.0) - p))))
+    }
+    // (a, b) carried as 1e-9-snapped scalars in a one-row frame
+    var ab = df.sparkSession.range(1)
+      .select(sf.lit(1000000000L).as("__a9"), sf.lit(0L).as("__b9"))
+    for (_ <- 1 to iters) {
+      val a = sf.col("__a9").cast("double") / 1e9
+      val b = sf.col("__b9").cast("double") / 1e9
+      val p = sigmoid(a, b)
+      val w = p * (sf.lit(1.0) - p)
+      val step = cells.crossJoin(sf.broadcast(ab))
+        .agg(sf.sum(snap9(cD * (w * fD * fD))).as("__sxx"),
+          sf.sum(snap9(cD * (w * fD))).as("__sx"),
+          sf.sum(snap9(cD * w)).as("__s0"),
+          sf.sum(snap9(cD * ((p - yD) * fD))).as("__gx"),
+          sf.sum(snap9(cD * (p - yD))).as("__g0"),
+          sf.max("__a9").as("__a9"), sf.max("__b9").as("__b9"))
+      // exact integer Cramer products; two pinned divisions; re-snap
+      val det = sf.col("__sxx") * sf.col("__s0") - sf.col("__sx") * sf.col("__sx")
+      val da = (sf.col("__gx") * sf.col("__s0") -
+        sf.col("__g0") * sf.col("__sx")).cast("double") / det.cast("double")
+      val db = (sf.col("__sxx") * sf.col("__g0") -
+        sf.col("__sx") * sf.col("__gx")).cast("double") / det.cast("double")
+      ab = step.select(
+        sf.when(det =!= 0,
+          sf.col("__a9") - sf.floor(da * 1e9 + 0.5).cast("long")).as("__a9"),
+        sf.when(det =!= 0,
+          sf.col("__b9") - sf.floor(db * 1e9 + 0.5).cast("long")).as("__b9"))
+        .localCheckpoint(true) // lineage cut per Newton step
+    }
+    val tot = cells.agg(sf.sum("__c").cast("long").as("n"),
+      sf.sum(sf.col("__y") * sf.col("__c")).cast("long").as("__pos"),
+      nll(sf.lit(1.0), sf.lit(0.0)).as("__nb9"))
+    val after = cells.crossJoin(sf.broadcast(ab))
+      .agg(nll(sf.col("__a9").cast("double") / 1e9,
+        sf.col("__b9").cast("double") / 1e9).as("__na9"),
+        sf.max("__a9").as("__a9"), sf.max("__b9").as("__b9"))
+    tot.crossJoin(sf.broadcast(after))
+      .select({
+        val ok = sf.col("__pos") > 0 && sf.col("__pos") < sf.col("n") &&
+          sf.col("__a9").isNotNull
+        val n = sf.col("n").cast("double")
+        Seq(sf.col("n"),
+          sf.when(ok, gf.roundAt(sf.col("__a9").cast("double") / 1e9, 6)).as("a"),
+          sf.when(ok, gf.roundAt(sf.col("__b9").cast("double") / 1e9, 6)).as("b"),
+          gf.roundAt(sf.col("__nb9").cast("double") / 1e9 / n, 6).as("nll_before"),
+          sf.when(ok, gf.roundAt(sf.col("__na9").cast("double") / 1e9 / n, 6))
+            .as("nll_after"))
+      }: _*)
+  }
+
   /** Bland–Altman agreement limits (Bland & Altman 1986) between two
     * measurements of the same quantity: mean difference (the BIAS),
     * the 95% limits of agreement mean ± z·SD(diff), and the share of

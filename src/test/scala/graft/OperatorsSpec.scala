@@ -2634,6 +2634,26 @@ class OperatorsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integer-coded"), e.getMessage)
   }
 
+  test("QualityChecks.plattScaling: 4 hand-replayed Newton steps; degenerate NULL") {
+    import spark.implicits._
+    // symmetric separable core + mixed midpoint: the pinned trajectory
+    // lands at a = 5.504127, b = 0 exactly; NLL 0.43989 -> 0.233757
+    val df = (Seq.fill(2)((-1.0, 0)) ++ Seq.fill(2)((1.0, 1)) ++
+      Seq((0.0, 0), (0.0, 1))).toDF("s", "y")
+    val r = QualityChecks.plattScaling(df, "s", "y", iters = 4).head()
+    assert(r.getAs[Long]("n") == 6, r.toString)
+    assert(r.getAs[Double]("a") == 5.504127 && r.getAs[Double]("b") == 0.0,
+      r.toString)
+    assert(r.getAs[Double]("nll_before") == 0.43989 &&
+      r.getAs[Double]("nll_after") == 0.233757, r.toString)
+    // calibration must not hurt on its own training data
+    assert(r.getAs[Double]("nll_after") < r.getAs[Double]("nll_before"))
+    // one-class labels: no fit
+    val r1 = QualityChecks.plattScaling(
+      Seq((1.0, 1), (2.0, 1)).toDF("s", "y"), "s", "y").head()
+    assert(r1.isNullAt(r1.fieldIndex("a")), r1.toString)
+  }
+
   test("EventOps.qiniDeciles: 10 one-user deciles replay the contract formulas") {
     import spark.implicits._
     // user u gets u views; even users purchase once. Ranks by view
