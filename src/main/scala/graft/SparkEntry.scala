@@ -2401,6 +2401,12 @@ object SparkEntry {
     "q340_qini" -> ((s, dir) =>
       EventOps.qiniDeciles(Tables.load(s, dir, "events"))),
 
+    // MIPS top-k: inner-product retrieval where magnitude IS signal —
+    // the exact oracle-of-record for the norm-augmented ANN path.
+    "q342_mips" -> ((s, dir) =>
+      Similarity.mipsTopK(s, emb(s, dir), "vec_id", "embedding",
+        sf.col("vec_id") < 10, k = 5)),
+
     // Platt scaling trained IN-ENGINE: 4 domain-compressed Newton
     // steps calibrate the q73 classifier's raw scores; the NLL
     // before/after pair is the calibration gain.
@@ -10585,6 +10591,20 @@ object SparkEntry {
         |    floor((CAST(cct AS DOUBLE)
         |         - CAST(ccc AS DOUBLE)*CAST(cnt AS DOUBLE)/CAST(cnc AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS qini
         |FROM c ORDER BY decile""".stripMargin,
+
+    // MIPS: left-fold dots (list_reduce = the zip_with/aggregate fold),
+    // (dot desc, id) window-rank twin.
+    "q342_mips" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |  list_reduce([q.v[i]*n.v[i] FOR i IN range(1, len(q.v)+1)], (a, b) -> a + b) AS d
+        | FROM base q JOIN base n ON n.vec_id <> q.vec_id
+        | WHERE q.vec_id < 10),
+        |r AS (SELECT q_id, n_id, d,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY d DESC, n_id) AS rn FROM s)
+        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id,
+        |  floor(d*10000.0 + 0.5)/10000.0 AS dot
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     // Platt: the q229 raw-score staging collapsed to (f4, y) cells,
     // then 4 unrolled Newton CTE rounds — identical z clamp, 1e-9

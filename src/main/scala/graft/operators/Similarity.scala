@@ -267,6 +267,46 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval scoring the
+    * cosine family deliberately ignores: un-normalized embeddings
+    * carry MAGNITUDE as signal (recommender item popularity, learned
+    * relevance scales, ColBERT-style scores), and ranking by cosine
+    * silently strips it. Same k-bounded [[TopKAgg]] reduction as
+    * [[aggTopK]] (shuffle O(partitions × queries × k) — the 100 TB
+    * path); at index scale MIPS reduces to cosine ANN via the
+    * norm-augmentation transform û = [v/M, √(1−‖v‖²/M²)] over the
+    * existing SRP/IVF machinery — this operator is the exact
+    * oracle-of-record for that path.
+    *
+    * Determinism: the dot folds LEFT over the array on both engines
+    * (builtin zip_with/aggregate — whole-stage codegen, no UDF);
+    * ranking ties break by (dot desc, id asc); the reported score
+    * rounds 1e-4. */
+  def mipsTopK(spark: SparkSession, emb: DataFrame, idCol: String,
+               vecCol: String, queryPred: org.apache.spark.sql.Column,
+               k: Int): DataFrame = {
+    import spark.implicits._
+    val corpus = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv")))
+    val queries = sf.broadcast(
+      emb.filter(queryPred).select(sf.col(idCol).cast("long").as("q_id"),
+        sf.col(vecCol).cast("array<double>").as("qv")))
+    val dot = sf.aggregate(
+      sf.zip_with(sf.col("qv"), sf.col("nv"), (a, b) => a * b),
+      sf.lit(0.0), (acc, e) => acc + e)
+    val scored = queries.join(corpus, sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id").as("qId"), sf.col("n_id").as("nId"),
+        dot.as("cosine"))
+      .as[Scored]
+    val agg = new TopKAgg(k).toColumn
+    scored.groupByKey(_.qId).agg(agg.name("topk"))
+      .toDF("q_id", "topk")
+      .select(sf.col("q_id"), sf.posexplode(sf.col("topk")).as(Seq("i", "sn")))
+      .select(sf.col("q_id"), (sf.col("i") + 1).as("rank"),
+        sf.col("sn._2").as("n_id"), gf.roundAt(sf.col("sn._1"), 4).as("dot"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Hard-negative mining for embedding/retrieval training: for each
     * query vector, the top-k most similar corpus vectors with a
     * DIFFERENT label — close enough to confuse the model, labeled

@@ -897,6 +897,20 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(ro.getAs[Long]("n_a") == 5 && ro.getAs[Long]("n_pairs") == 2)
   }
 
+  test("Similarity.mipsTopK: magnitude ranks where cosine would not") {
+    import spark.implicits._
+    // query [1,0]: dots 3 (id1), 0 (id2), 2 (id3) — id1 wins on
+    // MAGNITUDE; under cosine id1 and id3x would tie-break differently
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(3.0f, 0.0f)),
+      (2L, Seq(0.0f, 5.0f)), (3L, Seq(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mipsTopK(spark, df, "vec_id", "embedding",
+      sf.col("vec_id") === 0, k = 2).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("n_id"),
+        r.getAs[Double]("dot")))
+    assert(got.toSeq == Seq((1, 1L, 3.0), (2, 3L, 2.0)), got.mkString(";"))
+  }
+
   test("Similarity.anisotropy: orthogonal 0, parallel 1, pooled 0.5 by identity") {
     import spark.implicits._
     // label a: [[1,0],[0,1]] orthogonal; label b: [[2,0],[1,0]] parallel
