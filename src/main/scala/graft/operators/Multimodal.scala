@@ -39,7 +39,8 @@ object Multimodal {
       .withColumn("__m", meta)
       .select(sf.col(idCol),
         sf.element_at(sf.array(sf.lit("unknown"), sf.lit("png"), sf.lit("jpeg"),
-          sf.lit("gif"), sf.lit("bmp")), sf.col("__m").getItem(0) + 1).as("format"),
+          sf.lit("gif"), sf.lit("bmp"), sf.lit("webp"), sf.lit("tiff")),
+          sf.col("__m").getItem(0) + 1).as("format"),
         sf.col("__m").getItem(1).as("width"),
         sf.col("__m").getItem(2).as("height"))
       .orderBy(idCol)

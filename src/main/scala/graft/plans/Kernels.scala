@@ -1391,12 +1391,18 @@ object Kernels {
     * hash; empty input -> 0. Every intermediate fits comfortably in a
     * signed 64-bit int, so the identical fold runs in any SQL engine. */
   /** REAL image-container header parse (no codec): detect PNG / JPEG /
-    * GIF / BMP from magic bytes and read the pixel dimensions straight
-    * out of the container header — the metadata pass a media-curation
-    * pipeline runs before any expensive decode (drop tiny images,
-    * bucket by aspect ratio) at scan speed. Returns [format, width,
-    * height] with format 1=PNG 2=JPEG 3=GIF 4=BMP 0=unknown
-    * (width/height -1 when unknown or truncated). */
+    * GIF / BMP / WEBP / TIFF from magic bytes and read the pixel
+    * dimensions straight out of the container header — the metadata
+    * pass a media-curation pipeline runs before any expensive decode
+    * (drop tiny images, bucket by aspect ratio) at scan speed. WEBP
+    * covers all three layouts (lossy VP8 sync-coded 14-bit dims,
+    * lossless VP8L packed 14-bit+1 dims, extended VP8X 24-bit+1
+    * canvas); TIFF walks the first IFD in either byte order for tags
+    * 256/257 (SHORT or LONG, inline values). Returns [format, width,
+    * height] with format 1=PNG 2=JPEG 3=GIF 4=BMP 5=WEBP 6=TIFF
+    * 0=unknown (width/height -1 when unknown or truncated);
+    * bounds-checked byte arithmetic only — corrupt sizes terminate
+    * the walk, they never throw. */
   def imageMeta(bytes: Array[Byte]): ArrayData = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
@@ -1428,6 +1434,50 @@ object Kernels {
       fmt = 3; w = le16(6); h = le16(8)
     } else if (n >= 26 && u8(0) == 'B' && u8(1) == 'M') {
       fmt = 4; w = le32(18); h = math.abs(le32(22)) // height may be top-down negative
+    } else if (n >= 16 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' &&
+               u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' &&
+               u8(11) == 'P') {
+      fmt = 5
+      val cc = new String(Array(bytes(12), bytes(13), bytes(14), bytes(15)),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (cc == "VP8 " && n >= 30 &&
+          u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a) {
+        // lossy: 14-bit dims after the 3-byte frame tag + sync code
+        w = le16(26) & 0x3fff; h = le16(28) & 0x3fff
+      } else if (cc == "VP8L" && n >= 25 && u8(20) == 0x2f) {
+        // lossless: width-1 / height-1 packed in 14-bit fields
+        val b = le32(21)
+        w = (b & 0x3fff) + 1; h = ((b >> 14) & 0x3fff) + 1
+      } else if (cc == "VP8X" && n >= 30) {
+        // extended: 24-bit little-endian canvas minus one
+        w = (u8(24) | (u8(25) << 8) | (u8(26) << 16)) + 1
+        h = (u8(27) | (u8(28) << 8) | (u8(29) << 16)) + 1
+      }
+    } else if (n >= 8 &&
+               ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+                (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42))) {
+      fmt = 6
+      val le = u8(0) == 'I'
+      def r16(i: Int): Int = if (le) le16(i) else be16(i)
+      def r32(i: Int): Int = if (le) le32(i) else be32(i)
+      val ifd = r32(4)
+      if (ifd >= 8 && ifd + 2 <= n) {
+        val cnt = r16(ifd)
+        var e = 0
+        while (e < cnt && ifd + 2 + 12 * (e + 1) <= n) {
+          val off = ifd + 2 + 12 * e
+          val tag = r16(off)
+          val typ = r16(off + 2)
+          // inline SHORT (first 2 bytes of the value field) or LONG
+          val value =
+            if (typ == 3) r16(off + 8)
+            else if (typ == 4) r32(off + 8)
+            else -1
+          if (tag == 256 && value >= 0) w = value
+          if (tag == 257 && value >= 0) h = value
+          e += 1
+        }
+      }
     }
     UnsafeArrayData.fromPrimitiveArray(Array(fmt, w, h))
   }

@@ -56,7 +56,7 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
-  test("imageDimensions parses real PNG/JPEG/GIF/BMP container headers") {
+  test("imageDimensions parses real PNG/JPEG/GIF/BMP/WEBP/TIFF container headers") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // PNG: signature + IHDR length/type, then width=640 height=480 BE
     val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
@@ -72,8 +72,33 @@ class MultimodalSpec extends SparkFunSuite {
     val bmp = b('B', 'M') ++ new Array[Byte](16) ++
       b(100, 0, 0, 0, 0xce, 0xff, 0xff, 0xff) ++ new Array[Byte](4)
     val junk = "not an image at all".getBytes("UTF-8")
-    val df = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, bmp), (5L, junk))
-      .toDF("id", "payload")
+    // WEBP lossy VP8: RIFF/WEBP + "VP8 " chunk, 3-byte frame tag,
+    // 9D 01 2A sync, then 14-bit LE dims 480x360
+    val webpLossy = b('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'E', 'B', 'P',
+      'V', 'P', '8', ' ', 0, 0, 0, 0,
+      0, 0, 0, 0x9d, 0x01, 0x2a, 0xe0, 0x01, 0x68, 0x01)
+    // WEBP lossless VP8L: 0x2F signature then packed (w-1, h-1):
+    // 199 | (149 << 14) -> 200x150
+    val vp8lBits = 199L | (149L << 14)
+    val webpLossless = b('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'E', 'B', 'P',
+      'V', 'P', '8', 'L', 0, 0, 0, 0, 0x2f,
+      (vp8lBits & 0xff).toInt, ((vp8lBits >> 8) & 0xff).toInt,
+      ((vp8lBits >> 16) & 0xff).toInt, ((vp8lBits >> 24) & 0xff).toInt)
+    // WEBP extended VP8X: 24-bit LE canvas minus one -> 1024x768
+    val webpX = b('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'E', 'B', 'P',
+      'V', 'P', '8', 'X', 0, 0, 0, 0, 0, 0, 0, 0,
+      0xff, 0x03, 0x00, 0xff, 0x02, 0x00)
+    // TIFF little-endian: IFD at 8 with tags 256 (SHORT 800) and
+    // 257 (LONG 600); TIFF big-endian: same dims, MM byte order
+    val tiffLe = b('I', 'I', 42, 0, 8, 0, 0, 0, 2, 0,
+      0x00, 0x01, 3, 0, 1, 0, 0, 0, 0x20, 0x03, 0, 0,
+      0x01, 0x01, 4, 0, 1, 0, 0, 0, 0x58, 0x02, 0, 0)
+    val tiffBe = b('M', 'M', 0, 42, 0, 0, 0, 8, 0, 2,
+      0x01, 0x00, 0, 3, 0, 0, 0, 1, 0x03, 0x20, 0, 0,
+      0x01, 0x01, 0, 4, 0, 0, 0, 1, 0, 0, 0x02, 0x58)
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, bmp), (5L, junk),
+      (6L, webpLossy), (7L, webpLossless), (8L, webpX),
+      (9L, tiffLe), (10L, tiffBe)).toDF("id", "payload")
     val got = Multimodal.imageDimensions(df, "id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
     assert(got == Seq(
@@ -81,7 +106,12 @@ class MultimodalSpec extends SparkFunSuite {
       (2L, "jpeg", 222, 333),
       (3L, "gif", 320, 200),
       (4L, "bmp", 100, 50), // top-down height reported as magnitude
-      (5L, "unknown", -1, -1)), s"got $got")
+      (5L, "unknown", -1, -1),
+      (6L, "webp", 480, 360),
+      (7L, "webp", 200, 150),
+      (8L, "webp", 1024, 768),
+      (9L, "tiff", 800, 600),
+      (10L, "tiff", 800, 600)), s"got $got")
   }
 
   private def le32(v: Long): Array[Byte] =
