@@ -2401,6 +2401,21 @@ object SparkEntry {
     "q340_qini" -> ((s, dir) =>
       EventOps.qiniDeciles(Tables.load(s, dir, "events"))),
 
+    // Script-mixing audit on deterministically poisoned contact text:
+    // intra-word Latin/Cyrillic and Latin/Greek homoglyph detection.
+    "q343_script_mixing" -> ((s, dir) => {
+      val staged = Tables.load(s, dir, "customer").select(
+        sf.concat(sf.lit("src"), (sf.col("c_custkey") % 4).cast("string"))
+          .as("source"),
+        sf.concat(sf.lit("login to "),
+          sf.when(sf.col("c_custkey") % 7 === 0,
+            sf.lit("pаypal portal")).otherwise(sf.lit("paypal portal")),
+          sf.lit(" account "), sf.col("c_name"),
+          sf.when(sf.col("c_custkey") % 11 === 0, sf.lit(" αlpha"))
+            .otherwise(sf.lit(" alpha"))).as("text"))
+      TextAnalysis.scriptMixing(staged, "source", "text")
+    }),
+
     // MIPS top-k: inner-product retrieval where magnitude IS signal —
     // the exact oracle-of-record for the norm-augmented ANN path.
     "q342_mips" -> ((s, dir) =>
@@ -10591,6 +10606,29 @@ object SparkEntry {
         |    floor((CAST(cct AS DOUBLE)
         |         - CAST(ccc AS DOUBLE)*CAST(cnt AS DOUBLE)/CAST(cnc AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS qini
         |FROM c ORDER BY decile""".stripMargin,
+
+    // Script mixing: identical staging (homoglyph injections keyed on
+    // custkey), portable character-class range tests over tokens.
+    "q343_script_mixing" ->
+      """WITH staged AS (SELECT 'src' || CAST(c_custkey % 4 AS VARCHAR) AS source,
+        |  'login to ' ||
+        |  (CASE WHEN c_custkey % 7 = 0 THEN 'pаypal portal' ELSE 'paypal portal' END) ||
+        |  ' account ' || c_name ||
+        |  (CASE WHEN c_custkey % 11 = 0 THEN ' αlpha' ELSE ' alpha' END) AS text
+        |  FROM customer),
+        |m AS (SELECT source,
+        |  len(list_filter(
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+        |    t -> (regexp_matches(t, '[A-Za-z]') AND regexp_matches(t, '[а-яА-Я]'))
+        |      OR (regexp_matches(t, '[A-Za-z]') AND regexp_matches(t, '[α-ωΑ-Ω]')))) AS mx
+        |  FROM staged WHERE source IS NOT NULL AND text IS NOT NULL)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN mx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+        |  CAST(SUM(mx) AS BIGINT) AS mixed_tokens,
+        |  floor(CAST(SUM(CASE WHEN mx > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS flagged_share
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // MIPS: left-fold dots (list_reduce = the zip_with/aggregate fold),
     // (dot desc, id) window-rank twin.

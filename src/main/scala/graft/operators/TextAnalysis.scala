@@ -1380,6 +1380,49 @@ object TextAnalysis {
       .orderBy(groupCol)
   }
 
+  /** Intra-word script-mixing audit per source — tokens containing
+    * BOTH Latin and Cyrillic (or Latin and Greek) letters: the
+    * homoglyph-spoofing signal ("pаypal" with a Cyrillic а) behind
+    * phishing text, adversarial SEO, and poisoned training corpora —
+    * invisible to [[langId]] (the doc still reads as its majority
+    * language) and to per-CHARACTER class profiles (a bilingual doc
+    * legitimately mixes scripts ACROSS words; mixing INSIDE one word
+    * is the attack shape). Reports per source: docs scanned, docs
+    * with ≥1 mixed token, total mixed tokens, and the flagged-doc
+    * share.
+    *
+    * Determinism: pure structural predicates over whitespace tokens
+    * (two regex range tests per script pair — portable character
+    * classes, no Unicode property dialects); exact counts, the share
+    * one pinned division 1e-6.
+    *
+    * Scale shape: ONE map-only pass (builtin filter/size HOFs over
+    * the token array — no explode, no UDF) + a combinable source
+    * rollup. */
+  def scriptMixing(docs: DataFrame, sourceCol: String,
+                   textCol: String): DataFrame = {
+    val latin = "[A-Za-z]"
+    val cyr = "[а-яА-Я]"
+    val greek = "[α-ωΑ-Ω]"
+    def mixed(t: org.apache.spark.sql.Column) =
+      (t.rlike(latin) && t.rlike(cyr)) || (t.rlike(latin) && t.rlike(greek))
+    val toks = gf.wsTokens(sf.lower(sf.col(textCol)))
+    val nMixed = sf.size(sf.filter(toks, t => mixed(t)))
+    graft.operators.Par.spread(
+        docs.select(sf.col(sourceCol).as("source"), sf.col(textCol)))
+      .filter(sf.col("source").isNotNull && sf.col(textCol).isNotNull)
+      .select(sf.col("source"), nMixed.as("__m"))
+      .groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum((sf.col("__m") > 0).cast("long")).cast("long").as("docs_flagged"),
+        sf.sum("__m").cast("long").as("mixed_tokens"))
+      .select(sf.col("source"), sf.col("n_docs"), sf.col("docs_flagged"),
+        sf.col("mixed_tokens"),
+        gf.roundAt(sf.col("docs_flagged").cast("double") /
+          sf.col("n_docs").cast("double"), 6).as("flagged_share"))
+      .orderBy("source")
+  }
+
   /** Boilerplate-prefix detection per source: n-token document
     * prefixes shared by ≥ max(2, ⌈phi·n_source⌉) of a source's docs —
     * the TEMPLATE fingerprint (injected headers, scraper banners,

@@ -664,6 +664,19 @@ class CurationSpec extends SparkFunSuite {
     assert(rh.getAs[Long]("n_docs") == 2 && rh.getAs[Double]("share") == 1.0)
   }
 
+  test("TextAnalysis.scriptMixing: homoglyph words flagged, cross-word bilingual not") {
+    val df = Seq(
+      ("s1", "login to pаypal now"), // Cyrillic а INSIDE a Latin word
+      ("s1", "чисто русский текст here"), // bilingual ACROSS words: legitimate
+      ("s1", "plain english text"),
+      ("s2", "αlpha test")).toDF("source", "text") // Greek-Latin word
+    val got = TextAnalysis.scriptMixing(df, "source", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got("s1") == ((3L, 1L, 1L, 0.333333)), got.toString)
+    assert(got("s2") == ((1L, 1L, 1L, 1.0)), got.toString)
+  }
+
   test("EventOps.rfmSegments: hand 3-user quintile codes and segments") {
     val rows = Seq(
       (1L, "2024-01-10 00:00:00", 1L, "purchase", 10.0),
