@@ -2401,6 +2401,14 @@ object SparkEntry {
     "q340_qini" -> ((s, dir) =>
       EventOps.qiniDeciles(Tables.load(s, dir, "events"))),
 
+    // Quade on the q272 layout: range-weighted blocked ranks — the
+    // small-k power upgrade over Friedman.
+    "q344_quade" -> ((s, dir) =>
+      QualityChecks.quadeTest(
+        Tables.load(s, dir, "orders")
+          .withColumn("o_month", sf.date_format(sf.col("o_orderdate"), "yyyy-MM")),
+        "o_month", "o_orderpriority", "o_totalprice")),
+
     // Script-mixing audit on deterministically poisoned contact text:
     // intra-word Latin/Cyrillic and Latin/Greek homoglyph detection.
     "q343_script_mixing" -> ((s, dir) => {
@@ -10606,6 +10614,45 @@ object SparkEntry {
         |    floor((CAST(cct AS DOUBLE)
         |         - CAST(ccc AS DOUBLE)*CAST(cnt AS DOUBLE)/CAST(cnc AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS qini
         |FROM c ORDER BY decile""".stripMargin,
+
+    // Quade: the q272 cells/midranks, block ranges, range-domain
+    // 2-scale block midranks, 4-scaled S products, pinned F.
+    "q344_quade" ->
+      """WITH v AS (SELECT strftime(o_orderdate, '%Y-%m') AS b, o_orderpriority AS tr,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cells AS (SELECT b, tr,
+        |  CAST(floor(CAST(SUM(v4) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m4
+        |  FROM v GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM cells),
+        |complete AS (SELECT b FROM cells GROUP BY b
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |cc AS (SELECT c.b, tr, m4 FROM cells c JOIN complete USING (b)),
+        |ranked AS (SELECT b, tr,
+        |  2*rank() OVER (PARTITION BY b ORDER BY m4)
+        |    + COUNT(*) OVER (PARTITION BY b, m4) - 1 AS r2 FROM cc),
+        |rng AS (SELECT b, MAX(m4) - MIN(m4) AS rg FROM cc GROUP BY 1),
+        |rdom AS (SELECT rg, CAST(COUNT(*) AS BIGINT) AS c FROM rng GROUP BY 1),
+        |rmid AS (SELECT rg,
+        |  COALESCE(SUM(c) OVER (ORDER BY rg ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)*2
+        |    + c + 1 AS q2 FROM rdom),
+        |s AS (SELECT tr, CAST(q2 AS HUGEINT)*(r2 - (k + 1)) AS s4
+        |  FROM ranked JOIN rng USING (b) JOIN rmid USING (rg) CROSS JOIN kk),
+        |aa AS (SELECT SUM(s4*s4) AS a16 FROM s),
+        |bb AS (SELECT SUM(CAST(si AS HUGEINT)*si) AS b16s FROM
+        |  (SELECT tr, CAST(SUM(s4) AS HUGEINT) AS si FROM s GROUP BY 1)),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks FROM complete)
+        |SELECT n_blocks, k,
+        |  CASE WHEN n_blocks > 1 AND k >= 2
+        |    AND (CAST(a16 AS DOUBLE)/16 - CAST(b16s AS DOUBLE)/16/CAST(n_blocks AS DOUBLE)) > 0 THEN
+        |    floor((CAST(n_blocks AS DOUBLE) - 1)*(CAST(b16s AS DOUBLE)/16/CAST(n_blocks AS DOUBLE))
+        |      /(CAST(a16 AS DOUBLE)/16 - CAST(b16s AS DOUBLE)/16/CAST(n_blocks AS DOUBLE))
+        |      *10000.0 + 0.5)/10000.0
+        |  END AS f_quade,
+        |  CAST(k - 1 AS BIGINT) AS df1,
+        |  CAST((n_blocks - 1)*(k - 1) AS BIGINT) AS df2
+        |FROM aa CROSS JOIN bb CROSS JOIN nb CROSS JOIN kk""".stripMargin,
 
     // Script mixing: identical staging (homoglyph injections keyed on
     // custkey), portable character-class range tests over tokens.

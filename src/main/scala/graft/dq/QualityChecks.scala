@@ -4714,4 +4714,85 @@ object QualityChecks {
             gf.roundAt(chi, 6)).as("chi2_f"))
       }: _*)
   }
+
+  /** Quade test (Quade 1979) — the blocked rank test that WEIGHTS
+    * blocks by how much signal they carry: [[friedman]] gives a block
+    * whose k cells differ by noise the same vote as one with a huge
+    * spread; Quade ranks blocks by their RANGE and multiplies each
+    * within-block rank deviation by that block rank,
+    * S_ij = Q_j·(r_ij − (k+1)/2), F = (n−1)·B/(A−B) with A = ΣS²,
+    * B = ΣS_i²/n ~ F(k−1, (n−1)(k−1)) — more powerful than Friedman
+    * at small k (the usual recommendation at k ≤ 5), which is exactly
+    * the shape of a 3-5-variant gate comparison.
+    *
+    * Determinism: [[friedman]]'s exact 1e-4 cell means and 2-scaled
+    * within-block midranks verbatim; block ranges are exact grid
+    * integers and their midranks come 2-scaled from the RANGE-domain
+    * prefix (the [[spearman]] machinery — never a data-sized global
+    * window); S carries 4-SCALED as the exact integer
+    * Q₂(r₂ − (k+1)), every sum DECIMAL(38,0), F one pinned assembly
+    * rounded 1e-4. Perfect agreement (A = B) or degenerate designs
+    * yield NULL.
+    *
+    * Scale shape: the [[friedman]] collapse + bounded per-block
+    * windows + one range-domain prefix + an AQE-decided block-rank
+    * attach + two combinable rollups. */
+  def quadeTest(df: DataFrame, blockCol: String, treatCol: String,
+                valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(blockCol).isNotNull &&
+        sf.col(treatCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(blockCol).as("b"), sf.col(treatCol).as("tr"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long").as("v4"))
+      .groupBy("b", "tr").agg(sf.sum("v4").as("s4"), sf.count(sf.lit(1)).as("c"))
+      .select(sf.col("b"), sf.col("tr"),
+        sf.floor(sf.col("s4").cast("double") / sf.col("c").cast("double") + 0.5)
+          .cast("long").as("m4"))
+      .localCheckpoint(true) // k scalar + completeness + ranks read it
+    val kRow = cells.agg(sf.countDistinct("tr").as("k"))
+    val complete = cells.groupBy("b").agg(sf.count(sf.lit(1)).as("__nt"))
+      .crossJoin(sf.broadcast(kRow))
+      .filter(sf.col("__nt") === sf.col("k")).select("b")
+    val cc = cells.join(complete, Seq("b"), "left_semi")
+      .localCheckpoint(true) // ranks + block ranges read it
+    val w = Window.partitionBy("b")
+    val ranked = cc
+      .withColumn("__rk", sf.rank().over(w.orderBy("m4")))
+      .withColumn("__ties",
+        sf.count(sf.lit(1)).over(w.orderBy("m4").rangeBetween(0, 0)))
+      .select(sf.col("b"), sf.col("tr"),
+        (sf.lit(2L) * sf.col("__rk") + sf.col("__ties") - 1L).as("__r2"))
+    val rng = cc.groupBy("b")
+      .agg((sf.max("m4") - sf.min("m4")).as("__rng"))
+      .localCheckpoint(true) // range domain + block-rank attach read it
+    val wv = Window.partitionBy(sf.pmod(sf.hash(sf.col("__rng")), sf.lit(1)))
+      .orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+    val rmid = rng.groupBy("__rng").agg(sf.count(sf.lit(1)).as("__c"))
+      .withColumn("__pre", sf.coalesce(sf.sum("__c").over(wv), sf.lit(0L)))
+      .select(sf.col("__rng"), (sf.col("__pre") * 2 + sf.col("__c") + 1).as("__q2"))
+    val s = ranked.join(rng.join(rmid, "__rng").select("b", "__q2"), "b")
+      .crossJoin(sf.broadcast(kRow))
+      .select(sf.col("tr"),
+        (dec(sf.col("__q2")) * dec(sf.col("__r2") - (sf.col("k") + 1))).as("__s4"))
+      .localCheckpoint(true) // A sum + treatment sums read it
+    val aRow = s.agg(sf.sum(sf.col("__s4") * sf.col("__s4")).as("__a16"))
+    val bRow = s.groupBy("tr").agg(sf.sum("__s4").as("__si"))
+      .agg(sf.sum(sf.col("__si") * sf.col("__si")).as("__b16s"))
+    val nB = complete.agg(sf.count(sf.lit(1)).as("n_blocks"))
+    aRow.crossJoin(sf.broadcast(bRow)).crossJoin(sf.broadcast(nB))
+      .crossJoin(sf.broadcast(kRow))
+      .select({
+        val n = sf.col("n_blocks").cast("double")
+        val kD = sf.col("k").cast("double")
+        val aT = sf.col("__a16").cast("double") / 16
+        val bT = sf.col("__b16s").cast("double") / 16 / n
+        val f = (n - 1) * bT / (aT - bT)
+        val ok = sf.col("n_blocks") > 1 && sf.col("k") >= 2 && (aT - bT) > 0.0
+        Seq(sf.col("n_blocks"), sf.col("k"),
+          sf.when(ok, gf.roundAt(f, 4)).as("f_quade"),
+          (sf.col("k") - 1).as("df1"),
+          ((sf.col("n_blocks") - 1) * (sf.col("k") - 1)).as("df2"))
+      }: _*)
+  }
 }

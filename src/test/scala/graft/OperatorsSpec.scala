@@ -2634,6 +2634,24 @@ class OperatorsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integer-coded"), e.getMessage)
   }
 
+  test("QualityChecks.quadeTest: hand range-weighted F = 9; perfect agreement NULL") {
+    import spark.implicits._
+    // block A (range 2) outweighs block B (range 0.5): S4 by hand ->
+    // A = 2.5, B = 2.25, F = 9 with df (1, 1)
+    val df = Seq(("A", "t1", 1.0), ("A", "t2", 3.0),
+      ("B", "t1", 2.0), ("B", "t2", 2.5)).toDF("b", "tr", "v")
+    val r = QualityChecks.quadeTest(df, "b", "tr", "v").head()
+    assert(r.getAs[Long]("n_blocks") == 2 && r.getAs[Long]("k") == 2)
+    assert(r.getAs[Double]("f_quade") == 9.0, r.toString)
+    assert(r.getAs[Long]("df1") == 1 && r.getAs[Long]("df2") == 1, r.toString)
+    // equal ranges + identical orderings: A = B -> NULL (F infinite)
+    val rp = QualityChecks.quadeTest(
+      Seq(("A", "t1", 1.0), ("A", "t2", 3.0),
+        ("B", "t1", 2.0), ("B", "t2", 4.0)).toDF("b", "tr", "v"),
+      "b", "tr", "v").head()
+    assert(rp.isNullAt(rp.fieldIndex("f_quade")), rp.toString)
+  }
+
   test("QualityChecks.plattScaling: 4 hand-replayed Newton steps; degenerate NULL") {
     import spark.implicits._
     // symmetric separable core + mixed midpoint: the pinned trajectory
