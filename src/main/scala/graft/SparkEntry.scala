@@ -2401,6 +2401,18 @@ object SparkEntry {
     "q340_qini" -> ((s, dir) =>
       EventOps.qiniDeciles(Tables.load(s, dir, "events"))),
 
+    // Disparity-filter backbone of the weighted part graph: keep each
+    // node's locally-significant spokes, not just global hub edges.
+    "q345_backbone" -> ((s, dir) =>
+      Graph.disparityBackbone(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", alpha = 0.3, minPairCount = 2)),
+
+    // Dedup savings per source: the token-mass budget readout of the
+    // q33 cluster chain before anything is dropped.
+    "q346_dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavings(docs(s, dir), "doc_id", "text", "source",
+        threshold = 0.9)),
+
     // Quade on the q272 layout: range-weighted blocked ranks — the
     // small-k power upgrade over Friedman.
     "q344_quade" -> ((s, dir) =>
@@ -10614,6 +10626,64 @@ object SparkEntry {
         |    floor((CAST(cct AS DOUBLE)
         |         - CAST(ccc AS DOUBLE)*CAST(cnt AS DOUBLE)/CAST(cnc AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS qini
         |FROM c ORDER BY decile""".stripMargin,
+
+    // Backbone: weighted funnel, strength/degree rollup, pinned pow
+    // snapped 1e-9, membership on the snapped grid.
+    "q345_backbone" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |      FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |nodes AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(c_ab) AS BIGINT) AS s FROM
+        |  (SELECT item_a AS node, c_ab FROM e
+        |   UNION ALL SELECT item_b AS node, c_ab FROM e)
+        |  GROUP BY 1),
+        |j AS (SELECT e.item_a, e.item_b, e.c_ab, na.k AS ka, na.s AS sa,
+        |  nb.k AS kb, nb.s AS sb
+        |  FROM e JOIN nodes na ON na.node = e.item_a
+        |         JOIN nodes nb ON nb.node = e.item_b),
+        |f AS (SELECT item_a, item_b, c_ab, ka, kb,
+        |  CAST(floor(pow(1.0 - CAST(c_ab AS DOUBLE)/CAST(sa AS DOUBLE),
+        |    CAST(ka AS DOUBLE) - 1.0)*1000000000.0 + 0.5) AS BIGINT) AS aa,
+        |  CAST(floor(pow(1.0 - CAST(c_ab AS DOUBLE)/CAST(sb AS DOUBLE),
+        |    CAST(kb AS DOUBLE) - 1.0)*1000000000.0 + 0.5) AS BIGINT) AS ab2
+        |  FROM j)
+        |SELECT item_a, item_b, c_ab,
+        |  floor(CAST(least(aa, ab2) AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS alpha_min
+        |FROM f WHERE (ka > 1 AND aa < 300000000) OR (kb > 1 AND ab2 < 300000000)
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // Dedup savings: the q33 recursive cluster labels + exact token
+    // counts, keep-first removal charge, pinned share.
+    "q346_dedup_savings" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) ws
+        |  FROM documents),
+        |pj AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  floor((CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |         / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END)*10000.0 + 0.5)/10000.0 AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a_id, b_id FROM pj WHERE jaccard >= 0.9),
+        |ee AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
+        |reach AS (SELECT s, d FROM ee
+        |          UNION SELECT r.s, e2.d FROM reach r JOIN ee e2 ON r.d = e2.s),
+        |lbl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster_id
+        |        FROM reach GROUP BY s),
+        |m AS (SELECT d.source,
+        |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS BIGINT) AS tok,
+        |  CASE WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id
+        |    THEN 1 ELSE 0 END AS rm
+        |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(rm) AS BIGINT) AS docs_removed,
+        |  CAST(SUM(tok*rm) AS BIGINT) AS tokens_removed,
+        |  floor(CAST(SUM(tok*rm) AS DOUBLE)/CAST(SUM(tok) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS token_savings_share
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // Quade: the q272 cells/midranks, block ranges, range-domain
     // 2-scale block midranks, 4-scaled S products, pinned F.

@@ -660,6 +660,44 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Dedup-savings report per source — the BUDGET readout of the whole
+    * dedup family: before any cluster is actually dropped, how many
+    * documents and how much TOKEN MASS would keep-first dedup remove,
+    * per source (tokens, not docs, are what a training budget prices —
+    * one giant duplicated doc outweighs a hundred small ones). Runs
+    * [[nearDupClusters]]' LSH chain verbatim and charges every
+    * non-canonical member (cluster label = min doc id, the
+    * [[canonicalMembers]] keep-first convention) as removed; docs
+    * outside any cluster survive by definition.
+    *
+    * Determinism: composition over the oracle-checked cluster labels +
+    * exact token counts; shares are single pinned divisions 1e-6.
+    *
+    * Scale shape: the LSH pipeline + one id-keyed left join of the
+    * (small) clustered-label table against the doc stream + a
+    * combinable source rollup. */
+  def dedupSavings(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, threshold: Double = 0.9): DataFrame = {
+    val labels = nearDupClusters(docs, idCol, textCol, threshold)
+      .select(sf.col("doc_id").as("__id"), sf.col("cluster_id"))
+    docs.select(sf.col(idCol).as("__id"), sf.col(sourceCol).as("source"),
+        gf.tokenCount(sf.col(textCol)).cast("long").as("__tok"))
+      .join(labels, Seq("__id"), "left")
+      .select(sf.col("source"), sf.col("__tok"),
+        (sf.col("cluster_id").isNotNull &&
+          sf.col("cluster_id") =!= sf.col("__id")).cast("long").as("__rm"))
+      .groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum("__tok").cast("long").as("n_tokens"),
+        sf.sum("__rm").cast("long").as("docs_removed"),
+        sf.sum(sf.col("__tok") * sf.col("__rm")).cast("long").as("tokens_removed"))
+      .select(sf.col("source"), sf.col("n_docs"), sf.col("n_tokens"),
+        sf.col("docs_removed"), sf.col("tokens_removed"),
+        gf.roundAt(sf.col("tokens_removed").cast("double") /
+          sf.col("n_tokens").cast("double"), 6).as("token_savings_share"))
+      .orderBy("source")
+  }
+
   /** Connected components over an undirected pair list (a_id, b_id):
     * label propagation to the minimum reachable id. Converges in
     * O(component diameter) rounds — near-dup clusters are dense and

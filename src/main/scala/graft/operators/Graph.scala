@@ -759,6 +759,66 @@ object Graph {
         sf.element_at(sf.col("t"), 3).as("item_c"))
   }
 
+  /** Disparity-filter backbone (Serrano, Boguñá & Vespignani 2009):
+    * keep the edges whose weight is STATISTICALLY surprising against
+    * each endpoint's own uniform null — for a node of degree k, an
+    * edge carrying share p of its strength has
+    * α = (1−p)^(k−1), and the edge survives if α < `alpha` at EITHER
+    * endpoint. THE principled sparsifier for weighted co-occurrence
+    * graphs: a global weight threshold keeps only hub edges (hubs
+    * have big raw counts everywhere) and erases the periphery;
+    * disparity keeps each node's locally-significant spokes, which is
+    * what the downstream community/centrality passes should see.
+    *
+    * Determinism: weights and strengths are exact integers; α is one
+    * pinned pow assembly SNAPPED to the 1e-9 grid before the
+    * threshold test, so edge membership is reproducible across
+    * engines (the
+    * [[graft.operators.Similarity.centroidDistances]] convention —
+    * libm pow ulp drift is absorbed by the snap); degree-1 endpoints
+    * never pass on their own (α = 1, the classical convention), and
+    * the reported alpha_min is the smaller endpoint α rounded 1e-6.
+    *
+    * Scale shape: one degree/strength rollup + two endpoint-attach
+    * equi joins on the pair list + a map-only filter. */
+  def disparityBackbone(df: DataFrame, basketCol: String, itemCol: String,
+                        alpha: Double = 0.05,
+                        minPairCount: Long = 2): DataFrame =
+    disparityBackboneFromPairs(
+      minedPairs(df, basketCol, itemCol, minPairCount), alpha)
+
+  /** [[disparityBackbone]] over a pre-mined weighted pair list
+    * (item_a, item_b, c_ab) — the mine-once family member. */
+  def disparityBackboneFromPairs(pairs0: DataFrame,
+                                 alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val a9 = math.floor(alpha * 1e9 + 0.5).toLong
+    val pairs = pairs0.select(sf.col("item_a"), sf.col("item_b"), sf.col("c_ab"))
+      .localCheckpoint(true) // strength rollup + edge filter read it
+    val nodes = pairs.select(sf.col("item_a").as("node"), sf.col("c_ab"))
+      .union(pairs.select(sf.col("item_b").as("node"), sf.col("c_ab")))
+      .groupBy("node")
+      .agg(sf.count(sf.lit(1)).as("__k"), sf.sum("c_ab").cast("long").as("__s"))
+    def alphaAt(k: String, s: String) = {
+      val kD = sf.col(k).cast("double")
+      val p = sf.col("c_ab").cast("double") / sf.col(s).cast("double")
+      sf.floor(sf.pow(sf.lit(1.0) - p, kD - 1.0) * 1e9 + 0.5).cast("long")
+    }
+    pairs
+      .join(nodes.select(sf.col("node").as("item_a"), sf.col("__k").as("__ka"),
+        sf.col("__s").as("__sa")), "item_a")
+      .join(nodes.select(sf.col("node").as("item_b"), sf.col("__k").as("__kb"),
+        sf.col("__s").as("__sb")), "item_b")
+      .withColumn("__aa", alphaAt("__ka", "__sa"))
+      .withColumn("__ab", alphaAt("__kb", "__sb"))
+      .filter((sf.col("__ka") > 1 && sf.col("__aa") < a9) ||
+        (sf.col("__kb") > 1 && sf.col("__ab") < a9))
+      .select(sf.col("item_a"), sf.col("item_b"), sf.col("c_ab"),
+        gf.roundAt(sf.least(sf.col("__aa"), sf.col("__ab")).cast("double") / 1e9, 6)
+          .as("alpha_min"))
+      .orderBy("item_a", "item_b")
+  }
+
   /** Connected-component size distribution of the mined co-occurrence
     * graph — size histogram + node share per size: the FRAGMENTATION
     * datasheet behind every clustering readout (one giant component =

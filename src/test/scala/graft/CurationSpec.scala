@@ -664,6 +664,20 @@ class CurationSpec extends SparkFunSuite {
     assert(rh.getAs[Long]("n_docs") == 2 && rh.getAs[Double]("share") == 1.0)
   }
 
+  test("Dedup.dedupSavings: duplicate pair charges the non-canonical doc's tokens") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta"),
+      (2L, "s1", "alpha beta gamma delta"), // exact dup of doc 1
+      (3L, "s1", "unrelated totally different words here"),
+      (4L, "s2", "lonely single doc")).toDF("doc_id", "source", "text")
+    val got = Dedup.dedupSavings(docs, "doc_id", "text", "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    // s1: 13 tokens, doc 2 (4 tokens) charged as removed -> 4/13
+    assert(got("s1") == ((3L, 13L, 1L, 4L, 0.307692)), got.toString)
+    assert(got("s2") == ((1L, 3L, 0L, 0L, 0.0)), got.toString)
+  }
+
   test("TextAnalysis.scriptMixing: homoglyph words flagged, cross-word bilingual not") {
     val df = Seq(
       ("s1", "login to pаypal now"), // Cyrillic а INSIDE a Latin word

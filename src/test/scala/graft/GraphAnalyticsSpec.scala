@@ -835,6 +835,21 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(rp.getAs[Double]("assortativity") == 1.0, rp.toString)
   }
 
+  test("Graph.disparityBackboneFromPairs: hub keeps its dominant spoke only") {
+    import spark.implicits._
+    // hub h: strength 10 over spokes (8, 1, 1). alpha_h(8) = 0.2^2 =
+    // 0.04 < 0.05 survives; alpha_h(1) = 0.9^2 = 0.81 pruned; the
+    // degree-1 leaf side never qualifies on its own.
+    val pairs = Seq(("a", "h", 8L), ("b", "h", 1L), ("c", "h", 1L))
+      .toDF("item_a", "item_b", "c_ab")
+    val got = Graph.disparityBackboneFromPairs(pairs, alpha = 0.05).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got(0)
+    assert(r.getAs[String]("item_a") == "a" && r.getAs[String]("item_b") == "h")
+    assert(r.getAs[Long]("c_ab") == 8 && r.getAs[Double]("alpha_min") == 0.04,
+      r.toString)
+  }
+
   test("Graph.componentSizesFromPairs: triangle + lone edge histogram") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L))
