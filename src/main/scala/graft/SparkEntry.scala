@@ -2401,6 +2401,22 @@ object SparkEntry {
     "q340_qini" -> ((s, dir) =>
       EventOps.qiniDeciles(Tables.load(s, dir, "events"))),
 
+    // Cochran-Armitage: does the high-value share TREND across the
+    // day quarters — 1 df on the ordered alternative.
+    "q347_ca_trend" -> ((s, dir) =>
+      QualityChecks.cochranArmitage(
+        Tables.load(s, dir, "events")
+          .select(sf.expr("hour(ts) div 6").as("quarter"),
+            (sf.col("value") >= 50.0).as("hi")),
+        "quarter", "hi")),
+
+    // Conditional Poisson rates: does the hash-A arm throw 'error'
+    // events at a different per-event intensity than arm B.
+    "q348_rate_test" -> ((s, dir) =>
+      QualityChecks.poissonRateTest(Tables.load(s, dir, "events"),
+        Sampling.hashBucket(sf.col("user_id")) < 5000,
+        sf.col("event_type") === "error")),
+
     // Disparity-filter backbone of the weighted part graph: keep each
     // node's locally-significant spokes, not just global hub edges.
     "q345_backbone" -> ((s, dir) =>
@@ -10626,6 +10642,58 @@ object SparkEntry {
         |    floor((CAST(cct AS DOUBLE)
         |         - CAST(ccc AS DOUBLE)*CAST(cnt AS DOUBLE)/CAST(cnc AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS qini
         |FROM c ORDER BY decile""".stripMargin,
+
+    // CA trend: exact integer score sums, pinned T/Var/z.
+    "q347_ca_trend" ->
+      """WITH s AS (SELECT hour(CAST(ts AS TIMESTAMP)) // 6 AS sc,
+        |  CAST(value >= 50.0 AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(y) AS BIGINT) AS aa,
+        |  CAST(COUNT(DISTINCT sc) AS BIGINT) AS n_groups,
+        |  SUM(CAST(sc AS HUGEINT)*y) AS sa,
+        |  SUM(CAST(sc AS HUGEINT)) AS sn,
+        |  SUM(CAST(sc AS HUGEINT)*sc) AS ssn FROM s),
+        |f AS (SELECT n, n_groups, aa,
+        |  CAST(aa AS DOUBLE)/CAST(n AS DOUBLE) AS pbar,
+        |  CAST(sa AS DOUBLE)
+        |    - CAST(aa AS DOUBLE)/CAST(n AS DOUBLE)*CAST(sn AS DOUBLE) AS t,
+        |  CAST(ssn AS DOUBLE)
+        |    - CAST(sn AS DOUBLE)*CAST(sn AS DOUBLE)/CAST(n AS DOUBLE) AS vs
+        |  FROM a)
+        |SELECT n, n_groups, aa AS n_success,
+        |  floor(pbar*1000000.0 + 0.5)/1000000.0 AS rate_overall,
+        |  CASE WHEN n_groups >= 2 AND aa > 0 AND aa < n
+        |    AND pbar*(1.0 - pbar)*vs > 0 THEN
+        |    floor(t/sqrt(pbar*(1.0 - pbar)*vs)*1000000.0 + 0.5)/1000000.0
+        |  END AS z_trend
+        |FROM f""".stripMargin,
+
+    // Rate test: exact arm counts/exposures, conditional binomial z.
+    "q348_rate_test" ->
+      """WITH s AS (SELECT
+        |  (((user_id % 2147483648) * 2654435761) % 4294967296) % 10000 < 5000 AS a,
+        |  CAST(event_type = 'error' AS BIGINT) AS e
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT
+        |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+        |  CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+        |  CAST(SUM(CASE WHEN a THEN e ELSE 0 END) AS BIGINT) AS k_a,
+        |  CAST(SUM(CASE WHEN NOT a THEN e ELSE 0 END) AS BIGINT) AS k_b
+        |  FROM s),
+        |f AS (SELECT t_a, t_b, k_a, k_b,
+        |  CAST(t_a AS DOUBLE) AS ta, CAST(t_b AS DOUBLE) AS tb,
+        |  CAST(k_a AS DOUBLE) AS ka, CAST(k_b AS DOUBLE) AS kb FROM g)
+        |SELECT t_a, t_b, k_a, k_b,
+        |  CASE WHEN t_a > 0 THEN floor(ka/ta*1000000.0 + 0.5)/1000000.0 END AS rate_a,
+        |  CASE WHEN t_b > 0 THEN floor(kb/tb*1000000.0 + 0.5)/1000000.0 END AS rate_b,
+        |  CASE WHEN t_a > 0 AND t_b > 0 AND k_b > 0 THEN
+        |    floor(ka/ta/(kb/tb)*1000000.0 + 0.5)/1000000.0 END AS rate_ratio,
+        |  CASE WHEN k_a + k_b > 0 AND t_a > 0 AND t_b > 0 THEN
+        |    floor((ka - (ka + kb)*(ta/(ta + tb)))
+        |      /sqrt((ka + kb)*(ta/(ta + tb))*(1.0 - ta/(ta + tb)))
+        |      *1000000.0 + 0.5)/1000000.0 END AS z_stat
+        |FROM f""".stripMargin,
 
     // Backbone: weighted funnel, strength/degree rollup, pinned pow
     // snapped 1e-9, membership on the snapped grid.

@@ -2845,6 +2845,106 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955): does a
+    * binary rate TREND monotonically across a-priori-ORDERED groups —
+    * the proportions twin of [[jonckheereTerpstra]] (J–T orders
+    * continuous values; CA orders success rates) and the sharper
+    * question [[chiSquared]]'s omnibus can't ask: χ² spends k−1 df
+    * noticing ANY difference, CA spends 1 df on the ordered
+    * alternative and wins power exactly when the suspicion is "the
+    * rate creeps with the bucket" (failure rate by file-size decile,
+    * conversion by recency bucket). T = Σsᵢ(aᵢ − nᵢp̄),
+    * Var = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N), z = T/√Var.
+    *
+    * Contract: scores are the group codes themselves — numeric,
+    * caller-ordered (the [[kendallTau]] guard: string ordinals would
+    * sort lexicographically and silently corrupt the trend).
+    *
+    * Determinism: every sum (Σsa, Σsn, Σs²n) is an exact
+    * DECIMAL(38,0); T/Var/z are ONE pinned assembly rounded 1e-6.
+    * Degenerate p̄ ∈ {0, 1}, a single group, or zero score variance
+    * yields NULL z.
+    *
+    * Scale shape: ONE map-side-combined group aggregation over the
+    * row stream + a one-row finish. Zero joins, zero windows. */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      successCol: String): DataFrame = {
+    val dt = df.schema(scoreCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"cochranArmitage: column '$scoreCol' has type ${dt.simpleString}; " +
+      "ordered group scores must be numeric — map string buckets to " +
+      "integer codes first")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val s = sf.col(scoreCol).cast("long")
+    val y = sf.col(successCol).cast("boolean").cast("long")
+    df.filter(sf.col(scoreCol).isNotNull && sf.col(successCol).isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum("__y").cast("long").as("__a"),
+        sf.count_distinct(sf.col("__s")).as("n_groups"),
+        sf.sum(dec(sf.col("__s")) * dec(sf.col("__y"))).as("__sa"),
+        sf.sum(dec(sf.col("__s"))).as("__sn"),
+        sf.sum(dec(sf.col("__s")) * dec(sf.col("__s"))).as("__ssn"))
+      .select({
+        val nD = sf.col("n").cast("double")
+        val pbar = sf.col("__a").cast("double") / nD
+        val t = sf.col("__sa").cast("double") - pbar * sf.col("__sn").cast("double")
+        val vs = sf.col("__ssn").cast("double") -
+          sf.col("__sn").cast("double") * sf.col("__sn").cast("double") / nD
+        val v = pbar * (sf.lit(1.0) - pbar) * vs
+        val ok = sf.col("n_groups") >= 2 && sf.col("__a") > 0 &&
+          sf.col("__a") < sf.col("n")
+        Seq(sf.col("n"), sf.col("n_groups"), sf.col("__a").as("n_success"),
+          gf.roundAt(pbar, 6).as("rate_overall"),
+          sf.when(ok && v > 0.0, gf.roundAt(t / sf.sqrt(v), 6)).as("z_trend"))
+      }: _*)
+  }
+
+  /** Conditional Poisson two-rate test (Przyborowski & Wilenski 1940's
+    * exact conditioning, normal form): are two event RATES equal given
+    * unequal EXPOSURES — conditional on the total count n = k₁+k₂,
+    * k₁ ~ Binomial(n, t₁/(t₁+t₂)) under H₀, so
+    * z = (k₁ − n·p)/√(n·p(1−p)) — the readout for "arm A throws
+    * errors 1.4× as often per event" that a raw count comparison gets
+    * wrong whenever the arms differ in traffic (they always do). The
+    * COUNTS sibling of [[twoProportionEffects]] (that compares
+    * per-trial probabilities; this compares per-exposure intensities).
+    *
+    * Determinism: counts and exposures are exact longs; p, the rates,
+    * the rate ratio, and z are one pinned assembly rounded 1e-6.
+    * Zero total count or zero exposure yields NULL z; a zero k₂ rate
+    * NULLs the ratio.
+    *
+    * Scale shape: ONE map-side-combined single-row aggregation over
+    * the tagged stream — the [[mcnemarTest]] shape. */
+  def poissonRateTest(df: DataFrame, armACol: Column, eventPred: Column)
+      : DataFrame = {
+    val a = armACol.cast("boolean")
+    val e = eventPred.cast("boolean").cast("long")
+    def cnt(p: Column) = sf.sum(p.cast("long")).cast("long")
+    df.filter(a.isNotNull)
+      .agg(cnt(a).as("t_a"), cnt(!a).as("t_b"),
+        sf.sum(sf.when(a, e).otherwise(sf.lit(0L))).cast("long").as("k_a"),
+        sf.sum(sf.when(!a, e).otherwise(sf.lit(0L))).cast("long").as("k_b"))
+      .select({
+        val ta = sf.col("t_a").cast("double")
+        val tb = sf.col("t_b").cast("double")
+        val ka = sf.col("k_a").cast("double")
+        val kb = sf.col("k_b").cast("double")
+        val n = ka + kb
+        val p = ta / (ta + tb)
+        val z = (ka - n * p) / sf.sqrt(n * p * (sf.lit(1.0) - p))
+        val ok = sf.col("k_a") + sf.col("k_b") > 0 &&
+          sf.col("t_a") > 0 && sf.col("t_b") > 0
+        Seq(sf.col("t_a"), sf.col("t_b"), sf.col("k_a"), sf.col("k_b"),
+          sf.when(sf.col("t_a") > 0, gf.roundAt(ka / ta, 6)).as("rate_a"),
+          sf.when(sf.col("t_b") > 0, gf.roundAt(kb / tb, 6)).as("rate_b"),
+          sf.when(sf.col("t_a") > 0 && sf.col("t_b") > 0 && sf.col("k_b") > 0,
+            gf.roundAt(ka / ta / (kb / tb), 6)).as("rate_ratio"),
+          sf.when(ok, gf.roundAt(z, 6)).as("z_stat"))
+      }: _*)
+  }
+
   /** Welch's heteroscedastic one-way ANOVA (Welch 1951): the k-group
     * mean comparison that does NOT assume equal variances — the
     * k-group analogue of preferring [[welchTTest]] to Student's t, and

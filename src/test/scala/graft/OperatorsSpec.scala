@@ -2634,6 +2634,40 @@ class OperatorsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("integer-coded"), e.getMessage)
   }
 
+  test("QualityChecks.cochranArmitage: perfect trend z = 8/sqrt(5); string rejected") {
+    import spark.implicits._
+    // rates 0.1 / 0.5 / 0.9 across scores 0,1,2: T = 8, Var = 5
+    val rows = Seq((0L, 1), (1L, 5), (2L, 9)).flatMap { case (s, a) =>
+      Seq.fill(a)((s, true)) ++ Seq.fill(10 - a)((s, false))
+    }
+    val r = QualityChecks.cochranArmitage(rows.toDF("s", "y"), "s", "y").head()
+    assert(r.getAs[Long]("n") == 30 && r.getAs[Long]("n_groups") == 3)
+    assert(r.getAs[Double]("rate_overall") == 0.5 &&
+      r.getAs[Double]("z_trend") == 3.577709, r.toString)
+    // all-success labels: degenerate -> NULL
+    val rd = QualityChecks.cochranArmitage(
+      Seq((0L, true), (1L, true)).toDF("s", "y"), "s", "y").head()
+    assert(rd.isNullAt(rd.fieldIndex("z_trend")), rd.toString)
+    val e = intercept[IllegalArgumentException] {
+      QualityChecks.cochranArmitage(Seq(("a", true)).toDF("s", "y"), "s", "y")
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
+  test("QualityChecks.poissonRateTest: hand conditional z = sqrt(3); ratio 4") {
+    import spark.implicits._
+    // arm A: 4 errors in 10 events; arm B: 2 in 20 -> p = 1/3,
+    // z = 2/sqrt(4/3) = 1.732051
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(18)((false, false)))
+      .toDF("arm", "err")
+    val r = QualityChecks.poissonRateTest(df, sf.col("arm"), sf.col("err")).head()
+    assert(r.getAs[Long]("t_a") == 10 && r.getAs[Long]("t_b") == 20)
+    assert(r.getAs[Double]("rate_a") == 0.4 && r.getAs[Double]("rate_b") == 0.1)
+    assert(r.getAs[Double]("rate_ratio") == 4.0 &&
+      r.getAs[Double]("z_stat") == 1.732051, r.toString)
+  }
+
   test("QualityChecks.quadeTest: hand range-weighted F = 9; perfect agreement NULL") {
     import spark.implicits._
     // block A (range 2) outweighs block B (range 0.5): S4 by hand ->
