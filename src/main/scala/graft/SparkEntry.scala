@@ -2401,6 +2401,11 @@ object SparkEntry {
     "q340_qini" -> ((s, dir) =>
       EventOps.qiniDeciles(Tables.load(s, dir, "events"))),
 
+    // Kish ESS/deff under soft-dedup weights: how many independent
+    // docs the weighted corpus is actually worth, per source.
+    "q349_ess" -> ((s, dir) =>
+      Dedup.effectiveSampleSize(docs(s, dir), "doc_id", "text", "source")),
+
     // Cochran-Armitage: does the high-value share TREND across the
     // day quarters — 1 df on the ordered alternative.
     "q347_ca_trend" -> ((s, dir) =>
@@ -10642,6 +10647,28 @@ object SparkEntry {
         |    floor((CAST(cct AS DOUBLE)
         |         - CAST(ccc AS DOUBLE)*CAST(cnt AS DOUBLE)/CAST(cnc AS DOUBLE))*10000.0 + 0.5)/10000.0 END AS qini
         |FROM c ORDER BY decile""".stripMargin,
+
+    // ESS: the q122 fingerprint chain, exact 1e6 fixed-point weights
+    // (scale cancels in both ratios), pinned divisions.
+    "q349_ess" ->
+      """WITH f AS (SELECT source,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, COUNT(*) AS gs FROM f GROUP BY 1),
+        |wts AS (SELECT source, 1000000 // gs AS w FROM f JOIN g USING (fp)),
+        |per AS (SELECT CAST(source AS VARCHAR) AS source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  SUM(CAST(w AS HUGEINT)) AS s1, SUM(CAST(w AS HUGEINT)*w) AS s2
+        |  FROM wts GROUP BY 1),
+        |al AS (SELECT '(all)' AS source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  SUM(s1) AS s1, SUM(s2) AS s2 FROM per),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM al)
+        |SELECT source, n_docs,
+        |  floor(CAST(s1 AS DOUBLE)/1e6*10000.0 + 0.5)/10000.0 AS sum_weight,
+        |  floor(CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(s2 AS DOUBLE)*10000.0 + 0.5)/10000.0 AS ess,
+        |  floor(CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(s2 AS DOUBLE)/CAST(n_docs AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS ess_ratio,
+        |  floor(CAST(n_docs AS DOUBLE)/(CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(s2 AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS deff
+        |FROM u ORDER BY source""".stripMargin,
 
     // CA trend: exact integer score sums, pinned T/Var/z.
     "q347_ca_trend" ->

@@ -1103,6 +1103,54 @@ object Dedup {
       .drop("__fp", "__gfp")
   }
 
+  /** Weighted-corpus size datasheet under [[softDedupWeights]]: Σw,
+    * Kish's ESS = (Σw)²/Σw², and the design effect deff = n·Σw²/(Σw)²
+    * per source plus a pooled `(all)` row. Two DIFFERENT numbers that
+    * price soft dedup against hard dedup: Σw is EXACTLY the distinct-
+    * fingerprint group count — the corpus hard dedup would keep (each
+    * group's weights sum to 1 by construction); Kish ESS/deff price
+    * the weight DISPERSION — the variance every weighted corpus
+    * statistic inherits from mixing heavily-downweighted template
+    * groups with weight-1 unique docs (deff ≈ 1: weights near-uniform,
+    * soft dedup is statistically near-free; deff ≫ 1: estimates ride
+    * on a few full-weight docs and hard dedup costs little precision).
+    *
+    * Determinism: weights are the exact 1e6 fixed-point integers
+    * (1e6 div group_size), so Σw and Σw² are exact and the 1e6 scale
+    * CANCELS in both ratios — ESS = S₁²/S₂ and deff = n·S₂/S₁² are
+    * single pinned divisions of DECIMAL(38,0) integers (ESS 1e-4,
+    * ratio/deff 1e-6). Empty sources cannot occur (every doc carries a
+    * weight).
+    *
+    * Scale shape: the [[softDedupWeights]] fingerprint chain + one
+    * combinable source rollup + a domain-only re-agg for the pooled
+    * row. */
+  def effectiveSampleSize(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val w = softDedupWeights(docs, idCol, textCol)
+      .select(sf.col(sourceCol).cast("string").as("source"), sf.col("weight_fx"))
+    val per = w.groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum(dec(sf.col("weight_fx"))).as("__s1"),
+        sf.sum(dec(sf.col("weight_fx")) * dec(sf.col("weight_fx"))).as("__s2"))
+      .localCheckpoint(true) // output + pooled re-agg read it
+    val all = per.agg(sf.sum("n_docs").cast("long").as("n_docs"),
+        sf.sum("__s1").as("__s1"), sf.sum("__s2").as("__s2"))
+      .withColumn("source", sf.lit("(all)"))
+    def finish(df: DataFrame) = df.select({
+      val n = sf.col("n_docs").cast("double")
+      val s1 = sf.col("__s1").cast("double")
+      val ess = s1 * s1 / sf.col("__s2").cast("double")
+      Seq(sf.col("source"), sf.col("n_docs"),
+        gf.roundAt(s1 / 1e6, 4).as("sum_weight"),
+        gf.roundAt(ess, 4).as("ess"),
+        gf.roundAt(ess / n, 6).as("ess_ratio"),
+        gf.roundAt(n / ess, 6).as("deff"))
+    }: _*)
+    finish(per).unionByName(finish(all)).orderBy("source")
+  }
+
   /** Edit-distance similarity join, FastSS deletion-neighborhood
     * blocking (Bocek et al. 2007): all pairs within Levenshtein
     * distance `maxDist`, found by an EQUI-join — never a cross

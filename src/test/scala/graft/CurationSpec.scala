@@ -664,6 +664,23 @@ class CurationSpec extends SparkFunSuite {
     assert(rh.getAs[Long]("n_docs") == 2 && rh.getAs[Double]("share") == 1.0)
   }
 
+  test("Dedup.effectiveSampleSize: sum_weight = group count; Kish prices dispersion") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma"), (2L, "s1", "alpha beta gamma"),
+      (3L, "s1", "unique text here"),
+      (4L, "s2", "dup dup"), (5L, "s2", "dup dup")).toDF("doc_id", "source", "text")
+    val got = Dedup.effectiveSampleSize(docs, "doc_id", "text", "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // s1 weights (0.5, 0.5, 1): sum_w = 2 groups, ESS = 4/1.5 = 2.6667,
+    // deff = 1.125 (dispersion); s2 (0.5, 0.5): uniform weights ->
+    // ESS = n = 2, deff = 1 even though everything is duplicated —
+    // the group count (sum_weight = 1) carries the dedup story there
+    assert(got("s1") == ((3L, 2.0, 2.6667, 0.888889, 1.125)), got.toString)
+    assert(got("s2") == ((2L, 1.0, 2.0, 1.0, 1.0)), got.toString)
+    assert(got("(all)") == ((5L, 3.0, 4.5, 0.9, 1.111111)), got.toString)
+  }
+
   test("Dedup.dedupSavings: duplicate pair charges the non-canonical doc's tokens") {
     val docs = Seq(
       (1L, "s1", "alpha beta gamma delta"),
