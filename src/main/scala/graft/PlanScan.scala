@@ -18,8 +18,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
 object PlanScan {
   // Windows that are one-partition BY CONSTRUCTION over bounded frames
   // (<= numPartitions offset rows, <= scanBound prefix rows): allowed,
-  // pinned here so a new unbounded one can't hide behind them.
-  private val BoundedMarkers = Seq("__pid", "__sb")
+  // pinned here so a new unbounded one can't hide behind them. Matched
+  // by EXACT attribute name (collected AttributeReferences compared
+  // with ==), never substring — a future window over e.g. a
+  // "__sb_total" column must NOT silently ride this allowlist.
+  private val BoundedNames = Set("__pid", "__sb")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
@@ -46,9 +49,13 @@ object PlanScan {
               if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
             w
         }
-        val unbounded = hits.filterNot(w =>
-          BoundedMarkers.exists(m => w.partitionSpec.mkString(",").contains(m) ||
-            w.orderSpec.mkString(",").contains(m)))
+        val unbounded = hits.filterNot { w =>
+          val names = (w.partitionSpec ++ w.orderSpec).flatMap(_.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              a.name
+          }).toSet
+          names.exists(BoundedNames.contains)
+        }
         if (unbounded.nonEmpty) {
           bad += unbounded.size
           println(s"[planscan] $name: ${unbounded.size} single-partition " +

@@ -10832,7 +10832,7 @@ object SparkEntry {
         |  len(list_filter(
         |    CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
         |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
-        |    t -> (regexp_matches(t, '[A-Za-z]') AND regexp_matches(t, '[а-яА-Я]'))
+        |    t -> (regexp_matches(t, '[A-Za-z]') AND regexp_matches(t, '[Ѐ-ӿ]'))
         |      OR (regexp_matches(t, '[A-Za-z]') AND regexp_matches(t, '[α-ωΑ-Ω]')))) AS mx
         |  FROM staged WHERE source IS NOT NULL AND text IS NOT NULL)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

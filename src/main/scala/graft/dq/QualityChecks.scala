@@ -2856,9 +2856,11 @@ object QualityChecks {
     * conversion by recency bucket). T = Σsᵢ(aᵢ − nᵢp̄),
     * Var = p̄(1−p̄)(Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N), z = T/√Var.
     *
-    * Contract: scores are the group codes themselves — numeric,
+    * Contract: scores are the group codes themselves — INTEGRAL,
     * caller-ordered (the [[kendallTau]] guard: string ordinals would
-    * sort lexicographically and silently corrupt the trend).
+    * sort lexicographically, and fractional scores would be floor-
+    * truncated by the exact-arithmetic long cast — both silently
+    * corrupt the trend, so both types are rejected up front).
     *
     * Determinism: every sum (Σsa, Σsn, Σs²n) is an exact
     * DECIMAL(38,0); T/Var/z are ONE pinned assembly rounded 1e-6.
@@ -2870,9 +2872,18 @@ object QualityChecks {
   def cochranArmitage(df: DataFrame, scoreCol: String,
                       successCol: String): DataFrame = {
     val dt = df.schema(scoreCol).dataType
-    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+    val integral = dt match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
       s"cochranArmitage: column '$scoreCol' has type ${dt.simpleString}; " +
-      "ordered group scores must be numeric — map string buckets to " +
+      "ordered group scores must be INTEGER codes (byte/short/int/long) — " +
+      "a fractional score column would be silently floor-truncated by the " +
+      "long cast (0.25-spaced buckets all collapse to 0); map buckets to " +
       "integer codes first")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val s = sf.col(scoreCol).cast("long")

@@ -1106,9 +1106,12 @@ object Dedup {
   /** Weighted-corpus size datasheet under [[softDedupWeights]]: Σw,
     * Kish's ESS = (Σw)²/Σw², and the design effect deff = n·Σw²/(Σw)²
     * per source plus a pooled `(all)` row. Two DIFFERENT numbers that
-    * price soft dedup against hard dedup: Σw is EXACTLY the distinct-
-    * fingerprint group count — the corpus hard dedup would keep (each
-    * group's weights sum to 1 by construction); Kish ESS/deff price
+    * price soft dedup against hard dedup: Σw APPROXIMATES the distinct-
+    * fingerprint group count — the corpus hard dedup would keep (a
+    * size-s group's weights sum to s·(1e6 div s)/1e6: exactly 1 only
+    * when s divides 1e6, else slightly under — a size-3 group sums to
+    * 0.999999, so Σw underestimates the group count by at most
+    * 1e-6·n_docs); Kish ESS/deff price
     * the weight DISPERSION — the variance every weighted corpus
     * statistic inherits from mixing heavily-downweighted template
     * groups with weight-1 unique docs (deff ≈ 1: weights near-uniform,

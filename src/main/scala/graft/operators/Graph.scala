@@ -1303,7 +1303,10 @@ object Graph {
     * truncated Katz series — documented, not a convergence claim).
     * Long-sum bound: max x ≲ β·(d_max/8)^iters — inside int64 to
     * d_max ~ 10⁴ at the default 3 rounds; beyond that lower `iters`
-    * or pre-contract hubs.
+    * or pre-contract hubs. ENFORCED at runtime: the actual max
+    * in-degree is measured up front and the worst case priced in
+    * BigInt — a (d_max, iters) pair whose in-neighbor sum could wrap
+    * int64 throws immediately instead of returning wrapped garbage.
     *
     * Scale shape: per round ONE edge-keyed join + combinable
     * in-neighbor sum (shuffle = |edges|), loop invariants persisted,
@@ -1319,6 +1322,32 @@ object Graph {
     val SCALE = 1000000L
     val ownsEdges = !callerCached(edges0)
     val edges = if (ownsEdges) edges0.persist() else edges0
+    // Runtime overflow guard: the docstring's int64 bound (max x ≈
+    // β·(d_max/8)^iters) silently WRAPS under non-ANSI long sums at
+    // realistic hub degrees well inside the [1,20] iters cap, producing
+    // garbage centralities with no signal. Price the worst case in
+    // BigInt from the graph's actual max in-degree (conservative:
+    // assumes every in-neighbor of the hub carries the max score) and
+    // fail fast instead. One count-shaped agg over the persisted edge
+    // list — noise next to the per-round edge join it protects.
+    val dmaxRow = edges.groupBy("dst").agg(sf.count(sf.lit(1)).as("__d"))
+      .agg(sf.max("__d")).collect()
+    val dmax = if (dmaxRow.isEmpty || dmaxRow(0).isNullAt(0)) 1L
+               else math.max(1L, dmaxRow(0).getLong(0))
+    var xmax = BigInt(SCALE)
+    var sumOk = true
+    for (_ <- 1 to iters) {
+      val s = xmax * dmax // the per-node in-neighbor SUM — the wrap point
+      if (s > Long.MaxValue) sumOk = false
+      xmax = s / 8 + SCALE
+    }
+    if (!sumOk) {
+      if (ownsEdges) edges.unpersist()
+      throw new IllegalArgumentException(
+        s"katzCentralityFromEdges: iters=$iters with max in-degree $dmax " +
+        "would overflow the exact int64 fixed point (worst-case in-neighbor " +
+        "sum exceeds Long.MaxValue) — lower iters or pre-contract hubs")
+    }
     val nodes = edges.select(sf.col("src").as("item"))
       .union(edges.select(sf.col("dst").as("item"))).distinct().persist()
     var x = nodes.select(sf.col("item"), sf.lit(SCALE).as("__v"))

@@ -1402,7 +1402,13 @@ object TextAnalysis {
   def scriptMixing(docs: DataFrame, sourceCol: String,
                    textCol: String): DataFrame = {
     val latin = "[A-Za-z]"
-    val cyr = "[а-яА-Я]"
+    // The FULL Cyrillic block U+0400–U+04FF, not just а-я/А-Я
+    // (U+0430–U+044F): ё (U+0451) and the extended-Cyrillic Latin
+    // lookalikes і (U+0456), ј (U+0458), ѕ (U+0455) are among the most
+    // common homoglyph-spoofing characters, and the narrow class would
+    // pass exactly those attacks. Literal-range style kept (portable
+    // across Java regex and RE2 without \p{IsCyrillic}-dialect forks).
+    val cyr = "[Ѐ-ӿ]"
     val greek = "[α-ωΑ-Ω]"
     def mixed(t: org.apache.spark.sql.Column) =
       (t.rlike(latin) && t.rlike(cyr)) || (t.rlike(latin) && t.rlike(greek))

@@ -700,12 +700,19 @@ class CurationSpec extends SparkFunSuite {
       ("s1", "login to pаypal now"), // Cyrillic а INSIDE a Latin word
       ("s1", "чисто русский текст here"), // bilingual ACROSS words: legitimate
       ("s1", "plain english text"),
-      ("s2", "αlpha test")).toDF("source", "text") // Greek-Latin word
+      ("s2", "αlpha test"), // Greek-Latin word
+      // extended-Cyrillic homoglyphs OUTSIDE а-я (the classic evasion
+      // set the narrow class passed): і U+0456, ѕ U+0455, ё U+0451
+      ("s3", "vіsa card"), // Ukrainian і inside "visa"
+      ("s3", "microѕoft login"), // Cyrillic ѕ inside "microsoft"
+      ("s3", "aktionёn page")) // ё inside a Latin word
+      .toDF("source", "text")
     val got = TextAnalysis.scriptMixing(df, "source", "text").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toMap
     assert(got("s1") == ((3L, 1L, 1L, 0.333333)), got.toString)
     assert(got("s2") == ((1L, 1L, 1L, 1.0)), got.toString)
+    assert(got("s3") == ((3L, 3L, 3L, 1.0)), got.toString)
   }
 
   test("EventOps.rfmSegments: hand 3-user quintile codes and segments") {

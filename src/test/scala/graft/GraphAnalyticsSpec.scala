@@ -819,6 +819,21 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       got.toString)
   }
 
+  test("Graph.katzCentralityFromEdges: overflow guard prices d_max, fails fast") {
+    import spark.implicits._
+    // 40-in-degree hub: (40/8)^20 * 1e6 wraps int64 — the guard must
+    // throw BEFORE the loop instead of returning wrapped garbage...
+    val hub = (1 to 40).map(i => (s"n$i", "hub")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.katzCentralityFromEdges(hub, iters = 20)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    // ...while the same graph at the default 3 rounds is safely inside
+    // the bound and runs: hub = 40*(1e6 div 8)+1e6 after round 1, etc.
+    val ok = Graph.katzCentralityFromEdges(hub, iters = 3).collect()
+    assert(ok.length == 41 && ok.head.getAs[String]("item") == "hub", ok.length)
+  }
+
   test("Graph.attributeAssortativity: hand mixing 0.2; perfect homophily 1") {
     import spark.implicits._
     val labels = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Z"))

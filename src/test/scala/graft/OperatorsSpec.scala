@@ -2651,7 +2651,14 @@ class OperatorsSpec extends SparkFunSuite {
     val e = intercept[IllegalArgumentException] {
       QualityChecks.cochranArmitage(Seq(("a", true)).toDF("s", "y"), "s", "y")
     }
-    assert(e.getMessage.contains("numeric"), e.getMessage)
+    assert(e.getMessage.contains("INTEGER codes"), e.getMessage)
+    // fractional scores rejected too: the long cast would floor-truncate
+    // (0.25-spaced buckets all collapse to 0) and corrupt the trend
+    val ef = intercept[IllegalArgumentException] {
+      QualityChecks.cochranArmitage(
+        Seq((0.25, true), (0.5, false)).toDF("s", "y"), "s", "y")
+    }
+    assert(ef.getMessage.contains("INTEGER codes"), ef.getMessage)
   }
 
   test("QualityChecks.poissonRateTest: hand conditional z = sqrt(3); ratio 4") {
