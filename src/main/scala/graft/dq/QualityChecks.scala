@@ -1118,26 +1118,35 @@ object QualityChecks {
   def hodgesLehmann(dfA: DataFrame, dfB: DataFrame,
                     valueCol: String): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
-    def dom(df: DataFrame, n: String, c: String) = df
-      .select(sf.col(valueCol).cast("long").as(n))
-      .filter(sf.col(n).isNotNull)
-      .groupBy(n).agg(sf.count(sf.lit(1)).as(c))
-    // each domain feeds both the pairing and its sample-size sum
-    val da = dom(dfA, "__va", "__ca").localCheckpoint(true)
-    val db = dom(dfB, "__vb", "__cb").localCheckpoint(true)
+    // BOTH value domains in one tagged collapse: a single combinable
+    // aggregation job (and one checkpoint, not two) covers the two
+    // samples — each side then feeds the pairing and its size sum.
+    def tag(df: DataFrame, a: Boolean) = df
+      .select(sf.lit(a).as("__a"), sf.col(valueCol).cast("long").as("__v"))
+      .filter(sf.col("__v").isNotNull)
+    val both = tag(dfA, a = true).unionAll(tag(dfB, a = false))
+      .groupBy("__a", "__v").agg(sf.count(sf.lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val da = both.filter(sf.col("__a"))
+      .select(sf.col("__v").as("__va"), sf.col("__c").as("__ca"))
+    val db = both.filter(!sf.col("__a"))
+      .select(sf.col("__v").as("__vb"), sf.col("__c").as("__cb"))
+    // read ONCE (by the prefix pass) — no checkpoint: the pair-weight
+    // total needs no second scan of diffs because Σ__w = Σc_a·Σc_b =
+    // n_a·n_b exactly (every (a,b) value pair contributes c_a·c_b once)
     val diffs = da.crossJoin(sf.broadcast(db))
       .groupBy((sf.col("__va") - sf.col("__vb")).as("__d"))
       .agg(sf.sum(dec(sf.col("__ca")) * dec(sf.col("__cb"))).as("__w"))
-      .localCheckpoint(true) // prefix pass + total both read it
-    val tot = diffs.agg(sf.sum("__w").as("__tot"))
-    val med = graft.operators.StarSchema
-      .globalPrefixSums(diffs, Seq("__d"), "__w", "__cum")
-      .crossJoin(sf.broadcast(tot))
-      .filter(sf.col("__cum") * 2 >= sf.col("__tot"))
-      .agg(sf.min("__d").as("hl_shift"))
     val na = da.agg(sf.sum("__ca").as("n_a"))
     val nb = db.agg(sf.sum("__cb").as("n_b"))
-    med.crossJoin(sf.broadcast(na)).crossJoin(sf.broadcast(nb))
+    val sizes = na.crossJoin(nb)
+      .withColumn("__tot", dec(sf.col("n_a")) * dec(sf.col("n_b")))
+    val med = graft.operators.StarSchema
+      .globalPrefixSums(diffs, Seq("__d"), "__w", "__cum")
+      .crossJoin(sf.broadcast(sizes.select("__tot")))
+      .filter(sf.col("__cum") * 2 >= sf.col("__tot"))
+      .agg(sf.min("__d").as("hl_shift"))
+    med.crossJoin(sf.broadcast(sizes))
       .select(sf.col("n_a"), sf.col("n_b"), sf.col("hl_shift"))
   }
 
