@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""External wall-time baseline for the bench: time every oracle SQL in
+DuckDB against the same parquet tables the Spark bench reads, and emit
+ORACLE_BENCH.json with per-query seconds.
+
+This is the only external yardstick the project can have — the reference
+publishes no timings and BASELINE.json carries none — so the 2x clause
+is graded against these numbers, with the caveats below documented
+rather than hidden:
+
+- DuckDB here is a single PROCESS but not single-threaded: it uses all
+  cores by default, so at local[32] both engines see the same hardware.
+- The oracle SQL is the semantic TWIN of each query, written for DuckDB
+  idiom (list comprehensions where range() can't lateral-join, BIGINT
+  casts for HUGEINT parity) — it is the same computation, but tuned by
+  a human for a columnar single-node engine, i.e. a FAVORABLE baseline.
+- Only hash-oracle queries appear (the spec-only components and the one
+  rows-only query have no SQL twin to time).
+- Timing = min of two runs of con.sql(...).fetchall() per query: the
+  same steady-state convention as graft.Bench (min of two spaced
+  passes), and fetchall forces full materialization the way Bench's
+  noop sink does.
+
+Usage: python3 scripts/oracle_bench.py <sf_dir> <oracle_sql.json> [out]
+"""
+import sys, os, json, time
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+
+def main(sf_dir, oracle_path, out_path="ORACLE_BENCH.json"):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(oracle_path))
+    times, failed = {}, {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        best = None
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 4)
+        except Exception as e:
+            failed[name] = str(e).split("\n")[0][:200]
+        print(f"{name}: {times.get(name, 'FAIL')}", flush=True)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "duckdb_oracle_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_dir,
+        "n_queries": len(times),
+        "queries": times,
+    }
+    if failed:
+        out["failed"] = failed
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"\n{len(times)} oracle queries, {total}s total "
+          f"({total/max(1,len(times)):.3f}s/query); {len(failed)} failed "
+          f"-> {out_path}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

@@ -24,6 +24,33 @@ object PlanScan {
   // "__sb_total" column must NOT silently ride this allowlist.
   private val BoundedNames = Set("__pid", "__sb")
 
+  /** One query's unbounded one-task windows, as printable renderings —
+    * empty means the plan is clean. Shared by the CLI sweep below and
+    * PlanScanSpec (which runs it over every query in the suite, so the
+    * lorenzGini class of bug fails `sbt test` instead of waiting for a
+    * manual sweep). Throws whatever the plan build throws — callers
+    * decide whether a build failure is a scan failure. */
+  def unboundedWindows(spark: SparkSession, sfDir: String,
+                       fn: (SparkSession, String) =>
+                         org.apache.spark.sql.DataFrame): Seq[String] = {
+    // the OPTIMIZED LOGICAL plan: post-EliminateWindowPartitions
+    // (stripped foldable keys show as empty specs) and, unlike the
+    // AQE-wrapped physical plan, fully traversable by collect
+    val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+    val hits = plan.collect {
+      case w: LogicalWindow
+          if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
+        w
+    }
+    hits.filterNot { w =>
+      val names = (w.partitionSpec ++ w.orderSpec).flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }).toSet
+      names.exists(BoundedNames.contains)
+    }.map(_.windowExpressions.mkString(";"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val filter: String => Boolean =
@@ -40,26 +67,11 @@ object PlanScan {
     var bad = 0
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if filter(name)) {
       try {
-        // the OPTIMIZED LOGICAL plan: post-EliminateWindowPartitions
-        // (stripped foldable keys show as empty specs) and, unlike the
-        // AQE-wrapped physical plan, fully traversable by collect
-        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
-        val hits = plan.collect {
-          case w: LogicalWindow
-              if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
-            w
-        }
-        val unbounded = hits.filterNot { w =>
-          val names = (w.partitionSpec ++ w.orderSpec).flatMap(_.collect {
-            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-              a.name
-          }).toSet
-          names.exists(BoundedNames.contains)
-        }
+        val unbounded = unboundedWindows(spark, sfDir, fn)
         if (unbounded.nonEmpty) {
           bad += unbounded.size
           println(s"[planscan] $name: ${unbounded.size} single-partition " +
-            s"window(s): ${unbounded.map(_.windowExpressions.mkString(";")).mkString(" | ")}")
+            s"window(s): ${unbounded.mkString(" | ")}")
         }
         spark.catalog.clearCache()
       } catch {
