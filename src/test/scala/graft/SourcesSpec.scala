@@ -132,4 +132,46 @@ class SourcesSpec extends SparkFunSuite {
       (4, Some("CAROL"), None, None),
       (5, Some("DAVE"), None, Some(1.5))), s"got $got")
   }
+
+  test("Config: reference-shaped INI round-trips to Spark props + OS env") {
+    import graft.sources.Config
+    // the reference's config.cfg shape (etl.py:16-33): [OS] env keys
+    // for the launcher, [Spark] Memory / Broadcast_Timeout aliases
+    val cfg = java.io.File.createTempFile("graft", ".cfg")
+    java.nio.file.Files.writeString(cfg.toPath,
+      """; session knobs
+        |[OS]
+        |JAVA_HOME = /usr/lib/jvm/java-17
+        |PATH = /usr/bin:/bin
+        |
+        |[Spark]
+        |Memory = 15g
+        |Broadcast_Timeout  = 36000s
+        |# a dotted property passes through verbatim
+        |spark.sql.shuffle.partitions : 64
+        |Memory = 16g
+        |""".stripMargin)
+    val ini = Config.parseIniFile(cfg.getAbsolutePath)
+    assert(Config.sparkConf(ini) == Map(
+      "spark.driver.memory" -> "16g", // later duplicate wins
+      "spark.sql.broadcastTimeout" -> "36000s",
+      "spark.sql.shuffle.partitions" -> "64"), Config.sparkConf(ini))
+    assert(Config.osEnv(ini) == Map(
+      "java_home" -> "/usr/lib/jvm/java-17", "path" -> "/usr/bin:/bin"))
+    // unknown non-dotted [Spark] key: rejected, not silently dropped
+    val bad = Config.parseIni("[Spark]\nMemroy = 15g")
+    val e = intercept[IllegalArgumentException](Config.sparkConf(bad))
+    assert(e.getMessage.contains("memroy"), e.getMessage)
+    // malformed line: parse error with the line number
+    val p = intercept[IllegalArgumentException](Config.parseIni("[S]\nnope"))
+    assert(p.getMessage.contains("line 2"), p.getMessage)
+    // sessionFromIni applies the conf and getOrCreates — against the
+    // suite's live context, runtime-settable props must land
+    val rt = java.io.File.createTempFile("graft", ".cfg")
+    java.nio.file.Files.writeString(rt.toPath,
+      "[Spark]\nspark.sql.cbo.enabled = true")
+    val s = Config.sessionFromIni(rt.getAbsolutePath)
+    assert(s.conf.get("spark.sql.cbo.enabled") == "true")
+    s.conf.set("spark.sql.cbo.enabled", "false") // restore default
+  }
 }
