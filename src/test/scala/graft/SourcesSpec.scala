@@ -133,6 +133,83 @@ class SourcesSpec extends SparkFunSuite {
       (5, Some("DAVE"), None, Some(1.5))), s"got $got")
   }
 
+  test("Avro: typed round-trip across partitions (null/deflate codecs)") {
+    import graft.sources.Avro
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("ok", BooleanType),
+      StructField("blob", BinaryType), StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("amt", DecimalType(12, 2)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("props", MapType(StringType, LongType)),
+      StructField("nested", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType))))))
+    val rows = Seq(
+      Row(1L, "alice", 2.5, true, Array[Byte](1, 2), java.sql.Date.valueOf("2024-01-15"),
+        java.sql.Timestamp.valueOf("2024-01-15 10:30:00.123456"),
+        new java.math.BigDecimal("12345.67"), Seq("x", "y"),
+        Map("k" -> 9L), Row(7, "inner")),
+      Row(2L, null, null, null, null, null, null, null, null, null, null),
+      Row(3L, "bob", -1.0, false, Array.empty[Byte], java.sql.Date.valueOf("1969-12-31"),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"),
+        new java.math.BigDecimal("-0.01"), Seq.empty[String],
+        Map.empty[String, Long], Row(0, "")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    for (codec <- Seq("null", "deflate")) {
+      val dir = Files.createTempDirectory(s"avro_$codec").toString
+      Avro.write(df, dir, codec = codec)
+      val back = Avro.read(spark, dir)
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq, back.schema.treeString)
+      def norm(r: Row) = r.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }.toString
+      val a = df.orderBy("id").collect().map(norm).toSeq
+      val b = back.orderBy("id").collect().map(norm).toSeq
+      assert(a == b, s"codec=$codec\n$a\n$b")
+      // one container file per non-empty partition, deterministic names
+      val parts = new java.io.File(dir).list().filter(_.endsWith(".avro")).sorted
+      assert(parts.length == 2 && parts.forall(_.startsWith("part-")), parts.toSeq)
+    }
+  }
+
+  test("Avro: interop read of a library-written file incl. timestamp-millis") {
+    import graft.sources.Avro
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // hand-built writer schema: proves the reader handles files graft
+    // did NOT write — non-nullable fields, enum, timestamp-MILLIS
+    val s = SchemaBuilder.record("ev").fields()
+      .requiredLong("id")
+      .requiredString("kind")
+      .name("at").`type`(org.apache.avro.LogicalTypes.timestampMillis()
+        .addToSchema(Schema.create(Schema.Type.LONG))).noDefault()
+      .endRecord()
+    val dir = Files.createTempDirectory("avro_interop").toFile
+    val f = new java.io.File(dir, "ext.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
+    w.create(s, f)
+    val r1 = new GenericData.Record(s)
+    r1.put("id", 10L); r1.put("kind", "click"); r1.put("at", 1705314600123L)
+    w.append(r1); w.close()
+    val back = Avro.read(spark, dir.toString).collect()
+    assert(back.length == 1)
+    val row = back.head
+    assert(row.getAs[Long]("id") == 10L && row.getAs[String]("kind") == "click")
+    assert(row.getAs[java.sql.Timestamp]("at").getTime == 1705314600123L, row)
+    // general (non-null) unions: rejected up front, never guessed
+    val bad = Schema.createUnion(java.util.Arrays.asList(
+      Schema.create(Schema.Type.INT), Schema.create(Schema.Type.STRING)))
+    val e = intercept[IllegalArgumentException](Avro.sparkType(bad))
+    assert(e.getMessage.contains("union"), e.getMessage)
+  }
+
   test("Config: reference-shaped INI round-trips to Spark props + OS env") {
     import graft.sources.Config
     // the reference's config.cfg shape (etl.py:16-33): [OS] env keys
