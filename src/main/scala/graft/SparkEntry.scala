@@ -2406,6 +2406,20 @@ object SparkEntry {
     "q349_ess" -> ((s, dir) =>
       Dedup.effectiveSampleSize(docs(s, dir), "doc_id", "text", "source")),
 
+    // The WHOLE curation funnel composed as one plan (normalize → PII
+    // scrub → quality gate → exact + near dedup → decontaminate vs the
+    // doc_id%10=0 held-out benchmark → q60's budgets → q78's split):
+    // the number a user sizing a real pipeline wants next to the
+    // standalone per-operator costs, which each pay their own funnel.
+    "q350_curation_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Pipeline.curationPlan(s,
+        d.filter(sf.col("doc_id") % 10 =!= 0),
+        d.filter(sf.col("doc_id") % 10 === 0),
+        budgets = Map("src0" -> 400L, "src1" -> 10000000L, "src2" -> 0L),
+        defaultBudget = 600L)
+    }),
+
     // Cochran-Armitage: does the high-value share TREND across the
     // day quarters — 1 df on the ordered alternative.
     "q347_ca_trend" -> ((s, dir) =>
@@ -10669,6 +10683,107 @@ object SparkEntry {
         |  floor(CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(s2 AS DOUBLE)/CAST(n_docs AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS ess_ratio,
         |  floor(CAST(n_docs AS DOUBLE)/(CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(s2 AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS deff
         |FROM u ORDER BY source""".stripMargin,
+
+    // Composed curation funnel: every stage is the EXACT SQL twin of
+    // its standalone oracle (q88 normalize, q43 scrub, q67 gate shape
+    // at frac 0.5 on avg token length, q20 exact-dedup grouping, q45
+    // exact-Jaccard + recursive-reach near dedup, q56 8-gram
+    // decontamination vs the doc_id%10=0 benchmark, q60 budgets, q78
+    // split), stitched through one WITH chain.
+    "q350_curation_e2e" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 0),
+        |norm AS (SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '\t', ' ', 'g'), '  +', ' ', 'g'), ' *\n *', chr(10), 'g'),
+        |    '\n\n\n+', chr(10) || chr(10), 'g')) AS text
+        |  FROM raw),
+        |scrub AS (SELECT doc_id, source,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM norm),
+        |q AS (SELECT doc_id, source, text,
+        |  floor((CASE WHEN (CASE WHEN length(trim(text))=0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)=0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / (CASE WHEN length(trim(text))=0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |    END)*10000.0 + 0.5)/10000.0 AS score
+        |  FROM scrub),
+        |dist AS (SELECT source, score, COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+        |cum AS (SELECT source, score,
+        |  SUM(cnt) OVER (PARTITION BY source ORDER BY score DESC) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY source) AS n FROM dist),
+        |thr AS (SELECT source, MAX(score) AS t FROM cum
+        |        WHERE cum >= ceil(n * 0.5) GROUP BY source),
+        |gated AS (SELECT q.doc_id, q.source, q.text
+        |  FROM q JOIN thr ON q.source = thr.source AND q.score >= thr.t),
+        |ex AS (SELECT doc_id, source, text FROM gated
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))),
+        |tok AS (SELECT doc_id,
+        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws FROM ex),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  floor((CASE WHEN len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws)) = 0
+        |      THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+        |      / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) END)
+        |    *10000.0 + 0.5)/10000.0 AS j
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a_id, b_id FROM p WHERE j >= 0.9),
+        |e AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
+        |reach AS (SELECT s, d FROM e
+        |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+        |losers AS (SELECT s AS doc_id FROM reach GROUP BY s
+        |           HAVING LEAST(s, MIN(d)) <> s),
+        |near AS (SELECT * FROM ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |bws AS (SELECT CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bg AS (SELECT DISTINCT unnest(CASE WHEN len(t) < 8
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct([array_to_string(t[i:i+7], ' ')
+        |                        FOR i IN range(1, len(t)-6)]) END) AS g
+        |  FROM bws),
+        |nws AS (SELECT doc_id, CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t FROM near),
+        |ng AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8
+        |    THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct([array_to_string(t[i:i+7], ' ')
+        |                        FOR i IN range(1, len(t)-6)]) END) AS g
+        |  FROM nws),
+        |contaminated AS (SELECT DISTINCT doc_id FROM ng JOIN bg USING (g)),
+        |clean AS (SELECT * FROM near
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |w AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens
+        |  FROM clean),
+        |tt AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total
+        |  FROM w GROUP BY 1),
+        |bgt AS (SELECT w.doc_id, w.source, w.n_tokens,
+        |  CAST(CASE w.source WHEN 'src0' THEN 400 WHEN 'src1' THEN 10000000
+        |    WHEN 'src2' THEN 0 ELSE 600 END AS BIGINT) AS budget,
+        |  tt.total FROM w JOIN tt USING (source)),
+        |mixed AS (SELECT doc_id, source, n_tokens FROM bgt
+        |  WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000
+        |    < CASE WHEN total <= 0
+        |        THEN (CASE WHEN budget > 0 THEN 10000 ELSE 0 END)
+        |        ELSE LEAST(10000, (budget * 10000) // total) END),
+        |sp AS (SELECT source, n_tokens,
+        |  CASE WHEN ((doc_id % 2147483648)*2654435761) % 4294967296 % 10000 < 8000
+        |         THEN 'train'
+        |       WHEN ((doc_id % 2147483648)*2654435761) % 4294967296 % 10000 < 9000
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM mixed)
+        |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // CA trend: exact integer score sums, pinned T/Var/z.
     "q347_ca_trend" ->

@@ -134,4 +134,78 @@ object Pipeline {
     import spark.implicits._
     report.toDF("stage", "n_docs").orderBy("stage")
   }
+
+  /** The [[runCuration]] funnel COMPOSED as one read-through plan — no
+    * per-stage counts, no parquet sink, no eager checkpoints: the
+    * number a user sizing a real pipeline wants NEXT TO the per-query
+    * bench costs, which deliberately price each operator standalone
+    * (every query pays its own mining funnel; a composed pipeline
+    * shares it). Stages (identical semantics to runCuration): normalize
+    * → PII scrub → per-source quality gate (top `qualityFrac` by avg
+    * token length) → exact dedup → near dedup (MinHash-LSH clusters at
+    * `nearDupThreshold`) → benchmark n-gram decontamination →
+    * token-budget mixture → deterministic hash split. Returns the
+    * per-(split, source) doc/token rollup — the corpus datacard of the
+    * survivors.
+    *
+    * Sharing model: frames feeding TWO consumers (the gate's
+    * score-join, dedup's semi-join sides, decontamination's anti-join)
+    * are `persist()`-ed LAZILY, so one action computes each stage once
+    * — in contrast to runCuration's eager per-stage checkpoints (whose
+    * boundaries are where a restartable pipeline writes durable
+    * intermediates anyway). Caller owns release: `unpersistCuration`
+    * semantics via `spark.catalog.clearCache()` or session end — the
+    * bench harness does exactly that between queries.
+    *
+    * Scale shape: the union of the member operators' documented shapes
+    * — nothing new; the composition adds zero shuffles of its own (the
+    * final rollup is one combinable groupBy over the surviving rows).
+    */
+  def curationPlan(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
+                   budgets: Map[String, Long], defaultBudget: Long = 0L,
+                   qualityFrac: Double = 0.5, nearDupThreshold: Double = 0.9,
+                   splits: Seq[(String, Double)] = Seq(
+                     "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    // NOT persisted: both consumers prune to disjoint column sets, so a
+    // second parquet scan is cheaper than caching the raw text bytes
+    val raw = docs.select(
+      sf.col("doc_id").cast("long").as("doc_id"),
+      sf.col("text"), sf.col("source"))
+    val normalized = raw.select(sf.col("doc_id"), sf.col("source"))
+      .join(Cleaning.normalizeText(raw, "doc_id", "text")
+        .select(sf.col("doc_id"), sf.col("clean_text").as("text")), "doc_id")
+    // persisted: the normalize+scrub regex chain is the most expensive
+    // map pass in the funnel and two consumers (the score join's both
+    // sides) would otherwise run it twice
+    val scrubbed = Cleaning.scrubPii(normalized, "text")
+      .select("doc_id", "text", "source").persist()
+    val scored = scrubbed.join(
+      TextAnalysis.qualityScore(scrubbed, "doc_id", "text")
+        .select(sf.col("doc_id"), sf.col("avg_token_len").as("__q")), "doc_id")
+    val gated = Sampling.topFractionByScore(scored, "source", "__q", qualityFrac)
+      .drop("__q").persist()
+    val exact = gated.join(Dedup.exact(gated, "doc_id", Seq("text"))
+        .select(sf.col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .persist()
+    val near = Dedup.dedupCorpus(exact, "doc_id", "text", nearDupThreshold)
+      .select("doc_id", "text", "source").persist()
+    // n_tokens computed ONCE here: the mixture weight and the final
+    // rollup both read it. persisted: mixtureSample's totals pass and
+    // its filter pass would otherwise run the decontamination gram
+    // explode twice
+    val clean = near.join(
+      TextAnalysis.decontaminate(near, benchmark, "doc_id", "text")
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens",
+        graft.functions.tokenCount(sf.col("text")).cast("long"))
+      .drop("text")
+      .persist()
+    val mixed = Sampling.mixtureSample(clean, "doc_id", "source",
+      sf.col("n_tokens"), budgets, defaultBudget)
+    Sampling.hashSplit(mixed, "doc_id", splits)
+      .groupBy("split", "source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("split", "source")
+  }
 }

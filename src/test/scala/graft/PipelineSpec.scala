@@ -49,5 +49,18 @@ class PipelineSpec extends SparkFunSuite {
       .map(_.getName).filter(_.startsWith("split="))
     assert(splitDirs.nonEmpty && splitDirs.forall(
       Seq("split=train", "split=val", "split=test").contains(_)))
+    // the COMPOSED one-plan variant is stage-for-stage equivalent: same
+    // params -> its per-(split, source) rollup totals the same docs the
+    // eager runCuration funnel kept at 08_split
+    val composed = Pipeline.curationPlan(spark, docs, benchmark,
+      budgets = Map("src0" -> 1000L), defaultBudget = 2000L,
+      qualityFrac = 0.5, nearDupThreshold = 0.9,
+      splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val rollup = composed.collect()
+    assert(rollup.map(_.getAs[Long]("n_docs")).sum == counts.last,
+      s"composed total != runCuration 08_split: ${rollup.mkString("; ")}")
+    // and it carries real token mass per cell
+    assert(rollup.forall(r => r.getAs[Long]("n_tokens") > 0))
+    spark.catalog.clearCache() // release curationPlan's lazy persists
   }
 }
