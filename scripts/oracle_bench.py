@@ -16,15 +16,23 @@ rather than hidden:
   a human for a columnar single-node engine, i.e. a FAVORABLE baseline.
 - Only hash-oracle queries appear (the spec-only components and the one
   rows-only query have no SQL twin to time).
-- Timing = min of two runs of con.sql(...).fetchall() per query: the
-  same steady-state convention as graft.Bench (min of two spaced
-  passes), and fetchall forces full materialization the way Bench's
-  noop sink does.
+- Timing = min of two runs of con.sql(...).fetchall() per query (the
+  graft.Bench steady-state convention), with two budget rules for the
+  quadratic twins: a query whose FIRST pass exceeds PASS2_SKIP_SEC
+  keeps that single time (JIT noise is sub-second; re-running a
+  200-second O(n^2) join buys nothing), and a query that exceeds
+  TIMEOUT_SEC is interrupted and recorded under "timeouts" — an
+  honest datapoint, not a failure: it means the single-node engine
+  cannot complete the exact quadratic semantics at this scale where
+  the Spark side's banded/blocked plan can.
 
 Usage: python3 scripts/oracle_bench.py <sf_dir> <oracle_sql.json> [out]
 """
-import sys, os, json, time
+import sys, os, json, time, threading
 import duckdb
+
+PASS2_SKIP_SEC = 5.0
+TIMEOUT_SEC = 600.0
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -36,20 +44,40 @@ def main(sf_dir, oracle_path, out_path="ORACLE_BENCH.json"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(oracle_path))
-    times, failed = {}, {}
+    times, failed, timeouts = {}, {}, {}
+
+    def timed_run(sql):
+        done = threading.Event()
+        def watchdog():
+            if not done.wait(TIMEOUT_SEC):
+                con.interrupt()
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        t0 = time.perf_counter()
+        try:
+            con.sql(sql).fetchall()
+            return time.perf_counter() - t0
+        finally:
+            done.set()
+
     for name in sorted(oracle):
         sql = oracle[name]
-        best = None
         try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.sql(sql).fetchall()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            first = timed_run(sql)
+            best = first
+            if first <= PASS2_SKIP_SEC:
+                best = min(best, timed_run(sql))
             times[name] = round(best, 4)
+        except duckdb.InterruptException:
+            timeouts[name] = TIMEOUT_SEC
         except Exception as e:
-            failed[name] = str(e).split("\n")[0][:200]
-        print(f"{name}: {times.get(name, 'FAIL')}", flush=True)
+            msg = str(e).split("\n")[0][:200]
+            if "INTERRUPT" in msg.upper():
+                timeouts[name] = TIMEOUT_SEC
+            else:
+                failed[name] = msg
+        print(f"{name}: {times.get(name, 'TIMEOUT' if name in timeouts else 'FAIL')}",
+              flush=True)
     total = round(sum(times.values()), 3)
     out = {
         "metric": "duckdb_oracle_total",
@@ -61,11 +89,13 @@ def main(sf_dir, oracle_path, out_path="ORACLE_BENCH.json"):
     }
     if failed:
         out["failed"] = failed
+    if timeouts:
+        out["timeouts"] = timeouts
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"\n{len(times)} oracle queries, {total}s total "
-          f"({total/max(1,len(times)):.3f}s/query); {len(failed)} failed "
-          f"-> {out_path}")
+          f"({total/max(1,len(times)):.3f}s/query); {len(failed)} failed, "
+          f"{len(timeouts)} timed out at {TIMEOUT_SEC}s -> {out_path}")
     return 1 if failed else 0
 
 

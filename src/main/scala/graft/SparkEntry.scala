@@ -2420,6 +2420,31 @@ object SparkEntry {
         defaultBudget = 600L)
     }),
 
+    // Classical additive decomposition: the per-bin trend/seasonal/
+    // remainder panel behind q275's one-number strength.
+    "q351_seasonal_decompose" -> ((s, dir) =>
+      EventOps.seasonalDecompose(Tables.load(s, dir, "events"))),
+
+    // Page's L: does event value CREEP across the day quarters,
+    // blocking on user bucket — the ordered sibling of q272.
+    "q352_page_trend" -> ((s, dir) =>
+      QualityChecks.pageTrend(
+        Tables.load(s, dir, "events")
+          .withColumn("u_block", sf.col("user_id") % 20)
+          .withColumn("quarter", sf.expr("hour(ts) div 6")),
+        "u_block", "quarter", "value")),
+
+    // Siegel repeated median: q203's trend with a 50% breakdown point
+    // (inner median per grid point, outer median across points).
+    "q353_siegel_trend" -> ((s, dir) =>
+      EventOps.siegelTrend(Tables.load(s, dir, "events"))),
+
+    // Boilerplate STRIP: q325's detected per-source template prefixes
+    // removed from the flagged docs, everything else verbatim.
+    "q354_strip_boilerplate" -> ((s, dir) =>
+      TextAnalysis.stripBoilerplatePrefixes(docs(s, dir),
+        "doc_id", "source", "text")),
+
     // Cochran-Armitage: does the high-value share TREND across the
     // day quarters — 1 df on the ordered alternative.
     "q347_ca_trend" -> ((s, dir) =>
@@ -10784,6 +10809,139 @@ object SparkEntry {
         |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Seasonal decomposition: q275's pinned chain (1e-9 OLS, d9 grid,
+    // phase means) emitted per bin instead of collapsed to F_s.
+    "q351_seasonal_decompose" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |mins AS (SELECT t, MIN(bin) AS b0 FROM sv GROUP BY 1),
+        |mom AS (SELECT s.t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(s.bin - m.b0 AS DECIMAL(38,0)) * CAST(s.bin - m.b0 AS DECIMAL(38,0))) AS sxx,
+        |  SUM(CAST(s.bin - m.b0 AS DECIMAL(38,0)) * CAST(s.v AS DECIMAL(38,0))) AS sxy,
+        |  SUM(CAST(s.bin - m.b0 AS DECIMAL(38,0))) AS sx,
+        |  SUM(CAST(s.v AS DECIMAL(38,0))) AS sy
+        |  FROM sv s JOIN mins m ON s.t = m.t GROUP BY 1 HAVING COUNT(*) >= 3),
+        |fit AS (SELECT t,
+        |  floor(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+        |    *1e9 + 0.5)/1e9 AS beta,
+        |  floor(((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))*1e9 + 0.5)/1e9 AS alpha
+        |  FROM mom
+        |  WHERE CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0),
+        |detr AS (SELECT s.t, s.bin, s.v, s.bin % 24 AS ph,
+        |  f.alpha + f.beta * CAST(s.bin - m.b0 AS DOUBLE) AS tr,
+        |  CAST(floor((CAST(s.v AS DOUBLE)
+        |    - (f.alpha + f.beta * CAST(s.bin - m.b0 AS DOUBLE)))*1e9 + 0.5) AS BIGINT) AS d9
+        |  FROM sv s JOIN mins m ON s.t = m.t JOIN fit f ON s.t = f.t),
+        |seas AS (SELECT t, ph,
+        |  CAST(floor(CAST(SUM(d9) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m9
+        |  FROM detr GROUP BY 1, 2)
+        |SELECT d.t AS event_type, d.bin, d.v AS n_events,
+        |  floor(d.tr*1000000.0 + 0.5)/1000000.0 AS trend,
+        |  floor(CAST(s.m9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS seasonal,
+        |  floor(CAST(d.d9 - s.m9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS remainder
+        |FROM detr d JOIN seas s ON d.t = s.t AND d.ph = s.ph
+        |ORDER BY event_type, bin""".stripMargin,
+
+    // Page's L: friedman's cells/midranks + k-row order attach,
+    // 2-scaled exact L, classical no-ties moments.
+    "q352_page_trend" ->
+      """WITH v AS (SELECT user_id % 20 AS b, hour(CAST(ts AS TIMESTAMP)) // 6 AS tr,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT b, tr,
+        |  CAST(floor(CAST(SUM(v4) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m4
+        |  FROM v GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM cells),
+        |complete AS (SELECT b FROM cells GROUP BY b
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |ranked AS (SELECT tr,
+        |  2*rank() OVER (PARTITION BY c.b ORDER BY m4)
+        |    + COUNT(*) OVER (PARTITION BY c.b, m4) - 1 AS ar2
+        |  FROM cells c JOIN complete USING (b)),
+        |rj AS (SELECT tr, CAST(SUM(ar2) AS BIGINT) AS r2j FROM ranked GROUP BY 1),
+        |cj AS (SELECT a.tr, CAST(COUNT(*) AS BIGINT) AS cj
+        |  FROM (SELECT DISTINCT tr FROM cells) a
+        |  JOIN (SELECT DISTINCT tr FROM cells) b2 ON b2.tr <= a.tr GROUP BY 1),
+        |agg AS (SELECT SUM(CAST(cj AS HUGEINT)*r2j) AS l2 FROM rj JOIN cj USING (tr)),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks FROM complete)
+        |SELECT n_blocks, k,
+        |  floor(CAST(l2 AS DOUBLE)/2.0*10000.0 + 0.5)/10000.0 AS l_stat,
+        |  CASE WHEN n_blocks > 0 AND k >= 3 THEN
+        |    floor((CAST(l2 AS DOUBLE)/2.0
+        |      - CAST(n_blocks AS DOUBLE)*CAST(k AS DOUBLE)*(CAST(k AS DOUBLE)+1.0)*(CAST(k AS DOUBLE)+1.0)/4.0)
+        |      / sqrt(CAST(n_blocks AS DOUBLE)*CAST(k AS DOUBLE)*CAST(k AS DOUBLE)
+        |        *(CAST(k AS DOUBLE)+1.0)*(CAST(k AS DOUBLE)+1.0)*(CAST(k AS DOUBLE)-1.0)/144.0)
+        |      *1000000.0 + 0.5)/1000000.0
+        |  END AS z_trend
+        |FROM agg CROSS JOIN nb CROSS JOIN kk""".stripMargin,
+
+    // Siegel: q203's grid + snapped slopes, nearest-rank lower median
+    // at BOTH levels (per point, then across points).
+    "q353_siegel_trend" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |p AS (SELECT a.t, a.bin AS ba,
+        |  CAST(floor(CAST(b.v - a.v AS DOUBLE)/CAST(b.bin - a.bin AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS s6
+        | FROM sv a JOIN sv b ON a.t = b.t AND a.bin <> b.bin),
+        |icg AS (SELECT t, ba, s6, COUNT(*) AS c FROM p GROUP BY 1, 2, 3),
+        |icum AS (SELECT t, ba, s6,
+        |  CAST(SUM(c) OVER (PARTITION BY t, ba ORDER BY s6 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(SUM(c) OVER (PARTITION BY t, ba) AS BIGINT) AS n FROM icg),
+        |inner_med AS (SELECT t, ba, MIN(s6) AS m6 FROM icum
+        |  WHERE cum >= (n + 1) // 2 GROUP BY t, ba),
+        |ocg AS (SELECT t, m6, COUNT(*) AS c FROM inner_med GROUP BY 1, 2),
+        |ocum AS (SELECT t, m6,
+        |  CAST(SUM(c) OVER (PARTITION BY t ORDER BY m6 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(SUM(c) OVER (PARTITION BY t) AS BIGINT) AS n FROM ocg)
+        |SELECT t AS event_type, n AS n_bins,
+        |  floor((CAST(MIN(m6) AS DOUBLE)/1e6)*10000.0 + 0.5)/10000.0 AS siegel_slope_per_day
+        |FROM ocum WHERE cum >= (n + 1) // 2
+        |GROUP BY t, n ORDER BY event_type""".stripMargin,
+
+    // Boilerplate strip: q325's detection + token-canonical removal
+    // (list_slice is begin..end INCLUSIVE in DuckDB).
+    "q354_strip_boilerplate" ->
+      """WITH base AS (SELECT source,
+        |  array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 2), ' ') AS prefix
+        |  FROM documents WHERE source IS NOT NULL AND length(trim(text)) > 0),
+        |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source_docs FROM base GROUP BY 1),
+        |c AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs FROM base GROUP BY 1, 2),
+        |flg AS (SELECT c.source, prefix FROM c JOIN t ON c.source = t.source
+        |  WHERE n_docs >= 2 AND n_docs*10000 >= 500*n_source_docs),
+        |d AS (SELECT doc_id, source, text,
+        |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS tk,
+        |  array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 2), ' ') AS pfx
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |j AS (SELECT d.doc_id, d.source, d.text, d.tk,
+        |  (f.prefix IS NOT NULL) AS hit
+        |  FROM d LEFT JOIN flg f ON d.source = f.source AND d.pfx = f.prefix)
+        |SELECT doc_id, source, hit AS was_stripped,
+        |  CAST(length(text) AS BIGINT) AS n_chars_before,
+        |  CAST(length(CASE WHEN hit THEN array_to_string(list_slice(tk, 3, len(tk)), ' ')
+        |       ELSE text END) AS BIGINT) AS n_chars_after,
+        |  CASE WHEN hit THEN array_to_string(list_slice(tk, 3, len(tk)), ' ')
+        |       ELSE text END AS text
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // CA trend: exact integer score sums, pinned T/Var/z.
     "q347_ca_trend" ->

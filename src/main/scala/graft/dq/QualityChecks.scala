@@ -4835,6 +4835,94 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Page's L trend test (Page 1963) — the ORDERED-alternative member
+    * of the blocked-rank family: [[friedman]] spends k−1 df noticing
+    * ANY treatment difference; Page spends 1 df on the hypothesis "the
+    * measure increases WITH the treatment order" (L = Σ_j c_j·R_j over
+    * within-block ranks R and hypothesized order positions c_j = 1..k)
+    * and wins power exactly when the suspicion is monotone — the
+    * repeated-measures sibling of [[jonckheereTerpstra]] (independent
+    * groups) the way [[friedman]] is of [[kruskalWallis]]. Reads on
+    * "does latency creep across release stages, controlling for which
+    * user you measure".
+    *
+    * Contract: treatments are the order codes themselves — INTEGRAL,
+    * caller-ordered ascending (the [[cochranArmitage]] guard: string
+    * ordinals would sort lexicographically and fractional codes floor-
+    * truncate, both silently corrupting the hypothesized order).
+    * Incomplete blocks drop ([[friedman]]'s classical requirement).
+    *
+    * Determinism: [[friedman]]'s exact 1e-4 cell means and 2-SCALED
+    * midranks verbatim, order positions from an exact k×k domain
+    * count-le self-join (never a global window); L carries 2-scaled as
+    * the exact long Σc_j·R2_j, so l_stat = L2/2 is exact; z uses the
+    * classical no-ties null moments μ = nk(k+1)²/4, σ² =
+    * nk²(k+1)²(k−1)/144 in ONE pinned assembly rounded 1e-6 (with
+    * midranked ties the moments are the standard large-sample
+    * approximation — heavy ties read conservative). k < 3 or zero
+    * complete blocks yields NULL z.
+    *
+    * Scale shape: the [[friedman]] domain-compressed collapse +
+    * completeness semi join + bounded per-block windows (k rows by
+    * construction) + a k-row order attach + one k-row rollup. */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+                valueCol: String): DataFrame = {
+    val dt = df.schema(treatCol).dataType
+    val integral = dt match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"pageTrend: column '$treatCol' has type ${dt.simpleString}; " +
+      "ordered treatment codes must be INTEGER — map stages to integer " +
+      "codes first")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(blockCol).isNotNull &&
+        sf.col(treatCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(blockCol).as("b"), sf.col(treatCol).cast("long").as("tr"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long").as("v4"))
+      .groupBy("b", "tr").agg(sf.sum("v4").as("s4"), sf.count(sf.lit(1)).as("c"))
+      .select(sf.col("b"), sf.col("tr"),
+        sf.floor(sf.col("s4").cast("double") / sf.col("c").cast("double") + 0.5)
+          .cast("long").as("m4"))
+      .localCheckpoint(true) // k scalar + completeness + ranks read it
+    val kRow = cells.agg(sf.countDistinct("tr").as("k"))
+    val complete = cells.groupBy("b").agg(sf.count(sf.lit(1)).as("__nt"))
+      .crossJoin(sf.broadcast(kRow))
+      .filter(sf.col("__nt") === sf.col("k")).select("b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("b")
+    val ranked = cells.join(complete, Seq("b"), "left_semi")
+      .withColumn("__rk", sf.rank().over(w.orderBy("m4")))
+      .withColumn("__ties",
+        sf.count(sf.lit(1)).over(w.orderBy("m4").rangeBetween(0, 0)))
+      .select(sf.col("tr"),
+        (sf.lit(2L) * sf.col("__rk") + sf.col("__ties") - 1L).as("__ar2"))
+    val rj = ranked.groupBy("tr").agg(sf.sum("__ar2").cast("long").as("__r2j"))
+    // hypothesized order position c_j = |{tr' <= tr_j}| — an exact k×k
+    // domain self-join, never a constant-key window over the domain
+    val trs = cells.select("tr").distinct()
+    val cj = trs.join(trs.select(sf.col("tr").as("__t2")),
+        sf.col("__t2") <= sf.col("tr"))
+      .groupBy("tr").agg(sf.count(sf.lit(1)).as("__cj"))
+    val nB = complete.agg(sf.count(sf.lit(1)).as("n_blocks"))
+    rj.join(cj, "tr")
+      .agg(sf.sum(dec(sf.col("__cj")) * dec(sf.col("__r2j"))).as("__l2"))
+      .crossJoin(sf.broadcast(nB)).crossJoin(sf.broadcast(kRow))
+      .select({
+        val n = sf.col("n_blocks").cast("double")
+        val kD = sf.col("k").cast("double")
+        val l = sf.col("__l2").cast("double") / 2.0
+        val mu = n * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+        val sig = sf.sqrt(n * kD * kD * (kD + 1.0) * (kD + 1.0) * (kD - 1.0) / 144.0)
+        Seq(sf.col("n_blocks"), sf.col("k"), gf.roundAt(l, 4).as("l_stat"),
+          sf.when(sf.col("n_blocks") > 0 && sf.col("k") >= 3,
+            gf.roundAt((l - mu) / sig, 6)).as("z_trend"))
+      }: _*)
+  }
+
   /** Quade test (Quade 1979) — the blocked rank test that WEIGHTS
     * blocks by how much signal they carry: [[friedman]] gives a block
     * whose k cells differ by noise the same vote as one with a huge

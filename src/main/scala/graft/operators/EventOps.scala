@@ -1733,6 +1733,67 @@ object EventOps {
       .orderBy(typeCol)
   }
 
+  /** Siegel repeated-median trend per event type (Siegel 1982): for
+    * each grid point i take the MEDIAN of its pairwise slopes to every
+    * other point, then take the median of those per-point medians —
+    * the 50%-breakdown big sibling of [[theilSenTrend]] (whose single
+    * median of ALL pairs breaks at 29% contamination): a burst that
+    * corrupts a third of the bins drags every Theil–Sen pair it
+    * touches, but here it can own at most the inner medians of its own
+    * points, and the outer median discards those. The trend readout to
+    * trust when [[burstDetect]] says the series is contaminated.
+    *
+    * Determinism: [[theilSenTrend]]'s conventions verbatim — pairwise
+    * slopes are IEEE divisions of exact integers snapped to the 1e-6
+    * grid; BOTH median levels use the nearest-rank lower-median rule
+    * (smallest value with cum ≥ (n+1) div 2) over exact counts, so the
+    * result is a grid point, nothing interpolated; final display snap
+    * 1e-4. Types with one grid bin emit no rows (no pair to slope).
+    *
+    * Scale shape: the checkpointed [[denseSeries]] grid self-joins per
+    * type over the BIN domain (pair count grid², never event-row²);
+    * the inner medians ride (type, point)-partitioned cumulative
+    * windows — bounded at grid-size rows per partition BY CONSTRUCTION
+    * — and the outer median reuses the [[theilSenTrend]] type-keyed
+    * prefix. No driver medians, no global sort. */
+  def siegelTrend(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", valueCol: String = "value",
+                  binSec: Long = 86400): DataFrame = {
+    val series = denseSeries(events, typeCol, tsCol, valueCol, binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // both self-join sides read it
+    val slope6 = sf.floor(
+      (sf.col("vb") - sf.col("va")).cast("double") /
+        (sf.col("bb") - sf.col("ba")).cast("double") * 1e6 + 0.5).cast("long")
+    val slopes = series.select(sf.col("t"), sf.col("bin").as("ba"), sf.col("v").as("va"))
+      .join(series.select(sf.col("t").as("tb"), sf.col("bin").as("bb"),
+        sf.col("v").as("vb")),
+        sf.col("t") === sf.col("tb") && sf.col("ba") =!= sf.col("bb"))
+      .select(sf.col("t"), sf.col("ba"), slope6.as("s6"))
+    // inner median: per (type, point) over its grid-1 slopes
+    val ic = slopes.groupBy("t", "ba", "s6").agg(sf.count(sf.lit(1)).as("c"))
+    val iw = Window.partitionBy("t", "ba").orderBy("s6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inner = ic
+      .withColumn("cum", sf.sum("c").over(iw))
+      .withColumn("n", sf.sum("c").over(Window.partitionBy("t", "ba")))
+      .filter(sf.col("cum") >= sf.expr("(n + 1) div 2"))
+      .groupBy("t", "ba").agg(sf.min("s6").as("m6"))
+    // outer median: per type over the per-point medians
+    val oc = inner.groupBy("t", "m6").agg(sf.count(sf.lit(1)).as("c"))
+    val ow = Window.partitionBy("t").orderBy("m6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oc.withColumn("cum", sf.sum("c").over(ow))
+      .withColumn("n", sf.sum("c").over(Window.partitionBy("t")))
+      .filter(sf.col("cum") >= sf.expr("(n + 1) div 2"))
+      .groupBy(sf.col("t"))
+      .agg(sf.max("n").as("n_bins"), sf.min("m6").as("__m"))
+      .select(sf.col("t").as(typeCol), sf.col("n_bins"),
+        gf.roundAt(sf.col("__m").cast("double") / 1e6, 4)
+          .as("siegel_slope_per_day"))
+      .orderBy(typeCol)
+  }
+
   /** Bot-cadence scoring per user: the coefficient of variation of
     * inter-event gaps — human activity is bursty (cv near or above 1,
     * exponential-ish), scripted traffic is metronomic (cv near 0) —
@@ -2470,6 +2531,77 @@ object EventOps {
             .as("seasonal_strength"))
       }: _*)
       .orderBy("event_type")
+  }
+
+  /** Classical additive seasonal decomposition per event type over the
+    * [[denseSeries]] gap-filled count grid — the PER-BIN series
+    * [[seasonalStrength]] collapses to one number: trend (exact-moment
+    * OLS line), seasonal (per-(type, bin mod period) mean of the
+    * detrended series), remainder (what's left), with
+    * v = trend + seasonal + remainder holding EXACTLY on the snapped
+    * 1e-9 grid by construction. The decomposed series is what
+    * dashboards plot and what anomaly triage reads ("was the spike
+    * trend, season, or residual?"); F_s (row 325's strength) tells
+    * whether to trust the seasonal panel, this gives the panel itself.
+    *
+    * Determinism: IDENTICAL pinned chain to [[seasonalStrength]] —
+    * alpha/beta 1e-9-snapped exact-moment OLS, detrended d9 =
+    * ⌊(v − (α + β·x))·1e9 + 0.5⌋ exact longs, phase means m9 =
+    * ⌊Σd9/n + 0.5⌋, remainder r9 = d9 − m9; outputs are the 1e-9
+    * integers divided back out and snapped 1e-6. Types with < 3 bins
+    * or a degenerate x-variance emit no rows (no trend to fit — same
+    * contract as seasonalStrength).
+    *
+    * Scale shape: the checkpointed grid + one per-type moments rollup
+    * (broadcast back) + one (type, phase) mean rollup (period-bounded
+    * domain, broadcast back) — the corpus-sized grid is read twice
+    * from its checkpoint and never sorted globally; output is
+    * grid-sized, partition-parallel. */
+  def seasonalDecompose(events: DataFrame, period: Int = 24,
+                        binSec: Long = 3600): DataFrame = {
+    require(period >= 2 && period <= 10000,
+      s"period must be in [2, 1e4], got $period")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // moments + detrend both read it
+    val mins = g.groupBy("t").agg(sf.min("bin").as("b0"))
+    val mom = g.join(mins, "t")
+      .select(sf.col("t"), (sf.col("bin") - sf.col("b0")).as("x"), sf.col("v"))
+      .groupBy("t").agg(
+        sf.sum(dec(sf.col("x")) * dec(sf.col("x"))).as("__sxx"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("v"))).as("__sxy"),
+        sf.sum(dec(sf.col("x"))).as("__sx"), sf.sum(dec(sf.col("v"))).as("__sy"),
+        sf.count(sf.lit(1)).as("n"))
+      .filter(sf.col("n") >= 3)
+    val nD = sf.col("n").cast("double")
+    val sx = sf.col("__sx").cast("double")
+    val sy = sf.col("__sy").cast("double")
+    val den = nD * sf.col("__sxx").cast("double") - sx * sx
+    val slope = (nD * sf.col("__sxy").cast("double") - sx * sy) / den
+    val fit = mom.filter(den > 0.0)
+      .select(sf.col("t"), gf.roundAt(slope, 9).as("beta"),
+        gf.roundAt((sy - slope * sx) / nD, 9).as("alpha"))
+    val detr = g.join(mins, "t").join(fit, "t")
+      .select(sf.col("t"), sf.col("bin"), sf.col("v"),
+        sf.pmod(sf.col("bin"), sf.lit(period.toLong)).as("ph"),
+        (sf.col("alpha") + sf.col("beta") *
+          (sf.col("bin") - sf.col("b0")).cast("double")).as("__tr"))
+      .withColumn("d9", sf.floor((sf.col("v").cast("double") - sf.col("__tr"))
+        * 1e9 + 0.5).cast("long"))
+      .localCheckpoint(true) // phase means + output both read it
+    val seas = detr.groupBy("t", "ph")
+      .agg(sf.floor(sf.sum("d9").cast("double") /
+        sf.count(sf.lit(1)).cast("double") + 0.5).cast("long").as("m9"))
+    detr.join(seas, Seq("t", "ph"))
+      .select(sf.col("t").as("event_type"), sf.col("bin"),
+        sf.col("v").as("n_events"),
+        gf.roundAt(sf.col("__tr"), 6).as("trend"),
+        gf.roundAt(sf.col("m9").cast("double") / 1e9, 6).as("seasonal"),
+        gf.roundAt((sf.col("d9") - sf.col("m9")).cast("double") / 1e9, 6)
+          .as("remainder"))
+      .orderBy("event_type", "bin")
   }
 
   /** Cross-correlation function between TWO event types' count series

@@ -1477,4 +1477,55 @@ object TextAnalysis {
           sf.col("n_source_docs").cast("double"), 6).as("share"))
       .orderBy(sf.col("source"), sf.col("n_docs").desc, sf.col("prefix"))
   }
+
+  /** Boilerplate-prefix STRIP — the transform [[boilerplatePrefixes]]
+    * feeds: docs whose lowercased first-`nTokens` prefix is flagged for
+    * THEIR source (shared by ≥ max(2, ⌈phi·n_source⌉) docs) lose those
+    * leading tokens; everything else passes through untouched. This is
+    * how production curation actually removes crawler banners /
+    * injected headers: detect per source, strip per document, leave
+    * the body for the quality gates downstream.
+    *
+    * Strip semantics (pinned, engine-replicable): the stripped text is
+    * the doc's ORIGINAL-case whitespace tokens after the first
+    * `nTokens`, single-space-joined — token-canonical, like
+    * [[graft.functions.tokenCount]]'s view of the document; a flagged
+    * doc shorter than `nTokens` strips to the empty string. Unflagged
+    * docs keep their text VERBATIM (no re-tokenization damage).
+    * Reports per doc: stripped flag, char counts before/after, and the
+    * result text.
+    *
+    * Scale shape: the detection chain (domain-compressed prefix
+    * counts) + ONE broadcast (source, prefix) attach + a map-only
+    * rewrite — the corpus never shuffles. */
+  def stripBoilerplatePrefixes(docs: DataFrame, idCol: String,
+                               sourceCol: String, textCol: String,
+                               nTokens: Int = 2,
+                               phi: Double = 0.05): DataFrame = {
+    val flagged = boilerplatePrefixes(docs, sourceCol, textCol, nTokens, phi)
+      .select(sf.col("source").as("__fsrc"), sf.col("prefix").as("__fpfx"),
+        sf.lit(true).as("__hit"))
+    val toks = gf.wsTokens(sf.col(textCol))
+    val lowPfx = sf.array_join(
+      sf.slice(gf.wsTokens(sf.lower(sf.col(textCol))), 1, nTokens), " ")
+    val stripped = sf.array_join(sf.expr(
+      s"slice(__toks, ${nTokens + 1}, greatest(size(__toks) - $nTokens, 0))"),
+      " ")
+    docs.filter(sf.col(sourceCol).isNotNull && sf.col(textCol).isNotNull)
+      .select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.col(sourceCol).as("source"), sf.col(textCol).as("__text"),
+        toks.as("__toks"), lowPfx.as("__pfx"))
+      .join(sf.broadcast(flagged),
+        sf.col("source") === sf.col("__fsrc") &&
+          sf.col("__pfx") === sf.col("__fpfx"), "left")
+      .select(sf.col("doc_id"), sf.col("source"),
+        sf.coalesce(sf.col("__hit"), sf.lit(false)).as("was_stripped"),
+        sf.length(sf.col("__text")).cast("long").as("n_chars_before"),
+        sf.when(sf.col("__hit"), stripped).otherwise(sf.col("__text"))
+          .as("text"))
+      .withColumn("n_chars_after", sf.length(sf.col("text")).cast("long"))
+      .select("doc_id", "source", "was_stripped",
+        "n_chars_before", "n_chars_after", "text")
+      .orderBy("doc_id")
+  }
 }

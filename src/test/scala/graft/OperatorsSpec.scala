@@ -2039,6 +2039,55 @@ class OperatorsSpec extends SparkFunSuite {
       .getAs[Double]("chi2_f") == 1.5)
   }
 
+  test("QualityChecks.pageTrend: perfect order z=2, reversal negates, string rejected") {
+    // two blocks, values increase WITH the treatment order 0<1<2:
+    // R_j = (2,4,6), L = 1*2+2*4+3*6 = 28; mu = 24, sigma = 2 -> z = 2
+    val df = Seq(
+      ("b1", 0L, 1.0), ("b1", 1L, 2.0), ("b1", 2L, 3.0),
+      ("b2", 0L, 1.0), ("b2", 1L, 2.0), ("b2", 2L, 3.0)).toDF("b", "tr", "v")
+    val r = QualityChecks.pageTrend(df, "b", "tr", "v").head()
+    assert(r.getAs[Long]("n_blocks") == 2 && r.getAs[Long]("k") == 3)
+    assert(r.getAs[Double]("l_stat") == 28.0 &&
+      r.getAs[Double]("z_trend") == 2.0, r.toString)
+    // perfectly reversed order: L = 3*2+2*4+1*6 = 20 -> z = -2
+    val rev = Seq(
+      ("b1", 0L, 3.0), ("b1", 1L, 2.0), ("b1", 2L, 1.0),
+      ("b2", 0L, 3.0), ("b2", 1L, 2.0), ("b2", 2L, 1.0)).toDF("b", "tr", "v")
+    val rr = QualityChecks.pageTrend(rev, "b", "tr", "v").head()
+    assert(rr.getAs[Double]("z_trend") == -2.0, rr.toString)
+    // incomplete block drops; result unchanged
+    val plus = df.union(Seq(("b3", 0L, 9.0)).toDF("b", "tr", "v"))
+    assert(QualityChecks.pageTrend(plus, "b", "tr", "v").head()
+      .getAs[Double]("z_trend") == 2.0)
+    // k = 2 is below Page's minimum: L reported, z NULL
+    val two = Seq(("b1", 0L, 1.0), ("b1", 1L, 2.0)).toDF("b", "tr", "v")
+    val rt = QualityChecks.pageTrend(two, "b", "tr", "v").head()
+    assert(rt.isNullAt(rt.fieldIndex("z_trend")), rt.toString)
+    // string treatment codes rejected (lexicographic order would lie)
+    val e = intercept[IllegalArgumentException] {
+      QualityChecks.pageTrend(Seq(("b", "s1", 1.0)).toDF("b", "tr", "v"),
+        "b", "tr", "v")
+    }
+    assert(e.getMessage.contains("INTEGER"), e.getMessage)
+  }
+
+  test("EventOps.siegelTrend: linear slope exact, one huge outlier ignored") {
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-06-${10 + d}%02d 12:00:00")
+    // daily counts (1,2,3,4): every pair slope is 1 -> siegel 1.0
+    val lin = (0 until 4).flatMap(d => Seq.fill(d + 1)(("x", day(d), 1.0)))
+      .toDF("event_type", "ts", "value")
+    val r = EventOps.siegelTrend(lin).head()
+    assert(r.getAs[Long]("n_bins") == 4 &&
+      r.getAs[Double]("siegel_slope_per_day") == 1.0, r.toString)
+    // counts (1,2,3,4,100): the outlier owns only point 4's inner
+    // median (32.6667); the outer median over (1,1,1,1,32.6667) is 1.0
+    val out = ((0 until 4).flatMap(d => Seq.fill(d + 1)(("x", day(d), 1.0))) ++
+      Seq.fill(100)(("x", day(4), 1.0))).toDF("event_type", "ts", "value")
+    val ro = EventOps.siegelTrend(out).head()
+    assert(ro.getAs[Long]("n_bins") == 5 &&
+      ro.getAs[Double]("siegel_slope_per_day") == 1.0, ro.toString)
+  }
+
   test("EventOps.ljungBox: hand Q from the lag-1..3 ACF of a 4-bin series") {
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-10 $h%02d:00:00")
     // hourly counts 1,2,1,2: r1=-0.75, r2=0.5, r3=-0.25
