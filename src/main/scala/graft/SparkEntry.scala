@@ -2445,6 +2445,28 @@ object SparkEntry {
       TextAnalysis.stripBoilerplatePrefixes(docs(s, dir),
         "doc_id", "source", "text")),
 
+    // Apriori itemsets <= 3 over order baskets: which parts ship
+    // together in bundles, beyond q300's pair rules.
+    "q355_frequent_itemsets" -> ((s, dir) =>
+      Graph.frequentItemsets(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 3)),
+
+    // Homoglyph-skeleton dedup: q343's staged spoof corpus, spoofed
+    // copies collapse into their clean originals' groups.
+    "q356_homoglyph_dedup" -> ((s, dir) => {
+      val k = sf.col("c_custkey")
+      val clean = sf.when(k % 3 === 0, "login to paypal portal")
+        .when(k % 3 === 1, "microsoft account login")
+        .otherwise("visa card support")
+      val spoof = sf.when(k % 3 === 0, "login to pаypal portal")
+        .when(k % 3 === 1, "microѕoft account login")
+        .otherwise("vіsa card support")
+      TextAnalysis.homoglyphSkeletonDedup(
+        Tables.load(s, dir, "customer").select(k.as("doc_id"),
+          sf.when(k % 7 === 0, spoof).otherwise(clean).as("text")),
+        "doc_id", "text")
+    }),
+
     // Cochran-Armitage: does the high-value share TREND across the
     // day quarters — 1 df on the ordered alternative.
     "q347_ca_trend" -> ((s, dir) =>
@@ -10942,6 +10964,53 @@ object SparkEntry {
         |  CASE WHEN hit THEN array_to_string(list_slice(tk, 3, len(tk)), ' ')
         |       ELSE text END AS text
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // Frequent itemsets: exact distinct-(basket,item) supports, L1
+    // pruning before expansion, direct pair/triple counts.
+    "q355_frequent_itemsets" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk,
+        |    CAST(l_partkey AS VARCHAR) AS it FROM lineitem),
+        |l1 AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM b
+        |  GROUP BY 1 HAVING COUNT(*) >= 3),
+        |bp AS (SELECT bk, b.it FROM b JOIN l1 ON b.it = l1.it),
+        |pb AS (SELECT a.bk, a.it AS ia, b2.it AS ib
+        |  FROM bp a JOIN bp b2 ON a.bk = b2.bk AND a.it < b2.it),
+        |p AS (SELECT ia, ib, CAST(COUNT(*) AS BIGINT) AS c FROM pb
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |t AS (SELECT pb.ia, pb.ib, c2.it AS ic,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pb JOIN bp c2 ON pb.bk = c2.bk AND pb.ib < c2.it
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
+        |SELECT * FROM (
+        |  SELECT 1 AS size, it AS item_a, CAST(NULL AS VARCHAR) AS item_b,
+        |    CAST(NULL AS VARCHAR) AS item_c, c AS support FROM l1
+        |  UNION ALL
+        |  SELECT 2, ia, ib, CAST(NULL AS VARCHAR), c FROM p
+        |  UNION ALL
+        |  SELECT 3, ia, ib, ic, c FROM t)
+        |ORDER BY size, item_a, item_b, item_c""".stripMargin,
+
+    // Homoglyph dedup: identical staging + the pinned 14-char
+    // confusable fold, group on the skeleton.
+    "q356_homoglyph_dedup" ->
+      """WITH staged AS (SELECT c_custkey AS doc_id,
+        |  CASE WHEN c_custkey % 7 = 0 THEN
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'login to pаypal portal'
+        |         WHEN c_custkey % 3 = 1 THEN 'microѕoft account login'
+        |         ELSE 'vіsa card support' END
+        |  ELSE
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'login to paypal portal'
+        |         WHEN c_custkey % 3 = 1 THEN 'microsoft account login'
+        |         ELSE 'visa card support' END
+        |  END AS text
+        |  FROM customer),
+        |sk AS (SELECT doc_id, lower(text) AS lt,
+        |  translate(lower(text), 'аеорсухіјѕёαον', 'aeopcyxijseaov') AS skel
+        |  FROM staged)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(SUM(CASE WHEN lt <> skel THEN 1 ELSE 0 END) AS BIGINT) AS n_spoofed
+        |FROM sk GROUP BY skel ORDER BY rep_id""".stripMargin,
 
     // CA trend: exact integer score sums, pinned T/Var/z.
     "q347_ca_trend" ->

@@ -69,6 +69,82 @@ object Graph {
       .filter(sf.col("c_ab") >= minPairCount)
   }
 
+  /** Apriori frequent itemsets up to size 3 (Agrawal & Srikant 1994's
+    * pruning, the flat-shuffle shape): all items, pairs, and triples
+    * co-occurring in ≥ `minSupport` baskets — the raw material behind
+    * [[associationRules]] (which reads only pairs) when the question
+    * is bundle-shaped ("which THREE parts ship together"). Apriori
+    * downward closure is applied where it pays: items below support
+    * leave the baskets BEFORE any expansion (every frequent pair/triple
+    * is made of frequent items), so the per-basket fan-out runs over
+    * the pruned item lists; the pair/triple counts themselves are
+    * exact direct counts (monotonicity makes an L2-membership pre-pass
+    * a work-saving, not a correctness, device — at TPC-H-ish basket
+    * sizes the cubic fan-out of a pruned basket is trivially bounded).
+    *
+    * Contract: per-basket expansion is O(size³/6) — baskets larger
+    * than `maxBasketSize` ABORT with guidance (pre-segment or raise
+    * knowingly), because one 10⁵-item basket is 1.7e14 triples and no
+    * cluster survives that silently.
+    *
+    * Determinism: distinct (basket, item) support counts are exact;
+    * items render as strings in the unified (size, item_a..c, support)
+    * schema; ordering (size, items) is total — NULL item slots only
+    * ever tie within a size class.
+    *
+    * Scale shape: one basket collapse (map-side combine), builtin-HOF
+    * in-basket expansion (NEVER a cross-basket product), one combinable
+    * count per itemset size. No joins anywhere in the counting path. */
+  def frequentItemsets(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long = 2,
+                       maxBasketSize: Int = 4096): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2 && maxBasketSize <= 1000000,
+      s"maxBasketSize must be in [2, 1e6], got $maxBasketSize")
+    val b = baskets(df, basketCol, itemCol)
+      .select(sf.col("basket"), sf.col("item").cast("string").as("item"))
+      .localCheckpoint(true) // L1 + pruned expansion both read it
+    val l1 = b.groupBy("item").agg(sf.count(sf.lit(1)).as("c"))
+      .filter(sf.col("c") >= minSupport)
+      .localCheckpoint(true) // output + prune both read it
+    val arrs = b.join(l1.select("item"), Seq("item"), "left_semi")
+      .groupBy("basket")
+      .agg(sf.sort_array(sf.collect_set(sf.col("item"))).as("items"))
+      .select(sf.when(sf.size(sf.col("items")) > maxBasketSize,
+          sf.raise_error(sf.concat(sf.lit("frequentItemsets: basket "),
+            sf.col("basket").cast("string"),
+            sf.lit(s" has more than maxBasketSize=$maxBasketSize frequent" +
+              " items after L1 pruning — cubic expansion would explode;" +
+              " segment the basket or raise maxBasketSize knowingly"))))
+        .otherwise(sf.col("items")).as("items"))
+      .localCheckpoint(true) // pair + triple expansions both read it
+    val pairs = arrs.filter(sf.size(sf.col("items")) >= 2)
+      .select(sf.explode(sf.flatten(
+        sf.expr("""transform(items, (x, i) ->
+                     transform(slice(items, i + 2, size(items) - i - 1),
+                               y -> struct(x as item_a, y as item_b)))"""))).as("p"))
+      .groupBy("p.item_a", "p.item_b").agg(sf.count(sf.lit(1)).as("c"))
+      .filter(sf.col("c") >= minSupport)
+    val triples = arrs.filter(sf.size(sf.col("items")) >= 3)
+      .select(sf.explode(sf.flatten(sf.flatten(
+        sf.expr("""transform(items, (x, i) ->
+                     transform(slice(items, i + 2, size(items) - i - 1), (y, j) ->
+                       transform(slice(items, i + j + 3, size(items) - i - j - 2),
+                                 z -> struct(x as item_a, y as item_b,
+                                             z as item_c))))""")))).as("p"))
+      .groupBy("p.item_a", "p.item_b", "p.item_c")
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .filter(sf.col("c") >= minSupport)
+    val nullS = sf.lit(null).cast("string")
+    l1.select(sf.lit(1).as("size"), sf.col("item").as("item_a"),
+        nullS.as("item_b"), nullS.as("item_c"), sf.col("c").as("support"))
+      .unionAll(pairs.select(sf.lit(2).as("size"), sf.col("item_a"),
+        sf.col("item_b"), nullS.as("item_c"), sf.col("c").as("support")))
+      .unionAll(triples.select(sf.lit(3).as("size"), sf.col("item_a"),
+        sf.col("item_b"), sf.col("item_c"), sf.col("c").as("support")))
+      .orderBy("size", "item_a", "item_b", "item_c")
+  }
+
   /** The mined co-occurrence graph as a directed (src, dst) edge list
     * (both directions per undirected pair): the pair-mining funnel
     * every graph operator here starts from, exposed so a PIPELINE can

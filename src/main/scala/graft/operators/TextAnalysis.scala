@@ -1478,6 +1478,54 @@ object TextAnalysis {
       .orderBy(sf.col("source"), sf.col("n_docs").desc, sf.col("prefix"))
   }
 
+  /** The homoglyph → Latin skeleton character map: the high-frequency
+    * Latin-lookalike subset of UTS #39's confusables table (the spoof
+    * set behind "pаypal"/"vіsa"/"microѕoft" phishing and poisoned-
+    * corpus dedup evasion), deliberately pinned SMALL and explicit —
+    * a full confusables table is a data file, this is the set that
+    * shows up in practice: Cyrillic а е о р с у х і ј ѕ ё and Greek
+    * α ο ν over their Latin skeletons. Applied after lowercasing. */
+  private val HomoglyphFrom = "аеорсу" +
+    "хіјѕёαον"
+  private val HomoglyphTo = "aeopcyxijseaov"
+
+  /** Lowercased text with the pinned homoglyph set folded to its Latin
+    * skeleton — the canonical form [[homoglyphSkeletonDedup]] groups
+    * on and the NEUTRALIZER beside [[scriptMixing]]'s detector. */
+  def homoglyphSkeleton(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    sf.translate(sf.lower(text), HomoglyphFrom, HomoglyphTo)
+
+  /** Homoglyph-skeleton exact dedup: the [[graft.operators.Dedup]]
+    * exact-dedup shape, but grouping on [[homoglyphSkeleton]] so a
+    * spoofed copy ("login to pаypal portal", Cyrillic а) collapses
+    * into its clean original's group — the dedup-evasion counter to
+    * go with [[scriptMixing]]'s audit (an attacker who defeats exact
+    * dedup by swapping confusable characters defeats THIS only by
+    * changing visible text). Reports per group: representative (min
+    * id), total copies, and how many members were spoofed (their
+    * lowercased text differs from the skeleton — i.e. the translation
+    * actually fired).
+    *
+    * Determinism: the map is a pinned literal; skeleton, counts, and
+    * min-id are exact. Scale shape: ONE map-side-combined groupBy on
+    * the skeleton hash — the [[graft.operators.Dedup]] exact shape,
+    * text never shuffles (md5 of the skeleton rides instead). */
+  def homoglyphSkeletonDedup(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val skel = homoglyphSkeleton(sf.col(textCol))
+    docs.filter(sf.col(idCol).isNotNull && sf.col(textCol).isNotNull)
+      .select(sf.col(idCol).cast("long").as("__id"),
+        sf.md5(skel).as("__sk"),
+        (sf.lower(sf.col(textCol)) =!= skel).cast("long").as("__sp"))
+      .groupBy("__sk")
+      .agg(sf.min("__id").as("rep_id"),
+        sf.count(sf.lit(1)).as("n_copies"),
+        sf.sum("__sp").cast("long").as("n_spoofed"))
+      .select("rep_id", "n_copies", "n_spoofed")
+      .orderBy("rep_id")
+  }
+
   /** Boilerplate-prefix STRIP — the transform [[boilerplatePrefixes]]
     * feeds: docs whose lowercased first-`nTokens` prefix is flagged for
     * THEIR source (shared by ≥ max(2, ⌈phi·n_source⌉) docs) lose those

@@ -715,6 +715,39 @@ class CurationSpec extends SparkFunSuite {
     assert(got("s3") == ((3L, 3L, 3L, 1.0)), got.toString)
   }
 
+  test("TextAnalysis.homoglyphSkeletonDedup: spoofed copies collapse, case folds") {
+    val df = Seq(
+      (1L, "login to paypal portal"),
+      (2L, "login to pаypal portal"), // Cyrillic а -> same group
+      (3L, "LOGIN TO PAYPAL PORTAL"), // case folds, not spoofed
+      (4L, "vіsa card"), // Cyrillic і
+      (5L, "visa card"),
+      (6L, "unrelated text")).toDF("doc_id", "text")
+    val got = TextAnalysis.homoglyphSkeletonDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 1L), (4L, 2L, 1L), (6L, 1L, 0L)), got.toString)
+  }
+
+  test("TextAnalysis.stripBoilerplatePrefixes: flagged prefix removed, short doc empties") {
+    val df = Seq(
+      (1L, "s1", "SUBSCRIBE NOW to read the article body one"),
+      (2L, "s1", "subscribe now to read the article body two"),
+      (3L, "s1", "an organic document body"),
+      (4L, "s1", "subscribe now"), // flagged prefix IS the whole doc
+      (5L, "s2", "subscribe now but unique in s2")) // share < 2 docs in s2
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.stripBoilerplatePrefixes(df, "doc_id", "source",
+        "text", nTokens = 2, phi = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getAs[String]("text"))).toMap
+    // case-insensitive prefix match, original case kept in the body
+    assert(got(1L) == ((true, "to read the article body one")), got.toString)
+    assert(got(2L) == ((true, "to read the article body two")), got.toString)
+    assert(got(3L) == ((false, "an organic document body")), got.toString)
+    assert(got(4L) == ((true, "")), got.toString)
+    assert(got(5L) == ((false, "subscribe now but unique in s2")), got.toString)
+  }
+
   test("EventOps.rfmSegments: hand 3-user quintile codes and segments") {
     val rows = Seq(
       (1L, "2024-01-10 00:00:00", 1L, "purchase", 10.0),

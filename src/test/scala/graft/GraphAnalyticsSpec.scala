@@ -834,6 +834,32 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(ok.length == 41 && ok.head.getAs[String]("item") == "hub", ok.length)
   }
 
+  test("Graph.frequentItemsets: hand supports at sizes 1-3; basket-size abort") {
+    import spark.implicits._
+    // baskets: {a,b,c} x3, {a,b} x1, {d} x1 -> at minSupport 3:
+    // L1 = a:4 b:4 c:3; pairs ab:4 ac:3 bc:3; triple abc:3; d drops
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "c"), (4L, "a"), (4L, "b"), (5L, "d"))
+    val got = Graph.frequentItemsets(rows.toDF("bk", "it"), "bk", "it",
+        minSupport = 3)
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)).orNull,
+        Option(r.getString(2)).orNull, Option(r.getString(3)).orNull,
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "a", null, null, 4L), (1, "b", null, null, 4L), (1, "c", null, null, 3L),
+      (2, "a", "b", null, 4L), (2, "a", "c", null, 3L), (2, "b", "c", null, 3L),
+      (3, "a", "b", "c", 3L)), got.toString)
+    // oversized basket: abort with guidance, never a silent cube
+    val big = (1 to 5).map(i => (1L, s"i$i")) ++ (1 to 5).flatMap(i =>
+      Seq((i.toLong + 1, s"i$i"), (i.toLong + 10, s"i$i"), (i.toLong + 20, s"i$i")))
+    val e = intercept[Exception] {
+      Graph.frequentItemsets(big.toDF("bk", "it"), "bk", "it",
+        minSupport = 3, maxBasketSize = 4).collect()
+    }
+    assert(e.getMessage.contains("maxBasketSize"), e.getMessage)
+  }
+
   test("Graph.attributeAssortativity: hand mixing 0.2; perfect homophily 1") {
     import spark.implicits._
     val labels = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Z"))
