@@ -26,25 +26,46 @@ rather than hidden:
   cannot complete the exact quadratic semantics at this scale where
   the Spark side's banded/blocked plan can.
 
-Usage: python3 scripts/oracle_bench.py <sf_dir> <oracle_sql.json> [out]
+Usage: python3 scripts/oracle_bench.py <sf_dir> <oracle_sql.json> [out [resume_log]]
+  resume_log: a previous run's stdout — "name: seconds" lines are
+  reused verbatim, "name: TIMEOUT" lines re-recorded as timeouts, so a
+  restarted run only pays for the queries it hasn't seen.
 """
 import sys, os, json, time, threading
 import duckdb
 
 PASS2_SKIP_SEC = 5.0
-TIMEOUT_SEC = 600.0
+TIMEOUT_SEC = 240.0
+THREADS = 16  # leave headroom for the Spark bench sharing the box
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 
-def main(sf_dir, oracle_path, out_path="ORACLE_BENCH.json"):
+def main(sf_dir, oracle_path, out_path="ORACLE_BENCH.json", resume_log=None):
     con = duckdb.connect()
+    con.execute(f"SET threads={THREADS}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(oracle_path))
     times, failed, timeouts = {}, {}, {}
+    if resume_log and os.path.exists(resume_log):
+        for line in open(resume_log):
+            if ": " not in line:
+                continue
+            name, _, val = line.strip().partition(": ")
+            if name not in oracle:
+                continue
+            if val == "TIMEOUT":
+                timeouts[name] = TIMEOUT_SEC
+            else:
+                try:
+                    times[name] = float(val)
+                except ValueError:
+                    pass
+        print(f"[resume] {len(times)} timed + {len(timeouts)} timeouts "
+              f"reused from {resume_log}", flush=True)
 
     def timed_run(sql):
         done = threading.Event()
@@ -61,6 +82,8 @@ def main(sf_dir, oracle_path, out_path="ORACLE_BENCH.json"):
             done.set()
 
     for name in sorted(oracle):
+        if name in times or name in timeouts:
+            continue
         sql = oracle[name]
         try:
             first = timed_run(sql)

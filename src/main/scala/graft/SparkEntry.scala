@@ -2451,6 +2451,16 @@ object SparkEntry {
       Graph.frequentItemsets(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minSupport = 3)),
 
+    // ARI: the pair-counting twin of q234's entropy view, same LPA
+    // communities vs part brands.
+    "q357_adjusted_rand" -> ((s, dir) => {
+      val labels = Graph.labelPropagation(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, rounds = 3)
+      val classes = Tables.load(s, dir, "part")
+        .select(sf.col("p_partkey").as("item"), sf.col("p_brand").as("cls"))
+      Graph.adjustedRandIndex(labels, classes)
+    }),
+
     // Homoglyph-skeleton dedup: q343's staged spoof corpus, spoofed
     // copies collapse into their clean originals' groups.
     "q356_homoglyph_dedup" -> ((s, dir) => {
@@ -10989,6 +10999,49 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 3, ia, ib, ic, c FROM t)
         |ORDER BY size, item_a, item_b, item_c""".stripMargin,
+
+    // ARI: q234's LPA contingency chain + doubled-binomial pair
+    // counting, one double assembly.
+    "q357_adjusted_rand" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS a, y.item AS bb FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e0 AS (SELECT a, bb FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT a AS src, bb AS dst FROM e0 UNION ALL SELECT bb, a FROM e0),
+        |l0 AS (SELECT DISTINCT src AS item, src AS lbl FROM e),
+        |v1 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l0 l ON e.dst = l.item GROUP BY 1, 2),
+        |l1 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l1 l ON e.dst = l.item GROUP BY 1, 2),
+        |l2 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT e.src, l.lbl, COUNT(*) AS c FROM e JOIN l2 l ON e.dst = l.item GROUP BY 1, 2),
+        |l3 AS (SELECT src AS item, lbl FROM (SELECT src, lbl,
+        |       row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1),
+        |cl AS (SELECT l3.item, l3.lbl AS community, p.p_brand AS cls
+        |  FROM l3 JOIN part p ON p.p_partkey = l3.item),
+        |cells AS MATERIALIZED (SELECT community, cls, CAST(COUNT(*) AS BIGINT) AS n_ck
+        |  FROM cl GROUP BY 1, 2),
+        |idx AS (SELECT SUM(CAST(n_ck AS HUGEINT)*(n_ck - 1)) AS i2,
+        |  CAST(SUM(n_ck) AS BIGINT) AS n_items FROM cells),
+        |sa AS (SELECT SUM(CAST(a AS HUGEINT)*(a - 1)) AS sa2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM (SELECT CAST(SUM(n_ck) AS BIGINT) AS a FROM cells GROUP BY community)),
+        |sb AS (SELECT SUM(CAST(bb AS HUGEINT)*(bb - 1)) AS sb2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes
+        |  FROM (SELECT CAST(SUM(n_ck) AS BIGINT) AS bb FROM cells GROUP BY cls))
+        |SELECT n_items, n_clusters, n_classes,
+        |  CASE WHEN CAST(n_items AS DOUBLE)*(CAST(n_items AS DOUBLE) - 1.0)
+        |           *(CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE))/2.0
+        |         - CAST(sa2 AS DOUBLE)*CAST(sb2 AS DOUBLE) <> 0 THEN
+        |    floor((CAST(n_items AS DOUBLE)*(CAST(n_items AS DOUBLE) - 1.0)*CAST(i2 AS DOUBLE)
+        |        - CAST(sa2 AS DOUBLE)*CAST(sb2 AS DOUBLE))
+        |      / (CAST(n_items AS DOUBLE)*(CAST(n_items AS DOUBLE) - 1.0)
+        |           *(CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE))/2.0
+        |         - CAST(sa2 AS DOUBLE)*CAST(sb2 AS DOUBLE))
+        |      *1000000.0 + 0.5)/1000000.0
+        |  END AS ari
+        |FROM idx CROSS JOIN sa CROSS JOIN sb""".stripMargin,
 
     // Homoglyph dedup: identical staging + the pinned 14-char
     // confusable fold, group on the skeleton.

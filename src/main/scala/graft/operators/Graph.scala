@@ -650,6 +650,55 @@ object Graph {
           .otherwise(0.0).as("v_measure"))
   }
 
+  /** Adjusted Rand Index (Hubert & Arabie 1985) between a clustering
+    * and external classes — the PAIR-COUNTING twin of
+    * [[clusterLabelAgreement]]'s entropy view: of all item pairs, how
+    * many land together/apart in BOTH partitions, corrected for the
+    * agreement random partitions with these margins would get (0 ≈
+    * chance, 1 = identical, < 0 = worse than chance). The two views
+    * disagree exactly when cluster sizes are skewed — V-measure
+    * forgives a giant cluster that ARI punishes — so datasheets carry
+    * both.
+    *
+    * Determinism: contingency cells are exact; the doubled binomials
+    * t(x) = x(x−1) (Index₂ = Σt(n_ij), SA₂ = Σt(a_i), SB₂ = Σt(b_j),
+    * T₂ = N(N−1)) accumulate as DECIMAL(38,0), and
+    * ARI = (T₂·Index₂ − SA₂·SB₂) / (T₂·(SA₂+SB₂)/2 − SA₂·SB₂) is ONE
+    * pinned double assembly rounded 1e-6. Degenerate margins (both
+    * partitions all-singletons or all-one-cluster → denominator 0)
+    * yield NULL. Items missing a class drop (complete-case, the
+    * [[clusterLabelAgreement]] join).
+    *
+    * Scale shape: one (community, cls) cell collapse + two margin
+    * rollups + three one-row sums — the row-282 shape; nothing pairs
+    * over ITEMS (the binomials count pairs in closed form). */
+  def adjustedRandIndex(labels: DataFrame, classes: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def t2(c: Column) = dec(c) * dec(c - 1)
+    val cells = labels.select(sf.col("item"), sf.col("community"))
+      .join(classes.select(sf.col("item"), sf.col("cls")), "item")
+      .groupBy("community", "cls").agg(sf.count(sf.lit(1)).as("n_ck"))
+      .localCheckpoint(true) // margins + index sum read it
+    val idx = cells.agg(sf.sum(t2(sf.col("n_ck"))).as("__i2"),
+      sf.sum("n_ck").cast("long").as("n_items"))
+    val sa = cells.groupBy("community").agg(sf.sum("n_ck").cast("long").as("a"))
+      .agg(sf.sum(t2(sf.col("a"))).as("__sa2"), sf.count(sf.lit(1)).as("n_clusters"))
+    val sb = cells.groupBy("cls").agg(sf.sum("n_ck").cast("long").as("b"))
+      .agg(sf.sum(t2(sf.col("b"))).as("__sb2"), sf.count(sf.lit(1)).as("n_classes"))
+    idx.crossJoin(sf.broadcast(sa)).crossJoin(sf.broadcast(sb))
+      .select({
+        val i2 = sf.col("__i2").cast("double")
+        val sa2 = sf.col("__sa2").cast("double")
+        val sb2 = sf.col("__sb2").cast("double")
+        val tt = (dec(sf.col("n_items")) *
+          dec(sf.col("n_items") - 1)).cast("double")
+        val num = tt * i2 - sa2 * sb2
+        val den = tt * (sa2 + sb2) / 2.0 - sa2 * sb2
+        Seq(sf.col("n_items"), sf.col("n_clusters"), sf.col("n_classes"),
+          sf.when(den =!= 0.0, gf.roundAt(num / den, 6)).as("ari"))
+      }: _*)
+  }
+
   /** [[communityQuality]] over a pre-mined edge list and any (item,
     * community) labeling (LPA, connected components, an external
     * partition — the metric is labeling-agnostic). */

@@ -860,6 +860,24 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("maxBasketSize"), e.getMessage)
   }
 
+  test("Graph.adjustedRandIndex: identical 1, chance 0, degenerate NULL") {
+    import spark.implicits._
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("item", "community")
+    def classes(f: Long => String) =
+      (1L to 6L).map(i => (i, f(i))).toDF("item", "cls")
+    // identical partitions
+    val r1 = Graph.adjustedRandIndex(labels, classes(i => if (i <= 3) "A" else "B")).head()
+    assert(r1.getAs[Long]("n_items") == 6 && r1.getAs[Double]("ari") == 1.0, r1.toString)
+    // constant class: clustering carries no information -> exactly 0
+    val r0 = Graph.adjustedRandIndex(labels, classes(_ => "A")).head()
+    assert(r0.getAs[Double]("ari") == 0.0, r0.toString)
+    // single cluster vs single class: denominator 0 -> NULL
+    val one = Seq((1L, 10L), (2L, 10L)).toDF("item", "community")
+    val rn = Graph.adjustedRandIndex(one, classes(_ => "A")).head()
+    assert(rn.isNullAt(rn.fieldIndex("ari")), rn.toString)
+  }
+
   test("Graph.attributeAssortativity: hand mixing 0.2; perfect homophily 1") {
     import spark.implicits._
     val labels = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Z"))
