@@ -2546,6 +2546,39 @@ object SparkEntry {
             (sf.col("lang") === "en").cast("int").as("y")),
         "score", "y", iters = 4)
     }),
+
+    // Wilcoxon signed-rank: did THE SAME user's click value exceed
+    // their view value — the paired rank test q109 can't run.
+    "q358_signed_rank" -> ((s, dir) =>
+      QualityChecks.wilcoxonSignedRank(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "value", "click", "view")),
+
+    // Bartlett: do event-type value VARIANCES agree — the scale-axis
+    // sibling of q139's location F.
+    "q359_bartlett" -> ((s, dir) =>
+      QualityChecks.bartlettTest(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // Kuiper: purchase vs signup values, D+ + D- so opposite-signed
+    // regional deviations add instead of cancel.
+    "q360_kuiper" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      QualityChecks.kuiperTest(
+        ev.filter(sf.col("event_type") === "purchase"),
+        ev.filter(sf.col("event_type") === "signup"), "value")
+    }),
+
+    // Tukey HSD: WHICH event types differ after q139 says "some do"
+    // — the full pairwise studentized-range panel on one shared MSE.
+    "q361_tukey_hsd" -> ((s, dir) =>
+      QualityChecks.tukeyHsd(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // Grubbs: is each priority tier's single worst order price too
+    // extreme for a normal sample of that size.
+    "q362_grubbs" -> ((s, dir) =>
+      QualityChecks.grubbsTest(Tables.load(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice")),
   )
 
   // ---------------------------------------------------------------------
@@ -11313,5 +11346,140 @@ object SparkEntry {
          |    floor(CAST(na9 AS DOUBLE)/1e9/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS nll_after
          |FROM tot CROSS JOIN aft""".stripMargin
     },
+
+    // Signed rank: exact 1e-4 per-user condition means, |d|-domain
+    // 2-scaled midranks, tie-corrected normal approximation.
+    "q358_signed_rank" ->
+      """WITH v AS (SELECT user_id AS s, event_type AS cond,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'view')),
+        |cells AS (SELECT s, cond,
+        |  CAST(floor(CAST(SUM(v4) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m4
+        |  FROM v GROUP BY 1, 2),
+        |p AS (SELECT a.m4 - b.m4 AS d4 FROM cells a JOIN cells b ON a.s = b.s
+        |  WHERE a.cond = 'click' AND b.cond = 'view'),
+        |zz AS (SELECT CAST(COUNT(*) FILTER (WHERE d4 = 0) AS BIGINT) AS n_zero FROM p),
+        |dom AS (SELECT abs(d4) AS av, CAST(COUNT(*) AS BIGINT) AS ct,
+        |  CAST(COUNT(*) FILTER (WHERE d4 > 0) AS BIGINT) AS cp
+        |  FROM p WHERE d4 <> 0 GROUP BY 1),
+        |cum AS (SELECT av, ct, cp, COALESCE(SUM(ct) OVER
+        |  (ORDER BY av ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM dom),
+        |agg AS (SELECT SUM(CAST(cp AS HUGEINT)*(2*cb + ct + 1)) AS w2s,
+        |  SUM(CAST(ct AS HUGEINT)*ct*ct - ct) AS ties,
+        |  CAST(SUM(ct) AS BIGINT) AS n FROM cum)
+        |SELECT COALESCE(n, 0) AS n_pairs, COALESCE(n_zero, 0) AS n_zero,
+        |  floor(CAST(w2s AS DOUBLE)/2*10000.0 + 0.5)/10000.0 AS w_plus,
+        |  CASE WHEN n > 0 AND
+        |    CAST(n AS DOUBLE)*(n+1)*(n*2+1)/24 - CAST(ties AS DOUBLE)/48 > 0 THEN
+        |    floor((CAST(w2s AS DOUBLE)/2 - CAST(n AS DOUBLE)*(n+1)/4)
+        |      / sqrt(CAST(n AS DOUBLE)*(n+1)*(n*2+1)/24 - CAST(ties AS DOUBLE)/48)
+        |      *1000000.0 + 0.5)/1000000.0 END AS z
+        |FROM agg CROSS JOIN zz""".stripMargin,
+
+    // Bartlett: exact integer n*Q - S^2 per group, 1e-9-snapped log
+    // and reciprocal terms summed exactly, one pinned T/C assembly.
+    "q359_bartlett" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(v AS HUGEINT)) AS s, SUM(CAST(v AS HUGEINT)*v) AS q
+        |  FROM v GROUP BY 1 HAVING COUNT(*) >= 2),
+        |pg AS (SELECT n, n*q - s*s AS num,
+        |  CAST(floor(CAST(n*q - s*s AS DOUBLE)/CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS pool,
+        |  CASE WHEN n*q - s*s > 0 THEN
+        |    CAST(floor(ln(CAST(n*q - s*s AS DOUBLE)
+        |      /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1))/1e8)*1e9 + 0.5) AS BIGINT)
+        |  END AS ln9,
+        |  CAST(floor(1e9/(CAST(n AS DOUBLE)-1) + 0.5) AS BIGINT) AS inv9
+        |  FROM st),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |  SUM(CAST(pool AS HUGEINT)) AS pools, SUM(CAST(n-1 AS HUGEINT)*ln9) AS lns,
+        |  SUM(CAST(inv9 AS HUGEINT)) AS invs,
+        |  MAX(CASE WHEN num = 0 THEN 1 ELSE 0 END) AS anyzero FROM pg)
+        |SELECT k, n_total,
+        |  CASE WHEN k >= 2 AND anyzero = 0 THEN
+        |    floor((((CAST(n_total AS DOUBLE)-k)
+        |        *ln(CAST(pools AS DOUBLE)/(CAST(n_total AS DOUBLE)-k)/1e8)
+        |        - CAST(lns AS DOUBLE)/1e9)
+        |      / (1.0 + (CAST(invs AS DOUBLE)/1e9 - 1.0/(CAST(n_total AS DOUBLE)-k))
+        |        /((CAST(k AS DOUBLE)-1)*3)))*1000000.0 + 0.5)/1000000.0
+        |  END AS chi2_bartlett,
+        |  k - 1 AS df
+        |FROM agg""".stripMargin,
+
+    // Kuiper: q106's cross-multiplied integer ECDF gaps, both
+    // one-sided maxima, Stephens standardization on the unrounded V.
+    "q360_kuiper" ->
+      """WITH a AS (SELECT CAST(value AS DOUBLE) AS v, COUNT(*) AS ca FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT CAST(value AS DOUBLE) AS v, COUNT(*) AS cb FROM events
+        |  WHERE event_type = 'signup' AND value IS NOT NULL GROUP BY 1),
+        |m AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+        |  COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM m),
+        |c AS (SELECT CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+        |  CAST(SUM(cb) OVER w AS BIGINT) AS cumb FROM m
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT MAX(cuma*t.nb - cumb*t.na) AS dp,
+        |  MAX(cumb*t.na - cuma*t.nb) AS dm FROM c CROSS JOIN t)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    floor(CAST(GREATEST(dp, 0) + GREATEST(dm, 0) AS DOUBLE)
+        |      /(CAST(na AS DOUBLE)*nb)*1000000.0 + 0.5)/1000000.0 END AS v_stat,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    floor((sqrt(CAST(na AS DOUBLE)*nb/(na+nb)) + 0.155
+        |        + 0.24/sqrt(CAST(na AS DOUBLE)*nb/(na+nb)))
+        |      *(CAST(GREATEST(dp, 0) + GREATEST(dm, 0) AS DOUBLE)/(CAST(na AS DOUBLE)*nb))
+        |      *10000.0 + 0.5)/10000.0 END AS lambda_stat
+        |FROM g CROSS JOIN t""".stripMargin,
+
+    // Tukey HSD: exact per-group (n, S, Q), integer-snapped SSW pool,
+    // cross-multiplied mean diffs, one pinned q assembly per pair.
+    "q361_tukey_hsd" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(v AS HUGEINT)) AS s, SUM(CAST(v AS HUGEINT)*v) AS q
+        |  FROM v GROUP BY 1),
+        |st2 AS (SELECT *,
+        |  CAST(floor(CAST(n*q - s*s AS DOUBLE)/CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS ssw
+        |  FROM st),
+        |mse AS (SELECT SUM(CAST(ssw AS HUGEINT)) AS ssws,
+        |  CAST(SUM(n) AS BIGINT) AS ntot, CAST(COUNT(*) AS BIGINT) AS k FROM st2)
+        |SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+        |  floor(CAST(a.s*b.n - b.s*a.n AS DOUBLE)/(CAST(a.n AS DOUBLE)*b.n)/1e4
+        |    *1000000.0 + 0.5)/1000000.0 AS mean_diff,
+        |  CASE WHEN ntot > k AND CAST(ssws AS DOUBLE)/CAST(ntot - k AS DOUBLE)/1e8 > 0 THEN
+        |    floor(abs(CAST(a.s*b.n - b.s*a.n AS DOUBLE)/(CAST(a.n AS DOUBLE)*b.n)/1e4)
+        |      / sqrt(CAST(ssws AS DOUBLE)/CAST(ntot - k AS DOUBLE)/1e8/2
+        |        *(1.0/a.n + 1.0/b.n))*10000.0 + 0.5)/10000.0
+        |  END AS q_stat
+        |FROM st2 a JOIN st2 b ON a.g < b.g CROSS JOIN mse
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // Grubbs: exact integer deviation argmax with value tie-break,
+    // one pinned G assembly (the 1e4 scale cancels).
+    "q362_grubbs" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(v AS HUGEINT)) AS s, SUM(CAST(v AS HUGEINT)*v) AS q
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT v.g, v.v, st.n, st.s, st.q,
+        |  abs(CAST(st.n AS HUGEINT)*v.v - st.s) AS dev,
+        |  row_number() OVER (PARTITION BY v.g ORDER BY abs(CAST(st.n AS HUGEINT)*v.v - st.s) DESC, v.v DESC) AS rn
+        |  FROM v JOIN st ON v.g = st.g)
+        |SELECT g AS o_orderpriority, n,
+        |  floor(CAST(v AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS extreme_value,
+        |  CASE WHEN n >= 3 AND CAST(n*q - s*s AS DOUBLE) > 0 THEN
+        |    floor(CAST(dev AS DOUBLE)/CAST(n AS DOUBLE)
+        |      / sqrt(CAST(n*q - s*s AS DOUBLE)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)))
+        |      *1000000.0 + 0.5)/1000000.0 END AS g_stat
+        |FROM d WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -5003,4 +5003,302 @@ object QualityChecks {
           ((sf.col("n_blocks") - 1) * (sf.col("k") - 1)).as("df2"))
       }: _*)
   }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) on PAIRED per-subject
+    * condition means — the matched-samples member the two-sample
+    * ladder was missing: [[mannWhitneyU]] compares two independent
+    * groups, but "did THE SAME user's click value exceed their view
+    * value" pairs each subject with itself, cancelling between-subject
+    * spread entirely — the rank-scale twin of a paired t, robust where
+    * the paired t's mean difference is one outlier's hostage.
+    *
+    * Contract: long-format (subject, condition, value) rows; each
+    * subject's per-condition values collapse to the exact 1e-4 cell
+    * mean (the [[friedman]] cell convention), only subjects holding
+    * BOTH conditions pair, and zero differences drop with their count
+    * reported (the classical Wilcoxon zero-handling).
+    *
+    * Determinism: cell means are exact grid integers so d₄ = mA₄ − mB₄
+    * is an exact long; |d| midranks come 2-SCALED from the |d|-DOMAIN
+    * prefix (the [[mannWhitneyU]] machinery — never a data-sized
+    * window), W⁺ accumulates as the exact DECIMAL(38,0) Σc⁺·(2·cum +
+    * t + 1), ties Σ(t³−t) likewise; z = (W − n(n+1)/4)/√(n(n+1)(2n+1)/24
+    * − Σ(t³−t)/48) is ONE pinned assembly rounded 1e-6. No nonzero
+    * pairs or zero variance yields NULL z.
+    *
+    * Scale shape: one map-side-combined (subject, condition) collapse
+    * (domain-compressed), one subject-keyed pair join (AQE-decided),
+    * one |d|-domain cumulative window (bounded by distinct |d| values,
+    * never pair count), a single-row finish. */
+  def wilcoxonSignedRank(df: DataFrame, subjectCol: String, condCol: String,
+                         valueCol: String, condA: String, condB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(subjectCol).isNotNull &&
+        sf.col(condCol).isNotNull && sf.col(valueCol).isNotNull &&
+        sf.col(condCol).cast("string").isin(condA, condB))
+      .select(sf.col(subjectCol).as("s"), sf.col(condCol).cast("string").as("cond"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long").as("v4"))
+      .groupBy("s", "cond").agg(sf.sum("v4").as("s4"), sf.count(sf.lit(1)).as("c"))
+      .select(sf.col("s"), sf.col("cond"),
+        sf.floor(sf.col("s4").cast("double") / sf.col("c").cast("double") + 0.5)
+          .cast("long").as("m4"))
+    val pairs = cells.filter(sf.col("cond") === condA)
+      .select(sf.col("s"), sf.col("m4").as("__ma"))
+      .join(cells.filter(sf.col("cond") === condB)
+        .select(sf.col("s"), sf.col("m4").as("__mb")), "s")
+      .select((sf.col("__ma") - sf.col("__mb")).as("__d4"))
+      .localCheckpoint(true) // zero count + the |d| domain read it
+    val zeros = pairs.agg(
+      sf.sum(sf.when(sf.col("__d4") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val dom = pairs.filter(sf.col("__d4") =!= 0L)
+      .groupBy(sf.abs(sf.col("__d4")).as("__av"))
+      .agg(sf.count(sf.lit(1)).as("__ct"),
+        sf.sum(sf.when(sf.col("__d4") > 0L, 1L).otherwise(0L)).as("__cp"))
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__av")), sf.lit(1)))
+      .orderBy("__av").rowsBetween(Window.unboundedPreceding, -1)
+    val cumBefore = sf.coalesce(sf.sum("__ct").over(w), sf.lit(0L))
+    dom
+      .withColumn("__w2", dec(sf.col("__cp")) *
+        dec(cumBefore * 2 + sf.col("__ct") + 1))
+      .withColumn("__tie", dec(sf.col("__ct")) * dec(sf.col("__ct")) *
+        dec(sf.col("__ct")) - dec(sf.col("__ct")))
+      .agg(sf.sum("__w2").as("__w2s"), sf.sum("__tie").as("__ties"),
+        sf.sum("__ct").as("__n"))
+      .crossJoin(sf.broadcast(zeros))
+      .select({
+        val n = sf.col("__n").cast("double")
+        val wPlus = sf.col("__w2s").cast("double") / 2
+        val mu = n * (n + 1) / 4
+        val sigma = sf.sqrt(n * (n + 1) * (n * 2 + 1) / 24 -
+          sf.col("__ties").cast("double") / 48)
+        Seq(sf.coalesce(sf.col("__n"), sf.lit(0L)).cast("long").as("n_pairs"),
+          sf.coalesce(sf.col("n_zero"), sf.lit(0L)).cast("long").as("n_zero"),
+          gf.roundAt(wPlus, 4).as("w_plus"),
+          sf.when(sf.col("__n") > 0 && sigma > 0,
+            gf.roundAt((wPlus - mu) / sigma, 6)).as("z"))
+      }: _*)
+  }
+
+  /** Bartlett's test of variance homogeneity (Bartlett 1937) — the
+    * SCALE-axis sibling of [[anovaF]]'s location test and the
+    * parametric counterpart of the Brown–Forsythe/[[leveneTest]]
+    * median-center check: pooled-vs-per-group log-variance contrast
+    * T = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ]/C ~ χ²(k−1). More powerful
+    * than Levene under near-normality, famously fragile otherwise —
+    * datasheets carry both and route on their disagreement.
+    *
+    * Determinism: values on the exact 1e-4 grid; per-group
+    * nᵢ·Σv² − (Σv)² is an exact DECIMAL(38,0) integer; each group's
+    * (nᵢ−1)s²ᵢ = (nᵢΣv²−S²)/nᵢ and ln s²ᵢ snap to 1e-9-scaled longs
+    * BEFORE summing (floating sums of raw doubles would be
+    * partition-order-dependent), as does Σ1/(nᵢ−1); the T/C assembly
+    * is ONE pinned double chain rounded 1e-6. Groups with nᵢ < 2 drop;
+    * any zero-variance group (ln 0 undefined) yields NULL T.
+    *
+    * Scale shape: one map-side-combined group collapse to (n, Σv, Σv²)
+    * and a k-row rollup — two exchanges total, nothing data-sized
+    * past the first combine. */
+  def bartlettTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val stats = df.filter(sf.col(groupCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as("g"), v4.as("v"))
+      .groupBy("g").agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("v"))).as("s"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("q"))
+      .filter(sf.col("n") >= 2L)
+      .withColumn("__num", dec(sf.col("n")) * sf.col("q") - sf.col("s") * sf.col("s"))
+    val perGroup = stats.select(
+      sf.col("n"), sf.col("__num"),
+      // (n-1)*s2_i in v4^2 units, snapped to an integer before summing
+      sf.floor(sf.col("__num").cast("double") / sf.col("n").cast("double") + 0.5)
+        .cast("long").as("__pool"),
+      // ln(s2_i) in value^2 units, 1e-9-scaled
+      sf.when(sf.col("__num") > 0, sf.floor(sf.log(
+          sf.col("__num").cast("double") /
+          (sf.col("n").cast("double") * (sf.col("n").cast("double") - 1)) / 1e8)
+        * 1e9 + 0.5).cast("long")).as("__ln9"),
+      sf.floor(sf.lit(1e9) / (sf.col("n").cast("double") - 1) + 0.5)
+        .cast("long").as("__inv9"))
+    perGroup.agg(
+        sf.count(sf.lit(1)).as("k"), sf.sum("n").cast("long").as("n_total"),
+        sf.sum(dec(sf.col("__pool"))).as("__poolS"),
+        sf.sum(dec(sf.col("n") - 1) * dec(sf.col("__ln9"))).as("__lnS"),
+        sf.sum(dec(sf.col("__inv9"))).as("__invS"),
+        sf.max((sf.col("__num") === 0).cast("int")).as("__anyZero"))
+      .select({
+        val k = sf.col("k").cast("double")
+        val nT = sf.col("n_total").cast("double")
+        val sp2 = sf.col("__poolS").cast("double") / (nT - k) / 1e8
+        val t0 = (nT - k) * sf.log(sp2) - sf.col("__lnS").cast("double") / 1e9
+        val c = sf.lit(1.0) + (sf.col("__invS").cast("double") / 1e9 -
+          sf.lit(1.0) / (nT - k)) / ((k - 1) * 3)
+        val ok = sf.col("k") >= 2 && sf.col("__anyZero") === 0
+        Seq(sf.col("k"), sf.col("n_total"),
+          sf.when(ok, gf.roundAt(t0 / c, 6)).as("chi2_bartlett"),
+          (sf.col("k") - 1).as("df"))
+      }: _*)
+  }
+
+  /** Kuiper two-sample test (Kuiper 1960) — the CYCLIC-sensitive
+    * member of the ECDF ladder: [[ksTest]]'s D = sup|F_A−F_B| is
+    * blind to a distribution that's shifted UP in one region and DOWN
+    * in another by equal sups; Kuiper's V = D⁺ + D⁻ adds the two
+    * one-sided sups so symmetric-opposite deviations accumulate
+    * instead of cancel — and V is invariant under cyclic shifts,
+    * the standard choice for hour-of-day / phase-like comparisons.
+    *
+    * Determinism: the [[ksTest]] integer machinery verbatim — per-side
+    * distinct-value compression, cross-multiplied integer gaps
+    * cumA·n_B − cumB·n_A so D⁺ and D⁻ are exact integer maxima (both
+    * ≥ 0: the final domain row has cumA·n_B = cumB·n_A); V and
+    * Stephens' (√n_e + 0.155 + 0.24/√n_e)·V standardization
+    * (Stephens 1970, n_e = n_A·n_B/(n_A+n_B)) are pinned assemblies
+    * rounded 1e-6/1e-4. Empty sides yield NULL.
+    *
+    * Scale shape: identical to [[ksTest]] — two map-side-combined
+    * value collapses, one full-outer domain merge, one domain-bounded
+    * cumulative window, a single-row finish. */
+  def kuiperTest(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: String) =
+      graft.operators.Par.spread(
+        df.select(sf.col(valueCol).cast("double").as("__v")))
+        .filter(sf.col("__v").isNotNull)
+        .groupBy("__v")
+        .agg(sf.count(sf.lit(1)).as(s"__c$tag"))
+    val merged = side(dfA, "a").join(side(dfB, "b"), Seq("__v"), "full_outer")
+      .select(sf.col("__v"),
+        sf.coalesce(sf.col("__ca"), sf.lit(0L)).as("__ca"),
+        sf.coalesce(sf.col("__cb"), sf.lit(0L)).as("__cb"))
+      .localCheckpoint(true) // read by the window and the totals
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__v")), sf.lit(1)))
+      .orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = merged.agg(sf.sum("__ca").as("__na"), sf.sum("__cb").as("__nb"))
+    merged
+      .withColumn("__cuma", sf.sum("__ca").over(w))
+      .withColumn("__cumb", sf.sum("__cb").over(w))
+      .crossJoin(sf.broadcast(totals))
+      .withColumn("__gap",
+        sf.col("__cuma") * sf.col("__nb") - sf.col("__cumb") * sf.col("__na"))
+      .agg(sf.max("__gap").as("__dp"), sf.max(-sf.col("__gap")).as("__dm"),
+        sf.max("__na").as("__na"), sf.max("__nb").as("__nb"))
+      .select({
+        val na = sf.col("__na").cast("double")
+        val nb = sf.col("__nb").cast("double")
+        val v = (sf.greatest(sf.col("__dp"), sf.lit(0L)) +
+          sf.greatest(sf.col("__dm"), sf.lit(0L))).cast("double") / (na * nb)
+        val ne = na * nb / (na + nb)
+        val ok = sf.col("__na") > 0 && sf.col("__nb") > 0
+        Seq(sf.col("__na").as("n_a"), sf.col("__nb").as("n_b"),
+          sf.when(ok, gf.roundAt(v, 6)).as("v_stat"),
+          sf.when(ok, gf.roundAt(
+            (sf.sqrt(ne) + 0.155 + sf.lit(0.24) / sf.sqrt(ne)) * v, 4))
+            .as("lambda_stat"))
+      }: _*)
+  }
+
+  /** Tukey HSD pairwise panel (Tukey 1949) — the POST-HOC step
+    * [[anovaF]] leaves open: the F says "SOME group differs", this
+    * says WHICH, as the full pairwise panel of studentized-range
+    * statistics q_ij = |m̄ᵢ − m̄ⱼ|/√(MSE/2·(1/nᵢ + 1/nⱼ)) (the
+    * Tukey–Kramer unequal-n form) on the one shared error term —
+    * honest simultaneous comparisons where k(k−1)/2 separate t tests
+    * would inflate the family error.
+    *
+    * Determinism: values on the exact 1e-4 grid; per-group (n, Σv,
+    * Σv²) exact DECIMAL(38,0); each group's SSW snaps to an integer
+    * in v4² units before the pooled sum (partition-order-proof); the
+    * mean difference comes cross-multiplied (Sᵢnⱼ − Sⱼnᵢ exact) and
+    * q is ONE pinned assembly — mean_diff 1e-6, q_stat 1e-4. MSE = 0
+    * or n_total ≤ k yields NULL q. The statistic panel is the
+    * deliverable; critical q values live in the studentized-range
+    * table the caller applies.
+    *
+    * Scale shape: one map-side-combined group collapse, a broadcast
+    * k-row MSE attach, and a k×k GROUP-DOMAIN self-join (never
+    * data-sized) with total output order. */
+  def tukeyHsd(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val stats = df.filter(sf.col(groupCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as("g"), v4.as("v"))
+      .groupBy("g").agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("v"))).as("s"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("q"))
+      .withColumn("__ssw", sf.floor(
+        (dec(sf.col("n")) * sf.col("q") - sf.col("s") * sf.col("s")).cast("double")
+          / sf.col("n").cast("double") + 0.5).cast("long"))
+      .localCheckpoint(true) // MSE rollup + both self-join sides read it
+    val mseRow = stats.agg(sf.sum(dec(sf.col("__ssw"))).as("__sswS"),
+      sf.sum("n").cast("long").as("__nT"), sf.count(sf.lit(1)).as("__k"))
+    val a = stats.select(sf.col("g").as("g_a"), sf.col("n").as("n_a"),
+      sf.col("s").as("__sa"))
+    val b = stats.select(sf.col("g").as("g_b"), sf.col("n").as("n_b"),
+      sf.col("s").as("__sb"))
+    a.join(b, sf.col("g_a") < sf.col("g_b"))
+      .crossJoin(sf.broadcast(mseRow))
+      .select({
+        val na = sf.col("n_a").cast("double")
+        val nb = sf.col("n_b").cast("double")
+        val diff = (dec(sf.col("__sa")) * dec(sf.col("n_b")) -
+          dec(sf.col("__sb")) * dec(sf.col("n_a"))).cast("double") /
+          (na * nb) / 1e4
+        val mse = sf.col("__sswS").cast("double") /
+          (sf.col("__nT") - sf.col("__k")).cast("double") / 1e8
+        val se = sf.sqrt(mse / 2 * (sf.lit(1.0) / na + sf.lit(1.0) / nb))
+        val ok = sf.col("__nT") > sf.col("__k") && mse > 0
+        Seq(sf.col("g_a"), sf.col("g_b"), sf.col("n_a"), sf.col("n_b"),
+          gf.roundAt(diff, 6).as("mean_diff"),
+          sf.when(ok, gf.roundAt(sf.abs(diff) / se, 4)).as("q_stat"))
+      }: _*)
+      .orderBy("g_a", "g_b")
+  }
+
+  /** Grubbs' extreme-deviation test (Grubbs 1950) per group — the
+    * PARAMETRIC single-outlier statistic beside row 126's MAD fences:
+    * G = max|xᵢ − x̄|/s asks "is the WORST point too far for a normal
+    * sample of this size", the classic instrument-error screen; MAD
+    * flags a robust set, Grubbs prices the single most extreme point
+    * against the studentized-maximum null. The statistic and the
+    * offending value are the deliverable (the critical value is the
+    * caller's t-quantile lookup).
+    *
+    * Determinism: values on the exact 1e-4 grid; the deviation
+    * |nᵢ·v − Σv| is an exact DECIMAL(38,0) integer per row, so the
+    * argmax is an exact integer max with the VALUE as pinned
+    * tie-break (larger wins); G = (dev/n)/√((nΣv²−S²)/(n(n−1))) is
+    * ONE pinned assembly from exact integers (the 1e4 scale cancels),
+    * rounded 1e-6. n < 3 or zero variance yields NULL G.
+    *
+    * Scale shape: one map-side-combined group collapse, one broadcast
+    * stats attach back onto the row stream (map-only), one combinable
+    * max-struct rollup — no shuffle carries data rows twice. */
+  def grubbsTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val rows = df.filter(sf.col(groupCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as("g"), v4.as("v"))
+    val stats = rows.groupBy("g").agg(sf.count(sf.lit(1)).as("n"),
+      sf.sum(dec(sf.col("v"))).as("s"),
+      sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("q"))
+    rows.join(sf.broadcast(stats), "g")
+      .withColumn("__dev", sf.abs(dec(sf.col("n")) * dec(sf.col("v")) - sf.col("s")))
+      .groupBy("g").agg(
+        sf.max(sf.struct(sf.col("__dev"), sf.col("v"))).as("__m"),
+        sf.max("n").as("n"), sf.max("s").as("__s"), sf.max("q").as("__q"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val num = (dec(sf.col("n")) * sf.col("__q") -
+          sf.col("__s") * sf.col("__s")).cast("double")
+        val sd = sf.sqrt(num / (n * (n - 1)))
+        val gStat = sf.col("__m.__dev").cast("double") / n / sd
+        val ok = sf.col("n") >= 3 && num > 0
+        Seq(sf.col("g").as(groupCol), sf.col("n"),
+          gf.roundAt(sf.col("__m.v").cast("double") / 1e4, 4).as("extreme_value"),
+          sf.when(ok, gf.roundAt(gStat, 6)).as("g_stat"))
+      }: _*)
+      .orderBy(groupCol)
+  }
 }

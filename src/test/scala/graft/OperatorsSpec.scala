@@ -3154,4 +3154,104 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rn.getAs[Long]("n_groups") == 2 && rn.getAs[Double]("max_t") == 0.5,
       rn.toString)
   }
+
+  test("QualityChecks.wilcoxonSignedRank: hand midranks, zero drop, unpaired drop") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // per-subject diffs a-b: {+1, +2, +3, -1, 0}; subject 6 has no b side
+    val df = Seq(
+      (1L, "a", 2.0), (1L, "b", 1.0), (2L, "a", 4.0), (2L, "b", 2.0),
+      (3L, "a", 6.0), (3L, "b", 3.0), (4L, "a", 1.0), (4L, "b", 2.0),
+      (5L, "a", 7.0), (5L, "b", 7.0), (6L, "a", 9.0)).toDF("s", "c", "v")
+    val r = QualityChecks.wilcoxonSignedRank(df, "s", "c", "v", "a", "b").head()
+    // |d| = {1,1,2,3}: midranks 1.5,1.5,3,4; W+ = 1.5+3+4 = 8.5
+    assert(r.getAs[Long]("n_pairs") == 4 && r.getAs[Long]("n_zero") == 1 &&
+      r.getAs[Double]("w_plus") == 8.5, r.toString)
+    val sigma = math.sqrt(4.0 * 5 * 9 / 24 - 6.0 / 48)
+    assert(r.getAs[Double]("z") == r6((8.5 - 5.0) / sigma), r.toString)
+    // all diffs zero -> no nonzero pairs, NULL z
+    val zero = Seq((1L, "a", 3.0), (1L, "b", 3.0)).toDF("s", "c", "v")
+    val rz = QualityChecks.wilcoxonSignedRank(zero, "s", "c", "v", "a", "b").head()
+    assert(rz.getAs[Long]("n_pairs") == 0 && rz.getAs[Long]("n_zero") == 1 &&
+      rz.isNullAt(rz.fieldIndex("z")), rz.toString)
+  }
+
+  test("QualityChecks.bartlettTest: hand two-group T, zero-variance NULL") {
+    // a: {1,2,3} s2=1; b: {2,4,6} s2=4 -> sp2=2.5, C=1.25
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val r = QualityChecks.bartlettTest(df, "g", "v").head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n_total") == 6 &&
+      r.getAs[Long]("df") == 1, r.toString)
+    // replicate the pinned chain: 1e-9-snapped per-group ln terms
+    def ln9(s2: Double) = math.floor(math.log(s2) * 1e9 + 0.5) / 1e9
+    val t0 = 4.0 * math.log(2.5) - (2.0 * ln9(1.0) + 2.0 * ln9(4.0))
+    val c = 1.0 + (math.floor(1e9 / 2 + 0.5) * 2 / 1e9 - 1.0 / 4) / 3.0
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("chi2_bartlett") == r6(t0 / c), r.toString)
+    // one constant group -> ln(0) undefined -> NULL statistic
+    val const = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val rc = QualityChecks.bartlettTest(const, "g", "v").head()
+    assert(rc.isNullAt(rc.fieldIndex("chi2_bartlett")), rc.toString)
+    // n=1 groups drop entirely
+    val tiny = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 9.0)).toDF("g", "v")
+    assert(QualityChecks.bartlettTest(tiny, "g", "v").head().getAs[Long]("k") == 1)
+  }
+
+  test("QualityChecks.kuiperTest: V adds both one-sided sups where KS reads one") {
+    // A={1,4}, B={2,3}: F_A-F_B walks +.5 then -.5 -> D+=D-=.5, V=1
+    val a = Seq(1.0, 4.0).toDF("v")
+    val b = Seq(2.0, 3.0).toDF("v")
+    val r = QualityChecks.kuiperTest(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2 &&
+      r.getAs[Double]("v_stat") == 1.0, r.toString)
+    val ks = QualityChecks.ksTest(a, b, "v").head()
+    assert(ks.getAs[Double]("ks_stat") == 0.5, ks.toString)
+    // pure one-sided shift: V equals D
+    val r2 = QualityChecks.kuiperTest(
+      Seq(1.0, 2.0).toDF("v"), Seq(3.0, 4.0).toDF("v"), "v").head()
+    assert(r2.getAs[Double]("v_stat") == 1.0, r2.toString)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val ne = 1.0 // 2*2/4
+    assert(r.getAs[Double]("lambda_stat") ==
+      r4((math.sqrt(ne) + 0.155 + 0.24 / math.sqrt(ne)) * 1.0), r.toString)
+  }
+
+  test("QualityChecks.tukeyHsd: hand q panel on one shared MSE") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0),
+      ("c", 1.0), ("c", 3.0), ("c", 5.0)).toDF("g", "v")
+    // SSW = 2+2+8 = 12, MSE = 12/6 = 2, se = sqrt(2/2*(2/3)) for all pairs
+    val rows = QualityChecks.tukeyHsd(df, "g", "v").collect()
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val se = math.sqrt(2.0 / 3.0)
+    val got = rows.map(r => (r.getString(0), r.getString(1),
+      r.getAs[Double]("mean_diff"), r.getAs[Double]("q_stat"))).toSeq
+    assert(got == Seq(
+      ("a", "b", -3.0, r4(3.0 / se)),
+      ("a", "c", -1.0, r4(1.0 / se)),
+      ("b", "c", 2.0, r4(2.0 / se))), got.toString)
+    // all-constant groups -> MSE = 0 -> NULL q, diffs still exact
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    val rf = QualityChecks.tukeyHsd(flat, "g", "v").head()
+    assert(rf.getAs[Double]("mean_diff") == -1.0 &&
+      rf.isNullAt(rf.fieldIndex("q_stat")), rf.toString)
+  }
+
+  test("QualityChecks.grubbsTest: hand G, value tie-break, n<3 NULL") {
+    val df = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 10.0))
+      .toDF("grp", "v")
+    val r = QualityChecks.grubbsTest(df, "grp", "v").head()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // mean 2.8, sd = sqrt(324/20); maxdev/n = 7.2
+    assert(r.getAs[Double]("extreme_value") == 10.0 &&
+      r.getAs[Double]("g_stat") == r6(7.2 / math.sqrt(16.2)), r.toString)
+    // equal deviations 2 both sides -> larger value wins the tie
+    val tie = Seq(("t", 0.0), ("t", 2.0), ("t", 4.0)).toDF("grp", "v")
+    assert(QualityChecks.grubbsTest(tie, "grp", "v").head()
+      .getAs[Double]("extreme_value") == 4.0)
+    // n = 2 -> statistic NULL (never significant; classic n >= 3 rule)
+    val two = Seq(("s", 1.0), ("s", 5.0)).toDF("grp", "v")
+    val rt = QualityChecks.grubbsTest(two, "grp", "v").head()
+    assert(rt.isNullAt(rt.fieldIndex("g_stat")), rt.toString)
+  }
 }
