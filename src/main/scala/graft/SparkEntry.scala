@@ -2579,6 +2579,28 @@ object SparkEntry {
     "q362_grubbs" -> ((s, dir) =>
       QualityChecks.grubbsTest(Tables.load(s, dir, "orders"),
         "o_orderpriority", "o_totalprice")),
+
+    // Hurst R/S: is hourly event traffic long-memory (H > 0.5 means
+    // bursts cluster — capacity planning can't assume Poisson).
+    "q363_hurst" -> ((s, dir) =>
+      EventOps.hurstExponent(Tables.load(s, dir, "events"))),
+
+    // Theil's U: how predictable is a document's language from its
+    // source — the directional, normalized cousin of q107's chi2.
+    "q364_uncertainty" -> ((s, dir) =>
+      QualityChecks.uncertaintyCoefficient(docs(s, dir), "lang", "source")),
+
+    // Two-regressor OLS: order price on item count AND total quantity
+    // — the partialled-out answer q144's simple slopes can't give.
+    "q365_ols2" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sf.count(sf.lit(1)).as("n_items"),
+          sf.sum("l_quantity").as("sum_qty"))
+      QualityChecks.linearRegression2(
+        Tables.load(s, dir, "orders")
+          .join(li, sf.col("o_orderkey") === sf.col("l_orderkey")),
+        "o_totalprice", "n_items", "sum_qty")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -11481,5 +11503,143 @@ object SparkEntry {
         |      / sqrt(CAST(n*q - s*s AS DOUBLE)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)))
         |      *1000000.0 + 0.5)/1000000.0 END AS g_stat
         |FROM d WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // Hurst: q130's hourly grid, exact s-scaled cumulative deviations,
+    // integer range / sqrt(integer variance), snapped log-log OLS.
+    "q363_hurst" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |blocks AS (SELECT sv.t, sv.bin, sv.v, sz.sz, bo.lo,
+        |  (sv.bin - bo.lo) // sz.sz AS blk
+        |  FROM sv CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS sz) sz CROSS JOIN bo
+        |  WHERE (sv.bin - bo.lo) // sz.sz < (bo.hi - bo.lo + 1) // sz.sz),
+        |dev AS (SELECT t, sz, blk,
+        |  sz*SUM(v) OVER (PARTITION BY t, sz, blk ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  - (bin - lo - blk*sz + 1)*SUM(v) OVER (PARTITION BY t, sz, blk) AS d,
+        |  SUM(v) OVER (PARTITION BY t, sz, blk) AS s1,
+        |  SUM(CAST(v AS HUGEINT)*v) OVER (PARTITION BY t, sz, blk) AS s2
+        |  FROM blocks),
+        |pb AS (SELECT t, sz, blk, MAX(d) - MIN(d) AS rsnum,
+        |  CAST(MAX(sz) AS HUGEINT)*MAX(s2) - CAST(MAX(s1) AS HUGEINT)*MAX(s1) AS den
+        |  FROM dev GROUP BY 1, 2, 3),
+        |rs AS (SELECT t, sz,
+        |  CAST(floor(CAST(rsnum AS DOUBLE)/sqrt(CAST(den AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS rs9
+        |  FROM pb WHERE den > 0),
+        |ps AS (SELECT t, sz, CAST(COUNT(*) AS BIGINT) AS nb,
+        |  CAST(floor(ln(CAST(floor(CAST(SUM(rs9) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5)
+        |    AS DOUBLE)/1e9)*1e9 + 0.5) AS BIGINT) AS y9,
+        |  CAST(floor(ln(CAST(sz AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS x9
+        |  FROM rs GROUP BY 1, 2),
+        |fin AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_sizes,
+        |  CAST(SUM(nb) AS BIGINT) AS n_blocks,
+        |  SUM(CAST(x9 AS HUGEINT)) AS sx, SUM(CAST(y9 AS HUGEINT)) AS sy,
+        |  SUM(CAST(x9 AS HUGEINT)*y9) AS sxy, SUM(CAST(x9 AS HUGEINT)*x9) AS sxx
+        |  FROM ps GROUP BY 1)
+        |SELECT t AS event_type, n_sizes, n_blocks,
+        |  CASE WHEN n_sizes >= 2 AND
+        |    CAST(n_sizes AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx > 0 THEN
+        |    floor((CAST(n_sizes AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |      / (CAST(n_sizes AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+        |      *1000000.0 + 0.5)/1000000.0 END AS hurst
+        |FROM fin ORDER BY event_type""".stripMargin,
+
+    // Theil's U: exact cell/margin counts, 1e-9-snapped c*ln(c) terms
+    // summed exactly, one pinned entropy/MI/ratio assembly.
+    "q364_uncertainty" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |j AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  SUM(CAST(c AS HUGEINT)*CAST(floor(ln(CAST(c AS DOUBLE))*1e9 + 0.5) AS BIGINT)) AS sxy
+        |  FROM cells),
+        |mx AS (SELECT SUM(CAST(cx AS HUGEINT)
+        |    *CAST(floor(ln(CAST(cx AS DOUBLE))*1e9 + 0.5) AS BIGINT)) AS sx
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY x)),
+        |my AS (SELECT SUM(CAST(cy AS HUGEINT)
+        |    *CAST(floor(ln(CAST(cy AS DOUBLE))*1e9 + 0.5) AS BIGINT)) AS sy
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y))
+        |SELECT n,
+        |  floor((ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n)*1000000.0 + 0.5)/1000000.0 AS h_x,
+        |  floor((ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n)*1000000.0 + 0.5)/1000000.0 AS h_y,
+        |  floor(((ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n)
+        |    + (ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n)
+        |    - (ln(CAST(n AS DOUBLE)) - CAST(sxy AS DOUBLE)/1e9/n))*1000000.0 + 0.5)/1000000.0 AS mutual_info,
+        |  CASE WHEN ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n > 0 THEN
+        |    floor((((ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n)
+        |      + (ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n)
+        |      - (ln(CAST(n AS DOUBLE)) - CAST(sxy AS DOUBLE)/1e9/n))
+        |      / (ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n))*1000000.0 + 0.5)/1000000.0
+        |  END AS u_x_given_y,
+        |  CASE WHEN ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n > 0 THEN
+        |    floor((((ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n)
+        |      + (ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n)
+        |      - (ln(CAST(n AS DOUBLE)) - CAST(sxy AS DOUBLE)/1e9/n))
+        |      / (ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n))*1000000.0 + 0.5)/1000000.0
+        |  END AS u_y_given_x,
+        |  CASE WHEN (ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n)
+        |      + (ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n) > 0 THEN
+        |    floor((((ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n)
+        |      + (ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n)
+        |      - (ln(CAST(n AS DOUBLE)) - CAST(sxy AS DOUBLE)/1e9/n))*2
+        |      / ((ln(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE)/1e9/n)
+        |        + (ln(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE)/1e9/n)))*1000000.0 + 0.5)/1000000.0
+        |  END AS u_symmetric
+        |FROM j CROSS JOIN mx CROSS JOIN my""".stripMargin,
+
+    // OLS2: exact 1e-4 grid, eight exact raw sums, Cramer's rule on
+    // the n-scaled centered moments, one pinned beta/SE/R2 assembly.
+    "q365_ols2" ->
+      """WITH li AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY 1),
+        |d AS (SELECT CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS y,
+        |  CAST(floor(CAST(n_items AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS x1,
+        |  CAST(floor(CAST(sum_qty AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS x2
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey
+        |  WHERE o_totalprice IS NOT NULL AND sum_qty IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+        |  SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(x1 AS HUGEINT)*x1) AS s11, SUM(CAST(x2 AS HUGEINT)*x2) AS s22,
+        |  SUM(CAST(x1 AS HUGEINT)*x2) AS s12, SUM(CAST(x1 AS HUGEINT)*y) AS s1y,
+        |  SUM(CAST(x2 AS HUGEINT)*y) AS s2y, SUM(CAST(y AS HUGEINT)*y) AS syy
+        |  FROM d),
+        |m AS (SELECT n,
+        |  CAST(n*s11 - s1*s1 AS DOUBLE) AS c11, CAST(n*s22 - s2*s2 AS DOUBLE) AS c22,
+        |  CAST(n*s12 - s1*s2 AS DOUBLE) AS c12, CAST(n*s1y - s1*sy AS DOUBLE) AS c1y,
+        |  CAST(n*s2y - s2*sy AS DOUBLE) AS c2y, CAST(n*syy - sy*sy AS DOUBLE) AS cyy,
+        |  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d, CAST(sy AS DOUBLE) AS syd
+        |  FROM a),
+        |f AS (SELECT n, c1y, c2y, cyy, c11, c22, c12,
+        |  c11*c22 - c12*c12 AS det,
+        |  (c22*c1y - c12*c2y)/(c11*c22 - c12*c12) AS b1,
+        |  (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) AS b2, s1d, s2d, syd
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN n >= 4 AND det > 0 AND cyy > 0 THEN
+        |    floor((syd - b1*s1d - b2*s2d)/CAST(n AS DOUBLE)/1e4*1000000.0 + 0.5)/1000000.0 END AS b0,
+        |  CASE WHEN n >= 4 AND det > 0 AND cyy > 0 THEN
+        |    floor(b1*1000000.0 + 0.5)/1000000.0 END AS b1,
+        |  CASE WHEN n >= 4 AND det > 0 AND cyy > 0 THEN
+        |    floor(b2*1000000.0 + 0.5)/1000000.0 END AS b2,
+        |  CASE WHEN n >= 4 AND det > 0 AND cyy > 0
+        |      AND (cyy - b1*c1y - b2*c2y)/CAST(n AS DOUBLE)/(CAST(n AS DOUBLE)-3) >= 0 THEN
+        |    floor(sqrt((cyy - b1*c1y - b2*c2y)/CAST(n AS DOUBLE)/(CAST(n AS DOUBLE)-3)
+        |      *CAST(n AS DOUBLE)*c22/det)*1000000.0 + 0.5)/1000000.0 END AS se_b1,
+        |  CASE WHEN n >= 4 AND det > 0 AND cyy > 0
+        |      AND (cyy - b1*c1y - b2*c2y)/CAST(n AS DOUBLE)/(CAST(n AS DOUBLE)-3) >= 0 THEN
+        |    floor(sqrt((cyy - b1*c1y - b2*c2y)/CAST(n AS DOUBLE)/(CAST(n AS DOUBLE)-3)
+        |      *CAST(n AS DOUBLE)*c11/det)*1000000.0 + 0.5)/1000000.0 END AS se_b2,
+        |  CASE WHEN n >= 4 AND det > 0 AND cyy > 0 THEN
+        |    floor((b1*c1y + b2*c2y)/cyy*1000000.0 + 0.5)/1000000.0 END AS r2,
+        |  CASE WHEN n >= 4 AND det > 0 AND cyy > 0 THEN
+        |    floor((1.0 - (1.0 - (b1*c1y + b2*c2y)/cyy)*(CAST(n AS DOUBLE)-1)
+        |      /(CAST(n AS DOUBLE)-3))*1000000.0 + 0.5)/1000000.0 END AS adj_r2
+        |FROM f""".stripMargin,
   )
 }

@@ -5301,4 +5301,124 @@ object QualityChecks {
       }: _*)
       .orderBy(groupCol)
   }
+
+  /** Theil's uncertainty coefficient U (Theil 1970) between two
+    * categorical columns — the ASYMMETRIC, normalized mutual-
+    * information readout the χ²/Cramér's-V pair can't give: V says
+    * "associated", U(X|Y) = I(X;Y)/H(X) says "knowing Y removes this
+    * FRACTION of X's uncertainty" — directional (U(X|Y) ≠ U(Y|X)
+    * exactly when one variable is a refinement of the other) and
+    * immune to V's inflation on near-empty rows. The datasheet answer
+    * to "how predictable is a document's language from its source".
+    *
+    * Determinism: exact (x, y) cell and margin counts; every entropy
+    * term Σc·ln c accumulates as exact DECIMAL(38,0) over 1e-9-snapped
+    * per-cell ln longs (floating partial sums would be partition-
+    * order-dependent); H = ln N − Σ/(N·1e9), I = H_X + H_Y − H_XY, and
+    * the three ratios are ONE pinned assembly rounded 1e-6. A
+    * zero-entropy axis (constant column) yields NULL for the ratios
+    * that divide by it.
+    *
+    * Scale shape: one map-side-combined cell collapse (domain-
+    * compressed), two margin rollups from the cells, three one-row
+    * sums — nothing data-sized past the first combine. */
+  def uncertaintyCoefficient(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def lnTerm(c: Column) = // Σ c·ln(c), 1e-9-scaled exact integers
+      sf.sum(dec(c) * dec(sf.floor(sf.log(c.cast("double")) * 1e9 + 0.5)
+        .cast("long")))
+    val cells = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .select(sf.col(xCol).cast("string").as("x"), sf.col(yCol).cast("string").as("y"))
+      .groupBy("x", "y").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // both margins + the joint sum read it
+    val joint = cells.agg(sf.sum("c").cast("long").as("n"),
+      lnTerm(sf.col("c")).as("__sxy"))
+    val mx = cells.groupBy("x").agg(sf.sum("c").as("cx"))
+      .agg(lnTerm(sf.col("cx")).as("__sx"))
+    val my = cells.groupBy("y").agg(sf.sum("c").as("cy"))
+      .agg(lnTerm(sf.col("cy")).as("__sy"))
+    joint.crossJoin(sf.broadcast(mx)).crossJoin(sf.broadcast(my))
+      .select({
+        val n = sf.col("n").cast("double")
+        def h(s: Column) = sf.log(n) - s.cast("double") / 1e9 / n
+        val hx = h(sf.col("__sx"))
+        val hy = h(sf.col("__sy"))
+        val mi = hx + hy - h(sf.col("__sxy"))
+        Seq(sf.col("n"),
+          gf.roundAt(hx, 6).as("h_x"), gf.roundAt(hy, 6).as("h_y"),
+          gf.roundAt(mi, 6).as("mutual_info"),
+          sf.when(hx > 0, gf.roundAt(mi / hx, 6)).as("u_x_given_y"),
+          sf.when(hy > 0, gf.roundAt(mi / hy, 6)).as("u_y_given_x"),
+          sf.when(hx + hy > 0, gf.roundAt(mi * 2 / (hx + hy), 6)).as("u_symmetric"))
+      }: _*)
+  }
+
+  /** Two-regressor OLS by closed-form normal equations — the smallest
+    * honest MULTIPLE regression (row 181's trend slopes are simple
+    * OLS; partialling out a second driver changes answers exactly when
+    * the drivers correlate, the textbook confounder case): ŷ = b₀ +
+    * b₁x₁ + b₂x₂ via Cramer's rule on the centered cross-moment
+    * matrix, with coefficient standard errors, R² and adjusted R² —
+    * fit entirely IN-ENGINE, one scan, no solver.
+    *
+    * Determinism: values on the exact 1e-4 grid; all eight raw sums
+    * (Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y) accumulate as
+    * exact DECIMAL(38,0); the n-scaled centered moments Sᵢⱼ = nΣxᵢxⱼ −
+    * ΣxᵢΣxⱼ stay DECIMAL-exact and the β/SE/R² chain is ONE pinned
+    * double assembly (1e-4 value scales cancel everywhere except b₀,
+    * divided back once) rounded 1e-6. n < 4, a singular design
+    * (det ≤ 0), or constant y yields NULL inference.
+    *
+    * Scale shape: one map-side-combined eight-sum rollup — a single
+    * scan and a one-row finish; nothing shuffles but partial sums. */
+  def linearRegression2(df: DataFrame, yCol: String, x1Col: String,
+                        x2Col: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def g4(name: String) =
+      sf.floor(sf.col(name).cast("double") * 1e4 + 0.5).cast("long")
+    val rows = df.filter(sf.col(yCol).isNotNull && sf.col(x1Col).isNotNull &&
+        sf.col(x2Col).isNotNull)
+      .select(g4(yCol).as("y"), g4(x1Col).as("x1"), g4(x2Col).as("x2"))
+    rows.agg(
+        sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("x1"))).as("s1"), sf.sum(dec(sf.col("x2"))).as("s2"),
+        sf.sum(dec(sf.col("y"))).as("sy"),
+        sf.sum(dec(sf.col("x1")) * dec(sf.col("x1"))).as("s11"),
+        sf.sum(dec(sf.col("x2")) * dec(sf.col("x2"))).as("s22"),
+        sf.sum(dec(sf.col("x1")) * dec(sf.col("x2"))).as("s12"),
+        sf.sum(dec(sf.col("x1")) * dec(sf.col("y"))).as("s1y"),
+        sf.sum(dec(sf.col("x2")) * dec(sf.col("y"))).as("s2y"),
+        sf.sum(dec(sf.col("y")) * dec(sf.col("y"))).as("syy"))
+      .select({
+        val n = sf.col("n").cast("double")
+        def ctr(sab: Column, sa: Column, sb: Column) =
+          (dec(sf.col("n")) * sab - sa * sb).cast("double")
+        val c11 = ctr(sf.col("s11"), sf.col("s1"), sf.col("s1"))
+        val c22 = ctr(sf.col("s22"), sf.col("s2"), sf.col("s2"))
+        val c12 = ctr(sf.col("s12"), sf.col("s1"), sf.col("s2"))
+        val c1y = ctr(sf.col("s1y"), sf.col("s1"), sf.col("sy"))
+        val c2y = ctr(sf.col("s2y"), sf.col("s2"), sf.col("sy"))
+        val cyy = ctr(sf.col("syy"), sf.col("sy"), sf.col("sy"))
+        val det = c11 * c22 - c12 * c12
+        val b1 = (c22 * c1y - c12 * c2y) / det
+        val b2 = (c11 * c2y - c12 * c1y) / det
+        val b0 = (sf.col("sy").cast("double") - b1 * sf.col("s1").cast("double")
+          - b2 * sf.col("s2").cast("double")) / n / 1e4
+        val sse = (cyy - b1 * c1y - b2 * c2y) / n
+        val s2e = sse / (n - 3)
+        val r2 = (b1 * c1y + b2 * c2y) / cyy
+        val ok = sf.col("n") >= 4 && det > 0 && cyy > 0
+        Seq(sf.col("n"),
+          sf.when(ok, gf.roundAt(b0, 6)).as("b0"),
+          sf.when(ok, gf.roundAt(b1, 6)).as("b1"),
+          sf.when(ok, gf.roundAt(b2, 6)).as("b2"),
+          sf.when(ok && s2e >= 0,
+            gf.roundAt(sf.sqrt(s2e * n * c22 / det), 6)).as("se_b1"),
+          sf.when(ok && s2e >= 0,
+            gf.roundAt(sf.sqrt(s2e * n * c11 / det), 6)).as("se_b2"),
+          sf.when(ok, gf.roundAt(r2, 6)).as("r2"),
+          sf.when(ok, gf.roundAt(sf.lit(1.0) - (sf.lit(1.0) - r2) * (n - 1) / (n - 3), 6))
+            .as("adj_r2"))
+      }: _*)
+  }
 }

@@ -2995,4 +2995,101 @@ object EventOps {
           .as("dw"))
       .orderBy(typeCol)
   }
+
+  /** Hurst exponent per event type via rescaled-range analysis (Hurst
+    * 1951; Mandelbrot & Wallis 1969 R/S) over the [[denseSeries]]
+    * gap-filled count grid — the LONG-MEMORY number the
+    * autocorrelation ladder (rows 231/321) reads only lag-by-lag:
+    * H ≈ 0.5 = independent increments, H > 0.5 = persistent
+    * (burst-prone traffic whose capacity planning can't assume
+    * Poisson), H < 0.5 = mean-reverting. For each block size s the
+    * series splits into ⌊T/s⌋ disjoint blocks; R/S = (range of
+    * cumulative mean-deviations)/(population sd); H is the log–log
+    * OLS slope of the per-size mean R/S.
+    *
+    * Determinism: counts are exact longs, so each block's cumulative
+    * deviation carries s-SCALED as the exact integer s·cum_j − j·S₁
+    * and the range R·s is an exact integer max−min; the sd denominator
+    * √(s·Σv² − S₁²) (DECIMAL(38,0) inside) makes R/S = Rs/√(s·ΣvΣ −
+    * S₁²) one pinned division snapped to a 1e-9 long per block;
+    * per-size means re-snap 1e-9, the log–log points snap 1e-9, and
+    * the OLS slope over the ≤|sizes| points is exact-integer sums +
+    * ONE pinned assembly rounded 1e-6. Zero-variance blocks drop;
+    * types with < 2 usable sizes yield NULL H.
+    *
+    * Scale shape: the grid builds once (chunked [[denseSeries]]
+    * machinery) and fans out |sizes|× map-side; cumulative windows are
+    * bounded at max(sizes) rows per (type, size, block) partition BY
+    * CONSTRUCTION; everything after is combinable rollups on the
+    * (type, size) domain. */
+  def hurstExponent(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", binSec: Long = 3600,
+                    sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.distinct.size >= 2 && sizes.forall(_ >= 2),
+      s"hurstExponent: need >= 2 distinct block sizes, each >= 2; got $sizes")
+    require(sizes.max <= 4096,
+      s"hurstExponent: block size ${sizes.max} > 4096 would build " +
+      "unbounded per-block windows; use a coarser binSec instead")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // bounds scalar + the size fan-out read it
+    val bounds = g.agg(sf.min("bin").as("lo"), sf.max("bin").as("hi"))
+    val blocks = g.crossJoin(sf.broadcast(bounds))
+      .select(sf.col("t"), sf.col("bin"), sf.col("v"),
+        sf.explode(sf.lit(sizes.distinct.sorted.toArray)).as("sz"),
+        sf.col("lo"), sf.col("hi"))
+      .withColumn("__blk", sf.expr("(bin - lo) div sz"))
+      // complete blocks only: the ragged tail would bias small-s R/S
+      .filter(sf.col("__blk") < sf.expr("(hi - lo + 1) div sz"))
+    val wc = Window.partitionBy("t", "sz", "__blk").orderBy("bin")
+    val withDev = blocks
+      .withColumn("__cum", sf.sum("v").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__s1", sf.sum("v").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__s2", sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__j",
+        sf.col("bin") - sf.col("lo") - sf.col("__blk") * sf.col("sz") + 1)
+      .withColumn("__dev",
+        sf.col("sz") * sf.col("__cum") - sf.col("__j") * sf.col("__s1"))
+    val perBlock = withDev.groupBy("t", "sz", "__blk")
+      .agg((sf.max("__dev") - sf.min("__dev")).as("__rs_num"),
+        (dec(sf.max("sz")) * sf.max("__s2") -
+          dec(sf.max("__s1")) * dec(sf.max("__s1"))).as("__den"))
+      .filter(sf.col("__den") > 0)
+      .select(sf.col("t"), sf.col("sz"),
+        sf.floor(sf.col("__rs_num").cast("double") /
+          sf.sqrt(sf.col("__den").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("__rs9"))
+    val perSize = perBlock.groupBy("t", "sz")
+      .agg(sf.count(sf.lit(1)).as("__nb"), sf.sum(dec(sf.col("__rs9"))).as("__s"))
+      .select(sf.col("t"), sf.col("sz"), sf.col("__nb"),
+        // log-log point, both coords 1e-9-snapped longs
+        sf.floor(sf.log(
+          sf.floor(sf.col("__s").cast("double") / sf.col("__nb").cast("double")
+            + 0.5).cast("double") / 1e9) * 1e9 + 0.5).cast("long").as("__y9"),
+        sf.floor(sf.log(sf.col("sz").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("__x9"))
+    perSize.groupBy("t").agg(
+        sf.count(sf.lit(1)).as("n_sizes"),
+        sf.sum("__nb").cast("long").as("n_blocks"),
+        sf.sum(dec(sf.col("__x9"))).as("__sx"),
+        sf.sum(dec(sf.col("__y9"))).as("__sy"),
+        sf.sum(dec(sf.col("__x9")) * dec(sf.col("__y9"))).as("__sxy"),
+        sf.sum(dec(sf.col("__x9")) * dec(sf.col("__x9"))).as("__sxx"))
+      .select({
+        val n = sf.col("n_sizes").cast("double")
+        val det = n * sf.col("__sxx").cast("double") -
+          sf.col("__sx").cast("double") * sf.col("__sx").cast("double")
+        val slope = (n * sf.col("__sxy").cast("double") -
+          sf.col("__sx").cast("double") * sf.col("__sy").cast("double")) / det
+        Seq(sf.col("t").as(typeCol), sf.col("n_sizes"), sf.col("n_blocks"),
+          sf.when(sf.col("n_sizes") >= 2 && det > 0,
+            gf.roundAt(slope, 6)).as("hurst"))
+      }: _*)
+      .orderBy(typeCol)
+  }
 }

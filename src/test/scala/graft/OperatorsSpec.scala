@@ -3254,4 +3254,99 @@ class OperatorsSpec extends SparkFunSuite {
     val rt = QualityChecks.grubbsTest(two, "grp", "v").head()
     assert(rt.isNullAt(rt.fieldIndex("g_stat")), rt.toString)
   }
+
+  test("EventOps.hurstExponent: pinned R/S chain model, ramp>alt, size guards") {
+    // 16 hourly bins; ramp counts 1..16 (persistent), alt 1/3/1/3 (anti)
+    val series = Map(
+      "ramp" -> Array.tabulate(16)(k => (k + 1).toLong),
+      "alt" -> Array.tabulate(16)(k => if (k % 2 == 0) 1L else 3L))
+    val rows = series.toSeq.flatMap { case (t, v) =>
+      v.zipWithIndex.flatMap { case (c, hour) =>
+        Seq.fill(c.toInt)((t, hour * 3600L)) }
+    }
+    val df = rows.toDF("event_type", "ts_s")
+      .select(sf.col("event_type"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1.0).as("value"))
+    val got = EventOps.hurstExponent(df, sizes = Seq(4, 8)).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hurst")).toMap
+    // replicate the operator's pinned chain exactly
+    def model(v: Array[Long], sizes: Seq[Int]): Double = {
+      val pts = sizes.sorted.flatMap { s =>
+        val rs9s = (0 until v.length / s).flatMap { b =>
+          val blk = v.slice(b * s, b * s + s)
+          val s1 = blk.sum
+          val den = s.toLong * blk.map(x => x * x).sum - s1 * s1
+          if (den <= 0) None else {
+            var cum = 0L
+            val devs = blk.zipWithIndex.map { case (x, j) =>
+              cum += x; s * cum - (j + 1) * s1 }
+            Some(math.floor((devs.max - devs.min) /
+              math.sqrt(den.toDouble) * 1e9 + 0.5).toLong)
+          }
+        }
+        if (rs9s.isEmpty) None else {
+          val m9 = math.floor(rs9s.sum.toDouble / rs9s.size + 0.5)
+          Some((math.floor(math.log(s.toDouble) * 1e9 + 0.5),
+            math.floor(math.log(m9 / 1e9) * 1e9 + 0.5)))
+        }
+      }
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      math.floor(slope * 1e6 + 0.5) / 1e6
+    }
+    assert(got("ramp") == model(series("ramp"), Seq(4, 8)), got.toString)
+    assert(got("alt") == model(series("alt"), Seq(4, 8)), got.toString)
+    assert(got("ramp") > 0.8 && got("alt") < got("ramp"), got.toString)
+    intercept[IllegalArgumentException] {
+      EventOps.hurstExponent(df, sizes = Seq(8))
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.hurstExponent(df, sizes = Seq(2, 8192))
+    }
+  }
+
+  test("QualityChecks.uncertaintyCoefficient: refinement asymmetry, constant NULL") {
+    // y in 1..4 uniform; x = y mod 2 -> knowing y pins x (U(x|y)=1),
+    // knowing x halves y's uncertainty (U(y|x) = ln2/ln4 = 0.5)
+    val df = Seq((0, 1), (1, 2), (0, 3), (1, 4)).toDF("x", "y")
+    val r = QualityChecks.uncertaintyCoefficient(df, "x", "y").head()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n") == 4 &&
+      r.getAs[Double]("h_x") == r6(math.log(2)) &&
+      r.getAs[Double]("h_y") == r6(math.log(4)) &&
+      r.getAs[Double]("u_x_given_y") == 1.0 &&
+      r.getAs[Double]("u_y_given_x") == 0.5 &&
+      r.getAs[Double]("u_symmetric") == r6(2 * math.log(2) / (3 * math.log(2))),
+      r.toString)
+    // constant x: H(x)=0 -> that ratio NULL, the other 0
+    val const = Seq((1, 1), (1, 2)).toDF("x", "y")
+    val rc = QualityChecks.uncertaintyCoefficient(const, "x", "y").head()
+    assert(rc.isNullAt(rc.fieldIndex("u_x_given_y")) &&
+      rc.getAs[Double]("u_y_given_x") == 0.0, rc.toString)
+  }
+
+  test("QualityChecks.linearRegression2: exact recovery, collinear NULL, n<4 NULL") {
+    // y = 1 + 2*x1 + 3*x2 exactly
+    val df = Seq((0.0, 0.0, 1.0), (1.0, 0.0, 3.0), (0.0, 1.0, 4.0),
+      (1.0, 1.0, 6.0), (2.0, 1.0, 8.0)).toDF("x1", "x2", "y")
+    val r = QualityChecks.linearRegression2(df, "y", "x1", "x2").head()
+    assert(r.getAs[Long]("n") == 5 && r.getAs[Double]("b0") == 1.0 &&
+      r.getAs[Double]("b1") == 2.0 && r.getAs[Double]("b2") == 3.0 &&
+      r.getAs[Double]("r2") == 1.0 && r.getAs[Double]("adj_r2") == 1.0 &&
+      r.getAs[Double]("se_b1") == 0.0 && r.getAs[Double]("se_b2") == 0.0,
+      r.toString)
+    // x2 = 2*x1 -> singular design -> NULL inference
+    val col = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 2.0), (3.0, 6.0, 2.0),
+      (4.0, 8.0, 5.0)).toDF("x1", "x2", "y")
+    val rc = QualityChecks.linearRegression2(col, "y", "x1", "x2").head()
+    assert(rc.isNullAt(rc.fieldIndex("b1")), rc.toString)
+    // n = 3 -> zero residual df -> NULL
+    val tiny = Seq((0.0, 0.0, 1.0), (1.0, 0.0, 2.0), (0.0, 1.0, 3.0))
+      .toDF("x1", "x2", "y")
+    val rt = QualityChecks.linearRegression2(tiny, "y", "x1", "x2").head()
+    assert(rt.isNullAt(rt.fieldIndex("b1")), rt.toString)
+  }
 }
