@@ -2590,6 +2590,15 @@ object SparkEntry {
     "q364_uncertainty" -> ((s, dir) =>
       QualityChecks.uncertaintyCoefficient(docs(s, dir), "lang", "source")),
 
+    // Hoeffding's D: quantity vs price-bucket dependence of ANY shape
+    // — the screening statistic rho/tau read 0 on when non-monotone.
+    "q366_hoeffding" -> ((s, dir) =>
+      QualityChecks.hoeffdingsD(
+        Tables.load(s, dir, "lineitem")
+          .withColumn("price_kb",
+            sf.floor(sf.col("l_extendedprice") / 1000).cast("long")),
+        "l_quantity", "price_kb")),
+
     // Two-regressor OLS: order price on item count AND total quantity
     // — the partialled-out answer q144's simple slopes can't give.
     "q365_ols2" -> ((s, dir) => {
@@ -11641,5 +11650,41 @@ object SparkEntry {
         |    floor((1.0 - (1.0 - (b1*c1y + b2*c2y)/cyy)*(CAST(n AS DOUBLE)-1)
         |      /(CAST(n AS DOUBLE)-3))*1000000.0 + 0.5)/1000000.0 END AS adj_r2
         |FROM f""".stripMargin,
+
+    // Hoeffding's D: cell collapse, 2-scaled midranks and 4-scaled
+    // bivariate ranks from domain prefixes, 16-scaled exact D sums.
+    "q366_hoeffding" ->
+      """WITH cells AS (SELECT l_quantity AS x,
+        |  CAST(floor(l_extendedprice/1000) AS BIGINT) AS y,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |mx AS (SELECT x, 2*COALESCE(SUM(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2x
+        |  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1)),
+        |my AS (SELECT y, 2*COALESCE(SUM(t) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2y
+        |  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1)),
+        |tx AS (SELECT x, y, COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tx FROM cells),
+        |ty AS (SELECT x, y, COALESCE(SUM(c) OVER (PARTITION BY y ORDER BY x
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ty FROM cells),
+        |bb AS (SELECT a.x, a.y, CAST(SUM(b2.c) AS BIGINT) AS b FROM cells a
+        |  JOIN cells b2 ON b2.x < a.x AND b2.y < a.y GROUP BY 1, 2),
+        |ff AS (SELECT cells.c,
+        |  4*COALESCE(bb.b, 0) + 2*(tx.tx + ty.ty) + cells.c + 3 AS q4,
+        |  mx.r2x, my.r2y
+        |  FROM cells JOIN tx USING (x, y) JOIN ty USING (x, y)
+        |  LEFT JOIN bb USING (x, y) JOIN mx USING (x) JOIN my USING (y)),
+        |s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  SUM(CAST(c AS HUGEINT)*(q4-4)*(q4-8)) AS d1,
+        |  SUM(CAST(c AS HUGEINT)*(r2x-2)*(r2x-4)*(r2y-2)*(r2y-4)) AS d2,
+        |  SUM(CAST(c AS HUGEINT)*(r2x-4)*(r2y-4)*(q4-4)) AS d3 FROM ff)
+        |SELECT n, n_cells,
+        |  CASE WHEN n >= 5 THEN
+        |    floor(((CAST(n AS DOUBLE)-2)*(CAST(n AS DOUBLE)-3)*(CAST(d1 AS DOUBLE)/16)
+        |      + CAST(d2 AS DOUBLE)/16 - (CAST(n AS DOUBLE)-2)*(CAST(d3 AS DOUBLE)/16)*2)*30
+        |      / (CAST(n AS DOUBLE)*(n-1)*(n-2)*(n-3)*(n-4))*1000000.0 + 0.5)/1000000.0
+        |  END AS d_stat
+        |FROM s""".stripMargin,
   )
 }

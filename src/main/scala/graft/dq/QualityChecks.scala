@@ -5421,4 +5421,103 @@ object QualityChecks {
             .as("adj_r2"))
       }: _*)
   }
+
+  /** Hoeffding's D dependence statistic (Hoeffding 1948; the tied-data
+    * form SAS PROC CORR popularized) on the bucketed cell domain — the
+    * member of the association ladder that catches NON-MONOTONE
+    * dependence: ρ/τ/γ all read ≈ 0 on a U-shaped relationship;
+    * D compares the joint ECDF against the product of margins, so ANY
+    * dependence pattern moves it (≈ 0 independent, up to 1 for
+    * perfectly dependent continuous data, small negatives possible
+    * under ties). The screening statistic for "is there structure
+    * here at all" before choosing a functional form.
+    *
+    * Contract: [[kendallTau]]'s — caller buckets, numeric ordinals
+    * only (the '10' < '2' guard). With midranks R, S and bivariate
+    * ranks Q_i = 1 + #[both <] + ½#[one =, other <] + ¼#[both =,
+    * j≠i]: D1 = Σ(Q−1)(Q−2), D2 = Σ(R−1)(R−2)(S−1)(S−2),
+    * D3 = Σ(R−2)(S−2)(Q−1), D = 30·[(n−2)(n−3)D1 + D2 −
+    * 2(n−2)D3]/[n(n−1)(n−2)(n−3)(n−4)].
+    *
+    * Determinism: midranks carry 2-SCALED and bivariate ranks
+    * 4-SCALED as exact integers from domain prefixes, so all three
+    * D-sums accumulate 16-scaled in DECIMAL(38,0) and the final D is
+    * ONE pinned double assembly rounded 1e-6. Exactness envelope:
+    * the D2 terms reach n·(2n)⁴ — past n ≈ 10⁷ rows the DECIMAL
+    * accumulator overflows to NULL (never silent garbage); bucket
+    * coarser or sample first. n < 5 yields NULL.
+    *
+    * Scale shape: one (x, y) cell collapse, two DOMAIN-bounded margin
+    * prefixes, one bounded per-x window over the y domain, and
+    * [[kendallTau]]'s broadcast cell² dominance join (bounded by the
+    * bucketing contract) — zero row-level work past the collapse. */
+  def hoeffdingsD(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    Seq(xCol, yCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType,
+        s"hoeffdingsD: column '$c' has type ${dt.simpleString}; ordinal " +
+        "buckets must be numeric (or date/timestamp) so '<' is the " +
+        "intended order — map string buckets to integer codes first")
+    }
+    val cells = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .groupBy(sf.col(xCol).as("x"), sf.col(yCol).as("y"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // margins, Tx window, dominance join read it
+    // midranks, 2-scaled, from the per-axis value-domain prefixes
+    def margin(axis: String) = {
+      val w = Window.partitionBy(sf.pmod(sf.hash(sf.col(axis)), sf.lit(1)))
+        .orderBy(axis).rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(axis).agg(sf.sum("c").as("__t"))
+        .withColumn("__pre", sf.coalesce(sf.sum("__t").over(w), sf.lit(0L)))
+        .select(sf.col(axis), (sf.col("__pre") * 2 + sf.col("__t") + 1)
+          .as(s"__r2$axis"))
+    }
+    // Ty twin: within each y, mass at strictly-smaller x (bounded by
+    // the per-y x-domain); Tx symmetric
+    val wTx = Window.partitionBy("x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTy = Window.partitionBy("y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withTies = cells
+      .withColumn("__tx", sf.coalesce(sf.sum("c").over(wTx), sf.lit(0L)))
+      .withColumn("__ty", sf.coalesce(sf.sum("c").over(wTy), sf.lit(0L)))
+    // strict 2-D dominance mass per cell: kendallTau's broadcast
+    // domain-squared pairing
+    val dom = cells.crossJoin(sf.broadcast(cells.select(
+        sf.col("x").as("x2"), sf.col("y").as("y2"), sf.col("c").as("c2"))))
+      .filter(sf.col("x2") < sf.col("x") && sf.col("y2") < sf.col("y"))
+      .groupBy("x", "y").agg(sf.sum("c2").as("__b"))
+    val full = withTies.join(dom, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("__b"))
+      .join(margin("x"), "x").join(margin("y"), "y")
+      .select(sf.col("c"),
+        (sf.col("__b") * 4 + (sf.col("__tx") + sf.col("__ty")) * 2 +
+          sf.col("c") + 3).as("__q4"), // 4-scaled Q: 4 + 4B + 2T + (c-1)
+        sf.col("__r2x"), sf.col("__r2y"))
+    val sums = full.agg(
+      sf.sum("c").cast("long").as("n"), sf.count(sf.lit(1)).as("n_cells"),
+      sf.sum(dec(sf.col("c")) * dec(sf.col("__q4") - 4) *
+        dec(sf.col("__q4") - 8)).as("__d1"),
+      sf.sum(dec(sf.col("c")) * dec(sf.col("__r2x") - 2) *
+        dec(sf.col("__r2x") - 4) * dec(sf.col("__r2y") - 2) *
+        dec(sf.col("__r2y") - 4)).as("__d2"),
+      sf.sum(dec(sf.col("c")) * dec(sf.col("__r2x") - 4) *
+        dec(sf.col("__r2y") - 4) * dec(sf.col("__q4") - 4)).as("__d3"))
+    sums.select({
+      val n = sf.col("n").cast("double")
+      val d1 = sf.col("__d1").cast("double") / 16
+      val d2 = sf.col("__d2").cast("double") / 16
+      val d3 = sf.col("__d3").cast("double") / 16
+      val num = (n - 2) * (n - 3) * d1 + d2 - (n - 2) * d3 * 2
+      val den = n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+      val ok = sf.col("n") >= 5 && sf.col("__d1").isNotNull &&
+        sf.col("__d2").isNotNull && sf.col("__d3").isNotNull
+      Seq(sf.col("n"), sf.col("n_cells"),
+        sf.when(ok, gf.roundAt(num * 30 / den, 6)).as("d_stat"))
+    }: _*)
+  }
 }

@@ -3349,4 +3349,50 @@ class OperatorsSpec extends SparkFunSuite {
     val rt = QualityChecks.linearRegression2(tiny, "y", "x1", "x2").head()
     assert(rt.isNullAt(rt.fieldIndex("b1")), rt.toString)
   }
+
+  test("QualityChecks.hoeffdingsD: point-level model parity, U-shape vs tau, guards") {
+    // independent per-point implementation of the SAS tied-data form
+    def modelD(pts: Seq[(Double, Double)]): Double = {
+      def u(t: Double) = if (t > 0) 1.0 else if (t == 0) 0.5 else 0.0
+      val n = pts.size.toDouble
+      var (d1, d2, d3) = (0.0, 0.0, 0.0)
+      for ((xi, yi) <- pts) {
+        val r = pts.map(p => u(xi - p._1)).sum + 0.5
+        val s = pts.map(p => u(yi - p._2)).sum + 0.5
+        val q = 1.0 + pts.filter(p => p._1 != xi || p._2 != yi)
+          .map(p => u(xi - p._1) * u(yi - p._2)).sum +
+          0.25 * (pts.count(p => p._1 == xi && p._2 == yi) - 1)
+        d1 += (q - 1) * (q - 2)
+        d2 += (r - 1) * (r - 2) * (s - 1) * (s - 2)
+        d3 += (r - 2) * (s - 2) * (q - 1)
+      }
+      val d = 30 * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3) /
+        (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+      math.floor(d * 1e6 + 0.5) / 1e6
+    }
+    // U-shape with ties: rho/tau blind, D sees it
+    val uPts = (1 to 9).flatMap(x =>
+      Seq.fill(3)((x.toDouble, (x - 5.0) * (x - 5.0))))
+    val uDf = uPts.toDF("x", "y")
+    val r = QualityChecks.hoeffdingsD(uDf, "x", "y").head()
+    assert(r.getAs[Long]("n") == 27 &&
+      r.getAs[Double]("d_stat") == modelD(uPts), r.toString)
+    assert(r.getAs[Double]("d_stat") > 0.05, r.toString)
+    val tau = QualityChecks.kendallTau(uDf, "x", "y").head()
+    assert(math.abs(tau.getAs[Double]("tau_b")) < 0.05, tau.toString)
+    // exact 12x12 product grid: independence reads ~0 (the tied-data
+    // form carries a small-sample negative bias that shrinks with n)
+    val ind = (for (x <- 1 to 12; y <- 1 to 12)
+      yield (x.toDouble, y.toDouble))
+    val ri = QualityChecks.hoeffdingsD(ind.toDF("x", "y"), "x", "y").head()
+    assert(ri.getAs[Double]("d_stat") == modelD(ind), ri.toString)
+    assert(math.abs(ri.getAs[Double]("d_stat")) < 0.01, ri.toString)
+    // n = 4 -> NULL; string buckets rejected
+    val four = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0)).toDF("x", "y")
+    assert(QualityChecks.hoeffdingsD(four, "x", "y").head()
+      .isNullAt(2))
+    intercept[IllegalArgumentException] {
+      QualityChecks.hoeffdingsD(Seq(("a", 1.0)).toDF("x", "y"), "x", "y")
+    }
+  }
 }
