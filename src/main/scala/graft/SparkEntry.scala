@@ -2590,6 +2590,30 @@ object SparkEntry {
     "q364_uncertainty" -> ((s, dir) =>
       QualityChecks.uncertaintyCoefficient(docs(s, dir), "lang", "source")),
 
+    // Markup strip: deterministically staged tags/entities removed at
+    // scan speed — the first transform a web corpus passes through.
+    "q367_strip_markup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = d.select(sf.col("doc_id"), sf.concat(
+        sf.when(sf.col("doc_id") % 3 === 0, sf.lit("<div class=\"a\">"))
+          .otherwise(sf.lit("")),
+        sf.lit("<p>"), sf.col("text"), sf.lit("</p>"),
+        sf.when(sf.col("doc_id") % 5 === 0,
+          sf.lit(" R&amp;D &lt;tag&gt;&nbsp;ok")).otherwise(sf.lit("")))
+        .as("text"))
+      TextAnalysis.stripMarkup(staged, "doc_id", "text")
+    }),
+
+    // CUSUM control chart: sequential drift detector with reset —
+    // catches the small persistent rate shift q121/q130 can't.
+    "q368_cusum_chart" -> ((s, dir) =>
+      EventOps.cusumChart(Tables.load(s, dir, "events"))),
+
+    // Holt linear smoothing: level AND trend states, one-step
+    // forecast — the drifting-stream baseline EWMA lags forever on.
+    "q369_holt" -> ((s, dir) =>
+      EventOps.holtSmoothing(Tables.load(s, dir, "events"))),
+
     // Hoeffding's D: quantity vs price-bucket dependence of ANY shape
     // — the screening statistic rho/tau read 0 on when non-monotone.
     "q366_hoeffding" -> ((s, dir) =>
@@ -11686,5 +11710,96 @@ object SparkEntry {
         |      / (CAST(n AS DOUBLE)*(n-1)*(n-2)*(n-3)*(n-4))*1000000.0 + 0.5)/1000000.0
         |  END AS d_stat
         |FROM s""".stripMargin,
+
+    // Markup strip: identical staged corpus, tag regex, fixed-order
+    // entity decode (&amp; last), whitespace collapse.
+    "q367_strip_markup" ->
+      """WITH staged AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN '<div class="a">' ELSE '' END
+        |    || '<p>' || text || '</p>' ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' R&amp;D &lt;tag&gt;&nbsp;ok' ELSE '' END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |s1 AS (SELECT doc_id, t, regexp_replace(t, '<[^>]*>', ' ', 'g') AS nt
+        |  FROM staged),
+        |s2 AS (SELECT doc_id, t,
+        |  replace(replace(replace(replace(replace(replace(nt,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&nbsp;', ' '), '&amp;', '&') AS dt
+        |  FROM s1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(length(t) AS BIGINT) AS n_chars_before,
+        |  CAST(length(trim(regexp_replace(dt, '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_after,
+        |  trim(regexp_replace(dt, '\s+', ' ', 'g')) AS text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // CUSUM chart: grid moments -> snapped mu/sigma/k/h, reset
+    // recursion as prefix-sum minus running-extremum, exact alarms.
+    "q368_cusum_chart" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |mom AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+        |  SUM(CAST(v AS HUGEINT)*v) AS s2 FROM sv GROUP BY 1),
+        |ms AS (SELECT t,
+        |  CAST(floor(CAST(s1 AS DOUBLE)/n*1e9 + 0.5) AS BIGINT) AS mu9,
+        |  CAST(floor(sqrt(CAST(n*s2 - CAST(s1 AS HUGEINT)*s1 AS DOUBLE))
+        |    /n*1e9 + 0.5) AS BIGINT) AS sig9
+        |  FROM mom),
+        |ks AS (SELECT t, mu9, sig9,
+        |  CAST(floor(0.5*sig9 + 0.5) AS BIGINT) AS k9,
+        |  CAST(floor(4.0*sig9 + 0.5) AS BIGINT) AS h9 FROM ms),
+        |d AS (SELECT sv.t, bin, v,
+        |  CAST(v AS HUGEINT)*1000000000 - mu9 - k9 AS dp,
+        |  CAST(v AS HUGEINT)*1000000000 - mu9 + k9 AS dm, sig9, h9
+        |  FROM sv JOIN ks ON sv.t = ks.t),
+        |p AS (SELECT t, bin, v, sig9, h9, SUM(dp) OVER w AS pp, SUM(dm) OVER w AS pm
+        |  FROM d WINDOW w AS (PARTITION BY t ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT t, bin, v, sig9, h9,
+        |  pp - LEAST(CAST(0 AS HUGEINT), MIN(pp) OVER w) AS sp,
+        |  GREATEST(CAST(0 AS HUGEINT), MAX(pm) OVER w) - pm AS sm
+        |  FROM p WINDOW w AS (PARTITION BY t ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t AS event_type, bin, v AS n_events,
+        |  floor(CAST(sp AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS cusum_pos,
+        |  floor(CAST(sm AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS cusum_neg,
+        |  CASE WHEN sig9 > 0 THEN
+        |    floor(CAST(h9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 END AS threshold,
+        |  CAST(sig9 > 0 AND sp > h9 AS INT) AS alarm_up,
+        |  CAST(sig9 > 0 AND sm > h9 AS INT) AS alarm_down
+        |FROM s ORDER BY event_type, bin""".stripMargin,
+
+    // Holt: the SAME driver-computed 1e-9 matrix-power weights
+    // embedded as literals; exact integer dot products.
+    "q369_holt" -> {
+      val vals = operators.EventOps.holtWeights(0.5, 0.3, 64)
+        .map { case (l, wl, wb) => s"($l, $wl, $wb)" }.mkString(", ")
+      s"""WITH e AS (SELECT event_type AS t, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |w AS (SELECT * FROM (VALUES $vals) t(l, wl9, wb9)),
+        |f AS (SELECT sv.t, sv.bin, sv.v, w.l, w.wl9, w.wb9, sv2.v AS vl
+        |  FROM sv CROSS JOIN w
+        |  JOIN sv sv2 ON sv2.t = sv.t AND sv2.bin = sv.bin - w.l),
+        |a AS (SELECT t, bin, COUNT(*) AS nav, CAST(MIN(v) AS BIGINT) AS v,
+        |  SUM(CAST(wl9 AS HUGEINT)*vl) AS lev9, SUM(CAST(wb9 AS HUGEINT)*vl) AS tr9
+        |  FROM f GROUP BY 1, 2)
+        |SELECT t AS event_type, bin, v AS n_events,
+        |  floor(CAST(lev9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS level,
+        |  floor(CAST(tr9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS trend,
+        |  floor(CAST(lev9 + tr9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS forecast_next
+        |FROM a WHERE nav = 64 ORDER BY event_type, bin""".stripMargin
+    },
   )
 }

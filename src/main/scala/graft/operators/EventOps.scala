@@ -3092,4 +3092,158 @@ object EventOps {
       }: _*)
       .orderBy(typeCol)
   }
+
+  /** Tabular two-sided CUSUM control chart (Page 1954) per event type
+    * over the [[denseSeries]] gap-filled count grid — the SEQUENTIAL
+    * monitor beside [[changePoint]]'s retrospective max-deviation
+    * scan: S⁺ accumulates excess above target+k and resets at zero,
+    * so a small persistent shift (the kind a fixed threshold never
+    * fires on and [[ewmaSeries]] only smooths) crosses h·σ after a
+    * few bins — the textbook drift detector for event-rate SLOs,
+    * with the reset meaning one alarm doesn't poison the next.
+    *
+    * Determinism: target μ and σ come from the exact grid moments
+    * (Σv, Σv² exact integers) and snap to 1e-9 longs; the reset
+    * recursion S⁺_i = max(0, S⁺_{i-1} + (v_i − μ − k)) is computed
+    * CLOSED-FORM as P_i − min(0, min_{j≤i} P_j) over the exact
+    * 1e-9-integer prefix sums P (the identity that turns a sequential
+    * recursion into two cumulative windows — no iteration, no UDF),
+    * S⁻ symmetrically from the running max; outputs snap 1e-6 and
+    * alarms compare the EXACT integers against h·σ, so the flag can
+    * never disagree with the printed value. Constant series (σ = 0)
+    * yields zero alarms and NULL thresholds.
+    *
+    * Scale shape: the grid builds once and checkpoints; two cumulative
+    * windows per TYPE over the bounded BIN domain (the grid is
+    * maxBins-bounded by [[denseSeries]] contract) + one broadcast
+    * moments attach — nothing row-scale shuffles twice. */
+  def cusumChart(events: DataFrame, typeCol: String = "event_type",
+                 tsCol: String = "ts", binSec: Long = 3600,
+                 kSigmas: Double = 0.5, hSigmas: Double = 4.0): DataFrame = {
+    require(kSigmas >= 0 && hSigmas > 0,
+      s"cusumChart: need kSigmas >= 0 and hSigmas > 0, got $kSigmas/$hSigmas")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // moments + the prefix windows read it
+    val moments = g.groupBy("t").agg(
+        sf.count(sf.lit(1)).as("__n"), sf.sum("v").as("__s1"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("__s2"))
+      .select(sf.col("t"),
+        sf.floor(sf.col("__s1").cast("double") / sf.col("__n").cast("double")
+          * 1e9 + 0.5).cast("long").as("__mu9"),
+        sf.floor(sf.sqrt((dec(sf.col("__n")) * sf.col("__s2") -
+            dec(sf.col("__s1")) * dec(sf.col("__s1"))).cast("double"))
+          / sf.col("__n").cast("double") * 1e9 + 0.5).cast("long").as("__sig9"))
+      .select(sf.col("t"), sf.col("__mu9"), sf.col("__sig9"),
+        sf.floor(sf.lit(kSigmas) * sf.col("__sig9") + 0.5).cast("long").as("__k9"),
+        sf.floor(sf.lit(hSigmas) * sf.col("__sig9") + 0.5).cast("long").as("__h9"))
+    val w = Window.partitionBy("t").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = sf.lit(0).cast("decimal(38,0)")
+    val charted = g.join(sf.broadcast(moments), "t")
+      .withColumn("__dp", dec(sf.col("v")) * dec(sf.lit(1000000000L)) -
+        sf.col("__mu9") - sf.col("__k9"))
+      .withColumn("__dm", dec(sf.col("v")) * dec(sf.lit(1000000000L)) -
+        sf.col("__mu9") + sf.col("__k9"))
+      .withColumn("__pp", sf.sum("__dp").over(w))
+      .withColumn("__pm", sf.sum("__dm").over(w))
+      .withColumn("__sp", sf.col("__pp") -
+        sf.least(zero, sf.min("__pp").over(w)))
+      .withColumn("__sm",
+        sf.greatest(zero, sf.max("__pm").over(w)) - sf.col("__pm"))
+    charted.select(sf.col("t").as(typeCol), sf.col("bin"),
+        sf.col("v").as("n_events"),
+        gf.roundAt(sf.col("__sp").cast("double") / 1e9, 6).as("cusum_pos"),
+        gf.roundAt(sf.col("__sm").cast("double") / 1e9, 6).as("cusum_neg"),
+        sf.when(sf.col("__sig9") > 0,
+          gf.roundAt(sf.col("__h9").cast("double") / 1e9, 6)).as("threshold"),
+        (sf.col("__sig9") > 0 && sf.col("__sp") > sf.col("__h9"))
+          .cast("int").as("alarm_up"),
+        (sf.col("__sig9") > 0 && sf.col("__sm") > sf.col("__h9"))
+          .cast("int").as("alarm_down"))
+      .orderBy(typeCol, "bin")
+  }
+
+  /** Steady-state Holt linear weights: (level, trend) convolution
+    * coefficients for lag l, 1e-9-snapped longs. The Holt recursion
+    * ℓ_t = αy_t + (1−α)(ℓ_{t-1}+b_{t-1}), b_t = β(ℓ_t−ℓ_{t-1}) +
+    * (1−β)b_{t-1} is linear in the state, so [ℓ_t, b_t] =
+    * Σ_l A^l·B·y_{t−l} with A = [[1−α, 1−α], [−αβ, 1−αβ]],
+    * B = [α, αβ]ᵀ — the matrix powers computed here once, on the
+    * driver, and shared VERBATIM by the Spark plan and the oracle. */
+  def holtWeights(alpha: Double, beta: Double, lags: Int): Seq[(Int, Long, Long)] = {
+    var (a11, a12, a21, a22) = (1.0, 0.0, 0.0, 1.0) // A^0 = I
+    val (m11, m12, m21, m22) = (1 - alpha, 1 - alpha, -alpha * beta, 1 - alpha * beta)
+    (0 until lags).map { l =>
+      val wl = a11 * alpha + a12 * alpha * beta
+      val wb = a21 * alpha + a22 * alpha * beta
+      val (n11, n12) = (a11 * m11 + a12 * m21, a11 * m12 + a12 * m22)
+      val (n21, n22) = (a21 * m11 + a22 * m21, a21 * m12 + a22 * m22)
+      a11 = n11; a12 = n12; a21 = n21; a22 = n22
+      (l, math.floor(wl * 1e9 + 0.5).toLong, math.floor(wb * 1e9 + 0.5).toLong)
+    }
+  }
+
+  /** Holt linear (double exponential) smoothing per event type over
+    * the [[denseSeries]] gap-filled count grid — level AND local
+    * trend where [[ewmaSeries]] tracks level only (an EWMA lags a
+    * trending series by trend/α forever; Holt's second state
+    * extrapolates it), with the one-step forecast ℓ+b the q121-style
+    * anomaly baselines want for drifting streams.
+    *
+    * Contract: the STEADY-STATE truncated convolution, not the
+    * initialized recursion — [ℓ_t, b_t] = Σ_{l<K} A^l B y_{t−l} with
+    * the matrix-power weights from [[holtWeights]]; det A = 1−α, so
+    * in the complex-eigenvalue regime the spectral radius is
+    * √(1−α) < 1 and truncation bias decays geometrically (default
+    * α=0.5, β=0.3, K=64: ρ ≈ 0.71, bias < 1e-9 of scale); only bins
+    * with a FULL K-lag
+    * history emit — no warm-up rows whose value depends on an
+    * arbitrary initialization.
+    *
+    * Determinism: weights are 1e-9-snapped longs computed ONCE on the
+    * driver ([[holtWeights]]) and embedded as literals in both
+    * engines; level/trend are exact DECIMAL(38,0) dot products of
+    * those longs with integer counts, one pinned division each,
+    * snapped 1e-6; forecast adds the two EXACT integer sums before
+    * the division, so forecast = level + trend holds on the grid.
+    *
+    * Scale shape: [[ewmaSeries]]'s — the grid builds once and
+    * checkpoints, a bounded K-way broadcast lag fan-out + ONE
+    * (type, bin) equi join, one combinable rollup. No window, no
+    * per-series sort, no iteration. */
+  def holtSmoothing(events: DataFrame, alpha: Double = 0.5, beta: Double = 0.3,
+                    lags: Int = 64, binSec: Long = 3600): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"holtSmoothing: alpha/beta must be in (0,1), got $alpha/$beta")
+    require(lags >= 2 && lags <= 128,
+      s"holtSmoothing: lags must be in [2, 128], got $lags")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val sv = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true)
+    val lagW = holtWeights(alpha, beta, lags).toDF("l", "wl9", "wb9")
+    sv.crossJoin(sf.broadcast(lagW))
+      .withColumn("blk", sf.col("bin") - sf.col("l"))
+      .join(sv.select(sf.col("t"), sf.col("bin").as("blk"),
+        sf.col("v").as("vl")), Seq("t", "blk"))
+      .groupBy("t", "bin")
+      .agg(sf.count(sf.lit(1)).as("__navail"),
+        sf.sum(sf.when(sf.col("l") === 0, sf.col("vl"))).cast("long").as("v"),
+        sf.sum(dec(sf.col("wl9")) * dec(sf.col("vl"))).as("__lev9"),
+        sf.sum(dec(sf.col("wb9")) * dec(sf.col("vl"))).as("__tr9"))
+      .filter(sf.col("__navail") === lags) // full-history bins only
+      .select(sf.col("t").as("event_type"), sf.col("bin"),
+        sf.col("v").as("n_events"),
+        gf.roundAt(sf.col("__lev9").cast("double") / 1e9, 6).as("level"),
+        gf.roundAt(sf.col("__tr9").cast("double") / 1e9, 6).as("trend"),
+        gf.roundAt((sf.col("__lev9") + sf.col("__tr9")).cast("double") / 1e9, 6)
+          .as("forecast_next"))
+      .orderBy("event_type", "bin")
+  }
 }

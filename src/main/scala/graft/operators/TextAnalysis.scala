@@ -1576,4 +1576,41 @@ object TextAnalysis {
         "n_chars_before", "n_chars_after", "text")
       .orderBy("doc_id")
   }
+
+  /** HTML/markup strip — the first transform every web-scraped corpus
+    * passes through before any row-376 boilerplate or row-35 quality
+    * logic can see real prose: removes `<...>` tags, decodes the five
+    * core character entities plus `&nbsp;`, and collapses the
+    * whitespace runs block tags leave behind. Deliberately a TEXT
+    * transform, not a DOM parse (scripts/styles survive as text —
+    * honest non-goal documented here; a corpus needing structural
+    * extraction should land through a real HTML pipeline first) —
+    * what this buys at 100 TB is scan-speed cleanup with zero shuffle.
+    *
+    * Determinism: three fixed-order regex/replace passes (tags →
+    * entities with `&amp;` LAST so `&amp;lt;` decodes once to the
+    * literal `&lt;`, the standard single-pass convention → whitespace
+    * collapse + trim); tag count from the same pattern the strip
+    * uses, so the count can never disagree with the removal.
+    *
+    * Scale shape: pure per-row expressions — map-only, codegen'd,
+    * zero shuffle; runs at scan speed on any corpus size. */
+  def stripMarkup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tagPat = "<[^>]*>"
+    val t0 = sf.col(textCol)
+    val noTags = sf.regexp_replace(t0, tagPat, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        sf.replace(c, sf.lit(ent), sf.lit(ch)) }
+    val clean = sf.trim(sf.regexp_replace(decoded, "\\s+", " "))
+    docs.filter(sf.col(idCol).isNotNull && t0.isNotNull)
+      .select(sf.col(idCol).cast("long").as("doc_id"),
+        sf.size(sf.regexp_extract_all(t0, sf.lit(tagPat), sf.lit(0)))
+          .cast("long").as("n_tags"),
+        sf.length(t0).cast("long").as("n_chars_before"),
+        sf.length(clean).cast("long").as("n_chars_after"),
+        clean.as("text"))
+      .orderBy("doc_id")
+  }
 }

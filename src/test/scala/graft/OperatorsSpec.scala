@@ -3395,4 +3395,86 @@ class OperatorsSpec extends SparkFunSuite {
       QualityChecks.hoeffdingsD(Seq(("a", 1.0)).toDF("x", "y"), "x", "y")
     }
   }
+
+  test("TextAnalysis.stripMarkup: tags, entity order, multiline attrs") {
+    val df = Seq(
+      (1L, "<p>a &amp; b</p>"),
+      (2L, "x &amp;lt; y"),               // double-escaped stays literal
+      (3L, "<div\nclass='x'>hi</div>\t there "),
+      (4L, "plain")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tags"), r.getAs[String]("text")))
+    assert(got.toSeq == Seq(
+      (1L, 2L, "a & b"),
+      (2L, 0L, "x &lt; y"),
+      (3L, 2L, "hi there"),
+      (4L, 0L, "plain")), got.mkString("; "))
+    val r1 = TextAnalysis.stripMarkup(df, "doc_id", "text").head()
+    assert(r1.getAs[Long]("n_chars_before") == 16 &&
+      r1.getAs[Long]("n_chars_after") == 5, r1.toString)
+  }
+
+  test("EventOps.cusumChart: reset identity vs pinned model, burst alarm") {
+    // 30 calm hourly bins of 5 events, then a 2-bin burst of 50
+    val counts = Array.fill(30)(5L) ++ Array(50L, 50L)
+    val rows = counts.zipWithIndex.flatMap { case (c, hour) =>
+      Seq.fill(c.toInt)(("b", hour * 3600L)) }
+    val df = rows.toSeq.toDF("event_type", "ts_s")
+      .select(sf.col("event_type"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1.0).as("value"))
+    val got = EventOps.cusumChart(df).collect()
+    // pinned-chain model: snapped mu/sigma, prefix minus running min
+    val n = counts.length
+    val s1 = counts.sum
+    val s2 = counts.map(c => c * c).sum
+    val mu9 = math.floor(s1.toDouble / n * 1e9 + 0.5).toLong
+    val sig9 = math.floor(
+      math.sqrt((n * s2 - s1 * s1).toDouble) / n * 1e9 + 0.5).toLong
+    val k9 = math.floor(0.5 * sig9 + 0.5).toLong
+    val h9 = math.floor(4.0 * sig9 + 0.5).toLong
+    var (pp, runMin, pm, runMax) = (0L, 0L, 0L, 0L)
+    val model = counts.map { v =>
+      pp += v * 1000000000L - mu9 - k9; runMin = math.min(runMin, pp)
+      pm += v * 1000000000L - mu9 + k9; runMax = math.max(runMax, pm)
+      (math.floor((pp - runMin) / 1e9 * 1e6 + 0.5) / 1e6,
+        math.floor((runMax - pm) / 1e9 * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.length == n)
+    got.zip(model).foreach { case (r, (sp, sm)) =>
+      assert(r.getAs[Double]("cusum_pos") == sp &&
+        r.getAs[Double]("cusum_neg") == sm, s"$r vs ($sp, $sm)")
+    }
+    // the second burst bin crosses 4 sigma; calm bins never alarm
+    assert(got.last.getAs[Int]("alarm_up") == 1, got.last.toString)
+    assert(got.take(30).forall(_.getAs[Int]("alarm_up") == 0))
+    assert(got.forall(_.getAs[Int]("alarm_down") == 0))
+  }
+
+  test("EventOps.holtSmoothing: ramp trend ~1, forecast = level + trend, guards") {
+    // 80 hourly bins of a clean ramp: hour k has k+1 events
+    val rows = (0 until 80).flatMap(k => Seq.fill(k + 1)(("r", k * 3600L)))
+    val df = rows.toDF("event_type", "ts_s")
+      .select(sf.col("event_type"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1.0).as("value"))
+    val got = EventOps.holtSmoothing(df).collect()
+    assert(got.length == 80 - 63, s"full-history bins only: ${got.length}")
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("trend") - 1.0) < 0.01, r.toString)
+      assert(math.abs(r.getAs[Double]("forecast_next") -
+        r.getAs[Double]("level") - r.getAs[Double]("trend")) < 2e-6, r.toString)
+      // steady-state level tracks the ramp closely (counts are k+1)
+      assert(math.abs(r.getAs[Double]("level") -
+        (r.getAs[Long]("n_events"))) < 2.0, r.toString)
+    }
+    // weights sum to (1, 0): the steady-state sanity identity
+    val ws = EventOps.holtWeights(0.5, 0.3, 64)
+    assert(math.abs(ws.map(_._2).sum / 1e9 - 1.0) < 1e-6)
+    assert(math.abs(ws.map(_._3).sum / 1e9) < 1e-6)
+    intercept[IllegalArgumentException] {
+      EventOps.holtSmoothing(df, alpha = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.holtSmoothing(df, lags = 1)
+    }
+  }
 }
