@@ -2634,6 +2634,25 @@ object SparkEntry {
           .join(li, sf.col("o_orderkey") === sf.col("l_orderkey")),
         "o_totalprice", "n_items", "sum_qty")
     }),
+
+    // Hard-word readability ladder: fog/SMOG count difficulty where
+    // it concentrates; LIX/RIX need no syllable model at all.
+    "q370_readability2" -> ((s, dir) =>
+      TextAnalysis.readability2(docs(s, dir), "doc_id", "text")),
+
+    // Link-prediction datasheet: CN/Jaccard/AA/RA/PA side by side on
+    // the row-308 candidate semantics — one wedge pass, four scores.
+    "q371_link_prediction" -> ((s, dir) =>
+      Graph.linkPrediction(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 2, topK = 100,
+        maxCenterDegree = 1000)),
+
+    // Bounded-horizon closeness/harmonic centrality for a seed set:
+    // which candidate sits closest to the rest of the graph.
+    "q372_closeness" -> ((s, dir) =>
+      Graph.closenessCentrality(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", item => item % 100 === 0,
+        minPairCount = 2, rounds = 3)),
   )
 
   // ---------------------------------------------------------------------
@@ -11801,5 +11820,77 @@ object SparkEntry {
         |  floor(CAST(lev9 + tr9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS forecast_next
         |FROM a WHERE nav = 64 ORDER BY event_type, bin""".stripMargin
     },
+
+    "q370_readability2" ->
+      """WITH w AS (SELECT doc_id, lower(text) AS lt,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  greatest(1, CAST(len(regexp_extract_all(lt, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |  CAST(len([x FOR x IN ws IF len(regexp_extract_all(x, '[aeiouy]+')) >= 3]) AS BIGINT) AS n_complex,
+        |  CAST(len([x FOR x IN ws IF len(x) > 6]) AS BIGINT) AS n_long
+        | FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_complex, n_long,
+        |  floor((0.4 * (CAST(n_words AS DOUBLE)/n_sentences + 100.0*CAST(n_complex AS DOUBLE)/n_words))*10000.0 + 0.5)/10000.0 AS fog,
+        |  floor((1.0430 * sqrt(CAST(n_complex AS DOUBLE)*30.0/n_sentences) + 3.1291)*10000.0 + 0.5)/10000.0 AS smog,
+        |  floor((CAST(n_words AS DOUBLE)/n_sentences + 100.0*CAST(n_long AS DOUBLE)/n_words)*10000.0 + 0.5)/10000.0 AS lix,
+        |  floor((CAST(n_long AS DOUBLE)/n_sentences)*10000.0 + 0.5)/10000.0 AS rix
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q371_link_prediction" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |e AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT item_a AS w, item_b AS x FROM e
+        |        UNION ALL SELECT item_b, item_a FROM e),
+        |dg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |cen AS (SELECT w, CAST(floor(1.0/ln(CAST(d AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS a9,
+        |  CAST(1000000000 // d AS BIGINT) AS r9
+        |  FROM dg WHERE d >= 2 AND d <= 1000),
+        |wg AS (SELECT a1.x AS x, a2.x AS y, cen.a9, cen.r9 FROM adj a1
+        |  JOIN cen ON cen.w = a1.w JOIN adj a2 ON a2.w = a1.w WHERE a1.x < a2.x),
+        |sc AS (SELECT x AS item_a, y AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        |  CAST(SUM(a9) AS BIGINT) AS s9, CAST(SUM(r9) AS BIGINT) AS t9
+        |  FROM wg GROUP BY 1, 2),
+        |flt AS (SELECT sc.*, da.d AS da, db.d AS db FROM sc
+        |  JOIN dg da ON da.w = sc.item_a JOIN dg db ON db.w = sc.item_b
+        |  WHERE NOT EXISTS
+        |  (SELECT 1 FROM e WHERE e.item_a = sc.item_a AND e.item_b = sc.item_b))
+        |SELECT item_a, item_b, common_neighbors,
+        |  floor(CAST(common_neighbors AS DOUBLE)/CAST(da + db - common_neighbors AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS jaccard,
+        |  floor(CAST(s9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS aa_score,
+        |  floor(CAST(t9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS ra_score,
+        |  CAST(da * db AS BIGINT) AS pa_score
+        |FROM flt ORDER BY aa_score DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "q372_closeness" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT item_a AS src, item_b AS dst FROM cab
+        |      UNION ALL SELECT item_b, item_a FROM cab),
+        |s0 AS (SELECT DISTINCT src AS seed, src AS item, CAST(0 AS BIGINT) AS dist
+        |       FROM e WHERE src % 100 = 0),
+        |r1 AS (SELECT s.seed, e.dst AS item, MIN(s.dist + 1) AS dist
+        |       FROM e JOIN s0 s ON e.src = s.item GROUP BY 1, 2),
+        |s1 AS (SELECT seed, item, MIN(dist) AS dist FROM
+        |       (SELECT * FROM s0 UNION ALL SELECT * FROM r1) GROUP BY 1, 2),
+        |r2 AS (SELECT s.seed, e.dst AS item, MIN(s.dist + 1) AS dist
+        |       FROM e JOIN s1 s ON e.src = s.item GROUP BY 1, 2),
+        |s2 AS (SELECT seed, item, MIN(dist) AS dist FROM
+        |       (SELECT * FROM s1 UNION ALL SELECT * FROM r2) GROUP BY 1, 2),
+        |r3 AS (SELECT s.seed, e.dst AS item, MIN(s.dist + 1) AS dist
+        |       FROM e JOIN s2 s ON e.src = s.item GROUP BY 1, 2),
+        |s3 AS (SELECT seed, item, MIN(dist) AS dist FROM
+        |       (SELECT * FROM s2 UNION ALL SELECT * FROM r3) GROUP BY 1, 2)
+        |SELECT seed AS item, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+        |  floor(CAST(COUNT(*) AS DOUBLE)/CAST(SUM(dist) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS closeness,
+        |  floor(CAST(SUM(1000000000 // dist) AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS harmonic
+        |FROM s3 WHERE item <> seed GROUP BY seed ORDER BY item""".stripMargin,
   )
 }

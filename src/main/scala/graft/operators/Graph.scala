@@ -1600,4 +1600,141 @@ object Graph {
       .orderBy(sf.col("aa_score").desc, sf.col("item_a"), sf.col("item_b"))
       .limit(topK)
   }
+
+  /** Link-prediction datasheet — the four classic neighborhood scores
+    * side by side on [[adamicAdar]]'s exact candidate semantics
+    * (non-adjacent pairs sharing >= 1 qualified center, centers
+    * filtered to degree [2, maxCenterDegree]): common-neighbor count,
+    * Jaccard cn/(d_a + d_b − cn) (Liben-Nowell & Kleinberg 2007),
+    * resource allocation Σ_w 1/d_w (Zhou, Lü & Zhang 2009 — the
+    * published top performer of the degree-penalized family; penalizes
+    * hubs HARDER than AA's 1/ln d), preferential attachment d_a·d_b
+    * (Barabási — the no-neighborhood baseline), plus AA itself, so one
+    * scan answers "which score family separates this graph's missing
+    * edges" instead of four separate wedge enumerations.
+    *
+    * Determinism: per-center weights snap to the 1e-9 grid (the row
+    * 308 convention) so RA/AA are exact integer sums; Jaccard is one
+    * pinned integer-ratio division rounded 1e-6; PA is an exact long
+    * product of full degrees. Top-k orders by (aa_score desc, item_a,
+    * item_b) — the row 308 cut, fully tie-deterministic.
+    *
+    * Scale shape: identical to [[adamicAdar]] — ONE wedge enumeration
+    * bounded by the center cap (Σd² over qualified centers), one
+    * broadcast-sized degree attach per side, one anti join, TakeOrdered
+    * finish. Four scores for the price of row 308's one. */
+  def linkPrediction(df: DataFrame, basketCol: String, itemCol: String,
+                     minPairCount: Long = 2, topK: Int = 100,
+                     maxCenterDegree: Long = 1000): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK must be in [1, 1e5], got $topK")
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    val und = minedPairs(df, basketCol, itemCol, minPairCount)
+      .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
+      .persist()
+    val adj = und.select(sf.col("u").as("w"), sf.col("v").as("x"))
+      .union(und.select(sf.col("v").as("w"), sf.col("u").as("x")))
+    val deg = adj.groupBy("w").agg(sf.count(sf.lit(1)).as("d"))
+      .localCheckpoint(true) // centers + both score-side attaches read it
+    val centers = deg
+      .filter(sf.col("d") >= 2 && sf.col("d") <= maxCenterDegree)
+      .select(sf.col("w"),
+        sf.floor(sf.lit(1.0) / sf.log(sf.col("d").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("__aa9"),
+        sf.expr("CAST(1000000000 DIV d AS BIGINT)").as("__ra9"))
+    val wedges = adj.join(centers, "w")
+      .join(adj.select(sf.col("w"), sf.col("x").as("y")), Seq("w"))
+      .filter(sf.col("x") < sf.col("y"))
+    val scored = wedges.groupBy(sf.col("x").as("item_a"), sf.col("y").as("item_b"))
+      .agg(sf.count(sf.lit(1)).as("common_neighbors"),
+        sf.sum(sf.col("__aa9")).as("__a9"), sf.sum(sf.col("__ra9")).as("__r9"))
+    val res = scored
+      .join(und.select(sf.col("u").as("item_a"), sf.col("v").as("item_b")),
+        Seq("item_a", "item_b"), "left_anti")
+      .join(deg.select(sf.col("w").as("item_a"), sf.col("d").as("__da")), "item_a")
+      .join(deg.select(sf.col("w").as("item_b"), sf.col("d").as("__db")), "item_b")
+      .select(sf.col("item_a"), sf.col("item_b"), sf.col("common_neighbors"),
+        gf.roundAt(sf.col("common_neighbors").cast("double") /
+          (sf.col("__da") + sf.col("__db") - sf.col("common_neighbors"))
+            .cast("double"), 6).as("jaccard"),
+        gf.roundAt(sf.col("__a9").cast("double") / 1e9, 6).as("aa_score"),
+        gf.roundAt(sf.col("__r9").cast("double") / 1e9, 6).as("ra_score"),
+        (sf.col("__da") * sf.col("__db")).as("pa_score"))
+      .orderBy(sf.col("aa_score").desc, sf.col("item_a"), sf.col("item_b"))
+      .limit(topK)
+    val out = res.localCheckpoint(true)
+    und.unpersist()
+    out
+  }
+
+  /** Bounded-horizon closeness + harmonic centrality for a DETERMINISTIC
+    * seed set: per seed s, over every node within `rounds` hops,
+    * closeness = reached/Σdist (Bavelas 1950, restricted to the hop
+    * horizon — the only honest form at scale: exact closeness is
+    * all-pairs) and harmonic = Σ 1/dist (Marchiori & Latora 2000 —
+    * defined even when the horizon fragments the graph, which is why
+    * modern practice prefers it). Answers "which of THESE nodes sits
+    * closest to the rest of the graph" for a curated candidate set —
+    * hub catalog items, suspected-influencer accounts — without an
+    * all-pairs pass.
+    *
+    * Determinism: hop distances are exact integers (synchronous
+    * per-seed BFS, min-merge); harmonic terms are exact integer
+    * divisions 10⁹ div d summed as longs; closeness is ONE pinned
+    * integer-ratio division rounded 1e-6.
+    *
+    * Scale shape: the BFS state is (seed, node, dist) — |seeds| ×
+    * reachable nodes; per round ONE edge equi join + map-side-combined
+    * min (shuffle ≤ |seeds|·|E| worst case, in practice frontier-
+    * bounded). The SEED SET is the knob: centrality-for-everyone is an
+    * all-pairs ambition, centrality for a bounded candidate list is
+    * linear in it. Rounds ≤ 8 bound lineage growth (2⁸ subplans) below
+    * the relaxRounds checkpoint threshold. */
+  def closenessCentrality(df: DataFrame, basketCol: String, itemCol: String,
+                          seedPred: Column => Column,
+                          minPairCount: Long = 2, rounds: Int = 3): DataFrame =
+    closenessFromEdges(minedEdges(df, basketCol, itemCol, minPairCount),
+      seedPred, rounds)
+
+  /** [[closenessCentrality]] over a pre-mined directed edge list — the
+    * mine-once `*FromEdges` family member. */
+  def closenessFromEdges(edges0: DataFrame, seedPred: Column => Column,
+                         rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
+    val ownsEdges = !callerCached(edges0)
+    val edges = if (ownsEdges) edges0.persist() else edges0
+    val nodes = edges.select(sf.col("src").as("item"))
+      .union(edges.select(sf.col("dst").as("item"))).distinct()
+    var state = nodes.filter(seedPred(sf.col("item")))
+      .select(sf.col("item").as("seed"), sf.col("item"), sf.lit(0L).as("dist"))
+      .persist()
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val prev = state
+      val relax = edges.join(prev, sf.col("src") === sf.col("item"))
+        .select(sf.col("seed"), sf.col("dst").as("item"),
+          (sf.col("dist") + sf.lit(1L)).as("dist"))
+      state = prev.unionByName(relax)
+        .groupBy("seed", "item").agg(sf.min("dist").as("dist"))
+        .persist()
+      toFree += prev
+      if (r == rounds) () // final state freed after the result materializes
+    }
+    val res = state.filter(sf.col("item") =!= sf.col("seed"))
+      .groupBy("seed")
+      .agg(sf.count(sf.lit(1)).as("n_reached"),
+        sf.sum("dist").cast("long").as("sum_dist"),
+        sf.sum(sf.expr("CAST(1000000000 DIV dist AS BIGINT)")).as("__h9"))
+      .select(sf.col("seed").as("item"), sf.col("n_reached"),
+        sf.col("sum_dist"),
+        gf.roundAt(sf.col("n_reached").cast("double") /
+          sf.col("sum_dist").cast("double"), 6).as("closeness"),
+        gf.roundAt(sf.col("__h9").cast("double") / 1e9, 6).as("harmonic"))
+      .orderBy("item")
+    val out = res.localCheckpoint(true)
+    toFree.foreach(_.unpersist()); toFree.clear()
+    state.unpersist()
+    if (ownsEdges) edges.unpersist()
+    out
+  }
 }

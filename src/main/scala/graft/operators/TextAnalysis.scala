@@ -1160,6 +1160,58 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Hard-word readability ladder per document — the four classic
+    * indices built on WORD-difficulty counts rather than the syllable
+    * totals [[readability]] reports (two texts with the same
+    * syllables/word can differ wildly in how the difficulty is
+    * CONCENTRATED; these indices count the hard words directly):
+    * Gunning fog 0.4·(words/sentences + 100·complex/words) (Gunning
+    * 1952), SMOG 1.0430·√(complex·30/sentences) + 3.1291 (McLaughlin
+    * 1969), LIX words/sentences + 100·long/words and RIX
+    * long/sentences (Björnsson 1968; Anderson 1983 — the
+    * language-agnostic pair: "long" is a pure character count, no
+    * syllable model, so they survive on non-English text where the
+    * vowel heuristic is meaningless). A word is COMPLEX with >= 3
+    * vowel-group syllables ([[readability]]'s [aeiouy]+ run heuristic,
+    * same tokenization), LONG with > 6 characters (the published LIX
+    * cutoff). Sentences are [.!?]+ runs floored at 1, words are
+    * whitespace tokens of the lowercased text — exact integer counts;
+    * each index is ONE pinned left-assoc double assembly rounded once
+    * at 1e-4 (√ is IEEE-exact on both engines, so SMOG stays
+    * bit-identical).
+    *
+    * Scale shape: pure per-row kernels (two bounded array filters +
+    * one regexp count) — map-only at any corpus size, zero shuffles,
+    * zero UDFs; composes beside [[readability]] and [[gopherGate]] in
+    * the curation funnel. */
+  def readability2(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = prepared(docs0, idCol, textCol)
+      .filter(sf.length(sf.trim(sf.col(textCol))) > 0)
+    val lower = sf.lower(sf.col(textCol))
+    val words = gf.wsTokens(lower)
+    val nWords = sf.size(words).cast("long")
+    val nComplex = sf.size(sf.filter(words, w =>
+      sf.regexp_count(w, sf.lit("[aeiouy]+")) >= 3)).cast("long")
+    val nLong = sf.size(sf.filter(words, w => sf.length(w) > 6)).cast("long")
+    val nSent = sf.greatest(sf.lit(1L),
+      sf.regexp_count(lower, sf.lit("[.!?]+")).cast("long"))
+    val base = docs.select(sf.col(idCol), nWords.as("n_words"),
+      nSent.as("n_sentences"), nComplex.as("n_complex"), nLong.as("n_long"))
+    val w = sf.col("n_words").cast("double")
+    val st = sf.col("n_sentences").cast("double")
+    val cx = sf.col("n_complex").cast("double")
+    val lg = sf.col("n_long").cast("double")
+    base.select(sf.col(idCol), sf.col("n_words"), sf.col("n_sentences"),
+        sf.col("n_complex"), sf.col("n_long"),
+        gf.roundAt(sf.lit(0.4) * (w / st + sf.lit(100.0) * cx / w), 4)
+          .as("fog"),
+        gf.roundAt(sf.lit(1.0430) * sf.sqrt(cx * sf.lit(30.0) / st) +
+          sf.lit(3.1291), 4).as("smog"),
+        gf.roundAt(w / st + sf.lit(100.0) * lg / w, 4).as("lix"),
+        gf.roundAt(lg / st, 4).as("rix"))
+      .orderBy(idCol)
+  }
+
   /** Compression-ratio quality signal (the DataComp-LM / Dolma family
     * filter): DEFLATE(level 6) compressed bytes / raw UTF-8 bytes per
     * document. Boilerplate, template spam, and keyword stuffing

@@ -488,6 +488,24 @@ class CurationSpec extends SparkFunSuite {
       (2L, 2L, 1L, 2L, -3.01, 120.205)))
   }
 
+  test("TextAnalysis.readability2: hand-computed fog/SMOG/LIX/RIX") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat. it ran!"),      // 5 words, 2 sentences, 0 complex, 0 long
+      (2L, "considerable effort again."), // 1 complex (5 syl), 1 long (12 ch)
+      (3L, "   ")).toDF("doc_id", "text") // blank drops
+    val got = TextAnalysis.readability2(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8))).toSeq
+    // doc1: fog = .4*2.5 = 1.0, smog = 3.1291 (sqrt 0), lix = 2.5, rix = 0
+    // doc2: fog = .4*(3 + 100/3) = 14.5333, smog = 1.0430*sqrt(30)+3.1291
+    //       = 8.8418, lix = 3 + 100/3 = 36.3333, rix = 1.0
+    assert(got == Seq(
+      (1L, 5L, 2L, 0L, 0L, 1.0, 3.1291, 2.5, 0.0),
+      (2L, 3L, 1L, 1L, 1L, 14.5333, 8.8418, 36.3333, 1.0)), s"got $got")
+  }
+
   test("TextAnalysis.c4Gate: line rules drop, page rules fail") {
     import spark.implicits._
     val goodLine = "this line has at least five words."

@@ -1001,6 +1001,57 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       .collect().length == 3)
   }
 
+  test("Graph.linkPrediction: path pair scores all four families") {
+    import spark.implicits._
+    // path a-c-b: candidate {a, b} through center c; d_a = d_b = 1
+    val path = Seq((1L, "a"), (1L, "c"), (2L, "c"), (2L, "b"))
+      .toDF("basket", "item")
+    val rp = Graph.linkPrediction(path, "basket", "item", minPairCount = 1)
+      .collect()
+    assert(rp.length == 1)
+    val r = rp.head
+    assert(r.getAs[String]("item_a") == "a" && r.getAs[String]("item_b") == "b")
+    assert(r.getAs[Long]("common_neighbors") == 1)
+    assert(r.getAs[Double]("jaccard") == 1.0) // 1/(1+1-1)
+    val w9 = math.floor(1.0 / math.log(2.0) * 1e9 + 0.5)
+    assert(r.getAs[Double]("aa_score") == math.floor(w9 / 1e9 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("ra_score") == 0.5) // 1e9 div 2
+    assert(r.getAs[Long]("pa_score") == 1L)
+    // triangle: every pair adjacent -> nothing to predict
+    val tri = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"),
+      (3L, "c"), (3L, "a")).toDF("basket", "item")
+    assert(Graph.linkPrediction(tri, "basket", "item", minPairCount = 1)
+      .collect().isEmpty)
+  }
+
+  test("Graph.closenessCentrality: path horizon, closeness and harmonic") {
+    import spark.implicits._
+    // path 10-20-30-40
+    val path = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L),
+      (3L, 30L), (3L, 40L)).toDF("basket", "item")
+    val r3 = Graph.closenessCentrality(path, "basket", "item",
+        item => item === 10L, minPairCount = 1, rounds = 3).collect()
+    assert(r3.length == 1)
+    // dists 1,2,3: closeness = 3/6, harmonic = 1 + .5 + floor(1e9/3)/1e9
+    assert(r3.head.getAs[Long]("n_reached") == 3L &&
+      r3.head.getAs[Long]("sum_dist") == 6L)
+    assert(r3.head.getAs[Double]("closeness") == 0.5)
+    assert(r3.head.getAs[Double]("harmonic") == 1.833333)
+    // rounds = 2: node 40 beyond the horizon
+    val r2 = Graph.closenessCentrality(path, "basket", "item",
+        item => item === 10L, minPairCount = 1, rounds = 2).collect()
+    assert(r2.head.getAs[Long]("n_reached") == 2L &&
+      r2.head.getAs[Long]("sum_dist") == 3L)
+    assert(r2.head.getAs[Double]("closeness") == 0.666667)
+    assert(r2.head.getAs[Double]("harmonic") == 1.5)
+    // two seeds: each gets its own row keyed by its own distances
+    val rs = Graph.closenessCentrality(path, "basket", "item",
+        item => item === 10L || item === 40L, minPairCount = 1, rounds = 3)
+      .collect()
+    assert(rs.length == 2 && rs.map(_.getAs[Long]("item")).toSeq == Seq(10L, 40L))
+    assert(rs.forall(_.getAs[Double]("closeness") == 0.5))
+  }
+
   test("Graph.hitsBipartite: hand-run coupled integer recurrence") {
     import spark.implicits._
     // s1 -> {p1, p2}, s2 -> {p1}; duplicate edge must collapse.
