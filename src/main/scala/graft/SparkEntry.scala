@@ -2653,6 +2653,26 @@ object SparkEntry {
       Graph.closenessCentrality(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", item => item % 100 === 0,
         minPairCount = 2, rounds = 3)),
+
+    // Permutation entropy: ordinal-pattern complexity — monotone-
+    // invariant; separates regular series from unforecastable noise.
+    "q373_perm_entropy" -> ((s, dir) =>
+      EventOps.permutationEntropy(Tables.load(s, dir, "events"))),
+
+    // Hjorth activity/mobility/complexity: the three-number
+    // time-domain datasheet before any spectral sweep.
+    "q374_hjorth" -> ((s, dir) =>
+      EventOps.hjorthParameters(Tables.load(s, dir, "events"))),
+
+    // AR(2) by Yule-Walker: the smallest honest autoregression +
+    // the innovation-variance forecastability readout.
+    "q375_ar2" -> ((s, dir) =>
+      EventOps.ar2YuleWalker(Tables.load(s, dir, "events"))),
+
+    // Lo-MacKinlay variance ratios at q=2/4/8: does hourly variance
+    // aggregate like independent increments, or do shocks persist?
+    "q376_variance_ratio" -> ((s, dir) =>
+      EventOps.varianceRatio(Tables.load(s, dir, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -11892,5 +11912,147 @@ object SparkEntry {
         |  floor(CAST(COUNT(*) AS DOUBLE)/CAST(SUM(dist) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS closeness,
         |  floor(CAST(SUM(1000000000 // dist) AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS harmonic
         |FROM s3 WHERE item <> seed GROUP BY seed ORDER BY item""".stripMargin,
+
+    "q373_perm_entropy" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |tr AS (SELECT a.t, a.v AS a, b1.v AS bb, c2.v AS cc
+        |  FROM sv a JOIN sv b1 ON b1.t = a.t AND b1.bin = a.bin + 1
+        |  JOIN sv c2 ON c2.t = a.t AND c2.bin = a.bin + 2),
+        |pat AS (SELECT t, CASE WHEN a <= bb AND bb <= cc THEN '012'
+        |  WHEN a <= bb AND a <= cc THEN '021' WHEN a <= bb THEN '201'
+        |  WHEN a <= cc THEN '102' WHEN bb <= cc THEN '120' ELSE '210' END AS p
+        |  FROM tr),
+        |ce AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS c FROM pat GROUP BY 1, 2),
+        |ag AS (SELECT t, CAST(SUM(c) AS BIGINT) AS nw, CAST(COUNT(*) AS BIGINT) AS np,
+        |  SUM(CAST(c AS DECIMAL(38,0)) *
+        |      CAST(floor(ln(CAST(c AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0))) AS clnc
+        |  FROM ce GROUP BY 1)
+        |SELECT t AS event_type, nw AS n_windows, np AS n_patterns,
+        |  floor(CAST(CAST(nw AS DECIMAL(38,0)) *
+        |    CAST(floor(ln(CAST(nw AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0)) - clnc AS DOUBLE)
+        |    /(CAST(nw AS DOUBLE)*1e9)*1000000.0 + 0.5)/1000000.0 AS perm_entropy,
+        |  floor(CAST(CAST(nw AS DECIMAL(38,0)) *
+        |    CAST(floor(ln(CAST(nw AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0)) - clnc AS DOUBLE)
+        |    /(CAST(nw AS DOUBLE)*1791759469.0)*1000000.0 + 0.5)/1000000.0 AS perm_entropy_norm
+        |FROM ag ORDER BY event_type""".stripMargin,
+
+    "q374_hjorth" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |jo AS (SELECT a.t, a.v, b1.v AS v1, c2.v AS v2
+        |  FROM sv a LEFT JOIN sv b1 ON b1.t = a.t AND b1.bin = a.bin + 1
+        |  LEFT JOIN sv c2 ON c2.t = a.t AND c2.bin = a.bin + 2),
+        |m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |  SUM(CAST(v AS DECIMAL(38,0))*CAST(v AS DECIMAL(38,0))) AS q,
+        |  CAST(COUNT(v1) AS BIGINT) AS nd, CAST(SUM(v1 - v) AS BIGINT) AS sd,
+        |  SUM(CASE WHEN v1 IS NOT NULL THEN
+        |    CAST(v1 - v AS DECIMAL(38,0))*CAST(v1 - v AS DECIMAL(38,0)) END) AS qd,
+        |  CAST(COUNT(v2) AS BIGINT) AS ndd, CAST(SUM(v2 - 2*v1 + v) AS BIGINT) AS sdd,
+        |  SUM(CASE WHEN v2 IS NOT NULL THEN
+        |    CAST(v2 - 2*v1 + v AS DECIMAL(38,0))*CAST(v2 - 2*v1 + v AS DECIMAL(38,0)) END) AS qdd
+        |  FROM jo GROUP BY 1),
+        |f AS (SELECT t, n, nd, ndd,
+        |  n*q - CAST(s AS DECIMAL(38,0))*CAST(s AS DECIMAL(38,0)) AS va,
+        |  nd*qd - CAST(sd AS DECIMAL(38,0))*CAST(sd AS DECIMAL(38,0)) AS vad,
+        |  ndd*qdd - CAST(sdd AS DECIMAL(38,0))*CAST(sdd AS DECIMAL(38,0)) AS vadd
+        |  FROM m)
+        |SELECT t AS event_type, n AS n_bins,
+        |  floor(CAST(va AS DOUBLE)/CAST(n*n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS activity,
+        |  CASE WHEN va > 0 AND nd >= 2 THEN
+        |    floor(sqrt(CAST(vad*n*n AS DOUBLE)/CAST(va*nd*nd AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS mobility,
+        |  CASE WHEN va > 0 AND vad > 0 AND ndd >= 2 THEN
+        |    floor(sqrt(CAST(vadd*nd*nd AS DOUBLE)/CAST(vad*ndd*ndd AS DOUBLE))
+        |      /sqrt(CAST(vad*n*n AS DOUBLE)/CAST(va*nd*nd AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS complexity
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q375_ar2" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |       FROM sv GROUP BY 1),
+        |dn AS (SELECT sv.t,
+        |  SUM(CAST(st.n*sv.v - st.s AS DECIMAL(38,0)) * CAST(st.n*sv.v - st.s AS DECIMAL(38,0))) AS den
+        |  FROM sv JOIN st ON sv.t = st.t GROUP BY 1),
+        |pr AS (SELECT a.t, CAST(l.lag AS BIGINT) AS lag, a.v AS v1, bb.v AS v2
+        |  FROM sv a CROSS JOIN (SELECT unnest(range(1, 3)) AS lag) l
+        |  JOIN sv bb ON bb.t = a.t AND bb.bin = a.bin + l.lag),
+        |nm AS (SELECT pr.t,
+        |  SUM(CASE WHEN lag = 1 THEN
+        |    CAST(st.n*pr.v1 - st.s AS DECIMAL(38,0)) * CAST(st.n*pr.v2 - st.s AS DECIMAL(38,0)) END) AS num1,
+        |  SUM(CASE WHEN lag = 2 THEN
+        |    CAST(st.n*pr.v1 - st.s AS DECIMAL(38,0)) * CAST(st.n*pr.v2 - st.s AS DECIMAL(38,0)) END) AS num2
+        |  FROM pr JOIN st ON pr.t = st.t GROUP BY 1),
+        |asm AS (SELECT nm.t, st.n, dn.den,
+        |  CAST(num1 AS DOUBLE)/CAST(den AS DOUBLE) AS r1,
+        |  CAST(num2 AS DOUBLE)/CAST(den AS DOUBLE) AS r2
+        |  FROM nm JOIN dn ON nm.t = dn.t JOIN st ON nm.t = st.t)
+        |SELECT t AS event_type, n AS n_bins,
+        |  CASE WHEN den > 0 THEN floor(r1*1000000.0 + 0.5)/1000000.0 END AS r1,
+        |  CASE WHEN den > 0 THEN floor(r2*1000000.0 + 0.5)/1000000.0 END AS r2,
+        |  CASE WHEN den > 0 AND 1.0 - r1*r1 <> 0.0 THEN
+        |    floor(r1*(1.0 - r2)/(1.0 - r1*r1)*1000000.0 + 0.5)/1000000.0 END AS phi1,
+        |  CASE WHEN den > 0 AND 1.0 - r1*r1 <> 0.0 THEN
+        |    floor((r2 - r1*r1)/(1.0 - r1*r1)*1000000.0 + 0.5)/1000000.0 END AS phi2,
+        |  CASE WHEN den > 0 AND 1.0 - r1*r1 <> 0.0 THEN
+        |    floor((1.0 - r1*(1.0 - r2)/(1.0 - r1*r1)*r1 - (r2 - r1*r1)/(1.0 - r1*r1)*r2)*1000000.0 + 0.5)/1000000.0 END AS innovation_ratio
+        |FROM asm ORDER BY event_type""".stripMargin,
+
+    "q376_variance_ratio" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+        |       FROM sv GROUP BY 1),
+        |bs AS (SELECT sv.t,
+        |  SUM(CAST(st.n*sv.v - st.s AS DECIMAL(38,0)) * CAST(st.n*sv.v - st.s AS DECIMAL(38,0))) AS bsum
+        |  FROM sv JOIN st ON sv.t = st.t GROUP BY 1),
+        |wn AS (SELECT a.t, a.bin, CAST(COUNT(*) AS BIGINT) AS avail,
+        |  CAST(SUM(CASE WHEN l.l < 2 THEN bb.v END) AS BIGINT) AS w2,
+        |  CAST(SUM(CASE WHEN l.l < 4 THEN bb.v END) AS BIGINT) AS w4,
+        |  CAST(SUM(CASE WHEN l.l < 8 THEN bb.v END) AS BIGINT) AS w8
+        |  FROM sv a CROSS JOIN (SELECT unnest(range(0, 8)) AS l) l
+        |  JOIN sv bb ON bb.t = a.t AND bb.bin = a.bin + l.l
+        |  GROUP BY 1, 2),
+        |aq AS (SELECT wn.t,
+        |  SUM(CASE WHEN avail >= 2 THEN
+        |    CAST(st.n*w2 - 2*st.s AS DECIMAL(38,0)) * CAST(st.n*w2 - 2*st.s AS DECIMAL(38,0)) END) AS a2,
+        |  SUM(CASE WHEN avail >= 4 THEN
+        |    CAST(st.n*w4 - 4*st.s AS DECIMAL(38,0)) * CAST(st.n*w4 - 4*st.s AS DECIMAL(38,0)) END) AS a4,
+        |  SUM(CASE WHEN avail >= 8 THEN
+        |    CAST(st.n*w8 - 8*st.s AS DECIMAL(38,0)) * CAST(st.n*w8 - 8*st.s AS DECIMAL(38,0)) END) AS a8
+        |  FROM wn JOIN st ON wn.t = st.t GROUP BY 1)
+        |SELECT aq.t AS event_type, st.n AS n_bins,
+        |  CASE WHEN bsum > 0 AND st.n > 2 THEN
+        |    floor(CAST(a2*st.n AS DOUBLE)/CAST((st.n - 2 + 1)*2*bsum AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS vr2,
+        |  CASE WHEN bsum > 0 AND st.n > 4 THEN
+        |    floor(CAST(a4*st.n AS DOUBLE)/CAST((st.n - 4 + 1)*4*bsum AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS vr4,
+        |  CASE WHEN bsum > 0 AND st.n > 8 THEN
+        |    floor(CAST(a8*st.n AS DOUBLE)/CAST((st.n - 8 + 1)*8*bsum AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS vr8
+        |FROM aq JOIN bs ON aq.t = bs.t JOIN st ON aq.t = st.t
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -3246,4 +3246,265 @@ object EventOps {
           .as("forecast_next"))
       .orderBy("event_type", "bin")
   }
+
+  /** Permutation entropy of order 3 (Bandt & Pompe 2002) per event
+    * type over the [[denseSeries]] gap-filled count grid — the
+    * COMPLEXITY number the moment ladder (variance, ACF, Hurst) can't
+    * give: it reads the distribution of ORDINAL patterns of
+    * consecutive triples, so it is invariant to any monotone rescaling
+    * of the counts and maximally separates "regular" (few patterns,
+    * H→0) from "noisy" (all six equally likely, H→ln 6). The standard
+    * cheap pre-screen before fitting any series model: a near-zero PE
+    * series is deterministic structure a seasonal model should
+    * capture; a near-1 normalized PE series has no forecastable order.
+    *
+    * Ties break by TIME INDEX (earlier bin ranks first — the Bandt &
+    * Pompe stable convention), decided by pure integer comparisons, so
+    * every window maps to exactly one of the 6 patterns with no float
+    * anywhere. Entropy: with pattern counts c and N windows,
+    * H = (N·ln N − Σ c·ln c)/N over per-count 1e-9-snapped ln longs in
+    * DECIMAL(38,0) (partition-order-proof), normalized by the same
+    * snapped ln 6 — each output ONE pinned division rounded 1e-6.
+    * Fewer than 1 windows (n_bins < 3) → no row.
+    *
+    * Scale shape: the grid builds once and checkpoints; triples come
+    * from TWO (type, bin) equi joins on the dense grid (no window, no
+    * sort), then a (type, pattern) cell collapse — at most 6 cells per
+    * type — and a per-type rollup. */
+  def permutationEntropy(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // read three times (triple join)
+    val a = sf.col("v"); val b = sf.col("v1"); val c = sf.col("v2")
+    val pattern = sf.when(a <= b && b <= c, "012")
+      .when(a <= b && a <= c, "021")
+      .when(a <= b, "201")
+      .when(a <= c, "102")
+      .when(b <= c, "120")
+      .otherwise("210")
+    val triples = g
+      .join(g.select(sf.col("t"), (sf.col("bin") - 1).as("bin"),
+        sf.col("v").as("v1")), Seq("t", "bin"))
+      .join(g.select(sf.col("t"), (sf.col("bin") - 2).as("bin"),
+        sf.col("v").as("v2")), Seq("t", "bin"))
+    val cells = triples.groupBy(sf.col("t"), pattern.as("__pat"))
+      .agg(sf.count(sf.lit(1)).as("__c"))
+    val ln9 = (x: Column) =>
+      sf.floor(sf.log(x.cast("double")) * 1e9 + 0.5).cast("long")
+    val LN6_9 = 1791759469L // floor(ln 6 * 1e9 + 0.5), mirrored in the oracle
+    cells.groupBy("t")
+      .agg(sf.sum("__c").as("n_windows"),
+        sf.count(sf.lit(1)).as("n_patterns"),
+        sf.sum(dec(sf.col("__c")) * dec(ln9(sf.col("__c")))).as("__clnc"))
+      .select(sf.col("t").as("event_type"), sf.col("n_windows"),
+        sf.col("n_patterns"),
+        gf.roundAt((dec(sf.col("n_windows")) * dec(ln9(sf.col("n_windows"))) -
+          sf.col("__clnc")).cast("double") /
+          (sf.col("n_windows").cast("double") * 1e9), 6).as("perm_entropy"),
+        gf.roundAt((dec(sf.col("n_windows")) * dec(ln9(sf.col("n_windows"))) -
+          sf.col("__clnc")).cast("double") /
+          (sf.col("n_windows").cast("double") * LN6_9.toDouble), 6)
+          .as("perm_entropy_norm"))
+      .orderBy("event_type")
+  }
+
+  /** Hjorth parameters (Hjorth 1970) per event type over the
+    * [[denseSeries]] count grid — the three-number time-domain
+    * datasheet signal processing reads before any spectral analysis:
+    * ACTIVITY = population variance of the series (total power),
+    * MOBILITY = √(var(Δv)/var(v)) (a mean frequency proxy — how fast
+    * the series moves relative to its spread), COMPLEXITY =
+    * mobility(Δv)/mobility(v) (how much the CHANGE itself changes —
+    * 1 for a pure sine, growing with bandwidth). Together they
+    * summarize level noise vs oscillation vs irregularity in one scan
+    * where the full periodogram (row 313) costs a candidate sweep.
+    *
+    * Exactness: with n-scaled centered moments A = n·Σv²−(Σv)² (and
+    * likewise A_d over the n−1 first differences, A_dd over the n−2
+    * second differences v_{t+2}−2v_{t+1}+v_t), every term is
+    * DECIMAL(38,0); activity = A/n², mobility =
+    * √((A_d·n²)/(A·n_d²)), complexity = √((A_dd·n_d²)/(A_d·n_dd²)) /
+    * mobility — each a pinned double assembly rounded 1e-6. Constant
+    * series (A = 0) → NULL mobility/complexity; constant differences
+    * (A_d = 0) → NULL complexity.
+    *
+    * Scale shape: grid once + TWO lag equi joins (lead-1, lead-2) and
+    * ONE per-type rollup — no window, no sort, combinable sums. */
+  def hjorthParameters(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true)
+    val joined = g
+      .join(g.select(sf.col("t"), (sf.col("bin") - 1).as("bin"),
+        sf.col("v").as("v1")), Seq("t", "bin"), "left")
+      .join(g.select(sf.col("t"), (sf.col("bin") - 2).as("bin"),
+        sf.col("v").as("v2")), Seq("t", "bin"), "left")
+    val d = sf.col("v1") - sf.col("v")
+    val dd = sf.col("v2") - sf.lit(2L) * sf.col("v1") + sf.col("v")
+    val m = joined.groupBy("t").agg(
+      sf.count(sf.lit(1)).as("n"),
+      sf.sum("v").as("s"), sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("q"),
+      sf.count(sf.col("v1")).as("nd"),
+      sf.sum(d).as("sd"),
+      sf.sum(sf.when(sf.col("v1").isNotNull, dec(d) * dec(d))).as("qd"),
+      sf.count(sf.col("v2")).as("ndd"),
+      sf.sum(dd).as("sdd"),
+      sf.sum(sf.when(sf.col("v2").isNotNull, dec(dd) * dec(dd))).as("qdd"))
+    val A = dec(sf.col("n")) * sf.col("q") - dec(sf.col("s")) * dec(sf.col("s"))
+    val Ad = dec(sf.col("nd")) * sf.col("qd") -
+      dec(sf.col("sd")) * dec(sf.col("sd"))
+    val Add = dec(sf.col("ndd")) * sf.col("qdd") -
+      dec(sf.col("sdd")) * dec(sf.col("sdd"))
+    val mob = sf.sqrt((Ad * dec(sf.col("n")) * dec(sf.col("n"))).cast("double") /
+      (A * dec(sf.col("nd")) * dec(sf.col("nd"))).cast("double"))
+    val mobD = sf.sqrt(
+      (Add * dec(sf.col("nd")) * dec(sf.col("nd"))).cast("double") /
+      (Ad * dec(sf.col("ndd")) * dec(sf.col("ndd"))).cast("double"))
+    m.select(sf.col("t").as("event_type"), sf.col("n").as("n_bins"),
+        gf.roundAt(A.cast("double") /
+          (sf.col("n") * sf.col("n")).cast("double"), 6).as("activity"),
+        sf.when(A > 0 && sf.col("nd") >= 2,
+          gf.roundAt(mob, 6)).as("mobility"),
+        sf.when(A > 0 && Ad > 0 && sf.col("ndd") >= 2,
+          gf.roundAt(mobD / mob, 6)).as("complexity"))
+      .orderBy("event_type")
+  }
+
+  /** AR(2) fit by the Yule–Walker equations per event type over the
+    * [[denseSeries]] count grid — the smallest honest AUTOREGRESSIVE
+    * model: φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from the
+    * lag-1/lag-2 autocorrelations (row 266's exact population form),
+    * plus the innovation-variance ratio 1−φ₁r₁−φ₂r₂ (what fraction of
+    * the series' variance the AR structure does NOT explain — the
+    * one-number forecastability readout). φ₂ < 0 with φ₁ large is the
+    * damped-oscillation signature (pseudo-periodic traffic); φ₁+φ₂→1
+    * approaches a unit root (trending/bursty, differencing needed) —
+    * the model-selection fork before any heavier forecast.
+    *
+    * Determinism: num₁, num₂, den are the row-266 exact
+    * DECIMAL(38,0) n²-scaled sums; r₁, r₂ and the three outputs are
+    * ONE pinned left-assoc double chain each, rounded 1e-6. den = 0
+    * (constant series) or 1−r₁² = 0 → NULL coefficients.
+    *
+    * Scale shape: grid once + one bounded 2-lag explode equi join
+    * (the row 266 shape) + per-type rollup. */
+  def ar2YuleWalker(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true)
+    val stats = g.groupBy("t").agg(sf.count(sf.lit(1)).as("n"),
+      sf.sum("v").as("s"))
+    val den = g.join(stats, "t")
+      .select(sf.col("t"),
+        (dec(sf.col("n")) * dec(sf.col("v")) - dec(sf.col("s"))).as("__d"))
+      .groupBy("t").agg(sf.sum(sf.col("__d") * sf.col("__d")).as("den"))
+    val pairs = g
+      .withColumn("lag", sf.explode(sf.sequence(sf.lit(1L), sf.lit(2L))))
+      .select(sf.col("t"), (sf.col("bin") + sf.col("lag")).as("bin"),
+        sf.col("lag"), sf.col("v").as("v1"))
+      .join(g.select(sf.col("t"), sf.col("bin"), sf.col("v").as("v2")),
+        Seq("t", "bin"))
+    val num = pairs.join(stats, "t")
+      .select(sf.col("t"), sf.col("lag"),
+        ((dec(sf.col("n")) * dec(sf.col("v1")) - dec(sf.col("s"))) *
+          (dec(sf.col("n")) * dec(sf.col("v2")) - dec(sf.col("s")))).as("__p"))
+      .groupBy("t")
+      .agg(sf.sum(sf.when(sf.col("lag") === 1L, sf.col("__p"))).as("num1"),
+        sf.sum(sf.when(sf.col("lag") === 2L, sf.col("__p"))).as("num2"))
+    num.join(den, "t").join(stats, "t")
+      .select({
+        val r1 = sf.col("num1").cast("double") / sf.col("den").cast("double")
+        val r2 = sf.col("num2").cast("double") / sf.col("den").cast("double")
+        val disc = sf.lit(1.0) - r1 * r1
+        val phi1 = r1 * (sf.lit(1.0) - r2) / disc
+        val phi2 = (r2 - r1 * r1) / disc
+        // NESTED guards: ANSI division errors on den = 0, and CaseWhen
+        // only skips the VALUE lazily — a den-using CONDITION would
+        // still evaluate. Outer when keys on the exact decimal; the
+        // disc check runs only once den > 0 makes r1 safe.
+        def guarded(x: Column) = sf.when(sf.col("den") > 0,
+          sf.when(disc =!= 0.0, gf.roundAt(x, 6)))
+        Seq(sf.col("t").as("event_type"), sf.col("n").as("n_bins"),
+          sf.when(sf.col("den") > 0, gf.roundAt(r1, 6)).as("r1"),
+          sf.when(sf.col("den") > 0, gf.roundAt(r2, 6)).as("r2"),
+          guarded(phi1).as("phi1"),
+          guarded(phi2).as("phi2"),
+          guarded(sf.lit(1.0) - phi1 * r1 - phi2 * r2)
+            .as("innovation_ratio"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
+  /** Lo–MacKinlay variance ratio (Lo & MacKinlay 1988) per event type
+    * over the [[denseSeries]] count grid, treating each bin's count as
+    * the INCREMENT of the cumulative event process: VR(q) =
+    * Var(q-bin sums)/(q·Var(1-bin)) over OVERLAPPING windows — exactly
+    * 1 for independent increments, > 1 when shocks persist
+    * (burst/trend clustering), < 1 under mean reversion. The
+    * aggregation-consistency check beside Hurst (row 416): H reads
+    * long memory on a log–log ladder, VR reads it at specific horizons
+    * q ∈ {2, 4, 8}, so a capacity model sized on hourly variance can
+    * be checked directly at its true batch horizon.
+    *
+    * Exactness: with S = Σv over n bins and the q-window sum w_t,
+    * every centered term n·w_t − qS and n·v_t − S is an exact integer;
+    * A_q = Σ(n·w_t − qS)² over m_q = n−q+1 windows and B = Σ(n·v−S)²
+    * are DECIMAL(38,0), and VR(q) = (A_q·n)/(m_q·q·B) — ONE pinned
+    * division of two exact decimals, rounded 1e-6. Constant series
+    * (B = 0) or n ≤ q → NULL.
+    *
+    * Scale shape: grid once + ONE bounded 8-lag fan-out equi join
+    * (the row 287 trailing-window shape; window sums for all three q
+    * fall out of the same join via conditional aggregation) + one
+    * per-type rollup. No window function, no per-series sort. */
+  def varianceRatio(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val qs = Seq(2, 4, 8)
+    val maxQ = qs.max
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true)
+    val stats = g.groupBy("t").agg(sf.count(sf.lit(1)).as("n"),
+      sf.sum("v").as("s"))
+    val base = g.join(stats, "t")
+      .select(sf.col("t"),
+        (dec(sf.col("n")) * dec(sf.col("v")) - dec(sf.col("s"))).as("__d"))
+      .groupBy("t").agg(sf.sum(sf.col("__d") * sf.col("__d")).as("b"))
+    // forward fan-out: window anchored at bin collects v from bin+l
+    val win = g
+      .withColumn("l", sf.explode(sf.sequence(sf.lit(0L), sf.lit(maxQ - 1L))))
+      .select(sf.col("t"), (sf.col("bin") - sf.col("l")).as("bin"),
+        sf.col("l"), sf.col("v").as("vl"))
+      .join(g.select(sf.col("t"), sf.col("bin")), Seq("t", "bin"))
+      .groupBy("t", "bin")
+      .agg(sf.count(sf.lit(1)).as("__avail"),
+        (for (q <- qs) yield
+          sf.sum(sf.when(sf.col("l") < q, sf.col("vl"))).cast("long")
+            .as(s"w$q")): _*)
+    val aCols = for (q <- qs) yield {
+      val cw = dec(sf.col("n")) * dec(sf.col(s"w$q")) -
+        sf.lit(q).cast("decimal(38,0)") * dec(sf.col("s"))
+      sf.sum(sf.when(sf.col("__avail") >= q, cw * cw)).as(s"a$q")
+    }
+    val aq = win.join(stats, "t")
+      .groupBy("t")
+      .agg(aCols.head, aCols.tail: _*)
+    aq.join(base, "t").join(stats, "t")
+      .select(Seq(sf.col("t").as("event_type"), sf.col("n").as("n_bins")) ++
+        (for (q <- qs) yield {
+          val mq = sf.col("n") - sf.lit(q.toLong) + sf.lit(1L)
+          sf.when(sf.col("b") > 0 && sf.col("n") > q, gf.roundAt(
+            (sf.col(s"a$q") * dec(sf.col("n"))).cast("double") /
+              (dec(mq) * sf.lit(q).cast("decimal(38,0)") * sf.col("b"))
+                .cast("double"), 6)).as(s"vr$q")
+        }): _*)
+      .orderBy("event_type")
+  }
 }

@@ -3477,4 +3477,90 @@ class OperatorsSpec extends SparkFunSuite {
       EventOps.holtSmoothing(df, lags = 1)
     }
   }
+
+  private def hourlyCounts(byType: Seq[(String, Array[Long])]) = {
+    val rows = byType.flatMap { case (t, counts) =>
+      counts.zipWithIndex.flatMap { case (c, hour) =>
+        Seq.fill(c.toInt)((t, hour * 3600L)) } }
+    rows.toDF("event_type", "ts_s")
+      .select(sf.col("event_type"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1.0).as("value"))
+  }
+
+  test("EventOps.permutationEntropy: patterns, ramp zero, tie convention") {
+    val df = hourlyCounts(Seq(
+      "m" -> Array(1L, 2L, 3L, 2L, 1L, 2L), // 012, 021, 210, 102 -> 4 distinct
+      "r" -> Array(1L, 2L, 3L, 4L, 5L, 6L), // all 012 -> zero entropy
+      "c" -> Array(2L, 2L, 2L, 2L, 2L, 2L))) // ties -> earlier-first: all 012
+    val got = EventOps.permutationEntropy(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_patterns"),
+          r.getAs[Double]("perm_entropy"), r.getAs[Double]("perm_entropy_norm")))
+      .toMap
+    assert(got("r") == ((4L, 1L, 0.0, 0.0)), got("r").toString)
+    assert(got("c") == ((4L, 1L, 0.0, 0.0)), got("c").toString)
+    // 4 equiprobable patterns: H = ln 4 on the snapped grid
+    val ln4_9 = math.floor(math.log(4.0) * 1e9 + 0.5)
+    assert(got("m")._1 == 4L && got("m")._2 == 4L)
+    assert(got("m")._3 == math.floor(ln4_9 / 1e9 * 1e6 + 0.5) / 1e6)
+    assert(got("m")._4 == math.floor(4 * ln4_9 / (4 * 1791759469.0) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("EventOps.hjorthParameters: hand moments, constant-series guards") {
+    val df = hourlyCounts(Seq(
+      "h" -> Array(1L, 3L, 2L, 4L),
+      "k" -> Array(2L, 2L, 2L, 2L))) // constant -> zero activity, NULL rest
+    val got = EventOps.hjorthParameters(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val h = got("h")
+    // var = 20/16; mobility = sqrt(18*16/(20*9)); complexity =
+    // sqrt(36*9/(18*4)) / mobility
+    assert(h.getAs[Long]("n_bins") == 4L)
+    assert(h.getAs[Double]("activity") == 1.25)
+    assert(h.getAs[Double]("mobility") ==
+      math.floor(math.sqrt(288.0 / 180.0) * 1e6 + 0.5) / 1e6)
+    assert(h.getAs[Double]("complexity") ==
+      math.floor(math.sqrt(324.0 / 72.0) / math.sqrt(288.0 / 180.0) * 1e6 + 0.5) / 1e6)
+    val k = got("k")
+    assert(k.getAs[Double]("activity") == 0.0 && k.isNullAt(k.fieldIndex("mobility"))
+      && k.isNullAt(k.fieldIndex("complexity")))
+  }
+
+  test("EventOps.ar2YuleWalker: alternating series recovers -10/11, -1/11") {
+    val df = hourlyCounts(Seq(
+      "a" -> Array(3L, 1L, 3L, 1L, 3L, 1L),
+      "k" -> Array(2L, 2L, 2L, 2L, 2L, 2L))) // constant -> NULLs
+    val got = EventOps.ar2YuleWalker(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = got("a")
+    // r1 = -180/216, r2 = 144/216; YW: phi1 = -10/11, phi2 = -1/11,
+    // innovation = 10/33
+    assert(math.abs(a.getAs[Double]("r1") - (-0.833333)) < 2e-6, a.toString)
+    assert(math.abs(a.getAs[Double]("r2") - 0.666667) < 2e-6, a.toString)
+    assert(math.abs(a.getAs[Double]("phi1") - (-10.0 / 11)) < 2e-6, a.toString)
+    assert(math.abs(a.getAs[Double]("phi2") - (-1.0 / 11)) < 2e-6, a.toString)
+    assert(math.abs(a.getAs[Double]("innovation_ratio") - 10.0 / 33) < 2e-6)
+    val k = got("k")
+    assert(k.isNullAt(k.fieldIndex("r1")) && k.isNullAt(k.fieldIndex("phi1")))
+  }
+
+  test("EventOps.varianceRatio: alternating -> 0, ramp hand ratios") {
+    val df = hourlyCounts(Seq(
+      "a" -> Array(1L, 2L, 1L, 2L, 1L, 2L, 1L, 2L, 1L, 2L),
+      "t" -> (1L to 10L).toArray))
+    val got = EventOps.varianceRatio(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // alternating: every q-window sums to the same value -> VR = 0
+    val a = got("a")
+    assert(a.getAs[Double]("vr2") == 0.0 && a.getAs[Double]("vr4") == 0.0 &&
+      a.getAs[Double]("vr8") == 0.0, a.toString)
+    // ramp: A2 = 24000, A4 = 44800, A8 = 12800, B = 8250 (hand sums)
+    val t = got("t")
+    assert(t.getAs[Double]("vr2") ==
+      math.floor(240000.0 / 148500.0 * 1e6 + 0.5) / 1e6, t.toString)
+    assert(t.getAs[Double]("vr4") ==
+      math.floor(448000.0 / 231000.0 * 1e6 + 0.5) / 1e6, t.toString)
+    assert(t.getAs[Double]("vr8") ==
+      math.floor(128000.0 / 198000.0 * 1e6 + 0.5) / 1e6, t.toString)
+  }
 }
