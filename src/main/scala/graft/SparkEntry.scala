@@ -2673,6 +2673,37 @@ object SparkEntry {
     // aggregate like independent increments, or do shocks persist?
     "q376_variance_ratio" -> ((s, dir) =>
       EventOps.varianceRatio(Tables.load(s, dir, "events"))),
+
+    // Fisher's exact test on the q318 2x2: the small-sample gate
+    // where chi-squared/G asymptotics are invalid.
+    "q377_fisher_exact" -> ((s, dir) =>
+      QualityChecks.fisherExact(
+        Tables.load(s, dir, "events")
+          .filter(sf.col("event_type").isin("click", "view"))
+          .select(sf.col("event_type").as("arm"),
+            (sf.col("value").cast("double") > 50.0).as("success")),
+        "arm", "success")),
+
+    // G-test: the additive log-likelihood-ratio independence twin of
+    // chi-squared — exactly 2n ln(2) x the q163 mutual information.
+    "q378_g_test" -> ((s, dir) =>
+      QualityChecks.gTest(docs(s, dir), "lang", "source")),
+
+    // Goodman-Kruskal lambda: association in ERROR-REDUCTION units —
+    // what a modal-class router actually gains from knowing x.
+    "q379_gk_lambda" -> ((s, dir) =>
+      QualityChecks.gkLambda(docs(s, dir), "lang", "source")),
+
+    // Fowlkes-Mallows + variation of information on the q357
+    // labeling-vs-brand panel: pairwise precision/recall + a true
+    // partition metric beside ARI and V-measure.
+    "q380_clustering_agreement" -> ((s, dir) => {
+      val labels = Graph.labelPropagation(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, rounds = 3)
+      val classes = Tables.load(s, dir, "part")
+        .select(sf.col("p_partkey").as("item"), sf.col("p_brand").as("cls"))
+      Graph.clusteringAgreement(labels, classes)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -12054,5 +12085,120 @@ object SparkEntry {
         |    floor(CAST(a8*st.n AS DOUBLE)/CAST((st.n - 8 + 1)*8*bsum AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS vr8
         |FROM aq JOIN bs ON aq.t = bs.t JOIN st ON aq.t = st.t
         |ORDER BY event_type""".stripMargin,
+
+    "q377_fisher_exact" ->
+      """WITH s AS (SELECT event_type AS arm, CAST(value AS DOUBLE) > 50.0 AS ok
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |cl AS (SELECT arm, ok, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |tb AS (SELECT
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 'click' AND ok THEN c END), 0) AS BIGINT) AS a,
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 'click' AND NOT ok THEN c END), 0) AS BIGINT) AS b,
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 'view' AND ok THEN c END), 0) AS BIGINT) AS c,
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 'view' AND NOT ok THEN c END), 0) AS BIGINT) AS d
+        |  FROM cl),
+        |mg AS (SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+        |  a + b + c + d AS n FROM tb),
+        |lf0 AS (SELECT gs.j,
+        |  CAST(floor(ln(CAST(gs.j AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS lnj
+        |  FROM mg, (SELECT unnest(generate_series(1, (SELECT n FROM mg))) AS j) gs),
+        |lf AS (SELECT j, CAST(SUM(lnj) OVER (ORDER BY j) AS BIGINT) AS f FROM lf0
+        |  UNION ALL SELECT 0, 0),
+        |lc AS (SELECT
+        |  (SELECT f FROM lf WHERE j = mg.r1) + (SELECT f FROM lf WHERE j = mg.r2)
+        |  + (SELECT f FROM lf WHERE j = mg.c1) + (SELECT f FROM lf WHERE j = mg.n - mg.c1)
+        |  - (SELECT f FROM lf WHERE j = mg.n) AS lnconst FROM mg),
+        |ks AS (SELECT unnest(generate_series(greatest(0, mg.c1 - mg.r2),
+        |  least(mg.r1, mg.c1))) AS k FROM mg),
+        |lp AS MATERIALIZED (SELECT ks.k,
+        |  lc.lnconst - f1.f - f2.f - f3.f - f4.f AS lnp9
+        |  FROM ks CROSS JOIN mg CROSS JOIN lc
+        |  JOIN lf f1 ON f1.j = ks.k
+        |  JOIN lf f2 ON f2.j = mg.r1 - ks.k
+        |  JOIN lf f3 ON f3.j = mg.c1 - ks.k
+        |  JOIN lf f4 ON f4.j = mg.r2 - mg.c1 + ks.k),
+        |ob AS (SELECT lp.lnp9 AS lo FROM lp JOIN mg ON lp.k = mg.a),
+        |tl AS (SELECT
+        |  SUM(CASE WHEN lp.lnp9 <= ob.lo THEN
+        |    CAST(floor(exp(CAST(lp.lnp9 - ob.lo AS DOUBLE)/1e9)*1e15 + 0.5) AS DECIMAL(38,0)) END) AS t2,
+        |  SUM(CASE WHEN lp.k >= mg.a THEN
+        |    CAST(floor(exp(CAST(lp.lnp9 - ob.lo AS DOUBLE)/1e9)*1e15 + 0.5) AS DECIMAL(38,0)) END) AS tg
+        |  FROM lp CROSS JOIN ob CROSS JOIN mg)
+        |SELECT mg.n AS n, mg.a AS a, mg.b AS b, mg.c AS c, mg.d AS d,
+        |  floor(exp(CAST(ob.lo AS DOUBLE)/1e9)*(CAST(tl.t2 AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_two_sided,
+        |  floor(exp(CAST(ob.lo AS DOUBLE)/1e9)*(CAST(tl.tg AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_greater,
+        |  floor(CAST(ob.lo AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS ln_p_observed,
+        |  CASE WHEN mg.b*mg.c > 0 THEN
+        |    floor(CAST(mg.a AS DOUBLE)*CAST(mg.d AS DOUBLE)
+        |      /(CAST(mg.b AS DOUBLE)*CAST(mg.c AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS odds_ratio
+        |FROM mg CROSS JOIN ob CROSS JOIN tl""".stripMargin,
+
+    "q378_g_test" ->
+      """WITH s AS (SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |ce AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |jt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  SUM(CAST(c AS DECIMAL(38,0)) *
+        |      CAST(floor(ln(CAST(c AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0))) AS sxy,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells FROM ce),
+        |mx AS (SELECT SUM(CAST(cx AS DECIMAL(38,0)) *
+        |    CAST(floor(ln(CAST(cx AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0))) AS sx,
+        |  CAST(COUNT(*) AS BIGINT) AS nrx
+        |  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM ce GROUP BY 1)),
+        |my AS (SELECT SUM(CAST(cy AS DECIMAL(38,0)) *
+        |    CAST(floor(ln(CAST(cy AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0))) AS sy,
+        |  CAST(COUNT(*) AS BIGINT) AS ncy
+        |  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM ce GROUP BY 1))
+        |SELECT n, nrx AS n_rows_x, ncy AS n_cols_y,
+        |  floor(CAST(sxy + CAST(n AS DECIMAL(38,0)) *
+        |      CAST(floor(ln(CAST(n AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0))
+        |      - sx - sy AS DOUBLE)*2.0/1e9*1000000.0 + 0.5)/1000000.0 AS g_statistic,
+        |  CAST((nrx - 1)*(ncy - 1) AS BIGINT) AS df
+        |FROM jt CROSS JOIN mx CROSS JOIN my""".stripMargin,
+
+    "q379_gk_lambda" ->
+      """WITH s AS (SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |ce AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ce),
+        |sx AS (SELECT CAST(SUM(mx) AS BIGINT) AS smyx, CAST(MAX(cx) AS BIGINT) AS maxx
+        |  FROM (SELECT x, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS cx FROM ce GROUP BY 1)),
+        |sy AS (SELECT CAST(SUM(my) AS BIGINT) AS smxy, CAST(MAX(cy) AS BIGINT) AS maxy
+        |  FROM (SELECT y, MAX(c) AS my, CAST(SUM(c) AS BIGINT) AS cy FROM ce GROUP BY 1))
+        |SELECT n,
+        |  CASE WHEN n - maxy > 0 THEN
+        |    floor(CAST(smyx - maxy AS DOUBLE)/CAST(n - maxy AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS lambda_y_given_x,
+        |  CASE WHEN n - maxx > 0 THEN
+        |    floor(CAST(smxy - maxx AS DOUBLE)/CAST(n - maxx AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS lambda_x_given_y,
+        |  CASE WHEN n*2 - maxy - maxx > 0 THEN
+        |    floor(CAST(smyx + smxy - maxy - maxx AS DOUBLE)/CAST(n*2 - maxy - maxx AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS lambda_symmetric
+        |FROM nn CROSS JOIN sx CROSS JOIN sy""".stripMargin,
+
+    "q380_clustering_agreement" -> {
+      lpaOracleChain + """,
+        |cl AS (SELECT l3.item, l3.lbl AS community, p.p_brand AS cls
+        |  FROM l3 JOIN part p ON p.p_partkey = l3.item),
+        |cells AS MATERIALIZED (SELECT community, cls, CAST(COUNT(*) AS BIGINT) AS n_ck
+        |  FROM cl GROUP BY 1, 2),
+        |idx AS (SELECT SUM(CAST(n_ck AS DECIMAL(38,0))*(n_ck - 1)) AS i2,
+        |  SUM(CAST(n_ck AS DECIMAL(38,0)) *
+        |      CAST(floor(ln(CAST(n_ck AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0))) AS lc,
+        |  CAST(SUM(n_ck) AS BIGINT) AS n_items FROM cells),
+        |sa AS (SELECT SUM(CAST(a AS DECIMAL(38,0))*(a - 1)) AS sa2,
+        |  SUM(CAST(a AS DECIMAL(38,0)) *
+        |      CAST(floor(ln(CAST(a AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0))) AS la,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM (SELECT CAST(SUM(n_ck) AS BIGINT) AS a FROM cells GROUP BY community)),
+        |sb AS (SELECT SUM(CAST(bb AS DECIMAL(38,0))*(bb - 1)) AS sb2,
+        |  SUM(CAST(bb AS DECIMAL(38,0)) *
+        |      CAST(floor(ln(CAST(bb AS DOUBLE))*1e9 + 0.5) AS DECIMAL(38,0))) AS lb,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes
+        |  FROM (SELECT CAST(SUM(n_ck) AS BIGINT) AS bb FROM cells GROUP BY cls))
+        |SELECT n_items, n_clusters, n_classes,
+        |  CASE WHEN sa2 > 0 AND sb2 > 0 THEN
+        |    floor(CAST(i2 AS DOUBLE)/sqrt(CAST(sa2 AS DOUBLE)*CAST(sb2 AS DOUBLE))*1000000.0 + 0.5)/1000000.0
+        |  END AS fowlkes_mallows,
+        |  floor(CAST(la + lb - 2*lc AS DOUBLE)/(CAST(n_items AS DOUBLE)*1e9)*1000000.0 + 0.5)/1000000.0 AS variation_of_information
+        |FROM idx CROSS JOIN sa CROSS JOIN sb""".stripMargin
+    },
   )
 }

@@ -5353,6 +5353,211 @@ object QualityChecks {
       }: _*)
   }
 
+  /** G-test of independence (log-likelihood ratio; Sokal & Rohlf 1981)
+    * between two categorical columns — the χ² twin (row 145) that is
+    * ADDITIVE across partitions of the table and exactly 2n·ln(2)·MI,
+    * so it is the test statistic that matches the information-theoretic
+    * ladder (rows 204/417) instead of merely approximating it: G =
+    * 2·Σ O·ln(O/E) = 2·[Σc·ln c + n·ln n − Σr·ln r − Σk·ln k] over the
+    * observed cells and margins, asymptotically χ²((R−1)(C−1)) like χ²
+    * but preferred when any O/E ratio is large (χ² inflates there).
+    *
+    * Determinism: exact cell/margin counts; every Σc·ln c accumulates
+    * 1e-9-snapped per-count ln longs in DECIMAL(38,0) (the row 417
+    * machinery), G is ONE pinned assembly rounded 1e-6. Complete-case
+    * on nulls (documented). A degenerate table (R = 1 or C = 1) yields
+    * G = 0 with df = 0.
+    *
+    * Scale shape: one (x, y) cell collapse + two margin rollups + a
+    * one-row finish — the row 417 plan exactly. */
+  def gTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def lnTerm(c: Column) =
+      sf.sum(dec(c) * dec(sf.floor(sf.log(c.cast("double")) * 1e9 + 0.5)
+        .cast("long")))
+    val cells = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .select(sf.col(xCol).cast("string").as("x"), sf.col(yCol).cast("string").as("y"))
+      .groupBy("x", "y").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // both margins + the joint sum read it
+    val joint = cells.agg(sf.sum("c").cast("long").as("n"),
+      lnTerm(sf.col("c")).as("__sxy"), sf.count(sf.lit(1)).as("n_cells"))
+    val mx = cells.groupBy("x").agg(sf.sum("c").as("cx"))
+      .agg(lnTerm(sf.col("cx")).as("__sx"), sf.count(sf.lit(1)).as("n_rows_x"))
+    val my = cells.groupBy("y").agg(sf.sum("c").as("cy"))
+      .agg(lnTerm(sf.col("cy")).as("__sy"), sf.count(sf.lit(1)).as("n_cols_y"))
+    joint.crossJoin(sf.broadcast(mx)).crossJoin(sf.broadcast(my))
+      .select({
+        val lnN9 = dec(sf.floor(sf.log(sf.col("n").cast("double")) * 1e9 + 0.5)
+          .cast("long"))
+        val g = (sf.col("__sxy") + dec(sf.col("n")) * lnN9 -
+          sf.col("__sx") - sf.col("__sy")).cast("double") * 2.0 / 1e9
+        Seq(sf.col("n"), sf.col("n_rows_x"), sf.col("n_cols_y"),
+          gf.roundAt(g, 6).as("g_statistic"),
+          ((sf.col("n_rows_x") - 1) * (sf.col("n_cols_y") - 1)).as("df"))
+      }: _*)
+  }
+
+  /** Goodman–Kruskal lambda (1954) between two categorical columns —
+    * the PROPORTIONAL-REDUCTION-IN-ERROR association the χ²/V/U ladder
+    * (rows 145/305/417) doesn't give: λ(y|x) = (Σ_x max_y n_xy −
+    * max_y n_y)/(n − max_y n_y) reads "guessing y by x's modal class
+    * cuts classification errors by this fraction" — the number a
+    * rule-based router or a majority-class baseline audit actually
+    * uses (U is entropy-denominated; λ is error-denominated, and can
+    * be 0 under real dependence when one y class dominates — a
+    * DIFFERENT, operationally honest zero). Reports λ(y|x), λ(x|y),
+    * and the symmetric average-error form.
+    *
+    * Determinism: every max/sum is over exact integer counts; the
+    * three λ are pinned integer-ratio divisions rounded 1e-6 (NULL
+    * when the denominator is 0 — a single-class margin).
+    *
+    * Scale shape: one (x, y) cell collapse + two per-margin max
+    * rollups + a one-row finish. */
+  def gkLambda(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .select(sf.col(xCol).cast("string").as("x"), sf.col(yCol).cast("string").as("y"))
+      .groupBy("x", "y").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // four readers
+    val n = cells.agg(sf.sum("c").cast("long").as("n"))
+    val sx = cells.groupBy("x").agg(sf.max("c").as("mx"), sf.sum("c").as("cx"))
+      .agg(sf.sum("mx").cast("long").as("sum_max_y_given_x"),
+        sf.max("cx").cast("long").as("max_x"))
+    val sy = cells.groupBy("y").agg(sf.max("c").as("my"), sf.sum("c").as("cy"))
+      .agg(sf.sum("my").cast("long").as("sum_max_x_given_y"),
+        sf.max("cy").cast("long").as("max_y"))
+    n.crossJoin(sf.broadcast(sx)).crossJoin(sf.broadcast(sy))
+      .select({
+        def lam(num: Column, den: Column) =
+          sf.when(den > 0, gf.roundAt(num.cast("double") / den.cast("double"), 6))
+        val nn = sf.col("n")
+        Seq(nn.as("n"),
+          lam(sf.col("sum_max_y_given_x") - sf.col("max_y"), nn - sf.col("max_y"))
+            .as("lambda_y_given_x"),
+          lam(sf.col("sum_max_x_given_y") - sf.col("max_x"), nn - sf.col("max_x"))
+            .as("lambda_x_given_y"),
+          lam(sf.col("sum_max_y_given_x") + sf.col("sum_max_x_given_y") -
+            sf.col("max_y") - sf.col("max_x"),
+            nn * 2 - sf.col("max_y") - sf.col("max_x")).as("lambda_symmetric"))
+      }: _*)
+  }
+
+  /** Fisher's EXACT test on a 2×2 table (Fisher 1935) — the
+    * small-sample gate where the χ²/G asymptotics (rows 145 + the
+    * G-test) are invalid: under fixed margins the cell count is
+    * hypergeometric, and the two-sided p sums P(k) over every table at
+    * least as extreme (P(k) ≤ P(observed) — the standard "method of
+    * small P" convention), the "greater" tail sums k ≥ observed.
+    * Exactly the readout an A/B gate needs when one arm has a handful
+    * of conversions and the rate test (row 399) conditions the wrong
+    * way.
+    *
+    * Determinism: ln-factorials are EXACT PREFIX SUMS of 1e-9-snapped
+    * per-integer ln longs (ln-factorial table built once via
+    * [[graft.operators.StarSchema.globalPrefixSums]] — never a
+    * one-task window), so every ln P(k) is an exact integer and the
+    * extremeness comparison P(k) ≤ P(obs) is an exact integer
+    * comparison — no float decides tail membership. The tail masses
+    * exponentiate RELATIVE to the observed table (each term ≤ 1),
+    * snap to 1e-15 longs, sum in DECIMAL(38,0), and rescale by
+    * exp(lnP_obs) — two pinned exp calls total, outputs rounded 1e-6;
+    * ln P(obs) is also reported raw (1e-9-exact) so tiny p-values
+    * keep their magnitude.
+    *
+    * Scale shape: the table collapse is one 4-cell rollup; the
+    * ln-factorial build is ONE O(n) pass (range-partitioned prefix
+    * sum) and the k-domain is bounded by the smaller margin. The
+    * `maxN` contract (default 1e6) prices the O(n) build honestly —
+    * beyond it the χ²/G asymptotics are the right tool anyway. */
+  def fisherExact(df: DataFrame, armCol: String, successCol: String,
+                  maxN: Long = 1000000L): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val spark = df.sparkSession
+    val cells = df.filter(sf.col(armCol).isNotNull && sf.col(successCol).isNotNull)
+      .select(sf.col(armCol).cast("string").as("arm"),
+        sf.col(successCol).cast("boolean").as("s"))
+      .groupBy("arm", "s").agg(sf.count(sf.lit(1)).as("c"))
+    val arms = cells.select("arm").distinct().orderBy("arm")
+      .collect().map(_.getString(0)) // 2-row contract, driver-bounded
+    require(arms.length == 2,
+      s"fisherExact needs exactly 2 arms, got ${arms.length}")
+    val one = cells.groupBy()
+      .agg(sf.sum(sf.when(sf.col("arm") === arms(0) && sf.col("s"), sf.col("c"))
+          .otherwise(0L)).cast("long").as("a"),
+        sf.sum(sf.when(sf.col("arm") === arms(0) && !sf.col("s"), sf.col("c"))
+          .otherwise(0L)).cast("long").as("b"),
+        sf.sum(sf.when(sf.col("arm") === arms(1) && sf.col("s"), sf.col("c"))
+          .otherwise(0L)).cast("long").as("c"),
+        sf.sum(sf.when(sf.col("arm") === arms(1) && !sf.col("s"), sf.col("c"))
+          .otherwise(0L)).cast("long").as("d"))
+      .localCheckpoint(true) // margins, k-domain, and finish read it
+    val Row2 = one.collect()(0)
+    val (a, b, c, d) =
+      (Row2.getLong(0), Row2.getLong(1), Row2.getLong(2), Row2.getLong(3))
+    val n = a + b + c + d
+    require(n >= 1 && n <= maxN,
+      s"fisherExact: n=$n outside [1, $maxN] — use the chi-squared/G " +
+      "asymptotics at this scale, or raise maxN")
+    val (r1, r2, c1) = (a + b, c + d, a + c)
+    // ln-factorial prefix table F(0..n): F(0) = 0, F(m) = Σ_{j<=m} ln9(j)
+    val Chunk = 8192L
+    // n/Chunk + 1 chunks exactly — one chunk too many would make
+    // sequence(start > stop) DESCEND and duplicate every j in it
+    val js = spark.range(0L, n / Chunk + 1)
+      .select(sf.explode(sf.sequence(sf.col("id") * Chunk,
+        sf.least(sf.col("id") * Chunk + (Chunk - 1), sf.lit(n)))).as("j"))
+      .filter(sf.col("j") >= 1L)
+      .select(sf.col("j"),
+        sf.floor(sf.log(sf.col("j").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("__lnj"))
+    val lf = graft.operators.StarSchema
+      .globalPrefixSums(js, Seq("j"), "__lnj", "f")
+      .select(sf.col("j"), sf.col("f"))
+      .union(spark.range(1).select(sf.lit(0L).as("j"), sf.lit(0L).as("f")))
+      .localCheckpoint(true) // four k-domain attaches read it
+    // margin constants F(r1)+F(r2)+F(c1)+F(c2)−F(n): a ≤5-row driver
+    // lookup (margins can collide, so a map beats a pivot)
+    val cmap = lf.filter(sf.col("j").isin(r1, r2, c1, n - c1, n))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lnConst = cmap(r1) + cmap(r2) + cmap(c1) + cmap(n - c1) - cmap(n)
+    val kmin = math.max(0L, c1 - r2)
+    val kmax = math.min(r1, c1)
+    val ks = spark.range(kmin, kmax + 1).select(sf.col("id").as("k"))
+    val lnp = ks
+      .join(lf.select(sf.col("j").as("k"), sf.col("f").as("__f1")), "k")
+      .join(lf.select((sf.lit(r1) - sf.col("j")).as("k"),
+        sf.col("f").as("__f2")).filter(sf.col("k").between(kmin, kmax)), "k")
+      .join(lf.select((sf.lit(c1) - sf.col("j")).as("k"),
+        sf.col("f").as("__f3")).filter(sf.col("k").between(kmin, kmax)), "k")
+      .join(lf.select((sf.col("j") - sf.lit(r2 - c1)).as("k"),
+        sf.col("f").as("__f4")).filter(sf.col("k").between(kmin, kmax)), "k")
+      .select(sf.col("k"), (sf.lit(lnConst) - sf.col("__f1") - sf.col("__f2") -
+        sf.col("__f3") - sf.col("__f4")).as("__lnp9"))
+      .localCheckpoint(true) // obs row + both tail sums read it
+    val obsRow = lnp.filter(sf.col("k") === a).collect()
+    require(obsRow.nonEmpty, s"observed k=$a missing from support [$kmin,$kmax]")
+    val lnpObs = obsRow(0).getLong(1)
+    val rel = sf.floor(
+      sf.exp((sf.col("__lnp9") - sf.lit(lnpObs)).cast("double") / 1e9) * 1e15 +
+        0.5).cast("long")
+    val tails = lnp.agg(
+      sf.sum(sf.when(sf.col("__lnp9") <= lnpObs, dec(rel))).as("__t2"),
+      sf.sum(sf.when(sf.col("k") >= a, dec(rel))).as("__tg"))
+    val pObs = sf.exp(sf.lit(lnpObs).cast("double") / 1e9)
+    tails.select(
+      sf.lit(n).as("n"), sf.lit(a).as("a"), sf.lit(b).as("b"),
+      sf.lit(c).as("c"), sf.lit(d).as("d"),
+      gf.roundAt(pObs * (sf.col("__t2").cast("double") / 1e15), 6)
+        .as("p_two_sided"),
+      gf.roundAt(pObs * (sf.col("__tg").cast("double") / 1e15), 6)
+        .as("p_greater"),
+      gf.roundAt(sf.lit(lnpObs).cast("double") / 1e9, 6).as("ln_p_observed"),
+      sf.when(sf.lit(b * c) > 0, gf.roundAt(
+        sf.lit(a).cast("double") * sf.lit(d).cast("double") /
+          (sf.lit(b).cast("double") * sf.lit(c).cast("double")), 6))
+        .as("odds_ratio"))
+  }
+
   /** Two-regressor OLS by closed-form normal equations — the smallest
     * honest MULTIPLE regression (row 181's trend slopes are simple
     * OLS; partialling out a second driver changes answers exactly when

@@ -699,6 +699,61 @@ object Graph {
       }: _*)
   }
 
+  /** Fowlkes–Mallows index (1983) + variation of information (Meilă
+    * 2003) between a labeling and a reference partition — the two
+    * agreement numbers [[adjustedRandIndex]] doesn't give: FM =
+    * TP/√((TP+FP)(TP+FN)) is the geometric mean of pairwise
+    * precision/recall (reads like retrieval quality, stays meaningful
+    * when cluster-size skew makes ARI saturate), and VI = H(A) + H(B)
+    * − 2I(A,B) is a true METRIC on partitions (triangle inequality),
+    * so labeling drift across corpus snapshots can be tracked as a
+    * distance, not just a score. Together with ARI (row 410) and
+    * V-measure (row 282) this completes the standard agreement panel.
+    *
+    * Determinism: pair counts TP = Σ C(n_ij,2) etc. are exact
+    * DECIMAL(38,0) (the row 410 machinery); VI's entropies accumulate
+    * 1e-9-snapped per-count ln longs (the row 417 machinery), VI =
+    * (Σr·ln r + Σk·ln k − 2Σc·ln c)/(n·1e9) — ONE pinned assembly
+    * each, rounded 1e-6 (FM's √ is IEEE-exact). Single-cluster-
+    * crossed-with-single-class tables (zero pair denominator) → NULL
+    * FM; VI is always defined.
+    *
+    * Scale shape: one (community, cls) cell collapse + two margin
+    * rollups + a one-row finish — the row 410 plan exactly. */
+  def clusteringAgreement(labels: DataFrame, classes: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def t2(c: Column) = dec(c) * dec(c - 1)
+    def lnTerm(c: Column) =
+      sf.sum(dec(c) * dec(sf.floor(sf.log(c.cast("double")) * 1e9 + 0.5)
+        .cast("long")))
+    val cells = labels.select(sf.col("item"), sf.col("community"))
+      .join(classes.select(sf.col("item"), sf.col("cls")), "item")
+      .groupBy("community", "cls").agg(sf.count(sf.lit(1)).as("n_ck"))
+      .localCheckpoint(true) // margins + pair sums read it
+    val idx = cells.agg(sf.sum(t2(sf.col("n_ck"))).as("__i2"),
+      lnTerm(sf.col("n_ck")).as("__lc"),
+      sf.sum("n_ck").cast("long").as("n_items"))
+    val sa = cells.groupBy("community").agg(sf.sum("n_ck").as("a"))
+      .agg(sf.sum(t2(sf.col("a"))).as("__sa2"), lnTerm(sf.col("a")).as("__la"),
+        sf.count(sf.lit(1)).as("n_clusters"))
+    val sb = cells.groupBy("cls").agg(sf.sum("n_ck").as("b"))
+      .agg(sf.sum(t2(sf.col("b"))).as("__sb2"), lnTerm(sf.col("b")).as("__lb"),
+        sf.count(sf.lit(1)).as("n_classes"))
+    idx.crossJoin(sf.broadcast(sa)).crossJoin(sf.broadcast(sb))
+      .select({
+        val tp2 = sf.col("__i2")          // 2·TP
+        val fm = tp2.cast("double") /
+          sf.sqrt(sf.col("__sa2").cast("double") * sf.col("__sb2").cast("double"))
+        val vi = (sf.col("__la") + sf.col("__lb") -
+          sf.lit(2).cast("decimal(38,0)") * sf.col("__lc")).cast("double") /
+          (sf.col("n_items").cast("double") * 1e9)
+        Seq(sf.col("n_items"), sf.col("n_clusters"), sf.col("n_classes"),
+          sf.when(sf.col("__sa2") > 0 && sf.col("__sb2") > 0,
+            gf.roundAt(fm, 6)).as("fowlkes_mallows"),
+          gf.roundAt(vi, 6).as("variation_of_information"))
+      }: _*)
+  }
+
   /** [[communityQuality]] over a pre-mined edge list and any (item,
     * community) labeling (LPA, connected components, an external
     * partition — the metric is labeling-agnostic). */

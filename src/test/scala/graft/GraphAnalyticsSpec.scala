@@ -878,6 +878,27 @@ class GraphAnalyticsSpec extends SparkFunSuite {
     assert(rn.isNullAt(rn.fieldIndex("ari")), rn.toString)
   }
 
+  test("Graph.clusteringAgreement: identical FM=1 VI=0, orthogonal hand VI") {
+    import spark.implicits._
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("item", "community")
+    def classes(f: Long => String) =
+      (1L to 4L).map(i => (i, f(i))).toDF("item", "cls")
+    val same = Graph.clusteringAgreement(labels,
+      classes(i => if (i <= 2) "x" else "y")).head()
+    assert(same.getAs[Double]("fowlkes_mallows") == 1.0 &&
+      same.getAs[Double]("variation_of_information") == 0.0, same.toString)
+    // crossing partition: TP = 0, VI = 2 ln 2 on the snapped grid
+    val cross = Graph.clusteringAgreement(labels,
+      classes(i => if (i % 2 == 1) "x" else "y")).head()
+    assert(cross.getAs[Double]("fowlkes_mallows") == 0.0, cross.toString)
+    // la = lb = 4 ln2 (two margins of 2 each side), lc = 0:
+    // VI = 8 ln2 / 4 = 2 ln 2
+    val ln2_9 = math.floor(math.log(2.0) * 1e9 + 0.5)
+    assert(cross.getAs[Double]("variation_of_information") ==
+      math.floor(8 * ln2_9 / (4 * 1e9) * 1e6 + 0.5) / 1e6, cross.toString)
+  }
+
   test("Graph.attributeAssortativity: hand mixing 0.2; perfect homophily 1") {
     import spark.implicits._
     val labels = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Z"))

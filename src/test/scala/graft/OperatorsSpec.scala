@@ -3563,4 +3563,53 @@ class OperatorsSpec extends SparkFunSuite {
     assert(t.getAs[Double]("vr8") ==
       math.floor(128000.0 / 198000.0 * 1e6 + 0.5) / 1e6, t.toString)
   }
+
+  test("QualityChecks.fisherExact: lady-tasting-tea tails, guards") {
+    // a=3 b=1 / c=1 d=3: p_greater = 17/70, two-sided = 34/70, OR = 9
+    val df = (Seq.fill(3)(("a", true)) ++ Seq.fill(1)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(3)(("b", false)))
+      .toDF("arm", "success")
+    val r = QualityChecks.fisherExact(df, "arm", "success").head()
+    assert(r.getAs[Long]("a") == 3 && r.getAs[Long]("b") == 1 &&
+      r.getAs[Long]("c") == 1 && r.getAs[Long]("d") == 3)
+    assert(math.abs(r.getAs[Double]("p_two_sided") - 34.0 / 70) < 2e-6, r.toString)
+    assert(math.abs(r.getAs[Double]("p_greater") - 17.0 / 70) < 2e-6, r.toString)
+    assert(r.getAs[Double]("odds_ratio") == 9.0)
+    intercept[IllegalArgumentException] {
+      QualityChecks.fisherExact(df, "arm", "success", maxN = 4)
+    }
+    intercept[IllegalArgumentException] {
+      QualityChecks.fisherExact(
+        df.union(Seq(("c", true)).toDF("arm", "success")), "arm", "success")
+    }
+  }
+
+  test("QualityChecks.gTest: perfect 2x2 diagonal gives 40 ln 2") {
+    val df = (Seq.fill(10)(("1", "p")) ++ Seq.fill(10)(("2", "q")))
+      .toDF("x", "y")
+    val r = QualityChecks.gTest(df, "x", "y").head()
+    // snapped-grid model: 20*ln20_9 - 20*ln10_9, doubled
+    val ln10_9 = math.floor(math.log(10.0) * 1e9 + 0.5)
+    val ln20_9 = math.floor(math.log(20.0) * 1e9 + 0.5)
+    val g = (20 * ln20_9 - 20 * ln10_9) * 2 / 1e9
+    assert(r.getAs[Long]("n") == 20 && r.getAs[Long]("df") == 1)
+    assert(r.getAs[Double]("g_statistic") ==
+      math.floor(g * 1e6 + 0.5) / 1e6, r.toString)
+  }
+
+  test("QualityChecks.gkLambda: hand 2x2 halves errors both ways") {
+    val df = (Seq.fill(6)(("1", "p")) ++ Seq.fill(2)(("1", "q")) ++
+      Seq.fill(2)(("2", "p")) ++ Seq.fill(6)(("2", "q"))).toDF("x", "y")
+    val r = QualityChecks.gkLambda(df, "x", "y").head()
+    // sum_x max_y = 12, max column = 8: (12-8)/(16-8) = 0.5 each way
+    assert(r.getAs[Long]("n") == 16)
+    assert(r.getAs[Double]("lambda_y_given_x") == 0.5 &&
+      r.getAs[Double]("lambda_x_given_y") == 0.5 &&
+      r.getAs[Double]("lambda_symmetric") == 0.5, r.toString)
+    // dominant-class margin: lambda can be 0 under real dependence
+    val skew = (Seq.fill(8)(("1", "p")) ++ Seq.fill(1)(("1", "q")) ++
+      Seq.fill(7)(("2", "p"))).toDF("x", "y")
+    val rs = QualityChecks.gkLambda(skew, "x", "y").head()
+    assert(rs.getAs[Double]("lambda_y_given_x") == 0.0, rs.toString)
+  }
 }
