@@ -2694,6 +2694,34 @@ object SparkEntry {
     "q379_gk_lambda" -> ((s, dir) =>
       QualityChecks.gkLambda(docs(s, dir), "lang", "source")),
 
+    // Deterministic mode per part: the categorical "typical value"
+    // with a pinned smallest-value tiebreak — the imputation default.
+    "q381_mode_per_group" -> ((s, dir) =>
+      StarSchema.modePerGroup(Tables.load(s, dir, "lineitem"),
+        "l_partkey", "l_returnflag")),
+
+    // Top-5 brands + "(other)": the bounded dashboard cut that always
+    // sums to 100% regardless of dimension cardinality.
+    "q382_topn_other" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val pt = Tables.load(s, dir, "part")
+        .select(sf.col("p_partkey"), sf.col("p_brand"))
+      StarSchema.topNPlusOther(
+        li.join(pt, sf.col("l_partkey") === sf.col("p_partkey")),
+        "p_brand", "l_extendedprice", n = 5)
+    }),
+
+    // Monthly revenue with MoM and YoY deltas: gap months report NULL
+    // comparisons, never silent zeros.
+    "q383_period_over_period" -> ((s, dir) =>
+      StarSchema.periodOverPeriod(Tables.load(s, dir, "orders"),
+        "o_orderdate", "o_totalprice")),
+
+    // Time-decay attribution: recency-priced credit (halving per day
+    // bin) between last-touch and linear — exact 2^-d integer weights.
+    "q384_time_decay_attribution" -> ((s, dir) =>
+      EventOps.attributionTimeDecay(Tables.load(s, dir, "events"))),
+
     // Fowlkes-Mallows + variation of information on the q357
     // labeling-vs-brand panel: pairwise precision/recall + a true
     // partition metric beside ARI and V-measure.
@@ -12200,5 +12228,79 @@ object SparkEntry {
         |  floor(CAST(la + lb - 2*lc AS DOUBLE)/(CAST(n_items AS DOUBLE)*1e9)*1000000.0 + 0.5)/1000000.0 AS variation_of_information
         |FROM idx CROSS JOIN sa CROSS JOIN sb""".stripMargin
     },
+
+    "q381_mode_per_group" ->
+      """WITH s AS (SELECT l_partkey AS k, CAST(l_returnflag AS VARCHAR) AS v
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL),
+        |ce AS (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |md AS (SELECT k, v AS mode_value, c AS mode_count FROM
+        |  (SELECT k, v, c, row_number() OVER (PARTITION BY k ORDER BY c DESC, v) AS rn
+        |   FROM ce) WHERE rn = 1),
+        |ag AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM ce GROUP BY 1)
+        |SELECT ag.k AS l_partkey, md.mode_value, md.mode_count, ag.n_rows,
+        |  ag.n_distinct,
+        |  floor(CAST(md.mode_count AS DOUBLE)/CAST(ag.n_rows AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mode_share
+        |FROM ag JOIN md ON ag.k = md.k ORDER BY l_partkey""".stripMargin,
+
+    "q382_topn_other" ->
+      """WITH j AS (SELECT p.p_brand AS member,
+        |  CAST(floor(CAST(l.l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand IS NOT NULL),
+        |per AS (SELECT member, CAST(SUM(cents) AS BIGINT) AS amt FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(amt) AS BIGINT) AS tt FROM per),
+        |tp AS (SELECT member, amt, CAST(rn AS BIGINT) AS rank FROM
+        |  (SELECT member, amt, row_number() OVER (ORDER BY amt DESC, member) AS rn
+        |   FROM per) WHERE rn <= 5),
+        |oth AS (SELECT CAST(COALESCE(SUM(amt), 0) AS BIGINT) AS amt,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM per
+        |  WHERE member NOT IN (SELECT member FROM tp)),
+        |u AS (SELECT rank, member, amt FROM tp
+        |  UNION ALL SELECT CAST(6 AS BIGINT), '(other)', amt FROM oth WHERE cnt > 0)
+        |SELECT rank, member,
+        |  floor(CAST(amt AS DOUBLE)/100*100.0 + 0.5)/100.0 AS amount,
+        |  CASE WHEN tt > 0 THEN
+        |    floor(CAST(amt AS DOUBLE)/CAST(tt AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS share
+        |FROM u CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    "q383_period_over_period" ->
+      """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |  CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS amt
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+        |SELECT m.month,
+        |  floor(CAST(m.amt AS DOUBLE)/100*100.0 + 0.5)/100.0 AS revenue,
+        |  floor(CAST(m.amt - p.amt AS DOUBLE)/100*100.0 + 0.5)/100.0 AS mom_delta,
+        |  CASE WHEN p.amt <> 0 THEN
+        |    floor(CAST(m.amt - p.amt AS DOUBLE)/CAST(abs(p.amt) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mom_pct,
+        |  floor(CAST(m.amt - y.amt AS DOUBLE)/100*100.0 + 0.5)/100.0 AS yoy_delta,
+        |  CASE WHEN y.amt <> 0 THEN
+        |    floor(CAST(m.amt - y.amt AS DOUBLE)/CAST(abs(y.amt) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS yoy_pct
+        |FROM m
+        |LEFT JOIN m p ON strftime(CAST(p.month || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m') = m.month
+        |LEFT JOIN m y ON strftime(CAST(y.month || '-01' AS DATE) + INTERVAL 12 MONTH, '%Y-%m') = m.month
+        |ORDER BY m.month""".stripMargin,
+
+    "q384_time_decay_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t_ts, event_type AS channel,
+        |  epoch_us(ts) // 86400000000 AS t_bin
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_ts,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.conv_id, c.value_cents, t.channel,
+        |      CAST(1000000000 // (CAST(1 AS BIGINT) << CAST((c.c_ts // 86400000000) - t.t_bin AS INT)) AS BIGINT) AS w9
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |      AND t.t_ts >= c.c_ts - 259200000000 AND t.t_ts <= c.c_ts),
+        |n AS (SELECT conv_id, CAST(SUM(w9) AS BIGINT) AS sw9 FROM m GROUP BY 1),
+        |tc AS (SELECT m.channel,
+        |       CAST((CAST(m.value_cents AS HUGEINT) * 1000000 * m.w9) // n.sw9 AS BIGINT) AS credit_fx
+        |       FROM m JOIN n USING (conv_id)),
+        |dc AS (SELECT 'direct' AS channel, value_cents * 1000000 AS credit_fx
+        |       FROM c WHERE conv_id NOT IN (SELECT conv_id FROM n)),
+        |u AS (SELECT * FROM tc UNION ALL SELECT * FROM dc)
+        |SELECT channel, COUNT(*) AS n_attributions,
+        |  floor((CAST(SUM(credit_fx) AS DOUBLE) / 1e8) * 100.0 + 0.5) / 100.0 AS credit
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
   )
 }

@@ -1009,6 +1009,72 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Exponential TIME-DECAY multi-touch attribution — the
+    * [[attributionLinear]] variant that prices RECENCY: each in-window
+    * touch earns weight 2^(−Δbins) (halving per day bin by default),
+    * normalized within the conversion, so the touch just before the
+    * purchase out-credits a week-old banner — the model ad platforms
+    * default to between last-touch (all recency) and linear (none).
+    * Same match, lookback, and "direct" fallback as the linear model;
+    * only the split rule differs.
+    *
+    * Determinism: Δbins = conversion bin − touch bin is an exact
+    * integer, so the weight 10⁹ div 2^Δ is an EXACT integer (the
+    * row 287 EWMA weight grid — no pow(), no float anywhere in the
+    * split); per-touch credit = (cents·10⁶·w) div Σw in DECIMAL(38,0)
+    * floor division, summed exactly, one final /1e8 rounding to
+    * cents.
+    *
+    * Scale shape: identical to [[attributionLinear]] — the bounded
+    * bin-explode interval join, two combinable rollups, a channel-
+    * domain finish. */
+  def attributionTimeDecay(events: DataFrame,
+                           conversionType: String = "purchase",
+                           touchTypes: Seq[String] = Seq("click", "view"),
+                           lookbackSec: Long = 259200L,
+                           binSec: Long = 86400L): DataFrame = {
+    require(lookbackSec >= 1 && binSec >= 1,
+      s"need lookbackSec, binSec >= 1, got $lookbackSec, $binSec")
+    require(lookbackSec / binSec <= 62,
+      s"lookback spans ${lookbackSec / binSec} bins; 2^d weights need <= 62")
+    val micros = sf.unix_micros(sf.col("ts"))
+    val binW = binSec * 1000000L
+    val lookbackMicros = lookbackSec * 1000000L
+    val touches = events.filter(sf.col("event_type").isin(touchTypes: _*))
+      .select(sf.col("user_id").as("t_user"), micros.as("t_ts"),
+        sf.col("event_type").as("channel"),
+        sf.expr(s"unix_micros(ts) div ${binW}L").as("t_bin"))
+    val convs = events.filter(sf.col("event_type") === conversionType)
+      .select(sf.col("user_id").as("c_user"), sf.col("event_id").as("conv_id"),
+        micros.as("c_ts"),
+        (sf.col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"))
+    val convBins = convs.withColumn("c_bin",
+      sf.explode(sf.sequence(
+        sf.expr(s"(c_ts - ${lookbackMicros}L) div ${binW}L"),
+        sf.expr(s"c_ts div ${binW}L"))))
+    val matched = convBins.join(touches,
+      sf.col("c_user") === sf.col("t_user") && sf.col("c_bin") === sf.col("t_bin") &&
+        sf.col("t_ts") >= sf.col("c_ts") - lookbackMicros && sf.col("t_ts") <= sf.col("c_ts"))
+      .select(sf.col("conv_id"), sf.col("value_cents"), sf.col("channel"),
+        sf.expr(s"CAST(1000000000L DIV shiftleft(1L, " +
+          s"CAST((c_ts div ${binW}L) - t_bin AS INT)) AS BIGINT)").as("__w9"))
+    val sums = matched.groupBy("conv_id").agg(sf.sum("__w9").as("__sw9"))
+    val touchCredit = matched.join(sums, "conv_id")
+      .select(sf.col("channel"),
+        sf.expr("CAST((CAST(value_cents AS DECIMAL(38,0)) * 1000000 * __w9)" +
+          " DIV __sw9 AS BIGINT)").as("credit_fx"))
+    val directCredit = convs.join(sums, Seq("conv_id"), "left_anti")
+      .select(sf.lit("direct").as("channel"),
+        (sf.col("value_cents") * 1000000L).as("credit_fx"))
+    touchCredit.union(directCredit)
+      .groupBy("channel")
+      .agg(sf.count(sf.lit(1)).as("n_attributions"),
+        sf.sum(sf.col("credit_fx")).as("credit_fx"))
+      .select(sf.col("channel"), sf.col("n_attributions"),
+        gf.roundAt(sf.col("credit_fx").cast("double") / 1e8, 2).as("credit"))
+      .orderBy("channel")
+  }
+
   /** Position-based (U-shaped, "40/20/40") multi-touch attribution —
     * the [[attributionLinear]] variant that credits DISCOVERY and
     * CLOSING: the first and last in-window touch get 40% of the

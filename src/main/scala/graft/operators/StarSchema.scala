@@ -448,4 +448,128 @@ object StarSchema {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Deterministic MODE per group — the most frequent value of
+    * `valCol` within each `keyCol` group, ties broken by the SMALLEST
+    * value (a total order, so reruns and engines agree): the
+    * categorical "typical value" the mean/median ladder can't give,
+    * and the imputation default every cleaning pipeline wants next to
+    * [[graft.dq.QualityChecks]]'s numeric profiles. Reports the modal
+    * value, its count, the group size, and the modal share.
+    *
+    * Determinism: counts are exact; the argmax rides ONE combinable
+    * min(struct(−count, value)) — no window, no sort; share is a
+    * pinned integer-ratio division rounded 1e-6. Nulls drop
+    * (complete-case, documented).
+    *
+    * Scale shape: two map-side-combined aggregations ((key, value)
+    * cells, then per-key argmax) — the same two-shuffle funnel as any
+    * distinct-count rollup; no skew trap because the cell collapse
+    * happens before the per-key reduce. */
+  def modePerGroup(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val cells = df.filter(sf.col(keyCol).isNotNull && sf.col(valCol).isNotNull)
+      .select(sf.col(keyCol).as("k"), sf.col(valCol).cast("string").as("v"))
+      .groupBy("k", "v").agg(sf.count(sf.lit(1)).as("c"))
+    cells.groupBy("k")
+      .agg(sf.min(sf.struct((-sf.col("c")).as("nc"), sf.col("v"))).as("__m"),
+        sf.sum("c").cast("long").as("n_rows"),
+        sf.count(sf.lit(1)).as("n_distinct"))
+      .select(sf.col("k").as(keyCol), sf.col("__m.v").as("mode_value"),
+        (-sf.col("__m.nc")).as("mode_count"), sf.col("n_rows"),
+        sf.col("n_distinct"),
+        gf.roundAt((-sf.col("__m.nc")).cast("double") /
+          sf.col("n_rows").cast("double"), 6).as("mode_share"))
+      .orderBy(keyCol)
+  }
+
+  /** Top-N + "(other)" rollup — the reporting cut every dashboard
+    * renders: the N largest dimension members by exact-cents amount,
+    * each with rank and share, plus ONE residual row aggregating
+    * everything else (so the table always sums to 100% and a
+    * long-tail dimension can't flood the report). The honest
+    * complement to [[abcPareto]]: ABC classifies every member; this
+    * keeps the render bounded at N+1 rows.
+    *
+    * Determinism: amounts snap to exact cents; the cut orders by
+    * (cents desc, member) — fully tie-deterministic; shares are
+    * pinned divisions of exact integers rounded 1e-6.
+    *
+    * Scale shape: one combinable per-member rollup, a TakeOrdered
+    * N-row cut (never a global sort materialization), one broadcast
+    * anti join + one-row residual agg, and an N+1-row union finish. */
+  def topNPlusOther(df: DataFrame, dimCol: String, amountCol: String,
+                    n: Int = 5): DataFrame = {
+    require(n >= 1 && n <= 10000, s"n must be in [1, 1e4], got $n")
+    val per = df.filter(sf.col(dimCol).isNotNull)
+      .select(sf.col(dimCol).cast("string").as("member"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long")
+          .as("__cents"))
+      .groupBy("member").agg(sf.sum("__cents").as("__amt"))
+      .localCheckpoint(true) // top cut + residual + total read it
+    val total = per.agg(sf.sum("__amt").cast("long").as("__tot"),
+      sf.count(sf.lit(1)).as("__nm"))
+    val top = per.orderBy(sf.col("__amt").desc, sf.col("member")).limit(n)
+      .localCheckpoint(true) // ranked output + anti join read it
+    val other = per.join(top.select("member"), Seq("member"), "left_anti")
+      .agg(sf.coalesce(sf.sum("__amt"), sf.lit(0L)).cast("long").as("__amt"),
+        sf.count(sf.lit(1)).as("__cnt"))
+    val topOut = top.withColumn("__neg", -sf.col("__amt"))
+    val rankedTop = StarSchema
+      .globalDenseIds(topOut, Seq("__neg", "member"), "rank")
+      .select(sf.col("rank"), sf.col("member"), sf.col("__amt"))
+    val otherOut = other.filter(sf.col("__cnt") > 0)
+      .select(sf.lit(n + 1L).as("rank"), sf.lit("(other)").as("member"),
+        sf.col("__amt"))
+    rankedTop.unionByName(otherOut)
+      .crossJoin(sf.broadcast(total))
+      .select(sf.col("rank").cast("long").as("rank"), sf.col("member"),
+        gf.roundAt(sf.col("__amt").cast("double") / 100, 2).as("amount"),
+        sf.when(sf.col("__tot") > 0, gf.roundAt(
+          sf.col("__amt").cast("double") / sf.col("__tot").cast("double"), 6))
+          .as("share"))
+      .orderBy("rank")
+  }
+
+  /** Period-over-period revenue deltas — monthly totals with
+    * month-over-month and year-over-year changes, the first page of
+    * every revenue review: MoM catches operational shifts, YoY reads
+    * through seasonality, and a month missing its comparison period
+    * reports NULL (no silent zero — a gap month is not a flat month).
+    *
+    * Determinism: month = date_trunc on the raw timestamp; totals are
+    * exact cents; deltas are exact integer differences and pct
+    * changes are pinned divisions rounded 1e-6.
+    *
+    * Scale shape: one combinable month rollup + TWO broadcast-shaped
+    * self equi joins (lag-1, lag-12 on the month key) — the row 287
+    * lag-join shape, no window, no sort; the month domain is
+    * calendar-bounded so both join sides are tiny. */
+  def periodOverPeriod(df: DataFrame, tsCol: String,
+                       amountCol: String): DataFrame = {
+    val m = df.filter(sf.col(tsCol).isNotNull)
+      .select(sf.date_format(sf.date_trunc("month", sf.col(tsCol)),
+        "yyyy-MM").as("month"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long")
+          .as("__cents"))
+      .groupBy("month").agg(sf.sum("__cents").cast("long").as("__amt"))
+      .localCheckpoint(true) // three readers
+    def shift(k: Int, as: String) = m.select(
+      sf.date_format(sf.add_months(sf.to_date(sf.concat(sf.col("month"),
+        sf.lit("-01"))), k), "yyyy-MM").as("month"),
+      sf.col("__amt").as(as))
+    def pct(cur: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =
+      sf.when(prev =!= 0L, gf.roundAt((cur - prev).cast("double") /
+        sf.abs(prev).cast("double"), 6))
+    m.join(shift(1, "__prev"), Seq("month"), "left")
+      .join(shift(12, "__yago"), Seq("month"), "left")
+      .select(sf.col("month"),
+        gf.roundAt(sf.col("__amt").cast("double") / 100, 2).as("revenue"),
+        gf.roundAt((sf.col("__amt") - sf.col("__prev")).cast("double") / 100, 2)
+          .as("mom_delta"),
+        pct(sf.col("__amt"), sf.col("__prev")).as("mom_pct"),
+        gf.roundAt((sf.col("__amt") - sf.col("__yago")).cast("double") / 100, 2)
+          .as("yoy_delta"),
+        pct(sf.col("__amt"), sf.col("__yago")).as("yoy_pct"))
+      .orderBy("month")
+  }
 }

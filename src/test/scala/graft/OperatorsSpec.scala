@@ -3612,4 +3612,68 @@ class OperatorsSpec extends SparkFunSuite {
     val rs = QualityChecks.gkLambda(skew, "x", "y").head()
     assert(rs.getAs[Double]("lambda_y_given_x") == 0.0, rs.toString)
   }
+
+  test("StarSchema.modePerGroup: counts, share, smallest-value tiebreak") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "y"), (3L, "x")).toDF("k", "v")
+    val got = StarSchema.modePerGroup(df, "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1L, "a", 2L, 3L, 2L, 0.666667),
+      (2L, "c", 1L, 1L, 1L, 1.0),
+      (3L, "x", 1L, 2L, 2L, 0.5)), got.toString) // tie -> smallest value
+  }
+
+  test("StarSchema.topNPlusOther: ranked cut, residual row, shares sum") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("c", 1.0), ("d", 0.5))
+      .toDF("dim", "amt")
+    val got = StarSchema.topNPlusOther(df, "dim", "amt", n = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "a", 3.0, math.floor(30000.0 / 65000 * 1e6 + 0.5) / 1e6),
+      (2L, "b", 2.0, math.floor(20000.0 / 65000 * 1e6 + 0.5) / 1e6),
+      (3L, "(other)", 1.5, math.floor(15000.0 / 65000 * 1e6 + 0.5) / 1e6)),
+      got.toString)
+    // n >= members: no residual row
+    assert(StarSchema.topNPlusOther(df, "dim", "amt", n = 9).collect()
+      .length == 4)
+  }
+
+  test("StarSchema.periodOverPeriod: MoM/YoY deltas, gap months NULL") {
+    val df = Seq(("2024-01-15 00:00:00", 100.0), ("2024-02-10 00:00:00", 150.0),
+      ("2025-01-05 00:00:00", 120.0))
+      .toDF("ts_s", "amt")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"), sf.col("amt"))
+    val got = StarSchema.periodOverPeriod(df, "ts", "amt").collect()
+    assert(got.length == 3)
+    val feb = got(1)
+    assert(feb.getAs[String]("month") == "2024-02" &&
+      feb.getAs[Double]("mom_delta") == 50.0 &&
+      feb.getAs[Double]("mom_pct") == 0.5, feb.toString)
+    val jan25 = got(2)
+    assert(jan25.isNullAt(jan25.fieldIndex("mom_delta")) &&
+      jan25.getAs[Double]("yoy_delta") == 20.0 &&
+      jan25.getAs[Double]("yoy_pct") == 0.2, jan25.toString)
+    assert(got(0).isNullAt(got(0).fieldIndex("mom_pct")))
+  }
+
+  test("EventOps.attributionTimeDecay: 2:1 recency split, direct fallback") {
+    val day = 86400L
+    val df = Seq(
+      (1L, 2 * day + 100, 1L, "purchase", 10.0),
+      (2L, 2 * day + 50, 1L, "click", 1.0),   // same bin: weight 1e9
+      (3L, day + 50, 1L, "view", 1.0),        // 1 bin back: weight 5e8
+      (4L, 2 * day + 100, 2L, "purchase", 5.0) // no touches -> direct
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"), sf.col("value"))
+    val got = EventOps.attributionTimeDecay(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // click: floor(1e9 * 1e9 / 1.5e9) = 666666666 -> 6.67; view -> 3.33
+    assert(got == Seq(
+      ("click", 1L, 6.67), ("direct", 1L, 5.0), ("view", 1L, 3.33)),
+      got.toString)
+  }
 }
