@@ -2722,6 +2722,24 @@ object SparkEntry {
     "q384_time_decay_attribution" -> ((s, dir) =>
       EventOps.attributionTimeDecay(Tables.load(s, dir, "events"))),
 
+    // Damerau-Levenshtein join: adjacent-swap typos ("teh"/"the") are
+    // distance 1 here, 2 under q149's plain Levenshtein.
+    "q385_dl_join" -> ((s, dir) =>
+      Dedup.dlDistanceJoin(docs(s, dir), "doc_id",
+        sf.substring(sf.lower(sf.trim(sf.col("text"))), 1, 16), maxDist = 1)),
+
+    // Semi-additive month-end balances: last value per account carried
+    // through silent months, summed across accounts per month.
+    "q386_monthly_balance" -> ((s, dir) =>
+      EventOps.monthlyBalances(Tables.load(s, dir, "events"))),
+
+    // Candidate-key mining on orders: every column and pair scored by
+    // exact distinct-vs-rows uniqueness.
+    "q387_candidate_keys" -> ((s, dir) =>
+      QualityChecks.candidateKeys(Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
     // Fowlkes-Mallows + variation of information on the q357
     // labeling-vs-brand panel: pairwise precision/recall + a true
     // partition metric beside ARI and V-measure.
@@ -12302,5 +12320,58 @@ object SparkEntry {
         |SELECT channel, COUNT(*) AS n_attributions,
         |  floor((CAST(SUM(credit_fx) AS DOUBLE) / 1e8) * 100.0 + 0.5) / 100.0 AS credit
         |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q385_dl_join" ->
+      """WITH t AS (SELECT doc_id, substr(lower(trim(text)), 1, 16) AS s FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE damerau_levenshtein(a.s, b.s) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q386_monthly_balance" ->
+      """WITH e AS (SELECT user_id AS u,
+        |  (year(ts)*12 + month(ts) - 1) AS mi, epoch_us(ts) AS us, event_id,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+        |cl AS (SELECT u, mi, v4 FROM
+        |  (SELECT u, mi, v4, row_number() OVER
+        |     (PARTITION BY u, mi ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |hi AS (SELECT max(mi) AS h FROM cl),
+        |g AS (SELECT f.u, gs.mi FROM (SELECT u, min(mi) AS lo FROM cl GROUP BY 1) f
+        |  CROSS JOIN hi, unnest(generate_series(f.lo, hi.h)) gs(mi)),
+        |ff AS (SELECT g.u, g.mi,
+        |  last_value(cl.v4 IGNORE NULLS) OVER
+        |    (PARTITION BY g.u ORDER BY g.mi ROWS UNBOUNDED PRECEDING) AS bal
+        |  FROM g LEFT JOIN cl ON g.u = cl.u AND g.mi = cl.mi),
+        |agg AS (SELECT mi, CAST(COUNT(bal) AS BIGINT) AS n_accounts,
+        |  CAST(SUM(bal) AS BIGINT) AS t4 FROM ff GROUP BY 1)
+        |SELECT CAST(mi // 12 AS VARCHAR) || '-' || lpad(CAST(mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+        |  n_accounts,
+        |  floor(CAST(t4 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS total_balance,
+        |  CASE WHEN n_accounts > 0 THEN
+        |    floor(CAST(t4 AS DOUBLE)/1e4/CAST(n_accounts AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS avg_balance
+        |FROM agg ORDER BY month""".stripMargin,
+
+    "q387_candidate_keys" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val combos = cols.map(Seq(_)) ++
+        (for (i <- cols.indices; j <- i + 1 until cols.size)
+          yield Seq(cols(i), cols(j)))
+      val selects = combos.map { cs =>
+        val k = cs.map(c => s"COALESCE(CAST($c AS VARCHAR), chr(2))")
+          .mkString(" || chr(1) || ")
+        s"SELECT '${cs.mkString(",")}' AS key_cols, " +
+          s"CAST(COUNT(DISTINCT $k) AS BIGINT) AS n_distinct, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows FROM orders"
+      }.mkString(" UNION ALL ")
+      s"""WITH per AS ($selects)
+         |SELECT key_cols, n_distinct, n_rows, n_distinct = n_rows AS is_unique,
+         |  CASE WHEN n_rows > 0 THEN
+         |    floor(CAST(n_distinct AS DOUBLE)/CAST(n_rows AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS uniqueness
+         |FROM per ORDER BY key_cols""".stripMargin
+    },
   )
 }

@@ -5442,6 +5442,49 @@ object QualityChecks {
       }: _*)
   }
 
+  /** Candidate-key discovery over a column list — every single column
+    * and every unordered pair scored by exact distinct count vs row
+    * count: `is_unique` marks the minimal candidate keys a schema
+    * review or a MERGE-key audit needs, and the uniqueness ratio
+    * ranks near-keys (0.999… usually means a dirty duplicate, not a
+    * design choice). The discovery-side complement to row 201's
+    * functional-dependency CHECK (that verifies a claimed dependency;
+    * this finds the key candidates to claim).
+    *
+    * Determinism: exact COUNT(DISTINCT) per combo over stringified
+    * columns with a \\u0001 pair separator (nulls fold to the
+    * \\u0002 sentinel so NULL-bearing combos still count
+    * deterministically); ratios are pinned divisions rounded 1e-6.
+    *
+    * Scale shape: ONE aggregation pass PER COMBO (combos ≤ C(8,2)+8 by
+    * the require), each a map-side-combined distinct — deliberately
+    * not a single multi-distinct agg, whose Expand would multiply the
+    * scan by the combo count; at 100 TB screen wide tables with the
+    * row 54 HLL sketches first and confirm the shortlist here. */
+  def candidateKeys(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 8,
+      s"cols must have 1..8 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "cols must be distinct")
+    def key(cs: Seq[String]) = sf.concat_ws("\u0001",
+      cs.map(c => sf.coalesce(sf.col(c).cast("string"), sf.lit("\u0002"))): _*)
+    val combos = cols.map(Seq(_)) ++
+      (for (i <- cols.indices; j <- i + 1 until cols.size)
+        yield Seq(cols(i), cols(j)))
+    val base = df.select(cols.map(sf.col): _*).localCheckpoint(true)
+    val n = base.count() // one exact row count, reused by every combo
+    val per = combos.map { cs =>
+      base.agg(sf.count_distinct(key(cs)).as("n_distinct"))
+        .select(sf.lit(cs.mkString(",")).as("key_cols"),
+          sf.col("n_distinct"), sf.lit(n).as("n_rows"))
+    }.reduce(_.unionByName(_))
+    per.select(sf.col("key_cols"), sf.col("n_distinct"), sf.col("n_rows"),
+        (sf.col("n_distinct") === sf.col("n_rows")).as("is_unique"),
+        sf.when(sf.col("n_rows") > 0, gf.roundAt(
+          sf.col("n_distinct").cast("double") / sf.col("n_rows").cast("double"),
+          6)).as("uniqueness"))
+      .orderBy("key_cols")
+  }
+
   /** Fisher's EXACT test on a 2×2 table (Fisher 1935) — the
     * small-sample gate where the χ²/G asymptotics (rows 145 + the
     * G-test) are invalid: under fixed margins the cell count is

@@ -242,6 +242,11 @@ object functions {
     * Kernels.deflateLen. */
   def deflateLen(t: Column): Column = kernel(LongType, "deflateLen", t)
 
+  /** FULL (unrestricted) Damerau–Levenshtein distance — transpositions
+    * of adjacent characters cost 1; see Kernels.damerauLevenshtein. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    kernel(LongType, "damerauLevenshtein", a, b)
+
   /** [|x|², |x − proj_l(x)|²] in one pass (index-order folds); see
     * Kernels.removeComponentStats. */
   def removeComponentStats(x: Column, l: Column): Column =

@@ -3313,6 +3313,65 @@ object EventOps {
       .orderBy("event_type", "bin")
   }
 
+  /** Month-end SEMI-ADDITIVE balance rollup — the measure class
+    * (account balances, inventory levels, subscription counts) that
+    * sums across ACCOUNTS but not across TIME: per month, each
+    * account's balance is its LAST observed value CARRIED FORWARD
+    * through silent months (an account that didn't transact in March
+    * still has its February balance — skipping it would understate
+    * every quiet month), then summed across accounts. The classic
+    * OLAP snapshot-fact pattern, built directly from the event log.
+    *
+    * Determinism: the closing row per (account, month) is the exact
+    * max(struct(ts, event_id, value)) — event ids are unique, so the
+    * argmax is a total order; values ride the 1e-4 grid as exact
+    * longs; the carry-forward is last-non-null over a PER-ACCOUNT
+    * month window (bounded by the calendar span — never a one-task
+    * window); month totals are exact integer sums, one /1e4 rounding.
+    * Null-value and null-user events drop (complete-case).
+    *
+    * Scale shape: one combinable (account, month) argmax + a per-
+    * account month-grid explode (accounts × months-since-first-event
+    * rows — the honest materialization every snapshot fact table
+    * pays) + the bounded carry window + one month rollup. */
+  def monthlyBalances(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts",
+                      valueCol: String = "value"): DataFrame = {
+    val e = events.filter(sf.col(tsCol).isNotNull && sf.col(userCol).isNotNull &&
+        sf.col(valueCol).isNotNull)
+      .select(sf.col(userCol).as("u"),
+        (sf.year(sf.col(tsCol)) * 12 + sf.month(sf.col(tsCol)) - 1).as("mi"),
+        sf.unix_micros(sf.col(tsCol)).as("__us"), sf.col("event_id"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+          .as("__v4"))
+    val closing = e.groupBy("u", "mi")
+      .agg(sf.max(sf.struct(sf.col("__us"), sf.col("event_id"),
+        sf.col("__v4"))).as("__m"))
+      .select(sf.col("u"), sf.col("mi"), sf.col("__m.__v4").as("__v4"))
+      .localCheckpoint(true) // grid + fill read it
+    val hi = closing.agg(sf.max("mi").as("__hi"))
+    val grid = closing.groupBy("u").agg(sf.min("mi").as("__lo"))
+      .crossJoin(sf.broadcast(hi))
+      .select(sf.col("u"),
+        sf.explode(sf.sequence(sf.col("__lo"), sf.col("__hi"))).as("mi"))
+    val w = Window.partitionBy("u").orderBy("mi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid.join(closing, Seq("u", "mi"), "left")
+      .withColumn("__bal", sf.last(sf.col("__v4"), ignoreNulls = true).over(w))
+    filled.groupBy("mi")
+      .agg(sf.count(sf.col("__bal")).as("n_accounts"),
+        sf.sum("__bal").cast("long").as("__t4"))
+      .select(sf.concat(
+          sf.expr("mi div 12").cast("string"), sf.lit("-"),
+          sf.lpad((sf.col("mi") % 12 + 1).cast("string"), 2, "0")).as("month"),
+        sf.col("n_accounts"),
+        gf.roundAt(sf.col("__t4").cast("double") / 1e4, 4).as("total_balance"),
+        sf.when(sf.col("n_accounts") > 0, gf.roundAt(
+          sf.col("__t4").cast("double") / 1e4 /
+            sf.col("n_accounts").cast("double"), 6)).as("avg_balance"))
+      .orderBy("month")
+  }
+
   /** Permutation entropy of order 3 (Bandt & Pompe 2002) per event
     * type over the [[denseSeries]] gap-filled count grid — the
     * COMPLEXITY number the moment ladder (variance, ACF, Hurst) can't

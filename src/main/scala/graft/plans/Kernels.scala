@@ -2004,4 +2004,49 @@ object Kernels {
       u8(scheme), u8(host), u8(port), u8(path), u8(query), u8(frag),
       u8(regDomain)))
   }
+
+  /** FULL Damerau–Levenshtein distance (Lowrance & Wagner 1975): the
+    * minimum number of insertions, deletions, substitutions, and
+    * transpositions of adjacent characters — UNRESTRICTED, so
+    * dl("CA","ABC") = 2 where the common OSA restriction says 3. The
+    * alphabet-indexed DP over UTF-16 code units; intended for SHORT
+    * blocked keys (quadratic in length), ASCII-safe for engine parity
+    * (DuckDB's damerau_levenshtein computes the same metric). */
+  def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Long = {
+    val a = ua.toString; val b = ub.toString
+    val n = a.length; val m = b.length
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    val inf = n + m
+    // d is (n+2) x (m+2) with the Lowrance–Wagner sentinel border
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k: Int = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v }
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        var best = d(i)(j) + cost                      // substitution / match
+        val ins = d(i + 1)(j) + 1                      // insertion
+        if (ins < best) best = ins
+        val del = d(i)(j + 1) + 1                      // deletion
+        if (del < best) best = del
+        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1) // transposition
+        if (tr < best) best = tr
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1).toLong
+  }
 }

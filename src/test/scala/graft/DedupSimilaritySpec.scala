@@ -532,6 +532,31 @@ class DedupSimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("dlDistanceJoin: transposition pairs at distance 1, full-DL kernel") {
+    import spark.implicits._
+    // the kernel is FULL Lowrance-Wagner DL, not OSA
+    assert(graft.plans.Kernels.damerauLevenshtein(
+      org.apache.spark.unsafe.types.UTF8String.fromString("CA"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("ABC")) == 2L)
+    assert(graft.plans.Kernels.damerauLevenshtein(
+      org.apache.spark.unsafe.types.UTF8String.fromString("teh"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("the")) == 1L)
+    assert(graft.plans.Kernels.damerauLevenshtein(
+      org.apache.spark.unsafe.types.UTF8String.fromString(""),
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")) == 3L)
+    val rows = Seq(
+      (1L, "teh cat"), (2L, "the cat"),  // adjacent swap: dl 1, lev 2
+      (3L, "the bat"),                   // dl(2,3)=1 substitution
+      (4L, "zzzzzz")).toDF("id", "s")
+    val got = Dedup.dlDistanceJoin(rows, "id", sf.col("s"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)), got.toString)
+    // plain Levenshtein misses the swap pair at k=1
+    val lev = Dedup.editDistanceJoin(rows, "id", sf.col("s"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lev == Set((2L, 3L)), lev.toString)
+  }
+
   test("hashedWsNgramSeq keeps order and multiplicity; set variant sorts distinct") {
     val df = Seq(
       ("a b c a b c", 2),  // grams: ab bc ca ab bc — repeats kept, in order

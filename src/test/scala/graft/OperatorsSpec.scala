@@ -3676,4 +3676,38 @@ class OperatorsSpec extends SparkFunSuite {
       ("click", 1L, 6.67), ("direct", 1L, 5.0), ("view", 1L, 3.33)),
       got.toString)
   }
+
+  test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
+    val df = Seq(
+      (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
+      (2L, "2024-01-20 00:00:00", 1L, 10.0),  // u1 Jan closing
+      (3L, "2024-03-05 00:00:00", 1L, 20.0),  // u1 Mar (Feb carried 10)
+      (4L, "2024-02-15 00:00:00", 2L, 5.0),   // u2 joins in Feb
+      (5L, "2024-02-15 00:00:00", 2L, 7.0))   // same ts: larger id wins
+      .toDF("event_id", "ts_s", "user_id", "value")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("value"))
+    val got = EventOps.monthlyBalances(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      ("2024-01", 1L, 10.0, 10.0),
+      ("2024-02", 2L, 17.0, 8.5),   // u1 carries 10, u2 closes at 7
+      ("2024-03", 2L, 27.0, 13.5)), got.toString)
+  }
+
+  test("QualityChecks.candidateKeys: singles and pairs, null sentinel") {
+    val df = Seq((1L, "a", Some("x")), (2L, "a", None), (3L, "b", None))
+      .toDF("id", "v", "n")
+    val got = QualityChecks.candidateKeys(df, Seq("id", "v", "n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got("id") == ((3L, true)) && got("v") == ((2L, false)) &&
+      got("n") == ((2L, false)), got.toString)
+    assert(got("id,v") == ((3L, true)) && got("id,n") == ((3L, true)))
+    assert(got("v,n") == ((3L, true))) // (a,x),(a,NULL),(b,NULL) distinct
+    assert(got.size == 6)
+    intercept[IllegalArgumentException] {
+      QualityChecks.candidateKeys(df, Seq("id", "id"))
+    }
+  }
 }
