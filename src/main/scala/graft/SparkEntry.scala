@@ -2740,6 +2740,23 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))),
 
+    // Generalized ESD: remove-and-retest outlier rounds where a
+    // single Grubbs pass is masked by its own second outlier.
+    "q388_gesd" -> ((s, dir) =>
+      QualityChecks.gesdOutliers(Tables.load(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", rounds = 3)),
+
+    // Inter-arrival exponential fit + exact one-sample KS: how
+    // Poisson is each event stream, and where the model breaks.
+    "q389_interarrival_fit" -> ((s, dir) =>
+      EventOps.interarrivalExpFit(Tables.load(s, dir, "events"))),
+
+    // Linear CKA of the full 64-dim embedding vs its 16/32-dim
+    // prefixes: the whole-geometry Matryoshka truncation readout.
+    "q390_cka" -> ((s, dir) =>
+      Similarity.linearCka(emb(s, dir), "embedding", dims = 64,
+        prefixes = Seq(16, 32))),
+
     // Fowlkes-Mallows + variation of information on the q357
     // labeling-vs-brand panel: pairwise precision/recall + a true
     // partition metric beside ARI and V-measure.
@@ -12372,6 +12389,91 @@ object SparkEntry {
          |  CASE WHEN n_rows > 0 THEN
          |    floor(CAST(n_distinct AS DOUBLE)/CAST(n_rows AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS uniqueness
          |FROM per ORDER BY key_cols""".stripMargin
+    },
+
+    "q388_gesd" -> {
+      def round(r: Int): String =
+        s""",
+           |st$r AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+           |  SUM(CAST(cnt AS HUGEINT)*v) AS s, SUM(CAST(cnt AS HUGEINT)*v*v) AS q
+           |  FROM v${r - 1} GROUP BY 1),
+           |t$r AS (SELECT g, v, n, s, q, dev FROM (SELECT c.g, c.v, st$r.n, st$r.s, st$r.q,
+           |  abs(CAST(st$r.n AS HUGEINT)*c.v - st$r.s) AS dev,
+           |  row_number() OVER (PARTITION BY c.g
+           |    ORDER BY abs(CAST(st$r.n AS HUGEINT)*c.v - st$r.s) DESC, c.v DESC) AS rn
+           |  FROM v${r - 1} c JOIN st$r ON c.g = st$r.g) WHERE rn = 1),
+           |o$r AS (SELECT g, CAST($r AS BIGINT) AS round, n,
+           |  floor(CAST(v AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS removed_value,
+           |  CASE WHEN n >= 3 AND CAST(n*q - s*s AS DOUBLE) > 0 THEN
+           |    floor(CAST(dev AS DOUBLE)/CAST(n AS DOUBLE)
+           |      / sqrt(CAST(n*q - s*s AS DOUBLE)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)))
+           |      *1000000.0 + 0.5)/1000000.0 END AS r_stat
+           |  FROM t$r),
+           |v$r AS (SELECT g, v, cnt FROM (SELECT c.g, c.v,
+           |  CASE WHEN c.v = t$r.v THEN c.cnt - 1 ELSE c.cnt END AS cnt
+           |  FROM v${r - 1} c JOIN t$r ON c.g = t$r.g) WHERE cnt > 0)""".stripMargin
+      """WITH v0 AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+        |  (SELECT o_orderpriority AS g,
+        |   CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |   FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL)
+        |  GROUP BY 1, 2)""".stripMargin +
+        (1 to 3).map(round).mkString +
+        """
+          |SELECT g AS o_orderpriority, round, n, removed_value, r_stat
+          |FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3)
+          |ORDER BY o_orderpriority, round""".stripMargin
+    },
+
+    "q389_interarrival_fit" ->
+      """WITH e AS (SELECT event_type AS t, user_id AS u, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |gp AS (SELECT t, us - lag(us) OVER (PARTITION BY u, t ORDER BY us, event_id) AS g
+        |  FROM e),
+        |g2 AS (SELECT t, g FROM gp WHERE g IS NOT NULL),
+        |ce AS (SELECT t, g, CAST(COUNT(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2),
+        |tt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n, SUM(CAST(c AS HUGEINT)*g) AS sg
+        |  FROM ce GROUP BY 1),
+        |tf AS (SELECT * FROM tt WHERE sg > 0),
+        |cu AS (SELECT t, g, c,
+        |  SUM(c) OVER (PARTITION BY t ORDER BY g ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ce),
+        |sc AS (SELECT cu.t, cu.g, tf.n, tf.sg, greatest(
+        |  abs(CAST(cum AS DOUBLE)/CAST(n AS DOUBLE)
+        |    - (1.0 - exp(-CAST(CAST(n AS HUGEINT)*cu.g AS DOUBLE)/CAST(sg AS DOUBLE)))),
+        |  abs((1.0 - exp(-CAST(CAST(n AS HUGEINT)*cu.g AS DOUBLE)/CAST(sg AS DOUBLE)))
+        |    - CAST(cum - c AS DOUBLE)/CAST(n AS DOUBLE))) AS d
+        |  FROM cu JOIN tf ON cu.t = tf.t),
+        |mx AS (SELECT t, n, sg, d, g FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY t ORDER BY d DESC, g) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT t AS event_type, n AS n_gaps,
+        |  floor(CAST(sg AS DOUBLE)/(CAST(n AS DOUBLE)*1e6)*1000000.0 + 0.5)/1000000.0 AS mean_gap_sec,
+        |  floor(CAST(n AS DOUBLE)*3.6e9/CAST(sg AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS lambda_per_hour,
+        |  floor(d*1000000.0 + 0.5)/1000000.0 AS ks_stat,
+        |  floor(CAST(g AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS ks_at_sec
+        |FROM mx ORDER BY event_type""".stripMargin,
+
+    "q390_cka" -> {
+      pcaOracleChain(0) + """,
+        |bb AS (SELECT CAST(SUM(m*m) AS HUGEINT) AS b FROM mq),
+        |a16 AS (SELECT CAST(SUM(m*m) AS HUGEINT) AS a FROM mq WHERE j <= 16),
+        |c16 AS (SELECT CAST(SUM(m*m) AS HUGEINT) AS c FROM mq WHERE i <= 16 AND j <= 16),
+        |a32 AS (SELECT CAST(SUM(m*m) AS HUGEINT) AS a FROM mq WHERE j <= 32),
+        |c32 AS (SELECT CAST(SUM(m*m) AS HUGEINT) AS c FROM mq WHERE i <= 32 AND j <= 32)
+        |SELECT * FROM (
+        |  SELECT CAST(16 AS BIGINT) AS prefix_dims, cnt.n AS n_rows,
+        |    cnt.n_all - cnt.n AS n_excluded,
+        |    CASE WHEN b > 0 AND c16.c > 0 THEN
+        |      floor(CAST(a16.a AS DOUBLE)/(sqrt(CAST(b AS DOUBLE))*sqrt(CAST(c16.c AS DOUBLE)))*1000000.0 + 0.5)/1000000.0
+        |    ELSE 0.0 END AS cka
+        |  FROM a16 CROSS JOIN c16 CROSS JOIN bb CROSS JOIN cnt
+        |  UNION ALL
+        |  SELECT CAST(32 AS BIGINT), cnt.n, cnt.n_all - cnt.n,
+        |    CASE WHEN b > 0 AND c32.c > 0 THEN
+        |      floor(CAST(a32.a AS DOUBLE)/(sqrt(CAST(b AS DOUBLE))*sqrt(CAST(c32.c AS DOUBLE)))*1000000.0 + 0.5)/1000000.0
+        |    ELSE 0.0 END
+        |  FROM a32 CROSS JOIN c32 CROSS JOIN bb CROSS JOIN cnt)
+        |ORDER BY prefix_dims""".stripMargin
     },
   )
 }

@@ -5302,6 +5302,71 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Generalized ESD outlier rounds (Rosner 1983) per group — the
+    * MULTI-outlier extension of row 415's Grubbs test, which is
+    * famously masked by its own target: two far outliers inflate the
+    * SD enough that neither looks extreme. GESD removes the most
+    * extreme point and RETESTS on the remainder, `rounds` times,
+    * reporting each round's studentized statistic R_r and the removed
+    * value — read the R ladder downward and cut where it collapses
+    * (the critical-value table is the analyst's, by design: it
+    * depends on the chosen α and the t quantile, which an engine
+    * should report inputs for, not bake in).
+    *
+    * Determinism: the round argmax is row 415's exact integer
+    * |n·v − Σv| with value tie-break, computed on the (group, value,
+    * count) DOMAIN — removal decrements one count, so tied duplicates
+    * leave one at a time; R_r is the identical pinned Grubbs assembly
+    * 1e-6; a group with n < 3 or zero variance reports NULL R but
+    * still shows what was removed (n ≥ 1).
+    *
+    * Scale shape: the domain collapse happens once; each round is a
+    * broadcast-stats attach + domain argmax + a count decrement on the
+    * domain frame — `rounds` (≤ 5) passes over the DOMAIN, never the
+    * rows. */
+  def gesdOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                   rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 5, s"rounds must be in [1, 5], got $rounds")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    var cells = df.filter(sf.col(groupCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as("g"), v4.as("v"))
+      .groupBy("g", "v").agg(sf.count(sf.lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val outs = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val stats = cells.groupBy("g").agg(sf.sum("cnt").cast("long").as("n"),
+        sf.sum(dec(sf.col("cnt")) * dec(sf.col("v"))).as("s"),
+        sf.sum(dec(sf.col("cnt")) * dec(sf.col("v")) * dec(sf.col("v"))).as("q"))
+      val top = cells.join(sf.broadcast(stats), "g")
+        .withColumn("__dev", sf.abs(dec(sf.col("n")) * dec(sf.col("v")) - sf.col("s")))
+        .groupBy("g").agg(
+          sf.max(sf.struct(sf.col("__dev"), sf.col("v"))).as("__m"),
+          sf.max("n").as("n"), sf.max("s").as("__s"), sf.max("q").as("__q"))
+        .localCheckpoint(true) // output row + next round's removal read it
+      outs += top.select({
+        val n = sf.col("n").cast("double")
+        val num = (dec(sf.col("n")) * sf.col("__q") -
+          sf.col("__s") * sf.col("__s")).cast("double")
+        val sd = sf.sqrt(num / (n * (n - 1)))
+        val rStat = sf.col("__m.__dev").cast("double") / n / sd
+        val ok = sf.col("n") >= 3 && num > 0
+        Seq(sf.col("g").as(groupCol), sf.lit(r.toLong).as("round"), sf.col("n"),
+          gf.roundAt(sf.col("__m.v").cast("double") / 1e4, 4).as("removed_value"),
+          sf.when(ok, gf.roundAt(rStat, 6)).as("r_stat"))
+      }: _*)
+      if (r < rounds) {
+        cells = cells
+          .join(top.select(sf.col("g"), sf.col("__m.v").as("__rv")), Seq("g"), "left")
+          .withColumn("cnt", sf.when(sf.col("v") === sf.col("__rv"),
+            sf.col("cnt") - 1).otherwise(sf.col("cnt")))
+          .filter(sf.col("cnt") > 0).drop("__rv")
+          .localCheckpoint(true)
+      }
+    }
+    outs.reduce(_.unionByName(_)).orderBy(groupCol, "round")
+  }
+
   /** Theil's uncertainty coefficient U (Theil 1970) between two
     * categorical columns — the ASYMMETRIC, normalized mutual-
     * information readout the χ²/Cramér's-V pair can't give: V says

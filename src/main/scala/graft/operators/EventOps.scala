@@ -3313,6 +3313,71 @@ object EventOps {
       .orderBy("event_type", "bin")
   }
 
+  /** Inter-arrival exponential fit + one-sample KS per event type —
+    * the Poisson-process reality check the dispersion index (row 333)
+    * reads only at bin granularity: per (user, type) consecutive gaps
+    * pool into the type's inter-arrival sample, the MoM exponential
+    * rate is λ = n/Σgap, and the exact one-sample Kolmogorov–Smirnov
+    * statistic D = sup|ECDF − (1 − e^{−λg})| prices HOW exponential
+    * the arrivals really are (retry storms and sessions put mass at
+    * tiny gaps; schedulers put spikes at fixed gaps — both blow D up
+    * long before the mean moves).
+    *
+    * Determinism: gaps are exact microsecond longs from a per-(user,
+    * type) BOUNDED window (the row 237 bot-cadence shape); the ECDF
+    * lives on the (type, gap) DOMAIN with exact cumulative counts
+    * (domain-bounded windows, the row 144 KS convention); the model
+    * CDF term exponentiates the pinned ratio (n·g)/Σg (exact integers
+    * cast once), D is a max over identically-computed doubles with a
+    * (−gap) tie-break; mean/λ are pinned assemblies 1e-6. Types whose
+    * gaps are all zero (Σg = 0 — a degenerate same-timestamp burst)
+    * drop, documented.
+    *
+    * Scale shape: one bounded per-key lag window + one domain
+    * collapse + a per-type domain cumulative + one max-struct rollup. */
+  def interarrivalExpFit(events: DataFrame, typeCol: String = "event_type",
+                         userCol: String = "user_id",
+                         tsCol: String = "ts"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy("u", "t").orderBy(sf.col("us"), sf.col("event_id"))
+    val gaps = events
+      .filter(sf.col(tsCol).isNotNull && sf.col(userCol).isNotNull)
+      .select(sf.col(typeCol).as("t"), sf.col(userCol).as("u"),
+        sf.unix_micros(sf.col(tsCol)).as("us"), sf.col("event_id"))
+      .withColumn("__prev", sf.lag("us", 1).over(w))
+      .filter(sf.col("__prev").isNotNull)
+      .select(sf.col("t"), (sf.col("us") - sf.col("__prev")).as("g"))
+    val cells = gaps.groupBy("t", "g").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + cumulative read it
+    val tot = cells.groupBy("t").agg(sf.sum("c").cast("long").as("n"),
+        sf.sum(dec(sf.col("c")) * dec(sf.col("g"))).as("sg"))
+      .filter(sf.col("sg") > 0)
+    val wd = Window.partitionBy("t").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cells.withColumn("__cum", sf.sum("c").over(wd))
+      .join(tot, "t")
+      .select(sf.col("t"), sf.col("g"), sf.col("n"), sf.col("sg"), {
+        val f = sf.lit(1.0) - sf.exp(-(dec(sf.col("n")) * dec(sf.col("g")))
+          .cast("double") / sf.col("sg").cast("double"))
+        val hi = sf.abs(sf.col("__cum").cast("double") /
+          sf.col("n").cast("double") - f)
+        val lo = sf.abs(f - (sf.col("__cum") - sf.col("c")).cast("double") /
+          sf.col("n").cast("double"))
+        sf.greatest(hi, lo).as("__d")
+      })
+    scored.groupBy("t")
+      .agg(sf.max(sf.struct(sf.col("__d"), (-sf.col("g")).as("__ng"),
+        sf.col("n"), sf.col("sg"))).as("__m"))
+      .select(sf.col("t").as(typeCol), sf.col("__m.n").as("n_gaps"),
+        gf.roundAt(sf.col("__m.sg").cast("double") /
+          (sf.col("__m.n").cast("double") * 1e6), 6).as("mean_gap_sec"),
+        gf.roundAt(sf.col("__m.n").cast("double") * 3.6e9 /
+          sf.col("__m.sg").cast("double"), 6).as("lambda_per_hour"),
+        gf.roundAt(sf.col("__m.__d"), 6).as("ks_stat"),
+        gf.roundAt((-sf.col("__m.__ng")).cast("double") / 1e6, 6).as("ks_at_sec"))
+      .orderBy(typeCol)
+  }
+
   /** Month-end SEMI-ADDITIVE balance rollup — the measure class
     * (account balances, inventory levels, subscription counts) that
     * sums across ACCOUNTS but not across TIME: per month, each

@@ -1548,6 +1548,64 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Linear CKA between the FULL embedding and its truncation to each
+    * prefix length (Kornblith et al. 2019, "Similarity of Neural
+    * Network Representations Revisited") — the representation-
+    * similarity number behind row 232's rank-overlap audit: CKA =
+    * ‖Xᶜᵀ Yᶜ‖²_F / (‖XᶜᵀXᶜ‖_F · ‖YᶜᵀYᶜ‖_F) reads "how much of the
+    * full space's structure survives in the first p dimensions" on a
+    * 0–1 scale that is invariant to isotropic scaling and rotation —
+    * THE Matryoshka-truncation readout (high CKA at p=16 → serve the
+    * cheap prefix; row 232 checks top-k lists, CKA checks the whole
+    * geometry).
+    *
+    * Because the truncation is a coordinate subset, every Gram block
+    * is a sub-block of the ONE exact n²-scaled covariance matrix the
+    * PCA pass (row 259) already computes: A_p = Σ M²_ij over (i ≤ d,
+    * j ≤ p), B = over d×d, C_p = over p×p, CKA_p = A_p/(√B·√C_p).
+    * Determinism: M rides the row-259 exact DECIMAL chain and the
+    * same documented max/1e6 quantization (floor division, mirrored
+    * in the oracle); the block sums are exact integer Σm² (≤ 4·10¹⁵
+    * at d = 64 — inside int64); CKA is ONE pinned double assembly
+    * rounded 1e-6 (√ IEEE-exact).
+    *
+    * Scale shape: ONE distributed moment pass (the row 259 kernel
+    * scan); everything after is d²-bounded driver arithmetic — the
+    * codebook convention. */
+  def linearCka(emb: DataFrame, vecCol: String, dims: Int,
+                prefixes: Seq[Int] = Seq(16, 32)): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(p => p >= 1 && p < dims),
+      s"prefixes must be in [1, dims), got $prefixes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val st = pcaIterate(emb, vecCol, dims, iters = 1) match {
+      case None => return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("prefix_dims", "n_rows", "n_excluded", "cka")
+      case Some(x) => x
+    }
+    val m = st.m
+    def blockSum(rows: Int, cols: Int): Double = {
+      var acc = 0L
+      var i = 0
+      while (i < rows) {
+        var j = 0
+        while (j < cols) { acc += m(i)(j) * m(i)(j); j += 1 }
+        i += 1
+      }
+      acc.toDouble
+    }
+    val b = blockSum(dims, dims)
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    prefixes.sorted.map { p =>
+      val a = blockSum(dims, p)
+      val c = blockSum(p, p)
+      val cka = if (b > 0 && c > 0) snap6(a / (math.sqrt(b) * math.sqrt(c)))
+                else 0.0
+      (p.toLong, st.n, st.nAll - st.n, cka)
+    }.toDF("prefix_dims", "n_rows", "n_excluded", "cka")
+      .orderBy("prefix_dims")
+  }
+
   /** Remove the top principal component from every embedding (the
     * all-but-the-top post-processing of Arora et al. 2017 / Mu &
     * Viswanath 2018: the dominant direction of an embedding table is

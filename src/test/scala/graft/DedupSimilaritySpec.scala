@@ -717,6 +717,30 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(capped == 0 && uncapped == 6) // all C(4,2) pairs without the cap
   }
 
+  test("Similarity.linearCka: zero-padded tail gives 1, orthogonal block < 1") {
+    import spark.implicits._
+    // all variance inside the first 2 dims: prefix-2 CKA is exactly 1
+    val padded = (0 until 20).map { i =>
+      (i.toLong, Array((i % 5 - 2).toFloat, (i % 3 - 1).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val p = Similarity.linearCka(padded, "embedding", dims = 4,
+      prefixes = Seq(2)).collect()
+    assert(p.length == 1 && p(0).getAs[Double]("cka") == 1.0, p.mkString)
+    assert(p(0).getAs[Long]("n_rows") == 20 && p(0).getAs[Long]("n_excluded") == 0)
+    // independent variance in dims 3-4: the prefix misses geometry
+    val split = (0 until 20).map { i =>
+      (i.toLong, Array((i % 5 - 2).toFloat, 0f, (i % 7 - 3).toFloat,
+        (i % 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val s = Similarity.linearCka(split, "embedding", dims = 4,
+      prefixes = Seq(2)).collect()
+    val cka = s(0).getAs[Double]("cka")
+    assert(cka > 0.0 && cka < 0.9, s"expected partial similarity, got $cka")
+    intercept[IllegalArgumentException] {
+      Similarity.linearCka(padded, "embedding", dims = 4, prefixes = Seq(4))
+    }
+  }
+
   test("Similarity.pcaTopComponent recovers a planted dominant direction") {
     import spark.implicits._
     // direction d ∝ (3, 1, 0, 2) planted with large spread; small

@@ -3710,4 +3710,41 @@ class OperatorsSpec extends SparkFunSuite {
       QualityChecks.candidateKeys(df, Seq("id", "id"))
     }
   }
+
+  test("QualityChecks.gesdOutliers: remove-and-retest order, exhausted NULL") {
+    val df = (Seq.fill(4)(("a", 1.0)) ++ Seq(("a", 100.0), ("a", 50.0)))
+      .toDF("g", "v")
+    val got = QualityChecks.gesdOutliers(df, "g", "v", rounds = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    // round 1 removes 100 (n=6), round 2 removes 50 (n=5), round 3
+    // sees a constant set (n=4): removal still reported, R NULL
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      Seq((1L, 6L, 100.0), (2L, 5L, 50.0), (3L, 4L, 1.0)), got.toString)
+    assert(got(0)._4.isDefined && got(1)._4.isDefined && got(2)._4.isEmpty)
+    // tied duplicates leave ONE at a time
+    val dup = (Seq.fill(3)(("b", 5.0)) ++ Seq.fill(2)(("b", 9.0))).toDF("g", "v")
+    val g2 = QualityChecks.gesdOutliers(dup, "g", "v", rounds = 2).collect()
+    assert(g2.map(_.getDouble(3)).toSeq == Seq(9.0, 9.0) &&
+      g2.map(_.getLong(2)).toSeq == Seq(5L, 4L), g2.mkString(";"))
+  }
+
+  test("EventOps.interarrivalExpFit: hand KS vs Exp, degenerate type drops") {
+    val df = Seq(
+      (1L, 0L, 1L, "a", 1.0), (2L, 1L, 1L, "a", 1.0), (3L, 3L, 1L, "a", 1.0),
+      (4L, 10L, 2L, "z", 1.0), (5L, 10L, 2L, "z", 1.0)) // zero gap -> sg=0
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"), sf.col("value"))
+    val got = EventOps.interarrivalExpFit(df).collect()
+    assert(got.length == 1 && got(0).getAs[String]("event_type") == "a")
+    val r = got(0)
+    // gaps 1s, 2s: mean 1.5, lambda 2400/h, D = 1 - exp(-2/3) at g = 1s
+    assert(r.getAs[Long]("n_gaps") == 2L)
+    assert(r.getAs[Double]("mean_gap_sec") == 1.5)
+    assert(r.getAs[Double]("lambda_per_hour") == 2400.0)
+    assert(math.abs(r.getAs[Double]("ks_stat") -
+      (1.0 - math.exp(-2.0 / 3))) < 2e-6, r.toString)
+    assert(r.getAs[Double]("ks_at_sec") == 1.0)
+  }
 }
