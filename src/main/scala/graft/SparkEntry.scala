@@ -2757,6 +2757,42 @@ object SparkEntry {
       Similarity.linearCka(emb(s, dir), "embedding", dims = 64,
         prefixes = Seq(16, 32))),
 
+    // Moran's I on airport elevation over the q296 neighbor graph:
+    // is elevation spatially clustered, in one exact number.
+    "q391_morans_i" -> ((s, dir) =>
+      Geo.moransI(queries("q293_dim_airport")(s, dir),
+        "airport_key", "latitude", "longitude", "elevation_ft",
+        radiusDeg = 6.0)),
+
+    // Bowker symmetry on week1-vs-week2 user value tiers: do tiers
+    // migrate in a DIRECTION, not just disagree.
+    "q392_bowker" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(sf.col("value").isNotNull && sf.col("user_id").isNotNull &&
+          sf.col("ts").isNotNull)
+      val split = sf.lit("2024-01-08 00:00:00").cast("timestamp")
+      def tier(df: DataFrame, as: String) = df
+        .groupBy("user_id")
+        .agg(sf.floor(
+          sf.sum(sf.floor(sf.col("value").cast("double") * 1e4 + 0.5)
+            .cast("long")).cast("double") /
+            sf.count(sf.lit(1)).cast("double") + 0.5).cast("long").as("__m4"))
+        .select(sf.col("user_id"),
+          sf.least(sf.lit(3L), sf.expr("__m4 div 250000")).as(as))
+      QualityChecks.bowkerSymmetry(
+        tier(ev.filter(sf.col("ts") < split), "tier_w1")
+          .join(tier(ev.filter(sf.col("ts") >= split), "tier_w2"), "user_id"),
+        "tier_w1", "tier_w2")
+    }),
+
+    // Kendall's W: do the months agree on the priority ranking —
+    // the consensus number beside q272's "not identical".
+    "q393_kendall_w" -> ((s, dir) =>
+      QualityChecks.kendallW(
+        Tables.load(s, dir, "orders")
+          .withColumn("o_month", sf.date_format(sf.col("o_orderdate"), "yyyy-MM")),
+        "o_month", "o_orderpriority", "o_totalprice")),
+
     // Fowlkes-Mallows + variation of information on the q357
     // labeling-vs-brand panel: pairwise precision/recall + a true
     // partition metric beside ARI and V-measure.
@@ -12475,5 +12511,94 @@ object SparkEntry {
         |  FROM a32 CROSS JOIN c32 CROSS JOIN bb CROSS JOIN cnt)
         |ORDER BY prefix_dims""".stripMargin
     },
+
+    "q391_morans_i" ->
+      """WITH staged AS (SELECT
+        |  'AP' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS ident,
+        |  CASE CAST(n_nationkey % 4 AS INTEGER) WHEN 0 THEN 'heliport'
+        |    WHEN 1 THEN 'small_airport' WHEN 2 THEN 'medium_airport'
+        |    ELSE 'large_airport' END AS type,
+        |  CAST(n_nationkey*37 % 900 AS INTEGER) AS elevation_ft,
+        |  CAST(n_nationkey AS VARCHAR) || '.5, -' ||
+        |    CAST(n_regionkey AS VARCHAR) || '.25' AS coordinates
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |pts AS (SELECT CAST(str_split(coordinates, ', ')[1] AS DOUBLE) AS lat,
+        |  CAST(str_split(coordinates, ', ')[2] AS DOUBLE) AS lon,
+        |  CAST(floor(CAST(elevation_ft AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v,
+        |  row_number() OVER (ORDER BY ident) AS k
+        |  FROM staged
+        |  WHERE type IN ('small_airport', 'medium_airport', 'large_airport')),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s FROM pts),
+        |bb AS (SELECT SUM(CAST(st.n*pts.v - st.s AS HUGEINT)
+        |  * CAST(st.n*pts.v - st.s AS HUGEINT)) AS b FROM pts CROSS JOIN st),
+        |pr AS (SELECT CAST(COUNT(*) AS BIGINT) AS p,
+        |  SUM(CAST(st.n*a.v - st.s AS HUGEINT) * CAST(st.n*b2.v - st.s AS HUGEINT)) AS u
+        |  FROM pts a JOIN pts b2 ON a.k < b2.k
+        |  CROSS JOIN st
+        |  WHERE (a.lat - b2.lat)*(a.lat - b2.lat) + (a.lon - b2.lon)*(a.lon - b2.lon) <= 6.0*6.0)
+        |SELECT st.n AS n_points, pr.p AS n_neighbor_pairs,
+        |  CASE WHEN pr.p > 0 AND bb.b > 0 THEN
+        |    floor(CAST(st.n*pr.u AS DOUBLE)/CAST(pr.p*bb.b AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS morans_i,
+        |  CASE WHEN st.n > 1 THEN
+        |    floor(-1.0/CAST(st.n - 1 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS expected_i
+        |FROM st CROSS JOIN bb CROSS JOIN pr""".stripMargin,
+
+    "q392_bowker" ->
+      """WITH e AS (SELECT user_id, ts,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |t1 AS (SELECT user_id, least(3, CAST(floor(CAST(SUM(v4) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) // 250000) AS ra
+        |  FROM e WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1),
+        |t2 AS (SELECT user_id, least(3, CAST(floor(CAST(SUM(v4) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) // 250000) AS rb
+        |  FROM e WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1),
+        |p AS (SELECT CAST(t1.ra AS VARCHAR) AS a, CAST(t2.rb AS VARCHAR) AS b
+        |  FROM t1 JOIN t2 USING (user_id)),
+        |ce AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ce),
+        |kk AS (SELECT CAST(COUNT(DISTINCT l) AS BIGINT) AS k FROM
+        |  (SELECT a AS l FROM ce UNION ALL SELECT b FROM ce)),
+        |up AS (SELECT a AS i, b AS j, c AS nij FROM ce WHERE a < b),
+        |dn AS (SELECT b AS i, a AS j, c AS nji FROM ce WHERE a > b),
+        |tm AS (SELECT COALESCE(nij, 0) - COALESCE(nji, 0) AS d,
+        |  COALESCE(nij, 0) + COALESCE(nji, 0) AS s
+        |  FROM up FULL OUTER JOIN dn USING (i, j)),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(COALESCE(SUM(CAST(floor(CAST(d*d AS DOUBLE)/CAST(s AS DOUBLE)*1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS chi9
+        |  FROM tm WHERE s > 0)
+        |SELECT n, k AS n_categories, df,
+        |  floor(CAST(chi9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS bowker_chi2
+        |FROM tot CROSS JOIN kk CROSS JOIN ag""".stripMargin,
+
+    "q393_kendall_w" ->
+      """WITH v AS (SELECT strftime(o_orderdate, '%Y-%m') AS b, o_orderpriority AS tr,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cells AS (SELECT b, tr,
+        |  CAST(floor(CAST(SUM(v4) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m4
+        |  FROM v GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT tr) AS BIGINT) AS k FROM cells),
+        |complete AS (SELECT b FROM cells GROUP BY b
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |ranked AS (SELECT tr,
+        |  2*rank() OVER (PARTITION BY c.b ORDER BY m4)
+        |    + COUNT(*) OVER (PARTITION BY c.b, m4) - 1 AS ar2
+        |  FROM cells c JOIN complete USING (b)),
+        |rj AS (SELECT tr, CAST(SUM(ar2) AS BIGINT) AS r2j FROM ranked GROUP BY 1),
+        |agg AS (SELECT SUM(CAST(r2j AS HUGEINT)*r2j) AS sr2 FROM rj),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks FROM complete),
+        |f AS (SELECT n_blocks, k,
+        |  3.0*CAST(sr2 AS DOUBLE)/(CAST(n_blocks AS DOUBLE)*CAST(k AS DOUBLE)*(CAST(k AS DOUBLE)+1.0))
+        |    - 3.0*CAST(n_blocks AS DOUBLE)*(CAST(k AS DOUBLE)+1.0) AS chi
+        |  FROM agg CROSS JOIN nb CROSS JOIN kk)
+        |SELECT n_blocks, k,
+        |  CASE WHEN n_blocks > 0 AND k >= 2 THEN
+        |    floor(chi*1000000.0 + 0.5)/1000000.0 END AS chi2_f,
+        |  CASE WHEN n_blocks > 0 AND k >= 2 THEN
+        |    floor(chi/(CAST(n_blocks AS DOUBLE)*(CAST(k AS DOUBLE)-1.0))*1000000.0 + 0.5)/1000000.0 END AS kendall_w,
+        |  CASE WHEN n_blocks > 1 AND k >= 2 THEN
+        |    floor((CAST(n_blocks AS DOUBLE)*(chi/(CAST(n_blocks AS DOUBLE)*(CAST(k AS DOUBLE)-1.0))) - 1.0)
+        |      /(CAST(n_blocks AS DOUBLE) - 1.0)*1000000.0 + 0.5)/1000000.0 END AS mean_spearman_rho
+        |FROM f""".stripMargin,
   )
 }

@@ -5302,6 +5302,111 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Bowker's symmetry test (Bowker 1948) on a paired k×k rating
+    * table — the k-level generalization of row 294's McNemar: over
+    * subjects rated twice (two models, two snapshots, two raters),
+    * χ²_B = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji) asks whether
+    * MIGRATION between categories is symmetric — a significant χ²_B
+    * means ratings drift in a DIRECTION (tiers inflate, a model
+    * systematically up-scores), which marginal totals alone can hide
+    * and which is invisible to agreement coefficients (row 225's κ
+    * reads how often raters agree, not which way they disagree).
+    * Discordant pairs with n_ij + n_ji = 0 drop and df reduces —
+    * the standard convention; df = #nonzero discordant pairs.
+    *
+    * Determinism: exact cell counts; each pair's term snaps to a
+    * 1e-9 long (pinned (d·d)/s double, one per pair), the sum is an
+    * exact long total, one final /1e9 rounding at 1e-6.
+    *
+    * Scale shape: one (a, b) cell collapse + a pair-domain full-outer
+    * self-merge (k²-bounded) + a one-row finish. */
+  def bowkerSymmetry(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(sf.col(aCol).isNotNull && sf.col(bCol).isNotNull)
+      .select(sf.col(aCol).cast("string").as("a"), sf.col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + both triangles read it
+    val tot = cells.agg(sf.sum("c").cast("long").as("n"))
+    val k = cells.select(sf.col("a").as("l"))
+      .union(cells.select(sf.col("b").as("l")))
+      .agg(sf.count_distinct(sf.col("l")).as("k"))
+    val up = cells.filter(sf.col("a") < sf.col("b"))
+      .select(sf.col("a").as("i"), sf.col("b").as("j"), sf.col("c").as("nij"))
+    val dn = cells.filter(sf.col("a") > sf.col("b"))
+      .select(sf.col("b").as("i"), sf.col("a").as("j"), sf.col("c").as("nji"))
+    val terms = up.join(dn, Seq("i", "j"), "full_outer")
+      .select((sf.coalesce(sf.col("nij"), sf.lit(0L)) -
+        sf.coalesce(sf.col("nji"), sf.lit(0L))).as("__d"),
+        (sf.coalesce(sf.col("nij"), sf.lit(0L)) +
+          sf.coalesce(sf.col("nji"), sf.lit(0L))).as("__s"))
+      .filter(sf.col("__s") > 0)
+      .select(sf.floor((sf.col("__d") * sf.col("__d")).cast("double") /
+        sf.col("__s").cast("double") * 1e9 + 0.5).cast("long").as("__t9"))
+      .agg(sf.count(sf.lit(1)).as("df"),
+        sf.coalesce(sf.sum("__t9"), sf.lit(0L)).as("__chi9"))
+    tot.crossJoin(sf.broadcast(k)).crossJoin(sf.broadcast(terms))
+      .select(sf.col("n"), sf.col("k").as("n_categories"), sf.col("df"),
+        gf.roundAt(sf.col("__chi9").cast("double") / 1e9, 6).as("bowker_chi2"))
+  }
+
+  /** Kendall's coefficient of concordance W (Kendall & Babington
+    * Smith 1939) — row 322's blocked-rank machinery read as AGREEMENT
+    * instead of difference: W = χ²_F/(n(k−1)) ∈ [0, 1] asks "do the n
+    * blocks RANK the k treatments the same way" (1 = every month ranks
+    * the priorities identically, 0 = no consensus), and ρ̄ =
+    * (nW − 1)/(n − 1) is the average Spearman correlation between
+    * block rankings — the judge-consistency number an eval-panel
+    * audit reports where Friedman only says "not identical".
+    *
+    * Determinism: the row 322 chain verbatim (exact 1e-4 cell means,
+    * 2-scaled midranks, DECIMAL rank-sum squares); W and ρ̄ extend the
+    * same ONE pinned assembly, rounded 1e-6. Midranked ties make W
+    * the standard conservative form (no tie-correction term —
+    * documented). k < 2 or zero complete blocks → NULL.
+    *
+    * Scale shape: identical to row 322 — domain-compressed collapse,
+    * completeness semi join, bounded per-block windows, k-row rollup. */
+  def kendallW(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(blockCol).isNotNull &&
+        sf.col(treatCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(blockCol).as("b"), sf.col(treatCol).as("tr"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long").as("v4"))
+      .groupBy("b", "tr").agg(sf.sum("v4").as("s4"), sf.count(sf.lit(1)).as("c"))
+      .select(sf.col("b"), sf.col("tr"),
+        sf.floor(sf.col("s4").cast("double") / sf.col("c").cast("double") + 0.5)
+          .cast("long").as("m4"))
+      .localCheckpoint(true) // k scalar + completeness + ranks read it
+    val kRow = cells.agg(sf.countDistinct("tr").as("k"))
+    val complete = cells.groupBy("b").agg(sf.count(sf.lit(1)).as("__nt"))
+      .crossJoin(sf.broadcast(kRow))
+      .filter(sf.col("__nt") === sf.col("k")).select("b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("b")
+    val ranked = cells.join(complete, Seq("b"), "left_semi")
+      .withColumn("__rk", sf.rank().over(w.orderBy("m4")))
+      .withColumn("__ties",
+        sf.count(sf.lit(1)).over(w.orderBy("m4").rangeBetween(0, 0)))
+      .select(sf.col("tr"),
+        (sf.lit(2L) * sf.col("__rk") + sf.col("__ties") - 1L).as("__ar2"))
+    val rj = ranked.groupBy("tr").agg(sf.sum("__ar2").cast("long").as("__r2j"))
+    val nB = complete.agg(sf.count(sf.lit(1)).as("n_blocks"))
+    rj.agg(sf.sum(dec(sf.col("__r2j")) * dec(sf.col("__r2j"))).as("__sr2"))
+      .crossJoin(sf.broadcast(nB)).crossJoin(sf.broadcast(kRow))
+      .select({
+        val n = sf.col("n_blocks").cast("double")
+        val kD = sf.col("k").cast("double")
+        val chi = sf.lit(3.0) * sf.col("__sr2").cast("double") /
+          (n * kD * (kD + 1.0)) - sf.lit(3.0) * n * (kD + 1.0)
+        val wStat = chi / (n * (kD - 1.0))
+        val ok = sf.col("n_blocks") > 0 && sf.col("k") >= 2
+        Seq(sf.col("n_blocks"), sf.col("k"),
+          sf.when(ok, gf.roundAt(chi, 6)).as("chi2_f"),
+          sf.when(ok, gf.roundAt(wStat, 6)).as("kendall_w"),
+          sf.when(sf.col("n_blocks") > 1 && sf.col("k") >= 2, gf.roundAt(
+            (n * wStat - 1.0) / (n - 1.0), 6)).as("mean_spearman_rho"))
+      }: _*)
+  }
+
   /** Generalized ESD outlier rounds (Rosner 1983) per group — the
     * MULTI-outlier extension of row 415's Grubbs test, which is
     * famously masked by its own target: two far outliers inflate the

@@ -86,4 +86,58 @@ object Geo {
         gf.roundAt(sf.sqrt(dLat * dLat + dLon * dLon), 6).as("dist_deg"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Moran's I spatial autocorrelation (Moran 1950) of a numeric
+    * attribute over the binary within-`radiusDeg` neighbor graph from
+    * [[withinRadiusPairs]] — the ONE-NUMBER "is this attribute
+    * spatially clustered" answer (I → +1 neighbors alike, ≈ E[I] =
+    * −1/(n−1) random, < 0 checkerboard) that a per-pair distance list
+    * can't give: the spatial screening statistic before any kriging/
+    * hotspot model, and the geo twin of row 306's degree
+    * assortativity (same Pearson-over-edges shape, spatial weights).
+    *
+    * Determinism: with symmetric binary weights, I = n·Σ_pairs(n·vᵢ −
+    * S)(n·vⱼ − S) / (P·Σ(n·v − S)²) — the n²-scale and the 2s from
+    * mirroring both cancel exactly, so every sum is DECIMAL(38,0)
+    * over exact 1e-4-grid integers and I is ONE pinned division
+    * rounded 1e-6. No neighbor pairs (P = 0) or constant attribute
+    * (B = 0) → NULL I; isolated points still count in n and the
+    * variance, the standard convention.
+    *
+    * Scale shape: the [[withinRadiusPairs]] grid-bucketed join (never
+    * quadratic) + two broadcast-shaped value attaches + one-row
+    * finishes. */
+  def moransI(df: DataFrame, idCol: String, latCol: String, lonCol: String,
+              valueCol: String, radiusDeg: Double): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pts = df
+      .select(sf.col(idCol).as("__id"),
+        sf.col(latCol).cast("double").as("__lat"),
+        sf.col(lonCol).cast("double").as("__lon"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+          .as("__v"))
+      .filter(sf.col("__lat").isNotNull && sf.col("__lon").isNotNull &&
+        sf.col("__v").isNotNull)
+      .localCheckpoint(true) // stats + pair attaches read it
+    val stats = pts.agg(sf.count(sf.lit(1)).as("n"),
+      sf.sum("__v").cast("long").as("s"))
+    val b = pts.crossJoin(sf.broadcast(stats))
+      .select((dec(sf.col("n")) * dec(sf.col("__v")) - dec(sf.col("s"))).as("__z"))
+      .agg(sf.sum(sf.col("__z") * sf.col("__z")).as("bb"))
+    val pairs = withinRadiusPairs(pts, "__id", "__lat", "__lon", radiusDeg)
+      .join(pts.select(sf.col("__id").as("id_a"), sf.col("__v").as("__va")), "id_a")
+      .join(pts.select(sf.col("__id").as("id_b"), sf.col("__v").as("__vb")), "id_b")
+      .crossJoin(sf.broadcast(stats))
+      .select(((dec(sf.col("n")) * dec(sf.col("__va")) - dec(sf.col("s"))) *
+        (dec(sf.col("n")) * dec(sf.col("__vb")) - dec(sf.col("s")))).as("__u"))
+      .agg(sf.count(sf.lit(1)).as("n_neighbor_pairs"), sf.sum("__u").as("__u"))
+    stats.crossJoin(sf.broadcast(b)).crossJoin(sf.broadcast(pairs))
+      .select(sf.col("n").as("n_points"), sf.col("n_neighbor_pairs"),
+        sf.when(sf.col("n_neighbor_pairs") > 0 && sf.col("bb") > 0, gf.roundAt(
+          (dec(sf.col("n")) * sf.col("__u")).cast("double") /
+            (dec(sf.col("n_neighbor_pairs")) * sf.col("bb")).cast("double"), 6))
+          .as("morans_i"),
+        sf.when(sf.col("n") > 1, gf.roundAt(
+          sf.lit(-1.0) / (sf.col("n") - 1).cast("double"), 6)).as("expected_i"))
+  }
 }

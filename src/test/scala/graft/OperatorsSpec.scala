@@ -3747,4 +3747,60 @@ class OperatorsSpec extends SparkFunSuite {
       (1.0 - math.exp(-2.0 / 3))) < 2e-6, r.toString)
     assert(r.getAs[Double]("ks_at_sec") == 1.0)
   }
+
+  test("Geo.moransI: clustered 1, checkerboard -1, isolated in n only") {
+    // two tight clusters with matching values: perfect autocorrelation
+    val clustered = Seq((1L, 0.0, 0.0, 1.0), (2L, 0.0, 1.0, 1.0),
+      (3L, 0.0, 10.0, 5.0), (4L, 0.0, 11.0, 5.0))
+      .toDF("id", "lat", "lon", "x")
+    val rc = Geo.moransI(clustered, "id", "lat", "lon", "x", radiusDeg = 2.0)
+      .head()
+    assert(rc.getAs[Long]("n_points") == 4 &&
+      rc.getAs[Long]("n_neighbor_pairs") == 2, rc.toString)
+    assert(rc.getAs[Double]("morans_i") == 1.0, rc.toString)
+    assert(rc.getAs[Double]("expected_i") == -0.333333, rc.toString)
+    // one adjacent opposite-value pair: perfect negative
+    val alt = Seq((1L, 0.0, 0.0, 1.0), (2L, 0.0, 1.0, 5.0))
+      .toDF("id", "lat", "lon", "x")
+    val ra = Geo.moransI(alt, "id", "lat", "lon", "x", radiusDeg = 2.0).head()
+    assert(ra.getAs[Double]("morans_i") == -1.0 &&
+      ra.getAs[Double]("expected_i") == -1.0, ra.toString)
+    // no neighbors: NULL I, n still counted
+    val iso = Seq((1L, 0.0, 0.0, 1.0), (2L, 0.0, 50.0, 5.0))
+      .toDF("id", "lat", "lon", "x")
+    val ri = Geo.moransI(iso, "id", "lat", "lon", "x", radiusDeg = 2.0).head()
+    assert(ri.getAs[Long]("n_points") == 2 &&
+      ri.getAs[Long]("n_neighbor_pairs") == 0 &&
+      ri.isNullAt(ri.fieldIndex("morans_i")), ri.toString)
+  }
+
+  test("QualityChecks.bowkerSymmetry: hand chi2, symmetric zero, df count") {
+    val df = (Seq.fill(3)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(2)(("a", "a"))).toDF("r1", "r2")
+    val r = QualityChecks.bowkerSymmetry(df, "r1", "r2").head()
+    // pair {a,b}: (3-1)^2/(3+1) = 1.0, one nonzero discordant pair
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_categories") == 2 &&
+      r.getAs[Long]("df") == 1 && r.getAs[Double]("bowker_chi2") == 1.0,
+      r.toString)
+    // balanced migration: chi2 exactly 0
+    val bal = (Seq.fill(2)(("a", "b")) ++ Seq.fill(2)(("b", "a"))).toDF("r1", "r2")
+    assert(QualityChecks.bowkerSymmetry(bal, "r1", "r2").head()
+      .getAs[Double]("bowker_chi2") == 0.0)
+  }
+
+  test("QualityChecks.kendallW: perfect concordance 1, reversal 0") {
+    val same = Seq(("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 10.0), ("b2", "t2", 20.0), ("b2", "t3", 30.0))
+      .toDF("b", "t", "v")
+    val rs = QualityChecks.kendallW(same, "b", "t", "v").head()
+    assert(rs.getAs[Long]("n_blocks") == 2 &&
+      rs.getAs[Double]("kendall_w") == 1.0 &&
+      rs.getAs[Double]("mean_spearman_rho") == 1.0, rs.toString)
+    val rev = Seq(("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 3.0), ("b2", "t2", 2.0), ("b2", "t3", 1.0))
+      .toDF("b", "t", "v")
+    val rr = QualityChecks.kendallW(rev, "b", "t", "v").head()
+    assert(rr.getAs[Double]("kendall_w") == 0.0 &&
+      rr.getAs[Double]("mean_spearman_rho") == -1.0, rr.toString)
+  }
 }
