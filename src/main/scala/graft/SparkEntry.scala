@@ -2793,6 +2793,48 @@ object SparkEntry {
           .withColumn("o_month", sf.date_format(sf.col("o_orderdate"), "yyyy-MM")),
         "o_month", "o_orderpriority", "o_totalprice")),
 
+    // Unicode hygiene per source on a staged corpus: Zalgo combining
+    // marks, zero-width channels, raw controls, bytes/char.
+    "q394_unicode_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = d.select(sf.col("source"),
+        sf.when(sf.col("doc_id") % 7 === 0,
+            sf.concat(sf.col("text"), sf.lit("a\u0301\u200Bb")))
+          .when(sf.col("doc_id") % 13 === 0,
+            sf.concat(sf.col("text"), sf.lit("\u0001x")))
+          .otherwise(sf.col("text")).as("text"))
+      TextAnalysis.unicodeAudit(staged, "source", "text")
+    }),
+
+    // Markdown/code structure router on a staged corpus: which
+    // documents should skip the prose-tuned quality gates.
+    "q395_markdown_profile" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val md = "# Title\n- item one\n```\ncode {x;}\n```\n[l](u)\n"
+      val staged = d.select(sf.col("doc_id"),
+        sf.when(sf.col("doc_id") % 5 === 0,
+            sf.concat(sf.lit(md), sf.col("text")))
+          .otherwise(sf.col("text")).as("text"))
+      TextAnalysis.markdownProfile(staged, "doc_id", "text")
+    }),
+
+    // Runs up-and-down: monotone-structure randomness check the
+    // above/below-mean runs test (q246) is blind to.
+    "q396_runs_updown" -> ((s, dir) =>
+      EventOps.runsUpDown(Tables.load(s, dir, "events"))),
+
+    // Partial correlation: does order value still track item count
+    // once total quantity is held fixed — the confounder screen.
+    "q397_partial_corr" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sf.count(sf.lit(1)).as("n_items"),
+          sf.sum("l_quantity").as("sum_qty"))
+      QualityChecks.partialCorrelation(
+        Tables.load(s, dir, "orders")
+          .join(li, sf.col("o_orderkey") === sf.col("l_orderkey")),
+        "o_totalprice", "n_items", "sum_qty")
+    }),
+
     // Fowlkes-Mallows + variation of information on the q357
     // labeling-vs-brand panel: pairwise precision/recall + a true
     // partition metric beside ARI and V-measure.
@@ -12600,5 +12642,111 @@ object SparkEntry {
         |    floor((CAST(n_blocks AS DOUBLE)*(chi/(CAST(n_blocks AS DOUBLE)*(CAST(k AS DOUBLE)-1.0))) - 1.0)
         |      /(CAST(n_blocks AS DOUBLE) - 1.0)*1000000.0 + 0.5)/1000000.0 END AS mean_spearman_rho
         |FROM f""".stripMargin,
+
+    "q394_unicode_audit" ->
+      """WITH st AS (SELECT source,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || 'a' || chr(769) || chr(8203) || 'b'
+        |       WHEN doc_id % 13 = 0 THEN text || chr(1) || 'x'
+        |       ELSE text END AS t
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |per AS (SELECT source, CAST(length(t) AS BIGINT) AS ch,
+        |  CAST(strlen(t) AS BIGINT) AS by,
+        |  CAST(len(regexp_extract_all(t, '[\x{0300}-\x{036F}]')) AS BIGINT) AS comb,
+        |  CAST(len(regexp_extract_all(t, '[\x{200B}-\x{200D}\x{FEFF}]')) AS BIGINT) AS zw,
+        |  CAST(len(regexp_extract_all(t, '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) AS BIGINT) AS ctl
+        |  FROM st),
+        |ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ch) AS BIGINT) AS n_chars, CAST(SUM(by) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(comb) AS BIGINT) AS c, CAST(SUM(zw) AS BIGINT) AS z,
+        |  CAST(SUM(ctl) AS BIGINT) AS k FROM per GROUP BY 1)
+        |SELECT source, n_docs, n_chars,
+        |  CASE WHEN n_chars > 0 THEN
+        |    floor(CAST(n_bytes AS DOUBLE)/CAST(n_chars AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS bytes_per_char,
+        |  CASE WHEN n_chars > 0 THEN
+        |    floor(CAST(c AS DOUBLE)*1e4/CAST(n_chars AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS combining_per_10k,
+        |  CASE WHEN n_chars > 0 THEN
+        |    floor(CAST(z AS DOUBLE)*1e4/CAST(n_chars AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS zero_width_per_10k,
+        |  CASE WHEN n_chars > 0 THEN
+        |    floor(CAST(k AS DOUBLE)*1e4/CAST(n_chars AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS control_per_10k
+        |FROM ag ORDER BY source""".stripMargin,
+
+    "q395_markdown_profile" ->
+      """WITH st AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    '# Title' || chr(10) || '- item one' || chr(10) || '```' || chr(10) ||
+        |    'code {x;}' || chr(10) || '```' || chr(10) || '[l](u)' || chr(10) || text
+        |  ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(t, '(?m)^#{1,6} ')) AS BIGINT) AS n_headers,
+        |  CAST(len(regexp_extract_all(t, '```')) AS BIGINT) AS n_fence_marks,
+        |  CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*+] ')) AS BIGINT) AS n_list_items,
+        |  CAST(len(regexp_extract_all(t, '\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_links,
+        |  CASE WHEN length(t) > 0 THEN
+        |    floor(CAST(len(regexp_extract_all(t, '[{};]')) AS DOUBLE)/CAST(length(t) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS code_punct_density,
+        |  (len(regexp_extract_all(t, '```')) > 0 OR
+        |   (length(t) > 0 AND len(regexp_extract_all(t, '[{};]'))*50 > length(t))) AS looks_like_code
+        |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q396_runs_updown" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |sg AS (SELECT a.t, a.bin,
+        |  CASE WHEN b1.v > a.v THEN 1 WHEN b1.v < a.v THEN -1 ELSE 0 END AS s
+        |  FROM sv a JOIN sv b1 ON b1.t = a.t AND b1.bin = a.bin + 1),
+        |nz AS (SELECT t, bin, s FROM sg WHERE s <> 0),
+        |rn AS (SELECT t, CASE WHEN lag(s) OVER (PARTITION BY t ORDER BY bin)
+        |  IS DISTINCT FROM s THEN 1 ELSE 0 END AS nw FROM nz),
+        |ag AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+        |  CAST(SUM(nw) AS BIGINT) AS n_runs FROM rn GROUP BY 1)
+        |SELECT t AS event_type, m AS n_diffs, n_runs,
+        |  floor((2.0*CAST(m AS DOUBLE) + 1.0)/3.0*1000000.0 + 0.5)/1000000.0 AS expected_runs,
+        |  CASE WHEN m >= 2 THEN
+        |    floor((CAST(n_runs AS DOUBLE) - (2.0*CAST(m AS DOUBLE) + 1.0)/3.0)
+        |      /sqrt((16.0*CAST(m AS DOUBLE) - 29.0)/90.0)*1000000.0 + 0.5)/1000000.0 END AS z
+        |FROM ag ORDER BY event_type""".stripMargin,
+
+    "q397_partial_corr" ->
+      """WITH li AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY 1),
+        |j AS (SELECT
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS x,
+        |  CAST(floor(CAST(n_items AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS y,
+        |  CAST(floor(CAST(sum_qty AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS z
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey
+        |  WHERE o_totalprice IS NOT NULL AND n_items IS NOT NULL AND sum_qty IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(z AS HUGEINT)) AS sz,
+        |  SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(y AS HUGEINT)*y) AS syy,
+        |  SUM(CAST(z AS HUGEINT)*z) AS szz,
+        |  SUM(CAST(x AS HUGEINT)*y) AS sxy, SUM(CAST(x AS HUGEINT)*z) AS sxz,
+        |  SUM(CAST(y AS HUGEINT)*z) AS syz FROM j),
+        |f AS (SELECT n,
+        |  n*sxx - sx*sx AS cxx, n*syy - sy*sy AS cyy, n*szz - sz*sz AS czz,
+        |  n*sxy - sx*sy AS cxy, n*sxz - sx*sz AS cxz, n*syz - sy*sz AS cyz
+        |  FROM m),
+        |r AS (SELECT n, cxx, cyy, czz,
+        |  CAST(cxy AS DOUBLE)/(sqrt(CAST(cxx AS DOUBLE))*sqrt(CAST(cyy AS DOUBLE))) AS rxy,
+        |  CAST(cxz AS DOUBLE)/(sqrt(CAST(cxx AS DOUBLE))*sqrt(CAST(czz AS DOUBLE))) AS rxz,
+        |  CAST(cyz AS DOUBLE)/(sqrt(CAST(cyy AS DOUBLE))*sqrt(CAST(czz AS DOUBLE))) AS ryz
+        |  FROM f)
+        |SELECT n,
+        |  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 AND czz > 0 THEN
+        |    floor(rxy*1000000.0 + 0.5)/1000000.0 END AS r_xy,
+        |  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 AND czz > 0 THEN
+        |    floor(rxz*1000000.0 + 0.5)/1000000.0 END AS r_xz,
+        |  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 AND czz > 0 THEN
+        |    floor(ryz*1000000.0 + 0.5)/1000000.0 END AS r_yz,
+        |  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 AND czz > 0
+        |    AND (1.0 - rxz*rxz)*(1.0 - ryz*ryz) > 0.0 THEN
+        |    floor((rxy - rxz*ryz)/sqrt((1.0 - rxz*rxz)*(1.0 - ryz*ryz))*1000000.0 + 0.5)/1000000.0 END AS partial_r_xy_given_z
+        |FROM r""".stripMargin,
   )
 }

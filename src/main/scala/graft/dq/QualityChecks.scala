@@ -5302,6 +5302,67 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** First-order partial correlation r_xy·z — row 418's two-regressor
+    * OLS read as a CORRELATION: (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    * answers "does x still track y once z is held fixed" — the
+    * confounder screen (a raw r_xy of 0.8 that partials to 0.05 was z
+    * all along) in correlation units, where row 418 answers in slope
+    * units. Reports all three raw correlations beside the partial so
+    * the collapse is visible, not just asserted.
+    *
+    * Determinism: values on the exact 1e-4 grid; the six n-scaled
+    * centered moments C_ab = nΣab − ΣaΣb are exact DECIMAL(38,0); the
+    * r chain is ONE pinned left-assoc double assembly rounded 1e-6,
+    * with NESTED CaseWhen guards (variances first, then the 1−r²
+    * discriminants — the row 428 ANSI-division discipline). n < 3,
+    * any constant column, or |r_xz| = 1 / |r_yz| = 1 → NULL partial.
+    *
+    * Scale shape: one map-side-combined nine-sum scan + a one-row
+    * finish — nothing shuffles but partial sums. */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+                         zCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def g4(name: String) =
+      sf.floor(sf.col(name).cast("double") * 1e4 + 0.5).cast("long")
+    val rows = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull &&
+        sf.col(zCol).isNotNull)
+      .select(g4(xCol).as("x"), g4(yCol).as("y"), g4(zCol).as("z"))
+    rows.agg(
+        sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("x"))).as("sx"), sf.sum(dec(sf.col("y"))).as("sy"),
+        sf.sum(dec(sf.col("z"))).as("sz"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("x"))).as("sxx"),
+        sf.sum(dec(sf.col("y")) * dec(sf.col("y"))).as("syy"),
+        sf.sum(dec(sf.col("z")) * dec(sf.col("z"))).as("szz"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("y"))).as("sxy"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("z"))).as("sxz"),
+        sf.sum(dec(sf.col("y")) * dec(sf.col("z"))).as("syz"))
+      .select({
+        def ctr(sab: Column, sa: Column, sb: Column) =
+          dec(sf.col("n")) * sab - sa * sb
+        val cxx = ctr(sf.col("sxx"), sf.col("sx"), sf.col("sx"))
+        val cyy = ctr(sf.col("syy"), sf.col("sy"), sf.col("sy"))
+        val czz = ctr(sf.col("szz"), sf.col("sz"), sf.col("sz"))
+        val cxy = ctr(sf.col("sxy"), sf.col("sx"), sf.col("sy"))
+        val cxz = ctr(sf.col("sxz"), sf.col("sx"), sf.col("sz"))
+        val cyz = ctr(sf.col("syz"), sf.col("sy"), sf.col("sz"))
+        val rxy = cxy.cast("double") /
+          (sf.sqrt(cxx.cast("double")) * sf.sqrt(cyy.cast("double")))
+        val rxz = cxz.cast("double") /
+          (sf.sqrt(cxx.cast("double")) * sf.sqrt(czz.cast("double")))
+        val ryz = cyz.cast("double") /
+          (sf.sqrt(cyy.cast("double")) * sf.sqrt(czz.cast("double")))
+        val varsOk = sf.col("n") >= 3 && cxx > 0 && cyy > 0 && czz > 0
+        def r6(x: Column) = sf.when(varsOk, gf.roundAt(x, 6))
+        val disc = (sf.lit(1.0) - rxz * rxz) * (sf.lit(1.0) - ryz * ryz)
+        val partial = (rxy - rxz * ryz) / sf.sqrt(disc)
+        Seq(sf.col("n"), r6(rxy).as("r_xy"), r6(rxz).as("r_xz"),
+          r6(ryz).as("r_yz"),
+          sf.when(varsOk, sf.when(disc > 0.0, gf.roundAt(partial, 6)))
+            .as("partial_r_xy_given_z"))
+      }: _*)
+  }
+
   /** Bowker's symmetry test (Bowker 1948) on a paired k×k rating
     * table — the k-level generalization of row 294's McNemar: over
     * subjects rated twice (two models, two snapshots, two raters),

@@ -3313,6 +3313,58 @@ object EventOps {
       .orderBy("event_type", "bin")
   }
 
+  /** Runs UP-AND-DOWN randomness test per event type over the
+    * [[denseSeries]] count grid — the turning-point family member
+    * (row 357) read as a z-test: the sequence of signs of consecutive
+    * differences should, under independence, contain R runs with
+    * E[R] = (2m+1)/3 and Var[R] = (16m−29)/90 (m = nonzero
+    * differences; Wallis & Moore 1941). Complements row 296's
+    * Wald–Wolfowitz (runs ABOVE/BELOW the mean — catches level
+    * clustering) by catching MONOTONE structure: a slow ramp keeps a
+    * near-perfect above/below balance while collapsing to very few
+    * up-down runs. Zero differences (tied neighbors) drop — the
+    * standard ties convention, documented.
+    *
+    * Determinism: diffs and signs are exact integers; runs count =
+    * sign changes + 1 over the bin-ordered nonzero diffs (per-type
+    * window, span-bounded — the row 421 grid convention); z is ONE
+    * pinned assembly rounded 1e-6. m < 2 → NULL z.
+    *
+    * Scale shape: grid once + ONE lead equi join + a calendar-bounded
+    * per-type window + one combinable rollup. */
+  def runsUpDown(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true)
+    val signs = g
+      .join(g.select(sf.col("t"), (sf.col("bin") - 1).as("bin"),
+        sf.col("v").as("v1")), Seq("t", "bin"))
+      .select(sf.col("t"), sf.col("bin"),
+        sf.signum((sf.col("v1") - sf.col("v")).cast("double")).cast("int")
+          .as("__s"))
+      .filter(sf.col("__s") =!= 0)
+    val w = Window.partitionBy("t").orderBy("bin")
+    val runs = signs
+      .withColumn("__prev", sf.lag("__s", 1).over(w))
+      .select(sf.col("t"),
+        sf.when(sf.col("__prev").isNull || sf.col("__prev") =!= sf.col("__s"),
+          1L).otherwise(0L).as("__new"))
+      .groupBy("t")
+      .agg(sf.count(sf.lit(1)).as("m"), sf.sum("__new").cast("long").as("n_runs"))
+    runs.select({
+        val m = sf.col("m").cast("double")
+        val e = (sf.lit(2.0) * m + 1.0) / 3.0
+        val varR = (sf.lit(16.0) * m - 29.0) / 90.0
+        val z = (sf.col("n_runs").cast("double") - e) / sf.sqrt(varR)
+        Seq(sf.col("t").as("event_type"), sf.col("m").as("n_diffs"),
+          sf.col("n_runs"),
+          gf.roundAt(e, 6).as("expected_runs"),
+          sf.when(sf.col("m") >= 2, gf.roundAt(z, 6)).as("z"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
   /** Inter-arrival exponential fit + one-sample KS per event type —
     * the Poisson-process reality check the dispersion index (row 333)
     * reads only at bin granularity: per (user, type) consecutive gaps

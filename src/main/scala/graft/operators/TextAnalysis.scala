@@ -1160,6 +1160,101 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Unicode-hygiene audit per source — the byte-level damage signals
+    * the mojibake audit (row 254) and homoglyph audit (row 394) don't
+    * cover: combining diacritical marks (Zalgo text stacks dozens per
+    * base char — it crashes renderers and poisons tokenizers),
+    * zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — the classic
+    * wall-bypass and watermark channel: text that LOOKS identical
+    * dedups differently), raw C0 control characters, and the UTF-8
+    * bytes-per-char ratio (a corpus claiming to be English at 2.1
+    * bytes/char is mislabeled or damaged). Reported per source as
+    * per-10k-char densities — the curation dashboard row.
+    *
+    * Determinism: every count is an exact regexp_count over explicit
+    * code-point ranges; densities are pinned integer-ratio divisions
+    * rounded 1e-6.
+    *
+    * Scale shape: map-only per-row counting + ONE combinable source
+    * rollup — zero joins, zero windows at any corpus size. */
+  def unicodeAudit(docs0: DataFrame, sourceCol: String,
+                   textCol: String): DataFrame = {
+    val docs = Par.spread(docs0
+      .filter(sf.col(sourceCol).isNotNull && sf.col(textCol).isNotNull)
+      .select(sf.col(sourceCol).cast("string").as("source"),
+        sf.col(textCol).as("__t")))
+    val t = sf.col("__t")
+    def cnt(pattern: String) = sf.regexp_count(t, sf.lit(pattern)).cast("long")
+    val per = docs.select(sf.col("source"),
+      sf.length(t).cast("long").as("__ch"),
+      sf.octet_length(t).cast("long").as("__by"),
+      cnt("[\\x{0300}-\\x{036F}]").as("__comb"),
+      cnt("[\\x{200B}-\\x{200D}\\x{FEFF}]").as("__zw"),
+      cnt("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]")
+        .as("__ctl"))
+    per.groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum("__ch").cast("long").as("n_chars"),
+        sf.sum("__by").cast("long").as("n_bytes"),
+        sf.sum("__comb").cast("long").as("__c"),
+        sf.sum("__zw").cast("long").as("__z"),
+        sf.sum("__ctl").cast("long").as("__k"))
+      .select(sf.col("source"), sf.col("n_docs"), sf.col("n_chars"),
+        sf.when(sf.col("n_chars") > 0, gf.roundAt(
+          sf.col("n_bytes").cast("double") / sf.col("n_chars").cast("double"), 6))
+          .as("bytes_per_char"),
+        sf.when(sf.col("n_chars") > 0, gf.roundAt(
+          sf.col("__c").cast("double") * 1e4 / sf.col("n_chars").cast("double"),
+          6)).as("combining_per_10k"),
+        sf.when(sf.col("n_chars") > 0, gf.roundAt(
+          sf.col("__z").cast("double") * 1e4 / sf.col("n_chars").cast("double"),
+          6)).as("zero_width_per_10k"),
+        sf.when(sf.col("n_chars") > 0, gf.roundAt(
+          sf.col("__k").cast("double") * 1e4 / sf.col("n_chars").cast("double"),
+          6)).as("control_per_10k"))
+      .orderBy("source")
+  }
+
+  /** Markdown / code structure profile per document — the layout
+    * signals a pretraining mixture needs BEFORE deciding a document's
+    * pipeline (prose filters destroy code; code filters destroy
+    * prose): ATX headers, fenced-code markers, list items, markdown
+    * links, and the brace+semicolon density that separates C-family
+    * source from prose, plus the combined `looks_like_code` verdict
+    * (fences present, or punct density above 2%). The router in
+    * front of rows 35/220/253's prose-tuned quality gates.
+    *
+    * Determinism: every count is an exact multiline regexp_count;
+    * the density is one pinned division rounded 1e-6 and the verdict
+    * compares the EXACT integers (50·punct > chars ⇔ density > 0.02),
+    * so the flag can never disagree with the printed density.
+    *
+    * Scale shape: map-only per-row regexes — zero shuffles beyond
+    * the output order. */
+  def markdownProfile(docs0: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val docs = prepared(docs0, idCol, textCol)
+      .filter(sf.col(textCol).isNotNull)
+    val t = sf.col(textCol)
+    def cnt(pattern: String) = sf.regexp_count(t, sf.lit(pattern)).cast("long")
+    docs.select(sf.col(idCol),
+        sf.length(t).cast("long").as("n_chars"),
+        cnt("(?m)^#{1,6} ").as("n_headers"),
+        cnt("```").as("n_fence_marks"),
+        cnt("(?m)^[ \\t]*[-*+] ").as("n_list_items"),
+        cnt("\\[[^\\]]*\\]\\([^)]*\\)").as("n_links"),
+        cnt("[{};]").as("__punct"))
+      .select(sf.col(idCol), sf.col("n_chars"), sf.col("n_headers"),
+        sf.col("n_fence_marks"), sf.col("n_list_items"), sf.col("n_links"),
+        sf.when(sf.col("n_chars") > 0, gf.roundAt(
+          sf.col("__punct").cast("double") / sf.col("n_chars").cast("double"),
+          6)).as("code_punct_density"),
+        (sf.col("n_fence_marks") > 0 ||
+          (sf.col("n_chars") > 0 &&
+            sf.col("__punct") * 50 > sf.col("n_chars"))).as("looks_like_code"))
+      .orderBy(idCol)
+  }
+
   /** Hard-word readability ladder per document — the four classic
     * indices built on WORD-difficulty counts rather than the syllable
     * totals [[readability]] reports (two texts with the same

@@ -3803,4 +3803,58 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rr.getAs[Double]("kendall_w") == 0.0 &&
       rr.getAs[Double]("mean_spearman_rho") == -1.0, rr.toString)
   }
+
+  test("TextAnalysis.unicodeAudit: hand densities over staged damage") {
+    val df = Seq(("s", "ab"), ("s", "a\u0301\u200B\u0001\u00e9"))
+      .toDF("source", "text")
+    val r = TextAnalysis.unicodeAudit(df, "source", "text").head()
+    // 7 chars, 11 utf-8 bytes; one of each damage class
+    assert(r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("n_chars") == 7)
+    assert(r.getAs[Double]("bytes_per_char") ==
+      math.floor(11.0 / 7 * 1e6 + 0.5) / 1e6, r.toString)
+    val d10k = math.floor(1e4 / 7 * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("combining_per_10k") == d10k &&
+      r.getAs[Double]("zero_width_per_10k") == d10k &&
+      r.getAs[Double]("control_per_10k") == d10k, r.toString)
+  }
+
+  test("TextAnalysis.markdownProfile: structure counts, code verdict") {
+    val md = "# T\n- a\n- b\n```x{;}```\n[l](u) text"
+    val df = Seq((1L, md), (2L, "plain prose with no structure"),
+      (3L, "aaaa{;}")).toDF("doc_id", "text")
+    val got = TextAnalysis.markdownProfile(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m = got(1L)
+    assert(m.getAs[Long]("n_headers") == 1 && m.getAs[Long]("n_fence_marks") == 2
+      && m.getAs[Long]("n_list_items") == 2 && m.getAs[Long]("n_links") == 1
+      && m.getAs[Boolean]("looks_like_code"), m.toString)
+    val p = got(2L)
+    assert(p.getAs[Long]("n_headers") == 0 && !p.getAs[Boolean]("looks_like_code"))
+    // density rule: 3 punct in 7 chars > 2%
+    assert(got(3L).getAs[Boolean]("looks_like_code"), got(3L).toString)
+  }
+
+  test("EventOps.runsUpDown: hand runs, ties dropped, z zero at expectation") {
+    val df = hourlyCounts(Seq("r" -> Array(1L, 2L, 1L, 2L, 2L, 3L)))
+    val r = EventOps.runsUpDown(df).head()
+    // diffs +,-,+,0,+ -> nonzero m=4, runs 3 = E[R] -> z = 0
+    assert(r.getAs[Long]("n_diffs") == 4 && r.getAs[Long]("n_runs") == 3,
+      r.toString)
+    assert(r.getAs[Double]("expected_runs") == 3.0 && r.getAs[Double]("z") == 0.0)
+  }
+
+  test("QualityChecks.partialCorrelation: additive recovery, collinear NULL") {
+    val df = Seq((11.0, 1.0, 10.0), (21.0, 1.0, 20.0),
+      (12.0, 2.0, 10.0), (22.0, 2.0, 20.0)).toDF("x", "y", "z")
+    val r = QualityChecks.partialCorrelation(df, "x", "y", "z").head()
+    // x = y + z with y orthogonal to z: controlling z makes x track y exactly
+    assert(r.getAs[Double]("r_yz") == 0.0, r.toString)
+    assert(r.getAs[Double]("partial_r_xy_given_z") == 1.0, r.toString)
+    // y == z: |r_yz| = 1 -> NULL partial, raw correlations still report
+    val col = Seq((1.0, 1.0, 1.0), (2.0, 3.0, 3.0), (3.0, 2.0, 2.0))
+      .toDF("x", "y", "z")
+    val rc = QualityChecks.partialCorrelation(col, "x", "y", "z").head()
+    assert(rc.getAs[Double]("r_yz") == 1.0 &&
+      rc.isNullAt(rc.fieldIndex("partial_r_xy_given_z")), rc.toString)
+  }
 }
