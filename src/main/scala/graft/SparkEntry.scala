@@ -2823,6 +2823,28 @@ object SparkEntry {
     "q396_runs_updown" -> ((s, dir) =>
       EventOps.runsUpDown(Tables.load(s, dir, "events"))),
 
+    // Neyman allocation: how an eval/labeling budget should split
+    // across sources — variance-optimal vs proportional, side by side.
+    "q398_neyman" -> ((s, dir) =>
+      Sampling.neymanAllocation(docs(s, dir), "source", "n_chars",
+        budget = 1000L)),
+
+    // Log-log elasticity: a 1% price move shifts quantity by epsilon%
+    // per return flag — unit-free where linear slopes aren't.
+    "q399_elasticity" -> ((s, dir) =>
+      QualityChecks.logLogElasticity(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+
+    // Gumbel block maxima: the hourly peak a week/month will reach
+    // once — the EVT return level an SLO is actually set from.
+    "q400_gumbel" -> ((s, dir) =>
+      EventOps.gumbelBlockMaxima(Tables.load(s, dir, "events"))),
+
+    // Session engagement rollup: bounce rate, events/session,
+    // duration, sessions/user — the first page of product analytics.
+    "q401_session_stats" -> ((s, dir) =>
+      EventOps.sessionStats(Tables.load(s, dir, "events"))),
+
     // Partial correlation: does order value still track item count
     // once total quantity is held fixed — the confounder screen.
     "q397_partial_corr" -> ((s, dir) => {
@@ -12748,5 +12770,116 @@ object SparkEntry {
         |    AND (1.0 - rxz*rxz)*(1.0 - ryz*ryz) > 0.0 THEN
         |    floor((rxy - rxz*ryz)/sqrt((1.0 - rxz*rxz)*(1.0 - ryz*ryz))*1000000.0 + 0.5)/1000000.0 END AS partial_r_xy_given_z
         |FROM r""".stripMargin,
+
+    "q398_neyman" ->
+      """WITH v AS (SELECT CAST(source AS VARCHAR) AS stratum,
+        |  CAST(floor(CAST(n_chars AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |per AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  SUM(CAST(v AS HUGEINT)) AS s, SUM(CAST(v AS HUGEINT)*v) AS q
+        |  FROM v GROUP BY 1),
+        |w AS (SELECT stratum, n_rows,
+        |  CASE WHEN CAST(n_rows*q - s*s AS DOUBLE) > 0 THEN
+        |    CAST(floor(CAST(n_rows AS DOUBLE) *
+        |      sqrt(CAST(n_rows*q - s*s AS DOUBLE)/(CAST(n_rows AS DOUBLE)*CAST(n_rows AS DOUBLE)))
+        |      /100.0 + 0.5) AS BIGINT)
+        |  ELSE 0 END AS w2 FROM per),
+        |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS nn,
+        |  CAST(SUM(w2) AS BIGINT) AS wt FROM w)
+        |SELECT stratum, n_rows,
+        |  floor(CAST(w2 AS DOUBLE)/CAST(n_rows AS DOUBLE)/100.0*10000.0 + 0.5)/10000.0 AS stratum_sd,
+        |  floor(CAST(n_rows AS DOUBLE)/CAST(nn AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS prop_share,
+        |  CASE WHEN wt > 0 THEN
+        |    floor(CAST(w2 AS DOUBLE)/CAST(wt AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS neyman_share,
+        |  CAST((1000 * n_rows) // nn AS BIGINT) AS n_prop,
+        |  CASE WHEN wt > 0 THEN CAST((1000 * w2) // wt AS BIGINT)
+        |  ELSE 0 END AS n_neyman
+        |FROM w CROSS JOIN tot ORDER BY stratum""".stripMargin,
+
+    "q399_elasticity" ->
+      """WITH r AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |  CAST(floor(ln(CAST(l_extendedprice AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS x,
+        |  CAST(floor(ln(CAST(l_quantity AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND CAST(l_extendedprice AS DOUBLE) > 0 AND CAST(l_quantity AS DOUBLE) > 0),
+        |m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(y AS HUGEINT)*y) AS syy,
+        |  SUM(CAST(x AS HUGEINT)*y) AS sxy FROM r GROUP BY 1),
+        |f AS (SELECT g, n, sx, sy,
+        |  n*sxx - sx*sx AS cxx, n*syy - sy*sy AS cyy, n*sxy - sx*sy AS cxy
+        |  FROM m)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN n >= 3 AND cxx > 0 THEN
+        |    floor(CAST(cxy AS DOUBLE)/CAST(cxx AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS elasticity,
+        |  CASE WHEN n >= 3 AND cxx > 0 THEN
+        |    floor(exp((CAST(sy AS DOUBLE) - CAST(cxy AS DOUBLE)/CAST(cxx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |      /CAST(n AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 END AS intercept,
+        |  CASE WHEN n >= 3 AND cxx > 0 AND cyy > 0 THEN
+        |    floor(CAST(cxy AS DOUBLE)*CAST(cxy AS DOUBLE)/(CAST(cxx AS DOUBLE)*CAST(cyy AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS r2
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+
+    "q400_gumbel" -> {
+      val c = math.sqrt(6.0) / math.Pi
+      val eg = 0.5772156649015329
+      val c7 = math.log(-math.log(1.0 - 1.0 / 7))
+      val c30 = math.log(-math.log(1.0 - 1.0 / 30))
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS bin FROM b) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |mx AS (SELECT t, bin // 24 AS blk, MAX(v) AS m FROM sv GROUP BY 1, 2),
+        |ag AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  SUM(CAST(m AS HUGEINT)) AS s, SUM(CAST(m AS HUGEINT)*m) AS q
+        |  FROM mx GROUP BY 1),
+        |f AS (SELECT t, n_blocks,
+        |  CAST(s AS DOUBLE)/CAST(n_blocks AS DOUBLE) AS mean,
+        |  CAST(n_blocks*q - s*s AS DOUBLE) AS num FROM ag)
+        |SELECT t AS event_type, n_blocks,
+        |  floor(mean*1000000.0 + 0.5)/1000000.0 AS mean_block_max,
+        |  CASE WHEN n_blocks >= 2 AND num > 0 THEN
+        |    floor((mean - $eg*(sqrt(num/(CAST(n_blocks AS DOUBLE)*CAST(n_blocks AS DOUBLE)))*$c))*1000000.0 + 0.5)/1000000.0 END AS gumbel_mu,
+        |  CASE WHEN n_blocks >= 2 AND num > 0 THEN
+        |    floor(sqrt(num/(CAST(n_blocks AS DOUBLE)*CAST(n_blocks AS DOUBLE)))*$c*1000000.0 + 0.5)/1000000.0 END AS gumbel_beta,
+        |  CASE WHEN n_blocks >= 2 AND num > 0 THEN
+        |    floor((mean - $eg*(sqrt(num/(CAST(n_blocks AS DOUBLE)*CAST(n_blocks AS DOUBLE)))*$c)
+        |      - sqrt(num/(CAST(n_blocks AS DOUBLE)*CAST(n_blocks AS DOUBLE)))*$c*($c7))*1000000.0 + 0.5)/1000000.0 END AS return_level_7,
+        |  CASE WHEN n_blocks >= 2 AND num > 0 THEN
+        |    floor((mean - $eg*(sqrt(num/(CAST(n_blocks AS DOUBLE)*CAST(n_blocks AS DOUBLE)))*$c)
+        |      - sqrt(num/(CAST(n_blocks AS DOUBLE)*CAST(n_blocks AS DOUBLE)))*$c*($c30))*1000000.0 + 0.5)/1000000.0 END AS return_level_30
+        |FROM f ORDER BY event_type""".stripMargin
+    },
+
+    "q401_session_stats" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sess FROM o),
+        |se AS (SELECT user_id, sess, COUNT(*) AS n_events,
+        |  CAST(epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000000
+        |      - epoch_us(MIN(CAST(ts AS TIMESTAMP))) // 1000000 AS BIGINT) AS duration_sec
+        |  FROM s GROUP BY 1, 2),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  CAST(SUM(n_events) AS BIGINT) AS ev, CAST(SUM(duration_sec) AS BIGINT) AS dur
+        |  FROM se)
+        |SELECT n_sessions, n_users, n_bounces,
+        |  CASE WHEN n_sessions > 0 THEN
+        |    floor(CAST(n_bounces AS DOUBLE)/CAST(n_sessions AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS bounce_rate,
+        |  CASE WHEN n_sessions > 0 THEN
+        |    floor(CAST(ev AS DOUBLE)/CAST(n_sessions AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS avg_events_per_session,
+        |  CASE WHEN n_sessions > 0 THEN
+        |    floor(CAST(dur AS DOUBLE)/CAST(n_sessions AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS avg_duration_sec,
+        |  CASE WHEN n_users > 0 THEN
+        |    floor(CAST(n_sessions AS DOUBLE)/CAST(n_users AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS sessions_per_user
+        |FROM ag""".stripMargin,
   )
 }

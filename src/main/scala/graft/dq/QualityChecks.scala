@@ -5302,6 +5302,57 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Log–log elasticity per group — the econometric OLS ln(y) =
+    * b₀ + ε·ln(x) whose slope reads DIRECTLY as "a 1% change in x
+    * moves y by ε%" (constant-elasticity demand/response curves —
+    * the number a pricing or capacity model wants where row 181's
+    * linear slope depends on the units): elasticity, intercept
+    * (back-transformed to the y scale via exp), and R² per group,
+    * fit in one scan. Non-positive x or y rows drop (no logarithm —
+    * complete-case, documented).
+    *
+    * Determinism: ln values snap to 1e-9 longs (the row 417
+    * convention), so all five OLS sums are exact DECIMAL(38,0) and
+    * the slope is scale-free (the 1e-9 grids cancel); slope/R² are
+    * ONE pinned assembly 1e-6; the intercept divides the grid back
+    * once and exponentiates last. n < 3 or zero x-variance → NULL.
+    *
+    * Scale shape: one map-side-combined five-sum rollup per group —
+    * nothing shuffles but partial sums. */
+  def logLogElasticity(df: DataFrame, groupCol: String, yCol: String,
+                       xCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def ln9(c: Column) =
+      sf.floor(sf.log(c.cast("double")) * 1e9 + 0.5).cast("long")
+    val rows = df.filter(sf.col(groupCol).isNotNull &&
+        sf.col(xCol).cast("double") > 0 && sf.col(yCol).cast("double") > 0)
+      .select(sf.col(groupCol).cast("string").as("g"),
+        ln9(sf.col(xCol)).as("x"), ln9(sf.col(yCol)).as("y"))
+    rows.groupBy("g")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("x"))).as("sx"), sf.sum(dec(sf.col("y"))).as("sy"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("x"))).as("sxx"),
+        sf.sum(dec(sf.col("y")) * dec(sf.col("y"))).as("syy"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("y"))).as("sxy"))
+      .select({
+        val cxx = dec(sf.col("n")) * sf.col("sxx") - sf.col("sx") * sf.col("sx")
+        val cyy = dec(sf.col("n")) * sf.col("syy") - sf.col("sy") * sf.col("sy")
+        val cxy = dec(sf.col("n")) * sf.col("sxy") - sf.col("sx") * sf.col("sy")
+        val slope = cxy.cast("double") / cxx.cast("double")
+        val b0ln = (sf.col("sy").cast("double") -
+          slope * sf.col("sx").cast("double")) /
+          sf.col("n").cast("double") / 1e9
+        val r2 = cxy.cast("double") * cxy.cast("double") /
+          (cxx.cast("double") * cyy.cast("double"))
+        val ok = sf.col("n") >= 3 && cxx > 0
+        Seq(sf.col("g").as(groupCol), sf.col("n"),
+          sf.when(ok, gf.roundAt(slope, 6)).as("elasticity"),
+          sf.when(ok, gf.roundAt(sf.exp(b0ln), 6)).as("intercept"),
+          sf.when(ok, sf.when(cyy > 0, gf.roundAt(r2, 6))).as("r2"))
+      }: _*)
+      .orderBy(groupCol)
+  }
+
   /** First-order partial correlation r_xy·z — row 418's two-regressor
     * OLS read as a CORRELATION: (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
     * answers "does x still track y once z is held fixed" — the

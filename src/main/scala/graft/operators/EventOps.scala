@@ -3313,6 +3313,100 @@ object EventOps {
       .orderBy("event_type", "bin")
   }
 
+  /** Gumbel block-maxima fit per event type (Gumbel 1958; method of
+    * moments) — the EVT complement of row 386's peaks-over-threshold:
+    * GPD prices HOW heavy the tail is; block maxima answer the
+    * capacity question directly — per type, take each DAY's maximum
+    * hourly count, fit Gumbel(μ, β) by moments (β = S·√6/π,
+    * μ = x̄ − γβ), and report the T-block RETURN LEVELS μ −
+    * β·ln(−ln(1 − 1/T)) for T = 7 and 30: "the hourly peak a week /
+    * a month will reach once" — the number an SLO or autoscaling
+    * policy is actually set from.
+    *
+    * Determinism: block maxima and their moments are exact integers
+    * on the grid; √6/π, Euler's γ, and the two ln(−ln(…)) return-
+    * period constants are DRIVER-COMPUTED double literals embedded
+    * verbatim in the plan AND the oracle (the row 422 holtWeights
+    * convention — no cross-engine transcendental evaluation);
+    * μ/β/levels are ONE pinned assembly each, 1e-6. Fewer than 2
+    * blocks or zero variance → NULL fit.
+    *
+    * Scale shape: grid once + one (type, day) max rollup + one
+    * per-type moment rollup — all combinable, no windows. */
+  def gumbelBlockMaxima(events: DataFrame, blockBins: Int = 24,
+                        binSec: Long = 3600): DataFrame = {
+    require(blockBins >= 2 && blockBins <= 100000,
+      s"blockBins must be in [2, 1e5], got $blockBins")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val Sqrt6OverPi = math.sqrt(6.0) / math.Pi
+    val EulerGamma = 0.5772156649015329
+    def retConst(t: Int) = math.log(-math.log(1.0 - 1.0 / t))
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"),
+        sf.expr(s"bin div $blockBins").as("blk"), sf.col("n_events").as("v"))
+    val maxima = g.groupBy("t", "blk").agg(sf.max("v").as("m"))
+    maxima.groupBy("t")
+      .agg(sf.count(sf.lit(1)).as("n_blocks"),
+        sf.sum(dec(sf.col("m"))).as("__s"),
+        sf.sum(dec(sf.col("m")) * dec(sf.col("m"))).as("__q"))
+      .select({
+        val n = sf.col("n_blocks").cast("double")
+        val mean = sf.col("__s").cast("double") / n
+        val num = (dec(sf.col("n_blocks")) * sf.col("__q") -
+          sf.col("__s") * sf.col("__s")).cast("double")
+        val sd = sf.sqrt(num / (n * n))
+        val beta = sd * Sqrt6OverPi
+        val mu = mean - sf.lit(EulerGamma) * beta
+        def level(t: Int) = mu - beta * sf.lit(retConst(t))
+        val ok = sf.col("n_blocks") >= 2 && num > 0
+        Seq(sf.col("t").as("event_type"), sf.col("n_blocks"),
+          gf.roundAt(mean, 6).as("mean_block_max"),
+          sf.when(ok, gf.roundAt(mu, 6)).as("gumbel_mu"),
+          sf.when(ok, gf.roundAt(beta, 6)).as("gumbel_beta"),
+          sf.when(ok, gf.roundAt(level(7), 6)).as("return_level_7"),
+          sf.when(ok, gf.roundAt(level(30), 6)).as("return_level_30"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
+  /** Session engagement datasheet — the product-analytics rollup over
+    * [[sessionize]]'s gap-based sessions: session and user counts,
+    * BOUNCE RATE (single-event sessions — the first number any
+    * engagement review asks for), events-per-session, mean session
+    * duration, and mean sessions-per-user, in one pass over the
+    * session table. The REPORT on row 56's sessionization the way
+    * row 128's rolling actives is the report on raw activity.
+    *
+    * Determinism: all counts exact; the three means are pinned
+    * integer-ratio divisions rounded 1e-6 (durations are exact
+    * seconds from sessionize's min/max timestamps).
+    *
+    * Scale shape: [[sessionize]]'s bounded per-user windows + ONE
+    * combinable global rollup — no new shuffles beyond the session
+    * build itself. */
+  def sessionStats(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val s = sessionize(events, gapSec = gapSec)
+    s.agg(sf.count(sf.lit(1)).as("n_sessions"),
+        sf.count_distinct(sf.col("user_id")).as("n_users"),
+        sf.sum((sf.col("n_events") === 1).cast("long")).cast("long")
+          .as("n_bounces"),
+        sf.sum("n_events").cast("long").as("__ev"),
+        sf.sum("duration_sec").cast("long").as("__dur"))
+      .select(sf.col("n_sessions"), sf.col("n_users"), sf.col("n_bounces"),
+        sf.when(sf.col("n_sessions") > 0, gf.roundAt(
+          sf.col("n_bounces").cast("double") /
+            sf.col("n_sessions").cast("double"), 6)).as("bounce_rate"),
+        sf.when(sf.col("n_sessions") > 0, gf.roundAt(
+          sf.col("__ev").cast("double") / sf.col("n_sessions").cast("double"),
+          6)).as("avg_events_per_session"),
+        sf.when(sf.col("n_sessions") > 0, gf.roundAt(
+          sf.col("__dur").cast("double") / sf.col("n_sessions").cast("double"),
+          6)).as("avg_duration_sec"),
+        sf.when(sf.col("n_users") > 0, gf.roundAt(
+          sf.col("n_sessions").cast("double") / sf.col("n_users").cast("double"),
+          6)).as("sessions_per_user"))
+  }
+
   /** Runs UP-AND-DOWN randomness test per event type over the
     * [[denseSeries]] count grid — the turning-point family member
     * (row 357) read as a z-test: the sequence of signs of consecutive

@@ -599,4 +599,62 @@ object Sampling {
           sf.col("s12").cast("double"), 4).as("eff_num_w"))
       .orderBy("label")
   }
+
+  /** Neyman optimal stratified-sample allocation (Neyman 1934) — the
+    * survey-sampling answer to "how should a labeling/eval budget of k
+    * rows split across sources": n_h ∝ N_h·S_h allocates MORE budget
+    * to big AND internally-VARIABLE strata, minimizing the variance of
+    * the stratified mean at fixed cost — where proportional
+    * allocation (shown beside it) only sees size. A near-constant
+    * stratum (boilerplate mirror) earns ~0 under Neyman no matter how
+    * big — the budget insight this table exists to surface.
+    *
+    * Determinism: per-stratum moments are exact DECIMAL(38,0) on the
+    * 1e-4 grid; the Neyman weight N_h·S_h snaps once to a 1e-2
+    * integer (S from an IEEE sqrt of an exact ratio), so the
+    * cross-strata total is an EXACT integer sum (no float sum across
+    * strata — partition-order-proof) and both allocations are exact
+    * integer floor divisions of the budget. Zero-variance strata get
+    * weight 0, documented.
+    *
+    * Scale shape: one combinable per-stratum moment rollup + a
+    * broadcast one-row total + a strata-domain finish. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       budget: Long = 1000L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val per = df.filter(sf.col(stratumCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(stratumCol).cast("string").as("stratum"), v4.as("v"))
+      .groupBy("stratum")
+      .agg(sf.count(sf.lit(1)).as("n_rows"),
+        sf.sum(dec(sf.col("v"))).as("__s"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("__q"))
+      .select(sf.col("stratum"), sf.col("n_rows"), {
+        val n = sf.col("n_rows").cast("double")
+        val num = (dec(sf.col("n_rows")) * sf.col("__q") -
+          sf.col("__s") * sf.col("__s")).cast("double")
+        // N_h * S_h on the 1e-4 value grid, snapped to a 1e-2 integer:
+        // sd carries the 1e4 scale, so w2 = N·sd4/100 keeps 2 decimals
+        sf.when(num > 0, sf.floor(n * sf.sqrt(num / (n * n)) / 100.0 + 0.5)
+          .cast("long")).otherwise(0L).as("__w2")
+      })
+      .localCheckpoint(true) // totals + finish read it
+    val tot = per.agg(sf.sum("n_rows").cast("long").as("__nn"),
+      sf.sum("__w2").cast("long").as("__wt"))
+    per.crossJoin(sf.broadcast(tot))
+      .select(sf.col("stratum"), sf.col("n_rows"),
+        graft.functions.roundAt(sf.col("__w2").cast("double") /
+          sf.col("n_rows").cast("double") / 100.0, 4).as("stratum_sd"),
+        graft.functions.roundAt(sf.col("n_rows").cast("double") /
+          sf.col("__nn").cast("double"), 6).as("prop_share"),
+        sf.when(sf.col("__wt") > 0, graft.functions.roundAt(
+          sf.col("__w2").cast("double") / sf.col("__wt").cast("double"), 6))
+          .as("neyman_share"),
+        sf.expr(s"CAST(($budget * n_rows) DIV __nn AS BIGINT)").as("n_prop"),
+        sf.when(sf.col("__wt") > 0,
+          sf.expr(s"CAST(($budget * __w2) DIV __wt AS BIGINT)"))
+          .otherwise(0L).as("n_neyman"))
+      .orderBy("stratum")
+  }
 }

@@ -3857,4 +3857,70 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rc.getAs[Double]("r_yz") == 1.0 &&
       rc.isNullAt(rc.fieldIndex("partial_r_xy_given_z")), rc.toString)
   }
+
+  test("Sampling.neymanAllocation: variable stratum takes the budget") {
+    val df = (Seq.fill(4)(("a", 0.0)) ++ Seq(("b", 0.0), ("b", 200.0)))
+      .toDF("src", "v")
+    val got = Sampling.neymanAllocation(df, "src", "v", budget = 1000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // constant stratum: sd 0 -> zero Neyman budget despite 2x the rows
+    assert(a.getAs[Long]("n_rows") == 4 && a.getAs[Double]("stratum_sd") == 0.0
+      && a.getAs[Double]("neyman_share") == 0.0 &&
+      a.getAs[Long]("n_neyman") == 0L, a.toString)
+    assert(a.getAs[Long]("n_prop") == 666L)
+    val b = got("b")
+    // {0, 200}: population sd = 100
+    assert(b.getAs[Double]("stratum_sd") == 100.0 &&
+      b.getAs[Double]("neyman_share") == 1.0 &&
+      b.getAs[Long]("n_neyman") == 1000L, b.toString)
+  }
+
+  test("QualityChecks.logLogElasticity: recovers y = 2 x^3") {
+    val xs = Seq(math.E, math.E * math.E, math.E * math.E * math.E)
+    val df = xs.map(x => ("g", 2.0 * x * x * x, x)).toDF("g", "y", "x")
+    val r = QualityChecks.logLogElasticity(df, "g", "y", "x").head()
+    assert(math.abs(r.getAs[Double]("elasticity") - 3.0) < 1e-4, r.toString)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.0) < 1e-3, r.toString)
+    assert(r.getAs[Double]("r2") >= 0.999999, r.toString)
+    // non-positive values drop; constant x -> NULL
+    val const = Seq(("g", 1.0, 5.0), ("g", 2.0, 5.0), ("g", 3.0, 5.0))
+      .toDF("g", "y", "x")
+    val rcst = QualityChecks.logLogElasticity(const, "g", "y", "x").head()
+    assert(rcst.isNullAt(rcst.fieldIndex("elasticity")), rcst.toString)
+  }
+
+  test("EventOps.gumbelBlockMaxima: two-block hand moments") {
+    val day1 = Array.fill(24)(1L); day1(3) = 5L
+    val day2 = Array.fill(24)(1L); day2(6) = 9L
+    val df = hourlyCounts(Seq("g" -> (day1 ++ day2)))
+    val r = EventOps.gumbelBlockMaxima(df).head()
+    // maxima {5, 9}: mean 7, population sd 2
+    val beta = 2.0 * (math.sqrt(6.0) / math.Pi)
+    val mu = 7.0 - 0.5772156649015329 * beta
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n_blocks") == 2 &&
+      r.getAs[Double]("mean_block_max") == 7.0, r.toString)
+    assert(r.getAs[Double]("gumbel_beta") == snap6(beta), r.toString)
+    assert(r.getAs[Double]("gumbel_mu") == snap6(mu), r.toString)
+    assert(r.getAs[Double]("return_level_30") ==
+      snap6(mu - beta * math.log(-math.log(1.0 - 1.0 / 30))), r.toString)
+  }
+
+  test("EventOps.sessionStats: bounce rate and per-user rollups") {
+    val df = Seq(
+      (1L, 0L, 1L, "view", 1.0), (2L, 10L, 1L, "view", 1.0), // session 1
+      (3L, 4000L, 1L, "view", 1.0),                          // session 2: bounce
+      (4L, 0L, 2L, "view", 1.0))                             // session 3: bounce
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"), sf.col("value"))
+    val r = EventOps.sessionStats(df).head()
+    assert(r.getAs[Long]("n_sessions") == 3 && r.getAs[Long]("n_users") == 2 &&
+      r.getAs[Long]("n_bounces") == 2, r.toString)
+    assert(r.getAs[Double]("bounce_rate") == 0.666667 &&
+      r.getAs[Double]("avg_events_per_session") == 1.333333 &&
+      r.getAs[Double]("avg_duration_sec") == 3.333333 &&
+      r.getAs[Double]("sessions_per_user") == 1.5, r.toString)
+  }
 }
