@@ -2845,6 +2845,28 @@ object SparkEntry {
     "q401_session_stats" -> ((s, dir) =>
       EventOps.sessionStats(Tables.load(s, dir, "events"))),
 
+    // Sampled-seed eccentricity: worst-case hop distance per seed +
+    // the diameter lower bound, exact within the horizon.
+    "q402_eccentricity" -> ((s, dir) =>
+      Graph.eccentricity(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", item => item % 100 === 0,
+        minPairCount = 2, rounds = 3)),
+
+    // Cook's distance per bin: which observations the trend slope
+    // actually rests on — outage spikes get priced, not trusted.
+    "q403_regression_influence" -> ((s, dir) =>
+      EventOps.regressionInfluence(Tables.load(s, dir, "events"))),
+
+    // Breusch-Pagan: does residual variance drift with time —
+    // the constant-sigma assumption behind every band, tested.
+    "q404_breusch_pagan" -> ((s, dir) =>
+      EventOps.breuschPagan(Tables.load(s, dir, "events"))),
+
+    // Seasonal Mann-Kendall: secular trend with the diurnal cycle
+    // removed by comparing only within hour-of-day strata.
+    "q405_seasonal_mk" -> ((s, dir) =>
+      EventOps.seasonalMannKendall(Tables.load(s, dir, "events"))),
+
     // Partial correlation: does order value still track item count
     // once total quantity is held fixed — the confounder screen.
     "q397_partial_corr" -> ((s, dir) => {
@@ -12881,5 +12903,138 @@ object SparkEntry {
         |  CASE WHEN n_users > 0 THEN
         |    floor(CAST(n_sessions AS DOUBLE)/CAST(n_users AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS sessions_per_user
         |FROM ag""".stripMargin,
+
+    "q402_eccentricity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT item_a AS src, item_b AS dst FROM cab
+        |      UNION ALL SELECT item_b, item_a FROM cab),
+        |s0 AS (SELECT DISTINCT src AS seed, src AS item, CAST(0 AS BIGINT) AS dist
+        |       FROM e WHERE src % 100 = 0),
+        |r1 AS (SELECT s.seed, e.dst AS item, MIN(s.dist + 1) AS dist
+        |       FROM e JOIN s0 s ON e.src = s.item GROUP BY 1, 2),
+        |s1 AS (SELECT seed, item, MIN(dist) AS dist FROM
+        |       (SELECT * FROM s0 UNION ALL SELECT * FROM r1) GROUP BY 1, 2),
+        |r2 AS (SELECT s.seed, e.dst AS item, MIN(s.dist + 1) AS dist
+        |       FROM e JOIN s1 s ON e.src = s.item GROUP BY 1, 2),
+        |s2 AS (SELECT seed, item, MIN(dist) AS dist FROM
+        |       (SELECT * FROM s1 UNION ALL SELECT * FROM r2) GROUP BY 1, 2),
+        |r3 AS (SELECT s.seed, e.dst AS item, MIN(s.dist + 1) AS dist
+        |       FROM e JOIN s2 s ON e.src = s.item GROUP BY 1, 2),
+        |s3 AS (SELECT seed, item, MIN(dist) AS dist FROM
+        |       (SELECT * FROM s2 UNION ALL SELECT * FROM r3) GROUP BY 1, 2)
+        |SELECT seed AS item, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+        |  CAST(MAX(dist) AS BIGINT) AS eccentricity
+        |FROM s3 GROUP BY seed ORDER BY item""".stripMargin,
+
+    "q403_regression_influence" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(bin AS HUGEINT)) AS sx, SUM(CAST(v AS HUGEINT)) AS sy,
+        |  SUM(CAST(bin AS HUGEINT)*bin) AS sxx, SUM(CAST(bin AS HUGEINT)*v) AS sxy
+        |  FROM sv GROUP BY 1),
+        |rr AS (SELECT sv.t, sv.bin, sv.v, st.n, st.sx, st.sxx,
+        |  ((CAST(st.sy AS DOUBLE)
+        |    - CAST(st.n*st.sxy - st.sx*st.sy AS DOUBLE)/CAST(st.n*st.sxx - st.sx*st.sx AS DOUBLE)*CAST(st.sx AS DOUBLE))
+        |   /CAST(st.n AS DOUBLE)
+        |   + CAST(st.n*st.sxy - st.sx*st.sy AS DOUBLE)/CAST(st.n*st.sxx - st.sx*st.sx AS DOUBLE)*CAST(sv.bin AS DOUBLE)) AS fit
+        |  FROM sv JOIN st ON sv.t = st.t),
+        |re AS (SELECT *, CAST(floor((CAST(v AS DOUBLE) - fit)*1e6 + 0.5) AS BIGINT) AS e6 FROM rr),
+        |ss AS (SELECT t AS st, SUM(CAST(e6 AS HUGEINT)*e6) AS sse FROM re GROUP BY 1)
+        |SELECT re.t AS event_type, re.bin, re.v AS n_events,
+        |  floor(fit*1000000.0 + 0.5)/1000000.0 AS fitted,
+        |  floor(CAST(e6 AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS residual,
+        |  CASE WHEN n >= 4 AND sse > 0 THEN
+        |    floor((1.0/CAST(n AS DOUBLE)
+        |      + CAST((n*bin - sx)*(n*bin - sx) AS DOUBLE)/CAST(n*(n*sxx - sx*sx) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS leverage,
+        |  CASE WHEN n >= 4 AND sse > 0 AND
+        |    1.0/CAST(n AS DOUBLE) + CAST((n*bin - sx)*(n*bin - sx) AS DOUBLE)/CAST(n*(n*sxx - sx*sx) AS DOUBLE) < 1.0 THEN
+        |    floor(CAST(e6 AS DOUBLE)/1e6
+        |      /(sqrt(CAST(sse AS DOUBLE)/(CAST(n AS DOUBLE) - 2.0))/1e6
+        |        *sqrt(1.0 - (1.0/CAST(n AS DOUBLE) + CAST((n*bin - sx)*(n*bin - sx) AS DOUBLE)/CAST(n*(n*sxx - sx*sx) AS DOUBLE))))*1000000.0 + 0.5)/1000000.0 END AS std_residual,
+        |  CASE WHEN n >= 4 AND sse > 0 AND
+        |    1.0/CAST(n AS DOUBLE) + CAST((n*bin - sx)*(n*bin - sx) AS DOUBLE)/CAST(n*(n*sxx - sx*sx) AS DOUBLE) < 1.0 THEN
+        |    floor((CAST(e6 AS DOUBLE)/1e6
+        |      /(sqrt(CAST(sse AS DOUBLE)/(CAST(n AS DOUBLE) - 2.0))/1e6
+        |        *sqrt(1.0 - (1.0/CAST(n AS DOUBLE) + CAST((n*bin - sx)*(n*bin - sx) AS DOUBLE)/CAST(n*(n*sxx - sx*sx) AS DOUBLE)))))
+        |      *(CAST(e6 AS DOUBLE)/1e6
+        |      /(sqrt(CAST(sse AS DOUBLE)/(CAST(n AS DOUBLE) - 2.0))/1e6
+        |        *sqrt(1.0 - (1.0/CAST(n AS DOUBLE) + CAST((n*bin - sx)*(n*bin - sx) AS DOUBLE)/CAST(n*(n*sxx - sx*sx) AS DOUBLE)))))
+        |      *(1.0/CAST(n AS DOUBLE) + CAST((n*bin - sx)*(n*bin - sx) AS DOUBLE)/CAST(n*(n*sxx - sx*sx) AS DOUBLE))
+        |      /(2.0*(1.0 - (1.0/CAST(n AS DOUBLE) + CAST((n*bin - sx)*(n*bin - sx) AS DOUBLE)/CAST(n*(n*sxx - sx*sx) AS DOUBLE))))*1000000.0 + 0.5)/1000000.0 END AS cooks_d
+        |FROM re JOIN ss ON re.t = ss.st
+        |ORDER BY event_type, bin""".stripMargin,
+
+    "q404_breusch_pagan" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(bin AS HUGEINT)) AS sx, SUM(CAST(v AS HUGEINT)) AS sy,
+        |  SUM(CAST(bin AS HUGEINT)*bin) AS sxx, SUM(CAST(bin AS HUGEINT)*v) AS sxy
+        |  FROM sv GROUP BY 1),
+        |rr AS (SELECT sv.t, sv.bin,
+        |  ((CAST(st.sy AS DOUBLE)
+        |    - CAST(st.n*st.sxy - st.sx*st.sy AS DOUBLE)/CAST(st.n*st.sxx - st.sx*st.sx AS DOUBLE)*CAST(st.sx AS DOUBLE))
+        |   /CAST(st.n AS DOUBLE)
+        |   + CAST(st.n*st.sxy - st.sx*st.sy AS DOUBLE)/CAST(st.n*st.sxx - st.sx*st.sx AS DOUBLE)*CAST(sv.bin AS DOUBLE)) AS fit,
+        |  sv.v
+        |  FROM sv JOIN st ON sv.t = st.t),
+        |re AS (SELECT t, bin,
+        |  CAST(floor((CAST(v AS DOUBLE) - fit)*1e3 + 0.5) AS BIGINT) AS e3 FROM rr),
+        |gg AS (SELECT t, bin, CAST(e3 AS HUGEINT)*e3 AS g FROM re),
+        |m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(bin AS HUGEINT)) AS sx, SUM(g) AS sg,
+        |  SUM(CAST(bin AS HUGEINT)*bin) AS sxx, SUM(g*g) AS sgg,
+        |  SUM(CAST(bin AS HUGEINT)*g) AS sxg FROM gg GROUP BY 1),
+        |f AS (SELECT t, n,
+        |  n*sxx - sx*sx AS cxx, n*sgg - sg*sg AS cgg, n*sxg - sx*sg AS cxg
+        |  FROM m)
+        |SELECT t AS event_type, n AS n_bins,
+        |  CASE WHEN n >= 4 AND cxx > 0 AND cgg > 0 THEN
+        |    floor(CAST(n AS DOUBLE)*(CAST(cxg AS DOUBLE)*CAST(cxg AS DOUBLE)/(CAST(cxx AS DOUBLE)*CAST(cgg AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS bp_stat,
+        |  CASE WHEN n >= 4 AND cxx > 0 AND cgg > 0 THEN
+        |    floor(CAST(cxg AS DOUBLE)/CAST(cxx AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 END AS aux_slope
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q405_seasonal_mk" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, g.bin % 24 AS m, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |s AS (SELECT a.t,
+        |  CAST(SUM(CASE WHEN b2.v > a.v THEN 1 WHEN b2.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM sv a JOIN sv b2 ON a.t = b2.t AND a.m = b2.m AND a.bin < b2.bin
+        |  GROUP BY 1),
+        |tg AS (SELECT t, m, v, CAST(COUNT(*) AS BIGINT) AS tg FROM sv GROUP BY 1, 2, 3),
+        |ps AS (SELECT t, m, CAST(SUM(tg*(tg - 1)*(2*tg + 5)) AS BIGINT) AS tie,
+        |  CAST(SUM(tg) AS BIGINT) AS nm FROM tg GROUP BY 1, 2),
+        |ts AS (SELECT t, CAST(SUM(nm*(nm - 1)*(2*nm + 5) - tie) AS BIGINT) AS var18,
+        |  CAST(SUM(nm) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_seasons
+        |  FROM ps GROUP BY 1)
+        |SELECT s.t AS event_type, ts.n AS n_bins, ts.n_seasons, s.s_stat,
+        |  CASE WHEN ts.n >= 2 AND CAST(var18 AS DOUBLE)/18.0 > 0 THEN
+        |    floor((CASE WHEN s_stat > 0 THEN CAST(s_stat AS DOUBLE) - 1.0
+        |           WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0 ELSE 0.0 END)
+        |      /sqrt(CAST(var18 AS DOUBLE)/18.0)*1000000.0 + 0.5)/1000000.0 END AS z
+        |FROM s JOIN ts ON s.t = ts.t ORDER BY event_type""".stripMargin,
   )
 }

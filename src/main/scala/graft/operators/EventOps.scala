@@ -3313,6 +3313,185 @@ object EventOps {
       .orderBy("event_type", "bin")
   }
 
+  /** Shared per-type trend-OLS residual frame for
+    * [[regressionInfluence]] / [[breuschPagan]]: fits count-on-bin by
+    * exact-moment OLS per type over the dense grid and emits every row
+    * with its pinned fitted value / residual plus the moment columns
+    * downstream diagnostics need. The residual is ONE pinned double
+    * chain (slope/intercept from DECIMAL(38,0) moments), identical in
+    * any engine; callers snap it at their own grid before summing. */
+  private def trendResiduals(events: DataFrame, binSec: Long): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true)
+    val st = g.groupBy("t").agg(sf.count(sf.lit(1)).as("n"),
+      sf.sum(dec(sf.col("bin"))).as("sx"), sf.sum(dec(sf.col("v"))).as("sy"),
+      sf.sum(dec(sf.col("bin")) * dec(sf.col("bin"))).as("sxx"),
+      sf.sum(dec(sf.col("bin")) * dec(sf.col("v"))).as("sxy"))
+    g.join(sf.broadcast(st), "t")
+      .select(sf.col("t"), sf.col("bin"), sf.col("v"),
+        sf.col("n"), sf.col("sx"), sf.col("sxx"), {
+          val cxx = (dec(sf.col("n")) * sf.col("sxx") -
+            sf.col("sx") * sf.col("sx")).cast("double")
+          val cxy = (dec(sf.col("n")) * sf.col("sxy") -
+            sf.col("sx") * sf.col("sy")).cast("double")
+          val slope = cxy / cxx
+          val b0 = (sf.col("sy").cast("double") -
+            slope * sf.col("sx").cast("double")) / sf.col("n").cast("double")
+          (b0 + slope * sf.col("bin").cast("double")).as("__fit")
+        })
+      .withColumn("__e", sf.col("v").cast("double") - sf.col("__fit"))
+  }
+
+  /** OLS influence diagnostics per (type, bin) for the count-on-time
+    * trend — leverage, standardized residual, and Cook's distance
+    * (Cook 1977): WHICH observations the row-181 slope actually rests
+    * on. A bin can be extreme two different ways — far from the fit
+    * (big residual) or far in time from the data's center (big
+    * leverage) — and Cook's D prices their PRODUCT, the "delete this
+    * point and the trend moves" number an incident review needs
+    * before trusting any drift readout through an outage spike.
+    *
+    * Determinism: slope/intercept ride exact DECIMAL moments;
+    * residuals are pinned doubles SNAPPED to 1e-6 longs before the
+    * SSE sum (float partial sums would be partition-order-dependent);
+    * leverage h = 1/n + (n·x − Σx)²/(n·(n·Σxx − Σx²)) is a pinned
+    * ratio of exact integers; r/Cook's D are one chain each, 1e-6.
+    * n < 4 or zero SSE → NULL diagnostics.
+    *
+    * Scale shape: grid once + one broadcast moment row + one
+    * combinable SSE rollup + a map-only per-row finish. */
+  def regressionInfluence(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val r = trendResiduals(events, binSec)
+      .withColumn("__e6", sf.floor(sf.col("__e") * 1e6 + 0.5).cast("long"))
+      .localCheckpoint(true) // SSE + per-row finish read it
+    val sse = r.groupBy(sf.col("t").as("__t"))
+      .agg(sf.sum(dec(sf.col("__e6")) * dec(sf.col("__e6"))).as("__sse"))
+    r.join(sf.broadcast(sse), sf.col("t") === sf.col("__t"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val hnum = dec(sf.col("n")) * dec(sf.col("bin")) - sf.col("sx")
+        val hden = dec(sf.col("n")) *
+          (dec(sf.col("n")) * sf.col("sxx") - sf.col("sx") * sf.col("sx"))
+        val h = sf.lit(1.0) / n +
+          (hnum * hnum).cast("double") / hden.cast("double")
+        val s = sf.sqrt(sf.col("__sse").cast("double") / (n - 2.0)) / 1e6
+        val rStd = sf.col("__e6").cast("double") / 1e6 /
+          (s * sf.sqrt(sf.lit(1.0) - h))
+        val cooks = rStd * rStd * h / (sf.lit(2.0) * (sf.lit(1.0) - h))
+        val ok = sf.col("n") >= 4 && sf.col("__sse") > 0
+        Seq(sf.col("t").as("event_type"), sf.col("bin"),
+          sf.col("v").as("n_events"),
+          gf.roundAt(sf.col("__fit"), 6).as("fitted"),
+          gf.roundAt(sf.col("__e6").cast("double") / 1e6, 6).as("residual"),
+          sf.when(ok, gf.roundAt(h, 6)).as("leverage"),
+          sf.when(ok, sf.when(h < 1.0, gf.roundAt(rStd, 6))).as("std_residual"),
+          sf.when(ok, sf.when(h < 1.0, gf.roundAt(cooks, 6))).as("cooks_d"))
+      }: _*)
+      .orderBy("event_type", "bin")
+  }
+
+  /** Breusch–Pagan heteroscedasticity test (1979) per event type on
+    * the count-on-time trend — does the NOISE grow with time (fanning
+    * residuals), which silently invalidates every constant-variance
+    * readout built on the fit (the row-181 slope's SE, row 421's
+    * single σ, prediction bands): BP = n·R² of regressing squared
+    * residuals on the regressor, asymptotically χ²(1); the auxiliary
+    * slope's sign says which WAY variance drifts.
+    *
+    * Determinism: residuals snap at 1e-3 before squaring (e² then
+    * e²-squared sums stay inside DECIMAL(38,0) — documented headroom;
+    * the 1e-6 influence grid would overflow Σ(e²)²), all five
+    * auxiliary sums exact DECIMAL, BP/slope ONE pinned assembly 1e-6.
+    * n < 4, zero residual variance, or constant regressor → NULL.
+    *
+    * Scale shape: grid once + broadcast moments + one combinable
+    * five-sum rollup per type. */
+  def breuschPagan(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val r = trendResiduals(events, binSec)
+      .withColumn("__e3", sf.floor(sf.col("__e") * 1e3 + 0.5).cast("long"))
+      .select(sf.col("t"), sf.col("bin"),
+        (dec(sf.col("__e3")) * dec(sf.col("__e3"))).as("__g"))
+    r.groupBy("t")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("bin"))).as("sx"), sf.sum(sf.col("__g")).as("sg"),
+        sf.sum(dec(sf.col("bin")) * dec(sf.col("bin"))).as("sxx"),
+        sf.sum(sf.col("__g") * sf.col("__g")).as("sgg"),
+        sf.sum(dec(sf.col("bin")) * sf.col("__g")).as("sxg"))
+      .select({
+        val cxx = dec(sf.col("n")) * sf.col("sxx") - sf.col("sx") * sf.col("sx")
+        val cgg = dec(sf.col("n")) * sf.col("sgg") - sf.col("sg") * sf.col("sg")
+        val cxg = dec(sf.col("n")) * sf.col("sxg") - sf.col("sx") * sf.col("sg")
+        val r2 = cxg.cast("double") * cxg.cast("double") /
+          (cxx.cast("double") * cgg.cast("double"))
+        val ok = sf.col("n") >= 4 && cxx > 0 && cgg > 0
+        Seq(sf.col("t").as("event_type"), sf.col("n").as("n_bins"),
+          sf.when(ok, gf.roundAt(sf.col("n").cast("double") * r2, 6))
+            .as("bp_stat"),
+          sf.when(ok, gf.roundAt(
+            cxg.cast("double") / cxx.cast("double") / 1e6, 6))
+            .as("aux_slope"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
+  /** Seasonal Mann–Kendall trend test (Hirsch, Slack & Smith 1982)
+    * per event type — row 299's MK restricted to WITHIN-season pairs
+    * (hour-of-day strata on the hourly grid): comparing 3 AM only with
+    * other 3 AMs removes the diurnal cycle that would otherwise drown
+    * (or fake) a secular trend — the hydrology-standard form for any
+    * strongly cyclic series, and the trend test that composes with
+    * row 159's seasonal baselines instead of fighting them. S = Σ_m
+    * S_m, Var·18 = Σ_m [n_m(n_m−1)(2n_m+5) − tie_m] — both EXACT
+    * integer sums across seasons (no float accumulation), one pinned
+    * z with the standard continuity correction.
+    *
+    * Scale shape: row 299's within-stratum pair join, now keyed
+    * (type, season) — pairs are quadratic only WITHIN a season's
+    * bins, the same bounded contract. */
+  def seasonalMannKendall(events: DataFrame, season: Int = 24,
+                          binSec: Long = 3600): DataFrame = {
+    require(season >= 2 && season <= 10000,
+      s"season must be in [2, 1e4], got $season")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"),
+        sf.col("bin"), (sf.col("bin") % season).as("m"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // both pair sides + ties read it
+    val a = g.select(sf.col("t"), sf.col("m"), sf.col("bin").as("ba"),
+      sf.col("v").as("va"))
+    val b = g.select(sf.col("t").as("tb"), sf.col("m").as("mb"),
+      sf.col("bin").as("bb"), sf.col("v").as("vb"))
+    val s = a.join(b, sf.col("t") === sf.col("tb") &&
+        sf.col("m") === sf.col("mb") && sf.col("ba") < sf.col("bb"))
+      .groupBy("t")
+      .agg(sf.sum(sf.signum(sf.col("vb") - sf.col("va")).cast("long"))
+        .cast("long").as("s_stat"))
+    val perSeason = g.groupBy("t", "m", "v").agg(sf.count(sf.lit(1)).as("tg"))
+      .groupBy("t", "m")
+      .agg(sf.sum(sf.expr("tg * (tg - 1) * (2 * tg + 5)")).cast("long").as("tie"),
+        sf.sum("tg").cast("long").as("nm"))
+    val ties = perSeason.groupBy("t")
+      .agg(sf.sum(sf.expr("nm * (nm - 1) * (2 * nm + 5) - tie")).cast("long")
+          .as("var18"),
+        sf.sum("nm").cast("long").as("n"),
+        sf.count(sf.lit(1)).as("n_seasons"))
+    val varS = sf.col("var18").cast("double") / 18.0
+    val sD = sf.col("s_stat").cast("double")
+    val zNum = sf.when(sf.col("s_stat") > 0, sD - 1.0)
+      .when(sf.col("s_stat") < 0, sD + 1.0).otherwise(0.0)
+    s.join(ties, "t")
+      .select(sf.col("t").as("event_type"), sf.col("n").as("n_bins"),
+        sf.col("n_seasons"), sf.col("s_stat"),
+        sf.when(sf.col("n") >= 2 && varS > 0,
+          gf.roundAt(zNum / sf.sqrt(varS), 6)).as("z"))
+      .orderBy("event_type")
+  }
+
   /** Gumbel block-maxima fit per event type (Gumbel 1958; method of
     * moments) — the EVT complement of row 386's peaks-over-threshold:
     * GPD prices HOW heavy the tail is; block maxima answer the

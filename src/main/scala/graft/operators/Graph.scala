@@ -1751,10 +1751,12 @@ object Graph {
     closenessFromEdges(minedEdges(df, basketCol, itemCol, minPairCount),
       seedPred, rounds)
 
-  /** [[closenessCentrality]] over a pre-mined directed edge list — the
-    * mine-once `*FromEdges` family member. */
-  def closenessFromEdges(edges0: DataFrame, seedPred: Column => Column,
-                         rounds: Int = 3): DataFrame = {
+  /** The per-seed tagged BFS behind [[closenessFromEdges]] and
+    * [[eccentricityFromEdges]]: runs `rounds` synchronous min-merge
+    * steps and hands the final (seed, item, dist) state to `finish`,
+    * materializing its result before the loop frames are released. */
+  private def taggedBfs(edges0: DataFrame, seedPred: Column => Column,
+                        rounds: Int)(finish: DataFrame => DataFrame): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
     val ownsEdges = !callerCached(edges0)
     val edges = if (ownsEdges) edges0.persist() else edges0
@@ -1764,7 +1766,7 @@ object Graph {
       .select(sf.col("item").as("seed"), sf.col("item"), sf.lit(0L).as("dist"))
       .persist()
     val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (r <- 1 to rounds) {
+    for (_ <- 1 to rounds) {
       val prev = state
       val relax = edges.join(prev, sf.col("src") === sf.col("item"))
         .select(sf.col("seed"), sf.col("dst").as("item"),
@@ -1773,23 +1775,61 @@ object Graph {
         .groupBy("seed", "item").agg(sf.min("dist").as("dist"))
         .persist()
       toFree += prev
-      if (r == rounds) () // final state freed after the result materializes
     }
-    val res = state.filter(sf.col("item") =!= sf.col("seed"))
-      .groupBy("seed")
-      .agg(sf.count(sf.lit(1)).as("n_reached"),
-        sf.sum("dist").cast("long").as("sum_dist"),
-        sf.sum(sf.expr("CAST(1000000000 DIV dist AS BIGINT)")).as("__h9"))
-      .select(sf.col("seed").as("item"), sf.col("n_reached"),
-        sf.col("sum_dist"),
-        gf.roundAt(sf.col("n_reached").cast("double") /
-          sf.col("sum_dist").cast("double"), 6).as("closeness"),
-        gf.roundAt(sf.col("__h9").cast("double") / 1e9, 6).as("harmonic"))
-      .orderBy("item")
-    val out = res.localCheckpoint(true)
+    val out = finish(state).localCheckpoint(true)
     toFree.foreach(_.unpersist()); toFree.clear()
     state.unpersist()
     if (ownsEdges) edges.unpersist()
     out
   }
+
+  /** [[closenessCentrality]] over a pre-mined directed edge list — the
+    * mine-once `*FromEdges` family member. */
+  def closenessFromEdges(edges0: DataFrame, seedPred: Column => Column,
+                         rounds: Int = 3): DataFrame =
+    taggedBfs(edges0, seedPred, rounds) { state =>
+      state.filter(sf.col("item") =!= sf.col("seed"))
+        .groupBy("seed")
+        .agg(sf.count(sf.lit(1)).as("n_reached"),
+          sf.sum("dist").cast("long").as("sum_dist"),
+          sf.sum(sf.expr("CAST(1000000000 DIV dist AS BIGINT)")).as("__h9"))
+        .select(sf.col("seed").as("item"), sf.col("n_reached"),
+          sf.col("sum_dist"),
+          gf.roundAt(sf.col("n_reached").cast("double") /
+            sf.col("sum_dist").cast("double"), 6).as("closeness"),
+          gf.roundAt(sf.col("__h9").cast("double") / 1e9, 6).as("harmonic"))
+        .orderBy("item")
+    }
+
+  /** Bounded-horizon ECCENTRICITY per seed + the graph's diameter and
+    * radius LOWER BOUNDS — the standard sampled-BFS diameter estimate
+    * (exact eccentricities are all-pairs; a seed sample gives
+    * max-over-seeds ≤ diameter and min-over-seeds ≥ radius… each
+    * seed's eccentricity is EXACT within the `rounds` horizon): per
+    * seed, ecc = max hop distance reached, with the reached count so
+    * a horizon-truncated read is visible (ecc = rounds AND low
+    * coverage means "still expanding", not "small world"). The
+    * structure number beside row 425's closeness: closeness reads the
+    * CENTER of mass, eccentricity reads the WORST CASE.
+    *
+    * Determinism: exact integer hop distances (the row 425 tagged
+    * BFS), max/count exact. Scale shape: identical to row 425 —
+    * (seed, node, dist) state, seeds are the knob. */
+  def eccentricity(df: DataFrame, basketCol: String, itemCol: String,
+                   seedPred: Column => Column,
+                   minPairCount: Long = 2, rounds: Int = 3): DataFrame =
+    eccentricityFromEdges(minedEdges(df, basketCol, itemCol, minPairCount),
+      seedPred, rounds)
+
+  /** [[eccentricity]] over a pre-mined directed edge list. */
+  def eccentricityFromEdges(edges0: DataFrame, seedPred: Column => Column,
+                            rounds: Int = 3): DataFrame =
+    taggedBfs(edges0, seedPred, rounds) { state =>
+      state.groupBy("seed")
+        .agg((sf.count(sf.lit(1)) - 1).as("n_reached"),
+          sf.max("dist").cast("long").as("eccentricity"))
+        .select(sf.col("seed").as("item"), sf.col("n_reached"),
+          sf.col("eccentricity"))
+        .orderBy("item")
+    }
 }

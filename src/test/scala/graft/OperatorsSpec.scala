@@ -3923,4 +3923,60 @@ class OperatorsSpec extends SparkFunSuite {
       r.getAs[Double]("avg_duration_sec") == 3.333333 &&
       r.getAs[Double]("sessions_per_user") == 1.5, r.toString)
   }
+
+  test("Graph.eccentricity: path worst-case distances, horizon truncation") {
+    val path = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L),
+      (3L, 30L), (3L, 40L)).toDF("basket", "item")
+    val r3 = Graph.eccentricity(path, "basket", "item",
+        item => item === 10L || item === 40L, minPairCount = 1, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r3 == Seq((10L, 3L, 3L), (40L, 3L, 3L)), r3.toString)
+    val r2 = Graph.eccentricity(path, "basket", "item",
+        item => item === 10L, minPairCount = 1, rounds = 2).head()
+    assert(r2.getAs[Long]("n_reached") == 2 &&
+      r2.getAs[Long]("eccentricity") == 2, r2.toString)
+  }
+
+  test("EventOps.regressionInfluence: perfect fit NULLs, outlier dominates") {
+    val perfect = hourlyCounts(Seq("p" -> Array(1L, 2L, 3L, 4L)))
+    val gp = EventOps.regressionInfluence(perfect).collect()
+    assert(gp.length == 4)
+    gp.foreach { r =>
+      assert(r.getAs[Double]("residual") == 0.0 &&
+        r.isNullAt(r.fieldIndex("cooks_d")), r.toString) // SSE = 0
+    }
+    val out = hourlyCounts(Seq("o" -> Array(1L, 2L, 3L, 10L)))
+    val go = EventOps.regressionInfluence(out).collect()
+    val maxCook = go.maxBy(r => r.getAs[Double]("cooks_d"))
+    assert(maxCook.getAs[Long]("bin") == go.map(_.getAs[Long]("bin")).max,
+      go.mkString(";")) // the spike carries the largest influence
+  }
+
+  test("EventOps.breuschPagan: homoscedastic NULL, fanning detected") {
+    val flat = hourlyCounts(Seq("f" -> Array(1L, 2L, 3L, 4L)))
+    val rf = EventOps.breuschPagan(flat).head()
+    assert(rf.isNullAt(rf.fieldIndex("bp_stat")), rf.toString) // zero residuals
+    val fan = hourlyCounts(Seq("v" ->
+      Array(3L, 3L, 4L, 2L, 5L, 1L, 6L, 0L))) // growing swings, flat mean
+    val rv = EventOps.breuschPagan(fan).head()
+    assert(!rv.isNullAt(rv.fieldIndex("bp_stat")) &&
+      rv.getAs[Double]("bp_stat") > 0.0 &&
+      rv.getAs[Double]("aux_slope") > 0.0, rv.toString)
+  }
+
+  test("EventOps.seasonalMannKendall: within-stratum trend, cycle removed") {
+    // season 2: even bins ramp 1,2,3; odd bins ramp 10,20,30
+    val df = hourlyCounts(Seq("s" -> Array(1L, 10L, 2L, 20L, 3L, 30L)))
+    val r = EventOps.seasonalMannKendall(df, season = 2).head()
+    assert(r.getAs[Long]("s_stat") == 6 && r.getAs[Long]("n_seasons") == 2,
+      r.toString)
+    // var18 = 2 * (3*2*11 - 0) = 132
+    val z = math.floor((6.0 - 1.0) / math.sqrt(132.0 / 18.0) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("z") == z, r.toString)
+    // pure cycle: no within-stratum movement -> S = 0, z = 0
+    val cyc = hourlyCounts(Seq("c" -> Array(1L, 10L, 1L, 10L, 1L, 10L)))
+    val rc = EventOps.seasonalMannKendall(cyc, season = 2).head()
+    assert(rc.getAs[Long]("s_stat") == 0 && rc.getAs[Double]("z") == 0.0,
+      rc.toString)
+  }
 }
