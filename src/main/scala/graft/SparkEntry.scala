@@ -2867,6 +2867,23 @@ object SparkEntry {
     "q405_seasonal_mk" -> ((s, dir) =>
       EventOps.seasonalMannKendall(Tables.load(s, dir, "events"))),
 
+    // Laspeyres/Paasche/Fisher: did PRICES move holding the basket
+    // fixed — the number revenue deltas can't isolate.
+    "q406_price_indices" -> ((s, dir) =>
+      StarSchema.priceIndices(Tables.load(s, dir, "lineitem"),
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")),
+
+    // Negative-binomial fit + zero-inflation cross-check: the model
+    // step after q282's overdispersion verdict.
+    "q407_negbin" -> ((s, dir) =>
+      EventOps.negativeBinomialFit(Tables.load(s, dir, "events"))),
+
+    // CvM uniformity audit of the library's own hash splitter over
+    // the real key population — the standing proof q78/q99 rest on.
+    "q408_hash_uniformity" -> ((s, dir) =>
+      QualityChecks.hashUniformityCvm(Tables.load(s, dir, "events"),
+        "user_id")),
+
     // Partial correlation: does order value still track item count
     // once total quantity is held fixed — the confounder screen.
     "q397_partial_corr" -> ((s, dir) => {
@@ -13036,5 +13053,89 @@ object SparkEntry {
         |           WHEN s_stat < 0 THEN CAST(s_stat AS DOUBLE) + 1.0 ELSE 0.0 END)
         |      /sqrt(CAST(var18 AS DOUBLE)/18.0)*1000000.0 + 0.5)/1000000.0 END AS z
         |FROM s JOIN ts ON s.t = ts.t ORDER BY event_type""".stripMargin,
+
+    "q406_price_indices" ->
+      """WITH r AS (SELECT l_partkey AS item, epoch_us(l_shipdate) AS us,
+        |  CAST(floor(CAST(l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS q4,
+        |  CAST(floor(CAST(l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS p2c
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL AND l_partkey IS NOT NULL
+        |    AND CAST(l_quantity AS DOUBLE) > 0 AND l_extendedprice IS NOT NULL),
+        |ct AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS cut FROM r),
+        |per AS (SELECT item, CASE WHEN us >= ct.cut THEN 1 ELSE 0 END AS p,
+        |  CAST(SUM(p2c) AS HUGEINT) AS pv, CAST(SUM(q4) AS HUGEINT) AS qv
+        |  FROM r CROSS JOIN ct GROUP BY 1, 2),
+        |mt AS (SELECT a.item, a.pv AS pv1, a.qv AS qv1, b.pv AS pv2, b.qv AS qv2
+        |  FROM per a JOIN per b ON a.item = b.item AND a.p = 0 AND b.p = 1),
+        |tm AS (SELECT
+        |  CAST(floor(CAST(pv2 AS DOUBLE)/100.0/(CAST(qv2 AS DOUBLE)/1e4)*(CAST(qv1 AS DOUBLE)/1e4)*100 + 0.5) AS BIGINT) AS l2,
+        |  CAST(floor(CAST(pv1 AS DOUBLE)/100.0/(CAST(qv1 AS DOUBLE)/1e4)*(CAST(qv1 AS DOUBLE)/1e4)*100 + 0.5) AS BIGINT) AS l1,
+        |  CAST(floor(CAST(pv2 AS DOUBLE)/100.0/(CAST(qv2 AS DOUBLE)/1e4)*(CAST(qv2 AS DOUBLE)/1e4)*100 + 0.5) AS BIGINT) AS pa2,
+        |  CAST(floor(CAST(pv1 AS DOUBLE)/100.0/(CAST(qv1 AS DOUBLE)/1e4)*(CAST(qv2 AS DOUBLE)/1e4)*100 + 0.5) AS BIGINT) AS pa1
+        |  FROM mt),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_items,
+        |  CAST(SUM(l2) AS HUGEINT) AS l2, CAST(SUM(l1) AS HUGEINT) AS l1,
+        |  CAST(SUM(pa2) AS HUGEINT) AS pa2, CAST(SUM(pa1) AS HUGEINT) AS pa1
+        |  FROM tm)
+        |SELECT n_matched_items,
+        |  CASE WHEN n_matched_items > 0 AND l1 > 0 AND pa1 > 0 THEN
+        |    floor(CAST(l2 AS DOUBLE)/CAST(l1 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS laspeyres,
+        |  CASE WHEN n_matched_items > 0 AND l1 > 0 AND pa1 > 0 THEN
+        |    floor(CAST(pa2 AS DOUBLE)/CAST(pa1 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS paasche,
+        |  CASE WHEN n_matched_items > 0 AND l1 > 0 AND pa1 > 0 THEN
+        |    floor(sqrt(CAST(l2 AS DOUBLE)/CAST(l1 AS DOUBLE)*(CAST(pa2 AS DOUBLE)/CAST(pa1 AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS fisher
+        |FROM ag""".stripMargin,
+
+    "q407_negbin" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |       FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |ag AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS HUGEINT) AS s, SUM(CAST(v AS HUGEINT)*v) AS q,
+        |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM sv GROUP BY 1),
+        |f AS (SELECT t, n, zeros,
+        |  CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS m,
+        |  CAST(n*q - s*s AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS vv
+        |  FROM ag)
+        |SELECT t AS event_type, n AS n_bins,
+        |  floor(m*1000000.0 + 0.5)/1000000.0 AS mean,
+        |  CASE WHEN n >= 2 THEN floor(vv*1000000.0 + 0.5)/1000000.0 END AS variance,
+        |  CASE WHEN n >= 2 AND vv > m THEN
+        |    floor(m*m/(vv - m)*1000000.0 + 0.5)/1000000.0 END AS nb_r,
+        |  CASE WHEN n >= 2 AND vv > m THEN
+        |    floor(m/vv*1000000.0 + 0.5)/1000000.0 END AS nb_p,
+        |  floor(CAST(zeros AS DOUBLE)/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS zero_frac_observed,
+        |  CASE WHEN n >= 2 AND vv > m AND m > 0 THEN
+        |    floor(exp(m*m/(vv - m)*ln(m/vv))*1000000.0 + 0.5)/1000000.0 END AS zero_frac_nb
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    "q408_hash_uniformity" ->
+      """WITH k AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL),
+        |bkt AS (SELECT ((((k % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 % 10000 AS b FROM k),
+        |ce AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bkt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ce),
+        |rk AS (SELECT b, c, n,
+        |  SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - c + 1 AS i
+        |  FROM ce CROSS JOIN tot),
+        |tm AS (SELECT n, b, c, i,
+        |  i + c - 1 AS hij,
+        |  c*i + (c*(c - 1)) // 2 AS sj,
+        |  (hij*(hij + 1)*(hij*2 + 1)) // 6 - ((i - 1)*i*((i - 1)*2 + 1)) // 6 AS sj2,
+        |  c*(i*2 + c - 2) AS sa
+        |  FROM rk),
+        |tt AS (SELECT n,
+        |  SUM(CAST(c AS HUGEINT)*(b*2 + 1)*(b*2 + 1)*n*n*4
+        |    - CAST(n AS HUGEINT)*(b*2 + 1)*sa*80000
+        |    + CAST(sj2*4 - sj*4 + c AS HUGEINT)*400000000) AS t
+        |  FROM tm GROUP BY 1)
+        |SELECT n AS n_keys,
+        |  floor((1.0/(12.0*CAST(n AS DOUBLE))
+        |    + CAST(t AS DOUBLE)/(16.0e8*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))*1e9 + 0.5)/1e9 AS cvm_w2
+        |FROM tt""".stripMargin,
   )
 }

@@ -5302,6 +5302,69 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Cramér–von Mises uniformity audit of the engine's own hash
+    * splitter — W² of the [[graft.operators.Sampling.hashBucket]]
+    * bucket distribution against Uniform[0, 1): every deterministic
+    * split, A/B assignment, and sample in this library (rows 60, 105,
+    * 129) leans on that hash being uniform OVER THE ACTUAL KEYS; a
+    * key population aligned with the multiplier's structure would
+    * silently bias every downstream experiment, and this audit is the
+    * standing proof it doesn't. W² = 1/(12n) + Σ(u_(i) − (2i−1)/(2n))²
+    * with u = (bucket + ½)/10⁴ (bucket midpoints).
+    *
+    * Determinism: the tied-rank sum has the standard closed form on
+    * the bucket DOMAIN — per cell (c occurrences at rank i..i+c−1)
+    * the three pieces scale by M = 16·10⁸·n² to EXACT integers
+    * (4c(2b+1)²n² − 80000n(2b+1)·Σa + 4·10⁸Σa², with Σa, Σa² exact
+    * range sums of odd numbers) accumulated in DECIMAL(38,0); W² is
+    * 1/(12n) + T/M — ONE pinned assembly rounded 1e-9 (the statistic
+    * lives near 0). Expected value under uniformity ≈ 1/6.
+    *
+    * Scale shape: one distinct-key pass + a 10⁴-bounded bucket-domain
+    * collapse + one domain-bounded cumulative + a one-row finish. */
+  def hashUniformityCvm(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(keyCol).isNotNull)
+      .select(sf.col(keyCol).as("k")).distinct()
+      .select(graft.operators.Sampling.hashBucket(sf.col("k")).as("b"))
+      .groupBy("b").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // total + cumulative read it
+    val tot = cells.agg(sf.sum("c").cast("long").as("n"))
+    val w = Window.partitionBy(sf.pmod(sf.col("b"), sf.lit(1)))
+      .orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells.withColumn("__cum", sf.sum("c").over(w))
+      .crossJoin(sf.broadcast(tot))
+      .select(sf.col("b"), sf.col("c"), sf.col("n"),
+        (sf.col("__cum") - sf.col("c") + 1).as("i"))
+    // exact LONG range sums (all divisions are exact: c(c-1) is even,
+    // m(m+1)(2m+1) is divisible by 6), then DECIMAL only for the big
+    // scaled products
+    val terms = ranked
+      .withColumn("__hij", sf.col("i") + sf.col("c") - 1)
+      .withColumn("__sj",
+        sf.expr("c * i + (c * (c - 1)) DIV 2"))
+      .withColumn("__sj2", sf.expr(
+        "(__hij * (__hij + 1) * (__hij * 2 + 1)) DIV 6" +
+          " - ((i - 1) * i * ((i - 1) * 2 + 1)) DIV 6"))
+      .withColumn("__sa", sf.expr("c * (i * 2 + c - 2)"))
+      .withColumn("__sa2", sf.expr("__sj2 * 4 - __sj * 4 + c"))
+      .select(sf.col("n"), {
+        val c = dec(sf.col("c")); val n = dec(sf.col("n"))
+        val b2 = dec(sf.col("b") * 2 + 1)
+        (c * b2 * b2 * n * n * 4 -
+          n * b2 * dec(sf.col("__sa")) * 80000 +
+          dec(sf.col("__sa2")) * 400000000L).as("__t")
+      })
+    terms.groupBy("n").agg(sf.sum("__t").as("__tt"))
+      .select(sf.col("n").as("n_keys"), {
+        val n = sf.col("n").cast("double")
+        val m = sf.lit(16.0e8) * n * n
+        gf.roundAt(sf.lit(1.0) / (sf.lit(12.0) * n) +
+          sf.col("__tt").cast("double") / m, 9).as("cvm_w2")
+      })
+  }
+
   /** Log–log elasticity per group — the econometric OLS ln(y) =
     * b₀ + ε·ln(x) whose slope reads DIRECTLY as "a 1% change in x
     * moves y by ε%" (constant-elasticity demand/response curves —

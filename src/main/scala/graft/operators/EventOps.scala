@@ -3439,6 +3439,52 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Negative-binomial fit by moments per event type (Greenwood &
+    * Yule 1920) — the ACTION on row 333's dispersion verdict: once
+    * counts are overdispersed, NB(r, p) with p̂ = m/v, r̂ = m²/(v−m)
+    * is the standard replacement intensity model, and the
+    * zero-fraction cross-check (observed empty-bin share vs the NB
+    * prediction p̂^r̂) says whether overdispersion alone explains the
+    * silence or a ZERO-INFLATED process (outages, gating) is hiding
+    * inside — the model-selection fork before any capacity simulation.
+    *
+    * Determinism: moments are exact DECIMAL integers; m, v, p, r are
+    * ONE pinned left-assoc chain; the NB zero probability
+    * exp(r·ln p) rides the engine-shared exp/ln (the row 430
+    * convention), all rounded 1e-6. Underdispersed types (v ≤ m) →
+    * NULL fit — NB does not exist there, the honest answer.
+    *
+    * Scale shape: grid once + one combinable per-type rollup. */
+  def negativeBinomialFit(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("n_events").as("v"))
+    g.groupBy("t")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("v"))).as("s"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("q"),
+        sf.sum((sf.col("v") === 0L).cast("long")).cast("long").as("zeros"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val m = sf.col("s").cast("double") / n
+        val vv = (dec(sf.col("n")) * sf.col("q") -
+          sf.col("s") * sf.col("s")).cast("double") / (n * n)
+        val p = m / vv
+        val r = m * m / (vv - m)
+        val ok = sf.col("n") >= 2 && sf.lit(true)
+        Seq(sf.col("t").as("event_type"), sf.col("n").as("n_bins"),
+          gf.roundAt(m, 6).as("mean"),
+          sf.when(ok, gf.roundAt(vv, 6)).as("variance"),
+          sf.when(ok, sf.when(vv > m, gf.roundAt(r, 6))).as("nb_r"),
+          sf.when(ok, sf.when(vv > m, gf.roundAt(p, 6))).as("nb_p"),
+          gf.roundAt(sf.col("zeros").cast("double") / n, 6)
+            .as("zero_frac_observed"),
+          sf.when(ok, sf.when(vv > m && m > 0,
+            gf.roundAt(sf.exp(r * sf.log(p)), 6))).as("zero_frac_nb"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
   /** Seasonal Mann–Kendall trend test (Hirsch, Slack & Smith 1982)
     * per event type — row 299's MK restricted to WITHIN-season pairs
     * (hour-of-day strata on the hourly grid): comparing 3 AM only with

@@ -530,6 +530,74 @@ object StarSchema {
       .orderBy("rank")
   }
 
+  /** Laspeyres / Paasche / Fisher price indices (the CPI trinity)
+    * between the first and second half of the data's time range —
+    * "did PRICES move, holding the BASKET fixed": Laspeyres weights
+    * by period-1 quantities (what the old basket costs now), Paasche
+    * by period-2 quantities, Fisher their geometric mean (the
+    * superlative index); only parts traded in BOTH periods enter
+    * (matched-model, the standard practice). The number a
+    * revenue-delta readout (row 436) can't give — revenue moves when
+    * EITHER prices or volumes move; indices isolate price.
+    *
+    * Determinism: the period cut is (min+max)/2 of the exact epoch
+    * range (integer division); per-(part, period) value/quantity sums
+    * are exact cents / 1e-4 integers; each part's four index terms
+    * (unit price × base quantity) are pinned doubles SNAPPED to 1e-2
+    * longs before the cross-part sums (float partials are partition-
+    * order-dependent); the three indices are one pinned division
+    * each, 1e-6. Fewer than 1 matched parts → NULL indices.
+    *
+    * Scale shape: one combinable (part, period) rollup + a self
+    * equi join on part (matched-model) + one-row finishes. */
+  def priceIndices(df: DataFrame, itemCol: String, tsCol: String,
+                   qtyCol: String, amountCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rows = df.filter(sf.col(tsCol).isNotNull && sf.col(itemCol).isNotNull &&
+        sf.col(qtyCol).cast("double") > 0 && sf.col(amountCol).isNotNull)
+      .select(sf.col(itemCol).as("item"),
+        sf.unix_micros(sf.col(tsCol).cast("timestamp")).as("us"),
+        sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5).cast("long").as("q4"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long")
+          .as("p2c"))
+      .localCheckpoint(true) // bounds + per-period rollups read it
+    val cut = rows.agg(
+      sf.expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").as("__cut"))
+    val per = rows.crossJoin(sf.broadcast(cut))
+      .withColumn("__p", (sf.col("us") >= sf.col("__cut")).cast("int"))
+      .groupBy("item", "__p")
+      .agg(sf.sum(dec(sf.col("p2c"))).cast("decimal(38,0)").as("pv"),
+        sf.sum(dec(sf.col("q4"))).cast("decimal(38,0)").as("qv"))
+    val matched = per.filter(sf.col("__p") === 0)
+      .select(sf.col("item"), sf.col("pv").as("pv1"), sf.col("qv").as("qv1"))
+      .join(per.filter(sf.col("__p") === 1)
+        .select(sf.col("item"), sf.col("pv").as("pv2"), sf.col("qv").as("qv2")),
+        "item")
+    def u(pv: String, qv: String) = // unit price in dollars, pinned
+      sf.col(pv).cast("double") / 100.0 / (sf.col(qv).cast("double") / 1e4)
+    def term(unit: org.apache.spark.sql.Column, qv: String) =
+      sf.floor(unit * (sf.col(qv).cast("double") / 1e4) * 100 + 0.5).cast("long")
+    val sums = matched.select(
+        term(u("pv2", "qv2"), "qv1").as("__l2"),
+        term(u("pv1", "qv1"), "qv1").as("__l1"),
+        term(u("pv2", "qv2"), "qv2").as("__pa2"),
+        term(u("pv1", "qv1"), "qv2").as("__pa1"))
+      .agg(sf.count(sf.lit(1)).as("n_matched_items"),
+        sf.sum(dec(sf.col("__l2"))).as("l2"), sf.sum(dec(sf.col("__l1"))).as("l1"),
+        sf.sum(dec(sf.col("__pa2"))).as("pa2"),
+        sf.sum(dec(sf.col("__pa1"))).as("pa1"))
+    sums.select({
+      val lasp = sf.col("l2").cast("double") / sf.col("l1").cast("double")
+      val paas = sf.col("pa2").cast("double") / sf.col("pa1").cast("double")
+      val ok = sf.col("n_matched_items") > 0 && sf.col("l1") > 0 &&
+        sf.col("pa1") > 0
+      Seq(sf.col("n_matched_items"),
+        sf.when(ok, gf.roundAt(lasp, 6)).as("laspeyres"),
+        sf.when(ok, gf.roundAt(paas, 6)).as("paasche"),
+        sf.when(ok, gf.roundAt(sf.sqrt(lasp * paas), 6)).as("fisher"))
+    }: _*)
+  }
+
   /** Period-over-period revenue deltas — monthly totals with
     * month-over-month and year-over-year changes, the first page of
     * every revenue review: MoM catches operational shifts, YoY reads

@@ -3979,4 +3979,55 @@ class OperatorsSpec extends SparkFunSuite {
     assert(rc.getAs[Long]("s_stat") == 0 && rc.getAs[Double]("z") == 0.0,
       rc.toString)
   }
+
+  test("StarSchema.priceIndices: hand L/P/F, unmatched items drop") {
+    val df = Seq(
+      (1L, 10L, 10.0, 10.0), (1L, 90L, 1.0, 2.0),   // unit 1 -> 2
+      (2L, 10L, 1.0, 1.0), (2L, 90L, 10.0, 10.0),   // unit 1 -> 1
+      (3L, 10L, 1.0, 5.0))                          // period-1 only: drops
+      .toDF("item", "ts_s", "qty", "amt")
+      .select(sf.col("item"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("qty"), sf.col("amt"))
+    val r = StarSchema.priceIndices(df, "item", "ts", "qty", "amt").head()
+    assert(r.getAs[Long]("n_matched_items") == 2, r.toString)
+    // L = (2*10 + 1*1)/(1*10 + 1*1) = 21/11; P = (2*1 + 1*10)/11 = 12/11
+    assert(r.getAs[Double]("laspeyres") ==
+      math.floor(21.0 / 11 * 1e6 + 0.5) / 1e6, r.toString)
+    assert(r.getAs[Double]("paasche") ==
+      math.floor(12.0 / 11 * 1e6 + 0.5) / 1e6, r.toString)
+    assert(math.abs(r.getAs[Double]("fisher") -
+      math.sqrt(252.0 / 121)) < 2e-6, r.toString)
+  }
+
+  test("EventOps.negativeBinomialFit: hand moments, underdispersed NULL") {
+    val df = hourlyCounts(Seq(
+      "n" -> Array(0L, 1L, 5L), // mean 2, var 14/3 > mean
+      "x" -> Array(2L, 2L, 2L))) // constant: var 0 -> no NB
+    val got = EventOps.negativeBinomialFit(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val n = got("n")
+    assert(n.getAs[Double]("mean") == 2.0 &&
+      math.abs(n.getAs[Double]("variance") - 14.0 / 3) < 2e-6, n.toString)
+    assert(math.abs(n.getAs[Double]("nb_r") - 4.0 / (14.0 / 3 - 2)) < 2e-6)
+    assert(math.abs(n.getAs[Double]("nb_p") - 2.0 / (14.0 / 3)) < 2e-6)
+    assert(n.getAs[Double]("zero_frac_observed") == 0.333333)
+    val p0 = math.pow(2.0 / (14.0 / 3), 4.0 / (14.0 / 3 - 2))
+    assert(math.abs(n.getAs[Double]("zero_frac_nb") - p0) < 1e-5, n.toString)
+    val x = got("x")
+    assert(x.getAs[Double]("variance") == 0.0 &&
+      x.isNullAt(x.fieldIndex("nb_r")), x.toString)
+  }
+
+  test("QualityChecks.hashUniformityCvm: hand W2 over four known buckets") {
+    val df = Seq(0L, 1L, 2L, 3L, 1L).toDF("user_id") // dup key dedups
+    val r = QualityChecks.hashUniformityCvm(df, "user_id").head()
+    assert(r.getAs[Long]("n_keys") == 4, r.toString)
+    def bucket(k: Long) = ((k % 2147483648L) * 2654435761L) % 4294967296L % 10000
+    val us = Seq(0L, 1L, 2L, 3L).map(k => (2 * bucket(k) + 1) / 20000.0).sorted
+    val expected = 1.0 / 48 +
+      us.zipWithIndex.map { case (u, i) =>
+        val d = u - (2 * i + 1) / 8.0; d * d }.sum
+    assert(math.abs(r.getAs[Double]("cvm_w2") - expected) < 1e-8,
+      s"${r.getAs[Double]("cvm_w2")} vs $expected")
+  }
 }
