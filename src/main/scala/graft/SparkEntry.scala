@@ -2884,6 +2884,36 @@ object SparkEntry {
       QualityChecks.hashUniformityCvm(Tables.load(s, dir, "events"),
         "user_id")),
 
+    // Simpson's paradox census over the q228 strata: does pooling
+    // reverse the per-stratum association direction.
+    "q409_simpsons" -> ((s, dir) =>
+      QualityChecks.simpsonsParadox(Tables.load(s, dir, "events"),
+        "event_type", Sampling.hashBucket(sf.col("user_id")) < 5000,
+        sf.col("value") >= 50.0)),
+
+    // Fixed-threshold classification panel incl. MCC — the report
+    // for the ONE threshold production actually runs at.
+    "q410_classification_panel" -> ((s, dir) => {
+      val scored = TextAnalysis.classifierScore(docs(s, dir), "doc_id", "text",
+        weights = Similarity.lshPlanes(256, 1, seed = 7)(0), bias = -0.05)
+      QualityChecks.classificationPanel(
+        scored.join(docs(s, dir).select(sf.col("doc_id"), sf.col("lang")), "doc_id")
+          .select(sf.col("score"), (sf.col("lang") === "en").cast("int").as("y")),
+        "score", "y", threshold = 0.0)
+    }),
+
+    // ANOVA effect sizes: how MUCH variance the q139 F explains —
+    // eta^2, bias-corrected omega^2, Cohen's f^2.
+    "q411_anova_effects" -> ((s, dir) =>
+      QualityChecks.anovaEffects(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // Five-number-plus summary: exact quartiles, IQR, trimean,
+    // midhinge per priority — the box plot as a table.
+    "q412_five_number" -> ((s, dir) =>
+      QualityChecks.fiveNumber(Tables.load(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice")),
+
     // Partial correlation: does order value still track item count
     // once total quantity is held fixed — the confounder screen.
     "q397_partial_corr" -> ((s, dir) => {
@@ -13137,5 +13167,133 @@ object SparkEntry {
         |  floor((1.0/(12.0*CAST(n AS DOUBLE))
         |    + CAST(t AS DOUBLE)/(16.0e8*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))*1e9 + 0.5)/1e9 AS cvm_w2
         |FROM tt""".stripMargin,
+
+    "q409_simpsons" ->
+      """WITH s AS (SELECT event_type AS st,
+        |  ((((user_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 % 10000 < 5000 AS t,
+        |  value >= 50.0 AS o
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+        |ce AS (SELECT st,
+        |  CAST(SUM(CASE WHEN t AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN t AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN NOT t AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN NOT t AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM s GROUP BY 1),
+        |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  CAST(SUM(CASE WHEN NOT (a+b = 0 OR c+d = 0 OR a+c = 0 OR b+d = 0)
+        |    AND CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |  CAST(SUM(CASE WHEN NOT (a+b = 0 OR c+d = 0 OR a+c = 0 OR b+d = 0)
+        |    AND CAST(a AS HUGEINT)*d - CAST(b AS HUGEINT)*c < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        |  CAST(SUM(CASE WHEN a+b = 0 OR c+d = 0 OR a+c = 0 OR b+d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+        |  FROM ce),
+        |po AS (SELECT CAST(SUM(a) AS BIGINT) AS pa, CAST(SUM(b) AS BIGINT) AS pb,
+        |  CAST(SUM(c) AS BIGINT) AS pc, CAST(SUM(d) AS BIGINT) AS pd FROM ce)
+        |SELECT n_strata, n_positive, n_negative, n_degenerate,
+        |  CASE WHEN pb*pc > 0 THEN
+        |    floor(CAST(pa AS DOUBLE)*CAST(pd AS DOUBLE)/(CAST(pb AS DOUBLE)*CAST(pc AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS pooled_or,
+        |  CAST(CASE WHEN CAST(pa AS HUGEINT)*pd - CAST(pb AS HUGEINT)*pc > 0 THEN 1
+        |       WHEN CAST(pa AS HUGEINT)*pd - CAST(pb AS HUGEINT)*pc < 0 THEN -1
+        |       ELSE 0 END AS INTEGER) AS pooled_sign,
+        |  (n_positive + n_negative > 0 AND
+        |   ((CAST(pa AS HUGEINT)*pd - CAST(pb AS HUGEINT)*pc > 0 AND n_positive = 0) OR
+        |    (CAST(pa AS HUGEINT)*pd - CAST(pb AS HUGEINT)*pc < 0 AND n_negative = 0))) AS paradox
+        |FROM cn CROSS JOIN po""".stripMargin,
+
+    "q410_classification_panel" -> {
+      val w = Similarity.lshPlanes(256, 1, seed = 7)(0)
+      s"""WITH wt AS (SELECT ${w.mkString("[", ",", "]")}::DOUBLE[] AS w),
+         |t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN []::VARCHAR[]
+         |       ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+         |  END AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    list_reduce(list_transform(toks, tok ->
+         |      wt.w[((list_reduce([strpos('0123456789abcdef', substr(md5(tok), i, 1))-1 FOR i IN range(1,16)],
+         |             (a,b) -> a*16 + b) % 2147483629) % 256) + 1]),
+         |      (a,b) -> a + b) END AS raw
+         |  FROM t CROSS JOIN wt),
+         |sc AS (SELECT floor((raw + -0.05)*10000.0 + 0.5)/10000.0 AS score,
+         |  CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM s JOIN documents d USING (doc_id)),
+         |cf AS (SELECT
+         |  CAST(SUM(CASE WHEN score > 0.0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN score > 0.0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN NOT score > 0.0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(SUM(CASE WHEN NOT score > 0.0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM sc)
+         |SELECT tp, fp, tn, fn,
+         |  CASE WHEN tp+fp+tn+fn > 0 THEN
+         |    floor(CAST(tp+tn AS DOUBLE)/CAST(tp+fp+tn+fn AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS accuracy,
+         |  CASE WHEN tp+fp > 0 THEN
+         |    floor(CAST(tp AS DOUBLE)/CAST(tp+fp AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS precision,
+         |  CASE WHEN tp+fn > 0 THEN
+         |    floor(CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS recall,
+         |  CASE WHEN tn+fp > 0 THEN
+         |    floor(CAST(tn AS DOUBLE)/CAST(tn+fp AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS specificity,
+         |  CASE WHEN tp*2+fp+fn > 0 THEN
+         |    floor(CAST(tp*2 AS DOUBLE)/CAST(tp*2+fp+fn AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS f1,
+         |  CASE WHEN tp+fn > 0 AND tn+fp > 0 THEN
+         |    floor((CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE) + CAST(tn AS DOUBLE)/CAST(tn+fp AS DOUBLE))/2.0*1000000.0 + 0.5)/1000000.0 END AS balanced_accuracy,
+         |  CASE WHEN tp+fn > 0 AND tn+fp > 0 THEN
+         |    floor((CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE) + CAST(tn AS DOUBLE)/CAST(tn+fp AS DOUBLE) - 1.0)*1000000.0 + 0.5)/1000000.0 END AS youden_j,
+         |  CASE WHEN tp+fp > 0 AND tp+fn > 0 AND tn+fp > 0 AND tn+fn > 0 THEN
+         |    floor(CAST(CAST(tp AS HUGEINT)*tn - CAST(fp AS HUGEINT)*fn AS DOUBLE)
+         |      /sqrt(CAST(CAST(tp+fp AS HUGEINT)*(tp+fn)*(tn+fp)*(tn+fn) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS mcc
+         |FROM cf""".stripMargin
+    },
+
+    "q411_anova_effects" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |  SUM(CAST(x AS HUGEINT)*x) AS ss FROM v GROUP BY 1),
+        |tm AS (SELECT n, s,
+        |  CAST(floor((CAST(s AS DOUBLE)/1e4)*(CAST(s AS DOUBLE)/1e4)/CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS bt,
+        |  CAST(floor((CAST(ss AS DOUBLE)/1e8 - (CAST(s AS DOUBLE)/1e4)*(CAST(s AS DOUBLE)/1e4)/CAST(n AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS wt
+        |  FROM pg),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(s) AS HUGEINT) AS st, CAST(SUM(bt) AS HUGEINT) AS b,
+        |  CAST(SUM(wt) AS HUGEINT) AS w FROM tm),
+        |f AS (SELECT k, n,
+        |  CAST(b AS DOUBLE)/1e6 - (CAST(st AS DOUBLE)/1e4)*(CAST(st AS DOUBLE)/1e4)/CAST(n AS DOUBLE) AS ssb,
+        |  CAST(w AS DOUBLE)/1e6 AS ssw FROM ag)
+        |SELECT k, n,
+        |  CASE WHEN k > 1 AND n > k AND ssb + ssw > 0 AND ssw > 0 THEN
+        |    floor(ssb/(ssb + ssw)*1000000.0 + 0.5)/1000000.0 END AS eta_squared,
+        |  CASE WHEN k > 1 AND n > k AND ssb + ssw > 0 AND ssw > 0 THEN
+        |    floor((ssb - (CAST(k AS DOUBLE) - 1.0)*(ssw/(CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
+        |      /(ssb + ssw + ssw/(CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS omega_squared,
+        |  CASE WHEN k > 1 AND n > k AND ssb + ssw > 0 AND ssw > 0
+        |    AND ssb/(ssb + ssw) < 1.0 THEN
+        |    floor(ssb/(ssb + ssw)/(1.0 - ssb/(ssb + ssw))*1000000.0 + 0.5)/1000000.0 END AS cohens_f2
+        |FROM f""".stripMargin,
+
+    "q412_five_number" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |ce AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |tt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM ce GROUP BY 1),
+        |cu AS (SELECT ce.g, ce.v, tt.n,
+        |  SUM(c) OVER (PARTITION BY ce.g ORDER BY ce.v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ce JOIN tt ON ce.g = tt.g),
+        |ag AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx,
+        |  CAST(MIN(CASE WHEN cum*4 >= n THEN v END) AS BIGINT) AS q1,
+        |  CAST(MIN(CASE WHEN cum*2 >= n THEN v END) AS BIGINT) AS q2,
+        |  CAST(MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS BIGINT) AS q3
+        |  FROM cu GROUP BY 1)
+        |SELECT g AS o_orderpriority, n,
+        |  floor(CAST(mn AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS min_v,
+        |  floor(CAST(q1 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS q1,
+        |  floor(CAST(q2 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS median,
+        |  floor(CAST(q3 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS q3,
+        |  floor(CAST(mx AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS max_v,
+        |  floor(CAST(q3 - q1 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS iqr,
+        |  floor(CAST(q1 + q2*2 + q3 AS DOUBLE)/4e4*10000.0 + 0.5)/10000.0 AS trimean,
+        |  floor(CAST(q1 + q3 AS DOUBLE)/2e4*10000.0 + 0.5)/10000.0 AS midhinge
+        |FROM ag ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -5302,6 +5302,226 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Simpson's-paradox detector over a stratified 2×2 family — the
+    * DIAGNOSTIC row 276's CMH pooling assumes away: per stratum the
+    * exact association direction sign(ad − bc), vs the pooled table's
+    * direction; `paradox` fires when the pooled direction is nonzero
+    * and EVERY informative stratum points the other way — the
+    * textbook aggregation reversal (admission bias, kidney-stone
+    * treatment) that silently inverts any pooled readout. Report the
+    * stratum sign census either way: a mixed census means "don't pool
+    * without CMH", which is the operational answer.
+    *
+    * Determinism: all signs are exact integer comparisons (ad vs bc);
+    * the pooled odds ratio is one pinned division 1e-6 (NULL on zero
+    * cells). Zero-margin strata are uninformative and counted
+    * separately.
+    *
+    * Scale shape: one (stratum, arm, outcome) cell collapse + one
+    * stratum-domain pivot + a one-row census. */
+  def simpsonsParadox(df: DataFrame, stratumCol: String, armPred: Column,
+                      outcomePred: Column): DataFrame = {
+    val cells = df.filter(sf.col(stratumCol).isNotNull)
+      .select(sf.col(stratumCol).cast("string").as("s"),
+        armPred.as("__t"), outcomePred.as("__o"))
+      .filter(sf.col("__t").isNotNull && sf.col("__o").isNotNull)
+      .groupBy("s")
+      .agg(sf.sum((sf.col("__t") && sf.col("__o")).cast("long")).cast("long").as("a"),
+        sf.sum((sf.col("__t") && !sf.col("__o")).cast("long")).cast("long").as("b"),
+        sf.sum((!sf.col("__t") && sf.col("__o")).cast("long")).cast("long").as("c"),
+        sf.sum((!sf.col("__t") && !sf.col("__o")).cast("long")).cast("long").as("d"))
+      .localCheckpoint(true) // census + pooled read it
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val census = cells
+      .select(sf.col("s"),
+        (dec(sf.col("a")) * dec(sf.col("d")) -
+          dec(sf.col("b")) * dec(sf.col("c"))).as("__det"),
+        ((sf.col("a") + sf.col("b")) === 0 || (sf.col("c") + sf.col("d")) === 0 ||
+          (sf.col("a") + sf.col("c")) === 0 || (sf.col("b") + sf.col("d")) === 0)
+          .as("__degen"))
+      .agg(sf.count(sf.lit(1)).as("n_strata"),
+        sf.sum((!sf.col("__degen") && sf.col("__det") > 0).cast("long"))
+          .cast("long").as("n_positive"),
+        sf.sum((!sf.col("__degen") && sf.col("__det") < 0).cast("long"))
+          .cast("long").as("n_negative"),
+        sf.sum(sf.col("__degen").cast("long")).cast("long").as("n_degenerate"))
+    val pooled = cells.agg(sf.sum("a").cast("long").as("pa"),
+      sf.sum("b").cast("long").as("pb"), sf.sum("c").cast("long").as("pc"),
+      sf.sum("d").cast("long").as("pd"))
+    census.crossJoin(sf.broadcast(pooled))
+      .select({
+        val det = dec(sf.col("pa")) * dec(sf.col("pd")) -
+          dec(sf.col("pb")) * dec(sf.col("pc"))
+        val pooledSign = sf.when(det > 0, 1).when(det < 0, -1).otherwise(0)
+        val informative = sf.col("n_positive") + sf.col("n_negative")
+        Seq(sf.col("n_strata"), sf.col("n_positive"), sf.col("n_negative"),
+          sf.col("n_degenerate"),
+          sf.when(sf.col("pb") * sf.col("pc") > 0, gf.roundAt(
+            sf.col("pa").cast("double") * sf.col("pd").cast("double") /
+              (sf.col("pb").cast("double") * sf.col("pc").cast("double")), 6))
+            .as("pooled_or"),
+          pooledSign.cast("int").as("pooled_sign"),
+          (informative > 0 &&
+            ((pooledSign === 1 && sf.col("n_positive") === 0) ||
+              (pooledSign === -1 && sf.col("n_negative") === 0)))
+            .as("paradox"))
+      }: _*)
+  }
+
+  /** Classification-metrics panel at a fixed decision threshold — the
+    * confusion matrix and the seven numbers every model review wants
+    * side by side: accuracy, precision, recall, specificity, F1,
+    * balanced accuracy, Youden's J, and MATTHEWS correlation (the one
+    * single-number summary that stays honest under class imbalance —
+    * accuracy and F1 both inflate when one class dominates; MCC is
+    * the φ coefficient of the confusion table). The FIXED-threshold
+    * companion of row 214's full PR curve and row 241's F1-optimal
+    * search: production runs at ONE threshold, this is its report.
+    *
+    * Determinism: exact confusion counts; every metric is a pinned
+    * integer-ratio assembly 1e-6 (MCC's √ of the DECIMAL margin
+    * product is IEEE-exact); zero denominators → NULL.
+    *
+    * Scale shape: one combinable confusion rollup + a one-row finish. */
+  def classificationPanel(df: DataFrame, scoreCol: String, labelCol: String,
+                          threshold: Double = 0.0): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.filter(sf.col(scoreCol).isNotNull && sf.col(labelCol).isNotNull)
+      .select((sf.col(scoreCol).cast("double") > threshold).as("__p"),
+        (sf.col(labelCol).cast("int") === 1).as("__y"))
+    rows.agg(
+        sf.sum((sf.col("__p") && sf.col("__y")).cast("long")).cast("long").as("tp"),
+        sf.sum((sf.col("__p") && !sf.col("__y")).cast("long")).cast("long").as("fp"),
+        sf.sum((!sf.col("__p") && !sf.col("__y")).cast("long")).cast("long").as("tn"),
+        sf.sum((!sf.col("__p") && sf.col("__y")).cast("long")).cast("long").as("fn"))
+      .select({
+        def ratio(num: Column, den: Column) =
+          sf.when(den > 0, gf.roundAt(num.cast("double") / den.cast("double"), 6))
+        val tp = sf.col("tp"); val fp = sf.col("fp")
+        val tn = sf.col("tn"); val fn = sf.col("fn")
+        val n = tp + fp + tn + fn
+        val rec = tp.cast("double") / (tp + fn).cast("double")
+        val spec = tn.cast("double") / (tn + fp).cast("double")
+        val mccNum = (dec(tp) * dec(tn) - dec(fp) * dec(fn)).cast("double")
+        val mccDen = sf.sqrt(
+          (dec(tp + fp) * dec(tp + fn) * dec(tn + fp) * dec(tn + fn))
+            .cast("double"))
+        Seq(tp, fp, tn, fn,
+          ratio(tp + tn, n).as("accuracy"),
+          ratio(tp, tp + fp).as("precision"),
+          ratio(tp, tp + fn).as("recall"),
+          ratio(tn, tn + fp).as("specificity"),
+          ratio(tp * 2, tp * 2 + fp + fn).as("f1"),
+          sf.when((tp + fn) > 0 && (tn + fp) > 0,
+            gf.roundAt((rec + spec) / 2.0, 6)).as("balanced_accuracy"),
+          sf.when((tp + fn) > 0 && (tn + fp) > 0,
+            gf.roundAt(rec + spec - 1.0, 6)).as("youden_j"),
+          sf.when((tp + fp) > 0 && (tp + fn) > 0 && (tn + fp) > 0 && (tn + fn) > 0,
+            gf.roundAt(mccNum / mccDen, 6)).as("mcc"))
+      }: _*)
+  }
+
+  /** ANOVA effect sizes — η², ω², and Cohen's f² for the row-175
+    * one-way design: the F statistic (row 175) says the means differ;
+    * these say HOW MUCH of the variance that explains (η² = SSB/SST),
+    * corrected for the positive small-sample bias (ω² — the honest
+    * estimate to report), and in Cohen's regression-effect units
+    * (f² = η²/(1−η²), the power-analysis input). The difference
+    * between "statistically significant" and "worth acting on".
+    *
+    * Determinism: row 175's exact 1e-4 fixed-point group moments and
+    * 1e-6-snapped per-group between/within terms VERBATIM; the three
+    * effect sizes extend the same ONE pinned assembly, rounded 1e-6.
+    * Degenerate designs (k < 2, n ≤ k, zero SST) → NULL.
+    *
+    * Scale shape: identical to row 175 — one group rollup + a one-row
+    * finish. */
+  def anovaEffects(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val g = df.filter(sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).as("__g"), x4.as("__x4"))
+      .groupBy("__g")
+      .agg(sf.count(sf.lit(1)).as("__n"), sf.sum(dec(sf.col("__x4"))).as("__s"),
+        sf.sum(dec(sf.col("__x4")) * dec(sf.col("__x4"))).as("__ss"))
+    val sg = sf.col("__s").cast("double") / 1e4
+    val ng = sf.col("__n").cast("double")
+    val bTerm = sf.floor(sg * sg / ng * 1e6 + 0.5).cast("long")
+    val wTerm = sf.floor((sf.col("__ss").cast("double") / 1e8 - sg * sg / ng)
+      * 1e6 + 0.5).cast("long")
+    g.select(sf.col("__n"), sf.col("__s"), bTerm.as("__bt"), wTerm.as("__wt"))
+      .agg(sf.count(sf.lit(1)).as("k"), sf.sum("__n").as("n"),
+        sf.sum(dec(sf.col("__s"))).as("__st"),
+        sf.sum(dec(sf.col("__bt"))).as("__b"), sf.sum(dec(sf.col("__wt"))).as("__w"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val k = sf.col("k").cast("double")
+        val grand = sf.col("__st").cast("double") / 1e4
+        val ssb = sf.col("__b").cast("double") / 1e6 - grand * grand / n
+        val ssw = sf.col("__w").cast("double") / 1e6
+        val sst = ssb + ssw
+        val msw = ssw / (n - k)
+        val eta2 = ssb / sst
+        val omega2 = (ssb - (k - 1.0) * msw) / (sst + msw)
+        val ok = sf.col("k") > 1 && sf.col("n") > sf.col("k") && sst > 0 && ssw > 0
+        Seq(sf.col("k"), sf.col("n"),
+          sf.when(ok, gf.roundAt(eta2, 6)).as("eta_squared"),
+          sf.when(ok, gf.roundAt(omega2, 6)).as("omega_squared"),
+          sf.when(ok, sf.when(eta2 < 1.0,
+            gf.roundAt(eta2 / (sf.lit(1.0) - eta2), 6))).as("cohens_f2"))
+      }: _*)
+  }
+
+  /** Robust five-number-plus summary per group — min, exact type-1
+    * quartiles, max, IQR, Tukey's TRIMEAN (q1 + 2·median + q3)/4 and
+    * MIDHINGE (q1 + q3)/2: the robust-location ladder between the
+    * mean (efficient, fragile) and the median (robust, throws away
+    * the quartiles' information — the trimean keeps ~88% efficiency
+    * under normality while staying outlier-proof). The five-number
+    * shape every box plot draws, as a table.
+    *
+    * Determinism: values on the exact 1e-4 grid collapsed to the
+    * (group, value) DOMAIN; quartiles are exact type-1 order
+    * statistics (min v with cum·4 ≥ q·n — pure integer comparisons,
+    * the row 386 threshold convention); trimean/midhinge are pinned
+    * assemblies of exact integers, /1e4 once.
+    *
+    * Scale shape: one domain collapse + a domain-bounded per-group
+    * cumulative (the row 144 convention) + one combinable rollup. */
+  def fiveNumber(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val cells = df.filter(sf.col(groupCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as("g"), v4.as("v"))
+      .groupBy("g", "v").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + cumulative read it
+    val tot = cells.groupBy("g").agg(sf.sum("c").cast("long").as("n"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("__cum", sf.sum("c").over(w))
+      .join(tot, "g")
+      .groupBy("g")
+      .agg(sf.max("n").as("n"),
+        sf.min("v").as("__mn"), sf.max("v").as("__mx"),
+        sf.min(sf.when(sf.col("__cum") * 4 >= sf.col("n"), sf.col("v"))).as("__q1"),
+        sf.min(sf.when(sf.col("__cum") * 2 >= sf.col("n"), sf.col("v"))).as("__q2"),
+        sf.min(sf.when(sf.col("__cum") * 4 >= sf.col("n") * 3, sf.col("v")))
+          .as("__q3"))
+      .select(sf.col("g").as(groupCol), sf.col("n"),
+        gf.roundAt(sf.col("__mn").cast("double") / 1e4, 4).as("min_v"),
+        gf.roundAt(sf.col("__q1").cast("double") / 1e4, 4).as("q1"),
+        gf.roundAt(sf.col("__q2").cast("double") / 1e4, 4).as("median"),
+        gf.roundAt(sf.col("__q3").cast("double") / 1e4, 4).as("q3"),
+        gf.roundAt(sf.col("__mx").cast("double") / 1e4, 4).as("max_v"),
+        gf.roundAt((sf.col("__q3") - sf.col("__q1")).cast("double") / 1e4, 4)
+          .as("iqr"),
+        gf.roundAt((sf.col("__q1") + sf.col("__q2") * 2 + sf.col("__q3"))
+          .cast("double") / 4e4, 4).as("trimean"),
+        gf.roundAt((sf.col("__q1") + sf.col("__q3")).cast("double") / 2e4, 4)
+          .as("midhinge"))
+      .orderBy(groupCol)
+  }
+
   /** Cramér–von Mises uniformity audit of the engine's own hash
     * splitter — W² of the [[graft.operators.Sampling.hashBucket]]
     * bucket distribution against Uniform[0, 1): every deterministic

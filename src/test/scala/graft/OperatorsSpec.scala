@@ -4030,4 +4030,60 @@ class OperatorsSpec extends SparkFunSuite {
     assert(math.abs(r.getAs[Double]("cvm_w2") - expected) < 1e-8,
       s"${r.getAs[Double]("cvm_w2")} vs $expected")
   }
+
+  test("QualityChecks.simpsonsParadox: reversal fires, aligned does not") {
+    def rows(s: String, t: Boolean, o: Boolean, k: Int) =
+      Seq.fill(k)((s, t, o))
+    val df = (rows("s1", true, true, 1) ++ rows("s1", true, false, 9) ++
+      rows("s1", false, true, 3) ++ rows("s1", false, false, 17) ++
+      rows("s2", true, true, 60) ++ rows("s2", true, false, 20) ++
+      rows("s2", false, true, 8) ++ rows("s2", false, false, 2))
+      .toDF("st", "t", "o")
+    val r = QualityChecks.simpsonsParadox(df, "st", sf.col("t"), sf.col("o"))
+      .head()
+    // both strata negative, pooled det = 61*19 - 29*11 > 0: reversal
+    assert(r.getAs[Long]("n_positive") == 0 && r.getAs[Long]("n_negative") == 2
+      && r.getAs[Int]("pooled_sign") == 1 && r.getAs[Boolean]("paradox"),
+      r.toString)
+    val single = (rows("s1", true, true, 9) ++ rows("s1", true, false, 1) ++
+      rows("s1", false, true, 1) ++ rows("s1", false, false, 9)).toDF("st", "t", "o")
+    val rs = QualityChecks.simpsonsParadox(single, "st", sf.col("t"), sf.col("o"))
+      .head()
+    assert(!rs.getAs[Boolean]("paradox") && rs.getAs[Int]("pooled_sign") == 1)
+  }
+
+  test("QualityChecks.classificationPanel: hand confusion, MCC = 5/12") {
+    val df = (Seq.fill(2)((1.0, 1)) ++ Seq((1.0, 0)) ++
+      Seq.fill(3)((-1.0, 0)) ++ Seq((-1.0, 1))).toDF("score", "y")
+    val r = QualityChecks.classificationPanel(df, "score", "y").head()
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 1 &&
+      r.getAs[Long]("tn") == 3 && r.getAs[Long]("fn") == 1)
+    assert(r.getAs[Double]("accuracy") ==
+      math.floor(5.0 / 7 * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("f1") == 0.666667 &&
+      r.getAs[Double]("balanced_accuracy") == 0.708333 &&
+      r.getAs[Double]("youden_j") == 0.416667, r.toString)
+    assert(r.getAs[Double]("mcc") == math.floor(5.0 / 12 * 1e6 + 0.5) / 1e6,
+      r.toString)
+  }
+
+  test("QualityChecks.anovaEffects: hand eta/omega/f2") {
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val r = QualityChecks.anovaEffects(df, "g", "v").head()
+    // SSB 16, SSW 4: eta 0.8, omega = 14/22, f2 = 4
+    assert(r.getAs[Double]("eta_squared") == 0.8, r.toString)
+    assert(r.getAs[Double]("omega_squared") ==
+      math.floor(14.0 / 22 * 1e6 + 0.5) / 1e6, r.toString)
+    assert(r.getAs[Double]("cohens_f2") == 4.0, r.toString)
+  }
+
+  test("QualityChecks.fiveNumber: exact type-1 quartiles, trimean") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("g", "v")
+    val r = QualityChecks.fiveNumber(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Double]("min_v") == 1.0 &&
+      r.getAs[Double]("q1") == 1.0 && r.getAs[Double]("median") == 2.0 &&
+      r.getAs[Double]("q3") == 3.0 && r.getAs[Double]("max_v") == 4.0, r.toString)
+    assert(r.getAs[Double]("iqr") == 2.0 && r.getAs[Double]("trimean") == 2.0 &&
+      r.getAs[Double]("midhinge") == 2.0, r.toString)
+  }
 }
