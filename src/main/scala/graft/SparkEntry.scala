@@ -2914,6 +2914,21 @@ object SparkEntry {
       QualityChecks.fiveNumber(Tables.load(s, dir, "orders"),
         "o_orderpriority", "o_totalprice")),
 
+    // Load concentration: peak-to-average, busiest-decile share, and
+    // hourly Gini — provision for mean x PAR, not the mean.
+    "q413_load_concentration" -> ((s, dir) =>
+      EventOps.loadConcentration(Tables.load(s, dir, "events"))),
+
+    // Weekly (dow, hour) heatmap table: the 168 cells every on-call
+    // rotation and maintenance window is drawn from.
+    "q414_weekly_heat" -> ((s, dir) =>
+      EventOps.weeklyHeatProfile(Tables.load(s, dir, "events"))),
+
+    // Churn + resurrection rollup at a 7-day gap: the lifecycle
+    // numbers a retention review opens with.
+    "q415_churn_stats" -> ((s, dir) =>
+      EventOps.churnStats(Tables.load(s, dir, "events"))),
+
     // Partial correlation: does order value still track item count
     // once total quantity is held fixed — the confounder screen.
     "q397_partial_corr" -> ((s, dir) => {
@@ -13295,5 +13310,76 @@ object SparkEntry {
         |  floor(CAST(q1 + q2*2 + q3 AS DOUBLE)/4e4*10000.0 + 0.5)/10000.0 AS trimean,
         |  floor(CAST(q1 + q3 AS DOUBLE)/2e4*10000.0 + 0.5)/10000.0 AS midhinge
         |FROM ag ORDER BY o_orderpriority""".stripMargin,
+
+    "q413_load_concentration" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c0 AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |      CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c0.n, 0) AS v
+        |       FROM g LEFT JOIN c0 ON g.t = c0.t AND g.bin = c0.bin),
+        |ce AS (SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c FROM sv GROUP BY 1, 2),
+        |tt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n,
+        |  SUM(CAST(c AS HUGEINT)*v) AS s, CAST(MAX(v) AS BIGINT) AS peak
+        |  FROM ce GROUP BY 1),
+        |cu AS (SELECT ce.t, ce.v, ce.c, tt.n, tt.s, tt.peak,
+        |  SUM(c) OVER (PARTITION BY ce.t ORDER BY ce.v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |  SUM(c) OVER (PARTITION BY ce.t ORDER BY ce.v DESC ROWS UNBOUNDED PRECEDING) AS cumd
+        |  FROM ce JOIN tt ON ce.t = tt.t),
+        |tm AS (SELECT t, n, s, peak,
+        |  CAST(c*(cuma - c + 1) + (c*(c - 1)) // 2 AS HUGEINT)*v AS gt,
+        |  CAST(greatest(0, least(c, (n + 9) // 10 - (cumd - c))) AS HUGEINT)*v AS tp
+        |  FROM cu),
+        |ag AS (SELECT t, CAST(MAX(n) AS BIGINT) AS n_bins,
+        |  CAST(MAX(peak) AS BIGINT) AS peak, MAX(s) AS s,
+        |  SUM(gt) AS g2, SUM(tp) AS top FROM tm GROUP BY 1)
+        |SELECT t AS event_type, n_bins, peak,
+        |  floor(CAST(s AS DOUBLE)/CAST(n_bins AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mean_per_bin,
+        |  CASE WHEN s > 0 THEN
+        |    floor(CAST(peak AS DOUBLE)/(CAST(s AS DOUBLE)/CAST(n_bins AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS peak_to_avg,
+        |  CASE WHEN s > 0 THEN
+        |    floor(CAST(top AS DOUBLE)/CAST(s AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS top_decile_share,
+        |  CASE WHEN s > 0 THEN
+        |    floor((2.0*CAST(g2 AS DOUBLE) - (CAST(n_bins AS DOUBLE) + 1.0)*CAST(s AS DOUBLE))
+        |      /(CAST(n_bins AS DOUBLE)*CAST(s AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS gini
+        |FROM ag ORDER BY event_type""".stripMargin,
+
+    "q414_weekly_heat" ->
+      """WITH ce AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot FROM ce),
+        |dy AS (SELECT dow, CAST(SUM(n_events) AS BIGINT) AS day FROM ce GROUP BY 1)
+        |SELECT ce.dow, ce.hour, ce.n_events,
+        |  CASE WHEN tot > 0 THEN
+        |    floor(CAST(n_events AS DOUBLE)/CAST(tot AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS share_of_week,
+        |  CASE WHEN day > 0 THEN
+        |    floor(CAST(n_events AS DOUBLE)/CAST(day AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS share_of_day
+        |FROM ce JOIN dy ON ce.dow = dy.dow CROSS JOIN tt
+        |ORDER BY ce.dow, ce.hour""".stripMargin,
+
+    "q415_churn_stats" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |h AS (SELECT max(us) AS hz FROM e),
+        |gp AS (SELECT u, us,
+        |  us - lag(us) OVER (PARTITION BY u ORDER BY us, event_id) AS g FROM e),
+        |per AS (SELECT u, MAX(us) AS last,
+        |  CAST(SUM(CASE WHEN g > 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS res
+        |  FROM gp GROUP BY 1),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN hz - last > 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  CAST(COALESCE(SUM(res), 0) AS BIGINT) AS n_resurrections,
+        |  CAST(SUM(CASE WHEN res > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected_users
+        |  FROM per CROSS JOIN h)
+        |SELECT n_users, n_churned,
+        |  CASE WHEN n_users > 0 THEN
+        |    floor(CAST(n_churned AS DOUBLE)/CAST(n_users AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS churn_rate,
+        |  n_resurrections, n_resurrected_users,
+        |  CASE WHEN n_users > 0 THEN
+        |    floor(CAST(n_resurrected_users AS DOUBLE)/CAST(n_users AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS resurrection_rate
+        |FROM ag""".stripMargin,
   )
 }

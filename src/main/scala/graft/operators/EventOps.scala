@@ -3439,6 +3439,150 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Hourly load-concentration datasheet per event type — the
+    * capacity-planning trio a mean-based forecast hides: PEAK-TO-
+    * AVERAGE ratio (the classic over-provisioning factor), the share
+    * of all events landing in the busiest DECILE of hours (burst
+    * concentration), and the GINI of hourly counts (0 = perfectly
+    * even load, → 1 = everything in a few hours). Reads directly as
+    * "provision for the mean × PAR" and pairs with row 453's return
+    * levels (Gumbel prices the peak's magnitude; this prices its
+    * concentration).
+    *
+    * Determinism: peak/mean exact; the top-decile share takes exactly
+    * K = ⌈n/10⌉ hours off the (count-desc, count) domain with an
+    * exact partial-cell boundary (integer arithmetic throughout);
+    * Gini uses the rank form (2Σi·v − (n+1)Σv)/(n·Σv) with tied
+    * ranks expanded exactly on the domain; the three ratios are
+    * pinned divisions 1e-6.
+    *
+    * Scale shape: grid once + one (type, count) domain collapse +
+    * two domain-bounded cumulative windows + one rollup. */
+  def loadConcentration(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("n_events").as("v"))
+      .groupBy("t", "v").agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true) // totals + both cumulatives read it
+    val tot = cells.groupBy("t").agg(sf.sum("c").cast("long").as("n"),
+      sf.sum(dec(sf.col("c")) * dec(sf.col("v"))).as("s"),
+      sf.max("v").cast("long").as("peak"))
+    val wAsc = Window.partitionBy("t").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy("t").orderBy(sf.col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("__cumA", sf.sum("c").over(wAsc))
+      .withColumn("__cumD", sf.sum("c").over(wDesc))
+      .join(tot, "t")
+      // Gini rank sum per cell: ranks i..i+c-1 ascending, exact longs
+      .withColumn("__sr", sf.expr("c * (__cumA - c + 1) + (c * (c - 1)) DIV 2"))
+    val giniTerm = dec(sf.col("__sr")) * dec(sf.col("v"))
+    // top-decile: K = ceil(n/10) busiest hours; partial boundary cell
+    val k = sf.expr("CAST((n + 9) DIV 10 AS BIGINT)")
+    val hoursTaken = sf.greatest(sf.lit(0L),
+      sf.least(sf.col("c"), k - (sf.col("__cumD") - sf.col("c"))))
+    val topTerm = dec(hoursTaken) * dec(sf.col("v"))
+    ranked
+      .groupBy("t")
+      .agg(sf.max("n").as("n_bins"), sf.max("peak").as("peak"),
+        sf.max("s").as("__s"),
+        sf.sum(giniTerm).as("__g"), sf.sum(topTerm).as("__top"))
+      .select({
+        val n = sf.col("n_bins").cast("double")
+        val sD = sf.col("__s").cast("double")
+        val mean = sD / n
+        val gini = (sf.lit(2.0) * sf.col("__g").cast("double") -
+          (n + 1.0) * sD) / (n * sD)
+        Seq(sf.col("t").as("event_type"), sf.col("n_bins"), sf.col("peak"),
+          gf.roundAt(mean, 6).as("mean_per_bin"),
+          sf.when(sf.col("__s") > 0, gf.roundAt(
+            sf.col("peak").cast("double") / mean, 6)).as("peak_to_avg"),
+          sf.when(sf.col("__s") > 0, gf.roundAt(
+            sf.col("__top").cast("double") / sD, 6)).as("top_decile_share"),
+          sf.when(sf.col("__s") > 0, gf.roundAt(gini, 6)).as("gini"))
+      }: _*)
+      .orderBy("event_type")
+  }
+
+  /** Weekly load heat profile — events by (day-of-week, hour-of-day)
+    * with the share of the whole week and the share within the day:
+    * the 168-cell heatmap every on-call rotation, maintenance-window
+    * choice, and capacity schedule is drawn from, as a table. The
+    * CALENDAR-shaped companion of row 159's anomaly baseline (which
+    * consumes exactly this structure) and row 466's concentration
+    * numbers (which summarize it).
+    *
+    * Determinism: exact counts; shares are pinned divisions 1e-6.
+    * Scale shape: ONE map-side-combined (dow, hour) rollup — 168
+    * cells regardless of corpus size — plus a broadcast day margin. */
+  def weeklyHeatProfile(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val cells = events.filter(sf.col(tsCol).isNotNull)
+      .select(sf.dayofweek(sf.col(tsCol)).as("dow"),
+        sf.hour(sf.col(tsCol)).as("hour"))
+      .groupBy("dow", "hour").agg(sf.count(sf.lit(1)).as("n_events"))
+      .localCheckpoint(true) // total + day margin read it
+    val tot = cells.agg(sf.sum("n_events").cast("long").as("__tot"))
+    val byDay = cells.groupBy("dow").agg(sf.sum("n_events").cast("long").as("__day"))
+    cells.join(sf.broadcast(byDay), "dow").crossJoin(sf.broadcast(tot))
+      .select(sf.col("dow"), sf.col("hour"), sf.col("n_events"),
+        sf.when(sf.col("__tot") > 0, gf.roundAt(
+          sf.col("n_events").cast("double") / sf.col("__tot").cast("double"), 6))
+          .as("share_of_week"),
+        sf.when(sf.col("__day") > 0, gf.roundAt(
+          sf.col("n_events").cast("double") / sf.col("__day").cast("double"), 6))
+          .as("share_of_day"))
+      .orderBy("dow", "hour")
+  }
+
+  /** Churn / resurrection datasheet — the lifecycle rollup raw
+    * activity counts can't give: a user is CHURNED when their last
+    * event is more than `gapSec` before the corpus horizon (the only
+    * honest churn definition without future data), and a RESURRECTION
+    * is any within-history gap longer than `gapSec` (the user the
+    * churn model wrote off and shouldn't have). Reports user counts,
+    * churn rate, resurrection events, and the share of users with at
+    * least one resurrection — the numbers a retention review opens
+    * with, beside row 115's cohort matrix.
+    *
+    * Determinism: gaps are exact microsecond longs from the row 237
+    * bounded per-user lag window; the horizon is the exact corpus max
+    * timestamp; rates are pinned divisions 1e-6.
+    *
+    * Scale shape: one bounded per-user window + one combinable
+    * per-user rollup + a one-row finish. */
+  def churnStats(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", gapSec: Long = 604800L): DataFrame = {
+    require(gapSec >= 1, s"gapSec must be >= 1, got $gapSec")
+    val gapUs = gapSec * 1000000L
+    val e = events.filter(sf.col(tsCol).isNotNull && sf.col(userCol).isNotNull)
+      .select(sf.col(userCol).as("u"), sf.unix_micros(sf.col(tsCol)).as("us"),
+        sf.col("event_id"))
+    val horizon = e.agg(sf.max("us").as("__h"))
+    val w = Window.partitionBy("u").orderBy(sf.col("us"), sf.col("event_id"))
+    val per = e.withColumn("__prev", sf.lag("us", 1).over(w))
+      .groupBy("u")
+      .agg(sf.max("us").as("__last"),
+        sf.sum((sf.col("us") - sf.col("__prev") > gapUs).cast("long"))
+          .cast("long").as("__res"))
+    per.crossJoin(sf.broadcast(horizon))
+      .agg(sf.count(sf.lit(1)).as("n_users"),
+        sf.sum((sf.col("__h") - sf.col("__last") > gapUs).cast("long"))
+          .cast("long").as("n_churned"),
+        sf.coalesce(sf.sum("__res"), sf.lit(0L)).cast("long")
+          .as("n_resurrections"),
+        sf.sum((sf.col("__res") > 0).cast("long")).cast("long")
+          .as("n_resurrected_users"))
+      .select(sf.col("n_users"), sf.col("n_churned"),
+        sf.when(sf.col("n_users") > 0, gf.roundAt(
+          sf.col("n_churned").cast("double") / sf.col("n_users").cast("double"),
+          6)).as("churn_rate"),
+        sf.col("n_resurrections"), sf.col("n_resurrected_users"),
+        sf.when(sf.col("n_users") > 0, gf.roundAt(
+          sf.col("n_resurrected_users").cast("double") /
+            sf.col("n_users").cast("double"), 6)).as("resurrection_rate"))
+  }
+
   /** Negative-binomial fit by moments per event type (Greenwood &
     * Yule 1920) — the ACTION on row 333's dispersion verdict: once
     * counts are overdispersed, NB(r, p) with p̂ = m/v, r̂ = m²/(v−m)

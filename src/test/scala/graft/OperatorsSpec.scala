@@ -4086,4 +4086,43 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("iqr") == 2.0 && r.getAs[Double]("trimean") == 2.0 &&
       r.getAs[Double]("midhinge") == 2.0, r.toString)
   }
+
+  test("EventOps.loadConcentration: PAR, top-decile share, hand Gini") {
+    val df = hourlyCounts(Seq("l" -> Array(8L, 0L, 0L, 2L)))
+    val r = EventOps.loadConcentration(df).head()
+    // counts {0,0,2,8}: mean 2.5, PAR 3.2, top hour 8/10, Gini 0.65
+    assert(r.getAs[Long]("n_bins") == 4 && r.getAs[Long]("peak") == 8)
+    assert(r.getAs[Double]("mean_per_bin") == 2.5 &&
+      r.getAs[Double]("peak_to_avg") == 3.2, r.toString)
+    assert(r.getAs[Double]("top_decile_share") == 0.8, r.toString)
+    assert(r.getAs[Double]("gini") == 0.65, r.toString)
+  }
+
+  test("EventOps.weeklyHeatProfile: dow/hour cells and shares") {
+    val df = Seq("2024-01-07 00:30:00", "2024-01-07 00:45:00",
+      "2024-01-08 01:15:00") // Sunday x2, Monday x1
+      .toDF("ts_s").select(sf.col("ts_s").cast("timestamp").as("ts"))
+    val got = EventOps.weeklyHeatProfile(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1, 0, 2L, 0.666667, 1.0),  // Sunday 00h
+      (2, 1, 1L, 0.333333, 1.0)), got.toString) // Monday 01h
+  }
+
+  test("EventOps.churnStats: 7-day churn horizon, resurrection gaps") {
+    val day = 86400L
+    val df = Seq(
+      (1L, 0L, 1L), (2L, 20 * day, 1L), // u1: 20-day gap -> resurrection
+      (3L, day, 2L))                    // u2: silent 19 days -> churned
+      .toDF("event_id", "ts_s", "user_id")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"))
+    val r = EventOps.churnStats(df).head()
+    assert(r.getAs[Long]("n_users") == 2 && r.getAs[Long]("n_churned") == 1 &&
+      r.getAs[Double]("churn_rate") == 0.5, r.toString)
+    assert(r.getAs[Long]("n_resurrections") == 1 &&
+      r.getAs[Long]("n_resurrected_users") == 1 &&
+      r.getAs[Double]("resurrection_rate") == 0.5, r.toString)
+  }
 }
