@@ -2929,6 +2929,29 @@ object SparkEntry {
     "q415_churn_stats" -> ((s, dir) =>
       EventOps.churnStats(Tables.load(s, dir, "events"))),
 
+    // Shouting audit on a staged corpus: ALL-CAPS share, punctuation
+    // bursts, ellipsis density — the engagement-bait register.
+    "q416_shouting" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = d.select(sf.col("source"),
+        sf.when(sf.col("doc_id") % 4 === 0,
+            sf.concat(sf.col("text"), sf.lit(" BREAKING NEWS!!! really... wow")))
+          .otherwise(sf.col("text")).as("text"))
+      TextAnalysis.shoutingAudit(staged, "source", "text")
+    }),
+
+    // Daily order backlog: open-minus-closed level series — the
+    // work-in-progress integral per-day counts can't give.
+    "q417_backlog" -> ((s, dir) =>
+      StarSchema.dailyBacklog(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem"))),
+
+    // Weighted PageRank: endorsement split by co-occurrence strength
+    // — a freak one-basket pairing no longer equals a core bundle.
+    "q418_weighted_pagerank" -> ((s, dir) =>
+      Graph.pageRankWeighted(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3, iters = 3)),
+
     // Partial correlation: does order value still track item count
     // once total quantity is held fixed — the confounder screen.
     "q397_partial_corr" -> ((s, dir) => {
@@ -13381,5 +13404,80 @@ object SparkEntry {
         |  CASE WHEN n_users > 0 THEN
         |    floor(CAST(n_resurrected_users AS DOUBLE)/CAST(n_users AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS resurrection_rate
         |FROM ag""".stripMargin,
+
+    "q416_shouting" ->
+      """WITH st AS (SELECT source,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || ' BREAKING NEWS!!! really... wow'
+        |  ELSE text END AS t
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |per AS (SELECT source,
+        |  CASE WHEN length(trim(t)) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT) END AS w,
+        |  CAST(len(regexp_extract_all(t, '\b[A-Z]{2,}\b')) AS BIGINT) AS caps,
+        |  CAST(len(regexp_extract_all(t, '[!?]{2,}')) AS BIGINT) AS brst,
+        |  CAST(len(regexp_extract_all(t, '\.\.\.')) AS BIGINT) AS ell
+        |  FROM st),
+        |ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(caps) AS BIGINT) AS c,
+        |  CAST(SUM(brst) AS BIGINT) AS b, CAST(SUM(ell) AS BIGINT) AS e
+        |  FROM per GROUP BY 1)
+        |SELECT source, n_docs, n_words,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor(CAST(c AS DOUBLE)/CAST(n_words AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS caps_word_share,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor(CAST(b AS DOUBLE)*1e4/CAST(n_words AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS punct_bursts_per_10k,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor(CAST(e AS DOUBLE)*1e4/CAST(n_words AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS ellipses_per_10k
+        |FROM ag ORDER BY source""".stripMargin,
+
+    "q417_backlog" ->
+      """WITH op AS (SELECT o_orderkey AS k,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS open_d
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        |cl AS (SELECT l_orderkey AS k,
+        |  max(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000) AS close_d
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+        |dl AS (SELECT day, CAST(SUM(op) AS BIGINT) AS n_opened,
+        |  CAST(SUM(c) AS BIGINT) AS n_closed FROM (
+        |  SELECT open_d AS day, 1 AS op, 0 AS c FROM op
+        |  UNION ALL SELECT cl.close_d, 0, 1 FROM op JOIN cl USING (k)) GROUP BY 1),
+        |bo AS (SELECT min(day) AS lo, max(day) AS hi FROM dl),
+        |g AS (SELECT unnest(generate_series(bo.lo, bo.hi)) AS day FROM bo),
+        |j AS (SELECT g.day, COALESCE(n_opened, 0) AS n_opened,
+        |  COALESCE(n_closed, 0) AS n_closed FROM g LEFT JOIN dl USING (day)),
+        |f AS (SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+        |  CAST(n_closed AS BIGINT) AS n_closed,
+        |  CAST(SUM(n_opened - n_closed) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+        |  FROM j)
+        |SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS date,
+        |  n_opened, n_closed, backlog
+        |FROM f ORDER BY date""".stripMargin,
+
+    "q418_weighted_pagerank" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT item_a AS src, item_b AS dst, w FROM cab
+        |      UNION ALL SELECT item_b, item_a, w FROM cab),
+        |wo AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS item FROM e),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT item, 1000000000000 // n AS rank_fx FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS dst, SUM((CAST(r0.rank_fx AS HUGEINT) * e.w) // wo.wout) AS s
+        |       FROM e JOIN wo USING (src) JOIN r0 ON e.src = r0.item GROUP BY 1),
+        |r1 AS (SELECT item, (15000000000000 // (100 * n)) + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.item = c1.dst),
+        |c2 AS (SELECT e.dst AS dst, SUM((CAST(r1.rank_fx AS HUGEINT) * e.w) // wo.wout) AS s
+        |       FROM e JOIN wo USING (src) JOIN r1 ON e.src = r1.item GROUP BY 1),
+        |r2 AS (SELECT item, (15000000000000 // (100 * n)) + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.item = c2.dst),
+        |c3 AS (SELECT e.dst AS dst, SUM((CAST(r2.rank_fx AS HUGEINT) * e.w) // wo.wout) AS s
+        |       FROM e JOIN wo USING (src) JOIN r2 ON e.src = r2.item GROUP BY 1),
+        |r3 AS (SELECT item, (15000000000000 // (100 * n)) + (85 * COALESCE(s, 0)) // 100 AS rank_fx
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.item = c3.dst)
+        |SELECT item, CAST(rank_fx AS BIGINT) AS rank_fx
+        |FROM r3 ORDER BY rank_fx DESC, item""".stripMargin,
   )
 }

@@ -315,6 +315,57 @@ object Graph {
     ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
   }
 
+  /** WEIGHTED PageRank — [[pageRank]] with each node's rank split
+    * across out-edges in proportion to CO-OCCURRENCE STRENGTH instead
+    * of uniformly: a part that co-occurs 50× with one partner and
+    * once with another sends 50/51 of its endorsement to the first —
+    * the influence reading the unweighted walk flattens (uniform
+    * split treats a freak one-basket pairing like a core bundle).
+    *
+    * Determinism: the same exact 1e12 integer fixed point as row 157,
+    * with the weighted split (rank·w) div W_u computed in
+    * DECIMAL(38,0) before the floor division (rank·w can exceed
+    * int64); weights are the exact mined pair counts, W_u their exact
+    * out-sum. `iters` bounds the walk explicitly.
+    *
+    * Scale shape: identical to row 157 — |edges| shuffle per round,
+    * loop invariants persisted; the weight column rides the same
+    * join. */
+  def pageRankWeighted(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 2, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000000000L // 1e12
+    val pairs = minedPairs(df, basketCol, itemCol, minPairCount)
+    val edges = pairs.select(sf.col("item_a").as("src"),
+        sf.col("item_b").as("dst"), sf.col("c_ab").as("w"))
+      .union(pairs.select(sf.col("item_b").as("src"),
+        sf.col("item_a").as("dst"), sf.col("c_ab").as("w")))
+    val wout = edges.groupBy("src").agg(sf.sum("w").cast("long").as("wout"))
+    val edgesW = edges.join(wout, "src").persist()
+    val nodes = edges.select(sf.col("src").as("item")).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted: graph is empty at this minPairCount")
+    val base = (15L * SCALE) / (100L * n)
+    var ranks = nodes.select(sf.col("item"), sf.lit(SCALE / n).as("rank_fx"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesW
+        .join(ranks, sf.col("src") === sf.col("item"))
+        .select(sf.col("dst"),
+          sf.expr("CAST((CAST(rank_fx AS DECIMAL(38,0)) * w) DIV wout AS BIGINT)")
+            .as("c"))
+        .groupBy("dst").agg(sf.sum(sf.col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, sf.col("item") === sf.col("dst"), "left")
+        .select(sf.col("item"),
+          (sf.lit(base) +
+            sf.expr("(85 * coalesce(s, 0L)) div 100")).as("rank_fx"))
+    }
+    val out = ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
+      .localCheckpoint(true)
+    edgesW.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Personalized PageRank: [[pageRank]] with the restart (teleport)
     * mass concentrated on a SEED set instead of spread uniformly —
     * rank becomes "centrality relative to the seeds", the

@@ -530,6 +530,64 @@ object StarSchema {
       .orderBy("rank")
   }
 
+  /** Daily order-backlog series — open orders per day from the order
+    * and shipment events (opened = order date, closed = the order's
+    * LAST line shipment): backlog_d = Σ opened≤d − Σ closed≤d, the
+    * work-in-progress level every fulfillment/queueing review needs
+    * and no per-day count can give (backlog is a LEVEL, integrating
+    * the open/close flows — the classic events-to-balance pattern).
+    * Orders with no lines never close and hold the backlog up — the
+    * honest reading of dangling work, documented.
+    *
+    * Determinism: open/close land on exact epoch-day integers; the
+    * cumulative rides ONE calendar-bounded day-domain window (the
+    * row 144 domain convention — days since epoch, never row count);
+    * all outputs exact integers.
+    *
+    * Scale shape: one per-order close rollup + a day-domain delta
+    * collapse + a chunked day-grid explode + one domain-bounded
+    * cumulative. */
+  def dailyBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val opens = orders.filter(sf.col("o_orderdate").isNotNull)
+      .select(sf.col("o_orderkey").as("k"),
+        sf.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("open_d"))
+      .localCheckpoint(true) // deltas + bounds read it
+    val closes = lineitem.filter(sf.col("l_shipdate").isNotNull)
+      .groupBy(sf.col("l_orderkey").as("k"))
+      .agg(sf.max(sf.expr(
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"))
+        .as("close_d"))
+    val deltas = opens.select(sf.col("open_d").as("day"), sf.lit(1L).as("op"),
+        sf.lit(0L).as("cl"))
+      .unionByName(opens.join(closes, "k")
+        .select(sf.col("close_d").as("day"), sf.lit(0L).as("op"),
+          sf.lit(1L).as("cl")))
+      .groupBy("day").agg(sf.sum("op").cast("long").as("n_opened"),
+        sf.sum("cl").cast("long").as("n_closed"))
+      .localCheckpoint(true) // bounds + grid join read it
+    val bounds = deltas.agg(sf.min("day").as("lo"), sf.max("day").as("hi"))
+    val Chunk = 8192L
+    val grid = bounds
+      .select(sf.col("hi"),
+        sf.explode(sf.sequence(sf.col("lo"), sf.col("hi"), sf.lit(Chunk)))
+          .as("__cs"))
+      .select(sf.explode(sf.sequence(sf.col("__cs"),
+        sf.least(sf.col("__cs") + (Chunk - 1), sf.col("hi")))).as("day"))
+    val w = Window.partitionBy(sf.pmod(sf.col("day"), sf.lit(1)))
+      .orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(deltas, Seq("day"), "left")
+      .select(sf.col("day"),
+        sf.coalesce(sf.col("n_opened"), sf.lit(0L)).as("n_opened"),
+        sf.coalesce(sf.col("n_closed"), sf.lit(0L)).as("n_closed"))
+      .withColumn("backlog",
+        sf.sum(sf.col("n_opened") - sf.col("n_closed")).over(w).cast("long"))
+      .select(sf.date_format(sf.timestamp_micros(sf.col("day") * 86400000000L),
+          "yyyy-MM-dd").as("date"),
+        sf.col("n_opened"), sf.col("n_closed"), sf.col("backlog"))
+      .orderBy("date")
+  }
+
   /** Laspeyres / Paasche / Fisher price indices (the CPI trinity)
     * between the first and second half of the data's time range —
     * "did PRICES move, holding the BASKET fixed": Laspeyres weights

@@ -1215,6 +1215,52 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Shouting / emphasis audit per source — the caps-and-punctuation
+    * spam signals the length/stopword gates (rows 35/220) don't read:
+    * ALL-CAPS word share (≥ 2 letters, all upper — headline spam,
+    * scraped navigation chrome), repeated-punctuation BURSTS (!!, ??,
+    * !?, … runs — engagement-bait register), and trailing-ellipsis
+    * density (truncated scrapes). Reported per source as word-share /
+    * per-10k-word densities — the curation dashboard row beside the
+    * unicode audit (row 447).
+    *
+    * Determinism: exact regexp counts on the RAW (uncased) text;
+    * shares are pinned divisions 1e-6.
+    *
+    * Scale shape: map-only per-row counting + one combinable source
+    * rollup. */
+  def shoutingAudit(docs0: DataFrame, sourceCol: String,
+                    textCol: String): DataFrame = {
+    val docs = Par.spread(docs0
+      .filter(sf.col(sourceCol).isNotNull && sf.col(textCol).isNotNull)
+      .select(sf.col(sourceCol).cast("string").as("source"),
+        sf.col(textCol).as("__t")))
+    val t = sf.col("__t")
+    def cnt(pattern: String) = sf.regexp_count(t, sf.lit(pattern)).cast("long")
+    val per = docs.select(sf.col("source"),
+      sf.size(gf.wsTokens(t)).cast("long").as("__w"),
+      cnt("\\b[A-Z]{2,}\\b").as("__caps"),
+      cnt("[!?]{2,}").as("__burst"),
+      cnt("\\.\\.\\.").as("__ell"))
+    per.groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum("__w").cast("long").as("n_words"),
+        sf.sum("__caps").cast("long").as("__c"),
+        sf.sum("__burst").cast("long").as("__b"),
+        sf.sum("__ell").cast("long").as("__e"))
+      .select(sf.col("source"), sf.col("n_docs"), sf.col("n_words"),
+        sf.when(sf.col("n_words") > 0, gf.roundAt(
+          sf.col("__c").cast("double") / sf.col("n_words").cast("double"), 6))
+          .as("caps_word_share"),
+        sf.when(sf.col("n_words") > 0, gf.roundAt(
+          sf.col("__b").cast("double") * 1e4 / sf.col("n_words").cast("double"),
+          6)).as("punct_bursts_per_10k"),
+        sf.when(sf.col("n_words") > 0, gf.roundAt(
+          sf.col("__e").cast("double") * 1e4 / sf.col("n_words").cast("double"),
+          6)).as("ellipses_per_10k"))
+      .orderBy("source")
+  }
+
   /** Markdown / code structure profile per document — the layout
     * signals a pretraining mixture needs BEFORE deciding a document's
     * pipeline (prose filters destroy code; code filters destroy

@@ -4125,4 +4125,41 @@ class OperatorsSpec extends SparkFunSuite {
       r.getAs[Long]("n_resurrected_users") == 1 &&
       r.getAs[Double]("resurrection_rate") == 0.5, r.toString)
   }
+
+  test("TextAnalysis.shoutingAudit: caps share, bursts, ellipses") {
+    val df = Seq(("s", "Hello WORLD AND you!!! wait... ok"),
+      ("s", "calm plain text here")).toDF("source", "text")
+    val r = TextAnalysis.shoutingAudit(df, "source", "text").head()
+    assert(r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("n_words") == 10)
+    assert(r.getAs[Double]("caps_word_share") == 0.2, r.toString) // 2/10
+    assert(r.getAs[Double]("punct_bursts_per_10k") == 1000.0 &&
+      r.getAs[Double]("ellipses_per_10k") == 1000.0, r.toString)
+  }
+
+  test("StarSchema.dailyBacklog: open/close flows integrate to a level") {
+    val orders = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-02 00:00:00"))
+      .toDF("o_orderkey", "od")
+      .select(sf.col("o_orderkey"), sf.col("od").cast("timestamp").as("o_orderdate"))
+    val lines = Seq((1L, "2024-01-03 00:00:00")).toDF("l_orderkey", "sd")
+      .select(sf.col("l_orderkey"), sf.col("sd").cast("timestamp").as("l_shipdate"))
+    val got = StarSchema.dailyBacklog(orders, lines).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 1L, 0L, 1L),
+      ("2024-01-02", 1L, 0L, 2L),
+      ("2024-01-03", 0L, 1L, 1L)), got.toString) // order 2 never closes
+  }
+
+  test("Graph.pageRankWeighted: strength splits rank, unweighted doesn't") {
+    val baskets = Seq((1L, "c"), (1L, "a"), (2L, "c"), (2L, "a"),
+      (3L, "c"), (3L, "a"), (4L, "c"), (4L, "b")).toDF("basket", "item")
+    val w = Graph.pageRankWeighted(baskets, "basket", "item",
+        minPairCount = 1, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("a") > w("b"), w.toString) // 3/4 of c's endorsement vs 1/4
+    val u = Graph.pageRank(baskets, "basket", "item",
+        minPairCount = 1, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(u("a") == u("b"), u.toString) // uniform split can't tell them apart
+  }
 }
