@@ -2952,6 +2952,30 @@ object SparkEntry {
       Graph.pageRankWeighted(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minPairCount = 3, iters = 3)),
 
+    // Label-margin audit: which anchors' nearest neighbors wear the
+    // wrong label — the actionable list behind q159's accuracy.
+    "q419_label_margin" -> ((s, dir) =>
+      Similarity.labelMargin(emb(s, dir), "vec_id", "embedding", "label",
+        sf.col("vec_id") < 30)),
+
+    // Sample-size calculator from the observed baseline: how many
+    // users per arm a 10% relative lift needs at 0.05/0.8.
+    "q420_sample_size" -> ((s, dir) =>
+      EventOps.sampleSizeCalculator(Tables.load(s, dir, "events"), "user_id",
+        sf.col("event_type") === "purchase" && sf.col("value") >= 90.0)),
+
+    // Duplicate-transaction audit: same customer, same cents, same
+    // day — the double-payment screen whole-row dedup misses.
+    "q421_dup_transactions" -> ((s, dir) =>
+      QualityChecks.duplicateTransactions(Tables.load(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey")),
+
+    // Paired t + Cohen's d_z on per-user click-vs-view means: the
+    // parametric twin of q358's signed rank.
+    "q422_paired_t" -> ((s, dir) =>
+      QualityChecks.pairedTTest(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "value", "click", "view")),
+
     // Partial correlation: does order value still track item count
     // once total quantity is held fixed — the confounder screen.
     "q397_partial_corr" -> ((s, dir) => {
@@ -13479,5 +13503,90 @@ object SparkEntry {
         |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.item = c3.dst)
         |SELECT item, CAST(rank_fx AS BIGINT) AS rank_fx
         |FROM r3 ORDER BY rank_fx DESC, item""".stripMargin,
+
+    "q419_label_margin" ->
+      """WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av,
+        |  CAST(label AS VARCHAR) AS al
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 30),
+        |p AS (SELECT a.a_id, a.al,
+        |  CAST(b.label AS VARCHAR) = a.al AS same,
+        |  floor(list_cosine_similarity(a.av, CAST(b.embedding AS DOUBLE[]))*1000000.0 + 0.5)/1000000.0 AS cos
+        |  FROM a JOIN embeddings b ON b.vec_id <> a.a_id
+        |  WHERE b.embedding IS NOT NULL),
+        |g AS (SELECT a_id, MAX(al) AS label,
+        |  MAX(CASE WHEN same THEN cos END) AS best_same,
+        |  MAX(CASE WHEN NOT same THEN cos END) AS best_other FROM p GROUP BY 1)
+        |SELECT a_id AS vec_id, label, best_same, best_other,
+        |  floor((best_same - best_other)*1000000.0 + 0.5)/1000000.0 AS margin,
+        |  best_other > best_same AS violated
+        |FROM g ORDER BY vec_id""".stripMargin,
+
+    "q420_sample_size" -> {
+      val za = 1.959963984540054
+      val zb = 0.8416212335729143
+      val m1 = 1.0 + 0.10
+      s"""WITH per AS (SELECT user_id,
+        |  MAX(CASE WHEN COALESCE(event_type = 'purchase' AND value >= 90.0, false)
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(c) AS BIGINT) AS n_converting FROM per),
+        |f AS (SELECT n_users, n_converting,
+        |  CAST(n_converting AS DOUBLE)/CAST(n_users AS DOUBLE) AS p0 FROM ag),
+        |f2 AS (SELECT *, p0*$m1 AS p1, (p0 + p0*$m1)/2.0 AS pbar FROM f),
+        |f3 AS (SELECT *, CASE WHEN p1 < 1.0 THEN
+        |  $za*sqrt(2.0*pbar*(1.0 - pbar)) + $zb*sqrt(p0*(1.0 - p0) + p1*(1.0 - p1)) END AS num
+        |  FROM f2)
+        |SELECT n_users, n_converting,
+        |  CASE WHEN n_users > 0 THEN floor(p0*1000000.0 + 0.5)/1000000.0 END AS p0,
+        |  CASE WHEN n_users > 0 AND n_converting > 0 AND p1 < 1.0 THEN
+        |    floor(p1*1000000.0 + 0.5)/1000000.0 END AS p1,
+        |  CASE WHEN n_users > 0 AND n_converting > 0 AND p1 < 1.0 THEN
+        |    CAST(ceil(num*num/((p1 - p0)*(p1 - p0))) AS BIGINT) END AS n_per_arm,
+        |  CASE WHEN n_users > 0 AND n_converting > 0 AND p1 < 1.0 THEN
+        |    floor(CAST(CAST(ceil(num*num/((p1 - p0)*(p1 - p0))) AS BIGINT) AS DOUBLE)*2.0
+        |      /CAST(n_users AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS runway_multiple
+        |FROM f3""".stripMargin
+    },
+
+    "q421_dup_transactions" ->
+      """WITH r AS (SELECT o_custkey AS entity,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+        |  CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS cents,
+        |  o_orderkey AS id
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |g AS (SELECT entity, day, cents, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  MIN(id) AS first_id, MAX(id) AS last_id
+        |  FROM r GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+        |SELECT entity,
+        |  strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS date,
+        |  floor(CAST(cents AS DOUBLE)/100*100.0 + 0.5)/100.0 AS amount,
+        |  n_records, first_id, last_id
+        |FROM g ORDER BY entity, date, amount""".stripMargin,
+
+    "q422_paired_t" ->
+      """WITH per AS (SELECT user_id AS k, event_type AS c,
+        |  SUM(CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS s,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'view') GROUP BY 1, 2),
+        |m AS (SELECT k, c, CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1e4 AS m FROM per),
+        |pd AS (SELECT CAST(floor((a.m - b.m)*1e6 + 0.5) AS BIGINT) AS d6
+        |  FROM m a JOIN m b ON a.k = b.k AND a.c = 'click' AND b.c = 'view'),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  SUM(CAST(d6 AS HUGEINT)) AS sd, SUM(CAST(d6 AS HUGEINT)*d6) AS qd
+        |  FROM pd)
+        |SELECT n_pairs,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    floor(CAST(sd AS DOUBLE)/CAST(n_pairs AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 END AS mean_diff,
+        |  CASE WHEN n_pairs >= 2 AND CAST(n_pairs*qd - sd*sd AS DOUBLE) > 0 THEN
+        |    floor(CAST(sd AS DOUBLE)/CAST(n_pairs AS DOUBLE)/1e6
+        |      /(sqrt(CAST(n_pairs*qd - sd*sd AS DOUBLE)/(CAST(n_pairs AS DOUBLE)*(CAST(n_pairs AS DOUBLE) - 1.0)))/1e6
+        |        /sqrt(CAST(n_pairs AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS t_stat,
+        |  CASE WHEN n_pairs >= 2 AND CAST(n_pairs*qd - sd*sd AS DOUBLE) > 0 THEN
+        |    floor(CAST(sd AS DOUBLE)/CAST(n_pairs AS DOUBLE)/1e6
+        |      /(sqrt(CAST(n_pairs*qd - sd*sd AS DOUBLE)/(CAST(n_pairs AS DOUBLE)*(CAST(n_pairs AS DOUBLE) - 1.0)))/1e6)*1000000.0 + 0.5)/1000000.0 END AS cohens_dz
+        |FROM ag""".stripMargin,
   )
 }

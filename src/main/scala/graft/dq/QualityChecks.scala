@@ -5302,6 +5302,93 @@ object QualityChecks {
       .orderBy(groupCol)
   }
 
+  /** Duplicate-transaction audit — groups of records sharing the same
+    * (entity, exact amount, same day): the classic double-payment /
+    * double-submission screen every finance and ingestion review
+    * runs, which row 27's whole-row dedup misses by design (the
+    * duplicates differ in id and timestamp — it's the BUSINESS key
+    * that collides). Emits one row per collision group with the
+    * order-key range so the investigation starts keyed.
+    *
+    * Determinism: amounts on exact cents, days on exact epoch days,
+    * exact counts; fully deterministic output order.
+    *
+    * Scale shape: ONE map-side-combined (entity, cents, day) rollup +
+    * a size filter — a groupBy at any scale. */
+  def duplicateTransactions(df: DataFrame, entityCol: String, tsCol: String,
+                            amountCol: String, idCol: String): DataFrame = {
+    df.filter(sf.col(entityCol).isNotNull && sf.col(tsCol).isNotNull &&
+        sf.col(amountCol).isNotNull)
+      .select(sf.col(entityCol).as("entity"),
+        sf.expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div 86400000000")
+          .as("__day"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long")
+          .as("__cents"),
+        sf.col(idCol).as("__id"))
+      .groupBy("entity", "__day", "__cents")
+      .agg(sf.count(sf.lit(1)).as("n_records"),
+        sf.min("__id").as("first_id"), sf.max("__id").as("last_id"))
+      .filter(sf.col("n_records") >= 2)
+      .select(sf.col("entity"),
+        sf.date_format(sf.timestamp_micros(sf.col("__day") * 86400000000L),
+          "yyyy-MM-dd").as("date"),
+        gf.roundAt(sf.col("__cents").cast("double") / 100, 2).as("amount"),
+        sf.col("n_records"), sf.col("first_id"), sf.col("last_id"))
+      .orderBy("entity", "date", "amount")
+  }
+
+  /** Paired t-test on per-user condition means — the PARAMETRIC twin
+    * of row 411's Wilcoxon signed-rank (same pairing, same question:
+    * does the same user behave differently under condition A vs B),
+    * with Cohen's d_z effect size: pairing removes between-user
+    * variance, which is why both beat the unpaired row 302 test on
+    * within-user questions; report both t and d_z because a tiny
+    * honest effect with a huge n is "significant" forever.
+    *
+    * Determinism: per-user condition means are pinned doubles of
+    * exact 1e-4 sums SNAPPED to 1e-6 longs (differences then sum
+    * exactly — no float accumulation across users); t and d_z are one
+    * pinned assembly each, 1e-6. n < 2 pairs or zero diff variance →
+    * NULL.
+    *
+    * Scale shape: one (user, condition) rollup + a paired self join +
+    * a one-row finish. */
+  def pairedTTest(df: DataFrame, keyCol: String, condCol: String,
+                  valueCol: String, condA: String, condB: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+    val per = df.filter(sf.col(keyCol).isNotNull && sf.col(valueCol).isNotNull &&
+        sf.col(condCol).isin(condA, condB))
+      .select(sf.col(keyCol).as("k"), sf.col(condCol).as("c"), v4.as("v"))
+      .groupBy("k", "c")
+      .agg(sf.sum(dec(sf.col("v"))).as("s"), sf.count(sf.lit(1)).as("n"))
+      .select(sf.col("k"), sf.col("c"),
+        (sf.col("s").cast("double") / sf.col("n").cast("double") / 1e4)
+          .as("__m"))
+    val paired = per.filter(sf.col("c") === condA)
+      .select(sf.col("k"), sf.col("__m").as("__ma"))
+      .join(per.filter(sf.col("c") === condB)
+        .select(sf.col("k"), sf.col("__m").as("__mb")), "k")
+      .select(sf.floor((sf.col("__ma") - sf.col("__mb")) * 1e6 + 0.5)
+        .cast("long").as("__d6"))
+    paired.agg(sf.count(sf.lit(1)).as("n_pairs"),
+        sf.sum(dec(sf.col("__d6"))).as("__sd"),
+        sf.sum(dec(sf.col("__d6")) * dec(sf.col("__d6"))).as("__qd"))
+      .select({
+        val n = sf.col("n_pairs").cast("double")
+        val mean = sf.col("__sd").cast("double") / n / 1e6
+        val num = (dec(sf.col("n_pairs")) * sf.col("__qd") -
+          sf.col("__sd") * sf.col("__sd")).cast("double")
+        val sd = sf.sqrt(num / (n * (n - 1.0))) / 1e6
+        val t = mean / (sd / sf.sqrt(n))
+        val ok = sf.col("n_pairs") >= 2 && num > 0
+        Seq(sf.col("n_pairs"),
+          sf.when(sf.col("n_pairs") > 0, gf.roundAt(mean, 6)).as("mean_diff"),
+          sf.when(ok, gf.roundAt(t, 6)).as("t_stat"),
+          sf.when(ok, gf.roundAt(mean / sd, 6)).as("cohens_dz"))
+      }: _*)
+  }
+
   /** Simpson's-paradox detector over a stratified 2×2 family — the
     * DIAGNOSTIC row 276's CMH pooling assumes away: per stratum the
     * exact association direction sign(ad − bc), vs the pooled table's

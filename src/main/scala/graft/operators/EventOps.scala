@@ -3439,6 +3439,52 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** A/B sample-size calculator powered by the OBSERVED baseline —
+    * the two-proportion power formula n/arm = (z_α√(2p̄q̄) +
+    * z_β√(p₀q₀+p₁q₁))²/(p₁−p₀)² at α = 0.05 two-sided, power 0.8,
+    * with p₀ = the corpus' actual conversion rate and p₁ = p₀·(1+MDE):
+    * "how many users must each arm see to detect a `mde` relative
+    * lift" — the question every experiment review asks BEFORE the
+    * rows 129/250/279 readouts make sense, answered from the data
+    * instead of a guessed baseline. Also prices the runway: observed
+    * users vs the 2n the test needs.
+    *
+    * Determinism: p₀ is an exact integer ratio (converting users /
+    * users); z constants are DRIVER literals shared verbatim with the
+    * oracle (the row 453 convention); the n formula is ONE pinned
+    * chain, output as an exact ceiling integer. MDE ≤ 0, p₁ ≥ 1, or
+    * no users → NULL/require.
+    *
+    * Scale shape: one per-user rollup + a one-row finish. */
+  def sampleSizeCalculator(events: DataFrame, userCol: String,
+                           convPred: Column,
+                           mde: Double = 0.10): DataFrame = {
+    require(mde > 0 && mde < 10, s"mde must be in (0, 10), got $mde")
+    val ZA = 1.959963984540054 // Phi^-1(0.975)
+    val ZB = 0.8416212335729143 // Phi^-1(0.8)
+    val per = events.filter(sf.col(userCol).isNotNull)
+      .groupBy(sf.col(userCol))
+      .agg(sf.max(sf.coalesce(convPred, sf.lit(false)).cast("long")).as("__c"))
+    per.agg(sf.count(sf.lit(1)).as("n_users"),
+        sf.sum("__c").cast("long").as("n_converting"))
+      .select({
+        val p0 = sf.col("n_converting").cast("double") /
+          sf.col("n_users").cast("double")
+        val p1 = p0 * (1.0 + mde)
+        val pbar = (p0 + p1) / 2.0
+        val num = sf.lit(ZA) * sf.sqrt(sf.lit(2.0) * pbar * (sf.lit(1.0) - pbar)) +
+          sf.lit(ZB) * sf.sqrt(p0 * (sf.lit(1.0) - p0) + p1 * (sf.lit(1.0) - p1))
+        val nArm = sf.ceil(num * num / ((p1 - p0) * (p1 - p0))).cast("long")
+        val ok = sf.col("n_users") > 0 && sf.col("n_converting") > 0 && p1 < 1.0
+        Seq(sf.col("n_users"), sf.col("n_converting"),
+          sf.when(sf.col("n_users") > 0, gf.roundAt(p0, 6)).as("p0"),
+          sf.when(ok, gf.roundAt(p1, 6)).as("p1"),
+          sf.when(ok, nArm).as("n_per_arm"),
+          sf.when(ok, gf.roundAt(nArm.cast("double") * 2.0 /
+            sf.col("n_users").cast("double"), 6)).as("runway_multiple"))
+      }: _*)
+  }
+
   /** Hourly load-concentration datasheet per event type — the
     * capacity-planning trio a mean-based forecast hides: PEAK-TO-
     * AVERAGE ratio (the classic over-provisioning factor), the share

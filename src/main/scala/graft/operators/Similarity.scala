@@ -1548,6 +1548,47 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Label-margin audit over a bounded anchor set — per anchor, the
+    * best SAME-label and best OTHER-label cosine in the corpus, their
+    * margin, and the VIOLATED flag (the nearest neighbor wears the
+    * wrong label): the pointwise readout behind row 200's aggregate
+    * kNN accuracy — a violation list is actionable (inspect THESE
+    * anchors: mislabeled, boundary, or duplicate-across-labels) where
+    * an accuracy number is not. The triplet-loss quality check run as
+    * a query.
+    *
+    * Determinism: per-pair cosines snap to 1e-6 (the row 31
+    * convention) BEFORE the per-side max, so margins are exact
+    * differences of snapped values and the flag compares the printed
+    * numbers. Anchors with no same-label or no other-label candidate
+    * report NULL on that side and no verdict.
+    *
+    * Scale shape: the row-32 broadcast-anchor shape — anchors are a
+    * bounded set (the knob), the corpus never shuffles vectors; one
+    * combinable per-anchor max rollup. */
+  def labelMargin(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, anchorPred: Column): DataFrame = {
+    val base = emb.filter(sf.col(vecCol).isNotNull)
+      .select(sf.col(idCol).as("__id"), sf.col(vecCol).as("__v"),
+        sf.col(labelCol).cast("string").as("__l"))
+    val anchors = base.filter(anchorPred)
+      .select(sf.col("__id").as("a_id"), sf.col("__v").as("__av"),
+        sf.col("__l").as("__al"))
+    val pairs = base.join(sf.broadcast(anchors), sf.col("__id") =!= sf.col("a_id"))
+      .select(sf.col("a_id"), sf.col("__al"),
+        (sf.col("__l") === sf.col("__al")).as("__same"),
+        gf.roundAt(gf.cosineSim(sf.col("__av"), sf.col("__v")), 6).as("__cos"))
+    pairs.groupBy("a_id")
+      .agg(sf.max("__al").as("label"),
+        sf.max(sf.when(sf.col("__same"), sf.col("__cos"))).as("best_same"),
+        sf.max(sf.when(!sf.col("__same"), sf.col("__cos"))).as("best_other"))
+      .select(sf.col("a_id").as(idCol), sf.col("label"),
+        sf.col("best_same"), sf.col("best_other"),
+        gf.roundAt(sf.col("best_same") - sf.col("best_other"), 6).as("margin"),
+        (sf.col("best_other") > sf.col("best_same")).as("violated"))
+      .orderBy(idCol)
+  }
+
   /** Linear CKA between the FULL embedding and its truncation to each
     * prefix length (Kornblith et al. 2019, "Similarity of Neural
     * Network Representations Revisited") — the representation-

@@ -4162,4 +4162,75 @@ class OperatorsSpec extends SparkFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(u("a") == u("b"), u.toString) // uniform split can't tell them apart
   }
+
+  test("Similarity.labelMargin: violated anchor, missing-side NULL") {
+    val df = Seq(
+      (0L, Array(1f, 0f), "a"),
+      (1L, Array(0.99f, 0.14f), "b"),  // wrong-label nearest neighbor
+      (2L, Array(0.9f, 0.44f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelMargin(df, "vec_id", "embedding", "label",
+      sf.col("vec_id") < 1).head()
+    assert(r.getAs[Boolean]("violated") && r.getAs[Double]("margin") < 0,
+      r.toString)
+    // anchor whose label has no second member: NULL same side
+    val solo = Seq((0L, Array(1f, 0f), "a"), (1L, Array(0f, 1f), "b"),
+      (2L, Array(0.5f, 0.5f), "b")).toDF("vec_id", "embedding", "label")
+    val rs = Similarity.labelMargin(solo, "vec_id", "embedding", "label",
+      sf.col("vec_id") < 1).head()
+    assert(rs.isNullAt(rs.fieldIndex("best_same")) &&
+      rs.isNullAt(rs.fieldIndex("margin")), rs.toString)
+  }
+
+  test("EventOps.sampleSizeCalculator: hand two-proportion power n") {
+    val df = (1 to 10).map(i =>
+      (i.toLong, "2024-01-01 00:00:00", i.toLong,
+        if (i <= 2) "purchase" else "view", if (i <= 2) 95.0 else 1.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"), sf.col("value"))
+    val r = EventOps.sampleSizeCalculator(df, "user_id",
+      sf.col("event_type") === "purchase" && sf.col("value") >= 90.0).head()
+    assert(r.getAs[Double]("p0") == 0.2 && r.getAs[Double]("p1") == 0.22)
+    val (p0, p1) = (0.2, 0.22)
+    val pbar = (p0 + p1) / 2
+    val num = 1.959963984540054 * math.sqrt(2 * pbar * (1 - pbar)) +
+      0.8416212335729143 * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+    assert(r.getAs[Long]("n_per_arm") ==
+      math.ceil(num * num / ((p1 - p0) * (p1 - p0))).toLong, r.toString)
+  }
+
+  test("QualityChecks.duplicateTransactions: business-key collisions only") {
+    val df = Seq(
+      (1L, 7L, "2024-01-01 10:00:00", 99.99),
+      (2L, 7L, "2024-01-01 16:00:00", 99.99),  // same cust/amount/day
+      (3L, 7L, "2024-01-02 10:00:00", 99.99),  // next day: no collision
+      (4L, 8L, "2024-01-01 10:00:00", 99.99))  // other customer
+      .toDF("o_orderkey", "cust", "od", "amt")
+      .select(sf.col("o_orderkey"), sf.col("cust"),
+        sf.col("od").cast("timestamp").as("odate"), sf.col("amt"))
+    val got = QualityChecks.duplicateTransactions(df, "cust", "odate", "amt",
+      "o_orderkey").collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got(0)
+    assert(r.getAs[Long]("entity") == 7L && r.getAs[String]("date") == "2024-01-01"
+      && r.getAs[Double]("amount") == 99.99 && r.getAs[Long]("n_records") == 2
+      && r.getAs[Long]("first_id") == 1L && r.getAs[Long]("last_id") == 2L,
+      r.toString)
+  }
+
+  test("QualityChecks.pairedTTest: hand diffs 1,2,3 give t = 2 sqrt(3)") {
+    val rows = Seq(
+      (1L, "click", 5.0), (1L, "view", 4.0),
+      (2L, "click", 5.0), (2L, "view", 3.0),
+      (3L, "click", 5.0), (3L, "view", 2.0),
+      (4L, "error", 9.0)) // non-condition rows drop
+      .toDF("user_id", "event_type", "value")
+    val r = QualityChecks.pairedTTest(rows, "user_id", "event_type", "value",
+      "click", "view").head()
+    assert(r.getAs[Long]("n_pairs") == 3 && r.getAs[Double]("mean_diff") == 2.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - 2 * math.sqrt(3.0)) < 2e-6,
+      r.toString)
+    assert(r.getAs[Double]("cohens_dz") == 2.0, r.toString)
+  }
 }
