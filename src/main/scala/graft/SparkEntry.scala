@@ -2976,6 +2976,27 @@ object SparkEntry {
       QualityChecks.pairedTTest(Tables.load(s, dir, "events"),
         "user_id", "event_type", "value", "click", "view")),
 
+    // Fulfillment lead time per priority: the q412 robust summary
+    // composed over order->last-ship day gaps — SLA percentiles.
+    "q423_lead_time" -> ((s, dir) => {
+      val opens = Tables.load(s, dir, "orders")
+        .filter(sf.col("o_orderdate").isNotNull)
+        .select(sf.col("o_orderkey"), sf.col("o_orderpriority"),
+          sf.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            .as("__o"))
+      val closes = Tables.load(s, dir, "lineitem")
+        .filter(sf.col("l_shipdate").isNotNull)
+        .groupBy("l_orderkey")
+        .agg(sf.max(sf.expr(
+          "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"))
+          .as("__c"))
+      QualityChecks.fiveNumber(
+        opens.join(closes, sf.col("o_orderkey") === sf.col("l_orderkey"))
+          .select(sf.col("o_orderpriority"),
+            (sf.col("__c") - sf.col("__o")).cast("double").as("lead_days")),
+        "o_orderpriority", "lead_days")
+    }),
+
     // Partial correlation: does order value still track item count
     // once total quantity is held fixed — the confounder screen.
     "q397_partial_corr" -> ((s, dir) => {
@@ -13588,5 +13609,37 @@ object SparkEntry {
         |    floor(CAST(sd AS DOUBLE)/CAST(n_pairs AS DOUBLE)/1e6
         |      /(sqrt(CAST(n_pairs*qd - sd*sd AS DOUBLE)/(CAST(n_pairs AS DOUBLE)*(CAST(n_pairs AS DOUBLE) - 1.0)))/1e6)*1000000.0 + 0.5)/1000000.0 END AS cohens_dz
         |FROM ag""".stripMargin,
+
+    "q423_lead_time" ->
+      """WITH op AS (SELECT o_orderkey, o_orderpriority,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS od
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        |cl AS (SELECT l_orderkey,
+        |  max(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000) AS cd
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+        |ld AS (SELECT o_orderpriority AS g,
+        |  CAST(floor(CAST(cd - od AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM op JOIN cl ON o_orderkey = l_orderkey),
+        |ce AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM ld GROUP BY 1, 2),
+        |tt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM ce GROUP BY 1),
+        |cu AS (SELECT ce.g, ce.v, tt.n,
+        |  SUM(c) OVER (PARTITION BY ce.g ORDER BY ce.v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ce JOIN tt ON ce.g = tt.g),
+        |ag AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx,
+        |  CAST(MIN(CASE WHEN cum*4 >= n THEN v END) AS BIGINT) AS q1,
+        |  CAST(MIN(CASE WHEN cum*2 >= n THEN v END) AS BIGINT) AS q2,
+        |  CAST(MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS BIGINT) AS q3
+        |  FROM cu GROUP BY 1)
+        |SELECT g AS o_orderpriority, n,
+        |  floor(CAST(mn AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS min_v,
+        |  floor(CAST(q1 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS q1,
+        |  floor(CAST(q2 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS median,
+        |  floor(CAST(q3 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS q3,
+        |  floor(CAST(mx AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS max_v,
+        |  floor(CAST(q3 - q1 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS iqr,
+        |  floor(CAST(q1 + q2*2 + q3 AS DOUBLE)/4e4*10000.0 + 0.5)/10000.0 AS trimean,
+        |  floor(CAST(q1 + q3 AS DOUBLE)/2e4*10000.0 + 0.5)/10000.0 AS midhinge
+        |FROM ag ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -85,6 +85,29 @@ class SourcesSpec extends SparkFunSuite {
       plan.contains("LessThan(doc_id,10)"), s"filter not pushed:\n$plan")
   }
 
+  test("parquet compression-codec matrix round-trips and tags files") {
+    // the three codecs a real lake mixes: snappy (default, fast),
+    // gzip (legacy interchange), zstd (modern ratio/speed) — identical
+    // rows back regardless of codec, and the codec visible in the
+    // file name (the partition-inventory contract)
+    val src = Tables.load(spark, sf001, "documents").limit(40)
+      .orderBy("doc_id")
+    val expected = src.collect().map(_.getLong(0)).toSeq
+    for ((codec, tag) <- Seq("snappy" -> "snappy", "gzip" -> ".gz.",
+        "zstd" -> "zstd")) {
+      val dir = Files.createTempDirectory(s"graft_codec_$codec").toFile
+        .getAbsolutePath + "/docs"
+      src.write.option("compression", codec).parquet(dir)
+      val files = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      assert(files.nonEmpty && files.forall(_.contains(tag)),
+        s"$codec not in file names: ${files.toSeq}")
+      val back = spark.read.parquet(dir).orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(back == expected, s"$codec round-trip mismatch")
+    }
+  }
+
   test("label-file section parse (SAS-labels style)") {
     val content =
       """value i94cntyl
