@@ -2976,6 +2976,31 @@ object SparkEntry {
       QualityChecks.pairedTTest(Tables.load(s, dir, "events"),
         "user_id", "event_type", "value", "click", "view")),
 
+    // Weekly growth accounting: actives = new + retained +
+    // resurrected, with churned and the quick ratio — the ledger a
+    // bare WAU curve hides.
+    "q424_growth_accounting" -> ((s, dir) =>
+      EventOps.growthAccounting(Tables.load(s, dir, "events"))),
+
+    // Token case collisions on a staged corpus: fold or keep? The
+    // casing-policy table before BPE training commits.
+    "q425_case_collisions" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = d.select(
+        sf.when(sf.col("doc_id") % 3 === 0,
+            sf.concat(sf.lit("Apple APPLE apple Banana banana "), sf.col("text")))
+          .otherwise(sf.col("text")).as("text"))
+      TextAnalysis.caseCollisions(staged, "text", topK = 100)
+    }),
+
+    // Price assortativity of the co-occurrence graph: do expensive
+    // parts co-occur with expensive parts.
+    "q426_price_assortativity" -> ((s, dir) =>
+      Graph.numericAssortativity(
+        Graph.minedEdges(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minPairCount = 3),
+        Tables.load(s, dir, "part"), "p_partkey", "p_retailprice")),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -13641,5 +13666,70 @@ object SparkEntry {
         |  floor(CAST(q1 + q2*2 + q3 AS DOUBLE)/4e4*10000.0 + 0.5)/10000.0 AS trimean,
         |  floor(CAST(q1 + q3 AS DOUBLE)/2e4*10000.0 + 0.5)/10000.0 AS midhinge
         |FROM ag ORDER BY o_orderpriority""".stripMargin,
+
+    "q424_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |fw AS (SELECT u, min(w) AS fwk FROM uw GROUP BY 1),
+        |cl AS (SELECT uw.w, uw.w = fw.fwk AS isnew, p.u IS NOT NULL AS ret
+        |  FROM uw JOIN fw USING (u)
+        |  LEFT JOIN uw p ON p.u = uw.u AND p.w = uw.w - 1),
+        |bw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS actives,
+        |  CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(SUM(CASE WHEN NOT isnew AND ret THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(SUM(CASE WHEN NOT isnew AND NOT ret THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM cl GROUP BY 1),
+        |lw AS (SELECT w + 1 AS w, actives AS preva FROM bw)
+        |SELECT bw.w AS epoch_week, actives, new_users, retained, resurrected,
+        |  COALESCE(preva, 0) - retained AS churned,
+        |  CASE WHEN COALESCE(preva, 0) - retained > 0 THEN
+        |    floor(CAST(new_users + resurrected AS DOUBLE)
+        |      /CAST(COALESCE(preva, 0) - retained AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS quick_ratio
+        |FROM bw LEFT JOIN lw ON bw.w = lw.w
+        |ORDER BY epoch_week""".stripMargin,
+
+    "q425_case_collisions" ->
+      """WITH st AS (SELECT CASE WHEN doc_id % 3 = 0 THEN
+        |  'Apple APPLE apple Banana banana ' || text ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT unnest(regexp_split_to_array(trim(t), '\s+')) AS form
+        |  FROM st WHERE length(trim(t)) > 0),
+        |flt AS (SELECT form FROM tok WHERE regexp_matches(form, '^[A-Za-z]+$')),
+        |sur AS (SELECT lower(form) AS token, form, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM flt GROUP BY 1, 2),
+        |ag AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_forms,
+        |  CAST(SUM(c) AS BIGINT) AS n_occurrences FROM sur GROUP BY 1),
+        |dm AS (SELECT token, form AS dominant_form, c AS mc FROM
+        |  (SELECT token, form, c,
+        |     row_number() OVER (PARTITION BY token ORDER BY c DESC, form DESC) AS rn
+        |   FROM sur) WHERE rn = 1)
+        |SELECT ag.token, n_forms, n_occurrences, dominant_form,
+        |  floor(CAST(mc AS DOUBLE)/CAST(n_occurrences AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS dominant_share
+        |FROM ag JOIN dm ON ag.token = dm.token
+        |WHERE n_forms >= 2
+        |ORDER BY n_occurrences DESC, ag.token LIMIT 100""".stripMargin,
+
+    "q426_price_assortativity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT item_a AS src, item_b AS dst FROM cab
+        |      UNION ALL SELECT item_b, item_a FROM cab),
+        |vals AS (SELECT DISTINCT p_partkey AS node,
+        |  CAST(floor(CAST(p_retailprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v
+        |  FROM part WHERE p_retailprice IS NOT NULL),
+        |j AS (SELECT a.v AS x, c.v AS y FROM e
+        |  JOIN vals a ON e.src = a.node JOIN vals c ON e.dst = c.node),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(y AS HUGEINT)*y) AS syy,
+        |  SUM(CAST(x AS HUGEINT)*y) AS sxy FROM j)
+        |SELECT n AS n_directed_edges,
+        |  CASE WHEN n > 1 AND CAST(n*sxx - sx*sx AS DOUBLE) > 0
+        |    AND CAST(n*syy - sy*sy AS DOUBLE) > 0 THEN
+        |    floor(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      /(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))*sqrt(CAST(n*syy - sy*sy AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS assortativity
+        |FROM m""".stripMargin,
   )
 }

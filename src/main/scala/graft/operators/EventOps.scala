@@ -3439,6 +3439,63 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Weekly GROWTH ACCOUNTING — the additive user-lifecycle ledger
+    * (the standard SaaS/consumer framework): per week, actives split
+    * EXACTLY into new (first-ever week), retained (also active the
+    * week before), and resurrected (active earlier but not last
+    * week), with churned = last week's actives who went silent; the
+    * identity actives_w = new + retained + resurrected and
+    * Δactives = new + resurrected − churned holds by construction —
+    * the decomposition a bare WAU curve hides (flat WAU can be
+    * healthy retention or a leaky bucket refilled by acquisition).
+    * Rows 115/468 give the cohort matrix and the long-horizon churn;
+    * this is the week-over-week ledger between them.
+    *
+    * Determinism: weeks are exact epoch-week integers (µs div
+    * 7-day-µs — fixed epoch anchor, no locale weeks); classification
+    * is exact set logic on (user, week) memberships via lag/min
+    * equi-joins; quick ratio is a pinned division 1e-6.
+    *
+    * Scale shape: one (user, week) distinct + a per-user min + two
+    * week-shifted self equi joins + one week rollup — no windows. */
+  def growthAccounting(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val uw = events.filter(sf.col(tsCol).isNotNull && sf.col(userCol).isNotNull)
+      .select(sf.col(userCol).as("u"),
+        sf.expr(s"unix_micros($tsCol) div 604800000000").as("w"))
+      .distinct()
+      .localCheckpoint(true) // first-week + both shifts read it
+    val first = uw.groupBy("u").agg(sf.min("w").as("__fw"))
+    val prev = uw.select(sf.col("u"), (sf.col("w") + 1).as("w"),
+      sf.lit(1).as("__prev"))
+    val classified = uw.join(first, "u")
+      .join(prev, Seq("u", "w"), "left")
+      .select(sf.col("w"),
+        (sf.col("w") === sf.col("__fw")).as("__new"),
+        sf.col("__prev").isNotNull.as("__ret"))
+    val byWeek = classified.groupBy("w")
+      .agg(sf.count(sf.lit(1)).as("actives"),
+        sf.sum(sf.col("__new").cast("long")).cast("long").as("new_users"),
+        sf.sum((!sf.col("__new") && sf.col("__ret")).cast("long")).cast("long")
+          .as("retained"),
+        sf.sum((!sf.col("__new") && !sf.col("__ret")).cast("long")).cast("long")
+          .as("resurrected"))
+    // churned_w = actives_{w-1} - retained_w (last week's actives who
+    // did not return) — exact from the same ledger
+    val lastWeek = byWeek.select((sf.col("w") + 1).as("w"),
+      sf.col("actives").as("__prevA"))
+    byWeek.join(lastWeek, Seq("w"), "left")
+      .select(sf.col("w").as("epoch_week"), sf.col("actives"),
+        sf.col("new_users"), sf.col("retained"), sf.col("resurrected"),
+        (sf.coalesce(sf.col("__prevA"), sf.lit(0L)) - sf.col("retained"))
+          .as("churned"),
+        sf.when(sf.coalesce(sf.col("__prevA"), sf.lit(0L)) - sf.col("retained") > 0,
+          gf.roundAt((sf.col("new_users") + sf.col("resurrected")).cast("double") /
+            (sf.coalesce(sf.col("__prevA"), sf.lit(0L)) - sf.col("retained"))
+              .cast("double"), 6)).as("quick_ratio"))
+      .orderBy("epoch_week")
+  }
+
   /** A/B sample-size calculator powered by the OBSERVED baseline —
     * the two-proportion power formula n/arm = (z_α√(2p̄q̄) +
     * z_β√(p₀q₀+p₁q₁))²/(p₁−p₀)² at α = 0.05 two-sided, power 0.8,

@@ -1215,6 +1215,48 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Token case-collision report — for every case-folded token with
+    * more than one SURFACE form, the variant census (forms, total
+    * occurrences, the dominant form and its share): the vocabulary-
+    * build decision table ("US" vs "us", "Apple" vs "apple" — fold or
+    * keep?) that neither the cased nor the folded frequency table can
+    * answer alone, and the pre-tokenizer audit before any row 150/174
+    * BPE training commits to a casing policy. Low dominant share =
+    * genuinely ambiguous casing (fold loses information); ~1.0 =
+    * safe to fold.
+    *
+    * Determinism: exact token counts on the (folded, surface) DOMAIN;
+    * the dominant form is an exact max(struct(count, form)) with a
+    * LARGEST-form tie-break; share is a pinned division 1e-6; output
+    * caps at `topK` collisions by (occurrences desc, token) —
+    * tie-deterministic.
+    *
+    * Scale shape: one tokenize-explode + a (folded, surface) domain
+    * collapse + a folded-domain rollup + TakeOrdered — the vocabulary
+    * is the domain, never the corpus. */
+  def caseCollisions(docs0: DataFrame, textCol: String,
+                     topK: Int = 100): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK must be in [1, 1e5], got $topK")
+    val docs = Par.spread(docs0.filter(sf.col(textCol).isNotNull)
+      .select(sf.col(textCol).as("__t")))
+    val surf = docs
+      .select(sf.explode(gf.wsTokens(sf.col("__t"))).as("form"))
+      .filter(sf.col("form").rlike("^[A-Za-z]+$")) // letters only: casing is the question
+      .groupBy(sf.lower(sf.col("form")).as("token"), sf.col("form"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+    surf.groupBy("token")
+      .agg(sf.count(sf.lit(1)).as("n_forms"),
+        sf.sum("c").cast("long").as("n_occurrences"),
+        sf.max(sf.struct(sf.col("c"), sf.col("form"))).as("__m"))
+      .filter(sf.col("n_forms") >= 2)
+      .select(sf.col("token"), sf.col("n_forms"), sf.col("n_occurrences"),
+        sf.col("__m.form").as("dominant_form"),
+        gf.roundAt(sf.col("__m.c").cast("double") /
+          sf.col("n_occurrences").cast("double"), 6).as("dominant_share"))
+      .orderBy(sf.col("n_occurrences").desc, sf.col("token"))
+      .limit(topK)
+  }
+
   /** Shouting / emphasis audit per source — the caps-and-punctuation
     * spam signals the length/stopword gates (rows 35/220) don't read:
     * ALL-CAPS word share (≥ 2 letters, all upper — headline spam,

@@ -4233,4 +4233,51 @@ class OperatorsSpec extends SparkFunSuite {
       r.toString)
     assert(r.getAs[Double]("cohens_dz") == 2.0, r.toString)
   }
+
+  test("EventOps.growthAccounting: ledger identity and quick ratio") {
+    val wk = 604800L
+    val df = Seq( // u1: weeks 0,1,2; u2: 0,2 (resurrects); u3: 1 (churns)
+      (1L, 10L, 1L), (2L, wk + 10, 1L), (3L, 2 * wk + 10, 1L),
+      (4L, 20L, 2L), (5L, 2 * wk + 20, 2L),
+      (6L, wk + 30, 3L))
+      .toDF("event_id", "ts_s", "user_id")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"))
+    val got = EventOps.growthAccounting(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 1L, 0L, 1L),  // u2 churns out of week 0
+      (2L, 2L, 0L, 1L, 1L, 1L)), got.toString) // u2 resurrects, u3 churns
+    got.foreach { case (_, a, n, re, rs, _) => assert(a == n + re + rs) }
+  }
+
+  test("TextAnalysis.caseCollisions: variant census, folded singletons drop") {
+    val df = Seq((1L, "The the THE cat cat"), (2L, "dog Dog"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.caseCollisions(df, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("the", 3L, 3L, "the", 0.333333), // count tie: largest form wins
+      ("dog", 2L, 2L, "dog", 0.5)), got.toString) // "cat" single-form drops
+  }
+
+  test("Graph.numericAssortativity: homophily 1, anti -1, complete-case") {
+    val homo = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val vals = Seq((1L, 10.0), (2L, 10.0), (3L, 1.0), (4L, 1.0))
+      .toDF("node", "price")
+    val rh = Graph.numericAssortativity(homo, vals, "node", "price").head()
+    assert(rh.getAs[Long]("n_directed_edges") == 4 &&
+      rh.getAs[Double]("assortativity") == 1.0, rh.toString)
+    val anti = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val va = Seq((1L, 0.0), (2L, 10.0)).toDF("node", "price")
+    val ra = Graph.numericAssortativity(anti, va, "node", "price").head()
+    assert(ra.getAs[Double]("assortativity") == -1.0, ra.toString)
+    // unlabeled endpoint drops the edge (complete-case)
+    val rc = Graph.numericAssortativity(homo,
+      vals.filter(sf.col("node") =!= 4L), "node", "price").head()
+    assert(rc.getAs[Long]("n_directed_edges") == 2, rc.toString)
+  }
 }
