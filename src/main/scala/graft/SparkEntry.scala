@@ -3001,6 +3001,16 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minPairCount = 3),
         Tables.load(s, dir, "part"), "p_partkey", "p_retailprice")),
 
+    // Supplier concentration per part: HHI, top share, single-source
+    // flag — the procurement risk screen.
+    "q427_supplier_hhi" -> ((s, dir) =>
+      StarSchema.supplierConcentration(Tables.load(s, dir, "lineitem"))),
+
+    // Audience overlap between event types: Jaccard + both
+    // conditional reaches — the cross-promotion set algebra.
+    "q428_audience_overlap" -> ((s, dir) =>
+      EventOps.audienceOverlap(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -13731,5 +13741,36 @@ object SparkEntry {
         |    floor(CAST(n*sxy - sx*sy AS DOUBLE)
         |      /(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))*sqrt(CAST(n*syy - sy*sy AS DOUBLE)))*1000000.0 + 0.5)/1000000.0 END AS assortativity
         |FROM m""".stripMargin,
+
+    "q427_supplier_hhi" ->
+      """WITH r AS (SELECT l_partkey, l_suppkey,
+        |  CAST(floor(CAST(l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS q
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        |    AND l_quantity IS NOT NULL),
+        |per AS (SELECT l_partkey, l_suppkey, CAST(SUM(q) AS HUGEINT) AS sq
+        |  FROM r GROUP BY 1, 2),
+        |ag AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  SUM(sq) AS tot, SUM(sq*sq) AS hh, MAX(sq) AS top FROM per GROUP BY 1)
+        |SELECT l_partkey, n_suppliers,
+        |  floor(CAST(tot AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS total_qty,
+        |  CASE WHEN tot > 0 THEN
+        |    floor(CAST(hh AS DOUBLE)/CAST(tot*tot AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS hhi,
+        |  CASE WHEN tot > 0 THEN
+        |    floor(CAST(top AS DOUBLE)/CAST(tot AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS top_supplier_share,
+        |  n_suppliers = 1 AS single_source
+        |FROM ag ORDER BY l_partkey""".stripMargin,
+
+    "q428_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |tot AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |bo AS (SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        |  floor(CAST(n_both AS DOUBLE)/CAST(ta.n + tb.n - n_both AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS jaccard,
+        |  floor(CAST(n_both AS DOUBLE)/CAST(ta.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share_of_a,
+        |  floor(CAST(n_both AS DOUBLE)/CAST(tb.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share_of_b
+        |FROM bo JOIN tot ta ON bo.type_a = ta.t JOIN tot tb ON bo.type_b = tb.t
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

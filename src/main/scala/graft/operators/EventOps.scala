@@ -3439,6 +3439,50 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Audience-overlap matrix — for every pair of event types, the
+    * users active in BOTH, with Jaccard and the conditional reach
+    * both ways (share of A's audience also in B, and vice versa):
+    * the channel/feature-overlap table every cross-promotion,
+    * deduplicated-reach, and funnel-design question starts from —
+    * audience SET algebra where row 156's lift reads co-occurrence
+    * strength within baskets.
+    *
+    * Determinism: exact distinct-user counts per type and pair;
+    * the three ratios are pinned integer divisions 1e-6; pairs
+    * ordered (type_a < type_b) once — reverse reach is reported in
+    * the same row.
+    *
+    * Scale shape: one (user, type) distinct + a type-keyed self join
+    * on user (pair volume bounded by users × types²) + broadcast
+    * per-type totals — the type domain is small by construction. */
+  def audienceOverlap(events: DataFrame, userCol: String = "user_id",
+                      typeCol: String = "event_type"): DataFrame = {
+    val ut = events.filter(sf.col(userCol).isNotNull && sf.col(typeCol).isNotNull)
+      .select(sf.col(userCol).as("u"), sf.col(typeCol).as("t"))
+      .distinct()
+      .localCheckpoint(true) // totals + both join sides read it
+    val tot = ut.groupBy("t").agg(sf.count(sf.lit(1)).as("n"))
+    val both = ut.as("a").join(ut.as("b"),
+        sf.col("a.u") === sf.col("b.u") && sf.col("a.t") < sf.col("b.t"))
+      .groupBy(sf.col("a.t").as("type_a"), sf.col("b.t").as("type_b"))
+      .agg(sf.count(sf.lit(1)).as("n_both"))
+    both
+      .join(sf.broadcast(tot.select(sf.col("t").as("type_a"),
+        sf.col("n").as("n_a"))), "type_a")
+      .join(sf.broadcast(tot.select(sf.col("t").as("type_b"),
+        sf.col("n").as("n_b"))), "type_b")
+      .select(sf.col("type_a"), sf.col("type_b"), sf.col("n_a"), sf.col("n_b"),
+        sf.col("n_both"),
+        gf.roundAt(sf.col("n_both").cast("double") /
+          (sf.col("n_a") + sf.col("n_b") - sf.col("n_both")).cast("double"), 6)
+          .as("jaccard"),
+        gf.roundAt(sf.col("n_both").cast("double") /
+          sf.col("n_a").cast("double"), 6).as("share_of_a"),
+        gf.roundAt(sf.col("n_both").cast("double") /
+          sf.col("n_b").cast("double"), 6).as("share_of_b"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Weekly GROWTH ACCOUNTING — the additive user-lifecycle ledger
     * (the standard SaaS/consumer framework): per week, actives split
     * EXACTLY into new (first-ever week), retained (also active the

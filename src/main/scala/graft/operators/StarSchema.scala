@@ -530,6 +530,48 @@ object StarSchema {
       .orderBy("rank")
   }
 
+  /** Supplier-concentration risk table — per part: supplier count,
+    * total quantity, the Herfindahl–Hirschman index of supplier
+    * quantity shares (HHI = Σ share², 1/n even split → 1 single
+    * source), the top supplier's share, and the `single_source` flag:
+    * the supply-chain risk screen (HHI > 0.25 is the antitrust
+    * "highly concentrated" line; procurement reads it as "no
+    * fallback"), and the per-key twin of row 178's corpus-level
+    * concentration datasheet.
+    *
+    * Determinism: quantities on the exact 1e-4 grid; HHI = Σq_s²/(Σq)²
+    * with both sums DECIMAL(38,0)-exact, ONE pinned division 1e-6;
+    * top share the same; the flag compares exact integers
+    * (n_suppliers = 1).
+    *
+    * Scale shape: one (part, supplier) rollup + one per-part rollup
+    * with a combinable max(struct) — two shuffles at any scale. */
+  def supplierConcentration(lineitem: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val q4 = sf.floor(sf.col("l_quantity").cast("double") * 1e4 + 0.5).cast("long")
+    val per = lineitem
+      .filter(sf.col("l_partkey").isNotNull && sf.col("l_suppkey").isNotNull &&
+        sf.col("l_quantity").isNotNull)
+      .select(sf.col("l_partkey"), sf.col("l_suppkey"), q4.as("__q"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sf.sum(dec(sf.col("__q"))).cast("decimal(38,0)").as("__sq"))
+    per.groupBy("l_partkey")
+      .agg(sf.count(sf.lit(1)).as("n_suppliers"),
+        sf.sum("__sq").as("__tot"),
+        sf.sum(sf.col("__sq") * sf.col("__sq")).as("__hh"),
+        sf.max("__sq").as("__top"))
+      .select(sf.col("l_partkey"), sf.col("n_suppliers"),
+        gf.roundAt(sf.col("__tot").cast("double") / 1e4, 4).as("total_qty"),
+        sf.when(sf.col("__tot") > 0, gf.roundAt(
+          sf.col("__hh").cast("double") /
+            (sf.col("__tot") * sf.col("__tot")).cast("double"), 6)).as("hhi"),
+        sf.when(sf.col("__tot") > 0, gf.roundAt(
+          sf.col("__top").cast("double") / sf.col("__tot").cast("double"), 6))
+          .as("top_supplier_share"),
+        (sf.col("n_suppliers") === 1).as("single_source"))
+      .orderBy("l_partkey")
+  }
+
   /** Daily order-backlog series — open orders per day from the order
     * and shipment events (opened = order date, closed = the order's
     * LAST line shipment): backlog_d = Σ opened≤d − Σ closed≤d, the

@@ -4280,4 +4280,39 @@ class OperatorsSpec extends SparkFunSuite {
       vals.filter(sf.col("node") =!= 4L), "node", "price").head()
     assert(rc.getAs[Long]("n_directed_edges") == 2, rc.toString)
   }
+
+  test("StarSchema.supplierConcentration: HHI, top share, single source") {
+    val df = Seq(
+      (1L, 10L, 3.0), (1L, 11L, 1.0),  // part 1: shares 3/4, 1/4
+      (2L, 10L, 5.0))                  // part 2: single source
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val rows = StarSchema.supplierConcentration(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p1 = rows(1L)
+    // HHI = (9 + 1)/16 = 0.625, top share 0.75
+    assert(p1.getAs[Long]("n_suppliers") == 2 &&
+      p1.getAs[Double]("total_qty") == 4.0 &&
+      p1.getAs[Double]("hhi") == 0.625 &&
+      p1.getAs[Double]("top_supplier_share") == 0.75 &&
+      !p1.getAs[Boolean]("single_source"), p1.toString)
+    val p2 = rows(2L)
+    assert(p2.getAs[Double]("hhi") == 1.0 && p2.getAs[Boolean]("single_source"))
+  }
+
+  test("EventOps.audienceOverlap: Jaccard and both conditional reaches") {
+    val df = Seq(
+      (1L, 1L, "click"), (2L, 1L, "view"),
+      (3L, 2L, "click"), (4L, 2L, "view"),
+      (5L, 3L, "click"))
+      .toDF("event_id", "user_id", "event_type")
+    val r = EventOps.audienceOverlap(df).head()
+    // click audience {1,2,3}, view {1,2}: both 2
+    assert(r.getAs[String]("type_a") == "click" &&
+      r.getAs[String]("type_b") == "view")
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 2 &&
+      r.getAs[Long]("n_both") == 2, r.toString)
+    assert(r.getAs[Double]("jaccard") == 0.666667 &&
+      r.getAs[Double]("share_of_a") == 0.666667 &&
+      r.getAs[Double]("share_of_b") == 1.0, r.toString)
+  }
 }
