@@ -12467,20 +12467,21 @@ object SparkEntry {
         |  JOIN lf f3 ON f3.j = mg.c1 - ks.k
         |  JOIN lf f4 ON f4.j = mg.r2 - mg.c1 + ks.k),
         |ob AS (SELECT lp.lnp9 AS lo FROM lp JOIN mg ON lp.k = mg.a),
+        |obg AS (SELECT MAX(lp.lnp9) AS lg FROM lp CROSS JOIN mg WHERE lp.k >= mg.a),
         |tl AS (SELECT
         |  SUM(CASE WHEN lp.lnp9 <= ob.lo THEN
         |    CAST(floor(exp(CAST(lp.lnp9 - ob.lo AS DOUBLE)/1e9)*1e15 + 0.5) AS DECIMAL(38,0)) END) AS t2,
         |  SUM(CASE WHEN lp.k >= mg.a THEN
-        |    CAST(floor(exp(CAST(lp.lnp9 - ob.lo AS DOUBLE)/1e9)*1e15 + 0.5) AS DECIMAL(38,0)) END) AS tg
-        |  FROM lp CROSS JOIN ob CROSS JOIN mg)
+        |    CAST(floor(exp(CAST(lp.lnp9 - obg.lg AS DOUBLE)/1e9)*1e15 + 0.5) AS DECIMAL(38,0)) END) AS tg
+        |  FROM lp CROSS JOIN ob CROSS JOIN obg CROSS JOIN mg)
         |SELECT mg.n AS n, mg.a AS a, mg.b AS b, mg.c AS c, mg.d AS d,
         |  floor(exp(CAST(ob.lo AS DOUBLE)/1e9)*(CAST(tl.t2 AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_two_sided,
-        |  floor(exp(CAST(ob.lo AS DOUBLE)/1e9)*(CAST(tl.tg AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_greater,
+        |  floor(exp(CAST(obg.lg AS DOUBLE)/1e9)*(CAST(tl.tg AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_greater,
         |  floor(CAST(ob.lo AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS ln_p_observed,
         |  CASE WHEN mg.b*mg.c > 0 THEN
         |    floor(CAST(mg.a AS DOUBLE)*CAST(mg.d AS DOUBLE)
         |      /(CAST(mg.b AS DOUBLE)*CAST(mg.c AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS odds_ratio
-        |FROM mg CROSS JOIN ob CROSS JOIN tl""".stripMargin,
+        |FROM mg CROSS JOIN ob CROSS JOIN obg CROSS JOIN tl""".stripMargin,
 
     "q378_g_test" ->
       """WITH s AS (SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y

@@ -6152,10 +6152,16 @@ object QualityChecks {
     * [[graft.operators.StarSchema.globalPrefixSums]] — never a
     * one-task window), so every ln P(k) is an exact integer and the
     * extremeness comparison P(k) ≤ P(obs) is an exact integer
-    * comparison — no float decides tail membership. The tail masses
-    * exponentiate RELATIVE to the observed table (each term ≤ 1),
-    * snap to 1e-15 longs, sum in DECIMAL(38,0), and rescale by
-    * exp(lnP_obs) — two pinned exp calls total, outputs rounded 1e-6;
+    * comparison — no float decides tail membership. Each tail mass
+    * exponentiates RELATIVE to its OWN most-probable member (the
+    * observed table for the two-sided tail by definition; max lnP over
+    * k ≥ a for the greater tail — rescaling that one against the
+    * observed table would overflow the 1e-15 long grid whenever the
+    * observed count sits in the LOWER tail, since then the greater
+    * tail holds tables ~e^9+ times more probable), so every term is
+    * ≤ 1; terms snap to 1e-15 longs, sum in DECIMAL(38,0), and rescale
+    * by exp of the tail's own anchor — pinned exp calls only, outputs
+    * rounded 1e-6;
     * ln P(obs) is also reported raw (1e-9-exact) so tiny p-values
     * keep their magnitude.
     *
@@ -6232,19 +6238,24 @@ object QualityChecks {
     val obsRow = lnp.filter(sf.col("k") === a).collect()
     require(obsRow.nonEmpty, s"observed k=$a missing from support [$kmin,$kmax]")
     val lnpObs = obsRow(0).getLong(1)
-    val rel = sf.floor(
-      sf.exp((sf.col("__lnp9") - sf.lit(lnpObs)).cast("double") / 1e9) * 1e15 +
+    // greater-tail anchor: its own most-probable member, so every
+    // relative term is <= 1 (k = a is in the tail, so it's non-empty)
+    val lnpMaxG = lnp.filter(sf.col("k") >= a)
+      .agg(sf.max("__lnp9")).collect()(0).getLong(0)
+    def rel(anchor: Long) = sf.floor(
+      sf.exp((sf.col("__lnp9") - sf.lit(anchor)).cast("double") / 1e9) * 1e15 +
         0.5).cast("long")
     val tails = lnp.agg(
-      sf.sum(sf.when(sf.col("__lnp9") <= lnpObs, dec(rel))).as("__t2"),
-      sf.sum(sf.when(sf.col("k") >= a, dec(rel))).as("__tg"))
+      sf.sum(sf.when(sf.col("__lnp9") <= lnpObs, dec(rel(lnpObs)))).as("__t2"),
+      sf.sum(sf.when(sf.col("k") >= a, dec(rel(lnpMaxG)))).as("__tg"))
     val pObs = sf.exp(sf.lit(lnpObs).cast("double") / 1e9)
+    val pMaxG = sf.exp(sf.lit(lnpMaxG).cast("double") / 1e9)
     tails.select(
       sf.lit(n).as("n"), sf.lit(a).as("a"), sf.lit(b).as("b"),
       sf.lit(c).as("c"), sf.lit(d).as("d"),
       gf.roundAt(pObs * (sf.col("__t2").cast("double") / 1e15), 6)
         .as("p_two_sided"),
-      gf.roundAt(pObs * (sf.col("__tg").cast("double") / 1e15), 6)
+      gf.roundAt(pMaxG * (sf.col("__tg").cast("double") / 1e15), 6)
         .as("p_greater"),
       gf.roundAt(sf.lit(lnpObs).cast("double") / 1e9, 6).as("ln_p_observed"),
       sf.when(sf.lit(b * c) > 0, gf.roundAt(

@@ -1035,8 +1035,10 @@ object EventOps {
                            binSec: Long = 86400L): DataFrame = {
     require(lookbackSec >= 1 && binSec >= 1,
       s"need lookbackSec, binSec >= 1, got $lookbackSec, $binSec")
-    require(lookbackSec / binSec <= 62,
-      s"lookback spans ${lookbackSec / binSec} bins; 2^d weights need <= 62")
+    require(lookbackSec / binSec <= 29,
+      s"lookback spans ${lookbackSec / binSec} bins; the exact integer " +
+        "weight grid 1e9 div 2^d is zero from d = 30, which would strand " +
+        "all-stale conversions on a zero weight sum — need <= 29 bins")
     val micros = sf.unix_micros(sf.col("ts"))
     val binW = binSec * 1000000L
     val lookbackMicros = lookbackSec * 1000000L

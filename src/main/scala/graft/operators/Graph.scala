@@ -760,10 +760,13 @@ object Graph {
     * construction, so one Pearson over directed edges is the standard
     * estimator.
     *
-    * Determinism: attributes ride the exact 1e-4 grid; the five edge
-    * sums are DECIMAL(38,0); r is ONE pinned assembly 1e-6. Unlabeled
-    * endpoints drop (complete-case); zero variance on either margin →
-    * NULL.
+    * Determinism: attributes ride the exact 1e-4 grid; a node carrying
+    * several distinct attribute values collapses to its MINIMUM grid
+    * value (one value per node — joining the raw pair-distinct table
+    * would duplicate every incident edge per extra value and bias all
+    * five sums); the five edge sums are DECIMAL(38,0); r is ONE pinned
+    * assembly 1e-6. Unlabeled endpoints drop (complete-case); zero
+    * variance on either margin → NULL.
     *
     * Scale shape: two value-attach equi joins on the edge list + one
     * combinable five-sum rollup — the row 306 plan with values in
@@ -773,7 +776,8 @@ object Graph {
     def dec(c: Column) = c.cast("decimal(38,0)")
     val v4 = sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
     val vals = values.filter(sf.col(valueCol).isNotNull)
-      .select(sf.col(nodeCol).as("__node"), v4.as("__v")).distinct()
+      .select(sf.col(nodeCol).as("__node"), v4.as("__v"))
+      .groupBy("__node").agg(sf.min("__v").as("__v"))
     edges
       .join(vals.select(sf.col("__node").as("src"), sf.col("__v").as("__x")), "src")
       .join(vals.select(sf.col("__node").as("dst"), sf.col("__v").as("__y")), "dst")

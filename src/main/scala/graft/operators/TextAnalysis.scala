@@ -1190,7 +1190,10 @@ object TextAnalysis {
       sf.octet_length(t).cast("long").as("__by"),
       cnt("[\\x{0300}-\\x{036F}]").as("__comb"),
       cnt("[\\x{200B}-\\x{200D}\\x{FEFF}]").as("__zw"),
-      cnt("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]")
+      // NUL (U+0000) is deliberately excluded: the DuckDB oracle can't
+      // embed it in a pattern literal, and a NUL in text is upstream
+      // ingestion damage the mojibake audit (row 254) owns anyway
+      cnt("[\\x{0001}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]")
         .as("__ctl"))
     per.groupBy("source")
       .agg(sf.count(sf.lit(1)).as("n_docs"),

@@ -3582,6 +3582,19 @@ class OperatorsSpec extends SparkFunSuite {
       QualityChecks.fisherExact(
         df.union(Seq(("c", true)).toDF("arm", "success")), "arm", "success")
     }
+    // observed count in the LOWER tail: a=0 b=10 / c=10 d=0 — the
+    // greater tail spans the whole support and holds tables up to
+    // C(10,5)^2 = 63504x more probable than the observed one, which
+    // overflowed the old observed-anchored 1e-15 long grid; anchored
+    // at its own max the sum is exactly the full mass, p_greater = 1
+    val lo = (Seq.fill(10)(("a", false)) ++ Seq.fill(10)(("b", true)))
+      .toDF("arm", "success")
+    val rl = QualityChecks.fisherExact(lo, "arm", "success").head()
+    assert(math.abs(rl.getAs[Double]("p_greater") - 1.0) < 2e-6, rl.toString)
+    // two-sided tail at the most extreme table: only the two corner
+    // tables k=0, k=10 are <= P(obs): p = 2/C(20,10)
+    assert(math.abs(rl.getAs[Double]("p_two_sided") - 2.0 / 184756) < 2e-6,
+      rl.toString)
   }
 
   test("QualityChecks.gTest: perfect 2x2 diagonal gives 40 ln 2") {
@@ -4279,6 +4292,12 @@ class OperatorsSpec extends SparkFunSuite {
     val rc = Graph.numericAssortativity(homo,
       vals.filter(sf.col("node") =!= 4L), "node", "price").head()
     assert(rc.getAs[Long]("n_directed_edges") == 2, rc.toString)
+    // a node with two distinct values collapses to its MIN — each edge
+    // still joins exactly once (no per-value edge duplication)
+    val rd = Graph.numericAssortativity(homo,
+      vals.union(Seq((1L, 99.0)).toDF("node", "price")), "node", "price").head()
+    assert(rd.getAs[Long]("n_directed_edges") == 4 &&
+      rd.getAs[Double]("assortativity") == 1.0, rd.toString)
   }
 
   test("StarSchema.supplierConcentration: HHI, top share, single source") {
