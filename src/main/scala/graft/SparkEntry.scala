@@ -3011,6 +3011,25 @@ object SparkEntry {
     "q428_audience_overlap" -> ((s, dir) =>
       EventOps.audienceOverlap(Tables.load(s, dir, "events"))),
 
+    // Cohort LTV curve: cumulative purchase revenue per cohort member
+    // by week age — the payback readout beside the q85 retention.
+    "q429_cohort_ltv" -> ((s, dir) =>
+      EventOps.cohortLtv(Tables.load(s, dir, "events"))),
+
+    // Price-volume bridge per brand: the FP&A revenue-change
+    // waterfall — price, volume, cross effects in currency.
+    "q430_price_volume" -> ((s, dir) =>
+      StarSchema.priceVolumeBridge(
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "part"),
+            sf.col("l_partkey") === sf.col("p_partkey")),
+        "p_brand", "l_shipdate", "l_quantity", "l_extendedprice")),
+
+    // Shewhart I-MR chart + Western Electric rules per event type:
+    // exact integer zone tests over the daily gap-filled grid.
+    "q431_shewhart" -> ((s, dir) =>
+      EventOps.shewhartChart(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -13773,5 +13792,129 @@ object SparkEntry {
         |  floor(CAST(n_both AS DOUBLE)/CAST(tb.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share_of_b
         |FROM bo JOIN tot ta ON bo.type_a = ta.t JOIN tot tb ON bo.type_b = tb.t
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q429_cohort_ltv" ->
+      """WITH b AS (SELECT user_id AS u,
+        |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w,
+        |  event_type, value FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, MIN(w) AS cohort FROM b GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1),
+        |mx AS (SELECT MAX(w) AS maxwk FROM b),
+        |rv AS (SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, b.w) // 7 AS INT) AS week_offset,
+        |    SUM(CAST(CAST(CAST(b.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS rc
+        |  FROM b JOIN f ON b.u = f.u
+        |  WHERE b.event_type = 'purchase' AND b.value IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT sz.cohort, sz.cohort_users,
+        |    unnest([i FOR i IN range(0, CAST(date_diff('day', sz.cohort, mx.maxwk) // 7 AS INT) + 1)]) AS week_offset
+        |  FROM sz CROSS JOIN mx),
+        |j AS (SELECT g.cohort, g.week_offset, g.cohort_users,
+        |    COALESCE(rv.rc, 0) AS rc0
+        |  FROM g LEFT JOIN rv ON g.cohort = rv.cohort AND g.week_offset = rv.week_offset),
+        |c AS (SELECT cohort, week_offset, cohort_users, rc0,
+        |    SUM(rc0) OVER (PARTITION BY cohort ORDER BY week_offset) AS cum FROM j)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset, cohort_users,
+        |  floor(CAST(rc0 AS DOUBLE)/100*100.0 + 0.5)/100.0 AS revenue,
+        |  floor(CAST(cum AS DOUBLE)/100*100.0 + 0.5)/100.0 AS cum_revenue,
+        |  floor(CAST(cum AS DOUBLE)/(CAST(cohort_users AS DOUBLE)*100.0)*1000000.0 + 0.5)/1000000.0 AS cum_ltv_per_user
+        |FROM c ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q430_price_volume" ->
+      """WITH r AS (SELECT CAST(p.p_brand AS VARCHAR) AS grp,
+        |    epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) AS us,
+        |    CAST(floor(CAST(l.l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS q4,
+        |    CAST(floor(CAST(l.l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS r2c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate IS NOT NULL AND p.p_brand IS NOT NULL
+        |    AND CAST(l.l_quantity AS DOUBLE) > 0 AND l.l_extendedprice IS NOT NULL),
+        |ct AS (SELECT (min(us) + max(us)) // 2 AS cut FROM r),
+        |per AS (SELECT grp, CASE WHEN us >= ct.cut THEN 1 ELSE 0 END AS p,
+        |    CAST(SUM(CAST(r2c AS DECIMAL(38,0))) AS BIGINT) AS rv,
+        |    CAST(SUM(CAST(q4 AS DECIMAL(38,0))) AS BIGINT) AS qv
+        |  FROM r CROSS JOIN ct GROUP BY 1, 2),
+        |bb AS (SELECT COALESCE(a.grp, c.grp) AS grp,
+        |    COALESCE(a.rv, 0) AS r0, COALESCE(a.qv, 0) AS q0,
+        |    COALESCE(c.rv, 0) AS r1, COALESCE(c.qv, 0) AS q1
+        |  FROM (SELECT * FROM per WHERE p = 0) a
+        |  FULL OUTER JOIN (SELECT * FROM per WHERE p = 1) c ON a.grp = c.grp)
+        |SELECT grp AS p_brand,
+        |  floor(CAST(r0 AS DOUBLE)/100*100.0 + 0.5)/100.0 AS revenue_p0,
+        |  floor(CAST(r1 AS DOUBLE)/100*100.0 + 0.5)/100.0 AS revenue_p1,
+        |  floor(CAST(r1 - r0 AS DOUBLE)/100*100.0 + 0.5)/100.0 AS delta_revenue,
+        |  CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |    floor(((CAST(r1 AS DOUBLE)/100.0)/(CAST(q1 AS DOUBLE)/1e4)
+        |         - (CAST(r0 AS DOUBLE)/100.0)/(CAST(q0 AS DOUBLE)/1e4))
+        |      * (CAST(q0 AS DOUBLE)/1e4) * 10000.0 + 0.5)/10000.0 END AS price_effect,
+        |  CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |    floor((CAST(r0 AS DOUBLE)/100.0)/(CAST(q0 AS DOUBLE)/1e4)
+        |      * (CAST(q1 - q0 AS DOUBLE)/1e4) * 10000.0 + 0.5)/10000.0 END AS volume_effect,
+        |  CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |    floor(((CAST(r1 AS DOUBLE)/100.0)/(CAST(q1 AS DOUBLE)/1e4)
+        |         - (CAST(r0 AS DOUBLE)/100.0)/(CAST(q0 AS DOUBLE)/1e4))
+        |      * (CAST(q1 - q0 AS DOUBLE)/1e4) * 10000.0 + 0.5)/10000.0 END AS cross_effect
+        |FROM bb ORDER BY p_brand""".stripMargin,
+
+    "q431_shewhart" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bd AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bd.lo, bd.hi)) AS bin FROM bd) gs),
+        |v AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |lg AS (SELECT t, bin, v, lag(v) OVER (PARTITION BY t ORDER BY bin) AS pv FROM v),
+        |st AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |    CAST(COALESCE(SUM(CASE WHEN pv IS NOT NULL THEN abs(v - pv) END), 0) AS BIGINT) AS mr,
+        |    CAST(SUM(CASE WHEN pv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |  FROM lg GROUP BY 1),
+        |pt AS (SELECT v.t, v.bin, st.n, st.s, st.mr, st.m,
+        |    CAST(v.v AS HUGEINT) * st.n - st.s AS d
+        |  FROM v JOIN st ON v.t = st.t),
+        |z AS (SELECT t, bin,
+        |    CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END AS side,
+        |    CASE WHEN abs(d) * 1128 * m > 3000 * CAST(mr AS HUGEINT) * n THEN 1 ELSE 0 END AS b3,
+        |    CASE WHEN abs(d) * 1128 * m > 2000 * CAST(mr AS HUGEINT) * n THEN 1 ELSE 0 END AS b2,
+        |    CASE WHEN abs(d) * 1128 * m > 1000 * CAST(mr AS HUGEINT) * n THEN 1 ELSE 0 END AS b1
+        |  FROM pt),
+        |zz AS (SELECT t, bin, side, b3,
+        |    CASE WHEN b2 = 1 AND side <> 0 THEN side ELSE 0 END AS z2,
+        |    CASE WHEN b1 = 1 AND side <> 0 THEN side ELSE 0 END AS z1
+        |  FROM z),
+        |rl AS (SELECT t, b3 AS r1,
+        |    CASE WHEN z2 = side AND side <> 0 AND
+        |      (lag(z2, 1, 0) OVER w = side OR lag(z2, 2, 0) OVER w = side)
+        |      THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN z1 = side AND side <> 0 AND
+        |      ((CASE WHEN lag(z1, 1, 0) OVER w = side THEN 1 ELSE 0 END) +
+        |       (CASE WHEN lag(z1, 2, 0) OVER w = side THEN 1 ELSE 0 END) +
+        |       (CASE WHEN lag(z1, 3, 0) OVER w = side THEN 1 ELSE 0 END) +
+        |       (CASE WHEN lag(z1, 4, 0) OVER w = side THEN 1 ELSE 0 END)) >= 3
+        |      THEN 1 ELSE 0 END AS r3,
+        |    CASE WHEN side <> 0 AND lag(side, 1, 0) OVER w = side
+        |      AND lag(side, 2, 0) OVER w = side AND lag(side, 3, 0) OVER w = side
+        |      AND lag(side, 4, 0) OVER w = side AND lag(side, 5, 0) OVER w = side
+        |      AND lag(side, 6, 0) OVER w = side AND lag(side, 7, 0) OVER w = side
+        |      THEN 1 ELSE 0 END AS r4
+        |  FROM zz WINDOW w AS (PARTITION BY t ORDER BY bin)),
+        |rc AS (SELECT t, CAST(SUM(r1) AS BIGINT) AS r1, CAST(SUM(r2) AS BIGINT) AS r2,
+        |    CAST(SUM(r3) AS BIGINT) AS r3, CAST(SUM(r4) AS BIGINT) AS r4,
+        |    CAST(SUM(greatest(r1, r2, r3, r4)) AS BIGINT) AS nf
+        |  FROM rl GROUP BY 1)
+        |SELECT st.t AS event_type, st.n AS n_bins,
+        |  floor(CAST(st.s AS DOUBLE)/CAST(st.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mean,
+        |  CASE WHEN st.m > 0 THEN
+        |    floor(CAST(st.mr AS DOUBLE)/CAST(st.m AS DOUBLE)/1.128*1000000.0 + 0.5)/1000000.0 END AS sigma_hat,
+        |  CASE WHEN st.m > 0 THEN
+        |    floor((CAST(st.s AS DOUBLE)/CAST(st.n AS DOUBLE)
+        |      + 3.0*(CAST(st.mr AS DOUBLE)/CAST(st.m AS DOUBLE)/1.128))*1000000.0 + 0.5)/1000000.0 END AS ucl,
+        |  CASE WHEN st.m > 0 THEN
+        |    floor((CAST(st.s AS DOUBLE)/CAST(st.n AS DOUBLE)
+        |      - 3.0*(CAST(st.mr AS DOUBLE)/CAST(st.m AS DOUBLE)/1.128))*1000000.0 + 0.5)/1000000.0 END AS lcl,
+        |  rc.r1 AS r1_beyond_3sigma, rc.r2 AS r2_2of3_beyond_2sigma,
+        |  rc.r3 AS r3_4of5_beyond_1sigma, rc.r4 AS r4_8_same_side,
+        |  rc.nf AS n_flagged
+        |FROM st JOIN rc ON st.t = rc.t
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -293,6 +293,71 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Weekly cohort LTV (lifetime-value) curve — the REVENUE twin of
+    * [[retentionCohorts]]: users grouped by first-activity week, their
+    * `revenueType` value summed per week offset from the cohort, and
+    * accumulated into the cumulative-revenue-per-cohort-member curve
+    * ("a January signup is worth $X by week 8") that retention counts
+    * alone can't give — the payback-period readout growth teams put
+    * beside the retention matrix. Offsets are DENSE from 0 to each
+    * cohort's observable horizon (corpus max week), so a quiet week
+    * reads as a flat step, not a missing row.
+    *
+    * Determinism: revenue rides exact cents (DECIMAL(18,2)·100
+    * longs) summed in DECIMAL(38,0); the cumulative is a per-cohort
+    * ordered window over the dense offset domain; the per-member
+    * curve is ONE pinned double division rounded 1e-6 (money 1e-2).
+    *
+    * Scale shape: one first-event rollup (map-side combinable min),
+    * one keyed cohort attach on the revenue rows, one (cohort,
+    * offset) rollup; the dense grid is cohorts × offsets — a
+    * WEEK-DOMAIN square generated from one broadcast scalar, never
+    * row-scale — and the cumulative window partitions on the bounded
+    * cohort-week domain. Raw events shuffle once. */
+  def cohortLtv(events: DataFrame, keyCol: String = "user_id",
+                tsCol: String = "ts", valueCol: String = "value",
+                typeCol: String = "event_type",
+                revenueType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val wk = sf.to_date(sf.date_trunc("week", sf.col(tsCol)))
+    val base = events.filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
+    val firsts = base.groupBy(sf.col(keyCol).as("__u"))
+      .agg(sf.min(wk).as("__cohort"))
+      .localCheckpoint(true) // sizes + the revenue attach read it
+    val sizes = firsts.groupBy("__cohort")
+      .agg(sf.count(sf.lit(1)).as("cohort_users"))
+    val horizon = base.agg(sf.max(wk).as("__maxwk"))
+    val rev = base.filter(sf.col(typeCol) === revenueType &&
+        sf.col(valueCol).isNotNull)
+      .select(sf.col(keyCol).as("__ru"), wk.as("__wk"),
+        (sf.col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("__cents"))
+      .join(firsts, sf.col("__ru") === sf.col("__u"))
+      .groupBy(sf.col("__cohort"),
+        (sf.datediff(sf.col("__wk"), sf.col("__cohort")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(sf.sum(dec(sf.col("__cents"))).as("__rc"))
+    val grid = sizes.crossJoin(sf.broadcast(horizon))
+      .select(sf.col("__cohort"), sf.col("cohort_users"),
+        sf.explode(sf.sequence(sf.lit(0),
+          (sf.datediff(sf.col("__maxwk"), sf.col("__cohort")) / 7).cast("int")))
+          .as("week_offset"))
+    val w = Window.partitionBy("__cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(rev, Seq("__cohort", "week_offset"), "left")
+      .withColumn("__rc0",
+        sf.coalesce(sf.col("__rc"), sf.lit(0).cast("decimal(38,0)")))
+      .withColumn("__cum", sf.sum("__rc0").over(w))
+      .select(sf.date_format(sf.col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+        sf.col("week_offset"), sf.col("cohort_users"),
+        gf.roundAt(sf.col("__rc0").cast("double") / 100, 2).as("revenue"),
+        gf.roundAt(sf.col("__cum").cast("double") / 100, 2).as("cum_revenue"),
+        gf.roundAt(sf.col("__cum").cast("double") /
+          (sf.col("cohort_users").cast("double") * 100.0), 6)
+          .as("cum_ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Binned interval (range) join: each `points` row paired with every
     * `intervals` row whose [lo, hi] contains it (inclusive ends;
     * intervals with hi < lo drop). All three operands are LONG columns
@@ -3232,6 +3297,102 @@ object EventOps {
         (sf.col("__sig9") > 0 && sf.col("__sm") > sf.col("__h9"))
           .cast("int").as("alarm_down"))
       .orderBy(typeCol, "bin")
+  }
+
+  /** Shewhart individuals control chart + Western Electric run rules
+    * (Shewhart 1931; Western Electric 1956) per event type over the
+    * [[denseSeries]] gap-filled count grid — the ZONE-RULE monitor
+    * beside [[cusumChart]]'s drift detector: sigma comes from the
+    * AVERAGE MOVING RANGE (MR̄/d₂, d₂ = 1.128 — the I-MR convention,
+    * robust to the very shifts being hunted, where [[cusumChart]]'s
+    * pooled σ is inflated by them), and the four classic rules fire
+    * on zone patterns: R1 a point beyond 3σ, R2 two of three
+    * consecutive beyond 2σ same side, R3 four of five beyond 1σ same
+    * side, R4 eight consecutive on one side of center. Reported as a
+    * per-type summary datasheet (center, σ̂, limits, rule counts).
+    *
+    * Determinism: ZONE MEMBERSHIP IS AN EXACT INTEGER TEST — the
+    * point's deviation d = v·n − Σv and the k·σ bound cross-multiply
+    * to |d|·1128·m > k·1000·MR_sum·n in DECIMAL(38,0) (d₂ = 1128/1000
+    * exactly), so no float ever decides a zone; run rules are
+    * bounded-lag comparisons of those exact flags; center/σ̂/limits
+    * are display-only pinned divisions rounded 1e-6. A constant
+    * series (MR_sum = 0) or a single-bin grid flags nothing and
+    * reports NULL σ̂/limits.
+    *
+    * Scale shape: the grid builds once and checkpoints; one lag pass
+    * + one combinable moments rollup + a broadcast moments attach +
+    * bounded-lag windows per TYPE over the maxBins-bounded bin domain
+    * — nothing row-scale shuffles twice. */
+  def shewhartChart(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", binSec: Long = 86400): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // moments + the zone pass read it
+    val wo = Window.partitionBy("t").orderBy("bin")
+    val stats = g.withColumn("__pv", sf.lag("v", 1).over(wo))
+      .groupBy("t").agg(
+        sf.count(sf.lit(1)).as("__n"),
+        sf.sum(dec(sf.col("v"))).as("__s"),
+        sf.sum(sf.when(sf.col("__pv").isNotNull,
+          dec(sf.abs(sf.col("v") - sf.col("__pv"))))).as("__mr"),
+        sf.sum(sf.when(sf.col("__pv").isNotNull, 1L).otherwise(0L)).as("__m"))
+    val pts = g.join(sf.broadcast(stats), "t")
+      .withColumn("__d", dec(sf.col("v")) * dec(sf.col("__n")) - sf.col("__s"))
+      .withColumn("__side", sf.when(sf.col("__d") > 0, 1)
+        .when(sf.col("__d") < 0, -1).otherwise(0))
+    def beyond(k: Int) = sf.abs(sf.col("__d")) * 1128 * dec(sf.col("__m")) >
+      dec(sf.lit(k * 1000)) * sf.coalesce(sf.col("__mr"), dec(sf.lit(0))) *
+        dec(sf.col("__n"))
+    // signed zone markers: ±1 when beyond kσ on that side, else 0
+    def marker(cond: Column) = sf.when(cond && sf.col("__side") =!= 0,
+      sf.col("__side")).otherwise(0)
+    val flagged = pts
+      .withColumn("__b3", beyond(3))
+      .withColumn("__z2", marker(beyond(2)))
+      .withColumn("__z1", marker(beyond(1)))
+      .withColumn("__r1", sf.col("__b3").cast("int"))
+      .withColumn("__r2", (sf.col("__z2") === sf.col("__side") &&
+        sf.col("__side") =!= 0 &&
+        (sf.lag("__z2", 1, 0).over(wo) === sf.col("__side") ||
+         sf.lag("__z2", 2, 0).over(wo) === sf.col("__side"))).cast("int"))
+      .withColumn("__r3", (sf.col("__z1") === sf.col("__side") &&
+        sf.col("__side") =!= 0 &&
+        ((sf.lag("__z1", 1, 0).over(wo) === sf.col("__side")).cast("int") +
+         (sf.lag("__z1", 2, 0).over(wo) === sf.col("__side")).cast("int") +
+         (sf.lag("__z1", 3, 0).over(wo) === sf.col("__side")).cast("int") +
+         (sf.lag("__z1", 4, 0).over(wo) === sf.col("__side")).cast("int")) >= 3)
+        .cast("int"))
+      .withColumn("__r4", (sf.col("__side") =!= 0 &&
+        (1 to 7).map(i => sf.lag("__side", i, 0).over(wo) === sf.col("__side"))
+          .reduce(_ && _)).cast("int"))
+    flagged.groupBy("t").agg(
+        sf.max("__n").as("n_bins"),
+        sf.max("__s").as("__s1"), sf.max("__mr").as("__mr1"),
+        sf.max("__m").as("__m1"),
+        sf.sum("__r1").cast("long").as("r1_beyond_3sigma"),
+        sf.sum("__r2").cast("long").as("r2_2of3_beyond_2sigma"),
+        sf.sum("__r3").cast("long").as("r3_4of5_beyond_1sigma"),
+        sf.sum("__r4").cast("long").as("r4_8_same_side"),
+        sf.sum(sf.greatest(sf.col("__r1"), sf.col("__r2"), sf.col("__r3"),
+          sf.col("__r4"))).cast("long").as("n_flagged"))
+      .select({
+        val mean = sf.col("__s1").cast("double") / sf.col("n_bins").cast("double")
+        val sig = sf.col("__mr1").cast("double") /
+          sf.col("__m1").cast("double") / 1.128
+        val ok = sf.col("__m1") > 0
+        Seq(sf.col("t").as(typeCol), sf.col("n_bins"),
+          gf.roundAt(mean, 6).as("mean"),
+          sf.when(ok, gf.roundAt(sig, 6)).as("sigma_hat"),
+          sf.when(ok, gf.roundAt(mean + sf.lit(3.0) * sig, 6)).as("ucl"),
+          sf.when(ok, gf.roundAt(mean - sf.lit(3.0) * sig, 6)).as("lcl"),
+          sf.col("r1_beyond_3sigma"), sf.col("r2_2of3_beyond_2sigma"),
+          sf.col("r3_4of5_beyond_1sigma"), sf.col("r4_8_same_side"),
+          sf.col("n_flagged"))
+      }: _*)
+      .orderBy(typeCol)
   }
 
   /** Steady-state Holt linear weights: (level, trend) convolution

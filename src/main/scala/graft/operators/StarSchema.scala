@@ -698,6 +698,73 @@ object StarSchema {
     }: _*)
   }
 
+  /** Price–volume bridge per group between the halves of the data's
+    * time range — the FP&A revenue-change decomposition the index
+    * trinity ([[priceIndices]]) deliberately abstracts away from:
+    * for each group (brand, segment, …), ΔRevenue splits into a
+    * PRICE effect (Δp̄ · q₀ — what repricing the old volume costs),
+    * a VOLUME effect (p̄₀ · Δq — what the volume change is worth at
+    * old prices) and the joint CROSS effect (Δp̄ · Δq), which sum
+    * back to ΔRevenue — the waterfall chart behind every "why is
+    * revenue up 7%" review, in currency, not index points.
+    *
+    * Determinism: the period cut is (min+max)/2 of the exact epoch
+    * range (integer division, the row 459 convention); per-(group,
+    * period) revenue/quantity sums are exact cents / 1e-4 integers;
+    * unit prices and the three effects are ONE pinned double assembly
+    * each, rounded 1e-4 (revenues 1e-2; ΔRevenue is an exact integer
+    * difference). A group traded in only one period reports its
+    * revenues and exact ΔRevenue with NULL effects (no fake price on
+    * an absent basket — the new/exited-line rows of the waterfall).
+    *
+    * Scale shape: one combinable (group, period) rollup over the fact
+    * scan + a group-domain self full-outer join + a map-only finish —
+    * the row 459 plan with the matched-model filter relaxed. */
+  def priceVolumeBridge(df: DataFrame, groupCol: String, tsCol: String,
+                        qtyCol: String, amountCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rows = df.filter(sf.col(tsCol).isNotNull && sf.col(groupCol).isNotNull &&
+        sf.col(qtyCol).cast("double") > 0 && sf.col(amountCol).isNotNull)
+      .select(sf.col(groupCol).cast("string").as("grp"),
+        sf.unix_micros(sf.col(tsCol).cast("timestamp")).as("us"),
+        sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5).cast("long").as("q4"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long")
+          .as("r2c"))
+      .localCheckpoint(true) // bounds + the per-period rollup read it
+    val cut = rows.agg(
+      sf.expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").as("__cut"))
+    val per = rows.crossJoin(sf.broadcast(cut))
+      .withColumn("__p", (sf.col("us") >= sf.col("__cut")).cast("int"))
+      .groupBy("grp", "__p")
+      .agg(sf.sum(dec(sf.col("r2c"))).cast("long").as("rv"),
+        sf.sum(dec(sf.col("q4"))).cast("long").as("qv"))
+    val both = per.filter(sf.col("__p") === 0)
+      .select(sf.col("grp"), sf.col("rv").as("r0"), sf.col("qv").as("q0"))
+      .join(per.filter(sf.col("__p") === 1)
+        .select(sf.col("grp"), sf.col("rv").as("r1"), sf.col("qv").as("q1")),
+        Seq("grp"), "full_outer")
+    both.select({
+      def d(name: String) = sf.coalesce(sf.col(name), sf.lit(0L))
+      val pbar0 = (d("r0").cast("double") / 100.0) /
+        (d("q0").cast("double") / 1e4)
+      val pbar1 = (d("r1").cast("double") / 100.0) /
+        (d("q1").cast("double") / 1e4)
+      val dp = pbar1 - pbar0
+      val dq = (d("q1") - d("q0")).cast("double") / 1e4
+      val ok = d("q0") > 0L && d("q1") > 0L
+      Seq(sf.col("grp").as(groupCol),
+        gf.roundAt(d("r0").cast("double") / 100, 2).as("revenue_p0"),
+        gf.roundAt(d("r1").cast("double") / 100, 2).as("revenue_p1"),
+        gf.roundAt((d("r1") - d("r0")).cast("double") / 100, 2)
+          .as("delta_revenue"),
+        sf.when(ok, gf.roundAt(dp * (d("q0").cast("double") / 1e4), 4))
+          .as("price_effect"),
+        sf.when(ok, gf.roundAt(pbar0 * dq, 4)).as("volume_effect"),
+        sf.when(ok, gf.roundAt(dp * dq, 4)).as("cross_effect"))
+    }: _*)
+      .orderBy(groupCol)
+  }
+
   /** Period-over-period revenue deltas — monthly totals with
     * month-over-month and year-over-year changes, the first page of
     * every revenue review: MoM catches operational shifts, YoY reads

@@ -3690,6 +3690,82 @@ class OperatorsSpec extends SparkFunSuite {
       got.toString)
   }
 
+  test("EventOps.cohortLtv: dense offsets, cumulative per-member curve") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-02 10:00:00", 1L, "purchase", 10.0),
+      (3L, "2024-01-09 10:00:00", 1L, "purchase", 5.5),
+      (4L, "2024-01-08 09:00:00", 2L, "signup", 0.0),
+      (5L, "2024-01-10 09:00:00", 2L, "purchase", 2.0),
+      (6L, "2024-01-10 12:00:00", 2L, "click", 99.0)) // not revenue
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"), sf.col("value"))
+    val got = EventOps.cohortLtv(df).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    // cohort 01-01 (u1): 10.00 then 5.50; cohort 01-08 (u2): 2.00 only
+    assert(got == Seq(
+      ("2024-01-01", 0, 1L, 10.0, 10.0, 10.0),
+      ("2024-01-01", 1, 1L, 5.5, 15.5, 15.5),
+      ("2024-01-08", 0, 1L, 2.0, 2.0, 2.0)), got.toString)
+  }
+
+  test("StarSchema.priceVolumeBridge: effects sum to delta, one-period NULL") {
+    val df = Seq(
+      ("A", "2024-01-01 00:00:00", 10.0, 100.0), // p0: pbar 10
+      ("A", "2024-01-20 00:00:00", 5.0, 75.0),   // p1: pbar 15
+      ("B", "2024-01-19 00:00:00", 2.0, 30.0),   // p1 only
+      ("A", null, 1.0, 1.0),                     // null ts drops
+      ("A", "2024-01-02 00:00:00", 0.0, 50.0))   // zero qty drops
+      .toDF("brand", "ts_s", "qty", "amt")
+      .select(sf.col("brand"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("qty"), sf.col("amt"))
+    val got = StarSchema.priceVolumeBridge(df, "brand", "ts", "qty", "amt")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Double]("revenue_p0") == 100.0 &&
+      a.getAs[Double]("revenue_p1") == 75.0 &&
+      a.getAs[Double]("delta_revenue") == -25.0, a.toString)
+    // dp = 5, q0 = 10, dq = -5: +50 - 50 - 25 = -25 = delta exactly
+    assert(a.getAs[Double]("price_effect") == 50.0 &&
+      a.getAs[Double]("volume_effect") == -50.0 &&
+      a.getAs[Double]("cross_effect") == -25.0, a.toString)
+    val b = got("B")
+    assert(b.getAs[Double]("revenue_p0") == 0.0 &&
+      b.getAs[Double]("delta_revenue") == 30.0 &&
+      b.isNullAt(b.fieldIndex("price_effect")), b.toString)
+  }
+
+  test("EventOps.shewhartChart: exact zones, WE rule counts on 8x1+9") {
+    val ts = (1 to 9).map(d => s"2024-01-0$d 12:00:00")
+    // type a: one event/day for 8 days, then a 9-event day;
+    // type b: constant one event/day (MR sum 0 -> nothing flags)
+    val rows = ts.take(8).map(t => (t, "a", 0.0)) ++
+      Seq.fill(9)((ts(8), "a", 0.0)) ++ ts.map(t => (t, "b", 0.0))
+    val df = rows.toDF("ts_s", "event_type", "value")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("event_type"), sf.col("value"))
+    val got = EventOps.shewhartChart(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ra = got("a")
+    // the 1-days sit JUST beyond 1 sigma low: 8*1128*8 = 72192 > 72000
+    // - the zone call is decided by exact integers, not floats
+    assert(ra.getAs[Long]("n_bins") == 9 &&
+      ra.getAs[Long]("r1_beyond_3sigma") == 1 &&
+      ra.getAs[Long]("r2_2of3_beyond_2sigma") == 0 &&
+      ra.getAs[Long]("r3_4of5_beyond_1sigma") == 5 &&
+      ra.getAs[Long]("r4_8_same_side") == 1 &&
+      ra.getAs[Long]("n_flagged") == 6, ra.toString)
+    assert(ra.getAs[Double]("mean") == math.floor(17.0 / 9 * 1e6 + 0.5) / 1e6)
+    assert(ra.getAs[Double]("sigma_hat") ==
+      math.floor(8.0 / 8 / 1.128 * 1e6 + 0.5) / 1e6, ra.toString)
+    val rb = got("b")
+    assert(rb.getAs[Double]("sigma_hat") == 0.0 &&
+      rb.getAs[Double]("ucl") == 1.0 &&
+      rb.getAs[Long]("n_flagged") == 0, rb.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
