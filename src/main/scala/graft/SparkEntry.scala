@@ -3030,6 +3030,28 @@ object SparkEntry {
     "q431_shewhart" -> ((s, dir) =>
       EventOps.shewhartChart(Tables.load(s, dir, "events"))),
 
+    // Exact sign test on the q422 pairing: the distribution-free
+    // floor of the paired ladder, exact binomial tails.
+    "q432_sign_test" -> ((s, dir) =>
+      QualityChecks.signTestExact(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "value", "click", "view")),
+
+    // Sample entropy per event type: amplitude-aware regularity
+    // beside q426's ordinal permutation entropy.
+    "q433_sampen" -> ((s, dir) =>
+      EventOps.sampleEntropy(Tables.load(s, dir, "events"))),
+
+    // HBOS multivariate outlier screen on orders (price x order day):
+    // deterministic histogram-density scores, exact integer top-k.
+    "q434_hbos" -> ((s, dir) =>
+      QualityChecks.hbosOutliers(
+        Tables.load(s, dir, "orders")
+          .filter(sf.col("o_orderdate").isNotNull)
+          .withColumn("o_day",
+            sf.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+              " div 86400000000").cast("double")),
+        "o_orderkey", Seq("o_totalprice", "o_day"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -13916,5 +13938,101 @@ object SparkEntry {
         |  rc.nf AS n_flagged
         |FROM st JOIN rc ON st.t = rc.t
         |ORDER BY event_type""".stripMargin,
+
+    "q432_sign_test" ->
+      """WITH per AS (SELECT user_id AS k, event_type AS c,
+        |    SUM(CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'view') GROUP BY 1, 2),
+        |mm AS (SELECT k, c, CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1e4 AS m FROM per),
+        |pd AS (SELECT CAST(floor((a.m - b.m)*1e6 + 0.5) AS BIGINT) AS d6
+        |  FROM mm a JOIN mm b ON a.k = b.k AND a.c = 'click' AND b.c = 'view'),
+        |cn AS (SELECT CAST(SUM(CASE WHEN d6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kk,
+        |    CAST(SUM(CASE WHEN d6 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |    CAST(SUM(CASE WHEN d6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties FROM pd),
+        |lf0 AS (SELECT gs.j, CAST(floor(ln(CAST(gs.j AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS lnj
+        |  FROM cn, (SELECT unnest(generate_series(1, (SELECT m FROM cn))) AS j) gs),
+        |lf AS (SELECT j, CAST(SUM(lnj) OVER (ORDER BY j) AS BIGINT) AS f FROM lf0
+        |  UNION ALL SELECT 0, 0),
+        |lp AS MATERIALIZED (SELECT ks.j,
+        |    (SELECT f FROM lf WHERE j = cn.m) - f1.f - f2.f - cn.m*693147181 AS lnp9
+        |  FROM (SELECT unnest(generate_series(0, (SELECT m FROM cn))) AS j) ks
+        |  CROSS JOIN cn
+        |  JOIN lf f1 ON f1.j = ks.j
+        |  JOIN lf f2 ON f2.j = cn.m - ks.j),
+        |ob AS (SELECT lp.lnp9 AS lo FROM lp CROSS JOIN cn WHERE lp.j = cn.kk),
+        |obg AS (SELECT MAX(lp.lnp9) AS lg FROM lp CROSS JOIN cn WHERE lp.j >= cn.kk),
+        |tl AS (SELECT
+        |    SUM(CASE WHEN lp.lnp9 <= ob.lo THEN
+        |      CAST(floor(exp(CAST(lp.lnp9 - ob.lo AS DOUBLE)/1e9)*1e15 + 0.5) AS DECIMAL(38,0)) END) AS t2,
+        |    SUM(CASE WHEN lp.j >= cn.kk THEN
+        |      CAST(floor(exp(CAST(lp.lnp9 - obg.lg AS DOUBLE)/1e9)*1e15 + 0.5) AS DECIMAL(38,0)) END) AS tg
+        |  FROM lp CROSS JOIN ob CROSS JOIN obg CROSS JOIN cn)
+        |SELECT cn.m AS n_untied, cn.kk AS n_pos, cn.ties AS n_ties,
+        |  floor(exp(CAST(ob.lo AS DOUBLE)/1e9)*(CAST(tl.t2 AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_two_sided,
+        |  floor(exp(CAST(obg.lg AS DOUBLE)/1e9)*(CAST(tl.tg AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_greater,
+        |  floor(CAST(ob.lo AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS ln_p_observed
+        |FROM cn CROSS JOIN ob CROSS JOIN obg CROSS JOIN tl""".stripMargin,
+
+    "q433_sampen" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bd AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bd.lo, bd.hi)) AS bin FROM bd) gs),
+        |v AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |tm AS (SELECT t, bin, v,
+        |    lead(v, 1) OVER (PARTITION BY t ORDER BY bin) AS x1,
+        |    lead(v, 2) OVER (PARTITION BY t ORDER BY bin) AS x2 FROM v),
+        |rr AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(floor(sqrt(CAST(COUNT(*)*SUM(CAST(v AS HUGEINT)*v)
+        |        - SUM(CAST(v AS HUGEINT))*SUM(CAST(v AS HUGEINT)) AS DOUBLE))
+        |      /CAST(COUNT(*) AS DOUBLE)*0.2*1e9 + 0.5) AS BIGINT) AS r9
+        |  FROM v GROUP BY 1),
+        |pc AS (SELECT a.t, rr.n,
+        |    CAST(SUM(CASE WHEN a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+        |      AND abs(a.v - b.v)*CAST(1000000000 AS HUGEINT) <= rr.r9
+        |      AND abs(a.x1 - b.x1)*CAST(1000000000 AS HUGEINT) <= rr.r9
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs,
+        |    CAST(SUM(CASE WHEN a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+        |      AND abs(a.v - b.v)*CAST(1000000000 AS HUGEINT) <= rr.r9
+        |      AND abs(a.x1 - b.x1)*CAST(1000000000 AS HUGEINT) <= rr.r9
+        |      AND abs(a.x2 - b.x2)*CAST(1000000000 AS HUGEINT) <= rr.r9
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs,
+        |    MAX(rr.r9) AS r9
+        |  FROM tm a JOIN tm b ON a.t = b.t AND a.bin < b.bin JOIN rr ON a.t = rr.t
+        |  GROUP BY 1, 2)
+        |SELECT t AS event_type, n AS n_bins,
+        |  floor(CAST(r9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS r,
+        |  b_pairs, a_pairs,
+        |  CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN
+        |    floor(ln(CAST(b_pairs AS DOUBLE)/CAST(a_pairs AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS sampen
+        |FROM pc ORDER BY event_type""".stripMargin,
+
+    "q434_hbos" ->
+      """WITH r AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS f0,
+        |    CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS DOUBLE) AS f1
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |bd AS (SELECT min(f0) AS lo0, max(f0) AS hi0, min(f1) AS lo1, max(f1) AS hi1 FROM r),
+        |mb AS (SELECT k, 0 AS f, CASE WHEN hi0 > lo0 THEN
+        |    CAST(least(greatest(floor((f0 - lo0)/(hi0 - lo0)*20), 0), 19) AS BIGINT)
+        |    ELSE 0 END AS bin FROM r CROSS JOIN bd
+        |  UNION ALL SELECT k, 1, CASE WHEN hi1 > lo1 THEN
+        |    CAST(least(greatest(floor((f1 - lo1)/(hi1 - lo1)*20), 0), 19) AS BIGINT)
+        |    ELSE 0 END FROM r CROSS JOIN bd),
+        |ct AS (SELECT f, bin, CAST(COUNT(*) AS BIGINT) AS c FROM mb GROUP BY 1, 2),
+        |cm AS (SELECT f, MAX(c) AS cmax FROM ct GROUP BY 1),
+        |sc AS (SELECT mb.k,
+        |    CAST(SUM(CAST(floor(ln(CAST(cm.cmax AS DOUBLE))*1e9 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(CAST(ct.c AS DOUBLE))*1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s9
+        |  FROM mb JOIN ct ON mb.f = ct.f AND mb.bin = ct.bin
+        |  JOIN cm ON mb.f = cm.f GROUP BY 1)
+        |SELECT k AS o_orderkey,
+        |  floor(CAST(s9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS score
+        |FROM sc ORDER BY s9 DESC, k LIMIT 20""".stripMargin,
   )
 }

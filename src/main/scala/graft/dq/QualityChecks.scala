@@ -6264,6 +6264,168 @@ object QualityChecks {
         .as("odds_ratio"))
   }
 
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012)
+    * over a numeric column list: each feature gets a fixed-width
+    * histogram (the row 116 binning), a row's score is
+    * Σ_f ln(maxcount_f / count_f(bin_f(row))) — high where the row
+    * sits in thin bins on many features at once — and the `topK`
+    * highest-scoring rows come back. The DETERMINISTIC, assumption-
+    * free member of the outlier ladder: rows 126/386/415/441 are
+    * per-group univariate; HBOS is the standard multivariate screen
+    * that needs no distance metric, no iterations and no RNG
+    * (unlike isolation forests), and its density product is exactly
+    * the naive-Bayes independence view of outlierness.
+    *
+    * Determinism: bin membership replays the row 116 double-op order
+    * against data-derived [min, max] per feature (constant features
+    * collapse to bin 0); per-bin counts are exact; the score is an
+    * EXACT INTEGER sum of 1e-9-snapped ln longs, so the top-K order
+    * (score desc, key asc) is integer-decided; display score rounds
+    * 1e-6. Complete-case rows only (a NULL anywhere drops the row —
+    * scores must sum over the same features for every row).
+    *
+    * Scale shape: one bounds rollup + ONE map-only explode to
+    * (row, feature, bin) + a broadcast join against the features ×
+    * nBins count table + one combinable per-key sum + TakeOrdered
+    * top-K — no shuffle carries more than the melted row stream. */
+  def hbosOutliers(df: DataFrame, keyCol: String, featureCols: Seq[String],
+                   nBins: Int = 20, topK: Int = 20): DataFrame = {
+    require(featureCols.nonEmpty && nBins >= 2 && topK >= 1,
+      s"hbosOutliers: need features, nBins >= 2, topK >= 1")
+    val rows = df.filter(featureCols.map(c => sf.col(c).isNotNull)
+        .reduce(_ && _) && sf.col(keyCol).isNotNull)
+      .select(sf.col(keyCol).as("__k") +: featureCols.zipWithIndex.map {
+        case (c, i) => sf.col(c).cast("double").as(s"__f$i") }: _*)
+      .localCheckpoint(true) // bounds + melt read it
+    val aggs = featureCols.indices.flatMap(i => Seq(
+      sf.min(s"__f$i").as(s"__lo$i"), sf.max(s"__f$i").as(s"__hi$i")))
+    val bounds = rows.agg(aggs.head, aggs.tail: _*)
+    def binOf(i: Int) = sf.when(sf.col(s"__hi$i") > sf.col(s"__lo$i"),
+      sf.least(sf.greatest(sf.floor((sf.col(s"__f$i") - sf.col(s"__lo$i")) /
+        (sf.col(s"__hi$i") - sf.col(s"__lo$i")) * nBins), sf.lit(0L)),
+        sf.lit(nBins - 1L))).otherwise(0L)
+    val melted = rows.crossJoin(sf.broadcast(bounds))
+      .select(sf.col("__k"), sf.explode(sf.array(featureCols.indices.map(i =>
+        sf.struct(sf.lit(i).as("f"), binOf(i).cast("long").as("bin"))): _*))
+        .as("__fb"))
+      .select(sf.col("__k"), sf.col("__fb.f").as("__f"),
+        sf.col("__fb.bin").as("__bin"))
+      .localCheckpoint(true) // counts + the score join read it
+    def ln9(c: Column) =
+      sf.floor(sf.log(c.cast("double")) * 1e9 + 0.5).cast("long")
+    val counts = melted.groupBy("__f", "__bin")
+      .agg(sf.count(sf.lit(1)).as("__c"))
+    val cmax = counts.groupBy("__f").agg(sf.max("__c").as("__cmax"))
+    val scored = melted
+      .join(sf.broadcast(counts), Seq("__f", "__bin"))
+      .join(sf.broadcast(cmax), Seq("__f"))
+      .groupBy("__k")
+      .agg(sf.sum(ln9(sf.col("__cmax")) - ln9(sf.col("__c"))).cast("long")
+        .as("__s9"))
+    scored.orderBy(sf.col("__s9").desc, sf.col("__k"))
+      .limit(topK)
+      .select(sf.col("__k").as(keyCol),
+        gf.roundAt(sf.col("__s9").cast("double") / 1e9, 6).as("score"))
+  }
+
+  /** EXACT sign test on paired per-subject condition means (Arbuthnott
+    * 1710; the distribution-free floor of the paired ladder) — the
+    * member rows 411/475 can't replace: the signed-rank test assumes
+    * symmetric differences and the paired t normality; the sign test
+    * assumes NOTHING but exchangeability, counting only which side of
+    * zero each subject's (A − B) mean difference falls on, with ties
+    * dropped (the classic conditioning). Under H₀ the positive count
+    * is Binomial(m, 1/2), and both tails here are EXACT binomial
+    * sums, not normal approximations — the small-m regime is exactly
+    * where the test gets used.
+    *
+    * Determinism: per-subject means snap to the 1e-6 grid before the
+    * sign (the row 475 convention), so tie membership is an integer
+    * test; ln C(m,j) comes from the row-430 EXACT PREFIX SUM
+    * ln-factorial table (never a one-task window) and ln P(j)·1e9 =
+    * F(m) − F(j) − F(m−j) − m·ln2₉ is an exact integer (ln2₉ =
+    * 693147181), so TAIL MEMBERSHIP is an exact integer comparison;
+    * each tail exponentiates relative to its own max member (terms ≤
+    * 1 — the row-430 anchor rule), snaps 1e-15, sums DECIMAL(38,0),
+    * rescales by one pinned exp; outputs 1e-6 plus the raw 1e-9
+    * ln P(obs).
+    *
+    * Scale shape: one (subject, condition) rollup + a subject-keyed
+    * pair join + a one-row sign collapse; the O(m) prefix build is
+    * the row-430 range-partitioned pass and `maxN` prices it — beyond
+    * it the normal approximation is the right tool anyway. */
+  def signTestExact(df: DataFrame, keyCol: String, condCol: String,
+                    valueCol: String, condA: String, condB: String,
+                    maxN: Long = 1000000L): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val spark = df.sparkSession
+    val per = df.filter(sf.col(keyCol).isNotNull && sf.col(valueCol).isNotNull &&
+        sf.col(condCol).isin(condA, condB))
+      .groupBy(sf.col(keyCol).as("k"), sf.col(condCol).as("c"))
+      .agg(sf.sum(sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5)
+          .cast("long")).as("s"),
+        sf.count(sf.lit(1)).as("n"))
+      .select(sf.col("k"), sf.col("c"),
+        (sf.col("s").cast("double") / sf.col("n").cast("double") / 1e4).as("m"))
+    val d6 = per.filter(sf.col("c") === condA)
+      .select(sf.col("k"), sf.col("m").as("__ma"))
+      .join(per.filter(sf.col("c") === condB)
+        .select(sf.col("k").as("__kb"), sf.col("m").as("__mb")),
+        sf.col("k") === sf.col("__kb"))
+      .select(sf.floor((sf.col("__ma") - sf.col("__mb")) * 1e6 + 0.5)
+        .cast("long").as("d6"))
+    val counts = d6.agg(
+        sf.sum(sf.when(sf.col("d6") > 0, 1L).otherwise(0L)).cast("long").as("k"),
+        sf.sum(sf.when(sf.col("d6") =!= 0, 1L).otherwise(0L)).cast("long").as("m"),
+        sf.sum(sf.when(sf.col("d6") === 0, 1L).otherwise(0L)).cast("long")
+          .as("ties"))
+      .collect()(0)
+    val (k, m, ties) = (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    require(m >= 1 && m <= maxN,
+      s"signTestExact: m=$m untied pairs outside [1, $maxN] — use the " +
+      "normal approximation at this scale, or raise maxN")
+    val ln2_9 = 693147181L // floor(ln 2 * 1e9 + 0.5), pinned
+    val Chunk = 8192L
+    val js = spark.range(0L, m / Chunk + 1)
+      .select(sf.explode(sf.sequence(sf.col("id") * Chunk,
+        sf.least(sf.col("id") * Chunk + (Chunk - 1), sf.lit(m)))).as("j"))
+      .filter(sf.col("j") >= 1L)
+      .select(sf.col("j"),
+        sf.floor(sf.log(sf.col("j").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("__lnj"))
+    val lf = graft.operators.StarSchema
+      .globalPrefixSums(js, Seq("j"), "__lnj", "f")
+      .select(sf.col("j"), sf.col("f"))
+      .union(spark.range(1).select(sf.lit(0L).as("j"), sf.lit(0L).as("f")))
+      .localCheckpoint(true) // two k-domain attaches + F(m) read it
+    val fm = lf.filter(sf.col("j") === m).collect()(0).getLong(1)
+    val lnp = spark.range(0L, m + 1).select(sf.col("id").as("j"))
+      .join(lf.select(sf.col("j"), sf.col("f").as("__f1")), "j")
+      .join(lf.select((sf.lit(m) - sf.col("j")).as("j"), sf.col("f").as("__f2"))
+        .filter(sf.col("j").between(0L, m)), "j")
+      .select(sf.col("j"), (sf.lit(fm) - sf.col("__f1") - sf.col("__f2") -
+        sf.lit(m) * ln2_9).as("__lnp9"))
+      .localCheckpoint(true) // obs + anchors + both tail sums read it
+    val lnpObs = lnp.filter(sf.col("j") === k).collect()(0).getLong(1)
+    val lnpMaxG = lnp.filter(sf.col("j") >= k)
+      .agg(sf.max("__lnp9")).collect()(0).getLong(0)
+    def rel(anchor: Long) = sf.floor(
+      sf.exp((sf.col("__lnp9") - sf.lit(anchor)).cast("double") / 1e9) * 1e15 +
+        0.5).cast("long")
+    val tails = lnp.agg(
+      sf.sum(sf.when(sf.col("__lnp9") <= lnpObs, dec(rel(lnpObs)))).as("__t2"),
+      sf.sum(sf.when(sf.col("j") >= k, dec(rel(lnpMaxG)))).as("__tg"))
+    val pObs = sf.exp(sf.lit(lnpObs).cast("double") / 1e9)
+    val pMaxG = sf.exp(sf.lit(lnpMaxG).cast("double") / 1e9)
+    tails.select(
+      sf.lit(m).as("n_untied"), sf.lit(k).as("n_pos"), sf.lit(ties).as("n_ties"),
+      gf.roundAt(pObs * (sf.col("__t2").cast("double") / 1e15), 6)
+        .as("p_two_sided"),
+      gf.roundAt(pMaxG * (sf.col("__tg").cast("double") / 1e15), 6)
+        .as("p_greater"),
+      gf.roundAt(sf.lit(lnpObs).cast("double") / 1e9, 6).as("ln_p_observed"))
+  }
+
   /** Two-regressor OLS by closed-form normal equations — the smallest
     * honest MULTIPLE regression (row 181's trend slopes are simple
     * OLS; partialling out a second driver changes answers exactly when

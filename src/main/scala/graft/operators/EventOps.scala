@@ -3395,6 +3395,82 @@ object EventOps {
       .orderBy(typeCol)
   }
 
+  /** Sample entropy SampEn(m=2, r) (Richman & Moorman 2000) per event
+    * type over the [[denseSeries]] gap-filled count grid — the
+    * REGULARITY statistic beside the row-426 permutation entropy:
+    * PermEn reads only ordinal patterns (amplitude-blind); SampEn
+    * counts how often length-2 template matches (Chebyshev distance
+    * ≤ r) REMAIN matches when extended to length 3 — self-match-free
+    * (its advantage over ApEn), so a periodic series scores near 0
+    * and white noise high, with amplitude structure intact. The
+    * standard tolerance r = `rFrac`·σ (0.2 by convention).
+    *
+    * Determinism: σ comes from the exact grid moments and r snaps to
+    * a 1e-9 long ONCE; counts are integers, so every Chebyshev test
+    * |Δ|·1e9 ≤ r9 is an EXACT integer comparison — no float decides a
+    * match; SampEn = ln(B/A) is one pinned assembly rounded 1e-6
+    * (NULL when either count is 0, the standard undefined case).
+    *
+    * Scale shape: the statistic is PAIR-QUADRATIC IN THE GRID LENGTH
+    * by definition — honest pricing: one type-keyed self equi join
+    * over the bounded bin domain (T² candidate pairs per type; the
+    * `maxBins` guard caps T, default 100k ⇒ ≤ 1e10 comparisons per
+    * type, and the join key spreads types across the cluster). The
+    * grid builds once and checkpoints; moments are one combinable
+    * rollup. */
+  def sampleEntropy(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", binSec: Long = 86400,
+                    rFrac: Double = 0.2,
+                    maxBins: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec, maxBins)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // moments + both join sides read it
+    val wo = Window.partitionBy("t").orderBy("bin")
+    val tmpl = g
+      .withColumn("__x1", sf.lead("v", 1).over(wo))
+      .withColumn("__x2", sf.lead("v", 2).over(wo))
+      .localCheckpoint(true) // both sides of the pair join read it
+    val r9 = g.groupBy("t").agg(
+        sf.count(sf.lit(1)).as("__n"), sf.sum(dec(sf.col("v"))).as("__s1"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("__s2"))
+      .select(sf.col("t"), sf.col("__n"),
+        sf.floor(sf.sqrt((dec(sf.col("__n")) * sf.col("__s2") -
+            sf.col("__s1") * sf.col("__s1")).cast("double")) /
+          sf.col("__n").cast("double") * sf.lit(rFrac) * 1e9 + 0.5)
+          .cast("long").as("__r9"))
+    val a = tmpl.select(sf.col("t"), sf.col("bin").as("__i"),
+      sf.col("v").as("__a0"), sf.col("__x1").as("__a1"), sf.col("__x2").as("__a2"))
+    val b = tmpl.select(sf.col("t"), sf.col("bin").as("__j"),
+      sf.col("v").as("__b0"), sf.col("__x1").as("__b1"), sf.col("__x2").as("__b2"))
+    def within(pairs: Seq[(String, String)]) = pairs
+      .map { case (x, y) =>
+        dec(sf.abs(sf.col(x) - sf.col(y))) * 1000000000L <= dec(sf.col("__r9")) }
+      .reduce(_ && _)
+    // canonical SampEn: BOTH counts range over i, j <= N - m (templates
+    // that can extend to length m+1), so A <= B and SampEn >= 0
+    val valid = sf.col("__a2").isNotNull && sf.col("__b2").isNotNull
+    val pairCounts = a.join(b, Seq("t")).filter(sf.col("__i") < sf.col("__j"))
+      .join(sf.broadcast(r9), "t")
+      .groupBy("t", "__n")
+      .agg(
+        sf.sum(sf.when(valid &&
+          within(Seq("__a0" -> "__b0", "__a1" -> "__b1")), 1L).otherwise(0L))
+          .cast("long").as("b_pairs"),
+        sf.sum(sf.when(valid &&
+          within(Seq("__a0" -> "__b0", "__a1" -> "__b1", "__a2" -> "__b2")), 1L)
+          .otherwise(0L)).cast("long").as("a_pairs"),
+        sf.max("__r9").as("__r9"))
+    pairCounts.select(sf.col("t").as(typeCol), sf.col("__n").as("n_bins"),
+        gf.roundAt(sf.col("__r9").cast("double") / 1e9, 6).as("r"),
+        sf.col("b_pairs"), sf.col("a_pairs"),
+        sf.when(sf.col("a_pairs") > 0 && sf.col("b_pairs") > 0,
+          gf.roundAt(sf.log(sf.col("b_pairs").cast("double") /
+            sf.col("a_pairs").cast("double")), 6)).as("sampen"))
+      .orderBy(typeCol)
+  }
+
   /** Steady-state Holt linear weights: (level, trend) convolution
     * coefficients for lag l, 1e-9-snapped longs. The Holt recursion
     * ℓ_t = αy_t + (1−α)(ℓ_{t-1}+b_{t-1}), b_t = β(ℓ_t−ℓ_{t-1}) +

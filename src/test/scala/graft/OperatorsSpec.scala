@@ -3766,6 +3766,67 @@ class OperatorsSpec extends SparkFunSuite {
       rb.getAs[Long]("n_flagged") == 0, rb.toString)
   }
 
+  test("QualityChecks.signTestExact: binomial(4,1/2) tails, ties dropped") {
+    val df = Seq(
+      (1L, "click", 2.0), (1L, "view", 1.0),  // +
+      (2L, "click", 3.0), (2L, "view", 1.0),  // +
+      (3L, "click", 1.0), (3L, "view", 2.0),  // -
+      (4L, "click", 1.0), (4L, "view", 1.0),  // tie: dropped
+      (5L, "click", 5.0), (5L, "view", 1.0))  // +
+      .toDF("user_id", "event_type", "value")
+    val r = QualityChecks.signTestExact(df, "user_id", "event_type", "value",
+      "click", "view").head()
+    assert(r.getAs[Long]("n_untied") == 4 && r.getAs[Long]("n_pos") == 3 &&
+      r.getAs[Long]("n_ties") == 1, r.toString)
+    // P(j) = C(4,j)/16: p_greater = 5/16; small-P two-sided = 10/16
+    assert(math.abs(r.getAs[Double]("p_greater") - 5.0 / 16) < 2e-6, r.toString)
+    assert(math.abs(r.getAs[Double]("p_two_sided") - 10.0 / 16) < 2e-6,
+      r.toString)
+    assert(math.abs(r.getAs[Double]("ln_p_observed") - math.log(0.25)) < 2e-6)
+    intercept[IllegalArgumentException] { // all ties: m = 0
+      QualityChecks.signTestExact(
+        Seq((1L, "click", 1.0), (1L, "view", 1.0)).toDF(
+          "user_id", "event_type", "value"),
+        "user_id", "event_type", "value", "click", "view")
+    }
+  }
+
+  test("EventOps.sampleEntropy: periodic series scores 0, no-match NULL") {
+    def days(tpe: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (v, i) => Seq.fill(v)((s"2024-01-0${i + 1} 12:00:00", tpe, 0.0)) }
+    // a: period-2 series (r = 0.1, matches = exact equality): B = A = 2
+    // b: aperiodic, all first-2 diffs exceed r: B = 0 -> NULL
+    val df = (days("a", Seq(1, 2, 1, 2, 1, 2)) ++
+      days("b", Seq(1, 5, 2, 9, 3, 7)))
+      .toDF("ts_s", "event_type", "value")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("event_type"), sf.col("value"))
+    val got = EventOps.sampleEntropy(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_bins") == 6 && a.getAs[Double]("r") == 0.1 &&
+      a.getAs[Long]("b_pairs") == 2 && a.getAs[Long]("a_pairs") == 2 &&
+      a.getAs[Double]("sampen") == 0.0, a.toString)
+    val b = got("b")
+    assert(b.getAs[Long]("b_pairs") == 0 &&
+      b.isNullAt(b.fieldIndex("sampen")), b.toString)
+  }
+
+  test("QualityChecks.hbosOutliers: thin-bin score, constant feature inert") {
+    val df = Seq(
+      (1L, Some(0.0), 7.0), (2L, Some(0.0), 7.0), (3L, Some(0.0), 7.0),
+      (4L, Some(0.0), 7.0), (5L, Some(10.0), 7.0),
+      (6L, None: Option[Double], 7.0))
+      .toDF("k", "f0", "f1") // null row drops (complete-case)
+    val got = QualityChecks.hbosOutliers(df, "k", Seq("f0", "f1"),
+      nBins = 2, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // f0 bins: {0,0,0,0} vs {10}; f1 constant -> bin 0 for all, inert
+    val ln4 = math.floor(math.log(4.0) * 1e9 + 0.5) / 1e9
+    assert(got == Seq(
+      (5L, math.floor(ln4 * 1e6 + 0.5) / 1e6), (1L, 0.0)), got.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
