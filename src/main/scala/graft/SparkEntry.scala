@@ -3052,6 +3052,24 @@ object SparkEntry {
               " div 86400000000").cast("double")),
         "o_orderkey", Seq("o_totalprice", "o_day"))),
 
+    // GBDT-histogram best-split scan: which lineitem column explains
+    // price, and where the threshold sits — exact integer arg-max.
+    "q435_best_split" -> ((s, dir) =>
+      QualityChecks.bestSplits(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", Seq("l_quantity", "l_discount"))),
+
+    // Two-way ICC(2,1)/(3,1) on the user x event-type mean-value
+    // table: rater-variance-aware reliability beside q373's ICC(1).
+    "q436_icc2" -> ((s, dir) =>
+      QualityChecks.iccTwoWay(Tables.load(s, dir, "events"),
+        "user_id", "event_type", "value")),
+
+    // Syntetos-Boylan demand quadrants per event type: ADI x CV2
+    // routing (smooth/intermittent/erratic/lumpy) for the forecast
+    // ladder — classification decided by exact integers.
+    "q437_demand_pattern" -> ((s, dir) =>
+      EventOps.demandProfile(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14034,5 +14052,104 @@ object SparkEntry {
         |SELECT k AS o_orderkey,
         |  floor(CAST(s9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS score
         |FROM sc ORDER BY s9 DESC, k LIMIT 20""".stripMargin,
+
+    "q435_best_split" ->
+      """WITH r AS (SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS y,
+        |    CAST(l_quantity AS DOUBLE) AS f0, CAST(l_discount AS DOUBLE) AS f1
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |bd AS (SELECT min(f0) AS lo0, max(f0) AS hi0, min(f1) AS lo1, max(f1) AS hi1 FROM r),
+        |mb AS (SELECT y, 'l_quantity' AS f, CASE WHEN hi0 > lo0 THEN
+        |    CAST(least(greatest(floor((f0 - lo0)/(hi0 - lo0)*255), 0), 254) AS BIGINT)
+        |    ELSE 0 END AS bin FROM r CROSS JOIN bd
+        |  UNION ALL SELECT y, 'l_discount', CASE WHEN hi1 > lo1 THEN
+        |    CAST(least(greatest(floor((f1 - lo1)/(hi1 - lo1)*255), 0), 254) AS BIGINT)
+        |    ELSE 0 END FROM r CROSS JOIN bd),
+        |ce AS (SELECT f, bin, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sb FROM mb GROUP BY 1, 2),
+        |tt AS (SELECT f, CAST(SUM(nb) AS BIGINT) AS nt, SUM(sb) AS st FROM ce GROUP BY 1),
+        |cu AS (SELECT f, bin, CAST(SUM(nb) OVER w AS BIGINT) AS nl, SUM(sb) OVER w AS sl
+        |  FROM ce WINDOW w AS (PARTITION BY f ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+        |gn AS (SELECT cu.f, cu.bin, cu.nl, tt.nt,
+        |    CAST(floor((CAST(cu.sl AS DOUBLE)*CAST(cu.sl AS DOUBLE)/CAST(cu.nl AS DOUBLE)
+        |      + CAST(tt.st - cu.sl AS DOUBLE)*CAST(tt.st - cu.sl AS DOUBLE)/CAST(tt.nt - cu.nl AS DOUBLE)
+        |      - CAST(tt.st AS DOUBLE)*CAST(tt.st AS DOUBLE)/CAST(tt.nt AS DOUBLE))/1e8*1e6 + 0.5) AS BIGINT) AS gain6
+        |  FROM cu JOIN tt ON cu.f = tt.f
+        |  WHERE cu.bin < 254 AND cu.nl > 0 AND tt.nt > cu.nl),
+        |bs AS (SELECT * FROM gn
+        |  QUALIFY row_number() OVER (PARTITION BY f ORDER BY gain6 DESC, bin) = 1),
+        |th AS (SELECT 'l_quantity' AS f, lo0 AS lo, hi0 AS hi FROM bd
+        |  UNION ALL SELECT 'l_discount', lo1, hi1 FROM bd),
+        |fl AS (SELECT 'l_quantity' AS f UNION ALL SELECT 'l_discount')
+        |SELECT fl.f AS feature, tt.nt AS n_rows, bs.bin AS best_bin,
+        |  CASE WHEN bs.bin IS NOT NULL THEN
+        |    floor((th.lo + (bs.bin + 1)*((th.hi - th.lo)/255))*1000000.0 + 0.5)/1000000.0 END AS threshold,
+        |  bs.nl AS n_left, tt.nt - bs.nl AS n_right,
+        |  CASE WHEN bs.gain6 IS NOT NULL THEN
+        |    floor(CAST(bs.gain6 AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 END AS gain
+        |FROM fl LEFT JOIN bs ON fl.f = bs.f LEFT JOIN th ON fl.f = th.f
+        |LEFT JOIN tt ON fl.f = tt.f
+        |ORDER BY feature""".stripMargin,
+
+    "q436_icc2" ->
+      """WITH ce AS (SELECT user_id AS s, event_type AS r,
+        |    CAST(floor(CAST(SUM(CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      /CAST(COUNT(*) AS DOUBLE)/1e4*1e6 + 0.5) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL GROUP BY 1, 2),
+        |kk AS (SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS k FROM ce),
+        |cs AS (SELECT s FROM ce GROUP BY s HAVING COUNT(*) = (SELECT k FROM kk)),
+        |kp AS (SELECT ce.* FROM ce JOIN cs ON ce.s = cs.s),
+        |rw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(ri AS DECIMAL(38,0))*ri) AS sr2
+        |  FROM (SELECT s, CAST(SUM(x) AS BIGINT) AS ri FROM kp GROUP BY 1)),
+        |cl AS (SELECT SUM(CAST(cj AS DECIMAL(38,0))*cj) AS sc2
+        |  FROM (SELECT r, CAST(SUM(x) AS BIGINT) AS cj FROM kp GROUP BY 1)),
+        |bs AS (SELECT CAST(SUM(x) AS BIGINT) AS t, SUM(CAST(x AS DECIMAL(38,0))*x) AS q FROM kp),
+        |fin AS (SELECT rw.n AS n, kk.k AS k,
+        |    CAST(bs.t AS DOUBLE)*CAST(bs.t AS DOUBLE)/(CAST(rw.n AS DOUBLE)*CAST(kk.k AS DOUBLE)) AS corr,
+        |    CAST(rw.sr2 AS DOUBLE)/CAST(kk.k AS DOUBLE) - corr AS ssr,
+        |    CAST(cl.sc2 AS DOUBLE)/CAST(rw.n AS DOUBLE) - corr AS ssc,
+        |    CAST(bs.q AS DOUBLE) - corr AS sst,
+        |    sst - ssr - ssc AS sse,
+        |    ssr/(CAST(rw.n AS DOUBLE) - 1.0) AS msr,
+        |    ssc/(CAST(kk.k AS DOUBLE) - 1.0) AS msc,
+        |    sse/((CAST(rw.n AS DOUBLE) - 1.0)*(CAST(kk.k AS DOUBLE) - 1.0)) AS mse,
+        |    msr + (CAST(kk.k AS DOUBLE) - 1.0)*mse + CAST(kk.k AS DOUBLE)*(msc - mse)/CAST(rw.n AS DOUBLE) AS den21,
+        |    msr + (CAST(kk.k AS DOUBLE) - 1.0)*mse AS den31
+        |  FROM rw CROSS JOIN cl CROSS JOIN bs CROSS JOIN kk)
+        |SELECT n AS n_subjects, k AS k_raters,
+        |  CASE WHEN n >= 2 THEN floor(msr/1e12*1000000.0 + 0.5)/1000000.0 END AS msr,
+        |  CASE WHEN n >= 2 THEN floor(msc/1e12*1000000.0 + 0.5)/1000000.0 END AS msc,
+        |  CASE WHEN n >= 2 THEN floor(mse/1e12*1000000.0 + 0.5)/1000000.0 END AS mse,
+        |  CASE WHEN n >= 2 AND den21 <> 0 THEN
+        |    floor((msr - mse)/den21*1000000.0 + 0.5)/1000000.0 END AS icc21,
+        |  CASE WHEN n >= 2 AND den31 <> 0 THEN
+        |    floor((msr - mse)/den31*1000000.0 + 0.5)/1000000.0 END AS icc31
+        |FROM fin""".stripMargin,
+
+    "q437_demand_pattern" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bd AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bd.lo, bd.hi)) AS bin FROM bd) gs),
+        |v AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |ag AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |    SUM(CAST(v AS HUGEINT)) AS s,
+        |    SUM(CAST(v AS HUGEINT)*v) AS q FROM v GROUP BY 1)
+        |SELECT t AS event_type, n AS n_bins, m AS n_demand_bins,
+        |  CASE WHEN m > 0 THEN
+        |    floor(CAST(n AS DOUBLE)/CAST(m AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS adi,
+        |  CASE WHEN m > 0 THEN
+        |    floor(CAST(m*q - s*s AS DOUBLE)/CAST(s*s AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS cv2,
+        |  CASE WHEN m = 0 THEN 'empty'
+        |    WHEN NOT (n*100 >= m*132) AND NOT ((m*q - s*s)*100 >= 49*s*s) THEN 'smooth'
+        |    WHEN (n*100 >= m*132) AND NOT ((m*q - s*s)*100 >= 49*s*s) THEN 'intermittent'
+        |    WHEN NOT (n*100 >= m*132) AND ((m*q - s*s)*100 >= 49*s*s) THEN 'erratic'
+        |    ELSE 'lumpy' END AS pattern
+        |FROM ag ORDER BY event_type""".stripMargin,
   )
 }

@@ -6264,6 +6264,172 @@ object QualityChecks {
         .as("odds_ratio"))
   }
 
+  /** Two-way intraclass correlations ICC(2,1) and ICC(3,1) (Shrout &
+    * Fleiss 1979) on a complete subject × rater table — the members
+    * the one-way row 373 ICC(1) can't give: two-way crossed designs
+    * separate RATER variance from error, so ICC(2,1) (raters random —
+    * generalizes to new raters) and ICC(3,1) (raters fixed —
+    * consistency of THESE raters) bracket the reliability that ICC(1)
+    * blurs into one number. Cells are per-(subject, rater) means;
+    * only subjects rated by EVERY rater enter (the crossed-design
+    * contract — an incomplete row would corrupt all three mean
+    * squares).
+    *
+    * Determinism: cell means snap to the 1e-6 grid, so T, Q, ΣRᵢ²,
+    * ΣCⱼ² are exact integers (DECIMAL(38,0)); the MS and ICC chain is
+    * ONE pinned double assembly rounded 1e-6 (MS displayed in value²
+    * units), with NULL inference when n < 2, variance is degenerate,
+    * or a denominator is 0.
+    *
+    * Scale shape: one (subject, rater) rollup + a completeness
+    * semi-filter + three combinable margin rollups and a one-row
+    * finish; the rater domain is bounded (k collected once). */
+  def iccTwoWay(df: DataFrame, subjectCol: String, raterCol: String,
+                valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.filter(sf.col(subjectCol).isNotNull &&
+        sf.col(raterCol).isNotNull && sf.col(valueCol).isNotNull)
+      .groupBy(sf.col(subjectCol).as("s"), sf.col(raterCol).as("r"))
+      .agg(sf.sum(sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5)
+          .cast("long")).as("__sv"),
+        sf.count(sf.lit(1)).as("__nv"))
+      .select(sf.col("s"), sf.col("r"),
+        sf.floor(sf.col("__sv").cast("double") / sf.col("__nv").cast("double")
+          / 1e4 * 1e6 + 0.5).cast("long").as("x"))
+      .localCheckpoint(true) // k + completeness + margins read it
+    val k = cells.select("r").distinct().count() // bounded rater domain
+    require(k >= 2, s"iccTwoWay: need >= 2 raters, got $k")
+    val complete = cells.groupBy("s").agg(sf.count(sf.lit(1)).as("__c"))
+      .filter(sf.col("__c") === k).select("s")
+    val kept = cells.join(complete, "s")
+      .localCheckpoint(true) // three margin rollups read it
+    val rows = kept.groupBy("s").agg(sf.sum("x").cast("long").as("ri"))
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("ri")) * dec(sf.col("ri"))).as("sr2"))
+    val colsM = kept.groupBy("r").agg(sf.sum("x").cast("long").as("cj"))
+      .agg(sf.sum(dec(sf.col("cj")) * dec(sf.col("cj"))).as("sc2"))
+    val base = kept.agg(sf.sum("x").cast("long").as("t"),
+      sf.sum(dec(sf.col("x")) * dec(sf.col("x"))).as("q"))
+    rows.crossJoin(sf.broadcast(colsM)).crossJoin(sf.broadcast(base))
+      .select({
+        val n = sf.col("n").cast("double")
+        val kd = k.toDouble
+        val td = sf.col("t").cast("double")
+        val corr = td * td / (n * kd)
+        val ssr = sf.col("sr2").cast("double") / kd - corr
+        val ssc = sf.col("sc2").cast("double") / n - corr
+        val sst = sf.col("q").cast("double") - corr
+        val sse = sst - ssr - ssc
+        val msr = ssr / (n - 1.0)
+        val msc = ssc / (kd - 1.0)
+        val mse = sse / ((n - 1.0) * (kd - 1.0))
+        val den21 = msr + sf.lit(kd - 1.0) * mse + sf.lit(kd) * (msc - mse) / n
+        val den31 = msr + sf.lit(kd - 1.0) * mse
+        // nest the guards: the n >= 2 condition is evaluated eagerly,
+        // but every /(n-1) sits in its lazy VALUE branch
+        def ok(c: Column) = sf.when(sf.col("n") >= 2, c)
+        Seq(sf.col("n").as("n_subjects"), sf.lit(k).as("k_raters"),
+          ok(gf.roundAt(msr / 1e12, 6)).as("msr"),
+          ok(gf.roundAt(msc / 1e12, 6)).as("msc"),
+          ok(gf.roundAt(mse / 1e12, 6)).as("mse"),
+          ok(sf.when(den21 =!= 0.0, gf.roundAt((msr - mse) / den21, 6)))
+            .as("icc21"),
+          ok(sf.when(den31 =!= 0.0, gf.roundAt((msr - mse) / den31, 6)))
+            .as("icc31"))
+      }: _*)
+  }
+
+  /** Histogram best-split scan (the CART regression stump on GBDT
+    * histogram bins — Breiman et al. 1984 split criterion, LightGBM/
+    * XGBoost-hist candidate discretization): for every feature, the
+    * bin boundary maximizing the variance-reduction gain S_L²/n_L +
+    * S_R²/n_R − S²/n against the label — the exact feature-ranking /
+    * first-tree-node scan ("which column explains the label, and
+    * where does it switch") that correlation (row 117) can't answer
+    * for non-linear, threshold-shaped effects.
+    *
+    * Determinism: labels snap to the 1e-4 grid; per-bin (n, Σy) are
+    * exact integers, cumulated over the BOUNDED bin domain; each
+    * boundary's gain is ONE pinned double assembly snapped to a 1e-6
+    * long, so the arg-max (gain desc, bin asc) is integer-decided;
+    * thresholds replay the row 116 bin-edge arithmetic. Complete-case
+    * rows; a constant feature (or no valid boundary with both sides
+    * non-empty) reports NULL.
+    *
+    * Scale shape: one bounds rollup + ONE map-only melt to (feature,
+    * bin, y) + a combinable (feature, bin) rollup; everything after
+    * runs on the features × nBins domain (cumulative window PER
+    * FEATURE over ≤ nBins rows, broadcast totals, domain-sized
+    * arg-max) — raw rows shuffle once, as bin cells. */
+  def bestSplits(df: DataFrame, labelCol: String, featureCols: Seq[String],
+                 nBins: Int = 255): DataFrame = {
+    require(featureCols.nonEmpty && nBins >= 2,
+      "bestSplits: need features and nBins >= 2")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.filter((sf.col(labelCol) +: featureCols.map(sf.col))
+        .map(_.isNotNull).reduce(_ && _))
+      .select(sf.floor(sf.col(labelCol).cast("double") * 1e4 + 0.5).cast("long")
+        .as("__y") +: featureCols.zipWithIndex.map {
+          case (c, i) => sf.col(c).cast("double").as(s"__f$i") }: _*)
+      .localCheckpoint(true) // bounds + melt read it
+    val aggs = featureCols.indices.flatMap(i => Seq(
+      sf.min(s"__f$i").as(s"__lo$i"), sf.max(s"__f$i").as(s"__hi$i")))
+    val bounds = rows.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // melt + threshold finish read it
+    def binOf(i: Int) = sf.when(sf.col(s"__hi$i") > sf.col(s"__lo$i"),
+      sf.least(sf.greatest(sf.floor((sf.col(s"__f$i") - sf.col(s"__lo$i")) /
+        (sf.col(s"__hi$i") - sf.col(s"__lo$i")) * nBins), sf.lit(0L)),
+        sf.lit(nBins - 1L))).otherwise(0L)
+    val cells = rows.crossJoin(sf.broadcast(bounds))
+      .select(sf.col("__y"), sf.explode(sf.array(featureCols.zipWithIndex.map {
+        case (c, i) => sf.struct(sf.lit(c).as("f"), binOf(i).cast("long")
+          .as("bin")) }: _*)).as("__fb"))
+      .groupBy(sf.col("__fb.f").as("f"), sf.col("__fb.bin").as("bin"))
+      .agg(sf.count(sf.lit(1)).as("nb"), sf.sum(dec(sf.col("__y"))).as("sb"))
+    val wc = Window.partitionBy("f").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.groupBy("f")
+      .agg(sf.sum("nb").cast("long").as("nt"), sf.sum("sb").as("st"))
+    val gains = cells
+      .withColumn("nl", sf.sum("nb").over(wc).cast("long"))
+      .withColumn("sl", sf.sum("sb").over(wc))
+      .join(sf.broadcast(tot), "f")
+      .filter(sf.col("bin") < (nBins - 1) && sf.col("nl") > 0 &&
+        sf.col("nt") > sf.col("nl"))
+      .select(sf.col("f"), sf.col("bin"), sf.col("nl"), sf.col("nt"), {
+        def sq(s: Column, n: Column) =
+          s.cast("double") * s.cast("double") / n.cast("double")
+        val gd = (sq(sf.col("sl"), sf.col("nl")) +
+          sq(sf.col("st") - sf.col("sl"), sf.col("nt") - sf.col("nl")) -
+          sq(sf.col("st"), sf.col("nt"))) / 1e8
+        sf.floor(gd * 1e6 + 0.5).cast("long").as("gain6")
+      })
+    val wr = Window.partitionBy("f")
+      .orderBy(sf.col("gain6").desc, sf.col("bin"))
+    val best = gains.withColumn("__rn", sf.row_number().over(wr))
+      .filter(sf.col("__rn") === 1)
+      .select("f", "bin", "nl", "gain6")
+    val thresholds = featureCols.zipWithIndex.map { case (c, i) =>
+      bounds.select(sf.lit(c).as("f"), sf.col(s"__lo$i").as("__lo"),
+        sf.col(s"__hi$i").as("__hi")) }.reduce(_ union _)
+    val all = featureCols.zipWithIndex.map { case (c, _) =>
+      bounds.select(sf.lit(c).as("f")) }.reduce(_ union _)
+    all.join(best, Seq("f"), "left")
+      .join(thresholds, Seq("f"), "left")
+      .join(sf.broadcast(tot), Seq("f"), "left")
+      .select(sf.col("f").as("feature"), sf.col("nt").as("n_rows"),
+        sf.col("bin").as("best_bin"),
+        sf.when(sf.col("bin").isNotNull, gf.roundAt(sf.col("__lo") +
+          (sf.col("bin") + 1).cast("double") *
+            ((sf.col("__hi") - sf.col("__lo")) / nBins), 6)).as("threshold"),
+        sf.col("nl").as("n_left"),
+        (sf.col("nt") - sf.col("nl")).as("n_right"),
+        sf.when(sf.col("gain6").isNotNull,
+          gf.roundAt(sf.col("gain6").cast("double") / 1e6, 6)).as("gain"))
+      .orderBy("feature")
+  }
+
   /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012)
     * over a numeric column list: each feature gets a fixed-width
     * histogram (the row 116 binning), a row's score is

@@ -3471,6 +3471,60 @@ object EventOps {
       .orderBy(typeCol)
   }
 
+  /** Intermittent-demand profile + Syntetos–Boylan classification
+    * (Syntetos, Boylan & Croston 2005) per event type over the
+    * [[denseSeries]] gap-filled grid — the DEMAND-PATTERN router the
+    * forecasting ladder (rows 324/404/422) needs BEFORE a method is
+    * picked: ADI (average demand interval, grid bins per non-zero
+    * bin) and CV² (squared coefficient of variation of the non-zero
+    * sizes) place each series in the classic quadrants — `smooth`
+    * (ADI < 1.32, CV² < 0.49: SES-class methods fine), `intermittent`
+    * (sparse but regular sizes: Croston's method), `erratic` (dense
+    * but wild sizes), `lumpy` (both: the hardest class, bootstrap
+    * territory).
+    *
+    * Determinism: counts are exact integers, so ADI and CV² = (m·Q −
+    * S²)/S² are pinned integer-ratio divisions rounded 1e-6 — and the
+    * QUADRANT CALLS are EXACT INTEGER comparisons (100·n ≥ 132·m,
+    * 100·(mQ − S²) ≥ 49·S² in DECIMAL(38,0)): the printed floats can
+    * round toward a boundary, the classification never wobbles. A
+    * type with zero demand bins reports NULL metrics and `empty`.
+    *
+    * Scale shape: the grid builds once; ONE combinable per-type
+    * rollup — no joins, no windows at any corpus size. */
+  def demandProfile(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", binSec: Long = 86400): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("n_events").as("v"))
+    g.groupBy("t").agg(
+        sf.count(sf.lit(1)).as("n_bins"),
+        sf.sum(sf.when(sf.col("v") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_demand_bins"),
+        sf.sum(dec(sf.col("v"))).as("__s"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("__q"))
+      .select({
+        val n = sf.col("n_bins")
+        val m = sf.col("n_demand_bins")
+        val s = sf.col("__s")
+        val num = dec(m) * sf.col("__q") - s * s // m*Q - S^2, exact
+        val s2 = s * s
+        val adiHigh = dec(n) * 100 >= dec(m) * 132
+        val cv2High = num * 100 >= dec(sf.lit(49)) * s2
+        Seq(sf.col("t").as(typeCol), n, m,
+          sf.when(m > 0, gf.roundAt(
+            n.cast("double") / m.cast("double"), 6)).as("adi"),
+          sf.when(m > 0, gf.roundAt(
+            num.cast("double") / s2.cast("double"), 6)).as("cv2"),
+          sf.when(m === 0, "empty")
+            .when(!adiHigh && !cv2High, "smooth")
+            .when(adiHigh && !cv2High, "intermittent")
+            .when(!adiHigh && cv2High, "erratic")
+            .otherwise("lumpy").as("pattern"))
+      }: _*)
+      .orderBy(typeCol)
+  }
+
   /** Steady-state Holt linear weights: (level, trend) convolution
     * coefficients for lag l, 1e-9-snapped longs. The Holt recursion
     * ℓ_t = αy_t + (1−α)(ℓ_{t-1}+b_{t-1}), b_t = β(ℓ_t−ℓ_{t-1}) +

@@ -3827,6 +3827,61 @@ class OperatorsSpec extends SparkFunSuite {
       (5L, math.floor(ln4 * 1e6 + 0.5) / 1e6), (1L, 0.0)), got.toString)
   }
 
+  test("QualityChecks.bestSplits: clean split gain 100, constant NULL") {
+    val df = Seq((10.0, 1.0, 7.0), (10.0, 2.0, 7.0),
+      (20.0, 8.0, 7.0), (20.0, 9.0, 7.0)).toDF("y", "x", "c")
+    val got = QualityChecks.bestSplits(df, "y", Seq("x", "c"), nBins = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    // parent SSE 100, children 0: gain = 100 at the bin-0 boundary
+    assert(x.getAs[Long]("n_rows") == 4 && x.getAs[Long]("best_bin") == 0 &&
+      x.getAs[Double]("threshold") == 5.0 && x.getAs[Long]("n_left") == 2 &&
+      x.getAs[Long]("n_right") == 2 && x.getAs[Double]("gain") == 100.0,
+      x.toString)
+    val c = got("c")
+    assert(c.getAs[Long]("n_rows") == 4 &&
+      c.isNullAt(c.fieldIndex("best_bin")) &&
+      c.isNullAt(c.fieldIndex("gain")), c.toString)
+  }
+
+  test("QualityChecks.iccTwoWay: consistency 1, agreement 8/9, incomplete drops") {
+    val df = Seq(
+      (1L, "A", 1.0), (1L, "B", 2.0),
+      (2L, "A", 3.0), (2L, "B", 4.0),
+      (3L, "A", 5.0), (3L, "B", 6.0),
+      (4L, "A", 9.0)) // incomplete subject: dropped
+      .toDF("subj", "rater", "v")
+    val r = QualityChecks.iccTwoWay(df, "subj", "rater", "v").head()
+    // MSR 8, MSC 1.5, MSE 0: ICC(3,1) = 1, ICC(2,1) = 8/(8+1)
+    assert(r.getAs[Long]("n_subjects") == 3 && r.getAs[Long]("k_raters") == 2)
+    assert(r.getAs[Double]("msr") == 8.0 && r.getAs[Double]("msc") == 1.5 &&
+      r.getAs[Double]("mse") == 0.0, r.toString)
+    assert(r.getAs[Double]("icc31") == 1.0 &&
+      r.getAs[Double]("icc21") == math.floor(8.0 / 9 * 1e6 + 0.5) / 1e6,
+      r.toString)
+  }
+
+  test("EventOps.demandProfile: all four Syntetos-Boylan quadrants") {
+    def days(tpe: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (v, i) => Seq.fill(v)((s"2024-01-0${i + 1} 12:00:00", tpe, 0.0)) }
+    val df = (days("s", Seq(2, 2, 2, 2)) ++ days("i", Seq(3, 0, 0, 3)) ++
+      days("l", Seq(1, 0, 9, 0)) ++ days("e", Seq(1, 9, 1, 9)))
+      .toDF("ts_s", "event_type", "value")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("event_type"), sf.col("value"))
+    val byType = EventOps.demandProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(byType("s").getAs[String]("pattern") == "smooth" &&
+      byType("s").getAs[Double]("adi") == 1.0 &&
+      byType("s").getAs[Double]("cv2") == 0.0, byType("s").toString)
+    assert(byType("i").getAs[String]("pattern") == "intermittent" &&
+      byType("i").getAs[Double]("adi") == 2.0, byType("i").toString)
+    assert(byType("l").getAs[String]("pattern") == "lumpy" &&
+      byType("l").getAs[Double]("cv2") == 0.64, byType("l").toString)
+    assert(byType("e").getAs[String]("pattern") == "erratic" &&
+      byType("e").getAs[Double]("cv2") == 0.64, byType("e").toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
