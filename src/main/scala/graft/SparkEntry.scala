@@ -3070,6 +3070,42 @@ object SparkEntry {
     "q437_demand_pattern" -> ((s, dir) =>
       EventOps.demandProfile(Tables.load(s, dir, "events"))),
 
+    // LSH parameter planner: expected recall of every (rows, bands)
+    // split of a 128-bit sketch over the OBSERVED >= 0.4 pair set.
+    "q438_lsh_planner" -> ((s, dir) =>
+      Dedup.lshPlanner(
+        Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.4), "jaccard")),
+
+    // Deming (orthogonal) regression of view on click per-user means:
+    // the method-comparison line beside q330's Bland-Altman limits.
+    "q439_deming" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "events")
+        .filter(sf.col("user_id").isNotNull && sf.col("value").isNotNull &&
+          sf.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "event_type")
+        .agg((sf.sum(sf.floor(sf.col("value").cast("double") * 1e4 + 0.5)
+            .cast("long")).cast("double") /
+          sf.count(sf.lit(1)).cast("double") / 1e4).as("m"))
+      QualityChecks.demingRegression(
+        per.filter(sf.col("event_type") === "click")
+          .select(sf.col("user_id").as("u"), sf.col("m").as("x"))
+          .join(per.filter(sf.col("event_type") === "view")
+            .select(sf.col("user_id").as("u2"), sf.col("m").as("y")),
+            sf.col("u") === sf.col("u2")),
+        "x", "y")
+    }),
+
+    // Exact Bayesian A/B on the q377 cells: P(view beats click) under
+    // Beta(1,1) priors — the closed-form finite sum, no approximation.
+    "q440_bayes_ab" -> ((s, dir) =>
+      QualityChecks.bayesianAB(
+        Tables.load(s, dir, "events")
+          .filter(sf.col("event_type").isin("click", "view"))
+          .select(sf.col("event_type").as("arm"),
+            (sf.col("value").cast("double") > 50.0).as("success")),
+        "arm", "success")),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14151,5 +14187,99 @@ object SparkEntry {
         |    WHEN NOT (n*100 >= m*132) AND ((m*q - s*s)*100 >= 49*s*s) THEN 'erratic'
         |    ELSE 'lumpy' END AS pattern
         |FROM ag ORDER BY event_type""".stripMargin,
+
+    "q438_lsh_planner" -> {
+      val cfgRows = graft.operators.Dedup.lshPlannerConfigs(128)
+        .map { case (r, b, s50) => s"($r, $b, ${s50})" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |pr AS (SELECT floor((CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+         |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))))*10000.0 + 0.5)/10000.0 AS s
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
+         |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.4),
+         |cfg AS (SELECT * FROM (VALUES $cfgRows) AS v(r, b, s50)),
+         |pp AS (SELECT cfg.r, cfg.b, cfg.s50,
+         |    CASE WHEN pr.s >= 1.0 THEN CAST(1000000000 AS BIGINT) ELSE
+         |      CAST(floor((1.0 - exp(CAST(cfg.b AS DOUBLE)
+         |        *ln(1.0 - exp(CAST(cfg.r AS DOUBLE)*ln(pr.s)))))*1e9 + 0.5) AS BIGINT)
+         |    END AS p9
+         |  FROM pr CROSS JOIN cfg)
+         |SELECT r AS rows_per_band, b AS bands,
+         |  floor(s50*1000000.0 + 0.5)/1000000.0 AS s50,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  floor(CAST(SUM(CAST(p9 AS DECIMAL(38,0))) AS DOUBLE)
+         |    /CAST(COUNT(*) AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS expected_recall
+         |FROM pp GROUP BY 1, 2, 3 ORDER BY rows_per_band""".stripMargin
+    },
+
+    "q439_deming" ->
+      """WITH per AS (SELECT user_id AS k, event_type AS c,
+        |    SUM(CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'view') GROUP BY 1, 2),
+        |mm AS (SELECT k, c, CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1e4 AS m FROM per),
+        |pd AS (SELECT CAST(floor(a.m*1e4 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(b.m*1e4 + 0.5) AS BIGINT) AS y
+        |  FROM mm a JOIN mm b ON a.k = b.k AND a.c = 'click' AND b.c = 'view'),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(38,0))*x) AS sxx, SUM(CAST(y AS DECIMAL(38,0))*y) AS syy,
+        |    SUM(CAST(x AS DECIMAL(38,0))*y) AS sxy FROM pd),
+        |fin AS (SELECT n,
+        |    CAST(CAST(n AS DECIMAL(38,0))*sxx - sx*sx AS DOUBLE) AS cxx,
+        |    CAST(CAST(n AS DECIMAL(38,0))*syy - sy*sy AS DOUBLE) AS cyy,
+        |    CAST(CAST(n AS DECIMAL(38,0))*sxy - sx*sy AS DOUBLE) AS cxy,
+        |    (cyy - cxx + sqrt((cyy - cxx)*(cyy - cxx) + 4.0*cxy*cxy))/(2.0*cxy) AS slope,
+        |    (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))/CAST(n AS DOUBLE)/1e4 AS icept
+        |  FROM ag)
+        |SELECT n,
+        |  CASE WHEN n >= 2 AND cxy <> 0 THEN
+        |    floor(slope*1000000.0 + 0.5)/1000000.0 END AS slope,
+        |  CASE WHEN n >= 2 AND cxy <> 0 THEN
+        |    floor(icept*1000000.0 + 0.5)/1000000.0 END AS intercept
+        |FROM fin""".stripMargin,
+
+    "q440_bayes_ab" ->
+      """WITH s AS (SELECT event_type AS arm, CAST(value AS DOUBLE) > 50.0 AS ok
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |cl AS (SELECT arm, ok, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |tb AS (SELECT
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 'click' AND ok THEN c END), 0) AS BIGINT) AS sa,
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 'click' AND NOT ok THEN c END), 0) AS BIGINT) AS fa,
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 'view' AND ok THEN c END), 0) AS BIGINT) AS sb,
+        |  CAST(COALESCE(SUM(CASE WHEN arm = 'view' AND NOT ok THEN c END), 0) AS BIGINT) AS fb
+        |  FROM cl),
+        |pp AS (SELECT sa, fa, sb, fb, sa + fa + sb + fb AS n,
+        |  sa + 1 AS alA, fa + 1 AS beA, sb + 1 AS alB, fb + 1 AS beB FROM tb),
+        |lf0 AS (SELECT gs.j,
+        |  CAST(floor(ln(CAST(gs.j AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS lnj
+        |  FROM pp, (SELECT unnest(generate_series(1, (SELECT n + 4 FROM pp))) AS j) gs),
+        |lf AS (SELECT j, CAST(SUM(lnj) OVER (ORDER BY j) AS BIGINT) AS f FROM lf0
+        |  UNION ALL SELECT 0, 0),
+        |lc AS (SELECT (SELECT f FROM lf WHERE j = pp.beA + pp.beB - 1)
+        |  - (SELECT f FROM lf WHERE j = pp.beB - 1)
+        |  - ((SELECT f FROM lf WHERE j = pp.alA - 1)
+        |     + (SELECT f FROM lf WHERE j = pp.beA - 1)
+        |     - (SELECT f FROM lf WHERE j = pp.alA + pp.beA - 1)) AS lnconst FROM pp),
+        |tm AS MATERIALIZED (SELECT ks.i,
+        |    lc.lnconst + f1.f - f2.f - l1.lnj - (f3.f - f4.f) AS t9
+        |  FROM (SELECT unnest(generate_series(0, (SELECT alB - 1 FROM pp))) AS i) ks
+        |  CROSS JOIN pp CROSS JOIN lc
+        |  JOIN lf f1 ON f1.j = pp.alA + ks.i - 1
+        |  JOIN lf f2 ON f2.j = pp.alA + pp.beA + pp.beB + ks.i - 1
+        |  JOIN lf f3 ON f3.j = ks.i
+        |  JOIN lf f4 ON f4.j = pp.beB + ks.i
+        |  JOIN lf0 l1 ON l1.j = pp.beB + ks.i),
+        |an AS (SELECT MAX(t9) AS mx FROM tm),
+        |tl AS (SELECT SUM(CAST(floor(exp(CAST(tm.t9 - an.mx AS DOUBLE)/1e9)*1e15 + 0.5)
+        |    AS DECIMAL(38,0))) AS ts FROM tm CROSS JOIN an)
+        |SELECT pp.sa + pp.fa AS n_a, pp.sa AS succ_a,
+        |  pp.sb + pp.fb AS n_b, pp.sb AS succ_b,
+        |  floor(CAST(pp.alA AS DOUBLE)/CAST(pp.alA + pp.beA AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS posterior_mean_a,
+        |  floor(CAST(pp.alB AS DOUBLE)/CAST(pp.alB + pp.beB AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS posterior_mean_b,
+        |  floor(exp(CAST(an.mx AS DOUBLE)/1e9)*(CAST(tl.ts AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_b_beats_a
+        |FROM pp CROSS JOIN an CROSS JOIN tl""".stripMargin,
   )
 }

@@ -6264,6 +6264,154 @@ object QualityChecks {
         .as("odds_ratio"))
   }
 
+  /** Deming (orthogonal, λ = 1) regression — the method-comparison
+    * LINE beside row 381's Bland–Altman limits and row 374's Lin
+    * CCC: ordinary OLS (rows 181/418) assumes x is error-free, so
+    * regressing instrument B on instrument A understates the slope
+    * (attenuation); Deming splits the error between both axes —
+    * slope = (S_yy − S_xx + √((S_yy − S_xx)² + 4S_xy²)) / (2S_xy),
+    * the closed form at equal error variances — and answers the
+    * calibration question ("is B = A, or B = 1.07·A − 3?") that the
+    * agreement indices only score.
+    *
+    * Determinism: values snap to the 1e-4 grid; the six moment sums
+    * are exact DECIMAL(38,0); slope/intercept are ONE pinned double
+    * assembly each (√ IEEE-exact) rounded 1e-6. S_xy = 0 (no linear
+    * association — the slope is undefined/vertical) or n < 2 → NULL.
+    *
+    * Scale shape: one map-side-combined six-sum rollup — a single
+    * scan and a one-row finish, the row 418 plan minus one column. */
+  def demingRegression(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def g4(name: String) =
+      sf.floor(sf.col(name).cast("double") * 1e4 + 0.5).cast("long")
+    val rows = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .select(g4(xCol).as("x"), g4(yCol).as("y"))
+    rows.agg(
+        sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("x"))).as("sx"), sf.sum(dec(sf.col("y"))).as("sy"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("x"))).as("sxx"),
+        sf.sum(dec(sf.col("y")) * dec(sf.col("y"))).as("syy"),
+        sf.sum(dec(sf.col("x")) * dec(sf.col("y"))).as("sxy"))
+      .select({
+        val n = dec(sf.col("n"))
+        val cxx = (n * sf.col("sxx") - sf.col("sx") * sf.col("sx")).cast("double")
+        val cyy = (n * sf.col("syy") - sf.col("sy") * sf.col("sy")).cast("double")
+        val cxy = (n * sf.col("sxy") - sf.col("sx") * sf.col("sy")).cast("double")
+        val slope = (cyy - cxx +
+          sf.sqrt((cyy - cxx) * (cyy - cxx) + sf.lit(4.0) * cxy * cxy)) /
+          (sf.lit(2.0) * cxy)
+        val intercept = (sf.col("sy").cast("double") -
+          slope * sf.col("sx").cast("double")) /
+          sf.col("n").cast("double") / 1e4
+        val ok = sf.col("n") >= 2 && cxy =!= 0.0
+        Seq(sf.col("n"),
+          sf.when(ok, gf.roundAt(slope, 6)).as("slope"),
+          sf.when(ok, gf.roundAt(intercept, 6)).as("intercept"))
+      }: _*)
+  }
+
+  /** EXACT Bayesian A/B readout (the Beta–Binomial conjugate model;
+    * closed-form P(B > A) after Cook 2005 / Miller 2015's finite
+    * sum) — the DECISION-ORIENTED companion to row 369's frequentist
+    * two-proportion panel and row 250's SPRT: under uniform Beta(1,1)
+    * priors the posteriors are Beta(1+s, 1+f), and P(p_B > p_A) =
+    * Σ_{i<α_B} B(α_A+i, β_A+β_B) / ((β_B+i)·B(1+i, β_B)·B(α_A, β_A))
+    * is an EXACT finite sum — the "probability B is actually better"
+    * stakeholders ask for, with no normal approximation at any n.
+    *
+    * Determinism: every Beta has INTEGER arguments, so every ln-term
+    * is exact integer arithmetic on the row-430 prefix-sum
+    * ln-factorial table (lnΓ(n) = F(n−1)) plus one per-integer ln
+    * lookup — no float enters until the single anchored-max
+    * exponentiation (terms ≤ 1 by the row-430 anchor rule, 1e-15
+    * snap, DECIMAL(38,0) sum, one pinned exp); posterior means are
+    * pinned integer-ratio divisions; outputs 1e-6.
+    *
+    * Scale shape: one 4-cell rollup + the O(n) prefix build (range-
+    * partitioned, `maxN`-priced) + an α_B-sized term domain with four
+    * table attaches — the row 430 plan on a different sum. */
+  def bayesianAB(df: DataFrame, armCol: String, successCol: String,
+                 maxN: Long = 1000000L): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val spark = df.sparkSession
+    val cells = df.filter(sf.col(armCol).isNotNull && sf.col(successCol).isNotNull)
+      .select(sf.col(armCol).cast("string").as("arm"),
+        sf.col(successCol).cast("boolean").as("s"))
+      .groupBy("arm", "s").agg(sf.count(sf.lit(1)).as("c"))
+    val arms = cells.select("arm").distinct().orderBy("arm")
+      .collect().map(_.getString(0)) // 2-row contract, driver-bounded
+    require(arms.length == 2,
+      s"bayesianAB needs exactly 2 arms, got ${arms.length}")
+    val one = cells.groupBy()
+      .agg(sf.sum(sf.when(sf.col("arm") === arms(0) && sf.col("s"), sf.col("c"))
+          .otherwise(0L)).cast("long").as("sa"),
+        sf.sum(sf.when(sf.col("arm") === arms(0) && !sf.col("s"), sf.col("c"))
+          .otherwise(0L)).cast("long").as("fa"),
+        sf.sum(sf.when(sf.col("arm") === arms(1) && sf.col("s"), sf.col("c"))
+          .otherwise(0L)).cast("long").as("sb"),
+        sf.sum(sf.when(sf.col("arm") === arms(1) && !sf.col("s"), sf.col("c"))
+          .otherwise(0L)).cast("long").as("fb"))
+      .collect()(0)
+    val (sa, fa, sb, fb) =
+      (one.getLong(0), one.getLong(1), one.getLong(2), one.getLong(3))
+    val n = sa + fa + sb + fb
+    require(n >= 1 && n <= maxN,
+      s"bayesianAB: n=$n outside [1, $maxN] — use the normal " +
+      "approximation at this scale, or raise maxN")
+    val (aA, bA, aB, bB) = (1L + sa, 1L + fa, 1L + sb, 1L + fb)
+    val top = n + 4 // largest gamma argument is aA+bA+bB+aB = n+4
+    val Chunk = 8192L
+    val js = spark.range(0L, top / Chunk + 1)
+      .select(sf.explode(sf.sequence(sf.col("id") * Chunk,
+        sf.least(sf.col("id") * Chunk + (Chunk - 1), sf.lit(top)))).as("j"))
+      .filter(sf.col("j") >= 1L)
+      .select(sf.col("j"),
+        sf.floor(sf.log(sf.col("j").cast("double")) * 1e9 + 0.5)
+          .cast("long").as("__lnj"))
+      .localCheckpoint(true) // the prefix build + the per-i ln read it
+    val lf = graft.operators.StarSchema
+      .globalPrefixSums(js, Seq("j"), "__lnj", "f")
+      .select(sf.col("j"), sf.col("f"))
+      .union(spark.range(1).select(sf.lit(0L).as("j"), sf.lit(0L).as("f")))
+      .localCheckpoint(true) // four term attaches + constants read it
+    // F(x) = ln x! = ln Gamma(x+1); constants outside the i-sum
+    val cmap = lf.filter(sf.col("j").isin(
+        bA + bB - 1, aA - 1, bA - 1, aA + bA - 1, bB - 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lnConst = cmap(bA + bB - 1) - cmap(bB - 1) -
+      (cmap(aA - 1) + cmap(bA - 1) - cmap(aA + bA - 1))
+    val terms = spark.range(0L, aB).select(sf.col("id").as("i"))
+      .join(lf.select((sf.col("j") - (aA - 1)).as("i"), sf.col("f").as("__f1"))
+        .filter(sf.col("i").between(0L, aB - 1)), "i")
+      .join(lf.select((sf.col("j") - (aA + bA + bB - 1)).as("i"),
+        sf.col("f").as("__f2")).filter(sf.col("i").between(0L, aB - 1)), "i")
+      .join(lf.select(sf.col("j").as("i"), sf.col("f").as("__f3"))
+        .filter(sf.col("i").between(0L, aB - 1)), "i")
+      .join(lf.select((sf.col("j") - bB).as("i"), sf.col("f").as("__f4"))
+        .filter(sf.col("i").between(0L, aB - 1)), "i")
+      .join(js.select((sf.col("j") - bB).as("i"), sf.col("__lnj").as("__lbi"))
+        .filter(sf.col("i").between(0L, aB - 1)), "i")
+      .select(sf.col("i"), (sf.lit(lnConst) + sf.col("__f1") - sf.col("__f2") -
+        sf.col("__lbi") - (sf.col("__f3") - sf.col("__f4"))).as("__t9"))
+      .localCheckpoint(true) // anchor + the sum read it
+    val anchor = terms.agg(sf.max("__t9")).collect()(0).getLong(0)
+    val rel = sf.floor(
+      sf.exp((sf.col("__t9") - sf.lit(anchor)).cast("double") / 1e9) * 1e15 +
+        0.5).cast("long")
+    val summed = terms.agg(sf.sum(dec(rel)).as("__ts"))
+    val pAnchor = sf.exp(sf.lit(anchor).cast("double") / 1e9)
+    summed.select(
+      sf.lit(sa + fa).as("n_a"), sf.lit(sa).as("succ_a"),
+      sf.lit(sb + fb).as("n_b"), sf.lit(sb).as("succ_b"),
+      gf.roundAt(sf.lit(aA).cast("double") / (aA + bA).toDouble, 6)
+        .as("posterior_mean_a"),
+      gf.roundAt(sf.lit(aB).cast("double") / (aB + bB).toDouble, 6)
+        .as("posterior_mean_b"),
+      gf.roundAt(pAnchor * (sf.col("__ts").cast("double") / 1e15), 6)
+        .as("p_b_beats_a"))
+  }
+
   /** Two-way intraclass correlations ICC(2,1) and ICC(3,1) (Shrout &
     * Fleiss 1979) on a complete subject × rater table — the members
     * the one-way row 373 ICC(1) can't give: two-way crossed designs

@@ -1469,6 +1469,66 @@ object Dedup {
         sf.explode(gf.winnowingFps(sf.lower(sf.col("__t")), k, w)).as("fp"))
   }
 
+  /** The (rows, bands) grid for [[lshPlanner]] with each config's
+    * theoretical S-curve midpoint s₅₀ = (1 − 2^(−1/b))^(1/r) — the
+    * similarity where detection probability crosses 1/2. Computed
+    * ONCE on the driver and shared VERBATIM by the Spark plan and the
+    * oracle (the row 422 Holt-weights convention for driver-computed
+    * transcendental constants). */
+  def lshPlannerConfigs(sketchBits: Int = 128): Seq[(Int, Int, Double)] = {
+    require(sketchBits >= 2 && Integer.bitCount(sketchBits) == 1,
+      s"sketchBits must be a power of two >= 2, got $sketchBits")
+    Iterator.iterate(1)(_ * 2).takeWhile(_ <= sketchBits).map { r =>
+      val b = sketchBits / r
+      (r, b, math.pow(1.0 - math.pow(2.0, -1.0 / b), 1.0 / r))
+    }.toSeq
+  }
+
+  /** LSH parameter planner — for every (rows r, bands b) split of a
+    * fixed minhash sketch budget (r·b = `sketchBits`), the EXPECTED
+    * RECALL the banding scheme would achieve over an OBSERVED
+    * true-pair set (e.g. row 127/137's exact Jaccard join at the
+    * design threshold): E[recall] = mean over pairs of 1 − (1 − sʳ)ᵇ.
+    * The design table behind every row 29 deployment — theory alone
+    * gives the S-curve, but where YOUR corpus's near-dup mass sits on
+    * it decides whether 8×16 or 32×4 wastes the budget — plus each
+    * config's theoretical midpoint s₅₀ for reading the trade-off.
+    *
+    * Determinism: similarities arrive already snapped (the pair
+    * join's 1e-4 output grid); the detection probability is the
+    * pinned assembly 1 − exp(b·ln(1 − exp(r·ln s))) (exact-duplicate
+    * s ≥ 1 short-circuits to 1), SNAPPED to a 1e-9 long per (pair,
+    * config) before the cross-pair sum (float partials are partition-
+    * order-dependent); the mean is one pinned division 1e-6; s₅₀ is a
+    * driver-computed literal shared verbatim with the oracle.
+    *
+    * Scale shape: pairs × |configs| via a broadcast domain cross +
+    * ONE combinable rollup — the pair set itself comes from the
+    * blocked/banded row 127 machinery, never enumerated here. */
+  def lshPlanner(pairs: DataFrame, simCol: String,
+                 sketchBits: Int = 128): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cfg = lshPlannerConfigs(sketchBits).toDF("rows_per_band", "bands", "__s50")
+    val s = sf.col(simCol).cast("double")
+    val pdet = sf.when(s >= 1.0, sf.lit(1.0))
+      .otherwise(sf.lit(1.0) - sf.exp(sf.col("bands").cast("double") *
+        sf.log(sf.lit(1.0) - sf.exp(sf.col("rows_per_band").cast("double") *
+          sf.log(s)))))
+    pairs.crossJoin(sf.broadcast(cfg))
+      .select(sf.col("rows_per_band"), sf.col("bands"), sf.col("__s50"),
+        sf.floor(pdet * 1e9 + 0.5).cast("long").as("__p9"))
+      .groupBy("rows_per_band", "bands", "__s50")
+      .agg(sf.count(sf.lit(1)).as("n_pairs"),
+        sf.sum(dec(sf.col("__p9"))).as("__sp"))
+      .select(sf.col("rows_per_band"), sf.col("bands"),
+        gf.roundAt(sf.col("__s50"), 6).as("s50"), sf.col("n_pairs"),
+        gf.roundAt(sf.col("__sp").cast("double") /
+          sf.col("n_pairs").cast("double") / 1e9, 6).as("expected_recall"))
+      .orderBy("rows_per_band")
+  }
+
   /** Shared-fingerprint document pairs from [[winnowingFingerprints]]:
     * every pair of documents sharing at least `minShared` selected
     * fingerprints, with the shared count — ranked input for span-level

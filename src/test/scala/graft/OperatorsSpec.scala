@@ -3882,6 +3882,56 @@ class OperatorsSpec extends SparkFunSuite {
       byType("e").getAs[Double]("cv2") == 0.64, byType("e").toString)
   }
 
+  test("Dedup.lshPlanner: S-curve recall over a staged pair set") {
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 0.5)).toDF("a_id", "b_id", "jaccard")
+    val got = Dedup.lshPlanner(pairs, "jaccard", sketchBits = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    def p9(r: Int, b: Int, s: Double): Long =
+      if (s >= 1.0) 1000000000L
+      else math.floor((1.0 - math.exp(
+        b * math.log(1.0 - math.exp(r * math.log(s))))) * 1e9 + 0.5).toLong
+    Dedup.lshPlannerConfigs(4).foreach { case (r, b, s50) =>
+      val row = got((r, b))
+      val expect = math.floor(
+        (p9(r, b, 1.0) + p9(r, b, 0.5)).toDouble / 2.0 / 1e9 * 1e6 + 0.5) / 1e6
+      assert(row.getAs[Long]("n_pairs") == 2 &&
+        row.getAs[Double]("expected_recall") == expect &&
+        row.getAs[Double]("s50") == math.floor(s50 * 1e6 + 0.5) / 1e6,
+        row.toString)
+    }
+    // more rows per band = sharper curve = lower recall at s = 0.5
+    assert(got((1, 4)).getAs[Double]("expected_recall") >
+      got((4, 1)).getAs[Double]("expected_recall"))
+  }
+
+  test("QualityChecks.demingRegression: 2x line, inverse slope, degenerate") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val r = QualityChecks.demingRegression(df, "x", "y").head()
+    assert(r.getAs[Long]("n") == 3 && r.getAs[Double]("slope") == 2.0 &&
+      r.getAs[Double]("intercept") == 0.0, r.toString)
+    // symmetry the OLS pair can't have: slope(y~x) * slope(x~y) = 1
+    val inv = QualityChecks.demingRegression(df, "y", "x").head()
+    assert(inv.getAs[Double]("slope") == 0.5, inv.toString)
+    val dg = QualityChecks.demingRegression(
+      Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y"), "x", "y").head()
+    assert(dg.isNullAt(dg.fieldIndex("slope")), dg.toString) // S_xy = 0
+  }
+
+  test("QualityChecks.bayesianAB: closed-form 0.7, means, 3-arm guard") {
+    // A ~ Beta(2,2), B ~ Beta(2,1): P(B > A) = 6(1/2 - 1/3 - 1/4 + 1/5) = 0.7
+    val df = Seq(("a", true), ("a", false), ("b", true)).toDF("arm", "success")
+    val r = QualityChecks.bayesianAB(df, "arm", "success").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("succ_a") == 1 &&
+      r.getAs[Long]("n_b") == 1 && r.getAs[Long]("succ_b") == 1, r.toString)
+    assert(math.abs(r.getAs[Double]("p_b_beats_a") - 0.7) < 2e-6, r.toString)
+    assert(r.getAs[Double]("posterior_mean_a") == 0.5 &&
+      math.abs(r.getAs[Double]("posterior_mean_b") - 2.0 / 3) < 2e-6, r.toString)
+    intercept[IllegalArgumentException] {
+      QualityChecks.bayesianAB(
+        df.union(Seq(("c", true)).toDF("arm", "success")), "arm", "success")
+    }
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
