@@ -3106,6 +3106,27 @@ object SparkEntry {
             (sf.col("value").cast("double") > 50.0).as("success")),
         "arm", "success")),
 
+    // Dialog/instruction-format census on a staged corpus: which docs
+    // carry chat / Q&A / Alpaca structure — the SFT-lane router.
+    "q441_format_census" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = d.select(sf.col("source"),
+        sf.when(sf.col("doc_id") % 11 === 0,
+            sf.concat(sf.lit("User: hi\nAssistant: hello\n"), sf.col("text")))
+          .when(sf.col("doc_id") % 13 === 0,
+            sf.concat(sf.lit("Q: why\nA: because\n"), sf.col("text")))
+          .when(sf.col("doc_id") % 17 === 0,
+            sf.concat(sf.lit("### Instruction\ndo it\n### Response\ndone\n"),
+              sf.col("text")))
+          .otherwise(sf.col("text")).as("text"))
+      TextAnalysis.formatCensus(staged, "source", "text")
+    }),
+
+    // Bounded-horizon absorption: P(reach purchase within 16 events)
+    // per state — the multi-hop closeness the one-hop matrix hides.
+    "q442_absorption" -> ((s, dir) =>
+      EventOps.absorptionProbability(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14281,5 +14302,51 @@ object SparkEntry {
         |  floor(CAST(pp.alB AS DOUBLE)/CAST(pp.alB + pp.beB AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS posterior_mean_b,
         |  floor(exp(CAST(an.mx AS DOUBLE)/1e9)*(CAST(tl.ts AS DOUBLE)/1e15)*1000000.0 + 0.5)/1000000.0 AS p_b_beats_a
         |FROM pp CROSS JOIN an CROSS JOIN tl""".stripMargin,
+
+    "q441_format_census" ->
+      """WITH st AS (SELECT source,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'User: hi' || chr(10) || 'Assistant: hello' || chr(10) || text
+        |       WHEN doc_id % 13 = 0 THEN 'Q: why' || chr(10) || 'A: because' || chr(10) || text
+        |       WHEN doc_id % 17 = 0 THEN '### Instruction' || chr(10) || 'do it' || chr(10) || '### Response' || chr(10) || 'done' || chr(10) || text
+        |       ELSE text END AS t
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |per AS (SELECT source,
+        |  CASE WHEN len(regexp_extract_all(t, '(?m)^(User|Assistant|System): ')) >= 2 THEN 1 ELSE 0 END AS chat,
+        |  CASE WHEN len(regexp_extract_all(t, '(?m)^Q[:.]')) >= 1
+        |    AND len(regexp_extract_all(t, '(?m)^A[:.]')) >= 1 THEN 1 ELSE 0 END AS qa,
+        |  CASE WHEN len(regexp_extract_all(t, '(?m)^### Instruction')) >= 1
+        |    AND len(regexp_extract_all(t, '(?m)^### Response')) >= 1 THEN 1 ELSE 0 END AS alpaca
+        |  FROM st)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(chat) AS BIGINT) AS n_chat, CAST(SUM(qa) AS BIGINT) AS n_qa,
+        |  CAST(SUM(alpaca) AS BIGINT) AS n_alpaca,
+        |  floor(CAST(SUM(greatest(chat, qa, alpaca)) AS DOUBLE)
+        |    /CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS dialog_share
+        |FROM per GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q442_absorption" -> {
+      val n = 16
+      val head =
+        """WITH pr AS (SELECT event_type AS f,
+          |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+          |  FROM events),
+          |c AS (SELECT f, t, COUNT(*) AS c FROM pr WHERE t IS NOT NULL GROUP BY 1, 2),
+          |ct AS (SELECT f, CAST(SUM(c) AS BIGINT) AS ctot FROM c GROUP BY 1),
+          |st AS (SELECT DISTINCT s FROM (SELECT f AS s FROM c UNION ALL SELECT t FROM c)),
+          |r0 AS (SELECT s, CASE WHEN s = 'purchase' THEN 1000000000000 ELSE 0 END AS p FROM st)""".stripMargin
+      val iters = (1 to n).map { i =>
+        s""",
+           |r$i AS (SELECT st.s AS s, CASE WHEN st.s = 'purchase' THEN 1000000000000
+           |  ELSE COALESCE(x.m, 0) END AS p FROM st LEFT JOIN (
+           |  SELECT c.f AS s, CAST(SUM((CAST(p.p AS HUGEINT) * c.c) // ct.ctot) AS BIGINT) AS m
+           |  FROM c JOIN ct USING (f) JOIN r${i - 1} p ON c.t = p.s GROUP BY 1) x
+           |  ON st.s = x.s)""".stripMargin
+      }.mkString
+      head + iters +
+        s"""
+           |SELECT s AS state, CAST(p AS BIGINT) AS p_fx,
+           |  floor((CAST(p AS DOUBLE)/1e12)*1000000.0 + 0.5)/1000000.0 AS p_convert
+           |FROM r$n ORDER BY p_fx DESC, state""".stripMargin
+    },
   )
 }

@@ -691,6 +691,70 @@ object EventOps {
       .orderBy(sf.col("pi_fx").desc, sf.col("state"))
   }
 
+  /** Bounded-horizon ABSORPTION probability per state — the
+    * complement of [[stationaryDistribution]]'s forward mass push:
+    * P(reach `conversionType` within `steps` transitions | current
+    * state), from the backward recurrence p_k(s) = Σ_t P(s→t)·
+    * p_{k−1}(t) with the conversion state pinned at 1 (absorbing) —
+    * the per-state "how close is this event to a purchase" number
+    * that the transition matrix (row 146) shows only one hop of and
+    * removal effects (row 280) aggregate away. States with no
+    * observed successor stay at 0 (no continuation was ever seen —
+    * mass honestly leaks, as in row 182).
+    *
+    * Determinism: the q119 fixed-point discipline — p rides exact
+    * 1e12 integers, every round is Σ(c_st · p_t) div c_s in
+    * DECIMAL(38,0) floor division on exact counts, bit-replayable at
+    * any parallelism; the oracle unrolls the same recurrence.
+    *
+    * Scale shape: one key-windowed pair extraction, then
+    * bounded-domain work only — |types|² cells per round, `steps`
+    * rounds, lineage cut every 4 rounds. */
+  def absorptionProbability(events: DataFrame,
+                            conversionType: String = "purchase",
+                            steps: Int = 16, keyCol: String = "user_id",
+                            tsCol: String = "ts", idCol: String = "event_id",
+                            typeCol: String = "event_type"): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps must be in [1, 64], got $steps")
+    val SCALE = 1000000000000L
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val counts = events
+      .select(sf.col(typeCol).as("from_type"),
+        sf.lead(sf.col(typeCol), 1).over(w).as("to_type"))
+      .filter(sf.col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(sf.count(sf.lit(1)).as("c"))
+      .localCheckpoint(true)
+    val outTotals = counts.groupBy(sf.col("from_type").as("__f"))
+      .agg(sf.sum("c").as("__ct"))
+    val edges = counts.join(sf.broadcast(outTotals),
+      sf.col("from_type") === sf.col("__f")).drop("__f").localCheckpoint(true)
+    val states = counts.select(sf.col("from_type").as("state"))
+      .union(counts.select(sf.col("to_type")))
+      .distinct().localCheckpoint(true)
+    def pin(c: Column) = sf.when(sf.col("state") === conversionType,
+      sf.lit(SCALE)).otherwise(c)
+    var p = states.select(sf.col("state"), pin(sf.lit(0L)).as("p_fx"))
+    for (i <- 1 to steps) {
+      val nxt = edges
+        .join(p, sf.col("to_type") === sf.col("state"))
+        .select(sf.col("from_type"),
+          (dec(sf.col("p_fx")) * dec(sf.col("c"))).as("__num"), sf.col("__ct"))
+        .select(sf.col("from_type"),
+          sf.expr("CAST(__num div __ct AS BIGINT)").as("__m"))
+        .groupBy("from_type").agg(sf.sum("__m").cast("long").as("__s"))
+      p = states.join(nxt, sf.col("state") === sf.col("from_type"), "left")
+        .select(sf.col("state"),
+          pin(sf.coalesce(sf.col("__s"), sf.lit(0L))).as("p_fx"))
+      if (i % 4 == 0) p = p.localCheckpoint(true) // lineage cut
+    }
+    p.select(sf.col("state"), sf.col("p_fx"),
+        gf.roundAt(sf.col("p_fx").cast("double") / SCALE, 6)
+          .as("p_convert"))
+      .orderBy(sf.col("p_fx").desc, sf.col("state"))
+  }
+
   /** Rolling active-user counts (DAU / trailing-window WAU-style): for
     * every OBSERVED activity day, the distinct users active that day
     * and within the trailing `windowDays` window ending that day.

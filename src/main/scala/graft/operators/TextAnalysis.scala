@@ -1218,6 +1218,51 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Dialog/instruction-format census per source — which documents
+    * carry CONVERSATIONAL or INSTRUCTION-TUNING structure: chat
+    * transcripts (role-prefixed lines `User:` / `Assistant:` /
+    * `System:`), Q&A pairs (`Q:` and `A:` line heads), and the Alpaca
+    * instruction template (`### Instruction` + `### Response`
+    * headers). The routing signal an LLM-data pipeline needs that
+    * row 448's markdown profile (headers/lists/fences) doesn't carry:
+    * dialog-formatted documents go to the SFT lane with different
+    * dedup keys, packing rules and quality gates than plain prose.
+    *
+    * Determinism: every flag is an exact regexp count over anchored
+    * `(?m)^` patterns (shared verbatim with the oracle — character
+    * classes only, no engine-divergent constructs); shares are pinned
+    * integer-ratio divisions 1e-6.
+    *
+    * Scale shape: map-only per-row flags + ONE combinable source
+    * rollup — zero joins, zero windows at any corpus size. */
+  def formatCensus(docs0: DataFrame, sourceCol: String,
+                   textCol: String): DataFrame = {
+    val docs = Par.spread(docs0
+      .filter(sf.col(sourceCol).isNotNull && sf.col(textCol).isNotNull)
+      .select(sf.col(sourceCol).cast("string").as("source"),
+        sf.col(textCol).as("__t")))
+    def cnt(pattern: String) =
+      sf.regexp_count(sf.col("__t"), sf.lit(pattern)).cast("long")
+    val per = docs.select(sf.col("source"),
+      (cnt("(?m)^(User|Assistant|System): ") >= 2).cast("int").as("__chat"),
+      (cnt("(?m)^Q[:.]") >= 1 && cnt("(?m)^A[:.]") >= 1).cast("int").as("__qa"),
+      (cnt("(?m)^### Instruction") >= 1 &&
+        cnt("(?m)^### Response") >= 1).cast("int").as("__alpaca"))
+    per.withColumn("__any",
+        sf.greatest(sf.col("__chat"), sf.col("__qa"), sf.col("__alpaca")))
+      .groupBy("source")
+      .agg(sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum("__chat").cast("long").as("n_chat"),
+        sf.sum("__qa").cast("long").as("n_qa"),
+        sf.sum("__alpaca").cast("long").as("n_alpaca"),
+        sf.sum("__any").cast("long").as("__na"))
+      .select(sf.col("source"), sf.col("n_docs"), sf.col("n_chat"),
+        sf.col("n_qa"), sf.col("n_alpaca"),
+        gf.roundAt(sf.col("__na").cast("double") /
+          sf.col("n_docs").cast("double"), 6).as("dialog_share"))
+      .orderBy("source")
+  }
+
   /** Token case-collision report — for every case-folded token with
     * more than one SURFACE form, the variant census (forms, total
     * occurrences, the dominant form and its share): the vocabulary-

@@ -144,6 +144,22 @@ object Tables {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML source via Spark 4's built-in `xml` format (the spark-xml
+    * package folded into core as of 4.0) — the remaining interchange
+    * format a real ingestion edge still meets (B2B feeds, sitemaps,
+    * legacy exports) that parquet/CSV/JSONL/ORC/Avro/fixed-width
+    * don't cover. One row per `rowTag` element; schema is inferred
+    * (or pass a read schema upstream for production contracts). */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row"): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+  /** XML sink — one `rowTag` element per row under `rootTag`,
+    * overwrite semantics matching the other sinks here. */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row",
+               rootTag: String = "rows"): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rowTag", rowTag).option("rootTag", rootTag).save(path)
+
   /** Fixed-width file parse — the mainframe/legacy-export format the
     * reference's SAS-adjacent world ships (column positions, no
     * delimiters). `colSpecs` gives (name, 1-based start, width, type);

@@ -3932,6 +3932,35 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("TextAnalysis.formatCensus: chat needs 2 role lines, share 3/5") {
+    val df = Seq(
+      ("s", "User: hi\nAssistant: yo"),
+      ("s", "Q: why\nA: because"),
+      ("s", "### Instruction\nx\n### Response\ny"),
+      ("s", "plain prose"),
+      ("s", "User: only one role line")) // 1 role line: NOT chat
+      .toDF("source", "text")
+    val r = TextAnalysis.formatCensus(df, "source", "text").head()
+    assert(r.getAs[Long]("n_docs") == 5 && r.getAs[Long]("n_chat") == 1 &&
+      r.getAs[Long]("n_qa") == 1 && r.getAs[Long]("n_alpaca") == 1 &&
+      r.getAs[Double]("dialog_share") == 0.6, r.toString)
+  }
+
+  test("EventOps.absorptionProbability: multi-hop reach, loop stays 0") {
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (2L, 20L, 1L, "purchase"),
+      (3L, 10L, 2L, "a"), (4L, 20L, 2L, "b"), (5L, 30L, 2L, "purchase"),
+      (6L, 10L, 3L, "c"), (7L, 20L, 3L, "c")) // c -> c loop: never converts
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"))
+    val got = EventOps.absorptionProbability(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p_convert")).toMap
+    // a: half direct, half via b (which converts surely) -> 1.0 by step 2
+    assert(got == Map("a" -> 1.0, "b" -> 1.0, "purchase" -> 1.0, "c" -> 0.0),
+      got.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month

@@ -85,6 +85,20 @@ class SourcesSpec extends SparkFunSuite {
       plan.contains("LessThan(doc_id,10)"), s"filter not pushed:\n$plan")
   }
 
+  test("XML round-trip preserves rows; rowTag honored") {
+    val dir = Files.createTempDirectory("graft_xml").toFile.getAbsolutePath + "/docs"
+    val src = Tables.load(spark, sf001, "documents").limit(25)
+      .select("doc_id", "source", "lang") // scalar columns: XML-safe
+    Tables.writeXml(src, dir, rowTag = "doc")
+    val back = Tables.xml(spark, dir, rowTag = "doc")
+    assert(back.count() == 25)
+    assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "source"))
+    // values carry: the id set survives the round trip exactly
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = src.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == want, s"ids diverged: ${ids.size} vs ${want.size}")
+  }
+
   test("parquet compression-codec matrix round-trips and tags files") {
     // the three codecs a real lake mixes: snappy (default, fast),
     // gzip (legacy interchange), zstd (modern ratio/speed) — identical
