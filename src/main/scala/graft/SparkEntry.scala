@@ -3127,6 +3127,26 @@ object SparkEntry {
     "q442_absorption" -> ((s, dir) =>
       EventOps.absorptionProbability(Tables.load(s, dir, "events"))),
 
+    // Holt-Winters additive: level + trend + the 24-hour shape in one
+    // steady-state convolution, truncation mass priced in-row.
+    "q443_holt_winters" -> ((s, dir) =>
+      EventOps.holtWintersSmoothing(Tables.load(s, dir, "events"))),
+
+    // Empirical-Bayes shrinkage of per-supplier return rates: small
+    // samples pulled to the corpus prior — honest rate ranking.
+    "q444_eb_shrinkage" -> ((s, dir) =>
+      QualityChecks.ebShrinkage(
+        Tables.load(s, dir, "lineitem")
+          .select(sf.col("l_suppkey"),
+            (sf.col("l_returnflag") === "R").as("returned")),
+        "l_suppkey", "returned")),
+
+    // Fact-to-header reconciliation: recomputed order totals vs the
+    // header, exact integer drift ranking — the books must add up.
+    "q445_order_recon" -> ((s, dir) =>
+      QualityChecks.orderReconciliation(
+        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14348,5 +14368,77 @@ object SparkEntry {
            |  floor((CAST(p AS DOUBLE)/1e12)*1000000.0 + 0.5)/1000000.0 AS p_convert
            |FROM r$n ORDER BY p_fx DESC, state""".stripMargin
     },
+
+    "q443_holt_winters" -> {
+      val ws = operators.EventOps.holtWintersWeights(0.3, 0.05, 0.2, 24, 96)
+      val vals = ws.map { case (l, w9) => s"($l, $w9)" }.mkString(", ")
+      val coverage9 = ws.map(_._2).sum
+      s"""WITH e AS (SELECT event_type AS t, epoch_us(ts) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |w AS (SELECT * FROM (VALUES $vals) t(l, w9)),
+        |f AS (SELECT sv.t, sv.bin, sv.v, w.l, w.w9, sv2.v AS vl
+        |  FROM sv CROSS JOIN w
+        |  JOIN sv sv2 ON sv2.t = sv.t AND sv2.bin = sv.bin - w.l),
+        |a AS (SELECT t, bin, COUNT(*) AS nav, CAST(MIN(v) AS BIGINT) AS v,
+        |  SUM(CAST(w9 AS HUGEINT)*vl) AS f9
+        |  FROM f GROUP BY 1, 2)
+        |SELECT t AS event_type, bin, v AS n_events,
+        |  floor(CAST(f9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS forecast_next,
+        |  floor(CAST($coverage9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS weight_coverage
+        |FROM a WHERE nav = 96 ORDER BY event_type, bin""".stripMargin
+    },
+
+    "q444_eb_shrinkage" ->
+      """WITH per AS (SELECT l_suppkey AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS successes
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1),
+        |p6 AS (SELECT grp, n, successes,
+        |    CAST(floor(CAST(successes AS DOUBLE)/CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS p6
+        |  FROM per),
+        |ft AS (SELECT CAST(COUNT(*) AS BIGINT) AS g,
+        |    SUM(CAST(p6 AS DECIMAL(38,0))) AS sp,
+        |    SUM(CAST(p6 AS DECIMAL(38,0))*p6) AS spp FROM p6),
+        |fin AS (SELECT p6.*, ft.g,
+        |    CAST(ft.sp AS DOUBLE)/CAST(ft.g AS DOUBLE)/1e6 AS mu,
+        |    CAST(CAST(ft.g AS DECIMAL(38,0))*ft.spp - ft.sp*ft.sp AS DOUBLE)
+        |      /(CAST(ft.g AS DOUBLE)*CAST(ft.g AS DOUBLE))/1e12 AS v,
+        |    mu*(1.0 - mu)/v - 1.0 AS common,
+        |    mu*common AS alpha, (1.0 - mu)*common AS beta
+        |  FROM p6 CROSS JOIN ft)
+        |SELECT grp AS l_suppkey, n, successes,
+        |  floor(CAST(p6 AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS raw_rate,
+        |  CASE WHEN g >= 2 AND v > 0 AND v < mu*(1.0 - mu) THEN
+        |    floor(alpha*1000000.0 + 0.5)/1000000.0 END AS prior_alpha,
+        |  CASE WHEN g >= 2 AND v > 0 AND v < mu*(1.0 - mu) THEN
+        |    floor(beta*1000000.0 + 0.5)/1000000.0 END AS prior_beta,
+        |  CASE WHEN g >= 2 AND v > 0 AND v < mu*(1.0 - mu) THEN
+        |    floor((CAST(successes AS DOUBLE) + alpha)
+        |      /(CAST(n AS DOUBLE) + alpha + beta)*1000000.0 + 0.5)/1000000.0 END AS shrunken_rate
+        |FROM fin ORDER BY l_suppkey""".stripMargin,
+
+    "q445_order_recon" ->
+      """WITH rc AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100 + 0.5) AS DECIMAL(38,0))
+        |      * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100 + 0.5) AS BIGINT))
+        |      * (100 + CAST(floor(CAST(l_tax AS DOUBLE)*100 + 0.5) AS BIGINT))) AS BIGINT) AS rec6
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL GROUP BY 1),
+        |j AS (SELECT o.o_orderkey,
+        |    CAST(floor(CAST(o.o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT)*10000 AS hdr6,
+        |    rc.rec6, rc.rec6 - CAST(floor(CAST(o.o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT)*10000 AS diff6
+        |  FROM orders o JOIN rc ON o.o_orderkey = rc.l_orderkey
+        |  WHERE o.o_orderkey IS NOT NULL AND o.o_totalprice IS NOT NULL)
+        |SELECT o_orderkey,
+        |  floor(CAST(hdr6 AS DOUBLE)/1e6*100.0 + 0.5)/100.0 AS header_total,
+        |  floor(CAST(rec6 AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS recomputed_total,
+        |  floor(CAST(diff6 AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS diff
+        |FROM j ORDER BY abs(diff6) DESC, o_orderkey LIMIT 20""".stripMargin,
   )
 }

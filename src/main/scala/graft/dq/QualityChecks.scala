@@ -6264,6 +6264,107 @@ object QualityChecks {
         .as("odds_ratio"))
   }
 
+  /** Empirical-Bayes rate shrinkage (Beta–Binomial method of moments;
+    * Robbins 1956 program, the Efron–Morris "batting average"
+    * estimator) — per-group success rates pulled toward the corpus
+    * prior in proportion to their evidence: a 1/2 supplier return
+    * rate from two shipments should NOT outrank a 120/400 one, and
+    * raw rates (or row 312's per-group Wilson bounds, which widen but
+    * don't RANK) do exactly that. Fit Beta(α, β) by moments on the
+    * observed rate distribution; shrunken rate = (s + α)/(n + α + β).
+    *
+    * Determinism: per-group rates snap to the 1e-6 grid, so the
+    * moment sums are exact DECIMAL(38,0) integers; α, β and each
+    * shrunken rate are ONE pinned double assembly rounded 1e-6; a
+    * degenerate fit (zero or over-dispersed variance ≥ μ(1−μ), where
+    * the Beta moment system has no solution) reports NULL prior and
+    * NULL shrunken rates — no silent fallback.
+    *
+    * Scale shape: one combinable per-group rollup + a one-row moment
+    * finish broadcast back over the groups — the group table shuffles
+    * once. */
+  def ebShrinkage(df: DataFrame, groupCol: String,
+                  successCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = df.filter(sf.col(groupCol).isNotNull && sf.col(successCol).isNotNull)
+      .groupBy(sf.col(groupCol).as("grp"))
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(sf.col(successCol).cast("boolean").cast("long")).cast("long")
+          .as("successes"))
+      .withColumn("__p6", sf.floor(sf.col("successes").cast("double") /
+        sf.col("n").cast("double") * 1e6 + 0.5).cast("long"))
+      .localCheckpoint(true) // moment fit + the shrink pass read it
+    val fit = per.agg(sf.count(sf.lit(1)).as("__g"),
+        sf.sum(dec(sf.col("__p6"))).as("__sp"),
+        sf.sum(dec(sf.col("__p6")) * dec(sf.col("__p6"))).as("__spp"))
+    per.crossJoin(sf.broadcast(fit))
+      .select({
+        val g = sf.col("__g").cast("double")
+        val mu = sf.col("__sp").cast("double") / g / 1e6
+        val v = (dec(sf.col("__g")) * sf.col("__spp") -
+          sf.col("__sp") * sf.col("__sp")).cast("double") / (g * g) / 1e12
+        val common = mu * (sf.lit(1.0) - mu) / v - 1.0
+        val alpha = mu * common
+        val beta = (sf.lit(1.0) - mu) * common
+        val ok = sf.col("__g") >= 2 && v > 0.0 &&
+          v < mu * (sf.lit(1.0) - mu)
+        val shrunken = (sf.col("successes").cast("double") + alpha) /
+          (sf.col("n").cast("double") + alpha + beta)
+        Seq(sf.col("grp").as(groupCol), sf.col("n"), sf.col("successes"),
+          gf.roundAt(sf.col("__p6").cast("double") / 1e6, 6).as("raw_rate"),
+          sf.when(ok, gf.roundAt(alpha, 6)).as("prior_alpha"),
+          sf.when(ok, gf.roundAt(beta, 6)).as("prior_beta"),
+          sf.when(ok, gf.roundAt(shrunken, 6)).as("shrunken_rate"))
+      }: _*)
+      .orderBy(groupCol)
+  }
+
+  /** Fact-to-header reconciliation audit — recompute each order's
+    * total from its line items with EXACT integer arithmetic
+    * (extended_price_cents · (100 − discount_pct) · (100 + tax_pct),
+    * summed in 10⁻⁶-dollar units) and rank the worst header drifts:
+    * the cross-table consistency check row 61's FK-orphan audit
+    * (existence) and row 207's schema contract (shape) don't make —
+    * the books must ADD UP, and a header that disagrees with its own
+    * lines is silent revenue corruption no single-table profile sees.
+    *
+    * Determinism: all three factors snap to their natural 2-decimal
+    * grids, so the recomputed total is an exact integer; the drift
+    * ordering (|diff| desc, order key asc) is integer-decided;
+    * display divisions are pinned 1e-2/1e-6.
+    *
+    * Scale shape: one combinable per-order line rollup + one keyed
+    * header join + TakeOrdered top-K — lines shuffle once, on the
+    * order key they're already clustered by. */
+  def orderReconciliation(lines: DataFrame, headers: DataFrame,
+                          topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"orderReconciliation: topK must be >= 1, got $topK")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def c2(c: Column) = sf.floor(c.cast("double") * 100 + 0.5).cast("long")
+    val rec = lines.filter(sf.col("l_orderkey").isNotNull &&
+        sf.col("l_extendedprice").isNotNull && sf.col("l_discount").isNotNull &&
+        sf.col("l_tax").isNotNull)
+      .select(sf.col("l_orderkey"),
+        (dec(c2(sf.col("l_extendedprice"))) *
+          dec(sf.lit(100L) - c2(sf.col("l_discount"))) *
+          dec(sf.lit(100L) + c2(sf.col("l_tax")))).as("__amt6"))
+      .groupBy("l_orderkey")
+      .agg(sf.sum("__amt6").cast("long").as("__rec6"))
+    val joined = headers.filter(sf.col("o_orderkey").isNotNull &&
+        sf.col("o_totalprice").isNotNull)
+      .select(sf.col("o_orderkey"), (c2(sf.col("o_totalprice")) * 10000L)
+        .as("__hdr6"))
+      .join(rec, sf.col("o_orderkey") === sf.col("l_orderkey"))
+      .withColumn("__diff6", sf.col("__rec6") - sf.col("__hdr6"))
+    joined.orderBy(sf.abs(sf.col("__diff6")).desc, sf.col("o_orderkey"))
+      .limit(topK)
+      .select(sf.col("o_orderkey"),
+        gf.roundAt(sf.col("__hdr6").cast("double") / 1e6, 2).as("header_total"),
+        gf.roundAt(sf.col("__rec6").cast("double") / 1e6, 6)
+          .as("recomputed_total"),
+        gf.roundAt(sf.col("__diff6").cast("double") / 1e6, 6).as("diff"))
+  }
+
   /** Deming (orthogonal, λ = 1) regression — the method-comparison
     * LINE beside row 381's Bland–Altman limits and row 374's Lin
     * CCC: ordinary OLS (rows 181/418) assumes x is error-free, so

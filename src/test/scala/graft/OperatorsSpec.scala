@@ -3961,6 +3961,83 @@ class OperatorsSpec extends SparkFunSuite {
       got.toString)
   }
 
+  test("EventOps.holtWintersSmoothing: constant reproduces coverage, JVM twin") {
+    val ws = EventOps.holtWintersWeights(0.3, 0.05, 0.2, 24, 96)
+    val coverage9 = ws.map(_._2).sum
+    // the truncated sum legitimately overshoots 1 (documented unit
+    // mode + slow trend decay); it must be priced, not hidden
+    assert(coverage9 > 1000000000L && coverage9 < 1200000000L,
+      coverage9.toString)
+    // hourly series over 97 bins: type k constant 1; type p spikes at
+    // midnight (hour % 24 == 0): 4 extra events
+    def hour(h: Int) = f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:30:00"
+    val rows = (0 to 96).flatMap { h =>
+      val base = Seq((hour(h), "k", 0.0), (hour(h), "p", 0.0))
+      if (h % 24 == 0) base ++ Seq.fill(4)((hour(h), "p", 0.0)) else base
+    }
+    val df = rows.toDF("ts_s", "event_type", "value")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("event_type"), sf.col("value"))
+    val got = EventOps.holtWintersSmoothing(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(got.size == 4, got.keys.toString) // 2 full-history bins x 2 types
+    val k = got.filter(_._1._1 == "k").values.head
+    val cov = math.floor(coverage9.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    assert(k.getAs[Double]("forecast_next") == cov &&
+      k.getAs[Double]("weight_coverage") == cov, k.toString)
+    // periodic type: exact JVM twin of the long-integer convolution
+    val vs = (0 to 96).map(h => if (h % 24 == 0) 5L else 1L)
+    val lastBin = got.keys.filter(_._1 == "p").map(_._2).max
+    val f9 = ws.map { case (l, w9) => w9 * vs(96 - l) }.sum
+    val p = got(("p", lastBin))
+    assert(p.getAs[Double]("forecast_next") ==
+      math.floor(f9.toDouble / 1e9 * 1e6 + 0.5) / 1e6, p.toString)
+  }
+
+  test("QualityChecks.ebShrinkage: pull toward prior, degenerate NULL") {
+    val rows = Seq.fill(1)(("g1", true)) ++ Seq.fill(1)(("g1", false)) ++
+      Seq.fill(120)(("g2", true)) ++ Seq.fill(280)(("g2", false)) ++
+      Seq.fill(10)(("g3", true)) ++ Seq.fill(90)(("g3", false)) ++
+      Seq.fill(50)(("g4", true)) ++ Seq.fill(150)(("g4", false))
+    val got = QualityChecks.ebShrinkage(rows.toDF("grp", "ok"), "grp", "ok")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // JVM twin of the moment fit on snapped 1e-6 rates
+    val p6 = Seq(500000L, 300000L, 100000L, 250000L)
+    val g = p6.size.toDouble
+    val mu = p6.sum.toDouble / g / 1e6
+    val v = (p6.size.toLong * p6.map(x => BigInt(x) * x).sum.toDouble -
+      p6.sum.toDouble * p6.sum.toDouble) / (g * g) / 1e12
+    val common = mu * (1.0 - mu) / v - 1.0
+    val (alpha, beta) = (mu * common, (1.0 - mu) * common)
+    val g1 = got("g1")
+    val want = math.floor((1.0 + alpha) / (2.0 + alpha + beta) * 1e6 + 0.5) / 1e6
+    assert(g1.getAs[Double]("shrunken_rate") == want, g1.toString)
+    // tiny sample pulled hard toward mu; big sample barely moves
+    assert(math.abs(g1.getAs[Double]("shrunken_rate") - mu) <
+      math.abs(g1.getAs[Double]("raw_rate") - mu), g1.toString)
+    val g2 = got("g2")
+    assert(math.abs(g2.getAs[Double]("shrunken_rate") -
+      g2.getAs[Double]("raw_rate")) < 0.02, g2.toString)
+    // identical rates: zero variance, no Beta fit
+    val dg = QualityChecks.ebShrinkage(
+      (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("b", true)))
+        .toDF("grp", "ok"), "grp", "ok").collect()
+    assert(dg.forall(_.isNullAt(dg.head.fieldIndex("shrunken_rate"))))
+  }
+
+  test("QualityChecks.orderReconciliation: exact recompute, drift ranking") {
+    val lines = Seq(
+      (1L, 100.00, 0.05, 0.10), // 10000 * 95 * 110 = 104.50 exactly
+      (2L, 50.00, 0.0, 0.0))    // 50.00
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val heads = Seq((1L, 104.50), (2L, 60.00), (3L, 9.99)) // 3: no lines
+      .toDF("o_orderkey", "o_totalprice")
+    val got = QualityChecks.orderReconciliation(lines, heads).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 60.0, 50.0, -10.0), (1L, 104.5, 104.5, 0.0)),
+      got.toSeq.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
