@@ -3147,6 +3147,23 @@ object SparkEntry {
       QualityChecks.orderReconciliation(
         Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"))),
 
+    // Activity-streak spectrum (gaps-and-islands): run lengths of
+    // consecutive active days — the habit metric DAU curves blur.
+    "q446_streaks" -> ((s, dir) =>
+      EventOps.activityStreaks(Tables.load(s, dir, "events"))),
+
+    // Attack tolerance: how the co-occurrence giant component shrinks
+    // as top-degree hubs are removed — the scale-free fragility curve.
+    "q447_attack_tolerance" -> ((s, dir) =>
+      Graph.attackTolerance(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3)),
+
+    // Mixture-interleave schedule: the deterministic global training
+    // order realizing equal source shares in every prefix.
+    "q448_interleave" -> ((s, dir) =>
+      Sampling.mixtureInterleave(docs(s, dir), "source", "doc_id",
+        (0 until 20).map(i => s"src$i" -> 0.05))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14440,5 +14457,64 @@ object SparkEntry {
         |  floor(CAST(rec6 AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS recomputed_total,
         |  floor(CAST(diff6 AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS diff
         |FROM j ORDER BY abs(diff6) DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q446_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |i AS (SELECT u, d - row_number() OVER (PARTITION BY u ORDER BY d) AS isl FROM ud),
+        |st AS (SELECT u, isl, CAST(COUNT(*) AS BIGINT) AS len FROM i GROUP BY 1, 2),
+        |h AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS n_streaks FROM st GROUP BY 1),
+        |um AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS n_users_max
+        |  FROM (SELECT u, MAX(len) AS len FROM st GROUP BY 1) GROUP BY 1)
+        |SELECT h.len AS streak_days, h.n_streaks,
+        |  COALESCE(um.n_users_max, 0) AS n_users_max
+        |FROM h LEFT JOIN um ON h.len = um.len ORDER BY streak_days""".stripMargin,
+
+    "q447_attack_tolerance" -> {
+      val rungs = Seq(0, 4, 16)
+      val head =
+        """WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+          |p AS (SELECT x.item AS a, y.item AS bb FROM b x JOIN b y
+          |      ON x.basket = y.basket AND x.item < y.item),
+          |pr AS (SELECT a, bb FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+          |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+          |  FROM (SELECT a AS node FROM pr UNION ALL SELECT bb FROM pr) GROUP BY 1)""".stripMargin
+      val blocks = rungs.map { k =>
+        s""",
+           |hub$k AS (SELECT node FROM dg ORDER BY deg DESC, node LIMIT $k),
+           |pk$k AS (SELECT a, bb FROM pr WHERE a NOT IN (SELECT node FROM hub$k)
+           |  AND bb NOT IN (SELECT node FROM hub$k)),
+           |e$k AS (SELECT a AS s, bb AS d FROM pk$k UNION SELECT bb, a FROM pk$k),
+           |reach$k AS (SELECT s, d FROM e$k
+           |  UNION SELECT r.s, ee.d FROM reach$k r JOIN e$k ee ON r.d = ee.s),
+           |lbl$k AS (SELECT s AS id, LEAST(s, MIN(d)) AS cluster FROM reach$k GROUP BY s),
+           |sz$k AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS szz FROM lbl$k GROUP BY 1),
+           |ag$k AS (SELECT CAST($k AS INT) AS hubs_removed,
+           |  CAST(COALESCE(SUM(szz), 0) AS BIGINT) AS n_nodes,
+           |  CAST(COUNT(*) AS BIGINT) AS n_components,
+           |  CAST(COALESCE(MAX(szz), 0) AS BIGINT) AS gcc_size FROM sz$k)""".stripMargin
+      }.mkString
+      val sel = rungs.map(k => s"SELECT * FROM ag$k").mkString(" UNION ALL ")
+      head + blocks +
+        s"""
+           |SELECT hubs_removed, n_nodes, n_components, gcc_size,
+           |  CASE WHEN n_nodes > 0 THEN
+           |    floor(CAST(gcc_size AS DOUBLE)/CAST(n_nodes AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS gcc_share
+           |FROM ($sel) ORDER BY hubs_removed""".stripMargin
+    },
+
+    "q448_interleave" -> {
+      val vals = (0 until 20).map(i => s"('src$i', 50000)").mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $vals) v(s, w6)),
+         |r AS (SELECT CAST(d.source AS VARCHAR) AS s, d.doc_id AS id, w.w6
+         |  FROM documents d JOIN w ON d.source = w.s
+         |  WHERE d.source IS NOT NULL AND d.doc_id IS NOT NULL),
+         |j AS (SELECT s, id, w6,
+         |  CAST(row_number() OVER (PARTITION BY s ORDER BY id) AS BIGINT) AS rk FROM r),
+         |sl AS (SELECT s, id, rk, CAST((rk*1000000 + w6 - 1) // w6 AS BIGINT) AS slot FROM j)
+         |SELECT id AS doc_id, s AS source, rk AS rank_in_source, slot,
+         |  CAST(row_number() OVER (ORDER BY slot, s, rk) AS BIGINT) AS global_pos
+         |FROM sl ORDER BY global_pos""".stripMargin
+    },
   )
 }

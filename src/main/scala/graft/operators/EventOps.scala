@@ -755,6 +755,44 @@ object EventOps {
       .orderBy(sf.col("p_fx").desc, sf.col("state"))
   }
 
+  /** Activity-streak spectrum (the gaps-and-islands pattern) — for
+    * every run of CONSECUTIVE active days, the classic day − rank
+    * island key groups it exactly, and the corpus reads back as a
+    * streak-length distribution: how many runs of each length exist,
+    * and how many users' LONGEST streak is that length — the habit
+    * metric (think "7-day streak") that row 128's rolling actives and
+    * row 468's churn ledger both blur: a user active 7 of 8 days with
+    * one gap has streak 4-and-3, not 7.
+    *
+    * Determinism: pure integer structure — distinct (user, epoch-day)
+    * rows, island key = day − row_number (exact), lengths exact
+    * counts. The per-user window orders each user's bounded day set,
+    * never raw events.
+    *
+    * Scale shape: one map-side distinct collapse of the log, one
+    * user-keyed window over per-user DAY sets, two combinable
+    * rollups — raw events shuffle once, as (user, day) pairs. */
+  def activityStreaks(events: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val ud = events.filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
+      .select(sf.col(keyCol).as("__u"),
+        sf.expr(s"unix_micros($tsCol) div 86400000000").as("__d"))
+      .distinct()
+    val w = Window.partitionBy("__u").orderBy("__d")
+    val islands = ud.withColumn("__rn", sf.row_number().over(w))
+      .groupBy(sf.col("__u"), (sf.col("__d") - sf.col("__rn")).as("__isl"))
+      .agg(sf.count(sf.lit(1)).as("len"))
+      .localCheckpoint(true) // streak histogram + per-user max read it
+    val hist = islands.groupBy("len")
+      .agg(sf.count(sf.lit(1)).cast("long").as("n_streaks"))
+    val umax = islands.groupBy("__u").agg(sf.max("len").as("len"))
+      .groupBy("len").agg(sf.count(sf.lit(1)).cast("long").as("n_users_max"))
+    hist.join(umax, Seq("len"), "left")
+      .select(sf.col("len").as("streak_days"), sf.col("n_streaks"),
+        sf.coalesce(sf.col("n_users_max"), sf.lit(0L)).as("n_users_max"))
+      .orderBy("streak_days")
+  }
+
   /** Rolling active-user counts (DAU / trailing-window WAU-style): for
     * every OBSERVED activity day, the distinct users active that day
     * and within the trailing `windowDays` window ending that day.

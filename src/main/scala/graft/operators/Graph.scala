@@ -1136,6 +1136,65 @@ object Graph {
       .orderBy("component_size")
   }
 
+  /** Attack-tolerance (hub-removal robustness) curve (Albert, Jeong &
+    * Barabási 2000) — the component-size spectrum of
+    * [[componentSizes]] re-read as a RESILIENCE experiment: remove
+    * the top-k degree hubs for each rung of `hubsLadder` and report
+    * how the giant component shrinks. Scale-free co-occurrence graphs
+    * are robust to random failure but fragile to targeted hub removal
+    * — whether the catalog's substitution network survives losing its
+    * top parts IS this curve, and no single-k readout shows the
+    * cliff.
+    *
+    * Determinism: degrees are exact; hub selection is the integer
+    * order (degree desc, node asc); each rung's components come from
+    * the same star-contraction CC as row 390. A rung that empties the
+    * edge list reports zeros with NULL share.
+    *
+    * Scale shape: degrees are one combinable rollup; each rung is one
+    * TakeOrdered hub pick + two broadcast anti joins + the row 390
+    * O(log n)-round CC funnel — |ladder| bounded CC runs by contract,
+    * the honest price of a curve. */
+  def attackToleranceFromPairs(pairs0: DataFrame,
+                               hubsLadder: Seq[Int] = Seq(0, 4, 16)): DataFrame = {
+    require(hubsLadder.nonEmpty && hubsLadder.forall(_ >= 0) &&
+      hubsLadder.size <= 8,
+      s"hubsLadder must be 1..8 non-negative rungs, got $hubsLadder")
+    val pairs = pairs0
+      .select(sf.col("item_a").as("a_id"), sf.col("item_b").as("b_id"))
+      .localCheckpoint(true) // degrees + every rung read it
+    val deg = pairs.select(sf.col("a_id").as("node"))
+      .union(pairs.select(sf.col("b_id")))
+      .groupBy("node").agg(sf.count(sf.lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true) // every rung's hub pick reads it
+    hubsLadder.map { k =>
+      val hubs = deg.orderBy(sf.col("deg").desc, sf.col("node")).limit(k)
+        .select("node")
+      val kept = pairs
+        .join(hubs.select(sf.col("node").as("a_id")), Seq("a_id"), "left_anti")
+        .join(hubs.select(sf.col("node").as("b_id")), Seq("b_id"), "left_anti")
+      val comp = graft.operators.Dedup.connectedComponents(kept)
+        .groupBy("cluster_id").agg(sf.count(sf.lit(1)).as("__sz"))
+      comp.agg(
+          sf.coalesce(sf.sum("__sz"), sf.lit(0L)).cast("long").as("n_nodes"),
+          sf.count(sf.lit(1)).cast("long").as("n_components"),
+          sf.coalesce(sf.max("__sz"), sf.lit(0L)).cast("long").as("gcc_size"))
+        .select(sf.lit(k).as("hubs_removed"), sf.col("n_nodes"),
+          sf.col("n_components"), sf.col("gcc_size"),
+          sf.when(sf.col("n_nodes") > 0, gf.roundAt(
+            sf.col("gcc_size").cast("double") / sf.col("n_nodes").cast("double"),
+            6)).as("gcc_share"))
+    }.reduce(_ union _).orderBy("hubs_removed")
+  }
+
+  /** [[attackToleranceFromPairs]] over the row-156 mined pair list —
+    * the mine-once family member. */
+  def attackTolerance(df: DataFrame, basketCol: String, itemCol: String,
+                      minPairCount: Long = 2,
+                      hubsLadder: Seq[Int] = Seq(0, 4, 16)): DataFrame =
+    attackToleranceFromPairs(minedPairs(df, basketCol, itemCol, minPairCount),
+      hubsLadder)
+
   /** Bounded-round k-truss peel (Cohen 2008): edges supported by
     * ≥ k−2 triangles, iterated — the EDGE-cohesion refinement of
     * [[kCore]] (a k-core can be a sparse hub star; a k-truss edge is

@@ -657,4 +657,60 @@ object Sampling {
           .otherwise(0L).as("n_neyman"))
       .orderBy("stratum")
   }
+
+  /** Deterministic mixture-interleave schedule (Bresenham / largest-
+    * remainder pacing) — materialize the GLOBAL TRAINING ORDER that
+    * realizes target source weights locally, not just in expectation:
+    * the j-th document of source s lands at slot ⌈j/w_s⌉, so every
+    * prefix of the schedule holds each source within one item of its
+    * target share — the property shuffled sampling (row 86 picks WHAT
+    * to train on; this decides WHEN) only gives asymptotically, and
+    * the curriculum/data-ordering contract reproducible training
+    * runs need.
+    *
+    * Determinism: weights snap to 1e-6 once; within a source the
+    * order is the id order; slots are exact integer arithmetic
+    * ⌈j·10⁶/w₆⌉ = (j·10⁶ + w₆ − 1) div w₆ (holds to ~9·10¹² rows per
+    * source on the long grid); slot collisions across sources break
+    * by (slot, source, rank) — fully integer-decided.
+    *
+    * Scale shape: NO per-source window over raw rows — per-source
+    * ranks come from ONE range-partitioned global prefix sum (row 135
+    * machinery) minus broadcast source offsets (bounded domain), and
+    * the final contiguous position is a second prefix-sum pass over
+    * (slot, source, rank). Two range shuffles total, both linear. */
+  def mixtureInterleave(docs: DataFrame, sourceCol: String, idCol: String,
+                        weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._1).distinct.size == weights.size
+      && weights.forall(_._2 > 0), "weights: distinct sources, all > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.map { case (s, w) =>
+      (s, math.floor(w * 1e6 + 0.5).toLong) }.toDF("__ws", "__w6")
+    val rows = docs.filter(sf.col(sourceCol).isNotNull && sf.col(idCol).isNotNull)
+      .select(sf.col(sourceCol).cast("string").as("__s"), sf.col(idCol).as("__id"))
+      .join(sf.broadcast(wdf), sf.col("__s") === sf.col("__ws"))
+      .select(sf.col("__s"), sf.col("__id"), sf.col("__w6"))
+    val ranked = StarSchema.globalPrefixSums(
+      rows.withColumn("__one", sf.lit(1L)), Seq("__s", "__id"), "__one", "__grk")
+    val counts = rows.groupBy(sf.col("__s").as("__cs"))
+      .agg(sf.count(sf.lit(1)).as("__cn"))
+    val wo = Window.partitionBy(sf.pmod(sf.hash(sf.col("__cs")), sf.lit(1)))
+      .orderBy("__cs")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("__off", sf.sum("__cn").over(wo) - sf.col("__cn"))
+      .select("__cs", "__off")
+    val slotted = ranked.join(sf.broadcast(offsets), sf.col("__s") === sf.col("__cs"))
+      .select(sf.col("__s"), sf.col("__id"), sf.col("__w6"),
+        (sf.col("__grk") - sf.col("__off")).as("rank_in_source"))
+      .withColumn("slot", sf.expr(
+        "CAST((rank_in_source * 1000000 + __w6 - 1) div __w6 AS BIGINT)"))
+    StarSchema.globalPrefixSums(
+        slotted.withColumn("__one", sf.lit(1L)),
+        Seq("slot", "__s", "rank_in_source"), "__one", "global_pos")
+      .select(sf.col("__id").as(idCol), sf.col("__s").as(sourceCol),
+        sf.col("rank_in_source"), sf.col("slot"), sf.col("global_pos"))
+      .orderBy("global_pos")
+  }
 }

@@ -4038,6 +4038,52 @@ class OperatorsSpec extends SparkFunSuite {
       got.toSeq.toString)
   }
 
+  test("EventOps.activityStreaks: islands split on gaps, max per user") {
+    val rows = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 5), (1L, 6),
+      (2L, 1), (2L, 2))
+      .map { case (u, d) => (u, s"2024-01-0$d 10:00:00") }
+    val df = rows.toDF("user_id", "ts_s")
+      .select(sf.col("user_id"), sf.col("ts_s").cast("timestamp").as("ts"))
+    val got = EventOps.activityStreaks(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // u1: runs 3 and 2; u2: run 2 -> len 2 has 2 runs, 1 user-max
+    assert(got == Seq((2L, 2L, 1L), (3L, 1L, 1L)), got.toString)
+  }
+
+  test("Graph.attackTolerance: star collapses on hub removal, empty rung") {
+    val pairs = Seq((10L, 1L), (10L, 2L), (10L, 3L), (4L, 5L))
+      .toDF("item_a", "item_b")
+    val got = Graph.attackToleranceFromPairs(pairs, Seq(0, 1)).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val k0 = got(0)
+    assert(k0.getAs[Long]("n_nodes") == 6 && k0.getAs[Long]("n_components") == 2
+      && k0.getAs[Long]("gcc_size") == 4 &&
+      k0.getAs[Double]("gcc_share") == math.floor(4.0 / 6 * 1e6 + 0.5) / 1e6,
+      k0.toString)
+    val k1 = got(1) // hub 10 (deg 3) removed: only (4,5) survives
+    assert(k1.getAs[Long]("n_nodes") == 2 && k1.getAs[Long]("gcc_size") == 2 &&
+      k1.getAs[Double]("gcc_share") == 1.0, k1.toString)
+    // a rung that empties the edge list reports zeros, NULL share
+    val star = Seq((10L, 1L), (10L, 2L)).toDF("item_a", "item_b")
+    val e = Graph.attackToleranceFromPairs(star, Seq(1)).head()
+    assert(e.getAs[Long]("n_nodes") == 0 && e.getAs[Long]("gcc_size") == 0 &&
+      e.isNullAt(e.fieldIndex("gcc_share")), e.toString)
+  }
+
+  test("Sampling.mixtureInterleave: 2:1 weights pace a,a,b in every prefix") {
+    val df = Seq(("a", 101L), ("a", 102L), ("a", 103L), ("a", 104L),
+      ("b", 201L), ("b", 202L)).toDF("source", "doc_id")
+    val got = Sampling.mixtureInterleave(df, "source", "doc_id",
+      Seq("a" -> 0.666667, "b" -> 0.333333)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // slots: a -> 2,3,5,6 and b -> 4,7 (1333332 = 4 * 333333 exactly)
+    assert(got == Seq(
+      (101L, "a", 1L, 2L, 1L), (102L, "a", 2L, 3L, 2L),
+      (201L, "b", 1L, 4L, 3L), (103L, "a", 3L, 5L, 4L),
+      (104L, "a", 4L, 6L, 5L), (202L, "b", 2L, 7L, 6L)), got.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
