@@ -3164,6 +3164,22 @@ object SparkEntry {
       Sampling.mixtureInterleave(docs(s, dir), "source", "doc_id",
         (0 until 20).map(i => s"src$i" -> 0.05))),
 
+    // Chi-squared cell diagnostics on the q107 table: WHICH (lang,
+    // source) combinations drive the dependence, zero cells included.
+    "q449_chi_cells" -> ((s, dir) =>
+      QualityChecks.chiSquaredCells(docs(s, dir), "lang", "source")),
+
+    // Decile-shift table: where the order-value distribution moved
+    // between the halves — drift LOCALIZED, not just scored.
+    "q450_decile_shift" -> ((s, dir) =>
+      QualityChecks.decileShift(Tables.load(s, dir, "orders"),
+        "o_orderdate", "o_totalprice")),
+
+    // Page-Hinkley drift detector per event type: the running-mean
+    // sibling of q421's fixed-target CUSUM.
+    "q451_page_hinkley" -> ((s, dir) =>
+      EventOps.pageHinkley(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14516,5 +14532,86 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY slot, s, rk) AS BIGINT) AS global_pos
          |FROM sl ORDER BY global_pos""".stripMargin
     },
+
+    "q449_chi_cells" ->
+      """WITH s AS (SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |ce AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o FROM s GROUP BY 1, 2),
+        |rx AS (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM ce GROUP BY 1),
+        |cy AS (SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM ce GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ce),
+        |gr AS (SELECT rx.x, cy.y, rx.r, cy.c, tt.n, COALESCE(ce.o, 0) AS o
+        |  FROM rx CROSS JOIN cy CROSS JOIN tt
+        |  LEFT JOIN ce ON rx.x = ce.x AND cy.y = ce.y),
+        |f AS (SELECT x, y, o,
+        |  CAST(r AS DOUBLE)*CAST(c AS DOUBLE)/CAST(n AS DOUBLE) AS e,
+        |  (CAST(o AS DOUBLE) - e)/sqrt(e) AS pres,
+        |  (1.0 - CAST(r AS DOUBLE)/CAST(n AS DOUBLE))
+        |    *(1.0 - CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) AS ad
+        |  FROM gr)
+        |SELECT x, y, CAST(o AS BIGINT) AS observed,
+        |  floor(e*1000000.0 + 0.5)/1000000.0 AS expected,
+        |  floor(pres*1000000.0 + 0.5)/1000000.0 AS pearson_resid,
+        |  CASE WHEN ad > 0 THEN
+        |    floor(pres/sqrt(ad)*1000000.0 + 0.5)/1000000.0 END AS adjusted_resid
+        |FROM f ORDER BY x, y""".stripMargin,
+
+    "q450_decile_shift" ->
+      """WITH r AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
+        |    CAST(floor(CAST(o_totalprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |ct AS (SELECT (min(us) + max(us)) // 2 AS cut FROM r),
+        |hh AS (SELECT CASE WHEN us >= ct.cut THEN 1 ELSE 0 END AS h, v4
+        |  FROM r CROSS JOIN ct),
+        |g AS (SELECT h, v4, CAST(COUNT(*) AS BIGINT) AS cnt FROM hh GROUP BY 1, 2),
+        |c AS (SELECT h, v4,
+        |  CAST(SUM(cnt) OVER (PARTITION BY h ORDER BY v4 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hc,
+        |  CAST(SUM(cnt) OVER (PARTITION BY h) AS BIGINT) AS n FROM g),
+        |q AS (SELECT CAST(ds.d AS INT) AS decile, c.h, MIN(c.v4) AS q4
+        |  FROM c CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) ds
+        |  WHERE c.hc*10 >= ds.d*c.n GROUP BY 1, 2)
+        |SELECT COALESCE(q0.decile, q1.decile) AS decile,
+        |  floor(CAST(q0.q4 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS q_first_half,
+        |  floor(CAST(q1.q4 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS q_second_half,
+        |  floor(CAST(q1.q4 - q0.q4 AS DOUBLE)/1e4*10000.0 + 0.5)/10000.0 AS shift
+        |FROM (SELECT decile, q4 FROM q WHERE h = 0) q0
+        |FULL OUTER JOIN (SELECT decile, q4 FROM q WHERE h = 1) q1 USING (decile)
+        |ORDER BY decile""".stripMargin,
+
+    "q451_page_hinkley" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bd AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bd.lo, bd.hi)) AS bin FROM bd) gs),
+        |v AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |mo AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(floor(5.0*(sqrt(CAST(COUNT(*)*SUM(CAST(v AS HUGEINT)*v)
+        |    - SUM(CAST(v AS HUGEINT))*SUM(CAST(v AS HUGEINT)) AS DOUBLE))
+        |    /CAST(COUNT(*) AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS l9
+        |  FROM v GROUP BY 1),
+        |p1 AS (SELECT t, bin, v,
+        |  CAST(row_number() OVER (PARTITION BY t ORDER BY bin) AS BIGINT) AS i,
+        |  CAST(SUM(v) OVER (PARTITION BY t ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS si
+        |  FROM v),
+        |p2 AS (SELECT t, bin,
+        |  CAST(floor((CAST(v AS DOUBLE) - CAST(si AS DOUBLE)/CAST(i AS DOUBLE) - 0.0)*1e9 + 0.5) AS BIGINT) AS term9
+        |  FROM p1),
+        |p3 AS (SELECT t, bin,
+        |  SUM(CAST(term9 AS HUGEINT)) OVER (PARTITION BY t ORDER BY bin ROWS UNBOUNDED PRECEDING) AS m9
+        |  FROM p2),
+        |p4 AS (SELECT t, bin, m9,
+        |  MIN(m9) OVER (PARTITION BY t ORDER BY bin ROWS UNBOUNDED PRECEDING) AS mn9
+        |  FROM p3),
+        |p5 AS (SELECT p4.t, p4.bin, CAST(p4.m9 - p4.mn9 AS BIGINT) AS ph9,
+        |  mo.l9, mo.n FROM p4 JOIN mo ON p4.t = mo.t)
+        |SELECT t AS event_type, n AS n_bins,
+        |  CASE WHEN l9 > 0 THEN floor(CAST(l9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 END AS threshold,
+        |  floor(CAST(MAX(ph9) AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS max_ph,
+        |  CAST(SUM(CASE WHEN l9 > 0 AND ph9 > l9 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  MIN(CASE WHEN l9 > 0 AND ph9 > l9 THEN bin END) AS first_alarm_bin
+        |FROM p5 GROUP BY t, n, l9 ORDER BY event_type""".stripMargin,
   )
 }

@@ -6264,6 +6264,111 @@ object QualityChecks {
         .as("odds_ratio"))
   }
 
+  /** Chi-squared CELL diagnostics (Pearson residuals + Haberman 1973
+    * adjusted residuals) over the full category grid — the post-hoc
+    * row 145's omnibus test needs: χ² says THE TABLE is dependent;
+    * the standardized cells say WHICH combinations drive it (adjusted
+    * residuals are asymptotically N(0,1), so |r| > 2 reads like a
+    * z-score), including structurally-interesting EMPTY cells the
+    * observed-cell collapse never materializes.
+    *
+    * Determinism: observed counts and margins are exact integers;
+    * expected = r·c/n, both residuals are ONE pinned double assembly
+    * each (√ IEEE-exact) rounded 1e-6; a margin equal to n (single
+    * row/column — zero adjusted denominator) reports NULL adjusted.
+    *
+    * Scale shape: one cell collapse + two margin rollups + a
+    * margin-domain broadcast cross (R×C grid rows, never row-scale)
+    * + one left attach of the observed cells. */
+  def chiSquaredCells(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .select(sf.col(xCol).cast("string").as("x"),
+        sf.col(yCol).cast("string").as("y"))
+      .groupBy("x", "y").agg(sf.count(sf.lit(1)).as("o"))
+      .localCheckpoint(true) // margins + the grid attach read it
+    val rx = cells.groupBy("x").agg(sf.sum("o").cast("long").as("r"))
+    val cy = cells.groupBy("y").agg(sf.sum("o").cast("long").as("c"))
+    val tot = cells.agg(sf.sum("o").cast("long").as("n"))
+    rx.crossJoin(sf.broadcast(cy)).crossJoin(sf.broadcast(tot))
+      .join(cells, Seq("x", "y"), "left")
+      .select({
+        val o = sf.coalesce(sf.col("o"), sf.lit(0L)).cast("double")
+        val n = sf.col("n").cast("double")
+        val rd = sf.col("r").cast("double")
+        val cd = sf.col("c").cast("double")
+        val e = rd * cd / n
+        val pearson = (o - e) / sf.sqrt(e)
+        val adjDen = (sf.lit(1.0) - rd / n) * (sf.lit(1.0) - cd / n)
+        Seq(sf.col("x"), sf.col("y"),
+          sf.coalesce(sf.col("o"), sf.lit(0L)).as("observed"),
+          gf.roundAt(e, 6).as("expected"),
+          gf.roundAt(pearson, 6).as("pearson_resid"),
+          sf.when(adjDen > 0.0, gf.roundAt(pearson / sf.sqrt(adjDen), 6))
+            .as("adjusted_resid"))
+      }: _*)
+      .orderBy("x", "y")
+  }
+
+  /** Decile-shift table — WHERE a numeric distribution moved between
+    * the first and second half of the time range: exact type-1
+    * deciles of both halves side by side with their differences. The
+    * LOCALIZATION readout the drift ladder lacks: row 119's PSI bins
+    * and sums, row 144's KS takes a max, row 300's Wasserstein
+    * totals — none says "the p90 moved $40 while the median stood
+    * still", which is the sentence a drift review actually wants.
+    *
+    * Determinism: values snap to the 1e-4 grid; each decile is the
+    * EXACT type-1 order statistic (smallest value whose cumulative
+    * count ≥ ⌈p·n⌉ — pure integer tests on exact cumulative counts);
+    * the epoch-midpoint cut is the row 484 integer convention.
+    *
+    * Scale shape: one (half, value) collapse, per-half cumulative
+    * counts via ONE row-135 range-partitioned prefix sum (minus a
+    * broadcast half-0 offset — never a one-task window over the
+    * value domain), then a 9-row threshold broadcast + a combinable
+    * min per (half, decile). */
+  def decileShift(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.filter(sf.col(tsCol).isNotNull && sf.col(valueCol).isNotNull)
+      .select(sf.unix_micros(sf.col(tsCol).cast("timestamp")).as("us"),
+        sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+          .as("v4"))
+      .localCheckpoint(true) // bounds + the half split read it
+    val cut = rows.agg(
+      sf.expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").as("__cut"))
+    val halves = rows.crossJoin(sf.broadcast(cut))
+      .select((sf.col("us") >= sf.col("__cut")).cast("int").as("h"),
+        sf.col("v4"))
+      .groupBy("h", "v4").agg(sf.count(sf.lit(1)).as("cnt"))
+    val cum = graft.operators.StarSchema
+      .globalPrefixSums(halves, Seq("h", "v4"), "cnt", "__gc")
+      .localCheckpoint(true) // totals + both decile attaches read it
+    val totals = cum.groupBy("h").agg(sf.max("__gc").cast("long").as("__hi"),
+        sf.sum("cnt").cast("long").as("__n"))
+      .select(sf.col("h"), sf.col("__n"),
+        (sf.col("__hi") - sf.col("__n")).as("__off")) // rows before this half
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = (1 to 9).map(d => (d, d.toLong)).toDF("decile", "__d")
+    val quants = cum.join(sf.broadcast(totals), "h")
+      .crossJoin(sf.broadcast(ps))
+      // type-1: smallest v with within-half cum >= ceil(p*n) = ceil(d*n/10)
+      .filter((sf.col("__gc") - sf.col("__off")) * 10 >=
+        sf.col("__d") * sf.col("__n"))
+      .groupBy("h", "decile").agg(sf.min("v4").as("q4"))
+    val q0 = quants.filter(sf.col("h") === 0)
+      .select(sf.col("decile"), sf.col("q4").as("__q0"))
+    val q1 = quants.filter(sf.col("h") === 1)
+      .select(sf.col("decile"), sf.col("q4").as("__q1"))
+    q0.join(q1, Seq("decile"), "full_outer")
+      .select(sf.col("decile"),
+        gf.roundAt(sf.col("__q0").cast("double") / 1e4, 4).as("q_first_half"),
+        gf.roundAt(sf.col("__q1").cast("double") / 1e4, 4).as("q_second_half"),
+        gf.roundAt((sf.col("__q1") - sf.col("__q0")).cast("double") / 1e4, 4)
+          .as("shift"))
+      .orderBy("decile")
+  }
+
   /** Empirical-Bayes rate shrinkage (Beta–Binomial method of moments;
     * Robbins 1956 program, the Efron–Morris "batting average"
     * estimator) — per-group success rates pulled toward the corpus

@@ -3627,6 +3627,75 @@ object EventOps {
       .orderBy(typeCol)
   }
 
+  /** Page–Hinkley mean-shift detector (Page 1954 §5; Hinkley 1971 —
+    * the sequential drift test streaming-ML monitors standardized on)
+    * per event type over the [[denseSeries]] gap-filled grid — the
+    * RUNNING-MEAN sibling of [[cusumChart]]: CUSUM tracks excess over
+    * a FIXED target μ̂ fitted once on the whole window (fine for SLO
+    * monitoring, but the target itself absorbs drift); Page–Hinkley
+    * references the mean-so-far, m_t = Σ_{i≤t}(x_i − x̄_i − δ), and
+    * alarms when m_t − min_{j≤t} m_j exceeds λ·σ̂ — the detector that
+    * stays calibrated while the level wanders slowly and still fires
+    * on a genuine shift.
+    *
+    * Determinism: x̄_i = S_i/i is a pinned per-row division SNAPPED to
+    * a 1e-9 long before the cumulative sum (the cross-row snap rule);
+    * the running minimum and the alarm comparison are exact integer
+    * operations against λ9 = ⌊λ·σ̂·10⁹⌉ from the exact grid moments;
+    * a constant series (σ̂ = 0) flags nothing and reports NULL
+    * threshold.
+    *
+    * Scale shape: the grid builds once and checkpoints; two
+    * cumulative windows + one running-min window per TYPE over the
+    * maxBins-bounded bin domain + one broadcast moments attach. */
+  def pageHinkley(events: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts", binSec: Long = 86400,
+                  delta: Double = 0.0,
+                  lambdaSigmas: Double = 5.0): DataFrame = {
+    require(delta >= 0 && lambdaSigmas > 0,
+      s"pageHinkley: need delta >= 0 and lambdaSigmas > 0")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // moments + the PH pass read it
+    val moments = g.groupBy("t").agg(
+        sf.count(sf.lit(1)).as("__n"), sf.sum(dec(sf.col("v"))).as("__s1"),
+        sf.sum(dec(sf.col("v")) * dec(sf.col("v"))).as("__s2"))
+      .select(sf.col("t"), sf.col("__n"),
+        sf.floor(sf.lit(lambdaSigmas) *
+          (sf.sqrt((dec(sf.col("__n")) * sf.col("__s2") -
+            sf.col("__s1") * sf.col("__s1")).cast("double")) /
+            sf.col("__n").cast("double")) * 1e9 + 0.5).cast("long").as("__l9"))
+    val wo = Window.partitionBy("t").orderBy("bin")
+    val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = g
+      .withColumn("__i", sf.row_number().over(wo).cast("long"))
+      .withColumn("__si", sf.sum("v").over(wc).cast("long"))
+      .withColumn("__term9", sf.floor(
+        (sf.col("v").cast("double") -
+          sf.col("__si").cast("double") / sf.col("__i").cast("double") -
+          sf.lit(delta)) * 1e9 + 0.5).cast("long"))
+      .withColumn("__m9", sf.sum(dec(sf.col("__term9"))).over(wc))
+      .withColumn("__min9", sf.min("__m9").over(wc))
+      .join(sf.broadcast(moments), "t")
+      .withColumn("__ph9", (sf.col("__m9") - sf.col("__min9")).cast("long"))
+      .withColumn("__alarm",
+        (sf.col("__l9") > 0 && sf.col("__ph9") > sf.col("__l9")).cast("int"))
+    ph.groupBy("t").agg(
+        sf.max("__n").as("n_bins"),
+        sf.max("__l9").as("__lt9"),
+        sf.max("__ph9").as("__max9"),
+        sf.sum("__alarm").cast("long").as("n_alarms"),
+        sf.min(sf.when(sf.col("__alarm") === 1, sf.col("bin"))).as("first_alarm_bin"))
+      .select(sf.col("t").as(typeCol), sf.col("n_bins"),
+        sf.when(sf.col("__lt9") > 0,
+          gf.roundAt(sf.col("__lt9").cast("double") / 1e9, 6)).as("threshold"),
+        gf.roundAt(sf.col("__max9").cast("double") / 1e9, 6).as("max_ph"),
+        sf.col("n_alarms"), sf.col("first_alarm_bin"))
+      .orderBy(typeCol)
+  }
+
   /** Steady-state Holt linear weights: (level, trend) convolution
     * coefficients for lag l, 1e-9-snapped longs. The Holt recursion
     * ℓ_t = αy_t + (1−α)(ℓ_{t-1}+b_{t-1}), b_t = β(ℓ_t−ℓ_{t-1}) +

@@ -4084,6 +4084,70 @@ class OperatorsSpec extends SparkFunSuite {
       (104L, "a", 4L, 6L, 5L), (202L, "b", 2L, 7L, 6L)), got.toString)
   }
 
+  test("QualityChecks.chiSquaredCells: residuals on a clean 2x2, zero cell") {
+    val df = (Seq.fill(8)(("a", "p")) ++ Seq.fill(2)(("a", "q")) ++
+      Seq.fill(2)(("b", "p")) ++ Seq.fill(8)(("b", "q"))).toDF("x", "y")
+    val got = QualityChecks.chiSquaredCells(df, "x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ap = got(("a", "p")) // e = 5, pearson 3/sqrt(5), adjusted x2
+    val pres = math.floor(3.0 / math.sqrt(5.0) * 1e6 + 0.5) / 1e6
+    assert(ap.getAs[Long]("observed") == 8 && ap.getAs[Double]("expected") == 5.0
+      && ap.getAs[Double]("pearson_resid") == pres, ap.toString)
+    assert(ap.getAs[Double]("adjusted_resid") ==
+      math.floor(3.0 / math.sqrt(5.0) / 0.5 * 1e6 + 0.5) / 1e6, ap.toString)
+    // a category pair never observed together materializes as a 0 cell
+    val z = QualityChecks.chiSquaredCells(
+      (Seq.fill(2)(("a", "p")) ++ Seq.fill(2)(("b", "q"))).toDF("x", "y"),
+      "x", "y").collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(z(("a", "q")).getAs[Long]("observed") == 0 &&
+      z(("a", "q")).getAs[Double]("expected") == 1.0, z(("a", "q")).toString)
+  }
+
+  test("QualityChecks.decileShift: uniform halves shift by exactly 10") {
+    val rows = (1 to 10).map(v => ("2024-01-01 00:00:00", v.toDouble)) ++
+      (11 to 20).map(v => ("2024-01-20 00:00:00", v.toDouble))
+    val df = rows.toDF("ts_s", "amt")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"), sf.col("amt"))
+    val got = QualityChecks.decileShift(df, "ts", "amt").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == (1 to 9).map(d =>
+      (d, d.toDouble, d + 10.0, 10.0)), got.toSeq.toString)
+  }
+
+  test("EventOps.pageHinkley: level shift alarms, constant silent") {
+    def days(tpe: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (v, i) => Seq.fill(v)(
+        (f"2024-01-${i + 1}%02d 12:00:00", tpe, 0.0)) }
+    val seriesA = Seq.fill(10)(1) ++ Seq.fill(10)(9)
+    val df = (days("a", seriesA) ++ days("b", Seq.fill(20)(1)))
+      .toDF("ts_s", "event_type", "value")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("event_type"), sf.col("value"))
+    // JVM twin: lambda9 = 5 * sigma * 1e9 with sigma = 4 exactly
+    var s = 0L; var m = BigInt(0); var mn = BigInt(0); var mx = BigInt(0)
+    var nAl = 0L; var first = -1
+    seriesA.map(_.toLong).zipWithIndex.foreach { case (x, idx) =>
+      s += x
+      val term = math.floor(
+        (x.toDouble - s.toDouble / (idx + 1) - 0.0) * 1e9 + 0.5).toLong
+      m += term; if (m < mn) mn = m
+      val ph = m - mn; if (ph > mx) mx = ph
+      if (ph > 20000000000L) { nAl += 1; if (first < 0) first = idx }
+    }
+    val got = EventOps.pageHinkley(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    assert(a.getAs[Double]("threshold") == 20.0 &&
+      a.getAs[Double]("max_ph") ==
+        math.floor(mx.toDouble / 1e9 * 1e6 + 0.5) / 1e6 &&
+      a.getAs[Long]("n_alarms") == nAl &&
+      a.getAs[Long]("first_alarm_bin") == epoch0 + first, a.toString)
+    val b = got("b")
+    assert(b.isNullAt(b.fieldIndex("threshold")) &&
+      b.getAs[Long]("n_alarms") == 0, b.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
