@@ -3180,6 +3180,23 @@ object SparkEntry {
     "q451_page_hinkley" -> ((s, dir) =>
       EventOps.pageHinkley(Tables.load(s, dir, "events"))),
 
+    // Per-dimension Fisher discriminant ratio: which embedding
+    // components actually separate the labels — the probe screen.
+    "q452_fisher_ratio" -> ((s, dir) =>
+      Similarity.fisherRatio(Tables.load(s, dir, "embeddings"),
+        "label", "embedding")),
+
+    // Interrupted time-series excess per event type: pre-trend
+    // projection as the counterfactual, cumulative excess over it.
+    "q453_its_excess" -> ((s, dir) =>
+      EventOps.itsExcess(Tables.load(s, dir, "events"))),
+
+    // Order-to-ship lag profile: week-bucketed lags with negative
+    // buckets flagged — impossible history the FK audit walks past.
+    "q454_ship_lag" -> ((s, dir) =>
+      QualityChecks.orderShipLag(
+        Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14613,5 +14630,92 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l9 > 0 AND ph9 > l9 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
         |  MIN(CASE WHEN l9 > 0 AND ph9 > l9 THEN bin END) AS first_alarm_bin
         |FROM p5 GROUP BY t, n, l9 ORDER BY event_type""".stripMargin,
+
+    "q452_fisher_ratio" ->
+      """WITH x AS (SELECT CAST(label AS VARCHAR) AS cls,
+        |    unnest([{'dim': i, 'x': CAST(embedding[i+1] AS DOUBLE)}
+        |      FOR i IN range(0, len(embedding))]) AS u
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |f AS (SELECT cls, u.dim AS dim,
+        |    CAST(floor(u.x*1e4 + 0.5) AS BIGINT) AS x4
+        |  FROM x WHERE NOT isnan(u.x) AND NOT isinf(u.x)),
+        |g AS (SELECT dim, cls, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x4 AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(x4 AS DECIMAL(38,0))*x4) AS ss FROM f GROUP BY 1, 2),
+        |t AS (SELECT dim, n, s,
+        |    CAST(floor((CAST(s AS DOUBLE)/1e4)*(CAST(s AS DOUBLE)/1e4)
+        |      /CAST(n AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS bt,
+        |    CAST(floor((CAST(ss AS DOUBLE)/1e8 - (CAST(s AS DOUBLE)/1e4)
+        |      *(CAST(s AS DOUBLE)/1e4)/CAST(n AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS wt
+        |  FROM g),
+        |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS k_classes,
+        |    CAST(SUM(n) AS BIGINT) AS n, SUM(CAST(s AS DECIMAL(38,0))) AS st,
+        |    SUM(CAST(bt AS DECIMAL(38,0))) AS b,
+        |    SUM(CAST(wt AS DECIMAL(38,0))) AS w FROM t GROUP BY 1),
+        |fin AS (SELECT dim, k_classes, n,
+        |    CAST(st AS DOUBLE)/1e4 AS grand,
+        |    CAST(b AS DOUBLE)/1e6 - grand*grand/CAST(n AS DOUBLE) AS ssb,
+        |    CAST(w AS DOUBLE)/1e6 AS ssw,
+        |    (ssb/(CAST(k_classes AS DOUBLE) - 1))/(ssw/(CAST(n AS DOUBLE) - CAST(k_classes AS DOUBLE))) AS ff
+        |  FROM a)
+        |SELECT CAST(dim AS INT) AS dim, k_classes, n,
+        |  CASE WHEN k_classes > 1 AND n > k_classes AND ssw > 0 THEN
+        |    floor(ff*10000.0 + 0.5)/10000.0 END AS f_ratio
+        |FROM fin ORDER BY dim""".stripMargin,
+
+    "q453_its_excess" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT event_type AS t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bd AS (SELECT min(bin) AS lo, max(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT event_type AS t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bd.lo, bd.hi)) AS bin FROM bd) gs),
+        |v AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |ct AS (SELECT (min(bin) + max(bin) + 1) // 2 AS cut FROM v),
+        |pre AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pre,
+        |    SUM(CAST(bin AS DECIMAL(38,0))) AS sx, SUM(CAST(v AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(bin AS DECIMAL(38,0))*bin) AS sxx,
+        |    SUM(CAST(bin AS DECIMAL(38,0))*v) AS sxy
+        |  FROM v CROSS JOIN ct WHERE bin < ct.cut GROUP BY 1),
+        |post AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_post,
+        |    SUM(CAST(bin AS DECIMAL(38,0))) AS sb,
+        |    CAST(SUM(v) AS BIGINT) AS actual_post
+        |  FROM v CROSS JOIN ct WHERE bin >= ct.cut GROUP BY 1),
+        |fin AS (SELECT pre.t, pre.n_pre, post.n_post, post.actual_post,
+        |    CAST(CAST(pre.n_pre AS DECIMAL(38,0))*pre.sxx - pre.sx*pre.sx AS DOUBLE) AS cxx,
+        |    CAST(CAST(pre.n_pre AS DECIMAL(38,0))*pre.sxy - pre.sx*pre.sy AS DOUBLE) AS cxy,
+        |    cxy/cxx AS slope,
+        |    (CAST(pre.sy AS DOUBLE) - slope*CAST(pre.sx AS DOUBLE))/CAST(pre.n_pre AS DOUBLE) AS b0,
+        |    b0*CAST(post.n_post AS DOUBLE) + slope*CAST(post.sb AS DOUBLE) AS projected,
+        |    CAST(post.actual_post AS DOUBLE) - projected AS excess
+        |  FROM pre JOIN post ON pre.t = post.t)
+        |SELECT t AS event_type, n_pre, n_post,
+        |  CASE WHEN n_pre >= 2 AND cxx > 0 THEN
+        |    floor(slope*1000000.0 + 0.5)/1000000.0 END AS pre_slope,
+        |  actual_post,
+        |  CASE WHEN n_pre >= 2 AND cxx > 0 THEN
+        |    floor(projected*10000.0 + 0.5)/10000.0 END AS projected_post,
+        |  CASE WHEN n_pre >= 2 AND cxx > 0 THEN
+        |    floor(excess*10000.0 + 0.5)/10000.0 END AS excess,
+        |  CASE WHEN n_pre >= 2 AND cxx > 0 AND projected <> 0 THEN
+        |    floor(excess/projected*1000000.0 + 0.5)/1000000.0 END AS excess_share
+        |FROM fin ORDER BY event_type""".stripMargin,
+
+    "q454_ship_lag" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS sd
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL),
+        |o AS (SELECT o_orderkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS od
+        |  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |lg AS (SELECT CAST(floor(CAST(l.sd - o.od AS DOUBLE)/7.0) AS BIGINT) AS lag_weeks
+        |  FROM l JOIN o ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT lag_weeks, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lg GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS tn FROM b)
+        |SELECT lag_weeks, n_lines,
+        |  floor(CAST(n_lines AS DOUBLE)/CAST(tn AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share,
+        |  lag_weeks < 0 AS is_violation
+        |FROM b CROSS JOIN t ORDER BY lag_weeks""".stripMargin,
   )
 }

@@ -6264,6 +6264,49 @@ object QualityChecks {
         .as("odds_ratio"))
   }
 
+  /** Order-to-ship lag profile + temporal-integrity violations — the
+    * cross-table DATE sanity check beside [[orderReconciliation]]'s
+    * money check: every line's ship lag (ship day − order day) in
+    * week buckets, with NEGATIVE buckets flagged as violations (a
+    * line shipped before its order exists is impossible history —
+    * clock skew, bad backfill, or key corruption that row 61's
+    * FK-orphan audit, which only checks existence, walks right past).
+    *
+    * Determinism: lags are exact epoch-day integer differences;
+    * week buckets are floor(lag/7.0) — pinned double floor, exact on
+    * the small-integer lag domain, identical in both engines (integer
+    * `div` truncates toward zero and would fold −6..−1 into bucket 0
+    * with the violations); shares are pinned divisions 1e-6.
+    *
+    * Scale shape: one keyed header join (lines shuffle once, on the
+    * order key they're clustered by) + one combinable bucket rollup
+    * over the bounded lag-week domain + a broadcast total. */
+  def orderShipLag(lines: DataFrame, headers: DataFrame): DataFrame = {
+    val l = lines.filter(sf.col("l_orderkey").isNotNull &&
+        sf.col("l_shipdate").isNotNull)
+      .select(sf.col("l_orderkey"),
+        sf.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+          .as("__sd"))
+    val o = headers.filter(sf.col("o_orderkey").isNotNull &&
+        sf.col("o_orderdate").isNotNull)
+      .select(sf.col("o_orderkey"),
+        sf.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("__od"))
+    val lagged = l.join(o, sf.col("l_orderkey") === sf.col("o_orderkey"))
+      .select(sf.floor((sf.col("__sd") - sf.col("__od")).cast("double") / 7.0)
+        .cast("long").as("lag_weeks"))
+    val buckets = lagged.groupBy("lag_weeks")
+      .agg(sf.count(sf.lit(1)).as("n_lines"))
+      .localCheckpoint(true) // total + the share pass read it
+    val tot = buckets.agg(sf.sum("n_lines").cast("long").as("__tn"))
+    buckets.crossJoin(sf.broadcast(tot))
+      .select(sf.col("lag_weeks"), sf.col("n_lines"),
+        gf.roundAt(sf.col("n_lines").cast("double") /
+          sf.col("__tn").cast("double"), 6).as("share"),
+        (sf.col("lag_weeks") < 0).as("is_violation"))
+      .orderBy("lag_weeks")
+  }
+
   /** Chi-squared CELL diagnostics (Pearson residuals + Haberman 1973
     * adjusted residuals) over the full category grid — the post-hoc
     * row 145's omnibus test needs: χ² says THE TABLE is dependent;

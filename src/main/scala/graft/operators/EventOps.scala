@@ -3696,6 +3696,71 @@ object EventOps {
       .orderBy(typeCol)
   }
 
+  /** Interrupted time-series excess (single-group ITS; the
+    * comparative-ITS design of Campbell & Stanley 1963 without a
+    * control arm) per event type — fit level + trend on the FIRST
+    * half of the grid, project it through the second, and report the
+    * cumulative excess over the projection: the "what did the launch
+    * add, net of the trend we already had" number row 332's
+    * diff-in-diff gives only when a control group exists; with none,
+    * the pre-trend projection IS the counterfactual (and its honesty
+    * rests on the pre-fit, which is reported alongside).
+    *
+    * Determinism: pre-period OLS rides exact DECIMAL(38,0) moments on
+    * integer (bin, count) pairs; the projected post total is ONE
+    * pinned assembly b₀·n_post + slope·Σbin (no per-row arithmetic at
+    * all — the projection SUM is linear in the post-bin aggregates);
+    * the bin cut is the integer midpoint. Degenerate pre-fits
+    * (< 2 pre bins, zero bin variance) report NULL.
+    *
+    * Scale shape: the grid builds once; two combinable per-type
+    * rollups (pre moments, post aggregates) + a one-row-per-type
+    * finish — no windows, no per-row projection. */
+  def itsExcess(events: DataFrame, typeCol: String = "event_type",
+                tsCol: String = "ts", binSec: Long = 86400): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = denseSeries(events, typeCol, tsCol, "value", binSec)
+      .select(sf.col(typeCol).as("t"), sf.col("bin"), sf.col("n_events").as("v"))
+      .localCheckpoint(true) // cut + both halves read it
+    val cut = g.agg(sf.expr("CAST((min(bin) + max(bin) + 1) DIV 2 AS BIGINT)")
+      .as("__cut"))
+    val halves = g.crossJoin(sf.broadcast(cut))
+    val pre = halves.filter(sf.col("bin") < sf.col("__cut"))
+      .groupBy("t").agg(
+        sf.count(sf.lit(1)).as("n_pre"),
+        sf.sum(dec(sf.col("bin"))).as("sx"), sf.sum(dec(sf.col("v"))).as("sy"),
+        sf.sum(dec(sf.col("bin")) * dec(sf.col("bin"))).as("sxx"),
+        sf.sum(dec(sf.col("bin")) * dec(sf.col("v"))).as("sxy"))
+    val post = halves.filter(sf.col("bin") >= sf.col("__cut"))
+      .groupBy("t").agg(
+        sf.count(sf.lit(1)).as("n_post"),
+        sf.sum(dec(sf.col("bin"))).as("sb"),
+        sf.sum(sf.col("v")).cast("long").as("actual_post"))
+    pre.join(post, "t")
+      .select({
+        val n = sf.col("n_pre").cast("double")
+        val cxx = (dec(sf.col("n_pre")) * sf.col("sxx") -
+          sf.col("sx") * sf.col("sx")).cast("double")
+        val cxy = (dec(sf.col("n_pre")) * sf.col("sxy") -
+          sf.col("sx") * sf.col("sy")).cast("double")
+        val slope = cxy / cxx
+        val b0 = (sf.col("sy").cast("double") -
+          slope * sf.col("sx").cast("double")) / n
+        val projected = b0 * sf.col("n_post").cast("double") +
+          slope * sf.col("sb").cast("double")
+        val excess = sf.col("actual_post").cast("double") - projected
+        val ok = sf.col("n_pre") >= 2 && cxx > 0.0
+        Seq(sf.col("t").as(typeCol), sf.col("n_pre"), sf.col("n_post"),
+          sf.when(ok, gf.roundAt(slope, 6)).as("pre_slope"),
+          sf.col("actual_post"),
+          sf.when(ok, gf.roundAt(projected, 4)).as("projected_post"),
+          sf.when(ok, gf.roundAt(excess, 4)).as("excess"),
+          sf.when(ok, sf.when(projected =!= 0.0,
+            gf.roundAt(excess / projected, 6))).as("excess_share"))
+      }: _*)
+      .orderBy(typeCol)
+  }
+
   /** Steady-state Holt linear weights: (level, trend) convolution
     * coefficients for lag l, 1e-9-snapped longs. The Holt recursion
     * ℓ_t = αy_t + (1−α)(ℓ_{t-1}+b_{t-1}), b_t = β(ℓ_t−ℓ_{t-1}) +

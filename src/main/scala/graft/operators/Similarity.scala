@@ -919,6 +919,67 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Per-dimension Fisher discriminant ratio — a one-way ANOVA F
+    * across the label groups for EVERY embedding component: which
+    * dimensions actually separate the classes (F ≫ 1) and which are
+    * label-blind noise — the feature-selection / probe readout that
+    * [[dimensionProfile]] (label-free moments) and the row-177
+    * centroid matrix (whole-vector geometry) sit on either side of,
+    * and the standard screen before training linear probes or
+    * choosing Matryoshka truncation cut points per task.
+    *
+    * Determinism: the row 175 ANOVA discipline VERBATIM, grouped by
+    * (dim, label) — components snap to the 1e-4 grid, per-group
+    * between/within terms snap to 1e-6 longs BEFORE the unordered
+    * cross-group sums, F is one pinned assembly rounded 1e-4.
+    * Non-finite components drop (complete-case per dim, the
+    * dimensionProfile pollution rule); degenerate dims (k < 2,
+    * n ≤ k, zero within variance) report NULL.
+    *
+    * Scale shape: one map-only component explode + a combinable
+    * (dim, label) rollup; everything after runs on the dims × labels
+    * domain. */
+  def fisherRatio(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val finite = !sf.isnan(sf.col("x")) &&
+      sf.abs(sf.col("x")) <= sf.lit(Double.MaxValue)
+    val comps = Par.spread(emb
+      .filter(sf.col(labelCol).isNotNull && sf.col(vecCol).isNotNull)
+      .select(sf.col(labelCol).cast("string").as("cls"),
+        sf.col(vecCol).cast("array<double>").as("v")))
+      .select(sf.col("cls"), sf.posexplode(sf.col("v")).as(Seq("dim", "x")))
+      .filter(finite)
+      .select(sf.col("cls"), sf.col("dim"),
+        sf.floor(sf.col("x") * 1e4 + 0.5).cast("long").as("__x4"))
+    val g = comps.groupBy("dim", "cls")
+      .agg(sf.count(sf.lit(1)).as("__n"), sf.sum(dec(sf.col("__x4"))).as("__s"),
+        sf.sum(dec(sf.col("__x4")) * dec(sf.col("__x4"))).as("__ss"))
+    val sg = sf.col("__s").cast("double") / 1e4
+    val ng = sf.col("__n").cast("double")
+    val bTerm = sf.floor(sg * sg / ng * 1e6 + 0.5).cast("long")
+    val wTerm = sf.floor((sf.col("__ss").cast("double") / 1e8 - sg * sg / ng)
+      * 1e6 + 0.5).cast("long")
+    g.select(sf.col("dim"), sf.col("__n"), sf.col("__s"),
+        bTerm.as("__bt"), wTerm.as("__wt"))
+      .groupBy("dim")
+      .agg(sf.count(sf.lit(1)).as("k_classes"), sf.sum("__n").cast("long").as("n"),
+        sf.sum(dec(sf.col("__s"))).as("__st"),
+        sf.sum(dec(sf.col("__bt"))).as("__b"),
+        sf.sum(dec(sf.col("__wt"))).as("__w"))
+      .select({
+        val n = sf.col("n").cast("double")
+        val k = sf.col("k_classes").cast("double")
+        val grand = sf.col("__st").cast("double") / 1e4
+        val ssb = sf.col("__b").cast("double") / 1e6 - grand * grand / n
+        val ssw = sf.col("__w").cast("double") / 1e6
+        val f = (ssb / (k - 1)) / (ssw / (n - k))
+        Seq(sf.col("dim"), sf.col("k_classes"), sf.col("n"),
+          sf.when(sf.col("k_classes") > 1 && sf.col("n") > sf.col("k_classes")
+            && ssw > 0, gf.roundAt(f, 4)).as("f_ratio"))
+      }: _*)
+      .orderBy("dim")
+  }
+
   /** Per-dimension z-score standardization of an embedding table — the
     * whitening step before distance-based ops when dimensions carry
     * wildly different scales (raw activations, concatenated feature

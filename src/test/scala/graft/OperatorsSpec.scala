@@ -4148,6 +4148,55 @@ class OperatorsSpec extends SparkFunSuite {
       b.getAs[Long]("n_alarms") == 0, b.toString)
   }
 
+  test("Similarity.fisherRatio: separating dim F=50, constant dim NULL") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.5f), "a"), (2L, Array(0.2f, 0.5f), "a"),
+      (3L, Array(1.0f, 0.5f), "b"), (4L, Array(1.2f, 0.5f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.fisherRatio(df, "label", "embedding").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val d0 = got(0)
+    // SSB = 1.0 (df 1), SSW = 0.04 (df 2): F = 50
+    assert(d0.getAs[Long]("k_classes") == 2 && d0.getAs[Long]("n") == 4 &&
+      d0.getAs[Double]("f_ratio") == 50.0, d0.toString)
+    val d1 = got(1) // zero within variance: NULL
+    assert(d1.isNullAt(d1.fieldIndex("f_ratio")), d1.toString)
+  }
+
+  test("EventOps.itsExcess: pre-trend projection, exact excess") {
+    def days(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (v, i) => Seq.fill(v)((s"2024-01-0${i + 1} 12:00:00", "a", 0.0)) }
+    val df = days(Seq(1, 2, 3, 10)).toDF("ts_s", "event_type", "value")
+      .select(sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.col("event_type"), sf.col("value"))
+    val r = EventOps.itsExcess(df).head()
+    // pre (1, 2): slope 1 -> projected post = 3 + 4 = 7; actual 13
+    assert(r.getAs[Long]("n_pre") == 2 && r.getAs[Long]("n_post") == 2 &&
+      r.getAs[Double]("pre_slope") == 1.0 &&
+      r.getAs[Long]("actual_post") == 13 &&
+      r.getAs[Double]("projected_post") == 7.0 &&
+      r.getAs[Double]("excess") == 6.0 &&
+      r.getAs[Double]("excess_share") ==
+        math.floor(6.0 / 7.0 * 1e6 + 0.5) / 1e6, r.toString)
+  }
+
+  test("QualityChecks.orderShipLag: week buckets, negative lag flagged") {
+    val lines = Seq(
+      (1L, "2024-01-10"), (1L, "2024-01-24"), (1L, "2024-01-04"),
+      (2L, "2024-01-02"))
+      .toDF("l_orderkey", "sd")
+      .select(sf.col("l_orderkey"), sf.col("sd").cast("date").as("l_shipdate"))
+    val heads = Seq((1L, "2024-01-10"), (2L, "2024-01-01"))
+      .toDF("o_orderkey", "od")
+      .select(sf.col("o_orderkey"), sf.col("od").cast("date").as("o_orderdate"))
+    val got = QualityChecks.orderShipLag(lines, heads).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // lags 0, 14, -6, 1 -> buckets -1 (violation), 0 x2, 2
+    assert(got.toSeq == Seq(
+      (-1L, 1L, 0.25, true), (0L, 2L, 0.5, false), (2L, 1L, 0.25, false)),
+      got.toSeq.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
