@@ -3197,6 +3197,24 @@ object SparkEntry {
       QualityChecks.orderShipLag(
         Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "orders"))),
 
+    // Shapley channel attribution: the unique efficiency/symmetry/
+    // dummy allocation, exact over the 2^k channel-set domain.
+    "q455_shapley" -> ((s, dir) =>
+      EventOps.shapleyAttribution(Tables.load(s, dir, "events"))),
+
+    // Run-length stereotypy per event type: which action is being
+    // hammered in runs — the diagonal structure the matrix hides.
+    "q456_run_lengths" -> ((s, dir) =>
+      EventOps.runLengthProfile(Tables.load(s, dir, "events"))),
+
+    // Basket brand-diversity by size: replenishment vs browse
+    // composition — per-order entropy, exact snapped terms.
+    "q457_basket_diversity" -> ((s, dir) =>
+      StarSchema.basketDiversity(
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "part"),
+            sf.col("l_partkey") === sf.col("p_partkey")))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14717,5 +14735,73 @@ object SparkEntry {
         |  floor(CAST(n_lines AS DOUBLE)/CAST(tn AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share,
         |  lag_weeks < 0 AS is_violation
         |FROM b CROSS JOIN t ORDER BY lag_weeks""".stripMargin,
+
+    "q455_shapley" -> {
+      // instance weights for k = 4 channels: s!(k-1-s)!
+      def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+      val wvals = (0 until 4).map(s => s"($s, ${fact(s) * fact(3 - s)})")
+        .mkString(", ")
+      s"""WITH ch AS (SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS idx
+        |  FROM (SELECT DISTINCT event_type AS ch FROM events
+        |        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |          AND event_type <> 'purchase')),
+        |tc AS (SELECT DISTINCT e.user_id AS u, ch.idx
+        |  FROM events e JOIN ch ON e.event_type = ch.ch WHERE e.user_id IS NOT NULL),
+        |mk AS (SELECT user_id AS u,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
+        |um AS (SELECT mk.conv, COALESCE(tm.m, 0) AS m
+        |  FROM mk LEFT JOIN (SELECT u, CAST(SUM(1::BIGINT << idx) AS BIGINT) AS m
+        |    FROM tc GROUP BY 1) tm ON mk.u = tm.u),
+        |rt AS (SELECT m, CAST(floor(CAST(SUM(conv) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS v9
+        |  FROM um GROUP BY 1),
+        |kk AS (SELECT CAST(COUNT(*) AS INT) AS k FROM ch),
+        |dom AS (SELECT gs.m, COALESCE(rt.v9, 0) AS v9
+        |  FROM (SELECT unnest(generate_series(0,
+        |    (SELECT (1::BIGINT << k) - 1 FROM kk))) AS m) gs
+        |  LEFT JOIN rt ON gs.m = rt.m),
+        |wn AS (SELECT * FROM (VALUES $wvals) v(s, wnum)),
+        |ct AS (SELECT ch.ch, CAST(wn.wnum AS HUGEINT)*(d1.v9 - d0.v9) AS t
+        |  FROM dom d0 CROSS JOIN ch
+        |  JOIN dom d1 ON d1.m = d0.m + (1::BIGINT << ch.idx)
+        |  JOIN wn ON wn.s = bit_count(d0.m)
+        |  WHERE (d0.m >> ch.idx) & 1 = 0),
+        |rc AS (SELECT ch.ch, CAST(COUNT(*) AS BIGINT) AS n_users_touched
+        |  FROM tc JOIN ch ON tc.idx = ch.idx GROUP BY 1)
+        |SELECT ct.ch AS channel, rc.n_users_touched,
+        |  floor(CAST(SUM(ct.t) AS DOUBLE)/(24.0*1e9)*1000000.0 + 0.5)/1000000.0 AS shapley_value
+        |FROM ct JOIN rc ON ct.ch = rc.ch
+        |GROUP BY 1, 2 ORDER BY channel""".stripMargin
+    },
+
+    "q456_run_lengths" ->
+      """WITH r AS (SELECT user_id AS u, event_type AS t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS isl
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |runs AS (SELECT u, t, isl, CAST(COUNT(*) AS BIGINT) AS len FROM r GROUP BY 1, 2, 3),
+        |a AS (SELECT t, CAST(SUM(len) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_runs, CAST(MAX(len) AS BIGINT) AS max_run
+        |  FROM runs GROUP BY 1)
+        |SELECT t AS event_type, n_events, n_runs,
+        |  floor(CAST(n_events AS DOUBLE)/CAST(n_runs AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mean_run,
+        |  max_run,
+        |  floor(CAST(n_events - n_runs AS DOUBLE)/CAST(n_events AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS repeat_share
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q457_basket_diversity" ->
+      """WITH ob AS (SELECT l.l_orderkey AS o, p.p_brand AS b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT o, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM ob GROUP BY 1),
+        |po AS (SELECT ob.o, tt.n, tt.nb,
+        |    SUM(CAST(floor(-(CAST(ob.c AS DOUBLE)/CAST(tt.n AS DOUBLE))
+        |      *ln(CAST(ob.c AS DOUBLE)/CAST(tt.n AS DOUBLE))*1e9 + 0.5) AS HUGEINT)) AS e9
+        |  FROM ob JOIN tt ON ob.o = tt.o GROUP BY 1, 2, 3)
+        |SELECT n AS basket_size, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  floor(CAST(SUM(e9) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS mean_entropy,
+        |  floor(CAST(SUM(nb) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mean_brands
+        |FROM po GROUP BY 1 ORDER BY basket_size""".stripMargin,
   )
 }

@@ -691,6 +691,48 @@ object EventOps {
       .orderBy(sf.col("pi_fx").desc, sf.col("state"))
   }
 
+  /** Event-run (stereotypy) profile — run-length statistics of
+    * IDENTICAL consecutive event types per user, rolled up per type:
+    * mean/max run length and the repeat share (fraction of events
+    * that repeat their predecessor). The behavioral-stereotypy signal
+    * beside row 237's cadence score: a scripted client replays
+    * click-click-click-… in long runs a human never produces, and
+    * the per-type runs say WHICH action is being hammered — while
+    * row 146's transition matrix only shows the diagonal mass, not
+    * its run structure.
+    *
+    * Determinism: pure integer structure — the island key is the
+    * row 501 gaps-and-islands difference of two row_numbers (global
+    * per user vs per (user, type)), run lengths are exact counts,
+    * ratios pinned 1e-6.
+    *
+    * Scale shape: two per-user windows over each user's bounded
+    * event sequence + two combinable rollups — raw events shuffle
+    * once, on the user key. */
+  def runLengthProfile(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts", idCol: String = "event_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    val wAll = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val wTyp = Window.partitionBy(sf.col(keyCol), sf.col(typeCol))
+      .orderBy(sf.col(tsCol), sf.col(idCol))
+    val runs = events.filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
+      .select(sf.col(keyCol).as("__u"), sf.col(typeCol).as("t"),
+        (sf.row_number().over(wAll) - sf.row_number().over(wTyp)).as("__isl"))
+      .groupBy("__u", "t", "__isl")
+      .agg(sf.count(sf.lit(1)).as("len"))
+    runs.groupBy("t")
+      .agg(sf.sum("len").cast("long").as("n_events"),
+        sf.count(sf.lit(1)).cast("long").as("n_runs"),
+        sf.max("len").cast("long").as("max_run"))
+      .select(sf.col("t").as(typeCol), sf.col("n_events"), sf.col("n_runs"),
+        gf.roundAt(sf.col("n_events").cast("double") /
+          sf.col("n_runs").cast("double"), 6).as("mean_run"),
+        sf.col("max_run"),
+        gf.roundAt((sf.col("n_events") - sf.col("n_runs")).cast("double") /
+          sf.col("n_events").cast("double"), 6).as("repeat_share"))
+      .orderBy(typeCol)
+  }
+
   /** Bounded-horizon ABSORPTION probability per state — the
     * complement of [[stationaryDistribution]]'s forward mass push:
     * P(reach `conversionType` within `steps` transitions | current
@@ -1307,6 +1349,89 @@ object EventOps {
         sf.sum(sf.col("credit_fx")).as("credit_fx"))
       .select(sf.col("channel"), sf.col("n_attributions"),
         gf.roundAt(sf.col("credit_fx").cast("double") / 1e8, 2).as("credit"))
+      .orderBy("channel")
+  }
+
+  /** SHAPLEY-VALUE channel attribution (Shapley 1953; the data-driven
+    * coalition form of Zhao, Mahboobi & Bagheri 2018) — the
+    * game-theoretic member of the attribution ladder: rows 155/163/238
+    * split each conversion by position/recency heuristics and row 280
+    * prices channels by Markov removal; Shapley is the UNIQUE
+    * allocation satisfying efficiency/symmetry/dummy, computed here
+    * EXACTLY over the channel-set domain: v(S) = empirical conversion
+    * rate of users whose touched-channel set is S (unobserved sets
+    * contribute v = 0, the standard empirical convention — documented,
+    * not hidden), φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪c) − v(S)).
+    *
+    * Determinism: set membership is an exact bitmask over the sorted
+    * channel list; v(S) snaps to a 1e-9 long; the factorial weights
+    * ride as EXACT INTEGER numerators s!(k−1−s)! (k ≤ 12 by contract,
+    * 11! < 2⁶³) with ONE pinned division by k!·10⁹ at the end — the
+    * coalition sum is exact integer arithmetic.
+    *
+    * Scale shape: one (user, channel) distinct collapse + a per-user
+    * mask rollup + a mask-domain rate table (2^k ≤ 4096 rows) — the
+    * Shapley sum itself is a DOMAIN cross (2^k × k) with two broadcast
+    * rate attaches, never row-scale. */
+  def shapleyAttribution(events: DataFrame,
+                         conversionType: String = "purchase",
+                         keyCol: String = "user_id",
+                         typeCol: String = "event_type",
+                         maxChannels: Int = 12): DataFrame = {
+    require(maxChannels >= 1 && maxChannels <= 12,
+      s"maxChannels must be in [1, 12], got $maxChannels")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.filter(sf.col(keyCol).isNotNull && sf.col(typeCol).isNotNull)
+      .localCheckpoint(true) // channel probe + masks read it
+    val channels = base.filter(sf.col(typeCol) =!= conversionType)
+      .select(sf.col(typeCol).cast("string").as("ch")).distinct()
+      .orderBy("ch").collect().map(_.getString(0)) // bounded type domain
+    val k = channels.length
+    require(k >= 1 && k <= maxChannels,
+      s"shapleyAttribution: $k channels outside [1, $maxChannels]")
+    val chDF = channels.zipWithIndex.map { case (c, i) => (c, i) }
+      .toSeq.toDF("ch", "idx")
+    val touched = base.filter(sf.col(typeCol) =!= conversionType)
+      .select(sf.col(keyCol).as("u"), sf.col(typeCol).cast("string").as("ch"))
+      .distinct()
+      .join(sf.broadcast(chDF), "ch")
+      .localCheckpoint(true) // masks + per-channel reach read it
+    val masks = base.groupBy(sf.col(keyCol).as("u"))
+      .agg(sf.max((sf.col(typeCol) === conversionType).cast("int")).as("conv"))
+      .join(touched.groupBy("u")
+        .agg(sf.sum(sf.expr("shiftleft(1L, CAST(idx AS INT))")).as("m")),
+        Seq("u"), "left")
+      .select(sf.coalesce(sf.col("m"), sf.lit(0L)).as("m"), sf.col("conv"))
+    val rates = masks.groupBy("m")
+      .agg(sf.count(sf.lit(1)).as("n_u"), sf.sum("conv").cast("long").as("n_c"))
+      .select(sf.col("m"),
+        sf.floor(sf.col("n_c").cast("double") / sf.col("n_u").cast("double")
+          * 1e9 + 0.5).cast("long").as("v9"))
+      .localCheckpoint(true) // two domain attaches read it
+    val dom = spark.range(0L, 1L << k).select(sf.col("id").as("m"))
+      .join(rates, Seq("m"), "left")
+      .select(sf.col("m"), sf.coalesce(sf.col("v9"), sf.lit(0L)).as("v9"))
+      .localCheckpoint(true)
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val wnum = (0 until k).map(s => sf.lit(fact(s) * fact(k - 1 - s)))
+    val contrib = dom.crossJoin(sf.broadcast(chDF))
+      .filter(sf.col("m").bitwiseAND(
+        sf.expr("shiftleft(1L, CAST(idx AS INT))")) === 0L)
+      .join(dom.select(sf.col("m").as("__mw"), sf.col("v9").as("__vw")),
+        sf.col("__mw") === sf.col("m") + sf.expr("shiftleft(1L, CAST(idx AS INT))"))
+      .select(sf.col("ch"), sf.col("idx"),
+        (dec(sf.element_at(sf.array(wnum: _*),
+          sf.expr("bit_count(m) + 1"))) *
+          dec(sf.col("__vw") - sf.col("v9"))).as("__t"))
+    val reach = touched.groupBy("ch")
+      .agg(sf.count(sf.lit(1)).cast("long").as("n_users_touched"))
+    contrib.groupBy("ch").agg(sf.sum("__t").as("__sum"))
+      .join(sf.broadcast(reach), "ch")
+      .select(sf.col("ch").as("channel"), sf.col("n_users_touched"),
+        gf.roundAt(sf.col("__sum").cast("double") /
+          (fact(k).toDouble * 1e9), 6).as("shapley_value"))
       .orderBy("channel")
   }
 

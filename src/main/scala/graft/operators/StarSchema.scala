@@ -765,6 +765,50 @@ object StarSchema {
       .orderBy(groupCol)
   }
 
+  /** Basket brand-diversity profile — per-order Shannon entropy of
+    * the brand mix, rolled up by basket size: do 10-line orders
+    * concentrate in one brand (entropy → 0, replenishment behavior)
+    * or spread across many (entropy → ln n, browse/assortment
+    * behavior) — the within-basket composition readout rows 156/351
+    * (co-occurrence/rules, cross-basket) and row 130's CUBE
+    * (aggregate mix) can't give, and the assortment-planning number
+    * beside row 481's supplier concentration.
+    *
+    * Determinism: per-(order, brand) counts are exact; each order's
+    * entropy terms −(c/n)ln(c/n) snap to 1e-9 longs BEFORE the
+    * within-order sum (the cross-row snap rule) and order entropies
+    * sum exactly per basket size; means are pinned divisions 1e-6.
+    *
+    * Scale shape: one (order, brand) rollup + one order rollup + one
+    * basket-size rollup — lines shuffle once, on the order key
+    * they're clustered by. */
+  def basketDiversity(lines: DataFrame, orderCol: String = "l_orderkey",
+                      brandCol: String = "p_brand"): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val ob = lines.filter(sf.col(orderCol).isNotNull && sf.col(brandCol).isNotNull)
+      .groupBy(sf.col(orderCol).as("o"), sf.col(brandCol).as("b"))
+      .agg(sf.count(sf.lit(1)).as("c"))
+    val totals = ob.groupBy("o").agg(sf.sum("c").cast("long").as("n"),
+      sf.count(sf.lit(1)).cast("long").as("nb"))
+    val perOrder = ob.join(totals, "o")
+      .select(sf.col("o"), sf.col("n"), sf.col("nb"),
+        sf.floor(-(sf.col("c").cast("double") / sf.col("n").cast("double")) *
+          sf.log(sf.col("c").cast("double") / sf.col("n").cast("double")) *
+          1e9 + 0.5).cast("long").as("__h9"))
+      .groupBy("o", "n", "nb")
+      .agg(sf.sum(dec(sf.col("__h9"))).as("__e9"))
+    perOrder.groupBy(sf.col("n").as("basket_size"))
+      .agg(sf.count(sf.lit(1)).cast("long").as("n_orders"),
+        sf.sum(sf.col("__e9")).as("__se9"),
+        sf.sum("nb").cast("long").as("__snb"))
+      .select(sf.col("basket_size"), sf.col("n_orders"),
+        gf.roundAt(sf.col("__se9").cast("double") /
+          sf.col("n_orders").cast("double") / 1e9, 6).as("mean_entropy"),
+        gf.roundAt(sf.col("__snb").cast("double") /
+          sf.col("n_orders").cast("double"), 6).as("mean_brands"))
+      .orderBy("basket_size")
+  }
+
   /** Period-over-period revenue deltas — monthly totals with
     * month-over-month and year-over-year changes, the first page of
     * every revenue review: MoM catches operational shifts, YoY reads

@@ -4197,6 +4197,60 @@ class OperatorsSpec extends SparkFunSuite {
       got.toSeq.toString)
   }
 
+  test("EventOps.shapleyAttribution: exact coalition values on 2 channels") {
+    var id = 0L
+    def ev(u: Long, types: String*) = types.map { t => id += 1; (id, u, t) }
+    val rows = ev(1, "click", "purchase") ++ ev(2, "click") ++
+      ev(3, "view") ++ ev(4, "view") ++ ev(5, "click", "view", "purchase") ++
+      ev(6, "click", "view", "purchase") ++ ev(7, "purchase")
+    val df = rows.toDF("event_id", "user_id", "event_type")
+      .select(sf.col("event_id"),
+        sf.lit("2024-01-01 10:00:00").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"))
+    val got = EventOps.shapleyAttribution(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // v(0)=1, v(A)=1/2, v(B)=0, v(AB)=1:
+    // phi_click = (.5-1)/2 + (1-0)/2 = .25; phi_view = (0-1)/2 + (1-.5)/2
+    assert(got("click").getAs[Long]("n_users_touched") == 4 &&
+      got("click").getAs[Double]("shapley_value") == 0.25, got("click").toString)
+    assert(got("view").getAs[Long]("n_users_touched") == 4 &&
+      got("view").getAs[Double]("shapley_value") == -0.25, got("view").toString)
+  }
+
+  test("EventOps.runLengthProfile: runs split on interruptions") {
+    val df = Seq((1L, 1L, "a"), (2L, 2L, "a"), (3L, 3L, "a"),
+      (4L, 4L, "b"), (5L, 5L, "a"))
+      .toDF("event_id", "ts_s", "event_type")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1L).as("user_id"), sf.col("event_type"))
+    val got = EventOps.runLengthProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a") // runs 3 and 1
+    assert(a.getAs[Long]("n_events") == 4 && a.getAs[Long]("n_runs") == 2 &&
+      a.getAs[Double]("mean_run") == 2.0 && a.getAs[Long]("max_run") == 3 &&
+      a.getAs[Double]("repeat_share") == 0.5, a.toString)
+    val b = got("b")
+    assert(b.getAs[Long]("n_runs") == 1 &&
+      b.getAs[Double]("repeat_share") == 0.0, b.toString)
+  }
+
+  test("StarSchema.basketDiversity: entropy by basket size, snapped terms") {
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "z"), (2L, "z"))
+      .toDF("l_orderkey", "p_brand")
+    val got = StarSchema.basketDiversity(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val h9 = math.floor(-(2.0 / 3) * math.log(2.0 / 3) * 1e9 + 0.5).toLong +
+      math.floor(-(1.0 / 3) * math.log(1.0 / 3) * 1e9 + 0.5).toLong
+    val s3 = got(3L)
+    assert(s3.getAs[Long]("n_orders") == 1 &&
+      s3.getAs[Double]("mean_entropy") ==
+        math.floor(h9.toDouble / 1 / 1e9 * 1e6 + 0.5) / 1e6 &&
+      s3.getAs[Double]("mean_brands") == 2.0, s3.toString)
+    val s2 = got(2L) // single brand: entropy exactly 0
+    assert(s2.getAs[Double]("mean_entropy") == 0.0 &&
+      s2.getAs[Double]("mean_brands") == 1.0, s2.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
