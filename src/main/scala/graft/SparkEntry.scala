@@ -3215,6 +3215,23 @@ object SparkEntry {
           .join(Tables.load(s, dir, "part"),
             sf.col("l_partkey") === sf.col("p_partkey")))),
 
+    // Popularity-baseline recommender eval: the floor every
+    // personalized model must clear, hash-split train/test.
+    "q458_pop_hit_rate" -> ((s, dir) =>
+      Recsys.popularityHitRate(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")),
+
+    // Co-purchase item-item eval: top-k train neighbor lists scored
+    // on held-out baskets — the first number that can beat q458.
+    "q459_copurchase_hit" -> ((s, dir) =>
+      Recsys.coPurchaseHitRate(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")),
+
+    // Tenure hazard curve: discrete-time churn hazard from the
+    // activity log with final-week right-censoring.
+    "q460_tenure_hazard" -> ((s, dir) =>
+      EventOps.tenureHazard(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14803,5 +14820,67 @@ object SparkEntry {
         |  floor(CAST(SUM(e9) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS mean_entropy,
         |  floor(CAST(SUM(nb) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mean_brands
         |FROM po GROUP BY 1 ORDER BY basket_size""".stripMargin,
+
+    "q458_pop_hit_rate" ->
+      """WITH r AS (SELECT l_orderkey AS b, l_partkey AS i,
+        |    (((l_orderkey % 2147483648) * 2654435761) % 4294967296) % 10000 < 2000 AS t
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |top AS (SELECT i FROM (SELECT i, COUNT(*) AS c FROM r WHERE NOT t GROUP BY 1)
+        |  ORDER BY c DESC, i LIMIT 20),
+        |ntr AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM r WHERE NOT t),
+        |ti AS (SELECT DISTINCT b, i FROM r WHERE t),
+        |pb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN i IN (SELECT i FROM top) THEN 1 ELSE 0 END) AS BIGINT) AS h
+        |  FROM ti GROUP BY 1)
+        |SELECT ntr.n AS n_train_baskets, CAST(COUNT(*) AS BIGINT) AS n_test_baskets,
+        |  CAST(20 AS INT) AS top_n,
+        |  floor(CAST(SUM(pb.h) AS DOUBLE)/CAST(SUM(pb.n) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS item_hit_rate,
+        |  floor(CAST(SUM(CASE WHEN pb.h > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS basket_hit_rate
+        |FROM pb CROSS JOIN ntr GROUP BY ntr.n""".stripMargin,
+
+    "q459_copurchase_hit" ->
+      """WITH r AS (SELECT l_orderkey AS b, l_partkey AS i,
+        |    (((l_orderkey % 2147483648) * 2654435761) % 4294967296) % 10000 < 2000 AS t
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |tb AS (SELECT DISTINCT b, i FROM r WHERE NOT t),
+        |p AS (SELECT x.i AS a, y.i AS bb FROM tb x JOIN tb y ON x.b = y.b AND x.i < y.i),
+        |pr AS (SELECT a, bb, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pr),
+        |d AS (SELECT a AS i, bb AS rec, c FROM pr UNION ALL SELECT bb, a, c FROM pr),
+        |tk AS (SELECT i, rec FROM (SELECT i, rec,
+        |    row_number() OVER (PARTITION BY i ORDER BY c DESC, rec) AS rn FROM d)
+        |  WHERE rn <= 5),
+        |ti AS (SELECT DISTINCT b, i FROM r WHERE t),
+        |sz AS (SELECT b FROM ti GROUP BY b HAVING COUNT(*) >= 2),
+        |ca AS (SELECT ti.b, ti.i FROM ti JOIN sz USING (b)),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ca),
+        |ht AS (SELECT DISTINCT ca.b, ca.i FROM ca JOIN tk ON ca.i = tk.i
+        |  JOIN ca c2 ON c2.b = ca.b AND c2.i = tk.rec),
+        |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ht)
+        |SELECT np.n AS n_train_pairs, CAST(5 AS INT) AS k,
+        |  nc.n AS n_candidates, nh.n AS n_hits,
+        |  CASE WHEN nc.n > 0 THEN
+        |    floor(CAST(nh.n AS DOUBLE)/CAST(nc.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS hit_rate
+        |FROM np CROSS JOIN nc CROSS JOIN nh""".stripMargin,
+
+    "q460_tenure_hazard" ->
+      """WITH u AS (SELECT user_id AS u,
+        |    min(epoch_us(ts) // 604800000000) AS w0,
+        |    max(epoch_us(ts) // 604800000000) AS w1
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(w1) AS maxw FROM u),
+        |tn AS (SELECT w1 - w0 AS tenure_weeks,
+        |    CASE WHEN w1 >= mx.maxw THEN 1 ELSE 0 END AS cens FROM u CROSS JOIN mx),
+        |g AS (SELECT tenure_weeks, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cens) AS BIGINT) AS n_censored FROM tn GROUP BY 1),
+        |c AS (SELECT tenure_weeks, n, n_censored, n - n_censored AS n_churned,
+        |    CAST(SUM(n) OVER (ORDER BY tenure_weeks DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+        |  FROM g)
+        |SELECT tenure_weeks, n_at_risk, CAST(n_churned AS BIGINT) AS n_churned,
+        |  n_censored,
+        |  floor(CAST(n_churned AS DOUBLE)/CAST(n_at_risk AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS hazard
+        |FROM c ORDER BY tenure_weeks""".stripMargin,
   )
 }

@@ -835,6 +835,51 @@ object EventOps {
       .orderBy("streak_days")
   }
 
+  /** Tenure hazard curve (discrete-time survival from activity data)
+    * — for each tenure week w: of the users who SURVIVED to tenure w,
+    * what fraction churned there (last activity at tenure w), with
+    * users still active in the corpus's final week right-CENSORED
+    * (they haven't churned; counting them as deaths is the classic
+    * retention-analysis error): the lifecycle readout row 115's
+    * retention matrix gives per-cohort and row 215's Kaplan–Meier
+    * gives for explicit event pairs — here derived from the activity
+    * log alone, the form growth teams actually have.
+    *
+    * Determinism: tenure is an exact epoch-week integer difference;
+    * censoring is an exact comparison against the corpus max week;
+    * at-risk counts are a reverse cumulative over the bounded tenure
+    * domain (the pmod DOMAIN-window idiom); hazards are pinned
+    * integer ratios 1e-6.
+    *
+    * Scale shape: one per-user first/last rollup + a tenure-domain
+    * collapse + one bounded-domain window — raw events shuffle once. */
+  def tenureHazard(events: DataFrame, keyCol: String = "user_id",
+                   tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = sf.expr(s"unix_micros($tsCol) div 604800000000")
+    val base = events.filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
+    val users = base.groupBy(sf.col(keyCol).as("__u"))
+      .agg(sf.min(wk).as("__w0"), sf.max(wk).as("__w1"))
+    val horizon = base.agg(sf.max(wk).as("__maxw"))
+    val tenures = users.crossJoin(sf.broadcast(horizon))
+      .select((sf.col("__w1") - sf.col("__w0")).as("tenure_weeks"),
+        (sf.col("__w1") >= sf.col("__maxw")).cast("int").as("__cens"))
+      .groupBy("tenure_weeks")
+      .agg(sf.count(sf.lit(1)).as("__n"),
+        sf.sum("__cens").cast("long").as("n_censored"))
+      .withColumn("n_churned", sf.col("__n") - sf.col("n_censored"))
+    val wdom = Window
+      .partitionBy(sf.pmod(sf.hash(sf.col("tenure_weeks")), sf.lit(1)))
+      .orderBy(sf.col("tenure_weeks").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tenures.withColumn("n_at_risk", sf.sum("__n").over(wdom).cast("long"))
+      .select(sf.col("tenure_weeks"), sf.col("n_at_risk"),
+        sf.col("n_churned").cast("long").as("n_churned"), sf.col("n_censored"),
+        gf.roundAt(sf.col("n_churned").cast("double") /
+          sf.col("n_at_risk").cast("double"), 6).as("hazard"))
+      .orderBy("tenure_weeks")
+  }
+
   /** Rolling active-user counts (DAU / trailing-window WAU-style): for
     * every OBSERVED activity day, the distinct users active that day
     * and within the trailing `windowDays` window ending that day.

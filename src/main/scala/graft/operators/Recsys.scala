@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => sf}
+import graft.{functions => gf}
+
+/** Deterministic recommender BASELINE evaluation over basket data —
+  * the two numbers any recommendation effort must beat before a model
+  * earns its keep, built on the house split/mining machinery so the
+  * whole harness is hash-replayable: the train/test cut is the row 105
+  * portable-hash split (a pure function of the basket key), candidates
+  * come from exact counts, and every metric is an exact integer ratio.
+  *
+  * Reference behavior: the capstone's analytics stop at descriptive
+  * rollups (etl.py:96-557); the eval harness here is the
+  * training-pipeline extension the brief's LLM-data mandate asks for,
+  * re-expressed over the same star-schema tables. */
+object Recsys {
+
+  /** Popularity-baseline hit rate — recommend the SAME top-N most
+    * frequent items to everyone, score on held-out baskets: the
+    * floor every personalized recommender must clear (on short-head
+    * retail data it is notoriously hard to beat), and the sanity
+    * denominator for [[coPurchaseHitRate]]. Two metrics: item hit
+    * rate (share of held-out basket items that are in the top-N) and
+    * basket hit rate (share of held-out baskets touching the top-N
+    * at all).
+    *
+    * Determinism: the split is the row 105 Knuth-hash bucket of the
+    * basket key (pure function of the data); the top-N is the exact
+    * integer order (count desc, item asc); metrics are exact integer
+    * ratios rounded 1e-6.
+    *
+    * Scale shape: one combinable train item count + a TakeOrdered
+    * top-N broadcast + one distinct (basket, item) collapse of the
+    * test fold with a broadcast membership probe — test rows shuffle
+    * once. */
+  def popularityHitRate(lines: DataFrame, basketCol: String, itemCol: String,
+                        topN: Int = 20, testPermille: Int = 2000): DataFrame = {
+    require(topN >= 1 && testPermille >= 1 && testPermille <= 9999,
+      s"popularityHitRate: bad topN=$topN / testPermille=$testPermille")
+    val rows = lines.filter(sf.col(basketCol).isNotNull && sf.col(itemCol).isNotNull)
+      .select(sf.col(basketCol).as("b"), sf.col(itemCol).as("i"))
+      .withColumn("__t", Sampling.hashBucket(sf.col("b")) < testPermille)
+      .localCheckpoint(true) // train counts + test probe read it
+    val top = rows.filter(!sf.col("__t")).groupBy("i")
+      .agg(sf.count(sf.lit(1)).as("__c"))
+      .orderBy(sf.col("__c").desc, sf.col("i")).limit(topN)
+      .select(sf.col("i").as("__ti"), sf.lit(1).as("__hit"))
+    val nTrain = rows.filter(!sf.col("__t")).select("b").distinct().count()
+    val test = rows.filter(sf.col("__t")).select("b", "i").distinct()
+      .join(sf.broadcast(top), sf.col("i") === sf.col("__ti"), "left")
+      .groupBy("b").agg(sf.count(sf.lit(1)).as("__n"),
+        sf.sum(sf.coalesce(sf.col("__hit"), sf.lit(0))).as("__h"))
+    test.agg(sf.count(sf.lit(1)).cast("long").as("n_test_baskets"),
+        sf.sum("__n").cast("long").as("__items"),
+        sf.sum("__h").cast("long").as("__hits"),
+        sf.sum((sf.col("__h") > 0).cast("long")).cast("long").as("__bhits"))
+      .select(sf.lit(nTrain).as("n_train_baskets"), sf.col("n_test_baskets"),
+        sf.lit(topN).as("top_n"),
+        gf.roundAt(sf.col("__hits").cast("double") /
+          sf.col("__items").cast("double"), 6).as("item_hit_rate"),
+        gf.roundAt(sf.col("__bhits").cast("double") /
+          sf.col("n_test_baskets").cast("double"), 6).as("basket_hit_rate"))
+  }
+
+  /** Co-purchase (item-item) hit rate — for every held-out (basket,
+    * item) with company, does the item's top-k TRAIN co-occurrence
+    * list contain ANY other item of the same basket: the
+    * leave-nothing-out eval of the row 156 neighbor lists, and the
+    * first number that can actually beat [[popularityHitRate]] when
+    * co-purchase structure is real.
+    *
+    * Determinism: the same hash split; neighbor lists are the exact
+    * integer order (c_ab desc, neighbor asc) truncated at k per item
+    * (both directions of each undirected pair); a hit is an exact
+    * semi-join; the rate is one exact integer ratio.
+    *
+    * Scale shape: the row 156 bounded pair mining on the train fold +
+    * one per-item top-k window over neighbor lists + an item-keyed
+    * candidate join and a (basket, rec) semi-join — every shuffle
+    * keyed, candidate volume ≤ test items × k. */
+  def coPurchaseHitRate(lines: DataFrame, basketCol: String, itemCol: String,
+                        k: Int = 5, minPairCount: Long = 2,
+                        testPermille: Int = 2000): DataFrame = {
+    require(k >= 1 && testPermille >= 1 && testPermille <= 9999,
+      s"coPurchaseHitRate: bad k=$k / testPermille=$testPermille")
+    import org.apache.spark.sql.expressions.Window
+    val rows = lines.filter(sf.col(basketCol).isNotNull && sf.col(itemCol).isNotNull)
+      .select(sf.col(basketCol).as("b"), sf.col(itemCol).as("i"))
+      .withColumn("__t", Sampling.hashBucket(sf.col("b")) < testPermille)
+      .localCheckpoint(true) // mining + eval read it
+    val pairs = Graph.minedPairs(rows.filter(!sf.col("__t")), "b", "i",
+        minPairCount)
+      .localCheckpoint(true) // both directions + the count read it
+    val nPairs = pairs.count()
+    val directed = pairs.select(sf.col("item_a").as("i"),
+        sf.col("item_b").as("rec"), sf.col("c_ab"))
+      .union(pairs.select(sf.col("item_b"), sf.col("item_a"), sf.col("c_ab")))
+    val w = Window.partitionBy("i").orderBy(sf.col("c_ab").desc, sf.col("rec"))
+    val topk = directed.withColumn("__rn", sf.row_number().over(w))
+      .filter(sf.col("__rn") <= k).select("i", "rec")
+    val ti = rows.filter(sf.col("__t")).select("b", "i").distinct()
+      .localCheckpoint(true) // size filter + both eval sides read it
+    val sized = ti.groupBy("b").agg(sf.count(sf.lit(1)).as("__n"))
+      .filter(sf.col("__n") >= 2).select("b")
+    val cands = ti.join(sized, "b")
+      .localCheckpoint(true) // candidates + the member probe read it
+    val hits = cands.join(topk, "i")
+      .join(cands.select(sf.col("b").as("__b2"), sf.col("i").as("__i2")),
+        sf.col("b") === sf.col("__b2") && sf.col("rec") === sf.col("__i2"))
+      .select("b", "i").distinct()
+    val nc = cands.count()
+    val nh = hits.count()
+    val spark = lines.sparkSession
+    import spark.implicits._
+    Seq((nPairs, nc, nh)).toDF("n_train_pairs", "n_candidates", "n_hits")
+      .select(sf.col("n_train_pairs"), sf.lit(k).as("k"), sf.col("n_candidates"),
+        sf.col("n_hits"),
+        sf.when(sf.col("n_candidates") > 0, gf.roundAt(
+          sf.col("n_hits").cast("double") / sf.col("n_candidates").cast("double"),
+          6)).as("hit_rate"))
+  }
+}

@@ -4251,6 +4251,51 @@ class OperatorsSpec extends SparkFunSuite {
       s2.getAs[Double]("mean_brands") == 1.0, s2.toString)
   }
 
+  test("Recsys.popularityHitRate: hash split, top-N membership metrics") {
+    def bucket(b: Long) = ((b % 2147483648L) * 2654435761L) % 4294967296L % 10000
+    // basket 7 hashes into the 20% test fold; 1-4 train
+    assert(bucket(7L) < 2000 && Seq(1L, 2L, 3L, 4L).forall(bucket(_) >= 2000))
+    val df = Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 103L),
+      (3L, 101L), (4L, 102L), (7L, 101L), (7L, 104L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Recsys.popularityHitRate(df, "l_orderkey", "l_partkey", topN = 2)
+      .head()
+    // train counts: 101 x3, 102 x2, 103 x1 -> top2 {101, 102}
+    assert(r.getAs[Long]("n_train_baskets") == 4 &&
+      r.getAs[Long]("n_test_baskets") == 1 && r.getAs[Int]("top_n") == 2 &&
+      r.getAs[Double]("item_hit_rate") == 0.5 &&
+      r.getAs[Double]("basket_hit_rate") == 1.0, r.toString)
+  }
+
+  test("Recsys.coPurchaseHitRate: neighbor-list hits on held-out baskets") {
+    val df = Seq((1L, 201L), (1L, 202L), (2L, 201L), (2L, 202L),
+      (3L, 201L), (3L, 203L), (7L, 201L), (7L, 202L), (7L, 204L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Recsys.coPurchaseHitRate(df, "l_orderkey", "l_partkey").head()
+    // train pair (201, 202) survives minPairCount 2; (201, 203) drops.
+    // test basket 7: (7,201) hits via 202, (7,202) via 201, (7,204) no
+    assert(r.getAs[Long]("n_train_pairs") == 1 &&
+      r.getAs[Long]("n_candidates") == 3 && r.getAs[Long]("n_hits") == 2 &&
+      r.getAs[Double]("hit_rate") ==
+        math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6, r.toString)
+  }
+
+  test("EventOps.tenureHazard: reverse at-risk, final-week censoring") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-15 10:00:00"), // tenure 2
+      (2L, "2024-01-01 10:00:00"),                              // tenure 0
+      (3L, "2024-01-01 10:00:00"), (3L, "2024-01-22 10:00:00")) // 3, censored
+      .toDF("user_id", "ts_s")
+      .select(sf.col("user_id"), sf.col("ts_s").cast("timestamp").as("ts"))
+    val got = EventOps.tenureHazard(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 3L, 1L, 0L, math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6),
+      (2L, 2L, 1L, 0L, 0.5),
+      (3L, 1L, 0L, 1L, 0.0)), got.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
