@@ -3232,6 +3232,31 @@ object SparkEntry {
     "q460_tenure_hazard" -> ((s, dir) =>
       EventOps.tenureHazard(Tables.load(s, dir, "events"))),
 
+    // Boilerplate line census on a staged corpus: the top offender
+    // table a human reviews before the line-dedup pass deletes them.
+    "q461_boilerplate_lines" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = d.select(sf.col("doc_id"), sf.col("source"),
+        sf.when(sf.col("doc_id") % 9 === 0,
+            sf.concat(sf.col("text"),
+              sf.lit("\nAll rights reserved worldwide.")))
+          .when(sf.col("doc_id") % 6 === 0,
+            sf.concat(sf.col("text"),
+              sf.lit("\nSubscribe to our newsletter today!")))
+          .otherwise(sf.col("text")).as("text"))
+      TextAnalysis.boilerplateLines(staged, "doc_id", "source", "text")
+    }),
+
+    // Transition latency: how FAST each (from, to) edge fires — the
+    // timing dimension the transition matrix drops.
+    "q462_transition_latency" -> ((s, dir) =>
+      EventOps.transitionLatency(Tables.load(s, dir, "events"))),
+
+    // Spend-segment migration matrix between the halves: whales that
+    // stayed, slid, or churned — absent is an explicit state.
+    "q463_segment_migration" -> ((s, dir) =>
+      StarSchema.segmentMigration(Tables.load(s, dir, "orders"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14882,5 +14907,56 @@ object SparkEntry {
         |  n_censored,
         |  floor(CAST(n_churned AS DOUBLE)/CAST(n_at_risk AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS hazard
         |FROM c ORDER BY tenure_weeks""".stripMargin,
+
+    "q461_boilerplate_lines" ->
+      """WITH st AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 9 = 0 THEN text || chr(10) || 'All rights reserved worldwide.'
+        |       WHEN doc_id % 6 = 0 THEN text || chr(10) || 'Subscribe to our newsletter today!'
+        |       ELSE text END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |    AND text IS NOT NULL),
+        |ln AS (SELECT doc_id, source, trim(l) AS line
+        |  FROM (SELECT doc_id, source, unnest(string_split(t, chr(10))) AS l FROM st)),
+        |f AS (SELECT * FROM ln WHERE length(line) >= 10)
+        |SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM f GROUP BY 1 ORDER BY n_docs DESC, line LIMIT 50""".stripMargin,
+
+    "q462_transition_latency" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS gap_s
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+        |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+        |  floor(CAST(SUM(gap_s) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*10000.0 + 0.5)/10000.0 AS mean_gap_s
+        |FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q463_segment_migration" ->
+      """WITH r AS (SELECT o_custkey AS cust,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
+        |    CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS c2
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |ct AS (SELECT (min(us) + max(us)) // 2 AS cut FROM r),
+        |sp AS (SELECT CASE WHEN us >= ct.cut THEN 1 ELSE 0 END AS h, cust,
+        |    CAST(SUM(c2) AS BIGINT) AS spv FROM r CROSS JOIN ct GROUP BY 1, 2),
+        |rk AS (SELECT h, cust,
+        |    CAST(row_number() OVER (PARTITION BY h ORDER BY spv, cust) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY h) AS BIGINT) AS n FROM sp),
+        |sg AS (SELECT h, cust, CAST(((rnk - 1)*5) // n + 1 AS INT) AS seg FROM rk),
+        |mm AS (SELECT COALESCE(s0.seg, 0) AS seg_first,
+        |    COALESCE(s1.seg, 0) AS seg_second,
+        |    CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM (SELECT cust, seg FROM sg WHERE h = 0) s0
+        |  FULL OUTER JOIN (SELECT cust, seg FROM sg WHERE h = 1) s1 USING (cust)
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT seg_first, CAST(SUM(n_customers) AS BIGINT) AS t FROM mm GROUP BY 1)
+        |SELECT mm.seg_first, mm.seg_second, mm.n_customers,
+        |  floor(CAST(mm.n_customers AS DOUBLE)/CAST(rt.t AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS row_share
+        |FROM mm JOIN rt USING (seg_first) ORDER BY seg_first, seg_second""".stripMargin,
   )
 }

@@ -578,6 +578,44 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Transition LATENCY profile — dwell-time statistics per (from,
+    * to) transition: [[transitionMatrix]] says WHERE journeys go,
+    * this says HOW FAST — the click→purchase edge at a 40 s mean is
+    * an add-to-cart flow, at 4 days a considered purchase, and the
+    * two need different funnels; min/max bracket the exact support
+    * (a 0-second transition is a double-fire bug, row 474's
+    * territory).
+    *
+    * Determinism: gaps are exact floor seconds (µs div 10⁶); counts
+    * and extrema exact integers; the mean is one pinned division
+    * rounded 1e-4.
+    *
+    * Scale shape: the [[transitionMatrix]] key-windowed pair
+    * extraction + one combinable (from, to) rollup over the bounded
+    * type-pair domain. */
+  def transitionLatency(events: DataFrame, keyCol: String = "user_id",
+                        tsCol: String = "ts", idCol: String = "event_id",
+                        typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    events.filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
+      .withColumn("__us", sf.unix_micros(sf.col(tsCol)))
+      .select(sf.col(typeCol).as("from_type"),
+        sf.lead(sf.col(typeCol), 1).over(w).as("to_type"),
+        (sf.lead(sf.col("__us"), 1).over(w) - sf.col("__us")).as("__gap_us"))
+      .filter(sf.col("to_type").isNotNull)
+      .select(sf.col("from_type"), sf.col("to_type"),
+        sf.expr("__gap_us div 1000000L").as("__gap_s"))
+      .groupBy("from_type", "to_type")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.min("__gap_s").as("min_gap_s"), sf.max("__gap_s").as("max_gap_s"),
+        sf.sum("__gap_s").cast("decimal(38,0)").as("__sg"))
+      .select(sf.col("from_type"), sf.col("to_type"), sf.col("n"),
+        sf.col("min_gap_s"), sf.col("max_gap_s"),
+        gf.roundAt(sf.col("__sg").cast("double") / sf.col("n").cast("double"),
+          4).as("mean_gap_s"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Conditional entropy of the event chain (Shannon 1948; the
     * ENTROPY-RATE readout of the [[transitionMatrix]]): how
     * predictable is the NEXT event given the current one —

@@ -765,6 +765,74 @@ object StarSchema {
       .orderBy(groupCol)
   }
 
+  /** Spend-segment MIGRATION matrix — customers bucketed into spend
+    * quantile segments in each half of the time range, cross-tabbed:
+    * how many seg-5 whales of H1 stayed whales, slid, or CHURNED
+    * (absent in H2), and where H2's spenders CAME from (absent = new)
+    * — the lifecycle flow row 378's point-in-time RFM freezes and row
+    * 478's growth accounting counts only in aggregate. Segment 0 is
+    * the explicit absent state, so churn and acquisition are cells,
+    * not footnotes.
+    *
+    * Determinism: per-(customer, half) spend rides exact cents;
+    * segment = ((rank−1)·nSeg) div n_half + 1 on the exact (spend,
+    * customer) order — pure integer arithmetic (the row 391 decile
+    * rule); shares are pinned divisions 1e-6. Per-half ranks come
+    * from ONE row-135 range-partitioned prefix sum minus broadcast
+    * half offsets — never a one-task window over customers.
+    *
+    * Scale shape: one (customer, half) rollup + one range-shuffle
+    * rank pass + a customer-keyed full-outer self join + a
+    * segment-domain collapse (≤ (nSeg+1)² cells). */
+  def segmentMigration(orders: DataFrame, custCol: String = "o_custkey",
+                       tsCol: String = "o_orderdate",
+                       amountCol: String = "o_totalprice",
+                       nSegments: Int = 5): DataFrame = {
+    require(nSegments >= 2 && nSegments <= 100,
+      s"segmentMigration: nSegments must be in [2, 100], got $nSegments")
+    val rows = orders.filter(sf.col(custCol).isNotNull && sf.col(tsCol).isNotNull
+        && sf.col(amountCol).isNotNull)
+      .select(sf.col(custCol).as("cust"),
+        sf.unix_micros(sf.col(tsCol).cast("timestamp")).as("us"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long")
+          .as("__c2"))
+      .localCheckpoint(true) // bounds + the per-half rollup read it
+    val cut = rows.agg(
+      sf.expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").as("__cut"))
+    val spend = rows.crossJoin(sf.broadcast(cut))
+      .select(sf.col("cust"), (sf.col("us") >= sf.col("__cut")).cast("int")
+        .as("h"), sf.col("__c2"))
+      .groupBy("h", "cust").agg(sf.sum("__c2").cast("long").as("sp"))
+    val ranked = graft.operators.StarSchema.globalPrefixSums(
+      spend.withColumn("__one", sf.lit(1L)), Seq("h", "sp", "cust"), "__one",
+      "__grk")
+    val totals = ranked.groupBy("h").agg(sf.max("__grk").cast("long").as("__hi"),
+        sf.count(sf.lit(1)).cast("long").as("__n"))
+      .select(sf.col("h"), sf.col("__n"), (sf.col("__hi") - sf.col("__n"))
+        .as("__off"))
+    val seg = ranked.join(sf.broadcast(totals), "h")
+      .select(sf.col("cust"), sf.col("h"),
+        sf.expr(s"CAST(((__grk - __off - 1) * $nSegments) DIV __n + 1 AS INT)")
+          .as("seg"))
+    val m = seg.filter(sf.col("h") === 0)
+      .select(sf.col("cust"), sf.col("seg").as("__s0"))
+      .join(seg.filter(sf.col("h") === 1)
+        .select(sf.col("cust").as("__c1"), sf.col("seg").as("__s1")),
+        sf.col("cust") === sf.col("__c1"), "full_outer")
+      .select(sf.coalesce(sf.col("__s0"), sf.lit(0)).as("seg_first"),
+        sf.coalesce(sf.col("__s1"), sf.lit(0)).as("seg_second"))
+      .groupBy("seg_first", "seg_second")
+      .agg(sf.count(sf.lit(1)).cast("long").as("n_customers"))
+      .localCheckpoint(true) // row totals + shares read it
+    val rowTot = m.groupBy(sf.col("seg_first").as("__sf"))
+      .agg(sf.sum("n_customers").cast("long").as("__rt"))
+    m.join(sf.broadcast(rowTot), sf.col("seg_first") === sf.col("__sf"))
+      .select(sf.col("seg_first"), sf.col("seg_second"), sf.col("n_customers"),
+        gf.roundAt(sf.col("n_customers").cast("double") /
+          sf.col("__rt").cast("double"), 6).as("row_share"))
+      .orderBy("seg_first", "seg_second")
+  }
+
   /** Basket brand-diversity profile — per-order Shannon entropy of
     * the brand mix, rolled up by basket size: do 10-line orders
     * concentrate in one brand (entropy → 0, replenishment behavior)

@@ -1263,6 +1263,43 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Boilerplate LINE census — the exact lines that repeat across the
+    * most documents (nav bars, license headers, cookie banners,
+    * signature blocks), with occurrence and source spread: the
+    * REVIEW TABLE behind row 62's keep-first line dedup and row 376's
+    * prefix detector — before deleting 40M copies of a line, a human
+    * wants to SEE the top offenders and which sources ship them
+    * (spread across every source = platform chrome; one source =
+    * that crawl's template).
+    *
+    * Determinism: lines split on newline, trimmed, shorter than
+    * `minChars` dropped (trivia); counts are exact; the top-K order
+    * (doc-frequency desc, line asc) is integer-decided.
+    *
+    * Scale shape: one map-only line explode + a distinct (doc, line)
+    * collapse + one combinable line rollup + TakeOrdered — the row 62
+    * shuffle with a census finish. */
+  def boilerplateLines(docs: DataFrame, idCol: String, sourceCol: String,
+                       textCol: String, minChars: Int = 10,
+                       topK: Int = 50): DataFrame = {
+    require(minChars >= 1 && topK >= 1,
+      s"boilerplateLines: bad minChars=$minChars / topK=$topK")
+    val lines = Par.spread(docs.filter(sf.col(idCol).isNotNull &&
+        sf.col(sourceCol).isNotNull && sf.col(textCol).isNotNull)
+      .select(sf.col(idCol).as("__d"), sf.col(sourceCol).as("__s"),
+        sf.col(textCol).as("__t")))
+      .select(sf.col("__d"), sf.col("__s"),
+        sf.explode(sf.split(sf.col("__t"), "\n")).as("__l0"))
+      .select(sf.col("__d"), sf.col("__s"), sf.trim(sf.col("__l0")).as("line"))
+      .filter(sf.length(sf.col("line")) >= minChars)
+    lines.groupBy("line")
+      .agg(sf.count_distinct(sf.col("__d")).as("n_docs"),
+        sf.count(sf.lit(1)).as("n_occurrences"),
+        sf.count_distinct(sf.col("__s")).as("n_sources"))
+      .orderBy(sf.col("n_docs").desc, sf.col("line"))
+      .limit(topK)
+  }
+
   /** Token case-collision report — for every case-folded token with
     * more than one SURFACE form, the variant census (forms, total
     * occurrences, the dominant form and its share): the vocabulary-

@@ -4296,6 +4296,53 @@ class OperatorsSpec extends SparkFunSuite {
       (3L, 1L, 0L, 1L, 0.0)), got.toString)
   }
 
+  test("TextAnalysis.boilerplateLines: df census, short lines drop") {
+    val df = Seq(
+      (1L, "s1", "Hello world line\nCommon footer line here"),
+      (2L, "s2", "Other text body\nCommon footer line here"),
+      (3L, "s1", "short\nxy")) // both lines under 10 chars: dropped
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.boilerplateLines(df, "doc_id", "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("Common footer line here", 2L, 2L, 2L),
+      ("Hello world line", 1L, 1L, 1L),
+      ("Other text body", 1L, 1L, 1L)), got.toString)
+  }
+
+  test("EventOps.transitionLatency: exact gap seconds per edge") {
+    val df = Seq((1L, "2024-01-01 10:00:00", "a"),
+      (2L, "2024-01-01 10:00:30", "b"), (3L, "2024-01-01 10:01:30", "b"))
+      .toDF("event_id", "ts_s", "event_type")
+      .select(sf.col("event_id"), sf.col("ts_s").cast("timestamp").as("ts"),
+        sf.lit(1L).as("user_id"), sf.col("event_type"))
+    val got = EventOps.transitionLatency(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(("a", "b", 1L, 30L, 30L, 30.0),
+      ("b", "b", 1L, 60L, 60L, 60.0)), got.toString)
+  }
+
+  test("StarSchema.segmentMigration: churn and acquisition are cells") {
+    val df = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-01", 30.0), (4L, "2024-01-01", 40.0),
+      (3L, "2024-01-20", 5.0), (5L, "2024-01-20", 50.0))
+      .toDF("o_custkey", "od", "o_totalprice")
+      .select(sf.col("o_custkey"), sf.col("od").cast("date").as("o_orderdate"),
+        sf.col("o_totalprice"))
+    val got = StarSchema.segmentMigration(df, nSegments = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // h1 segs: {1,2}->1, {3,4}->2; h2: 3->1, 5->2
+    assert(got == Seq(
+      (0, 2, 1L, 1.0),   // cust 5: new whale
+      (1, 0, 2L, 1.0),   // custs 1,2: churned
+      (2, 0, 1L, 0.5),   // cust 4: churned whale
+      (2, 1, 1L, 0.5)),  // cust 3: slid
+      got.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
