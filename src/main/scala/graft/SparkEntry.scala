@@ -3257,6 +3257,23 @@ object SparkEntry {
     "q463_segment_migration" -> ((s, dir) =>
       StarSchema.segmentMigration(Tables.load(s, dir, "orders"))),
 
+    // Item-item cosine table: "customers also bought", ranking decided
+    // by exact integer cross-multiplication.
+    "q464_item_similarity" -> ((s, dir) =>
+      Recsys.itemSimilarity(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", k = 5, minPairCount = 3)),
+
+    // New-vs-repeat revenue per month: the acquisition-vs-retention
+    // dollars ledger behind the topline.
+    "q465_repeat_revenue" -> ((s, dir) =>
+      StarSchema.repeatRevenueSplit(Tables.load(s, dir, "orders"))),
+
+    // Mean pairwise inner-product matrix, pair-free via sum vectors:
+    // exact within/between label separation with no n^2 anywhere.
+    "q466_mean_dot" -> ((s, dir) =>
+      Similarity.meanDotMatrix(Tables.load(s, dir, "embeddings"),
+        "label", "embedding")),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -14958,5 +14975,66 @@ object SparkEntry {
         |SELECT mm.seg_first, mm.seg_second, mm.n_customers,
         |  floor(CAST(mm.n_customers AS DOUBLE)/CAST(rt.t AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS row_share
         |FROM mm JOIN rt USING (seg_first) ORDER BY seg_first, seg_second""".stripMargin,
+
+    "q464_item_similarity" ->
+      """WITH tb AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |p AS (SELECT x.i AS a, y.i AS bb FROM tb x JOIN tb y ON x.b = y.b AND x.i < y.i),
+        |pr AS (SELECT a, bb, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3),
+        |mg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS m FROM tb GROUP BY 1),
+        |d AS (SELECT a AS item, bb AS neighbor, c FROM pr
+        |  UNION ALL SELECT bb, a, c FROM pr),
+        |sc AS (SELECT d.item, d.neighbor, d.c, ma.m AS ma, mb.m AS mb,
+        |    CAST((CAST(d.c AS HUGEINT)*d.c*1000000) // (CAST(ma.m AS HUGEINT)*mb.m) AS BIGINT) AS s6
+        |  FROM d JOIN mg ma ON d.item = ma.i JOIN mg mb ON d.neighbor = mb.i),
+        |rk AS (SELECT item, neighbor, c, ma, mb,
+        |    CAST(row_number() OVER (PARTITION BY item ORDER BY s6 DESC, neighbor) AS INT) AS rn
+        |  FROM sc)
+        |SELECT item, rn AS rank, neighbor, c AS n_both,
+        |  floor(CAST(c AS DOUBLE)/sqrt(CAST(ma AS DOUBLE)*CAST(mb AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS cosine
+        |FROM rk WHERE rn <= 5 ORDER BY item, rank""".stripMargin,
+
+    "q465_repeat_revenue" ->
+      """WITH r AS (SELECT o_custkey AS cust,
+        |    strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m') AS month,
+        |    CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS c2
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |f AS (SELECT cust, MIN(month) AS m0 FROM r GROUP BY 1),
+        |g AS (SELECT r.month, CAST(SUM(r.c2) AS BIGINT) AS tot,
+        |    CAST(SUM(CASE WHEN r.month = f.m0 THEN r.c2 ELSE 0 END) AS BIGINT) AS nw,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM r JOIN f ON r.cust = f.cust GROUP BY 1)
+        |SELECT month, n_orders,
+        |  floor(CAST(tot AS DOUBLE)/100*100.0 + 0.5)/100.0 AS revenue,
+        |  floor(CAST(nw AS DOUBLE)/100*100.0 + 0.5)/100.0 AS new_revenue,
+        |  floor(CAST(tot - nw AS DOUBLE)/100*100.0 + 0.5)/100.0 AS repeat_revenue,
+        |  CASE WHEN tot > 0 THEN
+        |    floor(CAST(tot - nw AS DOUBLE)/CAST(tot AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS repeat_share
+        |FROM g ORDER BY month""".stripMargin,
+
+    "q466_mean_dot" ->
+      """WITH x AS (SELECT CAST(label AS VARCHAR) AS cls,
+        |    unnest([{'dim': i, 'x': CAST(embedding[i+1] AS DOUBLE)}
+        |      FOR i IN range(0, len(embedding))]) AS u
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |f AS (SELECT cls, u.dim AS dim, CAST(floor(u.x*1e6 + 0.5) AS BIGINT) AS x6
+        |  FROM x WHERE NOT isnan(u.x) AND NOT isinf(u.x)),
+        |s AS (SELECT cls, dim, SUM(CAST(x6 AS DECIMAL(38,0))) AS s FROM f GROUP BY 1, 2),
+        |q AS (SELECT cls, SUM(CAST(x6 AS DECIMAL(38,0))*x6) AS q FROM f GROUP BY 1),
+        |n AS (SELECT CAST(label AS VARCHAR) AS cls, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1),
+        |d AS (SELECT a.cls AS label_a, b.cls AS label_b, SUM(a.s*b.s) AS dot
+        |  FROM s a JOIN s b ON a.dim = b.dim AND a.cls <= b.cls GROUP BY 1, 2)
+        |SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,
+        |  CASE WHEN d.label_a <> d.label_b THEN
+        |    floor(CAST(d.dot AS DOUBLE)/(CAST(na.n AS DOUBLE)*CAST(nb.n AS DOUBLE))/1e12*1000000.0 + 0.5)/1000000.0
+        |  WHEN na.n >= 2 THEN
+        |    floor(CAST(d.dot - q.q AS DOUBLE)/(CAST(na.n AS DOUBLE)*(CAST(na.n AS DOUBLE) - 1.0))/1e12*1000000.0 + 0.5)/1000000.0
+        |  END AS mean_dot
+        |FROM d JOIN n na ON d.label_a = na.cls JOIN n nb ON d.label_b = nb.cls
+        |LEFT JOIN q ON d.label_a = q.cls
+        |ORDER BY label_a, label_b""".stripMargin,
   )
 }

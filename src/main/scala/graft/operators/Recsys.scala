@@ -64,6 +64,55 @@ object Recsys {
           sf.col("n_test_baskets").cast("double"), 6).as("basket_hit_rate"))
   }
 
+  /** Item-item cosine similarity table — top-k neighbors per item
+    * under the binary-basket cosine n_ab/√(n_a·n_b) (the implicit-
+    * feedback CF standard): row 156's lift prices SURPRISE
+    * (association beyond chance), cosine prices STRENGTH normalized
+    * by popularity, and the ranked neighbor table is the "customers
+    * also bought" payload [[coPurchaseHitRate]] evaluates.
+    *
+    * Determinism: pair and margin counts are exact; the score
+    * comparison n_ab/√(n_a·n_b) is monotone with n_ab²·1e6/(n_a·n_b),
+    * so the RANKING is decided by exact integer cross-multiplication
+    * (score⁶ = n_ab²·10⁶ div (n_a·n_b), ties by neighbor asc) and the
+    * displayed cosine is one pinned √ division 1e-6.
+    *
+    * Scale shape: the row 156 bounded pair mining + one broadcast
+    * margin attach + a per-item top-k window over neighbor lists. */
+  def itemSimilarity(lines: DataFrame, basketCol: String, itemCol: String,
+                     k: Int = 5, minPairCount: Long = 2): DataFrame = {
+    require(k >= 1, s"itemSimilarity: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = lines.filter(sf.col(basketCol).isNotNull && sf.col(itemCol).isNotNull)
+      .select(sf.col(basketCol).as("b"), sf.col(itemCol).as("i"))
+      .localCheckpoint(true) // pairs + margins read it
+    val pairs = Graph.minedPairs(rows, "b", "i", minPairCount)
+    val margins = rows.distinct().groupBy(sf.col("i").as("__mi"))
+      .agg(sf.count(sf.lit(1)).cast("long").as("__m"))
+    val directed = pairs.select(sf.col("item_a").as("item"),
+        sf.col("item_b").as("neighbor"), sf.col("c_ab"))
+      .union(pairs.select(sf.col("item_b"), sf.col("item_a"), sf.col("c_ab")))
+      .join(sf.broadcast(margins), sf.col("item") === sf.col("__mi"))
+      .withColumnRenamed("__m", "__ma").drop("__mi")
+      .join(sf.broadcast(margins), sf.col("neighbor") === sf.col("__mi"))
+      .withColumnRenamed("__m", "__mb").drop("__mi")
+      // integer rank key: n_ab^2 * 1e6 div (n_a * n_b)
+      .withColumn("__s6", sf.expr(
+        "CAST((CAST(c_ab AS DECIMAL(38,0)) * c_ab * 1000000)" +
+          " DIV (CAST(__ma AS DECIMAL(38,0)) * __mb) AS BIGINT)"))
+    val w = Window.partitionBy("item")
+      .orderBy(sf.col("__s6").desc, sf.col("neighbor"))
+    directed.withColumn("__rn", sf.row_number().over(w))
+      .filter(sf.col("__rn") <= k)
+      .select(sf.col("item"), sf.col("__rn").as("rank"), sf.col("neighbor"),
+        sf.col("c_ab").as("n_both"),
+        gf.roundAt(sf.col("c_ab").cast("double") /
+          sf.sqrt(sf.col("__ma").cast("double") * sf.col("__mb").cast("double")),
+          6).as("cosine"))
+      .orderBy("item", "rank")
+  }
+
   /** Co-purchase (item-item) hit rate — for every held-out (basket,
     * item) with company, does the item's top-k TRAIN co-occurrence
     * list contain ANY other item of the same basket: the

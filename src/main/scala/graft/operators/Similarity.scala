@@ -919,6 +919,75 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Mean pairwise inner-product matrix, computed PAIR-FREE — for
+    * every label pair, the exact mean dot product between their
+    * vectors (self-pairs excluded on the diagonal): the separation
+    * table that normally costs n² pair enumeration collapses to SUM
+    * VECTORS by linearity, mean_{i∈A,j∈B}⟨x_i,x_j⟩ = ⟨S_A,S_B⟩/(n_A
+    * n_B) and within-class (⟨S_A,S_A⟩ − Σᵢ‖x_i‖²)/(n_A(n_A−1)) — the
+    * EXACT companion to row 177's normalized-centroid cosine (which
+    * drops magnitude) and the sanity check behind contrastive-margin
+    * claims: within ≫ between or the labels aren't doing anything.
+    *
+    * Determinism: components snap to the 1e-6 grid, so sum vectors,
+    * dot products and squared norms are EXACT DECIMAL(38,0) integer
+    * arithmetic end-to-end; the two mean divisions are pinned 1e-6
+    * (value scale 1e-12 divided back once). Degenerate diagonals
+    * (n < 2) report NULL.
+    *
+    * Scale shape: one map-only component explode + a (label, dim)
+    * sum-vector rollup + a label-pair join PER DIM on the bounded
+    * label domain (k² × dims rows, never n²) + one squared-norm
+    * rollup. */
+  def meanDotMatrix(emb: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val comps = Par.spread(emb
+      .filter(sf.col(labelCol).isNotNull && sf.col(vecCol).isNotNull)
+      .select(sf.col(labelCol).cast("string").as("cls"),
+        sf.col(vecCol).cast("array<double>").as("v")))
+      .select(sf.col("cls"), sf.posexplode(sf.col("v")).as(Seq("dim", "x")))
+      // non-finite components contribute 0 (the row 102 pollution rule)
+      .filter(!sf.isnan(sf.col("x")) &&
+        sf.abs(sf.col("x")) <= sf.lit(Double.MaxValue))
+      .select(sf.col("cls"), sf.col("dim"),
+        sf.floor(sf.col("x") * 1e6 + 0.5).cast("long").as("__x6"))
+      .localCheckpoint(true) // sum vectors + norms read it
+    val sums = comps.groupBy("cls", "dim")
+      .agg(sf.sum(dec(sf.col("__x6"))).as("s"))
+      .localCheckpoint(true) // both sides of the pair join read it
+    val norms = comps.groupBy("cls")
+      .agg(sf.sum(dec(sf.col("__x6")) * dec(sf.col("__x6"))).as("q"))
+    val counts = emb.filter(sf.col(labelCol).isNotNull && sf.col(vecCol).isNotNull)
+      .groupBy(sf.col(labelCol).cast("string").as("cls"))
+      .agg(sf.count(sf.lit(1)).cast("long").as("n"))
+    val dots = sums.select(sf.col("cls").as("label_a"), sf.col("dim"),
+        sf.col("s").as("__sa"))
+      .join(sums.select(sf.col("cls").as("label_b"), sf.col("dim"),
+        sf.col("s").as("__sb")), "dim")
+      .filter(sf.col("label_a") <= sf.col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sf.sum(sf.col("__sa") * sf.col("__sb")).as("__dot"))
+    dots
+      .join(sf.broadcast(counts.select(sf.col("cls").as("label_a"),
+        sf.col("n").as("n_a"))), "label_a")
+      .join(sf.broadcast(counts.select(sf.col("cls").as("label_b"),
+        sf.col("n").as("n_b"))), "label_b")
+      .join(sf.broadcast(norms.select(sf.col("cls").as("label_a"),
+        sf.col("q").as("__qa"))), Seq("label_a"), "left")
+      .select(sf.col("label_a"), sf.col("label_b"), sf.col("n_a"), sf.col("n_b"),
+        sf.when(sf.col("label_a") =!= sf.col("label_b"), gf.roundAt(
+            sf.col("__dot").cast("double") /
+              (sf.col("n_a").cast("double") * sf.col("n_b").cast("double")) /
+              1e12, 6))
+          .otherwise(sf.when(sf.col("n_a") >= 2, gf.roundAt(
+            (sf.col("__dot") - sf.col("__qa")).cast("double") /
+              (sf.col("n_a").cast("double") *
+                (sf.col("n_a").cast("double") - 1.0)) / 1e12, 6)))
+          .as("mean_dot"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Per-dimension Fisher discriminant ratio — a one-way ANOVA F
     * across the label groups for EVERY embedding component: which
     * dimensions actually separate the classes (F ≫ 1) and which are

@@ -765,6 +765,48 @@ object StarSchema {
       .orderBy(groupCol)
   }
 
+  /** New-vs-repeat revenue split per month — each month's revenue
+    * divided by whether the ordering customer's FIRST-EVER order
+    * falls in that month: the acquisition-vs-retention finance ledger
+    * (row 478's growth accounting counts USERS; finance wants the
+    * dollars, and "repeat share rising" is the retention story a
+    * topline row 436 can't tell).
+    *
+    * Determinism: first-order month is an exact min over (epoch
+    * month) integers; revenue rides exact cents; shares are pinned
+    * divisions 1e-6.
+    *
+    * Scale shape: one per-customer first-month rollup (map-side
+    * combinable min) + one keyed attach on the order stream + one
+    * month-domain collapse — orders shuffle once. */
+  def repeatRevenueSplit(orders: DataFrame, custCol: String = "o_custkey",
+                         tsCol: String = "o_orderdate",
+                         amountCol: String = "o_totalprice"): DataFrame = {
+    val mon = sf.date_format(sf.date_trunc("month", sf.col(tsCol)), "yyyy-MM")
+    val rows = orders.filter(sf.col(custCol).isNotNull && sf.col(tsCol).isNotNull
+        && sf.col(amountCol).isNotNull)
+      .select(sf.col(custCol).as("cust"), mon.as("month"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long")
+          .as("__c2"))
+      .localCheckpoint(true) // firsts + the split read it
+    val firsts = rows.groupBy("cust").agg(sf.min("month").as("__m0"))
+    rows.join(firsts, "cust")
+      .groupBy("month")
+      .agg(sf.sum("__c2").cast("long").as("__tot"),
+        sf.sum(sf.when(sf.col("month") === sf.col("__m0"), sf.col("__c2"))
+          .otherwise(0L)).cast("long").as("__new"),
+        sf.count(sf.lit(1)).as("n_orders"))
+      .select(sf.col("month"), sf.col("n_orders"),
+        gf.roundAt(sf.col("__tot").cast("double") / 100, 2).as("revenue"),
+        gf.roundAt(sf.col("__new").cast("double") / 100, 2).as("new_revenue"),
+        gf.roundAt((sf.col("__tot") - sf.col("__new")).cast("double") / 100, 2)
+          .as("repeat_revenue"),
+        sf.when(sf.col("__tot") > 0, gf.roundAt(
+          (sf.col("__tot") - sf.col("__new")).cast("double") /
+            sf.col("__tot").cast("double"), 6)).as("repeat_share"))
+      .orderBy("month")
+  }
+
   /** Spend-segment MIGRATION matrix — customers bucketed into spend
     * quantile segments in each half of the time range, cross-tabbed:
     * how many seg-5 whales of H1 stayed whales, slid, or CHURNED

@@ -4343,6 +4343,52 @@ class OperatorsSpec extends SparkFunSuite {
       got.toString)
   }
 
+  test("Recsys.itemSimilarity: integer-decided ranks, exact cosine") {
+    val df = Seq((1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L), (3L, 11L),
+      (3L, 12L), (4L, 11L), (4L, 13L), (5L, 11L), (5L, 13L), (6L, 12L),
+      (6L, 13L)).toDF("l_orderkey", "l_partkey")
+    val got = Recsys.itemSimilarity(df, "l_orderkey", "l_partkey",
+      k = 5, minPairCount = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // pairs: (11,12) x3, (11,13) x2; (12,13) x1 drops. margins 5/4/3
+    def cos(c: Long, ma: Long, mb: Long) =
+      math.floor(c / math.sqrt(ma.toDouble * mb) * 1e6 + 0.5) / 1e6
+    assert(got == Seq(
+      (11L, 1, 12L, 3L, cos(3, 5, 4)), (11L, 2, 13L, 2L, cos(2, 5, 3)),
+      (12L, 1, 11L, 3L, cos(3, 4, 5)), (13L, 1, 11L, 2L, cos(2, 3, 5))),
+      got.toString)
+  }
+
+  test("StarSchema.repeatRevenueSplit: first-month dollars are new") {
+    val df = Seq((1L, "2024-01-05", 100.0), (1L, "2024-02-10", 50.0),
+      (2L, "2024-02-15", 70.0))
+      .toDF("o_custkey", "od", "o_totalprice")
+      .select(sf.col("o_custkey"), sf.col("od").cast("date").as("o_orderdate"),
+        sf.col("o_totalprice"))
+    val got = StarSchema.repeatRevenueSplit(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("2024-01", 1L, 100.0, 100.0, 0.0, 0.0),
+      ("2024-02", 2L, 120.0, 70.0, 50.0,
+        math.floor(50.0 / 120 * 1e6 + 0.5) / 1e6)), got.toString)
+  }
+
+  test("Similarity.meanDotMatrix: pair-free within/between exact dots") {
+    val df = Seq((1L, Array(1.0f, 0.0f), "a"), (2L, Array(3.0f, 0.0f), "a"),
+      (3L, Array(0.0f, 2.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.meanDotMatrix(df, "label", "embedding").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val aa = got(("a", "a")) // <(1,0),(3,0)> = 3, self-pairs excluded
+    assert(aa.getAs[Long]("n_a") == 2 && aa.getAs[Double]("mean_dot") == 3.0,
+      aa.toString)
+    assert(got(("a", "b")).getAs[Double]("mean_dot") == 0.0)
+    val bb = got(("b", "b")) // n = 1: undefined
+    assert(bb.isNullAt(bb.fieldIndex("mean_dot")), bb.toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
