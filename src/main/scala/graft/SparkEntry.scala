@@ -3071,11 +3071,14 @@ object SparkEntry {
       EventOps.demandProfile(Tables.load(s, dir, "events"))),
 
     // LSH parameter planner: expected recall of every (rows, bands)
-    // split of a 128-bit sketch over the OBSERVED >= 0.4 pair set.
+    // split of a 128-bit sketch over the OBSERVED >= 0.9 near-dup pair
+    // set (the q97 design threshold; this corpus is adversarially
+    // self-similar — ~8% of ALL pairs exceed j=0.9 — so lower
+    // thresholds approach all-pairs volume by construction).
     "q438_lsh_planner" -> ((s, dir) =>
       Dedup.lshPlanner(
         Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text",
-          threshold = 0.4), "jaccard")),
+          threshold = 0.9), "jaccard")),
 
     // Deming (orthogonal) regression of view on click per-user means:
     // the method-comparison line beside q330's Bland-Altman limits.
@@ -14365,7 +14368,7 @@ object SparkEntry {
          |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))))*10000.0 + 0.5)/10000.0 AS s
          |  FROM t a JOIN t b ON a.doc_id < b.doc_id
          |  WHERE CAST(len(list_intersect(a.ws,b.ws)) AS DOUBLE)
-         |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.4),
+         |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.9),
          |cfg AS (SELECT * FROM (VALUES $cfgRows) AS v(r, b, s50)),
          |pp AS (SELECT cfg.r, cfg.b, cfg.s50,
          |    CASE WHEN pr.s >= 1.0 THEN CAST(1000000000 AS BIGINT) ELSE
