@@ -3277,6 +3277,16 @@ object SparkEntry {
       Similarity.meanDotMatrix(Tables.load(s, dir, "embeddings"),
         "label", "embedding")),
 
+    // Activity-concentration Gini per event type: broad habit or
+    // three whales — exact rank-sum identity, range-shuffle ranks.
+    "q467_activity_gini" -> ((s, dir) =>
+      EventOps.activityGini(Tables.load(s, dir, "events"))),
+
+    // Conversion rate by touch depth: the breadth-incrementality
+    // table behind the q455 Shapley allocation.
+    "q468_touch_depth" -> ((s, dir) =>
+      EventOps.touchDepthConversion(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -15039,5 +15049,29 @@ object SparkEntry {
         |FROM d JOIN n na ON d.label_a = na.cls JOIN n nb ON d.label_b = nb.cls
         |LEFT JOIN q ON d.label_a = q.cls
         |ORDER BY label_a, label_b""".stripMargin,
+
+    "q467_activity_gini" ->
+      """WITH per AS (SELECT event_type AS t, user_id AS u, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
+        |rk AS (SELECT t, x,
+        |    CAST(row_number() OVER (PARTITION BY t ORDER BY x, u) AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY t) AS BIGINT) AS n FROM per),
+        |a AS (SELECT t, n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(CAST(r AS HUGEINT)*x) AS srx FROM rk GROUP BY 1, 2)
+        |SELECT t AS event_type, n AS n_users, sx AS total_events,
+        |  CASE WHEN n >= 2 AND sx > 0 THEN
+        |    floor((2.0*CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0)*CAST(sx AS DOUBLE))
+        |      /(CAST(n AS DOUBLE)*CAST(sx AS DOUBLE))*1000000.0 + 0.5)/1000000.0 END AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q468_touch_depth" ->
+      """WITH d AS (SELECT user_id AS u,
+        |    COUNT(DISTINCT CASE WHEN event_type <> 'purchase' THEN event_type END) AS n_channels,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1)
+        |SELECT n_channels, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  floor(CAST(SUM(conv) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS conversion_rate
+        |FROM d GROUP BY 1 ORDER BY n_channels""".stripMargin,
   )
 }

@@ -6264,6 +6264,55 @@ object QualityChecks {
         .as("odds_ratio"))
   }
 
+  /** Quantile-sketch accuracy certification — Spark's
+    * `approx_percentile` sketch answers side by side with the EXACT
+    * type-1 deciles and the realized absolute rank error: the
+    * pre-flight check before trusting a sketch config at 100 TB
+    * (where exact quantiles are a full sort and the sketch is the
+    * only affordable tool — but its `accuracy` knob should be
+    * CERTIFIED on a sample first, not assumed). No DuckDB twin exists
+    * for Spark's sketch by construction, so this is a spec-certified
+    * component: the suite pins the error bound on staged
+    * distributions.
+    *
+    * Determinism: Spark's approx_percentile is a deterministic
+    * algorithm of the data and accuracy parameter (no RNG); the exact
+    * side is the row 505 integer order-statistic; errors are pinned
+    * differences.
+    *
+    * Scale shape: the sketch is one combinable pass; the exact side
+    * is the row 505 prefix-sum machinery — both linear, no sort. */
+  def sketchQuantileAudit(df: DataFrame, valueCol: String,
+                          accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val vals = df.filter(sf.col(valueCol).isNotNull)
+      .select(sf.floor(sf.col(valueCol).cast("double") * 1e4 + 0.5).cast("long")
+        .as("v4"))
+      .localCheckpoint(true) // sketch + exact side read it
+    val sk = vals.agg(sf.expr(
+      s"approx_percentile(v4, array(${(1 to 9).map(_ / 10.0).mkString(", ")})," +
+        s" $accuracy)").as("__aq"))
+    val counts = vals.groupBy("v4").agg(sf.count(sf.lit(1)).as("cnt"))
+    val cum = graft.operators.StarSchema
+      .globalPrefixSums(counts, Seq("v4"), "cnt", "__gc")
+    val tot = cum.agg(sf.max("__gc").cast("long").as("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = (1 to 9).map(d => (d, d.toLong)).toDF("decile", "__d")
+    val exact = cum.crossJoin(sf.broadcast(tot)).crossJoin(sf.broadcast(ps))
+      .filter(sf.col("__gc") * 10 >= sf.col("__d") * sf.col("__n"))
+      .groupBy("decile").agg(sf.min("v4").as("__ex4"))
+    exact.crossJoin(sf.broadcast(sk))
+      .select(sf.col("decile"),
+        gf.roundAt(sf.col("__ex4").cast("double") / 1e4, 4).as("exact_q"),
+        gf.roundAt(sf.element_at(sf.col("__aq"), sf.col("decile"))
+          .cast("double") / 1e4, 4).as("sketch_q"),
+        gf.roundAt(sf.abs(sf.element_at(sf.col("__aq"), sf.col("decile"))
+          - sf.col("__ex4")).cast("double") / 1e4, 4).as("abs_err"))
+      .orderBy("decile")
+  }
+
   /** Order-to-ship lag profile + temporal-integrity violations — the
     * cross-table DATE sanity check beside [[orderReconciliation]]'s
     * money check: every line's ship lag (ship day − order day) in

@@ -873,6 +873,85 @@ object EventOps {
       .orderBy("streak_days")
   }
 
+  /** Activity-concentration Gini per event type — how unevenly each
+    * event type's volume is spread across users, by the exact
+    * rank-sum identity G = (2Σᵢ i·x₍ᵢ₎ − (n+1)Σx)/(nΣx): "is
+    * `purchase` a broad habit or three whales" — the per-TYPE twin of
+    * row 345's per-source token-mass Gini, and the concentration
+    * number that decides whether a mean-based KPI (row 128's DAU,
+    * row 466's load) is even meaningful for that event.
+    *
+    * Determinism: per-user counts are exact; within-type ranks come
+    * from ONE row-135 range-partitioned prefix sum over (type, count,
+    * user) minus broadcast type offsets (never a one-task window over
+    * users); Σi·x and Σx are exact DECIMAL(38,0); G is one pinned
+    * assembly 1e-6 (n < 2 or zero mass → NULL).
+    *
+    * Scale shape: one (type, user) rollup + one range shuffle + a
+    * type-domain finish — raw events shuffle once. */
+  def activityGini(events: DataFrame, typeCol: String = "event_type",
+                   keyCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = events.filter(sf.col(typeCol).isNotNull && sf.col(keyCol).isNotNull)
+      .groupBy(sf.col(typeCol).as("t"), sf.col(keyCol).as("u"))
+      .agg(sf.count(sf.lit(1)).as("x"))
+    val ranked = graft.operators.StarSchema.globalPrefixSums(
+      per.withColumn("__one", sf.lit(1L)), Seq("t", "x", "u"), "__one", "__grk")
+    val offsets = ranked.groupBy(sf.col("t").as("__ot"))
+      .agg(sf.max("__grk").cast("long").as("__hi"),
+        sf.count(sf.lit(1)).cast("long").as("__n"))
+      .withColumn("__off", sf.col("__hi") - sf.col("__n"))
+    ranked.join(sf.broadcast(offsets), sf.col("t") === sf.col("__ot"))
+      .select(sf.col("t"), sf.col("__n"), sf.col("x"),
+        (sf.col("__grk") - sf.col("__off")).as("__r"))
+      .groupBy("t", "__n")
+      .agg(sf.sum(dec(sf.col("x"))).as("__sx"),
+        sf.sum(dec(sf.col("__r")) * dec(sf.col("x"))).as("__srx"))
+      .select({
+        val n = sf.col("__n").cast("double")
+        val sx = sf.col("__sx").cast("double")
+        val srx = sf.col("__srx").cast("double")
+        val g = (sf.lit(2.0) * srx - (n + 1.0) * sx) / (n * sx)
+        Seq(sf.col("t").as(typeCol), sf.col("__n").as("n_users"),
+          sf.col("__sx").cast("long").as("total_events"),
+          sf.when(sf.col("__n") >= 2 && sf.col("__sx") > 0,
+            gf.roundAt(g, 6)).as("gini"))
+      }: _*)
+      .orderBy(typeCol)
+  }
+
+  /** Conversion rate by TOUCH DEPTH — how conversion probability
+    * grows with the number of distinct channels a user touched: the
+    * breadth-incrementality readout that [[shapleyAttribution]]
+    * allocates per channel and this table shows raw ("one-channel
+    * users convert at 4%, three-channel at 31%" is the
+    * budget-diversification slide), with the usual caveat printed by
+    * construction: it is selection, not causation.
+    *
+    * Determinism: depth is an exact distinct-channel count; rates
+    * are pinned integer ratios 1e-6.
+    *
+    * Scale shape: one (user, channel) distinct + one per-user rollup
+    * + a depth-domain collapse — events shuffle once. */
+  def touchDepthConversion(events: DataFrame,
+                           conversionType: String = "purchase",
+                           keyCol: String = "user_id",
+                           typeCol: String = "event_type"): DataFrame = {
+    val base = events.filter(sf.col(keyCol).isNotNull && sf.col(typeCol).isNotNull)
+    val depth = base.groupBy(sf.col(keyCol).as("u"))
+      .agg(sf.count_distinct(sf.when(sf.col(typeCol) =!= conversionType,
+          sf.col(typeCol))).as("n_channels"),
+        sf.max((sf.col(typeCol) === conversionType).cast("int")).as("__conv"))
+    depth.groupBy("n_channels")
+      .agg(sf.count(sf.lit(1)).cast("long").as("n_users"),
+        sf.sum("__conv").cast("long").as("n_converted"))
+      .select(sf.col("n_channels"), sf.col("n_users"), sf.col("n_converted"),
+        gf.roundAt(sf.col("n_converted").cast("double") /
+          sf.col("n_users").cast("double"), 6).as("conversion_rate"))
+      .orderBy("n_channels")
+  }
+
   /** Tenure hazard curve (discrete-time survival from activity data)
     * — for each tenure week w: of the users who SURVIVED to tenure w,
     * what fraction churned there (last activity at tenure w), with

@@ -4389,6 +4389,49 @@ class OperatorsSpec extends SparkFunSuite {
     assert(bb.isNullAt(bb.fieldIndex("mean_dot")), bb.toString)
   }
 
+  test("EventOps.activityGini: rank-sum identity, equal counts = 0") {
+    var id = 0L
+    def ev(u: Long, t: String, n: Int) = Seq.fill(n) { id += 1; (id, u, t) }
+    val rows = ev(1, "a", 1) ++ ev(2, "a", 1) ++ ev(3, "a", 2) ++
+      ev(4, "b", 5) ++ ev(5, "c", 2) ++ ev(6, "c", 2)
+    val df = rows.toDF("event_id", "user_id", "event_type")
+      .select(sf.col("event_id"),
+        sf.lit("2024-01-01 10:00:00").cast("timestamp").as("ts"),
+        sf.col("user_id"), sf.col("event_type"))
+    val got = EventOps.activityGini(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // a: counts (1,1,2): G = (2*9 - 4*4)/(3*4) = 1/6
+    val a = got("a")
+    assert(a.getAs[Long]("n_users") == 3 && a.getAs[Long]("total_events") == 4
+      && a.getAs[Double]("gini") == math.floor(1.0 / 6 * 1e6 + 0.5) / 1e6,
+      a.toString)
+    assert(got("b").isNullAt(got("b").fieldIndex("gini"))) // n = 1
+    assert(got("c").getAs[Double]("gini") == 0.0) // perfectly even
+  }
+
+  test("EventOps.touchDepthConversion: depth table, purchase-only is depth 0") {
+    val df = Seq((1L, "click"), (1L, "purchase"), (2L, "click"),
+      (3L, "purchase"), (4L, "click"), (4L, "view"))
+      .toDF("user_id", "event_type")
+    val got = EventOps.touchDepthConversion(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 1L, 1L, 1.0), (1L, 2L, 1L, 0.5),
+      (2L, 1L, 0L, 0.0)), got.toString)
+  }
+
+  test("QualityChecks.sketchQuantileAudit: exact at high accuracy, bounded low") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val hi = QualityChecks.sketchQuantileAudit(df, "v").collect()
+    assert(hi.length == 9)
+    hi.foreach { r =>
+      assert(r.getAs[Double]("exact_q") == r.getInt(0) * 10.0 &&
+        r.getAs[Double]("abs_err") == 0.0, r.toString)
+    }
+    val lo = QualityChecks.sketchQuantileAudit(df, "v", accuracy = 100)
+      .collect()
+    lo.foreach(r => assert(r.getAs[Double]("abs_err") <= 1.0, r.toString))
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
