@@ -3287,6 +3287,27 @@ object SparkEntry {
     "q468_touch_depth" -> ((s, dir) =>
       EventOps.touchDepthConversion(Tables.load(s, dir, "events"))),
 
+    // sBG retention projection over activity-streak lifetimes: the
+    // Fader-Hardie heterogeneity fit, least-squares over all ratios.
+    "q469_sbg_retention" -> ((s, dir) => {
+      val ud = Tables.load(s, dir, "events")
+        .filter(sf.col("user_id").isNotNull && sf.col("ts").isNotNull)
+        .select(sf.col("user_id").as("__u"),
+          sf.expr("unix_micros(ts) div 86400000000").as("__d"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__u").orderBy("__d")
+      val streaks = ud.withColumn("__rn", sf.row_number().over(w))
+        .groupBy(sf.col("__u"), (sf.col("__d") - sf.col("__rn")).as("__isl"))
+        .agg((sf.count(sf.lit(1)) - 1).as("duration"))
+      EventOps.sbgRetention(streaks.select("duration"), "duration")
+    }),
+
+    // Basket-size histogram vs the zero-truncated Poisson share: the
+    // dispersion question asked of baskets instead of time bins.
+    "q470_basket_fit" -> ((s, dir) =>
+      StarSchema.basketSizeFit(Tables.load(s, dir, "lineitem"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -15073,5 +15094,72 @@ object SparkEntry {
         |  CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  floor(CAST(SUM(conv) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS conversion_rate
         |FROM d GROUP BY 1 ORDER BY n_channels""".stripMargin,
+
+    "q469_sbg_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |i AS (SELECT u, d - row_number() OVER (PARTITION BY u ORDER BY d) AS isl FROM ud),
+        |st AS (SELECT CAST(COUNT(*) - 1 AS BIGINT) AS t FROM i GROUP BY u, isl),
+        |h AS (SELECT t AS tw, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+        |bd AS (SELECT least(CAST(max(tw) AS BIGINT), 26) AS hi FROM h),
+        |by2 AS (SELECT CAST(COALESCE(SUM(CASE WHEN tw > 26 THEN n END), 0) AS BIGINT) AS b FROM h),
+        |g AS (SELECT gs.t, COALESCE(h.n, 0) AS n
+        |  FROM (SELECT unnest(generate_series(0, (SELECT hi FROM bd))) AS t) gs
+        |  LEFT JOIN h ON gs.t = h.tw),
+        |sv AS (SELECT g.t,
+        |    CAST(SUM(g.n) OVER (ORDER BY g.t DESC ROWS UNBOUNDED PRECEDING) + by2.b AS BIGINT) AS ns
+        |  FROM g CROSS JOIN by2),
+        |lg AS (SELECT t, ns, lag(ns) OVER (ORDER BY t) AS pv FROM sv),
+        |pt AS (SELECT CAST(floor(CAST(ns AS DOUBLE)/CAST(pv AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS r9, t
+        |  FROM lg WHERE t >= 1 AND pv > 0 AND ns > 0),
+        |p2 AS (SELECT r9, (t - 1)*(r9 - 1000000000) AS y9 FROM pt),
+        |ft AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    SUM(CAST(r9 AS DECIMAL(38,0))) AS sx, SUM(CAST(y9 AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(r9 AS DECIMAL(38,0))*r9) AS sxx, SUM(CAST(r9 AS DECIMAL(38,0))*y9) AS sxy
+        |  FROM p2),
+        |ab AS (SELECT m,
+        |    CAST(CAST(m AS DECIMAL(38,0))*sxx - sx*sx AS DOUBLE) AS det,
+        |    CAST(CAST(m AS DECIMAL(38,0))*sxy - sx*sy AS DOUBLE) AS num,
+        |    num/det AS a,
+        |    (a*CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))/CAST(m AS DOUBLE)/1e9 AS b,
+        |    m >= 2 AND det > 0 AND
+        |      (a*CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))/CAST(m AS DOUBLE)/1e9 > 0 AND
+        |      a - (a*CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))/CAST(m AS DOUBLE)/1e9 > 0 AS ok
+        |  FROM ft),
+        |nz AS (SELECT ns AS n0 FROM sv WHERE t = 0),
+        |pj AS (SELECT sv.t, sv.ns, ab.a, ab.b, ab.ok,
+        |    SUM(CASE WHEN sv.t = 0 OR NOT ab.ok THEN 0 ELSE
+        |      CAST(floor((ln(ab.b + CAST(sv.t AS DOUBLE) - 1.0)
+        |        - ln(ab.a + CAST(sv.t AS DOUBLE) - 1.0))*1e9 + 0.5) AS BIGINT) END)
+        |      OVER (ORDER BY sv.t ROWS UNBOUNDED PRECEDING) AS c9
+        |  FROM sv CROSS JOIN ab)
+        |SELECT pj.t AS duration, pj.ns AS n_surviving,
+        |  floor(CAST(pj.ns AS DOUBLE)/CAST(nz.n0 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS actual_survival,
+        |  CASE WHEN pj.ok THEN
+        |    floor(exp(CAST(pj.c9 AS DOUBLE)/1e9)*1000000.0 + 0.5)/1000000.0 END AS projected_survival,
+        |  CASE WHEN pj.ok THEN floor((pj.a - pj.b)*1000000.0 + 0.5)/1000000.0 END AS alpha,
+        |  CASE WHEN pj.ok THEN floor(pj.b*1000000.0 + 0.5)/1000000.0 END AS beta
+        |FROM pj CROSS JOIN nz ORDER BY duration""".stripMargin,
+
+    "q470_basket_fit" ->
+      """WITH k AS (SELECT l_orderkey AS o, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |h AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY 1),
+        |mo AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(k*n) AS BIGINT) AS s,
+        |    CAST(MAX(k) AS BIGINT) AS kmax FROM h),
+        |lm AS (SELECT n, CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS lambda,
+        |    ln(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) AS lnl,
+        |    ln(exp(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) - 1.0) AS lnden FROM mo),
+        |g AS (SELECT gs.k, COALESCE(h.n, 0) AS n_orders
+        |  FROM (SELECT unnest(generate_series(1, (SELECT kmax FROM mo))) AS k) gs
+        |  LEFT JOIN h ON gs.k = h.k),
+        |lf AS (SELECT k, n_orders,
+        |    CAST(SUM(CAST(floor(ln(CAST(k AS DOUBLE))*1e9 + 0.5) AS BIGINT))
+        |      OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lf9
+        |  FROM g)
+        |SELECT lf.k AS basket_size, lf.n_orders,
+        |  floor(CAST(lf.n_orders AS DOUBLE)/CAST(lm.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share,
+        |  floor(exp(CAST(lf.k AS DOUBLE)*lm.lnl - CAST(lf.lf9 AS DOUBLE)/1e9 - lm.lnden)*1000000.0 + 0.5)/1000000.0 AS ztp_share
+        |FROM lf CROSS JOIN lm ORDER BY basket_size""".stripMargin,
   )
 }

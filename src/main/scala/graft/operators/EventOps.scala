@@ -997,6 +997,116 @@ object EventOps {
       .orderBy("tenure_weeks")
   }
 
+  /** Shifted-Beta-geometric retention projection (Fader & Hardie
+    * 2007, "How to Project Customer Retention") over a DURATION
+    * column — the famous result that raw retention curves flatten
+    * because CHURN PROPENSITY IS HETEROGENEOUS (flaky lifetimes end
+    * first), so extrapolating early retention geometrically
+    * systematically underestimates long-run survival. The sBG
+    * recursion r_t = (beta+t-1)/(alpha+beta+t-1) is LINEAR in
+    * (A, B) = (alpha+beta, beta): r_t*A - B = (t-1)(r_t - 1), so the
+    * fit is a closed-form least squares over ALL observed retention
+    * ratios (robust where the paper's two-point illustration is
+    * noise-fragile), and the projection S(t) = prod (B+i-1)/(A+i-1)
+    * extends the curve past the observed window — the number a
+    * cohort valuation actually wants.
+    *
+    * Determinism: survivor counts are exact integers on a DENSE
+    * duration grid (a gap would skip product factors); each ratio
+    * r_t and target (t-1)(r_t-1) snaps to a 1e-9 long BEFORE the OLS
+    * moment sums (cross-row rule); A, B, alpha, beta are one pinned
+    * assembly; projection terms snap 1e-9 before the cumulative sum,
+    * one exp per row, outputs 1e-6. A degenerate fit (< 2 ratio
+    * points, zero variance, alpha <= 0 or beta <= 0) reports NULL
+    * projections — no silent fallback.
+    *
+    * Scale shape: one duration-domain collapse + three bounded
+    * DOMAIN windows (pmod idiom) + a broadcast one-row fit — the
+    * duration stream shuffles once. */
+  def sbgRetention(durations: DataFrame, durationCol: String,
+                   horizon: Int = 26): DataFrame = {
+    require(horizon >= 2 && horizon <= 520,
+      s"sbgRetention: horizon must be in [2, 520], got $horizon")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val hist = durations.filter(sf.col(durationCol).isNotNull &&
+        sf.col(durationCol) >= 0)
+      .groupBy(sf.col(durationCol).cast("long").as("__tw"))
+      .agg(sf.count(sf.lit(1)).as("__n"))
+      .localCheckpoint(true) // grid bound + fill + beyond read it
+    val bound = hist.agg(
+      sf.least(sf.max("__tw"), sf.lit(horizon.toLong)).as("__hi"))
+    val beyond = hist.agg(sf.sum(sf.when(sf.col("__tw") > horizon,
+      sf.col("__n")).otherwise(0L)).cast("long").as("__b"))
+    val grid = bound.select(sf.explode(
+        sf.sequence(sf.lit(0L), sf.col("__hi"))).as("t"))
+      .join(hist, sf.col("t") === sf.col("__tw"), "left")
+      .select(sf.col("t"), sf.coalesce(sf.col("__n"), sf.lit(0L)).as("__n"))
+    def dom(descending: Boolean) = {
+      val base = Window.partitionBy(sf.pmod(sf.hash(sf.col("t")), sf.lit(1)))
+      (if (descending) base.orderBy(sf.col("t").desc) else base.orderBy("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val surv = grid.crossJoin(sf.broadcast(beyond))
+      .withColumn("ns", (sf.sum("__n").over(dom(true)) + sf.col("__b"))
+        .cast("long"))
+      .withColumn("__prev", sf.lag("ns", 1).over(
+        Window.partitionBy(sf.pmod(sf.hash(sf.col("t")), sf.lit(1)))
+          .orderBy("t")))
+      .drop("__b", "__n") // `__b` would collide with the fit's `__B`
+      .localCheckpoint(true) // fit + output read it
+    // ratio points: r_t = ns_t / ns_{t-1}, snapped 1e-9; y = (t-1)(r-1)
+    val pts = surv.filter(sf.col("t") >= 1 && sf.col("__prev") > 0 &&
+        sf.col("ns") > 0)
+      .select(
+        sf.floor(sf.col("ns").cast("double") / sf.col("__prev").cast("double")
+          * 1e9 + 0.5).cast("long").as("__r9"),
+        sf.col("t"))
+      .select(sf.col("__r9"),
+        ((sf.col("t") - 1) * (sf.col("__r9") - 1000000000L)).as("__y9"))
+    val fit = pts.agg(sf.count(sf.lit(1)).as("__m"),
+        sf.sum(dec(sf.col("__r9"))).as("__sx"),
+        sf.sum(dec(sf.col("__y9"))).as("__sy"),
+        sf.sum(dec(sf.col("__r9")) * dec(sf.col("__r9"))).as("__sxx"),
+        sf.sum(dec(sf.col("__r9")) * dec(sf.col("__y9"))).as("__sxy"))
+      .select({
+        val m = sf.col("__m").cast("double")
+        val det = (dec(sf.col("__m")) * sf.col("__sxx") -
+          sf.col("__sx") * sf.col("__sx")).cast("double")
+        val num = (dec(sf.col("__m")) * sf.col("__sxy") -
+          sf.col("__sx") * sf.col("__sy")).cast("double")
+        // x, y both ride the 1e-9 grid, so slope A is scale-free and
+        // the intercept divides one 1e-9 back out; divisions sit in
+        // lazy when-branches (ANSI throws on double div-by-zero)
+        val a = sf.when(det =!= 0.0, num / det)
+        val b = sf.when(sf.col("__m") > 0,
+          (a * sf.col("__sx").cast("double") -
+            sf.col("__sy").cast("double")) / m / 1e9)
+        val ok = sf.col("__m") >= 2 && det > 0.0 &&
+          b > 0.0 && (a - b) > 0.0
+        Seq(sf.when(ok, a).as("__A"), sf.when(ok, b).as("__B"),
+          ok.as("__ok"))
+      }: _*)
+    val n0 = surv.filter(sf.col("t") === 0)
+      .select(sf.col("ns").as("__n0"))
+    val term9 = sf.when(sf.col("t") === 0 || !sf.col("__ok"), 0L).otherwise(
+      sf.floor((sf.log(sf.col("__B") + sf.col("t").cast("double") - 1.0) -
+        sf.log(sf.col("__A") + sf.col("t").cast("double") - 1.0)) * 1e9 + 0.5)
+        .cast("long"))
+    surv.crossJoin(sf.broadcast(fit)).crossJoin(sf.broadcast(n0))
+      .withColumn("__c9", sf.sum(term9).over(dom(false)))
+      .select(sf.col("t").as("duration"), sf.col("ns").as("n_surviving"),
+        gf.roundAt(sf.col("ns").cast("double") /
+          sf.col("__n0").cast("double"), 6).as("actual_survival"),
+        sf.when(sf.col("__ok"), gf.roundAt(
+          sf.exp(sf.col("__c9").cast("double") / 1e9), 6))
+          .as("projected_survival"),
+        sf.when(sf.col("__ok"), gf.roundAt(sf.col("__A") - sf.col("__B"), 6))
+          .as("alpha"),
+        sf.when(sf.col("__ok"), gf.roundAt(sf.col("__B"), 6)).as("beta"))
+      .orderBy("duration")
+  }
+
   /** Rolling active-user counts (DAU / trailing-window WAU-style): for
     * every OBSERVED activity day, the distinct users active that day
     * and within the trailing `windowDays` window ending that day.

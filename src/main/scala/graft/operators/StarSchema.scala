@@ -765,6 +765,57 @@ object StarSchema {
       .orderBy(groupCol)
   }
 
+  /** Basket-size distribution + Poisson fit — line-count histogram
+    * per order against the Poisson share p_k = λᵏ/(k!·(e^λ−1))
+    * conditional on k ≥ 1 (orders exist only with lines — the
+    * ZERO-TRUNCATED support), with λ the plain sample-mean moment fit
+    * (the standard quick screen; its truncation bias is the point of
+    * reading the table): where observed ≫ expected is the
+    * multi-line-heavy tail a Poisson order process can't produce —
+    * the row 333 dispersion question asked of BASKETS instead of
+    * time bins.
+    *
+    * Determinism: counts exact; λ and ln(e^λ−1) are one pinned double
+    * chain from exact integers (identical in both engines); ln k!
+    * accumulates 1e-9-snapped per-integer lns over the DENSE bounded
+    * k grid (a gap would skip factorial terms); shares pinned 1e-6.
+    *
+    * Scale shape: one per-order rollup + a k-domain collapse + one
+    * bounded-domain window — lines shuffle once. */
+  def basketSizeFit(lines: DataFrame,
+                    orderCol: String = "l_orderkey"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = lines.filter(sf.col(orderCol).isNotNull)
+      .groupBy(sf.col(orderCol).as("o")).agg(sf.count(sf.lit(1)).as("k"))
+      .groupBy("k").agg(sf.count(sf.lit(1)).as("__n"))
+      .localCheckpoint(true) // moments + the fill join read it
+    val mom = hist.agg(sf.sum("__n").cast("long").as("n"),
+        sf.sum(sf.col("k") * sf.col("__n")).cast("long").as("s"),
+        sf.max("k").cast("long").as("kmax"))
+      .collect()(0)
+    val (n, s, kmax) = (mom.getLong(0), mom.getLong(1), mom.getLong(2))
+    require(n >= 1, "basketSizeFit: no orders")
+    val lambda = s.toDouble / n.toDouble
+    val lnLambda = math.log(lambda)
+    val lnDen = math.log(math.exp(lambda) - 1.0) // ln(e^l - 1), pinned
+    val spark = lines.sparkSession
+    val grid = spark.range(1L, kmax + 1).select(sf.col("id").as("k"))
+      .join(hist, Seq("k"), "left")
+      .select(sf.col("k"), sf.coalesce(sf.col("__n"), sf.lit(0L)).as("n_orders"))
+    val wk = Window.partitionBy(sf.pmod(sf.hash(sf.col("k")), sf.lit(1)))
+      .orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__lf9", sf.sum(
+        sf.floor(sf.log(sf.col("k").cast("double")) * 1e9 + 0.5).cast("long"))
+        .over(wk))
+      .select(sf.col("k").as("basket_size"), sf.col("n_orders"),
+        gf.roundAt(sf.col("n_orders").cast("double") / n.toDouble, 6)
+          .as("share"),
+        gf.roundAt(sf.exp(sf.col("k").cast("double") * lnLambda -
+          sf.col("__lf9").cast("double") / 1e9 - lnDen), 6).as("ztp_share"))
+      .orderBy("basket_size")
+  }
+
   /** New-vs-repeat revenue split per month — each month's revenue
     * divided by whether the ordering customer's FIRST-EVER order
     * falls in that month: the acquisition-vs-retention finance ledger

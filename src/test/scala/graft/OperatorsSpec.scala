@@ -4432,6 +4432,63 @@ class OperatorsSpec extends SparkFunSuite {
     lo.foreach(r => assert(r.getAs[Double]("abs_err") <= 1.0, r.toString))
   }
 
+  test("EventOps.sbgRetention: JVM twin of the linear fit, gap in grid") {
+    val durations = (Seq.fill(5)(0L) ++ Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++
+      Seq(4L)).toDF("duration") // gap at 3: dense grid must carry it
+    val got = EventOps.sbgRetention(durations, "duration").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // twin: ns = 11,6,3,1,1
+    val ns = Map(0L -> 11L, 1L -> 6L, 2L -> 3L, 3L -> 1L, 4L -> 1L)
+    val pts = (1 to 4).map { t =>
+      val r9 = math.floor(ns(t).toDouble / ns(t - 1) * 1e9 + 0.5).toLong
+      (r9, (t - 1).toLong * (r9 - 1000000000L))
+    }
+    val m = pts.size
+    val (sx, sy) = (pts.map(p => BigInt(p._1)).sum, pts.map(p => BigInt(p._2)).sum)
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val det = (BigInt(m) * sxx - sx * sx).toDouble
+    val a = (BigInt(m) * sxy - sx * sy).toDouble / det
+    val b = (a * sx.toDouble - sy.toDouble) / m / 1e9
+    assert(b > 0 && a - b > 0) // the staged data must exercise the fit
+    assert(got(0L).getAs[Long]("n_surviving") == 11 &&
+      got(3L).getAs[Long]("n_surviving") == 1, got(3L).toString)
+    assert(got(0L).getAs[Double]("alpha") ==
+      math.floor((a - b) * 1e6 + 0.5) / 1e6, got(0L).toString)
+    var c9 = 0L
+    (1 to 4).foreach { t =>
+      c9 += math.floor((math.log(b + t - 1) - math.log(a + t - 1)) * 1e9 + 0.5)
+        .toLong
+      assert(got(t.toLong).getAs[Double]("projected_survival") ==
+        math.floor(math.exp(c9.toDouble / 1e9) * 1e6 + 0.5) / 1e6,
+        got(t.toLong).toString)
+    }
+    // all-zero durations: no ratio points, NULL fit
+    val dg = EventOps.sbgRetention(
+      Seq(0L, 0L).toDF("duration"), "duration").head()
+    assert(dg.isNullAt(dg.fieldIndex("projected_survival")), dg.toString)
+  }
+
+  test("StarSchema.basketSizeFit: ZTP shares from the JVM twin") {
+    val df = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 3)).flatMap { case (o, k) =>
+      Seq.fill(k)((o, 1)) }.toDF("l_orderkey", "x")
+    val got = StarSchema.basketSizeFit(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val lambda = 7.0 / 4
+    val lnl = math.log(lambda)
+    val lnden = math.log(math.exp(lambda) - 1.0)
+    var lf9 = 0L
+    (1 to 3).foreach { k =>
+      lf9 += math.floor(math.log(k.toDouble) * 1e9 + 0.5).toLong
+      val want = math.floor(
+        math.exp(k * lnl - lf9.toDouble / 1e9 - lnden) * 1e6 + 0.5) / 1e6
+      assert(got(k.toLong).getAs[Double]("ztp_share") == want,
+        got(k.toLong).toString)
+    }
+    assert(got(1L).getAs[Double]("share") == 0.5 &&
+      got(2L).getAs[Double]("share") == 0.25, got(1L).toString)
+  }
+
   test("EventOps.monthlyBalances: carry-forward, late joiner, tiebreak") {
     val df = Seq(
       (1L, "2024-01-10 00:00:00", 1L, 99.0),  // superseded same month
