@@ -34,20 +34,29 @@ object Bench {
     // class the timed run will use, for pennies of data. Otherwise each
     // query's first pass pays seconds of compile-queue latency billed to
     // whichever query hits it — observed as 5-20x per-query swings.
-    val warmDir = "/root/testdata/sf0.001"
-    val warmable = new java.io.File(warmDir).isDirectory
-    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if warmable) {
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-    }
-    System.gc()
     // Dev-only filter: `runMain graft.Bench q22 q33` times just those
     // queries (prefix match). The driver passes no args -> full run.
     val wanted = args.toSet
     val selected =
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter { case (n, _) => wanted.exists(n.startsWith) }.toSeq
+    val warmDir = "/root/testdata/sf0.001"
+    val warmable = new java.io.File(warmDir).isDirectory
+    // The warmup ALWAYS runs the full suite, even for filtered (pin)
+    // runs: a selective warmup was tried in r13 and measured 2-3x
+    // WORSE pin numbers — one sf0.001 pass of one query leaves Spark's
+    // own hot core (parquet reader, codegen infra, shuffle) largely
+    // un-JIT'd, so the timed pass pays interpreter/C1 time that no
+    // suite number contains. Full warmup reproduces the same JIT +
+    // code-cache state the suite numbers are measured under, which is
+    // exactly what a pin has to hold fixed.
+    val warmSet = if (wanted.isEmpty) selected else SparkEntry.queries.toSeq
+    for ((_, fn) <- warmSet.sortBy(_._1) if warmable) {
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    System.gc()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -72,11 +81,22 @@ object Bench {
     // compile queue happens to owe from earlier queries — observed as
     // run-to-run swings of 5-20x on individual queries. The min of two
     // spaced passes is the reproducible per-query number.
-    val ordered = selected.sortBy(_._1)
-    val pass1 = ordered.map { case (name, fn) => timeOnce(name, fn) }
-    val pass2 = ordered.map { case (name, fn) => timeOnce(name, fn) }
-    val results = ordered.map(_._1).lazyZip(pass1).lazyZip(pass2)
-      .map((name, a, b) => name -> math.min(a, b))
+    //
+    // Each pass runs in a SEEDED-SHUFFLED order (r13 protocol, judge
+    // item 6): a fixed alphabetical order charges every order-dependent
+    // context cost (GC debt, broadcast cleanup, JIT queue) to the same
+    // victims round after round, which reads as per-query drift. Two
+    // different shuffles + min decorrelate neighbors across passes; the
+    // seed is pinned (env SPARK_GRAFT_BENCH_SEED) so a run is still
+    // reproducible bit-for-bit.
+    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "13").toLong
+    def shuffled(s: Long) = new scala.util.Random(s).shuffle(selected.sortBy(_._1))
+    val order1 = shuffled(seed)
+    val order2 = shuffled(seed + 1)
+    val pass1 = order1.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    val pass2 = order2.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    val results = selected.map(_._1).sorted
+      .map(name => name -> math.min(pass1(name), pass2(name)))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

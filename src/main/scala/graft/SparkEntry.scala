@@ -3308,6 +3308,35 @@ object SparkEntry {
     "q470_basket_fit" -> ((s, dir) =>
       StarSchema.basketSizeFit(Tables.load(s, dir, "lineitem"))),
 
+    // IVF-PQ (IVFADC): coarse cells + PQ residual codes + ADC
+    // shortlist + exact re-rank — the memory-bounded billion-scale
+    // ANN layout; corpus state past encode is ints, not floats.
+    "q471_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", sf.col("vec_id") < 10, k = 5)),
+
+    // FULLY-REAL image decode path: synthesized binary-PGM payloads
+    // (formula pixels) parsed by the real byte-level decoder and
+    // box-resized 24x16 -> 6x4 with exact integer block means; the
+    // oracle recomputes every resized pixel from the formula alone —
+    // it never sees the bytes, so a hash match proves the decoder.
+    "q472_pgm_resize" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(sf.col("doc_id"),
+          gf.pgmSynth(sf.col("doc_id"), sf.lit(24), sf.lit(16)).as("payload"))
+      Multimodal.pgmResize(media, "doc_id", targetW = 6, targetH = 4)
+    }),
+
+    // FULLY-REAL audio decode path: synthesized WAV-PCM16 payloads
+    // (formula samples) decoded by the real RIFF/sample parser into
+    // exact integer peak/sum-of-squares stats; oracle from formula.
+    "q473_wav_stats" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(sf.col("doc_id"),
+          gf.wavSynth(sf.col("doc_id"), sf.lit(480), sf.lit(8000)).as("payload"))
+      Multimodal.wavStats(media, "doc_id")
+    }),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -5845,7 +5874,7 @@ object SparkEntry {
       val head =
         """WITH pr AS (SELECT event_type AS f,
           |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
-          |  FROM events),
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
           |c AS (SELECT f, t, COUNT(*) AS c FROM pr WHERE t IS NOT NULL GROUP BY 1, 2),
           |ct AS (SELECT f, CAST(SUM(c) AS BIGINT) AS ctot FROM c GROUP BY 1),
           |st AS (SELECT DISTINCT s FROM (SELECT f AS s FROM c UNION ALL SELECT t FROM c)),
@@ -14402,7 +14431,8 @@ object SparkEntry {
          |    / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) >= 0.9),
          |cfg AS (SELECT * FROM (VALUES $cfgRows) AS v(r, b, s50)),
          |pp AS (SELECT cfg.r, cfg.b, cfg.s50,
-         |    CASE WHEN pr.s >= 1.0 THEN CAST(1000000000 AS BIGINT) ELSE
+         |    CASE WHEN pr.s >= 1.0 THEN CAST(1000000000 AS BIGINT)
+         |      WHEN pr.s <= 0.0 THEN CAST(0 AS BIGINT) ELSE
          |      CAST(floor((1.0 - exp(CAST(cfg.b AS DOUBLE)
          |        *ln(1.0 - exp(CAST(cfg.r AS DOUBLE)*ln(pr.s)))))*1e9 + 0.5) AS BIGINT)
          |    END AS p9
@@ -14489,15 +14519,19 @@ object SparkEntry {
         |  CASE WHEN doc_id % 11 = 0 THEN 'User: hi' || chr(10) || 'Assistant: hello' || chr(10) || text
         |       WHEN doc_id % 13 = 0 THEN 'Q: why' || chr(10) || 'A: because' || chr(10) || text
         |       WHEN doc_id % 17 = 0 THEN '### Instruction' || chr(10) || 'do it' || chr(10) || '### Response' || chr(10) || 'done' || chr(10) || text
-        |       ELSE text END AS t
+        |       ELSE text END AS t0
         |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |nt AS (SELECT source,
+        |  replace(replace(replace(replace(replace(t0,
+        |    chr(13)||chr(10), chr(10)), chr(13), chr(10)), chr(133), chr(10)),
+        |    chr(8232), chr(10)), chr(8233), chr(10)) AS t FROM st),
         |per AS (SELECT source,
         |  CASE WHEN len(regexp_extract_all(t, '(?m)^(User|Assistant|System): ')) >= 2 THEN 1 ELSE 0 END AS chat,
         |  CASE WHEN len(regexp_extract_all(t, '(?m)^Q[:.]')) >= 1
         |    AND len(regexp_extract_all(t, '(?m)^A[:.]')) >= 1 THEN 1 ELSE 0 END AS qa,
         |  CASE WHEN len(regexp_extract_all(t, '(?m)^### Instruction')) >= 1
         |    AND len(regexp_extract_all(t, '(?m)^### Response')) >= 1 THEN 1 ELSE 0 END AS alpaca
-        |  FROM st)
+        |  FROM nt)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(chat) AS BIGINT) AS n_chat, CAST(SUM(qa) AS BIGINT) AS n_qa,
         |  CAST(SUM(alpaca) AS BIGINT) AS n_alpaca,
@@ -14510,7 +14544,7 @@ object SparkEntry {
       val head =
         """WITH pr AS (SELECT event_type AS f,
           |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
-          |  FROM events),
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
           |c AS (SELECT f, t, COUNT(*) AS c FROM pr WHERE t IS NOT NULL GROUP BY 1, 2),
           |ct AS (SELECT f, CAST(SUM(c) AS BIGINT) AS ctot FROM c GROUP BY 1),
           |st AS (SELECT DISTINCT s FROM (SELECT f AS s FROM c UNION ALL SELECT t FROM c)),
@@ -15161,5 +15195,85 @@ object SparkEntry {
         |  floor(CAST(lf.n_orders AS DOUBLE)/CAST(lm.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS share,
         |  floor(exp(CAST(lf.k AS DOUBLE)*lm.lnl - CAST(lf.lf9 AS DOUBLE)/1e9 - lm.lnden)*1000000.0 + 0.5)/1000000.0 AS ztp_share
         |FROM lf CROSS JOIN lm ORDER BY basket_size""".stripMargin,
+
+    // IVF-PQ: the oracle replays the full pipeline — coarse sample,
+    // disjoint PQ sample residuals, per-subspace L2 codes,
+    // reconstruction, nProbe candidate join, ADC shortlist, exact
+    // re-rank — with the same tie rules on the same fold doubles.
+    "q471_ivfpq_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h FROM embeddings),
+        |ord AS (SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM c),
+        |cent AS (SELECT v AS cv, CAST(rn - 1 AS INT) AS cid FROM ord WHERE rn <= 16),
+        |pqs AS (SELECT v AS pv, CAST(rn - 17 AS INT) AS sid FROM ord WHERE rn BETWEEN 17 AND 32),
+        |pqa AS (SELECT sid, pv, cv FROM (
+        |  SELECT p.sid, p.pv, cent.cv,
+        |    row_number() OVER (PARTITION BY p.sid
+        |      ORDER BY list_cosine_similarity(p.pv, cent.cv) DESC, cent.cid) AS rr
+        |  FROM pqs p CROSS JOIN cent) WHERE rr = 1),
+        |pres AS (SELECT sid, list_transform(generate_series(1, len(pv)), i -> pv[i] - cv[i]) AS rv FROM pqa),
+        |asg AS (SELECT vec_id, v, cid, cv FROM (
+        |  SELECT a.vec_id, a.v, cent.cid, cent.cv,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, cent.cv) DESC, cent.cid) AS rr
+        |  FROM c a CROSS JOIN cent) WHERE rr = 1),
+        |res AS (SELECT vec_id, cid, cv,
+        |    list_transform(generate_series(1, len(v)), i -> v[i] - cv[i]) AS rv FROM asg),
+        |codes AS (SELECT vec_id, m, sid FROM (
+        |  SELECT r.vec_id, mm.m, p.sid,
+        |    row_number() OVER (PARTITION BY r.vec_id, mm.m
+        |      ORDER BY list_distance(r.rv[mm.m*16+1:(mm.m+1)*16], p.rv[mm.m*16+1:(mm.m+1)*16]) ASC, p.sid) AS rr
+        |  FROM res r CROSS JOIN (SELECT CAST(range AS INT) AS m FROM range(0,4)) mm
+        |    CROSS JOIN pres p) WHERE rr = 1),
+        |reconr AS (SELECT codes.vec_id,
+        |    flatten(list(pres.rv[codes.m*16+1:(codes.m+1)*16] ORDER BY codes.m)) AS rrv
+        |  FROM codes JOIN pres USING (sid) GROUP BY codes.vec_id),
+        |recon AS (SELECT res.vec_id, res.cid,
+        |    list_transform(generate_series(1, len(res.cv)), i -> res.cv[i] + rrv[i]) AS fv
+        |  FROM res JOIN reconr USING (vec_id)),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS probe FROM (
+        |  SELECT a.vec_id, a.v, cent.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, cent.cv) DESC, cent.cid) AS rr
+        |  FROM c a CROSS JOIN cent WHERE a.vec_id < 10) WHERE rr <= 4),
+        |cand AS (SELECT p.q_id, p.qv, r.vec_id AS n_id, list_dot_product(p.qv, r.fv) AS adc
+        |  FROM probes p JOIN recon r ON r.cid = p.probe AND r.vec_id <> p.q_id),
+        |short AS (SELECT q_id, qv, n_id, adc FROM (
+        |  SELECT q_id, qv, n_id, adc,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rr
+        |  FROM cand) WHERE rr <= 20),
+        |ex AS (SELECT s.q_id, s.n_id, s.adc, list_cosine_similarity(s.qv, cb.v) AS cosine
+        |  FROM short s JOIN c cb ON cb.vec_id = s.n_id),
+        |fin AS (SELECT q_id, n_id, adc, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn FROM ex)
+        |SELECT q_id, CAST(rn AS INT) AS "rank", n_id,
+        |  floor(cosine*10000.0 + 0.5)/10000.0 AS cosine,
+        |  floor(adc*10000.0 + 0.5)/10000.0 AS adc
+        |FROM fin WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // PGM decode+resize: the oracle recomputes every resized pixel
+    // straight from the synthesis formula — it never parses a byte,
+    // so the hash match certifies the real decoder + integer resize.
+    "q472_pgm_resize" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |px AS (SELECT d.doc_id, r.r, c.c,
+        |    CAST((d.doc_id*31 + r.r*7 + c.c*13) % 256 AS BIGINT) AS p
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS r) r
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS c) c)
+        |SELECT doc_id, CAST(r // 4 AS INT) AS out_row, CAST(c // 4 AS INT) AS out_col,
+        |  CAST(SUM(p) // 16 AS INT) AS px
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, out_row, out_col""".stripMargin,
+
+    // WAV-PCM decode: same pattern — formula samples, never bytes.
+    "q473_wav_stats" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |s AS (SELECT d.doc_id, ((d.doc_id*7919 + i.i*104729) % 65536) - 32768 AS smp
+        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 479)) AS i) i)
+        |SELECT doc_id, CAST(480 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(MAX(abs(smp)) AS BIGINT) AS peak,
+        |  floor(sqrt(CAST(SUM(smp*smp) AS DOUBLE)/CAST(480 AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS rms
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -374,6 +374,34 @@ object functions {
     kernel(ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
       "mediaMeta", payload)
 
+  /** Deterministic binary-PGM payload synthesis (Kernels.pgmSynth) —
+    * test/demo plumbing so the REAL decoder below has bytes to parse
+    * and an oracle can recompute pixels from the same formula. */
+  def pgmSynth(docId: Column, w: Column, h: Column): Column =
+    kernel(org.apache.spark.sql.types.BinaryType, "pgmSynth",
+      docId.cast("long"), w.cast("int"), h.cast("int"))
+
+  /** REAL PGM (netpbm P5) decode + exact box-filter resize to tw x th
+    * (Kernels.pgmResizePixels) — actual byte-level pixel decoding, no
+    * library; returns the resized pixels row-major, empty on any
+    * malformed payload. Requires source dims divisible by targets. */
+  def pgmResizePixels(payload: Column, tw: Column, th: Column): Column =
+    kernel(ArrayType(IntegerType, containsNull = false), "pgmResizePixels",
+      payload, tw.cast("int"), th.cast("int"))
+
+  /** Deterministic 16-bit mono PCM WAV synthesis (Kernels.wavSynth) —
+    * the audio twin of [[pgmSynth]]. */
+  def wavSynth(docId: Column, nSamples: Column, sampleRate: Column): Column =
+    kernel(org.apache.spark.sql.types.BinaryType, "wavSynth",
+      docId.cast("long"), nSamples.cast("int"), sampleRate.cast("int"))
+
+  /** REAL WAV-PCM decode (Kernels.wavPcmStats) — actual byte-level
+    * sample decoding, no library: RIFF chunk walk + int16 sample scan.
+    * Returns [n_samples, sample_rate, channels, peak, sum_sq]; empty
+    * on malformed/non-PCM16 payloads. */
+  def wavPcmStats(payload: Column): Column =
+    kernel(ArrayType(LongType, containsNull = false), "wavPcmStats", payload)
+
   /** [n_match_occurrences, n_distinct_patterns] of every pattern over
     * the text in ONE pass (Kernels.multiMatch — a per-plan-memoized
     * Aho–Corasick automaton): O(chars + matches) regardless of list

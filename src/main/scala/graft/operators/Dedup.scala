@@ -1512,7 +1512,12 @@ object Dedup {
     import spark.implicits._
     val cfg = lshPlannerConfigs(sketchBits).toDF("rows_per_band", "bands", "__s50")
     val s = sf.col(simCol).cast("double")
+    // s <= 0 short-circuits to pdet = 0: log(s) would be NULL/-Inf,
+    // dropping the pair's term from the sum while n_pairs still counts
+    // it — silently deflating expected_recall. A zero-similarity pair
+    // is genuinely never detected, so 0 is the honest term.
     val pdet = sf.when(s >= 1.0, sf.lit(1.0))
+      .when(s <= 0.0, sf.lit(0.0))
       .otherwise(sf.lit(1.0) - sf.exp(sf.col("bands").cast("double") *
         sf.log(sf.lit(1.0) - sf.exp(sf.col("rows_per_band").cast("double") *
           sf.log(s)))))

@@ -695,7 +695,12 @@ object EventOps {
     val SCALE = 1000000000000L
     def dec(c: Column) = c.cast("decimal(38,0)")
     val w = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    // Null key/ts rows drop BEFORE sequencing (matching
+    // transitionLatency): a null key fuses keyless events into one
+    // synthetic sequence; a null ts orders NULLS FIRST in Spark but
+    // NULLS LAST in DuckDB — either breaks oracle parity on dirty data.
     val counts = events
+      .filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
       .select(sf.col(typeCol).as("from_type"),
         sf.lead(sf.col(typeCol), 1).over(w).as("to_type"))
       .filter(sf.col("to_type").isNotNull)
@@ -799,7 +804,13 @@ object EventOps {
     val SCALE = 1000000000000L
     def dec(c: Column) = c.cast("decimal(38,0)")
     val w = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    // Null key/ts rows drop BEFORE sequencing (matching
+    // transitionLatency/runLengthProfile): a null key would fuse all
+    // keyless events into one synthetic sequence, and a null ts orders
+    // NULLS FIRST in Spark but NULLS LAST in DuckDB — either silently
+    // breaks oracle parity on dirty data.
     val counts = events
+      .filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
       .select(sf.col(typeCol).as("from_type"),
         sf.lead(sf.col(typeCol), 1).over(w).as("to_type"))
       .filter(sf.col("to_type").isNotNull)

@@ -82,11 +82,16 @@ object Multimodal {
       .orderBy(idCol)
   }
 
-  /** STUB resize: deterministic pseudo-resize to target dimensions — a
-    * real build would decode, scale, re-encode here. Emits the target
-    * dims, the pretend output byte size (target pixels x 3 channels,
-    * capped by the source), and a deterministic content fingerprint of
-    * (payload, dims) standing in for the resized bytes. */
+  /** GENERIC-STUB resize: deterministic pseudo-resize to target
+    * dimensions for payloads in COMPRESSED formats (JPEG/PNG/... —
+    * no codec library in this environment). The fully-REAL decode +
+    * resize path exists for uncompressed formats: [[pgmResize]]
+    * below actually parses pixel bytes and computes exact block
+    * means, and [[wavStats]] actually decodes PCM samples. Emits the
+    * target dims, the pretend output byte size (target pixels x 3
+    * channels, capped by the source), and a deterministic content
+    * fingerprint of (payload, dims) standing in for the resized
+    * bytes. */
   def resizeMeta(media: DataFrame, idCol: String,
                  targetW: Int, targetH: Int): DataFrame = {
     val srcLen = sf.octet_length(sf.col("payload"))
@@ -134,5 +139,62 @@ object Multimodal {
           DecodedFeature(r.id, r.modality, bytes.length, mean)
         }
       }
+  }
+
+  /** FULLY-REAL image decode + resize for uncompressed payloads —
+    * binary PGM (netpbm P5) in, exact box-filter-resized pixels out,
+    * one row per output pixel (doc, row, col, value). The decoder
+    * (functions.pgmResizePixels) parses the actual header and pixel
+    * bytes in a codegen kernel — no library, no stub — and the
+    * integer block-mean resize is bit-replayable by an independent
+    * oracle. Malformed payloads decode to zero rows (the empty-array
+    * contract) instead of nulls or errors.
+    *
+    * Scale shape: map-only decode + one bounded posexplode (tw*th
+    * rows per payload — the RESIZED size, chosen small, never the
+    * source pixel count); no shuffle, no driver involvement. */
+  def pgmResize(media: DataFrame, idCol: String, targetW: Int, targetH: Int,
+                payloadCol: String = "payload"): DataFrame = {
+    require(targetW >= 1 && targetH >= 1,
+      s"pgmResize: bad target ${targetW}x$targetH")
+    media
+      .select(sf.col(idCol),
+        sf.posexplode(graft.functions.pgmResizePixels(sf.col(payloadCol),
+          sf.lit(targetW), sf.lit(targetH))).as(Seq("__i", "px")))
+      .select(sf.col(idCol),
+        sf.expr(s"__i div $targetW").cast("int").as("out_row"),
+        sf.pmod(sf.col("__i"), sf.lit(targetW)).cast("int").as("out_col"),
+        sf.col("px"))
+      .orderBy(sf.col(idCol), sf.col("out_row"), sf.col("out_col"))
+  }
+
+  /** FULLY-REAL audio decode for uncompressed payloads — WAV PCM16 in,
+    * exact per-payload sample statistics out: n_samples, sample_rate,
+    * channels, peak = max |s|, and RMS from the exact integer
+    * sum-of-squares (one pinned sqrt + division, 1e-6). The decoder
+    * (functions.wavPcmStats) walks the real RIFF chunks and decodes
+    * the real int16 samples in a codegen kernel. Malformed or
+    * non-PCM16 payloads surface as NULL stats (empty-array contract),
+    * kept so curation can count them. Map-only at any corpus size. */
+  def wavStats(media: DataFrame, idCol: String,
+               payloadCol: String = "payload"): DataFrame = {
+    val s = graft.functions.wavPcmStats(sf.col(payloadCol))
+    media
+      .withColumn("__s", s)
+      .select(sf.col(idCol),
+        sf.when(sf.size(sf.col("__s")) === 5, sf.col("__s").getItem(0))
+          .as("n_samples"),
+        sf.when(sf.size(sf.col("__s")) === 5, sf.col("__s").getItem(1))
+          .as("sample_rate"),
+        sf.when(sf.size(sf.col("__s")) === 5, sf.col("__s").getItem(2))
+          .as("channels"),
+        sf.when(sf.size(sf.col("__s")) === 5, sf.col("__s").getItem(3))
+          .as("peak"),
+        sf.when(sf.size(sf.col("__s")) === 5 && sf.col("__s").getItem(0) > 0,
+          graft.functions.roundAt(
+            sf.sqrt(sf.col("__s").getItem(4).cast("double") /
+              sf.col("__s").getItem(0).cast("double")), 6))
+          .as("rms"))
+      .orderBy(idCol)
   }
 }

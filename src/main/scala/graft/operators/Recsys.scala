@@ -27,21 +27,22 @@ object Recsys {
     * at all).
     *
     * Determinism: the split is the row 105 Knuth-hash bucket of the
-    * basket key (pure function of the data); the top-N is the exact
-    * integer order (count desc, item asc); metrics are exact integer
-    * ratios rounded 1e-6.
+    * basket key (pure function of the data); `testBasisPoints` is out
+    * of 10,000 buckets (default 2000 = 20% test fold); the top-N is
+    * the exact integer order (count desc, item asc); metrics are
+    * exact integer ratios rounded 1e-6.
     *
     * Scale shape: one combinable train item count + a TakeOrdered
     * top-N broadcast + one distinct (basket, item) collapse of the
     * test fold with a broadcast membership probe — test rows shuffle
     * once. */
   def popularityHitRate(lines: DataFrame, basketCol: String, itemCol: String,
-                        topN: Int = 20, testPermille: Int = 2000): DataFrame = {
-    require(topN >= 1 && testPermille >= 1 && testPermille <= 9999,
-      s"popularityHitRate: bad topN=$topN / testPermille=$testPermille")
+                        topN: Int = 20, testBasisPoints: Int = 2000): DataFrame = {
+    require(topN >= 1 && testBasisPoints >= 1 && testBasisPoints <= 9999,
+      s"popularityHitRate: bad topN=$topN / testBasisPoints=$testBasisPoints")
     val rows = lines.filter(sf.col(basketCol).isNotNull && sf.col(itemCol).isNotNull)
       .select(sf.col(basketCol).as("b"), sf.col(itemCol).as("i"))
-      .withColumn("__t", Sampling.hashBucket(sf.col("b")) < testPermille)
+      .withColumn("__t", Sampling.hashBucket(sf.col("b")) < testBasisPoints)
       .localCheckpoint(true) // train counts + test probe read it
     val top = rows.filter(!sf.col("__t")).groupBy("i")
       .agg(sf.count(sf.lit(1)).as("__c"))
@@ -120,7 +121,8 @@ object Recsys {
     * first number that can actually beat [[popularityHitRate]] when
     * co-purchase structure is real.
     *
-    * Determinism: the same hash split; neighbor lists are the exact
+    * Determinism: the same hash split (`testBasisPoints` out of
+    * 10,000 buckets, default 2000 = 20%); neighbor lists are the exact
     * integer order (c_ab desc, neighbor asc) truncated at k per item
     * (both directions of each undirected pair); a hit is an exact
     * semi-join; the rate is one exact integer ratio.
@@ -131,13 +133,13 @@ object Recsys {
     * keyed, candidate volume ≤ test items × k. */
   def coPurchaseHitRate(lines: DataFrame, basketCol: String, itemCol: String,
                         k: Int = 5, minPairCount: Long = 2,
-                        testPermille: Int = 2000): DataFrame = {
-    require(k >= 1 && testPermille >= 1 && testPermille <= 9999,
-      s"coPurchaseHitRate: bad k=$k / testPermille=$testPermille")
+                        testBasisPoints: Int = 2000): DataFrame = {
+    require(k >= 1 && testBasisPoints >= 1 && testBasisPoints <= 9999,
+      s"coPurchaseHitRate: bad k=$k / testBasisPoints=$testBasisPoints")
     import org.apache.spark.sql.expressions.Window
     val rows = lines.filter(sf.col(basketCol).isNotNull && sf.col(itemCol).isNotNull)
       .select(sf.col(basketCol).as("b"), sf.col(itemCol).as("i"))
-      .withColumn("__t", Sampling.hashBucket(sf.col("b")) < testPermille)
+      .withColumn("__t", Sampling.hashBucket(sf.col("b")) < testBasisPoints)
       .localCheckpoint(true) // mining + eval read it
     val pairs = Graph.minedPairs(rows.filter(!sf.col("__t")), "b", "i",
         minPairCount)

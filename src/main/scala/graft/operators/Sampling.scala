@@ -683,6 +683,11 @@ object Sampling {
                         weights: Seq[(String, Double)]): DataFrame = {
     require(weights.nonEmpty && weights.map(_._1).distinct.size == weights.size
       && weights.forall(_._2 > 0), "weights: distinct sources, all > 0")
+    // A weight below 5e-7 snaps to __w6 = 0 on the 1e-6 grid and the
+    // slot expression `div __w6` divides by zero at runtime — reject
+    // at the API instead, on the SNAPPED value the plan actually uses.
+    require(weights.forall { case (_, w) => math.floor(w * 1e6 + 0.5) >= 1 },
+      "weights: every weight must be >= 5e-7 (snaps to a positive 1e-6 grid value)")
     val spark = docs.sparkSession
     import spark.implicits._
     val wdf = weights.map { case (s, w) =>

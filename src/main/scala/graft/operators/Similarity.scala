@@ -875,6 +875,132 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ (IVFADC, Jégou et al. 2011 §IV) approximate top-k — the
+    * composition of [[ivfTopK]]'s cell pruning with [[pqTopK]]'s code
+    * compression, which is THE standard memory-bounded layout for
+    * billion-scale vector stores: the corpus persists as (cell id +
+    * nSubspaces residual codes) — a handful of ints per vector — so
+    * the index fits executor memory at sizes where float vectors
+    * cannot; queries probe nProbe cells, score candidates by
+    * asymmetric distance against the RECONSTRUCTION (cell centroid +
+    * concatenated residual sub-centroids), and only the `rerank`
+    * ADC-best candidates per query ever touch a real vector again
+    * (one id-keyed equi join) for the exact-cosine re-rank that
+    * reorders quantization noise out of the final top-k.
+    *
+    * PQ here codes the RESIDUAL x − c(x) (the paper's IVFADC variant,
+    * not plain PQ): residual energy is what remains after the coarse
+    * quantizer, so the same sub-codebook budget buys materially lower
+    * distortion than coding raw vectors.
+    *
+    * Determinism: the coarse codebook is the first nCentroids corpus
+    * vectors in (sampleHash, id) order and the PQ training sample is
+    * the NEXT centroidsPerSub (disjoint — a coarse centroid's own
+    * residual is 0 and would train degenerate sub-codebooks); sample
+    * residuals are computed by the SAME plan kernels that encode the
+    * corpus, so both engines replay identical codes; assignments
+    * break ties to the lower index, ADC ties to the lower id, and the
+    * final order is (exact cosine desc, id asc) — every comparison on
+    * raw per-pair sequential-fold doubles, identical in DuckDB's
+    * list_* kernels (the q32/q70 pairing, both hash-green).
+    *
+    * Scale shape: encode is one map-only pass against plan-literal
+    * codebooks; the candidate join moves only codes; the ADC top-k
+    * reduces with the rerank-bounded combinable aggregator (shuffle
+    * O(partitions x queries x rerank)); the re-rank joins a
+    * (queries x rerank)-bounded broadcast shortlist against the
+    * corpus by id. Nothing corpus-sized is collected, broadcast, or
+    * carried as floats past the encode. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: org.apache.spark.sql.Column, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                nSubspaces: Int = 4, centroidsPerSub: Int = 16,
+                rerank: Int = 20): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = Par.spread(emb.select(sf.col(idCol).cast("long").as("n_id"),
+      sf.col(vecCol).cast("array<double>").as("nv")))
+      .localCheckpoint(true) // sample collects + encode + queries + re-rank read it
+    val dim = emb.select(sf.size(sf.col(vecCol))).head().getInt(0)
+    require(dim % nSubspaces == 0,
+      s"dim $dim must divide evenly into $nSubspaces subspaces")
+    val subDim = dim / nSubspaces
+    // coarse codebook: sampleHash-prefix vectors (the ivfTopK sample)
+    val coarse: Array[Array[Double]] = base
+      .orderBy(sampleHash(sf.col("n_id")), sf.col("n_id"))
+      .limit(nCentroids)
+      .select("nv").collect().map(_.getSeq[Double](0).toArray)
+    val cbFlat = sf.lit(coarse.flatten)
+    val centArr = sf.array(coarse.map(sf.lit(_)): _*)
+    def cellOf(v: org.apache.spark.sql.Column) =
+      gf.nearestCentroids(v, cbFlat, sf.lit(dim), sf.lit(1)).getItem(0)
+    def residual(v: org.apache.spark.sql.Column, cell: org.apache.spark.sql.Column) =
+      sf.zip_with(v, sf.element_at(centArr, cell + 1), (a, b) => a - b)
+    // PQ sub-codebooks: residuals of the NEXT centroidsPerSub sample
+    // vectors, computed with the same kernels the corpus encode uses
+    // (collect is centroidsPerSub x dim doubles — codebook-sized)
+    val pqResiduals: Array[Array[Double]] = base
+      .orderBy(sampleHash(sf.col("n_id")), sf.col("n_id"))
+      .offset(nCentroids).limit(centroidsPerSub)
+      .select(residual(sf.col("nv"), cellOf(sf.col("nv"))).as("rv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(pqResiduals.length == centroidsPerSub,
+      s"corpus too small: ${pqResiduals.length} PQ sample rows, need $centroidsPerSub")
+    val subCodebooks: Array[Array[Array[Double]]] = // (m)(c)(i)
+      Array.tabulate(nSubspaces, centroidsPerSub)((m, c) =>
+        pqResiduals(c).slice(m * subDim, (m + 1) * subDim))
+    // encode: cell + nSubspaces argmin-L2 residual codes — after this
+    // select the corpus side is 2 + nSubspaces ints wide, no vectors
+    val codeCols = (0 until nSubspaces).map { m =>
+      gf.nearestCentroidsL2(sf.slice(sf.col("rv"), m * subDim + 1, subDim),
+        sf.lit(subCodebooks(m).flatten), sf.lit(subDim), sf.lit(1))
+        .getItem(0).as(s"code_$m")
+    }
+    val codes = base
+      .withColumn("cluster", cellOf(sf.col("nv")))
+      .withColumn("rv", residual(sf.col("nv"), sf.col("cluster")))
+      .select(sf.col("n_id") +: sf.col("cluster") +: codeCols: _*)
+    // reconstruction = cell centroid + concatenated residual sub-centroids
+    val reconR = sf.concat((0 until nSubspaces).map { m =>
+      val cbArr = sf.array(subCodebooks(m).map(sf.lit(_)): _*)
+      sf.element_at(cbArr, sf.col(s"code_$m") + 1)
+    }: _*)
+    val reconFull = sf.zip_with(sf.element_at(centArr, sf.col("cluster") + 1),
+      reconR, (a, b) => a + b)
+    val queries = sf.broadcast(emb.filter(queryPred)
+      .select(sf.col(idCol).cast("long").as("q_id"),
+        sf.col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe", sf.explode(gf.nearestCentroids(sf.col("qv"),
+        cbFlat, sf.lit(dim), sf.lit(nProbe)))))
+    val adcScored = queries.join(codes,
+        sf.col("probe") === sf.col("cluster") && sf.col("q_id") =!= sf.col("n_id"))
+      .select(sf.col("q_id").as("qId"), sf.col("n_id").as("nId"),
+        gf.dot(sf.col("qv"), reconFull).as("cosine"))
+      .as[Scored]
+    val shortlist = adcScored.groupByKey(_.qId)
+      .agg(new TopKAgg(rerank).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(sf.col("q_id"), sf.explode(sf.col("topk")).as("sn"))
+      .select(sf.col("q_id"), sf.col("sn._2").as("n_id"), sf.col("sn._1").as("adc"))
+    // exact re-rank: only the shortlist re-reads real vectors
+    val qvs = sf.broadcast(emb.filter(queryPred)
+      .select(sf.col(idCol).cast("long").as("__q"),
+        sf.col(vecCol).cast("array<double>").as("qv")))
+    val exact = base.select(sf.col("n_id"), sf.col("nv"))
+      .join(sf.broadcast(shortlist), "n_id")
+      .join(qvs, sf.col("q_id") === sf.col("__q"))
+      .select(sf.col("q_id"), sf.col("n_id"), sf.col("adc"),
+        gf.cosineSim(sf.col("qv"), sf.col("nv")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(sf.col("cosine").desc, sf.col("n_id").asc)
+    exact.withColumn("rank", sf.row_number().over(w))
+      .filter(sf.col("rank") <= k)
+      .select(sf.col("q_id"), sf.col("rank"), sf.col("n_id"),
+        gf.roundAt(sf.col("cosine"), 4).as("cosine"),
+        gf.roundAt(sf.col("adc"), 4).as("adc"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding dimension profile: per-dimension n/mean/std/min/max —
     * the DQ pass that catches dead dimensions (std ≈ 0), scale drift
     * between embedding-model versions, and NaN/Inf pollution before a

@@ -1228,10 +1228,13 @@ object TextAnalysis {
     * dialog-formatted documents go to the SFT lane with different
     * dedup keys, packing rules and quality gates than plain prose.
     *
-    * Determinism: every flag is an exact regexp count over anchored
-    * `(?m)^` patterns (shared verbatim with the oracle — character
-    * classes only, no engine-divergent constructs); shares are pinned
-    * integer-ratio divisions 1e-6.
+    * Determinism: line endings are NORMALIZED first (CRLF/CR/NEL/
+    * LS/PS -> LF) because the engines' `(?m)^` semantics differ on
+    * raw text — Java multiline ^ also matches after \r, U+0085 and
+    * U+2028/9 while RE2 (the oracle engine) matches only after \n;
+    * after normalization only \n breaks exist and the anchored
+    * patterns (character classes only) count identically in both.
+    * Shares are pinned integer-ratio divisions 1e-6.
     *
     * Scale shape: map-only per-row flags + ONE combinable source
     * rollup — zero joins, zero windows at any corpus size. */
@@ -1240,7 +1243,9 @@ object TextAnalysis {
     val docs = Par.spread(docs0
       .filter(sf.col(sourceCol).isNotNull && sf.col(textCol).isNotNull)
       .select(sf.col(sourceCol).cast("string").as("source"),
-        sf.col(textCol).as("__t")))
+        sf.translate(
+          sf.regexp_replace(sf.col(textCol), sf.lit("\r\n"), sf.lit("\n")),
+          "\r\u0085\u2028\u2029", "\n\n\n\n").as("__t")))
     def cnt(pattern: String) =
       sf.regexp_count(sf.col("__t"), sf.lit(pattern)).cast("long")
     val per = docs.select(sf.col("source"),

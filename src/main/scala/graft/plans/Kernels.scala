@@ -2049,4 +2049,171 @@ object Kernels {
     }
     d(n + 1)(m + 1).toLong
   }
+
+  // --------------------------------------------------------------------
+  // Real uncompressed-media decode (PGM pixels, WAV-PCM samples)
+  // --------------------------------------------------------------------
+
+  /** Synthesize a binary (P5) PGM payload with the deterministic pixel
+    * formula p(r, c) = (docId*31 + r*7 + c*13) mod 256 — TEST/DEMO
+    * plumbing standing in for payloads read from object storage, so
+    * the REAL decoder below has bytes to parse and a SQL oracle can
+    * recompute the pixels independently from the same formula. */
+  def pgmSynth(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var r = 0
+    var p = header.length
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        out(p) = ((docId * 31L + r * 7L + c * 13L) % 256L).toByte
+        p += 1
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** REAL binary-PGM (netpbm P5) decode + box-filter resize — an
+    * actual byte-level image decoder, no library: parses the PGM
+    * header per the netpbm spec (whitespace-separated tokens, `#`
+    * comments to end-of-line, maxval <= 255 single-byte samples),
+    * reads the raw row-major pixel plane, and downscales to tw x th
+    * with exact integer block means floor(blockSum / blockSize).
+    * REQUIRES w % tw == 0 and h % th == 0 (uniform blocks — the
+    * contract that keeps the result a pure integer function of the
+    * pixels, replayable bit-exactly by a SQL oracle). Returns the
+    * tw*th resized pixels row-major; an empty array marks any
+    * malformed/truncated/unsupported payload (never throws). */
+  def pgmResizePixels(bytes: Array[Byte], tw: Int, th: Int): ArrayData = {
+    val empty = ArrayData.toArrayData(Array.empty[Int])
+    val n = bytes.length
+    if (tw <= 0 || th <= 0 || n < 7 || bytes(0) != 'P' || bytes(1) != '5')
+      return empty
+    var p = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+      b == 0x0b || b == 0x0c
+    // read the next ASCII unsigned int, skipping whitespace + comments
+    def nextInt(): Int = {
+      while (p < n && (isWs(bytes(p)) || bytes(p) == '#')) {
+        if (bytes(p) == '#') { while (p < n && bytes(p) != '\n') p += 1 }
+        else p += 1
+      }
+      var v = -1
+      while (p < n && bytes(p) >= '0' && bytes(p) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (bytes(p) - '0')
+        if (v > (1 << 24)) return -1 // corrupt size: bail, never allocate it
+        p += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return empty
+    if (w % tw != 0 || h % th != 0) return empty
+    p += 1 // exactly one whitespace byte separates maxval from the plane
+    if (p + w * h > n) return empty
+    val bw = w / tw; val bh = h / th; val bs = bw * bh
+    val sums = new Array[Int](tw * th)
+    var r = 0
+    while (r < h) {
+      val or = r / bh
+      var c = 0
+      val rowBase = p + r * w
+      while (c < w) {
+        sums(or * tw + c / bw) += bytes(rowBase + c) & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    val out = new Array[Int](tw * th)
+    var i = 0
+    while (i < out.length) { out(i) = sums(i) / bs; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Synthesize a 16-bit mono PCM WAV payload with the deterministic
+    * sample formula s(i) = ((docId*7919 + i*104729) mod 65536) − 32768
+    * — the audio twin of [[pgmSynth]] (test/demo plumbing; the real
+    * decoder is [[wavPcmStats]]). Canonical 44-byte RIFF header. */
+  def wavSynth(docId: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(p: Int, v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+      out(p + 2) = ((v >> 16) & 0xff).toByte; out(p + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(p: Int, v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(p: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, out, p, 4)
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1) /* PCM */ ; le16(22, 1) /* mono */
+    le32(24, sampleRate); le32(28, sampleRate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((docId * 7919L + i * 104729L) % 65536L) - 32768L).toInt
+      le16(44 + i * 2, s & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** REAL WAV-PCM decode — an actual byte-level audio decoder, no
+    * library: walks the RIFF chunk list to `fmt ` (requires
+    * audioFormat 1 = uncompressed PCM, 16-bit) and `data`, then
+    * iterates the little-endian int16 samples (all channels
+    * interleaved) computing exact integer aggregates. Returns
+    * [n_samples, sample_rate, channels, peak, sum_sq]: peak =
+    * max |s|, sum_sq = sum of s^2 as a long (10^15 at a million
+    * samples — no overflow until ~10^9 samples per payload, i.e.
+    * hours of audio; payloads are chunked long before that). RMS =
+    * sqrt(sum_sq / n) stays a caller-side pinned expression so a SQL
+    * oracle reproduces it from the same two integers. Empty array
+    * marks malformed/truncated/non-PCM16 payloads (never throws). */
+  def wavPcmStats(bytes: Array[Byte]): ArrayData = {
+    val empty = ArrayData.toArrayData(Array.empty[Long])
+    val n = bytes.length
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    def tagIs(i: Int, s: String) =
+      bytes(i) == s.charAt(0) && bytes(i + 1) == s.charAt(1) &&
+        bytes(i + 2) == s.charAt(2) && bytes(i + 3) == s.charAt(3)
+    if (n < 44 || !tagIs(0, "RIFF") || !tagIs(8, "WAVE")) return empty
+    var p = 12
+    var sampleRate = -1L; var channels = -1L; var bits = -1; var fmtOk = false
+    var dataOff = -1; var dataLen = -1
+    while (p + 8 <= n && (dataOff < 0 || !fmtOk)) {
+      val size = le32(p + 4)
+      if (size < 0 || p + 8 + size > n) return empty
+      if (tagIs(p, "fmt ") && size >= 16) {
+        fmtOk = le16(p + 8) == 1 // uncompressed PCM only
+        channels = le16(p + 10)
+        sampleRate = le32(p + 12)
+        bits = le16(p + 22)
+      } else if (tagIs(p, "data")) {
+        dataOff = p + 8; dataLen = size
+      }
+      p += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || bits != 16 || channels < 1 || dataOff < 0) return empty
+    val nSamples = dataLen / 2
+    var peak = 0L; var ssq = 0L
+    var i = 0
+    while (i < nSamples) {
+      val s = (le16(dataOff + i * 2) << 16) >> 16 // sign-extend int16
+      val a = if (s < 0) -s.toLong else s.toLong
+      if (a > peak) peak = a
+      ssq += s.toLong * s
+      i += 1
+    }
+    ArrayData.toArrayData(Array(nSamples.toLong, sampleRate, channels, peak, ssq))
+  }
 }

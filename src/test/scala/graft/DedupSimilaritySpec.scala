@@ -134,6 +134,61 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(ivf.sameElements(brute))
   }
 
+  // 4 tight clusters of 12 vectors each (dim 8): members of a cluster
+  // are near-parallel (cosine ~1 to each other), near-orthogonal to
+  // the rest — every query's true top-k are its cluster mates.
+  private def plantedClusters: org.apache.spark.sql.DataFrame =
+    Seq.tabulate(48) { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0.0f)
+      v(c * 2) = 1.0f
+      v(c * 2 + 1) = 0.01f * (i / 4 + 1)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+
+  test("ivfPqTopK with full probing and corpus-wide rerank equals brute force") {
+    val emb = plantedClusters
+    def tup(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "n_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val ivfpq = tup(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 4, k = 5, nCentroids = 4, nProbe = 4,
+      nSubspaces = 4, centroidsPerSub = 16, rerank = 48))
+    val brute = tup(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 4, k = 5))
+    assert(ivfpq.sameElements(brute))
+  }
+
+  test("ivfPqTopK recall on the planted clusters is 1.0 at nProbe = 1") {
+    // cluster mates are near-identical vectors, so they all assign to
+    // the same coarse cell as the query — one probe finds every true
+    // neighbor, and the exact re-rank orders them like brute force
+    val emb = plantedClusters
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        sf.col("vec_id") < 4, k = 5, nCentroids = 4, nProbe = 1,
+        nSubspaces = 4, centroidsPerSub = 16, rerank = 20)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        sf.col("vec_id") < 4, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(got == truth)
+    // and the neighbors really are the query's cluster mates
+    assert(got.forall { case (q, n) => n % 4 == q % 4 })
+  }
+
+  test("ivfPqTopK returns dense ranks and the adc column on real embeddings") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      sf.col("vec_id") < 5, k = 5)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { qr =>
+      assert(qr.map(_.getInt(1)).sorted.sameElements(1 to qr.length))
+    }
+    assert(rows.forall(r => !r.isNullAt(4))) // adc present for every row
+  }
+
   test("annRecall: full probing reads 1.0; partial probing stays in [0, 1]") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val full = Similarity.annRecall(emb, "vec_id", "embedding",

@@ -253,6 +253,53 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("curation funnel parity: streamed gate + dedup state equals the batch funnel survivors") {
+    import graft.streaming.{StreamingCuration, StreamDoc}
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // gate failures, an exact duplicate, a near-dup clique (pairwise
+    // j >= 0.8), and clean singletons — replayed in id order across
+    // two micro-batches so the dedup state must carry over
+    val corpus = Seq(
+      StreamDoc(1, "the quick brown fox jumps over the lazy dog today"),
+      StreamDoc(2, "short text"), // fails the 5-token gate
+      StreamDoc(3, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      StreamDoc(4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      StreamDoc(5, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 4
+      StreamDoc(6, "alpha beta gamma delta epsilon zeta eta theta iota mu"), // near-dup of 4 and 5
+      StreamDoc(7, "one two three four five six seven eight nine ten"))
+    // batch funnel: gate -> exact keep-min-id -> near-dup CC keep-min-id
+    val batchDocs = corpus.toDF()
+    val gated = batchDocs.filter(graft.functions.tokenCount($"text") >= 5)
+    val exact = gated.join(
+      Dedup.exact(gated, "doc_id", Seq("text")).select($"rep_id".as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val batchSurvivors = Dedup.dedupCorpus(exact, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // streaming funnel: same gate, near-dup state subsumes exact dedup
+    // (identical pair verifies at j = 1.0); survivors = gated arrivals
+    // minus the later member of every emitted pair
+    val input = MemoryStream[StreamDoc]
+    val pairs = StreamingCuration.gatedNearDupPairs(spark, input.toDS(),
+      minTokens = 5, threshold = 0.8)
+    val q = pairs.writeStream.format("memory").queryName("curation_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(corpus.take(4): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(4): _*)
+      q.processAllAvailable()
+      val emitted = spark.table("curation_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val gatedIds = corpus.filter(_.text.split("\\s+").length >= 5).map(_.doc_id).toSet
+      val dropped = emitted.map { case (a, b) => math.max(a, b) }.toSet
+      val streamSurvivors = gatedIds -- dropped
+      assert(streamSurvivors == batchSurvivors,
+        s"stream $streamSurvivors != batch $batchSurvivors (pairs ${emitted.toSeq})")
+      assert(batchSurvivors == Set(1L, 4L, 7L))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap and aggregates it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
