@@ -3337,6 +3337,33 @@ object SparkEntry {
       Multimodal.wavStats(media, "doc_id")
     }),
 
+    // KMV k-minimum-values sketch: distinct / Jaccard / intersection
+    // ESTIMATES per event-type pair from one min-k pass, certified
+    // against the exact answers computed beside them.
+    "q474_kmv_overlap" -> ((s, dir) =>
+      Sketch.kmvSetOverlap(Tables.load(s, dir, "events"),
+        "event_type", "user_id", k = 64)),
+
+    // Concurrency profile + Little's-law certification: time-weighted
+    // open-session stats from the exact event-time sweep.
+    "q475_concurrency" -> ((s, dir) =>
+      EventOps.concurrencyProfile(Tables.load(s, dir, "events"))),
+
+    // Bradley-Terry strengths from within-order brand quantity duels
+    // (8 MM rounds in 1e-9 fixed point over the bounded brand domain).
+    "q476_bradley_terry" -> ((s, dir) =>
+      Recsys.bradleyTerry(
+        Tables.load(s, dir, "lineitem").join(Tables.load(s, dir, "part"),
+          sf.col("l_partkey") === sf.col("p_partkey")),
+        "l_orderkey", "p_brand", "l_quantity")),
+
+    // Sampled-source depth-bounded Brandes betweenness over the mined
+    // co-occurrence graph: the broker/bridge centrality the prestige
+    // family (PageRank/eigen/Katz/HITS) cannot see.
+    "q477_betweenness" -> ((s, dir) =>
+      Graph.betweenness(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey")),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -15275,5 +15302,171 @@ object SparkEntry {
         |  CAST(MAX(abs(smp)) AS BIGINT) AS peak,
         |  floor(sqrt(CAST(SUM(smp*smp) AS DOUBLE)/CAST(480 AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS rms
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // KMV: min-k sets replayed with a window rank; union sketch and
+    // rho from list algebra; every estimate the same pinned division.
+    "q474_kmv_overlap" ->
+      """WITH r AS (SELECT DISTINCT event_type AS st,
+        |    ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |mk AS (SELECT st AS s, list(h ORDER BY h) AS mka FROM (
+        |    SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn FROM r)
+        |  WHERE rn <= 64 GROUP BY st),
+        |ex AS (SELECT st AS s, CAST(COUNT(*) AS BIGINT) AS exd FROM r GROUP BY 1),
+        |ps AS (SELECT mk.s, mk.mka,
+        |    CASE WHEN len(mk.mka) < 64 THEN CAST(len(mk.mka) AS DOUBLE)
+        |      ELSE floor(63.0*4294967296.0/CAST(mka[64] AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS est,
+        |    ex.exd FROM mk JOIN ex USING (s)),
+        |pr AS (SELECT a.s AS set_a, b.s AS set_b, a.mka AS ka, b.mka AS kb,
+        |    a.est AS ea, a.exd AS xa, b.est AS eb, b.exd AS xb
+        |  FROM ps a JOIN ps b ON a.s < b.s),
+        |u AS (SELECT *, list_sort(list_distinct(ka || kb))[1:64] AS ku FROM pr),
+        |cc AS (SELECT *, len(list_intersect(list_intersect(ku, ka), kb)) AS c,
+        |    len(ku) AS nu FROM u),
+        |es AS (SELECT *, CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |    ELSE floor(63.0*4294967296.0/CAST(ku[64] AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS eu
+        |  FROM cc),
+        |ints AS (SELECT x.st AS ia, y.st AS ib, CAST(COUNT(*) AS BIGINT) AS xi
+        |  FROM r x JOIN r y ON x.h = y.h AND x.st < y.st GROUP BY 1, 2)
+        |SELECT set_a, set_b, CAST(64 AS INT) AS k_used,
+        |  ea AS est_distinct_a, xa AS exact_distinct_a,
+        |  eb AS est_distinct_b, xb AS exact_distinct_b,
+        |  floor(CAST(c AS DOUBLE)/CAST(nu AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS est_jaccard,
+        |  floor(CAST(COALESCE(xi, 0) AS DOUBLE)/CAST(xa + xb - COALESCE(xi, 0) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS exact_jaccard,
+        |  floor(CAST(c AS DOUBLE)*eu/CAST(nu AS DOUBLE)*10000.0 + 0.5)/10000.0 AS est_intersection,
+        |  CAST(COALESCE(xi, 0) AS BIGINT) AS exact_intersection
+        |FROM es LEFT JOIN ints ON set_a = ia AND set_b = ib
+        |ORDER BY set_a, set_b""".stripMargin,
+
+    // Concurrency sweep: boundary collapse, window cumulative level,
+    // lead() widths, level-domain cumulative for p95 — identical
+    // integers, identical pinned divisions.
+    "q475_concurrency" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sx AS (SELECT user_id, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess, ts FROM o),
+        |se AS (SELECT user_id, sess, epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS a,
+        |    epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS b FROM sx GROUP BY 1, 2),
+        |bd AS (SELECT us, CAST(SUM(d) AS BIGINT) AS net FROM (
+        |    SELECT a AS us, 1 AS d FROM se UNION ALL SELECT b, -1 FROM se) GROUP BY 1),
+        |lv AS (SELECT us, SUM(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS level,
+        |    lead(us) OVER (ORDER BY us) AS nxt FROM bd),
+        |w2 AS (SELECT CAST(level AS BIGINT) AS level, CAST(nxt - us AS HUGEINT) AS w
+        |  FROM lv WHERE nxt IS NOT NULL),
+        |bl AS (SELECT level, SUM(w) AS lw FROM w2 GROUP BY 1),
+        |cm AS (SELECT level, lw, SUM(lw) OVER (ORDER BY level ROWS UNBOUNDED PRECEDING) AS cw FROM bl),
+        |sw AS (SELECT SUM(CAST(level AS HUGEINT)*lw) AS num, SUM(lw) AS hor,
+        |    CAST(MAX(level) AS BIGINT) AS l_max FROM cm),
+        |p95 AS (SELECT CAST(MIN(level) AS BIGINT) AS l_p95 FROM cm CROSS JOIN sw
+        |  WHERE cw*100 >= hor*95),
+        |ba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    SUM(CAST(b - a AS HUGEINT)) AS durus FROM se)
+        |SELECT n_sessions,
+        |  floor(CAST(hor AS DOUBLE)/1e6*1000000.0 + 0.5)/1000000.0 AS horizon_s,
+        |  floor(CAST(n_sessions AS DOUBLE)/(CAST(hor AS DOUBLE)/1e6)*3600.0*1000000.0 + 0.5)/1000000.0 AS lambda_per_hour,
+        |  floor(CAST(durus AS DOUBLE)/1e6/CAST(n_sessions AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS w_mean_s,
+        |  floor(CAST(num AS DOUBLE)/CAST(hor AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS l_time_avg,
+        |  l_max, l_p95,
+        |  floor(lambda_per_hour/3600.0*w_mean_s*1000000.0 + 0.5)/1000000.0 AS l_littles,
+        |  floor(abs(l_littles - l_time_avg)*1000000.0 + 0.5)/1000000.0 AS identity_gap
+        |FROM ba CROSS JOIN sw CROSS JOIN p95""".stripMargin,
+
+    // Bradley-Terry: duels from within-order brand quantity sums, then
+    // the unrolled MM recursion in the same 1e-9/1e18 fixed point.
+    "q476_bradley_terry" -> {
+      val n = 8
+      val head =
+        """WITH li AS (SELECT l.l_orderkey AS c, p.p_brand AS e2,
+          |    SUM(CAST(floor(CAST(l.l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS s4
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+          |    AND l.l_quantity IS NOT NULL GROUP BY 1, 2),
+          |du AS (SELECT a.e2 AS i, b.e2 AS j,
+          |    CASE WHEN a.s4 > b.s4 THEN 1 ELSE 0 END AS wi
+          |  FROM li a JOIN li b ON a.c = b.c AND a.e2 < b.e2 WHERE a.s4 <> b.s4),
+          |cells AS MATERIALIZED (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(wi) AS BIGINT) AS w
+          |  FROM du GROUP BY 1, 2),
+          |und AS MATERIALIZED (SELECT i AS ea, j AS eb, n FROM cells UNION ALL SELECT j, i, n FROM cells),
+          |wins AS MATERIALIZED (SELECT e, CAST(SUM(w) AS BIGINT) AS wins FROM (
+          |    SELECT i AS e, w FROM cells UNION ALL SELECT j, n - w FROM cells) GROUP BY 1),
+          |ne AS (SELECT COUNT(*) AS nent FROM wins),
+          |p0 AS (SELECT e, CAST(1000000000 AS BIGINT) AS p9 FROM wins)""".stripMargin
+      val iters = (1 to n).map { r =>
+        s""",
+           |d$r AS (SELECT und.ea, SUM((CAST(und.n AS HUGEINT)*1000000000000000000)
+           |    // (pa.p9 + pb.p9)) AS d18
+           |  FROM und JOIN p${r - 1} pa ON und.ea = pa.e JOIN p${r - 1} pb ON und.eb = pb.e
+           |  GROUP BY 1),
+           |u$r AS (SELECT wins.e, CASE WHEN d$r.d18 IS NULL OR d$r.d18 <= 0 THEN 0
+           |    ELSE CAST((CAST(wins.wins AS HUGEINT)*1000000000000000000) // d$r.d18 AS BIGINT)
+           |    END AS p0v
+           |  FROM wins LEFT JOIN d$r ON wins.e = d$r.ea),
+           |t$r AS (SELECT SUM(CAST(p0v AS HUGEINT)) AS tot FROM u$r),
+           |p$r AS MATERIALIZED (SELECT e, CAST((CAST(p0v AS HUGEINT) * nent * 1000000000) // tot AS BIGINT) AS p9
+           |  FROM u$r CROSS JOIN t$r CROSS JOIN ne)""".stripMargin
+      }.mkString
+      head + iters +
+        s"""
+           |, losses AS (SELECT ea AS e, CAST(SUM(n) AS BIGINT) AS totn FROM und GROUP BY 1)
+           |SELECT wins.e AS p_brand, wins.wins,
+           |  losses.totn - wins.wins AS losses, p$n.p9,
+           |  floor(CAST(p$n.p9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS strength
+           |FROM wins JOIN losses USING (e) JOIN p$n ON wins.e = p$n.e
+           |ORDER BY p$n.p9 DESC, p_brand""".stripMargin
+    },
+
+    // Betweenness: 3 forward BFS layers with exact path counts, two
+    // backward dependency layers in the same fixed point, 4 sampled
+    // sources -- every floor division independent, sums order-free.
+    "q477_betweenness" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b FROM b x JOIN b y
+        |      ON x.basket = y.basket AND x.item < y.item),
+        |cab AS (SELECT item_a, item_b FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM cab
+        |      UNION ALL SELECT item_b, item_a FROM cab),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+        |s4 AS (SELECT v AS s FROM nodes
+        |  ORDER BY ((v % 2147483648) * 2654435761) % 4294967296, v LIMIT 4),
+        |l0 AS (SELECT s, s AS v, CAST(1 AS HUGEINT) AS sig FROM s4),
+        |c1 AS (SELECT l0.s, e.dst AS v, SUM(l0.sig) AS sig FROM l0
+        |  JOIN e ON l0.v = e.src GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT c1.s, c1.v, c1.sig FROM c1 LEFT JOIN l0
+        |  ON c1.s = l0.s AND c1.v = l0.v WHERE l0.v IS NULL),
+        |v1 AS (SELECT s, v FROM l0 UNION ALL SELECT s, v FROM l1),
+        |c2 AS (SELECT l1.s, e.dst AS v, SUM(l1.sig) AS sig FROM l1
+        |  JOIN e ON l1.v = e.src GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (SELECT c2.s, c2.v, c2.sig FROM c2 LEFT JOIN v1
+        |  ON c2.s = v1.s AND c2.v = v1.v WHERE v1.v IS NULL),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT s, v FROM l2),
+        |c3 AS (SELECT l2.s, e.dst AS v, SUM(l2.sig) AS sig FROM l2
+        |  JOIN e ON l2.v = e.src GROUP BY 1, 2),
+        |l3 AS MATERIALIZED (SELECT c3.s, c3.v, c3.sig FROM c3 LEFT JOIN v2
+        |  ON c3.s = v2.s AND c3.v = v2.v WHERE v2.v IS NULL),
+        |d3 AS (SELECT s, v, CAST(0 AS BIGINT) AS d9 FROM l3),
+        |t2 AS (SELECT l2.s, l2.v, CAST(SUM((l2.sig * (1000000000 + d3.d9)) // l3.sig) AS BIGINT) AS td
+        |  FROM l2 JOIN e ON l2.v = e.src
+        |  JOIN l3 ON l3.s = l2.s AND l3.v = e.dst
+        |  JOIN d3 ON d3.s = l3.s AND d3.v = l3.v GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (SELECT l2.s, l2.v, COALESCE(t2.td, 0) AS d9 FROM l2
+        |  LEFT JOIN t2 ON l2.s = t2.s AND l2.v = t2.v),
+        |t1 AS (SELECT l1.s, l1.v, CAST(SUM((l1.sig * (1000000000 + d2.d9)) // l2.sig) AS BIGINT) AS td
+        |  FROM l1 JOIN e ON l1.v = e.src
+        |  JOIN l2 ON l2.s = l1.s AND l2.v = e.dst
+        |  JOIN d2 ON d2.s = l2.s AND d2.v = l2.v GROUP BY 1, 2),
+        |d1 AS (SELECT l1.s, l1.v, COALESCE(t1.td, 0) AS d9 FROM l1
+        |  LEFT JOIN t1 ON l1.s = t1.s AND l1.v = t1.v),
+        |bc AS (SELECT v, CAST(SUM(CAST(d9 AS HUGEINT)) AS BIGINT) AS bc9 FROM (
+        |    SELECT s, v, d9 FROM d1 UNION ALL SELECT s, v, d9 FROM d2
+        |    UNION ALL SELECT s, v, d9 FROM d3) WHERE v <> s GROUP BY 1)
+        |SELECT nodes.v AS item, COALESCE(bc.bc9, 0) AS bc9,
+        |  floor(CAST(COALESCE(bc.bc9, 0) AS DOUBLE)/1e9/4*1000000.0 + 0.5)/1000000.0 AS betweenness
+        |FROM nodes LEFT JOIN bc ON nodes.v = bc.v
+        |ORDER BY bc9 DESC, item""".stripMargin,
   )
 }

@@ -402,6 +402,12 @@ object functions {
   def wavPcmStats(payload: Column): Column =
     kernel(ArrayType(LongType, containsNull = false), "wavPcmStats", payload)
 
+  /** popcount(a AND b) over equal-width long bitmask arrays
+    * (Kernels.maskAndPopcount) — exact set-intersection size for
+    * vocabulary-bitmask-encoded sets. */
+  def maskAndPopcount(a: Column, b: Column): Column =
+    kernel(LongType, "maskAndPopcount", a, b)
+
   /** [n_match_occurrences, n_distinct_patterns] of every pattern over
     * the text in ONE pass (Kernels.multiMatch — a per-plan-memoized
     * Aho–Corasick automaton): O(chars + matches) regardless of list

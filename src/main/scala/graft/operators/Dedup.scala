@@ -35,6 +35,18 @@ import graft.{functions => gf}
   */
 object Dedup {
 
+  /** Vocabulary ceiling for the bitmask verification specialization in
+    * [[containmentPairs]]: up to this many distinct tokens, sets encode
+    * as (cap/64)-long bitmasks and candidate verification is one fused
+    * popcount kernel call — collected vocab is cap longs, plan-literal
+    * maps are 2·cap entries. 256 covers degenerate template corpora
+    * (where candidate volume explodes and the mask matters most) while
+    * keeping the literal maps trivial; real Zipfian vocabularies blow
+    * far past any cap and take the array path, where df-ordered
+    * prefixes keep candidates rare instead. */
+  val MaskVocabCap = 256
+
+
   /** Exact dedup by content hash: one representative (min id) per
     * distinct key, with the duplicate count. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
@@ -409,22 +421,34 @@ object Dedup {
         .filter(sf.col("tok") === sf.element_at(
           sf.array_intersect(sf.col("pfx_a"), sf.col("sh_w")), 1))
         .drop("sh_w")
-    // Verification: |A ∩ B| against t·|A|. On a <= 64-token universe
+    // Verification: |A ∩ B| against t·|A|. On a BOUNDED token universe
     // (probed on the df table, the prefixJaccardPairs design) sets are
-    // 64-bit masks and the intersect is one popcount per pair — the
-    // degenerate-vocabulary corpus pushes millions of candidates
-    // through this filter, and the mask path removes both the carried
-    // shingle arrays and the allocating array_intersect.
+    // vocabulary bitmasks and the intersect is one fused popcount per
+    // pair — the degenerate-vocabulary corpus pushes millions of
+    // candidates through this filter, and the mask path removes both
+    // the carried shingle arrays and the allocating array_intersect.
+    // r13 widened the specialization from one long (64 tokens) to a
+    // multi-word mask (<= MaskVocabCap tokens, W longs): the sf1.0
+    // scale checkpoint measured the 64-token cliff at 16x — a corpus
+    // whose vocabulary grows past 64 fell back to array_intersect on
+    // the same millions of candidates (q127: 65.6s -> mask path).
+    val nVocab = dfc.limit(MaskVocabCap + 1).count()
     val verified =
-      if (dfc.limit(65).count() <= 64L) {
+      if (nVocab <= MaskVocabCap) {
         val vocab = dfc.orderBy("df", "tok").select("tok")
           .collect().map(_.getLong(0))
-        val bitMaskOf = sf.map(vocab.zipWithIndex.flatMap { case (tok, i) =>
-          Seq(sf.lit(tok), sf.lit(1L << i)) }: _*)
-        val masked = base.select(sf.col("setkey"),
-          sf.aggregate(sf.col("sh"), sf.lit(0L),
-            (acc, x) => acc.bitwiseOR(sf.element_at(bitMaskOf, x))).as("mask"))
-        val inter = sf.bit_count(sf.col("__ma").bitwiseAND(sf.col("__mb"))).cast("long")
+        val words = ((vocab.length + 63) / 64).max(1)
+        val slotOf = sf.map(vocab.zipWithIndex.flatMap { case (tok, i) =>
+          Seq(sf.lit(tok), sf.lit(i / 64)) }: _*)
+        val bitOf = sf.map(vocab.zipWithIndex.flatMap { case (tok, i) =>
+          Seq(sf.lit(tok), sf.lit(1L << (i % 64))) }: _*)
+        val maskCol = sf.transform(
+          sf.sequence(sf.lit(0), sf.lit(words - 1)),
+          w => sf.aggregate(sf.col("sh"), sf.lit(0L), (acc, x) =>
+            sf.when(sf.element_at(slotOf, x) === w,
+              acc.bitwiseOR(sf.element_at(bitOf, x))).otherwise(acc)))
+        val masked = base.select(sf.col("setkey"), maskCol.as("mask"))
+        val inter = gf.maskAndPopcount(sf.col("__ma"), sf.col("__mb"))
         witnessed
           .join(masked.select(sf.col("setkey").as("sk_a"), sf.col("mask").as("__ma")), "sk_a")
           .join(masked.select(sf.col("setkey").as("sk_b"), sf.col("mask").as("__mb")), "sk_b")

@@ -5410,4 +5410,95 @@ object EventOps {
         }): _*)
       .orderBy("event_type")
   }
+
+  /** Concurrency profile + Little's-law certification — the capacity
+    * question asked of the session log: how many sessions are open AT
+    * ONCE (time-weighted mean, p95, max), the arrival rate λ and mean
+    * session duration W beside them, and the L = λ·W identity gap as
+    * an internal-consistency certification (over a closed horizon the
+    * time-average concurrency EQUALS λ·W exactly in exact arithmetic —
+    * the reported gap is the two readouts' independent 1e-6 roundings,
+    * so a material gap means a broken sweep, not broken queueing
+    * theory). The peak/percentile rows are what capacity planning
+    * actually provisions for; rows 466/467 profile LOAD by calendar
+    * cell, this profiles SIMULTANEITY on the exact event-time sweep.
+    *
+    * Determinism: sessions are the row 56 gap rule on exact micros;
+    * the sweep collapses boundaries per distinct timestamp with ends
+    * applied BEFORE starts (adjacent sessions never overlap — pinned
+    * in both engines by summing net deltas per timestamp); levels are
+    * exact integers from a range-partitioned prefix sum; every
+    * readout is one pinned 1e-6 division of exact integer sums.
+    *
+    * Scale shape: one key-windowed sessionization (events shuffle
+    * once, by key), then BOUNDARY-domain work only (<= 2 sessions
+    * rows): a per-timestamp collapse, the row 135 range-partitioned
+    * prefix sum (never a one-task window), one dense-index self join
+    * for interval widths, a level-domain cumulative (bounded by max
+    * concurrency, the ksTest pmod idiom), and one-row rollups. */
+  def concurrencyProfile(events: DataFrame, keyCol: String = "user_id",
+                         tsCol: String = "ts", idCol: String = "event_id",
+                         gapSec: Long = 1800): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byKey = Window.partitionBy(keyCol).orderBy(sf.col(tsCol), sf.col(idCol))
+    val lagTs = sf.lag(sf.col(tsCol), 1).over(byKey)
+    val isNew = sf.when(lagTs.isNull, 1).otherwise(
+      (sf.unix_micros(sf.col(tsCol)) - sf.unix_micros(lagTs) >
+        gapSec * 1000000L).cast("int"))
+    val sessions = events
+      .filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
+      .withColumn("__new", isNew)
+      .withColumn("__sess", sf.sum("__new").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(sf.col(keyCol), sf.col("__sess"))
+      .agg(sf.min(sf.unix_micros(sf.col(tsCol))).as("__a"),
+        sf.max(sf.unix_micros(sf.col(tsCol))).as("__b"))
+      .localCheckpoint(true) // boundaries + the W/λ rollup read it
+    // per-timestamp boundary collapse: net = starts − ends at that us;
+    // ends-before-starts is implied by summing the net (a level never
+    // passes THROUGH a higher intermediate at a tied timestamp)
+    val bounds = sessions.select(sf.col("__a").as("us"), sf.lit(1L).as("__d"))
+      .union(sessions.select(sf.col("__b"), sf.lit(-1L)))
+      .groupBy("us").agg(sf.sum("__d").as("__net"))
+    val leveled = StarSchema.globalPrefixSumsMulti(
+      bounds.withColumn("__one", sf.lit(1L)), Seq("us"),
+      Seq("__net" -> "level", "__one" -> "__idx"))
+      .localCheckpoint(true) // both sides of the width self join read it
+    val widths = leveled.select(sf.col("__idx").as("__i"), sf.col("us").as("__u0"),
+        sf.col("level"))
+      .join(leveled.select((sf.col("__idx") - 1).as("__i"), sf.col("us").as("__u1")),
+        Seq("__i"))
+      .select(sf.col("level"), (sf.col("__u1") - sf.col("__u0")).as("__w"))
+    val byLevel = widths.groupBy("level").agg(sf.sum(dec(sf.col("__w"))).as("__lw"))
+    val lw = Window.partitionBy(sf.pmod(sf.hash(sf.col("level")), sf.lit(1)))
+      .orderBy("level").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byLevel.withColumn("__cw", sf.sum("__lw").over(lw))
+      .localCheckpoint(true) // total + the p95 probe read it
+    val sweep = cum.agg(
+      sf.sum(dec(sf.col("level")) * sf.col("__lw")).as("__num"),
+      sf.sum(sf.col("__lw")).as("__hor"),
+      sf.max("level").as("l_max")).localCheckpoint(true)
+    val p95 = cum.crossJoin(sf.broadcast(sweep.select(sf.col("__hor").as("__h2"))))
+      .filter(sf.col("__cw") * 100 >= sf.col("__h2") * 95)
+      .agg(sf.min("level").as("l_p95"))
+    val base = sessions.agg(
+      sf.count(sf.lit(1)).as("n_sessions"),
+      sf.sum(dec(sf.col("__b")) - dec(sf.col("__a"))).as("__durus"))
+    base.crossJoin(sf.broadcast(sweep)).crossJoin(sf.broadcast(p95))
+      .select(sf.col("n_sessions"),
+        gf.roundAt(sf.col("__hor").cast("double") / 1e6, 6).as("horizon_s"),
+        gf.roundAt(sf.col("n_sessions").cast("double") /
+          (sf.col("__hor").cast("double") / 1e6) * 3600.0, 6).as("lambda_per_hour"),
+        gf.roundAt(sf.col("__durus").cast("double") / 1e6 /
+          sf.col("n_sessions").cast("double"), 6).as("w_mean_s"),
+        gf.roundAt((dec(sf.col("__num"))).cast("double") /
+          sf.col("__hor").cast("double"), 6).as("l_time_avg"),
+        sf.col("l_max"), sf.col("l_p95"))
+      // the certification: λ·W from the PUBLISHED (already-rounded)
+      // readouts — the gap a reader could recompute from the row
+      .withColumn("l_littles",
+        gf.roundAt(sf.col("lambda_per_hour") / 3600.0 * sf.col("w_mean_s"), 6))
+      .withColumn("identity_gap",
+        gf.roundAt(sf.abs(sf.col("l_littles") - sf.col("l_time_avg")), 6))
+  }
 }

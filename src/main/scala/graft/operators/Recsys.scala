@@ -172,4 +172,92 @@ object Recsys {
           sf.col("n_hits").cast("double") / sf.col("n_candidates").cast("double"),
           6)).as("hit_rate"))
   }
+
+  /** Bradley–Terry paired-comparison strength fit (Bradley & Terry
+    * 1952; Hunter 2004's MM algorithm) — latent "strength" scores from
+    * WITHIN-CONTEST wins, the model behind chess Elo ratings, LLM
+    * arena leaderboards, and A/B preference panels: P(i beats j) =
+    * p_i/(p_i + p_j), fit by `iters` MM rounds p_i ← W_i / Σ_j
+    * n_ij/(p_i + p_j). Win counts come from score comparisons inside
+    * each contest (every entity pair that co-occurs; higher total
+    * score wins, exact ties contribute nothing), so a transitive
+    * strength table emerges from purely LOCAL comparisons — what the
+    * global win RATE cannot give when matchups are unbalanced (a
+    * .600 team in a strong division can out-rate a .700 team in a
+    * weak one; BT corrects for opponent strength).
+    *
+    * Determinism: scores snap to a 1e-4 grid before comparison; wins
+    * are exact integers; the MM recursion runs in 1e-9 fixed point
+    * (every term floor(n_ij·1e18/(p9_i+p9_j)) in DECIMAL(38,0), the
+    * q119 discipline) with a mean-1 renormalization each round, so
+    * the `iters`-th iterate is bit-replayable by the unrolled oracle
+    * at any parallelism. Zero-win entities go to strength 0; a
+    * disconnected comparison graph yields each component's internal
+    * scale (documented MM behavior — the fixed iterate is still
+    * deterministic).
+    *
+    * Scale shape: one corpus pass to (contest, entity) sums, one
+    * contest-keyed self join bounded by max-contest-size² (the row
+    * 156 mining discipline), then DOMAIN work only — |entities|²
+    * cells per MM round, lineage cut every 4 rounds. */
+  def bradleyTerry(contests: DataFrame, contestCol: String, entityCol: String,
+                   scoreCol: String, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val SCALE = 1000000000L
+    val per = contests
+      .filter(sf.col(contestCol).isNotNull && sf.col(entityCol).isNotNull &&
+        sf.col(scoreCol).isNotNull)
+      .groupBy(sf.col(contestCol).as("__c"), sf.col(entityCol).as("__e"))
+      .agg(sf.sum(sf.floor(sf.col(scoreCol).cast("double") * 1e4 + 0.5)
+        .cast("long")).as("__s"))
+    val duels = per.as("a").join(per.as("b"),
+        sf.col("a.__c") === sf.col("b.__c") && sf.col("a.__e") < sf.col("b.__e"))
+      .filter(sf.col("a.__s") =!= sf.col("b.__s"))
+      .select(sf.col("a.__e").as("__i"), sf.col("b.__e").as("__j"),
+        (sf.col("a.__s") > sf.col("b.__s")).cast("long").as("__wi"))
+    // n_ij totals and W_i margins over the bounded entity domain
+    val cells = duels.groupBy("__i", "__j")
+      .agg(sf.count(sf.lit(1)).as("__n"), sf.sum("__wi").as("__w"))
+      .localCheckpoint(true) // read every MM round
+    val undirected = cells.select(sf.col("__i").as("ea"), sf.col("__j").as("eb"),
+        sf.col("__n"))
+      .union(cells.select(sf.col("__j"), sf.col("__i"), sf.col("__n")))
+      .localCheckpoint(true)
+    val wins = cells.select(sf.col("__i").as("e"), sf.col("__w").as("w"))
+      .union(cells.select(sf.col("__j"), sf.col("__n") - sf.col("__w")))
+      .groupBy("e").agg(sf.sum("w").as("wins"))
+      .localCheckpoint(true)
+    val nEntities = wins.count()
+    require(nEntities >= 2, s"bradleyTerry: need >= 2 entities, got $nEntities")
+    var p = wins.select(sf.col("e"), sf.lit(SCALE).as("p9"))
+    for (it <- 1 to iters) {
+      val d = undirected
+        .join(p.select(sf.col("e").as("ea"), sf.col("p9").as("__pa")), "ea")
+        .join(p.select(sf.col("e").as("eb"), sf.col("p9").as("__pb")), "eb")
+        .select(sf.col("ea"),
+          sf.expr("CAST(CAST(__n AS DECIMAL(38,0)) * 1000000000000000000" +
+            " div (CAST(__pa AS DECIMAL(38,0)) + __pb) AS DECIMAL(38,0))").as("__t"))
+        .groupBy("ea").agg(sf.sum("__t").as("__d18"))
+      val unnorm = wins.join(d, sf.col("e") === sf.col("ea"), "left")
+        .select(sf.col("e"),
+          sf.when(sf.col("__d18").isNull || sf.col("__d18") <= 0, sf.lit(0L))
+            .otherwise(sf.expr("CAST(CAST(wins AS DECIMAL(38,0)) *" +
+              " 1000000000000000000 div __d18 AS BIGINT)")).as("__p0"))
+      val tot = unnorm.agg(sf.sum(dec(sf.col("__p0"))).as("__tot"))
+      p = unnorm.crossJoin(sf.broadcast(tot))
+        .select(sf.col("e"), sf.expr(
+          s"CAST(CAST(__p0 AS DECIMAL(38,0)) * $nEntities * $SCALE div __tot" +
+            " AS BIGINT)").as("p9"))
+      if (it % 4 == 0) p = p.localCheckpoint(true)
+    }
+    val losses = undirected.groupBy(sf.col("ea").as("e"))
+      .agg(sf.sum("__n").as("__tot_n"))
+    wins.join(losses, "e").join(p, "e")
+      .select(sf.col("e").as(entityCol), sf.col("wins"),
+        (sf.col("__tot_n") - sf.col("wins")).as("losses"),
+        sf.col("p9"),
+        gf.roundAt(sf.col("p9").cast("double") / SCALE, 6).as("strength"))
+      .orderBy(sf.col("p9").desc, sf.col(entityCol))
+  }
 }

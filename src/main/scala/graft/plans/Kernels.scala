@@ -2216,4 +2216,21 @@ object Kernels {
     }
     ArrayData.toArrayData(Array(nSamples.toLong, sampleRate, channels, peak, ssq))
   }
+
+  /** Popcount of the AND of two equal-width bitmask arrays — the
+    * multi-word generalization of the single-long popcount
+    * verification (set-intersection size when sets are encoded as
+    * vocabulary bitmasks). One tight loop, zero allocation: the
+    * designated inner verifier for containment/Jaccard candidate
+    * streams on bounded vocabularies (<= 64·W tokens). */
+  def maskAndPopcount(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      c += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    c
+  }
 }

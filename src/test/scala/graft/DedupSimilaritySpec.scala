@@ -134,6 +134,31 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(ivf.sameElements(brute))
   }
 
+  test("containmentPairs multi-word mask path: vocab in (64, 256] verifies exactly") {
+    // 100-token vocabulary forces the W=2 bitmask branch (the r13
+    // widening); expected pairs computed by brute force in the test
+    val words = (0 until 100).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.take(80).mkString(" ")),            // big set
+      (2L, words.slice(10, 30).mkString(" ")),       // subset of 1
+      (3L, words.slice(70, 100).mkString(" ")),      // straddles word 2 boundary
+      (4L, (words.slice(76, 80) ++ words.slice(90, 96)).mkString(" ")), // partial
+      (5L, words.slice(90, 96).mkString(" "))        // subset of 3 only
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sets = Map(1L -> words.take(80).toSet, 2L -> words.slice(10, 30).toSet,
+      3L -> words.slice(70, 100).toSet,
+      4L -> (words.slice(76, 80) ++ words.slice(90, 96)).toSet,
+      5L -> words.slice(90, 96).toSet)
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      if sets(a).subsetOf(sets(b))
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((2L, 1L)) && want.contains((5L, 3L))) // the planted pairs
+  }
+
   // 4 tight clusters of 12 vectors each (dim 8): members of a cluster
   // are near-parallel (cosine ~1 to each other), near-orthogonal to
   // the rest — every query's true top-k are its cluster mates.

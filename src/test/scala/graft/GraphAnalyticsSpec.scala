@@ -1107,4 +1107,36 @@ class GraphAnalyticsSpec extends SparkFunSuite {
       .map(r => r.getString(0) -> r.getAs[Long]("eig_fx")).toMap
     assert(g2 == Map("a" -> 0L, "b" -> 1000000L), s"got $g2")
   }
+
+  test("Graph.betweenness: path graph — the bridge carries all traffic") {
+    // baskets {a,b} and {b,c} mine edges a-b, b-c: b is the only broker.
+    // From source a: delta_a(b) = (sigma_ab/sigma_ac)(1 + 0) = 1;
+    // symmetric from c; from b both neighbors are leaves. bc(b) = 2,
+    // averaged over 3 sources -> 0.666667; endpoints 0.
+    val df = Seq(("k1", "a"), ("k1", "b"), ("k2", "b"), ("k2", "c"))
+      .toDF("basket", "item")
+    val got = Graph.betweenness(df, "basket", "item",
+        minPairCount = 1, nSources = 3, depth = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      "b" -> (2000000000L, 0.666667),
+      "a" -> (0L, 0.0), "c" -> (0L, 0.0)), s"got $got")
+  }
+
+  test("Graph.betweenness: star center vs rim, sampled sources stay deterministic") {
+    // star a-center, b-center, c-center: every rim pair routes through
+    // the center; with all 4 sources, bc(center) = 3 sources x 2
+    // reachable rims x ... -> rim deltas 0, center collects from each
+    // rim source (2 paths through it)
+    val df = Seq(("k1", "hub"), ("k1", "r1"), ("k2", "hub"), ("k2", "r2"),
+      ("k3", "hub"), ("k3", "r3")).toDF("basket", "item")
+    val got = Graph.betweenness(df, "basket", "item",
+        minPairCount = 1, nSources = 4, depth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each rim source: hub's delta = (1/1)(1+0) for each of the 2 other
+    // rims' shortest paths -> sigma_hub/sigma_rim = 1 each -> 2e9; hub
+    // as source contributes nothing to itself; rims never intermediate
+    assert(got("hub") == 3L * 2000000000L, s"got $got")
+    assert(Seq("r1", "r2", "r3").forall(got(_) == 0L), s"got $got")
+  }
 }

@@ -4251,6 +4251,115 @@ class OperatorsSpec extends SparkFunSuite {
       s2.getAs[Double]("mean_brands") == 1.0, s2.toString)
   }
 
+
+  test("Sketch.kmvSetOverlap: below-k sets are exact; estimates certified") {
+    import graft.operators.Sketch
+    val rows = ((1 to 10).map(i => ("A", i.toLong)) ++
+      (6 to 15).map(i => ("B", i.toLong))).toDF("grp", "item")
+    val r = Sketch.kmvSetOverlap(rows, "grp", "item", k = 64).head()
+    // both sets have < k distinct values: the sketch IS the set and
+    // every estimate equals its exact twin
+    assert(r.getAs[String]("set_a") == "A" && r.getAs[String]("set_b") == "B")
+    assert(r.getAs[Double]("est_distinct_a") == 10.0 &&
+      r.getAs[Long]("exact_distinct_a") == 10L)
+    assert(r.getAs[Double]("est_distinct_b") == 10.0)
+    assert(r.getAs[Long]("exact_intersection") == 5L)
+    assert(r.getAs[Double]("est_intersection") == 5.0)
+    assert(r.getAs[Double]("est_jaccard") == r.getAs[Double]("exact_jaccard"))
+  }
+
+  test("Sketch.kmvSetOverlap: k-bounded estimates track exact on big sets") {
+    import graft.operators.Sketch
+    val rows = ((1 to 800).map(i => ("A", i.toLong)) ++
+      (401 to 1200).map(i => ("B", i.toLong))).toDF("grp", "item")
+    val r = Sketch.kmvSetOverlap(rows, "grp", "item", k = 64).head()
+    assert(r.getAs[Long]("exact_distinct_a") == 800L)
+    // KMV relative error ~ 1/sqrt(k) = 12.5%; allow 3x that
+    def close(est: Double, exact: Double) =
+      math.abs(est - exact) <= 0.375 * exact
+    assert(close(r.getAs[Double]("est_distinct_a"), 800.0), r.toString)
+    assert(close(r.getAs[Double]("est_distinct_b"), 800.0), r.toString)
+    assert(close(r.getAs[Double]("est_intersection"),
+      r.getAs[Long]("exact_intersection").toDouble), r.toString)
+  }
+
+  test("EventOps.concurrencyProfile: hand sweep, Little identity gap 0") {
+    // user 1: one 600s session; user 2: one zero-duration session at
+    // +300s. Levels: 1 across [0, 600) (the +-1 at 300 cancels) ->
+    // l_time_avg 1.0; n=2, W=300s, lambda=12/h; littles = 1.0.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val df = Seq(
+      (1L, ts(0), 10L), (1L, ts(600), 11L),
+      (2L, ts(300), 20L)).toDF("user_id", "ts", "event_id")
+    val r = EventOps.concurrencyProfile(df, gapSec = 3600).head()
+    assert(r.getAs[Long]("n_sessions") == 2L)
+    assert(r.getAs[Double]("horizon_s") == 600.0)
+    assert(r.getAs[Double]("w_mean_s") == 300.0)
+    assert(r.getAs[Double]("lambda_per_hour") == 12.0)
+    assert(r.getAs[Double]("l_time_avg") == 1.0)
+    assert(r.getAs[Double]("l_littles") == 1.0)
+    assert(r.getAs[Double]("identity_gap") == 0.0)
+    assert(r.getAs[Long]("l_max") == 1L && r.getAs[Long]("l_p95") == 1L)
+  }
+
+  test("EventOps.concurrencyProfile: overlapping sessions raise the peak") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // three sessions: [0,400], [100,300], [200,600] -> peak 3 during
+    // [200,300); p95 threshold 570s of 600 -> level 2 (cum time at
+    // level<=1 is 300s, <=2 is 500s, <=3 is 600s)
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(400), 2L),
+      (2L, ts(100), 3L), (2L, ts(300), 4L),
+      (3L, ts(200), 5L), (3L, ts(600), 6L)).toDF("user_id", "ts", "event_id")
+    val r = EventOps.concurrencyProfile(df, gapSec = 3600).head()
+    assert(r.getAs[Long]("l_max") == 3L)
+    assert(r.getAs[Long]("l_p95") == 3L)
+    // time-average: (1*100 + 2*100 + 3*100 + 2*100 + 1*200)/600 = 1.666667
+    assert(r.getAs[Double]("l_time_avg") == 1.666667, r.toString)
+  }
+
+  test("Recsys.bradleyTerry: transitive strengths from local duels") {
+    // a beats b 3x, b beats c 3x, a beats c once: strength a > b > c
+    val df = Seq(
+      (1L, "a", 2.0), (1L, "b", 1.0),
+      (2L, "a", 2.0), (2L, "b", 1.0),
+      (3L, "a", 2.0), (3L, "b", 1.0),
+      (4L, "b", 2.0), (4L, "c", 1.0),
+      (5L, "b", 2.0), (5L, "c", 1.0),
+      (6L, "b", 2.0), (6L, "c", 1.0),
+      (7L, "a", 2.0), (7L, "c", 1.0)).toDF("contest", "entity", "score")
+    val got = Recsys.bradleyTerry(df, "contest", "entity", "score")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("wins"),
+        r.getAs[Long]("losses"), r.getAs[Double]("strength")))
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"), got.mkString(";"))
+    assert(got.map(x => (x._1, x._2, x._3)).toSet ==
+      Set(("a", 4L, 0L), ("b", 3L, 3L), ("c", 0L, 4L)))
+    val s = got.map(x => x._1 -> x._4).toMap
+    assert(s("a") > s("b") && s("b") > s("c"), s.toString)
+    // zero-win entity pins to 0; renormalized strengths average ~1
+    assert(s("c") == 0.0)
+    assert(math.abs(got.map(_._4).sum - 3.0) < 0.01, s.toString)
+  }
+
+  test("Recsys.bradleyTerry: ties contribute nothing; opponent strength counts") {
+    // x and y both 2-1 against z, but x also beat y: x must rank above
+    // y despite equal records vs z; the tied contest (8) is ignored
+    val df = Seq(
+      (1L, "x", 2.0), (1L, "z", 1.0),
+      (2L, "x", 2.0), (2L, "z", 1.0),
+      (3L, "z", 2.0), (3L, "x", 1.0),
+      (4L, "y", 2.0), (4L, "z", 1.0),
+      (5L, "y", 2.0), (5L, "z", 1.0),
+      (6L, "z", 2.0), (6L, "y", 1.0),
+      (7L, "x", 2.0), (7L, "y", 1.0),
+      (8L, "x", 1.5), (8L, "y", 1.5)).toDF("contest", "entity", "score")
+    val got = Recsys.bradleyTerry(df, "contest", "entity", "score")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(got("x") > got("y"), got.toString)
+  }
+
   test("Recsys.popularityHitRate: hash split, top-N membership metrics") {
     def bucket(b: Long) = ((b % 2147483648L) * 2654435761L) % 4294967296L % 10000
     // basket 7 hashes into the 20% test fold; 1-4 train
