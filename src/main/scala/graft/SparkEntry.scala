@@ -3364,6 +3364,39 @@ object SparkEntry {
       Graph.betweenness(Tables.load(s, dir, "lineitem"),
         "l_orderkey", "l_partkey")),
 
+    // Dialog STRUCTURE profile: turns, alternation violations and
+    // role balance per source over staged chat prefixes — the SFT
+    // curation stats beyond q441's format detection.
+    "q478_dialog_profile" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = d.select(sf.col("source"),
+        sf.when(sf.col("doc_id") % 7 === 0,
+            sf.concat(sf.lit("User: hi\nAssistant: hello\nUser: more\nUser: again\n"),
+              sf.col("text")))
+          .when(sf.col("doc_id") % 11 === 0,
+            sf.concat(sf.lit("User: q\nAssistant: a\n"), sf.col("text")))
+          .otherwise(sf.col("text")).as("text"))
+      TextAnalysis.dialogProfile(staged, "source", "text")
+    }),
+
+    // Erlang-C staffing table from the log's own offered load
+    // (lambda x W from the q475 sweep): P(wait) per agent count.
+    "q479_erlang_staffing" -> ((s, dir) =>
+      EventOps.erlangStaffing(Tables.load(s, dir, "events"))),
+
+    // Newsvendor critical-fractile stocking per brand from the exact
+    // daily-demand distribution (cu=4, co=1 -> fractile 0.8).
+    "q480_newsvendor" -> ((s, dir) =>
+      StarSchema.newsvendorStock(
+        Tables.load(s, dir, "lineitem").join(Tables.load(s, dir, "part"),
+          sf.col("l_partkey") === sf.col("p_partkey")),
+        "p_brand", "l_shipdate", "l_quantity")),
+
+    // Bass diffusion fit on weekly first-seen adopters: innovation vs
+    // imitation coefficients, implied market size and peak week.
+    "q481_bass_adoption" -> ((s, dir) =>
+      EventOps.bassDiffusion(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -15468,5 +15501,154 @@ object SparkEntry {
         |  floor(CAST(COALESCE(bc.bc9, 0) AS DOUBLE)/1e9/4*1000000.0 + 0.5)/1000000.0 AS betweenness
         |FROM nodes LEFT JOIN bc ON nodes.v = bc.v
         |ORDER BY bc9 DESC, item""".stripMargin,
+
+    // Dialog structure: normalized line endings, anchored role
+    // captures in document order, list algebra for violations.
+    "q478_dialog_profile" ->
+      """WITH st AS (SELECT source,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'User: hi' || chr(10) || 'Assistant: hello' || chr(10) || 'User: more' || chr(10) || 'User: again' || chr(10) || text
+        |       WHEN doc_id % 11 = 0 THEN 'User: q' || chr(10) || 'Assistant: a' || chr(10) || text
+        |       ELSE text END AS t0
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |nt AS (SELECT source,
+        |  replace(replace(replace(replace(replace(t0,
+        |    chr(13)||chr(10), chr(10)), chr(13), chr(10)), chr(133), chr(10)),
+        |    chr(8232), chr(10)), chr(8233), chr(10)) AS t FROM st),
+        |per AS (SELECT source,
+        |    regexp_extract_all(t, '(?m)^(User|Assistant|System): ', 1) AS r FROM nt),
+        |px AS (SELECT source, CAST(len(r) AS BIGINT) AS nt2,
+        |    CAST(len(list_filter(r, x -> x = 'User')) AS BIGINT) AS nu,
+        |    CAST(len(list_filter(r, x -> x = 'Assistant')) AS BIGINT) AS na,
+        |    CAST(len(list_filter(generate_series(1, len(r) - 1), i -> r[i] = r[i+1])) AS BIGINT) AS nv
+        |  FROM per),
+        |ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN nt2 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dialog_docs,
+        |    CAST(SUM(CASE WHEN nt2 >= 2 THEN nt2 ELSE 0 END) AS BIGINT) AS turns,
+        |    CAST(SUM(CASE WHEN nt2 >= 2 THEN nv ELSE 0 END) AS BIGINT) AS viol,
+        |    CAST(SUM(CASE WHEN nt2 >= 2 THEN nt2 - 1 ELSE 0 END) AS BIGINT) AS adj,
+        |    CAST(SUM(CASE WHEN nt2 >= 2 THEN nu ELSE 0 END) AS BIGINT) AS u,
+        |    CAST(SUM(CASE WHEN nt2 >= 2 THEN na ELSE 0 END) AS BIGINT) AS a
+        |  FROM px GROUP BY 1)
+        |SELECT source, n_docs, n_dialog_docs,
+        |  CASE WHEN n_dialog_docs > 0 THEN floor(CAST(turns AS DOUBLE)/CAST(n_dialog_docs AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mean_turns,
+        |  CASE WHEN adj > 0 THEN floor(CAST(viol AS DOUBLE)/CAST(adj AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS violation_share,
+        |  CASE WHEN a > 0 THEN floor(CAST(u AS DOUBLE)/CAST(a AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS user_assistant_ratio
+        |FROM ag ORDER BY source""".stripMargin,
+
+    // Erlang-C: the q475 sweep reduced to the offered load, then the
+    // bounded c-domain table with snapped log-space terms.
+    "q479_erlang_staffing" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sx AS (SELECT user_id, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess, ts FROM o),
+        |se AS (SELECT user_id, sess, epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS a,
+        |    epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS b FROM sx GROUP BY 1, 2),
+        |bd AS (SELECT us FROM (SELECT a AS us FROM se UNION ALL SELECT b FROM se) GROUP BY 1),
+        |hz AS (SELECT SUM(w2) AS hor FROM (
+        |    SELECT CAST(lead(us) OVER (ORDER BY us) - us AS HUGEINT) AS w2 FROM bd)
+        |  WHERE w2 IS NOT NULL),
+        |ba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(b - a AS HUGEINT)) AS durus FROM se),
+        |aa AS (SELECT floor(
+        |    floor(CAST(n AS DOUBLE)/(CAST(hor AS DOUBLE)/1e6)*3600.0*1000000.0 + 0.5)/1000000.0
+        |    / 3600.0 *
+        |    floor(CAST(durus AS DOUBLE)/1e6/CAST(n AS DOUBLE)*1000000.0 + 0.5)/1000000.0
+        |    *1000000.0 + 0.5)/1000000.0 AS av FROM ba CROSS JOIN hz),
+        |grid AS (SELECT av, CAST(unnest(generate_series(0, CAST(floor(av) AS INT) + 16)) AS BIGINT) AS k FROM aa),
+        |lk AS (SELECT av, k, CASE WHEN k = 0 THEN 0
+        |    ELSE CAST(floor(ln(CAST(k AS DOUBLE))*1e9 + 0.5) AS BIGINT) END AS lnk FROM grid),
+        |lf AS (SELECT av, k, CAST(SUM(lnk) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lnfact FROM lk),
+        |tm AS (SELECT av, k,
+        |    CAST(floor(exp(CAST(k AS DOUBLE)*ln(av) - CAST(lnfact AS DOUBLE)/1e9)*1e9 + 0.5) AS BIGINT) AS term9
+        |  FROM lf),
+        |cm AS (SELECT av, k, term9,
+        |    SUM(CAST(term9 AS HUGEINT)) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum9 FROM tm),
+        |cs AS (SELECT av, k AS agents, term9,
+        |    CAST(cum9 - term9 AS DOUBLE) AS below9,
+        |    CAST(term9 AS DOUBLE)*(CAST(k AS DOUBLE)/(CAST(k AS DOUBLE) - av)) AS erl
+        |  FROM cm WHERE k > CAST(floor(av) AS BIGINT))
+        |SELECT agents,
+        |  floor(av/CAST(agents AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS utilization,
+        |  floor(erl/(below9 + erl)*1000000.0 + 0.5)/1000000.0 AS p_wait,
+        |  CASE WHEN p_wait <= 0.2 THEN 1 ELSE 0 END AS meets_target
+        |FROM cs ORDER BY agents""".stripMargin,
+
+    // Newsvendor: exact daily-demand levels, bounded per-group
+    // cumulative, integer fractile threshold on the 1e-6 grid.
+    "q480_newsvendor" ->
+      """WITH d AS (SELECT p.p_brand AS g,
+        |    epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000 AS dy,
+        |    CAST(SUM(CAST(floor(CAST(l.l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS BIGINT) AS d4
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand IS NOT NULL AND l.l_shipdate IS NOT NULL
+        |    AND l.l_quantity IS NOT NULL GROUP BY 1, 2),
+        |lv AS (SELECT g, d4, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1, 2),
+        |cm AS (SELECT g, d4, nd,
+        |    CAST(SUM(nd) OVER (PARTITION BY g ORDER BY d4 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM lv),
+        |tot AS (SELECT g, CAST(MAX(cum) AS BIGINT) AS n,
+        |    SUM(CAST(d4 AS HUGEINT)*nd) AS sum4 FROM cm GROUP BY 1),
+        |pick AS (SELECT cm.g, MIN(cm.d4) AS q4 FROM cm JOIN tot USING (g)
+        |  WHERE CAST(cm.cum AS HUGEINT)*1000000 >= CAST(tot.n AS HUGEINT)*800000
+        |  GROUP BY 1)
+        |SELECT pick.g AS p_brand, tot.n AS n_days,
+        |  floor(CAST(tot.sum4 AS DOUBLE)/1e4/CAST(tot.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS mean_daily_demand,
+        |  floor(0.8*1000000.0 + 0.5)/1000000.0 AS critical_fractile,
+        |  floor(CAST(pick.q4 AS DOUBLE)/1e4*1000000.0 + 0.5)/1000000.0 AS stock_level,
+        |  floor(CAST(cm.cum AS DOUBLE)/CAST(tot.n AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS achieved_service_level
+        |FROM pick JOIN tot USING (g) JOIN cm ON cm.g = pick.g AND cm.d4 = pick.q4
+        |ORDER BY p_brand""".stripMargin,
+
+    // Bass diffusion: dense week grid, exclusive cumulative adopters,
+    // exact HUGEINT moments, Cramer + root assembly guarded alike.
+    "q481_bass_adoption" ->
+      """WITH fs AS (SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000) AS w
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |ad AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS s FROM fs GROUP BY 1),
+        |bo AS (SELECT MIN(w) AS lo, MAX(w) AS hi FROM ad),
+        |g AS (SELECT gs.w, COALESCE(ad.s, 0) AS s FROM
+        |    (SELECT unnest(generate_series(bo.lo, bo.hi)) AS w FROM bo) gs
+        |  LEFT JOIN ad ON gs.w = ad.w),
+        |sr AS (SELECT w, s, COALESCE(SUM(s) OVER (ORDER BY w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS y FROM g),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(y AS HUGEINT)*y) AS sy2,
+        |    SUM(CAST(y AS HUGEINT)*y*y) AS sy3, SUM(CAST(y AS HUGEINT)*y*y*y) AS sy4,
+        |    SUM(CAST(s AS HUGEINT)) AS ss, SUM(CAST(s AS HUGEINT)*y) AS ssy,
+        |    SUM(CAST(s AS HUGEINT)*y*y) AS ssy2 FROM sr),
+        |cr AS (SELECT n, ss,
+        |    CAST(n AS DOUBLE)*(CAST(sy2 AS DOUBLE)*CAST(sy4 AS DOUBLE) - CAST(sy3 AS DOUBLE)*CAST(sy3 AS DOUBLE))
+        |      - CAST(sy AS DOUBLE)*(CAST(sy AS DOUBLE)*CAST(sy4 AS DOUBLE) - CAST(sy3 AS DOUBLE)*CAST(sy2 AS DOUBLE))
+        |      + CAST(sy2 AS DOUBLE)*(CAST(sy AS DOUBLE)*CAST(sy3 AS DOUBLE) - CAST(sy2 AS DOUBLE)*CAST(sy2 AS DOUBLE)) AS det,
+        |    CAST(ss AS DOUBLE)*(CAST(sy2 AS DOUBLE)*CAST(sy4 AS DOUBLE) - CAST(sy3 AS DOUBLE)*CAST(sy3 AS DOUBLE))
+        |      - CAST(sy AS DOUBLE)*(CAST(ssy AS DOUBLE)*CAST(sy4 AS DOUBLE) - CAST(sy3 AS DOUBLE)*CAST(ssy2 AS DOUBLE))
+        |      + CAST(sy2 AS DOUBLE)*(CAST(ssy AS DOUBLE)*CAST(sy3 AS DOUBLE) - CAST(sy2 AS DOUBLE)*CAST(ssy2 AS DOUBLE)) AS deta,
+        |    CAST(n AS DOUBLE)*(CAST(ssy AS DOUBLE)*CAST(sy4 AS DOUBLE) - CAST(ssy2 AS DOUBLE)*CAST(sy3 AS DOUBLE))
+        |      - CAST(ss AS DOUBLE)*(CAST(sy AS DOUBLE)*CAST(sy4 AS DOUBLE) - CAST(sy3 AS DOUBLE)*CAST(sy2 AS DOUBLE))
+        |      + CAST(sy2 AS DOUBLE)*(CAST(sy AS DOUBLE)*CAST(ssy2 AS DOUBLE) - CAST(ssy AS DOUBLE)*CAST(sy2 AS DOUBLE)) AS detb,
+        |    CAST(n AS DOUBLE)*(CAST(sy2 AS DOUBLE)*CAST(ssy2 AS DOUBLE) - CAST(sy3 AS DOUBLE)*CAST(ssy AS DOUBLE))
+        |      - CAST(sy AS DOUBLE)*(CAST(sy AS DOUBLE)*CAST(ssy2 AS DOUBLE) - CAST(ssy AS DOUBLE)*CAST(sy2 AS DOUBLE))
+        |      + CAST(ss AS DOUBLE)*(CAST(sy AS DOUBLE)*CAST(sy3 AS DOUBLE) - CAST(sy2 AS DOUBLE)*CAST(sy2 AS DOUBLE)) AS detc
+        |  FROM m),
+        |fit AS (SELECT n, ss,
+        |    CASE WHEN det <> 0 THEN deta/det END AS a,
+        |    CASE WHEN det <> 0 THEN detb/det END AS b,
+        |    CASE WHEN det <> 0 THEN detc/det END AS c FROM cr),
+        |rt AS (SELECT n, ss, a, b, c, b*b - 4.0*a*c AS disc,
+        |    CASE WHEN c < 0 AND b*b - 4.0*a*c >= 0
+        |      THEN (-b - sqrt(b*b - 4.0*a*c))/(2.0*c) END AS mm FROM fit),
+        |pq AS (SELECT n, ss, mm,
+        |    CASE WHEN mm > 0 THEN a/mm END AS p,
+        |    CASE WHEN mm > 0 THEN -c*mm END AS q FROM rt)
+        |SELECT n AS n_weeks, CAST(ss AS BIGINT) AS n_adopters,
+        |  floor(p*1000000.0 + 0.5)/1000000.0 AS p_innovation,
+        |  floor(q*1000000.0 + 0.5)/1000000.0 AS q_imitation,
+        |  floor(mm*1000000.0 + 0.5)/1000000.0 AS m_market_size,
+        |  CASE WHEN p > 0 AND q > 0
+        |    THEN floor(ln(q/p)/(p + q)*1000000.0 + 0.5)/1000000.0 END AS peak_week
+        |FROM pq""".stripMargin,
   )
 }

@@ -5501,4 +5501,162 @@ object EventOps {
       .withColumn("identity_gap",
         gf.roundAt(sf.abs(sf.col("l_littles") - sf.col("l_time_avg")), 6))
   }
+
+  /** Erlang-C staffing table (Erlang 1917; the M/M/c delay formula) —
+    * the question [[concurrencyProfile]]'s offered load a = λ·W
+    * exists to feed: FOR EACH candidate agent count c > a, the
+    * probability an arrival must WAIT, P_wait = (aᶜ/c!)·(c/(c−a)) /
+    * (Σ_{k<c} aᵏ/k! + (aᶜ/c!)·(c/(c−a))), plus utilization a/c and
+    * the first c meeting `targetWaitProb` — the canonical
+    * support-desk / on-call / connection-pool sizing table, computed
+    * from the log's own arrival rate and service time instead of a
+    * guessed load.
+    *
+    * Determinism: a is the PUBLISHED (1e-6-pinned) offered load from
+    * the session sweep; each term aᵏ/k! evaluates as exp(k·ln a −
+    * ln k!) with ln k! accumulated from 1e-9-snapped lns over the
+    * bounded k grid (the row 526 factorial convention) and each term
+    * snapped 1e-9 before the sum, so the cumulative denominator is an
+    * exact long; P_wait is one pinned assembly 1e-6. Rows are the
+    * BOUNDED c domain [⌊a⌋+1, ⌊a⌋+maxExtra].
+    *
+    * Scale shape: the corpus pass is [[concurrencyProfile]]'s session
+    * sweep reduced to ONE row; everything after is a bounded domain
+    * explode (⌊a⌋ + maxExtra rows) with a bounded cumulative.
+    * Contract: terms evaluate in log space and the direct assembly is
+    * safe for offered loads a ≲ 700 (double's exp range); a call
+    * center with thousands of erlangs should switch to the
+    * normalized Erlang-B recursion — at that magnitude the TABLE, not
+    * the arithmetic, is what needs rethinking. */
+  def erlangStaffing(events: DataFrame, keyCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     gapSec: Long = 1800, targetWaitProb: Double = 0.2,
+                     maxExtra: Int = 16): DataFrame = {
+    require(maxExtra >= 1 && maxExtra <= 64,
+      s"maxExtra must be in [1, 64], got $maxExtra")
+    require(targetWaitProb > 0 && targetWaitProb < 1,
+      s"targetWaitProb in (0,1), got $targetWaitProb")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val prof = concurrencyProfile(events, keyCol, tsCol, idCol, gapSec)
+      .select(sf.col("l_littles").as("__a"))
+    // c domain with running ln k! and the k < c partial sum of
+    // snapped-1e-9 terms a^k/k!
+    val grid = prof
+      .select(sf.col("__a"),
+        sf.explode(sf.sequence(sf.lit(0),
+          sf.floor(sf.col("__a")).cast("int") + maxExtra)).as("k"))
+      .withColumn("__lnk", sf.when(sf.col("k") === 0, sf.lit(0L))
+        .otherwise(sf.floor(sf.log(sf.col("k").cast("double")) * 1e9 + 0.5)
+          .cast("long")))
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__a")), sf.lit(1)))
+      .orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = grid
+      .withColumn("__lnfact", sf.sum("__lnk").over(w))
+      .withColumn("__term9", sf.floor(sf.exp(
+        sf.col("k").cast("double") * sf.log(sf.col("__a")) -
+          sf.col("__lnfact").cast("double") / 1e9) * 1e9 + 0.5).cast("long"))
+      .withColumn("__cum9", sf.sum(dec(sf.col("__term9"))).over(w))
+      .localCheckpoint(true) // the c rows and their k<c sums read it
+    val floorA = sf.floor(sf.col("__a")).cast("long")
+    terms
+      .filter(sf.col("k") > floorA)
+      .select(sf.col("__a"), sf.col("k").cast("long").as("agents"),
+        sf.col("__term9"), (sf.col("__cum9") - sf.col("__term9")).as("__below9"))
+      .withColumn("__erl", sf.col("__term9").cast("double") *
+        (sf.col("agents").cast("double") /
+          (sf.col("agents").cast("double") - sf.col("__a"))))
+      .select(sf.col("agents"),
+        gf.roundAt(sf.col("__a") / sf.col("agents").cast("double"), 6)
+          .as("utilization"),
+        gf.roundAt(sf.col("__erl") /
+          (sf.col("__below9").cast("double") + sf.col("__erl")), 6)
+          .as("p_wait"))
+      .withColumn("meets_target",
+        (sf.col("p_wait") <= targetWaitProb).cast("int"))
+      .orderBy("agents")
+  }
+
+  /** Bass diffusion fit (Bass 1969, the discrete-OLS form) over the
+    * weekly FIRST-SEEN adopter series — the innovation/imitation
+    * decomposition of a product's adoption curve: S_t = p·m +
+    * (q−p)·Y_{t−1} − (q/m)·Y²_{t−1} with S_t new adopters, Y
+    * cumulative; OLS on (1, Y, Y²) gives (a, b, c), then m =
+    * (−b−√(b²−4ac))/(2c), p = a/m, q = −c·m, and the implied PEAK
+    * WEEK t* = ln(q/p)/(p+q) — the growth question (organic pull q
+    * vs marketing push p, and when the curve turns) that rows 115/
+    * 478/525's retention ledgers don't ask. One row out.
+    *
+    * Determinism: S and Y are exact integers on the dense week grid;
+    * the 3×3 normal equations' moments (ΣY, ΣY², ΣY³, ΣY⁴, ΣS, ΣSY,
+    * ΣSY²) are exact DECIMAL(38,0) sums; Cramer determinants and the
+    * root/ln/sqrt assembly are ONE pinned chain 1e-6 in lazy
+    * when-branches (singular/degenerate fits -> NULLs, oracle-guarded
+    * the same way: needs c < 0, disc >= 0, m/p/q > 0).
+    *
+    * Scale shape: one per-user min rollup, one week-domain collapse
+    * with a bounded dense-grid cumulative, a one-row moment reduce. */
+  def bassDiffusion(events: DataFrame, keyCol: String = "user_id",
+                    tsCol: String = "ts"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val firstSeen = events
+      .filter(sf.col(keyCol).isNotNull && sf.col(tsCol).isNotNull)
+      .groupBy(keyCol)
+      .agg(sf.min(sf.expr(s"unix_micros($tsCol) div 604800000000"))
+        .as("__w"))
+    val adopters = firstSeen.groupBy("__w")
+      .agg(sf.count(sf.lit(1)).as("__s"))
+    // dense week grid so Y carries across silent weeks
+    val bounds = adopters.agg(sf.min("__w").as("__lo"), sf.max("__w").as("__hi"))
+    val grid = bounds.select(
+        sf.explode(sf.sequence(sf.col("__lo"), sf.col("__hi"))).as("__w"))
+      .join(adopters, Seq("__w"), "left")
+      .select(sf.col("__w"), sf.coalesce(sf.col("__s"), sf.lit(0L)).as("s"))
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__w")), sf.lit(1)))
+      .orderBy("__w").rowsBetween(Window.unboundedPreceding, -1)
+    val series = grid
+      .withColumn("y", sf.coalesce(sf.sum("s").over(w), sf.lit(0L)))
+    val m = series.agg(
+      sf.count(sf.lit(1)).as("n"),
+      sf.sum(dec(sf.col("y"))).as("sy"),
+      sf.sum(dec(sf.col("y")) * sf.col("y")).as("sy2"),
+      sf.sum(dec(sf.col("y")) * sf.col("y") * sf.col("y")).as("sy3"),
+      sf.sum(dec(sf.col("y")) * sf.col("y") * sf.col("y") * sf.col("y")).as("sy4"),
+      sf.sum(dec(sf.col("s"))).as("ss"),
+      sf.sum(dec(sf.col("s")) * sf.col("y")).as("ssy"),
+      sf.sum(dec(sf.col("s")) * sf.col("y") * sf.col("y")).as("ssy2"))
+    def d(c: Column) = c.cast("double")
+    // Cramer's rule on the (1, Y, Y^2) normal equations
+    val det = d(sf.col("n")) * (d(sf.col("sy2")) * d(sf.col("sy4")) - d(sf.col("sy3")) * d(sf.col("sy3"))) -
+      d(sf.col("sy")) * (d(sf.col("sy")) * d(sf.col("sy4")) - d(sf.col("sy3")) * d(sf.col("sy2"))) +
+      d(sf.col("sy2")) * (d(sf.col("sy")) * d(sf.col("sy3")) - d(sf.col("sy2")) * d(sf.col("sy2")))
+    val detA = d(sf.col("ss")) * (d(sf.col("sy2")) * d(sf.col("sy4")) - d(sf.col("sy3")) * d(sf.col("sy3"))) -
+      d(sf.col("sy")) * (d(sf.col("ssy")) * d(sf.col("sy4")) - d(sf.col("sy3")) * d(sf.col("ssy2"))) +
+      d(sf.col("sy2")) * (d(sf.col("ssy")) * d(sf.col("sy3")) - d(sf.col("sy2")) * d(sf.col("ssy2")))
+    val detB = d(sf.col("n")) * (d(sf.col("ssy")) * d(sf.col("sy4")) - d(sf.col("ssy2")) * d(sf.col("sy3"))) -
+      d(sf.col("ss")) * (d(sf.col("sy")) * d(sf.col("sy4")) - d(sf.col("sy3")) * d(sf.col("sy2"))) +
+      d(sf.col("sy2")) * (d(sf.col("sy")) * d(sf.col("ssy2")) - d(sf.col("ssy")) * d(sf.col("sy2")))
+    val detC = d(sf.col("n")) * (d(sf.col("sy2")) * d(sf.col("ssy2")) - d(sf.col("sy3")) * d(sf.col("ssy"))) -
+      d(sf.col("sy")) * (d(sf.col("sy")) * d(sf.col("ssy2")) - d(sf.col("ssy")) * d(sf.col("sy2"))) +
+      d(sf.col("ss")) * (d(sf.col("sy")) * d(sf.col("sy3")) - d(sf.col("sy2")) * d(sf.col("sy2")))
+    val out = m
+      .withColumn("__a", sf.when(det =!= 0.0, detA / det))
+      .withColumn("__b", sf.when(det =!= 0.0, detB / det))
+      .withColumn("__c", sf.when(det =!= 0.0, detC / det))
+      .withColumn("__disc", sf.col("__b") * sf.col("__b") -
+        sf.lit(4.0) * sf.col("__a") * sf.col("__c"))
+      .withColumn("__m", sf.when(sf.col("__c") < 0.0,
+        sf.when(sf.col("__disc") >= 0.0,
+          (-sf.col("__b") - sf.sqrt(sf.col("__disc"))) / (sf.lit(2.0) * sf.col("__c")))))
+      .withColumn("__p", sf.when(sf.col("__m") > 0.0, sf.col("__a") / sf.col("__m")))
+      .withColumn("__q", sf.when(sf.col("__m") > 0.0, -sf.col("__c") * sf.col("__m")))
+    out.select(
+        sf.col("n").cast("long").as("n_weeks"),
+        sf.col("ss").cast("long").as("n_adopters"),
+        gf.roundAt(sf.col("__p"), 6).as("p_innovation"),
+        gf.roundAt(sf.col("__q"), 6).as("q_imitation"),
+        gf.roundAt(sf.col("__m"), 6).as("m_market_size"),
+        sf.when(sf.col("__p") > 0.0 && sf.col("__q") > 0.0, gf.roundAt(
+          sf.log(sf.col("__q") / sf.col("__p")) / (sf.col("__p") + sf.col("__q")),
+          6)).as("peak_week"))
+  }
 }

@@ -1012,4 +1012,67 @@ object StarSchema {
         pct(sf.col("__amt"), sf.col("__yago")).as("yoy_pct"))
       .orderBy("month")
   }
+
+  /** Newsvendor stocking table per group (Arrow et al. 1951; the
+    * critical-fractile rule) — the inventory question the demand
+    * HISTOGRAM exists to answer: with underage cost cu (lost margin
+    * per unit short) and overage cost co (holding/salvage loss per
+    * unit over), the optimal single-period stock is the demand
+    * quantile at the CRITICAL FRACTILE cu/(cu+co); computed on the
+    * exact per-day demand distribution: stock level = the smallest
+    * observed daily demand whose cumulative day share reaches the
+    * fractile (the row 386 nearest-rank convention), beside the
+    * achieved service level (share of days fully served) and mean
+    * demand for the naive-stocking comparison.
+    *
+    * Determinism: demand = exact 1e-4-grid quantity sums per (group,
+    * epoch day); the threshold comparison is exact integers (cum·
+    * (cu+co) ≥ n·cu on the 1e-6 fractile grid); outputs pinned 1e-6.
+    *
+    * Scale shape: one (group, day) rollup, then DOMAIN work only —
+    * the (group, demand-level) distinct domain (≤ days per group)
+    * with one bounded cumulative and a per-group argmin. */
+  def newsvendorStock(lines: DataFrame, groupCol: String, dateCol: String,
+                      qtyCol: String, cu: Double = 4.0,
+                      co: Double = 1.0): DataFrame = {
+    require(cu > 0 && co > 0, s"costs must be > 0, got cu=$cu co=$co")
+    val frac6 = math.round(cu / (cu + co) * 1e6) // pinned 1e-6 fractile
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val daily = lines
+      .filter(sf.col(groupCol).isNotNull && sf.col(dateCol).isNotNull &&
+        sf.col(qtyCol).isNotNull)
+      .groupBy(sf.col(groupCol).as("grp"),
+        sf.expr(s"unix_micros(CAST($dateCol AS TIMESTAMP)) div 86400000000")
+          .as("__day"))
+      .agg(sf.sum(sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5)
+        .cast("long")).as("__d4"))
+    val levels = daily.groupBy("grp", "__d4")
+      .agg(sf.count(sf.lit(1)).as("__nd"))
+    val w = Window.partitionBy("grp").orderBy("__d4")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = levels
+      .withColumn("__cum", sf.sum("__nd").over(w))
+      .localCheckpoint(true) // totals + the fractile probe read it
+    val totals = cum.groupBy(sf.col("grp").as("__g"))
+      .agg(sf.max("__cum").as("__n"), // total days
+        sf.sum(dec(sf.col("__d4")) * sf.col("__nd")).as("__sum4"))
+    cum.join(sf.broadcast(totals), sf.col("grp") === sf.col("__g"))
+      .filter(dec(sf.col("__cum")) * 1000000L >= dec(sf.col("__n")) * frac6)
+      .groupBy(sf.col("grp").as(groupCol))
+      .agg(sf.min(sf.col("__d4")).as("__q4"),
+        sf.max(sf.col("__n")).as("__nt"),
+        sf.max(sf.col("__sum4")).as("__s4"))
+      .join(sf.broadcast(cum.select(sf.col("grp").as("__g2"),
+        sf.col("__d4").as("__l4"), sf.col("__cum").as("__c2"))),
+        sf.col(groupCol) === sf.col("__g2") && sf.col("__q4") === sf.col("__l4"))
+      .select(sf.col(groupCol),
+        sf.col("__nt").cast("long").as("n_days"),
+        gf.roundAt(sf.col("__s4").cast("double") / 1e4 /
+          sf.col("__nt").cast("double"), 6).as("mean_daily_demand"),
+        gf.roundAt(sf.lit(frac6 / 1e6), 6).as("critical_fractile"),
+        gf.roundAt(sf.col("__q4").cast("double") / 1e4, 6).as("stock_level"),
+        gf.roundAt(sf.col("__c2").cast("double") /
+          sf.col("__nt").cast("double"), 6).as("achieved_service_level"))
+      .orderBy(groupCol)
+  }
 }

@@ -1268,6 +1268,68 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Dialog STRUCTURE profile per source — beyond row 496's format
+    * DETECTION (is this a chat?), the structural stats an SFT-data
+    * curator gates on: turns per dialog, ALTERNATION VIOLATIONS
+    * (consecutive same-role turns — merged/truncated transcripts, the
+    * classic scrape defect), and the user/assistant balance (a
+    * healthy instruction corpus sits near 1; assistant-heavy means
+    * monologue spam). Dialogs are documents with >= 2 role-prefixed
+    * lines.
+    *
+    * Determinism: line endings normalize exactly as row 496 (CRLF/CR/
+    * NEL/LS/PS -> LF — Java vs RE2 multiline-^ parity); roles are
+    * anchored regexp captures in document order; every stat is an
+    * exact count, shares pinned 1e-6.
+    *
+    * Scale shape: map-only per-row role extraction (one regexp pass +
+    * bounded array ops) + ONE combinable source rollup. */
+  def dialogProfile(docs0: DataFrame, sourceCol: String,
+                    textCol: String): DataFrame = {
+    val docs = Par.spread(docs0
+      .filter(sf.col(sourceCol).isNotNull && sf.col(textCol).isNotNull)
+      .select(sf.col(sourceCol).cast("string").as("source"),
+        sf.translate(
+          sf.regexp_replace(sf.col(textCol), sf.lit("\r\n"), sf.lit("\n")),
+          "\r\u0085\u2028\u2029", "\n\n\n\n").as("__t")))
+    val roles = sf.regexp_extract_all(sf.col("__t"),
+      sf.lit("(?m)^(User|Assistant|System): "), sf.lit(1))
+    val per = docs.select(sf.col("source"), roles.as("__r"))
+      .select(sf.col("source"),
+        sf.size(sf.col("__r")).cast("long").as("__nt"),
+        sf.size(sf.filter(sf.col("__r"), r => r === "User")).cast("long").as("__nu"),
+        sf.size(sf.filter(sf.col("__r"), r => r === "Assistant")).cast("long").as("__na"),
+        // adjacent same-role pairs in document order
+        sf.size(sf.filter(
+          sf.zip_with(sf.col("__r"),
+            sf.slice(sf.col("__r"), sf.lit(2), sf.size(sf.col("__r"))),
+            (a, b) => a === b), x => x)).cast("long").as("__nv"))
+    per.groupBy("source").agg(
+        sf.count(sf.lit(1)).as("n_docs"),
+        sf.sum((sf.col("__nt") >= 2).cast("long")).as("n_dialog_docs"),
+        sf.sum(sf.when(sf.col("__nt") >= 2, sf.col("__nt"))
+          .otherwise(sf.lit(0L))).as("__turns"),
+        sf.sum(sf.when(sf.col("__nt") >= 2, sf.col("__nv"))
+          .otherwise(sf.lit(0L))).as("__viol"),
+        sf.sum(sf.when(sf.col("__nt") >= 2, sf.col("__nt") - 1)
+          .otherwise(sf.lit(0L))).as("__adj"),
+        sf.sum(sf.when(sf.col("__nt") >= 2, sf.col("__nu"))
+          .otherwise(sf.lit(0L))).as("__u"),
+        sf.sum(sf.when(sf.col("__nt") >= 2, sf.col("__na"))
+          .otherwise(sf.lit(0L))).as("__a"))
+      .select(sf.col("source"), sf.col("n_docs"), sf.col("n_dialog_docs"),
+        sf.when(sf.col("n_dialog_docs") > 0, gf.roundAt(
+          sf.col("__turns").cast("double") / sf.col("n_dialog_docs").cast("double"),
+          6)).as("mean_turns"),
+        sf.when(sf.col("__adj") > 0, gf.roundAt(
+          sf.col("__viol").cast("double") / sf.col("__adj").cast("double"), 6))
+          .as("violation_share"),
+        sf.when(sf.col("__a") > 0, gf.roundAt(
+          sf.col("__u").cast("double") / sf.col("__a").cast("double"), 6))
+          .as("user_assistant_ratio"))
+      .orderBy("source")
+  }
+
   /** Boilerplate LINE census — the exact lines that repeat across the
     * most documents (nav bars, license headers, cookie banners,
     * signature blocks), with occurrence and source spread: the

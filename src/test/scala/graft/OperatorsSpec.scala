@@ -4252,6 +4252,75 @@ class OperatorsSpec extends SparkFunSuite {
   }
 
 
+  test("TextAnalysis.dialogProfile: turns, violations, role balance") {
+    val df = Seq(
+      ("s", "User: a\nAssistant: b\nUser: c\nUser: d\nplain tail"),
+      ("s", "no roles in this one"),
+      ("s", "User: lone role line")).toDF("source", "text")
+    val r = TextAnalysis.dialogProfile(df, "source", "text").head()
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_dialog_docs") == 1L)
+    assert(r.getAs[Double]("mean_turns") == 4.0)
+    // one same-role adjacency (User,User) of three adjacent pairs
+    assert(r.getAs[Double]("violation_share") == 0.333333)
+    assert(r.getAs[Double]("user_assistant_ratio") == 3.0)
+  }
+
+  test("EventOps.erlangStaffing: offered load 2 erlangs, textbook P_wait") {
+    // two users, each one 3600s session over a 3600s horizon:
+    // lambda = 2/h, W = 3600s -> a = 2.0; Erlang C(3, 2) = 4/9
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(3600), 2L),
+      (2L, ts(0), 3L), (2L, ts(3600), 4L)).toDF("user_id", "ts", "event_id")
+    val rows = EventOps.erlangStaffing(df, gapSec = 7200)
+      .collect().map(r => r.getAs[Long]("agents") ->
+        (r.getAs[Double]("utilization"), r.getAs[Double]("p_wait"),
+          r.getAs[Int]("meets_target"))).toMap
+    assert(rows.keySet == (3L to 18L).toSet, rows.keySet.toString)
+    assert(rows(4L)._1 == 0.5)
+    assert(math.abs(rows(3L)._2 - 4.0 / 9) < 1e-5, rows(3L).toString)
+    // P_wait is non-increasing in agents (the 1e-6 grid floors the
+    // far tail to 0); the target is eventually met
+    val ps = (3L to 18L).map(rows(_)._2)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a }, ps.toString)
+    assert(rows(3L)._3 == 0 && rows(18L)._3 == 1)
+  }
+
+  test("StarSchema.newsvendorStock: fractile 0.8 picks the 4th of 5 demand days") {
+    val df = (1 to 5).map { d =>
+      ("B1", java.sql.Timestamp.valueOf(f"2024-01-0$d%d 00:00:00"), d.toDouble)
+    }.toDF("brand", "ship", "qty")
+    val r = StarSchema.newsvendorStock(df, "brand", "ship", "qty",
+      cu = 4.0, co = 1.0).head()
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Double]("mean_daily_demand") == 3.0)
+    assert(r.getAs[Double]("critical_fractile") == 0.8)
+    assert(r.getAs[Double]("stock_level") == 4.0)
+    assert(r.getAs[Double]("achieved_service_level") == 0.8)
+  }
+
+  test("EventOps.bassDiffusion: 3-point exact quadratic, p*m recovers the intercept") {
+    // first-seen adopters 4, 6, 2 in three consecutive weeks: the OLS
+    // through 3 points is the exact quadratic; c < 0 so a root exists
+    val wUs = 604800000000L
+    def ts(week: Int, i: Int) =
+      new java.sql.Timestamp((week * wUs + i * 1000000L) / 1000)
+    val users = (1 to 4).map(u => (u.toLong, ts(100, u))) ++
+      (5 to 10).map(u => (u.toLong, ts(101, u))) ++
+      (11 to 12).map(u => (u.toLong, ts(102, u)))
+    val df = users.toDF("user_id", "ts")
+    val r = EventOps.bassDiffusion(df).head()
+    assert(r.getAs[Long]("n_weeks") == 3L && r.getAs[Long]("n_adopters") == 12L)
+    val (pv, qv, mv) = (r.getAs[Double]("p_innovation"),
+      r.getAs[Double]("q_imitation"), r.getAs[Double]("m_market_size"))
+    assert(pv > 0 && qv > 0 && mv > 10.0 && mv < 12.0, (pv, qv, mv).toString)
+    // p = a/m with a = S(Y=0) = 4 exactly: p*m == 4 up to the 1e-6 grid
+    assert(math.abs(pv * mv - 4.0) < 1e-4, (pv, mv).toString)
+    assert(!r.isNullAt(r.fieldIndex("peak_week")))
+  }
+
   test("Sketch.kmvSetOverlap: below-k sets are exact; estimates certified") {
     import graft.operators.Sketch
     val rows = ((1 to 10).map(i => ("A", i.toLong)) ++
