@@ -3397,6 +3397,35 @@ object SparkEntry {
     "q481_bass_adoption" -> ((s, dir) =>
       EventOps.bassDiffusion(Tables.load(s, dir, "events"))),
 
+    // Chain-ladder development projection: order-month cohorts, ship
+    // ages, volume-weighted factors -> ultimate + in-flight reserve.
+    "q482_chain_ladder" -> ((s, dir) =>
+      StarSchema.chainLadder(
+        Tables.load(s, dir, "orders").join(Tables.load(s, dir, "lineitem"),
+          sf.col("o_orderkey") === sf.col("l_orderkey")),
+        "o_orderdate", "l_shipdate", "l_extendedprice")),
+
+    // LMDI revenue driver decomposition between the halves of the
+    // time range: customers x orders/customer x revenue/order with
+    // exactly-additive contributions.
+    "q483_kpi_lmdi" -> ((s, dir) =>
+      StarSchema.kpiLmdi(Tables.load(s, dir, "orders"),
+        "o_orderdate", "o_custkey", "o_totalprice")),
+
+    // Croston/SBA intermittent-demand forecast per part from the
+    // nonzero daily-demand points.
+    "q484_croston" -> ((s, dir) =>
+      StarSchema.crostonForecast(Tables.load(s, dir, "lineitem"),
+        "l_partkey", "l_shipdate", "l_quantity")),
+
+    // Price-volume-mix revenue bridge per brand between halves: the
+    // CFO waterfall with an exact three-way identity.
+    "q485_price_volume_mix" -> ((s, dir) =>
+      StarSchema.priceVolumeMix(
+        Tables.load(s, dir, "lineitem").join(Tables.load(s, dir, "part"),
+          sf.col("l_partkey") === sf.col("p_partkey")),
+        "p_brand", "l_shipdate", "l_quantity", "l_extendedprice")),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -15650,5 +15679,147 @@ object SparkEntry {
         |  CASE WHEN p > 0 AND q > 0
         |    THEN floor(ln(q/p)/(p + q)*1000000.0 + 0.5)/1000000.0 END AS peak_week
         |FROM pq""".stripMargin,
+
+    // Chain ladder: dense age grid, cumulative triangle, paired-age
+    // volume-weighted factors, snapped-ln factor products.
+    "q482_chain_ladder" ->
+      """WITH j AS (SELECT
+        |    (year(CAST(o.o_orderdate AS TIMESTAMP)) - 1970)*12 + month(CAST(o.o_orderdate AS TIMESTAMP)) - 1 AS cohort,
+        |    (year(CAST(l.l_shipdate AS TIMESTAMP)) - 1970)*12 + month(CAST(l.l_shipdate AS TIMESTAMP)) - 1
+        |      - ((year(CAST(o.o_orderdate AS TIMESTAMP)) - 1970)*12 + month(CAST(o.o_orderdate AS TIMESTAMP)) - 1) AS age,
+        |    CAST(floor(CAST(l.l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS c2
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+        |    AND l.l_extendedprice IS NOT NULL),
+        |cells AS (SELECT cohort, age, SUM(CAST(c2 AS HUGEINT)) AS inc FROM j
+        |  WHERE age BETWEEN 0 AND 12 GROUP BY 1, 2),
+        |mx AS (SELECT MAX(cohort + age) AS mm FROM cells),
+        |grid AS (SELECT c.cohort, unnest(generate_series(0, least(12, mx.mm - c.cohort))) AS age
+        |  FROM (SELECT DISTINCT cohort FROM cells) c CROSS JOIN mx),
+        |cum AS MATERIALIZED (SELECT g.cohort, g.age,
+        |    SUM(COALESCE(cells.inc, 0)) OVER (PARTITION BY g.cohort ORDER BY g.age
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM grid g LEFT JOIN cells ON g.cohort = cells.cohort AND g.age = cells.age),
+        |fx AS (SELECT a.age,
+        |    floor(CAST(SUM(b.cum) AS DOUBLE)/CAST(SUM(a.cum) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS f
+        |  FROM cum a JOIN cum b ON a.cohort = b.cohort AND b.age = a.age + 1
+        |  GROUP BY 1 HAVING SUM(a.cum) > 0),
+        |lf AS (SELECT age, CAST(floor(ln(f)*1e9 + 0.5) AS BIGINT) AS lnf9 FROM fx),
+        |lt AS (SELECT cohort, MAX(age) AS latest_age FROM cum GROUP BY 1),
+        |ob AS (SELECT lt.cohort, lt.latest_age, cum.cum AS obs0 FROM lt
+        |  JOIN cum ON cum.cohort = lt.cohort AND cum.age = lt.latest_age),
+        |pr AS (SELECT ob.cohort, ob.latest_age, ob.obs0,
+        |    SUM(CAST(COALESCE(lf.lnf9, 0) AS HUGEINT)) AS sln
+        |  FROM ob LEFT JOIN lf ON lf.age >= ob.latest_age GROUP BY 1, 2, 3)
+        |SELECT CAST(cohort AS BIGINT) AS cohort_month,
+        |  CAST(latest_age AS BIGINT) AS latest_age,
+        |  floor(CAST(obs0 AS DOUBLE)/100*100.0 + 0.5)/100.0 AS observed,
+        |  floor(CAST(obs0 AS DOUBLE)/100*exp(CAST(sln AS DOUBLE)/1e9)*100.0 + 0.5)/100.0 AS ultimate,
+        |  floor((ultimate - observed)*100.0 + 0.5)/100.0 AS reserve
+        |FROM pr ORDER BY cohort_month""".stripMargin,
+
+    // LMDI: two half rollups, the log mean on raw revenues, factor
+    // values snapped before their ln ratio — all three contributions
+    // additive to the revenue delta in exact arithmetic.
+    "q483_kpi_lmdi" ->
+      """WITH b AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us, o_custkey AS cust,
+        |    CAST(floor(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS c2
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |bd AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM b),
+        |md AS (SELECT lo//2 + hi//2 + (lo%2 + hi%2)//2 AS mid FROM bd),
+        |ha AS (SELECT COUNT(DISTINCT cust) AS ca, COUNT(*) AS oa,
+        |    CAST(SUM(CAST(c2 AS HUGEINT)) AS DOUBLE)/100 AS ra FROM b CROSS JOIN md WHERE us < mid),
+        |hb AS (SELECT COUNT(DISTINCT cust) AS cb, COUNT(*) AS ob,
+        |    CAST(SUM(CAST(c2 AS HUGEINT)) AS DOUBLE)/100 AS rb FROM b CROSS JOIN md WHERE us >= mid),
+        |ok AS (SELECT *,
+        |    (ca > 0 AND cb > 0 AND oa > 0 AND ob > 0 AND ra > 0 AND rb > 0) AS valid,
+        |    CASE WHEN ra = rb THEN ra ELSE (rb - ra)/(ln(rb) - ln(ra)) END AS lm
+        |  FROM ha CROSS JOIN hb),
+        |vals AS (
+        |  SELECT 'customers' AS factor, CAST(ca AS DOUBLE) AS va, CAST(cb AS DOUBLE) AS vb, valid, lm FROM ok
+        |  UNION ALL SELECT 'orders_per_customer',
+        |    floor(CAST(oa AS DOUBLE)/CAST(ca AS DOUBLE)*1000000.0 + 0.5)/1000000.0,
+        |    floor(CAST(ob AS DOUBLE)/CAST(cb AS DOUBLE)*1000000.0 + 0.5)/1000000.0, valid, lm FROM ok
+        |  UNION ALL SELECT 'revenue_per_order',
+        |    floor(ra/CAST(oa AS DOUBLE)*1000000.0 + 0.5)/1000000.0,
+        |    floor(rb/CAST(ob AS DOUBLE)*1000000.0 + 0.5)/1000000.0, valid, lm FROM ok)
+        |SELECT factor,
+        |  floor(va*1000000.0 + 0.5)/1000000.0 AS value_a,
+        |  floor(vb*1000000.0 + 0.5)/1000000.0 AS value_b,
+        |  CASE WHEN valid THEN floor(ln(vb/va)*1000000.0 + 0.5)/1000000.0 END AS ln_ratio,
+        |  CASE WHEN valid THEN floor(lm*ln(vb/va)*100.0 + 0.5)/100.0 END AS contribution
+        |FROM vals ORDER BY factor""".stripMargin,
+
+    // Croston/SBA: desc-rank weights pow(0.9, j), init term at the
+    // oldest point, snapped 1e-9 terms, one pinned division.
+    "q484_croston" ->
+      """WITH lv AS (SELECT l_partkey AS g,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS dy,
+        |    CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS BIGINT) AS d4
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT * FROM lv WHERE d4 > 0),
+        |pts AS (SELECT g, dy, d4,
+        |    row_number() OVER (PARTITION BY g ORDER BY dy DESC) - 1 AS j,
+        |    dy - lag(dy) OVER (PARTITION BY g ORDER BY dy) AS gap FROM d),
+        |nn AS (SELECT g, COUNT(*) AS n FROM pts GROUP BY 1),
+        |tm AS (SELECT pts.g, nn.n,
+        |    CAST(floor((CASE WHEN j = n - 1 THEN pow(0.9, CAST(j AS DOUBLE))
+        |      ELSE 0.1*pow(0.9, CAST(j AS DOUBLE)) END)
+        |      * (CAST(d4 AS DOUBLE)/1e4) * 1e9 + 0.5) AS BIGINT) AS z9,
+        |    CASE WHEN gap IS NOT NULL THEN
+        |      CAST(floor((CASE WHEN j = n - 2 THEN pow(0.9, CAST(j AS DOUBLE))
+        |        ELSE 0.1*pow(0.9, CAST(j AS DOUBLE)) END)
+        |        * CAST(gap AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END AS p9
+        |  FROM pts JOIN nn USING (g)),
+        |ag AS (SELECT g, CAST(MAX(n) AS BIGINT) AS nn2,
+        |    SUM(CAST(z9 AS HUGEINT)) AS sz9, SUM(CAST(p9 AS HUGEINT)) AS sp9
+        |  FROM tm GROUP BY 1)
+        |SELECT g AS l_partkey, nn2 AS n_demand_points,
+        |  floor(CAST(sz9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS z_smooth,
+        |  floor(CAST(sp9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS p_smooth,
+        |  floor(CAST(sz9 AS DOUBLE)/CAST(sp9 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS croston_forecast,
+        |  floor(0.95*CAST(sz9 AS DOUBLE)/CAST(sp9 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS sba_forecast
+        |FROM ag WHERE nn2 >= 2 ORDER BY l_partkey""".stripMargin,
+
+    // PVM bridge: per-(group, half) exact sums, the A-half overall
+    // mean price, full-outer alignment, pinned three-way effects.
+    "q485_price_volume_mix" ->
+      """WITH b AS (SELECT p.p_brand AS g, epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) AS us,
+        |    CAST(floor(CAST(l.l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS q4,
+        |    CAST(floor(CAST(l.l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT) AS c2
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand IS NOT NULL AND l.l_shipdate IS NOT NULL
+        |    AND l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL),
+        |bd AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM b),
+        |md AS (SELECT lo//2 + hi//2 + (lo%2 + hi%2)//2 AS mid FROM bd),
+        |per AS (SELECT g, CASE WHEN us >= mid THEN 1 ELSE 0 END AS h,
+        |    SUM(CAST(q4 AS HUGEINT)) AS q4, SUM(CAST(c2 AS HUGEINT)) AS c2
+        |  FROM b CROSS JOIN md GROUP BY 1, 2),
+        |pm AS (SELECT floor(CAST(SUM(c2) AS DOUBLE)/100/(CAST(SUM(q4) AS DOUBLE)/1e4)*1000000.0 + 0.5)/1000000.0 AS pbar
+        |  FROM per WHERE h = 0),
+        |sa AS (SELECT g, q4 AS qa4, c2 AS ca2 FROM per WHERE h = 0),
+        |sb AS (SELECT g, q4 AS qb4, c2 AS cb2 FROM per WHERE h = 1),
+        |al AS (SELECT COALESCE(sa.g, sb.g) AS g,
+        |    COALESCE(sa.qa4, 0) AS qa4, COALESCE(sa.ca2, 0) AS ca2,
+        |    COALESCE(sb.qb4, 0) AS qb4, COALESCE(sb.cb2, 0) AS cb2
+        |  FROM sa FULL OUTER JOIN sb ON sa.g = sb.g),
+        |px AS (SELECT al.*, pm.pbar,
+        |    CAST(qa4 AS DOUBLE)/1e4 AS qa, CAST(qb4 AS DOUBLE)/1e4 AS qb,
+        |    CASE WHEN qa4 > 0 THEN floor(CAST(ca2 AS DOUBLE)/100/(CAST(qa4 AS DOUBLE)/1e4)*1000000.0 + 0.5)/1000000.0
+        |      ELSE pm.pbar END AS pa,
+        |    CASE WHEN qb4 > 0 THEN floor(CAST(cb2 AS DOUBLE)/100/(CAST(qb4 AS DOUBLE)/1e4)*1000000.0 + 0.5)/1000000.0
+        |      ELSE pm.pbar END AS pb
+        |  FROM al CROSS JOIN pm)
+        |SELECT g AS p_brand,
+        |  floor(qa*10000.0 + 0.5)/10000.0 AS qty_a,
+        |  floor(qb*10000.0 + 0.5)/10000.0 AS qty_b,
+        |  pa AS price_a, pb AS price_b,
+        |  floor((pb - pa)*qb*100.0 + 0.5)/100.0 AS price_effect,
+        |  floor(pbar*(qb - qa)*100.0 + 0.5)/100.0 AS volume_effect,
+        |  floor((pa - pbar)*(qb - qa)*100.0 + 0.5)/100.0 AS mix_effect,
+        |  floor((CAST(cb2 AS DOUBLE)/100 - CAST(ca2 AS DOUBLE)/100)*100.0 + 0.5)/100.0 AS delta_revenue
+        |FROM px ORDER BY p_brand""".stripMargin,
   )
 }

@@ -1075,4 +1075,299 @@ object StarSchema {
           sf.col("__nt").cast("double"), 6).as("achieved_service_level"))
       .orderBy(groupCol)
   }
+
+  /** Chain-ladder development projection (the actuarial reserving
+    * workhorse; Mack 1993 for its statistical reading) over an
+    * order->fulfillment cohort TRIANGLE: cohorts = order months,
+    * development age = months from order to line shipment, value =
+    * shipped cents; the all-cohort volume-weighted development
+    * factors f_a = ΣC(·,a+1)/ΣC(·,a) (summed over cohorts observed at
+    * BOTH ages) project every cohort's cumulative-to-date to ULTIMATE,
+    * and reserve = ultimate − observed is the IBNR analog: "how much
+    * of each month's demand is still in flight", answerable the day
+    * the month closes instead of after maxAge months — the projection
+    * question row 470's backlog level and row 476's lead-time
+    * percentiles don't ask.
+    *
+    * Determinism: cents and month indices exact integers; cumulative
+    * ages a bounded per-cohort window; each factor ONE pinned 1e-6
+    * division of exact DECIMAL sums; the remaining-factor product
+    * rides exp(Σ snapped-1e-9 ln f) (exact sum, one exp — the row 526
+    * factorial convention applied to factors); ultimate/reserve
+    * pinned 1e-2. Ages outside [0, maxAge] are dropped (documented
+    * truncation).
+    *
+    * Scale shape: one (cohort, age) rollup from the corpus, then
+    * TRIANGLE-domain work only (months x maxAge cells): bounded
+    * cumulative, one age-keyed factor join, one cohort rollup. */
+  def chainLadder(lines: DataFrame, cohortDateCol: String,
+                  eventDateCol: String, amountCol: String,
+                  maxAge: Int = 12): DataFrame = {
+    require(maxAge >= 1 && maxAge <= 120, s"maxAge in [1,120], got $maxAge")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def monthOf(c: String) = sf.expr(
+      s"(year(CAST($c AS TIMESTAMP)) - 1970) * 12 + month(CAST($c AS TIMESTAMP)) - 1")
+    val cells = lines
+      .filter(sf.col(cohortDateCol).isNotNull && sf.col(eventDateCol).isNotNull &&
+        sf.col(amountCol).isNotNull)
+      .select(monthOf(cohortDateCol).as("cohort"),
+        (monthOf(eventDateCol) - monthOf(cohortDateCol)).as("age"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long").as("__c2"))
+      .filter(sf.col("age") >= 0 && sf.col("age") <= maxAge)
+      .groupBy("cohort", "age")
+      .agg(sf.sum(dec(sf.col("__c2"))).as("__inc"))
+    val wc = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // dense age grid per cohort so cumulatives carry across silent ages
+    val maxMonth = cells.agg(sf.max(sf.col("cohort") + sf.col("age"))).head().getInt(0)
+    val cum = cells.groupBy("cohort").agg(sf.lit(1).as("__one"))
+      .select(sf.col("cohort"),
+        sf.explode(sf.sequence(sf.lit(0),
+          sf.least(sf.lit(maxAge), sf.lit(maxMonth) - sf.col("cohort")))).as("age"))
+      .join(cells, Seq("cohort", "age"), "left")
+      .withColumn("__inc", sf.coalesce(sf.col("__inc"), dec(sf.lit(0L))))
+      .withColumn("cum", sf.sum("__inc").over(wc))
+      .localCheckpoint(true) // factors (twice, lagged) + the finish read it
+    // volume-weighted factors over cohorts observed at BOTH ages
+    val nxt = cum.select(sf.col("cohort").as("__c1"), (sf.col("age") - 1).as("__a1"),
+      sf.col("cum").as("__cn"))
+    val factors = cum.join(nxt,
+        sf.col("cohort") === sf.col("__c1") && sf.col("age") === sf.col("__a1"))
+      .groupBy("age")
+      .agg(sf.sum("__cn").as("__num"), sf.sum("cum").as("__den"))
+      .filter(sf.col("__den") > 0)
+      .select(sf.col("age").as("__fa"),
+        gf.roundAt(sf.col("__num").cast("double") /
+          sf.col("__den").cast("double"), 6).as("f"))
+      .withColumn("__lnf9",
+        sf.floor(sf.log(sf.col("f")) * 1e9 + 0.5).cast("long"))
+    val latest = cum.groupBy("cohort")
+      .agg(sf.max("age").as("latest_age"))
+      .join(cum.select(sf.col("cohort").as("__c2c"), sf.col("age").as("__a2"),
+        sf.col("cum").as("observed")),
+        sf.col("cohort") === sf.col("__c2c") && sf.col("latest_age") === sf.col("__a2"))
+      .select("cohort", "latest_age", "observed")
+    latest.join(sf.broadcast(factors),
+        sf.col("__fa") >= sf.col("latest_age"), "left")
+      .groupBy("cohort", "latest_age", "observed")
+      .agg(sf.sum(dec(sf.coalesce(sf.col("__lnf9"), sf.lit(0L)))).as("__sln"))
+      .select(sf.col("cohort").cast("long").as("cohort_month"),
+        sf.col("latest_age").cast("long").as("latest_age"),
+        gf.roundAt(sf.col("observed").cast("double") / 100, 2).as("observed"),
+        gf.roundAt(sf.col("observed").cast("double") / 100 *
+          sf.exp(sf.col("__sln").cast("double") / 1e9), 2).as("ultimate"))
+      .withColumn("reserve",
+        gf.roundAt(sf.col("ultimate") - sf.col("observed"), 2))
+      .orderBy("cohort_month")
+  }
+
+  /** LMDI-I multiplicative-KPI driver decomposition (Ang 2005, the
+    * log-mean Divisia index; Vartia 1976 for the log mean) between
+    * the two HALVES of the data's time range (the row 459 split
+    * convention): revenue = customers x orders-per-customer x
+    * revenue-per-order, and each factor's CONTRIBUTION to the revenue
+    * change is L(R_A, R_B) * ln(x_B/x_A) with L the logarithmic mean
+    * — the ONLY decomposition that is exactly additive with no
+    * residual (contributions sum to R_B − R_A in exact arithmetic):
+    * the FP&A "why did revenue move" waterfall, principled. Row 452's
+    * elasticity asks how x moves y; this allocates an OBSERVED move.
+    *
+    * Determinism: cents and counts exact; factor values, the log
+    * mean, and each contribution are pinned assemblies 1e-6/1e-2
+    * (the additivity check in the spec allows only the rounding
+    * residual); degenerate halves (zero revenue or customers) -> NULL
+    * contributions, oracle-guarded identically.
+    *
+    * Scale shape: two one-row half-rollups (map-side combinable) and
+    * a 3-row literal-factor finish — corpus touched once. */
+  def kpiLmdi(orders: DataFrame, dateCol: String, custCol: String,
+              amountCol: String): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = orders.filter(sf.col(dateCol).isNotNull &&
+        sf.col(custCol).isNotNull && sf.col(amountCol).isNotNull)
+      .select(sf.expr(s"unix_micros(CAST($dateCol AS TIMESTAMP))").as("__us"),
+        sf.col(custCol).as("__cust"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long").as("__c2"))
+      .localCheckpoint(true) // bounds + both half rollups read it
+    val b = base.agg(sf.min("__us").as("__lo"), sf.max("__us").as("__hi")).head()
+    val mid = b.getLong(0) / 2 + b.getLong(1) / 2 +
+      (b.getLong(0) % 2 + b.getLong(1) % 2) / 2 // overflow-safe midpoint
+    def half(pred: org.apache.spark.sql.Column) = base.filter(pred).agg(
+      sf.count_distinct(sf.col("__cust")).as("c"),
+      sf.count(sf.lit(1)).as("o"),
+      sf.sum(dec(sf.col("__c2"))).as("r2"))
+    val a = half(sf.col("__us") < mid).head()
+    val h = half(sf.col("__us") >= mid).head()
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def snap2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val (ca, oa, ra) = (a.getLong(0), a.getLong(1),
+      Option(a.get(2)).map(_.toString.toDouble / 100).getOrElse(0.0))
+    val (cb, ob, rb) = (h.getLong(0), h.getLong(1),
+      Option(h.get(2)).map(_.toString.toDouble / 100).getOrElse(0.0))
+    val ok = ca > 0 && cb > 0 && oa > 0 && ob > 0 && ra > 0 && rb > 0
+    val lm = if (!ok) 0.0
+      else if (ra == rb) ra else (rb - ra) / (math.log(rb) - math.log(ra))
+    def factorRow(name: String, va: Double, vb: Double) = {
+      val contrib = if (ok) Some(snap2(lm * math.log(vb / va))) else None
+      (name, snap6(va), snap6(vb),
+        if (ok) Some(snap6(math.log(vb / va))) else None, contrib)
+    }
+    val rows = Seq(
+      factorRow("customers", ca.toDouble, cb.toDouble),
+      factorRow("orders_per_customer",
+        snap6(oa.toDouble / ca), snap6(ob.toDouble / cb)),
+      factorRow("revenue_per_order",
+        snap6(ra / oa), snap6(rb / ob)))
+    rows.toDF("factor", "value_a", "value_b", "ln_ratio", "contribution")
+      .orderBy("factor")
+  }
+
+  /** Price-volume-mix revenue bridge per group between the halves of
+    * the time range — the CFO waterfall: for each group (brand),
+    * price effect (Δunit-price x new volume), volume effect (Δvolume
+    * x the PERIOD-A OVERALL mean price) and mix effect (the group's
+    * A-price premium over that mean x Δvolume); the three effects sum
+    * to the group's revenue change EXACTLY in exact arithmetic
+    * (identity: Δpq = (Δp)q_B + p̄_A Δq + (p_A − p̄_A)Δq), so the
+    * bridge reconciles to the total with no plug. Groups absent from
+    * a half enter with volume 0 and the overall mean price (standard
+    * convention, documented).
+    *
+    * Determinism: quantity 1e-4 and cents exact sums; unit prices and
+    * effects pinned 1e-6/1e-2; the spec asserts the identity to
+    * rounding tolerance.
+    *
+    * Scale shape: two (group, half) rollups + a broadcast one-row
+    * mean-price attach — corpus touched once. */
+  def priceVolumeMix(lines: DataFrame, groupCol: String, dateCol: String,
+                     qtyCol: String, amountCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = lines.filter(sf.col(groupCol).isNotNull &&
+        sf.col(dateCol).isNotNull && sf.col(qtyCol).isNotNull &&
+        sf.col(amountCol).isNotNull)
+      .select(sf.col(groupCol).as("grp"),
+        sf.expr(s"unix_micros(CAST($dateCol AS TIMESTAMP))").as("__us"),
+        sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5).cast("long").as("__q4"),
+        sf.floor(sf.col(amountCol).cast("double") * 100 + 0.5).cast("long").as("__c2"))
+      .localCheckpoint(true) // bounds + both rollups read it
+    val bds = base.agg(sf.min("__us").as("__lo"), sf.max("__us").as("__hi")).head()
+    val mid = bds.getLong(0) / 2 + bds.getLong(1) / 2 +
+      (bds.getLong(0) % 2 + bds.getLong(1) % 2) / 2
+    val per = base
+      .withColumn("__h", (sf.col("__us") >= mid).cast("int"))
+      .groupBy("grp", "__h")
+      .agg(sf.sum(dec(sf.col("__q4"))).as("q4"), sf.sum(dec(sf.col("__c2"))).as("c2"))
+      .localCheckpoint(true) // mean price + both pivots read it
+    val meanA = per.filter(sf.col("__h") === 0)
+      .agg((sf.sum("c2").cast("double") / 100 /
+        (sf.sum("q4").cast("double") / 1e4)).as("__pbar0"))
+      .select(gf.roundAt(sf.col("__pbar0"), 6).as("__pbar"))
+    val aSide = per.filter(sf.col("__h") === 0)
+      .select(sf.col("grp"), sf.col("q4").as("qa4"), sf.col("c2").as("ca2"))
+    val bSide = per.filter(sf.col("__h") === 1)
+      .select(sf.col("grp").as("__g2"), sf.col("q4").as("qb4"), sf.col("c2").as("cb2"))
+    aSide.join(bSide, sf.col("grp") === sf.col("__g2"), "full_outer")
+      .select(sf.coalesce(sf.col("grp"), sf.col("__g2")).as(groupCol),
+        sf.coalesce(sf.col("qa4"), sf.lit(0).cast("decimal(38,0)")).as("qa4"),
+        sf.coalesce(sf.col("ca2"), sf.lit(0).cast("decimal(38,0)")).as("ca2"),
+        sf.coalesce(sf.col("qb4"), sf.lit(0).cast("decimal(38,0)")).as("qb4"),
+        sf.coalesce(sf.col("cb2"), sf.lit(0).cast("decimal(38,0)")).as("cb2"))
+      .crossJoin(sf.broadcast(meanA))
+      .withColumn("qa", sf.col("qa4").cast("double") / 1e4)
+      .withColumn("qb", sf.col("qb4").cast("double") / 1e4)
+      .withColumn("pa", sf.when(sf.col("qa4") > 0, gf.roundAt(
+        sf.col("ca2").cast("double") / 100 / sf.col("qa"), 6))
+        .otherwise(sf.col("__pbar")))
+      .withColumn("pb", sf.when(sf.col("qb4") > 0, gf.roundAt(
+        sf.col("cb2").cast("double") / 100 / sf.col("qb"), 6))
+        .otherwise(sf.col("__pbar")))
+      .select(sf.col(groupCol),
+        gf.roundAt(sf.col("qa"), 4).as("qty_a"),
+        gf.roundAt(sf.col("qb"), 4).as("qty_b"),
+        sf.col("pa").as("price_a"), sf.col("pb").as("price_b"),
+        gf.roundAt((sf.col("pb") - sf.col("pa")) * sf.col("qb"), 2)
+          .as("price_effect"),
+        gf.roundAt(sf.col("__pbar") * (sf.col("qb") - sf.col("qa")), 2)
+          .as("volume_effect"),
+        gf.roundAt((sf.col("pa") - sf.col("__pbar")) *
+          (sf.col("qb") - sf.col("qa")), 2).as("mix_effect"),
+        gf.roundAt(sf.col("cb2").cast("double") / 100 -
+          sf.col("ca2").cast("double") / 100, 2).as("delta_revenue"))
+      .orderBy(groupCol)
+  }
+
+  /** Croston intermittent-demand forecast per group (Croston 1972)
+    * with the Syntetos–Boylan bias correction (SBA, 2005 — the same
+    * paper behind row 491's quadrant classification, which tells you
+    * WHEN to use this instead of exponential smoothing: lumpy/
+    * intermittent series, where smoothing a mostly-zero sequence
+    * drifts to zero and then spikes): smooth the NONZERO demand sizes
+    * and the INTERVALS between them separately (z_t, p_t, same alpha),
+    * forecast = z/p per period, SBA = (1 − alpha/2)·z/p.
+    *
+    * Determinism: the recursion unrolls to weighted sums z_T =
+    * alpha·Σ_{j<n−1}(1−alpha)^j·size_{T−j} + (1−alpha)^{n−1}·size_1;
+    * (1−alpha)^j evaluates per-row as pow of a driver-pinned base by
+    * an integer rank (the engine-portable pow convention), every term
+    * snaps 1e-9 before the exact sum, one pinned division at the end
+    * — bit-replayable by the oracle at any parallelism.
+    *
+    * Scale shape: one (group, day) demand rollup, one per-group
+    * nonzero-demand window (bounded by the group's demand days), one
+    * combinable finish. */
+  def crostonForecast(lines: DataFrame, groupCol: String, dateCol: String,
+                      qtyCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val beta = 1.0 - alpha // driver-pinned base, shared with the oracle
+    val daily = lines
+      .filter(sf.col(groupCol).isNotNull && sf.col(dateCol).isNotNull &&
+        sf.col(qtyCol).isNotNull)
+      .groupBy(sf.col(groupCol).as("grp"),
+        sf.expr(s"unix_micros(CAST($dateCol AS TIMESTAMP)) div 86400000000")
+          .as("__day"))
+      .agg(sf.sum(sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5)
+        .cast("long")).as("__d4"))
+      .filter(sf.col("__d4") > 0) // Croston sees only demand points
+    val w = Window.partitionBy("grp").orderBy(sf.col("__day").desc)
+    val wAsc = Window.partitionBy("grp").orderBy(sf.col("__day"))
+    val pts = daily
+      .withColumn("__j", sf.row_number().over(w) - 1) // 0 = latest
+      .withColumn("__gap",
+        sf.col("__day") - sf.lag("__day", 1).over(wAsc)) // null at first
+      .localCheckpoint(true) // size + interval sums read it
+    val n = sf.col("__n")
+    def smooth(valCol: org.apache.spark.sql.Column,
+               jCol: org.apache.spark.sql.Column,
+               nCol: org.apache.spark.sql.Column) =
+      sf.floor(
+        sf.when(jCol === nCol - 1, sf.pow(sf.lit(beta), jCol.cast("double")))
+          .otherwise(sf.lit(alpha) * sf.pow(sf.lit(beta), jCol.cast("double")))
+        * valCol * 1e9 + 0.5).cast("long")
+    // sizes: all n points; intervals: the n−1 gaps (ranks shift by 1 —
+    // the latest gap gets weight alpha, the oldest the init weight)
+    val sized = pts
+      .join(sf.broadcast(pts.groupBy(sf.col("grp").as("__g"))
+        .agg(sf.count(sf.lit(1)).as("__n"))), sf.col("grp") === sf.col("__g"))
+      .select(sf.col("grp"), sf.col("__n"),
+        smooth(sf.col("__d4").cast("double") / 1e4, sf.col("__j"), n).as("__z9"),
+        sf.when(sf.col("__gap").isNotNull,
+          smooth(sf.col("__gap").cast("double"), sf.col("__j"), n - 1)).as("__p9"))
+    sized.groupBy("grp")
+      .agg(sf.max("__n").as("__nn"),
+        sf.sum(dec(sf.col("__z9"))).as("__sz9"),
+        sf.sum(dec(sf.col("__p9"))).as("__sp9"))
+      .filter(sf.col("__nn") >= 2)
+      .select(sf.col("grp").as(groupCol),
+        sf.col("__nn").cast("long").as("n_demand_points"),
+        gf.roundAt(sf.col("__sz9").cast("double") / 1e9, 6).as("z_smooth"),
+        gf.roundAt(sf.col("__sp9").cast("double") / 1e9, 6).as("p_smooth"),
+        gf.roundAt(sf.col("__sz9").cast("double") /
+          sf.col("__sp9").cast("double"), 6).as("croston_forecast"),
+        gf.roundAt(sf.lit(1.0 - alpha / 2) * sf.col("__sz9").cast("double") /
+          sf.col("__sp9").cast("double"), 6).as("sba_forecast"))
+      .orderBy(groupCol)
+  }
 }

@@ -4252,6 +4252,73 @@ class OperatorsSpec extends SparkFunSuite {
   }
 
 
+  test("StarSchema.chainLadder: hand triangle, factor projects the young cohort") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // Jan cohort ships 100 at age 0 and 50 at age 1 (f0 = 1.5);
+    // Feb cohort has only age 0 (200) -> ultimate 300, reserve 100
+    val df = Seq(
+      (ts("2024-01-10"), ts("2024-01-15"), 100.0),
+      (ts("2024-01-10"), ts("2024-02-15"), 50.0),
+      (ts("2024-02-10"), ts("2024-02-20"), 200.0)).toDF("od", "sd", "amt")
+    val got = StarSchema.chainLadder(df, "od", "sd", "amt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    val jan = (2024 - 1970) * 12 + 0
+    assert(got == List(
+      (jan.toLong, 1L, 150.0, 150.0, 0.0),
+      (jan + 1L, 0L, 200.0, 300.0, 100.0)), got.toString)
+  }
+
+  test("StarSchema.kpiLmdi: contributions are additive to the revenue delta") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    val df = Seq(
+      (ts("2024-01-01"), 1L, 100.0), (ts("2024-01-02"), 1L, 100.0),
+      (ts("2024-03-01"), 1L, 150.0), (ts("2024-03-02"), 2L, 150.0))
+      .toDF("od", "cust", "amt")
+    val rows = StarSchema.kpiLmdi(df, "od", "cust", "amt").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getAs[Double]("contribution"))).toMap
+    assert(rows("customers")._1 == 1.0 && rows("customers")._2 == 2.0)
+    assert(rows("orders_per_customer")._1 == 2.0 &&
+      rows("orders_per_customer")._2 == 1.0)
+    // LMDI additivity: contributions sum to rb - ra = 100 (rounding only)
+    val total = rows.values.map(_._3).sum
+    assert(math.abs(total - 100.0) < 0.05, rows.toString)
+    assert(rows("customers")._3 > 0 && rows("orders_per_customer")._3 < 0)
+  }
+
+  test("StarSchema.crostonForecast: hand-unrolled smoothing of sizes and gaps") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // demand 2, 4, 6 on days 1, 4, 6: z = .1(6) + .1(.9*4) + .81*2 =
+    // 2.58; gaps 3, 2: p = .1(2) + .9*3 = 2.9
+    val df = Seq(
+      (7L, ts("2024-01-01"), 2.0), (7L, ts("2024-01-04"), 4.0),
+      (7L, ts("2024-01-06"), 6.0)).toDF("pk", "sd", "qty")
+    val r = StarSchema.crostonForecast(df, "pk", "sd", "qty", alpha = 0.1).head()
+    assert(r.getAs[Long]("n_demand_points") == 3L)
+    assert(r.getAs[Double]("z_smooth") == 2.58, r.toString)
+    assert(r.getAs[Double]("p_smooth") == 2.9, r.toString)
+    assert(r.getAs[Double]("croston_forecast") == 0.889655)
+    assert(r.getAs[Double]("sba_forecast") == 0.845172)
+  }
+
+  test("StarSchema.priceVolumeMix: three-way identity reconciles per group") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // A: X 10 @ 2, Y 10 @ 4 (pbar = 3); B: X 20 @ 3, Y 5 @ 4
+    val df = Seq(
+      ("X", ts("2024-01-01"), 10.0, 20.0), ("Y", ts("2024-01-01"), 10.0, 40.0),
+      ("X", ts("2024-03-01"), 20.0, 60.0), ("Y", ts("2024-03-01"), 5.0, 20.0))
+      .toDF("brand", "sd", "qty", "amt")
+    val got = StarSchema.priceVolumeMix(df, "brand", "sd", "qty", "amt")
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("price_effect"),
+        r.getAs[Double]("volume_effect"), r.getAs[Double]("mix_effect"),
+        r.getAs[Double]("delta_revenue"))).toMap
+    assert(got("X") == ((20.0, 30.0, -10.0, 40.0)), got.toString)
+    assert(got("Y") == ((0.0, -15.0, -5.0, -20.0)), got.toString)
+    // identity: effects sum to the revenue delta exactly
+    got.values.foreach { case (p, v, m, d) => assert(p + v + m == d) }
+  }
+
   test("TextAnalysis.dialogProfile: turns, violations, role balance") {
     val df = Seq(
       ("s", "User: a\nAssistant: b\nUser: c\nUser: d\nplain tail"),
