@@ -3426,6 +3426,29 @@ object SparkEntry {
           sf.col("l_partkey") === sf.col("p_partkey")),
         "p_brand", "l_shipdate", "l_quantity", "l_extendedprice")),
 
+    // Theta-method one-step forecast per type (SES + half-drift, the
+    // Hyndman-Billah equivalent form) on the dense hourly grid.
+    "q486_theta_forecast" -> ((s, dir) =>
+      EventOps.thetaForecast(Tables.load(s, dir, "events"))),
+
+    // Off-policy replay (IPS): the greedy per-context policy's value
+    // from logged data with exact empirical propensities.
+    "q487_ips_offpolicy" -> ((s, dir) =>
+      EventOps.ipsOffPolicy(Tables.load(s, dir, "events"),
+        sf.pmod(sf.col("user_id"), sf.lit(4)))),
+
+    // Forecast-bias tracking signal vs the naive lag-1 baseline.
+    "q488_tracking_signal" -> ((s, dir) =>
+      EventOps.trackingSignal(Tables.load(s, dir, "events"))),
+
+    // 2-D skyline: parts no other part beats on BOTH price and size
+    // (minimize both) — the Pareto-front database operator.
+    "q489_skyline" -> ((s, dir) =>
+      StarSchema.skyline2D(Tables.load(s, dir, "part"),
+        "p_retailprice", "p_size")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -15821,5 +15844,105 @@ object SparkEntry {
         |  floor((pa - pbar)*(qb - qa)*100.0 + 0.5)/100.0 AS mix_effect,
         |  floor((CAST(cb2 AS DOUBLE)/100 - CAST(ca2 AS DOUBLE)/100)*100.0 + 0.5)/100.0 AS delta_revenue
         |FROM px ORDER BY p_brand""".stripMargin,
+
+    // Theta: desc-rank SES weights + exact OLS slope on the grid,
+    // Hyndman-Billah drift multiplier with per-row pow.
+    "q486_theta_forecast" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |rk AS (SELECT t, bin, v,
+        |    row_number() OVER (PARTITION BY t ORDER BY bin DESC) - 1 AS j FROM sv),
+        |nn AS (SELECT t, COUNT(*) AS nb FROM rk GROUP BY 1),
+        |tm AS (SELECT rk.t, nn.nb, rk.j, rk.v,
+        |    CAST(floor((CASE WHEN j = nb - 1 THEN pow(0.7, CAST(j AS DOUBLE))
+        |      ELSE 0.3*pow(0.7, CAST(j AS DOUBLE)) END) * v * 1e9 + 0.5) AS BIGINT) AS s9
+        |  FROM rk JOIN nn USING (t)),
+        |ag AS (SELECT t, CAST(MAX(nb) AS BIGINT) AS nb, SUM(CAST(s9 AS HUGEINT)) AS ses9,
+        |    SUM(CAST(j AS HUGEINT)) AS sx, SUM(CAST(j AS HUGEINT)*j) AS sxx,
+        |    SUM(CAST(v AS HUGEINT)) AS sy, SUM(CAST(j AS HUGEINT)*v) AS sxy
+        |  FROM tm GROUP BY 1),
+        |fin AS (SELECT t, nb, ses9,
+        |    CASE WHEN nb >= 3 AND (CAST(nb AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <> 0
+        |      THEN -((CAST(nb AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |        / (CAST(nb AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+        |    END AS slope
+        |  FROM ag)
+        |SELECT t AS event_type, nb AS n_bins,
+        |  floor(CAST(ses9 AS DOUBLE)/1e9*1000000.0 + 0.5)/1000000.0 AS ses_level,
+        |  floor(slope/2*1000000.0 + 0.5)/1000000.0 AS half_drift,
+        |  CASE WHEN slope IS NOT NULL THEN
+        |    floor((CAST(ses9 AS DOUBLE)/1e9 + slope/2*(1.0 - pow(0.7, CAST(nb AS DOUBLE)))/0.3)*1000000.0 + 0.5)/1000000.0
+        |  END AS theta_forecast
+        |FROM fin ORDER BY event_type""".stripMargin,
+
+    // IPS replay: integer-decided per-context argmax, one DECIMAL
+    // floor division per context, pinned finals.
+    "q487_ips_offpolicy" ->
+      """WITH b AS (SELECT user_id % 4 AS x, event_type AS a,
+        |    CAST(floor(CAST(value AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS r4
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |cells AS (SELECT x, a, CAST(COUNT(*) AS BIGINT) AS nax,
+        |    SUM(CAST(r4 AS HUGEINT)) AS rax FROM b GROUP BY 1, 2),
+        |best AS (SELECT x, a, nax, rax FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY x
+        |      ORDER BY CAST(rax*1000000 // nax AS BIGINT) DESC, a) AS rk FROM cells)
+        |  WHERE rk = 1),
+        |nx AS (SELECT x, CAST(SUM(nax) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |pc AS (SELECT (best.rax * nx.nx * 100000) // best.nax AS v9
+        |  FROM best JOIN nx USING (x)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    SUM(CAST(r4 AS HUGEINT)) AS rall,
+        |    CAST(COUNT(DISTINCT x) AS BIGINT) AS n_contexts FROM b),
+        |sv AS (SELECT SUM(v9) AS sv9 FROM pc)
+        |SELECT n_events, n_contexts,
+        |  floor(CAST(rall AS DOUBLE)/1e4/CAST(n_events AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS v_logging,
+        |  floor(CAST(sv9 AS DOUBLE)/1e9/CAST(n_events AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS v_ips,
+        |  floor((v_ips - v_logging)*1000000.0 + 0.5)/1000000.0 AS uplift
+        |FROM sv CROSS JOIN tot""".stripMargin,
+
+    // Tracking signal: integer lag-1 errors on the dense grid.
+    "q488_tracking_signal" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |er AS (SELECT t, v - lag(v) OVER (PARTITION BY t ORDER BY bin) AS e2 FROM sv),
+        |f AS (SELECT t, e2 FROM er WHERE e2 IS NOT NULL)
+        |SELECT t AS event_type, CAST(COUNT(*) AS BIGINT) AS n_errors,
+        |  CAST(SUM(e2) AS BIGINT) AS sum_error,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    floor(CAST(SUM(abs(e2)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mad,
+        |  CASE WHEN SUM(abs(e2)) > 0 THEN
+        |    floor(CAST(SUM(e2) AS DOUBLE)*CAST(COUNT(*) AS DOUBLE)/CAST(SUM(abs(e2)) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS tracking_signal,
+        |  floor(CAST(SUM(CASE WHEN e2 > 0 THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN e2 < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    /CAST(COUNT(*) AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS signed_error_share
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Skyline: level collapse + strict-prefix staircase minimum.
+    "q489_skyline" ->
+      """WITH b AS (SELECT p_partkey, p_retailprice, p_size,
+        |    CAST(floor(CAST(p_retailprice AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS x4,
+        |    CAST(floor(CAST(p_size AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS y4
+        |  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |lv AS (SELECT x4, MIN(y4) AS ymin FROM b GROUP BY 1),
+        |st AS (SELECT x4, ymin, MIN(ymin) OVER (ORDER BY x4
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin FROM lv),
+        |keep AS (SELECT x4, ymin FROM st WHERE pmin IS NULL OR ymin < pmin)
+        |SELECT b.p_partkey, b.p_retailprice, b.p_size
+        |FROM b JOIN keep ON b.x4 = keep.x4 AND b.y4 = keep.ymin
+        |ORDER BY b.p_partkey""".stripMargin,
   )
 }

@@ -5659,4 +5659,176 @@ object EventOps {
           sf.log(sf.col("__q") / sf.col("__p")) / (sf.col("__p") + sf.col("__q")),
           6)).as("peak_week"))
   }
+
+  /** Theta-method one-step forecast per event type (Assimakopoulos &
+    * Nikolopoulos 2000 — the M3-competition winner; computed in the
+    * Hyndman & Billah 2003 equivalent form: SES plus half the linear
+    * trend, ŷ(1) = SES_T + (b/2)·(1 − (1−α)ⁿ)/α) over the dense
+    * hourly grid — the robust middle of the forecasting ladder: row
+    * 287's EWMA has no drift, row 404/443's Holt(-Winters) carry
+    * explicit trend/season state; Theta is the famously hard-to-beat
+    * two-parameter compromise.
+    *
+    * Determinism: SES unrolls to per-bin weights α(1−α)^j (desc rank
+    * j, init term at the oldest bin — the row 541 convention), each
+    * term snapped 1e-9 before exact sums; the trend slope is exact
+    * integer OLS moments with ONE pinned assembly; the drift
+    * multiplier's (1−α)ⁿ is an engine-portable per-row pow. Types
+    * with n < 3 bins or zero slope variance -> NULL forecast.
+    *
+    * Scale shape: the row 165 dense grid, one per-type window over
+    * the BIN domain (bounded by the horizon, never raw events), two
+    * combinable rollups. */
+  def thetaForecast(events: DataFrame, alpha: Double = 0.3,
+                    binSec: Long = 3600): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val beta = 1.0 - alpha
+    val sv = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+    val w = Window.partitionBy("t").orderBy(sf.col("bin").desc)
+    val ranked = sv.withColumn("__j", sf.row_number().over(w) - 1)
+      .localCheckpoint(true) // ses + ols moments read it
+    val n = sf.col("__n")
+    val terms = ranked
+      .join(sf.broadcast(ranked.groupBy(sf.col("t").as("__t2"))
+        .agg(sf.count(sf.lit(1)).as("__n"))), sf.col("t") === sf.col("__t2"))
+      .select(sf.col("t"), sf.col("__n"), sf.col("bin"), sf.col("v"), sf.col("__j"),
+        sf.floor(
+          sf.when(sf.col("__j") === n - 1,
+            sf.pow(sf.lit(beta), sf.col("__j").cast("double")))
+            .otherwise(sf.lit(alpha) * sf.pow(sf.lit(beta), sf.col("__j").cast("double")))
+          * sf.col("v") * 1e9 + 0.5).cast("long").as("__s9"))
+    val agg = terms.groupBy("t").agg(
+      sf.max("__n").as("nb"),
+      sf.sum(dec(sf.col("__s9"))).as("__ses9"),
+      // exact OLS moments of v on the bin index j (any affine time
+      // axis gives the same slope magnitude; desc j flips the sign)
+      sf.sum(dec(sf.col("__j"))).as("sx"),
+      sf.sum(dec(sf.col("__j")) * sf.col("__j")).as("sxx"),
+      sf.sum(dec(sf.col("v"))).as("sy"),
+      sf.sum(dec(sf.col("__j")) * sf.col("v")).as("sxy"))
+    def d(c: Column) = c.cast("double")
+    val den = d(agg("nb")) * d(sf.col("sxx")) - d(sf.col("sx")) * d(sf.col("sx"))
+    val slopeDesc = (d(agg("nb")) * d(sf.col("sxy")) - d(sf.col("sx")) * d(sf.col("sy"))) / den
+    agg
+      .withColumn("__slope", sf.when(sf.col("nb") >= 3 && den =!= 0.0,
+        -slopeDesc)) // j runs backwards in time: negate to per-bin drift
+      .select(sf.col("t").as("event_type"),
+        sf.col("nb").cast("long").as("n_bins"),
+        gf.roundAt(sf.col("__ses9").cast("double") / 1e9, 6).as("ses_level"),
+        gf.roundAt(sf.col("__slope") / 2, 6).as("half_drift"),
+        sf.when(sf.col("__slope").isNotNull, gf.roundAt(
+          sf.col("__ses9").cast("double") / 1e9 +
+            sf.col("__slope") / 2 *
+            (sf.lit(1.0) - sf.pow(sf.lit(beta), sf.col("nb").cast("double"))) /
+            sf.lit(alpha), 6)).as("theta_forecast"))
+      .orderBy("event_type")
+  }
+
+  /** Off-policy replay evaluation by inverse propensity scoring (Li
+    * et al. WSDM 2011) — "what reward WOULD the greedy per-context
+    * policy have earned", answered from logged data alone (with exact
+    * empirical propensities the SNIPS self-normalizer is identically
+    * n, so the self-normalized estimate coincides — noted in-code):
+    * arms =
+    * event types, contexts = a caller-named column, logged propensity
+    * = the empirical arm share within the context, target policy =
+    * each context's highest-mean-reward arm. The counterfactual
+    * question rows 129/250 (A/B readouts) need a live experiment for.
+    *
+    * Determinism: rewards snap 1e-4; the per-context argmax is
+    * integer-decided (mean rank = sum·10⁶ div count, ties to the
+    * lower arm); each context's IPS term (matched-reward sum × n_x /
+    * n_{a*,x}) is ONE DECIMAL floor division to 1e-9; the estimates
+    * are pinned ratios of exact longs 1e-6. The estimator is the
+    * standard REPLAY self-evaluation — upward-biased on the training
+    * log (the argmax saw these rewards), documented.
+    *
+    * Scale shape: one (context, arm) rollup (bounded domain), a
+    * per-context argmax window over arms, one matched-event rollup —
+    * events shuffle once. */
+  def ipsOffPolicy(events: DataFrame, contextCol: Column,
+                   armCol: String = "event_type",
+                   rewardCol: String = "value"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = events
+      .filter(sf.col(armCol).isNotNull && sf.col(rewardCol).isNotNull &&
+        contextCol.isNotNull)
+      .select(contextCol.cast("long").as("__x"), sf.col(armCol).as("__a"),
+        sf.floor(sf.col(rewardCol).cast("double") * 1e4 + 0.5).cast("long")
+          .as("__r4"))
+      .localCheckpoint(true) // cells + the logging-value rollup read it
+    val cells = base.groupBy("__x", "__a")
+      .agg(sf.count(sf.lit(1)).as("__nax"), sf.sum(dec(sf.col("__r4"))).as("__rax"))
+      .localCheckpoint(true) // argmax + context totals read it
+    val wArm = Window.partitionBy("__x")
+      .orderBy(sf.expr("CAST(__rax * 1000000 div __nax AS BIGINT)").desc,
+        sf.col("__a"))
+    val best = cells.withColumn("__rk", sf.row_number().over(wArm))
+      .filter(sf.col("__rk") === 1)
+      .select(sf.col("__x").as("__bx"), sf.col("__a").as("__ba"),
+        sf.col("__nax").as("__nbx"), sf.col("__rax").as("__rbx"))
+    val nx = cells.groupBy(sf.col("__x").as("__tx"))
+      .agg(sf.sum("__nax").as("__nx"))
+    val perCtx = best.join(sf.broadcast(nx), sf.col("__bx") === sf.col("__tx"))
+      .select(
+        sf.expr("CAST(__rbx * __nx * 100000 div __nbx AS DECIMAL(38,0))").as("__v9"))
+    val tot = base.agg(sf.count(sf.lit(1)).as("n_events"),
+      sf.sum(dec(sf.col("__r4"))).as("__rall"),
+      sf.count_distinct(sf.col("__x")).as("n_contexts"))
+    // With EXACT empirical propensities the SNIPS self-normalizer is
+    // identically n (each context's matched weight sum is n_bx * n_x /
+    // n_bx = n_x), so SNIPS == IPS here — reported once, with the
+    // uplift over the logging policy as the decision readout.
+    perCtx.agg(sf.sum("__v9").as("__sv9"))
+      .crossJoin(sf.broadcast(tot))
+      .select(sf.col("n_events"), sf.col("n_contexts"),
+        gf.roundAt(sf.col("__rall").cast("double") / 1e4 /
+          sf.col("n_events").cast("double"), 6).as("v_logging"),
+        gf.roundAt(sf.col("__sv9").cast("double") / 1e9 /
+          sf.col("n_events").cast("double"), 6).as("v_ips"))
+      .withColumn("uplift",
+        gf.roundAt(sf.col("v_ips") - sf.col("v_logging"), 6))
+  }
+
+  /** Forecast-bias tracking signal per event type (Trigg 1964's
+    * monitoring question in its cumulative form) against the NAIVE
+    * lag-1 forecast on the dense grid: TS = Σe / MAD with e_t = v_t −
+    * v_{t−1} and MAD = Σ|e|/n — |TS| beyond ~4 flags a persistently
+    * biased forecast (drift the MAD-scaled CUSUM row 368 would also
+    * catch, here in the units every ops textbook quotes); beside it
+    * the signed-error share. The naive baseline makes this a DATA
+    * diagnostic (is the series driftless?) rather than a model one.
+    *
+    * Determinism: errors are exact integer differences on the dense
+    * grid; TS and shares are pinned ratios of exact longs 1e-6.
+    *
+    * Scale shape: the row 165 grid + one per-type lag window over the
+    * BIN domain + one combinable rollup. */
+  def trackingSignal(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    val sv = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+    val w = Window.partitionBy("t").orderBy("bin")
+    sv.withColumn("__e", sf.col("v") - sf.lag("v", 1).over(w))
+      .filter(sf.col("__e").isNotNull)
+      .groupBy(sf.col("t").as("event_type"))
+      .agg(sf.count(sf.lit(1)).as("n_errors"),
+        sf.sum("__e").cast("long").as("sum_error"),
+        sf.sum(sf.abs(sf.col("__e"))).cast("long").as("__sabs"),
+        sf.sum((sf.col("__e") > 0).cast("long")).as("__pos"),
+        sf.sum((sf.col("__e") < 0).cast("long")).as("__neg"))
+      .select(sf.col("event_type"), sf.col("n_errors"), sf.col("sum_error"),
+        sf.when(sf.col("n_errors") > 0, gf.roundAt(
+          sf.col("__sabs").cast("double") / sf.col("n_errors").cast("double"),
+          6)).as("mad"),
+        sf.when(sf.col("__sabs") > 0, gf.roundAt(
+          sf.col("sum_error").cast("double") * sf.col("n_errors").cast("double") /
+            sf.col("__sabs").cast("double"), 6)).as("tracking_signal"),
+        gf.roundAt((sf.col("__pos") - sf.col("__neg")).cast("double") /
+          sf.col("n_errors").cast("double"), 6).as("signed_error_share"))
+      .orderBy("event_type")
+  }
 }

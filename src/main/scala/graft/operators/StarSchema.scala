@@ -1370,4 +1370,43 @@ object StarSchema {
           sf.col("__sp9").cast("double"), 6).as("sba_forecast"))
       .orderBy(groupCol)
   }
+
+  /** 2-D skyline / Pareto front (Borzsony, Kossmann & Stocker ICDE
+    * 2001 — the SKYLINE database operator), minimize-both convention:
+    * every row no other row dominates (<= in both dims, < in at
+    * least one) — the "show me the undominated offers" query
+    * (cheapest-for-its-size part, fastest-for-its-price supplier)
+    * that no GROUP BY can express; exact duplicates of a skyline
+    * point are all on the skyline (domination needs a strict edge).
+    * Maximize a dimension by negating it at the call site.
+    *
+    * Determinism: values snap to the 1e-4 grid; membership is pure
+    * integer order logic — a point survives iff it holds the minimum
+    * y AT its x level and beats the strict-prefix minimum over
+    * smaller x.
+    *
+    * Scale shape: rows collapse to the (x, min y) level DOMAIN first
+    * (one combinable rollup — the corpus never sorts); the staircase
+    * prefix-min runs on that bounded domain (the ksTest pmod idiom);
+    * survivors come back via one (x, y)-keyed semi join. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(sf.col(xCol).isNotNull && sf.col(yCol).isNotNull)
+      .withColumn("__x4",
+        sf.floor(sf.col(xCol).cast("double") * 1e4 + 0.5).cast("long"))
+      .withColumn("__y4",
+        sf.floor(sf.col(yCol).cast("double") * 1e4 + 0.5).cast("long"))
+      .localCheckpoint(true) // the level collapse + the final semi join read it
+    val levels = base.groupBy("__x4").agg(sf.min("__y4").as("__ymin"))
+    val w = Window.partitionBy(sf.pmod(sf.hash(sf.col("__x4")), sf.lit(1)))
+      .orderBy("__x4").rowsBetween(Window.unboundedPreceding, -1)
+    val keep = levels
+      .withColumn("__pmin", sf.min("__ymin").over(w)) // strict-prefix min
+      .filter(sf.col("__pmin").isNull || sf.col("__ymin") < sf.col("__pmin"))
+      .select(sf.col("__x4").as("__kx"), sf.col("__ymin").as("__ky"))
+    base.join(sf.broadcast(keep),
+        sf.col("__x4") === sf.col("__kx") && sf.col("__y4") === sf.col("__ky"),
+        "left_semi")
+      .drop("__x4", "__y4")
+      .orderBy(xCol, yCol)
+  }
 }

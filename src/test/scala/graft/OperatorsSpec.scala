@@ -4252,6 +4252,61 @@ class OperatorsSpec extends SparkFunSuite {
   }
 
 
+  test("EventOps.thetaForecast: SES + half-drift on a hand linear series") {
+    def ts(h: Int, i: Int) =
+      new java.sql.Timestamp(3600000L * h + i) // hour h, i ms offset
+    // counts 1,2,3,4 across 4 consecutive hours: OLS slope exactly 1
+    val rows = for (h <- 0 until 4; i <- 0 to h) yield ("click", ts(h, i), 1.0)
+    val df = rows.toDF("event_type", "ts", "value")
+    val r = EventOps.thetaForecast(df, alpha = 0.3).head()
+    assert(r.getAs[Long]("n_bins") == 4L)
+    assert(r.getAs[Double]("half_drift") == 0.5)
+    // replicate the snapped SES: weights .3,.3*.7,.3*.49 and init .343
+    val ses = Seq(0.3 * 4, 0.3 * 0.7 * 3, 0.3 * 0.49 * 2, 0.343 * 1)
+      .map(x => math.floor(x * 1e9 + 0.5)).sum / 1e9
+    assert(r.getAs[Double]("ses_level") == math.floor(ses * 1e6 + 0.5) / 1e6)
+    val theta = ses + 0.5 * (1.0 - math.pow(0.7, 4)) / 0.3
+    assert(r.getAs[Double]("theta_forecast") == math.floor(theta * 1e6 + 0.5) / 1e6)
+  }
+
+  test("EventOps.ipsOffPolicy: greedy per-context replay value and uplift") {
+    // ctx 0: A mean 1 (n 2), B mean 3 (n 1) -> best B; ctx 1: A 5
+    val df = Seq(
+      (0L, "A", 1.0), (0L, "A", 1.0), (0L, "B", 3.0),
+      (1L, "A", 5.0)).toDF("ctx", "event_type", "value")
+    val r = EventOps.ipsOffPolicy(df, sf.col("ctx")).head()
+    assert(r.getAs[Long]("n_events") == 4L && r.getAs[Long]("n_contexts") == 2L)
+    assert(r.getAs[Double]("v_logging") == 2.5)
+    // V = (3*3 + 5*1)/4 = 3.5 (best-arm mean x context mass)
+    assert(r.getAs[Double]("v_ips") == 3.5)
+    assert(r.getAs[Double]("uplift") == 1.0)
+  }
+
+  test("EventOps.trackingSignal: hand errors 1, 2, -1") {
+    def ts(h: Int, i: Int) = new java.sql.Timestamp(3600000L * h + i)
+    val rows = (for (i <- 0 until 1) yield ("c", ts(0, i), 1.0)) ++
+      (for (i <- 0 until 2) yield ("c", ts(1, i), 1.0)) ++
+      (for (i <- 0 until 4) yield ("c", ts(2, i), 1.0)) ++
+      (for (i <- 0 until 3) yield ("c", ts(3, i), 1.0))
+    val r = EventOps.trackingSignal(rows.toDF("event_type", "ts", "value")).head()
+    assert(r.getAs[Long]("n_errors") == 3L)
+    assert(r.getAs[Long]("sum_error") == 2L)
+    assert(r.getAs[Double]("mad") == 1.333333)
+    assert(r.getAs[Double]("tracking_signal") == 1.5)
+    assert(r.getAs[Double]("signed_error_share") == 0.333333)
+  }
+
+  test("StarSchema.skyline2D: staircase keeps undominated points and duplicates") {
+    val df = Seq((1L, 1.0, 5.0), (2L, 2.0, 3.0), (3L, 3.0, 3.0),
+      (4L, 2.0, 7.0), (5L, 0.0, 9.0), (6L, 2.0, 3.0))
+      .toDF("id", "x", "y")
+    val got = StarSchema.skyline2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    // (3,3) dominated by (2,3); (2,7) dominated at its own x;
+    // the exact duplicate of (2,3) stays (no strict edge)
+    assert(got == Set(5L, 1L, 2L, 6L), got.toString)
+  }
+
   test("StarSchema.chainLadder: hand triangle, factor projects the young cohort") {
     def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
     // Jan cohort ships 100 at age 0 and 50 at age 1 (f0 = 1.5);
