@@ -244,12 +244,17 @@ object Recsys {
           sf.when(sf.col("__d18").isNull || sf.col("__d18") <= 0, sf.lit(0L))
             .otherwise(sf.expr("CAST(CAST(wins AS DECIMAL(38,0)) *" +
               " 1000000000000000000 div __d18 AS BIGINT)")).as("__p0"))
-      val tot = unnorm.agg(sf.sum(dec(sf.col("__p0"))).as("__tot"))
-      p = unnorm.crossJoin(sf.broadcast(tot))
+      // unnorm is read TWICE (its total + the renormalize): checkpoint
+      // the |entities|-row result EVERY round, or the executed plan
+      // doubles per round between cuts (measured 20s at sf0.1 with a
+      // 4-round batch; 2.6s with the per-round cut — the row 157
+      // lineage discipline, amplified by the twice-read shape)
+      val unnormC = unnorm.localCheckpoint(true)
+      val tot = unnormC.agg(sf.sum(dec(sf.col("__p0"))).as("__tot"))
+      p = unnormC.crossJoin(sf.broadcast(tot))
         .select(sf.col("e"), sf.expr(
           s"CAST(CAST(__p0 AS DECIMAL(38,0)) * $nEntities * $SCALE div __tot" +
             " AS BIGINT)").as("p9"))
-      if (it % 4 == 0) p = p.localCheckpoint(true)
     }
     val losses = undirected.groupBy(sf.col("ea").as("e"))
       .agg(sf.sum("__n").as("__tot_n"))
