@@ -3449,6 +3449,31 @@ object SparkEntry {
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")),
 
+    // Weibull median-rank regression on order->last-ship lead days:
+    // shape (failure regime), scale (63.2% life), B10.
+    "q490_weibull" -> ((s, dir) => {
+      val opens = Tables.load(s, dir, "orders")
+        .filter(sf.col("o_orderdate").isNotNull)
+        .select(sf.col("o_orderkey"), sf.expr(
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("__o"))
+      val closes = Tables.load(s, dir, "lineitem")
+        .filter(sf.col("l_shipdate").isNotNull)
+        .groupBy("l_orderkey")
+        .agg(sf.max(sf.expr(
+          "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")).as("__c"))
+      StarSchema.weibullFit(
+        opens.join(closes, sf.col("o_orderkey") === sf.col("l_orderkey"))
+          .select(sf.col("o_orderkey"),
+            (sf.col("__c") - sf.col("__o")).cast("double").as("lead_days")),
+        "o_orderkey", "lead_days")
+    }),
+
+    // ABC-XYZ planning matrix: revenue Pareto x demand variability —
+    // the 9-cell grid that routes parts to forecast/stock policies.
+    "q491_abc_xyz" -> ((s, dir) =>
+      StarSchema.abcXyzMatrix(Tables.load(s, dir, "lineitem"),
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -15944,5 +15969,79 @@ object SparkEntry {
         |SELECT b.p_partkey, b.p_retailprice, b.p_size
         |FROM b JOIN keep ON b.x4 = keep.x4 AND b.y4 = keep.ymin
         |ORDER BY b.p_partkey""".stripMargin,
+
+    // Weibull: global median ranks on the (t, key) total order,
+    // snapped ln pairs, exact moments, pinned assembly.
+    "q490_weibull" ->
+      """WITH op AS (SELECT o_orderkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS od
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        |cl AS (SELECT l_orderkey,
+        |    MAX(epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000) AS cd
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+        |t AS (SELECT o_orderkey AS k, CAST(cd - od AS DOUBLE) AS tt
+        |  FROM op JOIN cl ON o_orderkey = l_orderkey),
+        |alln AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM t),
+        |pos AS (SELECT k, tt FROM t WHERE tt > 0),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pos),
+        |rk AS (SELECT tt, row_number() OVER (ORDER BY tt, k) AS i FROM pos),
+        |sn AS (SELECT CAST(floor(ln(tt)*1e9 + 0.5) AS BIGINT) AS x9,
+        |    CAST(floor(ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)/(CAST(n AS DOUBLE) + 0.4)))*1e9 + 0.5) AS BIGINT) AS y9
+        |  FROM rk CROSS JOIN nn),
+        |m AS (SELECT nn.n, SUM(CAST(x9 AS HUGEINT)) AS sx, SUM(CAST(x9 AS HUGEINT)*x9) AS sxx,
+        |    SUM(CAST(y9 AS HUGEINT)) AS sy, SUM(CAST(x9 AS HUGEINT)*y9) AS sxy
+        |  FROM sn CROSS JOIN nn GROUP BY 1),
+        |fin AS (SELECT n,
+        |    CASE WHEN n >= 3 AND (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <> 0
+        |      THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |    END AS kk,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM m),
+        |asm AS (SELECT n, kk, (syd - kk*sxd)/CAST(n AS DOUBLE)/1e9 AS icept FROM fin)
+        |SELECT n AS n_observations,
+        |  floor(kk*1000000.0 + 0.5)/1000000.0 AS shape_k,
+        |  CASE WHEN kk > 0 THEN floor(exp(-icept/kk)*1000000.0 + 0.5)/1000000.0 END AS scale_lambda,
+        |  CASE WHEN kk > 0 THEN
+        |    floor(exp(-icept/kk)*pow(0.10536051565782628, 1.0/kk)*1000000.0 + 0.5)/1000000.0
+        |  END AS b10_life,
+        |  alln.na - n AS n_excluded
+        |FROM asm CROSS JOIN alln""".stripMargin,
+
+    // ABC-XYZ: the q297 Pareto chain joined with the CV classes from
+    // exact daily-demand moments; cell rollup + pinned shares.
+    "q491_abc_xyz" ->
+      """WITH per AS (SELECT l_partkey AS k,
+        |    CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_partkey IS NOT NULL
+        |  GROUP BY 1),
+        |cum AS (SELECT k, rev, CAST(SUM(rev) OVER (ORDER BY -rev, k) AS BIGINT) AS cumrev FROM per),
+        |tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t FROM per),
+        |abc AS (SELECT k, CAST(rev AS DOUBLE)/100 AS amt,
+        |    CASE WHEN CAST(cumrev AS DECIMAL(38,0))*5 <= CAST(t AS DECIMAL(38,0))*4 THEN 'A'
+        |         WHEN CAST(cumrev AS DECIMAL(38,0))*20 <= CAST(t AS DECIMAL(38,0))*19 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM cum CROSS JOIN tot),
+        |dl AS (SELECT l_partkey AS k,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS dy,
+        |    CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS BIGINT) AS d4
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1, 2),
+        |cv AS (SELECT k,
+        |    CASE WHEN COUNT(*) >= 2 AND SUM(CAST(d4 AS HUGEINT)) > 0 THEN
+        |      floor(sqrt((CAST(COUNT(*) AS DOUBLE)*CAST(SUM(CAST(d4 AS HUGEINT)*d4) AS DOUBLE)
+        |          - CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE)*CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE))
+        |        /(CAST(COUNT(*) AS DOUBLE) - 1.0))
+        |        /(CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000.0 + 0.5)/1000000.0
+        |      ELSE 0.0 END AS cvv
+        |  FROM dl GROUP BY 1),
+        |xyz AS (SELECT k, CASE WHEN cvv <= 0.5 THEN 'X' WHEN cvv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class FROM cv),
+        |cells AS (SELECT abc.abc_class, xyz.xyz_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CAST(floor(abc.amt*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev2
+        |  FROM abc JOIN xyz USING (k) GROUP BY 1, 2),
+        |ct AS (SELECT CAST(SUM(rev2) AS BIGINT) AS t2 FROM cells)
+        |SELECT abc_class, xyz_class, n_keys,
+        |  floor(CAST(rev2 AS DOUBLE)/CAST(t2 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS revenue_share
+        |FROM cells CROSS JOIN ct ORDER BY abc_class, xyz_class""".stripMargin,
   )
 }

@@ -1409,4 +1409,122 @@ object StarSchema {
       .drop("__x4", "__y4")
       .orderBy(xCol, yCol)
   }
+
+  /** Weibull reliability fit by median-rank regression (Benard's
+    * approximation F_i = (i−0.3)/(n+0.4); the standard engineering
+    * method, e.g. Abernethy's New Weibull Handbook) over a positive
+    * duration column — shape k (< 1 infant mortality, ~1 memoryless,
+    * > 1 wear-out), scale λ (the 63.2% life), and the B10 life
+    * λ(−ln 0.9)^(1/k) every reliability spec quotes: the PARAMETRIC
+    * summary rows 286/331's Kaplan–Meier/log-rank ladder deliberately
+    * avoids — KM describes THIS sample; Weibull extrapolates, names
+    * the failure regime, and prices warranties. Linearized: ln(−ln(1
+    * −F)) = k·ln t − k·ln λ, fit by OLS.
+    *
+    * Determinism: global ranks ride the row 135 range-partitioned
+    * dense numbering on the total order (duration, then key — exact
+    * tie-break); x = ln t and y = ln(−ln(1−F)) snap 1e-9 BEFORE the
+    * exact DECIMAL moment sums (the OLS convention); one pinned
+    * slope/intercept/assembly chain 1e-6; non-positive durations are
+    * excluded by contract (ln), counted in the output.
+    *
+    * Scale shape: one rollup to (key, duration), the range-partition
+    * numbering pass, one combinable moment reduce — no global sort
+    * materializes on one task. */
+  def weibullFit(df: DataFrame, keyCol: String, durationCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = df.filter(sf.col(keyCol).isNotNull && sf.col(durationCol).isNotNull)
+      .select(sf.col(keyCol).as("__k"),
+        sf.col(durationCol).cast("double").as("__t"))
+      .localCheckpoint(true) // the exclusion count + the fit read it
+    val nAll = base.count()
+    val pos = base.filter(sf.col("__t") > 0.0)
+    val ranked = globalDenseIds(pos, Seq("__t", "__k"), keyName = "__i")
+    val snapped = ranked
+      .join(sf.broadcast(pos.agg(sf.count(sf.lit(1)).as("__n"))))
+      .select(sf.col("__n"),
+        sf.floor(sf.log(sf.col("__t")) * 1e9 + 0.5).cast("long").as("__x9"),
+        sf.floor(sf.log(-sf.log(
+          sf.lit(1.0) - (sf.col("__i").cast("double") - 0.3) /
+            (sf.col("__n").cast("double") + 0.4))) * 1e9 + 0.5)
+          .cast("long").as("__y9"))
+    val m = snapped.groupBy("__n").agg(
+      sf.sum(dec(sf.col("__x9"))).as("sx"),
+      sf.sum(dec(sf.col("__x9")) * sf.col("__x9")).as("sxx"),
+      sf.sum(dec(sf.col("__y9"))).as("sy"),
+      sf.sum(dec(sf.col("__x9")) * sf.col("__y9")).as("sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val den = d(sf.col("__n")) * d(sf.col("sxx")) - d(sf.col("sx")) * d(sf.col("sx"))
+    val k = (d(sf.col("__n")) * d(sf.col("sxy")) - d(sf.col("sx")) * d(sf.col("sy"))) / den
+    m.withColumn("__shape", sf.when(sf.col("__n") >= 3 && den =!= 0.0, k))
+      .withColumn("__icept",
+        (d(sf.col("sy")) - sf.col("__shape") * d(sf.col("sx"))) /
+          d(sf.col("__n")) / 1e9)
+      .select(sf.col("__n").cast("long").as("n_observations"),
+        gf.roundAt(sf.col("__shape"), 6).as("shape_k"),
+        sf.when(sf.col("__shape") > 0.0, gf.roundAt(
+          sf.exp(-sf.col("__icept") / sf.col("__shape")), 6)).as("scale_lambda"),
+        sf.when(sf.col("__shape") > 0.0, gf.roundAt(
+          sf.exp(-sf.col("__icept") / sf.col("__shape")) *
+            sf.pow(sf.lit(-math.log(0.9)), sf.lit(1.0) / sf.col("__shape")), 6))
+          .as("b10_life"))
+      .withColumn("n_excluded", sf.lit(nAll) - sf.col("n_observations"))
+  }
+
+  /** ABC-XYZ inventory matrix — row 348's revenue-Pareto classes
+    * crossed with demand-VARIABILITY classes (XYZ by the coefficient
+    * of variation of daily demand: X ≤ 0.5 steady, Y ≤ 1.0, Z lumpy;
+    * the textbook cutoffs): the 9-cell planning grid that decides
+    * forecast method and stock policy per cell (AX: automate +
+    * newsvendor (row 537); CZ: make-to-order; BZ: row 541's Croston
+    * regime) — the map that routes every part to the right operator
+    * in this engine. Cells report part counts and revenue share.
+    *
+    * Determinism: ABC is row 348 verbatim; CV per key from exact
+    * 1e-4 daily sums (n·Σd² − (Σd)² in DECIMAL, one pinned sqrt
+    * ratio; single-day keys CV 0 -> X); cell rollup exact, shares
+    * pinned 1e-6.
+    *
+    * Scale shape: the row 348 pass + one (key, day) rollup + one
+    * key-domain moment collapse + a broadcast class join. */
+  def abcXyzMatrix(lines: DataFrame, keyCol: String, dateCol: String,
+                   qtyCol: String, amountCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val abc = abcClassification(lines, keyCol, amountCol)
+      .select(sf.col(keyCol).as("__ak"), sf.col("abc_class"),
+        sf.col("amount").as("__amt"))
+    val daily = lines
+      .filter(sf.col(keyCol).isNotNull && sf.col(dateCol).isNotNull &&
+        sf.col(qtyCol).isNotNull)
+      .groupBy(sf.col(keyCol).as("__k"),
+        sf.expr(s"unix_micros(CAST($dateCol AS TIMESTAMP)) div 86400000000")
+          .as("__day"))
+      .agg(sf.sum(sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5)
+        .cast("long")).as("__d4"))
+    val cv = daily.groupBy("__k").agg(
+        sf.count(sf.lit(1)).as("__nd"),
+        sf.sum(dec(sf.col("__d4"))).as("__s"),
+        sf.sum(dec(sf.col("__d4")) * sf.col("__d4")).as("__ss"))
+      .select(sf.col("__k"),
+        sf.when(sf.col("__nd") >= 2 && sf.col("__s") > 0, gf.roundAt(
+          sf.sqrt((sf.col("__nd").cast("double") * sf.col("__ss").cast("double") -
+            sf.col("__s").cast("double") * sf.col("__s").cast("double")) /
+            (sf.col("__nd").cast("double") - 1.0)) /
+            (sf.col("__s").cast("double") / sf.col("__nd").cast("double")), 6))
+          .otherwise(sf.lit(0.0)).as("__cv"))
+      .withColumn("xyz_class",
+        sf.when(sf.col("__cv") <= 0.5, "X")
+          .when(sf.col("__cv") <= 1.0, "Y").otherwise("Z"))
+    val cells = abc.join(cv, sf.col("__ak") === sf.col("__k"))
+      .groupBy("abc_class", "xyz_class")
+      .agg(sf.count(sf.lit(1)).as("n_keys"),
+        sf.sum(sf.floor(sf.col("__amt") * 100 + 0.5).cast("long")).as("__rev2"))
+      .localCheckpoint(true) // total + output read it
+    val tot = cells.agg(sf.sum(dec(sf.col("__rev2"))).as("__tot"))
+    cells.crossJoin(sf.broadcast(tot))
+      .select(sf.col("abc_class"), sf.col("xyz_class"), sf.col("n_keys"),
+        gf.roundAt(sf.col("__rev2").cast("double") /
+          sf.col("__tot").cast("double"), 6).as("revenue_share"))
+      .orderBy("abc_class", "xyz_class")
+  }
 }

@@ -4252,6 +4252,44 @@ class OperatorsSpec extends SparkFunSuite {
   }
 
 
+  test("StarSchema.weibullFit: median-rank regression, exclusions counted") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 0.0), (5L, -1.0))
+      .toDF("k", "t")
+    val r = StarSchema.weibullFit(df, "k", "t").head()
+    assert(r.getAs[Long]("n_observations") == 3L)
+    assert(r.getAs[Long]("n_excluded") == 2L)
+    // replicate the snapped pipeline: F_i = (i-.3)/3.4
+    def s9(x: Double) = math.floor(x * 1e9 + 0.5)
+    val xs = Seq(1.0, 2.0, 3.0).map(t => s9(math.log(t)))
+    val ys = (1 to 3).map(i => s9(math.log(-math.log(1.0 - (i - 0.3) / 3.4))))
+    val n = 3.0
+    val (sx, sxx, sy, sxy) = (xs.sum, xs.map(x => x * x).sum, ys.sum,
+      xs.zip(ys).map { case (a, b) => a * b }.sum)
+    val k = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - k * sx) / n / 1e9
+    assert(r.getAs[Double]("shape_k") == math.floor(k * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("scale_lambda") ==
+      math.floor(math.exp(-icept / k) * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("b10_life") < r.getAs[Double]("scale_lambda"))
+  }
+
+  test("StarSchema.abcXyzMatrix: revenue Pareto x demand variability cells") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    val df = Seq(
+      // P1: 70% revenue, steady (cv 0 -> X)
+      (1L, ts("2024-01-01"), 10.0, 35.0), (1L, ts("2024-01-02"), 10.0, 35.0),
+      // P2: 15%, cv 0.8 -> Y
+      (2L, ts("2024-01-01"), 3.0, 7.5), (2L, ts("2024-01-02"), 7.0, 7.5),
+      // P3: 15%, cv 1.6 -> Z
+      (3L, ts("2024-01-01"), 1.0, 5.0), (3L, ts("2024-01-02"), 9.0, 10.0))
+      .toDF("pk", "sd", "qty", "amt")
+    val got = StarSchema.abcXyzMatrix(df, "pk", "sd", "qty", "amt")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_keys"), r.getAs[Double]("revenue_share"))).toList
+    assert(got == List(("A", "X", 1L, 0.7), ("B", "Y", 1L, 0.15),
+      ("C", "Z", 1L, 0.15)), got.toString)
+  }
+
   test("EventOps.thetaForecast: SES + half-drift on a hand linear series") {
     def ts(h: Int, i: Int) =
       new java.sql.Timestamp(3600000L * h + i) // hour h, i ms offset
