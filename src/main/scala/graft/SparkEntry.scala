@@ -15416,13 +15416,13 @@ object SparkEntry {
     // KMV: min-k sets replayed with a window rank; union sketch and
     // rho from list algebra; every estimate the same pinned division.
     "q474_kmv_overlap" ->
-      """WITH r AS (SELECT DISTINCT event_type AS st,
-        |    ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
+      """WITH ri AS (SELECT DISTINCT event_type AS st, user_id AS i
         |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT DISTINCT st, ((i % 2147483648) * 2654435761) % 4294967296 AS h FROM ri),
         |mk AS (SELECT st AS s, list(h ORDER BY h) AS mka FROM (
         |    SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn FROM r)
         |  WHERE rn <= 64 GROUP BY st),
-        |ex AS (SELECT st AS s, CAST(COUNT(*) AS BIGINT) AS exd FROM r GROUP BY 1),
+        |ex AS (SELECT st AS s, CAST(COUNT(*) AS BIGINT) AS exd FROM ri GROUP BY 1),
         |ps AS (SELECT mk.s, mk.mka,
         |    CASE WHEN len(mk.mka) < 64 THEN CAST(len(mk.mka) AS DOUBLE)
         |      ELSE floor(63.0*4294967296.0/CAST(mka[64] AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS est,
@@ -15437,7 +15437,7 @@ object SparkEntry {
         |    ELSE floor(63.0*4294967296.0/CAST(ku[64] AS DOUBLE)*10000.0 + 0.5)/10000.0 END AS eu
         |  FROM cc),
         |ints AS (SELECT x.st AS ia, y.st AS ib, CAST(COUNT(*) AS BIGINT) AS xi
-        |  FROM r x JOIN r y ON x.h = y.h AND x.st < y.st GROUP BY 1, 2)
+        |  FROM ri x JOIN ri y ON x.i = y.i AND x.st < y.st GROUP BY 1, 2)
         |SELECT set_a, set_b, CAST(64 AS INT) AS k_used,
         |  ea AS est_distinct_a, xa AS exact_distinct_a,
         |  eb AS est_distinct_b, xb AS exact_distinct_b,
@@ -16031,7 +16031,7 @@ object SparkEntry {
         |    CASE WHEN COUNT(*) >= 2 AND SUM(CAST(d4 AS HUGEINT)) > 0 THEN
         |      floor(sqrt((CAST(COUNT(*) AS DOUBLE)*CAST(SUM(CAST(d4 AS HUGEINT)*d4) AS DOUBLE)
         |          - CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE)*CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE))
-        |        /(CAST(COUNT(*) AS DOUBLE) - 1.0))
+        |        /(CAST(COUNT(*) AS DOUBLE)*(CAST(COUNT(*) AS DOUBLE) - 1.0)))
         |        /(CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE))*1000000.0 + 0.5)/1000000.0
         |      ELSE 0.0 END AS cvv
         |  FROM dl GROUP BY 1),

@@ -183,9 +183,17 @@ object Sketch {
     val spark = df.sparkSession
     import spark.implicits._
     val M = 4294967296.0 // the sampleHash range, 2^32
-    val rows = df.filter(sf.col(setCol).isNotNull && sf.col(itemCol).isNotNull)
-      .select(sf.col(setCol).cast("string").as("s"),
-        Similarity.sampleHash(sf.col(itemCol)).as("h"))
+    val raw = df.filter(sf.col(setCol).isNotNull && sf.col(itemCol).isNotNull)
+      .select(sf.col(setCol).cast("string").as("s"), sf.col(itemCol).as("i"))
+    val rows = raw.select(sf.col("s"), Similarity.sampleHash(sf.col("i")).as("h"))
+    // Exact columns come from RAW item values, never from sampleHash:
+    // the hash truncates ids mod 2^31 before the multiply, so two ids
+    // congruent mod 2^31 are guaranteed collisions — hash-distinct
+    // counts would silently diverge from true distincts on large or
+    // adversarial id domains (fine for the ESTIMATES, wrong for the
+    // certification twin).
+    lazy val itemsEx = raw.distinct()
+      .localCheckpoint(true) // exact counts + both intersection sides read it
     val minks = rows.as[(String, Long)].groupByKey(_._1)
       .mapValues(_._2).agg(new MinKAgg(k).toColumn.name("mk"))
       .toDF("s", "mk")
@@ -196,7 +204,7 @@ object Sketch {
     val perSet0 = minks.select(sf.col("s"), sf.col("mk"),
       estOf(sf.col("mk"), sf.size(sf.col("mk"))).as("est_distinct"))
     val perSet = (if (withExact) {
-      val exact = rows.distinct().groupBy("s")
+      val exact = itemsEx.groupBy("s")
         .agg(sf.count(sf.lit(1)).as("exact_distinct"))
       perSet0.join(exact, "s")
     } else perSet0.withColumn("exact_distinct", sf.lit(null).cast("long")))
@@ -225,10 +233,9 @@ object Sketch {
         gf.roundAt(sf.col("__c").cast("double") * sf.col("est_union") /
           sf.col("__nu").cast("double"), 4))
     val out = if (withExact) {
-      val items = rows.distinct()
-      val inter = items.select(sf.col("s").as("__ia"), sf.col("h").as("__ha"))
-        .join(items.select(sf.col("s").as("__ib"), sf.col("h").as("__hb")),
-          sf.col("__ha") === sf.col("__hb") && sf.col("__ia") < sf.col("__ib"))
+      val inter = itemsEx.select(sf.col("s").as("__ia"), sf.col("i").as("__va"))
+        .join(itemsEx.select(sf.col("s").as("__ib"), sf.col("i").as("__vb")),
+          sf.col("__va") === sf.col("__vb") && sf.col("__ia") < sf.col("__ib"))
         .groupBy(sf.col("__ia"), sf.col("__ib"))
         .agg(sf.count(sf.lit(1)).as("exact_intersection"))
       pairs.join(inter, sf.col("set_a") === sf.col("__ia") &&

@@ -1118,8 +1118,26 @@ object StarSchema {
       .agg(sf.sum(dec(sf.col("__c2"))).as("__inc"))
     val wc = Window.partitionBy("cohort").orderBy("age")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // dense age grid per cohort so cumulatives carry across silent ages
-    val maxMonth = cells.agg(sf.max(sf.col("cohort") + sf.col("age"))).head().getInt(0)
+    // dense age grid per cohort so cumulatives carry across silent ages.
+    // The aggregate over zero surviving cells is a single NULL row —
+    // return the empty frame (sibling convention) instead of NPE-ing
+    // on getInt.
+    val maxRow = cells.agg(sf.max(sf.col("cohort") + sf.col("age"))).head()
+    if (maxRow.isNullAt(0))
+      return cells.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cohort_month",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("latest_age",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("observed",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("ultimate",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("reserve",
+            org.apache.spark.sql.types.DoubleType))))
+    val maxMonth = maxRow.getInt(0)
     val cum = cells.groupBy("cohort").agg(sf.lit(1).as("__one"))
       .select(sf.col("cohort"),
         sf.explode(sf.sequence(sf.lit(0),
@@ -1481,9 +1499,9 @@ object StarSchema {
     * in this engine. Cells report part counts and revenue share.
     *
     * Determinism: ABC is row 348 verbatim; CV per key from exact
-    * 1e-4 daily sums (n·Σd² − (Σd)² in DECIMAL, one pinned sqrt
-    * ratio; single-day keys CV 0 -> X); cell rollup exact, shares
-    * pinned 1e-6.
+    * 1e-4 daily sums — sample CV √((n·Σd² − (Σd)²)/(n·(n−1)))/mean,
+    * moments in DECIMAL, one pinned sqrt ratio; single-day keys CV
+    * 0 -> X; cell rollup exact, shares pinned 1e-6.
     *
     * Scale shape: the row 348 pass + one (key, day) rollup + one
     * key-domain moment collapse + a broadcast class join. */
@@ -1509,7 +1527,8 @@ object StarSchema {
         sf.when(sf.col("__nd") >= 2 && sf.col("__s") > 0, gf.roundAt(
           sf.sqrt((sf.col("__nd").cast("double") * sf.col("__ss").cast("double") -
             sf.col("__s").cast("double") * sf.col("__s").cast("double")) /
-            (sf.col("__nd").cast("double") - 1.0)) /
+            (sf.col("__nd").cast("double") *
+              (sf.col("__nd").cast("double") - 1.0))) /
             (sf.col("__s").cast("double") / sf.col("__nd").cast("double")), 6))
           .otherwise(sf.lit(0.0)).as("__cv"))
       .withColumn("xyz_class",

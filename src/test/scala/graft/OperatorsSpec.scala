@@ -4278,16 +4278,20 @@ class OperatorsSpec extends SparkFunSuite {
     val df = Seq(
       // P1: 70% revenue, steady (cv 0 -> X)
       (1L, ts("2024-01-01"), 10.0, 35.0), (1L, ts("2024-01-02"), 10.0, 35.0),
-      // P2: 15%, cv 0.8 -> Y
+      // P2: 15%, sample cv sqrt(16/2)/5 = 0.5657 -> Y
       (2L, ts("2024-01-01"), 3.0, 7.5), (2L, ts("2024-01-02"), 7.0, 7.5),
-      // P3: 15%, cv 1.6 -> Z
-      (3L, ts("2024-01-01"), 1.0, 5.0), (3L, ts("2024-01-02"), 9.0, 10.0))
+      // P3: 10%, sample cv sqrt(64/2)/5 = 1.1314 -> Z
+      (3L, ts("2024-01-01"), 1.0, 5.0), (3L, ts("2024-01-02"), 9.0, 5.0),
+      // P4: 5%, sample cv sqrt(25/2)/9.5 = 0.3722 -> X; the sqrt(n)-
+      // inflated formula (variance over n-1 instead of n*(n-1)) gave
+      // 0.5263 -> Y: this key pins the corrected denominator.
+      (4L, ts("2024-01-01"), 7.0, 2.5), (4L, ts("2024-01-02"), 12.0, 2.5))
       .toDF("pk", "sd", "qty", "amt")
     val got = StarSchema.abcXyzMatrix(df, "pk", "sd", "qty", "amt")
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getAs[Long]("n_keys"), r.getAs[Double]("revenue_share"))).toList
     assert(got == List(("A", "X", 1L, 0.7), ("B", "Y", 1L, 0.15),
-      ("C", "Z", 1L, 0.15)), got.toString)
+      ("B", "Z", 1L, 0.1), ("C", "X", 1L, 0.05)), got.toString)
   }
 
   test("EventOps.thetaForecast: SES + half-drift on a hand linear series") {
@@ -4360,6 +4364,19 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got == List(
       (jan.toLong, 1L, 150.0, 150.0, 0.0),
       (jan + 1L, 0L, 200.0, 300.0, 100.0)), got.toString)
+  }
+
+  test("StarSchema.chainLadder: fully-filtered input returns empty, not NPE") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // all rows null-amount or age outside [0, maxAge]: zero cells
+    // survive and the max-cohort aggregate is a NULL row
+    val df = Seq(
+      (ts("2024-01-10"), ts("2024-01-15"), Option.empty[Double]),
+      (ts("2024-01-10"), ts("2023-06-15"), Some(50.0))).toDF("od", "sd", "amt")
+    val got = StarSchema.chainLadder(df, "od", "sd", "amt")
+    assert(got.columns.toList ==
+      List("cohort_month", "latest_age", "observed", "ultimate", "reserve"))
+    assert(got.count() == 0L)
   }
 
   test("StarSchema.kpiLmdi: contributions are additive to the revenue delta") {
@@ -4495,6 +4512,24 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Long]("exact_intersection") == 5L)
     assert(r.getAs[Double]("est_intersection") == 5.0)
     assert(r.getAs[Double]("est_jaccard") == r.getAs[Double]("exact_jaccard"))
+  }
+
+  test("Sketch.kmvSetOverlap: exact columns survive sampleHash collisions") {
+    import graft.operators.Sketch
+    // ids 1 and 1 + 2^31 are guaranteed sampleHash collisions (the
+    // hash truncates mod 2^31 first). Exact columns must count RAW
+    // items: A holds both colliding ids (2 distinct, not 1) and B
+    // holds only the small one, so the true intersection is 1 even
+    // though every hash in A matches a hash in B.
+    val big = 1L + 2147483648L
+    val rows = Seq(("A", 1L), ("A", big), ("A", 7L),
+      ("B", 1L), ("B", 7L)).toDF("grp", "item")
+    val r = Sketch.kmvSetOverlap(rows, "grp", "item", k = 64).head()
+    assert(r.getAs[Long]("exact_distinct_a") == 3L, r.toString)
+    assert(r.getAs[Long]("exact_distinct_b") == 2L)
+    assert(r.getAs[Long]("exact_intersection") == 2L)
+    // 2 shared of 3-distinct union
+    assert(r.getAs[Double]("exact_jaccard") == 0.666667, r.toString)
   }
 
   test("Sketch.kmvSetOverlap: k-bounded estimates track exact on big sets") {
