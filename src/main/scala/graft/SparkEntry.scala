@@ -3474,6 +3474,25 @@ object SparkEntry {
       StarSchema.abcXyzMatrix(Tables.load(s, dir, "lineitem"),
         "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")),
 
+    // Image near-dup at scale: REAL PGM decode -> 8x8 thumbnail ->
+    // wraparound dHash -> pigeonhole Hamming banding (the q52
+    // machinery on image signatures). Every doc gets a mixing-formula
+    // image; docs with doc_id % 10 == 0 also plant a one-resize-block
+    // perturbed copy (id + 10^9), within Hamming 2 by construction —
+    // the output enumerates the planted near-identical pairs with no
+    // cartesian anywhere.
+    "q492_image_neardup" -> ((s, dir) => {
+      val ids = Tables.load(s, dir, "documents").select("doc_id")
+      val base = ids.select(sf.col("doc_id").as("img_id"),
+        gf.pgmSynthMix(sf.col("doc_id"), sf.lit(24), sf.lit(16),
+          sf.lit(false)).as("payload"))
+      val planted = ids.filter(sf.col("doc_id") % 10 === 0)
+        .select((sf.col("doc_id") + sf.lit(1000000000L)).as("img_id"),
+          gf.pgmSynthMix(sf.col("doc_id"), sf.lit(24), sf.lit(16),
+            sf.lit(true)).as("payload"))
+      Multimodal.imageNearDup(base.unionAll(planted), "img_id", maxHamming = 3)
+    }),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -16043,5 +16062,38 @@ object SparkEntry {
         |SELECT abc_class, xyz_class, n_keys,
         |  floor(CAST(rev2 AS DOUBLE)/CAST(t2 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS revenue_share
         |FROM cells CROSS JOIN ct ORDER BY abc_class, xyz_class""".stripMargin,
+
+    // Image near-dup: pixels from the mixing formula (never bytes),
+    // 3x2 block-mean resize to 8x8, wraparound dHash (bit 63 via the
+    // signed HUGEINT term — DuckDB's << overflows at 63), then the
+    // dumb-twin O(n^2) hamming join the banded Spark plan must equal.
+    "q492_image_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |imgs AS (SELECT doc_id AS img_id, doc_id AS src, FALSE AS pert FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, TRUE FROM d WHERE doc_id % 10 = 0),
+        |px AS (SELECT i.img_id, r.r, c.c,
+        |    CASE WHEN i.pert AND r.r < 2 AND c.c < 3
+        |      THEN ((i.src*(r.r*24 + c.c + 13) + (r.r*24 + c.c)*(r.r*24 + c.c)*7) % 256 + 128) % 256
+        |      ELSE (i.src*(r.r*24 + c.c + 13) + (r.r*24 + c.c)*(r.r*24 + c.c)*7) % 256 END AS p
+        |  FROM imgs i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS r) r
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS c) c),
+        |tp AS (SELECT img_id, CAST(r // 2 AS INT) AS tr, CAST(c // 3 AS INT) AS tc,
+        |    CAST(SUM(p) // 6 AS BIGINT) AS v
+        |  FROM px GROUP BY 1, 2, 3),
+        |dh AS (SELECT a.img_id, CAST(SUM(
+        |    CASE WHEN a.v > b.v THEN
+        |      CASE WHEN a.tr*8 + a.tc = 63 THEN -9223372036854775808::HUGEINT
+        |           ELSE (1::BIGINT << (a.tr*8 + a.tc))::HUGEINT END
+        |    ELSE 0::HUGEINT END) AS BIGINT) AS dhash
+        |  FROM tp a JOIN tp b ON a.img_id = b.img_id AND b.tr = a.tr
+        |    AND b.tc = (a.tc + 1) % 8
+        |  GROUP BY 1)
+        |SELECT a.img_id AS a_id, b.img_id AS b_id,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        |FROM dh a JOIN dh b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -389,6 +389,22 @@ object functions {
     kernel(ArrayType(IntegerType, containsNull = false), "pgmResizePixels",
       payload, tw.cast("int"), th.cast("int"))
 
+  /** Deterministic binary-PGM synthesis with a MIXING pixel formula
+    * (Kernels.pgmSynthMix) — doc images are mutually uncorrelated, and
+    * `perturb` plants a near-duplicate copy confined to one resize
+    * block. Test/demo plumbing for the perceptual-hash dedup path. */
+  def pgmSynthMix(docId: Column, w: Column, h: Column, perturb: Column): Column =
+    kernel(org.apache.spark.sql.types.BinaryType, "pgmSynthMix",
+      docId.cast("long"), w.cast("int"), h.cast("int"), perturb.cast("boolean"))
+
+  /** Wraparound 64-bit difference hash over a row-major pixel grid
+    * (Kernels.dhash64): bit r*w+c = px(r,c) > px(r,(c+1) mod w). Pair
+    * with [[pgmResizePixels]]; guard on `size(px) = w*h` — the kernel
+    * returns 0 for wrong-size (malformed-payload) grids. */
+  def dhash64(px: Column, w: Column, h: Column): Column =
+    kernel(org.apache.spark.sql.types.LongType, "dhash64",
+      px, w.cast("int"), h.cast("int"))
+
   /** Deterministic 16-bit mono PCM WAV synthesis (Kernels.wavSynth) —
     * the audio twin of [[pgmSynth]]. */
   def wavSynth(docId: Column, nSamples: Column, sampleRate: Column): Column =

@@ -983,6 +983,23 @@ object Dedup {
     * value), never O(n²). Smaller budgets give wider slices and tighter
     * candidate sets. */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame =
+    hammingNearDup(simHashSignatures(docs, idCol, textCol), "id", "simhash",
+      maxHamming)
+
+  /** Hamming near-dup pairs over ANY 64-bit signature column — the
+    * pigeonhole-banded machinery behind [[simHashNearDup]], factored
+    * out so every 64-bit perceptual signature (SimHash over tokens,
+    * dHash over image pixels — Multimodal.imageNearDup, SRP sketches)
+    * rides the same candidate generation: the signature splits into
+    * maxHamming+1 slices, any pair within the budget agrees on at
+    * least one slice, and the join is equi on (slice index, slice
+    * value) — never O(n²).
+    *
+    * Scale shape: one posexplode (maxHamming+1 rows per signature), a
+    * shuffle-hash equi-join on bounded-width slice keys, and the
+    * FIRST-WITNESS dedup (no second shuffle — see inline note). */
+  def hammingNearDup(sigs0: DataFrame, idCol: String, sigCol: String,
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nBlocks = maxHamming + 1
@@ -993,7 +1010,7 @@ object Dedup {
       sf.call_function("shiftright", sf.col("simhash"), sf.lit(offsets(q)))
         .bitwiseAND((1L << widths(q)) - 1)
     }
-    val sigs = simHashSignatures(docs, idCol, textCol)
+    val sigs = sigs0.select(sf.col(idCol).as("id"), sf.col(sigCol).as("simhash"))
     val blocks = sigs.select(sf.col("id"), sf.col("simhash"),
       sf.posexplode(sf.array(sliceExprs: _*)).as(Seq("q", "qv")))
     val l = blocks.select(sf.col("q"), sf.col("qv"),

@@ -197,4 +197,50 @@ object Multimodal {
           .as("rms"))
       .orderBy(idCol)
   }
+
+  /** Perceptual image hash per payload — the REAL PGM decode + box
+    * resize (functions.pgmResizePixels) down to a gridW x gridH
+    * thumbnail, then the wraparound 64-bit difference hash
+    * (functions.dhash64): bit r·w+c = px(r,c) > px(r,(c+1) mod w),
+    * the horizontal-gradient sign map. Integer-only end to end, so a
+    * SQL oracle replays it bit-exactly from the pixel formula.
+    * Malformed payloads (the decoder's empty-array contract) surface
+    * as NULL dhash, kept so curation can count them.
+    *
+    * Scale shape: map-only — decode, resize and hash fuse into one
+    * codegen stage per row; no shuffle at any corpus size. */
+  def imageDHash(media: DataFrame, idCol: String, gridW: Int = 8,
+                 gridH: Int = 8, payloadCol: String = "payload"): DataFrame = {
+    require(gridW >= 2 && gridH >= 1 && gridW * gridH <= 64,
+      s"imageDHash: grid ${gridW}x$gridH must have 2 <= w, w*h <= 64")
+    media
+      .withColumn("__px", graft.functions.pgmResizePixels(sf.col(payloadCol),
+        sf.lit(gridW), sf.lit(gridH)))
+      .select(sf.col(idCol),
+        sf.when(sf.size(sf.col("__px")) === gridW * gridH,
+          graft.functions.dhash64(sf.col("__px"), sf.lit(gridW), sf.lit(gridH)))
+          .as("dhash"))
+      .orderBy(idCol)
+  }
+
+  /** Image near-duplicate pairs — [[imageDHash]] signatures fed to the
+    * pigeonhole Hamming-banded candidate machinery
+    * (Dedup.hammingNearDup): re-encodes, brightness tweaks and small
+    * local edits leave the gradient-sign thumbnail almost unchanged,
+    * so near-identical images land within `maxHamming` bits and are
+    * found by an equi-join on signature slices — never a pixel-space
+    * or O(n²) hash comparison. Undecodable payloads drop (NULL dhash
+    * can't rank as near anything). Output (a_id, b_id, hamming).
+    *
+    * Scale shape: the map-only hash + hammingNearDup's bounded
+    * posexplode and slice equi-join; constant-brightness families
+    * (every gradient equal) are the skew risk and exactly what the
+    * mixing synthesizer avoids planting in demos. */
+  def imageNearDup(media: DataFrame, idCol: String, maxHamming: Int = 3,
+                   gridW: Int = 8, gridH: Int = 8,
+                   payloadCol: String = "payload"): DataFrame =
+    Dedup.hammingNearDup(
+      imageDHash(media, idCol, gridW, gridH, payloadCol)
+        .filter(sf.col("dhash").isNotNull),
+      idCol, "dhash", maxHamming)
 }

@@ -2134,6 +2134,71 @@ object Kernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Synthesize a binary (P5) PGM payload with a MIXING pixel formula
+    * p(pos) = (docId·(pos+13) + pos²·7) mod 256 (pos = r·w + c): the
+    * docId·pos cross-term makes documents within an id window of 256
+    * mutually uncorrelated (unlike [[pgmSynth]]'s affine formula,
+    * where every doc is a constant brightness shift of every other —
+    * gradient hashes of such a family all but coincide), while ids
+    * CONGRUENT mod 256 repeat the image exactly — free deterministic
+    * exact-duplicate families on larger corpora, which is what a real
+    * scraped image corpus looks like. With `perturb` set,
+    * pixels in the top-left region (r < 2, c < 3 — exactly one 3x2
+    * resize block of a 24x16 -> 8x8 downscale) flip by +128 mod 256,
+    * planting a NEAR-duplicate: the perturbation reaches only the
+    * wraparound-dHash bits adjacent to resize block (0,0), so the
+    * planted copy is within Hamming 2 of its original by
+    * construction. TEST/DEMO plumbing; the SQL oracle recomputes the
+    * same pixels from the formula, never from the bytes. */
+  def pgmSynthMix(docId: Long, w: Int, h: Int, perturb: Boolean): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var r = 0
+    var p = header.length
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val pos = r.toLong * w + c
+        var v = java.lang.Math.floorMod(docId * (pos + 13L) + pos * pos * 7L, 256L)
+        if (perturb && r < 2 && c < 3) v = (v + 128L) % 256L
+        out(p) = v.toByte
+        p += 1
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Wraparound difference hash (dHash) over a row-major w x h pixel
+    * grid (the [[pgmResizePixels]] output): bit r·w+c is set iff
+    * px(r, c) > px(r, (c+1) mod w) — the horizontal-gradient sign
+    * map, the classic perceptual image hash, integer-only and so
+    * bit-replayable by a SQL oracle. The wraparound column (vs the
+    * usual (w+1)-wide grid) keeps the grid a divisor-constrained
+    * box resize AND localizes damage: a perturbation confined to one
+    * resize block moves at most the 2 bits whose comparisons touch
+    * that block's column in its rows. Requires w·h <= 64; a grid of
+    * the wrong size (the malformed-payload empty array) returns 0 —
+    * callers null-guard on the array size. */
+  def dhash64(px: ArrayData, w: Int, h: Int): Long = {
+    if (w <= 0 || h <= 0 || w * h > 64 || px.numElements() != w * h) return 0L
+    var bits = 0L
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val a = px.getInt(r * w + c)
+        val b = px.getInt(r * w + (c + 1) % w)
+        if (a > b) bits |= 1L << (r * w + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
   /** Synthesize a 16-bit mono PCM WAV payload with the deterministic
     * sample formula s(i) = ((docId*7919 + i*104729) mod 65536) − 32768
     * — the audio twin of [[pgmSynth]] (test/demo plumbing; the real

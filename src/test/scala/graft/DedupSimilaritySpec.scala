@@ -41,6 +41,17 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("hammingNearDup: exact budget boundary on hand signatures") {
+    // base 0b0; 3 bits flipped (in, at the budget); 4 bits (out);
+    // high-slice-only difference exercises the top (signed) slice
+    val sigs = Seq(
+      (1L, 0L), (2L, 7L /* hamming 3 */), (3L, 0xF0L /* hamming 4 */),
+      (4L, 1L << 63 /* hamming 1, bit 63 */)).toDF("sid", "sig")
+    val got = Dedup.hammingNearDup(sigs, "sid", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3), (1L, 4L, 1)), got.toString)
+  }
+
   test("aggTopK (k-bounded Aggregator) equals window-rank bruteForceTopK") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val a = Similarity.aggTopK(spark, emb, "vec_id", "embedding", sf.col("vec_id") < 5, 5)

@@ -204,6 +204,51 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("imageDHash: decode->resize->dhash replays the formula; malformed -> NULL") {
+    val media = Seq(7L, 8L).toDF("doc_id")
+      .select($"doc_id", graft.functions.pgmSynthMix(
+        $"doc_id", sf.lit(24), sf.lit(16), sf.lit(false)).as("payload"))
+      .unionAll(Seq((99L, "junk".getBytes("US-ASCII"))).toDF("doc_id", "payload"))
+    val got = Multimodal.imageDHash(media, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(99L).isEmpty) // undecodable payload surfaces as NULL
+    // independent recompute: formula pixels -> 3x2 block means ->
+    // wraparound dhash, no kernel code shared
+    def px(d: Long, r: Int, c: Int): Long = {
+      val pos = r * 24L + c
+      java.lang.Math.floorMod(d * (pos + 13L) + pos * pos * 7L, 256L)
+    }
+    for (d <- Seq(7L, 8L)) {
+      val grid = Array.tabulate(8, 8) { (tr, tc) =>
+        (for (r <- tr * 2 until tr * 2 + 2; c <- tc * 3 until tc * 3 + 3)
+          yield px(d, r, c)).sum / 6
+      }
+      var bits = 0L
+      for (tr <- 0 until 8; tc <- 0 until 8)
+        if (grid(tr)(tc) > grid(tr)((tc + 1) % 8)) bits |= 1L << (tr * 8 + tc)
+      assert(got(d).contains(bits), s"doc $d")
+    }
+  }
+
+  test("imageNearDup: every planted one-block perturbed copy is recalled") {
+    val ids = (0L until 60L).toDF("doc_id")
+    def synth(pert: Boolean) = graft.functions.pgmSynthMix(
+      $"doc_id", sf.lit(24), sf.lit(16), sf.lit(pert))
+    val base = ids.select($"doc_id".as("img_id"), synth(false).as("payload"))
+    val planted = ids.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("img_id"), synth(true).as("payload"))
+    val got = Multimodal.imageNearDup(base.unionAll(planted), "img_id",
+        maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the perturbation is confined to resize block (0,0), so only the
+    // 2 dhash bits comparing against that block can move: every
+    // planted pair must be found, within the constructive bound
+    for (d <- 0L until 60L by 10)
+      assert(got.exists(p => p._1 == d && p._2 == d + 1000000L && p._3 <= 2),
+        s"planted pair for $d missing in ${got.toSeq}")
+  }
+
   test("wavStats: REAL PCM16 decode — hand samples, malformed handling") {
     // hand-built 4-sample mono WAV via the synth kernel's layout:
     // samples from the formula with docId=3

@@ -124,6 +124,23 @@ class PlanSpec extends SparkFunSuite {
     }
   }
 
+  test("image near-dup plan contains no cartesian/nested-loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    def synth(pert: Boolean) = graft.functions.pgmSynthMix(
+      sf.col("doc_id"), sf.lit(24), sf.lit(16), sf.lit(pert))
+    val media = ids.select(sf.col("doc_id").as("img_id"), synth(false).as("payload"))
+      .unionAll(ids.filter(sf.col("doc_id") % 10 === 0)
+        .select((sf.col("doc_id") + 1000000L).as("img_id"), synth(true).as("payload")))
+    val df = graft.operators.Multimodal.imageNearDup(media, "img_id", maxHamming = 3)
+    df.collect()
+    val all = collectAll(executed(df))
+    assert(!all.exists(p => p.isInstanceOf[CartesianProductExec] ||
+        p.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"quadratic join in image near-dup plan:\n${all.head}")
+  }
+
   test("line dedup picks winners with a combinable partial min, not a window") {
     val docs = Tables.load(spark, sf001, "documents")
     val df = graft.operators.Dedup.lineDedupKeepFirst(docs, "doc_id", "text")
