@@ -728,17 +728,35 @@ object Dedup {
     * shallow, so a handful of rounds suffices; `maxIter` bounds
     * pathological chains. Each round is one join + one min-aggregation
     * (all shuffles on the id key); nothing is collected to the driver.
-    * Output: (id, cluster) where cluster = min id of the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Output: (id, cluster) where cluster = min id of the component.
+    *
+    * The two internal scale bounds are overridable so specs can force
+    * the general path on small graphs (the bounded-specialization
+    * audit: every fast-path bound has a parity proof past the bound):
+    * `broadcastCutoff` — label tables under it broadcast into the
+    * contraction joins, over it they shuffle-join; `localFinish` —
+    * a contracted edge set under it finishes with driver union-find,
+    * over it the distributed loop keeps contracting. Both settings
+    * produce identical labels, only the plan shape moves. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          broadcastCutoff: Long = 5000000L,
+                          localFinish: Long = localFinishEdges): DataFrame = {
     // Iterative star-contraction. Each round labels every node with
     // min(self, neighbors), then CONTRACTS: the next round's edge set is
     // the distinct (label(a), label(b)) pairs with label(a) != label(b).
     // Near-dup graphs are clique-like, so round 1 collapses almost
     // everything and the contracted edge set is orders of magnitude
     // smaller than the input — unlike plain label propagation, which
-    // re-joins the FULL edge list every iteration. Worst case (a path)
-    // still halves components per round: O(log n) rounds, each a
-    // shuffle of the current (shrinking) edge set.
+    // re-joins the FULL edge list every iteration. Worst case is a
+    // PATH: one-hop min contraction shortens it by only ~1 node per
+    // round (O(diameter) rounds, pinned by the bounded-specialization
+    // audit spec — NOT O(log n); the alternating large-star/small-star
+    // scheme of Kiveris et al. would give O(log n) and is the upgrade
+    // path if a >localFinish contracted graph with large diameter ever
+    // appears). In practice the `localFinish` union-find exit absorbs
+    // any graph whose round-1 contraction fits the driver, which is
+    // why the distributed tail only matters for graphs that are BOTH
+    // huge after contraction AND high-diameter.
     //
     // Eager localCheckpoints cut the logical-plan lineage at every loop
     // boundary: without them each round re-embeds the full upstream plan
@@ -761,7 +779,7 @@ object Dedup {
       // the checkpoint. One row per node of the CURRENT (contracted)
       // graph — after round 1 this is one row per component-so-far.
       val n = labels.count()
-      def hinted(df: DataFrame) = if (n < 5000000L) sf.broadcast(df) else df
+      def hinted(df: DataFrame) = if (n < broadcastCutoff) sf.broadcast(df) else df
       mapping =
         if (mapping == null) labels.select(sf.col("src").as("id"), sf.col("lbl").as("cluster"))
         else mapping.join(hinted(labels), mapping("cluster") === labels("src"), "left")
@@ -780,7 +798,7 @@ object Dedup {
         .localCheckpoint(true)
       val m = contracted.count()
       if (m == 0) done = true
-      else if (m <= localFinishEdges) {
+      else if (m <= localFinish) {
         // The contracted graph fits the driver comfortably (bounded by
         // localFinishEdges × 16 bytes): finish with in-memory union-find
         // instead of paying several more rounds of per-job scheduling
@@ -798,6 +816,14 @@ object Dedup {
       } else edges = contracted
       i += 1
     }
+    // An under-merged labeling is silently WRONG (nodes of one
+    // component keep distinct labels) — abort loudly instead, with
+    // the two knobs that fix it. Reachable only when maxIter rounds
+    // pass with the contracted graph still above localFinish.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; the " +
+        s"contracted graph is still above localFinish=$localFinish. " +
+        "Raise maxIter (high-diameter graph) or localFinish.")
     mapping.select(sf.col("id").as("doc_id"), sf.col("cluster").as("cluster_id"))
       .orderBy("doc_id")
   }

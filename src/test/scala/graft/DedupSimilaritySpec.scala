@@ -109,6 +109,34 @@ class DedupSimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("connectedComponents past-bound parity: distributed finish + shuffle joins") {
+    // bounded-specialization audit: force BOTH general paths on a graph
+    // that needs several contraction rounds (one-hop min contraction
+    // shortens a path by ~1 node per round — O(diameter), which this
+    // spec pins) plus cliques, and require label-identical output.
+    //  - localFinish = 0: the driver union-find exit never fires; the
+    //    distributed contraction loop must converge on its own
+    //  - broadcastCutoff = 0: label tables shuffle-join instead of
+    //    broadcasting into the contraction
+    val path = (0L until 8L).map(i => (i * 3, (i + 1) * 3)) // ids spread out
+    val cliques = for (c <- 0 until 5; a <- 0 until 4; b <- a + 1 until 4)
+      yield (1000L + c * 10 + a, 1000L + c * 10 + b)
+    val edges = (path ++ cliques).toDF("a_id", "b_id")
+    val fast = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val general = Dedup.connectedComponents(edges, maxIter = 20,
+        broadcastCutoff = 0L, localFinish = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(general == fast, "general path labels diverged from fast path")
+    assert(fast(24L) == 0L && fast(1033L) == 1030L) // sanity: real components
+    // non-convergence is LOUD, never silently under-merged labels
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 2,
+        broadcastCutoff = 0L, localFinish = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
   test("quantileProfile equals a sorted-list interpolation model") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.tabulate(500)(i =>
