@@ -3493,6 +3493,31 @@ object SparkEntry {
       Multimodal.imageNearDup(base.unionAll(planted), "img_id", maxHamming = 3)
     }),
 
+    // Audio near-dup: REAL WAV-PCM decode -> 60-frame loudness
+    // envelope -> wraparound gradient hash -> the same pigeonhole
+    // Hamming banding as q492. Docs with doc_id % 10 == 0 plant a
+    // one-frame perturbed copy (id + 10^9), within Hamming 2 by
+    // construction.
+    "q493_audio_neardup" -> ((s, dir) => {
+      val ids = Tables.load(s, dir, "documents").select("doc_id")
+      val base = ids.select(sf.col("doc_id").as("clip_id"),
+        gf.wavSynthMix(sf.col("doc_id"), sf.lit(480), sf.lit(8000),
+          sf.lit(false)).as("payload"))
+      val planted = ids.filter(sf.col("doc_id") % 10 === 0)
+        .select((sf.col("doc_id") + sf.lit(1000000000L)).as("clip_id"),
+          gf.wavSynthMix(sf.col("doc_id"), sf.lit(480), sf.lit(8000),
+            sf.lit(true)).as("payload"))
+      Multimodal.audioNearDup(base.unionAll(planted), "clip_id", maxHamming = 3)
+    }),
+
+    // EOQ / reorder-point / safety-stock policy per part: the (Q, R)
+    // continuous-review table from exact daily-demand moments over
+    // the full calendar horizon (K=100, h=2.5/unit-yr, L=7d, z=95%).
+    "q494_eoq_policy" -> ((s, dir) =>
+      StarSchema.eoqPolicy(Tables.load(s, dir, "lineitem"),
+        "l_partkey", "l_shipdate", "l_quantity",
+        orderingCost = 100.0, holdingCostPerYear = 2.5, leadTimeDays = 7)),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -16095,5 +16120,59 @@ object SparkEntry {
         |FROM dh a JOIN dh b ON a.img_id < b.img_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // Audio near-dup: samples from the synthesis formula (never
+    // bytes), 8-sample mean-|s| frames, 60-bit wraparound gradient
+    // hash, dumb-twin O(n^2) hamming join.
+    "q493_audio_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |clips AS (SELECT doc_id AS clip_id, doc_id AS src, FALSE AS pert FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, doc_id, TRUE FROM d WHERE doc_id % 10 = 0),
+        |smp AS (SELECT c.clip_id, i.i,
+        |    ((c.src*7919 + i.i*104729
+        |      + CASE WHEN c.pert AND i.i < 8 THEN 12345 ELSE 0 END) % 65536) - 32768 AS s
+        |  FROM clips c CROSS JOIN (SELECT unnest(generate_series(0, 479)) AS i) i),
+        |env AS (SELECT clip_id, CAST(i // 8 AS INT) AS k,
+        |    CAST(SUM(abs(s)) // 8 AS BIGINT) AS v
+        |  FROM smp GROUP BY 1, 2),
+        |ah AS (SELECT a.clip_id,
+        |    CAST(SUM(CASE WHEN a.v > b.v THEN 1::BIGINT << a.k ELSE 0::BIGINT END) AS BIGINT) AS ahash
+        |  FROM env a JOIN env b ON a.clip_id = b.clip_id AND b.k = (a.k + 1) % 60
+        |  GROUP BY 1)
+        |SELECT a.clip_id AS a_id, b.clip_id AS b_id,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |FROM ah a JOIN ah b ON a.clip_id < b.clip_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // EOQ policy: identical daily 1e-4 grid, horizon day count, and
+    // assembly expression shapes; the two transcendental-bearing
+    // constants (2K*365/h, z*sqrt(L)) are shared driver literals.
+    "q494_eoq_policy" ->
+      s"""WITH dl AS (SELECT l_partkey AS k,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS dy,
+        |    CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT)) AS BIGINT) AS d4
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+        |    AND l_quantity IS NOT NULL GROUP BY 1, 2),
+        |hz AS (SELECT CAST(MAX(dy) - MIN(dy) + 1 AS BIGINT) AS n FROM dl),
+        |m AS (SELECT k, CAST(SUM(CAST(d4 AS HUGEINT)) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(d4 AS HUGEINT)*d4) AS DOUBLE) AS ssq
+        |  FROM dl GROUP BY 1),
+        |a AS (SELECT k, s/CAST(n AS DOUBLE)/10000.0 AS mu,
+        |    CASE WHEN s/CAST(n AS DOUBLE)/10000.0 > 0.0
+        |      THEN sqrt(${2.0 * 100.0 * 365.0 / 2.5} * (s/CAST(n AS DOUBLE)/10000.0)) END AS eoq,
+        |    CASE WHEN n > 1 THEN
+        |      sqrt((CAST(n AS DOUBLE)*ssq - s*s)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)))/10000.0
+        |    END AS sd
+        |  FROM m CROSS JOIN hz)
+        |SELECT k AS l_partkey,
+        |  floor(mu*1000000.0 + 0.5)/1000000.0 AS mean_daily,
+        |  floor(mu*365.0*1000000.0 + 0.5)/1000000.0 AS annual_demand,
+        |  floor(eoq*1000000.0 + 0.5)/1000000.0 AS eoq,
+        |  floor(mu*365.0/eoq*1000000.0 + 0.5)/1000000.0 AS orders_per_year,
+        |  floor(${1.6448536269514722 * math.sqrt(7.0)}*sd*1000000.0 + 0.5)/1000000.0 AS safety_stock,
+        |  floor((mu*7.0 + ${1.6448536269514722 * math.sqrt(7.0)}*sd)*1000000.0 + 0.5)/1000000.0 AS reorder_point
+        |FROM a ORDER BY l_partkey""".stripMargin,
   )
 }

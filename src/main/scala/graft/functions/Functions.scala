@@ -411,6 +411,23 @@ object functions {
     kernel(org.apache.spark.sql.types.BinaryType, "wavSynth",
       docId.cast("long"), nSamples.cast("int"), sampleRate.cast("int"))
 
+  /** [[wavSynth]] with a one-frame perturbation knob
+    * (Kernels.wavSynthMix) — plants an audio near-duplicate for the
+    * perceptual-hash dedup path. */
+  def wavSynthMix(docId: Column, nSamples: Column, sampleRate: Column,
+                  perturb: Column): Column =
+    kernel(org.apache.spark.sql.types.BinaryType, "wavSynthMix",
+      docId.cast("long"), nSamples.cast("int"), sampleRate.cast("int"),
+      perturb.cast("boolean"))
+
+  /** REAL WAV-PCM decode to per-frame mean absolute amplitudes
+    * (Kernels.wavFrameAbsMeans) — the audio envelope profile feeding
+    * [[dhash64]] (h = 1) for perceptual audio dedup; empty array on
+    * malformed/indivisible payloads. */
+  def wavFrameAbsMeans(payload: Column, nFrames: Column): Column =
+    kernel(ArrayType(IntegerType, containsNull = false), "wavFrameAbsMeans",
+      payload, nFrames.cast("int"))
+
   /** REAL WAV-PCM decode (Kernels.wavPcmStats) — actual byte-level
     * sample decoding, no library: RIFF chunk walk + int16 sample scan.
     * Returns [n_samples, sample_rate, channels, peak, sum_sq]; empty

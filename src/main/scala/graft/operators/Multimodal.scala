@@ -198,6 +198,45 @@ object Multimodal {
       .orderBy(idCol)
   }
 
+  /** Perceptual audio hash per payload — the REAL WAV-PCM decode
+    * (functions.wavFrameAbsMeans) folded to an `nFrames`-point mean-
+    * absolute-amplitude envelope, then the wraparound gradient hash
+    * (functions.dhash64 with h = 1): bit i = env(i) > env((i+1) mod
+    * nFrames) — the loudness-contour sign map, robust to gain and
+    * format-level re-encodes the way dHash is to brightness. Integer-
+    * only end to end, so a SQL oracle replays it bit-exactly from the
+    * sample formula. Malformed payloads surface as NULL ahash.
+    *
+    * Scale shape: map-only — decode, frame and hash fuse into one
+    * codegen stage per row; no shuffle at any corpus size. */
+  def audioFrameHash(media: DataFrame, idCol: String, nFrames: Int = 60,
+                     payloadCol: String = "payload"): DataFrame = {
+    require(nFrames >= 2 && nFrames <= 64,
+      s"audioFrameHash: nFrames must be in [2, 64], got $nFrames")
+    media
+      .withColumn("__env", graft.functions.wavFrameAbsMeans(
+        sf.col(payloadCol), sf.lit(nFrames)))
+      .select(sf.col(idCol),
+        sf.when(sf.size(sf.col("__env")) === nFrames,
+          graft.functions.dhash64(sf.col("__env"), sf.lit(nFrames), sf.lit(1)))
+          .as("ahash"))
+      .orderBy(idCol)
+  }
+
+  /** Audio near-duplicate pairs — [[audioFrameHash]] signatures fed
+    * to the pigeonhole Hamming-banded machinery (Dedup.hammingNearDup),
+    * the audio member of the perceptual-dedup family ([[imageNearDup]]
+    * is the image member): candidate pairs come from an equi-join on
+    * signature slices, never an O(n²) comparison; undecodable payloads
+    * drop. Output (a_id, b_id, hamming). */
+  def audioNearDup(media: DataFrame, idCol: String, maxHamming: Int = 3,
+                   nFrames: Int = 60,
+                   payloadCol: String = "payload"): DataFrame =
+    Dedup.hammingNearDup(
+      audioFrameHash(media, idCol, nFrames, payloadCol)
+        .filter(sf.col("ahash").isNotNull),
+      idCol, "ahash", maxHamming)
+
   /** Perceptual image hash per payload — the REAL PGM decode + box
     * resize (functions.pgmResizePixels) down to a gridW x gridH
     * thumbnail, then the wraparound 64-bit difference hash

@@ -1489,6 +1489,73 @@ object StarSchema {
       .withColumn("n_excluded", sf.lit(nAll) - sf.col("n_observations"))
   }
 
+  /** EOQ / reorder-point / safety-stock policy table per key (Harris
+    * 1913 for the economic order quantity; the (Q, R) continuous-
+    * review policy every operations text builds on it): from each
+    * key's daily-demand history over the table's full calendar
+    * horizon (silent days COUNT as zero demand — unlike row 548's
+    * variability classes, stock math cannot ignore them), EOQ =
+    * √(2·D·K / h) with D the annualized demand, K the fixed cost per
+    * order and h the holding cost per unit-year; safety stock =
+    * z·σ_d·√L against lead-time demand noise and reorder point =
+    * μ_d·L + safety. The POLICY table the row 537 newsvendor's
+    * single-period fractile and row 548's routing matrix hand off to:
+    * how much to order, when, and what buffer — per key.
+    *
+    * Determinism: daily sums on the exact 1e-4 grid; horizon an exact
+    * day count; zero-day moments by subtraction (n·ΣD² − (ΣD)² over
+    * the FULL horizon equals the observed-day DECIMAL moments — zero
+    * days add nothing); the two transcendental-bearing constants
+    * (2·K·365/h and z·√L) are DRIVER doubles embedded verbatim in the
+    * oracle; every assembly expression keeps one shared shape, pinned
+    * 1e-6.
+    *
+    * Scale shape: one (key, day) rollup + one key-domain moment
+    * collapse + a ONE-ROW horizon broadcast — no windows, no joins
+    * beyond the scalar cross. */
+  def eoqPolicy(lines: DataFrame, keyCol: String, dateCol: String,
+                qtyCol: String, orderingCost: Double, holdingCostPerYear: Double,
+                leadTimeDays: Int, z: Double = 1.6448536269514722): DataFrame = {
+    require(orderingCost > 0 && holdingCostPerYear > 0 && leadTimeDays >= 1 &&
+      z >= 0, s"eoqPolicy: bad K=$orderingCost h=$holdingCostPerYear " +
+      s"L=$leadTimeDays z=$z")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val cEoq = 2.0 * orderingCost * 365.0 / holdingCostPerYear
+    val zSqrtL = z * math.sqrt(leadTimeDays.toDouble)
+    val daily = lines
+      .filter(sf.col(keyCol).isNotNull && sf.col(dateCol).isNotNull &&
+        sf.col(qtyCol).isNotNull)
+      .select(sf.col(keyCol).as("__k"),
+        sf.expr(s"unix_micros(CAST($dateCol AS TIMESTAMP)) div 86400000000")
+          .as("__day"),
+        sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5).cast("long").as("__q4"))
+      .groupBy("__k", "__day")
+      .agg(sf.sum(dec(sf.col("__q4"))).as("__d4"))
+      .localCheckpoint(true) // horizon scalar + per-key moments read it
+    val horizon = daily.agg(
+      (sf.max("__day") - sf.min("__day") + 1L).cast("long").as("__n"))
+    val m = daily.groupBy("__k").agg(
+        sf.sum(dec(sf.col("__d4"))).as("__s"),
+        sf.sum(dec(sf.col("__d4")) * sf.col("__d4")).as("__ss"))
+      .crossJoin(sf.broadcast(horizon))
+    val nd = d(sf.col("__n"))
+    val mu = d(sf.col("__s")) / nd / 10000.0
+    val eoq = sf.when(mu > 0.0, sf.sqrt(sf.lit(cEoq) * mu))
+    val sd = sf.when(sf.col("__n") > 1,
+      sf.sqrt((nd * d(sf.col("__ss")) - d(sf.col("__s")) * d(sf.col("__s"))) /
+        (nd * (nd - 1.0))) / 10000.0)
+    val ss = sf.lit(zSqrtL) * sd
+    m.select(sf.col("__k").as(keyCol),
+        gf.roundAt(mu, 6).as("mean_daily"),
+        gf.roundAt(mu * 365.0, 6).as("annual_demand"),
+        gf.roundAt(eoq, 6).as("eoq"),
+        gf.roundAt(mu * 365.0 / eoq, 6).as("orders_per_year"),
+        gf.roundAt(ss, 6).as("safety_stock"),
+        gf.roundAt(mu * sf.lit(leadTimeDays.toDouble) + ss, 6).as("reorder_point"))
+      .orderBy(keyCol)
+  }
+
   /** ABC-XYZ inventory matrix — row 348's revenue-Pareto classes
     * crossed with demand-VARIABILITY classes (XYZ by the coefficient
     * of variation of daily demand: X ≤ 0.5 steady, Y ≤ 1.0, Z lumpy;

@@ -2298,4 +2298,85 @@ object Kernels {
     }
     c
   }
+
+  /** [[wavSynth]] with a PERTURBATION knob — same PCM16 layout and
+    * sample formula s(i) = ((docId·7919 + i·104729 + (perturb and
+    * i < 8 ? 12345 : 0)) mod 65536) − 32768; with `perturb` set the
+    * first 8 samples (exactly ONE frame of the 60-frame 480-sample
+    * profile) shift, planting an audio NEAR-duplicate that reaches
+    * only the wraparound-gradient bits adjacent to frame 0 — within
+    * Hamming 2 of its original by construction. TEST/DEMO plumbing;
+    * the SQL oracle recomputes samples from the formula, never the
+    * bytes. */
+  def wavSynthMix(docId: Long, nSamples: Int, sampleRate: Int,
+                  perturb: Boolean): Array[Byte] = {
+    val base = wavSynth(docId, nSamples, sampleRate)
+    if (!perturb) return base
+    var i = 0
+    while (i < 8 && i < nSamples) {
+      val s = ((docId * 7919L + i * 104729L + 12345L) % 65536L - 32768L).toInt
+      base(44 + i * 2) = (s & 0xff).toByte
+      base(44 + i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    base
+  }
+
+  /** REAL WAV-PCM decode to per-frame MEAN ABSOLUTE AMPLITUDES — the
+    * same RIFF chunk walk and int16 sample scan as [[wavPcmStats]],
+    * but folded into `nFrames` equal frames of floor(Σ|s| / frameLen)
+    * each (interleaved channels ride the flat sample stream; the
+    * envelope is what matters, not channel separation). Integer-only,
+    * so a SQL oracle replays every frame value exactly — the audio
+    * twin of [[pgmResizePixels]]' block means, and the input to the
+    * wraparound gradient hash ([[dhash64]] with h = 1) for perceptual
+    * audio dedup. Requires nSamples % nFrames == 0 (uniform frames);
+    * malformed/unsupported/indivisible payloads return the empty
+    * array (never throw). */
+  def wavFrameAbsMeans(bytes: Array[Byte], nFrames: Int): ArrayData = {
+    val empty = ArrayData.toArrayData(Array.empty[Int])
+    if (nFrames <= 0) return empty
+    val n = bytes.length
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = le16(i) | (le16(i + 2) << 16)
+    def tagIs(i: Int, s: String) =
+      bytes(i) == s.charAt(0) && bytes(i + 1) == s.charAt(1) &&
+        bytes(i + 2) == s.charAt(2) && bytes(i + 3) == s.charAt(3)
+    if (n < 44 || !tagIs(0, "RIFF") || !tagIs(8, "WAVE")) return empty
+    var p = 12
+    var bits = -1; var fmtOk = false
+    var dataOff = -1; var dataLen = -1
+    while (p + 8 <= n && (dataOff < 0 || !fmtOk)) {
+      val size = le32(p + 4)
+      if (size < 0 || p + 8 + size > n) return empty
+      if (tagIs(p, "fmt ") && size >= 16) {
+        fmtOk = le16(p + 8) == 1 // uncompressed PCM only
+        bits = le16(p + 22)
+      } else if (tagIs(p, "data")) {
+        dataOff = p + 8; dataLen = size
+      }
+      p += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || bits != 16 || dataOff < 0) return empty
+    val nSamples = dataLen / 2
+    if (nSamples == 0 || nSamples % nFrames != 0) return empty
+    val frameLen = nSamples / nFrames
+    val out = new Array[Int](nFrames)
+    var k = 0
+    var i = 0
+    while (k < nFrames) {
+      var sum = 0L
+      var j = 0
+      while (j < frameLen) {
+        val s = (le16(dataOff + i * 2) << 16) >> 16 // sign-extend int16
+        sum += (if (s < 0) -s.toLong else s.toLong)
+        i += 1
+        j += 1
+      }
+      out(k) = (sum / frameLen).toInt
+      k += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }

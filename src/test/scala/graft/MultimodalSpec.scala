@@ -249,6 +249,45 @@ class MultimodalSpec extends SparkFunSuite {
         s"planted pair for $d missing in ${got.toSeq}")
   }
 
+  test("audioFrameHash: decode->envelope->hash replays the formula; malformed -> NULL") {
+    val media = Seq(3L, 4L).toDF("doc_id")
+      .select($"doc_id", graft.functions.wavSynthMix(
+        $"doc_id", sf.lit(480), sf.lit(8000), sf.lit(false)).as("payload"))
+      .unionAll(Seq((99L, "RIFFjunk".getBytes("US-ASCII"))).toDF("doc_id", "payload"))
+    val got = Multimodal.audioFrameHash(media, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(99L).isEmpty) // undecodable payload surfaces as NULL
+    // independent recompute: formula samples -> 8-sample mean-|s|
+    // frames -> wraparound gradient hash
+    def smp(d: Long, i: Int): Long = (d * 7919L + i * 104729L) % 65536L - 32768L
+    for (d <- Seq(3L, 4L)) {
+      val env = Array.tabulate(60) { k =>
+        (k * 8 until k * 8 + 8).map(i => math.abs(smp(d, i))).sum / 8
+      }
+      var bits = 0L
+      for (k <- 0 until 60) if (env(k) > env((k + 1) % 60)) bits |= 1L << k
+      assert(got(d).contains(bits), s"doc $d")
+    }
+  }
+
+  test("audioNearDup: every planted one-frame perturbed copy is recalled") {
+    val ids = (0L until 60L).toDF("doc_id")
+    def synth(pert: Boolean) = graft.functions.wavSynthMix(
+      $"doc_id", sf.lit(480), sf.lit(8000), sf.lit(pert))
+    val base = ids.select($"doc_id".as("clip_id"), synth(false).as("payload"))
+    val planted = ids.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("clip_id"), synth(true).as("payload"))
+    val got = Multimodal.audioNearDup(base.unionAll(planted), "clip_id",
+        maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // perturbation is confined to frame 0: only the 2 gradient bits
+    // touching that frame can move
+    for (d <- 0L until 60L by 10)
+      assert(got.exists(p => p._1 == d && p._2 == d + 1000000L && p._3 <= 2),
+        s"planted pair for $d missing in ${got.toSeq}")
+  }
+
   test("wavStats: REAL PCM16 decode — hand samples, malformed handling") {
     // hand-built 4-sample mono WAV via the synth kernel's layout:
     // samples from the formula with docId=3

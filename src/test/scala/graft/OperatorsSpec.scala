@@ -4273,6 +4273,34 @@ class OperatorsSpec extends SparkFunSuite {
     assert(r.getAs[Double]("b10_life") < r.getAs[Double]("scale_lambda"))
   }
 
+  test("StarSchema.eoqPolicy: hand demand history replays the (Q,R) formulas") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // horizon = 3 calendar days (global min..max). P1 demands 10 and
+    // 20 on the outer days (silent middle day counts as zero); P2 has
+    // one 5-unit day.
+    val df = Seq(
+      (1L, ts("2024-01-01"), 10.0), (1L, ts("2024-01-03"), 20.0),
+      (2L, ts("2024-01-02"), 5.0)).toDF("pk", "sd", "qty")
+    val got = StarSchema.eoqPolicy(df, "pk", "sd", "qty",
+        orderingCost = 100.0, holdingCostPerYear = 2.5, leadTimeDays = 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cEoq = 2.0 * 100.0 * 365.0 / 2.5
+    val zSqrtL = 1.6448536269514722 * math.sqrt(7.0)
+    for ((k, s, ssq) <- Seq((1L, 30.0, 500.0), (2L, 5.0, 25.0))) {
+      val mu = s * 1e4 / 3.0 / 1e4 // the 1e-4-grid shape, exact here
+      val sd = math.sqrt((3.0 * ssq * 1e8 - s * 1e4 * s * 1e4) / (3.0 * 2.0)) / 1e4
+      val r = got(k)
+      assert(r.getAs[Double]("mean_daily") == snap(mu), s"mu $k")
+      assert(r.getAs[Double]("eoq") == snap(math.sqrt(cEoq * mu)), s"eoq $k")
+      assert(r.getAs[Double]("orders_per_year") ==
+        snap(mu * 365.0 / math.sqrt(cEoq * mu)), s"opy $k")
+      assert(r.getAs[Double]("safety_stock") == snap(zSqrtL * sd), s"ss $k")
+      assert(r.getAs[Double]("reorder_point") ==
+        snap(mu * 7.0 + zSqrtL * sd), s"rop $k")
+    }
+  }
+
   test("StarSchema.abcXyzMatrix: revenue Pareto x demand variability cells") {
     def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
     val df = Seq(
