@@ -3518,6 +3518,29 @@ object SparkEntry {
         "l_partkey", "l_shipdate", "l_quantity",
         orderingCost = 100.0, holdingCostPerYear = 2.5, leadTimeDays = 7)),
 
+    // Pairwise transfer entropy between event-type activity series:
+    // directed information flow on the shared hourly grid, in nats.
+    "q495_transfer_entropy" -> ((s, dir) =>
+      EventOps.transferEntropy(Tables.load(s, dir, "events"))),
+
+    // Bullwhip ratio per brand: CV^2 of weekly order-dated quantity
+    // over CV^2 of weekly ship-dated quantity on the shared dense
+    // week horizon — demand-variability amplification upstream.
+    "q496_bullwhip" -> ((s, dir) => {
+      val pt = Tables.load(s, dir, "part")
+        .select(sf.col("p_partkey"), sf.col("p_brand"))
+      StarSchema.bullwhip(
+        Tables.load(s, dir, "lineitem")
+          .join(sf.broadcast(pt), sf.col("l_partkey") === sf.col("p_partkey")),
+        Tables.load(s, dir, "orders"), "p_brand")
+    }),
+
+    // Quantity-weighted fill rate per order priority: share shipped
+    // within 7 days of order date, late share, mean lateness.
+    "q497_fill_rate" -> ((s, dir) =>
+      StarSchema.fillRate(Tables.load(s, dir, "lineitem"),
+        Tables.load(s, dir, "orders"), "o_orderpriority", leadDays = 7)),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -16174,5 +16197,103 @@ object SparkEntry {
         |  floor(${1.6448536269514722 * math.sqrt(7.0)}*sd*1000000.0 + 0.5)/1000000.0 AS safety_stock,
         |  floor((mu*7.0 + ${1.6448536269514722 * math.sqrt(7.0)}*sd)*1000000.0 + 0.5)/1000000.0 AS reorder_point
         |FROM a ORDER BY l_partkey""".stripMargin,
+
+    // Transfer entropy: the q486 dense grid, up-move states, triple
+    // and marginal integer counts, one per-cell ln snapped 1e-9,
+    // pinned final division.
+    "q495_transfer_entropy" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |stt AS (SELECT * FROM (SELECT t, bin,
+        |    CAST(v > lag(v) OVER (PARTITION BY t ORDER BY bin) AS INT) AS x FROM sv)
+        |  WHERE x IS NOT NULL),
+        |tr AS (SELECT a.t AS tx, o.t AS ty, a.x AS xc, p.x AS xp, o.x AS yp,
+        |    CAST(COUNT(*) AS BIGINT) AS c3
+        |  FROM stt a
+        |  JOIN stt p ON p.t = a.t AND p.bin = a.bin - 1
+        |  JOIN stt o ON o.bin = a.bin - 1 AND o.t <> a.t
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |mxx AS (SELECT tx, ty, xc, xp, CAST(SUM(c3) AS BIGINT) AS cxx FROM tr GROUP BY 1,2,3,4),
+        |mxy AS (SELECT tx, ty, xp, yp, CAST(SUM(c3) AS BIGINT) AS cxy FROM tr GROUP BY 1,2,3,4),
+        |mx AS (SELECT tx, ty, xp, CAST(SUM(c3) AS BIGINT) AS cx FROM tr GROUP BY 1,2,3),
+        |mn AS (SELECT tx, ty, CAST(SUM(c3) AS BIGINT) AS nn FROM tr GROUP BY 1,2),
+        |tm AS (SELECT tr.tx, tr.ty, mn.nn,
+        |    CAST(floor(CAST(tr.c3 AS DOUBLE)
+        |      * ln(CAST(tr.c3*mx.cx AS DOUBLE)/CAST(mxy.cxy*mxx.cxx AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT) AS t9
+        |  FROM tr
+        |  JOIN mxx ON mxx.tx = tr.tx AND mxx.ty = tr.ty AND mxx.xc = tr.xc AND mxx.xp = tr.xp
+        |  JOIN mxy ON mxy.tx = tr.tx AND mxy.ty = tr.ty AND mxy.xp = tr.xp AND mxy.yp = tr.yp
+        |  JOIN mx ON mx.tx = tr.tx AND mx.ty = tr.ty AND mx.xp = tr.xp
+        |  JOIN mn ON mn.tx = tr.tx AND mn.ty = tr.ty),
+        |ag AS (SELECT tx, ty, nn, CAST(SUM(CAST(t9 AS HUGEINT)) AS BIGINT) AS s9
+        |  FROM tm GROUP BY 1, 2, 3)
+        |SELECT ty AS src_type, tx AS dst_type, nn AS n_transitions,
+        |  floor(CAST(s9 AS DOUBLE)/1e9/CAST(nn AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS transfer_entropy
+        |FROM ag ORDER BY src_type, dst_type""".stripMargin,
+
+    // Bullwhip: identical weekly 1e-4 grids by order/ship date, one
+    // shared global week horizon, CV^2 assemblies shape-identical.
+    "q496_bullwhip" ->
+      """WITH li AS (SELECT p.p_brand AS g,
+        |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 604800000000 AS wo,
+        |    epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 604800000000 AS ws,
+        |    CAST(floor(CAST(l.l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS q4
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE p.p_brand IS NOT NULL AND l.l_quantity IS NOT NULL
+        |    AND l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL),
+        |hz AS (SELECT CAST(GREATEST(MAX(wo), MAX(ws)) - LEAST(MIN(wo), MIN(ws)) + 1 AS BIGINT) AS n FROM li),
+        |wo AS (SELECT g, wo AS wk, CAST(SUM(CAST(q4 AS HUGEINT)) AS BIGINT) AS w4 FROM li GROUP BY 1, 2),
+        |wsr AS (SELECT g, ws AS wk, CAST(SUM(CAST(q4 AS HUGEINT)) AS BIGINT) AS w4 FROM li GROUP BY 1, 2),
+        |mo AS (SELECT g, CAST(SUM(CAST(w4 AS HUGEINT)) AS DOUBLE) AS so,
+        |    CAST(SUM(CAST(w4 AS HUGEINT)*w4) AS DOUBLE) AS sso FROM wo GROUP BY 1),
+        |ms AS (SELECT g, CAST(SUM(CAST(w4 AS HUGEINT)) AS DOUBLE) AS ss,
+        |    CAST(SUM(CAST(w4 AS HUGEINT)*w4) AS DOUBLE) AS sss FROM wsr GROUP BY 1),
+        |a AS (SELECT mo.g,
+        |    CASE WHEN n > 1 AND so > 0 THEN
+        |      ((CAST(n AS DOUBLE)*sso - so*so)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)))
+        |        /((so/CAST(n AS DOUBLE))*(so/CAST(n AS DOUBLE))) END AS co,
+        |    CASE WHEN n > 1 AND ss > 0 THEN
+        |      ((CAST(n AS DOUBLE)*sss - ss*ss)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)))
+        |        /((ss/CAST(n AS DOUBLE))*(ss/CAST(n AS DOUBLE))) END AS cs,
+        |    n FROM mo JOIN ms ON mo.g = ms.g CROSS JOIN hz)
+        |SELECT g AS p_brand, n AS n_weeks,
+        |  floor(co*1000000.0 + 0.5)/1000000.0 AS cv2_orders,
+        |  floor(cs*1000000.0 + 0.5)/1000000.0 AS cv2_shipments,
+        |  CASE WHEN cs > 0.0 THEN floor(co/cs*1000000.0 + 0.5)/1000000.0 END AS bullwhip_ratio
+        |FROM a ORDER BY p_brand""".stripMargin,
+
+    // Fill rate: exact day lags, quantity-weighted on-time share,
+    // three pinned divisions.
+    "q497_fill_rate" ->
+      """WITH li AS (SELECT o.o_orderpriority AS g,
+        |    epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+        |      - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000 AS lag,
+        |    CAST(floor(CAST(l.l_quantity AS DOUBLE)*1e4 + 0.5) AS BIGINT) AS q4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity IS NOT NULL AND l.l_shipdate IS NOT NULL
+        |    AND o.o_orderpriority IS NOT NULL AND o.o_orderdate IS NOT NULL),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CAST(q4 AS HUGEINT)) AS BIGINT) AS qt,
+        |    CAST(SUM(CAST(CASE WHEN lag <= 7 THEN q4 ELSE 0 END AS HUGEINT)) AS BIGINT) AS qo,
+        |    CAST(SUM(CASE WHEN lag > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |    CAST(SUM(CAST(CASE WHEN lag > 7 THEN lag - 7 ELSE 0 END AS HUGEINT)) AS BIGINT) AS late
+        |  FROM li GROUP BY 1)
+        |SELECT g AS o_orderpriority, n_lines,
+        |  floor(CAST(qo AS DOUBLE)/CAST(qt AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS fill_rate,
+        |  n_late AS n_late_lines,
+        |  floor(CAST(n_late AS DOUBLE)/CAST(n_lines AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS late_line_share,
+        |  CASE WHEN n_late > 0 THEN
+        |    floor(CAST(late AS DOUBLE)/CAST(n_late AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mean_late_days
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -5831,4 +5831,84 @@ object EventOps {
           sf.col("n_errors").cast("double"), 6).as("signed_error_share"))
       .orderBy("event_type")
   }
+
+  /** Pairwise transfer entropy (Schreiber 2000) between event-type
+    * activity series — DIRECTED information flow on the shared hourly
+    * grid, the question the symmetric row 305 correlation and row 454
+    * lead-lag scan cannot answer: does knowing Y's last move reduce
+    * uncertainty about X's next move beyond X's own history?
+    * Series are binarized to up-moves (count > previous bin — the
+    * distribution-free state the row 140 Spearman family also leans
+    * on); for every ordered pair (src Y, dst X), TE(Y→X) =
+    * Σ p(x',x,y)·ln[ c(x',x,y)·c(x) / (c(x,y)·c(x',x)) ] over the
+    * triple (X current, X previous, Y previous), in NATS. TE = 0
+    * exactly when Y's past adds nothing beyond X's own lag.
+    *
+    * Determinism: states and all 4 count tables are exact integers
+    * on the dense grid (silent bins are real zero-activity states);
+    * each triple's ln rides the engine-portable per-row ln of an
+    * exact integer ratio, snapped 1e-9 before the cross-cell sum;
+    * one pinned final division 1e-6.
+    *
+    * Scale shape: the row 165 dense grid + one per-type lag window
+    * over the BIN domain, a bin-keyed pair join (types² × bins,
+    * bounded by the horizon guard), then DOMAIN work only — the
+    * triple table is ≤ 8·types² rows and every marginal derives from
+    * it by rollup. */
+  def transferEntropy(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val sv = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+    val w = Window.partitionBy("t").orderBy("bin")
+    val st = sv
+      .select(sf.col("t"), sf.col("bin"),
+        (sf.col("v") > sf.lag("v", 1).over(w)).cast("int").as("x"))
+      .filter(sf.col("x").isNotNull)
+      .localCheckpoint(true) // current, lagged-self and lagged-other read it
+    val cur = st.select(sf.col("t").as("tx"), sf.col("bin"), sf.col("x").as("xc"))
+    val prevSelf = st.select(sf.col("t").as("__tp"),
+      (sf.col("bin") + 1).as("__bp"), sf.col("x").as("xp"))
+    val prevOther = st.select(sf.col("t").as("ty"),
+      (sf.col("bin") + 1).as("__bo"), sf.col("x").as("yp"))
+    val triples = cur
+      .join(prevSelf, sf.col("tx") === sf.col("__tp") &&
+        sf.col("bin") === sf.col("__bp"))
+      .join(prevOther, sf.col("bin") === sf.col("__bo") &&
+        sf.col("tx") =!= sf.col("ty"))
+      .groupBy("tx", "ty", "xc", "xp", "yp")
+      .agg(sf.count(sf.lit(1)).as("c3"))
+      .localCheckpoint(true) // the four marginal rollups read it
+    def marg(cols: Seq[String], out: String) = sf.broadcast(
+      triples.groupBy(cols.map(c => sf.col(c).as("_" + c)): _*)
+        .agg(sf.sum("c3").as(out)))
+    val cxx = marg(Seq("tx", "ty", "xc", "xp"), "cxx")
+    val cxy = marg(Seq("tx", "ty", "xp", "yp"), "cxy")
+    val cx = marg(Seq("tx", "ty", "xp"), "cx")
+    val nn = marg(Seq("tx", "ty"), "nn")
+    triples
+      .join(cxx, sf.col("tx") === sf.col("_tx") && sf.col("ty") === sf.col("_ty")
+        && sf.col("xc") === sf.col("_xc") && sf.col("xp") === sf.col("_xp"))
+      .drop("_tx", "_ty", "_xc", "_xp")
+      .join(cxy, sf.col("tx") === sf.col("_tx") && sf.col("ty") === sf.col("_ty")
+        && sf.col("xp") === sf.col("_xp") && sf.col("yp") === sf.col("_yp"))
+      .drop("_tx", "_ty", "_xp", "_yp")
+      .join(cx, sf.col("tx") === sf.col("_tx") && sf.col("ty") === sf.col("_ty")
+        && sf.col("xp") === sf.col("_xp"))
+      .drop("_tx", "_ty", "_xp")
+      .join(nn, sf.col("tx") === sf.col("_tx") && sf.col("ty") === sf.col("_ty"))
+      .drop("_tx", "_ty")
+      .select(sf.col("tx"), sf.col("ty"), sf.col("nn"),
+        sf.floor(d(sf.col("c3")) * sf.log(
+          d(sf.col("c3") * sf.col("cx")) / d(sf.col("cxy") * sf.col("cxx")))
+          * 1e9 + 0.5).cast("long").as("__t9"))
+      .groupBy("tx", "ty", "nn")
+      .agg(sf.sum(dec(sf.col("__t9"))).as("__s9"))
+      .select(sf.col("ty").as("src_type"), sf.col("tx").as("dst_type"),
+        sf.col("nn").cast("long").as("n_transitions"),
+        gf.roundAt(d(sf.col("__s9")) / 1e9 / d(sf.col("nn")), 6)
+          .as("transfer_entropy"))
+      .orderBy("src_type", "dst_type")
+  }
 }

@@ -1556,6 +1556,112 @@ object StarSchema {
       .orderBy(keyCol)
   }
 
+  /** Bullwhip-effect ratio per group (Lee, Padmanabhan & Whang 1997;
+    * Chen et al. 2000 for the variance-ratio measure) — how much
+    * demand variability AMPLIFIES moving upstream: CV²(weekly
+    * quantity by ORDER date — what the supplier sees) over CV²(weekly
+    * quantity by SHIP date — what customers actually drew), both on
+    * the shared dense week horizon (silent weeks are real zero-demand
+    * weeks). Ratio > 1 is the bullwhip; the row 551 (Q, R) policy's
+    * σ_d is exactly what this amplification inflates upstream.
+    *
+    * Determinism: weekly sums on the exact 1e-4 grid over a dense
+    * horizon (zero-week moments by subtraction); CV² assemblies share
+    * ONE shape — (n·Σq² − (Σq)²)/(n·(n−1)) over (Σq/n)² — and the
+    * ratio is one more pinned division, 1e-6.
+    *
+    * Scale shape: one lineitem⋈orders key join for order-date
+    * attribution, two (group, week) rollups, one group-domain moment
+    * collapse each, a ONE-ROW horizon broadcast — no windows. */
+  def bullwhip(lines: DataFrame, orders: DataFrame, groupCol: String,
+               qtyCol: String = "l_quantity"): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def wk(c: String) = sf.expr(
+      s"unix_micros(CAST($c AS TIMESTAMP)) div 604800000000")
+    val li = lines
+      .filter(sf.col(groupCol).isNotNull && sf.col(qtyCol).isNotNull &&
+        sf.col("l_shipdate").isNotNull)
+      .join(orders.select(sf.col("o_orderkey").as("__ok"),
+        sf.col("o_orderdate")), sf.col("l_orderkey") === sf.col("__ok"))
+      .filter(sf.col("o_orderdate").isNotNull)
+      .select(sf.col(groupCol).as("__g"),
+        wk("o_orderdate").as("__wo"), wk("l_shipdate").as("__ws"),
+        sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5).cast("long").as("__q4"))
+      .localCheckpoint(true) // both weekly rollups + the horizon read it
+    val horizon = li.agg((sf.greatest(sf.max("__wo"), sf.max("__ws")) -
+      sf.least(sf.min("__wo"), sf.min("__ws")) + 1L).cast("long").as("__n"))
+    def moments(weekCol: String, tag: String) =
+      li.groupBy(sf.col("__g"), sf.col(weekCol))
+        .agg(sf.sum(dec(sf.col("__q4"))).as("__w4"))
+        .groupBy(sf.col("__g").as(s"__g$tag"))
+        .agg(sf.sum(dec(sf.col("__w4"))).as(s"__s$tag"),
+          sf.sum(dec(sf.col("__w4")) * sf.col("__w4")).as(s"__ss$tag"))
+    val m = moments("__wo", "o")
+      .join(moments("__ws", "s"), sf.col("__go") === sf.col("__gs"))
+      .crossJoin(sf.broadcast(horizon))
+    val nd = d(sf.col("__n"))
+    def cv2(s: String, ss: String) =
+      sf.when(sf.col("__n") > 1 && sf.col(s) > 0,
+        ((nd * d(sf.col(ss)) - d(sf.col(s)) * d(sf.col(s))) /
+          (nd * (nd - 1.0))) /
+          ((d(sf.col(s)) / nd) * (d(sf.col(s)) / nd)))
+    val co = cv2("__so", "__sso")
+    val cs = cv2("__ss", "__sss")
+    m.select(sf.col("__go").as(groupCol), sf.col("__n").as("n_weeks"),
+        gf.roundAt(co, 6).as("cv2_orders"),
+        gf.roundAt(cs, 6).as("cv2_shipments"),
+        gf.roundAt(sf.when(cs > 0.0, co / cs), 6).as("bullwhip_ratio"))
+      .orderBy(groupCol)
+  }
+
+  /** Order fill-rate / service-level table per group — the share of
+    * line QUANTITY shipped within `leadDays` of its order date (the
+    * quantity-weighted on-time fill), the late share, and the mean
+    * lateness of late lines: the measured service level the row 551
+    * policy's z targets and row 537's achieved_service_level
+    * approximates at the day grain. Exact integers end to end; three
+    * pinned divisions.
+    *
+    * Scale shape: one lineitem⋈orders key join + one combinable
+    * group rollup — no windows, no domain joins. */
+  def fillRate(lines: DataFrame, orders: DataFrame, groupCol: String,
+               leadDays: Int = 7, qtyCol: String = "l_quantity"): DataFrame = {
+    require(leadDays >= 0, s"fillRate: leadDays must be >= 0, got $leadDays")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def day(c: String) = sf.expr(
+      s"unix_micros(CAST($c AS TIMESTAMP)) div 86400000000")
+    val li = lines
+      .filter(sf.col(qtyCol).isNotNull && sf.col("l_shipdate").isNotNull)
+      .join(orders.filter(sf.col(groupCol).isNotNull &&
+          sf.col("o_orderdate").isNotNull)
+        .select(sf.col("o_orderkey").as("__ok"), sf.col(groupCol).as("__g"),
+          sf.col("o_orderdate")),
+        sf.col("l_orderkey") === sf.col("__ok"))
+      .select(sf.col("__g"),
+        (day("l_shipdate") - day("o_orderdate")).as("__lag"),
+        sf.floor(sf.col(qtyCol).cast("double") * 1e4 + 0.5).cast("long").as("__q4"))
+    li.groupBy("__g")
+      .agg(sf.count(sf.lit(1)).as("n_lines"),
+        sf.sum(dec(sf.col("__q4"))).as("__qt"),
+        sf.sum(dec(sf.when(sf.col("__lag") <= leadDays, sf.col("__q4"))
+          .otherwise(sf.lit(0L)))).as("__qo"),
+        sf.sum(sf.when(sf.col("__lag") > leadDays, 1L).otherwise(0L))
+          .as("n_late_lines"),
+        sf.sum(dec(sf.when(sf.col("__lag") > leadDays,
+          sf.col("__lag") - leadDays).otherwise(sf.lit(0L)))).as("__late"))
+      .select(sf.col("__g").as(groupCol), sf.col("n_lines"),
+        gf.roundAt(d(sf.col("__qo")) / d(sf.col("__qt")), 6).as("fill_rate"),
+        sf.col("n_late_lines").cast("long").as("n_late_lines"),
+        gf.roundAt(d(sf.col("n_late_lines")) / d(sf.col("n_lines")), 6)
+          .as("late_line_share"),
+        sf.when(sf.col("n_late_lines") > 0, gf.roundAt(
+          d(sf.col("__late")) / d(sf.col("n_late_lines")), 6))
+          .as("mean_late_days"))
+      .orderBy(groupCol)
+  }
+
   /** ABC-XYZ inventory matrix — row 348's revenue-Pareto classes
     * crossed with demand-VARIABILITY classes (XYZ by the coefficient
     * of variation of daily demand: X ≤ 0.5 steady, Y ≤ 1.0, Z lumpy;

@@ -4301,6 +4301,48 @@ class OperatorsSpec extends SparkFunSuite {
     }
   }
 
+  test("StarSchema.bullwhip: steady ships vs lumpy orders amplify") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // one brand, 3-week horizon. Ship-dated weekly qty: 10, 10, 10
+    // (CV^2 = 0 -> ratio NULL-guarded ... use 10, 10, 16 instead so
+    // cs > 0); order-dated weekly qty: 0, 0, 36 (everything ordered
+    // in the last week) -> amplification > 1.
+    val w0 = "2024-01-01"; val w1 = "2024-01-08"; val w2 = "2024-01-15"
+    val orders = Seq((1L, ts(w2))).toDF("o_orderkey", "o_orderdate")
+    val lines = Seq(
+      (1L, "B1", ts(w0), 10.0), (1L, "B1", ts(w1), 10.0),
+      (1L, "B1", ts(w2), 16.0)).toDF("l_orderkey", "p_brand", "l_shipdate",
+      "l_quantity")
+    val r = StarSchema.bullwhip(lines, orders, "p_brand").head()
+    assert(r.getString(0) == "B1" && r.getAs[Long]("n_weeks") == 3L)
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cv2(s: Double, ssq: Double, n: Double) =
+      ((n * ssq - s * s) / (n * (n - 1.0))) / ((s / n) * (s / n))
+    val co = cv2(36e4, 36e4 * 36e4, 3.0) // 0, 0, 36 on the 1e-4 grid
+    val cs = cv2(36e4, (1e10 + 1e10 + 2.56e10), 3.0) // 10, 10, 16
+    assert(r.getAs[Double]("cv2_orders") == snap(co), r.toString)
+    assert(r.getAs[Double]("cv2_shipments") == snap(cs), r.toString)
+    assert(r.getAs[Double]("bullwhip_ratio") == snap(co / cs), r.toString)
+    assert(r.getAs[Double]("bullwhip_ratio") > 1.0)
+  }
+
+  test("StarSchema.fillRate: hand lags split on the 7-day boundary") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    val orders = Seq((1L, "P1", ts("2024-01-01"))).toDF(
+      "o_orderkey", "o_orderpriority", "o_orderdate")
+    val lines = Seq(
+      (1L, ts("2024-01-05"), 6.0),  // lag 4: on time
+      (1L, ts("2024-01-08"), 3.0),  // lag 7: on time (boundary)
+      (1L, ts("2024-01-12"), 1.0))  // lag 11: late by 4
+      .toDF("l_orderkey", "l_shipdate", "l_quantity")
+    val r = StarSchema.fillRate(lines, orders, "o_orderpriority").head()
+    assert(r.getString(0) == "P1" && r.getAs[Long]("n_lines") == 3L)
+    assert(r.getAs[Double]("fill_rate") == 0.9) // 9 of 10 units on time
+    assert(r.getAs[Long]("n_late_lines") == 1L)
+    assert(r.getAs[Double]("late_line_share") == 0.333333)
+    assert(r.getAs[Double]("mean_late_days") == 4.0)
+  }
+
   test("StarSchema.abcXyzMatrix: revenue Pareto x demand variability cells") {
     def ts(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
     val df = Seq(
@@ -4320,6 +4362,41 @@ class OperatorsSpec extends SparkFunSuite {
         r.getAs[Long]("n_keys"), r.getAs[Double]("revenue_share"))).toList
     assert(got == List(("A", "X", 1L, 0.7), ("B", "Y", 1L, 0.15),
       ("B", "Z", 1L, 0.1), ("C", "X", 1L, 0.05)), got.toString)
+  }
+
+  test("EventOps.transferEntropy: lag-coupled series, exact nats both directions") {
+    // Y's up-moves are pseudo-random; X copies Y with lag 1 (X is NOT
+    // predictable from its own past alone) -> TE(Y->X) large, TE(X->Y)
+    // whatever the replication says; both replayed exactly.
+    def ts(h: Int, i: Int) = new java.sql.Timestamp(3600000L * h + i)
+    val xCounts = Seq(2, 1, 2, 3, 2, 3, 2, 1, 2, 3)
+    val yCounts = Seq(1, 2, 3, 2, 3, 2, 1, 2, 3, 1)
+    val rows = (for (b <- 0 until 10; i <- 0 until xCounts(b))
+        yield ("X", ts(b, i), 1.0)) ++
+      (for (b <- 0 until 10; i <- 0 until yCounts(b)) yield ("Y", ts(b, i), 1.0))
+    val got = EventOps.transferEntropy(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // replicate the operator's pinned arithmetic from the state seqs
+    def states(c: Seq[Int]) = (1 until c.length).map(b => if (c(b) > c(b - 1)) 1 else 0)
+    def te(dst: Seq[Int], src: Seq[Int]): Double = {
+      val trip = (1 until dst.length).map(i => (dst(i), dst(i - 1), src(i - 1)))
+      val c3 = trip.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cxx = trip.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+      val cxy = trip.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+      val cx = trip.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = trip.size.toLong
+      val s9 = c3.map { case (t, c) =>
+        math.floor(c.toDouble * math.log((c * cx(t._2)).toDouble /
+          (cxy((t._2, t._3)) * cxx((t._1, t._2))).toDouble) * 1e9 + 0.5).toLong
+      }.sum
+      math.floor(s9.toDouble / 1e9 / n.toDouble * 1e6 + 0.5) / 1e6
+    }
+    val (xs, ys) = (states(xCounts), states(yCounts))
+    assert(got(("Y", "X")) == (8L, te(xs, ys)), got.toString)
+    assert(got(("X", "Y")) == (8L, te(ys, xs)), got.toString)
+    // the lag-1 copy is informative: Y's past buys real nats about X
+    assert(got(("Y", "X"))._2 > 0.5, got.toString)
   }
 
   test("EventOps.thetaForecast: SES + half-drift on a hand linear series") {
