@@ -3541,6 +3541,13 @@ object SparkEntry {
       StarSchema.fillRate(Tables.load(s, dir, "lineitem"),
         Tables.load(s, dir, "orders"), "o_orderpriority", leadDays = 7)),
 
+    // Lag-1 Granger screening matrix over ALL ordered type pairs:
+    // closed-form 2-predictor OLS from exact moments, restricted-vs-
+    // unrestricted F — brackets q303's single-pair test and q495's
+    // nonparametric transfer entropy.
+    "q498_granger_matrix" -> ((s, dir) =>
+      EventOps.grangerMatrix(Tables.load(s, dir, "events"))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -16295,5 +16302,53 @@ object SparkEntry {
         |  CASE WHEN n_late > 0 THEN
         |    floor(CAST(late AS DOUBLE)/CAST(n_late AS DOUBLE)*1000000.0 + 0.5)/1000000.0 END AS mean_late_days
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // Granger lag-1: the q495 dense grid (raw counts, no states),
+    // exact DECIMAL moment sums, the identical closed-form assembly.
+    // DuckDB doubles divide-by-zero to inf (no ANSI throw), so the
+    // unguarded CTE divisions are safe — the final CASE hides them
+    // exactly where Spark's lazy value branch does.
+    "q498_granger_matrix" ->
+      """WITH e AS (SELECT event_type AS t, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bin
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT t, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |bo AS (SELECT MIN(bin) AS lo, MAX(bin) AS hi FROM e),
+        |g AS (SELECT tt.t, gs.bin FROM (SELECT DISTINCT t FROM e) tt
+        |  CROSS JOIN (SELECT unnest(generate_series(bo.lo, bo.hi)) AS bin FROM bo) gs),
+        |sv AS (SELECT g.t, g.bin, COALESCE(c.n, 0) AS v
+        |  FROM g LEFT JOIN c ON g.t = c.t AND g.bin = c.bin),
+        |tr AS (SELECT a.t AS tx, o.t AS ty, a.v AS y, p.v AS z1, o.v AS z2
+        |  FROM sv a
+        |  JOIN sv p ON p.t = a.t AND p.bin = a.bin - 1
+        |  JOIN sv o ON o.bin = a.bin - 1 AND o.t <> a.t),
+        |mo AS (SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(z1 AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(z2 AS HUGEINT)) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(y AS HUGEINT)*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(z1 AS HUGEINT)*z1) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(z2 AS HUGEINT)*z2) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(z1 AS HUGEINT)*y) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(z2 AS HUGEINT)*y) AS DOUBLE) AS s2y,
+        |    CAST(SUM(CAST(z1 AS HUGEINT)*z2) AS DOUBLE) AS s12
+        |  FROM tr GROUP BY 1, 2),
+        |cv AS (SELECT tx, ty, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(n AS DOUBLE)*syy - sy*sy AS cyy,
+        |    CAST(n AS DOUBLE)*s11 - s1*s1 AS c11,
+        |    CAST(n AS DOUBLE)*s22 - s2*s2 AS c22,
+        |    CAST(n AS DOUBLE)*s1y - s1*sy AS c1y,
+        |    CAST(n AS DOUBLE)*s2y - s2*sy AS c2y,
+        |    CAST(n AS DOUBLE)*s12 - s1*s2 AS c12
+        |  FROM mo),
+        |dt AS (SELECT *, c11*c22 - c12*c12 AS det FROM cv),
+        |bb AS (SELECT *, (c1y*c22 - c2y*c12)/det AS b, (c2y*c11 - c1y*c12)/det AS cc FROM dt),
+        |ss AS (SELECT *, cyy - b*c1y - cc*c2y AS sseu,
+        |    CASE WHEN c11 <> 0.0 THEN cyy - c1y*c1y/c11 END AS sser FROM bb),
+        |ff AS (SELECT *, CASE WHEN sseu > 0.0 THEN (sser - sseu)/(sseu/(nd - 3.0)) END AS f FROM ss)
+        |SELECT ty AS src_type, tx AS dst_type, n AS n_transitions,
+        |  CASE WHEN n > 3 AND det <> 0.0 THEN floor(b*1000000.0 + 0.5)/1000000.0 END AS beta_self,
+        |  CASE WHEN n > 3 AND det <> 0.0 THEN floor(cc*1000000.0 + 0.5)/1000000.0 END AS beta_cross,
+        |  CASE WHEN n > 3 AND det <> 0.0 THEN floor(f*1000000.0 + 0.5)/1000000.0 END AS f_stat
+        |FROM ff ORDER BY src_type, dst_type""".stripMargin,
   )
 }

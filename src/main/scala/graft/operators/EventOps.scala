@@ -5855,6 +5855,80 @@ object EventOps {
     * bounded by the horizon guard), then DOMAIN work only — the
     * triple table is ≤ 8·types² rows and every marginal derives from
     * it by rollup. */
+  /** ALL-ORDERED-PAIRS lag-1 Granger screening matrix — the
+    * pairwise table [[grangerLag1]] (the single-pair test) and
+    * [[transferEntropy]] (the nonparametric sibling) bracket: for
+    * EVERY ordered type pair at once, does adding Y's last value to
+    * X's own lag-1 autoregression reduce squared error?
+    * Per pair, X_t = a + b·X_{t−1} + c·Y_{t−1} is solved
+    * in closed form from exact moments; reported are b, c, the
+    * restricted (c = 0) and unrestricted error sums, and the
+    * single-restriction F statistic (SSE_r − SSE_u)/(SSE_u/(n−3)).
+    *
+    * Determinism: counts are exact integers on the dense grid; every
+    * n-scaled covariance s_ab = n·Σab − Σa·Σb accumulates in
+    * DECIMAL(38,0); the 2x2 solve and F are ONE pinned double
+    * assembly (det and SSE_u guards nested, ANSI-safe), 1e-6.
+    *
+    * Scale shape: the row 165 dense grid + one lag window over the
+    * BIN domain + one bin-keyed pair join (types² × bins), then a
+    * combinable moment rollup per pair — domain work only. */
+  def grangerMatrix(events: DataFrame, binSec: Long = 3600): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val sv = denseSeries(events, binSec = binSec)
+      .select(sf.col("event_type").as("t"), sf.col("bin"),
+        sf.col("n_events").as("v"))
+      .localCheckpoint(true) // current + both lag sides read it
+    val cur = sv.select(sf.col("t").as("tx"), sf.col("bin"), sf.col("v").as("y"))
+    val lagSelf = sv.select(sf.col("t").as("__tp"),
+      (sf.col("bin") + 1).as("__bp"), sf.col("v").as("z1"))
+    val lagOther = sv.select(sf.col("t").as("ty"),
+      (sf.col("bin") + 1).as("__bo"), sf.col("v").as("z2"))
+    val m = cur
+      .join(lagSelf, sf.col("tx") === sf.col("__tp") &&
+        sf.col("bin") === sf.col("__bp"))
+      .join(lagOther, sf.col("bin") === sf.col("__bo") &&
+        sf.col("tx") =!= sf.col("ty"))
+      .groupBy("tx", "ty")
+      .agg(sf.count(sf.lit(1)).as("n"),
+        sf.sum(dec(sf.col("y"))).as("sy"),
+        sf.sum(dec(sf.col("z1"))).as("s1"),
+        sf.sum(dec(sf.col("z2"))).as("s2"),
+        sf.sum(dec(sf.col("y")) * sf.col("y")).as("syy"),
+        sf.sum(dec(sf.col("z1")) * sf.col("z1")).as("s11"),
+        sf.sum(dec(sf.col("z2")) * sf.col("z2")).as("s22"),
+        sf.sum(dec(sf.col("z1")) * sf.col("y")).as("s1y"),
+        sf.sum(dec(sf.col("z2")) * sf.col("y")).as("s2y"),
+        sf.sum(dec(sf.col("z1")) * sf.col("z2")).as("s12"))
+    val n = d(sf.col("n"))
+    def cs(ab: String, a: String, b: String) =
+      n * d(sf.col(ab)) - d(sf.col(a)) * d(sf.col(b))
+    val cyy = cs("syy", "sy", "sy")
+    val c11 = cs("s11", "s1", "s1")
+    val c22 = cs("s22", "s2", "s2")
+    val c1y = cs("s1y", "s1", "sy")
+    val c2y = cs("s2y", "s2", "sy")
+    val c12 = cs("s12", "s1", "s2")
+    val det = c11 * c22 - c12 * c12
+    val b = (c1y * c22 - c2y * c12) / det
+    val c = (c2y * c11 - c1y * c12) / det
+    val sseU = cyy - b * c1y - c * c2y
+    val sseR = sf.when(c11 =!= 0.0, cyy - c1y * c1y / c11)
+    val f = sf.when(sseU > 0.0, (sseR - sseU) / (sseU / (n - 3.0)))
+    val assembled = sf.when(sf.col("n") > 3 && det =!= 0.0,
+      sf.struct(gf.roundAt(b, 6).as("beta_self"),
+        gf.roundAt(c, 6).as("beta_cross"),
+        gf.roundAt(f, 6).as("f_stat")))
+    m.withColumn("__a", assembled)
+      .select(sf.col("ty").as("src_type"), sf.col("tx").as("dst_type"),
+        sf.col("n").cast("long").as("n_transitions"),
+        sf.col("__a.beta_self").as("beta_self"),
+        sf.col("__a.beta_cross").as("beta_cross"),
+        sf.col("__a.f_stat").as("f_stat"))
+      .orderBy("src_type", "dst_type")
+  }
+
   def transferEntropy(events: DataFrame, binSec: Long = 3600): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
     def d(c: Column) = c.cast("double")

@@ -4399,6 +4399,49 @@ class OperatorsSpec extends SparkFunSuite {
     assert(got(("Y", "X"))._2 > 0.5, got.toString)
   }
 
+  test("EventOps.grangerMatrix: closed-form OLS replayed on the coupled series") {
+    def ts(h: Int, i: Int) = new java.sql.Timestamp(3600000L * h + i)
+    // near-copy of Y with one broken bin (a perfect linear fit would
+    // make SSE_u exactly 0 and the F guard returns NULL — this series
+    // keeps genuine residual noise)
+    val xCounts = Seq(2, 1, 2, 3, 2, 3, 2, 1, 2, 4)
+    val yCounts = Seq(1, 2, 3, 2, 3, 2, 1, 2, 3, 1)
+    val rows = (for (b <- 0 until 10; i <- 0 until xCounts(b))
+        yield ("X", ts(b, i), 1.0)) ++
+      (for (b <- 0 until 10; i <- 0 until yCounts(b)) yield ("Y", ts(b, i), 1.0))
+    val got = EventOps.grangerMatrix(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // replicate: n-scaled covariances + 2x2 solve + F on (dst=X, src=Y)
+    def rep(dst: Seq[Int], src: Seq[Int]) = {
+      val tr = (1 until dst.length).map(i =>
+        (dst(i).toDouble, dst(i - 1).toDouble, src(i - 1).toDouble))
+      val n = tr.size.toDouble
+      def s(f: ((Double, Double, Double)) => Double) = tr.map(f).sum
+      val (sy, s1, s2) = (s(_._1), s(_._2), s(_._3))
+      val cyy = n * s(t => t._1 * t._1) - sy * sy
+      val c11 = n * s(t => t._2 * t._2) - s1 * s1
+      val c22 = n * s(t => t._3 * t._3) - s2 * s2
+      val c1y = n * s(t => t._2 * t._1) - s1 * sy
+      val c2y = n * s(t => t._3 * t._1) - s2 * sy
+      val c12 = n * s(t => t._2 * t._3) - s1 * s2
+      val det = c11 * c22 - c12 * c12
+      val b = (c1y * c22 - c2y * c12) / det
+      val c = (c2y * c11 - c1y * c12) / det
+      val sseU = cyy - b * c1y - c * c2y
+      val sseR = cyy - c1y * c1y / c11
+      (b, c, (sseR - sseU) / (sseU / (n - 3.0)))
+    }
+    val (b, c, f) = rep(xCounts, yCounts)
+    val r = got(("Y", "X"))
+    assert(r.getAs[Long]("n_transitions") == 9L)
+    assert(r.getAs[Double]("beta_self") == snap(b), r.toString)
+    assert(r.getAs[Double]("beta_cross") == snap(c), r.toString)
+    assert(r.getAs[Double]("f_stat") == snap(f), r.toString)
+    // the lag-1 copy: Y's past is decisive for X -> a large F
+    assert(r.getAs[Double]("f_stat") > 10.0, r.toString)
+  }
+
   test("EventOps.thetaForecast: SES + half-drift on a hand linear series") {
     def ts(h: Int, i: Int) =
       new java.sql.Timestamp(3600000L * h + i) // hour h, i ms offset
