@@ -3548,6 +3548,14 @@ object SparkEntry {
     "q498_granger_matrix" -> ((s, dir) =>
       EventOps.grangerMatrix(Tables.load(s, dir, "events"))),
 
+    // Matryoshka truncation ablation: recall@5 of prefix-dim cosine
+    // top-k against the full-dimension ground truth, per dim — the
+    // storage/recall curve that prices embedding truncation.
+    "q499_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", sf.col("vec_id") < 10, k = 5,
+        dims = Seq(8, 16, 32, 64))),
+
     // Fulfillment lead time per priority: the q412 robust summary
     // composed over order->last-ship day gaps — SLA percentiles.
     "q423_lead_time" -> ((s, dir) => {
@@ -16350,5 +16358,31 @@ object SparkEntry {
         |  CASE WHEN n > 3 AND det <> 0.0 THEN floor(cc*1000000.0 + 0.5)/1000000.0 END AS beta_cross,
         |  CASE WHEN n > 3 AND det <> 0.0 THEN floor(f*1000000.0 + 0.5)/1000000.0 END AS f_stat
         |FROM ff ORDER BY src_type, dst_type""".stripMargin,
+
+    // Matryoshka ablation: per-dim sliced-cosine top-5 vs the full
+    // top-5 (q25's rank conventions), hit counts, one pinned
+    // division. The per-dim blocks are generated, not hand-repeated.
+    "q499_matryoshka" -> {
+      def top5(vec: String, tag: String) =
+        s"""s$tag AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |  list_cosine_similarity($vec, ${vec.replace("q.", "n.")}) AS c
+           | FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+           | WHERE q.vec_id < 10),
+           |t$tag AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM s$tag)
+           |  WHERE rn <= 5)""".stripMargin
+      val dims = Seq(8, 16, 32, 64)
+      val blocks = top5("CAST(q.embedding AS DOUBLE[])", "f") +: dims.map(d =>
+        top5(s"CAST(q.embedding AS DOUBLE[])[1:$d]", s"d$d"))
+      val hits = dims.map(d =>
+        s"SELECT $d AS dim, CAST(COUNT(*) AS BIGINT) AS hits FROM td$d JOIN tf USING (q_id, n_id)")
+        .mkString("h AS (", " UNION ALL ", ")")
+      s"""WITH ${blocks.mkString(",\n")},
+         |nqv AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS nq FROM tf),
+         |$hits
+         |SELECT CAST(dim AS INT) AS dim, nq AS n_queries,
+         |  floor(CAST(hits AS DOUBLE)/CAST(nq*5 AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS recall_at_k
+         |FROM h CROSS JOIN nqv ORDER BY dim""".stripMargin
+    },
   )
 }

@@ -184,6 +184,54 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Matryoshka truncation-dimension ablation (Kusupati et al. 2022,
+    * arXiv:2205.13147) — the storage/recall trade curve for
+    * MRL-style embeddings: per candidate prefix dimension d, the
+    * recall@k of cosine top-k computed on the FIRST d components
+    * against the full-dimension ground truth. The table that decides
+    * how many dims an index actually needs before [[ivfTopK]] /
+    * [[lshTopK]] ever run — truncation is the cheapest ANN there is
+    * (same vectors, shorter reads), and this prices it per dim.
+    * Composition of [[bruteForceTopK]] on sliced vectors — never a
+    * third scoring implementation.
+    *
+    * Determinism: both rank tables tie-deterministic ((cosine desc,
+    * id asc) on raw doubles — prefix sums accumulate in the same
+    * order in both engines); recall@k is ONE pinned division of
+    * exact hit counts per dim, 1e-6.
+    *
+    * Scale shape: one brute-force pass per dim over the broadcast
+    * query set (the documented eval cost, run on hash-sampled
+    * queries); the hit join is on (queries × k)-bounded rank
+    * tables; dims is a bounded literal list. */
+  def matryoshkaRecall(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: org.apache.spark.sql.Column, k: Int,
+                       dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1) &&
+      dims.distinct.size == dims.size && dims.size <= 16,
+      s"matryoshkaRecall: dims must be 1..16 distinct positives, got $dims")
+    val full = bruteForceTopK(emb, idCol, vecCol, queryPred, k)
+      .select(sf.col("q_id"), sf.col("n_id"))
+      .localCheckpoint(true) // every dim's hit join + the scalar read it
+    val scal = sf.broadcast(full.agg(
+      sf.countDistinct(sf.col("q_id")).as("nq")))
+    val perDim = dims.map { dd =>
+      val trunc = emb.select(sf.col(idCol),
+        sf.slice(sf.col(vecCol), 1, dd).as(vecCol))
+      bruteForceTopK(trunc, idCol, vecCol, queryPred, k)
+        .select(sf.col("q_id"), sf.col("n_id"))
+        .join(full, Seq("q_id", "n_id"))
+        .agg(sf.count(sf.lit(1)).as("__hits"))
+        .select(sf.lit(dd).as("dim"), sf.col("__hits"))
+    }.reduce(_ unionAll _)
+    perDim.crossJoin(scal)
+      .select(sf.col("dim").cast("int").as("dim"),
+        sf.col("nq").cast("long").as("n_queries"),
+        gf.roundAt(sf.col("__hits").cast("double") /
+          (sf.col("nq") * k).cast("double"), 6).as("recall_at_k"))
+      .orderBy("dim")
+  }
+
   /** Scored-pair record for the typed top-k path. */
   case class Scored(qId: Long, nId: Long, cosine: Double)
 

@@ -52,6 +52,22 @@ class DedupSimilaritySpec extends SparkFunSuite {
     assert(got == Set((1L, 2L, 3), (1L, 4L, 1)), got.toString)
   }
 
+  test("matryoshkaRecall: full dim is exact, prefixes degrade gracefully") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val got = Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+        sf.col("vec_id") < 8, k = 5, dims = Seq(4, 16, 64)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(4, 16, 64))
+    assert(got.values.forall(_._1 == 8L)) // all 8 queries scored per dim
+    // dim 64 IS the full vector: the sliced path must reproduce the
+    // ground truth exactly
+    assert(got(64)._2 == 1.0, got.toString)
+    assert(got(4)._2 <= got(64)._2 && got(4)._2 >= 0.0)
+    // a 4-dim prefix of a 64-dim embedding cannot be a perfect index
+    // on this corpus — the curve must actually measure something
+    assert(got(4)._2 < 1.0, got.toString)
+  }
+
   test("aggTopK (k-bounded Aggregator) equals window-rank bruteForceTopK") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val a = Similarity.aggTopK(spark, emb, "vec_id", "embedding", sf.col("vec_id") < 5, 5)
