@@ -3427,26 +3427,37 @@ object QualityChecks {
   def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val rows = graft.operators.Par.spread(
+    // r14 optimization: ranks and every moment sum are functions of the
+    // distinct (x, y) VALUE CELLS and their multiplicities, so the row
+    // stream collapses to the joint domain in ONE map-side-combined
+    // pass — the rank joins and the final reduction then run on the
+    // (typically 10-100x smaller) cell table instead of re-reading and
+    // twice-joining the full row frame. Average ranks per column come
+    // from summing cell counts per value — identical integers; moment
+    // sums weight each cell by its count in DECIMAL(38,0) — identical
+    // exact values.
+    val cells = graft.operators.Par.spread(
       df.select(sf.col(colA).cast("double").as("__x"),
         sf.col(colB).cast("double").as("__y")))
       .filter(sf.col("__x").isNotNull && sf.col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(sf.count(sf.lit(1)).as("__n"))
       .localCheckpoint(true)
     def ranks(c: String) = {
       val w = Window.partitionBy(sf.pmod(sf.hash(sf.col(c)), sf.lit(1)))
         .orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
-      rows.groupBy(c).agg(sf.count(sf.lit(1)).as("__c"))
+      cells.groupBy(c).agg(sf.sum("__n").as("__c"))
         .select(sf.col(c),
           (sf.coalesce(sf.sum("__c").over(w), sf.lit(0L)) * 2 +
             sf.col("__c") + 1).as(s"__r$c"))
     }
-    rows.join(ranks("__x"), "__x").join(ranks("__y"), "__y")
-      .agg(sf.count(sf.lit(1)).as("n"),
-        sf.sum(dec(sf.col("__r__x"))).as("__sa"),
-        sf.sum(dec(sf.col("__r__y"))).as("__sb"),
-        sf.sum(dec(sf.col("__r__x")) * dec(sf.col("__r__x"))).as("__saa"),
-        sf.sum(dec(sf.col("__r__y")) * dec(sf.col("__r__y"))).as("__sbb"),
-        sf.sum(dec(sf.col("__r__x")) * dec(sf.col("__r__y"))).as("__sab"))
+    val cnt = dec(sf.col("__n"))
+    cells.join(ranks("__x"), "__x").join(ranks("__y"), "__y")
+      .agg(sf.coalesce(sf.sum("__n"), sf.lit(0L)).as("n"),
+        sf.sum(dec(sf.col("__r__x")) * cnt).as("__sa"),
+        sf.sum(dec(sf.col("__r__y")) * cnt).as("__sb"),
+        sf.sum(dec(sf.col("__r__x")) * dec(sf.col("__r__x")) * cnt).as("__saa"),
+        sf.sum(dec(sf.col("__r__y")) * dec(sf.col("__r__y")) * cnt).as("__sbb"),
+        sf.sum(dec(sf.col("__r__x")) * dec(sf.col("__r__y")) * cnt).as("__sab"))
       .select({
         val n = sf.col("n").cast("double")
         val sa = sf.col("__sa").cast("double")

@@ -292,8 +292,10 @@ object Graph {
     // materialize the loop invariants ONCE: without this, every
     // iteration's lineage re-derives the whole pair-mining funnel
     // (and the final collect re-runs it `iters` more times)
-    val edgesDeg = edges.join(outdeg, "src").persist()
-    val nodes = edges.select(sf.col("src").as("item")).distinct().persist()
+    val edgesDeg = coPartitionLoopEdges(edges.join(outdeg, "src")).persist()
+    // derive nodes from the CACHED frame: the count below materializes
+    // edgesDeg, so the mining funnel runs exactly once
+    val nodes = edgesDeg.select(sf.col("src").as("item")).distinct()
     // n is a plan-time scalar: the node count is the one driver-side
     // value the integer recurrence needs (same role as a literal seed).
     val n = nodes.count()
@@ -301,18 +303,57 @@ object Graph {
     val base = (15L * SCALE) / (100L * n)
     var ranks = nodes.select(sf.col("item"), sf.lit(SCALE / n).as("rank_fx"))
     for (_ <- 1 to iters) {
-      val contrib = edgesDeg
+      // [[minedEdges]] emits BOTH directions of every pair, so every
+      // node has in-edges and ranks_k covers every node (induction
+      // from the all-node seed) — the aggregated contribution table IS
+      // the next rank table. The former `nodes LEFT JOIN contrib`
+      // merge (an Exchange + Sort + SortMergeJoin of the node table
+      // per round) only existed to re-attach isolated nodes, which a
+      // symmetric mined edge list cannot have.
+      ranks = edgesDeg
         .join(ranks, sf.col("src") === sf.col("item"))
         .select(sf.col("dst"),
           sf.expr("rank_fx div outdeg").as("c"))
         .groupBy("dst").agg(sf.sum(sf.col("c")).as("s"))
-      ranks = nodes
-        .join(contrib, sf.col("item") === sf.col("dst"), "left")
-        .select(sf.col("item"),
-          (sf.lit(base) +
-            sf.expr("(85 * coalesce(s, 0L)) div 100")).as("rank_fx"))
+        .select(sf.col("dst").as("item"),
+          (sf.lit(base) + sf.expr("(85 * s) div 100")).as("rank_fx"))
     }
-    ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
+    val out = ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
+      .localCheckpoint(true)
+    edgesDeg.unpersist()
+    out
+  }
+
+  /** Node-count cap under which the per-round rank/score frame of an
+    * iterative graph loop is small enough to broadcast — below it the
+    * planner broadcasts the rank side and the persisted edge table is
+    * never shuffled, so pre-partitioning would only add an exchange.
+    * Above it the per-round joins fall back to sort-merge/shuffled
+    * hash, and persisting the loop-invariant edge table ALREADY
+    * hash-partitioned (and sorted) on the join key removes the |E|
+    * shuffle+sort from every round (guide §2.4: two operations keyed
+    * the same way share one exchange). Parameterised for clusters via
+    * `spark.graft.loop.broadcastNodeCap`; the default (4M nodes ≈
+    * 100 MB of (item, rank) rows) keeps local bench plans unchanged. */
+  private def broadcastNodeCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.loop.broadcastNodeCap")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Repartition+sort a loop-invariant edge table on `src` BEFORE it
+    * is persisted, iff the graph is too big for the per-round rank
+    * frame to broadcast (see [[broadcastNodeCap]]). The up-front
+    * exchange is paid once; every round's join then reuses the cached
+    * partitioning instead of re-shuffling |E| rows. Node count is
+    * estimated from the plan stats of the edge frame (cheap, no job):
+    * rows/2 ≥ nodes on a symmetric list, so the estimate errs toward
+    * keeping plans unchanged on small graphs. */
+  private def coPartitionLoopEdges(edges: DataFrame,
+                                   key: String = "src"): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.queryExecution.optimizedPlan.stats.rowCount
+    val big = rows.exists(_ / 2 > broadcastNodeCap(spark))
+    if (big) edges.repartition(sf.col(key)).sortWithinPartitions(key)
+    else edges
   }
 
   /** WEIGHTED PageRank — [[pageRank]] with each node's rank split
@@ -341,28 +382,28 @@ object Graph {
       .union(pairs.select(sf.col("item_b").as("src"),
         sf.col("item_a").as("dst"), sf.col("c_ab").as("w")))
     val wout = edges.groupBy("src").agg(sf.sum("w").cast("long").as("wout"))
-    val edgesW = edges.join(wout, "src").persist()
-    val nodes = edges.select(sf.col("src").as("item")).distinct().persist()
+    val edgesW = coPartitionLoopEdges(edges.join(wout, "src")).persist()
+    val nodes = edgesW.select(sf.col("src").as("item")).distinct()
     val n = nodes.count()
     require(n > 0, "pageRankWeighted: graph is empty at this minPairCount")
     val base = (15L * SCALE) / (100L * n)
     var ranks = nodes.select(sf.col("item"), sf.lit(SCALE / n).as("rank_fx"))
     for (_ <- 1 to iters) {
-      val contrib = edgesW
+      // symmetric mined pairs: every node receives contributions every
+      // round (see [[pageRank]]), so the per-round node merge join is
+      // dropped — the aggregated contribution IS the next rank table
+      ranks = edgesW
         .join(ranks, sf.col("src") === sf.col("item"))
         .select(sf.col("dst"),
           sf.expr("CAST((CAST(rank_fx AS DECIMAL(38,0)) * w) DIV wout AS BIGINT)")
             .as("c"))
         .groupBy("dst").agg(sf.sum(sf.col("c")).as("s"))
-      ranks = nodes
-        .join(contrib, sf.col("item") === sf.col("dst"), "left")
-        .select(sf.col("item"),
-          (sf.lit(base) +
-            sf.expr("(85 * coalesce(s, 0L)) div 100")).as("rank_fx"))
+        .select(sf.col("dst").as("item"),
+          (sf.lit(base) + sf.expr("(85 * s) div 100")).as("rank_fx"))
     }
     val out = ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
       .localCheckpoint(true)
-    edgesW.unpersist(); nodes.unpersist()
+    edgesW.unpersist()
     out
   }
 
@@ -387,9 +428,41 @@ object Graph {
     * the one plan-time scalar. */
   def personalizedPageRank(df: DataFrame, basketCol: String, itemCol: String,
                            seedPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-                           minPairCount: Long = 2, iters: Int = 3): DataFrame =
-    personalizedPageRankFromEdges(
-      minedEdges(df, basketCol, itemCol, minPairCount), seedPred, iters)
+                           minPairCount: Long = 2, iters: Int = 3): DataFrame = {
+    // [[minedEdges]] emits both directions of every pair, so the
+    // symmetric loop applies (every node receives contributions every
+    // round — the per-round `nodes LEFT JOIN contrib` merge of the
+    // general [[personalizedPageRankFromEdges]] path is an identity
+    // here and is dropped; PprSymmetricSpec pins the equality).
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000000000L // 1e12
+    val edges = minedEdges(df, basketCol, itemCol, minPairCount)
+    val outdeg = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("outdeg"))
+    val edgesDeg = coPartitionLoopEdges(edges.join(outdeg, "src")).persist()
+    val nodes = edgesDeg.select(sf.col("src").as("item")).distinct()
+      .withColumn("is_seed", seedPred(sf.col("item")))
+    val nSeeds = nodes.filter(sf.col("is_seed")).count()
+    require(nSeeds > 0, "personalizedPageRank: seed set is empty on this graph")
+    val base = (15L * SCALE) / (100L * nSeeds)
+    var ranks = nodes.select(sf.col("item"),
+      sf.when(sf.col("is_seed"), sf.lit(SCALE / nSeeds)).otherwise(0L).as("rank_fx"))
+    for (_ <- 1 to iters) {
+      // seed membership is a pure expression of the node id, so it is
+      // re-derived inline on the aggregated frame instead of joined
+      ranks = edgesDeg
+        .join(ranks, sf.col("src") === sf.col("item"))
+        .select(sf.col("dst"), sf.expr("rank_fx div outdeg").as("c"))
+        .groupBy("dst").agg(sf.sum(sf.col("c")).as("s"))
+        .select(sf.col("dst").as("item"),
+          (sf.when(seedPred(sf.col("dst")), base).otherwise(0L) +
+            sf.expr("(85 * s) div 100")).as("rank_fx"))
+    }
+    val out = ranks.select(sf.col("item"), sf.col("rank_fx"))
+      .orderBy(sf.col("rank_fx").desc, sf.col("item"))
+      .localCheckpoint(true)
+    edgesDeg.unpersist()
+    out
+  }
 
   /** [[personalizedPageRank]] over a pre-mined edge list. */
   def personalizedPageRankFromEdges(edges: DataFrame,
@@ -525,7 +598,10 @@ object Graph {
                           rounds: Int, weighted: Boolean): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     val ownsEdges = !callerCached(edges0)
-    val edges = if (ownsEdges) edges0.persist() else edges0
+    // loop invariant: above the broadcast cap, persist it already
+    // partitioned+sorted on the per-round join key so no round
+    // re-shuffles |E| rows (no-op on broadcastable graphs)
+    val edges = if (ownsEdges) coPartitionLoopEdges(edges0).persist() else edges0
     val step = if (weighted) sf.col("w") else sf.lit(1L)
     var dist = edges.select(sf.col("src").as("item"))
       .union(edges.select(sf.col("dst").as("item"))).distinct()
@@ -594,7 +670,9 @@ object Graph {
     * directions per undirected pair, e.g. a persisted [[minedEdges]]). */
   def labelPropagationFromEdges(edges0: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
-    val edges = edges0.persist()
+    // per-round join key is dst (labels attach to the destination);
+    // above the broadcast cap persist pre-partitioned on it
+    val edges = coPartitionLoopEdges(edges0, "dst").persist()
     var labels = edges.select(sf.col("src").as("item")).distinct()
       .select(sf.col("item"), sf.col("item").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -1574,9 +1652,40 @@ object Graph {
     * destination sum + a one-row broadcast max — the [[pageRank]] loop
     * shape; edges persist as the loop invariant, only scores move. */
   def eigenvectorCentrality(df: DataFrame, basketCol: String, itemCol: String,
-                            minPairCount: Long = 2, iters: Int = 3): DataFrame =
-    eigenvectorCentralityFromEdges(
-      minedEdges(df, basketCol, itemCol, minPairCount), iters)
+                            minPairCount: Long = 2, iters: Int = 3): DataFrame = {
+    // Symmetric-graph fast path ([[pageRank]] rationale): mined edges
+    // carry both directions, so the per-round in-neighbor sum covers
+    // every node and the general path's `nodes LEFT JOIN` + coalesce-0
+    // (which exists for isolated nodes of arbitrary pre-mined lists)
+    // is an identity — dropped. PprSymmetricSpec pins equality with
+    // [[eigenvectorCentralityFromEdges]] on the same mined edges.
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000L
+    val edges = coPartitionLoopEdges(
+      minedEdges(df, basketCol, itemCol, minPairCount)).persist()
+    val nodes = edges.select(sf.col("src").as("item")).distinct()
+    var x = nodes.select(sf.col("item"), sf.lit(SCALE).as("__v"))
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to iters) {
+      val raw = edges.join(x.select(sf.col("item").as("src"), sf.col("__v")), "src")
+        .groupBy("dst").agg(sf.sum("__v").as("__s")).persist()
+      toFree += raw
+      val mx = raw.agg(sf.max("__s").as("__mx"))
+      x = raw.crossJoin(sf.broadcast(mx))
+        .select(sf.col("dst").as("item"),
+          sf.expr(s"(__s * ${SCALE}L) div __mx").as("__v"))
+      if (r % UnpersistBatch == 0 && r < iters) {
+        val ck = x.localCheckpoint(true)
+        toFree.foreach(_.unpersist()); toFree.clear()
+        x = ck
+      }
+    }
+    val fx = x.localCheckpoint(true)
+    toFree.foreach(_.unpersist()); toFree.clear()
+    edges.unpersist()
+    fx.select(sf.col("item"), sf.col("__v").as("eig_fx"))
+      .orderBy(sf.col("eig_fx").desc, sf.col("item"))
+  }
 
   /** [[eigenvectorCentrality]] over a pre-mined directed edge list
     * (both directions per undirected pair — the mine-once
@@ -1650,8 +1759,55 @@ object Graph {
     * in-neighbor sum (shuffle = |edges|), loop invariants persisted,
     * the relaxRounds / UnpersistBatch lineage discipline. */
   def katzCentrality(df: DataFrame, basketCol: String, itemCol: String,
-                     minPairCount: Long = 2, iters: Int = 3): DataFrame =
-    katzCentralityFromEdges(minedEdges(df, basketCol, itemCol, minPairCount), iters)
+                     minPairCount: Long = 2, iters: Int = 3): DataFrame = {
+    // Symmetric-graph fast path ([[pageRank]] rationale; equality with
+    // [[katzCentralityFromEdges]] pinned by PprSymmetricSpec): every
+    // node of a mined edge list has in-edges, so the per-round
+    // in-neighbor sum covers all nodes and the node merge join +
+    // coalesce-0 (isolated-node handling for arbitrary directed
+    // lists) drops out. The int64 overflow guard is unchanged.
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val SCALE = 1000000L
+    val edges = coPartitionLoopEdges(
+      minedEdges(df, basketCol, itemCol, minPairCount)).persist()
+    val dmaxRow = edges.groupBy("dst").agg(sf.count(sf.lit(1)).as("__d"))
+      .agg(sf.max("__d")).collect()
+    val dmax = if (dmaxRow.isEmpty || dmaxRow(0).isNullAt(0)) 1L
+               else math.max(1L, dmaxRow(0).getLong(0))
+    var xmax = BigInt(SCALE)
+    var sumOk = true
+    for (_ <- 1 to iters) {
+      val s = xmax * dmax
+      if (s > Long.MaxValue) sumOk = false
+      xmax = s / 8 + SCALE
+    }
+    if (!sumOk) {
+      edges.unpersist()
+      throw new IllegalArgumentException(
+        s"katzCentrality: iters=$iters with max in-degree $dmax " +
+        "would overflow the exact int64 fixed point (worst-case in-neighbor " +
+        "sum exceeds Long.MaxValue) — lower iters or pre-contract hubs")
+    }
+    val nodes = edges.select(sf.col("src").as("item")).distinct()
+    var x = nodes.select(sf.col("item"), sf.lit(SCALE).as("__v"))
+    val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to iters) {
+      x = edges.join(x.select(sf.col("item").as("src"), sf.col("__v")), "src")
+        .groupBy("dst").agg(sf.sum("__v").as("__s"))
+        .select(sf.col("dst").as("item"),
+          (sf.expr("__s div 8") + SCALE).as("__v"))
+      if (r % UnpersistBatch == 0 && r < iters) {
+        val ck = x.localCheckpoint(true)
+        toFree.foreach(_.unpersist()); toFree.clear()
+        x = ck
+      }
+    }
+    val fx = x.localCheckpoint(true)
+    toFree.foreach(_.unpersist()); toFree.clear()
+    edges.unpersist()
+    fx.select(sf.col("item"), sf.col("__v").as("katz_fx"))
+      .orderBy(sf.col("katz_fx").desc, sf.col("item"))
+  }
 
   /** [[katzCentrality]] over a pre-mined directed edge list — the
     * mine-once `*FromEdges` family member. */
@@ -1917,7 +2073,9 @@ object Graph {
                         rounds: Int)(finish: DataFrame => DataFrame): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
     val ownsEdges = !callerCached(edges0)
-    val edges = if (ownsEdges) edges0.persist() else edges0
+    // loop invariant: pre-partition on the per-round join key above
+    // the broadcast cap (no-op on broadcastable graphs)
+    val edges = if (ownsEdges) coPartitionLoopEdges(edges0).persist() else edges0
     val nodes = edges.select(sf.col("src").as("item"))
       .union(edges.select(sf.col("dst").as("item"))).distinct()
     var state = nodes.filter(seedPred(sf.col("item")))
