@@ -318,10 +318,9 @@ object Graph {
         .select(sf.col("dst").as("item"),
           (sf.lit(base) + sf.expr("(85 * s) div 100")).as("rank_fx"))
     }
-    val out = ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
-      .localCheckpoint(true)
-    edgesDeg.unpersist()
-    out
+    // no trailing checkpoint (pre-r14 behavior): the result is
+    // node-sized and consumed once; harness/callers clearCache
+    ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
   }
 
   /** Node-count cap under which the per-round rank/score frame of an
@@ -457,11 +456,8 @@ object Graph {
           (sf.when(seedPred(sf.col("dst")), base).otherwise(0L) +
             sf.expr("(85 * s) div 100")).as("rank_fx"))
     }
-    val out = ranks.select(sf.col("item"), sf.col("rank_fx"))
+    ranks.select(sf.col("item"), sf.col("rank_fx"))
       .orderBy(sf.col("rank_fx").desc, sf.col("item"))
-      .localCheckpoint(true)
-    edgesDeg.unpersist()
-    out
   }
 
   /** [[personalizedPageRank]] over a pre-mined edge list. */
