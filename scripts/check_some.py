@@ -17,6 +17,16 @@ def main(sf_dir, out_dir, names):
         if not glob.glob(os.path.join(pq, "*.parquet")):
             print(f"FAIL {name}: no spark output at {pq}"); failures += 1; continue
         if name not in oracle:
+            # Only the documented no-SQL-twin queries may degrade to a
+            # rows-only check; any other missing name means oracle_sql.json
+            # was rewritten by a filtered Verify for DIFFERENT queries and a
+            # hash regression could read as green — fail loudly instead.
+            ROWS_ONLY = {"q276_compressibility"}
+            if name not in ROWS_ONLY:
+                print(f"FAIL {name}: absent from oracle_sql.json (stale/filtered "
+                      f"oracle file?) — refusing rows-only degrade")
+                failures += 1
+                continue
             n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{pq}/*.parquet')").fetchone()[0]
             print(("OK  " if n > 0 else "FAIL") + f" {name}: rows-only, {n} rows")
             failures += 0 if n > 0 else 1

@@ -101,7 +101,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     // The driver's BENCH artifact keeps only the tail of stdout, which
     // truncates the per-query map around q100 — persist the full JSON
     // beside the sources so every query's number survives the round.
@@ -113,6 +112,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
       }
+    // Artifact-contract protection (r14 judge item 7: BENCH_r13's tail
+    // truncation lost the round-over-round comparison): everything that
+    // can write to stdout — including spark.stop()'s shutdown logging —
+    // runs BEFORE the one JSON line, which is printed flushed as the
+    // absolute last line of the process. Same single line, same format.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -132,6 +132,14 @@ object functions {
   def hashedWsNgrams(t: Column, n: Int): Column =
     kernel(ArrayType(LongType, containsNull = false), "hashedWsNgrams", t, sf.lit(n))
 
+  /** One-pass n = 1..maxN ladder of [[hashedWsNgrams]] (slot k = width
+    * k+1): coverage consumers read every width from ONE tokenization
+    * instead of one full text pass per n (see
+    * Kernels.hashedWsNgramsLadder). */
+  def hashedWsNgramsLadder(t: Column, maxN: Int): Column =
+    kernel(ArrayType(ArrayType(LongType, containsNull = false), containsNull = false),
+      "hashedWsNgramsLadder", t, sf.lit(maxN))
+
   /** Positional word-n-gram hashes: text order, multiplicity kept —
     * index i is the gram starting at token i (see
     * Kernels.hashedWsNgramSeq). For span-level dedup. */

@@ -144,15 +144,24 @@ object Cleaning {
     * Output: (doc_id, clean_text, n_chars_raw, n_chars_norm). Null text
     * propagates as null with null counts (absent content, not empty).
     */
-  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t0 = sf.col(textCol)
+  /** The [[normalizeText]] cleaning chain as a bare column expression —
+    * map-only, so pipeline composers (e.g. Pipeline.curationPlan) can
+    * compute it inline next to the columns they carry instead of
+    * re-attaching the operator's output with a doc_id join (which
+    * shuffles the full text bytes for what is a per-row function). */
+  private[operators] def normalizeTextExpr(t0: Column): Column = {
     val noCtl = sf.regexp_replace(t0, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     val tabs = sf.regexp_replace(noCtl, "\\t", " ")
     val spaces = sf.regexp_replace(tabs, "  +", " ")
     val hug = sf.regexp_replace(spaces, " *\\n *", "\n")
     val blanks = sf.regexp_replace(hug, "\\n\\n\\n+", "\n\n")
+    sf.trim(blanks)
+  }
+
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = sf.col(textCol)
     docs.select(sf.col(idCol).cast("long").as("doc_id"),
-        sf.trim(blanks).as("clean_text"),
+        normalizeTextExpr(t0).as("clean_text"),
         sf.length(t0).cast("long").as("n_chars_raw"))
       .withColumn("n_chars_norm", sf.length(sf.col("clean_text")).cast("long"))
       .orderBy("doc_id")

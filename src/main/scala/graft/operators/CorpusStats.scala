@@ -693,21 +693,35 @@ object CorpusStats {
   def ngramCoverage(corpus: DataFrame, evalSet: DataFrame, textCol: String,
                     maxN: Int = 3): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
-    def grams(df: DataFrame, n: Int) =
+    // ONE text pass per side for ALL widths (the ladder kernel
+    // tokenizes once and emits every n's distinct gram hashes), one
+    // (n, gh)-keyed distinct per side and one semi join — the r14
+    // shape re-scanned and re-tokenized both sides maxN times and ran
+    // maxN distinct+join rounds (guide §2.3/§6: fewer full passes).
+    def grams(df: DataFrame) =
       Par.spread(df.select(sf.col(textCol).as("__t")))
         .filter(sf.length(sf.trim(sf.col("__t"))) > 0)
-        .select(sf.explode(gf.hashedWsNgrams(sf.col("__t"), n)).as("gh"))
+        .select(sf.posexplode(gf.hashedWsNgramsLadder(sf.col("__t"), maxN))
+          .as(Seq("__i", "__g")))
+        .select((sf.col("__i") + 1).as("n"), sf.explode(sf.col("__g")).as("gh"))
         .distinct()
-    (1 to maxN).map { n =>
-      val e = grams(evalSet, n)
-      val covered = e.join(grams(corpus, n), Seq("gh"), "left_semi")
-        .agg(sf.count(sf.lit(1)).as("covered"))
-      e.agg(sf.count(sf.lit(1)).as("eval_grams"))
-        .crossJoin(covered)
-        .select(sf.lit(n).as("n"), sf.col("eval_grams"), sf.col("covered"),
-          gf.roundAt(sf.col("covered").cast("double") /
-            sf.col("eval_grams").cast("double"), 4).as("coverage"))
-    }.reduce(_.union(_)).orderBy("n")
+    // the eval gram table feeds two consumers (total + covered counts)
+    val e = grams(evalSet).localCheckpoint(true)
+    val totals = e.groupBy("n").agg(sf.count(sf.lit(1)).as("eval_grams"))
+    val covered = e.join(grams(corpus), Seq("n", "gh"), "left_semi")
+      .groupBy("n").agg(sf.count(sf.lit(1)).as("covered"))
+    // literal n domain: an n with zero eval grams still emits its row
+    // (count-0, NaN coverage), exactly as the per-n aggregates did
+    val ns = corpus.sparkSession.range(1, maxN + 1)
+      .select(sf.col("id").cast("int").as("n"))
+    ns.join(totals, Seq("n"), "left").join(covered, Seq("n"), "left")
+      .select(sf.col("n"),
+        sf.coalesce(sf.col("eval_grams"), sf.lit(0L)).as("eval_grams"),
+        sf.coalesce(sf.col("covered"), sf.lit(0L)).as("covered"),
+        gf.roundAt(sf.coalesce(sf.col("covered"), sf.lit(0L)).cast("double") /
+          sf.coalesce(sf.col("eval_grams"), sf.lit(0L)).cast("double"), 4)
+          .as("coverage"))
+      .orderBy("n")
   }
 
   /** Source-concentration metrics over token mass: Gini coefficient,

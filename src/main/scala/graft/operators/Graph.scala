@@ -292,9 +292,9 @@ object Graph {
     // materialize the loop invariants ONCE: without this, every
     // iteration's lineage re-derives the whole pair-mining funnel
     // (and the final collect re-runs it `iters` more times)
-    val edgesDeg = coPartitionLoopEdges(edges.join(outdeg, "src")).persist()
-    // derive nodes from the CACHED frame: the count below materializes
-    // edgesDeg, so the mining funnel runs exactly once
+    val edgesDeg = coPartitionLoopEdges(edges.join(outdeg, "src"))
+    // derive nodes from the CACHED frame (coPartitionLoopEdges
+    // persisted + materialized it, so the mining funnel ran exactly once)
     val nodes = edgesDeg.select(sf.col("src").as("item")).distinct()
     // n is a plan-time scalar: the node count is the one driver-side
     // value the integer recurrence needs (same role as a literal seed).
@@ -318,9 +318,14 @@ object Graph {
         .select(sf.col("dst").as("item"),
           (sf.lit(base) + sf.expr("(85 * s) div 100")).as("rank_fx"))
     }
-    // no trailing checkpoint (pre-r14 behavior): the result is
-    // node-sized and consumed once; harness/callers clearCache
-    ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
+    // end-of-loop release (the eigenvector/katz discipline):
+    // materialize the node-sized result UNSORTED (the global sort runs
+    // once, in the consumer's action, not again inside the checkpoint),
+    // then free the |E|-sized loop invariant — library callers no
+    // longer leak a cached edge frame until an external clearCache.
+    val fx = ranks.localCheckpoint(true)
+    edgesDeg.unpersist()
+    fx.orderBy(sf.col("rank_fx").desc, sf.col("item"))
   }
 
   /** Node-count cap under which the per-round rank/score frame of an
@@ -338,21 +343,38 @@ object Graph {
     spark.conf.getOption("spark.graft.loop.broadcastNodeCap")
       .map(_.toLong).getOrElse(4000000L)
 
-  /** Repartition+sort a loop-invariant edge table on `src` BEFORE it
-    * is persisted, iff the graph is too big for the per-round rank
-    * frame to broadcast (see [[broadcastNodeCap]]). The up-front
-    * exchange is paid once; every round's join then reuses the cached
-    * partitioning instead of re-shuffling |E| rows. Node count is
-    * estimated from the plan stats of the edge frame (cheap, no job):
-    * rows/2 ≥ nodes on a symmetric list, so the estimate errs toward
-    * keeping plans unchanged on small graphs. */
-  private def coPartitionLoopEdges(edges: DataFrame,
+  /** Persist a loop-invariant edge table, repartitioned+sorted on the
+    * per-round join key iff the graph is too big for the per-round
+    * rank frame to broadcast (see [[broadcastNodeCap]]). The up-front
+    * exchange is paid once; every round's sort-merge join then reuses
+    * the cached partitioning AND sort order instead of re-shuffling +
+    * re-sorting |E| rows per round. Returns a PERSISTED frame either
+    * way (callers must not re-persist); a caller-persisted input keeps
+    * its cache and only the repartitioned copy (if any) is owned here.
+    *
+    * The gate is an EXACT row count of the materialized edge frame
+    * (plan-stats `rowCount` is None for parquet-derived frames in
+    * every reachable configuration, so a stats gate can never fire;
+    * the count job reads the just-persisted cache the loop's first
+    * action would materialize anyway). rows/2 estimates the node
+    * count: exact for a simple symmetric pair list's edge rows, an
+    * OVERestimate for denser/multigraph-like lists — so the gate errs
+    * toward firing, which costs one extra up-front exchange on a
+    * still-broadcastable graph but never leaves a 100 TB loop
+    * re-shuffling |E| rows every round. */
+  private def coPartitionLoopEdges(edges0: DataFrame,
                                    key: String = "src"): DataFrame = {
-    val spark = edges.sparkSession
-    val rows = edges.queryExecution.optimizedPlan.stats.rowCount
-    val big = rows.exists(_ / 2 > broadcastNodeCap(spark))
-    if (big) edges.repartition(sf.col(key)).sortWithinPartitions(key)
-    else edges
+    val spark = edges0.sparkSession
+    val owned = !callerCached(edges0)
+    val plain = if (owned) edges0.persist() else edges0
+    val rows = plain.count()
+    if (rows / 2 > broadcastNodeCap(spark)) {
+      val parted = plain.repartition(sf.col(key)).sortWithinPartitions(key)
+        .persist()
+      parted.count() // materialize from the plain cache before freeing it
+      if (owned) plain.unpersist()
+      parted
+    } else plain
   }
 
   /** WEIGHTED PageRank — [[pageRank]] with each node's rank split
@@ -381,7 +403,7 @@ object Graph {
       .union(pairs.select(sf.col("item_b").as("src"),
         sf.col("item_a").as("dst"), sf.col("c_ab").as("w")))
     val wout = edges.groupBy("src").agg(sf.sum("w").cast("long").as("wout"))
-    val edgesW = coPartitionLoopEdges(edges.join(wout, "src")).persist()
+    val edgesW = coPartitionLoopEdges(edges.join(wout, "src"))
     val nodes = edgesW.select(sf.col("src").as("item")).distinct()
     val n = nodes.count()
     require(n > 0, "pageRankWeighted: graph is empty at this minPairCount")
@@ -400,10 +422,11 @@ object Graph {
         .select(sf.col("dst").as("item"),
           (sf.lit(base) + sf.expr("(85 * s) div 100")).as("rank_fx"))
     }
-    val out = ranks.orderBy(sf.col("rank_fx").desc, sf.col("item"))
-      .localCheckpoint(true)
+    // checkpoint BEFORE the global sort (the eigen/katz discipline —
+    // the sort runs once, in the consumer's action)
+    val fx = ranks.localCheckpoint(true)
     edgesW.unpersist()
-    out
+    fx.orderBy(sf.col("rank_fx").desc, sf.col("item"))
   }
 
   /** Personalized PageRank: [[pageRank]] with the restart (teleport)
@@ -437,7 +460,7 @@ object Graph {
     val SCALE = 1000000000000L // 1e12
     val edges = minedEdges(df, basketCol, itemCol, minPairCount)
     val outdeg = edges.groupBy("src").agg(sf.count(sf.lit(1)).as("outdeg"))
-    val edgesDeg = coPartitionLoopEdges(edges.join(outdeg, "src")).persist()
+    val edgesDeg = coPartitionLoopEdges(edges.join(outdeg, "src"))
     val nodes = edgesDeg.select(sf.col("src").as("item")).distinct()
       .withColumn("is_seed", seedPred(sf.col("item")))
     val nSeeds = nodes.filter(sf.col("is_seed")).count()
@@ -456,8 +479,13 @@ object Graph {
           (sf.when(seedPred(sf.col("dst")), base).otherwise(0L) +
             sf.expr("(85 * s) div 100")).as("rank_fx"))
     }
-    ranks.select(sf.col("item"), sf.col("rank_fx"))
-      .orderBy(sf.col("rank_fx").desc, sf.col("item"))
+    // end-of-loop release (the pageRank convention): one node-sized
+    // eager checkpoint BEFORE the global sort (the sort runs once, in
+    // the consumer's action), then free the |E|-sized loop invariant.
+    val fx = ranks.select(sf.col("item"), sf.col("rank_fx"))
+      .localCheckpoint(true)
+    edgesDeg.unpersist()
+    fx.orderBy(sf.col("rank_fx").desc, sf.col("item"))
   }
 
   /** [[personalizedPageRank]] over a pre-mined edge list. */
@@ -597,7 +625,7 @@ object Graph {
     // loop invariant: above the broadcast cap, persist it already
     // partitioned+sorted on the per-round join key so no round
     // re-shuffles |E| rows (no-op on broadcastable graphs)
-    val edges = if (ownsEdges) coPartitionLoopEdges(edges0).persist() else edges0
+    val edges = if (ownsEdges) coPartitionLoopEdges(edges0) else edges0
     val step = if (weighted) sf.col("w") else sf.lit(1L)
     var dist = edges.select(sf.col("src").as("item"))
       .union(edges.select(sf.col("dst").as("item"))).distinct()
@@ -668,7 +696,7 @@ object Graph {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     // per-round join key is dst (labels attach to the destination);
     // above the broadcast cap persist pre-partitioned on it
-    val edges = coPartitionLoopEdges(edges0, "dst").persist()
+    val edges = coPartitionLoopEdges(edges0, "dst")
     var labels = edges.select(sf.col("src").as("item")).distinct()
       .select(sf.col("item"), sf.col("item").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -932,7 +960,13 @@ object Graph {
     * partition — the metric is labeling-agnostic). */
   def communityQualityFromEdges(edges0: DataFrame, labels0: DataFrame): DataFrame = {
     val edges = edges0.persist()
+    // the labeling feeds THREE consumers below (the per-community
+    // degree rollup and both sides of the intra-edge join); without a
+    // cut, each consumer re-executes the full labeling plan — for an
+    // LPA input that is 3x the whole propagation loop. One eager
+    // node-sized checkpoint runs it exactly once.
     val labels = labels0.select(sf.col("item"), sf.col("community").as("lbl"))
+      .localCheckpoint(true)
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val deg = edges.groupBy(sf.col("src").as("item"))
       .agg(sf.count(sf.lit(1)).as("dg"))
@@ -999,7 +1033,11 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
     val ownsEdges = !callerCached(edges0)
-    val edgesIn = if (ownsEdges) edges0.persist() else edges0
+    // round-1 loop invariant: above the broadcast cap, persist already
+    // partitioned+sorted on src — the first peel's degree count and
+    // src-side semi join (over the UNSHRUNK edge list, the round that
+    // dominates the peel) then reuse the cached partitioning
+    val edgesIn = if (ownsEdges) coPartitionLoopEdges(edges0) else edges0
     var edges = edgesIn
     // the edge frame is read THREE times per peel (degree count + two
     // semi joins), so lineage TRIPLES per round — every UnpersistBatch
@@ -1078,10 +1116,19 @@ object Graph {
 
   /** The orientation + wedge-close pipeline over an undirected (u, v)
     * edge list — unsorted triple stream, shared by [[triangles]] and
-    * [[graphProfile]]. */
-  private def triangleClosure(und: DataFrame): DataFrame = {
-    val deg = und.select(sf.col("u").as("n")).union(und.select(sf.col("v").as("n")))
-      .groupBy("n").agg(sf.count(sf.lit(1)).as("d"))
+    * [[graphProfile]]. `deg0`, when given, is the caller's already-
+    * derived (n, d) degree table (graphProfile/localClustering compute
+    * it anyway for their own readouts — passing it in drops the
+    * duplicate union+groupBy pass). The ORIENTED edge list feeds THREE
+    * consumers below (both wedge sides + the closing list); it is
+    * materialized once with an eager checkpoint so the degree joins run
+    * once instead of three times and the wedge self-join probes one
+    * cached frame from both sides. */
+  private def triangleClosure(und: DataFrame,
+                              deg0: Option[DataFrame] = None): DataFrame = {
+    val deg = deg0.getOrElse(
+      und.select(sf.col("u").as("n")).union(und.select(sf.col("v").as("n")))
+        .groupBy("n").agg(sf.count(sf.lit(1)).as("d")))
     // orient low (d, id) -> high (d, id): a total order, so exactly one
     // direction survives per edge
     val oriented = und
@@ -1094,6 +1141,7 @@ object Graph {
           .otherwise(sf.struct(sf.col("v").as("src"), sf.col("u").as("dst")))
           .as("e"))
       .select(sf.col("e.src").as("src"), sf.col("e.dst").as("dst"))
+      .localCheckpoint(true)
     // wedges at the oriented source: (src -> x, src -> y), one per
     // unordered {x, y} (dst order under the same total order)
     val l = oriented.select(sf.col("src"), sf.col("dst").as("x"))
@@ -1340,8 +1388,12 @@ object Graph {
     val und = minedPairs(df, basketCol, itemCol, minPairCount)
       .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
       .persist()
+    // degree table feeds the stats rollup AND the closure's orientation
+    // joins — derive it once (node-sized, eager so the closure below
+    // consumes a materialized frame instead of re-running the rollup)
     val deg = und.select(sf.col("u").as("n")).union(und.select(sf.col("v").as("n")))
       .groupBy("n").agg(sf.count(sf.lit(1)).as("d"))
+      .localCheckpoint(true)
     val degStats = deg.agg(
       sf.count(sf.lit(1)).as("n_nodes"),
       sf.sum(sf.col("d")).as("deg_sum"), // = 2|E|
@@ -1349,11 +1401,15 @@ object Graph {
       // wedges: sum d*(d-1)/2, exact integer arithmetic end-to-end
       sf.sum(sf.expr("(d * (d - 1)) div 2")).as("wedges"))
     val nEdges = und.agg(sf.count(sf.lit(1)).as("n_edges"))
-    val nTri = triangleClosure(und).agg(sf.count(sf.lit(1)).as("n_triangles"))
+    val nTri = triangleClosure(und, Some(deg))
+      .agg(sf.count(sf.lit(1)).as("n_triangles"))
     // materialize the ONE-ROW stats frame eagerly: the eight metric
     // branches below each embed this subplan, and without the
     // checkpoint every branch re-runs the funnel + triangle join
     val j = degStats.crossJoin(nEdges).crossJoin(nTri).localCheckpoint(true)
+    // everything is materialized into j — release the pair invariant
+    // (previously leaked to the harness clearCache)
+    und.unpersist()
     def d(c: String) = sf.col(c).cast("double")
     def m(name: String, v: org.apache.spark.sql.Column) =
       j.select(sf.lit(name).as("metric"), v.cast("double").as("value"))
@@ -1518,9 +1574,13 @@ object Graph {
     val pairsIn = if (ownsPairs) pairs0.persist() else pairs0
     val und = pairsIn
       .select(sf.col("item_a").as("u"), sf.col("item_b").as("v"))
+    // degree table feeds the final readout AND the closure's
+    // orientation joins — derive it once, eagerly (node-sized)
     val deg = und.select(sf.col("u").as("item")).union(und.select(sf.col("v").as("item")))
       .groupBy("item").agg(sf.count(sf.lit(1)).as("degree"))
-    val triAt = triangleClosure(und)
+      .localCheckpoint(true)
+    val triAt = triangleClosure(und,
+        Some(deg.select(sf.col("item").as("n"), sf.col("degree").as("d"))))
       .select(sf.explode(sf.array(
         sf.col("item_a"), sf.col("item_b"), sf.col("item_c"))).as("item"))
       .groupBy("item").agg(sf.count(sf.lit(1)).as("n_triangles"))
@@ -1576,8 +1636,23 @@ object Graph {
                     iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     val SCALE = 1000000L // 1e6
-    val edges = df.select(sf.col(srcCol).as("src"), sf.col(dstCol).as("dst"))
+    val plain = df.select(sf.col(srcCol).as("src"), sf.col(dstCol).as("dst"))
       .distinct().persist()
+    // loop invariant, but the per-half-round join key ALTERNATES
+    // (authority sums probe on src, hub sums on dst) — above the
+    // broadcast cap persist one copy pre-partitioned+sorted per key so
+    // neither half-round re-shuffles |E| rows; below it one plain
+    // cache serves both (the score side broadcasts).
+    val eRows = plain.count()
+    val big = eRows / 2 > broadcastNodeCap(plain.sparkSession)
+    val (eSrc, eDst) =
+      if (big) {
+        val s = plain.repartition(sf.col("src")).sortWithinPartitions("src").persist()
+        val d = plain.repartition(sf.col("dst")).sortWithinPartitions("dst").persist()
+        s.count(); d.count()
+        plain.unpersist()
+        (s, d)
+      } else (plain, plain)
     // (score·SCALE) div max — one-row broadcast, integer-exact; raw
     // is read twice (sum + max) so the caller hands it in persisted
     def maxNorm(raw: DataFrame, node: String): DataFrame = {
@@ -1590,7 +1665,7 @@ object Graph {
     // every UnpersistBatch rounds an eager localCheckpoint cuts the
     // plan tree (the relaxRounds discipline — bounded driver planning
     // cost at any round budget)
-    var hub = edges.select(sf.col("src")).distinct()
+    var hub = eSrc.select(sf.col("src")).distinct()
       .select(sf.col("src"), sf.lit(SCALE).as("__v"))
     var auth: DataFrame = null
     val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -1598,10 +1673,10 @@ object Graph {
     // the normalized score frames are read once per round — persisting
     // them would just add node-table cache writes
     for (r <- 1 to iters) {
-      val rawA = edges.join(hub, "src")
+      val rawA = eSrc.join(hub, "src")
         .groupBy("dst").agg(sf.sum("__v").as("__s")).persist()
       auth = maxNorm(rawA, "dst")
-      val rawH = edges.join(auth, "dst")
+      val rawH = eDst.join(auth, "dst")
         .groupBy("src").agg(sf.sum("__v").as("__s")).persist()
       hub = maxNorm(rawH, "src")
       toFree += rawA; toFree += rawH
@@ -1619,7 +1694,8 @@ object Graph {
     val fa = auth.localCheckpoint(true)
     val fh = hub.localCheckpoint(true)
     toFree.foreach(_.unpersist()); toFree.clear()
-    edges.unpersist()
+    eSrc.unpersist()
+    if (big) eDst.unpersist()
     fa.select(sf.lit("auth").as("side"), sf.col("dst").as("item"),
         sf.col("__v").as("score_fx"))
       .union(fh.select(sf.lit("hub").as("side"), sf.col("src").as("item"),
@@ -1658,7 +1734,7 @@ object Graph {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     val SCALE = 1000000L
     val edges = coPartitionLoopEdges(
-      minedEdges(df, basketCol, itemCol, minPairCount)).persist()
+      minedEdges(df, basketCol, itemCol, minPairCount))
     val nodes = edges.select(sf.col("src").as("item")).distinct()
     var x = nodes.select(sf.col("item"), sf.lit(SCALE).as("__v"))
     val toFree = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -1765,7 +1841,7 @@ object Graph {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     val SCALE = 1000000L
     val edges = coPartitionLoopEdges(
-      minedEdges(df, basketCol, itemCol, minPairCount)).persist()
+      minedEdges(df, basketCol, itemCol, minPairCount))
     val dmaxRow = edges.groupBy("dst").agg(sf.count(sf.lit(1)).as("__d"))
       .agg(sf.max("__d")).collect()
     val dmax = if (dmaxRow.isEmpty || dmaxRow(0).isNullAt(0)) 1L
@@ -2071,7 +2147,7 @@ object Graph {
     val ownsEdges = !callerCached(edges0)
     // loop invariant: pre-partition on the per-round join key above
     // the broadcast cap (no-op on broadcastable graphs)
-    val edges = if (ownsEdges) coPartitionLoopEdges(edges0).persist() else edges0
+    val edges = if (ownsEdges) coPartitionLoopEdges(edges0) else edges0
     val nodes = edges.select(sf.col("src").as("item"))
       .union(edges.select(sf.col("dst").as("item"))).distinct()
     var state = nodes.filter(seedPred(sf.col("item")))

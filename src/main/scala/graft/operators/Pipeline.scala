@@ -166,22 +166,25 @@ object Pipeline {
                    qualityFrac: Double = 0.5, nearDupThreshold: Double = 0.9,
                    splits: Seq[(String, Double)] = Seq(
                      "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
-    // NOT persisted: both consumers prune to disjoint column sets, so a
-    // second parquet scan is cheaper than caching the raw text bytes
+    // normalize, scrub and score are all MAP-ONLY per-row functions —
+    // computed inline in ONE projection chain next to the carried
+    // columns. (r14 shape re-attached each operator's output with a
+    // doc_id join, shuffling the full text bytes twice for per-row
+    // functions — guide §2.4: remove shuffles outright.)
     val raw = docs.select(
       sf.col("doc_id").cast("long").as("doc_id"),
       sf.col("text"), sf.col("source"))
-    val normalized = raw.select(sf.col("doc_id"), sf.col("source"))
-      .join(Cleaning.normalizeText(raw, "doc_id", "text")
-        .select(sf.col("doc_id"), sf.col("clean_text").as("text")), "doc_id")
-    // persisted: the normalize+scrub regex chain is the most expensive
-    // map pass in the funnel and two consumers (the score join's both
-    // sides) would otherwise run it twice
-    val scrubbed = Cleaning.scrubPii(normalized, "text")
-      .select("doc_id", "text", "source").persist()
-    val scored = scrubbed.join(
-      TextAnalysis.qualityScore(scrubbed, "doc_id", "text")
-        .select(sf.col("doc_id"), sf.col("avg_token_len").as("__q")), "doc_id")
+    val normalized = raw.select(sf.col("doc_id"), sf.col("source"),
+      Cleaning.normalizeTextExpr(sf.col("text")).as("text"))
+    // persisted: topFractionByScore reads its input twice (threshold
+    // rollup + filter join-back), and the normalize+scrub regex chain
+    // is the most expensive map pass in the funnel — cache it scored
+    // so the chain runs once
+    val scored = Cleaning.scrubPii(normalized, "text")
+      .select(sf.col("doc_id"), sf.col("text"), sf.col("source"),
+        graft.functions.roundAt(
+          TextAnalysis.avgTokenLenExpr(sf.col("text")), 4).as("__q"))
+      .persist()
     val gated = Sampling.topFractionByScore(scored, "source", "__q", qualityFrac)
       .drop("__q").persist()
     val exact = gated.join(Dedup.exact(gated, "doc_id", Seq("text"))

@@ -27,6 +27,17 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** [[qualityScore]]'s mean-token-length signal as a bare column
+    * expression — map-only, so pipeline composers (Pipeline.
+    * curationPlan) can compute the gate score inline instead of
+    * re-attaching the operator's output with a doc_id join that
+    * shuffles the full text bytes. */
+  private[operators] def avgTokenLenExpr(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nTok = gf.tokenCount(t).cast("double")
+    sf.when(nTok === 0, 0.0).otherwise(
+      sf.length(sf.regexp_replace(sf.trim(t), "\\s+", "")).cast("double") / nTok)
+  }
+
   /** Heuristic quality score from surface statistics: length band,
     * punctuation density, digit density, mean token length. */
   def qualityScore(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -37,9 +48,7 @@ object TextAnalysis {
       sf.greatest(len, sf.lit(1.0))
     val digits = (len - sf.length(sf.regexp_replace(t, "[0-9]", "")).cast("double")) /
       sf.greatest(len, sf.lit(1.0))
-    val nTok = gf.tokenCount(t).cast("double")
-    val avgTok = sf.when(nTok === 0, 0.0).otherwise(
-      sf.length(sf.regexp_replace(sf.trim(t), "\\s+", "")).cast("double") / nTok)
+    val avgTok = avgTokenLenExpr(t)
     val lengthOk = (len >= 100 && len <= 10000).cast("int").cast("double")
     val score = lengthOk * 0.4 +
       sf.when(punct < 0.1, 0.2).otherwise(0.0) +

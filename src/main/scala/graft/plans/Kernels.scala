@@ -539,6 +539,71 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** One-pass ladder of [[hashedWsNgrams]]: slot k holds the sorted
+    * distinct gram hashes for n = k+1, for n = 1..maxN. Tokenizes (and
+    * hashes tokens) ONCE and reuses the token-hash array for every
+    * width — coverage-style consumers that need all widths previously
+    * paid one full text scan + tokenization per n. Each slot is
+    * bit-identical to hashedWsNgrams(t, n). */
+  def hashedWsNgramsLadder(t: UTF8String, maxN: Int): ArrayData = {
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val len = t.numBytes()
+    var toks = new Array[Long](8)
+    var w = 0
+    var i = 0
+    def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    while (i < len) {
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        if (w == toks.length) toks = java.util.Arrays.copyOf(toks, w * 2)
+        toks(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          base, off + start, i - start, Seed)
+        w += 1
+      }
+    }
+    val slots = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val out =
+        if (w < n) { // short doc: the whole token sequence is one gram
+          var h = Seed
+          var j = 0
+          while (j < w) {
+            h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(toks(j), h)
+            j += 1
+          }
+          Array(h)
+        } else {
+          val g = new Array[Long](w - n + 1)
+          var s = 0
+          while (s <= w - n) {
+            var h = Seed
+            var j = s
+            while (j < s + n) {
+              h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(toks(j), h)
+              j += 1
+            }
+            g(s) = h
+            s += 1
+          }
+          java.util.Arrays.sort(g)
+          var d = 0
+          var r = 0
+          while (r < g.length) {
+            if (d == 0 || g(d - 1) != g(r)) { g(d) = g(r); d += 1 }
+            r += 1
+          }
+          if (d == g.length) g else java.util.Arrays.copyOf(g, d)
+        }
+      slots(n - 1) = UnsafeArrayData.fromPrimitiveArray(out)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(slots)
+  }
+
   /** Positional variant of hashedWsNgrams: gram hashes IN TEXT ORDER,
     * duplicates kept — index i is the hash of the n-gram starting at
     * token i (one whole-sequence gram when the doc is shorter than n;
