@@ -397,32 +397,25 @@ object Dedup {
       .persist()
     val docTok = base.select(sf.col("setkey"), sf.size(sf.col("sh")).as("sz"),
       sf.explode(sf.col("sh")).as("tok"))
-    // the document-frequency table feeds the probe join, the vocab-size
-    // gate and (mask path) the vocab collect — checkpoint it so the
-    // token explode + count runs ONCE instead of per consumer
     val dfc = docTok.groupBy("tok").agg(sf.count(sf.lit(1)).as("df"))
-      .localCheckpoint(true)
-    // probe prefix: first floor((1-t)|A|)+1 tokens, rarest-first
+    // probe prefix: first floor((1-t)|A|)+1 tokens, rarest-first.
+    // r15 NOTE (measured, kept as-is): at t = 1.0 this builds a sorted
+    // per-doc array only to take its minimum, but BOTH "cheaper"
+    // rewrites measured SLOWER at sf1.0 (r14 collect_list 5.15 s @
+    // local[32]): min(struct(df, tok)) falls to SortAggregate and sorts
+    // the whole token explosion (+139 % in the warmed bench), and a
+    // hash-aggregable packed DECIMAL(38,0) min pays a >38-digit checked
+    // decimal multiply per token row (9.8 s single-run). The
+    // ObjectHashAggregate collect_list never sorts the stream and its
+    // partial aggregation already bounds the shuffle.
     val plen = (sf.col("sz") * (10000L - t10k)).cast("long") / 10000L + 1L
-    val probe =
-      if (t10k == 10000)
-        // t = 1.0: the prefix is exactly ONE token — the rarest. A
-        // combinable min(struct(df, tok)) replaces the sorted
-        // collect_list of every token per document (hash aggregation,
-        // no per-doc array build/sort; same element by the same (df,
-        // tok) total order).
-        docTok.join(dfc, "tok")
-          .groupBy("setkey", "sz")
-          .agg(sf.min(sf.struct(sf.col("df"), sf.col("tok"))).as("m"))
-          .select(sf.col("setkey").as("sk_a"), sf.col("sz").as("sz_a"),
-            sf.array(sf.col("m.tok")).as("pfx_a"))
-      else docTok.join(dfc, "tok")
-        .groupBy("setkey", "sz")
-        .agg(sf.sort_array(
-          sf.collect_list(sf.struct(sf.col("df"), sf.col("tok")))).as("ord"))
-        .select(sf.col("setkey").as("sk_a"), sf.col("sz").as("sz_a"),
-          sf.transform(sf.slice(sf.col("ord"), sf.lit(1), plen.cast("int")),
-            x => x.getField("tok")).as("pfx_a"))
+    val probe = docTok.join(dfc, "tok")
+      .groupBy("setkey", "sz")
+      .agg(sf.sort_array(
+        sf.collect_list(sf.struct(sf.col("df"), sf.col("tok")))).as("ord"))
+      .select(sf.col("setkey").as("sk_a"), sf.col("sz").as("sz_a"),
+        sf.transform(sf.slice(sf.col("ord"), sf.lit(1), plen.cast("int")),
+          x => x.getField("tok")).as("pfx_a"))
     val probeTok = probe.select(sf.col("sk_a"), sf.col("sz_a"), sf.col("pfx_a"),
       sf.explode(sf.col("pfx_a")).as("tok"))
     val index = docTok.select(sf.col("setkey").as("sk_b"), sf.col("tok"))

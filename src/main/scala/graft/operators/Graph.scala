@@ -352,23 +352,25 @@ object Graph {
     * way (callers must not re-persist); a caller-persisted input keeps
     * its cache and only the repartitioned copy (if any) is owned here.
     *
-    * The gate is an EXACT row count of the materialized edge frame
-    * (plan-stats `rowCount` is None for parquet-derived frames in
-    * every reachable configuration, so a stats gate can never fire;
-    * the count job reads the just-persisted cache the loop's first
-    * action would materialize anyway). rows/2 estimates the node
-    * count: exact for a simple symmetric pair list's edge rows, an
-    * OVERestimate for denser/multigraph-like lists — so the gate errs
-    * toward firing, which costs one extra up-front exchange on a
-    * still-broadcastable graph but never leaves a 100 TB loop
-    * re-shuffling |E| rows every round. */
+    * The gate measures the MATERIALIZED edge frame (plan-stats
+    * `rowCount` is None for parquet-derived frames in every reachable
+    * configuration, so a stats gate can never fire; this one job reads
+    * the just-persisted cache the loop's first action would
+    * materialize anyway). What must broadcast per round is the
+    * NODE-sized rank/label frame, so the gate estimates the node count
+    * with approx_count_distinct over the join key (±2 % HLL — a
+    * threshold read, not a result): an edges/2 proxy measured 20×
+    * over on dense mined graphs (avg degree 40) and fired the gate an
+    * order of magnitude early, paying the extra exchange exactly where
+    * broadcasting was still the right plan. */
   private def coPartitionLoopEdges(edges0: DataFrame,
                                    key: String = "src"): DataFrame = {
     val spark = edges0.sparkSession
     val owned = !callerCached(edges0)
     val plain = if (owned) edges0.persist() else edges0
-    val rows = plain.count()
-    if (rows / 2 > broadcastNodeCap(spark)) {
+    val nodesEst = plain.agg(
+      sf.approx_count_distinct(sf.col(key)).as("n")).head().getLong(0)
+    if (nodesEst > broadcastNodeCap(spark)) {
       val parted = plain.repartition(sf.col(key)).sortWithinPartitions(key)
         .persist()
       parted.count() // materialize from the plain cache before freeing it
@@ -1643,8 +1645,13 @@ object Graph {
     // broadcast cap persist one copy pre-partitioned+sorted per key so
     // neither half-round re-shuffles |E| rows; below it one plain
     // cache serves both (the score side broadcasts).
-    val eRows = plain.count()
-    val big = eRows / 2 > broadcastNodeCap(plain.sparkSession)
+    // gate on the LARGER side's node count (each half-round broadcasts
+    // one side's score frame) — one materializing agg job, ±2 % HLL
+    val sides = plain.agg(
+      sf.approx_count_distinct(sf.col("src")).as("ns"),
+      sf.approx_count_distinct(sf.col("dst")).as("nd")).head()
+    val big = math.max(sides.getLong(0), sides.getLong(1)) >
+      broadcastNodeCap(plain.sparkSession)
     val (eSrc, eDst) =
       if (big) {
         val s = plain.repartition(sf.col("src")).sortWithinPartitions("src").persist()
